@@ -1,0 +1,389 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analysis._
+
+/**
+ * Driver-verified query registry. Each entry pairs a Spark DataFrame
+ * program (built on the graft library operators) with an equivalent DuckDB
+ * SQL oracle over the same parquet tables.
+ *
+ * Determinism/parity rules (see SURVEY.md §5):
+ *  - every query ends with an explicit ORDER BY over a unique key prefix;
+ *  - float aggregates are rounded, with the rounding grid chosen per
+ *    magnitude (sums of ~1e9 → round 2; unit-scale stats → round 6) so the
+ *    grid is far coarser than cross-engine fp summation noise;
+ *  - time windows anchor to max(ts), never NOW();
+ *  - formulas that both engines must evaluate (histogram bucketing, moment
+ *    stats, drift) are written with structurally identical arithmetic.
+ */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Entry(name: String, fn: QueryFn, oracle: Option[String])
+
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
+  private def r6(c: org.apache.spark.sql.Column) = round(c, 6)
+
+  // ------------------------------------------------------------------
+  // Analysis operators
+  // ------------------------------------------------------------------
+
+  /** Aggregation with group_by — full metric set on lineitem.l_quantity. */
+  private val q01 = Entry(
+    "q01_agg_group",
+    (s, d) => {
+      val spec = Aggregation(
+        feature = "l_quantity",
+        metrics = Seq("count", "sum", "avg", "min", "max", "stddev",
+          "variance", "median", "null_count", "null_rate", "distinct_count"),
+        groupBy = Seq("l_returnflag", "l_linestatus"))
+      AnalysisPlanner
+        .plan(Tables.lineitem(s, d), spec)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("count").as("cnt"),
+          r2(col("sum")).as("sum_qty"),
+          r6(col("avg")).as("avg_qty"),
+          col("min").as("min_qty"),
+          col("max").as("max_qty"),
+          r6(col("stddev")).as("std_qty"),
+          r6(col("variance")).as("var_qty"),
+          r6(col("median")).as("median_qty"),
+          col("null_count").as("null_cnt"),
+          r6(col("null_rate")).as("null_rate"),
+          col("distinct_count").as("nd_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             count(l_quantity) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(avg(l_quantity), 6) AS avg_qty,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             round(stddev_samp(l_quantity), 6) AS std_qty,
+             round(var_samp(l_quantity), 6) AS var_qty,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             count(*) - count(l_quantity) AS null_cnt,
+             round(1.0 - count(l_quantity) / count(*), 6) AS null_rate,
+             count(DISTINCT l_quantity) AS nd_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Aggregation with a 7d time window anchored to max(ts). */
+  private val q02 = Entry(
+    "q02_agg_window",
+    (s, d) => {
+      val spec = Aggregation(
+        feature = "value",
+        metrics = Seq("count", "sum", "avg", "p95"),
+        window = Some("7d"),
+        groupBy = Seq("event_type"),
+        timeColumn = "ts")
+      AnalysisPlanner
+        .plan(Tables.events(s, d), spec)
+        .select(
+          col("event_type"),
+          col("count").as("cnt"),
+          r2(col("sum")).as("sum_value"),
+          r6(col("avg")).as("avg_value"),
+          r6(col("p95")).as("p95_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count("value") AS cnt,
+             round(sum("value"), 2) AS sum_value,
+             round(avg("value"), 6) AS avg_value,
+             round(quantile_cont("value", 0.95), 6) AS p95_value
+      FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Rolling 7-period daily aggregation (PRD.md:985-994 semantics). */
+  private val q03 = Entry(
+    "q03_agg_rolling",
+    (s, d) => {
+      val spec = Aggregation(
+        feature = "value",
+        metrics = Seq("sum", "count"),
+        rolling = true,
+        periods = Some(7),
+        timeColumn = "ts")
+      AnalysisPlanner
+        .plan(Tables.events(s, d), spec)
+        .select(
+          to_date(col("period")).as("day"),
+          r2(col("sum")).as("day_sum"),
+          col("count").as("cnt"),
+          r2(col("rolling_sum")).as("rolling_sum7"),
+          col("rolling_count").as("rolling_cnt7"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH dly AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum("value") AS s,
+               count("value") AS c
+        FROM events GROUP BY 1)
+      SELECT day,
+             round(s, 2) AS day_sum,
+             c AS cnt,
+             round(sum(s) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum7,
+             CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt7
+      FROM dly ORDER BY day"""))
+
+  /** Distribution: 20-bin equal-width histogram. */
+  private val q04 = Entry(
+    "q04_histogram",
+    (s, d) =>
+      AnalysisPlanner
+        .histogram(Tables.lineitem(s, d), "l_extendedprice", 20)
+        .select(col("bucket"), col("n"))
+        .orderBy("bucket"),
+    Some("""
+      WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+      SELECT LEAST(CAST(FLOOR(((l_extendedprice - lo) / (hi - lo)) * 20) AS BIGINT), 19) AS bucket,
+             count(*) AS n
+      FROM lineitem, b
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Distribution: moment statistics (pop. skewness/kurtosis, shared formula). */
+  private val q05 = Entry(
+    "q05_dist_stats",
+    (s, d) =>
+      AnalysisPlanner
+        .momentStats(Tables.lineitem(s, d), "l_quantity")
+        .select(
+          col("n"),
+          r6(col("mean")).as("mean"),
+          r6(col("stddev_pop")).as("stddev_pop"),
+          r6(col("skewness_pop")).as("skewness_pop"),
+          r6(col("kurtosis_pop")).as("kurtosis_pop")),
+    Some("""
+      WITH m AS (
+        SELECT count(l_quantity) AS n,
+               avg(l_quantity) AS m1,
+               avg(l_quantity * l_quantity) AS m2,
+               avg(l_quantity * l_quantity * l_quantity) AS m3,
+               avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+        FROM lineitem)
+      SELECT n,
+             round(m1, 6) AS mean,
+             round(sqrt(m2 - m1 * m1), 6) AS stddev_pop,
+             round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / power(m2 - m1 * m1, 1.5), 6) AS skewness_pop,
+             round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1) / power(m2 - m1 * m1, 2.0) - 3.0, 6) AS kurtosis_pop
+      FROM m"""))
+
+  /** Distribution: exact percentiles p25..p99. */
+  private val q06 = Entry(
+    "q06_percentiles",
+    (s, d) =>
+      AnalysisPlanner
+        .percentiles(Tables.lineitem(s, d), "l_extendedprice")
+        .select(
+          r6(col("p25")).as("p25"), r6(col("p50")).as("p50"),
+          r6(col("p75")).as("p75"), r6(col("p90")).as("p90"),
+          r6(col("p95")).as("p95"), r6(col("p99")).as("p99")),
+    Some("""
+      SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+             round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem"""))
+
+  /** RecordLookup: projection + filter + order + limit. */
+  private val q12 = Entry(
+    "q12_record_lookup",
+    (s, d) =>
+      AnalysisPlanner
+        .recordLookup(
+          Tables.orders(s, d),
+          RecordLookup(
+            features = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+            filter = Some("o_totalprice > 150000"),
+            orderBy = Seq("o_totalprice", "o_orderkey"),
+            descending = true,
+            limit = 100)),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_totalprice > 150000
+      ORDER BY o_totalprice DESC, o_orderkey DESC
+      LIMIT 100"""))
+
+  /** DataQuality profile: completeness / distincts / key uniqueness. */
+  private val q13 = Entry(
+    "q13_data_quality",
+    (s, d) =>
+      AnalysisPlanner
+        .dataQuality(
+          Tables.orders(s, d),
+          DataQuality(
+            features = Seq("o_totalprice", "o_orderstatus", "o_custkey"),
+            keyColumns = Seq("o_orderkey")))
+        .select(
+          col("row_count"),
+          r6(col("null_rate__o_totalprice")).as("nr_totalprice"),
+          r6(col("null_rate__o_orderstatus")).as("nr_orderstatus"),
+          r6(col("null_rate__o_custkey")).as("nr_custkey"),
+          col("distinct__o_totalprice").as("nd_totalprice"),
+          col("distinct__o_orderstatus").as("nd_orderstatus"),
+          col("distinct__o_custkey").as("nd_custkey"),
+          col("dup_keys")),
+    Some("""
+      SELECT CAST(count(*) AS DOUBLE) AS row_count,
+             round(1.0 - count(o_totalprice) / count(*), 6) AS nr_totalprice,
+             round(1.0 - count(o_orderstatus) / count(*), 6) AS nr_orderstatus,
+             round(1.0 - count(o_custkey) / count(*), 6) AS nr_custkey,
+             CAST(count(DISTINCT o_totalprice) AS DOUBLE) AS nd_totalprice,
+             CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_orderstatus,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS nd_custkey,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS dup_keys
+      FROM orders"""))
+
+  // ------------------------------------------------------------------
+  // Derived-feature expression surface
+  // ------------------------------------------------------------------
+
+  /** Derived features: CASE/COALESCE/NULLIF/string fns — the reference's
+    * `derived_from` expression language, materialized via withColumn. */
+  private val q15 = Entry(
+    "q15_derived_features",
+    (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("name_upper", upper(col("c_name")))
+        .withColumn("bal_bucket",
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .withColumn("bal_per_nation",
+          r6(col("c_acctbal") / nullif(col("c_nationkey").cast("double"), lit(0.0))))
+        .withColumn("name_prefix", substring(col("c_name"), 1, 8))
+        .withColumn("name_len", length(col("c_name")))
+        .withColumn("seg_key",
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")))
+        .select("c_custkey", "name_upper", "bal_bucket", "bal_per_nation",
+          "name_prefix", "name_len", "seg_key")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             upper(c_name) AS name_upper,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS bal_bucket,
+             round(c_acctbal / nullif(CAST(c_nationkey AS DOUBLE), 0.0), 6) AS bal_per_nation,
+             substring(c_name, 1, 8) AS name_prefix,
+             length(c_name) AS name_len,
+             concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key
+      FROM customer
+      ORDER BY c_custkey"""))
+
+  /** Serving-style point lookup on the entity key. */
+  private val q17 = Entry(
+    "q17_point_lookup",
+    (s, d) =>
+      Tables.customer(s, d)
+        .where(col("c_custkey").isin(1L, 5L, 10L, 50L, 100L, 500L))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (1, 5, 10, 50, 100, 500)
+      ORDER BY c_custkey"""))
+
+  // ------------------------------------------------------------------
+  // Cross-group joins (derived features across feature groups)
+  // ------------------------------------------------------------------
+
+  /** Cross-group equi-join on entity key; dim side broadcast. */
+  private val q40 = Entry(
+    "q40_join_enrich",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          r2(sum(col("o_totalprice"))).as("revenue"),
+          r6(avg(col("o_totalprice"))).as("avg_order"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue,
+             round(avg(o_totalprice), 6) AS avg_order
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** 5-way star join: fact shuffle-joined, dims broadcast. */
+  private val q41 = Entry(
+    "q41_region_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name"),
+    Some("""
+      SELECT r_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name"""))
+
+  /** Windowed top-k per group (partitioned window — no global sort). */
+  private val q42 = Entry(
+    "q42_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some("""
+      SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, rn"""))
+
+  // ------------------------------------------------------------------
+
+  val entries: Seq[Entry] = Seq(
+    q01, q02, q03, q04, q05, q06, q12, q13, q15, q17, q40, q41, q42)
+
+  def queries: Map[String, QueryFn] =
+    entries.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    entries.flatMap(e => e.oracle.map(sql => e.name -> sql.trim)).toMap
+}

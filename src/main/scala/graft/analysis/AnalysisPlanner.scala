@@ -1,0 +1,431 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Lowers [[Analysis]] specs to Spark DataFrame programs. Everything here is
+ * declarative (Column expressions / groupBy / window) so Catalyst handles
+ * pushdown, pruning, partial aggregation and codegen.
+ *
+ * Scale notes (100 TB design stance):
+ *  - scalar bounds (min/max/quantile anchors) are computed as 1-row frames
+ *    and broadcast-joined, never collected per-row;
+ *  - histograms aggregate to `bins` rows — shuffle is O(bins × segments);
+ *  - global-ordering windows are only used on *already aggregated* frames
+ *    (time buckets, histogram buckets), never on raw fact rows;
+ *  - exact `percentile` is used for oracle parity; swap to
+ *    `percentile_approx` at extreme scale (documented trade-off).
+ */
+object AnalysisPlanner {
+
+  /** Duration strings like 7d / 24h / 90m / 30s / 2w (freshness.py:32-64). */
+  def durationToInterval(d: String): Column = {
+    val m = "^(\\d+)(s|m|h|d|w)$".r
+      .findFirstMatchIn(d.trim)
+      .getOrElse(throw new IllegalArgumentException(s"Bad duration: $d"))
+    val n = m.group(1).toLong
+    val z = lit(0)
+    m.group(2) match {
+      case "s" => make_interval(z, z, z, z, z, z, lit(n))
+      case "m" => make_interval(z, z, z, z, z, lit(n))
+      case "h" => make_interval(z, z, z, z, lit(n))
+      case "d" => make_interval(z, z, z, lit(n))
+      case "w" => make_interval(z, z, lit(n))
+    }
+  }
+
+  /** One aggregate Column per metric name; alias = metric name. */
+  def metricColumn(metric: String, feature: String): Column = {
+    val c = col(feature)
+    val out: Column = metric match {
+      case "count"          => count(c)
+      case "sum"            => sum(c)
+      case "avg" | "mean"   => avg(c)
+      case "min"            => min(c)
+      case "max"            => max(c)
+      case "stddev"         => stddev_samp(c)
+      case "variance"       => var_samp(c)
+      case "median"         => percentile(c, lit(0.5))
+      case "null_count"     => count(when(c.isNull, 1))
+      case "null_rate"      => lit(1.0) - count(c).cast("double") / count(lit(1))
+      case "distinct_count" => count_distinct(c)
+      case p if p.matches("p\\d{1,2}") =>
+        percentile(c, lit(p.drop(1).toDouble / 100.0))
+      case other => throw new IllegalArgumentException(s"Unsupported metric: $other")
+    }
+    out.as(metric)
+  }
+
+  /**
+   * Time-window filter anchored to max(timeColumn) for determinism (the
+   * reference's `NOW()` is replaced by the data's own high-water mark).
+   * The 1-row bound is broadcast — no driver collect, no per-row subquery.
+   */
+  def applyTimeWindow(df: DataFrame, timeColumn: String, window: String): DataFrame = {
+    val bound = df.agg(max(col(timeColumn)).as("__wmax"))
+    df.join(broadcast(bound))
+      .where(col(timeColumn) >= col("__wmax") - durationToInterval(window))
+      .drop("__wmax")
+  }
+
+  def plan(df: DataFrame, a: Analysis): DataFrame = a match {
+    case s: Aggregation  => aggregation(df, s)
+    case s: Distribution => distribution(df, s)
+    case s: Correlation  => correlation(df, s)
+    case s: VersionDiff  => versionDiff(df, s)
+    case s: StatTest     => statTest(df, s)
+    case s: RecordLookup => recordLookup(df, s)
+    case s: DataQuality  => dataQuality(df, s)
+    case s: Drift        => drift(df, s)
+  }
+
+  // ---------------------------------------------------------------- agg
+
+  def aggregation(df0: DataFrame, s: Aggregation): DataFrame = {
+    var df = df0
+    s.filter.foreach(f => df = df.where(f))
+    s.window.foreach(w => df = applyTimeWindow(df, s.timeColumn, w))
+
+    if (s.rolling) {
+      // Pre-bucket to days, aggregate per bucket (distributed), then roll a
+      // window over the *bucketed* frame (cardinality = #days, tiny).
+      val n = s.periods.get
+      val mcols = s.metrics.map(m => metricColumn(m, s.feature))
+      val bucketed = df
+        .groupBy(date_trunc("day", col(s.timeColumn)).as("period"))
+        .agg(mcols.head, mcols.tail: _*)
+      val w = Window.orderBy("period").rowsBetween(-(n - 1), 0)
+      s.metrics
+        .foldLeft(bucketed) { (d, m) =>
+          d.withColumn(s"rolling_$m", sum(col(m)).over(w))
+        }
+        .orderBy("period")
+    } else if (s.groupBy.nonEmpty) {
+      val mcols = s.metrics.map(m => metricColumn(m, s.feature))
+      df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
+    } else {
+      val mcols = s.metrics.map(m => metricColumn(m, s.feature))
+      df.agg(mcols.head, mcols.tail: _*)
+    }
+  }
+
+  // --------------------------------------------------------- distribution
+
+  /**
+   * Equal-width histogram; bucket ∈ [0, bins-1], formula kept structurally
+   * identical to the DuckDB oracle SQL so float arithmetic matches:
+   * `LEAST(CAST(FLOOR(((x - lo) / (hi - lo)) * bins) AS BIGINT), bins-1)`.
+   */
+  def histogram(df0: DataFrame, feature: String, bins: Int,
+      segmentBy: Option[String] = None): DataFrame = {
+    val c = col(feature)
+    val bounds = df0.agg(min(c).as("__lo"), max(c).as("__hi"))
+    val withBucket = df0
+      .join(broadcast(bounds))
+      .withColumn(
+        "bucket",
+        least(
+          floor(((c - col("__lo")) / (col("__hi") - col("__lo"))) * bins),
+          lit(bins - 1L)))
+    val keys = segmentBy.toSeq.map(col) :+ col("bucket")
+    withBucket
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def percentiles(df: DataFrame, feature: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)): DataFrame =
+  {
+    val cols = ps.map(p => percentile(col(feature), lit(p)).as(s"p${(p * 100).round}"))
+    df.agg(cols.head, cols.tail: _*)
+  }
+
+  /**
+   * Moment statistics. Population skewness/kurtosis are derived from raw
+   * moments with an explicit formula (Spark's `skewness`/`kurtosis`
+   * builtins are population-based but DuckDB's are sample-corrected — the
+   * shared formula keeps both engines on identical arithmetic).
+   */
+  def momentStats(df: DataFrame, feature: String): DataFrame = {
+    val x = col(feature).cast("double")
+    df.agg(
+        count(x).as("n"),
+        avg(x).as("m1"),
+        avg(x * x).as("m2"),
+        avg(x * x * x).as("m3"),
+        avg(x * x * x * x).as("m4"))
+      .select(
+        col("n"),
+        col("m1").as("mean"),
+        sqrt(col("m2") - col("m1") * col("m1")).as("stddev_pop"),
+        ((col("m3") - lit(3.0) * col("m1") * col("m2") + lit(2.0) * col("m1") * col("m1") * col("m1"))
+          / pow(col("m2") - col("m1") * col("m1"), 1.5)).as("skewness_pop"),
+        ((col("m4") - lit(4.0) * col("m1") * col("m3") + lit(6.0) * col("m1") * col("m1") * col("m2")
+          - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1"))
+          / pow(col("m2") - col("m1") * col("m1"), 2.0) - lit(3.0)).as("kurtosis_pop"))
+  }
+
+  /** Per-bucket cumulative distribution over a histogram frame. */
+  def cdf(hist: DataFrame): DataFrame = {
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val total = Window.partitionBy()
+    hist
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cdf", col("cum_n") / sum(col("n")).over(total))
+  }
+
+  def distribution(df0: DataFrame, s: Distribution): DataFrame = {
+    var df = df0
+    s.filter.foreach(f => df = df.where(f))
+    s.sampleSize.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    s.outputs.head match {
+      case "histogram"   => histogram(df, s.feature, s.bins, s.segmentBy)
+      case "percentiles" => percentiles(df, s.feature)
+      case "stats"       => momentStats(df, s.feature)
+      case "cdf"         => cdf(histogram(df, s.feature, s.bins, s.segmentBy))
+      case o             => throw new IllegalArgumentException(s"Unknown output: $o")
+    }
+  }
+
+  // ---------------------------------------------------------- correlation
+
+  /**
+   * Pairwise correlation, one wide row (feature-pair → corr_a__b columns).
+   * Pearson is a single distributed aggregate pass over all pairs.
+   * Spearman first converts each feature to ranks. Rank uses min-rank
+   * (`rank()`), matching the oracle; ties therefore use the same convention
+   * in both engines.
+   *
+   * Scale note: rank() over a global ORDER BY is a single-partition sort.
+   * At 100 TB replace with a two-pass distributed ranking (zipWithIndex on
+   * sorted partitions) or `percent_rank` on pre-aggregated value counts;
+   * pearson path has no such bottleneck.
+   */
+  def correlation(df0: DataFrame, s: Correlation): DataFrame = {
+    var df = df0
+    s.filter.foreach(f => df = df.where(f))
+    s.sampleSize.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    val base: DataFrame = s.method match {
+      case "pearson" => df
+      case "spearman" =>
+        s.features.foldLeft(df) { (d, f) =>
+          d.withColumn(f, rank().over(Window.orderBy(col(f))).cast("double"))
+        }
+      case "kendall" =>
+        throw new UnsupportedOperationException(
+          "kendall: use sampled pair-join (KendallTau.sampled)")
+    }
+    val pairs = for {
+      i <- s.features.indices
+      j <- (i + 1) until s.features.size
+    } yield (s.features(i), s.features(j))
+    base.agg(
+      pairs.head match { case (a, b) => corr(col(a), col(b)).as(s"corr_${a}__$b") },
+      pairs.tail.map { case (a, b) => corr(col(a), col(b)).as(s"corr_${a}__$b") }: _*)
+  }
+
+  // ------------------------------------------------------------ drift
+
+  /**
+   * Distribution-drift metrics between two predicates over one frame.
+   * Shared equal-width bins from the union's min/max; proportions clamped
+   * at 1e-9 to keep ln() finite (identical clamp in the oracle).
+   * Output: single row with the requested metrics.
+   */
+  def drift(df0: DataFrame, s: Drift): DataFrame = {
+    val c = col(s.feature)
+    val inA = expr(s.baselineFilter)
+    val inB = expr(s.currentFilter)
+    val both = df0.where(inA || inB)
+    val bounds = both.agg(min(c).as("__lo"), max(c).as("__hi"))
+    val bucketed = both
+      .join(broadcast(bounds))
+      .withColumn(
+        "bucket",
+        least(floor(((c - col("__lo")) / (col("__hi") - col("__lo"))) * s.bins),
+          lit(s.bins - 1L)))
+      .groupBy("bucket")
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("na"),
+        sum(when(inB, 1L).otherwise(0L)).as("nb"))
+    val tot = Window.partitionBy()
+    val wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val eps = lit(1e-9)
+    val prop = bucketed
+      .withColumn("p", greatest(col("na") / sum(col("na")).over(tot), eps))
+      .withColumn("q", greatest(col("nb") / sum(col("nb")).over(tot), eps))
+      .withColumn("cp", sum(col("na")).over(wcum) / sum(col("na")).over(tot))
+      .withColumn("cq", sum(col("nb")).over(wcum) / sum(col("nb")).over(tot))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+    val metricCols: Seq[Column] = s.metrics.map {
+      case "psi" => sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi")
+      case "kl_divergence" => sum(col("p") * log(col("p") / col("q"))).as("kl_divergence")
+      case "js_divergence" =>
+        (sum(col("p") * log(col("p") / col("m"))) / 2.0 +
+          sum(col("q") * log(col("q") / col("m"))) / 2.0).as("js_divergence")
+      case "wasserstein" =>
+        // binned 1-D Wasserstein: Σ |CDF_p - CDF_q| × binwidth (unit bins)
+        sum(abs(col("cp") - col("cq"))).as("wasserstein")
+      case "ks_statistic" => max(abs(col("cp") - col("cq"))).as("ks_statistic")
+    }
+    prop.agg(metricCols.head, metricCols.tail: _*)
+  }
+
+  def versionDiff(df0: DataFrame, s: VersionDiff): DataFrame = {
+    val c = col(s.feature)
+    val inA = expr(s.sideA)
+    val inB = expr(s.sideB)
+    val stats = df0
+      .where(inA || inB)
+      .agg(
+        count(when(inA, c)).as("n_a"),
+        count(when(inB, c)).as("n_b"),
+        avg(when(inA, c)).as("mean_a"),
+        avg(when(inB, c)).as("mean_b"),
+        stddev_samp(when(inA, c)).as("std_a"),
+        stddev_samp(when(inB, c)).as("std_b"))
+      .withColumn("mean_diff", col("mean_b") - col("mean_a"))
+    val dr = drift(df0,
+      Drift(s.feature, s.sideA, s.sideB, Seq("psi", "kl_divergence"), s.bins))
+    stats.join(dr) // both single-row
+  }
+
+  // ---------------------------------------------------------- stat tests
+
+  /**
+   * Two-sample tests via conditional aggregation (single distributed pass;
+   * no per-group collect). Outputs test statistic + df/z; p-values are
+   * attached by [[graft.analysis.Stats]] driver-side (scalar math).
+   */
+  def statTest(df0: DataFrame, s: StatTest): DataFrame = {
+    val c = col(s.feature).cast("double")
+    val seg = col(s.segmentBy)
+    val isC = seg === lit(s.control)
+    val isT = seg === lit(s.treatment)
+    s.test match {
+      case "welch" | "ttest" =>
+        df0.where(isC || isT)
+          .agg(
+            avg(when(isC, c)).as("mean_c"), avg(when(isT, c)).as("mean_t"),
+            var_samp(when(isC, c)).as("var_c"), var_samp(when(isT, c)).as("var_t"),
+            count(when(isC, c)).as("n_c"), count(when(isT, c)).as("n_t"))
+          .withColumn("effect_size",
+            (col("mean_t") - col("mean_c")) /
+              sqrt((col("var_c") + col("var_t")) / 2.0))
+          .withColumn("se2", col("var_c") / col("n_c") + col("var_t") / col("n_t"))
+          .withColumn("t_stat", (col("mean_t") - col("mean_c")) / sqrt(col("se2")))
+          .withColumn("df_welch",
+            (col("se2") * col("se2")) /
+              (pow(col("var_c") / col("n_c"), 2.0) / (col("n_c") - 1) +
+                pow(col("var_t") / col("n_t"), 2.0) / (col("n_t") - 1)))
+          .drop("se2")
+
+      case "mannwhitney" =>
+        // rank-sum with min-rank convention (same as oracle's rank()).
+        // Global rank: acceptable because ranks are computed on the
+        // filtered two-sample frame; at extreme scale use distributed
+        // ranking via value-count prefix sums.
+        val ranked = df0.where(isC || isT)
+          .withColumn("r", rank().over(Window.orderBy(c)).cast("double"))
+        ranked.agg(
+            sum(when(isT, col("r"))).as("r_t"),
+            count(when(isT, c)).as("n_t"),
+            count(when(isC, c)).as("n_c"))
+          .withColumn("u_stat",
+            col("r_t") - col("n_t") * (col("n_t") + 1) / 2.0)
+          .withColumn("z_stat",
+            (col("u_stat") - col("n_c") * col("n_t") / 2.0) /
+              sqrt(col("n_c") * col("n_t") * (col("n_c") + col("n_t") + 1) / 12.0))
+
+      case "ks" =>
+        // exact two-sample KS via range-frame CDFs (ties handled by RANGE)
+        val both = df0.where(isC || isT)
+          .select(c.as("x"), when(isC, 1.0).otherwise(0.0).as("ic"),
+            when(isT, 1.0).otherwise(0.0).as("it"))
+        val wr = Window.orderBy("x") // default RANGE frame → includes ties
+        val tot = Window.partitionBy()
+        both
+          .withColumn("fc", sum(col("ic")).over(wr) / sum(col("ic")).over(tot))
+          .withColumn("ft", sum(col("it")).over(wr) / sum(col("it")).over(tot))
+          .agg(max(abs(col("fc") - col("ft"))).as("ks_stat"))
+
+      case "chi2" =>
+        // contingency over binned feature × segment
+        val bounds = df0.where(isC || isT).agg(min(c).as("__lo"), max(c).as("__hi"))
+        val binned = df0.where(isC || isT)
+          .join(broadcast(bounds))
+          .withColumn("band",
+            least(floor(((c - col("__lo")) / (col("__hi") - col("__lo"))) * s.bins),
+              lit(s.bins - 1L)))
+          .groupBy("band")
+          .agg(sum(when(isC, 1.0).otherwise(0.0)).as("oc"),
+            sum(when(isT, 1.0).otherwise(0.0)).as("ot"))
+        val tot = Window.partitionBy()
+        binned
+          .withColumn("rt", col("oc") + col("ot"))
+          .withColumn("nc", sum(col("oc")).over(tot))
+          .withColumn("nt", sum(col("ot")).over(tot))
+          .withColumn("n", col("nc") + col("nt"))
+          .withColumn("ec", col("rt") * col("nc") / col("n"))
+          .withColumn("et", col("rt") * col("nt") / col("n"))
+          .agg(
+            sum(pow(col("oc") - col("ec"), 2.0) / col("ec") +
+              pow(col("ot") - col("et"), 2.0) / col("et")).as("chi2_stat"),
+            (count(lit(1)) - 1).as("dof"))
+
+      case "anova" =>
+        // one-way ANOVA across ALL segment values (control/treatment ignored)
+        val g = df0.groupBy(seg.as("g"))
+          .agg(count(c).as("n"), avg(c).as("m"), var_samp(c).as("v"))
+        val tot = Window.partitionBy()
+        g.withColumn("gm", sum(col("m") * col("n")).over(tot) / sum(col("n")).over(tot))
+          .withColumn("k", count(lit(1)).over(tot))
+          .withColumn("ntot", sum(col("n")).over(tot))
+          .agg(
+            ((sum(col("n") * pow(col("m") - col("gm"), 2.0)) / (max(col("k")) - 1)) /
+              (sum((col("n") - 1) * col("v")) / (max(col("ntot")) - max(col("k")))))
+              .as("f_stat"),
+            (max(col("k")) - 1).as("df_between"),
+            (max(col("ntot")) - max(col("k"))).as("df_within"))
+    }
+  }
+
+  // ------------------------------------------------------- record lookup
+
+  def recordLookup(df0: DataFrame, s: RecordLookup): DataFrame = {
+    var df = df0
+    s.filter.foreach(f => df = df.where(f))
+    if (s.features.nonEmpty) df = df.select(s.features.map(col): _*)
+    s.sample.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    if (s.orderBy.nonEmpty) {
+      val cols = s.orderBy.map(c => if (s.descending) col(c).desc else col(c).asc)
+      df = df.orderBy(cols: _*)
+    }
+    df.limit(s.limit)
+  }
+
+  // -------------------------------------------------------- data quality
+
+  /**
+   * One-pass quality profile: long format (feature, metric, value) so any
+   * number of features lands in one deterministic frame.
+   */
+  def dataQuality(df0: DataFrame, s: DataQuality): DataFrame = {
+    val n = count(lit(1))
+    val perFeature: Seq[Column] = s.features.flatMap { f =>
+      val c = col(f)
+      Seq(
+        (lit(1.0) - count(c).cast("double") / n).as(s"null_rate__$f"),
+        count_distinct(c).cast("double").as(s"distinct__$f"))
+    }
+    val uniq: Seq[Column] =
+      if (s.keyColumns.nonEmpty)
+        Seq((n - count_distinct(struct(s.keyColumns.map(col): _*)))
+          .cast("double").as("dup_keys"))
+      else Nil
+    val cols = Seq(n.cast("double").as("row_count")) ++ perFeature ++ uniq
+    df0.agg(cols.head, cols.tail: _*)
+  }
+}
