@@ -251,6 +251,276 @@ object Queries {
              CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS dup_keys
       FROM orders"""))
 
+  /** Pearson correlation matrix (single distributed aggregate pass). */
+  private val q07 = Entry(
+    "q07_corr_pearson",
+    (s, d) => {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val out = AnalysisPlanner.correlation(
+        Tables.lineitem(s, d), Correlation(feats, "pearson"))
+      out.select(out.columns.map(c => r6(col(c)).as(c)): _*)
+    },
+    Some("""
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity__l_extendedprice,
+             round(corr(l_quantity, l_discount), 6) AS corr_l_quantity__l_discount,
+             round(corr(l_quantity, l_tax), 6) AS corr_l_quantity__l_tax,
+             round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice__l_discount,
+             round(corr(l_extendedprice, l_tax), 6) AS corr_l_extendedprice__l_tax,
+             round(corr(l_discount, l_tax), 6) AS corr_l_discount__l_tax
+      FROM lineitem"""))
+
+  /** Spearman rank correlation (rank() min-rank convention, both engines). */
+  private val q08 = Entry(
+    "q08_corr_spearman",
+    (s, d) => {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val out = AnalysisPlanner.correlation(
+        Tables.lineitem(s, d), Correlation(feats, "spearman"))
+      out.select(out.columns.map(c => r6(col(c)).as(c)): _*)
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS r1,
+               CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS r2,
+               CAST(rank() OVER (ORDER BY l_discount) AS DOUBLE) AS r3
+        FROM lineitem)
+      SELECT round(corr(r1, r2), 6) AS corr_l_quantity__l_extendedprice,
+             round(corr(r1, r3), 6) AS corr_l_quantity__l_discount,
+             round(corr(r2, r3), 6) AS corr_l_extendedprice__l_discount
+      FROM r"""))
+
+  private val driftBaseline = "ts < TIMESTAMP '2024-01-16 00:00:00'"
+  private val driftCurrent = "ts >= TIMESTAMP '2024-01-16 00:00:00'"
+
+  /** Drift: all five divergence metrics between two time windows. */
+  private val q09 = Entry(
+    "q09_drift",
+    (s, d) =>
+      AnalysisPlanner
+        .drift(Tables.events(s, d),
+          Drift("value", driftBaseline, driftCurrent,
+            Seq("psi", "kl_divergence", "js_divergence", "wasserstein", "ks_statistic"),
+            bins = 10))
+        .select(
+          r6(col("psi")).as("psi"),
+          r6(col("kl_divergence")).as("kl_divergence"),
+          r6(col("js_divergence")).as("js_divergence"),
+          r6(col("wasserstein")).as("wasserstein"),
+          r6(col("ks_statistic")).as("ks_statistic")),
+    Some(s"""
+      WITH f AS (
+        SELECT "value" AS v,
+               CASE WHEN $driftBaseline THEN 1 ELSE 0 END AS ia,
+               CASE WHEN $driftCurrent THEN 1 ELSE 0 END AS ib
+        FROM events
+        WHERE ($driftBaseline) OR ($driftCurrent)),
+      b AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+      h AS (
+        SELECT LEAST(CAST(FLOOR(((v - lo) / (hi - lo)) * 10) AS BIGINT), 9) AS bucket,
+               sum(ia) AS na, sum(ib) AS nb
+        FROM f, b GROUP BY 1),
+      p AS (
+        SELECT bucket,
+               greatest(na / (sum(na) OVER ()), 1e-9) AS p,
+               greatest(nb / (sum(nb) OVER ()), 1e-9) AS q,
+               (sum(na) OVER (ORDER BY bucket)) / (sum(na) OVER ()) AS cp,
+               (sum(nb) OVER (ORDER BY bucket)) / (sum(nb) OVER ()) AS cq
+        FROM h)
+      SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+             round(sum(p * ln(p / q)), 6) AS kl_divergence,
+             round(sum(p * ln(p / ((p + q) / 2.0))) / 2.0 + sum(q * ln(q / ((p + q) / 2.0))) / 2.0, 6) AS js_divergence,
+             round(sum(abs(cp - cq)), 6) AS wasserstein,
+             round(max(abs(cp - cq)), 6) AS ks_statistic
+      FROM p"""))
+
+  /** Two-sample KS test (exact CDFs via RANGE-frame windows). */
+  private val q10 = Entry(
+    "q10_stattest_ks",
+    (s, d) =>
+      AnalysisPlanner
+        .statTest(Tables.events(s, d),
+          StatTest("value", "ks", "event_type", "purchase", "click"))
+        .select(r6(col("ks_stat")).as("ks_stat")),
+    Some("""
+      WITH u AS (
+        SELECT "value" AS x,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS ic,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS it
+        FROM events
+        WHERE event_type IN ('purchase', 'click')),
+      c AS (
+        SELECT sum(ic) OVER (ORDER BY x) / (sum(ic) OVER ()) AS fc,
+               sum(it) OVER (ORDER BY x) / (sum(it) OVER ()) AS ft
+        FROM u)
+      SELECT round(max(abs(fc - ft)), 6) AS ks_stat FROM c"""))
+
+  /** Welch t-test: single conditional-aggregation pass. */
+  private val q11 = Entry(
+    "q11_stattest_welch",
+    (s, d) =>
+      AnalysisPlanner
+        .statTest(Tables.events(s, d),
+          StatTest("value", "welch", "event_type", "purchase", "click"))
+        .select(
+          r6(col("mean_c")).as("mean_c"), r6(col("mean_t")).as("mean_t"),
+          r6(col("var_c")).as("var_c"), r6(col("var_t")).as("var_t"),
+          col("n_c"), col("n_t"),
+          r6(col("effect_size")).as("effect_size"),
+          r6(col("t_stat")).as("t_stat"),
+          r6(col("df_welch")).as("df_welch")),
+    Some("""
+      WITH g AS (
+        SELECT avg(CASE WHEN event_type = 'purchase' THEN "value" END) AS mean_c,
+               avg(CASE WHEN event_type = 'click' THEN "value" END) AS mean_t,
+               var_samp(CASE WHEN event_type = 'purchase' THEN "value" END) AS var_c,
+               var_samp(CASE WHEN event_type = 'click' THEN "value" END) AS var_t,
+               count(CASE WHEN event_type = 'purchase' THEN "value" END) AS n_c,
+               count(CASE WHEN event_type = 'click' THEN "value" END) AS n_t
+        FROM events
+        WHERE event_type IN ('purchase', 'click'))
+      SELECT round(mean_c, 6) AS mean_c, round(mean_t, 6) AS mean_t,
+             round(var_c, 6) AS var_c, round(var_t, 6) AS var_t,
+             n_c, n_t,
+             round((mean_t - mean_c) / sqrt((var_c + var_t) / 2.0), 6) AS effect_size,
+             round((mean_t - mean_c) / sqrt(var_c / n_c + var_t / n_t), 6) AS t_stat,
+             round(power(var_c / n_c + var_t / n_t, 2.0) /
+                   (power(var_c / n_c, 2.0) / (n_c - 1) + power(var_t / n_t, 2.0) / (n_t - 1)), 6) AS df_welch
+      FROM g"""))
+
+  /** VersionDiff: statistics diff + distribution drift between versions. */
+  private val q14 = Entry(
+    "q14_version_diff",
+    (s, d) =>
+      AnalysisPlanner
+        .versionDiff(Tables.lineitem(s, d),
+          VersionDiff("l_quantity", "l_linestatus = 'O'", "l_linestatus = 'F'", bins = 10))
+        .select(
+          col("n_a"), col("n_b"),
+          r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
+          r6(col("std_a")).as("std_a"), r6(col("std_b")).as("std_b"),
+          r6(col("mean_diff")).as("mean_diff"),
+          r6(col("psi")).as("psi"),
+          r6(col("kl_divergence")).as("kl_divergence")),
+    Some("""
+      WITH st AS (
+        SELECT count(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS n_a,
+               count(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS n_b,
+               avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS mean_a,
+               avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS mean_b,
+               stddev_samp(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS std_a,
+               stddev_samp(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS std_b
+        FROM lineitem
+        WHERE l_linestatus = 'O' OR l_linestatus = 'F'),
+      f AS (
+        SELECT l_quantity AS v,
+               CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS ib
+        FROM lineitem
+        WHERE l_linestatus = 'O' OR l_linestatus = 'F'),
+      b AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+      h AS (
+        SELECT LEAST(CAST(FLOOR(((v - lo) / (hi - lo)) * 10) AS BIGINT), 9) AS bucket,
+               sum(ia) AS na, sum(ib) AS nb
+        FROM f, b GROUP BY 1),
+      p AS (
+        SELECT greatest(na / (sum(na) OVER ()), 1e-9) AS p,
+               greatest(nb / (sum(nb) OVER ()), 1e-9) AS q
+        FROM h),
+      dr AS (
+        SELECT sum((p - q) * ln(p / q)) AS psi, sum(p * ln(p / q)) AS kl
+        FROM p)
+      SELECT n_a, n_b,
+             round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+             round(std_a, 6) AS std_a, round(std_b, 6) AS std_b,
+             round(mean_b - mean_a, 6) AS mean_diff,
+             round(psi, 6) AS psi, round(kl, 6) AS kl_divergence
+      FROM st, dr"""))
+
+  /** Chi-square independence test over binned feature × segment. */
+  private val q43 = Entry(
+    "q43_stattest_chi2",
+    (s, d) =>
+      AnalysisPlanner
+        .statTest(Tables.events(s, d),
+          StatTest("value", "chi2", "event_type", "purchase", "click", bins = 10))
+        .select(r6(col("chi2_stat")).as("chi2_stat"), col("dof")),
+    Some("""
+      WITH f AS (
+        SELECT "value" AS v, event_type FROM events
+        WHERE event_type IN ('purchase', 'click')),
+      b AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+      h AS (
+        SELECT LEAST(CAST(FLOOR(((v - lo) / (hi - lo)) * 10) AS BIGINT), 9) AS band,
+               sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS oc,
+               sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS ot
+        FROM f, b GROUP BY 1),
+      t AS (
+        SELECT band, oc, ot, oc + ot AS rt,
+               sum(oc) OVER () AS nc, sum(ot) OVER () AS nt
+        FROM h),
+      e AS (
+        SELECT *, nc + nt AS n,
+               rt * nc / (nc + nt) AS ec, rt * nt / (nc + nt) AS et
+        FROM t)
+      SELECT round(sum(power(oc - ec, 2.0) / ec + power(ot - et, 2.0) / et), 6) AS chi2_stat,
+             count(*) - 1 AS dof
+      FROM e"""))
+
+  /** One-way ANOVA across all segment values. */
+  private val q44 = Entry(
+    "q44_stattest_anova",
+    (s, d) =>
+      AnalysisPlanner
+        .statTest(Tables.events(s, d),
+          StatTest("value", "anova", "event_type", "", ""))
+        .select(
+          r6(col("f_stat")).as("f_stat"),
+          col("df_between"), col("df_within")),
+    Some("""
+      WITH g AS (
+        SELECT event_type, count("value") AS n, avg("value") AS m,
+               var_samp("value") AS v
+        FROM events GROUP BY 1),
+      w AS (
+        SELECT *, sum(m * n) OVER () / sum(n) OVER () AS gm,
+               count(*) OVER () AS k, sum(n) OVER () AS ntot
+        FROM g)
+      SELECT round((sum(n * power(m - gm, 2.0)) / (max(k) - 1)) /
+                   (sum((n - 1) * v) / (max(ntot) - max(k))), 6) AS f_stat,
+             CAST(max(k) - 1 AS BIGINT) AS df_between,
+             CAST(max(ntot) - max(k) AS BIGINT) AS df_within
+      FROM w"""))
+
+  /** Mann-Whitney U (rank-sum, min-rank ties, normal approximation z). */
+  private val q45 = Entry(
+    "q45_stattest_mannwhitney",
+    (s, d) =>
+      AnalysisPlanner
+        .statTest(Tables.events(s, d),
+          StatTest("value", "mannwhitney", "event_type", "purchase", "click"))
+        .select(
+          col("n_c"), col("n_t"),
+          r6(col("u_stat")).as("u_stat"),
+          r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH f AS (
+        SELECT "value" AS v, event_type FROM events
+        WHERE event_type IN ('purchase', 'click')),
+      r AS (
+        SELECT v, event_type,
+               CAST(rank() OVER (ORDER BY v) AS DOUBLE) AS rk
+        FROM f),
+      a AS (
+        SELECT sum(CASE WHEN event_type = 'click' THEN rk END) AS r_t,
+               count(CASE WHEN event_type = 'click' THEN v END) AS n_t,
+               count(CASE WHEN event_type = 'purchase' THEN v END) AS n_c
+        FROM r)
+      SELECT n_c, n_t,
+             round(r_t - n_t * (n_t + 1) / 2.0, 6) AS u_stat,
+             round((r_t - n_t * (n_t + 1) / 2.0 - n_c * n_t / 2.0) /
+                   sqrt(n_c * n_t * (n_c + n_t + 1) / 12.0), 6) AS z_stat
+      FROM a"""))
+
   // ------------------------------------------------------------------
   // Derived-feature expression surface
   // ------------------------------------------------------------------
@@ -379,7 +649,8 @@ object Queries {
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
-    q01, q02, q03, q04, q05, q06, q12, q13, q15, q17, q40, q41, q42)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q17, q40, q41, q42, q43, q44, q45)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
