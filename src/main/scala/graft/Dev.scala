@@ -13,15 +13,28 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.analysis.Stats
-    println(f"t=2.0 df=10 two-sided p = ${Stats.tTestPValue(2.0, 10)}%.5f (expect 0.07339)")
-    println(f"chi2=3.841 dof=1 p = ${Stats.chi2PValue(3.841, 1)}%.5f (expect 0.05004)")
-    println(f"Phi(1.96) = ${Stats.normalCdf(1.96)}%.6f (expect 0.975002)")
-    println(f"z=1.96 two-sided p = ${Stats.zTestPValue(1.96)}%.5f (expect 0.04999)")
-    println(f"F=4.10 d1=2 d2=10 p = ${Stats.fTestPValue(4.10, 2, 10)}%.5f (expect ~0.0500)")
-    println(f"invT(0.975, 10) = ${Stats.inverseTCdf(0.975, 10)}%.4f (expect 2.2281)")
-    val ci = Stats.welchConfidenceInterval(1.0, 0.5, 10)
-    println(f"welch CI = (${ci._1}%.4f, ${ci._2}%.4f) (expect (-0.1141, 2.1141))")
+    import graft.ops.Multimodal
+    val scanned = Multimodal.scanBinaryFiles(spark, "/tmp/blobs")
+    scanned.select("path", "length", "blob_ref.checksum", "blob_ref.size_bytes",
+      "blob_ref.etag").show(5, 48)
+    val integ = Multimodal.blobIntegrity(scanned, "blob_ref", "content")
+    integ.show()
+    // corrupt one checksum → integrity must flag exactly 1
+    import org.apache.spark.sql.functions._
+    val corrupted = scanned.withColumn("blob_ref",
+      when(col("path").endsWith("b.bin"),
+        struct(col("blob_ref.uri").as("uri"),
+          col("blob_ref.content_type").as("content_type"),
+          lit("deadbeef").as("checksum"),
+          col("blob_ref.hash_algorithm").as("hash_algorithm"),
+          col("blob_ref.size_bytes").as("size_bytes"),
+          col("blob_ref.etag").as("etag"),
+          col("blob_ref.version_id").as("version_id"),
+          col("blob_ref.metadata").as("metadata")))
+        .otherwise(col("blob_ref")))
+    Multimodal.blobIntegrity(corrupted, "blob_ref", "content").show()
+    val feats = Multimodal.extractFeatures(scanned, "path", "content", dim = 4)
+    feats.show(5, 60)
     spark.stop()
   }
 }

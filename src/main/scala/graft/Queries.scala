@@ -573,6 +573,321 @@ object Queries {
       ORDER BY c_custkey"""))
 
   // ------------------------------------------------------------------
+  // Incremental / upsert semantics
+  // ------------------------------------------------------------------
+
+  /** Upsert-style latest-row-per-key dedup (CDC compaction semantics). */
+  private val q19 = Entry(
+    "q19_upsert_latest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id AS last_event_id, ts AS last_ts, "value" AS last_value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  // ------------------------------------------------------------------
+  // Dedup family (training-data pipeline operators)
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by full text equality. */
+  private val q20 = Entry(
+    "q20_dedup_exact",
+    (s, d) =>
+      graft.ops.Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("keeper_id"),
+    Some("""
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keeper_id"""))
+
+  /** MinHash + LSH near-dup candidate pairs (16 hashes, 4 bands × 4). */
+  private val q21 = Entry(
+    "q21_dedup_minhash_lsh",
+    (s, d) =>
+      graft.ops.Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      sig AS (
+        SELECT id,
+               min(md5('0:' || s)) AS mh_0,  min(md5('1:' || s)) AS mh_1,
+               min(md5('2:' || s)) AS mh_2,  min(md5('3:' || s)) AS mh_3,
+               min(md5('4:' || s)) AS mh_4,  min(md5('5:' || s)) AS mh_5,
+               min(md5('6:' || s)) AS mh_6,  min(md5('7:' || s)) AS mh_7,
+               min(md5('8:' || s)) AS mh_8,  min(md5('9:' || s)) AS mh_9,
+               min(md5('10:' || s)) AS mh_10, min(md5('11:' || s)) AS mh_11,
+               min(md5('12:' || s)) AS mh_12, min(md5('13:' || s)) AS mh_13,
+               min(md5('14:' || s)) AS mh_14, min(md5('15:' || s)) AS mh_15
+        FROM sh GROUP BY id),
+      bands AS (
+        SELECT id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+        UNION ALL
+        SELECT id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
+        UNION ALL
+        SELECT id, 2, md5(mh_8 || mh_9 || mh_10 || mh_11) FROM sig
+        UNION ALL
+        SELECT id, 3, md5(mh_12 || mh_13 || mh_14 || mh_15) FROM sig)
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+      ORDER BY doc_a, doc_b"""))
+
+  /** Exact trigram-Jaccard near-dup pairs at threshold 0.8. */
+  private val q22 = Entry(
+    "q22_dedup_ngram_jaccard",
+    (s, d) =>
+      graft.ops.Dedup
+        .ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      sz AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(inter / (x.n_sh + y.n_sh - inter), 6) AS jaccard
+      FROM pairs JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+      WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
+  /** SimHash 16-bit fingerprints (md5-digit parity votes). */
+  private val q23 = Entry(
+    "q23_dedup_simhash",
+    (s, d) =>
+      graft.ops.Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s
+        FROM documents),
+      h AS (SELECT doc_id, md5(s) AS h FROM toks),
+      v AS (
+        SELECT doc_id,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 2) - 1) AS v_1,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 2, 1)) - 1) % 2) - 1) AS v_2,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 3, 1)) - 1) % 2) - 1) AS v_3,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 4, 1)) - 1) % 2) - 1) AS v_4,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) % 2) - 1) AS v_5,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 6, 1)) - 1) % 2) - 1) AS v_6,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 7, 1)) - 1) % 2) - 1) AS v_7,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 8, 1)) - 1) % 2) - 1) AS v_8,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 9, 1)) - 1) % 2) - 1) AS v_9,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 2) - 1) AS v_10,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 11, 1)) - 1) % 2) - 1) AS v_11,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 12, 1)) - 1) % 2) - 1) AS v_12,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 13, 1)) - 1) % 2) - 1) AS v_13,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 14, 1)) - 1) % 2) - 1) AS v_14,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 15, 1)) - 1) % 2) - 1) AS v_15,
+               sum(2 * ((strpos('0123456789abcdef', substring(h, 16, 1)) - 1) % 2) - 1) AS v_16
+        FROM h GROUP BY doc_id)
+      SELECT doc_id,
+             (CASE WHEN v_1 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_2 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_3 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_4 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_5 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_6 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_7 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_8 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_9 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_10 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_11 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_12 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_13 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_14 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_15 >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN v_16 >= 0 THEN '1' ELSE '0' END) AS simhash
+      FROM v ORDER BY doc_id"""))
+
+  /** Embedding-cosine near-dup pairs, blocked by label. */
+  private val q24 = Entry(
+    "q24_dedup_embedding",
+    (s, d) =>
+      graft.ops.Dedup
+        .embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", 0.45)
+        .select(col("blk"), col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+      ORDER BY id_a, id_b"""))
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  /** Brute-force exact cosine top-5 for 10 query vectors. */
+  private val q25 = Entry(
+    "q25_knn_bruteforce",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .bruteForceKnn(emb, emb.where(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("rnk"), col("nbr_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM q JOIN e c ON q.vec_id <> c.vec_id),
+      r AS (
+        SELECT query_id, nbr_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM sc)
+      SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** LSH-bucketed ANN (scale path) — approximate; rows-only check. */
+  private val q26 = Entry(
+    "q26_knn_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .lshKnn(emb, emb.where(col("vec_id") < 10), 5, planes = 4)
+        .select(col("query_id"), col("rnk"), col("nbr_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+    None)
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  /** Per-document stats + composite quality score. */
+  private val q27 = Entry(
+    "q27_text_stats",
+    (s, d) =>
+      graft.ops.TextAnalysis.textStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("quality_score"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct_words,
+             round(least(len(w) / 50.0, 1.0) * 0.5 +
+                   (len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * 0.5, 6) AS quality_score
+      FROM t ORDER BY doc_id"""))
+
+  /** Heuristic language ID by marker-word hits. */
+  private val q28 = Entry(
+    "q28_text_langid",
+    (s, d) =>
+      graft.ops.TextAnalysis.langId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("hits_de"), col("hits_en"), col("hits_es"),
+          col("hits_fr"), col("predicted_lang"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents),
+      h AS (
+        SELECT doc_id,
+               len(list_intersect(w, ['der','die','und','das','ist','nicht','ein','zu'])) AS hits_de,
+               len(list_intersect(w, ['the','a','of','and','to','in','is','that'])) AS hits_en,
+               len(list_intersect(w, ['el','la','de','que','y','en','un','los'])) AS hits_es,
+               len(list_intersect(w, ['le','la','les','de','et','un','est','que'])) AS hits_fr
+        FROM t)
+      SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+                  WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                  WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM h ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish regex pre-tokenization. */
+  private val q29 = Entry(
+    "q29_text_tokens",
+    (s, d) =>
+      graft.ops.TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** Word-set fingerprint dedup (order/duplication-insensitive). */
+  private val q30 = Entry(
+    "q30_text_fingerprint",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .fingerprintDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keeper_id"),
+    Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1 ORDER BY keeper_id"""))
+
+  // ------------------------------------------------------------------
+  // Multimodal blob references
+  // ------------------------------------------------------------------
+
+  /** BlobReference construction: checksum/size/etag over payloads. */
+  private val q31 = Entry(
+    "q31_blob_refs",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ref",
+          graft.ops.Multimodal.blobRef(
+            concat(lit("mem://docs/"), col("doc_id").cast("string")),
+            lit("text/plain"), col("text")))
+        .select(col("doc_id"), col("ref.uri").as("uri"),
+          col("ref.content_type").as("content_type"),
+          col("ref.checksum").as("checksum"),
+          col("ref.etag").as("etag"),
+          col("ref.size_bytes").as("size_bytes"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             'mem://docs/' || CAST(doc_id AS VARCHAR) AS uri,
+             'text/plain' AS content_type,
+             sha256(text) AS checksum,
+             md5(text) AS etag,
+             CAST(length(text) AS BIGINT) AS size_bytes
+      FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
   // Cross-group joins (derived features across feature groups)
   // ------------------------------------------------------------------
 
@@ -650,7 +965,8 @@ object Queries {
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q17, q40, q41, q42, q43, q44, q45)
+    q15, q17, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q40, q41, q42, q43, q44, q45)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Deduplication operators for large-scale training-data pipelines:
+ * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale design: every path is a shingle-explode → groupBy/join pipeline —
+ * shuffles are keyed on shingles / band keys / block ids, never all-pairs
+ * across the corpus. The only quadratic step is *within* a candidate
+ * bucket or block, which LSH banding keeps small.
+ *
+ * Hash choice: MinHash permutations use `md5(salt || shingle)` with the
+ * *lexicographic* min over hex digests — a monotone bijection of the
+ * usual integer min, deterministic across engines (DuckDB computes the
+ * same digests), which is what lets the driver oracle-verify near-dup
+ * output. At 100 TB swap md5 for `xxhash64(shingle, seed)` (cheaper,
+ * same structure; noted, not default, to keep oracle parity).
+ */
+object Dedup {
+
+  /** Exact dedup: group identical values, keep the smallest id. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+
+  /** Word n-gram shingles, one row per distinct (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val sh =
+      if (n == 1) explode(w)
+      else
+        explode(transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+    df.where(size(w) >= n)
+      .select(col(idCol).as("id"), sh.as("s"))
+      .distinct()
+  }
+
+  /**
+   * MinHash signatures: k independent "permutations" via salted md5;
+   * signature element i = min over shingles of md5(i || ':' || shingle).
+   * One explode + one groupBy — fully distributed, no driver state.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"mh_$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * LSH banding: signature → `bands` keys (md5 of each row-group), then
+   * candidate pairs = docs sharing any band key. Join is keyed on
+   * (band index, band key) — bucket sizes stay tiny for random data, so
+   * the pair expansion is local to genuine near-dup clusters.
+   */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = signatures.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat((0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-dup pairs, end to end. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame =
+    minhashCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
+      bands, k / bands)
+
+  /**
+   * Exact n-gram Jaccard pairs ≥ threshold. Candidate generation by
+   * shared-shingle join (inverted index), intersection by count, union by
+   * |A|+|B|−|A∩B|. Quadratic only within a shingle's posting list.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash fingerprint (16 bits): per-token md5 hex digits 1..16, each
+   * digit's parity votes ±1 on one bit; fingerprint bit = majority sign.
+   * Deterministic and engine-portable (string ops + md5 only).
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = shingles(df, idCol, textCol, 1)
+      .withColumn("h", md5(col("s")))
+    // hex digit value = 1-based position in the hex alphabet − 1; its
+    // parity votes ±1 on the bit (identical SQL shape in the oracle)
+    val votes = (1 to 16).map(j =>
+      sum(expr(s"2 * ((locate(substring(h, $j, 1), '0123456789abcdef') - 1) % 2) - 1"))
+        .as(s"v_$j"))
+    val agg = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    agg.select(
+      col("id"),
+      concat((1 to 16).map(j =>
+        when(col(s"v_$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /**
+   * Embedding near-dup: cosine ≥ threshold within a blocking column
+   * (label / LSH bucket / IVF cell). Block-local self-join — all-pairs
+   * only inside a block, never across the corpus.
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
+      col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal blob handling: opaque binary payloads referenced by
+ * immutable BlobReference structs (uri, content_type, checksum,
+ * hash_algorithm, size_bytes, etag, version_id, metadata) — the schema
+ * from raise_/transforms/multimodal.py:102-144, realized as a Spark
+ * struct column instead of a Python object.
+ *
+ * Decode / feature-extraction is a pluggable per-batch function over
+ * `mapPartitions` (no image/audio libs ship in this environment, so the
+ * default extractor is a deterministic fake; the Spark-side plumbing —
+ * schema, batching, partitioning — is real and tested).
+ */
+object Multimodal {
+
+  val blobRefType: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("checksum", StringType, nullable = true),
+    StructField("hash_algorithm", StringType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true),
+    StructField("etag", StringType, nullable = true),
+    StructField("version_id", StringType, nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  /** Build a blob_ref struct column from uri + payload columns. */
+  def blobRef(uri: Column, contentType: Column, payload: Column,
+      metadata: Column = map()): Column =
+    struct(
+      uri.as("uri"),
+      contentType.as("content_type"),
+      sha2(payload, 256).as("checksum"),
+      lit("sha256").as("hash_algorithm"),
+      length(payload).cast("long").as("size_bytes"),
+      md5(payload).as("etag"),
+      lit("v1").as("version_id"),
+      metadata.as("metadata"))
+
+  /**
+   * Scan a directory of binary files into blob_ref rows + payload.
+   * Columns: path, modificationTime, length, content (Spark binaryFile
+   * source — ref MultimodalSource.scan, multimodal.py:614-661, for real).
+   */
+  def scanBinaryFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      pathGlob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    pathGlob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+      .withColumn("blob_ref",
+        blobRef(col("path"), lit(null).cast(StringType), col("content")))
+  }
+
+  /**
+   * Integrity check over blob payloads: recompute checksum, compare with
+   * the recorded one (observability.py:383-451 semantics, real sha2).
+   * Returns (n_checked, n_invalid, invalid_rate).
+   */
+  def blobIntegrity(df: DataFrame, blobRefCol: String, payloadCol: String,
+      sampleRate: Double = 1.0): DataFrame = {
+    val sampled = if (sampleRate >= 1.0) df else df.sample(sampleRate, 42L)
+    sampled
+      .withColumn("__ok",
+        (sha2(col(payloadCol), 256) === col(s"$blobRefCol.checksum")).cast("long"))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - sum(col("__ok"))).as("n_invalid"),
+        ((count(lit(1)) - sum(col("__ok"))) / count(lit(1)).cast("double"))
+          .as("invalid_rate"))
+  }
+
+  /** Feature row produced by the (pluggable) decoder. */
+  type BatchExtractor = Iterator[(String, Array[Byte])] => Iterator[(String, Array[Float], Long)]
+
+  /**
+   * Deterministic fake extractor — stands in for image/audio decode
+   * (real decoders are not available offline). Produces a fixed-dim
+   * "embedding" derived from payload bytes, so the distributed plumbing
+   * (batching, schema, partition shape) is fully exercised.
+   */
+  def fakeExtractor(dim: Int): BatchExtractor = { it =>
+    it.map { case (uri, bytes) =>
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { v(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      (uri, v, bytes.length.toLong)
+    }
+  }
+
+  /**
+   * Decode/feature-extract blobs via mapPartitions: one extractor call
+   * per partition (model-load amortized), rows streamed — the Spark
+   * native analog of a pandas-UDF batch (inference.py:405-531 contract).
+   */
+  def extractFeatures(df: DataFrame, uriCol: String, payloadCol: String,
+      dim: Int = 16,
+      extractor: Option[BatchExtractor] = None): DataFrame = {
+    val ext = extractor.getOrElse(fakeExtractor(dim))
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("uri", StringType),
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("n_bytes", LongType)))
+    val uriIdx = df.schema.fieldIndex(uriCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      val in = rows.map { r =>
+        (r.getUTF8String(uriIdx).toString, r.getBinary(payIdx))
+      }
+      ext(in).map { case (u, v, n) => Row(u, v.toSeq, n) }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

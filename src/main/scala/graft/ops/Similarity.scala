@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ *  - [[bruteForceKnn]]: exact cosine top-k — the correctness baseline.
+ *    The (small) query set is broadcast against the corpus; scoring is a
+ *    map-only pass, top-k a partitioned window. Scales linearly in corpus
+ *    size with no corpus shuffle.
+ *  - [[lshKnn]]: random-hyperplane LSH — the 100 TB path. Corpus is
+ *    bucketed by sign-signature once (can be persisted/partitioned by
+ *    bucket); queries probe only their bucket, turning all-pairs into
+ *    bucket-local joins. Recall/latency tunable via #planes.
+ */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("nbr_id")) // no self-match
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplanes: plane p, dim i weight from a
+   * hash of (p, i) mapped into [-1, 1). Engine-portable and seedless —
+   * the same planes exist in any engine that has md5.
+   */
+  private def planeWeight(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), i.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(8388608.0)) - lit(1.0) // 2^23
+
+  /** Sign-signature bucket id over `planes` hyperplanes. */
+  def lshBucket(vecCol: Column, planes: Int): Column =
+    concat((0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vecCol.cast("array<double>"),
+          sequence(lit(0), size(vecCol) - 1),
+          (x, i) => x * planeWeight(p, i)),
+        lit(0.0), (s, x) => s + x)
+      when(proj >= 0, "1").otherwise("0")
+    }: _*)
+
+  /**
+   * ANN top-k: both sides bucketed by sign signature; candidates = same
+   * bucket; exact cosine re-rank within bucket.
+   */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bkt"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bkt"))
+    val scored = c
+      .join(broadcast(q), Seq("bkt"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * quality scoring, language ID, document fingerprinting. All are map-only
+ * column expressions (no shuffle) except fingerprint dedup's final
+ * groupBy — they scale embarrassingly.
+ */
+object TextAnalysis {
+
+  /** whitespace tokens */
+  private def words(text: Column): Column = split(text, " ")
+
+  /**
+   * Per-document statistics + a composite quality score in [0, 1]:
+   * rewards medium length, penalizes very short docs and low lexical
+   * diversity (type-token ratio).
+   */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    df.withColumn("n_chars_calc", length(t))
+      .withColumn("n_words", size(w))
+      .withColumn("n_distinct_words", size(array_distinct(w)))
+      .withColumn("avg_word_len",
+        (length(t) - (size(w) - 1)).cast("double") / size(w))
+      .withColumn("ttr", size(array_distinct(w)) / size(w).cast("double"))
+      .withColumn("quality_score",
+        round(least(size(w) / lit(50.0), lit(1.0)) * lit(0.5)
+          + (size(array_distinct(w)) / size(w).cast("double")) * lit(0.5), 6))
+  }
+
+  /** Common-word marker lists per language (tiny, embedded). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"))
+
+  /**
+   * N-gram-free heuristic language ID: count marker-word hits per
+   * language; the max wins, ties/zero → 'und'. (A real n-gram model is a
+   * drop-in replacement — the plumbing, a map-only score + argmax, is
+   * identical.)
+   */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    // distinct tokens: array_intersect/list_intersect dedup semantics then
+    // agree across engines (counting distinct marker hits)
+    val w = array_distinct(words(col(textCol)))
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"hits_$lang",
+          size(array_intersect(w, array(markers.map(lit): _*))))
+    }
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    scored.withColumn("predicted_lang",
+      when(best <= 0, "und").otherwise(
+        // first language (alphabetical) achieving the max — deterministic
+        langs.foldRight(lit("und")) { (l, acc) =>
+          when(col(s"hits_$l") === best, l).otherwise(acc)
+        }))
+  }
+
+  /**
+   * Token counting: whitespace tokens plus a BPE-ish regex tokenizer
+   * (letter runs / digit runs / single other chars) — the standard
+   * pre-tokenization shape.
+   */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(t, " ")))
+      .withColumn("bpe_ish_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")))
+  }
+
+  /**
+   * Content fingerprint: md5 of the sorted distinct word set — robust to
+   * word order and duplication; groups near-identical (bag-of-words-
+   * equal) documents.
+   */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** Fingerprint dedup: keeper id + copy count per word-set group. */
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("fp", "keeper_id", "n_copies")
+}
