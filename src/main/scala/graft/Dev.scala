@@ -13,28 +13,32 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.ops.Multimodal
-    val scanned = Multimodal.scanBinaryFiles(spark, "/tmp/blobs")
-    scanned.select("path", "length", "blob_ref.checksum", "blob_ref.size_bytes",
-      "blob_ref.etag").show(5, 48)
-    val integ = Multimodal.blobIntegrity(scanned, "blob_ref", "content")
-    integ.show()
-    // corrupt one checksum → integrity must flag exactly 1
+    import graft.etl._
     import org.apache.spark.sql.functions._
-    val corrupted = scanned.withColumn("blob_ref",
-      when(col("path").endsWith("b.bin"),
-        struct(col("blob_ref.uri").as("uri"),
-          col("blob_ref.content_type").as("content_type"),
-          lit("deadbeef").as("checksum"),
-          col("blob_ref.hash_algorithm").as("hash_algorithm"),
-          col("blob_ref.size_bytes").as("size_bytes"),
-          col("blob_ref.etag").as("etag"),
-          col("blob_ref.version_id").as("version_id"),
-          col("blob_ref.metadata").as("metadata")))
-        .otherwise(col("blob_ref")))
-    Multimodal.blobIntegrity(corrupted, "blob_ref", "content").show()
-    val feats = Multimodal.extractFeatures(scanned, "path", "content", dim = 4)
-    feats.show(5, 60)
+    val root = java.nio.file.Files.createTempDirectory("devjob").toString
+    val cps = new CheckpointStore(s"$root/cp")
+    val job = new Job(
+      jobId = "daily_revenue",
+      sources = Seq(FileSource("ev", "/root/testdata/sf0.001/events.parquet")),
+      transform = SqlTransform("""
+        SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS day,
+               event_type, count(*) AS n, round(sum(value), 2) AS revenue
+        FROM ev
+        WHERE timestamp_micros(ts div 1000) > {{checkpoint}}
+        GROUP BY 1, 2"""),
+      target = ParquetTarget(s"$root/out"),
+      incremental = IncrementalConfig.full,
+      qualityChecks = Seq(NullCheck("revenue", 0.0),
+        RowCountCheck(minRows = Some(1))),
+      checkpoints = cps)
+    job.activate()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r1 = job.run(spark)
+    println(s"RUN1: state=${r1.state} read=${r1.rowsRead} written=${r1.rowsWritten} " +
+      s"quality=${r1.qualityReport.map(_.results.map(q => q.name -> q.passed))}")
+    val out = spark.read.parquet(s"$root/out")
+    out.orderBy("day", "event_type").show(8)
+    println("rows in target: " + out.count())
     spark.stop()
   }
 }

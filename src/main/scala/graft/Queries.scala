@@ -558,6 +558,66 @@ object Queries {
       FROM customer
       ORDER BY c_custkey"""))
 
+  /** Vector function surface (DOT/COSINE/L1/L2/NORM) through the SQL
+    * registration path — the reference's custom vector UDFs. */
+  private val q16 = Entry(
+    "q16_vector_functions",
+    (s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("emb")
+      s.sql("""
+        SELECT a.vec_id,
+               round(DOT(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS dot,
+               round(COSINE_SIMILARITY(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cosine,
+               round(L2_DISTANCE(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS l2,
+               round(L1_DISTANCE(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS l1,
+               round(NORM(CAST(a.embedding AS ARRAY<DOUBLE>)), 6) AS norm_a
+        FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+        ORDER BY a.vec_id""")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id,
+             round(list_dot_product(a.v, b.v), 6) AS dot,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine,
+             round(sqrt(list_aggregate(list_transform(list_zip(a.v, b.v),
+                   x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum')), 6) AS l2,
+             round(list_aggregate(list_transform(list_zip(a.v, b.v),
+                   x -> abs(x[1] - x[2])), 'sum'), 6) AS l1,
+             round(sqrt(list_dot_product(a.v, a.v)), 6) AS norm_a
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      ORDER BY a.vec_id"""))
+
+  /** SQLTransform with {{checkpoint}} substitution — the incremental ETL
+    * read path, run through the real transform machinery. */
+  private val q18 = Entry(
+    "q18_sql_transform_incremental",
+    (s, d) => {
+      val t = graft.etl.SqlTransform("""
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS revenue
+        FROM ev
+        WHERE ts > {{checkpoint}}
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY day""")
+      val ctx = graft.etl.TransformContext(
+        jobId = "q18", runId = "r1",
+        executionDate = java.time.Instant.parse("2024-02-01T00:00:00Z"),
+        isIncremental = true,
+        checkpointValue = Some("2024-01-20 00:00:00"))
+      t(s, ctx, Map("ev" -> Tables.events(s, d)))
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             round(sum("value"), 2) AS revenue
+      FROM events
+      WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY CAST(ts AS DATE)
+      ORDER BY day"""))
+
   /** Serving-style point lookup on the entity key. */
   private val q17 = Entry(
     "q17_point_lookup",
@@ -965,8 +1025,8 @@ object Queries {
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q17, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q40, q41, q42, q43, q44, q45)
+    q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+    q29, q30, q31, q40, q41, q42, q43, q44, q45)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -36,6 +36,21 @@ object AnalysisPlanner {
     }
   }
 
+  /** Same duration grammar, as plain seconds (driver-side math). */
+  def durationToIntervalSeconds(d: String): Long = {
+    val m = "^(\\d+)(s|m|h|d|w)$".r
+      .findFirstMatchIn(d.trim)
+      .getOrElse(throw new IllegalArgumentException(s"Bad duration: $d"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "s" => n
+      case "m" => n * 60
+      case "h" => n * 3600
+      case "d" => n * 86400
+      case "w" => n * 604800
+    }
+  }
+
   /** One aggregate Column per metric name; alias = metric name. */
   def metricColumn(metric: String, feature: String): Column = {
     val c = col(feature)

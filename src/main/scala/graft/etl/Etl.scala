@@ -1,0 +1,355 @@
+package graft.etl
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * ETL job system: sources → transform → target with schedules,
+ * incremental checkpoints and quality gates — the real execution the
+ * reference mocks (raise_/transforms/job.py:310-318 "Execute transform
+ * (mock implementation)").
+ */
+
+// ----------------------------------------------------------------- sources
+
+sealed trait Source {
+  def alias: String
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Object-storage / filesystem scan (source.py:25-203). */
+final case class FileSource(
+    alias: String, path: String, format: String = "parquet",
+    options: Map[String, String] = Map.empty,
+    partition: Option[(String, String)] = None, // Hive-style path narrowing
+    recursive: Boolean = false) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val p = partition.fold(path) { case (k, v) => s"$path/$k=$v" }
+    var r = spark.read.format(format).options(options)
+    if (recursive) r = r.option("recursiveFileLookup", "true")
+    r.load(p)
+  }
+}
+
+/** Catalog table with column pruning + filter pushdown (source.py:206-264). */
+final case class TableSource(
+    alias: String, table: String,
+    columns: Seq[String] = Nil, filter: Option[String] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    var df = spark.table(table)
+    filter.foreach(f => df = df.where(f))
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    df
+  }
+}
+
+/** Read from a registered feature group's frame (source.py:267-306). */
+final case class FeatureGroupSource(
+    alias: String, data: graft.meta.FeatureGroupData,
+    features: Seq[String] = Nil, filter: Option[String] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    var df = data.frame
+    filter.foreach(f => df = df.where(f))
+    if (features.nonEmpty) df = df.select(features.map(col): _*)
+    df
+  }
+}
+
+/** JDBC (source.py:309-348). */
+final case class JdbcSource(
+    alias: String, url: String, table: String,
+    properties: Map[String, String] = Map.empty) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(url, table, props)
+  }
+}
+
+// ------------------------------------------------------------- transforms
+
+final case class TransformContext(
+    jobId: String,
+    runId: String,
+    executionDate: Instant,
+    isIncremental: Boolean,
+    checkpointValue: Option[String],
+    params: Map[String, String] = Map.empty) {
+  private val metrics = scala.collection.mutable.Map.empty[String, Double]
+  def logMetric(name: String, value: Double): Unit = metrics(name) = value
+  def loggedMetrics: Map[String, Double] = metrics.toMap
+}
+
+sealed trait Transform {
+  def apply(spark: SparkSession, ctx: TransformContext,
+      sources: Map[String, DataFrame]): DataFrame
+}
+
+/**
+ * SQL over named source views with `{{checkpoint}}`, `{{execution_date}}`,
+ * `{{run_id}}`, `{{param:NAME}}` substitution (transform.py:97-175).
+ * Substituted values are SQL-literal-formatted; a missing checkpoint
+ * becomes the epoch so first runs read everything.
+ */
+final case class SqlTransform(sql: String) extends Transform {
+
+  def materialize(ctx: TransformContext): String = {
+    val cp = ctx.checkpointValue.getOrElse("1970-01-01 00:00:00")
+    var out = sql
+      .replace("{{checkpoint}}", s"TIMESTAMP '$cp'")
+      .replace("{{execution_date}}",
+        s"TIMESTAMP '${java.sql.Timestamp.from(ctx.executionDate).toString.stripSuffix(".0")}'")
+      .replace("{{run_id}}", s"'${ctx.runId}'")
+    ctx.params.foreach { case (k, v) =>
+      out = out.replace(s"{{param:$k}}", s"'$v'")
+    }
+    out
+  }
+
+  def apply(spark: SparkSession, ctx: TransformContext,
+      sources: Map[String, DataFrame]): DataFrame = {
+    sources.foreach { case (alias, df) => df.createOrReplaceTempView(alias) }
+    spark.sql(materialize(ctx))
+  }
+}
+
+/** Arbitrary Scala transform (PythonTransform analog; transform.py:182-251). */
+final case class FnTransform(
+    fn: (TransformContext, Map[String, DataFrame]) => DataFrame) extends Transform {
+  def apply(spark: SparkSession, ctx: TransformContext,
+      sources: Map[String, DataFrame]): DataFrame = fn(ctx, sources)
+}
+
+/** SQL then function post-processing (transform.py:254-304). */
+final case class HybridTransform(
+    sql: SqlTransform,
+    post: (TransformContext, DataFrame) => DataFrame) extends Transform {
+  def apply(spark: SparkSession, ctx: TransformContext,
+      sources: Map[String, DataFrame]): DataFrame =
+    post(ctx, sql(spark, ctx, sources))
+}
+
+// ------------------------------------------------- incremental / checkpoints
+
+sealed trait WriteMode
+object WriteMode {
+  case object Full extends WriteMode        // overwrite recompute
+  case object Incremental extends WriteMode // cursor-filtered overwrite-partition
+  case object Append extends WriteMode
+  case object Upsert extends WriteMode      // merge on key columns
+}
+
+final case class IncrementalConfig(
+    mode: WriteMode,
+    checkpointColumn: Option[String] = None,
+    keyColumns: Seq[String] = Nil,
+    lookback: Option[String] = None) // duration string, late-data window
+
+object IncrementalConfig {
+  def full: IncrementalConfig = IncrementalConfig(WriteMode.Full)
+  def incremental(cpCol: String, lookback: Option[String] = None) =
+    IncrementalConfig(WriteMode.Incremental, Some(cpCol), Nil, lookback)
+  def append(cpCol: String) =
+    IncrementalConfig(WriteMode.Append, Some(cpCol))
+  def upsert(cpCol: String, keys: Seq[String]) =
+    IncrementalConfig(WriteMode.Upsert, Some(cpCol), keys)
+}
+
+/** Durable checkpoint cursor (checkpoint.py:32-148), JSON-file-backed. */
+final class CheckpointStore(dir: String) {
+  private def file(jobId: String) =
+    java.nio.file.Paths.get(dir, s"$jobId.checkpoint")
+
+  def get(jobId: String): Option[String] = {
+    val f = file(jobId)
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** advance-only: a checkpoint never moves backwards (checkpoint.py:55-58). */
+  def advance(jobId: String, value: String): Unit = {
+    val cur = get(jobId)
+    if (cur.forall(_ < value)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(file(jobId), value)
+    }
+  }
+
+  def reset(jobId: String): Unit =
+    java.nio.file.Files.deleteIfExists(file(jobId))
+}
+
+// ----------------------------------------------------------------- target
+
+/**
+ * Parquet-directory target with append / overwrite / upsert semantics.
+ * Upsert = read-union-window-dedup-rewrite (Delta is not on this
+ * classpath; with Delta this becomes MERGE INTO on the key columns —
+ * transforms/job.py:41-71 semantics either way).
+ */
+final case class ParquetTarget(path: String, orderColumn: Option[String] = None) {
+
+  def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
+    val n = df.count()
+    mode match {
+      case WriteMode.Full | WriteMode.Incremental =>
+        df.write.mode("overwrite").parquet(path)
+      case WriteMode.Append =>
+        df.write.mode("append").parquet(path)
+      case WriteMode.Upsert =>
+        require(keys.nonEmpty, "upsert requires key columns")
+        val spark = df.sparkSession
+        val exists = new java.io.File(path).exists()
+        if (!exists) df.write.mode("overwrite").parquet(path)
+        else {
+          val ord = orderColumn.getOrElse(keys.head)
+          val current = spark.read.parquet(path)
+          // new rows win ties: tag precedence, window-dedup per key
+          val merged = current.withColumn("__prec", lit(0))
+            .unionByName(df.withColumn("__prec", lit(1)))
+          val w = Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("__prec").desc, col(ord).desc)
+          val deduped = merged
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__prec", "__rn")
+          // write via temp dir: can't overwrite a path while reading it
+          val tmp = path + ".tmp"
+          deduped.write.mode("overwrite").parquet(tmp)
+          spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+    }
+    n
+  }
+}
+
+// ------------------------------------------------------------------- jobs
+
+final case class Schedule(kind: String, cron: Option[String] = None)
+object Schedule {
+  def manual: Schedule = Schedule("manual")
+  def hourly: Schedule = Schedule("hourly")
+  def daily: Schedule = Schedule("daily")
+  def cron(expr: String): Schedule = Schedule("cron", Some(expr))
+}
+
+sealed trait JobStatus
+object JobStatus {
+  case object Draft extends JobStatus
+  case object Active extends JobStatus
+  case object Paused extends JobStatus
+  case object Failed extends JobStatus
+  case object Deprecated extends JobStatus
+}
+
+final case class JobRun(
+    runId: String,
+    executionDate: Instant,
+    state: String, // pending/running/success/failed/cancelled/skipped
+    rowsRead: Long = 0,
+    rowsWritten: Long = 0,
+    durationMs: Long = 0,
+    error: Option[String] = None,
+    qualityReport: Option[QualityReport] = None)
+
+/**
+ * Job: sources → transform → quality checks → target → checkpoint advance
+ * (transforms/job.py:21-343, with the mock at :310-318 replaced by real
+ * Spark execution).
+ */
+final class Job(
+    val jobId: String,
+    val sources: Seq[Source],
+    val transform: Transform,
+    val target: ParquetTarget,
+    val incremental: IncrementalConfig = IncrementalConfig.full,
+    val qualityChecks: Seq[QualityCheck] = Nil,
+    val schedule: Schedule = Schedule.manual,
+    val checkpoints: CheckpointStore,
+    val maxRetries: Int = 0) {
+
+  var status: JobStatus = JobStatus.Draft
+  private val runs = scala.collection.mutable.ArrayBuffer.empty[JobRun]
+
+  def activate(): Unit = {
+    require(sources.nonEmpty, "job needs at least one source")
+    if (incremental.mode != WriteMode.Full)
+      require(incremental.checkpointColumn.isDefined,
+        "incremental job needs a checkpoint column")
+    status = JobStatus.Active
+  }
+
+  def pause(): Unit = { status = JobStatus.Paused }
+  def runHistory: Seq[JobRun] = runs.toSeq
+  def resetCheckpoint(): Unit = checkpoints.reset(jobId)
+
+  def run(spark: SparkSession,
+      executionDate: Instant = Instant.now()): JobRun = {
+    require(status == JobStatus.Active, s"job not active: $status")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val t0 = System.nanoTime()
+    val cp = checkpoints.get(jobId)
+    val ctx = TransformContext(jobId, runId, executionDate,
+      incremental.mode != WriteMode.Full, cp)
+    def attempt(): JobRun = {
+      // read sources, applying the incremental cursor (+ lookback) on the
+      // checkpoint column — the predicate lands in the scan via pushdown
+      val frames: Map[String, DataFrame] = sources.map { s =>
+        var df = s.read(spark)
+        for {
+          cpCol <- incremental.checkpointColumn
+          if incremental.mode != WriteMode.Full
+          if df.columns.contains(cpCol)
+          cpVal <- cp
+        } {
+          val cursor = lit(cpVal).cast(df.schema(cpCol).dataType)
+          val bound = incremental.lookback.fold(cursor)(lb =>
+            cursor - graft.analysis.AnalysisPlanner.durationToInterval(lb))
+          df = df.where(col(cpCol) > bound)
+        }
+        s.alias -> df
+      }.toMap
+      val rowsRead = frames.valuesIterator.map(_.count()).sum
+      val out = transform(spark, ctx, frames)
+
+      val report = QualityCheck.runAll(qualityChecks, out)
+      if (report.failed)
+        throw new IllegalStateException(
+          s"quality checks failed: ${report.failures.map(_.name).mkString(", ")}")
+
+      val written = target.write(out, incremental.mode, incremental.keyColumns)
+
+      // advance cursor to the batch high-water mark
+      for (cpCol <- incremental.checkpointColumn
+           if incremental.mode != WriteMode.Full
+           if out.columns.contains(cpCol)) {
+        val hi = out.agg(max(col(cpCol)).cast("string")).collect()(0).getString(0)
+        if (hi != null) checkpoints.advance(jobId, hi)
+      }
+      JobRun(runId, executionDate, "success", rowsRead, written,
+        (System.nanoTime() - t0) / 1000000, None, Some(report))
+    }
+
+    var attemptN = 0
+    var result: JobRun = null
+    while (result == null) {
+      try result = attempt()
+      catch {
+        case e: Throwable if attemptN < maxRetries =>
+          attemptN += 1
+        case e: Throwable =>
+          result = JobRun(runId, executionDate, "failed", 0, 0,
+            (System.nanoTime() - t0) / 1000000, Some(e.getMessage))
+          status = JobStatus.Failed
+      }
+    }
+    runs += result
+    result
+  }
+}

@@ -1,0 +1,136 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{Analysis, AnalysisPlanner}
+
+/**
+ * Data plane of a [[FeatureGroup]]: binds the metadata to a backing
+ * DataFrame and materializes derived features lazily as Catalyst columns
+ * (feature_group.py:331-439 + PRD §4.5 semantics, for real).
+ */
+final class FeatureGroupData(
+    val meta: FeatureGroup,
+    base: DataFrame) {
+
+  private val spark: SparkSession = base.sparkSession
+
+  /**
+   * The group's frame with every derived feature materialized as a
+   * `withColumn(expr)` in dependency order (cycles rejected up front).
+   */
+  lazy val frame: DataFrame = {
+    val derived = meta.listFeatures.filter(_.derivedFrom.isDefined)
+    val deps: Map[String, Seq[String]] = derived.map { f =>
+      f.name -> graft.expr.ExpressionValidator
+        .parse(spark, f.derivedFrom.get).toOption.toSeq
+        .flatMap(graft.expr.ExpressionValidator.references)
+        .filter(r => derived.exists(_.name == r))
+    }.toMap
+    graft.expr.ExpressionValidator.findCycle(deps).foreach { cyc =>
+      throw new IllegalStateException(
+        s"Circular derived-feature dependency: ${cyc.mkString(" -> ")}")
+    }
+    // topological order: repeatedly emit features whose deps are emitted
+    var remaining = derived
+    var out = base
+    val done = scala.collection.mutable.Set.empty[String]
+    while (remaining.nonEmpty) {
+      val (ready, rest) = remaining.partition(f =>
+        deps(f.name).forall(done.contains))
+      require(ready.nonEmpty, s"Unresolvable derived features: ${rest.map(_.name)}")
+      ready.foreach { f =>
+        out = out.withColumn(f.name, expr(f.derivedFrom.get))
+        done += f.name
+      }
+      remaining = rest
+    }
+    out
+  }
+
+  /**
+   * Point lookup by entity ids (feature_group.py:393-439; PRD §4.5).
+   * Small id lists → `isin` (pushed to the scan); large lists → broadcast
+   * semi-join so the probe stays distributed.
+   */
+  def get(entityIds: Seq[Any], features: Seq[String] = Nil): DataFrame = {
+    val key = meta.entityKey.getOrElse(
+      throw new IllegalStateException(s"${meta.qualifiedName} has no entity_key"))
+    val cols: Seq[Column] =
+      col(key) +: (if (features.isEmpty) Seq(col("*")) else features.map(col))
+    val filtered =
+      if (entityIds.size <= 1000) frame.where(col(key).isin(entityIds: _*))
+      else {
+        import spark.implicits._
+        val ids = entityIds.map(_.toString).toDF(key)
+        frame.join(broadcast(ids.withColumn(key, col(key).cast(frame.schema(key).dataType))),
+          Seq(key), "left_semi")
+      }
+    if (features.isEmpty) filtered else filtered.select(cols.distinct: _*)
+  }
+
+  /** Run an analysis spec against this group's frame. */
+  def analyze(a: Analysis): DataFrame = AnalysisPlanner.plan(frame, a)
+}
+
+/**
+ * Driver-side analysis-result cache with freshness semantics
+ * (analytics/client.py:63-79 + freshness.py:32-111).
+ */
+final class ResultCache {
+  import java.time.{Duration, Instant}
+
+  sealed trait Freshness {
+    def acceptsAge(age: Duration): Boolean
+  }
+  case object RealTime extends Freshness {
+    def acceptsAge(age: Duration): Boolean = false
+  }
+  case object Cached extends Freshness {
+    def acceptsAge(age: Duration): Boolean = true
+  }
+  final case class Within(d: Duration) extends Freshness {
+    def acceptsAge(age: Duration): Boolean = age.compareTo(d) <= 0
+  }
+
+  /** "7d"/"2h"/"30m"/"45s"/"1w" → Duration (freshness.py:32-64). */
+  def parseDuration(s: String): Duration = {
+    val m = "^(\\d+)(s|m|h|d|w)$".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"Bad duration: $s"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "s" => Duration.ofSeconds(n)
+      case "m" => Duration.ofMinutes(n)
+      case "h" => Duration.ofHours(n)
+      case "d" => Duration.ofDays(n)
+      case "w" => Duration.ofDays(7 * n)
+    }
+  }
+
+  private val cache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Instant)]
+
+  /** cache key = canonical string of the spec (client.py:194-199). */
+  def key(spec: Analysis): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(spec.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def getOrCompute(spec: Analysis, freshness: Freshness,
+      now: Instant = Instant.now())(compute: => DataFrame): DataFrame =
+    synchronized {
+      val k = key(spec)
+      cache.get(k) match {
+        case Some((df, at))
+            if freshness.acceptsAge(Duration.between(at, now)) => df
+        case _ =>
+          val df = compute
+          cache(k) = (df, now)
+          df
+      }
+    }
+
+  def size: Int = synchronized(cache.size)
+  def clear(): Unit = synchronized(cache.clear())
+}

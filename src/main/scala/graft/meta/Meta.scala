@@ -1,0 +1,284 @@
+package graft.meta
+
+import java.time.Instant
+
+import graft.types.FeatureType
+
+/**
+ * Metadata layer: the 5-level namespace org/domain/project/group/feature
+ * with versioning, ACLs, cross-org grants, lineage and audit — pure
+ * driver-side Scala (the reference keeps all of this in-process too:
+ * raise_/models/{organization,domain,project,feature_group,feature,acl,
+ * lineage,audit}.py). Data-plane operations delegate to Spark through
+ * [[graft.meta.FeatureGroupData]].
+ */
+final case class AccessControl(
+    readers: Set[String] = Set.empty,
+    writers: Set[String] = Set.empty,
+    admins: Set[String] = Set.empty) {
+
+  /** child overrides parent per non-empty role (acl.py:51-129). */
+  def merged(child: AccessControl): AccessControl = AccessControl(
+    if (child.readers.nonEmpty) child.readers else readers,
+    if (child.writers.nonEmpty) child.writers else writers,
+    if (child.admins.nonEmpty) child.admins else admins)
+
+  def canRead(p: String): Boolean =
+    readers.contains(p) || readers.contains("*") || canWrite(p)
+  def canWrite(p: String): Boolean =
+    writers.contains(p) || writers.contains("*") || isAdmin(p)
+  def isAdmin(p: String): Boolean = admins.contains(p) || admins.contains("*")
+}
+
+/** Cross-org grant with optional expiry; "*" = all features (acl.py:151-205). */
+final case class ExternalGrant(
+    granteeOrg: String,
+    features: Set[String], // "*" allowed
+    expiresAt: Option[Instant] = None) {
+  def active(now: Instant = Instant.now()): Boolean =
+    expiresAt.forall(now.isBefore)
+  def covers(feature: String): Boolean =
+    features.contains("*") || features.contains(feature)
+}
+
+sealed trait FeatureStatus
+object FeatureStatus {
+  case object Active extends FeatureStatus
+  case object Deprecated extends FeatureStatus
+  case object Archived extends FeatureStatus
+}
+
+/** One feature version (immutable once created; feature.py:22-84). */
+final case class Feature(
+    name: String,
+    dtype: FeatureType,
+    version: Int,
+    nullable: Boolean = true,
+    default: Option[Any] = None,
+    derivedFrom: Option[String] = None,
+    tags: Set[String] = Set.empty,
+    owner: Option[String] = None,
+    description: Option[String] = None,
+    status: FeatureStatus = FeatureStatus.Active,
+    acl: Option[AccessControl] = None,
+    createdAt: Instant = Instant.now()) {
+  def versionedName: String = s"$name@v$version"
+}
+
+sealed trait IfExists
+object IfExists {
+  case object Error extends IfExists  // raise (default)
+  case object Skip extends IfExists   // keep existing
+  case object Update extends IfExists // new version
+}
+
+/**
+ * Feature group: named features with version history, entity key, ACL.
+ * Mutable registry entry (the reference mutates in place as well).
+ */
+final class FeatureGroup(
+    val org: String, val domain: String, val project: String,
+    val name: String,
+    val entityKey: Option[String] = None,
+    val entityDtype: Option[FeatureType] = None,
+    var acl: AccessControl = AccessControl(),
+    val description: Option[String] = None) {
+
+  // name → all versions ascending (feature_group.py:103-214)
+  private val versions =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[Feature]]
+  private val grants =
+    scala.collection.mutable.ArrayBuffer.empty[ExternalGrant]
+
+  def qualifiedName: String = s"$org/$domain/$project/$name"
+
+  def createFeature(
+      name: String, dtype: String,
+      nullable: Boolean = true, default: Option[Any] = None,
+      derivedFrom: Option[String] = None, tags: Set[String] = Set.empty,
+      owner: Option[String] = None, description: Option[String] = None,
+      ifExists: IfExists = IfExists.Error): Feature = {
+    val existing = versions.getOrElse(name, Vector.empty)
+    if (existing.nonEmpty) ifExists match {
+      case IfExists.Error =>
+        throw new IllegalStateException(
+          s"Feature '$name' already exists in $qualifiedName (use ifExists)")
+      case IfExists.Skip => return existing.last
+      case IfExists.Update => // fall through: new version
+    }
+    val f = Feature(name, FeatureType.parse(dtype), existing.size + 1,
+      nullable, default, derivedFrom, tags, owner, description)
+    versions(name) = existing :+ f
+    f
+  }
+
+  /** Bulk creation (feature_group.py:216-259). */
+  def createFeatures(specs: Seq[(String, String)],
+      ifExists: IfExists = IfExists.Error): Seq[Feature] =
+    specs.map { case (n, dt) => createFeature(n, dt, ifExists = ifExists) }
+
+  /** From a schema map name→dtype (feature_group.py:261-284). */
+  def fromSchema(schema: Map[String, String],
+      ifExists: IfExists = IfExists.Error): Seq[Feature] =
+    createFeatures(schema.toSeq, ifExists)
+
+  /** `name` (latest) or `name@vN` resolution (feature_group.py:146-214). */
+  def feature(ref: String): Feature = {
+    val (n, v) = ref.lastIndexOf("@v") match {
+      case -1 => (ref, None)
+      case i  => (ref.take(i), Some(ref.drop(i + 2).toInt))
+    }
+    val vs = versions.getOrElse(n,
+      throw new NoSuchElementException(s"No feature '$n' in $qualifiedName"))
+    v.fold(vs.last) { want =>
+      vs.find(_.version == want).getOrElse(
+        throw new NoSuchElementException(s"No version v$want of '$n'"))
+    }
+  }
+
+  def listFeatures: Seq[Feature] = versions.values.map(_.last).toSeq
+  def listVersions(name: String): Seq[Feature] =
+    versions.getOrElse(name, Vector.empty)
+
+  def deprecate(name: String): Unit = {
+    val vs = versions(name)
+    versions(name) = vs.init :+ vs.last.copy(status = FeatureStatus.Deprecated)
+  }
+
+  /** effective ACL = group ACL overridden by feature ACL (feature.py:193-227). */
+  def effectiveAcl(featureName: String): AccessControl =
+    feature(featureName).acl.fold(acl)(acl.merged)
+
+  // -- cross-org grants (feature_group.py:529-579) --
+  def grant(g: ExternalGrant): Unit = grants += g
+  def revoke(granteeOrg: String): Unit =
+    grants.filterInPlace(_.granteeOrg != granteeOrg)
+  def listGrants: Seq[ExternalGrant] = grants.toSeq
+  def externalCanRead(orgName: String, feature: String,
+      now: Instant = Instant.now()): Boolean =
+    grants.exists(g => g.granteeOrg == orgName && g.active(now) && g.covers(feature))
+}
+
+/** In-memory store: org → domain → project → groups (client.py surface). */
+final class FeatureStore {
+  private val groups =
+    scala.collection.mutable.LinkedHashMap.empty[String, FeatureGroup]
+  val audit = new AuditLog
+
+  def createGroup(org: String, domain: String, project: String, name: String,
+      entityKey: Option[String] = None,
+      entityDtype: Option[String] = None,
+      acl: AccessControl = AccessControl(),
+      actor: String = "system"): FeatureGroup = {
+    val g = new FeatureGroup(org, domain, project, name, entityKey,
+      entityDtype.map(FeatureType.parse), acl)
+    require(!groups.contains(g.qualifiedName), s"Group exists: ${g.qualifiedName}")
+    groups(g.qualifiedName) = g
+    audit.record(AuditEntry(actor = actor, action = "create_feature_group",
+      category = "write", resource = g.qualifiedName, resourceOrg = org))
+    g
+  }
+
+  def group(qualified: String): FeatureGroup = groups(qualified)
+  def listGroups: Seq[FeatureGroup] = groups.values.toSeq
+
+  /** search by name substring / dtype / tags (client.py:502-552). */
+  def searchFeatures(query: String = "", dtype: Option[String] = None,
+      tags: Set[String] = Set.empty, limit: Int = 50): Seq[(FeatureGroup, Feature)] =
+    groups.values.iterator.flatMap { g =>
+      g.listFeatures.iterator
+        .filter(f => query.isEmpty || f.name.contains(query))
+        .filter(f => dtype.forall { d =>
+          if (d.endsWith("*")) f.dtype.typeString.startsWith(d.dropRight(1))
+          else f.dtype.typeString == d
+        })
+        .filter(f => tags.isEmpty || tags.subsetOf(f.tags))
+        .map(g -> _)
+    }.take(limit).toSeq
+}
+
+/** Lineage graph derived from derived_from references (lineage.py:156-338). */
+object Lineage {
+  /** upstream edges: feature → features it reads. */
+  def upstream(store: FeatureStore, group: FeatureGroup, feature: String,
+      spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    group.feature(feature).derivedFrom.toSeq.flatMap { e =>
+      graft.expr.ExpressionValidator.parse(spark, e).toOption.toSeq
+        .flatMap(graft.expr.ExpressionValidator.references)
+    }
+
+  /** transitive closure over a dependency map. */
+  def transitive(deps: Map[String, Seq[String]], start: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def go(n: String): Unit =
+      deps.getOrElse(n, Nil).foreach { m =>
+        if (seen.add(m)) go(m)
+      }
+    go(start)
+    seen.toSeq
+  }
+
+  def downstream(deps: Map[String, Seq[String]], target: String): Seq[String] =
+    deps.collect { case (k, vs) if vs.contains(target) => k }.toSeq
+}
+
+/** Audit entry (audit.py:38-78; 16 fields condensed to the used subset). */
+final case class AuditEntry(
+    id: String = java.util.UUID.randomUUID().toString,
+    timestamp: Instant = Instant.now(),
+    actor: String,
+    actorOrg: Option[String] = None,
+    action: String,
+    category: String,
+    resource: String,
+    resourceOrg: String,
+    success: Boolean = true,
+    detail: Option[String] = None)
+
+/**
+ * Append-only audit log; Spark-exportable (audit.py:303-477 — the
+ * reference's query returns mock-empty; this one is real).
+ */
+final class AuditLog {
+  private val entries = scala.collection.mutable.ArrayBuffer.empty[AuditEntry]
+
+  def record(e: AuditEntry): Unit = synchronized { entries += e }
+
+  def query(
+      actor: Option[String] = None,
+      action: Option[String] = None,
+      category: Option[String] = None,
+      resource: Option[String] = None, // trailing-* wildcard supported
+      excludeActorOrgs: Set[String] = Set.empty,
+      since: Option[Instant] = None,
+      until: Option[Instant] = None): Seq[AuditEntry] = synchronized {
+    entries.iterator
+      .filter(e => actor.forall(_ == e.actor))
+      .filter(e => action.forall(_ == e.action))
+      .filter(e => category.forall(_ == e.category))
+      .filter(e => resource.forall { r =>
+        if (r.endsWith("*")) e.resource.startsWith(r.dropRight(1))
+        else e.resource == r
+      })
+      .filter(e => e.actorOrg.forall(o => !excludeActorOrgs.contains(o)))
+      .filter(e => since.forall(s => !e.timestamp.isBefore(s)))
+      .filter(e => until.forall(u => e.timestamp.isBefore(u)))
+      .toSeq
+  }
+
+  /** Export to a Spark DataFrame (→ jsonl/csv/parquet; audit.py:396-425). */
+  def toDataFrame(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    synchronized {
+      entries.toSeq.map(e => (e.id, e.timestamp.toString, e.actor,
+        e.actorOrg.orNull, e.action, e.category, e.resource, e.resourceOrg,
+        e.success, e.detail.orNull))
+    }.toDF("id", "timestamp", "actor", "actor_org", "action", "category",
+      "resource", "resource_org", "success", "detail")
+  }
+
+  def export(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "json"): Unit =
+    toDataFrame(spark).coalesce(1).write.mode("overwrite").format(format).save(path)
+}

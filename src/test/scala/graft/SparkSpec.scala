@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+import graft.expr.ExpressionValidator
+
+/** Spark-backed behavior: validator, ETL job lifecycle, upsert algebra,
+  * incremental≡full, quality gates, live tables, derived features. */
+class SparkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftspec").toString
+
+  import scala.jdk.CollectionConverters._
+
+  // ----------------------------------------------------------- validator
+
+  test("validator: valid expression resolves refs and type") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("clicks", LongType),
+      StructField("views", LongType)))
+    val r = ExpressionValidator.validate(spark,
+      "clicks / NULLIF(views, 0)", schema)
+    assert(r.valid)
+    assert(r.references == Seq("clicks", "views"))
+    assert(r.resultType.contains(DoubleType))
+  }
+
+  test("validator: error codes UNKNOWN_REFERENCE / UNKNOWN_FUNCTION / SYNTAX") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("clicks", LongType)))
+    val bad = ExpressionValidator.validate(spark, "clicsk + 1", schema)
+    assert(!bad.valid && bad.errors.exists(_.code == "UNKNOWN_REFERENCE"))
+    assert(bad.errors.exists(_.message.contains("did you mean 'clicks'")))
+    val fn = ExpressionValidator.validate(spark, "MAGICFN(clicks)", schema)
+    assert(!fn.valid && fn.errors.exists(_.code == "UNKNOWN_FUNCTION"))
+    val syn = ExpressionValidator.validate(spark, "clicks +* 2", schema)
+    assert(!syn.valid && syn.errors.exists(_.code == "SYNTAX_ERROR"))
+    val par = ExpressionValidator.validate(spark, "(clicks + 1", schema)
+    assert(!par.valid && par.errors.exists(_.code == "UNBALANCED_PARENS"))
+  }
+
+  test("validator: division warning + strict level escalation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    val std = ExpressionValidator.validate(spark, "a / b", schema)
+    assert(std.valid &&
+      std.warnings.exists(_.code == "POSSIBLE_DIVISION_BY_ZERO"))
+    val strict = ExpressionValidator.validate(spark, "a / b", schema,
+      level = ExpressionValidator.Strict)
+    assert(!strict.valid)
+    val perm = ExpressionValidator.validate(spark, "mystery + 1", schema,
+      level = ExpressionValidator.Permissive)
+    assert(perm.valid) // unknown refs tolerated
+  }
+
+  // ------------------------------------------------------ derived features
+
+  test("derived features materialize in dependency order; cycles rejected") {
+    import graft.meta._
+    import spark.implicits._
+    val fs = new FeatureStore
+    val g = fs.createGroup("o", "d", "p", "sig", entityKey = Some("id"))
+    g.createFeature("clicks", "int64")
+    g.createFeature("views", "int64")
+    g.createFeature("ctr", "float64",
+      derivedFrom = Some("clicks / NULLIF(views, 0)"))
+    g.createFeature("ctr_pct", "float64", derivedFrom = Some("ctr * 100"))
+    val base = Seq((1L, 10L, 100L), (2L, 5L, 0L)).toDF("id", "clicks", "views")
+    val data = new FeatureGroupData(g, base)
+    val out = data.frame.orderBy("id").collect()
+    assert(out(0).getAs[Double]("ctr") == 0.1)
+    assert(out(0).getAs[Double]("ctr_pct") == 10.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("ctr"))) // NULLIF guarded
+    // cycle
+    val g2 = fs.createGroup("o", "d", "p", "cyc")
+    g2.createFeature("x", "int64", derivedFrom = Some("y + 1"))
+    g2.createFeature("y", "int64", derivedFrom = Some("x + 1"))
+    val data2 = new FeatureGroupData(g2, base)
+    intercept[IllegalStateException](data2.frame)
+  }
+
+  test("point lookup via entity key") {
+    import graft.meta._
+    import spark.implicits._
+    val fs = new FeatureStore
+    val g = fs.createGroup("o", "d", "p", "users", entityKey = Some("id"))
+    val base = (1L to 100L).map(i => (i, i * 2)).toDF("id", "score")
+    val data = new FeatureGroupData(g, base)
+    val got = data.get(Seq(5L, 10L), Seq("score")).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(5L, 10L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 20L))
+  }
+
+  // -------------------------------------------------------------- upsert
+
+  test("upsert: idempotent, new rows win, appends keep history") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, orderColumn = Some("v"))
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    target.write(base, WriteMode.Full)
+    val upd = Seq((2L, 99L), (3L, 30L)).toDF("k", "v")
+    target.write(upd, WriteMode.Upsert, keys = Seq("k"))
+    val after = spark.read.parquet(dir).orderBy("k").as[(Long, Long)].collect()
+    assert(after.toSeq == Seq((1L, 10L), (2L, 99L), (3L, 30L)))
+    // idempotence: MERGE twice ≡ once
+    target.write(upd, WriteMode.Upsert, keys = Seq("k"))
+    val again = spark.read.parquet(dir).orderBy("k").as[(Long, Long)].collect()
+    assert(again.toSeq == after.toSeq)
+  }
+
+  // ------------------------------------------------- job runner + quality
+
+  test("job: end-to-end run, checkpoint advance, incremental ≡ full") {
+    import spark.implicits._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    val cps = new CheckpointStore(s"$root/cp")
+
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("id", "ts", "v")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("append").parquet(srcDir)
+
+    writeBatch(Seq((1L, "2024-01-01 00:00:00", 1.0), (2L, "2024-01-02 00:00:00", 2.0)))
+
+    val job = new Job(
+      jobId = "j1",
+      sources = Seq(FileSource("ev", srcDir)),
+      transform = SqlTransform("SELECT id, ts, v * 2 AS v2 FROM ev"),
+      target = ParquetTarget(s"$root/out"),
+      incremental = IncrementalConfig(WriteMode.Append, Some("ts")),
+      qualityChecks = Seq(NullCheck("v2", 0.0), RowCountCheck(minRows = Some(1))),
+      checkpoints = cps)
+    intercept[IllegalArgumentException] { // not activated
+      val j2 = new Job("bad", Nil, SqlTransform("SELECT 1"),
+        ParquetTarget(s"$root/x"), checkpoints = cps)
+      j2.activate()
+    }
+    job.activate()
+
+    val r1 = job.run(spark)
+    assert(r1.state == "success" && r1.rowsWritten == 2)
+    assert(cps.get("j1").contains("2024-01-02 00:00:00"))
+
+    // second batch: only the new row flows (cursor pushed into the scan)
+    writeBatch(Seq((3L, "2024-01-03 00:00:00", 3.0)))
+    val r2 = job.run(spark)
+    assert(r2.state == "success" && r2.rowsWritten == 1)
+    assert(cps.get("j1").contains("2024-01-03 00:00:00"))
+
+    // incremental-equals-full: appended output ≡ one full pass
+    val incr = spark.read.parquet(s"$root/out").orderBy("id")
+      .select("id", "v2").as[(Long, Double)].collect().toSeq
+    assert(incr == Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+    assert(job.runHistory.size == 2)
+  }
+
+  test("job: quality gate failure marks run failed") {
+    import spark.implicits._
+    val root = tmpDir()
+    val cps = new CheckpointStore(s"$root/cp")
+    Seq((1L, java.lang.Double.valueOf(1.0)), (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v").write.parquet(s"$root/src")
+    val job = new Job("jq", Seq(FileSource("s", s"$root/src")),
+      SqlTransform("SELECT * FROM s"), ParquetTarget(s"$root/out"),
+      qualityChecks = Seq(NullCheck("v", 0.1)), checkpoints = cps)
+    job.activate()
+    val r = job.run(spark)
+    assert(r.state == "failed" && r.error.exists(_.contains("null_check")))
+  }
+
+  test("quality checks evaluate in one pass with correct outcomes") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, "a"), (2L, 50.0, "b"), (2L, -1.0, null))
+      .toDF("k", "x", "s")
+    val report = QualityCheck.runAll(Seq(
+      NullCheck("s", 0.5),            // 1/3 nulls → pass
+      NullCheck("s", 0.1, "WARNING"), // warn-only fail
+      UniqueCheck(Seq("k")),          // dup key 2 → fail
+      RangeCheck("x", 0, 100),        // -1 out of range → fail
+      RowCountCheck(minRows = Some(2), maxRows = Some(10)),
+      CustomCheck("has-a", d => d.where(col("s") === "a").count() == 1)),
+      df)
+    val byName = report.results.map(r => r.name -> r.passed).toMap
+    assert(byName("null_check(s<=0.5)"))
+    assert(!byName("null_check(s<=0.1)"))
+    assert(!byName("unique_check(k)"))
+    assert(!byName("range_check(x)"))
+    assert(byName("row_count_check"))
+    assert(byName("has-a"))
+    assert(report.failed && report.warnings.size == 1)
+  }
+
+  // ----------------------------------------------------------- live table
+
+  test("live table: refresh, query with -col desc, pause/resume, history") {
+    import spark.implicits._
+    val root = tmpDir()
+    var version = 0
+    val lt = new graft.live.LiveTable("lt1", spark,
+      s => { Seq((1, version), (2, version * 2)).toDF("k", "v") },
+      s"$root/mat")
+    assert(lt.refresh().exists(_.rows == 2))
+    version = 10
+    lt.pause()
+    assert(lt.refresh().isEmpty) // paused
+    assert(lt.refresh(force = true).isDefined)
+    lt.resume()
+    val rows = lt.query(filter = Some("v >= 0"), orderBy = Seq("-v"))
+      .collect().map(_.getInt(1)).toSeq
+    assert(rows == Seq(20, 10))
+    assert(lt.refreshHistory.size == 2)
+  }
+
+  test("result cache honors freshness (client.py:63-79)") {
+    import graft.meta.ResultCache
+    import java.time.{Duration, Instant}
+    val rc = new ResultCache
+    val spec = graft.analysis.Aggregation("x")
+    var computes = 0
+    def compute = { computes += 1; spark.range(1).toDF() }
+    val t0 = Instant.now()
+    rc.getOrCompute(spec, rc.Within(Duration.ofHours(1)), t0)(compute)
+    rc.getOrCompute(spec, rc.Within(Duration.ofHours(1)), t0.plusSeconds(60))(compute)
+    assert(computes == 1) // cache hit within 1h
+    rc.getOrCompute(spec, rc.Within(Duration.ofHours(1)),
+      t0.plusSeconds(7200))(compute)
+    assert(computes == 2) // stale → recompute
+    rc.getOrCompute(spec, rc.RealTime, t0)(compute)
+    assert(computes == 3) // real-time never cached
+    assert(rc.parseDuration("2h") == Duration.ofHours(2))
+    intercept[IllegalArgumentException](rc.parseDuration("5x"))
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  test("blob integrity + feature extraction plumbing") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val df = Seq(("u1", "payload-one"), ("u2", "payload-two"))
+      .toDF("uri", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+      .withColumn("ref", Multimodal.blobRef(col("uri"), lit("text/plain"),
+        col("payload")))
+    val ok = Multimodal.blobIntegrity(df, "ref", "payload").collect()(0)
+    assert(ok.getAs[Long]("n_invalid") == 0)
+    val feats = Multimodal.extractFeatures(df, "uri", "payload", dim = 4)
+    assert(feats.count() == 2)
+    assert(feats.schema.fieldNames.toSeq == Seq("uri", "features", "n_bytes"))
+  }
+}
