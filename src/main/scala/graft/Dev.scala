@@ -13,32 +13,18 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.etl._
-    import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files.createTempDirectory("devjob").toString
-    val cps = new CheckpointStore(s"$root/cp")
-    val job = new Job(
-      jobId = "daily_revenue",
-      sources = Seq(FileSource("ev", "/root/testdata/sf0.001/events.parquet")),
-      transform = SqlTransform("""
-        SELECT CAST(timestamp_micros(ts div 1000) AS DATE) AS day,
-               event_type, count(*) AS n, round(sum(value), 2) AS revenue
-        FROM ev
-        WHERE timestamp_micros(ts div 1000) > {{checkpoint}}
-        GROUP BY 1, 2"""),
-      target = ParquetTarget(s"$root/out"),
-      incremental = IncrementalConfig.full,
-      qualityChecks = Seq(NullCheck("revenue", 0.0),
-        RowCountCheck(minRows = Some(1))),
-      checkpoints = cps)
-    job.activate()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r1 = job.run(spark)
-    println(s"RUN1: state=${r1.state} read=${r1.rowsRead} written=${r1.rowsWritten} " +
-      s"quality=${r1.qualityReport.map(_.results.map(q => q.name -> q.passed))}")
-    val out = spark.read.parquet(s"$root/out")
-    out.orderBy("day", "event_type").show(8)
-    println("rows in target: " + out.count())
+    val d = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // warmup
+    Tables.customer(spark, d).limit(16).write.format("noop").mode("overwrite").save()
+    val q15 = Queries.queries("q15_derived_features")
+    time("q15 run1")(q15(spark, d).write.format("noop").mode("overwrite").save())
+    time("q15 run2")(q15(spark, d).write.format("noop").mode("overwrite").save())
+    q15(spark, d).explain("formatted")
     spark.stop()
   }
 }

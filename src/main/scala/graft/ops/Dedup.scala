@@ -137,13 +137,20 @@ object Dedup {
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
-      col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
-      col(vecCol).as("vb"))
+    // pre-cast to double and precompute each vector's norm ONCE — the
+    // pairwise stage then does a single dot product per pair (3× less
+    // vector math than recomputing both norms per pair)
+    val prepped = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val a = prepped.select(col("id").as("id_a"), col("blk"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = prepped.select(col("id").as("id_b"), col("blk"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos"))
   }

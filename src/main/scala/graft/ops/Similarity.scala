@@ -20,14 +20,19 @@ import graft.functions.VectorFunctions
  */
 object Similarity {
 
-  /** Exact cosine top-k for each query vector. */
+  /** Exact cosine top-k for each query vector (norms precomputed per side). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("nbr_id")) // no self-match
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored
@@ -62,14 +67,19 @@ object Similarity {
    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), planes).as("bkt"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), planes).as("bkt"))
     val scored = c
       .join(broadcast(q), Seq("bkt"))
       .where(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored
