@@ -632,6 +632,35 @@ object Queries {
       WHERE c_custkey IN (1, 5, 10, 50, 100, 500)
       ORDER BY c_custkey"""))
 
+  /** Kendall tau-b on a deterministic 1500-row subset (pair join). */
+  private val q46 = Entry(
+    "q46_corr_kendall",
+    (s, d) =>
+      AnalysisPlanner
+        .kendallTau(Tables.events(s, d), "value", "user_id", "event_id", 1500)
+        .select(col("concordant"), col("discordant"), col("ties_x"),
+          col("ties_y"), col("n_pairs"), r6(col("tau_b")).as("tau_b")),
+    Some("""
+      WITH s AS (
+        SELECT event_id AS k, "value" AS x, CAST(user_id AS DOUBLE) AS y
+        FROM events ORDER BY event_id LIMIT 1500),
+      pairs AS (
+        SELECT (p.x - q.x) * (p.y - q.y) AS prod,
+               CAST(p.x = q.x AS BIGINT) AS tx,
+               CAST(p.y = q.y AS BIGINT) AS ty
+        FROM s p JOIN s q ON p.k < q.k),
+      a AS (
+        SELECT CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(sum(tx) AS BIGINT) AS ties_x,
+               CAST(sum(ty) AS BIGINT) AS ties_y,
+               count(*) AS n_pairs
+        FROM pairs)
+      SELECT concordant, discordant, ties_x, ties_y, n_pairs,
+             round((concordant - discordant) /
+                   sqrt((n_pairs - ties_x) * (n_pairs - ties_y)), 6) AS tau_b
+      FROM a"""))
+
   // ------------------------------------------------------------------
   // Incremental / upsert semantics
   // ------------------------------------------------------------------
@@ -1026,7 +1055,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q40, q41, q42, q43, q44, q45)
+    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -245,6 +245,36 @@ object AnalysisPlanner {
       pairs.tail.map { case (a, b) => corr(col(a), col(b)).as(s"corr_${a}__$b") }: _*)
   }
 
+  /**
+   * Kendall tau-b on a bounded deterministic subset (O(n²) pair join;
+   * the reference flags kendall as the expensive method — analysis.py
+   * :173-181). `maxRows` caps the subset by ascending key for
+   * engine-portable determinism. At scale, sample smaller or use the
+   * O(n log n) merge-sort inversion count on a single partition.
+   */
+  def kendallTau(df: DataFrame, x: String, y: String, keyCol: String,
+      maxRows: Int = 2000): DataFrame = {
+    val s = df.select(col(keyCol).as("k"),
+      col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .orderBy("k").limit(maxRows)
+    val p = s.as("p")
+    val q = s.as("q")
+    val pairs = p.join(q, col("p.k") < col("q.k"))
+      .select(
+        ((col("p.x") - col("q.x")) * (col("p.y") - col("q.y"))).as("prod"),
+        (col("p.x") === col("q.x")).cast("long").as("tx"),
+        (col("p.y") === col("q.y")).cast("long").as("ty"))
+    pairs.agg(
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(col("tx")).as("ties_x"),
+        sum(col("ty")).as("ties_y"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("tau_b",
+        (col("concordant") - col("discordant")) /
+          sqrt((col("n_pairs") - col("ties_x")) * (col("n_pairs") - col("ties_y"))))
+  }
+
   // ------------------------------------------------------------ drift
 
   /**

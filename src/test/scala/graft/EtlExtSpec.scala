@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+
+/** Inference contract, orchestrator, schema files, multi-format sources,
+  * async analysis jobs, streaming on_change refresh. */
+class EtlExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftext").toString
+
+  test("inference: batching, metrics, convenience ctors, bad specs rejected") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"text-$i")).toDF("id", "text")
+    val spec = InferenceTransform.embedding("hf://org/model", "text", dim = 8)
+    assert(spec.model.scheme == "hf")
+    val (out, res) = InferenceTransform.run(df, spec,
+      InferenceTransform.fakeEmbeddingModel(8))
+    assert(res.totalSamples == 100 && res.successSamples == 100)
+    assert(res.failedSamples == 0 && res.throughputPerSec > 0)
+    assert(out.schema.fieldNames.contains("embedding"))
+    assert(out.select("embedding").first().getSeq[Float](0).size == 8)
+    // deterministic across runs
+    val (out2, _) = InferenceTransform.run(df, spec,
+      InferenceTransform.fakeEmbeddingModel(8))
+    assert(out.orderBy("id").collect().toSeq ==
+      out2.orderBy("id").collect().toSeq)
+    // failing model → failed accounting, null outputs
+    val failing: InferenceTransform.BatchModel =
+      _ => throw new RuntimeException("boom")
+    val (outF, resF) = InferenceTransform.run(df, spec, failing)
+    assert(resF.failedSamples == 100 && resF.successSamples == 0)
+    assert(outF.where(col("embedding").isNull).count() == 100)
+    intercept[IllegalArgumentException](ModelSpec("ftp://x", "pytorch"))
+    intercept[IllegalArgumentException](ModelSpec("s3://x", "cobol"))
+    assert(AcceleratorConfig("gpu", 2).sparkConf.nonEmpty)
+    assert(AcceleratorConfig().sparkConf.isEmpty)
+  }
+
+  test("orchestrator: deploy/trigger/pause + Airflow DAG text") {
+    import spark.implicits._
+    val root = tmpDir()
+    Seq((1L, 2.0)).toDF("id", "v").write.parquet(s"$root/src")
+    val job = new Job("orch1", Seq(FileSource("s", s"$root/src")),
+      SqlTransform("SELECT * FROM s"), ParquetTarget(s"$root/out"),
+      schedule = Schedule.daily,
+      checkpoints = new CheckpointStore(s"$root/cp"))
+    val orch = new InternalOrchestrator(spark)
+    orch.deploy(job)
+    assert(orch.list == Seq("orch1"))
+    assert(orch.trigger("orch1").state == "success")
+    orch.pause("orch1")
+    intercept[IllegalArgumentException](orch.trigger("orch1"))
+    val dag = AirflowDagGenerator.generate(job)
+    assert(dag.contains("dag_id=\"graft_orch1\""))
+    assert(dag.contains("schedule='@daily'"))
+    assert(dag.contains("start >> transform >> quality_checks".replace(
+      "quality_checks", "quality") + " >> end"))
+  }
+
+  test("schema files: YAML and JSON bulk creation") {
+    val root = tmpDir()
+    val yaml = s"$root/fg.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(yaml),
+      """features:
+        |  clicks: int64
+        |  score: float64
+        |  emb: float32[4]
+        |""".stripMargin)
+    val json = s"$root/fg.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(json),
+      """{"a": "int64", "b": "string[8]"}""")
+    val fs = new graft.meta.FeatureStore
+    val g1 = fs.createGroup("o", "d", "p", "y1")
+    val made = SchemaFile.createFrom(g1, yaml)
+    assert(made.map(_.name) == Seq("clicks", "score", "emb"))
+    assert(g1.feature("emb").dtype == graft.types.TEmbedding("float32", 4))
+    val g2 = fs.createGroup("o", "d", "p", "j1")
+    assert(SchemaFile.createFrom(g2, json).size == 2)
+  }
+
+  test("file sources: csv/json/orc round-trip through FileSource") {
+    // avro/delta/iceberg are connector-jar-dependent; this classpath ships
+    // only core avro libs (no spark-avro), so the portable trio is tested
+    import spark.implicits._
+    val root = tmpDir()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    df.write.option("header", "true").csv(s"$root/c")
+    df.write.json(s"$root/j")
+    df.write.orc(s"$root/o")
+    val c = FileSource("c", s"$root/c", "csv",
+      Map("header" -> "true", "inferSchema" -> "true")).read(spark)
+    val j = FileSource("j", s"$root/j", "json").read(spark)
+    val o = FileSource("o", s"$root/o", "orc").read(spark)
+    Seq(c, j, o).foreach { d =>
+      assert(d.count() == 2)
+      assert(d.select(sum($"v")).first().getDouble(0) == 4.0)
+    }
+  }
+
+  test("async analysis job: completes, and cancel is observable") {
+    import spark.implicits._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val df = (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    val job = new graft.analysis.AnalysisJob(spark, df,
+      graft.analysis.Aggregation("v", Seq("count", "sum", "avg")))
+    assert(job.status == "pending")
+    job.start()
+    assert(job.waitFor(30000) == "completed")
+    val row = job.result.head
+    assert(row.getLong(0) == 1000L)
+    // cancel an unstarted job
+    val j2 = new graft.analysis.AnalysisJob(spark, df,
+      graft.analysis.Aggregation("v", Seq("count")))
+    j2.cancel()
+    assert(j2.status == "cancelled")
+    intercept[IllegalStateException](j2.result)
+  }
+
+  test("live table on_change: file stream triggers re-materialization") {
+    import spark.implicits._
+    val root = tmpDir()
+    val srcDir = s"$root/stream-src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    Seq((1L, 1.0)).toDF("k", "v").write.mode("append").parquet(srcDir)
+    val lt = new graft.live.LiveTable("lt-stream", spark,
+      s => s.read.schema(schema).parquet(srcDir)
+        .agg(count(lit(1)).as("n"), sum($"v").as("total")),
+      s"$root/mat",
+      policy = graft.live.RefreshPolicy.onChange,
+      cdc = graft.live.CdcConfig(debounceSeconds = 1))
+    val q = lt.startOnChange(srcDir, schema, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(lt.refreshHistory.nonEmpty)
+      val first = lt.query().collect()(0)
+      assert(first.getLong(0) == 1L)
+      // new file arrives → another refresh with updated aggregate
+      Seq((2L, 4.0)).toDF("k", "v").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val after = lt.query().collect()(0)
+      assert(after.getLong(0) == 2L && after.getDouble(1) == 5.0)
+      assert(lt.refreshHistory.size >= 2)
+      assert(lt.refreshHistory.last.trigger.startsWith("cdc_batch"))
+    } finally lt.stopStream()
+  }
+}
