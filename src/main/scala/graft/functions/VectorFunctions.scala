@@ -22,9 +22,12 @@ object VectorFunctions {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ — sequential left fold, same order as the oracle. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /**
+   * Σ aᵢ·bᵢ — native codegen'd expression ([[VectorExpressions]]); same
+   * sequential left-to-right accumulation as the HOF formulation and the
+   * oracle, so results are bit-identical.
+   */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,12 +35,9 @@ object VectorFunctions {
     dot(a, b) / (norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (s, x) => s + x))
+    sqrt(VectorExpressions.squaredL2(a, b))
 
-  def l1Distance(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => abs(x - y)),
-      lit(0.0), (s, x) => s + x)
+  def l1Distance(a: Column, b: Column): Column = VectorExpressions.l1(a, b)
 
   def vecAdd(a: Column, b: Column): Column = zip_with(asD(a), asD(b), _ + _)
   def vecSub(a: Column, b: Column): Column = zip_with(asD(a), asD(b), _ - _)
