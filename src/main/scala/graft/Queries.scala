@@ -632,6 +632,26 @@ object Queries {
       WHERE c_custkey IN (1, 5, 10, 50, 100, 500)
       ORDER BY c_custkey"""))
 
+  /** Distribution CDF over histogram buckets. */
+  private val q47 = Entry(
+    "q47_distribution_cdf",
+    (s, d) =>
+      AnalysisPlanner
+        .cdf(AnalysisPlanner.histogram(Tables.lineitem(s, d), "l_extendedprice", 20))
+        .select(col("bucket"), col("n"), col("cum_n"),
+          r6(col("cdf")).as("cdf"))
+        .orderBy("bucket"),
+    Some("""
+      WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+      h AS (
+        SELECT LEAST(CAST(FLOOR(((l_extendedprice - lo) / (hi - lo)) * 20) AS BIGINT), 19) AS bucket,
+               count(*) AS n
+        FROM lineitem, b GROUP BY 1)
+      SELECT bucket, n,
+             CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+             round((sum(n) OVER (ORDER BY bucket)) / (sum(n) OVER ()), 6) AS cdf
+      FROM h ORDER BY bucket"""))
+
   /** Kendall tau-b on a deterministic 1500-row subset (pair join). */
   private val q46 = Entry(
     "q46_corr_kendall",
@@ -1055,7 +1075,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46)
+    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
