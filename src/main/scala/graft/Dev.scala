@@ -14,17 +14,10 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (q <- Seq("q12_record_lookup", "q01_agg_group", "q41_region_revenue")) {
+      println(s"===== $q =====")
+      Queries.queries(q)(spark, d).explain("formatted")
     }
-    // warmup
-    Tables.customer(spark, d).limit(16).write.format("noop").mode("overwrite").save()
-    val q15 = Queries.queries("q15_derived_features")
-    time("q15 run1")(q15(spark, d).write.format("noop").mode("overwrite").save())
-    time("q15 run2")(q15(spark, d).write.format("noop").mode("overwrite").save())
-    q15(spark, d).explain("formatted")
     spark.stop()
   }
 }

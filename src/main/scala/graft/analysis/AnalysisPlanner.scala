@@ -229,7 +229,10 @@ object AnalysisPlanner {
     val base: DataFrame = s.method match {
       case "pearson" => df
       case "spearman" =>
-        s.features.foldLeft(df) { (d, f) =>
+        // project to just the correlated features BEFORE the rank windows —
+        // the global sort then moves only |features| doubles per row
+        val slim = df.select(s.features.map(col): _*)
+        s.features.foldLeft(slim) { (d, f) =>
           d.withColumn(f, rank().over(Window.orderBy(col(f))).cast("double"))
         }
       case "kendall" =>

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAgg
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftstream").toString
+
+  test("tumbling/sliding/session helpers compute correct batch windows") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-01-01 00:01:00", "a", 1.0),
+      ("2024-01-01 00:04:00", "a", 2.0),
+      ("2024-01-01 00:06:00", "a", 4.0),
+      ("2024-01-01 00:06:30", "b", 8.0))
+      .toDF("ts", "k", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    val tum = StreamingAgg.tumbling(df, "ts", "5m", "10m", Seq("k"),
+      Seq(sum($"v").as("s"), count(lit(1)).as("n")))
+      .orderBy("window_start", "k")
+      .select("k", "s", "n").collect()
+    assert(tum.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3.0, 2L), ("a", 4.0, 1L), ("b", 8.0, 1L)))
+
+    val sli = StreamingAgg.sliding(df, "ts", "10m", "5m", "10m", Seq("k"),
+      Seq(sum($"v").as("s")))
+    // window containing everything for k=a: [00:00,00:10) → 7.0
+    assert(sli.where($"k" === "a").agg(max($"s")).first().getDouble(0) == 7.0)
+
+    val ses = StreamingAgg.session(df, "ts", "3m", "10m", Seq("k"),
+      Seq(sum($"v").as("s"), count(lit(1)).as("n")))
+      .orderBy("window_start", "k").collect()
+    // a: events at 1,4,6 chain into one session (gaps 3m,2m ≤ 3m);  b: one
+    assert(ses.length == 2)
+    assert(ses.map(_.getAs[Double]("s")).toSeq == Seq(7.0, 8.0))
+  }
+
+  test("streaming execution: tumbling agg over a file stream with watermark") {
+    import spark.implicits._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    Seq(("2024-01-01 00:01:00", "a", 1.0), ("2024-01-01 00:02:00", "a", 2.0))
+      .toDF("ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val agg = StreamingAgg.tumbling(stream, "ts", "5m", "1m", Seq("k"),
+      Seq(sum($"v").as("s")))
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("tumout")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT k, s FROM tumout").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "a"
+      && rows(0).getDouble(1) == 3.0)
+  }
+}
