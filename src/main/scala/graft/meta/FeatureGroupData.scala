@@ -12,9 +12,45 @@ import graft.analysis.{Analysis, AnalysisPlanner}
  */
 final class FeatureGroupData(
     val meta: FeatureGroup,
-    base: DataFrame) {
+    base: DataFrame,
+    /** sibling groups resolvable for cross-group references, by group name */
+    siblings: Map[String, FeatureGroupData] = Map.empty) {
 
   private val spark: SparkSession = base.sparkSession
+
+  /**
+   * Cross-group references (`group.feature`) in derived expressions are
+   * planned as equi-joins on the shared entity key: the sibling's frame
+   * is projected to (entity_key, feature), left-joined once per
+   * referenced group, and the reference rewritten to the joined column.
+   * Dim-sized siblings broadcast automatically via AQE; key-partitioned
+   * co-location makes this a local join at scale.
+   */
+  private def resolveCrossGroup(df0: DataFrame, exprs: Seq[String]): DataFrame = {
+    val key = meta.entityKey.getOrElse(return df0)
+    val wanted: Seq[(String, String)] = exprs.flatMap { e =>
+      graft.expr.ExpressionValidator.parse(spark, e).toOption.toSeq
+        .flatMap(graft.expr.ExpressionValidator.references)
+        .filter(_.contains("."))
+        .map { r => val p = r.split("\\.", 2); (p(0), p(1)) }
+    }.distinct.filter { case (g, _) => siblings.contains(g) }
+    wanted.groupBy(_._1).foldLeft(df0) { case (df, (gName, feats)) =>
+      val sib = siblings(gName)
+      val sibKey = sib.meta.entityKey.getOrElse(
+        throw new IllegalStateException(s"sibling $gName has no entity_key"))
+      val proj = sib.frame.select(
+        (org.apache.spark.sql.functions.col(sibKey).as(key) +:
+          feats.map { case (_, f) =>
+            org.apache.spark.sql.functions.col(f).as(s"${gName}__$f")
+          }): _*)
+      df.join(proj, Seq(key), "left")
+    }
+  }
+
+  /** rewrite `group.feature` → joined alias in an expression string. */
+  private def rewriteRefs(e: String): String =
+    siblings.keys.foldLeft(e)((acc, g) =>
+      acc.replaceAll(s"\\b$g\\.([A-Za-z_][A-Za-z0-9_]*)", s"${g}__$$1"))
 
   /**
    * The group's frame with every derived feature materialized as a
@@ -34,14 +70,14 @@ final class FeatureGroupData(
     }
     // topological order: repeatedly emit features whose deps are emitted
     var remaining = derived
-    var out = base
+    var out = resolveCrossGroup(base, derived.flatMap(_.derivedFrom))
     val done = scala.collection.mutable.Set.empty[String]
     while (remaining.nonEmpty) {
       val (ready, rest) = remaining.partition(f =>
         deps(f.name).forall(done.contains))
       require(ready.nonEmpty, s"Unresolvable derived features: ${rest.map(_.name)}")
       ready.foreach { f =>
-        out = out.withColumn(f.name, expr(f.derivedFrom.get))
+        out = out.withColumn(f.name, expr(rewriteRefs(f.derivedFrom.get)))
         done += f.name
       }
       remaining = rest

@@ -61,20 +61,35 @@ object Similarity {
       when(proj >= 0, "1").otherwise("0")
     }: _*)
 
+  /** all bucket keys within Hamming distance 1 of the signature. */
+  private def probeBuckets(bkt: Column, planes: Int): Column =
+    array((bkt +: (1 to planes).map { j =>
+      val flipped = when(substring(bkt, j, 1) === "1", "0").otherwise("1")
+      concat(substring(bkt, 1, j - 1), flipped, substring(bkt, j + 1, planes - j))
+    }): _*)
+
   /**
-   * ANN top-k: both sides bucketed by sign signature; candidates = same
-   * bucket; exact cosine re-rank within bucket.
+   * ANN top-k: corpus bucketed by sign signature once; queries probe
+   * their own bucket plus every Hamming-1 neighbor (multi-probe), then
+   * exact cosine re-rank within the probed candidates. Multi-probe
+   * recovers most of the recall single-bucket LSH loses on near-boundary
+   * vectors, at (planes+1)× candidate cost — still a tiny corpus slice.
    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"),
       VectorFunctions.norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), planes).as("bkt"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       VectorFunctions.norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), planes).as("bkt"))
+    val q =
+      if (!multiProbe) q0
+      else q0.withColumn("bkt",
+        explode(probeBuckets(col("bkt"), planes)))
     val scored = c
       .join(broadcast(q), Seq("bkt"))
       .where(col("query_id") =!= col("nbr_id"))

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-aware aggregation: two-phase salted groupBy for hot keys. A
+ * skewed key's rows are spread over `salt` sub-groups for the first
+ * (partial) aggregation, then merged — no single reducer ever sees the
+ * whole hot key. Algebraic metrics only (count/sum/min/max/avg); results
+ * identical to a direct groupBy.
+ *
+ * AQE's skew-join handling covers joins; this covers aggregation skew,
+ * which AQE does not rebalance. At 100 TB, apply to group-bys whose key
+ * histogram is heavy-tailed (event_type, user_id power laws).
+ */
+object SkewAware {
+
+  /**
+   * `metrics`: (alias, metric, column) with metric ∈ count|sum|min|max|avg.
+   */
+  def groupAgg(df: DataFrame, keys: Seq[String], salt: Int,
+      metrics: Seq[(String, String, String)]): DataFrame = {
+    require(salt > 0)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    // phase 1: partial aggregates per (keys, salt)
+    val partial = metrics.flatMap {
+      case (a, "count", c) => Seq(count(col(c)).as(s"__cnt_$a"))
+      case (a, "sum", c)   => Seq(sum(col(c)).as(s"__sum_$a"))
+      case (a, "min", c)   => Seq(min(col(c)).as(s"__min_$a"))
+      case (a, "max", c)   => Seq(max(col(c)).as(s"__max_$a"))
+      case (a, "avg", c) =>
+        Seq(sum(col(c)).as(s"__sum_$a"), count(col(c)).as(s"__cnt_$a"))
+      case (_, m, _) => throw new IllegalArgumentException(s"Non-algebraic metric: $m")
+    }
+    val p1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    // phase 2: merge partials per keys
+    val merged = metrics.map {
+      case (a, "count", _) => sum(col(s"__cnt_$a")).as(a)
+      case (a, "sum", _)   => sum(col(s"__sum_$a")).as(a)
+      case (a, "min", _)   => min(col(s"__min_$a")).as(a)
+      case (a, "max", _)   => max(col(s"__max_$a")).as(a)
+      case (a, "avg", _) =>
+        (sum(col(s"__sum_$a")) / sum(col(s"__cnt_$a"))).as(a)
+    }
+    p1.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+  }
+}
