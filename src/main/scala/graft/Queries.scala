@@ -1070,12 +1070,133 @@ object Queries {
       WHERE rn <= 3
       ORDER BY o_orderpriority, rn"""))
 
+  /** Date/time expression surface (DATE_TRUNC/DATE_PART/EXTRACT/±INTERVAL/
+    * TO_CHAR analogs), aligned across engines. */
+  private val q48 = Entry(
+    "q48_datetime_functions",
+    (s, d) =>
+      Tables.events(s, d)
+        .where(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          to_date(date_trunc("week", col("ts"))).as("week_start"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("fmt"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          minute(col("ts") + expr("INTERVAL 90 MINUTES")).cast("long").as("min_plus90"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS day,
+             date_part('hour', ts) AS hr,
+             date_part('dow', ts) AS dow,
+             date_trunc('week', CAST(ts AS DATE)) AS week_start,
+             strftime(ts, '%Y-%m-%d %H') AS fmt,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+             date_part('minute', ts + INTERVAL 90 MINUTE) AS min_plus90
+      FROM events
+      WHERE event_id < 2000
+      ORDER BY event_id"""))
+
+  /** Window-function surface: LAG/LEAD/FIRST/LAST/NTH over keyed frames. */
+  private val q49 = Entry(
+    "q49_window_functions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .where(col("user_id") < 30)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("value")).over(full).as("first_value"),
+          last(col("value")).over(full).as("last_value"),
+          nth_value(col("value"), 2).over(full).as("second_value"),
+          dense_rank().over(Window.partitionBy("user_id")
+            .orderBy(col("value").desc)).cast("long").as("value_rank"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, "value",
+             lag("value", 1) OVER w AS prev_value,
+             lead("value", 1) OVER w AS next_value,
+             first_value("value") OVER wf AS first_value,
+             last_value("value") OVER wf AS last_value,
+             nth_value("value", 2) OVER wf AS second_value,
+             CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY "value" DESC) AS BIGINT) AS value_rank
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id"""))
+
+  /** STRING_AGG / ARRAY_AGG analogs + SPLIT_PART (deterministic order). */
+  private val q50 = Entry(
+    "q50_string_agg",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), ",")
+            .as("top_keys"),
+          count(lit(1)).as("n"))
+        .withColumn("prio_num", split_part(col("o_orderpriority"), lit("-"), lit(1)))
+        .withColumn("prio_name", split_part(col("o_orderpriority"), lit("-"), lit(2)))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      SELECT o_orderpriority,
+             string_agg(CAST(o_orderkey AS VARCHAR), ','
+                        ORDER BY CAST(o_orderkey AS VARCHAR)) AS top_keys,
+             count(*) AS n,
+             split_part(o_orderpriority, '-', 1) AS prio_num,
+             split_part(o_orderpriority, '-', 2) AS prio_name
+      FROM t WHERE rn <= 10
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Semi-structured JSON property extraction + typed aggregation. */
+  private val q51 = Entry(
+    "q51_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          r6(avg(col("k"))).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+             round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47)
+    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

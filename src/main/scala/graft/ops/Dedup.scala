@@ -29,8 +29,10 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
 
-  /** Word n-gram shingles, one row per distinct (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingles; `distinct=false` skips the dedup shuffle for
+    * consumers that are duplicate-insensitive (min-aggregation). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
     val w = split(col(textCol), " ")
     val sh =
       if (n == 1) explode(w)
@@ -38,9 +40,9 @@ object Dedup {
         explode(transform(
           sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-    df.where(size(w) >= n)
+    val out = df.where(size(w) >= n)
       .select(col(idCol).as("id"), sh.as("s"))
-      .distinct()
+    if (distinct) out.distinct() else out
   }
 
   /**
@@ -50,7 +52,8 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
+    // min() is duplicate-insensitive → skip the distinct shuffle entirely
+    val sh = shingles(df, idCol, textCol, shingleN, distinct = false)
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"mh_$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -86,6 +89,36 @@ object Dedup {
       k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame =
     minhashCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
       bands, k / bands)
+
+  /**
+   * Scale-path MinHash+LSH: xxhash64 with per-permutation seeds instead
+   * of salted md5 — ~10× cheaper per shingle and 8-byte signature
+   * elements instead of 32-char digests, at the cost of oracle
+   * portability (DuckDB has no xxhash64). Same banding structure and
+   * statistical guarantees; the preferred variant at 100 TB.
+   */
+  def minhashLshFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN, distinct = false)
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
+    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    val rowsPerBand = k / bands
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((0 until rowsPerBand)
+            .map(r => col(s"mh_${b * rowsPerBand + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
 
   /**
    * Exact n-gram Jaccard pairs ≥ threshold. Candidate generation by

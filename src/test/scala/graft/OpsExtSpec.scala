@@ -56,6 +56,29 @@ class OpsExtSpec extends AnyFunSuite {
     assert(multi >= 30, s"multi-probe recall too low: $multi / 100")
   }
 
+  test("fast xxhash64 MinHash finds the same near-dup pairs as md5 MinHash") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val md5Pairs = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastPairs = graft.ops.Dedup.minhashLshFast(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is probabilistic: different hash families may disagree on
+    // borderline-jaccard pairs, but BOTH must catch every j≥0.95 pair
+    // (candidate probability ≥99.99%) and agree on the vast majority
+    // docs here have ~30 shingles, so per-pair miss probability is a few
+    // 1e-3 — allow one unlucky miss per family rather than zero
+    val sure = graft.ops.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sure.nonEmpty)
+    assert(sure.diff(md5Pairs).size <= 1, s"md5 missed: ${sure.diff(md5Pairs)}")
+    assert(sure.diff(fastPairs).size <= 1, s"fast missed: ${sure.diff(fastPairs)}")
+    val overlap = md5Pairs.intersect(fastPairs).size.toDouble /
+      math.max(md5Pairs.size, fastPairs.size)
+    assert(overlap >= 0.8, s"overlap $overlap too low (md5=${md5Pairs.size}, fast=${fastPairs.size})")
+  }
+
   test("skew-aware salted aggregation equals direct groupBy") {
     import spark.implicits._
     // heavy-tailed: key 'hot' has 10k rows, others 10
