@@ -104,6 +104,25 @@ final case class CustomCheck(name: String, fn: DataFrame => Boolean,
     QualityResult(name, passed = true, severity, 0, 0) // handled in runAll
 }
 
+/**
+ * Blob-reference integrity as a job gate: recompute sha256 over the
+ * payload column and compare to the recorded checksum
+ * (observability.py:383-451 — real, not mocked). Evaluated in the same
+ * single aggregation pass as the other checks.
+ */
+final case class BlobIntegrityQualityCheck(blobRefCol: String,
+    payloadCol: String, maxInvalidRate: Double = 0.0,
+    severity: String = "ERROR") extends QualityCheck {
+  def name = s"blob_integrity_check($blobRefCol)"
+  private[etl] def aggs(i: Int) = Seq(
+    avg((sha2(col(payloadCol), 256) =!= col(s"$blobRefCol.checksum"))
+      .cast("double")).as(s"__q$i"))
+  private[etl] def evaluate(row: Row, i: Int) = {
+    val rate = Option(row.getAs[java.lang.Double](s"__q$i")).fold(0.0)(_.doubleValue)
+    QualityResult(name, rate <= maxInvalidRate, severity, rate, maxInvalidRate)
+  }
+}
+
 object QualityCheck {
   /** Evaluate all checks with a single aggregation job (+ custom fns). */
   def runAll(checks: Seq[QualityCheck], df: DataFrame): QualityReport = {

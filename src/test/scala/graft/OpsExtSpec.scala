@@ -79,6 +79,76 @@ class OpsExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"overlap $overlap too low (md5=${md5Pairs.size}, fast=${fastPairs.size})")
   }
 
+  test("analytics client: freshness cache + async + export end-to-end") {
+    import graft.meta._
+    import graft.analysis._
+    import spark.implicits._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = new FeatureStore
+    val g = fs.createGroup("o", "d", "p", "ev", entityKey = Some("id"))
+    val base = (1 to 500).map(i => (i.toLong, i % 5, i * 1.0)).toDF("id", "seg", "v")
+    val client = new AnalyticsClient(new FeatureGroupData(g, base))
+    val spec = Aggregation("v", Seq("count", "sum", "avg"), groupBy = Seq("seg"))
+    val r1 = client.analyze(spec)
+    val r2 = client.analyze(spec)
+    assert(r1 eq r2) // cache hit returns the same frame
+    assert(client.cache.size == 1)
+    val job = client.analyzeAsync(spec)
+    assert(job.waitFor() == "completed" && job.result.length == 5)
+    val out = java.nio.file.Files.createTempDirectory("exp").toString + "/r"
+    client.export(r1.orderBy("seg"), out, "csv")
+    assert(spark.read.option("header", "true").csv(out).count() == 5)
+  }
+
+  test("blob integrity quality check gates on corrupted checksums") {
+    import graft.etl._
+    import spark.implicits._
+    val df = Seq(("u1", "good"), ("u2", "bad"))
+      .toDF("uri", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+      .withColumn("ref", graft.ops.Multimodal.blobRef(col("uri"),
+        lit("text/plain"), col("payload")))
+      // corrupt u2's recorded checksum
+      .withColumn("ref", when(col("uri") === "u2",
+        col("ref").withField("checksum", lit("deadbeef")))
+        .otherwise(col("ref")))
+    val rep = QualityCheck.runAll(Seq(
+      BlobIntegrityQualityCheck("ref", "payload", maxInvalidRate = 0.0),
+      BlobIntegrityQualityCheck("ref", "payload", maxInvalidRate = 0.6,
+        severity = "WARNING")), df)
+    assert(!rep.results.head.passed && rep.results.head.observed == 0.5)
+    assert(rep.results(1).passed)
+  }
+
+  test("partitioned file source: partition narrowing prunes the scan") {
+    import graft.etl._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("part").toString
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "seg", "v")
+      .write.partitionBy("seg").parquet(s"$root/t")
+    val narrowed = FileSource("t", s"$root/t", "parquet",
+      partition = Some(("seg", "a"))).read(spark)
+    assert(narrowed.count() == 2)
+    assert(narrowed.select(sum($"v")).first().getDouble(0) == 4.0)
+    // partition-value directory read: seg column is consumed by the path
+    assert(!narrowed.columns.contains("seg"))
+  }
+
+  test("dashboard renders real analysis output") {
+    import graft.dash._
+    val d = "/root/testdata/sf0.001"
+    val rows = Queries.queries("q01_agg_group")(spark, d).collect()
+    val data = rows.map(r => r.schema.fieldNames.map(f =>
+      f -> r.getAs[Any](f)).toMap).toSeq
+    val dash = Dashboard("ops", "Ops Dashboard")
+      .withChart(Chart("Lineitem by flag", ChartType.Table, "q01_agg_group"))
+      .publish
+    val html = dash.toHtml(Map("q01_agg_group" -> data))
+    assert(html.contains("<table>") && html.contains("sum_qty"))
+    assert(dash.toJson.contains("\"query\":\"q01_agg_group\""))
+  }
+
   test("skew-aware salted aggregation equals direct groupBy") {
     import spark.implicits._
     // heavy-tailed: key 'hot' has 10k rows, others 10
