@@ -149,6 +149,69 @@ class OpsExtSpec extends AnyFunSuite {
     assert(dash.toJson.contains("\"query\":\"q01_agg_group\""))
   }
 
+  test("vector VEC_ADD/SUB/MUL/NORMALIZE surface (Column + SQL)") {
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val df = Seq((Array(3.0, 4.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.vecAdd($"a", $"b").as("add"),
+      VectorFunctions.vecSub($"a", $"b").as("sub"),
+      VectorFunctions.vecMul($"a", $"b").as("mul"),
+      VectorFunctions.normalize($"a").as("nrm")).first()
+    assert(r.getSeq[Double](0) == Seq(4.0, 6.0))
+    assert(r.getSeq[Double](1) == Seq(2.0, 2.0))
+    assert(r.getSeq[Double](2) == Seq(3.0, 8.0))
+    assert(r.getSeq[Double](3) == Seq(0.6, 0.8))
+    VectorFunctions.registerAll(spark)
+    df.createOrReplaceTempView("vecs")
+    val s = spark.sql(
+      "SELECT NORMALIZE(a)[0] AS n0, VEC_ADD(a, b)[1] AS a1 FROM vecs").first()
+    assert(s.getDouble(0) == 0.6 && s.getDouble(1) == 6.0)
+  }
+
+  test("audit export to json and csv via Spark") {
+    import graft.meta._
+    val fs = new FeatureStore
+    fs.createGroup("acme", "d", "p", "g", actor = "alice")
+    fs.audit.record(AuditEntry(actor = "bob", action = "read_feature",
+      category = "read", resource = "acme/d/p/g/x", resourceOrg = "acme"))
+    val root = java.nio.file.Files.createTempDirectory("audit").toString
+    fs.audit.export(spark, s"$root/j", "json")
+    fs.audit.export(spark, s"$root/c", "csv")
+    assert(spark.read.json(s"$root/j").count() == 2)
+    assert(spark.read.csv(s"$root/c").count() == 2)
+  }
+
+  test("incremental lookback re-reads late-arrival window") {
+    import graft.etl._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lb").toString
+    val cps = new CheckpointStore(s"$root/cp")
+    def src(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("append").parquet(s"$root/src")
+    src(Seq((1L, "2024-01-01 00:00:00", 1.0), (2L, "2024-01-05 00:00:00", 2.0)))
+    def mkJob(lookback: Option[String]) = {
+      val j = new Job(s"lb${lookback.isDefined}", Seq(FileSource("s", s"$root/src")),
+        SqlTransform("SELECT * FROM s"), ParquetTarget(s"$root/out${lookback.isDefined}"),
+        incremental = IncrementalConfig(WriteMode.Incremental, Some("ts"),
+          lookback = lookback),
+        checkpoints = cps)
+      j.activate(); j
+    }
+    val strict = mkJob(None)
+    strict.run(spark) // checkpoint → 2024-01-05
+    assert(cps.get("lbfalse").contains("2024-01-05 00:00:00"))
+    // late row INSIDE the 7d lookback window arrives after the cursor moved
+    src(Seq((3L, "2024-01-03 00:00:00", 3.0)))
+    val r2 = strict.run(spark)
+    assert(r2.rowsWritten == 0) // strict cursor misses the late row
+    cps.advance("lbtrue", "2024-01-05 00:00:00")
+    val lb = mkJob(Some("7d"))
+    val r3 = lb.run(spark)
+    assert(r3.rowsWritten == 3) // lookback re-reads the full late window
+  }
+
   test("skew-aware salted aggregation equals direct groupBy") {
     import spark.implicits._
     // heavy-tailed: key 'hot' has 10k rows, others 10
