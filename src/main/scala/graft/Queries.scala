@@ -1190,13 +1190,28 @@ object Queries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** DataQuality outlier detection: |x − μ| > 3σ counts. */
+  private val q52 = Entry(
+    "q52_outliers",
+    (s, d) =>
+      AnalysisPlanner
+        .outlierCounts(Tables.orders(s, d), Seq("o_totalprice"), 3.0)
+        .select(col("outliers__o_totalprice").as("outliers_totalprice"), col("n")),
+    Some("""
+      WITH b AS (
+        SELECT avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd
+        FROM orders)
+      SELECT count(CASE WHEN abs(o_totalprice - mu) > 3.0 * sd THEN 1 END) AS outliers_totalprice,
+             count(*) AS n
+      FROM orders, b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51)
+    q51, q52)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

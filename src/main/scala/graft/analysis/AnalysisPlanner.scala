@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
  */
 object AnalysisPlanner {
 
+  /**
+   * Percentile strategy. Exact (default) buffers values per group —
+   * right for oracle parity and fine through ~1e8 rows/group; at 100 TB
+   * flip to approximate (t-digest `approx_percentile`, bounded memory,
+   * no exactness guarantee). One switch governs every percentile-family
+   * metric (median, pNN, percentiles()).
+   */
+  @volatile var approxPercentiles: Boolean = false
+  @volatile var approxAccuracy: Int = 10000
+
+  private def pct(c: Column, p: Column): Column =
+    if (approxPercentiles) approx_percentile(c, p, lit(approxAccuracy))
+    else percentile(c, p)
+
   /** Duration strings like 7d / 24h / 90m / 30s / 2w (freshness.py:32-64). */
   def durationToInterval(d: String): Column = {
     val m = "^(\\d+)(s|m|h|d|w)$".r
@@ -62,12 +76,12 @@ object AnalysisPlanner {
       case "max"            => max(c)
       case "stddev"         => stddev_samp(c)
       case "variance"       => var_samp(c)
-      case "median"         => percentile(c, lit(0.5))
+      case "median"         => pct(c, lit(0.5))
       case "null_count"     => count(when(c.isNull, 1))
       case "null_rate"      => lit(1.0) - count(c).cast("double") / count(lit(1))
       case "distinct_count" => count_distinct(c)
       case p if p.matches("p\\d{1,2}") =>
-        percentile(c, lit(p.drop(1).toDouble / 100.0))
+        pct(c, lit(p.drop(1).toDouble / 100.0))
       case other => throw new IllegalArgumentException(s"Unsupported metric: $other")
     }
     out.as(metric)
@@ -155,7 +169,7 @@ object AnalysisPlanner {
     // ONE percentile aggregate over an array of fractions — a single
     // sort/buffer pass instead of |ps| independent ones (6× on the bench)
     val arr = array(ps.map(lit): _*)
-    df.agg(percentile(col(feature), arr).as("__ps"))
+    df.agg(pct(col(feature), arr).as("__ps"))
       .select(ps.zipWithIndex.map { case (p, i) =>
         element_at(col("__ps"), i + 1).as(s"p${(p * 100).round}")
       }: _*)
@@ -479,5 +493,26 @@ object AnalysisPlanner {
       else Nil
     val cols = Seq(n.cast("double").as("row_count")) ++ perFeature ++ uniq
     df0.agg(cols.head, cols.tail: _*)
+  }
+
+  /**
+   * Outlier counts per feature: |x − μ| > kσ (population σ), the
+   * DataQuality "outliers" check (analysis.py:384-397). Two passes:
+   * a 1-row bounds aggregate broadcast back over the scan.
+   */
+  def outlierCounts(df: DataFrame, features: Seq[String],
+      sigma: Double = 3.0): DataFrame = {
+    val bounds = df.agg(
+      features.flatMap(f => Seq(
+        avg(col(f)).as(s"__mu_$f"),
+        stddev_pop(col(f)).as(s"__sd_$f"))).head,
+      features.flatMap(f => Seq(
+        avg(col(f)).as(s"__mu_$f"),
+        stddev_pop(col(f)).as(s"__sd_$f"))).tail: _*)
+    val counted = features.map(f =>
+      count(when(abs(col(f) - col(s"__mu_$f")) > lit(sigma) * col(s"__sd_$f"), 1))
+        .as(s"outliers__$f"))
+    df.join(broadcast(bounds))
+      .agg(counted.head, (counted.tail :+ count(lit(1)).as("n")): _*)
   }
 }
