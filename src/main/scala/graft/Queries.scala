@@ -1205,13 +1205,70 @@ object Queries {
              count(*) AS n
       FROM orders, b"""))
 
+  /** Gap-based sessionization (30m) + per-user session features — the
+    * lag/cumulative-flag formulation, portable across engines and
+    * shuffle-partitioned by user. */
+  private val q53 = Entry(
+    "q53_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+            .as("sess_seconds"),
+          r2(sum(col("value"))).as("sess_value"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          r6(avg(col("sess_seconds"))).as("avg_session_seconds"),
+          r2(sum(col("sess_value"))).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, "value",
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      g AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM f),
+      s AS (
+        SELECT user_id, sess_id, count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS sess_seconds,
+               sum("value") AS sess_value
+        FROM g GROUP BY 1, 2)
+      SELECT user_id,
+             count(*) AS n_sessions,
+             max(n_events) AS max_session_events,
+             round(avg(sess_seconds), 6) AS avg_session_seconds,
+             round(sum(sess_value), 2) AS total_value
+      FROM s GROUP BY user_id ORDER BY user_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52)
+    q51, q52, q53)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
