@@ -109,6 +109,26 @@ class EtlExtSpec extends AnyFunSuite {
     }
   }
 
+  test("TableSource prunes/pushes down; FeatureGroupSource reads derived frame") {
+    import spark.implicits._
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "seg", "v").createOrReplaceTempView("tsrc")
+    val t = TableSource("t", "tsrc", columns = Seq("id", "v"),
+      filter = Some("seg = 'a'")).read(spark)
+    assert(t.columns.toSeq == Seq("id", "v") && t.count() == 2)
+
+    val fs = new graft.meta.FeatureStore
+    val g = fs.createGroup("o", "d", "p", "fgs", entityKey = Some("id"))
+    g.createFeature("v", "float64")
+    g.createFeature("v2", "float64", derivedFrom = Some("v * 2"))
+    val data = new graft.meta.FeatureGroupData(g,
+      Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v"))
+    val src = FeatureGroupSource("fg", data, features = Seq("id", "v2"),
+      filter = Some("v2 > 3")).read(spark)
+    assert(src.columns.toSeq == Seq("id", "v2"))
+    assert(src.collect().map(_.getDouble(1)).toSeq == Seq(5.0))
+  }
+
   test("async analysis job: completes, and cancel is observable") {
     import spark.implicits._
     import scala.concurrent.ExecutionContext.Implicits.global
