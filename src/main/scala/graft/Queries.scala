@@ -539,7 +539,7 @@ object Queries {
         .withColumn("bal_per_nation",
           r6(col("c_acctbal") / nullif(col("c_nationkey").cast("double"), lit(0.0))))
         .withColumn("name_prefix", substring(col("c_name"), 1, 8))
-        .withColumn("name_len", length(col("c_name")))
+        .withColumn("name_len", length(col("c_name")).cast("long"))
         .withColumn("seg_key",
           concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")))
         .select("c_custkey", "name_upper", "bal_bucket", "bal_per_nation",
@@ -864,7 +864,8 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       graft.ops.Similarity
         .bruteForceKnn(emb, emb.where(col("vec_id") < 10), 5)
-        .select(col("query_id"), col("rnk"), col("nbr_id"), r6(col("cos")).as("cos"))
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rnk")
     },
     Some("""
@@ -890,7 +891,8 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       graft.ops.Similarity
         .lshKnn(emb, emb.where(col("vec_id") < 10), 5, planes = 4)
-        .select(col("query_id"), col("rnk"), col("nbr_id"), r6(col("cos")).as("cos"))
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rnk")
     },
     None)
@@ -904,7 +906,8 @@ object Queries {
     "q27_text_stats",
     (s, d) =>
       graft.ops.TextAnalysis.textStats(Tables.documents(s, d), "text")
-        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_distinct_words").cast("long").as("n_distinct_words"),
           col("quality_score"))
         .orderBy("doc_id"),
     Some("""
@@ -921,8 +924,12 @@ object Queries {
     "q28_text_langid",
     (s, d) =>
       graft.ops.TextAnalysis.langId(Tables.documents(s, d), "text")
-        .select(col("doc_id"), col("hits_de"), col("hits_en"), col("hits_es"),
-          col("hits_fr"), col("predicted_lang"))
+        .select(col("doc_id"),
+          col("hits_de").cast("long").as("hits_de"),
+          col("hits_en").cast("long").as("hits_en"),
+          col("hits_es").cast("long").as("hits_es"),
+          col("hits_fr").cast("long").as("hits_fr"),
+          col("predicted_lang"))
         .orderBy("doc_id"),
     Some("""
       WITH t AS (
@@ -947,7 +954,8 @@ object Queries {
     "q29_text_tokens",
     (s, d) =>
       graft.ops.TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
-        .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens"))
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
@@ -1055,7 +1063,7 @@ object Queries {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rn")
