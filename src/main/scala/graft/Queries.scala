@@ -1270,13 +1270,33 @@ object Queries {
              round(sum(sess_value), 2) AS total_value
       FROM s GROUP BY user_id ORDER BY user_id"""))
 
+  /** Segmented histogram with a pre-filter (Distribution segment_by +
+    * filter params; shared global bounds across segments). */
+  private val q54 = Entry(
+    "q54_histogram_segmented",
+    (s, d) =>
+      AnalysisPlanner
+        .plan(Tables.events(s, d),
+          Distribution("value", bins = 8, segmentBy = Some("event_type"),
+            filter = Some("value > 10"), outputs = Seq("histogram")))
+        .select(col("event_type"), col("bucket"), col("n"))
+        .orderBy("event_type", "bucket"),
+    Some("""
+      WITH f AS (SELECT event_type, "value" AS v FROM events WHERE "value" > 10),
+      b AS (SELECT min(v) AS lo, max(v) AS hi FROM f)
+      SELECT event_type,
+             LEAST(CAST(FLOOR(((v - lo) / (hi - lo)) * 8) AS BIGINT), 7) AS bucket,
+             count(*) AS n
+      FROM f, b
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
