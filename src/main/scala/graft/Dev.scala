@@ -13,28 +13,10 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    import graft.ops.Dedup
-    val docs = Tables.documents(spark, d)
-    docs.limit(4).write.format("noop").mode("overwrite").save()
-    time("shingles")(Dedup.shingles(docs, "doc_id", "text", 3, distinct = false)
-      .write.format("noop").mode("overwrite").save())
-    time("signatures")(Dedup.minhashSignatures(docs, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    time("full q21")(Dedup.minhashLsh(docs, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    time("full q21 again")(Dedup.minhashLsh(docs, "doc_id", "text")
-      .write.format("noop").mode("overwrite").save())
-    time("jaccard q22")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
-      .write.format("noop").mode("overwrite").save())
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3, distinct = true)
-    println("shingle rows: " + sh.count() + " distinct shingles: " +
-      sh.select("s").distinct().count())
+    val entry = SparkEntry.entry(spark)
+    val n = entry.count()
+    println(s"ENTRY SMOKE: rows=$n schema=${entry.schema.fieldNames.mkString(",")}")
+    entry.show(3)
     spark.stop()
   }
 }
