@@ -154,13 +154,20 @@ object Dedup {
    * Deterministic and engine-portable (string ops + md5 only).
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Two conv() calls turn the first 16 md5 hex digits into two 32-bit
+    // ints; each digit's parity is then one shift+mask instead of a
+    // locate+substring pass over the digest string. Same votes as the
+    // oracle's strpos formulation (digit parity == low bit of the nibble).
     val toks = shingles(df, idCol, textCol, 1)
       .withColumn("h", md5(col("s")))
-    // hex digit value = 1-based position in the hex alphabet − 1; its
-    // parity votes ±1 on the bit (identical SQL shape in the oracle)
-    val votes = (1 to 16).map(j =>
-      sum(expr(s"2 * ((locate(substring(h, $j, 1), '0123456789abcdef') - 1) % 2) - 1"))
-        .as(s"v_$j"))
+      .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    val votes = (1 to 16).map { j =>
+      val nib =
+        if (j <= 8) shiftright(col("h1"), 4 * (8 - j))
+        else shiftright(col("h2"), 4 * (16 - j))
+      sum(nib.bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$j")
+    }
     val agg = toks.groupBy("id").agg(votes.head, votes.tail: _*)
     agg.select(
       col("id"),
