@@ -734,17 +734,21 @@ object Queries {
                unnest(list_transform(range(1, len(w) - 1),
                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM toks WHERE len(w) >= 3),
+      hd AS (
+        SELECT id, md5('0:' || s) AS h0, md5('1:' || s) AS h1,
+                   md5('2:' || s) AS h2, md5('3:' || s) AS h3
+        FROM sh),
       sig AS (
         SELECT id,
-               min(md5('0:' || s)) AS mh_0,  min(md5('1:' || s)) AS mh_1,
-               min(md5('2:' || s)) AS mh_2,  min(md5('3:' || s)) AS mh_3,
-               min(md5('4:' || s)) AS mh_4,  min(md5('5:' || s)) AS mh_5,
-               min(md5('6:' || s)) AS mh_6,  min(md5('7:' || s)) AS mh_7,
-               min(md5('8:' || s)) AS mh_8,  min(md5('9:' || s)) AS mh_9,
-               min(md5('10:' || s)) AS mh_10, min(md5('11:' || s)) AS mh_11,
-               min(md5('12:' || s)) AS mh_12, min(md5('13:' || s)) AS mh_13,
-               min(md5('14:' || s)) AS mh_14, min(md5('15:' || s)) AS mh_15
-        FROM sh GROUP BY id),
+               min(substring(h0, 1, 8))  AS mh_0,  min(substring(h0, 9, 8))  AS mh_1,
+               min(substring(h0, 17, 8)) AS mh_2,  min(substring(h0, 25, 8)) AS mh_3,
+               min(substring(h1, 1, 8))  AS mh_4,  min(substring(h1, 9, 8))  AS mh_5,
+               min(substring(h1, 17, 8)) AS mh_6,  min(substring(h1, 25, 8)) AS mh_7,
+               min(substring(h2, 1, 8))  AS mh_8,  min(substring(h2, 9, 8))  AS mh_9,
+               min(substring(h2, 17, 8)) AS mh_10, min(substring(h2, 25, 8)) AS mh_11,
+               min(substring(h3, 1, 8))  AS mh_12, min(substring(h3, 9, 8))  AS mh_13,
+               min(substring(h3, 17, 8)) AS mh_14, min(substring(h3, 25, 8)) AS mh_15
+        FROM hd GROUP BY id),
       bands AS (
         SELECT id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
         UNION ALL
