@@ -888,7 +888,11 @@ object Queries {
       SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
-  /** LSH-bucketed ANN (scale path) — approximate; rows-only check. */
+  /** LSH-bucketed ANN (scale path). The oracle replays the exact same
+    * deterministic algorithm — hyperplane weights are generated by the
+    * SAME `Similarity.planeWeights` call and inlined as SQL array
+    * literals, so signatures, Hamming-1 multi-probe, and the re-rank
+    * are engine-identical (not a recall approximation check). */
   private val q26 = Entry(
     "q26_knn_lsh",
     (s, d) => {
@@ -899,7 +903,37 @@ object Queries {
           col("nbr_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rnk")
     },
-    None)
+    Some {
+      val w = (0 until 4).map(p =>
+        graft.ops.Similarity.planeWeights(p, 64).mkString("[", ", ", "]"))
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               (CASE WHEN list_dot_product(v, ${w(0)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(1)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(2)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(3)}) >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM e),
+      q AS (SELECT * FROM b WHERE vec_id < 10),
+      probes AS (
+        SELECT vec_id, v, nrm, unnest([bkt,
+          (CASE WHEN substring(bkt,1,1)='1' THEN '0' ELSE '1' END) || substring(bkt,2,3),
+          substring(bkt,1,1) || (CASE WHEN substring(bkt,2,1)='1' THEN '0' ELSE '1' END) || substring(bkt,3,2),
+          substring(bkt,1,2) || (CASE WHEN substring(bkt,3,1)='1' THEN '0' ELSE '1' END) || substring(bkt,4,1),
+          substring(bkt,1,3) || (CASE WHEN substring(bkt,4,1)='1' THEN '0' ELSE '1' END)]) AS bkt
+        FROM q),
+      sc AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+        FROM probes p JOIN b c ON p.bkt = c.bkt AND p.vec_id <> c.vec_id),
+      r AS (SELECT query_id, nbr_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nbr_id ASC) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
 
   // ------------------------------------------------------------------
   // Text analysis

@@ -49,7 +49,7 @@ object Similarity {
    * product instead of dim× (md5 + conv) inside an interpreted lambda
    * (measured 13.5 s → sub-second on the sf0.1 bench).
    */
-  private[ops] def planeWeights(p: Int, dim: Int): Array[Double] = {
+  private[graft] def planeWeights(p: Int, dim: Int): Array[Double] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
       val hex = mdig.digest(s"plane$p:$i".getBytes("UTF-8"))
