@@ -231,10 +231,11 @@ object AnalysisPlanner {
    * (`rank()`), matching the oracle; ties therefore use the same convention
    * in both engines.
    *
-   * Scale note: rank() over a global ORDER BY is a single-partition sort.
-   * At 100 TB replace with a two-pass distributed ranking (zipWithIndex on
-   * sorted partitions) or `percent_rank` on pre-aggregated value counts;
-   * pearson path has no such bottleneck.
+   * Scale note: ranks are computed DISTRIBUTED — min-rank(v) = 1 + Σ
+   * counts of smaller values, i.e. a per-value count aggregation, a
+   * prefix-sum window over the (small) distinct-value frame, and a
+   * shuffle join back on value. No global per-row sort anywhere;
+   * identical rank assignment to `rank() OVER (ORDER BY f)`.
    */
   def correlation(df0: DataFrame, s: Correlation): DataFrame = {
     var df = df0
@@ -243,11 +244,21 @@ object AnalysisPlanner {
     val base: DataFrame = s.method match {
       case "pearson" => df
       case "spearman" =>
-        // project to just the correlated features BEFORE the rank windows —
-        // the global sort then moves only |features| doubles per row
+        // distributed min-rank per feature: per-value counts, prefix sum
+        // over distinct values, join ranks back on value (features here
+        // are non-null; min-rank(v) = 1 + count of strictly smaller)
         val slim = df.select(s.features.map(col): _*)
-        s.features.foldLeft(slim) { (d, f) =>
-          d.withColumn(f, rank().over(Window.orderBy(col(f))).cast("double"))
+        s.features.zipWithIndex.foldLeft(slim) { case (d, (f, i)) =>
+          val counts = slim.groupBy(col(f).as(s"__v$i"))
+            .agg(count(lit(1)).as("__c"))
+          val wr = Window.orderBy(s"__v$i")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val ranks = counts
+            .withColumn(s"__r$i",
+              (coalesce(sum(col("__c")).over(wr), lit(0L)) + 1).cast("double"))
+            .select(col(s"__v$i"), col(s"__r$i"))
+          d.join(ranks, d(f) === col(s"__v$i"))
+            .withColumn(f, col(s"__r$i")).drop(s"__v$i", s"__r$i")
         }
       case "kendall" =>
         throw new UnsupportedOperationException(
@@ -389,16 +400,24 @@ object AnalysisPlanner {
           .drop("se2")
 
       case "mannwhitney" =>
-        // rank-sum with min-rank convention (same as oracle's rank()).
-        // Global rank: acceptable because ranks are computed on the
-        // filtered two-sample frame; at extreme scale use distributed
-        // ranking via value-count prefix sums.
-        val ranked = df0.where(isC || isT)
-          .withColumn("r", rank().over(Window.orderBy(c)).cast("double"))
+        // Distributed rank-sum with min-rank convention (identical to
+        // the oracle's rank()): aggregate to per-value segment counts,
+        // prefix-sum the (small) distinct-value frame for min-rank(v) =
+        // 1 + count of strictly smaller, then rank_sum = Σ cnt_t(v)·r(v).
+        // No per-row global sort; no join-back needed.
+        val vc = df0.where(isC || isT)
+          .groupBy(c.as("__v"))
+          .agg(sum(when(isT, 1L).otherwise(0L)).as("__ct"),
+            sum(when(isC, 1L).otherwise(0L)).as("__cc"))
+        val wmr = Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = vc.withColumn("__r",
+          (coalesce(sum(col("__ct") + col("__cc")).over(wmr), lit(0L)) + 1)
+            .cast("double"))
         ranked.agg(
-            sum(when(isT, col("r"))).as("r_t"),
-            count(when(isT, c)).as("n_t"),
-            count(when(isC, c)).as("n_c"))
+            sum(col("__r") * col("__ct")).as("r_t"),
+            sum(col("__ct")).as("n_t"),
+            sum(col("__cc")).as("n_c"))
           .withColumn("u_stat",
             col("r_t") - col("n_t") * (col("n_t") + 1) / 2.0)
           .withColumn("z_stat",
@@ -406,15 +425,20 @@ object AnalysisPlanner {
               sqrt(col("n_c") * col("n_t") * (col("n_c") + col("n_t") + 1) / 12.0))
 
       case "ks" =>
-        // exact two-sample KS via range-frame CDFs (ties handled by RANGE)
-        val both = df0.where(isC || isT)
-          .select(c.as("x"), when(isC, 1.0).otherwise(0.0).as("ic"),
-            when(isT, 1.0).otherwise(0.0).as("it"))
-        val wr = Window.orderBy("x") // default RANGE frame → includes ties
+        // exact two-sample KS: the empirical CDFs only step at distinct
+        // values, so aggregate to per-value counts first and prefix-sum
+        // that (small) frame — equivalent to the oracle's RANGE-frame
+        // per-row windows (ties collapse into one row), with integer
+        // count sums so the quotients are bit-identical.
+        val vc = df0.where(isC || isT)
+          .groupBy(c.as("x"))
+          .agg(sum(when(isC, 1.0).otherwise(0.0)).as("tc"),
+            sum(when(isT, 1.0).otherwise(0.0)).as("tt"))
+        val wr = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
         val tot = Window.partitionBy()
-        both
-          .withColumn("fc", sum(col("ic")).over(wr) / sum(col("ic")).over(tot))
-          .withColumn("ft", sum(col("it")).over(wr) / sum(col("it")).over(tot))
+        vc
+          .withColumn("fc", sum(col("tc")).over(wr) / sum(col("tc")).over(tot))
+          .withColumn("ft", sum(col("tt")).over(wr) / sum(col("tt")).over(tot))
           .agg(max(abs(col("fc") - col("ft"))).as("ks_stat"))
 
       case "chi2" =>
