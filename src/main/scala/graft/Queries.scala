@@ -1329,12 +1329,51 @@ object Queries {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // ------------------------------------------------------------------
+  // Point-in-time (as-of) joins — training-set generation
+  // ------------------------------------------------------------------
+
+  /** As-of join: each purchase event picks up the latest prior click
+    * feature per user (inclusive at-or-before, no future leakage).
+    * Spark side is the union-marker single-shuffle algorithm; the
+    * oracle is DuckDB's native ASOF LEFT JOIN. */
+  private val q55 = Entry(
+    "q55_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("last_click_value"))
+      graft.ops.PointInTime
+        .asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("last_click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("feature_ts"), r2(col("purchase_value")).as("purchase_value"),
+          r2(col("last_click_value")).as("last_click_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, ts, "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, max("value") AS last_click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS feature_ts,
+             round(p.purchase_value, 2) AS purchase_value,
+             round(c.last_click_value, 2) AS last_click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.event_id"""))
+
+  // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -234,4 +234,38 @@ class OpsExtSpec extends AnyFunSuite {
         Seq(("m", "median", "v")))
     }
   }
+
+  test("asofJoin: at-or-before match, no-match null, tolerance cutoff") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a"), // exact-ts tie → matches the t=10 feature
+      (1L, 20L, "b"), // after both features → latest (t=15)
+      (1L, 3L, "c"),  // before any feature → null
+      (2L, 50L, "d")  // matches t=5 but 45 apart → nulled by tolerance
+    ).toDF("uid", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 5L, 500.0)
+    ).toDF("uid", "ft", "score")
+
+    val unbounded = graft.ops.PointInTime
+      .asofJoin(left, right, Seq("uid"), "t", "ft", Seq("score"))
+      .orderBy("uid", "t").collect()
+    assert(unbounded.map(r =>
+      (r.getAs[Long]("uid"), r.getAs[Long]("t"),
+        Option(r.getAs[Any]("feature_ts")),
+        Option(r.getAs[Any]("score")))).toSeq == Seq(
+      (1L, 3L, None, None),
+      (1L, 10L, Some(10L), Some(100.0)),
+      (1L, 20L, Some(15L), Some(150.0)),
+      (2L, 50L, Some(5L), Some(500.0))))
+
+    val bounded = graft.ops.PointInTime
+      .asofJoin(left, right, Seq("uid"), "t", "ft", Seq("score"),
+        tolerance = Some(lit(10L)))
+      .orderBy("uid", "t").collect()
+    val d = bounded.find(_.getAs[Long]("t") == 50L).get
+    assert(d.isNullAt(d.fieldIndex("score")) && d.isNullAt(d.fieldIndex("feature_ts")))
+    // within-tolerance rows unaffected
+    assert(bounded.count(r => !r.isNullAt(r.fieldIndex("score"))) == 2)
+  }
 }
