@@ -1368,12 +1368,170 @@ object Queries {
       ORDER BY p.user_id, p.event_id"""))
 
   // ------------------------------------------------------------------
+  // Multi-level aggregation, set ops, feature prep, time series, text
+  // ------------------------------------------------------------------
+
+  /** ROLLUP over (returnflag, linestatus) with grouping id — Spark's
+    * rollup/grouping_id bit encoding matches DuckDB's GROUPING(). */
+  private val q56 = Entry(
+    "q56_rollup_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Set operations as an API surface: INTERSECT / EXCEPT / UNION over
+    * per-segment entity sets (distinct-user audiences). */
+  private val q57 = Entry(
+    "q57_set_ops",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.where(col("event_type") === t).select("user_id").distinct()
+      val p = users("purchase")
+      val c = users("click")
+      def tagged(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_users")).withColumn("tag", lit(tag))
+      tagged(p.intersect(c), "both")
+        .unionByName(tagged(p.union(c).distinct(), "either"))
+        .unionByName(tagged(p.except(c), "purchase_only"))
+        .select("tag", "n_users")
+        .orderBy("tag")
+    },
+    Some("""
+      SELECT 'both' AS tag, count(*) AS n_users FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click') t
+      UNION ALL
+      SELECT 'either', count(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click') t
+      UNION ALL
+      SELECT 'purchase_only', count(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click') t
+      ORDER BY tag"""))
+
+  /** Feature scaling + equal-width discretization from one broadcast
+    * stats row (z-score, min-max, bin). */
+  private val q58 = Entry(
+    "q58_feature_scaling",
+    (s, d) =>
+      graft.ops.Features.scaleColumn(
+        Tables.lineitem(s, d).where(col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("z_score")).as("z_score"),
+          r6(col("min_max")).as("min_max"), col("bin"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      WITH f AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem WHERE l_orderkey < 1000),
+      s AS (
+        SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd,
+               min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM f)
+      SELECT l_orderkey, l_linenumber,
+             round((l_extendedprice - mu) / sd, 6) AS z_score,
+             round((l_extendedprice - lo) / (hi - lo), 6) AS min_max,
+             LEAST(CAST(FLOOR(((l_extendedprice - lo) / (hi - lo)) * 10) AS BIGINT), 9) AS bin
+      FROM f, s ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Calendar gap-fill: daily counts/sums on a generated date spine,
+    * missing days as zeros. */
+  private val q59 = Entry(
+    "q59_gap_fill_daily",
+    (s, d) =>
+      graft.ops.TimeSeries.gapFillDaily(Tables.events(s, d), "ts", "value")
+        .select(col("day"), col("n_events"), r2(col("day_value")).as("day_value"))
+        .orderBy("day"),
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+               sum("value") AS day_value
+        FROM events GROUP BY 1),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM b)
+      SELECT s.day, coalesce(d.n_events, 0) AS n_events,
+             round(coalesce(d.day_value, 0.0), 2) AS day_value
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+      ORDER BY s.day"""))
+
+  /** Exact top-k frequent items (heavy hitters); map-side partial
+    * aggregation makes the wide groupBy cheap, TakeOrdered the top-k. */
+  private val q60 = Entry(
+    "q60_topk_frequent_terms",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(10),
+    Some("""
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      GROUP BY word ORDER BY n DESC, word LIMIT 10"""))
+
+  /** TF-IDF: highest-scoring term per document. */
+  private val q61 = Entry(
+    "q61_tfidf_top_term",
+    (s, d) => {
+      val scored = graft.ops.TextAnalysis
+        .tfIdf(Tables.documents(s, d), "doc_id", "text")
+      val w = Window.partitionBy("id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("id").as("doc_id"), col("term").as("top_term"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tc GROUP BY 1),
+      dfr AS (SELECT term, count(*) AS doc_freq FROM tc GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT tc.doc_id, tc.term,
+               (cnt / doc_len) * ln(n_docs / doc_freq) AS tfidf
+        FROM tc JOIN dl USING (doc_id) JOIN dfr USING (term), n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM sc)
+      SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
+      FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
     q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Feature transformation primitives: scaling (z-score, min-max) and
+ * equal-width discretization — the standard preprocessing surface for
+ * training-data pipelines.
+ *
+ * Scale design: all statistics come from ONE aggregate pass producing a
+ * 1-row frame that is broadcast-joined back — a map-only second pass, no
+ * window, no driver collect, no second shuffle of the fact table.
+ * Quantile binning at scale composes the same way from a 1-row
+ * `percentile`/`approx_percentile` boundary aggregate.
+ */
+object Features {
+
+  /**
+   * Append z-score (sample stddev), min-max in [0,1], and equal-width
+   * bin index in [0, bins) for `valueCol`.
+   */
+  def scaleColumn(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(
+      avg(v).as("__mu"), stddev_samp(v).as("__sd"),
+      min(v).as("__lo"), max(v).as("__hi"))
+    df.join(broadcast(stats))
+      .withColumn("z_score", (v - col("__mu")) / col("__sd"))
+      .withColumn("min_max", (v - col("__lo")) / (col("__hi") - col("__lo")))
+      .withColumn("bin",
+        least(floor(((v - col("__lo")) / (col("__hi") - col("__lo"))) * bins),
+          lit(bins - 1L)).cast("long"))
+      .drop("__mu", "__sd", "__lo", "__hi")
+  }
+}

@@ -90,4 +90,26 @@ object TextAnalysis {
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("fp", "keeper_id", "n_copies")
+
+  /**
+   * Per-(doc, term) TF-IDF: tf = term count / doc length, idf =
+   * ln(N / doc-frequency), score = tf·idf.
+   *
+   * Scale design: one explode + two keyed aggregations (by (doc, term)
+   * and by term); N and the per-doc lengths are aggregate frames joined
+   * back (doc-length shuffle-joined by doc, term df by term, scalar N
+   * broadcast). No window over raw tokens anywhere.
+   */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("term"))
+    val tc = toks.groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val dl = tc.groupBy("id").agg(sum(col("cnt")).as("doc_len"))
+    val dfreq = tc.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tc.join(dl, "id").join(dfreq, "term").join(broadcast(n))
+      .select(col("id"), col("term"),
+        ((col("cnt") / col("doc_len")) *
+          log(col("n_docs") / col("doc_freq"))).as("tfidf"))
+  }
 }
