@@ -15,17 +15,20 @@ import org.apache.spark.sql.functions._
  *  - histograms aggregate to `bins` rows — shuffle is O(bins × segments);
  *  - global-ordering windows are only used on *already aggregated* frames
  *    (time buckets, histogram buckets), never on raw fact rows;
- *  - exact `percentile` is used for oracle parity; swap to
- *    `percentile_approx` at extreme scale (documented trade-off).
+ *  - exact percentiles run distributed over per-(group, value) counts
+ *    ([[exactPercentiles]]) — no value buffering; `approx_percentile`
+ *    remains an opt-in for extreme distinct-value cardinality.
  */
 object AnalysisPlanner {
 
   /**
-   * Percentile strategy. Exact (default) buffers values per group —
-   * right for oracle parity and fine through ~1e8 rows/group; at 100 TB
-   * flip to approximate (t-digest `approx_percentile`, bounded memory,
-   * no exactness guarantee). One switch governs every percentile-family
-   * metric (median, pNN, percentiles()).
+   * Percentile strategy. Exact (default) runs distributed over
+   * per-(group, value) counts ([[exactPercentiles]]) — memory bounded by
+   * distinct values per group, not rows. Flip to approximate (t-digest
+   * `approx_percentile`) only when distinct-value cardinality itself is
+   * extreme. One switch governs every percentile-family metric (median,
+   * pNN, percentiles()). `pct` still backs the approx path and the
+   * per-bucket rolling aggregates.
    */
   @volatile var approxPercentiles: Boolean = false
   @volatile var approxAccuracy: Int = 10000
@@ -33,6 +36,64 @@ object AnalysisPlanner {
   private def pct(c: Column, p: Column): Column =
     if (approxPercentiles) approx_percentile(c, p, lit(approxAccuracy))
     else percentile(c, p)
+
+  private def isPercentileMetric(m: String): Boolean =
+    m == "median" || m.matches("p\\d{1,2}")
+
+  private def percentileFraction(m: String): Double =
+    if (m == "median") 0.5 else m.drop(1).toDouble / 100.0
+
+  /**
+   * Distributed EXACT interpolated percentiles (quantile_cont semantics)
+   * with NO per-group value buffering — the 100 TB replacement for the
+   * `percentile` aggregate's ObjectHashAggregate buffers:
+   *   1. aggregate to per-(group, value) counts (map-side combined);
+   *   2. prefix-sum each group's (small) distinct-value frame;
+   *   3. for pos = (n−1)·p, pick the values covering sorted indices
+   *      ⌊pos⌋ and ⌊pos⌋+1 by conditional aggregation and interpolate
+   *      v_lo + (v_hi − v_lo)·(pos − ⌊pos⌋) — DuckDB's formula shape.
+   * Memory is O(distinct values per group); the sort is over distinct
+   * values, not rows. Nulls are excluded, matching percentile().
+   */
+  def exactPercentiles(df: DataFrame, feature: String,
+      ps: Seq[(String, Double)], groupCols: Seq[String]): DataFrame = {
+    val v = col(feature).cast("double")
+    val vc = df.where(v.isNotNull)
+      .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd =
+      (if (groupCols.isEmpty) Window.orderBy("__v")
+       else Window.partitionBy(groupCols.map(col): _*).orderBy("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll =
+      (if (groupCols.isEmpty) Window.partitionBy()
+       else Window.partitionBy(groupCols.map(col): _*))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = vc
+      .withColumn("__cb", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = (col("__n") - 1) * lit(p)
+      val k = floor(pos)
+      Seq(
+        max(when(col("__cb") <= k && k < col("__cb") + col("__c"), col("__v")))
+          .as(s"__lo_$name"),
+        max(when(col("__cb") <= k + 1 && k + 1 < col("__cb") + col("__c"),
+          col("__v"))).as(s"__hi_$name"),
+        max(pos - k).as(s"__f_$name")) // constant within a group
+    }
+    val res =
+      (if (groupCols.isEmpty) marked.groupBy()
+       else marked.groupBy(groupCols.map(col): _*))
+        .agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(res) { case (r, (name, _)) =>
+      r.withColumn(name,
+          col(s"__lo_$name") +
+            (coalesce(col(s"__hi_$name"), col(s"__lo_$name")) -
+              col(s"__lo_$name")) * col(s"__f_$name"))
+        .drop(s"__lo_$name", s"__hi_$name", s"__f_$name")
+    }
+  }
 
   /** Duration strings like 7d / 24h / 90m / 30s / 2w (freshness.py:32-64). */
   def durationToInterval(d: String): Column = {
@@ -131,12 +192,28 @@ object AnalysisPlanner {
           d.withColumn(s"rolling_$m", sum(col(m)).over(w))
         }
         .orderBy("period")
-    } else if (s.groupBy.nonEmpty) {
-      val mcols = s.metrics.map(m => metricColumn(m, s.feature))
-      df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
     } else {
-      val mcols = s.metrics.map(m => metricColumn(m, s.feature))
-      df.agg(mcols.head, mcols.tail: _*)
+      // percentile-family metrics route through the distributed exact
+      // path (no per-group buffering) and join back on the group keys;
+      // everything else stays one hash-aggregate pass.
+      val (pmet, omet) = s.metrics.partition(isPercentileMetric)
+      if (pmet.isEmpty || approxPercentiles) {
+        val mcols = s.metrics.map(m => metricColumn(m, s.feature))
+        if (s.groupBy.nonEmpty)
+          df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
+        else df.agg(mcols.head, mcols.tail: _*)
+      } else {
+        val pr = exactPercentiles(df, s.feature,
+          pmet.map(m => m -> percentileFraction(m)), s.groupBy)
+        if (omet.isEmpty) pr
+        else {
+          val mcols = omet.map(m => metricColumn(m, s.feature))
+          if (s.groupBy.nonEmpty)
+            df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
+              .join(pr, s.groupBy, "left")
+          else df.agg(mcols.head, mcols.tail: _*).crossJoin(broadcast(pr))
+        }
+      }
     }
   }
 
@@ -166,13 +243,17 @@ object AnalysisPlanner {
 
   def percentiles(df: DataFrame, feature: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)): DataFrame = {
-    // ONE percentile aggregate over an array of fractions — a single
-    // sort/buffer pass instead of |ps| independent ones (6× on the bench)
-    val arr = array(ps.map(lit): _*)
-    df.agg(pct(col(feature), arr).as("__ps"))
-      .select(ps.zipWithIndex.map { case (p, i) =>
-        element_at(col("__ps"), i + 1).as(s"p${(p * 100).round}")
-      }: _*)
+    if (approxPercentiles) {
+      // ONE approx aggregate over an array of fractions — a single
+      // t-digest pass instead of |ps| independent ones
+      val arr = array(ps.map(lit): _*)
+      df.agg(pct(col(feature), arr).as("__ps"))
+        .select(ps.zipWithIndex.map { case (p, i) =>
+          element_at(col("__ps"), i + 1).as(s"p${(p * 100).round}")
+        }: _*)
+    } else
+      exactPercentiles(df, feature, ps.map(p => s"p${(p * 100).round}" -> p),
+        Nil)
   }
 
   /**
