@@ -235,6 +235,34 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfKnn: exhaustive probe equals brute force; partial probe recalls") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = graft.ops.Similarity.bruteForceKnn(emb, queries, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rnk"))).toSet
+
+    // probing every cell degenerates to exhaustive search
+    val full = graft.ops.Similarity
+      .ivfKnn(emb, queries, 5, cells = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(full == exact)
+
+    // partial probe: valid top-k shape and usable recall on the true top-5
+    val part = graft.ops.Similarity
+      .ivfKnn(emb, queries, 5, cells = 8, nProbe = 4)
+      .collect()
+    assert(part.groupBy(_.getAs[Long]("query_id"))
+      .values.forall(rows => rows.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rows.length)))
+    val partSet = part.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = exact.count { case (q, n, _) => partSet((q, n)) }.toDouble /
+      exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("asofJoin: at-or-before match, no-match null, tolerance cutoff") {
     import spark.implicits._
     val left = Seq(
