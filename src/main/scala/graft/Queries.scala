@@ -136,8 +136,8 @@ object Queries {
       SELECT day,
              round(s, 2) AS day_sum,
              c AS cnt,
-             round(sum(s) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum7,
-             CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt7
+             round(sum(s) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_sum7,
+             CAST(sum(c) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cnt7
       FROM dly ORDER BY day"""))
 
   /** Distribution: 20-bin equal-width histogram. */

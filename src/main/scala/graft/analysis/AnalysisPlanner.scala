@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
  *  - scalar bounds (min/max/quantile anchors) are computed as 1-row frames
  *    and broadcast-joined, never collected per-row;
  *  - histograms aggregate to `bins` rows — shuffle is O(bins × segments);
- *  - global-ordering windows are only used on *already aggregated* frames
- *    (time buckets, histogram buckets), never on raw fact rows;
+ *  - NO single-partition windows anywhere: cumulative/rank computations go
+ *    through [[PrefixSum.exclusive]] (bucketed two-pass prefix sums),
+ *    grand totals through broadcast 1-row aggregates, and rolling windows
+ *    through bounded-range broadcast self-joins;
  *  - exact percentiles run distributed over per-(group, value) counts
  *    ([[exactPercentiles]]) — no value buffering; `approx_percentile`
  *    remains an opt-in for extreme distinct-value cardinality.
@@ -61,17 +63,24 @@ object AnalysisPlanner {
     val vc = df.where(v.isNotNull)
       .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val wOrd =
-      (if (groupCols.isEmpty) Window.orderBy("__v")
-       else Window.partitionBy(groupCols.map(col): _*).orderBy("__v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll =
-      (if (groupCols.isEmpty) Window.partitionBy()
-       else Window.partitionBy(groupCols.map(col): _*))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val marked = vc
-      .withColumn("__cb", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    val marked =
+      if (groupCols.isEmpty) {
+        // ungrouped: the distinct-value frame can be ~row-count for a
+        // continuous feature, so NO single-partition window — bucketed
+        // two-pass prefix sum ([[PrefixSum.exclusive]]) + broadcast total
+        val tot = vc.agg(sum(col("__c")).as("__n"))
+        PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"))
+          .crossJoin(broadcast(tot))
+      } else {
+        // grouped: windows are partitioned by the group keys — each
+        // group's distinct-value frame stays on its own task
+        val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        vc.withColumn("__cb", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
+          .withColumn("__n", sum(col("__c")).over(wAll))
+      }
     val aggs = ps.flatMap { case (name, p) =>
       val pos = (col("__n") - 1) * lit(p)
       val k = floor(pos)
@@ -179,18 +188,27 @@ object AnalysisPlanner {
     s.window.foreach(w => df = applyTimeWindow(df, s.timeColumn, w))
 
     if (s.rolling) {
-      // Pre-bucket to days, aggregate per bucket (distributed), then roll a
-      // window over the *bucketed* frame (cardinality = #days, tiny).
+      // Pre-bucket to days, aggregate per bucket (distributed), then roll
+      // the last n CALENDAR periods via a bounded-range broadcast self-join
+      // over the bucketed frame (cardinality = #days — calendar-bounded,
+      // broadcastable at any data scale, and no single-partition window).
+      // Range-by-time semantics: days missing from the data contribute
+      // nothing, and a day's window is [day − (n−1), day].
       val n = s.periods.get
       val mcols = s.metrics.map(m => metricColumn(m, s.feature))
       val bucketed = df
         .groupBy(date_trunc("day", col(s.timeColumn)).as("period"))
         .agg(mcols.head, mcols.tail: _*)
-      val w = Window.orderBy("period").rowsBetween(-(n - 1), 0)
-      s.metrics
-        .foldLeft(bucketed) { (d, m) =>
-          d.withColumn(s"rolling_$m", sum(col(m)).over(w))
-        }
+      val right = bucketed.select(
+        col("period").as("__p2") +:
+          s.metrics.map(m => col(m).as(s"__m2_$m")): _*)
+      val rollAggs = s.metrics.map(m => sum(col(s"__m2_$m")).as(s"rolling_$m"))
+      bucketed
+        .join(broadcast(right),
+          col("__p2") >= col("period") - durationToInterval(s"${n - 1}d") &&
+            col("__p2") <= col("period"))
+        .groupBy(col("period") +: s.metrics.map(col): _*)
+        .agg(rollAggs.head, rollAggs.tail: _*)
         .orderBy("period")
     } else {
       // percentile-family metrics route through the distributed exact
@@ -281,13 +299,18 @@ object AnalysisPlanner {
           / pow(col("m2") - col("m1") * col("m1"), 2.0) - lit(3.0)).as("kurtosis_pop"))
   }
 
-  /** Per-bucket cumulative distribution over a histogram frame. */
+  /**
+   * Per-bucket cumulative distribution over a histogram frame. Inclusive
+   * cumulative = exclusive bucketed prefix + own count; grand total is a
+   * broadcast 1-row aggregate — no single-partition window anywhere.
+   */
   def cdf(hist: DataFrame): DataFrame = {
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    val total = Window.partitionBy()
-    hist
-      .withColumn("cum_n", sum(col("n")).over(w))
-      .withColumn("cdf", col("cum_n") / sum(col("n")).over(total))
+    val tot = hist.agg(sum(col("n")).as("__tn"))
+    PrefixSum.exclusive(hist, "bucket", Seq("n" -> "__ex"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_n", col("__ex") + col("n"))
+      .withColumn("cdf", col("cum_n") / col("__tn"))
+      .drop("__ex", "__tn")
   }
 
   def distribution(df0: DataFrame, s: Distribution): DataFrame = {
@@ -332,11 +355,8 @@ object AnalysisPlanner {
         s.features.zipWithIndex.foldLeft(slim) { case (d, (f, i)) =>
           val counts = slim.groupBy(col(f).as(s"__v$i"))
             .agg(count(lit(1)).as("__c"))
-          val wr = Window.orderBy(s"__v$i")
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val ranks = counts
-            .withColumn(s"__r$i",
-              (coalesce(sum(col("__c")).over(wr), lit(0L)) + 1).cast("double"))
+          val ranks = PrefixSum.exclusive(counts, s"__v$i", Seq("__c" -> "__ex"))
+            .withColumn(s"__r$i", (col("__ex") + 1).cast("double"))
             .select(col(s"__v$i"), col(s"__r$i"))
           d.join(ranks, d(f) === col(s"__v$i"))
             .withColumn(f, col(s"__r$i")).drop(s"__v$i", s"__r$i")
@@ -408,14 +428,17 @@ object AnalysisPlanner {
       .agg(
         sum(when(inA, 1L).otherwise(0L)).as("na"),
         sum(when(inB, 1L).otherwise(0L)).as("nb"))
-    val tot = Window.partitionBy()
-    val wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     val eps = lit(1e-9)
-    val prop = bucketed
-      .withColumn("p", greatest(col("na") / sum(col("na")).over(tot), eps))
-      .withColumn("q", greatest(col("nb") / sum(col("nb")).over(tot), eps))
-      .withColumn("cp", sum(col("na")).over(wcum) / sum(col("na")).over(tot))
-      .withColumn("cq", sum(col("nb")).over(wcum) / sum(col("nb")).over(tot))
+    // totals via broadcast 1-row aggregate; cumulative counts via bucketed
+    // prefix sums — the bin frame never lands on a single partition
+    val tots = bucketed.agg(sum(col("na")).as("__ta"), sum(col("nb")).as("__tb"))
+    val prop = PrefixSum
+      .exclusive(bucketed, "bucket", Seq("na" -> "__exa", "nb" -> "__exb"))
+      .crossJoin(broadcast(tots))
+      .withColumn("p", greatest(col("na") / col("__ta"), eps))
+      .withColumn("q", greatest(col("nb") / col("__tb"), eps))
+      .withColumn("cp", (col("__exa") + col("na")) / col("__ta"))
+      .withColumn("cq", (col("__exb") + col("nb")) / col("__tb"))
       .withColumn("m", (col("p") + col("q")) / 2.0)
     val metricCols: Seq[Column] = s.metrics.map {
       case "psi" => sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi")
@@ -490,11 +513,10 @@ object AnalysisPlanner {
           .groupBy(c.as("__v"))
           .agg(sum(when(isT, 1L).otherwise(0L)).as("__ct"),
             sum(when(isC, 1L).otherwise(0L)).as("__cc"))
-        val wmr = Window.orderBy("__v")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ranked = vc.withColumn("__r",
-          (coalesce(sum(col("__ct") + col("__cc")).over(wmr), lit(0L)) + 1)
-            .cast("double"))
+        val ranked = PrefixSum
+          .exclusive(vc.withColumn("__b", col("__ct") + col("__cc")),
+            "__v", Seq("__b" -> "__ex"))
+          .withColumn("__r", (col("__ex") + 1).cast("double"))
         ranked.agg(
             sum(col("__r") * col("__ct")).as("r_t"),
             sum(col("__ct")).as("n_t"),
@@ -515,11 +537,13 @@ object AnalysisPlanner {
           .groupBy(c.as("x"))
           .agg(sum(when(isC, 1.0).otherwise(0.0)).as("tc"),
             sum(when(isT, 1.0).otherwise(0.0)).as("tt"))
-        val wr = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-        val tot = Window.partitionBy()
-        vc
-          .withColumn("fc", sum(col("tc")).over(wr) / sum(col("tc")).over(tot))
-          .withColumn("ft", sum(col("tt")).over(wr) / sum(col("tt")).over(tot))
+        // counts are integer-valued doubles, so the bucketed regrouping is
+        // exact and the CDF quotients stay bit-identical to the oracle's
+        val tots = vc.agg(sum(col("tc")).as("__ttc"), sum(col("tt")).as("__ttt"))
+        PrefixSum.exclusive(vc, "x", Seq("tc" -> "__exc", "tt" -> "__ext"))
+          .crossJoin(broadcast(tots))
+          .withColumn("fc", (col("__exc") + col("tc")) / col("__ttc"))
+          .withColumn("ft", (col("__ext") + col("tt")) / col("__ttt"))
           .agg(max(abs(col("fc") - col("ft"))).as("ks_stat"))
 
       case "chi2" =>
@@ -533,11 +557,10 @@ object AnalysisPlanner {
           .groupBy("band")
           .agg(sum(when(isC, 1.0).otherwise(0.0)).as("oc"),
             sum(when(isT, 1.0).otherwise(0.0)).as("ot"))
-        val tot = Window.partitionBy()
+        val ctot = binned.agg(sum(col("oc")).as("nc"), sum(col("ot")).as("nt"))
         binned
+          .crossJoin(broadcast(ctot))
           .withColumn("rt", col("oc") + col("ot"))
-          .withColumn("nc", sum(col("oc")).over(tot))
-          .withColumn("nt", sum(col("ot")).over(tot))
           .withColumn("n", col("nc") + col("nt"))
           .withColumn("ec", col("rt") * col("nc") / col("n"))
           .withColumn("et", col("rt") * col("nt") / col("n"))
@@ -550,10 +573,10 @@ object AnalysisPlanner {
         // one-way ANOVA across ALL segment values (control/treatment ignored)
         val g = df0.groupBy(seg.as("g"))
           .agg(count(c).as("n"), avg(c).as("m"), var_samp(c).as("v"))
-        val tot = Window.partitionBy()
-        g.withColumn("gm", sum(col("m") * col("n")).over(tot) / sum(col("n")).over(tot))
-          .withColumn("k", count(lit(1)).over(tot))
-          .withColumn("ntot", sum(col("n")).over(tot))
+        val gtot = g.agg(
+          (sum(col("m") * col("n")) / sum(col("n"))).as("gm"),
+          count(lit(1)).as("k"), sum(col("n")).as("ntot"))
+        g.crossJoin(broadcast(gtot))
           .agg(
             ((sum(col("n") * pow(col("m") - col("gm"), 2.0)) / (max(col("k")) - 1)) /
               (sum((col("n") - 1) * col("v")) / (max(col("ntot")) - max(col("k")))))
