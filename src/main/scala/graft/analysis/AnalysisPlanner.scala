@@ -63,6 +63,17 @@ object AnalysisPlanner {
     val vc = df.where(v.isNotNull)
       .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+    percentilesFromCounts(vc, ps, groupCols)
+  }
+
+  /**
+   * Percentiles over a prebuilt per-(group, value) count frame with
+   * columns `groupCols ++ (__v non-null, __c)` — lets a summarize with
+   * mixed metrics reuse ONE value-count shuffle for everything
+   * (see [[aggregateFromValueCounts]]).
+   */
+  def percentilesFromCounts(vc: DataFrame,
+      ps: Seq[(String, Double)], groupCols: Seq[String]): DataFrame = {
     val marked =
       if (groupCols.isEmpty) {
         // ungrouped: the distinct-value frame can be ~row-count for a
@@ -211,28 +222,74 @@ object AnalysisPlanner {
         .agg(rollAggs.head, rollAggs.tail: _*)
         .orderBy("period")
     } else {
-      // percentile-family metrics route through the distributed exact
-      // path (no per-group buffering) and join back on the group keys;
-      // everything else stays one hash-aggregate pass.
-      val (pmet, omet) = s.metrics.partition(isPercentileMetric)
+      // Specs without percentile metrics stay one hash-aggregate pass.
+      // Specs WITH them derive everything from a single per-(group, value)
+      // count frame — one scan, one shuffle ([[aggregateFromValueCounts]]).
+      val pmet = s.metrics.filter(isPercentileMetric)
       if (pmet.isEmpty || approxPercentiles) {
         val mcols = s.metrics.map(m => metricColumn(m, s.feature))
         if (s.groupBy.nonEmpty)
           df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
         else df.agg(mcols.head, mcols.tail: _*)
-      } else {
-        val pr = exactPercentiles(df, s.feature,
-          pmet.map(m => m -> percentileFraction(m)), s.groupBy)
-        if (omet.isEmpty) pr
-        else {
-          val mcols = omet.map(m => metricColumn(m, s.feature))
-          if (s.groupBy.nonEmpty)
-            df.groupBy(s.groupBy.map(col): _*).agg(mcols.head, mcols.tail: _*)
-              .join(pr, s.groupBy, "left")
-          else df.agg(mcols.head, mcols.tail: _*).crossJoin(broadcast(pr))
-        }
-      }
+      } else aggregateFromValueCounts(df, s.feature, s.metrics, s.groupBy)
     }
+  }
+
+  /**
+   * The whole summarize metric set from ONE per-(group, value) count
+   * frame: `sum = Σ v·c`, `var = (Σ v²c − (Σ vc)²/n)/(n−1)`,
+   * `distinct_count` = frame rows, nulls kept as a `__v IS NULL` row so
+   * null_count/null_rate need no second scan, and percentile-family
+   * metrics run [[percentilesFromCounts]] over the same frame (Catalyst
+   * reuses the value-count exchange across the two branches). Count
+   * products over per-value longs are exact, so sums match a direct
+   * row-level aggregate bit-for-bit on integer-valued features and to
+   * ~1 ulp·√n on continuous ones.
+   *
+   * Groups whose feature is entirely NULL are RETAINED (NULL percentile
+   * values, matching `quantile_cont`), and output columns follow the
+   * declared metric order.
+   */
+  def aggregateFromValueCounts(df: DataFrame, feature: String,
+      metrics: Seq[String], groupCols: Seq[String]): DataFrame = {
+    val v = col(feature).cast("double")
+    val vc = df.groupBy(groupCols.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val nn = col("__v").isNotNull
+    val cNN = sum(when(nn, col("__c")).otherwise(lit(0L)))
+    val sumVC = sum(when(nn, col("__v") * col("__c")))
+    val varSamp = (sum(when(nn, col("__v") * col("__v") * col("__c"))) -
+      sumVC * sumVC / cNN) / (cNN - 1)
+    def metricFromCounts(metric: String): Column = (metric match {
+      case "count"          => cNN
+      case "sum"            => sumVC
+      case "avg" | "mean"   => sumVC / cNN
+      case "min"            => min(when(nn, col("__v")))
+      case "max"            => max(when(nn, col("__v")))
+      case "stddev"         => sqrt(varSamp)
+      case "variance"       => varSamp
+      case "null_count"     => sum(when(nn, lit(0L)).otherwise(col("__c")))
+      case "null_rate"      => lit(1.0) - cNN.cast("double") / sum(col("__c"))
+      case "distinct_count" => count(when(nn, lit(1)))
+      case other => throw new IllegalArgumentException(s"Unsupported metric: $other")
+    }).as(metric)
+    val (pmet, omet) = metrics.partition(isPercentileMetric)
+    val grouped =
+      if (groupCols.isEmpty) vc.groupBy() else vc.groupBy(groupCols.map(col): _*)
+    val base =
+      if (omet.nonEmpty) {
+        val aggs = omet.map(metricFromCounts)
+        grouped.agg(aggs.head, aggs.tail: _*)
+      } else grouped.agg(max(lit(1)).as("__present"))
+    val pr = percentilesFromCounts(vc.where(nn),
+      pmet.map(m => m -> percentileFraction(m)), groupCols)
+    val joined =
+      if (groupCols.isEmpty)
+        base.withColumn("__k", lit(1))
+          .join(broadcast(pr.withColumn("__k", lit(1))), Seq("__k"), "left")
+          .drop("__k")
+      else base.join(pr, groupCols, "left")
+    joined.select((groupCols ++ metrics).map(col): _*)
   }
 
   // --------------------------------------------------------- distribution

@@ -296,4 +296,39 @@ class OpsExtSpec extends AnyFunSuite {
     // within-tolerance rows unaffected
     assert(bounded.count(r => !r.isNullAt(r.fieldIndex("score"))) == 2)
   }
+
+  test("PrefixSum.exclusive matches a single-partition window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(_ => rnd.nextInt(200))
+      .distinct.map(v => (v.toDouble, rnd.nextInt(9) + 1L))
+      .toDF("v", "c").repartition(8)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val expect = df.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+      .orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(2)))
+    val got = graft.analysis.PrefixSum.exclusive(df, "v", Seq("c" -> "cum"),
+        buckets = 16)
+      .orderBy("v").collect().map(r => (r.getDouble(0), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("value-count summarize keeps all-NULL groups and metric order") {
+    import graft.analysis._
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None), ("b", None)).toDF("g", "x")
+    val out = AnalysisPlanner.aggregation(df,
+      Aggregation(feature = "x",
+        metrics = Seq("median", "count", "null_count", "avg"),
+        groupBy = Seq("g")))
+    assert(out.columns.toSeq == Seq("g", "median", "count", "null_count", "avg"))
+    val rows = out.orderBy("g").collect()
+    assert(rows.length == 2) // group b (all NULL) retained
+    val a = rows(0); val b = rows(1)
+    assert(a.getDouble(1) == 2.0 && a.getLong(2) == 2L &&
+      a.getLong(3) == 1L && a.getDouble(4) == 2.0)
+    assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
+  }
 }
