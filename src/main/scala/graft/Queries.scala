@@ -767,7 +767,8 @@ object Queries {
     "q22_dedup_ngram_jaccard",
     (s, d) =>
       graft.ops.Dedup
-        .ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8,
+          maxPostings = 100)
         .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
     Some("""
@@ -777,10 +778,12 @@ object Queries {
                unnest(list_transform(range(1, len(w) - 1),
                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM toks WHERE len(w) >= 3),
-      sz AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      shk AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+      sz AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY 1),
       pairs AS (
         SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        FROM shk a JOIN shk b ON a.s = b.s AND a.id < b.id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b,
              round(inter / (x.n_sh + y.n_sh - inter), 6) AS jaccard

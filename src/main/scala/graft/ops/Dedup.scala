@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -141,21 +142,36 @@ object Dedup {
    * |A|+|B|−|A∩B|. Quadratic only within a shingle's posting list.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      maxPostings: Int = 1000): DataFrame = {
     // Shingle strings collapse to xxhash64 longs before the distinct —
     // every downstream shuffle moves 8-byte keys instead of ~25-char
     // strings (collision odds at 2^64 are ~n²/2⁶⁵, irrelevant here).
     // Intersections come from posting lists (groupBy shingle →
     // sorted id list → in-place ordered-pair expansion): ONE shuffle of
     // the shingle frame instead of a two-sided self-join shuffle.
-    // Skew note for 100 TB: a stop-list on shingles with posting lists
-    // longer than a cap (drop them in BOTH engines) bounds the
-    // quadratic expansion of ultra-common n-grams.
+    // Skew/stop-list: shingles whose document frequency exceeds
+    // `maxPostings` are dropped from the universe — BEFORE collect_list,
+    // so an ultra-common n-gram ("the quick brown" at corpus scale)
+    // never materializes a giant posting array or a quadratic pair
+    // expansion. Jaccard is then defined over the capped shingle sets;
+    // the oracle applies the identical HAVING cap. The df-filter join
+    // reuses the same sk-hash shuffle as the posting-list groupBy.
     val sh = shingles(df, idCol, textCol, n, distinct = false)
-      .select(col("id"), xxhash64(col("s")).as("sk")).distinct().cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .select(col("id"), xxhash64(col("s")).as("sk")).distinct()
+    // document frequency via an sk-partitioned window: rides the same
+    // sk-hash shuffle the posting-list groupBy needs anyway (no extra
+    // exchange), and WindowExec spills oversized groups to disk — the
+    // hot shingle is counted and discarded without ever being collected
+    val wdf = Window.partitionBy("sk")
+    val shk = sh
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .where(col("__df") <= maxPostings)
+      .drop("__df")
+      .cache()
+    val sizes = shk.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val ids = col("ids")
-    val inter = sh.groupBy("sk")
+    val inter = shk.groupBy("sk")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(ids) > 1)
       .select(explode(flatten(transform(ids, (a, i) =>
