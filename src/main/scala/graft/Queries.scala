@@ -938,6 +938,64 @@ object Queries {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** IVF ANN (k-means-cell scale path). Oracle-replayable variant: the
+    * centroids are the deterministic `Similarity.pseudoCentroids` inlined
+    * as SQL literals, so cell assignment (argmin L2, first-min tie-break),
+    * nProbe probe ranking, and the cosine re-rank replay identically in
+    * DuckDB. The data-dependent k-means path keeps its scalatest (fp
+    * averaging isn't bit-reproducible across engines). */
+  private val q32 = Entry(
+    "q32_knn_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .ivfKnnWith(emb, emb.where(col("vec_id") < 10), 5,
+          graft.ops.Similarity.pseudoCentroids(8, 64), nProbe = 2)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val cents = graft.ops.Similarity.pseudoCentroids(8, 64)
+      val values = cents.zipWithIndex.map { case (cv, i) =>
+        val cc = cv.map(x => x * x).sum
+        s"($i, ${cv.mkString("[", ", ", "]")}::DOUBLE[], $cc)"
+      }.mkString(",\n               ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT * FROM (VALUES $values) AS t(cell, cv, cc)),
+      ad AS (
+        SELECT e.vec_id, cent.cell,
+               list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.cv) + cent.cc AS d
+        FROM e, cent),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM ad) WHERE rn = 1),
+      corp AS (
+        SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, asg.cell
+        FROM e JOIN asg USING (vec_id)),
+      probes AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+      q AS (
+        SELECT p.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, p.cell
+        FROM probes p JOIN e ON e.vec_id = p.vec_id),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, nbr_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nbr_id ASC) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------
@@ -1533,7 +1591,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q29, q30, q31, q32, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   def queries: Map[String, QueryFn] =

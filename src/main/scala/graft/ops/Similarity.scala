@@ -142,6 +142,26 @@ object Similarity {
     centroids
   }
 
+  /**
+   * Deterministic pseudo-random centroids (cell c, dim i weight from
+   * md5("cell{c}:{i}") in [-1, 1)) — the data-independent IVF variant.
+   * Same driver-literal trick as [[planeWeights]]: an oracle can inline
+   * the identical centroid arrays, making the whole IVF pipeline
+   * (assignment, probe ranking, re-rank) engine-replayable, which the
+   * data-dependent k-means centroids are not (distributed fp averaging
+   * is not bit-reproducible across engines).
+   */
+  def pseudoCentroids(cells: Int, dim: Int): Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(cells) { c =>
+      Array.tabulate(dim) { i =>
+        val hex = mdig.digest(s"cell$c:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 8388608.0 - 1.0
+      }
+    }
+  }
+
   /** Tag each row with its nearest-centroid cell index (`__cell`). */
   def assignCells(df: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
@@ -164,8 +184,17 @@ object Similarity {
    */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfKnnWith(corpus, queries, k,
+      kmeansCentroids(corpus, idCol, vecCol, cells, iters), nProbe,
+      idCol, vecCol)
+
+  /** IVF ANN against caller-provided centroids (k-means, pseudo-random,
+    * or loaded from a trained index). */
+  def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, cells, iters)
+    val cells = cents.length
     val c = assignCells(corpus, vecCol, cents).select(
       col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"),
