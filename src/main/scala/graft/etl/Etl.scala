@@ -2,7 +2,7 @@ package graft.etl
 
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,24 +190,51 @@ final class CheckpointStore(dir: String) {
  * Upsert = read-union-window-dedup-rewrite (Delta is not on this
  * classpath; with Delta this becomes MERGE INTO on the key columns —
  * transforms/job.py:41-71 semantics either way).
+ *
+ * With `partitionBy` set, upsert is PARTITION-SCOPED: only partitions
+ * present in the incoming batch are read, merged, and rewritten (dynamic
+ * partition overwrite); every other partition's files are left untouched.
+ * That turns the O(table) merge into O(affected partitions) per batch —
+ * the non-Delta analog of MERGE's file-level pruning.
  */
-final case class ParquetTarget(path: String, orderColumn: Option[String] = None) {
+final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
+    partitionBy: Seq[String] = Nil) {
+
+  private def writer(df: DataFrame) = {
+    val w = df.write
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+
+  /** One predicate per affected partition tuple (driver-side list — a few
+    * partition values per batch, never row data). */
+  private def affectedPredicate(df: DataFrame): Column = {
+    val parts = df.select(partitionBy.map(col): _*).distinct().collect()
+    parts.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
 
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
     val n = df.count()
     mode match {
       case WriteMode.Full | WriteMode.Incremental =>
-        df.write.mode("overwrite").parquet(path)
+        writer(df).mode("overwrite").parquet(path)
       case WriteMode.Append =>
-        df.write.mode("append").parquet(path)
+        writer(df).mode("append").parquet(path)
       case WriteMode.Upsert =>
         require(keys.nonEmpty, "upsert requires key columns")
         val spark = df.sparkSession
         val exists = new java.io.File(path).exists()
-        if (!exists) df.write.mode("overwrite").parquet(path)
+        if (!exists) writer(df).mode("overwrite").parquet(path)
         else {
           val ord = orderColumn.getOrElse(keys.head)
-          val current = spark.read.parquet(path)
+          // partition-scoped: read ONLY the batch's partitions (the isin
+          // predicate prunes at the file listing, no full-table scan)
+          val current =
+            if (partitionBy.isEmpty) spark.read.parquet(path)
+            else spark.read.parquet(path).where(affectedPredicate(df))
           // new rows win ties: tag precedence, window-dedup per key
           val merged = current.withColumn("__prec", lit(0))
             .unionByName(df.withColumn("__prec", lit(1)))
@@ -220,7 +247,16 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None)
           // write via temp dir: can't overwrite a path while reading it
           val tmp = path + ".tmp"
           deduped.write.mode("overwrite").parquet(tmp)
-          spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+          val back = spark.read.parquet(tmp)
+          if (partitionBy.isEmpty)
+            back.write.mode("overwrite").parquet(path)
+          else
+            // dynamic overwrite replaces ONLY the partitions present in
+            // `back` (= the affected ones); the rest keep their files
+            back.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(partitionBy: _*)
+              .parquet(path)
           org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
             .delete(new org.apache.hadoop.fs.Path(tmp), true)
         }

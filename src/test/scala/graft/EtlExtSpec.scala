@@ -20,6 +20,42 @@ class EtlExtSpec extends AnyFunSuite {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graftext").toString
 
+  test("partition-scoped upsert leaves untouched partitions byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    val base = Seq((1L, 10.0, "d1"), (2L, 20.0, "d2"), (3L, 30.0, "d3"))
+      .toDF("id", "v", "day")
+    target.write(base, WriteMode.Upsert, Seq("id"))
+
+    def partFiles(day: String): Map[String, Array[Byte]] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    }
+    val d1Before = partFiles("d1")
+    val d3Before = partFiles("d3")
+
+    // batch touches only day=d2 (update id=2, insert id=4)
+    val batch = Seq((2L, 25.0, "d2"), (4L, 40.0, "d2")).toDF("id", "v", "day")
+    target.write(batch, WriteMode.Upsert, Seq("id"))
+
+    val d1After = partFiles("d1")
+    val d3After = partFiles("d3")
+    assert(d1After.keySet == d1Before.keySet &&
+      d1After.forall { case (k, b) => java.util.Arrays.equals(b, d1Before(k)) })
+    assert(d3After.keySet == d3Before.keySet &&
+      d3After.forall { case (k, b) => java.util.Arrays.equals(b, d3Before(k)) })
+
+    val result = spark.read.parquet(dir)
+      .select("id", "v", "day").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(result.toSeq == Seq((1L, 10.0, "d1"), (2L, 25.0, "d2"),
+      (3L, 30.0, "d3"), (4L, 40.0, "d2")))
+  }
+
   test("inference: batching, metrics, convenience ctors, bad specs rejected") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"text-$i")).toDF("id", "text")
