@@ -19,13 +19,21 @@ import org.apache.spark.sql.functions._
  * left and right are unioned with a side marker, shuffled ONCE by
  * entity key, and sorted within each entity partition by (time, side)
  * with right-before-left at equal timestamps (inclusive at-or-before).
- * A `last(..., ignoreNulls)` running window then carries each right
- * row's values forward to the left rows that follow it. One shuffle per
- * input, zero row expansion — a range join instead explodes candidate
- * pairs per entity and re-filters, which collapses at 100 TB on hot
- * entities. Window partitioning is by entity key, so parallelism scales
- * with distinct entities (salt extremely hot entities upstream if one
- * entity dominates a partition).
+ * The matched right row is carried forward WHOLESALE: one
+ * `last(struct(rightTs, valueCols…), ignoreNulls)` running window, so a
+ * NULL inside a matched row's value column stays NULL (it is never
+ * back-filled from an older right row), all attached values come from
+ * the SAME right row, and `feature_ts` always corresponds to them —
+ * DuckDB `ASOF JOIN` semantics. One shuffle per input, zero row
+ * expansion — a range join instead explodes candidate pairs per entity
+ * and re-filters, which collapses at 100 TB on hot entities.
+ *
+ * Window partitioning is by entity key, so parallelism scales with
+ * distinct entities. For heavy-tailed entity histograms pass
+ * `salt > 1`: left rows of keys above `hotThreshold` are spread over
+ * `salt` sub-partitions and the (much smaller) right history of those
+ * keys is replicated into each — results identical, and no single task
+ * ever sorts a whole hot entity.
  *
  * Right side must be unique per (keys, rightTs) — pre-aggregate
  * upstream (e.g. latest per key+ts) — so the carried value is
@@ -44,10 +52,15 @@ object PointInTime {
    *                  names, NULL when no feature row is at-or-before)
    * @param tolerance max lookback (left.ts - right.ts); matches older
    *                  than this are nulled out (None = unbounded)
+   * @param salt      sub-partitions for hot entities (1 = off; no extra
+   *                  passes when off)
+   * @param hotThreshold left-row count above which a key is salted
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      salt: Int = 1, hotThreshold: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     val keyCols = keys.map(col)
     val nonKeyLeft = leftCols.filterNot(keys.contains)
@@ -55,41 +68,64 @@ object PointInTime {
       "valueCols must not collide with left column names")
 
     // identical layout on both sides (unionByName aligns by name):
-    // every left col (nulls on build rows), __t/__side/__rt, value cols
-    // (nulls on probe rows)
+    // every left col (nulls on build rows), __t/__side, and the carried
+    // right-row struct __vals (null struct on probe rows — NOT a struct
+    // of nulls, so ignoreNulls skips probe rows but carries a matched
+    // right row even when its value columns are NULL)
     val rtType = right.schema(rightTs).dataType
+    val valsType = StructType(StructField("__rt", rtType) +:
+      valueCols.map(c => StructField(c, right.schema(c).dataType)))
     val probe = left.select(
       leftCols.map(col) ++
         Seq(col(leftTs).as("__t"), lit(1).as("__side"),
-          lit(null).cast(rtType).as("__rt")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+          lit(null).cast(valsType).as("__vals")): _*)
     val build = right.select(
       (keyCols ++
         nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
         Seq(col(rightTs).as("__t"), lit(0).as("__side"),
-          col(rightTs).as("__rt")) ++
-        valueCols.map(col): _*)
+          struct(col(rightTs).as("__rt") +: valueCols.map(col): _*)
+            .as("__vals")): _*)
+
+    // hot-entity salting: left rows of hot keys spread by a ts-hash,
+    // right rows of hot keys replicated into every sub-partition
+    val (probeS, buildS, partKeys) =
+      if (salt <= 1) (probe, build, keyCols)
+      else {
+        val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > hotThreshold)
+          .select(keyCols: _*).withColumn("__hot", lit(1))
+        val p = probe.join(broadcast(hot), keys, "left")
+          .withColumn("__salt",
+            when(col("__hot").isNotNull,
+              pmod(xxhash64(col("__t")), lit(salt)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__hot")
+        val b = build.join(broadcast(hot), keys, "left")
+          .withColumn("__salt",
+            explode(when(col("__hot").isNotNull,
+              sequence(lit(0), lit(salt - 1)))
+              .otherwise(array(lit(0)))))
+          .drop("__hot")
+        (p, b, keyCols :+ col("__salt"))
+      }
 
     // right rows sort before left rows at equal time → inclusive ≤
-    val w = Window.partitionBy(keyCols: _*).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(partKeys: _*).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = probe.unionByName(build)
-      .withColumn("__mt", last(col("__rt"), ignoreNulls = true).over(w))
-    val filled = valueCols.foldLeft(carried)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = probeS.unionByName(buildS)
+      .withColumn("__m", last(col("__vals"), ignoreNulls = true).over(w))
 
+    val mt = col("__m").getField("__rt")
     val within = tolerance match {
-      case Some(tol) => col("__mt").isNotNull && (col("__t") - col("__mt")) <= tol
-      case None      => col("__mt").isNotNull
+      case Some(tol) => col("__m").isNotNull && (col("__t") - mt) <= tol
+      case None      => col("__m").isNotNull
     }
-    val out = filled
+    carried
       .where(col("__side") === 1)
       .withColumn("__ok", within)
-    val masked = valueCols.foldLeft(out)((d, c) =>
-      d.withColumn(c, when(col("__ok"), col(c))))
-    masked
-      .withColumn("feature_ts", when(col("__ok"), col("__mt")))
-      .select(leftCols.map(col) ++ Seq(col("feature_ts")) ++
-        valueCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        Seq(when(col("__ok"), mt).as("feature_ts")) ++
+        valueCols.map(c =>
+          when(col("__ok"), col("__m").getField(c)).as(c)): _*)
   }
 }

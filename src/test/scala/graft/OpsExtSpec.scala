@@ -297,6 +297,44 @@ class OpsExtSpec extends AnyFunSuite {
     assert(bounded.count(r => !r.isNullAt(r.fieldIndex("score"))) == 2)
   }
 
+  test("asof join carries the matched right row wholesale (nulls included)") {
+    import spark.implicits._
+    val left = Seq((1L, 12L), (1L, 7L)).toDF("uid", "t")
+    val right = Seq(
+      (1L, 5L, Some(1.0), "a"),
+      (1L, 10L, None: Option[Double], "b")).toDF("uid", "ft", "score", "tag")
+    val out = graft.ops.PointInTime
+      .asofJoin(left, right, Seq("uid"), "t", "ft", Seq("score", "tag"))
+      .orderBy("t").collect()
+    // t=7 matches ft=5 → score 1.0, tag a
+    assert(out(0).getLong(2) == 5L && out(0).getDouble(3) == 1.0 &&
+      out(0).getString(4) == "a")
+    // t=12 matches ft=10, whose score is NULL → score stays NULL (no
+    // back-fill from ft=5) and tag comes from the SAME row
+    assert(out(1).getLong(2) == 10L && out(1).isNullAt(3) &&
+      out(1).getString(4) == "b")
+  }
+
+  test("salted asof join equals unsalted on a skewed fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // one entity holds half the probe rows
+    val left = ((1 to 500).map(i => (42L, i.toLong * 2)) ++
+      (1 to 500).map(i => (rnd.nextInt(50).toLong, i.toLong * 3)))
+      .toDF("uid", "t")
+    val right = (0 to 50).flatMap(u =>
+      (1 to 20).map(j => (u.toLong, j.toLong * 40, u * 1000.0 + j)))
+      .toDF("uid", "ft", "score")
+    def run(salt: Int) = graft.ops.PointInTime
+      .asofJoin(left, right, Seq("uid"), "t", "ft", Seq("score"),
+        salt = salt, hotThreshold = 100L)
+      .orderBy("uid", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Any]("feature_ts")), Option(r.getAs[Any]("score"))))
+    assert(run(8).toSeq == run(1).toSeq)
+  }
+
   test("PrefixSum.exclusive matches a single-partition window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
