@@ -996,6 +996,35 @@ object Queries {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** Deterministic hash-threshold sampling (the scale-safe replacement
+    * for orderBy(rand).limit): both engines keep the row iff its md5
+    * mod-2²⁰ value, scaled by the filtered row count, clears the target —
+    * exact same subset, no global sort in either engine. */
+  private val q33 = Entry(
+    "q33_record_sample",
+    (s, d) =>
+      AnalysisPlanner
+        .recordLookup(
+          Tables.orders(s, d),
+          RecordLookup(
+            features = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+            filter = Some("o_totalprice > 100000"),
+            sample = Some(200),
+            sampleKeys = Seq("o_orderkey"),
+            orderBy = Seq("o_orderkey"),
+            limit = 150)),
+    Some("""
+      WITH f AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice > 100000),
+      t AS (SELECT count(*) AS tot FROM f)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM f, t
+      WHERE (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1048576) * tot
+            < 200 * 1048576
+      ORDER BY o_orderkey
+      LIMIT 150"""))
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------
@@ -1591,7 +1620,8 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q29, q30, q31, q32, q33, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   def queries: Map[String, QueryFn] =

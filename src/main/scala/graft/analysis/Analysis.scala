@@ -52,6 +52,7 @@ final case class Distribution(
     bins: Int = 20,
     segmentBy: Option[String] = None,
     sampleSize: Option[Long] = None,
+    sampleKeys: Seq[String] = Nil, // hash-sample key cols (empty = feature)
     filter: Option[String] = None,
     outputs: Seq[String] = Seq("histogram")) // histogram|percentiles|stats|cdf
     extends Analysis {
@@ -67,6 +68,7 @@ final case class Correlation(
     features: Seq[String],
     method: String = "pearson",
     sampleSize: Option[Long] = None,
+    sampleKeys: Seq[String] = Nil, // hash-sample key cols (empty = features)
     filter: Option[String] = None)
     extends Analysis {
   val kind = "correlation"
@@ -112,6 +114,7 @@ final case class RecordLookup(
     features: Seq[String] = Nil, // empty = all
     filter: Option[String] = None,
     sample: Option[Long] = None,
+    sampleKeys: Seq[String] = Nil, // hash-sample key cols (empty = projection)
     limit: Int = 100,
     orderBy: Seq[String] = Nil,
     descending: Boolean = false)

@@ -180,6 +180,30 @@ object AnalysisPlanner {
       .drop("__wmax")
   }
 
+  /**
+   * Deterministic hash-threshold sampler — the scale-safe replacement
+   * for `orderBy(rand(seed)).limit(n)` (a global TakeOrdered over every
+   * row): keep a row iff its md5-of-keys mod M, scaled by the row
+   * count, falls under the target n. Map-only predicate (no sort, no
+   * shuffle; the 1-row count is broadcast), expected |result| ≈ n with
+   * binomial variance. Engine-portable: any engine with md5 replays the
+   * SAME subset — `(('0x' || substring(md5(k), 1, 15))::BIGINT % M)` in
+   * DuckDB — exactly, when the hash columns stringify identically
+   * (integer keys always do).
+   */
+  def hashSample(df: DataFrame, n: Long, hashCols: Seq[String]): DataFrame = {
+    val M = 1048576L
+    val h = pmod(
+      conv(substring(md5(concat_ws("|",
+        hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+        .cast("long"),
+      lit(M))
+    val tot = df.agg(count(lit(1)).as("__tot"))
+    df.crossJoin(broadcast(tot))
+      .where(h * col("__tot") < lit(n) * lit(M))
+      .drop("__tot")
+  }
+
   def plan(df: DataFrame, a: Analysis): DataFrame = a match {
     case s: Aggregation  => aggregation(df, s)
     case s: Distribution => distribution(df, s)
@@ -373,7 +397,8 @@ object AnalysisPlanner {
   def distribution(df0: DataFrame, s: Distribution): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
-    s.sampleSize.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    s.sampleSize.foreach(n => df = hashSample(df, n,
+      if (s.sampleKeys.nonEmpty) s.sampleKeys else Seq(s.feature)))
     s.outputs.head match {
       case "histogram"   => histogram(df, s.feature, s.bins, s.segmentBy)
       case "percentiles" => percentiles(df, s.feature)
@@ -401,7 +426,8 @@ object AnalysisPlanner {
   def correlation(df0: DataFrame, s: Correlation): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
-    s.sampleSize.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    s.sampleSize.foreach(n => df = hashSample(df, n,
+      if (s.sampleKeys.nonEmpty) s.sampleKeys else s.features))
     val base: DataFrame = s.method match {
       case "pearson" => df
       case "spearman" =>
@@ -649,7 +675,13 @@ object AnalysisPlanner {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
     if (s.features.nonEmpty) df = df.select(s.features.map(col): _*)
-    s.sample.foreach(n => df = df.orderBy(rand(42)).limit(n.toInt))
+    s.sample.foreach { n =>
+      val keys =
+        if (s.sampleKeys.nonEmpty) s.sampleKeys
+        else if (s.features.nonEmpty) s.features
+        else df.columns.toSeq
+      df = hashSample(df, n, keys)
+    }
     if (s.orderBy.nonEmpty) {
       val cols = s.orderBy.map(c => if (s.descending) col(c).desc else col(c).asc)
       df = df.orderBy(cols: _*)
