@@ -446,7 +446,7 @@ object AnalysisPlanner {
         }
       case "kendall" =>
         throw new UnsupportedOperationException(
-          "kendall: use sampled pair-join (KendallTau.sampled)")
+          "kendall: use kendallTau (inversion-count tau-b, pairwise output)")
     }
     val pairs = for {
       i <- s.features.indices
@@ -458,33 +458,85 @@ object AnalysisPlanner {
   }
 
   /**
-   * Kendall tau-b on a bounded deterministic subset (O(n²) pair join;
-   * the reference flags kendall as the expensive method — analysis.py
-   * :173-181). `maxRows` caps the subset by ascending key for
-   * engine-portable determinism. At scale, sample smaller or use the
-   * O(n log n) merge-sort inversion count on a single partition.
+   * Kendall tau-b WITHOUT the pair join (the reference flags kendall as
+   * the expensive method — analysis.py:173-181):
+   *  - tie terms (`ties_x`, `ties_y`, both-tied) come from distributed
+   *    aggregations over per-(x, y) cells — Σ c·(c−1)/2 per key;
+   *  - the discordant count is an O(m log m) multiplicity-weighted
+   *    inversion count (Fenwick tree over y-ranks, x-ties batched) over
+   *    the ~m distinct-value cells, sorted once and processed in ONE
+   *    bounded task (m = distinct (x, y) pairs, already aggregated —
+   *    the same frame size every percentile/rank operator here handles);
+   *  - concordant = n·(n−1)/2 − ties_x − ties_y + both − discordant
+   *    (inclusion-exclusion over strict pairs).
+   * `maxRows` bounds an optional deterministic subset by ascending key
+   * (kept for engine-portable replay); the algorithm itself no longer
+   * needs a cap.
    */
   def kendallTau(df: DataFrame, x: String, y: String, keyCol: String,
-      maxRows: Int = 2000): DataFrame = {
-    val s = df.select(col(keyCol).as("k"),
+      maxRows: Int = Int.MaxValue): DataFrame = {
+    val s0 = df.select(col(keyCol).as("k"),
       col(x).cast("double").as("x"), col(y).cast("double").as("y"))
-      .orderBy("k").limit(maxRows)
-    val p = s.as("p")
-    val q = s.as("q")
-    val pairs = p.join(q, col("p.k") < col("q.k"))
-      .select(
-        ((col("p.x") - col("q.x")) * (col("p.y") - col("q.y"))).as("prod"),
-        (col("p.x") === col("q.x")).cast("long").as("tx"),
-        (col("p.y") === col("q.y")).cast("long").as("ty"))
-    pairs.agg(
-        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
-        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
-        sum(col("tx")).as("ties_x"),
-        sum(col("ty")).as("ties_y"),
-        count(lit(1)).as("n_pairs"))
+    val s = if (maxRows == Int.MaxValue) s0 else s0.orderBy("k").limit(maxRows)
+    val cells = s.groupBy("x", "y").agg(count(lit(1)).as("c"))
+
+    val discordant: Long = cells
+      .select(col("x"), col("y"), col("c"))
+      .repartition(1).sortWithinPartitions("x", "y")
+      .rdd.mapPartitions { it =>
+        val buf = it.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+          .toArray
+        val ys = buf.map(_._2).distinct.sorted
+        val rank = ys.zipWithIndex.toMap
+        val bit = new Array[Long](ys.length + 1)
+        def add(i0: Int, w: Long): Unit = {
+          var i = i0 + 1
+          while (i <= ys.length) { bit(i) += w; i += i & (-i) }
+        }
+        def atMost(i0: Int): Long = { // Σ weights with y-rank ≤ i0
+          var i = i0 + 1; var acc = 0L
+          while (i > 0) { acc += bit(i); i -= i & (-i) }
+          acc
+        }
+        var total = 0L
+        var inserted = 0L
+        var i = 0
+        while (i < buf.length) {
+          var j = i
+          while (j < buf.length && buf(j)._1 == buf(i)._1) j += 1
+          var k = i // query the whole equal-x batch first (x must be strict)
+          while (k < j) {
+            total += buf(k)._3 * (inserted - atMost(rank(buf(k)._2)))
+            k += 1
+          }
+          k = i
+          while (k < j) {
+            add(rank(buf(k)._2), buf(k)._3); inserted += buf(k)._3; k += 1
+          }
+          i = j
+        }
+        Iterator.single(total)
+      }.collect().sum // one Long
+
+    def pairsOf(c: Column) = ((c * (c - lit(1L))) / 2).cast("long")
+    val tots = cells.agg(sum(col("c")).as("n"),
+      sum(pairsOf(col("c"))).as("__both"))
+    val xt = cells.groupBy("x").agg(sum(col("c")).as("cx"))
+      .agg(sum(pairsOf(col("cx"))).as("ties_x"))
+    val yt = cells.groupBy("y").agg(sum(col("c")).as("cy"))
+      .agg(sum(pairsOf(col("cy"))).as("ties_y"))
+    tots.crossJoin(broadcast(xt)).crossJoin(broadcast(yt))
+      .withColumn("n_pairs", pairsOf(col("n")))
+      .withColumn("discordant", lit(discordant))
+      .withColumn("concordant",
+        col("n_pairs") - col("ties_x") - col("ties_y") + col("__both") -
+          col("discordant"))
       .withColumn("tau_b",
-        (col("concordant") - col("discordant")) /
-          sqrt((col("n_pairs") - col("ties_x")) * (col("n_pairs") - col("ties_y"))))
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+            (col("n_pairs") - col("ties_y")).cast("double")))
+      .select(col("concordant"), col("discordant"), col("ties_x"),
+        col("ties_y"), col("n_pairs"), col("tau_b"))
   }
 
   // ------------------------------------------------------------ drift

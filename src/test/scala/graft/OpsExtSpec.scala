@@ -335,6 +335,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("kendall inversion count matches brute-force pairs, no cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val data = (1 to 4000).map(i =>
+      (i.toLong, rnd.nextInt(40).toDouble, rnd.nextInt(25).toDouble))
+    val df = data.toDF("k", "x", "y").repartition(8)
+    val r = graft.analysis.AnalysisPlanner
+      .kendallTau(df, "x", "y", "k").collect()(0)
+    // brute force over all pairs
+    var con = 0L; var dis = 0L; var tx = 0L; var ty = 0L
+    for (i <- data.indices; j <- (i + 1) until data.size) {
+      val p = (data(i)._2 - data(j)._2) * (data(i)._3 - data(j)._3)
+      if (p > 0) con += 1 else if (p < 0) dis += 1
+      if (data(i)._2 == data(j)._2) tx += 1
+      if (data(i)._3 == data(j)._3) ty += 1
+    }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (con, dis, tx, ty, data.size.toLong * (data.size - 1) / 2))
+  }
+
   test("PrefixSum.exclusive matches a single-partition window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
