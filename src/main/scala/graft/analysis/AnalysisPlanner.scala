@@ -432,9 +432,12 @@ object AnalysisPlanner {
       case "pearson" => df
       case "spearman" =>
         // distributed min-rank per feature: per-value counts, prefix sum
-        // over distinct values, join ranks back on value (features here
-        // are non-null; min-rank(v) = 1 + count of strictly smaller)
-        val slim = df.select(s.features.map(col): _*)
+        // over distinct values, join ranks back on value. Listwise
+        // deletion is EXPLICIT: a row with NULL in any correlated
+        // feature is excluded for all features (the standard convention
+        // for rank-correlation matrices; previously the rank join
+        // dropped such rows silently)
+        val slim = df.select(s.features.map(col): _*).na.drop(s.features)
         s.features.zipWithIndex.foldLeft(slim) { case (d, (f, i)) =>
           val counts = slim.groupBy(col(f).as(s"__v$i"))
             .agg(count(lit(1)).as("__c"))

@@ -63,6 +63,38 @@ final case class Dashboard(
       s""""charts":$chartsJson,"parameters":$paramsJson}"""
   }
 
+  /**
+   * Executes one DataFrame per chart and materializes a bounded row set
+   * for rendering — chart data comes straight from analysis operators
+   * (the collect is bounded by `maxRows` per chart; dashboards render
+   * aggregated frames, never raw fact rows).
+   */
+  def materialize(frames: Map[String, org.apache.spark.sql.DataFrame],
+      maxRows: Int = 1000): Map[String, Seq[Map[String, Any]]] =
+    charts.flatMap { c =>
+      frames.get(c.queryName).map { df =>
+        val cols = df.columns
+        val rows = df.limit(maxRows).collect().toSeq.map(r =>
+          cols.zipWithIndex.map { case (cn, i) =>
+            cn -> (r.get(i): Any) }.toMap)
+        c.queryName -> rows
+      }
+    }.toMap
+
+  /** Render HTML with live chart data (see [[materialize]]). */
+  def renderHtml(frames: Map[String, org.apache.spark.sql.DataFrame],
+      maxRows: Int = 1000): String =
+    toHtml(materialize(frames, maxRows))
+
+  /** Render HTML by running an [[graft.analysis.Analysis]] spec per
+    * chart against `df` through the AnalysisPlanner. */
+  def renderAnalyses(df: org.apache.spark.sql.DataFrame,
+      analyses: Map[String, graft.analysis.Analysis],
+      maxRows: Int = 1000): String =
+    renderHtml(analyses.map { case (k, a) =>
+      k -> graft.analysis.AnalysisPlanner.plan(df, a)
+    }, maxRows)
+
   /** Minimal static HTML render (tables only — no JS deps offline). */
   def toHtml(data: Map[String, Seq[Map[String, Any]]] = Map.empty): String = {
     val body = charts.map { c =>

@@ -335,6 +335,25 @@ class OpsExtSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("approx percentile toggle tracks exact within t-digest tolerance") {
+    import graft.analysis._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 20000).map(_ => rnd.nextGaussian() * 100 + 500)
+      .toDF("v").repartition(8)
+    def run() = AnalysisPlanner
+      .percentiles(df, "v", Seq(0.25, 0.5, 0.9, 0.99))
+      .collect()(0)
+    val exact = run()
+    AnalysisPlanner.approxPercentiles = true
+    val approx = try run() finally AnalysisPlanner.approxPercentiles = false
+    (0 until 4).foreach { i =>
+      val (e, a) = (exact.getDouble(i), approx.getDouble(i))
+      assert(math.abs(e - a) <= 2.0,
+        s"p$i exact=$e approx=$a") // ~0.5% of the spread at accuracy 10000
+    }
+  }
+
   test("kendall inversion count matches brute-force pairs, no cap") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -260,4 +260,32 @@ class SparkSpec extends AnyFunSuite {
     assert(feats.count() == 2)
     assert(feats.schema.fieldNames.toSeq == Seq("uri", "features", "n_bytes"))
   }
+
+  // ----------------------------------------------------------- dashboards
+
+  test("dashboard renders chart data from a real AnalysisPlanner run") {
+    import spark.implicits._
+    import graft.analysis._
+    import graft.dash._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0), ("b", 7.0))
+      .toDF("seg", "x")
+    val dash = Dashboard("ops", "Ops")
+      .withChart(Chart("X by segment", ChartType.Bar, "agg",
+        x = Some("seg"), y = Seq("avg")))
+      .withChart(Chart("X histogram", ChartType.Histogram, "hist",
+        x = Some("bucket"), y = Seq("n")))
+    val html = dash.renderAnalyses(df, Map(
+      "agg" -> Aggregation(feature = "x", metrics = Seq("avg", "count"),
+        groupBy = Seq("seg")),
+      "hist" -> Distribution(feature = "x", bins = 3)))
+    assert(html.contains("X by segment") && html.contains("<table>"))
+    // real values from the planner: avg(a)=2.0, count(b)=3
+    assert(html.contains("2.0") && html.contains("3"))
+    val data = dash.materialize(Map(
+      "agg" -> AnalysisPlanner.plan(df,
+        Aggregation(feature = "x", metrics = Seq("count"),
+          groupBy = Seq("seg")))))
+    assert(data("agg").map(m => m("seg") -> m("count")).toMap ==
+      Map("a" -> 2L, "b" -> 3L))
+  }
 }
