@@ -56,6 +56,29 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("jdbc source round-trips through embedded Derby with pushdown") {
+    val db = tmpDir() + "/derbydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE users (id BIGINT, name VARCHAR(32), score DOUBLE)")
+    (1 to 50).foreach(i =>
+      st.execute(s"INSERT INTO users VALUES ($i, 'u$i', ${i * 1.5})"))
+    st.close(); conn.close()
+
+    val src = JdbcSource("users", s"jdbc:derby:$db", "users")
+    val df = src.read(spark)
+    assert(df.count() == 50)
+    assert(df.schema.fieldNames.map(_.toLowerCase).toSeq ==
+      Seq("id", "name", "score"))
+    // filter + projection push into the JDBC scan
+    val filtered = df.where(col("ID") > 40).select("ID", "SCORE")
+    assert(filtered.count() == 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"))
+    assert(filtered.orderBy(col("ID")).collect()(0).getLong(0) == 41L)
+  }
+
   test("inference: batching, metrics, convenience ctors, bad specs rejected") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"text-$i")).toDF("id", "text")
