@@ -56,16 +56,17 @@ object PrefixSum {
       .drop("__plo", "__phi")
     val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
     val totals = bucketed.groupBy(col("__pb")).agg(tAggs.head, tAggs.tail: _*)
-    // cumulative offset per bucket: Σ totals of strictly-smaller buckets
-    val renamed = totals.select(
-      col("__pb").as("__ub") +:
-        sums.map { case (c, _) => col(s"__t_$c").as(s"__u_$c") }: _*)
-    val oAggs = sums.map { case (c, _) =>
-      coalesce(sum(col(s"__u_$c")), lit(0L)).as(s"__off_$c") }
-    val offsets = totals
-      .join(broadcast(renamed), col("__ub") < col("__pb"), "left")
-      .groupBy(col("__pb"))
-      .agg(oAggs.head, oAggs.tail: _*)
+    // cumulative offset per bucket: exclusive window over the totals
+    // frame — ≤ `buckets` rows BY CONSTRUCTION (post-aggregation), so a
+    // constant partition is bounded at any data scale; the constant key
+    // keeps the partition spec non-empty (this is not the unbounded
+    // global-window pattern)
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col("__pb") +: sums.map { case (c, _) =>
+        coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
+      }: _*)
     val wLoc = Window.partitionBy("__pb").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumCols: Seq[Column] = sums.map { case (c, out) =>
