@@ -791,6 +791,51 @@ object Queries {
       WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
+  /** Duplicate clusters: trigram-Jaccard pairs → connected components
+    * (min-label propagation) → every doc gets a cluster id and the min
+    * doc per cluster is the representative. Oracle replays the closure
+    * with a recursive CTE. */
+  private val q34 = Entry(
+    "q34_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ops.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxPostings = 100)
+      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      shk AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+      sz AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY 1),
+      prs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        FROM shk a JOIN shk b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b
+        FROM prs JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION SELECT doc_b, doc_a FROM jac),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS cluster,
+             (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      ORDER BY d.doc_id"""))
+
   /** SimHash 16-bit fingerprints (md5-digit parity votes). */
   private val q23 = Entry(
     "q23_dedup_simhash",
@@ -1620,7 +1665,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q29, q30, q31, q32, q33, q34, q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 

@@ -188,6 +188,63 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected pair list (near-dup edges →
+   * duplicate clusters) by iterative min-label propagation: every vertex
+   * starts as its own component, then repeatedly adopts the minimum
+   * label among itself and its neighbors until a fixpoint (≤ graph
+   * diameter rounds — near-dup clusters are shallow, so typically 2-4).
+   * Each round is one join + one min-aggregate, all distributed; the
+   * only driver-side state is the per-round changed-label count used
+   * for early exit. Returns (id, component), component = min id in the
+   * component. Deterministic.
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .unionByName(
+        edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
+      .distinct()
+      .cache()
+    var labels = e.select(col("__a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (i < maxIter && changed > 0) {
+      val prev = labels
+      val prop = e.join(labels.withColumnRenamed("id", "__a"), "__a")
+        .select(col("__b").as("id"), col("component"))
+      labels = labels.unionByName(prop)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .cache()
+      changed = labels
+        .join(prev.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") =!= col("__old")).count()
+      prev.unpersist()
+      i += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /**
+   * Duplicate clusters for a whole corpus: every id gets a cluster
+   * (pair-free rows are their own singleton cluster) and the minimum id
+   * per cluster is flagged representative — the "keep one copy" step of
+   * a dedup pipeline.
+   */
+  def dedupClusters(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b")
+      : DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .withColumn("is_representative", col(idCol) === col("cluster"))
+      .select(col(idCol), col("cluster"), col("is_representative"))
+  }
+
+  /**
    * SimHash fingerprint (16 bits): per-token md5 hex digits 1..16, each
    * digit's parity votes ±1 on one bit; fingerprint bit = majority sign.
    * Deterministic and engine-portable (string ops + md5 only).

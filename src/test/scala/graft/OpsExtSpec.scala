@@ -335,6 +335,32 @@ class OpsExtSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("connected components match BFS on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val got = graft.ops.Dedup
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference BFS
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val verts = adj.keySet
+    var expect = Map.empty[Long, Long]
+    for (v <- verts.toSeq.sorted if !expect.contains(v)) {
+      var seen = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      val label = seen.min
+      expect ++= seen.map(_ -> label)
+    }
+    assert(got == expect)
+  }
+
   test("approx percentile toggle tracks exact within t-digest tolerance") {
     import graft.analysis._
     import spark.implicits._
