@@ -836,6 +836,63 @@ object Queries {
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
       ORDER BY d.doc_id"""))
 
+  /** Stratified (per-class) deterministic sampling: ~100 orders per
+    * order status, engine-replayable hash threshold. */
+  private val q35 = Entry(
+    "q35_stratified_sample",
+    (s, d) =>
+      graft.ops.Sampling
+        .stratifiedHashSample(
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          100, Seq("o_orderstatus"), Seq("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""
+      WITH t AS (SELECT o_orderstatus, count(*) AS tot FROM orders GROUP BY 1)
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+      FROM orders o JOIN t USING (o_orderstatus)
+      WHERE (('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1048576) * tot
+            < 100 * 1048576
+      ORDER BY o.o_orderkey"""))
+
+  /** Train/benchmark decontamination: trigram containment of benchmark
+    * docs (doc_id < 250) inside training docs (doc_id >= 250). */
+  private val q36 = Entry(
+    "q36_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup
+        .ngramContainment(
+          docs.where(col("doc_id") >= 250), "doc_id", "text",
+          docs.where(col("doc_id") < 250), "doc_id", "text",
+          n = 3, threshold = 0.5, maxPostings = 100)
+        .select(col("train_id"), col("bench_id"),
+          r6(col("containment")).as("containment"))
+        .orderBy("train_id", "bench_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      trk AS (SELECT id, s FROM (
+        SELECT id, s, count(*) OVER (PARTITION BY s) AS df
+        FROM sh WHERE id >= 250) WHERE df <= 100),
+      bek AS (SELECT id, s FROM (
+        SELECT id, s, count(*) OVER (PARTITION BY s) AS df
+        FROM sh WHERE id < 250) WHERE df <= 100),
+      szb AS (SELECT id, count(*) AS nb FROM bek GROUP BY 1),
+      it AS (
+        SELECT t.id AS train_id, b.id AS bench_id, count(*) AS inter
+        FROM trk t JOIN bek b ON t.s = b.s GROUP BY 1, 2)
+      SELECT train_id, bench_id, round(inter / nb, 6) AS containment
+      FROM it JOIN szb ON bench_id = szb.id
+      WHERE inter / nb >= 0.5
+      ORDER BY train_id, bench_id"""))
+
   /** SimHash 16-bit fingerprints (md5-digit parity votes). */
   private val q23 = Entry(
     "q23_dedup_simhash",
@@ -1665,7 +1722,8 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q29, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42, q43, q44, q45,
+    q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 

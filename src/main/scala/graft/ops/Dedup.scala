@@ -188,6 +188,38 @@ object Dedup {
   }
 
   /**
+   * Train/benchmark decontamination: n-gram containment of each
+   * benchmark document inside training documents — the "is eval data
+   * leaked into the training set" check. containment(t, b) =
+   * |shingles(t) ∩ shingles(b)| / |shingles(b)| over the capped shingle
+   * sets. Same inverted-index shape as [[ngramJaccardPairs]]: join on
+   * 8-byte shingle hashes, count per (train, bench) pair; the per-side
+   * document-frequency cap (sk-window, same shuffle as the join) bounds
+   * the da×db pair fan-out of corpus-common n-grams.
+   */
+  def ngramContainment(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxPostings: Int = 1000): DataFrame = {
+    def capped(df: DataFrame, id: String, text: String, as: String) = {
+      val sh = shingles(df, id, text, n, distinct = false)
+        .select(col("id").as(as), xxhash64(col("s")).as("sk")).distinct()
+      val wdf = Window.partitionBy("sk")
+      sh.withColumn("__df", count(lit(1)).over(wdf))
+        .where(col("__df") <= maxPostings).drop("__df")
+    }
+    val sa = capped(train, trainId, trainText, "train_id")
+    val sb = capped(bench, benchId, benchText, "bench_id")
+    val sizes = sb.groupBy("bench_id").agg(count(lit(1)).as("__nb"))
+    sa.join(sb, "sk")
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("inter"))
+      .join(sizes, "bench_id")
+      .withColumn("containment", col("inter") / col("__nb"))
+      .where(col("containment") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("containment"))
+  }
+
+  /**
    * Connected components over an undirected pair list (near-dup edges →
    * duplicate clusters) by iterative min-label propagation: every vertex
    * starts as its own component, then repeatedly adopts the minimum
