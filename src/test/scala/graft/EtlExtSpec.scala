@@ -56,6 +56,31 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1 to 2000).map(i => (i.toLong % 200, i.toDouble))
+      .toDF("k", "v")
+    val dims = (0 until 200).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "b_facts", Seq("k"), 8)
+    Bucketing.writeBucketed(dims, "b_dims", Seq("k"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readTable(spark, "b_facts")
+        .join(Bucketing.readTable(spark, "b_dims"), "k")
+      assert(joined.count() == 2000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: bucketed scan on both sides, no Exchange anywhere
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") ||
+        plan.toLowerCase.contains("bucket"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("jdbc source round-trips through embedded Derby with pushdown") {
     val db = tmpDir() + "/derbydb"
     val url = s"jdbc:derby:$db;create=true"
