@@ -237,20 +237,29 @@ object Dedup {
         edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
       .distinct()
       .cache()
-    var labels = e.select(col("__a").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var changed = 1L
+    // init = identity fused with the first propagation round:
+    // component(v) = min(v, min neighbor) — complete-subgraph clusters
+    // (the common near-dup shape) then converge in one confirm round
+    var labels = e.groupBy(col("__a").as("id"))
+      .agg(least(col("__a"), min(col("__b"))).as("component")).cache()
+    // labels only ever decrease, so Σ component is strictly monotone
+    // until the fixpoint — convergence detection is ONE aggregate per
+    // round (no join against the previous labels)
+    def labelSum(l: DataFrame): Long =
+      l.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (i < maxIter && changed > 0) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val prev = labels
       val prop = e.join(labels.withColumnRenamed("id", "__a"), "__a")
         .select(col("__b").as("id"), col("component"))
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min(col("component")).as("component"))
         .cache()
-      changed = labels
-        .join(prev.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") =!= col("__old")).count()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       prev.unpersist()
       i += 1
     }
