@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One keyed observation on the stream. */
+final case class FeatureEvent(key: String, value: Double, ts: Long)
+
+/** Running per-key state (bounded: four scalars per key). */
+final case class FeatureState(count: Long, sum: Double, last: Double,
+    lastTs: Long)
+
+/** Emitted snapshot after each micro-batch touches a key. */
+final case class FeatureSnapshot(key: String, count: Long, mean: Double,
+    last: Double, lastTs: Long)
+
+/**
+ * Custom streaming state via `flatMapGroupsWithState` — the path for
+ * per-entity features a windowed aggregation cannot express: a TRUE
+ * running count/mean/latest over the unbounded stream (no window
+ * horizon), re-emitted whenever a key receives data.
+ *
+ * Scale stance: state is O(distinct keys) × 4 scalars, partitioned by
+ * key hash across the cluster and checkpointed by the streaming engine;
+ * within a micro-batch events fold in event-time order so `last` is
+ * deterministic under batch-boundary changes. Works identically on a
+ * static Dataset (one "batch" = the whole input), which is how the spec
+ * pins down semantics.
+ */
+object StatefulFeatures {
+
+  def runningFeatures(events: Dataset[FeatureEvent])
+      : Dataset[FeatureSnapshot] = {
+    implicit val stateEnc = Encoders.product[FeatureState]
+    implicit val outEnc = Encoders.product[FeatureSnapshot]
+    events
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FeatureEvent],
+            state: GroupState[FeatureState]) =>
+          val prev = state.getOption
+            .getOrElse(FeatureState(0L, 0.0, Double.NaN, Long.MinValue))
+          val next = rows.toSeq.sortBy(_.ts).foldLeft(prev) { (s, ev) =>
+            FeatureState(s.count + 1, s.sum + ev.value,
+              if (ev.ts >= s.lastTs) ev.value else s.last,
+              math.max(ev.ts, s.lastTs))
+          }
+          state.update(next)
+          Iterator.single(FeatureSnapshot(key, next.count,
+            next.sum / next.count, next.last, next.lastTs))
+      }
+  }
+
+  /**
+   * Watermarked streaming exact dedup: keeps the first row per key
+   * within the watermark horizon; duplicate-key state ages out with the
+   * watermark, so state stays bounded by the horizon's key cardinality
+   * (`dropDuplicatesWithinWatermark` — the CDC at-least-once →
+   * exactly-once compaction step).
+   */
+  def dedupStream(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, StreamingAgg.humanize(lateness))
+      .dropDuplicatesWithinWatermark(keys)
+}

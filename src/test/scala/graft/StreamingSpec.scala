@@ -49,6 +49,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(ses.map(_.getAs[Double]("s")).toSeq == Seq(7.0, 8.0))
   }
 
+  test("flatMapGroupsWithState running features: batch semantics + stream run") {
+    import spark.implicits._
+    import graft.streaming._
+    // batch semantics: whole input is one group pass
+    val batch = Seq(
+      FeatureEvent("a", 1.0, 10L), FeatureEvent("a", 3.0, 20L),
+      FeatureEvent("a", 2.0, 15L), FeatureEvent("b", 8.0, 5L)).toDS()
+    val out = StatefulFeatures.runningFeatures(batch)
+      .collect().map(s => s.key -> s).toMap
+    assert(out("a").count == 3 && out("a").mean == 2.0 &&
+      out("a").last == 3.0 && out("a").lastTs == 20L)
+    assert(out("b").count == 1 && out("b").last == 8.0)
+
+    // real incremental stream: two files, state carries across batches
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq(FeatureEvent("a", 1.0, 10L), FeatureEvent("a", 3.0, 20L))
+      .toDS().write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[FeatureEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir).as[FeatureEvent]
+    val q = StatefulFeatures.runningFeatures(stream).writeStream
+      .outputMode("append").format("memory").queryName("statefeat")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val last = spark.sql(
+      "SELECT count, mean, last FROM statefeat ORDER BY count DESC LIMIT 1")
+      .collect()(0)
+    assert(last.getLong(0) == 2 && last.getDouble(1) == 2.0 &&
+      last.getDouble(2) == 3.0)
+  }
+
+  test("watermarked stream dedup keeps first row per key") {
+    import spark.implicits._
+    import graft.streaming._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq(("2024-01-01 00:01:00", "k1", 1.0), ("2024-01-01 00:02:00", "k1", 2.0),
+      ("2024-01-01 00:03:00", "k2", 3.0))
+      .toDF("ts", "k", "v").withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StatefulFeatures.dedupStream(stream, "ts", "10m", Seq("k"))
+      .writeStream.outputMode("append").format("memory").queryName("dedupout")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT k, v FROM dedupout ORDER BY k").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSeq == Seq("k1", "k2"))
+  }
+
   test("streaming execution: tumbling agg over a file stream with watermark") {
     import spark.implicits._
     val root = tmpDir()
