@@ -893,6 +893,23 @@ object Queries {
       WHERE inter / nb >= 0.5
       ORDER BY train_id, bench_id"""))
 
+  /** Pattern redaction / scrubbing: stop-words replaced by a token,
+    * match count from the original text. Same regex (RE2 ∩ Java subset)
+    * in both engines; DuckDB needs the 'g' flag for global replace. */
+  private val q37 = Entry(
+    "q37_text_scrub",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .redact(Tables.documents(s, d), "text",
+          Seq("\\b(the|a)\\b" -> "<STOP>"))
+        .select(col("doc_id"), col("redacted"), col("n_redactions"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             regexp_replace(text, '\b(the|a)\b', '<STOP>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS BIGINT) AS n_redactions
+      FROM documents ORDER BY doc_id"""))
+
   /** SimHash 16-bit fingerprints (md5-digit parity votes). */
   private val q23 = Entry(
     "q23_dedup_simhash",
@@ -1722,7 +1739,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42, q43, q44, q45,
+    q29, q30, q31, q32, q33, q34, q35, q36, q37, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)

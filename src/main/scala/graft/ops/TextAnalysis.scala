@@ -92,6 +92,47 @@ object TextAnalysis {
       .select("fp", "keeper_id", "n_copies")
 
   /**
+   * PII preset patterns for [[redact]] (regex dialect restricted to the
+   * RE2 ∩ Java-regex subset, so the same pattern text runs in Spark,
+   * DuckDB, and most scrubbing engines).
+   */
+  val piiPresets: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9 ()./-]{6,}[0-9]",
+    "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /**
+   * Pattern redaction (PII scrubbing): each (pattern, replacement) pair
+   * is applied in order to the text; `n_redactions` counts matches of
+   * every pattern against the ORIGINAL text (so counts are independent
+   * of application order). Map-only — two codegen'd regex passes per
+   * pattern, no shuffle.
+   */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)],
+      outCol: String = "redacted"): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) { (c, p) =>
+      regexp_replace(c, p._1, p._2)
+    }
+    val nRed = patterns
+      .map(p => regexp_count(col(textCol), lit(p._1)))
+      .reduce(_ + _)
+    df.withColumn(outCol, redacted)
+      .withColumn("n_redactions", nRed.cast("long"))
+  }
+
+  /** Scrub all [[piiPresets]], each replaced by `<UPPERCASE_NAME>`.
+    * Specific patterns run before general ones (ssn/ipv4 before phone,
+    * whose digit-run pattern would otherwise swallow them). */
+  def redactPii(df: DataFrame, textCol: String,
+      outCol: String = "redacted"): DataFrame =
+    redact(df, textCol,
+      Seq("email", "ssn", "ipv4", "phone")
+        .map(k => piiPresets(k) -> s"<${k.toUpperCase}>"),
+      outCol)
+
+  /**
    * Per-(doc, term) TF-IDF: tf = term count / doc length, idf =
    * ln(N / doc-frequency), score = tf·idf.
    *

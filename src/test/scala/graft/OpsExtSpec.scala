@@ -335,6 +335,23 @@ class OpsExtSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("PII presets redact emails, phones, ssn, ip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com then 555-123-4567 done"),
+      (2L, "ssn 123-45-6789 from 10.0.0.1 ok"),
+      (3L, "clean text only")).toDF("id", "text")
+    val out = graft.ops.TextAnalysis.redactPii(df, "text")
+      .orderBy("id").collect()
+    assert(out(0).getString(2).contains("<EMAIL>") &&
+      out(0).getString(2).contains("<PHONE>") &&
+      !out(0).getString(2).contains("@"))
+    assert(out(1).getString(2).contains("<SSN>") &&
+      out(1).getString(2).contains("<IPV4>"))
+    assert(out(2).getString(2) == "clean text only" &&
+      out(2).getLong(3) == 0L)
+  }
+
   test("connected components match BFS on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
