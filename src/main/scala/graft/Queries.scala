@@ -1576,6 +1576,64 @@ object Queries {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.user_id, p.event_id"""))
 
+  /** Skew-aware two-phase salted aggregation — results are identical to
+    * a direct GROUP BY by construction, so the oracle is the plain SQL
+    * aggregate (verifying the salt/merge algebra end-to-end). */
+  private val q38 = Entry(
+    "q38_skew_agg",
+    (s, d) =>
+      graft.ops.SkewAware
+        .groupAgg(Tables.events(s, d), Seq("event_type"), salt = 8,
+          Seq(("cnt", "count", "value"), ("sum_v", "sum", "value"),
+            ("avg_v", "avg", "value"), ("min_v", "min", "value"),
+            ("max_v", "max", "value")))
+        .select(col("event_type"), col("cnt"),
+          r2(col("sum_v")).as("sum_v"), r6(col("avg_v")).as("avg_v"),
+          col("min_v").as("min_v"), col("max_v").as("max_v"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             count("value") AS cnt,
+             round(sum("value"), 2) AS sum_v,
+             round(avg("value"), 6) AS avg_v,
+             min("value") AS min_v,
+             max("value") AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Hot-entity SALTED as-of join — same DuckDB ASOF oracle as q55: the
+    * salt spreads hot users over sub-partitions and replicates only
+    * their right-side history, leaving results identical. */
+  private val q39 = Entry(
+    "q39_asof_salted",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("last_click_value"))
+      graft.ops.PointInTime
+        .asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("last_click_value"), salt = 4, hotThreshold = 10L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("feature_ts"), r2(col("purchase_value")).as("purchase_value"),
+          r2(col("last_click_value")).as("last_click_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, ts, "value" AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, max("value") AS last_click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS feature_ts,
+             round(p.purchase_value, 2) AS purchase_value,
+             round(c.last_click_value, 2) AS last_click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.event_id"""))
+
   // ------------------------------------------------------------------
   // Multi-level aggregation, set ops, feature prep, time series, text
   // ------------------------------------------------------------------
@@ -1739,7 +1797,7 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-    q29, q30, q31, q32, q33, q34, q35, q36, q37, q40, q41, q42, q43, q44, q45,
+    q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
