@@ -1792,6 +1792,30 @@ object Queries {
       SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
       FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Context-window chunking: 20-token chunks with 5-token overlap,
+    * final chunk keeps the overhang. */
+  private val q62 = Entry(
+    "q62_text_chunk",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .chunk(Tables.documents(s, d), "doc_id", "text", 20, 5)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_tokens"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (
+        SELECT doc_id, w, len(w) AS n,
+               CASE WHEN len(w) <= 20 THEN 1
+                    ELSE CAST(ceil((len(w) - 20) / 15.0) AS BIGINT) + 1
+               END AS nc
+        FROM t)
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(w[i * 15 + 1 : i * 15 + 20], ' ') AS chunk_text,
+             CAST(len(w[i * 15 + 1 : i * 15 + 20]) AS BIGINT) AS n_tokens
+      FROM c, unnest(range(0, nc)) AS u(i)
+      ORDER BY doc_id, chunk_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -1800,7 +1824,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -92,6 +92,35 @@ object TextAnalysis {
       .select("fp", "keeper_id", "n_copies")
 
   /**
+   * Fixed-size token chunking with overlap — the context-window
+   * preprocessing step: doc → ⌈(n−chunk)/stride⌉+1 chunks of
+   * `chunkTokens` whitespace tokens, consecutive chunks sharing
+   * `overlap` tokens; the final chunk keeps the overhang. Map-only
+   * (tokenize once, per-chunk slices of the SAME projected array — no
+   * O(words²) re-evaluation), output fan-out = Σ chunks.
+   */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toked = df.select(col(idCol),
+      split(col(textCol), " ").as("__w"))
+    val n = size(col("__w"))
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      ceil((n - lit(chunkTokens)).cast("double") / stride).cast("long") + 1L)
+    toked
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => slice(col("__w"), (i * stride + 1).cast("int"),
+            lit(chunkTokens))))
+          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("__c")).as("chunk_text"),
+        size(col("__c")).cast("long").as("n_tokens"))
+  }
+
+  /**
    * PII preset patterns for [[redact]] (regex dialect restricted to the
    * RE2 ∩ Java-regex subset, so the same pattern text runs in Spark,
    * DuckDB, and most scrubbing engines).
