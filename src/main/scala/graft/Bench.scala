@@ -26,9 +26,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warmup: touch every table once (io cache + codegen + executor spin-up)
+    // warmup: touch every table once (io cache + codegen + executor
+    // spin-up), then run two small representative queries so Catalyst /
+    // whole-stage-codegen JIT for the shared aggregate and prefix-sum
+    // machinery isn't billed to whichever query alphabetically goes first
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).limit(16).write
+        .format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+    Seq("q05_dist_stats", "q47_distribution_cdf").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
