@@ -74,23 +74,23 @@ object AnalysisPlanner {
    */
   def percentilesFromCounts(vc: DataFrame,
       ps: Seq[(String, Double)], groupCols: Seq[String]): DataFrame = {
+    // Distinct-value frames can approach row-count for a continuous
+    // feature — and a HOT group concentrates its whole frame on one
+    // task under a plain per-group window. Both paths therefore run the
+    // bucketed two-pass prefix sum ([[PrefixSum.exclusive]]); totals
+    // come from a 1-row broadcast (ungrouped) or a per-group aggregate
+    // joined back on the keys (grouped).
     val marked =
       if (groupCols.isEmpty) {
-        // ungrouped: the distinct-value frame can be ~row-count for a
-        // continuous feature, so NO single-partition window — bucketed
-        // two-pass prefix sum ([[PrefixSum.exclusive]]) + broadcast total
         val tot = vc.agg(sum(col("__c")).as("__n"))
         PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"))
           .crossJoin(broadcast(tot))
       } else {
-        // grouped: windows are partitioned by the group keys — each
-        // group's distinct-value frame stays on its own task
-        val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy("__v")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wAll = Window.partitionBy(groupCols.map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        vc.withColumn("__cb", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
-          .withColumn("__n", sum(col("__c")).over(wAll))
+        val tot = vc.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("__c")).as("__n"))
+        PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"),
+            groupCols = groupCols)
+          .join(tot, groupCols)
       }
     val aggs = ps.flatMap { case (name, p) =>
       val pos = (col("__n") - 1) * lit(p)

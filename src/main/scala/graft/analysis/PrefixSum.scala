@@ -5,74 +5,80 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Distributed prefix sums over a globally-ordered frame WITHOUT a
+ * Distributed prefix sums over an ordered frame WITHOUT an unbounded
  * single-partition window (`Window.orderBy` with no `partitionBy` moves
  * the whole frame to one task — the classic
- * "WindowExec: No Partition Defined" scale-killer).
+ * "WindowExec: No Partition Defined" scale-killer). With `groupCols`,
+ * prefix sums run per group the same way — so a HOT group's frame is
+ * spread over `buckets` tasks too, instead of serializing on one.
  *
  * Algorithm (the textbook two-pass scan, expressed declaratively):
  *   1. bucket rows by a deterministic equal-width range over the order
- *      column (min/max from a broadcast 1-row aggregate — NOT
- *      `repartitionByRange`, whose sampled boundaries differ between
- *      recomputations of the same plan);
- *   2. per-bucket subtotals (small frame, ≤ `buckets` rows);
- *   3. per-bucket cumulative offsets via a non-equi broadcast self-join
- *      (≤ buckets² pairs — trivial, and warning-free);
- *   4. bucket-LOCAL exclusive prefix windows (`partitionBy(bucket)`), plus
- *      the broadcast offset.
+ *      column (min/max from a 1-row — or per-group — bounds aggregate;
+ *      NOT `repartitionByRange`, whose sampled boundaries differ
+ *      between recomputations of the same plan);
+ *   2. per-(group, bucket) subtotals (≤ buckets rows per group);
+ *   3. per-bucket cumulative offsets via an exclusive window over the
+ *      totals frame — partitioned by group (or a constant for the
+ *      ungrouped case), ≤ `buckets` rows per partition BY CONSTRUCTION;
+ *   4. bucket-LOCAL exclusive prefix windows, plus the joined offset.
  *
- * Results are identical to `sum(c) OVER (ORDER BY orderCol ROWS BETWEEN
- * UNBOUNDED PRECEDING AND 1 PRECEDING)` when `orderCol` values are unique
- * per row (the value-count / histogram-bucket frames this serves always
- * are — they're post-`groupBy(value)`). Summation regrouping is exact for
- * the integral count columns this is used on.
- *
- * Scale: each bucket's window partition holds ~1/buckets of the frame and
- * sorts locally (spillable); nothing is ever moved to one partition. For
- * extreme value skew raise `buckets` (offset join grows as buckets²).
+ * Results are identical to `sum(c) OVER (PARTITION BY group ORDER BY
+ * orderCol ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` when
+ * `orderCol` values are unique per (group, row) — the value-count /
+ * histogram-bucket frames this serves always are, post-`groupBy`.
+ * Summation regrouping is exact for the integral count columns used.
  */
 object PrefixSum {
 
   /**
-   * Adds one exclusive-prefix-sum column per `(inputCol, outputCol)` pair,
-   * ordered by `orderCol` ascending (nulls first, matching Spark's window
-   * default). Input columns must be numeric; prefix of the first row is 0
-   * (typed long for long inputs, double for double inputs).
+   * Adds one exclusive-prefix-sum column per `(inputCol, outputCol)`
+   * pair, ordered by `orderCol` ascending (nulls first, matching
+   * Spark's window default) within each `groupCols` group. Input
+   * columns must be numeric; prefix of the first row is 0 (typed long
+   * for long inputs, double for double inputs).
    */
   def exclusive(df: DataFrame, orderCol: String,
-      sums: Seq[(String, String)], buckets: Int = 1024): DataFrame = {
+      sums: Seq[(String, String)], buckets: Int = 1024,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val v = col(orderCol).cast("double")
-    val bounds = df.agg(min(v).as("__plo"), max(v).as("__phi"))
-    val bucketed = df
-      .join(broadcast(bounds))
-      .withColumn("__pb",
-        when(v.isNull, lit(-1L))
-          .when(col("__phi") <= col("__plo"), lit(0L))
-          .otherwise(least(
-            greatest(
-              floor((v - col("__plo")) / (col("__phi") - col("__plo")) * buckets),
-              lit(0L)),
-            lit(buckets - 1L))))
-      .drop("__plo", "__phi")
+    val bucketCol =
+      when(v.isNull, lit(-1L))
+        .when(col("__phi") <= col("__plo"), lit(0L))
+        .otherwise(least(
+          greatest(
+            floor((v - col("__plo")) / (col("__phi") - col("__plo")) * buckets),
+            lit(0L)),
+          lit(buckets - 1L)))
+    val bucketed =
+      (if (groupCols.isEmpty)
+         df.join(broadcast(df.agg(min(v).as("__plo"), max(v).as("__phi"))))
+       else
+         df.join(df.groupBy(groupCols.map(col): _*)
+           .agg(min(v).as("__plo"), max(v).as("__phi")), groupCols))
+        .withColumn("__pb", bucketCol)
+        .drop("__plo", "__phi")
+    val gb = groupCols :+ "__pb"
     val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
-    val totals = bucketed.groupBy(col("__pb")).agg(tAggs.head, tAggs.tail: _*)
+    val totals = bucketed.groupBy(gb.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
     // cumulative offset per bucket: exclusive window over the totals
-    // frame — ≤ `buckets` rows BY CONSTRUCTION (post-aggregation), so a
-    // constant partition is bounded at any data scale; the constant key
-    // keeps the partition spec non-empty (this is not the unbounded
-    // global-window pattern)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pb"))
+    // frame — ≤ `buckets` rows per window partition by construction
+    // (the constant key for the ungrouped case keeps the partition spec
+    // non-empty; this is not the unbounded global-window pattern)
+    val offParts: Seq[Column] =
+      if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
+    val wOff = Window.partitionBy(offParts: _*).orderBy(col("__pb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
-      col("__pb") +: sums.map { case (c, _) =>
+      gb.map(col) ++ sums.map { case (c, _) =>
         coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
       }: _*)
-    val wLoc = Window.partitionBy("__pb").orderBy(orderCol)
+    val wLoc = Window.partitionBy(gb.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumCols: Seq[Column] = sums.map { case (c, out) =>
       (coalesce(sum(col(c)).over(wLoc), lit(0L)) + col(s"__off_$c")).as(out) }
     bucketed
-      .join(broadcast(offsets), Seq("__pb"))
+      .join(if (groupCols.isEmpty) broadcast(offsets) else offsets, gb)
       .select(df.columns.map(col).toSeq ++ cumCols: _*)
   }
 }

@@ -433,6 +433,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("grouped PrefixSum.exclusive matches per-group windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 900).map(_ => (s"g${rnd.nextInt(5)}", rnd.nextInt(150)))
+      .distinct.map { case (g, v) => (g, v.toDouble, rnd.nextInt(9) + 1L) }
+      .toDF("g", "v", "c").repartition(8)
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = df.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(3)))
+    val got = graft.analysis.PrefixSum
+      .exclusive(df, "v", Seq("c" -> "cum"), buckets = 16,
+        groupCols = Seq("g"))
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("value-count summarize keeps all-NULL groups and metric order") {
     import graft.analysis._
     import spark.implicits._
