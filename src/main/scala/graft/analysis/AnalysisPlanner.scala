@@ -35,6 +35,19 @@ object AnalysisPlanner {
   @volatile var approxPercentiles: Boolean = false
   @volatile var approxAccuracy: Int = 10000
 
+  /**
+   * Distinct-count strategy: exact `count_distinct` (default — oracle
+   * parity) vs HyperLogLog++ `approx_count_distinct` at `hllRsd`
+   * relative error. Exact distinct on a high-cardinality column is a
+   * full shuffle of the distinct values; the HLL sketch is map-side
+   * mergeable and O(KiB) per group — flip this at 100 TB.
+   */
+  @volatile var approxDistinct: Boolean = false
+  @volatile var hllRsd: Double = 0.01
+
+  private def cntDistinct(c: Column): Column =
+    if (approxDistinct) approx_count_distinct(c, hllRsd) else count_distinct(c)
+
   private def pct(c: Column, p: Column): Column =
     if (approxPercentiles) approx_percentile(c, p, lit(approxAccuracy))
     else percentile(c, p)
@@ -160,7 +173,7 @@ object AnalysisPlanner {
       case "median"         => pct(c, lit(0.5))
       case "null_count"     => count(when(c.isNull, 1))
       case "null_rate"      => lit(1.0) - count(c).cast("double") / count(lit(1))
-      case "distinct_count" => count_distinct(c)
+      case "distinct_count" => cntDistinct(c)
       case p if p.matches("p\\d{1,2}") =>
         pct(c, lit(p.drop(1).toDouble / 100.0))
       case other => throw new IllegalArgumentException(s"Unsupported metric: $other")
@@ -756,11 +769,11 @@ object AnalysisPlanner {
       val c = col(f)
       Seq(
         (lit(1.0) - count(c).cast("double") / n).as(s"null_rate__$f"),
-        count_distinct(c).cast("double").as(s"distinct__$f"))
+        cntDistinct(c).cast("double").as(s"distinct__$f"))
     }
     val uniq: Seq[Column] =
       if (s.keyColumns.nonEmpty)
-        Seq((n - count_distinct(struct(s.keyColumns.map(col): _*)))
+        Seq((n - cntDistinct(struct(s.keyColumns.map(col): _*)))
           .cast("double").as("dup_keys"))
       else Nil
     val cols = Seq(n.cast("double").as("row_count")) ++ perFeature ++ uniq

@@ -397,6 +397,20 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct toggle tracks exact within HLL error") {
+    import graft.analysis._
+    import spark.implicits._
+    val df = (1 to 30000).map(i => i % 7919).toDF("x").repartition(8)
+    def run() = AnalysisPlanner
+      .dataQuality(df, DataQuality(features = Seq("x")))
+      .collect()(0).getAs[Double]("distinct__x")
+    val exact = run()
+    AnalysisPlanner.approxDistinct = true
+    val approx = try run() finally AnalysisPlanner.approxDistinct = false
+    assert(exact == 7919.0)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
   test("kendall inversion count matches brute-force pairs, no cap") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
