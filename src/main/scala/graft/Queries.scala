@@ -1792,6 +1792,34 @@ object Queries {
       SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
       FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** Quantile (equal-frequency) bucketing of l_extendedprice into
+    * quartiles: per-bucket count/min/max. Boundaries = exact
+    * interpolated quantiles (distributed path) ≡ quantile_cont. */
+  private val q63 = Entry(
+    "q63_quantile_bucket",
+    (s, d) =>
+      graft.ops.Features
+        .quantileBucket(Tables.lineitem(s, d), "l_extendedprice", 4)
+        .groupBy("q_bucket")
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("l_extendedprice"))).as("min_v"),
+          r2(max(col("l_extendedprice"))).as("max_v"))
+        .orderBy("q_bucket"),
+    Some("""
+      WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.50) AS q2,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem)
+      SELECT (CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END +
+              CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END + 1) AS q_bucket,
+             count(*) AS n,
+             round(min(l_extendedprice), 2) AS min_v,
+             round(max(l_extendedprice), 2) AS max_v
+      FROM lineitem, b
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Context-window chunking: 20-token chunks with 5-token overlap,
     * final chunk keeps the overhang. */
   private val q62 = Entry(
@@ -1824,7 +1852,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

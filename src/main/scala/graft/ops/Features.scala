@@ -33,4 +33,27 @@ object Features {
           lit(bins - 1L)).cast("long"))
       .drop("__mu", "__sd", "__lo", "__hi")
   }
+
+  /**
+   * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
+   * exact interpolated quantile boundaries. Boundaries come from the
+   * distributed percentile machinery
+   * ([[graft.analysis.AnalysisPlanner.exactPercentiles]] — a 1-row
+   * frame) broadcast back over the scan; the bucket index is a sum of
+   * strict boundary comparisons, so values tied with a boundary land in
+   * the lower bucket in any engine.
+   */
+  def quantileBucket(df: DataFrame, valueCol: String, n: Int,
+      outCol: String = "q_bucket"): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val bounds = graft.analysis.AnalysisPlanner.exactPercentiles(
+      df, valueCol, (1 until n).map(i => s"__q$i" -> i.toDouble / n), Nil)
+    val v = col(valueCol).cast("double")
+    val bucket = (1 until n)
+      .map(i => when(v > col(s"__q$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.join(broadcast(bounds))
+      .withColumn(outCol, bucket.cast("long"))
+      .drop((1 until n).map(i => s"__q$i"): _*)
+  }
 }

@@ -431,6 +431,22 @@ class OpsExtSpec extends AnyFunSuite {
       r.getLong(4)) == (con, dis, tx, ty, data.size.toLong * (data.size - 1) / 2))
   }
 
+  test("parquet scan pushes filters and prunes columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftscan").toString
+    (1 to 100).map(i => (i.toLong, i * 2.0, s"s$i", i % 7, i % 3))
+      .toDF("a", "x", "s", "m", "n")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("x") > 50.0).select("a", "x")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(x"))
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).get
+    assert(readSchema.contains("a:") && readSchema.contains("x:") &&
+      !readSchema.contains("s:") && !readSchema.contains("m:"),
+      s"projection not pruned: $readSchema")
+  }
+
   test("PrefixSum.exclusive matches a single-partition window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
