@@ -168,7 +168,6 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(wdf))
       .where(col("__df") <= maxPostings)
       .drop("__df")
-      .cache()
     val sizes = shk.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val ids = col("ids")
     val inter = shk.groupBy("sk")
