@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming distribution-drift monitor: each tumbling event-time window
+ * of the stream is histogrammed over the BASELINE's fixed bin edges and
+ * scored against the baseline proportions (PSI / KL, same clamped
+ * formulas as the batch [[graft.analysis.AnalysisPlanner.drift]]) —
+ * one row per window, ready for an alert rule
+ * (e.g. `graft.alerts.Condition.psiGt`).
+ *
+ * Streaming constraints shape the plan: a streaming query allows ONE
+ * aggregation, so the per-bin counts are conditional aggregates of a
+ * single `groupBy(window)` pass (bins is a small compile-time
+ * constant), and the baseline travels as literals (KiB) rather than a
+ * stream-static join. State is O(windows in flight × bins).
+ */
+object StreamingDrift {
+
+  /** Fixed bin edges + per-bin proportions of the reference data. */
+  final case class DriftBaseline(lo: Double, hi: Double,
+      props: Seq[Double])
+
+  /** Compute the baseline from a static frame (`bins` proportions; the
+    * collect is `bins` doubles). */
+  def baselineOf(df: DataFrame, valueCol: String, bins: Int): DriftBaseline = {
+    val v = col(valueCol).cast("double")
+    val b = df.agg(min(v).as("lo"), max(v).as("hi")).collect()(0)
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val bucket = bucketOf(v, lo, hi, bins)
+    val counts = df.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble.max(1.0)
+    DriftBaseline(lo, hi,
+      (0 until bins).map(i => counts.getOrElse(i.toLong, 0L) / total))
+  }
+
+  private def bucketOf(v: Column, lo: Double, hi: Double,
+      bins: Int): Column =
+    if (hi <= lo) lit(0L)
+    else greatest(lit(0L),
+      least(floor((v - lit(lo)) / lit(hi - lo) * bins), lit(bins - 1L)))
+
+  /**
+   * One output row per closed window: `window_start`, `window_end`,
+   * `n`, `psi`, `kl`. Works identically on a static frame (batch
+   * backtesting of the monitor) and a streaming one.
+   */
+  def monitor(stream: DataFrame, tsCol: String, valueCol: String,
+      baseline: DriftBaseline, windowLen: String,
+      lateness: String): DataFrame = {
+    val bins = baseline.props.size
+    val v = col(valueCol).cast("double")
+    val bucket = bucketOf(v, baseline.lo, baseline.hi, bins)
+    val isStreaming = stream.isStreaming
+    val withWm =
+      if (isStreaming)
+        stream.withWatermark(tsCol, StreamingAgg.humanize(lateness))
+      else stream
+    val binAggs = (0 until bins).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val agg = withWm
+      .groupBy(window(col(tsCol), StreamingAgg.humanize(windowLen)))
+      .agg(binAggs.head, binAggs.tail: _*)
+    val eps = 1e-9
+    val n = (0 until bins).map(i => col(s"__b$i")).reduce(_ + _)
+    def q(i: Int): Column =
+      greatest(col(s"__b$i") / n.cast("double"), lit(eps))
+    def p(i: Int): Column = lit(math.max(baseline.props(i), eps))
+    val psi = (0 until bins)
+      .map(i => (p(i) - q(i)) * log(p(i) / q(i))).reduce(_ + _)
+    val kl = (0 until bins)
+      .map(i => p(i) * log(p(i) / q(i))).reduce(_ + _)
+    agg.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      n.as("n"), psi.as("psi"), kl.as("kl"))
+  }
+}

@@ -84,6 +84,49 @@ class StreamingSpec extends AnyFunSuite {
       last.getDouble(2) == 3.0)
   }
 
+  test("streaming drift monitor scores windows against a static baseline") {
+    import spark.implicits._
+    import graft.streaming._
+    val rnd = new scala.util.Random(23)
+    // baseline: N(0, 1)-ish
+    val base = (1 to 4000).map(_ => rnd.nextGaussian()).toDF("v")
+    val bl = StreamingDrift.baselineOf(base, "v", 10)
+    assert(math.abs(bl.props.sum - 1.0) < 1e-9)
+
+    // window 1: same distribution; window 2: shifted by +2
+    def ts(min: Int) = f"2024-01-01 00:$min%02d:00"
+    val events = ((1 to 2000).map(i => (ts(1), rnd.nextGaussian())) ++
+      (1 to 2000).map(i => (ts(11), rnd.nextGaussian() + 2.0)))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+    // batch backtest path
+    val scored = StreamingDrift.monitor(events, "ts", "v", bl, "10m", "5m")
+      .orderBy("window_start").collect()
+    assert(scored.length == 2)
+    val (psiSame, psiShift) =
+      (scored(0).getAs[Double]("psi"), scored(1).getAs[Double]("psi"))
+    assert(psiSame < 0.1, s"same-distribution psi $psiSame")
+    assert(psiShift > 1.0, s"shifted psi $psiShift")
+
+    // real stream run produces the same two windows
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    events.write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    // update mode: the monitor emits each window's current score as
+    // data arrives (the natural mode for an alerting sink)
+    val q = StreamingDrift.monitor(stream, "ts", "v", bl, "10m", "5m")
+      .writeStream.outputMode("update").format("memory").queryName("driftout")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val emitted = spark
+      .sql("SELECT psi FROM driftout ORDER BY window_start").collect()
+    assert(emitted.length == 2)
+    assert(emitted(0).getDouble(0) < 0.1 && emitted(1).getDouble(0) > 1.0)
+  }
+
   test("watermarked stream dedup keeps first row per key") {
     import spark.implicits._
     import graft.streaming._
