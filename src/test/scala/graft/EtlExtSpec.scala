@@ -56,6 +56,19 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("compaction collapses small files, preserves rows") {
+    import spark.implicits._
+    val dir = tmpDir() + "/frag"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    val sumBefore = spark.read.parquet(dir).agg(sum("id")).first().getLong(0)
+    val (before, after) = Compaction.compact(spark, dir)
+    assert(before == 40 && after <= 2, s"$before -> $after")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 5000)
+    assert(got.agg(sum("id")).first().getLong(0) == sumBefore)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val facts = (1 to 2000).map(i => (i.toLong % 200, i.toDouble))
