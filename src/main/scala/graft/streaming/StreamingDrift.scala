@@ -78,4 +78,34 @@ object StreamingDrift {
       col("window.end").as("window_end"),
       n.as("n"), psi.as("psi"), kl.as("kl"))
   }
+
+  /**
+   * Attach an [[graft.alerts.Alert]] to a monitor stream: every emitted
+   * window's metrics are evaluated against the alert's condition (with
+   * its cooldown/history semantics) via `foreachBatch`; each window's
+   * score row is tiny, so the per-batch collect is bounded by windows
+   * touched per micro-batch. Returns the started query.
+   */
+  def alertOn(monitorDf: DataFrame, alert: graft.alerts.Alert,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = monitorDf.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+    val w = trigger.fold(w0)(w0.trigger)
+    w
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("window_start"), col("n"), col("psi"), col("kl"))
+          .collect()
+          .foreach { r =>
+            alert.check(Map(
+              "psi" -> r.getAs[Double]("psi"),
+              "kl" -> r.getAs[Double]("kl"),
+              "n" -> r.getAs[Long]("n").toDouble))
+          }
+        ()
+      }
+      .start()
+  }
 }

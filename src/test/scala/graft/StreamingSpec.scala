@@ -125,6 +125,17 @@ class StreamingSpec extends AnyFunSuite {
       .sql("SELECT psi FROM driftout ORDER BY window_start").collect()
     assert(emitted.length == 2)
     assert(emitted(0).getDouble(0) < 0.1 && emitted(1).getDouble(0) > 1.0)
+
+    // alert attachment: fires once, on the shifted window only
+    val alert = new graft.alerts.Alert("drift",
+      graft.alerts.Condition.psiGt(0.5))
+    val q2 = StreamingDrift.alertOn(
+      StreamingDrift.monitor(
+        spark.readStream.schema(events.schema).parquet(srcDir),
+        "ts", "v", bl, "10m", "5m"),
+      alert, s"$root/ckpt2", Some(Trigger.AvailableNow()))
+    q2.awaitTermination(60000)
+    assert(alert.events.count(_.fired) == 1)
   }
 
   test("watermarked stream dedup keeps first row per key") {
