@@ -474,65 +474,123 @@ object AnalysisPlanner {
   }
 
   /**
-   * Kendall tau-b WITHOUT the pair join (the reference flags kendall as
-   * the expensive method — analysis.py:173-181):
+   * DISTRIBUTED Kendall tau-b — no pair join, no single-task pass (the
+   * reference flags kendall as the expensive method — analysis.py
+   * :173-181):
    *  - tie terms (`ties_x`, `ties_y`, both-tied) come from distributed
    *    aggregations over per-(x, y) cells — Σ c·(c−1)/2 per key;
-   *  - the discordant count is an O(m log m) multiplicity-weighted
-   *    inversion count (Fenwick tree over y-ranks, x-ties batched) over
-   *    the ~m distinct-value cells, sorted once and processed in ONE
-   *    bounded task (m = distinct (x, y) pairs, already aggregated —
-   *    the same frame size every percentile/rank operator here handles);
-   *  - concordant = n·(n−1)/2 − ties_x − ties_y + both − discordant
+   *  - the discordant count D (pairs with x strictly increasing, y
+   *    strictly decreasing) splits over deterministic equal-width
+   *    x-buckets: WITHIN a bucket, a multiplicity-weighted Fenwick
+   *    inversion count runs per bucket, buckets hash-spread across
+   *    tasks (each task holds only its buckets' cells); ACROSS buckets
+   *    every pair has strictly-ordered buckets, so
+   *    D_cross = Σ_cell c · |{cells in earlier buckets with larger y}|,
+   *    computed from a (bucket × distinct-y) grid — a bucket-count
+   *    prefix per y (window over ≤`buckets` rows) followed by a
+   *    y-suffix per bucket via the grouped [[PrefixSum.exclusive]].
+   *    Everything is bounded: grid = buckets × |Y| rows, no unbounded
+   *    window partition anywhere;
+   *  - concordant = n·(n−1)/2 − ties_x − ties_y + both − D
    *    (inclusion-exclusion over strict pairs).
    * `maxRows` bounds an optional deterministic subset by ascending key
-   * (kept for engine-portable replay); the algorithm itself no longer
-   * needs a cap.
+   * (kept for engine-portable replay); the algorithm needs no cap.
    */
   def kendallTau(df: DataFrame, x: String, y: String, keyCol: String,
-      maxRows: Int = Int.MaxValue): DataFrame = {
+      maxRows: Int = Int.MaxValue, buckets: Int = 64): DataFrame = {
     val s0 = df.select(col(keyCol).as("k"),
       col(x).cast("double").as("x"), col(y).cast("double").as("y"))
     val s = if (maxRows == Int.MaxValue) s0 else s0.orderBy("k").limit(maxRows)
     val cells = s.groupBy("x", "y").agg(count(lit(1)).as("c"))
 
-    val discordant: Long = cells
-      .select(col("x"), col("y"), col("c"))
-      .repartition(1).sortWithinPartitions("x", "y")
+    // deterministic equal-width x-buckets (equal x ⇒ same bucket)
+    val cb = cells
+      .join(broadcast(cells.agg(min(col("x")).as("__plo"),
+        max(col("x")).as("__phi"))))
+      .withColumn("__xb",
+        when(col("__phi") <= col("__plo"), lit(0L))
+          .otherwise(least(
+            greatest(floor((col("x") - col("__plo")) /
+              (col("__phi") - col("__plo")) * buckets), lit(0L)),
+            lit(buckets - 1L))))
+      .drop("__plo", "__phi")
+
+    // D_within: per-bucket weighted inversion count; tasks see only the
+    // buckets hashed to them, sorted (bucket, x, y) with a reset per run
+    val dWithin: Long = cb
+      .select(col("__xb"), col("x"), col("y"), col("c"))
+      .repartition(col("__xb"))
+      .sortWithinPartitions("__xb", "x", "y")
       .rdd.mapPartitions { it =>
-        val buf = it.map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
-          .toArray
-        val ys = buf.map(_._2).distinct.sorted
-        val rank = ys.zipWithIndex.toMap
-        val bit = new Array[Long](ys.length + 1)
-        def add(i0: Int, w: Long): Unit = {
-          var i = i0 + 1
-          while (i <= ys.length) { bit(i) += w; i += i & (-i) }
-        }
-        def atMost(i0: Int): Long = { // Σ weights with y-rank ≤ i0
-          var i = i0 + 1; var acc = 0L
-          while (i > 0) { acc += bit(i); i -= i & (-i) }
-          acc
-        }
         var total = 0L
-        var inserted = 0L
-        var i = 0
-        while (i < buf.length) {
-          var j = i
-          while (j < buf.length && buf(j)._1 == buf(i)._1) j += 1
-          var k = i // query the whole equal-x batch first (x must be strict)
-          while (k < j) {
-            total += buf(k)._3 * (inserted - atMost(rank(buf(k)._2)))
-            k += 1
+        val run = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Double, Long)]
+        def flush(): Unit = {
+          if (run.nonEmpty) {
+            val buf = run.toArray
+            val ys = buf.map(_._2).distinct.sorted
+            val rank = ys.zipWithIndex.toMap
+            val bit = new Array[Long](ys.length + 1)
+            def add(i0: Int, w: Long): Unit = {
+              var i = i0 + 1
+              while (i <= ys.length) { bit(i) += w; i += i & (-i) }
+            }
+            def atMost(i0: Int): Long = {
+              var i = i0 + 1; var acc = 0L
+              while (i > 0) { acc += bit(i); i -= i & (-i) }
+              acc
+            }
+            var inserted = 0L
+            var i = 0
+            while (i < buf.length) {
+              var j = i
+              while (j < buf.length && buf(j)._1 == buf(i)._1) j += 1
+              var k = i // query the equal-x batch first (x must be strict)
+              while (k < j) {
+                total += buf(k)._3 * (inserted - atMost(rank(buf(k)._2)))
+                k += 1
+              }
+              k = i
+              while (k < j) {
+                add(rank(buf(k)._2), buf(k)._3); inserted += buf(k)._3
+                k += 1
+              }
+              i = j
+            }
+            run.clear()
           }
-          k = i
-          while (k < j) {
-            add(rank(buf(k)._2), buf(k)._3); inserted += buf(k)._3; k += 1
-          }
-          i = j
         }
+        var cur = Long.MinValue
+        it.foreach { r =>
+          val xb = r.getLong(0)
+          if (xb != cur) { flush(); cur = xb }
+          run += ((r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        }
+        flush()
         Iterator.single(total)
-      }.collect().sum // one Long
+      }.collect().sum // one Long per task
+
+    // D_cross via the (bucket × y) grid
+    val spark0 = df.sparkSession
+    val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("c")).as("__n"))
+    val grid = cells.select(col("y")).distinct()
+      .crossJoin(spark0.range(0, buckets).toDF("__xb"))
+      .join(perY, Seq("__xb", "y"), "left")
+      .na.fill(0L, Seq("__n"))
+    val wXb = Window.partitionBy("y").orderBy("__xb") // ≤ buckets rows
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = grid.withColumn("__G",
+      coalesce(sum(col("__n")).over(wXb), lit(0L)))
+    val gTot = g.groupBy("__xb").agg(sum(col("__G")).as("__Gtot"))
+    val earlierGt = PrefixSum
+      .exclusive(g, "y", Seq("__G" -> "__cumG"), groupCols = Seq("__xb"))
+      .join(gTot, "__xb")
+      .withColumn("__egt", col("__Gtot") - col("__cumG") - col("__G"))
+      .select(col("__xb"), col("y"), col("__egt"))
+    val dCross: Long = cb.join(earlierGt, Seq("__xb", "y"))
+      .agg(coalesce(sum(col("c") * col("__egt")), lit(0L)))
+      .collect()(0).getLong(0)
+    val discordant = dWithin + dCross
 
     def pairsOf(c: Column) = ((c * (c - lit(1L))) / 2).cast("long")
     val tots = cells.agg(sum(col("c")).as("n"),
