@@ -605,10 +605,14 @@ object AnalysisPlanner {
       .withColumn("concordant",
         col("n_pairs") - col("ties_x") - col("ties_y") + col("__both") -
           col("discordant"))
-      .withColumn("tau_b",
-        (col("concordant") - col("discordant")).cast("double") /
-          sqrt((col("n_pairs") - col("ties_x")).cast("double") *
-            (col("n_pairs") - col("ties_y")).cast("double")))
+      .withColumn("tau_b", {
+        // all pairs tied in x (or y) ⇒ tau undefined ⇒ NULL, not an
+        // ANSI divide-by-zero
+        val den = sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+          (col("n_pairs") - col("ties_y")).cast("double"))
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise((col("concordant") - col("discordant")).cast("double") / den)
+      })
       .select(col("concordant"), col("discordant"), col("ties_x"),
         col("ties_y"), col("n_pairs"), col("tau_b"))
   }

@@ -245,7 +245,7 @@ object Dedup {
     // until the fixpoint — convergence detection is ONE aggregate per
     // round (no join against the previous labels)
     def labelSum(l: DataFrame): Long =
-      l.agg(sum(col("component"))).collect()(0).getLong(0)
+      l.agg(coalesce(sum(col("component")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false

@@ -335,6 +335,43 @@ class OpsExtSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("edge cases: empty/degenerate inputs do not break the new ops") {
+    import graft.analysis._
+    import spark.implicits._
+    // PrefixSum on empty and single-value frames
+    val empty = Seq.empty[(Double, Long)].toDF("v", "c")
+    assert(PrefixSum.exclusive(empty, "v", Seq("c" -> "cum")).count() == 0)
+    val one = Seq((5.0, 3L)).toDF("v", "c")
+    assert(PrefixSum.exclusive(one, "v", Seq("c" -> "cum"))
+      .collect()(0).getLong(2) == 0L)
+    // kendall on constant x (every pair x-tied → zero discordant)
+    val const = (1 to 50).map(i => (i.toLong, 1.0, i.toDouble)).toDF("k", "x", "y")
+    val kt = AnalysisPlanner.kendallTau(const, "x", "y", "k").collect()(0)
+    assert(kt.getLong(1) == 0L && kt.getLong(2) == 50L * 49 / 2)
+    // asof join with empty right side: all feature values NULL
+    val left = Seq((1L, 10L)).toDF("uid", "t")
+    val rightEmpty = Seq.empty[(Long, Long, Double)].toDF("uid", "ft", "score")
+    val aj = graft.ops.PointInTime
+      .asofJoin(left, rightEmpty, Seq("uid"), "t", "ft", Seq("score"))
+      .collect()
+    assert(aj.length == 1 && aj(0).isNullAt(2) && aj(0).isNullAt(3))
+    // salted asof with empty left
+    val leftEmpty = Seq.empty[(Long, Long)].toDF("uid", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("uid", "ft", "score")
+    assert(graft.ops.PointInTime
+      .asofJoin(leftEmpty, right, Seq("uid"), "t", "ft", Seq("score"),
+        salt = 4, hotThreshold = 0L).count() == 0)
+    // chunking a one-token doc
+    val doc = Seq((1L, "hello")).toDF("doc_id", "text")
+    val ch = graft.ops.TextAnalysis.chunk(doc, "doc_id", "text", 20, 5)
+      .collect()
+    assert(ch.length == 1 && ch(0).getString(2) == "hello" &&
+      ch(0).getLong(3) == 1L)
+    // connected components with no edges
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Dedup.connectedComponents(noEdges, "a", "b").count() == 0)
+  }
+
   test("PII presets redact emails, phones, ssn, ip") {
     import spark.implicits._
     val df = Seq(
