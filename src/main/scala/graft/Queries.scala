@@ -1820,6 +1820,58 @@ object Queries {
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-entity linear interpolation: values NULLed on a deterministic
+    * md5 predicate are reconstructed from their temporal neighbors;
+    * boundary NULLs stay NULL. Both engines run the same prev/next
+    * IGNORE-NULLS windows and line formula on epoch-micros. */
+  private val q64 = Entry(
+    "q64_interpolate",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy("user_id", "ts").agg(avg(col("value")).as("v"))
+        .withColumn("v",
+          when(pmod(conv(substring(md5(
+            concat(col("user_id").cast("string"), lit("|"),
+              unix_micros(col("ts")).cast("string"))), 1, 15), 16, 10)
+            .cast("long"), lit(3L)) === 0, lit(null).cast("double"))
+            .otherwise(col("v")))
+      graft.ops.TimeSeries
+        .interpolateLinear(base, Seq("user_id"), "ts", "v")
+        .select(col("user_id"), col("ts"),
+          r6(col("v")).as("v"), r6(col("v_interp")).as("v_interp"))
+        .orderBy("user_id", "ts")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, ts,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' ||
+                            CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3) = 0
+                    THEN NULL ELSE avg("value") END AS v
+        FROM events GROUP BY user_id, ts),
+      w AS (
+        SELECT user_id, ts, v,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+               first_value(v IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        FROM base)
+      SELECT user_id, ts, round(v, 6) AS v,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt = pt
+                          THEN (pv + nv) / 2.0
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+                   END, 6) AS v_interp
+      FROM w ORDER BY user_id, ts"""))
+
   /** Context-window chunking: 20-token chunks with 5-token overlap,
     * final chunk keeps the overhang. */
   private val q62 = Entry(
@@ -1852,7 +1904,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -33,4 +33,39 @@ object TimeSeries {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("day_value"), lit(0.0)).as("day_value"))
   }
+
+  /**
+   * Per-entity linear interpolation of NULL observations: each NULL
+   * value at a known timestamp becomes the straight line between the
+   * nearest non-null observations before and after it; boundary NULLs
+   * (no neighbor on one side) stay NULL — no extrapolation. Windows are
+   * partitioned by the entity keys, so parallelism scales with
+   * entities. Both carried fields (neighbor ts and value) come from
+   * rows selected by the SAME `value IS NOT NULL` condition, so they
+   * always belong to one observation.
+   */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, outCol: String = "v_interp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.TimestampType
+    val v = col(valueCol).cast("double")
+    val t: Column =
+      if (df.schema(tsCol).dataType == TimestampType) unix_micros(col(tsCol))
+      else col(tsCol).cast("double")
+    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(when(v.isNotNull, v), ignoreNulls = true).over(wPrev)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(wPrev)
+    val nv = first(when(v.isNotNull, v), ignoreNulls = true).over(wNext)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(wNext)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        // equal neighbor timestamps (duplicate-ts series) → midpoint,
+        // not an ANSI divide-by-zero
+        .when(pv.isNotNull && nv.isNotNull && nt === pt, (pv + nv) / 2.0)
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * (t - pt) / (nt - pt)))
+  }
 }
