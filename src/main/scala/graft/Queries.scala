@@ -1820,6 +1820,28 @@ object Queries {
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Winsorization at [p05, p95]: clipped-column stats prove the clamp
+    * (min/max equal the exact interpolated bounds). */
+  private val q65 = Entry(
+    "q65_winsorize",
+    (s, d) =>
+      graft.ops.Features
+        .winsorize(Tables.lineitem(s, d), "l_extendedprice", 0.05, 0.95)
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("v_wins"))).as("min_w"),
+          r2(max(col("v_wins"))).as("max_w"),
+          r6(avg(col("v_wins"))).as("avg_w")),
+    Some("""
+      WITH b AS (
+        SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem)
+      SELECT count(*) AS n,
+             round(min(greatest(lo, least(hi, l_extendedprice))), 2) AS min_w,
+             round(max(greatest(lo, least(hi, l_extendedprice))), 2) AS max_w,
+             round(avg(greatest(lo, least(hi, l_extendedprice))), 6) AS avg_w
+      FROM lineitem, b"""))
+
   /** Per-entity linear interpolation: values NULLed on a deterministic
     * md5 predicate are reconstructed from their temporal neighbors;
     * boundary NULLs stay NULL. Both engines run the same prev/next
@@ -1904,7 +1926,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

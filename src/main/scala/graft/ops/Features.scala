@@ -35,6 +35,24 @@ object Features {
   }
 
   /**
+   * Winsorization: clamp `valueCol` into its [pLo, pHi] exact
+   * interpolated percentile range — the outlier-capping step before
+   * scaling/training. Bounds are a 1-row broadcast from the distributed
+   * percentile path; the clamp itself is map-only.
+   */
+  def winsorize(df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      outCol: String = "v_wins"): DataFrame = {
+    val bounds = graft.analysis.AnalysisPlanner.exactPercentiles(
+      df, valueCol, Seq("__wlo" -> pLo, "__whi" -> pHi), Nil)
+    df.join(broadcast(bounds))
+      .withColumn(outCol,
+        greatest(col("__wlo"),
+          least(col("__whi"), col(valueCol).cast("double"))))
+      .drop("__wlo", "__whi")
+  }
+
+  /**
    * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
    * exact interpolated quantile boundaries. Boundaries come from the
    * distributed percentile machinery
