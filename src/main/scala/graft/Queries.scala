@@ -1820,6 +1820,35 @@ object Queries {
       FROM lineitem, b
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus mixing: src0 upsampled 2.5 epochs, src1 downsampled to 40%,
+    * everything else untouched — per-copy rows with identical md5
+    * fractional-epoch coins in both engines. */
+  private val q66 = Entry(
+    "q66_weighted_mix",
+    (s, d) =>
+      graft.ops.Sampling
+        .weightedMix(Tables.documents(s, d), "source",
+          Map("src0" -> 2.5, "src1" -> 0.4), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("mix_copy"))
+        .orderBy("doc_id", "mix_copy"),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                    ELSE 1.0 END AS rate,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1048576) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+               CAST(floor(rate) AS BIGINT) +
+               (CASE WHEN h < (rate - floor(rate)) * 1048576 THEN 1 ELSE 0 END)
+                 AS copies
+        FROM r)
+      SELECT doc_id, source, u.cp AS mix_copy
+      FROM c, unnest(range(1, copies + 1)) AS u(cp)
+      ORDER BY doc_id, mix_copy"""))
+
   /** Winsorization at [p05, p95]: clipped-column stats prove the clamp
     * (min/max equal the exact interpolated bounds). */
   private val q65 = Entry(
@@ -1926,7 +1955,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

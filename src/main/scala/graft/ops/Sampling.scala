@@ -22,6 +22,30 @@ object Sampling {
       lit(M))
 
   /**
+   * Weighted source mixing with deterministic fractional epochs — the
+   * corpus-mixing step of a training-data pipeline: a source at rate
+   * 0.3 keeps ~30% of its rows; at rate 2.5 every row appears twice and
+   * ~half a third time (`mix_copy` = 1..k distinguishes the epochs).
+   * Map-only: the per-row copy count is ⌊rate⌋ plus a hash-threshold
+   * coin for the fractional part, then a bounded `explode` — no shuffle
+   * and the same subset in any engine with md5. Sources absent from
+   * `rates` default to rate 1.0.
+   */
+  def weightedMix(df: DataFrame, sourceCol: String,
+      rates: Map[String, Double], hashCols: Seq[String]): DataFrame = {
+    require(rates.values.forall(r => r >= 0), "rates must be >= 0")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (acc, (k, r)) => when(col(sourceCol) === k, lit(r)).otherwise(acc)
+    }
+    val copies = (floor(rate).cast("long") +
+      when(hashOf(hashCols) < (rate - floor(rate)) * M, 1L).otherwise(0L))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0) // sequence(1,0) would step backwards
+      .withColumn("mix_copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
+  /**
    * Stratified sampler: targets ~`n` rows PER STRATUM (class-balanced
    * subsets — the "equal examples per label/language/source" step).
    * Strata counts come from one aggregation joined back on the strata
