@@ -1849,6 +1849,28 @@ object Queries {
       FROM c, unnest(range(1, copies + 1)) AS u(cp)
       ORDER BY doc_id, mix_copy"""))
 
+  /** Robust (median/MAD) scaling on events.value — identical nested
+    * quantile_cont formula in both engines. */
+  private val q67 = Entry(
+    "q67_robust_scale",
+    (s, d) =>
+      graft.ops.Features
+        .robustScale(Tables.events(s, d), "value")
+        .agg(count(lit(1)).as("n"),
+          r6(min(col("robust_z"))).as("min_z"),
+          r6(max(col("robust_z"))).as("max_z"),
+          r6(avg(col("robust_z"))).as("avg_z")),
+    Some("""
+      WITH m AS (SELECT quantile_cont("value", 0.5) AS med FROM events),
+      md AS (
+        SELECT quantile_cont(abs("value" - med), 0.5) AS mad
+        FROM events, m)
+      SELECT count(*) AS n,
+             round(min(("value" - med) / (1.4826 * mad)), 6) AS min_z,
+             round(max(("value" - med) / (1.4826 * mad)), 6) AS max_z,
+             round(avg(("value" - med) / (1.4826 * mad)), 6) AS avg_z
+      FROM events, m, md"""))
+
   /** Winsorization at [p05, p95]: clipped-column stats prove the clamp
     * (min/max equal the exact interpolated bounds). */
   private val q65 = Entry(
@@ -1955,7 +1977,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

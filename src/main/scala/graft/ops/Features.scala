@@ -35,6 +35,29 @@ object Features {
   }
 
   /**
+   * Robust (median/MAD) scaling: z = (x − median) / (1.4826 · MAD),
+   * MAD = median(|x − median|) — outlier-resistant standardization.
+   * Two chained distributed exact-percentile passes produce two 1-row
+   * broadcasts; the scaling itself is map-only. A zero MAD (more than
+   * half the values identical) yields NULL, not a divide-by-zero.
+   */
+  def robustScale(df: DataFrame, valueCol: String,
+      outCol: String = "robust_z"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = graft.analysis.AnalysisPlanner.exactPercentiles(
+      df, valueCol, Seq("__med" -> 0.5), Nil)
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = graft.analysis.AnalysisPlanner.exactPercentiles(
+      withMed.withColumn("__ad", abs(v - col("__med"))),
+      "__ad", Seq("__mad" -> 0.5), Nil)
+    withMed.crossJoin(broadcast(mad))
+      .withColumn(outCol,
+        when(col("__mad") === 0.0, lit(null).cast("double"))
+          .otherwise((v - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .drop("__med", "__mad")
+  }
+
+  /**
    * Winsorization: clamp `valueCol` into its [pLo, pHi] exact
    * interpolated percentile range — the outlier-capping step before
    * scaling/training. Bounds are a 1-row broadcast from the distributed
