@@ -41,6 +41,12 @@ object PrefixSum {
   def exclusive(df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], buckets: Int = 1024,
       groupCols: Seq[String] = Nil): DataFrame = {
+    // bucketing works on the double image of orderCol, so the ordering
+    // must BE numeric — a lexicographic (string/date) order would make
+    // bucket boundaries and within-bucket sort disagree
+    require(df.schema(orderCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"PrefixSum order column '$orderCol' must be numeric")
     val v = col(orderCol).cast("double")
     val bucketCol =
       when(v.isNull, lit(-1L))

@@ -39,8 +39,10 @@ object Compaction {
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path (s3a://… must not fall back
+    // to the cluster's default FS)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       val buf = scala.collection.mutable.ArrayBuffer

@@ -231,10 +231,19 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
         else {
           val ord = orderColumn.getOrElse(keys.head)
           // partition-scoped: read ONLY the batch's partitions (the isin
-          // predicate prunes at the file listing, no full-table scan)
+          // predicate prunes at the file listing, no full-table scan).
+          // Partition columns round-trip through directory names, where
+          // type INFERENCE can change them (string "01" → int 1) — cast
+          // them back to the batch's types so the predicate, the union,
+          // and the rewritten directory names all agree.
           val current =
             if (partitionBy.isEmpty) spark.read.parquet(path)
-            else spark.read.parquet(path).where(affectedPredicate(df))
+            else {
+              val typed = partitionBy.foldLeft(spark.read.parquet(path)) {
+                (d, c) => d.withColumn(c, col(c).cast(df.schema(c).dataType))
+              }
+              typed.where(affectedPredicate(df))
+            }
           // new rows win ties: tag precedence, window-dedup per key
           val merged = current.withColumn("__prec", lit(0))
             .unionByName(df.withColumn("__prec", lit(1)))

@@ -164,10 +164,13 @@ object Dedup {
     // exchange), and WindowExec spills oversized groups to disk — the
     // hot shingle is counted and discarded without ever being collected
     val wdf = Window.partitionBy("sk")
+    // cached: the capped shingle frame feeds the posting-list groupBy
+    // AND both size joins — exchange reuse does not span them
     val shk = sh
       .withColumn("__df", count(lit(1)).over(wdf))
       .where(col("__df") <= maxPostings)
       .drop("__df")
+      .cache()
     val sizes = shk.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val ids = col("ids")
     val inter = shk.groupBy("sk")
@@ -238,31 +241,45 @@ object Dedup {
       .cache()
     // init = identity fused with the first propagation round:
     // component(v) = min(v, min neighbor) — complete-subgraph clusters
-    // (the common near-dup shape) then converge in one confirm round
+    // (the common near-dup shape) then converge in one confirm round.
+    // Each further round combines one neighbor-hop with POINTER
+    // DOUBLING (adopt your component's own component), so a chain of
+    // length L converges in O(log L) rounds, not L. Convergence is a
+    // changed-row count against the previous labels — works for any id
+    // type (string hashes included). Non-convergence within `maxIter`
+    // throws rather than returning silently-split clusters.
+    // localCheckpoint per round truncates the logical plan — the
+    // doubling join references the round's labels TWICE, so without
+    // truncation the plan tree grows exponentially with rounds
     var labels = e.groupBy(col("__a").as("id"))
-      .agg(least(col("__a"), min(col("__b"))).as("component")).cache()
-    // labels only ever decrease, so Σ component is strictly monotone
-    // until the fixpoint — convergence detection is ONE aggregate per
-    // round (no join against the previous labels)
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum(col("component")), lit(0L))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
+      .agg(least(col("__a"), min(col("__b"))).as("component"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val prev = labels
       val prop = e.join(labels.withColumnRenamed("id", "__a"), "__a")
         .select(col("__b").as("id"), col("component"))
-      labels = labels.unionByName(prop)
+      val viaNbr = labels.unionByName(prop)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .cache()
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
-      prev.unpersist()
+      val half = viaNbr
+        .withColumnRenamed("id", "__cid")
+        .withColumnRenamed("component", "__cc")
+      labels = viaNbr
+        .join(half, viaNbr("component") === col("__cid"), "left")
+        .select(viaNbr("id"),
+          least(viaNbr("component"),
+            coalesce(col("__cc"), viaNbr("component"))).as("component"))
+        .localCheckpoint()
+      converged = labels
+        .join(prev.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") =!= col("__old")).count() == 0
       i += 1
     }
     e.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint in $maxIter rounds")
     labels
   }
 

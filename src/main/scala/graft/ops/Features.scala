@@ -68,10 +68,13 @@ object Features {
       outCol: String = "v_wins"): DataFrame = {
     val bounds = graft.analysis.AnalysisPlanner.exactPercentiles(
       df, valueCol, Seq("__wlo" -> pLo, "__whi" -> pHi), Nil)
+    val v = col(valueCol).cast("double")
     df.join(broadcast(bounds))
       .withColumn(outCol,
-        greatest(col("__wlo"),
-          least(col("__whi"), col(valueCol).cast("double"))))
+        // least/greatest SKIP nulls, which would fabricate the upper
+        // bound for a NULL observation — keep NULL in, NULL out
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(greatest(col("__wlo"), least(col("__whi"), v))))
       .drop("__wlo", "__whi")
   }
 
@@ -94,7 +97,10 @@ object Features {
       .map(i => when(v > col(s"__q$i"), 1).otherwise(0))
       .reduce(_ + _) + 1
     df.join(broadcast(bounds))
-      .withColumn(outCol, bucket.cast("long"))
+      // a NULL value belongs to no bucket (every comparison is NULL,
+      // which would otherwise silently land it in bucket 1)
+      .withColumn(outCol,
+        when(v.isNull, lit(null).cast("long")).otherwise(bucket.cast("long")))
       .drop((1 until n).map(i => s"__q$i"): _*)
   }
 }

@@ -54,9 +54,16 @@ object Sampling {
    */
   def stratifiedHashSample(df: DataFrame, n: Long, strata: Seq[String],
       hashCols: Seq[String]): DataFrame = {
+    // NULL is a legitimate stratum (unlabeled rows in scraped corpora) —
+    // join null-safely so those rows are sampled, not silently dropped
     val tot = df.groupBy(strata.map(col): _*).agg(count(lit(1)).as("__tot"))
-    df.join(tot, strata)
+      .select(strata.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__k$i") } :+ col("__tot"): _*)
+    val cond = strata.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }
+      .reduce(_ && _)
+    df.join(tot, cond)
       .where(hashOf(hashCols) * col("__tot") < lit(n) * lit(M))
-      .drop("__tot")
+      .drop(strata.indices.map(i => s"__k$i") :+ "__tot": _*)
   }
 }

@@ -88,10 +88,16 @@ object StreamingDrift {
    */
   def alertOn(monitorDf: DataFrame, alert: graft.alerts.Alert,
       checkpointDir: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      outputMode: String = "append")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // default "append": evaluate each window ONCE, when the watermark
+    // closes it — partial-window scores in "update" mode can both fire
+    // spuriously on small-n skew and then cooldown-suppress the real
+    // closed-window alert; use "update" only for low-latency monitors
+    // whose condition tolerates partial windows
     val w0 = monitorDf.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
     val w = trigger.fold(w0)(w0.trigger)
     w

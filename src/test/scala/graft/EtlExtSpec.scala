@@ -56,6 +56,26 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("partition-scoped upsert preserves numeric-looking string partitions") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t01"
+    val target = ParquetTarget(dir, orderColumn = Some("v"),
+      partitionBy = Seq("code"))
+    target.write(Seq((1L, 1.0, "01"), (2L, 2.0, "02")).toDF("id", "v", "code"),
+      WriteMode.Upsert, Seq("id"))
+    // directory inference would read code back as INT 1 — the upsert
+    // must still target and replace code=01
+    target.write(Seq((1L, 9.0, "01")).toDF("id", "v", "code"),
+      WriteMode.Upsert, Seq("id"))
+    assert(new java.io.File(s"$dir/code=01").exists())
+    assert(!new java.io.File(s"$dir/code=1").exists())
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 9.0), (2L, 2.0)))
+  }
+
   test("compaction collapses small files, preserves rows") {
     import spark.implicits._
     val dir = tmpDir() + "/frag"

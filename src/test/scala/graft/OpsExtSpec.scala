@@ -372,6 +372,37 @@ class OpsExtSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.connectedComponents(noEdges, "a", "b").count() == 0)
   }
 
+  test("review fixes: NULL propagation, NULL strata, chains, string ids") {
+    import spark.implicits._
+    // winsorize/quantileBucket: NULL in, NULL out
+    val withNull = (Seq.tabulate(99)(i => Some(i.toDouble)) :+
+      (None: Option[Double])).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val w = graft.ops.Features.winsorize(withNull, "v", 0.1, 0.9)
+      .where(col("v").isNull).collect()
+    assert(w.length == 1 && w(0).isNullAt(2))
+    val qb = graft.ops.Features.quantileBucket(withNull, "v", 4)
+      .where(col("v").isNull).collect()
+    assert(qb.length == 1 && qb(0).isNullAt(2))
+    // stratified sampling keeps NULL-stratum rows
+    val strat = Seq(("a", 1L), ("a", 2L), (null, 3L), (null, 4L))
+      .toDF("g", "id")
+    val sampled = graft.ops.Sampling
+      .stratifiedHashSample(strat, 100, Seq("g"), Seq("id"))
+    assert(sampled.where(col("g").isNull).count() == 2)
+    // connected components: 60-node chain converges (pointer doubling)
+    val chain = (0 until 59).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val cc = graft.ops.Dedup.connectedComponents(chain, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 60 && cc.forall(_._2 == 0L))
+    // string ids (the md5-keyed dedup shape) work end to end
+    val sEdges = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
+    val sc = graft.ops.Dedup.connectedComponents(sEdges, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sc == Map("x" -> "x", "y" -> "x", "z" -> "x",
+      "p" -> "p", "q" -> "p"))
+  }
+
   test("PII presets redact emails, phones, ssn, ip") {
     import spark.implicits._
     val df = Seq(

@@ -133,7 +133,8 @@ class StreamingSpec extends AnyFunSuite {
       StreamingDrift.monitor(
         spark.readStream.schema(events.schema).parquet(srcDir),
         "ts", "v", bl, "10m", "5m"),
-      alert, s"$root/ckpt2", Some(Trigger.AvailableNow()))
+      alert, s"$root/ckpt2", Some(Trigger.AvailableNow()),
+      outputMode = "update") // single-batch test source never closes windows
     q2.awaitTermination(60000)
     assert(alert.events.count(_.fired) == 1)
   }
