@@ -1893,6 +1893,38 @@ object Queries {
              round(avg(greatest(lo, least(hi, l_extendedprice))), 6) AS avg_w
       FROM lineitem, b"""))
 
+  /** Forward fill (LOCF) over the same deterministic NULL injection as
+    * q64 — leading NULLs stay NULL. */
+  private val q68 = Entry(
+    "q68_forward_fill",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy("user_id", "ts").agg(avg(col("value")).as("v"))
+        .withColumn("v",
+          when(pmod(conv(substring(md5(
+            concat(col("user_id").cast("string"), lit("|"),
+              unix_micros(col("ts")).cast("string"))), 1, 15), 16, 10)
+            .cast("long"), lit(3L)) === 0, lit(null).cast("double"))
+            .otherwise(col("v")))
+      graft.ops.TimeSeries
+        .forwardFill(base, Seq("user_id"), "ts", "v")
+        .select(col("user_id"), col("ts"),
+          r6(col("v")).as("v"), r6(col("v_ffill")).as("v_ffill"))
+        .orderBy("user_id", "ts")
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, ts,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' ||
+                            CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3) = 0
+                    THEN NULL ELSE avg("value") END AS v
+        FROM events GROUP BY user_id, ts)
+      SELECT user_id, ts, round(v, 6) AS v,
+             round(last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill
+      FROM base ORDER BY user_id, ts"""))
+
   /** Per-entity linear interpolation: values NULLed on a deterministic
     * md5 predicate are reconstructed from their temporal neighbors;
     * boundary NULLs stay NULL. Both engines run the same prev/next
@@ -1977,7 +2009,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -35,6 +35,20 @@ object TimeSeries {
   }
 
   /**
+   * Per-entity forward fill (LOCF): each NULL value takes the most
+   * recent non-null observation of the same entity; leading NULLs stay
+   * NULL. Entity-partitioned window — parallelism scales with entities.
+   */
+  def forwardFill(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, outCol: String = "v_ffill"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(outCol,
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /**
    * Per-entity linear interpolation of NULL observations: each NULL
    * value at a known timestamp becomes the straight line between the
    * nearest non-null observations before and after it; boundary NULLs
