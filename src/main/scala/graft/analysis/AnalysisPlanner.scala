@@ -500,6 +500,7 @@ object AnalysisPlanner {
       maxRows: Int = Int.MaxValue, buckets: Int = 64): DataFrame = {
     val s0 = df.select(col(keyCol).as("k"),
       col(x).cast("double").as("x"), col(y).cast("double").as("y"))
+      .where(col(x).isNotNull && col(y).isNotNull) // tau over complete pairs
     val s = if (maxRows == Int.MaxValue) s0 else s0.orderBy("k").limit(maxRows)
     val cells = s.groupBy("x", "y").agg(count(lit(1)).as("c"))
 
