@@ -663,7 +663,9 @@ object Queries {
     Some("""
       WITH s AS (
         SELECT event_id AS k, "value" AS x, CAST(user_id AS DOUBLE) AS y
-        FROM events ORDER BY event_id LIMIT 1500),
+        FROM events
+        WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+        ORDER BY event_id LIMIT 1500),
       pairs AS (
         SELECT (p.x - q.x) * (p.y - q.y) AS prod,
                CAST(p.x = q.x AS BIGINT) AS tx,

@@ -41,12 +41,18 @@ object PrefixSum {
   def exclusive(df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], buckets: Int = 1024,
       groupCols: Seq[String] = Nil): DataFrame = {
-    // bucketing works on the double image of orderCol, so the ordering
-    // must BE numeric — a lexicographic (string/date) order would make
-    // bucket boundaries and within-bucket sort disagree
-    require(df.schema(orderCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"PrefixSum order column '$orderCol' must be numeric")
+    // bucketing works on the double image of orderCol, so the column's
+    // native ordering must agree with its double cast — true for
+    // numerics, timestamps, and dates (monotone epoch casts), NOT for
+    // strings, whose lexicographic order would disagree with bucket
+    // boundaries
+    require({
+      import org.apache.spark.sql.types._
+      df.schema(orderCol).dataType match {
+        case _: NumericType | TimestampType | DateType => true
+        case _ => false
+      }
+    }, s"PrefixSum order column '$orderCol' must order numerically")
     val v = col(orderCol).cast("double")
     val bucketCol =
       when(v.isNull, lit(-1L))

@@ -226,24 +226,24 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
       case WriteMode.Upsert =>
         require(keys.nonEmpty, "upsert requires key columns")
         val spark = df.sparkSession
-        val exists = new java.io.File(path).exists()
+        // resolve the filesystem FROM the path — java.io.File would say
+        // "missing" for any object-store URI and truncate the table
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = hFs.exists(hPath)
         if (!exists) writer(df).mode("overwrite").parquet(path)
         else {
           val ord = orderColumn.getOrElse(keys.head)
           // partition-scoped: read ONLY the batch's partitions (the isin
           // predicate prunes at the file listing, no full-table scan).
-          // Partition columns round-trip through directory names, where
-          // type INFERENCE can change them (string "01" → int 1) — cast
-          // them back to the batch's types so the predicate, the union,
-          // and the rewritten directory names all agree.
+          // The read uses the BATCH's schema explicitly: directory-name
+          // type inference would otherwise mangle partition values
+          // (string "01" → int 1 → cast-back "1"), making the predicate
+          // miss the partition and the rewrite drop its other rows.
           val current =
             if (partitionBy.isEmpty) spark.read.parquet(path)
-            else {
-              val typed = partitionBy.foldLeft(spark.read.parquet(path)) {
-                (d, c) => d.withColumn(c, col(c).cast(df.schema(c).dataType))
-              }
-              typed.where(affectedPredicate(df))
-            }
+            else spark.read.schema(df.schema).parquet(path)
+              .where(affectedPredicate(df))
           // new rows win ties: tag precedence, window-dedup per key
           val merged = current.withColumn("__prec", lit(0))
             .unionByName(df.withColumn("__prec", lit(1)))
@@ -266,8 +266,7 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy(partitionBy: _*)
               .parquet(path)
-          org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-            .delete(new org.apache.hadoop.fs.Path(tmp), true)
+          hFs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         }
     }
     n

@@ -164,17 +164,20 @@ object Dedup {
     // exchange), and WindowExec spills oversized groups to disk — the
     // hot shingle is counted and discarded without ever being collected
     val wdf = Window.partitionBy("sk")
-    // cached: the capped shingle frame feeds the posting-list groupBy
-    // AND both size joins — exchange reuse does not span them
     val shk = sh
       .withColumn("__df", count(lit(1)).over(wdf))
       .where(col("__df") <= maxPostings)
       .drop("__df")
-      .cache()
-    val sizes = shk.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val ids = col("ids")
-    val inter = shk.groupBy("sk")
+    // single posting-list aggregation feeds BOTH the pair expansion and
+    // the per-doc sizes — its two consumers share an identical subplan
+    // up to the aggregate, so the sk-shuffle is planned once
+    // (ReuseExchange) and no session-lifetime cache is needed
+    val posts = shk.groupBy("sk")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val sizes = posts.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val ids = col("ids")
+    val inter = posts
       .where(size(ids) > 1)
       .select(explode(flatten(transform(ids, (a, i) =>
         transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
@@ -274,6 +277,10 @@ object Dedup {
       converged = labels
         .join(prev.withColumnRenamed("component", "__old"), "id")
         .where(col("component") =!= col("__old")).count() == 0
+      // labels is materialized (eager localCheckpoint), so prev's
+      // blocks are no longer needed; best-effort release here, and the
+      // ContextCleaner reclaims checkpoint RDDs once unreferenced
+      prev.unpersist()
       i += 1
     }
     e.unpersist()

@@ -61,10 +61,13 @@ class EtlExtSpec extends AnyFunSuite {
     val dir = tmpDir() + "/t01"
     val target = ParquetTarget(dir, orderColumn = Some("v"),
       partitionBy = Seq("code"))
-    target.write(Seq((1L, 1.0, "01"), (2L, 2.0, "02")).toDF("id", "v", "code"),
+    target.write(
+      Seq((1L, 1.0, "01"), (3L, 3.0, "01"), (2L, 2.0, "02"))
+        .toDF("id", "v", "code"),
       WriteMode.Upsert, Seq("id"))
     // directory inference would read code back as INT 1 — the upsert
-    // must still target and replace code=01
+    // must still target code=01, merge with id=3 (NOT delete it), and
+    // replace the same directory
     target.write(Seq((1L, 9.0, "01")).toDF("id", "v", "code"),
       WriteMode.Upsert, Seq("id"))
     assert(new java.io.File(s"$dir/code=01").exists())
@@ -73,7 +76,7 @@ class EtlExtSpec extends AnyFunSuite {
       .select(col("id"), col("v"))
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    assert(rows.toSeq == Seq((1L, 9.0), (2L, 2.0)))
+    assert(rows.toSeq == Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)))
   }
 
   test("compaction collapses small files, preserves rows") {
