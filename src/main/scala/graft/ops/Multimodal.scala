@@ -72,6 +72,32 @@ object Multimodal {
           .as("invalid_rate"))
   }
 
+  /**
+   * Frame-sampling plumbing for video payloads: the blob is treated as
+   * a sequence of fixed-size encoded frame blocks and every `stride`-th
+   * block is emitted with its index and byte slice. A real container
+   * demuxer would replace the fixed-block model (codec libs don't ship
+   * offline — builder contract says stub the decode, keep the
+   * distributed plumbing real): the fan-out, slicing, schema, and
+   * per-frame rows are the actual pipeline shape. Map-only; output
+   * bounded at ⌈frames/stride⌉ rows per blob.
+   */
+  def frameSample(df: DataFrame, uriCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
+    val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes)
+      .cast("long")
+    df.withColumn("n_frames", nFrames)
+      .where(col("n_frames") > 0)
+      .select(col(uriCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"),
+        col(payloadCol))
+      .withColumn("frame",
+        expr(s"substring($payloadCol, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+      .select(col(uriCol), col("frame_idx"), col("frame"), col("n_frames"))
+  }
+
   /** Feature row produced by the (pluggable) decoder. */
   type BatchExtractor = Iterator[(String, Array[Byte])] => Iterator[(String, Array[Float], Long)]
 

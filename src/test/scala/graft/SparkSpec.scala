@@ -261,6 +261,25 @@ class SparkSpec extends AnyFunSuite {
     assert(feats.schema.fieldNames.toSeq == Seq("uri", "features", "n_bytes"))
   }
 
+  test("frame sampling slices every Nth fixed-size block") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 10 frames × 4 bytes; frame i filled with byte value i
+    val payload = (0 until 10).flatMap(i => Array.fill(4)(i.toByte)).toArray
+    val df = Seq(("v1", payload)).toDF("uri", "payload")
+    val frames = Multimodal.frameSample(df, "uri", "payload", 4, 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(frames.forall(_.getLong(3) == 10L))
+    val f3 = frames(1).getAs[Array[Byte]]("frame")
+    assert(f3.toSeq == Seq.fill(4)(3.toByte))
+    // short tail payload: last frame keeps the overhang bytes
+    val odd = Seq(("v2", Array.tabulate(6)(_.toByte))).toDF("uri", "payload")
+    val tail = Multimodal.frameSample(odd, "uri", "payload", 4, 1)
+      .orderBy("frame_idx").collect()
+    assert(tail.length == 2 && tail(1).getAs[Array[Byte]]("frame").length == 2)
+  }
+
   // ----------------------------------------------------------- dashboards
 
   test("dashboard renders chart data from a real AnalysisPlanner run") {
