@@ -1059,6 +1059,48 @@ object Queries {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** Corpus-vs-corpus self-ANN (every vector's top-3): shuffle bucket
+    * join, nothing broadcast — the 100 TB self-join form. Oracle replays
+    * the identical hyperplane signatures, Hamming-1 probes, and re-rank. */
+  private val q69 = Entry(
+    "q69_knn_self",
+    (s, d) =>
+      graft.ops.Similarity
+        .lshSelfKnn(Tables.embeddings(s, d), 3, planes = 4)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk"),
+    Some {
+      val w = (0 until 4).map(p =>
+        graft.ops.Similarity.planeWeights(p, 64).mkString("[", ", ", "]"))
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               (CASE WHEN list_dot_product(v, ${w(0)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(1)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(2)}) >= 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN list_dot_product(v, ${w(3)}) >= 0 THEN '1' ELSE '0' END) AS bkt
+        FROM e),
+      probes AS (
+        SELECT vec_id, v, nrm, unnest([bkt,
+          (CASE WHEN substring(bkt,1,1)='1' THEN '0' ELSE '1' END) || substring(bkt,2,3),
+          substring(bkt,1,1) || (CASE WHEN substring(bkt,2,1)='1' THEN '0' ELSE '1' END) || substring(bkt,3,2),
+          substring(bkt,1,2) || (CASE WHEN substring(bkt,3,1)='1' THEN '0' ELSE '1' END) || substring(bkt,4,1),
+          substring(bkt,1,3) || (CASE WHEN substring(bkt,4,1)='1' THEN '0' ELSE '1' END)]) AS bkt
+        FROM b),
+      sc AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS nbr_id,
+               list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
+        FROM probes p JOIN b c ON p.bkt = c.bkt AND p.vec_id <> c.vec_id),
+      r AS (SELECT query_id, nbr_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, nbr_id ASC) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+      FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""
+    })
+
   /** IVF ANN (k-means-cell scale path). Oracle-replayable variant: the
     * centroids are the deterministic `Similarity.pseudoCentroids` inlined
     * as SQL literals, so cell assignment (argmin L2, first-min tie-break),
@@ -2011,7 +2053,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -108,6 +108,42 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
   }
 
+  /**
+   * Corpus-vs-corpus self-ANN: every vector's top-k neighbors across
+   * the whole corpus. Unlike [[lshKnn]] (which BROADCASTS a small query
+   * set), both sides here are the full corpus, so candidates come from
+   * a SHUFFLE join keyed on the LSH bucket — each bucket's pair
+   * expansion is local to its partition, nothing is broadcast, and the
+   * multi-probe explode bounds per-query fan-out at (planes+1) buckets.
+   * The top-k re-rank window is partitioned by query id.
+   */
+  def lshSelfKnn(corpus: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"),
+      lshBucket(col(vecCol), planes, dim).as("bkt"))
+    val q0 = corpus.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"),
+      lshBucket(col(vecCol), planes, dim).as("bkt"))
+    val q =
+      if (!multiProbe) q0
+      else q0.withColumn("bkt", explode(probeBuckets(col("bkt"), planes)))
+    val scored = c
+      .join(q, Seq("bkt")) // shuffle join — NOT broadcast
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
+  }
+
   // ------------------------------------------------------------- IVF ANN
 
   /**
