@@ -764,6 +764,65 @@ object Queries {
         ON a.band = b.band AND a.key = b.key AND a.id < b.id
       ORDER BY doc_a, doc_b"""))
 
+  /** Signature-estimated Jaccard for the LSH candidates — no posting
+    * lists; same md5 signature replay as q21 plus per-position match
+    * counting. */
+  private val q70 = Entry(
+    "q70_minhash_est_jaccard",
+    (s, d) =>
+      graft.ops.Dedup
+        .minhashEstimatedJaccard(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"),
+          r6(col("est_jaccard")).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      hd AS (
+        SELECT id, md5('0:' || s) AS h0, md5('1:' || s) AS h1,
+                   md5('2:' || s) AS h2, md5('3:' || s) AS h3
+        FROM sh),
+      sig AS (
+        SELECT id,
+               min(substring(h0, 1, 8))  AS mh_0,  min(substring(h0, 9, 8))  AS mh_1,
+               min(substring(h0, 17, 8)) AS mh_2,  min(substring(h0, 25, 8)) AS mh_3,
+               min(substring(h1, 1, 8))  AS mh_4,  min(substring(h1, 9, 8))  AS mh_5,
+               min(substring(h1, 17, 8)) AS mh_6,  min(substring(h1, 25, 8)) AS mh_7,
+               min(substring(h2, 1, 8))  AS mh_8,  min(substring(h2, 9, 8))  AS mh_9,
+               min(substring(h2, 17, 8)) AS mh_10, min(substring(h2, 25, 8)) AS mh_11,
+               min(substring(h3, 1, 8))  AS mh_12, min(substring(h3, 9, 8))  AS mh_13,
+               min(substring(h3, 17, 8)) AS mh_14, min(substring(h3, 25, 8)) AS mh_15
+        FROM hd GROUP BY id),
+      bands AS (
+        SELECT id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+        UNION ALL
+        SELECT id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
+        UNION ALL
+        SELECT id, 2, md5(mh_8 || mh_9 || mh_10 || mh_11) FROM sig
+        UNION ALL
+        SELECT id, 3, md5(mh_12 || mh_13 || mh_14 || mh_15) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      SELECT doc_a, doc_b,
+             round((
+               (CASE WHEN x.mh_0 = y.mh_0 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_1 = y.mh_1 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_2 = y.mh_2 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_3 = y.mh_3 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_4 = y.mh_4 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_5 = y.mh_5 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_6 = y.mh_6 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_7 = y.mh_7 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_8 = y.mh_8 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_9 = y.mh_9 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_10 = y.mh_10 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_11 = y.mh_11 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_12 = y.mh_12 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_13 = y.mh_13 THEN 1 ELSE 0 END) +
+               (CASE WHEN x.mh_14 = y.mh_14 THEN 1 ELSE 0 END) + (CASE WHEN x.mh_15 = y.mh_15 THEN 1 ELSE 0 END)
+             ) / 16.0, 6) AS est_jaccard
+      FROM cand JOIN sig x ON doc_a = x.id JOIN sig y ON doc_b = y.id
+      ORDER BY doc_a, doc_b"""))
+
   /** Exact trigram-Jaccard near-dup pairs at threshold 0.8. */
   private val q22 = Entry(
     "q22_dedup_ngram_jaccard",
@@ -2053,7 +2112,7 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -107,6 +107,30 @@ object Dedup {
       bands, k / bands)
 
   /**
+   * Estimated Jaccard for LSH candidate pairs from the MinHash
+   * signatures themselves — the scale path that never builds posting
+   * lists: each candidate pair costs k signature-position comparisons
+   * instead of a posting-list intersection, with E[estimate] = true
+   * Jaccard and σ = √(J(1−J)/k). Signature frame is reused for the
+   * banding and both join sides (identical subplans — exchange reuse).
+   */
+  def minhashEstimatedJaccard(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
+    val cand = minhashCandidates(sig, bands, k / bands)
+    val a = sig.select(col("id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"__a$i")): _*)
+    val b = sig.select(col("id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"__b$i")): _*)
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("est_jaccard",
+        (0 until k)
+          .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+          .reduce(_ + _) / lit(k.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /**
    * Scale-path MinHash+LSH: xxhash64 with per-permutation seeds instead
    * of salted md5 — ~10× cheaper per shingle and 8-byte signature
    * elements instead of 32-char digests, at the cost of oracle
