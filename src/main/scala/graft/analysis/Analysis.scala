@@ -52,7 +52,11 @@ final case class Distribution(
     bins: Int = 20,
     segmentBy: Option[String] = None,
     sampleSize: Option[Long] = None,
-    sampleKeys: Seq[String] = Nil, // hash-sample key cols (empty = feature)
+    // hash-sample key cols — SET an entity/row-identity key. Empty falls
+    // back to the feature itself, which is VALUE-CLUSTERED (all rows
+    // sharing a value kept/dropped together): biased for low-cardinality
+    // or skewed features; only parity-safe for integer-typed keys.
+    sampleKeys: Seq[String] = Nil,
     filter: Option[String] = None,
     outputs: Seq[String] = Seq("histogram")) // histogram|percentiles|stats|cdf
     extends Analysis {
@@ -68,7 +72,9 @@ final case class Correlation(
     features: Seq[String],
     method: String = "pearson",
     sampleSize: Option[Long] = None,
-    sampleKeys: Seq[String] = Nil, // hash-sample key cols (empty = features)
+    // hash-sample key cols — SET an entity/row-identity key; the empty
+    // fallback (the feature columns) is value-clustered, see Distribution
+    sampleKeys: Seq[String] = Nil,
     filter: Option[String] = None)
     extends Analysis {
   val kind = "correlation"

@@ -101,9 +101,13 @@ object AnalysisPlanner {
       } else {
         val tot = vc.groupBy(groupCols.map(col): _*)
           .agg(sum(col("__c")).as("__n"))
-        PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"),
-            groupCols = groupCols)
-          .join(tot, groupCols)
+        // null-safe: NULL is a legitimate group key; a plain USING join
+        // would silently drop that group's rows (grouped percentiles
+        // coming back missing for it)
+        PrefixSum.joinNullSafe(
+          PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"),
+            groupCols = groupCols),
+          tot, groupCols)
       }
     val aggs = ps.flatMap { case (name, p) =>
       val pos = (col("__n") - 1) * lit(p)
@@ -212,8 +216,13 @@ object AnalysisPlanner {
         .cast("long"),
       lit(M))
     val tot = df.agg(count(lit(1)).as("__tot"))
+    // compare in double: h·tot as Longs overflows (ANSI ARITHMETIC_
+    // OVERFLOW) once the frame passes ~2^43 rows — inside the design
+    // envelope. Doubles are exact below 2^53 (every realistic case) and
+    // merely boundary-fuzzy beyond, which sampling tolerates.
     df.crossJoin(broadcast(tot))
-      .where(h * col("__tot") < lit(n) * lit(M))
+      .where(h.cast("double") * col("__tot").cast("double") <
+        lit(n.toDouble * M))
       .drop("__tot")
   }
 
@@ -295,8 +304,13 @@ object AnalysisPlanner {
     val nn = col("__v").isNotNull
     val cNN = sum(when(nn, col("__c")).otherwise(lit(0L)))
     val sumVC = sum(when(nn, col("__v") * col("__c")))
-    val varSamp = (sum(when(nn, col("__v") * col("__v") * col("__c"))) -
-      sumVC * sumVC / cNN) / (cNN - 1)
+    // n <= 1 ⇒ sample variance undefined ⇒ NULL (matching var_samp and
+    // quantile oracles) — NOT an ANSI DIVIDE_BY_ZERO on the (cNN - 1)
+    // denominator, which would crash any summarize containing a
+    // single-non-null-value group
+    val varSamp = when(cNN > lit(1L),
+      (sum(when(nn, col("__v") * col("__v") * col("__c"))) -
+        sumVC * sumVC / cNN) / (cNN - 1))
     def metricFromCounts(metric: String): Column = (metric match {
       case "count"          => cNN
       case "sum"            => sumVC
@@ -325,7 +339,7 @@ object AnalysisPlanner {
         base.withColumn("__k", lit(1))
           .join(broadcast(pr.withColumn("__k", lit(1))), Seq("__k"), "left")
           .drop("__k")
-      else base.join(pr, groupCols, "left")
+      else PrefixSum.joinNullSafe(base, pr, groupCols, "left")
     joined.select((groupCols ++ metrics).map(col): _*)
   }
 
@@ -410,6 +424,12 @@ object AnalysisPlanner {
   def distribution(df0: DataFrame, s: Distribution): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
+    // sampleKeys SHOULD be a row-identity key (entity id): hash-threshold
+    // sampling keeps or drops ALL rows sharing a key value together, so
+    // falling back to the feature column itself yields a VALUE-CLUSTERED
+    // sample — high variance / biased histograms on low-cardinality or
+    // skewed features, and doubles risk Spark-vs-oracle stringification
+    // drift. The fallback is kept for spec compatibility only.
     s.sampleSize.foreach(n => df = hashSample(df, n,
       if (s.sampleKeys.nonEmpty) s.sampleKeys else Seq(s.feature)))
     s.outputs.head match {

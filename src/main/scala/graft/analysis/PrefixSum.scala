@@ -32,6 +32,28 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /**
+   * Equi-join on `keys` with NULL-SAFE equality (`<=>`). A plain
+   * `join(right, keys)` never matches a NULL key, silently dropping
+   * NULL-keyed groups — but NULL is a legitimate group value for every
+   * grouped analysis (and for the DuckDB GROUP BY oracle). Right-side
+   * keys are aliased before the join and dropped after, so the output
+   * schema matches the USING-join shape. `EqualNullSafe` is still a
+   * hash-joinable key, so broadcast/shuffled-hash plans are unaffected.
+   */
+  private[graft] def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], joinType: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
+    val r0 = right.select(keys.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__jk$i") } ++
+      right.columns.filterNot(keys.contains).map(col): _*)
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val cond = keys.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__jk$i") }
+      .reduce(_ && _)
+    left.join(r, cond, joinType).drop(keys.indices.map(i => s"__jk$i"): _*)
+  }
+
+  /**
    * Adds one exclusive-prefix-sum column per `(inputCol, outputCol)`
    * pair, ordered by `orderCol` ascending (nulls first, matching
    * Spark's window default) within each `groupCols` group. Input
@@ -66,31 +88,44 @@ object PrefixSum {
       (if (groupCols.isEmpty)
          df.join(broadcast(df.agg(min(v).as("__plo"), max(v).as("__phi"))))
        else
-         df.join(df.groupBy(groupCols.map(col): _*)
+         joinNullSafe(df, df.groupBy(groupCols.map(col): _*)
            .agg(min(v).as("__plo"), max(v).as("__phi")), groupCols))
         .withColumn("__pb", bucketCol)
         .drop("__plo", "__phi")
     val gb = groupCols :+ "__pb"
     val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
     val totals = bucketed.groupBy(gb.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
-    // cumulative offset per bucket: exclusive window over the totals
-    // frame — ≤ `buckets` rows per window partition by construction
-    // (the constant key for the ungrouped case keeps the partition spec
-    // non-empty; this is not the unbounded global-window pattern)
-    val offParts: Seq[Column] =
-      if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
-    val wOff = Window.partitionBy(offParts: _*).orderBy(col("__pb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(
-      gb.map(col) ++ sums.map { case (c, _) =>
-        coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
-      }: _*)
+    // cumulative offset per bucket: exclusive prefix over the totals
+    // frame — ≤ `buckets` rows per group by construction. Grouped: a
+    // window partitioned by the group keys. Ungrouped: a window
+    // partitioned by a constant would be FOLDED to a no-partition spec
+    // by Spark 4's EliminateWindowPartitions (→ the single-partition
+    // WindowExec warning), so the exclusive prefix is computed instead
+    // as a broadcast triangular self-join over the ≤ `buckets`-row
+    // frame — O(buckets²) pairs, trivially distributed, no window.
+    val offsets =
+      if (groupCols.isEmpty) {
+        val t2 = totals.select(col("__pb").as("__pb2") +:
+          sums.map { case (c, _) => col(s"__t_$c").as(s"__t2_$c") }: _*)
+        val offAggs = sums.map { case (c, _) =>
+          coalesce(sum(col(s"__t2_$c")), lit(0L)).as(s"__off_$c") }
+        totals.join(broadcast(t2), col("__pb2") < col("__pb"), "left")
+          .groupBy(col("__pb"))
+          .agg(offAggs.head, offAggs.tail: _*)
+      } else {
+        val wOff = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__pb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        totals.select(
+          gb.map(col) ++ sums.map { case (c, _) =>
+            coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
+          }: _*)
+      }
     val wLoc = Window.partitionBy(gb.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumCols: Seq[Column] = sums.map { case (c, out) =>
       (coalesce(sum(col(c)).over(wLoc), lit(0L)) + col(s"__off_$c")).as(out) }
-    bucketed
-      .join(if (groupCols.isEmpty) broadcast(offsets) else offsets, gb)
+    joinNullSafe(bucketed, offsets, gb, broadcastRight = groupCols.isEmpty)
       .select(df.columns.map(col).toSeq ++ cumCols: _*)
   }
 }

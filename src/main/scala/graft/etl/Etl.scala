@@ -220,7 +220,14 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
     val n = df.count()
     mode match {
       case WriteMode.Full | WriteMode.Incremental =>
-        writer(df).mode("overwrite").parquet(path)
+        // pin STATIC per-write: a Full rewrite must truncate the whole
+        // table even when the session default is dynamic (GraftSession
+        // sets partitionOverwriteMode=dynamic session-wide for upsert) —
+        // dynamic would silently retain stale partitions absent from the
+        // batch. The Upsert path pins "dynamic" per-write symmetrically.
+        writer(df).mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .parquet(path)
       case WriteMode.Append =>
         writer(df).mode("append").parquet(path)
       case WriteMode.Upsert =>

@@ -62,8 +62,11 @@ object Sampling {
     val cond = strata.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__k$i") }
       .reduce(_ && _)
+    // double comparison: the Long product h·tot overflows (ANSI error)
+    // past ~2^43 rows per stratum; doubles are exact below 2^53
     df.join(tot, cond)
-      .where(hashOf(hashCols) * col("__tot") < lit(n) * lit(M))
+      .where(hashOf(hashCols).cast("double") * col("__tot").cast("double") <
+        lit(n.toDouble * M))
       .drop(strata.indices.map(i => s"__k$i") :+ "__tot": _*)
   }
 }

@@ -56,6 +56,31 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("Full overwrite truncates stale partitions under a dynamic session default") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, partitionBy = Seq("day"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // GraftSession sets this session-wide for upsert; a Full rewrite must
+    // still replace the WHOLE table, not just the batch's partitions
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      target.write(Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"),
+        WriteMode.Full)
+      target.write(Seq((3L, "d2")).toDF("id", "day"), WriteMode.Full)
+      val rows = spark.read.parquet(dir).select("id", "day")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((3L, "d2"))) // day=d1 gone
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("partition-scoped upsert preserves numeric-looking string partitions") {
     import spark.implicits._
     val dir = tmpDir() + "/t01"

@@ -569,4 +569,46 @@ class OpsExtSpec extends AnyFunSuite {
       a.getLong(3) == 1L && a.getDouble(4) == 2.0)
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
+
+  test("summarize: n=1 group yields NULL variance, not ANSI divide-by-zero") {
+    import graft.analysis._
+    import spark.implicits._
+    // group b has exactly ONE non-null value → sample variance undefined;
+    // the (n-1) denominator must not throw under ANSI mode, and the
+    // result must be NULL like var_samp / the DuckDB oracle
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(5.0)),
+      ("b", Some(7.0)), ("b", None)).toDF("g", "x")
+    val out = AnalysisPlanner.aggregation(df,
+      Aggregation(feature = "x",
+        metrics = Seq("median", "variance", "stddev"),
+        groupBy = Seq("g")))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) == 3.0 && out(0).getDouble(2) == 8.0)
+    assert(out(1).getDouble(1) == 7.0 && out(1).isNullAt(2) &&
+      out(1).isNullAt(3))
+  }
+
+  test("grouped percentiles keep the NULL group key") {
+    import graft.analysis._
+    import spark.implicits._
+    val df = Seq[(Option[String], Double)](
+      (Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0)).toDF("g", "x")
+    // exactPercentiles joins per-group bounds/totals back on g — with a
+    // plain equi-join the NULL-keyed group would vanish
+    val out = AnalysisPlanner.exactPercentiles(df, "x",
+        Seq("p50" -> 0.5), Seq("g"))
+      .orderBy(col("g").asc_nulls_first).collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(0) && out(0).getDouble(1) == 20.0)
+    assert(out(1).getString(0) == "a" && out(1).getDouble(1) == 2.0)
+
+    val summ = AnalysisPlanner.aggregation(df,
+      Aggregation(feature = "x", metrics = Seq("median", "count"),
+        groupBy = Seq("g")))
+      .orderBy(col("g").asc_nulls_first).collect()
+    assert(summ(0).isNullAt(0) && summ(0).getDouble(1) == 20.0 &&
+      summ(0).getLong(2) == 3L)
+  }
 }
