@@ -1124,8 +1124,11 @@ object Queries {
   private val q69 = Entry(
     "q69_knn_self",
     (s, d) =>
+      // maxBucket = 100 ACTIVE: hot buckets are thinned to a
+      // deterministic ~100-candidate subset (md5 threshold, mirrored
+      // bit-exactly in the oracle CTE `cc`); buckets ≤ 100 are untouched
       graft.ops.Similarity
-        .lshSelfKnn(Tables.embeddings(s, d), 3, planes = 4)
+        .lshSelfKnn(Tables.embeddings(s, d), 3, planes = 4, maxBucket = 100)
         .select(col("query_id"), col("rnk").cast("long").as("rnk"),
           col("nbr_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rnk"),
@@ -1148,10 +1151,15 @@ object Queries {
           substring(bkt,1,2) || (CASE WHEN substring(bkt,3,1)='1' THEN '0' ELSE '1' END) || substring(bkt,4,1),
           substring(bkt,1,3) || (CASE WHEN substring(bkt,4,1)='1' THEN '0' ELSE '1' END)]) AS bkt
         FROM b),
+      bc AS (SELECT bkt, count(*) AS bn FROM b GROUP BY bkt),
+      cc AS (
+        SELECT c.* FROM b c JOIN bc USING (bkt)
+        WHERE (('0x' || substring(md5(c.bkt || '|' || CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1048576) * bn < 100 * 1048576),
       sc AS (
         SELECT p.vec_id AS query_id, c.vec_id AS nbr_id,
                list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS cos
-        FROM probes p JOIN b c ON p.bkt = c.bkt AND p.vec_id <> c.vec_id),
+        FROM probes p JOIN cc c ON p.bkt = c.bkt AND p.vec_id <> c.vec_id),
       r AS (SELECT query_id, nbr_id, cos,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, nbr_id ASC) AS rnk

@@ -27,7 +27,11 @@ final case class Aggregation(
     rolling: Boolean = false,
     periods: Option[Int] = None,
     filter: Option[String] = None,
-    timeColumn: String = "ts")
+    timeColumn: String = "ts",
+    // DATE-typed partition column equal to date(timeColumn), when the
+    // table is day-partitioned — lets the window predicate prune
+    // partitions, not just row groups (see AnalysisPlanner.applyTimeWindow)
+    timePartitionColumn: Option[String] = None)
     extends Analysis {
   val kind = "aggregation"
   require(metrics.nonEmpty, "aggregation requires at least one metric")

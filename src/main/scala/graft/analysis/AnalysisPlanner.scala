@@ -188,13 +188,36 @@ object AnalysisPlanner {
   /**
    * Time-window filter anchored to max(timeColumn) for determinism (the
    * reference's `NOW()` is replaced by the data's own high-water mark).
-   * The 1-row bound is broadcast — no driver collect, no per-row subquery.
+   *
+   * The anchor is resolved DRIVER-SIDE — a 1-row scalar collect — and
+   * pushed as a LITERAL predicate. The earlier broadcast-join bound made
+   * `ts >= __wmax - interval` a join condition, invisible to parquet
+   * row-group stats and partition pruning: every windowed analysis
+   * became a full scan. `lit(anchor) - interval` constant-folds, so the
+   * scan sees a plain `ts >= <literal>` in PushedFilters; the anchor
+   * scan itself is column-pruned to the time column. Arithmetic is the
+   * same µs interval subtraction the oracle's scalar subquery performs,
+   * so results are bit-identical.
+   *
+   * `datePartitionCol`: name of a DATE-typed partition column equal to
+   * `date(timeColumn)`, if the table has one. The window predicate on
+   * `ts` alone cannot prune ts-DERIVED partitions (no inference across
+   * columns), so an explicit `part >= date(bound)` is added — on a
+   * date-partitioned 100 TB table this turns the scan into
+   * O(in-window partitions).
    */
-  def applyTimeWindow(df: DataFrame, timeColumn: String, window: String): DataFrame = {
-    val bound = df.agg(max(col(timeColumn)).as("__wmax"))
-    df.join(broadcast(bound))
-      .where(col(timeColumn) >= col("__wmax") - durationToInterval(window))
-      .drop("__wmax")
+  def applyTimeWindow(df: DataFrame, timeColumn: String, window: String,
+      datePartitionCol: Option[String] = None): DataFrame = {
+    val row = df.agg(max(col(timeColumn))).collect()(0)
+    if (row.isNullAt(0)) df.where(lit(false)) // empty / all-NULL frame
+    else {
+      val bound = lit(row.get(0)) - durationToInterval(window) // folds
+      val tsPred = col(timeColumn) >= bound
+      datePartitionCol match {
+        case Some(p) => df.where(col(p) >= to_date(bound) && tsPred)
+        case None    => df.where(tsPred)
+      }
+    }
   }
 
   /**
@@ -242,7 +265,8 @@ object AnalysisPlanner {
   def aggregation(df0: DataFrame, s: Aggregation): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
-    s.window.foreach(w => df = applyTimeWindow(df, s.timeColumn, w))
+    s.window.foreach(w =>
+      df = applyTimeWindow(df, s.timeColumn, w, s.timePartitionColumn))
 
     if (s.rolling) {
       // Pre-bucket to days, aggregate per bucket (distributed), then roll

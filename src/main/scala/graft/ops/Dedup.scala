@@ -24,9 +24,22 @@ import graft.functions.VectorFunctions
  */
 object Dedup {
 
-  /** Exact dedup: group identical values, keep the smallest id. */
+  /**
+   * Exact dedup: group identical values, keep the smallest id.
+   *
+   * Groups by `(xxhash64(text), length(text))`, NOT the text itself —
+   * a full-text group key would move the entire corpus through the
+   * exchange, whereas the hashed key shuffles 16 bytes per row. The
+   * oracle mirror groups by the text (same output). Collision stance:
+   * 64-bit hash + exact length ⇒ a false merge needs a same-length
+   * xxhash64 collision; expected collisions ≈ n²/2^65 per length class
+   * (~1e-7 at a billion equal-length docs). Swap in `md5` (128-bit)
+   * where even that is unacceptable — same shape, 2× key width.
+   */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(xxhash64(col(textCol)).as("__h"),
+        length(col(textCol)).as("__len"), col(idCol))
+      .groupBy("__h", "__len")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies")
 
@@ -363,15 +376,26 @@ object Dedup {
    * Embedding near-dup: cosine ≥ threshold within a blocking column
    * (label / LSH bucket / IVF cell). Block-local self-join — all-pairs
    * only inside a block, never across the corpus.
+   *
+   * `maxBlock > 0` bounds a skewed block's pair count the same way
+   * [[Similarity.lshSelfKnn]] caps hot LSH buckets: deterministic
+   * hash-threshold thinning (blocks at or under the cap untouched;
+   * oversized blocks reduced to a ~`maxBlock` subset on BOTH pair
+   * sides, so the block's pairs go from O(pop²) to O(maxBlock²)). A
+   * documented recall trade for hot blocks — off by default because
+   * near-DUP detection, unlike top-k ANN, may genuinely need every
+   * pair; enable it when the caller's blocking key is skewed.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, maxBlock: Int = 0): DataFrame = {
     // pre-cast to double and precompute each vector's norm ONCE — the
     // pairwise stage then does a single dot product per pair (3× less
     // vector math than recomputing both norms per pair)
-    val prepped = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    val prepped0 = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).cast("array<double>").as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val prepped = if (maxBlock <= 0) prepped0
+                  else Similarity.thinBuckets(prepped0, "blk", "id", maxBlock)
     val a = prepped.select(col("id").as("id_a"), col("blk"),
       col("v").as("va"), col("nrm").as("na"))
     val b = prepped.select(col("id").as("id_b"), col("blk"),

@@ -109,6 +109,32 @@ object Similarity {
   }
 
   /**
+   * Deterministic per-bucket candidate thinning — the `maxPostings`
+   * analog for ANN buckets. A row is kept iff
+   * `md5hash(bucket|id) · bucketCount < maxBucket · 2^20`: buckets at
+   * or under `maxBucket` keep EVERY row (the threshold exceeds the hash
+   * range, so small buckets are bit-exact untouched); oversized buckets
+   * keep a deterministic ~`maxBucket`-row subset. Map-only predicate
+   * plus one keyed count join — no per-bucket sort/window that would
+   * itself serialize the hot bucket. Engine-replayable: the same md5
+   * threshold formula reproduces the subset in the DuckDB oracle.
+   */
+  private[graft] def thinBuckets(df: DataFrame, bktCol: String,
+      idCol: String, maxBucket: Int): DataFrame = {
+    val M = 1048576L
+    val cnt = df.groupBy(col(bktCol)).agg(count(lit(1)).as("__bn"))
+    val h = pmod(
+      conv(substring(md5(concat_ws("|",
+        col(bktCol), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(M))
+    df.join(cnt, Seq(bktCol))
+      .where(h.cast("double") * col("__bn").cast("double") <
+        lit(maxBucket.toDouble * M))
+      .drop("__bn")
+  }
+
+  /**
    * Corpus-vs-corpus self-ANN: every vector's top-k neighbors across
    * the whole corpus. Unlike [[lshKnn]] (which BROADCASTS a small query
    * set), both sides here are the full corpus, so candidates come from
@@ -116,14 +142,27 @@ object Similarity {
    * expansion is local to its partition, nothing is broadcast, and the
    * multi-probe explode bounds per-query fan-out at (planes+1) buckets.
    * The top-k re-rank window is partitioned by query id.
+   *
+   * `maxBucket` bounds the CANDIDATE side of a bucket ([[thinBuckets]]):
+   * without it, a hot signature (a dense embedding region) makes the
+   * bucket's pair count quadratic in its population — AQE skew-split
+   * relocates those pairs but cannot reduce them. With the cap, a
+   * query in a hot bucket ranks a deterministic ~`maxBucket`-candidate
+   * subset (the recall trade, acceptable because bucket members are
+   * mutually similar by construction), so per-bucket work is
+   * O(pop · maxBucket) instead of O(pop²). Queries are never thinned —
+   * every vector still gets k results. `maxBucket <= 0` disables.
    */
   def lshSelfKnn(corpus: DataFrame, k: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"),
+      multiProbe: Boolean = true, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"),
       VectorFunctions.norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), planes, dim).as("bkt"))
+    val c = if (maxBucket <= 0) c0
+            else thinBuckets(c0, "bkt", "nbr_id", maxBucket)
     val q0 = corpus.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       VectorFunctions.norm(col(vecCol)).as("qn"),

@@ -56,6 +56,40 @@ class EtlExtSpec extends AnyFunSuite {
       (3L, 30.0, "d3"), (4L, 40.0, "d2")))
   }
 
+  test("windowed analysis pushes the ts bound and prunes date partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir() + "/ev"
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // 30 day-partitions × 10 rows; max(ts) = day 29 + 9 min
+    val rows = (0 until 30).flatMap { d =>
+      (0 until 10).map { i =>
+        (java.sql.Timestamp.from(base.plusSeconds(d * 86400L + i * 60L)),
+          d * 10.0 + i)
+      }
+    }
+    rows.toDF("ts", "v").withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val table = spark.read.parquet(dir)
+    val windowed = graft.analysis.AnalysisPlanner.applyTimeWindow(
+      table, "ts", "7d", datePartitionCol = Some("day"))
+
+    // bound = (day29 + 9min) - 7d = day22 + 9min → 71 in-window rows
+    assert(windowed.count() == 71)
+
+    val scans = windowed.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // literal ts bound reaches the parquet scan (row-group stats engage)
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(ts"))
+    // date-partition predicate prunes the file listing: only the 8
+    // partitions day22..day29 are scanned, not all 30
+    assert(scan.selectedPartitions.partitionCount == 8)
+  }
+
   test("Full overwrite truncates stale partitions under a dynamic session default") {
     import spark.implicits._
     val dir = tmpDir() + "/t"

@@ -570,6 +570,50 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
 
+  test("bucket cap thins only oversized buckets; small buckets stay exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(4)(rnd.nextDouble() + 0.5)
+    // one hot block (120 mutually-similar vectors) + one small block
+    val rows = (0 until 120).map(i => (i.toLong, "hot", vec())) ++
+      (200 until 206).map(i => (i.toLong, "cold", vec()))
+    val df = rows.toDF("id", "blk", "emb")
+    def pairs(maxBlock: Int) =
+      graft.ops.Dedup.embeddingNearDup(df, "id", "emb", "blk", 0.0, maxBlock)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0)
+    val capped = pairs(30)
+    // block under the cap is bit-exact untouched
+    assert(capped.filter(_._1 >= 200) == uncapped.filter(_._1 >= 200))
+    // hot block thinned to a deterministic subset of the true pairs
+    assert(capped.subsetOf(uncapped))
+    val hot = capped.count(_._1 < 200)
+    assert(hot > 0 && hot < uncapped.count(_._1 < 200))
+    assert(pairs(30) == capped) // deterministic replay
+    // self-ANN with the cap active: every query still gets k results
+    val ann = graft.ops.Similarity.lshSelfKnn(
+      df.toDF("vec_id", "blk", "embedding"), 2, planes = 2, dim = 4,
+      maxBucket = 20)
+    val perQuery = ann.groupBy("query_id").count().collect()
+    assert(perQuery.length == 126 && perQuery.forall(_.getLong(1) == 2L))
+  }
+
+  test("exact dedup shuffles hashed keys, not document text") {
+    import spark.implicits._
+    val docs = Seq((5L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "dd ee ff"),
+      (1L, "cc")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keeper_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (4L, 1L)))
+    // the exchange partitions on the 16-byte (hash, length) key; the
+    // document text must not appear in any shuffle's partitioning
+    val plan = graft.ops.Dedup.exact(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val parts = plan.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(parts.nonEmpty && parts.forall(!_.contains("text")))
+  }
+
   test("summarize: n=1 group yields NULL variance, not ANSI divide-by-zero") {
     import graft.analysis._
     import spark.implicits._
