@@ -45,12 +45,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // COMPACT line — values rounded to ms so the whole record stays
+    // ~2.5 KB: the artifact capture keeps a bounded tail (~4 KB) and a
+    // full-precision line gets cut mid-JSON (r3 lost its total that way)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
     // printed LAST, after spark shutdown, so no log line can trail it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -652,20 +652,21 @@ object Queries {
              round((sum(n) OVER (ORDER BY bucket)) / (sum(n) OVER ()), 6) AS cdf
       FROM h ORDER BY bucket"""))
 
-  /** Kendall tau-b on a deterministic 1500-row subset (pair join). */
+  /** Kendall tau-b over ALL events rows — the full distributed
+    * inversion-count path (no subset cap); oracle is the O(n²) pair
+    * join, tractable at the sf0.01 gate. */
   private val q46 = Entry(
     "q46_corr_kendall",
     (s, d) =>
       AnalysisPlanner
-        .kendallTau(Tables.events(s, d), "value", "user_id", "event_id", 1500)
+        .kendallTau(Tables.events(s, d), "value", "user_id", "event_id")
         .select(col("concordant"), col("discordant"), col("ties_x"),
           col("ties_y"), col("n_pairs"), r6(col("tau_b")).as("tau_b")),
     Some("""
       WITH s AS (
         SELECT event_id AS k, "value" AS x, CAST(user_id AS DOUBLE) AS y
         FROM events
-        WHERE "value" IS NOT NULL AND user_id IS NOT NULL
-        ORDER BY event_id LIMIT 1500),
+        WHERE "value" IS NOT NULL AND user_id IS NOT NULL),
       pairs AS (
         SELECT (p.x - q.x) * (p.y - q.y) AS prod,
                CAST(p.x = q.x AS BIGINT) AS tx,

@@ -539,14 +539,35 @@ object AnalysisPlanner {
    *    (inclusion-exclusion over strict pairs).
    * `maxRows` bounds an optional deterministic subset by ascending key
    * (kept for engine-portable replay); the algorithm needs no cap.
+   *
+   * Memory bound: `buckets <= 0` (the default) sizes the bucket count
+   * from a distinct-cell count so a task's Fenwick buffer holds
+   * ~`cellsPerBucket` cells (~a few MB) REGARDLESS of data scale —
+   * a fixed bucket count would make per-task memory grow as
+   * distinct(x)/buckets. The one irreducible concentration left is a
+   * single hot x value (all its ties must share a bucket; its in-bucket
+   * pairs are all x-ties and contribute nothing to D, but its cells are
+   * buffered). Exactly TWO scalar actions run: the sizing count and ONE
+   * merged job computing D_within + D_cross together (their subtrees
+   * union into a single aggregate, so the cell frame is built once per
+   * action, not once per component).
    */
   def kendallTau(df: DataFrame, x: String, y: String, keyCol: String,
-      maxRows: Int = Int.MaxValue, buckets: Int = 64): DataFrame = {
+      maxRows: Int = Int.MaxValue, buckets: Int = 0,
+      cellsPerBucket: Int = 1 << 16): DataFrame = {
     val s0 = df.select(col(keyCol).as("k"),
       col(x).cast("double").as("x"), col(y).cast("double").as("y"))
       .where(col(x).isNotNull && col(y).isNotNull) // tau over complete pairs
     val s = if (maxRows == Int.MaxValue) s0 else s0.orderBy("k").limit(maxRows)
     val cells = s.groupBy("x", "y").agg(count(lit(1)).as("c"))
+
+    // scale-adaptive split: per-task Fenwick memory ≤ ~cellsPerBucket
+    val nb: Long =
+      if (buckets > 0) buckets.toLong
+      else {
+        val nCells = cells.count() // scalar action #1 (sizing)
+        math.max(64L, math.min(1L << 20, nCells / cellsPerBucket + 1))
+      }
 
     // deterministic equal-width x-buckets (equal x ⇒ same bucket)
     val cb = cells
@@ -556,17 +577,22 @@ object AnalysisPlanner {
         when(col("__phi") <= col("__plo"), lit(0L))
           .otherwise(least(
             greatest(floor((col("x") - col("__plo")) /
-              (col("__phi") - col("__plo")) * buckets), lit(0L)),
-            lit(buckets - 1L))))
+              (col("__phi") - col("__plo")) * nb), lit(0L)),
+            lit(nb - 1L))))
       .drop("__plo", "__phi")
 
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+
     // D_within: per-bucket weighted inversion count; tasks see only the
-    // buckets hashed to them, sorted (bucket, x, y) with a reset per run
-    val dWithin: Long = cb
+    // buckets hashed to them, sorted (bucket, x, y) with a reset per run.
+    // Dataset (not .rdd) so it composes with D_cross into ONE action.
+    val dWithinPartials = cb
       .select(col("__xb"), col("x"), col("y"), col("c"))
       .repartition(col("__xb"))
       .sortWithinPartitions("__xb", "x", "y")
-      .rdd.mapPartitions { it =>
+      .as[(Long, Double, Double, Long)]
+      .mapPartitions { it =>
         var total = 0L
         val run = scala.collection.mutable.ArrayBuffer
           .empty[(Double, Double, Long)]
@@ -606,23 +632,21 @@ object AnalysisPlanner {
           }
         }
         var cur = Long.MinValue
-        it.foreach { r =>
-          val xb = r.getLong(0)
-          if (xb != cur) { flush(); cur = xb }
-          run += ((r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        it.foreach { t =>
+          if (t._1 != cur) { flush(); cur = t._1 }
+          run += ((t._2, t._3, t._4))
         }
         flush()
         Iterator.single(total)
-      }.collect().sum // one Long per task
+      }
 
     // D_cross via the (bucket × y) grid
-    val spark0 = df.sparkSession
     val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("c")).as("__n"))
     val grid = cells.select(col("y")).distinct()
-      .crossJoin(spark0.range(0, buckets).toDF("__xb"))
+      .crossJoin(spark0.range(0, nb).toDF("__xb"))
       .join(perY, Seq("__xb", "y"), "left")
       .na.fill(0L, Seq("__n"))
-    val wXb = Window.partitionBy("y").orderBy("__xb") // ≤ buckets rows
+    val wXb = Window.partitionBy("y").orderBy("__xb") // ≤ nb rows
       .rowsBetween(Window.unboundedPreceding, -1)
     val g = grid.withColumn("__G",
       coalesce(sum(col("__n")).over(wXb), lit(0L)))
@@ -632,10 +656,14 @@ object AnalysisPlanner {
       .join(gTot, "__xb")
       .withColumn("__egt", col("__Gtot") - col("__cumG") - col("__G"))
       .select(col("__xb"), col("y"), col("__egt"))
-    val dCross: Long = cb.join(earlierGt, Seq("__xb", "y"))
-      .agg(coalesce(sum(col("c") * col("__egt")), lit(0L)))
+
+    // scalar action #2: BOTH discordant components in one job
+    val discordant: Long = dWithinPartials.toDF("d")
+      .agg(coalesce(sum(col("d")), lit(0L)).as("d"))
+      .unionByName(cb.join(earlierGt, Seq("__xb", "y"))
+        .agg(coalesce(sum(col("c") * col("__egt")), lit(0L)).as("d")))
+      .agg(sum(col("d")))
       .collect()(0).getLong(0)
-    val discordant = dWithin + dCross
 
     def pairsOf(c: Column) = ((c * (c - lit(1L))) / 2).cast("long")
     val tots = cells.agg(sum(col("c")).as("n"),

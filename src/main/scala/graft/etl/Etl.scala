@@ -192,11 +192,29 @@ final class CheckpointStore(dir: String) {
  * transforms/job.py:41-71 semantics either way).
  *
  * With `partitionBy` set, upsert is PARTITION-SCOPED: only partitions
- * present in the incoming batch are read, merged, and rewritten (dynamic
- * partition overwrite); every other partition's files are left untouched.
- * That turns the O(table) merge into O(affected partitions) per batch —
- * the non-Delta analog of MERGE's file-level pruning.
+ * present in the incoming batch are read, merged, and rewritten; every
+ * other partition's files are left untouched. That turns the O(table)
+ * merge into O(affected partitions) per batch — the non-Delta analog of
+ * MERGE's file-level pruning.
+ *
+ * Crash safety (single writer): the merge result is STAGED durably at
+ * `<path>.staged` first — the target is not touched until staging
+ * completes, so a failure anywhere up to the commit point leaves the
+ * table at its exact pre-upsert state. Commit then writes a
+ * `_COMMIT_READY` marker and swaps directories in (whole table, or per
+ * affected leaf partition) via filesystem renames. A crash mid-commit
+ * is ROLLED FORWARD by the next write: the marker proves the staged
+ * data is complete, so recovery finishes the remaining renames —
+ * idempotent because each completed rename removes its source from the
+ * staged dir. No state leaves a partition half-rewritten.
  */
+object ParquetTarget {
+  /** Test seam: invoked after the merge result is durably staged but
+    * before the commit marker — the "crash between stage and commit"
+    * window a transactional upsert must tolerate. */
+  private[graft] var stageFailpoint: () => Unit = () => ()
+}
+
 final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
     partitionBy: Seq[String] = Nil) {
 
@@ -237,6 +255,7 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
         // "missing" for any object-store URI and truncate the table
         val hPath = new org.apache.hadoop.fs.Path(path)
         val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverOrClean(hFs) // finish an interrupted commit first
         val exists = hFs.exists(hPath)
         if (!exists) writer(df).mode("overwrite").parquet(path)
         else {
@@ -260,23 +279,87 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
             .withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1)
             .drop("__prec", "__rn")
-          // write via temp dir: can't overwrite a path while reading it
-          val tmp = path + ".tmp"
-          deduped.write.mode("overwrite").parquet(tmp)
-          val back = spark.read.parquet(tmp)
-          if (partitionBy.isEmpty)
-            back.write.mode("overwrite").parquet(path)
-          else
-            // dynamic overwrite replaces ONLY the partitions present in
-            // `back` (= the affected ones); the rest keep their files
-            back.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(partitionBy: _*)
-              .parquet(path)
-          hFs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          // STAGE: merge result lands beside the target; the table is
+          // untouched until the stage is durably complete
+          val staged = stagedPath
+          hFs.delete(staged, true)
+          writer(deduped).mode("overwrite").parquet(staged.toString)
+          ParquetTarget.stageFailpoint()
+          // COMMIT: marker proves the stage is complete, then swap in
+          hFs.create(new org.apache.hadoop.fs.Path(staged, "_COMMIT_READY"),
+            true).close()
+          commitStaged(hFs)
         }
     }
     n
+  }
+
+  private def stagedPath = new org.apache.hadoop.fs.Path(path + ".staged")
+  private def backupPath = new org.apache.hadoop.fs.Path(path + ".backup")
+
+  /** Roll forward an interrupted commit (marker present ⇒ staged data is
+    * complete), discard a stage that never reached its commit point, and
+    * drop leftovers of completed commits. Called before every upsert. */
+  private def recoverOrClean(hFs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val marker = new org.apache.hadoop.fs.Path(stagedPath, "_COMMIT_READY")
+    if (hFs.exists(stagedPath)) {
+      if (hFs.exists(marker)) commitStaged(hFs)
+      else hFs.delete(stagedPath, true) // pre-commit crash: discard stage
+    }
+    // whole-table swap can crash between the final rename and the marker
+    // delete — the marker travels with the data, remove it at the target
+    hFs.delete(new org.apache.hadoop.fs.Path(hPath, "_COMMIT_READY"), false)
+    hFs.delete(backupPath, true) // stale backup of a completed commit
+  }
+
+  /** Relative leaf-partition dirs (one per partitionBy tuple) under
+    * `root` — exactly `partitionBy.length` levels of `k=v` dirs. */
+  private def leafPartitionRels(hFs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int, rel: String): Seq[String] =
+      if (depth == 0) Seq(rel)
+      else hFs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, depth - 1,
+          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+    walk(root, partitionBy.length, "")
+  }
+
+  /** Swap staged data into the target via renames (atomic per rename on
+    * HDFS/local filesystems). Idempotent: a completed rename removes its
+    * source from the staged dir, so a re-run after a crash only touches
+    * the remaining leaves. */
+  private def commitStaged(hFs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val staged = stagedPath
+    val backup = backupPath
+    if (partitionBy.isEmpty) {
+      // whole-table swap: current → backup, staged → current
+      if (hFs.exists(hPath)) {
+        hFs.delete(backup, true)
+        hFs.rename(hPath, backup)
+      }
+      hFs.rename(staged, hPath)
+      hFs.delete(new org.apache.hadoop.fs.Path(hPath, "_COMMIT_READY"), false)
+      hFs.delete(backup, true)
+    } else {
+      for (rel <- leafPartitionRels(hFs, staged)) {
+        val src = new org.apache.hadoop.fs.Path(staged, rel)
+        val tgt = new org.apache.hadoop.fs.Path(hPath, rel)
+        val bak = new org.apache.hadoop.fs.Path(backup, rel)
+        if (hFs.exists(tgt)) {
+          if (!hFs.exists(bak)) {
+            hFs.mkdirs(bak.getParent)
+            hFs.rename(tgt, bak)
+          } else hFs.delete(tgt, true) // half-moved remnant; backup wins
+        }
+        hFs.mkdirs(tgt.getParent)
+        hFs.rename(src, tgt)
+      }
+      hFs.delete(staged, true) // removes marker + _SUCCESS
+      hFs.delete(backup, true)
+    }
   }
 }
 

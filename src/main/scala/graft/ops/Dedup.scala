@@ -290,7 +290,9 @@ object Dedup {
     // throws rather than returning silently-split clusters.
     // localCheckpoint per round truncates the logical plan — the
     // doubling join references the round's labels TWICE, so without
-    // truncation the plan tree grows exponentially with rounds
+    // truncation the plan tree grows exponentially with rounds.
+    // Convergence = max over a per-row changed flag carried through the
+    // round itself (works for any id type, string hashes included).
     var labels = e.groupBy(col("__a").as("id"))
       .agg(least(col("__a"), min(col("__b"))).as("component"))
       .localCheckpoint()
@@ -305,16 +307,26 @@ object Dedup {
       val half = viaNbr
         .withColumnRenamed("id", "__cid")
         .withColumnRenamed("component", "__cc")
-      labels = viaNbr
+      val next = viaNbr
         .join(half, viaNbr("component") === col("__cid"), "left")
         .select(viaNbr("id"),
           least(viaNbr("component"),
             coalesce(col("__cc"), viaNbr("component"))).as("component"))
-        .localCheckpoint()
-      converged = labels
+      // change detection FUSED into the round: prev's label joins in
+      // before the checkpoint materializes, so convergence costs one
+      // narrow agg over the already-materialized blocks — not the
+      // former second join + count() pass over both label frames.
+      // (id sets are identical every round: init covers every vertex.)
+      val flagged = next
         .join(prev.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") =!= col("__old")).count() == 0
-      // labels is materialized (eager localCheckpoint), so prev's
+        .select(col("id"), col("component"),
+          (col("component") =!= col("__old")).cast("int").as("__chg"))
+        .localCheckpoint()
+      converged = flagged
+        .agg(coalesce(max(col("__chg")), lit(0)))
+        .collect()(0).getInt(0) == 0
+      labels = flagged.drop("__chg")
+      // flagged is materialized (eager localCheckpoint), so prev's
       // blocks are no longer needed; best-effort release here, and the
       // ContextCleaner reclaims checkpoint RDDs once unreferenced
       prev.unpersist()

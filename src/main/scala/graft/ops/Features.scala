@@ -37,20 +37,29 @@ object Features {
   /**
    * Robust (median/MAD) scaling: z = (x − median) / (1.4826 · MAD),
    * MAD = median(|x − median|) — outlier-resistant standardization.
-   * Two chained distributed exact-percentile passes produce two 1-row
-   * broadcasts; the scaling itself is map-only. A zero MAD (more than
-   * half the values identical) yields NULL, not a divide-by-zero.
+   *
+   * ONE corpus-level value-count shuffle feeds BOTH percentile passes:
+   * the median runs over the per-value counts, and the MAD pass
+   * re-aggregates that SAME frame under |v − median| — a
+   * distinct-values-sized job, not a second scan-and-shuffle of the
+   * corpus (MAD genuinely depends on the median, so the passes chain,
+   * but only the small frame is revisited). The scaling itself is two
+   * 1-row broadcasts over a map-only pass. A zero MAD (more than half
+   * the values identical) yields NULL, not a divide-by-zero.
    */
   def robustScale(df: DataFrame, valueCol: String,
       outCol: String = "robust_z"): DataFrame = {
     val v = col(valueCol).cast("double")
-    val med = graft.analysis.AnalysisPlanner.exactPercentiles(
-      df, valueCol, Seq("__med" -> 0.5), Nil)
-    val withMed = df.crossJoin(broadcast(med))
-    val mad = graft.analysis.AnalysisPlanner.exactPercentiles(
-      withMed.withColumn("__ad", abs(v - col("__med"))),
-      "__ad", Seq("__mad" -> 0.5), Nil)
-    withMed.crossJoin(broadcast(mad))
+    val vc = df.where(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+    val med = graft.analysis.AnalysisPlanner.percentilesFromCounts(
+      vc, Seq("__med" -> 0.5), Nil)
+    val adCounts = vc.crossJoin(broadcast(med))
+      .select(abs(col("__v") - col("__med")).as("__v"), col("__c"))
+      .groupBy("__v").agg(sum(col("__c")).as("__c"))
+    val mad = graft.analysis.AnalysisPlanner.percentilesFromCounts(
+      adCounts, Seq("__mad" -> 0.5), Nil)
+    df.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .withColumn(outCol,
         when(col("__mad") === 0.0, lit(null).cast("double"))
           .otherwise((v - col("__med")) / (lit(1.4826) * col("__mad"))))

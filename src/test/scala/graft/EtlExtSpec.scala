@@ -138,6 +138,62 @@ class EtlExtSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("upsert crash between stage and commit leaves the target pre-upsert") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    target.write(Seq((1L, 10.0, "d1"), (2L, 20.0, "d2")).toDF("id", "v", "day"),
+      WriteMode.Upsert, Seq("id"))
+    def rows() = spark.read.parquet(dir).select("id", "v", "day")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getString(2))).toSeq
+
+    val batch = Seq((2L, 25.0, "d2"), (3L, 30.0, "d2")).toDF("id", "v", "day")
+    ParquetTarget.stageFailpoint = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      target.write(batch, WriteMode.Upsert, Seq("id"))
+    } finally ParquetTarget.stageFailpoint = () => ()
+    // failure before the commit point: table readable at pre-upsert state
+    assert(rows() == Seq((1L, 10.0, "d1"), (2L, 20.0, "d2")))
+
+    // next upsert discards the stale stage and applies cleanly
+    target.write(batch, WriteMode.Upsert, Seq("id"))
+    assert(rows() == Seq((1L, 10.0, "d1"), (2L, 25.0, "d2"), (3L, 30.0, "d2")))
+    assert(!new java.io.File(dir + ".staged").exists &&
+      !new java.io.File(dir + ".backup").exists)
+  }
+
+  test("upsert commit marker rolls an interrupted commit forward") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    target.write(Seq((1L, 10.0, "d1"), (2L, 20.0, "d2")).toDF("id", "v", "day"),
+      WriteMode.Upsert, Seq("id"))
+    // stage a merge, crash before commit, then hand-write the marker —
+    // the exact on-disk state of a crash between marker and renames
+    val batch = Seq((2L, 25.0, "d2"), (3L, 30.0, "d2")).toDF("id", "v", "day")
+    ParquetTarget.stageFailpoint = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      target.write(batch, WriteMode.Upsert, Seq("id"))
+    } finally ParquetTarget.stageFailpoint = () => ()
+    assert(new java.io.File(dir + ".staged").isDirectory)
+    new java.io.File(dir + ".staged/_COMMIT_READY").createNewFile()
+
+    // next write first rolls the staged commit FORWARD, then applies its
+    // own batch on top
+    target.write(Seq((4L, 40.0, "d1")).toDF("id", "v", "day"),
+      WriteMode.Upsert, Seq("id"))
+    val rows = spark.read.parquet(dir).select("id", "v", "day")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10.0, "d1"), (2L, 25.0, "d2"), (3L, 30.0, "d2"),
+      (4L, 40.0, "d1")))
+    assert(!new java.io.File(dir + ".staged").exists &&
+      !new java.io.File(dir + ".backup").exists)
+  }
+
   test("compaction collapses small files, preserves rows") {
     import spark.implicits._
     val dir = tmpDir() + "/frag"
