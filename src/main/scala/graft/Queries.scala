@@ -2113,6 +2113,38 @@ object Queries {
       FROM c, unnest(range(0, nc)) AS u(i)
       ORDER BY doc_id, chunk_id"""))
 
+  /** Gopher-style repetition filters: type-token ratio, top-bigram and
+    * duplicate-bigram occupancy per document — the "drop looping /
+    * boilerplate text" signals of corpus cleaning. */
+  private val q71 = Entry(
+    "q71_repetition_stats",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT doc_id, unnest(w) AS s FROM t WHERE len(w) >= 1),
+      ua AS (
+        SELECT doc_id, count(*) AS n_words, count(DISTINCT s) AS dw
+        FROM uni GROUP BY doc_id),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+        FROM t WHERE len(w) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      ba AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS bt,
+               CAST(max(c) AS BIGINT) AS bm,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS bd
+        FROM bc GROUP BY doc_id)
+      SELECT ua.doc_id, n_words,
+             round(dw / n_words::DOUBLE, 6) AS distinct_word_ratio,
+             round(bm / bt::DOUBLE, 6) AS top_bigram_frac,
+             round(bd / bt::DOUBLE, 6) AS dup_bigram_frac
+      FROM ua LEFT JOIN ba USING (doc_id) ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2121,7 +2153,8 @@ object Queries {
     q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48,
     q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

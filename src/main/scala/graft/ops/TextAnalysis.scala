@@ -78,6 +78,46 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style repetition statistics — the standard "remove
+   * machine-generated / boilerplate text" signals of an LLM data
+   * pipeline (cf. Rae et al. 2021, §A1.1 repetition filters):
+   *
+   *  - `distinct_word_ratio`: type-token ratio (low ⇒ repetitive);
+   *  - `top_bigram_frac`: occurrences of the single most frequent
+   *    bigram over all bigram occurrences (high ⇒ one phrase loops);
+   *  - `dup_bigram_frac`: fraction of bigram occurrences whose bigram
+   *    appears more than once (high ⇒ pervasive near-loops).
+   *
+   * Shuffles are keyed by (doc, gram) then doc — per-document
+   * aggregation state only, nothing corpus-global, so the operator
+   * scales with the corpus like every other text op here. Documents
+   * with fewer than 2 words report NULL bigram fractions (no bigram
+   * population); empty/NULL text yields no row, matching a
+   * tokenize-first pipeline.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val uni = Dedup.shingles(df, idCol, textCol, 1, distinct = false)
+    val uniAgg = uni.groupBy("id").agg(
+      count(lit(1)).as("n_words"),
+      count_distinct(col("s")).as("__dw"))
+    val biCounts = Dedup.shingles(df, idCol, textCol, 2, distinct = false)
+      .groupBy("id", "s").agg(count(lit(1)).as("__c"))
+    val biAgg = biCounts.groupBy("id").agg(
+      sum(col("__c")).as("__bt"),
+      max(col("__c")).as("__bm"),
+      sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("__bd"))
+    uniAgg.join(biAgg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_words"),
+        round(col("__dw") / col("n_words").cast("double"), 6)
+          .as("distinct_word_ratio"),
+        round(col("__bm") / col("__bt").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(col("__bd") / col("__bt").cast("double"), 6)
+          .as("dup_bigram_frac"))
+  }
+
+  /**
    * Content fingerprint: md5 of the sorted distinct word set — robust to
    * word order and duplication; groups near-identical (bag-of-words-
    * equal) documents.

@@ -570,6 +570,25 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
 
+  test("repetition stats match hand-computed Gopher signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab → top ab 3/5, all dup
+      (2L, "x y z w"),       // all bigrams unique
+      (3L, "solo"),          // no bigrams → NULL fractions
+      (4L, "t t t t")        // one word repeated: ttr 1/4, one bigram ×3
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getDouble(2),
+      if (out(i).isNullAt(3)) -1.0 else out(i).getDouble(3),
+      if (out(i).isNullAt(4)) -1.0 else out(i).getDouble(4))
+    assert(row(0) == ((6L, 0.333333, 0.6, 1.0)))
+    assert(row(1) == ((4L, 1.0, 0.333333, 0.0)))
+    assert(row(2) == ((1L, 1.0, -1.0, -1.0)))
+    assert(row(3) == ((4L, 0.25, 1.0, 1.0)))
+  }
+
   test("bucket cap thins only oversized buckets; small buckets stay exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
