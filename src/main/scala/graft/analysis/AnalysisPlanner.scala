@@ -232,12 +232,8 @@ object AnalysisPlanner {
    * (integer keys always do).
    */
   def hashSample(df: DataFrame, n: Long, hashCols: Seq[String]): DataFrame = {
-    val M = 1048576L
-    val h = pmod(
-      conv(substring(md5(concat_ws("|",
-        hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
-        .cast("long"),
-      lit(M))
+    val M = graft.functions.PortableHash.M
+    val h = graft.functions.PortableHash.bucket(hashCols.map(col))
     val tot = df.agg(count(lit(1)).as("__tot"))
     // compare in double: h·tot as Longs overflows (ANSI ARITHMETIC_
     // OVERFLOW) once the frame passes ~2^43 rows — inside the design
@@ -542,12 +538,16 @@ object AnalysisPlanner {
    *
    * Memory bound: `buckets <= 0` (the default) sizes the bucket count
    * from a distinct-cell count so a task's Fenwick buffer holds
-   * ~`cellsPerBucket` cells (~a few MB) REGARDLESS of data scale —
-   * a fixed bucket count would make per-task memory grow as
-   * distinct(x)/buckets. The one irreducible concentration left is a
-   * single hot x value (all its ties must share a bucket; its in-bucket
-   * pairs are all x-ties and contribute nothing to D, but its cells are
-   * buffered). Exactly TWO scalar actions run: the sizing count and ONE
+   * ~`cellsPerBucket` cells (~a few MB) — a fixed bucket count would
+   * make per-task memory grow as distinct(x)/buckets. The count is
+   * additionally capped so the D_cross grid (|distinct y| × buckets
+   * rows) stays inside a fixed shuffle budget; when x AND y are both
+   * continuous at extreme n the two constraints conflict and per-bucket
+   * buffers grow past the target — use `maxRows` (deterministic subset)
+   * in that envelope. Irreducible concentrations: a single hot x value
+   * (all its ties must share a bucket; its in-bucket pairs are all
+   * x-ties and contribute nothing to D, but its cells are buffered).
+   * Exactly TWO scalar actions run: the sizing aggregate and ONE
    * merged job computing D_within + D_cross together (their subtrees
    * union into a single aggregate, so the cell frame is built once per
    * action, not once per component).
@@ -561,12 +561,30 @@ object AnalysisPlanner {
     val s = if (maxRows == Int.MaxValue) s0 else s0.orderBy("k").limit(maxRows)
     val cells = s.groupBy("x", "y").agg(count(lit(1)).as("c"))
 
-    // scale-adaptive split: per-task Fenwick memory ≤ ~cellsPerBucket
+    // scale-adaptive split. Two pulls on the bucket count:
+    //  - per-task Fenwick MEMORY wants nb ≥ nCells/cellsPerBucket
+    //    (a task buffers one bucket's cells);
+    //  - the D_cross grid is |Y|·nb ROWS — nb must stay ≤ gridBudget/|Y|
+    //    or a continuous y makes the grid itself the blowup.
+    // Take min(memory want, grid cap): grid rows are a distributed
+    // shuffle (bounded at ~2^27 rows ≈ GBs) while the Fenwick buffer is
+    // per-task heap; when BOTH dimensions are continuous at extreme n,
+    // per-bucket cells can exceed cellsPerBucket — that envelope wants
+    // `maxRows` (deterministic subset) rather than this exact path.
+    // Both sizing scalars come from ONE action.
     val nb: Long =
       if (buckets > 0) buckets.toLong
       else {
-        val nCells = cells.count() // scalar action #1 (sizing)
-        math.max(64L, math.min(1L << 20, nCells / cellsPerBucket + 1))
+        val gridBudget = 1L << 27
+        val szRow = cells.agg(
+          count(lit(1)).as("__n"),
+          approx_count_distinct(col("y"), 0.05).as("__ny"))
+          .collect()(0) // scalar action #1 (sizing)
+        val nCells = szRow.getLong(0)
+        val nY = math.max(1L, szRow.getLong(1))
+        val memWant = nCells / cellsPerBucket + 1
+        val gridCap = gridBudget / nY + 1
+        math.max(64L, math.min(1L << 20, math.min(memWant, gridCap)))
       }
 
     // deterministic equal-width x-buckets (equal x ⇒ same bucket)

@@ -234,10 +234,21 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
     }.reduceOption(_ || _).getOrElse(lit(false))
   }
 
+  private def hadoopFs(df: DataFrame): org.apache.hadoop.fs.FileSystem =
+    // resolve the filesystem FROM the path — java.io.File would say
+    // "missing" for any object-store URI and truncate the table
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
     val n = df.count()
     mode match {
       case WriteMode.Full | WriteMode.Incremental =>
+        // a full rewrite SUPERSEDES any pending upsert commit: discard a
+        // crashed upsert's stage/marker/backup first — leaving the marker
+        // behind would make a later upsert roll the STALE pre-crash merge
+        // forward over this write's data
+        invalidateStage(hadoopFs(df))
         // pin STATIC per-write: a Full rewrite must truncate the whole
         // table even when the session default is dynamic (GraftSession
         // sets partitionOverwriteMode=dynamic session-wide for upsert) —
@@ -247,14 +258,15 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
           .option("partitionOverwriteMode", "static")
           .parquet(path)
       case WriteMode.Append =>
+        // bring the table to a consistent post-upsert state before
+        // appending (roll an interrupted commit forward, drop stale stage)
+        recoverOrClean(hadoopFs(df))
         writer(df).mode("append").parquet(path)
       case WriteMode.Upsert =>
         require(keys.nonEmpty, "upsert requires key columns")
         val spark = df.sparkSession
-        // resolve the filesystem FROM the path — java.io.File would say
-        // "missing" for any object-store URI and truncate the table
         val hPath = new org.apache.hadoop.fs.Path(path)
-        val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hFs = hadoopFs(df)
         recoverOrClean(hFs) // finish an interrupted commit first
         val exists = hFs.exists(hPath)
         if (!exists) writer(df).mode("overwrite").parquet(path)
@@ -297,6 +309,25 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
   private def stagedPath = new org.apache.hadoop.fs.Path(path + ".staged")
   private def backupPath = new org.apache.hadoop.fs.Path(path + ".backup")
 
+  /** `FileSystem.rename` signals failure by RETURNING false (permissions,
+    * missing parent, dst anomalies, store-specific limits) — falling
+    * through would let the commit delete the only surviving copy of the
+    * data. Throw instead: the marker and staged dir stay in place, so the
+    * next write retries the commit idempotently. */
+  private def renameOrThrow(hFs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!hFs.rename(src, dst))
+      throw new java.io.IOException(s"upsert commit: rename $src -> $dst failed")
+
+  /** Discard any pending upsert stage/marker/backup — used by Full/
+    * Incremental rewrites, which supersede an interrupted upsert. */
+  private def invalidateStage(hFs: org.apache.hadoop.fs.FileSystem): Unit = {
+    hFs.delete(stagedPath, true)
+    hFs.delete(backupPath, true)
+    hFs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), "_COMMIT_READY"), false)
+  }
+
   /** Roll forward an interrupted commit (marker present ⇒ staged data is
     * complete), discard a stage that never reached its commit point, and
     * drop leftovers of completed commits. Called before every upsert. */
@@ -338,9 +369,9 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
       // whole-table swap: current → backup, staged → current
       if (hFs.exists(hPath)) {
         hFs.delete(backup, true)
-        hFs.rename(hPath, backup)
+        renameOrThrow(hFs, hPath, backup)
       }
-      hFs.rename(staged, hPath)
+      renameOrThrow(hFs, staged, hPath)
       hFs.delete(new org.apache.hadoop.fs.Path(hPath, "_COMMIT_READY"), false)
       hFs.delete(backup, true)
     } else {
@@ -351,11 +382,11 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
         if (hFs.exists(tgt)) {
           if (!hFs.exists(bak)) {
             hFs.mkdirs(bak.getParent)
-            hFs.rename(tgt, bak)
+            renameOrThrow(hFs, tgt, bak)
           } else hFs.delete(tgt, true) // half-moved remnant; backup wins
         }
         hFs.mkdirs(tgt.getParent)
-        hFs.rename(src, tgt)
+        renameOrThrow(hFs, src, tgt)
       }
       hFs.delete(staged, true) // removes marker + _SUCCESS
       hFs.delete(backup, true)

@@ -12,14 +12,10 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  private val M = 1048576L // 2^20 hash buckets
+  private val M = graft.functions.PortableHash.M
 
   private def hashOf(hashCols: Seq[String]) =
-    pmod(
-      conv(substring(md5(concat_ws("|",
-        hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
-        .cast("long"),
-      lit(M))
+    graft.functions.PortableHash.bucket(hashCols.map(col))
 
   /**
    * Weighted source mixing with deterministic fractional epochs — the

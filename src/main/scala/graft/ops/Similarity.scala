@@ -121,13 +121,9 @@ object Similarity {
    */
   private[graft] def thinBuckets(df: DataFrame, bktCol: String,
       idCol: String, maxBucket: Int): DataFrame = {
-    val M = 1048576L
+    val M = graft.functions.PortableHash.M
     val cnt = df.groupBy(col(bktCol)).agg(count(lit(1)).as("__bn"))
-    val h = pmod(
-      conv(substring(md5(concat_ws("|",
-        col(bktCol), col(idCol).cast("string"))), 1, 15), 16, 10)
-        .cast("long"),
-      lit(M))
+    val h = graft.functions.PortableHash.bucket(Seq(col(bktCol), col(idCol)))
     df.join(cnt, Seq(bktCol))
       .where(h.cast("double") * col("__bn").cast("double") <
         lit(maxBucket.toDouble * M))
@@ -151,7 +147,15 @@ object Similarity {
    * subset (the recall trade, acceptable because bucket members are
    * mutually similar by construction), so per-bucket work is
    * O(pop · maxBucket) instead of O(pop²). Queries are never thinned —
-   * every vector still gets k results. `maxBucket <= 0` disables.
+   * every vector still gets k results.
+   *
+   * The cap is ON by default (10000): self-ANN is approximate by
+   * construction and an uncapped hot bucket is quadratic, so the safe
+   * default bounds work; pass `maxBucket <= 0` for exhaustive buckets.
+   * NOTE this deliberately differs from [[Dedup.embeddingNearDup]],
+   * whose cap defaults OFF — near-DUP detection may genuinely need
+   * every pair, top-k ANN does not. Any external result-replay (e.g. an
+   * oracle) must mirror the active cap's md5 threshold.
    */
   def lshSelfKnn(corpus: DataFrame, k: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",

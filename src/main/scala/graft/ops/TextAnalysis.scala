@@ -92,8 +92,10 @@ object TextAnalysis {
    * aggregation state only, nothing corpus-global, so the operator
    * scales with the corpus like every other text op here. Documents
    * with fewer than 2 words report NULL bigram fractions (no bigram
-   * population); empty/NULL text yields no row, matching a
-   * tokenize-first pipeline.
+   * population). NULL text yields no row; EMPTY text splits to one
+   * empty-string token (`split`/`string_split` semantics in both
+   * engines) and reports n_words = 1 — filter empties upstream if they
+   * must be distinguished.
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val uni = Dedup.shingles(df, idCol, textCol, 1, distinct = false)

@@ -194,6 +194,28 @@ class EtlExtSpec extends AnyFunSuite {
       !new java.io.File(dir + ".backup").exists)
   }
 
+  test("Full rewrite invalidates a crashed upsert's commit marker") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir, orderColumn = Some("v"))
+    target.write(Seq((1L, 10.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    // crash an upsert after staging, then hand-write the marker — the
+    // state recovery would normally roll FORWARD
+    ParquetTarget.stageFailpoint = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      target.write(Seq((1L, 11.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    } finally ParquetTarget.stageFailpoint = () => ()
+    new java.io.File(dir + ".staged/_COMMIT_READY").createNewFile()
+
+    // a Full rewrite SUPERSEDES the pending commit; the stale stage must
+    // not roll forward over it on the next upsert
+    target.write(Seq((1L, 50.0)).toDF("id", "v"), WriteMode.Full)
+    target.write(Seq((2L, 60.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    val rows = spark.read.parquet(dir).select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 50.0), (2L, 60.0))) // NOT the stale 11.0
+  }
+
   test("compaction collapses small files, preserves rows") {
     import spark.implicits._
     val dir = tmpDir() + "/frag"
