@@ -2145,6 +2145,39 @@ object Queries {
              round(bd / bt::DOUBLE, 6) AS dup_bigram_frac
       FROM ua LEFT JOIN ba USING (doc_id) ORDER BY doc_id"""))
 
+  /** Symmetric int8 embedding quantization: per-vector scale, an md5
+    * checksum over the exact code sequence (arrays stay out of the
+    * compared output; the checksum still pins every code), and the
+    * order-independent max reconstruction error. */
+  private val q72 = Entry(
+    "q72_embedding_quantize",
+    (s, d) =>
+      graft.ops.Features
+        .quantizeEmbedding(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), r6(col("scale")).as("scale"),
+          md5(concat_ws(",",
+            transform(col("codes"), c => c.cast("string")))).as("codes_md5"),
+          r6(col("max_abs_err")).as("max_abs_err"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e),
+      q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x ->
+                 CAST(CASE WHEN scale = 0 THEN 0.0
+                      ELSE greatest(-127.0, least(127.0, round(x / scale)))
+                      END AS INTEGER)) AS codes
+        FROM s)
+      SELECT vec_id, round(scale, 6) AS scale,
+             md5(array_to_string(codes, ',')) AS codes_md5,
+             round(list_max(list_transform(range(1, len(v) + 1),
+                   i -> abs(v[i] - codes[i] * scale))), 6) AS max_abs_err
+      FROM q ORDER BY vec_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2154,7 +2187,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71)
+    q71, q72)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -88,6 +88,38 @@ object Features {
   }
 
   /**
+   * Symmetric linear int8 quantization of an embedding column — the 4×
+   * memory/bandwidth lever for ANN at corpus scale (float32 → int8
+   * codes + one float scale per vector; IVF/LSH candidate scoring then
+   * runs over codes and only the re-rank touches full precision).
+   * Map-only: `scale = max|x| / 127`, `code_i = clamp(round(x_i /
+   * scale), ±127)`, all deterministic double arithmetic, so any engine
+   * replays the codes bit-exactly. An all-zero vector quantizes to
+   * zero codes with scale 0 (no division). Emits the codes, the scale,
+   * and `max_abs_err` (max element-wise |x − code·scale|; max is
+   * fp-order-independent, unlike a sum, which keeps it engine-exact).
+   */
+  def quantizeEmbedding(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    // stepwise column projections: an inline computed array inside a
+    // HOF lambda is re-evaluated per element (the O(n²) shingling trap)
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__v", v)
+      .withColumn("scale",
+        array_max(transform(col("__v"), x => abs(x))) / 127.0)
+      .withColumn("codes",
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, 0.0)
+            .otherwise(greatest(lit(-127.0),
+              least(lit(127.0), round(x / col("scale")))))
+            .cast("int")))
+      .withColumn("max_abs_err",
+        array_max(zip_with(col("__v"), col("codes"),
+          (x, q) => abs(x - q.cast("double") * col("scale")))))
+      .select(col(idCol), col("scale"), col("codes"), col("max_abs_err"))
+  }
+
+  /**
    * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
    * exact interpolated quantile boundaries. Boundaries come from the
    * distributed percentile machinery

@@ -570,6 +570,22 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
 
+  test("int8 quantization: codes, scale and reconstruction error") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0, -0.5, 0.254)), (2L, Array(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Features
+      .quantizeEmbedding(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val s = 1.0 / 127
+    assert(out(0).getSeq[Int](2) == Seq(127, -64, 32)) // -63.5 rounds away
+    assert(math.abs(out(0).getDouble(1) - s) < 1e-15)
+    assert(math.abs(out(0).getDouble(3) - (64 * s - 0.5)) < 1e-12)
+    // all-zero vector: scale 0, zero codes, zero error — no div-by-zero
+    assert(out(1).getDouble(1) == 0.0 &&
+      out(1).getSeq[Int](2) == Seq(0, 0) && out(1).getDouble(3) == 0.0)
+  }
+
   test("repetition stats match hand-computed Gopher signals") {
     import spark.implicits._
     val docs = Seq(
