@@ -2178,6 +2178,94 @@ object Queries {
                    i -> abs(v[i] - codes[i] * scale))), 6) AS max_abs_err
       FROM q ORDER BY vec_id"""))
 
+  /** Quantized IVF ANN: int8-code integer-dot candidate scoring, exact
+    * cosine re-rank of the top-16 — the quantize-score-rerank pipeline
+    * replayed end-to-end in DuckDB (integer dots are exact, so the
+    * approximate ranking is engine-identical). */
+  private val q73 = Entry(
+    "q73_knn_ivf_quantized",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .ivfKnnQuantizedWith(emb, emb.where(col("vec_id") < 10), 5,
+          graft.ops.Similarity.pseudoCentroids(8, 64), nProbe = 2,
+          rerank = 16)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"),
+          r6(col("approx_cos")).as("approx_cos"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val cents = graft.ops.Similarity.pseudoCentroids(8, 64)
+      val values = cents.zipWithIndex.map { case (cv, i) =>
+        val cc = cv.map(x => x * x).sum
+        s"($i, ${cv.mkString("[", ", ", "]")}::DOUBLE[], $cc)"
+      }.mkString(",\n               ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT * FROM (VALUES $values) AS t(cell, cv, cc)),
+      ad AS (
+        SELECT e.vec_id, cent.cell,
+               list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.cv) + cent.cc AS d
+        FROM e, cent),
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM ad) WHERE rn = 1),
+      qz AS (
+        SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e),
+      codes AS (
+        SELECT e.vec_id, qz.scale,
+               list_transform(e.v, x ->
+                 CAST(CASE WHEN qz.scale = 0 THEN 0.0
+                      ELSE greatest(-127.0, least(127.0, round(x / qz.scale)))
+                      END AS INTEGER)) AS codes
+        FROM e JOIN qz USING (vec_id)),
+      corp AS (
+        SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
+               asg.cell, k.codes, k.scale
+        FROM e JOIN asg USING (vec_id) JOIN codes k USING (vec_id)),
+      probes AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM ad WHERE vec_id < 10) WHERE rn <= 2),
+      q AS (
+        SELECT p.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
+               p.cell, k.codes, k.scale
+        FROM probes p JOIN e ON e.vec_id = p.vec_id
+                      JOIN codes k ON k.vec_id = p.vec_id),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               q.v AS qv, c.v AS cv, q.nrm AS qn, c.nrm AS cn,
+               CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+                 i -> CAST(q.codes[i] AS BIGINT) * CAST(c.codes[i] AS BIGINT)))
+                 AS BIGINT) AS idot,
+               q.scale AS qs, c.scale AS cs
+        FROM q JOIN corp c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+      a1 AS (
+        SELECT *, CAST(idot AS DOUBLE) * qs * cs / (qn * cn) AS approx_cos
+        FROM sc),
+      r1 AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx_cos DESC, nbr_id ASC) AS arnk
+        FROM a1),
+      r2 AS (
+        SELECT query_id, nbr_id, approx_cos,
+               list_dot_product(qv, cv) / (qn * cn) AS cos
+        FROM r1 WHERE arnk <= 16),
+      r AS (
+        SELECT query_id, nbr_id, cos, approx_cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM r2)
+      SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos,
+             round(approx_cos, 6) AS approx_cos
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2187,7 +2275,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72)
+    q71, q72, q73)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -268,6 +268,85 @@ object Similarity {
       kmeansCentroids(corpus, idCol, vecCol, cells, iters), nProbe,
       idCol, vecCol)
 
+  /**
+   * IVF ANN with int8-quantized candidate scoring — the memory-lever
+   * composition of [[graft.ops.Features.quantizeEmbedding]] and
+   * [[ivfKnnWith]]: cells are probed as usual, but candidates are
+   * scored with an INTEGER dot product over the int8 codes (exact
+   * arithmetic — engine-reproducible, ~4× less candidate bandwidth
+   * than float64), the top `rerank` per query survive, and only those
+   * are re-scored with the full-precision cosine. Classic
+   * quantize-score-rerank: recall loss is bounded by how often the
+   * true top-k falls outside the approximate top-`rerank`
+   * (`rerank >> k` makes it negligible); the exact path stays
+   * [[ivfKnnWith]].
+   */
+  def ivfKnnQuantizedWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, "rerank depth must be >= k")
+    val cells = cents.length
+    val cq = graft.ops.Features.quantizeEmbedding(corpus, idCol, vecCol)
+      .withColumnRenamed("codes", "c_codes")
+      .withColumnRenamed("scale", "c_scale")
+      .select(col(idCol), col("c_codes"), col("c_scale"))
+    val c = assignCells(corpus, vecCol, cents)
+      .select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        VectorFunctions.norm(col(vecCol)).as("cn"),
+        col("__cell").as("cell"))
+      .join(cq.select(col(idCol).as("nbr_id"), col("c_codes"),
+        col("c_scale")), Seq("nbr_id"))
+    val qq = graft.ops.Features.quantizeEmbedding(queries, idCol, vecCol)
+      .withColumnRenamed("codes", "q_codes")
+      .withColumnRenamed("scale", "q_scale")
+      .select(col(idCol), col("q_codes"), col("q_scale"))
+    val probed = assignCells(queries, vecCol, cents)
+      .withColumn("cell",
+        explode(transform(
+          slice(array_sort(zip_with(col("__dists"),
+            sequence(lit(0), lit(cells - 1)),
+            (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe),
+          s => s.getField("i"))))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"),
+        col("cell"))
+      .join(qq.select(col(idCol).as("query_id"), col("q_codes"),
+        col("q_scale")), Seq("query_id"))
+    // stage 1: integer-dot approximate score over the codes (exact
+    // int arithmetic → deterministic ranking in any engine)
+    val intDot = aggregate(
+      zip_with(col("q_codes"), col("c_codes"),
+        (a, b) => (a.cast("long") * b.cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("__idot", intDot)
+      .withColumn("approx_cos",
+        col("__idot").cast("double") * col("q_scale") * col("c_scale") /
+          (col("qn") * col("cn")))
+    // approx_cos (not raw __idot) is the stage-1 key: per-candidate
+    // scales differ, so the integer dot alone mis-ranks across
+    // candidates. Still deterministic: exact int dot cast once, then
+    // fixed IEEE multiplications — bit-identical in any engine.
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("nbr_id").asc)
+    // stage 2: exact cosine re-rank of the surviving `rerank` candidates
+    val survivors = scored
+      .withColumn("__arnk", row_number().over(wA))
+      .where(col("__arnk") <= rerank)
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    survivors
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wE))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"),
+        col("approx_cos"))
+  }
+
   /** IVF ANN against caller-provided centroids (k-means, pseudo-random,
     * or loaded from a trained index). */
   def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,

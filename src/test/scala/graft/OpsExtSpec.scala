@@ -570,6 +570,32 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
 
+  test("quantized IVF equals exact IVF at exhaustive probe + deep rerank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+    val cents = graft.ops.Similarity.pseudoCentroids(4, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rnk", "nbr_id", "cos").orderBy("query_id", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e9)))
+    val exact = rows(graft.ops.Similarity.ivfKnnWith(
+      corpus, queries, 5, cents, nProbe = 4))
+    val quant = rows(graft.ops.Similarity.ivfKnnQuantizedWith(
+      corpus, queries, 5, cents, nProbe = 4, rerank = 60))
+    // rerank depth covers every candidate → stage 1 cannot drop the true
+    // top-k; the exact re-rank then reproduces the exact pipeline
+    assert(quant.toSeq == exact.toSeq)
+    // shallow rerank still returns k rows per query (recall may dip)
+    val shallow = graft.ops.Similarity.ivfKnnQuantizedWith(
+      corpus, queries, 5, cents, nProbe = 4, rerank = 5)
+    assert(shallow.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   test("int8 quantization: codes, scale and reconstruction error") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0, -0.5, 0.254)), (2L, Array(0.0, 0.0)))
