@@ -2266,6 +2266,54 @@ object Queries {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** Incremental near-dup at ingestion time: docs 450+ play the NEW
+    * batch, the rest the existing corpus signature store — band-keyed
+    * join, O(batch) per increment, no corpus rescan. */
+  private val q74 = Entry(
+    "q74_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup
+        .incrementalNearDup(docs.where(col("doc_id") >= 450),
+          docs.where(col("doc_id") < 450), "doc_id", "text")
+        .orderBy("new_id", "corpus_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      hd AS (
+        SELECT id, md5('0:' || s) AS h0, md5('1:' || s) AS h1,
+                   md5('2:' || s) AS h2, md5('3:' || s) AS h3
+        FROM sh),
+      sig AS (
+        SELECT id,
+               min(substring(h0, 1, 8))  AS mh_0,  min(substring(h0, 9, 8))  AS mh_1,
+               min(substring(h0, 17, 8)) AS mh_2,  min(substring(h0, 25, 8)) AS mh_3,
+               min(substring(h1, 1, 8))  AS mh_4,  min(substring(h1, 9, 8))  AS mh_5,
+               min(substring(h1, 17, 8)) AS mh_6,  min(substring(h1, 25, 8)) AS mh_7,
+               min(substring(h2, 1, 8))  AS mh_8,  min(substring(h2, 9, 8))  AS mh_9,
+               min(substring(h2, 17, 8)) AS mh_10, min(substring(h2, 25, 8)) AS mh_11,
+               min(substring(h3, 1, 8))  AS mh_12, min(substring(h3, 9, 8))  AS mh_13,
+               min(substring(h3, 17, 8)) AS mh_14, min(substring(h3, 25, 8)) AS mh_15
+        FROM hd GROUP BY id),
+      bands AS (
+        SELECT id, 0 AS band, md5(mh_0 || mh_1 || mh_2 || mh_3) AS key FROM sig
+        UNION ALL
+        SELECT id, 1, md5(mh_4 || mh_5 || mh_6 || mh_7) FROM sig
+        UNION ALL
+        SELECT id, 2, md5(mh_8 || mh_9 || mh_10 || mh_11) FROM sig
+        UNION ALL
+        SELECT id, 3, md5(mh_12 || mh_13 || mh_14 || mh_15) FROM sig)
+      SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id <> b.id
+      WHERE a.id >= 450 AND b.id < 450
+      ORDER BY new_id, corpus_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2275,7 +2323,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73)
+    q71, q72, q73, q74)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -88,15 +88,11 @@ object Dedup {
     withDigests.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /**
-   * LSH banding: signature → `bands` keys (md5 of each row-group), then
-   * candidate pairs = docs sharing any band key. Join is keyed on
-   * (band index, band key) — bucket sizes stay tiny for random data, so
-   * the pair expansion is local to genuine near-dup clusters.
-   */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
-    val banded = signatures.select(
+  /** Signature frame → one (id, band, key) row per band; key = md5 of
+    * the band's row-group. Shared by self- and incremental banding. */
+  private def bandKeys(signatures: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    signatures.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -105,6 +101,16 @@ object Dedup {
             .as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /**
+   * LSH banding: signature → `bands` keys (md5 of each row-group), then
+   * candidate pairs = docs sharing any band key. Join is keyed on
+   * (band index, band key) — bucket sizes stay tiny for random data, so
+   * the pair expansion is local to genuine near-dup clusters.
+   */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandKeys(signatures, bands, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -112,6 +118,38 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
   }
+
+  /**
+   * INCREMENTAL near-dup: candidates between a NEW batch and an
+   * EXISTING corpus — the ingestion-time shape ("is this incoming
+   * document a near-copy of anything already indexed?"). The corpus
+   * side arrives as a PRE-COMPUTED signature frame (persist the
+   * [[minhashSignatures]] output bucketed by band key in a real
+   * pipeline), so each batch costs signatures over the BATCH plus a
+   * band-keyed join against the store — O(batch), never a corpus
+   * rescan, and no O(corpus²) self-join anywhere. Asymmetric by
+   * construction: output rows are (new_id, corpus_id).
+   */
+  def minhashCandidatesAgainst(newSignatures: DataFrame,
+      corpusSignatures: DataFrame, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val a = bandKeys(newSignatures, bands, rowsPerBand).as("a")
+    val b = bandKeys(corpusSignatures, bands, rowsPerBand).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Incremental near-dup from raw text on both sides (convenience;
+    * production keeps the corpus side's signatures materialized). */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, shingleN: Int = 3,
+      bands: Int = 4): DataFrame =
+    minhashCandidatesAgainst(
+      minhashSignatures(newDocs, idCol, textCol, k, shingleN),
+      minhashSignatures(corpus, idCol, textCol, k, shingleN),
+      bands, k / bands)
 
   /** MinHash + LSH near-dup pairs, end to end. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,

@@ -570,6 +570,29 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.isNullAt(1) && b.getLong(2) == 0L && b.getLong(3) == 2L)
   }
 
+  test("incremental near-dup equals the cross slice of the self-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def doc() = (1 to 20).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc()))
+    // plant near-dups across the batch boundary and inside each side
+    val planted = Seq((100L, base(3)._2), (101L, base(7)._2 + " extra"),
+      (102L, base(30 % base.size)._2), (103L, base(101 % 30)._2))
+    val all = (base ++ planted).toDF("doc_id", "text")
+    val corpus = all.where(col("doc_id") < 100)
+    val batch = all.where(col("doc_id") >= 100)
+    val incr = graft.ops.Dedup
+      .incrementalNearDup(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = graft.ops.Dedup.minhashLsh(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-join pairs are (lo, hi); the cross slice maps to (new, corpus)
+    val expected = self.collect {
+      case (a, b) if a < 100 && b >= 100 => (b, a)
+    }
+    assert(incr == expected && incr.nonEmpty)
+  }
+
   test("quantized IVF equals exact IVF at exhaustive probe + deep rerank") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
