@@ -161,6 +161,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("k1", "k2"))
   }
 
+  test("streaming upsert sink merges micro-batches through the staged commit") {
+    import spark.implicits._
+    import graft.etl._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val tgt = ParquetTarget(s"$root/table", orderColumn = Some("v"))
+
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingSink
+        .upsertEachBatch(spark.readStream.schema(schema).parquet(srcDir),
+          tgt, Seq("id"))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    // second wave: update id=2, insert id=3; new files, same checkpoint
+    Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val rows = spark.read.parquet(s"$root/table").select("id", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // no protocol litter after streaming commits
+    assert(!new java.io.File(s"$root/table.staged").exists &&
+      !new java.io.File(s"$root/table.backup").exists)
+  }
+
   test("streaming execution: tumbling agg over a file stream with watermark") {
     import spark.implicits._
     val root = tmpDir()
