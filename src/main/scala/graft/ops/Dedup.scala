@@ -145,17 +145,25 @@ object Dedup {
     * production keeps the corpus side's signatures materialized). */
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, k: Int = 16, shingleN: Int = 3,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k): k/bands truncation would " +
+        "silently ignore trailing signature rows")
     minhashCandidatesAgainst(
       minhashSignatures(newDocs, idCol, textCol, k, shingleN),
       minhashSignatures(corpus, idCol, textCol, k, shingleN),
       bands, k / bands)
+  }
 
   /** MinHash + LSH near-dup pairs, end to end. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame =
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide k ($k): k/bands truncation would " +
+        "silently ignore trailing signature rows")
     minhashCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
       bands, k / bands)
+  }
 
   /**
    * Estimated Jaccard for LSH candidate pairs from the MinHash
@@ -167,6 +175,7 @@ object Dedup {
    */
   def minhashEstimatedJaccard(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
     val cand = minhashCandidates(sig, bands, k / bands)
     val a = sig.select(col("id").as("doc_a") +:
@@ -190,6 +199,7 @@ object Dedup {
    */
   def minhashLshFast(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val sh = shingles(df, idCol, textCol, shingleN, distinct = false)
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
     val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)

@@ -99,20 +99,32 @@ object Features {
    * and `max_abs_err` (max element-wise |x − code·scale|; max is
    * fp-order-independent, unlike a sum, which keeps it engine-exact).
    */
+  /** `scale = max|x| / 127` for an `array<double>` column. THE one copy
+    * of the quantization arithmetic (with [[quantCodes]]) — the ANN
+    * scoring path and every oracle mirror replay exactly these
+    * expressions. Pass PROJECTED columns (not inline computed arrays):
+    * a computed array inside a HOF lambda re-evaluates per element. */
+  private[graft] def quantScale(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  /** int8 codes `clamp(round(x / scale), ±127)`; zero scale ⇒ zero
+    * codes, no division. */
+  private[graft] def quantCodes(v: org.apache.spark.sql.Column,
+      scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, x =>
+      when(scale === 0.0, 0.0)
+        .otherwise(greatest(lit(-127.0), least(lit(127.0), round(x / scale))))
+        .cast("int"))
+
   def quantizeEmbedding(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     // stepwise column projections: an inline computed array inside a
     // HOF lambda is re-evaluated per element (the O(n²) shingling trap)
     val v = col(vecCol).cast("array<double>")
     df.withColumn("__v", v)
-      .withColumn("scale",
-        array_max(transform(col("__v"), x => abs(x))) / 127.0)
-      .withColumn("codes",
-        transform(col("__v"), x =>
-          when(col("scale") === 0.0, 0.0)
-            .otherwise(greatest(lit(-127.0),
-              least(lit(127.0), round(x / col("scale")))))
-            .cast("int")))
+      .withColumn("scale", quantScale(col("__v")))
+      .withColumn("codes", quantCodes(col("__v"), col("scale")))
       .withColumn("max_abs_err",
         array_max(zip_with(col("__v"), col("codes"),
           (x, q) => abs(x - q.cast("double") * col("scale")))))

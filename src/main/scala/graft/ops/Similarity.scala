@@ -281,39 +281,58 @@ object Similarity {
    * (`rerank >> k` makes it negligible); the exact path stays
    * [[ivfKnnWith]].
    */
-  def ivfKnnQuantizedWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      cents: Array[Array[Double]], nProbe: Int = 4, rerank: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(rerank >= k, "rerank depth must be >= k")
+  /** Corpus side of an IVF join: id/vector/norm/cell (+ int8 codes when
+    * `quantized`) in ONE map-only projection — no second scan, no
+    * self-join to attach codes. Shared by both IVF variants. */
+  private def corpusWithCells(corpus: DataFrame, cents: Array[Array[Double]],
+      idCol: String, vecCol: String, quantized: Boolean): DataFrame = {
+    val base = assignCells(corpus, vecCol, cents)
+      .withColumn("cv", col(vecCol).cast("array<double>"))
+    val cols = Seq(col(idCol).as("nbr_id"), col("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
+    if (!quantized) base.select(cols: _*)
+    else base
+      .withColumn("c_scale", graft.ops.Features.quantScale(col("cv")))
+      .withColumn("c_codes",
+        graft.ops.Features.quantCodes(col("cv"), col("c_scale")))
+      .select(cols :+ col("c_codes") :+ col("c_scale"): _*)
+  }
+
+  /** Query side: one row per (query, probed cell) — sort (distance,
+    * cellIdx) structs, explode the first nProbe (+ codes when
+    * `quantized`, computed per vector BEFORE the explode). */
+  private def probedQueries(queries: DataFrame, cents: Array[Array[Double]],
+      nProbe: Int, idCol: String, vecCol: String,
+      quantized: Boolean): DataFrame = {
     val cells = cents.length
-    val cq = graft.ops.Features.quantizeEmbedding(corpus, idCol, vecCol)
-      .withColumnRenamed("codes", "c_codes")
-      .withColumnRenamed("scale", "c_scale")
-      .select(col(idCol), col("c_codes"), col("c_scale"))
-    val c = assignCells(corpus, vecCol, cents)
-      .select(col(idCol).as("nbr_id"),
-        col(vecCol).cast("array<double>").as("cv"),
-        VectorFunctions.norm(col(vecCol)).as("cn"),
-        col("__cell").as("cell"))
-      .join(cq.select(col(idCol).as("nbr_id"), col("c_codes"),
-        col("c_scale")), Seq("nbr_id"))
-    val qq = graft.ops.Features.quantizeEmbedding(queries, idCol, vecCol)
-      .withColumnRenamed("codes", "q_codes")
-      .withColumnRenamed("scale", "q_scale")
-      .select(col(idCol), col("q_codes"), col("q_scale"))
-    val probed = assignCells(queries, vecCol, cents)
+    val base0 = assignCells(queries, vecCol, cents)
+      .withColumn("qv", col(vecCol).cast("array<double>"))
+    val base =
+      if (!quantized) base0
+      else base0
+        .withColumn("q_scale", graft.ops.Features.quantScale(col("qv")))
+        .withColumn("q_codes",
+          graft.ops.Features.quantCodes(col("qv"), col("q_scale")))
+    val cols = Seq(col(idCol).as("query_id"), col("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"), col("cell")) ++
+      (if (quantized) Seq(col("q_codes"), col("q_scale")) else Nil)
+    base
       .withColumn("cell",
         explode(transform(
           slice(array_sort(zip_with(col("__dists"),
             sequence(lit(0), lit(cells - 1)),
             (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe),
           s => s.getField("i"))))
-      .select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"),
-        VectorFunctions.norm(col(vecCol)).as("qn"),
-        col("cell"))
-      .join(qq.select(col(idCol).as("query_id"), col("q_codes"),
-        col("q_scale")), Seq("query_id"))
+      .select(cols: _*)
+  }
+
+  def ivfKnnQuantizedWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, "rerank depth must be >= k")
+    val c = corpusWithCells(corpus, cents, idCol, vecCol, quantized = true)
+    val probed = probedQueries(queries, cents, nProbe, idCol, vecCol,
+      quantized = true)
     // stage 1: integer-dot approximate score over the codes (exact
     // int arithmetic → deterministic ranking in any engine)
     val intDot = aggregate(
@@ -352,24 +371,9 @@ object Similarity {
   def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[Array[Double]], nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = cents.length
-    val c = assignCells(corpus, vecCol, cents).select(
-      col(idCol).as("nbr_id"),
-      col(vecCol).cast("array<double>").as("cv"),
-      VectorFunctions.norm(col(vecCol)).as("cn"),
-      col("__cell").as("cell"))
-    // per query: sort (distance, cellIdx) structs, probe first nProbe
-    val probed = assignCells(queries, vecCol, cents)
-      .withColumn("cell",
-        explode(transform(
-          slice(array_sort(zip_with(col("__dists"),
-            sequence(lit(0), lit(cells - 1)),
-            (d, i) => struct(d.as("d"), i.as("i")))), 1, nProbe),
-          s => s.getField("i"))))
-      .select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"),
-        VectorFunctions.norm(col(vecCol)).as("qn"),
-        col("cell"))
+    val c = corpusWithCells(corpus, cents, idCol, vecCol, quantized = false)
+    val probed = probedQueries(queries, cents, nProbe, idCol, vecCol,
+      quantized = false)
     val scored = c
       .join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))

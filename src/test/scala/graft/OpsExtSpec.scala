@@ -575,10 +575,14 @@ class OpsExtSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(5)
     def doc() = (1 to 20).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
     val base = (0 until 30).map(i => (i.toLong, doc()))
-    // plant near-dups across the batch boundary and inside each side
+    // near-dups ACROSS the boundary (100, 101 copy corpus docs 3, 7),
+    // WITHIN the batch (102 copies 100's text), and WITHIN the corpus
+    // (28/29 already share text) — the side-internal pairs must NOT
+    // appear in the asymmetric incremental output
+    val withinCorpus = base.updated(29, (29L, base(28)._2))
     val planted = Seq((100L, base(3)._2), (101L, base(7)._2 + " extra"),
-      (102L, base(30 % base.size)._2), (103L, base(101 % 30)._2))
-    val all = (base ++ planted).toDF("doc_id", "text")
+      (102L, base(3)._2))
+    val all = (withinCorpus ++ planted).toDF("doc_id", "text")
     val corpus = all.where(col("doc_id") < 100)
     val batch = all.where(col("doc_id") >= 100)
     val incr = graft.ops.Dedup
@@ -591,6 +595,10 @@ class OpsExtSpec extends AnyFunSuite {
       case (a, b) if a < 100 && b >= 100 => (b, a)
     }
     assert(incr == expected && incr.nonEmpty)
+    // the planted side-internal dups ARE found by the self-join...
+    assert(self.contains((100L, 102L)) && self.contains((28L, 29L)))
+    // ...and are correctly absent from the batch-vs-corpus output
+    assert(incr.forall { case (n, c) => n >= 100 && c < 100 })
   }
 
   test("quantized IVF equals exact IVF at exhaustive probe + deep rerank") {
