@@ -240,8 +240,19 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
 
-  def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
-    val n = df.count()
+  /** Row-count observation riding the write action itself (CollectMetrics
+    * accumulators) — the previous `df.count()` re-executed the caller's
+    * whole pipeline once per write just to report a number. */
+  private def writeCounted(df: DataFrame)(
+      run: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    run(df.observe(obs, count(lit(1)).as("rows")))
+    // the write action has completed, so the observation resolves (get
+    // blocks only on the short listener-dispatch window)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long =
     mode match {
       case WriteMode.Full | WriteMode.Incremental =>
         // a full rewrite SUPERSEDES any pending upsert commit: discard a
@@ -254,14 +265,16 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
         // sets partitionOverwriteMode=dynamic session-wide for upsert) —
         // dynamic would silently retain stale partitions absent from the
         // batch. The Upsert path pins "dynamic" per-write symmetrically.
-        writer(df).mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .parquet(path)
+        writeCounted(df) { d =>
+          writer(d).mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(path)
+        }
       case WriteMode.Append =>
         // bring the table to a consistent post-upsert state before
         // appending (roll an interrupted commit forward, drop stale stage)
         recoverOrClean(hadoopFs(df))
-        writer(df).mode("append").parquet(path)
+        writeCounted(df)(d => writer(d).mode("append").parquet(path))
       case WriteMode.Upsert =>
         require(keys.nonEmpty, "upsert requires key columns")
         val spark = df.sparkSession
@@ -269,7 +282,8 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
         val hFs = hadoopFs(df)
         recoverOrClean(hFs) // finish an interrupted commit first
         val exists = hFs.exists(hPath)
-        if (!exists) writer(df).mode("overwrite").parquet(path)
+        if (!exists)
+          writeCounted(df)(d => writer(d).mode("overwrite").parquet(path))
         else {
           val ord = orderColumn.getOrElse(keys.head)
           // partition-scoped: read ONLY the batch's partitions (the isin
@@ -292,19 +306,21 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
             .where(col("__rn") === 1)
             .drop("__prec", "__rn")
           // STAGE: merge result lands beside the target; the table is
-          // untouched until the stage is durably complete
+          // untouched until the stage is durably complete. Written count
+          // = rows physically written (the merged partitions), observed
+          // on the staging write itself.
           val staged = stagedPath
           hFs.delete(staged, true)
-          writer(deduped).mode("overwrite").parquet(staged.toString)
+          val n = writeCounted(deduped)(d =>
+            writer(d).mode("overwrite").parquet(staged.toString))
           ParquetTarget.stageFailpoint()
           // COMMIT: marker proves the stage is complete, then swap in
           hFs.create(new org.apache.hadoop.fs.Path(staged, "_COMMIT_READY"),
             true).close()
           commitStaged(hFs)
+          n
         }
     }
-    n
-  }
 
   private def stagedPath = new org.apache.hadoop.fs.Path(path + ".staged")
   private def backupPath = new org.apache.hadoop.fs.Path(path + ".backup")
@@ -462,9 +478,24 @@ final class Job(
     val cp = checkpoints.get(jobId)
     val ctx = TransformContext(jobId, runId, executionDate,
       incremental.mode != WriteMode.Full, cp)
+    // SINGLE-PASS RUN: the pipeline (source scans + transform) executes
+    // ONCE per run. rowsRead rides each source frame as an observation
+    // (CollectMetrics accumulators — no dedicated count() scan), the
+    // checkpoint high-water max rides the quality gate's one aggregation
+    // pass, the write reports its own row count the same way, and the
+    // transform output is persisted so the gate and the write share one
+    // pipeline execution. At 100 TB the previous shape (count per source
+    // + gate + write-count + checkpoint max, nothing persisted) re-ran
+    // the full scan+join+shuffle pipeline 4+ times per run.
     def attempt(): JobRun = {
       // read sources, applying the incremental cursor (+ lookback) on the
-      // checkpoint column — the predicate lands in the scan via pushdown
+      // checkpoint column — the predicate lands in the scan via pushdown.
+      // The observation sits ABOVE the cursor filter: rowsRead = rows
+      // entering the transform (same as the count() it replaces), and a
+      // CollectMetrics node below the filter would block predicate
+      // pushdown into the scan.
+      val srcObs = sources.map(s =>
+        s.alias -> org.apache.spark.sql.Observation()).toMap
       val frames: Map[String, DataFrame] = sources.map { s =>
         var df = s.read(spark)
         for {
@@ -478,27 +509,52 @@ final class Job(
             cursor - graft.analysis.AnalysisPlanner.durationToInterval(lb))
           df = df.where(col(cpCol) > bound)
         }
-        s.alias -> df
+        s.alias -> df.observe(srcObs(s.alias), count(lit(1)).as("rows"))
       }.toMap
-      val rowsRead = frames.valuesIterator.map(_.count()).sum
       val out = transform(spark, ctx, frames)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // checkpoint high-water mark folded into the quality gate's
+        // single aggregation job
+        val cpCol = incremental.checkpointColumn.filter(c =>
+          incremental.mode != WriteMode.Full && out.columns.contains(c))
+        val cpAgg = cpCol.map(c =>
+          max(col(c)).cast("string").as("__graft_cp_hi")).toSeq
+        val (report, aggRow) =
+          QualityCheck.runAllWith(qualityChecks, out, cpAgg)
+        if (report.failed)
+          throw new IllegalStateException(
+            s"quality checks failed: ${report.failures.map(_.name).mkString(", ")}")
 
-      val report = QualityCheck.runAll(qualityChecks, out)
-      if (report.failed)
-        throw new IllegalStateException(
-          s"quality checks failed: ${report.failures.map(_.name).mkString(", ")}")
+        val written = target.write(out, incremental.mode, incremental.keyColumns)
 
-      val written = target.write(out, incremental.mode, incremental.keyColumns)
+        // advance cursor to the batch high-water mark (computed above)
+        for {
+          _ <- cpCol
+          row <- aggRow
+          hi <- Option(row.getAs[String]("__graft_cp_hi"))
+        } checkpoints.advance(jobId, hi)
 
-      // advance cursor to the batch high-water mark
-      for (cpCol <- incremental.checkpointColumn
-           if incremental.mode != WriteMode.Full
-           if out.columns.contains(cpCol)) {
-        val hi = out.agg(max(col(cpCol)).cast("string")).collect()(0).getString(0)
-        if (hi != null) checkpoints.advance(jobId, hi)
+        val rowsRead = sources.iterator
+          .map(s => observedRows(srcObs(s.alias))).sum
+        JobRun(runId, executionDate, "success", rowsRead, written,
+          (System.nanoTime() - t0) / 1000000, None, Some(report))
+      } finally out.unpersist(false)
+    }
+
+    // The write (and any gate aggregation before it) has completed, so
+    // consumed sources resolve immediately — but Observation completion
+    // arrives via an async listener, and a source the transform never
+    // consumed NEVER resolves: poll briefly instead of a blocking get.
+    def observedRows(o: org.apache.spark.sql.Observation): Long = {
+      var tries = 0
+      while (tries < 10) { // getOrEmpty itself waits up to ~100 ms
+        org.apache.spark.sql.GraftShims.observedOrEmpty(o).get("rows") match {
+          case Some(n: java.lang.Long) => return n
+          case _ => tries += 1
+        }
       }
-      JobRun(runId, executionDate, "success", rowsRead, written,
-        (System.nanoTime() - t0) / 1000000, None, Some(report))
+      0L
     }
 
     var attemptN = 0

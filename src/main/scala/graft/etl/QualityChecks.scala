@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -125,20 +125,27 @@ final case class BlobIntegrityQualityCheck(blobRefCol: String,
 
 object QualityCheck {
   /** Evaluate all checks with a single aggregation job (+ custom fns). */
-  def runAll(checks: Seq[QualityCheck], df: DataFrame): QualityReport = {
-    if (checks.isEmpty) return QualityReport(Nil)
+  def runAll(checks: Seq[QualityCheck], df: DataFrame): QualityReport =
+    runAllWith(checks, df, Nil)._1
+
+  /** Same single aggregation job, with caller-supplied extra aggregate
+    * columns folded into the pass (e.g. the job runner's checkpoint
+    * high-water `max` — one scan instead of two). Returns the raw agg
+    * row so the caller can read its extras back by alias. */
+  def runAllWith(checks: Seq[QualityCheck], df: DataFrame,
+      extraAggs: Seq[Column]): (QualityReport, Option[Row]) = {
     val (custom, aggregatable) = checks.zipWithIndex.partition(_._1.isInstanceOf[CustomCheck])
-    val aggCols = aggregatable.flatMap { case (c, i) => c.aggs(i) }
-    val aggResults: Seq[QualityResult] =
-      if (aggCols.isEmpty) Nil
+    val aggCols = aggregatable.flatMap { case (c, i) => c.aggs(i) } ++ extraAggs
+    val (aggResults: Seq[QualityResult], aggRow) =
+      if (aggCols.isEmpty) (Nil, None)
       else {
         val row = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-        aggregatable.map { case (c, i) => c.evaluate(row, i) }
+        (aggregatable.map { case (c, i) => c.evaluate(row, i) }, Some(row))
       }
     val customResults = custom.map { case (c, _) =>
       val cc = c.asInstanceOf[CustomCheck]
       QualityResult(cc.name, cc.fn(df), cc.severity, 0, 0)
     }
-    QualityReport(aggResults ++ customResults)
+    (QualityReport(aggResults ++ customResults), aggRow)
   }
 }

@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks forever when the observed
+    * frame never participated in an action — e.g. a job source the
+    * transform didn't consume). Empty map until the first action that
+    * covers the observed plan completes. */
+  def observedOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
 }

@@ -437,4 +437,36 @@ class EtlExtSpec extends AnyFunSuite {
       assert(lt.refreshHistory.last.trigger.startsWith("cdc_batch"))
     } finally lt.stopStream()
   }
+
+  test("job run executes the source→transform pipeline exactly once") {
+    import spark.implicits._
+    val root = tmpDir()
+    val n = 500
+    (1 to n).map(i => (i.toLong, f"2024-01-${i % 28 + 1}%02d 00:00:00", i * 1.0))
+      .toDF("id", "ts_s", "v")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.parquet(s"$root/src")
+
+    // every row flowing source→transform ticks the accumulator; a re-run
+    // of the pipeline (per extra action: rowsRead count, quality gate,
+    // write's own count, checkpoint max) would tick it again. The udf is
+    // nondeterministic so Catalyst can neither collapse nor re-order it.
+    val acc = spark.sparkContext.longAccumulator("graftPipelineRows")
+    val tick = udf { (x: Long) => acc.add(1); x }.asNondeterministic()
+    val job = new Job("single-pass",
+      sources = Seq(FileSource("s", s"$root/src")),
+      transform = FnTransform((_, frames) =>
+        frames("s").withColumn("id", tick(col("id")))),
+      target = ParquetTarget(s"$root/out"),
+      incremental = IncrementalConfig(WriteMode.Append, Some("ts")),
+      qualityChecks = Seq(NullCheck("v", 0.0), RowCountCheck(minRows = Some(1))),
+      checkpoints = new CheckpointStore(s"$root/cp"))
+    job.activate()
+    val r = job.run(spark)
+
+    assert(r.state == "success")
+    assert(r.rowsRead == n && r.rowsWritten == n)
+    assert(job.checkpoints.get("single-pass").contains("2024-01-28 00:00:00"))
+    assert(acc.value == n, s"pipeline executed ${acc.value / n.toDouble}x")
+  }
 }
