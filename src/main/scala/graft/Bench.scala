@@ -54,8 +54,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
-    // printed LAST, after spark shutdown, so no log line can trail it
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // printed LAST, after spark shutdown, so no log line can trail it —
+    // and "value" is the FINAL field: the artifact capture keeps a
+    // bounded tail, so a head-clipped line can lose early per-query
+    // entries but never the total (r4's artifact lost q01 AND the
+    // total because the total led the line)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${ms(total)}}""")
     System.out.flush()
   }
 }

@@ -197,6 +197,18 @@ final class CheckpointStore(dir: String) {
  * merge into O(affected partitions) per batch — the non-Delta analog of
  * MERGE's file-level pruning.
  *
+ * Concurrency stance: the staged-swap protocol assumes EXACTLY ONE
+ * writer per target path — two concurrent upserts could interleave
+ * each other's stage/commit steps. Every write therefore takes a
+ * best-effort create-exclusive `_WRITER_LOCK` beside the table and a
+ * second writer FAILS FAST instead of corrupting a commit; a lock
+ * older than `lockTimeoutMs` is presumed crashed and taken over.
+ * Create-exclusive is atomic on HDFS/local filesystems; the age-based
+ * takeover race is not — this is a guard against accidental
+ * double-scheduling, not a coordination service (real multi-writer
+ * tables belong to a transactional format; the reference delegates the
+ * same way — raise_/transforms/job.py:41-71 rewrites via MERGE).
+ *
  * Crash safety (single writer): the merge result is STAGED durably at
  * `<path>.staged` first — the target is not touched until staging
  * completes, so a failure anywhere up to the commit point leaves the
@@ -216,7 +228,35 @@ object ParquetTarget {
 }
 
 final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil, lockTimeoutMs: Long = 30 * 60 * 1000L) {
+
+  private def lockPath = new org.apache.hadoop.fs.Path(path + "._WRITER_LOCK")
+
+  /** Best-effort single-writer guard (see the class doc's concurrency
+    * stance). Held for the write's duration; released on ANY exit —
+    * a thrown write is a finished writer. A process crash leaves the
+    * lock behind; the age takeover reclaims it. */
+  private def withWriterLock[T](hFs: org.apache.hadoop.fs.FileSystem)(
+      body: => T): T = {
+    def tryAcquire(): Boolean =
+      try { hFs.create(lockPath, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis() -
+          hFs.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished
+      if (age <= lockTimeoutMs)
+        throw new java.io.IOException(s"$path: another writer holds " +
+          s"_WRITER_LOCK (age ${age} ms ≤ timeout $lockTimeoutMs ms); " +
+          "the staged-swap target is single-writer")
+      hFs.delete(lockPath, false) // presumed crashed — age-based takeover
+      if (!tryAcquire())
+        throw new java.io.IOException(
+          s"$path: lost the _WRITER_LOCK takeover race to another writer")
+    }
+    try body finally hFs.delete(lockPath, false)
+  }
 
   private def writer(df: DataFrame) = {
     val w = df.write
@@ -253,6 +293,10 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
   }
 
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long =
+    withWriterLock(hadoopFs(df)) { writeLocked(df, mode, keys) }
+
+  private def writeLocked(df: DataFrame, mode: WriteMode,
+      keys: Seq[String]): Long =
     mode match {
       case WriteMode.Full | WriteMode.Incremental =>
         // a full rewrite SUPERSEDES any pending upsert commit: discard a

@@ -79,10 +79,20 @@ object Similarity {
    * exact cosine re-rank within the probed candidates. Multi-probe
    * recovers most of the recall single-bucket LSH loses on near-boundary
    * vectors, at (planes+1)× candidate cost — still a tiny corpus slice.
+   *
+   * The query side is broadcast ONLY while it is provably small: a
+   * bounded `limit(maxBroadcastQueries + 1).count()` probe (it stops
+   * scanning at the cap — never a full pass over a large query frame)
+   * decides between the broadcast build and a plain bucket-keyed
+   * shuffle join. An unconditional `broadcast()` hint would force a
+   * multi-probe-exploded large query set through the driver — the
+   * classic misuse OOM. For the fully symmetric corpus-vs-corpus case
+   * prefer [[lshSelfKnn]], which never broadcasts and caps hot buckets.
    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
+      multiProbe: Boolean = true, dim: Int = 64,
+      maxBroadcastQueries: Long = 100000L): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"),
       VectorFunctions.norm(col(vecCol)).as("cn"),
@@ -95,8 +105,11 @@ object Similarity {
       if (!multiProbe) q0
       else q0.withColumn("bkt",
         explode(probeBuckets(col("bkt"), planes)))
+    val broadcastSafe = queries.select(col(idCol))
+      .limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
+      .count() <= maxBroadcastQueries
     val scored = c
-      .join(broadcast(q), Seq("bkt"))
+      .join(if (broadcastSafe) broadcast(q) else q, Seq("bkt"))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("cos",
         VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

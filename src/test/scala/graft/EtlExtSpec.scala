@@ -88,6 +88,26 @@ class EtlExtSpec extends AnyFunSuite {
     // date-partition predicate prunes the file listing: only the 8
     // partitions day22..day29 are scanned, not all 30
     assert(scan.selectedPartitions.partitionCount == 8)
+
+    // the anchor job itself is O(1 partition): max(day) resolves the
+    // partition, then max(ts) scans ONLY that partition — not a full
+    // ts-column pass over all 30
+    val anchor = graft.analysis.AnalysisPlanner.anchorFrame(
+      table, "ts", Some("day"))
+    assert(anchor.collect()(0).getTimestamp(0) ==
+      java.sql.Timestamp.from(base.plusSeconds(29 * 86400L + 9 * 60L)))
+    // the agg plan is AQE-wrapped, and AQE hides executed stages inside
+    // QueryStageExec nodes that plain collect() does not descend into
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val anchorScan = allScans(anchor.queryExecution.executedPlan).head
+    assert(anchorScan.selectedPartitions.partitionCount == 1)
   }
 
   test("Full overwrite truncates stale partitions under a dynamic session default") {
@@ -162,6 +182,41 @@ class EtlExtSpec extends AnyFunSuite {
     assert(rows() == Seq((1L, 10.0, "d1"), (2L, 25.0, "d2"), (3L, 30.0, "d2")))
     assert(!new java.io.File(dir + ".staged").exists &&
       !new java.io.File(dir + ".backup").exists)
+  }
+
+  test("writer lock: fresh lock fails fast, stale lock is taken over") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t"
+    val target = ParquetTarget(dir)
+    val df = Seq((1L, 10.0)).toDF("id", "v")
+    target.write(df, WriteMode.Full)
+    // a successful write leaves no lock behind
+    val lockFile = new java.io.File(dir + "._WRITER_LOCK")
+    assert(!lockFile.exists)
+
+    // a FRESH foreign lock (another live writer): fail fast, table intact
+    assert(lockFile.createNewFile())
+    val e = intercept[java.io.IOException] {
+      target.write(Seq((2L, 20.0)).toDF("id", "v"), WriteMode.Full)
+    }
+    assert(e.getMessage.contains("_WRITER_LOCK"))
+    assert(spark.read.parquet(dir).count() == 1)
+
+    // a STALE lock (crashed writer, older than the timeout): taken over
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - 60 * 60 * 1000L))
+    target.write(Seq((2L, 20.0)).toDF("id", "v"), WriteMode.Full)
+    assert(spark.read.parquet(dir).collect()(0).getLong(0) == 2L)
+    assert(!lockFile.exists)
+
+    // a thrown write is a finished writer: the lock is released so the
+    // retry isn't deadlocked behind the failure
+    ParquetTarget.stageFailpoint = () => throw new RuntimeException("boom")
+    val t2 = ParquetTarget(dir)
+    try intercept[RuntimeException] {
+      t2.write(Seq((3L, 30.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    } finally ParquetTarget.stageFailpoint = () => ()
+    assert(!lockFile.exists)
   }
 
   test("upsert commit marker rolls an interrupted commit forward") {

@@ -56,6 +56,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(multi >= 30, s"multi-probe recall too low: $multi / 100")
   }
 
+  test("lshKnn drops the forced broadcast when queries exceed the cap") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.where(col("vec_id") < 20)
+    def run(cap: Long) = graft.ops.Similarity
+      .lshKnn(emb, queries, 5, planes = 4, maxBroadcastQueries = cap)
+    val small = run(100000L) // 20 queries — broadcast hint applies
+    val big = run(5L)        // cap exceeded — no hint; same answer
+    // the contract is "never FORCE a broadcast of an oversized query
+    // set": assert on the hint, not the physical join (AQE may still
+    // legitimately choose broadcast from true runtime sizes)
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hinted(small), "under the cap the query side is hint-broadcast")
+    assert(!hinted(big), "over the cap no broadcast may be forced")
+    assert(big.collect().toSet == small.collect().toSet)
+  }
+
   test("fast xxhash64 MinHash finds the same near-dup pairs as md5 MinHash") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, d)
@@ -497,6 +517,36 @@ class OpsExtSpec extends AnyFunSuite {
     }
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) == (con, dis, tx, ty, data.size.toLong * (data.size - 1) / 2))
+  }
+
+  test("kendall doubly-continuous: reduction levels engage, still exact") {
+    import spark.implicits._
+    // continuous x AND y (all values distinct) with a tiny cell budget
+    // and grid budget: the old single-level design would either blow the
+    // grid (nb × |Y| rows) or the per-task Fenwick buffer; the reduction
+    // recursion must engage and stay exact.
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 3000).map(i =>
+      (i.toLong, rnd.nextDouble() * 1e6, rnd.nextDouble() * 1e6))
+    val df = data.toDF("k", "x", "y").repartition(8)
+    val cells = df.select(col("x"), col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    // memWant = 3000/64 + 1 = 47 buckets; grid would be 47 × 3000 =
+    // 141k rows > budget 4096 ⇒ at least one reduction level
+    val (d, levels) = graft.analysis.AnalysisPlanner
+      .discordantCount(spark, cells, fixedBuckets = 0, cap = 64L,
+        gridBudget = 4096L)
+    var dis = 0L
+    for (i <- data.indices; j <- (i + 1) until data.size) {
+      val p = (data(i)._2 - data(j)._2) * (data(i)._3 - data(j)._3)
+      if (p < 0) dis += 1
+    }
+    assert(levels >= 1, "reduction recursion must engage under a tiny grid budget")
+    assert(d == dis)
+    // end-to-end through the public surface with the same tiny budgets
+    val r = graft.analysis.AnalysisPlanner.kendallTau(df, "x", "y", "k",
+      cellsPerBucket = 64, gridBudget = 4096L).collect()(0)
+    assert(r.getLong(1) == dis)
   }
 
   test("parquet scan pushes filters and prunes columns") {
