@@ -2314,6 +2314,224 @@ object Queries {
       WHERE a.id >= 450 AND b.id < 450
       ORDER BY new_id, corpus_id"""))
 
+  /** C4-style repeated-passage removal: 3-word chunks occurring in >= 3
+    * documents are boilerplate and get dropped; docs are reassembled
+    * from the surviving chunks. */
+  private val q75 = Entry(
+    "q75_chunk_dedup",
+    (s, d) =>
+      graft.ops.Dedup
+        .chunkDedup(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 3, maxDocs = 3)
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) <= 3 THEN 1
+                    ELSE CAST(ceil((len(w) - 3) / 3.0) AS BIGINT) + 1
+               END AS nc
+        FROM t),
+      ch AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(w[i * 3 + 1 : i * 3 + 3], ' ') AS chunk_text
+        FROM c, unnest(range(0, nc)) AS u(i)),
+      hot AS (
+        SELECT chunk_text FROM ch
+        GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 3),
+      k AS (
+        SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+               (h.chunk_text IS NOT NULL) AS is_hot
+        FROM ch LEFT JOIN hot h ON ch.chunk_text = h.chunk_text)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             COALESCE(string_agg(CASE WHEN NOT is_hot THEN chunk_text END,
+                                 ' ' ORDER BY chunk_id), '') AS clean_text
+      FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Distributed Lloyd k-means over the embedding corpus (4 cells, 2
+    * iterations, centroids rounded to the engine-portable 6dp grid),
+    * profiled to per-cell size and mean L2 distance. */
+  private val q76 = Entry(
+    "q76_kmeans_profile",
+    (s, d) =>
+      graft.ops.Similarity
+        .kmeansProfile(Tables.embeddings(s, d), "vec_id", "embedding",
+          cells = 4, iters = 2, roundDp = 6)
+        .select(col("cell"), col("n"), r6(col("mean_dist")).as("mean_dist"))
+        .orderBy("cell"),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+      d1 AS (
+        SELECT e.vec_id, c0.cell,
+               sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i])))) AS d
+        FROM e, c0),
+      a1 AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM d1) WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell, u.i, round(avg(e.v[u.i]), 6) AS m
+        FROM a1 JOIN e USING (vec_id), unnest(range(1, 65)) AS u(i)
+        GROUP BY a1.cell, u.i),
+      c1 AS (
+        SELECT c0.cell, COALESCE(n.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv
+                           FROM m1 GROUP BY cell) n USING (cell)),
+      d2 AS (
+        SELECT e.vec_id, c1.cell,
+               sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])))) AS d
+        FROM e, c1),
+      a2 AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM d2) WHERE rn = 1),
+      m2 AS (
+        SELECT a2.cell, u.i, round(avg(e.v[u.i]), 6) AS m
+        FROM a2 JOIN e USING (vec_id), unnest(range(1, 65)) AS u(i)
+        GROUP BY a2.cell, u.i),
+      c2 AS (
+        SELECT c1.cell, COALESCE(n.cv, c1.cv) AS cv
+        FROM c1 LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv
+                           FROM m2 GROUP BY cell) n USING (cell)),
+      df AS (
+        SELECT e.vec_id, c2.cell,
+               sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c2.cv[i]) * (e.v[i] - c2.cv[i])))) AS d
+        FROM e, c2),
+      af AS (
+        SELECT vec_id, cell, d FROM (
+          SELECT vec_id, cell, d,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM df) WHERE rn = 1)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n,
+             round(avg(d), 6) AS mean_dist
+      FROM af GROUP BY cell ORDER BY cell"""))
+
+  /** Token-budget corpus sampling: deterministic md5-ordered prefix of
+    * documents whose exclusive running token total stays under 12000 —
+    * the budget-capped (not rate-based) subset selection step. */
+  private val q77 = Entry(
+    "q77_token_budget_sample",
+    (s, d) =>
+      graft.ops.Sampling
+        .budgetSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          budget = 12000L, "n_tokens", Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("budget_used"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                 ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS budget_used
+        FROM t)
+      SELECT doc_id, n_tokens, budget_used
+      FROM c WHERE budget_used < 12000 ORDER BY doc_id"""))
+
+  /** Canonical-document selection over the q34 near-dup clusters: keep
+    * the LONGEST member per cluster (tie -> lowest id), not the
+    * arbitrary min-id graph representative. */
+  private val q78 = Entry(
+    "q78_cluster_canonical",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ops.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxPostings = 100)
+      val clusters = graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+      graft.ops.Dedup
+        .canonicalPerCluster(clusters, docs, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      shk AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+      sz AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY 1),
+      prs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        FROM shk a JOIN shk b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b
+        FROM prs JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION SELECT doc_b, doc_a FROM jac),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component
+               FROM reach GROUP BY a),
+      cl AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS cluster,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      cn AS (
+        SELECT doc_id, cluster,
+               first_value(doc_id) OVER (
+                 PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS canonical_id
+        FROM cl)
+      SELECT doc_id, cluster, canonical_id,
+             (doc_id = canonical_id) AS keep
+      FROM cn ORDER BY doc_id"""))
+
+  /** Gopher-style structural quality gate: word-count and mean-word-
+    * length bounds, stopword presence, alphabetic-word fraction. */
+  private val q79 = Entry(
+    "q79_quality_flags",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .qualityFlags(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round((length(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+               AS mean_word_len,
+             CAST(len(list_intersect(list_distinct(w),
+               ['the','a','of','and','to','in','is','that'])) AS BIGINT)
+               AS stop_hits,
+             round(len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
+               / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
+             (len(w) BETWEEN 20 AND 100000
+              AND (length(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+                  BETWEEN 3.0 AND 10.0
+              AND len(list_intersect(list_distinct(w),
+                    ['the','a','of','and','to','in','is','that'])) >= 2
+              AND len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                  / CAST(len(w) AS DOUBLE) >= 0.8) AS pass
+      FROM t ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2323,7 +2541,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -406,6 +406,71 @@ object Dedup {
   }
 
   /**
+   * Canonical-document selection over near-dup clusters: for every
+   * cluster from [[dedupClusters]]-shaped input, the kept (canonical)
+   * document is the one maximizing `scoreCol` (ties → lowest id) — the
+   * "keep the longest copy" policy of C4/RefinedWeb-style cleaning,
+   * where the min-id representative of the connected component is an
+   * arbitrary graph artifact, not the best text.
+   *
+   * One window per cluster (clusters are near-dup groups — small by
+   * construction; a pathological giant cluster is a dedup-threshold
+   * problem upstream, not a partitioning problem here). Output keeps
+   * every input row with its `canonical_id` and a `keep` flag, so the
+   * caller can either filter (`keep`) or map ids (redirect references).
+   */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("canonical_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("keep", col(idCol) === col("canonical_id"))
+      .select(col(idCol), col("cluster"), col("canonical_id"), col("keep"))
+  }
+
+  /**
+   * C4-style repeated-passage removal: split every document into fixed
+   * `chunkTokens`-word chunks ([[TextAnalysis.chunk]], zero overlap),
+   * count how many DISTINCT documents contain each chunk text across
+   * the corpus, and drop every chunk occurring in `maxDocs` or more —
+   * boilerplate (headers, footers, license blocks) repeats across
+   * documents; unique prose does not. Surviving chunks are reassembled
+   * in document order.
+   *
+   * Scale design: the corpus-wide count groups by `xxhash64(chunk)` —
+   * an 8-byte shuffle key, never the chunk text (same stance as
+   * [[exact]]); the hot-chunk frame (chunks in ≥ maxDocs docs) is the
+   * join side and is SMALL by definition — boilerplate cardinality,
+   * not corpus cardinality. Reassembly is a per-document
+   * `collect_list` bounded by document size. One shuffle to count, one
+   * to join, one to reassemble.
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, maxDocs: Long): DataFrame = {
+    val ch = TextAnalysis.chunk(df, idCol, textCol, chunkTokens, 0)
+      .withColumn("__h", xxhash64(col("chunk_text")))
+    val hot = ch.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .where(col("__docs") >= maxDocs)
+      .select(col("__h"), lit(true).as("__hot"))
+    ch.join(hot, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("__hot"), lit(1L))), lit(0L)).as("n_dropped"),
+        // collect_list skips the NULLs the `when` leaves on hot chunks,
+        // so only kept chunks are gathered; struct sort restores
+        // document order before the join back to text
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+  }
+
+  /**
    * SimHash fingerprint (16 bits): per-token md5 hex digits 1..16, each
    * digit's parity votes ±1 on one bit; fingerprint bit = majority sign.
    * Deterministic and engine-portable (string ops + md5 only).

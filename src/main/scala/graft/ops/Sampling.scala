@@ -65,4 +65,38 @@ object Sampling {
         lit(n.toDouble * M))
       .drop(strata.indices.map(i => s"__k$i") :+ "__tot": _*)
   }
+
+  /**
+   * Budget-capped sampling: keep a deterministic pseudo-random subset of
+   * rows whose `weightCol` total stays within `budget` — the "give me
+   * ~10B training tokens from this corpus" step, where a per-row
+   * hash-threshold rate can only target an EXPECTED total, not a cap.
+   * Rows are ordered by a portable 52-bit md5 hash of `hashCols` (a
+   * deterministic shuffle of the corpus) and the prefix whose EXCLUSIVE
+   * running weight is under the budget is kept — so the first row always
+   * fits, and the kept total overshoots by less than one row's weight.
+   *
+   * Scale design: the running weight is a distributed bucketed prefix
+   * sum ([[graft.analysis.PrefixSum]]), NOT a global single-partition
+   * window — the corpus-wide sort the naive `sum() OVER (ORDER BY h)`
+   * would serialize is replaced by two keyed shuffles. Replayable in
+   * any engine with md5 (`('0x' || substring(md5(k),1,13))::BIGINT`);
+   * 52-bit hash order has no meaningful collision mass below ~2^26
+   * rows — collisions only make the tie's relative order
+   * engine-dependent, never the kept count wrong by more than the tie.
+   */
+  def budgetSample(df: DataFrame, budget: Long, weightCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    // 13 hex chars = 52 bits: exact as double, which PrefixSum's
+    // bucket-boundary math requires (15-char/60-bit would silently lose
+    // low bits in the double image)
+    val h = conv(substring(
+      md5(concat_ws("|", hashCols.map(c => col(c).cast("string")): _*)),
+      1, 13), 16, 10).cast("long")
+    graft.analysis.PrefixSum
+      .exclusive(df.withColumn("__h", h), "__h",
+        Seq(weightCol -> "budget_used"))
+      .where(col("budget_used") < budget)
+      .drop("__h")
+  }
 }

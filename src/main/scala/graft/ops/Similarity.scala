@@ -212,10 +212,21 @@ object Similarity {
    * update step aggregates per-(cell, dimension) means — the ONLY
    * driver-side state is the cells×dim centroid matrix (KiB), collected
    * once per iteration.
+   *
+   * `roundDp > 0` rounds every updated centroid coordinate to that many
+   * decimals (HALF_UP, matching SQL `round`). Distributed fp averaging
+   * is not bit-reproducible across engines, but the ROUNDED means are
+   * (cross-engine avg noise ~1e-15 ≪ the grid step), so a rounded run
+   * can be replayed exactly by another engine's SQL — the same trick
+   * that makes the hash samplers portable, applied to iterative fp.
    */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      cells: Int, iters: Int = 2): Array[Array[Double]] = {
+      cells: Int, iters: Int = 2, roundDp: Int = 0): Array[Array[Double]] = {
     val v = col(vecCol).cast("array<double>")
+    def gridded(x: Double): Double =
+      if (roundDp <= 0) x
+      else BigDecimal(x)
+        .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
     var centroids: Array[Array[Double]] = corpus.orderBy(col(idCol))
       .limit(cells).select(v.as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -227,11 +238,28 @@ object Similarity {
         .groupBy(_.getInt(0))
       centroids = centroids.indices.map { cIdx =>
         means.get(cIdx)
-          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          .map(_.sortBy(_.getInt(1)).map(r => gridded(r.getDouble(2))).toArray)
           .getOrElse(centroids(cIdx)) // empty cell keeps its centroid
       }.toArray
     }
     centroids
+  }
+
+  /**
+   * K-means cluster profile: final assignment (one map-only pass against
+   * the trained centroids) aggregated to per-cell size and mean
+   * nearest-centroid L2 distance — the "how balanced is my embedding
+   * space" diagnostic a corpus pipeline runs before sharding by cluster.
+   * Train with `roundDp > 0` when the result must replay in another
+   * engine (see [[kmeansCentroids]]).
+   */
+  def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int = 2, roundDp: Int = 0): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, cells, iters, roundDp)
+    assignCells(corpus, vecCol, cents)
+      .withColumn("__d", array_min(col("__dists")))
+      .groupBy(col("__cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("__d")).as("mean_dist"))
   }
 
   /**

@@ -120,6 +120,45 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style STRUCTURAL quality gate — the non-repetition half of
+   * corpus filtering (the repetition half is [[repetitionStats]]): word
+   * count bounds, mean word length bounds, minimum alphabetic-word
+   * fraction, and minimum distinct-stopword hits (natural language
+   * contains function words; keyword spam and code dumps mostly don't).
+   * One map-only projection per document — every signal is computed
+   * from the token array in a single codegen'd pass, no shuffle.
+   *
+   * Defaults follow the published Gopher rules where they transfer
+   * (mean word length 3–10, ≥2 distinct stopwords, ≥80% alphabetic
+   * words) with the word-count floor lowered to 20 (Gopher's 50 targets
+   * web pages). `pass` is the conjunction; callers wanting the reasons
+   * keep the component columns.
+   */
+  def qualityFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 20, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopHits: Int = 2, minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = langMarkers("en")): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val n = size(w)
+    // identical formula to textStats: total chars minus separators
+    val meanLen = (length(t) - (n - 1)).cast("double") / n
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    val alphaFrac = size(filter(w, x => x.rlike("^[A-Za-z]+$")))
+      .cast("double") / n
+    df.select(col(idCol),
+      n.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      stopHits.cast("long").as("stop_hits"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      (n.between(minWords, maxWords) &&
+        meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+        stopHits >= minStopHits && alphaFrac >= minAlphaFrac).as("pass"))
+  }
+
+  /**
    * Content fingerprint: md5 of the sorted distinct word set — robust to
    * word order and duplication; groups near-identical (bag-of-words-
    * equal) documents.

@@ -797,4 +797,105 @@ class OpsExtSpec extends AnyFunSuite {
     assert(summ(0).isNullAt(0) && summ(0).getDouble(1) == 20.0 &&
       summ(0).getLong(2) == 3L)
   }
+
+  test("chunkDedup drops cross-document boilerplate, keeps document order") {
+    import spark.implicits._
+    // "x y z" opens all three docs (boilerplate, >= 3 docs); the rest is
+    // unique prose. chunk size 3, zero overlap.
+    val docs = Seq(
+      (1L, "x y z a b c d e f"),
+      (2L, "x y z g h i"),
+      (3L, "x y z j k l m")) // last chunk is the short tail "m"
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.chunkDedup(docs, "doc_id", "text", 3, 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq == Seq(
+      (1L, 3L, 1L, "a b c d e f"),
+      (2L, 2L, 1L, "g h i"),
+      (3L, 3L, 1L, "j k l m")))
+    // below the threshold nothing is hot
+    val none = graft.ops.Dedup.chunkDedup(docs, "doc_id", "text", 3, 4)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
+  test("canonicalPerCluster keeps the highest-score member, ties to lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster")
+    val out = graft.ops.Dedup
+      .canonicalPerCluster(clusters, docs, "doc_id", "n_chars")
+      .orderBy("doc_id").collect()
+    // cluster 1: ids 2 and 3 tie at 30 chars -> 2 wins; singleton keeps itself
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false), (4L, 4L, true)))
+  }
+
+  test("budgetSample: exclusive prefix respects the cap, first row always fits") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("id", "w")
+      .repartition(8)
+    val budget = 300L
+    val kept = graft.ops.Sampling.budgetSample(df, budget, "w", Seq("id"))
+      .collect()
+    assert(kept.nonEmpty)
+    // every kept row STARTED under the budget; total overshoot < one row
+    val total = kept.map(_.getLong(1)).sum
+    val maxW = kept.map(_.getLong(1)).max
+    assert(kept.forall(_.getLong(2) < budget))
+    assert(total < budget + maxW && total >= budget - maxW)
+    // deterministic: same subset on re-run
+    val again = graft.ops.Sampling.budgetSample(df, budget, "w", Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+    // a budget below the first row's weight keeps exactly that first row
+    // (exclusive prefix 0 < budget for any positive budget)
+    val one = graft.ops.Sampling.budgetSample(df, 1L, "w", Seq("id"))
+      .collect()
+    assert(one.length == 1 && one(0).getLong(2) == 0L)
+  }
+
+  test("qualityFlags gates on words, word length, stopwords, alpha fraction") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over a lazy dog and then " +
+      "runs far away into the deep green quiet woods tonight again")
+    val docs = Seq(
+      (1L, good),                    // passes every gate
+      (2L, "the a of to"),           // too few words
+      (3L, Seq.fill(30)("zz").mkString(" ")), // no stopword hits
+      (4L, good + " " + Seq.fill(25)("7 %").mkString(" "))) // low alpha
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.qualityFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(5)).toSeq == Seq(true, false, false, false))
+    val r1 = out(0)
+    assert(r1.getLong(1) == 22 && r1.getLong(3) >= 2 &&
+      r1.getDouble(4) == 1.0)
+  }
+
+  test("kmeansCentroids: rounded grid is honored and profile covers the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 60L).map { i =>
+      val base = (i % 3).toDouble * 5
+      (i, Array.fill(4)(base + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity
+      .kmeansCentroids(df, "vec_id", "embedding", 3, iters = 2, roundDp = 6)
+    assert(cents.length == 3)
+    // every coordinate sits exactly on the 1e-6 grid
+    assert(cents.flatten.forall(x =>
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        == x)))
+    val prof = graft.ops.Similarity
+      .kmeansProfile(df, "vec_id", "embedding", 3, iters = 2, roundDp = 6)
+      .collect()
+    assert(prof.map(_.getLong(1)).sum == 60L)
+    // three tight gaussian blobs at 0/5/10: clusters converge to ~20 each
+    assert(prof.forall(r => r.getLong(1) >= 15 && r.getLong(1) <= 25))
+    assert(prof.forall(_.getDouble(2) < 1.0))
+  }
 }
