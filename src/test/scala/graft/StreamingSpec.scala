@@ -194,6 +194,59 @@ class StreamingSpec extends AnyFunSuite {
       !new java.io.File(s"$root/table.backup").exists)
   }
 
+  test("streaming incremental near-dup flags copies against the growing store") {
+    import spark.implicits._
+    import graft.etl._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = ParquetTarget(s"$root/store")
+    val matches = ParquetTarget(s"$root/matches")
+    val textA = (1 to 30).map(i => s"w$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"z$i").mkString(" ")
+
+    // wave 1: two unrelated docs — no store yet, so no matches
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingDedup
+        .nearDupEachBatch(spark.readStream.schema(schema).parquet(srcDir),
+          "doc_id", "text", store, matches)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(store.path).count() == 2)
+    assert(!new java.io.File(matches.path).exists) // nothing to flag
+
+    // wave 2: doc 3 is a near-copy of doc 1 (one word changed), doc 4
+    // fresh — only (3, 1) must be flagged, and only vs the PRIOR store
+    val textA2 = textA.replace("w7", "q7")
+    Seq((3L, textA2), (4L, (1 to 30).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val flagged = spark.read.parquet(matches.path)
+      .orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((3L, 1L)))
+    assert(spark.read.parquet(store.path).count() == 4)
+
+    // wave 3: an exact copy of doc 2 — matched against the store built
+    // by the previous waves
+    Seq((5L, textB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val flagged2 = spark.read.parquet(matches.path)
+      .orderBy("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged2.toSeq == Seq((3L, 1L), (5L, 2L)))
+    assert(spark.read.parquet(store.path).count() == 5)
+  }
+
   test("streaming execution: tumbling agg over a file stream with watermark") {
     import spark.implicits._
     val root = tmpDir()
