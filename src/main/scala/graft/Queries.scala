@@ -2532,6 +2532,130 @@ object Queries {
                   / CAST(len(w) AS DOUBLE) >= 0.8) AS pass
       FROM t ORDER BY doc_id"""))
 
+  /** Exact duplicated-substring spans (Lee et al. shape): 3-gram
+    * positions occurring in >= 3 docs, merged into maximal per-doc
+    * token intervals. */
+  private val q80 = Entry(
+    "q80_duplicate_spans",
+    (s, d) =>
+      graft.ops.Dedup
+        .duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minDocs = 3)
+        .orderBy("doc_id", "span_start"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gtext
+        FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+      dup AS (
+        SELECT gtext FROM g GROUP BY gtext
+        HAVING count(DISTINCT doc_id) >= 3),
+      f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gtext)),
+      s AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) > 3
+                    THEN 1 ELSE 0 END AS nw
+        FROM f),
+      sp AS (
+        SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        FROM s)
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 2 AS BIGINT) AS span_end,
+             CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_tokens
+      FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start"""))
+
+  /** SemDeDup: 1-iteration k-means cells (4, 6dp-rounded) block the
+    * cosine pairs; a vector is dropped when any lower-id cellmate is
+    * >= 0.45 cosine-similar. */
+  private val q81 = Entry(
+    "q81_semantic_dedup",
+    (s, d) =>
+      graft.ops.Dedup
+        .semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          cells = 4, iters = 1, roundDp = 6, threshold = 0.45)
+        .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+      d1 AS (
+        SELECT e.vec_id, c0.cell,
+               sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i])))) AS d
+        FROM e, c0),
+      a1 AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM d1) WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell, u.i, round(avg(e.v[u.i]), 6) AS m
+        FROM a1 JOIN e USING (vec_id), unnest(range(1, 65)) AS u(i)
+        GROUP BY a1.cell, u.i),
+      c1 AS (
+        SELECT c0.cell, COALESCE(n.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv
+                           FROM m1 GROUP BY cell) n USING (cell)),
+      d2 AS (
+        SELECT e.vec_id, c1.cell,
+               sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i])))) AS d
+        FROM e, c1),
+      af AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM d2) WHERE rn = 1),
+      j AS (
+        SELECT af.vec_id, af.cell, e.v,
+               sqrt(list_dot_product(e.v, e.v)) AS nrm
+        FROM af JOIN e USING (vec_id)),
+      fl AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)
+      SELECT j.vec_id, j.cell, (fl.vec_id IS NULL) AS keep
+      FROM j LEFT JOIN fl ON j.vec_id = fl.vec_id
+      ORDER BY j.vec_id"""))
+
+  /** Per-source token budgets (mixture balancing): each source keeps
+    * its own md5-ordered 800-token document prefix. */
+  private val q82 = Entry(
+    "q82_budget_per_source",
+    (s, d) =>
+      graft.ops.Sampling
+        .budgetSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          budget = 800L, "n_tokens", Seq("doc_id"),
+          strataCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("budget_used"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS budget_used
+        FROM t)
+      SELECT doc_id, source, n_tokens, budget_used
+      FROM c WHERE budget_used < 800 ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2541,7 +2665,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -471,6 +471,93 @@ object Dedup {
   }
 
   /**
+   * Exact duplicated-substring SPANS (the Lee et al. "Deduplicating
+   * Training Data Makes Language Models Better" shape, at n-gram
+   * resolution): every position whose n-gram occurs in `minDocs`+
+   * distinct documents is duplicated; runs of overlapping/adjacent
+   * duplicated grams merge into maximal `[span_start, span_end]` token
+   * intervals per document — the spans a cleaning pipeline cuts out,
+   * rather than dropping whole documents.
+   *
+   * Scale design: grams shuffle by their 8-byte `xxhash64` (the [[exact]]
+   * stance — position payload, never gram text, crosses the exchange);
+   * the duplicated-gram frame joins back on the same key; span merging
+   * is a per-DOCUMENT window (partitioned by id — bounded by document
+   * length, nothing corpus-global). Two keyed shuffles + one
+   * doc-partitioned window, any corpus size.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Long = 2): DataFrame = {
+    val toked = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
+    val w = col("__w")
+    val grams = toked.where(size(w) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        .as(Seq("__p0", "__g")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"),
+        xxhash64(col("__g")).as("__h"))
+    val dup = grams.groupBy("__h")
+      .agg(count_distinct(col("id")).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select("__h")
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    // grams at p < q overlap or touch while q <= p + n ⇒ same span
+    grams.join(dup, "__h")
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) > n, 1)
+          .otherwise(lit(0))) // first row: NULL lag ⇒ 0 ⇒ span 0
+      .withColumn("__span", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as(idCol), col("__span"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cells
+   * over the embedding space are the blocking key, cosine pairs are
+   * computed only WITHIN a cell, and a document is dropped when any
+   * LOWER-id document in its cell sits above the similarity threshold
+   * — the deterministic greedy keep (min-id wins; transitive chains
+   * resolve in id order, so the result is engine-replayable, unlike
+   * random-order greedy scans). Train the cells with `roundDp > 0` to
+   * make the whole pipeline replayable ([[Similarity.kmeansCentroids]]).
+   *
+   * Scale: assignment is map-only; the pair join is cell-blocked (the
+   * O(cell²) concern is governed by the cell count — SemDeDup runs
+   * ~100k cells at web scale precisely so cells stay small).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int = 1, roundDp: Int = 6,
+      threshold: Double = 0.7): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, cells, iters,
+      roundDp)
+    val assigned = Similarity.assignCells(df, vecCol, cents)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col("__cell").cast("long").as("cell"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val flagged = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(VectorFunctions.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(flagged, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("__dup").isNull.as("keep"))
+  }
+
+  /**
    * SimHash fingerprint (16 bits): per-token md5 hex digits 1..16, each
    * digit's parity votes ±1 on one bit; fingerprint bit = majority sign.
    * Deterministic and engine-portable (string ops + md5 only).

@@ -86,16 +86,19 @@ object Sampling {
    * engine-dependent, never the kept count wrong by more than the tie.
    */
   def budgetSample(df: DataFrame, budget: Long, weightCol: String,
-      hashCols: Seq[String]): DataFrame = {
+      hashCols: Seq[String], strataCols: Seq[String] = Nil): DataFrame = {
     // 13 hex chars = 52 bits: exact as double, which PrefixSum's
     // bucket-boundary math requires (15-char/60-bit would silently lose
     // low bits in the double image)
     val h = conv(substring(
       md5(concat_ws("|", hashCols.map(c => col(c).cast("string")): _*)),
       1, 13), 16, 10).cast("long")
+    // strataCols gives each stratum (source/domain/language) its OWN
+    // budget — the mixture-balancing form ("2B tokens per domain"):
+    // the prefix sum groups per stratum (null-safe, NULL is a stratum)
     graft.analysis.PrefixSum
       .exclusive(df.withColumn("__h", h), "__h",
-        Seq(weightCol -> "budget_used"))
+        Seq(weightCol -> "budget_used"), groupCols = strataCols)
       .where(col("budget_used") < budget)
       .drop("__h")
   }

@@ -858,6 +858,59 @@ class OpsExtSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getLong(2) == 0L)
   }
 
+  test("duplicateSpans merges overlapping dup grams, splits on gaps") {
+    import spark.implicits._
+    // "p q r s" is common to docs 1-3 (both its 3-grams hit 3 docs);
+    // doc 1 carries a second, distant occurrence that must be its OWN span
+    val docs = Seq(
+      (1L, "p q r s a b c p q r s"),
+      (2L, "z p q r s b n"),
+      (3L, "k l p q r s m"),
+      (4L, "no dupes at all")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 4L, 4L), (1L, 8L, 11L, 4L),
+      (2L, 2L, 5L, 4L),
+      (3L, 3L, 6L, 4L)))
+  }
+
+  test("semanticDedup drops the higher id of a near-identical pair") {
+    import spark.implicits._
+    // two well-separated blobs; ids 3 and 5 are near-identical (cos ~1),
+    // everything else mutually below the 0.95 threshold
+    def vec(xs: Double*) = xs.toArray
+    val rows = Seq(
+      (0L, vec(10, 0, 0, 0)), (1L, vec(0, 10, 0, 0)), // centroid seeds
+      (2L, vec(9, 4, 0, 0)), (3L, vec(8, 0, 3, 1)),
+      (4L, vec(3, 7, 6, 0)), (5L, vec(8.01, 0, 3.0, 1.0)),
+      (6L, vec(0, 8, 0, 4))).toDF("vec_id", "embedding")
+    val out = graft.ops.Dedup
+      .semanticDedup(rows, "vec_id", "embedding", cells = 2, iters = 1,
+        roundDp = 6, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    val dropped = out.filter(!_.getBoolean(2)).map(_.getLong(0)).toSeq
+    assert(dropped == Seq(5L))
+    // the near-identical pair landed in the same cell (same blob)
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf(3L) == cellOf(5L))
+  }
+
+  test("budgetSample strata: each stratum gets its own budget") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", 10L)).toDF("id", "src", "w")
+    val out = graft.ops.Sampling
+      .budgetSample(df, 100L, "w", Seq("id"), strataCols = Seq("src"))
+      .collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 100-token budget / 10-token rows = exactly 10 kept PER stratum
+    assert(bySrc == Map("even" -> 10, "odd" -> 10))
+    assert(out.forall(_.getLong(3) < 100L))
+  }
+
   test("qualityFlags gates on words, word length, stopwords, alpha fraction") {
     import spark.implicits._
     val good = ("the quick brown fox jumps over a lazy dog and then " +
