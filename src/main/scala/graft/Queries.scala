@@ -2656,6 +2656,36 @@ object Queries {
       SELECT doc_id, source, n_tokens, budget_used
       FROM c WHERE budget_used < 800 ORDER BY doc_id"""))
 
+  /** Token-balanced shard packing: hash-ordered docs packed into
+    * ~4000-token training shards. */
+  private val q83 = Entry(
+    "q83_shard_assign",
+    (s, d) =>
+      graft.ops.Sampling
+        .assignShards(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          weightPerShard = 4000L, "n_tokens", Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                 ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cum
+        FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(floor(cum / 4000) AS BIGINT) AS shard_id
+      FROM c ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2665,7 +2695,7 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -102,4 +102,29 @@ object Sampling {
       .where(col("budget_used") < budget)
       .drop("__h")
   }
+
+  /**
+   * Token-balanced training-shard assignment: rows are ordered by the
+   * same portable md5 hash as [[budgetSample]] (a deterministic global
+   * shuffle — neighboring source documents land in different shards)
+   * and packed greedily so each shard holds ~`weightPerShard` tokens:
+   * `shard_id = floor(exclusive running weight / weightPerShard)`.
+   * Shards are balanced by WEIGHT (± one row's weight at each
+   * boundary), not by row count — what a trainer's data loader wants.
+   * The writer side is one `partitionBy("shard_id")` away; the
+   * assignment itself is the [[graft.analysis.PrefixSum]] grouped
+   * bucketed prefix sum — no global window, any corpus size.
+   */
+  def assignShards(df: DataFrame, weightPerShard: Long, weightCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(weightPerShard > 0, "weightPerShard must be positive")
+    val h = conv(substring(
+      md5(concat_ws("|", hashCols.map(c => col(c).cast("string")): _*)),
+      1, 13), 16, 10).cast("long")
+    graft.analysis.PrefixSum
+      .exclusive(df.withColumn("__h", h), "__h",
+        Seq(weightCol -> "__cum"))
+      .withColumn("shard_id", floor(col("__cum") / weightPerShard))
+      .drop("__h", "__cum")
+  }
 }

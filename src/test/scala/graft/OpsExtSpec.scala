@@ -911,6 +911,21 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(3) < 100L))
   }
 
+  test("assignShards packs hash-ordered rows into weight-balanced shards") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, 10L)).toDF("id", "w").repartition(8)
+    val out = graft.ops.Sampling.assignShards(df, 100L, "w", Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // 120 rows x 10 weight / 100 per shard = 12 shards of exactly 10 rows
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 12L).toSet)
+    assert(sizes.values.forall(_ == 10))
+    // deterministic across runs
+    val again = graft.ops.Sampling.assignShards(df, 100L, "w", Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.toSet)
+  }
+
   test("qualityFlags gates on words, word length, stopwords, alpha fraction") {
     import spark.implicits._
     val good = ("the quick brown fox jumps over a lazy dog and then " +
