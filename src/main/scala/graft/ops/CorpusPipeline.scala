@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The standard corpus-cleaning DAG (CCNet / RefinedWeb / Gopher shape)
+ * as ONE composed DataFrame program — the end-to-end path a
+ * training-data pipeline actually runs, built entirely from this
+ * library's operators:
+ *
+ *   1. structural quality gate     [[TextAnalysis.qualityFlags]]
+ *   2. boilerplate (chunk) removal [[Dedup.chunkDedup]]
+ *   3. exact dedup                 [[Dedup.exact]] (on the CLEANED text)
+ *   4. near-dup clustering + keep  [[Dedup.ngramJaccardPairs]] →
+ *      [[Dedup.dedupClusters]] → [[Dedup.canonicalPerCluster]]
+ *   5. token-balanced shard packing [[Sampling.assignShards]]
+ *
+ * Everything stays declarative until the caller acts; the only
+ * driver-side loop is connected components' O(log chain) rounds. Order
+ * matters and is deliberate: quality BEFORE dedup (junk shouldn't win
+ * a canonical contest), boilerplate strip BEFORE exact dedup (docs
+ * differing only in boilerplate ARE duplicates), near-dup LAST among
+ * filters (it is the most expensive — let the cheap gates shrink its
+ * input first). Wrap in [[graft.etl.FnTransform]] to run it inside the
+ * job system with checkpoints/quality-metrics/targets.
+ */
+object CorpusPipeline {
+
+  /** Cleaning result: the surviving documents with cleaned text,
+    * token counts, and training-shard assignment. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 3, chunkMaxDocs: Long = 3,
+      shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+      maxPostings: Int = 100, tokensPerShard: Long = 4000): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+
+    // 1. structural gate
+    val q = TextAnalysis.qualityFlags(base, idCol, textCol)
+      .where(col("pass")).select(col(idCol))
+    val gated = base.join(q, Seq(idCol))
+
+    // 2. cross-document boilerplate strip; empty survivors exit here
+    val stripped = Dedup
+      .chunkDedup(gated, idCol, textCol, chunkTokens, chunkMaxDocs)
+      .where(length(col("clean_text")) > 0)
+      .select(col(idCol), col("clean_text").as(textCol))
+
+    // 3. exact dedup on the cleaned text (min-id keeper)
+    val exactKeep = Dedup.exact(stripped, textCol, idCol)
+      .select(col("keeper_id").as(idCol))
+    val exactDeduped = stripped.join(exactKeep, Seq(idCol))
+
+    // 4. near-dup clusters; keep the longest member per cluster
+    val pairs = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
+      shingleN, jaccardThreshold, maxPostings)
+    val clusters = Dedup.dedupClusters(exactDeduped, idCol, pairs)
+    val scored = exactDeduped
+      .withColumn("__len", length(col(textCol)).cast("long"))
+    val keep = Dedup
+      .canonicalPerCluster(clusters, scored, idCol, "__len")
+      .where(col("keep")).select(col(idCol))
+    val kept = exactDeduped.join(keep, Seq(idCol))
+
+    // 5. token-balanced shards over the survivors
+    Sampling.assignShards(
+      kept.withColumn("n_tokens",
+        size(split(col(textCol), " ")).cast("long")),
+      tokensPerShard, "n_tokens", Seq(idCol))
+  }
+}

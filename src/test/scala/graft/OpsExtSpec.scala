@@ -926,6 +926,41 @@ class OpsExtSpec extends AnyFunSuite {
     assert(again == out.toSet)
   }
 
+  test("CorpusPipeline.clean: every stage engages on a planted corpus") {
+    import spark.implicits._
+    // 28-word docs that pass the quality gate; the seed suffix keeps
+    // the vocabularies DISJOINT across docs (no accidental near-dups)
+    def prose(seed: Char): String = {
+      val words = Seq("river", "stone", "garden", "window", "copper",
+        "meadow", "lantern", "harbor", "timber", "valley", "violet",
+        "saddle", "marble", "forest", "candle", "bridge", "hollow",
+        "summer", "winter", "silver")
+      (0 until 22).map(i => words(i % words.size) + seed)
+        .mkString("the all of ", " ", " and a thing") // stopword hits
+    }
+    val boiler = "copyright footer text" // 3-gram, planted in >= 3 docs
+    val docs = Seq(
+      (1L, s"$boiler ${prose('a')}"),
+      (2L, s"$boiler ${prose('b')}"),
+      (3L, s"$boiler ${prose('c')}"),
+      (4L, s"$boiler ${prose('a')}"),         // exact dup of 1 AFTER strip
+      (5L, prose('b') + " extra tail words"), // near-dup of 2, longer
+      (6L, "short junk")) // fails the quality gate
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusPipeline
+      .clean(docs, "doc_id", "text", chunkMaxDocs = 3,
+        jaccardThreshold = 0.7, tokensPerShard = 40)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // 6 fails quality; 4 collapses into 1 once the boilerplate chunk is
+    // stripped; 2 loses the near-dup contest to the LONGER doc 5
+    assert(ids == Seq(1L, 3L, 5L))
+    // the boilerplate chunk is gone from every survivor
+    assert(out.forall(!_.getString(1).contains("copyright")))
+    // shard packing engaged: ~25-token docs, 60-token shards → 2 shards
+    assert(out.map(_.getLong(3)).distinct.length == 2)
+  }
+
   test("qualityFlags gates on words, word length, stopwords, alpha fraction") {
     import spark.implicits._
     val good = ("the quick brown fox jumps over a lazy dog and then " +
