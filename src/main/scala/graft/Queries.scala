@@ -2686,6 +2686,68 @@ object Queries {
              CAST(floor(cum / 4000) AS BIGINT) AS shard_id
       FROM c ORDER BY doc_id"""))
 
+  /** BM25 top-k full-text retrieval over documents for a 3-term query —
+    * both engines rank by the ROUNDED score + id so the k-boundary is
+    * deterministic. */
+  private val q84 = Entry(
+    "q84_bm25_topk",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq("hash", "join", "scan"), k = 10)
+        .select(col("id").as("doc_id"), col("bm25")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+               any_value(dl) AS dl
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+        WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+              GROUP BY term),
+      sc AS (
+        SELECT doc_id,
+               round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM tf JOIN dfr USING (term), st
+        GROUP BY doc_id)
+      SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+
+  /** PMI collocations: top-20 bigrams by pointwise mutual information
+    * with min support 5 — Spark zips the token array with its tail
+    * (map-only), the oracle re-derives adjacency with a lead window. */
+  private val q85 = Entry(
+    "q85_pmi_bigrams",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .pmiBigrams(Tables.documents(s, d), "text", minCount = 5, k = 20),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents),
+      bi0 AS (
+        SELECT term AS x,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS y
+        FROM toks),
+      bi AS (SELECT x, y, count(*) AS c_xy FROM bi0 WHERE y IS NOT NULL
+             GROUP BY 1, 2),
+      uni AS (SELECT term AS t, count(*) AS c_t FROM toks GROUP BY 1),
+      tb AS (SELECT sum(c_xy) AS t_bi FROM bi),
+      tu AS (SELECT sum(c_t) AS t_uni FROM uni)
+      SELECT x, y, c_xy,
+             round(ln((c_xy / t_bi) /
+               ((cx.c_t / t_uni) * (cy.c_t / t_uni))), 6) AS pmi
+      FROM bi JOIN uni cx ON bi.x = cx.t JOIN uni cy ON bi.y = cy.t, tb, tu
+      WHERE c_xy >= 5
+      ORDER BY pmi DESC, x, y LIMIT 20"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2695,7 +2757,8 @@ object Queries {
     q46, q47, q48,
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q84, q85)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

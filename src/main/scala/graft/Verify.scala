@@ -12,7 +12,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-dev narrowing: SPARK_GRAFT_ONLY=q84,q85 runs matching
+    // prefixes only (the driver never sets it, so its gate is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try {
         System.err.println(s"[verify] $name start")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

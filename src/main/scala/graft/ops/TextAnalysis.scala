@@ -263,4 +263,93 @@ object TextAnalysis {
         ((col("cnt") / col("doc_len")) *
           log(col("n_docs") / col("doc_freq"))).as("tfidf"))
   }
+
+  /**
+   * BM25 top-k retrieval (Robertson/Sparck Jones; the standard
+   * full-text relevance score — cf. reference search surface
+   * `raise_/models/feature_group.py:520-560` search_features, which the
+   * reference implements as substring match only). Okapi formula with
+   * the +1 idf smoothing (Lucene's variant, always positive):
+   *
+   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+   *
+   * Scale shape: the ONLY corpus-sized shuffle is the (doc, term)
+   * count over query-matching tokens — the token array is filtered to
+   * the query vocabulary BEFORE the explode, so the exploded frame is
+   * O(matches), not O(corpus tokens). Doc length rides along from a
+   * map-only `size(words)` (no join-back against a corpus-sized length
+   * frame), N + avgdl are one 1-row broadcast aggregate, per-term df is
+   * a ≤|query|-row broadcast. Top-k is TakeOrdered (no global sort).
+   * Both engines order by the ROUNDED score with an id tiebreak, so the
+   * k-boundary is deterministic under fp noise.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val w = words(col(textCol))
+    val qlit = array(queryTerms.distinct.map(lit): _*)
+    val base = df.select(col(idCol).as("id"),
+      size(w).cast("double").as("dl"),
+      filter(w, t => array_contains(qlit, t)).as("__qw"))
+    val stats = broadcast(base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl")))
+    val tf = base.where(size(col("__qw")) > 0)
+      .select(col("id"), col("dl"), explode(col("__qw")).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = broadcast(
+      tf.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfreq, "term").join(stats)
+      .groupBy("id").agg(round(sum(term), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /**
+   * PMI collocations: top bigrams by pointwise mutual information with
+   * a minimum-count support threshold — the classic phrase-mining /
+   * vocabulary-induction statistic (Church & Hanks 1990):
+   *
+   *   pmi(x,y) = ln( (c_xy/T_bi) / ((c_x/T_uni)·(c_y/T_uni)) )
+   *
+   * Adjacent pairs come from zipping the token array with its tail
+   * (`slice`+`arrays_zip` — one map-only pass, no positional window
+   * over exploded tokens). Two keyed aggregations (bigram counts,
+   * unigram counts) are the only shuffles; corpus totals are a 1-row
+   * broadcast; the unigram join is vocabulary-sized (≪ corpus), keyed
+   * by each side of the bigram. min-count pruning applies BEFORE the
+   * unigram joins so the joined frame is the reported support set, not
+   * the full bigram tail. Ordered by rounded PMI with (x,y) tiebreak.
+   */
+  def pmiBigrams(df: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val w = words(col(textCol))
+    val toks = df.select(w.as("__w"))
+    val bi = toks.where(size(col("__w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("x"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("y"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("__w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    val totBi = broadcast(bi.agg(sum(col("c_xy")).as("t_bi")))
+    val totUni = broadcast(uni.agg(sum(col("c_t")).as("t_uni")))
+    bi.where(col("c_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c_t").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c_t").as("c_y")), "y")
+      .join(totBi).join(totUni)
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log((col("c_xy").cast("double") / col("t_bi")) /
+          ((col("c_x").cast("double") / col("t_uni")) *
+           (col("c_y").cast("double") / col("t_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
 }

@@ -1001,4 +1001,56 @@ class OpsExtSpec extends AnyFunSuite {
     assert(prof.forall(r => r.getLong(1) >= 15 && r.getLong(1) <= 25))
     assert(prof.forall(_.getDouble(2) < 1.0))
   }
+
+  test("bm25 matches the Okapi formula on a hand-computed fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join"),        // dl 2, tf(hash)=1
+      (2L, "hash hash scan"),   // dl 3, tf(hash)=2, tf(scan)=1
+      (3L, "sort merge"))       // no query terms → no row
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash", "scan"), k = 10)
+      .collect()
+    // independent driver-side evaluation of the same formula
+    val (n, avgdl, k1, b) = (3.0, 7.0 / 3.0, 1.2, 0.75)
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    val exp1 = BigDecimal(w(1, 2, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(w(2, 3, 2) + w(1, 3, 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 2L && out(0).getDouble(1) == exp2)
+    assert(out(1).getLong(0) == 1L && out(1).getDouble(1) == exp1)
+    assert(exp2 > exp1) // two matched terms outrank one
+  }
+
+  test("pmi bigrams: counts, formula, and deterministic tiebreak") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = graft.ops.TextAnalysis
+      .pmiBigrams(docs, "text", minCount = 1, k = 10).collect()
+    // bigrams: ab×2 ba×1 ac×1 (T_bi 4); unigrams a3 b2 c1 (T_uni 6)
+    // pmi(ab) = ln((2/4)/((3/6)(2/6))) = ln 3 = pmi(ac); pmi(ba) = ln 1.5
+    val ln3 = BigDecimal(math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln15 = BigDecimal(math.log(1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = out.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    // equal-PMI tie broken by (x, y) — (a,b) before (a,c)
+    assert(rows == Seq(("a", "b", 2L, ln3), ("a", "c", 1L, ln3),
+      ("b", "a", 1L, ln15)))
+  }
+
+  test("pmi min-count prunes support below the threshold") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = graft.ops.TextAnalysis
+      .pmiBigrams(docs, "text", minCount = 2, k = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("a", "b")))
+  }
 }
