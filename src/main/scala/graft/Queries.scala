@@ -2748,6 +2748,39 @@ object Queries {
       WHERE c_xy >= 5
       ORDER BY pmi DESC, x, y LIMIT 20"""))
 
+  /** Bloom-prefiltered decontamination: per-training-doc count of
+    * distinct trigrams appearing anywhere in the benchmark split
+    * (doc_id < 250). The bloom stage only prunes — the exact confirm
+    * join makes the result oracle-verifiable. */
+  private val q86 = Entry(
+    "q86_bloom_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup
+        .bloomDecontaminate(
+          docs.where(col("doc_id") >= 250), "doc_id", "text",
+          docs.where(col("doc_id") < 250), "text", n = 3)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      refg AS (SELECT DISTINCT s FROM sh WHERE id < 250),
+      cnt AS (
+        SELECT id, count(*) AS dirty_ngrams
+        FROM sh JOIN refg USING (s)
+        WHERE id >= 250
+        GROUP BY id)
+      SELECT d.doc_id, COALESCE(c.dirty_ngrams, 0) AS dirty_ngrams,
+             COALESCE(c.dirty_ngrams, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+      LEFT JOIN cnt c ON d.doc_id = c.id
+      ORDER BY d.doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2758,7 +2791,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85)
+    q84, q85, q86)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

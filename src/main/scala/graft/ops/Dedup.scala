@@ -310,6 +310,85 @@ object Dedup {
   }
 
   /**
+   * Bloom-prefiltered corpus decontamination — the 100 TB shape of the
+   * "does any eval n-gram appear in this training document" check
+   * (GPT-3 App. C / PaLM-style dirty-document flagging; cf. the
+   * containment variant [[ngramContainment]], which scores per
+   * (train, bench) PAIR — this op flags per train doc against the
+   * whole reference set).
+   *
+   * Two stages, exact result:
+   *  1. a Bloom filter over the distinct reference n-grams is built by
+   *     the native `BloomFilterAggregate` (partial map-side combine →
+   *     one binary buffer; no driver-side loop) and probed on the
+   *     training side as a codegen'd `BloomFilterMightContain` over a
+   *     scalar subquery — the exact machinery Spark's
+   *     InjectRuntimeFilter uses for runtime row-group filters. The
+   *     probe is MAP-ONLY: the training corpus never shuffles on
+   *     content, only its bloom-surviving candidate n-grams do.
+   *  2. candidates (true hits + ≈fpp·|train grams| false positives) are
+   *     confirmed by an exact semi-join against the reference n-grams,
+   *     so the bloom only PRUNES — the output is exact and
+   *     oracle-verifiable regardless of fpp.
+   *
+   * Sizing: `numBits` follows the standard −n·ln(p)/ln²2 formula,
+   * clamped to Spark's runtime-filter caps
+   * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+   * 4M items / 64Mbit ≈ 8 MB defaults — raise both for a 100 TB
+   * reference set; past the clamp the filter degrades to a higher
+   * effective fpp, never to wrong answers). An EMPTY reference set
+   * yields a NULL bloom, `might_contain` returns NULL, and every
+   * document reports 0 dirty n-grams — correct, not an error.
+   *
+   * Returns one row per training document:
+   * (idCol, dirty_ngrams = exact count of its distinct n-grams that
+   * appear anywhere in the reference corpus, contaminated = >0).
+   */
+  def bloomDecontaminate(train: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 8,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val conf = train.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val items = math.max(1L, math.min(expectedItems, maxItems))
+    val bits = math.max(64L, math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      maxBits))
+
+    val refGrams = shingles(
+      ref.select(monotonically_increasing_id().as("__rid"),
+        col(refTextCol).as("__rt")),
+      "__rid", "__rt", n, distinct = false)
+      .select("s").distinct()
+    val bloom = refGrams.agg(GraftShims.toColumn(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(GraftShims.toExpression(col("s")))),
+        Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
+    val mightContain = GraftShims.toColumn(new BloomFilterMightContain(
+      GraftShims.toExpression(bloom.scalar()),
+      new XxHash64(Seq(GraftShims.toExpression(col("s"))))))
+
+    val candidates = shingles(train, idCol, textCol, n, distinct = true)
+      .where(mightContain)
+    val confirmed = candidates.join(refGrams, Seq("s"), "left_semi")
+    val counts = confirmed.groupBy("id").agg(count(lit(1)).as("dirty_ngrams"))
+    train.select(col(idCol))
+      .join(counts.withColumnRenamed("id", "__cid"),
+        col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("dirty_ngrams"), lit(0L)).as("dirty_ngrams"),
+        (coalesce(col("dirty_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /**
    * Connected components over an undirected pair list (near-dup edges →
    * duplicate clusters) by iterative min-label propagation: every vertex
    * starts as its own component, then repeatedly adopts the minimum

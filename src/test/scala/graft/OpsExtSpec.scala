@@ -1045,6 +1045,43 @@ class OpsExtSpec extends AnyFunSuite {
       ("b", "a", 1L, ln15)))
   }
 
+  test("bloom decontamination is exact: bloom prunes, never changes the answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (0L until 40L).map(i => (i, doc())).toDF("doc_id", "text")
+    val ref = (0 until 6).map(_ => Tuple1(doc())).toDF("text")
+    val out = graft.ops.Dedup
+      .bloomDecontaminate(train, "doc_id", "text", ref, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    // independent ground truth: plain distinct-trigram semi-join count
+    val tg = graft.ops.Dedup.shingles(train, "doc_id", "text", 3)
+    val rg = graft.ops.Dedup
+      .shingles(ref.withColumn("rid", lit(1)), "rid", "text", 3)
+      .select("s").distinct()
+    val truth = tg.join(rg, Seq("s"), "left_semi")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == 40)
+    out.foreach { case (id, dirty, flag) =>
+      assert(dirty == truth.getOrElse(id, 0L), s"doc $id")
+      assert(flag == (dirty > 0))
+    }
+    assert(out.exists(_._3) && out.exists(!_._3)) // fixture covers both
+  }
+
+  test("bloom decontamination with an empty reference flags nothing") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val ref = Seq.empty[Tuple1[String]].toDF("text")
+    val out = graft.ops.Dedup
+      .bloomDecontaminate(train, "doc_id", "text", ref, "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
