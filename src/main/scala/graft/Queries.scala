@@ -2781,6 +2781,42 @@ object Queries {
       LEFT JOIN cnt c ON d.doc_id = c.id
       ORDER BY d.doc_id"""))
 
+  /** Sequence packing: md5-hash-ordered token stream chunked into
+    * 512-token training sequences; documents may straddle boundaries
+    * (seq_first/seq_last span + offset within the first sequence). */
+  private val q87 = Entry(
+    "q87_sequence_pack",
+    (s, d) =>
+      graft.ops.Sampling
+        .packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          seqLen = 512L, "n_tokens", Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("seq_first"),
+          col("seq_last"), col("offset_in_seq"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                 ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cum
+        FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(floor(cum / 512) AS BIGINT) AS seq_first,
+             CAST(CASE WHEN n_tokens <= 0 THEN floor(cum / 512)
+                  ELSE floor((cum + n_tokens - 1) / 512) END AS BIGINT)
+               AS seq_last,
+             CAST(cum % 512 AS BIGINT) AS offset_in_seq
+      FROM c ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2791,7 +2827,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86)
+    q84, q85, q86, q87)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -127,4 +127,42 @@ object Sampling {
       .withColumn("shard_id", floor(col("__cum") / weightPerShard))
       .drop("__h", "__cum")
   }
+
+  /**
+   * GPT-style sequence packing: documents are concatenated in the same
+   * deterministic md5-hash order as [[assignShards]] and the token
+   * stream is chunked into fixed-capacity training sequences of
+   * `seqLen` tokens — the "no padding waste" packing every LLM
+   * trainer's data loader performs. Unlike [[assignShards]] (whole
+   * documents, weight-balanced bins), a document here may STRADDLE a
+   * sequence boundary; the output reports the placement a loader needs
+   * to materialize its slice:
+   *
+   *  - `seq_first` / `seq_last`: the sequence span the document covers
+   *    (`seq_last - seq_first` boundaries are crossed);
+   *  - `offset_in_seq`: the document's start offset inside `seq_first`.
+   *
+   * Zero-weight rows (empty documents) report `seq_last = seq_first` —
+   * they occupy a position but no tokens. The running offset is the
+   * [[graft.analysis.PrefixSum]] bucketed prefix sum, so there is no
+   * corpus-wide single-partition window at any size; replaying the md5
+   * order in another engine reproduces the identical packing.
+   */
+  def packSequences(df: DataFrame, seqLen: Long, weightCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val h = conv(substring(
+      md5(concat_ws("|", hashCols.map(c => col(c).cast("string")): _*)),
+      1, 13), 16, 10).cast("long")
+    val w = col(weightCol)
+    graft.analysis.PrefixSum
+      .exclusive(df.withColumn("__h", h), "__h",
+        Seq(weightCol -> "__cum"))
+      .withColumn("seq_first", floor(col("__cum") / seqLen))
+      .withColumn("seq_last",
+        when(w <= 0, col("seq_first"))
+          .otherwise(floor((col("__cum") + w - 1) / seqLen)))
+      .withColumn("offset_in_seq", col("__cum") % seqLen)
+      .drop("__h", "__cum")
+  }
 }

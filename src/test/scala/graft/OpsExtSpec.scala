@@ -1082,6 +1082,32 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
   }
 
+  test("sequence packing is a contiguous chunked stream with exact spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = ((0L until 50L).map(i => (i, rnd.nextInt(40).toLong + 1)) :+
+      (99L, 0L)) // one empty document
+      .toDF("doc_id", "n_tokens")
+    val out = graft.ops.Sampling
+      .packSequences(docs, seqLen = 64L, "n_tokens", Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 51)
+    // global start position of each doc reconstructs an exclusive cumsum
+    val byPos = out.sortBy(t => t._3 * 64 + t._5)
+    var cum = 0L
+    byPos.foreach { case (id, w, first, last, off) =>
+      assert(first * 64 + off == cum, s"doc $id start")
+      assert(first == cum / 64 && off == cum % 64)
+      if (w > 0) assert(last == (cum + w - 1) / 64, s"doc $id span")
+      else assert(last == first, s"empty doc $id")
+      cum += w
+    }
+    // at least one document straddles a boundary in this fixture
+    assert(out.exists(t => t._4 > t._3))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
