@@ -348,10 +348,26 @@ object Dedup {
       ref: DataFrame, refTextCol: String, n: Int = 8,
       expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftShims
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val refGrams = distinctGrams(ref, refTextCol, n)
+    val (items, bits) = bloomSizing(train, expectedItems, fpp)
+    val bloom = refGrams.agg(bloomAgg(items, bits).as("bf"))
+    val candidates = shingles(train, idCol, textCol, n, distinct = true)
+      .where(bloomProbe(GraftShims.toExpression(bloom.scalar())))
+    confirmAndCount(train, idCol, candidates, refGrams)
+  }
 
-    val conf = train.sparkSession.conf
+  /** Distinct word n-grams of a whole frame (no per-doc identity). */
+  private[graft] def distinctGrams(df: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    shingles(df.select(monotonically_increasing_id().as("__rid"),
+        col(textCol).as("__rt")),
+      "__rid", "__rt", n, distinct = false)
+      .select("s").distinct()
+
+  /** (items, numBits) clamped to Spark's runtime-filter caps. */
+  private[graft] def bloomSizing(df: DataFrame, expectedItems: Long,
+      fpp: Double): (Long, Long) = {
+    val conf = df.sparkSession.conf
     val maxItems = conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
       .toLong
@@ -362,24 +378,35 @@ object Dedup {
     val bits = math.max(64L, math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
       maxBits))
+    (items, bits)
+  }
 
-    val refGrams = shingles(
-      ref.select(monotonically_increasing_id().as("__rid"),
-        col(refTextCol).as("__rt")),
-      "__rid", "__rt", n, distinct = false)
-      .select("s").distinct()
-    val bloom = refGrams.agg(GraftShims.toColumn(
-      new BloomFilterAggregate(
-        new XxHash64(Seq(GraftShims.toExpression(col("s")))),
-        Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
-    val mightContain = GraftShims.toColumn(new BloomFilterMightContain(
-      GraftShims.toExpression(bloom.scalar()),
+  /** Native distributed bloom build over the `s` column. */
+  private[graft] def bloomAgg(items: Long, bits: Long): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftShims.toColumn(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftShims.toExpression(col("s")))),
+      Literal(items), Literal(bits)).toAggregateExpression())
+  }
+
+  /** Codegen'd might-contain probe of `s` against a bloom binary
+    * expression (scalar subquery or literal). */
+  private[graft] def bloomProbe(
+      bloomExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    GraftShims.toColumn(new BloomFilterMightContain(bloomExpr,
       new XxHash64(Seq(GraftShims.toExpression(col("s"))))))
+  }
 
-    val candidates = shingles(train, idCol, textCol, n, distinct = true)
-      .where(mightContain)
-    val confirmed = candidates.join(refGrams, Seq("s"), "left_semi")
-    val counts = confirmed.groupBy("id").agg(count(lit(1)).as("dirty_ngrams"))
+  /** Exact confirm join + per-document dirty-gram counts (0 for clean). */
+  private[graft] def confirmAndCount(train: DataFrame, idCol: String,
+      candidates: DataFrame, refGrams: DataFrame): DataFrame = {
+    val counts = candidates.join(refGrams, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("dirty_ngrams"))
     train.select(col(idCol))
       .join(counts.withColumnRenamed("id", "__cid"),
         col(idCol) === col("__cid"), "left")

@@ -247,6 +247,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store.path).count() == 5)
   }
 
+  test("streaming decontamination flags eval overlap per micro-batch") {
+    import spark.implicits._
+    import graft.etl._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val verdicts = ParquetTarget(s"$root/verdicts")
+    // reference (eval) corpus: one fixed document
+    val ref = Seq("e1 e2 e3 e4 e5").toDF("text")
+
+    // wave 1: doc 1 embeds an eval trigram (e2 e3 e4), doc 2 clean
+    Seq((1L, "a b e2 e3 e4 c d"), (2L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingDecontaminate
+        .decontaminateEachBatch(
+          spark.readStream.schema(schema).parquet(srcDir),
+          "doc_id", "text", ref, "text", verdicts, n = 3)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    def read() = spark.read.parquet(verdicts.path).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // doc 1 contains exactly one distinct eval trigram
+    assert(read().toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
+
+    // wave 2: doc 3 contains TWO eval trigrams, doc 4 clean — verdicts
+    // accumulate by upsert, wave-1 rows untouched
+    Seq((3L, "e1 e2 e3 e4 q"), (4L, "m n o p"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(read().toSeq == Seq((1L, 1L, true), (2L, 0L, false),
+      (3L, 2L, true), (4L, 0L, false)))
+  }
+
   test("streaming execution: tumbling agg over a file stream with watermark") {
     import spark.implicits._
     val root = tmpDir()
