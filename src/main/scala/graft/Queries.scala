@@ -2817,6 +2817,42 @@ object Queries {
              CAST(cum % 512 AS BIGINT) AS offset_in_seq
       FROM c ORDER BY doc_id"""))
 
+  /** Matryoshka truncation 64→16 with L2 renorm: the compared surface
+    * pins the sequential element sum, min/max, and retained-norm
+    * fraction (no float→string hashing — formats differ per engine). */
+  private val q88 = Entry(
+    "q88_embedding_truncate",
+    (s, d) =>
+      graft.ops.Features
+        .truncateEmbedding(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 16)
+        .select(col("vec_id"),
+          r6(aggregate(col("truncated"), lit(0.0), (a, x) => a + x))
+            .as("t_sum"),
+          r6(array_min(col("truncated"))).as("t_min"),
+          r6(array_max(col("truncated"))).as("t_max"),
+          r6(col("norm_frac")).as("norm_frac"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      t AS (
+        SELECT vec_id, v[1:16] AS p,
+               sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS pn,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS fn
+        FROM e),
+      r AS (
+        SELECT vec_id,
+               list_transform(p, x ->
+                 CASE WHEN pn = 0 THEN 0.0 ELSE x / pn END) AS tr,
+               CASE WHEN fn = 0 THEN NULL ELSE pn / fn END AS norm_frac
+        FROM t)
+      SELECT vec_id,
+             round(list_sum(tr), 6) AS t_sum,
+             round(list_min(tr), 6) AS t_min,
+             round(list_max(tr), 6) AS t_max,
+             round(norm_frac, 6) AS norm_frac
+      FROM r ORDER BY vec_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2827,7 +2863,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87)
+    q84, q85, q86, q87, q88)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

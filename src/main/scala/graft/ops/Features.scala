@@ -132,6 +132,41 @@ object Features {
   }
 
   /**
+   * Matryoshka-style embedding truncation: keep the first `dim`
+   * coordinates and L2-renormalize — the "cheap tier" of MRL-trained
+   * embeddings (Kusupati et al. 2022), where prefixes of the vector are
+   * themselves usable embeddings at a fraction of the storage and ANN
+   * compute (a 64→16 truncation is a 4× index-size and dot-product
+   * saving before any quantization). Map-only: slice + one sequential
+   * fold for the norm + one transform, no shuffle anywhere.
+   *
+   * `norm_frac` reports ‖prefix‖/‖full‖ — the retained-signal measure a
+   * pipeline uses to pick the cheapest acceptable tier. Zero-norm
+   * prefixes renormalize to zero vectors (no division); a zero full
+   * vector reports norm_frac NULL (0/0 has no meaningful fraction).
+   */
+  def truncateEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, renormalize: Boolean = true): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val full = col(vecCol).cast("array<double>")
+    def l2(v: org.apache.spark.sql.Column) =
+      sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val out = df
+      .withColumn("__t", slice(full, 1, dim))
+      .withColumn("__full_n", l2(full))
+      .withColumn("__n", l2(col("__t")))
+      .withColumn("truncated",
+        if (renormalize)
+          transform(col("__t"), x =>
+            when(col("__n") === 0.0, 0.0).otherwise(x / col("__n")))
+        else col("__t"))
+      .withColumn("norm_frac",
+        when(col("__full_n") === 0.0, lit(null).cast("double"))
+          .otherwise(col("__n") / col("__full_n")))
+    out.select(col(idCol), col("truncated"), col("norm_frac"))
+  }
+
+  /**
    * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
    * exact interpolated quantile boundaries. Boundaries come from the
    * distributed percentile machinery

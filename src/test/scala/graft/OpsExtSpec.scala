@@ -1108,6 +1108,28 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.exists(t => t._4 > t._3))
   }
 
+  test("matryoshka truncation renormalizes prefixes and reports norm loss") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0, 4.0, 12.0)),  // prefix (3,4): norm 5, full norm 13
+      (2L, Array(0.0, 0.0, 2.0)),   // zero prefix, nonzero full
+      (3L, Array(0.0, 0.0, 0.0)))   // zero everything
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Features
+      .truncateEmbedding(df, "vec_id", "embedding", dim = 2)
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(math.abs(out(0).getDouble(2) - 5.0 / 13.0) < 1e-12)
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0)) // no div-by-zero
+    assert(out(1).getDouble(2) == 0.0)
+    assert(out(2).isNullAt(2)) // 0/0 norm fraction is NULL
+    // renormalize=false keeps raw prefix values
+    val raw = graft.ops.Features
+      .truncateEmbedding(df, "vec_id", "embedding", 2, renormalize = false)
+      .orderBy("vec_id").collect()
+    assert(raw(0).getSeq[Double](1) == Seq(3.0, 4.0))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
