@@ -2853,6 +2853,39 @@ object Queries {
              round(norm_frac, 6) AS norm_frac
       FROM r ORDER BY vec_id"""))
 
+  /** Bucketed range join: overlapping 2-day windows (one per event
+    * day) × events — each event lands in up to two windows through a
+    * day-width bucket equi-join, never a nested-loop. */
+  private val q89 = Entry(
+    "q89_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("long").as("t"),
+          col("value"))
+      val wins = Tables.events(s, d)
+        .select(date_trunc("DAY", col("ts")).cast("long").as("w_start"))
+        .distinct()
+        .withColumn("w_end", col("w_start") + 172800L)
+      graft.ops.PointInTime
+        .rangeJoin(ev, "t", wins, "w_start", "w_end",
+          bucketWidth = 86400L)
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("win_value"))
+        .orderBy("w_start")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, epoch(ts)::BIGINT AS t, "value" FROM events),
+      w AS (
+        SELECT DISTINCT epoch(date_trunc('day', ts))::BIGINT AS w_start
+        FROM events),
+      j AS (
+        SELECT w_start, t, "value"
+        FROM w JOIN p ON t >= w_start AND t < w_start + 172800)
+      SELECT w_start, count(*) AS n_events,
+             round(sum("value"), 2) AS win_value
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2863,7 +2896,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88)
+    q84, q85, q86, q87, q88, q89)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

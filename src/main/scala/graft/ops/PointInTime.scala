@@ -128,4 +128,63 @@ object PointInTime {
         valueCols.map(c =>
           when(col("__ok"), col("__m").getField(c)).as(c)): _*)
   }
+
+  /**
+   * Bucketed interval (range) join: attach every point row to EVERY
+   * interval row whose `[start, end)` contains its timestamp — the
+   * non-equi join class (maintenance windows × events, campaigns ×
+   * clicks, overlapping sessions × telemetry) that Spark's optimizer,
+   * given the raw `p.t >= i.s AND p.t < i.e` predicate, can only plan
+   * as a broadcast-nested-loop — O(|points|·|intervals|) comparisons.
+   *
+   * Buckets are the manufactured equi-key: time is tiled into
+   * fixed-width buckets; each interval explodes to the buckets it
+   * overlaps (a bounded fan-out of span/width rows), each point maps to
+   * exactly ONE bucket, the join is a plain hash equi-join on the
+   * bucket id, and the containment predicate is re-checked exactly on
+   * the survivors. Every qualifying (interval, point) pair meets in
+   * exactly one bucket — the point's — so the result needs no dedup and
+   * is EXACT; the bucket tiling only prunes. All bucket arithmetic is
+   * integer floor-division (no floating-point boundary drift).
+   *
+   * Scale: one keyed shuffle per side; the interval fan-out is bounded
+   * by `maxBucketsPerInterval` (exceeding it throws rather than
+   * silently exploding — pick `bucketWidth` near the MEDIAN interval
+   * span so typical intervals cover 1-2 buckets). Hot buckets (many
+   * intervals over one time tile) inflate that bucket's join task;
+   * AQE's skew-join split handles moderate cases, and a narrower width
+   * spreads chronic ones.
+   *
+   * Columns must be integral (cast timestamps to epoch seconds/micros
+   * upstream — a raw `timestamp` cast to long is seconds in Spark);
+   * empty intervals (`end <= start`) match nothing.
+   */
+  def rangeJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must not share column names")
+    def fdiv(c: Column) =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val expl = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__b0", fdiv(col(startCol)))
+      .withColumn("__b1", fdiv(col(endCol) - 1))
+      // the guard lives INSIDE the kept expression so column pruning
+      // can't optimize it away
+      .withColumn("__bkt", explode(sequence(col("__b0"),
+        when(col("__b1") - col("__b0") < maxBucketsPerInterval, col("__b1"))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval [" ), col(startCol), lit(", "),
+            col(endCol),
+            lit(s") spans >= $maxBucketsPerInterval buckets of width " +
+              s"$bucketWidth — raise bucketWidth or the cap")))
+            .cast("long")))))
+      .drop("__b0", "__b1")
+    points.withColumn("__bkt", fdiv(col(pointTs)))
+      .join(expl, Seq("__bkt"))
+      .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("__bkt")
+  }
 }

@@ -1130,6 +1130,38 @@ class OpsExtSpec extends AnyFunSuite {
     assert(raw(0).getSeq[Double](1) == Seq(3.0, 4.0))
   }
 
+  test("range join: exact containment, boundaries, overlaps, fan-out guard") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L), (2L, 5L), (3L, 10L), (4L, 19L), (5L, 20L),
+      (6L, -3L)).toDF("pid", "t")
+    val ivs = Seq(
+      ("a", 0L, 10L),    // catches 0, 5 — NOT 10 (end-exclusive)
+      ("b", 5L, 25L),    // catches 5, 10, 19, 20 — overlaps a
+      ("c", 30L, 30L),   // empty — matches nothing
+      ("d", -10L, 0L))   // negative range: catches -3 only
+      .toDF("iv", "s", "e")
+    val out = graft.ops.PointInTime
+      .rangeJoin(pts, "t", ivs, "s", "e", bucketWidth = 7L)
+      .select("iv", "pid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L),
+      ("b", 4L), ("b", 5L), ("d", 6L)))
+    // ground truth: the nested-loop predicate join gives the same pairs
+    val truth = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("iv", "pid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == truth)
+    // fan-out guard: an interval spanning >= cap buckets throws
+    val wide = Seq(("w", 0L, 1000L)).toDF("iv", "s", "e")
+    val ex = intercept[Exception] {
+      graft.ops.PointInTime
+        .rangeJoin(pts, "t", wide, "s", "e", 7L, maxBucketsPerInterval = 10L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
