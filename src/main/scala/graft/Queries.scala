@@ -2886,6 +2886,40 @@ object Queries {
              round(sum("value"), 2) AS win_value
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-entity rolling z-score anomalies on the events stream:
+    * trailing-7 baseline strictly before each point, per-user flag
+    * counts + the extreme score. */
+  private val q90 = Entry(
+    "q90_rolling_anomaly",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .rollingAnomaly(Tables.events(s, d), Seq("user_id"), "ts", "value",
+          window = 7, z = 2.5, tieCols = Seq("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          r6(max(abs(col("zscore")))).as("max_abs_z"))
+        .orderBy("user_id"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, "value",
+               avg("value") OVER w AS mu,
+               stddev_samp("value") OVER w AS sd,
+               count("value") OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      s AS (
+        SELECT user_id,
+               CASE WHEN n >= 2 AND sd IS NOT NULL AND sd > 0
+                    THEN ("value" - mu) / sd END AS zscore
+        FROM e)
+      SELECT user_id, count(*) AS n_obs,
+             CAST(sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_anomalies,
+             round(max(abs(zscore)), 6) AS max_abs_z
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2896,7 +2930,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89)
+    q84, q85, q86, q87, q88, q89, q90)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

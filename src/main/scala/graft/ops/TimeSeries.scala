@@ -82,4 +82,36 @@ object TimeSeries {
         .when(pv.isNotNull && nv.isNotNull,
           pv + (nv - pv) * (t - pt) / (nt - pt)))
   }
+
+  /**
+   * Per-entity rolling z-score anomaly flags — the streaming-drift
+   * operator's batch/backfill sibling for POINT anomalies: each
+   * observation is scored against the trailing `window` observations of
+   * ITS OWN entity (mean/stddev over the `window` rows strictly BEFORE
+   * it — the current value never deflates its own baseline). Rows with
+   * fewer than 2 prior observations or a zero/degenerate baseline
+   * spread report NULL score and no flag (no ANSI division by zero).
+   *
+   * Entity-partitioned windows: parallelism scales with entities, the
+   * same stance as every TimeSeries op here; the tie order at equal
+   * timestamps is pinned by `tieCols` for engine-replayable output.
+   */
+  def rollingAnomaly(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, window: Int = 7, z: Double = 3.0,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, "window must cover at least 2 observations")
+    val order = (col(tsCol) +: tieCols.map(col)).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(-window, -1)
+    val v = col(valueCol).cast("double")
+    val mu = avg(v).over(w)
+    val sd = stddev_samp(v).over(w)
+    val n = count(v).over(w)
+    val score = when(n >= 2 && sd.isNotNull && sd > 0.0, (v - mu) / sd)
+    df.withColumn("roll_mean", mu)
+      .withColumn("roll_std", sd)
+      .withColumn("zscore", score)
+      .withColumn("anomaly", coalesce(abs(score) > z, lit(false)))
+  }
 }

@@ -1162,6 +1162,43 @@ class OpsExtSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
 
+  test("rolling anomaly: strict-prior baseline, degenerate-spread guards") {
+    import spark.implicits._
+    // entity u: stable 10s then a spike; entity v: constant (sd 0)
+    val rows = (1 to 8).map(i => ("u", i.toLong, 10.0)) ++
+      Seq(("u", 9L, 100.0)) ++
+      (1 to 5).map(i => ("v", i.toLong, 5.0))
+    val df = rows.toDF("ent", "t", "value")
+    val out = graft.ops.TimeSeries
+      .rollingAnomaly(df, Seq("ent"), "t", "value", window = 7, z = 3.0)
+      .orderBy("ent", "t").collect()
+    val u = out.filter(_.getString(0) == "u")
+    // first row: no priors → NULL score, no flag
+    assert(u(0).isNullAt(u(0).fieldIndex("zscore")) && !u(0).getBoolean(u(0).fieldIndex("anomaly")))
+    // second row: ONE prior → n<2 → still no score
+    assert(u(1).isNullAt(u(1).fieldIndex("zscore")))
+    // constant baseline (sd 0) never divides: rows 3..8 of u unf lagged
+    assert(u.slice(2, 8).forall(r => r.isNullAt(r.fieldIndex("zscore"))))
+    // the spike row HAS a constant baseline too (all 10s) → sd 0 → NULL
+    // score by the guard; now check a mixed baseline flags properly
+    val mixed = (Seq(("w", 1L, 1.0), ("w", 2L, 2.0), ("w", 3L, 1.5),
+      ("w", 4L, 1.8), ("w", 5L, 50.0)))
+      .toDF("ent", "t", "value")
+    val m = graft.ops.TimeSeries
+      .rollingAnomaly(mixed, Seq("ent"), "t", "value", window = 7, z = 3.0)
+      .orderBy("t").collect()
+    val spike = m.last
+    val priors = Seq(1.0, 2.0, 1.5, 1.8)
+    val mu = priors.sum / 4
+    val sd = math.sqrt(priors.map(x => (x - mu) * (x - mu)).sum / 3)
+    assert(math.abs(spike.getDouble(spike.fieldIndex("zscore"))
+      - (50.0 - mu) / sd) < 1e-9)
+    assert(spike.getBoolean(spike.fieldIndex("anomaly")))
+    // v: all constant → no flags at all
+    assert(out.filter(_.getString(0) == "v")
+      .forall(r => !r.getBoolean(r.fieldIndex("anomaly"))))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
