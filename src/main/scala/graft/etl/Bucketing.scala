@@ -69,3 +69,77 @@ object Compaction {
     (before.size, parquetFiles(path).size)
   }
 }
+
+/**
+ * Z-order (Morton) clustering for multi-column data skipping — the
+ * table-layout lever that makes parquet row-group/file min-max stats
+ * selective on SEVERAL filter columns at once. A single-column sort
+ * gives perfect pruning on that column and none on any other; the
+ * Morton curve interleaves the bits of all clustering columns, so each
+ * written file covers a small HYPER-TILE of the value space and a
+ * point/range predicate on ANY clustered column prunes most files.
+ *
+ * Pipeline shape: one 1-row bounds aggregate (broadcast) → a map-only
+ * codegen'd bit-interleave expression → `repartitionByRange` on the
+ * z-value (the one necessary shuffle — it IS the clustering) → a
+ * partition-local sort → write. Nothing driver-side beyond the bounds
+ * row. Range normalization is min/max-based; for heavily skewed
+ * columns compose with a rank transform upstream (e.g.
+ * `ops.Features.quantileBucket`) so the curve doesn't collapse onto
+ * the dense region.
+ */
+object ZOrder {
+
+  /** Adds `outCol` = Morton code of `cols`, each range-normalized to
+    * `bits` bits via a broadcast 1-row bounds aggregate. NULL values
+    * sort first (code 0 in that dimension). `bits * cols.size` must
+    * fit a signed long. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      outCol: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "need at least one clustering column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*cols (${bits * cols.size}) must fit a signed long")
+    val scale = (1L << bits) - 1
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"__lo$i"),
+        max(col(c).cast("double")).as(s"__hi$i"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(bounds))
+    // per-column quantized value in [0, 2^bits)
+    val quant = cols.zipWithIndex.map { case (c, i) =>
+      val v = col(c).cast("double")
+      val lo = col(s"__lo$i")
+      val hi = col(s"__hi$i")
+      when(v.isNull, lit(0L))
+        .when(hi <= lo, lit(0L))
+        .otherwise(least(lit(scale),
+          greatest(lit(0L),
+            floor((v - lo) / (hi - lo) * scale).cast("long"))))
+    }
+    // interleave: output bit (i*width + j) takes bit i of column j —
+    // a flat sum of shift/mask terms, all inside whole-stage codegen
+    val width = cols.size
+    val z = (0 until bits).flatMap { i =>
+      quant.zipWithIndex.map { case (q, j) =>
+        import org.apache.spark.sql.functions.shiftleft
+        shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), i * width + j)
+      }
+    }.reduce(_ + _)
+    joined.withColumn(outCol, z)
+      .drop((0 until width).flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
+  }
+
+  /** Write `df` z-order-clustered on `cols` into ~`nFiles` files. */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles >= 1, "nFiles must be positive")
+    withZValue(df, cols, bits)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

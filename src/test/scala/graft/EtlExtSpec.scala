@@ -524,4 +524,40 @@ class EtlExtSpec extends AnyFunSuite {
     assert(job.checkpoints.get("single-pass").contains("2024-01-28 00:00:00"))
     assert(acc.value == n, s"pipeline executed ${acc.value / n.toDouble}x")
   }
+
+  test("z-order clustering tiles BOTH columns; single-col sort only one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 4000)
+      .map(_ => (rnd.nextInt(1000), rnd.nextInt(1000))).toDF("x", "y")
+    val root = tmpDir()
+    graft.etl.ZOrder.writeClustered(df, s"$root/z", Seq("x", "y"),
+      nFiles = 8, bits = 10)
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$root/xsort")
+
+    def avgRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 6, s"expected ~8 files in $dir")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        (r.getInt(1) - r.getInt(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    // x-sorted layout: x prunes (~1/8 of the range per file), y does not
+    assert(avgRange(s"$root/xsort", "x") < 300.0)
+    assert(avgRange(s"$root/xsort", "y") > 800.0)
+    // z-ordered layout: BOTH columns' per-file ranges shrink well below
+    // the global 1000 span — every clustered column prunes files
+    assert(avgRange(s"$root/z", "x") < 700.0)
+    assert(avgRange(s"$root/z", "y") < 700.0)
+    // row content preserved
+    assert(spark.read.parquet(s"$root/z").count() == 4000)
+    assert(spark.read.parquet(s"$root/z").agg(sum("x"), sum("y")).head()
+      == df.agg(sum("x"), sum("y")).head())
+  }
 }
