@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality sketches — the 100 TB form of "distinct count"
+ * profiling. Exact `count_distinct` is a full shuffle of every distinct
+ * value per profiled column; a DataSketches HLL sketch is a few KB of
+ * mergeable state with map-side partial aggregation, and — the real
+ * lever — ALREADY-PROFILED data never needs rescanning: per-day (or
+ * per-partition) sketch rows stored as binary columns merge into
+ * month/corpus cardinalities with `hll_union_agg` over KB-sized inputs.
+ *
+ * This is the scale path behind the summarize operator's
+ * `distinct_count` metric (reference analysis metrics,
+ * `raise_/analytics/analysis.py` Aggregation; the exact metric stays
+ * the oracle-verified default — sketches are the opt-in for extreme
+ * cardinality, same stance as t-digest percentiles).
+ *
+ * Built entirely on Spark's native DataSketches expressions
+ * (`hll_sketch_agg`/`hll_union`/`hll_sketch_estimate` — codegen'd,
+ * no UDF, no driver state). Standard error at the default
+ * `lgConfigK=12` is ~1.6%/√1 ≈ 0.8–1.6%; raise lgConfigK for tighter
+ * bounds (each +1 doubles sketch size).
+ */
+object Sketches {
+
+  /**
+   * Per-group HLL profiles: one row per `groupCols` group with, for
+   * each value column, a mergeable sketch binary (`<c>_hll`) and its
+   * cardinality estimate (`<c>_distinct_est`). No `groupCols` → one
+   * global profile row.
+   */
+  def hllProfile(df: DataFrame, valueCols: Seq[String],
+      groupCols: Seq[String] = Nil, lgConfigK: Int = 12): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val aggs = valueCols.flatMap { c =>
+      val sk = hll_sketch_agg(col(c), lit(lgConfigK))
+      Seq(sk.as(s"${c}_hll"),
+        hll_sketch_estimate(sk).cast("long").as(s"${c}_distinct_est"))
+    }
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Merge stored profiles ACROSS groups without touching the raw data:
+   * unions each `<c>_hll` column over all rows (optionally regrouped by
+   * `groupCols`, e.g. day-profiles → month-profiles) and re-estimates.
+   * Input rows are KB-sized sketches, so this runs in milliseconds at
+   * any corpus size — the incremental-profiling payoff.
+   */
+  def hllMergeProfiles(profiles: DataFrame, valueCols: Seq[String],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val aggs = valueCols.flatMap { c =>
+      val merged = hll_union_agg(col(s"${c}_hll"))
+      Seq(merged.as(s"${c}_hll"),
+        hll_sketch_estimate(merged).cast("long").as(s"${c}_distinct_est"))
+    }
+    if (groupCols.isEmpty) profiles.agg(aggs.head, aggs.tail: _*)
+    else profiles.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

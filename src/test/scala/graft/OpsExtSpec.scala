@@ -1199,6 +1199,36 @@ class OpsExtSpec extends AnyFunSuite {
       .forall(r => !r.getBoolean(r.fieldIndex("anomaly"))))
   }
 
+  test("hll profiles: accurate estimates and rescan-free merging") {
+    import spark.implicits._
+    // two "days" with overlapping user populations
+    val day1 = (0 until 30000).map(i => ("d1", (i % 20000).toLong))
+      .toDF("day", "uid")
+    val day2 = (0 until 30000).map(i => ("d2", (i % 20000 + 10000).toLong))
+      .toDF("day", "uid")
+    val profiles = graft.ops.Sketches
+      .hllProfile(day1.unionByName(day2), Seq("uid"), Seq("day"))
+      .persist()
+    val byDay = profiles.orderBy("day").collect()
+    // each day has exactly 20000 distinct uids; HLL@lg12 ≈ ±2%
+    byDay.foreach { r =>
+      val est = r.getLong(r.fieldIndex("uid_distinct_est"))
+      assert(math.abs(est - 20000) < 800, s"day est $est")
+    }
+    // merge the two stored profiles WITHOUT the raw data: true union
+    // is 30000 distinct (10000..29999 overlap)
+    val merged = graft.ops.Sketches
+      .hllMergeProfiles(profiles.select("day", "uid_hll"), Seq("uid"))
+      .head().getLong(1)
+    assert(math.abs(merged - 30000) < 1200, s"merged est $merged")
+    // merging must match sketching the union directly (same state)
+    val direct = graft.ops.Sketches
+      .hllProfile(day1.unionByName(day2), Seq("uid"))
+      .head().getLong(1)
+    assert(merged == direct, s"merge $merged != direct $direct")
+    profiles.unpersist()
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
