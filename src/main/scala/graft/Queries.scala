@@ -2920,6 +2920,46 @@ object Queries {
              round(max(abs(zscore)), 6) AS max_abs_z
       FROM s GROUP BY 1 ORDER BY 1"""))
 
+  /** Interval-overlap join: per-order 3-day fulfillment windows ×
+    * overlapping 10-day monitoring windows (every 7 days) — pairs meet
+    * once in the canonical bucket, counted per monitoring window. */
+  private val q91 = Entry(
+    "q91_interval_join",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_start"))
+        .withColumn("o_end", col("o_start") + 259200L)
+      val weeks = Tables.orders(s, d)
+        .select((floor(col("o_orderdate").cast("timestamp").cast("long")
+          / 604800L) * 604800L).cast("long").as("w_start"))
+        .distinct()
+        .withColumn("w_end", col("w_start") + 864000L)
+      graft.ops.PointInTime
+        .intervalJoin(orders, "o_start", "o_end",
+          weeks, "w_start", "w_end", bucketWidth = 604800L)
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("w_start")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+               epoch(o_orderdate::TIMESTAMP)::BIGINT AS o_start,
+               epoch(o_orderdate::TIMESTAMP)::BIGINT + 259200 AS o_end
+        FROM orders),
+      w AS (
+        SELECT DISTINCT
+               (floor(epoch(o_orderdate::TIMESTAMP) / 604800) * 604800)::BIGINT
+                 AS w_start
+        FROM orders),
+      w2 AS (SELECT w_start, w_start + 864000 AS w_end FROM w),
+      j AS (
+        SELECT w_start
+        FROM o JOIN w2 ON o_start < w_end AND w_start < o_end)
+      SELECT w_start, count(*) AS n_orders
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2930,7 +2970,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90)
+    q84, q85, q86, q87, q88, q89, q90, q91)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -187,4 +187,45 @@ object PointInTime {
       .where(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bkt")
   }
+
+  /**
+   * Interval × interval overlap join — [[rangeJoin]] generalized to two
+   * interval sets: every (left, right) pair with
+   * `[ls, le) ∩ [rs, re) ≠ ∅` (campaigns × maintenance windows,
+   * session overlap analysis). Both sides tile onto the same bucket
+   * grid; a qualifying pair meets in every bucket their spans share, so
+   * instead of a post-join dedup the pair is counted ONLY in its
+   * canonical bucket — the bucket of `max(ls, rs)`, the overlap start,
+   * which both intervals cover by definition. Same exactness and guard
+   * story as [[rangeJoin]]; integral columns, end-exclusive, empty
+   * intervals match nothing.
+   */
+  def intervalJoin(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left and right must not share column names")
+    def fdiv(c: Column) =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    def explBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(e) > col(s))
+        .withColumn("__b0", fdiv(col(s)))
+        .withColumn("__b1", fdiv(col(e) - 1))
+        .withColumn("__bkt", explode(sequence(col("__b0"),
+          when(col("__b1") - col("__b0") < maxBucketsPerInterval,
+            col("__b1"))
+            .otherwise(raise_error(concat(
+              lit("intervalJoin: interval ["), col(s), lit(", "), col(e),
+              lit(s") spans >= $maxBucketsPerInterval buckets of width " +
+                s"$bucketWidth — raise bucketWidth or the cap")))
+              .cast("long")))))
+        .drop("__b0", "__b1")
+    explBuckets(left, leftStart, leftEnd)
+      .join(explBuckets(right, rightStart, rightEnd), Seq("__bkt"))
+      .where(col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd) &&
+        fdiv(greatest(col(leftStart), col(rightStart))) === col("__bkt"))
+      .drop("__bkt")
+  }
 }

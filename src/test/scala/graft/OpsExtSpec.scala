@@ -1229,6 +1229,33 @@ class OpsExtSpec extends AnyFunSuite {
     profiles.unpersist()
   }
 
+  test("interval join: overlap semantics, canonical-bucket dedup-free") {
+    import spark.implicits._
+    val a = Seq(("a1", 0L, 10L), ("a2", 5L, 15L), ("a3", 20L, 21L),
+      ("a4", -5L, 2L)).toDF("aid", "as", "ae")
+    val b = Seq(("b1", 8L, 30L),   // overlaps a1 (8<10), a2, a3
+      ("b2", 10L, 12L),            // touches a1 at 10 → NO (end-exclusive)
+      ("b3", -10L, -4L),           // overlaps a4 only
+      ("b4", 3L, 3L))              // empty
+      .toDF("bid", "bs", "be")
+    val out = graft.ops.PointInTime
+      .intervalJoin(a, "as", "ae", b, "bs", "be", bucketWidth = 4L)
+      .select("aid", "bid").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // no duplicates even though wide pairs share many buckets
+    assert(out.length == out.toSet.size)
+    // NB the raw overlap predicate alone would claim the EMPTY b4=[3,3)
+    // overlaps a1 (0<3 && 3<10) though the intersection is empty — the
+    // nonempty guards are part of the correct nested-loop semantics
+    val truth = a.join(b, col("as") < col("be") && col("bs") < col("ae") &&
+        col("ae") > col("as") && col("be") > col("bs"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.toSet == truth)
+    assert(out.toSet == Set(("a1", "b1"), ("a2", "b1"), ("a3", "b1"),
+      ("a2", "b2"), ("a4", "b3")))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
