@@ -62,4 +62,42 @@ object Sketches {
     else profiles.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Per-group KLL quantile sketches (DataSketches, native Spark 4
+   * expressions) — the mergeable counterpart of the exact distributed
+   * percentile path: one row per group with the sketch binary
+   * (`<c>_kll`) and the requested quantile estimates (`<c>_p<q>`).
+   * Rank error at the default k=200 is ~1.65% (two-sided, 99% conf.).
+   * The same incremental payoff as [[hllProfile]]: stored per-day
+   * sketches roll up to corpus quantiles with no rescan.
+   */
+  def kllProfile(df: DataFrame, valueCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      groupCols: Seq[String] = Nil, k: Int = 200): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0, 1]")
+    val sk = kll_sketch_agg_double(col(valueCol).cast("double"), k)
+    val aggs = sk.as(s"${valueCol}_kll") +: quantiles.map(q =>
+      kll_sketch_get_quantile_double(sk, lit(q))
+        .as(s"${valueCol}_p${(q * 100).round}"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge stored KLL profiles across groups (per-day → corpus) and
+    * re-estimate the quantiles — KB inputs, no raw-data rescan. */
+  def kllMergeProfiles(profiles: DataFrame, valueCol: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      groupCols: Seq[String] = Nil): DataFrame = {
+    // kll_merge_agg_double is registered in the function registry but
+    // has no typed functions._ wrapper in this Spark version
+    val merged = expr(s"kll_merge_agg_double(${valueCol}_kll)")
+    val aggs = merged.as(s"${valueCol}_kll") +: quantiles.map(q =>
+      kll_sketch_get_quantile_double(merged, lit(q))
+        .as(s"${valueCol}_p${(q * 100).round}"))
+    if (groupCols.isEmpty) profiles.agg(aggs.head, aggs.tail: _*)
+    else profiles.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

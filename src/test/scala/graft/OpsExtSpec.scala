@@ -1256,6 +1256,28 @@ class OpsExtSpec extends AnyFunSuite {
       ("a2", "b2"), ("a4", "b3")))
   }
 
+  test("kll profiles: quantile accuracy and rescan-free merging") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vals = (0 until 60000)
+      .map(i => (if (i % 2 == 0) "d1" else "d2", rnd.nextDouble() * 100))
+    val df = vals.toDF("day", "v")
+    val profiles = graft.ops.Sketches
+      .kllProfile(df, "v", Seq(0.5, 0.9), Seq("day")).persist()
+    // uniform[0,100): p50 ≈ 50, p90 ≈ 90 — KLL@k200 rank err ~1.65%
+    profiles.collect().foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("v_p50")) - 50) < 4)
+      assert(math.abs(r.getDouble(r.fieldIndex("v_p90")) - 90) < 4)
+    }
+    // merging the stored day profiles reproduces corpus quantiles
+    val m = graft.ops.Sketches
+      .kllMergeProfiles(profiles.select("v_kll"), "v", Seq(0.5, 0.9))
+      .head()
+    assert(math.abs(m.getDouble(1) - 50) < 4)
+    assert(math.abs(m.getDouble(2) - 90) < 4)
+    profiles.unpersist()
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
