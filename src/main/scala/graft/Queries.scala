@@ -2960,6 +2960,53 @@ object Queries {
       SELECT w_start, count(*) AS n_orders
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Row-level version diff: deterministic mutation of orders (drop
+    * keys %97, bump price on %101, add offset copies of %103) diffed
+    * against the original — per-status counts + key checksums. */
+  private val q92 = Entry(
+    "q92_row_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val k = col("o_orderkey")
+      val mutated = o.where(k % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(k % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.where(k % 103 === 0)
+          .withColumn("o_orderkey", k + 900000000L))
+      graft.ops.Diff
+        .rowDiff(o, mutated, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("diff_status")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      n AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM o WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_totalprice, o_orderstatus
+        FROM o WHERE o_orderkey % 103 = 0),
+      j AS (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                         AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+      SELECT diff_status, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS key_sum
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -2970,7 +3017,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1278,6 +1278,35 @@ class OpsExtSpec extends AnyFunSuite {
     profiles.unpersist()
   }
 
+  test("row diff: statuses, changed columns, NULL-safe comparisons") {
+    import spark.implicits._
+    val oldT = Seq(
+      (1L, Some(10.0), "a"),   // unchanged
+      (2L, Some(20.0), "b"),   // price changes
+      (3L, None, "c"),         // NULL → NULL is unchanged
+      (4L, Some(40.0), "d"),   // removed
+      (5L, None, "e"))         // NULL → value: changed
+      .toDF("k", "price", "status")
+    val newT = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(25.0), "b"),
+      (3L, None, "c"),
+      (5L, Some(5.0), "e"),
+      (6L, Some(60.0), "f"))   // added
+      .toDF("k", "price", "status")
+    val out = graft.ops.Diff
+      .rowDiff(oldT, newT, Seq("k"), Seq("price", "status"))
+      .orderBy("k").collect()
+    def row(i: Int) = (out(i).getLong(0), out(i).getString(1),
+      if (out(i).isNullAt(2)) null else out(i).getSeq[String](2).toList)
+    assert(row(0) == ((1L, "unchanged", Nil)))
+    assert(row(1) == ((2L, "changed", List("price"))))
+    assert(row(2) == ((3L, "unchanged", Nil)))
+    assert(row(3) == ((4L, "removed", null)))
+    assert(row(4) == ((5L, "changed", List("price"))))
+    assert(row(5) == ((6L, "added", null)))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
