@@ -3007,6 +3007,46 @@ object Queries {
              CAST(sum(k) AS BIGINT) AS key_sum
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Content-defined chunk dedup: word-hash boundaries (divisor 4),
+    * hot chunks (≥3 docs) dropped, survivors reassembled — the
+    * insertion-robust sibling of the fixed-window q75. */
+  private val q93 = Entry(
+    "q93_cdc_chunk_dedup",
+    (s, d) =>
+      graft.ops.Dedup
+        .cdcChunkDedup(Tables.documents(s, d), "doc_id", "text",
+          divisor = 4, maxDocs = 3)
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      st AS (
+        SELECT doc_id, w,
+               list_filter(range(1, len(w) + 1),
+                 i -> i = 1 OR
+                   ('0x' || substring(md5(w[i]), 1, 13))::BIGINT % 4 = 0)
+                 AS starts
+        FROM t),
+      ch AS (
+        SELECT doc_id, j - 1 AS chunk_id,
+               array_to_string(
+                 w[starts[j] : COALESCE(starts[j + 1], len(w) + 1) - 1],
+                 ' ') AS chunk_text
+        FROM st, unnest(range(1, len(starts) + 1)) AS u(j)),
+      hot AS (
+        SELECT chunk_text FROM ch
+        GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 3),
+      k AS (
+        SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+               (h.chunk_text IS NOT NULL) AS is_hot
+        FROM ch LEFT JOIN hot h ON ch.chunk_text = h.chunk_text)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             COALESCE(string_agg(CASE WHEN NOT is_hot THEN chunk_text END,
+                                 ' ' ORDER BY chunk_id), '') AS clean_text
+      FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3017,7 +3057,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -555,9 +555,17 @@ object Dedup {
    * to join, one to reassemble.
    */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, maxDocs: Long): DataFrame = {
-    val ch = TextAnalysis.chunk(df, idCol, textCol, chunkTokens, 0)
-      .withColumn("__h", xxhash64(col("chunk_text")))
+      chunkTokens: Int, maxDocs: Long): DataFrame =
+    dedupOverChunks(TextAnalysis.chunk(df, idCol, textCol, chunkTokens, 0),
+      idCol, maxDocs)
+
+  /** The shared hot-chunk pipeline behind [[chunkDedup]] (fixed
+    * windows) and [[cdcChunkDedup]] (content-defined): corpus-wide
+    * distinct-doc counts keyed on the 8-byte chunk hash, hot chunks
+    * dropped, survivors reassembled in document order. */
+  private[graft] def dedupOverChunks(ch0: DataFrame, idCol: String,
+      maxDocs: Long): DataFrame = {
+    val ch = ch0.withColumn("__h", xxhash64(col("chunk_text")))
     val hot = ch.groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__docs"))
       .where(col("__docs") >= maxDocs)
@@ -575,6 +583,50 @@ object Dedup {
             struct(col("chunk_id"), col("chunk_text"))))),
           s => s.getField("chunk_text")), " ").as("clean_text"))
   }
+
+  /**
+   * Content-defined chunking (CDC) at word granularity — the FastCDC
+   * insight applied to text: a chunk starts wherever the word's
+   * portable hash ≡ 0 (mod `divisor`), so boundaries are a function of
+   * CONTENT, not offsets. Insert or delete a word and only the
+   * neighboring chunk changes — under fixed windows every downstream
+   * chunk shifts and re-hashes, defeating cross-version/cross-document
+   * chunk matching. Average chunk ≈ `divisor` words.
+   *
+   * Map-only per document: the token array is projected ONCE (the
+   * shingles O(n²) trap), boundary positions come from one `filter`
+   * over positions, chunks from one indexed `transform` + `slice`.
+   * The md5-based hash replays in any engine ([[graft.functions.PortableHash]]
+   * contract). Returns (idCol, chunk_id, chunk_text).
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor >= 2, "divisor must be >= 2")
+    val tokenized = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+    val w = col("__w")
+    def wordHash(word: Column) =
+      pmod(conv(substring(md5(word), 1, 13), 16, 10).cast("long"),
+        lit(divisor.toLong))
+    val starts = filter(sequence(lit(1), size(w)),
+      i => (i === 1) || (wordHash(element_at(w, i)) === 0L))
+    val withStarts = tokenized.withColumn("__st", starts)
+    val chunks = transform(col("__st"), (s, j) =>
+      struct(j.as("chunk_id"),
+        concat_ws(" ", slice(w, s,
+          // try_: the last chunk has no successor — ANSI element_at
+          // would throw INVALID_ARRAY_INDEX instead of yielding NULL
+          coalesce(try_element_at(col("__st"), j + 2), size(w) + 1) - s))
+          .as("chunk_text")))
+    withStarts.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_id").as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
+
+  /** [[chunkDedup]] over content-defined chunks: boilerplate removal
+    * that keeps matching across insertions/deletions. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8, maxDocs: Long = 3): DataFrame =
+    dedupOverChunks(cdcChunks(df, idCol, textCol, divisor), idCol, maxDocs)
 
   /**
    * Exact duplicated-substring SPANS (the Lee et al. "Deduplicating

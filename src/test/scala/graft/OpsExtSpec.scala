@@ -1307,6 +1307,40 @@ class OpsExtSpec extends AnyFunSuite {
     assert(row(5) == ((6L, "added", null)))
   }
 
+  test("cdc chunks survive insertions; fixed windows do not") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // insert ONE word in the middle of the copy
+    val shifted = ((1 to 30).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (31 to 60).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+
+    def sharedChunks(ch: org.apache.spark.sql.DataFrame): Long =
+      ch.groupBy("chunk_text")
+        .agg(count_distinct(col("doc_id")).as("n"))
+        .where(col("n") === 2).count()
+
+    val cdcShared = sharedChunks(
+      graft.ops.Dedup.cdcChunks(docs, "doc_id", "text", divisor = 4))
+    val fixedShared = sharedChunks(
+      graft.ops.TextAnalysis.chunk(docs, "doc_id", "text", 4, 0))
+    // fixed windows: every chunk after the insertion shifts — only the
+    // prefix survives. CDC: boundaries re-synchronize right after the
+    // inserted word, so chunks on BOTH sides still match.
+    assert(cdcShared > fixedShared,
+      s"cdc $cdcShared vs fixed $fixedShared")
+    // chunks partition the document: reassembly is the identity
+    val rejoined = graft.ops.Dedup
+      .cdcChunks(docs, "doc_id", "text", divisor = 4)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("t2"))
+      .join(docs, "doc_id")
+      .where(col("t2") =!= col("text")).count()
+    assert(rejoined == 0)
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
