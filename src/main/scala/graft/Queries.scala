@@ -3047,6 +3047,36 @@ object Queries {
                                  ' ' ORDER BY chunk_id), '') AS clean_text
       FROM k GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Unigram-LM scoring: add-1 smoothed model fit on the doc_id<250
+    * split, every document scored by mean token log-prob + perplexity. */
+  private val q94 = Entry(
+    "q94_unigram_loglik",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis
+        .unigramLogLikelihood(docs, "doc_id", "text",
+          docs.where(col("doc_id") < 250), "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH rt AS (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 250),
+      v AS (SELECT term, count(*) AS c FROM rt GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     count(*) AS vv FROM v),
+      tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               ln((COALESCE(v.c, 0) + 1.0) / (n + 1.0 * (vv + 1))) AS lp
+        FROM tk LEFT JOIN v USING (term), tot)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(lp), 6) AS avg_logprob,
+             round(exp(-avg(lp)), 6) AS ppl
+      FROM sc GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3057,7 +3087,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -327,6 +327,46 @@ object TextAnalysis {
    * unigram joins so the joined frame is the reported support set, not
    * the full bigram tail. Ordered by rounded PMI with (x,y) tiebreak.
    */
+  /**
+   * Corpus-unigram log-likelihood scoring — the CCNet/KenLM
+   * "perplexity filter" shape without an external language model: a
+   * unigram LM with add-α smoothing is fit on `ref` and every document
+   * of `df` is scored by its mean token log-probability (low = unlike
+   * the reference corpus = boilerplate/noise/other-language; high =
+   * fluent in-domain text). `ppl = exp(-avg_logprob)` is the familiar
+   * per-token perplexity form.
+   *
+   *   P(w) = (c_ref(w) + α) / (N_ref + α·(V_ref + 1))
+   *
+   * with unseen-in-ref tokens falling to the +α floor (the "+1" slot).
+   * Scale: token frequencies are one keyed aggregation on the ref; the
+   * scoring join is keyed by term against that vocabulary frame (≪
+   * corpus); N/V ride a 1-row broadcast. No driver-side model object —
+   * the "LM" IS a DataFrame.
+   */
+  def unigramLogLikelihood(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive for smoothing")
+    val refToks = ref.select(explode(words(col(refTextCol))).as("term"))
+    val vocab = refToks.groupBy("term").agg(count(lit(1)).as("__c"))
+    val totals = broadcast(vocab.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v")))
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("term"))
+    val scored = toks
+      .join(vocab, Seq("term"), "left")
+      .join(totals)
+      .select(col("id"),
+        log((coalesce(col("__c"), lit(0L)) + lit(alpha)) /
+          (col("__n") + lit(alpha) * (col("__v") + lit(1)))).as("__lp"))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("__lp"))), 6).as("ppl"))
+      .withColumnRenamed("id", idCol)
+  }
+
   def pmiBigrams(df: DataFrame, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
     val w = words(col(textCol))

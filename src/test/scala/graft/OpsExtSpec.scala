@@ -1341,6 +1341,27 @@ class OpsExtSpec extends AnyFunSuite {
     assert(rejoined == 0)
   }
 
+  test("unigram log-likelihood: smoothing, unseen floor, fluency order") {
+    import spark.implicits._
+    val ref = Seq("a a a b", "a b c").toDF("text") // c: a=4, b=2, c=1; N=7, V=3
+    val score = Seq(
+      (1L, "a a"),        // high-prob tokens
+      (2L, "c zzz"))      // rare + unseen
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .unigramLogLikelihood(score, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").collect()
+    def lp(c: Long) = math.log((c + 1.0) / (7 + 1.0 * (3 + 1)))
+    def r6d(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getLong(1) == 2 &&
+      out(0).getDouble(2) == r6d(lp(4)))
+    assert(out(1).getDouble(2) == r6d((lp(1) + lp(0)) / 2))
+    // fluent doc scores higher (less negative), lower perplexity
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    assert(out(0).getDouble(3) < out(1).getDouble(3))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
