@@ -3077,6 +3077,42 @@ object Queries {
              round(exp(-avg(lp)), 6) AS ppl
       FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  /** Text canonicalization + its dedup payoff: normalized exact-dup
+    * groups vs raw exact-dup groups over case/whitespace variants
+    * (synthesized deterministically from the corpus). */
+  private val q95 = Entry(
+    "q95_normalize_text",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // plant case variants: a copy of every %7 doc, uppercased
+      val variants = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("text", upper(col("text")))
+      val all = docs.unionByName(variants)
+      graft.ops.TextAnalysis.normalizeText(all, "text")
+        .groupBy(md5(col("norm_text")).as("g"))
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("doc_id")).as("keeper_id"))
+        .where(col("n_variants") > 1)
+        .select("keeper_id", "n_variants")
+        .orderBy("keeper_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, upper(text)
+        FROM documents WHERE doc_id % 7 = 0),
+      n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '[ \t\n\r]+', ' ', 'g')) AS norm_text
+        FROM a)
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_variants
+      FROM n GROUP BY md5(norm_text) HAVING count(*) > 1
+      ORDER BY keeper_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3087,7 +3123,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -328,6 +328,22 @@ object TextAnalysis {
    * the full bigram tail. Ordered by rounded PMI with (x,y) tiebreak.
    */
   /**
+   * Standard corpus text canonicalization — the normalization stage
+   * BEFORE any hash-based dedup, so case/whitespace variants of the
+   * same text collapse to one form (exact-dedup recall, fingerprint
+   * stability): lowercase, control characters → space, whitespace runs
+   * collapsed to single spaces, ends trimmed. One map-only codegen'd
+   * projection; the same regexes replay in any engine with RE2∩Java
+   * semantics (the [[redact]] portability contract).
+   */
+  def normalizeText(df: DataFrame, textCol: String,
+      outCol: String = "norm_text"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+        "[ \\t\\n\\r]+", " ")))
+
+  /**
    * Corpus-unigram log-likelihood scoring — the CCNet/KenLM
    * "perplexity filter" shape without an external language model: a
    * unigram LM with add-α smoothing is fit on `ref` and every document

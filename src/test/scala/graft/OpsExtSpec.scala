@@ -1362,6 +1362,20 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) < out(1).getDouble(3))
   }
 
+  test("text normalization collapses case/whitespace variants") {
+    import spark.implicits._
+    val df = Seq(
+      "Hello   World",
+      "hello world",
+      "\thello\nworld  ",
+      "hello\u0001world",  // control char becomes a separator
+      "different").toDF("text")
+    val out = graft.ops.TextAnalysis.normalizeText(df, "text")
+      .select("norm_text").collect().map(_.getString(0))
+    assert(out.take(4).toSet == Set("hello world"))
+    assert(out(4) == "different")
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
