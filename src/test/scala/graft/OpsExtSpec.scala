@@ -1376,6 +1376,48 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(4) == "different")
   }
 
+  test("pca recovers planted directions; projection decorrelates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // rank-2 structure in 6-d: strong dir u (sd 10), weaker dir w (sd 3),
+    // isotropic noise (sd 0.1)
+    val u = Array(1.0, 1, 0, 0, 0, 0).map(_ / math.sqrt(2))
+    val w = Array(0.0, 0, 1, 1, 0, 0).map(_ / math.sqrt(2))
+    val rows = (0 until 5000).map { _ =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian() * 3
+      Array.tabulate(6)(i =>
+        a * u(i) + b * w(i) + rnd.nextGaussian() * 0.1) :+ 5.0
+    }.map(v => Tuple1(v.dropRight(1).map(_ + 5.0))) // shift mean to 5
+    val df = rows.toDF("embedding")
+    val model = graft.ops.Pca.fit(df, "embedding", d = 6, k = 2)
+    assert(model.n == 5000)
+    // mean recovered
+    assert(model.mean.forall(m => math.abs(m - 5.0) < 0.5))
+    // PC1 ≈ ±u, PC2 ≈ ±w (|cos| close to 1); variances ≈ 100 and 9
+    def absCos(a: Array[Double], b: Array[Double]) =
+      math.abs((a, b).zipped.map(_ * _).sum) /
+        math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(absCos(model.components(0), u) > 0.99)
+    assert(absCos(model.components(1), w) > 0.99)
+    assert(model.explainedVariance(0) > 80 &&
+      model.explainedVariance(0) < 120)
+    assert(model.explainedVariance(1) > 6 &&
+      model.explainedVariance(1) < 12)
+    // components orthonormal
+    assert(math.abs((model.components(0), model.components(1)).zipped
+      .map(_ * _).sum) < 1e-6)
+    // projected coordinates decorrelate and carry the planted variance
+    val proj = graft.ops.Pca.project(df, "embedding", model)
+      .select(col("pca")(0).as("p0"), col("pca")(1).as("p1"))
+    val stats = proj.agg(avg(col("p0") * col("p1")).as("cross"),
+      stddev_samp(col("p0")).as("s0"),
+      stddev_samp(col("p1")).as("s1")).head()
+    assert(math.abs(stats.getDouble(0)) < 1.0)
+    assert(math.abs(stats.getDouble(1) - 10) < 1.0)
+    assert(math.abs(stats.getDouble(2) - 3) < 0.5)
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
