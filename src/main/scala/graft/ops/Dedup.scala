@@ -381,26 +381,39 @@ object Dedup {
     (items, bits)
   }
 
-  /** Native distributed bloom build over the `s` column. */
-  private[graft] def bloomAgg(items: Long, bits: Long): Column = {
+  /** Native distributed bloom build over an arbitrary LONG hash
+    * column ([[bloomAgg]] keeps the n-gram `s` convention). */
+  private[graft] def bloomAggOver(hashCol: Column, items: Long,
+      bits: Long): Column = {
     import org.apache.spark.sql.GraftShims
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     GraftShims.toColumn(new BloomFilterAggregate(
-      new XxHash64(Seq(GraftShims.toExpression(col("s")))),
+      GraftShims.toExpression(hashCol),
       Literal(items), Literal(bits)).toAggregateExpression())
+  }
+
+  /** Native distributed bloom build over the `s` column. */
+  private[graft] def bloomAgg(items: Long, bits: Long): Column =
+    bloomAggOver(xxhash64(col("s")), items, bits)
+
+  /** Codegen'd might-contain of a LONG hash column against a bloom
+    * binary expression (scalar subquery or literal). */
+  private[graft] def bloomProbeOver(
+      bloomExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+      hashCol: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftShims.toColumn(new BloomFilterMightContain(bloomExpr,
+      GraftShims.toExpression(hashCol)))
   }
 
   /** Codegen'd might-contain probe of `s` against a bloom binary
     * expression (scalar subquery or literal). */
   private[graft] def bloomProbe(
       bloomExpr: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Column = {
-    import org.apache.spark.sql.GraftShims
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
-    GraftShims.toColumn(new BloomFilterMightContain(bloomExpr,
-      new XxHash64(Seq(GraftShims.toExpression(col("s"))))))
-  }
+      : Column =
+    bloomProbeOver(bloomExpr, xxhash64(col("s")))
 
   /** Exact confirm join + per-document dirty-gram counts (0 for clean). */
   private[graft] def confirmAndCount(train: DataFrame, idCol: String,

@@ -1418,6 +1418,30 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(stats.getDouble(2) - 3) < 0.5)
   }
 
+  test("bloom semi/anti joins are exactly the plain joins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 5000).map(_ => rnd.nextInt(10000).toLong)
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "k")
+    val right = (0 until 400).map(_ => rnd.nextInt(10000).toLong)
+      .map(Tuple1(_)).toDF("k")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id").collect().map(_.getLong(0)).toSet
+    val semi = ids(graft.ops.Joins.bloomSemiJoin(left, right, Seq("k")))
+    val anti = ids(graft.ops.Joins.bloomAntiJoin(left, right, Seq("k")))
+    assert(semi == ids(left.join(right, Seq("k"), "left_semi")))
+    assert(anti == ids(left.join(right, Seq("k"), "left_anti")))
+    assert(semi.intersect(anti).isEmpty &&
+      (semi ++ anti) == ids(left))
+    // empty right side: semi empty, anti everything — no NPE on the
+    // NULL bloom
+    val empty = Seq.empty[Tuple1[Long]].toDF("k")
+    assert(ids(graft.ops.Joins.bloomSemiJoin(left, empty, Seq("k"))).isEmpty)
+    assert(ids(graft.ops.Joins.bloomAntiJoin(left, empty, Seq("k")))
+      == ids(left))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
