@@ -343,6 +343,14 @@ object Dedup {
    * Returns one row per training document:
    * (idCol, dirty_ngrams = exact count of its distinct n-grams that
    * appear anywhere in the reference corpus, contaminated = >0).
+   *
+   * Cost note: the reference n-gram frame is derived TWICE per action
+   * (once inside the bloom-build subquery, once as the confirm-join
+   * side) — inherent to returning a lazy frame. The reference is the
+   * small side by definition (an eval suite vs a training corpus); if
+   * yours is large, `.persist()` the ref n-grams upstream and call the
+   * [[graft.streaming.StreamingDecontaminate]] build-once literal path,
+   * which computes them exactly once.
    */
   def bloomDecontaminate(train: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 8,

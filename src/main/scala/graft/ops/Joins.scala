@@ -36,7 +36,11 @@ object Joins {
   }
 
   /** Exact `left anti-join right` with bloom-definite rejects bypassing
-    * the shuffle entirely. */
+    * the shuffle entirely. Cost note: the split reads `left` twice
+    * (accept + reject filters over the same scan — both map-only,
+    * columnar, and usually pruned to the key columns) in exchange for
+    * shuffling only the candidate slice; if `left` is expensive to
+    * produce (not a plain scan), persist it first. */
   def bloomAntiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
     val (candidates, rejected, rightKeys) =
