@@ -14,6 +14,13 @@ final case class FeatureState(count: Long, sum: Double, last: Double,
 final case class FeatureSnapshot(key: String, count: Long, mean: Double,
     last: Double, lastTs: Long)
 
+/** Welford running-variance state: three scalars per key. */
+final case class WelfordState(count: Long, mean: Double, m2: Double)
+
+/** Per-event verdict from [[StatefulFeatures.anomalyStream]]. */
+final case class AnomalyVerdict(key: String, ts: Long, value: Double,
+    zscore: Option[Double], anomaly: Boolean)
+
 /**
  * Custom streaming state via `flatMapGroupsWithState` — the path for
  * per-entity features a windowed aggregation cannot express: a TRUE
@@ -49,6 +56,49 @@ object StatefulFeatures {
           state.update(next)
           Iterator.single(FeatureSnapshot(key, next.count,
             next.sum / next.count, next.last, next.lastTs))
+      }
+  }
+
+  /**
+   * Streaming per-entity anomaly flags — the unbounded-history sibling
+   * of [[graft.ops.TimeSeries.rollingAnomaly]] (which scores against a
+   * trailing row window in batch): per-key Welford running mean/M2
+   * state (three scalars — bounded regardless of stream length), each
+   * event scored against the state BEFORE it folds in (the strict-prior
+   * stance: a spike never deflates its own baseline). Events with fewer
+   * than `minPrior` prior observations or a degenerate (zero-variance)
+   * baseline report no score. Within a micro-batch events fold in
+   * event-time order, so verdicts are deterministic under
+   * batch-boundary changes — and identical on a static Dataset, which
+   * is how the spec pins the semantics.
+   */
+  def anomalyStream(events: Dataset[FeatureEvent], z: Double = 3.0,
+      minPrior: Long = 2): Dataset[AnomalyVerdict] = {
+    implicit val stateEnc = Encoders.product[WelfordState]
+    implicit val outEnc = Encoders.product[AnomalyVerdict]
+    events
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FeatureEvent],
+            state: GroupState[WelfordState]) =>
+          var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(ev => (ev.ts, ev.value)).map { ev =>
+            val variance = if (s.count >= 2) s.m2 / (s.count - 1) else 0.0
+            val score =
+              if (s.count >= minPrior && variance > 0.0)
+                Some((ev.value - s.mean) / math.sqrt(variance))
+              else None
+            // fold the event in AFTER scoring (Welford update)
+            val n1 = s.count + 1
+            val d1 = ev.value - s.mean
+            val mean1 = s.mean + d1 / n1
+            s = WelfordState(n1, mean1, s.m2 + d1 * (ev.value - mean1))
+            AnomalyVerdict(key, ev.ts, ev.value, score,
+              score.exists(v => math.abs(v) > z))
+          }
+          state.update(s)
+          out.iterator
       }
   }
 

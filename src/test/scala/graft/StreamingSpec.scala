@@ -84,6 +84,59 @@ class StreamingSpec extends AnyFunSuite {
       last.getDouble(2) == 3.0)
   }
 
+  test("streaming anomaly: strict-prior Welford scoring across batches") {
+    import spark.implicits._
+    import graft.streaming._
+    // batch semantics first: stable 10s then a spike for key a
+    val batch = ((1 to 6).map(i =>
+      FeatureEvent("a", 10.0 + (i % 2) * 0.2, i * 10L)) :+
+      FeatureEvent("a", 50.0, 100L)).toDS()
+    val out = StatefulFeatures.anomalyStream(batch, z = 3.0)
+      .collect().sortBy(_.ts)
+    // first two events: under minPrior → no score
+    assert(out.take(2).forall(v => v.zscore.isEmpty && !v.anomaly))
+    // the spike is flagged against the PRIOR baseline of ~10s
+    val spike = out.last
+    assert(spike.value == 50.0 && spike.anomaly && spike.zscore.get > 3.0)
+    // stable points are not flagged
+    assert(out.dropRight(1).forall(!_.anomaly))
+
+    // incremental stream: baseline arrives in batch 1, spike in batch 2
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    (1 to 6).map(i => FeatureEvent("a", 10.0 + (i % 2) * 0.2, i * 10L))
+      .toDS().write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[FeatureEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir).as[FeatureEvent]
+    val outDir = s"$root/verdicts"
+    def runOnce(): Unit = {
+      // foreachBatch sink: memory-sink queries refuse checkpoint
+      // restarts, and state must survive across separate runs here
+      val q = StatefulFeatures.anomalyStream(stream, z = 3.0).writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[AnomalyVerdict], _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    Seq(FeatureEvent("a", 50.0, 100L)).toDS()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // the spike scored against state carried from the PREVIOUS run
+    val verdicts = spark.read.parquet(outDir)
+    assert(verdicts.count() == 7)
+    val flagged = verdicts.where(col("anomaly"))
+      .collect().map(_.getAs[Double]("value"))
+    assert(flagged.toSeq == Seq(50.0))
+  }
+
   test("streaming drift monitor scores windows against a static baseline") {
     import spark.implicits._
     import graft.streaming._
