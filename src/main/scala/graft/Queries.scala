@@ -3113,6 +3113,30 @@ object Queries {
       FROM n GROUP BY md5(norm_text) HAVING count(*) > 1
       ORDER BY keeper_id"""))
 
+  /** Key-skew profile on the events stream's type column: histogram
+    * shape + the salt factor the mitigation operators should use. */
+  private val q96 = Entry(
+    "q96_key_skew_profile",
+    (s, d) =>
+      graft.ops.SkewAware
+        .keySkewProfile(Tables.events(s, d), Seq("event_type"))
+        .select(col("n_keys"), col("n_rows"), col("max_rows"),
+          r6(col("avg_rows")).as("avg_rows"),
+          r6(col("top_share")).as("top_share"),
+          r6(col("skew_ratio")).as("skew_ratio"),
+          col("suggested_salt")),
+    Some("""
+      WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+      SELECT count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             max(n) AS max_rows,
+             round(avg(n), 6) AS avg_rows,
+             round(max(n) / sum(n), 6) AS top_share,
+             round(max(n) / avg(n), 6) AS skew_ratio,
+             CAST(least(greatest(ceil(max(n) / avg(n)), 1), 64) AS INTEGER)
+               AS suggested_salt
+      FROM c"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3123,7 +3147,7 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

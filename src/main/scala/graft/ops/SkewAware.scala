@@ -48,4 +48,40 @@ object SkewAware {
     }
     p1.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
   }
+
+  /**
+   * Key-skew profile — the diagnostic that DECIDES the mitigations
+   * this module and the salted as-of join offer: one keyed count +
+   * one small aggregate over the per-key counts, reporting the key
+   * histogram's shape and a suggested salt factor.
+   *
+   *   - `n_keys`, `n_rows`, `max_rows`, `avg_rows`: the basics;
+   *   - `top_share`: the hottest key's fraction of all rows (≈1/n_keys
+   *     when balanced, →1 under power-law collapse);
+   *   - `skew_ratio`: max/avg — the factor by which the hottest
+   *     reducer outweighs the average one, i.e. the straggler
+   *     multiplier of an unsalted shuffle;
+   *   - `suggested_salt`: ⌈skew_ratio⌉ capped at `maxSalt` — spreading
+   *     the hottest key over that many sub-groups levels it with the
+   *     average (1 = no salting needed).
+   *
+   * Two shuffles total (the keyed count, then a ≤n_keys-row global
+   * aggregate); nothing driver-side. Run it on a sample for a quick
+   * read — the ratios are scale-free.
+   */
+  def keySkewProfile(df: DataFrame, keys: Seq[String],
+      maxSalt: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__n")).as("n_rows"),
+      max(col("__n")).as("max_rows"),
+      avg(col("__n")).as("avg_rows"),
+      (max(col("__n")) / sum(col("__n")).cast("double")).as("top_share"),
+      (max(col("__n")) / avg(col("__n"))).as("skew_ratio"),
+      least(greatest(ceil(max(col("__n")) / avg(col("__n"))).cast("int"),
+        lit(1)), lit(maxSalt)).as("suggested_salt"))
+  }
 }

@@ -1442,6 +1442,23 @@ class OpsExtSpec extends AnyFunSuite {
       == ids(left))
   }
 
+  test("key skew profile: exact shape stats and the suggested salt") {
+    import spark.implicits._
+    // 80 rows on 'hot', 10 on 'a', 10 on 'b' → avg 100/3, skew 2.4
+    val df = (Seq.fill(80)("hot") ++ Seq.fill(10)("a") ++ Seq.fill(10)("b"))
+      .toDF("k")
+    val r = graft.ops.SkewAware.keySkewProfile(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_keys") == 3 && r.getAs[Long]("n_rows") == 100)
+    assert(r.getAs[Long]("max_rows") == 80)
+    assert(math.abs(r.getAs[Double]("top_share") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 2.4) < 1e-12)
+    assert(r.getAs[Int]("suggested_salt") == 3) // ceil(2.4)
+    // balanced keys need no salt
+    val flat = (1 to 90).map(i => s"k${i % 9}").toDF("k")
+    assert(graft.ops.SkewAware.keySkewProfile(flat, Seq("k"))
+      .head().getAs[Int]("suggested_salt") == 1)
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
