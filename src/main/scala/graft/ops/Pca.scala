@@ -157,4 +157,22 @@ object Pca {
     val m = fit(df, vecCol, d, k)
     (project(df, vecCol, m), m)
   }
+
+  /** PCA whitening: the projection with each component scaled to unit
+    * variance (`(v−μ)·c_j / √(λ_j+ε)`) — the standard preprocessing
+    * before cosine-based dedup/ANN when dominant directions would
+    * otherwise swamp the metric. Map-only like [[project]]. */
+  def projectWhitened(df: DataFrame, vecCol: String, model: PcaModel,
+      eps: Double = 1e-9): DataFrame = {
+    val d = model.mean.length
+    val centered = VectorFunctions.vecSub(col(vecCol),
+      array(model.mean.map(lit): _*))
+    val proj = array(model.components.zip(model.explainedVariance).map {
+      case (comp, ev) =>
+        VectorFunctions.dot(centered, array(comp.map(lit): _*)) /
+          lit(math.sqrt(math.max(ev, 0.0) + eps))
+    }: _*)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .withColumn("pca_white", proj)
+  }
 }

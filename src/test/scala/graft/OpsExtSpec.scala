@@ -1416,6 +1416,12 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(stats.getDouble(0)) < 1.0)
     assert(math.abs(stats.getDouble(1) - 10) < 1.0)
     assert(math.abs(stats.getDouble(2) - 3) < 0.5)
+    // whitening: both components come out unit-variance
+    val white = graft.ops.Pca.projectWhitened(df, "embedding", model)
+      .select(col("pca_white")(0).as("w0"), col("pca_white")(1).as("w1"))
+      .agg(stddev_samp(col("w0")), stddev_samp(col("w1"))).head()
+    assert(math.abs(white.getDouble(0) - 1.0) < 0.1)
+    assert(math.abs(white.getDouble(1) - 1.0) < 0.1)
   }
 
   test("bloom semi/anti joins are exactly the plain joins") {
