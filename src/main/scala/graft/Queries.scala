@@ -3137,6 +3137,26 @@ object Queries {
                AS suggested_salt
       FROM c"""))
 
+  /** Blocked fuzzy matching on part names: first-token blocks,
+    * Levenshtein ≤ 2 pairs with a length-gap prefilter. */
+  private val q97 = Entry(
+    "q97_fuzzy_pairs",
+    (s, d) =>
+      graft.ops.Dedup
+        .fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH p AS (
+        SELECT p_partkey AS id, p_name AS nm,
+               string_split(p_name, ' ')[1] AS bk
+        FROM part)
+      SELECT a.id AS id_a, b.id AS id_b,
+             levenshtein(a.nm, b.nm) AS edit_dist
+      FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id
+      WHERE abs(len(a.nm) - len(b.nm)) <= 2
+        AND levenshtein(a.nm, b.nm) <= 2
+      ORDER BY id_a, id_b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3147,7 +3167,8 @@ object Queries {
     q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+    q97)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

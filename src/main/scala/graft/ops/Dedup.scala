@@ -310,6 +310,43 @@ object Dedup {
   }
 
   /**
+   * Blocked fuzzy matching — entity-resolution dedup for SHORT strings
+   * (names, titles, product labels) where token-set methods are too
+   * coarse: pairs within `maxDist` Levenshtein edits, generated only
+   * INSIDE blocks (the classic blocking-key design — all-pairs edit
+   * distance across a corpus is quadratic and unshardable). The
+   * default block key is the string's first token; callers pass any
+   * blocker (soundex, length band, sorted-bigram key) matched to their
+   * notion of candidate recall — a pair split across blocks is
+   * deliberately unseen, that's the trade that makes it scale.
+   *
+   * Within a block: self-join on the block key with `id_a < id_b`,
+   * `length`-difference prefilter (a cheap codegen'd bound: edit
+   * distance ≥ length gap, so unequal-length pairs skip the O(mn)
+   * Levenshtein), then the exact distance. Skew: a hot block (every
+   * row named "the …") goes quadratic — cap it upstream with
+   * [[graft.ops.Similarity.thinBuckets]]-style sampling or a finer
+   * blocker; block population is exactly what [[graft.ops.SkewAware.keySkewProfile]]
+   * reports.
+   */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2,
+      blockKey: Column => Column = s => split(s, " ").getItem(0))
+      : DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("__sa"),
+      blockKey(col(strCol)).as("__bk"))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"),
+      blockKey(col(strCol)).as("__bk"))
+    a.join(b, Seq("__bk"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__sa"), col("__sb")))
+      .where(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
+  /**
    * Bloom-prefiltered corpus decontamination — the 100 TB shape of the
    * "does any eval n-gram appear in this training document" check
    * (GPT-3 App. C / PaLM-style dirty-document flagging; cf. the

@@ -1465,6 +1465,23 @@ class OpsExtSpec extends AnyFunSuite {
       .head().getAs[Int]("suggested_salt") == 1)
   }
 
+  test("fuzzy pairs: edit-distance matches inside blocks only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget"),
+      (2L, "red widgett"),   // dist 1, same block → pair
+      (3L, "red wadget"),    // dist 1 from #1, 2 from #2 → pairs
+      (4L, "blue widget"),   // different block: never compared to red*
+      (5L, "red completely")) // same block, far → no pair
+      .toDF("pid", "nm")
+    val out = graft.ops.Dedup.fuzzyPairs(df, "pid", "nm", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+    // blocking is a recall trade: "blue widget" vs "red widget" (dist 3
+    // anyway) and cross-block near-pairs are DELIBERATELY unseen
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
