@@ -42,6 +42,40 @@ object Sampling {
   }
 
   /**
+   * Temperature-based source rebalancing — the standard multilingual /
+   * multi-domain mixing rule (mT5 §3.1 shape): a source holding share
+   * p_s of the corpus is sampled proportionally to p_s^(1/T), so T=1
+   * keeps natural proportions and T→∞ approaches uniform across
+   * sources. Implemented as data-derived per-source rates feeding
+   * [[weightedMix]]: rates are normalized so the LARGEST source keeps
+   * rate `maxRate` (default 1.0 — downsample-only; raise it to allow
+   * fractional upsampling epochs of small sources).
+   *
+   * The per-source share frame is tiny (one row per source) and is
+   * collected to drive literal rates — deterministic replay therefore
+   * needs only [[weightedMix]]'s md5-coin contract. Returns the mixed
+   * frame plus the rate map actually applied.
+   */
+  def temperatureMix(df: DataFrame, sourceCol: String, temperature: Double,
+      hashCols: Seq[String], maxRate: Double = 1.0)
+      : (DataFrame, Map[String, Double]) = {
+    require(temperature > 0, "temperature must be positive")
+    require(maxRate > 0, "maxRate must be positive")
+    val shares = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1).toDouble)
+    val total = shares.map(_._2).sum
+    // output share ∝ p^(1/T) requires a per-ROW rate ∝ p^(1/T − 1)
+    // (the rate multiplies the source's natural share p)
+    val weights = shares.map { case (s, n) =>
+      s -> math.pow(n / total, 1.0 / temperature - 1.0)
+    }
+    val wMax = weights.map(_._2).max
+    val rates = weights.map { case (s, w) => s -> maxRate * w / wMax }.toMap
+    (weightedMix(df, sourceCol, rates, hashCols), rates)
+  }
+
+  /**
    * Stratified sampler: targets ~`n` rows PER STRATUM (class-balanced
    * subsets — the "equal examples per label/language/source" step).
    * Strata counts come from one aggregation joined back on the strata

@@ -1482,6 +1482,32 @@ class OpsExtSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("temperature mix rebalances source shares toward p^(1/T)") {
+    import spark.implicits._
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "s1")) ++
+      (2001 to 2100).map(i => (i.toLong, "s2")))
+      .toDF("doc_id", "source")
+    val (mixed, rates) = graft.ops.Sampling
+      .temperatureMix(df, "source", temperature = 2.0, Seq("doc_id"))
+    // p = (.8, .1, .1); rate ∝ p^(-1/2) → small sources keep rate 1.0,
+    // the big one keeps sqrt(.1/.8) ≈ .3536
+    assert(math.abs(rates("s1") - 1.0) < 1e-12 &&
+      math.abs(rates("s2") - 1.0) < 1e-12)
+    assert(math.abs(rates("big") - math.sqrt(0.125)) < 1e-12)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small sources kept whole (rate 1.0 ⇒ every row, one copy)
+    assert(bySrc("s1") == 100 && bySrc("s2") == 100)
+    // big source downsampled to ≈ 283 (hash-coin variance tolerated)
+    assert(bySrc("big") > 220 && bySrc("big") < 340, bySrc("big"))
+    // T=1 is the identity mix: every source at rate 1
+    val (id1, r1) = graft.ops.Sampling
+      .temperatureMix(df, "source", 1.0, Seq("doc_id"))
+    assert(r1.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    assert(id1.count() == 1000)
+  }
+
   test("pmi min-count prunes support below the threshold") {
     import spark.implicits._
     val docs = Seq("a b a b", "a c").toDF("text")
