@@ -3137,25 +3137,32 @@ object Queries {
                AS suggested_salt
       FROM c"""))
 
-  /** Blocked fuzzy matching on part names: first-token blocks,
-    * Levenshtein ≤ 2 pairs with a length-gap prefilter. */
+  /** Blocked fuzzy matching over DISTINCT part names (the
+    * entity-resolution shape: dedupe values first, so the comparison
+    * space is vocabulary-bounded, not corpus-quadratic — row-level
+    * pairing on a corpus of repeated names explodes with SF). */
   private val q97 = Entry(
     "q97_fuzzy_pairs",
-    (s, d) =>
+    (s, d) => {
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
       graft.ops.Dedup
-        .fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
-        .orderBy("id_a", "id_b"),
+        .fuzzyPairs(names, "name_id", "p_name", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
     Some("""
       WITH p AS (
-        SELECT p_partkey AS id, p_name AS nm,
+        SELECT min(p_partkey) AS id, p_name AS nm,
                string_split(p_name, ' ')[1] AS bk
-        FROM part)
-      SELECT a.id AS id_a, b.id AS id_b,
-             levenshtein(a.nm, b.nm) AS edit_dist
-      FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id
-      WHERE abs(len(a.nm) - len(b.nm)) <= 2
-        AND levenshtein(a.nm, b.nm) <= 2
-      ORDER BY id_a, id_b"""))
+        FROM part GROUP BY p_name),
+      j AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.nm, b.nm) AS edit_dist
+        FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id
+        WHERE abs(len(a.nm) - len(b.nm)) <= 3)
+      SELECT id_a, id_b, edit_dist FROM j
+      WHERE edit_dist <= 3 ORDER BY id_a, id_b"""))
 
   // ------------------------------------------------------------------
 

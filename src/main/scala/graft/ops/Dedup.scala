@@ -328,6 +328,12 @@ object Dedup {
    * [[graft.ops.Similarity.thinBuckets]]-style sampling or a finer
    * blocker; block population is exactly what [[graft.ops.SkewAware.keySkewProfile]]
    * reports.
+   *
+   * Corpora repeat values: DEDUPE TO DISTINCT STRINGS FIRST
+   * (`groupBy(strCol).agg(min(id))`) and match the name table — the
+   * comparison space becomes vocabulary-bounded instead of
+   * corpus-quadratic, and the pair map re-applies to rows by key.
+   * q97 demonstrates exactly this shape.
    */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 2,
