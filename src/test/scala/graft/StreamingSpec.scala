@@ -137,6 +137,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(50.0))
   }
 
+  test("streaming sketch profiles merge into whole-history estimates") {
+    import spark.implicits._
+    import graft.etl._
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = ParquetTarget(s"$root/profiles")
+    // two waves with overlapping uid populations: 0..5999, 3000..8999
+    (0 until 6000).map(i => (i.toLong, i.toDouble)).toDF("uid", "v")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingProfile
+        .profileEachBatch(
+          spark.readStream.schema(schema).parquet(srcDir),
+          Seq("uid"), "v", store)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    (3000 until 9000).map(i => (i.toLong, i.toDouble)).toDF("uid", "v")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // one profile row per batch, KB-sized
+    assert(spark.read.parquet(store.path).count() == 2)
+    val merged = graft.streaming.StreamingProfile
+      .corpusProfile(spark, store.path, Seq("uid"), "v").head()
+    // true union: 9000 distinct uids over 12000 rows; HLL ±2%
+    assert(merged.getAs[Long]("n_rows") == 12000)
+    val est = merged.getAs[Long]("uid_distinct_est")
+    assert(math.abs(est - 9000) < 400, s"est $est")
+    // whole-history median of 0..5999 ++ 3000..8999 ≈ 4500 (KLL ~1.65%)
+    val p50 = merged.getAs[Double]("v_p50")
+    assert(math.abs(p50 - 4500) < 300, s"p50 $p50")
+  }
+
   test("streaming drift monitor scores windows against a static baseline") {
     import spark.implicits._
     import graft.streaming._
