@@ -752,14 +752,29 @@ object Dedup {
    *
    * Scale: assignment is map-only; the pair join is cell-blocked (the
    * O(cell²) concern is governed by the cell count — SemDeDup runs
-   * ~100k cells at web scale precisely so cells stay small).
+   * ~100k cells at web scale precisely so cells stay small). Above
+   * `cellThreshold` cells, training and assignment switch to the
+   * DataFrame-resident coarse→fine path
+   * ([[Similarity.kmeansCentroidsDF]]) so no driver-side collect or
+   * plan literal scales with the cell count; the pair/keep logic is
+   * identical in both regimes.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       cells: Int, iters: Int = 1, roundDp: Int = 6,
-      threshold: Double = 0.7): DataFrame = {
-    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, cells, iters,
-      roundDp)
-    val assigned = Similarity.assignCells(df, vecCol, cents)
+      threshold: Double = 0.7,
+      cellThreshold: Int = Similarity.defaultCellThreshold): DataFrame = {
+    val tagged =
+      if (cells > cellThreshold) {
+        val idx = Similarity.kmeansCentroidsDF(df, idCol, vecCol, cells,
+          iters, roundDp)
+        Similarity.assignCellsDF(df, idCol, vecCol, idx)
+          .where(col("__cell").isNotNull)
+      } else {
+        val cents = Similarity.kmeansCentroids(df, idCol, vecCol, cells,
+          iters, roundDp)
+        Similarity.assignCells(df, vecCol, cents)
+      }
+    val assigned = tagged
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"),
         col("__cell").cast("long").as("cell"))

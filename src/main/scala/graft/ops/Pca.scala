@@ -16,8 +16,13 @@ import graft.functions.VectorFunctions
  *    genuine-algorithmic-kernel pattern as the kendall Fenwick pass
  *    (no per-row driver traffic, no d²-per-row explode; the
  *    alternative, 4096 aggregate expressions for d=64, is codegen
- *    poison). Partial rows (≤ #partitions of them) merge in one tiny
- *    final reduce.
+ *    poison). Partials merge ON EXECUTORS in two levels — a
+ *    `reduceByKey(pid % fanIn)` pass then one single-partition final
+ *    merge — so exactly ONE (n, sum, gram) row ever reaches the
+ *    driver regardless of input partition count. Accumulators are
+ *    primitive `Array[Double]` end to end (no boxing); at d = 4096 a
+ *    partial is ~134 MB, which is why a 10⁴-partition `.collect()`
+ *    would OOM the driver and the executor-side merge is mandatory.
  *  2. the d×d covariance eigendecomposition runs on the DRIVER via
  *    power iteration with deflation — microseconds for embedding-sized
  *    d (64–4096), deterministic (fixed start vector, fixed iteration
@@ -37,15 +42,36 @@ object Pca {
       components: Array[Array[Double]], explainedVariance: Array[Double],
       n: Long)
 
-  /** Fit on `vecCol` (array<float|double>, fixed dim `d`). */
+  /** Mergeable (count, Σv, Σvvᵀ lower triangle) accumulator. Primitive
+    * arrays only — a boxed Seq[Double] at d² elements would triple the
+    * footprint and shred the shuffle serializer. */
+  private final class GramPartial(var n: Long, val sum: Array[Double],
+      val gram: Array[Double]) extends Serializable {
+    def merge(o: GramPartial): GramPartial = {
+      n += o.n
+      var i = 0
+      while (i < sum.length) { sum(i) += o.sum(i); i += 1 }
+      i = 0
+      while (i < gram.length) { gram(i) += o.gram(i); i += 1 }
+      this
+    }
+  }
+
+  /** Fit on `vecCol` (array<float|double>, fixed dim `d`).
+    *
+    * `fanIn` bounds the level-2 merge width: level 1 emits ≤ #input
+    * partitions partial rows, `reduceByKey(pid % fanIn)` folds them to
+    * ≤ fanIn rows on executors, and a final 1-partition reduce leaves
+    * exactly one row for the driver to collect. */
   def fit(df: DataFrame, vecCol: String, d: Int, k: Int,
-      iters: Int = 100): PcaModel = {
+      iters: Int = 100, fanIn: Int = 64): PcaModel = {
     require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    require(fanIn >= 1, "fanIn must be >= 1")
     import df.sparkSession.implicits._
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull && size(col("v")) === d)
       .as[Seq[Double]]
-    val partials = vecs.mapPartitions { it =>
+    val level1 = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
       val sum = new Array[Double](d)
       val gram = new Array[Double](d * d)
       var n = 0L
@@ -61,20 +87,23 @@ object Pca {
         n += 1
       }
       if (n == 0) Iterator.empty
-      else Iterator.single((n, sum.toSeq, gram.toSeq))
-    }.collect() // ≤ #partitions rows of (8 + 8d + 8d²) bytes each
-
-    require(partials.nonEmpty, "PCA needs at least one valid vector")
-    val n = partials.map(_._1).sum
-    require(n >= 2, "PCA needs at least two valid vectors")
-    val sum = new Array[Double](d)
-    val gram = new Array[Double](d * d)
-    partials.foreach { case (_, s, g) =>
-      var i = 0
-      while (i < d) { sum(i) += s(i); i += 1 }
-      i = 0
-      while (i < d * d) { gram(i) += g(i); i += 1 }
+      else Iterator.single((pid % fanIn, new GramPartial(n, sum, gram)))
     }
+    val collected = level1
+      .reduceByKey(_.merge(_), math.max(1, fanIn)) // executor-side merge
+      .values
+      .coalesce(1)
+      .mapPartitions(it => if (it.hasNext) Iterator.single(it.reduce(_.merge(_)))
+                           else Iterator.empty)
+      .collect() // exactly one (n, sum, gram) row crosses to the driver
+    require(collected.nonEmpty, "PCA needs at least one valid vector")
+    assert(collected.length == 1,
+      s"PCA driver merge expected 1 partial, got ${collected.length}")
+    val total = collected(0)
+    val n = total.n
+    require(n >= 2, "PCA needs at least two valid vectors")
+    val sum = total.sum
+    val gram = total.gram
     val mean = sum.map(_ / n)
     // covariance (sample): C_ij = (Σ v_i v_j − n·μ_i·μ_j) / (n − 1);
     // the kernel filled the lower triangle only — mirror it

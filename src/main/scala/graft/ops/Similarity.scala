@@ -254,7 +254,10 @@ object Similarity {
    * engine (see [[kmeansCentroids]]).
    */
   def kmeansProfile(corpus: DataFrame, idCol: String, vecCol: String,
-      cells: Int, iters: Int = 2, roundDp: Int = 0): DataFrame = {
+      cells: Int, iters: Int = 2, roundDp: Int = 0,
+      cellThreshold: Int = defaultCellThreshold): DataFrame = {
+    if (cells > cellThreshold)
+      return kmeansProfileDF(corpus, idCol, vecCol, cells, iters, roundDp)
     val cents = kmeansCentroids(corpus, idCol, vecCol, cells, iters, roundDp)
     assignCells(corpus, vecCol, cents)
       .withColumn("__d", array_min(col("__dists")))
@@ -294,6 +297,151 @@ object Similarity {
           .cast("int"))
   }
 
+  // --------------------------------------- DataFrame-resident k-means
+  //
+  // The literal-broadcast path above collects a cells×dim matrix per
+  // iteration and inlines every centroid into the plan — perfect for
+  // oracle replay at the documented KiB scale, quadratic plan poison at
+  // SemDeDup scale (~100k cells × 1024 dims ≈ 800 MB of literals and a
+  // ~10⁸-row driver collect per iteration). Above [[defaultCellThreshold]]
+  // the auto entry points switch to this path: centroids stay in a
+  // DataFrame, the update step stays an aggregation (never collected),
+  // and assignment is a coarse→fine two-level join — a row first picks
+  // its `coarseProbe` nearest COARSE quantizer cells (≤
+  // [[maxCoarseCells]] literal centroids, the classic IVF coarse
+  // quantizer), then compares against only the fine centroids blocked
+  // under those coarse cells. Per-row distance work drops from O(cells)
+  // to O(coarseProbe · cells / coarseCells); the only driver-side state
+  // that scales with anything is the coarse matrix (capped).
+
+  /** Above this cell count the auto entry points ([[kmeansProfile]],
+    * [[ivfKnn]], [[graft.ops.Dedup.semanticDedup]]) switch from
+    * literal-broadcast centroids to the DataFrame-resident path. */
+  val defaultCellThreshold: Int = 4096
+
+  private val maxCoarseCells = 256
+
+  /** Coarse quantizer size for `cells` fine cells: ~√cells, capped. */
+  private[graft] def coarseCellCount(cells: Int): Int =
+    math.min(maxCoarseCells, math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt))
+
+  /** DataFrame-resident centroid index: `centroids` is
+    * (cell: long, centroid: array<double>); `coarse` is the small
+    * literal coarse-quantizer matrix used to block assignments;
+    * `coarseProbe` is how many coarse blocks a row probes (the recall /
+    * cost lever of the approximate assignment). */
+  final case class CentroidIndex(centroids: DataFrame,
+      coarse: Array[Array[Double]], coarseProbe: Int)
+
+  /** Lloyd k-means with DataFrame-resident centroids — the scale path.
+    *
+    * Init is a deterministic hash-bucket min-id pick (`xxhash64(id) %
+    * cells`, lowest-id vector per bucket) unless `init` provides a
+    * (cell, centroid) frame. The update step is `groupBy(cell, dim).avg`
+    * re-assembled to arrays — a pure aggregation, nothing collected.
+    * Assignment is the coarse→fine join of [[assignCellsDF]]; it is
+    * approximate (a row only sees fine centroids inside its probed
+    * coarse blocks), the standard IVF trade. `roundDp` grids updated
+    * coordinates exactly like the literal path. */
+  def kmeansCentroidsDF(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int = 2, roundDp: Int = 0, coarseProbe: Int = 2,
+      init: Option[DataFrame] = None): CentroidIndex = {
+    require(cells >= 1, "cells must be >= 1")
+    val v = col(vecCol).cast("array<double>")
+    // coarse quantizer: small data-dependent k-means via the literal
+    // path — bounded at maxCoarseCells so its collect stays KiB–MB
+    val coarse = kmeansCentroids(corpus, idCol, vecCol,
+      coarseCellCount(cells), iters = 1, roundDp = roundDp)
+    var cents = init.getOrElse {
+      corpus.select(
+          pmod(xxhash64(col(idCol).cast("string")), lit(cells.toLong))
+            .as("cell"),
+          v.as("centroid"), col(idCol).cast("string").as("__id"))
+        .groupBy("cell")
+        .agg(min_by(col("centroid"), col("__id")).as("centroid"))
+    }.persist()
+    cents.count()
+    val grid: Column => Column = c =>
+      if (roundDp <= 0) c else transform(c, x => round(x, roundDp))
+    for (_ <- 0 until iters) {
+      val idx = CentroidIndex(cents, coarse, coarseProbe)
+      val means = assignCellsDF(corpus, idCol, vecCol, idx)
+        .where(col("__cell").isNotNull)
+        .select(col("__cell").as("cell"), posexplode(v).as(Seq("__p", "__x")))
+        .groupBy("cell", "__p").agg(avg(col("__x")).as("__m"))
+        .groupBy("cell")
+        .agg(grid(transform(
+          array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m"))).as("__new"))
+      // empty cells keep their previous centroid (literal-path semantics)
+      val next = cents.select(col("cell"), col("centroid").as("__prev"))
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("__new"), col("__prev")).as("centroid"))
+        .persist()
+      next.count()
+      cents.unpersist()
+      cents = next
+    }
+    CentroidIndex(cents, coarse, coarseProbe)
+  }
+
+  /**
+   * Two-level nearest-centroid assignment against a DataFrame-resident
+   * index: adds `__cell` (long, nearest probed fine cell) and `__dist`
+   * (its L2 distance) to `df`. Rows probe their `coarseProbe` nearest
+   * NON-EMPTY coarse blocks (map-only literal distances — empty blocks
+   * are excluded up front so no row's candidate list is ever dry), join
+   * the fine centroids blocked under them, and take the per-row argmin
+   * with a map-side-combining `min_by` (ties break to the lowest cell
+   * id, matching the literal path's first-match rule). Requires unique
+   * `idCol` values (the argmin groups and joins back on it). Rows whose
+   * vector is NULL get a NULL `__cell`, as in the literal path.
+   */
+  def assignCellsDF(df: DataFrame, idCol: String, vecCol: String,
+      index: CentroidIndex): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // fine centroid -> its single nearest coarse block; tiny frame
+    val blocked = assignCells(index.centroids, "centroid", index.coarse)
+      .select(col("__cell").as("__coarse"), col("cell").as("__fcell"),
+        col("centroid").as("__fc"))
+    // coarse blocks that actually hold fine centroids — bounded collect
+    // (≤ maxCoarseCells ids, never scales with `cells` or data)
+    val live = blocked.select("__coarse").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val liveCents = live.map(index.coarse(_))
+    val probe = math.max(1, math.min(index.coarseProbe, live.length))
+    val dists = array(liveCents.map(c =>
+      VectorFunctions.l2Distance(col("__v"), lit(c))): _*)
+    val probed = df.select(col(idCol), v.as("__v"))
+      .withColumn("__coarse", explode(transform(
+        slice(array_sort(zip_with(dists, lit(live),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, probe),
+        s => s.getField("i"))))
+    val best = probed.join(blocked, Seq("__coarse"))
+      .select(col(idCol),
+        struct(VectorFunctions.l2Distance(col("__v"), col("__fc")).as("d"),
+          col("__fcell").as("c")).as("__dc"))
+      .groupBy(col(idCol))
+      .agg(min(col("__dc")).as("__best")) // struct min: (dist, cell) lexicographic
+      .select(col(idCol), col("__best.c").cast("long").as("__cell"),
+        col("__best.d").as("__dist"))
+    df.join(best, Seq(idCol), "left")
+  }
+
+  /** [[kmeansProfile]] over a DataFrame-resident index — no driver-side
+    * collect scales with the cell count. */
+  def kmeansProfileDF(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, iters: Int = 2, roundDp: Int = 0,
+      coarseProbe: Int = 2): DataFrame = {
+    val idx = kmeansCentroidsDF(corpus, idCol, vecCol, cells, iters,
+      roundDp, coarseProbe)
+    assignCellsDF(corpus, idCol, vecCol, idx)
+      .where(col("__cell").isNotNull)
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("__dist")).as("mean_dist"))
+  }
+
   /**
    * IVF ANN top-k: corpus partitioned into k-means cells once (persist /
    * write bucketed-by-cell in a real pipeline); each query probes its
@@ -304,10 +452,71 @@ object Similarity {
    */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfKnnWith(corpus, queries, k,
-      kmeansCentroids(corpus, idCol, vecCol, cells, iters), nProbe,
-      idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellThreshold: Int = defaultCellThreshold): DataFrame =
+    if (cells > cellThreshold)
+      ivfKnnDFWith(corpus, queries, k,
+        kmeansCentroidsDF(corpus, idCol, vecCol, cells, iters), nProbe,
+        idCol, vecCol)
+    else
+      ivfKnnWith(corpus, queries, k,
+        kmeansCentroids(corpus, idCol, vecCol, cells, iters), nProbe,
+        idCol, vecCol)
+
+  /**
+   * IVF ANN against a DataFrame-resident [[CentroidIndex]] — the
+   * large-cell-count twin of [[ivfKnnWith]]. Queries rank the fine
+   * centroids inside their probed coarse blocks (a join against the
+   * small blocked-centroid frame, never a per-query scan of all cells)
+   * and keep the `nProbe` nearest as probe targets; the corpus is
+   * assigned once via [[assignCellsDF]]; candidates meet in a
+   * cell-keyed SHUFFLE join (queries at this scale are not assumed
+   * broadcastable — AQE may still choose broadcast when they are).
+   */
+  def ivfKnnDFWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      index: CentroidIndex, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = assignCellsDF(corpus, idCol, vecCol, index)
+      .where(col("__cell").isNotNull)
+      .select(col(idCol).as("nbr_id"),
+        col(vecCol).cast("array<double>").as("cv"),
+        VectorFunctions.norm(col(vecCol)).as("cn"),
+        col("__cell").as("cell"))
+    val v = col(vecCol).cast("array<double>")
+    val blocked = assignCells(index.centroids, "centroid", index.coarse)
+      .select(col("__cell").as("__coarse"), col("cell").as("__fcell"),
+        col("centroid").as("__fc"))
+    val live = blocked.select("__coarse").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val liveCents = live.map(index.coarse(_))
+    val probe = math.max(1, math.min(index.coarseProbe, live.length))
+    val dists = array(liveCents.map(cc =>
+      VectorFunctions.l2Distance(col("qv"), lit(cc))): _*)
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("__fcell").asc)
+    val probed = queries.select(col(idCol).as("query_id"), v.as("qv"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
+      .withColumn("__coarse", explode(transform(
+        slice(array_sort(zip_with(dists, lit(live),
+          (d, i) => struct(d.as("d"), i.as("i")))), 1, probe),
+        s => s.getField("i"))))
+      .join(blocked, Seq("__coarse"))
+      .withColumn("__d", VectorFunctions.l2Distance(col("qv"), col("__fc")))
+      .withColumn("__pr", row_number().over(wP))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("__fcell").as("cell"))
+    val scored = c.join(probed, Seq("cell")) // shuffle join — NOT broadcast
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
+  }
 
   /**
    * IVF ANN with int8-quantized candidate scoring — the memory-lever

@@ -1424,6 +1424,115 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(white.getDouble(1) - 1.0) < 0.1)
   }
 
+  test("pca executor-side partial merge matches single-partition fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 3000).map { _ =>
+      Tuple1(Array.tabulate(8)(i => rnd.nextGaussian() * (i + 1)))
+    }.toDF("embedding")
+    // 97 input partitions >> fanIn=5 forces both merge levels to do
+    // real multi-way folds; result must equal the trivially-safe
+    // 1-partition fit (same sums, so same covariance and eigenbasis)
+    val many = graft.ops.Pca.fit(df.repartition(97), "embedding",
+      d = 8, k = 3, fanIn = 5)
+    val one = graft.ops.Pca.fit(df.coalesce(1), "embedding", d = 8, k = 3)
+    assert(many.n == 3000 && one.n == 3000)
+    many.mean.zip(one.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9) }
+    many.explainedVariance.zip(one.explainedVariance).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-6 * math.max(1.0, b)) }
+    many.components.zip(one.components).foreach { case (ca, cb) =>
+      val cos = (ca, cb).zipped.map(_ * _).sum
+      assert(math.abs(math.abs(cos) - 1.0) < 1e-6)
+    }
+  }
+
+  test("df-resident kmeans matches literal path when probing all blocks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 2000).map { i =>
+      (i.toLong, Array.tabulate(4)(_ => rnd.nextGaussian() * 5))
+    }.toDF("vec_id", "embedding")
+    val cells = 8
+    // literal path
+    val litProfile = graft.ops.Similarity
+      .kmeansProfile(corpus, "vec_id", "embedding", cells, iters = 2,
+        roundDp = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // DF path, seeded with the literal path's init (lowest-id vectors,
+    // cell = rank) and probing every coarse block → assignment is exact,
+    // so rounded centroids and the profile must agree
+    val init = corpus.orderBy("vec_id").limit(cells)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](1).toArray) }
+      .toSeq.toDF("cell", "centroid")
+    val idx = graft.ops.Similarity.kmeansCentroidsDF(corpus, "vec_id",
+      "embedding", cells, iters = 2, roundDp = 4,
+      coarseProbe = Int.MaxValue, init = Some(init))
+    val dfProfile = graft.ops.Similarity
+      .assignCellsDF(corpus, "vec_id", "embedding", idx)
+      .groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("__dist")).as("mean_dist"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(dfProfile.keySet == litProfile.keySet)
+    dfProfile.foreach { case (cell, (n, d)) =>
+      val (ln, ld) = litProfile(cell)
+      assert(n == ln, s"cell $cell size $n vs $ln")
+      assert(math.abs(d - ld) < 1e-9, s"cell $cell dist $d vs $ld")
+    }
+  }
+
+  test("kmeans auto-routes to DF path at 10k cells; every row assigned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val corpus = (0 until 20000).map { i =>
+      (i.toLong, Array.tabulate(4)(_ => rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding").repartition(8)
+    // cells > defaultCellThreshold → DataFrame-resident path: no
+    // cells×dim literal broadcast, no per-iteration driver collect
+    val prof = graft.ops.Similarity.kmeansProfile(corpus, "vec_id",
+      "embedding", cells = 10000, iters = 1)
+    val agg = prof.agg(sum("n"), count(lit(1))).head()
+    assert(agg.getLong(0) == 20000)         // every row lands in a cell
+    assert(agg.getLong(1) <= 10000)         // at most `cells` cells
+    assert(prof.where(col("mean_dist") < 0).isEmpty)
+    // semanticDedup over the same route stays keep-consistent
+    val sem = graft.ops.Dedup.semanticDedup(
+      corpus.where(col("vec_id") < 3000), "vec_id",
+      "embedding", cells = 5000, iters = 1, roundDp = 4,
+      threshold = 0.999)
+    assert(sem.count() == 3000)
+    assert(sem.where(!col("keep")).count() < 3000)
+  }
+
+  test("ivfKnnDFWith equals literal-centroid ivfKnnWith on same index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(6)(_ => rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 10)
+    val idx = graft.ops.Similarity.kmeansCentroidsDF(corpus, "vec_id",
+      "embedding", cells = 12, iters = 1, roundDp = 4,
+      coarseProbe = Int.MaxValue)
+    // same centroids, literal form — DF path must reproduce it exactly
+    // when it probes every coarse block and every cell
+    val centRows = idx.centroids.orderBy("cell").collect()
+    assert(centRows.map(_.getLong(0)).toSeq ==
+      centRows.indices.map(_.toLong)) // contiguous cell ids
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val viaDf = graft.ops.Similarity.ivfKnnDFWith(corpus, queries, k = 5,
+      idx, nProbe = 12)
+    val viaLit = graft.ops.Similarity.ivfKnnWith(corpus, queries, k = 5,
+      cents, nProbe = 12)
+    assert(key(viaDf) == key(viaLit))
+  }
+
   test("bloom semi/anti joins are exactly the plain joins") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
