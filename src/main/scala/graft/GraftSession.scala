@@ -34,10 +34,43 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /**
+   * Register the library's SQL function surface on a built session so
+   * `derived_from` strings EXECUTE everywhere
+   * [[graft.expr.ExpressionValidator]] accepts them: the vector
+   * functions (DOT/COSINE_SIMILARITY/L2_DISTANCE/…/VEC_*) plus the
+   * reference's conditional aliases IIF/IFNULL/NVL
+   * (raise_/validation/validator.py:116-120 lists them as accepted
+   * names). Aliases register as plain Catalyst expression builders
+   * (`If`/`Coalesce` — type-generic, codegen'd, no UDF closure) and
+   * only when the running Spark doesn't already ship the name, so a
+   * native builtin always wins. Idempotent.
+   */
+  def withFunctions(spark: SparkSession): SparkSession = {
+    graft.functions.VectorFunctions.registerAll(spark)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, If}
+    val reg = spark.sessionState.functionRegistry
+    def missing(n: String) = !reg.functionExists(FunctionIdentifier(n))
+    if (missing("iif"))
+      reg.createOrReplaceTempFunction("iif", { exprs =>
+        require(exprs.length == 3, "IIF(cond, ifTrue, ifFalse) takes 3 args")
+        If(exprs(0), exprs(1), exprs(2))
+      }, "built-in")
+    Seq("ifnull", "nvl").foreach { n =>
+      if (missing(n))
+        reg.createOrReplaceTempFunction(n, { exprs =>
+          require(exprs.length == 2, s"$n(a, b) takes 2 args")
+          Coalesce(exprs)
+        }, "built-in")
+    }
+    spark
+  }
+
   /** Local session sized to the machine (tests, notebooks, Bench). */
   def local(cores: Int = math.min(Runtime.getRuntime.availableProcessors, 32))
       : SparkSession =
-    builder(s"local[$cores]", cores)
+    withFunctions(builder(s"local[$cores]", cores)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
 }

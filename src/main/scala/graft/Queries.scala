@@ -2695,7 +2695,7 @@ object Queries {
       graft.ops.TextAnalysis
         .bm25TopK(Tables.documents(s, d), "doc_id", "text",
           Seq("hash", "join", "scan"), k = 10)
-        .select(col("id").as("doc_id"), col("bm25")),
+        .select(col("doc_id"), col("bm25")),
     Some("""
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS w,
@@ -3140,7 +3140,10 @@ object Queries {
   /** Blocked fuzzy matching over DISTINCT part names (the
     * entity-resolution shape: dedupe values first, so the comparison
     * space is vocabulary-bounded, not corpus-quadratic — row-level
-    * pairing on a corpus of repeated names explodes with SF). */
+    * pairing on a corpus of repeated names explodes with SF). The
+    * default-on hot-block cap is set low enough (6 < the 8-name
+    * blocks at this SF) to genuinely engage: the oracle mirrors the
+    * md5 thin threshold on the candidate side. */
   private val q97 = Entry(
     "q97_fuzzy_pairs",
     (s, d) => {
@@ -3148,7 +3151,7 @@ object Queries {
         .groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("name_id"))
       graft.ops.Dedup
-        .fuzzyPairs(names, "name_id", "p_name", maxDist = 3)
+        .fuzzyPairs(names, "name_id", "p_name", maxDist = 3, maxBlock = 6)
         .orderBy("id_a", "id_b")
     },
     Some("""
@@ -3156,13 +3159,88 @@ object Queries {
         SELECT min(p_partkey) AS id, p_name AS nm,
                string_split(p_name, ' ')[1] AS bk
         FROM part GROUP BY p_name),
+      bc AS (SELECT bk, count(*) AS bn FROM p GROUP BY bk),
+      pc AS (
+        SELECT p.* FROM p JOIN bc USING (bk)
+        WHERE (('0x' || substring(md5(p.bk || '|' || CAST(p.id AS VARCHAR)), 1, 15))::BIGINT
+               % 1048576) * bn < 6 * 1048576),
       j AS (
         SELECT a.id AS id_a, b.id AS id_b,
                levenshtein(a.nm, b.nm) AS edit_dist
-        FROM p a JOIN p b ON a.bk = b.bk AND a.id < b.id
+        FROM p a JOIN pc b ON a.bk = b.bk AND a.id < b.id
         WHERE abs(len(a.nm) - len(b.nm)) <= 3)
       SELECT id_a, id_b, edit_dist FROM j
       WHERE edit_dist <= 3 ORDER BY id_a, id_b"""))
+
+  /** Canonical selection from a PERSISTED cluster store — the
+    * amortized production shape of q78: pairs + connected components
+    * are computed once and written as a parquet store keyed by a
+    * content fingerprint (count + id/text hashes, so a changed corpus
+    * rebuilds instead of reading stale clusters); the query itself
+    * pays one store read + the per-cluster canonical window. The
+    * oracle replays the full derivation — results must be identical
+    * to recomputing from scratch. */
+  private val q98 = Entry(
+    "q98_canonical_from_store",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id))"),
+        expr("bit_xor(xxhash64(text))")).head()
+      val tag = java.lang.Long.toHexString(
+        fp.getLong(0) ^ fp.getLong(1) ^ fp.getLong(2))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_cluster_store/$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pairs = graft.ops.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+            maxPostings = 100)
+        graft.ops.Dedup.writeClusterStore(docs, "doc_id", pairs, path)
+      }
+      graft.ops.Dedup
+        .canonicalFromStore(path, docs, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      shk AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+      sz AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY 1),
+      prs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        FROM shk a JOIN shk b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b
+        FROM prs JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION SELECT doc_b, doc_a FROM jac),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component
+               FROM reach GROUP BY a),
+      cl AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS cluster,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      cn AS (
+        SELECT doc_id, cluster,
+               first_value(doc_id) OVER (
+                 PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS canonical_id
+        FROM cl)
+      SELECT doc_id, cluster, canonical_id,
+             (doc_id = canonical_id) AS keep
+      FROM cn ORDER BY doc_id"""))
 
   // ------------------------------------------------------------------
 
@@ -3175,7 +3253,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97)
+    q97, q98)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

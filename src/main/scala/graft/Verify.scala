@@ -7,9 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.withFunctions(
+      GraftSession.builder(s"local[$cpus]", cpus.toInt)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-dev narrowing: SPARK_GRAFT_ONLY=q84,q85 runs matching

@@ -149,6 +149,15 @@ final class FeatureGroup(
   def effectiveAcl(featureName: String): AccessControl =
     feature(featureName).acl.fold(acl)(acl.merged)
 
+  /** [[MetaCatalog.load]] hook: re-attach a persisted feature version
+    * verbatim (caller feeds versions in ascending order). */
+  private[meta] def restoreFeature(f: Feature): Unit = {
+    val existing = versions.getOrElse(f.name, Vector.empty)
+    require(f.version == existing.size + 1,
+      s"restore out of order: ${f.name} v${f.version} after ${existing.size}")
+    versions(f.name) = existing :+ f
+  }
+
   // -- cross-org grants (feature_group.py:529-579) --
   def grant(g: ExternalGrant): Unit = grants += g
   def revoke(granteeOrg: String): Unit =
@@ -181,6 +190,15 @@ final class FeatureStore {
 
   def group(qualified: String): FeatureGroup = groups(qualified)
   def listGroups: Seq[FeatureGroup] = groups.values.toSeq
+
+  /** [[MetaCatalog.load]] hook: attach a reconstructed group without
+    * re-recording a creation audit entry (the loaded audit table IS
+    * the history). */
+  private[meta] def restoreGroup(g: FeatureGroup): Unit = {
+    require(!groups.contains(g.qualifiedName),
+      s"Group exists: ${g.qualifiedName}")
+    groups(g.qualifiedName) = g
+  }
 
   /** search by name substring / dtype / tags (client.py:502-552). */
   def searchFeatures(query: String = "", dtype: Option[String] = None,

@@ -323,11 +323,21 @@ object Dedup {
    * Within a block: self-join on the block key with `id_a < id_b`,
    * `length`-difference prefilter (a cheap codegen'd bound: edit
    * distance ≥ length gap, so unequal-length pairs skip the O(mn)
-   * Levenshtein), then the exact distance. Skew: a hot block (every
-   * row named "the …") goes quadratic — cap it upstream with
-   * [[graft.ops.Similarity.thinBuckets]]-style sampling or a finer
-   * blocker; block population is exactly what [[graft.ops.SkewAware.keySkewProfile]]
-   * reports.
+   * Levenshtein), then the exact distance.
+   *
+   * Skew: a hot block (every row named "the …") goes quadratic, so the
+   * CANDIDATE (`id_b`) side is capped by DEFAULT at `maxBlock` rows per
+   * block via the [[graft.ops.Similarity.thinBuckets]] md5 threshold —
+   * blocks at or under the cap are bit-exact untouched (the threshold
+   * exceeds the hash range), oversized blocks keep a deterministic
+   * ~`maxBlock`-row candidate subset, and per-block work drops from
+   * O(pop²) to O(pop · maxBlock). The query (`id_a`) side is never
+   * thinned, so every string is still compared against candidates
+   * ([[graft.ops.Similarity.lshSelfKnn]] makes the same trade). Pass
+   * `maxBlock <= 0` for exhaustive blocks; block population is exactly
+   * what [[graft.ops.SkewAware.keySkewProfile]] reports, and any
+   * external replay (an oracle) must mirror the active cap's md5
+   * threshold.
    *
    * Corpora repeat values: DEDUPE TO DISTINCT STRINGS FIRST
    * (`groupBy(strCol).agg(min(id))`) and match the name table — the
@@ -337,13 +347,15 @@ object Dedup {
    */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 2,
-      blockKey: Column => Column = s => split(s, " ").getItem(0))
-      : DataFrame = {
+      blockKey: Column => Column = s => split(s, " ").getItem(0),
+      maxBlock: Int = 10000): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     val a = df.select(col(idCol).as("id_a"), col(strCol).as("__sa"),
       blockKey(col(strCol)).as("__bk"))
-    val b = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"),
+    val b0 = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"),
       blockKey(col(strCol)).as("__bk"))
+    val b = if (maxBlock <= 0) b0
+            else Similarity.thinBuckets(b0, "__bk", "id_b", maxBlock)
     a.join(b, Seq("__bk"))
       .where(col("id_a") < col("id_b"))
       .where(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
@@ -600,6 +612,31 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("canonical_id"))
       .select(col(idCol), col("cluster"), col("canonical_id"), col("keep"))
   }
+
+  /**
+   * Persisted cluster-assignment store — the production shape of every
+   * per-action cluster consumer. Pair generation + connected components
+   * is the expensive derivation; a pipeline runs it ONCE, writes the
+   * (id, cluster, is_representative) frame, and every downstream action
+   * — canonical selection, reference remapping, join-time dup filters —
+   * READS the store instead of recomputing the graph per action. Same
+   * amortization pattern as the MinHash signature store consumed by
+   * [[minhashCandidatesAgainst]]: heavy derivation materialized at
+   * ingestion, consumers O(read). Parquet keeps the store
+   * engine-portable and partition-prunable.
+   */
+  def writeClusterStore(df: DataFrame, idCol: String, pairs: DataFrame,
+      path: String, aCol: String = "doc_a", bCol: String = "doc_b"): Unit =
+    dedupClusters(df, idCol, pairs, aCol, bCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Canonical selection against a PERSISTED cluster store: cost is
+    * one store read + the per-cluster window — no pair generation, no
+    * connected components ([[writeClusterStore]] paid those once). */
+  def canonicalFromStore(storePath: String, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    canonicalPerCluster(docs.sparkSession.read.parquet(storePath), docs,
+      idCol, scoreCol)
 
   /**
    * C4-style repeated-passage removal: split every document into fixed

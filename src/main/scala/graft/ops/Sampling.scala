@@ -47,9 +47,12 @@ object Sampling {
    * p_s of the corpus is sampled proportionally to p_s^(1/T), so T=1
    * keeps natural proportions and T→∞ approaches uniform across
    * sources. Implemented as data-derived per-source rates feeding
-   * [[weightedMix]]: rates are normalized so the LARGEST source keeps
-   * rate `maxRate` (default 1.0 — downsample-only; raise it to allow
-   * fractional upsampling epochs of small sources).
+   * [[weightedMix]]: rates are normalized so the HIGHEST-WEIGHT source
+   * keeps rate `maxRate` — for T > 1 (the common flattening case) the
+   * per-row weight p^(1/T−1) DECREASES in p, so the SMALLEST source
+   * keeps `maxRate` and the largest is downsampled hardest (default
+   * 1.0 — downsample-only; raise `maxRate` to allow fractional
+   * upsampling epochs of small sources).
    *
    * The per-source share frame is tiny (one row per source) and is
    * collected to drive literal rates — deterministic replay therefore

@@ -309,6 +309,7 @@ object TextAnalysis {
       .groupBy("id").agg(round(sum(term), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
+      .withColumnRenamed("id", idCol) // consistent operator surface
   }
 
   /**

@@ -30,14 +30,19 @@ object StreamingProfile {
       kllCol: String, target: ParquetTarget): DataStreamWriter[Row] = {
     require(hllCols.nonEmpty, "need at least one profiled column")
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      if (!batch.isEmpty) {
-        val profile = Sketches.hllProfile(batch, hllCols)
-          .crossJoin(Sketches.kllProfile(batch, kllCol, Seq(0.5)))
-          .crossJoin(batch.agg(count(lit(1)).as("n_rows")))
-          .withColumn("batch_id", lit(id))
-        target.write(profile, WriteMode.Append)
-        ()
-      }
+      // the profile reads the batch four times (emptiness probe, HLL,
+      // KLL, row count) — persist so the source is scanned once
+      batch.persist()
+      try {
+        if (!batch.isEmpty) {
+          val profile = Sketches.hllProfile(batch, hllCols)
+            .crossJoin(Sketches.kllProfile(batch, kllCol, Seq(0.5)))
+            .crossJoin(batch.agg(count(lit(1)).as("n_rows")))
+            .withColumn("batch_id", lit(id))
+          target.write(profile, WriteMode.Append)
+          ()
+        }
+      } finally { batch.unpersist(); () }
     }
   }
 
@@ -48,11 +53,10 @@ object StreamingProfile {
   def corpusProfile(spark: org.apache.spark.sql.SparkSession,
       storePath: String, hllCols: Seq[String], kllCol: String,
       quantiles: Seq[Double] = Seq(0.5)): DataFrame = {
-    val stored = spark.read.parquet(storePath)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("batch_id").orderBy("batch_id")))
-      .where(col("__rn") === 1).drop("__rn")
+    // a replayed batch's rows are byte-identical, so WHICH duplicate
+    // survives doesn't matter — dropDuplicates states that intent
+    // (row_number ordered by the partition key would tie every row)
+    val stored = spark.read.parquet(storePath).dropDuplicates("batch_id")
     Sketches.hllMergeProfiles(stored, hllCols)
       .crossJoin(Sketches.kllMergeProfiles(stored, kllCol, quantiles))
       .crossJoin(stored.agg(sum(col("n_rows")).as("n_rows")))

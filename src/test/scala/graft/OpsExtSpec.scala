@@ -1507,6 +1507,29 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("fuzzyPairs hot-block cap bounds pairs; small blocks untouched") {
+    import spark.implicits._
+    val hot = (0 until 500).map(i => (i.toLong, f"hot item $i%04d"))
+    val tiny = (1000 until 1005).map(i => (i.toLong, f"tiny item $i%04d"))
+    val df = (hot ++ tiny).toDF("id", "name")
+    val capped = graft.ops.Dedup.fuzzyPairs(df, "id", "name",
+      maxDist = 4, maxBlock = 20)
+    val full = graft.ops.Dedup.fuzzyPairs(df, "id", "name",
+      maxDist = 4, maxBlock = 0)
+    // hot block: 500 names, all mutually within 4 edits → uncapped is
+    // quadratic; the default-on cap keeps a ~20-candidate subset so
+    // pair volume is O(pop · maxBlock)
+    val fullHot = full.where(col("id_a") < 1000).count()
+    val cappedHot = capped.where(col("id_a") < 1000).count()
+    assert(fullHot == 500L * 499 / 2)
+    assert(cappedHot > 0 && cappedHot <= 500L * 25)
+    // the 5-name block sits under the cap → bit-exact untouched
+    def tinyPairs(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("id_a") >= 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tinyPairs(capped) == tinyPairs(full) && tinyPairs(full).nonEmpty)
+  }
+
   test("ivfKnnDFWith equals literal-centroid ivfKnnWith on same index") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)

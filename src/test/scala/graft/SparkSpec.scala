@@ -64,6 +64,36 @@ class SparkSpec extends AnyFunSuite {
     assert(perm.valid) // unknown refs tolerated
   }
 
+  test("withFunctions: IIF/IFNULL/NVL + vector fns validate AND execute") {
+    import org.apache.spark.sql.types._
+    GraftSession.withFunctions(spark)
+    val schema = StructType(Seq(StructField("clicks", LongType),
+      StructField("views", LongType),
+      StructField("emb", ArrayType(DoubleType))))
+    // every name the validator accepts must round-trip through expr()
+    val exprs = Seq(
+      "IIF(clicks > views, 'hot', 'cold')",
+      "IFNULL(views, 0) + NVL(clicks, 0)",
+      "round(DOT(emb, emb) + NORM(emb) + L2_DISTANCE(emb, emb), 6)",
+      "COSINE_SIMILARITY(VEC_ADD(emb, emb), NORMALIZE(emb))")
+    exprs.foreach { e =>
+      val r = ExpressionValidator.validate(spark, e, schema)
+      assert(r.valid, s"validator rejected: $e → ${r.issues}")
+    }
+    import spark.implicits._
+    val df = Seq((10L, 5L, Array(3.0, 4.0))).toDF("clicks", "views", "emb")
+    val out = df.select(
+      expr(exprs(0)).as("a"), expr(exprs(1)).as("b"),
+      expr(exprs(2)).as("c"), expr(exprs(3)).as("d")).head()
+    assert(out.getString(0) == "hot")
+    assert(out.getLong(1) == 15L)
+    assert(out.getDouble(2) == 30.0)         // 25 + 5 + 0
+    assert(math.abs(out.getDouble(3) - 1.0) < 1e-12)
+    // idempotent: a second registration pass is a no-op, not an error
+    GraftSession.withFunctions(spark)
+    assert(spark.sql("SELECT IIF(1 < 2, 1, 0)").head().getInt(0) == 1)
+  }
+
   // ------------------------------------------------------ derived features
 
   test("derived features materialize in dependency order; cycles rejected") {
@@ -88,6 +118,60 @@ class SparkSpec extends AnyFunSuite {
     g2.createFeature("y", "int64", derivedFrom = Some("x + 1"))
     val data2 = new FeatureGroupData(g2, base)
     intercept[IllegalStateException](data2.frame)
+  }
+
+  test("metadata catalog: parquet save/load round-trips the registry") {
+    import graft.meta._
+    import spark.implicits._
+    val fs = new FeatureStore
+    val g = fs.createGroup("o", "d", "p", "sig", entityKey = Some("id"),
+      acl = AccessControl(readers = Set("team"), admins = Set("root")))
+    g.createFeature("clicks", "int64", default = Some(0L), tags = Set("raw"))
+    g.createFeature("views", "int64")
+    g.createFeature("clicks", "int64", ifExists = IfExists.Update) // v2
+    g.createFeature("ctr", "float64",
+      derivedFrom = Some("clicks / NULLIF(views, 0)"))
+    g.deprecate("views")
+    g.grant(ExternalGrant("partner", Set("ctr"),
+      Some(java.time.Instant.parse("2030-01-01T00:00:00Z"))))
+    fs.audit.record(AuditEntry(actor = "alice", action = "read",
+      category = "read", resource = g.qualifiedName, resourceOrg = "o"))
+    val g2 = fs.createGroup("o", "d", "p", "dims", entityKey = Some("id"))
+    g2.createFeature("segment", "string")
+
+    val dir = tmpDir() + "/catalog"
+    MetaCatalog.save(fs, spark, dir)
+    val re = MetaCatalog.load(spark, dir)
+
+    assert(re.listGroups.map(_.qualifiedName).toSet ==
+      fs.listGroups.map(_.qualifiedName).toSet)
+    val rg = re.group("o/d/p/sig")
+    assert(rg.entityKey.contains("id"))
+    assert(rg.acl == AccessControl(Set("team"), Set(), Set("root")))
+    // full version history, not just latest
+    assert(rg.listVersions("clicks").map(_.version) == Seq(1, 2))
+    assert(rg.feature("clicks@v1").default.contains(0L)) // re-typed
+    assert(rg.feature("clicks@v1").tags == Set("raw"))
+    assert(rg.feature("views").status == FeatureStatus.Deprecated)
+    assert(rg.feature("ctr").derivedFrom
+      .contains("clicks / NULLIF(views, 0)"))
+    assert(rg.externalCanRead("partner", "ctr"))
+    assert(!rg.externalCanRead("partner", "clicks"))
+    // audit history preserved verbatim, not re-recorded
+    assert(re.audit.query().map(e => (e.actor, e.action)).toSet ==
+      fs.audit.query().map(e => (e.actor, e.action)).toSet)
+    assert(re.audit.query(actor = Some("alice")).size == 1)
+    // derived features re-materialize from the LOADED registry
+    val base = Seq((1L, 10L, 100L)).toDF("id", "clicks", "views")
+    val out = new FeatureGroupData(rg, base).frame.head()
+    assert(out.getAs[Double]("ctr") == 0.1)
+    // save(load(x)) is stable: a second round-trip changes nothing
+    val dir2 = tmpDir() + "/catalog2"
+    MetaCatalog.save(re, spark, dir2)
+    val re2 = MetaCatalog.load(spark, dir2)
+    assert(re2.group("o/d/p/sig").listVersions("clicks").map(_.version) ==
+      Seq(1, 2))
+    assert(re2.audit.query().size == re.audit.query().size)
   }
 
   test("point lookup via entity key") {
