@@ -3242,6 +3242,206 @@ object Queries {
              (doc_id = canonical_id) AS keep
       FROM cn ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test split over documents: 80/10/10 by
+    * md5 bucket — per-row stable under corpus growth (no rand()). */
+  private val q99 = Entry(
+    "q99_hash_split",
+    (s, d) =>
+      graft.ops.Sampling
+        .hashSplit(Tables.documents(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split"),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1048576) AS b
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN b < 0.8 * 1048576 THEN 'train'
+                    WHEN b < 0.9 * 1048576 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h)
+      SELECT split, count(*) AS n, min(doc_id) AS min_id
+      FROM s GROUP BY split ORDER BY split"""))
+
+  /** Exact-n stratified sample: exactly 30 docs per language in
+    * deterministic md5 order (vs the ~n rate-based sampler of q35). */
+  private val q100 = Entry(
+    "q100_exact_stratified",
+    (s, d) =>
+      graft.ops.Sampling
+        .exactStratifiedSample(Tables.documents(s, d), 30, Seq("lang"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1048576) AS b
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY b, doc_id) AS rn
+        FROM h)
+      SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id"""))
+
+  /** Per-source token-distribution entropy: the diversity diagnostic a
+    * mixing decision reads before temperature rebalancing. */
+  private val q101 = Entry(
+    "q101_token_entropy",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .tokenEntropy(Tables.documents(s, d), "source", "text")
+        .orderBy("source"),
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      c AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS v
+            FROM c GROUP BY 1)
+      SELECT c.source,
+             CAST(min(t.n) AS BIGINT) AS n_tokens,
+             CAST(min(t.v) AS BIGINT) AS vocab_size,
+             round(-sum((c.c / t.n) * ln(c.c / t.n)), 6) AS entropy,
+             round(min(t.v) / CAST(min(t.n) AS DOUBLE), 6) AS type_token_ratio
+      FROM c JOIN t USING (source)
+      GROUP BY c.source ORDER BY c.source"""))
+
+  /** DSIR-style importance log-ratio of every doc against a TARGET
+    * domain (here: the 'wiki' source slice) vs the raw corpus. */
+  private val q102 = Entry(
+    "q102_dsir_logratio",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis
+        .dsirLogRatio(docs, "doc_id", "text",
+          docs.where(col("source") === "wiki"), "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE source = 'wiki'),
+      tv AS (SELECT term, count(*) AS tc FROM tgt GROUP BY 1),
+      tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tn, count(*) AS tvs FROM tv),
+      raw AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      rv AS (SELECT term, count(*) AS rc FROM raw GROUP BY 1),
+      rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rn, count(*) AS rvs FROM rv),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      sc AS (
+        SELECT toks.doc_id,
+               ln((COALESCE(tv.tc, 0) + 1.0) / (tt.tn + 1.0 * (tt.tvs + 1)))
+             - ln((COALESCE(rv.rc, 0) + 1.0) / (rt.rn + 1.0 * (rt.rvs + 1)))
+                 AS d
+        FROM toks
+        LEFT JOIN tv USING (term)
+        LEFT JOIN rv USING (term), tt, rt)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(sum(d), 6) AS log_ratio
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Embedding-centroid drift between two corpus halves — the
+    * vector-space twin of the scalar drift monitor (q09). */
+  private val q103 = Entry(
+    "q103_embedding_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Features
+        .embeddingDrift(e.where(col("vec_id") < 250),
+          e.where(col("vec_id") >= 250))
+        .select(r6(col("centroid_cosine")).as("centroid_cosine"),
+          r6(col("centroid_l2")).as("centroid_l2"),
+          r6(col("max_dim_shift")).as("max_dim_shift"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ma AS (
+        SELECT i, avg(v[i]) AS m
+        FROM e, range(1, 65) t(i) WHERE vec_id < 250 GROUP BY i),
+      mb AS (
+        SELECT i, avg(v[i]) AS m
+        FROM e, range(1, 65) t(i) WHERE vec_id >= 250 GROUP BY i),
+      j AS (SELECT ma.m AS x, mb.m AS y FROM ma JOIN mb USING (i))
+      SELECT round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+               AS centroid_cosine,
+             round(sqrt(sum((x - y) * (x - y))), 6) AS centroid_l2,
+             round(max(abs(x - y)), 6) AS max_dim_shift
+      FROM j"""))
+
+  /** Contrastive hard negatives: top-3 most similar embeddings with a
+    * DIFFERENT label for each of 10 query vectors. */
+  private val q104 = Entry(
+    "q104_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .hardNegatives(e, e.where(col("vec_id") < 10), k = 3)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), col("nbr_label"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               c.label AS nbr_label,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c
+          ON q.vec_id <> c.vec_id
+         AND (q.label IS DISTINCT FROM c.label)
+        WHERE q.vec_id < 10),
+      r AS (
+        SELECT query_id, nbr_id, nbr_label, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM sc)
+      SELECT query_id, rnk, nbr_id, nbr_label, round(cos, 6) AS cos
+      FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+
+  /** Robust MAD-based outlier profile on order totals — the
+    * median-anchored twin of the mean±kσ check (q52). */
+  private val q105 = Entry(
+    "q105_mad_outliers",
+    (s, d) =>
+      AnalysisPlanner.madOutliers(Tables.orders(s, d), "o_totalprice")
+        .select(r6(col("median")).as("median"), r6(col("mad")).as("mad"),
+          r6(col("threshold")).as("threshold"), col("n"),
+          col("n_outliers"), r6(col("outlier_rate")).as("outlier_rate")),
+    Some("""
+      WITH m AS (
+        SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+      dv AS (
+        SELECT quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad
+        FROM orders, m)
+      SELECT round(min(m.med), 6) AS median,
+             round(min(dv.mad), 6) AS mad,
+             round(min(3.0 * 1.4826 * dv.mad), 6) AS threshold,
+             count(*) AS n,
+             CAST(sum(CASE WHEN abs(o_totalprice - m.med)
+                                > 3.0 * 1.4826 * dv.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             round(sum(CASE WHEN abs(o_totalprice - m.med)
+                                 > 3.0 * 1.4826 * dv.mad
+                            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS outlier_rate
+      FROM orders, m, dv"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3253,7 +3453,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

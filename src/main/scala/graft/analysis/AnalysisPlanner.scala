@@ -1051,6 +1051,38 @@ object AnalysisPlanner {
   }
 
   /**
+   * Robust (MAD-based) outlier profile: flags |x − median| >
+   * k · 1.4826 · MAD, where MAD = median(|x − median|) and 1.4826
+   * scales MAD to σ under normality — the outlier rule that, unlike
+   * the mean±kσ check below, is not itself dragged by the outliers it
+   * is hunting (50% breakdown point vs 0%). Three passes, each a
+   * distributed exact-percentile aggregation ([[exactPercentiles]], no
+   * per-group buffering) or a broadcast-compare scan; the two medians
+   * cross the driver as single scalars. Returns one row:
+   * (median, mad, threshold, n, n_outliers, outlier_rate).
+   */
+  def madOutliers(df: DataFrame, feature: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(feature).cast("double")
+    val med = exactPercentiles(df, feature, Seq("__med" -> 0.5), Nil)
+    val dev = df.where(v.isNotNull)
+      .crossJoin(broadcast(med))
+      .select(abs(v - col("__med")).as("__dev"), col("__med"))
+    val mad = exactPercentiles(dev, "__dev", Seq("__mad" -> 0.5), Nil)
+    df.where(v.isNotNull)
+      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .agg(
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"),
+        first(lit(k) * 1.4826 * col("__mad")).as("threshold"),
+        count(lit(1)).as("n"),
+        count(when(abs(v - col("__med")) > lit(k) * 1.4826 * col("__mad"),
+          1)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        col("n_outliers").cast("double") / col("n"))
+  }
+
+  /**
    * Outlier counts per feature: |x − μ| > kσ (population σ), the
    * DataQuality "outliers" check (analysis.py:384-397). Two passes:
    * a 1-row bounds aggregate broadcast back over the scan.

@@ -167,6 +167,40 @@ object Features {
   }
 
   /**
+   * Embedding-centroid drift between two corpus versions — the
+   * embedding-space twin of the scalar Drift analysis: has the mean of
+   * the vector space shifted between snapshot A and snapshot B (an
+   * encoder re-train, an upstream content shift, a silent pipeline
+   * regression)?  Reports the cosine similarity and L2 distance between
+   * the two per-dimension mean vectors plus the largest single-dimension
+   * shift. Each mean is one `posexplode + groupBy(dim).avg` aggregation
+   * re-assembled to an array (no driver-side matrix, dims stay a
+   * d-row frame); the comparison is a 1-row × 1-row crossJoin of the
+   * two mean rows. Suitable as a scheduled monitor: KB of state, two
+   * scans, any corpus size.
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def meanVec(df: DataFrame, out: String) = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__p", "__x")))
+      .groupBy("__p").agg(avg(col("__x")).as("__m"))
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as(out))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    meanVec(a, "__ma").crossJoin(meanVec(b, "__mb"))
+      .select(
+        (dot(col("__ma"), col("__mb")) /
+          (sqrt(dot(col("__ma"), col("__ma"))) *
+           sqrt(dot(col("__mb"), col("__mb"))))).as("centroid_cosine"),
+        sqrt(aggregate(zip_with(col("__ma"), col("__mb"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)).as("centroid_l2"),
+        array_max(zip_with(col("__ma"), col("__mb"),
+          (x, y) => abs(x - y))).as("max_dim_shift"))
+  }
+
+  /**
    * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
    * exact interpolated quantile boundaries. Boundaries come from the
    * distributed percentile machinery

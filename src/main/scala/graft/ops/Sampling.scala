@@ -202,4 +202,59 @@ object Sampling {
       .withColumn("offset_in_seq", col("__cum") % seqLen)
       .drop("__h", "__cum")
   }
+
+  /**
+   * Deterministic train/val/test split — the holdout-assignment step of
+   * every dataset release. Each row gets the FIRST split whose
+   * cumulative weight threshold its md5 bucket falls under:
+   * `splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` maps
+   * bucket < 0.9·M → train, < 0.95·M → val, else test. Map-only (one
+   * codegen'd CASE over the [[graft.functions.PortableHash]] bucket),
+   * stable under corpus growth (a row's split never changes when other
+   * rows are added — the property a leakage-safe holdout needs, and the
+   * reason `ORDER BY rand()` splits are wrong), and replayable in any
+   * engine with md5.
+   */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Double)],
+      hashCols: Seq[String], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be >= 0")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1 (got $total)")
+    val h = hashOf(hashCols).cast("double")
+    // CASE built from the last split backwards so the FIRST matching
+    // cumulative threshold wins
+    val cases = splits.init
+      .scanLeft(("", 0.0)) { case ((_, cum), (name, wgt)) => (name, cum + wgt) }
+      .drop(1)
+    val caseExpr = cases.reverse.foldLeft(lit(splits.last._1)) {
+      case (els, (name, cumW)) => when(h < lit(cumW * M), lit(name)).otherwise(els)
+    }
+    df.withColumn(outCol, caseExpr)
+  }
+
+  /**
+   * EXACT-n stratified sampling: exactly `min(n, |stratum|)` rows per
+   * stratum, chosen as the first n in deterministic md5-hash order —
+   * the class-balanced-subset step when the downstream contract needs
+   * an exact count, not [[stratifiedHashSample]]'s expected ~n. One
+   * window per stratum (`row_number` over the hash order) — partitioned
+   * by the strata keys, so it distributes; a single giant stratum
+   * serializes its own window, which is the inherent cost of an exact
+   * per-stratum rank (use the rate-based sampler when ~n suffices at
+   * that scale). Ties in the 60-bit hash are broken by the hash-column
+   * values themselves, so the subset is total-order deterministic.
+   */
+  def exactStratifiedSample(df: DataFrame, n: Long, strata: Seq[String],
+      hashCols: Seq[String]): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(hashOf(hashCols).asc +: hashCols.map(c => col(c).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -42,6 +42,43 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: each query's top-k
+   * most similar corpus vectors with a DIFFERENT label — the classic
+   * "closest wrong answers" batch-construction step (metric learning,
+   * retrieval fine-tuning, reranker training). Identical plan shape to
+   * [[bruteForceKnn]] (broadcast query side, map-only cosine, per-query
+   * window) with the label inequality fused into the join condition so
+   * same-label pairs never materialize. For corpus-scale query sets,
+   * block through [[lshSelfKnn]]-style buckets first and filter labels
+   * in the candidate set.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"),
+      col(labelCol).as("nbr_label"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"),
+      col(labelCol).as("__qlabel"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("nbr_id") &&
+          !(col("__qlabel") <=> col("nbr_label"))) // negatives only
+      .withColumn("cos",
+        VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("nbr_id"),
+        col("nbr_label"), col("cos"))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplanes: plane p, dim i weight from
    * md5("plane{p}:{i}") mapped into [-1, 1). Seedless and reproducible in
    * any engine with md5 — but computed ONCE on the driver and shipped as

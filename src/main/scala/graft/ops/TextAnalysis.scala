@@ -384,6 +384,77 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /**
+   * Per-group token-distribution diagnostics — the "how diverse is each
+   * source/language slice" report a corpus-mixing decision reads:
+   * Shannon entropy of the unigram distribution (nats), vocabulary
+   * size, token count, and type-token ratio. Two keyed aggregations
+   * ((group, term) counts, then per-group entropy fold) — no
+   * driver-side vocabulary, any corpus size. High entropy = diverse
+   * text; near-zero = templated/boilerplate-dominated slices that
+   * temperature mixing ([[graft.ops.Sampling.temperatureMix]]) would
+   * otherwise over-weight.
+   */
+  def tokenEntropy(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(words(col(textCol))).as("term"))
+      .groupBy(groupCol, "term").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(groupCol)
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("vocab_size"))
+    counts.join(totals, groupCol)
+      .groupBy(groupCol)
+      .agg(
+        first(col("__n")).as("n_tokens"),
+        first(col("vocab_size")).as("vocab_size"),
+        round(-sum((col("__c") / col("__n")) *
+          log(col("__c") / col("__n"))), 6).as("entropy"),
+        round(first(col("vocab_size")) / first(col("__n")).cast("double"),
+          6).as("type_token_ratio"))
+  }
+
+  /**
+   * DSIR-style importance log-ratio (Xie et al. 2023, unigram variant):
+   * per-document Σ_t [ln p_target(t) − ln p_raw(t)] under two add-α
+   * unigram LMs — fit on a TARGET corpus (the domain you want more of)
+   * and the RAW corpus itself. Documents with a positive ratio look
+   * more like the target than like average raw text; selecting by
+   * threshold (or feeding `exp(log_ratio)` into a weighted sampler)
+   * is the importance-resampling step of domain-targeted data
+   * selection.
+   *
+   * Scale: both "LMs" are vocabulary-sized DataFrames
+   * ([[unigramLogLikelihood]]'s design); scoring is one token explode
+   * with two vocabulary-keyed left joins and a per-doc sum — no model
+   * object, no driver state.
+   */
+  def dsirLogRatio(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive for smoothing")
+    def lm(ref: DataFrame, c: String, pfx: String) = {
+      val vocab = ref.select(explode(words(col(c))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(s"${pfx}c"))
+      val tot = broadcast(vocab.agg(sum(col(s"${pfx}c")).as(s"${pfx}n"),
+        count(lit(1)).as(s"${pfx}v")))
+      (vocab, tot)
+    }
+    val (tv, tt) = lm(target, targetTextCol, "__t")
+    val (rv, rt) = lm(df, textCol, "__r")
+    def lp(pfx: String) =
+      log((coalesce(col(s"${pfx}c"), lit(0L)) + lit(alpha)) /
+        (col(s"${pfx}n") + lit(alpha) * (col(s"${pfx}v") + lit(1))))
+    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .join(tv, Seq("term"), "left")
+      .join(rv, Seq("term"), "left")
+      .join(tt).join(rt)
+      .select(col("id"), (lp("__t") - lp("__r")).as("__d"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__d")), 6).as("log_ratio"))
+      .withColumnRenamed("id", idCol)
+  }
+
   def pmiBigrams(df: DataFrame, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
     val w = words(col(textCol))

@@ -1507,6 +1507,96 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("hashSplit: stable under growth, partitions completely, ~weights") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => Tuple1(i.toLong)).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.ops.Sampling.hashSplit(df, splits, Seq("id"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000) < 200)
+    assert(math.abs(counts("val") - 500) < 100)
+    // growth stability: a row's split never changes when rows are added
+    val grown = graft.ops.Sampling.hashSplit(
+      (0 until 10000).map(i => Tuple1(i.toLong)).toDF("id"),
+      splits, Seq("id"))
+    val before = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.where(col("id") < 5000).collect().foreach { r =>
+      assert(before(r.getLong(0)) == r.getString(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.hashSplit(df, Seq("a" -> 0.5, "b" -> 0.4),
+        Seq("id"))
+    }
+  }
+
+  test("exactStratifiedSample: exactly min(n, stratum size) per stratum") {
+    import spark.implicits._
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 105).map(i => (i.toLong, "small")))
+      .toDF("id", "s")
+    val out = graft.ops.Sampling
+      .exactStratifiedSample(df, 20, Seq("s"), Seq("id"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 20L, "small" -> 5L))
+    // deterministic: same subset on re-evaluation
+    val a = graft.ops.Sampling
+      .exactStratifiedSample(df, 20, Seq("s"), Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling
+      .exactStratifiedSample(df.repartition(7), 20, Seq("s"), Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("hardNegatives: never same label, top-k by cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(4)(_ => rnd.nextGaussian()), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity
+      .hardNegatives(df, df.where(col("vec_id") < 5), k = 4)
+    val rows = out.collect()
+    assert(rows.length == 20) // 5 queries × 4
+    val labels = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) != r.getInt(3),
+        s"query ${r.getLong(0)} got same-label negative")
+    }
+  }
+
+  test("embeddingDrift: identical corpora → cosine 1, l2 0") {
+    import spark.implicits._
+    val df = (0 until 100).map { i =>
+      Tuple1(Array.tabulate(6)(j => (i + j).toDouble))
+    }.toDF("embedding")
+    val same = graft.ops.Features.embeddingDrift(df, df).head()
+    assert(math.abs(same.getDouble(0) - 1.0) < 1e-12)
+    assert(same.getDouble(1) < 1e-9 && same.getDouble(2) < 1e-9)
+    val shifted = graft.ops.Features.embeddingDrift(df,
+      df.select(transform(col("embedding"), x => x + 10.0).as("embedding")))
+      .head()
+    assert(shifted.getDouble(1) > 1.0) // l2 moved
+    assert(math.abs(shifted.getDouble(2) - 10.0) < 1e-9)
+  }
+
+  test("dsirLogRatio: target-like docs score higher than off-domain") {
+    import spark.implicits._
+    val target = Seq("alpha beta gamma", "alpha beta delta")
+      .map(Tuple1(_)).toDF("text")
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // in-domain
+      (2L, "zeta eta theta"))     // off-domain
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .dsirLogRatio(docs, "doc_id", "text", target, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
   test("fuzzyPairs hot-block cap bounds pairs; small blocks untouched") {
     import spark.implicits._
     val hot = (0 until 500).map(i => (i.toLong, f"hot item $i%04d"))
