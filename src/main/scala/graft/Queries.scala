@@ -3442,6 +3442,153 @@ object Queries {
                AS outlier_rate
       FROM orders, m, dv"""))
 
+  /** Per-user trailing-7 rolling correlation between event value and
+    * event time — the "is the relationship drifting" series monitor. */
+  private val q106 = Entry(
+    "q106_rolling_corr",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .rollingCorrelation(
+          Tables.events(s, d)
+            .withColumn("t_sec", unix_micros(col("ts")) / lit(1000000.0)),
+          Seq("user_id"), "ts", "value", "t_sec", window = 7,
+          tieCols = Seq("event_id"))
+        .select(col("event_id"), r6(col("roll_corr")).as("roll_corr"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             round(corr("value", epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_corr
+      FROM events ORDER BY event_id"""))
+
+  /** Per-user EWMA (span 5) of event values — sequential per-entity
+    * fold kernel; oracle replays the closed-form expansion. */
+  private val q107 = Entry(
+    "q107_ewma",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .ewma(Tables.events(s, d), Seq("user_id"), "ts", "value",
+          span = 5, tieCols = Seq("event_id"))
+        .select(col("event_id"), r6(col("ewma")).as("ewma"))
+        .orderBy("event_id"),
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_id, "value",
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT a.user_id, a.event_id, a.rn AS t, b.rn AS i,
+               b."value" AS x
+        FROM s a JOIN s b ON a.user_id = b.user_id AND b.rn <= a.rn),
+      e AS (
+        SELECT user_id, event_id,
+               sum(x * CASE WHEN i = 1 THEN power(2.0/3.0, t - 1)
+                            ELSE (1.0/3.0) * power(2.0/3.0, t - i) END)
+                 AS ewma
+        FROM p GROUP BY user_id, event_id)
+      SELECT event_id, round(ewma, 6) AS ewma FROM e ORDER BY event_id"""))
+
+  /** Per-priority OLS trend of order totals over order date — slope /
+    * intercept / r² from one sufficient-statistics aggregation. */
+  private val q108 = Entry(
+    "q108_group_ols",
+    (s, d) =>
+      AnalysisPlanner
+        .groupOls(
+          Tables.orders(s, d).withColumn("day",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01")))),
+          Seq("o_orderpriority"), "day", "o_totalprice")
+        .select(col("o_orderpriority"), col("n"),
+          r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"), r6(col("r2")).as("r2"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      WITH s AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                   AS DOUBLE)) AS sx,
+               sum(o_totalprice) AS sy,
+               sum(CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                   AS DOUBLE) * o_totalprice) AS sxy,
+               sum(CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                   AS DOUBLE)
+                 * CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                   AS DOUBLE)) AS sxx,
+               sum(o_totalprice * o_totalprice) AS syy
+        FROM orders GROUP BY o_orderpriority),
+      f AS (
+        SELECT o_orderpriority, n,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+               (sxy - sx * sy / n) AS cxy,
+               (sxx - sx * sx / n) AS vx,
+               (syy - sy * sy / n) AS vy,
+               sx, sy
+        FROM s)
+      SELECT o_orderpriority, n,
+             round(slope, 6) AS slope,
+             round((sy - slope * sx) / n, 6) AS intercept,
+             round(cxy * cxy / (vx * vy), 6) AS r2
+      FROM f ORDER BY o_orderpriority"""))
+
+  /** Null imputation: median fill on a numeric column, mode fill on a
+    * categorical one (nulls planted deterministically). */
+  private val q109 = Entry(
+    "q109_impute",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("etype",
+          when(col("event_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+      graft.ops.Features
+        .impute(ev, Map("value" -> "median", "etype" -> "mode"))
+        .where(col("event_id") % 7 === 0 || col("event_id") % 11 === 0)
+        .select(col("event_id"), r6(col("value")).as("value"), col("etype"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE "value" END AS v,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE event_type END AS etype
+        FROM events),
+      med AS (SELECT quantile_cont(v, 0.5) AS m FROM ev),
+      md AS (
+        SELECT etype AS mo FROM ev WHERE etype IS NOT NULL
+        GROUP BY etype ORDER BY count(*) DESC, etype ASC LIMIT 1)
+      SELECT event_id,
+             round(COALESCE(v, med.m), 6) AS "value",
+             COALESCE(etype, md.mo) AS etype
+      FROM ev, med, md
+      WHERE event_id % 7 = 0 OR event_id % 11 = 0
+      ORDER BY event_id"""))
+
+  /** Leave-one-out smoothed target encoding of market segment against
+    * account balance — the leakage-guarded categorical feature. */
+  private val q110 = Entry(
+    "q110_target_encode",
+    (s, d) =>
+      graft.ops.Features
+        .targetEncode(Tables.customer(s, d), "c_mktsegment", "c_acctbal",
+          alpha = 10.0, leaveOneOut = true)
+        .select(col("c_custkey"), r6(col("target_enc")).as("target_enc"))
+        .orderBy("c_custkey"),
+    Some("""
+      WITH g AS (SELECT avg(c_acctbal) AS gm FROM customer),
+      c AS (SELECT c_mktsegment, sum(c_acctbal) AS s, count(*) AS n
+            FROM customer GROUP BY 1)
+      SELECT c_custkey,
+             round(((c.s - c_acctbal) + 10.0 * g.gm) / ((c.n - 1) + 10.0), 6)
+               AS target_enc
+      FROM customer JOIN c USING (c_mktsegment), g
+      ORDER BY c_custkey"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3453,7 +3600,8 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
+    q109, q110)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

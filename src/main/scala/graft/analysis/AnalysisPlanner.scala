@@ -1051,6 +1051,44 @@ object AnalysisPlanner {
   }
 
   /**
+   * Per-group ordinary least squares y = a + b·x — the "trend per
+   * entity" analytic (feature drift slope per segment, usage trajectory
+   * per account). ONE map-side-combined aggregation computes the five
+   * sufficient statistics per group (n, Σx, Σy, Σxy, Σx²); slope,
+   * intercept, and r² are closed-form arithmetic on the aggregate row.
+   * No window, no per-group buffering — group count rows out, corpus
+   * rows in. Degenerate groups (n < 2 or zero x-variance) report NULL
+   * coefficients.
+   */
+  def groupOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val both = x.isNotNull && y.isNotNull
+    val base = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(both, 1)).as("n"),
+        sum(when(both, x)).as("__sx"),
+        sum(when(both, y)).as("__sy"),
+        sum(when(both, x * y)).as("__sxy"),
+        sum(when(both, x * x)).as("__sxx"),
+        sum(when(both, y * y)).as("__syy"))
+    val n = col("n").cast("double")
+    val vx = col("__sxx") - col("__sx") * col("__sx") / n
+    val vy = col("__syy") - col("__sy") * col("__sy") / n
+    val cxy = col("__sxy") - col("__sx") * col("__sy") / n
+    val slope = when(col("n") >= 2 && vx > 0.0, cxy / vx)
+    base
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        when(slope.isNotNull, (col("__sy") - slope * col("__sx")) / n))
+      .withColumn("r2",
+        when(slope.isNotNull && vy > 0.0, cxy * cxy / (vx * vy)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /**
    * Robust (MAD-based) outlier profile: flags |x − median| >
    * k · 1.4826 · MAD, where MAD = median(|x − median|) and 1.4826
    * scales MAD to σ under normality — the outlier rule that, unlike

@@ -167,6 +167,96 @@ object Features {
   }
 
   /**
+   * Null imputation — the fill-missing step of feature preparation.
+   * Strategies per column: `"mean"`, `"median"` (exact distributed
+   * percentile — no per-group buffering), `"mode"` (most frequent
+   * value, ties to the smallest), or any literal constant. All fill
+   * statistics are computed in ONE pass over the frame per kind
+   * (a single aggregate row for means; one value-count aggregation per
+   * median/mode column) and broadcast back — the scan-side fill is a
+   * map-only coalesce. NULL-heavy columns at 100 TB cost exactly the
+   * aggregations, never a collect of data rows.
+   */
+  def impute(df: DataFrame, strategies: Map[String, Any]): DataFrame = {
+    require(strategies.nonEmpty, "no columns to impute")
+    val meanCols = strategies.collect { case (c, "mean") => c }.toSeq
+    val medianCols = strategies.collect { case (c, "median") => c }.toSeq
+    val modeCols = strategies.collect { case (c, "mode") => c }.toSeq
+    val constCols = strategies.filter { case (_, s) =>
+      s != "mean" && s != "median" && s != "mode" }
+    var out = df
+    if (meanCols.nonEmpty) {
+      val aggs = meanCols.map(c => avg(col(c)).as(s"__mean_$c"))
+      val means = broadcast(df.agg(aggs.head, aggs.tail: _*))
+      out = out.crossJoin(means)
+      meanCols.foreach { c =>
+        out = out.withColumn(c, coalesce(col(c), col(s"__mean_$c")))
+          .drop(s"__mean_$c")
+      }
+    }
+    medianCols.foreach { c =>
+      val med = broadcast(graft.analysis.AnalysisPlanner
+        .exactPercentiles(df, c, Seq(s"__med_$c" -> 0.5), Nil))
+      out = out.crossJoin(med)
+        .withColumn(c, coalesce(col(c),
+          col(s"__med_$c").cast(df.schema(c).dataType)))
+        .drop(s"__med_$c")
+    }
+    modeCols.foreach { c =>
+      val mode = broadcast(df.where(col(c).isNotNull)
+        .groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("__v").asc).limit(1)
+        .select(col("__v").as(s"__mode_$c")))
+      out = out.crossJoin(mode)
+        .withColumn(c, coalesce(col(c), col(s"__mode_$c")))
+        .drop(s"__mode_$c")
+    }
+    constCols.foreach { case (c, v) =>
+      out = out.withColumn(c,
+        coalesce(col(c), lit(v).cast(df.schema(c).dataType)))
+    }
+    out
+  }
+
+  /**
+   * Smoothed target (mean) encoding of a categorical column — the
+   * classic high-cardinality categorical→numeric feature:
+   *
+   *   enc(cat) = (Σ_cat y + α·ȳ_global) / (n_cat + α)
+   *
+   * with `leaveOneOut = true` excluding the row's OWN target from its
+   * category statistics (`(Σ_cat y − y_row) / (n_cat − 1)` pre-
+   * smoothing) — the standard leakage guard when the encoding feeds a
+   * model trained on the same rows; singleton categories fall back to
+   * the smoothed global mean. One keyed aggregation builds the
+   * category table (vocabulary-sized, broadcast when small); the
+   * row-side encode is a keyed join + arithmetic — no per-row state,
+   * any cardinality.
+   */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      alpha: Double = 10.0, leaveOneOut: Boolean = false,
+      outCol: String = "target_enc"): DataFrame = {
+    require(alpha >= 0, "alpha must be >= 0")
+    val y = col(targetCol).cast("double")
+    val global = broadcast(df.agg(avg(y).as("__gmean")))
+    val cat = df.where(y.isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(y).as("__sum"), count(y).as("__n"))
+    val joined = df.join(cat, Seq(catCol), "left").crossJoin(global)
+    val enc =
+      if (!leaveOneOut)
+        (coalesce(col("__sum"), lit(0.0)) + lit(alpha) * col("__gmean")) /
+          (coalesce(col("__n"), lit(0L)) + lit(alpha))
+      else {
+        val looSum = col("__sum") - coalesce(y, lit(0.0))
+        val looN = col("__n") - when(y.isNotNull, 1L).otherwise(0L)
+        (coalesce(looSum, lit(0.0)) + lit(alpha) * col("__gmean")) /
+          (coalesce(looN, lit(0L)) + lit(alpha))
+      }
+    joined.withColumn(outCol, enc).drop("__sum", "__n", "__gmean")
+  }
+
+  /**
    * Embedding-centroid drift between two corpus versions — the
    * embedding-space twin of the scalar Drift analysis: has the mean of
    * the vector space shifted between snapshot A and snapshot B (an

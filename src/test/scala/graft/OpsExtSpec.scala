@@ -1507,6 +1507,103 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("ewma matches the hand-computed recursion; nulls carry forward") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, Double.NaN), (1L, 4, 40.0),
+      (2L, 1, 5.0))
+      .toDF("k", "t", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val out = graft.ops.TimeSeries
+      .ewma(df, Seq("k"), "t", "v", span = 3) // alpha = 0.5
+      .orderBy("k", "t").collect()
+    val e = out.map(r => if (r.isNullAt(3)) null else r.getDouble(3))
+    assert(e(0) == 10.0)
+    assert(e(1) == 0.5 * 20 + 0.5 * 10)        // 15
+    assert(e(2) == 15.0)                       // null carries state
+    assert(e(3) == 0.5 * 40 + 0.5 * 15)        // 27.5
+    assert(e(4) == 5.0)                        // new entity resets
+  }
+
+  test("rollingCorrelation: perfect linear window → 1; stable on epochs") {
+    import spark.implicits._
+    val df = (1 to 50).map(i =>
+      (1L, 1700000000L + i * 60L, 1700000000.0 + i * 60.0))
+      .toDF("k", "t", "y")
+      .withColumn("x", col("t").cast("double"))
+    val out = graft.ops.TimeSeries
+      .rollingCorrelation(df, Seq("k"), "t", "x", "y", window = 7)
+      .orderBy("t").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("roll_corr"))) // n=1
+    // y is an exact linear function of x at epoch magnitudes — the
+    // stable co-moment path must return 1 within fp, never > 1
+    out.drop(1).foreach { r =>
+      val c = r.getDouble(r.fieldIndex("roll_corr"))
+      assert(math.abs(c - 1.0) < 1e-9 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  test("groupOls recovers a planted line per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 2000).map { i =>
+      val g = i % 2
+      val x = rnd.nextDouble() * 100
+      val y = if (g == 0) 3.0 * x + 7 + rnd.nextGaussian() * 0.01
+              else -2.0 * x + 100 + rnd.nextGaussian() * 0.01
+      (g, x, y)
+    }.toDF("g", "x", "y")
+    val out = graft.analysis.AnalysisPlanner
+      .groupOls(rows, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    assert(math.abs(out(0).getDouble(2) - 3.0) < 0.01)   // slope g0
+    assert(math.abs(out(0).getDouble(3) - 7.0) < 0.1)    // intercept g0
+    assert(out(0).getDouble(4) > 0.999)                  // r2
+    assert(math.abs(out(1).getDouble(2) + 2.0) < 0.01)
+    // degenerate group: constant x → NULL coefficients
+    val deg = graft.analysis.AnalysisPlanner
+      .groupOls(Seq((9, 1.0, 5.0), (9, 1.0, 6.0)).toDF("g", "x", "y"),
+        Seq("g"), "x", "y").head()
+    assert(deg.isNullAt(2) && deg.isNullAt(3))
+  }
+
+  test("impute fills mean/median/mode/const; non-null rows untouched") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"), (2L, 20.0, "a"), (3L, null, "b"),
+      (4L, 40.0, null), (5L, null, null))
+      .toDF("id", "v", "s")
+    val out = graft.ops.Features
+      .impute(df, Map("v" -> "median", "s" -> "mode"))
+      .orderBy("id").collect()
+    assert(out(2).getDouble(1) == 20.0) // median of 10,20,40
+    assert(out(3).getString(2) == "a")  // mode
+    assert(out(0).getDouble(1) == 10.0) // untouched
+    val cm = graft.ops.Features
+      .impute(df, Map("v" -> "mean", "s" -> "zzz"))
+      .orderBy("id").collect()
+    assert(math.abs(cm(2).getDouble(1) - 70.0 / 3) < 1e-12)
+    assert(cm(4).getString(2) == "zzz")
+  }
+
+  test("targetEncode: smoothing shrinks to global mean; LOO excludes self") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0))
+      .toDF("cat", "y")
+    val gmean = 130.0 / 3
+    val plain = graft.ops.Features
+      .targetEncode(df, "cat", "y", alpha = 1.0)
+      .orderBy("cat", "y").collect()
+    assert(math.abs(plain(0).getDouble(2) - (30 + gmean) / 3) < 1e-12)
+    assert(math.abs(plain(2).getDouble(2) - (100 + gmean) / 2) < 1e-12)
+    // LOO: singleton category falls to pure smoothed global mean
+    val loo = graft.ops.Features
+      .targetEncode(df, "cat", "y", alpha = 1.0, leaveOneOut = true)
+      .orderBy("cat", "y").collect()
+    assert(math.abs(loo(0).getDouble(2) - (20 + gmean) / 2) < 1e-12)
+    assert(math.abs(loo(2).getDouble(2) - (0 + gmean) / 1) < 1e-12)
+  }
+
   test("hashSplit: stable under growth, partitions completely, ~weights") {
     import spark.implicits._
     val df = (0 until 5000).map(i => Tuple1(i.toLong)).toDF("id")
