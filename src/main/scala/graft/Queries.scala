@@ -3589,6 +3589,29 @@ object Queries {
       FROM customer JOIN c USING (c_mktsegment), g
       ORDER BY c_custkey"""))
 
+  /** Probability-density histogram (the reference Distribution's
+    * 'density' output): per-bucket n/(N·binwidth), integrates to 1. */
+  private val q111 = Entry(
+    "q111_density",
+    (s, d) =>
+      AnalysisPlanner
+        .density(Tables.lineitem(s, d), "l_extendedprice", 20)
+        .select(col("bucket"), col("n"), r6(col("density")).as("density"))
+        .orderBy("bucket"),
+    Some("""
+      WITH b AS (SELECT min(l_extendedprice) AS lo,
+                        max(l_extendedprice) AS hi,
+                        count(*) AS tn
+                 FROM lineitem),
+      h AS (
+        SELECT LEAST(CAST(FLOOR(((l_extendedprice - lo) / (hi - lo)) * 20)
+                 AS BIGINT), 19) AS bucket,
+               count(*) AS n
+        FROM lineitem, b GROUP BY 1)
+      SELECT bucket, n,
+             round(n / (b.tn * ((b.hi - b.lo) / 20.0)), 6) AS density
+      FROM h, b ORDER BY bucket"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3601,7 +3624,7 @@ object Queries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110)
+    q109, q110, q111)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -466,6 +466,44 @@ object AnalysisPlanner {
       .drop("__ex", "__tn")
   }
 
+  /**
+   * Probability-DENSITY histogram (analysis.py:118-128 "density"
+   * output): per-bucket `n / (N · binwidth)`, the normalization under
+   * which the histogram integrates to 1 (what a KDE overlay or a
+   * cross-SF distribution comparison needs — raw counts don't compare
+   * across corpus sizes). Same single-scan bucket aggregation as
+   * [[histogram]] with the bounds kept so the bin width stays in-plan;
+   * totals are a broadcast 1-row aggregate (per segment when
+   * `segmentBy` is set — null-safe join, NULL is a segment).
+   */
+  def density(df0: DataFrame, feature: String, bins: Int,
+      segmentBy: Option[String] = None): DataFrame = {
+    val c = col(feature)
+    val bounds = df0.agg(min(c).as("__lo"), max(c).as("__hi"))
+    val withBucket = df0
+      .join(broadcast(bounds))
+      .withColumn("bucket",
+        least(
+          floor(((c - col("__lo")) / (col("__hi") - col("__lo"))) * bins),
+          lit(bins - 1L)))
+    val keys = segmentBy.toSeq.map(col) :+ col("bucket")
+    val hist = withBucket.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val withTot = segmentBy match {
+      case None =>
+        hist.crossJoin(broadcast(hist.agg(sum(col("n")).as("__tn"))))
+      case Some(seg) =>
+        PrefixSum.joinNullSafe(hist,
+          hist.groupBy(col(seg)).agg(sum(col("n")).as("__tn")), Seq(seg))
+    }
+    withTot
+      .withColumn("density", col("n") / (col("__tn") * width))
+      .select(segmentBy.toSeq.map(col) ++
+        Seq(col("bucket"), col("n"), col("density")): _*)
+  }
+
   def distribution(df0: DataFrame, s: Distribution): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
@@ -479,9 +517,10 @@ object AnalysisPlanner {
       if (s.sampleKeys.nonEmpty) s.sampleKeys else Seq(s.feature)))
     s.outputs.head match {
       case "histogram"   => histogram(df, s.feature, s.bins, s.segmentBy)
-      case "percentiles" => percentiles(df, s.feature)
+      case "percentiles" | "quantiles" => percentiles(df, s.feature)
       case "stats"       => momentStats(df, s.feature)
       case "cdf"         => cdf(histogram(df, s.feature, s.bins, s.segmentBy))
+      case "density"     => density(df, s.feature, s.bins, s.segmentBy)
       case o             => throw new IllegalArgumentException(s"Unknown output: $o")
     }
   }
@@ -1093,29 +1132,34 @@ object AnalysisPlanner {
    * k · 1.4826 · MAD, where MAD = median(|x − median|) and 1.4826
    * scales MAD to σ under normality — the outlier rule that, unlike
    * the mean±kσ check below, is not itself dragged by the outliers it
-   * is hunting (50% breakdown point vs 0%). Three passes, each a
-   * distributed exact-percentile aggregation ([[exactPercentiles]], no
-   * per-group buffering) or a broadcast-compare scan; the two medians
-   * cross the driver as single scalars. Returns one row:
-   * (median, mad, threshold, n, n_outliers, outlier_rate).
+   * is hunting (50% breakdown point vs 0%). ONE scan of the data: the
+   * per-value count frame is built once; the deviation distribution,
+   * both weighted medians ([[percentilesFromCounts]] — no per-group
+   * buffering), and the outlier count are all derived from that
+   * (distinct-values-sized) frame without touching the raw rows again.
+   * Returns one row: (median, mad, threshold, n, n_outliers,
+   * outlier_rate).
    */
   def madOutliers(df: DataFrame, feature: String,
       k: Double = 3.0): DataFrame = {
     val v = col(feature).cast("double")
-    val med = exactPercentiles(df, feature, Seq("__med" -> 0.5), Nil)
-    val dev = df.where(v.isNotNull)
-      .crossJoin(broadcast(med))
-      .select(abs(v - col("__med")).as("__dev"), col("__med"))
-    val mad = exactPercentiles(dev, "__dev", Seq("__mad" -> 0.5), Nil)
-    df.where(v.isNotNull)
-      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+    val vc = df.where(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+    val med = percentilesFromCounts(vc, Seq("__med" -> 0.5), Nil)
+    // deviation value counts FROM the value counts — no second scan
+    val dev = vc.crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("__med")).as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = percentilesFromCounts(dev, Seq("__mad" -> 0.5), Nil)
+    val thr = lit(k) * 1.4826 * col("__mad")
+    vc.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .agg(
         first(col("__med")).as("median"),
         first(col("__mad")).as("mad"),
-        first(lit(k) * 1.4826 * col("__mad")).as("threshold"),
-        count(lit(1)).as("n"),
-        count(when(abs(v - col("__med")) > lit(k) * 1.4826 * col("__mad"),
-          1)).as("n_outliers"))
+        first(thr).as("threshold"),
+        sum(col("__c")).as("n"),
+        sum(when(abs(col("__v") - col("__med")) > thr, col("__c"))
+          .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_rate",
         col("n_outliers").cast("double") / col("n"))
   }

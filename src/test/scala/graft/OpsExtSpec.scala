@@ -1507,6 +1507,36 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("density histogram integrates to 1, globally and per segment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val df = (0 until 4000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextGaussian() * (i % 2 + 1)))
+      .toDF("seg", "x")
+    val bins = 16
+    val global = graft.analysis.AnalysisPlanner.density(df, "x", bins)
+    val (lo, hi) = {
+      val r = df.agg(min("x"), max("x")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val width = (hi - lo) / bins
+    val integral = global.agg(sum(col("density") * width)).head().getDouble(0)
+    assert(math.abs(integral - 1.0) < 1e-9)
+    // segmented: each segment's density integrates to 1 over the SHARED
+    // global bounds
+    val seg = graft.analysis.AnalysisPlanner
+      .density(df, "x", bins, segmentBy = Some("seg"))
+      .groupBy("seg").agg(sum(col("density") * width).as("i"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(seg.keySet == Set("a", "b"))
+    seg.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+    // dispatch via the Distribution spec
+    val viaSpec = graft.analysis.AnalysisPlanner.distribution(df,
+      graft.analysis.Distribution(feature = "x", bins = bins,
+        outputs = Seq("density")))
+    assert(viaSpec.columns.toSeq == Seq("bucket", "n", "density"))
+  }
+
   test("ewma matches the hand-computed recursion; nulls carry forward") {
     import spark.implicits._
     val df = Seq(
