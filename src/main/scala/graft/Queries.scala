@@ -3612,6 +3612,135 @@ object Queries {
              round(n / (b.tn * ((b.hi - b.lo) / 20.0)), 6) AS density
       FROM h, b ORDER BY bucket"""))
 
+  /** Interpolated bigram-LM scoring against the wiki slice — catches
+    * word-salad that a unigram model (q94) cannot. */
+  private val q112 = Entry(
+    "q112_bigram_loglik",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis
+        .bigramLogLikelihood(docs, "doc_id", "text",
+          docs.where(col("source") === "wiki"), "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      wsh AS (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'wiki'),
+      wpos AS (SELECT w, unnest(range(1, len(w))) AS i
+               FROM wsh WHERE len(w) >= 2),
+      wbi AS (SELECT w[i] AS x, w[i+1] AS y, count(*) AS cxy
+              FROM wpos GROUP BY 1, 2),
+      wuni AS (SELECT unnest(w) AS t FROM wsh),
+      wu AS (SELECT t, count(*) AS ct FROM wuni GROUP BY 1),
+      wt AS (SELECT CAST(sum(ct) AS BIGINT) AS n, count(*) AS v FROM wu),
+      pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM sh WHERE len(w) >= 2),
+      bg AS (SELECT doc_id, w[i] AS x, w[i+1] AS y FROM pos),
+      sc AS (
+        SELECT bg.doc_id,
+               ln(0.7 * (CASE WHEN cx.ct IS NOT NULL AND wbi.cxy IS NOT NULL
+                              THEN wbi.cxy / CAST(cx.ct AS DOUBLE)
+                              ELSE 0.0 END)
+                + 0.3 * ((COALESCE(cy.ct, 0) + 1.0)
+                         / (wt.n + 1.0 * (wt.v + 1)))) AS lp
+        FROM bg
+        LEFT JOIN wbi ON bg.x = wbi.x AND bg.y = wbi.y
+        LEFT JOIN wu cx ON bg.x = cx.t
+        LEFT JOIN wu cy ON bg.y = cy.t, wt)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob,
+             round(exp(-avg(lp)), 6) AS ppl
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Ordered signup→view→click→purchase funnel over the event
+    * stream: strict sequential conversion semantics. */
+  private val q113 = Entry(
+    "q113_funnel",
+    (s, d) =>
+      graft.ops.Behavioral
+        .funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx"),
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1),
+      s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1)
+      SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'click', count(*) FROM s3
+      UNION ALL
+      SELECT 4, 'purchase', count(*) FROM s4
+      ORDER BY step_idx"""))
+
+  /** Weekly cohort retention triangle over the event stream. */
+  private val q114 = Entry(
+    "q114_cohort_retention",
+    (s, d) =>
+      graft.ops.Behavioral
+        .cohortRetention(Tables.events(s, d), "user_id", "ts", "week")
+        .select(col("cohort").cast("date").as("cohort"),
+          col("period_offset"), col("n_users"))
+        .orderBy("cohort", "period_offset"),
+    Some("""
+      WITH f AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events)
+      SELECT CAST(f.cohort AS DATE) AS cohort,
+             CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT)
+               AS period_offset,
+             count(*) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Binned mutual information between lineitem quantity and price —
+    * the nonlinear dependence screen. */
+  private val q115 = Entry(
+    "q115_mutual_info",
+    (s, d) =>
+      AnalysisPlanner
+        .mutualInformation(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice", bins = 16)
+        .select(r6(col("mi_nats")).as("mi_nats"), col("n"), col("bins")),
+    Some("""
+      WITH base AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      b AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                   min(y) AS ylo, max(y) AS yhi FROM base),
+      j AS (
+        SELECT LEAST(CAST(FLOOR(((x - xlo) / (xhi - xlo)) * 16) AS BIGINT),
+                 15) AS bx,
+               LEAST(CAST(FLOOR(((y - ylo) / (yhi - ylo)) * 16) AS BIGINT),
+                 15) AS by,
+               count(*) AS c
+        FROM base, b GROUP BY 1, 2),
+      mx AS (SELECT bx, sum(c) AS cx FROM j GROUP BY 1),
+      my AS (SELECT by, sum(c) AS cy FROM j GROUP BY 1),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j)
+      SELECT round(sum((j.c / t.n) * ln((j.c * t.n) /
+               (CAST(mx.cx AS DOUBLE) * my.cy))), 6) AS mi_nats,
+             CAST(min(t.n) AS BIGINT) AS n,
+             16 AS bins
+      FROM j JOIN mx USING (bx) JOIN my USING (by), t"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3624,7 +3753,7 @@ object Queries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111)
+    q109, q110, q111, q112, q113, q114, q115)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1128,6 +1128,47 @@ object AnalysisPlanner {
   }
 
   /**
+   * Binned mutual information between two numeric features —
+   * I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over an equal-width
+   * bins×bins grid — the nonlinear dependence screen Pearson misses
+   * (feature-relevance ranking, redundancy pruning). One bounds
+   * aggregate (broadcast), one joint-count aggregation over the scan;
+   * the marginals are re-aggregated FROM the joint frame (≤ bins²
+   * rows) and joined back on the bin keys — the raw rows are touched
+   * exactly once. Rows with a NULL on either side are excluded.
+   * Returns (mi_nats, n, bins).
+   */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val bounds = base.agg(min(x).as("__xlo"), max(x).as("__xhi"),
+      min(y).as("__ylo"), max(y).as("__yhi"))
+    def bucket(c: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      when(hi === lo, lit(0L))
+        .otherwise(least(floor(((c - lo) / (hi - lo)) * bins),
+          lit(bins - 1L)))
+    val joint = base.join(broadcast(bounds))
+      .groupBy(
+        bucket(x, col("__xlo"), col("__xhi")).as("__bx"),
+        bucket(y, col("__ylo"), col("__yhi")).as("__by"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = joint.groupBy("__bx").agg(sum(col("__c")).as("__cx"))
+    val my = joint.groupBy("__by").agg(sum(col("__c")).as("__cy"))
+    val tot = joint.agg(sum(col("__c")).as("__n"))
+    joint.join(mx, "__bx").join(my, "__by").crossJoin(broadcast(tot))
+      .agg(
+        sum((col("__c") / col("__n")) *
+          log((col("__c").cast("double") * col("__n")) /
+            (col("__cx").cast("double") * col("__cy")))).as("mi_nats"),
+        first(col("__n")).as("n"))
+      .withColumn("bins", lit(bins))
+  }
+
+  /**
    * Robust (MAD-based) outlier profile: flags |x − median| >
    * k · 1.4826 · MAD, where MAD = median(|x − median|) and 1.4826
    * scales MAD to σ under normality — the outlier rule that, unlike

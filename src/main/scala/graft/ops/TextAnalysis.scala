@@ -455,6 +455,58 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /**
+   * Interpolated bigram-LM scoring — one order up from
+   * [[unigramLogLikelihood]]: each document's mean log-probability of
+   * `P(w_i|w_{i−1}) = λ·c(w_{i−1}w_i)/c(w_{i−1}) + (1−λ)·P_α(w_i)`
+   * (Jelinek-Mercer interpolation with the add-α unigram as the
+   * backoff floor, so unseen bigrams never zero out). Catches
+   * word-salad text that fools a unigram model (right words, wrong
+   * order). Scale shape unchanged from the unigram scorer: both count
+   * frames are vocabulary-sized, document bigrams come from the
+   * map-only zip of a token array with its tail, scoring is two keyed
+   * joins + a per-doc mean. Documents with fewer than 2 tokens score
+   * NULL.
+   */
+  def bigramLogLikelihood(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, lambda: Double = 0.7,
+      alpha: Double = 1.0): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    require(alpha > 0, "alpha must be positive")
+    def bigrams(frame: DataFrame, c: String, extra: Seq[String]) = {
+      val w = words(col(c))
+      frame.where(size(w) >= 2)
+        .select(extra.map(col) :+ explode(arrays_zip(
+          slice(w, lit(1), size(w) - 1).as("x"),
+          slice(w, lit(2), size(w) - 1).as("y"))).as("p"): _*)
+        .select(extra.map(col) :+ col("p.x").as("x") :+ col("p.y").as("y"): _*)
+    }
+    val refBi = bigrams(ref, refTextCol, Nil)
+      .groupBy("x", "y").agg(count(lit(1)).as("__cxy"))
+    val refUni = ref.select(explode(words(col(refTextCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__ct"))
+    val totals = broadcast(refUni.agg(sum(col("__ct")).as("__n"),
+      count(lit(1)).as("__v")))
+    val pUni = (coalesce(col("__cy_uni"), lit(0L)) + lit(alpha)) /
+      (col("__n") + lit(alpha) * (col("__v") + lit(1)))
+    val pBi = when(col("__cx_uni").isNotNull && col("__cxy").isNotNull,
+      col("__cxy").cast("double") / col("__cx_uni"))
+      .otherwise(lit(0.0))
+    bigrams(df, textCol, Seq(idCol))
+      .join(refBi, Seq("x", "y"), "left")
+      .join(refUni.select(col("t").as("x"), col("__ct").as("__cx_uni")),
+        Seq("x"), "left")
+      .join(refUni.select(col("t").as("y"), col("__ct").as("__cy_uni")),
+        Seq("y"), "left")
+      .join(totals)
+      .select(col(idCol),
+        log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logprob"),
+        round(exp(-avg(col("__lp"))), 6).as("ppl"))
+  }
+
   def pmiBigrams(df: DataFrame, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
     val w = words(col(textCol))

@@ -1507,6 +1507,76 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("funnel: strict sequential conversion; out-of-order never counts") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "buy"),
+      // u2: view BEFORE signup → drops at step 2
+      (2L, 10L, "view"), (2L, 20L, "signup"),
+      // u3: signup only
+      (3L, 5L, "signup"),
+      // u4: never signs up
+      (4L, 1L, "view"), (4L, 2L, "buy"))
+      .toDF("u", "t", "et")
+    val out = graft.ops.Behavioral
+      .funnel(ev, "u", "t", "et", Seq("signup", "view", "buy"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "signup", 3L), (2, "view", 1L),
+      (3, "buy", 1L)))
+  }
+
+  test("cohortRetention: offsets count returning users per cohort") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-08"), (1L, "2024-01-22"),
+      (2L, "2024-01-02"), (2L, "2024-01-03"),  // same week twice → once
+      (3L, "2024-01-08"))
+      .toDF("u", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val out = graft.ops.Behavioral
+      .cohortRetention(ev, "u", "ts", "week")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2)))
+    // week of 2024-01-01: u1+u2 at offset 0; u1 at offsets 1 and 3.
+    // week of 2024-01-08: u3 at offset 0.
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-01", 3L, 1L), ("2024-01-08", 0L, 1L)))
+  }
+
+  test("mutualInformation: ~0 for independent, ~ln(bins) for identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val ind = (0 until 20000).map(_ =>
+      (rnd.nextDouble(), rnd.nextDouble())).toDF("x", "y")
+    val miInd = graft.analysis.AnalysisPlanner
+      .mutualInformation(ind, "x", "y", bins = 8).head().getDouble(0)
+    assert(miInd >= 0 && miInd < 0.02, s"independent MI $miInd")
+    val same = (0 until 20000).map(_ => rnd.nextDouble())
+      .map(v => (v, v)).toDF("x", "y")
+    val miSame = graft.analysis.AnalysisPlanner
+      .mutualInformation(same, "x", "y", bins = 8).head().getDouble(0)
+    assert(math.abs(miSame - math.log(8)) < 0.05, s"identity MI $miSame")
+  }
+
+  test("bigramLogLikelihood ranks ordered text above scrambled") {
+    import spark.implicits._
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .map(Tuple1(_)).toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"),   // fluent bigrams
+      (2L, "rug the on sat cat the"))   // same words, wrong order
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .bigramLogLikelihood(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    assert(out(0).getDouble(3) < out(1).getDouble(3)) // lower perplexity
+  }
+
   test("density histogram integrates to 1, globally and per segment") {
     import spark.implicits._
     val rnd = new scala.util.Random(67)
