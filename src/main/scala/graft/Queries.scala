@@ -3741,6 +3741,63 @@ object Queries {
              16 AS bins
       FROM j JOIN mx USING (bx) JOIN my USING (by), t"""))
 
+  /** Ranking-window completeness: NTILE / PERCENT_RANK / CUME_DIST
+    * (SURVEY §2.2 window surface, previously untested by any oracle). */
+  private val q116 = Entry(
+    "q116_window_ranking",
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_custkey"""))
+
+  /** Scalar-function completeness: INITCAP / SPLIT_PART / CBRT /
+    * numeric TRUNC / SIGN / GREATEST / LEAST (validator surface,
+    * previously untested by any oracle). Numeric TRUNC is
+    * toward-zero truncation in both engines. */
+  private val q117 = Entry(
+    "q117_scalar_extra",
+    (s, d) => {
+      val bal = col("c_acctbal")
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          initcap(lower(col("c_name"))).as("name_cap"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+          r6(cbrt(abs(bal))).as("bal_cbrt"),
+          (when(bal >= 0, floor(bal)).otherwise(ceil(bal)))
+            .cast("long").as("bal_trunc"),
+          signum(bal).cast("int").as("bal_sign"),
+          greatest(bal, lit(0.0)).as("bal_pos"),
+          least(bal, lit(0.0)).as("bal_neg"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+             array_to_string(list_transform(
+               string_split(lower(c_name), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS name_cap,
+             split_part(c_name, '#', 2) AS name_num,
+             round(cbrt(abs(c_acctbal)), 6) AS bal_cbrt,
+             CAST(trunc(c_acctbal) AS BIGINT) AS bal_trunc,
+             CAST(sign(c_acctbal) AS INTEGER) AS bal_sign,
+             greatest(c_acctbal, 0.0) AS bal_pos,
+             least(c_acctbal, 0.0) AS bal_neg
+      FROM customer ORDER BY c_custkey"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3753,7 +3810,7 @@ object Queries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
