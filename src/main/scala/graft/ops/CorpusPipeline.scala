@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
  *   4. near-dup clustering + keep  [[Dedup.ngramJaccardPairs]] →
  *      [[Dedup.dedupClusters]] → [[Dedup.canonicalPerCluster]]
  *   5. token-balanced shard packing [[Sampling.assignShards]]
+ *   6. (optional) deterministic train/val/test holdout
+ *      [[Sampling.hashSplit]] — growth-stable, so re-running the
+ *      pipeline on an extended corpus never migrates a document
+ *      across splits (the leakage guarantee a release needs)
  *
  * Everything stays declarative until the caller acts; the only
  * driver-side loop is connected components' O(log chain) rounds. Order
@@ -22,17 +26,22 @@ import org.apache.spark.sql.functions._
  * a canonical contest), boilerplate strip BEFORE exact dedup (docs
  * differing only in boilerplate ARE duplicates), near-dup LAST among
  * filters (it is the most expensive — let the cheap gates shrink its
- * input first). Wrap in [[graft.etl.FnTransform]] to run it inside the
- * job system with checkpoints/quality-metrics/targets.
+ * input first), holdout split LAST overall (splitting before dedup
+ * leaks near-copies across the train/test boundary — the classic
+ * contamination bug this ordering exists to prevent). Wrap in
+ * [[graft.etl.FnTransform]] to run it inside the job system with
+ * checkpoints/quality-metrics/targets.
  */
 object CorpusPipeline {
 
   /** Cleaning result: the surviving documents with cleaned text,
-    * token counts, and training-shard assignment. */
+    * token counts, training-shard assignment, and (when `splits` is
+    * non-empty) the deterministic holdout split. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 3, chunkMaxDocs: Long = 3,
       shingleN: Int = 3, jaccardThreshold: Double = 0.8,
-      maxPostings: Int = 100, tokensPerShard: Long = 4000): DataFrame = {
+      maxPostings: Int = 100, tokensPerShard: Long = 4000,
+      splits: Seq[(String, Double)] = Nil): DataFrame = {
     val base = docs.select(col(idCol), col(textCol))
 
     // 1. structural gate
@@ -63,9 +72,14 @@ object CorpusPipeline {
     val kept = exactDeduped.join(keep, Seq(idCol))
 
     // 5. token-balanced shards over the survivors
-    Sampling.assignShards(
+    val sharded = Sampling.assignShards(
       kept.withColumn("n_tokens",
         size(split(col(textCol), " ")).cast("long")),
       tokensPerShard, "n_tokens", Seq(idCol))
+
+    // 6. holdout split AFTER dedup so near-copies can't straddle the
+    // train/test boundary
+    if (splits.isEmpty) sharded
+    else Sampling.hashSplit(sharded, splits, Seq(idCol))
   }
 }

@@ -17,6 +17,13 @@ final case class FeatureSnapshot(key: String, count: Long, mean: Double,
 /** Welford running-variance state: three scalars per key. */
 final case class WelfordState(count: Long, mean: Double, m2: Double)
 
+/** EWMA state: the smoothed value + bookkeeping, three scalars. */
+final case class EwmaState(count: Long, ewma: Double, lastTs: Long)
+
+/** Emitted EWMA point. */
+final case class EwmaPoint(key: String, ts: Long, value: Double,
+    ewma: Double)
+
 /** Per-event verdict from [[StatefulFeatures.anomalyStream]]. */
 final case class AnomalyVerdict(key: String, ts: Long, value: Double,
     zscore: Option[Double], anomaly: Boolean)
@@ -96,6 +103,40 @@ object StatefulFeatures {
             s = WelfordState(n1, mean1, s.m2 + d1 * (ev.value - mean1))
             AnomalyVerdict(key, ev.ts, ev.value, score,
               score.exists(v => math.abs(v) > z))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming per-entity EWMA — the unbounded twin of
+   * [[graft.ops.TimeSeries.ewma]] (α = 2/(span+1), adjust=false):
+   * per-key state is ONE scalar (the current smoothed value) plus the
+   * last event time; each micro-batch folds its events in event-time
+   * order, so the emitted series equals the batch operator run over
+   * the concatenated history regardless of how delivery chops the
+   * stream into batches — the parity StreamingSpec asserts.
+   */
+  def ewmaStream(events: Dataset[FeatureEvent], span: Int)
+      : Dataset[EwmaPoint] = {
+    require(span >= 1, "span must be >= 1")
+    val alpha = 2.0 / (span + 1.0)
+    implicit val stateEnc = Encoders.product[EwmaState]
+    implicit val outEnc = Encoders.product[EwmaPoint]
+    events
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FeatureEvent],
+            state: GroupState[EwmaState]) =>
+          var s = state.getOption
+            .getOrElse(EwmaState(0L, Double.NaN, Long.MinValue))
+          val out = rows.toSeq.sortBy(ev => (ev.ts, ev.value)).map { ev =>
+            val e = if (s.count == 0L) ev.value
+                    else alpha * ev.value + (1 - alpha) * s.ewma
+            s = EwmaState(s.count + 1, e, math.max(ev.ts, s.lastTs))
+            EwmaPoint(key, ev.ts, ev.value, e)
           }
           state.update(s)
           out.iterator

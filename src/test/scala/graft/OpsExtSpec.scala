@@ -959,6 +959,16 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.forall(!_.getString(1).contains("copyright")))
     // shard packing engaged: ~25-token docs, 60-token shards → 2 shards
     assert(out.map(_.getLong(3)).distinct.length == 2)
+    // optional holdout split rides on the deduped survivors: complete
+    // partition, deterministic, and post-dedup (no near-dup straddle)
+    val withSplit = graft.ops.CorpusPipeline
+      .clean(docs, "doc_id", "text", chunkMaxDocs = 3,
+        jaccardThreshold = 0.7, tokensPerShard = 40,
+        splits = Seq("train" -> 0.5, "test" -> 0.5))
+      .collect()
+    assert(withSplit.map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    assert(withSplit.forall(r =>
+      Set("train", "test")(r.getString(r.fieldIndex("split")))))
   }
 
   test("qualityFlags gates on words, word length, stopwords, alpha fraction") {

@@ -84,6 +84,45 @@ class StreamingSpec extends AnyFunSuite {
       last.getDouble(2) == 3.0)
   }
 
+  test("streaming ewma equals the batch operator across batch splits") {
+    import spark.implicits._
+    import graft.streaming._
+    val events = (1 to 10).map(i =>
+      FeatureEvent("a", i.toDouble * i, i * 10L)) ++
+      (1 to 4).map(i => FeatureEvent("b", 100.0 - i, i * 10L))
+    // batch reference via the ops.TimeSeries kernel
+    val ref = graft.ops.TimeSeries
+      .ewma(events.toDS().toDF(), Seq("key"), "ts", "value", span = 5)
+      .select("key", "ts", "ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // batch-mode flatMapGroupsWithState gives the same series
+    val direct = StatefulFeatures.ewmaStream(events.toDS(), span = 5)
+      .collect().map(p => (p.key, p.ts) -> p.ewma).toMap
+    assert(direct.keySet == ref.keySet)
+    direct.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-12) }
+    // incremental delivery: state carries across micro-batches
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    events.grouped(5).foreach(chunk =>
+      // one file per chunk so micro-batch order follows event time
+      chunk.toDS().coalesce(1).write.mode("append").parquet(srcDir))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[FeatureEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir).as[FeatureEvent]
+    val q = StatefulFeatures.ewmaStream(stream, span = 5).writeStream
+      .outputMode("append").format("memory").queryName("ewmastream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT key, ts, ewma FROM ewmastream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(streamed.keySet == ref.keySet)
+    streamed.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-12) }
+  }
+
   test("streaming anomaly: strict-prior Welford scoring across batches") {
     import spark.implicits._
     import graft.streaming._
