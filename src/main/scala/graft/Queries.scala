@@ -3798,6 +3798,77 @@ object Queries {
              least(c_acctbal, 0.0) AS bal_neg
       FROM customer ORDER BY c_custkey"""))
 
+  /** Linear-time MMD² two-sample test between two embedding halves —
+    * distribution-level shift detection (complement of the centroid
+    * drift q103, which only sees mean movement). */
+  private val q118 = Entry(
+    "q118_embedding_mmd",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Features
+        .embeddingMmd(e.where(col("vec_id") < 250),
+          e.where(col("vec_id") >= 250), sigma = 1.0, buckets = 8)
+        .select(r6(col("mmd2")).as("mmd2"), col("n_pairs"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ((('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1048576) % 8) AS bkt
+        FROM embeddings),
+      ra AS (
+        SELECT bkt, v,
+               row_number() OVER (PARTITION BY bkt ORDER BY vec_id) - 1
+                 AS rn
+        FROM e WHERE vec_id < 250),
+      rb AS (
+        SELECT bkt, v,
+               row_number() OVER (PARTITION BY bkt ORDER BY vec_id) - 1
+                 AS rn
+        FROM e WHERE vec_id >= 250),
+      ga AS (
+        SELECT bkt, rn // 2 AS blk,
+               min(CASE WHEN rn % 2 = 0 THEN v END) AS a1,
+               min(CASE WHEN rn % 2 = 1 THEN v END) AS a2
+        FROM ra GROUP BY 1, 2),
+      gb AS (
+        SELECT bkt, rn // 2 AS blk,
+               min(CASE WHEN rn % 2 = 0 THEN v END) AS b1,
+               min(CASE WHEN rn % 2 = 1 THEN v END) AS b2
+        FROM rb GROUP BY 1, 2),
+      j AS (
+        SELECT a1, a2, b1, b2 FROM ga JOIN gb USING (bkt, blk)
+        WHERE a1 IS NOT NULL AND a2 IS NOT NULL
+          AND b1 IS NOT NULL AND b2 IS NOT NULL),
+      h AS (
+        SELECT exp(-list_aggregate(list_transform(list_zip(a1, a2),
+                 p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') / 2.0)
+             + exp(-list_aggregate(list_transform(list_zip(b1, b2),
+                 p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') / 2.0)
+             - exp(-list_aggregate(list_transform(list_zip(a1, b2),
+                 p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') / 2.0)
+             - exp(-list_aggregate(list_transform(list_zip(a2, b1),
+                 p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') / 2.0) AS hv
+        FROM j)
+      SELECT round(avg(hv), 6) AS mmd2, count(*) AS n_pairs FROM h"""))
+
+  /** GROUPED exact percentiles — exercises the per-group bucketed
+    * prefix-sum path (every prior percentile oracle was ungrouped). */
+  private val q119 = Entry(
+    "q119_grouped_percentiles",
+    (s, d) =>
+      AnalysisPlanner
+        .exactPercentiles(Tables.lineitem(s, d), "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9), Seq("l_returnflag"))
+        .select(col("l_returnflag"), r6(col("p50")).as("p50"),
+          r6(col("p90")).as("p90"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3810,7 +3881,7 @@ object Queries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -291,6 +291,54 @@ object Features {
   }
 
   /**
+   * Linear-time MMD² two-sample test between two embedding sets
+   * (Gretton et al. 2012 §6, the streaming estimator): rows of each
+   * side are paired consecutively in deterministic id order and the
+   * unbiased estimate averages
+   * `h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁)` over disjoint
+   * pair blocks, with the RBF kernel `k(a,b) = exp(−‖a−b‖²/(2σ²))`.
+   * MMD² ≈ 0 → same distribution; > 0 → shift. This is the
+   * DISTRIBUTION-level complement of [[embeddingDrift]] (which only
+   * compares means — blind to variance/shape changes MMD catches).
+   *
+   * O(n) kernel evaluations vs the quadratic full estimator. Pairing
+   * is hash-bucketed so it DISTRIBUTES: rows land in `buckets` md5
+   * buckets of their id, a bucket-PARTITIONED `row_number` over id
+   * order pairs consecutive rows within each bucket, and the two sides
+   * join on (bucket, pair index) — any deterministic bijection between
+   * a-pairs and b-pairs is a valid linear-MMD pairing, and this one
+   * needs no global window anywhere. Mismatched tails (odd bucket
+   * populations, unequal side sizes) drop from the inner join.
+   */
+  def embeddingMmd(a: DataFrame, b: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", sigma: Double = 1.0,
+      buckets: Int = 32): DataFrame = {
+    require(sigma > 0, "sigma must be positive")
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, pfx: String) = {
+      val bkt = pmod(graft.functions.PortableHash.bucket(Seq(col(idCol))),
+        lit(buckets.toLong)).as("__bkt")
+      val w = Window.partitionBy("__bkt").orderBy(col(idCol))
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"), bkt)
+        .withColumn("__rn", row_number().over(w) - 1)
+        .groupBy(col("__bkt"), (col("__rn") / 2).cast("long").as("__blk"))
+        .agg(min(when(col("__rn") % 2 === 0, col("__v"))).as(s"${pfx}1"),
+          min(when(col("__rn") % 2 === 1, col("__v"))).as(s"${pfx}2"))
+    }
+    def sq(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)), lit(0.0), _ + _)
+    def k(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      exp(-sq(x, y) / lit(2.0 * sigma * sigma))
+    prep(a, "a").join(prep(b, "b"), Seq("__bkt", "__blk"))
+      .where(col("a1").isNotNull && col("a2").isNotNull &&
+        col("b1").isNotNull && col("b2").isNotNull)
+      .select((k(col("a1"), col("a2")) + k(col("b1"), col("b2")) -
+        k(col("a1"), col("b2")) - k(col("a2"), col("b1"))).as("__h"))
+      .agg(avg(col("__h")).as("mmd2"), count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Quantile (equal-frequency) bucketing: row → bucket 1..n by the
    * exact interpolated quantile boundaries. Boundaries come from the
    * distributed percentile machinery

@@ -1775,6 +1775,24 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingMmd: ~0 for same distribution, positive under shift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    def gauss(n: Int, ids: Range, shift: Double) = ids.take(n).map { i =>
+      (i.toLong, Array.tabulate(8)(_ => rnd.nextGaussian() + shift))
+    }.toDF("vec_id", "embedding")
+    val a = gauss(2000, 0 until 2000, 0.0)
+    val same = gauss(2000, 2000 until 4000, 0.0)
+    val shifted = gauss(2000, 2000 until 4000, 1.0)
+    val mmdSame = graft.ops.Features.embeddingMmd(a, same, sigma = 2.0)
+      .head().getDouble(0)
+    val mmdShift = graft.ops.Features.embeddingMmd(a, shifted, sigma = 2.0)
+      .head().getDouble(0)
+    assert(math.abs(mmdSame) < 0.05, s"same-dist MMD $mmdSame")
+    assert(mmdShift > 0.1, s"shifted MMD $mmdShift")
+    assert(mmdShift > mmdSame * 5)
+  }
+
   test("embeddingDrift: identical corpora → cosine 1, l2 0") {
     import spark.implicits._
     val df = (0 until 100).map { i =>
