@@ -92,7 +92,13 @@ object MetaCatalog {
     }
   }
 
-  /** Reload a [[save]]d registry into a fresh [[FeatureStore]]. */
+  /** Reload a [[save]]d registry into a fresh [[FeatureStore]].
+    *
+    * The `collect()`s here are REGISTRY-sized (groups / feature
+    * versions / grants / audit entries — metadata cardinality, never
+    * data rows): the in-memory registry they rebuild is the same size
+    * by definition, so the driver round-trip is bounded by what the
+    * process already holds. */
   def load(spark: SparkSession, path: String): FeatureStore = {
     val dir = path.stripSuffix("/")
     val store = new FeatureStore

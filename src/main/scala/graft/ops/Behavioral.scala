@@ -19,26 +19,34 @@ object Behavioral {
    * signup does not convert). Each step is one filtered aggregation
    * joined on the user key: k steps = k keyed joins over per-step
    * MINIMAL frames (one row per qualifying user), never a self-join of
-   * the raw stream. Returns (step_idx, step, n_users) with step 1 = the
-   * entry population.
+   * the raw stream. Each intermediate reach frame is persisted so the
+   * single result action computes every step ONCE — without the cache,
+   * step k's plan would re-execute steps 1..k−1 (O(k²) scans); caches
+   * are released to Spark's LRU once the action completes. Returns
+   * (step_idx, step, n_users) with step 1 = the entry population, as
+   * ONE lazy frame (no per-step driver action).
    */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = df.sparkSession
-    import spark.implicits._
     var reached = df.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
-      (1, steps.head, reached.count()))
+      .persist()
+    def stepCount(r: DataFrame, idx: Int, name: String) =
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("step_idx"), lit(name).as("step"),
+          col("n_users"))
+    val stepCounts = scala.collection.mutable.ArrayBuffer(
+      stepCount(reached, 1, steps.head))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
       reached = df.where(col(typeCol) === s)
         .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
         .where(col(tsCol) >= col("__prev"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-      counts += ((i + 1, s, reached.count()))
+        .persist()
+      stepCounts += stepCount(reached, i + 1, s)
     }
-    counts.toSeq.toDF("step_idx", "step", "n_users")
+    stepCounts.reduce(_ unionByName _)
   }
 
   /**
