@@ -3869,6 +3869,59 @@ object Queries {
              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral fingerprint. */
+  private val q120 = Entry(
+    "q120_event_transitions",
+    (s, d) =>
+      graft.ops.Behavioral
+        .eventTransitions(Tables.events(s, d), "user_id", "ts",
+          "event_type", tieCols = Seq("event_id"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          r6(col("p")).as("p"))
+        .orderBy("from_type", "to_type"),
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+      c AS (
+        SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n,
+             round(c.n / t.tot, 6) AS p
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type"""))
+
+  /** Per-user inter-arrival cadence profile (gap stats in seconds). */
+  private val q121 = Entry(
+    "q121_inter_arrival",
+    (s, d) =>
+      graft.ops.Behavioral
+        .interArrival(
+          Tables.events(s, d)
+            .withColumn("t_sec", unix_micros(col("ts")) / lit(1000000.0)),
+          "user_id", "t_sec", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("n_gaps"),
+          r6(col("mean_gap")).as("mean_gap"),
+          r6(col("min_gap")).as("min_gap"),
+          r6(col("max_gap")).as("max_gap"))
+        .orderBy("user_id"),
+    Some("""
+      WITH s AS (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch(ts), event_id) AS gap
+        FROM events)
+      SELECT user_id,
+             count(gap) AS n_gaps,
+             round(avg(gap), 6) AS mean_gap,
+             round(min(gap), 6) AS min_gap,
+             round(max(gap), 6) AS max_gap
+      FROM s GROUP BY user_id ORDER BY user_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3881,7 +3934,8 @@ object Queries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
+    q120, q121)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -50,6 +50,52 @@ object Behavioral {
   }
 
   /**
+   * First-order Markov transition profile over per-user event
+   * sequences: P(next event type | current type), estimated from every
+   * consecutive pair in each user's time-ordered stream. One
+   * user-partitioned `lag` window (ties pinned by `tieCols`) + one
+   * pair-count aggregation + a per-source-state total joined back —
+   * the "what do users do next" behavioral fingerprint, and the input
+   * to sequence-anomaly scoring (improbable transition chains).
+   */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, "from_type")
+      .withColumn("p", col("n").cast("double") / col("__tot"))
+      .drop("__tot")
+  }
+
+  /**
+   * Per-user inter-arrival profile: count, mean/min/max gap (seconds)
+   * between consecutive events — the activity-cadence feature set
+   * (burst detection upstream, churn signals downstream). One
+   * user-partitioned `lag` window + one aggregation; users with a
+   * single event report zero gaps and NULL stats.
+   */
+  def interArrival(df: DataFrame, userCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val t = col(tsCol).cast("double")
+    df.withColumn("__gap", t - lag(t, 1).over(w))
+      .groupBy(col(userCol))
+      .agg(count(col("__gap")).as("n_gaps"),
+        avg(col("__gap")).as("mean_gap"),
+        min(col("__gap")).as("min_gap"),
+        max(col("__gap")).as("max_gap"))
+  }
+
+  /**
    * Cohort retention: users grouped by their first-activity period
    * (the cohort), counted in every later period they return —
    * `(cohort, period_offset, n_users)`, the classic retention

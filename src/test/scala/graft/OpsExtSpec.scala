@@ -1517,6 +1517,30 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("behavioral/series ops survive empty and degenerate inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, String)].toDF("u", "t", "et")
+    // funnel on an empty stream: every step reports 0
+    val f = graft.ops.Behavioral
+      .funnel(empty, "u", "t", "et", Seq("a", "b"))
+      .orderBy("step_idx").collect()
+    assert(f.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    // transitions/inter-arrival: single-event users → empty / NULL stats
+    val one = Seq((1L, 10L, "a")).toDF("u", "t", "et")
+    assert(graft.ops.Behavioral
+      .eventTransitions(one, "u", "t", "et").isEmpty)
+    val ia = graft.ops.Behavioral.interArrival(one, "u", "t").head()
+    assert(ia.getLong(1) == 0 && ia.isNullAt(2))
+    // ewma on empty input: empty output, no kernel crash
+    assert(graft.ops.TimeSeries
+      .ewma(empty.toDF("k", "t", "v"), Seq("k"), "t", "v", span = 3)
+      .isEmpty)
+    // MMD with sides too small to pair: zero pairs, NULL estimate
+    val tiny = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val mmd = graft.ops.Features.embeddingMmd(tiny, tiny).head()
+    assert(mmd.getLong(1) == 0 && mmd.isNullAt(0))
+  }
+
   test("funnel: strict sequential conversion; out-of-order never counts") {
     import spark.implicits._
     val ev = Seq(
