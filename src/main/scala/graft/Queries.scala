@@ -3922,6 +3922,89 @@ object Queries {
              round(max(gap), 6) AS max_gap
       FROM s GROUP BY user_id ORDER BY user_id"""))
 
+  /** WOE / information value of the embedding norm against label==1 —
+    * the tabular feature-relevance diagnostic. */
+  private val q122 = Entry(
+    "q122_woe_bins",
+    (s, d) =>
+      graft.ops.Features
+        .woeBins(
+          Tables.embeddings(s, d)
+            .withColumn("nrm",
+              graft.functions.VectorFunctions.norm(col("embedding")))
+            .withColumn("is_one", (col("label") === 1).cast("int")),
+          "nrm", "is_one", bins = 8)
+        .select(col("bucket"), col("n_good"), col("n_bad"),
+          r6(col("woe")).as("woe"), r6(col("iv_term")).as("iv_term"))
+        .orderBy("bucket"),
+    Some("""
+      WITH e AS (
+        SELECT sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 CAST(embedding AS DOUBLE[]))) AS nrm,
+               CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+        FROM embeddings),
+      b AS (SELECT min(nrm) AS lo, max(nrm) AS hi FROM e),
+      binned AS (
+        SELECT LEAST(CAST(FLOOR(((nrm - lo) / (hi - lo)) * 8) AS BIGINT),
+                 7) AS bucket,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_good,
+               CAST(sum(CASE WHEN y <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad
+        FROM e, b GROUP BY 1),
+      t AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb, count(*) AS nb
+            FROM binned),
+      w AS (
+        SELECT bucket, n_good, n_bad,
+               (n_good + 0.5) / (t.tg + 0.5 * t.nb) AS pg,
+               (n_bad + 0.5) / (t.tb + 0.5 * t.nb) AS pb
+        FROM binned, t)
+      SELECT bucket, n_good, n_bad,
+             round(ln(pg / pb), 6) AS woe,
+             round((pg - pb) * ln(pg / pb), 6) AS iv_term
+      FROM w ORDER BY bucket"""))
+
+  /** Week-over-week PSI drift series on event values — the scheduled
+    * per-feature stability monitor. */
+  private val q123 = Entry(
+    "q123_psi_over_time",
+    (s, d) =>
+      AnalysisPlanner
+        .psiOverTime(Tables.events(s, d), "ts", "value",
+          granularity = "week", bins = 10)
+        .select(col("period").cast("date").as("period"),
+          r6(col("psi")).as("psi"), col("n_cur"), col("n_prev"))
+        .orderBy("period"),
+    Some("""
+      WITH e AS (SELECT date_trunc('week', ts) AS p, "value" AS x
+                 FROM events WHERE "value" IS NOT NULL),
+      b AS (SELECT min(x) AS lo, max(x) AS hi FROM e),
+      binned AS (
+        SELECT p, LEAST(CAST(FLOOR(((x - lo) / (hi - lo)) * 10) AS BIGINT),
+                 9) AS bucket,
+               count(*) AS c
+        FROM e, b GROUP BY 1, 2),
+      tot AS (SELECT p, CAST(sum(c) AS BIGINT) AS tot FROM binned
+              GROUP BY 1),
+      grid AS (
+        SELECT tot.p, tot.tot, g.bucket,
+               (COALESCE(binned.c, 0) + 0.5) / (tot.tot + 0.5 * 10)
+                 AS prob
+        FROM tot
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+        LEFT JOIN binned ON binned.p = tot.p AND binned.bucket = g.bucket),
+      j AS (
+        SELECT cur.p AS period, cur.prob AS pc, prv.prob AS pp,
+               cur.tot AS n_cur, prv.tot AS n_prev
+        FROM grid cur
+        JOIN grid prv ON prv.p + INTERVAL 7 DAY = cur.p
+                     AND prv.bucket = cur.bucket)
+      SELECT CAST(period AS DATE) AS period,
+             round(sum((pc - pp) * ln(pc / pp)), 6) AS psi,
+             CAST(min(n_cur) AS BIGINT) AS n_cur,
+             CAST(min(n_prev) AS BIGINT) AS n_prev
+      FROM j GROUP BY period ORDER BY period"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -3935,7 +4018,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121)
+    q120, q121, q122, q123)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1128,6 +1128,60 @@ object AnalysisPlanner {
   }
 
   /**
+   * Period-over-period PSI series — the "is this feature drifting week
+   * by week" monitor a featurestore schedules per feature: the feature
+   * is binned ONCE over its global range (fixed bins keep periods
+   * comparable), per-(period, bin) probabilities are Laplace-smoothed
+   * on a DENSE period×bin grid (a missing bin is a zero count, not a
+   * missing term — dropping it would understate drift), and each
+   * period joins its predecessor by calendar arithmetic (period =
+   * prev + 1 unit — no window over the period list). Returns
+   * (period, psi, n_cur, n_prev) for every period with a predecessor.
+   */
+  def psiOverTime(df: DataFrame, tsCol: String, feature: String,
+      granularity: String = "week", bins: Int = 10,
+      laplace: Double = 0.5): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    require(laplace > 0, "laplace must be positive (guards empty bins)")
+    val x = col(feature).cast("double")
+    val base = df.where(x.isNotNull)
+    val bounds = base.agg(min(x).as("__lo"), max(x).as("__hi"))
+    val binned = base.join(broadcast(bounds))
+      .withColumn("__p", date_trunc(granularity, col(tsCol)))
+      .withColumn("bucket",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor(((x - col("__lo")) / (col("__hi") - col("__lo"))) * bins),
+            lit(bins - 1L))))
+      .groupBy("__p", "bucket").agg(count(lit(1)).as("__c"))
+    val tot = binned.groupBy("__p").agg(sum(col("__c")).as("__tot"))
+    // dense grid: every (period, bin) cell, absent bins count 0
+    val grid = tot
+      .select(col("__p"), col("__tot"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bucket"))
+      .join(binned, Seq("__p", "bucket"), "left")
+      .withColumn("__prob",
+        (coalesce(col("__c"), lit(0L)) + lit(laplace)) /
+          (col("__tot") + lit(laplace) * bins))
+    val step = granularity.toLowerCase match {
+      case "day"   => expr("INTERVAL 1 DAY")
+      case "week"  => expr("INTERVAL 7 DAYS")
+      case "month" => expr("INTERVAL 1 MONTH")
+      case g => throw new IllegalArgumentException(s"granularity: $g")
+    }
+    val cur = grid.select(col("__p"), col("bucket"),
+      col("__prob").as("__pc"), col("__tot").as("n_cur"))
+    val prev = grid.select((col("__p") + step).as("__p"), col("bucket"),
+      col("__prob").as("__pp"), col("__tot").as("n_prev"))
+    cur.join(prev, Seq("__p", "bucket"))
+      .groupBy(col("__p").as("period"))
+      .agg(sum((col("__pc") - col("__pp")) * log(col("__pc") / col("__pp")))
+          .as("psi"),
+        first(col("n_cur")).as("n_cur"),
+        first(col("n_prev")).as("n_prev"))
+  }
+
+  /**
    * Binned mutual information between two numeric features —
    * I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over an equal-width
    * bins×bins grid — the nonlinear dependence screen Pearson misses

@@ -291,6 +291,56 @@ object Features {
   }
 
   /**
+   * Weight-of-evidence encoding + information value of a numeric
+   * feature against a binary target — the credit-scoring-era feature
+   * diagnostic that survived into every tabular featurestore:
+   *
+   *   woe(bin) = ln( (good_bin/good_total) / (bad_bin/bad_total) )
+   *   IV       = Σ (good% − bad%) · woe
+   *
+   * Bins are equal-width over the feature's range (the histogram
+   * machinery's bucket rule); `laplace` adds a smoothing count to both
+   * classes in every bin so empty-class bins never produce ±∞. One
+   * bounds aggregate + one (bin × class) aggregation over the scan;
+   * class totals are re-aggregated from the binned frame. Returns one
+   * row per bin (bucket, n_good, n_bad, woe, iv_term) — `sum(iv_term)`
+   * is the feature's IV.
+   */
+  def woeBins(df: DataFrame, featureCol: String,
+      labelCol: String, bins: Int = 10, laplace: Double = 0.5)
+      : DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    require(laplace > 0, "laplace must be positive (guards empty bins)")
+    val x = col(featureCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val bounds = base.agg(min(x).as("__lo"), max(x).as("__hi"))
+    val binned = base.join(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor(((x - col("__lo")) / (col("__hi") - col("__lo"))) * bins),
+            lit(bins - 1L))))
+      .groupBy("bucket")
+      .agg(count(when(y === 1, 1)).as("n_good"),
+        count(when(y =!= 1, 1)).as("n_bad"))
+    val totals = broadcast(binned.agg(
+      sum(col("n_good")).as("__tg"), sum(col("n_bad")).as("__tb"),
+      count(lit(1)).as("__nb")))
+    binned.crossJoin(totals)
+      .withColumn("__pg",
+        (col("n_good") + lit(laplace)) /
+          (col("__tg") + lit(laplace) * col("__nb")))
+      .withColumn("__pb",
+        (col("n_bad") + lit(laplace)) /
+          (col("__tb") + lit(laplace) * col("__nb")))
+      .withColumn("woe", log(col("__pg") / col("__pb")))
+      .withColumn("iv_term", (col("__pg") - col("__pb")) * col("woe"))
+      .select(col("bucket"), col("n_good"), col("n_bad"), col("woe"),
+        col("iv_term"))
+  }
+
+  /**
    * Linear-time MMD² two-sample test between two embedding sets
    * (Gretton et al. 2012 §6, the streaming estimator): rows of each
    * side are paired consecutively in deterministic id order and the

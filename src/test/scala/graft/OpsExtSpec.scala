@@ -1799,6 +1799,44 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("woeBins: separating feature has large IV, uninformative ~0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    // label 1 concentrated high, label 0 low → separating
+    val sep = (0 until 4000).map { _ =>
+      val y = rnd.nextInt(2)
+      (if (y == 1) 10 + rnd.nextGaussian() else rnd.nextGaussian(), y)
+    }.toDF("x", "y")
+    val ivSep = graft.ops.Features.woeBins(sep, "x", "y", bins = 8)
+      .agg(sum("iv_term")).head().getDouble(0)
+    assert(ivSep > 1.0, s"separating IV $ivSep")
+    // same distribution for both classes → IV near zero
+    val flat = (0 until 4000).map(_ =>
+      (rnd.nextGaussian(), rnd.nextInt(2))).toDF("x", "y")
+    val ivFlat = graft.ops.Features.woeBins(flat, "x", "y", bins = 8)
+      .agg(sum("iv_term")).head().getDouble(0)
+    assert(ivFlat >= 0 && ivFlat < 0.05, s"flat IV $ivFlat")
+  }
+
+  test("psiOverTime: stable weeks ~0, shifted week spikes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    // 3 stable weeks then one shifted week
+    val rows = (0 until 4).flatMap { wk =>
+      val shift = if (wk == 3) 5.0 else 0.0
+      (0 until 2000).map { _ =>
+        (java.sql.Timestamp.valueOf(s"2024-01-${1 + wk * 7} 12:00:00"),
+          rnd.nextGaussian() + shift)
+      }
+    }.toDF("ts", "v")
+    val out = graft.analysis.AnalysisPlanner
+      .psiOverTime(rows, "ts", "v", "week", bins = 10)
+      .orderBy("period").collect()
+    assert(out.length == 3) // weeks 2..4 each have a predecessor
+    assert(out(0).getDouble(1) < 0.1 && out(1).getDouble(1) < 0.1)
+    assert(out(2).getDouble(1) > 1.0, s"shift PSI ${out(2).getDouble(1)}")
+  }
+
   test("embeddingMmd: ~0 for same distribution, positive under shift") {
     import spark.implicits._
     val rnd = new scala.util.Random(73)
