@@ -4005,6 +4005,50 @@ object Queries {
              CAST(min(n_prev) AS BIGINT) AS n_prev
       FROM j GROUP BY period ORDER BY period"""))
 
+  /** Audio chunk planning over document payloads modeled as PCM16
+    * mono 16 kHz — 5 ms windows with 1 ms overlap, exact byte ranges. */
+  private val q124 = Entry(
+    "q124_audio_chunk_plan",
+    (s, d) =>
+      graft.ops.Multimodal
+        .audioChunkPlan(
+          Tables.documents(s, d)
+            .where(col("doc_id") < 50)
+            .select(col("doc_id"), col("n_chars").as("size_bytes")),
+          "doc_id", "size_bytes", sampleRate = 16000,
+          bytesPerSample = 2, channels = 1,
+          chunkSeconds = 0.005, overlapSeconds = 0.001)
+        .select(col("doc_id"), col("chunk_idx"), col("start_sample"),
+          col("n_samples"), col("start_byte"), col("n_bytes"),
+          r6(col("start_sec")).as("start_sec"),
+          r6(col("end_sec")).as("end_sec"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(n_chars // 2 AS BIGINT) AS total
+        FROM documents WHERE doc_id < 50),
+      n AS (
+        SELECT doc_id, total,
+               CASE WHEN total <= 0 THEN 0
+                    WHEN total <= 80 THEN 1
+                    ELSE CAST(CEIL((total - 80) / 64.0) AS BIGINT) + 1
+               END AS nch
+        FROM d),
+      c AS (
+        SELECT doc_id, total, unnest(range(0, nch)) AS chunk_idx
+        FROM n WHERE nch > 0),
+      r AS (
+        SELECT doc_id, chunk_idx,
+               chunk_idx * 64 AS start_sample,
+               LEAST(80, total - chunk_idx * 64) AS n_samples
+        FROM c)
+      SELECT doc_id, chunk_idx, start_sample, n_samples,
+             start_sample * 2 AS start_byte,
+             n_samples * 2 AS n_bytes,
+             round(start_sample / 16000.0, 6) AS start_sec,
+             round((start_sample + n_samples) / 16000.0, 6) AS end_sec
+      FROM r ORDER BY doc_id, chunk_idx"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4018,7 +4062,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123)
+    q120, q121, q122, q123, q124)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

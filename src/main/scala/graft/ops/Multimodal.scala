@@ -98,6 +98,56 @@ object Multimodal {
       .select(col(uriCol), col("frame_idx"), col("frame"), col("n_frames"))
   }
 
+  /**
+   * Audio chunk planning for PCM-modeled payloads: fixed-duration
+   * windows with overlap, expressed as exact BYTE RANGES — the
+   * pre-decode step of an audio pipeline (ASR batching, diarization
+   * windows). For raw PCM the sample↔byte arithmetic here is exact,
+   * not a stub; container formats would insert a demuxer before it
+   * (codec libs don't ship offline — same contract as [[frameSample]]).
+   * Map-only: per blob, `total_samples = ⌊bytes / (bytesPerSample ·
+   * channels)⌋`, windows of `chunkSeconds` advance by `chunkSeconds −
+   * overlapSeconds`, the tail window truncates; output is one row per
+   * chunk with sample and byte offsets plus start/end seconds. The
+   * caller slices payload bytes with `substring(payload, start_byte+1,
+   * n_bytes)` when the content rides along.
+   */
+  def audioChunkPlan(df: DataFrame, uriCol: String, sizeBytesCol: String,
+      sampleRate: Int, bytesPerSample: Int = 2, channels: Int = 1,
+      chunkSeconds: Double = 30.0, overlapSeconds: Double = 0.0)
+      : DataFrame = {
+    require(sampleRate > 0 && bytesPerSample > 0 && channels > 0,
+      "sampleRate/bytesPerSample/channels must be positive")
+    require(chunkSeconds > 0 && overlapSeconds >= 0 &&
+      overlapSeconds < chunkSeconds,
+      "need 0 <= overlapSeconds < chunkSeconds")
+    val frameBytes = bytesPerSample.toLong * channels
+    val chunkSamples = math.max(1L, math.round(chunkSeconds * sampleRate))
+    val hopSamples = math.max(1L,
+      chunkSamples - math.round(overlapSeconds * sampleRate))
+    val total = floor(col(sizeBytesCol).cast("double") / frameBytes)
+      .cast("long")
+    val nChunks = when(total <= 0, lit(0L))
+      .when(total <= chunkSamples, lit(1L))
+      .otherwise(ceil((total - chunkSamples).cast("double") / hopSamples)
+        .cast("long") + 1L)
+    df.withColumn("__total", total)
+      .withColumn("__n", nChunks)
+      .where(col("__n") > 0)
+      .select(col(uriCol), col("__total"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("chunk_idx"))
+      .withColumn("start_sample", col("chunk_idx") * hopSamples)
+      .withColumn("n_samples",
+        least(lit(chunkSamples), col("__total") - col("start_sample")))
+      .withColumn("start_byte", col("start_sample") * frameBytes)
+      .withColumn("n_bytes", col("n_samples") * frameBytes)
+      .withColumn("start_sec",
+        col("start_sample").cast("double") / sampleRate)
+      .withColumn("end_sec",
+        (col("start_sample") + col("n_samples")).cast("double") / sampleRate)
+      .drop("__total")
+  }
+
   /** Feature row produced by the (pluggable) decoder. */
   type BatchExtractor = Iterator[(String, Array[Byte])] => Iterator[(String, Array[Float], Long)]
 

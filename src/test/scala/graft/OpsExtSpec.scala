@@ -1517,6 +1517,39 @@ class OpsExtSpec extends AnyFunSuite {
     assert(sem.where(!col("keep")).count() < 3000)
   }
 
+  test("audioChunkPlan: ranges tile the stream; slices reassemble") {
+    import spark.implicits._
+    // 10-sample payload (20 bytes, PCM16 mono), 4-sample chunks, 2 hop
+    val payload = (0 until 20).map(_.toByte).toArray
+    val df = Seq(("u1", payload.length.toLong, payload))
+      .toDF("uri", "size_bytes", "content")
+    val plan = graft.ops.Multimodal.audioChunkPlan(df, "uri", "size_bytes",
+      sampleRate = 4, bytesPerSample = 2, channels = 1,
+      chunkSeconds = 1.0, overlapSeconds = 0.5)
+      .orderBy("chunk_idx").collect()
+    // total 10 samples, chunk 4, hop 2 → ceil((10-4)/2)+1 = 4 chunks
+    assert(plan.length == 4)
+    assert(plan.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 4L)))
+    // last chunk ends exactly at the stream end; none overruns
+    assert(plan.forall(r => r.getLong(4) + r.getLong(5) <= 20))
+    assert(plan.last.getLong(4) + plan.last.getLong(5) == 20)
+    // byte slices line up with the computed offsets
+    val sliced = graft.ops.Multimodal.audioChunkPlan(df, "uri",
+      "size_bytes", 4, 2, 1, 1.0, 0.5)
+      .join(df, "uri")
+      .withColumn("chunk", expr(
+        "substring(content, cast(start_byte + 1 as int), cast(n_bytes as int))"))
+      .orderBy("chunk_idx").collect()
+    val first = sliced.head.getAs[Array[Byte]]("chunk")
+    assert(first.toSeq == payload.take(8).toSeq)
+    // truncated tail: 11-sample payload → last chunk 3 samples
+    val odd = Seq(("u2", 22L)).toDF("uri", "size_bytes")
+    val tail = graft.ops.Multimodal.audioChunkPlan(odd, "uri",
+      "size_bytes", 4, 2, 1, 1.0, 0.5).orderBy("chunk_idx").collect().last
+    assert(tail.getLong(3) == 3L && tail.getLong(5) == 6L)
+  }
+
   test("behavioral/series ops survive empty and degenerate inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, String)].toDF("u", "t", "et")
