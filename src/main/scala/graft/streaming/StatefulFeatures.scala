@@ -20,6 +20,20 @@ final case class WelfordState(count: Long, mean: Double, m2: Double)
 /** EWMA state: the smoothed value + bookkeeping, three scalars. */
 final case class EwmaState(count: Long, ewma: Double, lastTs: Long)
 
+/** Session input row: epoch-millis ts plus the original watermarked
+  * timestamp column (must survive the projection — Spark's streaming
+  * checker requires the watermarked attribute in the stateful
+  * operator's child for EventTimeTimeout). */
+final case class SessionEvent(key: String, ts: Long,
+    et: java.sql.Timestamp)
+
+/** Open-session state: three scalars per key with an open session. */
+final case class SessionState(start: Long, end: Long, n: Long)
+
+/** A closed session. */
+final case class SessionOut(key: String, sessionStart: Long,
+    sessionEnd: Long, nEvents: Long)
+
 /** Emitted EWMA point. */
 final case class EwmaPoint(key: String, ts: Long, value: Double,
     ewma: Double)
@@ -140,6 +154,78 @@ object StatefulFeatures {
           }
           state.update(s)
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming sessionization with TIMEOUT-DRIVEN state expiry — the
+   * state-lifecycle complement of the windowed `session_window`
+   * aggregation in [[StreamingAgg]]: an open session per key lives in
+   * state, extends while events arrive within `gapMs` of its current
+   * end, and is EMITTED (then cleared) either when a later event opens
+   * a new session or when the EVENT-TIME timeout fires — i.e. the
+   * watermark passed `session end + gap`, so the engine itself closes
+   * idle sessions without waiting for the key's next event. That
+   * timeout path is what a pure aggregation can't express and what
+   * bounds state for keys that go silent: state is O(open sessions),
+   * not O(keys ever seen).
+   *
+   * Events inside a micro-batch fold in event-time order; late events
+   * older than the open session's start are counted into it (the
+   * watermark on the SOURCE governs true lateness). Emitted rows:
+   * (key, session_start, session_end, n_events).
+   */
+  def sessionStream(df: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long, watermarkDelay: Option[String] = None)
+      : Dataset[SessionOut] = {
+    require(gapMs > 0, "gap must be positive")
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    import org.apache.spark.sql.functions._
+    // watermark BEFORE the projection, and the watermarked attribute
+    // itself carried THROUGH it (aliased — alias preserves the
+    // watermark metadata): Spark's streaming checker requires it in the
+    // stateful operator's child for EventTimeTimeout
+    val withWm = watermarkDelay.fold(df)(d => df.withWatermark(tsCol, d))
+    val events = withWm.select(
+      col(keyCol).cast("string").as("key"),
+      unix_millis(col(tsCol).cast("timestamp")).as("ts"),
+      col(tsCol).as("et"))
+      .as[SessionEvent](Encoders.product[SessionEvent])
+    events
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            // watermark passed end+gap: close and clear the idle session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.start, s.end, s.n))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts).foreach { ev =>
+              cur match {
+                case Some(s) if ev.ts <= s.end + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, ev.ts),
+                    math.max(s.end, ev.ts), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(key, s.start, s.end, s.n)
+                  cur = Some(SessionState(ev.ts, ev.ts, 1))
+                case None =>
+                  cur = Some(SessionState(ev.ts, ev.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // ask the engine to close this session once the watermark
+              // passes its gap horizon
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -84,6 +84,61 @@ class StreamingSpec extends AnyFunSuite {
       last.getDouble(2) == 3.0)
   }
 
+  test("sessionStream: gap splits sessions; watermark timeout closes idle") {
+    import spark.implicits._
+    import graft.streaming._
+    // base well above epoch 0: an event AT the initial watermark (0)
+    // would be dropped as late in the stream run
+    val base = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000L)
+    def rel(ms: Long) = ms - base * 1000L
+    // batch semantics: one pass, sessions split on the 10s gap; the
+    // final open session stays in state (batch mode never times out),
+    // so only the CLOSED one is emitted
+    val batch = Seq(("a", ts(0)), ("a", ts(5)), ("a", ts(8)),
+      ("a", ts(30)), ("b", ts(1)))
+      .toDF("k", "t")
+    val closed = StatefulFeatures
+      .sessionStream(batch, "k", "t", gapMs = 10000L)
+      .collect()
+    assert(closed.length == 1)
+    assert(closed.head.key == "a" && rel(closed.head.sessionStart) == 0L &&
+      rel(closed.head.sessionEnd) == 8000L && closed.head.nEvents == 3)
+
+    // real stream: batch 1 opens a session for a; batch 2 carries only
+    // b events far in the future, so the advancing watermark TIMES OUT
+    // a's idle session — the engine closes it with no further a events
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq(("a", ts(0)), ("a", ts(5))).toDF("k", "t")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(("b", ts(1000)), ("b", ts(1001))).toDF("k", "t")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StatefulFeatures
+      .sessionStream(stream, "k", "t", gapMs = 10000L,
+        watermarkDelay = Some("1 second"))
+      .writeStream
+      .outputMode("append").format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT key, sessionStart, sessionEnd, nEvents FROM sessions")
+      .collect().map(r => (r.getString(0), rel(r.getLong(1)),
+        rel(r.getLong(2)), r.getLong(3))).toSet
+    // a's session closed BY TIMEOUT (no later a event arrived)
+    assert(rows.contains(("a", 0L, 5000L, 2L)), s"got $rows")
+  }
+
   test("streaming ewma equals the batch operator across batch splits") {
     import spark.implicits._
     import graft.streaming._
