@@ -303,6 +303,49 @@ object Similarity {
   }
 
   /**
+   * Clustering-quality diagnostics for a trained centroid set: the
+   * Davies–Bouldin index (lower = tighter, better-separated cells;
+   * DB = mean over cells of max_j (s_i + s_j) / d_ij with s = mean
+   * point-to-centroid distance) plus cell-size entropy (how balanced
+   * the partition is; ln(cells) = perfectly uniform). Silhouette needs
+   * O(n²) point pairs — DB needs only the per-cell scatter aggregate
+   * (one distributed pass over the assignment) and the cells×cells
+   * centroid-distance matrix (driver math on the small literal
+   * matrix, same boundedness class as the eigensolve in [[graft.ops.Pca]]).
+   * Returns one row: (n_cells, db_index, size_entropy, n).
+   */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val perCell = assignCells(corpus, vecCol, cents)
+      .withColumn("__d", array_min(col("__dists")))
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), avg(col("__d")).as("__s"))
+      .collect() // ≤ cells rows — bounded by the centroid count
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val live = perCell.keys.toSeq.sorted
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val db =
+      if (live.size < 2) 0.0
+      else live.map { i =>
+        live.filter(_ != i).map { j =>
+          val dij = dist(cents(i), cents(j))
+          if (dij == 0.0) Double.PositiveInfinity
+          else (perCell(i)._2 + perCell(j)._2) / dij
+        }.max
+      }.sum / live.size
+    val n = perCell.values.map(_._1).sum
+    val entropy = -perCell.values.map { case (c, _) =>
+      val p = c.toDouble / n
+      p * math.log(p)
+    }.sum
+    Seq((live.size, db, entropy, n))
+      .toDF("n_cells", "db_index", "size_entropy", "n")
+  }
+
+  /**
    * Deterministic pseudo-random centroids (cell c, dim i weight from
    * md5("cell{c}:{i}") in [-1, 1)) — the data-independent IVF variant.
    * Same driver-literal trick as [[planeWeights]]: an oracle can inline

@@ -1457,6 +1457,31 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterQuality: separated clusters beat overlapping ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(89)
+    def blob(center: Double, ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(4)(_ => center + rnd.nextGaussian() * 0.2))
+    }
+    // well-separated: centers 0 and 10
+    val sep = (blob(0.0, 0 until 500) ++ blob(10.0, 500 until 1000))
+      .toDF("vec_id", "embedding")
+    val cSep = Array(Array.fill(4)(0.0), Array.fill(4)(10.0))
+    val qSep = graft.ops.Similarity
+      .clusterQuality(sep, "vec_id", "embedding", cSep).head()
+    // overlapping: centers 0 and 0.5 with the same spread
+    val ovl = (blob(0.0, 0 until 500) ++ blob(0.5, 500 until 1000))
+      .toDF("vec_id", "embedding")
+    val cOvl = Array(Array.fill(4)(0.0), Array.fill(4)(0.5))
+    val qOvl = graft.ops.Similarity
+      .clusterQuality(ovl, "vec_id", "embedding", cOvl).head()
+    assert(qSep.getDouble(1) < 0.2, s"separated DB ${qSep.getDouble(1)}")
+    assert(qOvl.getDouble(1) > qSep.getDouble(1) * 5)
+    // balanced halves → entropy ≈ ln 2
+    assert(math.abs(qSep.getDouble(2) - math.log(2)) < 0.05)
+    assert(qSep.getLong(3) == 1000)
+  }
+
   test("df-resident kmeans matches literal path when probing all blocks") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
