@@ -4049,6 +4049,58 @@ object Queries {
              round((start_sample + n_samples) / 16000.0, 6) AS end_sec
       FROM r ORDER BY doc_id, chunk_idx"""))
 
+  /** SCD2 versioned-dimension maintenance: customers start as one open
+    * version, a batch changes every third balance — changed keys close
+    * and re-open, unchanged keys stay single-version. */
+  private val q125 = Entry(
+    "q125_scd2_apply",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val t1 = to_timestamp(lit("2024-02-01 00:00:00"))
+      val history = cust.select(col("c_custkey"), col("c_acctbal"),
+        t0.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        t1.as("ts"))
+      graft.etl.Scd
+        .scd2Apply(history, updates, Seq("c_custkey"), Seq("c_acctbal"),
+          "ts")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("valid_from").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer),
+      u AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS nb,
+               TIMESTAMP '2024-02-01 00:00:00' AS uts
+        FROM customer),
+      j AS (SELECT h.*, u.nb, u.uts FROM h JOIN u USING (c_custkey)),
+      kept AS (
+        SELECT c_custkey, c_acctbal, valid_from,
+               CASE WHEN nb IS DISTINCT FROM c_acctbal THEN uts
+                    ELSE valid_to END AS valid_to
+        FROM j),
+      ins AS (
+        SELECT c_custkey, nb AS c_acctbal, uts AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM j WHERE nb IS DISTINCT FROM c_acctbal)
+      SELECT c_custkey, c_acctbal,
+             CAST(valid_from AS DATE) AS valid_from,
+             CAST(valid_to AS DATE) AS valid_to
+      FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      ORDER BY c_custkey, valid_from"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4062,7 +4114,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124)
+    q120, q121, q122, q123, q124, q125)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

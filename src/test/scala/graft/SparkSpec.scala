@@ -186,6 +186,38 @@ class SparkSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSeq == Seq(10L, 20L))
   }
 
+  test("scd2: close-and-reopen on change, idempotent, as-of reads") {
+    import spark.implicits._
+    import graft.etl.Scd
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val history = Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00"), null: java.sql.Timestamp),
+      (2L, 20.0, ts("2024-01-01 00:00:00"), null: java.sql.Timestamp))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, 99.0, ts("2024-02-01 00:00:00")),  // change
+      (2L, 20.0, ts("2024-02-01 00:00:00")),  // no-op
+      (3L, 30.0, ts("2024-02-01 00:00:00")))  // new key
+      .toDF("k", "v", "ts")
+    val h1 = Scd.scd2Apply(history, updates, Seq("k"), Seq("v"), "ts")
+    val rows = h1.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getTimestamp(3)).map(_.toString.take(10)).orNull))
+    assert(rows.toSeq == Seq(
+      (1L, 10.0, "2024-02-01"), (1L, 99.0, null),
+      (2L, 20.0, null), (3L, 30.0, null)))
+    // idempotent: re-applying the same batch changes nothing
+    val h2 = Scd.scd2Apply(h1, updates, Seq("k"), Seq("v"), "ts")
+    assert(h2.count() == h1.count())
+    // as-of reads pick the version valid at the asked instant
+    val before = Scd.asOf(h1, lit(ts("2024-01-15 00:00:00")))
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(before.toSeq == Seq(1L -> 10.0, 2L -> 20.0))
+    val after = Scd.asOf(h1, lit(ts("2024-03-01 00:00:00")))
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(after.toSeq == Seq(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   // -------------------------------------------------------------- upsert
 
   test("upsert: idempotent, new rows win, appends keep history") {
