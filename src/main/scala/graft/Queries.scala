@@ -4101,6 +4101,50 @@ object Queries {
       FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       ORDER BY c_custkey, valid_from"""))
 
+  /** Point-in-time dimension join: each event reads the customer
+    * balance version valid AT ITS OWN timestamp — versions flip
+    * mid-month, so events straddle the boundary. */
+  private val q126 = Entry(
+    "q126_pit_dimension_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d).where(col("c_custkey") < 150)
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val t1 = to_timestamp(lit("2024-01-15 00:00:00"))
+      val history =
+        cust.select(col("c_custkey").as("user_id"),
+          col("c_acctbal").as("bal"), t0.as("valid_from"),
+          when(col("c_custkey") % 3 === 0, t1)
+            .otherwise(lit(null).cast("timestamp")).as("valid_to"))
+        .unionByName(
+          cust.where(col("c_custkey") % 3 === 0)
+            .select(col("c_custkey").as("user_id"),
+              (col("c_acctbal") + 100.0).as("bal"), t1.as("valid_from"),
+              lit(null).cast("timestamp").as("valid_to")))
+      graft.etl.Scd
+        .pitJoin(Tables.events(s, d), history, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("bal"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH c AS (SELECT * FROM customer WHERE c_custkey < 150),
+      h AS (
+        SELECT c_custkey AS user_id, c_acctbal AS bal,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+        FROM c
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0,
+               TIMESTAMP '2024-01-15 00:00:00',
+               CAST(NULL AS TIMESTAMP)
+        FROM c WHERE c_custkey % 3 = 0)
+      SELECT e.event_id, e.user_id, h.bal
+      FROM events e JOIN h
+        ON e.user_id = h.user_id
+       AND h.valid_from <= e.ts
+       AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      ORDER BY e.event_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4114,7 +4158,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125)
+    q120, q121, q122, q123, q124, q125, q126)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

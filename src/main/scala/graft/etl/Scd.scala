@@ -70,4 +70,27 @@ object Scd {
   def asOf(history: DataFrame, ts: org.apache.spark.sql.Column): DataFrame =
     history.where(col("valid_from") <= ts &&
       (col("valid_to").isNull || ts < col("valid_to")))
+
+  /**
+   * Point-in-time dimension join — the feature-store correctness join:
+   * each FACT row picks the dimension version valid AT ITS OWN
+   * timestamp (`valid_from <= fact.ts < valid_to`), never a later one
+   * (the label-leakage bug PIT-correct training joins exist to
+   * prevent). A keyed equi-join carries the interval predicate in the
+   * join condition: fan-out before filtering is the key's VERSION
+   * count (small by construction — versions per entity, not rows), so
+   * no range bucketing is needed, unlike the timestamp-only
+   * [[graft.ops.PointInTime]] joins. `"left"` keeps facts with no
+   * valid version (NULL dims); validity intervals per key must be
+   * non-overlapping, which [[scd2Apply]] guarantees.
+   */
+  def pitJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      tsCol: String, joinType: String = "inner"): DataFrame = {
+    val cond = keys.map(k => facts(k) === history(k)).reduce(_ && _) &&
+      history("valid_from") <= facts(tsCol) &&
+      (history("valid_to").isNull || facts(tsCol) < history("valid_to"))
+    keys.foldLeft(facts.join(history, cond, joinType)) { (df, k) =>
+      df.drop(history(k))
+    }
+  }
 }
