@@ -4145,6 +4145,42 @@ object Queries {
        AND (h.valid_to IS NULL OR e.ts < h.valid_to)
       ORDER BY e.event_id"""))
 
+  /** Referential integrity: lineitems referencing orders, with planted
+    * orphans (order keys shifted out of range for every 11th row). */
+  private val q127 = Entry(
+    "q127_referential_check",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("ok",
+          when(col("l_linenumber") % 11 === 0,
+            col("l_orderkey") + 10000000L)
+            .otherwise(col("l_orderkey")))
+      AnalysisPlanner
+        .referentialCheck(li, Tables.orders(s, d), Seq("ok"),
+          Seq("o_orderkey"))
+        .select(col("n_child"), col("n_null_keys"), col("n_orphans"),
+          r6(col("orphan_rate")).as("orphan_rate"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT CASE WHEN l_linenumber % 11 = 0
+                    THEN l_orderkey + 10000000 ELSE l_orderkey END AS ok
+        FROM lineitem),
+      o AS (SELECT DISTINCT o_orderkey FROM orders),
+      orph AS (
+        SELECT count(*) AS n_orphans FROM li
+        WHERE ok IS NOT NULL
+          AND ok NOT IN (SELECT o_orderkey FROM o)),
+      t AS (SELECT count(*) AS n_child,
+                   CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null_keys
+            FROM li)
+      SELECT t.n_child, t.n_null_keys, orph.n_orphans,
+             round(orph.n_orphans /
+               CAST(GREATEST(t.n_child - t.n_null_keys, 1) AS DOUBLE), 6)
+               AS orphan_rate
+      FROM t, orph"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4158,7 +4194,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126)
+    q120, q121, q122, q123, q124, q125, q126, q127)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1260,6 +1260,37 @@ object AnalysisPlanner {
   }
 
   /**
+   * Referential-integrity profile: how many child rows reference a key
+   * absent from the parent (orphans) — the cross-table consistency
+   * check the single-frame DataQuality surface can't express. One
+   * LEFT ANTI join against the parent's DISTINCT keys (parent
+   * deduplicates before the join, so a fact-sized parent still ships
+   * only its key cardinality) + one count aggregate; NULL child keys
+   * are counted separately (they reference nothing — neither valid
+   * nor orphaned). Returns (n_child, n_null_keys, n_orphans,
+   * orphan_rate).
+   */
+  def referentialCheck(child: DataFrame, parent: DataFrame,
+      childKeys: Seq[String], parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      "childKeys and parentKeys must align")
+    val keyNotNull = childKeys.map(col(_).isNotNull).reduce(_ && _)
+    val p = parent
+      .select(parentKeys.zip(childKeys).map { case (pk, ck) =>
+        col(pk).as(ck) }: _*)
+      .distinct()
+    val orphans = child.where(keyNotNull)
+      .join(p, childKeys, "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = child.agg(count(lit(1)).as("n_child"),
+      count(when(!keyNotNull, 1)).as("n_null_keys"))
+    totals.crossJoin(broadcast(orphans))
+      .withColumn("orphan_rate",
+        col("n_orphans").cast("double") /
+          greatest(col("n_child") - col("n_null_keys"), lit(1L)))
+  }
+
+  /**
    * Outlier counts per feature: |x − μ| > kσ (population σ), the
    * DataQuality "outliers" check (analysis.py:384-397). Two passes:
    * a 1-row bounds aggregate broadcast back over the scan.
