@@ -4181,6 +4181,29 @@ object Queries {
                AS orphan_rate
       FROM t, orph"""))
 
+  /** Pre-flight join fan-out: what lineitem ⋈ orders will produce,
+    * from key-count frames only — the accidental-explosion guard. */
+  private val q128 = Entry(
+    "q128_join_fanout",
+    (s, d) =>
+      graft.ops.SkewAware
+        .joinFanout(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+          Tables.orders(s, d).select(col("o_orderkey").as("k")),
+          Seq("k"))
+        .select(col("n_matched_keys"), col("est_rows"),
+          col("max_key_rows"), r6(col("max_key_share")).as("max_key_share")),
+    Some("""
+      WITH ca AS (SELECT l_orderkey AS k, count(*) AS c
+                  FROM lineitem GROUP BY 1),
+      cb AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      j AS (SELECT ca.c * cb.c AS p FROM ca JOIN cb USING (k))
+      SELECT count(*) AS n_matched_keys,
+             CAST(COALESCE(sum(p), 0) AS BIGINT) AS est_rows,
+             CAST(COALESCE(max(p), 0) AS BIGINT) AS max_key_rows,
+             round(max(p) / CAST(sum(p) AS DOUBLE), 6) AS max_key_share
+      FROM j"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4194,7 +4217,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1260,6 +1260,29 @@ object AnalysisPlanner {
   }
 
   /**
+   * Schema drift between two frames — the metadata half of VersionDiff
+   * (which compares VALUE distributions; the reference's version diff
+   * reports schema_changes alongside, analysis.py:221-246): columns
+   * added, removed, and type-changed, as a frame. Pure driver-side
+   * StructType comparison — no data is read.
+   */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val am = a.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val bm = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (bm.keySet -- am.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, bm(c))) ++
+      (am.keySet -- bm.keySet).toSeq.sorted.map(c =>
+        (c, "removed", am(c), null: String)) ++
+      (am.keySet & bm.keySet).toSeq.sorted
+        .filter(c => am(c) != bm(c))
+        .map(c => (c, "type_changed", am(c), bm(c)))
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
+
+  /**
    * Referential-integrity profile: how many child rows reference a key
    * absent from the parent (orphans) — the cross-table consistency
    * check the single-frame DataQuality surface can't express. One

@@ -84,4 +84,32 @@ object SkewAware {
       least(greatest(ceil(max(col("__n")) / avg(col("__n"))).cast("int"),
         lit(1)), lit(maxSalt)).as("suggested_salt"))
   }
+
+  /**
+   * EXACT pre-flight join fan-out profile: before running `a ⋈ b` on
+   * `keys`, report what it will produce — output rows
+   * (Σ over matched keys of cA·cB), matched-key count, the single
+   * hottest key's contribution, and its share. The classic guard
+   * against the accidental-explosion join (duplicate keys on both
+   * sides): two key-count aggregations + a KEY-CARDINALITY-sized join
+   * of the count frames — never the data join itself, so the probe
+   * costs two shuffles of key-count rows regardless of how explosive
+   * the real join would be. Feed `suggested check`: est_rows ≫
+   * max(|a|, |b|) means somebody's key isn't the key they think it is.
+   */
+  def joinFanout(a: DataFrame, b: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, keys)
+      .select((col("__ca") * col("__cb")).as("__prod"))
+      .agg(
+        count(lit(1)).as("n_matched_keys"),
+        coalesce(sum(col("__prod")), lit(0L)).as("est_rows"),
+        coalesce(max(col("__prod")), lit(0L)).as("max_key_rows"))
+      .withColumn("max_key_share",
+        when(col("est_rows") > 0,
+          col("max_key_rows").cast("double") / col("est_rows")))
+  }
 }

@@ -1457,6 +1457,27 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("joinFanout predicts the exact join size; schemaDiff reports drift") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "va")
+    val b = Seq((1L, 10), (1L, 20), (1L, 30), (3L, 40)).toDF("k", "vb")
+    val f = graft.ops.SkewAware.joinFanout(a, b, Seq("k")).head()
+    // key 1: 2×3 = 6 rows; keys 2 and 3 unmatched
+    assert(f.getLong(0) == 1 && f.getLong(1) == 6 && f.getLong(2) == 6)
+    assert(f.getLong(1) == a.join(b, "k").count()) // exact, not estimate
+    // disjoint keys: zero everything, NULL share (no division error)
+    val z = graft.ops.SkewAware
+      .joinFanout(a, Seq((9L, 1)).toDF("k", "vb"), Seq("k")).head()
+    assert(z.getLong(1) == 0 && z.isNullAt(3))
+    // schema drift: added / removed / type-changed
+    val v1 = Seq((1L, "s", 1.0)).toDF("id", "name", "score")
+    val v2 = Seq((1L, 1, true)).toDF("id", "name", "fresh")
+    val diff = graft.analysis.AnalysisPlanner.schemaDiff(v1, v2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff == Set(("fresh", "added"), ("score", "removed"),
+      ("name", "type_changed")))
+  }
+
   test("clusterQuality: separated clusters beat overlapping ones") {
     import spark.implicits._
     val rnd = new scala.util.Random(89)
