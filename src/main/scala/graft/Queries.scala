@@ -4204,6 +4204,25 @@ object Queries {
              round(max(p) / CAST(sum(p) AS DOUBLE), 6) AS max_key_share
       FROM j"""))
 
+  /** PERCENTILE_DISC semantics (actual data values, no interpolation),
+    * grouped — completes the validator's CONT/DISC percentile pair. */
+  private val q129 = Entry(
+    "q129_percentile_disc",
+    (s, d) =>
+      AnalysisPlanner
+        .exactPercentilesDisc(Tables.lineitem(s, d), "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), r6(col("p25")).as("p25"),
+          r6(col("p50")).as("p50"), r6(col("p99")).as("p99"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_disc(l_extendedprice, 0.25), 6) AS p25,
+             round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_disc(l_extendedprice, 0.99), 6) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4217,7 +4236,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -428,6 +428,45 @@ object AnalysisPlanner {
   }
 
   /**
+   * Discrete (PERCENTILE_DISC) exact percentiles: the ACTUAL data
+   * value at zero-based sorted index `ceil(p·n) − 1` — no
+   * interpolation, matching DuckDB `quantile_disc` / ANSI
+   * PERCENTILE_DISC semantics (the variant the validator's
+   * PERCENTILE_CONT/DISC pair promises; CONT is [[exactPercentiles]]).
+   * Same scale shape: per-(group, value) counts, bucketed prefix sums,
+   * conditional-aggregation index pick — memory O(distinct values per
+   * group), no value buffering anywhere.
+   */
+  def exactPercentilesDisc(df: DataFrame, feature: String,
+      ps: Seq[(String, Double)], groupCols: Seq[String]): DataFrame = {
+    val v = col(feature).cast("double")
+    val vc = df.where(v.isNotNull)
+      .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val marked =
+      if (groupCols.isEmpty) {
+        val tot = vc.agg(sum(col("__c")).as("__n"))
+        PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"))
+          .crossJoin(broadcast(tot))
+      } else {
+        val tot = vc.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("__c")).as("__n"))
+        PrefixSum.joinNullSafe(
+          PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__cb"),
+            groupCols = groupCols),
+          tot, groupCols)
+      }
+    val aggs = ps.map { case (name, p) =>
+      val k = greatest(ceil(col("__n") * lit(p)) - 1, lit(0L))
+      max(when(col("__cb") <= k && k < col("__cb") + col("__c"),
+        col("__v"))).as(name)
+    }
+    (if (groupCols.isEmpty) marked.groupBy()
+     else marked.groupBy(groupCols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Moment statistics. Population skewness/kurtosis are derived from raw
    * moments with an explicit formula (Spark's `skewness`/`kurtosis`
    * builtins are population-based but DuckDB's are sample-corrected — the
