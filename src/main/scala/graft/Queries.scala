@@ -3782,7 +3782,14 @@ object Queries {
             .cast("long").as("bal_trunc"),
           signum(bal).cast("int").as("bal_sign"),
           greatest(bal, lit(0.0)).as("bal_pos"),
-          least(bal, lit(0.0)).as("bal_neg"))
+          least(bal, lit(0.0)).as("bal_neg"),
+          r6(sin(bal / 1000.0) + cos(bal / 1000.0)).as("bal_trig"),
+          r6(log10(abs(bal) + lit(1.0))).as("bal_log10"),
+          pmod(col("c_custkey"), lit(7L)).as("key_mod"),
+          r6(pow(abs(bal) + lit(1.0), lit(0.25))).as("bal_pow"),
+          substring(col("c_name"), 1, 4).as("name_left"),
+          substring(col("c_name"), -3, 3).as("name_right"),
+          col("c_name").rlike("#0000").as("name_match"))
         .orderBy("c_custkey")
     },
     Some("""
@@ -3795,7 +3802,15 @@ object Queries {
              CAST(trunc(c_acctbal) AS BIGINT) AS bal_trunc,
              CAST(sign(c_acctbal) AS INTEGER) AS bal_sign,
              greatest(c_acctbal, 0.0) AS bal_pos,
-             least(c_acctbal, 0.0) AS bal_neg
+             least(c_acctbal, 0.0) AS bal_neg,
+             round(sin(c_acctbal / 1000.0) + cos(c_acctbal / 1000.0), 6)
+               AS bal_trig,
+             round(log10(abs(c_acctbal) + 1.0), 6) AS bal_log10,
+             c_custkey % 7 AS key_mod,
+             round(power(abs(c_acctbal) + 1.0, 0.25), 6) AS bal_pow,
+             left(c_name, 4) AS name_left,
+             right(c_name, 3) AS name_right,
+             regexp_matches(c_name, '#0000') AS name_match
       FROM customer ORDER BY c_custkey"""))
 
   /** Linear-time MMD² two-sample test between two embedding halves —
