@@ -4238,6 +4238,51 @@ object Queries {
              round(quantile_disc(l_extendedprice, 0.99), 6) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** BM25 from a PERSISTED inverted index — the amortized q84: the
+    * index is built once (fingerprint-keyed, like the q98 cluster
+    * store); the query reads only its terms' postings (term predicate
+    * pushed to the parquet scan). Results identical to q84. */
+  private val q130 = Entry(
+    "q130_bm25_from_index",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id))"),
+        expr("bit_xor(xxhash64(text))")).head()
+      val tag = java.lang.Long.toHexString(
+        fp.getLong(0) ^ fp.getLong(1) ^ fp.getLong(2))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_search_index/$tag"
+      if (!new java.io.File(s"$path/stats/_SUCCESS").exists())
+        graft.ops.TextAnalysis.writeSearchIndex(docs, "doc_id", "text",
+          path)
+      graft.ops.TextAnalysis
+        .searchIndex(s, path, Seq("hash", "join", "scan"), k = 10,
+          idCol = "doc_id")
+        .select(col("doc_id"), col("bm25"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+               any_value(dl) AS dl
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+        WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term),
+      dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+              GROUP BY term),
+      sc AS (
+        SELECT doc_id,
+               round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM tf JOIN dfr USING (term), st
+        GROUP BY doc_id)
+      SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4251,7 +4296,7 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

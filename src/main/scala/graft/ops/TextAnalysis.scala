@@ -313,6 +313,54 @@ object TextAnalysis {
   }
 
   /**
+   * Persisted inverted index for BM25 retrieval — the amortized
+   * production shape of [[bm25TopK]] (which tokenizes the corpus per
+   * query): postings (term, id, tf, dl) and corpus stats (N, avgdl)
+   * are written ONCE as parquet; every query then reads only its
+   * terms' postings — the term predicate lands in the parquet scan's
+   * PushedFilters, so a query touches O(matching postings), never the
+   * corpus. Same heavy-derivation-amortized pattern as the MinHash
+   * signature store and the cluster store.
+   */
+  def writeSearchIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val w = words(col(textCol))
+    val dir = path.stripSuffix("/")
+    docs.select(col(idCol).as("id"), size(w).cast("double").as("dl"),
+        explode(w).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    docs.select(size(w).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k against a [[writeSearchIndex]] store: scores are
+    * IDENTICAL to [[bm25TopK]] over the original corpus — the index
+    * just pre-pays tokenization and posting aggregation. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "id"): DataFrame = {
+    require(queryTerms.nonEmpty, "searchIndex: empty query")
+    val dir = path.stripSuffix("/")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("term").isin(queryTerms.distinct: _*)) // pushed to scan
+    val stats = broadcast(spark.read.parquet(s"$dir/stats"))
+    val dfreq = broadcast(
+      postings.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    postings.join(dfreq, "term").join(stats)
+      .groupBy("id").agg(round(sum(term), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * PMI collocations: top bigrams by pointwise mutual information with
    * a minimum-count support threshold — the classic phrase-mining /
    * vocabulary-induction statistic (Church & Hanks 1990):
