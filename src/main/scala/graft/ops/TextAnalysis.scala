@@ -336,6 +336,42 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /**
+   * Incremental index maintenance: append a NEW batch of documents to
+   * a [[writeSearchIndex]] store without touching the existing
+   * postings — O(batch) tokenization, one postings append, and a
+   * 1-row weighted merge of the corpus stats (counts and mean compose
+   * exactly, so the merged stats equal a full rebuild's). Batch ids
+   * must be new (re-ingesting an id would double its postings — pair
+   * with [[graft.streaming.StreamingDedup]]-style id screening at
+   * ingestion). [[searchIndex]] results after an append are identical
+   * to rebuilding over the concatenated corpus.
+   */
+  def appendToSearchIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val w = words(col(textCol))
+    val dir = path.stripSuffix("/")
+    newDocs.select(col(idCol).as("id"), size(w).cast("double").as("dl"),
+        explode(w).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .write.mode("append").parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val batch = newDocs.select(size(w).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0.0))
+        .as("s")).head()
+    val n = old.getLong(0) + batch.getLong(0)
+    val avgdl = (old.getDouble(1) * old.getLong(0) + batch.getDouble(1)) /
+      math.max(n, 1L)
+    import spark.implicits._
+    // write-then-swap would be safer under concurrency; stats is a
+    // 1-row frame and the writer-lock pattern (etl.ParquetTarget)
+    // covers the contended case
+    Seq((n, avgdl)).toDF("n_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** BM25 top-k against a [[writeSearchIndex]] store: scores are
     * IDENTICAL to [[bm25TopK]] over the original corpus — the index
     * just pre-pays tokenization and posting aggregation. */

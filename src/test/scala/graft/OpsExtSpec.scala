@@ -1457,6 +1457,39 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("search index: store equals direct bm25; append equals rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join strategies"), (2L, "hash hash scan"),
+      (3L, "sort merge join"), (4L, "broadcast hash join plan"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    graft.ops.TextAnalysis.writeSearchIndex(docs, "doc_id", "text",
+      s"$dir/a")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val direct = key(graft.ops.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash", "scan")))
+    val stored = key(graft.ops.TextAnalysis
+      .searchIndex(spark, s"$dir/a", Seq("hash", "scan"),
+        idCol = "doc_id"))
+    assert(stored == direct)
+    // incremental append == full rebuild over the concatenated corpus
+    val more = Seq((5L, "scan scan scan"), (6L, "no match here"))
+      .toDF("doc_id", "text")
+    graft.ops.TextAnalysis.appendToSearchIndex(more, "doc_id", "text",
+      s"$dir/a")
+    graft.ops.TextAnalysis.writeSearchIndex(docs.unionByName(more),
+      "doc_id", "text", s"$dir/b")
+    val appended = key(graft.ops.TextAnalysis
+      .searchIndex(spark, s"$dir/a", Seq("hash", "scan"),
+        idCol = "doc_id"))
+    val rebuilt = key(graft.ops.TextAnalysis
+      .searchIndex(spark, s"$dir/b", Seq("hash", "scan"),
+        idCol = "doc_id"))
+    assert(appended == rebuilt && appended.map(_._1).contains(5L))
+  }
+
   test("joinFanout predicts the exact join size; schemaDiff reports drift") {
     import spark.implicits._
     val a = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "va")
