@@ -4283,6 +4283,106 @@ object Queries {
         GROUP BY doc_id)
       SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
+  /** Per-source document cap (RefinedWeb-style per-domain curation):
+    * keep the 10 smallest-hash docs per source, deterministically.
+    * Only over-cap keys' rows pay the rank window. */
+  private val q131 = Entry(
+    "q131_per_key_cap",
+    (s, d) =>
+      graft.ops.Sampling
+        .perKeyCap(Tables.documents(s, d).select("doc_id", "source"),
+          Seq("source"), 10, Seq("doc_id"))
+        .orderBy("source", "doc_id"),
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1048576),
+                          doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 10 ORDER BY source, doc_id"""))
+
+  /** Two-proportion z-test on conversion rate (A/B bucketed by
+    * user_id parity) — the experiment-readout statistic. */
+  private val q132 = Entry(
+    "q132_ztest_proportions",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(2)).cast("string"))
+        .withColumn("converted",
+          (col("event_type") === "purchase").cast("int"))
+      AnalysisPlanner
+        .statTest(ev,
+          StatTest("converted", "ztest_proportions", "bucket", "0", "1"))
+        .select(col("n_c"), col("n_t"), col("x_c"), col("x_t"),
+          r6(col("p_c")).as("p_c"), r6(col("p_t")).as("p_t"),
+          r6(col("z_stat")).as("z_stat"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_c,
+               count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_t,
+               CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_c,
+               CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x_t
+        FROM events)
+      SELECT n_c, n_t, x_c, x_t,
+             round(x_c / CAST(n_c AS DOUBLE), 6) AS p_c,
+             round(x_t / CAST(n_t AS DOUBLE), 6) AS p_t,
+             round((x_t / CAST(n_t AS DOUBLE) - x_c / CAST(n_c AS DOUBLE)) /
+                   sqrt(((x_c + x_t) / CAST(n_c + n_t AS DOUBLE)) *
+                        (1 - (x_c + x_t) / CAST(n_c + n_t AS DOUBLE)) *
+                        (1.0 / n_c + 1.0 / n_t)), 6) AS z_stat
+      FROM g"""))
+
+  /** Last-touch conversion attribution: every purchase credited to the
+    * user's most recent preceding non-purchase event type. */
+  private val q133 = Entry(
+    "q133_attribution",
+    (s, d) =>
+      graft.ops.Behavioral
+        .attribution(Tables.events(s, d), "user_id", "ts", "event_type",
+          "value", "purchase", "last_touch", tieCols = Seq("event_id"))
+        .select(col("channel"), col("n_conversions"),
+          r6(col("attributed_value")).as("attributed_value"))
+        .orderBy("channel"),
+    Some("""
+      WITH s AS (
+        SELECT event_type, "value",
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        FROM events)
+      SELECT COALESCE(ch, '(none)') AS channel,
+             count(*) AS n_conversions,
+             round(sum("value"), 6) AS attributed_value
+      FROM s WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Hour-of-day seasonality profile per event type: count, mean, and
+    * multiplicative lift vs the type's overall mean. */
+  private val q134 = Entry(
+    "q134_seasonality",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .seasonalityProfile(Tables.events(s, d), "ts", "value",
+          "event_type")
+        .select(col("segment"), col("hod").cast("long").as("hod"),
+          col("n"), r6(col("mean_value")).as("mean_value"),
+          r6(col("lift")).as("lift"))
+        .orderBy("segment", "hod"),
+    Some("""
+      WITH h AS (
+        SELECT event_type AS segment, EXTRACT(hour FROM ts) AS hod,
+               count(*) AS n, avg("value") AS mean_value
+        FROM events GROUP BY 1, 2),
+      o AS (SELECT event_type AS segment, avg("value") AS om
+            FROM events GROUP BY 1)
+      SELECT segment, hod, n, round(mean_value, 6) AS mean_value,
+             round(mean_value / om, 6) AS lift
+      FROM h JOIN o USING (segment)
+      ORDER BY segment, hod"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4296,7 +4396,8 @@ object Queries {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
+    q131, q132, q133, q134)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -104,7 +104,8 @@ final case class VersionDiff(
 /**
  * Statistical tests: A/B or version compare.
  * Ref: analysis.py:249-306; tests table PRD.md:1029-1036.
- * test ∈ welch | ttest | mannwhitney | chi2 | ks | anova.
+ * test ∈ welch | ttest | mannwhitney | chi2 | ks | anova |
+ *        ztest_proportions (feature = 0/1 success indicator).
  */
 final case class StatTest(
     feature: String,
@@ -115,7 +116,8 @@ final case class StatTest(
     bins: Int = 10) // for chi2 binning of continuous features
     extends Analysis {
   val kind = "stat_test"
-  require(Set("welch", "ttest", "mannwhitney", "chi2", "ks", "anova")(test),
+  require(Set("welch", "ttest", "mannwhitney", "chi2", "ks", "anova",
+    "ztest", "ztest_proportions")(test),
     s"Unknown test: $test")
 }
 

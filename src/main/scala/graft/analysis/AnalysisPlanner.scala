@@ -1002,6 +1002,26 @@ object AnalysisPlanner {
                 pow(col("var_t") / col("n_t"), 2.0) / (col("n_t") - 1)))
           .drop("se2")
 
+      case "ztest" | "ztest_proportions" =>
+        // two-proportion z-test (pooled SE) — the A/B conversion-rate
+        // test. `feature` is a 0/1 (or boolean) success indicator;
+        // one conditional-aggregation pass, same shape as welch.
+        df0.where(isC || isT)
+          .agg(
+            count(when(isC, c)).as("n_c"),
+            count(when(isT, c)).as("n_t"),
+            sum(when(isC && c =!= 0.0, 1L).otherwise(0L)).as("x_c"),
+            sum(when(isT && c =!= 0.0, 1L).otherwise(0L)).as("x_t"))
+          .withColumn("p_c", col("x_c") / col("n_c"))
+          .withColumn("p_t", col("x_t") / col("n_t"))
+          .withColumn("__pp",
+            (col("x_c") + col("x_t")) / (col("n_c") + col("n_t")))
+          .withColumn("z_stat",
+            (col("p_t") - col("p_c")) /
+              sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+                (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+          .drop("__pp")
+
       case "mannwhitney" =>
         // Distributed rank-sum with min-rank convention (identical to
         // the oracle's rank()): aggregate to per-value segment counts,
@@ -1371,5 +1391,37 @@ object AnalysisPlanner {
         .as(s"outliers__$f"))
     df.join(broadcast(bounds))
       .agg(counted.head, (counted.tail :+ count(lit(1)).as("n")): _*)
+  }
+
+  /**
+   * Gini coefficient of per-key totals — the concentration diagnostic
+   * ("do 1% of customers carry 50% of revenue", "is one domain
+   * dominating the corpus"). Values must be non-negative.
+   *
+   * Distributed shape: per-key totals (one keyed agg), collapsed to a
+   * value-count frame, ranked by [[PrefixSum]] bucketed prefix sums —
+   * NO global sort or single-partition window. For a tie group of
+   * `c` keys at value `v` with `p` strictly-smaller keys, the rank sum
+   * contribution is v·(c·p + c(c+1)/2), algebraically identical to the
+   * sorted-rank form G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n.
+   */
+  def giniConcentration(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val totals = df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol).cast("double")).as("__x"))
+    val vc = totals.groupBy(col("__x").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__p"))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__v") * col("__c")).as("__s"),
+        sum(col("__v") *
+          (col("__c") * col("__p") + col("__c") * (col("__c") + 1) / 2))
+          .as("__si"))
+      .select(
+        col("__n").cast("long").as("n_keys"),
+        col("__s").as("total"),
+        (lit(2.0) * col("__si") / (col("__n") * col("__s")) -
+          (col("__n") + 1) / col("__n")).as("gini"))
   }
 }

@@ -96,6 +96,36 @@ object Behavioral {
   }
 
   /**
+   * Conversion attribution: each `target` event (the conversion) is
+   * credited to a non-target event type seen EARLIER in the same
+   * user's stream — `model = "last_touch"` credits the most recent
+   * such event, `"first_touch"` the earliest. Conversions with no
+   * preceding touch report channel `"(none)"` (a real category: the
+   * direct/organic bucket). One user-partitioned window (ties pinned
+   * by `tieCols` for deterministic replay) over the raw stream + one
+   * channel aggregation — per-user frames distribute, nothing global.
+   * Returns (channel, n_conversions, attributed_value).
+   */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, target: String,
+      model: String = "last_touch", tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Set("last_touch", "first_touch")(model), s"Unknown model: $model")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= target, col(typeCol))
+    val ch =
+      if (model == "last_touch") last(touch, ignoreNulls = true).over(w)
+      else first(touch, ignoreNulls = true).over(w)
+    df.withColumn("__ch", ch)
+      .where(col(typeCol) === target)
+      .groupBy(coalesce(col("__ch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol)).as("attributed_value"))
+  }
+
+  /**
    * Cohort retention: users grouped by their first-activity period
    * (the cohort), counted in every later period they return —
    * `(cohort, period_offset, n_users)`, the classic retention

@@ -257,4 +257,36 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /**
+   * Per-key document cap — the RefinedWeb/C4-style "at most `cap` docs
+   * per domain" curation step. Keeps the `cap` rows with the smallest
+   * portable hash per key (total-order deterministic: hash ties break
+   * on the hash columns themselves), so the SAME subset survives on any
+   * engine and under any partitioning.
+   *
+   * Scale shape: rows of keys already at-or-under the cap — in a
+   * Zipf-ish web corpus, almost all keys — bypass the rank entirely
+   * (one keyed count-join decides membership); only over-cap keys'
+   * rows enter the per-key `row_number` window. The window therefore
+   * ranks O(rows of hot keys), not O(corpus), and each hot key's frame
+   * is the inherent cost of an exact per-key top-`cap`. Result column
+   * set = input column set (projection preserved for pushdown).
+   */
+  def perKeyCap(df: DataFrame, keyCols: Seq[String], cap: Long,
+      hashCols: Seq[String]): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val withN = graft.analysis.PrefixSum.joinNullSafe(df, counts, keyCols)
+    val under = withN.where(col("__n") <= cap).drop("__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(hashOf(hashCols).asc +: hashCols.map(c => col(c).asc): _*)
+    val capped = withN.where(col("__n") > cap)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn", "__n")
+    under.unionByName(capped).select(df.columns.map(col).toSeq: _*)
+  }
 }

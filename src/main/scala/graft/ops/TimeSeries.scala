@@ -194,4 +194,26 @@ object TimeSeries {
     }
     spark.createDataFrame(result, outSchema).drop("__x")
   }
+
+  /**
+   * Seasonality profile: per (segment, hour-of-day) event count, mean
+   * value, and multiplicative lift vs the segment's overall mean —
+   * the day-shape fingerprint that feeds staffing/alerting baselines
+   * and "is this hour anomalous" features. Two keyed aggregations +
+   * one segment-keyed broadcast join of the (≤ segments)-row totals
+   * frame; the heavy pass is the map-side-combined groupBy. Hours are
+   * session-timezone (UTC under [[graft.GraftSession]]).
+   */
+  def seasonalityProfile(df: DataFrame, tsCol: String, valueCol: String,
+      segmentCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val byHour = df
+      .groupBy(col(segmentCol).as("segment"), hour(col(tsCol)).as("hod"))
+      .agg(count(lit(1)).as("n"), avg(v).as("mean_value"))
+    val overall = df.groupBy(col(segmentCol).as("segment"))
+      .agg(avg(v).as("__om"))
+    byHour.join(broadcast(overall), "segment")
+      .withColumn("lift", col("mean_value") / col("__om"))
+      .drop("__om")
+  }
 }

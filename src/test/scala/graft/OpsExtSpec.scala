@@ -2137,4 +2137,81 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getString(1))).toSeq
       == Seq(("a", "b")))
   }
+
+  test("perKeyCap keeps under-cap keys whole and ranks only hot keys") {
+    import spark.implicits._
+    val df = ((1 to 3).map(i => (i.toLong, "cold")) ++
+      (11 to 30).map(i => (i.toLong, "hot"))).toDF("id", "k")
+    val out = graft.ops.Sampling.perKeyCap(df, Seq("k"), 5, Seq("id"))
+    val byKey = out.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("cold" -> 3L, "hot" -> 5L))
+    // survivors are EXACTLY the 5 smallest portable hashes — replayable
+    val expected = df.where($"k" === "hot")
+      .withColumn("__h",
+        graft.functions.PortableHash.bucket(Seq($"id".cast("string"))))
+      .orderBy($"__h", $"id").limit(5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = out.where($"k" === "hot").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    // column set preserved (no helper columns leak)
+    assert(out.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("two-proportion z-test matches the hand formula") {
+    import graft.analysis._
+    import spark.implicits._
+    // A: 40 trials 10 successes; B: 60 trials 30 successes
+    val rows = (1 to 40).map(i => ("a", if (i <= 10) 1 else 0)) ++
+      (1 to 60).map(i => ("b", if (i <= 30) 1 else 0))
+    val df = rows.toDF("grp", "ok")
+    val r = AnalysisPlanner
+      .statTest(df, StatTest("ok", "ztest_proportions", "grp", "a", "b"))
+      .head()
+    assert(r.getAs[Long]("n_c") == 40 && r.getAs[Long]("n_t") == 60)
+    assert(r.getAs[Long]("x_c") == 10 && r.getAs[Long]("x_t") == 30)
+    val (pc, pt, pp) = (0.25, 0.5, 0.4)
+    val z = (pt - pc) / math.sqrt(pp * (1 - pp) * (1.0 / 40 + 1.0 / 60))
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-12)
+  }
+
+  test("attribution credits last vs first touch; no-touch is (none)") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view → click → purchase(10) → purchase(5)
+      (1L, 1L, "view", 0.0), (1L, 2L, "click", 0.0),
+      (1L, 3L, "purchase", 10.0), (1L, 4L, "purchase", 5.0),
+      // user 2: purchase with no prior touch
+      (2L, 5L, "purchase", 7.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    def runWith(model: String) = graft.ops.Behavioral
+      .attribution(ev, "user_id", "ts", "event_type", "value",
+        "purchase", model)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val last = runWith("last_touch")
+    // both of user 1's purchases follow the click (the purchase at ts=3
+    // is NOT a touch for the one at ts=4 — target events never credit)
+    assert(last == Map("click" -> ((2L, 15.0)), "(none)" -> ((1L, 7.0))))
+    val first = runWith("first_touch")
+    assert(first == Map("view" -> ((2L, 15.0)), "(none)" -> ((1L, 7.0))))
+  }
+
+  test("seasonality lift averages to the segment mean") {
+    import spark.implicits._
+    val ev = Seq(
+      ("x", "2024-01-01 00:10:00", 10.0),
+      ("x", "2024-01-01 00:20:00", 20.0), // hour 0: mean 15
+      ("x", "2024-01-01 06:00:00", 45.0)) // hour 6: mean 45; overall 25
+      .toDF("t", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = graft.ops.TimeSeries
+      .seasonalityProfile(ev, "ts", "value", "t")
+      .orderBy("hod").collect()
+    assert(out.map(_.getAs[Int]("hod")).toSeq == Seq(0, 6))
+    assert(math.abs(out(0).getAs[Double]("lift") - 15.0 / 25) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("lift") - 45.0 / 25) < 1e-12)
+    assert(out(0).getAs[Long]("n") == 2 && out(1).getAs[Long]("n") == 1)
+  }
 }
