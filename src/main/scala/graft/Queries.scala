@@ -4383,6 +4383,102 @@ object Queries {
       FROM h JOIN o USING (segment)
       ORDER BY segment, hod"""))
 
+  /** Gini concentration of revenue over customers — the PrefixSum-
+    * ranked inequality diagnostic (no global sort / single-partition
+    * window; the oracle's row_number form is algebraically identical
+    * because tie groups contribute v·(c·p + c(c+1)/2) either way). */
+  private val q135 = Entry(
+    "q135_gini_concentration",
+    (s, d) =>
+      AnalysisPlanner
+        .giniConcentration(Tables.orders(s, d), Seq("o_custkey"),
+          "o_totalprice")
+        .select(col("n_keys"), r6(col("total")).as("total"),
+          r6(col("gini")).as("gini")),
+    Some("""
+      WITH t AS (SELECT o_custkey, sum(o_totalprice) AS x
+                 FROM orders GROUP BY 1),
+      r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM t),
+      a AS (SELECT count(*) AS n, sum(x) AS s, sum(i * x) AS si FROM r)
+      SELECT n AS n_keys, round(s, 6) AS total,
+             round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini
+      FROM a"""))
+
+  /** Incremental materialized aggregate: two disjoint event batches
+    * folded into a persisted per-key sufficient-statistics store
+    * (etl/AggStore), metrics finalized from the STORE alone — the
+    * oracle recomputes from the full raw table, proving
+    * ingest(b1); ingest(b2) ≡ one aggregation over b1 ∪ b2. */
+  private val q136 = Entry(
+    "q136_agg_store_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val fp = ev.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(event_id))")).head()
+      val tag = java.lang.Long.toHexString(fp.getLong(0) ^ fp.getLong(1))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_agg_store/$tag"
+      val hBase = new org.apache.hadoop.fs.Path(base)
+      val hFs = hBase.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hFs.exists(hBase)) hFs.delete(hBase, true)
+      val store = s"$base/store"
+      graft.etl.AggStore.ingest(s, store,
+        ev.where(pmod(col("event_id"), lit(2)) === 0),
+        Seq("event_type"), "value")
+      graft.etl.AggStore.ingest(s, store,
+        ev.where(pmod(col("event_id"), lit(2)) === 1),
+        Seq("event_type"), "value")
+      graft.etl.AggStore
+        .finalizeStats(graft.etl.AggStore.read(s, store),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          r6(col("sum")).as("sum_value"), r6(col("mean")).as("mean_value"),
+          r6(col("std")).as("std_value"), r6(col("vmin")).as("min_value"),
+          r6(col("vmax")).as("max_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count("value") AS n,
+             round(sum("value"), 6) AS sum_value,
+             round(avg("value"), 6) AS mean_value,
+             round(stddev_samp("value"), 6) AS std_value,
+             round(min("value"), 6) AS min_value,
+             round(max("value"), 6) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Embedding-space decontamination: train docs semantically close
+    * (cos ≥ 0.35) to any of the last-25 "benchmark" vectors; eval side
+    * broadcast, train side map-only. */
+  private val q137 = Entry(
+    "q137_embedding_decontaminate",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Dedup
+        .embeddingDecontaminate(emb.where(col("vec_id") < 475),
+          emb.where(col("vec_id") >= 475), "vec_id", "embedding", 0.35)
+        .select(col("train_id"), col("n_eval_hits"),
+          r6(col("max_cos")).as("max_cos"), col("worst_eval_id"))
+        .orderBy("train_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ev AS (SELECT * FROM e WHERE vec_id >= 475),
+      tr AS (SELECT * FROM e WHERE vec_id < 475),
+      p AS (
+        SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+               list_dot_product(tr.v, ev.v) /
+               (sqrt(list_dot_product(tr.v, tr.v)) *
+                sqrt(list_dot_product(ev.v, ev.v))) AS cos
+        FROM tr, ev),
+      f AS (SELECT * FROM p WHERE cos >= 0.35),
+      m AS (SELECT train_id, count(*) AS n_eval_hits, max(cos) AS mx
+            FROM f GROUP BY 1)
+      SELECT m.train_id, m.n_eval_hits, round(m.mx, 6) AS max_cos,
+             min(f.eval_id) AS worst_eval_id
+      FROM m JOIN f ON f.train_id = m.train_id AND f.cos = m.mx
+      GROUP BY 1, 2, 3
+      ORDER BY m.train_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4397,7 +4493,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134)
+    q131, q132, q133, q134, q135, q136, q137)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

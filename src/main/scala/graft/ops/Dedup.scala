@@ -872,6 +872,44 @@ object Dedup {
    * near-DUP detection, unlike top-k ANN, may genuinely need every
    * pair; enable it when the caller's blocking key is skewed.
    */
+  /**
+   * Embedding-space decontamination: flag TRAIN documents semantically
+   * close (cosine ≥ `threshold`) to ANY eval/benchmark item — the
+   * paraphrase-leak screen that n-gram decontamination
+   * ([[decontaminate]]) misses. Returns one row per contaminated train
+   * doc: (train id, n_eval_hits, max_cos, worst eval id, deterministic
+   * min-id among ties).
+   *
+   * Scale shape: eval suites are small (10³–10⁵ rows) while train is
+   * the 100 TB side — so eval is BROADCAST (norms precomputed once)
+   * and the train side stays map-only: one codegen'd dot product per
+   * (train, eval) pair, no shuffle of train content at all. The
+   * per-row cost is |eval|·d multiplies — for larger eval suites,
+   * pre-filter candidates with [[Similarity.lshKnn]] banding first;
+   * this operator is the exact-scoring stage.
+   */
+  def embeddingDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      col(vecCol).cast("array<double>").as("vt"),
+      VectorFunctions.norm(col(vecCol)).as("nt"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("ve"),
+      VectorFunctions.norm(col(vecCol)).as("ne"))
+    t.join(broadcast(e))
+      .withColumn("cos",
+        VectorFunctions.dot(col("vt"), col("ve")) / (col("nt") * col("ne")))
+      .where(col("cos") >= threshold)
+      // struct-max argmax: highest cos, MIN eval id among exact ties
+      // (requires a numeric eval id) — deterministic, single agg pass
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("cos").as("c"), (-col("eval_id")).as("ni")))
+          .as("__m"))
+      .select(col("train_id"), col("n_eval_hits"),
+        col("__m.c").as("max_cos"), (-col("__m.ni")).as("worst_eval_id"))
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, maxBlock: Int = 0): DataFrame = {
     // pre-cast to double and precompute each vector's norm ONCE — the

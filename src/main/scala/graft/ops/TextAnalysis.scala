@@ -616,4 +616,54 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
       .limit(k)
   }
+
+  /**
+   * Compression-ratio quality signal: deflate(level 6) bytes / raw
+   * UTF-8 bytes per document. A well-known corpus-quality filter —
+   * boilerplate and template spam compress far below prose (ratio
+   * → 0), while encrypted/binary junk doesn't compress at all (ratio
+   * → 1); curation keeps a middle band. Adds `outCol` (double; null
+   * text → null, empty text → 1.0 by convention).
+   *
+   * Shape: a map-only `mapPartitions` kernel — one `Deflater` per
+   * partition, `reset()` between rows (allocation-free steady state),
+   * no shuffle, no per-row UDF closure serialization. Not
+   * SQL-oracle-expressible (no deflate in the oracle engine), so
+   * verification is scalatest: ordering properties + determinism.
+   */
+  def compressionRatio(df: DataFrame, textCol: String,
+      outCol: String = "compression_ratio"): DataFrame = {
+    val spark = df.sparkSession
+    val idx = df.columns.indexOf(textCol)
+    require(idx >= 0, s"no column $textCol")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.DoubleType, nullable = true))
+    val result = df.rdd.mapPartitions { it =>
+      val deflater =
+        new java.util.zip.Deflater(6, /*nowrap=*/ true)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { row =>
+        val ratio: Any =
+          if (row.isNullAt(idx)) null
+          else {
+            val raw = row.getString(idx)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (raw.isEmpty) 1.0
+            else {
+              deflater.reset()
+              deflater.setInput(raw)
+              deflater.finish()
+              var compressed = 0L
+              while (!deflater.finished())
+                compressed += deflater.deflate(buf)
+              compressed.toDouble / raw.length
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ ratio)
+      }
+    }
+    spark.createDataFrame(result, outSchema)
+  }
 }

@@ -2198,6 +2198,101 @@ class OpsExtSpec extends AnyFunSuite {
     assert(first == Map("view" -> ((2L, 15.0)), "(none)" -> ((1L, 7.0))))
   }
 
+  test("gini: uniform totals → 0, single-key concentration → (n-1)/n") {
+    import graft.analysis.AnalysisPlanner
+    import spark.implicits._
+    // 4 keys, equal totals → perfect equality
+    val eq = (1 to 4).flatMap(k => Seq((s"k$k", 50.0), (s"k$k", 50.0)))
+      .toDF("k", "v")
+    val g0 = AnalysisPlanner.giniConcentration(eq, Seq("k"), "v").head()
+    assert(g0.getAs[Long]("n_keys") == 4)
+    assert(math.abs(g0.getAs[Double]("gini")) < 1e-12)
+    // all value on one of n keys → G = (n-1)/n
+    val con = Seq(("a", 1000.0), ("b", 0.0), ("c", 0.0), ("d", 0.0))
+      .toDF("k", "v")
+    val g1 = AnalysisPlanner.giniConcentration(con, Seq("k"), "v").head()
+    assert(math.abs(g1.getAs[Double]("gini") - 0.75) < 1e-12)
+  }
+
+  test("agg store: two ingests ≡ one full aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("aggstore").toString + "/store"
+    val all = (1 to 100).map(i =>
+      (s"k${i % 3}", i.toDouble)).toDF("k", "v")
+    graft.etl.AggStore.ingest(spark, dir, all.where($"v" <= 50), Seq("k"), "v")
+    graft.etl.AggStore.ingest(spark, dir, all.where($"v" > 50), Seq("k"), "v")
+    val inc = graft.etl.AggStore
+      .finalizeStats(graft.etl.AggStore.read(spark, dir), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val full = all.groupBy("k")
+      .agg(count("v").as("n"), avg("v").as("mean"),
+        stddev_samp("v").as("std"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(inc.keySet == full.keySet)
+    inc.foreach { case (k, (n, mean, std, mn, mx)) =>
+      val (fn, fmean, fstd, fmn, fmx) = full(k)
+      assert(n == fn && mn == fmn && mx == fmx)
+      assert(math.abs(mean - fmean) < 1e-9 && math.abs(std - fstd) < 1e-9)
+    }
+  }
+
+  test("embedding decontamination flags only above-threshold train docs") {
+    import spark.implicits._
+    val mk = (id: Long, v: Seq[Double]) => (id, v.map(_.toFloat).toArray)
+    val train = Seq(
+      mk(1L, Seq(1.0, 0.0)),   // identical to eval 10 → cos 1
+      mk(2L, Seq(0.8, 0.2)),   // cos 0.970 to eval 10 — below threshold
+      mk(3L, Seq(0.0, 1.0)))   // orthogonal to eval 10, = eval 11
+      .toDF("id", "vec")
+    val eval = Seq(mk(10L, Seq(2.0, 0.0)), mk(11L, Seq(0.0, 3.0)))
+      .toDF("id", "vec")
+    val out = graft.ops.Dedup
+      .embeddingDecontaminate(train, eval, "id", "vec", 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // 1 hits eval 10 exactly; 3 hits eval 11 exactly; 2 is below 0.99
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 1 && out(1L)._3 == 10L &&
+      math.abs(out(1L)._2 - 1.0) < 1e-12)
+    assert(out(3L)._3 == 11L)
+    // tie on max_cos picks the SMALLEST eval id deterministically
+    val both = graft.ops.Dedup.embeddingDecontaminate(
+      Seq(mk(7L, Seq(1.0, 0.0))).toDF("id", "vec"),
+      Seq(mk(21L, Seq(5.0, 0.0)), mk(20L, Seq(3.0, 0.0))).toDF("id", "vec"),
+      "id", "vec", 0.5).head()
+    assert(both.getAs[Long]("n_eval_hits") == 2 &&
+      both.getAs[Long]("worst_eval_id") == 20L)
+  }
+
+  test("compression ratio orders repetitive below prose, junk near 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abab" * 200),                               // highly repetitive
+      (2L, (1 to 120).map(i => s"w${i * 7919 % 997}").mkString(" ")), // prose-ish
+      (3L, { val rnd = new scala.util.Random(42)
+        Array.fill(800)(rnd.nextPrintableChar()).mkString }), // high entropy
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = graft.ops.TextAnalysis.compressionRatio(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val rep = out(1L).asInstanceOf[Double]
+    val prose = out(2L).asInstanceOf[Double]
+    val noise = out(3L).asInstanceOf[Double]
+    assert(rep < 0.1 && rep < prose && prose < noise && noise > 0.6)
+    assert(out(4L) == 1.0 && out(5L) == null)
+    // deterministic across runs
+    val again = graft.ops.TextAnalysis.compressionRatio(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
