@@ -4479,6 +4479,145 @@ object Queries {
       GROUP BY 1, 2, 3
       ORDER BY m.train_id"""))
 
+  /** Kaplan–Meier time-to-first-big-purchase: per user, days from
+    * first activity to the first purchase over 200 (event) or to the
+    * last observed day (censored). Distinct-duration sufficient stats
+    * + PrefixSum at-risk counts + exp∘Σlog running product — no
+    * single-partition window anywhere. */
+  private val q138 = Entry(
+    "q138_kaplan_meier",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner.kaplanMeier(surv, "dur", "ev")
+        .select(col("duration").cast("long").as("duration"),
+          col("n_risk"), col("n_event"), r6(col("survival")).as("survival"))
+        .orderBy("duration")
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1 ELSE 0 END AS ev
+        FROM events GROUP BY 1),
+      g AS (SELECT dur, sum(ev)::DOUBLE AS dd, count(*)::DOUBLE AS tot
+            FROM s GROUP BY 1),
+      a AS (SELECT dur, dd,
+              (SELECT count(*) FROM s)::DOUBLE - coalesce(sum(tot) OVER
+                (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS n_risk
+            FROM g),
+      e AS (SELECT dur, n_risk, dd,
+              exp(sum(ln(1 - dd / n_risk)) OVER (ORDER BY dur)) AS surv
+            FROM a WHERE dd > 0)
+      SELECT dur::BIGINT AS duration, n_risk::BIGINT AS n_risk,
+             dd::BIGINT AS n_event, round(surv, 6) AS survival
+      FROM e ORDER BY duration"""))
+
+  /** Single changepoint in daily event revenue — the split minimizing
+    * two-segment SSE, scored entirely from bucketed prefix sums over
+    * per-day sufficient statistics. */
+  private val q139 = Entry(
+    "q139_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("day"))
+        .agg(sum("value").as("daily_value"))
+      AnalysisPlanner.changepoint(daily, "day", "daily_value")
+        .select(col("split_at").cast("long").as("split_day"),
+          col("n_left"), col("n_right"),
+          r6(col("mean_left")).as("mean_left"),
+          r6(col("mean_right")).as("mean_right"), r6(col("gain")).as("gain"))
+    },
+    Some("""
+      WITH dgrp AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE) AS day,
+                           sum("value") AS v
+                    FROM events GROUP BY 1),
+      g AS (SELECT day::DOUBLE AS o, 1.0 AS c, v AS sv, v * v AS q FROM dgrp),
+      p AS (SELECT o,
+              sum(c) OVER w AS cl, sum(sv) OVER w AS sl, sum(q) OVER w AS ql
+            FROM g WINDOW w AS (ORDER BY o)),
+      t AS (SELECT count(*)::DOUBLE AS n, sum(sv) AS s, sum(q) AS qq FROM g),
+      k AS (SELECT o, cl, sl, n, s,
+              (qq - s * s / n) - (ql - sl * sl / cl) -
+                ((qq - ql) - (s - sl) * (s - sl) / (n - cl)) AS gain
+            FROM p, t WHERE cl >= 1 AND n - cl >= 1)
+      SELECT o::BIGINT AS split_day, cl::BIGINT AS n_left,
+             (n - cl)::BIGINT AS n_right, round(sl / cl, 6) AS mean_left,
+             round((s - sl) / (n - cl), 6) AS mean_right,
+             round(gain, 6) AS gain
+      FROM k ORDER BY gain DESC, o ASC LIMIT 1"""))
+
+  /** Benford first-digit conformance of order totals: per-digit
+    * observed vs log10(1+1/d) expectation plus the corpus chi-square
+    * and MAD — the fabricated-data screen as one 9-row frame. */
+  private val q140 = Entry(
+    "q140_benford_digits",
+    (s, d) =>
+      AnalysisPlanner.benford(Tables.orders(s, d), "o_totalprice")
+        .select(col("digit"), col("n"), r6(col("obs_p")).as("obs_p"),
+          r6(col("exp_p")).as("exp_p"), r6(col("chi2")).as("chi2"),
+          r6(col("mad")).as("mad"))
+        .orderBy("digit"),
+    Some("""
+      WITH x AS (SELECT abs(o_totalprice) AS v FROM orders
+                 WHERE abs(o_totalprice) > 0),
+      dg AS (SELECT floor(v / pow(10, floor(log10(v))))::BIGINT AS digit FROM x),
+      o AS (SELECT digit, count(*)::DOUBLE AS n FROM dg GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM o),
+      e AS (SELECT digit, n, n / total AS obs_p,
+                   log10(1 + 1.0 / digit) AS exp_p
+            FROM o, t),
+      g AS (SELECT sum(pow(obs_p - exp_p, 2) / exp_p * total) AS chi2,
+                   avg(abs(obs_p - exp_p)) AS mad
+            FROM e, t)
+      SELECT digit, n::BIGINT AS n, round(obs_p, 6) AS obs_p,
+             round(exp_p, 6) AS exp_p, round(chi2, 6) AS chi2,
+             round(mad, 6) AS mad
+      FROM e, g ORDER BY digit"""))
+
+  /** Cramér's V association between order status and priority —
+    * chi-square over the joint-counts frame (zero cells handled
+    * algebraically, no dense grid), normalized to [0, 1]. */
+  private val q141 = Entry(
+    "q141_cramers_v",
+    (s, d) =>
+      AnalysisPlanner
+        .cramersV(Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+        .select(col("n"), col("n_a"), col("n_b"), col("dof"),
+          r6(col("chi2")).as("chi2"), r6(col("cramers_v")).as("cramers_v")),
+    Some("""
+      WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                        count(*)::DOUBLE AS n
+                 FROM orders GROUP BY 1, 2),
+      ra AS (SELECT a, sum(n) AS na FROM j GROUP BY 1),
+      rb AS (SELECT b, sum(n) AS nb FROM j GROUP BY 1),
+      t AS (SELECT sum(j.n) AS total, count(DISTINCT j.a)::DOUBLE AS r,
+                   count(DISTINCT j.b)::DOUBLE AS c,
+                   sum(j.n * j.n / (ra.na * rb.nb)) AS tt
+            FROM j JOIN ra USING (a) JOIN rb USING (b))
+      SELECT total::BIGINT AS n, r::BIGINT AS n_a, c::BIGINT AS n_b,
+             ((r - 1) * (c - 1))::BIGINT AS dof,
+             round(total * tt - total, 6) AS chi2,
+             round(sqrt((total * tt - total) /
+               (total * (least(r, c) - 1))), 6) AS cramers_v
+      FROM t"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4493,7 +4632,7 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

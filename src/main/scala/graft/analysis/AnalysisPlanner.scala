@@ -1424,4 +1424,160 @@ object AnalysisPlanner {
         (lit(2.0) * col("__si") / (col("__n") * col("__s")) -
           (col("__n") + 1) / col("__n")).as("gini"))
   }
+
+  /**
+   * Kaplan–Meier survival estimator over (duration, event) rows —
+   * `eventCol` = 1 for an observed event, 0 for right-censored. Returns
+   * one row per distinct EVENT time: (duration, n_risk, n_event,
+   * survival), where survival is the running product of (1 − d/n) over
+   * event times ≤ t.
+   *
+   * Scale shape: one groupBy collapses the corpus to distinct-duration
+   * sufficient statistics; the at-risk counts and the running product
+   * (as exp of a prefix-summed log) both go through
+   * [[PrefixSum.exclusive]] — no single-partition window, memory
+   * bounded by distinct durations. Reference analog: survival-style
+   * retention reporting sits beside the cohort metrics of
+   * raise_/analytics/models.py (the reference mocks execution; the
+   * estimator itself is the standard KM product-limit form).
+   */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val g = df.groupBy(col(durationCol).cast("double").as("__t"))
+      .agg(sum(col(eventCol).cast("double")).as("__d"),
+        count(lit(1)).cast("double").as("__tot"))
+    val withRisk = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__N"))))
+      .withColumn("n_risk", col("__N") - col("__before"))
+    // censored-only times contribute a factor of 1 — filter BEFORE the
+    // product prefix so the window runs over event times only
+    val ev = withRisk.where(col("__d") > 0)
+      .withColumn("__lnf", log(lit(1.0) - col("__d") / col("n_risk")))
+    PrefixSum.exclusive(ev.select("__t", "n_risk", "__d", "__lnf"),
+        "__t", Seq("__lnf" -> "__lnp"))
+      .select(col("__t").as("duration"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("n_event"),
+        exp(col("__lnp") + col("__lnf")).as("survival"))
+  }
+
+  /**
+   * Single-changepoint detection by binary segmentation: over a series
+   * keyed by numeric `orderCol`, find the split that maximizes the
+   * reduction in total squared error (SSE_total − SSE_left − SSE_right)
+   * when each side is fit by its own mean. Returns ONE row:
+   * (split_at = last order value of the left segment, n_left, n_right,
+   * mean_left, mean_right, gain). Ties on gain break to the smallest
+   * split point. Recursing on each side yields multi-changepoint
+   * segmentation; each level is one pass of this operator.
+   *
+   * Scale shape: the corpus collapses to per-order-value sufficient
+   * statistics (count/sum/sumsq); every candidate split is scored from
+   * bucketed prefix sums ([[PrefixSum.exclusive]]) + one broadcast
+   * 1-row total — O(distinct order values) state, no window over the
+   * raw rows, no driver-side scan of candidates.
+   */
+  def changepoint(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(col(orderCol).cast("double").as("__o"))
+      .agg(count(lit(1)).cast("double").as("__c"), sum(v).as("__s"),
+        sum(v * v).as("__q"))
+    val pre = PrefixSum.exclusive(g, "__o",
+        Seq("__c" -> "__pc", "__s" -> "__ps", "__q" -> "__pq"))
+      .select(col("__o"), (col("__pc") + col("__c")).as("__cl"),
+        (col("__ps") + col("__s")).as("__sl"),
+        (col("__pq") + col("__q")).as("__ql"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__N"),
+        sum(v).as("__S"), sum(v * v).as("__Q"))))
+    val scored = pre
+      .where(col("__cl") >= 1 && (col("__N") - col("__cl")) >= 1)
+      .withColumn("__gain",
+        (col("__Q") - col("__S") * col("__S") / col("__N")) -
+          (col("__ql") - col("__sl") * col("__sl") / col("__cl")) -
+          ((col("__Q") - col("__ql")) -
+            (col("__S") - col("__sl")) * (col("__S") - col("__sl")) /
+              (col("__N") - col("__cl"))))
+    // struct-max argmax: best gain, then SMALLEST split point on ties
+    scored
+      .agg(max(struct(col("__gain").as("g"), (-col("__o")).as("no"),
+        col("__cl").as("cl"), col("__sl").as("sl"), col("__N").as("n"),
+        col("__S").as("s"))).as("__m"))
+      .select(col("__m.no").as("__no"), col("__m.g").as("gain"),
+        col("__m.cl").as("cl"), col("__m.sl").as("sl"),
+        col("__m.n").as("n"), col("__m.s").as("s"))
+      .select((-col("__no")).as("split_at"),
+        col("cl").cast("long").as("n_left"),
+        (col("n") - col("cl")).cast("long").as("n_right"),
+        (col("sl") / col("cl")).as("mean_left"),
+        ((col("s") - col("sl")) / (col("n") - col("cl"))).as("mean_right"),
+        col("gain"))
+  }
+
+  /**
+   * Benford's-law first-digit conformance test over positive values of
+   * `valueCol`. Returns 9 rows (digit 1–9): observed count and
+   * proportion, the Benford expectation log10(1 + 1/d), and the
+   * corpus-level chi-square statistic and mean absolute deviation
+   * (same values on every row — the per-digit frame IS the report).
+   * The classic fabricated-data / unit-mix-up screen for financial
+   * and metric columns.
+   *
+   * Scale shape: one map-side digit extraction + a 9-row groupBy;
+   * the global stats are a second 9-row aggregate broadcast back.
+   * First digit = floor(x / 10^floor(log10 x)) — pure IEEE double
+   * arithmetic, identical in any engine.
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = abs(col(valueCol).cast("double"))
+    val digit = floor(x / pow(lit(10.0), floor(log10(x))))
+    val obs = df.where(x > 0)
+      .groupBy(digit.cast("long").as("digit"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .join(broadcast(df.where(x > 0)
+        .agg(count(lit(1)).cast("double").as("__N"))))
+      .withColumn("obs_p", col("n") / col("__N"))
+      .withColumn("exp_p", log10(lit(1.0) + lit(1.0) / col("digit")))
+    obs
+      .join(broadcast(obs.agg(
+        sum(pow(col("obs_p") - col("exp_p"), 2) / col("exp_p") * col("__N"))
+          .as("chi2"),
+        avg(abs(col("obs_p") - col("exp_p"))).as("mad"))))
+      .select(col("digit"), col("n").cast("long").as("n"), col("obs_p"),
+        col("exp_p"), col("chi2"), col("mad"))
+  }
+
+  /**
+   * Cramér's V association between two categorical columns: the
+   * chi-square contingency statistic normalized to [0, 1] —
+   * V = sqrt(chi2 / (N · (min(R,C) − 1))). Returns ONE row:
+   * (n, n_a, n_b, dof, chi2, cramers_v).
+   *
+   * Zero-observed cells are handled without materializing the dense
+   * grid: chi2 = N · Σ_observed o²/(n_a·n_b) − N, algebraically
+   * identical to the all-cells form (missing cells contribute exactly
+   * their expectation). Scale shape: one joint groupBy (R·C rows at
+   * most), marginals re-aggregated FROM the joint frame and broadcast
+   * back — the corpus is scanned once.
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val ra = joint.groupBy("__a").agg(sum("__n").as("__na"))
+    val rb = joint.groupBy("__b").agg(sum("__n").as("__nb"))
+    joint
+      .join(broadcast(ra), "__a")
+      .join(broadcast(rb), "__b")
+      .agg(sum(col("__n")).as("N"),
+        countDistinct(col("__a")).cast("double").as("R"),
+        countDistinct(col("__b")).cast("double").as("C"),
+        sum(col("__n") * col("__n") / (col("__na") * col("__nb")))
+          .as("__t"))
+      .select(col("N").cast("long").as("n"),
+        col("R").cast("long").as("n_a"), col("C").cast("long").as("n_b"),
+        ((col("R") - 1) * (col("C") - 1)).cast("long").as("dof"),
+        (col("N") * col("__t") - col("N")).as("chi2"),
+        sqrt((col("N") * col("__t") - col("N")) /
+          (col("N") * (least(col("R"), col("C")) - 1))).as("cramers_v"))
+  }
 }
