@@ -4618,6 +4618,284 @@ object Queries {
                (total * (least(r, c) - 1))), 6) AS cramers_v
       FROM t"""))
 
+  /** Shared scored-frame for the model-eval queries q142–q145: a
+    * deterministic pseudo-model over orders — label correlates with
+    * price through an orderkey-mod coin, score is a LINEAR probability
+    * (exact cross-engine parity; no transcendental in the rank path). */
+  private def scoredOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      when((col("o_orderkey") % 100).cast("double") <
+        col("o_totalprice") / 5000.0, lit(1.0)).otherwise(lit(0.0))
+        .as("label"),
+      (col("o_totalprice") / 600000.0).as("score"))
+
+  private val scoredOrdersSql = """
+      sc AS (SELECT CASE WHEN (o_orderkey % 100) < o_totalprice / 5000.0
+                         THEN 1.0 ELSE 0.0 END AS y,
+                    o_totalprice / 600000.0 AS p
+             FROM orders)"""
+
+  /** Binary-classifier eval in one pass: tie-corrected rank AUC plus
+    * log-loss and Brier — the ranks come from a prefix sum over the
+    * distinct-score frame, exact integer-and-half arithmetic. */
+  private val q142 = Entry(
+    "q142_roc_auc",
+    (s, d) =>
+      graft.ops.Evaluation.binaryMetrics(scoredOrders(s, d), "label", "score")
+        .select(col("n"), col("n_pos"), col("n_neg"), r6(col("auc")).as("auc"),
+          r6(col("log_loss")).as("log_loss"), r6(col("brier")).as("brier")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      r AS (SELECT y, p, rank() OVER (ORDER BY p) AS rmin,
+                   count(*) OVER (PARTITION BY p) AS c
+            FROM sc),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(y) AS np,
+                   sum(CASE WHEN y = 1 THEN rmin + (c - 1) / 2.0 END) AS rpos
+            FROM r),
+      m AS (SELECT avg(-(y * ln(least(greatest(p, 1e-15), 1 - 1e-15)) +
+                     (1 - y) * ln(1 - least(greatest(p, 1e-15), 1 - 1e-15))))
+                     AS log_loss,
+                   avg(pow(p - y, 2)) AS brier
+            FROM sc)
+      SELECT n::BIGINT AS n, np::BIGINT AS n_pos, (n - np)::BIGINT AS n_neg,
+             round((rpos - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc,
+             round(log_loss, 6) AS log_loss, round(brier, 6) AS brier
+      FROM a, m"""))
+
+  /** Average precision (PR-AUC, step interpolation) — each distinct
+    * threshold self-contains its Δrecall·precision term via one
+    * descending prefix sum. */
+  private val q143 = Entry(
+    "q143_pr_auc",
+    (s, d) =>
+      graft.ops.Evaluation.prAuc(scoredOrders(s, d), "label", "score")
+        .select(col("n"), col("n_pos"), col("n_thresholds"),
+          r6(col("pr_auc")).as("pr_auc")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      v AS (SELECT p, sum(y) AS pos, count(*)::DOUBLE AS tot
+            FROM sc GROUP BY 1),
+      w AS (SELECT pos, tot,
+                   coalesce(sum(pos) OVER (ORDER BY p DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pabove,
+                   coalesce(sum(tot) OVER (ORDER BY p DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tabove
+            FROM v),
+      t AS (SELECT sum(y) AS pp, count(*)::DOUBLE AS nn FROM sc)
+      SELECT nn::BIGINT AS n, pp::BIGINT AS n_pos,
+             (SELECT count(*) FROM v) AS n_thresholds,
+             round(sum((pos / pp) * ((pabove + pos) / (tabove + tot))), 6)
+               AS pr_auc
+      FROM w, t GROUP BY nn, pp"""))
+
+  /** Reliability curve: 10 equal-width probability bins, mean predicted
+    * vs observed rate per bin, corpus ECE repeated on every row. */
+  private val q144 = Entry(
+    "q144_calibration",
+    (s, d) =>
+      graft.ops.Evaluation
+        .calibrationCurve(scoredOrders(s, d), "label", "score", 10)
+        .select(col("bin"), col("n"), r6(col("mean_score")).as("mean_score"),
+          r6(col("mean_label")).as("mean_label"), r6(col("gap")).as("gap"),
+          r6(col("ece")).as("ece"))
+        .orderBy("bin"),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      b AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin,
+                   count(*)::DOUBLE AS n,
+                   avg(p) AS mean_score, avg(y) AS mean_label
+            FROM sc GROUP BY 1),
+      t AS (SELECT sum(n) AS nn FROM b),
+      e AS (SELECT sum(n / nn * abs(mean_score - mean_label)) AS ece
+            FROM b, t)
+      SELECT bin, n::BIGINT AS n, round(mean_score, 6) AS mean_score,
+             round(mean_label, 6) AS mean_label,
+             round(abs(mean_score - mean_label), 6) AS gap,
+             round(ece, 6) AS ece
+      FROM b, e ORDER BY bin"""))
+
+  /** Decile lift/gains: score bands assigned per DISTINCT score from
+    * strictly-above counts (deterministic under ties, unlike ntile),
+    * cumulative gains via a second prefix sum over the 10-row frame. */
+  private val q145 = Entry(
+    "q145_lift_table",
+    (s, d) =>
+      graft.ops.Evaluation.liftTable(scoredOrders(s, d), "label", "score", 10)
+        .select(col("bucket"), col("n"), col("n_pos"),
+          r6(col("rate")).as("rate"), r6(col("lift")).as("lift"),
+          r6(col("cum_gain")).as("cum_gain"), r6(col("cum_pct")).as("cum_pct"))
+        .orderBy("bucket"),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      v AS (SELECT p, sum(y) AS pos, count(*)::DOUBLE AS tot
+            FROM sc GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS nn, sum(y) AS pp FROM sc),
+      w AS (SELECT pos, tot,
+                   coalesce(sum(tot) OVER (ORDER BY p DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+            FROM v),
+      b AS (SELECT least(floor(above * 10 / nn), 9)::BIGINT AS bucket,
+                   sum(tot) AS n, sum(pos) AS npos
+            FROM w, t GROUP BY 1),
+      c AS (SELECT bucket, n, npos,
+                   coalesce(sum(n) OVER (ORDER BY bucket ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+                   coalesce(sum(npos) OVER (ORDER BY bucket ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+            FROM b)
+      SELECT bucket, n::BIGINT AS n, npos::BIGINT AS n_pos,
+             round(npos / n, 6) AS rate,
+             round((npos / n) / (pp / nn), 6) AS lift,
+             round((cp + npos) / pp, 6) AS cum_gain,
+             round((cn + n) / nn, 6) AS cum_pct
+      FROM c, t ORDER BY bucket"""))
+
+  /** Cohen's kappa between the recorded order status and a price-band
+    * heuristic labeler over the same {F,O,P} category space. */
+  private val q146 = Entry(
+    "q146_cohen_kappa",
+    (s, d) => {
+      val rater = Tables.orders(s, d).select(col("o_orderstatus").as("a"),
+        when(col("o_totalprice") < 170000.0, lit("F"))
+          .when(col("o_totalprice") < 340000.0, lit("O"))
+          .otherwise(lit("P")).as("b"))
+      graft.ops.Evaluation.cohenKappa(rater, "a", "b")
+        .select(col("n"), r6(col("po")).as("po"), r6(col("pe")).as("pe"),
+          r6(col("kappa")).as("kappa"))
+    },
+    Some("""
+      WITH r AS (SELECT o_orderstatus AS a,
+                        CASE WHEN o_totalprice < 170000.0 THEN 'F'
+                             WHEN o_totalprice < 340000.0 THEN 'O'
+                             ELSE 'P' END AS b
+                 FROM orders),
+      j AS (SELECT a, b, count(*)::DOUBLE AS n FROM r GROUP BY 1, 2),
+      ma AS (SELECT a AS k, sum(n) AS na FROM j GROUP BY 1),
+      mb AS (SELECT b AS k, sum(n) AS nb FROM j GROUP BY 1),
+      t AS (SELECT sum(n) AS nn,
+                   sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree FROM j),
+      x AS (SELECT sum(na * nb) AS crossp FROM ma JOIN mb USING (k))
+      SELECT nn::BIGINT AS n, round(agree / nn, 6) AS po,
+             round(crossp / (nn * nn), 6) AS pe,
+             round((agree / nn - crossp / (nn * nn)) /
+               (1 - crossp / (nn * nn)), 6) AS kappa
+      FROM t, x"""))
+
+  /** Correlogram of daily event revenue at lags 1–7 — mean/denominator
+    * from one broadcast aggregate, lagged pairs via a keyed self-join
+    * (no window at all). */
+  private val q147 = Entry(
+    "q147_acf",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).as("day"))
+        .agg(sum("value").as("rev"))
+      graft.ops.Evaluation.acf(daily, "day", "rev", 7)
+        .select(col("lag"), col("n_pairs"), r6(col("acf")).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE)
+                       AS day, sum("value") AS rev
+                     FROM events GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS sx,
+                    sum(rev * rev) AS sxx FROM daily),
+      m AS (SELECT sx / n AS mu, sxx - sx * sx / n AS den FROM st),
+      l AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(lag)),
+      p AS (SELECT l.lag, a.rev AS x1, b.rev AS x2
+            FROM l JOIN daily a ON true
+                   JOIN daily b ON b.day = a.day + l.lag)
+      SELECT lag::BIGINT AS lag, count(*) AS n_pairs,
+             round(sum((x1 - mu) * (x2 - mu)) / max(den), 6) AS acf
+      FROM p, m GROUP BY 1 ORDER BY 1"""))
+
+  /** CUPED variance reduction on a pre/post split of event revenue:
+    * per-user covariate x = first-half revenue, metric y = second-half
+    * revenue, arms by user-id parity; adjusted means shift
+    * algebraically — no per-row adjusted column. */
+  private val q148 = Entry(
+    "q148_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(min(to_date(col("ts"))).as("__lo"),
+          max(to_date(col("ts"))).as("__hi"))
+        .select(date_add(col("__lo"),
+          (datediff(col("__hi"), col("__lo")) / 2).cast("int")).as("__mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(to_date(col("ts")) < col("__mid"), col("value"))
+          .otherwise(lit(0.0))).as("x"),
+          sum(when(to_date(col("ts")) >= col("__mid"), col("value"))
+            .otherwise(lit(0.0))).as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      graft.ops.Evaluation.cuped(per, "arm", "y", "x")
+        .select(col("group").as("arm"), col("n"),
+          r6(col("mean_raw")).as("mean_raw"), r6(col("mean_adj")).as("mean_adj"),
+          r6(col("theta")).as("theta"),
+          r6(col("var_reduction")).as("var_reduction"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+      mid AS (SELECT lo + ((datediff('day', lo, hi) // 2))::INT AS m FROM b),
+      per AS (SELECT user_id % 2 AS arm,
+                     sum(CASE WHEN ts::DATE < m THEN "value" ELSE 0 END) AS x,
+                     sum(CASE WHEN ts::DATE >= m THEN "value" ELSE 0 END) AS y
+              FROM events, mid GROUP BY user_id),
+      g AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM per),
+      th AS (SELECT sx / n AS mx,
+                    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+                    (syy - sy * sy / n) / n AS vary,
+                    (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+                      (sxx - sx * sx / n) / n AS covterm
+             FROM g),
+      a AS (SELECT arm, count(*) AS n, avg(y) AS mean_raw, avg(x) AS mxg
+            FROM per GROUP BY 1)
+      SELECT arm::BIGINT AS arm, n, round(mean_raw, 6) AS mean_raw,
+             round(mean_raw - theta * (mxg - mx), 6) AS mean_adj,
+             round(theta, 6) AS theta,
+             round(covterm / vary, 6) AS var_reduction
+      FROM a, th ORDER BY arm"""))
+
+  /** NDCG@10 per event type: docs = users ranked by summed event value,
+    * graded relevance from a user-id mod — rankings tie-broken by doc
+    * id so both engines rank identically. */
+  private val q149 = Entry(
+    "q149_ndcg",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type").as("q"), col("user_id").as("doc"))
+        .agg(sum("value").as("score"))
+        .withColumn("rel", (col("doc") % 4).cast("double"))
+      graft.ops.Evaluation.ndcgAtK(per, "q", "doc", "rel", "score", 10)
+        .select(col("query"), col("n_docs"), r6(col("dcg")).as("dcg"),
+          r6(col("idcg")).as("idcg"), r6(col("ndcg")).as("ndcg"))
+        .orderBy("query")
+    },
+    Some("""
+      WITH per AS (SELECT event_type AS q, user_id AS doc,
+                          sum("value") AS score
+                   FROM events GROUP BY 1, 2),
+      r AS (SELECT q, doc, score, (doc % 4)::DOUBLE AS rel,
+                   row_number() OVER (PARTITION BY q
+                     ORDER BY score DESC, doc ASC) AS rs,
+                   row_number() OVER (PARTITION BY q
+                     ORDER BY (doc % 4) DESC, doc ASC) AS ri
+            FROM per),
+      a AS (SELECT q, count(*) AS n_docs,
+                   sum(CASE WHEN rs <= 10
+                       THEN (pow(2, rel) - 1) / log2(rs + 1) ELSE 0 END) AS dcg,
+                   sum(CASE WHEN ri <= 10
+                       THEN (pow(2, rel) - 1) / log2(ri + 1) ELSE 0 END) AS idcg
+            FROM r GROUP BY 1)
+      SELECT q AS query, n_docs, round(dcg, 6) AS dcg,
+             round(idcg, 6) AS idcg,
+             round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg
+      FROM a ORDER BY query"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4632,7 +4910,8 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
-    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
+    q142, q143, q144, q145, q146, q147, q148, q149)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,319 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.PrefixSum
+
+/**
+ * Model-evaluation metrics over scored frames — the offline-eval side
+ * of a feature/training-data platform: a model writes (label, score)
+ * or (query, doc, relevance, score) columns and these operators grade
+ * it. Complements the statistical-test family in
+ * [[graft.analysis.AnalysisPlanner]] (which compares DISTRIBUTIONS;
+ * these compare predictions to ground truth). Reference analog: the
+ * metric surface of raise_/analytics/models.py stops at descriptive
+ * statistics — model-eval metrics are part of the beyond-reference
+ * training-pipeline surface.
+ *
+ * Scale design shared by every operator here: the corpus collapses to
+ * per-distinct-score (or per-bin / per-category) sufficient statistics
+ * first, and every cumulative quantity runs through
+ * [[PrefixSum.exclusive]] — no unbounded single-partition window, no
+ * driver-side collect on any data path. Rank-based quantities (AUC)
+ * use integer-and-half-valued doubles throughout, so the rank algebra
+ * is exact regardless of summation order.
+ */
+object Evaluation {
+
+  /**
+   * Binary-classifier metrics in one pass: ROC-AUC (tie-corrected
+   * Mann–Whitney form), log-loss, and Brier score. Returns ONE row:
+   * (n, n_pos, n_neg, auc, log_loss, brier).
+   *
+   * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of AVERAGE
+   * ranks of the positives — ties share the mean of their rank range,
+   * making the estimator exactly the probability a random positive
+   * outranks a random negative (ties count ½). Ranks come from an
+   * exclusive prefix sum over the distinct-score frame: avg rank of a
+   * tied group = (# strictly below) + (group size + 1)/2.
+   *
+   * `scoreCol` must be a probability in [0, 1] for log-loss/Brier to
+   * be meaningful (AUC only uses order); probabilities are clamped to
+   * [1e-15, 1−1e-15] inside the logs so degenerate 0/1 scores don't
+   * produce infinities.
+   */
+  def binaryMetrics(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val vc = base.groupBy(col("__p").as("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        count(lit(1)).cast("double").as("__tot"))
+    val ranked = PrefixSum.exclusive(vc, "__s", Seq("__tot" -> "__ex"))
+      .withColumn("__avgr", col("__ex") + (col("__tot") + 1) / lit(2.0))
+    val aucRow = ranked
+      .agg(sum(col("__pos") * col("__avgr")).as("__rpos"),
+        sum(col("__pos")).as("__np"), sum(col("__tot")).as("__n"))
+      .select(col("__n").cast("long").as("n"),
+        col("__np").cast("long").as("n_pos"),
+        (col("__n") - col("__np")).cast("long").as("n_neg"),
+        ((col("__rpos") - col("__np") * (col("__np") + 1) / 2.0) /
+          (col("__np") * (col("__n") - col("__np")))).as("auc"))
+    val pc = least(greatest(col("__p"), lit(1e-15)), lit(1.0 - 1e-15))
+    val probRow = base.agg(
+      avg(-(col("__y") * log(pc) + (lit(1.0) - col("__y")) *
+        log(lit(1.0) - pc))).as("log_loss"),
+      avg(pow(col("__p") - col("__y"), 2)).as("brier"))
+    aucRow.join(broadcast(probRow))
+  }
+
+  /**
+   * Area under the precision–recall curve (average precision, step
+   * interpolation): AP = Σ_k Δrecall_k · precision_k over distinct
+   * score thresholds in DESCENDING order. Returns ONE row:
+   * (n, n_pos, n_thresholds, pr_auc).
+   *
+   * At threshold s: TP(s) = positives with score ≥ s and predicted-
+   * positive(s) = rows with score ≥ s, both read off one exclusive
+   * prefix sum over the distinct-score frame ordered by NEGATED score
+   * (ascending prefix of −s = "strictly above s" totals). Δrecall at s
+   * is just pos_at(s)/n_pos, so each distinct score self-contains its
+   * AP contribution — one shuffle, one ≤|distinct|-row reduce.
+   */
+  def prAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val vc = base.groupBy((-col("__p")).as("__ns"))
+      .agg(sum(col("__y")).as("__pos"),
+        count(lit(1)).cast("double").as("__tot"))
+    val pre = PrefixSum.exclusive(vc, "__ns",
+        Seq("__pos" -> "__pabove", "__tot" -> "__tabove"))
+      .join(broadcast(base.agg(sum(col("__y")).as("__P"),
+        count(lit(1)).cast("double").as("__N"))))
+    pre
+      .agg(max(col("__N")).as("__n"), max(col("__P")).as("__np"),
+        count(lit(1)).as("n_thresholds"),
+        sum((col("__pos") / col("__P")) *
+          ((col("__pabove") + col("__pos")) /
+            (col("__tabove") + col("__tot")))).as("pr_auc"))
+      .select(col("__n").cast("long").as("n"),
+        col("__np").cast("long").as("n_pos"),
+        col("n_thresholds"), col("pr_auc"))
+  }
+
+  /**
+   * Reliability curve + expected calibration error: predictions binned
+   * into `bins` equal-width probability bins; per bin the mean
+   * predicted probability vs the observed positive rate, plus the
+   * corpus ECE = Σ (n_b/N)·|mean_score_b − mean_label_b| repeated on
+   * every row (the per-bin frame IS the report). Returns ≤ `bins`
+   * rows: (bin, n, mean_score, mean_label, gap, ece).
+   */
+  def calibrationCurve(df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val binned = base
+      .groupBy(least(floor(col("__p") * bins), lit(bins - 1L))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__p")).as("mean_score"), avg(col("__y")).as("mean_label"))
+      // NOTE: aliases here must differ case-insensitively from "__n" —
+      // Spark resolves column names case-insensitively by default
+      .join(broadcast(base.agg(count(lit(1)).cast("double").as("__ntot"))))
+      .withColumn("gap", abs(col("mean_score") - col("mean_label")))
+    binned
+      .join(broadcast(binned.agg(
+        sum(col("__n") / col("__ntot") * col("gap")).as("ece"))))
+      .select(col("bin"), col("__n").cast("long").as("n"),
+        col("mean_score"), col("mean_label"), col("gap"), col("ece"))
+  }
+
+  /**
+   * Decile lift / gains table for a scored binary outcome: rows are
+   * bucketed into `buckets` score bands from HIGHEST score down, and
+   * each band reports its positive rate, lift over the base rate, and
+   * the cumulative share of all positives captured so far (the gains
+   * curve). Returns ≤ `buckets` rows:
+   * (bucket, n, n_pos, rate, lift, cum_gain, cum_pct).
+   *
+   * Buckets are assigned per DISTINCT score from the count of strictly
+   * higher-scored rows (floor(above·B/N), capped at B−1) — fully
+   * deterministic under ties, unlike ntile() whose tie split depends
+   * on physical row order. All counts stay integral doubles, so bucket
+   * boundaries are exact. The cumulative pass runs over the ≤B-row
+   * bucket frame via a second [[PrefixSum.exclusive]].
+   */
+  def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 10): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val vc = base.groupBy((-col("__p")).as("__ns"))
+      .agg(sum(col("__y")).as("__pos"),
+        count(lit(1)).cast("double").as("__tot"))
+    val banded = PrefixSum.exclusive(vc, "__ns", Seq("__tot" -> "__above"))
+      .join(broadcast(base.agg(count(lit(1)).cast("double").as("__ntot"),
+        sum(col("__y")).as("__ptot"))))
+      .groupBy(least(floor(col("__above") * buckets / col("__ntot")),
+        lit(buckets - 1L)).cast("long").as("bucket"))
+      .agg(sum(col("__tot")).as("__n"), sum(col("__pos")).as("__npos"),
+        max(col("__ntot")).as("__ntot"), max(col("__ptot")).as("__ptot"))
+    PrefixSum.exclusive(banded, "bucket",
+        Seq("__n" -> "__cn", "__npos" -> "__cp"))
+      .select(col("bucket"), col("__n").cast("long").as("n"),
+        col("__npos").cast("long").as("n_pos"),
+        (col("__npos") / col("__n")).as("rate"),
+        ((col("__npos") / col("__n")) / (col("__ptot") / col("__ntot")))
+          .as("lift"),
+        ((col("__cp") + col("__npos")) / col("__ptot")).as("cum_gain"),
+        ((col("__cn") + col("__n")) / col("__ntot")).as("cum_pct"))
+  }
+
+  /**
+   * Cohen's kappa — chance-corrected agreement between two categorical
+   * columns (two raters, or a model vs a heuristic labeler):
+   * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+   * p_e = Σ_k p_A(k)·p_B(k) the agreement expected from the marginals.
+   * Returns ONE row: (n, po, pe, kappa).
+   *
+   * Scale shape mirrors [[graft.analysis.AnalysisPlanner.cramersV]]:
+   * one joint groupBy (≤ R·C rows), marginals re-aggregated from the
+   * joint frame and joined back broadcast — one scan of the corpus,
+   * no dense grid.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val ma = joint.groupBy(col("__a").as("__k")).agg(sum("__n").as("__na"))
+    val mb = joint.groupBy(col("__b").as("__k")).agg(sum("__n").as("__nb"))
+    val tot = joint.agg(sum("__n").as("__N"),
+      sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(lit(0.0))).as("__agree"))
+    ma.join(mb, Seq("__k"))
+      .agg(sum(col("__na") * col("__nb")).as("__cross"))
+      .join(broadcast(tot))
+      .select(col("__N").cast("long").as("n"),
+        (col("__agree") / col("__N")).as("po"),
+        (col("__cross") / (col("__N") * col("__N"))).as("pe"))
+      .withColumn("kappa",
+        (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+  }
+
+  /**
+   * NDCG@k per query group over (query, doc, relevance, score) rows —
+   * the ranking-quality metric for retrieval / recommendation eval.
+   * Returns one row per query: (query, n_docs, dcg, idcg, ndcg).
+   *
+   * DCG@k = Σ_{rank≤k} (2^rel − 1)/log2(rank + 1) with rank by score
+   * descending; IDCG is the same sum under the ideal (relevance-
+   * descending) ordering. Both rankings break ties by `idCol` so the
+   * result is deterministic under score/relevance ties. The windows
+   * are PARTITIONED by query — per-group state only, no global sort.
+   */
+  def ndcgAtK(df: DataFrame, queryCol: String, idCol: String,
+      relCol: String, scoreCol: String, k: Int = 10): DataFrame = {
+    val rel = col(relCol).cast("double")
+    val wS = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol).asc)
+    val wI = Window.partitionBy(col(queryCol))
+      .orderBy(rel.desc, col(idCol).asc)
+    val gain = pow(lit(2.0), rel) - 1.0
+    df.select(col(queryCol).as("query"), gain.as("__g"),
+        row_number().over(wS).as("__rs"), row_number().over(wI).as("__ri"))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rs") <= k,
+          col("__g") / log(2.0, col("__rs") + 1)).otherwise(lit(0.0)))
+          .as("dcg"),
+        sum(when(col("__ri") <= k,
+          col("__g") / log(2.0, col("__ri") + 1)).otherwise(lit(0.0)))
+          .as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+  }
+
+  /**
+   * Sample autocorrelation function at lags 1..maxLag over a regular
+   * series (one row per `timeCol` value, e.g. a daily aggregate):
+   * r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)², the standard
+   * biased ACF estimator (denominator over the FULL series, so r_k is
+   * a proper correlogram and |r_k| ≤ 1). Returns maxLag rows:
+   * (lag, n_pairs, acf).
+   *
+   * Scale shape: mean/denominator from one 1-row broadcast aggregate;
+   * the lagged pairs come from a keyed equi-join of the series against
+   * itself on t + lag (the small lag list is broadcast-exploded onto
+   * the left side) — no window at all, shuffle keyed by time.
+   */
+  def acf(df: DataFrame, timeCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    val s = df.select(col(timeCol).cast("double").as("__t"),
+      col(valueCol).cast("double").as("__x"))
+    val stats = s.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"))
+      .select((col("__sx") / col("__n")).as("__m"),
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")).as("__den"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("double").as("__lag"))
+    val rhs = s.select(col("__t").as("__t2"), col("__x").as("__x2"))
+    s.crossJoin(broadcast(lags))
+      .withColumn("__tk", col("__t") + col("__lag"))
+      .join(rhs, col("__tk") === col("__t2"))
+      .join(broadcast(stats))
+      .groupBy(col("__lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum((col("__x") - col("__m")) * (col("__x2") - col("__m"))) /
+          max(col("__den"))).as("acf"))
+  }
+
+  /**
+   * CUPED variance reduction (Deng et al., WSDM'13 shape): adjust an
+   * experiment metric y by a pre-experiment covariate x via
+   * y' = y − θ(x − x̄) with θ = cov(y,x)/var(x) estimated POOLED across
+   * all rows. Returns one row per `groupCol` value (experiment arm):
+   * (group, n, mean_raw, mean_adj, theta, var_reduction) — theta and
+   * var_reduction (1 − var(y')/var(y), population moments) are
+   * corpus-level and repeat on every row.
+   *
+   * Scale shape: one 1-row moment aggregate (n, Σx, Σy, Σxx, Σxy, Σyy)
+   * broadcast into a per-group aggregate — two scans, no window, no
+   * per-row adjusted column materialized (means adjust algebraically:
+   * mean_adj_g = mean_y_g − θ(mean_x_g − x̄)).
+   */
+  def cuped(df: DataFrame, groupCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("group"),
+      col(yCol).cast("double").as("__y"), col(xCol).cast("double").as("__x"))
+    val glob = base
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select((col("__sx") / col("__n")).as("__mx"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
+          .as("theta"),
+        ((col("__syy") - col("__sy") * col("__sy") / col("__n")) / col("__n"))
+          .as("__vary"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__n")) *
+          (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+          col("__n")).as("__covterm"))
+    base.groupBy("group")
+      .agg(count(lit(1)).as("n"), avg(col("__y")).as("mean_raw"),
+        avg(col("__x")).as("__mxg"))
+      .join(broadcast(glob))
+      .select(col("group"), col("n"), col("mean_raw"),
+        (col("mean_raw") - col("theta") * (col("__mxg") - col("__mx")))
+          .as("mean_adj"),
+        col("theta"),
+        (col("__covterm") / col("__vary")).as("var_reduction"))
+  }
+}

@@ -2293,6 +2293,102 @@ class OpsExtSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("binaryMetrics: AUC matches the hand-computed tie-corrected value") {
+    import spark.implicits._
+    // scores: pos at 0.9, 0.5; neg at 0.5, 0.1 → pairs: (0.9 beats both
+    // negs) + (0.5 vs 0.5 tie = 0.5) + (0.5 beats 0.1) = 3.5 / 4 = 0.875
+    val df = Seq((1.0, 0.9), (1.0, 0.5), (0.0, 0.5), (0.0, 0.1))
+      .toDF("y", "p")
+    val r = graft.ops.Evaluation.binaryMetrics(df, "y", "p").collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_pos") == 2)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-12)
+    // brier = ((0.9-1)^2 + (0.5-1)^2 + (0.5-0)^2 + (0.1-0)^2) / 4
+    assert(math.abs(r.getAs[Double]("brier") - 0.13) < 1e-12)
+    // perfect separation → AUC 1; degenerate 0/1 scores don't blow up
+    val perfect = Seq((1.0, 1.0), (1.0, 0.8), (0.0, 0.2), (0.0, 0.0))
+      .toDF("y", "p")
+    val rp = graft.ops.Evaluation.binaryMetrics(perfect, "y", "p").collect()(0)
+    assert(rp.getAs[Double]("auc") == 1.0)
+    assert(!rp.getAs[Double]("log_loss").isInfinite)
+  }
+
+  test("prAuc equals sklearn-style average precision on a known fixture") {
+    import spark.implicits._
+    // desc thresholds: 0.8(pos) → P=1,R=1/2·…  AP = Σ ΔR·P:
+    // at 0.8: TP=1, pred=1, P=1, ΔR=1/2 → 0.5
+    // at 0.6: TP=1, pred=2, ΔR=0 → 0
+    // at 0.4: TP=2, pred=3, P=2/3, ΔR=1/2 → 1/3;  AP = 0.8333…
+    val df = Seq((1.0, 0.8), (0.0, 0.6), (1.0, 0.4), (0.0, 0.2))
+      .toDF("y", "p")
+    val r = graft.ops.Evaluation.prAuc(df, "y", "p").collect()(0)
+    assert(math.abs(r.getAs[Double]("pr_auc") - (0.5 + 1.0 / 3)) < 1e-12)
+    assert(r.getAs[Long]("n_thresholds") == 4)
+  }
+
+  test("liftTable buckets deterministically and gains reach 1.0") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (if (i <= 30) 1.0 else 0.0, 1.0 - i / 101.0))
+      .toDF("y", "p") // top 30 scores are exactly the positives
+    val out = graft.ops.Evaluation.liftTable(df, "y", "p", 10)
+      .orderBy("bucket").collect()
+    assert(out.length == 10 && out.forall(_.getAs[Long]("n") == 10))
+    // buckets 0-2 all positive → lift = 1 / 0.3
+    assert(math.abs(out(0).getAs[Double]("lift") - 1 / 0.3) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("cum_gain") - 1.0) < 1e-12)
+    assert(math.abs(out(9).getAs[Double]("cum_pct") - 1.0) < 1e-12)
+  }
+
+  test("cohenKappa: textbook 2x2 fixture") {
+    import spark.implicits._
+    // classic example: po = 0.7, pe = 0.5 → kappa = 0.4
+    val rows = Seq.fill(25)(("a", "a")) ++ Seq.fill(10)(("a", "b")) ++
+      Seq.fill(5)(("b", "a")) ++ Seq.fill(10)(("b", "b"))
+    val r = graft.ops.Evaluation.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 50)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-12)
+    // pe = (35/50)(30/50) + (15/50)(20/50) = 0.42 + 0.12 = 0.54
+    assert(math.abs(r.getAs[Double]("pe") - 0.54) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - (0.7 - 0.54) / 0.46) < 1e-12)
+  }
+
+  test("ndcgAtK: perfect ranking → 1.0; reversed < 1; ties broken by id") {
+    import spark.implicits._
+    val perfect = Seq(("q", "a", 3.0, 0.9), ("q", "b", 2.0, 0.8),
+      ("q", "c", 1.0, 0.7)).toDF("q", "doc", "rel", "score")
+    val p = graft.ops.Evaluation.ndcgAtK(perfect, "q", "doc", "rel", "score", 10)
+      .collect()(0)
+    assert(math.abs(p.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    val reversed = Seq(("q", "a", 3.0, 0.1), ("q", "b", 2.0, 0.2),
+      ("q", "c", 1.0, 0.3)).toDF("q", "doc", "rel", "score")
+    val r = graft.ops.Evaluation.ndcgAtK(reversed, "q", "doc", "rel", "score", 10)
+      .collect()(0)
+    assert(r.getAs[Double]("ndcg") < 1.0 && r.getAs[Double]("ndcg") > 0.0)
+    assert(r.getAs[Double]("idcg") == p.getAs[Double]("idcg"))
+  }
+
+  test("acf of a constant-increment series; cuped removes covariate variance") {
+    import spark.implicits._
+    // alternating series: lag-1 ACF strongly negative, lag-2 positive
+    val s = (0 until 20).map(i => (i.toDouble, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "x")
+    val a = graft.ops.Evaluation.acf(s, "t", "x", 2)
+      .orderBy("lag").collect()
+    assert(a(0).getAs[Double]("acf") < -0.8 && a(1).getAs[Double]("acf") > 0.8)
+    assert(a(0).getAs[Long]("n_pairs") == 19 && a(1).getAs[Long]("n_pairs") == 18)
+    // y = 2x + arm effect: CUPED should explain almost all variance and
+    // leave the arm means' ORDER intact
+    val rows = (0 until 100).map { i =>
+      val x = (i % 10).toDouble
+      (i % 2, 2.0 * x + (if (i % 2 == 0) 0.0 else 1.0), x)
+    }
+    val c = graft.ops.Evaluation.cuped(rows.toDF("arm", "y", "x"), "arm", "y", "x")
+      .orderBy("group").collect()
+    assert(c.length == 2)
+    assert(c(0).getAs[Double]("var_reduction") > 0.9)
+    assert(c(1).getAs[Double]("mean_adj") > c(0).getAs[Double]("mean_adj"))
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
