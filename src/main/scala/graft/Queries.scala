@@ -4896,6 +4896,148 @@ object Queries {
              round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg
       FROM a ORDER BY query"""))
 
+  /** Log-rank test on the q138 time-to-first-big-purchase frame, arms
+    * by user-id parity — does either arm's survival curve differ? */
+  private val q150 = Entry(
+    "q150_log_rank",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("arm"),
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner.logRank(surv, "dur", "ev", "arm", "even", "odd")
+        .select(col("observed_a"), r6(col("expected_a")).as("expected_a"),
+          r6(col("chi2")).as("chi2"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events GROUP BY user_id),
+      v AS (SELECT dur,
+              sum(CASE WHEN arm = 'even' THEN ev ELSE 0 END) AS da,
+              sum(CASE WHEN arm = 'odd' THEN ev ELSE 0 END) AS db,
+              sum(CASE WHEN arm = 'even' THEN 1.0 ELSE 0 END) AS ta,
+              sum(CASE WHEN arm = 'odd' THEN 1.0 ELSE 0 END) AS tb
+            FROM s GROUP BY 1),
+      t AS (SELECT sum(ta) AS na0, sum(tb) AS nb0 FROM v),
+      w AS (SELECT dur, da, db,
+              coalesce(sum(ta) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befa,
+              coalesce(sum(tb) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befb
+            FROM v),
+      k AS (SELECT da, na0 - befa AS n1, nb0 - befb AS n2, da + db AS d
+            FROM w, t
+            WHERE da + db > 0 AND (na0 - befa + nb0 - befb) > 1)
+      SELECT sum(da)::BIGINT AS observed_a,
+             round(sum(d * n1 / (n1 + n2)), 6) AS expected_a,
+             round(pow(sum(da) - sum(d * n1 / (n1 + n2)), 2) /
+               sum(d * (n1 / (n1 + n2)) * (1 - n1 / (n1 + n2)) *
+                 (n1 + n2 - d) / (n1 + n2 - 1)), 6) AS chi2
+      FROM k"""))
+
+  /** Zipf slope of the document corpus: weighted OLS of log-frequency
+    * on log-average-rank over the (frequency → term count) histogram. */
+  private val q151 = Entry(
+    "q151_zipf_slope",
+    (s, d) =>
+      graft.ops.TextAnalysis.zipfSlope(Tables.documents(s, d), "text")
+        .select(col("n_terms"), col("n_freq_levels"),
+          r6(col("slope")).as("slope"), r6(col("intercept")).as("intercept")),
+    Some("""
+      WITH tf AS (SELECT w, count(*)::DOUBLE AS f
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w
+                        FROM documents) t
+                  GROUP BY w),
+      fc AS (SELECT f, count(*)::DOUBLE AS cnt FROM tf GROUP BY 1),
+      r AS (SELECT f, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY f DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM fc),
+      o AS (SELECT ln(f) AS y, ln(bef + (cnt + 1) / 2.0) AS x, cnt AS wgt
+            FROM r),
+      g AS (SELECT sum(wgt) AS n, count(*) AS nl, sum(wgt * x) AS sx,
+                   sum(wgt * y) AS sy, sum(wgt * x * x) AS sxx,
+                   sum(wgt * x * y) AS sxy
+            FROM o)
+      SELECT n::BIGINT AS n_terms, nl AS n_freq_levels,
+             round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+             round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+               / n, 6) AS intercept
+      FROM g"""))
+
+  /** Heaps'-law vocabulary growth over doc-id-ordered checkpoints. */
+  private val q152 = Entry(
+    "q152_heaps_law",
+    (s, d) =>
+      graft.ops.TextAnalysis.heapsLaw(Tables.documents(s, d), "doc_id", "text")
+        .select(col("n_docs"), col("total_tokens"), col("vocab"),
+          r6(col("beta")).as("beta"), r6(col("k")).as("k")),
+    Some("""
+      WITH tok AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      pd AS (SELECT d, count(*)::DOUBLE AS tok FROM tok GROUP BY 1),
+      ft AS (SELECT w, min(d) AS fd FROM tok GROUP BY 1),
+      nt AS (SELECT fd AS d, count(*)::DOUBLE AS nw FROM ft GROUP BY 1),
+      per AS (SELECT pd.d, pd.tok, coalesce(nt.nw, 0) AS nw
+              FROM pd LEFT JOIN nt USING (d)),
+      cum AS (SELECT sum(tok) OVER (ORDER BY d) AS n,
+                     sum(nw) OVER (ORDER BY d) AS v
+              FROM per),
+      g AS (SELECT count(*)::DOUBLE AS c, max(n) AS tt, max(v) AS vv,
+                   sum(ln(n)) AS sx, sum(ln(v)) AS sy,
+                   sum(ln(n) * ln(n)) AS sxx, sum(ln(n) * ln(v)) AS sxy
+            FROM cum)
+      SELECT c::BIGINT AS n_docs, tt::BIGINT AS total_tokens,
+             vv::BIGINT AS vocab,
+             round((sxy - sx * sy / c) / (sxx - sx * sx / c), 6) AS beta,
+             round(exp((sy - ((sxy - sx * sy / c) / (sxx - sx * sx / c))
+               * sx) / c), 6) AS k
+      FROM g"""))
+
+  /** Top bursty terms by variance-to-mean ratio of per-doc counts —
+    * all quantities derive from integer sums, so the (unrounded) vmr
+    * ordering is bit-identical across engines. */
+  private val q153 = Entry(
+    "q153_term_burstiness",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .termBurstiness(Tables.documents(s, d), "doc_id", "text", minDf = 10)
+        .orderBy(col("vmr").desc, col("term").asc)
+        .limit(20)
+        .select(col("term"), col("df"), col("total_tf"),
+          r6(col("mean_tf")).as("mean_tf"), r6(col("vmr")).as("vmr")),
+    Some("""
+      WITH tok AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      cells AS (SELECT w, d, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+      pt AS (SELECT w AS term, count(*) AS df, sum(c) AS s, sum(c * c) AS ss
+             FROM cells GROUP BY 1),
+      t AS (SELECT count(DISTINCT doc_id)::DOUBLE AS dd FROM documents)
+      SELECT term, df, s::BIGINT AS total_tf,
+             round(s / dd, 6) AS mean_tf,
+             round((ss / dd - (s / dd) * (s / dd)) / (s / dd), 6) AS vmr
+      FROM pt, t WHERE df >= 10
+      ORDER BY (ss / dd - (s / dd) * (s / dd)) / (s / dd) DESC, term
+      LIMIT 20"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -4911,7 +5053,7 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1462,6 +1462,54 @@ object AnalysisPlanner {
   }
 
   /**
+   * Two-group log-rank test over (duration, event, group) rows — the
+   * standard companion to [[kaplanMeier]]: does group A's survival
+   * curve differ from group B's? Returns ONE row:
+   * (observed_a, expected_a, chi2) with chi2 ~ χ²(1) under H0; feed
+   * chi2 to [[Stats]] for the p-value (statistic-only output mirrors
+   * the statTest family's oracle convention).
+   *
+   * At each distinct event time t: e_A(t) = d(t)·n_A(t)/n(t) and
+   * v(t) = d(t)·(n_A/n)(1 − n_A/n)(n − d)/(n − 1); the statistic is
+   * (O_A − E_A)²/V. Scale shape identical to [[kaplanMeier]]: one
+   * groupBy to distinct-time sufficient statistics, per-group at-risk
+   * counts via ONE [[PrefixSum.exclusive]] pass (two summed columns),
+   * then a 1-row reduce — memory bounded by distinct durations.
+   */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val base = df.where(isA || col(groupCol) === groupB)
+      .select(col(durationCol).cast("double").as("__t"),
+        col(eventCol).cast("double").as("__e"),
+        when(isA, lit(1.0)).otherwise(lit(0.0)).as("__a"))
+    val vc = base.groupBy("__t").agg(
+      sum(col("__e") * col("__a")).as("__da"),
+      sum(col("__e") * (lit(1.0) - col("__a"))).as("__db"),
+      sum(col("__a")).as("__ta"),
+      sum(lit(1.0) - col("__a")).as("__tb"))
+    val tot = base.agg(sum(col("__a")).as("__na0"),
+      sum(lit(1.0) - col("__a")).as("__nb0"))
+    val pre = PrefixSum.exclusive(vc, "__t",
+        Seq("__ta" -> "__befa", "__tb" -> "__befb"))
+      .join(broadcast(tot))
+      .withColumn("__n1", col("__na0") - col("__befa"))
+      .withColumn("__n2", col("__nb0") - col("__befb"))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .where(col("__d") > 0 && col("__n") > 1)
+    pre
+      .agg(sum(col("__da")).as("__oa"),
+        sum(col("__d") * col("__n1") / col("__n")).as("__ea"),
+        sum(col("__d") * (col("__n1") / col("__n")) *
+          (lit(1.0) - col("__n1") / col("__n")) *
+          (col("__n") - col("__d")) / (col("__n") - 1)).as("__v"))
+      .select(col("__oa").cast("long").as("observed_a"),
+        col("__ea").as("expected_a"),
+        (pow(col("__oa") - col("__ea"), 2) / col("__v")).as("chi2"))
+  }
+
+  /**
    * Single-changepoint detection by binary segmentation: over a series
    * keyed by numeric `orderCol`, find the split that maximizes the
    * reduction in total squared error (SSE_total − SSE_left − SSE_right)

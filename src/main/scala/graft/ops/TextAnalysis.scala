@@ -666,4 +666,123 @@ object TextAnalysis {
     }
     spark.createDataFrame(result, outSchema)
   }
+
+  /**
+   * Zipf's-law fit over the corpus term-frequency distribution: the
+   * weighted OLS slope of log(frequency) on log(rank) — a healthy
+   * natural-language corpus sits near −1; a flat slope flags
+   * template/boilerplate-heavy data, a steep one flags tiny-vocabulary
+   * spam. Returns ONE row: (n_terms, n_freq_levels, slope, intercept).
+   *
+   * Ranks are frequency-descending with ties sharing the AVERAGE rank
+   * of their block ("rank-binned" fit — ties at frequency f are one
+   * OLS point weighted by the tie count). That makes the statistic a
+   * pure function of the frequency histogram: the corpus collapses to
+   * one (frequency → term count) frame and the rank positions come
+   * from a single [[PrefixSum.exclusive]] pass over it — no global
+   * per-term sort, state bounded by DISTINCT frequency values (≪
+   * vocabulary, by Zipf itself).
+   */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).cast("double").as("__f"))
+    val fc = tf.groupBy("__f").agg(count(lit(1)).cast("double").as("__cnt"))
+    val ranked = graft.analysis.PrefixSum
+      .exclusive(fc.withColumn("__nf", -col("__f")), "__nf",
+        Seq("__cnt" -> "__bef"))
+      .select(log(col("__f")).as("__y"),
+        log(col("__bef") + (col("__cnt") + 1) / 2.0).as("__x"),
+        col("__cnt").as("__wgt"))
+    ranked
+      .agg(sum(col("__wgt")).as("__n"), count(lit(1)).as("n_freq_levels"),
+        sum(col("__wgt") * col("__x")).as("__sx"),
+        sum(col("__wgt") * col("__y")).as("__sy"),
+        sum(col("__wgt") * col("__x") * col("__x")).as("__sxx"),
+        sum(col("__wgt") * col("__x") * col("__y")).as("__sxy"))
+      .select(col("__n").cast("long").as("n_terms"), col("n_freq_levels"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
+          .as("slope"),
+        ((col("__sy") - ((col("__sxy") - col("__sx") * col("__sy") /
+          col("__n")) / (col("__sxx") - col("__sx") * col("__sx") /
+          col("__n"))) * col("__sx")) / col("__n")).as("intercept"))
+  }
+
+  /**
+   * Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β over per-document
+   * checkpoints of (cumulative tokens n, cumulative vocabulary V) in
+   * document-id order. β far from the 0.4–0.6 natural-text band flags
+   * duplicated (low β) or noise/ID-heavy (β→1) corpora. Returns ONE
+   * row: (n_docs, total_tokens, vocab, beta, k).
+   *
+   * "First occurrence" is a min(doc) per term — one keyed agg, no
+   * order-sensitive scan; the cumulative checkpoints come from one
+   * [[graft.analysis.PrefixSum.exclusive]] pass over the per-document
+   * frame; the OLS of log V on log n runs over |docs| checkpoint rows.
+   */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__d"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val perDoc = tok.groupBy("__d")
+      .agg(count(lit(1)).cast("double").as("__tok"))
+    val newTerms = tok.groupBy("__w").agg(min(col("__d")).as("__fd"))
+      .groupBy(col("__fd").as("__d"))
+      .agg(count(lit(1)).cast("double").as("__nw"))
+    val per = perDoc.join(newTerms, Seq("__d"), "left")
+      .na.fill(0.0, Seq("__nw"))
+    val cum = graft.analysis.PrefixSum
+      .exclusive(per, "__d", Seq("__tok" -> "__ct", "__nw" -> "__cv"))
+      .select((col("__ct") + col("__tok")).as("__n"),
+        (col("__cv") + col("__nw")).as("__v"))
+    cum
+      .agg(count(lit(1)).cast("double").as("__c"),
+        max(col("__n")).as("__tt"), max(col("__v")).as("__vv"),
+        sum(log(col("__n"))).as("__sx"), sum(log(col("__v"))).as("__sy"),
+        sum(log(col("__n")) * log(col("__n"))).as("__sxx"),
+        sum(log(col("__n")) * log(col("__v"))).as("__sxy"))
+      .select(col("__c").cast("long").as("n_docs"),
+        col("__tt").cast("long").as("total_tokens"),
+        col("__vv").cast("long").as("vocab"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__c")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__c")))
+          .as("beta"),
+        exp((col("__sy") - ((col("__sxy") - col("__sx") * col("__sy") /
+          col("__c")) / (col("__sxx") - col("__sx") * col("__sx") /
+          col("__c"))) * col("__sx")) / col("__c")).as("k"))
+  }
+
+  /**
+   * Term burstiness — the variance-to-mean ratio (index of dispersion)
+   * of each term's per-document count ACROSS ALL documents, zeros
+   * included: ≈1 for Poisson-scattered function words, ≫1 for bursty
+   * topical terms (and for boilerplate that repeats inside few docs).
+   * Returns one row per term with document frequency ≥ `minDf`:
+   * (term, df, total_tf, mean_tf, vmr).
+   *
+   * The all-documents moments need no dense (term × doc) grid: with
+   * S = Σ counts and SS = Σ counts² over OBSERVED (term, doc) cells,
+   * mean = S/D and var = SS/D − mean² — zero cells contribute exactly
+   * zero to both sums. All inputs are integer-valued, so mean/vmr are
+   * bit-identical across engines (safe to ORDER BY). One (term, doc)
+   * groupBy then one per-term agg; D is a 1-row broadcast.
+   */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5): DataFrame = {
+    val tok = df.select(col(idCol).as("__d"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val cells = tok.groupBy("__w", "__d")
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val perTerm = cells.groupBy(col("__w").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    perTerm.where(col("df") >= minDf)
+      .join(broadcast(df.agg(
+        countDistinct(col(idCol)).cast("double").as("__dd"))))
+      .select(col("term"), col("df"),
+        col("__s").cast("long").as("total_tf"),
+        (col("__s") / col("__dd")).as("mean_tf"),
+        ((col("__ss") / col("__dd") -
+          (col("__s") / col("__dd")) * (col("__s") / col("__dd"))) /
+          (col("__s") / col("__dd"))).as("vmr"))
+  }
 }

@@ -2389,6 +2389,57 @@ class OpsExtSpec extends AnyFunSuite {
     assert(c(1).getAs[Double]("mean_adj") > c(0).getAs[Double]("mean_adj"))
   }
 
+  test("logRank: symmetric arms → chi2 exactly 0; separated arms → large") {
+    import spark.implicits._
+    // identical duration/event multisets per arm: O_A = E_A exactly
+    val sym = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 0.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 0.0))
+      .toDF("arm", "dur", "ev")
+    val rs = graft.analysis.AnalysisPlanner
+      .logRank(sym, "dur", "ev", "arm", "a", "b").collect()(0)
+    assert(rs.getAs[Double]("chi2") == 0.0)
+    assert(rs.getAs[Long]("observed_a") == 2)
+    // arm a all events early, arm b all late → strong separation
+    val sep = ((1 to 10).map(i => ("a", i.toDouble, 1.0)) ++
+      (1 to 10).map(i => ("b", 100.0 + i, 1.0))).toDF("arm", "dur", "ev")
+    val rb = graft.analysis.AnalysisPlanner
+      .logRank(sep, "dur", "ev", "arm", "a", "b").collect()(0)
+    assert(rb.getAs[Double]("chi2") > 10.0)
+  }
+
+  test("zipfSlope: two-point corpus has the exact analytic slope") {
+    import spark.implicits._
+    // "a a a a b": freq 4 at rank 1, freq 1 at rank 2 →
+    // slope = (ln1 − ln4)/(ln2 − ln1) = −2 exactly
+    val r = graft.ops.TextAnalysis
+      .zipfSlope(Seq(Tuple1("a a a a b")).toDF("text"), "text").collect()(0)
+    assert(r.getAs[Long]("n_terms") == 2 && r.getAs[Long]("n_freq_levels") == 2)
+    assert(math.abs(r.getAs[Double]("slope") - (-2.0)) < 1e-12)
+  }
+
+  test("heapsLaw: two-checkpoint fixture fits exactly") {
+    import spark.implicits._
+    // doc1 "a b" → (n=2, V=2); doc2 "a c" → (n=4, V=3)
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.heapsLaw(df, "doc_id", "text").collect()(0)
+    val beta = math.log(3.0 / 2) / math.log(2.0)
+    assert(r.getAs[Long]("total_tokens") == 4 && r.getAs[Long]("vocab") == 3)
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-12)
+    assert(math.abs(r.getAs[Double]("k") - 2.0 / math.pow(2.0, beta)) < 1e-12)
+  }
+
+  test("termBurstiness: VMR with zero cells counted") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x x"), (2L, "y"), (3L, "y"), (4L, "y y"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .termBurstiness(df, "doc_id", "text", minDf = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("vmr")).toMap
+    // x: counts (4,0,0,0) → mean 1, var 3 → vmr 3
+    // y: counts (0,1,1,2) → mean 1, var 0.5 → vmr 0.5
+    assert(out("x") == 3.0 && out("y") == 0.5)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
