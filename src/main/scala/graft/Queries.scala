@@ -5038,6 +5038,172 @@ object Queries {
       ORDER BY (ss / dd - (s / dd) * (s / dd)) / (s / dd) DESC, term
       LIMIT 20"""))
 
+  /** Per-lang rankers shared by q154/q155: A = longest docs first,
+    * B = lowest doc id first — deterministic stand-ins for a lexical
+    * and a recency retriever, both top-20 per query group. */
+  private def rankerA(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).as("rank"))
+      .where(col("rank") <= 20)
+
+  /** Reciprocal-rank fusion of the two per-lang rankers, top 10 fused
+    * results per query — fused scores are sums of two correctly-rounded
+    * reciprocals of integer ranks, bit-identical across engines. */
+  private val q154 = Entry(
+    "q154_rrf_fuse",
+    (s, d) => {
+      val b = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(col("doc_id").asc)).as("rank"))
+        .where(col("rank") <= 20)
+      graft.ops.Retrieval.rrfFuse(rankerA(s, d), b, "lang", "doc_id", "rank")
+        .where(col("fused_rank") <= 10)
+        .select(col("query"), col("doc"), r6(col("rrf_score")).as("rrf_score"),
+          col("fused_rank"))
+        .orderBy("query", "fused_rank")
+    },
+    Some("""
+      WITH a AS (SELECT lang AS query, doc_id AS doc,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id) AS r
+                 FROM documents QUALIFY r <= 20),
+      b AS (SELECT lang AS query, doc_id AS doc,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY doc_id) AS r
+            FROM documents QUALIFY r <= 20),
+      f AS (SELECT coalesce(a.query, b.query) AS query,
+                   coalesce(a.doc, b.doc) AS doc,
+                   coalesce(1.0 / (60 + a.r), 0) +
+                     coalesce(1.0 / (60 + b.r), 0) AS s
+            FROM a FULL OUTER JOIN b
+              ON a.query = b.query AND a.doc = b.doc),
+      rk AS (SELECT query, doc, s,
+                    row_number() OVER (PARTITION BY query
+                      ORDER BY s DESC, doc) AS fr
+             FROM f)
+      SELECT query, doc, round(s, 6) AS rrf_score, fr AS fused_rank
+      FROM rk WHERE fr <= 10 ORDER BY query, fr"""))
+
+  /** Ranked-retrieval eval of ranker A against a source-based
+    * relevance set: per-lang MRR components, recall@10, precision@10. */
+  private val q155 = Entry(
+    "q155_retrieval_eval",
+    (s, d) => {
+      val rel = Tables.documents(s, d).where(col("source") === "src0")
+        .select(col("lang"), col("doc_id"))
+      graft.ops.Retrieval
+        .retrievalMetrics(rankerA(s, d), rel, "lang", "doc_id", "rank", 10)
+        .select(col("query"), col("n_results"), col("n_relevant"),
+          col("first_rel_rank"), r6(col("rr")).as("rr"),
+          r6(col("recall_at_k")).as("recall_at_k"),
+          r6(col("precision_at_k")).as("precision_at_k"))
+        .orderBy("query")
+    },
+    Some("""
+      WITH res AS (SELECT lang AS query, doc_id AS doc,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r
+                   FROM documents QUALIFY r <= 20),
+      rel AS (SELECT DISTINCT lang AS query, doc_id AS doc
+              FROM documents WHERE source = 'src0'),
+      nr AS (SELECT query, count(*) AS n_relevant FROM rel GROUP BY 1),
+      h AS (SELECT res.query, res.r,
+                   CASE WHEN rel.doc IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM res LEFT JOIN rel
+              ON res.query = rel.query AND res.doc = rel.doc),
+      p AS (SELECT query, count(*) AS n_results,
+                   min(CASE WHEN hit = 1 THEN r END) AS first_rel_rank,
+                   sum(CASE WHEN hit = 1 AND r <= 10 THEN 1 ELSE 0 END)
+                     AS hitsk
+            FROM h GROUP BY 1)
+      SELECT p.query, n_results, coalesce(n_relevant, 0) AS n_relevant,
+             first_rel_rank,
+             round(coalesce(1.0 / first_rel_rank, 0), 6) AS rr,
+             CASE WHEN coalesce(n_relevant, 0) > 0
+                  THEN round(hitsk / n_relevant, 6) END AS recall_at_k,
+             round(hitsk / 10.0, 6) AS precision_at_k
+      FROM p LEFT JOIN nr USING (query) ORDER BY p.query"""))
+
+  /** Term-distribution JS divergence between two document sources —
+    * the text-space drift check. */
+  private val q156 = Entry(
+    "q156_term_js_divergence",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .termJsDivergence(Tables.documents(s, d), "text", "source",
+          "src0", "src1")
+        .select(col("n_terms_a"), col("n_terms_b"), col("n_terms_union"),
+          col("tokens_a"), col("tokens_b"),
+          r6(col("js_divergence")).as("js_divergence")),
+    Some("""
+      WITH ta AS (SELECT w, count(*)::DOUBLE AS ca
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w
+                        FROM documents WHERE source = 'src0') t
+                  GROUP BY 1),
+      tb AS (SELECT w, count(*)::DOUBLE AS cb
+             FROM (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE source = 'src1') t
+             GROUP BY 1),
+      j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM ta FULL OUTER JOIN tb ON ta.w = tb.w),
+      t AS (SELECT sum(ca) AS tta, sum(cb) AS ttb FROM j),
+      p AS (SELECT ca, cb, ca / tta AS pa, cb / ttb AS pb,
+                   (ca / tta + cb / ttb) / 2.0 AS m FROM j, t)
+      SELECT sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_a,
+             sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms_b,
+             count(*) AS n_terms_union,
+             (SELECT tta FROM t)::BIGINT AS tokens_a,
+             (SELECT ttb FROM t)::BIGINT AS tokens_b,
+             round(sum(CASE WHEN ca > 0 THEN pa * ln(pa / m) ELSE 0 END)
+                 / 2.0 +
+               sum(CASE WHEN cb > 0 THEN pb * ln(pb / m) ELSE 0 END)
+                 / 2.0, 6) AS js_divergence
+      FROM p"""))
+
+  /** Vocabulary coverage quantiles — smallest most-frequent-first
+    * vocabulary covering 50/80/95% of corpus tokens; the crossing-
+    * block search is exact integer arithmetic. */
+  private val q157 = Entry(
+    "q157_vocab_coverage",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .vocabCoverage(Tables.documents(s, d), "text", Seq(0.5, 0.8, 0.95))
+        .select(col("share"), col("vocab_size"), col("total_vocab"),
+          col("total_tokens"), r6(col("coverage")).as("coverage"))
+        .orderBy("share"),
+    Some("""
+      WITH fc AS (SELECT f, count(*)::DOUBLE AS cnt,
+                         f * count(*)::DOUBLE AS toks
+                  FROM (SELECT w, count(*)::DOUBLE AS f
+                        FROM (SELECT unnest(string_split(text, ' ')) AS w
+                              FROM documents) u
+                        GROUP BY w) tf
+                  GROUP BY f),
+      pre AS (SELECT f, cnt, toks,
+                     coalesce(sum(cnt) OVER (ORDER BY f DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS terms_before,
+                     coalesce(sum(toks) OVER (ORDER BY f DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS toks_before
+              FROM fc),
+      t AS (SELECT sum(toks) AS tt, sum(cnt) AS tv FROM fc),
+      s AS (SELECT unnest([0.5::DOUBLE, 0.8::DOUBLE, 0.95::DOUBLE])
+              AS share),
+      k AS (SELECT share, terms_before, toks_before, f, tt, tv,
+                   share * tt AS target
+            FROM s, pre, t
+            WHERE toks_before < share * tt
+              AND toks_before + toks >= share * tt)
+      SELECT share,
+             (terms_before + ceil((target - toks_before) / f))::BIGINT
+               AS vocab_size,
+             tv::BIGINT AS total_vocab, tt::BIGINT AS total_tokens,
+             round((toks_before + ceil((target - toks_before) / f) * f)
+               / tt, 6) AS coverage
+      FROM k ORDER BY share"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5053,7 +5219,8 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
-    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
+    q154, q155, q156, q157)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

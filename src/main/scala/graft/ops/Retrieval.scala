@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Hybrid-retrieval composition and evaluation: fuse independently
+ * produced rankings (lexical BM25, embedding ANN, recency, …) and
+ * grade ranked results against a relevance set. Complements the
+ * retrievers themselves ([[TextAnalysis.bm25TopK]],
+ * [[Similarity.lshKnn]], [[Similarity.ivfKnn]]) — these operators
+ * consume their OUTPUT frames, so any ranker that emits
+ * (query, doc, rank) composes.
+ *
+ * Scale design: fusion is one keyed full-outer join on (query, doc);
+ * evaluation is one left join + per-query aggregate. The only windows
+ * are PARTITIONED by query (per-query candidate lists, bounded by the
+ * rankers' top-k) — no global sort, no driver collect.
+ */
+object Retrieval {
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR'09 form) of two
+   * rankings: fused score = Σ_r 1/(k + rank_r), a ranker that missed
+   * the doc contributing 0. Returns (query, doc, rrf_score,
+   * fused_rank) with fused_rank dense per query, ties broken by doc
+   * id so both the score (two correctly-rounded reciprocals summed
+   * once) and the order are deterministic.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, k: Int = 60): DataFrame = {
+    def side(df: DataFrame, out: String) =
+      df.select(col(queryCol).as("query"), col(docCol).as("doc"),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol).cast("double"))).as(out))
+    side(a, "__sa")
+      .join(side(b, "__sb"), Seq("query", "doc"), "full_outer")
+      .na.fill(0.0, Seq("__sa", "__sb"))
+      .withColumn("rrf_score", col("__sa") + col("__sb"))
+      .withColumn("fused_rank",
+        row_number().over(Window.partitionBy("query")
+          .orderBy(col("rrf_score").desc, col("doc").asc)))
+      .select("query", "doc", "rrf_score", "fused_rank")
+  }
+
+  /**
+   * Ranked-retrieval evaluation per query: given results
+   * (query, doc, rank) and a relevance set (query, doc), returns one
+   * row per query with
+   * (query, n_results, n_relevant, first_rel_rank, rr, recall_at_k,
+   * precision_at_k) — rr = 1/first_rel_rank (0 when no relevant doc
+   * was retrieved; averaging rr over queries gives MRR), recall@k =
+   * hits in the top k / min(n_relevant, k) is NOT clipped here:
+   * recall@k = hits@k / n_relevant, precision@k = hits@k / k, the
+   * textbook definitions.
+   *
+   * Queries with an empty relevance set report n_relevant = 0 and
+   * NULL recall (0/0 is undefined, not 0) — callers filter or
+   * coalesce per their convention.
+   */
+  def retrievalMetrics(results: DataFrame, relevant: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int = 10): DataFrame = {
+    val res = results.select(col(queryCol).as("query"),
+      col(docCol).as("doc"), col(rankCol).cast("long").as("__rank"))
+    val rel = relevant
+      .select(col(queryCol).as("query"), col(docCol).as("doc")).distinct()
+      .withColumn("__rel", lit(1.0))
+    val nRel = rel.groupBy("query")
+      .agg(count(lit(1)).as("n_relevant"))
+    res.join(rel, Seq("query", "doc"), "left")
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_results"),
+        min(when(col("__rel").isNotNull, col("__rank")))
+          .as("first_rel_rank"),
+        sum(when(col("__rel").isNotNull && col("__rank") <= k, 1L)
+          .otherwise(0L)).as("__hitsk"))
+      .join(nRel, Seq("query"), "left")
+      .na.fill(0L, Seq("n_relevant"))
+      .select(col("query"), col("n_results"), col("n_relevant"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
+        when(col("n_relevant") > 0, col("__hitsk") / col("n_relevant"))
+          .as("recall_at_k"),
+        (col("__hitsk") / lit(k.toDouble)).as("precision_at_k"))
+  }
+}

@@ -785,4 +785,97 @@ object TextAnalysis {
           (col("__s") / col("__dd")) * (col("__s") / col("__dd"))) /
           (col("__s") / col("__dd"))).as("vmr"))
   }
+
+  /**
+   * Jensen–Shannon divergence between the TERM distributions of two
+   * corpus slices (sources, time windows, language buckets) — the
+   * text-space analog of the numeric drift family: JS(P,Q) =
+   * ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, natural-log units, bounded by
+   * ln 2. Terms absent from one side contribute only through the
+   * present side (p·ln(p/m) with q = 0) — no smoothing, the
+   * divergence is exact for the observed vocabularies. Returns ONE
+   * row: (n_terms_a, n_terms_b, n_terms_union, tokens_a, tokens_b,
+   * js_divergence).
+   *
+   * Scale shape: two term-count aggregates full-outer-joined on term
+   * (vocabulary-sized, shuffled by term), totals broadcast from 1-row
+   * aggregates, one reduce — the corpus is scanned once per slice.
+   */
+  def termJsDivergence(df: DataFrame, textCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    def counts(g: String, out: String) =
+      df.where(col(groupCol) === g)
+        .select(explode(split(col(textCol), " ")).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).cast("double").as(out))
+    val ca = counts(groupA, "__ca")
+    val cb = counts(groupB, "__cb")
+    // totals from the (vocabulary-sized) count frames, not a corpus
+    // rescan — Spark reuses the aggregation exchange for both readers
+    val joined = ca
+      .join(cb, Seq("__w"), "full_outer")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+      .join(broadcast(ca.agg(sum(col("__ca")).as("__tta"))))
+      .join(broadcast(cb.agg(sum(col("__cb")).as("__ttb"))))
+      .withColumn("__pa", col("__ca") / col("__tta"))
+      .withColumn("__pb", col("__cb") / col("__ttb"))
+      .withColumn("__m", (col("__pa") + col("__pb")) / 2.0)
+    joined.agg(
+        sum(when(col("__ca") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_terms_a"),
+        sum(when(col("__cb") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_terms_b"),
+        count(lit(1)).as("n_terms_union"),
+        max(col("__tta")).cast("long").as("tokens_a"),
+        max(col("__ttb")).cast("long").as("tokens_b"),
+        (sum(when(col("__pa") > 0,
+          col("__pa") * log(col("__pa") / col("__m"))).otherwise(lit(0.0)))
+          / 2.0 +
+          sum(when(col("__pb") > 0,
+            col("__pb") * log(col("__pb") / col("__m"))).otherwise(lit(0.0)))
+          / 2.0).as("js_divergence"))
+  }
+
+  /**
+   * Vocabulary coverage quantiles: for each requested token-mass share
+   * s, the smallest vocabulary size (taking terms most-frequent-first,
+   * ties counted together) whose cumulative token mass reaches s·T.
+   * The tokenizer-design statistic — "how many types cover 95% of the
+   * corpus". Returns one row per share:
+   * (share, vocab_size, total_vocab, total_tokens, coverage).
+   *
+   * All arithmetic is integer counts + one s·T product, so the
+   * crossing-block search is exact: the corpus collapses to the
+   * (frequency → term count) histogram, one [[graft.analysis.PrefixSum
+   * .exclusive]] pass adds cumulative term/token counts, and each
+   * share picks its unique crossing block (tokens_before < s·T ≤
+   * tokens_before + block) with ceil((s·T − before)/f) terms from
+   * inside it. State bounded by distinct frequency values.
+   */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      shares: Seq[Double]): DataFrame = {
+    import df.sparkSession.implicits._
+    val fc = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).cast("double").as("__f"))
+      .groupBy("__f").agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__toks", col("__f") * col("__cnt"))
+    val pre = graft.analysis.PrefixSum
+      .exclusive(fc.withColumn("__nf", -col("__f")), "__nf",
+        Seq("__cnt" -> "__terms_before", "__toks" -> "__toks_before"))
+      .join(broadcast(fc.agg(sum(col("__toks")).as("__tt"),
+        sum(col("__cnt")).as("__tv"))))
+    val shareDf = shares.toDF("share")
+    shareDf.crossJoin(pre)
+      .withColumn("__target", col("share") * col("__tt"))
+      .where(col("__toks_before") < col("__target") &&
+        col("__toks_before") + col("__toks") >= col("__target"))
+      .withColumn("__need",
+        ceil((col("__target") - col("__toks_before")) / col("__f")))
+      .select(col("share"),
+        (col("__terms_before") + col("__need")).cast("long")
+          .as("vocab_size"),
+        col("__tv").cast("long").as("total_vocab"),
+        col("__tt").cast("long").as("total_tokens"),
+        ((col("__toks_before") + col("__need") * col("__f")) / col("__tt"))
+          .as("coverage"))
+  }
 }

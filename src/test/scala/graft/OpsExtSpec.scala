@@ -2440,6 +2440,62 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out("x") == 3.0 && out("y") == 0.5)
   }
 
+  test("rrfFuse: doc present in both rankers outranks single-list docs") {
+    import spark.implicits._
+    val a = Seq(("q", "x", 1), ("q", "y", 2)).toDF("query", "doc", "rank")
+    val b = Seq(("q", "x", 2), ("q", "z", 1)).toDF("query", "doc", "rank")
+    val out = graft.ops.Retrieval.rrfFuse(a, b, "query", "doc", "rank", 60)
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Double]("rrf_score"), r.getAs[Int]("fused_rank"))).toMap
+    assert(out("x")._1 == 1.0 / 61 + 1.0 / 62) // both lists
+    assert(out("x")._2 == 1)                   // beats either single-list doc
+    assert(out("z")._1 == 1.0 / 61 && out("y")._1 == 1.0 / 62)
+    assert(out("z")._2 == 2 && out("y")._2 == 3)
+  }
+
+  test("retrievalMetrics: textbook MRR/recall/precision fixture") {
+    import spark.implicits._
+    val res = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3),
+      ("q", "d", 4), ("q", "e", 5)).toDF("query", "doc", "rank")
+    val rel = Seq(("q", "b"), ("q", "e"), ("q", "z")).toDF("query", "doc")
+    val r = graft.ops.Retrieval
+      .retrievalMetrics(res, rel, "query", "doc", "rank", k = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("first_rel_rank") == 2)
+    assert(r.getAs[Double]("rr") == 0.5)
+    assert(math.abs(r.getAs[Double]("recall_at_k") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("precision_at_k") - 1.0 / 3) < 1e-12)
+    assert(r.getAs[Long]("n_relevant") == 3 && r.getAs[Long]("n_results") == 5)
+  }
+
+  test("termJsDivergence: 0 for identical slices, ln2 for disjoint") {
+    import spark.implicits._
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("g", "text")
+    val js0 = graft.ops.TextAnalysis
+      .termJsDivergence(same, "text", "g", "a", "b").collect()(0)
+    assert(math.abs(js0.getAs[Double]("js_divergence")) < 1e-12)
+    val disj = Seq(("a", "x x y"), ("b", "p q q")).toDF("g", "text")
+    val jsD = graft.ops.TextAnalysis
+      .termJsDivergence(disj, "text", "g", "a", "b").collect()(0)
+    assert(math.abs(jsD.getAs[Double]("js_divergence") - math.log(2)) < 1e-12)
+    assert(jsD.getAs[Long]("n_terms_union") == 4)
+  }
+
+  test("vocabCoverage: exact crossing-block arithmetic") {
+    import spark.implicits._
+    // corpus "a a a b": T=4; 50% needs 1 term (3/4 covered);
+    // 100% needs both (ties: the f=1 block supplies the last token)
+    val df = Seq(Tuple1("a a a b")).toDF("text")
+    val out = graft.ops.TextAnalysis
+      .vocabCoverage(df, "text", Seq(0.5, 1.0))
+      .orderBy("share").collect()
+    assert(out(0).getAs[Long]("vocab_size") == 1)
+    assert(out(0).getAs[Double]("coverage") == 0.75)
+    assert(out(1).getAs[Long]("vocab_size") == 2)
+    assert(out(1).getAs[Double]("coverage") == 1.0)
+    assert(out(0).getAs[Long]("total_tokens") == 4)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
