@@ -4542,7 +4542,10 @@ object Queries {
         .select(col("split_at").cast("long").as("split_day"),
           col("n_left"), col("n_right"),
           r6(col("mean_left")).as("mean_left"),
-          r6(col("mean_right")).as("mean_right"), r6(col("gain")).as("gain"))
+          r6(col("mean_right")).as("mean_right"),
+          // gain ~1e6 arises from ~1e10 cancellations → fp noise ~1e-2;
+          // integer grid keeps a 50× margin (r6 flaked on the boundary)
+          round(col("gain"), 0).as("gain"))
     },
     Some("""
       WITH dgrp AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE) AS day,
@@ -4560,7 +4563,7 @@ object Queries {
       SELECT o::BIGINT AS split_day, cl::BIGINT AS n_left,
              (n - cl)::BIGINT AS n_right, round(sl / cl, 6) AS mean_left,
              round((s - sl) / (n - cl), 6) AS mean_right,
-             round(gain, 6) AS gain
+             round(gain, 0) AS gain
       FROM k ORDER BY gain DESC, o ASC LIMIT 1"""))
 
   /** Benford first-digit conformance of order totals: per-digit
@@ -5204,6 +5207,59 @@ object Queries {
                / tt, 6) AS coverage
       FROM k ORDER BY share"""))
 
+  /** PageRank over the customer→supplier purchase graph (3 damped
+    * power-iteration steps from uniform; suppliers are all dangling,
+    * exercising the dangling-mass redistribution). The oracle unrolls
+    * the same three iterations as nested CTEs. */
+  private val q158 = Entry(
+    "q158_pagerank",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node"), r6(col("rank")).as("rank"))
+        .orderBy("node")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                        's' || l_suppkey AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS dg FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+      c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.dg) AS c
+             FROM r0 JOIN e ON r0.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d1 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r0
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r1 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+      c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.dg) AS c
+             FROM r1 JOIN e ON r1.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d2 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r1
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r2 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+      c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.dg) AS c
+             FROM r2 JOIN e ON r2.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d3 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r2
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r3 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+      SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5220,7 +5276,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157)
+    q154, q155, q156, q157, q158)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

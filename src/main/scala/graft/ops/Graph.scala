@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over edge frames. Connected components (the dedup
+ * clustering workhorse) lives in [[Dedup.dedupClusters]]; this object
+ * adds rank propagation — entity-importance scoring over interaction
+ * graphs (customer↔supplier, doc↔doc citation, user↔item), a standard
+ * feature-engineering signal.
+ *
+ * Scale design: every iteration is two keyed shuffles (contribution
+ * groupBy(dst) + the node left-join) over edge/node frames — the
+ * textbook Pregel-as-joins shape with no driver-side state beyond
+ * 1-row broadcast aggregates. Lineage is truncated with
+ * localCheckpoint every few iterations so long runs don't grow the
+ * plan unboundedly.
+ */
+object Graph {
+
+  /**
+   * PageRank with damping and full dangling-mass redistribution:
+   * r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + dangling/N), a fixed
+   * `iterations`-step power iteration from the uniform vector (fixed
+   * step count keeps the result a deterministic function of the edge
+   * set — no float-tolerance convergence test). Multi-edges collapse
+   * to simple edges first. Returns (node, rank); Σ rank = 1 up to
+   * float rounding at every step.
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    // materialize the loop-invariant frames ONCE — without this every
+    // iteration re-executes the caller's edge pipeline (often a join)
+    // three times over; localCheckpoint keeps them distributed on
+    // executor-local storage, nothing through the driver
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__deg"))
+      .localCheckpoint()
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint()
+    // the dangling-node SET is loop-invariant — only its rank mass
+    // changes per iteration, so resolve the anti-join once
+    val dangling = nodes
+      .join(deg, nodes("node") === deg("src"), "left_anti")
+      .localCheckpoint()
+    val nRow = broadcast(nodes.agg(count(lit(1)).cast("double").as("__nn")))
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), (lit(1.0) / col("__nn")).as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = ranks.join(eDeg, ranks("node") === eDeg("src"))
+        .groupBy(col("dst").as("__n2"))
+        .agg(sum(col("rank") / col("__deg")).as("__c"))
+      val dang = broadcast(
+        ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang")))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("__n2"), "left")
+        .na.fill(0.0, Seq("__c"))
+        .crossJoin(nRow).crossJoin(dang)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__nn") +
+            lit(damping) * (col("__c") + col("__dang") / col("__nn")))
+            .as("rank"))
+      // truncate lineage so long runs keep a bounded plan; values are
+      // unchanged (localCheckpoint just materializes the frame)
+      if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -2496,6 +2496,21 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("total_tokens") == 4)
   }
 
+  test("pageRank: mass conserved, chain ranks increase downstream") {
+    import spark.implicits._
+    // a→b→c chain: rank accumulates downstream; c is dangling
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out = graft.ops.Graph.pageRank(e, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9) // dangling mass recycled
+    assert(out("c") > out("b") && out("b") > out("a"))
+    // multi-edges collapse: duplicating an edge changes nothing
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val out2 = graft.ops.Graph.pageRank(dup, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2 == out)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
