@@ -5260,6 +5260,119 @@ object Queries {
              FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
       SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"""))
 
+  /** BH step-up FDR over 125 synthetic hypotheses (exact-rational
+    * p-values, planted small-p block) — flags the discovery set. */
+  private val q159 = Entry(
+    "q159_bh_fdr",
+    (s, d) => {
+      val hyp = Tables.orders(s, d).where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("hid"),
+          when(col("o_orderkey") % 50 === 0,
+            (col("o_orderkey") * 7919 % 9973) / lit(9973000.0))
+            .otherwise((col("o_orderkey") * 7919 % 9973) / lit(9973.0))
+            .as("p"))
+      AnalysisPlanner.bhFdr(hyp, "p", 0.1)
+        .select(col("hid"), r6(col("p")).as("p"), col("p_rank"),
+          r6(col("bh_critical")).as("bh_critical"), col("discovery"))
+        .orderBy("hid")
+    },
+    Some("""
+      WITH hyp AS (SELECT o_orderkey AS hid,
+                          CASE WHEN o_orderkey % 50 = 0
+                               THEN (o_orderkey * 7919 % 9973) / 9973000.0
+                               ELSE (o_orderkey * 7919 % 9973) / 9973.0
+                          END AS p
+                   FROM orders WHERE o_orderkey <= 500),
+      v AS (SELECT p, count(*)::DOUBLE AS cnt FROM hyp GROUP BY 1),
+      w AS (SELECT p, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY p ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM v),
+      m AS (SELECT count(*)::DOUBLE AS m FROM hyp),
+      ps AS (SELECT max(CASE WHEN p <= (bef + cnt) * 0.1 / m THEN p END)
+               AS pstar
+             FROM w, m)
+      SELECT hid, round(p, 6) AS p, (bef + 1)::BIGINT AS p_rank,
+             round((bef + 1) * 0.1 / m, 6) AS bh_critical,
+             (pstar IS NOT NULL AND p <= pstar) AS discovery
+      FROM hyp JOIN w USING (p), m, ps
+      ORDER BY hid"""))
+
+  /** Split-conformal thresholds for purchase values at three
+    * miscoverage levels — thresholds are exact order statistics
+    * (actual data values, no float formula). */
+  private val q160 = Entry(
+    "q160_conformal_threshold",
+    (s, d) =>
+      AnalysisPlanner
+        .conformalThreshold(
+          Tables.events(s, d).where(col("event_type") === "purchase"),
+          "value", Seq(0.1, 0.05, 0.01))
+        .select(col("alpha"), col("n"), col("k"),
+          r6(col("threshold")).as("threshold"))
+        .orderBy(col("alpha").desc),
+    Some("""
+      WITH s AS (SELECT "value" AS v FROM events
+                 WHERE event_type = 'purchase'),
+      n AS (SELECT count(*)::DOUBLE AS n FROM s),
+      v AS (SELECT v, count(*)::DOUBLE AS cnt FROM s GROUP BY 1),
+      w AS (SELECT v, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM v),
+      a AS (SELECT unnest([0.1::DOUBLE, 0.05::DOUBLE, 0.01::DOUBLE])
+              AS alpha),
+      k AS (SELECT alpha, least(ceil((n + 1) * (1 - alpha)), n) AS kk, n
+            FROM a, n),
+      t AS (SELECT k.alpha, k.n, k.kk, w.v
+            FROM k JOIN w ON w.bef < k.kk AND w.bef + w.cnt >= k.kk)
+      SELECT alpha, n::BIGINT AS n, kk::BIGINT AS k,
+             round(v, 6) AS threshold
+      FROM t ORDER BY alpha DESC"""))
+
+  /** Pinball-loss backtest of a 0.9-quantile forecast: per event type,
+    * the first-half 0.9 order-stat quantile predicts second-half
+    * values; coverage should sit near 0.9 for a stable series. */
+  private val q161 = Entry(
+    "q161_pinball_loss",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(min(to_date(col("ts"))).as("__lo"),
+          max(to_date(col("ts"))).as("__hi"))
+        .select(date_add(col("__lo"),
+          (datediff(col("__hi"), col("__lo")) / 2).cast("int")).as("__mid"))
+      val first = ev.crossJoin(broadcast(mid))
+        .where(to_date(col("ts")) < col("__mid"))
+      val preds = AnalysisPlanner.exactPercentilesDisc(first, "value",
+        Seq("pred" -> 0.9), Seq("event_type"))
+      val second = ev.crossJoin(broadcast(mid))
+        .where(to_date(col("ts")) >= col("__mid"))
+      graft.ops.Evaluation
+        .pinballLoss(second.join(preds, Seq("event_type")),
+          "value", "pred", 0.9, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          r6(col("mean_pinball")).as("mean_pinball"),
+          r6(col("coverage")).as("coverage"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi
+                 FROM events),
+      mid AS (SELECT lo + ((datediff('day', lo, hi) // 2))::INT AS m
+              FROM b),
+      f AS (SELECT event_type, quantile_disc("value", 0.9) AS pred
+            FROM events, mid WHERE ts::DATE < m GROUP BY 1),
+      s AS (SELECT e.event_type, e."value" AS y, f.pred
+            FROM events e CROSS JOIN mid
+                 JOIN f ON e.event_type = f.event_type
+            WHERE e.ts::DATE >= m)
+      SELECT event_type, count(*) AS n,
+             round(avg(CASE WHEN y >= pred THEN 0.9 * (y - pred)
+                            ELSE 0.1 * (pred - y) END), 6) AS mean_pinball,
+             round(avg(CASE WHEN y <= pred THEN 1.0 ELSE 0 END), 6)
+               AS coverage
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5276,7 +5389,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158)
+    q154, q155, q156, q157, q158, q159, q160, q161)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

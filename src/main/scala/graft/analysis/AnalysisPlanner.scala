@@ -1510,6 +1510,70 @@ object AnalysisPlanner {
   }
 
   /**
+   * Benjamini–Hochberg FDR correction over a frame of hypotheses with
+   * a p-value column: flags every row whose p-value survives the BH
+   * step-up procedure at level `alpha`. Returns the input columns plus
+   * (p_rank, bh_critical, discovery): p_rank is the MIN rank of the
+   * row's p-value (ties share it), bh_critical = p_rank·α/m, and
+   * discovery = (p ≤ p*(k*)) where k* is the largest sorted position i
+   * with p_(i) ≤ i·α/m — the standard step-up, with tied blocks
+   * evaluated at their LARGEST position (the most favorable, exactly
+   * equivalent to per-position evaluation).
+   *
+   * Scale shape: one groupBy collapses to distinct p-values, one
+   * [[PrefixSum.exclusive]] pass yields block positions, a 1-row
+   * aggregate finds p*; the input joins back against broadcast scalars
+   * — no global per-row sort.
+   */
+  def bhFdr(df: DataFrame, pCol: String, alpha: Double): DataFrame = {
+    val p = col(pCol).cast("double")
+    val vc = df.groupBy(p.as("__p"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(vc, "__p", Seq("__cnt" -> "__bef"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__m"))))
+    val pstar = broadcast(pre
+      .agg(max(when(col("__p") <= (col("__bef") + col("__cnt")) *
+        alpha / col("__m"), col("__p"))).as("__pstar"),
+        max(col("__m")).as("__m")))
+    df.join(pstar)
+      .join(pre.select(col("__p"), (col("__bef") + 1).cast("long")
+        .as("p_rank")), p === col("__p"))
+      .withColumn("bh_critical", col("p_rank") * alpha / col("__m"))
+      .withColumn("discovery",
+        col("__pstar").isNotNull && p <= col("__pstar"))
+      .drop("__p", "__pstar", "__m")
+  }
+
+  /**
+   * Split-conformal prediction threshold: for each miscoverage level
+   * α, the ⌈(n+1)(1−α)⌉-th smallest calibration score — the
+   * finite-sample-valid cutoff such that P(score ≤ threshold) ≥ 1−α
+   * for an exchangeable test point (Vovk et al. form). Returns one row
+   * per alpha: (alpha, n, k, threshold); k > n (tiny calibration sets)
+   * clamps to the max score.
+   *
+   * The order statistic comes from the value-count + prefix-sum frame
+   * (exact, distributed, same shape as PERCENTILE_DISC) — thresholds
+   * are actual data values, so results carry no float-formula noise.
+   */
+  def conformalThreshold(df: DataFrame, scoreCol: String,
+      alphas: Seq[Double]): DataFrame = {
+    import df.sparkSession.implicits._
+    val vc = df.groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(vc, "__s", Seq("__cnt" -> "__bef"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__n"))))
+    alphas.toDF("alpha").crossJoin(pre)
+      .withColumn("__k",
+        least(ceil((col("__n") + 1) * (lit(1.0) - col("alpha"))),
+          col("__n")))
+      .where(col("__bef") < col("__k") &&
+        col("__bef") + col("__cnt") >= col("__k"))
+      .select(col("alpha"), col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k"), col("__s").as("threshold"))
+  }
+
+  /**
    * Single-changepoint detection by binary segmentation: over a series
    * keyed by numeric `orderCol`, find the split that maximizes the
    * reduction in total squared error (SSE_total − SSE_left − SSE_right)

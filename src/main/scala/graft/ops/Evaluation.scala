@@ -273,6 +273,25 @@ object Evaluation {
   }
 
   /**
+   * Pinball (quantile) loss of a quantile forecast: mean over rows of
+   * q·(y−ŷ) when y ≥ ŷ else (1−q)·(ŷ−y) — the proper scoring rule a
+   * τ-quantile forecast minimizes. Grouped by `groupCols` (empty =
+   * corpus-level). Returns (groupCols…, n, mean_pinball, coverage)
+   * where coverage = share of rows with y ≤ ŷ (should approach q for a
+   * calibrated forecast). One aggregate, map-only before it.
+   */
+  def pinballLoss(df: DataFrame, yCol: String, predCol: String, q: Double,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val y = col(yCol).cast("double")
+    val p = col(predCol).cast("double")
+    val loss = when(y >= p, lit(q) * (y - p))
+      .otherwise(lit(1.0 - q) * (p - y))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(loss).as("mean_pinball"),
+        avg(when(y <= p, lit(1.0)).otherwise(lit(0.0))).as("coverage"))
+  }
+
+  /**
    * CUPED variance reduction (Deng et al., WSDM'13 shape): adjust an
    * experiment metric y by a pre-experiment covariate x via
    * y' = y − θ(x − x̄) with θ = cov(y,x)/var(x) estimated POOLED across

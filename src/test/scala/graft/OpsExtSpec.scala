@@ -2511,6 +2511,48 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("bhFdr: step-up discovers the block below the crossing, ties together") {
+    import spark.implicits._
+    // m=4, α=0.2 → criticals .05/.10/.15/.20: k*=3, p=0.9 excluded
+    val df = Seq(0.01, 0.02, 0.03, 0.9).toDF("p")
+    val out = graft.analysis.AnalysisPlanner.bhFdr(df, "p", 0.2)
+      .collect().map(r => r.getDouble(0) -> r.getAs[Boolean]("discovery"))
+      .toMap
+    assert(out(0.01) && out(0.02) && out(0.03) && !out(0.9))
+    // step-up: p=.05 fails its own critical (.05 ≤ .05 ok actually) —
+    // use the classic case where a later position rescues an earlier:
+    // p=(0.04, 0.05): criticals .075/.15 → both discovered
+    val df2 = Seq(0.04, 0.05).toDF("p")
+    val o2 = graft.analysis.AnalysisPlanner.bhFdr(df2, "p", 0.15)
+      .collect().map(r => r.getDouble(0) -> r.getAs[Boolean]("discovery"))
+      .toMap
+    assert(o2(0.04) && o2(0.05))
+    // tied p-values evaluate at the block's LARGEST position
+    val o3 = graft.analysis.AnalysisPlanner
+      .bhFdr(Seq(0.1, 0.1).toDF("p"), "p", 0.2)
+      .collect().map(_.getAs[Boolean]("discovery"))
+    assert(o3.forall(identity))
+  }
+
+  test("conformalThreshold: exact finite-sample order statistic") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("s")
+    val out = graft.analysis.AnalysisPlanner
+      .conformalThreshold(df, "s", Seq(0.1, 0.5))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getAs[Long]("k"), r.getAs[Double]("threshold"))).toMap
+    assert(out(0.1) == ((10L, 10.0)))  // ceil(11·0.9)=10
+    assert(out(0.5) == ((6L, 6.0)))    // ceil(11·0.5)=6
+  }
+
+  test("pinballLoss: symmetric at the median, coverage counted") {
+    import spark.implicits._
+    val df = Seq((0.0, 5.0), (10.0, 5.0)).toDF("y", "pred")
+    val r = graft.ops.Evaluation.pinballLoss(df, "y", "pred", 0.5).collect()(0)
+    assert(r.getAs[Double]("mean_pinball") == 2.5)
+    assert(r.getAs[Double]("coverage") == 0.5)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
