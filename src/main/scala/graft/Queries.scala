@@ -1186,7 +1186,12 @@ object Queries {
           col("nbr_id"), r6(col("cos")).as("cos"))
         .orderBy("query_id", "rnk")
     },
-    Some {
+    Some(ivfOracleSql))
+
+  /** Shared by q32 (inline IVF) and q162 (persisted-index IVF): both
+    * paths must produce byte-identical results over the same corpus
+    * and pseudo-centroids. */
+  private lazy val ivfOracleSql: String = {
       val cents = graft.ops.Similarity.pseudoCentroids(8, 64)
       val values = cents.zipWithIndex.map { case (cv, i) =>
         val cc = cv.map(x => x * x).sum
@@ -1225,7 +1230,7 @@ object Queries {
             FROM sc)
       SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
-    })
+    }
 
   /** Deterministic hash-threshold sampling (the scale-safe replacement
     * for orderBy(rand).limit): both engines keep the row iff its md5
@@ -5373,6 +5378,30 @@ object Queries {
                AS coverage
       FROM s GROUP BY 1 ORDER BY 1"""))
 
+  /** IVF ANN from a PERSISTED index — the amortized q32: assignments
+    * and centroids are written once (fingerprint-keyed store, the
+    * q98/q130 pattern); the query batch probes the stored cells.
+    * Shares q32's oracle — the two paths must match exactly. */
+  private val q162 = Entry(
+    "q162_knn_ivf_from_index",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val fp = emb.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id))")).head()
+      val tag = java.lang.Long.toHexString(fp.getLong(0) ^ fp.getLong(1))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$tag"
+      if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+        graft.ops.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+          graft.ops.Similarity.pseudoCentroids(8, 64), path)
+      graft.ops.Similarity
+        .ivfKnnFromIndex(s, path, emb.where(col("vec_id") < 10), 5,
+          nProbe = 2)
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("nbr_id"), r6(col("cos")).as("cos"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(ivfOracleSql))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5389,7 +5418,7 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158, q159, q160, q161)
+    q154, q155, q156, q157, q158, q159, q160, q161, q162)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -696,14 +696,10 @@ object Similarity {
         col("approx_cos"))
   }
 
-  /** IVF ANN against caller-provided centroids (k-means, pseudo-random,
-    * or loaded from a trained index). */
-  def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      cents: Array[Array[Double]], nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpusWithCells(corpus, cents, idCol, vecCol, quantized = false)
-    val probed = probedQueries(queries, cents, nProbe, idCol, vecCol,
-      quantized = false)
+  /** Shared exact-cosine scoring tail: broadcast the probed queries
+    * into their cells, score, rank per query. */
+  private def scoreAndRank(c: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     val scored = c
       .join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
@@ -715,5 +711,55 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("nbr_id"), col("cos"))
+  }
+
+  /** IVF ANN against caller-provided centroids (k-means, pseudo-random,
+    * or loaded from a trained index). */
+  def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    scoreAndRank(
+      corpusWithCells(corpus, cents, idCol, vecCol, quantized = false),
+      probedQueries(queries, cents, nProbe, idCol, vecCol,
+        quantized = false), k)
+
+  /**
+   * Persist the IVF corpus state — cell assignments with norms and
+   * vectors, plus the centroid table — so repeated query batches
+   * amortize the assignment pass: the search-index-store pattern
+   * ([[TextAnalysis.writeSearchIndex]], the q98 cluster store) applied
+   * to ANN. Layout: `path/assignments` (cell, nbr_id, cv, cn) and
+   * `path/centroids` (cell, cv).
+   */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], path: String): Unit = {
+    val dir = path.stripSuffix("/")
+    corpusWithCells(corpus, cents, idCol, vecCol, quantized = false)
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /**
+   * IVF ANN against a [[writeIvfIndex]] store: the query batch is
+   * assigned with the STORED centroids (collected to the driver —
+   * KiB, the same bounded contract as the literal-centroid path) and
+   * only the probed cells of the assignment parquet are scored — the
+   * cell equi-join prunes the store scan. Results are identical to
+   * [[ivfKnnWith]] over the same corpus and centroids.
+   */
+  def ivfKnnFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dir = path.stripSuffix("/")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    scoreAndRank(spark.read.parquet(s"$dir/assignments"),
+      probedQueries(queries, cents, nProbe, idCol, vecCol,
+        quantized = false), k)
   }
 }

@@ -2553,6 +2553,23 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage") == 0.5)
   }
 
+  test("ivfKnnFromIndex equals ivfKnnWith over the same store") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.pseudoCentroids(4, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.ops.Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, dir)
+    val q = emb.where($"vec_id" < 5)
+    val inline = graft.ops.Similarity.ivfKnnWith(emb, q, 3, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = graft.ops.Similarity
+      .ivfKnnFromIndex(spark, dir, q, 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == inline && stored.nonEmpty)
+  }
+
   test("seasonality lift averages to the segment mean") {
     import spark.implicits._
     val ev = Seq(
