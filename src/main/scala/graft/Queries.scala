@@ -5402,6 +5402,286 @@ object Queries {
     },
     Some(ivfOracleSql))
 
+  /** Association rules over the order→supplier basket relation:
+    * co-supply support/confidence/lift per supplier pair. */
+  private val q163 = Entry(
+    "q163_assoc_rules",
+    (s, d) =>
+      graft.ops.Associations
+        .pairRules(Tables.lineitem(s, d), "l_orderkey", "l_suppkey",
+          minPairCount = 5)
+        .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+          col("n_b"), r6(col("support")).as("support"),
+          r6(col("conf_a_b")).as("conf_a_b"),
+          r6(col("conf_b_a")).as("conf_b_a"), r6(col("lift")).as("lift"))
+        .orderBy("item_a", "item_b"),
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+                 FROM lineitem),
+      nb AS (SELECT count(DISTINCT bk)::DOUBLE AS n FROM b),
+      ic AS (SELECT it, count(*)::DOUBLE AS ni FROM b GROUP BY 1),
+      p AS (SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_pair
+            FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT item_a, item_b, n_pair,
+             a.ni::BIGINT AS n_a, c.ni::BIGINT AS n_b,
+             round(n_pair / nb.n, 6) AS support,
+             round(n_pair / a.ni, 6) AS conf_a_b,
+             round(n_pair / c.ni, 6) AS conf_b_a,
+             round(n_pair * nb.n / (a.ni * c.ni), 6) AS lift
+      FROM p JOIN ic a ON p.item_a = a.it
+             JOIN ic c ON p.item_b = c.it, nb
+      ORDER BY item_a, item_b"""))
+
+  /** Per-node triangle counts + clustering coefficient on the
+    * co-supply graph (supplier pairs sharing ≥5 orders). The oracle
+    * enumerates triangles in id order a<b<c; the engine's
+    * degree-ordered orientation finds the identical triangle set. */
+  private val q164 = Entry(
+    "q164_triangles",
+    (s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("it"))
+        .distinct()
+      val e = b.as("l")
+        .join(b.as("r"),
+          col("l.bk") === col("r.bk") && col("l.it") < col("r.it"))
+        .select(col("l.it").as("s1"), col("r.it").as("s2"))
+      graft.ops.Graph.triangleStats(e, "s1", "s2", minCount = 5)
+        .select(col("node"), col("degree"), col("triangles"),
+          r6(col("clustering_coeff")).as("clustering_coeff"))
+        .orderBy("node")
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+                 FROM lineitem),
+      e AS (SELECT l.it AS u, r.it AS v
+            FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+      deg AS (SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pn AS (SELECT node, count(*) AS triangles FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b2 FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY 1)
+      SELECT deg.node, deg.degree,
+             coalesce(pn.triangles, 0) AS triangles,
+             round(CASE WHEN deg.degree >= 2 THEN
+                     2.0 * coalesce(pn.triangles, 0) /
+                     (deg.degree * (deg.degree - 1.0))
+                   ELSE 0.0 END, 6) AS clustering_coeff
+      FROM deg LEFT JOIN pn USING (node) ORDER BY node"""))
+
+  /** Jarque–Bera normality per event type — closed-form χ²(2)
+    * p-value, so (uniquely among the tests) p rides in-plan. */
+  private val q165 = Entry(
+    "q165_jarque_bera",
+    (s, d) =>
+      AnalysisPlanner.jarqueBera(Tables.events(s, d), "value",
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          r6(col("skewness")).as("skewness"),
+          r6(col("kurtosis_excess")).as("kurtosis_excess"),
+          r6(col("jb_stat")).as("jb_stat"),
+          r6(col("p_value")).as("p_value"))
+        .orderBy("event_type"),
+    Some("""
+      WITH m AS (
+        SELECT event_type, count("value")::DOUBLE AS n, avg("value") AS m1,
+               avg("value" * "value") AS m2,
+               avg("value" * "value" * "value") AS m3,
+               avg("value" * "value" * "value" * "value") AS m4
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      s AS (
+        SELECT event_type, n,
+               (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / power(m2 - m1 * m1, 1.5) AS sk,
+               (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                  - 3 * power(m1, 4)) / power(m2 - m1 * m1, 2) - 3 AS ku
+        FROM m)
+      SELECT event_type, n::BIGINT AS n, round(sk, 6) AS skewness,
+             round(ku, 6) AS kurtosis_excess,
+             round(n / 6 * (sk * sk + ku * ku / 4), 6) AS jb_stat,
+             round(exp(-0.5 * n / 6 * (sk * sk + ku * ku / 4)), 6)
+               AS p_value
+      FROM s ORDER BY event_type"""))
+
+  /** Brown–Forsythe variance-homogeneity test across event types
+    * (Levene on |x − group median|). */
+  private val q166 = Entry(
+    "q166_brown_forsythe",
+    (s, d) =>
+      AnalysisPlanner.brownForsythe(Tables.events(s, d), "value",
+          "event_type")
+        .select(r6(col("f_stat")).as("f_stat"), col("df_between"),
+          col("df_within")),
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont("value", 0.5) AS md
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      z AS (
+        SELECT e.event_type, abs(e."value" - med.md) AS z
+        FROM events e JOIN med USING (event_type)
+        WHERE e."value" IS NOT NULL),
+      g AS (SELECT event_type, count(*)::DOUBLE AS n, avg(z) AS m,
+                   var_samp(z) AS v
+            FROM z GROUP BY 1),
+      w AS (SELECT *, sum(m * n) OVER () / sum(n) OVER () AS gm,
+                   count(*) OVER ()::DOUBLE AS k, sum(n) OVER () AS ntot
+            FROM g)
+      SELECT round((sum(n * power(m - gm, 2.0)) / (max(k) - 1)) /
+                   (sum((n - 1) * v) / (max(ntot) - max(k))), 6) AS f_stat,
+             CAST(max(k) - 1 AS BIGINT) AS df_between,
+             CAST(max(ntot) - max(k) AS BIGINT) AS df_within
+      FROM w"""))
+
+  /** Cliff's delta effect size: returned-vs-refused extended price.
+    * Win/loss masses are exact integer sums off one prefix-sum pass —
+    * never an O(n²) pair join. */
+  private val q167 = Entry(
+    "q167_cliffs_delta",
+    (s, d) =>
+      AnalysisPlanner.cliffsDelta(Tables.lineitem(s, d),
+          "l_extendedprice", "l_returnflag", "A", "R")
+        .select(col("n_a"), col("n_b"), col("wins"), col("losses"),
+          col("ties"), r6(col("cliffs_delta")).as("cliffs_delta")),
+    Some("""
+      WITH vc AS (
+        SELECT l_extendedprice AS v,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT
+                 AS ca,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+                 AS cb
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      p AS (SELECT *,
+              coalesce(sum(cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS bb
+            FROM vc),
+      t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM vc)
+      SELECT t.na AS n_a, t.nb AS n_b,
+             sum(ca * bb)::BIGINT AS wins,
+             sum(ca * (t.nb - bb - cb))::BIGINT AS losses,
+             sum(ca * cb)::BIGINT AS ties,
+             round((sum(ca * bb) - sum(ca * (t.nb - bb - cb)))
+                   / (t.na::DOUBLE * t.nb), 6) AS cliffs_delta
+      FROM p, t GROUP BY t.na, t.nb"""))
+
+  /** Theil–Sen robust daily trend of event value per type — median of
+    * pairwise slopes over the daily rollup (30-point series). */
+  private val q168 = Entry(
+    "q168_theil_sen",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("2024-01-01")))
+            .cast("double").as("x"), col("y"))
+      graft.ops.TimeSeries.theilSen(daily, Seq("event_type"), "x", "y")
+        .select(col("event_type"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum("value") AS y
+        FROM events GROUP BY 1, 2),
+      x AS (SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', day::DATE)::DOUBLE
+                     AS x, y
+            FROM d),
+      s AS (SELECT l.event_type, (r.y - l.y) / (r.x - l.x) AS slope
+            FROM x l JOIN x r
+              ON l.event_type = r.event_type AND l.x < r.x),
+      sm AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope
+             FROM s GROUP BY 1),
+      res AS (SELECT x.event_type, x.y - sm.slope * x.x AS rr
+              FROM x JOIN sm USING (event_type)),
+      im AS (SELECT event_type, quantile_cont(rr, 0.5) AS intercept
+             FROM res GROUP BY 1)
+      SELECT sm.event_type, round(sm.slope, 6) AS slope,
+             round(im.intercept, 6) AS intercept
+      FROM sm JOIN im USING (event_type) ORDER BY event_type"""))
+
+  /** Candidate-key discovery: per-column uniqueness profile of the
+    * orders table in one scan. */
+  private val q169 = Entry(
+    "q169_uniqueness_profile",
+    (s, d) =>
+      graft.ops.Profiling
+        .uniquenessProfile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .select(col("column"), col("n_rows"), col("n_distinct"),
+          col("n_nulls"), r6(col("distinct_ratio")).as("distinct_ratio"),
+          col("is_candidate_key"))
+        .orderBy("column"),
+    Some("""
+      SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n_rows,
+             count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_nulls,
+             round(count(DISTINCT o_custkey)::DOUBLE /
+               greatest(count(*) - sum(CASE WHEN o_custkey IS NULL
+                 THEN 1 ELSE 0 END), 1), 6) AS distinct_ratio,
+             (sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AND
+              count(DISTINCT o_custkey) = count(*)) AS is_candidate_key
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*)::BIGINT,
+             count(DISTINCT o_orderkey)::BIGINT,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             round(count(DISTINCT o_orderkey)::DOUBLE /
+               greatest(count(*) - sum(CASE WHEN o_orderkey IS NULL
+                 THEN 1 ELSE 0 END), 1), 6),
+             (sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AND
+              count(DISTINCT o_orderkey) = count(*))
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*)::BIGINT,
+             count(DISTINCT o_orderstatus)::BIGINT,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             round(count(DISTINCT o_orderstatus)::DOUBLE /
+               greatest(count(*) - sum(CASE WHEN o_orderstatus IS NULL
+                 THEN 1 ELSE 0 END), 1), 6),
+             (sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+              AND count(DISTINCT o_orderstatus) = count(*))
+      FROM orders
+      ORDER BY "column""""))
+
+  /** Functional-dependency check l_partkey → l_suppkey (violated:
+    * parts ship from several suppliers) — discovery-side data
+    * quality. */
+  private val q170 = Entry(
+    "q170_fd_check",
+    (s, d) =>
+      graft.ops.Profiling
+        .functionalDependency(Tables.lineitem(s, d), "l_partkey",
+          "l_suppkey")
+        .select(col("determinant"), col("dependent"), col("n_groups"),
+          col("violating_groups"), col("violating_rows"), col("n_rows"),
+          r6(col("holds_ratio")).as("holds_ratio")),
+    Some("""
+      WITH g AS (
+        SELECT l_partkey, count(*) AS n,
+               count(DISTINCT l_suppkey) AS d
+        FROM lineitem GROUP BY 1)
+      SELECT 'l_partkey' AS determinant, 'l_suppkey' AS dependent,
+             count(*)::BIGINT AS n_groups,
+             sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS violating_groups,
+             sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT
+               AS violating_rows,
+             sum(n)::BIGINT AS n_rows,
+             round(1.0 - sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS holds_ratio
+      FROM g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5418,7 +5698,8 @@ object Queries {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130,
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
+    q165, q166, q167, q168, q169, q170)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

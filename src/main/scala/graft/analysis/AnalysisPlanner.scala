@@ -1692,4 +1692,103 @@ object AnalysisPlanner {
         sqrt((col("N") * col("__t") - col("N")) /
           (col("N") * (least(col("R"), col("C")) - 1))).as("cramers_v"))
   }
+
+  /**
+   * Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) with
+   * population skewness S and excess kurtosis K from raw moments
+   * (the [[momentStats]] formula shape — one aggregation pass). The
+   * χ²(2) survival is closed-form, p = e^(−JB/2), so unlike the other
+   * tests the p-value is itself a column expression, not driver math.
+   */
+  def jarqueBera(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.where(x.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("m1"),
+        avg(x * x).as("m2"), avg(x * x * x).as("m3"),
+        avg(x * x * x * x).as("m4"))
+    val variance = col("m2") - col("m1") * col("m1")
+    val skew = (col("m3") - lit(3.0) * col("m1") * col("m2") +
+      lit(2.0) * col("m1") * col("m1") * col("m1")) / pow(variance, 1.5)
+    val kurt = (col("m4") - lit(4.0) * col("m1") * col("m3") +
+      lit(6.0) * col("m1") * col("m1") * col("m2") -
+      lit(3.0) * pow(col("m1"), 4.0)) / pow(variance, 2.0) - lit(3.0)
+    g.select(groupCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"), skew.as("skewness"),
+      kurt.as("kurtosis_excess"),
+      (col("__n") / 6.0 * (skew * skew + kurt * kurt / 4.0)).as("jb_stat"),
+      exp(lit(-0.5) * (col("__n") / 6.0 *
+        (skew * skew + kurt * kurt / 4.0))).as("p_value")): _*)
+  }
+
+  /**
+   * Brown–Forsythe homogeneity-of-variance test (Levene with the
+   * group MEDIAN center — the robust default): a one-way ANOVA F on
+   * z = |x − median(group)|. Medians come from the bucketed
+   * prefix-sum percentile path (no per-group window), join back as a
+   * ≤k-row broadcast, and the F tail reuses the [[statTest]] anova
+   * shape. Output: (f_stat, df_between, df_within); the F p-value
+   * attaches driver-side via [[Stats.fTestPValue]] like every other
+   * test.
+   */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val meds = exactPercentiles(base, "__x", Seq("__med" -> 0.5),
+      Seq("__g"))
+    val z = PrefixSum.joinNullSafe(base, meds, Seq("__g"),
+        broadcastRight = true)
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    val g = z.groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("__z")).as("m"),
+        var_samp(col("__z")).as("v"))
+    val gtot = g.agg(
+      (sum(col("m") * col("n")) / sum(col("n"))).as("gm"),
+      count(lit(1)).cast("double").as("k"), sum(col("n")).as("ntot"))
+    g.crossJoin(broadcast(gtot))
+      .agg(
+        ((sum(col("n") * pow(col("m") - col("gm"), 2.0)) / (max(col("k")) - 1)) /
+          (sum((col("n") - 1) * col("v")) / (max(col("ntot")) - max(col("k")))))
+          .as("f_stat"),
+        (max(col("k")) - 1).cast("long").as("df_between"),
+        (max(col("ntot")) - max(col("k"))).cast("long").as("df_within"))
+  }
+
+  /**
+   * Cliff's delta ordinal effect size between two groups,
+   * δ = (#{a > b} − #{a < b}) / (n_a·n_b), the distribution-free
+   * companion to Mann–Whitney (δ = 2·AUC − 1). Computed exactly from
+   * the per-distinct-value count frame: "b strictly below v" is one
+   * bucketed exclusive prefix sum over the ordered values — never an
+   * O(n_a·n_b) pair join, never a single-partition window. Also
+   * returns the win/loss/tie masses and the rank-biserial (≡ δ).
+   */
+  def cliffsDelta(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val vc = df.where(x.isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(x.as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val pref = PrefixSum.exclusive(vc, "__v", Seq("__cb" -> "__bBelow"))
+    val tot = broadcast(vc.agg(sum(col("__ca")).cast("double").as("__na"),
+      sum(col("__cb")).cast("double").as("__nb")))
+    pref.crossJoin(tot)
+      .agg(max(col("__na")).as("na"), max(col("__nb")).as("nb"),
+        sum(col("__ca") * col("__bBelow")).cast("double").as("wins"),
+        sum(col("__ca") *
+          (col("__nb") - col("__bBelow") - col("__cb"))).cast("double")
+          .as("losses"),
+        sum(col("__ca") * col("__cb")).cast("double").as("ties"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("wins").cast("long").as("wins"),
+        col("losses").cast("long").as("losses"),
+        col("ties").cast("long").as("ties"),
+        ((col("wins") - col("losses")) / (col("na") * col("nb")))
+          .as("cliffs_delta"))
+  }
 }

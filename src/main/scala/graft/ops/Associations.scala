@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Market-basket association mining over (basket, item) frames — the
+ * co-purchase / co-view / co-click signal a feature platform feeds
+ * into recommendation features, plus the spec'd correlation surface
+ * generalized to categorical pairs (reference analysis catalogue,
+ * raise_/analytics/models.py:86-104, lists correlation as a feature
+ * relationship; association lift is its transactional analogue).
+ *
+ * Scale design: the only quadratic step is the within-basket pair
+ * self-join, whose fan-out is bounded by the per-basket item cap
+ * (`maxBasketItems`, deterministic keep-lowest-ids so an engine
+ * mirror reproduces it exactly — the thinBuckets pattern). Everything
+ * downstream is keyed aggregation; item marginals are a broadcast
+ * (≤ |vocabulary| rows). No driver collect anywhere.
+ */
+object Associations {
+
+  /**
+   * Pairwise association rules: for every unordered item pair {a, b}
+   * (a < b) co-occurring in at least `minPairCount` baskets, emit
+   * basket counts, support, both directional confidences, and lift
+   * = P(a,b) / (P(a)·P(b)). Duplicate (basket, item) rows collapse
+   * first so multiplicity inside one basket never inflates counts.
+   *
+   * Baskets with more than `maxBasketItems` distinct items keep only
+   * their `maxBasketItems` smallest item ids (deterministic — the
+   * oracle mirrors the same rank filter); the cap bounds the pair
+   * fan-out per basket at C(cap, 2) regardless of basket skew.
+   */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, maxBasketItems: Int = 256): DataFrame = {
+    val b0 = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    // deterministic per-basket cap: keep the `maxBasketItems` smallest
+    // item ids — a basket-partitioned rank, never a global window
+    val baskets = b0
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__bk").orderBy("__it")))
+      .where(col("__rk") <= maxBasketItems)
+      .drop("__rk")
+    val nBaskets = broadcast(
+      baskets.agg(countDistinct(col("__bk")).cast("double").as("__nb")))
+    val itemCounts = baskets.groupBy(col("__it"))
+      .agg(count(lit(1)).cast("double").as("__ni"))
+    val pairs = baskets.as("l")
+      .join(baskets.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts).withColumnRenamed("__ni", "__na"),
+        col("item_a") === col("__it")).drop("__it")
+      .join(broadcast(itemCounts).withColumnRenamed("__ni", "__nb2"),
+        col("item_b") === col("__it")).drop("__it")
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"), col("n_pair"),
+        col("__na").cast("long").as("n_a"),
+        col("__nb2").cast("long").as("n_b"),
+        (col("n_pair") / col("__nb")).as("support"),
+        (col("n_pair") / col("__na")).as("conf_a_b"),
+        (col("n_pair") / col("__nb2")).as("conf_b_a"),
+        (col("n_pair") * col("__nb") / (col("__na") * col("__nb2")))
+          .as("lift"))
+  }
+}

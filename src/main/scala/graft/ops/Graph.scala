@@ -70,4 +70,70 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Per-node triangle counts and local clustering coefficient over an
+   * undirected graph given as a (possibly directed, possibly repeated)
+   * edge list. Edges with multiplicity below `minCount` are dropped
+   * first — the standard sparsifier for co-occurrence graphs, where
+   * weight-1 edges are noise. Self-loops are ignored; multi-edges
+   * collapse to one.
+   *
+   * Algorithm: degree-ordered node-iterator. Each surviving edge is
+   * oriented from its lower-(degree, id) endpoint to the higher one,
+   * wedges are pairs of out-neighbors of a common center, and a wedge
+   * closes into a triangle iff its far pair is itself an edge (one
+   * semi-join probe against the canonical edge set). Degree
+   * orientation bounds every node's out-degree by O(√|E|), so the
+   * wedge fan-out is O(|E|^1.5) worst-case — the provably-optimal
+   * join shape — and no hub node explodes the plan. Each triangle is
+   * produced exactly once, then exploded to its three corners for the
+   * per-node count. Everything is keyed joins + aggregations; the
+   * only broadcast is the (node, degree) frame when small.
+   */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      minCount: Long = 1): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .groupBy("u", "v").agg(count(lit(1)).as("__w"))
+      .where(col("__w") >= minCount)
+      .select("u", "v")
+      .localCheckpoint()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low→high by (degree, id): lexicographic on the pair makes
+    // the orientation total and deterministic even under degree ties
+    val withDeg = canon
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("lo"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("hi"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    // wedge closes iff {b, c} is an edge; probe in canonical id order
+    val tri = wedges.join(canon,
+      least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node"), col("deg").as("degree"), col("triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
 }

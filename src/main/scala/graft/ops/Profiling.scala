@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Schema-semantics profiling — the discovery side of data quality
+ * (reference quality catalogue, raise_/transforms/quality.py:22-96,
+ * checks DECLARED keys and references; these operators FIND them):
+ * per-column uniqueness / candidate-key scoring and functional-
+ * dependency validation between column pairs.
+ */
+object Profiling {
+
+  /**
+   * Per-column uniqueness profile: row count, exact distinct count,
+   * null count, distinct ratio over non-null rows, and a candidate-key
+   * flag (all values distinct, no nulls). One aggregation pass;
+   * Catalyst rewrites the k count-distincts into a single Expand-based
+   * aggregate, so the input is scanned once (the Expand multiplies
+   * rows k× through ONE shuffle — the standard exact-distinct cost;
+   * use the HLL sketch profile in [[Sketches]] when approximate is
+   * acceptable at very large k).
+   */
+  def uniquenessProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "uniquenessProfile: no columns")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        countDistinct(col(c)).as(s"__d$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__d$i").as("n_distinct"), col(s"__z$i").as("n_nulls"))
+    }
+    row.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), col("s.n_rows"), col("s.n_distinct"),
+        col("s.n_nulls"),
+        (col("s.n_distinct").cast("double") /
+          greatest(col("s.n_rows") - col("s.n_nulls"), lit(1L)))
+          .as("distinct_ratio"),
+        (col("s.n_nulls") === 0 &&
+          col("s.n_distinct") === col("s.n_rows")).as("is_candidate_key"))
+  }
+
+  /**
+   * Functional-dependency check det → dep: does every determinant
+   * value map to exactly one dependent value? Returns one row with
+   * group counts, violating-group/row counts, and the holds ratio.
+   * Two keyed aggregations (det-grouped, then a 1-row rollup) — the
+   * det groupBy is the only shuffle and is map-side combined.
+   */
+  def functionalDependency(df: DataFrame, detCol: String,
+      depCol: String): DataFrame = {
+    val g = df.groupBy(col(detCol).as("__det"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col(depCol)).as("__d"))
+    g.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(when(col("__d") > 1, col("__n")).otherwise(0L))
+          .as("violating_rows"),
+        sum(col("__n")).as("n_rows"))
+      .select(lit(detCol).as("determinant"), lit(depCol).as("dependent"),
+        col("n_groups"), col("violating_groups"), col("violating_rows"),
+        col("n_rows"),
+        (lit(1.0) - col("violating_groups").cast("double") /
+          col("n_groups")).as("holds_ratio"))
+  }
+}

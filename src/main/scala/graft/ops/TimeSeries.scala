@@ -216,4 +216,53 @@ object TimeSeries {
       .withColumn("lift", col("mean_value") / col("__om"))
       .drop("__om")
   }
+
+  /**
+   * Theil–Sen robust trend per key: the median of all pairwise slopes
+   * (y_j − y_i)/(x_j − x_i), x_i < x_j, plus the companion median
+   * intercept med(y − slope·x) — the outlier-resistant replacement
+   * for per-group OLS on metric series.
+   *
+   * Scale contract: the pair self-join is O(T²) PER KEY where T is
+   * the series length, so inputs are expected to be already-rolled-up
+   * series (daily/hourly grids — T in the hundreds), not raw events;
+   * `maxPoints` (deterministic keep-first-by-x, key-partitioned rank)
+   * hard-bounds the fan-out for pathological keys. Slope and
+   * intercept medians run through the bucketed prefix-sum percentile
+   * path — grouped, distributed, no per-key window over the pair
+   * frame.
+   */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String, maxPoints: Int = 2048): DataFrame = {
+    import graft.analysis.{AnalysisPlanner, PrefixSum}
+    val keyed = df.select(keyCols.map(col) :+
+      col(xCol).cast("double").as("__x") :+
+      col(yCol).cast("double").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col("__x"))))
+      .where(col("__rk") <= maxPoints)
+      .drop("__rk")
+    val joinCond = keyCols.map(k => col(s"l.$k") <=> col(s"r.$k"))
+      .reduce(_ && _) && col("l.__x") < col("r.__x")
+    // dx = 0 can't survive the join, but the guard must still be in the
+    // EXPRESSION: the optimizer infers isnotnull(slope) into the join
+    // condition, where ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    // on an equal-x pair before the x< filter runs
+    val dx = col("r.__x") - col("l.__x")
+    val slopes = keyed.as("l").join(keyed.as("r"), joinCond)
+      .select(keyCols.map(k => col(s"l.$k")) :+
+        when(dx =!= 0, (col("r.__y") - col("l.__y")) / dx)
+          .as("__slope"): _*)
+    val slopeMed = AnalysisPlanner.exactPercentiles(slopes, "__slope",
+      Seq("slope" -> 0.5), keyCols)
+    val resid = PrefixSum.joinNullSafe(keyed, slopeMed, keyCols,
+        broadcastRight = true)
+      .select(keyCols.map(col) :+
+        (col("__y") - col("slope") * col("__x")).as("__r"): _*)
+    val interceptMed = AnalysisPlanner.exactPercentiles(resid, "__r",
+      Seq("intercept" -> 0.5), keyCols)
+    PrefixSum.joinNullSafe(slopeMed, interceptMed, keyCols)
+  }
 }

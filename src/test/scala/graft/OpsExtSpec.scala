@@ -2553,6 +2553,136 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage") == 0.5)
   }
 
+  test("pairRules computes support, confidence, and lift") {
+    import spark.implicits._
+    val baskets = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"),
+      (2L, "b"), (3L, "a"), (3L, "c"), (4L, "a"), (4L, "b"),
+      (4L, "b")) // duplicate (4, b) must not inflate counts
+      .toDF("bk", "it")
+    val r = graft.ops.Associations.pairRules(baskets, "bk", "it",
+        minPairCount = 1)
+      .orderBy("item_a", "item_b").collect()
+    val ab = r.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_pair") == 3 && ab.getAs[Long]("n_a") == 4 &&
+      ab.getAs[Long]("n_b") == 3)
+    assert(ab.getAs[Double]("support") == 0.75)
+    assert(ab.getAs[Double]("conf_a_b") == 0.75)
+    assert(ab.getAs[Double]("conf_b_a") == 1.0)
+    assert(ab.getAs[Double]("lift") == 1.0) // 3*4/(4*3)
+    // min-support prunes: (b, c) co-occur only in basket 1
+    val r2 = graft.ops.Associations.pairRules(baskets, "bk", "it",
+      minPairCount = 2)
+    assert(!r2.collect().exists(x =>
+      x.getString(0) == "b" && x.getString(1) == "c"))
+  }
+
+  test("pairRules basket cap keeps the smallest item ids") {
+    import spark.implicits._
+    val baskets = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"))
+      .toDF("bk", "it")
+    val pairs = graft.ops.Associations.pairRules(baskets, "bk", "it",
+        minPairCount = 1, maxBasketItems = 2)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"))) // only the 2 smallest ids survive
+  }
+
+  test("triangleStats counts per-node triangles on K4 minus an edge") {
+    import spark.implicits._
+    // edges of K4 without (3,4); given directed/dup/reversed forms
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L)).toDF("s", "d")
+    val r = graft.ops.Graph.triangleStats(e, "s", "d").orderBy("node")
+      .collect().map(x => (x.getLong(0), x.getAs[Long]("degree"),
+        x.getAs[Long]("triangles"), x.getAs[Double]("clustering_coeff")))
+    assert(r.toSeq == Seq((1L, 3L, 2L, 2.0 / 3), (2L, 3L, 2L, 2.0 / 3),
+      (3L, 2L, 1L, 1.0), (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangleStats minCount drops thin edges first") {
+    import spark.implicits._
+    // triangle 1-2-3 where edge (2,3) appears only once
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (3L, 1L), (2L, 3L))
+      .toDF("s", "d")
+    val r = graft.ops.Graph.triangleStats(e, "s", "d", minCount = 2)
+    assert(r.agg(sum("triangles")).head.getLong(0) == 0)
+    assert(r.count() == 3) // nodes 1,2,3 still present via kept edges
+  }
+
+  test("jarqueBera is zero-skew on a symmetric sample with exact p") {
+    import spark.implicits._
+    val df = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).map(("g", _)).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.jarqueBera(df, "v", Seq("g"))
+      .head()
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-12)
+    val kurt = r.getAs[Double]("kurtosis_excess")
+    assert(math.abs(kurt - (6.8 / 4.0 - 3.0)) < 1e-12)
+    val jb = r.getAs[Double]("jb_stat")
+    assert(math.abs(jb - 5.0 / 6 * kurt * kurt / 4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-jb / 2)) < 1e-12)
+  }
+
+  test("brownForsythe is F=0 for groups with identical spread") {
+    import spark.implicits._
+    val df = (Seq(0.0, 1.0, 2.0).map(("a", _)) ++
+      Seq(10.0, 11.0, 12.0).map(("b", _))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.brownForsythe(df, "v", "g")
+      .head()
+    assert(math.abs(r.getAs[Double]("f_stat")) < 1e-12)
+    assert(r.getAs[Long]("df_between") == 1 &&
+      r.getAs[Long]("df_within") == 4)
+  }
+
+  test("cliffsDelta matches the hand count with ties") {
+    import spark.implicits._
+    // a = (1, 2, 2), b = (2, 3): wins a>b: 0; losses a<b: (1<2),(1<3),
+    // (2<3),(2<3) = 4; ties: (2,2),(2,2) = 2; delta = (0-4)/6
+    val df = (Seq(1.0, 2.0, 2.0).map(("a", _)) ++
+      Seq(2.0, 3.0).map(("b", _))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .cliffsDelta(df, "v", "g", "a", "b").head()
+    assert(r.getAs[Long]("wins") == 0 && r.getAs[Long]("losses") == 4 &&
+      r.getAs[Long]("ties") == 2)
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - (-4.0 / 6)) < 1e-12)
+  }
+
+  test("theilSen ignores a single outlier the OLS fit would chase") {
+    import spark.implicits._
+    val pts = (0 to 5).map(i =>
+      ("k", i.toDouble, if (i == 5) 100.0 else 2.0 * i + 1.0))
+      .toDF("k", "x", "y")
+    val r = graft.ops.TimeSeries.theilSen(pts, Seq("k"), "x", "y").head()
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+  }
+
+  test("uniquenessProfile flags candidate keys and null ratios") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x"), "p"), (2L, None, "p"), (3L, Some("y"), "q"))
+      .toDF("id", "opt", "cat")
+    val r = graft.ops.Profiling
+      .uniquenessProfile(df, Seq("id", "opt", "cat"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("id").getAs[Boolean]("is_candidate_key"))
+    assert(r("opt").getAs[Long]("n_nulls") == 1 &&
+      !r("opt").getAs[Boolean]("is_candidate_key"))
+    assert(r("opt").getAs[Double]("distinct_ratio") == 1.0) // 2 of 2 non-null
+    assert(r("cat").getAs[Long]("n_distinct") == 2 &&
+      !r("cat").getAs[Boolean]("is_candidate_key"))
+  }
+
+  test("functionalDependency reports violating groups and rows") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c"))
+      .toDF("det", "dep")
+    val r = graft.ops.Profiling.functionalDependency(df, "det", "dep")
+      .head()
+    assert(r.getAs[Long]("n_groups") == 3 &&
+      r.getAs[Long]("violating_groups") == 1 &&
+      r.getAs[Long]("violating_rows") == 2 &&
+      r.getAs[Long]("n_rows") == 5)
+    assert(math.abs(r.getAs[Double]("holds_ratio") - 2.0 / 3) < 1e-12)
+  }
+
   test("ivfKnnFromIndex equals ivfKnnWith over the same store") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
