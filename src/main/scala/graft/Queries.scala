@@ -5682,6 +5682,232 @@ object Queries {
                    / count(*), 6) AS holds_ratio
       FROM g"""))
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: 50
+    * docs drawn ∝ n_chars, deterministic md5 uniforms, TakeOrdered
+    * top-k — never a global sort. */
+  private val q171 = Entry(
+    "q171_weighted_sample_wor",
+    (s, d) =>
+      graft.ops.Sampling
+        .weightedSampleWithoutReplacement(
+          Tables.documents(s, d).select("doc_id", "n_chars"), 50,
+          "n_chars", Seq("doc_id"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               ln((((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1048576) + 0.5) / 1048576.0)) / n_chars AS k
+        FROM documents)
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars FROM h ORDER BY k DESC, doc_id LIMIT 50)
+      ORDER BY doc_id"""))
+
+  /** Exact φ-heavy hitters: parts holding ≥ 0.07% of lineitem rows. */
+  private val q172 = Entry(
+    "q172_heavy_hitters",
+    (s, d) =>
+      graft.ops.Profiling
+        .heavyHitters(Tables.lineitem(s, d), Seq("l_partkey"), 0.0007)
+        .select(col("l_partkey"), col("cnt"),
+          r6(col("share")).as("share"))
+        .orderBy("l_partkey"),
+    Some("""
+      WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem
+                 GROUP BY 1),
+      t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c)
+      SELECT l_partkey, cnt, round(cnt / t.tot, 6) AS share
+      FROM c, t WHERE cnt >= 0.0007 * t.tot ORDER BY l_partkey"""))
+
+  /** Numerically stable grouped log-sum-exp of event values. */
+  private val q173 = Entry(
+    "q173_logsumexp",
+    (s, d) =>
+      AnalysisPlanner.logSumExp(Tables.events(s, d), "value",
+          Seq("event_type"))
+        .select(col("event_type"), col("n"), r6(col("max_x")).as("max_x"),
+          r6(col("logsumexp")).as("logsumexp"))
+        .orderBy("event_type"),
+    Some("""
+      WITH m AS (
+        SELECT event_type, max("value") AS mx FROM events
+        WHERE "value" IS NOT NULL GROUP BY 1)
+      SELECT e.event_type, count(*)::BIGINT AS n,
+             round(max(m.mx), 6) AS max_x,
+             round(max(m.mx) + ln(sum(exp(e."value" - m.mx))), 6)
+               AS logsumexp
+      FROM events e JOIN m USING (event_type)
+      WHERE e."value" IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Poisson bootstrap CI for the mean event value: 200 deterministic
+    * replicates off the portable-hash inverse-CDF weights. */
+  private val q174 = Entry(
+    "q174_poisson_bootstrap",
+    (s, d) =>
+      AnalysisPlanner
+        .poissonBootstrapMean(Tables.events(s, d), "value",
+          Seq("event_id"), b = 200, level = 0.95)
+        .select(col("n"), col("b"), r6(col("mean")).as("mean"),
+          r6(col("ci_lo")).as("ci_lo"), r6(col("ci_hi")).as("ci_hi")),
+    Some("""
+      WITH r AS (SELECT range AS rep FROM range(200)),
+      w AS (
+        SELECT r.rep, e."value" AS x,
+               (((('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || '|' ||
+                    CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1048576)
+                 + 0.5) / 1048576.0) AS u
+        FROM events e CROSS JOIN r WHERE e."value" IS NOT NULL),
+      pw AS (
+        SELECT rep, x,
+               CASE WHEN u < 0.36787944117144233 THEN 0.0
+                    WHEN u < 0.7357588823428847 THEN 1.0
+                    WHEN u < 0.9196986029286058 THEN 2.0
+                    WHEN u < 0.9810118431238462 THEN 3.0
+                    WHEN u < 0.9963401531726563 THEN 4.0
+                    WHEN u < 0.9994058151824183 THEN 5.0
+                    WHEN u < 0.9999167588507119 THEN 6.0
+                    WHEN u < 0.9999897508033253 THEN 7.0
+                    WHEN u < 0.9999988747974051 THEN 8.0
+                    ELSE 9.0 END AS wt
+        FROM w),
+      rm AS (SELECT rep, sum(wt * x) / sum(wt) AS m FROM pw GROUP BY 1),
+      o AS (SELECT count(*)::BIGINT AS n, avg("value") AS mean
+            FROM events WHERE "value" IS NOT NULL)
+      SELECT o.n, count(*)::BIGINT AS b, round(o.mean, 6) AS mean,
+             round(quantile_cont(rm.m, 0.025), 6) AS ci_lo,
+             round(quantile_cont(rm.m, 0.975), 6) AS ci_hi
+      FROM rm, o GROUP BY o.n, o.mean"""))
+
+  /** Sorted-neighborhood blocking on supplier account balance
+    * (window 3) — candidate pairs + edit distance, rank via bucketed
+    * prefix sums, never a single-partition window. */
+  private val q175 = Entry(
+    "q175_sorted_neighborhood",
+    (s, d) =>
+      graft.ops.Dedup
+        .sortedNeighborhood(Tables.supplier(s, d), "s_suppkey",
+          "s_acctbal", 3, Seq("s_name"))
+        .select(col("id_a"), col("id_b"), col("rank_gap"),
+          r2(col("key_a")).as("key_a"), r2(col("key_b")).as("key_b"),
+          levenshtein(col("s_name_a"), col("s_name_b")).cast("long")
+            .as("edit_dist"))
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH r AS (
+        SELECT s_suppkey AS id, s_acctbal AS k, s_name AS nm,
+               row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS rn
+        FROM supplier WHERE s_acctbal IS NOT NULL)
+      SELECT a.id AS id_a, b.id AS id_b,
+             (b.rn - a.rn)::BIGINT AS rank_gap,
+             round(a.k, 2) AS key_a, round(b.k, 2) AS key_b,
+             levenshtein(a.nm, b.nm)::BIGINT AS edit_dist
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+      ORDER BY id_a, id_b"""))
+
+  /** Jaro–Winkler fuzzy matching over nation-blocked supplier pairs —
+    * the codegen'd native expression vs DuckDB's builtin. */
+  private val q176 = Entry(
+    "q176_jaro_winkler",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val a = sup.select(col("s_suppkey").as("id_a"),
+        col("s_nationkey").as("nk"), col("s_name").as("name_a"))
+      val b = sup.select(col("s_suppkey").as("id_b"),
+        col("s_nationkey").as("nk"), col("s_name").as("name_b"))
+      a.join(b, Seq("nk"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jw", graft.functions.StringSimilarity
+          .jaroWinkler(col("name_a"), col("name_b")))
+        .where(col("jw") >= 0.9)
+        .select(col("id_a"), col("id_b"), r6(col("jw")).as("jw"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             round(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      WHERE jaro_winkler_similarity(a.s_name, b.s_name) >= 0.9
+      ORDER BY id_a, id_b"""))
+
+  /** Sample-ratio-mismatch gate: χ² goodness-of-fit of a 50/50
+    * hash-split assignment against its declared allocation. */
+  private val q177 = Entry(
+    "q177_srm_check",
+    (s, d) => {
+      val arm = when(graft.functions.PortableHash
+          .bucket(Seq(col("user_id"))) < lit(524288L), "control")
+        .otherwise("treatment")
+      AnalysisPlanner
+        .srmCheck(Tables.events(s, d).withColumn("arm", arm), "arm",
+          Map("control" -> 0.5, "treatment" -> 0.5))
+        .select(col("arm"), col("n_obs"), r2(col("expected")).as("expected"),
+          r6(col("chi2_contrib")).as("chi2_contrib"),
+          col("undeclared_arm"), r6(col("chi2_stat")).as("chi2_stat"),
+          col("dof"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) < 524288
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events),
+      o AS (SELECT arm, count(*) AS n_obs FROM a GROUP BY 1),
+      t AS (SELECT sum(n_obs)::DOUBLE AS n FROM o),
+      p AS (SELECT arm, n_obs, 0.5 * t.n AS expected,
+                   power(n_obs - 0.5 * t.n, 2.0) / (0.5 * t.n) AS contrib
+            FROM o, t),
+      r AS (SELECT sum(contrib) AS chi2, count(*) - 1 AS dof FROM p)
+      SELECT p.arm, p.n_obs, round(p.expected, 2) AS expected,
+             round(p.contrib, 6) AS chi2_contrib,
+             false AS undeclared_arm, round(r.chi2, 6) AS chi2_stat,
+             r.dof::BIGINT AS dof
+      FROM p, r ORDER BY arm"""))
+
+  /** Cross-correlation of daily purchase vs click value at lags
+    * −3..3 — "which series leads?". */
+  private val q178 = Entry(
+    "q178_cross_correlation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)).as("x"),
+          coalesce(sum(when(col("event_type") === "click",
+            col("value"))), lit(0.0)).as("y"))
+        .select(datediff(col("day"), to_date(lit("2024-01-01")))
+          .cast("double").as("t"), col("x"), col("y"))
+      graft.ops.Evaluation.crossCorrelation(daily, "t", "x", "y", 3)
+        .select(col("lag"), col("n_pairs"), r6(col("ccf")).as("ccf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                 THEN "value" END), 0) AS x,
+               coalesce(sum(CASE WHEN event_type = 'click'
+                 THEN "value" END), 0) AS y
+        FROM events GROUP BY 1),
+      s AS (SELECT date_diff('day', DATE '2024-01-01', day::DATE)::DOUBLE
+                     AS t, x, y
+            FROM d),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                    sum(y) AS sy, sum(y * y) AS syy
+             FROM s),
+      c AS (SELECT sx / n AS mx, sy / n AS my,
+                   sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS den
+            FROM st),
+      l AS (SELECT range AS lag FROM range(-3, 4)),
+      p AS (SELECT l.lag, a.x, b.y
+            FROM s a JOIN l ON true JOIN s b ON a.t + l.lag = b.t)
+      SELECT p.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+             round(sum((p.x - c.mx) * (p.y - c.my)) / max(c.den), 6) AS ccf
+      FROM p, c GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5699,7 +5925,8 @@ object Queries {
     q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170)
+    q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
+    q176, q177, q178)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1791,4 +1791,124 @@ object AnalysisPlanner {
         ((col("wins") - col("losses")) / (col("na") * col("nb")))
           .as("cliffs_delta"))
   }
+
+  /**
+   * Numerically stable grouped log-sum-exp: lse = max + ln Σ exp(x−max)
+   * — the log-domain normalizer (softmax partition function, log-space
+   * mixture weights) that naive ln(Σeˣ) overflows on. Two aggregations
+   * on the SAME group key (per-group max, then the shifted sum joined
+   * back null-safe) — the second shuffle reuses the first's hash
+   * partitioning, so Catalyst plans one exchange. Returns
+   * (groupCols…, n, max_x, logsumexp).
+   */
+  def logSumExp(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull)
+      .select(groupCols.map(col) :+ x.as("__x"): _*)
+    val mx = base.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__x")).as("__mx"))
+    PrefixSum.joinNullSafe(base, mx, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), max(col("__mx")).as("max_x"),
+        (max(col("__mx")) + log(sum(exp(col("__x") - col("__mx")))))
+          .as("logsumexp"))
+  }
+
+  /**
+   * Poisson bootstrap confidence interval for the mean — the
+   * single-pass-friendly bootstrap (Chamandy et al., "Estimating
+   * Uncertainty for Massive Data Streams", Google 2012): replicate
+   * r reweights each row by a Poisson(1) draw, so no resample
+   * materializes and replicates are embarrassingly parallel. The draw
+   * is DETERMINISTIC — the portable md5 bucket of (idCols…, r) maps
+   * through the literal Poisson(1) inverse-CDF thresholds, so any
+   * engine with md5 replays the identical weight table (threshold
+   * comparison is on exact doubles, never on engine transcendentals).
+   *
+   * Scale shape: rows explode ×b onto the replicate axis, but the
+   * per-replicate aggregate is map-side combined, so the shuffle
+   * carries ≤ b rows per partition; the quantile runs over the b-row
+   * replicate-mean frame. Returns 1 row:
+   * (n, b, mean, ci_lo, ci_hi) at the requested two-sided level.
+   */
+  def poissonBootstrapMean(df: DataFrame, valueCol: String,
+      idCols: Seq[String], b: Int = 200,
+      level: Double = 0.95): DataFrame = {
+    require(b >= 20, "need at least 20 replicates")
+    // P(Poisson(1) ≤ k) for k = 0..8: literal cumulative thresholds —
+    // both engines compare the same exact doubles
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+      0.9999988747974051)
+    val reps = df.sparkSession.range(b.toLong)
+      .select(col("id").cast("long").as("__rep"))
+    val u = (graft.functions.PortableHash
+      .bucket(idCols.map(col) :+ col("__rep")).cast("double") + lit(0.5)) /
+      lit(graft.functions.PortableHash.M.toDouble)
+    val w = cdf.zipWithIndex.foldRight(lit(9).cast("double")) {
+      case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
+    }
+    val x = col(valueCol).cast("double")
+    val repMeans = df.where(x.isNotNull)
+      .select(idCols.map(col) :+ x.as("__x"): _*)
+      .crossJoin(broadcast(reps))
+      .select(col("__rep"), col("__x"), w.as("__w"))
+      .groupBy("__rep")
+      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"),
+        (sum(col("__w")) / count(lit(1))).as("__nw"))
+    val alpha = (1.0 - level) / 2.0
+    val overall = broadcast(df.where(x.isNotNull)
+      .agg(count(lit(1)).as("n"), avg(x).as("mean")))
+    repMeans.agg(
+        expr(s"percentile(__m, array($alpha, ${1.0 - alpha}))").as("__q"),
+        count(lit(1)).as("b"))
+      .crossJoin(overall)
+      .select(col("n"), col("b"), col("mean"),
+        element_at(col("__q"), 1).as("ci_lo"),
+        element_at(col("__q"), 2).as("ci_hi"))
+  }
+
+  /**
+   * Sample-ratio-mismatch check — the first gate of any experiment
+   * readout: χ² goodness-of-fit of observed arm counts against the
+   * DECLARED allocation. One keyed count + a 1-row broadcast total;
+   * the per-arm frame carries observed, expected, and the χ² the arm
+   * contributes, plus the corpus-level statistic/dof on every row (the
+   * p-value attaches driver-side via [[Stats.chi2PValue]], the
+   * convention every test in [[statTest]] follows). Arms observed in
+   * the data but
+   * absent from `expected` (ratio 0) are flagged by a +∞ contribution
+   * guard: their expected count is 0, so any observation is an SRM by
+   * definition — contribution clamps through a NULL to keep the
+   * statistic finite and `undeclared_arm` marks the row.
+   */
+  def srmCheck(df: DataFrame, armCol: String,
+      expected: Map[String, Double]): DataFrame = {
+    require(expected.nonEmpty, "expected allocation is empty")
+    val ssum = expected.values.sum
+    val ratios = df.sparkSession.createDataFrame(
+      expected.toSeq.map { case (a, r) => (a, r / ssum) })
+      .toDF("__arm", "__ratio")
+    val obs = df.groupBy(col(armCol).cast("string").as("__arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(obs.agg(sum(col("n_obs")).cast("double").as("__n")))
+    val perArm = obs.join(broadcast(ratios), Seq("__arm"), "full_outer")
+      .na.fill(0L, Seq("n_obs")).na.fill(0.0, Seq("__ratio"))
+      .crossJoin(tot)
+      .select(col("__arm").as("arm"), col("n_obs"),
+        (col("__ratio") * col("__n")).as("expected"),
+        (col("__ratio") === 0.0).as("undeclared_arm"),
+        when(col("__ratio") > 0.0,
+          pow(col("n_obs").cast("double") - col("__ratio") * col("__n"), 2.0)
+            / (col("__ratio") * col("__n"))).as("__contrib"))
+    val rollup = broadcast(perArm
+      .agg(sum(col("__contrib")).as("chi2_stat"),
+        (count(lit(1)) - 1).cast("long").as("dof")))
+    perArm.crossJoin(rollup)
+      .select(col("arm"), col("n_obs"), col("expected"),
+        coalesce(col("__contrib"), lit(0.0)).as("chi2_contrib"),
+        col("undeclared_arm"), col("chi2_stat"), col("dof"))
+  }
 }

@@ -365,6 +365,66 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood blocking (Hernández–Stolfo merge/purge): order
+   * records by a sort key and emit exactly the pairs within `window`
+   * positions of each other — the classic entity-resolution candidate
+   * generator when a good equi-block key doesn't exist but a sortable
+   * proxy (amount, timestamp, numeric-encoded name key) does. Output
+   * is every pair with 1 ≤ rank(b) − rank(a) ≤ window, carrying both
+   * ids, both sort keys, the rank gap, and `carryCols` as `<c>_a`/
+   * `<c>_b` for the caller's comparator
+   * ([[graft.functions.StringSimilarity.jaroWinkler]], `levenshtein`).
+   *
+   * Scale shape: the global rank is NOT a single-partition window —
+   * it is (rows with smaller key) + (same-key rows with smaller id),
+   * both from [[graft.analysis.PrefixSum]] bucketed passes, so ties
+   * are id-broken deterministically and any engine's
+   * `row_number() OVER (ORDER BY key, id) − 1` replays it. The pair
+   * join is rank-bucket equi-keyed (bucket = ⌊rank/window⌋, right side
+   * exploded to its own and previous bucket — each row joins ≤ 2
+   * buckets), so work is O(n · window / bucket) per task, never a
+   * cross join. `sortCol` and `idCol` must be numeric (PrefixSum's
+   * bucket-boundary contract); map string keys through a dictionary
+   * frame first.
+   */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortCol: String,
+      window: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val base = df.select(
+      col(idCol).as("__id") +: col(sortCol).cast("double").as("__k") +:
+        carryCols.map(col): _*)
+      .where(col("__k").isNotNull)
+    // global rank of the distinct key = exclusive prefix of key counts
+    val keyCounts = base.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val starts = graft.analysis.PrefixSum
+      .exclusive(keyCounts, "__k", Seq("__n" -> "__start"))
+      .drop("__n")
+    // within-key rank by id (grouped prefix of ones)
+    val ranked = graft.analysis.PrefixSum
+      .exclusive(base.withColumn("__one", lit(1L)), "__id",
+        Seq("__one" -> "__rik"), groupCols = Seq("__k"))
+      .join(starts, Seq("__k"))
+      .withColumn("__rank", col("__start") + col("__rik"))
+      .drop("__one", "__rik", "__start")
+    val a = ranked.select(
+      col("__id").as("id_a") +: col("__k").as("key_a") +:
+        (col("__rank") / window).cast("long").as("__b") +:
+        col("__rank").as("__ra") +:
+        carryCols.map(c => col(c).as(s"${c}_a")): _*)
+    val b = ranked.select(
+      col("__id").as("id_b") +: col("__k").as("key_b") +:
+        explode(array((col("__rank") / window).cast("long"),
+          (col("__rank") / window).cast("long") - 1)).as("__b") +:
+        col("__rank").as("__rb") +:
+        carryCols.map(c => col(c).as(s"${c}_b")): _*)
+    a.join(b, Seq("__b"))
+      .where(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= window)
+      .withColumn("rank_gap", (col("__rb") - col("__ra")).cast("long"))
+      .drop("__b", "__ra", "__rb")
+  }
+
+  /**
    * Bloom-prefiltered corpus decontamination — the 100 TB shape of the
    * "does any eval n-gram appear in this training document" check
    * (GPT-3 App. C / PaLM-style dirty-document flagging; cf. the

@@ -335,4 +335,39 @@ object Evaluation {
         col("theta"),
         (col("__covterm") / col("__vary")).as("var_reduction"))
   }
+
+  /**
+   * Cross-correlation function between two aligned regular series x, y
+   * at lags −maxLag..maxLag: r_xy(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ) /
+   * √(Σ(x−x̄)² · Σ(y−ȳ)²), the lead/lag diagnostic ("do clicks lead
+   * purchases by two days?"). Means and denominators come from the
+   * FULL series (one 1-row broadcast aggregate, [[acf]]'s estimator
+   * shape), the numerator from a keyed self-join on t + k with the
+   * small lag list broadcast-exploded — no window, one time-keyed
+   * shuffle. Returns (lag, n_pairs, ccf), positive lag = x leads y.
+   */
+  def crossCorrelation(df: DataFrame, timeCol: String, xCol: String,
+      yCol: String, maxLag: Int = 7): DataFrame = {
+    val s = df.select(col(timeCol).cast("double").as("__t"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val stats = s.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y")).as("__sy"), sum(col("__y") * col("__y")).as("__syy"))
+      .select((col("__sx") / col("__n")).as("__mx"),
+        (col("__sy") / col("__n")).as("__my"),
+        sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n")) *
+          (col("__syy") - col("__sy") * col("__sy") / col("__n")))
+          .as("__den"))
+    val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("double").as("__lag"))
+    val rhs = s.select(col("__t").as("__t2"), col("__y").as("__y2"))
+    s.crossJoin(broadcast(lags))
+      .withColumn("__tk", col("__t") + col("__lag"))
+      .join(rhs, col("__tk") === col("__t2"))
+      .join(broadcast(stats))
+      .groupBy(col("__lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum((col("__x") - col("__mx")) * (col("__y2") - col("__my"))) /
+          max(col("__den"))).as("ccf"))
+  }
 }

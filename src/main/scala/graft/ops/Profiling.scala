@@ -66,4 +66,25 @@ object Profiling {
         (lit(1.0) - col("violating_groups").cast("double") /
           col("n_groups")).as("holds_ratio"))
   }
+
+  /**
+   * Exact φ-heavy hitters: every value of `keyCols` holding at least
+   * `phi` of the rows, with count and share. Two aggregations — the
+   * keyed count (map-side combined, the one shuffle) and a 1-row total
+   * broadcast back onto it. At 100 TB this is the exact path; the
+   * approximate rescan-free alternative at extreme key cardinality is
+   * the sketch profile in [[Sketches]] — this operator's output is the
+   * ground truth those estimates are graded against.
+   */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String],
+      phi: Double): DataFrame = {
+    require(phi > 0 && phi <= 1, "phi must be in (0, 1]")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).cast("double").as("__tot"))
+    counts.join(broadcast(total))
+      .where(col("cnt").cast("double") >= lit(phi) * col("__tot"))
+      .withColumn("share", col("cnt") / col("__tot"))
+      .drop("__tot")
+  }
 }

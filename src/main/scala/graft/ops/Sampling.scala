@@ -273,6 +273,32 @@ object Sampling {
    * is the inherent cost of an exact per-key top-`cap`. Result column
    * set = input column set (projection preserved for pushdown).
    */
+  /**
+   * Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-Res:
+   * each row draws a deterministic uniform u from the portable md5
+   * bucket (u = (bucket + ½)/2²⁰) and competes on key u^(1/w) — the
+   * top-k keys are exactly a weight-proportional without-replacement
+   * sample. The engine orders by the monotone-equivalent ln(u)/w
+   * (descending), so heavier rows, whose key is pulled toward 1, win
+   * more often, and no row can be drawn twice by construction.
+   *
+   * Scale shape: the selection is `orderBy(key).limit(k)` — Spark
+   * plans TakeOrderedAndProject, a per-partition top-k + single k-row
+   * driver merge, NOT a global sort; the key itself is map-only.
+   * Replayable: DuckDB mirror is `ln((bucket + 0.5)/1048576)/w` with
+   * the shared md5 bucket; ln differs across engines by ≤1 ulp, which
+   * flips selection only on ~1e-16-relative key ties.
+   */
+  def weightedSampleWithoutReplacement(df: DataFrame, k: Int,
+      weightCol: String, hashCols: Seq[String]): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hashOf(hashCols).cast("double") + lit(0.5)) / lit(M.toDouble)
+    df.withColumn("__es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key").desc +: hashCols.map(c => col(c).asc): _*)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   def perKeyCap(df: DataFrame, keyCols: Seq[String], cap: Long,
       hashCols: Seq[String]): DataFrame = {
     require(cap > 0, "cap must be positive")

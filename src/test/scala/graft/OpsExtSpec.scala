@@ -2716,4 +2716,121 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(out(1).getAs[Double]("lift") - 45.0 / 25) < 1e-12)
     assert(out(0).getAs[Long]("n") == 2 && out(1).getAs[Long]("n") == 1)
   }
+
+  test("jaro-winkler matches the published fixtures incl. edge cases") {
+    import graft.functions.JaroWinklerImpl.sim
+    // textbook pairs, values verified against DuckDB's builtin
+    assert(math.abs(sim("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(sim("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(sim("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15)
+    // odd raw transposition count halves by integer division
+    assert(math.abs(sim("abcdef", "bcadef") - 0.9444444444444445) < 1e-15)
+    // no Winkler boost at jaro <= 0.7 despite the shared prefix
+    assert(sim("abcdefgh", "abzzzzzz") == 0.5)
+    // prefix capped at 4
+    assert(math.abs(sim("aaaaab", "aaaaac") - 0.9333333333333333) < 1e-15)
+    // empties score 0 (DuckDB convention), identity scores 1
+    assert(sim("", "") == 0.0 && sim("", "abc") == 0.0 && sim("a", "a") == 1.0)
+    assert(sim("ab", "ba") == 0.0) // window 0: no cross-position matches
+  }
+
+  test("weighted sampling w/o replacement: k rows, no dupes, weight pull") {
+    import spark.implicits._
+    // 100 light rows (w=1) + 10 heavy rows (w=1000): heavy rows should
+    // dominate a k=10 sample drawn proportional to weight
+    val df = ((0L until 100L).map(i => (i, 1L)) ++
+      (100L until 110L).map(i => (i, 1000L))).toDF("id", "w")
+    val got = graft.ops.Sampling
+      .weightedSampleWithoutReplacement(df, 10, "w", Seq("id"))
+      .collect().map(_.getLong(0))
+    assert(got.length == 10 && got.distinct.length == 10)
+    assert(got.count(_ >= 100L) >= 7) // heavy ids carry ~99% of the mass
+    // deterministic: same call, same subset
+    val again = graft.ops.Sampling
+      .weightedSampleWithoutReplacement(df, 10, "w", Seq("id"))
+      .collect().map(_.getLong(0))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("heavy hitters: exact counts and shares above phi") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val out = graft.ops.Profiling.heavyHitters(df, Seq("k"), 0.3)
+      .orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(out(0).getAs[Long]("cnt") == 6 &&
+      math.abs(out(0).getAs[Double]("share") - 0.6) < 1e-12)
+  }
+
+  test("logSumExp is stable at magnitudes where naive ln(sum(exp)) overflows") {
+    import spark.implicits._
+    val df = Seq(("g", 1000.0), ("g", 1000.0), ("g", 999.0),
+      ("h", -1000.0), ("h", -1000.0)).toDF("grp", "x")
+    val out = graft.analysis.AnalysisPlanner.logSumExp(df, "x", Seq("grp"))
+      .orderBy("grp").collect()
+    // lse(1000,1000,999) = 1000 + ln(2 + e^-1); lse(-1000,-1000) = -1000 + ln 2
+    assert(math.abs(out(0).getAs[Double]("logsumexp") -
+      (1000.0 + math.log(2.0 + math.exp(-1.0)))) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("logsumexp") -
+      (-1000.0 + math.log(2.0))) < 1e-9)
+  }
+
+  test("poisson bootstrap CI brackets the mean and tightens with n") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i % 7).toDouble)).toDF("id", "x")
+    val r = graft.analysis.AnalysisPlanner
+      .poissonBootstrapMean(df, "x", Seq("id"), b = 100).head()
+    val (mean, lo, hi) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("b") == 100 && r.getAs[Long]("n") == 400)
+    assert(lo < mean && mean < hi)
+    assert(hi - lo < 1.0) // sd(x)≈2, so a 95% CI at n=400 is ~±0.2
+  }
+
+  test("srmCheck: hand-computed chi2 and undeclared-arm flag") {
+    import spark.implicits._
+    // declared 50/50 but observed 60/40 → chi2 = (10²/50)·2 = 4
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("arm")
+    val out = graft.analysis.AnalysisPlanner
+      .srmCheck(df, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .orderBy("arm").collect()
+    assert(math.abs(out(0).getAs[Double]("chi2_stat") - 4.0) < 1e-12)
+    assert(out(0).getAs[Long]("dof") == 1)
+    assert(math.abs(out(0).getAs[Double]("expected") - 50.0) < 1e-12)
+    // an arm outside the declared allocation is flagged, not crashed
+    val extra = (Seq.fill(50)("a") ++ Seq.fill(50)("b") ++ Seq("rogue"))
+      .toDF("arm")
+    val flagged = graft.analysis.AnalysisPlanner
+      .srmCheck(extra, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .where(col("undeclared_arm")).collect()
+    assert(flagged.map(_.getAs[String]("arm")).toSeq == Seq("rogue"))
+  }
+
+  test("sortedNeighborhood emits exactly the within-window rank pairs") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, "x"), (2L, 30.0, "y"), (3L, 20.0, "z"),
+      (4L, 40.0, "w"), (5L, 20.0, "v")).toDF("id", "k", "nm")
+    // rank order by (k, id): 1(10), 3(20), 5(20), 2(30), 4(40)
+    val got = graft.ops.Dedup
+      .sortedNeighborhood(df, "id", "k", 2, Seq("nm"))
+      .select("id_a", "id_b", "rank_gap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 3L, 1L), (1L, 5L, 2L), (3L, 5L, 1L),
+      (3L, 2L, 2L), (5L, 2L, 1L), (5L, 4L, 2L), (2L, 4L, 1L))
+    assert(got == want)
+  }
+
+  test("crossCorrelation peaks at the true lead lag") {
+    import spark.implicits._
+    // y_t = x_{t-1}: x leads y by 1 → ccf(+1) ≈ 1
+    val rnd = new scala.util.Random(11)
+    val xs = Vector.fill(40)(rnd.nextDouble() * 10)
+    val rows = (1 until 40).map(t => (t.toDouble, xs(t), xs(t - 1)))
+    val out = graft.ops.Evaluation
+      .crossCorrelation(rows.toDF("t", "x", "y"), "t", "x", "y", 3)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ccf"))
+      .toMap
+    assert(out.maxBy(_._2)._1 == 1L && out(1L) > 0.9)
+  }
 }
