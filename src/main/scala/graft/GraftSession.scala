@@ -64,6 +64,11 @@ object GraftSession {
           Coalesce(exprs)
         }, "built-in")
     }
+    if (missing("jaro_winkler"))
+      reg.createOrReplaceTempFunction("jaro_winkler", { exprs =>
+        require(exprs.length == 2, "JARO_WINKLER(a, b) takes 2 args")
+        graft.functions.JaroWinkler(exprs(0), exprs(1))
+      }, "built-in")
     spark
   }
 

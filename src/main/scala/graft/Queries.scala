@@ -5908,6 +5908,140 @@ object Queries {
              round(sum((p.x - c.mx) * (p.y - c.my)) / max(c.den), 6) AS ccf
       FROM p, c GROUP BY 1 ORDER BY 1"""))
 
+  /** Mutual information / entropies between return flag and line
+    * status — categorical feature-relevance diagnostic. */
+  private val q179 = Entry(
+    "q179_mutual_information",
+    (s, d) =>
+      AnalysisPlanner
+        .mutualInformation(Tables.lineitem(s, d), "l_returnflag",
+          "l_linestatus")
+        .select(col("n"), r6(col("h_x")).as("h_x"),
+          r6(col("h_y")).as("h_y"), r6(col("h_xy")).as("h_xy"),
+          r6(col("mi")).as("mi"), r6(col("nmi")).as("nmi")),
+    Some("""
+      WITH j AS (
+        SELECT l_returnflag AS x, l_linestatus AS y,
+               count(*)::DOUBLE AS nxy
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY 1, 2),
+      mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY 1),
+      my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY 1),
+      t AS (SELECT sum(nxy) AS n FROM j),
+      a AS (
+        SELECT max(t.n) AS n,
+               -sum(j.nxy / t.n * ln(mx.nx / t.n)) AS hx,
+               -sum(j.nxy / t.n * ln(my.ny / t.n)) AS hy,
+               -sum(j.nxy / t.n * ln(j.nxy / t.n)) AS hxy,
+               sum(j.nxy / t.n *
+                   ln(j.nxy * t.n / (mx.nx * my.ny))) AS mi
+        FROM j JOIN mx USING (x) JOIN my USING (y), t)
+      SELECT n::BIGINT AS n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+             round(hxy, 6) AS h_xy, round(mi, 6) AS mi,
+             round(CASE WHEN hx > 0 AND hy > 0
+                        THEN mi / sqrt(hx * hy) ELSE 0 END, 6) AS nmi
+      FROM a"""))
+
+  /** RFM segmentation of event users: quintile scores off exact
+    * corpus percentile boundaries, recency inverted. */
+  private val q180 = Entry(
+    "q180_rfm_segments",
+    (s, d) =>
+      graft.ops.Behavioral
+        .rfmSegments(Tables.events(s, d), "user_id", "ts", "value", 5)
+        .select(col("user_id"),
+          col("recency_days").cast("long").as("recency_days"),
+          col("frequency").cast("long").as("frequency"),
+          r2(col("monetary")).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
+        .orderBy("user_id"),
+    Some("""
+      WITH a AS (SELECT max(ts::DATE) AS anchor FROM events),
+      u AS (
+        SELECT user_id,
+               min(date_diff('day', ts::DATE, a.anchor))::DOUBLE AS r,
+               count(*)::DOUBLE AS f, sum("value") AS m
+        FROM events, a GROUP BY user_id),
+      b AS (
+        SELECT quantile_cont(r, 0.2) AS r1, quantile_cont(r, 0.4) AS r2,
+               quantile_cont(r, 0.6) AS r3, quantile_cont(r, 0.8) AS r4,
+               quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+               quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+               quantile_cont(m, 0.2) AS m1, quantile_cont(m, 0.4) AS m2,
+               quantile_cont(m, 0.6) AS m3, quantile_cont(m, 0.8) AS m4
+        FROM u)
+      SELECT u.user_id, u.r::BIGINT AS recency_days,
+             u.f::BIGINT AS frequency, round(u.m, 2) AS monetary,
+             (6 - (1 + (u.r > b.r1)::INT + (u.r > b.r2)::INT +
+                   (u.r > b.r3)::INT + (u.r > b.r4)::INT))::BIGINT
+               AS r_score,
+             (1 + (u.f > b.f1)::INT + (u.f > b.f2)::INT +
+                  (u.f > b.f3)::INT + (u.f > b.f4)::INT)::BIGINT
+               AS f_score,
+             (1 + (u.m > b.m1)::INT + (u.m > b.m2)::INT +
+                  (u.m > b.m3)::INT + (u.m > b.m4)::INT)::BIGINT
+               AS m_score
+      FROM u, b ORDER BY user_id"""))
+
+  /** Gap-based batch sessionization (1-day gap): per-user session
+    * rollup on floored epoch seconds — portable across engines'
+    * sub-second precision. */
+  private val q181 = Entry(
+    "q181_sessionize",
+    (s, d) =>
+      graft.ops.Behavioral
+        .sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+          gapSeconds = 86400L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_sec"), col("end_sec"), col("duration_sec"))
+        .orderBy("user_id", "session_idx"),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec
+        FROM events),
+      l AS (
+        SELECT *, lag(sec) OVER (PARTITION BY user_id
+                                 ORDER BY sec, event_id) AS prev
+        FROM e),
+      n AS (
+        SELECT *, CASE WHEN prev IS NULL OR sec - prev > 86400
+                       THEN 1 ELSE 0 END AS ns
+        FROM l),
+      s AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM n)
+      SELECT user_id, sess::BIGINT AS session_idx,
+             count(*)::BIGINT AS n_events,
+             min(sec) AS start_sec, max(sec) AS end_sec,
+             (max(sec) - min(sec)) AS duration_sec
+      FROM s GROUP BY user_id, sess
+      ORDER BY user_id, session_idx"""))
+
+  /** Neyman optimal allocation of a 1000-row sample budget across
+    * order priorities ∝ N_h·S_h. */
+  private val q182 = Entry(
+    "q182_neyman_allocation",
+    (s, d) =>
+      graft.ops.Sampling
+        .neymanAllocation(Tables.orders(s, d), Seq("o_orderpriority"),
+          "o_totalprice", 1000L)
+        .select(col("o_orderpriority"), col("n_rows"),
+          r6(col("stddev")).as("stddev"), col("alloc"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+               coalesce(stddev_samp(o_totalprice), 0) AS sd
+        FROM orders GROUP BY 1),
+      t AS (SELECT sum(n_rows * sd) AS tot FROM g)
+      SELECT o_orderpriority, n_rows, round(sd, 6) AS stddev,
+             floor(round(1000.0 * n_rows * sd / t.tot, 6))::BIGINT
+               AS alloc
+      FROM g, t ORDER BY o_orderpriority"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -5926,7 +6060,7 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178)
+    q176, q177, q178, q179, q180, q181, q182)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

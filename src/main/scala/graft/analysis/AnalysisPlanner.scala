@@ -1911,4 +1911,41 @@ object AnalysisPlanner {
         coalesce(col("__contrib"), lit(0.0)).as("chi2_contrib"),
         col("undeclared_arm"), col("chi2_stat"), col("dof"))
   }
+
+  /**
+   * Mutual information between two categorical columns — the
+   * feature-relevance / redundancy measure ([[cramersV]]'s
+   * information-theoretic sibling): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+   * in nats, plus the marginal and joint entropies and the normalized
+   * MI / √(H(x)·H(y)). All four quantities come from ONE aggregate
+   * over the joint-count frame (H(x) = −Σ_xy p(xy)·ln(nx/n) collapses
+   * the marginal sums algebraically, so no extra pass); the joint
+   * count is the only data-sized shuffle, the marginals re-aggregate
+   * the vocabulary-sized frame. NULL in either column is excluded.
+   * Returns 1 row: (n, h_x, h_y, h_xy, mi, nmi).
+   */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val joint = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).cast("double").as("__nxy"))
+    val mx = joint.groupBy("__x").agg(sum(col("__nxy")).as("__nx"))
+    val my = joint.groupBy("__y").agg(sum(col("__nxy")).as("__ny"))
+    val tot = broadcast(joint.agg(sum(col("__nxy")).as("__n")))
+    joint.join(mx, Seq("__x")).join(my, Seq("__y")).crossJoin(tot)
+      .agg(max(col("__n")).cast("long").as("n"),
+        (-sum(col("__nxy") / col("__n") * log(col("__nx") / col("__n"))))
+          .as("h_x"),
+        (-sum(col("__nxy") / col("__n") * log(col("__ny") / col("__n"))))
+          .as("h_y"),
+        (-sum(col("__nxy") / col("__n") * log(col("__nxy") / col("__n"))))
+          .as("h_xy"),
+        sum(col("__nxy") / col("__n") *
+          log(col("__nxy") * col("__n") / (col("__nx") * col("__ny"))))
+          .as("mi"))
+      .withColumn("nmi",
+        when(col("h_x") > 0 && col("h_y") > 0,
+          col("mi") / sqrt(col("h_x") * col("h_y"))).otherwise(0.0))
+  }
 }

@@ -150,4 +150,87 @@ object Behavioral {
       .groupBy(col("cohort"), col("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Batch sessionization: assigns every event a per-user session index
+   * — a new session starts when the gap since the user's previous
+   * event exceeds `gapSeconds` — then rolls sessions up to one row
+   * each: (userCol, session_idx, n_events, start_sec, end_sec,
+   * duration_sec, total_value).
+   *
+   * Determinism/portability: ordering and gap math run on FLOORED
+   * epoch seconds with the event id as tie-break, so engines that keep
+   * different sub-second precision (Spark µs vs a ns-native reader)
+   * replay the identical session assignment. The two windows (lag +
+   * running sum) share one user-keyed partitioning — per-user state,
+   * one shuffle, parallelism scales with users, never a global window.
+   */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__sec"), col(idCol))
+    val events = df
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("__prev", lag(col("__sec"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__sec") - col("__prev") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    events.groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__sec")).as("start_sec"),
+        max(col("__sec")).as("end_sec"))
+      .withColumn("duration_sec", col("end_sec") - col("start_sec"))
+  }
+
+  /**
+   * RFM (recency / frequency / monetary) customer segmentation: per
+   * user, days since last event (vs the corpus max-ts anchor — never
+   * NOW()), event count, and value sum, each scored 1..`buckets` by
+   * exact corpus quantile boundaries. Recency scores INVERTED (most
+   * recent = highest score), the marketing convention.
+   *
+   * Scale shape: one user-keyed aggregation builds the per-user frame;
+   * each boundary set is a 1-row exact-percentile broadcast
+   * ([[graft.ops.Features.quantileBucket]]'s pattern, strict `>`
+   * comparisons so boundary ties land low in any engine). Returns one
+   * row per user: (userCol, recency_days, frequency, monetary,
+   * r_score, f_score, m_score).
+   */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val anchor = broadcast(df.agg(max(to_date(col(tsCol))).as("__anchor")))
+    // min over day gaps = days since the user's most RECENT event
+    val users = df.crossJoin(anchor)
+      .groupBy(col(userCol))
+      .agg(min(datediff(col("__anchor"), to_date(col(tsCol))))
+          .cast("double").as("recency_days"),
+        count(lit(1)).cast("double").as("frequency"),
+        sum(col(valueCol).cast("double")).as("monetary"))
+    def score(c: String, inverted: Boolean): org.apache.spark.sql.Column = {
+      val raw = (1 until buckets)
+        .map(i => when(col(c) > col(s"__${c}_q$i"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+      if (inverted) lit(buckets + 1) - raw else raw
+    }
+    val withBounds = Seq("recency_days", "frequency", "monetary")
+      .foldLeft(users) { (acc, c) =>
+        val b = graft.analysis.AnalysisPlanner.exactPercentiles(
+          users, c, (1 until buckets).map(i =>
+            s"__${c}_q$i" -> i.toDouble / buckets), Nil)
+        acc.join(broadcast(b))
+      }
+    withBounds
+      .withColumn("r_score", score("recency_days", inverted = true)
+        .cast("long"))
+      .withColumn("f_score", score("frequency", inverted = false)
+        .cast("long"))
+      .withColumn("m_score", score("monetary", inverted = false)
+        .cast("long"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+  }
 }

@@ -299,6 +299,37 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /**
+   * Neyman optimal allocation for stratified estimation: given a total
+   * sample budget `n`, each stratum h gets n_h ∝ N_h·S_h (population ×
+   * sample stddev) — the allocation that minimizes the variance of the
+   * stratified mean. Returns the allocation TABLE
+   * (strataCols…, n_rows, stddev, alloc); feed `alloc` per stratum to
+   * [[exactStratifiedSample]] to draw the rows. One keyed aggregation
+   * plus a 1-row total broadcast.
+   *
+   * Replay note: alloc = ⌊round(n·N_h·S_h/Σ, 6)⌋ — the round-6 grid
+   * absorbs cross-engine stddev fp noise BEFORE the floor, so the
+   * integer allocation is engine-stable (a raw floor would flip on a
+   * last-ulp difference when the product sits near an integer);
+   * single-row strata (S_h undefined) allocate 0.
+   */
+  def neymanAllocation(df: DataFrame, strataCols: Seq[String],
+      valueCol: String, n: Long): DataFrame = {
+    require(n > 0, "n must be positive")
+    val g = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(stddev_samp(col(valueCol).cast("double")), lit(0.0))
+          .as("stddev"))
+      .withColumn("__w", col("n_rows").cast("double") * col("stddev"))
+    val tot = broadcast(g.agg(sum(col("__w")).as("__tot")))
+    g.crossJoin(tot)
+      .withColumn("alloc",
+        floor(round(lit(n.toDouble) * col("__w") / col("__tot"), 6))
+          .cast("long"))
+      .drop("__w", "__tot")
+  }
+
   def perKeyCap(df: DataFrame, keyCols: Seq[String], cap: Long,
       hashCols: Seq[String]): DataFrame = {
     require(cap > 0, "cap must be positive")

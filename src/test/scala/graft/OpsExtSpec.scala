@@ -2833,4 +2833,83 @@ class OpsExtSpec extends AnyFunSuite {
       .toMap
     assert(out.maxBy(_._2)._1 == 1L && out(1L) > 0.9)
   }
+
+  test("mutualInformation: zero when independent, H when determined") {
+    import spark.implicits._
+    // y == x → MI = H(x) and NMI = 1
+    val dep = Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2"))
+      .toDF("x", "y")
+    val r1 = graft.analysis.AnalysisPlanner
+      .mutualInformation(dep, "x", "y").head()
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2.0)) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-12)
+    // balanced independent grid → MI = 0
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("1", "2") }
+      yield (x, y)).toDF("x", "y")
+    val r2 = graft.analysis.AnalysisPlanner
+      .mutualInformation(ind, "x", "y").head()
+    assert(math.abs(r2.getAs[Double]("mi")) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("h_xy") - math.log(4.0)) < 1e-12)
+  }
+
+  test("rfmSegments: recency inverted, frequency/monetary ascending") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: recent, frequent, big spender; u2: stale, rare, small
+      (1L, "2024-01-30 10:00:00", 100.0), (1L, "2024-01-29 10:00:00", 100.0),
+      (1L, "2024-01-28 10:00:00", 100.0), (1L, "2024-01-27 10:00:00", 100.0),
+      (2L, "2024-01-02 10:00:00", 1.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = graft.ops.Behavioral
+      .rfmSegments(ev, "user_id", "ts", "value", 2)
+      .orderBy("user_id").collect()
+    val u1 = out(0); val u2 = out(1)
+    assert(u1.getAs[Double]("recency_days") == 0.0 &&
+      u2.getAs[Double]("recency_days") == 28.0)
+    assert(u1.getAs[Long]("r_score") == 2 && u2.getAs[Long]("r_score") == 1)
+    assert(u1.getAs[Long]("f_score") == 2 && u2.getAs[Long]("f_score") == 1)
+    assert(u1.getAs[Long]("m_score") == 2 && u2.getAs[Long]("m_score") == 1)
+  }
+
+  test("sessionize: gap splits sessions, rollup spans are exact") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, "2024-01-01 10:00:00"), (1L, 101L, "2024-01-01 10:10:00"),
+      (1L, 102L, "2024-01-01 12:00:00"), // 110-min gap → new session
+      (2L, 200L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = graft.ops.Behavioral
+      .sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2 &&
+      out(0).getAs[Long]("duration_sec") == 600L)
+    assert(out(1).getAs[Long]("session_idx") == 2 &&
+      out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("jaro_winkler registers in the session SQL surface") {
+    val s = GraftSession.withFunctions(spark)
+    val r = s.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
+    assert(math.abs(r - 0.9611111111111111) < 1e-15)
+  }
+
+  test("neymanAllocation: budget splits proportional to N_h * S_h") {
+    import spark.implicits._
+    // stratum a: 4 rows sd 10; stratum b: 4 rows sd 0 (constant)
+    val df = Seq(("a", 0.0), ("a", 20.0), ("a", 0.0), ("a", 20.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("s", "v")
+    val out = graft.ops.Sampling
+      .neymanAllocation(df, Seq("s"), "v", 100L)
+      .orderBy("s").collect()
+    // all weight on stratum a: alloc = 100, b gets 0
+    assert(out(0).getAs[Long]("alloc") == 100L &&
+      out(1).getAs[Long]("alloc") == 0L)
+    assert(math.abs(out(0).getAs[Double]("stddev") - 11.547005383792516)
+      < 1e-9)
+  }
 }
