@@ -5755,8 +5755,9 @@ object Queries {
       w AS (
         SELECT r.rep, e."value" AS x,
                (((('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || '|' ||
-                    CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT % 1048576)
-                 + 0.5) / 1048576.0) AS u
+                      CAST(r.rep // 6 AS VARCHAR)),
+                    1 + 15 * ((r.rep % 6) // 3), 15))::BIGINT
+                  >> (20 * (r.rep % 3))) & 1048575) + 0.5) / 1048576.0 AS u
         FROM events e CROSS JOIN r WHERE e."value" IS NOT NULL),
       pw AS (
         SELECT rep, x,
@@ -6042,6 +6043,167 @@ object Queries {
                AS alloc
       FROM g, t ORDER BY o_orderpriority"""))
 
+  /** DSIR importance weights: English-docs target LM vs whole-corpus
+    * raw LM, per-doc token log-likelihood ratio. */
+  private val q183 = Entry(
+    "q183_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis
+        .dsirWeights(docs, "doc_id", "text",
+          docs.where(col("lang") === "en"), "text", docs, "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("log_ratio_sum")).as("log_ratio_sum"),
+          r6(col("log_ratio_avg")).as("log_ratio_avg"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tt AS (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE lang = 'en'),
+      tv AS (SELECT term, count(*) AS ct FROM tt GROUP BY 1),
+      rt AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      rv AS (SELECT term, count(*) AS cr FROM rt GROUP BY 1),
+      v AS (
+        SELECT coalesce(rv.term, tv.term) AS term, tv.ct, rv.cr
+        FROM rv FULL OUTER JOIN tv ON rv.term = tv.term),
+      tot AS (SELECT sum(coalesce(ct, 0)) AS nt,
+                     sum(coalesce(cr, 0)) AS nr, count(*) AS vv
+              FROM v),
+      tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               ln((coalesce(v.ct, 0) + 1.0) / (nt + 1.0 * (vv + 1))) -
+               ln((coalesce(v.cr, 0) + 1.0) / (nr + 1.0 * (vv + 1))) AS lr
+        FROM tk LEFT JOIN v USING (term), tot)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(sum(lr), 6) AS log_ratio_sum,
+             round(avg(lr), 6) AS log_ratio_avg
+      FROM sc GROUP BY 1 ORDER BY 1"""))
+
+  /** Yuen's 20%-trimmed-mean robust t-test, returned vs refused
+    * extended price — order statistics via grouped prefix sums. */
+  private val q184 = Entry(
+    "q184_yuen_ttest",
+    (s, d) =>
+      AnalysisPlanner
+        .yuenTTest(Tables.lineitem(s, d), "l_extendedprice",
+          "l_returnflag", "A", "R", trim = 0.2)
+        .select(r6(col("t_stat")).as("t_stat"), r6(col("dof")).as("dof"),
+          col("h_a"), col("h_b"), r6(col("tmean_a")).as("tmean_a"),
+          r6(col("tmean_b")).as("tmean_b")),
+    Some("""
+      WITH f AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      vc AS (SELECT g, v, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+      p AS (
+        SELECT *, coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM vc),
+      sz AS (SELECT g, sum(c) AS n, floor(0.2 * sum(c))::BIGINT AS gc
+             FROM vc GROUP BY 1),
+      j AS (SELECT p.*, sz.n, sz.gc FROM p JOIN sz USING (g)),
+      b AS (
+        SELECT g, min(CASE WHEN below + c >= gc + 1 THEN v END) AS lo,
+               min(CASE WHEN below + c >= n - gc THEN v END) AS hi
+        FROM j GROUP BY 1),
+      k AS (
+        SELECT j.*, b.lo, b.hi,
+               greatest(0, least(below + c, n - gc) - greatest(below, gc))
+                 AS kept,
+               least(greatest(v, lo), hi) AS wv
+        FROM j JOIN b USING (g)),
+      pg AS (
+        SELECT g, max(n) AS n, max(n) - 2 * max(gc) AS h,
+               sum(v * kept) / (max(n) - 2 * max(gc)) AS tmean,
+               (sum(wv * wv * c) - sum(wv * c) * sum(wv * c) / max(n))
+                 / (max(n) - 1) AS wvar
+        FROM k GROUP BY 1),
+      dd AS (SELECT g, n, h, tmean,
+                    (n - 1) * wvar / (h * (h - 1)) AS d
+             FROM pg),
+      aa AS (SELECT h AS h_a, tmean AS tmean_a, d AS da
+             FROM dd WHERE g = 'A'),
+      bb AS (SELECT h AS h_b, tmean AS tmean_b, d AS db
+             FROM dd WHERE g = 'R')
+      SELECT round((tmean_a - tmean_b) / sqrt(da + db), 6) AS t_stat,
+             round(power(da + db, 2.0) /
+                   (power(da, 2.0) / (h_a - 1) +
+                    power(db, 2.0) / (h_b - 1)), 6) AS dof,
+             h_a::BIGINT AS h_a, h_b::BIGINT AS h_b,
+             round(tmean_a, 6) AS tmean_a, round(tmean_b, 6) AS tmean_b
+      FROM aa, bb"""))
+
+  /** Covariate balance (standardized mean differences) between
+    * returned and refused lineitems across four numerics — one scan. */
+  private val q185 = Entry(
+    "q185_covariate_balance",
+    (s, d) =>
+      graft.ops.Evaluation
+        .covariateBalance(Tables.lineitem(s, d), "l_returnflag", "A", "R",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("covariate"), col("n_a"), col("n_b"),
+          r6(col("mean_a")).as("mean_a"), r6(col("mean_b")).as("mean_b"),
+          r6(col("smd")).as("smd"))
+        .orderBy("covariate"),
+    Some("""
+      WITH g AS (
+        SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
+               avg(l_quantity) AS m0, var_samp(l_quantity) AS v0,
+               avg(l_extendedprice) AS m1, var_samp(l_extendedprice) AS v1,
+               avg(l_discount) AS m2, var_samp(l_discount) AS v2,
+               avg(l_tax) AS m3, var_samp(l_tax) AS v3
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      a AS (SELECT * FROM g WHERE grp = 'A'),
+      b AS (SELECT * FROM g WHERE grp = 'R')
+      SELECT c.covariate, a.n AS n_a, b.n AS n_b,
+             round(CASE c.i WHEN 0 THEN a.m0 WHEN 1 THEN a.m1
+                            WHEN 2 THEN a.m2 ELSE a.m3 END, 6) AS mean_a,
+             round(CASE c.i WHEN 0 THEN b.m0 WHEN 1 THEN b.m1
+                            WHEN 2 THEN b.m2 ELSE b.m3 END, 6) AS mean_b,
+             round((CASE c.i WHEN 0 THEN a.m0 WHEN 1 THEN a.m1
+                             WHEN 2 THEN a.m2 ELSE a.m3 END -
+                    CASE c.i WHEN 0 THEN b.m0 WHEN 1 THEN b.m1
+                             WHEN 2 THEN b.m2 ELSE b.m3 END) /
+                   sqrt((CASE c.i WHEN 0 THEN a.v0 WHEN 1 THEN a.v1
+                              WHEN 2 THEN a.v2 ELSE a.v3 END +
+                         CASE c.i WHEN 0 THEN b.v0 WHEN 1 THEN b.v1
+                              WHEN 2 THEN b.v2 ELSE b.v3 END) / 2.0), 6)
+               AS smd
+      FROM a, b,
+           (VALUES (0, 'l_quantity'), (1, 'l_extendedprice'),
+                   (2, 'l_discount'), (3, 'l_tax')) AS c(i, covariate)
+      ORDER BY c.covariate"""))
+
+  /** Rolling 7-day active users: DAU, trailing distinct (WAU) via a
+    * bounded offset fan-out — no range join, no window. */
+  private val q186 = Entry(
+    "q186_active_users",
+    (s, d) =>
+      graft.ops.Behavioral
+        .activeUserMetrics(Tables.events(s, d), "user_id", "ts", 7)
+        .select(datediff(col("day"), to_date(lit("2024-01-01")))
+            .cast("long").as("day_idx"),
+          col("dau"), col("rolling_active").as("wau"),
+          r6(col("stickiness")).as("stickiness"))
+        .orderBy("day_idx"),
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+      off AS (SELECT range AS k FROM range(7)),
+      rol AS (SELECT ud.d + k::INT AS d,
+                     count(DISTINCT user_id)::BIGINT AS wau
+              FROM ud, off GROUP BY 1)
+      SELECT date_diff('day', DATE '2024-01-01', dau.d)::BIGINT AS day_idx,
+             dau.dau, rol.wau,
+             round(dau.dau / rol.wau::DOUBLE, 6) AS stickiness
+      FROM dau JOIN rol USING (d) ORDER BY day_idx"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6060,7 +6222,7 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

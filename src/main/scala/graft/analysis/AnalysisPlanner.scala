@@ -1829,8 +1829,17 @@ object AnalysisPlanner {
    * Scale shape: rows explode ×b onto the replicate axis, but the
    * per-replicate aggregate is map-side combined, so the shuffle
    * carries ≤ b rows per partition; the quantile runs over the b-row
-   * replicate-mean frame. Returns 1 row:
-   * (n, b, mean, ci_lo, ci_hi) at the requested two-sided level.
+   * replicate-mean frame. The md5 cost is AMORTIZED 6×: one digest per
+   * (row, ⌈b/6⌉-block) yields six independent 20-bit uniforms — two
+   * 60-bit `conv` halves, three bit-shift slices each — so the
+   * per-replicate work after the digest is integer codegen, not
+   * string hashing (at 100 TB × b=200 that is the difference between
+   * 34 and 200 digests per row). Portable derivation, replayable in
+   * any engine with md5 and 64-bit shifts:
+   *   u(rep) = (((hex2int(md5(id…|'|'|rep÷6)[1+15·((rep%6)÷3) .. +15])
+   *              >> 20·(rep%3)) & 0xFFFFF) + ½) / 2²⁰.
+   * Returns 1 row: (n, b, mean, ci_lo, ci_hi) at the requested
+   * two-sided level.
    */
   def poissonBootstrapMean(df: DataFrame, valueCol: String,
       idCols: Seq[String], b: Int = 200,
@@ -1842,19 +1851,35 @@ object AnalysisPlanner {
       0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
       0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
       0.9999988747974051)
-    val reps = df.sparkSession.range(b.toLong)
-      .select(col("id").cast("long").as("__rep"))
-    val u = (graft.functions.PortableHash
-      .bucket(idCols.map(col) :+ col("__rep")).cast("double") + lit(0.5)) /
-      lit(graft.functions.PortableHash.M.toDouble)
-    val w = cdf.zipWithIndex.foldRight(lit(9).cast("double")) {
-      case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
-    }
+    def pois(u: org.apache.spark.sql.Column) =
+      cdf.zipWithIndex.foldRight(lit(9).cast("double")) {
+        case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
+      }
+    val nBlocks = (b + 5) / 6
+    val blocks = df.sparkSession.range(nBlocks.toLong)
+      .select(col("id").as("__blk"))
     val x = col(valueCol).cast("double")
-    val repMeans = df.where(x.isNotNull)
+    val hashed = df.where(x.isNotNull)
       .select(idCols.map(col) :+ x.as("__x"): _*)
-      .crossJoin(broadcast(reps))
-      .select(col("__rep"), col("__x"), w.as("__w"))
+      .crossJoin(broadcast(blocks))
+      .withColumn("__md5", md5(concat_ws("|",
+        idCols.map(c => col(c).cast("string")) :+
+          col("__blk").cast("string"): _*)))
+      .withColumn("__h0",
+        conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h1",
+        conv(substring(col("__md5"), 16, 15), 16, 10).cast("long"))
+    val slots = (0 until 6).map { j =>
+      val h = if (j < 3) col("__h0") else col("__h1")
+      val u = (shiftright(h, 20 * (j % 3)).bitwiseAND(lit(1048575L))
+        .cast("double") + lit(0.5)) / lit(1048576.0)
+      struct((col("__blk") * 6 + j).cast("long").as("rep"), u.as("u"))
+    }
+    val repMeans = hashed
+      .select(col("__x"), explode(array(slots: _*)).as("__ru"))
+      .where(col("__ru.rep") < b)
+      .select(col("__ru.rep").as("__rep"), col("__x"),
+        pois(col("__ru.u")).as("__w"))
       .groupBy("__rep")
       .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"),
         (sum(col("__w")) / count(lit(1))).as("__nw"))
@@ -1947,5 +1972,85 @@ object AnalysisPlanner {
       .withColumn("nmi",
         when(col("h_x") > 0 && col("h_y") > 0,
           col("mi") / sqrt(col("h_x") * col("h_y"))).otherwise(0.0))
+  }
+
+  /**
+   * Yuen's trimmed-mean t-test — the robust two-sample location test
+   * (Welch on 20%-trimmed means with winsorized variances), the
+   * standard answer when heavy tails invalidate [[statTest]]'s plain
+   * t. Per group with n rows and g = ⌊trim·n⌋ cut from EACH tail:
+   *
+   *   h = n − 2g (kept rows), t = (tm₁ − tm₂)/√(d₁ + d₂),
+   *   dᵢ = (nᵢ−1)·s²wᵢ / (hᵢ(hᵢ−1)),  dof via Welch–Satterthwaite,
+   *
+   * where tm = mean of ranks g+1..n−g and s²w = variance after
+   * clamping to the rank-(g+1)/(n−g) order statistics.
+   *
+   * Scale shape: everything reduces over the per-(group, value) COUNT
+   * frame with one grouped exclusive prefix sum ([[PrefixSum]]) — a
+   * value spanning ranks (below, below+c] contributes
+   * max(0, min(below+c, n−g) − max(below, g)) kept rows, and the
+   * winsor bounds are the values whose rank span covers g+1 / n−g —
+   * so no row-level sort, no window, duplicates handled exactly.
+   * Returns 1 row: (t_stat, dof, h_a, h_b, tmean_a, tmean_b).
+   */
+  def yuenTTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, "trim must be in (0, 0.5)")
+    val x = col(valueCol).cast("double")
+    val vc = df.where(x.isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(col(groupCol).as("__g"), x.as("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val pref = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__below"),
+      groupCols = Seq("__g"))
+    val sizes = pref.groupBy("__g").agg(sum(col("__c")).as("__n"))
+      .withColumn("__gcut", floor(lit(trim) * col("__n")).cast("long"))
+    val j = PrefixSum.joinNullSafe(pref, sizes, Seq("__g"))
+    // winsor bounds: the values covering ranks gcut+1 and n-gcut
+    val bounds = j
+      .agg(
+        min(when(col("__g") === groupA &&
+          col("__below") + col("__c") >= col("__gcut") + 1, col("__v")))
+          .as("__loA"),
+        min(when(col("__g") === groupA &&
+          col("__below") + col("__c") >= col("__n") - col("__gcut"),
+          col("__v"))).as("__hiA"),
+        min(when(col("__g") === groupB &&
+          col("__below") + col("__c") >= col("__gcut") + 1, col("__v")))
+          .as("__loB"),
+        min(when(col("__g") === groupB &&
+          col("__below") + col("__c") >= col("__n") - col("__gcut"),
+          col("__v"))).as("__hiB"))
+    val lo = when(col("__g") === groupA, col("__loA")).otherwise(col("__loB"))
+    val hi = when(col("__g") === groupA, col("__hiA")).otherwise(col("__hiB"))
+    val kept = greatest(lit(0L),
+      least(col("__below") + col("__c"), col("__n") - col("__gcut")) -
+        greatest(col("__below"), col("__gcut")))
+    val wv = least(greatest(col("__v"), lo), hi)
+    val perGroup = j.crossJoin(broadcast(bounds))
+      .groupBy("__g")
+      .agg(max(col("__n")).as("n"),
+        (max(col("__n")) - lit(2) * max(col("__gcut"))).as("h"),
+        (sum(col("__v") * kept) /
+          (max(col("__n")) - lit(2) * max(col("__gcut")))).as("tmean"),
+        ((sum(wv * wv * col("__c")) -
+          sum(wv * col("__c")) * sum(wv * col("__c")) / max(col("__n"))) /
+          (max(col("__n")) - 1)).as("wvar"))
+      .withColumn("d",
+        (col("n") - 1) * col("wvar") / (col("h") * (col("h") - 1)))
+    val a = perGroup.where(col("__g") === groupA)
+      .select(col("h").as("h_a"), col("tmean").as("tmean_a"),
+        col("d").as("__da"))
+    val b = perGroup.where(col("__g") === groupB)
+      .select(col("h").as("h_b"), col("tmean").as("tmean_b"),
+        col("d").as("__db"))
+    a.crossJoin(b)
+      .select(
+        ((col("tmean_a") - col("tmean_b")) /
+          sqrt(col("__da") + col("__db"))).as("t_stat"),
+        (pow(col("__da") + col("__db"), 2.0) /
+          (pow(col("__da"), 2.0) / (col("h_a") - 1) +
+           pow(col("__db"), 2.0) / (col("h_b") - 1))).as("dof"),
+        col("h_a"), col("h_b"), col("tmean_a"), col("tmean_b"))
   }
 }

@@ -233,4 +233,37 @@ object Behavioral {
       .select(col(userCol), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
+
+  /**
+   * Rolling active-user metrics: per observed day, DAU (distinct users
+   * that day), the trailing `windowDays`-day distinct-user count
+   * (WAU/MAU shape), and stickiness = DAU/rolling — the canonical
+   * product-engagement series.
+   *
+   * Scale shape: a rolling DISTINCT can't sum daily counts, so the
+   * distinct (user, day) frame fans out over the `windowDays` offsets
+   * it contributes to (a bounded `explode`, window≤31) and re-counts
+   * distinct per anchor day — two keyed aggregations over a frame
+   * bounded by users×days, no range join, no window function. Anchor
+   * days outside the observed span (the fan-out's tail) are dropped by
+   * the inner join back to real days.
+   */
+  def activeUserMetrics(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 92, "windowDays in [1, 92]")
+    val userDays = df
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val dau = userDays.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val offsets = df.sparkSession.range(windowDays.toLong)
+      .select(col("id").cast("int").as("__k"))
+    val rolling = userDays.crossJoin(broadcast(offsets))
+      .select(col("__u"), date_add(col("__d"), col("__k")).as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("__u")).as("rolling_active"))
+    dau.join(rolling, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("rolling_active"))
+  }
 }

@@ -370,4 +370,46 @@ object Evaluation {
         (sum((col("__x") - col("__mx")) * (col("__y2") - col("__my"))) /
           max(col("__den"))).as("ccf"))
   }
+
+  /**
+   * Covariate balance between two groups: standardized mean difference
+   * SMD = (x̄_a − x̄_b)/√((s²_a + s²_b)/2) per covariate — the
+   * experiment-readout / matching diagnostic (|SMD| < 0.1 is the usual
+   * "balanced" bar). ONE aggregation computes every covariate's
+   * per-group moments (2k sums in a single scan — never k passes);
+   * the group rows then pivot against each other in a 1×1 crossJoin.
+   * Returns one row per covariate:
+   * (covariate, n_a, n_b, mean_a, mean_b, var_a, var_b, smd).
+   */
+  def covariateBalance(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "no covariates")
+    val base = df.where(col(groupCol).isin(groupA, groupB))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      covariates.zipWithIndex.flatMap { case (c, i) =>
+        val v = col(c).cast("double")
+        Seq(avg(v).as(s"__m$i"), var_samp(v).as(s"__v$i"))
+      }
+    val g = base.groupBy(col(groupCol).as("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+    val a = g.where(col("__g") === groupA)
+    val b = g.where(col("__g") === groupB)
+      .select(col("__n").as("__nb") +: covariates.indices.flatMap(i =>
+        Seq(col(s"__m$i").as(s"__mb$i"), col(s"__v$i").as(s"__vb$i"))): _*)
+    val wide = a.crossJoin(broadcast(b))
+    val perCov = covariates.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("covariate"),
+        col("__n").as("n_a"), col("__nb").as("n_b"),
+        col(s"__m$i").as("mean_a"), col(s"__mb$i").as("mean_b"),
+        col(s"__v$i").as("var_a"), col(s"__vb$i").as("var_b"))
+    }
+    wide.select(explode(array(perCov: _*)).as("s"))
+      .select(col("s.covariate"), col("s.n_a"), col("s.n_b"),
+        col("s.mean_a"), col("s.mean_b"), col("s.var_a"), col("s.var_b"),
+        // a covariate constant in BOTH groups has no scale — NULL, not
+        // a divide-by-zero (ANSI mode makes 0/0 an error, not NaN)
+        when(col("s.var_a") + col("s.var_b") > 0.0,
+          (col("s.mean_a") - col("s.mean_b")) /
+            sqrt((col("s.var_a") + col("s.var_b")) / 2.0)).as("smd"))
+  }
 }

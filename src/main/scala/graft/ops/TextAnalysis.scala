@@ -878,4 +878,54 @@ object TextAnalysis {
         ((col("__toks_before") + col("__need") * col("__f")) / col("__tt"))
           .as("coverage"))
   }
+
+  /**
+   * DSIR-style importance weighting for data selection (Xie et al.
+   * 2023, "Data Selection for Language Models via Importance
+   * Resampling"): scores each document by the log-likelihood ratio of
+   * its tokens under a TARGET-domain unigram LM vs a RAW-corpus LM,
+   * both add-α smoothed over the raw vocabulary. Documents whose
+   * token distribution looks like the target get positive
+   * `log_ratio_sum`; resample the corpus ∝ exp(λ·score) downstream
+   * (e.g. via [[graft.ops.Sampling.weightedSampleWithoutReplacement]]).
+   *
+   * Scale shape: identical to [[unigramLogLikelihood]] — both "LMs"
+   * are vocabulary-keyed count FRAMES (one aggregation each over the
+   * reference corpora), the scoring is one term-keyed join of the
+   * exploded document tokens against the merged vocabulary, totals
+   * ride a 1-row broadcast. Smoothing uses the raw vocabulary size V
+   * for both models so an out-of-both-vocabulary token scores
+   * log-ratio 0 bias-free. Returns (idCol, n_tokens, log_ratio_sum,
+   * log_ratio_avg).
+   */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive for smoothing")
+    val tVocab = target.select(explode(words(col(targetTextCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__ct"))
+    val rVocab = raw.select(explode(words(col(rawTextCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__cr"))
+    val vocab = rVocab.join(tVocab, Seq("term"), "full_outer")
+    val totals = broadcast(vocab.agg(
+      sum(coalesce(col("__ct"), lit(0L))).as("__nt"),
+      sum(coalesce(col("__cr"), lit(0L))).as("__nr"),
+      count(lit(1)).as("__v")))
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("term"))
+    toks.join(vocab, Seq("term"), "left")
+      .join(totals)
+      .select(col("id"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(alpha)) /
+            (col("__nt") + lit(alpha) * (col("__v") + lit(1)))) -
+         log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
+            (col("__nr") + lit(alpha) * (col("__v") + lit(1)))))
+          .as("__lr"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lr")).as("log_ratio_sum"),
+        avg(col("__lr")).as("log_ratio_avg"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -2891,6 +2891,75 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("dsirWeights: target-like docs score above off-target docs") {
+    import spark.implicits._
+    val target = Seq((1L, "cats cats cats like milk")).toDF("id", "text")
+    val raw = Seq((1L, "cats dogs birds like milk"),
+      (2L, "dogs dogs fetch sticks")).toDF("id", "text")
+    val docs = Seq((10L, "cats like milk"), (11L, "dogs fetch sticks"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .dsirWeights(docs, "doc_id", "text", target, "text", raw, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("log_ratio_sum") >
+      out(1).getAs[Double]("log_ratio_sum"))
+    assert(out(0).getAs[Double]("log_ratio_sum") > 0 &&
+      out(1).getAs[Double]("log_ratio_sum") < 0)
+    assert(out(0).getAs[Long]("n_tokens") == 3)
+  }
+
+  test("yuenTTest matches the hand-computed trimmed fixture") {
+    import spark.implicits._
+    // A=[1..5], B=[11,12,13,14,115]: g=1, trimmed means 3 vs 13,
+    // winsorized vars 1.0 → t = -10/sqrt(4/3), dof = 4; the 115
+    // outlier is winsorized away
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("A", v.toDouble)) ++
+      Seq(11, 12, 13, 14, 115).map(v => ("B", v.toDouble)))
+      .toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .yuenTTest(df, "v", "g", "A", "B", trim = 0.2).head()
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      (-10.0 / math.sqrt(4.0 / 3.0))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("dof") - 4.0) < 1e-9)
+    assert(r.getAs[Long]("h_a") == 3 && r.getAs[Long]("h_b") == 3)
+    assert(math.abs(r.getAs[Double]("tmean_a") - 3.0) < 1e-12 &&
+      math.abs(r.getAs[Double]("tmean_b") - 13.0) < 1e-12)
+  }
+
+  test("covariateBalance: SMD matches the moment formula, one scan") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10.0), ("a", 3.0, 10.0),
+      ("b", 5.0, 10.0), ("b", 7.0, 10.0)).toDF("g", "x", "z")
+    val out = graft.ops.Evaluation
+      .covariateBalance(df, "g", "a", "b", Seq("x", "z"))
+      .orderBy("covariate").collect()
+    // x: means 2 vs 6, vars 2 and 2 → smd = -4/sqrt(2) = -2.828…
+    val x = out(0)
+    assert(x.getAs[String]("covariate") == "x")
+    assert(math.abs(x.getAs[Double]("smd") - (-4.0 / math.sqrt(2.0))) < 1e-12)
+    // z is constant in both groups → no scale → smd NULL, means equal
+    val z = out(1)
+    assert(z.getAs[Double]("mean_a") == 10.0 && z.isNullAt(z.fieldIndex("smd")))
+  }
+
+  test("activeUserMetrics: rolling distinct is not a sum of DAUs") {
+    import spark.implicits._
+    val ev = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-02 11:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = graft.ops.Behavioral
+      .activeUserMetrics(ev, "user_id", "ts", 2)
+      .orderBy("day").collect()
+    // day1: dau 1, rolling {u1} = 1; day2: dau 2, rolling {u1,u2} = 2
+    // (u1 active BOTH days counts once — 2, not 3)
+    assert(out(0).getAs[Long]("dau") == 1 &&
+      out(0).getAs[Long]("rolling_active") == 1)
+    assert(out(1).getAs[Long]("dau") == 2 &&
+      out(1).getAs[Long]("rolling_active") == 2)
+    assert(out(1).getAs[Double]("stickiness") == 1.0)
+  }
+
   test("jaro_winkler registers in the session SQL surface") {
     val s = GraftSession.withFunctions(spark)
     val r = s.sql(
