@@ -6204,6 +6204,181 @@ object Queries {
              round(dau.dau / rol.wau::DOUBLE, 6) AS stickiness
       FROM dau JOIN rol USING (d) ORDER BY day_idx"""))
 
+  /** Partial correlation: quantity ↔ extended price controlling for
+    * discount — one nine-sum scan. */
+  private val q187 = Entry(
+    "q187_partial_correlation",
+    (s, d) =>
+      AnalysisPlanner
+        .partialCorrelation(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice", "l_discount")
+        .select(col("n"), r6(col("r_xy")).as("r_xy"),
+          r6(col("r_xz")).as("r_xz"), r6(col("r_yz")).as("r_yz"),
+          r6(col("partial_r")).as("partial_r")),
+    Some("""
+      WITH m AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_discount) AS sz,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy,
+               sum(l_discount * l_discount) AS szz,
+               sum(l_quantity * l_extendedprice) AS sxy,
+               sum(l_quantity * l_discount) AS sxz,
+               sum(l_extendedprice * l_discount) AS syz
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      r AS (
+        SELECT n,
+               (sxy - sx * sy / n) /
+                 sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rxy,
+               (sxz - sx * sz / n) /
+                 sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)) AS rxz,
+               (syz - sy * sz / n) /
+                 sqrt((syy - sy * sy / n) * (szz - sz * sz / n)) AS ryz
+        FROM m)
+      SELECT n::BIGINT AS n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+             round(ryz, 6) AS r_yz,
+             round((rxy - rxz * ryz) /
+                   sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+               AS partial_r
+      FROM r"""))
+
+  /** Two-predictor OLS by normal equations: extended price from
+    * quantity + discount, closed-form 1-row algebra. */
+  private val q188 = Entry(
+    "q188_ols_normal_equations",
+    (s, d) =>
+      AnalysisPlanner
+        .ols2(Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+          "l_discount")
+        .select(col("n"), r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
+          r6(col("b2")).as("b2"), r6(col("r2")).as("r2"),
+          r6(col("rmse")).as("rmse")),
+    Some("""
+      WITH m AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(l_quantity) AS s1, sum(l_discount) AS s2,
+               sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS s11,
+               sum(l_discount * l_discount) AS s22,
+               sum(l_quantity * l_discount) AS s12,
+               sum(l_quantity * l_extendedprice) AS s1y,
+               sum(l_discount * l_extendedprice) AS s2y,
+               sum(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_discount IS NOT NULL),
+      c AS (
+        SELECT n, s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y, syy - sy * sy / n AS cyy,
+               s1 / n AS m1, s2 / n AS m2, sy / n AS my
+        FROM m),
+      b AS (
+        SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+      f AS (
+        SELECT n, my, m1, m2, c1y, c2y, cyy,
+               (c1y * c22 - c2y * c12) / det AS b1,
+               (c2y * c11 - c1y * c12) / det AS b2
+        FROM b)
+      SELECT n::BIGINT AS n,
+             round(my - b1 * m1 - b2 * m2, 6) AS b0,
+             round(b1, 6) AS b1, round(b2, 6) AS b2,
+             round(1.0 - (cyy - b1 * c1y - b2 * c2y) / cyy, 6) AS r2,
+             round(sqrt((cyy - b1 * c1y - b2 * c2y) / n), 6) AS rmse
+      FROM f"""))
+
+  /** OLS influence diagnostics over the daily event-value trend:
+    * leverage / residual / Cook's distance per day, map-only after a
+    * 1-row moment broadcast. */
+  private val q189 = Entry(
+    "q189_ols_influence",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+        .select(datediff(col("day"), to_date(lit("2024-01-01")))
+          .cast("double").as("x"), col("y"))
+      AnalysisPlanner.olsInfluence(daily, Seq("x"), "x", "y")
+        .select(col("x").cast("long").as("day_idx"),
+          r6(col("leverage")).as("leverage"),
+          r6(col("residual")).as("residual"),
+          r6(col("cooks_d")).as("cooks_d"), col("influential"))
+        .orderBy("day_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT date_diff('day', DATE '2024-01-01',
+                 date_trunc('day', ts)::DATE)::DOUBLE AS x,
+               sum("value") AS y
+        FROM events GROUP BY 1),
+      m AS (
+        SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM d),
+      c AS (
+        SELECT n, sx / n AS mx, sy / n AS my,
+               sxx - sx * sx / n AS cxx, sxy - sx * sy / n AS cxy,
+               syy - sy * sy / n AS cyy
+        FROM m),
+      f AS (
+        SELECT *, cxy / cxx AS b1,
+               (cyy - cxy * cxy / cxx) / (n - 2) AS s2
+        FROM c)
+      SELECT d.x::BIGINT AS day_idx,
+             round(1.0 / f.n + (d.x - f.mx) * (d.x - f.mx) / f.cxx, 6)
+               AS leverage,
+             round(d.y - f.my - f.b1 * (d.x - f.mx), 6) AS residual,
+             round((d.y - f.my - f.b1 * (d.x - f.mx)) *
+                   (d.y - f.my - f.b1 * (d.x - f.mx)) *
+                   (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx) / f.cxx) /
+                   (2.0 * f.s2 *
+                    (1.0 - (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx)
+                            / f.cxx)) *
+                    (1.0 - (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx)
+                            / f.cxx))), 6) AS cooks_d,
+             ((d.y - f.my - f.b1 * (d.x - f.mx)) *
+              (d.y - f.my - f.b1 * (d.x - f.mx)) *
+              (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx) / f.cxx) /
+              (2.0 * f.s2 *
+               (1.0 - (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx) / f.cxx)) *
+               (1.0 - (1.0 / f.n + (d.x - f.mx) * (d.x - f.mx) / f.cxx))))
+              > 4.0 / f.n AS influential
+      FROM d, f ORDER BY day_idx"""))
+
+  /** N-gram novelty: share of each doc's distinct trigrams unseen in
+    * the doc_id<100 reference slice. */
+  private val q190 = Entry(
+    "q190_ngram_novelty",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dedup
+        .ngramNovelty(docs, "doc_id", "text",
+          docs.where(col("doc_id") < 100), "text", n = 3)
+        .select(col("doc_id"), col("n_ngrams"), col("n_seen"),
+          r6(col("novelty")).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      refg AS (SELECT DISTINCT s FROM sh WHERE id < 100)
+      SELECT sh.id AS doc_id, count(*) AS n_ngrams,
+             sum(CASE WHEN refg.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_seen,
+             round(1.0 - sum(CASE WHEN refg.s IS NOT NULL
+                             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+               AS novelty
+      FROM sh LEFT JOIN refg ON sh.s = refg.s
+      GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6222,7 +6397,8 @@ object Queries {
     q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
+    q187, q188, q189, q190)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

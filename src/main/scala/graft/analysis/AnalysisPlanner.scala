@@ -2053,4 +2053,136 @@ object AnalysisPlanner {
            pow(col("__db"), 2.0) / (col("h_b") - 1))).as("dof"),
         col("h_a"), col("h_b"), col("tmean_a"), col("tmean_b"))
   }
+
+  /**
+   * Partial correlation of x and y CONTROLLING for z:
+   * r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r²_xz)(1 − r²_yz)) — "is the
+   * x–y association real or does z drive both?". All three pairwise
+   * Pearson r come from ONE aggregation over complete-case rows (nine
+   * sums, single scan); the composition is 1-row algebra. Returns
+   * 1 row: (n, r_xy, r_xz, r_yz, partial_r).
+   */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    def r(sxy: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+        syy: org.apache.spark.sql.Column) =
+      (sxy - sx * sy / col("__n")) /
+        sqrt((sxx - sx * sx / col("__n")) * (syy - sy * sy / col("__n")))
+    df.where(x.isNotNull && y.isNotNull && z.isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(z).as("__sz"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(z * z).as("__szz"), sum(x * y).as("__sxy"),
+        sum(x * z).as("__sxz"), sum(y * z).as("__syz"))
+      .select(col("__n").cast("long").as("n"),
+        r(col("__sxy"), col("__sx"), col("__sy"), col("__sxx"),
+          col("__syy")).as("r_xy"),
+        r(col("__sxz"), col("__sx"), col("__sz"), col("__sxx"),
+          col("__szz")).as("r_xz"),
+        r(col("__syz"), col("__sy"), col("__sz"), col("__syy"),
+          col("__szz")).as("r_yz"))
+      .withColumn("partial_r",
+        (col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_yz") * col("r_yz"))))
+  }
+
+  /**
+   * Two-predictor OLS by the normal equations — ŷ = b0 + b1·x1 + b2·x2
+   * fit closed-form from ONE moment aggregate (centered 2×2 solve by
+   * Cramer's rule), plus R² from a second pass for the residual sum.
+   * No iteration, no driver-side matrix — the entire fit is 1-row
+   * algebra, the standard shape for low-dimensional regression at any
+   * scale (d>3 wants [[graft.ops.Pca]]'s distributed Gram kernel
+   * instead). Returns 1 row:
+   * (n, b0, b1, b2, r2, rmse).
+   */
+  def ols2(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val base = df.where(y.isNotNull && x1.isNotNull && x2.isNotNull)
+    val m = broadcast(base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+      sum(x1 * x1).as("__s11"), sum(x2 * x2).as("__s22"),
+      sum(x1 * x2).as("__s12"), sum(x1 * y).as("__s1y"),
+      sum(x2 * y).as("__s2y"), sum(y * y).as("__syy"))
+      .select(col("__n"),
+        (col("__s11") - col("__s1") * col("__s1") / col("__n")).as("__c11"),
+        (col("__s22") - col("__s2") * col("__s2") / col("__n")).as("__c22"),
+        (col("__s12") - col("__s1") * col("__s2") / col("__n")).as("__c12"),
+        (col("__s1y") - col("__s1") * col("__sy") / col("__n")).as("__c1y"),
+        (col("__s2y") - col("__s2") * col("__sy") / col("__n")).as("__c2y"),
+        (col("__syy") - col("__sy") * col("__sy") / col("__n")).as("__cyy"),
+        (col("__s1") / col("__n")).as("__m1"),
+        (col("__s2") / col("__n")).as("__m2"),
+        (col("__sy") / col("__n")).as("__my")))
+      .withColumn("__det",
+        col("__c11") * col("__c22") - col("__c12") * col("__c12"))
+      .withColumn("b1",
+        (col("__c1y") * col("__c22") - col("__c2y") * col("__c12")) /
+          col("__det"))
+      .withColumn("b2",
+        (col("__c2y") * col("__c11") - col("__c1y") * col("__c12")) /
+          col("__det"))
+      .withColumn("b0",
+        col("__my") - col("b1") * col("__m1") - col("b2") * col("__m2"))
+    // SSE = Syy − b1·S1y − b2·S2y (exact for the LS fit) — no second
+    // scan needed, R² and RMSE close algebraically
+    m.select(col("__n").cast("long").as("n"), col("b0"), col("b1"),
+        col("b2"),
+        (lit(1.0) - (col("__cyy") - col("b1") * col("__c1y") -
+          col("b2") * col("__c2y")) / col("__cyy")).as("r2"),
+        sqrt((col("__cyy") - col("b1") * col("__c1y") -
+          col("b2") * col("__c2y")) / col("__n")).as("rmse"))
+  }
+
+  /**
+   * Simple-OLS influence diagnostics: leverage, studentized residual,
+   * and Cook's distance per observation for y ~ x — the "which days
+   * drive this trend" screen. Closed form off ONE 1-row moment
+   * broadcast (h = 1/n + (x−x̄)²/Sxx; D = e²·h/(p·s²·(1−h)²)), so the
+   * per-row pass is map-only codegen over the scan. Returns the input
+   * keys + (leverage, residual, cooks_d, influential =
+   * D > 4/n rule-of-thumb).
+   */
+  def olsInfluence(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .select(keyCols.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val m = broadcast(base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("__n"), (col("__sx") / col("__n")).as("__mx"),
+        (col("__sy") / col("__n")).as("__my"),
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")).as("__Sxx"),
+        (col("__sxy") - col("__sx") * col("__sy") / col("__n")).as("__Sxy"),
+        (col("__syy") - col("__sy") * col("__sy") / col("__n")).as("__Syy"))
+      .withColumn("__b1", col("__Sxy") / col("__Sxx"))
+      .withColumn("__sse",
+        col("__Syy") - col("__Sxy") * col("__Sxy") / col("__Sxx"))
+      .withColumn("__s2", col("__sse") / (col("__n") - 2)))
+    base.crossJoin(m)
+      .withColumn("__h", lit(1.0) / col("__n") +
+        (col("__x") - col("__mx")) * (col("__x") - col("__mx")) /
+          col("__Sxx"))
+      .withColumn("__e", col("__y") - col("__my") -
+        col("__b1") * (col("__x") - col("__mx")))
+      .withColumn("cooks_d",
+        col("__e") * col("__e") * col("__h") /
+          (lit(2.0) * col("__s2") *
+            (lit(1.0) - col("__h")) * (lit(1.0) - col("__h"))))
+      .select(keyCols.map(col) :+ col("__h").as("leverage") :+
+        col("__e").as("residual") :+ col("cooks_d") :+
+        (col("cooks_d") > lit(4.0) / col("__n")).as("influential"): _*)
+  }
 }

@@ -365,6 +365,37 @@ object Dedup {
   }
 
   /**
+   * N-gram novelty scoring (Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better" §5 memorization lens, inverted):
+   * what share of a document's DISTINCT n-grams never appear in a
+   * reference corpus? High novelty = genuinely new text; near-zero =
+   * re-hashed reference content. The complement of decontamination
+   * ([[bloomDecontaminate]] flags ANY overlap; this measures the
+   * overlap RATE per doc).
+   *
+   * Scale shape: both sides reduce to distinct n-gram frames; the
+   * score is one n-gram-keyed LEFT join (the reference side carries
+   * one row per DISTINCT gram — vocabulary-bounded, not corpus-
+   * bounded) and a doc-keyed count rollup. Returns
+   * (idCol, n_ngrams, n_seen, novelty = 1 − seen/total).
+   */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 3): DataFrame = {
+    val docGrams = shingles(df, idCol, textCol, n)
+    val refGrams = shingles(
+      ref.select(lit(0L).as("__rid"), col(refTextCol)),
+      "__rid", refTextCol, n)
+      .select(col("s"), lit(1L).as("__seen")).distinct()
+    docGrams.join(refGrams, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_ngrams"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Sorted-neighborhood blocking (Hernández–Stolfo merge/purge): order
    * records by a sort key and emit exactly the pairs within `window`
    * positions of each other — the classic entity-resolution candidate

@@ -2960,6 +2960,66 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("stickiness") == 1.0)
   }
 
+  test("partialCorrelation removes a perfect confounder") {
+    import spark.implicits._
+    // x and y both exactly linear in z → r_xy = 1 but partial ≈ NaN/undef;
+    // instead use x = z + noise-free independent part: construct
+    // x = z + a, y = z + b with a,b orthogonal → partial r(x,y|z) = 0
+    val rows = (0 until 16).map { i =>
+      val z = (i % 4).toDouble
+      val a = ((i / 4) % 2).toDouble      // independent of z and b
+      val b = ((i / 8) % 2).toDouble
+      (z + a, z + b, z)
+    }
+    val r = graft.analysis.AnalysisPlanner
+      .partialCorrelation(rows.toDF("x", "y", "z"), "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xy") > 0.5) // confounded marginal corr
+    assert(math.abs(r.getAs[Double]("partial_r")) < 1e-9) // vanishes
+  }
+
+  test("ols2 recovers exact coefficients on a noiseless plane") {
+    import spark.implicits._
+    val rows = for { a <- 0 until 5; b <- 0 until 5 }
+      yield (a.toDouble, b.toDouble, 2.0 + 3.0 * a - 1.5 * b)
+    val r = graft.analysis.AnalysisPlanner
+      .ols2(rows.toDF("x1", "x2", "y"), "y", "x1", "x2").head()
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") + 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("rmse") < 1e-6)
+  }
+
+  test("olsInfluence: the planted outlier carries the largest Cook's D") {
+    import spark.implicits._
+    val pts = (0 until 20).map(i => (i.toDouble, 2.0 * i)) :+ (19.5, 100.0)
+    val out = graft.analysis.AnalysisPlanner
+      .olsInfluence(pts.toDF("x", "y"), Seq("x"), "x", "y")
+      .orderBy(desc("cooks_d")).collect()
+    assert(out.head.getAs[Double]("x") == 19.5)
+    assert(out.head.getAs[Boolean]("influential"))
+    // leverage sums to p = 2 for simple OLS with intercept
+    val hSum = out.map(_.getAs[Double]("leverage")).sum
+    assert(math.abs(hSum - 2.0) < 1e-9)
+  }
+
+  test("ngramNovelty: seen docs score 0, fresh docs score 1") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "the cat sat on the mat"),      // fully seen → novelty 0
+      (11L, "dogs chase red balls today"),  // fully novel → novelty 1
+      (12L, "the cat sat under bright stars")) // partial
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .ngramNovelty(docs, "doc_id", "text", ref, "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("novelty") == 0.0)
+    assert(out(1).getAs[Double]("novelty") == 1.0)
+    val mid = out(2).getAs[Double]("novelty")
+    assert(mid > 0.0 && mid < 1.0)
+  }
+
   test("jaro_winkler registers in the session SQL surface") {
     val s = GraftSession.withFunctions(spark)
     val r = s.sql(
