@@ -6379,6 +6379,136 @@ object Queries {
       FROM sh LEFT JOIN refg ON sh.s = refg.s
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Sequential monitor: daily cumulative Welch z between hash-split
+    * arms vs the O'Brien–Fleming z_c/√t boundary. */
+  private val q191 = Entry(
+    "q191_sequential_monitor",
+    (s, d) => {
+      val arm = when(graft.functions.PortableHash
+          .bucket(Seq(col("user_id"))) < lit(524288L), "control")
+        .otherwise("treatment")
+      AnalysisPlanner
+        .sequentialMonitor(Tables.events(s, d).withColumn("arm", arm),
+          "ts", "arm", "value", "control", "treatment")
+        .select(datediff(col("day"), to_date(lit("2024-01-01")))
+            .cast("long").as("day_idx"),
+          col("n_a"), col("n_b"), r6(col("z")).as("z"),
+          r6(col("info_frac")).as("info_frac"),
+          r6(col("boundary")).as("boundary"), col("crossed"))
+        .orderBy("day_idx")
+    },
+    Some("""
+      WITH a AS (
+        SELECT CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) < 524288
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               ts::DATE AS day, "value" AS v
+        FROM events WHERE "value" IS NOT NULL),
+      d AS (SELECT arm, day, count(*) AS n, sum(v) AS s,
+                   sum(v * v) AS ss
+            FROM a GROUP BY 1, 2),
+      c AS (SELECT arm, day,
+                   sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                   sum(ss) OVER w AS css
+            FROM d
+            WINDOW w AS (PARTITION BY arm ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)),
+      t AS (SELECT sum(n)::DOUBLE AS ntot FROM d),
+      ca AS (SELECT day, cn AS n_a, cs / cn AS ma,
+                    (css - cs * cs / cn) / (cn - 1) AS va
+             FROM c WHERE arm = 'control'),
+      cb AS (SELECT day, cn AS n_b, cs / cn AS mb,
+                    (css - cs * cs / cn) / (cn - 1) AS vb
+             FROM c WHERE arm = 'treatment')
+      SELECT date_diff('day', DATE '2024-01-01', ca.day)::BIGINT
+               AS day_idx,
+             n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+             round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+               (ma - mb) / sqrt(va / n_a + vb / n_b) END, 6) AS z,
+             round((n_a + n_b) / t.ntot, 6) AS info_frac,
+             round(2.797 / sqrt((n_a + n_b) / t.ntot), 6) AS boundary,
+             (abs((ma - mb) / sqrt(va / n_a + vb / n_b)) >
+              2.797 / sqrt((n_a + n_b) / t.ntot)) AS crossed
+      FROM ca JOIN cb USING (day), t ORDER BY day_idx"""))
+
+  /** Difference-in-differences: purchase vs click value around a
+    * mid-month cutover — 2×2 cells, closed-form SE. */
+  private val q192 = Entry(
+    "q192_diff_in_diff",
+    (s, d) =>
+      graft.ops.Evaluation
+        .diffInDiff(Tables.events(s, d), "event_type", "purchase",
+          "click", to_date(col("ts")) >= lit("2024-01-15"), "value")
+        .select(r6(col("mean_treat_pre")).as("mean_treat_pre"),
+          r6(col("mean_treat_post")).as("mean_treat_post"),
+          r6(col("mean_ctrl_pre")).as("mean_ctrl_pre"),
+          r6(col("mean_ctrl_post")).as("mean_ctrl_post"),
+          r6(col("did")).as("did"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat")),
+    Some("""
+      WITH c AS (
+        SELECT event_type AS g, (ts::DATE >= DATE '2024-01-15') AS p,
+               count(*)::DOUBLE AS n, avg("value") AS m,
+               var_samp("value") AS v
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+          AND "value" IS NOT NULL
+        GROUP BY 1, 2),
+      tp0 AS (SELECT m, v / n AS se FROM c WHERE g = 'purchase' AND NOT p),
+      tp1 AS (SELECT m, v / n AS se FROM c WHERE g = 'purchase' AND p),
+      cp0 AS (SELECT m, v / n AS se FROM c WHERE g = 'click' AND NOT p),
+      cp1 AS (SELECT m, v / n AS se FROM c WHERE g = 'click' AND p)
+      SELECT round(tp0.m, 6) AS mean_treat_pre,
+             round(tp1.m, 6) AS mean_treat_post,
+             round(cp0.m, 6) AS mean_ctrl_pre,
+             round(cp1.m, 6) AS mean_ctrl_post,
+             round((tp1.m - tp0.m) - (cp1.m - cp0.m), 6) AS did,
+             round(sqrt(tp0.se + tp1.se + cp0.se + cp1.se), 6) AS se,
+             round(((tp1.m - tp0.m) - (cp1.m - cp0.m)) /
+                   sqrt(tp0.se + tp1.se + cp0.se + cp1.se), 6) AS t_stat
+      FROM tp0, tp1, cp0, cp1"""))
+
+  /** Uplift by segment: per event type, hash-split treatment-vs-
+    * control mean difference with Welch SE. */
+  private val q193 = Entry(
+    "q193_uplift_by_segment",
+    (s, d) => {
+      val arm = when(graft.functions.PortableHash
+          .bucket(Seq(col("user_id"))) < lit(524288L), "control")
+        .otherwise("treatment")
+      graft.ops.Evaluation
+        .upliftBySegment(Tables.events(s, d).withColumn("arm", arm),
+          "arm", "treatment", "control", "event_type", "value")
+        .select(col("segment"), col("n_treat"), col("n_ctrl"),
+          r6(col("mean_treat")).as("mean_treat"),
+          r6(col("mean_ctrl")).as("mean_ctrl"),
+          r6(col("uplift")).as("uplift"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH a AS (
+        SELECT event_type AS segment,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) < 524288
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               "value" AS v
+        FROM events WHERE "value" IS NOT NULL),
+      g AS (SELECT segment, arm, count(*)::BIGINT AS n, avg(v) AS m,
+                   var_samp(v) AS vv
+            FROM a GROUP BY 1, 2),
+      t AS (SELECT segment, n AS n_treat, m AS mt, vv AS vt
+            FROM g WHERE arm = 'treatment'),
+      c AS (SELECT segment, n AS n_ctrl, m AS mc, vv AS vc
+            FROM g WHERE arm = 'control')
+      SELECT t.segment, n_treat, n_ctrl,
+             round(mt, 6) AS mean_treat, round(mc, 6) AS mean_ctrl,
+             round(mt - mc, 6) AS uplift,
+             round(sqrt(vt / n_treat + vc / n_ctrl), 6) AS se,
+             round((mt - mc) / sqrt(vt / n_treat + vc / n_ctrl), 6)
+               AS t_stat
+      FROM t JOIN c USING (segment) ORDER BY segment"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6398,7 +6528,7 @@ object Queries {
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
-    q187, q188, q189, q190)
+    q187, q188, q189, q190, q191, q192, q193)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2185,4 +2185,59 @@ object AnalysisPlanner {
         col("__e").as("residual") :+ col("cooks_d") :+
         (col("cooks_d") > lit(4.0) / col("__n")).as("influential"): _*)
   }
+
+  /**
+   * Sequential experiment monitor with an O'Brien–Fleming-shaped
+   * spending boundary: per day, the CUMULATIVE two-sample Welch z
+   * between arms and the boundary z_c/√t (t = information fraction =
+   * share of total N accrued) — the "can I stop this test early"
+   * daily readout; |z| crossing the boundary flags early stopping
+   * with the overall α the z_c constant encodes (default 2.797, the
+   * classic K=5 OBF constant).
+   *
+   * Scale shape: one (arm, day) aggregation of (n, Σy, Σy²)
+   * increments, then ONE grouped bucketed prefix sum
+   * ([[PrefixSum.exclusive]]) turns increments into running moments —
+   * never a per-arm global window; totals ride a 1-row broadcast.
+   * Days before both arms hold ≥2 observations report NULL z. Returns
+   * per day: (day, n_a, n_b, z, info_frac, boundary, crossed).
+   */
+  def sequentialMonitor(df: DataFrame, tsCol: String, armCol: String,
+      valueCol: String, armA: String, armB: String,
+      zc: Double = 2.797): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val daily = df.where(col(armCol).isin(armA, armB) && y.isNotNull)
+      .groupBy(col(armCol).as("__arm"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("long").as("__n"), sum(y).as("__s"),
+        sum(y * y).as("__ss"))
+      .withColumn("__d",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val cum = PrefixSum
+      .exclusive(daily, "__d",
+        Seq("__n" -> "__np", "__s" -> "__sp", "__ss" -> "__ssp"),
+        groupCols = Seq("__arm"))
+      .select(col("__arm"), col("day"),
+        (col("__np") + col("__n")).as("cn"),
+        (col("__sp") + col("__s")).as("cs"),
+        (col("__ssp") + col("__ss")).as("css"))
+    def arm(a: String, sfx: String) = cum.where(col("__arm") === a)
+      .select(col("day"), col("cn").as(s"n_$sfx"),
+        (col("cs") / col("cn")).as(s"__m$sfx"),
+        ((col("css") - col("cs") * col("cs") / col("cn")) /
+          (col("cn") - 1)).as(s"__v$sfx"))
+    val tot = broadcast(daily.agg(sum(col("__n")).cast("double")
+      .as("__ntot")))
+    arm(armA, "a").join(arm(armB, "b"), Seq("day"))
+      .crossJoin(tot)
+      .withColumn("info_frac",
+        (col("n_a") + col("n_b")).cast("double") / col("__ntot"))
+      .withColumn("z",
+        when(col("n_a") > 1 && col("n_b") > 1,
+          (col("__ma") - col("__mb")) /
+            sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))))
+      .withColumn("boundary", lit(zc) / sqrt(col("info_frac")))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .select(col("day"), col("n_a"), col("n_b"), col("z"),
+        col("info_frac"), col("boundary"), col("crossed"))
+  }
 }

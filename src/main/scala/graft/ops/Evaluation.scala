@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,5 +411,71 @@ object Evaluation {
         when(col("s.var_a") + col("s.var_b") > 0.0,
           (col("s.mean_a") - col("s.mean_b")) /
             sqrt((col("s.var_a") + col("s.var_b")) / 2.0)).as("smd"))
+  }
+
+  /**
+   * Difference-in-differences: the 2×2 (group × pre/post) causal
+   * estimate DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with
+   * the large-sample SE from the four cell variances
+   * (√Σ s²ᵢ/nᵢ — independent-cells normal approximation). One
+   * aggregation over the four cells, 1-row algebra after. Returns
+   * 1 row: (mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+   * mean_ctrl_post, did, se, t_stat).
+   */
+  def diffInDiff(df: DataFrame, groupCol: String, treatGroup: String,
+      controlGroup: String, postCol: Column, valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val cells = df
+      .where(col(groupCol).isin(treatGroup, controlGroup) && y.isNotNull)
+      .groupBy(col(groupCol).as("__g"), postCol.cast("boolean").as("__p"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(y).as("__m"),
+        var_samp(y).as("__v"))
+    def cell(g: String, p: Boolean, out: String) =
+      cells.where(col("__g") === g && col("__p") === p)
+        .select(col("__m").as(out), (col("__v") / col("__n")).as(s"__se_$out"))
+    cell(treatGroup, p = false, "mean_treat_pre")
+      .crossJoin(cell(treatGroup, p = true, "mean_treat_post"))
+      .crossJoin(cell(controlGroup, p = false, "mean_ctrl_pre"))
+      .crossJoin(cell(controlGroup, p = true, "mean_ctrl_post"))
+      .withColumn("did",
+        (col("mean_treat_post") - col("mean_treat_pre")) -
+          (col("mean_ctrl_post") - col("mean_ctrl_pre")))
+      .withColumn("se", sqrt(
+        col("__se_mean_treat_pre") + col("__se_mean_treat_post") +
+          col("__se_mean_ctrl_pre") + col("__se_mean_ctrl_post")))
+      .withColumn("t_stat", col("did") / col("se"))
+      .drop("__se_mean_treat_pre", "__se_mean_treat_post",
+        "__se_mean_ctrl_pre", "__se_mean_ctrl_post")
+  }
+
+  /**
+   * Uplift by segment — the heterogeneous-treatment-effect readout:
+   * per segment, treatment/control counts, means, the uplift
+   * (difference in means), its Welch SE, and the t statistic. One
+   * aggregation (segment × arm) then a segment-keyed self-align.
+   * Segments present in only one arm drop out (inner join) — no
+   * half-cell rows masquerading as effects.
+   */
+  def upliftBySegment(df: DataFrame, armCol: String, treatArm: String,
+      controlArm: String, segmentCol: String,
+      valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val cells = df.where(col(armCol).isin(treatArm, controlArm) &&
+        y.isNotNull)
+      .groupBy(col(segmentCol).as("segment"), col(armCol).as("__a"))
+      .agg(count(lit(1)).as("__n"), avg(y).as("__m"),
+        var_samp(y).as("__v"))
+    val t = cells.where(col("__a") === treatArm)
+      .select(col("segment"), col("__n").as("n_treat"),
+        col("__m").as("mean_treat"), col("__v").as("__vt"))
+    val c = cells.where(col("__a") === controlArm)
+      .select(col("segment"), col("__n").as("n_ctrl"),
+        col("__m").as("mean_ctrl"), col("__v").as("__vc"))
+    t.join(c, Seq("segment"))
+      .withColumn("uplift", col("mean_treat") - col("mean_ctrl"))
+      .withColumn("se", sqrt(col("__vt") / col("n_treat") +
+        col("__vc") / col("n_ctrl")))
+      .withColumn("t_stat", col("uplift") / col("se"))
+      .drop("__vt", "__vc")
   }
 }

@@ -3020,6 +3020,57 @@ class OpsExtSpec extends AnyFunSuite {
     assert(mid > 0.0 && mid < 1.0)
   }
 
+  test("sequentialMonitor: boundary decays as information accrues") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val ev = (0 until 600).map { i =>
+      val day = (i / 2) % 6 + 1 // decouple day from arm parity
+      (f"2024-01-0$day 10:00:00", if (i % 2 == 0) "t" else "c",
+        rnd.nextGaussian())
+    }.toDF("ts_s", "arm", "v")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = graft.analysis.AnalysisPlanner
+      .sequentialMonitor(ev, "ts", "arm", "v", "t", "c")
+      .orderBy("day").collect()
+    assert(out.length == 6)
+    // info fraction reaches exactly 1 on the last day
+    assert(math.abs(out.last.getAs[Double]("info_frac") - 1.0) < 1e-12)
+    assert(math.abs(out.last.getAs[Double]("boundary") - 2.797) < 1e-12)
+    // boundary strictly decreasing; no crossing under the null
+    val bs = out.map(_.getAs[Double]("boundary"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a > b })
+    assert(out.forall(!_.getAs[Boolean]("crossed")))
+  }
+
+  test("diffInDiff: recovers a planted post-period treatment effect") {
+    import spark.implicits._
+    // treat: 10 pre, 15 post (+5); ctrl: 20 pre, 22 post (+2) → DiD 3
+    val rows =
+      Seq.fill(50)(("t", false, 10.0)) ++ Seq.fill(50)(("t", true, 15.0)) ++
+      Seq.fill(50)(("c", false, 20.0)) ++ Seq.fill(50)(("c", true, 22.0))
+    val withNoise = rows.zipWithIndex.map { case ((g, p, v), i) =>
+      (g, p, v + (i % 5) * 0.01) } // tiny jitter so variances exist
+    val r = graft.ops.Evaluation
+      .diffInDiff(withNoise.toDF("g", "p", "v"), "g", "t", "c",
+        col("p"), "v").head()
+    assert(math.abs(r.getAs[Double]("did") - 3.0) < 0.01)
+    assert(r.getAs[Double]("t_stat") > 100) // effect >> jitter noise
+  }
+
+  test("upliftBySegment drops one-armed segments and nails the math") {
+    import spark.implicits._
+    val rows = Seq.fill(40)(("t", "s1", 5.0)) ++
+      Seq.fill(40)(("c", "s1", 3.0)) ++
+      Seq.fill(40)(("t", "s2", 7.0)) // s2 has no control rows
+    val jittered = rows.zipWithIndex.map { case ((a, s, v), i) =>
+      (a, s, v + (i % 4) * 0.01) }
+    val out = graft.ops.Evaluation
+      .upliftBySegment(jittered.toDF("arm", "seg", "v"), "arm", "t", "c",
+        "seg", "v").collect()
+    assert(out.length == 1 && out(0).getAs[String]("segment") == "s1")
+    assert(math.abs(out(0).getAs[Double]("uplift") - 2.0) < 0.02)
+  }
+
   test("jaro_winkler registers in the session SQL surface") {
     val s = GraftSession.withFunctions(spark)
     val r = s.sql(

@@ -503,4 +503,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(0) == "a"
       && rows(0).getDouble(1) == 3.0)
   }
+
+  test("streaming SRM guardrail flags only the broken-ramp window") {
+    import spark.implicits._
+    import graft.streaming._
+    def ts(min: Int) = f"2024-01-01 00:$min%02d:00"
+    // window 1: clean 50/50; window 2: ramp broken to 80/20
+    val events = ((1 to 500).map(i =>
+        (ts(1), if (i % 2 == 0) "a" else "b")) ++
+      (1 to 500).map(i => (ts(11), if (i % 5 == 0) "b" else "a")))
+      .toDF("ts", "arm").withColumn("ts", col("ts").cast("timestamp"))
+    val exp = Map("a" -> 0.5, "b" -> 0.5)
+    // batch backtest path
+    val scored = StreamingGuardrail
+      .monitor(events, "ts", "arm", exp, "10m", "5m")
+      .orderBy("window_start").collect()
+    assert(scored.length == 2)
+    assert(!scored(0).getAs[Boolean]("srm") &&
+      scored(1).getAs[Boolean]("srm"))
+    assert(math.abs(scored(0).getAs[Double]("chi2_stat")) < 1e-9)
+    // 400/100 vs 250/250 → chi2 = 2·150²/250 = 180
+    assert(math.abs(scored(1).getAs[Double]("chi2_stat") - 180.0) < 1e-9)
+    assert(scored(1).getAs[Long]("n_a") == 400 &&
+      scored(1).getAs[Long]("n_b") == 100)
+
+    // real stream run emits the same verdicts
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    events.write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val q = StreamingGuardrail.monitor(stream, "ts", "arm", exp, "10m", "5m")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("srmout")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val emitted = spark
+      .sql("SELECT srm FROM srmout ORDER BY window_start").collect()
+    assert(emitted.length == 2)
+    assert(!emitted(0).getBoolean(0) && emitted(1).getBoolean(0))
+  }
 }
