@@ -6509,6 +6509,224 @@ object Queries {
                AS t_stat
       FROM t JOIN c USING (segment) ORDER BY segment"""))
 
+  /** McNemar paired-binary test: per user, purchased-before vs
+    * purchased-after the mid-month cutover — discordant cells only. */
+  private val q194 = Entry(
+    "q194_mcnemar",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchased = (pre: Boolean) => {
+        val side = if (pre) to_date(col("ts")) < lit("2024-01-15")
+          else to_date(col("ts")) >= lit("2024-01-15")
+        coalesce(sum(when(col("event_type") === "purchase" && side, 1L)),
+          lit(0L)) > 0
+      }
+      val pairs = ev.groupBy("user_id")
+        .agg(purchased(true).as("a"), purchased(false).as("b"))
+      AnalysisPlanner.mcnemarTest(pairs, "a", "b")
+        .select(col("n_both"), col("n_a_only"), col("n_b_only"),
+          col("n_neither"), r6(col("chi2")).as("chi2"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id,
+               bool_or(event_type = 'purchase' AND
+                       ts::DATE < DATE '2024-01-15') AS a,
+               bool_or(event_type = 'purchase' AND
+                       ts::DATE >= DATE '2024-01-15') AS b
+        FROM events GROUP BY 1),
+      c AS (SELECT
+              sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+              sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                AS n_a_only,
+              sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+                AS n_b_only,
+              sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+                AS n_neither
+            FROM p)
+      SELECT n_both, n_a_only, n_b_only, n_neither,
+             round(CASE WHEN n_a_only + n_b_only > 0 THEN
+               power(abs(n_a_only - n_b_only) - 1.0, 2) /
+                 (n_a_only + n_b_only) END, 6) AS chi2
+      FROM c"""))
+
+  /** Minimum detectable effect at current traffic: per event type,
+    * the effect size the hash-split experiment could detect at
+    * α=0.05 / 80% power. */
+  private val q195 = Entry(
+    "q195_min_detectable_effect",
+    (s, d) => {
+      val arm = when(graft.functions.PortableHash
+          .bucket(Seq(col("user_id"))) < lit(524288L), "control")
+        .otherwise("treatment")
+      graft.ops.Evaluation
+        .minDetectableEffect(Tables.events(s, d).withColumn("arm", arm),
+          "arm", "treatment", "control", "event_type", "value")
+        .select(col("segment"), col("n_treat"), col("n_ctrl"),
+          r6(col("mean_ctrl")).as("mean_ctrl"), r6(col("se")).as("se"),
+          r6(col("mde_abs")).as("mde_abs"),
+          r6(col("mde_rel")).as("mde_rel"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH a AS (
+        SELECT event_type AS segment,
+               CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT % 1048576) < 524288
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               "value" AS v
+        FROM events WHERE "value" IS NOT NULL),
+      g AS (SELECT segment, arm, count(*)::BIGINT AS n, avg(v) AS m,
+                   var_samp(v) AS vv
+            FROM a GROUP BY 1, 2),
+      t AS (SELECT segment, n AS n_treat, vv AS vt
+            FROM g WHERE arm = 'treatment'),
+      c AS (SELECT segment, n AS n_ctrl, m AS mc, vv AS vc
+            FROM g WHERE arm = 'control')
+      SELECT t.segment, n_treat, n_ctrl, round(mc, 6) AS mean_ctrl,
+             round(sqrt(vt / n_treat + vc / n_ctrl), 6) AS se,
+             round(2.801585 * sqrt(vt / n_treat + vc / n_ctrl), 6)
+               AS mde_abs,
+             round(2.801585 * sqrt(vt / n_treat + vc / n_ctrl) / mc, 6)
+               AS mde_rel
+      FROM t JOIN c USING (segment) ORDER BY segment"""))
+
+  /** Two-sided CUSUM mean-shift monitor over the daily mean-value
+    * series per event type (k=0.5, h=4, running-min identity). */
+  private val q196 = Entry(
+    "q196_cusum",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("mean_v"))
+      graft.ops.TimeSeries
+        .cusum(daily, Seq("event_type"), "day", "mean_v")
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("2024-01-01")))
+            .cast("long").as("day_idx"),
+          r6(col("z")).as("z"), r6(col("cusum_pos")).as("cusum_pos"),
+          r6(col("cusum_neg")).as("cusum_neg"), col("alarm"))
+        .orderBy("event_type", "day_idx")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, ts::DATE AS day, avg("value") AS v
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+             FROM daily GROUP BY 1),
+      z AS (SELECT d.event_type, d.day,
+                   CASE WHEN st.sd > 0 THEN (d.v - st.mu) / st.sd
+                        ELSE 0.0 END AS z
+            FROM daily d JOIN st USING (event_type)),
+      s AS (SELECT event_type, day, z,
+                   sum(z - 0.5) OVER w AS sp,
+                   sum(-z - 0.5) OVER w AS sn
+            FROM z
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)),
+      c AS (SELECT event_type, day, z,
+                   sp - least(0.0, min(sp) OVER w) AS cpos,
+                   sn - least(0.0, min(sn) OVER w) AS cneg
+            FROM s
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING))
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', day)::BIGINT AS day_idx,
+             round(z, 6) AS z, round(cpos, 6) AS cusum_pos,
+             round(cneg, 6) AS cusum_neg,
+             (cpos > 4.0 OR cneg > 4.0) AS alarm
+      FROM c ORDER BY event_type, day_idx"""))
+
+  /** Seasonal-naive forecast scorecard: sMAPE / WAPE / MASE of the
+    * lag-7 forecast over the daily spend series per event type. */
+  private val q197 = Entry(
+    "q197_forecast_accuracy",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("spend"))
+      graft.ops.Evaluation
+        .forecastAccuracy(daily, Seq("event_type"), "day", "spend", 7)
+        .select(col("event_type"), col("n_points"),
+          r6(col("smape")).as("smape"), r6(col("wape")).as("wape"),
+          r6(col("mase")).as("mase"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, ts::DATE AS day, sum("value") AS a
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, a,
+               lag(a, 7) OVER w AS f, lag(a, 1) OVER w AS nv
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      s AS (SELECT * FROM lagged WHERE f IS NOT NULL AND nv IS NOT NULL)
+      SELECT event_type, count(*)::BIGINT AS n_points,
+             round(avg(CASE WHEN abs(a) + abs(f) <> 0 THEN
+               2.0 * abs(a - f) / (abs(a) + abs(f)) END), 6) AS smape,
+             round(sum(abs(a - f)) / sum(abs(a)), 6) AS wape,
+             round(avg(abs(a - f)) / avg(abs(a - nv)), 6) AS mase
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** k-anonymity risk profile of customer quasi-identifiers
+    * (nation × market segment): group-size histogram + at-risk flag. */
+  private val q198 = Entry(
+    "q198_k_anonymity",
+    (s, d) =>
+      graft.ops.Profiling
+        .kAnonymityProfile(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), riskK = 5)
+        .select(col("k"), col("n_classes"), col("n_rows"),
+          col("at_risk"), r6(col("row_share")).as("row_share"))
+        .orderBy("k"),
+    Some("""
+      WITH c AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        FROM customer GROUP BY 1, 2),
+      t AS (SELECT count(*)::DOUBLE AS tot FROM customer)
+      SELECT sz::BIGINT AS k, count(*)::BIGINT AS n_classes,
+             sum(sz)::BIGINT AS n_rows, (sz < 5) AS at_risk,
+             round(sum(sz) / t.tot, 6) AS row_share
+      FROM c, t GROUP BY sz, t.tot ORDER BY k"""))
+
+  /** Good–Turing frequency-of-frequencies over word TRIGRAMS (the
+    * unigram vocabulary is tiny and saturated): unseen mass and
+    * adjusted counts for the low-frequency bands. */
+  private val q199 = Entry(
+    "q199_good_turing",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .goodTuring(Tables.documents(s, d), "text", maxR = 5, n = 3)
+        .select(col("r"), col("n_types"),
+          r6(col("token_share")).as("token_share"),
+          r6(col("r_star")).as("r_star"), r6(col("p0")).as("p0"))
+        .orderBy("r"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents),
+      tk AS (
+        SELECT term || '_' || lead(term) OVER w || '_' ||
+               lead(term, 2) OVER w AS w
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+      tc AS (SELECT w, count(*) AS r FROM tk WHERE w IS NOT NULL
+             GROUP BY 1),
+      b AS (SELECT r, count(*) AS n_types FROM tc
+            WHERE r <= 6 GROUP BY 1),
+      tot AS (SELECT sum(r)::DOUBLE AS n,
+                     sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+              FROM tc)
+      SELECT b.r::BIGINT AS r, b.n_types::BIGINT AS n_types,
+             round(b.r * b.n_types / tot.n, 6) AS token_share,
+             round((b.r + 1) * COALESCE(b2.n_types, 0) /
+                   b.n_types::DOUBLE, 6) AS r_star,
+             round(tot.n1 / tot.n, 6) AS p0
+      FROM b LEFT JOIN b AS b2 ON b2.r = b.r + 1, tot
+      WHERE b.r <= 5 ORDER BY r"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6528,7 +6746,8 @@ object Queries {
     q154, q155, q156, q157, q158, q159, q160, q161, q162, q163, q164,
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
-    q187, q188, q189, q190, q191, q192, q193)
+    q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
+    q198, q199)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2240,4 +2240,35 @@ object AnalysisPlanner {
       .select(col("day"), col("n_a"), col("n_b"), col("z"),
         col("info_frac"), col("boundary"), col("crossed"))
   }
+
+  /**
+   * McNemar's test for paired binary outcomes — the within-subject
+   * companion to the two-proportion z test: over one row per subject
+   * with two boolean columns (condition A outcome, condition B
+   * outcome), only the DISCORDANT cells carry signal
+   * (b = A-only, c = B-only) and the continuity-corrected statistic
+   * is `χ² = (|b−c|−1)² / (b+c)` on 1 dof. Returns 1 row with the
+   * full 2×2 concordance table and the statistic; callers wanting a
+   * p-value feed `chi2` to [[graft.analysis.Stats.chi2PValue]] with
+   * dof = 1 (the statistical-test convention throughout this file:
+   * the plan carries statistics, scalar tail math stays in [[Stats]]).
+   *
+   * One full-scan aggregation, 1-row output — no shuffle wider than
+   * the conditional-count combine.
+   */
+  def mcnemarTest(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val cnt = (p: Column) => coalesce(sum(when(p, 1L)), lit(0L))
+    pairs.agg(
+        cnt(a && b).as("n_both"),
+        cnt(a && !b).as("n_a_only"),
+        cnt(!a && b).as("n_b_only"),
+        cnt(!a && !b).as("n_neither"))
+      .withColumn("chi2",
+        when(col("n_a_only") + col("n_b_only") > 0,
+          pow(abs(col("n_a_only") - col("n_b_only")) - lit(1.0), 2) /
+            (col("n_a_only") + col("n_b_only"))))
+  }
 }

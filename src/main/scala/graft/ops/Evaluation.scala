@@ -478,4 +478,75 @@ object Evaluation {
       .withColumn("t_stat", col("uplift") / col("se"))
       .drop("__vt", "__vc")
   }
+
+  /**
+   * Minimum detectable effect at current sample sizes — the
+   * experiment-sizing readout: per segment, the smallest true
+   * difference in means a two-sample z test would detect with the
+   * given significance and power, from the observed per-arm variances.
+   * `MDE = (z_{α/2} + z_β) · √(v_t/n_t + v_c/n_c)`, reported absolute
+   * and relative to the control mean. `zAlpha`/`zPower` are the
+   * standard-normal quantiles Φ⁻¹(1−α/2) and Φ⁻¹(power); the defaults
+   * are the canonical α=0.05 two-sided / 80 %-power pair. One
+   * segment×arm aggregation then a segment-keyed align — the same
+   * single-shuffle shape as [[upliftBySegment]].
+   */
+  def minDetectableEffect(df: DataFrame, armCol: String,
+      treatArm: String, controlArm: String, segmentCol: String,
+      valueCol: String, zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val cells = df.where(col(armCol).isin(treatArm, controlArm) &&
+        y.isNotNull)
+      .groupBy(col(segmentCol).as("segment"), col(armCol).as("__a"))
+      .agg(count(lit(1)).as("__n"), avg(y).as("__m"),
+        var_samp(y).as("__v"))
+    val t = cells.where(col("__a") === treatArm)
+      .select(col("segment"), col("__n").as("n_treat"),
+        col("__v").as("__vt"))
+    val c = cells.where(col("__a") === controlArm)
+      .select(col("segment"), col("__n").as("n_ctrl"),
+        col("__m").as("mean_ctrl"), col("__v").as("__vc"))
+    t.join(c, Seq("segment"))
+      .withColumn("se", sqrt(col("__vt") / col("n_treat") +
+        col("__vc") / col("n_ctrl")))
+      .withColumn("mde_abs", lit(zAlpha + zPower) * col("se"))
+      .withColumn("mde_rel",
+        when(col("mean_ctrl") =!= 0, col("mde_abs") / col("mean_ctrl")))
+      .drop("__vt", "__vc")
+  }
+
+  /**
+   * Forecast-accuracy scorecard for the seasonal-naive baseline — the
+   * standard pre-model benchmark on operational series: per key, over
+   * an already-rolled-up (x, y) series, forecast each point with the
+   * value `season` steps back and grade with the three standard
+   * scale-free metrics: sMAPE (mean of 2|a−f|/(|a|+|f|)), WAPE
+   * (Σ|a−f| / Σ|a|), and MASE (MAE of the seasonal forecast over the
+   * MAE of the one-step naive forecast — < 1 beats naive).
+   *
+   * Scale contract: input is a rolled-up series (daily/hourly grid —
+   * points in the hundreds per key), so the per-key ordered lag
+   * windows run over bounded partitions; raw events must be
+   * aggregated to the grid first (the callers do, one shuffle).
+   */
+  def forecastAccuracy(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String, season: Int = 7): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__x"))
+    val a = col("__y")
+    val scored = df
+      .select(keyCols.map(col) :+ col(xCol).as("__x") :+
+        col(yCol).cast("double").as("__y"): _*)
+      .withColumn("__f", lag(a, season).over(w))
+      .withColumn("__naive", lag(a, 1).over(w))
+      .where(col("__f").isNotNull && col("__naive").isNotNull)
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        avg(when(abs(a) + abs(col("__f")) =!= 0,
+          lit(2.0) * abs(a - col("__f")) / (abs(a) + abs(col("__f")))))
+          .as("smape"),
+        (sum(abs(a - col("__f"))) / sum(abs(a))).as("wape"),
+        (avg(abs(a - col("__f"))) / avg(abs(a - col("__naive"))))
+          .as("mase"))
+  }
 }

@@ -87,4 +87,29 @@ object Profiling {
       .withColumn("share", col("cnt") / col("__tot"))
       .drop("__tot")
   }
+
+  /**
+   * k-anonymity risk profile over quasi-identifier columns — the
+   * re-identification readout a privacy review asks for before a
+   * dataset ships: rows whose QI combination is shared by fewer than
+   * k individuals are linkable. Collapses the corpus to equivalence
+   * classes (one grouped count — the only full-width shuffle), then
+   * aggregates classes to a group-size histogram: one row per
+   * distinct class size with the number of classes, rows covered, the
+   * at-risk flag (size < riskK), and each size's share of all rows.
+   * The histogram is at most #distinct-class-sizes rows — KB at any
+   * corpus scale; `min(k)` over it is the dataset's k-anonymity.
+   */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[String],
+      riskK: Int = 5): DataFrame = {
+    val classes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    val total = df.agg(count(lit(1)).cast("double").as("__tot"))
+    classes.groupBy(col("__sz").as("k"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__sz")).as("n_rows"))
+      .join(broadcast(total))
+      .withColumn("at_risk", col("k") < riskK)
+      .withColumn("row_share", col("n_rows") / col("__tot"))
+      .drop("__tot")
+  }
 }

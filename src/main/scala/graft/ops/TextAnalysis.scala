@@ -928,4 +928,59 @@ object TextAnalysis {
         avg(col("__lr")).as("log_ratio_avg"))
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * Good–Turing frequency-of-frequencies profile — the corpus-coverage
+   * diagnostic behind LM smoothing and vocabulary-growth estimates:
+   * how much probability mass belongs to UNSEEN words
+   * (`p0 = N₁/N`, Good's estimator), and the adjusted counts
+   * `r* = (r+1)·N_{r+1}/N_r` that discount each low-frequency band.
+   * Returns one row per count band r = 1..maxR: the number of types
+   * seen exactly r times (`n_types`), that band's share of all tokens,
+   * its Good–Turing adjusted count `r_star`, and the constant `p0`
+   * column (the singleton mass).
+   *
+   * Two keyed aggregations (term counts, then count-of-counts) and a
+   * 1-row broadcast total; the frequency-of-frequencies frame is at
+   * most maxR+1 rows — the band self-align for N_{r+1} is a broadcast
+   * self-join on r+1 over that tiny frame (NOT a lead window: a lead
+   * would grab the next PRESENT band, which is r+2 when a band is
+   * empty), never the corpus.
+   */
+  def goodTuring(df: DataFrame, textCol: String,
+      maxR: Int = 5, n: Int = 1): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    // type unit = word n-gram (n=1: plain words) — higher orders reach
+    // the low-frequency bands that make the estimator informative when
+    // the unigram vocabulary is small and saturated
+    val grams =
+      if (n == 1) df.select(explode(words(col(textCol))).as("__w"))
+      else df
+        .select(words(col(textCol)).as("__ws"))
+        .where(size(col("__ws")) >= n)
+        .select(explode(expr(
+          s"transform(sequence(1, size(__ws) - ${n - 1}), " +
+            s"i -> array_join(slice(__ws, i, $n), '_'))")).as("__w"))
+    val termCounts = grams
+      .groupBy("__w").agg(count(lit(1)).as("__r"))
+    val bands = termCounts
+      .where(col("__r") <= maxR + 1)
+      .groupBy(col("__r").as("r"))
+      .agg(count(lit(1)).as("n_types"))
+    val totals = broadcast(termCounts.agg(
+      sum(col("__r")).cast("double").as("__n"),
+      coalesce(sum(when(col("__r") === 1, 1L)), lit(0L))
+        .cast("double").as("__n1")))
+    val nextBand = bands
+      .select((col("r") - 1).as("r"), col("n_types").as("__next_types"))
+    bands.where(col("r") <= maxR)
+      .join(broadcast(nextBand), Seq("r"), "left")
+      .join(totals)
+      .select(col("r"), col("n_types"),
+        (col("r") * col("n_types") / col("__n")).as("token_share"),
+        ((col("r") + 1) * coalesce(col("__next_types"), lit(0L)) /
+          col("n_types")).as("r_star"),
+        (col("__n1") / col("__n")).as("p0"))
+      .orderBy("r")
+  }
 }

@@ -265,4 +265,50 @@ object TimeSeries {
       Seq("intercept" -> 0.5), keyCols)
     PrefixSum.joinNullSafe(slopeMed, interceptMed, keyCols)
   }
+
+  /**
+   * Two-sided CUSUM mean-shift monitor per key — the sequential
+   * change detector that catches small persistent drifts a
+   * threshold-per-point rule misses. Values are standardized against
+   * the per-key mean/std (one grouped aggregate broadcast back), then
+   * the classic recursions `C⁺_t = max(0, C⁺_{t−1} + z_t − k)` and
+   * `C⁻_t = max(0, C⁻_{t−1} − z_t − k)` are computed WITHOUT a
+   * sequential loop via the running-minimum identity
+   * `C⁺_t = S_t − min_{j≤t} S_j` with `S_t = Σ(z−k)` (and the
+   * mirrored sum for C⁻): two ordered window passes — a cumulative
+   * sum and a running min — per side. `alarm` fires when either side
+   * exceeds `h` (both in σ units; the conventional k=0.5, h=4 detect
+   * ~1σ shifts).
+   *
+   * Scale contract: input is a rolled-up series per key (daily grid —
+   * points in the hundreds), so the key-partitioned ordered windows
+   * run over bounded partitions, the same stance as [[theilSen]] and
+   * [[ewma]]; raw events aggregate to the grid first.
+   */
+  def cusum(df: DataFrame, keyCols: Seq[String], xCol: String,
+      valueCol: String, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.analysis.PrefixSum
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(avg(col(valueCol).cast("double")).as("__mu"),
+        stddev_samp(col(valueCol).cast("double")).as("__sd"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(xCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PrefixSum.joinNullSafe(df, stats, keyCols, broadcastRight = true)
+      .withColumn("z", when(col("__sd") > 0,
+        (col(valueCol).cast("double") - col("__mu")) / col("__sd"))
+        .otherwise(lit(0.0)))
+      .withColumn("__sp", sum(col("z") - lit(k)).over(cum))
+      .withColumn("__sn", sum(-col("z") - lit(k)).over(cum))
+      // running min over an EXPANDED frame including a leading 0 —
+      // C_t must never go negative, so the prefix min is floored at
+      // the empty-prefix value 0
+      .withColumn("cusum_pos",
+        col("__sp") - least(lit(0.0), min(col("__sp")).over(cum)))
+      .withColumn("cusum_neg",
+        col("__sn") - least(lit(0.0), min(col("__sn")).over(cum)))
+      .withColumn("alarm",
+        col("cusum_pos") > h || col("cusum_neg") > h)
+      .drop("__mu", "__sd", "__sp", "__sn")
+  }
 }

@@ -3092,4 +3092,117 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(out(0).getAs[Double]("stddev") - 11.547005383792516)
       < 1e-9)
   }
+
+  test("cusum: running-min identity matches the sequential recursion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // late mean shift at t=50: N(0,1) then N(5,1) — strong enough to
+    // alarm even after GLOBAL standardization pulls the mean up
+    val xs = (0 until 60).map(t => rnd.nextGaussian() +
+      (if (t >= 50) 5.0 else 0.0))
+    val df = xs.zipWithIndex.map { case (v, t) => ("k", t, v) }
+      .toDF("key", "t", "v")
+    val out = graft.ops.TimeSeries.cusum(df, Seq("key"), "t", "v")
+      .orderBy("t").collect()
+    // brute-force recursion over the same standardized series
+    val mu = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1))
+    val zs = xs.map(x => (x - mu) / sd)
+    var (cp, cn) = (0.0, 0.0)
+    zs.zipWithIndex.foreach { case (z, t) =>
+      cp = math.max(0.0, cp + z - 0.5)
+      cn = math.max(0.0, cn - z - 0.5)
+      assert(math.abs(out(t).getAs[Double]("cusum_pos") - cp) < 1e-9,
+        s"pos at $t")
+      assert(math.abs(out(t).getAs[Double]("cusum_neg") - cn) < 1e-9,
+        s"neg at $t")
+    }
+    // the planted upward shift alarms on the positive side only
+    assert(out.exists(r => r.getAs[Boolean]("alarm") &&
+      r.getAs[Double]("cusum_pos") > 4.0))
+    assert(out.forall(r => r.getAs[Double]("cusum_neg") <= 4.0))
+  }
+
+  test("mcnemar: discordant cells drive the statistic") {
+    import spark.implicits._
+    // b=6 a-only, c=2 b-only, 3 both, 1 neither
+    val rows = Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(3)((true, true)) ++ Seq((false, false))
+    val out = graft.analysis.AnalysisPlanner
+      .mcnemarTest(rows.toDF("a", "b"), "a", "b").head
+    assert(out.getAs[Long]("n_a_only") == 6 &&
+      out.getAs[Long]("n_b_only") == 2)
+    // (|6-2|-1)^2 / 8 = 9/8
+    assert(math.abs(out.getAs[Double]("chi2") - 1.125) < 1e-12)
+  }
+
+  test("forecastAccuracy: seasonal-naive metrics by hand") {
+    import spark.implicits._
+    // period-2 series: 10,20,10,20,12,24 — lag-2 forecast errs 2,4
+    val df = Seq(10.0, 20.0, 10.0, 20.0, 12.0, 24.0).zipWithIndex
+      .map { case (v, t) => ("k", t, v) }.toDF("key", "t", "v")
+    val out = graft.ops.Evaluation
+      .forecastAccuracy(df, Seq("key"), "t", "v", season = 2).head
+    assert(out.getAs[Long]("n_points") == 4)
+    // errors |a-f|: 0,0,2,4 → wape = 6/(10+20+12+24)
+    assert(math.abs(out.getAs[Double]("wape") - 6.0 / 66.0) < 1e-12)
+    // naive lag-1 errors: 10,10,8,12 → mase = (6/4)/(40/4)
+    assert(math.abs(out.getAs[Double]("mase") - 1.5 / 10.0) < 1e-12)
+    val smape = (0.0 + 0.0 + 2.0 * 2 / 22 + 2.0 * 4 / 44) / 4
+    assert(math.abs(out.getAs[Double]("smape") - smape) < 1e-12)
+  }
+
+  test("minDetectableEffect shrinks with sample size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def arm(a: String, n: Int, seg: String) =
+      (0 until n).map(_ => (a, seg, rnd.nextGaussian()))
+    val df = (arm("t", 50, "small") ++ arm("c", 50, "small") ++
+      arm("t", 5000, "big") ++ arm("c", 5000, "big"))
+      .toDF("arm", "seg", "v")
+    val out = graft.ops.Evaluation
+      .minDetectableEffect(df, "arm", "t", "c", "seg", "v")
+      .orderBy("segment").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getAs[String]("segment") == "big")
+    // 100x the data → ~10x smaller detectable effect
+    assert(small.getAs[Double]("mde_abs") >
+      5 * big.getAs[Double]("mde_abs"))
+    // MDE = 2.801585 * se exactly
+    assert(math.abs(big.getAs[Double]("mde_abs") -
+      2.801585 * big.getAs[Double]("se")) < 1e-9)
+  }
+
+  test("kAnonymityProfile: histogram and risk flags") {
+    import spark.implicits._
+    // classes: (a,x)x1  (a,y)x2  (b,x)x2  (b,y)x5
+    val df = (Seq(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("q1", "q2")
+    val out = graft.ops.Profiling
+      .kAnonymityProfile(df, Seq("q1", "q2"), riskK = 2)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_classes"),
+      r.getAs[Long]("n_rows"), r.getAs[Boolean]("at_risk"))).toSeq ==
+      Seq((1L, 1L, 1L, true), (2L, 2L, 4L, false), (5L, 1L, 5L, false)))
+    assert(math.abs(out(1).getAs[Double]("row_share") - 0.4) < 1e-12)
+  }
+
+  test("goodTuring: bands, unseen mass, and adjusted counts by hand") {
+    import spark.implicits._
+    // token counts: a=1 b=1 c=2 d=3 → N=7, N1=2, N2=1, N3=1
+    val df = Seq("a b c", "c d d d").toDF("text")
+    val out = graft.ops.TextAnalysis.goodTuring(df, "text", maxR = 3)
+      .orderBy("r").collect()
+    assert(out.map(_.getAs[Long]("n_types")).toSeq == Seq(2L, 1L, 1L))
+    // p0 = N1/N = 2/7 on every row
+    assert(out.forall(r => math.abs(r.getAs[Double]("p0") - 2.0 / 7) < 1e-12))
+    // r*=1: 2*N2/N1 = 1.0 ; r*=2: 3*N3/N2 = 3.0 ; r*=3: 4*0/1 = 0
+    assert(out.map(_.getAs[Double]("r_star")).toSeq == Seq(1.0, 3.0, 0.0))
+    // trigram mode: "a b c" yields one trigram a_b_c
+    val tri = graft.ops.TextAnalysis
+      .goodTuring(Seq("a b c", "a b").toDF("text"), "text", 3, n = 3)
+      .collect()
+    assert(tri.length == 1 && tri.head.getAs[Long]("n_types") == 1)
+  }
 }
