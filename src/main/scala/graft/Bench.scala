@@ -41,16 +41,26 @@ object Bench {
     // min of 2 runs per query: single-shot timings on a shared box flap
     // (r4/r5 both carried phantom 10 s regressions that judge re-runs
     // reproduced at sub-second) — the min is the noise-robust estimate
-    // of the plan's actual cost
+    // of the plan's actual cost. If the two samples still disagree by
+    // >1.5× the box was busy during one of them: take a third and keep
+    // the min. A query that THROWS is recorded as an error, not a time —
+    // r6 shipped six runtime-broken queries disguised as 0.04 s rows.
+    var failed = Vector.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until 2).map { _ =>
+      var err: Option[String] = None
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val two = Seq(once(), once())
+      val times = if (err.isEmpty && two.max / math.max(two.min, 1e-9) > 1.5)
+        two :+ once() else two
+      err.foreach(m => failed :+= (name, m))
       name -> times.min
     }
     // COMPACT line — values rounded to ms so the whole record stays
@@ -62,10 +72,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
+    // errors surface in BOTH artifacts: an "err" map in the JSON (empty
+    // when all green) and a FAILED line on stderr — a broken query can
+    // no longer masquerade as a fast one
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = failed.map { case (k, m) => q(k) + ":" + q(m) }
+      .mkString("{", ",", "}")
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[bench] FAILED ${failed.size}/${results.size}: ${failed.map(_._1).mkString(",")}")
     // full per-query record to a file too: the stdout artifact keeps a
     // bounded TAIL, which head-clipped q01–q24 out of BENCH_r05 — the
     // committed file can never lose entries that way
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${ms(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${failed.size},"err":$errJson,"queries":$qs,"value":${ms(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -2,17 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /**
  * Testdata table access. The driver's parquet tables live in
  * `/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`.
  *
- * The `events` table stores `ts` as parquet TIMESTAMP(NANOS) which Spark
- * refuses to read by default ([PARQUET_TYPE_ILLEGAL]). We flip
- * `spark.sql.legacy.parquet.nanosAsLong` and truncate nanos → micros,
- * which is bit-identical to what DuckDB reports for the same file
- * (TIMESTAMP, µs), keeping oracle parity exact.
+ * The `events` table's `ts` column has shipped in two physical shapes:
+ *  - parquet TIMESTAMP(NANOS), which Spark refuses to read by default
+ *    ([PARQUET_TYPE_ILLEGAL]); we flip
+ *    `spark.sql.legacy.parquet.nanosAsLong` and truncate nanos → micros;
+ *  - plain parquet timestamp[us] without timezone, which Spark 4 reads as
+ *    TIMESTAMP_NTZ; we cast to TIMESTAMP (session is UTC, so the instant
+ *    is identical and `unix_micros`/`cast(long)` work again).
+ * Both normalizations are bit-identical to what DuckDB reports for the
+ * same file (TIMESTAMP, µs), keeping oracle parity exact.
  */
 object Tables {
 
@@ -28,14 +32,24 @@ object Tables {
     normalizeTimestamps(spark.read.parquet(path(dir, name)))
   }
 
-  /** Long nano columns (from nanosAsLong) named like timestamps → µs timestamps. */
-  private def normalizeTimestamps(df: DataFrame): DataFrame = {
-    val tsLongCols = df.schema.fields.collect {
-      case f if f.dataType == LongType && (f.name == "ts" || f.name.endsWith("_ts")) => f.name
-    }
-    tsLongCols.foldLeft(df) { (d, c) =>
-      // integer div, not double div: ns-since-epoch exceeds 2^53
-      d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+  /**
+   * Timestamp-shaped columns → session-zoned µs TIMESTAMP, whatever the
+   * physical parquet representation:
+   *  - LongType named `ts`/`*_ts` (nanosAsLong): ns → µs → timestamp;
+   *  - TimestampNTZType (plain timestamp[us] parquet): cast to TIMESTAMP —
+   *    the session runs UTC so the wall-clock reading IS the instant.
+   */
+  private[graft] def normalizeTimestamps(df: DataFrame): DataFrame = {
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val tsName = f.name == "ts" || f.name.endsWith("_ts")
+      f.dataType match {
+        case LongType if tsName =>
+          // integer div, not double div: ns-since-epoch exceeds 2^53
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
     }
   }
 

@@ -17,18 +17,29 @@ object Verify {
     // prefixes only (the driver never sets it, so its gate is unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    var failed = Vector.empty[String]
+    selected.foreach { case (name, fn) =>
       try {
         System.err.println(s"[verify] $name start")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed :+= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud completeness gate: every declared query must have written its
+    // result dir (r6 shipped 6 silent runtime failures — never again).
+    // Printed to stdout AND stderr so no log capture can drop it.
+    val missing = selected.keys.toSeq.sorted
+      .filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    val bad = (failed ++ missing).distinct.sorted
+    if (bad.nonEmpty) {
+      val line = s"[verify] FAILED ${bad.size}/${selected.size}: ${bad.mkString(",")}"
+      System.err.println(line); println(line)
+    } else println(s"[verify] OK ${selected.size}/${selected.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

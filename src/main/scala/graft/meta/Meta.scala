@@ -256,11 +256,44 @@ final case class AuditEntry(
 /**
  * Append-only audit log; Spark-exportable (audit.py:303-477 — the
  * reference's query returns mock-empty; this one is real).
+ *
+ * Scale contract (raise_/PRD.md:2773 targets 100M audit events/day): a
+ * catalog reload does NOT materialize the persisted history on the
+ * driver. [[attachPersisted]] keeps it as a lazy parquet-backed
+ * DataFrame; [[query]] pushes every filter into the scan and collects
+ * only matching rows; [[toDataFrame]]/[[export]] union the lazy base
+ * with the in-memory tail without ever collecting either.
  */
 final class AuditLog {
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+  import org.apache.spark.sql.functions.{col, lit, not}
+
   private val entries = scala.collection.mutable.ArrayBuffer.empty[AuditEntry]
+  // (session, parquet path) of the persisted history; entries above hold
+  // only what was recorded AFTER attach
+  @volatile private var persisted: Option[(SparkSession, String)] = None
 
   def record(e: AuditEntry): Unit = synchronized { entries += e }
+
+  /** Back this log with an already-persisted parquet audit table (lazy —
+    * nothing is read until a query/export needs it). */
+  def attachPersisted(spark: SparkSession, path: String): Unit =
+    persisted = Some((spark, path))
+
+  private def persistedDf: Option[DataFrame] =
+    persisted.map { case (s, p) => s.read.parquet(p) }
+
+  private def rowToEntry(r: Row): AuditEntry = AuditEntry(
+    id = r.getAs[String]("id"),
+    timestamp = Instant.parse(r.getAs[String]("timestamp")),
+    actor = r.getAs[String]("actor"),
+    actorOrg = Option(r.getAs[String]("actor_org")),
+    action = r.getAs[String]("action"),
+    category = r.getAs[String]("category"),
+    resource = r.getAs[String]("resource"),
+    resourceOrg = r.getAs[String]("resource_org"),
+    success = r.getAs[Boolean]("success"),
+    detail = Option(r.getAs[String]("detail")))
 
   def query(
       actor: Option[String] = None,
@@ -269,8 +302,33 @@ final class AuditLog {
       resource: Option[String] = None, // trailing-* wildcard supported
       excludeActorOrgs: Set[String] = Set.empty,
       since: Option[Instant] = None,
-      until: Option[Instant] = None): Seq[AuditEntry] = synchronized {
-    entries.iterator
+      until: Option[Instant] = None): Seq[AuditEntry] = {
+    // persisted side: every predicate becomes a Column filter — equality
+    // and startsWith push down to the parquet scan, so the driver only
+    // ever receives matching rows (never the 100M-row history)
+    val fromStore = persistedDf.map { df =>
+      var d = df
+      actor.foreach(a => d = d.where(col("actor") === a))
+      action.foreach(a => d = d.where(col("action") === a))
+      category.foreach(c => d = d.where(col("category") === c))
+      resource.foreach { r =>
+        d = if (r.endsWith("*"))
+          d.where(col("resource").startsWith(r.dropRight(1)))
+        else d.where(col("resource") === r)
+      }
+      if (excludeActorOrgs.nonEmpty)
+        d = d.where(col("actor_org").isNull ||
+          not(col("actor_org").isin(excludeActorOrgs.toSeq: _*)))
+      // timestamps persist as ISO-8601 strings; compare as real
+      // timestamps (precision varies: "…:05Z" vs "…:05.123456Z")
+      val ts = col("timestamp").cast("timestamp")
+      since.foreach(s => d = d.where(
+        ts >= lit(java.sql.Timestamp.from(s))))
+      until.foreach(u => d = d.where(
+        ts < lit(java.sql.Timestamp.from(u))))
+      d.collect().map(rowToEntry).toSeq.sortBy(_.timestamp)
+    }.getOrElse(Seq.empty)
+    val mem = synchronized { entries.toVector }
       .filter(e => actor.forall(_ == e.actor))
       .filter(e => action.forall(_ == e.action))
       .filter(e => category.forall(_ == e.category))
@@ -281,12 +339,12 @@ final class AuditLog {
       .filter(e => e.actorOrg.forall(o => !excludeActorOrgs.contains(o)))
       .filter(e => since.forall(s => !e.timestamp.isBefore(s)))
       .filter(e => until.forall(u => e.timestamp.isBefore(u)))
-      .toSeq
+    fromStore ++ mem
   }
 
-  /** Export to a Spark DataFrame (→ jsonl/csv/parquet; audit.py:396-425). */
-  def toDataFrame(spark: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.DataFrame = {
+  /** In-memory tail only (entries recorded since attach, or all when
+    * never attached). */
+  private def memDataFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     synchronized {
       entries.toSeq.map(e => (e.id, e.timestamp.toString, e.actor,
@@ -296,7 +354,40 @@ final class AuditLog {
       "resource", "resource_org", "success", "detail")
   }
 
-  def export(spark: org.apache.spark.sql.SparkSession, path: String,
-      format: String = "json"): Unit =
-    toDataFrame(spark).coalesce(1).write.mode("overwrite").format(format).save(path)
+  /** Export to a Spark DataFrame (→ jsonl/csv/parquet; audit.py:396-425).
+    * Persisted base (lazy) ∪ in-memory tail — no driver materialization. */
+  def toDataFrame(spark: SparkSession): DataFrame =
+    persistedDf.map(_.unionByName(memDataFrame(spark)))
+      .getOrElse(memDataFrame(spark))
+
+  def export(spark: SparkSession, path: String, format: String = "json"): Unit =
+    toDataFrame(spark).write.mode("overwrite").format(format).save(path)
+
+  /** Persist the full log (base ∪ tail) as parquet at `path`.
+    *
+    * When the attached base IS `path`, a direct overwrite would delete
+    * the files mid-read; stage to a sibling dir and swap instead, then
+    * re-attach to the fresh files with an emptied in-memory tail (the
+    * tail is now part of the base). */
+  def saveTo(spark: SparkSession, path: String): Unit = synchronized {
+    persisted match {
+      case None =>
+        memDataFrame(spark).coalesce(1).write.mode("overwrite").parquet(path)
+      case Some((_, base)) =>
+        val staged = path + "_staged"
+        toDataFrame(spark).write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        val dst = new java.io.File(path)
+        if (dst.exists) rm(dst)
+        if (!new java.io.File(staged).renameTo(dst))
+          throw new java.io.IOException(s"audit swap failed: $staged → $path")
+        entries.clear()
+        persisted = Some((spark, path))
+        // base == path or not, the new files are authoritative now
+        locally(base): Unit
+    }
+  }
 }

@@ -77,8 +77,10 @@ object MetaCatalog {
     groupRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/groups")
     featureRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/features")
     grantRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/grants")
-    store.audit.toDataFrame(spark).coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/audit")
+    // audit may be lazily backed by a previous save at this very path —
+    // AuditLog.saveTo stages+swaps in that case instead of overwriting
+    // files mid-read
+    store.audit.saveTo(spark, s"$dir/audit")
   }
 
   private def typedDefault(dtypeStr: String, s: String): Any = {
@@ -95,10 +97,11 @@ object MetaCatalog {
   /** Reload a [[save]]d registry into a fresh [[FeatureStore]].
     *
     * The `collect()`s here are REGISTRY-sized (groups / feature
-    * versions / grants / audit entries — metadata cardinality, never
-    * data rows): the in-memory registry they rebuild is the same size
-    * by definition, so the driver round-trip is bounded by what the
-    * process already holds. */
+    * versions / grants — metadata cardinality, never data rows): the
+    * in-memory registry they rebuild is the same size by definition.
+    * The AUDIT table is the exception — at the reference's target scale
+    * (100M events/day) it is data-sized, so it is attached as a lazy
+    * parquet view, never collected here. */
   def load(spark: SparkSession, path: String): FeatureStore = {
     val dir = path.stripSuffix("/")
     val store = new FeatureStore
@@ -159,20 +162,10 @@ object MetaCatalog {
         Option(r.getAs[String]("expires_at")).map(Instant.parse)))
     }
 
-    spark.read.parquet(s"$dir/audit").collect()
-      .sortBy(_.getAs[String]("timestamp")).foreach { r =>
-        store.audit.record(AuditEntry(
-          id = r.getAs[String]("id"),
-          timestamp = Instant.parse(r.getAs[String]("timestamp")),
-          actor = r.getAs[String]("actor"),
-          actorOrg = Option(r.getAs[String]("actor_org")),
-          action = r.getAs[String]("action"),
-          category = r.getAs[String]("category"),
-          resource = r.getAs[String]("resource"),
-          resourceOrg = r.getAs[String]("resource_org"),
-          success = r.getAs[Boolean]("success"),
-          detail = Option(r.getAs[String]("detail"))))
-      }
+    // audit: NOT collected — PRD.md:2773 sizes it at 100M events/day.
+    // The log stays a lazy parquet-backed view; AuditLog.query pushes
+    // filters into the scan and only matching rows reach the driver.
+    store.audit.attachPersisted(spark, s"$dir/audit")
     store
   }
 }

@@ -417,26 +417,34 @@ object Evaluation {
    * Difference-in-differences: the 2×2 (group × pre/post) causal
    * estimate DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with
    * the large-sample SE from the four cell variances
-   * (√Σ s²ᵢ/nᵢ — independent-cells normal approximation). One
-   * aggregation over the four cells, 1-row algebra after. Returns
-   * 1 row: (mean_treat_pre, mean_treat_post, mean_ctrl_pre,
-   * mean_ctrl_post, did, se, t_stat).
+   * (√Σ s²ᵢ/nᵢ — independent-cells normal approximation). ONE
+   * conditional aggregation computes all four cells' (n, mean, var) in
+   * a single scan of the input — `avg(when(cell, y))` per cell, the
+   * [[covariateBalance]] pattern — then 1-row algebra. (The previous
+   * shape re-ran the cell aggregation once per crossJoin branch: four
+   * full input scans; at 100 TB that is 4× the IO for the same 4
+   * numbers.) Returns 1 row: (mean_treat_pre, mean_treat_post,
+   * mean_ctrl_pre, mean_ctrl_post, did, se, t_stat).
    */
   def diffInDiff(df: DataFrame, groupCol: String, treatGroup: String,
       controlGroup: String, postCol: Column, valueCol: String): DataFrame = {
     val y = col(valueCol).cast("double")
-    val cells = df
+    val base = df
       .where(col(groupCol).isin(treatGroup, controlGroup) && y.isNotNull)
-      .groupBy(col(groupCol).as("__g"), postCol.cast("boolean").as("__p"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg(y).as("__m"),
-        var_samp(y).as("__v"))
-    def cell(g: String, p: Boolean, out: String) =
-      cells.where(col("__g") === g && col("__p") === p)
-        .select(col("__m").as(out), (col("__v") / col("__n")).as(s"__se_$out"))
-    cell(treatGroup, p = false, "mean_treat_pre")
-      .crossJoin(cell(treatGroup, p = true, "mean_treat_post"))
-      .crossJoin(cell(controlGroup, p = false, "mean_ctrl_pre"))
-      .crossJoin(cell(controlGroup, p = true, "mean_ctrl_post"))
+      .select(col(groupCol).as("__g"), postCol.cast("boolean").as("__p"),
+        y.as("__y"))
+    def cell(g: String, p: Boolean, out: String): Seq[Column] = {
+      val in = col("__g") === g && col("__p") === p
+      Seq(avg(when(in, col("__y"))).as(out),
+        (var_samp(when(in, col("__y"))) /
+          count(when(in, lit(1))).cast("double")).as(s"__se_$out"))
+    }
+    val aggs =
+      cell(treatGroup, p = false, "mean_treat_pre") ++
+        cell(treatGroup, p = true, "mean_treat_post") ++
+        cell(controlGroup, p = false, "mean_ctrl_pre") ++
+        cell(controlGroup, p = true, "mean_ctrl_post")
+    base.agg(aggs.head, aggs.tail: _*)
       .withColumn("did",
         (col("mean_treat_post") - col("mean_treat_pre")) -
           (col("mean_ctrl_post") - col("mean_ctrl_pre")))
@@ -451,27 +459,30 @@ object Evaluation {
   /**
    * Uplift by segment — the heterogeneous-treatment-effect readout:
    * per segment, treatment/control counts, means, the uplift
-   * (difference in means), its Welch SE, and the t statistic. One
-   * aggregation (segment × arm) then a segment-keyed self-align.
-   * Segments present in only one arm drop out (inner join) — no
+   * (difference in means), its Welch SE, and the t statistic. ONE
+   * conditional aggregation per segment — `agg(when(arm, …))` for both
+   * arms in the same scan, no t-vs-c self-join (the join shape executed
+   * the cells aggregation twice). Segments present in only one arm drop
+   * out (post-agg filter, same semantics as the old inner join) — no
    * half-cell rows masquerading as effects.
    */
   def upliftBySegment(df: DataFrame, armCol: String, treatArm: String,
       controlArm: String, segmentCol: String,
       valueCol: String): DataFrame = {
     val y = col(valueCol).cast("double")
-    val cells = df.where(col(armCol).isin(treatArm, controlArm) &&
-        y.isNotNull)
-      .groupBy(col(segmentCol).as("segment"), col(armCol).as("__a"))
-      .agg(count(lit(1)).as("__n"), avg(y).as("__m"),
-        var_samp(y).as("__v"))
-    val t = cells.where(col("__a") === treatArm)
-      .select(col("segment"), col("__n").as("n_treat"),
-        col("__m").as("mean_treat"), col("__v").as("__vt"))
-    val c = cells.where(col("__a") === controlArm)
-      .select(col("segment"), col("__n").as("n_ctrl"),
-        col("__m").as("mean_ctrl"), col("__v").as("__vc"))
-    t.join(c, Seq("segment"))
+    val isT = col("__a") === treatArm
+    val isC = col("__a") === controlArm
+    df.where(col(armCol).isin(treatArm, controlArm) && y.isNotNull)
+      .select(col(segmentCol).as("segment"), col(armCol).as("__a"),
+        y.as("__y"))
+      .groupBy(col("segment"))
+      .agg(count(when(isT, lit(1))).as("n_treat"),
+        avg(when(isT, col("__y"))).as("mean_treat"),
+        var_samp(when(isT, col("__y"))).as("__vt"),
+        count(when(isC, lit(1))).as("n_ctrl"),
+        avg(when(isC, col("__y"))).as("mean_ctrl"),
+        var_samp(when(isC, col("__y"))).as("__vc"))
+      .where(col("n_treat") > 0 && col("n_ctrl") > 0)
       .withColumn("uplift", col("mean_treat") - col("mean_ctrl"))
       .withColumn("se", sqrt(col("__vt") / col("n_treat") +
         col("__vc") / col("n_ctrl")))
@@ -487,27 +498,28 @@ object Evaluation {
    * `MDE = (z_{α/2} + z_β) · √(v_t/n_t + v_c/n_c)`, reported absolute
    * and relative to the control mean. `zAlpha`/`zPower` are the
    * standard-normal quantiles Φ⁻¹(1−α/2) and Φ⁻¹(power); the defaults
-   * are the canonical α=0.05 two-sided / 80 %-power pair. One
-   * segment×arm aggregation then a segment-keyed align — the same
-   * single-shuffle shape as [[upliftBySegment]].
+   * are the canonical α=0.05 two-sided / 80 %-power pair. ONE
+   * conditional aggregation per segment (both arms in one scan, the
+   * same single-Aggregate shape as [[upliftBySegment]]); segments
+   * missing an arm drop out post-agg, matching the old inner join.
    */
   def minDetectableEffect(df: DataFrame, armCol: String,
       treatArm: String, controlArm: String, segmentCol: String,
       valueCol: String, zAlpha: Double = 1.959964,
       zPower: Double = 0.841621): DataFrame = {
     val y = col(valueCol).cast("double")
-    val cells = df.where(col(armCol).isin(treatArm, controlArm) &&
-        y.isNotNull)
-      .groupBy(col(segmentCol).as("segment"), col(armCol).as("__a"))
-      .agg(count(lit(1)).as("__n"), avg(y).as("__m"),
-        var_samp(y).as("__v"))
-    val t = cells.where(col("__a") === treatArm)
-      .select(col("segment"), col("__n").as("n_treat"),
-        col("__v").as("__vt"))
-    val c = cells.where(col("__a") === controlArm)
-      .select(col("segment"), col("__n").as("n_ctrl"),
-        col("__m").as("mean_ctrl"), col("__v").as("__vc"))
-    t.join(c, Seq("segment"))
+    val isT = col("__a") === treatArm
+    val isC = col("__a") === controlArm
+    df.where(col(armCol).isin(treatArm, controlArm) && y.isNotNull)
+      .select(col(segmentCol).as("segment"), col(armCol).as("__a"),
+        y.as("__y"))
+      .groupBy(col("segment"))
+      .agg(count(when(isT, lit(1))).as("n_treat"),
+        var_samp(when(isT, col("__y"))).as("__vt"),
+        count(when(isC, lit(1))).as("n_ctrl"),
+        avg(when(isC, col("__y"))).as("mean_ctrl"),
+        var_samp(when(isC, col("__y"))).as("__vc"))
+      .where(col("n_treat") > 0 && col("n_ctrl") > 0)
       .withColumn("se", sqrt(col("__vt") / col("n_treat") +
         col("__vc") / col("n_ctrl")))
       .withColumn("mde_abs", lit(zAlpha + zPower) * col("se"))

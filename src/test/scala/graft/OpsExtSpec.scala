@@ -3205,4 +3205,60 @@ class OpsExtSpec extends AnyFunSuite {
       .collect()
     assert(tri.length == 1 && tri.head.getAs[Long]("n_types") == 1)
   }
+
+  test("diffInDiff/uplift/MDE plans: one Aggregate, no join, no rescan") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = Seq(("t", 0, 1.0), ("t", 1, 2.0), ("c", 0, 0.5), ("c", 1, 0.7))
+      .toDF("g", "p", "v")
+    def audit(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): Unit = {
+      val aggs = plan.collect { case a: Aggregate => a }
+      val joins = plan.collect { case j: Join => j }
+      assert(aggs.size == 1, s"$name: expected 1 Aggregate, got ${aggs.size}")
+      assert(joins.isEmpty, s"$name: expected no Join, got ${joins.size}")
+    }
+    audit(graft.ops.Evaluation
+      .diffInDiff(df, "g", "t", "c", col("p") === 1, "v")
+      .queryExecution.optimizedPlan, "diffInDiff")
+    audit(graft.ops.Evaluation
+      .upliftBySegment(df.withColumnRenamed("p", "seg"), "g", "t", "c",
+        "seg", "v").queryExecution.optimizedPlan, "upliftBySegment")
+    audit(graft.ops.Evaluation
+      .minDetectableEffect(df.withColumnRenamed("p", "seg"), "g", "t",
+        "c", "seg", "v").queryExecution.optimizedPlan, "minDetectableEffect")
+  }
+
+  test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
+    import org.apache.spark.sql.types._
+    import java.sql.Timestamp
+    // write a fixture whose ts column is TIMESTAMP_NTZ — the shape the
+    // round-6 testdata shipped (plain parquet timestamp[us], no tz) that
+    // broke every unix_micros(ts) / ts.cast(long) query
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L,
+        java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5, 678000000)),
+      org.apache.spark.sql.Row(2L,
+        java.time.LocalDateTime.of(2024, 6, 7, 8, 9, 10, 0)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType == TimestampType)
+    // UTC session ⇒ the NTZ wall-clock reading IS the instant
+    val micros = loaded.orderBy("event_id")
+      .selectExpr("unix_micros(ts)").collect().map(_.getLong(0))
+    assert(micros(0) == 1704164645678000L && micros(1) == 1717747750000000L)
+  }
+
+  test("normalizeTimestamps still converts nanosAsLong ts columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, 1704164645678000000L)).toDF("event_id", "ts")
+    val out = Tables.normalizeTimestamps(df)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.selectExpr("unix_micros(ts)").head.getLong(0) == 1704164645678000L)
+  }
 }

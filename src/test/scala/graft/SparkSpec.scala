@@ -174,6 +174,40 @@ class SparkSpec extends AnyFunSuite {
     assert(re2.audit.query().size == re.audit.query().size)
   }
 
+  test("catalog load keeps audit lazy: parquet-backed, filters pushed") {
+    import graft.meta._
+    val fs = new FeatureStore
+    fs.createGroup("o", "d", "p", "g1")
+    (1 to 500).foreach { i =>
+      fs.audit.record(AuditEntry(actor = s"user${i % 10}", action = "read",
+        category = "read", resource = s"o/d/p/g1/f$i", resourceOrg = "o"))
+    }
+    val dir = tmpDir() + "/lazycat"
+    MetaCatalog.save(fs, spark, dir)
+    val re = MetaCatalog.load(spark, dir)
+    // the reloaded audit reads from parquet lazily — its DataFrame plan
+    // is a file scan, not an N-row LocalRelation collected onto the driver
+    val plan = re.audit.toDataFrame(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("Parquet"), s"expected parquet-backed audit:\n$plan")
+    // a filtered query pushes the predicate into the scan and returns
+    // exactly the matching slice
+    val alice = re.audit.query(actor = Some("user3"))
+    assert(alice.size == 50 && alice.forall(_.actor == "user3"))
+    assert(re.audit.query(resource = Some("o/d/p/g1/f42")).size == 1)
+    // entries recorded after load live in the in-memory tail and appear
+    // alongside the persisted base
+    re.audit.record(AuditEntry(actor = "user3", action = "write",
+      category = "write", resource = "o/d/p/g1/fX", resourceOrg = "o"))
+    assert(re.audit.query(actor = Some("user3")).size == 51)
+    // saveTo over the SAME path stages+swaps (no overwrite-while-read)
+    // and folds the tail into the base
+    MetaCatalog.save(re, spark, dir)
+    val re2 = MetaCatalog.load(spark, dir)
+    assert(re2.audit.query(actor = Some("user3")).size == 51)
+    // 500 reads + the createGroup entry + the post-load write
+    assert(re2.audit.query().size == 502)
+  }
+
   test("point lookup via entity key") {
     import graft.meta._
     import spark.implicits._
