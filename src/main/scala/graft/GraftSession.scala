@@ -69,6 +69,18 @@ object GraftSession {
         require(exprs.length == 2, "JARO_WINKLER(a, b) takes 2 args")
         graft.functions.JaroWinkler(exprs(0), exprs(1))
       }, "built-in")
+    // reference dialect's AGE(end[, start]) → interval (PRD App.B);
+    // everything else in that dialect table (DATE(), TO_CHAR, NULLIF,
+    // DATE_PART, NOW, LEFT/RIGHT) ships natively in Spark 4 — probed,
+    // not assumed
+    if (missing("age"))
+      reg.createOrReplaceTempFunction("age", { exprs =>
+        require(exprs.length == 1 || exprs.length == 2,
+          "AGE(end[, start]) takes 1 or 2 args")
+        import org.apache.spark.sql.catalyst.expressions.{CurrentTimestamp, SubtractTimestamps}
+        if (exprs.length == 2) SubtractTimestamps(exprs(0), exprs(1))
+        else SubtractTimestamps(CurrentTimestamp(), exprs(0))
+      }, "built-in")
     spark
   }
 

@@ -3078,6 +3078,20 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r - 0.9611111111111111) < 1e-15)
   }
 
+  test("AGE() registers: 2-arg timestamp diff matches PG semantics") {
+    val s = GraftSession.withFunctions(spark)
+    // day-time interval surfaces as java.time.Duration: 2d6h = 54h
+    val iv = s.sql("SELECT age(timestamp'2024-01-03 06:00:00', " +
+      "timestamp'2024-01-01 00:00:00') AS a")
+      .head.getAs[java.time.Duration](0)
+    assert(iv.toHours == 54, iv.toString)
+    // 1-arg form: now() - x is a positive interval for a past timestamp
+    val one = s.sql(
+      "SELECT age(timestamp'2000-01-01 00:00:00') > INTERVAL '1' DAY AS p")
+      .head.getBoolean(0)
+    assert(one)
+  }
+
   test("neymanAllocation: budget splits proportional to N_h * S_h") {
     import spark.implicits._
     // stratum a: 4 rows sd 10; stratum b: 4 rows sd 0 (constant)
