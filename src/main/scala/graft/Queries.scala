@@ -6727,6 +6727,126 @@ object Queries {
       FROM b LEFT JOIN b AS b2 ON b2.r = b.r + 1, tot
       WHERE b.r <= 5 ORDER BY r"""))
 
+  /** Community detection by deterministic synchronous label
+    * propagation over the customer↔supplier interaction graph (q158's
+    * edge set) — 3 fixed rounds, ties to the smallest label. */
+  private val q200 = Entry(
+    "q200_label_propagation",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    },
+    Some("""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+      v1 AS (SELECT e.a AS node, l.label, count(*) AS c
+             FROM e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+      v2 AS (SELECT e.a AS node, l.label, count(*) AS c
+             FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1),
+      v3 AS (SELECT e.a AS node, l.label, count(*) AS c
+             FROM e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM v3) WHERE rn = 1)
+      SELECT node, label FROM l3 ORDER BY node"""))
+
+  /** Per-entity temporal train/val split: each user's last ~20% of
+    * events (by ts, event_id tie-break) go to validation; per-user
+    * counts plus the validation boundary verify the cut exactly. */
+  private val q201 = Entry(
+    "q201_temporal_split",
+    (s, d) =>
+      graft.ops.Sampling
+        .temporalSplit(Tables.events(s, d), Seq("user_id"),
+          Seq("ts", "event_id"), valFrac = 0.2)
+        .groupBy("user_id")
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          max(when(col("split") === "train", col("ts"))).as("last_train_ts"),
+          min(when(col("split") === "val", col("ts"))).as("first_val_ts"))
+        .orderBy("user_id"),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+      s AS (
+        SELECT user_id, ts,
+               CASE WHEN rn > n - least(CAST(ceil(n * 0.2) AS BIGINT),
+                                        n - 1)
+                    THEN 'val' ELSE 'train' END AS split
+        FROM r)
+      SELECT user_id,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_val,
+             max(CASE WHEN split = 'train' THEN ts END) AS last_train_ts,
+             min(CASE WHEN split = 'val' THEN ts END) AS first_val_ts
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** Temperature-weighted corpus mixture plan with epoch caps and one
+    * waterfall redistribution round over the per-source token stats. */
+  private val q202 = Entry(
+    "q202_mixture_plan",
+    (s, d) =>
+      graft.ops.Sampling
+        .mixturePlan(
+          Tables.documents(s, d)
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "source", "n_tokens", budget = 40000L, temperature = 2.0,
+          maxEpochs = 1.5)
+        .select(col("source"), col("n_tokens"),
+          r6(col("weight")).as("weight"),
+          r6(col("alloc_tokens")).as("alloc_tokens"),
+          r6(col("epochs")).as("epochs"))
+        .orderBy("source"),
+    Some("""
+      WITH t AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS tok
+        FROM documents),
+      ps AS (SELECT source, sum(tok) AS n_tokens FROM t GROUP BY 1),
+      w AS (SELECT source, n_tokens, pow(n_tokens, 1.0 / 2.0) AS wr
+            FROM ps),
+      tw AS (SELECT sum(wr) AS tw FROM w),
+      f0 AS (SELECT source, n_tokens, wr, wr / tw AS weight,
+                    n_tokens * 1.5 AS cap
+             FROM w, tw),
+      f AS (SELECT *, least(weight * 40000, cap) AS a0,
+                   weight * 40000 > cap AS capped
+            FROM f0),
+      lo AS (SELECT 40000.0 - sum(a0) AS lft,
+                    COALESCE(sum(CASE WHEN NOT capped THEN wr END), 0)
+                      AS wu
+             FROM f)
+      SELECT source, n_tokens, round(weight, 6) AS weight,
+             round(CASE WHEN capped OR wu = 0 THEN a0
+                        ELSE least(a0 + lft * wr / wu, cap) END, 6)
+               AS alloc_tokens,
+             round(CASE WHEN capped OR wu = 0 THEN a0
+                        ELSE least(a0 + lft * wr / wu, cap) END
+                   / n_tokens, 6) AS epochs
+      FROM f, lo ORDER BY source"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6747,7 +6867,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199)
+    q198, q199, q200, q201, q202)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -136,4 +136,48 @@ object Graph {
           lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
+
+  /**
+   * Community detection by synchronous label propagation (Raghavan et
+   * al. 2007), made fully deterministic: every node starts labeled
+   * with its own id; each of the fixed `iterations` rounds relabels
+   * every node with its neighbors' most frequent label, ties broken by
+   * the smallest label (count DESC, label ASC) — no randomized update
+   * order, so the result is a pure function of the edge set. Directed
+   * input is symmetrized; self-loops and multi-edges collapse.
+   * Returns (node, label): nodes sharing a label are one community.
+   *
+   * Scale shape: per round, one keyed join (edges ⋈ labels on the
+   * neighbor id), one (node, label) count aggregation, and one
+   * per-node window over that node's DISTINCT neighbor labels —
+   * bounded by degree, never a global or single-partition window. The
+   * symmetrized edge frame is loop-invariant and localCheckpointed
+   * once; labels are checkpointed per round (they feed the next
+   * iteration — same lineage-truncation discipline as [[pageRank]]).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val byVote = Window.partitionBy("node")
+      .orderBy(desc("__c"), asc("label"))
+    for (i <- 1 to iterations) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(byVote))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label"))
+      if (i < iterations) labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

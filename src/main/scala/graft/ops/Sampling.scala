@@ -346,4 +346,83 @@ object Sampling {
       .drop("__rn", "__n")
     under.unionByName(capped).select(df.columns.map(col).toSeq: _*)
   }
+
+  /**
+   * Per-entity temporal train/validation split — the leakage-free way
+   * to split behavioral data (a global time cut starves cold entities;
+   * a random split leaks future rows into train). Each key's rows are
+   * ordered by `orderCols` (include a unique tiebreaker — e.g. the
+   * event id — for determinism under timestamp ties) and the LAST
+   * ⌈n·valFrac⌉ become `"val"`, the rest `"train"`; a 1-row key goes
+   * entirely to train (⌈1·0.2⌉ = 1 would otherwise starve it — we cap
+   * validation at n−1). Adds a `split` column; row set unchanged.
+   *
+   * Scale: one window per key ordered by time — bounded by per-key
+   * cardinality (the sessionize/inter-arrival shape), never global.
+   */
+  def temporalSplit(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valFrac: Double): DataFrame = {
+    require(valFrac >= 0 && valFrac < 1, "valFrac in [0, 1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      .withColumn("split",
+        when(col("__rn") > col("__n") -
+            least(ceil(col("__n") * valFrac), col("__n") - 1), "val")
+          .otherwise("train"))
+      .drop("__rn", "__n")
+  }
+
+  /**
+   * Corpus mixture planner — sizing the per-source sampling rates for
+   * a token budget (the static half of temperature mixing; cf. the
+   * multilingual-sampling rule of Conneau & Lample 2019): per source,
+   * weight wₛ ∝ nₛ^(1/τ) over available tokens nₛ, allocation
+   * aₛ = wₛ·budget capped at `maxEpochs`·nₛ (an epoch cap stops tiny
+   * sources from being oversampled into memorization), and ONE
+   * redistribution round hands the capped sources' unused budget to
+   * the uncapped ones in proportion to their weights (re-capped). τ=1
+   * is proportional; τ→∞ approaches uniform.
+   *
+   * Returns one row per source: (source, n_tokens, weight,
+   * alloc_tokens, epochs) — a ≤|sources|-row frame from ONE
+   * aggregation over the corpus plus broadcast 1-row totals; the
+   * waterfall is pure column algebra, no iteration over the data.
+   */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      budget: Long, temperature: Double = 1.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("double")).as("n_tokens"))
+    val wRaw = pow(col("n_tokens"), lit(1.0 / temperature))
+    val weighted = perSource.withColumn("__w", wRaw)
+    val totW = broadcast(weighted.agg(sum(col("__w")).as("__tw")))
+    val first = weighted.crossJoin(totW)
+      .withColumn("weight", col("__w") / col("__tw"))
+      .withColumn("__cap", col("n_tokens") * maxEpochs)
+      .withColumn("__a0", least(col("weight") * budget, col("__cap")))
+      .withColumn("__capped", col("weight") * budget > col("__cap"))
+    // single waterfall round: leftover budget → uncapped sources by
+    // weight, re-capped (sources capped in round 2 just keep their cap)
+    val leftover = broadcast(first.agg(
+      (lit(budget.toDouble) - sum(col("__a0"))).as("__left"),
+      coalesce(sum(when(!col("__capped"), col("__w"))), lit(0.0))
+        .as("__wUncapped")))
+    first.crossJoin(leftover)
+      .withColumn("alloc_tokens",
+        when(col("__capped") || col("__wUncapped") === 0.0, col("__a0"))
+          .otherwise(least(
+            col("__a0") + col("__left") * col("__w") / col("__wUncapped"),
+            col("__cap"))))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"))
+  }
 }

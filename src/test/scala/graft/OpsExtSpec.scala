@@ -3243,6 +3243,55 @@ class OpsExtSpec extends AnyFunSuite {
         "c", "seg", "v").queryExecution.optimizedPlan, "minDetectableEffect")
   }
 
+  test("labelPropagation: two triangles + bridge settle into 2 communities") {
+    import spark.implicits._
+    // triangle {a,b,c} — bridge c-d — triangle {d,e,f}; hand-traced 3
+    // synchronous rounds (min-label ties) end at labels a and c
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f")).toDF("s", "t")
+    val out = graft.ops.Graph.labelPropagation(edges, "s", "t", 3)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"))
+  }
+
+  test("temporalSplit: last ceil(n*frac) rows go to val, 1-row keys train") {
+    import spark.implicits._
+    val df = Seq(("u1", 1), ("u1", 2), ("u1", 3), ("u1", 4), ("u1", 5),
+      ("u2", 1), ("u3", 1), ("u3", 2)).toDF("u", "t")
+    val out = graft.ops.Sampling
+      .temporalSplit(df, Seq("u"), Seq("t"), valFrac = 0.2)
+      .orderBy("u", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // u1: 5 rows → ceil(1) = 1 val (t=5); u2: 1 row → train (capped at
+    // n-1 = 0 val); u3: 2 rows → ceil(0.4) = 1 val (t=2)
+    assert(out.toSeq == Seq(("u1", 1, "train"), ("u1", 2, "train"),
+      ("u1", 3, "train"), ("u1", 4, "train"), ("u1", 5, "val"),
+      ("u2", 1, "train"), ("u3", 1, "train"), ("u3", 2, "val")))
+  }
+
+  test("mixturePlan: temperature weights, epoch caps, one waterfall round") {
+    import spark.implicits._
+    // τ=0.5 → weights ∝ n²: 100:400:900. budget 140, caps 2n.
+    // a0 = (10, 40, 60-capped); leftover 30 → A 16, B re-capped at 40
+    val df = Seq(("A", 10L), ("B", 20L), ("C", 30L)).toDF("src", "tok")
+    val out = graft.ops.Sampling
+      .mixturePlan(df, "src", "tok", budget = 140L, temperature = 0.5,
+        maxEpochs = 2.0)
+      .orderBy("source").collect()
+    val byS = out.map(r => r.getString(0) ->
+      (r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs"))).toMap
+    assert(math.abs(byS("A")._1 - 16.0) < 1e-9)
+    assert(math.abs(byS("B")._1 - 40.0) < 1e-9)
+    assert(math.abs(byS("C")._1 - 60.0) < 1e-9)
+    assert(math.abs(byS("A")._2 - 1.6) < 1e-9)
+    assert(math.abs(byS("B")._2 - 2.0) < 1e-9)
+    // weights are n²-proportional
+    val w = out.map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(w("A") - 100.0 / 1400) < 1e-12)
+    assert(math.abs(w("C") - 900.0 / 1400) < 1e-12)
+  }
+
   test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
     import org.apache.spark.sql.types._
     import java.sql.Timestamp
