@@ -6847,6 +6847,82 @@ object Queries {
                    / n_tokens, 6) AS epochs
       FROM f, lo ORDER BY source"""))
 
+  /** Per-segment classifier eval: the q142 pseudo-model graded within
+    * each order status — grouped rank-AUC via per-group prefix sums
+    * (same shuffle count as the corpus-level metric). */
+  private val q203 = Entry(
+    "q203_grouped_auc",
+    (s, d) =>
+      graft.ops.Evaluation
+        .binaryMetrics(
+          Tables.orders(s, d).select(col("o_orderstatus").as("seg"),
+            when((col("o_orderkey") % 100).cast("double") <
+              col("o_totalprice") / 5000.0, lit(1.0)).otherwise(lit(0.0))
+              .as("label"),
+            (col("o_totalprice") / 600000.0).as("score")),
+          "label", "score", groupCols = Seq("seg"))
+        .select(col("seg"), col("n"), col("n_pos"), col("n_neg"),
+          r6(col("auc")).as("auc"), r6(col("log_loss")).as("log_loss"),
+          r6(col("brier")).as("brier"))
+        .orderBy("seg"),
+    Some("""
+      WITH sc AS (
+        SELECT o_orderstatus AS seg,
+               CASE WHEN (o_orderkey % 100) < o_totalprice / 5000.0
+                    THEN 1.0 ELSE 0.0 END AS y,
+               o_totalprice / 600000.0 AS p
+        FROM orders),
+      r AS (SELECT seg, y, p,
+                   rank() OVER (PARTITION BY seg ORDER BY p) AS rmin,
+                   count(*) OVER (PARTITION BY seg, p) AS c
+            FROM sc),
+      a AS (SELECT seg, count(*)::DOUBLE AS n, sum(y) AS np,
+                   sum(CASE WHEN y = 1 THEN rmin + (c - 1) / 2.0 END)
+                     AS rpos
+            FROM r GROUP BY seg),
+      m AS (SELECT seg,
+                   avg(-(y * ln(least(greatest(p, 1e-15), 1 - 1e-15)) +
+                     (1 - y) * ln(1 - least(greatest(p, 1e-15),
+                                            1 - 1e-15)))) AS log_loss,
+                   avg(pow(p - y, 2)) AS brier
+            FROM sc GROUP BY seg)
+      SELECT a.seg, n::BIGINT AS n, np::BIGINT AS n_pos,
+             (n - np)::BIGINT AS n_neg,
+             round((rpos - np * (np + 1) / 2.0) / (np * (n - np)), 6)
+               AS auc,
+             round(log_loss, 6) AS log_loss, round(brier, 6) AS brier
+      FROM a JOIN m ON a.seg = m.seg ORDER BY a.seg"""))
+
+  /** Johnson–Lindenstrauss random projection 64→4 dims: fixed
+    * md5-derived matrix (the q26 driver-literal trick), map-only
+    * native dots — the oracle inlines the identical weights. */
+  private val q204 = Entry(
+    "q204_random_project",
+    (s, d) => {
+      val out = graft.ops.Features.randomProject(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 4)
+      out.select(col("vec_id") +:
+        (0 until 4).map(j => r6(col("projected")(j)).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val w = (0 until 4).map(j =>
+        graft.ops.Similarity.planeWeights(j, 64)
+          .mkString("[", ", ", "]"))
+      s"""
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], ${w(0)}) * 0.5,
+                   6) AS p0,
+             round(list_dot_product(embedding::DOUBLE[], ${w(1)}) * 0.5,
+                   6) AS p1,
+             round(list_dot_product(embedding::DOUBLE[], ${w(2)}) * 0.5,
+                   6) AS p2,
+             round(list_dot_product(embedding::DOUBLE[], ${w(3)}) * 0.5,
+                   6) AS p3
+      FROM embeddings ORDER BY vec_id"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6867,7 +6943,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202)
+    q198, q199, q200, q201, q202, q203, q204)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -44,30 +44,38 @@ object Evaluation {
    * [1e-15, 1−1e-15] inside the logs so degenerate 0/1 scores don't
    * produce infinities.
    */
-  def binaryMetrics(df: DataFrame, labelCol: String,
-      scoreCol: String): DataFrame = {
-    val base = df.select(col(labelCol).cast("double").as("__y"),
-        col(scoreCol).cast("double").as("__p"))
+  def binaryMetrics(df: DataFrame, labelCol: String, scoreCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gs = groupCols.map(col)
+    val base = df.select(gs :+ col(labelCol).cast("double").as("__y") :+
+        col(scoreCol).cast("double").as("__p"): _*)
       .where(col("__y").isNotNull && col("__p").isNotNull)
-    val vc = base.groupBy(col("__p").as("__s"))
+    val vc = base.groupBy(gs :+ col("__p").as("__s"): _*)
       .agg(sum(col("__y")).as("__pos"),
         count(lit(1)).cast("double").as("__tot"))
-    val ranked = PrefixSum.exclusive(vc, "__s", Seq("__tot" -> "__ex"))
+    // grouped: rank prefix sums run PER GROUP (hot groups still spread
+    // over buckets — PrefixSum's groupCols path), so a per-segment AUC
+    // is the same shuffle count as the corpus-level one
+    val ranked = PrefixSum
+      .exclusive(vc, "__s", Seq("__tot" -> "__ex"), groupCols = groupCols)
       .withColumn("__avgr", col("__ex") + (col("__tot") + 1) / lit(2.0))
     val aucRow = ranked
+      .groupBy(gs: _*)
       .agg(sum(col("__pos") * col("__avgr")).as("__rpos"),
         sum(col("__pos")).as("__np"), sum(col("__tot")).as("__n"))
-      .select(col("__n").cast("long").as("n"),
+      .select(gs ++ Seq(col("__n").cast("long").as("n"),
         col("__np").cast("long").as("n_pos"),
         (col("__n") - col("__np")).cast("long").as("n_neg"),
         ((col("__rpos") - col("__np") * (col("__np") + 1) / 2.0) /
-          (col("__np") * (col("__n") - col("__np")))).as("auc"))
+          (col("__np") * (col("__n") - col("__np")))).as("auc")): _*)
     val pc = least(greatest(col("__p"), lit(1e-15)), lit(1.0 - 1e-15))
-    val probRow = base.agg(
+    val probRow = base.groupBy(gs: _*).agg(
       avg(-(col("__y") * log(pc) + (lit(1.0) - col("__y")) *
         log(lit(1.0) - pc))).as("log_loss"),
       avg(pow(col("__p") - col("__y"), 2)).as("brier"))
-    aucRow.join(broadcast(probRow))
+    if (groupCols.isEmpty) aucRow.join(broadcast(probRow))
+    else PrefixSum.joinNullSafe(aucRow, probRow, groupCols,
+      broadcastRight = true)
   }
 
   /**

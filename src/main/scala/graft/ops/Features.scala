@@ -413,4 +413,29 @@ object Features {
         when(v.isNull, lit(null).cast("long")).otherwise(bucket.cast("long")))
       .drop((1 until n).map(i => s"__q$i"): _*)
   }
+
+  /**
+   * Johnson–Lindenstrauss random projection: embeddings → `outDim`
+   * dims via a fixed pseudo-random matrix, y_j = ⟨v, w_j⟩/√outDim —
+   * the cheap, data-independent complement to [[Pca]] (no fit pass at
+   * all; distances preserved within (1±ε) for outDim ≳ 8·ln n/ε²).
+   * The rows w_j are [[Similarity.planeWeights]] — md5-derived driver
+   * literals, so the projection is engine-replayable and an oracle can
+   * inline the identical matrix (the q26 LSH pattern).
+   *
+   * Map-only: `outDim` codegen'd native dots per row against broadcast
+   * literal arrays — no shuffle, no fit, no driver state. Returns
+   * (idCol, projected[outDim]).
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map { j =>
+      graft.functions.VectorFunctions.dot(v,
+        lit(Similarity.planeWeights(j, inDim))) * scale
+    }: _*)
+    df.select(col(idCol), proj.as("projected"))
+  }
 }

@@ -3292,6 +3292,42 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(w("C") - 900.0 / 1400) < 1e-12)
   }
 
+  test("binaryMetrics groupCols: per-group AUC matches hand pair-counts") {
+    import spark.implicits._
+    // g1: pos{0.9, 0.6} neg{0.1, 0.7} → 3 of 4 pairs ordered → 0.75
+    // g2: pos{0.5, 0.9} neg{0.5} → one tie (½) + one win → 0.75... no:
+    //     pairs = (0.5 vs 0.5 tie = 0.5) + (0.9 > 0.5 = 1) → 1.5/2 = 0.75
+    val df = Seq(("g1", 1.0, 0.9), ("g1", 0.0, 0.1), ("g1", 1.0, 0.6),
+      ("g1", 0.0, 0.7), ("g2", 1.0, 0.5), ("g2", 0.0, 0.5),
+      ("g2", 1.0, 0.9)).toDF("g", "label", "score")
+    val out = graft.ops.Evaluation
+      .binaryMetrics(df, "label", "score", groupCols = Seq("g"))
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 4 &&
+      math.abs(out(0).getAs[Double]("auc") - 0.75) < 1e-12)
+    assert(out(1).getAs[Long]("n") == 3 &&
+      math.abs(out(1).getAs[Double]("auc") - 0.75) < 1e-12)
+    // ungrouped call keeps its original 1-row shape
+    val g = graft.ops.Evaluation.binaryMetrics(df, "label", "score").collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n") == 7)
+  }
+
+  test("randomProject: JL projection equals scaled plane dots, map-only") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => (i + 1).toDouble)
+    val df = Seq((1L, v)).toDF("id", "vec")
+    val out = graft.ops.Features.randomProject(df, "id", "vec", 8, 3)
+      .head.getSeq[Double](1)
+    assert(out.size == 3)
+    val scale = 1.0 / math.sqrt(3.0)
+    (0 until 3).foreach { j =>
+      val w = graft.ops.Similarity.planeWeights(j, 8)
+      val expect = v.zip(w).map { case (a, b) => a * b }.sum * scale
+      assert(math.abs(out(j) - expect) < 1e-12, s"dim $j")
+    }
+  }
+
   test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
     import org.apache.spark.sql.types._
     import java.sql.Timestamp
