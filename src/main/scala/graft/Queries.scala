@@ -6923,6 +6923,84 @@ object Queries {
       FROM embeddings ORDER BY vec_id"""
     })
 
+  /** Shared pseudo-observational frame for q205/q206: the q142 coin as
+    * non-randomized "treatment", price-derived propensity & outcome. */
+  private def obsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      when((col("o_orderkey") % 100).cast("double") <
+        col("o_totalprice") / 5000.0, 1L).otherwise(0L).as("t"),
+      (col("o_totalprice") / 600000.0).as("p"),
+      (col("o_totalprice") / 1000.0).as("y"))
+
+  private val obsOrdersSql = """
+      sc AS (SELECT CASE WHEN (o_orderkey % 100) < o_totalprice / 5000.0
+                         THEN 1 ELSE 0 END AS t,
+                    o_totalprice / 600000.0 AS p,
+                    o_totalprice / 1000.0 AS y
+             FROM orders)"""
+
+  /** Propensity-score subclassification: 5 equal-width strata,
+    * treated-weighted pooled ATT; strata missing an arm surface with
+    * NULL diff instead of silently biasing the pool. */
+  private val q205 = Entry(
+    "q205_propensity_att",
+    (s, d) =>
+      graft.ops.Evaluation
+        .propensityStratification(obsOrders(s, d), col("t") === 1L,
+          "p", "y", bins = 5)
+        .select(col("stratum"), col("p_lo"), col("p_hi"), col("n_treat"),
+          col("n_ctrl"), r6(col("mean_treat")).as("mean_treat"),
+          r6(col("mean_ctrl")).as("mean_ctrl"), r6(col("diff")).as("diff"),
+          r6(col("att")).as("att"))
+        .orderBy("stratum"),
+    Some(s"""
+      WITH $obsOrdersSql,
+      c AS (
+        SELECT least(CAST(floor(p * 5) AS BIGINT), 4) AS stratum,
+               count(CASE WHEN t = 1 THEN 1 END) AS n_treat,
+               avg(CASE WHEN t = 1 THEN y END) AS mean_treat,
+               count(CASE WHEN t = 0 THEN 1 END) AS n_ctrl,
+               avg(CASE WHEN t = 0 THEN y END) AS mean_ctrl
+        FROM sc GROUP BY 1),
+      cd AS (
+        SELECT *, CASE WHEN n_treat > 0 AND n_ctrl > 0
+                       THEN mean_treat - mean_ctrl END AS diff
+        FROM c),
+      pool AS (SELECT sum(diff * n_treat) / sum(n_treat) AS att
+               FROM cd WHERE diff IS NOT NULL)
+      SELECT stratum, stratum / 5.0 AS p_lo, (stratum + 1) / 5.0 AS p_hi,
+             n_treat, n_ctrl, round(mean_treat, 6) AS mean_treat,
+             round(mean_ctrl, 6) AS mean_ctrl, round(diff, 6) AS diff,
+             round(att, 6) AS att
+      FROM cd, pool ORDER BY stratum"""))
+
+  /** Hájek-normalized inverse-propensity ATE with overlap clipping —
+    * one aggregation, one row. */
+  private val q206 = Entry(
+    "q206_ipw_ate",
+    (s, d) =>
+      graft.ops.Evaluation
+        .ipwEffect(obsOrders(s, d), col("t") === 1L, "p", "y",
+          clip = 0.01)
+        .select(col("n"), col("n_treat"),
+          r6(col("mean_treat_w")).as("mean_treat_w"),
+          r6(col("mean_ctrl_w")).as("mean_ctrl_w"),
+          r6(col("ate")).as("ate")),
+    Some(s"""
+      WITH $obsOrdersSql,
+      cl AS (SELECT t, y,
+                    least(greatest(p, 0.01), 0.99) AS pc
+             FROM sc)
+      SELECT count(*) AS n,
+             CAST(sum(t) AS BIGINT) AS n_treat,
+             round(sum(t * y / pc) / sum(t / pc), 6) AS mean_treat_w,
+             round(sum((1 - t) * y / (1 - pc)) /
+                   sum((1 - t) / (1 - pc)), 6) AS mean_ctrl_w,
+             round(sum(t * y / pc) / sum(t / pc) -
+                   sum((1 - t) * y / (1 - pc)) /
+                   sum((1 - t) / (1 - pc)), 6) AS ate
+      FROM cl"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -6943,7 +7021,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

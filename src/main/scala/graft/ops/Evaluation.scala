@@ -569,4 +569,81 @@ object Evaluation {
         (avg(abs(a - col("__f"))) / avg(abs(a - col("__naive"))))
           .as("mase"))
   }
+
+  /**
+   * Propensity-score stratification (Cochran/Rosenbaum–Rubin subclass
+   * matching) — the observational-data effect estimate when treatment
+   * wasn't randomized: rows are bucketed into `bins` equal-width
+   * propensity strata, per stratum the treated-vs-control outcome
+   * means difference, and the ATT pools those differences weighted by
+   * each stratum's TREATED count (ATE would weight by total count —
+   * `attWeighting = false` switches). Strata missing an arm drop out
+   * of the pooled estimate (their difference is undefined), reported
+   * with NULL diff so the caller sees the overlap violation.
+   *
+   * Returns per-stratum rows (stratum, p_lo, p_hi, n_treat, n_ctrl,
+   * mean_treat, mean_ctrl, diff) with the pooled estimate repeated on
+   * every row (`att`) — the ≤bins-row frame IS the report. One
+   * conditional aggregation over the input + 1-row broadcast algebra;
+   * no join back to the corpus.
+   */
+  def propensityStratification(df: DataFrame, treatCol: Column,
+      scoreCol: String, valueCol: String, bins: Int = 5,
+      attWeighting: Boolean = true): DataFrame = {
+    require(bins >= 2, "need at least 2 strata")
+    val p = col(scoreCol).cast("double")
+    val y = col(valueCol).cast("double")
+    // equal-width strata over [0,1]: stratum = ⌊p·bins⌋ clamped — a
+    // driver-free binning (quantile strata would add a percentile scan;
+    // equal-width is the standard first-line subclassification)
+    val strat = least(floor(p * bins).cast("long"), lit(bins - 1L))
+    val isT = col("__t") === 1L
+    val cells = df
+      .where(p.isNotNull && y.isNotNull)
+      .select(strat.as("stratum"),
+        when(treatCol, 1L).otherwise(0L).as("__t"), y.as("__y"))
+      .groupBy(col("stratum"))
+      .agg(count(when(isT, lit(1))).as("n_treat"),
+        avg(when(isT, col("__y"))).as("mean_treat"),
+        count(when(!isT, lit(1))).as("n_ctrl"),
+        avg(when(!isT, col("__y"))).as("mean_ctrl"))
+      .withColumn("diff",
+        when(col("n_treat") > 0 && col("n_ctrl") > 0,
+          col("mean_treat") - col("mean_ctrl")))
+      .withColumn("p_lo", col("stratum").cast("double") / bins)
+      .withColumn("p_hi", (col("stratum") + 1).cast("double") / bins)
+    val wCol = if (attWeighting) col("n_treat") else
+      col("n_treat") + col("n_ctrl")
+    val pooled = broadcast(cells.where(col("diff").isNotNull)
+      .agg((sum(col("diff") * wCol) / sum(wCol)).as("att")))
+    cells.crossJoin(pooled)
+      .select(col("stratum"), col("p_lo"), col("p_hi"), col("n_treat"),
+        col("n_ctrl"), col("mean_treat"), col("mean_ctrl"), col("diff"),
+        col("att"))
+  }
+
+  /**
+   * Inverse-propensity-weighted ATE (Horvitz–Thompson, Hájek-
+   * normalized): ATE = Σ(t·y/p)/Σ(t/p) − Σ((1−t)·y/(1−p))/Σ((1−t)/(1−p))
+   * — the normalized form, robust to propensity scores that don't
+   * average to the treatment rate. Propensities are clamped to
+   * [clip, 1−clip] (standard overlap trimming; extreme weights
+   * otherwise dominate the estimate). ONE aggregation, 1 row out:
+   * (n, n_treat, mean_treat_w, mean_ctrl_w, ate).
+   */
+  def ipwEffect(df: DataFrame, treatCol: Column, scoreCol: String,
+      valueCol: String, clip: Double = 0.01): DataFrame = {
+    require(clip >= 0 && clip < 0.5, "clip in [0, 0.5)")
+    val y = col(valueCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(clip)),
+      lit(1.0 - clip))
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    df.where(col(scoreCol).isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(t).cast("long").as("n_treat"),
+        (sum(t * y / p) / sum(t / p)).as("mean_treat_w"),
+        (sum((lit(1.0) - t) * y / (lit(1.0) - p)) /
+          sum((lit(1.0) - t) / (lit(1.0) - p))).as("mean_ctrl_w"))
+      .withColumn("ate", col("mean_treat_w") - col("mean_ctrl_w"))
+  }
 }

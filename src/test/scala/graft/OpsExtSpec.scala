@@ -3328,6 +3328,41 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("propensityStratification: strata means and treated-weighted ATT") {
+    import spark.implicits._
+    val df = Seq((1L, 0.3, 10.0), (0L, 0.3, 8.0), (1L, 0.7, 20.0),
+      (1L, 0.8, 22.0), (0L, 0.9, 15.0)).toDF("t", "p", "y")
+    val out = graft.ops.Evaluation
+      .propensityStratification(df, col("t") === 1L, "p", "y", bins = 2)
+      .orderBy("stratum").collect()
+    // s0: diff 10-8=2 (1 treated); s1: mean_t 21, mean_c 15 → diff 6
+    // (2 treated); ATT = (2·1 + 6·2)/3 = 14/3
+    assert(out.map(_.getAs[Long]("n_treat")).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0).getAs[Double]("diff") - 2.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("diff") - 6.0) < 1e-12)
+    assert(out.forall(r =>
+      math.abs(r.getAs[Double]("att") - 14.0 / 3) < 1e-12))
+    // total-weighted variant: (2·2 + 6·3)/5 = 4.4
+    val ate = graft.ops.Evaluation
+      .propensityStratification(df, col("t") === 1L, "p", "y", bins = 2,
+        attWeighting = false).head.getAs[Double]("att")
+    assert(math.abs(ate - 4.4) < 1e-12)
+  }
+
+  test("ipwEffect: Hajek-normalized means match hand arithmetic") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 10.0), (0L, 0.5, 6.0), (1L, 0.8, 20.0),
+      (0L, 0.2, 4.0)).toDF("t", "p", "y")
+    val r = graft.ops.Evaluation
+      .ipwEffect(df, col("t") === 1L, "p", "y").head
+    // treat: (10/.5 + 20/.8)/(1/.5 + 1/.8) = 45/3.25
+    // ctrl:  (6/.5 + 4/.8)/(1/.5 + 1/.8)  = 17/3.25
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("n_treat") == 2)
+    assert(math.abs(r.getAs[Double]("mean_treat_w") - 45.0 / 3.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_ctrl_w") - 17.0 / 3.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ate") - 28.0 / 3.25) < 1e-12)
+  }
+
   test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
     import org.apache.spark.sql.types._
     import java.sql.Timestamp
