@@ -100,4 +100,58 @@ object Sketches {
     else profiles.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Per-group Count–Min frequency sketches (Spark's native
+   * `count_min_sketch` aggregate — codegen'd, mergeable binary state):
+   * the third leg of the sketch family — HLL answers "how many
+   * distinct", KLL "what quantile", CMS "how often does item x occur"
+   * without materializing the full value histogram. Guarantees:
+   * est ≥ true, est ≤ true + ε·N with probability ≥ `confidence`.
+   * Insertion and merge are commutative counter additions, so the
+   * sketch bytes are deterministic for a fixed `seed` regardless of
+   * partitioning. One row per group: (`groupCols`…, `<c>_cms`, n).
+   */
+  def cmsProfile(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val aggs = Seq(
+      count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as(s"${valueCol}_cms"),
+      count(col(valueCol)).as("n"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Point-frequency estimates from a stored CMS binary — the
+   * METADATA-side read path (the sketch row is KBs; the raw corpus is
+   * never rescanned). `items` are the probes (e.g. a watchlist of
+   * suspected heavy hitters from [[Profiling]]).
+   */
+  def cmsEstimate(sketchBytes: Array[Byte],
+      items: Seq[Any]): Seq[(Any, Long)] = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    items.map(i => i -> cms.estimateCount(i))
+  }
+
+  /**
+   * Merge stored CMS profile rows (per-day → corpus) into one sketch.
+   * Input is PROFILE rows — KB-sized sketches at metadata cardinality
+   * (days × groups), so the driver-side merge is bounded by what a
+   * profile store holds, never by corpus size; the counter-wise
+   * addition is exact (merging then estimating ≡ sketching the union).
+   */
+  def cmsMerge(profiles: DataFrame, sketchCol: String): Array[Byte] = {
+    val rows = profiles.select(col(sketchCol)).collect()
+    require(rows.nonEmpty, "no profiles to merge")
+    val sketches = rows.map(r =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
+  }
 }

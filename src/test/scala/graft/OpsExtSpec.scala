@@ -3363,6 +3363,28 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ate") - 28.0 / 3.25) < 1e-12)
   }
 
+  test("cmsProfile: frequency estimates exact at low cardinality, merge ≡ union") {
+    import spark.implicits._
+    val day1 = Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(3)("c")
+    val day2 = Seq.fill(20)("a") ++ Seq.fill(5)("c") ++ Seq.fill(7)("d")
+    val df1 = day1.toDF("v"); val df2 = day2.toDF("v")
+    val p1 = graft.ops.Sketches.cmsProfile(df1, "v").head
+    val p2 = graft.ops.Sketches.cmsProfile(df2, "v").head
+    assert(p1.getAs[Long]("n") == 43 && p2.getAs[Long]("n") == 32)
+    // at this cardinality vs eps=0.001 width the estimates are exact
+    val est1 = graft.ops.Sketches
+      .cmsEstimate(p1.getAs[Array[Byte]]("v_cms"), Seq("a", "b", "c", "d"))
+      .map(_._2)
+    assert(est1 == Seq(30L, 10L, 3L, 0L))
+    // merged day sketches answer union-level frequencies with no rescan
+    val profiles = graft.ops.Sketches.cmsProfile(df1, "v")
+      .unionByName(graft.ops.Sketches.cmsProfile(df2, "v"))
+    val merged = graft.ops.Sketches.cmsMerge(profiles, "v_cms")
+    val estM = graft.ops.Sketches
+      .cmsEstimate(merged, Seq("a", "b", "c", "d")).map(_._2)
+    assert(estM == Seq(50L, 10L, 8L, 7L))
+  }
+
   test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
     import org.apache.spark.sql.types._
     import java.sql.Timestamp
