@@ -59,23 +59,27 @@ object Evaluation {
     val ranked = PrefixSum
       .exclusive(vc, "__s", Seq("__tot" -> "__ex"), groupCols = groupCols)
       .withColumn("__avgr", col("__ex") + (col("__tot") + 1) / lit(2.0))
-    val aucRow = ranked
+    // log-loss/Brier from the SAME distinct-score frame (per score s:
+    // __pos rows contribute −ln s̄ / (s−1)², the rest −ln(1−s̄) / s²) —
+    // one corpus scan total, where a separate row-level avg branch
+    // would re-scan the input just for the two probability metrics
+    val pc = least(greatest(col("__s"), lit(1e-15)), lit(1.0 - 1e-15))
+    val llTerm = -(col("__pos") * log(pc) +
+      (col("__tot") - col("__pos")) * log(lit(1.0) - pc))
+    val brTerm = col("__pos") * pow(col("__s") - 1.0, 2) +
+      (col("__tot") - col("__pos")) * pow(col("__s"), 2)
+    ranked
       .groupBy(gs: _*)
       .agg(sum(col("__pos") * col("__avgr")).as("__rpos"),
-        sum(col("__pos")).as("__np"), sum(col("__tot")).as("__n"))
+        sum(col("__pos")).as("__np"), sum(col("__tot")).as("__n"),
+        sum(llTerm).as("__ll"), sum(brTerm).as("__br"))
       .select(gs ++ Seq(col("__n").cast("long").as("n"),
         col("__np").cast("long").as("n_pos"),
         (col("__n") - col("__np")).cast("long").as("n_neg"),
         ((col("__rpos") - col("__np") * (col("__np") + 1) / 2.0) /
-          (col("__np") * (col("__n") - col("__np")))).as("auc")): _*)
-    val pc = least(greatest(col("__p"), lit(1e-15)), lit(1.0 - 1e-15))
-    val probRow = base.groupBy(gs: _*).agg(
-      avg(-(col("__y") * log(pc) + (lit(1.0) - col("__y")) *
-        log(lit(1.0) - pc))).as("log_loss"),
-      avg(pow(col("__p") - col("__y"), 2)).as("brier"))
-    if (groupCols.isEmpty) aucRow.join(broadcast(probRow))
-    else PrefixSum.joinNullSafe(aucRow, probRow, groupCols,
-      broadcastRight = true)
+          (col("__np") * (col("__n") - col("__np")))).as("auc"),
+        (col("__ll") / col("__n")).as("log_loss"),
+        (col("__br") / col("__n")).as("brier")): _*)
   }
 
   /**
@@ -612,6 +616,9 @@ object Evaluation {
           col("mean_treat") - col("mean_ctrl")))
       .withColumn("p_lo", col("stratum").cast("double") / bins)
       .withColumn("p_hi", (col("stratum") + 1).cast("double") / bins)
+      // ≤bins rows; both the pooled agg and the final report read it —
+      // without this the corpus aggregation above runs TWICE
+      .localCheckpoint()
     val wCol = if (attWeighting) col("n_treat") else
       col("n_treat") + col("n_ctrl")
     val pooled = broadcast(cells.where(col("diff").isNotNull)

@@ -401,6 +401,10 @@ object Sampling {
     require(maxEpochs > 0, "maxEpochs must be positive")
     val perSource = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokenCol).cast("double")).as("n_tokens"))
+      // ≤|sources| rows feeding four downstream branches (total weight,
+      // first-pass alloc, leftover, report) — materialize once or the
+      // corpus aggregation runs four times
+      .localCheckpoint()
     val wRaw = pow(col("n_tokens"), lit(1.0 / temperature))
     val weighted = perSource.withColumn("__w", wRaw)
     val totW = broadcast(weighted.agg(sum(col("__w")).as("__tw")))
