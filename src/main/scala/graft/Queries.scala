@@ -7001,6 +7001,40 @@ object Queries {
                    sum((1 - t) / (1 - pc)), 6) AS ate
       FROM cl"""))
 
+  /** Benford first-digit conformity of order totals: 9 digit rows with
+    * observed-vs-log10(1+1/d) frequencies, MAD and χ² repeated. */
+  private val q207 = Entry(
+    "q207_benford",
+    (s, d) =>
+      graft.ops.Profiling
+        .benfordConformity(Tables.orders(s, d), "o_totalprice")
+        .select(col("digit"), col("n"), r6(col("observed")).as("observed"),
+          r6(col("expected")).as("expected"), r6(col("mad")).as("mad"),
+          r6(col("chi2")).as("chi2"))
+        .orderBy("digit"),
+    Some("""
+      WITH v AS (SELECT abs(o_totalprice) AS x FROM orders
+                 WHERE abs(o_totalprice) > 0),
+      c AS (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS BIGINT)
+                     AS digit,
+                   count(*) AS n
+            FROM v GROUP BY 1),
+      g AS (SELECT d.digit, COALESCE(c.n, 0) AS n
+            FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+            LEFT JOIN c ON c.digit = d.digit),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM g),
+      p AS (SELECT digit, n, n / nt AS observed,
+                   log10(1.0 + 1.0 / digit) AS expected
+            FROM g, tot),
+      sc AS (SELECT avg(abs(observed - expected)) AS mad,
+                    (SELECT nt FROM tot) *
+                      sum(pow(observed - expected, 2) / expected) AS chi2
+             FROM p)
+      SELECT digit, n, round(observed, 6) AS observed,
+             round(expected, 6) AS expected, round(mad, 6) AS mad,
+             round(chi2, 6) AS chi2
+      FROM p, sc ORDER BY digit"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7021,7 +7055,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -112,4 +112,40 @@ object Profiling {
       .withColumn("row_share", col("n_rows") / col("__tot"))
       .drop("__tot")
   }
+
+  /**
+   * Benford's-law conformity of a measure column — the fraud/anomaly
+   * screen for "organically grown" magnitudes (amounts, populations,
+   * file sizes): the first significant digit d of such data follows
+   * P(d) = log₁₀(1 + 1/d). Returns exactly 9 rows (digit, n, observed,
+   * expected) — absent digits surface as n=0, not missing rows — with
+   * the two standard conformity scores repeated on each: MAD (mean
+   * |obs−exp|; Nigrini's thresholds: <0.006 close, >0.015 noncompliant)
+   * and the χ² statistic N·Σ(obs−exp)²/exp (8 df).
+   *
+   * One corpus aggregation (digit extraction is map-side arithmetic:
+   * d = ⌊v/10^⌊log₁₀ v⌋⌋ on |v|>0); everything after runs on the
+   * checkpointed ≤9-row digit frame.
+   */
+  def benfordConformity(df: DataFrame, valueCol: String): DataFrame = {
+    val v = abs(col(valueCol).cast("double"))
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+    val counts = df.where(v > 0.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val digits = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val perDigit = digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).cast("double")
+        .as("__N"))))
+      .withColumn("observed", col("n") / col("__N"))
+      .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .localCheckpoint() // 9 rows; conformity scores re-read it below
+    val scores = broadcast(perDigit.agg(
+      avg(abs(col("observed") - col("expected"))).as("mad"),
+      (max(col("__N")) * sum(pow(col("observed") - col("expected"), 2) /
+        col("expected"))).as("chi2")))
+    perDigit.crossJoin(scores)
+      .select(col("digit"), col("n"), col("observed"), col("expected"),
+        col("mad"), col("chi2"))
+  }
 }

@@ -3385,6 +3385,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(estM == Seq(50L, 10L, 8L, 7L))
   }
 
+  test("benfordConformity: digits, zero-fill, and hand-checked MAD/chi2") {
+    import spark.implicits._
+    // values: first digits 1,1,2,9 (0.05 → digit 5); no 3,4,6,7,8
+    val df = Seq(120.0, 0.0, 15.0, -230.0, 9000.0, 0.05).toDF("v")
+    val out = graft.ops.Profiling.benfordConformity(df, "v")
+      .orderBy("digit").collect()
+    assert(out.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    assert(out.map(_.getAs[Long]("n")).toSeq ==
+      Seq(2L, 1L, 0L, 0L, 1L, 0L, 0L, 0L, 1L)) // 0.0 dropped
+    val obs = out.map(_.getAs[Double]("observed"))
+    val exp = out.map(_.getAs[Double]("expected"))
+    assert(math.abs(obs(0) - 0.4) < 1e-12 &&
+      math.abs(exp(0) - math.log10(2.0)) < 1e-12)
+    val mad = obs.zip(exp).map { case (o, e) => math.abs(o - e) }.sum / 9
+    val chi2 = 5.0 * obs.zip(exp)
+      .map { case (o, e) => (o - e) * (o - e) / e }.sum
+    assert(math.abs(out(0).getAs[Double]("mad") - mad) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("chi2") - chi2) < 1e-12)
+  }
+
   test("Tables.load normalizes µs-NTZ parquet timestamps to TIMESTAMP") {
     import org.apache.spark.sql.types._
     import java.sql.Timestamp
