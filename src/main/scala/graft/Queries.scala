@@ -7035,6 +7035,47 @@ object Queries {
              round(chi2, 6) AS chi2
       FROM p, sc ORDER BY digit"""))
 
+  /** Conversion-window funnel: each step must land within 7 days of
+    * the previous step's reach time (q113's unbounded counterpart). */
+  private val q208 = Entry(
+    "q208_windowed_funnel",
+    (s, d) =>
+      graft.ops.Behavioral
+        .funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"),
+          maxGapSeconds = Some(7L * 86400))
+        .orderBy("step_idx"),
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts >= s1.t
+          AND epoch_us(e.ts) - epoch_us(s1.t) <= 604800000000
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s2.t
+          AND epoch_us(e.ts) - epoch_us(s2.t) <= 604800000000
+        GROUP BY 1),
+      s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+          AND epoch_us(e.ts) - epoch_us(s3.t) <= 604800000000
+        GROUP BY 1)
+      SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'click', count(*) FROM s3
+      UNION ALL
+      SELECT 4, 'purchase', count(*) FROM s4
+      ORDER BY step_idx"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7055,7 +7096,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -27,8 +27,10 @@ object Behavioral {
    * ONE lazy frame (no per-step driver action).
    */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     var reached = df.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       .persist()
@@ -39,9 +41,15 @@ object Behavioral {
     val stepCounts = scala.collection.mutable.ArrayBuffer(
       stepCount(reached, 1, steps.head))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      // conversion window: step i must land within maxGap of step i−1's
+      // reach time (the standard "converted within N days" funnel);
+      // unbounded when None — the original ever-converted semantics
+      val inWindow = maxGapSeconds.fold(lit(true))(g =>
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) <=
+          g * 1000000L)
       reached = df.where(col(typeCol) === s)
         .join(reached.select(col(userCol), col("__t").as("__prev")), userCol)
-        .where(col(tsCol) >= col("__prev"))
+        .where(col(tsCol) >= col("__prev") && inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
         .persist()
       stepCounts += stepCount(reached, i + 1, s)

@@ -1673,6 +1673,26 @@ class OpsExtSpec extends AnyFunSuite {
       (3, "buy", 1L)))
   }
 
+  test("funnel maxGapSeconds: conversions outside the window drop") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view 10 s after signup — outside a 5 s window
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 21L, "buy"),
+      // u2: signup→view in 4 s, buy 96 s later — drops at step 3
+      (2L, 0L, "signup"), (2L, 4L, "view"), (2L, 100L, "buy"),
+      // u3: fully inside the window
+      (3L, 0L, "signup"), (3L, 3L, "view"), (3L, 6L, "buy"))
+      .toDF("u", "t", "et")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val out = graft.ops.Behavioral
+      .funnel(ev, "u", "ts", "et", Seq("signup", "view", "buy"),
+        maxGapSeconds = Some(5L))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "signup", 3L), (2, "view", 2L),
+      (3, "buy", 1L)))
+  }
+
   test("cohortRetention: offsets count returning users per cohort") {
     import spark.implicits._
     val ev = Seq(
