@@ -7076,6 +7076,60 @@ object Queries {
       SELECT 4, 'purchase', count(*) FROM s4
       ORDER BY step_idx"""))
 
+  /** HBOS multivariate outliers over lineitem (quantity, price,
+    * discount): top-50 sparsest-bin rows, F broadcast joins, map-only
+    * scoring. */
+  private val q209 = Entry(
+    "q209_hbos_outliers",
+    (s, d) =>
+      graft.ops.Profiling
+        .hbosScore(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("hbos_score")).as("hbos_score"))
+        .orderBy(desc("hbos_score"), col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(50),
+    Some("""
+      WITH src AS (SELECT l_orderkey, l_linenumber,
+                          l_quantity AS v0, l_extendedprice AS v1,
+                          l_discount AS v2
+                   FROM lineitem),
+      b0 AS (SELECT min(v0) AS lo0, max(v0) AS hi0,
+                    count(v0)::DOUBLE AS n0 FROM src),
+      b1 AS (SELECT min(v1) AS lo1, max(v1) AS hi1,
+                    count(v1)::DOUBLE AS n1 FROM src),
+      b2 AS (SELECT min(v2) AS lo2, max(v2) AS hi2,
+                    count(v2)::DOUBLE AS n2 FROM src),
+      binned AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN hi0 <= lo0 THEN 0 ELSE
+                 least(greatest(CAST(floor((v0 - lo0) / (hi0 - lo0)
+                   * 10) AS BIGINT), 0), 9) END AS bin0,
+               CASE WHEN hi1 <= lo1 THEN 0 ELSE
+                 least(greatest(CAST(floor((v1 - lo1) / (hi1 - lo1)
+                   * 10) AS BIGINT), 0), 9) END AS bin1,
+               CASE WHEN hi2 <= lo2 THEN 0 ELSE
+                 least(greatest(CAST(floor((v2 - lo2) / (hi2 - lo2)
+                   * 10) AS BIGINT), 0), 9) END AS bin2
+        FROM src, b0, b1, b2),
+      h0 AS (SELECT bin0, count(*)::DOUBLE AS c0 FROM binned GROUP BY 1),
+      h1 AS (SELECT bin1, count(*)::DOUBLE AS c1 FROM binned GROUP BY 1),
+      h2 AS (SELECT bin2, count(*)::DOUBLE AS c2 FROM binned GROUP BY 1),
+      sc AS (
+        SELECT l_orderkey, l_linenumber,
+               ln((SELECT n0 FROM b0) / c0) +
+               ln((SELECT n1 FROM b1) / c1) +
+               ln((SELECT n2 FROM b2) / c2) AS score
+        FROM binned
+        JOIN h0 USING (bin0) JOIN h1 USING (bin1) JOIN h2 USING (bin2))
+      SELECT l_orderkey, l_linenumber, round(score, 6) AS hbos_score
+      FROM sc
+      ORDER BY hbos_score DESC, l_orderkey, l_linenumber LIMIT 50"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7096,7 +7150,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

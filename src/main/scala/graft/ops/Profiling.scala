@@ -114,6 +114,51 @@ object Profiling {
   }
 
   /**
+   * HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
+   * per feature, an equal-width histogram over [min, max]; a row's
+   * score is Σ_f log(N / n_bin_f(row)) — high when the row sits in
+   * sparse bins across features. The linear-time, embarrassingly
+   * parallel multivariate anomaly baseline (no pairwise distances, no
+   * model fit): each feature costs one 1-row bounds aggregate + one
+   * ≤bins-row histogram, and scoring is F BROADCAST hash joins on the
+   * bin index — no explode, no row-id regroup shuffle, map-only over
+   * the corpus. NULL features contribute 0 (a row is scored on the
+   * features it has). Appends `hbos_score`; row set unchanged.
+   *
+   * Determinism: bin index is the clamped ⌊(v−lo)/(hi−lo)·bins⌋ grid —
+   * the same literal float arithmetic any engine replays (the q04
+   * histogram contract).
+   */
+  def hbosScore(df: DataFrame, features: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(bins >= 2, "need at least 2 bins")
+    features.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
+      val v = col(f).cast("double")
+      val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"),
+        count(v).cast("double").as("__n"))
+      val binOf = when(col("__hi") <= col("__lo"), lit(0L)).otherwise(
+        least(greatest(floor((v - col("__lo")) /
+          (col("__hi") - col("__lo")) * bins), lit(0L)), lit(bins - 1L))
+          .cast("long"))
+      val hist = df.crossJoin(broadcast(bounds))
+        .where(v.isNotNull)
+        .groupBy(binOf.as(s"__b$i"))
+        .agg(count(lit(1)).cast("double").as(s"__c$i"),
+          max(col("__n")).as(s"__n$i"))
+      val withBin = acc.crossJoin(broadcast(bounds))
+        .withColumn(s"__b$i", when(v.isNotNull, binOf))
+        .drop("__lo", "__hi", "__n")
+      val prev = if (acc.columns.contains("hbos_score")) col("hbos_score")
+        else lit(0.0)
+      withBin.join(broadcast(hist), Seq(s"__b$i"), "left")
+        .withColumn("hbos_score",
+          prev + coalesce(log(col(s"__n$i") / col(s"__c$i")), lit(0.0)))
+        .drop(s"__b$i", s"__c$i", s"__n$i")
+    }.select(df.columns.map(col) :+ col("hbos_score"): _*)
+  }
+
+  /**
    * Benford's-law conformity of a measure column — the fraud/anomaly
    * screen for "organically grown" magnitudes (amounts, populations,
    * file sizes): the first significant digit d of such data follows

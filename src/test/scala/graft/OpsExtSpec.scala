@@ -3405,6 +3405,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(estM == Seq(50L, 10L, 8L, 7L))
   }
 
+  test("hbosScore: sparse bins score high, constants and NULLs add zero") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0), 7.0), (2L, Some(2.0), 7.0),
+      (3L, Some(3.0), 7.0), (4L, Some(4.0), 7.0),
+      (5L, Some(100.0), 7.0), (6L, None, 7.0)).toDF("id", "a", "b")
+    val out = graft.ops.Profiling
+      .hbosScore(df, Seq("a", "b"), bins = 2)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Double]("hbos_score"))
+    // feature a: n=5, bins over [1,100] → {1..4} in bin0 (c=4),
+    // 100 in bin1 (c=1); feature b constant → ln(1) = 0 for all;
+    // NULL a → 0 contribution
+    assert(out.take(4).forall(s => math.abs(s - math.log(5.0 / 4)) < 1e-12))
+    assert(math.abs(out(4) - math.log(5.0)) < 1e-12)
+    assert(out(5) == 0.0)
+    // schema: original columns + hbos_score appended
+    assert(graft.ops.Profiling.hbosScore(df, Seq("a"), 2).columns.toSeq ==
+      Seq("id", "a", "b", "hbos_score"))
+  }
+
   test("benfordConformity: digits, zero-fill, and hand-checked MAD/chi2") {
     import spark.implicits._
     // values: first digits 1,1,2,9 (0.05 → digit 5); no 3,4,6,7,8
