@@ -7130,6 +7130,71 @@ object Queries {
       FROM sc
       ORDER BY hbos_score DESC, l_orderkey, l_linenumber LIMIT 50"""))
 
+  /** Rank-based inverse-normal transform (Blom) of price per return
+    * flag — distinct (group, value) → z mapping, first 100. The oracle
+    * replays Acklam's probit from the SAME coefficient list (the SQL
+    * is generated from it — no transcription drift). */
+  private val q210 = Entry(
+    "q210_inverse_normal",
+    (s, d) =>
+      graft.ops.Features
+        .inverseNormalTransform(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            col("l_extendedprice")),
+          "l_extendedprice", Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          r6(col("int_z")).as("int_z"))
+        .distinct()
+        .orderBy("l_returnflag", "l_extendedprice")
+        .limit(100),
+    Some {
+      val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val dd = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      def h(cs: Seq[Double], x: String): String =
+        cs.tail.foldLeft(cs.head.toString)((acc, k) =>
+          s"($acc * $x + $k)")
+      s"""
+      WITH vc AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                         count(*) AS cnt
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL
+                  GROUP BY 1, 2),
+      r0 AS (SELECT g, v, cnt,
+                    COALESCE(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS ex,
+                    sum(cnt) OVER (PARTITION BY g) AS n
+             FROM vc),
+      p0 AS (SELECT g, v,
+                    (ex + (cnt + 1) / 2.0 - 0.375) / (n - 0.75 + 1.0)
+                      AS pr
+             FROM r0),
+      q0 AS (SELECT g, v, pr, pr - 0.5 AS qc,
+                    (pr - 0.5) * (pr - 0.5) AS rc,
+                    sqrt(-2.0 * ln(pr)) AS ql,
+                    sqrt(-2.0 * ln(1.0 - pr)) AS qu
+             FROM p0),
+      z0 AS (SELECT g, v,
+               CASE WHEN pr < 0.02425 THEN
+                 ${h(c, "ql")} / (${h(dd, "ql")} * ql + 1.0)
+               WHEN pr > 0.97575 THEN
+                 -(${h(c, "qu")} / (${h(dd, "qu")} * qu + 1.0))
+               ELSE ${h(a, "rc")} * qc / (${h(b, "rc")} * rc + 1.0)
+               END AS z
+             FROM q0)
+      SELECT g AS l_returnflag, v AS l_extendedprice,
+             round(z, 6) AS int_z
+      FROM z0 ORDER BY 1, 2 LIMIT 100"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7150,7 +7215,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -427,6 +427,78 @@ object Features {
    * literal arrays — no shuffle, no fit, no driver state. Returns
    * (idCol, projected[outDim]).
    */
+  /**
+   * Standard-normal inverse CDF Φ⁻¹(p) as a Column — Acklam's rational
+   * approximation (|ε| < 1.15e-9, the published coefficients), pure
+   * arithmetic so any engine replays it bit-for-bit (no special
+   * function dependence beyond ln/sqrt). Piecewise: central rational
+   * in q = p−½ on [0.02425, 0.97575], tail rationals in
+   * q = √(−2 ln p) outside.
+   */
+  private[graft] def probitCol(p: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def horner(cs: Seq[Double], x: org.apache.spark.sql.Column) =
+      cs.tail.foldLeft(lit(cs.head))((acc, k) => acc * x + lit(k))
+    val plow = 0.02425
+    val qc = p - lit(0.5)
+    val rc = qc * qc
+    val central = horner(a, rc) * qc / (horner(b, rc) * rc + lit(1.0))
+    val ql = sqrt(lit(-2.0) * log(p))
+    val lower = horner(c, ql) / (horner(d, ql) * ql + lit(1.0))
+    val qu = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val upper = -(horner(c, qu) / (horner(d, qu) * qu + lit(1.0)))
+    when(p < plow, lower).when(p > 1.0 - plow, upper).otherwise(central)
+  }
+
+  /**
+   * Rank-based inverse-normal transform (Blom scores) — the
+   * distribution-free normalization for heavy-tailed features (GWAS /
+   * robust-model standard): z = Φ⁻¹((r̄ − c)/(n − 2c + 1)) with
+   * midranks r̄ (ties share their average rank) and Blom's c = 3/8,
+   * per `groupCols` group (a per-source batch-effect removal when
+   * grouped). Appends `int_z`; row set unchanged.
+   *
+   * Scale shape: ranks come from a grouped [[PrefixSum]] over the
+   * DISTINCT (group, value) frame — never a per-row window — and the
+   * per-row assignment is one keyed join back on (group, value).
+   */
+  def inverseNormalTransform(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil, blomC: Double = 0.375): DataFrame = {
+    val gs = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val vc = df.where(v.isNotNull)
+      .groupBy(gs :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val totals =
+      if (groupCols.isEmpty)
+        vc.agg(sum(col("__cnt")).as("__n"))
+      else vc.groupBy(gs: _*).agg(sum(col("__cnt")).as("__n"))
+    val ranked0 = graft.analysis.PrefixSum
+      .exclusive(vc, "__v", Seq("__cnt" -> "__ex"), groupCols = groupCols)
+    val ranked =
+      if (groupCols.isEmpty) ranked0.crossJoin(broadcast(totals))
+      else graft.analysis.PrefixSum.joinNullSafe(ranked0, totals,
+        groupCols, broadcastRight = true)
+    val pr = (col("__ex") + (col("__cnt") + 1) / lit(2.0) - lit(blomC)) /
+      (col("__n") - lit(2 * blomC) + lit(1.0))
+    val zs = ranked
+      .select(gs ++ Seq(col("__v"), probitCol(pr).as("int_z")): _*)
+    graft.analysis.PrefixSum.joinNullSafe(
+      df.withColumn("__v", v), zs, groupCols :+ "__v", "left")
+      .drop("__v")
+  }
+
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       inDim: Int, outDim: Int): DataFrame = {
     require(outDim > 0 && inDim > 0, "dims must be positive")

@@ -3425,6 +3425,39 @@ class OpsExtSpec extends AnyFunSuite {
       Seq("id", "a", "b", "hbos_score"))
   }
 
+  test("probitCol matches published normal quantiles incl. tails") {
+    import spark.implicits._
+    val ps = Seq(0.5, 0.975, 0.01, 0.999, 0.0001, 0.8)
+    val out = ps.toDF("p")
+      .select(graft.ops.Features.probitCol(col("p")).as("z"))
+      .collect().map(_.getDouble(0))
+    val expect = Seq(0.0, 1.959964, -2.326348, 3.090232, -3.719016,
+      0.841621) // Φ⁻¹ reference values (1e-6 tables); Acklam ε < 1.2e-9
+    ps.indices.foreach { i =>
+      assert(math.abs(out(i) - expect(i)) < 5e-6, s"p=${ps(i)}")
+    }
+  }
+
+  test("inverseNormalTransform: Blom rankits for n=5, ties share ranks") {
+    import spark.implicits._
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0),
+      ("g", 50.0)).toDF("grp", "v")
+    val z = graft.ops.Features
+      .inverseNormalTransform(df, "v", Seq("grp"))
+      .orderBy("v").collect().map(_.getAs[Double]("int_z"))
+    // published Blom rankits for n=5: ±1.17986, ±0.49720, 0
+    val rankits = Seq(-1.17986, -0.49720, 0.0, 0.49720, 1.17986)
+    z.indices.foreach(i => assert(math.abs(z(i) - rankits(i)) < 1e-4))
+    // ties: two equal values share the midrank z
+    val tied = graft.ops.Features
+      .inverseNormalTransform(
+        Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.0))
+          .toDF("grp", "v"), "v", Seq("grp"))
+      .where(col("v") === 2.0).collect().map(_.getAs[Double]("int_z"))
+    assert(tied.length == 2 && tied(0) == tied(1))
+    assert(math.abs(tied(0)) < 1e-12) // midrank 2.5 of 4 → center
+  }
+
   test("benfordConformity: digits, zero-fill, and hand-checked MAD/chi2") {
     import spark.implicits._
     // values: first digits 1,1,2,9 (0.05 → digit 5); no 3,4,6,7,8
