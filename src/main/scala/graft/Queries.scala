@@ -7195,6 +7195,45 @@ object Queries {
       FROM z0 ORDER BY 1, 2 LIMIT 100"""
     })
 
+  /** Deterministic link-prediction negatives over the customer–
+    * supplier graph: hash-bucketed within-bucket pairs, thinned at 2%,
+    * anti-joined against real edges; first 200 pairs. */
+  private val q211 = Entry(
+    "q211_negative_edges",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.ops.Graph
+        .negativeEdges(edges, "src", "dst", buckets = 32,
+          keepRate = 0.02)
+        .orderBy("u", "v").limit(200)
+    },
+    Some("""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      canon AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+                FROM ed WHERE least(s, d) <> greatest(s, d)),
+      nodes AS (SELECT DISTINCT n FROM
+                  (SELECT u AS n FROM canon
+                   UNION SELECT v AS n FROM canon)),
+      nb AS (SELECT n,
+                    (('0x' || substring(md5(n), 1, 15))::BIGINT
+                      % 1048576) % 32 AS b
+             FROM nodes),
+      pairs AS (SELECT a.n AS u, b.n AS v
+                FROM nb a JOIN nb b ON a.b = b.b AND a.n < b.n),
+      thin AS (SELECT u, v FROM pairs
+               WHERE (('0x' || substring(md5(u || '|' || v), 1, 15))
+                 ::BIGINT % 1048576) < 20971),
+      neg AS (SELECT t.u, t.v FROM thin t
+              LEFT JOIN canon c ON t.u = c.u AND t.v = c.v
+              WHERE c.u IS NULL)
+      SELECT u, v FROM neg ORDER BY u, v LIMIT 200"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7215,7 +7254,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -155,6 +155,48 @@ object Graph {
    * once; labels are checkpointed per round (they feed the next
    * iteration — same lineage-truncation discipline as [[pageRank]]).
    */
+  /**
+   * Deterministic negative-edge sampling for link-prediction training
+   * data: candidate NON-edges drawn by hashing nodes into `buckets`
+   * and pairing within a bucket (u < v), minus the real edge set
+   * (both orientations canonicalized), thinned by the portable
+   * hash-threshold `keepRate`. Every step replays identically in any
+   * engine with md5 — the negatives a model trains on are a pure
+   * function of the edge set, not of partitioning or RNG state.
+   *
+   * Scale: per-bucket pairing is O((n/B)²) per bucket — choose
+   * `buckets` ≈ n/√(target pairs per bucket) so no bucket explodes;
+   * the anti-join against edges is one keyed join. The sampler is
+   * intentionally NOT uniform over all non-edges (within-bucket only)
+   * — standard practice, since uniform negatives need the full n²
+   * space the bucketing exists to avoid.
+   */
+  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      buckets: Int = 32, keepRate: Double = 1.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(keepRate > 0 && keepRate <= 1.0, "keepRate in (0, 1]")
+    val M = graft.functions.PortableHash.M
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val nodes = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n"))).distinct()
+      .withColumn("__b",
+        graft.functions.PortableHash.bucket(Seq(col("n"))) % buckets)
+      .localCheckpoint() // read twice by the self-pairing below
+    val pairs = nodes.as("a")
+      .join(nodes.as("b"),
+        col("a.__b") === col("b.__b") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"))
+    val thinned =
+      if (keepRate >= 1.0) pairs
+      else pairs.where(
+        graft.functions.PortableHash.bucket(Seq(col("u"), col("v"))) <
+          (keepRate * M).toLong)
+    thinned.join(canon, Seq("u", "v"), "left_anti")
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -3425,6 +3425,29 @@ class OpsExtSpec extends AnyFunSuite {
       Seq("id", "a", "b", "hbos_score"))
   }
 
+  test("negativeEdges: no real edges, no self-pairs, deterministic") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("e", "f")).toDF("s", "t")
+    val neg = graft.ops.Graph.negativeEdges(edges, "s", "t",
+      buckets = 1, keepRate = 1.0) // one bucket → all non-edges
+    val pairs = neg.collect().map(r => (r.getString(0), r.getString(1)))
+    // 6 nodes → 15 canonical pairs − 5 real edges = 10 negatives
+    assert(pairs.length == 10)
+    assert(pairs.forall { case (u, v) => u < v })
+    val real = Set(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+      ("e", "f"))
+    assert(pairs.forall(p => !real.contains(p)))
+    // determinism: same input → same set
+    val again = graft.ops.Graph.negativeEdges(edges, "s", "t", 1, 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == again.toSet)
+    // thinning keeps a strict subset
+    val thin = graft.ops.Graph.negativeEdges(edges, "s", "t", 1, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(thin.toSet.subsetOf(pairs.toSet) && thin.length < 10)
+  }
+
   test("probitCol matches published normal quantiles incl. tails") {
     import spark.implicits._
     val ps = Seq(0.5, 0.975, 0.01, 0.999, 0.0001, 0.8)
