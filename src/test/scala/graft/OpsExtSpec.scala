@@ -3425,6 +3425,60 @@ class OpsExtSpec extends AnyFunSuite {
       Seq("id", "a", "b", "hbos_score"))
   }
 
+  test("temporalSplit invariants over random key shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val frac = Seq(0.1, 0.2, 0.5)(rnd.nextInt(3))
+      val rows = (1 to 12).flatMap { k =>
+        (1 to (rnd.nextInt(9) + 1)).map(t => (s"k$k", t.toLong))
+      }
+      val df = rows.toDF("k", "t")
+      val out = graft.ops.Sampling.temporalSplit(df, Seq("k"), Seq("t"), frac)
+      assert(out.count() == rows.size) // row set unchanged
+      val per = out.groupBy("k").agg(
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+          count(lit(1)).as("n"),
+          max(when(col("split") === "train", col("t"))).as("maxTr"),
+          min(when(col("split") === "val", col("t"))).as("minVa"))
+        .collect()
+      per.foreach { r =>
+        val n = r.getAs[Long]("n"); val nv = r.getAs[Long]("nv")
+        assert(nv == math.min(math.ceil(n * frac).toLong, n - 1),
+          s"n=$n frac=$frac nv=$nv")
+        // every train row strictly precedes every val row (t unique/key)
+        if (nv > 0)
+          assert(r.getAs[Long]("maxTr") < r.getAs[Long]("minVa"))
+      }
+    }
+  }
+
+  test("mixturePlan invariants over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { _ =>
+      val srcs = (1 to (rnd.nextInt(6) + 2)).map(i =>
+        (s"s$i", (rnd.nextInt(900) + 100).toLong))
+      val budget = (rnd.nextInt(3000) + 500).toLong
+      val out = graft.ops.Sampling
+        .mixturePlan(srcs.toDF("src", "tok"), "src", "tok", budget,
+          temperature = Seq(0.5, 1.0, 2.0)(rnd.nextInt(3)),
+          maxEpochs = 1.5)
+        .collect()
+      val wSum = out.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(wSum - 1.0) < 1e-9)
+      out.foreach { r =>
+        val alloc = r.getAs[Double]("alloc_tokens")
+        val cap = r.getAs[Double]("n_tokens") * 1.5
+        assert(alloc >= -1e-9 && alloc <= cap + 1e-6)
+      }
+      // never allocates more than the budget (single waterfall round
+      // may leave budget UNUSED, never over-used)
+      assert(out.map(_.getAs[Double]("alloc_tokens")).sum <=
+        budget + 1e-6)
+    }
+  }
+
   test("negativeEdges: no real edges, no self-pairs, deterministic") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
