@@ -7234,6 +7234,48 @@ object Queries {
               WHERE c.u IS NULL)
       SELECT u, v FROM neg ORDER BY u, v LIMIT 200"""))
 
+  /** Nearest-centroid classification of the held-out embedding split:
+    * confusion counts (train = vec_id ≥ 100, test < 100); cosine
+    * ranked on the 6-decimal grid so both engines argmax identically. */
+  private val q212 = Entry(
+    "q212_nearest_centroid",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .nearestCentroid(e.where(col("vec_id") >= 100),
+          e.where(col("vec_id") < 100), "vec_id", "embedding", "label",
+          cosRound = Some(6))
+        .groupBy(col("true_label").cast("long").as("true_label"),
+          col("pred_label").cast("long").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                 FROM embeddings),
+      tr AS (SELECT * FROM e WHERE vec_id >= 100),
+      te AS (SELECT * FROM e WHERE vec_id < 100),
+      ex AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS p
+             FROM tr),
+      cm AS (SELECT label, p, avg(x) AS m FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, list(m ORDER BY p) AS cv FROM cm
+               GROUP BY 1),
+      sc AS (SELECT te.vec_id AS id, te.label AS tl,
+                    cent.label AS cl,
+                    round(list_dot_product(te.v, cent.cv) /
+                      (sqrt(list_dot_product(te.v, te.v)) *
+                       sqrt(list_dot_product(cent.cv, cent.cv))), 6)
+                      AS cos
+             FROM te CROSS JOIN cent),
+      pred AS (SELECT id, tl, cl FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id
+                   ORDER BY cos DESC, cl) AS rn FROM sc)
+               WHERE rn = 1)
+      SELECT tl::BIGINT AS true_label, cl::BIGINT AS pred_label,
+             count(*) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7254,7 +7296,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

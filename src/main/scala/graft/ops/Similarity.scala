@@ -762,4 +762,46 @@ object Similarity {
       probedQueries(queries, cents, nProbe, idCol, vecCol,
         quantized = false), k)
   }
+
+  /**
+   * Nearest-centroid (Rocchio) classification: per-label mean vectors
+   * from the train split, each test vector assigned to the
+   * max-cosine centroid. The distributed shape: centroid fitting is a
+   * posexplode + (label, dim) aggregation (the shuffle carries
+   * dims×train rows of 8-byte doubles, the standard vector-mean
+   * reduction), centroids (≤labels rows) broadcast into a map-side
+   * score, and the per-test argmax is a window over ≤labels candidate
+   * rows. Returns (id, true_label, pred_label, cos).
+   *
+   * `cosRound`: rank by the cosine ROUNDED to that many decimals
+   * (ties → smallest label). Distributed float sums are not
+   * bit-reproducible across engines, so an exact-replay consumer (the
+   * DuckDB oracle) needs ranking on a rounding grid; None ranks on the
+   * raw cosine.
+   */
+  def nearestCentroid(train: DataFrame, test: DataFrame, idCol: String,
+      vecCol: String, labelCol: String,
+      cosRound: Option[Int] = None): DataFrame = {
+    val cent = train
+      .select(col(labelCol).as("__lbl"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__p", "__x")))
+      .groupBy(col("__lbl"), col("__p")).agg(avg(col("__x")).as("__m"))
+      .groupBy(col("__lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("__p"),
+        col("__m")))), x => x.getField("__m")).as("__cv"))
+    val t = test.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("__tv"),
+      col(labelCol).as("true_label"))
+    val cos = graft.functions.VectorFunctions
+      .cosineSimilarity(col("__tv"), col("__cv"))
+    val scored = t.crossJoin(broadcast(cent))
+      .withColumn("__cos", cosRound.fold(cos)(d => round(cos, d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("__cos"), col("__lbl"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("true_label"),
+        col("__lbl").as("pred_label"), col("__cos").as("cos"))
+  }
 }

@@ -3479,6 +3479,24 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestCentroid: assigns to the closest label mean") {
+    import spark.implicits._
+    val train = Seq((1L, Array(1.0, 0.0), "A"), (2L, Array(1.0, 0.2), "A"),
+      (3L, Array(0.0, 1.0), "B"), (4L, Array(0.2, 1.0), "B"))
+      .toDF("id", "vec", "lbl")
+    val test = Seq((10L, Array(0.9, 0.1), "A"), (11L, Array(0.0, 2.0), "B"))
+      .toDF("id", "vec", "lbl")
+    val out = graft.ops.Similarity
+      .nearestCentroid(train, test, "id", "vec", "lbl")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("pred_label")).toSeq == Seq("A", "B"))
+    assert(out.forall(r =>
+      r.getAs[String]("true_label") == r.getAs[String]("pred_label")))
+    // centroid of B = (0.1, 1.0); cos((0,2),(0.1,1)) = 1/sqrt(1.01)
+    assert(math.abs(out(1).getAs[Double]("cos") -
+      1.0 / math.sqrt(1.01)) < 1e-12)
+  }
+
   test("negativeEdges: no real edges, no self-pairs, deterministic") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
