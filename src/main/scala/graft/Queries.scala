@@ -7276,6 +7276,47 @@ object Queries {
              count(*) AS n
       FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Top-20 three-step event paths over per-user streams (ties pinned
+    * by event_id). */
+  private val q213 = Entry(
+    "q213_top_paths",
+    (s, d) =>
+      graft.ops.Behavioral
+        .topPaths(Tables.events(s, d), "user_id", "ts", "event_type",
+          len = 3, k = 20, tieCols = Seq("event_id")),
+    Some("""
+      WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT event_type || '>' || s2 || '>' || s3 AS path
+            FROM o WHERE s3 IS NOT NULL AND s2 IS NOT NULL)
+      SELECT path, count(*) AS n FROM p
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
+
+  /** Blocklist screening of documents: per-doc listed-term hit totals,
+    * distinct terms, and the gate flag — map-only lambda counts. */
+  private val q214 = Entry(
+    "q214_blocklist",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .blocklistScore(Tables.documents(s, d), "doc_id", "text",
+          Seq("hash", "scan", "join", "filter"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['filter', 'hash', 'join', 'scan'],
+                                    x)) AS h
+        FROM documents)
+      SELECT doc_id, len(h) AS hits,
+             len(list_distinct(h)) AS distinct_terms,
+             len(h) > 0 AS flagged
+      FROM t ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7296,7 +7337,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

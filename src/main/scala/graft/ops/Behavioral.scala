@@ -58,6 +58,32 @@ object Behavioral {
   }
 
   /**
+   * Top-k most frequent length-`len` event paths — the sequence-mining
+   * readout behind "what do users actually do": every window of `len`
+   * consecutive events in a user's time-ordered stream (ties pinned by
+   * `tieCols` for determinism) becomes a path, counted corpus-wide.
+   * One user-partitioned lead window (bounded by per-user event
+   * count), one path-count aggregation, TakeOrdered for the top-k —
+   * no self-joins, no global window.
+   */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, len: Int = 3, k: Int = 20,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(len >= 2, "paths need at least 2 steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val steps = (1 until len).map(i => lead(col(typeCol), i).over(w))
+    val path = concat_ws(">", col(typeCol) +: steps: _*)
+    df.select(path.as("path"),
+        steps.last.isNotNull.as("__complete"))
+      .where(col("__complete"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(k)
+  }
+
+  /**
    * First-order Markov transition profile over per-user event
    * sequences: P(next event type | current type), estimated from every
    * consecutive pair in each user's time-ordered stream. One

@@ -983,4 +983,28 @@ object TextAnalysis {
         (col("__n1") / col("__n")).as("p0"))
       .orderBy("r")
   }
+
+  /**
+   * Blocklist screening — the word-list content gate every curation
+   * pipeline runs (toxicity lists, brand/safety terms, licensing
+   * markers): per document, total occurrences of listed terms, count
+   * of distinct listed terms present, and the flag. Map-only: the
+   * list is a broadcast array literal and both counts are codegen'd
+   * higher-order functions over the token array — no explode, no
+   * shuffle, no join; cost is O(tokens × |list|) per row with |list|
+   * in the tens (regex-compile a trie offline for big lists).
+   */
+  def blocklistScore(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], lowercase: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val txt = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = split(txt, " ")
+    val listed = lit(terms.map(t =>
+      if (lowercase) t.toLowerCase else t).distinct.sorted.toArray)
+    val hitToks = filter(toks, t => array_contains(listed, t))
+    df.select(col(idCol),
+      size(hitToks).as("hits"),
+      size(array_distinct(hitToks)).as("distinct_terms"),
+      (size(hitToks) > 0).as("flagged"))
+  }
 }

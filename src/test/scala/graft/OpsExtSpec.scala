@@ -3479,6 +3479,30 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("topPaths and blocklistScore: hand-checked counts") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (1L, 4L, "b"), (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("u", "t", "et")
+    val paths = graft.ops.Behavioral
+      .topPaths(ev, "u", "t", "et", len = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // u1: a>b>c, b>c>b; u2: a>b>c → a>b>c ×2 tops the list
+    assert(paths.head == ("a>b>c", 2L))
+    assert(paths.toSeq.contains(("b>c>b", 1L)) && paths.length == 2)
+
+    val docs = Seq((1L, "The Hash join beats scan hash"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val bl = graft.ops.TextAnalysis
+      .blocklistScore(docs, "doc_id", "text", Seq("hash", "scan"))
+      .orderBy("doc_id").collect()
+    // lowercased: hash ×2 + scan ×1 = 3 hits, 2 distinct terms
+    assert(bl(0).getAs[Int]("hits") == 3 &&
+      bl(0).getAs[Int]("distinct_terms") == 2 &&
+      bl(0).getAs[Boolean]("flagged"))
+    assert(bl(1).getAs[Int]("hits") == 0 && !bl(1).getAs[Boolean]("flagged"))
+  }
+
   test("nearestCentroid: assigns to the closest label mean") {
     import spark.implicits._
     val train = Seq((1L, Array(1.0, 0.0), "A"), (2L, Array(1.0, 0.2), "A"),
