@@ -7317,6 +7317,68 @@ object Queries {
              len(h) > 0 AS flagged
       FROM t ORDER BY doc_id"""))
 
+  /** End-to-end curation funnel per source: structural quality gate →
+    * exact dedup (keep-first among survivors) → blocklist clean — the
+    * three library gates composed, reported as per-source stage
+    * counts. */
+  private val q215 = Entry(
+    "q215_curation_funnel",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val flags = graft.ops.TextAnalysis
+        .qualityFlags(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pass"))
+      val bl = graft.ops.TextAnalysis
+        .blocklistScore(docs, "doc_id", "text",
+          Seq("hash", "scan", "join", "filter"))
+        .select(col("doc_id"), col("hits"))
+      val base = docs.select("doc_id", "source", "text")
+        .join(flags, "doc_id").join(bl, "doc_id")
+      val keepers = base.where(col("pass"))
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).withColumn("__kept", lit(true))
+      base.join(keepers, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("pass") && col("__kept").isNotNull, 1L)
+            .otherwise(0L)).as("n_dedup"),
+          sum(when(col("pass") && col("__kept").isNotNull &&
+              col("hits") === 0, 1L).otherwise(0L)).as("n_clean"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, text,
+                        string_split(text, ' ') AS w
+                 FROM documents),
+      f AS (SELECT doc_id, source, text,
+                   (len(w) BETWEEN 20 AND 100000
+                    AND (length(text) - (len(w) - 1))
+                        / CAST(len(w) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    AND len(list_intersect(list_distinct(w),
+                          ['the','a','of','and','to','in','is','that']))
+                        >= 2
+                    AND len(list_filter(w,
+                          x -> regexp_matches(x, '^[A-Za-z]+$')))
+                        / CAST(len(w) AS DOUBLE) >= 0.8) AS pass,
+                   len(list_filter(string_split(lower(text), ' '),
+                     x -> list_contains(
+                       ['filter', 'hash', 'join', 'scan'], x))) AS hits
+            FROM t),
+      k AS (SELECT min(doc_id) AS doc_id FROM f WHERE pass
+            GROUP BY text)
+      SELECT source,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+             CAST(sum(CASE WHEN pass AND k.doc_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+             CAST(sum(CASE WHEN pass AND k.doc_id IS NOT NULL
+                            AND hits = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      FROM f LEFT JOIN k ON f.doc_id = k.doc_id
+      GROUP BY source ORDER BY source"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7337,7 +7399,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
