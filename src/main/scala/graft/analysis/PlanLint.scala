@@ -1,0 +1,92 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+
+/**
+ * Scale linter for query plans — the library's own 100 TB discipline
+ * ("no cartesian products, no single-partition windows, no
+ * corpus-sized broadcasts") productized, so pipelines can gate
+ * themselves the way this repo's review gates do. Walks the OPTIMIZED
+ * logical plan (post-Catalyst, so eliminated constructs don't
+ * false-positive) and returns findings; [[assertScaleSafe]] throws on
+ * any, for use in CI or before an expensive action.
+ *
+ * Rules:
+ *  - `cartesian-product`: a Join with no condition (cross or
+ *    condition-free inner) where BOTH sides' size estimates exceed
+ *    `broadcastableBytes` — 1-row/stat-frame crossJoins (this
+ *    library's own broadcast-algebra idiom) pass.
+ *  - `unpartitioned-window`: a Window whose partitionSpec is empty —
+ *    the whole input moves through ONE task regardless of cluster
+ *    size.
+ *  - `oversized-broadcast`: a broadcast-hinted subtree whose estimate
+ *    exceeds `maxBroadcastBytes` (default 1 GiB) — executor-OOM bait.
+ *
+ * Estimates come from Catalyst statistics (file sizes through
+ * projections), the same numbers the planner's own broadcast decision
+ * uses: imperfect, but biased the safe way for a LINTER (overestimates
+ * flag, underestimates defer to AQE at runtime).
+ */
+object PlanLint {
+
+  final case class Finding(rule: String, detail: String)
+
+  def audit(df: DataFrame,
+      broadcastableBytes: Long = 64L << 20,
+      maxBroadcastBytes: Long = 1L << 30): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    def size(p: LogicalPlan): BigInt = p.stats.sizeInBytes
+    // joins and windows: the OPTIMIZED plan (post-Catalyst — pushed
+    // predicates may have turned a cross join into an equi-join, and
+    // eliminated windows shouldn't flag)
+    df.queryExecution.optimizedPlan.foreach {
+      case j: Join if j.condition.isEmpty &&
+          (j.joinType == Cross || j.joinType == Inner) =>
+        val (l, r) = (size(j.left), size(j.right))
+        if (l > broadcastableBytes && r > broadcastableBytes)
+          out += Finding("cartesian-product",
+            s"join of ~$l x ~$r byte sides with no condition")
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        out += Finding("unpartitioned-window",
+          s"window [${w.windowExpressions.map(_.name).mkString(",")}] " +
+            "moves the whole input through one task")
+      case _ =>
+    }
+    // broadcast hints: the ANALYZED plan — the optimizer's
+    // EliminateResolvedHint folds hints into Join nodes, so they are
+    // invisible post-optimization. Size estimates are only trustworthy
+    // when nothing below the hint reduces cardinality (size-only stats
+    // pass aggregates through at child size), so the rule targets the
+    // actual smell — broadcasting a RAW corpus-sized relation — and
+    // stays silent on the bounded post-aggregation frames whose
+    // estimates are meaninglessly inflated.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, GlobalLimit, ResolvedHint}
+    df.queryExecution.analyzed.foreach {
+      case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.toUpperCase.contains("BROADCAST")) =>
+        val reduces = h.child.exists {
+          case _: Aggregate | _: Distinct | _: Deduplicate |
+               _: GlobalLimit => true
+          case _ => false
+        }
+        val s = size(h.child)
+        if (!reduces && s > maxBroadcastBytes)
+          out += Finding("oversized-broadcast",
+            s"broadcast hint on ~$s byte un-aggregated subtree")
+      case _ =>
+    }
+    out.result()
+  }
+
+  /** Throw (with every finding in the message) if the plan violates
+    * the scale rules — the CI-gate form of [[audit]]. */
+  def assertScaleSafe(df: DataFrame): Unit = {
+    val findings = audit(df)
+    if (findings.nonEmpty)
+      throw new IllegalStateException(
+        "plan fails scale lint:\n" + findings
+          .map(f => s"  [${f.rule}] ${f.detail}").mkString("\n"))
+  }
+}

@@ -3479,6 +3479,41 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("PlanLint flags cartesian/window/broadcast smells, passes clean plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.analysis.PlanLint
+    val big = spark.range(1000000).toDF("id")
+    // cartesian of two big sides → flagged; tiny thresholds force it
+    val cart = big.crossJoin(big.withColumnRenamed("id", "id2"))
+    assert(PlanLint.audit(cart, broadcastableBytes = 1024)
+      .exists(_.rule == "cartesian-product"))
+    // 1-row stat-frame crossJoin (the library idiom) passes at defaults
+    val statJoin = big.crossJoin(big.agg(max(col("id")).as("mx")))
+    assert(PlanLint.audit(statJoin).isEmpty)
+    // unpartitioned window → flagged
+    val w = big.withColumn("rn",
+      row_number().over(Window.orderBy(col("id"))))
+    assert(PlanLint.audit(w).exists(_.rule == "unpartitioned-window"))
+    // per-key window passes
+    val wk = big.withColumn("rn", row_number().over(
+      Window.partitionBy(col("id") % 10).orderBy(col("id"))))
+    assert(PlanLint.audit(wk).isEmpty)
+    // oversized broadcast hint → flagged at a tiny threshold
+    val bj = big.join(broadcast(big.withColumnRenamed("id", "id2")),
+      col("id") === col("id2"))
+    assert(PlanLint.audit(bj, maxBroadcastBytes = 1024)
+      .exists(_.rule == "oversized-broadcast"))
+    // the gate form throws with the findings in the message
+    val ex = intercept[IllegalStateException](
+      PlanLint.assertScaleSafe(w))
+    assert(ex.getMessage.contains("unpartitioned-window"))
+    // and a representative library query is scale-clean
+    assert(PlanLint.audit(
+      SparkEntry.queries("q06_percentiles")(spark,
+        "/root/testdata/sf0.001")).isEmpty)
+  }
+
   test("topPaths and blocklistScore: hand-checked counts") {
     import spark.implicits._
     val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
