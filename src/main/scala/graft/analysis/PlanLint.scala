@@ -38,6 +38,17 @@ object PlanLint {
       maxBroadcastBytes: Long = 1L << 30): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     def size(p: LogicalPlan): BigInt = p.stats.sizeInBytes
+    // size-only stats pass aggregates through at child size, so a
+    // subtree containing a cardinality reducer has a meaninglessly
+    // inflated estimate — such sides are the library's bounded
+    // stat-frame idiom, not corpus-sized data
+    def reduces(p: LogicalPlan): Boolean = p.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate |
+           _: org.apache.spark.sql.catalyst.plans.logical.Distinct |
+           _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate |
+           _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _ => false
+    }
     // joins and windows: the OPTIMIZED plan (post-Catalyst — pushed
     // predicates may have turned a cross join into an equi-join, and
     // eliminated windows shouldn't flag)
@@ -45,7 +56,8 @@ object PlanLint {
       case j: Join if j.condition.isEmpty &&
           (j.joinType == Cross || j.joinType == Inner) =>
         val (l, r) = (size(j.left), size(j.right))
-        if (l > broadcastableBytes && r > broadcastableBytes)
+        if (l > broadcastableBytes && r > broadcastableBytes &&
+            !reduces(j.left) && !reduces(j.right))
           out += Finding("cartesian-product",
             s"join of ~$l x ~$r byte sides with no condition")
       case w: LWindow if w.partitionSpec.isEmpty =>
@@ -62,17 +74,12 @@ object PlanLint {
     // actual smell — broadcasting a RAW corpus-sized relation — and
     // stays silent on the bounded post-aggregation frames whose
     // estimates are meaninglessly inflated.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, GlobalLimit, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     df.queryExecution.analyzed.foreach {
       case h: ResolvedHint if h.hints.strategy.exists(
             _.toString.toUpperCase.contains("BROADCAST")) =>
-        val reduces = h.child.exists {
-          case _: Aggregate | _: Distinct | _: Deduplicate |
-               _: GlobalLimit => true
-          case _ => false
-        }
         val s = size(h.child)
-        if (!reduces && s > maxBroadcastBytes)
+        if (!reduces(h.child) && s > maxBroadcastBytes)
           out += Finding("oversized-broadcast",
             s"broadcast hint on ~$s byte un-aggregated subtree")
       case _ =>

@@ -3514,6 +3514,23 @@ class OpsExtSpec extends AnyFunSuite {
         "/root/testdata/sf0.001")).isEmpty)
   }
 
+  test("every registered query passes the scale lint") {
+    // suite-wide guarantee: none of the 215 declared plans contains a
+    // cartesian product of big sides, an unpartitioned window, or a
+    // raw oversized broadcast (sf0.001 so checkpoint-materializing
+    // queries stay cheap)
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try graft.analysis.PlanLint.audit(fn(spark, dir))
+          .map(f => s"$name: [${f.rule}] ${f.detail}")
+        catch { case e: Throwable =>
+          Seq(s"$name: audit construction failed: ${e.getMessage}")
+        }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("topPaths and blocklistScore: hand-checked counts") {
     import spark.implicits._
     val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
