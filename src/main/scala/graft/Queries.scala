@@ -7379,6 +7379,40 @@ object Queries {
       FROM f LEFT JOIN k ON f.doc_id = k.doc_id
       GROUP BY source ORDER BY source"""))
 
+  /** Image patch-grid planning (ViT shape): synthetic per-doc
+    * dimensions → patch rows with grid coords and byte offsets. */
+  private val q216 = Entry(
+    "q216_image_patch_plan",
+    (s, d) =>
+      graft.ops.Multimodal
+        .imagePatchPlan(
+          Tables.documents(s, d).where(col("doc_id") < 20)
+            .select(col("doc_id"),
+              (lit(64) + (col("doc_id") % 3) * 32).as("w"),
+              (lit(48) + (col("doc_id") % 2) * 16).as("h")),
+          "doc_id", "w", "h", patch = 16, bytesPerPixel = 3)
+        .orderBy("doc_id", "patch_id"),
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(64 + (doc_id % 3) * 32 AS BIGINT) AS w,
+               CAST(48 + (doc_id % 2) * 16 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 20),
+      g AS (SELECT doc_id, w,
+                   CAST(ceil(w / 16.0) AS BIGINT) AS n_px,
+                   CAST(ceil(h / 16.0) AS BIGINT) AS n_py
+            FROM m),
+      p AS (SELECT doc_id, w, n_px, n_py,
+                   unnest(range(0, n_px * n_py)) AS patch_id
+            FROM g WHERE n_px > 0 AND n_py > 0)
+      SELECT doc_id, patch_id,
+             patch_id % n_px AS px,
+             patch_id // n_px AS py,
+             n_px, n_py,
+             ((patch_id // n_px) * 16 * w + (patch_id % n_px) * 16) * 3
+               AS start_byte
+      FROM p ORDER BY doc_id, patch_id"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7399,7 +7433,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

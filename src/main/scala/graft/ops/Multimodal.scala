@@ -190,4 +190,37 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /**
+   * ViT-style patch-grid planning for image payloads: the (width,
+   * height) metadata becomes a ⌈w/p⌉×⌈h/p⌉ patch grid, one row per
+   * patch with its grid coordinates and the byte offset of its
+   * top-left pixel in the row-major uncompressed layout — the
+   * schema/partitioning shape a patch-embedding pipeline consumes
+   * (the decode itself is the stubbed extractor contract, same as
+   * [[frameSample]]). Map-only; output bounded at patches-per-image
+   * rows; edge patches are clipped by construction (`px`/`py` carry
+   * the grid position, consumers pad).
+   */
+  def imagePatchPlan(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, patch: Int = 16,
+      bytesPerPixel: Int = 3): DataFrame = {
+    require(patch > 0 && bytesPerPixel > 0,
+      "patch and bytesPerPixel must be > 0")
+    val w = col(widthCol).cast("long")
+    val h = col(heightCol).cast("long")
+    val npx = ceil(w.cast("double") / patch).cast("long")
+    val npy = ceil(h.cast("double") / patch).cast("long")
+    df.select(col(idCol), w.as("__w"), npx.as("n_px"), npy.as("n_py"))
+      .where(col("n_px") > 0 && col("n_py") > 0)
+      .withColumn("patch_id",
+        explode(sequence(lit(0L), col("n_px") * col("n_py") - 1)))
+      .select(col(idCol), col("patch_id"),
+        (col("patch_id") % col("n_px")).as("px"),
+        (col("patch_id") / col("n_px")).cast("long").as("py"),
+        col("n_px"), col("n_py"),
+        (((col("patch_id") / col("n_px")).cast("long") * patch *
+          col("__w") + (col("patch_id") % col("n_px")) * patch) *
+          bytesPerPixel).as("start_byte"))
+  }
 }
