@@ -7413,6 +7413,49 @@ object Queries {
                AS start_byte
       FROM p ORDER BY doc_id, patch_id"""))
 
+  /** Per-cohort exponential retention decay: closed-form OLS slope of
+    * ln retention over weekly offsets, with half-life. */
+  private val q217 = Entry(
+    "q217_retention_decay",
+    (s, d) =>
+      graft.ops.Behavioral
+        .retentionDecay(Tables.events(s, d), "user_id", "ts", "week")
+        .select(col("cohort").cast("date").as("cohort"), col("n_points"),
+          r6(col("decay_rate")).as("decay_rate"),
+          r6(col("half_life_periods")).as("half_life_periods"))
+        .orderBy("cohort"),
+    Some("""
+      WITH f AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+        FROM events),
+      ret AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT)
+                 AS period_offset,
+               count(*) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2),
+      b AS (SELECT cohort, n_users AS n0 FROM ret
+            WHERE period_offset = 0),
+      lr AS (SELECT ret.cohort,
+                    CAST(period_offset AS DOUBLE) AS x,
+                    ln(n_users / CAST(n0 AS DOUBLE)) AS y
+             FROM ret JOIN b USING (cohort) WHERE n_users > 0),
+      fit AS (SELECT cohort, count(*) AS n_points,
+                     covar_pop(x, y) AS cv, var_pop(x) AS vr
+              FROM lr GROUP BY 1),
+      o AS (SELECT cohort, n_points,
+                   CASE WHEN vr > 0 THEN cv / vr END AS decay
+            FROM fit)
+      SELECT CAST(cohort AS DATE) AS cohort, n_points,
+             round(decay, 6) AS decay_rate,
+             round(CASE WHEN decay < 0 THEN -ln(2.0) / decay END, 6)
+               AS half_life_periods
+      FROM o ORDER BY cohort"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7433,7 +7476,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

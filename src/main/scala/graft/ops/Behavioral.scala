@@ -84,6 +84,39 @@ object Behavioral {
   }
 
   /**
+   * Exponential retention-decay fit per cohort: regress
+   * ln(retention ratio) on the period offset (closed-form population
+   * OLS slope — cov/var, no iterative fit) over [[cohortRetention]]'s
+   * output, yielding each cohort's decay rate and half-life. The fit
+   * runs on the ≤cohorts×offsets retention frame — corpus size only
+   * enters through cohortRetention's one (user, period) dedup. Cohorts
+   * with a single observed offset return NULL decay (no slope from one
+   * point; 0/0 is an error under ANSI, not a NaN).
+   * Returns (cohort, n_points, decay_rate, half_life_periods).
+   */
+  def retentionDecay(df: DataFrame, userCol: String, tsCol: String,
+      granularity: String = "week"): DataFrame = {
+    val ret = cohortRetention(df, userCol, tsCol, granularity)
+    val base = ret.where(col("period_offset") === 0)
+      .select(col("cohort"), col("n_users").as("__n0"))
+    val x = col("period_offset").cast("double")
+    ret.join(base, "cohort")
+      .where(col("n_users") > 0)
+      .withColumn("__lr",
+        log(col("n_users").cast("double") / col("__n0")))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_points"),
+        covar_pop(x, col("__lr")).as("__cov"),
+        var_pop(x).as("__var"))
+      .withColumn("decay_rate",
+        when(col("__var") > 0, col("__cov") / col("__var")))
+      .withColumn("half_life_periods",
+        when(col("decay_rate") < 0,
+          -lit(math.log(2.0)) / col("decay_rate")))
+      .drop("__cov", "__var")
+  }
+
+  /**
    * First-order Markov transition profile over per-user event
    * sequences: P(next event type | current type), estimated from every
    * consecutive pair in each user's time-ordered stream. One

@@ -3555,6 +3555,31 @@ class OpsExtSpec extends AnyFunSuite {
     assert(bl(1).getAs[Int]("hits") == 0 && !bl(1).getAs[Boolean]("flagged"))
   }
 
+  test("retentionDecay: exact half-life on a constructed halving cohort") {
+    import spark.implicits._
+    // 4 users week0; 2 return week1; 1 returns week2 → retention
+    // 1, 0.5, 0.25 → slope of ln r is exactly −ln 2 → half-life 1
+    val ev = (
+      (1 to 4).map(u => (u.toLong, "2024-01-01")) ++
+        Seq((1L, "2024-01-08"), (2L, "2024-01-08")) ++
+        Seq((1L, "2024-01-15"))
+      ).toDF("u", "d").withColumn("ts", col("d").cast("timestamp"))
+    val out = graft.ops.Behavioral
+      .retentionDecay(ev, "u", "ts", "week").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_points") == 3)
+    assert(math.abs(out(0).getAs[Double]("decay_rate") -
+      -math.log(2.0)) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("half_life_periods") - 1.0)
+      < 1e-12)
+    // single-offset cohort → NULL decay, not 0/0
+    val one = graft.ops.Behavioral.retentionDecay(
+      Seq((9L, "2024-01-01")).toDF("u", "d")
+        .withColumn("ts", col("d").cast("timestamp")), "u", "ts", "week")
+      .collect()
+    assert(one.length == 1 &&
+      one(0).isNullAt(one(0).fieldIndex("decay_rate")))
+  }
+
   test("nearestCentroid: assigns to the closest label mean") {
     import spark.implicits._
     val train = Seq((1L, Array(1.0, 0.0), "A"), (2L, Array(1.0, 0.2), "A"),
