@@ -7196,8 +7196,10 @@ object Queries {
     })
 
   /** Deterministic link-prediction negatives over the customer–
-    * supplier graph: hash-bucketed within-bucket pairs, thinned at 2%,
-    * anti-joined against real edges; first 200 pairs. */
+    * supplier graph: ~5 hash-bucketed candidates per node (bucket
+    * count derived from N so generation is output-sized — no
+    * enumerate-then-thin), anti-joined against real edges; first 200
+    * pairs. */
   private val q211 = Entry(
     "q211_negative_edges",
     (s, d) => {
@@ -7207,8 +7209,7 @@ object Queries {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
       graft.ops.Graph
-        .negativeEdges(edges, "src", "dst", buckets = 32,
-          keepRate = 0.02)
+        .negativeEdges(edges, "src", "dst", perNode = 5)
         .orderBy("u", "v").limit(200)
     },
     Some("""
@@ -7220,17 +7221,17 @@ object Queries {
       nodes AS (SELECT DISTINCT n FROM
                   (SELECT u AS n FROM canon
                    UNION SELECT v AS n FROM canon)),
+      nn AS (SELECT greatest(1, CAST(ceil(count(*) / 6.0) AS BIGINT))
+               AS bkts
+             FROM nodes),
       nb AS (SELECT n,
                     (('0x' || substring(md5(n), 1, 15))::BIGINT
-                      % 1048576) % 32 AS b
-             FROM nodes),
+                      % 1048576) % nn.bkts AS b
+             FROM nodes, nn),
       pairs AS (SELECT a.n AS u, b.n AS v
                 FROM nb a JOIN nb b ON a.b = b.b AND a.n < b.n),
-      thin AS (SELECT u, v FROM pairs
-               WHERE (('0x' || substring(md5(u || '|' || v), 1, 15))
-                 ::BIGINT % 1048576) < 20971),
-      neg AS (SELECT t.u, t.v FROM thin t
-              LEFT JOIN canon c ON t.u = c.u AND t.v = c.v
+      neg AS (SELECT p.u, p.v FROM pairs p
+              LEFT JOIN canon c ON p.u = c.u AND p.v = c.v
               WHERE c.u IS NULL)
       SELECT u, v FROM neg ORDER BY u, v LIMIT 200"""))
 

@@ -138,6 +138,55 @@ object Graph {
   }
 
   /**
+   * Deterministic negative-edge sampling for link-prediction training
+   * data: candidate NON-edges drawn by hashing nodes into data-sized
+   * buckets and pairing within a bucket (u < v), minus the real edge
+   * set (both orientations canonicalized). Every step replays
+   * identically in any engine with md5 — the negatives a model trains
+   * on are a pure function of the edge set, not of partitioning or
+   * RNG state.
+   *
+   * Scale: the sampling rate is folded into the candidate GENERATION,
+   * not applied as a post-hoc filter — the bucket count is derived
+   * from the node count as B = ⌈N/(perNode+1)⌉, so each bucket holds
+   * ~perNode+1 nodes and within-bucket enumeration emits ~perNode
+   * candidates per node TOTAL (O(N·perNode) work, output-sized; never
+   * an enumerate-then-thin stage that hashes 50× the pairs it keeps).
+   * The node count rides as a 1-row broadcast — no driver collect —
+   * and the anti-join against edges is one keyed join. The sampler is
+   * intentionally NOT uniform over all non-edges (within-bucket only)
+   * — standard practice, since uniform negatives need the full n²
+   * space the bucketing exists to avoid.
+   */
+  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      perNode: Int = 5): DataFrame = {
+    require(perNode > 0, "perNode must be positive")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // feeds the node set AND the final anti-join
+    val nRow = broadcast(
+      canon.select(col("u").as("n"))
+        .unionByName(canon.select(col("v").as("n"))).distinct()
+        .agg(count(lit(1)).as("__nn")))
+    val nodes = canon.select(col("u").as("n"))
+      .unionByName(canon.select(col("v").as("n"))).distinct()
+      .crossJoin(nRow)
+      .withColumn("__b",
+        pmod(graft.functions.PortableHash.bucket(Seq(col("n"))),
+          greatest(lit(1L),
+            ceil(col("__nn") / lit(perNode + 1.0)).cast("long"))))
+      .select("n", "__b")
+      .localCheckpoint() // read twice by the self-pairing below
+    val pairs = nodes.as("a")
+      .join(nodes.as("b"),
+        col("a.__b") === col("b.__b") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"))
+    pairs.join(canon, Seq("u", "v"), "left_anti")
+  }
+
+  /**
    * Community detection by synchronous label propagation (Raghavan et
    * al. 2007), made fully deterministic: every node starts labeled
    * with its own id; each of the fixed `iterations` rounds relabels
@@ -148,58 +197,17 @@ object Graph {
    * Returns (node, label): nodes sharing a label are one community.
    *
    * Scale shape: per round, one keyed join (edges ⋈ labels on the
-   * neighbor id), one (node, label) count aggregation, and one
-   * per-node window over that node's DISTINCT neighbor labels —
-   * bounded by degree, never a global or single-partition window. The
-   * symmetrized edge frame is loop-invariant and localCheckpointed
-   * once; labels are checkpointed per round (they feed the next
-   * iteration — same lineage-truncation discipline as [[pageRank]]).
+   * neighbor id), one (node, label) count aggregation, and the
+   * plurality vote as `min_by(label, (−count, label))` folded into a
+   * second partial-aggregatable groupBy — no per-node sort window at
+   * all, so a hub node's vote never serializes on one task regardless
+   * of its distinct-neighbor-label count. The symmetrized edge frame
+   * is loop-invariant and localCheckpointed once; labels are
+   * checkpointed per round (they feed the next iteration — same
+   * lineage-truncation discipline as [[pageRank]]).
    */
-  /**
-   * Deterministic negative-edge sampling for link-prediction training
-   * data: candidate NON-edges drawn by hashing nodes into `buckets`
-   * and pairing within a bucket (u < v), minus the real edge set
-   * (both orientations canonicalized), thinned by the portable
-   * hash-threshold `keepRate`. Every step replays identically in any
-   * engine with md5 — the negatives a model trains on are a pure
-   * function of the edge set, not of partitioning or RNG state.
-   *
-   * Scale: per-bucket pairing is O((n/B)²) per bucket — choose
-   * `buckets` ≈ n/√(target pairs per bucket) so no bucket explodes;
-   * the anti-join against edges is one keyed join. The sampler is
-   * intentionally NOT uniform over all non-edges (within-bucket only)
-   * — standard practice, since uniform negatives need the full n²
-   * space the bucketing exists to avoid.
-   */
-  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      buckets: Int = 32, keepRate: Double = 1.0): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    require(keepRate > 0 && keepRate <= 1.0, "keepRate in (0, 1]")
-    val M = graft.functions.PortableHash.M
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    val nodes = canon.select(col("u").as("n"))
-      .unionByName(canon.select(col("v").as("n"))).distinct()
-      .withColumn("__b",
-        graft.functions.PortableHash.bucket(Seq(col("n"))) % buckets)
-      .localCheckpoint() // read twice by the self-pairing below
-    val pairs = nodes.as("a")
-      .join(nodes.as("b"),
-        col("a.__b") === col("b.__b") && col("a.n") < col("b.n"))
-      .select(col("a.n").as("u"), col("b.n").as("v"))
-    val thinned =
-      if (keepRate >= 1.0) pairs
-      else pairs.where(
-        graft.functions.PortableHash.bucket(Seq(col("u"), col("v"))) <
-          (keepRate * M).toLong)
-    thinned.join(canon, Seq("u", "v"), "left_anti")
-  }
-
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -208,16 +216,17 @@ object Graph {
       .distinct().localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-    val byVote = Window.partitionBy("node")
-      .orderBy(desc("__c"), asc("label"))
     for (i <- 1 to iterations) {
+      // vote = min over (−count, label): highest count wins, ties to
+      // the smallest label — same total order the row_number form used
       labels = und
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(byVote))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("nc"), col("label").as("lb")))
+          .as("label"))
       if (i < iterations) labels = labels.localCheckpoint()
     }
     labels

@@ -244,6 +244,13 @@ object TimeSeries {
           .partitionBy(keyCols.map(col): _*).orderBy(col("__x"))))
       .where(col("__rk") <= maxPoints)
       .drop("__rk")
+      // the rolled-up series (≤ maxPoints rows per key) feeds the
+      // self-join's l-side, r-side, AND the residual pass — without
+      // materialization the caller's corpus aggregation would rely on
+      // optimizer-dependent exchange reuse to avoid re-executing three
+      // times (the q202/q205 rule: checkpoint ANY small aggregate
+      // feeding multiple report branches)
+      .localCheckpoint()
     val joinCond = keyCols.map(k => col(s"l.$k") <=> col(s"r.$k"))
       .reduce(_ && _) && col("l.__x") < col("r.__x")
     // dx = 0 can't survive the join, but the guard must still be in the

@@ -3275,6 +3275,39 @@ class OpsExtSpec extends AnyFunSuite {
       "d" -> "c", "e" -> "c", "f" -> "c"))
   }
 
+  test("labelPropagation plan: vote is window-free (min_by in groupBy)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    val plan = graft.ops.Graph.labelPropagation(edges, "s", "t", 1)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.isEmpty,
+      s"vote must aggregate, not sort-window; found ${windows.size}")
+  }
+
+  test("theilSen: rolled-up series is materialized once (no corpus rescan)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("ts_ckpt").toString
+    Seq(("k", 0.0, 1.0), ("k", 1.0, 3.0), ("k", 2.0, 5.0))
+      .toDF("g", "x", "y")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val out = graft.ops.TimeSeries.theilSen(src, Seq("g"), "x", "y")
+    // the keyed rollup is localCheckpointed before fanning into the
+    // l/r self-join + residual branches, so the returned plan must not
+    // contain the parquet scan at all — the corpus is read exactly once
+    // at checkpoint time, not per branch
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "theilSen plan re-reads the source; keyed frame not materialized")
+    val r = out.collect().head
+    // all three pairwise slopes are exactly 2 → median 2, intercept 1
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+  }
+
   test("temporalSplit: last ceil(n*frac) rows go to val, 1-row keys train") {
     import spark.implicits._
     val df = Seq(("u1", 1), ("u1", 2), ("u1", 3), ("u1", 4), ("u1", 5),
@@ -3602,8 +3635,8 @@ class OpsExtSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
       ("e", "f")).toDF("s", "t")
-    val neg = graft.ops.Graph.negativeEdges(edges, "s", "t",
-      buckets = 1, keepRate = 1.0) // one bucket → all non-edges
+    // perNode ≥ N−1 → bucket count 1 → all non-edges enumerated
+    val neg = graft.ops.Graph.negativeEdges(edges, "s", "t", perNode = 10)
     val pairs = neg.collect().map(r => (r.getString(0), r.getString(1)))
     // 6 nodes → 15 canonical pairs − 5 real edges = 10 negatives
     assert(pairs.length == 10)
@@ -3612,13 +3645,16 @@ class OpsExtSpec extends AnyFunSuite {
       ("e", "f"))
     assert(pairs.forall(p => !real.contains(p)))
     // determinism: same input → same set
-    val again = graft.ops.Graph.negativeEdges(edges, "s", "t", 1, 1.0)
+    val again = graft.ops.Graph.negativeEdges(edges, "s", "t", 10)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(pairs.toSet == again.toSet)
-    // thinning keeps a strict subset
-    val thin = graft.ops.Graph.negativeEdges(edges, "s", "t", 1, 0.5)
+    // smaller perNode → more buckets → fewer candidates generated (the
+    // rate shrinks GENERATION, not a post-filter); all still valid
+    val small = graft.ops.Graph.negativeEdges(edges, "s", "t", 1)
       .collect().map(r => (r.getString(0), r.getString(1)))
-    assert(thin.toSet.subsetOf(pairs.toSet) && thin.length < 10)
+    assert(small.length < 10)
+    assert(small.forall { case (u, v) =>
+      u < v && !real.contains((u, v)) })
   }
 
   test("probitCol matches published normal quantiles incl. tails") {
