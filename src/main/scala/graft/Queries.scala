@@ -5216,14 +5216,24 @@ object Queries {
     * power-iteration steps from uniform; suppliers are all dangling,
     * exercising the dangling-mass redistribution). The oracle unrolls
     * the same three iterations as nested CTEs. */
+  /** The customer↔supplier interaction graph shared by q158/q200/q211:
+    * DISTINCT over the (custkey, suppkey) INT pairs first — the shuffle
+    * dedups 8-byte keys, not the ~600k concat'd strings it would
+    * otherwise carry — then widened to the prefixed string node ids
+    * map-side (the graph ops' own distinct then sees pre-deduped rows). */
+  private def custSuppEdges(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+
   private val q158 = Entry(
     "q158_pagerank",
     (s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = custSuppEdges(s, d)
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(col("node"), r6(col("rank")).as("rank"))
         .orderBy("node")
@@ -6733,11 +6743,7 @@ object Queries {
   private val q200 = Entry(
     "q200_label_propagation",
     (s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = custSuppEdges(s, d)
       graft.ops.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     },
@@ -7203,11 +7209,7 @@ object Queries {
   private val q211 = Entry(
     "q211_negative_edges",
     (s, d) => {
-      val edges = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = custSuppEdges(s, d)
       graft.ops.Graph
         .negativeEdges(edges, "src", "dst", perNode = 5)
         .orderBy("u", "v").limit(200)

@@ -166,19 +166,18 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint() // feeds the node set AND the final anti-join
-    val nRow = broadcast(
-      canon.select(col("u").as("n"))
-        .unionByName(canon.select(col("v").as("n"))).distinct()
-        .agg(count(lit(1)).as("__nn")))
-    val nodes = canon.select(col("u").as("n"))
+    // node set materialized ONCE; the count and the bucketed frame both
+    // derive from the checkpoint (no second distinct pass over canon)
+    val nodes0 = canon.select(col("u").as("n"))
       .unionByName(canon.select(col("v").as("n"))).distinct()
-      .crossJoin(nRow)
+      .localCheckpoint()
+    val nRow = broadcast(nodes0.agg(count(lit(1)).as("__nn")))
+    val nodes = nodes0.crossJoin(nRow)
       .withColumn("__b",
         pmod(graft.functions.PortableHash.bucket(Seq(col("n"))),
           greatest(lit(1L),
             ceil(col("__nn") / lit(perNode + 1.0)).cast("long"))))
       .select("n", "__b")
-      .localCheckpoint() // read twice by the self-pairing below
     val pairs = nodes.as("a")
       .join(nodes.as("b"),
         col("a.__b") === col("b.__b") && col("a.n") < col("b.n"))
