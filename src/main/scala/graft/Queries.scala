@@ -7459,6 +7459,80 @@ object Queries {
                AS half_life_periods
       FROM o ORDER BY cohort"""))
 
+  /** Snapshot-store time travel end to end: a versioned table is built
+    * from orders (full load, then two deterministic upserts, then a
+    * rollback to v2); the query reads THREE snapshots — v1 via time
+    * travel after later writes changed the table, v3 as the deepest
+    * merge state, and the post-rollback head — and aggregates each.
+    * The oracle replays every merge as CASE logic over the base table:
+    * time travel must return bit-identical pre-upsert state. The store
+    * is rebuilt fresh per invocation (version numbers must be
+    * deterministic). */
+  private val q218 = Entry(
+    "q218_snapshot_time_travel",
+    (s, d) => {
+      import graft.etl.{SnapshotStore, WriteMode}
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val fp = ord.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(o_orderkey))")).head()
+      val tag = java.lang.Long.toHexString(fp.getLong(0) ^ fp.getLong(1))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_snap_store/$tag"
+      val hBase = new org.apache.hadoop.fs.Path(base)
+      val hFs = hBase.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hFs.exists(hBase)) hFs.delete(hBase, true)
+      val st = SnapshotStore(s"$base/t", orderColumn = Some("o_orderkey"))
+      st.write(ord, WriteMode.Full)
+      st.write(ord.where(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("X")),
+        WriteMode.Upsert, Seq("o_orderkey"))
+      st.write(ord.where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+          .withColumn("o_orderstatus", lit("Y")),
+        WriteMode.Upsert, Seq("o_orderkey"))
+      st.rollback(s, 2)
+      def snapAgg(df: DataFrame, snap: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("total"),
+            col("n_status"))
+      snapAgg(st.readVersion(s, 1), "v1")
+        .unionByName(snapAgg(st.readVersion(s, 3), "v3"))
+        .unionByName(snapAgg(st.read(s), "v4_rollback_to_v2"))
+        .orderBy("snap")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                 FROM orders),
+      v1 AS (SELECT 'v1' AS snap, count(*)::BIGINT AS n_rows,
+                    round(sum(o_totalprice), 2) AS total,
+                    count(DISTINCT o_orderstatus)::BIGINT AS n_status
+             FROM o),
+      v3 AS (SELECT 'v3' AS snap, count(*)::BIGINT AS n_rows,
+                    round(sum(CASE WHEN o_orderkey % 100 = 0
+                                     THEN o_totalprice * 3
+                                   WHEN o_orderkey % 10 = 0
+                                     THEN o_totalprice * 2
+                                   ELSE o_totalprice END), 2) AS total,
+                    count(DISTINCT CASE WHEN o_orderkey % 100 = 0 THEN 'Y'
+                                        WHEN o_orderkey % 10 = 0 THEN 'X'
+                                        ELSE o_orderstatus END)::BIGINT
+                      AS n_status
+             FROM o),
+      v4 AS (SELECT 'v4_rollback_to_v2' AS snap, count(*)::BIGINT AS n_rows,
+                    round(sum(CASE WHEN o_orderkey % 10 = 0
+                                     THEN o_totalprice * 2
+                                   ELSE o_totalprice END), 2) AS total,
+                    count(DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                                        ELSE o_orderstatus END)::BIGINT
+                      AS n_status
+             FROM o)
+      SELECT * FROM v1 UNION ALL SELECT * FROM v3
+      UNION ALL SELECT * FROM v4 ORDER BY snap"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7479,7 +7553,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,330 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Versioned parquet table store with snapshot isolation, time travel
+ * and rollback — the offline-implementable slice of a transactional
+ * table format (Delta/Iceberg connector jars are absent from this
+ * environment; the reference delegates upserts to engine MERGE the
+ * same way, raise_/transforms/job.py:41-71, and its format surface
+ * raise_/transforms/source.py:76-154 lists delta/iceberg as storage
+ * options this store stands in for).
+ *
+ * Layout:
+ * {{{
+ *   <path>/_log/v00000001.list    one commit file per version
+ *   <path>/data/<writeDir>/       immutable parquet data directories
+ * }}}
+ *
+ * The COMMIT POINT is the create-exclusive write of the version's log
+ * file. Data lands in a fresh write directory first — invisible to
+ * every reader — and the log entry (a manifest of data directories,
+ * each with an optional partition-tuple exclusion predicate) becomes
+ * visible atomically or not at all. A crash before the log write
+ * leaves an orphan data dir no reader ever sees ([[vacuum]] collects
+ * them); a crash after it IS a completed commit. There is no rename
+ * dance and nothing is ever rewritten in place, so every prior
+ * version stays readable until vacuumed.
+ *
+ * Scale design: an upsert rewrites ONLY the affected partitions' rows
+ * into the new write dir (the batch's partition tuples — a bounded
+ * driver-side list, never row data) and carries every untouched
+ * partition BY REFERENCE: the prior segments ride into the new
+ * manifest with the affected tuples appended to their exclusion
+ * predicate. Readers apply exclusions as partition-column predicates,
+ * which prune at the file listing — a 100 TB table whose daily upsert
+ * touches one partition re-reads and rewrites one partition, exactly
+ * the Delta/Iceberg contract. Version manifests are KB-sized text
+ * files; the log is listed once per read (one filesystem listing, no
+ * data scan). Long-lived tables fold accumulated segments back to one
+ * with a Full rewrite (or [[etl.Compaction]] on the read frame), and
+ * [[vacuum]] bounds disk growth by retiring versions.
+ *
+ * Concurrency: same single-writer stance as [[ParquetTarget]] — a
+ * best-effort create-exclusive `_WRITER_LOCK` with age-based takeover
+ * guards against accidental double-scheduling; the create-exclusive
+ * log commit is a second, hard guard (two racing writers cannot both
+ * commit the same version number — the loser's data dir is orphaned,
+ * never half-merged).
+ *
+ * Schema is pinned per version (the batch schema's JSON rides in the
+ * log entry): older segments read under a newer version's schema
+ * surface newly added columns as NULL — parquet schema-on-read.
+ */
+object SnapshotStore {
+  /** Test seam: invoked after the write dir is durably written but
+    * before the log-file commit — the crash window snapshot isolation
+    * must keep invisible. */
+  private[graft] var commitFailpoint: () => Unit = () => ()
+
+  private val LogDirName = "_log"
+  private val DataDirName = "data"
+
+  private def versionFileName(v: Long): String = f"v$v%08d.list"
+}
+
+final case class SnapshotStore(path: String,
+    orderColumn: Option[String] = None,
+    partitionBy: Seq[String] = Nil,
+    lockTimeoutMs: Long = 30 * 60 * 1000L) {
+  import SnapshotStore._
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def root = new HPath(path)
+  private def logDir = new HPath(root, LogDirName)
+  private def dataRoot = new HPath(root, DataDirName)
+  private def lockPath = new HPath(path + "._WRITER_LOCK")
+
+  /** One manifest segment: a data dir plus the SQL predicate selecting
+    * rows SUPERSEDED by later versions (None = whole dir live). */
+  private[etl] final case class Segment(dir: String, excluded: Option[String])
+  private[etl] final case class Commit(version: Long, tsMillis: Long,
+      op: String, schemaJson: String, segments: Seq[Segment])
+
+  // ----------------------------------------------------------- log I/O
+
+  private def fs(spark: SparkSession): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listVersions(hFs: FileSystem): Seq[Long] =
+    if (!hFs.exists(logDir)) Nil
+    else hFs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".list"))
+      .map(n => n.stripPrefix("v").stripSuffix(".list").toLong)
+      .sorted
+
+  private def readCommit(hFs: FileSystem, v: Long): Commit = {
+    val p = new HPath(logDir, versionFileName(v))
+    val in = hFs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    def field(k: String): String = lines
+      .find(_.startsWith(k + "="))
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot log $p: missing field $k"))
+      .substring(k.length + 1)
+    val segs = lines.filter(_.startsWith("seg ")).map { l =>
+      val body = l.substring(4)
+      val sp = body.indexOf(' ')
+      if (sp < 0) Segment(body, None)
+      else Segment(body.substring(0, sp), Some(body.substring(sp + 1)))
+    }
+    Commit(field("version").toLong, field("ts").toLong, field("op"),
+      field("schema"), segs)
+  }
+
+  /** The commit file is written create-exclusive: it either fully
+    * exists with this content or does not exist — the atomic commit
+    * point. A loser of a same-version race gets FileAlreadyExists. */
+  private def writeCommit(hFs: FileSystem, c: Commit): Unit = {
+    hFs.mkdirs(logDir)
+    require(c.segments.forall(s => !s.dir.contains(' ') &&
+      !s.dir.contains('\n')), "segment dir names must be space-free")
+    val body = new StringBuilder()
+      .append("version=").append(c.version).append('\n')
+      .append("ts=").append(c.tsMillis).append('\n')
+      .append("op=").append(c.op).append('\n')
+      .append("schema=").append(c.schemaJson).append('\n')
+    c.segments.foreach { s =>
+      body.append("seg ").append(s.dir)
+      s.excluded.foreach(e => body.append(' ')
+        .append(e.replace('\n', ' ')))
+      body.append('\n')
+    }
+    val out = hFs.create(new HPath(logDir, versionFileName(c.version)), false)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ------------------------------------------------------------- reads
+
+  def latestVersion(spark: SparkSession): Option[Long] =
+    listVersions(fs(spark)).lastOption
+
+  /** Latest committed snapshot (empty frame with the latest schema if
+    * the store has no commits yet is an error — read a created store). */
+  def read(spark: SparkSession): DataFrame =
+    readVersion(spark, latestVersion(spark).getOrElse(
+      throw new java.io.IOException(s"snapshot store $path: no commits")))
+
+  /** Time travel: the table exactly as committed at `version`. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val c = readCommit(fs(spark), version)
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val segs = c.segments.map { s =>
+      val df = spark.read.schema(schema)
+        .parquet(new HPath(dataRoot, s.dir).toString)
+      s.excluded.fold(df)(e => df.where(!expr(e)))
+    }
+    segs.reduceLeft(_.unionByName(_))
+  }
+
+  /** The latest snapshot committed at or before epoch-millis `ts`. */
+  def asOf(spark: SparkSession, tsMillis: Long): DataFrame = {
+    val hFs = fs(spark)
+    val v = listVersions(hFs)
+      .takeWhile(v => readCommit(hFs, v).tsMillis <= tsMillis).lastOption
+      .getOrElse(throw new java.io.IOException(
+        s"snapshot store $path: no commit at or before $tsMillis"))
+    readVersion(spark, v)
+  }
+
+  /** Commit history as a DataFrame: (version, ts_millis, op,
+    * n_segments) — KB-sized, derived from the log listing only. */
+  def history(spark: SparkSession): DataFrame = {
+    val hFs = fs(spark)
+    import spark.implicits._
+    listVersions(hFs).map(readCommit(hFs, _))
+      .map(c => (c.version, c.tsMillis, c.op, c.segments.size))
+      .toDF("version", "ts_millis", "op", "n_segments")
+  }
+
+  // ------------------------------------------------------------ writes
+
+  private def withWriterLock[T](hFs: FileSystem)(body: => T): T = {
+    def tryAcquire(): Boolean =
+      try { hFs.mkdirs(root); hFs.create(lockPath, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis() -
+          hFs.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (age <= lockTimeoutMs)
+        throw new java.io.IOException(s"$path: another writer holds " +
+          s"_WRITER_LOCK (age $age ms ≤ timeout $lockTimeoutMs ms)")
+      hFs.delete(lockPath, false)
+      if (!tryAcquire())
+        throw new java.io.IOException(
+          s"$path: lost the _WRITER_LOCK takeover race")
+    }
+    try body finally hFs.delete(lockPath, false)
+  }
+
+  private def newWriteDir(nextV: Long): String =
+    f"w$nextV%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def writeData(df: DataFrame, dir: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new HPath(dataRoot, dir).toString)
+  }
+
+  /** Engine-portable SQL for "row is in one of the batch's partition
+    * tuples" — values render via Catalyst literal SQL (quoted/escaped),
+    * NULL tuples via IS NULL. Bounded: one term per affected tuple. */
+  private def affectedSql(df: DataFrame): String = {
+    val tuples = df.select(partitionBy.map(col): _*).distinct().collect()
+    require(tuples.nonEmpty, "upsert batch has no rows")
+    tuples.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) s"($c IS NULL)"
+        else s"($c = ${org.apache.spark.sql.catalyst.expressions
+          .Literal(r.get(i)).sql})"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+  }
+
+  /**
+   * Commit `df` as the next version. Full = the new table; Append =
+   * prior segments + the batch; Upsert = merge on `keys` (new rows win
+   * ties, then by `orderColumn` descending — [[ParquetTarget]]'s
+   * dedup contract) touching only the batch's partitions. Returns the
+   * committed version number.
+   */
+  def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val hFs = fs(spark)
+    withWriterLock(hFs) {
+      val prior = listVersions(hFs).lastOption.map(readCommit(hFs, _))
+      val nextV = prior.map(_.version + 1).getOrElse(1L)
+      val dir = newWriteDir(nextV)
+      val (op, segments) = mode match {
+        case WriteMode.Full | WriteMode.Incremental =>
+          writeData(df, dir)
+          ("full", Seq(Segment(dir, None)))
+        case WriteMode.Append =>
+          writeData(df, dir)
+          ("append", prior.map(_.segments).getOrElse(Nil) :+ Segment(dir, None))
+        case WriteMode.Upsert =>
+          require(keys.nonEmpty, "upsert requires key columns")
+          prior match {
+            case None =>
+              writeData(df, dir)
+              ("upsert", Seq(Segment(dir, None)))
+            case Some(p) =>
+              val ord = orderColumn.getOrElse(keys.head)
+              val (current, carried) =
+                if (partitionBy.isEmpty)
+                  (readVersion(spark, p.version), Nil)
+                else {
+                  val aff = affectedSql(df)
+                  (readVersion(spark, p.version).where(expr(aff)),
+                    p.segments.map(s => s.copy(excluded = Some(
+                      s.excluded.fold(aff)(e => s"($e) OR $aff")))))
+                }
+              val w = Window.partitionBy(keys.map(col): _*)
+                .orderBy(col("__prec").desc, col(ord).desc)
+              val merged = current.withColumn("__prec", lit(0))
+                .unionByName(df.withColumn("__prec", lit(1)))
+                .withColumn("__rn", row_number().over(w))
+                .where(col("__rn") === 1)
+                .drop("__prec", "__rn")
+              writeData(merged, dir)
+              ("upsert", carried :+ Segment(dir, None))
+          }
+      }
+      SnapshotStore.commitFailpoint()
+      writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), op,
+        df.schema.json, segments))
+      nextV
+    }
+  }
+
+  /** Restore the table to `toVersion`'s state as a NEW commit (the
+    * intermediate versions stay in the log — rollback is an audited
+    * forward operation, not history rewriting). */
+  def rollback(spark: SparkSession, toVersion: Long): Long = {
+    val hFs = fs(spark)
+    withWriterLock(hFs) {
+      val target = readCommit(hFs, toVersion)
+      val head = listVersions(hFs).last
+      val nextV = head + 1
+      SnapshotStore.commitFailpoint()
+      writeCommit(hFs, Commit(nextV, System.currentTimeMillis(),
+        s"rollback@$toVersion", target.schemaJson, target.segments))
+      nextV
+    }
+  }
+
+  /**
+   * Retire history: keep the last `retainVersions` commits, delete log
+   * entries before them and every data dir no retained version
+   * references (incl. orphans of pre-commit crashes). Time travel to a
+   * vacuumed version then fails loudly at the log lookup.
+   */
+  def vacuum(spark: SparkSession, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val hFs = fs(spark)
+    withWriterLock(hFs) {
+      val vs = listVersions(hFs)
+      val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+      val live = keep.flatMap(readCommit(hFs, _).segments.map(_.dir)).toSet
+      if (hFs.exists(dataRoot))
+        hFs.listStatus(dataRoot).foreach { st =>
+          if (st.isDirectory && !live.contains(st.getPath.getName))
+            hFs.delete(st.getPath, true)
+        }
+      drop.foreach(v =>
+        hFs.delete(new HPath(logDir, versionFileName(v)), false))
+    }
+  }
+}

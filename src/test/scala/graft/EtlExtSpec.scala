@@ -271,6 +271,112 @@ class EtlExtSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 50.0), (2L, 60.0))) // NOT the stale 11.0
   }
 
+  test("snapshot store: upserts version, prior snapshots stay readable") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snap", orderColumn = Some("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val v1 = st.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+      WriteMode.Full)
+    val v2 = st.write(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v"),
+      WriteMode.Upsert, Seq("id"))
+    val v3 = st.write(Seq((1L, 11.0)).toDF("id", "v"),
+      WriteMode.Upsert, Seq("id"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(rows(st.read(spark)) ==
+      Seq((1L, 11.0), (2L, 25.0), (3L, 30.0)))
+    // time travel: every prior version exactly as committed
+    assert(rows(st.readVersion(spark, 1)) == Seq((1L, 10.0), (2L, 20.0)))
+    assert(rows(st.readVersion(spark, 2)) ==
+      Seq((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // history reflects the ops
+    val hist = st.history(spark).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(hist == Seq((1L, "full"), (2L, "upsert"), (3L, "upsert")))
+    // rollback is a forward commit restoring v1's state
+    val v4 = st.rollback(spark, 1)
+    assert(v4 == 4L)
+    assert(rows(st.read(spark)) == Seq((1L, 10.0), (2L, 20.0)))
+    assert(rows(st.readVersion(spark, 3)) ==
+      Seq((1L, 11.0), (2L, 25.0), (3L, 30.0))) // intermediate intact
+  }
+
+  test("snapshot store: partitioned upsert carries untouched partitions by reference") {
+    import spark.implicits._
+    val base = tmpDir() + "/snapp"
+    val st = SnapshotStore(base, orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    st.write(Seq((1L, 10.0, "d1"), (2L, 20.0, "d2"), (3L, 30.0, "d3"))
+      .toDF("id", "v", "day"), WriteMode.Full)
+    st.write(Seq((2L, 25.0, "d2"), (4L, 40.0, "d2")).toDF("id", "v", "day"),
+      WriteMode.Upsert, Seq("id"))
+    // v2's write dir holds ONLY the affected partition — untouched
+    // partitions ride from v1's segment by reference
+    val dataRoot = new java.io.File(base + "/data")
+    val dirs = dataRoot.listFiles().filter(_.isDirectory).sortBy(_.getName)
+    assert(dirs.length == 2)
+    val v2parts = dirs(1).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(v2parts.toSeq == Seq("day=d2"), v2parts.mkString(","))
+    val got = st.read(spark).select("id", "v", "day").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 10.0, "d1"), (2L, 25.0, "d2"),
+      (3L, 30.0, "d3"), (4L, 40.0, "d2")))
+    // and v1 is still exactly the original
+    assert(st.readVersion(spark, 1).count() == 3)
+    // partition pruning still reaches the carried segments' scans
+    val pruned = st.read(spark).where(col("day") === "d3")
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
+  test("snapshot store: crash before log commit is invisible; vacuum collects orphans") {
+    import spark.implicits._
+    val base = tmpDir() + "/snapc"
+    val st = SnapshotStore(base, orderColumn = Some("v"))
+    st.write(Seq((1L, 10.0)).toDF("id", "v"), WriteMode.Full)
+    SnapshotStore.commitFailpoint = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] {
+      st.write(Seq((1L, 99.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    } finally SnapshotStore.commitFailpoint = () => ()
+    // the crashed write's data dir exists but no reader ever sees it
+    assert(st.latestVersion(spark).contains(1L))
+    assert(st.read(spark).collect().map(_.getDouble(1)).toSeq == Seq(10.0))
+    val dataRoot = new java.io.File(base + "/data")
+    assert(dataRoot.listFiles().count(_.isDirectory) == 2) // incl. orphan
+    // the failed writer released the lock; the retry applies cleanly
+    st.write(Seq((1L, 99.0)).toDF("id", "v"), WriteMode.Upsert, Seq("id"))
+    assert(st.read(spark).collect().map(_.getDouble(1)).toSeq == Seq(99.0))
+    // vacuum keeps the latest version's dirs, drops the orphan + retired
+    st.vacuum(spark, retainVersions = 1)
+    val live = dataRoot.listFiles().filter(_.isDirectory)
+    assert(live.length == 1, live.map(_.getName).mkString(","))
+    assert(st.read(spark).collect().map(_.getDouble(1)).toSeq == Seq(99.0))
+    intercept[Exception] { st.readVersion(spark, 1).collect() }
+  }
+
+  test("snapshot store: writer lock fails fast while held, asOf time-travels") {
+    import spark.implicits._
+    val base = tmpDir() + "/snapl"
+    val st = SnapshotStore(base)
+    st.write(Seq((1L, 10.0)).toDF("id", "v"), WriteMode.Full)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    st.write(Seq((2L, 20.0)).toDF("id", "v"), WriteMode.Full)
+    // asOf between the two commits resolves to v1
+    assert(st.asOf(spark, t1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(st.asOf(spark, System.currentTimeMillis())
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a fresh foreign lock: fail fast, store intact
+    val lockFile = new java.io.File(base + "._WRITER_LOCK")
+    assert(lockFile.createNewFile())
+    val e = intercept[java.io.IOException] {
+      st.write(Seq((3L, 30.0)).toDF("id", "v"), WriteMode.Full)
+    }
+    assert(e.getMessage.contains("_WRITER_LOCK"))
+    assert(st.latestVersion(spark).contains(2L))
+    lockFile.delete()
+  }
+
   test("compaction collapses small files, preserves rows") {
     import spark.implicits._
     val dir = tmpDir() + "/frag"
