@@ -295,6 +295,34 @@ final class AuditLog {
     success = r.getAs[Boolean]("success"),
     detail = Option(r.getAs[String]("detail")))
 
+  /**
+   * DataFrame-first query surface: the persisted base ∪ in-memory tail
+   * with every predicate applied as a Column filter — equality and
+   * startsWith push down to the parquet scan, NOTHING is collected.
+   * This is the API for broad queries over the attached history (the
+   * PRD's 100M-events/day scale, raise_/PRD.md:2773): compose, limit,
+   * aggregate or export the returned frame; the driver only
+   * materializes what the caller explicitly collects.
+   */
+  def queryFrame(spark: SparkSession,
+      actor: Option[String] = None,
+      action: Option[String] = None,
+      category: Option[String] = None,
+      resource: Option[String] = None, // trailing-* wildcard supported
+      excludeActorOrgs: Set[String] = Set.empty,
+      since: Option[Instant] = None,
+      until: Option[Instant] = None): DataFrame =
+    queryFrameOver(toDataFrame(spark), actor, action, category,
+      resource, excludeActorOrgs, since, until)
+
+  /**
+   * Entry-object query. With a persisted base attached this delegates
+   * to [[queryFrame]] and collects AT MOST `maxRows` matches (the
+   * limit rides the plan — the driver never receives the unfiltered
+   * history); a match count beyond `maxRows` fails loudly instead of
+   * silently truncating — narrow the filters, or use [[queryFrame]] /
+   * [[export]] for result sets that belong in Spark.
+   */
   def query(
       actor: Option[String] = None,
       action: Option[String] = None,
@@ -302,32 +330,8 @@ final class AuditLog {
       resource: Option[String] = None, // trailing-* wildcard supported
       excludeActorOrgs: Set[String] = Set.empty,
       since: Option[Instant] = None,
-      until: Option[Instant] = None): Seq[AuditEntry] = {
-    // persisted side: every predicate becomes a Column filter — equality
-    // and startsWith push down to the parquet scan, so the driver only
-    // ever receives matching rows (never the 100M-row history)
-    val fromStore = persistedDf.map { df =>
-      var d = df
-      actor.foreach(a => d = d.where(col("actor") === a))
-      action.foreach(a => d = d.where(col("action") === a))
-      category.foreach(c => d = d.where(col("category") === c))
-      resource.foreach { r =>
-        d = if (r.endsWith("*"))
-          d.where(col("resource").startsWith(r.dropRight(1)))
-        else d.where(col("resource") === r)
-      }
-      if (excludeActorOrgs.nonEmpty)
-        d = d.where(col("actor_org").isNull ||
-          not(col("actor_org").isin(excludeActorOrgs.toSeq: _*)))
-      // timestamps persist as ISO-8601 strings; compare as real
-      // timestamps (precision varies: "…:05Z" vs "…:05.123456Z")
-      val ts = col("timestamp").cast("timestamp")
-      since.foreach(s => d = d.where(
-        ts >= lit(java.sql.Timestamp.from(s))))
-      until.foreach(u => d = d.where(
-        ts < lit(java.sql.Timestamp.from(u))))
-      d.collect().map(rowToEntry).toSeq.sortBy(_.timestamp)
-    }.getOrElse(Seq.empty)
+      until: Option[Instant] = None,
+      maxRows: Int = 100000): Seq[AuditEntry] = {
     val mem = synchronized { entries.toVector }
       .filter(e => actor.forall(_ == e.actor))
       .filter(e => action.forall(_ == e.action))
@@ -339,7 +343,47 @@ final class AuditLog {
       .filter(e => e.actorOrg.forall(o => !excludeActorOrgs.contains(o)))
       .filter(e => since.forall(s => !e.timestamp.isBefore(s)))
       .filter(e => until.forall(u => e.timestamp.isBefore(u)))
-    fromStore ++ mem
+    persisted match {
+      case None => mem
+      case Some((spark, path)) =>
+        // persisted side only — the tail is filtered in memory above,
+        // keeping the historical (store-sorted ++ tail) return order
+        val base = spark.read.parquet(path)
+        val filtered = queryFrameOver(base, actor, action, category,
+          resource, excludeActorOrgs, since, until)
+        val rows = filtered.orderBy(col("timestamp")).take(maxRows + 1)
+        if (rows.length > maxRows)
+          throw new IllegalArgumentException(
+            s"audit query matched more than $maxRows rows; narrow the " +
+              "filters or use queryFrame/export for large result sets")
+        rows.map(rowToEntry).toSeq ++ mem
+    }
+  }
+
+  /** Column-filter application shared by [[queryFrame]] and [[query]]. */
+  private def queryFrameOver(df0: DataFrame,
+      actor: Option[String], action: Option[String],
+      category: Option[String], resource: Option[String],
+      excludeActorOrgs: Set[String], since: Option[Instant],
+      until: Option[Instant]): DataFrame = {
+    var d = df0
+    actor.foreach(a => d = d.where(col("actor") === a))
+    action.foreach(a => d = d.where(col("action") === a))
+    category.foreach(c => d = d.where(col("category") === c))
+    resource.foreach { r =>
+      d = if (r.endsWith("*"))
+        d.where(col("resource").startsWith(r.dropRight(1)))
+      else d.where(col("resource") === r)
+    }
+    if (excludeActorOrgs.nonEmpty)
+      d = d.where(col("actor_org").isNull ||
+        not(col("actor_org").isin(excludeActorOrgs.toSeq: _*)))
+    val ts = col("timestamp").cast("timestamp")
+    since.foreach(s => d = d.where(
+      ts >= lit(java.sql.Timestamp.from(s))))
+    until.foreach(u => d = d.where(
+      ts < lit(java.sql.Timestamp.from(u))))
+    d
   }
 
   /** In-memory tail only (entries recorded since attach, or all when
@@ -368,7 +412,14 @@ final class AuditLog {
     * When the attached base IS `path`, a direct overwrite would delete
     * the files mid-read; stage to a sibling dir and swap instead, then
     * re-attach to the fresh files with an emptied in-memory tail (the
-    * tail is now part of the base). */
+    * tail is now part of the base).
+    *
+    * Crash ordering: the live base is renamed ASIDE (`path + "_old"`)
+    * before the staged dir is promoted, and deleted only after the
+    * promotion succeeds — at every instant either the live dir or the
+    * aside copy holds complete data (recovery from a crash between the
+    * renames: restore `_old` — or promote `_staged`, which the marker
+    * of completeness is the rename itself having vacated it). */
   def saveTo(spark: SparkSession, path: String): Unit = synchronized {
     persisted match {
       case None =>
@@ -381,9 +432,17 @@ final class AuditLog {
           f.delete(): Unit
         }
         val dst = new java.io.File(path)
-        if (dst.exists) rm(dst)
-        if (!new java.io.File(staged).renameTo(dst))
+        val aside = new java.io.File(path + "_old")
+        if (aside.exists) rm(aside)
+        if (dst.exists && !dst.renameTo(aside))
+          throw new java.io.IOException(
+            s"audit swap failed: $path → ${aside.getPath}")
+        if (!new java.io.File(staged).renameTo(dst)) {
+          // restore the aside copy so the live path stays populated
+          if (aside.exists) aside.renameTo(dst)
           throw new java.io.IOException(s"audit swap failed: $staged → $path")
+        }
+        rm(aside)
         entries.clear()
         persisted = Some((spark, path))
         // base == path or not, the new files are authoritative now

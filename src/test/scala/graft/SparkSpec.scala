@@ -208,6 +208,38 @@ class SparkSpec extends AnyFunSuite {
     assert(re2.audit.query().size == 502)
   }
 
+  test("broad audit query is driver-bounded; queryFrame stays distributed") {
+    import graft.meta._
+    val fs = new FeatureStore
+    (1 to 300).foreach { i =>
+      fs.audit.record(AuditEntry(actor = s"user${i % 10}", action = "read",
+        category = "read", resource = s"o/d/p/g1/f$i", resourceOrg = "o"))
+    }
+    val dir = tmpDir() + "/boundedcat"
+    fs.audit.saveTo(spark, dir)
+    // reader-side log, as MetaCatalog.load builds it: empty tail,
+    // parquet-backed base
+    val audit = new AuditLog
+    audit.attachPersisted(spark, dir)
+    // a broad query whose match count exceeds maxRows fails LOUDLY
+    // instead of collecting the history onto the driver — the limit
+    // rides the plan (take(maxRows+1)), so at most maxRows+1 rows ever
+    // reach the driver even for the 100M-row PRD-scale table
+    val e = intercept[IllegalArgumentException] {
+      audit.query(maxRows = 100)
+    }
+    assert(e.getMessage.contains("queryFrame"))
+    // narrow queries under the bound behave exactly as before
+    assert(audit.query(actor = Some("user3"), maxRows = 100).size == 30)
+    // the DataFrame-first surface handles the broad case without ANY
+    // driver materialization, with the filter pushed into the scan
+    val frame = audit.queryFrame(spark, actor = Some("user3"))
+    assert(frame.count() == 30)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(actor), EqualTo(actor,user3)]")
+      || plan.contains("EqualTo(actor,user3)"), s"no pushdown:\n$plan")
+  }
+
   test("point lookup via entity key") {
     import graft.meta._
     import spark.implicits._
