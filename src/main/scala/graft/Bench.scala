@@ -61,16 +61,21 @@ object Bench {
       val times = if (err.isEmpty && two.max / math.max(two.min, 1e-9) > 1.5)
         two :+ once() else two
       err.foreach(m => failed :+= (name, m))
-      name -> times.min
+      // a failed query's time-to-throw is meaningless — record NaN so
+      // neither the per-query map nor the headline total carries it
+      // (the err map + FAILED line are the failure record)
+      name -> (if (err.isEmpty) times.min else Double.NaN)
     }
     // COMPACT line — values rounded to ms so the whole record stays
     // ~2.5 KB: the artifact capture keeps a bounded tail (~4 KB) and a
     // full-precision line gets cut mid-JSON (r3 lost its total that way)
     def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (v.isNaN) "null" // failed query: JSON null, never a fake time
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // the headline total reflects successfully executed plans only
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     spark.stop()
     // errors surface in BOTH artifacts: an "err" map in the JSON (empty
     // when all green) and a FAILED line on stderr — a broken query can

@@ -77,9 +77,12 @@ object GraftSession {
       reg.createOrReplaceTempFunction("age", { exprs =>
         require(exprs.length == 1 || exprs.length == 2,
           "AGE(end[, start]) takes 1 or 2 args")
-        import org.apache.spark.sql.catalyst.expressions.{CurrentTimestamp, SubtractTimestamps}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CurrentDate, SubtractTimestamps}
+        import org.apache.spark.sql.types.TimestampType
         if (exprs.length == 2) SubtractTimestamps(exprs(0), exprs(1))
-        else SubtractTimestamps(CurrentTimestamp(), exprs(0))
+        // PG semantics: 1-arg age(ts) anchors to current_date (today's
+        // MIDNIGHT), not now() — the dialect this alias mimics
+        else SubtractTimestamps(Cast(CurrentDate(), TimestampType), exprs(0))
       }, "built-in")
     spark
   }

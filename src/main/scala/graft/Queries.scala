@@ -7533,6 +7533,47 @@ object Queries {
       SELECT * FROM v1 UNION ALL SELECT * FROM v3
       UNION ALL SELECT * FROM v4 ORDER BY snap"""))
 
+  /** Per-segment Benford conformity: first-digit law fitted
+    * independently per lineitem return flag — the grouped form of
+    * q207's screen (which segment's magnitudes look organic?). */
+  private val q219 = Entry(
+    "q219_benford_grouped",
+    (s, d) =>
+      graft.ops.Profiling
+        .benfordConformity(Tables.lineitem(s, d), "l_extendedprice",
+          groupCols = Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("digit"), col("n"),
+          r6(col("observed")).as("observed"),
+          r6(col("expected")).as("expected"), r6(col("mad")).as("mad"),
+          r6(col("chi2")).as("chi2"))
+        .orderBy("l_returnflag", "digit"),
+    Some("""
+      WITH v AS (SELECT l_returnflag AS g, abs(l_extendedprice) AS x
+                 FROM lineitem WHERE abs(l_extendedprice) > 0),
+      c AS (SELECT g,
+                   CAST(floor(x / pow(10.0, floor(log10(x)))) AS BIGINT)
+                     AS digit,
+                   count(*) AS n
+            FROM v GROUP BY 1, 2),
+      grid AS (SELECT g, digit FROM (SELECT DISTINCT g FROM c)
+               CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit)),
+      gd AS (SELECT grid.g, grid.digit, COALESCE(c.n, 0) AS n
+             FROM grid LEFT JOIN c
+               ON c.g = grid.g AND c.digit = grid.digit),
+      tot AS (SELECT g, CAST(sum(n) AS DOUBLE) AS nt FROM gd GROUP BY 1),
+      p AS (SELECT gd.g, digit, n, n / nt AS observed,
+                   log10(1.0 + 1.0 / digit) AS expected
+            FROM gd JOIN tot ON tot.g = gd.g),
+      sc AS (SELECT p.g, avg(abs(observed - expected)) AS mad,
+                    max(nt) * sum(pow(observed - expected, 2) / expected)
+                      AS chi2
+             FROM p JOIN tot ON tot.g = p.g GROUP BY 1)
+      SELECT p.g AS l_returnflag, digit, n,
+             round(observed, 6) AS observed,
+             round(expected, 6) AS expected, round(mad, 6) AS mad,
+             round(chi2, 6) AS chi2
+      FROM p JOIN sc ON sc.g = p.g ORDER BY l_returnflag, digit"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7553,7 +7594,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

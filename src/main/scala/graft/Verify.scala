@@ -20,10 +20,22 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     var failed = Vector.empty[String]
+    // scale lint rides the correctness gate: a query whose plan carries
+    // a cartesian product, unpartitioned window, or raw-corpus
+    // broadcast FAILS verify even when its rows are right at sf0.01.
+    // rawSidesAreCorpus: byte estimates scale with the tiny test SF, so
+    // the cartesian rule keys on the scale-invariant signal instead —
+    // a non-reduced join side is corpus-sized by decree.
+    // SPARK_GRAFT_LINT=off opts out for local debugging only.
+    val lint = !sys.env.get("SPARK_GRAFT_LINT").contains("off")
     selected.foreach { case (name, fn) =>
       try {
         System.err.println(s"[verify] $name start")
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        if (lint)
+          graft.analysis.PlanLint.assertScaleSafe(df,
+            rawSidesAreCorpus = true)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         failed :+= name

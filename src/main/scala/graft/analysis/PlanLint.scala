@@ -33,20 +33,39 @@ object PlanLint {
 
   final case class Finding(rule: String, detail: String)
 
+  /**
+   * `rawSidesAreCorpus`: size estimates scale with the TEST data, so a
+   * gate running at sf0.01 would pass a cartesian whose raw side is a
+   * few hundred KB there but corpus-sized in production. With this
+   * flag the cartesian rule ignores byte estimates and flags ANY
+   * condition-free join of two non-REDUCED sides — `reduces` (an
+   * aggregate/distinct/limit below the join input) is the
+   * scale-invariant version of "broadcastable": a 1-row stat frame
+   * stays 1 row at 100 TB, a raw table does not.
+   */
   def audit(df: DataFrame,
       broadcastableBytes: Long = 64L << 20,
-      maxBroadcastBytes: Long = 1L << 30): Seq[Finding] = {
+      maxBroadcastBytes: Long = 1L << 30,
+      rawSidesAreCorpus: Boolean = false): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     def size(p: LogicalPlan): BigInt = p.stats.sizeInBytes
     // size-only stats pass aggregates through at child size, so a
     // subtree containing a cardinality reducer has a meaninglessly
     // inflated estimate — such sides are the library's bounded
     // stat-frame idiom, not corpus-sized data
+    // a side is scale-bounded when something below it reduces
+    // cardinality OR it is a literal relation (Range / LocalRelation /
+    // OneRowRelation): those stay the same size at any corpus SF — the
+    // library's replicate-inflation crossJoins (bootstrap × range(b))
+    // are deliberate bounded fan-out, not cartesian smells
     def reduces(p: LogicalPlan): Boolean = p.exists {
       case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate |
            _: org.apache.spark.sql.catalyst.plans.logical.Distinct |
            _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate |
-           _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+           _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit |
+           _: org.apache.spark.sql.catalyst.plans.logical.Range |
+           _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation |
+           _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
       case _ => false
     }
     // joins and windows: the OPTIMIZED plan (post-Catalyst — pushed
@@ -56,8 +75,10 @@ object PlanLint {
       case j: Join if j.condition.isEmpty &&
           (j.joinType == Cross || j.joinType == Inner) =>
         val (l, r) = (size(j.left), size(j.right))
-        if (l > broadcastableBytes && r > broadcastableBytes &&
-            !reduces(j.left) && !reduces(j.right))
+        val bothBig =
+          if (rawSidesAreCorpus) true // raw = corpus-sized by decree
+          else l > broadcastableBytes && r > broadcastableBytes
+        if (bothBig && !reduces(j.left) && !reduces(j.right))
           out += Finding("cartesian-product",
             s"join of ~$l x ~$r byte sides with no condition")
       case w: LWindow if w.partitionSpec.isEmpty =>
@@ -88,9 +109,16 @@ object PlanLint {
   }
 
   /** Throw (with every finding in the message) if the plan violates
-    * the scale rules — the CI-gate form of [[audit]]. */
-  def assertScaleSafe(df: DataFrame): Unit = {
-    val findings = audit(df)
+    * the scale rules — the CI-gate form of [[audit]]. Thresholds pass
+    * through so small-SF gates (Verify runs at sf0.01, where a raw
+    * corpus side is only ~MBs) can tighten them to flag the same
+    * SHAPES the defaults catch at production scale. */
+  def assertScaleSafe(df: DataFrame,
+      broadcastableBytes: Long = 64L << 20,
+      maxBroadcastBytes: Long = 1L << 30,
+      rawSidesAreCorpus: Boolean = false): Unit = {
+    val findings = audit(df, broadcastableBytes, maxBroadcastBytes,
+      rawSidesAreCorpus)
     if (findings.nonEmpty)
       throw new IllegalStateException(
         "plan fails scale lint:\n" + findings

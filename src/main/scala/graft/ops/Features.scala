@@ -415,19 +415,6 @@ object Features {
   }
 
   /**
-   * Johnson–Lindenstrauss random projection: embeddings → `outDim`
-   * dims via a fixed pseudo-random matrix, y_j = ⟨v, w_j⟩/√outDim —
-   * the cheap, data-independent complement to [[Pca]] (no fit pass at
-   * all; distances preserved within (1±ε) for outDim ≳ 8·ln n/ε²).
-   * The rows w_j are [[Similarity.planeWeights]] — md5-derived driver
-   * literals, so the projection is engine-replayable and an oracle can
-   * inline the identical matrix (the q26 LSH pattern).
-   *
-   * Map-only: `outDim` codegen'd native dots per row against broadcast
-   * literal arrays — no shuffle, no fit, no driver state. Returns
-   * (idCol, projected[outDim]).
-   */
-  /**
    * Standard-normal inverse CDF Φ⁻¹(p) as a Column — Acklam's rational
    * approximation (|ε| < 1.15e-9, the published coefficients), pure
    * arithmetic so any engine replays it bit-for-bit (no special
@@ -499,6 +486,19 @@ object Features {
       .drop("__v")
   }
 
+  /**
+   * Johnson–Lindenstrauss random projection: embeddings → `outDim`
+   * dims via a fixed pseudo-random matrix, y_j = ⟨v, w_j⟩/√outDim —
+   * the cheap, data-independent complement to [[Pca]] (no fit pass at
+   * all; distances preserved within (1±ε) for outDim ≳ 8·ln n/ε²).
+   * The rows w_j are [[Similarity.planeWeights]] — md5-derived driver
+   * literals, so the projection is engine-replayable and an oracle can
+   * inline the identical matrix (the q26 LSH pattern).
+   *
+   * Map-only: `outDim` codegen'd native dots per row against broadcast
+   * literal arrays — no shuffle, no fit, no driver state. Returns
+   * (idCol, projected[outDim]).
+   */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
       inDim: Int, outDim: Int): DataFrame = {
     require(outDim > 0 && inDim > 0, "dims must be positive")

@@ -172,25 +172,48 @@ object Profiling {
    * d = ⌊v/10^⌊log₁₀ v⌋⌋ on |v|>0); everything after runs on the
    * checkpointed ≤9-row digit frame.
    */
-  def benfordConformity(df: DataFrame, valueCol: String): DataFrame = {
+  def benfordConformity(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    import graft.analysis.PrefixSum
+    val gs = groupCols.map(col)
     val v = abs(col(valueCol).cast("double"))
     val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
     val counts = df.where(v > 0.0)
-      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      .groupBy(gs :+ digit.as("digit"): _*).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ groups×9 rows; grid, totals + join read it
     val digits = df.sparkSession.range(1, 10).select(col("id").as("digit"))
-    val perDigit = digits.join(counts, Seq("digit"), "left")
+    // dense (group × digit) grid: absent digits surface as n=0 rows —
+    // the grid's group side is the reduced distinct-group frame
+    val grid =
+      if (groupCols.isEmpty) digits
+      else counts.select(gs: _*).distinct().crossJoin(digits)
+    val totals =
+      if (groupCols.isEmpty)
+        counts.agg(sum(col("n")).cast("double").as("__N"))
+      else counts.groupBy(gs: _*)
+        .agg(sum(col("n")).cast("double").as("__N"))
+    val joined = PrefixSum.joinNullSafe(grid, counts,
+        groupCols :+ "digit", "left")
       .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(counts.agg(sum(col("n")).cast("double")
-        .as("__N"))))
-      .withColumn("observed", col("n") / col("__N"))
-      .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
-      .localCheckpoint() // 9 rows; conformity scores re-read it below
-    val scores = broadcast(perDigit.agg(
+    val perDigit =
+      (if (groupCols.isEmpty) joined.crossJoin(broadcast(totals))
+       else PrefixSum.joinNullSafe(joined, totals, groupCols,
+         broadcastRight = true))
+        .withColumn("observed", col("n") / col("__N"))
+        .withColumn("expected", log10(lit(1.0) + lit(1.0) / col("digit")))
+        .localCheckpoint() // ≤ groups×9 rows; scores re-read it below
+    val scoreAggs = Seq(
       avg(abs(col("observed") - col("expected"))).as("mad"),
       (max(col("__N")) * sum(pow(col("observed") - col("expected"), 2) /
-        col("expected"))).as("chi2")))
-    perDigit.crossJoin(scores)
-      .select(col("digit"), col("n"), col("observed"), col("expected"),
-        col("mad"), col("chi2"))
+        col("expected"))).as("chi2"))
+    val out =
+      if (groupCols.isEmpty)
+        perDigit.crossJoin(broadcast(
+          perDigit.agg(scoreAggs.head, scoreAggs.tail: _*)))
+      else PrefixSum.joinNullSafe(perDigit,
+        perDigit.groupBy(gs: _*).agg(scoreAggs.head, scoreAggs.tail: _*),
+        groupCols, broadcastRight = true)
+    out.select(gs ++ Seq(col("digit"), col("n"), col("observed"),
+      col("expected"), col("mad"), col("chi2")): _*)
   }
 }

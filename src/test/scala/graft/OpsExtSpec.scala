@@ -3517,13 +3517,20 @@ class OpsExtSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     import graft.analysis.PlanLint
     val big = spark.range(1000000).toDF("id")
-    // cartesian of two big sides → flagged; tiny thresholds force it
-    val cart = big.crossJoin(big.withColumnRenamed("id", "id2"))
-    assert(PlanLint.audit(cart, broadcastableBytes = 1024)
+    // raw (file-backed) relation — Range/LocalRelation are literal and
+    // scale-bounded by construction, so the cartesian/broadcast rules
+    // need a real scan to exercise
+    val tinyDir = java.nio.file.Files
+      .createTempDirectory("lint_tiny").toString
+    spark.range(50).toDF("id").write.mode("overwrite").parquet(tinyDir)
+    val tiny = spark.read.parquet(tinyDir)
+    // cartesian of two raw sides → flagged; tiny thresholds force it
+    val cart = tiny.crossJoin(tiny.withColumnRenamed("id", "id2"))
+    assert(PlanLint.audit(cart, broadcastableBytes = 16)
       .exists(_.rule == "cartesian-product"))
-    // 1-row stat-frame crossJoin (the library idiom) passes at defaults
-    val statJoin = big.crossJoin(big.agg(max(col("id")).as("mx")))
-    assert(PlanLint.audit(statJoin).isEmpty)
+    // 1-row stat-frame crossJoin (the library idiom) passes even there
+    val statJoin = tiny.crossJoin(tiny.agg(max(col("id")).as("mx")))
+    assert(PlanLint.audit(statJoin, broadcastableBytes = 16).isEmpty)
     // unpartitioned window → flagged
     val w = big.withColumn("rn",
       row_number().over(Window.orderBy(col("id"))))
@@ -3532,15 +3539,25 @@ class OpsExtSpec extends AnyFunSuite {
     val wk = big.withColumn("rn", row_number().over(
       Window.partitionBy(col("id") % 10).orderBy(col("id"))))
     assert(PlanLint.audit(wk).isEmpty)
-    // oversized broadcast hint → flagged at a tiny threshold
-    val bj = big.join(broadcast(big.withColumnRenamed("id", "id2")),
+    // oversized raw broadcast hint → flagged at a tiny threshold
+    val bj = tiny.join(broadcast(tiny.withColumnRenamed("id", "id2")),
       col("id") === col("id2"))
-    assert(PlanLint.audit(bj, maxBroadcastBytes = 1024)
+    assert(PlanLint.audit(bj, maxBroadcastBytes = 16)
       .exists(_.rule == "oversized-broadcast"))
     // the gate form throws with the findings in the message
     val ex = intercept[IllegalStateException](
       PlanLint.assertScaleSafe(w))
     assert(ex.getMessage.contains("unpartitioned-window"))
+    // rawSidesAreCorpus (the Verify-gate mode): byte estimates ignored —
+    // a cartesian of two TINY raw sides still flags, because raw
+    // relations scale with the corpus even when the test SF is small
+    assert(PlanLint.audit(cart).isEmpty) // bytes alone: passes
+    assert(PlanLint.audit(cart, rawSidesAreCorpus = true)
+      .exists(_.rule == "cartesian-product"))
+    // ...but a literal Range side (replicate inflation, the bootstrap
+    // idiom) is scale-bounded by construction and never flags
+    val inflate = tiny.crossJoin(spark.range(200).toDF("rep"))
+    assert(PlanLint.audit(inflate, rawSidesAreCorpus = true).isEmpty)
     // and a representative library query is scale-clean
     assert(PlanLint.audit(
       SparkEntry.queries("q06_percentiles")(spark,
