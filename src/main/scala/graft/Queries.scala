@@ -7574,6 +7574,104 @@ object Queries {
              round(chi2, 6) AS chi2
       FROM p JOIN sc ON sc.g = p.g ORDER BY l_returnflag, digit"""))
 
+  /** Sliced Wasserstein distance between the even- and odd-id halves
+    * of the embedding corpus: 4 md5-derived projection directions,
+    * 8-point PERCENTILE_DISC quantile grid per slice — the
+    * magnitude-sensitive distribution-shift metric beside q118's MMD.
+    * Oracle replays the identical plane literals and quantile grid. */
+  private val q220 = Entry(
+    "q220_sliced_wasserstein",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Features
+        .slicedWasserstein(e.where(pmod(col("vec_id"), lit(2)) === 0),
+          e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding",
+          inDim = 64, slices = 4, gridPoints = 8)
+        .select(col("slice"), r6(col("w1")).as("w1"),
+          r6(col("mean_w1")).as("mean_w1"))
+        .orderBy("slice")
+    },
+    Some {
+      val w = (0 until 4).map(j =>
+        graft.ops.Similarity.planeWeights(j, 64).mkString("[", ", ", "]"))
+      val qs = (0 until 8).map(i => (i + 0.5) / 8)
+      def side(pred: String): String = (0 until 4).map { j =>
+        s"SELECT $j AS slice, list_dot_product(v, ${w(j)}) AS proj FROM e WHERE $pred"
+      }.mkString(" UNION ALL ")
+      def qcols(suffix: String): String = qs.zipWithIndex.map {
+        case (p, i) => s"quantile_disc(proj, $p) AS g$i$suffix"
+      }.mkString(", ")
+      val diff = (0 until 8).map(i => s"abs(qa.g${i}a - qb.g${i}b)")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      pa AS (${side("vec_id % 2 = 0")}),
+      pb AS (${side("vec_id % 2 = 1")}),
+      qa AS (SELECT slice, ${qcols("a")} FROM pa GROUP BY 1),
+      qb AS (SELECT slice, ${qcols("b")} FROM pb GROUP BY 1),
+      w AS (SELECT qa.slice, ($diff) / 8.0 AS w1
+            FROM qa JOIN qb ON qa.slice = qb.slice),
+      m AS (SELECT avg(w1) AS mean_w1 FROM w)
+      SELECT slice, round(w1, 6) AS w1, round(mean_w1, 6) AS mean_w1
+      FROM w, m ORDER BY slice"""
+    })
+
+  /** 12-core of the customer–supplier graph: 3 deterministic peel
+    * rounds (fixpoint-unrolled, engine-replayable) — the dense
+    * interaction backbone, with each survivor's within-core degree. */
+  private val q221 = Entry(
+    "q221_kcore",
+    (s, d) =>
+      graft.ops.Graph.kCore(custSuppEdges(s, d), "src", "dst",
+        k = 12, rounds = 3)
+        .orderBy("node"),
+    Some("""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e0 AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+      k1 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 12),
+      e1 AS (SELECT e0.a, e0.b FROM e0
+             JOIN k1 x ON e0.a = x.a JOIN k1 y ON e0.b = y.a),
+      k2 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 12),
+      e2 AS (SELECT e1.a, e1.b FROM e1
+             JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a),
+      k3 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 12),
+      e3 AS (SELECT e2.a, e2.b FROM e2
+             JOIN k3 x ON e2.a = x.a JOIN k3 y ON e2.b = y.a)
+      SELECT a AS node, count(*) AS core_degree
+      FROM e3 GROUP BY 1 ORDER BY node"""))
+
+  /** Degree assortativity of the customer–supplier graph (Newman's r —
+    * negative by construction on bipartite interaction graphs). */
+  private val q222 = Entry(
+    "q222_assortativity",
+    (s, d) =>
+      graft.ops.Graph
+        .degreeAssortativity(custSuppEdges(s, d), "src", "dst")
+        .select(r6(col("assortativity")).as("assortativity"),
+          col("n_edges"), col("n_nodes")),
+    Some("""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+      deg AS (SELECT a AS n, CAST(count(*) AS DOUBLE) AS dg
+              FROM e GROUP BY 1),
+      ann AS (SELECT du.dg AS du, dv.dg AS dv FROM e
+              JOIN deg du ON e.a = du.n JOIN deg dv ON e.b = dv.n),
+      st AS (SELECT count(*) AS m, avg(du) AS eu, avg(dv) AS ev,
+                    avg(du * dv) AS euv, avg(du * du) AS eu2,
+                    avg(dv * dv) AS ev2
+             FROM ann),
+      nn AS (SELECT count(*) AS n_nodes FROM deg)
+      SELECT round((euv - eu * ev) /
+               (sqrt(eu2 - eu * eu) * sqrt(ev2 - ev * ev)), 6)
+               AS assortativity,
+             CAST(m // 2 AS BIGINT) AS n_edges, n_nodes
+      FROM st, nn"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7594,7 +7692,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

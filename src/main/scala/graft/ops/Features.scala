@@ -510,4 +510,51 @@ object Features {
     }: _*)
     df.select(col(idCol), proj.as("projected"))
   }
+
+  /**
+   * Sliced Wasserstein distance between two embedding SETS: both sides
+   * project onto `slices` fixed md5-derived directions
+   * ([[Similarity.planeWeights]] — driver literals, engine-replayable),
+   * and each slice's 1-D W₁ is approximated on a `gridPoints`-point
+   * quantile grid, W₁(s) ≈ (1/K)·Σᵢ |Q_a^s(qᵢ) − Q_b^s(qᵢ)| with
+   * qᵢ = (i+½)/K evaluated as exact PERCENTILE_DISC. The
+   * distribution-shift metric that complements [[embeddingMmd]]:
+   * W₁ keeps growing with magnitude shifts the RBF kernel saturates
+   * on, and the per-slice rows localize WHICH directions moved.
+   * Returns one row per slice (slice, w1) plus the pooled `mean_w1`
+   * repeated on each.
+   *
+   * Scale shape: projection is a map-only codegen'd dot per slice
+   * (rows × slices frame, no shuffle); per-slice quantiles run the
+   * grouped bucketed prefix-sum PERCENTILE_DISC path (group = slice —
+   * distinct-value state, no buffering); the compare is a
+   * `slices`-row join of two quantile frames.
+   */
+  def slicedWasserstein(a: DataFrame, b: DataFrame, vecCol: String,
+      inDim: Int, slices: Int = 4, gridPoints: Int = 16): DataFrame = {
+    require(slices > 0 && gridPoints > 0, "slices/gridPoints positive")
+    import graft.analysis.{AnalysisPlanner, PrefixSum}
+    def proj(df: DataFrame): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(posexplode(array((0 until slices).map { j =>
+        graft.functions.VectorFunctions.dot(v,
+          lit(Similarity.planeWeights(j, inDim)))
+      }: _*)).as(Seq("slice", "__proj")))
+    }
+    val grid = (0 until gridPoints)
+      .map(i => s"__g$i" -> (i + 0.5) / gridPoints)
+    val qa = AnalysisPlanner.exactPercentilesDisc(proj(a), "__proj",
+      grid, Seq("slice"))
+    val qb = AnalysisPlanner.exactPercentilesDisc(proj(b), "__proj",
+      grid.map { case (n, p) => (n + "b", p) }, Seq("slice"))
+    val w1 = (0 until gridPoints)
+      .map(i => abs(col(s"__g$i") - col(s"__g${i}b")))
+      .reduce(_ + _) / lit(gridPoints.toDouble)
+    val perSlice = PrefixSum.joinNullSafe(qa, qb, Seq("slice"))
+      .select(col("slice"), w1.as("w1"))
+      .localCheckpoint() // ≤ slices rows; the pooled mean re-reads it
+    perSlice.crossJoin(broadcast(perSlice.agg(avg(col("w1"))
+        .as("mean_w1"))))
+      .select(col("slice"), col("w1"), col("mean_w1"))
+  }
 }

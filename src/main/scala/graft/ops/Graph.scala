@@ -205,6 +205,85 @@ object Graph {
    * checkpointed per round (they feed the next iteration — same
    * lineage-truncation discipline as [[pageRank]]).
    */
+  /**
+   * k-core peeling: repeatedly delete nodes of degree < k (with their
+   * edges) for a FIXED `rounds` iterations — deterministic unrolling,
+   * so any engine replays it step for step; when the peel reaches its
+   * fixpoint within `rounds` (it usually does — each round removes a
+   * shrinking frontier) the result IS the k-core, the standard dense
+   * backbone / influential-substructure extraction. Directed input is
+   * symmetrized; self-loops and multi-edges collapse. Returns the
+   * surviving nodes with their within-subgraph degree.
+   *
+   * Scale shape: per round one degree aggregation + two semi-joins on
+   * the shrinking edge frame, localCheckpointed (the next round and
+   * the final degree count re-read it — same lineage discipline as
+   * [[pageRank]]). Never materializes anything driver-side.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy("a").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("a")
+        .localCheckpoint() // probed by BOTH endpoint semi-joins
+      und = und
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /**
+   * Degree assortativity: the Pearson correlation of (deg(u), deg(v))
+   * over all directed realizations of the symmetrized edge set —
+   * Newman's r, the one-number answer to "do hubs attach to hubs?"
+   * (social graphs: r > 0; bipartite interaction graphs like
+   * customer↔supplier: r < 0 by construction). Returns one row
+   * (assortativity, n_edges, n_nodes).
+   *
+   * One degree aggregation, two keyed joins to annotate endpoints, one
+   * moment aggregate — no window, nothing driver-side. Symmetrized
+   * orientation keeps the measure direction-free (each undirected edge
+   * contributes both (du,dv) and (dv,du), the standard convention).
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("n"))
+      .agg(count(lit(1)).cast("double").as("d"))
+      .localCheckpoint() // joined onto both endpoints
+    val annotated = und
+      .join(deg.select(col("n").as("a"), col("d").as("du")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("dv")), Seq("b"))
+    annotated.agg(
+        count(lit(1)).as("__m"),
+        avg(col("du")).as("__eu"), avg(col("dv")).as("__ev"),
+        avg(col("du") * col("dv")).as("__euv"),
+        avg(col("du") * col("du")).as("__eu2"),
+        avg(col("dv") * col("dv")).as("__ev2"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("__nn"))))
+      .select(
+        ((col("__euv") - col("__eu") * col("__ev")) /
+          (sqrt(col("__eu2") - col("__eu") * col("__eu")) *
+            sqrt(col("__ev2") - col("__ev") * col("__ev"))))
+          .as("assortativity"),
+        (col("__m") / 2).cast("long").as("n_edges"),
+        col("__nn").as("n_nodes"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
     val und = edges

@@ -3263,6 +3263,28 @@ class OpsExtSpec extends AnyFunSuite {
         "c", "seg", "v").queryExecution.optimizedPlan, "minDetectableEffect")
   }
 
+  test("kCore peels pendants, keeps the dense backbone") {
+    import spark.implicits._
+    // triangle {a,b,c} + pendant d—a + chain d—e: 2-core = the triangle
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+      ("d", "e")).toDF("s", "t")
+    val core = graft.ops.Graph.kCore(edges, "s", "t", k = 2, rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(core.toSeq == Seq("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k above the max degree peels everything
+    assert(graft.ops.Graph.kCore(edges, "s", "t", k = 5, rounds = 3)
+      .count() == 0)
+  }
+
+  test("degreeAssortativity: star graph is perfectly disassortative") {
+    import spark.implicits._
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("s", "t")
+    val r = graft.ops.Graph.degreeAssortativity(star, "s", "t").head()
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-12)
+    assert(r.getAs[Long]("n_edges") == 3L && r.getAs[Long]("n_nodes") == 4L)
+  }
+
   test("labelPropagation: two triangles + bridge settle into 2 communities") {
     import spark.implicits._
     // triangle {a,b,c} — bridge c-d — triangle {d,e,f}; hand-traced 3
@@ -3672,6 +3694,33 @@ class OpsExtSpec extends AnyFunSuite {
     assert(small.length < 10)
     assert(small.forall { case (u, v) =>
       u < v && !real.contains((u, v)) })
+  }
+
+  test("slicedWasserstein: zero on identical sets, exact on constant shift") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => (i.toLong,
+      Array(i * 0.1, -i * 0.05))).toDF("id", "vec")
+    val same = graft.ops.Features
+      .slicedWasserstein(base, base, "vec", inDim = 2, slices = 3,
+        gridPoints = 8)
+      .collect()
+    assert(same.length == 3)
+    assert(same.forall(r => math.abs(r.getAs[Double]("w1")) < 1e-12))
+    // shifting every vector by a constant c moves each slice's whole
+    // 1-D distribution by dot(c, w_j): W1 per slice = |dot(c, w_j)|
+    val c = Array(0.7, -0.3)
+    val shifted = base.select(col("id"),
+      array(col("vec")(0) + c(0), col("vec")(1) + c(1)).as("vec"))
+    val out = graft.ops.Features
+      .slicedWasserstein(base, shifted, "vec", inDim = 2, slices = 3,
+        gridPoints = 8)
+      .orderBy("slice").collect()
+    (0 until 3).foreach { j =>
+      val wj = graft.ops.Similarity.planeWeights(j, 2)
+      val expect = math.abs(c(0) * wj(0) + c(1) * wj(1))
+      assert(math.abs(out(j).getAs[Double]("w1") - expect) < 1e-9,
+        s"slice $j")
+    }
   }
 
   test("probitCol matches published normal quantiles incl. tails") {
