@@ -7672,6 +7672,106 @@ object Queries {
              CAST(m // 2 AS BIGINT) AS n_edges, n_nodes
       FROM st, nn"""))
 
+  /** Quantile normalization of event values by event type (64-cell
+    * pooled grid): after QN every type shares the pooled distribution
+    * — the per-type stats collapse onto near-identical values. Oracle
+    * replays midranks, grid cells, and the 64 pooled disc quantiles. */
+  private val q223 = Entry(
+    "q223_quantile_normalize",
+    (s, d) =>
+      graft.ops.Features
+        .quantileNormalize(Tables.events(s, d), "value",
+          Seq("event_type"), gridPoints = 64)
+        .groupBy("event_type")
+        .agg(count(col("qn_value")).as("n_mapped"),
+          r6(avg(col("qn_value"))).as("qn_avg"),
+          r6(min(col("qn_value"))).as("qn_min"),
+          r6(max(col("qn_value"))).as("qn_max"))
+        .orderBy("event_type"),
+    Some {
+      val ref = (1 to 64).map { c =>
+        val p = (c - 0.5) / 64
+        s"SELECT $c AS cell, quantile_disc(x, $p) AS qn FROM t"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH t AS (SELECT event_type AS g, CAST("value" AS DOUBLE) AS x
+                 FROM events WHERE "value" IS NOT NULL),
+      vc AS (SELECT g, x, count(*) AS c FROM t GROUP BY 1, 2),
+      r AS (SELECT g, x, c,
+                   coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS ex,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM vc),
+      cells AS (SELECT g, x,
+                       CAST(least(ceil(((ex + (c + 1) / 2.0 - 0.5) / n)
+                         * 64.0), 64.0) AS BIGINT) AS cell
+                FROM r),
+      ref AS ($ref),
+      m AS (SELECT g, x, qn FROM cells JOIN ref USING (cell)),
+      rows_ AS (SELECT t.g, m.qn FROM t
+                JOIN m ON m.g = t.g AND m.x = t.x)
+      SELECT g AS event_type, count(qn)::BIGINT AS n_mapped,
+             round(avg(qn), 6) AS qn_avg, round(min(qn), 6) AS qn_min,
+             round(max(qn), 6) AS qn_max
+      FROM rows_ GROUP BY 1 ORDER BY event_type"""
+    })
+
+  /** Funnel time-to-convert: per-step gap distribution (mean, exact
+    * disc p50/p90 seconds) through the 7-day windowed signup funnel —
+    * where q208 counts the leak, this measures the stall. */
+  private val q224 = Entry(
+    "q224_funnel_durations",
+    (s, d) =>
+      graft.ops.Behavioral
+        .funnelDurations(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("signup", "view", "click", "purchase"),
+          maxGapSeconds = Some(7L * 86400))
+        .select(col("step_idx"), col("step"), col("n_users"),
+          r6(col("avg_gap_s")).as("avg_gap_s"),
+          r6(col("p50_gap_s")).as("p50_gap_s"),
+          r6(col("p90_gap_s")).as("p90_gap_s"))
+        .orderBy("step_idx"),
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts >= s1.t
+          AND epoch_us(e.ts) - epoch_us(s1.t) <= 604800000000
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s2.t
+          AND epoch_us(e.ts) - epoch_us(s2.t) <= 604800000000
+        GROUP BY 1),
+      s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+          AND epoch_us(e.ts) - epoch_us(s3.t) <= 604800000000
+        GROUP BY 1),
+      u AS (
+        SELECT 2 AS step_idx, 'view' AS step,
+               (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0 AS gap
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 3, 'click',
+               (epoch_us(s3.t) - epoch_us(s2.t)) / 1000000.0
+        FROM s3 JOIN s2 USING (user_id)
+        UNION ALL
+        SELECT 4, 'purchase',
+               (epoch_us(s4.t) - epoch_us(s3.t)) / 1000000.0
+        FROM s4 JOIN s3 USING (user_id))
+      SELECT step_idx, step, count(*) AS n_users,
+             round(avg(gap), 6) AS avg_gap_s,
+             round(quantile_disc(gap, 0.5), 6) AS p50_gap_s,
+             round(quantile_disc(gap, 0.9), 6) AS p90_gap_s
+      FROM u GROUP BY 1, 2 ORDER BY step_idx"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7692,7 +7792,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -58,6 +58,59 @@ object Behavioral {
   }
 
   /**
+   * Time-to-convert profile per funnel step: for every user who reaches
+   * step i (same strict sequential semantics as [[funnel]], same
+   * optional conversion window), the gap between their step-(i−1) and
+   * step-i reach times, summarized per step as count, mean, and exact
+   * PERCENTILE_DISC p50/p90 — the "WHERE does the funnel stall"
+   * companion to funnel's "where does it leak". Returns
+   * (step_idx, step, n_users, avg_gap_s, p50_gap_s, p90_gap_s) for
+   * steps 2..k.
+   *
+   * Scale shape: the same k keyed joins over per-step minimal frames as
+   * [[funnel]] (reach frames persisted — each step computed once); gap
+   * percentiles run the grouped prefix-sum PERCENTILE_DISC path, never
+   * a per-step sort.
+   */
+  def funnelDurations(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.length >= 2, "durations need at least two steps")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
+    import graft.analysis.{AnalysisPlanner, PrefixSum}
+    var reached = df.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .persist()
+    var gaps: Option[DataFrame] = None
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val inWindow = maxGapSeconds.fold(lit(true))(g =>
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) <=
+          g * 1000000L)
+      val nxt = df.where(col(typeCol) === s)
+        .join(reached.select(col(userCol), col("__t").as("__prev")),
+          userCol)
+        .where(col(tsCol) >= col("__prev") && inWindow)
+        .groupBy(col(userCol))
+        // __prev is constant per user (one row in `reached`), so min()
+        // just carries it through the aggregate
+        .agg(min(col(tsCol)).as("__t"), min(col("__prev")).as("__p"))
+        .persist()
+      val g = nxt.select(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        ((unix_micros(col("__t")) - unix_micros(col("__p"))) /
+          lit(1000000.0)).as("gap_s"))
+      gaps = Some(gaps.fold(g)(_.unionByName(g)))
+      reached = nxt.select(col(userCol), col("__t")).persist()
+    }
+    val gapFrame = gaps.get
+    val stats = gapFrame.groupBy(col("step_idx"), col("step"))
+      .agg(count(lit(1)).as("n_users"), avg(col("gap_s")).as("avg_gap_s"))
+    val pcts = AnalysisPlanner.exactPercentilesDisc(gapFrame, "gap_s",
+      Seq("p50_gap_s" -> 0.5, "p90_gap_s" -> 0.9),
+      Seq("step_idx", "step"))
+    PrefixSum.joinNullSafe(stats, pcts, Seq("step_idx", "step"))
+  }
+
+  /**
    * Top-k most frequent length-`len` event paths — the sequence-mining
    * readout behind "what do users actually do": every window of `len`
    * consecutive events in a user's time-ordered stream (ties pinned by

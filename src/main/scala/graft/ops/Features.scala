@@ -512,6 +512,62 @@ object Features {
   }
 
   /**
+   * Quantile normalization onto the pooled distribution — the
+   * batch-effect removal classic (microarray lineage): every group's
+   * values are remapped so all groups share one distribution, by
+   * replacing each value with the POOLED corpus's quantile at that
+   * value's within-group rank. Rank→quantile goes through a
+   * `gridPoints`-level grid (the practical large-scale form): a row at
+   * within-group midrank fraction p lands in grid cell
+   * ⌈p·K⌉ and receives the pooled exact PERCENTILE_DISC value at the
+   * cell's center (cell−½)/K. Appends `qn_value`; row set unchanged,
+   * NULL values stay NULL.
+   *
+   * Scale shape: within-group midranks from the grouped [[graft.analysis.PrefixSum]]
+   * over DISTINCT (group, value) rows (never a per-row window); the
+   * pooled reference is a K-row frame (grid cell → disc quantile)
+   * joined back by equi-key — broadcastable at any corpus size.
+   */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], gridPoints: Int = 64): DataFrame = {
+    require(gridPoints >= 2, "gridPoints must be >= 2")
+    require(groupCols.nonEmpty, "quantile normalization needs groups")
+    import graft.analysis.{AnalysisPlanner, PrefixSum}
+    val K = gridPoints
+    val gs = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val vc = df.where(v.isNotNull)
+      .groupBy(gs :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val totals = vc.groupBy(gs: _*).agg(sum(col("__cnt")).as("__n"))
+    val ranked = PrefixSum.joinNullSafe(
+      PrefixSum.exclusive(vc, "__v", Seq("__cnt" -> "__ex"),
+        groupCols = groupCols),
+      totals, groupCols, broadcastRight = true)
+    // midrank fraction, then grid cell — the ceil argument's expression
+    // SHAPE is part of the cross-engine contract (identical IEEE ops)
+    val cell = least(
+      ceil((col("__ex") + (col("__cnt") + 1) / lit(2.0) - lit(0.5)) /
+        col("__n") * lit(K.toDouble)), lit(K.toLong)).cast("long")
+    val cells = ranked.select(gs ++ Seq(col("__v"),
+      cell.as("__qcell")): _*)
+    // pooled reference: one exact disc quantile per grid cell
+    val refRow = AnalysisPlanner.exactPercentilesDisc(
+      df.select(v.as("__v")), "__v",
+      (1 to K).map(c => s"__r$c" -> (c - 0.5) / K), Nil)
+    val refFrame = refRow.select(posexplode(
+      array((1 to K).map(c => col(s"__r$c")): _*))
+      .as(Seq("__p0", "qn_value")))
+      .select((col("__p0") + 1).as("__qcell"), col("qn_value"))
+    val mapped = PrefixSum.joinNullSafe(cells, refFrame, Seq("__qcell"),
+        broadcastRight = true)
+      .select(gs ++ Seq(col("__v"), col("qn_value")): _*)
+    PrefixSum.joinNullSafe(df.withColumn("__v", v), mapped,
+        groupCols :+ "__v", "left")
+      .drop("__v")
+  }
+
+  /**
    * Sliced Wasserstein distance between two embedding SETS: both sides
    * project onto `slices` fixed md5-derived directions
    * ([[Similarity.planeWeights]] — driver literals, engine-replayable),

@@ -3696,6 +3696,57 @@ class OpsExtSpec extends AnyFunSuite {
       u < v && !real.contains((u, v)) })
   }
 
+  test("funnelDurations: per-step gaps, strict ordering, window drop") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // u1 converts a→b in 10 s, b→c in 20 s; u2 a→b in 30 s, no c;
+    // u3's b precedes a (strict order: not counted); u4's b is past
+    // the 60 s window
+    val ev = Seq(
+      ("u1", ts(0), "a"), ("u1", ts(10), "b"), ("u1", ts(30), "c"),
+      ("u2", ts(0), "a"), ("u2", ts(30), "b"),
+      ("u3", ts(50), "a"), ("u3", ts(0), "b"),
+      ("u4", ts(0), "a"), ("u4", ts(100), "b")
+    ).toDF("u", "t", "e")
+    val out = graft.ops.Behavioral
+      .funnelDurations(ev, "u", "t", "e", Seq("a", "b", "c"),
+        maxGapSeconds = Some(60))
+      .orderBy("step_idx").collect()
+    assert(out.length == 2)
+    val b = out(0)
+    assert(b.getAs[Int]("step_idx") == 2 && b.getAs[Long]("n_users") == 2)
+    assert(math.abs(b.getAs[Double]("avg_gap_s") - 20.0) < 1e-9)
+    assert(b.getAs[Double]("p50_gap_s") == 10.0) // disc: lower of {10,30}
+    assert(b.getAs[Double]("p90_gap_s") == 30.0)
+    val c = out(1)
+    assert(c.getAs[Long]("n_users") == 1)
+    assert(math.abs(c.getAs[Double]("avg_gap_s") - 20.0) < 1e-9)
+  }
+
+  test("quantileNormalize aligns group distributions onto the pooled grid") {
+    import spark.implicits._
+    // two groups, same shape, 100-apart scales; after QN both carry the
+    // IDENTICAL multiset of pooled grid quantiles (hand-traced, K=8)
+    val df = ((1 to 8).map(i => ("a", i.toDouble)) ++
+      (1 to 8).map(i => ("b", 100.0 + i))).toDF("g", "x")
+    val out = graft.ops.Features.quantileNormalize(df, "x", Seq("g"),
+      gridPoints = 8)
+    def vals(g: String) = out.where(col("g") === g)
+      .select("qn_value").collect().map(_.getDouble(0)).sorted.toSeq
+    val expect = Seq(1.0, 3.0, 5.0, 7.0, 101.0, 103.0, 105.0, 107.0)
+    assert(vals("a") == expect)
+    assert(vals("b") == expect)
+    // rows and NULLs pass through
+    val withNull = df.unionByName(
+      Seq(("a", Option.empty[Double])).toDF("g", "x"))
+    val out2 = graft.ops.Features.quantileNormalize(withNull, "x",
+      Seq("g"), gridPoints = 8)
+    assert(out2.count() == 17)
+    assert(out2.where(col("x").isNull).select("qn_value")
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("slicedWasserstein: zero on identical sets, exact on constant shift") {
     import spark.implicits._
     val base = (1 to 40).map(i => (i.toLong,
