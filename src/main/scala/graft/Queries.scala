@@ -7772,6 +7772,101 @@ object Queries {
              round(quantile_disc(gap, 0.9), 6) AS p90_gap_s
       FROM u GROUP BY 1, 2 ORDER BY step_idx"""))
 
+  // ---- PQ oracle SQL generators (q225/q226): the encode/ADC replay is
+  // generated from the SAME pqCentroids arrays the Spark ops inline, so
+  // there is no transcription drift and every IEEE expression matches
+  // shape for shape (sum order, (x-y)*(x-y) squares, first-wins argmin)
+  private def pqSqDistSql(vecExpr: String, s: Int, subDim: Int,
+      cent: Array[Double]): String =
+    (0 until subDim).map { i =>
+      val idx = s * subDim + i + 1 // 1-based into the full vector
+      s"(($vecExpr[$idx] - ${cent(i)}) * ($vecExpr[$idx] - ${cent(i)}))"
+    }.mkString("(", " + ", ")")
+
+  private def pqCodeSql(vecExpr: String, s: Int, subDim: Int,
+      ksub: Int): String = {
+    val ds = (0 until ksub).map(c => pqSqDistSql(vecExpr, s, subDim,
+      graft.ops.Similarity.pqCentroids(s, ksub, subDim)(c)))
+    val mn = ds.mkString("least(", ", ", ")")
+    val branches = (0 until ksub)
+      .map(c => s"WHEN ${ds(c)} = $mn THEN $c").mkString(" ")
+    s"(CASE $branches END)"
+  }
+
+  /** PQ encode of the embedding corpus: 64 dims → 4 subspace codes
+    * (8-centroid md5-seeded codebooks) + reconstruction error — the
+    * m-byte-per-vector billion-scale ANN storage layout, fully
+    * engine-replayed by a generated argmin oracle. */
+  private val q225 = Entry(
+    "q225_pq_encode",
+    (s, d) =>
+      graft.ops.Similarity
+        .pqEncode(Tables.embeddings(s, d).where(col("vec_id") < 100),
+          "vec_id", "embedding", inDim = 64, m = 4, ksub = 8)
+        .select(col("vec_id"),
+          col("pq_codes")(0).as("c0"), col("pq_codes")(1).as("c1"),
+          col("pq_codes")(2).as("c2"), col("pq_codes")(3).as("c3"),
+          r6(col("recon_err")).as("recon_err"))
+        .orderBy("vec_id"),
+    Some {
+      val subDim = 16
+      val codes = (0 until 4).map(s => s"${pqCodeSql("v", s, subDim, 8)} AS c$s")
+      val errTerms = (0 until 4).map { s =>
+        val ds = (0 until 8).map(c => pqSqDistSql("v", s, subDim,
+          graft.ops.Similarity.pqCentroids(s, 8, subDim)(c)))
+        ds.mkString("least(", ", ", ")")
+      }
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id < 100),
+      enc AS (SELECT vec_id, ${codes.mkString(", ")},
+                     sqrt(${errTerms.mkString("(", " + ", ")")}) AS err
+              FROM e)
+      SELECT vec_id, c0, c1, c2, c3, round(err, 6) AS recon_err
+      FROM enc ORDER BY vec_id"""
+    })
+
+  /** PQ asymmetric-distance top-5 for the first five query vectors:
+    * corpus as codes, queries full-precision, distance = summed
+    * subspace table lookups — the generated oracle replays encode +
+    * ADC end to end. */
+  private val q226 = Entry(
+    "q226_pq_knn",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ops.Similarity
+        .pqKnn(e, e.where(col("vec_id") < 5), k = 5, inDim = 64,
+          m = 4, ksub = 8)
+        .select(col("query_id"), col("rnk"), col("nbr_id"),
+          r6(col("approx_dist")).as("approx_dist"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val subDim = 16
+      val codes = (0 until 4).map(s => s"${pqCodeSql("v", s, subDim, 8)} AS c$s")
+      val adc = (0 until 4).map { s =>
+        val branches = (0 until 8).map { c =>
+          s"WHEN c.c$s = $c THEN ${pqSqDistSql("q.v", s, subDim,
+            graft.ops.Similarity.pqCentroids(s, 8, subDim)(c))}"
+        }.mkString(" ")
+        s"(CASE $branches END)"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id, ${codes.mkString(", ")} FROM e),
+      q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                    $adc AS approx_dist
+             FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, nbr_id, approx_dist,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx_dist ASC, nbr_id ASC) AS rnk
+            FROM sc)
+      SELECT query_id, rnk, nbr_id, round(approx_dist, 6) AS approx_dist
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7792,7 +7887,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

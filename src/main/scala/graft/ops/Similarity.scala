@@ -365,6 +365,99 @@ object Similarity {
     }
   }
 
+  /**
+   * Per-subspace PQ codebook: `ksub` deterministic centroids of
+   * `subDim` dims for subspace `sub`, from md5("pq{sub}:{c}:{i}") in
+   * [-1, 1) — [[pseudoCentroids]]' seeded sibling, so each subspace
+   * gets its own codebook and an oracle inlines the identical arrays.
+   */
+  def pqCentroids(sub: Int, ksub: Int, subDim: Int): Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ksub) { c =>
+      Array.tabulate(subDim) { i =>
+        val hex = mdig.digest(s"pq$sub:$c:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 8388608.0 - 1.0
+      }
+    }
+  }
+
+  /** Squared L2 between a sliced subvector and a literal centroid —
+    * plain HOF arithmetic (no sqrt), so Spark and any oracle compute
+    * the IDENTICAL IEEE expression and argmin ties break the same. */
+  private def sqDist(sub: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(sub, lit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /**
+   * Product quantization encode: each `inDim` vector splits into `m`
+   * contiguous subvectors of inDim/m dims; each subvector maps to its
+   * nearest of `ksub` per-subspace [[pqCentroids]] (first index wins
+   * ties). Output codes are m small ints — at ksub ≤ 256 that is m
+   * bytes per vector vs 8·inDim for raw doubles (a 64-dim float corpus
+   * compresses 64×), THE standard memory layout for billion-scale ANN
+   * (Jégou et al. 2011). `recon_err` = √Σₛ‖subₛ − cent[codeₛ]‖² reports
+   * per-vector quantization loss. Map-only: every distance is codegen
+   * HOF arithmetic against broadcast literals — no shuffle, no fit
+   * pass, deterministic in any engine.
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, m: Int = 4, ksub: Int = 8): DataFrame = {
+    require(m > 0 && inDim % m == 0, s"m=$m must divide inDim=$inDim")
+    val subDim = inDim / m
+    val v = col(vecCol).cast("array<double>")
+    val codeAndErr = (0 until m).map { s =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      val cents = pqCentroids(s, ksub, subDim)
+      val dists = array(cents.map(c => sqDist(sub, c)): _*)
+      val code = (array_position(dists, array_min(dists)) - 1).cast("int")
+      (code, element_at(dists, array_position(dists, array_min(dists))
+        .cast("int")))
+    }
+    df.select(col(idCol),
+      array(codeAndErr.map(_._1): _*).as("pq_codes"),
+      sqrt(codeAndErr.map(_._2).reduce(_ + _)).as("recon_err"))
+  }
+
+  /**
+   * PQ asymmetric-distance (ADC) top-k: the corpus lives as PQ codes
+   * (encoded map-side here; at scale the codes are the stored index),
+   * queries stay full-precision, and each candidate's approximate
+   * distance is Σₛ‖q_subₛ − centₛ[codeₛ]‖² — m table lookups instead
+   * of an inDim-wide dot per pair. Queries broadcast (the [[bruteForceKnn]]
+   * contract: few queries against a huge corpus); ranking is
+   * (approx_dist ASC, nbr_id ASC), deterministic in any engine since
+   * both distance and lookup replay exactly. Returns
+   * (query_id, rnk, nbr_id, approx_dist).
+   */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, inDim: Int,
+      m: Int = 4, ksub: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && inDim % m == 0, s"m=$m must divide inDim=$inDim")
+    val subDim = inDim / m
+    val enc = pqEncode(corpus, idCol, vecCol, inDim, m, ksub)
+      .select(col(idCol).as("nbr_id"), col("pq_codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val dist = (0 until m).map { s =>
+      val qsub = slice(col("__qv"), s * subDim + 1, subDim)
+      val cents = pqCentroids(s, ksub, subDim)
+      // centₛ[codeₛ] as a literal-table lookup: ksub-branch element_at
+      // over the code — stays codegen, no join
+      val table = array(cents.map(c => sqDist(qsub, c)): _*)
+      element_at(table, element_at(col("pq_codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(q)
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("approx_dist", dist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("nbr_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), col("approx_dist"))
+  }
+
   /** Tag each row with its nearest-centroid cell index (`__cell`). */
   def assignCells(df: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {

@@ -3696,6 +3696,33 @@ class OpsExtSpec extends AnyFunSuite {
       u < v && !real.contains((u, v)) })
   }
 
+  test("pqEncode/pqKnn: exact on codebook vectors, ADC finds the planted hit") {
+    import spark.implicits._
+    val m = 2; val subDim = 4; val ksub = 4; val inDim = 8
+    def codebookVec(c0: Int, c1: Int): Array[Double] =
+      graft.ops.Similarity.pqCentroids(0, ksub, subDim)(c0) ++
+        graft.ops.Similarity.pqCentroids(1, ksub, subDim)(c1)
+    // vectors assembled FROM the codebooks: codes recover exactly, zero
+    // reconstruction error
+    val rows = Seq((1L, codebookVec(0, 3)), (2L, codebookVec(2, 1)),
+      (3L, codebookVec(3, 3))).toDF("vec_id", "embedding")
+    val enc = graft.ops.Similarity
+      .pqEncode(rows, "vec_id", "embedding", inDim, m, ksub)
+      .orderBy("vec_id").collect()
+    assert(enc.map(_.getAs[scala.collection.Seq[Int]]("pq_codes").toSeq)
+      .toSeq == Seq(Seq(0, 3), Seq(2, 1), Seq(3, 3)))
+    assert(enc.forall(_.getAs[Double]("recon_err") < 1e-12))
+    // ADC: query = vector 1's exact value → nbr 3 (shares subspace-1
+    // code 3, differs in subspace 0) must outrank nbr 2 (shares none)
+    val knn = graft.ops.Similarity
+      .pqKnn(rows, rows.where(col("vec_id") === 1), k = 2, inDim, m, ksub)
+      .orderBy("rnk").collect()
+    assert(knn.map(_.getAs[Long]("nbr_id")).toSeq == Seq(3L, 2L))
+    // the planted exact-code match has approx_dist = only subspace-0
+    // centroid separation; both are > 0 (query differs from both)
+    assert(knn.forall(_.getAs[Double]("approx_dist") > 0))
+  }
+
   test("funnelDurations: per-step gaps, strict ordering, window drop") {
     import spark.implicits._
     def ts(sec: Int) = java.sql.Timestamp.from(
