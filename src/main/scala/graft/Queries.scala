@@ -7867,6 +7867,74 @@ object Queries {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** Sharp regression discontinuity at a price cutoff: outcome carries
+    * a deterministic +5 jump at 150k, the estimator's local linear
+    * fits recover it — closed-form moments replayed by the oracle. */
+  private val q227 = Entry(
+    "q227_rdd_estimate",
+    (s, d) => {
+      val df = Tables.orders(s, d).select(
+        col("o_totalprice").as("run"),
+        (col("o_totalprice") / 1000.0 +
+          when(col("o_totalprice") >= 150000.0, 5.0).otherwise(0.0) +
+          (col("o_orderkey") % 7).cast("double")).as("y"))
+      graft.ops.Evaluation
+        .rddEstimate(df, "run", "y", cutoff = 150000.0,
+          bandwidth = 100000.0)
+        .select(col("n_left"), col("n_right"),
+          r6(col("slope_l")).as("slope_l"),
+          r6(col("slope_r")).as("slope_r"),
+          r6(col("at_cutoff_l")).as("at_cutoff_l"),
+          r6(col("at_cutoff_r")).as("at_cutoff_r"),
+          r6(col("effect")).as("effect"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_totalprice - 150000.0 AS x,
+               o_totalprice / 1000.0 +
+                 (CASE WHEN o_totalprice >= 150000.0 THEN 5.0
+                       ELSE 0.0 END) + (o_orderkey % 7) AS y
+        FROM orders
+        WHERE o_totalprice - 150000.0 >= -100000.0
+          AND o_totalprice - 150000.0 < 100000.0),
+      m AS (SELECT
+        count(*) FILTER (WHERE x < 0) AS nl,
+        sum(x) FILTER (WHERE x < 0) AS sxl,
+        sum(y) FILTER (WHERE x < 0) AS syl,
+        sum(x * x) FILTER (WHERE x < 0) AS sxxl,
+        sum(x * y) FILTER (WHERE x < 0) AS sxyl,
+        sum(y * y) FILTER (WHERE x < 0) AS syyl,
+        count(*) FILTER (WHERE x >= 0) AS nr,
+        sum(x) FILTER (WHERE x >= 0) AS sxr,
+        sum(y) FILTER (WHERE x >= 0) AS syr,
+        sum(x * x) FILTER (WHERE x >= 0) AS sxxr,
+        sum(x * y) FILTER (WHERE x >= 0) AS sxyr,
+        sum(y * y) FILTER (WHERE x >= 0) AS syyr
+        FROM t),
+      f AS (SELECT nl, nr,
+        CASE WHEN nl >= 3 AND nl * sxxl - sxl * sxl <> 0 THEN
+          (nl * sxyl - sxl * syl) / (nl * sxxl - sxl * sxl) END AS bl,
+        CASE WHEN nr >= 3 AND nr * sxxr - sxr * sxr <> 0 THEN
+          (nr * sxyr - sxr * syr) / (nr * sxxr - sxr * sxr) END AS br,
+        sxl, syl, sxxl, sxyl, syyl, sxr, syr, sxxr, sxyr, syyr
+        FROM m),
+      g AS (SELECT nl, nr, bl, br,
+        (syl - bl * sxl) / nl AS al,
+        (syr - br * sxr) / nr AS ar,
+        ((syyl - syl * syl / nl - bl * bl * (sxxl - sxl * sxl / nl))
+          / (nl - 2)) * sxxl / (nl * sxxl - sxl * sxl) AS vil,
+        ((syyr - syr * syr / nr - br * br * (sxxr - sxr * sxr / nr))
+          / (nr - 2)) * sxxr / (nr * sxxr - sxr * sxr) AS vir
+        FROM f)
+      SELECT nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+             round(bl, 6) AS slope_l, round(br, 6) AS slope_r,
+             round(al, 6) AS at_cutoff_l, round(ar, 6) AS at_cutoff_r,
+             round(ar - al, 6) AS effect,
+             round(sqrt(vil + vir), 6) AS se,
+             round((ar - al) / sqrt(vil + vir), 6) AS t_stat
+      FROM g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7887,7 +7955,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

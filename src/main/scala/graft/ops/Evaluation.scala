@@ -469,6 +469,74 @@ object Evaluation {
   }
 
   /**
+   * Sharp regression-discontinuity estimate: local linear fits on each
+   * side of `cutoff` within `bandwidth` of it (running variable
+   * centered at the cutoff, so each side's intercept IS its boundary
+   * prediction), effect = right-limit − left-limit, with the classical
+   * OLS intercept SEs combined. The observational-causal readout for
+   * threshold-assigned treatments (score cutoffs, eligibility rules) —
+   * sits beside [[diffInDiff]] / [[propensityStratification]] in the
+   * experimentation family.
+   *
+   * ONE conditional aggregation over the bandwidth window (both sides'
+   * five moments + Σy² in the same scan — the diffInDiff discipline:
+   * no join, no rescan); everything after is closed-form arithmetic on
+   * the 1-row frame. Sides with < 3 points return NULL estimates
+   * (slope/σ² undefined) instead of ANSI division errors.
+   */
+  def rddEstimate(df: DataFrame, runningCol: String, outcomeCol: String,
+      cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be positive")
+    val x0 = col(runningCol).cast("double") - lit(cutoff)
+    val y0 = col(outcomeCol).cast("double")
+    val base = df
+      .where(x0.isNotNull && y0.isNotNull &&
+        x0 >= -bandwidth && x0 < bandwidth)
+      .select((x0 >= 0).as("__r"), x0.as("__x"), y0.as("__y"))
+    def side(right: Boolean, tag: String): Seq[Column] = {
+      val in = col("__r") === right
+      Seq(
+        count(when(in, lit(1))).as(s"__n$tag"),
+        sum(when(in, col("__x"))).as(s"__sx$tag"),
+        sum(when(in, col("__y"))).as(s"__sy$tag"),
+        sum(when(in, col("__x") * col("__x"))).as(s"__sxx$tag"),
+        sum(when(in, col("__x") * col("__y"))).as(s"__sxy$tag"),
+        sum(when(in, col("__y") * col("__y"))).as(s"__syy$tag"))
+    }
+    val aggs = side(right = false, "l") ++ side(right = true, "r")
+    def fit(tag: String): Seq[(String, Column)] = {
+      val n = col(s"__n$tag").cast("double")
+      val sx = col(s"__sx$tag"); val sy = col(s"__sy$tag")
+      val sxx = col(s"__sxx$tag"); val sxy = col(s"__sxy$tag")
+      val syy = col(s"__syy$tag")
+      val den = n * sxx - sx * sx
+      // every division sits under an explicit n/den guard: a degenerate
+      // side must surface as NULL, not an ANSI DIVIDE_BY_ZERO
+      val ok = col(s"__n$tag") >= 3 && den =!= 0
+      val slope = when(ok, (n * sxy - sx * sy) / den)
+      val icept = when(ok, (sy - slope * sx) / n)
+      // residual variance off the same moments; intercept variance =
+      // sigma2 * Sxx / (n * den) (centered-x OLS algebra)
+      val sigma2 = when(ok, (syy - sy * sy / n - slope * slope *
+        (sxx - sx * sx / n)) / (n - 2))
+      val varI = when(ok, sigma2 * sxx / den)
+      Seq(s"slope_$tag" -> slope, s"at_cutoff_$tag" -> icept,
+        s"__vi$tag" -> varI)
+    }
+    val fits = fit("l") ++ fit("r")
+    fits.foldLeft(base.agg(aggs.head, aggs.tail: _*)) {
+        case (acc, (name, c)) => acc.withColumn(name, c)
+      }
+      .withColumn("effect", col("at_cutoff_r") - col("at_cutoff_l"))
+      .withColumn("se", sqrt(col("__vil") + col("__vir")))
+      // a noise-free fit has se = 0 — NULL t, not an ANSI zero-division
+      .withColumn("t_stat", when(col("se") > 0, col("effect") / col("se")))
+      .select(col("__nl").as("n_left"), col("__nr").as("n_right"),
+        col("slope_l"), col("slope_r"), col("at_cutoff_l"),
+        col("at_cutoff_r"), col("effect"), col("se"), col("t_stat"))
+  }
+
+  /**
    * Uplift by segment — the heterogeneous-treatment-effect readout:
    * per segment, treatment/control counts, means, the uplift
    * (difference in means), its Welch SE, and the t statistic. ONE

@@ -3696,6 +3696,32 @@ class OpsExtSpec extends AnyFunSuite {
       u < v && !real.contains((u, v)) })
   }
 
+  test("rddEstimate recovers a noise-free planted jump exactly") {
+    import spark.implicits._
+    // y = 2 + 0.5x + 3*1(x>=0): both side fits are exact lines
+    val df = ((-20 to -1) ++ (0 to 19)).map { i =>
+      val x = i.toDouble
+      (x, 2.0 + 0.5 * x + (if (x >= 0) 3.0 else 0.0))
+    }.toDF("run", "y")
+    val r = graft.ops.Evaluation
+      .rddEstimate(df, "run", "y", cutoff = 0.0, bandwidth = 25.0)
+      .head()
+    assert(r.getAs[Long]("n_left") == 20 && r.getAs[Long]("n_right") == 20)
+    assert(math.abs(r.getAs[Double]("slope_l") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_r") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("at_cutoff_l") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("at_cutoff_r") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effect") - 3.0) < 1e-9)
+    assert(r.getAs[Double]("se") < 1e-6 && r.isNullAt(r.fieldIndex("t_stat")))
+    // a side with < 3 points yields NULL estimates, not a crash
+    val thin = Seq((-1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("run", "y")
+    val r2 = graft.ops.Evaluation
+      .rddEstimate(thin, "run", "y", 0.0, 10.0).head()
+    assert(r2.isNullAt(r2.fieldIndex("slope_l")) &&
+      r2.isNullAt(r2.fieldIndex("effect")))
+  }
+
   test("pqEncode/pqKnn: exact on codebook vectors, ADC finds the planted hit") {
     import spark.implicits._
     val m = 2; val subDim = 4; val ksub = 4; val inDim = 8
