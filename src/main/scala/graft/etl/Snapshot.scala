@@ -218,12 +218,10 @@ final case class SnapshotStore(path: String,
       .parquet(new HPath(dataRoot, dir).toString)
   }
 
-  /** Engine-portable SQL for "row is in one of the batch's partition
+  /** Engine-portable SQL for "row is in one of these partition
     * tuples" — values render via Catalyst literal SQL (quoted/escaped),
     * NULL tuples via IS NULL. Bounded: one term per affected tuple. */
-  private def affectedSql(df: DataFrame): String = {
-    val tuples = df.select(partitionBy.map(col): _*).distinct().collect()
-    require(tuples.nonEmpty, "upsert batch has no rows")
+  private def tupleSql(tuples: Array[org.apache.spark.sql.Row]): String =
     tuples.map { r =>
       partitionBy.zipWithIndex.map { case (c, i) =>
         if (r.isNullAt(i)) s"($c IS NULL)"
@@ -231,6 +229,11 @@ final case class SnapshotStore(path: String,
           .Literal(r.get(i)).sql})"
       }.mkString("(", " AND ", ")")
     }.mkString("(", " OR ", ")")
+
+  private def affectedSql(df: DataFrame): String = {
+    val tuples = df.select(partitionBy.map(col): _*).distinct().collect()
+    require(tuples.nonEmpty, "upsert batch has no rows")
+    tupleSql(tuples)
   }
 
   /**
@@ -285,6 +288,48 @@ final case class SnapshotStore(path: String,
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), op,
         df.schema.json, segments))
+      nextV
+    }
+  }
+
+  /**
+   * Predicate DELETE as a new commit — the transactional-format DELETE
+   * analog: rows matching `predicateSql` disappear from the new head,
+   * every prior version still shows them. Partitioned tables rewrite
+   * ONLY the partitions that contain matches (found with one pruned
+   * scan; untouched partitions carry by reference exactly as upserts
+   * do); a predicate matching nothing commits a no-op version.
+   * Returns the committed version.
+   */
+  def delete(spark: SparkSession, predicateSql: String): Long = {
+    val hFs = fs(spark)
+    withWriterLock(hFs) {
+      val p = listVersions(hFs).lastOption.map(readCommit(hFs, _))
+        .getOrElse(throw new java.io.IOException(
+          s"snapshot store $path: no commits"))
+      val nextV = p.version + 1
+      val dir = newWriteDir(nextV)
+      val cur = readVersion(spark, p.version)
+      val pred = expr(predicateSql)
+      val segments =
+        if (partitionBy.isEmpty) {
+          writeData(cur.where(!pred), dir)
+          Seq(Segment(dir, None))
+        } else {
+          val tuples = cur.where(pred)
+            .select(partitionBy.map(col): _*).distinct().collect()
+          if (tuples.isEmpty) p.segments // nothing matched: no-op commit
+          else {
+            val aff = tupleSql(tuples)
+            writeData(cur.where(expr(aff) && !pred), dir)
+            p.segments.map(s => s.copy(excluded = Some(
+              s.excluded.fold(aff)(e => s"($e) OR $aff")))) :+
+              Segment(dir, None)
+          }
+        }
+      SnapshotStore.commitFailpoint()
+      writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), "delete",
+        p.schemaJson, segments))
       nextV
     }
   }

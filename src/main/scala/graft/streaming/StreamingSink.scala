@@ -53,4 +53,20 @@ object StreamingSink {
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       withCachedBatch(batch) { target.write(batch, WriteMode.Append); () }
     }
+
+  /** Upsert every micro-batch into a [[graft.etl.SnapshotStore]] —
+    * versioned streaming ingestion: each batch commits a snapshot
+    * version, so the table's whole micro-batch history stays
+    * time-travelable (`readVersion`/`asOf`) while the head serves the
+    * merged state. Same effectively-once-by-key story as
+    * [[upsertEachBatch]]: a redelivered batch re-merges the same keys
+    * to the same values (it adds a version whose CONTENT equals the
+    * previous head — the head state is replay-idempotent even though
+    * the version count is not). */
+  def upsertEachBatchVersioned(stream: DataFrame,
+      store: graft.etl.SnapshotStore, keys: Seq[String])
+      : DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      withCachedBatch(batch) { store.write(batch, WriteMode.Upsert, keys); () }
+    }
 }

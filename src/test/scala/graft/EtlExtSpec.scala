@@ -329,6 +329,36 @@ class EtlExtSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
   }
 
+  test("snapshot store: predicate delete rewrites only matching partitions") {
+    import spark.implicits._
+    val base = tmpDir() + "/snapd"
+    val st = SnapshotStore(base, orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    st.write(Seq((1L, 10.0, "d1"), (2L, 20.0, "d2"), (3L, 30.0, "d2"),
+      (4L, 40.0, "d3")).toDF("id", "v", "day"), WriteMode.Full)
+    val v2 = st.delete(spark, "day = 'd2' AND v > 25.0")
+    assert(v2 == 2L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids(st.read(spark)) == Seq(1L, 2L, 4L)) // id=3 gone
+    assert(ids(st.readVersion(spark, 1)) == Seq(1L, 2L, 3L, 4L))
+    // only d2 was rewritten in v2's write dir
+    val dirs = new java.io.File(base + "/data").listFiles()
+      .filter(_.isDirectory).sortBy(_.getName)
+    assert(dirs.length == 2)
+    assert(dirs(1).listFiles().filter(_.isDirectory).map(_.getName)
+      .toSeq == Seq("day=d2"))
+    // a no-match predicate commits a no-op version, content unchanged
+    val v3 = st.delete(spark, "v > 1e9")
+    assert(v3 == 3L && ids(st.readVersion(spark, 3)) == Seq(1L, 2L, 4L))
+    // unpartitioned delete
+    val st2 = SnapshotStore(tmpDir() + "/snapd2")
+    st2.write(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), WriteMode.Full)
+    st2.delete(spark, "id = 1")
+    assert(ids(st2.read(spark)) == Seq(2L))
+    assert(ids(st2.readVersion(spark, 1)) == Seq(1L, 2L))
+  }
+
   test("snapshot store: crash before log commit is invisible; vacuum collects orphans") {
     import spark.implicits._
     val base = tmpDir() + "/snapc"
