@@ -7935,6 +7935,98 @@ object Queries {
              round((ar - al) / sqrt(vil + vir), 6) AS t_stat
       FROM g"""))
 
+  /** Event-study DiD by week: purchase-vs-view value effects per week
+    * relative to the first week — placebo/dynamic readout around q192's
+    * pooled number. */
+  private val q228 = Entry(
+    "q228_event_study",
+    (s, d) =>
+      graft.ops.Evaluation
+        .eventStudy(
+          Tables.events(s, d).withColumn("__period",
+            date_trunc("week", col("ts")).cast("date")),
+          "event_type", "purchase", "view", "__period", "value",
+          java.sql.Date.valueOf("2024-01-01"))
+        .withColumn("period", col("period").cast("date"))
+        .select(col("period"), col("n_treat"), col("n_ctrl"),
+          r6(col("mean_treat")).as("mean_treat"),
+          r6(col("mean_ctrl")).as("mean_ctrl"),
+          r6(col("effect")).as("effect"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat"))
+        .orderBy("period"),
+    Some("""
+      WITH c AS (
+        SELECT date_trunc('week', ts)::DATE AS period,
+               count(*) FILTER (WHERE event_type = 'purchase')
+                 AS n_treat,
+               avg("value") FILTER (WHERE event_type = 'purchase') AS mt,
+               var_samp("value") FILTER (WHERE event_type = 'purchase')
+                 / count(*) FILTER (WHERE event_type = 'purchase')
+                 AS vmt,
+               count(*) FILTER (WHERE event_type = 'view') AS n_ctrl,
+               avg("value") FILTER (WHERE event_type = 'view') AS mc,
+               var_samp("value") FILTER (WHERE event_type = 'view')
+                 / count(*) FILTER (WHERE event_type = 'view') AS vmc
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND "value" IS NOT NULL
+        GROUP BY 1),
+      b AS (SELECT mt AS bt, mc AS bc, vmt AS bvt, vmc AS bvc
+            FROM c WHERE period = DATE '2024-01-01')
+      SELECT c.period, n_treat, n_ctrl,
+             round(mt, 6) AS mean_treat, round(mc, 6) AS mean_ctrl,
+             round((mt - bt) - (mc - bc), 6) AS effect,
+             round(sqrt(vmt + bvt + vmc + bvc), 6) AS se,
+             round(((mt - bt) - (mc - bc)) /
+               sqrt(vmt + bvt + vmc + bvc), 6) AS t_stat
+      FROM c, b WHERE c.period <> DATE '2024-01-01'
+      ORDER BY period"""))
+
+  /** Information-gain feature ranking: which order attributes predict
+    * a high-value order — entropy screen over a single melted scan. */
+  private val q229 = Entry(
+    "q229_information_gain",
+    (s, d) =>
+      graft.ops.Profiling
+        .informationGain(
+          Tables.orders(s, d)
+            .withColumn("hi",
+              (col("o_totalprice") > 150000.0).cast("string"))
+            .withColumn("cust_bucket",
+              (col("o_custkey") % 10).cast("string")),
+          Seq("o_orderstatus", "o_orderpriority", "cust_bucket"),
+          "hi")
+        .select(col("feature"), r6(col("h_label")).as("h_label"),
+          r6(col("h_cond")).as("h_cond"),
+          r6(col("info_gain")).as("info_gain"))
+        .orderBy("feature"),
+    Some("""
+      WITH t AS (SELECT o_orderstatus, o_orderpriority,
+                        CAST(o_custkey % 10 AS VARCHAR) AS cust_bucket,
+                        CAST(o_totalprice > 150000.0 AS VARCHAR) AS lab
+                 FROM orders),
+      m AS (
+        SELECT 'o_orderstatus' AS feature, o_orderstatus AS v, lab
+        FROM t
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority, lab FROM t
+        UNION ALL
+        SELECT 'cust_bucket', cust_bucket, lab FROM t),
+      joint AS (SELECT feature, v, lab, count(*) AS n
+                FROM m GROUP BY 1, 2, 3),
+      pv AS (SELECT feature, v, sum(n) AS nv,
+                    sum(n * ln(n)) AS s
+             FROM joint GROUP BY 1, 2),
+      hc AS (SELECT feature,
+                    sum(nv * (ln(nv) - s / nv)) / sum(nv) AS h_cond
+             FROM pv GROUP BY 1),
+      lc AS (SELECT lab, count(*) AS n FROM t GROUP BY 1),
+      hl AS (SELECT ln(sum(n)) - sum(n * ln(n)) / sum(n) AS h_label
+             FROM lc)
+      SELECT feature, round(h_label, 6) AS h_label,
+             round(h_cond, 6) AS h_cond,
+             round(h_label - h_cond, 6) AS info_gain
+      FROM hc, hl ORDER BY feature"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -7955,7 +8047,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

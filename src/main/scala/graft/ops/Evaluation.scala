@@ -469,6 +469,59 @@ object Evaluation {
   }
 
   /**
+   * Event-study difference-in-differences: [[diffInDiff]] unrolled over
+   * TIME — for every period p ≠ `basePeriod`, the effect
+   * (treat_p − treat_base) − (ctrl_p − ctrl_base) with its four-cell
+   * SE. Pre-period rows (placebo effects ≈ 0) are the parallel-trends
+   * diagnostic; post-period rows trace the effect's dynamics — the
+   * standard readout before trusting a pooled DiD number.
+   *
+   * Shape: ONE conditional aggregation produces every (period, arm)
+   * cell; the base-period row broadcasts back onto the ≤periods-row
+   * cell frame (checkpointed — it feeds both sides). Corpus is
+   * scanned once, period count bounds everything after.
+   */
+  def eventStudy(df: DataFrame, groupCol: String, treatGroup: String,
+      controlGroup: String, periodCol: String, valueCol: String,
+      basePeriod: Any): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val isT = col("__g") === treatGroup
+    val isC = col("__g") === controlGroup
+    val cells = df
+      .where(col(groupCol).isin(treatGroup, controlGroup) && y.isNotNull)
+      .select(col(groupCol).as("__g"), col(periodCol).as("period"),
+        y.as("__y"))
+      .groupBy(col("period"))
+      .agg(count(when(isT, lit(1))).as("n_treat"),
+        avg(when(isT, col("__y"))).as("mean_treat"),
+        (var_samp(when(isT, col("__y"))) /
+          count(when(isT, lit(1))).cast("double")).as("__vmt"),
+        count(when(isC, lit(1))).as("n_ctrl"),
+        avg(when(isC, col("__y"))).as("mean_ctrl"),
+        (var_samp(when(isC, col("__y"))) /
+          count(when(isC, lit(1))).cast("double")).as("__vmc"))
+      .localCheckpoint() // ≤ periods rows; base row + join both read it
+    // limit(1) states the ≤1-row bound in the PLAN: the checkpoint
+    // erased the aggregate lineage, so without it the scale lint (and
+    // any reader of the plan) sees an unbounded broadcast side
+    val base = cells.where(col("period") === lit(basePeriod))
+      .select(col("mean_treat").as("__bt"), col("mean_ctrl").as("__bc"),
+        col("__vmt").as("__bvt"), col("__vmc").as("__bvc"))
+      .limit(1)
+    cells.where(col("period") =!= lit(basePeriod))
+      .crossJoin(broadcast(base))
+      .withColumn("effect",
+        (col("mean_treat") - col("__bt")) -
+          (col("mean_ctrl") - col("__bc")))
+      .withColumn("se", sqrt(col("__vmt") + col("__bvt") +
+        col("__vmc") + col("__bvc")))
+      .withColumn("t_stat", when(col("se") > 0, col("effect") / col("se")))
+      .select(col("period"), col("n_treat"), col("n_ctrl"),
+        col("mean_treat"), col("mean_ctrl"), col("effect"), col("se"),
+        col("t_stat"))
+  }
+
+  /**
    * Sharp regression-discontinuity estimate: local linear fits on each
    * side of `cutoff` within `bandwidth` of it (running variable
    * centered at the cutoff, so each side's intercept IS its boundary

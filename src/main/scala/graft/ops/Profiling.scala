@@ -172,6 +172,52 @@ object Profiling {
    * d = ⌊v/10^⌊log₁₀ v⌋⌋ on |v|>0); everything after runs on the
    * checkpointed ≤9-row digit frame.
    */
+  /**
+   * Information-gain ranking of categorical features against a label:
+   * IG(f) = H(label) − H(label | f) in nats — the entropy-based
+   * feature-selection screen (which columns are worth encoding /
+   * which leak the target). All features melt into ONE
+   * (feature, value, label) frame via a map-side explode, so the
+   * corpus is scanned once regardless of feature count; everything
+   * after runs on joint-count aggregates (state bounded by distinct
+   * (feature, value, label) triples). NULL feature values form their
+   * own bucket — a null-heavy column's predictive mass is real.
+   * Returns (feature, h_label, h_cond, info_gain), one row per
+   * feature.
+   */
+  def informationGain(df: DataFrame, featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val lab = col(labelCol).cast("string")
+    val melted = df.where(lab.isNotNull)
+      .select(explode(array(featureCols.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("string").as("value"),
+          lab.as("label"))): _*)).as("m"))
+      .select(col("m.feature").as("feature"), col("m.value").as("value"),
+        col("m.label").as("label"))
+    // entropy via the join-free identity H = ln(N) − (Σ n·ln n)/N —
+    // no totals frame, no self-join, two stacked aggregations total
+    val joint = melted.groupBy("feature", "value", "label")
+      .agg(count(lit(1)).as("__n"))
+    val perValue = joint.groupBy("feature", "value")
+      .agg(sum(col("__n")).as("__nv"),
+        sum(col("__n") * log(col("__n"))).as("__s"))
+      .withColumn("__hv", log(col("__nv")) - col("__s") / col("__nv"))
+    val hcond = perValue.groupBy("feature")
+      .agg((sum(col("__nv") * col("__hv")) / sum(col("__nv")))
+        .as("h_cond"))
+    // label marginal entropy: one scan of the label column only
+    val hl = broadcast(df.where(lab.isNotNull).groupBy(lab.as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__N"),
+        sum(col("__n") * log(col("__n"))).as("__s"))
+      .select((log(col("__N")) - col("__s") / col("__N"))
+        .as("h_label")))
+    hcond.crossJoin(hl)
+      .select(col("feature"), col("h_label"), col("h_cond"),
+        (col("h_label") - col("h_cond")).as("info_gain"))
+  }
+
   def benfordConformity(df: DataFrame, valueCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
     import graft.analysis.PrefixSum

@@ -3696,6 +3696,47 @@ class OpsExtSpec extends AnyFunSuite {
       u < v && !real.contains((u, v)) })
   }
 
+  test("eventStudy: placebo period nulls out, treatment period shows the jump") {
+    import spark.implicits._
+    // period 1 = base. period 2: both arms +5 (parallel trends, effect
+    // 0). period 3: treat +8 extra (effect 8). two rows per cell so
+    // var_samp is defined.
+    def cell(g: String, p: Int, base: Double) =
+      Seq((g, p, base - 0.5), (g, p, base + 0.5))
+    val df = (cell("t", 1, 10) ++ cell("c", 1, 20) ++
+      cell("t", 2, 15) ++ cell("c", 2, 25) ++
+      cell("t", 3, 23) ++ cell("c", 3, 25)).toDF("arm", "p", "y")
+    val out = graft.ops.Evaluation
+      .eventStudy(df, "arm", "t", "c", "p", "y", 1)
+      .orderBy("period").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("effect")) < 1e-12) // placebo
+    assert(math.abs(out(1).getAs[Double]("effect") - 8.0) < 1e-12)
+    assert(out.forall(_.getAs[Double]("se") > 0))
+  }
+
+  test("informationGain: perfect predictor gets H(label), constant gets 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a", "1"), ("x", "a", "1"), ("y", "b", "0"), ("y", "b", "0"),
+      ("x", "c", "1"), ("y", "c", "0")
+    ).toDF("perfect", "partial", "lbl")
+      .withColumn("const", lit("k"))
+    val out = graft.ops.Profiling
+      .informationGain(df, Seq("perfect", "partial", "const"), "lbl")
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Double]("h_label"), r.getAs[Double]("info_gain"))).toMap
+    val hLabel = math.log(2.0) // balanced binary label
+    assert(math.abs(out("perfect")._1 - hLabel) < 1e-12)
+    // 'perfect' determines the label exactly -> IG = H(label)
+    assert(math.abs(out("perfect")._2 - hLabel) < 1e-12)
+    // 'const' carries nothing -> IG = 0
+    assert(math.abs(out("const")._2) < 1e-12)
+    // 'partial': values a,b are pure (4 rows), c is 50/50 (2 rows)
+    // H(l|f) = (2/6)*0 + (2/6)*0 + (2/6)*ln2 -> IG = ln2 * 2/3
+    assert(math.abs(out("partial")._2 - hLabel * 2.0 / 3.0) < 1e-12)
+  }
+
   test("rddEstimate recovers a noise-free planted jump exactly") {
     import spark.implicits._
     // y = 2 + 0.5x + 3*1(x>=0): both side fits are exact lines
