@@ -8027,6 +8027,42 @@ object Queries {
              round(h_label - h_cond, 6) AS info_gain
       FROM hc, hl ORDER BY feature"""))
 
+  /** Seasonal-trend decomposition of daily event value per type:
+    * 7-day centered trend, zero-centered weekly seasonal, remainder —
+    * full window replay in the oracle. */
+  private val q230 = Entry(
+    "q230_seasonal_decompose",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .decompose(Tables.events(s, d), Seq("event_type"), "ts",
+          "value", period = 7, halfWindow = 3)
+        .select(col("event_type"), col("day"), r6(col("y")).as("y"),
+          r6(col("trend")).as("trend"),
+          r6(col("seasonal")).as("seasonal"),
+          r6(col("remainder")).as("remainder"))
+        .orderBy("event_type", "day"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts)::DATE
+                   AS day, sum("value") AS y
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT g, day, y,
+                   CASE WHEN count(*) OVER wnd = 7
+                        THEN avg(y) OVER wnd END AS trend,
+                   date_diff('day', DATE '2024-01-01', day) % 7 AS ph
+            FROM d WINDOW wnd AS (PARTITION BY g ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      s0 AS (SELECT g, ph, avg(y - trend) AS s0 FROM t
+             WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sm AS (SELECT g, avg(s0) AS sm FROM s0 GROUP BY 1),
+      se AS (SELECT s0.g, ph, s0 - sm AS seasonal
+             FROM s0 JOIN sm ON sm.g = s0.g)
+      SELECT t.g AS event_type, day, round(y, 6) AS y,
+             round(trend, 6) AS trend,
+             round(seasonal, 6) AS seasonal,
+             round(y - trend - seasonal, 6) AS remainder
+      FROM t LEFT JOIN se ON se.g = t.g AND se.ph = t.ph
+      ORDER BY event_type, day"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8047,7 +8083,7 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

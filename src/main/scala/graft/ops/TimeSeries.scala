@@ -35,6 +35,60 @@ object TimeSeries {
   }
 
   /**
+   * Classical seasonal-trend decomposition (moving-average STL-lite)
+   * of per-key daily series: trend = centered (2·halfWindow+1)-day
+   * rolling mean (NULL where the window is incomplete — no one-sided
+   * bias at the edges), seasonal = the per-(key, phase) mean of the
+   * detrended series re-centered to sum to zero per key (phase =
+   * day-offset mod `period` from a FIXED epoch — engine-portable,
+   * unlike locale day-of-week numbering), remainder = y − trend −
+   * seasonal. The anomaly-detection / forecasting preprocessor:
+   * remainder is what [[rollingAnomaly]]-style alarms should score
+   * once a series has weekly structure.
+   *
+   * Scale contract: input rolls up to (key, day) grain first, so the
+   * key-partitioned ordered windows run over bounded series
+   * (the [[theilSen]]/[[cusum]] stance); the seasonal frame is
+   * ≤ keys×period rows and joins back by equi-key.
+   */
+  def decompose(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, period: Int = 7, halfWindow: Int = 3): DataFrame = {
+    require(period >= 2 && halfWindow >= 1, "period/halfWindow too small")
+    import org.apache.spark.sql.expressions.Window
+    import graft.analysis.PrefixSum
+    val gs = keyCols.map(col)
+    val daily = df
+      .groupBy(gs :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(sum(col(valueCol).cast("double")).as("y"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val span = 2 * halfWindow + 1
+    val trended = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === span, avg(col("y")).over(w)))
+      .withColumn("__phase",
+        pmod(datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01"))),
+          lit(period)))
+      .localCheckpoint() // seasonal means + the final join both read it
+    val s0 = trended.where(col("trend").isNotNull)
+      .groupBy(gs :+ col("__phase"): _*)
+      .agg(avg(col("y") - col("trend")).as("__s0"))
+    val sMean =
+      if (keyCols.isEmpty) s0.agg(avg(col("__s0")).as("__sm"))
+      else s0.groupBy(gs: _*).agg(avg(col("__s0")).as("__sm"))
+    val seasonal =
+      (if (keyCols.isEmpty) s0.crossJoin(broadcast(sMean))
+       else PrefixSum.joinNullSafe(s0, sMean, keyCols,
+         broadcastRight = true))
+        .select(gs ++ Seq(col("__phase"),
+          (col("__s0") - col("__sm")).as("seasonal")): _*)
+    PrefixSum.joinNullSafe(trended, seasonal, keyCols :+ "__phase", "left")
+      .select(gs ++ Seq(col("day"), col("y"), col("trend"),
+        col("seasonal"),
+        (col("y") - col("trend") - col("seasonal")).as("remainder")): _*)
+  }
+
+  /**
    * Per-entity forward fill (LOCF): each NULL value takes the most
    * recent non-null observation of the same entity; leading NULLs stay
    * NULL. Entity-partitioned window — parallelism scales with entities.

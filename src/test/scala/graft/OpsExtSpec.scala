@@ -3696,6 +3696,34 @@ class OpsExtSpec extends AnyFunSuite {
       u < v && !real.contains((u, v)) })
   }
 
+  test("decompose recovers a planted flat-trend periodic series exactly") {
+    import spark.implicits._
+    // y = 100 + s[phase], s = (3, -1, -2) summing to 0, period 3: every
+    // centered 3-day mean is exactly 100, seasonal recovers s, zero
+    // remainder
+    val s = Seq(3.0, -1.0, -2.0)
+    val rows = (0 until 12).map { i =>
+      ("k", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).atStartOfDay()),
+        100.0 + s(i % 3))
+    }
+    val out = graft.ops.TimeSeries
+      .decompose(rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v",
+        period = 3, halfWindow = 1)
+      .orderBy("day").collect()
+    assert(out.length == 12)
+    assert(out.head.isNullAt(out.head.fieldIndex("trend"))) // edge
+    val interior = out.drop(1).dropRight(1)
+    assert(interior.forall(r =>
+      math.abs(r.getAs[Double]("trend") - 100.0) < 1e-9))
+    interior.foreach { r =>
+      val phase = ((r.getDate(r.fieldIndex("day")).toLocalDate.toEpochDay -
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay) % 3).toInt
+      assert(math.abs(r.getAs[Double]("seasonal") - s(phase)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("remainder")) < 1e-9)
+    }
+  }
+
   test("eventStudy: placebo period nulls out, treatment period shows the jump") {
     import spark.implicits._
     // period 1 = base. period 2: both arms +5 (parallel trends, effect
