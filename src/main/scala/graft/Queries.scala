@@ -8063,6 +8063,267 @@ object Queries {
       FROM t LEFT JOIN se ON se.g = t.g AND se.ph = t.ph
       ORDER BY event_type, day"""))
 
+  /** Binary-relevance ranking metrics (MRR, MAP@10, P@10, R@10) per
+    * event type on the q149 ranking frame — relevant docs are users
+    * with id % 5 == 0, rankings tie-broken by doc id. */
+  private val q231 = Entry(
+    "q231_ranking_metrics",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type").as("q"), col("user_id").as("doc"))
+        .agg(sum("value").as("score"))
+        .withColumn("rel",
+          when(col("doc") % 5 === 0, 1.0).otherwise(0.0))
+      graft.ops.Evaluation
+        .rankingMetrics(per, "q", "doc", "rel", "score", 10)
+        .select(col("query"), col("n_docs"), col("n_rel"),
+          r6(col("mrr")).as("mrr"), r6(col("map_k")).as("map_k"),
+          r6(col("precision_k")).as("precision_k"),
+          r6(col("recall_k")).as("recall_k"))
+        .orderBy("query")
+    },
+    Some("""
+      WITH per AS (SELECT event_type AS q, user_id AS doc,
+                          sum("value") AS score
+                   FROM events GROUP BY 1, 2),
+      r AS (SELECT q, doc, score,
+                   CASE WHEN doc % 5 = 0 THEN 1.0 ELSE 0.0 END AS rel,
+                   row_number() OVER (PARTITION BY q
+                     ORDER BY score DESC, doc ASC) AS rk
+            FROM per),
+      c AS (SELECT q, rel, rk,
+                   sum(rel) OVER (PARTITION BY q ORDER BY rk) AS cum
+            FROM r),
+      a AS (SELECT q, count(*) AS n_docs,
+                   CAST(sum(rel) AS BIGINT) AS n_rel,
+                   coalesce(max(CASE WHEN rel > 0 THEN 1.0 / rk END), 0)
+                     AS mrr,
+                   sum(CASE WHEN rel > 0 AND rk <= 10 THEN cum / rk
+                       ELSE 0 END) AS apnum,
+                   sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS relk
+            FROM c GROUP BY 1)
+      SELECT q AS query, n_docs, n_rel, round(mrr, 6) AS mrr,
+             round(CASE WHEN n_rel > 0 THEN apnum / least(n_rel, 10)
+                   ELSE 0 END, 6) AS map_k,
+             round(relk / 10.0, 6) AS precision_k,
+             round(CASE WHEN n_rel > 0 THEN relk / n_rel ELSE 0 END, 6)
+               AS recall_k
+      FROM a ORDER BY query"""))
+
+  /** Supplier–supplier link prediction over the customer–supplier
+    * graph: wedges through shared low-degree customer centers (cap
+    * 100 excludes the ~500-degree supplier hubs from center duty)
+    * score non-adjacent pairs by common neighbours / Adamic–Adar /
+    * resource allocation / Jaccard; top 20 by common-neighbour count
+    * (exact-integer ordering — no float-cutoff ambiguity). */
+  private val q232 = Entry(
+    "q232_link_prediction",
+    (s, d) =>
+      graft.ops.Graph
+        .linkPredictionScores(custSuppEdges(s, d), "src", "dst",
+          maxCenterDegree = 100)
+        .where(col("u").startsWith("s"))
+        .orderBy(desc("common"), asc("u"), asc("w"))
+        .limit(20)
+        .select(col("u"), col("w"), col("common"),
+          r6(col("adamic_adar")).as("adamic_adar"),
+          r6(col("resource_alloc")).as("resource_alloc"),
+          r6(col("jaccard")).as("jaccard"))
+        .orderBy(desc("common"), asc("u"), asc("w")),
+    Some("""
+      WITH ed AS (SELECT DISTINCT 'c' || o_custkey AS s,
+                         's' || l_suppkey AS d
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+      deg AS (SELECT a AS node, count(*)::DOUBLE AS dg FROM e GROUP BY 1),
+      adj AS (SELECT e.b AS z, e.a AS n, dg AS zdeg
+              FROM e JOIN deg ON e.b = deg.node WHERE dg <= 100),
+      wdg AS (SELECT l.n AS u, r.n AS w, l.zdeg AS zdeg
+              FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n),
+      sc AS (SELECT u, w, count(*) AS common,
+                    sum(1.0 / ln(zdeg)) AS aa, sum(1.0 / zdeg) AS ra
+             FROM wdg GROUP BY 1, 2),
+      nsc AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+                (SELECT 1 FROM e WHERE e.a = sc.u AND e.b = sc.w)),
+      j AS (SELECT u, w, common, aa, ra,
+                   common / (du.dg + dw.dg - common) AS jac
+            FROM nsc JOIN deg du ON nsc.u = du.node
+                     JOIN deg dw ON nsc.w = dw.node)
+      SELECT u, w, common, round(aa, 6) AS adamic_adar,
+             round(ra, 6) AS resource_alloc, round(jac, 6) AS jaccard
+      FROM j WHERE u LIKE 's%'
+      ORDER BY common DESC, u, w LIMIT 20"""))
+
+  /** Mass-based anomaly profile of lineitem (quantity, price,
+    * discount) via 4 oblivious half-space trees of depth 4 — per
+    * return flag: mean/max rarity score and the count of rows whose
+    * emptiest cell holds <0.4% of the corpus. The oracle replays the
+    * identical md5-derived trees (generated SQL, the q225 pattern);
+    * the rare-row gate thresholds an IEEE-exact count fraction, never
+    * a libm log. */
+  private val q233 = Entry(
+    "q233_mass_anomaly",
+    (s, d) =>
+      graft.ops.Profiling
+        .massAnomaly(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          Seq("l_returnflag"), trees = 4, depth = 4)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("mass_score"))).as("avg_score"),
+          r6(max(col("mass_score"))).as("max_score"),
+          sum(when(col("min_mass_frac") < 0.004, 1L).otherwise(0L))
+            .as("rare_rows"))
+        .orderBy("l_returnflag"),
+    Some {
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def leafSql(t: Int) = (0 until 4).map { l =>
+        val (f, u) = graft.ops.Profiling.massSplit(t, l, feats.size)
+        s"(CASE WHEN ${feats(f)}::DOUBLE < mn$f + $u * (mx$f - mn$f) " +
+          s"THEN ${1L << l} ELSE 0 END)"
+      }.mkString(" + ")
+      val stats = feats.zipWithIndex.map { case (f, i) =>
+        s"min($f::DOUBLE) AS mn$i, max($f::DOUBLE) AS mx$i"
+      }.mkString(", ")
+      val leafCols = (0 until 4)
+        .map(t => s"${leafSql(t)} AS leaf$t").mkString(",\n             ")
+      val cCtes = (0 until 4).map(t =>
+        s"c$t AS (SELECT leaf$t AS lf$t, count(*)::DOUBLE AS c " +
+          s"FROM lf GROUP BY 1)").mkString(",\n      ")
+      val joins = (0 until 4)
+        .map(t => s"JOIN c$t ON lf.leaf$t = c$t.lf$t").mkString(" ")
+      val logs = (0 until 4).map(t => s"log2(c$t.c / st.N)").mkString(" + ")
+      val leastC = (0 until 4).map(t => s"c$t.c").mkString(", ")
+      s"""
+      WITH st AS (SELECT $stats, count(*)::DOUBLE AS N FROM lineitem),
+      lf AS (SELECT l_returnflag,
+             $leafCols
+             FROM lineitem, st),
+      $cCtes,
+      sc AS (SELECT lf.l_returnflag,
+                    (-($logs)) / 4 AS score,
+                    least($leastC) / st.N AS mfrac
+             FROM lf $joins, st)
+      SELECT l_returnflag, count(*) AS n, round(avg(score), 6) AS avg_score,
+             round(max(score), 6) AS max_score,
+             CAST(sum(CASE WHEN mfrac < 0.004 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rare_rows
+      FROM sc GROUP BY 1 ORDER BY l_returnflag"""
+    })
+
+  /** Multi-source BFS over the customer–supplier graph from the
+    * nation-0 suppliers: reachable-node census per hop distance
+    * (3 rounds, fixpoint-unrolled in the oracle). */
+  private val q234 = Entry(
+    "q234_hop_distance",
+    (s, d) => {
+      val seeds = Tables.supplier(s, d)
+        .where(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      graft.ops.Graph
+        .hopDistance(custSuppEdges(s, d), "src", "dst", seeds, "node",
+          maxHops = 3)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n"), min("node").as("min_node"),
+          max("node").as("max_node"))
+        .orderBy("dist")
+    },
+    Some("""
+      WITH ed AS (SELECT DISTINCT 'c' || o_custkey AS s,
+                         's' || l_suppkey AS d
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT s AS a, d AS b FROM ed UNION SELECT d, s FROM ed),
+      v0 AS (SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+             WHERE s_nationkey = 0),
+      f1 AS (SELECT DISTINCT e.b AS node FROM e
+             JOIN v0 ON e.a = v0.node
+             WHERE e.b NOT IN (SELECT node FROM v0)),
+      f2 AS (SELECT DISTINCT e.b AS node FROM e
+             JOIN f1 ON e.a = f1.node
+             WHERE e.b NOT IN (SELECT node FROM v0
+                               UNION ALL SELECT node FROM f1)),
+      f3 AS (SELECT DISTINCT e.b AS node FROM e
+             JOIN f2 ON e.a = f2.node
+             WHERE e.b NOT IN (SELECT node FROM v0
+                               UNION ALL SELECT node FROM f1
+                               UNION ALL SELECT node FROM f2)),
+      allv AS (SELECT node, 0 AS dist FROM v0
+               UNION ALL SELECT node, 1 FROM f1
+               UNION ALL SELECT node, 2 FROM f2
+               UNION ALL SELECT node, 3 FROM f3)
+      SELECT dist, count(*) AS n, min(node) AS min_node,
+             max(node) AS max_node
+      FROM allv GROUP BY 1 ORDER BY dist"""))
+
+  /** Per-event-type Gini coefficient of user spend — the inequality
+    * profile that drives salting/sampling decisions. The oracle uses
+    * the rank-window formulation; the engine computes the identical
+    * tie-invariant statistic from distinct-value counts + distributed
+    * prefix sums (no corpus-wide window). */
+  private val q235 = Entry(
+    "q235_gini",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum("value").as("x"))
+      graft.ops.Profiling.giniCoefficient(per, "x", Seq("event_type"))
+        .select(col("event_type"), col("n"), r2(col("total")).as("total"),
+          r6(col("mean")).as("mean"), r6(col("gini")).as("gini"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH per AS (SELECT event_type AS g, user_id, sum("value") AS x
+                   FROM events GROUP BY 1, 2),
+      r AS (SELECT g, x,
+                   row_number() OVER (PARTITION BY g ORDER BY x) AS i
+            FROM per WHERE x IS NOT NULL),
+      a AS (SELECT g, count(*) AS n, sum(x) AS total, sum(i * x) AS ix
+            FROM r GROUP BY 1)
+      SELECT g AS event_type, n, round(total, 2) AS total,
+             round(total / n, 6) AS mean,
+             round(CASE WHEN total > 0
+                   THEN 2.0 * ix / (n * total) - (n + 1.0) / n
+                   ELSE 0 END, 6) AS gini
+      FROM a ORDER BY event_type"""))
+
+  /** Coarsened exact matching ATT: treated = even users, outcome =
+    * event value, strata = event type × day-of-week. Output is
+    * relabeling-invariant (counts + ATT only), so the two engines'
+    * different day-of-week numbering conventions cannot diverge. */
+  private val q236 = Entry(
+    "q236_cem",
+    (s, d) =>
+      graft.ops.Evaluation
+        .coarsenedExactMatch(
+          Tables.events(s, d).withColumn("dow", dayofweek(col("ts"))),
+          col("user_id") % 2 === 0, "value", Seq("event_type", "dow"))
+        .select(col("n_strata"), col("n_strata_matched"),
+          col("n_treated"), col("n_treated_matched"),
+          col("n_control_matched"), r6(col("att")).as("att")),
+    Some("""
+      WITH b AS (SELECT event_type AS et, dayofweek(ts) AS dow,
+                        user_id % 2 = 0 AS t, "value" AS y
+                 FROM events WHERE "value" IS NOT NULL),
+      cells AS (SELECT et, dow,
+                       sum(CASE WHEN t THEN 1.0 ELSE 0 END) AS nt,
+                       sum(CASE WHEN t THEN 0 ELSE 1.0 END) AS nc,
+                       sum(CASE WHEN t THEN y ELSE 0 END) AS syt,
+                       sum(CASE WHEN t THEN 0 ELSE y END) AS syc
+                FROM b GROUP BY 1, 2)
+      SELECT count(*) AS n_strata,
+             CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_strata_matched,
+             CAST(sum(nt) AS BIGINT) AS n_treated,
+             CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+               AS BIGINT) AS n_treated_matched,
+             CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nc ELSE 0 END)
+               AS BIGINT) AS n_control_matched,
+             round(sum(CASE WHEN nt > 0 AND nc > 0
+                       THEN nt * (syt / nt - syc / nc) ELSE 0 END) /
+                   sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END), 6)
+               AS att
+      FROM cells"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8083,7 +8344,8 @@ object Queries {
     q165, q166, q167, q168, q169, q170, q171, q172, q173, q174, q175,
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
+    q234, q235, q236)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -251,6 +251,54 @@ object Evaluation {
   }
 
   /**
+   * Binary-relevance ranking metrics per query group over
+   * (query, doc, relevant, score) rows: MRR, MAP@k, precision@k and
+   * recall@k — the retrieval-eval companions to [[ndcgAtK]]
+   * (reference surface: raise_/analytics/analysis.py model-eval
+   * family). Returns one row per query:
+   * (query, n_docs, n_rel, mrr, map_k, precision_k, recall_k).
+   *
+   *  - rank is by score descending, ties broken by `idCol` ascending,
+   *    so both engines order identically;
+   *  - MRR = 1/rank of the first relevant doc (0 if none);
+   *  - AP@k = Σ_{rel docs at rank r≤k} (cum_rel(r)/r) / min(n_rel, k);
+   *  - precision@k counts relevant in the top k over k; recall@k over
+   *    n_rel. Queries with no relevant docs report 0 for all four.
+   *
+   * Scale: one window partitioned BY QUERY (rank + running relevant
+   * count share the same ordering, so Catalyst evaluates both in one
+   * Window operator — a single per-group sort, no global sort), then
+   * one groupBy. Per-query state is bounded by that query's doc list.
+   */
+  def rankingMetrics(df: DataFrame, queryCol: String, idCol: String,
+      relCol: String, scoreCol: String, k: Int = 10): DataFrame = {
+    val rel = col(relCol).cast("double")
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol).asc)
+    val ranked = df.select(col(queryCol).as("query"), rel.as("__rel"),
+      row_number().over(w).as("__r"),
+      sum(rel).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("__cum"))
+    ranked.groupBy("query")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__rel")).cast("long").as("n_rel"),
+        coalesce(max(when(col("__rel") > 0, lit(1.0) / col("__r"))),
+          lit(0.0)).as("mrr"),
+        sum(when(col("__rel") > 0 && col("__r") <= k,
+          col("__cum") / col("__r")).otherwise(lit(0.0))).as("__apnum"),
+        sum(when(col("__r") <= k, col("__rel")).otherwise(lit(0.0)))
+          .as("__relk"))
+      .select(col("query"), col("n_docs"), col("n_rel"),
+        col("mrr"),
+        when(col("n_rel") > 0,
+          col("__apnum") / least(col("n_rel").cast("double"), lit(k.toDouble)))
+          .otherwise(lit(0.0)).as("map_k"),
+        (col("__relk") / lit(k.toDouble)).as("precision_k"),
+        when(col("n_rel") > 0, col("__relk") / col("n_rel"))
+          .otherwise(lit(0.0)).as("recall_k"))
+  }
+
+  /**
    * Sample autocorrelation function at lags 1..maxLag over a regular
    * series (one row per `timeCol` value, e.g. a daily aggregate):
    * r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)², the standard
@@ -773,5 +821,44 @@ object Evaluation {
         (sum((lit(1.0) - t) * y / (lit(1.0) - p)) /
           sum((lit(1.0) - t) / (lit(1.0) - p))).as("mean_ctrl_w"))
       .withColumn("ate", col("mean_treat_w") - col("mean_ctrl_w"))
+  }
+
+  /**
+   * Coarsened exact matching (CEM, Iacus–King–Porro): exact-match
+   * treated and control units within strata of pre-coarsened
+   * covariates, drop unmatched strata, and estimate the ATT as the
+   * treated-weighted difference of within-stratum outcome means:
+   * ATT = Σ_s nT_s·(ȳT_s − ȳC_s) / Σ_s nT_s over strata with both
+   * arms present. The caller supplies the coarsened stratum columns
+   * (bins, categories) — coarsening choices are the method's contract.
+   *
+   * Scale: ONE grouped conditional aggregation builds the stratum
+   * cells (the diffInDiff discipline — no per-arm scans), then one
+   * aggregation over the ≤|strata|-row cell frame. Returns a single
+   * row: (n_strata, n_strata_matched, n_treated, n_treated_matched,
+   * n_control_matched, att).
+   */
+  def coarsenedExactMatch(df: DataFrame, treatCol: Column,
+      outcomeCol: String, strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "coarsenedExactMatch: no strata")
+    val y = col(outcomeCol).cast("double")
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val cells = df.where(y.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(sum(t).as("__nt"), sum(lit(1.0) - t).as("__nc"),
+        sum(t * y).as("__syt"), sum((lit(1.0) - t) * y).as("__syc"))
+    val matched = col("__nt") > 0 && col("__nc") > 0
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(matched, 1L).otherwise(0L)).as("n_strata_matched"),
+      sum(col("__nt")).cast("long").as("n_treated"),
+      sum(when(matched, col("__nt")).otherwise(lit(0.0))).cast("long")
+        .as("n_treated_matched"),
+      sum(when(matched, col("__nc")).otherwise(lit(0.0))).cast("long")
+        .as("n_control_matched"),
+      (sum(when(matched,
+        col("__nt") * (col("__syt") / col("__nt") -
+          col("__syc") / col("__nc"))).otherwise(lit(0.0))) /
+        sum(when(matched, col("__nt")).otherwise(lit(0.0)))).as("att"))
   }
 }

@@ -309,4 +309,100 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Link-prediction scores for non-adjacent node pairs at distance 2:
+   * common-neighbour count, Adamic–Adar (Σ_z 1/ln deg z), resource
+   * allocation (Σ_z 1/deg z) and neighbourhood Jaccard — the classic
+   * unsupervised candidate-scoring family for edge recommendation /
+   * positive-pair mining (complement of [[negativeEdges]]).
+   *
+   * Pairs are enumerated as wedges u–z–w through each common
+   * neighbour z with u < w (each unordered pair produced once per
+   * common neighbour, aggregated by groupBy), then existing edges are
+   * removed with one anti-join. Hub blow-up control: centers with
+   * degree > `maxCenterDegree` are excluded from wedge enumeration —
+   * a hub shared by everyone carries ~zero discriminative weight
+   * (1/ln deg → small) but quadratic enumeration cost, so capping is
+   * the standard sparsifier; the cap is part of the operator contract
+   * and both engines replay it. Wedge fan-out is bounded by
+   * Σ_z min(deg z, cap)² — linear in |E| for bounded cap.
+   *
+   * Returns (u, w, common, adamic_adar, resource_alloc, jaccard)
+   * where jaccard = common / (deg u + deg w − common).
+   */
+  def linkPredictionScores(edges: DataFrame, srcCol: String,
+      dstCol: String, maxCenterDegree: Int = 1000): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg")).localCheckpoint()
+    // adjacency annotated with the CENTER's degree (b is the center in
+    // the wedge join below): one keyed join, reused for both sides
+    val adj = und
+      .join(deg.withColumnRenamed("node", "b"), Seq("b"))
+      .where(col("deg") <= maxCenterDegree)
+      .select(col("b").as("z"), col("a").as("n"), col("deg").as("zdeg"))
+      .localCheckpoint()
+    val wedges = adj.as("l")
+      .join(adj.as("r"), col("l.z") === col("r.z") &&
+        col("l.n") < col("r.n"))
+      .select(col("l.n").as("u"), col("r.n").as("w"),
+        col("l.zdeg").as("zdeg"))
+    val scored = wedges.groupBy("u", "w")
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("zdeg"))).as("adamic_adar"),
+        sum(lit(1.0) / col("zdeg")).as("resource_alloc"))
+    val canon = und.where(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("w"))
+    scored
+      .join(canon, Seq("u", "w"), "left_anti")
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "w")
+        .withColumnRenamed("deg", "dw"), Seq("w"))
+      .select(col("u"), col("w"), col("common"), col("adamic_adar"),
+        col("resource_alloc"),
+        (col("common") / (col("du") + col("dw") - col("common")))
+          .as("jaccard"))
+  }
+
+  /**
+   * Multi-source BFS hop distances: for every node reachable from the
+   * seed set within `maxHops` undirected hops, the minimum hop count.
+   * Deterministic fixed-round unrolling (the [[kCore]] discipline) —
+   * each round expands the previous frontier through one keyed join
+   * and keeps only newly discovered nodes via anti-join against the
+   * visited set; both frames are localCheckpointed so round r+1 never
+   * re-executes round r's plan. Work per round is O(edges incident to
+   * the frontier); the visited set only grows, so total work is
+   * O(|E|·maxHops) worst-case with no recomputation.
+   *
+   * Returns (node, dist) with dist ∈ [0, maxHops], seeds at 0.
+   */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      frontier = und
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h)).localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited
+  }
 }

@@ -262,4 +262,129 @@ object Profiling {
     out.select(gs ++ Seq(col("digit"), col("n"), col("observed"),
       col("expected"), col("mad"), col("chi2")): _*)
   }
+
+  /**
+   * Per-group Gini coefficient of a non-negative value column — the
+   * inequality / concentration profile (how skewed is spend per user,
+   * tokens per document, events per entity) that decides salting and
+   * sampling strategy at scale. Uses the rank formulation on the
+   * ascending sort: G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n, computed
+   * tie-invariantly from distinct-value counts (equal x share their
+   * rank block's total either way). Scale shape: one distinct-value
+   * aggregation + PrefixSum's bucketed distributed scan — no global
+   * or single-partition window even in the ungrouped case. Returns
+   * (group..., n, total, mean, gini).
+   */
+  def giniCoefficient(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val x = col(valueCol).cast("double")
+    // distinct-value counts, then a DISTRIBUTED exclusive prefix sum of
+    // the counts in value order (PrefixSum's bucketed two-level scan —
+    // no single-partition window anywhere). Tied values occupy the
+    // consecutive rank block [ex+1, ex+c], whose rank total is
+    // c·ex + c(c+1)/2 — the tie-invariant form of Σ i·x_i.
+    val vc = df.where(x.isNotNull)
+      .groupBy(groupCols.map(col) :+ x.as("__x"): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val withEx = graft.analysis.PrefixSum.exclusive(
+      vc, "__x", Seq("__c" -> "__ex"), groupCols = groupCols)
+    val grouped =
+      if (groupCols.isEmpty) withEx.groupBy()
+      else withEx.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(sum(col("__c")).cast("long").as("n"),
+        sum(col("__x") * col("__c")).as("total"),
+        sum(col("__x") * (col("__c") * col("__ex") +
+          col("__c") * (col("__c") + 1) / 2)).as("__ix"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("total"),
+        (col("total") / col("n")).as("mean"),
+        when(col("total") > 0,
+          lit(2.0) * col("__ix") / (col("n") * col("total")) -
+            (col("n") + 1.0) / col("n")).otherwise(lit(0.0))
+          .as("gini")): _*)
+  }
+
+  /**
+   * Deterministic (feature index, range fraction) split for level `l`
+   * of mass-tree `t` — md5-derived so the ensemble is a pure function
+   * of (trees, depth, feature list) and an external engine can replay
+   * the identical trees from the same literals.
+   */
+  private[graft] def massSplit(t: Int, l: Int,
+      nFeatures: Int): (Int, Double) = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val hex = mdig.digest(s"hst:$t:$l".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val f = (java.lang.Long.parseLong(hex.substring(0, 6), 16) %
+      nFeatures).toInt
+    val u = 0.05 + 0.9 *
+      (java.lang.Long.parseLong(hex.substring(6, 12), 16).toDouble /
+        16777216.0)
+    (f, u)
+  }
+
+  /**
+   * Mass-based anomaly scores via an ensemble of oblivious half-space
+   * trees (the mass-estimation / HS-tree family: Ting et al., "Mass
+   * estimation"; Tan et al., IJCAI 2011 — published, model-free
+   * outlier scoring suited to streaming/distributed execution). Each
+   * tree is `depth` axis-parallel cuts; level l of tree t cuts
+   * feature f_{t,l} at mn + u_{t,l}·(mx − mn), with (f, u) md5-derived
+   * literals ([[massSplit]]) and (mn, mx) the column's observed range.
+   * A row's leaf per tree is the `depth`-bit cut pattern; its score is
+   * the mean over trees of −log2(leaf mass / N) — rows in sparsely
+   * populated cells score high.
+   *
+   * Scale shape: one range aggregation (1 row, broadcast back — no
+   * driver collect), leaf ids are pure column arithmetic, one melted
+   * groupBy for the ≤ trees·2^depth occupancy frame, then `trees`
+   * BROADCAST joins on map-side leaf ids (the hbosScore discipline) —
+   * the corpus is never shuffled. NULL feature values take the ≥cut
+   * branch (bit 0), deterministically.
+   *
+   * Returns the key columns + (mass_score). Depth is capped at 12
+   * (4096 leaves/tree) to keep the occupancy frame broadcastable.
+   */
+  def massAnomaly(df: DataFrame, features: Seq[String],
+      keyCols: Seq[String], trees: Int = 4, depth: Int = 4): DataFrame = {
+    require(features.nonEmpty, "massAnomaly: no features")
+    require(depth >= 1 && depth <= 12, "massAnomaly: depth in [1,12]")
+    require(trees >= 1, "massAnomaly: trees >= 1")
+    val statAggs = features.zipWithIndex.flatMap { case (f, i) =>
+      Seq(min(col(f).cast("double")).as(s"__mn$i"),
+        max(col(f).cast("double")).as(s"__mx$i"))
+    } :+ count(lit(1)).cast("double").as("__N")
+    val stats = broadcast(df.agg(statAggs.head, statAggs.tail: _*))
+    def leafExpr(t: Int) = (0 until depth).map { l =>
+      val (f, u) = massSplit(t, l, features.size)
+      val x = col(features(f)).cast("double")
+      val cut = col(s"__mn$f") + lit(u) * (col(s"__mx$f") - col(s"__mn$f"))
+      when(x.isNotNull && x < cut, lit(1L << l)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withLeaves = df.crossJoin(stats)
+      .select(keyCols.map(col) ++ Seq(col("__N")) ++
+        (0 until trees).map(t => leafExpr(t).as(s"__leaf$t")): _*)
+    val melted = withLeaves.select(explode(array((0 until trees).map { t =>
+      struct(lit(t).as("tree"), col(s"__leaf$t").as("leaf"))
+    }: _*)).as("__tl"))
+      .select(col("__tl.tree").as("tree"), col("__tl.leaf").as("leaf"))
+      .groupBy("tree", "leaf").agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint()
+    val scored = (0 until trees).foldLeft(withLeaves) { (acc, t) =>
+      val ct = melted.where(col("tree") === t)
+        .select(col("leaf").as(s"__leaf$t"), col("__c").as(s"__c$t"))
+      acc.join(broadcast(ct), Seq(s"__leaf$t"))
+    }
+    val score = (0 until trees)
+      .map(t => -log(2.0, col(s"__c$t") / col("__N")))
+      .reduce(_ + _) / trees
+    // min_mass_frac is the occupancy FRACTION of the row's emptiest
+    // cell — count/N is an IEEE-exact division of exact integers, so
+    // thresholding on it is engine-portable where thresholding on the
+    // log-based score would ride on libm ulps
+    val minFrac = least((0 until trees).map(t => col(s"__c$t")): _*) /
+      col("__N")
+    scored.select(keyCols.map(col) ++ Seq(score.as("mass_score"),
+      minFrac.as("min_mass_frac")): _*)
+  }
 }

@@ -3981,4 +3981,109 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.schema("ts").dataType == TimestampType)
     assert(out.selectExpr("unix_micros(ts)").head.getLong(0) == 1704164645678000L)
   }
+
+  test("rankingMetrics: hand-computed MRR/MAP/P/R, no-relevant query") {
+    import spark.implicits._
+    // q=a ranked by score desc: d3(rel), d1, d2(rel), d4 →
+    //   MRR = 1/1; AP@2 = (1/1)/min(2,2) = 0.5; P@2 = 1/2; R@2 = 1/2
+    // q=b has no relevant docs → all zeros
+    val df = Seq(
+      ("a", 1L, 0.0, 3.0), ("a", 2L, 1.0, 2.0), ("a", 3L, 1.0, 9.0),
+      ("a", 4L, 0.0, 1.0),
+      ("b", 1L, 0.0, 5.0), ("b", 2L, 0.0, 4.0))
+      .toDF("q", "doc", "rel", "score")
+    val out = graft.ops.Evaluation
+      .rankingMetrics(df, "q", "doc", "rel", "score", k = 2)
+      .orderBy("query").collect()
+    assert(out(0).getAs[Long]("n_rel") == 2L)
+    assert(out(0).getAs[Double]("mrr") == 1.0)
+    assert(out(0).getAs[Double]("map_k") == 0.5)
+    assert(out(0).getAs[Double]("precision_k") == 0.5)
+    assert(out(0).getAs[Double]("recall_k") == 0.5)
+    assert(out(1).getAs[Double]("mrr") == 0.0 &&
+      out(1).getAs[Double]("map_k") == 0.0 &&
+      out(1).getAs[Double]("recall_k") == 0.0)
+  }
+
+  test("linkPredictionScores: wedge counts, anti-join, degree cap") {
+    import spark.implicits._
+    // path 1-2-3 plus edge 3-4: pair (1,3) shares center 2 (deg 2);
+    // (2,4) shares center 3 (deg 2); (1,4) is distance 3 → absent;
+    // (1,2) etc. are existing edges → anti-joined away
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("s", "t")
+    val out = graft.ops.Graph
+      .linkPredictionScores(edges, "s", "t")
+      .orderBy("u", "w").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "3"), ("2", "4")))
+    val r13 = out(0)
+    assert(r13.getAs[Long]("common") == 1L)
+    assert(math.abs(r13.getAs[Double]("adamic_adar") -
+      1.0 / math.log(2.0)) < 1e-12)
+    assert(r13.getAs[Double]("resource_alloc") == 0.5)
+    // deg(1)=1, deg(3)=2, common=1 → jaccard = 1/(1+2-1) = 0.5
+    assert(r13.getAs[Double]("jaccard") == 0.5)
+    // cap 1 excludes every center of degree ≥ 2 → no wedges at all
+    assert(graft.ops.Graph
+      .linkPredictionScores(edges, "s", "t", maxCenterDegree = 1)
+      .isEmpty)
+  }
+
+  test("hopDistance: BFS levels on a path, unreachable stays absent") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("s", "t")
+    val seeds = Seq("a").toDF("node")
+    val out = graft.ops.Graph
+      .hopDistance(edges, "s", "t", seeds, "node", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("massAnomaly: planted outlier scores highest; probs sum sane") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i.toLong, 10.0 + (i % 5), 5.0))
+    val df = (base :+ (999L, 1000.0, 500.0)).toDF("id", "x", "y")
+    val out = graft.ops.Profiling
+      .massAnomaly(df, Seq("x", "y"), Seq("id"), trees = 4, depth = 4)
+    val top = out.orderBy(desc("mass_score")).head
+    assert(top.getAs[Long]("id") == 999L)
+    // the outlier sits alone in its cells → min mass fraction = 1/201
+    assert(math.abs(top.getAs[Double]("min_mass_frac") - 1.0 / 201) < 1e-12)
+  }
+
+  test("giniCoefficient: uniform → 0, concentrated → near 1, groups") {
+    import spark.implicits._
+    val df = Seq(("u", 5.0), ("u", 5.0), ("u", 5.0), ("u", 5.0),
+      ("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 100.0))
+      .toDF("g", "x")
+    val out = graft.ops.Profiling.giniCoefficient(df, "x", Seq("g"))
+      .orderBy("g").collect()
+    // concentrated: ranks of (0,0,0,100): Σi·x = 4·100 = 400;
+    // G = 2·400/(4·100) − 5/4 = 0.75 (= (n−1)/n for one-holder)
+    assert(out(0).getAs[String]("g") == "c" &&
+      math.abs(out(0).getAs[Double]("gini") - 0.75) < 1e-12)
+    assert(out(1).getAs[String]("g") == "u" &&
+      math.abs(out(1).getAs[Double]("gini")) < 1e-12)
+  }
+
+  test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
+    import spark.implicits._
+    // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
+    // stratum B: treated {20}, control {14, 16} → contrib 1·(20−15)=5
+    // stratum C: treated only → dropped
+    val df = Seq(
+      ("A", true, 10.0), ("A", true, 12.0), ("A", false, 8.0),
+      ("B", true, 20.0), ("B", false, 14.0), ("B", false, 16.0),
+      ("C", true, 99.0))
+      .toDF("s", "t", "y")
+    val out = graft.ops.Evaluation
+      .coarsenedExactMatch(df, col("t"), "y", Seq("s")).head
+    assert(out.getAs[Long]("n_strata") == 3L)
+    assert(out.getAs[Long]("n_strata_matched") == 2L)
+    assert(out.getAs[Long]("n_treated") == 4L)
+    assert(out.getAs[Long]("n_treated_matched") == 3L)
+    assert(out.getAs[Long]("n_control_matched") == 3L)
+    assert(math.abs(out.getAs[Double]("att") - 11.0 / 3.0) < 1e-12)
+  }
 }
