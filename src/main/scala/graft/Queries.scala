@@ -8324,6 +8324,159 @@ object Queries {
                AS att
       FROM cells"""))
 
+  /** MMR diverse top-4 over the embeddings table: relevance = cosine
+    * to a fixed md5-derived query direction, diversity penalty =
+    * max cosine to the already-picked set (λ=0.7). The oracle unrolls
+    * the 4 greedy rounds with the identical literal query vector and
+    * operand-ordered arithmetic, so it selects the same sequence. */
+  private val q237 = Entry(
+    "q237_mmr_select",
+    (s, d) => {
+      val qv = lit(graft.ops.Similarity.planeWeights(0, 64))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("rel", graft.functions.VectorFunctions
+          .cosineSimilarity(col("v"), qv))
+      graft.ops.Similarity
+        .mmrSelect(emb, "vec_id", "v", "rel", k = 4, lambda = 0.7)
+        .select(col("round"), col("id").as("vec_id"),
+          r6(col("rel")).as("rel"), r6(col("mmr")).as("mmr"))
+        .orderBy("round")
+    },
+    Some {
+      val lam = 0.7
+      val oml = 1.0 - lam
+      val qvLit = graft.ops.Similarity.planeWeights(0, 64)
+        .mkString("[", ", ", "]")
+      val rounds = (2 to 4).map { r =>
+        val msExpr =
+          if (r == 2) s"list_dot_product(c.v, s.v) / (c.nn * s.nn)"
+          else s"greatest(c.ms, list_dot_product(c.v, s.v) / (c.nn * s.nn))"
+        s"""c${r - 1} AS (SELECT c.id, c.v, c.nn, c.rel, $msExpr AS ms
+           FROM c${r - 2} c, s${r - 1} s WHERE c.id <> s.id),
+      s$r AS (SELECT id, v, nn, rel, ms, $lam * rel - $oml * ms AS mmr
+              FROM c${r - 1} ORDER BY mmr DESC, id LIMIT 1)"""
+      }.mkString(",\n      ")
+      val selects = (1 to 4).map { r =>
+        s"SELECT $r AS round, id AS vec_id, round(rel, 6) AS rel, " +
+          s"round(mmr, 6) AS mmr FROM s$r"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nn
+                 FROM embeddings),
+      qn AS (SELECT $qvLit::DOUBLE[] AS qv),
+      c0 AS (SELECT id, v, nn,
+                    list_dot_product(v, qv) /
+                      (nn * sqrt(list_dot_product(qv, qv))) AS rel
+             FROM e, qn),
+      s1 AS (SELECT id, v, nn, rel, $lam * rel - $oml * 0.0 AS mmr
+             FROM c0 ORDER BY mmr DESC, id LIMIT 1),
+      $rounds
+      SELECT * FROM (
+        $selects)
+      ORDER BY round"""
+    })
+
+  /** BPE merge learning: 3 rounds over the documents word-type
+    * vocabulary — most frequent adjacent symbol pair, merged
+    * everywhere, greedy left-to-right. The oracle unrolls the rounds
+    * on the same wrapped-symbol representation. */
+  private val q238 = Entry(
+    "q238_bpe_merges",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .bpeMerges(Tables.documents(s, d), "text", merges = 3)
+        .orderBy("round"),
+    Some {
+      val mergedExpr = "'<' || substring(lft, 2, length(lft) - 2) || " +
+        "substring(rgt, 2, length(rgt) - 2) || '>'"
+      val rounds = (1 to 3).map { r =>
+        val apply =
+          if (r == 3) ""
+          else s""",
+      v$r AS (SELECT replace(s, lft || ' ' || rgt, $mergedExpr) AS s, n
+              FROM v${r - 1}, m$r)"""
+        s"""p$r AS (SELECT n, unnest(t[1:len(t)-1]) AS lft,
+                    unnest(t[2:len(t)]) AS rgt
+             FROM (SELECT n, string_split(s, ' ') AS t FROM v${r - 1})
+             WHERE len(t) >= 2),
+      g$r AS (SELECT lft, rgt, CAST(sum(n) AS BIGINT) AS cnt
+              FROM p$r GROUP BY 1, 2),
+      m$r AS (SELECT lft, rgt, cnt FROM g$r
+              ORDER BY cnt DESC, lft, rgt LIMIT 1)$apply"""
+      }.mkString(",\n      ")
+      val selects = (1 to 3).map { r =>
+        s"""SELECT $r AS round, lft AS "left", rgt AS "right",
+             $mergedExpr AS merged, cnt FROM m$r"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH wt AS (SELECT unnest(string_split_regex(lower(text),
+                    '[^a-z]+')) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS n FROM wt WHERE length(w) > 0
+             GROUP BY 1),
+      v0 AS (SELECT array_to_string(list_transform(
+               string_split_regex(w, ''), c -> '<' || c || '>'), ' ')
+               AS s, n
+             FROM wc),
+      $rounds
+      SELECT * FROM (
+        $selects)
+      ORDER BY round"""
+    })
+
+  /** Reciprocal rank fusion of two user rankings per event type —
+    * total spend and event frequency — top 5 fused users per type.
+    * rrf sums two exact rationals 1/(60+rank): IEEE-identical across
+    * engines, so the fused ordering is deterministic. */
+  private val q239 = Entry(
+    "q239_rank_fusion",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type").as("q"), col("user_id").as("doc"))
+        .agg(sum("value").as("spend"),
+          count(lit(1)).cast("double").as("freq"))
+      val melted = per.select(col("q"), col("doc"),
+        explode(array(
+          struct(lit("spend").as("rkr"), col("spend").as("score")),
+          struct(lit("freq").as("rkr"), col("freq").as("score"))))
+          .as("m"))
+        .select(col("q"), col("doc"), col("m.rkr").as("rkr"),
+          col("m.score").as("score"))
+      val fused = graft.ops.Evaluation
+        .reciprocalRankFusion(melted, "q", "doc", "rkr", "score", 60)
+      val w = Window.partitionBy(col("query"))
+        .orderBy(desc("rrf"), col("doc").asc)
+      fused.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("query"), col("doc"), col("n_rankers"),
+          r6(col("rrf")).as("rrf"), col("rn"))
+        .orderBy("query", "rn")
+    },
+    Some("""
+      WITH per AS (SELECT event_type AS q, user_id AS doc,
+                          sum("value") AS spend,
+                          count(*)::DOUBLE AS freq
+                   FROM events GROUP BY 1, 2),
+      m AS (SELECT q, doc, 'spend' AS rkr, spend AS score FROM per
+            UNION ALL
+            SELECT q, doc, 'freq', freq FROM per),
+      r AS (SELECT q, doc,
+                   row_number() OVER (PARTITION BY rkr, q
+                     ORDER BY score DESC, doc ASC) AS rk
+            FROM m),
+      f AS (SELECT q, doc, count(*) AS n_rankers,
+                   sum(1.0 / (60.0 + rk)) AS rrf
+            FROM r GROUP BY 1, 2),
+      t AS (SELECT q, doc, n_rankers, rrf,
+                   row_number() OVER (PARTITION BY q
+                     ORDER BY rrf DESC, doc ASC) AS rn
+            FROM f)
+      SELECT q AS query, doc, n_rankers, round(rrf, 6) AS rrf, rn
+      FROM t WHERE rn <= 5 ORDER BY query, rn"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8345,7 +8498,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236)
+    q234, q235, q236, q237, q238, q239)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -824,6 +824,31 @@ object Evaluation {
   }
 
   /**
+   * Reciprocal rank fusion (Cormack et al. 2009): combine several
+   * rankers' orderings of the same candidate set into one score,
+   * rrf(d) = Σ_rankers 1/(k0 + rank_r(d)) — the standard score-free
+   * way to merge lexical (BM25) and vector (ANN) retrieval. Input is
+   * the melted (ranker, query, doc, score) frame; ranks are per
+   * (ranker, query), ties broken by doc id. Returns
+   * (query, doc, n_rankers, rrf).
+   *
+   * Scale: one window partitioned by (ranker, query) — per-list sort
+   * only — and one groupBy on (query, doc). Docs missing from a
+   * ranker's list simply contribute no term (the fusion's contract).
+   */
+  def reciprocalRankFusion(df: DataFrame, queryCol: String,
+      idCol: String, rankerCol: String, scoreCol: String,
+      k0: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col(rankerCol), col(queryCol))
+      .orderBy(col(scoreCol).cast("double").desc, col(idCol).asc)
+    df.select(col(queryCol).as("query"), col(idCol).as("doc"),
+        row_number().over(w).as("__r"))
+      .groupBy("query", "doc")
+      .agg(count(lit(1)).as("n_rankers"),
+        sum(lit(1.0) / (lit(k0.toDouble) + col("__r"))).as("rrf"))
+  }
+
+  /**
    * Coarsened exact matching (CEM, Iacus–King–Porro): exact-match
    * treated and control units within strata of pre-coarsened
    * covariates, drop unmatched strata, and estimate the ATT as the

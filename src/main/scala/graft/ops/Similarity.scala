@@ -897,4 +897,60 @@ object Similarity {
       .select(col("id"), col("true_label"),
         col("__lbl").as("pred_label"), col("__cos").as("cos"))
   }
+
+  /**
+   * Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998)
+   * greedy diverse top-k: pick argmax of
+   * λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s), k times — the standard
+   * redundancy-penalized selection for few-shot example picking,
+   * eval-set curation, and diverse retrieval.
+   *
+   * Determinism: the running max-similarity column makes each round a
+   * pure function of the previous state; argmax ties break on id
+   * ascending. Cosines are dot/(‖a‖·‖b‖) on the RAW vectors in a fixed
+   * operand order, so an external engine replaying the same arithmetic
+   * selects the identical sequence.
+   *
+   * Scale: the candidate frame is localCheckpointed once, then each of
+   * the k rounds is one map-side pass (the sole join is against the
+   * 1-row broadcast winner, bounded by an explicit limit(1)) plus a
+   * TakeOrdered(1) — no corpus shuffle anywhere, k·O(n/p) total work.
+   * Greedy MMR is inherently sequential in k; for large k, pre-filter
+   * candidates with [[bruteForceKnn]]/[[ivfKnn]] first.
+   */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= 256, "mmrSelect: k in [1,256]")
+    require(lambda >= 0 && lambda <= 1, "mmrSelect: lambda in [0,1]")
+    var cands = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(relCol).cast("double").as("rel"))
+      .withColumn("__nn", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
+      .withColumn("__ms", lit(null).cast("double"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (round <- 1 to k) {
+      val scored = cands.withColumn("mmr",
+        lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+      val best = scored.orderBy(desc("mmr"), asc("id")).limit(1)
+        .localCheckpoint()
+      val pick = best.select(lit(round).as("round"), col("id"),
+        col("rel"), col("mmr"))
+      out = if (out == null) pick else out.unionByName(pick)
+      if (round < k) {
+        val b = broadcast(best.select(col("id").as("__bid"),
+          col("__v").as("__bv"), col("__nn").as("__bnn")))
+        val cosB = VectorFunctions.dot(col("__v"), col("__bv")) /
+          (col("__nn") * col("__bnn"))
+        cands = cands.crossJoin(b)
+          .where(col("id") =!= col("__bid"))
+          .withColumn("__ms",
+            if (round == 1) cosB else greatest(col("__ms"), cosB))
+          .drop("__bid", "__bv", "__bnn")
+          .localCheckpoint()
+      }
+    }
+    out
+  }
 }

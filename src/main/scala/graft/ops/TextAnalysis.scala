@@ -1007,4 +1007,71 @@ object TextAnalysis {
       size(array_distinct(hitToks)).as("distinct_terms"),
       (size(hitToks) > 0).as("flagged"))
   }
+
+  /**
+   * Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
+   * standard subword-tokenizer induction): `merges` rounds of
+   * (count adjacent symbol pairs over the word-type vocabulary,
+   * weighted by word frequency) → (merge the most frequent pair
+   * everywhere, greedy left-to-right). Returns one row per round:
+   * (round, left, right, merged, cnt).
+   *
+   * Symbols ride in a delimiter-wrapped string form ("&lt;c&gt; &lt;a&gt; &lt;t&gt;")
+   * so merge application is a plain substring replace — replace()
+   * scans left-to-right over non-overlapping occurrences in every
+   * engine, which IS BPE's application order, and the wrapping makes
+   * a pair pattern unable to match inside a longer symbol. Count ties
+   * break on (left, right) ascending.
+   *
+   * Scale: the corpus is read ONCE (word-type counts — the frame BPE
+   * iterates on is the vocabulary, corpus-independent in size); each
+   * round is one explode/groupBy over the vocab + a 1-row broadcast
+   * winner applied map-side, with the vocab localCheckpointed so
+   * round r+1 never replays round r. Training-scale BPE runs on the
+   * type vocabulary like this by construction — never on raw text.
+   */
+  def bpeMerges(df: DataFrame, textCol: String,
+      merges: Int = 3): DataFrame = {
+    require(merges >= 1 && merges <= 32, "bpeMerges: merges in [1,32]")
+    val wrap = concat_ws(" ",
+      transform(filter(split(col("w"), ""), c => length(c) > 0),
+        c => concat(lit("<"), c, lit(">"))))
+    var vocab = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(wrap.as("s"), col("n"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    val inner = (c: org.apache.spark.sql.Column) =>
+      c.substr(lit(2), length(c) - 2)
+    for (round <- 1 to merges) {
+      val pc = vocab.withColumn("t", split(col("s"), " "))
+        .where(size(col("t")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(t)-2), " +
+            "i -> struct(t[i] AS l, t[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+      val best = pc.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
+        .localCheckpoint()
+      val merged = concat(lit("<"), inner(col("l")), inner(col("r")),
+        lit(">"))
+      val pick = best.select(lit(round).as("round"), col("l").as("left"),
+        col("r").as("right"), merged.as("merged"), col("cnt"))
+      out = if (out == null) pick else out.unionByName(pick)
+      if (round < merges) {
+        val b = broadcast(best.select(col("l").as("__l"),
+          col("r").as("__r")))
+        vocab = vocab.crossJoin(b)
+          .select(replace(col("s"),
+            concat(col("__l"), lit(" "), col("__r")),
+            concat(lit("<"), inner(col("__l")), inner(col("__r")),
+              lit(">"))).as("s"),
+            col("n"))
+          .localCheckpoint()
+      }
+    }
+    out
+  }
 }

@@ -4067,6 +4067,61 @@ class OpsExtSpec extends AnyFunSuite {
       math.abs(out(1).getAs[Double]("gini")) < 1e-12)
   }
 
+  test("mmrSelect: diversity penalty beats raw relevance ordering") {
+    import spark.implicits._
+    // b is nearly parallel to a — after picking a, the λ=0.5 penalty
+    // pushes b below the orthogonal-but-less-relevant c
+    val df = Seq(
+      ("a", Array(1.0, 0.0), 1.0),
+      ("b", Array(0.995, 0.0998), 0.9),
+      ("c", Array(0.0, 1.0), 0.5))
+      .toDF("id", "v", "rel")
+    val out = graft.ops.Similarity
+      .mmrSelect(df, "id", "v", "rel", k = 2, lambda = 0.5)
+      .orderBy("round").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "c"))
+    assert(out(0).getAs[Double]("mmr") == 0.5) // λ·rel − (1−λ)·0
+  }
+
+  test("bpeMerges: tie-break, greedy-left application, round chain") {
+    import spark.implicits._
+    // word types: aa(×2), ab(×2), aaa(×1):
+    //   round 1 pairs: (<a>,<a>) = 2+2 = 4 (aa twice + aaa twice),
+    //                  (<a>,<b>) = 2 → merge <aa>;
+    //   "aaa" applies greedily left→right: <aa> <a> (not <a> <aa>)
+    //   round 2 pairs: (<a>,<b>) = 2, (<aa>,<a>) = 1 → merge <ab>
+    val docs = Seq("aa ab aaa", "aa ab").toDF("text")
+    val out = graft.ops.TextAnalysis.bpeMerges(docs, "text", merges = 2)
+      .orderBy("round").collect()
+    assert(out(0).getAs[String]("left") == "<a>" &&
+      out(0).getAs[String]("right") == "<a>" &&
+      out(0).getAs[String]("merged") == "<aa>" &&
+      out(0).getAs[Long]("cnt") == 4L)
+    assert(out(1).getAs[String]("left") == "<a>" &&
+      out(1).getAs[String]("right") == "<b>" &&
+      out(1).getAs[String]("merged") == "<ab>" &&
+      out(1).getAs[Long]("cnt") == 2L)
+  }
+
+  test("reciprocalRankFusion: hand-computed fused scores") {
+    import spark.implicits._
+    // ranker r1 orders (x, y); ranker r2 orders (y, x):
+    //   rrf(x) = 1/61 + 1/62 = rrf(y) — symmetric tie
+    // z appears only in r1 at rank 3 → single term
+    val df = Seq(
+      ("q", "x", "r1", 9.0), ("q", "y", "r1", 8.0), ("q", "z", "r1", 7.0),
+      ("q", "y", "r2", 9.0), ("q", "x", "r2", 8.0))
+      .toDF("q", "doc", "rkr", "score")
+    val out = graft.ops.Evaluation
+      .reciprocalRankFusion(df, "q", "doc", "rkr", "score", 60)
+      .orderBy("doc").collect()
+    val exp = 1.0 / 61 + 1.0 / 62
+    assert(math.abs(out(0).getAs[Double]("rrf") - exp) < 1e-15)
+    assert(math.abs(out(1).getAs[Double]("rrf") - exp) < 1e-15)
+    assert(out(2).getAs[Long]("n_rankers") == 1L &&
+      math.abs(out(2).getAs[Double]("rrf") - 1.0 / 63) < 1e-15)
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
