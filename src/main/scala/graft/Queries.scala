@@ -5396,8 +5396,12 @@ object Queries {
     "q162_knn_ivf_from_index",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      // fingerprint CONTENT, not just ids: the driver ships the same
+      // vec_id range at every scale factor with different vectors, so
+      // an id-only tag collides across SF dirs and a stale index built
+      // on one SF would silently answer for another
       val fp = emb.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(vec_id))")).head()
+        expr("bit_xor(xxhash64(vec_id, embedding))")).head()
       val tag = java.lang.Long.toHexString(fp.getLong(0) ^ fp.getLong(1))
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$tag"
       if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
@@ -8477,6 +8481,44 @@ object Queries {
       SELECT q AS query, doc, n_rankers, round(rrf, 6) AS rrf, rn
       FROM t WHERE rn <= 5 ORDER BY query, rn"""))
 
+  /** Hashing-trick encoding of four lineitem categoricals into an
+    * 8-dim signed vector, profiled as per-returnflag means — the
+    * vocabulary-free encoder; both index and sign hashes ride the
+    * PortableHash md5 primitive, replayed verbatim by the oracle. */
+  private val q240 = Entry(
+    "q240_feature_hashing",
+    (s, d) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+        "l_suppkey")
+      val aggs = count(lit(1)).as("n") +: (0 until 8).map(j =>
+        r6(avg(element_at(col("hashed"), j + 1))).as(s"h$j"))
+      graft.ops.Features
+        .hashFeatures(Tables.lineitem(s, d), cols, dims = 8)
+        .groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber",
+        "l_suppkey")
+      def b(k: String) =
+        s"(('0x' || substring(md5($k), 1, 15))::BIGINT % 1048576)"
+      def idx(c: String) = s"(${b(s"'$c' || '|' || $c")} % 8)"
+      def sgn(c: String) =
+        s"(CASE WHEN ${b(s"'s' || '|' || '$c' || '|' || $c")} % 2 = 0 " +
+          "THEN 1.0 ELSE -1.0 END)"
+      val hs = (0 until 8).map { j =>
+        val terms = cols.map(c =>
+          s"(CASE WHEN ${idx(c)} = $j THEN ${sgn(c)} ELSE 0.0 END)")
+          .mkString(" + ")
+        s"round(avg($terms), 6) AS h$j"
+      }.mkString(",\n             ")
+      s"""
+      SELECT l_returnflag, count(*) AS n,
+             $hs
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8498,7 +8540,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239)
+    q234, q235, q236, q237, q238, q239, q240)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

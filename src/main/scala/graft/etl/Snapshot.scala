@@ -334,6 +334,45 @@ final case class SnapshotStore(path: String,
     }
   }
 
+  /**
+   * Compaction — the transactional-format OPTIMIZE analog. Long
+   * append/upsert/delete chains accumulate carried segments plus
+   * per-segment exclusion predicates whose union every read must
+   * evaluate (and, at scale, the small-file problem: each micro-batch
+   * commit is its own directory). Compact rewrites the current head
+   * into ONE fresh segment — sized toward `targetFileBytes` per output
+   * file from the head's Catalyst size estimate (partitioned stores
+   * instead shuffle to one file per live partition) — and commits it
+   * with op "compact". Contents are identical to the head; prior
+   * versions still reference the old segments until [[vacuum]]
+   * retires them, so time travel is unaffected. Returns the version.
+   */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hFs = fs(spark)
+    withWriterLock(hFs) {
+      val p = listVersions(hFs).lastOption.map(readCommit(hFs, _))
+        .getOrElse(throw new java.io.IOException(
+          s"snapshot store $path: no commits"))
+      val nextV = p.version + 1
+      val dir = newWriteDir(nextV)
+      val cur = readVersion(spark, p.version)
+      val sized =
+        if (partitionBy.nonEmpty) cur.repartition(partitionBy.map(col): _*)
+        else {
+          val bytes = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+          val files = (bytes / BigInt(targetFileBytes)).toLong + 1
+          cur.repartition(math.min(files, Int.MaxValue.toLong).toInt)
+        }
+      writeData(sized, dir)
+      SnapshotStore.commitFailpoint()
+      writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), "compact",
+        p.schemaJson, Seq(Segment(dir, None))))
+      nextV
+    }
+  }
+
   /** Restore the table to `toVersion`'s state as a NEW commit (the
     * intermediate versions stay in the log — rollback is an audited
     * forward operation, not history rewriting). */

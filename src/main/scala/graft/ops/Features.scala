@@ -613,4 +613,39 @@ object Features {
         .as("mean_w1"))))
       .select(col("slice"), col("w1"), col("mean_w1"))
   }
+
+  /**
+   * Feature hashing (the hashing trick, Weinberger et al. 2009):
+   * encode categorical columns into a fixed `dims`-dimensional dense
+   * vector with out[h(c,v) mod dims] += sign(c,v) — the unbounded-
+   * cardinality encoder (no vocabulary fit, no dictionary shuffle, no
+   * OOV problem) for model-input pipelines at corpus scale. Both the
+   * index and the sign hash ride on [[graft.functions.PortableHash]]
+   * (md5 — engine-replayable); the signed variant keeps collisions
+   * unbiased in expectation.
+   *
+   * Map-only: the output array is pure column arithmetic over
+   * cols×dims codegen'd terms — no shuffle, no fit pass, no driver
+   * state. Hash only columns whose string rendering is identical
+   * across engines (integers and strings; NOT doubles).
+   */
+  def hashFeatures(df: DataFrame, cols: Seq[String], dims: Int,
+      outCol: String = "hashed"): DataFrame = {
+    require(cols.nonEmpty, "hashFeatures: no columns")
+    require(dims >= 2 && dims <= 1024, "hashFeatures: dims in [2,1024]")
+    val contribs = cols.map { c =>
+      val idx = graft.functions.PortableHash.bucket(Seq(lit(c), col(c))) %
+        dims
+      val sgn = when(graft.functions.PortableHash
+        .bucket(Seq(lit("s"), lit(c), col(c))) % 2 === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+      (idx, sgn)
+    }
+    val arr = array((0 until dims).map { j =>
+      contribs.map { case (idx, sgn) =>
+        when(idx === j, sgn).otherwise(lit(0.0))
+      }.reduce(_ + _)
+    }: _*)
+    df.withColumn(outCol, arr)
+  }
 }

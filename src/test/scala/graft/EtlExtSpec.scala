@@ -302,6 +302,35 @@ class EtlExtSpec extends AnyFunSuite {
       Seq((1L, 11.0), (2L, 25.0), (3L, 30.0))) // intermediate intact
   }
 
+  test("snapshot store: compact collapses segment chains, history intact") {
+    import spark.implicits._
+    val base = tmpDir() + "/snapc"
+    val st = SnapshotStore(base)
+    st.write(Seq((1L, 10.0)).toDF("id", "v"), WriteMode.Full)
+    st.write(Seq((2L, 20.0)).toDF("id", "v"), WriteMode.Append)
+    st.write(Seq((3L, 30.0)).toDF("id", "v"), WriteMode.Append)
+    val before = st.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val hist3 = st.history(spark).orderBy("version").collect()
+    assert(hist3.last.getAs[Int]("n_segments") == 3) // the chain
+    val v4 = st.compact(spark)
+    assert(v4 == 4L)
+    val hist4 = st.history(spark).orderBy("version").collect()
+    assert(hist4.last.getAs[String]("op") == "compact" &&
+      hist4.last.getAs[Int]("n_segments") == 1)
+    val after = st.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before) // contents identical
+    // pre-compact versions still time-travel
+    assert(st.readVersion(spark, 2).count() == 2)
+    // vacuum retires the old segment dirs; the compacted head survives
+    st.vacuum(spark, retainVersions = 1)
+    val dirs = new java.io.File(base + "/data").listFiles()
+      .filter(_.isDirectory)
+    assert(dirs.length == 1)
+    assert(st.read(spark).count() == 3)
+  }
+
   test("snapshot store: partitioned upsert carries untouched partitions by reference") {
     import spark.implicits._
     val base = tmpDir() + "/snapp"

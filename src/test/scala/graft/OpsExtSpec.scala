@@ -4122,6 +4122,30 @@ class OpsExtSpec extends AnyFunSuite {
       math.abs(out(2).getAs[Double]("rrf") - 1.0 / 63) < 1e-15)
   }
 
+  test("hashFeatures matches the PortableHash formula replayed by hand") {
+    import spark.implicits._
+    def bucket(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1048576L
+    }
+    def expected(vals: Map[String, String], dims: Int): Seq[Double] = {
+      val acc = Array.fill(dims)(0.0)
+      vals.foreach { case (c, v) =>
+        val j = (bucket(s"$c|$v") % dims).toInt
+        val s = if (bucket(s"s|$c|$v") % 2 == 0) 1.0 else -1.0
+        acc(j) += s
+      }
+      acc.toSeq
+    }
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x")).toDF("c1", "c2")
+    val out = graft.ops.Features.hashFeatures(df, Seq("c1", "c2"), 8)
+      .select("hashed").collect().map(_.getSeq[Double](0))
+    assert(out(0) == expected(Map("c1" -> "a", "c2" -> "x"), 8))
+    assert(out(1) == expected(Map("c1" -> "a", "c2" -> "y"), 8))
+    assert(out(2) == out(0)) // same values hash identically
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
