@@ -8519,6 +8519,102 @@ object Queries {
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
     })
 
+  /** Column-level PII exposure profile over documents, with
+    * deterministic synthetic PII injected into a derived text column
+    * (the corpus itself is clean — both engines replay the same
+    * injection, exercising all four pattern classes). */
+  private val q241 = Entry(
+    "q241_pii_profile",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com")))
+            .when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789"))
+            .when(col("doc_id") % 13 === 0,
+              lit(" from 10.0.42.7 at +1 (415) 555-0100"))
+            .otherwise(lit(""))))
+      graft.ops.TextAnalysis
+        .piiProfile(doc, Seq("text2", "lang", "source"))
+        .select(col("column"), col("n"),
+          r6(col("email_rate")).as("email_rate"),
+          r6(col("ssn_rate")).as("ssn_rate"),
+          r6(col("ipv4_rate")).as("ipv4_rate"),
+          r6(col("phone_rate")).as("phone_rate"),
+          r6(col("any_rate")).as("any_rate"))
+        .orderBy("column")
+    },
+    Some {
+      val pats = Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+        "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+        "phone" -> "\\+?[0-9][0-9 ()./-]{6,}[0-9]")
+      def rates(c: String) = {
+        val per = pats.map { case (k, p) =>
+          s"round(sum(CASE WHEN regexp_matches($c, '$p') THEN 1.0 " +
+            s"ELSE 0.0 END) / count(*), 6) AS ${k}_rate"
+        }.mkString(",\n               ")
+        val anyHit = pats.map { case (_, p) =>
+          s"regexp_matches($c, '$p')" }.mkString(" OR ")
+        s"""SELECT '$c' AS "column", count(*) AS n,
+               $per,
+               round(sum(CASE WHEN $anyHit THEN 1.0 ELSE 0.0 END) /
+                 count(*), 6) AS any_rate
+        FROM d"""
+      }
+      s"""
+      WITH d AS (SELECT lang, source,
+        text || CASE
+          WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||
+            '@example.com'
+          WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789'
+          WHEN doc_id % 13 = 0 THEN ' from 10.0.42.7 at +1 (415) 555-0100'
+          ELSE '' END AS text2
+        FROM documents)
+      SELECT * FROM (
+        ${rates("text2")}
+        UNION ALL ${rates("lang")}
+        UNION ALL ${rates("source")})
+      ORDER BY "column""""
+    })
+
+  /** Segment-insight sweep: which (feature, value) cells move mean
+    * extended price, as finite-population-corrected z-scores — the
+    * one-scan automated-insights primitive. */
+  private val q242 = Entry(
+    "q242_segment_insights",
+    (s, d) =>
+      graft.ops.Profiling
+        .segmentInsights(Tables.lineitem(s, d), "l_extendedprice",
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+          minSupport = 30)
+        .select(col("feature"), col("value"), col("n"),
+          r6(col("mean")).as("mean"), r6(col("lift")).as("lift"),
+          r6(col("z")).as("z"))
+        .orderBy("feature", "value"),
+    Some("""
+      WITH b AS (SELECT l_extendedprice::DOUBLE AS y, l_returnflag,
+                        l_linestatus, l_linenumber
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      m AS (SELECT 'l_returnflag' AS feature,
+                   l_returnflag::VARCHAR AS value, y FROM b
+            UNION ALL
+            SELECT 'l_linestatus', l_linestatus::VARCHAR, y FROM b
+            UNION ALL
+            SELECT 'l_linenumber', l_linenumber::VARCHAR, y FROM b),
+      c AS (SELECT feature, value, count(*) AS n, avg(y) AS mean
+            FROM m GROUP BY 1, 2 HAVING count(*) >= 30),
+      g AS (SELECT count(*)::DOUBLE AS nn, avg(y) AS gm,
+                   var_samp(y) AS gv
+            FROM b)
+      SELECT feature, value, n, round(mean, 6) AS mean,
+             round(mean / gm, 6) AS lift,
+             round((mean - gm) /
+               sqrt(gv * (1.0 / n - 1.0 / nn)), 6) AS z
+      FROM c, g ORDER BY feature, value"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8540,7 +8636,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -305,6 +305,50 @@ object Profiling {
   }
 
   /**
+   * Segment-insight scan (decision-stump sweep): for every value cell
+   * of every listed categorical feature, how far the cell's mean
+   * outcome deviates from the global mean, as a z-score against the
+   * null that the cell is a random draw: z = (ȳ_cell − ȳ) /
+   * sqrt(s²·(1/n_cell − 1/N)) (finite-population correction keeps
+   * huge cells from reporting inflated significance). The one-scan
+   * "which segments move this metric" primitive behind automated
+   * insights / metric-regression triage.
+   *
+   * Scale: ONE melted pass (the row fans out to |features| cell keys
+   * through a single explode → groupBy), a broadcast 1-row global
+   * moment frame, pure arithmetic after. Cells with fewer than
+   * `minSupport` rows are dropped (noise floor). Returns
+   * (feature, value, n, mean, lift, z).
+   */
+  def segmentInsights(df: DataFrame, outcomeCol: String,
+      features: Seq[String], minSupport: Long = 30): DataFrame = {
+    require(features.nonEmpty, "segmentInsights: no features")
+    val y = col(outcomeCol).cast("double")
+    val melted = df.where(y.isNotNull)
+      .select(y.as("__y"), explode(array(features.map { f =>
+        struct(lit(f).as("feature"), col(f).cast("string").as("value"))
+      }: _*)).as("__fv"))
+      .select(col("__fv.feature").as("feature"),
+        col("__fv.value").as("value"), col("__y"))
+    val cells = melted.groupBy("feature", "value")
+      .agg(count(lit(1)).as("n"), avg(col("__y")).as("mean"))
+      .where(col("n") >= minSupport)
+    val global = broadcast(df.where(y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("__N"),
+        avg(y).as("__gm"), var_samp(y).as("__gv")))
+    cells.crossJoin(global)
+      .select(col("feature"), col("value"), col("n"), col("mean"),
+        (col("mean") / col("__gm")).as("lift"),
+        // a cell covering the whole population has no sampling
+        // variance left (1/n − 1/N = 0) — report NULL, not 0/0
+        when(col("n") < col("__N"),
+          (col("mean") - col("__gm")) /
+            sqrt(col("__gv") *
+              (lit(1.0) / col("n") - lit(1.0) / col("__N"))))
+          .as("z"))
+  }
+
+  /**
    * Deterministic (feature index, range fraction) split for level `l`
    * of mass-tree `t` — md5-derived so the ensemble is a pure function
    * of (trees, depth, feature list) and an external engine can replay

@@ -1009,6 +1009,40 @@ object TextAnalysis {
   }
 
   /**
+   * Column-level PII exposure profile: for each string column, the
+   * fraction of rows matching each [[piiPresets]] pattern (email,
+   * ssn, ipv4, phone) plus the any-hit rate — the discovery-side scan
+   * that tells a pipeline which columns need [[redactPii]] before
+   * export. ONE aggregation pass over all columns (conditional sums;
+   * the regexes are codegen'd rlike predicates), then the 1-row
+   * result is melted to a per-column frame — no per-column scans, no
+   * shuffle beyond the single agg. Returns
+   * (column, n, email_rate, ssn_rate, ipv4_rate, phone_rate, any_rate).
+   */
+  def piiProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "piiProfile: no columns")
+    val kinds = Seq("email", "ssn", "ipv4", "phone")
+    val aggs = count(lit(1)).cast("double").as("__n") +: cols.flatMap {
+      c =>
+        kinds.map { k =>
+          sum(when(col(c).rlike(piiPresets(k)), 1.0).otherwise(0.0))
+            .as(s"__${c}__$k")
+        } :+ sum(when(kinds.map(k => col(c).rlike(piiPresets(k)))
+          .reduce(_ || _), 1.0).otherwise(0.0)).as(s"__${c}__any")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").cast("long").as("n"),
+        (col(s"__${c}__email") / col("__n")).as("email_rate"),
+        (col(s"__${c}__ssn") / col("__n")).as("ssn_rate"),
+        (col(s"__${c}__ipv4") / col("__n")).as("ipv4_rate"),
+        (col(s"__${c}__phone") / col("__n")).as("phone_rate"),
+        (col(s"__${c}__any") / col("__n")).as("any_rate"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /**
    * Byte-pair-encoding merge learning (Sennrich et al. 2016 — the
    * standard subword-tokenizer induction): `merges` rounds of
    * (count adjacent symbol pairs over the word-type vocabulary,

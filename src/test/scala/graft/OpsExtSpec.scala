@@ -4146,6 +4146,42 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(2) == out(0)) // same values hash identically
   }
 
+  test("piiProfile: per-column hit rates in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail me at bob@x.com", "clean"),
+      ("ssn 123-45-6789 and ip 10.0.0.1", "clean"),
+      ("nothing here", "also clean"),
+      ("call +1 (415) 555-0100", "clean"))
+      .toDF("a", "b")
+    val out = graft.ops.TextAnalysis.piiProfile(df, Seq("a", "b"))
+      .orderBy("column").collect()
+    val a = out(0)
+    assert(a.getAs[String]("column") == "a" && a.getAs[Long]("n") == 4L)
+    assert(a.getAs[Double]("email_rate") == 0.25)
+    assert(a.getAs[Double]("ssn_rate") == 0.25)
+    assert(a.getAs[Double]("ipv4_rate") == 0.25)
+    assert(a.getAs[Double]("any_rate") == 0.75)
+    assert(out(1).getAs[Double]("any_rate") == 0.0)
+  }
+
+  test("segmentInsights: deviating cell flagged, support floor holds") {
+    import spark.implicits._
+    // 40 rows of g=a,y=10 and 40 of g=b,y=20; tiny g=c below support
+    val rows = (1 to 40).map(i => ("a", "x", 10.0)) ++
+      (1 to 40).map(i => ("b", "x", 20.0)) ++ Seq(("c", "x", 99.0))
+    val df = rows.toDF("g", "h", "y")
+    val out = graft.ops.Profiling
+      .segmentInsights(df, "y", Seq("g", "h"), minSupport = 30)
+      .orderBy("feature", "value").collect()
+    // g=c dropped; h=x covers everything → lift 1 vs global mean
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g", "a"), ("g", "b"), ("h", "x")))
+    assert(out(0).getAs[Double]("z") < 0 && out(1).getAs[Double]("z") > 0)
+    assert(math.abs(out(2).getAs[Double]("lift") - 1.0) < 1e-12)
+    assert(out(2).isNullAt(out(2).fieldIndex("z"))) // full-pop cell
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
