@@ -8493,7 +8493,8 @@ object Queries {
       val aggs = count(lit(1)).as("n") +: (0 until 8).map(j =>
         r6(avg(element_at(col("hashed"), j + 1))).as(s"h$j"))
       graft.ops.Features
-        .hashFeatures(Tables.lineitem(s, d), cols, dims = 8)
+        .hashFeatures(Tables.lineitem(s, d), cols, dims = 8,
+          viaDictionary = true)
         .groupBy("l_returnflag")
         .agg(aggs.head, aggs.tail: _*)
         .orderBy("l_returnflag")
@@ -8615,6 +8616,44 @@ object Queries {
                sqrt(gv * (1.0 / n - 1.0 / nn)), 6) AS z
       FROM c, g ORDER BY feature, value"""))
 
+  /** Quantile treatment effects of the even-user "treatment" on event
+    * value: exact per-arm DISC quantiles at 4 probabilities, melted to
+    * one row per quantile. */
+  private val q243 = Entry(
+    "q243_qte",
+    (s, d) =>
+      graft.ops.Evaluation
+        .quantileTreatmentEffect(
+          Tables.events(s, d).where(col("value").isNotNull),
+          col("user_id") % 2 === 0, "value")
+        .select(col("p"), r6(col("q_treat")).as("q_treat"),
+          r6(col("q_control")).as("q_control"), r6(col("qte")).as("qte"))
+        .orderBy("p"),
+    Some("""
+      WITH b AS (SELECT "value"::DOUBLE AS y, user_id % 2 = 0 AS t
+                 FROM events WHERE "value" IS NOT NULL),
+      q AS (SELECT
+              quantile_disc(y, 0.25) FILTER (WHERE t) AS t25,
+              quantile_disc(y, 0.5)  FILTER (WHERE t) AS t50,
+              quantile_disc(y, 0.75) FILTER (WHERE t) AS t75,
+              quantile_disc(y, 0.9)  FILTER (WHERE t) AS t90,
+              quantile_disc(y, 0.25) FILTER (WHERE NOT t) AS c25,
+              quantile_disc(y, 0.5)  FILTER (WHERE NOT t) AS c50,
+              quantile_disc(y, 0.75) FILTER (WHERE NOT t) AS c75,
+              quantile_disc(y, 0.9)  FILTER (WHERE NOT t) AS c90
+            FROM b)
+      SELECT * FROM (
+        SELECT 0.25::DOUBLE AS p, round(t25, 6) AS q_treat,
+               round(c25, 6) AS q_control, round(t25 - c25, 6) AS qte
+        FROM q
+        UNION ALL SELECT 0.5, round(t50, 6), round(c50, 6),
+               round(t50 - c50, 6) FROM q
+        UNION ALL SELECT 0.75, round(t75, 6), round(c75, 6),
+               round(t75 - c75, 6) FROM q
+        UNION ALL SELECT 0.9, round(t90, 6), round(c90, 6),
+               round(t90 - c90, 6) FROM q)
+      ORDER BY p"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8636,7 +8675,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

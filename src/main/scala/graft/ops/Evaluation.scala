@@ -824,6 +824,44 @@ object Evaluation {
   }
 
   /**
+   * Quantile treatment effects: the per-quantile analog of the
+   * difference in means — QTE(p) = q_treat(p) − q_control(p) on exact
+   * DISC quantiles, the standard readout when a treatment moves the
+   * tails differently from the center (heavy-user effects, latency
+   * SLOs). Rides [[graft.analysis.AnalysisPlanner.exactPercentilesDisc]]
+   * grouped by arm — distributed prefix sums, no corpus sort — then
+   * melts the 2-row arm frame into one row per requested quantile:
+   * (p, q_treat, q_control, qte).
+   */
+  def quantileTreatmentEffect(df: DataFrame, treatCol: Column,
+      valueCol: String,
+      ps: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p90" -> 0.9)): DataFrame = {
+    require(ps.nonEmpty, "quantileTreatmentEffect: no quantiles")
+    val armed = df
+      .withColumn("__arm", when(treatCol, lit("t")).otherwise(lit("c")))
+    val q = graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(armed, valueCol, ps, Seq("__arm"))
+      .localCheckpoint() // 2 rows; both arm filters re-read it
+    // each side ends in a 1-row aggregate (a no-op max over the single
+    // arm row) so the plan itself states the crossJoin sides are
+    // reduced — the scale lint can't see through the checkpoint
+    def arm(a: String, pfx: String) = {
+      val aggs = ps.map { case (n, _) => max(col(n)).as(s"$pfx$n") }
+      broadcast(q.where(col("__arm") === a).agg(aggs.head, aggs.tail: _*))
+    }
+    val t = arm("t", "__t_")
+    val c = arm("c", "__c_")
+    val rows = ps.map { case (n, p) =>
+      struct(lit(p).as("p"), col(s"__t_$n").as("q_treat"),
+        col(s"__c_$n").as("q_control"),
+        (col(s"__t_$n") - col(s"__c_$n")).as("qte"))
+    }
+    t.crossJoin(c).select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /**
    * Reciprocal rank fusion (Cormack et al. 2009): combine several
    * rankers' orderings of the same candidate set into one score,
    * rrf(d) = Σ_rankers 1/(k0 + rank_r(d)) — the standard score-free

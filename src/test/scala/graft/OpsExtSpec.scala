@@ -4182,6 +4182,20 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("z"))) // full-pop cell
   }
 
+  test("quantileTreatmentEffect: constant shift recovered at every p") {
+    import spark.implicits._
+    val ctrl = (1 to 20).map(i => (false, i.toDouble))
+    val trt = (1 to 20).map(i => (true, i.toDouble + 5))
+    val df = (ctrl ++ trt).toDF("t", "y")
+    val out = graft.ops.Evaluation
+      .quantileTreatmentEffect(df, col("t"), "y")
+      .orderBy("p").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("qte") == 5.0))
+    assert(out(1).getAs[Double]("p") == 0.5 &&
+      out(1).getAs[Double]("q_control") == 10.0) // DISC at p=0.5, n=20
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
