@@ -8654,6 +8654,154 @@ object Queries {
                round(t90 - c90, 6) FROM q)
       ORDER BY p"""))
 
+  /** Multi-feature OLS (normal equations, one sufficient-stats scan +
+    * driver solve) of rescaled extended price on quantity and
+    * discount. The oracle solves the same 3×3 system by Cramer's rule
+    * from identical sufficient statistics; unit-ish feature scaling
+    * keeps the system's condition number small so cross-engine fp
+    * noise stays orders of magnitude under the rounding grid. */
+  private val q244 = Entry(
+    "q244_linear_regression",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_extendedprice") / lit(10000.0)).as("y4"),
+        (col("l_quantity") / lit(10.0)).as("x1"),
+        (col("l_discount") * lit(10.0)).as("x2"))
+      graft.ops.Regression.linearRegression(li, Seq("x1", "x2"), "y4")
+        .select(col("term"), r6(col("coef")).as("coef"), col("n"),
+          r6(col("r2")).as("r2"), r6(col("mse")).as("mse"))
+        .orderBy("term")
+    },
+    Some("""
+      WITH b AS (SELECT l_extendedprice::DOUBLE / 10000.0 AS yv,
+                        l_quantity::DOUBLE / 10.0 AS x1,
+                        l_discount::DOUBLE * 10.0 AS x2
+                 FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL
+                   AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      s AS (SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+                   sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                   sum(x2 * x2) AS s22, sum(yv) AS sy,
+                   sum(x1 * yv) AS s1y, sum(x2 * yv) AS s2y,
+                   sum(yv * yv) AS syy
+            FROM b),
+      d AS (SELECT *, n * (s11 * s22 - s12 * s12) -
+                      s1 * (s1 * s22 - s12 * s2) +
+                      s2 * (s1 * s12 - s11 * s2) AS det
+            FROM s),
+      c AS (SELECT *,
+        (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+         s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+        (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+         s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+        (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+         sy * (s1 * s12 - s11 * s2)) / det AS b2
+        FROM d),
+      f AS (SELECT *,
+        syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y) +
+          (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22 +
+           2 * b0 * b1 * s1 + 2 * b0 * b2 * s2 + 2 * b1 * b2 * s12)
+          AS rss,
+        syy - sy * sy / n AS tss
+        FROM c)
+      SELECT * FROM (
+        SELECT '(intercept)' AS term, round(b0, 6) AS coef,
+               n::BIGINT AS n, round(1 - rss / tss, 6) AS r2,
+               round(rss / n, 6) AS mse FROM f
+        UNION ALL SELECT 'x1', round(b1, 6), n::BIGINT,
+               round(1 - rss / tss, 6), round(rss / n, 6) FROM f
+        UNION ALL SELECT 'x2', round(b2, 6), n::BIGINT,
+               round(1 - rss / tss, 6), round(rss / n, 6) FROM f)
+      ORDER BY term"""))
+
+  /** Categorical naive Bayes: train on the hash-split half of
+    * lineitem, predict return flag from line status / line number /
+    * quantity decile on the other half; confusion-matrix readout.
+    * Scores are rounded to 9 dp before the argmax in BOTH engines so
+    * a JVM-vs-libm ln() ulp cannot flip a genuine tie. */
+  private val q245 = Entry(
+    "q245_naive_bayes",
+    (s, d) => {
+      // (orderkey, linenumber) is NOT unique in the synthetic
+      // lineitem — the 4-column key is, and both the split hash and
+      // the scoring key must ride it
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"),
+        col("l_linestatus").cast("string").as("f0"),
+        col("l_linenumber").cast("string").as("f1"),
+        floor(col("l_quantity") / 10).cast("string").as("f2"),
+        graft.functions.PortableHash
+          .bucket(Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")))
+          .as("__bkt"))
+      val train = li.where(col("__bkt") < 524288)
+      val test = li.where(col("__bkt") >= 524288)
+      graft.ops.NaiveBayes
+        .confusion(train, test, Seq("f0", "f1", "f2"), "l_returnflag",
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          alpha = 1.0,
+          scoreRound = Some(9))
+        .orderBy("true_label", "pred_label")
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                         l_suppkey, l_returnflag AS lbl,
+                         l_linestatus::VARCHAR AS f0,
+                         l_linenumber::VARCHAR AS f1,
+                         CAST(floor(l_quantity / 10) AS BIGINT)::VARCHAR
+                           AS f2,
+                         (('0x' || substring(md5(l_orderkey || '|' ||
+                            l_linenumber || '|' || l_partkey || '|' ||
+                            l_suppkey), 1, 15))::BIGINT % 1048576)
+                           AS bkt
+                  FROM lineitem),
+      tr AS (SELECT * FROM li WHERE bkt < 524288),
+      te AS (SELECT * FROM li WHERE bkt >= 524288),
+      lc AS (SELECT lbl AS label, count(*)::DOUBLE AS n_l
+             FROM tr GROUP BY 1),
+      na AS (SELECT count(*)::DOUBLE AS n_all FROM tr),
+      c0 AS (SELECT f0 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      c1 AS (SELECT f1 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      c2 AS (SELECT f2 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      d0 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f0) FROM tr)::DOUBLE AS vf
+             FROM c0 GROUP BY 1),
+      d1 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f1) FROM tr)::DOUBLE AS vf
+             FROM c1 GROUP BY 1),
+      d2 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f2) FROM tr)::DOUBLE AS vf
+             FROM c2 GROUP BY 1),
+      sc AS (SELECT te.l_orderkey, te.l_linenumber, te.l_partkey,
+                    te.l_suppkey, te.lbl AS true_label, lc.label,
+                    round(ln(lc.n_l / na.n_all)
+                      + ln((coalesce(c0.c, 0) + 1.0) /
+                           (d0.cf + 1.0 * d0.vf))
+                      + ln((coalesce(c1.c, 0) + 1.0) /
+                           (d1.cf + 1.0 * d1.vf))
+                      + ln((coalesce(c2.c, 0) + 1.0) /
+                           (d2.cf + 1.0 * d2.vf)), 9) AS score
+             FROM te CROSS JOIN na CROSS JOIN lc
+             LEFT JOIN c0 ON c0.v = te.f0 AND c0.label = lc.label
+             JOIN d0 ON d0.label = lc.label
+             LEFT JOIN c1 ON c1.v = te.f1 AND c1.label = lc.label
+             JOIN d1 ON d1.label = lc.label
+             LEFT JOIN c2 ON c2.v = te.f2 AND c2.label = lc.label
+             JOIN d2 ON d2.label = lc.label),
+      pr AS (SELECT true_label, label AS pred_label,
+                    row_number() OVER (
+                      PARTITION BY l_orderkey, l_linenumber, l_partkey,
+                        l_suppkey
+                      ORDER BY score DESC, label ASC) AS rn
+             FROM sc)
+      SELECT true_label, pred_label, count(*) AS n
+      FROM pr WHERE rn = 1 GROUP BY 1, 2
+      ORDER BY true_label, pred_label"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8675,7 +8823,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Categorical (multinomial) naive Bayes — the counts-only classifier:
+ * training is pure grouped counting (one pass per nothing — a single
+ * melted aggregation), scoring is log-space addition against small
+ * broadcast probability tables. The natural companion to the
+ * embedding-side nearest-centroid classifier ([[Similarity.nearestCentroid]])
+ * for tabular/categorical features at corpus scale.
+ *
+ * Model: P(label) from label counts; P(value | feature, label) with
+ * Laplace smoothing α: (c(f,v,l) + α) / (c(f,l) + α·V_f), V_f = the
+ * number of DISTINCT training values of feature f. An unseen test
+ * value contributes the smoothed-zero term α/(c(f,l) + α·V_f).
+ *
+ * Scale shape: the model is three aggregate frames (labels; per-
+ * feature value counts via ONE melted groupBy; per-feature distinct
+ * counts) — all tiny relative to the corpus, all broadcast at
+ * scoring. Scoring inflates each test row by |labels| (a broadcast
+ * join), adds F log-terms via F broadcast left joins on
+ * (feature-value, label), and takes the argmax with one min_by
+ * aggregation — no corpus-sized shuffle beyond the final groupBy on
+ * the test row key.
+ */
+object NaiveBayes {
+
+  /** Fitted model as three small DataFrames. */
+  final case class Model(labels: DataFrame, valueCounts: DataFrame,
+      featureCard: DataFrame, alpha: Double)
+
+  def fit(train: DataFrame, features: Seq[String], labelCol: String,
+      alpha: Double = 1.0): Model = {
+    require(features.nonEmpty, "naiveBayes: no features")
+    require(alpha > 0, "naiveBayes: alpha > 0")
+    val lbl = col(labelCol).cast("string")
+    val labels = train.groupBy(lbl.as("label"))
+      .agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_all"))))
+      .select(col("label"), col("n_l"), col("n_all"))
+      .localCheckpoint()
+    val melted = train.select(lbl.as("label"), explode(array(features.map {
+      f => struct(lit(f).as("feature"), col(f).cast("string").as("value"))
+    }: _*)).as("fv"))
+      .select(col("label"), col("fv.feature").as("feature"),
+        col("fv.value").as("value"))
+    val valueCounts = melted.groupBy("feature", "value", "label")
+      .agg(count(lit(1)).as("c_fvl")).localCheckpoint()
+    val featureCard = valueCounts.groupBy("feature")
+      .agg(countDistinct(col("value")).as("v_f")).localCheckpoint()
+    Model(labels, valueCounts, featureCard, alpha)
+  }
+
+  /**
+   * Adds (pred_label, log_score) for each test row, identified by
+   * `keyCols`. Scores are summed in a FIXED order (prior, then the
+   * features in call order), so an external engine replaying the same
+   * additions computes bit-identical scores; argmax ties break on
+   * label ascending.
+   */
+  def score(test: DataFrame, model: Model, features: Seq[String],
+      keyCols: Seq[String], scoreRound: Option[Int] = None): DataFrame = {
+    val a = model.alpha
+    // per-(label, feature) denominators: c(f,l) = Σ_v c(f,v,l)
+    val denom = model.valueCounts.groupBy("feature", "label")
+      .agg(sum(col("c_fvl")).as("c_fl"))
+      .join(model.featureCard, Seq("feature"))
+    // every broadcast side ends in a (no-op) re-aggregation: the model
+    // frames are localCheckpointed, which erases their aggregate shape
+    // from the plan — the scale lint needs the reduction visible
+    val lbls = broadcast(model.labels.groupBy("label")
+      .agg(max(col("n_l")).as("n_l"), max(col("n_all")).as("n_all")))
+    val inflated = test.join(lbls)
+    val scored = features.zipWithIndex.foldLeft(inflated) {
+      case (acc, (f, i)) =>
+        val vc = broadcast(model.valueCounts
+          .where(col("feature") === f)
+          .groupBy(col("value").as(s"__v$i"), col("label").as(s"__l$i"))
+          .agg(max(col("c_fvl")).as(s"__c$i")))
+        val dn = broadcast(denom.where(col("feature") === f)
+          .select(col("label").as(s"__dl$i"), col("c_fl").as(s"__cf$i"),
+            col("v_f").as(s"__vf$i")))
+        acc
+          .join(vc, col(f).cast("string") <=> col(s"__v$i") &&
+            col("label") === col(s"__l$i"), "left")
+          .join(dn, col("label") === col(s"__dl$i"))
+          .withColumn(s"__t$i",
+            log((coalesce(col(s"__c$i"), lit(0L)) + lit(a)) /
+              (col(s"__cf$i") + lit(a) * col(s"__vf$i"))))
+          .drop(s"__v$i", s"__l$i", s"__c$i", s"__dl$i", s"__cf$i",
+            s"__vf$i")
+    }
+    val total0 = features.indices
+      .map(i => col(s"__t$i"))
+      .foldLeft(log(col("n_l") / col("n_all")))(_ + _)
+    // scoreRound (the nearestCentroid cosRound pattern): JVM Math.log
+    // and a C libm may disagree by an ulp — rounding the score before
+    // the argmax keeps a genuine tie a tie in both engines
+    val total = scoreRound.fold(total0)(r => round(total0, r))
+    scored.withColumn("__score", total)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(col("label"),
+        struct((-col("__score")).as("ns"), col("label").as("lb")))
+        .as("pred_label"),
+        max(col("__score")).as("log_score"))
+  }
+
+  /** Convenience: fit on `train`, score `test`, return the confusion
+    * frame (true_label, pred_label, n) — the standard eval readout. */
+  def confusion(train: DataFrame, test: DataFrame, features: Seq[String],
+      labelCol: String, keyCols: Seq[String], alpha: Double = 1.0,
+      scoreRound: Option[Int] = None): DataFrame = {
+    val m = fit(train, features, labelCol, alpha)
+    score(test, m, features, keyCols, scoreRound)
+      .join(test.select((keyCols.map(col) :+
+        col(labelCol).cast("string").as("true_label")): _*), keyCols)
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+}

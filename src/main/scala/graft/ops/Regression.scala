@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Closed-form linear models over DataFrames — the missing "fit a
+ * small interpretable model on a huge frame" piece between the
+ * bivariate estimators (theilSen, retentionDecay, rddEstimate) and
+ * out-of-scope iterative training (reference inference contract,
+ * raise_/transforms/inference.py — model EXECUTION is pluggable
+ * there; this is model FITTING for the handful-of-features case).
+ *
+ * Scale design: one aggregation pass accumulates the normal-equation
+ * sufficient statistics (X'X upper triangle + X'y + moments of y, a
+ * (F+1)(F+2)/2-term single scan with map-side partial aggregation);
+ * the F×F solve happens on the driver via Gaussian elimination with
+ * partial pivoting (F is tens at most — the cost is nanoseconds; the
+ * DATA never leaves the executors unaggregated). Scoring/residuals
+ * are a map-only projection against the broadcast coefficient row.
+ */
+object Regression {
+
+  /**
+   * Ordinary (or ridge, lambda > 0) least squares of `targetCol` on
+   * `features` with intercept: one row per coefficient
+   * (term, coef) — "(intercept)" first, features in call order —
+   * plus the fit diagnostics repeated on every row (n, r2, mse).
+   * Rows with a NULL target or any NULL feature are dropped (the
+   * standard complete-case contract). Ridge shrinks the feature
+   * block only, never the intercept.
+   */
+  def linearRegression(df: DataFrame, features: Seq[String],
+      targetCol: String, lambda: Double = 0.0): DataFrame = {
+    require(features.nonEmpty, "linearRegression: no features")
+    require(features.size <= 64, "linearRegression: at most 64 features")
+    require(lambda >= 0, "linearRegression: lambda >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = col(targetCol).cast("double")
+    val xs = features.map(f => col(f).cast("double"))
+    val complete = df.where(
+      (y.isNotNull +: xs.map(_.isNotNull)).reduce(_ && _))
+    // design vector with the intercept's constant-1 leading term
+    val terms = lit(1.0) +: xs
+    val p = terms.size
+    val aggs =
+      (for (i <- 0 until p; j <- i until p)
+        yield sum(terms(i) * terms(j)).as(s"__xx_${i}_$j")) ++
+        (0 until p).map(i => sum(terms(i) * y).as(s"__xy_$i")) ++
+        Seq(sum(y * y).as("__yy"), count(lit(1)).as("__n"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    require(n > p, s"linearRegression: $n rows for $p terms")
+    // dense symmetric system (driver-side: p ≤ 65)
+    val a = Array.ofDim[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      val v = row.getAs[Double](s"__xx_${i}_$j")
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 1 until p) a(i)(i) += lambda // ridge: skip the intercept
+    val b = Array.tabulate(p)(i => row.getAs[Double](s"__xy_$i"))
+    val coef = solve(a, b)
+    // diagnostics from the same sufficient stats: RSS = y'y − 2β'X'y
+    // + β'X'Xβ, computed against the UNpenalized moments
+    val xy = Array.tabulate(p)(i => row.getAs[Double](s"__xy_$i"))
+    val yy = row.getAs[Double]("__yy")
+    var rss = yy
+    for (i <- 0 until p) {
+      rss -= 2.0 * coef(i) * xy(i)
+      for (j <- 0 until p) {
+        val xx = row.getAs[Double](s"__xx_${math.min(i, j)}_${math.max(i, j)}")
+        rss += coef(i) * coef(j) * xx
+      }
+    }
+    val sy = row.getAs[Double]("__xy_0") // Σ 1·y
+    val tss = yy - sy * sy / n
+    val r2 = if (tss > 0) 1.0 - rss / tss else Double.NaN
+    val names = "(intercept)" +: features
+    names.zipWithIndex.map { case (t, i) =>
+      (t, coef(i), n, r2, rss / n)
+    }.toDF("term", "coef", "n", "r2", "mse")
+  }
+
+  /**
+   * Map-only scoring against a fitted coefficient frame: adds
+   * `outCol` = β₀ + Σ βᵢ·xᵢ. The coefficient frame is collected
+   * (≤65 rows) and inlined as literals — scoring is pure codegen
+   * arithmetic, no join at all.
+   */
+  def predict(df: DataFrame, coefs: DataFrame, features: Seq[String],
+      outCol: String = "prediction"): DataFrame = {
+    val m = coefs.select("term", "coef").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expr0 = features.foldLeft(lit(m("(intercept)"))) { (acc, f) =>
+      acc + lit(m(f)) * col(f).cast("double")
+    }
+    df.withColumn(outCol, expr0)
+  }
+
+  /** Gaussian elimination with partial pivoting (driver-side, tiny). */
+  private def solve(a0: Array[Array[Double]],
+      b0: Array[Double]): Array[Double] = {
+    val p = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (k <- 0 until p) {
+      var piv = k
+      for (i <- k + 1 until p)
+        if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i
+      require(math.abs(a(piv)(k)) > 1e-12,
+        "linearRegression: singular design matrix (collinear features)")
+      if (piv != k) {
+        val t = a(k); a(k) = a(piv); a(piv) = t
+        val tb = b(k); b(k) = b(piv); b(piv) = tb
+      }
+      for (i <- k + 1 until p) {
+        val f = a(i)(k) / a(k)(k)
+        b(i) -= f * b(k)
+        for (j <- k until p) a(i)(j) -= f * a(k)(j)
+      }
+    }
+    val x = new Array[Double](p)
+    for (i <- p - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until p) s -= a(i)(j) * x(j)
+      x(i) = s / a(i)(i)
+    }
+    x
+  }
+}

@@ -4196,6 +4196,62 @@ class OpsExtSpec extends AnyFunSuite {
       out(1).getAs[Double]("q_control") == 10.0) // DISC at p=0.5, n=20
   }
 
+  test("linearRegression: exact recovery, ridge shrinks, predict scores") {
+    import spark.implicits._
+    // y = 2 + 3·x1 − 0.5·x2, noise-free → exact coefficients, R² = 1
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { _ =>
+      val x1 = rnd.nextDouble() * 10; val x2 = rnd.nextDouble() * 4
+      (x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val fit = graft.ops.Regression
+      .linearRegression(df, Seq("x1", "x2"), "y")
+    val m = fit.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("(intercept)") - 2.0) < 1e-8)
+    assert(math.abs(m("x1") - 3.0) < 1e-9)
+    assert(math.abs(m("x2") + 0.5) < 1e-9)
+    assert(math.abs(fit.head.getAs[Double]("r2") - 1.0) < 1e-10)
+    // ridge pulls slopes toward zero
+    val ridge = graft.ops.Regression
+      .linearRegression(df, Seq("x1", "x2"), "y", lambda = 1000.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ridge("x1")) < 3.0 && math.abs(ridge("x2")) < 0.5)
+    // predict reproduces the noise-free target
+    val scored = graft.ops.Regression
+      .predict(df, fit, Seq("x1", "x2"))
+      .select(max(abs(col("prediction") - col("y")))).head.getDouble(0)
+    assert(scored < 1e-8)
+    // collinear design fails loudly
+    val bad = df.withColumn("x3", col("x1") * 2)
+    intercept[IllegalArgumentException] {
+      graft.ops.Regression.linearRegression(bad, Seq("x1", "x3"), "y")
+    }
+  }
+
+  test("naiveBayes: hand-computed posterior, smoothing, unseen value") {
+    import spark.implicits._
+    // train: label A has f=x twice, f=y once; label B has f=y twice
+    val train = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"),
+      ("B", "y")).toDF("lbl", "f")
+    val test = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "f")
+    val m = graft.ops.NaiveBayes.fit(train, Seq("f"), "lbl")
+    val out = graft.ops.NaiveBayes
+      .score(test, m, Seq("f"), Seq("id"))
+      .orderBy("id").collect()
+    // id=1 (x): A has seen x, B never → A wins
+    assert(out(0).getAs[String]("pred_label") == "A")
+    // id=2 (y): V_f = 2 distinct train values, so
+    //   P(y|A)=(1+1)/(3+2)=0.4, P(y|B)=(2+1)/(2+2)=0.75;
+    //   A: 0.6·0.4 = 0.24; B: 0.4·0.75 = 0.3 → B
+    assert(out(1).getAs[String]("pred_label") == "B")
+    assert(math.abs(out(1).getAs[Double]("log_score") -
+      math.log(0.3)) < 1e-12)
+    // id=3 (z, unseen anywhere): A: 0.6·(1/5) = 0.12,
+    //   B: 0.4·(1/4) = 0.1 → A
+    assert(out(2).getAs[String]("pred_label") == "A")
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
