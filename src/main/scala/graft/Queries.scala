@@ -8802,6 +8802,75 @@ object Queries {
       FROM pr WHERE rn = 1 GROUP BY 1, 2
       ORDER BY true_label, pred_label"""))
 
+  /** Per-event-type daily revenue trend: closed-form per-key OLS of
+    * the day-grain rollup on the day index — slope/intercept/r² per
+    * type in one grouped aggregation, no driver involvement. */
+  private val q246 = Entry(
+    "q246_grouped_ols",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("double"))
+      graft.ops.Regression
+        .groupedOls(daily, Seq("event_type"), "x", "y")
+        .select(col("event_type"), col("n"),
+          r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"), r6(col("r2")).as("r2"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g,
+                        date_diff('day', DATE '2024-01-01',
+                          ts::DATE)::DOUBLE AS x,
+                        sum("value") AS y
+                 FROM events GROUP BY event_type, ts::DATE),
+      a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM d GROUP BY 1)
+      SELECT g AS event_type, n,
+             round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+               AS slope,
+             round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+               / n, 6) AS intercept,
+             round((sxy - sx * sy / n) * (sxy - sx * sy / n) /
+               ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+      FROM a ORDER BY event_type"""))
+
+  /** Mantel–Haenszel common odds ratio + CMH χ² of the even-user
+    * "treatment" on high-value events, stratified by event type. */
+  private val q247 = Entry(
+    "q247_mantel_haenszel",
+    (s, d) =>
+      graft.ops.Evaluation
+        .mantelHaenszel(Tables.events(s, d),
+          col("user_id") % 2 === 0, col("value") > 100,
+          Seq("event_type"))
+        .select(col("n_strata"), col("n"), r6(col("or_mh")).as("or_mh"),
+          r6(col("chi2")).as("chi2")),
+    Some("""
+      WITH b AS (SELECT event_type AS st, user_id % 2 = 0 AS t,
+                        "value" > 100 AS s
+                 FROM events),
+      c AS (SELECT st,
+                   sum(CASE WHEN t AND s THEN 1.0 ELSE 0 END) AS a,
+                   sum(CASE WHEN t AND NOT s THEN 1.0 ELSE 0 END) AS b2,
+                   sum(CASE WHEN NOT t AND s THEN 1.0 ELSE 0 END) AS c2,
+                   sum(CASE WHEN NOT t AND NOT s THEN 1.0 ELSE 0 END)
+                     AS d
+            FROM b GROUP BY 1),
+      e AS (SELECT *, a + b2 + c2 + d AS n, a + b2 AS r1, a + c2 AS c1
+            FROM c)
+      SELECT count(*) AS n_strata, CAST(sum(n) AS BIGINT) AS n,
+             round(sum(a * d / n) / sum(b2 * c2 / n), 6) AS or_mh,
+             round(pow(sum(a - r1 * c1 / n), 2) /
+               sum(r1 * (n - r1) * c1 * (n - c1) /
+                   (n * n * (n - 1.0))), 6) AS chi2
+      FROM e"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8823,7 +8892,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

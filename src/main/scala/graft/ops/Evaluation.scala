@@ -862,6 +862,42 @@ object Evaluation {
   }
 
   /**
+   * Cochran–Mantel–Haenszel stratified 2×2 analysis: the common odds
+   * ratio OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) across strata plus the CMH
+   * χ² statistic (1 df, no continuity correction) — the standard
+   * confounder-adjusted binary-outcome test when stratifying an
+   * experiment (the 2×2 companion to [[coarsenedExactMatch]]'s
+   * continuous ATT). a=treated success, b=treated failure, c=control
+   * success, d=control failure per stratum.
+   *
+   * One grouped conditional aggregation builds the per-stratum cells;
+   * a second rollup over the ≤|strata|-row frame produces the single
+   * output row: (n_strata, n, or_mh, chi2).
+   */
+  def mantelHaenszel(df: DataFrame, treatCol: Column,
+      successCol: Column, strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "mantelHaenszel: no strata")
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val s = when(successCol, 1.0).otherwise(0.0)
+    val cells = df.groupBy(strataCols.map(col): _*)
+      .agg(sum(t * s).as("__a"), sum(t * (lit(1.0) - s)).as("__b"),
+        sum((lit(1.0) - t) * s).as("__c"),
+        sum((lit(1.0) - t) * (lit(1.0) - s)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+      .withColumn("__r1", col("__a") + col("__b")) // treated row total
+      .withColumn("__c1", col("__a") + col("__c")) // success col total
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__n")).cast("long").as("n"),
+      (sum(col("__a") * col("__d") / col("__n")) /
+        sum(col("__b") * col("__c") / col("__n"))).as("or_mh"),
+      (pow(sum(col("__a") - col("__r1") * col("__c1") / col("__n")), 2) /
+        sum(col("__r1") * (col("__n") - col("__r1")) * col("__c1") *
+          (col("__n") - col("__c1")) /
+          (col("__n") * col("__n") * (col("__n") - 1.0)))).as("chi2"))
+  }
+
+  /**
    * Reciprocal rank fusion (Cormack et al. 2009): combine several
    * rankers' orderings of the same candidate set into one score,
    * rrf(d) = Σ_rankers 1/(k0 + rank_r(d)) — the standard score-free

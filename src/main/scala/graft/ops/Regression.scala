@@ -98,6 +98,36 @@ object Regression {
     df.withColumn(outCol, expr0)
   }
 
+  /**
+   * Per-group bivariate OLS — slope/intercept/r²/n for every key in
+   * one grouped aggregation (closed form from the five moments; no
+   * driver involvement at all, unlike [[linearRegression]]'s solve).
+   * The fit-a-trend-per-entity primitive: per-user spend trajectories,
+   * per-series drift, per-segment elasticity. Groups with fewer than
+   * 2 distinct x values report NULL slope/intercept/r².
+   */
+  def groupedOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedOls: no group columns")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+        sum(y * y).as("__syy"))
+    val n = col("n").cast("double")
+    val vx = col("__sxx") - col("__sx") * col("__sx") / n
+    val vy = col("__syy") - col("__sy") * col("__sy") / n
+    val cxy = col("__sxy") - col("__sx") * col("__sy") / n
+    val slope = when(vx > 0, cxy / vx)
+    m.select(groupCols.map(col) ++ Seq(col("n"),
+      slope.as("slope"),
+      when(vx > 0, (col("__sy") - cxy / vx * col("__sx")) / n)
+        .as("intercept"),
+      when(vx > 0 && vy > 0, cxy * cxy / (vx * vy)).as("r2")): _*)
+  }
+
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
   private def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {

@@ -4252,6 +4252,43 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("pred_label") == "A")
   }
 
+  test("groupedOls: exact line per key, degenerate x gives NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), // y = 1 + 2x
+      ("b", 4.0, 9.0), ("b", 4.0, 11.0)) // constant x → no slope
+      .toDF("g", "x", "y")
+    val out = graft.ops.Regression.groupedOls(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    assert(math.abs(out(0).getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("intercept") - 1.0) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("r2") - 1.0) < 1e-12)
+    assert(out(1).isNullAt(out(1).fieldIndex("slope")))
+  }
+
+  test("mantelHaenszel: matches the hand-computed classic 2-stratum case") {
+    import spark.implicits._
+    // stratum s1: a=10 b=5 c=4 d=8 (n=27); s2: a=6 b=6 c=3 d=9 (n=24)
+    def rows(st: String, t: Boolean, s: Boolean, k: Int) =
+      Seq.fill(k)((st, t, s))
+    val df = (rows("s1", true, true, 10) ++ rows("s1", true, false, 5) ++
+      rows("s1", false, true, 4) ++ rows("s1", false, false, 8) ++
+      rows("s2", true, true, 6) ++ rows("s2", true, false, 6) ++
+      rows("s2", false, true, 3) ++ rows("s2", false, false, 9))
+      .toDF("st", "t", "s")
+    val out = graft.ops.Evaluation
+      .mantelHaenszel(df, col("t"), col("s"), Seq("st")).head
+    val orMh = (10.0 * 8 / 27 + 6.0 * 9 / 24) /
+      (5.0 * 4 / 27 + 6.0 * 3 / 24)
+    assert(out.getAs[Long]("n") == 51L)
+    assert(math.abs(out.getAs[Double]("or_mh") - orMh) < 1e-12)
+    // chi2: sum(a - r1*c1/n) with r1=15,c1=14,n=27 and r1=12,c1=9,n=24
+    val num = math.pow((10 - 15.0 * 14 / 27) + (6 - 12.0 * 9 / 24), 2)
+    val den = 15.0 * 12 * 14 * 13 / (27.0 * 27 * 26) +
+      12.0 * 12 * 9 * 15 / (24.0 * 24 * 23)
+    assert(math.abs(out.getAs[Double]("chi2") - num / den) < 1e-12)
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
