@@ -8871,6 +8871,124 @@ object Queries {
                    (n * n * (n - 1.0))), 6) AS chi2
       FROM e"""))
 
+  /** Per-document keyword extraction: top-3 TF-IDF terms for the
+    * first 15 docs (corpus-level idf, filtered after ranking). */
+  private val q248 = Entry(
+    "q248_top_terms",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .topTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .where(col("id") < 15)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rank"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tc GROUP BY 1),
+      dfr AS (SELECT term, count(*) AS doc_freq FROM tc GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT tc.doc_id, tc.term,
+               (cnt / doc_len) * ln(n_docs / doc_freq) AS tfidf
+        FROM tc JOIN dl USING (doc_id) JOIN dfr USING (term), n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM sc)
+      SELECT doc_id, rn AS rank, term, round(tfidf, 6) AS tfidf
+      FROM r WHERE rn <= 3 AND doc_id < 15
+      ORDER BY doc_id, rank"""))
+
+  /** Two-sample Poisson rate test: per-user event counts over
+    * active-day exposure, even vs odd users. */
+  private val q249 = Entry(
+    "q249_poisson_rate",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(to_date(col("ts"))).as("days"))
+      graft.ops.Evaluation
+        .poissonRateTest(per, col("user_id") % 2 === 0, col("cnt"),
+          col("days"))
+        .select(col("count_t"), col("exposure_t"),
+          r6(col("rate_t")).as("rate_t"), col("count_c"),
+          col("exposure_c"), r6(col("rate_c")).as("rate_c"),
+          r6(col("rate_ratio")).as("rate_ratio"), r6(col("z")).as("z"))
+    },
+    Some("""
+      WITH per AS (SELECT user_id, count(*)::DOUBLE AS cnt,
+                          count(DISTINCT ts::DATE)::DOUBLE AS days
+                   FROM events GROUP BY 1),
+      a AS (SELECT
+              sum(CASE WHEN user_id % 2 = 0 THEN cnt ELSE 0 END) AS ct,
+              sum(CASE WHEN user_id % 2 = 0 THEN days ELSE 0 END) AS et,
+              sum(CASE WHEN user_id % 2 <> 0 THEN cnt ELSE 0 END) AS cc,
+              sum(CASE WHEN user_id % 2 <> 0 THEN days ELSE 0 END) AS ec
+            FROM per)
+      SELECT ct AS count_t, et AS exposure_t,
+             round(ct / et, 6) AS rate_t,
+             cc AS count_c, ec AS exposure_c,
+             round(cc / ec, 6) AS rate_c,
+             round(ct / et / (cc / ec), 6) AS rate_ratio,
+             round((ct / et - cc / ec) /
+               sqrt(ct / (et * et) + cc / (ec * ec)), 6) AS z
+      FROM a"""))
+
+  /** Missingness-correlation profile over documents with
+    * deterministically injected nulls: lang misses on every 5th doc,
+    * source on every 10th (a subset — φ strongly positive), n_chars
+    * on every 3rd (independent). */
+  private val q250 = Entry(
+    "q250_missingness_corr",
+    (s, d) => {
+      val doc = Tables.documents(s, d).select(
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang2"),
+        when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("source2"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("chars2"))
+      graft.ops.Profiling
+        .missingnessCorrelation(doc, Seq("lang2", "source2", "chars2"))
+        .select(col("col_a"), col("col_b"), col("n"), col("null_a"),
+          col("null_b"), col("both_null"), r6(col("phi")).as("phi"))
+        .orderBy("col_a", "col_b")
+    },
+    Some("""
+      WITH d AS (SELECT
+        CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS ia,
+        CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.0 END AS ib,
+        CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS ic
+        FROM documents),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(ia) AS ma, sum(ib) AS mb,
+                   sum(ic) AS mc, sum(ia * ib) AS bab,
+                   sum(ia * ic) AS bac, sum(ib * ic) AS bbc
+            FROM d)
+      SELECT * FROM (
+        SELECT 'lang2' AS col_a, 'source2' AS col_b, n::BIGINT AS n,
+               ma::BIGINT AS null_a, mb::BIGINT AS null_b,
+               bab::BIGINT AS both_null,
+               round((n * bab - ma * mb) /
+                 sqrt(ma * (n - ma) * mb * (n - mb)), 6) AS phi
+        FROM a
+        UNION ALL
+        SELECT 'lang2', 'chars2', n::BIGINT, ma::BIGINT, mc::BIGINT,
+               bac::BIGINT,
+               round((n * bac - ma * mc) /
+                 sqrt(ma * (n - ma) * mc * (n - mc)), 6)
+        FROM a
+        UNION ALL
+        SELECT 'source2', 'chars2', n::BIGINT, mb::BIGINT, mc::BIGINT,
+               bbc::BIGINT,
+               round((n * bbc - mb * mc) /
+                 sqrt(mb * (n - mb) * mc * (n - mc)), 6)
+        FROM a)
+      ORDER BY col_a, col_b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -8892,7 +9010,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -898,6 +898,40 @@ object Evaluation {
   }
 
   /**
+   * Two-sample Poisson rate comparison: event rates per unit of
+   * exposure in each arm, their ratio, and the normal-approximation
+   * z statistic for H₀: equal rates,
+   * z = (r₁ − r₂) / sqrt(c₁/e₁² + c₂/e₂²) — the count-metric
+   * companion to the mean-based welch test (events per user-day,
+   * errors per request, clicks per impression). One conditional
+   * aggregation; exposure is any additive column (rows, days,
+   * impressions). Returns 1 row:
+   * (count_t, exposure_t, rate_t, count_c, exposure_c, rate_c,
+   * rate_ratio, z).
+   */
+  def poissonRateTest(df: DataFrame, treatCol: Column,
+      countCol: Column, exposureCol: Column): DataFrame = {
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val c = countCol.cast("double")
+    val e = exposureCol.cast("double")
+    df.agg(
+      sum(t * c).as("count_t"), sum(t * e).as("exposure_t"),
+      sum((lit(1.0) - t) * c).as("count_c"),
+      sum((lit(1.0) - t) * e).as("exposure_c"))
+      .select(col("count_t"), col("exposure_t"),
+        (col("count_t") / col("exposure_t")).as("rate_t"),
+        col("count_c"), col("exposure_c"),
+        (col("count_c") / col("exposure_c")).as("rate_c"),
+        (col("count_t") / col("exposure_t") /
+          (col("count_c") / col("exposure_c"))).as("rate_ratio"),
+        ((col("count_t") / col("exposure_t") -
+          col("count_c") / col("exposure_c")) /
+          sqrt(col("count_t") / (col("exposure_t") * col("exposure_t")) +
+            col("count_c") / (col("exposure_c") * col("exposure_c"))))
+          .as("z"))
+  }
+
+  /**
    * Reciprocal rank fusion (Cormack et al. 2009): combine several
    * rankers' orderings of the same candidate set into one score,
    * rrf(d) = Σ_rankers 1/(k0 + rank_r(d)) — the standard score-free

@@ -349,6 +349,39 @@ object Profiling {
   }
 
   /**
+   * Missingness-correlation profile: the φ coefficient between the
+   * NULL indicators of every column pair — the data-quality signal
+   * that distinguishes "fields go missing together" (an upstream
+   * extractor died: φ ≈ 1) from independent sparsity (φ ≈ 0).
+   * ONE aggregation pass accumulates per-column null counts and
+   * pairwise both-null counts; the 1-row result melts to one row per
+   * pair: (col_a, col_b, n, null_a, null_b, both_null, phi).
+   * φ is NULL when either column is never or always null (no
+   * variance to correlate).
+   */
+  def missingnessCorrelation(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "missingnessCorrelation: need >= 2 columns")
+    val ind = cols.map(c => when(col(c).isNull, 1.0).otherwise(0.0))
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (cols.indices.map(i => sum(ind(i)).as(s"__m$i")) ++
+        (for (i <- cols.indices; j <- i + 1 until cols.size)
+          yield sum(ind(i) * ind(j)).as(s"__b${i}_$j")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = (for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield {
+        val n = col("__n"); val ma = col(s"__m$i"); val mb = col(s"__m$j")
+        val both = col(s"__b${i}_$j")
+        val denom = ma * (n - ma) * mb * (n - mb)
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          n.cast("long").as("n"), ma.cast("long").as("null_a"),
+          mb.cast("long").as("null_b"), both.cast("long").as("both_null"),
+          when(denom > 0, (n * both - ma * mb) / sqrt(denom)).as("phi"))
+      }).toSeq
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /**
    * Deterministic (feature index, range fraction) split for level `l`
    * of mass-tree `t` — md5-derived so the ensemble is a pure function
    * of (trees, depth, feature list) and an external engine can replay

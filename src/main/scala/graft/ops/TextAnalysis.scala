@@ -1009,6 +1009,24 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document keyword extraction: the top-k terms of each document
+   * by TF-IDF ([[tfIdf]] scores; rank ties break on term ascending).
+   * One window partitioned BY DOCUMENT on the (doc, term) frame —
+   * per-doc sort only, no global sort. Returns
+   * (id, term, tfidf, rank), rank ≤ k.
+   */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "topTerms: k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfIdf(df, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * Column-level PII exposure profile: for each string column, the
    * fraction of rows matching each [[piiPresets]] pattern (email,
    * ssn, ipv4, phone) plus the any-hit rate — the discovery-side scan

@@ -4289,6 +4289,43 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("chi2") - num / den) < 1e-12)
   }
 
+  test("poissonRateTest: hand-computed rates and z") {
+    import spark.implicits._
+    // treated: 30 events / 10 days = 3.0; control: 10 / 10 = 1.0
+    val df = Seq((true, 30.0, 10.0), (false, 10.0, 10.0))
+      .toDF("t", "cnt", "days")
+    val out = graft.ops.Evaluation
+      .poissonRateTest(df, col("t"), col("cnt"), col("days")).head
+    assert(out.getAs[Double]("rate_t") == 3.0)
+    assert(out.getAs[Double]("rate_ratio") == 3.0)
+    val z = 2.0 / math.sqrt(30.0 / 100 + 10.0 / 100)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-12)
+  }
+
+  test("missingnessCorrelation: perfect co-missing, independent, guards") {
+    import spark.implicits._
+    val rows = (1 to 40).map { i =>
+      val coMiss = i % 4 == 0
+      (if (coMiss) null else "a", if (coMiss) null else "b",
+        if (i % 2 == 0) null else "c", "never")
+    }
+    val df = rows.toDF("p", "q", "r", "s")
+    val out = graft.ops.Profiling
+      .missingnessCorrelation(df, Seq("p", "q", "r", "s"))
+      .collect().map(x =>
+        (x.getString(0), x.getString(1)) -> x).toMap
+    // p and q always miss together → φ = 1
+    assert(math.abs(out(("p", "q")).getAs[Double]("phi") - 1.0) < 1e-12)
+    // p misses only on multiples of 4 (all even) vs r on evens:
+    //   not independent — φ = sqrt((1/4·1/2)/(3/4·1/2)) ≈ 0.577
+    assert(math.abs(out(("p", "r")).getAs[Double]("phi") -
+      math.sqrt(1.0 / 3)) < 1e-12)
+    // s never missing → φ NULL
+    assert(out(("p", "s")).isNullAt(
+      out(("p", "s")).fieldIndex("phi")))
+    assert(out(("p", "q")).getAs[Long]("both_null") == 10L)
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
