@@ -938,7 +938,9 @@ object Evaluation {
    * way to merge lexical (BM25) and vector (ANN) retrieval. Input is
    * the melted (ranker, query, doc, score) frame; ranks are per
    * (ranker, query), ties broken by doc id. Returns
-   * (query, doc, n_rankers, rrf).
+   * (query, doc, n_rankers, rrf). (The two-frame convenience form for
+   * exactly a lexical+vector pair is [[Retrieval.rrfFuse]]; this is
+   * the N-ranker generalization over an already-melted frame.)
    *
    * Scale: one window partitioned by (ranker, query) — per-list sort
    * only — and one groupBy on (query, doc). Docs missing from a

@@ -112,4 +112,36 @@ object SkewAware {
         when(col("est_rows") > 0,
           col("max_key_rows").cast("double") / col("est_rows")))
   }
+
+  /**
+   * Salted inner equi-join for skewed keys — the join-side companion
+   * to [[groupAgg]], for when AQE's skew split can't help (e.g. the
+   * skewed side feeds a co-partitioned downstream stage, or the
+   * runtime stats miss the skew because the hot key materializes
+   * mid-pipeline). The LEFT (large, skewed) side's rows get a random
+   * sub-key in [0, salt); the RIGHT side is replicated `salt` times
+   * via a literal-Range explode (scale-bounded by construction), so
+   * each hot key's work spreads over `salt` reducers. Results are
+   * identical to `left.join(right, keys)` — every left row still
+   * meets every matching right row exactly once.
+   *
+   * Costs: the right side shuffles salt× its size — use for
+   * large-×-medium joins where the right side is far smaller than
+   * the left (else broadcast it and skew is moot) but too big to
+   * broadcast whole.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(salt >= 1, "salt >= 1")
+    if (salt == 1) left.join(right, keys)
+    else {
+      val l = left.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salt))
+          .cast("int"))
+      val r = right.withColumn("__salt",
+        explode(lit((0 until salt).toArray)))
+      l.join(r, keys :+ "__salt").drop("__salt")
+    }
+  }
 }

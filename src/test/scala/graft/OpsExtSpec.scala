@@ -4326,6 +4326,24 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(("p", "q")).getAs[Long]("both_null") == 10L)
   }
 
+  test("saltedJoin result-equivalent to the plain join under skew") {
+    import spark.implicits._
+    val left = ((1 to 500).map(_ => ("hot", 1)) ++
+      (1 to 20).map(i => (s"k$i", 2))).toDF("k", "lv")
+    val right = Seq(("hot", 10), ("hot", 11), ("k3", 12), ("zz", 13))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val salted = graft.ops.SkewAware
+      .saltedJoin(left, right, Seq("k"), salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(salted == plain && plain.exists(_._1 == "hot"))
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
