@@ -1297,8 +1297,12 @@ object AnalysisPlanner {
   def madOutliers(df: DataFrame, feature: String,
       k: Double = 3.0): DataFrame = {
     val v = col(feature).cast("double")
+    // the value-count frame feeds THREE consumers (median, deviation
+    // counts, final scan) — materialize it once or each consumer
+    // re-executes the corpus scan + groupBy (the q168 theilSen rule)
     val vc = df.where(v.isNotNull)
       .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val med = percentilesFromCounts(vc, Seq("__med" -> 0.5), Nil)
     // deviation value counts FROM the value counts — no second scan
     val dev = vc.crossJoin(broadcast(med))
