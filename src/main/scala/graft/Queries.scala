@@ -8735,6 +8735,10 @@ object Queries {
           .bucket(Seq(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")))
           .as("__bkt"))
+        // one materialization: fit reads the train side twice (labels,
+        // melted counts) and score reads test — without this the
+        // corpus and its md5 split hash recompute on every consumer
+        .localCheckpoint()
       val train = li.where(col("__bkt") < 524288)
       val test = li.where(col("__bkt") >= 524288)
       graft.ops.NaiveBayes
@@ -8989,6 +8993,77 @@ object Queries {
         FROM a)
       ORDER BY col_a, col_b"""))
 
+  /** l-diversity of customer market segment within (order status,
+    * priority) quasi-identifier classes — does a QI class leak the
+    * sensitive attribute outright (l = 1)? */
+  private val q251 = Entry(
+    "q251_l_diversity",
+    (s, d) => {
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Profiling
+        .lDiversityProfile(oc, Seq("o_orderstatus", "o_orderpriority"),
+          "c_mktsegment", riskL = 3)
+        .select(col("l"), col("n_classes"), col("n_rows"),
+          col("at_risk"), r6(col("avg_entropy")).as("avg_entropy"))
+        .orderBy("l")
+    },
+    Some("""
+      WITH oc AS (SELECT o_orderstatus AS s1, o_orderpriority AS s2,
+                         c_mktsegment AS sv
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT s1, s2, sv, count(*)::DOUBLE AS c
+                FROM oc GROUP BY 1, 2, 3),
+      pc AS (SELECT s1, s2, count(*) AS l, sum(c) AS sz,
+                    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+             FROM cells GROUP BY 1, 2)
+      SELECT l, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows,
+             l < 3 AS at_risk, round(avg(h), 6) AS avg_entropy
+      FROM pc GROUP BY l ORDER BY l"""))
+
+  /** t-closeness of the same QI/sensitive pair: per-class total
+    * variation distance from the global segment distribution,
+    * rolled up to max/avg and the over-threshold census. */
+  private val q252 = Entry(
+    "q252_t_closeness",
+    (s, d) => {
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Profiling
+        .tClosenessProfile(oc, Seq("o_orderstatus", "o_orderpriority"),
+          "c_mktsegment", t = 0.05)
+        .select(col("n_classes"), r6(col("max_tvd")).as("max_tvd"),
+          r6(col("avg_tvd")).as("avg_tvd"), col("classes_over"),
+          col("rows_over"))
+    },
+    Some("""
+      WITH oc AS (SELECT o_orderstatus AS s1, o_orderpriority AS s2,
+                         c_mktsegment AS sv
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT s1, s2, sv, count(*)::DOUBLE AS c
+                FROM oc GROUP BY 1, 2, 3),
+      tot AS (SELECT sum(c) AS tot FROM cells),
+      gq AS (SELECT sv, sum(c) / tot AS q FROM cells, tot
+             GROUP BY sv, tot),
+      szs AS (SELECT s1, s2, sum(c) AS sz FROM cells GROUP BY 1, 2),
+      j AS (SELECT cells.s1, cells.s2, max(szs.sz) AS sz,
+                   sum(abs(cells.c / szs.sz - gq.q)) AS sabs,
+                   sum(gq.q) AS qpres
+            FROM cells
+            JOIN szs ON cells.s1 = szs.s1 AND cells.s2 = szs.s2
+            JOIN gq ON cells.sv = gq.sv
+            GROUP BY 1, 2),
+      tv AS (SELECT sz, 0.5 * (sabs + 1.0 - qpres) AS tvd FROM j)
+      SELECT count(*) AS n_classes, round(max(tvd), 6) AS max_tvd,
+             round(avg(tvd), 6) AS avg_tvd,
+             CAST(sum(CASE WHEN tvd > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_over,
+             CAST(sum(CASE WHEN tvd > 0.05 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_over
+      FROM tv"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9010,7 +9085,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

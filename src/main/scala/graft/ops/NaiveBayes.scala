@@ -113,10 +113,11 @@ object NaiveBayes {
       labelCol: String, keyCols: Seq[String], alpha: Double = 1.0,
       scoreRound: Option[Int] = None): DataFrame = {
     val m = fit(train, features, labelCol, alpha)
-    score(test, m, features, keyCols, scoreRound)
-      .join(test.select((keyCols.map(col) :+
-        col(labelCol).cast("string").as("true_label")): _*), keyCols)
-      .groupBy("true_label", "pred_label")
+    // the true label rides INSIDE the scoring key (constant per key)
+    // instead of a second corpus-sized join-back after the argmax
+    score(test.withColumn("__true", col(labelCol).cast("string")), m,
+      features, keyCols :+ "__true", scoreRound)
+      .groupBy(col("__true").as("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
 }

@@ -114,6 +114,76 @@ object Profiling {
   }
 
   /**
+   * l-diversity profile — the sensitive-attribute companion to
+   * [[kAnonymityProfile]]: within each quasi-identifier class, how
+   * many DISTINCT sensitive values appear (l) and how evenly
+   * (entropy). A class can be k-anonymous yet leak the sensitive
+   * attribute outright when l = 1. Returns one row per observed l:
+   * (l, n_classes, n_rows, at_risk, avg_entropy) with
+   * at_risk = l < riskL and entropy from the join-free identity
+   * H = ln(sz) − (Σ c·ln c)/sz. Two keyed aggregations over
+   * (QI, sensitive) cells — never over raw rows twice.
+   */
+  def lDiversityProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, riskL: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityProfile: no QI columns")
+    val cells = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val perClass = cells.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("l"), sum(col("__c")).as("__sz"),
+        (log(sum(col("__c"))) -
+          sum(col("__c") * log(col("__c"))) / sum(col("__c")))
+          .as("__h"))
+    perClass.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__sz")).cast("long").as("n_rows"),
+        avg(col("__h")).as("avg_entropy"))
+      .withColumn("at_risk", col("l") < riskL)
+  }
+
+  /**
+   * t-closeness profile: per quasi-identifier class, the total
+   * variation distance between the class's sensitive-value
+   * distribution and the global one — the strongest of the classic
+   * syntactic privacy triple (a class can be l-diverse yet skewed
+   * enough to leak). TVD over present values plus the mass of absent
+   * ones: ½·Σ_present|p−q| + ½·(1 − Σ_present q). Returns 1 row:
+   * (n_classes, max_tvd, avg_tvd, classes_over, rows_over) with
+   * `over` = TVD > t. Cell counts, one broadcast of the
+   * ≤|values|-row global distribution, two rollups.
+   */
+  def tClosenessProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double = 0.5): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessProfile: no QI columns")
+    val cells = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // feeds global dist, class sizes, AND the join
+    val global = cells.groupBy(col(sensitiveCol).as("__sv"))
+      .agg(sum(col("__c")).as("__g"))
+      .crossJoin(broadcast(cells.agg(sum(col("__c")).as("__tot"))))
+      .select(col("__sv"), (col("__g") / col("__tot")).as("__q"))
+    val szs = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__sz"))
+    val perClass = graft.analysis.PrefixSum
+      .joinNullSafe(cells, szs, qiCols)
+      .join(broadcast(global), col(sensitiveCol) <=> col("__sv"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(max(col("__sz")).as("__sz"),
+        sum(abs(col("__c") / col("__sz") - col("__q"))).as("__sabs"),
+        sum(col("__q")).as("__qpres"))
+      .select(col("__sz"),
+        (lit(0.5) * (col("__sabs") + lit(1.0) - col("__qpres")))
+          .as("__tvd"))
+    perClass.agg(count(lit(1)).as("n_classes"),
+      max(col("__tvd")).as("max_tvd"), avg(col("__tvd")).as("avg_tvd"),
+      sum(when(col("__tvd") > t, 1L).otherwise(0L)).as("classes_over"),
+      sum(when(col("__tvd") > t, col("__sz")).otherwise(lit(0.0)))
+        .cast("long").as("rows_over"))
+  }
+
+  /**
    * HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
    * per feature, an equal-width histogram over [min, max]; a row's
    * score is Σ_f log(N / n_bin_f(row)) — high when the row sits in

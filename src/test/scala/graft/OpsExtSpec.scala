@@ -4344,6 +4344,31 @@ class OpsExtSpec extends AnyFunSuite {
     assert(salted == plain && plain.exists(_._1 == "hot"))
   }
 
+  test("lDiversity and tCloseness: leaky class flagged, uniform clean") {
+    import spark.implicits._
+    // class A: sensitive always "x" (l=1, leaks); class B: x/y evenly
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "x"), ("B", "y"))
+      .toDF("qi", "sv")
+    val ld = graft.ops.Profiling
+      .lDiversityProfile(df, Seq("qi"), "sv", riskL = 2)
+      .orderBy("l").collect()
+    assert(ld(0).getAs[Long]("l") == 1L &&
+      ld(0).getAs[Boolean]("at_risk") &&
+      ld(0).getAs[Double]("avg_entropy") == 0.0)
+    assert(ld(1).getAs[Long]("l") == 2L &&
+      !ld(1).getAs[Boolean]("at_risk") &&
+      math.abs(ld(1).getAs[Double]("avg_entropy") - math.log(2)) < 1e-12)
+    // global dist: x = 6/8, y = 2/8. TVD(A) = ½(|1−.75| + .25) = .25;
+    // TVD(B) = ½(|.5−.75| + |.5−.25|) = .25
+    val tc = graft.ops.Profiling
+      .tClosenessProfile(df, Seq("qi"), "sv", t = 0.2).head
+    assert(tc.getAs[Long]("n_classes") == 2L)
+    assert(math.abs(tc.getAs[Double]("max_tvd") - 0.25) < 1e-12)
+    assert(tc.getAs[Long]("classes_over") == 2L &&
+      tc.getAs[Long]("rows_over") == 8L)
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
