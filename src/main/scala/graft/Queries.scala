@@ -9064,6 +9064,59 @@ object Queries {
                AS rows_over
       FROM tv"""))
 
+  /** Change data feed over the snapshot store: full load → one upsert
+    * (updates the key%10 rows, inserts negated-key rows for key%7=3) →
+    * one positive-key predicate delete; the CDF between each version
+    * pair, rolled up per change type. Oracle replays the same
+    * mutations as CASE logic on the source table. */
+  private val q253 = Entry(
+    "q253_snapshot_cdf",
+    (s, d) => {
+      import graft.etl.{SnapshotStore, WriteMode}
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val fp = ord.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(o_orderkey))")).head()
+      val tag = java.lang.Long.toHexString(fp.getLong(0) ^ fp.getLong(1))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_snap_cdf/$tag"
+      val hBase = new org.apache.hadoop.fs.Path(base)
+      val hFs = hBase.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hFs.exists(hBase)) hFs.delete(hBase, true)
+      val st = SnapshotStore(s"$base/t",
+        orderColumn = Some("o_orderkey"))
+      st.write(ord, WriteMode.Full)
+      val batch = ord.where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("X"))
+        .unionByName(ord.where(pmod(col("o_orderkey"), lit(7)) === 3)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice"),
+            lit("N").as("o_orderstatus")))
+      st.write(batch, WriteMode.Upsert, Seq("o_orderkey"))
+      st.delete(s, "o_orderkey % 100 = 0 AND o_orderkey > 0")
+      def roll(fromV: Long, toV: Long): DataFrame =
+        st.changes(s, fromV, toV, Seq("o_orderkey"))
+          .groupBy(lit(s"v$fromV-v$toV").as("step"), col("change_type"))
+          .agg(count(lit(1)).as("n"),
+            r2(sum(col("o_totalprice"))).as("total"))
+      roll(1, 2).unionByName(roll(2, 3))
+        .orderBy("step", "change_type")
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey AS k, o_totalprice AS tp FROM orders)
+      SELECT * FROM (
+        SELECT 'v1-v2' AS step, 'insert' AS change_type,
+               count(*) AS n, round(sum(tp + 1000), 2) AS total
+        FROM o WHERE k % 7 = 3
+        UNION ALL
+        SELECT 'v1-v2', 'update', count(*), round(sum(tp * 2), 2)
+        FROM o WHERE k % 10 = 0
+        UNION ALL
+        SELECT 'v2-v3', 'delete', count(*), round(sum(tp * 2), 2)
+        FROM o WHERE k % 100 = 0 AND k > 0)
+      ORDER BY step, change_type"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9085,7 +9138,7 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -335,6 +335,45 @@ final case class SnapshotStore(path: String,
   }
 
   /**
+   * Change data feed between two committed versions — the CDC readout
+   * of the snapshot log (the transactional-format CDF analog): every
+   * key inserted, updated (new values), or deleted going from
+   * `fromVersion` to `toVersion`. Computed as ONE null-safe
+   * full-outer key join of the two snapshots plus a row-struct
+   * comparison — the honest shape for a store whose commits carry
+   * full affected-partition segments (there is no per-row delta log
+   * to replay); partition pruning still reaches both snapshot scans.
+   * Returns (change_type, keys..., columns...) with deleted rows
+   * carrying their before-values.
+   */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changes: key columns required")
+    val before = readVersion(spark, fromVersion)
+    val after = readVersion(spark, toVersion)
+    val nonKey = after.columns.filterNot(keys.contains).toSeq
+    val aSide = after.select(keys.map(col) ++ nonKey.map(col) :+
+      lit(1).as("__ap"): _*)
+    val bSide = before.select(keys.map(k => col(k).as(s"__k_$k")) ++
+      nonKey.map(c => col(c).as(s"__b_$c")) :+ lit(1).as("__bp"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val j = aSide.join(bSide, cond, "full_outer")
+    val changed = !(org.apache.spark.sql.functions.struct(
+      nonKey.map(col): _*) <=>
+      org.apache.spark.sql.functions.struct(
+        nonKey.map(c => col(s"__b_$c")): _*))
+    val changeType = when(col("__bp").isNull, lit("insert"))
+      .when(col("__ap").isNull, lit("delete"))
+      .when(changed, lit("update"))
+    val keyOut = keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k))
+    val valOut = nonKey.map(c =>
+      when(col("__ap").isNull, col(s"__b_$c")).otherwise(col(c)).as(c))
+    j.withColumn("change_type", changeType)
+      .where(col("change_type").isNotNull)
+      .select(col("change_type") +: (keyOut ++ valOut): _*)
+  }
+
+  /**
    * Compaction — the transactional-format OPTIMIZE analog. Long
    * append/upsert/delete chains accumulate carried segments plus
    * per-segment exclusion predicates whose union every read must

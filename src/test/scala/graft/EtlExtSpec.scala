@@ -331,6 +331,29 @@ class EtlExtSpec extends AnyFunSuite {
     assert(st.read(spark).count() == 3)
   }
 
+  test("snapshot store: change data feed between versions") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snapcdf", orderColumn = Some("v"))
+    st.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"),
+      WriteMode.Full)
+    // v2: update id=2, insert id=4, leave 1 and 3 untouched
+    st.write(Seq((2L, 25.0), (4L, 40.0)).toDF("id", "v"),
+      WriteMode.Upsert, Seq("id"))
+    val c12 = st.changes(spark, 1, 2, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c12 == Set(("update", 2L, 25.0), ("insert", 4L, 40.0)))
+    // v3: delete id=1
+    st.delete(spark, "id = 1")
+    val c23 = st.changes(spark, 2, 3, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c23 == Set(("delete", 1L, 10.0)))
+    // full span: v1 -> v3 folds the update+insert+delete together
+    val c13 = st.changes(spark, 1, 3, Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c13 == Set(("update", 2L, 25.0), ("insert", 4L, 40.0),
+      ("delete", 1L, 10.0)))
+  }
+
   test("snapshot store: partitioned upsert carries untouched partitions by reference") {
     import spark.implicits._
     val base = tmpDir() + "/snapp"

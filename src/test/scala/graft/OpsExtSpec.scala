@@ -4369,6 +4369,21 @@ class OpsExtSpec extends AnyFunSuite {
       tc.getAs[Long]("rows_over") == 8L)
   }
 
+  test("hashFeatures: dictionary path identical to map-only, incl. nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vals = Array("x", "y", "zz", "", null)
+    val df = (1 to 300).map { i =>
+      (i.toLong, vals(rnd.nextInt(vals.length)),
+        vals(rnd.nextInt(vals.length)))
+    }.toDF("id", "a", "b")
+    def run(dict: Boolean) = graft.ops.Features
+      .hashFeatures(df, Seq("a", "b"), 16, viaDictionary = dict)
+      .select("id", "hashed").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run(true) == run(false))
+  }
+
   test("coarsenedExactMatch: hand ATT, unmatched strata dropped") {
     import spark.implicits._
     // stratum A: treated {10, 12}, control {8} → contrib 2·(11−8)=6
