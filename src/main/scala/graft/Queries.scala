@@ -9117,6 +9117,465 @@ object Queries {
         FROM o WHERE k % 100 = 0 AND k > 0)
       ORDER BY step, change_type"""))
 
+  /** UCB1 arm index over event types: mean high-value-event rate per
+    * arm plus the sqrt(2·ln N / n) exploration bonus. */
+  private val q254 = Entry(
+    "q254_ucb_arms",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("value") > 100, 1.0).otherwise(0.0).as("reward"))
+      graft.ops.Evaluation.ucbScores(ev, "event_type", "reward")
+        .select(col("arm"), col("n_pulls"),
+          r6(col("mean_reward")).as("mean_reward"),
+          r6(col("bonus")).as("bonus"), r6(col("ucb")).as("ucb"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH a AS (SELECT event_type AS arm, count(*)::DOUBLE AS n,
+                        avg(CASE WHEN "value" > 100 THEN 1.0 ELSE 0.0 END)
+                          AS m
+                 FROM events GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS big_n FROM events)
+      SELECT arm, n::BIGINT AS n_pulls, round(m, 6) AS mean_reward,
+             round(sqrt(2) * sqrt(ln(big_n) / n), 6) AS bonus,
+             round(m + sqrt(2) * sqrt(ln(big_n) / n), 6) AS ucb
+      FROM a, t ORDER BY arm"""))
+
+  /** Cochran–Armitage trend: is the big-ticket rate monotone in order
+    * priority level (1-URGENT … 5-LOW)? */
+  private val q255 = Entry(
+    "q255_trend_test",
+    (s, d) => {
+      graft.ops.Evaluation.cochranArmitage(
+          Tables.orders(s, d),
+          substring(col("o_orderpriority"), 1, 1).cast("int"),
+          col("o_totalprice") > 150000)
+        .select(col("n"), col("n_success"), r6(col("p_bar")).as("p_bar"),
+          r6(col("z")).as("z"), r6(col("chi2")).as("chi2"))
+    },
+    Some("""
+      WITH g AS (SELECT substring(o_orderpriority, 1, 1)::INT::DOUBLE AS s,
+                        count(*)::DOUBLE AS n,
+                        sum(CASE WHEN o_totalprice > 150000
+                            THEN 1.0 ELSE 0.0 END) AS r
+                 FROM orders GROUP BY 1),
+      a AS (SELECT sum(n) AS nn, sum(r) AS rr, sum(s * r) AS t,
+                   sum(s * n) AS sn, sum(s * s * n) AS s2n
+            FROM g)
+      SELECT nn::BIGINT AS n, rr::BIGINT AS n_success,
+             round(rr / nn, 6) AS p_bar,
+             round((t - rr / nn * sn) /
+               sqrt(rr / nn * (1 - rr / nn) * (s2n - sn * sn / nn)), 6)
+               AS z,
+             round(pow((t - rr / nn * sn) /
+               sqrt(rr / nn * (1 - rr / nn) * (s2n - sn * sn / nn)), 2), 6)
+               AS chi2
+      FROM a"""))
+
+  /** HITS hubs/authorities on the customer→supplier bipartite graph,
+    * 2 normalized iterations (oracle unrolls them). */
+  private val q256 = Entry(
+    "q256_hits",
+    (s, d) => {
+      graft.ops.Graph.hits(custSuppEdges(s, d), "src", "dst",
+          iterations = 2)
+        .select(col("node"), r6(col("hub")).as("hub"),
+          r6(col("authority")).as("authority"))
+        .where(substring(col("node"), 1, 1) === "s" ||
+          col("node").isin((1 to 40).map("c" + _): _*))
+        .orderBy("node")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                        's' || l_suppkey AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      a1r AS (SELECT dst AS node, count(*)::DOUBLE AS a
+              FROM e GROUP BY 1),
+      a1n AS (SELECT sqrt(sum(a * a)) AS na FROM a1r),
+      a1 AS (SELECT nodes.node, coalesce(a, 0) / na AS a
+             FROM nodes LEFT JOIN a1r USING (node), a1n),
+      h1r AS (SELECT e.src AS node, sum(a1.a) AS h
+              FROM a1 JOIN e ON a1.node = e.dst GROUP BY 1),
+      h1n AS (SELECT sqrt(sum(h * h)) AS nh FROM h1r),
+      h1 AS (SELECT nodes.node, coalesce(h, 0) / nh AS h
+             FROM nodes LEFT JOIN h1r USING (node), h1n),
+      a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
+              FROM h1 JOIN e ON h1.node = e.src GROUP BY 1),
+      a2n AS (SELECT sqrt(sum(a * a)) AS na FROM a2r),
+      a2 AS (SELECT nodes.node, coalesce(a, 0) / na AS a
+             FROM nodes LEFT JOIN a2r USING (node), a2n),
+      h2r AS (SELECT e.src AS node, sum(a2.a) AS h
+              FROM a2 JOIN e ON a2.node = e.dst GROUP BY 1),
+      h2n AS (SELECT sqrt(sum(h * h)) AS nh FROM h2r),
+      h2 AS (SELECT nodes.node, coalesce(h, 0) / nh AS h
+             FROM nodes LEFT JOIN h2r USING (node), h2n)
+      SELECT h2.node AS node, round(h2.h, 6) AS hub,
+             round(a2.a, 6) AS authority
+      FROM h2 JOIN a2 ON h2.node = a2.node
+      WHERE substring(h2.node, 1, 1) = 's' OR h2.node IN
+        ('c1','c2','c3','c4','c5','c6','c7','c8','c9','c10','c11','c12',
+         'c13','c14','c15','c16','c17','c18','c19','c20','c21','c22',
+         'c23','c24','c25','c26','c27','c28','c29','c30','c31','c32',
+         'c33','c34','c35','c36','c37','c38','c39','c40')
+      ORDER BY node"""))
+
+  /** Fisher's exact test on suppliers: nation block × account balance
+    * — a genuinely small 2×2 where the exact test matters. */
+  private val q257 = Entry(
+    "q257_fisher_exact",
+    (s, d) => {
+      graft.ops.Evaluation.fisherExact(
+          Tables.supplier(s, d),
+          col("s_nationkey") < 5, col("s_acctbal") > 5000)
+        .select(col("a"), col("b"), col("c"), col("d"),
+          r6(col("odds_ratio")).as("odds_ratio"), col("support"),
+          r6(col("p_two_sided")).as("p_two_sided"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT sum(CASE WHEN s_nationkey < 5 AND s_acctbal > 5000
+                   THEN 1.0 ELSE 0 END) AS a,
+               sum(CASE WHEN s_nationkey < 5 AND NOT s_acctbal > 5000
+                   THEN 1.0 ELSE 0 END) AS b,
+               sum(CASE WHEN s_nationkey >= 5 AND s_acctbal > 5000
+                   THEN 1.0 ELSE 0 END) AS c,
+               sum(CASE WHEN s_nationkey >= 5 AND NOT s_acctbal > 5000
+                   THEN 1.0 ELSE 0 END) AS d
+        FROM supplier),
+      m AS (SELECT *, a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+                   a + b + c + d AS n,
+                   greatest(0, a + b - (b + d)) AS kmin,
+                   least(a + b, a + c) AS kmax
+            FROM cells),
+      ks AS (SELECT m.*, g.k::DOUBLE AS k
+             FROM m, (SELECT unnest(generate_series(0, 100000)) AS k) g
+             WHERE g.k BETWEEN kmin AND kmax),
+      lp AS (SELECT k, a, b, c, d, r1, c1,
+                    lgamma(r1 + 1) - lgamma(k + 1) - lgamma(r1 - k + 1)
+                    + lgamma(r2 + 1) - lgamma(c1 - k + 1)
+                    - lgamma(r2 - c1 + k + 1)
+                    + lgamma(c1 + 1) + lgamma(c2 + 1) - lgamma(n + 1)
+                      AS l
+             FROM ks),
+      ob AS (SELECT l AS lobs FROM lp WHERE k = a)
+      SELECT max(a)::BIGINT AS a, max(b)::BIGINT AS b,
+             max(c)::BIGINT AS c, max(d)::BIGINT AS d,
+             round(max(a) * max(d) / (max(b) * max(c)), 6) AS odds_ratio,
+             count(*) AS support,
+             round(sum(CASE WHEN exp(l) <= exp(lobs) * (1 + 1e-7)
+                       THEN exp(l) ELSE 0 END) / sum(exp(l)), 6)
+               AS p_two_sided
+      FROM lp, ob"""))
+
+  /** Nelson–Aalen cumulative hazard of time-to-first-big-purchase —
+    * the hazard-scale companion to the q138/q150 survival frame. */
+  private val q258 = Entry(
+    "q258_nelson_aalen",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner.nelsonAalen(surv, "dur", "ev")
+        .select(col("duration").cast("long").as("duration"),
+          col("n_risk"), col("n_event"),
+          r6(col("cum_hazard")).as("cum_hazard"),
+          r6(sqrt(col("var_hazard"))).as("se_hazard"))
+        .orderBy("duration")
+    },
+    Some("""
+      WITH s AS (
+        SELECT
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events GROUP BY user_id),
+      g AS (SELECT dur, sum(ev) AS d, count(*)::DOUBLE AS tot
+            FROM s GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS nn FROM s),
+      w AS (SELECT dur, d,
+              coalesce(sum(tot) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM g),
+      e AS (SELECT dur, d, nn - bef AS n_risk FROM w, t WHERE d > 0),
+      c AS (SELECT dur, n_risk, d,
+              sum(d / n_risk) OVER (ORDER BY dur) AS ch,
+              sum(d / (n_risk * n_risk)) OVER (ORDER BY dur) AS vh
+            FROM e)
+      SELECT dur AS duration, n_risk::BIGINT AS n_risk,
+             d::BIGINT AS n_event, round(ch, 6) AS cum_hazard,
+             round(sqrt(vh), 6) AS se_hazard
+      FROM c ORDER BY duration"""))
+
+  /** Flesch / Flesch–Kincaid readability of the document corpus
+    * (vowel-group syllable proxy). */
+  private val q259 = Entry(
+    "q259_readability",
+    (s, d) => {
+      graft.ops.TextAnalysis.readability(
+          Tables.documents(s, d).where(col("doc_id") < 30), "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), r6(col("flesch")).as("flesch"),
+          r6(col("fk_grade")).as("fk_grade"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+          greatest(1.0, len(regexp_split_to_array(trim(text), '\s+')))
+            AS w,
+          greatest(1.0, len(regexp_extract_all(text, '[.!?]'))) AS sn,
+          greatest(greatest(1.0,
+              len(regexp_split_to_array(trim(text), '\s+'))),
+            len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS sy
+        FROM documents WHERE doc_id < 30)
+      SELECT doc_id, w::BIGINT AS n_words, sn::BIGINT AS n_sentences,
+             sy::BIGINT AS n_syllables,
+             round(206.835 - 1.015 * (w / sn) - 84.6 * (sy / w), 6)
+               AS flesch,
+             round(0.39 * (w / sn) + 11.8 * (sy / w) - 15.59, 6)
+               AS fk_grade
+      FROM m ORDER BY doc_id"""))
+
+  /** Item–item cosine neighborhoods over order baskets (suppliers as
+    * items): top-5 "also bought" per supplier. */
+  private val q260 = Entry(
+    "q260_item_cf",
+    (s, d) => {
+      graft.ops.Associations.itemSimilarity(
+          Tables.lineitem(s, d), "l_orderkey", "l_suppkey",
+          minPairCount = 3, topK = 5)
+        .select(col("item"), col("rank"), col("neighbor"),
+          col("n_pair"), r6(col("cosine")).as("cosine"))
+        .orderBy("item", "rank")
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+                 FROM lineitem),
+      ic AS (SELECT it, count(*)::DOUBLE AS ni FROM b GROUP BY 1),
+      p AS (SELECT l.it AS a, r.it AS b2, count(*) AS np
+            FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+            GROUP BY 1, 2 HAVING count(*) >= 3),
+      sym AS (SELECT a, b2, np FROM p
+              UNION ALL SELECT b2, a, np FROM p),
+      sc AS (SELECT sym.a AS item, sym.b2 AS neighbor, np AS n_pair,
+                    np / sqrt(ia.ni * ib.ni) AS cosine
+             FROM sym JOIN ic ia ON sym.a = ia.it
+                      JOIN ic ib ON sym.b2 = ib.it),
+      r AS (SELECT *, row_number() OVER (PARTITION BY item
+                        ORDER BY cosine DESC, neighbor ASC) AS rank
+            FROM sc)
+      SELECT item, rank, neighbor, n_pair, round(cosine, 6) AS cosine
+      FROM r WHERE rank <= 5 ORDER BY item, rank"""))
+
+  /** Isotonic calibration (binned PAVA via the minimax form) of a
+    * hash-derived score against an independent binary label — bin
+    * means hover around 1/3, so pooling is exercised heavily. */
+  private val q261 = Entry(
+    "q261_isotonic",
+    (s, d) => {
+      val df = Tables.orders(s, d).select(
+        (pmod(col("o_custkey"), lit(1000)) / 1000.0).as("score"),
+        when(col("o_orderkey") % 3 === 0, 1.0).otherwise(0.0)
+          .as("label"))
+      graft.ops.Evaluation.isotonicCalibration(df, "score", "label", 10)
+        .select(col("bin"), r6(col("bin_lo")).as("bin_lo"), col("n"),
+          r6(col("raw_mean")).as("raw_mean"),
+          r6(col("fitted")).as("fitted"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH base AS (SELECT (o_custkey % 1000) / 1000.0 AS s,
+                           CASE WHEN o_orderkey % 3 = 0
+                                THEN 1.0 ELSE 0.0 END AS y
+                    FROM orders),
+      bd AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+      binned AS (SELECT CASE WHEN hi <= lo THEN 0
+                         ELSE least(9, greatest(0,
+                           floor((s - lo) / ((hi - lo) / 10))::INT)) END
+                           AS b, y
+                 FROM base, bd),
+      cells AS (SELECT b, count(*)::DOUBLE AS n, sum(y) AS sy
+                FROM binned GROUP BY 1),
+      incl AS (SELECT x.b AS bb, sum(p.n) AS inn, sum(p.sy) AS iss
+               FROM cells x JOIN cells p ON p.b <= x.b GROUP BY 1),
+      lefts AS (SELECT c.b AS bi, inn - c.n AS en, iss - c.sy AS es
+                FROM cells c JOIN incl ON incl.bb = c.b),
+      seg AS (SELECT bi, k.bb AS bk, (k.iss - es) / (k.inn - en) AS m
+              FROM lefts JOIN incl k ON k.bb >= bi),
+      im AS (SELECT j.b AS bj, sg.bi, min(sg.m) AS mn
+             FROM cells j JOIN seg sg
+               ON sg.bi <= j.b AND sg.bk >= j.b
+             GROUP BY 1, 2),
+      fit AS (SELECT bj, max(mn) AS fitted FROM im GROUP BY 1)
+      SELECT c.b AS bin, round(lo + c.b * ((hi - lo) / 10), 6) AS bin_lo,
+             n::BIGINT AS n, round(sy / n, 6) AS raw_mean,
+             round(fitted, 6) AS fitted
+      FROM cells c JOIN fit ON fit.bj = c.b, bd ORDER BY bin"""))
+
+  /** Hash-randomization permutation test: return-flag effect on
+    * quantity over a 20-supplier slice, 100 md5-derived replicates
+    * (every replicate replayable in the oracle). */
+  private val q262 = Entry(
+    "q262_permutation",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_suppkey") <= 20)
+      graft.ops.Evaluation.permutationTest(li,
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          col("l_returnflag") === "R", col("l_quantity"), reps = 100)
+        .select(r6(col("obs_diff")).as("obs_diff"), col("reps"),
+          col("n_ge"), r6(col("p_value")).as("p_value"))
+    },
+    Some("""
+      WITH d AS (SELECT l_orderkey || '-' || l_linenumber AS id,
+                        l_quantity::DOUBLE AS v,
+                        CASE WHEN l_returnflag = 'R'
+                             THEN 1.0 ELSE 0.0 END AS t
+                 FROM lineitem WHERE l_suppkey <= 20),
+      obs AS (SELECT sum(t * v) / sum(t)
+                     - sum((1 - t) * v) / sum(1 - t) AS od FROM d),
+      reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+      h AS (SELECT rep, v,
+              (('0x' || substring(md5('perm|' || id || '|' || rep), 1, 15))::BIGINT
+                % 1048576) AS bkt
+            FROM d, reps),
+      rs AS (SELECT rep,
+               sum(CASE WHEN bkt < 524288 THEN v ELSE 0 END) /
+                 sum(CASE WHEN bkt < 524288 THEN 1.0 ELSE 0 END)
+               - sum(CASE WHEN bkt >= 524288 THEN v ELSE 0 END) /
+                 sum(CASE WHEN bkt >= 524288 THEN 1.0 ELSE 0 END) AS df
+             FROM h GROUP BY 1)
+      SELECT round(od, 6) AS obs_diff, count(*) AS reps,
+             sum(CASE WHEN abs(df) >= abs(od)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+             round((sum(CASE WHEN abs(df) >= abs(od)
+                        THEN 1 ELSE 0 END) + 1.0) / (count(*) + 1.0), 6)
+               AS p_value
+      FROM rs, obs GROUP BY od"""))
+
+  /** Two-sample Anderson–Darling on quantity, even- vs odd-part
+    * lineitems — the tail-weighted companion to the q10 KS test. */
+  private val q263 = Entry(
+    "q263_anderson_darling",
+    (s, d) => {
+      AnalysisPlanner.andersonDarling(Tables.lineitem(s, d),
+          "l_quantity", col("l_partkey") % 2 === 0)
+        .select(col("n_a"), col("n_b"), r6(col("a2")).as("a2"))
+    },
+    Some("""
+      WITH b AS (SELECT l_quantity::DOUBLE AS v,
+                        CASE WHEN l_partkey % 2 = 0
+                             THEN 1.0 ELSE 0.0 END AS a
+                 FROM lineitem),
+      g AS (SELECT v, sum(a) AS ca, count(*)::DOUBLE AS cnt
+            FROM b GROUP BY 1),
+      w AS (SELECT v, ca, cnt, sum(ca) OVER (ORDER BY v) AS m,
+                   sum(cnt) OVER (ORDER BY v) AS bb
+            FROM g),
+      t AS (SELECT sum(a) AS n1, sum(1 - a) AS n2,
+                   count(*)::DOUBLE AS nn
+            FROM b)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+             round(sum(cnt * pow(m * nn - bb * n1, 2) /
+               (bb * (nn - bb))) / (n1 * n2), 6) AS a2
+      FROM w, t WHERE bb < nn GROUP BY n1, n2"""))
+
+  /** Fleiss' kappa: do a user's events agree on type? item = user,
+    * category = event_type, one rating per event. */
+  private val q264 = Entry(
+    "q264_fleiss_kappa",
+    (s, d) => {
+      graft.ops.Evaluation.fleissKappa(Tables.events(s, d),
+          "user_id", "event_type")
+        .select(col("n_items"), col("n_ratings"),
+          r6(col("p_observed")).as("p_observed"),
+          r6(col("p_expected")).as("p_expected"),
+          r6(col("kappa")).as("kappa"))
+    },
+    Some("""
+      WITH ic AS (SELECT user_id AS i, event_type AS c,
+                         count(*)::DOUBLE AS k
+                  FROM events GROUP BY 1, 2),
+      ni AS (SELECT i, sum(k) AS ni, sum(k * k) AS s2
+             FROM ic GROUP BY 1),
+      kept AS (SELECT * FROM ni WHERE ni >= 2),
+      pb AS (SELECT avg((s2 - ni) / (ni * (ni - 1))) AS pbar,
+                    count(*) AS nitems, sum(ni) AS ntot
+             FROM kept),
+      pe AS (SELECT sum(nc * nc) / (any_value(ntot) * any_value(ntot))
+               AS pe
+             FROM (SELECT sum(k) AS nc
+                   FROM ic JOIN kept USING (i) GROUP BY ic.c), pb)
+      SELECT nitems AS n_items, ntot::BIGINT AS n_ratings,
+             round(pbar, 6) AS p_observed, round(pe, 6) AS p_expected,
+             round((pbar - pe) / (1 - pe), 6) AS kappa
+      FROM pb, pe"""))
+
+  /** Chao1 vocabulary-richness estimate of the document corpus —
+    * how big is the population vocabulary, and how much of it has
+    * the sample covered? */
+  private val q265 = Entry(
+    "q265_chao1",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      graft.ops.Profiling.chao1Richness(toks, "term")
+        .select(col("observed"), col("n_tokens"), col("f1"), col("f2"),
+          r6(col("chao1")).as("chao1"),
+          r6(col("coverage")).as("coverage"))
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+      a AS (SELECT count(*) AS observed, sum(c)::DOUBLE AS n,
+                   sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END) AS f1,
+                   sum(CASE WHEN c = 2 THEN 1.0 ELSE 0 END) AS f2
+            FROM c)
+      SELECT observed, n::BIGINT AS n_tokens, f1::BIGINT AS f1,
+             f2::BIGINT AS f2,
+             round(observed + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+               AS chao1,
+             round(1.0 - f1 / n, 6) AS coverage
+      FROM a"""))
+
+  /** Pairwise Welch contrasts between order priorities on total
+    * price — the post-hoc sweep after the q44-style omnibus. */
+  private val q266 = Entry(
+    "q266_pairwise_contrasts",
+    (s, d) => {
+      graft.ops.Evaluation.pairwiseContrasts(Tables.orders(s, d),
+          "o_orderpriority", "o_totalprice")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          r2(col("mean_diff")).as("mean_diff"), r6(col("z")).as("z"))
+        .orderBy("group_a", "group_b")
+    },
+    Some("""
+      WITH cells AS (SELECT o_orderpriority AS g,
+                            count(*)::DOUBLE AS n,
+                            avg(o_totalprice) AS m,
+                            var_samp(o_totalprice) AS s2
+                     FROM orders GROUP BY 1)
+      SELECT l.g AS group_a, r.g AS group_b, l.n::BIGINT AS n_a,
+             r.n::BIGINT AS n_b, round(l.m - r.m, 2) AS mean_diff,
+             round((l.m - r.m) / sqrt(l.s2 / l.n + r.s2 / r.n), 6) AS z
+      FROM cells l JOIN cells r ON l.g < r.g
+      ORDER BY group_a, group_b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9138,7 +9597,9 @@ object Queries {
     q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186,
     q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
+    q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
+    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
+    q265, q266)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1514,6 +1514,83 @@ object AnalysisPlanner {
   }
 
   /**
+   * Nelson–Aalen cumulative-hazard estimator over (duration, event)
+   * rows — the hazard-scale companion to [[kaplanMeier]]:
+   * H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with the standard variance estimate
+   * Σ dᵢ/nᵢ². Preferred over −ln(KM) for small risk sets and the
+   * natural input to hazard-ratio eyeballing. Returns one row per
+   * distinct EVENT time: (duration, n_risk, n_event, cum_hazard,
+   * var_hazard).
+   *
+   * Scale shape identical to [[kaplanMeier]]: one groupBy to
+   * distinct-duration sufficient statistics, at-risk counts and both
+   * running sums via [[PrefixSum.exclusive]] — no single-partition
+   * window, memory bounded by distinct durations.
+   */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val g = df.groupBy(col(durationCol).cast("double").as("__t"))
+      .agg(sum(col(eventCol).cast("double")).as("__d"),
+        count(lit(1)).cast("double").as("__tot"))
+    val withRisk = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__N"))))
+      .withColumn("n_risk", col("__N") - col("__before"))
+    val ev = withRisk.where(col("__d") > 0)
+      .withColumn("__hz", col("__d") / col("n_risk"))
+      .withColumn("__vz", col("__d") / (col("n_risk") * col("n_risk")))
+    PrefixSum.exclusive(
+        ev.select("__t", "n_risk", "__d", "__hz", "__vz"),
+        "__t", Seq("__hz" -> "__ph", "__vz" -> "__pv"))
+      .select(col("__t").as("duration"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("n_event"),
+        (col("__ph") + col("__hz")).as("cum_hazard"),
+        (col("__pv") + col("__vz")).as("var_hazard"))
+  }
+
+  /**
+   * Two-sample Anderson–Darling statistic (tie-adjusted Pettitt
+   * form): A² = (1/(n₁n₂)) · Σ_v c_v · (M_v·N − B_v·n₁)² /
+   * (B_v·(N−B_v)) over pooled DISTINCT values v (last value excluded,
+   * where the denominator vanishes), with c_v the pooled count at v,
+   * B_v the cumulative pooled count and M_v the cumulative group-A
+   * count. Weights the tails more than KS — the right screen when
+   * distribution differences live in the extremes (latency tails,
+   * spend outliers). Returns ONE row: (n_a, n_b, a2); A² ≈ 1 under
+   * H₀, grows without bound under separation.
+   *
+   * Scale shape: the statTest family's — one groupBy to the
+   * distinct-value frame, cumulative counts via ONE
+   * [[PrefixSum.exclusive]] pass (two summed columns), 1-row reduce.
+   * All counts are exact integers in doubles, so the only
+   * cross-engine noise is the final ~|distinct|-term summation.
+   */
+  def andersonDarling(df: DataFrame, valueCol: String,
+      treatCol: Column): DataFrame = {
+    val base = df
+      .select(col(valueCol).cast("double").as("__v"),
+        when(treatCol, 1.0).otherwise(0.0).as("__a"))
+      .where(col("__v").isNotNull)
+    val g = base.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+        count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(g, "__v",
+        Seq("__ca" -> "__pa", "__cnt" -> "__pc"))
+      .withColumn("__m", col("__pa") + col("__ca"))
+      .withColumn("__b", col("__pc") + col("__cnt"))
+    val tot = broadcast(base.agg(sum(col("__a")).as("__n1"),
+      sum(lit(1.0) - col("__a")).as("__n2"),
+      count(lit(1)).cast("double").as("__nn")))
+    pre.join(tot)
+      .where(col("__b") < col("__nn"))
+      .agg(first(col("__n1")).cast("long").as("n_a"),
+        first(col("__n2")).cast("long").as("n_b"),
+        (sum(col("__cnt") *
+          pow(col("__m") * col("__nn") - col("__b") * col("__n1"), 2) /
+          (col("__b") * (col("__nn") - col("__b")))) /
+          (first(col("__n1")) * first(col("__n2")))).as("a2"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction over a frame of hypotheses with
    * a p-value column: flags every row whose p-value survives the BH
    * step-up procedure at level `alpha`. Returns the input columns plus

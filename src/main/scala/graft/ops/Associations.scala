@@ -70,4 +70,55 @@ object Associations {
         (col("n_pair") * col("__nb") / (col("__na") * col("__nb2")))
           .as("lift"))
   }
+
+  /**
+   * Item–item cosine neighborhoods — the classic co-occurrence
+   * collaborative-filtering signal: cosine(a, b) = |baskets with
+   * both| / sqrt(|baskets with a| · |baskets with b|) over binary
+   * basket vectors, top-`topK` neighbors per item. The feature a
+   * "customers also bought" recommender reads from the store.
+   *
+   * Scale shape identical to [[pairRules]]: per-basket cap bounds the
+   * only quadratic step (deterministic keep-lowest-ids), marginals
+   * broadcast, and the final ranking is an item-partitioned window
+   * over candidate lists bounded by the pair support — never global.
+   * The pair frame is built once (a < b) and symmetrized by union, so
+   * each co-count is computed exactly once.
+   */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 2, maxBasketItems: Int = 256,
+      topK: Int = 10): DataFrame = {
+    val b0 = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .where(col("__bk").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val baskets = b0
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__bk").orderBy("__it")))
+      .where(col("__rk") <= maxBasketItems)
+      .drop("__rk")
+    val itemCounts = baskets.groupBy(col("__it"))
+      .agg(count(lit(1)).cast("double").as("__ni"))
+    val pairs = baskets.as("l")
+      .join(baskets.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("__a"), col("r.__it").as("__b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    val sym = pairs.unionByName(pairs.select(col("__b").as("__a"),
+      col("__a").as("__b"), col("n_pair")))
+    val scored = sym
+      .join(broadcast(itemCounts).withColumnRenamed("__ni", "__na"),
+        col("__a") === col("__it")).drop("__it")
+      .join(broadcast(itemCounts).withColumnRenamed("__ni", "__nb"),
+        col("__b") === col("__it")).drop("__it")
+      .select(col("__a").as("item"), col("__b").as("neighbor"),
+        col("n_pair"),
+        (col("n_pair") / sqrt(col("__na") * col("__nb"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("item")
+          .orderBy(col("cosine").desc, col("neighbor").asc)))
+      .where(col("rank") <= topK)
+  }
 }

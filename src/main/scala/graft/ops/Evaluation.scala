@@ -996,4 +996,314 @@ object Evaluation {
           col("__syc") / col("__nc"))).otherwise(lit(0.0))) /
         sum(when(matched, col("__nt")).otherwise(lit(0.0)))).as("att"))
   }
+
+  /**
+   * UCB1 (Auer et al. 2002) arm scores over logged reward data: per
+   * arm, mean reward plus the exploration bonus c·sqrt(ln N / n) — the
+   * standard index a batched bandit serving layer recomputes from the
+   * feature store between decision rounds. Returns one row per arm:
+   * (arm, n_pulls, mean_reward, bonus, ucb).
+   *
+   * Scale: one grouped aggregation to the ≤|arms|-row frame plus one
+   * broadcast 1-row total — the crossJoin is stat-frame algebra.
+   */
+  def ucbScores(df: DataFrame, armCol: String, rewardCol: String,
+      c: Double = math.sqrt(2.0)): DataFrame = {
+    val arms = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col(rewardCol).cast("double")).as("mean_reward"))
+    val tot = broadcast(df.agg(count(lit(1)).cast("double").as("__tot")))
+    val bonus = lit(c) * sqrt(log(col("__tot")) / col("__n"))
+    arms.crossJoin(tot)
+      .select(col("arm"), col("__n").cast("long").as("n_pulls"),
+        col("mean_reward"), bonus.as("bonus"),
+        (col("mean_reward") + bonus).as("ucb"))
+  }
+
+  /**
+   * Cochran–Armitage trend test: is success probability monotone in an
+   * ordinal dose/score? z = Σᵢ sᵢ(rᵢ − nᵢ·p̄) normalized by
+   * sqrt(p̄(1−p̄)·(Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²/N)) — the standard test for
+   * dose-response in funnels, exposure tiers, and bucketed rollouts,
+   * strictly more powerful than the unordered χ² when the alternative
+   * is a trend. Returns ONE row: (n, n_success, p_bar, z, chi2) with
+   * chi2 = z² ~ χ²(1) under H₀ (feed to [[graft.analysis.Stats]]).
+   *
+   * Scale: one grouped aggregation to the ≤|levels|-row frame, one
+   * 1-row reduce. `scoreCol` is the numeric level score (often the
+   * level index itself).
+   */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCol: Column): DataFrame = {
+    val s = when(successCol, 1.0).otherwise(0.0)
+    val g = df.groupBy(scoreCol.cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(s).as("__r"))
+    g.agg(sum(col("__n")).as("__N"), sum(col("__r")).as("__R"),
+        sum(col("__s") * col("__r")).as("__T"),
+        sum(col("__s") * col("__n")).as("__Sn"),
+        sum(col("__s") * col("__s") * col("__n")).as("__S2n"))
+      .select(col("__N").cast("long").as("n"),
+        col("__R").cast("long").as("n_success"),
+        (col("__R") / col("__N")).as("p_bar"),
+        ((col("__T") - col("__R") / col("__N") * col("__Sn")) /
+          sqrt(col("__R") / col("__N") *
+            (lit(1.0) - col("__R") / col("__N")) *
+            (col("__S2n") - col("__Sn") * col("__Sn") / col("__N"))))
+          .as("z"))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
+  /**
+   * Fisher's exact test (two-sided, by table probability) on the 2×2
+   * contingency table of `treatCol` × `successCol` — the exact small-
+   * cell companion to the χ² test, the right tool when any expected
+   * cell is below ~5 (rare-event guardrails, early-ramp experiments).
+   * Returns ONE row: (a, b, c, d, odds_ratio, support, p_two_sided).
+   *
+   * The hypergeometric pmf is evaluated over the conditional support
+   * k ∈ [max(0, r1−c2), min(r1, c1)] via the cancellation recurrence
+   * p(k)/p(k−1) = (r1−k+1)(c1−k+1) / (k·(r2−c1+k)) in log space —
+   * no factorials, no overflow — prefix-summed with
+   * [[PrefixSum.exclusive]] (bucketed: no single-partition window).
+   * Two-sided p = Σ p(k) over tables no more probable than the
+   * observed one (with the conventional 1+1e-7 tolerance).
+   *
+   * Scale: the corpus collapses to a 1-row cell frame first; the only
+   * non-trivial frame afterwards is the support itself, hard-capped at
+   * `maxSupport` rows (fail-loud `assert_true` — beyond that regime
+   * the test is indistinguishable from χ², use the statTest family).
+   */
+  def fisherExact(df: DataFrame, treatCol: Column, successCol: Column,
+      maxSupport: Int = 100000): DataFrame = {
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val sY = when(successCol, 1.0).otherwise(0.0)
+    val cells = df.agg(
+        sum(t * sY).as("__a"), sum(t * (lit(1.0) - sY)).as("__b"),
+        sum((lit(1.0) - t) * sY).as("__c"),
+        sum((lit(1.0) - t) * (lit(1.0) - sY)).as("__d"))
+      .withColumn("__r1", col("__a") + col("__b"))
+      .withColumn("__r2", col("__c") + col("__d"))
+      .withColumn("__c1", col("__a") + col("__c"))
+      .withColumn("__c2", col("__b") + col("__d"))
+      .withColumn("__kmin", greatest(lit(0.0), col("__r1") - col("__c2")))
+      .withColumn("__kmax", least(col("__r1"), col("__c1")))
+      // fail loud BEFORE materializing the support sequence
+      .where(coalesce(
+        assert_true(col("__kmax") - col("__kmin") < lit(maxSupport.toDouble),
+          lit(s"fisherExact: support exceeds $maxSupport — " +
+            "use the chi2 statTest at this scale")), lit(true)))
+    val ks = cells.withColumn("__k",
+      explode(sequence(col("__kmin").cast("long"),
+        col("__kmax").cast("long"))))
+    // log-step of the recurrence; 0 at the support's first point
+    val step = when(col("__k") === col("__kmin").cast("long"), lit(0.0))
+      .otherwise(
+        log(col("__r1") - col("__k") + 1) + log(col("__c1") - col("__k") + 1)
+          - log(col("__k").cast("double"))
+          - log(col("__r2") - col("__c1") + col("__k")))
+    val scored = PrefixSum.exclusive(
+        ks.withColumn("__dl", step)
+          .select("__k", "__dl", "__a", "__b", "__c", "__d"),
+        "__k", Seq("__dl" -> "__pre"))
+      .withColumn("__q", exp(col("__pre") + col("__dl")))
+    val obs = broadcast(scored
+      .where(col("__k") === col("__a").cast("long"))
+      .select(col("__q").as("__qobs")))
+    scored.crossJoin(obs)
+      .agg(first(col("__a")).cast("long").as("a"),
+        first(col("__b")).cast("long").as("b"),
+        first(col("__c")).cast("long").as("c"),
+        first(col("__d")).cast("long").as("d"),
+        first(col("__a") * col("__d") / (col("__b") * col("__c")))
+          .as("odds_ratio"),
+        count(lit(1)).as("support"),
+        (sum(when(col("__q") <= col("__qobs") * (1.0 + 1e-7), col("__q"))
+          .otherwise(lit(0.0))) / sum(col("__q"))).as("p_two_sided"))
+  }
+
+  /**
+   * Randomization (permutation) test for a difference in means, with
+   * DETERMINISTIC hash-derived reassignments: replicate r assigns each
+   * unit to pseudo-treatment iff its [[graft.functions.PortableHash]]
+   * bucket of (salt, id, r) falls in the lower half — replayable
+   * bit-exactly in any engine with md5, so the oracle can re-derive
+   * every replicate. p = (1 + #{r : |Δ_r| ≥ |Δ_obs|}) / (reps + 1)
+   * (the add-one form that keeps p > 0). Returns ONE row:
+   * (obs_diff, reps, n_ge, p_value).
+   *
+   * Scale: replicate inflation is a bounded ×reps fan-out of a
+   * 2-column projection with full map-side combine into the per-rep
+   * aggregate — the Poisson-bootstrap discipline ([[graft.ops]]
+   * bootstrap operators); no shuffle carries more than reps rows out.
+   */
+  def permutationTest(df: DataFrame, idCol: Column, treatCol: Column,
+      valueCol: Column, reps: Int = 200): DataFrame = {
+    require(reps >= 1, "permutationTest: reps must be positive")
+    val M = graft.functions.PortableHash.M
+    val v = valueCol.cast("double")
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val obs = broadcast(df.agg(
+        (sum(t * v) / sum(t)).as("__mt"),
+        (sum((lit(1.0) - t) * v) / sum(lit(1.0) - t)).as("__mc"))
+      .select((col("__mt") - col("__mc")).as("__obs")))
+    val infl = df.select(v.as("__v"), idCol.cast("string").as("__id"))
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+    val h = graft.functions.PortableHash.bucket(
+      Seq(lit("perm"), col("__id"), col("__rep")))
+    val repStats = infl
+      .withColumn("__t", when(h < lit(M / 2), 1.0).otherwise(0.0))
+      .groupBy("__rep")
+      .agg((sum(col("__t") * col("__v")) / sum(col("__t"))).as("__mt"),
+        (sum((lit(1.0) - col("__t")) * col("__v")) /
+          sum(lit(1.0) - col("__t"))).as("__mc"))
+    repStats.crossJoin(obs)
+      .agg(first(col("__obs")).as("obs_diff"),
+        count(lit(1)).as("reps"),
+        sum(when(abs(col("__mt") - col("__mc")) >= abs(col("__obs")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .withColumn("p_value",
+        (col("n_ge") + 1.0) / (col("reps") + 1.0))
+  }
+
+  /**
+   * Fleiss' kappa over a melted (item, category) ratings frame — one
+   * row per individual rating. Chance-corrected multi-rater agreement,
+   * the N-rater generalization of [[cohenKappa]] (label-quality
+   * audits, multi-annotator consensus screens). Items with fewer than
+   * 2 ratings are excluded (agreement undefined); the generalized
+   * varying-raters form is used, so unequal rating counts per item
+   * are fine. Returns ONE row:
+   * (n_items, n_ratings, p_observed, p_expected, kappa).
+   *
+   * Scale: one groupBy to (item, category) counts, one rollup to
+   * per-item agreement Pᵢ = (Σ_c n_ic² − nᵢ)/(nᵢ(nᵢ−1)), marginals
+   * over the kept items via a semi-join — all keyed aggregation,
+   * 1-row broadcast algebra at the end.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val ic = df
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).cast("double").as("__k")).localCheckpoint()
+    val ni = ic.groupBy("__i").agg(sum(col("__k")).as("__ni"),
+      sum(col("__k") * col("__k")).as("__s2"))
+    val kept = ni.where(col("__ni") >= 2).localCheckpoint()
+    val pbar = broadcast(kept
+      .select(((col("__s2") - col("__ni")) /
+        (col("__ni") * (col("__ni") - 1))).as("__pi"), col("__ni"))
+      .agg(avg(col("__pi")).as("__pbar"), count(lit(1)).as("__nitems"),
+        sum(col("__ni")).as("__ntot")))
+    ic.join(kept.select("__i"), Seq("__i"), "left_semi")
+      .groupBy("__c").agg(sum(col("__k")).as("__nc"))
+      .crossJoin(pbar)
+      .agg(first(col("__nitems")).as("n_items"),
+        first(col("__ntot")).as("__ntotal"),
+        first(col("__pbar")).as("p_observed"),
+        sum(col("__nc") * col("__nc")).as("__snc2"))
+      .select(col("n_items"), col("__ntotal").cast("long").as("n_ratings"),
+        col("p_observed"),
+        (col("__snc2") / (col("__ntotal") * col("__ntotal")))
+          .as("p_expected"))
+      .withColumn("kappa",
+        (col("p_observed") - col("p_expected")) /
+          (lit(1.0) - col("p_expected")))
+  }
+
+  /**
+   * All pairwise Welch contrasts between the groups of `groupCol`:
+   * for every unordered group pair (a < b by name), the mean
+   * difference and the Welch z statistic
+   * (m_a − m_b)/sqrt(s²_a/n_a + s²_b/n_b) — the post-hoc readout
+   * after an ANOVA/omnibus flags "some group differs" (multi-arm
+   * experiments, segment sweeps). Feed z to the BH-FDR operator for
+   * multiplicity control. Returns one row per pair:
+   * (group_a, group_b, n_a, n_b, mean_diff, z).
+   *
+   * Scale: ONE grouped aggregation to the ≤|groups|-row cell frame
+   * (localCheckpointed), then an inequality self-join on that tiny
+   * frame — never a corpus-sized join.
+   */
+  def pairwiseContrasts(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(v).as("__m"),
+        var_samp(v).as("__s2")).localCheckpoint()
+    cells.as("l").join(cells.as("r"), col("l.__g") < col("r.__g"))
+      .select(col("l.__g").as("group_a"), col("r.__g").as("group_b"),
+        col("l.__n").cast("long").as("n_a"),
+        col("r.__n").cast("long").as("n_b"),
+        (col("l.__m") - col("r.__m")).as("mean_diff"),
+        ((col("l.__m") - col("r.__m")) /
+          sqrt(col("l.__s2") / col("l.__n") +
+            col("r.__s2") / col("r.__n"))).as("z"))
+  }
+
+  /**
+   * Isotonic calibration (binned PAVA) of a score against a binary
+   * outcome: bin the score into `bins` equal-width bins, then fit the
+   * least-squares NON-DECREASING step function to the per-bin outcome
+   * means via the minimax characterization
+   * fitted(j) = max_{i≤j} min_{k≥j} mean(i..k) — exactly the pooled-
+   * adjacent-violators solution, expressed as closed algebra instead
+   * of the sequential pooling loop. Returns one row per non-empty bin:
+   * (bin, bin_lo, n, raw_mean, fitted), fitted non-decreasing.
+   *
+   * Scale: ONE corpus scan builds the ≤bins-row cell frame
+   * (localCheckpointed — every downstream frame derives from it);
+   * the minimax runs as inequality self-joins on that tiny frame,
+   * O(bins³) rows total with bins ≤ 64 — never a corpus-sized join,
+   * never a window.
+   */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"isotonicCalibration: bins must be in [2, 64], got $bins")
+    val sc = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val base = df.where(sc.isNotNull && y.isNotNull)
+    val bounds = broadcast(base.agg(min(sc).as("__lo"), max(sc).as("__hi")))
+    val width = (col("__hi") - col("__lo")) / bins
+    val cells = base.crossJoin(bounds)
+      .withColumn("__b",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((sc - col("__lo")) / width).cast("int")))))
+      .groupBy("__b")
+      .agg(count(lit(1)).cast("double").as("__n"), sum(y).as("__s"),
+        first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+      .localCheckpoint()
+    // inclusive prefix (n, s) up to each bin — a tiny-frame
+    // inequality join, not a window
+    val incl = cells.as("x")
+      .join(cells.as("p"), col("p.__b") <= col("x.__b"))
+      .groupBy(col("x.__b").as("__bb"))
+      .agg(sum(col("p.__n")).as("__In"), sum(col("p.__s")).as("__Is"))
+    // left endpoints carry their EXCLUSIVE prefix
+    val lefts = cells.as("c")
+      .join(incl, col("c.__b") === col("__bb"))
+      .select(col("c.__b").as("__bi"),
+        (col("__In") - col("c.__n")).as("__En"),
+        (col("__Is") - col("c.__s")).as("__Es"))
+    // segment means over [i, k], k ≥ i
+    val seg = lefts.join(incl.select(col("__bb").as("__bk"),
+        col("__In").as("__Ink"), col("__Is").as("__Isk")),
+        col("__bk") >= col("__bi"))
+      .select(col("__bi"), col("__bk"),
+        ((col("__Isk") - col("__Es")) / (col("__Ink") - col("__En")))
+          .as("__m"))
+    // fitted(j) = max over i≤j of (min over k≥j of mean(i..k))
+    val innerMin = cells.select(col("__b").as("__bj"))
+      .join(seg, col("__bi") <= col("__bj") && col("__bk") >= col("__bj"))
+      .groupBy("__bj", "__bi").agg(min(col("__m")).as("__mn"))
+    val fit = innerMin.groupBy(col("__bj")).agg(max(col("__mn")).as("fitted"))
+    cells.join(fit, col("__b") === col("__bj"))
+      .select(col("__b").as("bin"),
+        (col("__lo") + col("__b") * ((col("__hi") - col("__lo")) / bins))
+          .as("bin_lo"),
+        col("__n").cast("long").as("n"),
+        (col("__s") / col("__n")).as("raw_mean"),
+        col("fitted"))
+  }
 }

@@ -405,4 +405,50 @@ object Graph {
     }
     visited
   }
+
+  /**
+   * HITS (Kleinberg 1999) hubs-and-authorities over a DIRECTED edge
+   * set: a fixed `iterations`-step mutual power iteration —
+   * a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each vector L2-
+   * normalized per half-step (the classic formulation; the fixed step
+   * count keeps the result a deterministic function of the edge set,
+   * the [[pageRank]] convention). Returns (node, hub, authority);
+   * sources with no in-edges get authority 0, sinks hub 0.
+   *
+   * Scale shape: per half-step one keyed join + groupBy over the edge
+   * frame and a 1-row broadcast norm — Pregel-as-joins like
+   * [[pageRank]], loop-invariant frames localCheckpointed once.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths = nodes.withColumn("a", lit(0.0))
+    for (i <- 1 to iterations) {
+      val aRaw = hubs.join(e, hubs("node") === e("src"))
+        .groupBy(col("dst").as("__n")).agg(sum(col("h")).as("__a"))
+      val aN = broadcast(
+        aRaw.agg(sqrt(sum(col("__a") * col("__a"))).as("__na")))
+      auths = nodes.join(aRaw, col("node") === col("__n"), "left")
+        .na.fill(0.0, Seq("__a")).crossJoin(aN)
+        .select(col("node"), (col("__a") / col("__na")).as("a"))
+      val hRaw = auths.join(e, auths("node") === e("dst"))
+        .groupBy(col("src").as("__n")).agg(sum(col("a")).as("__h"))
+      val hN = broadcast(
+        hRaw.agg(sqrt(sum(col("__h") * col("__h"))).as("__nh")))
+      hubs = nodes.join(hRaw, col("node") === col("__n"), "left")
+        .na.fill(0.0, Seq("__h")).crossJoin(hN)
+        .select(col("node"), (col("__h") / col("__nh")).as("h"))
+      if (i % 3 == 0 && i < iterations) {
+        hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
+      }
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
 }

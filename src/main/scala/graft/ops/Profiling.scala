@@ -534,4 +534,35 @@ object Profiling {
     scored.select(keyCols.map(col) ++ Seq(score.as("mass_score"),
       minFrac.as("min_mass_frac")): _*)
   }
+
+  /**
+   * Chao1 species-richness estimate over a key column (vocabulary
+   * size from tokens, distinct users from events, SKUs from baskets):
+   * how many distinct keys does the POPULATION hold, given the
+   * sample? Uses the bias-corrected form
+   * chao1 = D + f₁(f₁−1)/(2(f₂+1)) (defined even when no key appears
+   * exactly twice) plus Good's sample-coverage estimate
+   * C = 1 − f₁/n — the standard "have we seen most of the
+   * vocabulary?" probe when sizing tokenizers or dedup stores from a
+   * corpus sample. Returns ONE row:
+   * (observed, n_tokens, f1, f2, chao1, coverage).
+   *
+   * Scale: one groupBy to key counts, one 1-row conditional
+   * aggregation over it — the frequency-of-frequencies never
+   * materializes beyond two conditional sums.
+   */
+  def chao1Richness(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    counts.agg(count(lit(1)).as("observed"),
+        sum(col("__c")).cast("double").as("__n"),
+        sum(when(col("__c") === 1, 1.0).otherwise(0.0)).as("__f1"),
+        sum(when(col("__c") === 2, 1.0).otherwise(0.0)).as("__f2"))
+      .select(col("observed"), col("__n").cast("long").as("n_tokens"),
+        col("__f1").cast("long").as("f1"),
+        col("__f2").cast("long").as("f2"),
+        (col("observed") + col("__f1") * (col("__f1") - 1) /
+          (lit(2.0) * (col("__f2") + 1))).as("chao1"),
+        (lit(1.0) - col("__f1") / col("__n")).as("coverage"))
+  }
 }

@@ -1126,4 +1126,36 @@ object TextAnalysis {
     }
     out
   }
+
+  /**
+   * Readability scoring — Flesch reading ease and Flesch–Kincaid
+   * grade level with the standard corpus-scale proxies: words =
+   * whitespace tokens, sentences = terminal-punctuation count
+   * (floored at 1), syllables = vowel-group runs `[aeiouy]+` (the
+   * classic dictionary-free approximation, floored at one per word).
+   * A quality-filtering gate alongside the Gopher rules: training
+   * corpora routinely drop documents outside a readability band.
+   *
+   * Map-only: three codegen'd regexp/split counts per row, no
+   * shuffle, no UDF. Appends (n_words, n_sentences, n_syllables,
+   * flesch, fk_grade) to the input columns.
+   */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = greatest(lit(1.0),
+      size(split(trim(t), "\\s+")).cast("double"))
+    val sents = greatest(lit(1.0),
+      regexp_count(t, lit("[.!?]")).cast("double"))
+    val syl = greatest(words,
+      regexp_count(lower(t), lit("[aeiouy]+")).cast("double"))
+    df.withColumn("n_words", words.cast("long"))
+      .withColumn("n_sentences", sents.cast("long"))
+      .withColumn("n_syllables", syl.cast("long"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * (words / sents) -
+          lit(84.6) * (syl / words))
+      .withColumn("fk_grade",
+        lit(0.39) * (words / sents) + lit(11.8) * (syl / words) -
+          lit(15.59))
+  }
 }

@@ -4403,4 +4403,248 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_control_matched") == 3L)
     assert(math.abs(out.getAs[Double]("att") - 11.0 / 3.0) < 1e-12)
   }
+
+  test("ucbScores: hand-computed index, bonus shrinks with pulls") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("a", 1.0)) ++ Seq.fill(16)(("b", 0.0)))
+      .toDF("arm", "r")
+    val out = graft.ops.Evaluation.ucbScores(df, "arm", "r", c = 2.0)
+      .orderBy("arm").collect()
+    val n = 20.0
+    assert(out(0).getAs[Long]("n_pulls") == 4L)
+    assert(math.abs(out(0).getAs[Double]("ucb") -
+      (1.0 + 2.0 * math.sqrt(math.log(n) / 4.0))) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("ucb") -
+      2.0 * math.sqrt(math.log(n) / 16.0)) < 1e-12)
+    // more pulls → smaller bonus
+    assert(out(0).getAs[Double]("bonus") > out(1).getAs[Double]("bonus"))
+  }
+
+  test("cochranArmitage: perfect trend large z, flat trend z≈0") {
+    import spark.implicits._
+    def mk(ps: Seq[Double]) = ps.zipWithIndex.flatMap { case (p, i) =>
+      val k = math.round(p * 100).toInt
+      Seq.fill(k)((i, true)) ++ Seq.fill(100 - k)((i, false))
+    }.toDF("dose", "y")
+    val up = graft.ops.Evaluation
+      .cochranArmitage(mk(Seq(0.1, 0.3, 0.5, 0.7)), col("dose"),
+        col("y")).head
+    assert(up.getAs[Double]("z") > 5.0)
+    assert(math.abs(up.getAs[Double]("chi2") -
+      math.pow(up.getAs[Double]("z"), 2)) < 1e-9)
+    val flat = graft.ops.Evaluation
+      .cochranArmitage(mk(Seq(0.4, 0.4, 0.4, 0.4)), col("dose"),
+        col("y")).head
+    assert(math.abs(flat.getAs[Double]("z")) < 1e-9)
+  }
+
+  test("fisherExact: matches the classic tea-tasting table") {
+    import spark.implicits._
+    // Fisher's lady-tasting-tea 2×2: a=3 b=1 c=1 d=3 →
+    // two-sided p = 0.485714…, support k ∈ [0, 4]
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val out = graft.ops.Evaluation
+      .fisherExact(rows.toDF("t", "y"), col("t"), col("y")).head
+    assert(out.getAs[Long]("a") == 3L && out.getAs[Long]("d") == 3L)
+    assert(out.getAs[Long]("support") == 5L)
+    assert(math.abs(out.getAs[Double]("p_two_sided") - 34.0 / 70.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("odds_ratio") - 9.0) < 1e-12)
+  }
+
+  test("fisherExact: fails loud beyond the support cap") {
+    import spark.implicits._
+    val big = (1 to 2000).map(i => (i % 2 == 0, i % 3 == 0))
+      .toDF("t", "y")
+    val e = intercept[Exception] {
+      graft.ops.Evaluation
+        .fisherExact(big, col("t"), col("y"), maxSupport = 100).head
+    }
+    assert(e.getMessage.contains("support exceeds") ||
+      Option(e.getCause).exists(_.getMessage.contains("support exceeds")))
+  }
+
+  test("permutationTest: strong separation yields the minimal p") {
+    import spark.implicits._
+    // strong separation: treated ≡ 100, control ≡ 0 — no hash
+    // reassignment reproduces a diff of 100 (both halves mix)
+    val strong = (1 to 200)
+      .map(i => (i.toLong, i <= 100, if (i <= 100) 100.0 else 0.0))
+      .toDF("id", "t", "v")
+    val s = graft.ops.Evaluation
+      .permutationTest(strong, col("id"), col("t"), col("v"), reps = 99)
+      .head
+    assert(math.abs(s.getAs[Double]("obs_diff") - 100.0) < 1e-12)
+    assert(s.getAs[Long]("n_ge") == 0L)
+    assert(math.abs(s.getAs[Double]("p_value") - 0.01) < 1e-12)
+  }
+
+  test("isotonicCalibration: monotone output, pools violations") {
+    import spark.implicits._
+    // bins 0..3 raw means 0.2, 0.8, 0.4, 0.9 (n=10 each) — PAVA pools
+    // bins 1,2 to 0.6; sequence becomes 0.2, 0.6, 0.6, 0.9
+    def block(b: Int, p: Double) = {
+      val k = math.round(p * 10).toInt
+      Seq.fill(k)((b / 4.0 + 0.01, 1.0)) ++
+        Seq.fill(10 - k)((b / 4.0 + 0.01, 0.0))
+    }
+    val df = (block(0, 0.2) ++ block(1, 0.8) ++ block(2, 0.4) ++
+      block(3, 0.9)).toDF("s", "y")
+    val out = graft.ops.Evaluation
+      .isotonicCalibration(df, "s", "y", bins = 4)
+      .orderBy("bin").collect()
+    val fitted = out.map(_.getAs[Double]("fitted"))
+    assert(fitted.sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+    assert(math.abs(fitted(0) - 0.2) < 1e-12)
+    assert(math.abs(fitted(1) - 0.6) < 1e-12)
+    assert(math.abs(fitted(2) - 0.6) < 1e-12)
+    assert(math.abs(fitted(3) - 0.9) < 1e-12)
+    // raw means preserved
+    assert(math.abs(out(2).getAs[Double]("raw_mean") - 0.4) < 1e-12)
+  }
+
+  test("hits: star graph — center is the hub, leaves authorities") {
+    import spark.implicits._
+    val e = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"), ("l1", "l2"))
+      .toDF("s", "d")
+    val out = graft.ops.Graph.hits(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    // center has the dominant hub score, no in-edges → authority 0
+    assert(out("c")._1 > out("l1")._1 && out("c")._2 == 0.0)
+    // l2 (two in-edges) outranks l3 (one) on authority
+    assert(out("l2")._2 > out("l3")._2 && out("l3")._2 > 0.0)
+    // L2 norms are 1
+    val ah = out.values.map(v => v._1 * v._1).sum
+    val aa = out.values.map(v => v._2 * v._2).sum
+    assert(math.abs(ah - 1.0) < 1e-9 && math.abs(aa - 1.0) < 1e-9)
+  }
+
+  test("nelsonAalen: hand-computed hazard with censoring") {
+    import spark.implicits._
+    // durations: 1(event), 2(censored), 3(event), 3(event), 5(censored)
+    // t=1: n=5, d=1 → H=0.2; t=3: n=3, d=2 → H=0.2+2/3
+    val df = Seq((1, 1), (2, 0), (3, 1), (3, 1), (5, 0)).toDF("dur", "ev")
+    val out = graft.analysis.AnalysisPlanner.nelsonAalen(df, "dur", "ev")
+      .orderBy("duration").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("duration") == 1.0 &&
+      out(0).getAs[Long]("n_risk") == 5L)
+    assert(math.abs(out(0).getAs[Double]("cum_hazard") - 0.2) < 1e-12)
+    assert(out(1).getAs[Long]("n_risk") == 3L &&
+      out(1).getAs[Long]("n_event") == 2L)
+    assert(math.abs(out(1).getAs[Double]("cum_hazard") -
+      (0.2 + 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("var_hazard") -
+      (1.0 / 25.0 + 2.0 / 9.0)) < 1e-12)
+  }
+
+  test("readability: longer words and sentences lower flesch") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran."),
+      (2L, "Incomprehensibly multisyllabic terminology perpetually " +
+        "obfuscates understanding consistently throughout documentation."))
+      .toDF("id", "text")
+    val out = graft.ops.TextAnalysis.readability(df, "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_words") == 6L)
+    assert(out(0).getAs[Long]("n_sentences") == 2L)
+    assert(out(0).getAs[Double]("flesch") > out(1).getAs[Double]("flesch"))
+    assert(out(1).getAs[Double]("fk_grade") >
+      out(0).getAs[Double]("fk_grade"))
+  }
+
+  test("andersonDarling: identical samples ⇒ small A², shifted large") {
+    import spark.implicits._
+    val same = ((1 to 200).map(i => (i % 20, true)) ++
+      (1 to 200).map(i => (i % 20, false))).toDF("v", "t")
+    val a0 = graft.analysis.AnalysisPlanner
+      .andersonDarling(same, "v", col("t")).head
+    assert(a0.getAs[Long]("n_a") == 200L && a0.getAs[Long]("n_b") == 200L)
+    // perfectly matched empirical CDFs → statistic exactly 0
+    assert(math.abs(a0.getAs[Double]("a2")) < 1e-12)
+    val shifted = ((1 to 200).map(i => (i % 20, true)) ++
+      (1 to 200).map(i => (i % 20 + 15, false))).toDF("v", "t")
+    val a1 = graft.analysis.AnalysisPlanner
+      .andersonDarling(shifted, "v", col("t")).head
+    assert(a1.getAs[Double]("a2") > 10.0)
+  }
+
+  test("fleissKappa: perfect agreement 1, hand-computed mixed case") {
+    import spark.implicits._
+    val perfect = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"),
+      (2, "b")).toDF("item", "cat")
+    val p = graft.ops.Evaluation.fleissKappa(perfect, "item", "cat").head
+    assert(p.getAs[Double]("p_observed") == 1.0)
+    assert(math.abs(p.getAs[Double]("kappa") - 1.0) < 1e-12)
+    // 2 items × 2 ratings: item1 {a,a} (P=1), item2 {a,b} (P=0) →
+    // P̄=0.5; marginals a=3/4, b=1/4 → Pe=0.625; κ=(0.5−0.625)/0.375
+    val mixed = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"))
+      .toDF("item", "cat")
+    val m = graft.ops.Evaluation.fleissKappa(mixed, "item", "cat").head
+    assert(math.abs(m.getAs[Double]("p_observed") - 0.5) < 1e-12)
+    assert(math.abs(m.getAs[Double]("p_expected") - 0.625) < 1e-12)
+    assert(math.abs(m.getAs[Double]("kappa") - (-1.0 / 3.0)) < 1e-12)
+    // singleton items are excluded
+    val withSingleton = mixed.union(Seq((3, "c")).toDF("item", "cat"))
+    val w = graft.ops.Evaluation
+      .fleissKappa(withSingleton, "item", "cat").head
+    assert(w.getAs[Long]("n_items") == 2L &&
+      w.getAs[Long]("n_ratings") == 4L)
+  }
+
+  test("chao1Richness: hand f1/f2, complete coverage when no singletons") {
+    import spark.implicits._
+    // a×1, b×1, c×2, d×3 → D=4, n=7, f1=2, f2=1,
+    // chao1 = 4 + 2·1/(2·2) = 4.5, coverage = 1 − 2/7
+    val df = Seq("a", "b", "c", "c", "d", "d", "d").toDF("k")
+    val out = graft.ops.Profiling.chao1Richness(df, "k").head
+    assert(out.getAs[Long]("observed") == 4L)
+    assert(out.getAs[Long]("f1") == 2L && out.getAs[Long]("f2") == 1L)
+    assert(math.abs(out.getAs[Double]("chao1") - 4.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("coverage") - 5.0 / 7.0) < 1e-12)
+    val full = Seq("a", "a", "b", "b").toDF("k")
+    val f = graft.ops.Profiling.chao1Richness(full, "k").head
+    assert(f.getAs[Double]("chao1") == 2.0 &&
+      f.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("pairwiseContrasts: hand Welch z, all pairs present") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(("a", 10.0)) ++ Seq.fill(50)(("a", 14.0)) ++
+      Seq.fill(50)(("b", 20.0)) ++ Seq.fill(50)(("b", 26.0)) ++
+      Seq.fill(100)(("c", 17.0))).toDF("g", "v")
+    val out = graft.ops.Evaluation.pairwiseContrasts(df, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(out.length == 3)
+    val ab = out(0)
+    assert(ab.getAs[String]("group_a") == "a" &&
+      ab.getAs[String]("group_b") == "b")
+    assert(math.abs(ab.getAs[Double]("mean_diff") - (-11.0)) < 1e-9)
+    // var a = 4.040…, var b = 9.090… (sample) → z by hand
+    val s2a = 100 * 4.0 / 99.0; val s2b = 100 * 9.0 / 99.0
+    val z = -11.0 / math.sqrt(s2a / 100 + s2b / 100)
+    assert(math.abs(ab.getAs[Double]("z") - z) < 1e-9)
+    // degenerate variance group c: z vs c is finite (other side's var)
+    assert(out.forall(r => !r.getAs[Double]("mean_diff").isNaN))
+  }
+
+  test("itemSimilarity: symmetric cosine, cap excludes none here") {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,3}, {2,3} → each pair co-occurs 2×,
+    // each item in 3 baskets → cosine 2/3 for every pair
+    val df = Seq((10, 1), (10, 2), (10, 3), (11, 1), (11, 2),
+      (12, 1), (12, 3), (13, 2), (13, 3)).toDF("bk", "it")
+    val out = graft.ops.Associations
+      .itemSimilarity(df, "bk", "it", minPairCount = 2, topK = 5)
+      .collect()
+    assert(out.length == 6) // 3 items × 2 neighbors
+    assert(out.forall(r =>
+      math.abs(r.getAs[Double]("cosine") - 2.0 / 3.0) < 1e-12))
+    // symmetry: (1,2) and (2,1) both present with equal n_pair
+    val m = out.map(r => (r.getAs[Int]("item"),
+      r.getAs[Int]("neighbor")) -> r.getAs[Long]("n_pair")).toMap
+    assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
+  }
 }
