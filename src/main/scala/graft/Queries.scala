@@ -9576,6 +9576,165 @@ object Queries {
       FROM cells l JOIN cells r ON l.g < r.g
       ORDER BY group_a, group_b"""))
 
+  /** Bayesian A/B: probability the nation-block-B high-balance rate
+    * beats block A's, exact Beta-posterior closed form. */
+  private val q267 = Entry(
+    "q267_bayesian_ab",
+    (s, d) => {
+      graft.ops.Evaluation.bayesianAbTest(Tables.customer(s, d),
+          col("c_nationkey") < 12, col("c_acctbal") > 9000)
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          r6(col("rate_a")).as("rate_a"), r6(col("rate_b")).as("rate_b"),
+          r6(col("prob_b_gt_a")).as("prob_b_gt_a"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT sum(CASE WHEN c_nationkey < 12 AND c_acctbal > 9000
+                   THEN 1.0 ELSE 0 END) AS sa,
+               sum(CASE WHEN c_nationkey < 12 THEN 1.0 ELSE 0 END) AS na,
+               sum(CASE WHEN c_nationkey >= 12 AND c_acctbal > 9000
+                   THEN 1.0 ELSE 0 END) AS sb,
+               sum(CASE WHEN c_nationkey >= 12 THEN 1.0 ELSE 0 END) AS nb
+        FROM customer),
+      m AS (SELECT sa, na, sb, nb, sa + 1 AS aa, na - sa + 1 AS ba,
+                   sb + 1 AS ab2, nb - sb + 1 AS bb
+            FROM c),
+      k AS (SELECT m.*, g.i::DOUBLE AS i
+            FROM m, (SELECT unnest(generate_series(0, 200000)) AS i) g
+            WHERE g.i <= ab2 - 1),
+      t AS (SELECT sa, na, sb, nb,
+              exp(lgamma(aa + i) + lgamma(ba + bb)
+                - lgamma(aa + i + ba + bb) - ln(bb + i)
+                - (lgamma(1 + i) + lgamma(bb) - lgamma(1 + i + bb))
+                - (lgamma(aa) + lgamma(ba) - lgamma(aa + ba))) AS term
+            FROM k)
+      SELECT max(na)::BIGINT AS n_a, max(sa)::BIGINT AS s_a,
+             max(nb)::BIGINT AS n_b, max(sb)::BIGINT AS s_b,
+             round(max(sa) / max(na), 6) AS rate_a,
+             round(max(sb) / max(nb), 6) AS rate_b,
+             round(sum(term), 6) AS prob_b_gt_a
+      FROM t"""))
+
+  /** Empirical-Bayes shrinkage of per-customer urgent-order rates —
+    * the beta-binomial CTR-smoothing pattern, prior strength fit by
+    * moments over ALL customers, first 300 keys emitted. */
+  private val q268 = Entry(
+    "q268_eb_shrinkage",
+    (s, d) => {
+      graft.ops.Features.empiricalBayesRate(Tables.orders(s, d),
+          "o_custkey", col("o_orderpriority") === "1-URGENT")
+        .where(col("key") < 300)
+        .select(col("key"), col("n"), col("successes"),
+          r6(col("raw_rate")).as("raw_rate"),
+          r6(col("prior_rate")).as("prior_rate"),
+          r6(col("shrunk_rate")).as("shrunk_rate"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey AS key, count(*)::DOUBLE AS n,
+                          sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1.0 ELSE 0 END) AS s
+                   FROM orders GROUP BY 1),
+      mom AS (SELECT avg(s / n) AS m, var_samp(s / n) AS v FROM per),
+      k AS (SELECT greatest(0,
+              CASE WHEN v > 0 AND m > 0 AND m < 1
+                   THEN m * (1 - m) / v - 1 ELSE 0 END) AS k0, m
+            FROM mom)
+      SELECT key, n::BIGINT AS n, s::BIGINT AS successes,
+             round(s / n, 6) AS raw_rate, round(m, 6) AS prior_rate,
+             round((s + k0 * m) / (n + k0), 6) AS shrunk_rate
+      FROM per, k WHERE key < 300 ORDER BY key"""))
+
+  /** G-test of independence between order status and priority — the
+    * LLR companion to the q43 Pearson χ². */
+  private val q269 = Entry(
+    "q269_g_test",
+    (s, d) => {
+      graft.ops.Evaluation.gTest(Tables.orders(s, d),
+          "o_orderstatus", "o_orderpriority")
+        .select(col("n"), col("dof"), r6(col("g")).as("g"))
+    },
+    Some("""
+      WITH cells AS (SELECT o_orderstatus AS r, o_orderpriority AS c,
+                            count(*)::DOUBLE AS o
+                     FROM orders GROUP BY 1, 2),
+      rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+      t AS (SELECT sum(o) AS nn, count(DISTINCT r) AS nr,
+                   count(DISTINCT c) AS nc
+            FROM cells)
+      SELECT max(nn)::BIGINT AS n,
+             max((nr - 1) * (nc - 1)) AS dof,
+             round(2.0 * sum(o * ln(o * nn / (rt.rt * ct.ct))), 6) AS g
+      FROM cells JOIN rt USING (r) JOIN ct USING (c), t"""))
+
+  /** Cosine similarity between per-label embedding centroids — how
+    * close are the corpus slices in embedding space? */
+  private val q270 = Entry(
+    "q270_centroid_sim",
+    (s, d) => {
+      graft.ops.Similarity.centroidSimilarity(
+          Tables.embeddings(s, d), "label", "embedding")
+        .select(col("seg_a"), col("seg_b"), r6(col("cosine")).as("cosine"))
+        .orderBy("seg_a", "seg_b")
+    },
+    Some("""
+      WITH e AS (SELECT label AS seg, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT seg, i, avg(v[i]) AS m
+            FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+      j AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                   sum(a.m * b.m) AS dot, sum(a.m * a.m) AS sa2,
+                   sum(b.m * b.m) AS sb2
+            FROM c a JOIN c b ON a.i = b.i AND a.seg < b.seg
+            GROUP BY 1, 2)
+      SELECT seg_a, seg_b,
+             round(dot / (sqrt(sa2) * sqrt(sb2)), 6) AS cosine
+      FROM j ORDER BY seg_a, seg_b"""))
+
+  /** Subgroup LLR scan: which event-type / month / user-bucket slice
+    * has an anomalously elevated high-value rate? */
+  private val q271 = Entry(
+    "q271_subgroup_scan",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("etype", col("event_type"))
+        .withColumn("emonth", month(col("ts")).cast("string"))
+        .withColumn("ubucket", (col("user_id") % 7).cast("string"))
+      graft.ops.Profiling.subgroupScan(ev, col("value") > 150,
+          Seq("etype", "emonth", "ubucket"), topK = 15)
+        .select(col("segment"), col("value"), col("n"), col("k"),
+          r6(col("rate")).as("rate"), r6(col("base_rate")).as("base_rate"),
+          r6(col("llr")).as("llr"))
+    },
+    Some("""
+      WITH ev AS (SELECT CASE WHEN "value" > 150 THEN 1.0 ELSE 0.0 END
+                    AS y, event_type AS etype,
+                    month(ts)::VARCHAR AS emonth,
+                    (user_id % 7)::VARCHAR AS ubucket
+                  FROM events),
+      melted AS (
+        SELECT 'etype' AS segment, etype AS value, y FROM ev
+        UNION ALL
+        SELECT 'emonth', emonth, y FROM ev
+        UNION ALL
+        SELECT 'ubucket', ubucket, y FROM ev),
+      g AS (SELECT sum(y) AS gs, count(*)::DOUBLE AS gn FROM ev),
+      cells AS (SELECT segment, value, count(*)::DOUBLE AS n,
+                       sum(y) AS k
+                FROM melted GROUP BY 1, 2),
+      sc AS (SELECT segment, value, n, k, k / n AS q, gs / gn AS q0,
+               CASE WHEN k / n > gs / gn THEN
+                 k * ln((k / n) / (gs / gn)) +
+                 CASE WHEN k / n < 1 THEN (n - k) *
+                   ln((1 - k / n) / (1 - gs / gn)) ELSE 0.0 END
+               ELSE 0.0 END AS llr
+             FROM cells, g)
+      SELECT segment, value, n::BIGINT AS n, k::BIGINT AS k,
+             round(q, 6) AS rate, round(q0, 6) AS base_rate,
+             round(llr, 6) AS llr
+      FROM sc ORDER BY llr DESC, segment, value LIMIT 15"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9599,7 +9758,7 @@ object Queries {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
-    q265, q266)
+    q265, q266, q267, q268, q269, q270, q271)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

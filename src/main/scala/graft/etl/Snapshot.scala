@@ -243,27 +243,57 @@ final case class SnapshotStore(path: String,
    * dedup contract) touching only the batch's partitions. Returns the
    * committed version number.
    */
+  /**
+   * Additive schema evolution (the Delta/Iceberg mergeSchema analog):
+   * an Append/Upsert batch may carry NEW columns — they join the
+   * committed schema, and every pre-evolution segment reads them as
+   * NULL (parquet schema projection null-fills absent columns, so no
+   * data is rewritten). A batch may also OMIT existing columns (they
+   * stay, NULL for the new rows on upsert). Type changes for an
+   * existing column fail loud — silent widening corrupts readers.
+   */
+  private def evolveSchema(prior: Option[StructType],
+      batch: StructType): StructType = prior match {
+    case None => batch
+    case Some(p) =>
+      batch.fields.foreach { f =>
+        p.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { e =>
+          require(e.dataType == f.dataType,
+            s"snapshot store $path: column ${f.name} type change " +
+              s"${e.dataType.simpleString} -> ${f.dataType.simpleString}" +
+              " is not supported; write a Full snapshot to retype")
+        }
+      }
+      StructType(p.fields ++ batch.fields.filterNot(f =>
+        p.fields.exists(_.name.equalsIgnoreCase(f.name))))
+  }
+
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hFs = fs(spark)
     withWriterLock(hFs) {
       val prior = listVersions(hFs).lastOption.map(readCommit(hFs, _))
+      val priorSchema = prior.map(c =>
+        DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
       val nextV = prior.map(_.version + 1).getOrElse(1L)
       val dir = newWriteDir(nextV)
-      val (op, segments) = mode match {
+      val (op, segments, schema) = mode match {
         case WriteMode.Full | WriteMode.Incremental =>
           writeData(df, dir)
-          ("full", Seq(Segment(dir, None)))
+          ("full", Seq(Segment(dir, None)), df.schema)
         case WriteMode.Append =>
           writeData(df, dir)
-          ("append", prior.map(_.segments).getOrElse(Nil) :+ Segment(dir, None))
+          ("append",
+            prior.map(_.segments).getOrElse(Nil) :+ Segment(dir, None),
+            evolveSchema(priorSchema, df.schema))
         case WriteMode.Upsert =>
           require(keys.nonEmpty, "upsert requires key columns")
           prior match {
             case None =>
               writeData(df, dir)
-              ("upsert", Seq(Segment(dir, None)))
+              ("upsert", Seq(Segment(dir, None)), df.schema)
             case Some(p) =>
+              val evolved = evolveSchema(priorSchema, df.schema)
               val ord = orderColumn.getOrElse(keys.head)
               val (current, carried) =
                 if (partitionBy.isEmpty)
@@ -277,17 +307,18 @@ final case class SnapshotStore(path: String,
               val w = Window.partitionBy(keys.map(col): _*)
                 .orderBy(col("__prec").desc, col(ord).desc)
               val merged = current.withColumn("__prec", lit(0))
-                .unionByName(df.withColumn("__prec", lit(1)))
+                .unionByName(df.withColumn("__prec", lit(1)),
+                  allowMissingColumns = true)
                 .withColumn("__rn", row_number().over(w))
                 .where(col("__rn") === 1)
                 .drop("__prec", "__rn")
               writeData(merged, dir)
-              ("upsert", carried :+ Segment(dir, None))
+              ("upsert", carried :+ Segment(dir, None), evolved)
           }
       }
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), op,
-        df.schema.json, segments))
+        schema.json, segments))
       nextV
     }
   }
@@ -349,9 +380,14 @@ final case class SnapshotStore(path: String,
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "changes: key columns required")
-    val before = readVersion(spark, fromVersion)
+    val before0 = readVersion(spark, fromVersion)
     val after = readVersion(spark, toVersion)
     val nonKey = after.columns.filterNot(keys.contains).toSeq
+    // schema evolution: a column added after `fromVersion` compares
+    // as NULL on the before side (its rows read as update/insert)
+    val before = nonKey.foldLeft(before0)((b, c) =>
+      if (b.columns.contains(c)) b
+      else b.withColumn(c, lit(null).cast(after.schema(c).dataType)))
     val aSide = after.select(keys.map(col) ++ nonKey.map(col) :+
       lit(1).as("__ap"): _*)
     val bSide = before.select(keys.map(k => col(k).as(s"__k_$k")) ++

@@ -1166,6 +1166,99 @@ object Evaluation {
   }
 
   /**
+   * Bayesian A/B test on conversion: P(rate_B > rate_A) under
+   * independent Beta posteriors from uniform Beta(1,1) priors — the
+   * decision-ready alternative to a p-value for two-arm binary
+   * experiments. Uses the exact closed form (Cook's/Miller's sum)
+   * P = Σ_{i=0}^{αB−1} B(αA+i, βA+βB) / ((βB+i)·B(1+i,βB)·B(αA,βA)),
+   * evaluated in log space: the i=0 term from exact log-factorials
+   * (integer posterior parameters), successive terms via the
+   * cancellation recurrence Δln = ln(αA+i−1) + ln(βB+i−1) −
+   * ln(αA+βA+βB+i−1) − ln i, prefix-summed with
+   * [[PrefixSum.exclusive]]. Returns ONE row:
+   * (n_a, s_a, n_b, s_b, rate_a, rate_b, prob_b_gt_a).
+   *
+   * Scale: the corpus collapses to a 1-row cell frame; the term frame
+   * has s_B+1 rows, hard-capped at `maxSupport` (fail loud — beyond
+   * that the normal approximation is indistinguishable).
+   */
+  def bayesianAbTest(df: DataFrame, treatCol: Column,
+      successCol: Column, maxSupport: Int = 100000): DataFrame = {
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val sY = when(successCol, 1.0).otherwise(0.0)
+    // exact ln Γ(x) for integer-valued x ≥ 1 as ln (x−1)! — a bounded
+    // sequential fold on a 1-row frame, deterministic summation order
+    def lgi(c: Column): Column =
+      when(c < 3, 0.0).otherwise(aggregate(
+        sequence(lit(2L), c.cast("long") - 1), lit(0.0),
+        (acc, x) => acc + log(x.cast("double"))))
+    val cells = df.agg(
+        sum(t * sY).as("__sa"), sum(t).as("__na"),
+        sum((lit(1.0) - t) * sY).as("__sb"),
+        sum(lit(1.0) - t).as("__nb"))
+      .withColumn("__aa", col("__sa") + 1)
+      .withColumn("__ba", col("__na") - col("__sa") + 1)
+      .withColumn("__ab2", col("__sb") + 1)
+      .withColumn("__bb", col("__nb") - col("__sb") + 1)
+      .where(coalesce(
+        assert_true(col("__ab2") < lit(maxSupport.toDouble),
+          lit(s"bayesianAbTest: support exceeds $maxSupport — " +
+            "use a normal approximation at this scale")), lit(true)))
+      .withColumn("__lt0",
+        lgi(col("__ba") + col("__bb")) -
+          lgi(col("__aa") + col("__ba") + col("__bb")) -
+          lgi(col("__ba")) + lgi(col("__aa") + col("__ba")))
+    val ks = cells.withColumn("__i",
+      explode(sequence(lit(0L), col("__ab2").cast("long") - 1)))
+    val step = when(col("__i") === 0, lit(0.0)).otherwise(
+      log(col("__aa") + col("__i") - 1) +
+        log(col("__bb") + col("__i") - 1) -
+        log(col("__aa") + col("__ba") + col("__bb") + col("__i") - 1) -
+        log(col("__i").cast("double")))
+    PrefixSum.exclusive(
+        ks.withColumn("__dl", step)
+          .select("__i", "__dl", "__sa", "__na", "__sb", "__nb", "__lt0"),
+        "__i", Seq("__dl" -> "__pre"))
+      .agg(first(col("__na")).cast("long").as("n_a"),
+        first(col("__sa")).cast("long").as("s_a"),
+        first(col("__nb")).cast("long").as("n_b"),
+        first(col("__sb")).cast("long").as("s_b"),
+        first(col("__sa") / col("__na")).as("rate_a"),
+        first(col("__sb") / col("__nb")).as("rate_b"),
+        sum(exp(col("__lt0") + col("__pre") + col("__dl")))
+          .as("prob_b_gt_a"))
+  }
+
+  /**
+   * G-test of independence (log-likelihood-ratio χ² alternative) on
+   * the contingency table of two categorical columns:
+   * G = 2·Σ O·ln(O·N/(R·C)) over observed cells, dof (r−1)(c−1) —
+   * preferred over Pearson χ² when counts are small or cells sparse
+   * (absent cells contribute exactly 0, so the observed-cell sum IS
+   * the statistic). Returns ONE row: (n, dof, g); G ~ χ²(dof).
+   *
+   * Scale: one groupBy to the cell frame (checkpointed — marginals
+   * and the reduce all derive from it), broadcast marginal joins,
+   * 1-row reduce.
+   */
+  def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).cast("double").as("__o")).localCheckpoint()
+    val rt = cells.groupBy("__r").agg(sum(col("__o")).as("__rt"))
+    val ct = cells.groupBy("__c").agg(sum(col("__o")).as("__ct"))
+    val tot = broadcast(cells.agg(sum(col("__o")).as("__nn"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc")))
+    cells.join(broadcast(rt), "__r").join(broadcast(ct), "__c")
+      .crossJoin(tot)
+      .agg(first(col("__nn")).cast("long").as("n"),
+        ((first(col("__nr")) - 1) * (first(col("__nc")) - 1)).as("dof"),
+        (lit(2.0) * sum(col("__o") *
+          log(col("__o") * col("__nn") / (col("__rt") * col("__ct")))))
+          .as("g"))
+  }
+
+  /**
    * Fleiss' kappa over a melted (item, category) ratings frame — one
    * row per individual rating. Chance-corrected multi-rater agreement,
    * the N-rater generalization of [[cohenKappa]] (label-quality

@@ -672,4 +672,42 @@ object Features {
     hashed.withColumn(outCol, arr)
       .drop(cols.flatMap(c => Seq(s"__hx_$c", s"__hs_$c")): _*)
   }
+
+  /**
+   * Empirical-Bayes rate shrinkage (beta-binomial, method of
+   * moments): per-key success rates pulled toward the population
+   * rate, with low-count keys pulled hardest — the standard CTR /
+   * conversion-rate smoothing for sparse categorical features
+   * (cf. [[targetEncode]], whose additive smoothing uses a FIXED
+   * pseudo-count; here the prior strength K = m(1−m)/v − 1 is FIT
+   * from the observed between-key variance). shrunk = (s + K·m) /
+   * (n + K); degenerate fits (zero variance, boundary mean) fall
+   * back to K = 0 (no shrinkage). Returns one row per key:
+   * (key, n, successes, raw_rate, prior_rate, shrunk_rate).
+   *
+   * Scale: ONE grouped aggregation to the per-key frame
+   * (localCheckpointed — the 1-row moment fit and the output both
+   * derive from it), then map-side arithmetic against the broadcast
+   * moments.
+   */
+  def empiricalBayesRate(df: DataFrame, keyCol: String,
+      successCol: org.apache.spark.sql.Column): DataFrame = {
+    val sY = when(successCol, 1.0).otherwise(0.0)
+    val per = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(sY).as("__s"))
+      .localCheckpoint()
+    val mom = broadcast(per.select((col("__s") / col("__n")).as("__r"))
+      .agg(avg(col("__r")).as("__m"), var_samp(col("__r")).as("__v")))
+    per.crossJoin(mom)
+      .withColumn("__k0", greatest(lit(0.0),
+        when(col("__v") > 0 && col("__m") > 0 && col("__m") < 1,
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1)
+          .otherwise(lit(0.0))))
+      .select(col("key"), col("__n").cast("long").as("n"),
+        col("__s").cast("long").as("successes"),
+        (col("__s") / col("__n")).as("raw_rate"),
+        col("__m").as("prior_rate"),
+        ((col("__s") + col("__k0") * col("__m")) /
+          (col("__n") + col("__k0"))).as("shrunk_rate"))
+  }
 }

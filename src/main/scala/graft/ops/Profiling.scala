@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -564,5 +564,51 @@ object Profiling {
         (col("observed") + col("__f1") * (col("__f1") - 1) /
           (lit(2.0) * (col("__f2") + 1))).as("chao1"),
         (lit(1.0) - col("__f1") / col("__n")).as("coverage"))
+  }
+
+  /**
+   * Subgroup scan for ELEVATED outcome rates: every value of every
+   * segment column scored with the one-sided binomial log-likelihood
+   * ratio llr = k·ln(q/q₀) + (n−k)·ln((1−q)/(1−q₀)) for q > q₀
+   * (0 otherwise) — the LTSS-style scan statistic behind "which slice
+   * is anomalously hot?" sweeps (error spikes by segment, abuse by
+   * channel). Sister to [[segmentInsights]], which ranks by a z-score
+   * on a CONTINUOUS outcome; the LLR is the right score for rare
+   * binary outcomes where the normal approximation breaks. Returns
+   * the top `topK` cells: (segment, value, n, k, rate, base_rate,
+   * llr), ordered by llr desc with a deterministic (segment, value)
+   * tie-break.
+   *
+   * Scale: ONE melted scan (array-of-structs explode, the
+   * segmentInsights discipline) to |segments|·|values| cells, a
+   * 1-row broadcast global rate, TakeOrdered for the top-k.
+   */
+  def subgroupScan(df: DataFrame, outcomeCol: Column,
+      segmentCols: Seq[String], topK: Int = 20): DataFrame = {
+    require(segmentCols.nonEmpty, "subgroupScan: no segment columns")
+    val y = when(outcomeCol, 1.0).otherwise(0.0)
+    val base = df.select(y.as("__y"),
+      explode(array(segmentCols.map(c => struct(lit(c).as("__col"),
+        col(c).cast("string").as("__val"))): _*)).as("__s"))
+    val glob = broadcast(df.agg(sum(y).as("__gs"),
+      count(lit(1)).cast("double").as("__gn")))
+    base.groupBy(col("__s.__col").as("segment"),
+        col("__s.__val").as("value"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__y")).as("__k"))
+      .crossJoin(glob)
+      .withColumn("__q", col("__k") / col("__n"))
+      .withColumn("__q0", col("__gs") / col("__gn"))
+      .withColumn("llr", when(col("__q") > col("__q0"),
+          col("__k") * log(col("__q") / col("__q0")) +
+            when(col("__q") < 1, (col("__n") - col("__k")) *
+              log((lit(1.0) - col("__q")) / (lit(1.0) - col("__q0"))))
+              .otherwise(lit(0.0)))
+        .otherwise(lit(0.0)))
+      .select(col("segment"), col("value"),
+        col("__n").cast("long").as("n"), col("__k").cast("long").as("k"),
+        col("__q").as("rate"), col("__q0").as("base_rate"), col("llr"))
+      .orderBy(desc("llr"), col("segment"), col("value"))
+      .limit(topK)
   }
 }

@@ -953,4 +953,39 @@ object Similarity {
     }
     out
   }
+
+  /**
+   * Pairwise cosine similarity between SEGMENT CENTROIDS of an
+   * embedding column — the corpus-composition probe ("how close are
+   * the wiki and web slices in embedding space?") that sits between
+   * per-pair ANN and the 1-row centroid drift of
+   * [[Features.embeddingDrift]]. Returns one row per unordered
+   * segment pair (a < b): (seg_a, seg_b, cosine).
+   *
+   * Scale: one posexplode + groupBy collapses the corpus to the
+   * |segments|×dims centroid frame; the pair join is keyed on
+   * dimension index over that tiny frame — never corpus-sized.
+   */
+  def centroidSimilarity(df: DataFrame, segCol: String,
+      vecCol: String): DataFrame = {
+    val cent = df
+      .select(col(segCol).as("__seg"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy("__seg", "__pos")
+      .agg(avg(col("__x").cast("double")).as("__m"))
+      .localCheckpoint()
+    val l = cent.select(col("__seg").as("seg_a"), col("__pos"),
+      col("__m").as("__xa"))
+    val r = cent.select(col("__seg").as("seg_b"),
+      col("__pos").as("__pos2"), col("__m").as("__xb"))
+    l.join(r, col("__pos") === col("__pos2") &&
+        col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b")
+      .agg(sum(col("__xa") * col("__xb")).as("__dot"),
+        sum(col("__xa") * col("__xa")).as("__sa2"),
+        sum(col("__xb") * col("__xb")).as("__sb2"))
+      .select(col("seg_a"), col("seg_b"),
+        (col("__dot") / (sqrt(col("__sa2")) * sqrt(col("__sb2"))))
+          .as("cosine"))
+  }
 }

@@ -302,6 +302,45 @@ class EtlExtSpec extends AnyFunSuite {
       Seq((1L, 11.0), (2L, 25.0), (3L, 30.0))) // intermediate intact
   }
 
+  test("snapshot store: additive schema evolution on append and upsert") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snapse", orderColumn = Some("v"))
+    st.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), WriteMode.Full)
+    // append a batch carrying a NEW column — old rows read it as NULL
+    st.write(Seq((3L, 30.0, "x")).toDF("id", "v", "tag"),
+      WriteMode.Append)
+    val head2 = st.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("tag"))).toSeq
+    assert(head2 == Seq((1L, null), (2L, null), (3L, "x")))
+    // upsert mixing old-schema keys and the new column; the batch may
+    // also omit nothing — new col set for touched rows only
+    st.write(Seq((1L, 11.0, "y")).toDF("id", "v", "tag"),
+      WriteMode.Upsert, Seq("id"))
+    val head3 = st.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getAs[String]("tag")))
+      .toSeq
+    assert(head3 == Seq((1L, 11.0, "y"), (2L, 20.0, null),
+      (3L, 30.0, "x")))
+    // a batch OMITTING an existing column upserts with NULL there
+    st.write(Seq((4L, 40.0)).toDF("id", "v"), WriteMode.Upsert,
+      Seq("id"))
+    val r4 = st.read(spark).where(col("id") === 4L).collect()(0)
+    assert(r4.getAs[String]("tag") == null)
+    // time travel: v1 still shows the ORIGINAL two-column schema
+    assert(!st.readVersion(spark, 1).columns.contains("tag"))
+    // CDF across the evolution boundary: v1 -> head sees the new
+    // column's values without erroring
+    val cdf = st.changes(spark, 1, 4, Seq("id"))
+      .select("change_type", "id").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cdf == Seq(("update", 1L), ("insert", 3L), ("insert", 4L)))
+    // type change fails loud
+    val e = intercept[IllegalArgumentException] {
+      st.write(Seq((9L, "oops")).toDF("id", "v"), WriteMode.Append)
+    }
+    assert(e.getMessage.contains("type change"))
+  }
+
   test("snapshot store: compact collapses segment chains, history intact") {
     import spark.implicits._
     val base = tmpDir() + "/snapc"

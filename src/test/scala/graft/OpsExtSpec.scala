@@ -4630,6 +4630,97 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.forall(r => !r.getAs[Double]("mean_diff").isNaN))
   }
 
+  test("bayesianAbTest: hand closed form, symmetry sums to 1") {
+    import spark.implicits._
+    // A: 1/1 success; B: 0/1 → αA=2 βA=1 αB=1 βB=2 → P(B>A) = 1/6
+    val tiny = Seq((true, true), (false, false)).toDF("t", "y")
+    val p = graft.ops.Evaluation
+      .bayesianAbTest(tiny, col("t"), col("y")).head
+    assert(math.abs(p.getAs[Double]("prob_b_gt_a") - 1.0 / 6.0) < 1e-12)
+    // complementary direction: P(A>B) with arms swapped = 1 − 1/6
+    // (Beta posteriors are continuous, ties have measure 0)
+    val q = graft.ops.Evaluation
+      .bayesianAbTest(tiny, !col("t"), col("y")).head
+    assert(math.abs(p.getAs[Double]("prob_b_gt_a") +
+      q.getAs[Double]("prob_b_gt_a") - 1.0) < 1e-9)
+    // a clearly better B → probability near 1
+    val strong = ((1 to 100).map(i => (true, i <= 10)) ++
+      (1 to 100).map(i => (false, i <= 60))).toDF("t", "y")
+    val w = graft.ops.Evaluation
+      .bayesianAbTest(strong, col("t"), col("y")).head
+    assert(w.getAs[Double]("prob_b_gt_a") > 0.9999)
+  }
+
+  test("gTest: independent ⇒ g≈0, dependent large, hand dof") {
+    import spark.implicits._
+    val indep = (for (r <- Seq("a", "b"); c <- Seq("x", "y", "z");
+      _ <- 1 to 10) yield (r, c)).toDF("r", "c")
+    val gi = graft.ops.Evaluation.gTest(indep, "r", "c").head
+    assert(gi.getAs[Long]("n") == 60L && gi.getAs[Long]("dof") == 2L)
+    assert(math.abs(gi.getAs[Double]("g")) < 1e-9)
+    val dep = (Seq.fill(30)(("a", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("r", "c")
+    val gd = graft.ops.Evaluation.gTest(dep, "r", "c").head
+    // perfect association: G = 2N ln 2
+    assert(math.abs(gd.getAs[Double]("g") - 2 * 60 * math.log(2)) < 1e-9)
+  }
+
+  test("empiricalBayesRate: low-count keys shrink harder") {
+    import spark.implicits._
+    // many keys with varied rates; key "lo" has 2 trials, "hi" has 200
+    val rnd = new scala.util.Random(7)
+    val bg = (1 to 50).flatMap { k =>
+      (1 to 20).map(i => (s"k$k", i <= (k % 11)))
+    }
+    val df = (bg ++ Seq(("lo", true), ("lo", true)) ++
+      (1 to 200).map(i => ("hi", i <= 200))).toDF("key", "y")
+    val out = graft.ops.Features
+      .empiricalBayesRate(df, "key", col("y"))
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Double]("raw_rate"), r.getAs[Double]("shrunk_rate"),
+          r.getAs[Double]("prior_rate"))).toMap
+    val (loRaw, loShrunk, prior) = out("lo")
+    val (hiRaw, hiShrunk, _) = out("hi")
+    assert(loRaw == 1.0 && hiRaw == 1.0)
+    // both raw rates are 1.0; the 2-trial key is pulled much closer
+    // to the prior than the 200-trial key
+    assert(loShrunk < hiShrunk && hiShrunk < 1.0)
+    assert((1.0 - loShrunk) > 10 * (1.0 - hiShrunk))
+    assert(prior > 0 && prior < 1)
+  }
+
+  test("centroidSimilarity: identical segs cos 1, orthogonal cos 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(3.0, 0.0)),
+      ("b", Seq(2.0, 0.0)),
+      ("c", Seq(0.0, 5.0))).toDF("seg", "v")
+    val out = graft.ops.Similarity.centroidSimilarity(df, "seg", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(math.abs(out(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(out(("a", "c"))) < 1e-12)
+    assert(math.abs(out(("b", "c"))) < 1e-12)
+  }
+
+  test("subgroupScan: planted hot slice ranks first, cold slices 0") {
+    import spark.implicits._
+    // seg1=h rows are 90% positive; everything else ~10%
+    val df = ((1 to 100).map(i => (if (i <= 90) true else false, "h",
+      s"u${i % 3}")) ++
+      (1 to 400).map(i => (i <= 40, "c", s"u${i % 3}")))
+      .toDF("y", "s1", "s2")
+    val out = graft.ops.Profiling
+      .subgroupScan(df, col("y"), Seq("s1", "s2"), topK = 10)
+      .collect()
+    assert(out.head.getAs[String]("segment") == "s1" &&
+      out.head.getAs[String]("value") == "h")
+    assert(out.head.getAs[Double]("llr") > 50.0)
+    // below-base slices score exactly 0
+    val cold = out.find(r => r.getAs[String]("value") == "c").get
+    assert(cold.getAs[Double]("llr") == 0.0)
+  }
+
   test("itemSimilarity: symmetric cosine, cap excludes none here") {
     import spark.implicits._
     // baskets: {1,2,3}, {1,2}, {1,3}, {2,3} → each pair co-occurs 2×,
