@@ -9735,6 +9735,115 @@ object Queries {
              round(llr, 6) AS llr
       FROM sc ORDER BY llr DESC, segment, value LIMIT 15"""))
 
+  /** Ljung–Box white-noise test on daily event revenue through lag 7 —
+    * the residual-diagnostics companion to the q147 correlogram
+    * (statistic-only contract; Q ~ χ²(7) under H0). */
+  private val q272 = Entry(
+    "q272_ljung_box",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).as("day"))
+        .agg(sum("value").as("rev"))
+      graft.ops.Evaluation.ljungBox(daily, "day", "rev", 7)
+        .select(col("n"), col("max_lag"), r6(col("q_stat")).as("q_stat"))
+    },
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE)
+                       AS day, sum("value") AS rev
+                     FROM events GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(rev) AS sx,
+                    sum(rev * rev) AS sxx FROM daily),
+      m AS (SELECT n, sx / n AS mu, sxx - sx * sx / n AS den FROM st),
+      l AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(lag)),
+      p AS (SELECT l.lag, a.rev AS x1, b.rev AS x2
+            FROM l JOIN daily a ON true
+                   JOIN daily b ON b.day = a.day + l.lag),
+      r AS (SELECT lag, sum((x1 - mu) * (x2 - mu)) / max(den) AS acf,
+                   max(n) AS n
+            FROM p, m GROUP BY lag)
+      SELECT max(n)::BIGINT AS n, count(*) AS max_lag,
+             round(max(n) * (max(n) + 2) *
+               sum(acf * acf / (n - lag)), 6) AS q_stat
+      FROM r"""))
+
+  /** Durbin–Watson on the residuals of each event type's daily revenue
+    * trend — first-order serial correlation left after the q246
+    * closed-form per-key OLS detrend. */
+  private val q273 = Entry(
+    "q273_durbin_watson",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("double"))
+      val fit = graft.ops.Regression
+        .groupedOls(daily, Seq("event_type"), "x", "y")
+        .select(col("event_type"), col("slope"), col("intercept"))
+      val resid = daily.join(broadcast(fit), Seq("event_type"))
+        .withColumn("resid",
+          col("y") - (col("intercept") + col("slope") * col("x")))
+      graft.ops.TimeSeries
+        .durbinWatson(resid, Seq("event_type"), "x", "resid")
+        .select(col("event_type"), col("n"), r6(col("dw")).as("dw"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g,
+                        date_diff('day', DATE '2024-01-01',
+                          ts::DATE)::DOUBLE AS x,
+                        sum("value") AS y
+                 FROM events GROUP BY event_type, ts::DATE),
+      a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM d GROUP BY 1),
+      f AS (SELECT g, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS sl,
+                   (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+                     / n AS ic
+            FROM a),
+      e AS (SELECT d.g, d.x, d.y - (f.ic + f.sl * d.x) AS resid
+            FROM d JOIN f USING (g)),
+      w AS (SELECT g, resid,
+                   lag(resid) OVER (PARTITION BY g ORDER BY x) AS pr
+            FROM e)
+      SELECT g AS event_type, count(*) AS n,
+             round(sum((resid - pr) * (resid - pr))
+               / sum(resid * resid), 6) AS dw
+      FROM w GROUP BY 1 ORDER BY 1"""))
+
+  /** Periodogram of daily event revenue at Fourier frequencies 1–10:
+    * where does the series' variance live in frequency space? Power
+    * emitted as the scale-free share of total variance. */
+  private val q274 = Entry(
+    "q274_periodogram",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).as("t"))
+        .agg(sum("value").as("rev"))
+      graft.ops.TimeSeries.periodogram(daily, "t", "rev", 10)
+        .select(col("freq"), r6(col("period")).as("period"),
+          r6(col("power_frac")).as("power_frac"))
+        .orderBy("freq")
+    },
+    Some("""
+      WITH daily AS (SELECT date_diff('day', DATE '2024-01-01',
+                       ts::DATE)::DOUBLE AS t, sum("value") AS x
+                     FROM events GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) / count(*) AS mu,
+                    sum(x * x) - sum(x) * sum(x) / count(*) AS den
+             FROM daily),
+      k AS (SELECT unnest(generate_series(1, 10))::DOUBLE AS k),
+      t AS (SELECT k.k, st.n, st.den,
+                   sum((x - mu) * cos(2 * pi() * k.k * t / st.n)) AS c,
+                   sum((x - mu) * sin(2 * pi() * k.k * t / st.n)) AS s
+            FROM daily, st, k GROUP BY 1, 2, 3)
+      SELECT k::BIGINT AS freq, round(n / k, 6) AS period,
+             round((c * c + s * s) / den, 6) AS power_frac
+      FROM t ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9758,7 +9867,7 @@ object Queries {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
-    q265, q266, q267, q268, q269, q270, q271)
+    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1399,4 +1399,31 @@ object Evaluation {
         (col("__s") / col("__n")).as("raw_mean"),
         col("fitted"))
   }
+
+  /**
+   * Ljung–Box portmanteau test for white noise on a regular series:
+   * Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) with r_k the [[acf]] estimator —
+   * the standard residual-diagnostics statistic (Q ~ χ²(h) under H0 of
+   * no autocorrelation through lag h; feed Q to
+   * [[graft.analysis.Stats.chi2PValue]] driver-side, the
+   * statistic-only contract of `homogeneityChi2`). Returns ONE row:
+   * (n, max_lag, q_stat).
+   *
+   * Scale shape: exactly [[acf]]'s — one 1-row broadcast moment
+   * aggregate, a lag-list-exploded equi-join on time, one groupBy —
+   * then the h-row correlogram reduces to a single row. Nothing
+   * driver-side, no window.
+   */
+  def ljungBox(df: DataFrame, timeCol: String, valueCol: String,
+      maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1, "ljungBox: maxLag >= 1")
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    acf(df, timeCol, valueCol, maxLag)
+      .join(broadcast(n))
+      .agg(max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("max_lag"),
+        (max(col("__n")) * (max(col("__n")) + 2) *
+          sum(col("acf") * col("acf") /
+            (col("__n") - col("lag")))).as("q_stat"))
+  }
 }

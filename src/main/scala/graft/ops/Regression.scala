@@ -128,6 +128,120 @@ object Regression {
       when(vx > 0 && vy > 0, cxy * cxy / (vx * vy)).as("r2")): _*)
   }
 
+  /**
+   * Logistic regression of a binary `targetCol` on `features` with
+   * intercept, by a FIXED number of Newton–Raphson (IRLS) steps from
+   * β = 0 — the deterministic distributed GLM: every iteration is ONE
+   * aggregation scan collecting the gradient Σ xᵢ(yᵢ − μᵢ) and Hessian
+   * Σ μᵢ(1−μᵢ)xᵢxᵢᵀ as sufficient statistics (p(p+3)/2 + 2 sums), the
+   * (p+1)×(p+1) solve is driver-side exactly like [[linearRegression]].
+   * A fixed iteration count (not a convergence test) keeps the
+   * computation a pure function of the data — replayable by any engine
+   * — and Newton's quadratic convergence makes 4 steps plenty for
+   * well-scaled features. Returns one row per coefficient
+   * (term, coef) plus diagnostics repeated per row
+   * (n, log_loss, iterations); log-loss is the mean negative
+   * log-likelihood at the FINAL β (one extra scan).
+   *
+   * 100 TB stance: iterations × one map-side-combined aggregation over
+   * the corpus; model state is p+1 doubles broadcast as literals into
+   * each scan. No per-row UDF — μ is column algebra, codegen'd.
+   */
+  def logisticRegression(df: DataFrame, features: Seq[String],
+      targetCol: Column, iterations: Int = 4): DataFrame = {
+    require(features.nonEmpty, "logisticRegression: no features")
+    require(features.size <= 32, "logisticRegression: at most 32 features")
+    require(iterations >= 1, "logisticRegression: iterations >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = when(targetCol, 1.0).otherwise(0.0)
+    val xs = features.map(f => col(f).cast("double"))
+    val complete = df.where(
+      (targetCol.isNotNull +: xs.map(_.isNotNull)).reduce(_ && _))
+    val terms = lit(1.0) +: xs
+    val p = terms.size
+    var beta = Array.fill(p)(0.0)
+    var n = 0L
+    for (_ <- 1 to iterations) {
+      // z = β'x with the current coefficients inlined as literals
+      val z = terms.zip(beta).map { case (t, b) => t * lit(b) }
+        .reduce(_ + _)
+      val mu = lit(1.0) / (lit(1.0) + exp(-z))
+      val w = mu * (lit(1.0) - mu)
+      val aggs =
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(w * terms(i) * terms(j)).as(s"__h_${i}_$j")) ++
+          (0 until p).map(i => sum(terms(i) * (y - mu)).as(s"__g_$i")) ++
+          Seq(count(lit(1)).as("__n"))
+      val row = complete.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getAs[Long]("__n")
+      require(n > p, s"logisticRegression: $n rows for $p terms")
+      val h = Array.ofDim[Double](p, p)
+      for (i <- 0 until p; j <- i until p) {
+        val v = row.getAs[Double](s"__h_${i}_$j")
+        h(i)(j) = v; h(j)(i) = v
+      }
+      val g = Array.tabulate(p)(i => row.getAs[Double](s"__g_$i"))
+      val step = solve(h, g)
+      beta = Array.tabulate(p)(i => beta(i) + step(i))
+    }
+    // mean negative log-likelihood at the final β, in the numerically
+    // safe log1p(exp) form: −[y·z − log(1+eᶻ)]
+    val zF = terms.zip(beta).map { case (t, b) => t * lit(b) }
+      .reduce(_ + _)
+    val nll = complete.agg(
+      avg(log1p(exp(-abs(zF))) + when(zF > 0, (lit(1.0) - y) * zF)
+        .otherwise(-y * zF)).as("__ll")).head().getAs[Double]("__ll")
+    val names = "(intercept)" +: features
+    names.zipWithIndex.map { case (t, i) =>
+      (t, beta(i), n, nll, iterations)
+    }.toDF("term", "coef", "n", "log_loss", "iterations")
+  }
+
+  /**
+   * Leave-one-group-out influence of each group on a corpus-level
+   * bivariate OLS fit — the data-valuation question "which segment is
+   * dragging the trend?": for every key of `groupCol`, refit
+   * y ~ x on ALL data minus that group's rows, purely by subtracting
+   * the group's sufficient statistics from the global ones (closed
+   * form, no per-group rescan, no driver solve). Returns one row per
+   * group: (group, n, slope_full, slope_loo, delta_slope,
+   * delta_intercept) — delta = full − without-group, so a positive
+   * delta_slope means the group pulls the slope UP.
+   *
+   * Scale shape: ONE grouped aggregation for the per-group moments,
+   * the global moments as their 1-row rollup crossJoined back
+   * (broadcast) — two scans of nothing beyond the grouped frame.
+   */
+  def leaveOneGroupOut(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val per = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
+        sum(y).as("__sy"), sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .localCheckpoint() // feeds the global rollup AND the per-group delta
+    val glob = per.agg(sum(col("__n")).as("__N"), sum(col("__sx")).as("__SX"),
+      sum(col("__sy")).as("__SY"), sum(col("__sxx")).as("__SXX"),
+      sum(col("__sxy")).as("__SXY"))
+    def fit(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) = {
+      val vx = sxx - sx * sx / n
+      val cxy = sxy - sx * sy / n
+      val slope = when(vx > 0, cxy / vx)
+      (slope, (sy - cxy / vx * sx) / n)
+    }
+    val (slF, icF) = fit(col("__N"), col("__SX"), col("__SY"),
+      col("__SXX"), col("__SXY"))
+    val (slL, icL) = fit(col("__N") - col("__n"),
+      col("__SX") - col("__sx"), col("__SY") - col("__sy"),
+      col("__SXX") - col("__sxx"), col("__SXY") - col("__sxy"))
+    per.crossJoin(broadcast(glob))
+      .select(col("group"), col("__n").cast("long").as("n"),
+        slF.as("slope_full"), slL.as("slope_loo"),
+        (slF - slL).as("delta_slope"), (icF - icL).as("delta_intercept"))
+  }
+
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
   private def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {

@@ -372,4 +372,80 @@ object TimeSeries {
         col("cusum_pos") > h || col("cusum_neg") > h)
       .drop("__mu", "__sd", "__sp", "__sn")
   }
+
+  /**
+   * Durbin–Watson statistic per key over a series ordered by `xCol`:
+   * DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ_t e_t², the canonical first-order
+   * serial-correlation check on regression residuals (DW ≈ 2 means no
+   * autocorrelation, → 0 positive, → 4 negative). Pass residuals in
+   * `valueCol` — compose with [[graft.ops.Regression.groupedOls]] to
+   * detrend first. Returns one row per key: (keys…, n, dw) with NULL
+   * dw for keys with < 2 points or an all-zero series.
+   *
+   * Scale shape: one keyed window (lag 1 over partitionBy(keys)) and
+   * one grouped aggregation — no corpus-wide window, no driver state.
+   * Per-key series length bounds the window partition, exactly like
+   * [[ewma]]/[[cusum]].
+   */
+  def durbinWatson(df: DataFrame, keyCols: Seq[String], xCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "durbinWatson: no key columns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(xCol))
+    val e = col(valueCol).cast("double")
+    df.withColumn("__lag", lag(e, 1).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(pow(e - col("__lag"), 2.0)).as("__num"),
+        sum(e * e).as("__den"))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("dw")): _*)
+  }
+
+  /**
+   * Raw periodogram of a regular series at the Fourier frequencies
+   * k/n, k = 1..maxFreq: I(k) = (2/n)·[(Σ_t x̃_t cos(2πkt/n))² +
+   * (Σ_t x̃_t sin(2πkt/n))²] over the demeaned series x̃ — the
+   * spectral view of seasonality (a daily series with a weekly cycle
+   * spikes at k ≈ n/7). `xCol` must be a 0-based regular integer index
+   * (or anything castable to one, e.g. a day offset); returns maxFreq
+   * rows (freq, period, power) where period = n/k in `xCol` units.
+   *
+   * Scale shape: the mean and n ride one 1-row broadcast aggregate;
+   * the k frequencies are a broadcast-exploded Range, so the work is
+   * n·maxFreq map-side trig terms into ONE partial-aggregatable
+   * groupBy(freq) — no window, no driver state. A DFT by brute sums
+   * is the right distributed shape when maxFreq ≪ n (spectral peaks,
+   * not full spectra); an FFT's butterfly is serial-depth log n and
+   * buys nothing at this output size.
+   */
+  def periodogram(df: DataFrame, xCol: String, valueCol: String,
+      maxFreq: Int = 30): DataFrame = {
+    require(maxFreq >= 1, "periodogram: maxFreq >= 1")
+    val s = df.select(col(xCol).cast("double").as("__t"),
+      col(valueCol).cast("double").as("__x"))
+    val stats = s.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n"), (col("__sx") / col("__n")).as("__m"),
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+          .as("__den"))
+    val freqs = df.sparkSession.range(1, maxFreq + 1)
+      .select(col("id").cast("double").as("__k"))
+    val ang = lit(2.0 * math.Pi) * col("__k") * col("__t") / col("__n")
+    s.join(broadcast(stats))
+      .crossJoin(broadcast(freqs))
+      .groupBy(col("__k").cast("long").as("freq"))
+      .agg(max(col("__n")).as("__nn"), max(col("__den")).as("__d"),
+        sum((col("__x") - col("__m")) * cos(ang)).as("__c"),
+        sum((col("__x") - col("__m")) * sin(ang)).as("__s"))
+      .select(col("freq"), (col("__nn") / col("freq")).as("period"),
+        ((col("__c") * col("__c") + col("__s") * col("__s")) *
+          lit(2.0) / col("__nn")).as("power"),
+        // scale-free share of total variance — O(1) regardless of the
+        // series' magnitude, so a fixed rounding grid is meaningful
+        when(col("__d") > 0,
+          (col("__c") * col("__c") + col("__s") * col("__s")) / col("__d"))
+          .as("power_frac"))
+  }
 }

@@ -4738,4 +4738,58 @@ class OpsExtSpec extends AnyFunSuite {
       r.getAs[Int]("neighbor")) -> r.getAs[Long]("n_pair")).toMap
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
+
+  test("ljungBox: alternating series huge Q, hand Q for n=4") {
+    import spark.implicits._
+    // perfectly alternating ±1 → r1 ≈ −1, Q blows up
+    val alt = (0 until 40).map(t => (t, if (t % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "x")
+    val qa = graft.ops.Evaluation.ljungBox(alt, "t", "x", 3).head
+    assert(qa.getAs[Long]("n") == 40 && qa.getAs[Long]("max_lag") == 3)
+    assert(qa.getAs[Double]("q_stat") > 60.0)
+    // hand case n=4, x=(1,2,3,4), lag 1: mean 2.5, den 5,
+    // r1 = (−1.5·−0.5 + −0.5·0.5 + 0.5·1.5)/5 = 1.25/5 = 0.25
+    // Q = 4·6·(0.25²/3) = 0.5
+    val tiny = Seq((0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)).toDF("t", "x")
+    val qt = graft.ops.Evaluation.ljungBox(tiny, "t", "x", 1).head
+    assert(math.abs(qt.getAs[Double]("q_stat") - 0.5) < 1e-12)
+  }
+
+  test("durbinWatson: white-ish ≈ 2 on alternating, 0 on constant-run") {
+    import spark.implicits._
+    // alternating residuals e = ±1: num = Σ(±2)² = 4(n−1), den = n
+    // → DW = 4(n−1)/n → 4 (strong negative autocorrelation)
+    val alt = (0 until 50).map(t => ("k", t,
+      if (t % 2 == 0) 1.0 else -1.0)).toDF("k", "t", "e")
+    val a = graft.ops.TimeSeries
+      .durbinWatson(alt, Seq("k"), "t", "e").head
+    assert(math.abs(a.getAs[Double]("dw") - 4.0 * 49 / 50) < 1e-12)
+    // constant residuals: successive diffs 0 → DW = 0
+    val const = (0 until 10).map(t => ("k", t, 3.0)).toDF("k", "t", "e")
+    val c = graft.ops.TimeSeries
+      .durbinWatson(const, Seq("k"), "t", "e").head
+    assert(c.getAs[Double]("dw") == 0.0)
+    // all-zero residuals → NULL dw (0/0 guarded)
+    val zero = (0 until 5).map(t => ("k", t, 0.0)).toDF("k", "t", "e")
+    val z = graft.ops.TimeSeries
+      .durbinWatson(zero, Seq("k"), "t", "e").head
+    assert(z.isNullAt(z.fieldIndex("dw")))
+  }
+
+  test("periodogram: pure cosine concentrates all variance at its freq") {
+    import spark.implicits._
+    val n = 64
+    val df = (0 until n).map(t =>
+      (t, math.cos(2 * math.Pi * 4 * t / n))).toDF("t", "x")
+    val out = graft.ops.TimeSeries.periodogram(df, "t", "x", 8)
+      .collect().map(r => r.getAs[Long]("freq") ->
+        r.getAs[Double]("power_frac")).toMap
+    // at the matching Fourier frequency the fraction is ~1 (c = n/2·…)
+    assert(out(4L) > 0.99)
+    assert((1 to 8).filter(_ != 4).forall(k => out(k.toLong) < 1e-10))
+    // period readout: n/k
+    val p = graft.ops.TimeSeries.periodogram(df, "t", "x", 8)
+      .where(col("freq") === 4).head.getAs[Double]("period")
+    assert(math.abs(p - 16.0) < 1e-12)
+  }
 }
