@@ -9844,6 +9844,133 @@ object Queries {
              round((c * c + s * s) / den, 6) AS power_frac
       FROM t ORDER BY 1"""))
 
+  /** Distributed logistic regression: P(urgent order | scaled price)
+    * by 4 fixed Newton steps, each ONE sufficient-stats scan — the
+    * oracle replays every iteration's 2×2 solve in SQL. */
+  private val q275 = Entry(
+    "q275_logistic_regression",
+    (s, d) => {
+      val df = Tables.orders(s, d)
+        .withColumn("x", col("o_totalprice") / 100000.0)
+      graft.ops.Regression
+        .logisticRegression(df, Seq("x"),
+          col("o_orderpriority") === "1-URGENT", iterations = 4)
+        .select(col("term"), r6(col("coef")).as("coef"), col("n"),
+          r6(col("log_loss")).as("log_loss"), col("iterations"))
+        .orderBy("term")
+    },
+    Some("""
+      WITH d AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1.0 ELSE 0.0 END AS y,
+                   o_totalprice / 100000.0 AS x
+                 FROM orders),
+      i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+      s1 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, y,
+                           1 / (1 + exp(-(b0 + b1 * x))) AS mu
+                         FROM d, i0))),
+      i1 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s1, i0),
+      s2 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, y,
+                           1 / (1 + exp(-(b0 + b1 * x))) AS mu
+                         FROM d, i1))),
+      i2 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s2, i1),
+      s3 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, y,
+                           1 / (1 + exp(-(b0 + b1 * x))) AS mu
+                         FROM d, i2))),
+      i3 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s3, i2),
+      s4 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, y,
+                           1 / (1 + exp(-(b0 + b1 * x))) AS mu
+                         FROM d, i3))),
+      i4 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s4, i3),
+      ll AS (SELECT avg(ln(1 + exp(-abs(z))) +
+                      CASE WHEN z > 0 THEN (1 - y) * z
+                           ELSE -y * z END) AS loss,
+                    count(*) AS n
+             FROM (SELECT y, b0 + b1 * x AS z FROM d, i4))
+      SELECT t.term,
+             round(CASE WHEN t.term = 'x' THEN i4.b1
+                        ELSE i4.b0 END, 6) AS coef,
+             ll.n AS n, round(ll.loss, 6) AS log_loss,
+             4 AS iterations
+      FROM (VALUES ('(intercept)'), ('x')) t(term), i4, ll
+      ORDER BY t.term"""))
+
+  /** Leave-one-group-out influence: which event type drags the
+    * corpus-level value-on-hour trend, by sufficient-stats
+    * subtraction — no per-group refit scan. */
+  private val q276 = Entry(
+    "q276_logo_influence",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("hr", hour(col("ts")).cast("double"))
+      graft.ops.Regression
+        .leaveOneGroupOut(ev, "event_type", "hr", "value")
+        .select(col("group"), col("n"),
+          r6(col("slope_full")).as("slope_full"),
+          r6(col("slope_loo")).as("slope_loo"),
+          r6(col("delta_slope")).as("delta_slope"),
+          r6(col("delta_intercept")).as("delta_intercept"))
+        .orderBy("group")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g, hour(ts)::DOUBLE AS x,
+                        "value" AS y
+                 FROM events),
+      per AS (SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM d GROUP BY 1),
+      gl AS (SELECT sum(n) AS nn, sum(sx) AS tsx, sum(sy) AS tsy,
+                    sum(sxx) AS tsxx, sum(sxy) AS tsxy
+             FROM per),
+      f AS (SELECT g, n,
+              (tsxy - tsx * tsy / nn) / (tsxx - tsx * tsx / nn) AS slf,
+              (tsy - (tsxy - tsx * tsy / nn) / (tsxx - tsx * tsx / nn)
+                * tsx) / nn AS icf,
+              (tsxy - sxy - (tsx - sx) * (tsy - sy) / (nn - n))
+                / (tsxx - sxx - (tsx - sx) * (tsx - sx) / (nn - n))
+                AS sll,
+              ((tsy - sy) -
+                (tsxy - sxy - (tsx - sx) * (tsy - sy) / (nn - n))
+                / (tsxx - sxx - (tsx - sx) * (tsx - sx) / (nn - n))
+                * (tsx - sx)) / (nn - n) AS icl
+            FROM per, gl)
+      SELECT g AS "group", n::BIGINT AS n,
+             round(slf, 6) AS slope_full, round(sll, 6) AS slope_loo,
+             round(slf - sll, 6) AS delta_slope,
+             round(icf - icl, 6) AS delta_intercept
+      FROM f ORDER BY g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9867,7 +9994,8 @@ object Queries {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
-    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
+    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
+    q276)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

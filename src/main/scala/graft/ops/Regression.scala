@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -222,20 +222,20 @@ object Regression {
       .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
         sum(y).as("__sy"), sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
       .localCheckpoint() // feeds the global rollup AND the per-group delta
-    val glob = per.agg(sum(col("__n")).as("__N"), sum(col("__sx")).as("__SX"),
-      sum(col("__sy")).as("__SY"), sum(col("__sxx")).as("__SXX"),
-      sum(col("__sxy")).as("__SXY"))
+    val glob = per.agg(sum(col("__n")).as("__gn"),
+      sum(col("__sx")).as("__gsx"), sum(col("__sy")).as("__gsy"),
+      sum(col("__sxx")).as("__gsxx"), sum(col("__sxy")).as("__gsxy"))
     def fit(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) = {
       val vx = sxx - sx * sx / n
       val cxy = sxy - sx * sy / n
       val slope = when(vx > 0, cxy / vx)
-      (slope, (sy - cxy / vx * sx) / n)
+      (slope, when(vx > 0, (sy - cxy / vx * sx) / n))
     }
-    val (slF, icF) = fit(col("__N"), col("__SX"), col("__SY"),
-      col("__SXX"), col("__SXY"))
-    val (slL, icL) = fit(col("__N") - col("__n"),
-      col("__SX") - col("__sx"), col("__SY") - col("__sy"),
-      col("__SXX") - col("__sxx"), col("__SXY") - col("__sxy"))
+    val (slF, icF) = fit(col("__gn"), col("__gsx"), col("__gsy"),
+      col("__gsxx"), col("__gsxy"))
+    val (slL, icL) = fit(col("__gn") - col("__n"),
+      col("__gsx") - col("__sx"), col("__gsy") - col("__sy"),
+      col("__gsxx") - col("__sxx"), col("__gsxy") - col("__sxy"))
     per.crossJoin(broadcast(glob))
       .select(col("group"), col("__n").cast("long").as("n"),
         slF.as("slope_full"), slL.as("slope_loo"),

@@ -4739,6 +4739,44 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("logisticRegression: symmetric design recovers logit MLE") {
+    import spark.implicits._
+    // x=+1: 30 pos / 10 neg (rate .75); x=−1: 10 pos / 30 neg (.25)
+    // MLE: intercept 0, slope = logit(.75) = ln 3
+    val rows =
+      (1 to 30).map(_ => (1.0, true)) ++ (1 to 10).map(_ => (1.0, false)) ++
+      (1 to 10).map(_ => (-1.0, true)) ++ (1 to 30).map(_ => (-1.0, false))
+    val df = rows.toDF("x", "y")
+    val fit = graft.ops.Regression
+      .logisticRegression(df, Seq("x"), col("y"), iterations = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(fit("(intercept)").getAs[Double]("coef")) < 1e-6)
+    assert(math.abs(fit("x").getAs[Double]("coef") - math.log(3.0)) < 1e-6)
+    assert(fit("x").getAs[Long]("n") == 80)
+    // more Newton steps never worsen the final-β loss
+    val l1 = graft.ops.Regression
+      .logisticRegression(df, Seq("x"), col("y"), iterations = 1)
+      .head.getAs[Double]("log_loss")
+    val l5 = fit("x").getAs[Double]("log_loss")
+    assert(l5 <= l1 + 1e-12)
+  }
+
+  test("leaveOneGroupOut: hand 2-group influence, deltas exact") {
+    import spark.implicits._
+    // A: slope +1 line; B: slope −1 line → full slope 0
+    val df = Seq(("A", 0.0, 0.0), ("A", 1.0, 1.0),
+      ("B", 0.0, 1.0), ("B", 1.0, 0.0)).toDF("g", "x", "y")
+    val out = graft.ops.Regression.leaveOneGroupOut(df, "g", "x", "y")
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(math.abs(a.getAs[Double]("slope_full")) < 1e-12)
+    assert(math.abs(a.getAs[Double]("slope_loo") + 1.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("delta_slope") - 1.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("delta_intercept") + 0.5) < 1e-12)
+    assert(math.abs(b.getAs[Double]("delta_slope") + 1.0) < 1e-12)
+    assert(a.getAs[Long]("n") == 2 && b.getAs[Long]("n") == 2)
+  }
+
   test("ljungBox: alternating series huge Q, hand Q for n=4") {
     import spark.implicits._
     // perfectly alternating ±1 → r1 ≈ −1, Q blows up
