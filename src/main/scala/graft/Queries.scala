@@ -9971,6 +9971,183 @@ object Queries {
              round(icf - icl, 6) AS delta_intercept
       FROM f ORDER BY g"""))
 
+  /** Krippendorff's alpha over the same rating frame as the q264
+    * Fleiss kappa — the coincidence-matrix agreement coefficient whose
+    * native case is varying raters per item. */
+  private val q277 = Entry(
+    "q277_krippendorff_alpha",
+    (s, d) => {
+      graft.ops.Evaluation.krippendorffAlpha(Tables.events(s, d),
+          "user_id", "event_type")
+        .select(col("n_items"), col("n_ratings"),
+          r6(col("d_observed")).as("d_observed"),
+          r6(col("d_expected")).as("d_expected"),
+          r6(col("alpha")).as("alpha"))
+    },
+    Some("""
+      WITH ic AS (SELECT user_id AS i, event_type AS c,
+                         count(*)::DOUBLE AS k
+                  FROM events GROUP BY 1, 2),
+      ni AS (SELECT i, sum(k) AS ni, sum(k * k) AS s2
+             FROM ic GROUP BY 1),
+      kept AS (SELECT * FROM ni WHERE ni >= 2),
+      t AS (SELECT sum((ni * ni - s2) / (ni - 1)) AS don,
+                   count(*) AS nitems, sum(ni) AS ntot
+            FROM kept),
+      nc AS (SELECT sum(k) AS nc
+             FROM ic JOIN kept USING (i) GROUP BY ic.c),
+      e AS (SELECT (ntot * ntot - (SELECT sum(nc * nc) FROM nc))
+                     / (ntot * (ntot - 1)) AS de,
+                   don / ntot AS dob, nitems, ntot
+            FROM t)
+      SELECT nitems AS n_items, ntot::BIGINT AS n_ratings,
+             round(dob, 6) AS d_observed, round(de, 6) AS d_expected,
+             round(1 - dob / de, 6) AS alpha
+      FROM e"""))
+
+  /** Holm–Bonferroni step-down over the q159 hypothesis battery —
+    * FWER control beside BH's FDR, same synthetic p-values so the two
+    * procedures are directly comparable. */
+  private val q278 = Entry(
+    "q278_holm_bonferroni",
+    (s, d) => {
+      val hyp = Tables.orders(s, d).where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("hid"),
+          when(col("o_orderkey") % 50 === 0,
+            (col("o_orderkey") * 7919 % 9973) / lit(9973000.0))
+            .otherwise((col("o_orderkey") * 7919 % 9973) / lit(9973.0))
+            .as("p"))
+      AnalysisPlanner.holmBonferroni(hyp, "p", 0.1)
+        .select(col("hid"), r6(col("p")).as("p"), col("p_rank"),
+          r6(col("adj_p")).as("adj_p"), col("discovery"))
+        .orderBy("hid")
+    },
+    Some("""
+      WITH hyp AS (SELECT o_orderkey AS hid,
+                          CASE WHEN o_orderkey % 50 = 0
+                               THEN (o_orderkey * 7919 % 9973) / 9973000.0
+                               ELSE (o_orderkey * 7919 % 9973) / 9973.0
+                          END AS p
+                   FROM orders WHERE o_orderkey <= 500),
+      v AS (SELECT p, count(*)::DOUBLE AS cnt FROM hyp GROUP BY 1),
+      w AS (SELECT p, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY p ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM v),
+      m AS (SELECT count(*)::DOUBLE AS m FROM hyp),
+      b AS (SELECT p, bef, least(1.0, (m - bef) * p) AS blk
+            FROM w, m),
+      a AS (SELECT p, bef, max(blk) OVER (ORDER BY p ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+            FROM b)
+      SELECT hid, round(p, 6) AS p, (bef + 1)::BIGINT AS p_rank,
+             round(adj, 6) AS adj_p, adj <= 0.1 AS discovery
+      FROM hyp JOIN a USING (p)
+      ORDER BY hid"""))
+
+  /** Restricted mean survival time through a 20-day horizon for the
+    * q258 time-to-big-purchase cohort — the KM step curve integrated
+    * without any window (rank-shift join on the tiny event frame). */
+  private val q279 = Entry(
+    "q279_rmst",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner.restrictedMeanSurvival(surv, "dur", "ev", 20.0)
+        .select(col("tau"), col("n"), col("n_events"),
+          r6(col("rmst")).as("rmst"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events GROUP BY user_id),
+      g AS (SELECT dur, sum(ev) AS d, count(*)::DOUBLE AS tot
+            FROM s GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS nn FROM s),
+      w AS (SELECT dur, d,
+              coalesce(sum(tot) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM g),
+      e AS (SELECT dur, d, nn - bef AS n_risk FROM w, t WHERE d > 0),
+      km AS (SELECT dur, exp(sum(ln(1 - d / n_risk)) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW)) AS sv
+             FROM e),
+      nx AS (SELECT dur, sv, lead(dur) OVER (ORDER BY dur) AS nd
+             FROM km),
+      seg AS (SELECT sv * (least(coalesce(nd, 20.0), 20.0) -
+                           least(dur::DOUBLE, 20.0)) AS seg
+              FROM nx
+              UNION ALL
+              SELECT least((SELECT min(dur)::DOUBLE FROM km), 20.0))
+      SELECT 20.0 AS tau, (SELECT count(*) FROM s) AS n,
+             (SELECT sum(ev) FROM s)::BIGINT AS n_events,
+             round(sum(seg), 6) AS rmst
+      FROM seg"""))
+
+  /** 5-fold grouped cross-validation of the value-on-hour trend:
+    * folds by the portable user-id hash (all of a user's rows share a
+    * fold), each fold scored by the model fit WITHOUT it via
+    * sufficient-stats subtraction — out-of-fold MSE per fold. */
+  private val q280 = Entry(
+    "q280_cross_validation",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("hr", hour(col("ts")).cast("double"))
+      graft.ops.Regression
+        .crossValidatedOls(ev, Seq(col("user_id")), "hr", "value",
+          folds = 5)
+        .select(col("fold"), col("n_train"), col("n_test"),
+          r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("mse_oof")).as("mse_oof"))
+        .orderBy("fold")
+    },
+    Some("""
+      WITH d AS (SELECT (('0x' || substring(md5(user_id::VARCHAR),
+                    1, 15))::BIGINT % 1048576) % 5 AS fold,
+                   hour(ts)::DOUBLE AS x, "value" AS y
+                 FROM events),
+      per AS (SELECT fold, count(*)::DOUBLE AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM d GROUP BY 1),
+      gl AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sy) AS gsy,
+                    sum(sxx) AS gsxx, sum(sxy) AS gsxy
+             FROM per),
+      cf AS (SELECT fold, n, gn - n AS tn,
+               ((gsxy - sxy) - (gsx - sx) * (gsy - sy) / (gn - n)) /
+                 ((gsxx - sxx) - (gsx - sx) * (gsx - sx) / (gn - n))
+                 AS slope,
+               ((gsy - sy) -
+                 ((gsxy - sxy) - (gsx - sx) * (gsy - sy) / (gn - n)) /
+                 ((gsxx - sxx) - (gsx - sx) * (gsx - sx) / (gn - n))
+                 * (gsx - sx)) / (gn - n) AS ic
+             FROM per, gl)
+      SELECT d.fold, max(tn)::BIGINT AS n_train,
+             max(cf.n)::BIGINT AS n_test,
+             round(max(slope), 6) AS slope,
+             round(max(ic), 6) AS intercept,
+             round(avg((y - (ic + slope * x)) * (y - (ic + slope * x))),
+               6) AS mse_oof
+      FROM d JOIN cf USING (fold) GROUP BY 1 ORDER BY fold"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -9995,7 +10172,7 @@ object Queries {
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
-    q276)
+    q276, q277, q278, q279, q280)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1626,6 +1626,86 @@ object AnalysisPlanner {
   }
 
   /**
+   * Holm–Bonferroni step-down adjusted p-values — the FWER companion
+   * to [[bhFdr]]'s FDR step-up: sorted ascending, position j carries
+   * (m−j+1)·p_(j), tied blocks at their SMALLEST position (the
+   * largest factor — conservative and the standard convention), and
+   * adj_p is the running max of those block values clamped to 1;
+   * discovery ⇔ adj_p ≤ α (exactly Holm's sequential rejection).
+   * Returns the input columns plus (p_rank, adj_p, discovery).
+   *
+   * Scale shape: p-values collapse to the distinct-value frame
+   * (localCheckpointed — it feeds the rank pass AND the running-max
+   * self-join), positions from one [[PrefixSum.exclusive]] pass, the
+   * running max as an inequality self-join on that tiny frame (the
+   * pairwiseContrasts discipline: report-sized, never corpus-sized),
+   * then one broadcast join back to the input. No global sort.
+   */
+  def holmBonferroni(df: DataFrame, pCol: String,
+      alpha: Double): DataFrame = {
+    val p = col(pCol).cast("double")
+    val vc = df.groupBy(p.as("__p"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(vc, "__p", Seq("__cnt" -> "__bef"))
+      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__m"))))
+      .withColumn("__blk",
+        least(lit(1.0), (col("__m") - col("__bef")) * col("__p")))
+      .localCheckpoint()
+    val adj = pre.as("a")
+      .join(pre.select(col("__p").as("__p2"), col("__blk").as("__blk2")),
+        col("__p2") <= col("a.__p"))
+      .groupBy(col("a.__p").as("__pv"), col("a.__bef").as("__bef2"))
+      .agg(max(col("__blk2")).as("adj_p"))
+    df.join(broadcast(adj), p === col("__pv"))
+      .withColumn("p_rank", (col("__bef2") + 1).cast("long"))
+      .withColumn("discovery", col("adj_p") <= alpha)
+      .drop("__pv", "__bef2")
+  }
+
+  /**
+   * Restricted mean survival time: ∫₀^τ Ŝ(t)dt under the
+   * [[kaplanMeier]] step curve — the "average event-free time through
+   * horizon τ" summary that stays meaningful when the survival curve
+   * never reaches the median. Returns ONE row:
+   * (tau, n, n_events, rmst).
+   *
+   * Scale shape: the KM event frame (≤ distinct event times) is
+   * localCheckpointed, each step's successor time found by an
+   * equi-join on the PrefixSum rank (rank r ⋈ r+1 — a shift on the
+   * tiny frame, not a window), intervals clipped to τ, one 1-row
+   * reduce. The pre-first-event interval enters as 1·min(t₁,τ) via
+   * the rank-1 row.
+   */
+  def restrictedMeanSurvival(df: DataFrame, durationCol: String,
+      eventCol: String, tau: Double): DataFrame = {
+    require(tau > 0, "restrictedMeanSurvival: tau > 0")
+    val km = kaplanMeier(df, durationCol, eventCol)
+      .localCheckpoint() // rank pass + shift join + reduce below
+    val vc = km.select(col("duration").as("__t"),
+      col("survival").as("__s"), lit(1.0).as("__one"))
+    val ranked = PrefixSum.exclusive(vc, "__t", Seq("__one" -> "__r"))
+      .localCheckpoint()
+    val next = ranked.select((col("__r") - 1).as("__rn"),
+      col("__t").as("__tn"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n"),
+      sum(col(eventCol).cast("long")).as("__ne")))
+    // row r covers [t_r, t_{r+1}) at survival S_r; the last row runs
+    // to τ; the pre-first-event span [0, t_1) at S=1 is the rank-0
+    // virtual row, folded in as min(t_1, τ) below.
+    val first = ranked.where(col("__r") === 0)
+      .select(least(col("__t"), lit(tau)).as("__seg"))
+    val spans = ranked.join(next, col("__r") === col("__rn"), "left")
+      .select((col("__s") *
+        (least(coalesce(col("__tn"), lit(tau)), lit(tau)) -
+          least(col("__t"), lit(tau)))).as("__seg"))
+    spans.unionByName(first)
+      .agg(sum(col("__seg")).as("rmst"))
+      .join(n)
+      .select(lit(tau).as("tau"), col("__n").as("n"),
+        col("__ne").as("n_events"), col("rmst"))
+  }
+
+  /**
    * Split-conformal prediction threshold: for each miscoverage level
    * α, the ⌈(n+1)(1−α)⌉-th smallest calibration score — the
    * finite-sample-valid cutoff such that P(score ≤ threshold) ≥ 1−α

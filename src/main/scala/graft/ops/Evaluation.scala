@@ -1303,6 +1303,48 @@ object Evaluation {
   }
 
   /**
+   * Krippendorff's alpha (nominal metric) over (item, rating) rows —
+   * the chance-corrected agreement coefficient that, unlike
+   * [[fleissKappa]], is built on the coincidence matrix and so handles
+   * varying rater counts per item as its native case: with per-item
+   * category counts n_ic (items with n_i ≥ 2 ratings only),
+   * D_o = Σ_i (n_i² − Σ_c n_ic²)/(n_i − 1) / n_tot and
+   * D_e = (n_tot² − Σ_c n_c²)/(n_tot·(n_tot − 1)); α = 1 − D_o/D_e.
+   * Returns ONE row: (n_items, n_ratings, d_observed, d_expected,
+   * alpha).
+   *
+   * Scale shape identical to [[fleissKappa]]: one (item, category)
+   * count groupBy, a per-item rollup, category marginals semi-joined
+   * to kept items, all reductions 1-row — no window, no driver state.
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val ic = df
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).cast("double").as("__k")).localCheckpoint()
+    val ni = ic.groupBy("__i").agg(sum(col("__k")).as("__ni"),
+      sum(col("__k") * col("__k")).as("__s2"))
+    val kept = ni.where(col("__ni") >= 2).localCheckpoint()
+    val tot = broadcast(kept.agg(
+      sum((col("__ni") * col("__ni") - col("__s2")) / (col("__ni") - 1))
+        .as("__don"),
+      count(lit(1)).as("__nitems"), sum(col("__ni")).as("__ntot")))
+    ic.join(kept.select("__i"), Seq("__i"), "left_semi")
+      .groupBy("__c").agg(sum(col("__k")).as("__nc"))
+      .crossJoin(tot)
+      .agg(first(col("__nitems")).as("n_items"),
+        first(col("__ntot")).as("__nt"),
+        first(col("__don")).as("__don"),
+        sum(col("__nc") * col("__nc")).as("__snc2"))
+      .select(col("n_items"), col("__nt").cast("long").as("n_ratings"),
+        (col("__don") / col("__nt")).as("d_observed"),
+        ((col("__nt") * col("__nt") - col("__snc2")) /
+          (col("__nt") * (col("__nt") - 1))).as("d_expected"))
+      .withColumn("alpha",
+        lit(1.0) - col("d_observed") / col("d_expected"))
+  }
+
+  /**
    * All pairwise Welch contrasts between the groups of `groupCol`:
    * for every unordered group pair (a < b by name), the mean
    * difference and the Welch z statistic

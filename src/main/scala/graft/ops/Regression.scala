@@ -242,6 +242,59 @@ object Regression {
         (slF - slL).as("delta_slope"), (icF - icL).as("delta_intercept"))
   }
 
+  /**
+   * K-fold cross-validated bivariate OLS with deterministic hash
+   * folds: rows land in fold = PortableHash(hashCols) mod k, each
+   * fold's model is fit on the OTHER k−1 folds purely by subtracting
+   * the fold's sufficient statistics from the global ones (the
+   * [[leaveOneGroupOut]] trick — no per-fold refit scan), and every
+   * row is scored by the model that did NOT see it. Returns one row
+   * per fold: (fold, n_train, n_test, slope, intercept, mse_oof) —
+   * the honest generalization readout for the trend-fit family
+   * (aggregate mse_oof over folds for the usual CV score).
+   *
+   * Scale shape: one grouped aggregation to the k-row fold-moments
+   * frame (localCheckpointed — global rollup + coefficient frame),
+   * coefficients via column algebra on that tiny frame, then ONE
+   * broadcast join of the ≤k-row coefficient frame back onto the
+   * corpus for the out-of-fold residuals — two corpus scans total,
+   * independent of k.
+   */
+  def crossValidatedOls(df: DataFrame, hashCols: Seq[Column],
+      xCol: String, yCol: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2, "crossValidatedOls: folds >= 2")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val withFold = df.where(x.isNotNull && y.isNotNull)
+      .withColumn("__fold",
+        pmod(graft.functions.PortableHash.bucket(hashCols), lit(folds)))
+    val per = withFold.groupBy("__fold")
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
+        sum(y).as("__sy"), sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .localCheckpoint() // global rollup + per-fold coefficient frame
+    val glob = per.agg(sum(col("__n")).as("__gn"),
+      sum(col("__sx")).as("__gsx"), sum(col("__sy")).as("__gsy"),
+      sum(col("__sxx")).as("__gsxx"), sum(col("__sxy")).as("__gsxy"))
+    val tn = col("__gn") - col("__n")
+    val tsx = col("__gsx") - col("__sx")
+    val tsy = col("__gsy") - col("__sy")
+    val vx = (col("__gsxx") - col("__sxx")) - tsx * tsx / tn
+    val cxy = (col("__gsxy") - col("__sxy")) - tsx * tsy / tn
+    val coefs = per.crossJoin(broadcast(glob))
+      .select(col("__fold"), col("__n").cast("long").as("n_test"),
+        (tn.cast("long")).as("n_train"),
+        when(vx > 0, cxy / vx).as("slope"),
+        when(vx > 0, (tsy - cxy / vx * tsx) / tn).as("intercept"))
+    withFold.join(broadcast(coefs), Seq("__fold"))
+      .groupBy(col("__fold").as("fold"))
+      .agg(first(col("n_train")).as("n_train"),
+        first(col("n_test")).as("n_test"),
+        first(col("slope")).as("slope"),
+        first(col("intercept")).as("intercept"),
+        avg(pow(y - (col("intercept") + col("slope") * x), 2.0))
+          .as("mse_oof"))
+  }
+
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
   private def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {

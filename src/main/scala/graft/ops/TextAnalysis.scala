@@ -1158,4 +1158,5 @@ object TextAnalysis {
         lit(0.39) * (words / sents) + lit(11.8) * (syl / words) -
           lit(15.59))
   }
+
 }

@@ -4739,6 +4739,68 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("krippendorffAlpha: hand 4-item binary case, singletons excluded") {
+    import spark.implicits._
+    // (a,a) (a,b) (b,b) (b,b) → Do = 2/8, De = 30/56, α = 1 − 7/15
+    val df = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"),
+      (3, "b"), (3, "b"), (4, "b"), (4, "b"),
+      (5, "a")). // single-rating item: excluded
+      toDF("item", "label")
+    val r = graft.ops.Evaluation.krippendorffAlpha(df, "item", "label").head
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("n_ratings") == 8)
+    assert(math.abs(r.getAs[Double]("d_observed") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d_expected") - 30.0 / 56) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha") - (1 - 0.25 / (30.0 / 56)))
+      < 1e-12)
+  }
+
+  test("holmBonferroni: hand step-down, cummax monotone, ranks") {
+    import spark.implicits._
+    val df = Seq((1, 0.01), (2, 0.02), (3, 0.04), (4, 0.5))
+      .toDF("hid", "p")
+    val out = graft.analysis.AnalysisPlanner.holmBonferroni(df, "p", 0.05)
+      .collect().map(r => r.getAs[Int]("hid") -> r).toMap
+    assert(math.abs(out(1).getAs[Double]("adj_p") - 0.04) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("adj_p") - 0.06) < 1e-12)
+    assert(math.abs(out(3).getAs[Double]("adj_p") - 0.08) < 1e-12)
+    assert(math.abs(out(4).getAs[Double]("adj_p") - 0.5) < 1e-12)
+    assert(out(1).getAs[Boolean]("discovery"))
+    assert(!out(2).getAs[Boolean]("discovery"))
+    assert((1 to 4).map(i => out(i).getAs[Long]("p_rank")) ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("restrictedMeanSurvival: hand KM integral with censoring") {
+    import spark.implicits._
+    // events at 1 and 3, censored at 5 → S = 1, 2/3, 1/3
+    val df = Seq((1.0, 1), (3.0, 1), (5.0, 0)).toDF("dur", "ev")
+    val r = graft.analysis.AnalysisPlanner.restrictedMeanSurvival(df, "dur", "ev", 4.0)
+      .head
+    assert(r.getAs[Double]("tau") == 4.0)
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("n_events") == 2)
+    assert(math.abs(r.getAs[Double]("rmst") - 8.0 / 3) < 1e-12)
+    // τ before the first event: RMST = τ (survival 1 throughout)
+    val r2 = graft.analysis.AnalysisPlanner.restrictedMeanSurvival(df, "dur", "ev", 0.5)
+      .head
+    assert(math.abs(r2.getAs[Double]("rmst") - 0.5) < 1e-12)
+  }
+
+  test("crossValidatedOls: exact line recovered by every fold") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i, i.toDouble % 23, 2.0 * (i % 23) + 1))
+      .toDF("id", "x", "y")
+    val out = graft.ops.Regression
+      .crossValidatedOls(df, Seq(col("id")), "x", "y", folds = 4)
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+      assert(r.getAs[Double]("mse_oof") < 1e-12)
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 200)
+    }
+  }
+
   test("logisticRegression: symmetric design recovers logit MLE") {
     import spark.implicits._
     // x=+1: 30 pos / 10 neg (rate .75); x=−1: 10 pos / 30 neg (.25)
