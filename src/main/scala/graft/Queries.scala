@@ -10148,6 +10148,101 @@ object Queries {
                6) AS mse_oof
       FROM d JOIN cf USING (fold) GROUP BY 1 ORDER BY fold"""))
 
+  /** Cronbach's alpha across the three lineitem rate columns — the
+    * internal-consistency readout (near 0 here: TPC-H draws them
+    * independently, which is exactly what the metric should say). */
+  private val q281 = Entry(
+    "q281_cronbach_alpha",
+    (s, d) => {
+      graft.ops.Evaluation.cronbachAlpha(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_discount", "l_tax"))
+        .select(col("k"), col("n"),
+          r6(col("item_var_sum")).as("item_var_sum"),
+          r6(col("total_var")).as("total_var"),
+          r6(col("alpha")).as("alpha"))
+    },
+    Some("""
+      SELECT 3 AS k, count(*) AS n,
+             round(var_samp(l_quantity) + var_samp(l_discount)
+               + var_samp(l_tax), 6) AS item_var_sum,
+             round(var_samp(l_quantity + l_discount + l_tax), 6)
+               AS total_var,
+             round(1.5 * (1 - (var_samp(l_quantity) + var_samp(l_discount)
+               + var_samp(l_tax))
+               / var_samp(l_quantity + l_discount + l_tax)), 6) AS alpha
+      FROM lineitem"""))
+
+  /** Delta-method CI for revenue-per-event by user-parity arm — the
+    * ratio-metric inference whose analysis unit (event) differs from
+    * the randomization unit (user). */
+  private val q282 = Entry(
+    "q282_ratio_metric",
+    (s, d) => {
+      val units = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum("value").as("x"), count(lit(1)).cast("double").as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+      graft.ops.Evaluation.ratioMetric(units, "arm", "x", "y")
+        .select(col("arm"), col("n"), r6(col("sum_x")).as("sum_x"),
+          r6(col("sum_y")).as("sum_y"), r6(col("ratio")).as("ratio"),
+          r6(col("se")).as("se"), r6(col("ci_lo")).as("ci_lo"),
+          r6(col("ci_hi")).as("ci_hi"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, sum("value") AS x,
+                        count(*)::DOUBLE AS y,
+                        CASE WHEN user_id % 2 = 0 THEN 'even'
+                             ELSE 'odd' END AS arm
+                 FROM events GROUP BY 1),
+      g AS (SELECT arm, count(*)::DOUBLE AS n, sum(x) AS sx,
+                   sum(y) AS sy, var_samp(x) AS vx, var_samp(y) AS vy,
+                   covar_samp(x, y) AS cxy
+            FROM u GROUP BY 1),
+      f AS (SELECT arm, n, sx, sy, sx / sy AS r, sy / n AS my,
+                   sqrt((vx - 2 * (sx / sy) * cxy +
+                     (sx / sy) * (sx / sy) * vy) / (n * (sy / n) *
+                     (sy / n))) AS se
+            FROM g)
+      SELECT arm, n::BIGINT AS n, round(sx, 6) AS sum_x,
+             round(sy, 6) AS sum_y, round(r, 6) AS ratio,
+             round(se, 6) AS se,
+             round(r - 1.959963984540054 * se, 6) AS ci_lo,
+             round(r + 1.959963984540054 * se, 6) AS ci_hi
+      FROM f ORDER BY arm"""))
+
+  /** Hosmer–Lemeshow calibration test of a fixed logistic model for
+    * P(urgent | price) over price-band bins — a deliberately
+    * mis-specified model, so the statistic should be large. */
+  private val q283 = Entry(
+    "q283_hosmer_lemeshow",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("x", col("o_totalprice") / 100000.0)
+        .withColumn("mu",
+          lit(1.0) / (lit(1.0) + exp(-(lit(-1.2) + lit(0.3) * col("x")))))
+        .withColumn("bin", least(floor(col("x") * 2), lit(5)))
+      graft.ops.Evaluation.hosmerLemeshow(o,
+          col("o_orderpriority") === "1-URGENT", col("mu"), col("bin"))
+        .select(col("n_bins"), col("n"), r6(col("hl_stat")).as("hl_stat"))
+    },
+    Some("""
+      WITH d AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1.0 ELSE 0.0 END AS y,
+                   o_totalprice / 100000.0 AS x
+                 FROM orders),
+      b AS (SELECT least(floor(x * 2), 5) AS bin, y,
+                   1 / (1 + exp(-(-1.2 + 0.3 * x))) AS mu
+            FROM d),
+      c AS (SELECT bin, count(*)::DOUBLE AS ng, sum(y) AS o,
+                   sum(mu) AS e
+            FROM b GROUP BY 1)
+      SELECT count(*) AS n_bins, sum(ng)::BIGINT AS n,
+             round(sum((o - e) * (o - e) / (e * (1 - e / ng))), 6)
+               AS hl_stat
+      FROM c"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10172,7 +10267,7 @@ object Queries {
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
-    q276, q277, q278, q279, q280)
+    q276, q277, q278, q279, q280, q281, q282, q283)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1303,6 +1303,92 @@ object Evaluation {
   }
 
   /**
+   * Cronbach's alpha over a set of numeric item columns — internal
+   * consistency of a multi-item score (do the k items measure one
+   * construct?): α = k/(k−1)·(1 − Σᵢvar(itemᵢ)/var(Σᵢitemᵢ)), the
+   * label-quality / survey-scale standard. Complete-case rows only.
+   * Returns ONE row: (k, n, item_var_sum, total_var, alpha).
+   *
+   * ONE aggregation scan: per-item sample variances and the variance
+   * of the row total in the same agg — map-side combined, no second
+   * pass, nothing driver-side.
+   */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha: at least 2 items")
+    val items = itemCols.map(c => col(c).cast("double"))
+    val complete = df.where(items.map(_.isNotNull).reduce(_ && _))
+    val total = items.reduce(_ + _)
+    val k = itemCols.size.toDouble
+    complete.agg(count(lit(1)).as("n"),
+        items.map(i => var_samp(i)).reduce(_ + _).as("item_var_sum"),
+        var_samp(total).as("total_var"))
+      .select(lit(itemCols.size).as("k"), col("n"), col("item_var_sum"),
+        col("total_var"),
+        when(col("total_var") > 0,
+          lit(k / (k - 1)) *
+            (lit(1.0) - col("item_var_sum") / col("total_var")))
+          .as("alpha"))
+  }
+
+  /**
+   * Delta-method inference for a ratio metric over per-unit rows
+   * (arm, x, y) — the revenue-per-session / clicks-per-impression
+   * family where the analysis unit (session, impression) differs from
+   * the randomization unit (user): per arm, R = x̄/ȳ and
+   * se² = (var(x) − 2R·cov(x,y) + R²·var(y)) / (n·ȳ²), the standard
+   * linearization (Deng et al.'s practical form). Returns one row per
+   * arm: (arm, n, sum_x, sum_y, ratio, se, ci_lo, ci_hi) at 95%.
+   *
+   * ONE grouped aggregation — means, variances, and the covariance in
+   * the same pass; everything after is column algebra on the
+   * ≤|arms|-row frame.
+   */
+  def ratioMetric(df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("sum_x"),
+        sum(y).as("sum_y"), var_samp(x).as("__vx"), var_samp(y).as("__vy"),
+        covar_samp(x, y).as("__cxy"))
+    val r = col("sum_x") / col("sum_y")
+    val my = col("sum_y") / col("__n")
+    val se = sqrt((col("__vx") - lit(2.0) * r * col("__cxy") +
+      r * r * col("__vy")) / (col("__n") * my * my))
+    g.select(col("arm"), col("__n").cast("long").as("n"), col("sum_x"),
+      col("sum_y"), r.as("ratio"), se.as("se"),
+      (r - lit(1.959963984540054) * se).as("ci_lo"),
+      (r + lit(1.959963984540054) * se).as("ci_hi"))
+  }
+
+  /**
+   * Hosmer–Lemeshow goodness-of-fit for a probability model: rows
+   * carry a binary outcome and a predicted probability `muCol`, and a
+   * caller-supplied deterministic `binCol` (fixed grid or
+   * feature-derived — NOT score deciles computed here, so the binning
+   * replays identically in any engine); per bin g with n_g rows,
+   * O_g = Σy and E_g = Σμ, the statistic is
+   * Σ_g (O_g−E_g)²/(E_g·(1−E_g/n_g)) ~ χ²(bins−2) under fit.
+   * Returns ONE row: (n_bins, n, hl_stat) — feed to
+   * [[graft.analysis.Stats.chi2PValue]] with dof = n_bins − 2.
+   *
+   * ONE grouped aggregation to the bin cells, one 1-row reduce.
+   */
+  def hosmerLemeshow(df: DataFrame, outcomeCol: Column,
+      muCol: Column, binCol: Column): DataFrame = {
+    val y = when(outcomeCol, 1.0).otherwise(0.0)
+    df.groupBy(binCol.as("__b"))
+      .agg(count(lit(1)).cast("double").as("__ng"),
+        sum(y).as("__o"), sum(muCol.cast("double")).as("__e"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__ng")).cast("long").as("n"),
+        sum(pow(col("__o") - col("__e"), 2.0) /
+          (col("__e") * (lit(1.0) - col("__e") / col("__ng"))))
+          .as("hl_stat"))
+  }
+
+  /**
    * Krippendorff's alpha (nominal metric) over (item, rating) rows —
    * the chance-corrected agreement coefficient that, unlike
    * [[fleissKappa]], is built on the coincidence matrix and so handles

@@ -4739,6 +4739,49 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("cronbachAlpha: duplicated item gives 1, anti-correlated NULL") {
+    import spark.implicits._
+    val dup = Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0), (9.0, 9.0))
+      .toDF("a", "b")
+    val r = graft.ops.Evaluation.cronbachAlpha(dup, Seq("a", "b")).head
+    assert(r.getAs[Int]("k") == 2 && r.getAs[Long]("n") == 4)
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0) < 1e-12)
+    // total = a + (−a) is constant → zero total variance → NULL alpha
+    val anti = Seq((1.0, -1.0), (2.0, -2.0), (3.0, -3.0)).toDF("a", "b")
+    val r2 = graft.ops.Evaluation.cronbachAlpha(anti, Seq("a", "b")).head
+    assert(r2.isNullAt(r2.fieldIndex("alpha")))
+  }
+
+  test("ratioMetric: constant denominator degenerates to mean ± se") {
+    import spark.implicits._
+    val df = Seq(("t", 1.0, 1.0), ("t", 2.0, 1.0), ("t", 3.0, 1.0),
+      ("t", 6.0, 1.0)).toDF("arm", "x", "y")
+    val r = graft.ops.Evaluation.ratioMetric(df, "arm", "x", "y").head
+    assert(math.abs(r.getAs[Double]("ratio") - 3.0) < 1e-12)
+    // vy = 0, cov = 0, ȳ = 1 → se = sqrt(vx/n) = sqrt((14/3)/4)
+    val se = math.sqrt((14.0 / 3) / 4)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo")
+      - 2 * 1.959963984540054 * se) < 1e-10)
+  }
+
+  test("hosmerLemeshow: perfectly calibrated bins score exactly 0") {
+    import spark.implicits._
+    // each bin's mu equals its empirical rate → O = E everywhere
+    val df = Seq(("a", true, 0.5), ("a", false, 0.5),
+      ("b", true, 0.75), ("b", true, 0.75), ("b", true, 0.75),
+      ("b", false, 0.75)).toDF("bin", "y", "mu")
+    val r = graft.ops.Evaluation.hosmerLemeshow(df, col("y"), col("mu"),
+      col("bin")).head
+    assert(r.getAs[Long]("n_bins") == 2 && r.getAs[Long]("n") == 6)
+    assert(math.abs(r.getAs[Double]("hl_stat")) < 1e-12)
+    // shifting every mu up by .2 breaks calibration → positive stat
+    val off = df.withColumn("mu", col("mu") + 0.2)
+    val r2 = graft.ops.Evaluation.hosmerLemeshow(off, col("y"), col("mu"),
+      col("bin")).head
+    assert(r2.getAs[Double]("hl_stat") > 0.5)
+  }
+
   test("krippendorffAlpha: hand 4-item binary case, singletons excluded") {
     import spark.implicits._
     // (a,a) (a,b) (b,b) (b,b) → Do = 2/8, De = 30/56, α = 1 − 7/15
