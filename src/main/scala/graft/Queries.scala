@@ -10243,6 +10243,89 @@ object Queries {
                AS hl_stat
       FROM c"""))
 
+  /** Classifier two-sample drift test: can a naive-Bayes
+    * discriminator tell January's first half from its second on
+    * (type, hour, value-band)? Held-out AUC ≈ 0.5 ⇒ no drift — the
+    * model-based companion to the q09 PSI family. */
+  private val q284 = Entry(
+    "q284_c2st_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).as("late"),
+        col("event_type").as("f0"),
+        hour(col("ts")).cast("string").as("f1"),
+        least(floor(col("value") / 50), lit(10)).cast("string").as("f2"))
+      graft.ops.Evaluation.classifierTwoSampleTest(ev, col("late"),
+          Seq("f0", "f1", "f2"), Seq("event_id"))
+        .select(col("n_train"), col("n"), col("n_pos"), col("n_neg"),
+          r6(col("auc")).as("auc"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_id,
+                    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'b'
+                         ELSE 'a' END AS lbl,
+                    event_type AS f0, hour(ts)::VARCHAR AS f1,
+                    CAST(least(floor("value" / 50), 10) AS
+                      BIGINT)::VARCHAR AS f2,
+                    (('0x' || substring(md5(event_id::VARCHAR), 1, 15))
+                      ::BIGINT % 1048576) AS bkt
+                  FROM events),
+      tr AS (SELECT * FROM ev WHERE bkt < 524288),
+      te AS (SELECT * FROM ev WHERE bkt >= 524288),
+      lc AS (SELECT lbl AS label, count(*)::DOUBLE AS n_l
+             FROM tr GROUP BY 1),
+      na AS (SELECT count(*)::DOUBLE AS n_all FROM tr),
+      c0 AS (SELECT f0 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      c1 AS (SELECT f1 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      c2 AS (SELECT f2 AS v, lbl AS label, count(*)::DOUBLE AS c
+             FROM tr GROUP BY 1, 2),
+      d0 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f0) FROM tr)::DOUBLE AS vf
+             FROM c0 GROUP BY 1),
+      d1 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f1) FROM tr)::DOUBLE AS vf
+             FROM c1 GROUP BY 1),
+      d2 AS (SELECT label, sum(c) AS cf,
+                    (SELECT count(DISTINCT f2) FROM tr)::DOUBLE AS vf
+             FROM c2 GROUP BY 1),
+      sc AS (SELECT te.event_id, te.lbl AS truelbl, lc.label,
+                    round(ln(lc.n_l / na.n_all)
+                      + ln((coalesce(c0.c, 0) + 1.0) /
+                           (d0.cf + 1.0 * d0.vf))
+                      + ln((coalesce(c1.c, 0) + 1.0) /
+                           (d1.cf + 1.0 * d1.vf))
+                      + ln((coalesce(c2.c, 0) + 1.0) /
+                           (d2.cf + 1.0 * d2.vf)), 9) AS score
+             FROM te CROSS JOIN na CROSS JOIN lc
+             LEFT JOIN c0 ON c0.v = te.f0 AND c0.label = lc.label
+             JOIN d0 ON d0.label = lc.label
+             LEFT JOIN c1 ON c1.v = te.f1 AND c1.label = lc.label
+             JOIN d1 ON d1.label = lc.label
+             LEFT JOIN c2 ON c2.v = te.f2 AND c2.label = lc.label
+             JOIN d2 ON d2.label = lc.label),
+      lo AS (SELECT event_id, truelbl,
+                    sum(CASE WHEN label = 'b' THEN score
+                        ELSE -score END) AS s
+             FROM sc GROUP BY 1, 2),
+      v AS (SELECT s, sum(CASE WHEN truelbl = 'b' THEN 1.0 ELSE 0 END)
+               AS pos, count(*)::DOUBLE AS tot
+            FROM lo GROUP BY 1),
+      w AS (SELECT s, pos, tot,
+                   coalesce(sum(tot) OVER (ORDER BY s ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+            FROM v),
+      a AS (SELECT sum(pos * (ex + (tot + 1) / 2)) AS rpos,
+                   sum(pos) AS np, sum(tot) AS n
+            FROM w)
+      SELECT (SELECT count(*) FROM tr) AS n_train, n::BIGINT AS n,
+             np::BIGINT AS n_pos, (n - np)::BIGINT AS n_neg,
+             round((rpos - np * (np + 1) / 2) / (np * (n - np)), 6)
+               AS auc
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10267,7 +10350,7 @@ object Queries {
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
-    q276, q277, q278, q279, q280, q281, q282, q283)
+    q276, q277, q278, q279, q280, q281, q282, q283, q284)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1303,6 +1303,49 @@ object Evaluation {
   }
 
   /**
+   * Classifier two-sample test (C2ST, Lopez-Paz & Oquab 2017): can a
+   * classifier tell sample A from sample B on the given categorical
+   * features? Held-out AUC ≈ 0.5 means the distributions are
+   * indistinguishable; AUC ≫ 0.5 localizes drift in whatever the
+   * features encode — the model-based companion to the PSI/KL/JS
+   * divergence family, useful precisely when a scalar divergence
+   * can't say WHICH interaction moved. Deterministic end-to-end:
+   * train/test split by the portable md5 hash of `keyCols`, a
+   * two-label naive Bayes as the discriminator, scores via
+   * [[graft.ops.NaiveBayes.binaryLogOdds]] (fixed addition order +
+   * scoreRound), AUC by midrank. Returns ONE row:
+   * (n_train, n, n_pos, n_neg, auc).
+   *
+   * Scale shape: the labeled corpus is localCheckpointed once (split
+   * hash computed once; fit reads train, scoring reads test); the
+   * model is three tiny broadcast frames; AUC rides
+   * [[binaryMetrics]]'s distinct-score prefix sums. No window, no
+   * driver state beyond the 2-row label check.
+   */
+  def classifierTwoSampleTest(df: DataFrame, memberCol: Column,
+      features: Seq[String], keyCols: Seq[String], alpha: Double = 1.0,
+      scoreRound: Option[Int] = Some(9)): DataFrame = {
+    require(features.nonEmpty, "classifierTwoSampleTest: no features")
+    val labeled = df
+      .withColumn("__mem", when(memberCol, "b").otherwise("a"))
+      .withColumn("__bkt",
+        graft.functions.PortableHash.bucket(keyCols.map(col)))
+      .localCheckpoint()
+    val half = graft.functions.PortableHash.M / 2
+    val train = labeled.where(col("__bkt") < half)
+    val test = labeled.where(col("__bkt") >= half)
+    val model = NaiveBayes.fit(train, features, "__mem", alpha)
+    val scored = NaiveBayes.binaryLogOdds(test, model, features,
+      keyCols :+ "__mem", "b", scoreRound)
+    val nTrain = broadcast(train.agg(count(lit(1)).as("n_train")))
+    binaryMetrics(scored.withColumn("__y", col("__mem") === "b"),
+        "__y", "log_odds")
+      .join(nTrain)
+      .select(col("n_train"), col("n"), col("n_pos"), col("n_neg"),
+        col("auc"))
+  }
+
+  /**
    * Cronbach's alpha over a set of numeric item columns — internal
    * consistency of a multi-item score (do the k items measure one
    * construct?): α = k/(k−1)·(1 − Σᵢvar(itemᵢ)/var(Σᵢitemᵢ)), the

@@ -62,6 +62,39 @@ object NaiveBayes {
    */
   def score(test: DataFrame, model: Model, features: Seq[String],
       keyCols: Seq[String], scoreRound: Option[Int] = None): DataFrame = {
+    perLabelScored(test, model, features, scoreRound)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(col("label"),
+        struct((-col("__score")).as("ns"), col("label").as("lb")))
+        .as("pred_label"),
+        max(col("__score")).as("log_score"))
+  }
+
+  /**
+   * Binary-model readout: per test key, the log-odds
+   * score(posLabel) − score(other) — the ranking score AUC/threshold
+   * sweeps need, which the argmax of [[score]] throws away. The model
+   * must have exactly two labels (checked against the tiny labels
+   * frame). Same fixed-order additions and scoreRound contract as
+   * [[score]], so the value replays bit-stable in an external engine.
+   */
+  def binaryLogOdds(test: DataFrame, model: Model, features: Seq[String],
+      keyCols: Seq[String], posLabel: String,
+      scoreRound: Option[Int] = None): DataFrame = {
+    val nLabels = model.labels.count()
+    require(nLabels == 2, s"binaryLogOdds: binary model required " +
+      s"(got $nLabels labels)")
+    perLabelScored(test, model, features, scoreRound)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col("label") === posLabel, col("__score"))
+        .otherwise(-col("__score"))).as("log_odds"))
+  }
+
+  /** Shared scoring core: the |labels|-inflated test frame with one
+    * `__score` per (test key, label) — consumed by the [[score]]
+    * argmax and the [[binaryLogOdds]] difference. */
+  private def perLabelScored(test: DataFrame, model: Model,
+      features: Seq[String], scoreRound: Option[Int]): DataFrame = {
     val a = model.alpha
     // per-(label, feature) denominators: c(f,l) = Σ_v c(f,v,l)
     val denom = model.valueCounts.groupBy("feature", "label")
@@ -100,11 +133,6 @@ object NaiveBayes {
     // the argmax keeps a genuine tie a tie in both engines
     val total = scoreRound.fold(total0)(r => round(total0, r))
     scored.withColumn("__score", total)
-      .groupBy(keyCols.map(col): _*)
-      .agg(min_by(col("label"),
-        struct((-col("__score")).as("ns"), col("label").as("lb")))
-        .as("pred_label"),
-        max(col("__score")).as("log_score"))
   }
 
   /** Convenience: fit on `train`, score `test`, return the confusion

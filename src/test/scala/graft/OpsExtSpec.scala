@@ -4739,6 +4739,50 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("binaryLogOdds: sign agrees with score argmax; non-binary rejected") {
+    import spark.implicits._
+    val train = Seq((1, "x", "p"), (2, "x", "p"), (3, "y", "q"),
+      (4, "y", "q"), (5, "x", "p"), (6, "y", "q")).toDF("id", "f", "lbl")
+    val m = graft.ops.NaiveBayes.fit(train, Seq("f"), "lbl")
+    val test = Seq((10, "x"), (11, "y")).toDF("id", "f")
+    val odds = graft.ops.NaiveBayes
+      .binaryLogOdds(test, m, Seq("f"), Seq("id"), "p")
+      .collect().map(r => r.getAs[Int]("id") ->
+        r.getAs[Double]("log_odds")).toMap
+    val preds = graft.ops.NaiveBayes
+      .score(test, m, Seq("f"), Seq("id"))
+      .collect().map(r => r.getAs[Int]("id") ->
+        r.getAs[String]("pred_label")).toMap
+    assert(odds(10) > 0 && preds(10) == "p")
+    assert(odds(11) < 0 && preds(11) == "q")
+    val tri = train.withColumn("lbl",
+      when(col("id") === 1, "r").otherwise(col("lbl")))
+    val m3 = graft.ops.NaiveBayes.fit(tri, Seq("f"), "lbl")
+    intercept[IllegalArgumentException] {
+      graft.ops.NaiveBayes
+        .binaryLogOdds(test, m3, Seq("f"), Seq("id"), "p")
+    }
+  }
+
+  test("classifierTwoSampleTest: planted drift detected, none ≈ 0.5") {
+    import spark.implicits._
+    // drifted: feature value perfectly separates the halves
+    val drift = (1 to 400).map(i =>
+      (i, i <= 200, if (i <= 200) "u" else "v")).toDF("id", "m", "f")
+    val a = graft.ops.Evaluation
+      .classifierTwoSampleTest(drift, col("m"), Seq("f"), Seq("id"))
+      .head
+    assert(a.getAs[Double]("auc") > 0.95)
+    assert(a.getAs[Long]("n_train") + a.getAs[Long]("n") == 400)
+    // identical distributions: feature independent of membership
+    val same = (1 to 400).map(i =>
+      (i, i <= 200, if (i % 2 == 0) "u" else "v")).toDF("id", "m", "f")
+    val b = graft.ops.Evaluation
+      .classifierTwoSampleTest(same, col("m"), Seq("f"), Seq("id"))
+      .head
+    assert(math.abs(b.getAs[Double]("auc") - 0.5) < 0.12)
+  }
+
   test("cronbachAlpha: duplicated item gives 1, anti-correlated NULL") {
     import spark.implicits._
     val dup = Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0), (9.0, 9.0))
