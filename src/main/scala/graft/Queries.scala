@@ -10326,6 +10326,118 @@ object Queries {
                AS auc
       FROM a"""))
 
+  /** Fellegi–Sunter linkage scoring of nation-blocked supplier pairs
+    * on three normalized comparison fields — the probabilistic
+    * entity-resolution decision rule (match / possible / non_match by
+    * summed log₂ m/u agreement weights), top 100 pairs. */
+  private val q285 = Entry(
+    "q285_fellegi_sunter",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+        .withColumn("f1", substring(col("s_name"), -1, 1))
+        .withColumn("f2", floor(col("s_acctbal") / 1000))
+        .withColumn("f3", col("s_suppkey") % 5)
+      graft.ops.Dedup.fellegiSunter(sup, "s_suppkey", "s_nationkey",
+          Seq(("f1", 0.9, 0.1), ("f2", 0.85, 0.08), ("f3", 0.95, 0.2)),
+          upper = 2.0, lower = 0.0, maxBlock = 0)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          r6(col("weight")).as("weight"), col("decision"))
+        .orderBy(desc("weight"), col("id_a"), col("id_b"))
+        .limit(100)
+    },
+    Some("""
+      WITH s AS (SELECT s_suppkey AS id, s_nationkey AS bk,
+                        right(s_name, 1) AS f1,
+                        floor(s_acctbal / 1000) AS f2,
+                        s_suppkey % 5 AS f3
+                 FROM supplier),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+              (CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END +
+               CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END +
+               CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END)::BIGINT
+                AS n_agree,
+              (CASE WHEN a.f1 = b.f1 THEN ln(0.9 / 0.1) / ln(2)
+                    ELSE ln(0.1 / 0.9) / ln(2) END
+               + CASE WHEN a.f2 = b.f2 THEN ln(0.85 / 0.08) / ln(2)
+                      ELSE ln(0.15 / 0.92) / ln(2) END
+               + CASE WHEN a.f3 = b.f3 THEN ln(0.95 / 0.2) / ln(2)
+                      ELSE ln(0.05 / 0.8) / ln(2) END) AS w
+            FROM s a JOIN s b ON a.bk = b.bk AND a.id < b.id)
+      SELECT id_a, id_b, n_agree, round(w, 6) AS weight,
+             CASE WHEN w > 2.0 THEN 'match'
+                  WHEN w > 0.0 THEN 'possible'
+                  ELSE 'non_match' END AS decision
+      FROM p ORDER BY w DESC, id_a, id_b LIMIT 100"""))
+
+  /** BPE round-trip: learn the q238 merge table, ENCODE the corpus
+    * with it, and read off per-document token counts + compression —
+    * the tokenizer-sizing diagnostic. */
+  private val q286 = Entry(
+    "q286_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.TextAnalysis
+        .bpeMerges(docs, "text", merges = 3)
+      graft.ops.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("n_words"), col("n_tokens_base"),
+          col("n_tokens_bpe"), r6(col("compression")).as("compression"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mergedExpr = (t: String) =>
+        s"(SELECT '<' || substring(lft, 2, length(lft) - 2) || " +
+          s"substring(rgt, 2, length(rgt) - 2) || '>' FROM $t)"
+      val pairExpr = (t: String) =>
+        s"(SELECT lft || ' ' || rgt FROM $t)"
+      val rounds = (1 to 3).map { r =>
+        val apply =
+          if (r == 3) ""
+          else s""",
+      v$r AS (SELECT replace(s, ${pairExpr(s"m$r")},
+                ${mergedExpr(s"m$r")}) AS s, n
+              FROM v${r - 1})"""
+        s"""p$r AS (SELECT n, unnest(t[1:len(t)-1]) AS lft,
+                    unnest(t[2:len(t)]) AS rgt
+             FROM (SELECT n, string_split(s, ' ') AS t FROM v${r - 1})
+             WHERE len(t) >= 2),
+      g$r AS (SELECT lft, rgt, CAST(sum(n) AS BIGINT) AS cnt
+              FROM p$r GROUP BY 1, 2),
+      m$r AS (SELECT lft, rgt, cnt FROM g$r
+              ORDER BY cnt DESC, lft, rgt LIMIT 1)$apply"""
+      }.mkString(",\n      ")
+      val encodes = (1 to 3).map { r =>
+        s"""e$r AS (SELECT doc_id, base, replace(s, ${pairExpr(s"m$r")},
+                ${mergedExpr(s"m$r")}) AS s
+              FROM e${r - 1})"""
+      }.mkString(",\n      ")
+      s"""
+      WITH wt AS (SELECT unnest(string_split_regex(lower(text),
+                    '[^a-z]+')) AS w FROM documents),
+      wc AS (SELECT w, count(*) AS n FROM wt WHERE length(w) > 0
+             GROUP BY 1),
+      v0 AS (SELECT array_to_string(list_transform(
+               string_split_regex(w, ''), c -> '<' || c || '>'), ' ')
+               AS s, n
+             FROM wc),
+      $rounds,
+      dw AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+               '[^a-z]+')) AS w
+             FROM documents WHERE doc_id < 20),
+      e0 AS (SELECT doc_id, length(w)::BIGINT AS base,
+                    array_to_string(list_transform(
+                      string_split_regex(w, ''), c -> '<' || c || '>'),
+                      ' ') AS s
+             FROM dw WHERE length(w) > 0),
+      $encodes
+      SELECT doc_id, count(*) AS n_words,
+             sum(base)::BIGINT AS n_tokens_base,
+             sum(len(string_split(s, ' ')))::BIGINT AS n_tokens_bpe,
+             round(sum(base)::DOUBLE /
+               sum(len(string_split(s, ' '))), 6) AS compression
+      FROM e3 GROUP BY 1 ORDER BY doc_id"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10350,7 +10462,7 @@ object Queries {
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
-    q276, q277, q278, q279, q280, q281, q282, q283, q284)
+    q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1022,4 +1022,58 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos"))
   }
+
+  /**
+   * Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+   * Sunter 1969) over blocked candidate pairs: for each within-block
+   * pair and each comparison field f with match/unmatch probabilities
+   * (m_f, u_f), agreement contributes log₂(m_f/u_f) and disagreement
+   * log₂((1−m_f)/(1−u_f)); the summed weight classifies the pair
+   * against the (lower, upper] thresholds into non_match / possible /
+   * match — the canonical entity-resolution decision rule. Fields are
+   * caller-NORMALIZED columns (name prefixes, phone bands, rounded
+   * amounts …) compared by null-safe equality; m/u come from training
+   * pairs or domain priors. Returns (id_a, id_b, n_agree, weight,
+   * decision) with id_a < id_b.
+   *
+   * Scale shape: candidate generation is the [[fuzzyPairs]] discipline
+   * — a block-keyed equi-join with the candidate side capped per block
+   * by the deterministic md5 threshold (`maxBlock`; ≤-cap blocks are
+   * untouched bit-exact, oversized ones keep a ~maxBlock-row subset;
+   * `maxBlock <= 0` = exhaustive). The weight is pure map-side column
+   * algebra over the pair frame — no window, no driver state.
+   */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[(String, Double, Double)], upper: Double,
+      lower: Double, maxBlock: Int = 10000): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: no comparison fields")
+    require(upper >= lower, "fellegiSunter: upper >= lower")
+    fields.foreach { case (f, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1,
+        s"fellegiSunter: m/u for '$f' must be in (0,1)")
+    }
+    val names = fields.map(_._1)
+    val a = df.select(col(idCol).as("id_a") +: col(blockCol).as("__bk")
+      +: names.map(c => col(c).as(s"__a_$c")): _*)
+    val b0 = df.select(col(idCol).as("id_b") +: col(blockCol).as("__bk")
+      +: names.map(c => col(c).as(s"__b_$c")): _*)
+    val b = if (maxBlock <= 0) b0
+            else Similarity.thinBuckets(b0, "__bk", "id_b", maxBlock)
+    val ln2 = math.log(2.0)
+    val weight = fields.map { case (f, m, u) =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"),
+        lit(math.log(m / u) / ln2))
+        .otherwise(lit(math.log((1 - m) / (1 - u)) / ln2))
+    }.reduce(_ + _)
+    val agree = names.map(f =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, Seq("__bk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"),
+        weight.as("weight"),
+        when(weight > upper, "match")
+          .when(weight > lower, "possible")
+          .otherwise("non_match").as("decision"))
+  }
 }

@@ -1128,6 +1128,51 @@ object TextAnalysis {
   }
 
   /**
+   * Apply a learned [[bpeMerges]] table to a corpus — the ENCODE side
+   * of the BPE pair: every word is wrapped into per-character symbols
+   * and the merges replay in round order (greedy left-to-right via
+   * substring replace, BPE's own application order), yielding the
+   * post-merge token count per document beside the character-level
+   * baseline. The compression readout (base/bpe) is the standard
+   * "how much did the vocabulary buy" diagnostic when sizing a
+   * tokenizer. Returns one row per document:
+   * (idCol, n_words, n_tokens_base, n_tokens_bpe, compression).
+   *
+   * Scale shape: the merges frame is ≤32 rows by [[bpeMerges]]'s own
+   * cap — collected and inlined as literal replace chains, so
+   * encoding is ONE map-side pass over the exploded word frame plus
+   * the per-doc count rollup; the corpus never joins anything.
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.select("round", "left", "right", "merged")
+      .collect().sortBy(_.getAs[Int]("round"))
+    require(ms.nonEmpty && ms.length <= 32,
+      s"bpeEncode: 1..32 merges expected, got ${ms.length}")
+    val wrapped = concat_ws(" ",
+      transform(filter(split(col("__w"), ""), c => length(c) > 0),
+        c => concat(lit("<"), c, lit(">"))))
+    val words = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+"))
+        .as("__w"))
+      .where(length(col("__w")) > 0)
+    val encoded = ms.foldLeft(wrapped) { (acc, r) =>
+      replace(acc,
+        lit(r.getAs[String]("left") + " " + r.getAs[String]("right")),
+        lit(r.getAs[String]("merged")))
+    }
+    words
+      .select(col(idCol), length(col("__w")).cast("long").as("__base"),
+        size(split(encoded, " ")).cast("long").as("__bpe"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__base")).as("n_tokens_base"),
+        sum(col("__bpe")).as("n_tokens_bpe"))
+      .withColumn("compression",
+        col("n_tokens_base").cast("double") / col("n_tokens_bpe"))
+  }
+
+  /**
    * Readability scoring — Flesch reading ease and Flesch–Kincaid
    * grade level with the standard corpus-scale proxies: words =
    * whitespace tokens, sentences = terminal-punctuation count

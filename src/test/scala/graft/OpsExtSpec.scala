@@ -4739,6 +4739,46 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("fellegiSunter: hand weights, decisions, cross-block excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "b1", "x", 10), (2, "b1", "x", 10), // full agreement
+      (3, "b1", "y", 99),                     // disagrees with both
+      (4, "b2", "x", 10)                      // other block: never paired
+    ).toDF("id", "blk", "fa", "fb")
+    val out = graft.ops.Dedup.fellegiSunter(df, "id", "blk",
+      Seq(("fa", 0.9, 0.1), ("fb", 0.8, 0.2)), upper = 2.0,
+      lower = 0.0).collect()
+    assert(out.length == 3) // pairs within b1 only
+    val m = out.map(r => (r.getAs[Int]("id_a"), r.getAs[Int]("id_b")) -> r)
+      .toMap
+    val agree = math.log(9.0) / math.log(2) + math.log(4.0) / math.log(2)
+    val disagree = math.log(1.0 / 9) / math.log(2) +
+      math.log(0.2 / 0.8) / math.log(2)
+    assert(math.abs(m((1, 2)).getAs[Double]("weight") - agree) < 1e-12)
+    assert(m((1, 2)).getAs[String]("decision") == "match")
+    assert(m((1, 2)).getAs[Long]("n_agree") == 2)
+    assert(math.abs(m((1, 3)).getAs[Double]("weight") - disagree) < 1e-12)
+    assert(m((1, 3)).getAs[String]("decision") == "non_match")
+    assert(!m.contains((1, 4)) && !m.contains((2, 4)))
+  }
+
+  test("bpeEncode: merges shrink token counts exactly as replayed") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the the cat"), (2L, "then")).toDF("id", "t")
+    val merges = graft.ops.TextAnalysis.bpeMerges(docs, "t", merges = 2)
+    val out = graft.ops.TextAnalysis.bpeEncode(docs, "id", "t", merges)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // corpus: the×3, cat, then → top pair <t><h> (4), then <th><e> (4)
+    // doc1: "the"→1 token ×3 + "cat"→3 → 6; base = 3·3+3 = 12
+    assert(out(1L).getAs[Long]("n_words") == 4)
+    assert(out(1L).getAs[Long]("n_tokens_base") == 12)
+    assert(out(1L).getAs[Long]("n_tokens_bpe") == 6)
+    assert(math.abs(out(1L).getAs[Double]("compression") - 2.0) < 1e-12)
+    // doc2: "then" → <the><n> = 2 tokens, base 4
+    assert(out(2L).getAs[Long]("n_tokens_bpe") == 2)
+  }
+
   test("binaryLogOdds: sign agrees with score argmax; non-binary rejected") {
     import spark.implicits._
     val train = Seq((1, "x", "p"), (2, "x", "p"), (3, "y", "q"),
