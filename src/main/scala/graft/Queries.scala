@@ -10438,6 +10438,174 @@ object Queries {
       FROM e3 GROUP BY 1 ORDER BY doc_id"""
     })
 
+  /** Poisson (log-link) regression of per-customer order counts on
+    * scaled account balance — the count-GLM companion to q275, same
+    * fixed-Newton replay (4 iterations, 2×2 solve per step). */
+  private val q287 = Entry(
+    "q287_poisson_regression",
+    (s, d) => {
+      val cnt = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val df = Tables.customer(s, d)
+        .select(col("c_custkey"), (col("c_acctbal") / 10000.0).as("x"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0.0, Seq("y"))
+      graft.ops.Regression
+        .poissonRegression(df, Seq("x"), col("y"), iterations = 4)
+        .select(col("term"), r6(col("coef")).as("coef"), col("n"),
+          r6(col("log_loss")).as("log_loss"), col("iterations"))
+        .orderBy("term")
+    },
+    Some("""
+      WITH cnt AS (SELECT o_custkey, count(*)::DOUBLE AS y
+                   FROM orders GROUP BY 1),
+      d AS (SELECT coalesce(y, 0.0) AS y, c_acctbal / 10000.0 AS x
+            FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+      s1 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i0)),
+      i1 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s1, i0),
+      s2 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i1)),
+      i2 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s2, i1),
+      s3 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i2)),
+      i3 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s3, i2),
+      s4 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i3)),
+      i4 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s4, i3),
+      ll AS (SELECT avg(exp(z) - y * z) AS loss, count(*) AS n
+             FROM (SELECT y, b0 + b1 * x AS z FROM d, i4))
+      SELECT t.term,
+             round(CASE WHEN t.term = 'x' THEN i4.b1
+                        ELSE i4.b0 END, 6) AS coef,
+             ll.n AS n, round(ll.loss, 6) AS log_loss,
+             4 AS iterations
+      FROM (VALUES ('(intercept)'), ('x')) t(term), i4, ll
+      ORDER BY t.term"""))
+
+  /** Target-leakage scan over lineitem features with one PLANTED leak
+    * (a return-flag proxy) — the planted feature must flag at
+    * separation 1.0, the honest features must not. */
+  private val q288 = Entry(
+    "q288_leakage_scan",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("f_qty", col("l_quantity").cast("double"))
+        .withColumn("f_price", col("l_extendedprice").cast("double"))
+        .withColumn("f_disc", col("l_discount").cast("double"))
+        .withColumn("f_leak",
+          when(col("l_returnflag") === "R", lit(1.0) + col("l_tax"))
+            .otherwise(col("l_tax")))
+      graft.ops.Profiling.leakageScan(li, col("l_returnflag") === "R",
+          Seq("f_qty", "f_price", "f_disc", "f_leak"), flagAbove = 0.8)
+        .select(col("feature"), col("n"), col("n_pos"),
+          r6(col("auc")).as("auc"),
+          r6(col("separation")).as("separation"), col("leaky"))
+        .orderBy("feature")
+    },
+    Some("""
+      WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0
+                   ELSE 0.0 END AS y,
+                   l_quantity::DOUBLE AS f_qty,
+                   l_extendedprice::DOUBLE AS f_price,
+                   l_discount::DOUBLE AS f_disc,
+                   CASE WHEN l_returnflag = 'R' THEN 1.0 + l_tax
+                        ELSE l_tax END AS f_leak
+                 FROM lineitem),
+      m AS (SELECT 'f_qty' AS feature, f_qty AS v, y FROM d
+            UNION ALL SELECT 'f_price', f_price, y FROM d
+            UNION ALL SELECT 'f_disc', f_disc, y FROM d
+            UNION ALL SELECT 'f_leak', f_leak, y FROM d),
+      v AS (SELECT feature, v, sum(y) AS pos, count(*)::DOUBLE AS tot
+            FROM m GROUP BY 1, 2),
+      w AS (SELECT feature, pos, tot,
+                   coalesce(sum(tot) OVER (PARTITION BY feature
+                     ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     1 PRECEDING), 0) AS ex
+            FROM v),
+      a AS (SELECT feature, sum(pos * (ex + (tot + 1) / 2)) AS rpos,
+                   sum(pos) AS np, sum(tot) AS n
+            FROM w GROUP BY 1),
+      f AS (SELECT feature, n, np,
+                   (rpos - np * (np + 1) / 2) / (np * (n - np)) AS auc
+            FROM a)
+      SELECT feature, n::BIGINT AS n, np::BIGINT AS n_pos,
+             round(auc, 6) AS auc,
+             round(greatest(auc, 1 - auc), 6) AS separation,
+             greatest(auc, 1 - auc) >= 0.8 AS leaky
+      FROM f ORDER BY feature"""))
+
+  /** Qini curve of hour-of-day as an uplift score for the user-parity
+    * "treatment" on high-value events — flat by construction (hour
+    * carries no uplift signal), AUUC = Σ qini·d_frac from the same
+    * rows. */
+  private val q289 = Entry(
+    "q289_qini_curve",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("score", hour(col("ts")))
+      graft.ops.Evaluation.qiniCurve(ev, col("user_id") % 2 === 0,
+          col("value") > 150, "score")
+        .select(col("score"), r6(col("frac")).as("frac"),
+          r6(col("d_frac")).as("d_frac"), col("cum_treated"),
+          col("cum_control"), col("cum_resp_treated"),
+          col("cum_resp_control"), r6(col("qini")).as("qini"))
+        .orderBy(desc("score"))
+    },
+    Some("""
+      WITH d AS (SELECT hour(ts)::DOUBLE AS s,
+                   CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS t,
+                   CASE WHEN "value" > 150 THEN 1.0 ELSE 0.0 END AS y
+                 FROM events),
+      v AS (SELECT s, count(*)::DOUBLE AS tot, sum(t) AS nt,
+                   sum(t * y) AS rt, sum((1 - t) * y) AS rc
+            FROM d GROUP BY 1),
+      w AS (SELECT s, tot, nt, rt, rc,
+                   coalesce(sum(tot) OVER (ORDER BY s DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xtot,
+                   coalesce(sum(nt) OVER (ORDER BY s DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xnt,
+                   coalesce(sum(rt) OVER (ORDER BY s DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xrt,
+                   coalesce(sum(rc) OVER (ORDER BY s DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS xrc
+            FROM v),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d)
+      SELECT s AS score, round((xtot + tot) / n.n, 6) AS frac,
+             round(tot / n.n, 6) AS d_frac,
+             (xnt + nt)::BIGINT AS cum_treated,
+             ((xtot + tot) - (xnt + nt))::BIGINT AS cum_control,
+             (xrt + rt)::BIGINT AS cum_resp_treated,
+             (xrc + rc)::BIGINT AS cum_resp_control,
+             round(CASE WHEN (xtot + tot) - (xnt + nt) > 0
+               THEN (xrt + rt) - (xrc + rc) * (xnt + nt) /
+                    ((xtot + tot) - (xnt + nt)) END, 6) AS qini
+      FROM w, n ORDER BY score DESC"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10462,7 +10630,8 @@ object Queries {
     q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
-    q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286)
+    q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
+    q287, q288, q289)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

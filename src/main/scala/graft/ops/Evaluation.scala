@@ -1303,6 +1303,52 @@ object Evaluation {
   }
 
   /**
+   * Qini curve for uplift evaluation: rank units by an uplift score
+   * (descending), and at every distinct score threshold report the
+   * incremental responders over random targeting,
+   * qini(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k) — the uplift analog of
+   * the ROC curve (Radcliffe 2007). Each row also carries its block's
+   * population share `d_frac`, so AUUC is the one-line rollup
+   * Σ qini·d_frac (right-endpoint step integral) — see the q289
+   * oracle. Score must be an engine-stable value (a band, a rank, an
+   * integer model output), the same determinism contract as
+   * [[binaryMetrics]]. Returns one row per distinct score:
+   * (score, frac, d_frac, cum_treated, cum_control, cum_resp_treated,
+   * cum_resp_control, qini).
+   *
+   * Scale shape: one groupBy to the distinct-score frame, one
+   * [[PrefixSum]] pass (ordered by negated score = descending), a
+   * 1-row broadcast total — no window, no driver state.
+   */
+  def qiniCurve(df: DataFrame, treatCol: Column, outcomeCol: Column,
+      scoreCol: String): DataFrame = {
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val y = when(outcomeCol, 1.0).otherwise(0.0)
+    val vc = df.groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__tot"),
+        sum(t).as("__nt"), sum(t * y).as("__rt"),
+        sum((lit(1.0) - t) * y).as("__rc"))
+      .withColumn("__o", -col("__s"))
+    val pre = PrefixSum.exclusive(vc, "__o",
+      Seq("__tot" -> "__xtot", "__nt" -> "__xnt", "__rt" -> "__xrt",
+        "__rc" -> "__xrc"))
+    val n = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    val cumTot = col("__xtot") + col("__tot")
+    val cumNt = col("__xnt") + col("__nt")
+    val cumNc = cumTot - cumNt
+    val cumRt = col("__xrt") + col("__rt")
+    val cumRc = col("__xrc") + col("__rc")
+    pre.join(n)
+      .select(col("__s").as("score"), (cumTot / col("__n")).as("frac"),
+        (col("__tot") / col("__n")).as("d_frac"),
+        cumNt.cast("long").as("cum_treated"),
+        cumNc.cast("long").as("cum_control"),
+        cumRt.cast("long").as("cum_resp_treated"),
+        cumRc.cast("long").as("cum_resp_control"),
+        when(cumNc > 0, cumRt - cumRc * cumNt / cumNc).as("qini"))
+  }
+
+  /**
    * Classifier two-sample test (C2ST, Lopez-Paz & Oquab 2017): can a
    * classifier tell sample A from sample B on the given categorical
    * features? Held-out AUC ≈ 0.5 means the distributions are

@@ -611,4 +611,40 @@ object Profiling {
       .orderBy(desc("llr"), col("segment"), col("value"))
       .limit(topK)
   }
+
+  /**
+   * Target-leakage scan: for every numeric feature, how well does the
+   * feature ALONE rank the binary target? Separation = max(AUC, 1−AUC)
+   * near 1 means the feature encodes the label (a post-outcome field,
+   * a join leak, a proxy) — the pre-training gate that catches the
+   * "too good to be true" model before it ships. Returns one row per
+   * feature: (feature, n, n_pos, auc, separation, leaky).
+   *
+   * Scale shape: ONE melted scan (feature, value, y), then
+   * [[graft.ops.Evaluation.binaryMetrics]] grouped by feature — its
+   * per-group distinct-score prefix sums make the whole sweep the
+   * same shuffle count as a single AUC, regardless of how many
+   * features are scanned.
+   */
+  def leakageScan(df: DataFrame, targetCol: Column,
+      features: Seq[String], flagAbove: Double = 0.8): DataFrame = {
+    require(features.nonEmpty, "leakageScan: no features")
+    require(flagAbove > 0.5 && flagAbove <= 1.0,
+      "leakageScan: flagAbove in (0.5, 1]")
+    val y = when(targetCol, 1.0).otherwise(0.0)
+    val melted = df.select(y.as("__y"),
+        explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("double").as("v"))): _*))
+          .as("__m"))
+      .select(col("__m.f").as("feature"), col("__m.v").as("__v"),
+        col("__y"))
+      .where(col("__v").isNotNull)
+    Evaluation.binaryMetrics(melted, "__y", "__v",
+        groupCols = Seq("feature"))
+      .withColumn("separation",
+        greatest(col("auc"), lit(1.0) - col("auc")))
+      .select(col("feature"), col("n"), col("n_pos"), col("auc"),
+        col("separation"),
+        (col("separation") >= flagAbove).as("leaky"))
+  }
 }

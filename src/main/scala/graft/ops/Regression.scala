@@ -149,15 +149,53 @@ object Regression {
    */
   def logisticRegression(df: DataFrame, features: Seq[String],
       targetCol: Column, iterations: Int = 4): DataFrame = {
-    require(features.nonEmpty, "logisticRegression: no features")
-    require(features.size <= 32, "logisticRegression: at most 32 features")
-    require(iterations >= 1, "logisticRegression: iterations >= 1")
+    val y = when(targetCol, 1.0).otherwise(0.0)
+    newtonGlm(df, features, y, targetCol.isNotNull, iterations,
+      mu = z => lit(1.0) / (lit(1.0) + exp(-z)),
+      w = (z, mu) => mu * (lit(1.0) - mu),
+      // mean negative log-likelihood in the safe log1p(exp) form:
+      // −[y·z − log(1+eᶻ)]
+      loss = z => log1p(exp(-abs(z))) + when(z > 0, (lit(1.0) - y) * z)
+        .otherwise(-y * z),
+      what = "logisticRegression")
+  }
+
+  /**
+   * Poisson (log-link) regression of a count `targetCol` on `features`
+   * with intercept — the GLM for event-rate modeling (orders per
+   * customer, events per session), by the same FIXED-Newton contract
+   * as [[logisticRegression]]: μ = exp(β'x), per iteration one
+   * sufficient-stats scan (gradient Σx(y−μ), Hessian Σμxx'), driver
+   * p×p solve, β replayable by any engine. Scale features to O(1) so
+   * exp stays bounded. Returns (term, coef) rows with diagnostics
+   * (n, log_loss, iterations); log_loss is the mean of μ − y·z (the
+   * NLL up to the data-only ln y! constant).
+   */
+  def poissonRegression(df: DataFrame, features: Seq[String],
+      targetCol: Column, iterations: Int = 4): DataFrame = {
+    val y = targetCol.cast("double")
+    newtonGlm(df, features, y, y.isNotNull && y >= 0, iterations,
+      mu = z => exp(z),
+      w = (z, mu) => mu,
+      loss = z => exp(z) - y * z,
+      what = "poissonRegression")
+  }
+
+  /** Shared fixed-iteration Newton/IRLS GLM core: per iteration ONE
+    * aggregation scan (p(p+3)/2 + 2 sums) with the current β inlined
+    * as literals, driver-side (p+1)×(p+1) solve; one final scan for
+    * the mean loss at the fitted β. */
+  private def newtonGlm(df: DataFrame, features: Seq[String], y: Column,
+      keep: Column, iterations: Int, mu: Column => Column,
+      w: (Column, Column) => Column, loss: Column => Column,
+      what: String): DataFrame = {
+    require(features.nonEmpty, s"$what: no features")
+    require(features.size <= 32, s"$what: at most 32 features")
+    require(iterations >= 1, s"$what: iterations >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val y = when(targetCol, 1.0).otherwise(0.0)
     val xs = features.map(f => col(f).cast("double"))
-    val complete = df.where(
-      (targetCol.isNotNull +: xs.map(_.isNotNull)).reduce(_ && _))
+    val complete = df.where((keep +: xs.map(_.isNotNull)).reduce(_ && _))
     val terms = lit(1.0) +: xs
     val p = terms.size
     var beta = Array.fill(p)(0.0)
@@ -166,16 +204,16 @@ object Regression {
       // z = β'x with the current coefficients inlined as literals
       val z = terms.zip(beta).map { case (t, b) => t * lit(b) }
         .reduce(_ + _)
-      val mu = lit(1.0) / (lit(1.0) + exp(-z))
-      val w = mu * (lit(1.0) - mu)
+      val m = mu(z)
+      val ww = w(z, m)
       val aggs =
         (for (i <- 0 until p; j <- i until p)
-          yield sum(w * terms(i) * terms(j)).as(s"__h_${i}_$j")) ++
-          (0 until p).map(i => sum(terms(i) * (y - mu)).as(s"__g_$i")) ++
+          yield sum(ww * terms(i) * terms(j)).as(s"__h_${i}_$j")) ++
+          (0 until p).map(i => sum(terms(i) * (y - m)).as(s"__g_$i")) ++
           Seq(count(lit(1)).as("__n"))
       val row = complete.agg(aggs.head, aggs.tail: _*).head()
       n = row.getAs[Long]("__n")
-      require(n > p, s"logisticRegression: $n rows for $p terms")
+      require(n > p, s"$what: $n rows for $p terms")
       val h = Array.ofDim[Double](p, p)
       for (i <- 0 until p; j <- i until p) {
         val v = row.getAs[Double](s"__h_${i}_$j")
@@ -185,13 +223,10 @@ object Regression {
       val step = solve(h, g)
       beta = Array.tabulate(p)(i => beta(i) + step(i))
     }
-    // mean negative log-likelihood at the final β, in the numerically
-    // safe log1p(exp) form: −[y·z − log(1+eᶻ)]
     val zF = terms.zip(beta).map { case (t, b) => t * lit(b) }
       .reduce(_ + _)
-    val nll = complete.agg(
-      avg(log1p(exp(-abs(zF))) + when(zF > 0, (lit(1.0) - y) * zF)
-        .otherwise(-y * zF)).as("__ll")).head().getAs[Double]("__ll")
+    val nll = complete.agg(avg(loss(zF)).as("__ll"))
+      .head().getAs[Double]("__ll")
     val names = "(intercept)" +: features
     names.zipWithIndex.map { case (t, i) =>
       (t, beta(i), n, nll, iterations)

@@ -4739,6 +4739,42 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("leakageScan: planted leak flags at 1.0, honest feature doesn't") {
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      val y = i % 3 == 0
+      // leak = y exactly; honest = independent of y
+      (y, if (y) 1.0 else 0.0, (i % 7).toDouble)
+    }.toDF("y", "leak", "honest")
+    val out = graft.ops.Profiling
+      .leakageScan(df, col("y"), Seq("leak", "honest"))
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(out("leak").getAs[Double]("separation") == 1.0)
+    assert(out("leak").getAs[Boolean]("leaky"))
+    assert(out("honest").getAs[Double]("separation") < 0.7)
+    assert(!out("honest").getAs[Boolean]("leaky"))
+  }
+
+  test("qiniCurve: hand 4-unit curve, AUUC by rollup") {
+    import spark.implicits._
+    val df = Seq((2.0, true, true), (2.0, false, false),
+      (1.0, true, false), (1.0, false, true)).toDF("s", "t", "y")
+    val out = graft.ops.Evaluation
+      .qiniCurve(df, col("t"), col("y"), "s")
+      .collect().map(r => r.getAs[Double]("score") -> r).toMap
+    val top = out(2.0)
+    assert(top.getAs[Double]("frac") == 0.5)
+    assert(top.getAs[Long]("cum_treated") == 1 &&
+      top.getAs[Long]("cum_control") == 1)
+    assert(math.abs(top.getAs[Double]("qini") - 1.0) < 1e-12)
+    val bot = out(1.0)
+    assert(bot.getAs[Double]("frac") == 1.0)
+    assert(math.abs(bot.getAs[Double]("qini")) < 1e-12)
+    val auuc = out.values.map(r => r.getAs[Double]("qini") *
+      r.getAs[Double]("d_frac")).sum
+    assert(math.abs(auuc - 0.5) < 1e-12)
+  }
+
   test("fellegiSunter: hand weights, decisions, cross-block excluded") {
     import spark.implicits._
     val df = Seq(
