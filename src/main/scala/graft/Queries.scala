@@ -10606,6 +10606,240 @@ object Queries {
                     ((xtot + tot) - (xnt + nt)) END, 6) AS qini
       FROM w, n ORDER BY score DESC"""))
 
+  /** IPF raking of the event corpus onto uniform type × hour-band
+    * margins — per-cell sampling weights that satisfy BOTH target
+    * marginals at once (3 fixed rounds, oracle-unrolled). */
+  private val q290 = Entry(
+    "q290_rake_weights",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("band", floor(hour(col("ts")) / 6))
+      val ta = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => (t, 0.2)).toDF("value", "share")
+      val tb = (0 to 3).map(b => (b.toLong, 0.25)).toDF("value", "share")
+      graft.ops.Sampling
+        .rakeWeights(ev, "event_type", "band", ta, tb, iterations = 3)
+        .select(col("a"), col("b"), col("n"),
+          r6(col("weight")).as("weight"))
+        .orderBy("a", "b")
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS a, floor(hour(ts) / 6) AS b,
+                        count(*)::DOUBLE AS n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT sum(n) AS nn FROM c),
+      w0 AS (SELECT a, b, n, 1.0 AS w FROM c),
+      a1 AS (SELECT w0.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY w0.a)
+                      AS w
+             FROM w0, t),
+      b1 AS (SELECT a, a1.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a1.b)
+                      AS w
+             FROM a1, t),
+      a2 AS (SELECT b1.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY b1.a)
+                      AS w
+             FROM b1, t),
+      b2 AS (SELECT a, a2.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a2.b)
+                      AS w
+             FROM a2, t),
+      a3 AS (SELECT b2.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY b2.a)
+                      AS w
+             FROM b2, t),
+      b3 AS (SELECT a, a3.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a3.b)
+                      AS w
+             FROM a3, t)
+      SELECT a, b::BIGINT AS b, n::BIGINT AS n, round(w, 6) AS weight
+      FROM b3 ORDER BY a, b"""))
+
+  /** Entity-resolution capstone: Fellegi–Sunter match pairs →
+    * connected components → canonical entity per supplier — the
+    * full linkage pipeline composed from q285's scorer and the q34
+    * cluster machinery. */
+  private val q291 = Entry(
+    "q291_entity_resolution",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+        .withColumn("f1", substring(col("s_name"), -1, 1))
+        .withColumn("f2", floor(col("s_acctbal") / 1000))
+        .withColumn("f3", col("s_suppkey") % 5)
+      val matches = graft.ops.Dedup.fellegiSunter(sup, "s_suppkey",
+          "s_nationkey",
+          Seq(("f1", 0.9, 0.1), ("f2", 0.85, 0.08), ("f3", 0.95, 0.2)),
+          upper = 2.0, lower = 0.0, maxBlock = 0)
+        .where(col("decision") === "match")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.ops.Dedup.dedupClusters(sup, "s_suppkey", matches)
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH RECURSIVE s AS (SELECT s_suppkey AS id, s_nationkey AS bk,
+                        right(s_name, 1) AS f1,
+                        floor(s_acctbal / 1000) AS f2,
+                        s_suppkey % 5 AS f3
+                 FROM supplier),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+              (CASE WHEN a.f1 = b.f1 THEN ln(0.9 / 0.1) / ln(2)
+                    ELSE ln(0.1 / 0.9) / ln(2) END
+               + CASE WHEN a.f2 = b.f2 THEN ln(0.85 / 0.08) / ln(2)
+                      ELSE ln(0.15 / 0.92) / ln(2) END
+               + CASE WHEN a.f3 = b.f3 THEN ln(0.95 / 0.2) / ln(2)
+                      ELSE ln(0.05 / 0.8) / ln(2) END) AS w
+            FROM s a JOIN s b ON a.bk = b.bk AND a.id < b.id),
+      mt AS (SELECT id_a, id_b FROM p WHERE w > 2.0),
+      sym AS (SELECT id_a AS a, id_b AS b FROM mt
+              UNION SELECT id_b, id_a FROM mt),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT sup.s_suppkey,
+             COALESCE(c.component, sup.s_suppkey) AS cluster,
+             (COALESCE(c.component, sup.s_suppkey) = sup.s_suppkey)
+               AS is_representative
+      FROM supplier sup LEFT JOIN comp c ON sup.s_suppkey = c.id
+      ORDER BY sup.s_suppkey"""))
+
+  /** Murphy decomposition of a banded price→urgency forecast — exact
+    * reliability/resolution/uncertainty split over distinct forecast
+    * values (integer bands, so the partition is engine-stable). */
+  private val q292 = Entry(
+    "q292_brier_decomposition",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("s",
+          (least(floor(col("o_totalprice") / 50000), lit(5)) + 1) / 10.0)
+      graft.ops.Evaluation.brierDecomposition(o,
+          col("o_orderpriority") === "1-URGENT", col("s"))
+        .select(col("n"), col("n_scores"),
+          r6(col("base_rate")).as("base_rate"), r6(col("brier")).as("brier"),
+          r6(col("reliability")).as("reliability"),
+          r6(col("resolution")).as("resolution"),
+          r6(col("uncertainty")).as("uncertainty"))
+    },
+    Some("""
+      WITH d AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1.0 ELSE 0.0 END AS y,
+                   (least(floor(o_totalprice / 50000), 5) + 1) / 10.0 AS s
+                 FROM orders),
+      c AS (SELECT s, count(*)::DOUBLE AS n, sum(y) AS k
+            FROM d GROUP BY 1),
+      b AS (SELECT sum(k) / sum(n) AS base, sum(n) AS nn FROM c),
+      a AS (SELECT max(nn) AS n, count(*) AS n_scores, max(base) AS base,
+                   sum(n / nn * (s - k / n) * (s - k / n)) AS rel,
+                   sum(n / nn * (k / n - base) * (k / n - base)) AS res,
+                   max(base * (1 - base)) AS unc
+            FROM c, b)
+      SELECT n::BIGINT AS n, n_scores, round(base, 6) AS base_rate,
+             round(rel - res + unc, 6) AS brier,
+             round(rel, 6) AS reliability, round(res, 6) AS resolution,
+             round(unc, 6) AS uncertainty
+      FROM a"""))
+
+  /** Top-20 multivariate outliers in (quantity, price, discount) by
+    * Mahalanobis distance — covariance-aware joint outliers the
+    * per-column z-scores can't see; χ²(3) 0.001 threshold. */
+  private val q293 = Entry(
+    "q293_mahalanobis",
+    (s, d) => {
+      graft.ops.Profiling.mahalanobisOutliers(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          threshold = 16.27)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), r6(col("mahalanobis2")).as("mahalanobis2"),
+          col("outlier"))
+        .orderBy(desc("mahalanobis2"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH st AS (SELECT count(*)::DOUBLE AS n,
+                    avg(l_quantity::DOUBLE) AS m1,
+                    avg(l_extendedprice::DOUBLE) AS m2,
+                    avg(l_discount::DOUBLE) AS m3,
+                    sum(l_quantity * l_quantity) AS s11,
+                    sum(l_quantity * l_extendedprice) AS s12,
+                    sum(l_quantity * l_discount) AS s13,
+                    sum(l_extendedprice * l_extendedprice) AS s22,
+                    sum(l_extendedprice * l_discount) AS s23,
+                    sum(l_discount * l_discount) AS s33
+                  FROM lineitem),
+      cv AS (SELECT n, m1, m2, m3,
+               (s11 - n * m1 * m1) / (n - 1) AS c11,
+               (s12 - n * m1 * m2) / (n - 1) AS c12,
+               (s13 - n * m1 * m3) / (n - 1) AS c13,
+               (s22 - n * m2 * m2) / (n - 1) AS c22,
+               (s23 - n * m2 * m3) / (n - 1) AS c23,
+               (s33 - n * m3 * m3) / (n - 1) AS c33
+             FROM st),
+      iv AS (SELECT *,
+               c11 * (c22 * c33 - c23 * c23)
+                 - c12 * (c12 * c33 - c23 * c13)
+                 + c13 * (c12 * c23 - c22 * c13) AS det
+             FROM cv),
+      i2 AS (SELECT m1, m2, m3,
+               (c22 * c33 - c23 * c23) / det AS i11,
+               (c13 * c23 - c12 * c33) / det AS i12,
+               (c12 * c23 - c13 * c22) / det AS i13,
+               (c11 * c33 - c13 * c13) / det AS i22,
+               (c12 * c13 - c11 * c23) / det AS i23,
+               (c11 * c22 - c12 * c12) / det AS i33
+             FROM iv),
+      sc AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               i11 * (l_quantity - m1) * (l_quantity - m1)
+               + i22 * (l_extendedprice - m2) * (l_extendedprice - m2)
+               + i33 * (l_discount - m3) * (l_discount - m3)
+               + 2 * (i12 * (l_quantity - m1) * (l_extendedprice - m2)
+                 + i13 * (l_quantity - m1) * (l_discount - m3)
+                 + i23 * (l_extendedprice - m2) * (l_discount - m3))
+                 AS d2
+             FROM lineitem, i2)
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             round(d2, 6) AS mahalanobis2, d2 > 16.27 AS outlier
+      FROM sc
+      ORDER BY d2 DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      LIMIT 20"""))
+
+  /** Language-ID quality: confusion of the declared document language
+    * vs the n-gram heuristic's prediction — composition of the q28
+    * classifier with the corpus metadata. */
+  private val q294 = Entry(
+    "q294_langid_confusion",
+    (s, d) => {
+      graft.ops.TextAnalysis.langId(Tables.documents(s, d), "text")
+        .groupBy(col("lang").as("declared"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("declared", "predicted_lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang,
+               len(list_intersect(w, ['der','die','und','das','ist','nicht','ein','zu'])) AS hits_de,
+               len(list_intersect(w, ['the','a','of','and','to','in','is','that'])) AS hits_en,
+               len(list_intersect(w, ['el','la','de','que','y','en','un','los'])) AS hits_es,
+               len(list_intersect(w, ['le','la','les','de','et','un','est','que'])) AS hits_fr
+        FROM t),
+      p AS (SELECT lang,
+              CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+                   WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                   WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                   WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                   ELSE 'fr' END AS predicted_lang
+            FROM h)
+      SELECT lang AS declared, predicted_lang, count(*) AS n
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10631,7 +10865,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289)
+    q287, q288, q289, q290, q291, q292, q293, q294)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

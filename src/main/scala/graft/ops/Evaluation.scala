@@ -1303,6 +1303,46 @@ object Evaluation {
   }
 
   /**
+   * Murphy decomposition of the Brier score over DISTINCT forecast
+   * values: Brier = reliability − resolution + uncertainty, with
+   * REL = Σ n_s/N·(s − acc_s)², RES = Σ n_s/N·(acc_s − base)²,
+   * UNC = base·(1−base) — EXACT (not binned-approximate) because the
+   * partition is by the forecast values themselves. Separates "the
+   * probabilities are miscalibrated" (reliability, want 0) from "the
+   * forecasts don't discriminate" (resolution, want large) — the
+   * diagnosis the raw Brier number can't give. Returns ONE row:
+   * (n, n_scores, base_rate, brier, reliability, resolution,
+   * uncertainty).
+   *
+   * One groupBy to the distinct-score frame + a 1-row rollup with the
+   * base rate as a broadcast scalar — the [[binaryMetrics]] shape.
+   */
+  def brierDecomposition(df: DataFrame, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val y = when(labelCol, 1.0).otherwise(0.0)
+    val cells = df.groupBy(scoreCol.cast("double").as("__s"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(y).as("__k"))
+    val base = broadcast(cells.agg(
+      (sum(col("__k")) / sum(col("__n"))).as("__base"),
+      sum(col("__n")).as("__tot")))
+    val acc = col("__k") / col("__n")
+    cells.join(base)
+      .agg(max(col("__tot")).cast("long").as("n"),
+        count(lit(1)).as("n_scores"),
+        max(col("__base")).as("base_rate"),
+        sum(col("__n") / col("__tot") * pow(col("__s") - acc, 2.0))
+          .as("reliability"),
+        sum(col("__n") / col("__tot") * pow(acc - col("__base"), 2.0))
+          .as("resolution"),
+        max(col("__base") * (lit(1.0) - col("__base")))
+          .as("uncertainty"))
+      .select(col("n"), col("n_scores"), col("base_rate"),
+        (col("reliability") - col("resolution") + col("uncertainty"))
+          .as("brier"),
+        col("reliability"), col("resolution"), col("uncertainty"))
+  }
+
+  /**
    * Qini curve for uplift evaluation: rank units by an uplift score
    * (descending), and at every distinct score threshold report the
    * incremental responders over random targeting,

@@ -613,6 +613,56 @@ object Profiling {
   }
 
   /**
+   * Multivariate outlier scoring by squared Mahalanobis distance:
+   * d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with mean vector and covariance from ONE
+   * aggregation scan (p(p+3)/2 sums), the p×p inverse solved
+   * driver-side (p ≤ 16 — column-count, not data, bounded), and the
+   * distance itself pure map-side column algebra with the inverse
+   * entries inlined as literals. Under multivariate normality
+   * d² ~ χ²(p), so `threshold` is typically the χ² quantile (e.g.
+   * 16.27 for p=3 at 0.001). The correlation-aware upgrade of
+   * univariate z-scores: a row can be unremarkable per column and
+   * still far outside the joint ellipsoid. Appends (mahalanobis2,
+   * outlier) to the input columns; complete-case rows only.
+   */
+  def mahalanobisOutliers(df: DataFrame, cols: Seq[String],
+      threshold: Double): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      "mahalanobisOutliers: 2..16 columns")
+    require(threshold > 0, "mahalanobisOutliers: threshold > 0")
+    val p = cols.size
+    val xs = cols.map(c => col(c).cast("double"))
+    val complete = df.where(xs.map(_.isNotNull).reduce(_ && _))
+    val aggs =
+      (0 until p).map(i => sum(xs(i)).as(s"__s_$i")) ++
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(xs(i) * xs(j)).as(s"__ss_${i}_$j")) ++
+        Seq(count(lit(1)).as("__n"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n").toDouble
+    require(n > p + 1, s"mahalanobisOutliers: $n rows for $p columns")
+    val mu = Array.tabulate(p)(i => row.getAs[Double](s"__s_$i") / n)
+    val cov = Array.ofDim[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      val ss = row.getAs[Double](s"__ss_${i}_$j")
+      val v = (ss - n * mu(i) * mu(j)) / (n - 1)
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    // Σ⁻¹ column by column via the shared p×p solver
+    val inv = Array.ofDim[Double](p, p)
+    for (j <- 0 until p) {
+      val e = Array.tabulate(p)(i => if (i == j) 1.0 else 0.0)
+      val c = Regression.solve(cov, e)
+      for (i <- 0 until p) inv(i)(j) = c(i)
+    }
+    val centered = xs.zipWithIndex.map { case (x, i) => x - lit(mu(i)) }
+    val d2 = (for (i <- 0 until p; j <- 0 until p)
+      yield centered(i) * lit(inv(i)(j)) * centered(j)).reduce(_ + _)
+    complete.withColumn("mahalanobis2", d2)
+      .withColumn("outlier", col("mahalanobis2") > threshold)
+  }
+
+  /**
    * Target-leakage scan: for every numeric feature, how well does the
    * feature ALONE rank the binary target? Separation = max(AUC, 1−AUC)
    * near 1 means the feature encodes the label (a post-outcome field,

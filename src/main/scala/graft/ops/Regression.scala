@@ -331,7 +331,7 @@ object Regression {
   }
 
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
-  private def solve(a0: Array[Array[Double]],
+  private[graft] def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {
     val p = b0.length
     val a = a0.map(_.clone()); val b = b0.clone()

@@ -429,4 +429,58 @@ object Sampling {
       .select(col("source"), col("n_tokens"), col("weight"),
         col("alloc_tokens"), col("epochs"))
   }
+
+  /**
+   * Raking / iterative proportional fitting (Deming & Stephan 1940):
+   * per-cell sampling weights that make the corpus match TWO target
+   * marginal distributions at once — the "rebalance the training mix
+   * to a reference demographic/source/language profile" operation
+   * that per-axis reweighting can't do (fixing one margin breaks the
+   * other; IPF alternates until both hold). `targetA`/`targetB` are
+   * 2-column frames (value, share) over `aCol`/`bCol`; a FIXED
+   * iteration count keeps the weights a pure function of the inputs
+   * (IPF converges geometrically — 3 rounds is standard practice).
+   * Returns one row per observed cell: (a, b, n, weight); a row's
+   * sampling weight is its cell's `weight`, and Σ n·w = N with both
+   * margins matched to the targets.
+   *
+   * Scale shape: ONE corpus groupBy to the |A|×|B| cell frame
+   * (localCheckpointed), then every iteration is two margin rollups +
+   * broadcast joins ON THAT TINY FRAME — the corpus is never
+   * rescanned, and 100 TB costs exactly one shuffle regardless of
+   * iteration count.
+   */
+  def rakeWeights(df: DataFrame, aCol: String, bCol: String,
+      targetA: DataFrame, targetB: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      "rakeWeights: iterations in [1,20]")
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("double").as("n")).localCheckpoint()
+    val tot = broadcast(cells.agg(sum(col("n")).as("__N")))
+    val ta = broadcast(targetA.select(
+      col(targetA.columns(0)).as("a"),
+      col(targetA.columns(1)).cast("double").as("__sa")))
+    val tb = broadcast(targetB.select(
+      col(targetB.columns(0)).as("b"),
+      col(targetB.columns(1)).cast("double").as("__sb")))
+    // inner join: cells whose margin has no target share are dropped
+    // loudly from the output (the caller's targets define the frame)
+    var w = cells.crossJoin(tot).join(ta, Seq("a")).join(tb, Seq("b"))
+      .withColumn("w", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val ra = w.groupBy("a").agg(sum(col("n") * col("w")).as("__ra"))
+      w = w.join(broadcast(ra), Seq("a"))
+        .withColumn("w",
+          col("w") * col("__sa") * col("__N") / col("__ra"))
+        .drop("__ra").localCheckpoint()
+      val rb = w.groupBy("b").agg(sum(col("n") * col("w")).as("__rb"))
+      w = w.join(broadcast(rb), Seq("b"))
+        .withColumn("w",
+          col("w") * col("__sb") * col("__N") / col("__rb"))
+        .drop("__rb").localCheckpoint()
+    }
+    w.select(col("a"), col("b"), col("n").cast("long").as("n"),
+      col("w").as("weight"))
+  }
 }

@@ -4739,6 +4739,77 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("brierDecomposition: calibrated forecast has zero reliability") {
+    import spark.implicits._
+    // score .5: 1 of 2 positive; score .75: 3 of 4 → perfectly
+    // calibrated: REL = 0 and Brier = UNC − RES exactly
+    val df = Seq((0.5, true), (0.5, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+      .toDF("s", "y")
+    val r = graft.ops.Evaluation
+      .brierDecomposition(df, col("y"), col("s")).head
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_scores") == 2)
+    assert(math.abs(r.getAs[Double]("reliability")) < 1e-12)
+    val base = 4.0 / 6
+    assert(math.abs(r.getAs[Double]("uncertainty") - base * (1 - base))
+      < 1e-12)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("uncertainty") - r.getAs[Double]("resolution")))
+      < 1e-12)
+    // identity check against the direct mean squared error
+    val direct = df.select(avg(pow(col("s") -
+      when(col("y"), 1.0).otherwise(0.0), 2.0))).head.getDouble(0)
+    assert(math.abs(r.getAs[Double]("brier") - direct) < 1e-12)
+  }
+
+  test("mahalanobisOutliers: joint outlier beats marginal z-scores") {
+    import spark.implicits._
+    // strongly correlated cloud + one point off the diagonal that is
+    // unremarkable per-coordinate but far outside the joint ellipsoid
+    val cloud = (1 to 60).map { i =>
+      val x = (i % 11).toDouble
+      (i, x, 2 * x + (if (i % 2 == 0) 0.3 else -0.3))
+    }
+    val df = (cloud :+ ((99, 5.0, 2.0))).toDF("id", "a", "b")
+    val out = graft.ops.Profiling
+      .mahalanobisOutliers(df, Seq("a", "b"), threshold = 13.8)
+      .collect().map(r => r.getAs[Int]("id") ->
+        (r.getAs[Double]("mahalanobis2"), r.getAs[Boolean]("outlier")))
+      .toMap
+    val planted = out(99)
+    assert(planted._2, s"planted joint outlier not flagged: $planted")
+    assert(cloud.count { case (i, _, _) => out(i)._2 } == 0)
+    assert(planted._1 > cloud.map(c => out(c._1)._1).max * 3)
+  }
+
+  test("rakeWeights: both margins converge to targets; balanced stays 1") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(30)(("a1", "b2")) ++
+      Seq.fill(30)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val df = rows.toDF("x", "z")
+    val ta = Seq(("a1", 0.5), ("a2", 0.5)).toDF("v", "s")
+    val tb = Seq(("b1", 0.5), ("b2", 0.5)).toDF("v", "s")
+    val w = graft.ops.Sampling
+      .rakeWeights(df, "x", "z", ta, tb, iterations = 10)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("weight"))).toMap
+    def margin(f: ((String, String)) => String, v: String) =
+      w.filter(kv => f(kv._1) == v).values.map(t => t._1 * t._2).sum
+    assert(math.abs(margin(_._1, "a1") - 50.0) < 1e-6)
+    assert(math.abs(margin(_._1, "a2") - 50.0) < 1e-6)
+    assert(math.abs(margin(_._2, "b1") - 50.0) < 1e-6)
+    assert(math.abs(margin(_._2, "b2") - 50.0) < 1e-6)
+    // already-balanced corpus: every weight stays exactly 1
+    val bal = (Seq.fill(25)(("a1", "b1")) ++ Seq.fill(25)(("a1", "b2")) ++
+      Seq.fill(25)(("a2", "b1")) ++ Seq.fill(25)(("a2", "b2")))
+      .toDF("x", "z")
+    val wb = graft.ops.Sampling
+      .rakeWeights(bal, "x", "z", ta, tb, iterations = 3)
+      .collect()
+    assert(wb.forall(r => math.abs(r.getAs[Double]("weight") - 1.0)
+      < 1e-12))
+  }
+
   test("leakageScan: planted leak flags at 1.0, honest feature doesn't") {
     import spark.implicits._
     val df = (1 to 100).map { i =>
