@@ -10840,6 +10840,190 @@ object Queries {
       SELECT lang AS declared, predicted_lang, count(*) AS n
       FROM p GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Two-component Gaussian mixture on event values by 2 fixed EM
+    * steps — deterministic quartile-anchored init, every E/M update
+    * replayed by the oracle. */
+  private val q295 = Entry(
+    "q295_gaussian_mixture",
+    (s, d) => {
+      graft.ops.Regression.gaussianMixture1D(
+          Tables.events(s, d).select(col("value")), "value",
+          iterations = 2)
+        .select(col("component"), r6(col("weight")).as("weight"),
+          r6(col("mean")).as("mean"), r6(col("std")).as("std"),
+          col("n"), r6(col("log_lik")).as("log_lik"), col("iterations"))
+        .orderBy("component")
+    },
+    Some {
+      def estep(prev: String, out: String) = s"""
+      $out AS (SELECT sum(r) AS r1, sum(r * x) AS rx1,
+                    sum(r * x * x) AS rxx1,
+                    sum((1 - r) * x) AS rx2,
+                    sum((1 - r) * x * x) AS rxx2
+             FROM (SELECT x, a / (a + b) AS r FROM (
+                   SELECT x,
+                     p1 / sqrt(v1) * exp(-(x - m1) * (x - m1) / (2 * v1))
+                       AS a,
+                     (1 - p1) / sqrt(v2) *
+                       exp(-(x - m2) * (x - m2) / (2 * v2)) AS b
+                   FROM d, $prev)))"""
+      def mstep(e: String, out: String) = s"""
+      $out AS (SELECT rx1 / r1 AS m1,
+                    greatest(rxx1 / r1 - (rx1 / r1) * (rx1 / r1),
+                      1e-12) AS v1,
+                    rx2 / (i.n - r1) AS m2,
+                    greatest(rxx2 / (i.n - r1) -
+                      (rx2 / (i.n - r1)) * (rx2 / (i.n - r1)),
+                      1e-12) AS v2,
+                    r1 / i.n AS p1
+             FROM $e, i)"""
+      s"""
+      WITH d AS (SELECT "value"::DOUBLE AS x FROM events
+                 WHERE "value" IS NOT NULL),
+      i AS (SELECT min(x) AS mn, max(x) AS mx,
+                   greatest(var_samp(x), 1e-12) AS v0,
+                   count(*)::DOUBLE AS n
+            FROM d),
+      p0 AS (SELECT mn + (mx - mn) / 4 AS m1, v0 AS v1,
+                    mn + 3 * (mx - mn) / 4 AS m2, v0 AS v2,
+                    0.5 AS p1
+             FROM i),
+      ${estep("p0", "e1")},
+      ${mstep("e1", "px1")},
+      ${estep("px1", "e2")},
+      ${mstep("e2", "px2")},
+      ll AS (SELECT avg(ln(
+               p1 / sqrt(2 * pi() * v1) *
+                 exp(-(x - m1) * (x - m1) / (2 * v1)) +
+               (1 - p1) / sqrt(2 * pi() * v2) *
+                 exp(-(x - m2) * (x - m2) / (2 * v2)))) AS l
+             FROM d, px2)
+      SELECT c.component, round(CASE WHEN c.component = 1 THEN p1
+               ELSE 1 - p1 END, 6) AS weight,
+             round(CASE WHEN c.component = 1 THEN m1 ELSE m2 END, 6)
+               AS mean,
+             round(CASE WHEN c.component = 1 THEN sqrt(v1)
+               ELSE sqrt(v2) END, 6) AS std,
+             i.n::BIGINT AS n, round(ll.l, 6) AS log_lik,
+             2 AS iterations
+      FROM (VALUES (1), (2)) c(component), px2, i, ll
+      ORDER BY c.component"""
+    })
+
+  /** Restricted mean survival through 20 days per user-parity arm —
+    * the clinical-style RMST contrast on the q279 cohort machinery. */
+  private val q296 = Entry(
+    "q296_rmst_by_arm",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def surv(par: Int) = {
+        val hit = when(col("event_type") === "purchase" &&
+          col("value") > 200, col("ts"))
+        ev.where(col("user_id") % 2 === par)
+          .groupBy("user_id")
+          .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+            max(col("ts")).as("__last"))
+          .select(
+            when(col("__hit").isNotNull,
+              datediff(to_date(col("__hit")), to_date(col("__first"))))
+              .otherwise(
+                datediff(to_date(col("__last")), to_date(col("__first"))))
+              .as("dur"),
+            when(col("__hit").isNotNull, lit(1)).otherwise(lit(0))
+              .as("ev"))
+      }
+      val even = AnalysisPlanner
+        .restrictedMeanSurvival(surv(0), "dur", "ev", 20.0)
+        .select(lit("even").as("arm"), col("n"), col("n_events"),
+          r6(col("rmst")).as("rmst"))
+      val odd = AnalysisPlanner
+        .restrictedMeanSurvival(surv(1), "dur", "ev", 20.0)
+        .select(lit("odd").as("arm"), col("n"), col("n_events"),
+          r6(col("rmst")).as("rmst"))
+      even.unionByName(odd).orderBy("arm")
+    },
+    Some {
+      def chain(p: String, par: Int, label: String) = s"""
+      ${p}s AS (
+        SELECT
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events WHERE user_id % 2 = $par GROUP BY user_id),
+      ${p}g AS (SELECT dur, sum(ev) AS d, count(*)::DOUBLE AS tot
+            FROM ${p}s GROUP BY 1),
+      ${p}t AS (SELECT count(*)::DOUBLE AS nn FROM ${p}s),
+      ${p}w AS (SELECT dur, d,
+              coalesce(sum(tot) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM ${p}g),
+      ${p}e AS (SELECT dur, d, nn - bef AS n_risk
+            FROM ${p}w, ${p}t WHERE d > 0),
+      ${p}km AS (SELECT dur, exp(sum(ln(1 - d / n_risk)) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW)) AS sv
+             FROM ${p}e),
+      ${p}nx AS (SELECT dur, sv, lead(dur) OVER (ORDER BY dur) AS nd
+             FROM ${p}km),
+      ${p}seg AS (SELECT sv * (least(coalesce(nd, 20.0), 20.0) -
+                           least(dur::DOUBLE, 20.0)) AS seg
+              FROM ${p}nx
+              UNION ALL
+              SELECT least((SELECT min(dur)::DOUBLE FROM ${p}km), 20.0)),
+      ${p}r AS (SELECT '$label' AS arm,
+               (SELECT count(*) FROM ${p}s) AS n,
+               (SELECT sum(ev) FROM ${p}s)::BIGINT AS n_events,
+               round(sum(seg), 6) AS rmst
+            FROM ${p}seg)"""
+      s"""
+      WITH ${chain("ea_", 0, "even")},
+      ${chain("ob_", 1, "odd")}
+      SELECT * FROM ea_r UNION ALL SELECT * FROM ob_r ORDER BY arm"""
+    })
+
+  /** Completeness drift: per-week NULL rates for two columns with
+    * deterministically injected missingness that worsens over the
+    * month — the degradation the flat profile can't localize. */
+  private val q297 = Entry(
+    "q297_completeness_trend",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("week", floor((dayofmonth(col("ts")) - 1) / 7))
+        .withColumn("v",
+          when(col("event_id") % 29 < col("week") * 3, lit(null))
+            .otherwise(col("value")))
+        .withColumn("p",
+          when(col("event_id") % 31 < 2, lit(null))
+            .otherwise(col("props")))
+      graft.ops.Profiling
+        .completenessTrend(ev, col("week"), Seq("v", "p"))
+        .select(col("period"), col("column"), col("n"), col("n_null"),
+          r6(col("null_rate")).as("null_rate"))
+        .orderBy("period", "column")
+    },
+    Some("""
+      WITH ev AS (SELECT floor((day(ts) - 1) / 7) AS week,
+                    CASE WHEN event_id % 29 <
+                      floor((day(ts) - 1) / 7) * 3
+                      THEN NULL ELSE "value" END AS v,
+                    CASE WHEN event_id % 31 < 2 THEN NULL
+                         ELSE props END AS p
+                  FROM events),
+      g AS (SELECT week, count(*) AS n,
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS kv,
+                   sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS kp
+            FROM ev GROUP BY 1)
+      SELECT week::BIGINT AS period, m.col AS "column", n,
+             CASE WHEN m.col = 'v' THEN kv ELSE kp END::BIGINT
+               AS n_null,
+             round((CASE WHEN m.col = 'v' THEN kv ELSE kp END)::DOUBLE
+               / n, 6) AS null_rate
+      FROM g, (VALUES ('v'), ('p')) m(col)
+      ORDER BY period, "column""""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -10865,7 +11049,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

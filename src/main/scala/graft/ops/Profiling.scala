@@ -613,6 +613,34 @@ object Profiling {
   }
 
   /**
+   * Completeness trend: per period × column, the NULL rate — the
+   * "which upstream feed degraded, and when" drilldown behind a
+   * completeness alert (a flat profile's null count can't localize a
+   * regression in time). Returns one row per (period, column):
+   * (period, column, n, n_null, null_rate).
+   *
+   * ONE conditional-aggregation scan (per-period counts for ALL
+   * columns in the same groupBy), melted to rows afterwards — the
+   * DataQuality single-pass discipline; adding columns adds agg
+   * expressions, never scans.
+   */
+  def completenessTrend(df: DataFrame, periodCol: Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "completenessTrend: no columns")
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    df.groupBy(periodCol.as("period"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("period"), col("__n"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(s"__null_$c").as("k"))): _*))
+          .as("__m"))
+      .select(col("period"), col("__m.c").as("column"),
+        col("__n").as("n"), col("__m.k").as("n_null"),
+        (col("__m.k").cast("double") / col("__n")).as("null_rate"))
+  }
+
+  /**
    * Multivariate outlier scoring by squared Mahalanobis distance:
    * d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with mean vector and covariance from ONE
    * aggregation scan (p(p+3)/2 sums), the p×p inverse solved

@@ -181,6 +181,68 @@ object Regression {
       what = "poissonRegression")
   }
 
+  /**
+   * Two-component 1-D Gaussian mixture by a FIXED number of EM steps —
+   * the "is this metric bimodal, and where are the modes?" model
+   * (latency distributions, mixed user populations, contaminated
+   * metrics). Everything is deterministic: initialization is
+   * μ = min + (max−min)/4 and min + 3(max−min)/4 with the pooled
+   * sample σ and π = ½ (pure functions of the data, no RNG, no
+   * kmeans++), and each EM step is ONE aggregation scan — the E-step
+   * responsibilities are column algebra with the current parameters
+   * inlined as literals, the M-step is six sums. Variances are floored
+   * at 1e−12 against component collapse. Returns 2 rows
+   * (component, weight, mean, std) with the final mean log-likelihood
+   * and n repeated on both.
+   *
+   * The GLM-family scan discipline ([[logisticRegression]]): state is
+   * 6 doubles on the driver; the corpus is scanned iterations+2 times
+   * (init moments, EM steps, final log-likelihood), each map-side
+   * combined, no join, no UDF.
+   */
+  def gaussianMixture1D(df: DataFrame, valueCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "gaussianMixture1D: iterations >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(valueCol).cast("double")
+    val complete = df.where(x.isNotNull)
+    val init = complete.agg(min(x).as("__mn"), max(x).as("__mx"),
+      stddev_samp(x).as("__sd"), count(lit(1)).as("__n")).head()
+    val n = init.getAs[Long]("__n")
+    require(n >= 4, s"gaussianMixture1D: $n rows")
+    val mn = init.getAs[Double]("__mn"); val mx = init.getAs[Double]("__mx")
+    var mu1 = mn + (mx - mn) / 4; var mu2 = mn + 3 * (mx - mn) / 4
+    var v1 = math.max(math.pow(init.getAs[Double]("__sd"), 2), 1e-12)
+    var v2 = v1
+    var p1 = 0.5
+    def dens(m: Double, v: Double, pi: Double) =
+      lit(pi / math.sqrt(v)) * exp((x - lit(m)) * (x - lit(m)) /
+        lit(-2.0 * v))
+    for (_ <- 1 to iterations) {
+      val a = dens(mu1, v1, p1)
+      val b = dens(mu2, v2, 1 - p1)
+      val r = a / (a + b)
+      val row = complete.agg(sum(r).as("__r1"), sum(r * x).as("__rx1"),
+        sum(r * x * x).as("__rxx1"), sum((lit(1.0) - r) * x).as("__rx2"),
+        sum((lit(1.0) - r) * x * x).as("__rxx2")).head()
+      val r1 = row.getAs[Double]("__r1"); val r2 = n - r1
+      mu1 = row.getAs[Double]("__rx1") / r1
+      mu2 = row.getAs[Double]("__rx2") / r2
+      v1 = math.max(row.getAs[Double]("__rxx1") / r1 - mu1 * mu1, 1e-12)
+      v2 = math.max(row.getAs[Double]("__rxx2") / r2 - mu2 * mu2, 1e-12)
+      p1 = r1 / n
+    }
+    val c = 1.0 / math.sqrt(2 * math.Pi)
+    val ll = complete.agg(avg(log(
+      dens(mu1, v1, p1 * c) + dens(mu2, v2, (1 - p1) * c))).as("__ll"))
+      .head().getAs[Double]("__ll")
+    Seq((1, p1, mu1, math.sqrt(v1), n, ll, iterations),
+      (2, 1 - p1, mu2, math.sqrt(v2), n, ll, iterations))
+      .toDF("component", "weight", "mean", "std", "n", "log_lik",
+        "iterations")
+  }
+
   /** Shared fixed-iteration Newton/IRLS GLM core: per iteration ONE
     * aggregation scan (p(p+3)/2 + 2 sums) with the current β inlined
     * as literals, driver-side (p+1)×(p+1) solve; one final scan for

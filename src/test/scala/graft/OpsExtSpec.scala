@@ -4739,6 +4739,40 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("gaussianMixture1D: well-separated modes recovered") {
+    import spark.implicits._
+    // two tight clusters at 0 and 100, 40/60 mix
+    val xs = (1 to 40).map(i => (i % 5) * 0.1) ++
+      (1 to 60).map(i => 100.0 + (i % 5) * 0.1)
+    val out = graft.ops.Regression
+      .gaussianMixture1D(xs.toDF("x"), "x", iterations = 6)
+      .collect().map(r => r.getAs[Int]("component") -> r).toMap
+    val c1 = out(1); val c2 = out(2)
+    assert(math.abs(c1.getAs[Double]("mean") - 0.2) < 0.05)
+    assert(math.abs(c2.getAs[Double]("mean") - 100.2) < 0.05)
+    assert(math.abs(c1.getAs[Double]("weight") - 0.4) < 0.02)
+    assert(math.abs(c2.getAs[Double]("weight") - 0.6) < 0.02)
+    assert(c1.getAs[Long]("n") == 100)
+    // weights always sum to 1
+    assert(math.abs(c1.getAs[Double]("weight") +
+      c2.getAs[Double]("weight") - 1.0) < 1e-12)
+  }
+
+  test("completenessTrend: per-period null rates, one pass") {
+    import spark.implicits._
+    val df = Seq((1, Some(1.0), Some("a")), (1, None, Some("b")),
+      (2, None, None), (2, None, Some("c"))).toDF("p", "x", "s")
+    val out = graft.ops.Profiling
+      .completenessTrend(df, col("p"), Seq("x", "s"))
+      .collect()
+      .map(r => (r.getAs[Int]("period"), r.getAs[String]("column")) ->
+        (r.getAs[Long]("n_null"), r.getAs[Double]("null_rate"))).toMap
+    assert(out((1, "x")) == (1L, 0.5))
+    assert(out((1, "s")) == (0L, 0.0))
+    assert(out((2, "x")) == (2L, 1.0))
+    assert(out((2, "s")) == (1L, 0.5))
+  }
+
   test("brierDecomposition: calibrated forecast has zero reliability") {
     import spark.implicits._
     // score .5: 1 of 2 positive; score .75: 3 of 4 → perfectly
