@@ -11024,6 +11024,152 @@ object Queries {
       FROM g, (VALUES ('v'), ('p')) m(col)
       ORDER BY period, "column""""))
 
+  /** Huber robust fit of event value on hour (δ = 50, OLS + 2 IRLS
+    * rounds) — the multi-feature robust regression; every weighted
+    * 2×2 solve replayed by the oracle. */
+  private val q298 = Entry(
+    "q298_huber_regression",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("x", hour(col("ts")).cast("double"))
+      graft.ops.Regression
+        .huberRegression(ev, Seq("x"), "value", delta = 50.0,
+          iterations = 3)
+        .select(col("term"), r6(col("coef")).as("coef"), col("n"),
+          r6(col("mean_abs_resid")).as("mean_abs_resid"),
+          col("iterations"))
+        .orderBy("term")
+    },
+    Some {
+      def wls(prev: Option[String], out: String) = {
+        val w = prev.fold("1.0") { p =>
+          s"least(1.0, 50.0 / greatest(abs(y - ($p.b0 + $p.b1 * x)), 1e-300))"
+        }
+        val from = prev.fold("d")(p => s"d, $p")
+        s"""
+      ${out}s AS (SELECT sum(w) AS sw, sum(w * x) AS swx,
+                    sum(w * y) AS swy, sum(w * x * x) AS swxx,
+                    sum(w * x * y) AS swxy
+             FROM (SELECT x, y, $w AS w FROM $from)),
+      $out AS (SELECT (sw * swxy - swx * swy)
+                      / (sw * swxx - swx * swx) AS b1,
+                    (swy - (sw * swxy - swx * swy)
+                      / (sw * swxx - swx * swx) * swx) / sw AS b0
+             FROM ${out}s)"""
+      }
+      s"""
+      WITH d AS (SELECT hour(ts)::DOUBLE AS x, "value" AS y
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL),
+      ${wls(None, "f1")},
+      ${wls(Some("f1"), "f2")},
+      ${wls(Some("f2"), "f3")},
+      ll AS (SELECT avg(abs(y - (f3.b0 + f3.b1 * x))) AS mar,
+                    count(*) AS n
+             FROM d, f3)
+      SELECT t.term,
+             round(CASE WHEN t.term = 'x' THEN f3.b1
+                        ELSE f3.b0 END, 6) AS coef,
+             ll.n AS n, round(ll.mar, 6) AS mean_abs_resid,
+             3 AS iterations
+      FROM (VALUES ('(intercept)'), ('x')) t(term), f3, ll
+      ORDER BY t.term"""
+    })
+
+  /** Second-order partial correlation: price ↔ quantity controlling
+    * for BOTH unit price and discount — the precision-matrix
+    * multi-control generalization of the existing single-control op
+    * (oracle via the recursive first-order composition). */
+  private val q299 = Entry(
+    "q299_partial_correlation_multi",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("unit",
+          col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
+      AnalysisPlanner.partialCorrelationMulti(li, "l_extendedprice",
+          "l_quantity", Seq("unit", "l_discount"))
+        .select(col("n"), r6(col("r_xy")).as("r_xy"),
+          r6(col("r_xy_given_z")).as("r_xy_given_z"), col("n_controls"))
+    },
+    Some("""
+      WITH d AS (SELECT l_extendedprice::DOUBLE AS x,
+                   l_quantity::DOUBLE AS y,
+                   l_extendedprice / greatest(l_quantity, 1.0) AS z1,
+                   l_discount::DOUBLE AS z2
+                 FROM lineitem),
+      m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(z1) AS sz1, sum(z2) AS sz2, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(z1 * z1) AS sz1z1,
+                   sum(z2 * z2) AS sz2z2, sum(x * y) AS sxy,
+                   sum(x * z1) AS sxz1, sum(x * z2) AS sxz2,
+                   sum(y * z1) AS syz1, sum(y * z2) AS syz2,
+                   sum(z1 * z2) AS sz1z2
+            FROM d),
+      r AS (SELECT n,
+              (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n)
+                * (syy - sy * sy / n)) AS rxy,
+              (sxz1 - sx * sz1 / n) / sqrt((sxx - sx * sx / n)
+                * (sz1z1 - sz1 * sz1 / n)) AS rxz1,
+              (sxz2 - sx * sz2 / n) / sqrt((sxx - sx * sx / n)
+                * (sz2z2 - sz2 * sz2 / n)) AS rxz2,
+              (syz1 - sy * sz1 / n) / sqrt((syy - sy * sy / n)
+                * (sz1z1 - sz1 * sz1 / n)) AS ryz1,
+              (syz2 - sy * sz2 / n) / sqrt((syy - sy * sy / n)
+                * (sz2z2 - sz2 * sz2 / n)) AS ryz2,
+              (sz1z2 - sz1 * sz2 / n) / sqrt((sz1z1 - sz1 * sz1 / n)
+                * (sz2z2 - sz2 * sz2 / n)) AS rz1z2
+            FROM m),
+      p1 AS (SELECT n, rxy,
+               (rxy - rxz1 * ryz1) /
+                 sqrt((1 - rxz1 * rxz1) * (1 - ryz1 * ryz1)) AS rxy_1,
+               (rxz2 - rxz1 * rz1z2) /
+                 sqrt((1 - rxz1 * rxz1) * (1 - rz1z2 * rz1z2)) AS rx2_1,
+               (ryz2 - ryz1 * rz1z2) /
+                 sqrt((1 - ryz1 * ryz1) * (1 - rz1z2 * rz1z2)) AS ry2_1
+             FROM r)
+      SELECT n::BIGINT AS n, round(rxy, 6) AS r_xy,
+             round((rxy_1 - rx2_1 * ry2_1) /
+               sqrt((1 - rx2_1 * rx2_1) * (1 - ry2_1 * ry2_1)), 6)
+               AS r_xy_given_z,
+             2 AS n_controls
+      FROM p1"""))
+
+  /** Kruskal–Wallis rank test: do the five event types draw their
+    * values from the same distribution? Midrank/tie convention,
+    * statistic-only (H ~ χ²(4)). */
+  private val q300 = Entry(
+    "q300_kruskal_wallis",
+    (s, d) => {
+      AnalysisPlanner.kruskalWallis(Tables.events(s, d),
+          "event_type", "value")
+        .select(col("n"), col("n_groups"), col("dof"),
+          r6(col("h")).as("h"),
+          r6(col("h_corrected")).as("h_corrected"))
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      vt AS (SELECT v, count(*)::DOUBLE AS t FROM d GROUP BY 1),
+      r AS (SELECT v, t,
+                   coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (t + 1) / 2 AS mr
+            FROM vt),
+      cells AS (SELECT g, v, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2),
+      per AS (SELECT g, sum(c) AS ng, sum(c * mr) AS rg
+              FROM cells JOIN r USING (v) GROUP BY 1),
+      tie AS (SELECT sum(t * t * t - t) AS tie, sum(t) AS nn FROM r),
+      h AS (SELECT max(nn)::BIGINT AS n, count(*) AS n_groups,
+                   count(*) - 1 AS dof,
+                   12.0 / (max(nn) * (max(nn) + 1))
+                     * sum(rg * rg / ng) - 3 * (max(nn) + 1) AS h,
+                   max(tie / (nn * nn * nn - nn)) AS cf
+            FROM per, tie)
+      SELECT n, n_groups, dof, round(h, 6) AS h,
+             round(h / (1 - cf), 6) AS h_corrected
+      FROM h"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11049,7 +11195,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1663,6 +1663,104 @@ object AnalysisPlanner {
   }
 
   /**
+   * Kruskal–Wallis rank test across k groups — the nonparametric
+   * ANOVA (does ANY group's distribution sit higher?), midrank/tie
+   * convention: H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1), divided by the
+   * tie correction 1 − Σ(t³−t)/(N³−N). H ~ χ²(k−1) under H0 — feed to
+   * [[Stats.chi2PValue]], the statistic-only contract of the StatTest
+   * family. Returns ONE row: (n, n_groups, dof, h, h_corrected).
+   *
+   * Scale shape: the mannwhitney discipline generalized — one
+   * (value, group) count groupBy, the distinct-value frame
+   * (localCheckpointed) prefix-summed for midranks, one value-keyed
+   * join of cells to ranks, one grouped rollup, one 1-row reduce. No
+   * global per-row sort anywhere.
+   */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // value totals AND the rank join read it
+    val vtot = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val ranked = PrefixSum.exclusive(vtot, "__v", Seq("__t" -> "__ex"))
+      .select(col("__v"), (col("__ex") + (col("__t") + 1) / 2)
+        .as("__mr"), col("__t"))
+      .localCheckpoint() // rank join + tie-correction reduce
+    val per = cells.join(ranked.select("__v", "__mr"), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__mr")).as("__rg"))
+    val ties = broadcast(ranked.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tie"), sum(col("__t")).as("__N")))
+    per.crossJoin(ties)
+      .agg(max(col("__N")).cast("long").as("n"),
+        count(lit(1)).as("n_groups"),
+        (count(lit(1)) - 1).as("dof"),
+        (lit(12.0) / (max(col("__N")) * (max(col("__N")) + 1)) *
+          sum(col("__rg") * col("__rg") / col("__ng")) -
+          lit(3.0) * (max(col("__N")) + 1)).as("h"),
+        max(col("__tie") /
+          (col("__N") * col("__N") * col("__N") - col("__N")))
+          .as("__cf"))
+      .select(col("n"), col("n_groups"), col("dof"), col("h"),
+        (col("h") / (lit(1.0) - col("__cf"))).as("h_corrected"))
+  }
+
+  /**
+   * Partial correlation of x and y controlling for z₁..z_k: the
+   * correlation left between x and y after projecting out the
+   * controls — THE confounder check for observational metric pairs
+   * ("price and returns correlate… but both just follow order size").
+   * Computed from the precision matrix of the (x, y, z…) correlation
+   * matrix (r_xy·z = −P_xy/√(P_xx·P_yy)); the matrix comes from ONE
+   * pairwise-moments aggregation scan and the (k+2)² inverse is
+   * driver-side (k ≤ 8). The k-control generalization of the
+   * single-control [[partialCorrelation]]. Returns ONE row:
+   * (n, r_xy, r_xy_given_z, n_controls).
+   */
+  def partialCorrelationMulti(df: DataFrame, xCol: String, yCol: String,
+      zCols: Seq[String]): DataFrame = {
+    require(zCols.nonEmpty && zCols.size <= 8,
+      "partialCorrelationMulti: 1..8 controls")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = Seq(xCol, yCol) ++ zCols
+    val p = names.size
+    val vs = names.map(c => col(c).cast("double"))
+    val complete = df.where(vs.map(_.isNotNull).reduce(_ && _))
+    val aggs =
+      vs.zipWithIndex.map { case (c, i) => sum(c).as(s"__s_$i") } ++
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(vs(i) * vs(j)).as(s"__ss_${i}_$j")) ++
+        Seq(count(lit(1)).as("__n"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n").toDouble
+    require(n > p + 1,
+      s"partialCorrelationMulti: $n rows for $p variables")
+    val mu = Array.tabulate(p)(i => row.getAs[Double](s"__s_$i") / n)
+    val cov = Array.ofDim[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      val ss = row.getAs[Double](s"__ss_${i}_$j")
+      val v = ss / n - mu(i) * mu(j)
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    val sd = Array.tabulate(p)(i => math.sqrt(cov(i)(i)))
+    val corr = Array.tabulate(p, p)((i, j) => cov(i)(j) / (sd(i) * sd(j)))
+    val prec = Array.ofDim[Double](p, p)
+    for (j <- 0 until p) {
+      val e = Array.tabulate(p)(i => if (i == j) 1.0 else 0.0)
+      val c = graft.ops.Regression.solve(corr, e)
+      for (i <- 0 until p) prec(i)(j) = c(i)
+    }
+    val partial = -prec(0)(1) / math.sqrt(prec(0)(0) * prec(1)(1))
+    Seq((row.getAs[Long]("__n"), corr(0)(1), partial, zCols.size))
+      .toDF("n", "r_xy", "r_xy_given_z", "n_controls")
+  }
+
+  /**
    * Restricted mean survival time: ∫₀^τ Ŝ(t)dt under the
    * [[kaplanMeier]] step curve — the "average event-free time through
    * horizon τ" summary that stays meaningful when the survival curve

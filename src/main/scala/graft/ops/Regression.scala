@@ -243,6 +243,74 @@ object Regression {
         "iterations")
   }
 
+  /**
+   * Huber robust regression by FIXED IRLS rounds: iteration 0 is
+   * plain OLS; each later round reweights rows by
+   * w = min(1, δ/|residual|) (the Huber ψ — quadratic near zero,
+   * linear in the tails) and re-solves weighted least squares — the
+   * multi-feature robust fit that [[graft.ops.TimeSeries.theilSen]]'s
+   * bivariate pairwise-slope construction can't reach. `delta` is the
+   * ABSOLUTE residual half-width of the quadratic zone (caller-scaled:
+   * pick ~1.345·σ of a clean fit; a data-driven scale would make the
+   * weights order-dependent and break replay). Returns the
+   * [[linearRegression]] row shape (term, coef, n, iterations) plus
+   * mean ABSOLUTE residual at the final β (the robust loss readout).
+   *
+   * Per iteration ONE weighted sufficient-stats scan with β inlined as
+   * literals + a driver p×p solve — the [[logisticRegression]] scan
+   * discipline.
+   */
+  def huberRegression(df: DataFrame, features: Seq[String],
+      targetCol: String, delta: Double, iterations: Int = 3)
+      : DataFrame = {
+    require(features.nonEmpty, "huberRegression: no features")
+    require(features.size <= 32, "huberRegression: at most 32 features")
+    require(delta > 0, "huberRegression: delta > 0")
+    require(iterations >= 1, "huberRegression: iterations >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = col(targetCol).cast("double")
+    val xs = features.map(f => col(f).cast("double"))
+    val complete = df.where(
+      (y.isNotNull +: xs.map(_.isNotNull)).reduce(_ && _))
+    val terms = lit(1.0) +: xs
+    val p = terms.size
+    var beta: Array[Double] = null
+    var n = 0L
+    for (it <- 0 until iterations) {
+      val w: Column =
+        if (it == 0) lit(1.0)
+        else {
+          val r = y - terms.zip(beta).map { case (t, b) => t * lit(b) }
+            .reduce(_ + _)
+          least(lit(1.0), lit(delta) / greatest(abs(r), lit(1e-300)))
+        }
+      val aggs =
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(w * terms(i) * terms(j)).as(s"__xx_${i}_$j")) ++
+          (0 until p).map(i => sum(w * terms(i) * y).as(s"__xy_$i")) ++
+          Seq(count(lit(1)).as("__n"))
+      val row = complete.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getAs[Long]("__n")
+      require(n > p, s"huberRegression: $n rows for $p terms")
+      val a = Array.ofDim[Double](p, p)
+      for (i <- 0 until p; j <- i until p) {
+        val v = row.getAs[Double](s"__xx_${i}_$j")
+        a(i)(j) = v; a(j)(i) = v
+      }
+      val b = Array.tabulate(p)(i => row.getAs[Double](s"__xy_$i"))
+      beta = solve(a, b)
+    }
+    val rF = y - terms.zip(beta).map { case (t, b) => t * lit(b) }
+      .reduce(_ + _)
+    val mar = complete.agg(avg(abs(rF)).as("__m")).head()
+      .getAs[Double]("__m")
+    val names = "(intercept)" +: features
+    names.zipWithIndex.map { case (t, i) =>
+      (t, beta(i), n, mar, iterations)
+    }.toDF("term", "coef", "n", "mean_abs_resid", "iterations")
+  }
+
   /** Shared fixed-iteration Newton/IRLS GLM core: per iteration ONE
     * aggregation scan (p(p+3)/2 + 2 sums) with the current β inlined
     * as literals, driver-side (p+1)×(p+1) solve; one final scan for

@@ -4739,6 +4739,50 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("huberRegression: gross outlier barely moves the robust fit") {
+    import spark.implicits._
+    // outlier at the far end of x so it torques the OLS slope (an
+    // outlier at mean-x would only shift the intercept)
+    val clean = (0 to 20).map(i => (i.toDouble, 2.0 * i + 1))
+    val df = (clean :+ ((20.0, 1000.0))).toDF("x", "y")
+    val hub = graft.ops.Regression
+      .huberRegression(df, Seq("x"), "y", delta = 2.0, iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("coef")).toMap
+    assert(math.abs(hub("x") - 2.0) < 0.1, s"huber slope ${hub("x")}")
+    // plain OLS on the same data is pulled far off by the outlier
+    val ols = graft.ops.Regression.linearRegression(df, Seq("x"), "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("coef")).toMap
+    assert(math.abs(ols("x") - 2.0) > 0.5)
+  }
+
+  test("partialCorrelation: shared driver explains the raw correlation") {
+    import spark.implicits._
+    // x and y both ride z; given z they are (nearly) independent
+    val df = (1 to 700).map { i =>
+      val z = (i % 10).toDouble
+      val a = ((i / 10) % 7).toDouble
+      val b = ((i / 70) % 5).toDouble
+      (z + a, z + b, z)
+    }.toDF("x", "y", "z")
+    val r = graft.analysis.AnalysisPlanner
+      .partialCorrelationMulti(df, "x", "y", Seq("z")).head
+    assert(r.getAs[Double]("r_xy") > 0.4)
+    assert(math.abs(r.getAs[Double]("r_xy_given_z")) < 0.1)
+    assert(r.getAs[Long]("n") == 700)
+  }
+
+  test("kruskalWallis: hand two-group shift, no ties") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", 100.0 + i))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.kruskalWallis(df, "g", "v")
+      .head
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("n_groups") == 2)
+    // ranks 1..20: H = 12/(20·21)·(55²/10 + 155²/10) − 3·21 = 100/7
+    assert(math.abs(r.getAs[Double]("h") - 100.0 / 7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 100.0 / 7) < 1e-9)
+  }
+
   test("gaussianMixture1D: well-separated modes recovered") {
     import spark.implicits._
     // two tight clusters at 0 and 100, 40/60 mix
