@@ -11170,6 +11170,73 @@ object Queries {
              round(h / (1 - cf), 6) AS h_corrected
       FROM h"""))
 
+  /** Cramér–von Mises two-sample criterion on event values by user
+    * parity — the integrated-squared companion to q10 (KS) and q263
+    * (Anderson–Darling). */
+  private val q301 = Entry(
+    "q301_cramer_von_mises",
+    (s, d) => {
+      AnalysisPlanner.cramerVonMises(Tables.events(s, d), "value",
+          col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          r6(col("cvm_stat")).as("cvm_stat"))
+    },
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v,
+                   CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS a
+                 FROM events WHERE "value" IS NOT NULL),
+      g AS (SELECT v, sum(a) AS ca, count(*)::DOUBLE AS cnt
+            FROM d GROUP BY 1),
+      w AS (SELECT v, ca, cnt,
+              coalesce(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) + ca AS fa,
+              coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) + cnt AS ft
+            FROM g),
+      t AS (SELECT sum(a) AS n1, sum(1 - a) AS n2,
+                   count(*)::DOUBLE AS tt
+            FROM d)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+             round(n1 * n2 / (tt * tt) *
+               sum(cnt * (fa / n1 - (ft - fa) / n2)
+                       * (fa / n1 - (ft - fa) / n2)), 6) AS cvm_stat
+      FROM w, t GROUP BY n1, n2, tt"""))
+
+  /** Dunn's rank post-hoc across the five event types — which pairs
+    * differ, after q300's omnibus; tie-corrected z per pair. */
+  private val q302 = Entry(
+    "q302_dunn_test",
+    (s, d) => {
+      AnalysisPlanner.dunnTest(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          r6(col("mean_rank_a")).as("mean_rank_a"),
+          r6(col("mean_rank_b")).as("mean_rank_b"), r6(col("z")).as("z"))
+        .orderBy("group_a", "group_b")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      vt AS (SELECT v, count(*)::DOUBLE AS t FROM d GROUP BY 1),
+      r AS (SELECT v, t,
+                   coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (t + 1) / 2 AS mr
+            FROM vt),
+      cells AS (SELECT g, v, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2),
+      per AS (SELECT g, sum(c) AS ng, sum(c * mr) / sum(c) AS mrg
+              FROM cells JOIN r USING (v) GROUP BY 1),
+      tie AS (SELECT sum(t * t * t - t) AS tie, sum(t) AS nn FROM r)
+      SELECT a.g AS group_a, b.g AS group_b, a.ng::BIGINT AS n_a,
+             b.ng::BIGINT AS n_b, round(a.mrg, 6) AS mean_rank_a,
+             round(b.mrg, 6) AS mean_rank_b,
+             round((a.mrg - b.mrg) /
+               sqrt(((nn * (nn + 1) - tie / (nn - 1)) / 12)
+                 * (1 / a.ng + 1 / b.ng)), 6) AS z
+      FROM per a JOIN per b ON a.g < b.g, tie
+      ORDER BY group_a, group_b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11195,7 +11262,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

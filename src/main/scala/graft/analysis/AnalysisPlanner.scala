@@ -1591,6 +1591,94 @@ object AnalysisPlanner {
   }
 
   /**
+   * Two-sample Cramér–von Mises criterion — the integrated-squared
+   * companion to the q10 KS sup-distance and the q263
+   * Anderson–Darling tail-weighted form:
+   * T = n·m/N² · Σ_values t_v·(F_n(v) − G_m(v))², summing over the
+   * combined empirical measure (t_v = combined count at v, the
+   * standard tie handling). More sensitive than KS to distributed
+   * (non-localized) distribution differences. Returns ONE row:
+   * (n_a, n_b, cvm_stat).
+   *
+   * Scale shape: exactly [[andersonDarling]]'s — one value-count
+   * groupBy, one [[PrefixSum]] pass, a broadcast totals row, one
+   * reduce. No window, no sort.
+   */
+  def cramerVonMises(df: DataFrame, valueCol: String,
+      treatCol: Column): DataFrame = {
+    val base = df
+      .select(col(valueCol).cast("double").as("__v"),
+        when(treatCol, 1.0).otherwise(0.0).as("__a"))
+      .where(col("__v").isNotNull)
+    val g = base.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(g, "__v",
+        Seq("__ca" -> "__pa", "__cnt" -> "__pc"))
+      .withColumn("__fa", col("__pa") + col("__ca"))
+      .withColumn("__ft", col("__pc") + col("__cnt"))
+    val tot = broadcast(base.agg(sum(col("__a")).as("__n1"),
+      sum(lit(1.0) - col("__a")).as("__n2"),
+      count(lit(1)).cast("double").as("__tt")))
+    pre.join(tot)
+      .agg(max(col("__n1")).cast("long").as("n_a"),
+        max(col("__n2")).cast("long").as("n_b"),
+        (max(col("__n1")) * max(col("__n2")) /
+          (max(col("__tt")) * max(col("__tt"))) *
+          sum(col("__cnt") *
+            pow(col("__fa") / col("__n1") -
+              (col("__ft") - col("__fa")) / col("__n2"), 2)))
+          .as("cvm_stat"))
+  }
+
+  /**
+   * Dunn's test — the rank-based post-hoc after [[kruskalWallis]]
+   * flags "some group differs": for every unordered group pair, the
+   * standardized mean-rank difference
+   * z = (R̄_a − R̄_b) / √(V·(1/n_a + 1/n_b)) with the tie-corrected
+   * variance V = (N(N+1) − Σ(t³−t)/(N−1))/12. Feed |z| to the
+   * BH/Holm operators for multiplicity. Returns one row per pair:
+   * (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z).
+   *
+   * Scale shape: [[kruskalWallis]]'s cells + midranks, rolled to the
+   * ≤|groups|-row frame, then the pairwiseContrasts inequality
+   * self-join on that tiny frame.
+   */
+  def dunnTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // value totals + the rank join
+    val vtot = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val ranked = PrefixSum.exclusive(vtot, "__v", Seq("__t" -> "__ex"))
+      .select(col("__v"), (col("__ex") + (col("__t") + 1) / 2)
+        .as("__mr"), col("__t"))
+      .localCheckpoint() // rank join + tie reduce
+    val per = cells.join(ranked.select("__v", "__mr"), Seq("__v"))
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        (sum(col("__c") * col("__mr")) / sum(col("__c"))).as("__mrg"))
+      .localCheckpoint() // both sides of the pair join
+    val ties = broadcast(ranked.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"),
+      sum(col("__t")).as("__nn")))
+    val vexpr = (col("__nn") * (col("__nn") + 1) -
+      col("__tie") / (col("__nn") - 1)) / 12
+    per.as("a")
+      .join(per.select(col("__g").as("__g2"), col("__ng").as("__ng2"),
+        col("__mrg").as("__mrg2")), col("a.__g") < col("__g2"))
+      .join(ties)
+      .select(col("a.__g").as("group_a"), col("__g2").as("group_b"),
+        col("a.__ng").cast("long").as("n_a"),
+        col("__ng2").cast("long").as("n_b"),
+        col("a.__mrg").as("mean_rank_a"), col("__mrg2").as("mean_rank_b"),
+        ((col("a.__mrg") - col("__mrg2")) /
+          sqrt(vexpr * (lit(1.0) / col("a.__ng") + lit(1.0) / col("__ng2"))))
+          .as("z"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction over a frame of hypotheses with
    * a p-value column: flags every row whose p-value survives the BH
    * step-up procedure at level `alpha`. Returns the input columns plus

@@ -4739,6 +4739,34 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("cramerVonMises: identical samples 0, disjoint shift by hand") {
+    import spark.implicits._
+    val same = ((1 to 10).map(i => (true, i.toDouble)) ++
+      (1 to 10).map(i => (false, i.toDouble))).toDF("t", "v")
+    val s0 = graft.analysis.AnalysisPlanner
+      .cramerVonMises(same, "v", col("t")).head
+    assert(math.abs(s0.getAs[Double]("cvm_stat")) < 1e-12)
+    // a = 1..10, b = 101..110: T = (100/400)·(3.85 + 2.85) = 1.675
+    val shift = ((1 to 10).map(i => (true, i.toDouble)) ++
+      (1 to 10).map(i => (false, 100.0 + i))).toDF("t", "v")
+    val s1 = graft.analysis.AnalysisPlanner
+      .cramerVonMises(shift, "v", col("t")).head
+    assert(s1.getAs[Long]("n_a") == 10 && s1.getAs[Long]("n_b") == 10)
+    assert(math.abs(s1.getAs[Double]("cvm_stat") - 1.675) < 1e-12)
+  }
+
+  test("dunnTest: hand two-group z, mean ranks") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", 100.0 + i))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.dunnTest(df, "g", "v").head
+    assert(r.getAs[String]("group_a") == "a")
+    assert(math.abs(r.getAs[Double]("mean_rank_a") - 5.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_rank_b") - 15.5) < 1e-12)
+    // V = 20·21/12 = 35; z = −10/√(35·(1/10+1/10)) = −10/√7
+    assert(math.abs(r.getAs[Double]("z") + 10.0 / math.sqrt(7)) < 1e-12)
+  }
+
   test("huberRegression: gross outlier barely moves the robust fit") {
     import spark.implicits._
     // outlier at the far end of x so it torques the OLS slope (an
