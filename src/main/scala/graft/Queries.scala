@@ -11237,6 +11237,111 @@ object Queries {
       FROM per a JOIN per b ON a.g < b.g, tie
       ORDER BY group_a, group_b"""))
 
+  /** Majority-vote label aggregation of the (order, rater-pool,
+    * return-flag) rating frame — the baseline consensus readout,
+    * grouped to per-label item counts and share stats. */
+  private val q303 = Entry(
+    "q303_majority_vote",
+    (s, d) => {
+      val rt = Tables.lineitem(s, d)
+      graft.ops.Labeling.majorityVote(
+          rt.withColumn("rater", col("l_suppkey") % 7),
+          "l_orderkey", "rater", "l_returnflag")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_items"),
+          r6(avg(col("vote_share"))).as("avg_vote_share"),
+          sum(when(col("vote_share") === 1.0, 1L).otherwise(0L))
+            .as("unanimous_items"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH v AS (SELECT l_orderkey AS item, l_returnflag AS obs,
+                        count(*)::DOUBLE AS c
+                 FROM lineitem GROUP BY 1, 2),
+      pi_ AS (SELECT item, sum(c) AS nr FROM v GROUP BY 1),
+      mv AS (SELECT v.item, obs AS label, c AS n_votes, nr,
+                    row_number() OVER (PARTITION BY v.item
+                      ORDER BY c DESC, obs ASC) AS rn
+             FROM v JOIN pi_ USING (item))
+      SELECT label, count(*) AS n_items,
+             round(avg(n_votes / nr), 6) AS avg_vote_share,
+             sum(CASE WHEN n_votes = nr THEN 1 ELSE 0 END)::BIGINT
+               AS unanimous_items
+      FROM mv WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+
+  /** Dawid–Skene EM vs majority vote: the (ds_label, vote_label)
+    * item confusion after 2 EM rounds — every posterior, prior, and
+    * confusion cell replayed on the same 9-decimal grid. */
+  private val q304 = Entry(
+    "q304_dawid_skene",
+    (s, d) => {
+      val rt = Tables.lineitem(s, d)
+        .withColumn("rater", col("l_suppkey") % 7)
+      val ds = graft.ops.Labeling.dawidSkene(rt, "l_orderkey", "rater",
+        "l_returnflag", iterations = 2)
+      val mv = graft.ops.Labeling.majorityVote(rt, "l_orderkey",
+        "rater", "l_returnflag")
+      ds.items.select(col("item"), col("label").as("ds_label"))
+        .join(mv.select(col("item"), col("label").as("vote_label")),
+          Seq("item"))
+        .groupBy("ds_label", "vote_label").agg(count(lit(1)).as("n"))
+        .orderBy("ds_label", "vote_label")
+    },
+    Some {
+      def iter(k: Int) = {
+        val prev = if (k == 1) "t0" else s"t${k - 1}"
+        s"""pr$k AS (SELECT l, round((sum(w) + 0.1) / (ni.ni + 0.3), 9)
+               AS p
+             FROM $prev, ni GROUP BY l, ni.ni),
+      cl$k AS (SELECT rater, t.l, rt.obs, sum(t.w) AS s
+             FROM rt JOIN $prev t USING (item) GROUP BY 1, 2, 3),
+      dn$k AS (SELECT rater, l, sum(s) AS tot FROM cl$k GROUP BY 1, 2),
+      cf$k AS (SELECT c.rater, c.l, c.obs,
+                    round((c.s + 0.1) / (d.tot + 0.3), 9) AS pi
+             FROM cl$k c JOIN dn$k d USING (rater, l)),
+      e$k AS (SELECT rt.item, cf$k.l,
+                   round(sum(ln(cf$k.pi)) + max(lp$k.lp), 9) AS s
+            FROM rt JOIN cf$k ON cf$k.rater = rt.rater
+                              AND cf$k.obs = rt.obs
+            JOIN (SELECT l, ln(p) AS lp FROM pr$k) lp$k
+              ON lp$k.l = cf$k.l
+            GROUP BY 1, 2),
+      mx$k AS (SELECT item, max(s) AS mx FROM e$k GROUP BY 1),
+      z$k AS (SELECT e.item, sum(exp(e.s - m.mx)) AS z
+             FROM e$k e JOIN mx$k m USING (item) GROUP BY 1),
+      t$k AS (SELECT e.item, e.l,
+                   round(exp(e.s - m.mx) / z.z, 9) AS w
+             FROM e$k e JOIN mx$k m USING (item)
+             JOIN z$k z ON z.item = e.item)"""
+      }
+      s"""
+      WITH rt AS (SELECT l_orderkey AS item, l_suppkey % 7 AS rater,
+                    l_returnflag AS obs
+                  FROM lineitem),
+      ni AS (SELECT count(DISTINCT item)::DOUBLE AS ni FROM rt),
+      lab AS (SELECT * FROM (VALUES ('A'), ('N'), ('R')) t(l)),
+      v AS (SELECT item, obs, count(*)::DOUBLE AS c
+            FROM rt GROUP BY 1, 2),
+      pi_ AS (SELECT item, sum(c) AS nr FROM v GROUP BY 1),
+      t0 AS (SELECT pi_.item, lab.l,
+                    round(coalesce(v.c, 0) / pi_.nr, 9) AS w
+             FROM pi_ CROSS JOIN lab
+             LEFT JOIN v ON v.item = pi_.item AND v.obs = lab.l),
+      ${iter(1)},
+      ${iter(2)},
+      ds AS (SELECT item, l AS ds_label FROM (
+               SELECT item, l, row_number() OVER (PARTITION BY item
+                 ORDER BY w DESC, l ASC) AS rn
+               FROM t2) WHERE rn = 1),
+      mv AS (SELECT item, obs AS vote_label FROM (
+               SELECT v.item, obs, row_number() OVER (PARTITION BY
+                 v.item ORDER BY c DESC, obs ASC) AS rn
+               FROM v) WHERE rn = 1)
+      SELECT ds_label, vote_label, count(*) AS n
+      FROM ds JOIN mv USING (item)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11262,7 +11367,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -4739,6 +4739,43 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("majorityVote: plurality with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq((1, 10, "x"), (1, 11, "x"), (1, 12, "y"),
+      (2, 10, "y"), (2, 11, "x")).toDF("item", "rater", "lbl")
+    val out = graft.ops.Labeling.majorityVote(df, "item", "rater", "lbl")
+      .collect().map(r => r.getAs[Int]("item") -> r).toMap
+    assert(out(1).getAs[String]("label") == "x")
+    assert(out(1).getAs[Long]("n_votes") == 2)
+    assert(math.abs(out(1).getAs[Double]("vote_share") - 2.0 / 3) < 1e-12)
+    // tie on item 2 → label ascending wins
+    assert(out(2).getAs[String]("label") == "x")
+  }
+
+  test("dawidSkene: unreliable rater identified, truth recovered") {
+    import spark.implicits._
+    // r1, r2 always report the truth; r3 is wrong except every 5th item
+    val rows = (1 to 30).flatMap { i =>
+      val truth = if (i % 2 == 0) "a" else "b"
+      val flip = if (truth == "a") "b" else "a"
+      Seq((i, 1, truth), (i, 2, truth),
+        (i, 3, if (i % 5 == 0) truth else flip))
+    }
+    val ds = graft.ops.Labeling.dawidSkene(rows.toDF("item", "r", "lbl"),
+      "item", "r", "lbl", iterations = 3)
+    val labels = ds.items.collect()
+      .map(r => r.getAs[Int]("item") -> r.getAs[String]("label")).toMap
+    assert((1 to 30).forall(i =>
+      labels(i) == (if (i % 2 == 0) "a" else "b")))
+    val acc = ds.raters.collect()
+      .map(r => r.getAs[Int]("rater") -> r.getAs[Double]("accuracy"))
+      .toMap
+    assert(acc(1) > 0.9 && acc(2) > 0.9)
+    assert(acc(3) < 0.4, s"liar accuracy ${acc(3)}")
+    // posteriors near-certain with two honest raters
+    assert(ds.items.agg(min(col("posterior"))).head.getDouble(0) > 0.9)
+  }
+
   test("cramerVonMises: identical samples 0, disjoint shift by hand") {
     import spark.implicits._
     val same = ((1 to 10).map(i => (true, i.toDouble)) ++
