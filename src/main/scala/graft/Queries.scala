@@ -11342,6 +11342,123 @@ object Queries {
       GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
+  /** Source-pair vocabulary Jaccard across the 20 document sources —
+    * the mixture-planning "are these crawls the same text?" matrix;
+    * top 15 most-overlapping pairs. */
+  private val q305 = Entry(
+    "q305_vocab_overlap",
+    (s, d) => {
+      graft.ops.TextAnalysis
+        .sourceVocabularyOverlap(Tables.documents(s, d), "source", "text")
+        .select(col("source_a"), col("source_b"), col("vocab_a"),
+          col("vocab_b"), col("common"), r6(col("jaccard")).as("jaccard"))
+        .orderBy(desc("jaccard"), col("source_a"), col("source_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH v AS (SELECT DISTINCT source AS s,
+                        unnest(string_split_regex(lower(text),
+                          '[^a-z]+')) AS t
+                 FROM documents),
+      vv AS (SELECT s, t FROM v WHERE length(t) > 0),
+      sz AS (SELECT s, count(*) AS vb FROM vv GROUP BY 1),
+      p AS (SELECT a.s AS sa, b.s AS sb, count(*) AS common
+            FROM vv a JOIN vv b ON a.t = b.t AND a.s < b.s
+            GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, x.vb AS vocab_a,
+             y.vb AS vocab_b, common,
+             round(common::DOUBLE / (x.vb + y.vb - common), 6)
+               AS jaccard
+      FROM p JOIN sz x ON sa = x.s JOIN sz y ON sb = y.s
+      ORDER BY jaccard DESC, source_a, source_b LIMIT 15"""))
+
+  /** Hill tail index of event values from the top-100 order
+    * statistics — the heavy-tail diagnostic that prices clipping
+    * decisions. */
+  private val q306 = Entry(
+    "q306_hill_tail_index",
+    (s, d) => {
+      graft.ops.Profiling.hillTailIndex(Tables.events(s, d), "value",
+          k = 100)
+        .select(col("k"), col("n_positive"), r6(col("x_k1")).as("x_k1"),
+          r6(col("hill_gamma")).as("hill_gamma"),
+          r6(col("hill_alpha")).as("hill_alpha"))
+    },
+    Some("""
+      WITH pos AS (SELECT "value"::DOUBLE AS x FROM events
+                   WHERE "value" IS NOT NULL AND "value" > 0),
+      np AS (SELECT count(*) AS n_positive FROM pos),
+      top AS (SELECT x FROM pos ORDER BY x DESC LIMIT 101),
+      mn AS (SELECT min(x) AS xk1 FROM top),
+      h AS (SELECT count(*) AS k, max(mn.xk1) AS x_k1,
+                   avg(ln(x / mn.xk1)) AS g
+            FROM top, mn WHERE x > mn.xk1)
+      SELECT k, n_positive, round(x_k1, 6) AS x_k1,
+             round(g, 6) AS hill_gamma, round(1 / g, 6) AS hill_alpha
+      FROM h, np"""))
+
+  /** Cross-source exact-duplicate matrix with a planted "recrawl"
+    * source (a relabeled slice of the corpus) — which source pairs
+    * share identical texts, and how much of each is copied. */
+  private val q307 = Entry(
+    "q307_cross_source_dups",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val recrawl = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("source", lit("recrawl"))
+      graft.ops.Dedup
+        .crossSourceDuplicates(docs.unionByName(recrawl), "source",
+          "text")
+        .select(col("source_a"), col("source_b"), col("docs_a"),
+          col("docs_b"), col("shared_texts"),
+          r6(col("overlap_a")).as("overlap_a"),
+          r6(col("overlap_b")).as("overlap_b"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH all_docs AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'recrawl' AS source, text FROM documents
+        WHERE doc_id % 3 = 0),
+      hs AS (SELECT DISTINCT source AS s, md5(text) AS h
+             FROM all_docs WHERE text IS NOT NULL),
+      sz AS (SELECT s, count(*) AS dd FROM hs GROUP BY 1),
+      p AS (SELECT a.s AS sa, b.s AS sb, count(*) AS shared
+            FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+            GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, x.dd AS docs_a,
+             y.dd AS docs_b, shared AS shared_texts,
+             round(shared::DOUBLE / x.dd, 6) AS overlap_a,
+             round(shared::DOUBLE / y.dd, 6) AS overlap_b
+      FROM p JOIN sz x ON sa = x.s JOIN sz y ON sb = y.s
+      ORDER BY source_a, source_b"""))
+
+  /** Embedding dimension health over the 64-dim corpus: per-dim
+    * variance share and collapsed-dimension flags. */
+  private val q308 = Entry(
+    "q308_embedding_health",
+    (s, d) => {
+      graft.ops.Features
+        .embeddingDimensionHealth(Tables.embeddings(s, d), "embedding")
+        .select(col("dim"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("variance")).as("variance"),
+          r6(col("var_share")).as("var_share"), col("collapsed"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      m AS (SELECT i - 1 AS dim, count(*) AS n, avg(v[i]) AS mean,
+                   var_samp(v[i]) AS variance
+            FROM e, range(1, 65) t(i) GROUP BY 1),
+      tv AS (SELECT sum(variance) AS tv FROM m)
+      SELECT dim::INT AS dim, n, round(mean, 6) AS mean,
+             round(variance, 6) AS variance,
+             round(variance / tv, 6) AS var_share,
+             variance < 1e-6 AS collapsed
+      FROM m, tv ORDER BY dim"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11367,7 +11484,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

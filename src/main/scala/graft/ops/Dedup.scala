@@ -1024,6 +1024,45 @@ object Dedup {
   }
 
   /**
+   * Cross-source exact-duplicate matrix: for every source pair, how
+   * many DISTINCT texts appear in both — the mixture-hygiene readout
+   * behind "crawl B is 30% a re-crawl of A" (corpus-level dedup
+   * tells you the duplicate count; this tells you which source pairs
+   * to fix). Texts are compared by md5 (engine-replayable; collision
+   * odds irrelevant at report scale). Returns one row per unordered
+   * pair: (source_a, source_b, docs_a, docs_b, shared_texts,
+   * overlap_a = shared/docs_a, overlap_b).
+   *
+   * Scale shape: the corpus reduces to the distinct (hash, source)
+   * frame; the pair counts come from a hash-keyed self-join of that
+   * frame — per-hash work is ≤ |sources|², never corpus².
+   */
+  def crossSourceDuplicates(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val hs = df.select(col(srcCol).as("__s"),
+        md5(col(textCol)).as("__h"))
+      .where(col("__h").isNotNull)
+      .distinct().localCheckpoint()
+    val sizes = hs.groupBy("__s").agg(count(lit(1)).as("__d"))
+      .localCheckpoint()
+    hs.as("a")
+      .join(hs.select(col("__s").as("__s2"), col("__h")), Seq("__h"))
+      .where(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(count(lit(1)).as("shared_texts"))
+      .join(broadcast(sizes), Seq("__s"))
+      .join(broadcast(sizes.select(col("__s").as("__s2"),
+        col("__d").as("__d2"))), Seq("__s2"))
+      .select(col("__s").as("source_a"), col("__s2").as("source_b"),
+        col("__d").as("docs_a"), col("__d2").as("docs_b"),
+        col("shared_texts"),
+        (col("shared_texts").cast("double") / col("__d"))
+          .as("overlap_a"),
+        (col("shared_texts").cast("double") / col("__d2"))
+          .as("overlap_b"))
+  }
+
+  /**
    * Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
    * Sunter 1969) over blocked candidate pairs: for each within-block
    * pair and each comparison field f with match/unmatch probabilities

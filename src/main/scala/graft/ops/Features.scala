@@ -710,4 +710,33 @@ object Features {
         ((col("__s") + col("__k0") * col("__m")) /
           (col("__n") + col("__k0"))).as("shrunk_rate"))
   }
+
+  /**
+   * Embedding dimension health: per-dimension mean/variance and each
+   * dimension's share of the total variance — the collapsed-dimension
+   * / anisotropy check for a learned embedding column (a dimension
+   * with ~zero variance carries nothing; a dimension with most of the
+   * variance ruins cosine geometry — both are silent quality
+   * regressions in an embedding pipeline). Returns one row per
+   * dimension: (dim, n, mean, variance, var_share, collapsed).
+   *
+   * ONE melted scan: posexplode to (dim, value), a dim-keyed groupBy
+   * (dims × corpus rows, map-side combined into a dims-row frame),
+   * total variance as that frame's broadcast rollup.
+   */
+  def embeddingDimensionHealth(df: DataFrame, vecCol: String,
+      collapseEps: Double = 1e-6): DataFrame = {
+    val per = df.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        avg(col("__x").cast("double")).as("mean"),
+        var_samp(col("__x").cast("double")).as("variance"))
+      .localCheckpoint() // total rollup + the share projection
+    val tot = broadcast(per.agg(sum(col("variance")).as("__tv")))
+    per.join(tot)
+      .select(col("dim"), col("n"), col("mean"), col("variance"),
+        (col("variance") / col("__tv")).as("var_share"),
+        (col("variance") < collapseEps).as("collapsed"))
+  }
 }

@@ -613,6 +613,37 @@ object Profiling {
   }
 
   /**
+   * Hill tail-index estimate from the top k+1 order statistics:
+   * γ̂ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) and α̂ = 1/γ̂ — the standard
+   * "how heavy is this tail" diagnostic (α < 2: infinite variance;
+   * the number that decides whether a metric needs clipping /
+   * winsorization before aggregation). Positive values only. Returns
+   * ONE row: (k, n_positive, x_k1, hill_gamma, hill_alpha).
+   *
+   * Scale shape: one filter + a TakeOrdered of k+1 rows (k is a
+   * report-sized constant) — the executors keep per-partition top
+   * heaps, only k+1 values reach the driver-side-free limit; one
+   * 1-row reduce after.
+   */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, "hillTailIndex: k >= 2")
+    val x = col(valueCol).cast("double")
+    val pos = df.where(x.isNotNull && x > 0).select(x.as("__x"))
+    val nPos = broadcast(pos.agg(count(lit(1)).as("n_positive")))
+    val top = pos.orderBy(desc("__x")).limit(k + 1).localCheckpoint()
+    val xk1 = broadcast(top.agg(min(col("__x")).as("__xk1")))
+    top.join(xk1)
+      .where(col("__x") > col("__xk1"))
+      .agg(count(lit(1)).as("k"), max(col("__xk1")).as("x_k1"),
+        avg(log(col("__x") / col("__xk1"))).as("hill_gamma"))
+      .join(nPos)
+      .select(col("k"), col("n_positive"), col("x_k1"),
+        col("hill_gamma"),
+        (lit(1.0) / col("hill_gamma")).as("hill_alpha"))
+  }
+
+  /**
    * Completeness trend: per period × column, the NULL rate — the
    * "which upstream feed degraded, and when" drilldown behind a
    * completeness alert (a flat profile's null count can't localize a

@@ -1128,6 +1128,45 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary overlap between corpus sources: for every source pair,
+   * the Jaccard similarity of their DISTINCT word sets — the
+   * mixture-planning diagnostic ("are these two crawls the same
+   * text?") that document-level dedup can't answer cheaply. Returns
+   * one row per unordered pair: (source_a, source_b, vocab_a,
+   * vocab_b, common, jaccard).
+   *
+   * Scale shape: the corpus reduces to the distinct (source, term)
+   * frame (vocabulary-bounded, localCheckpointed — sizes AND the
+   * pair join read it); intersections come from a term-keyed
+   * self-join of that frame — work is Σ_term df(term)², bounded by
+   * the source count per term (≤ |sources|), never corpus².
+   */
+  def sourceVocabularyOverlap(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val vocab = df
+      .select(col(srcCol).as("__s"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .distinct().localCheckpoint()
+    val sizes = vocab.groupBy("__s")
+      .agg(count(lit(1)).as("__v")).localCheckpoint()
+    val pairs = vocab.as("a")
+      .join(vocab.select(col("__s").as("__s2"), col("__t")), Seq("__t"))
+      .where(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes), Seq("__s"))
+      .join(broadcast(sizes.select(col("__s").as("__s2"),
+        col("__v").as("__v2"))), Seq("__s2"))
+      .select(col("__s").as("source_a"), col("__s2").as("source_b"),
+        col("__v").as("vocab_a"), col("__v2").as("vocab_b"),
+        col("common"),
+        (col("common").cast("double") /
+          (col("__v") + col("__v2") - col("common"))).as("jaccard"))
+  }
+
+  /**
    * Apply a learned [[bpeMerges]] table to a corpus — the ENCODE side
    * of the BPE pair: every word is wrapped into per-character symbols
    * and the merges replay in round order (greedy left-to-right via

@@ -4739,6 +4739,61 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("sourceVocabularyOverlap: hand Jaccard, self-pairs excluded") {
+    import spark.implicits._
+    val df = Seq(("s1", "the cat sat"), ("s1", "the dog"),
+      ("s2", "the cat ran"), ("s3", "zebra")).toDF("src", "text")
+    val out = graft.ops.TextAnalysis
+      .sourceVocabularyOverlap(df, "src", "text")
+      .collect().map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r).toMap
+    // s1 = {the,cat,sat,dog}, s2 = {the,cat,ran} → 2/5
+    val p = out(("s1", "s2"))
+    assert(p.getAs[Long]("vocab_a") == 4 && p.getAs[Long]("vocab_b") == 3)
+    assert(p.getAs[Long]("common") == 2)
+    assert(math.abs(p.getAs[Double]("jaccard") - 0.4) < 1e-12)
+    assert(!out.contains(("s1", "s3"))) // disjoint pairs absent
+  }
+
+  test("hillTailIndex: Pareto-ish grid recovers its exponent roughly") {
+    import spark.implicits._
+    // deterministic Pareto(α=2) quantile grid: x = (1−u)^(−1/2)
+    val xs = (1 to 5000).map(i => math.pow(i / 5001.0, -0.5))
+    val r = graft.ops.Profiling
+      .hillTailIndex(xs.toDF("x"), "x", k = 200).head
+    assert(r.getAs[Long]("k") == 200)
+    assert(math.abs(r.getAs[Double]("hill_alpha") - 2.0) < 0.3,
+      s"alpha ${r.getAs[Double]("hill_alpha")}")
+  }
+
+  test("crossSourceDuplicates: planted copy ratios") {
+    import spark.implicits._
+    val df = Seq(("a", "t1"), ("a", "t2"), ("a", "t3"), ("a", "t3"),
+      ("b", "t1"), ("b", "t2"), ("c", "zzz")).toDF("src", "text")
+    val out = graft.ops.Dedup.crossSourceDuplicates(df, "src", "text")
+      .collect()
+    assert(out.length == 1) // only (a, b) share anything
+    val p = out.head
+    assert(p.getAs[String]("source_a") == "a" &&
+      p.getAs[String]("source_b") == "b")
+    assert(p.getAs[Long]("docs_a") == 3) // distinct texts, dup collapsed
+    assert(p.getAs[Long]("shared_texts") == 2)
+    assert(math.abs(p.getAs[Double]("overlap_b") - 1.0) < 1e-12)
+  }
+
+  test("embeddingDimensionHealth: collapsed dim flagged, shares sum to 1") {
+    import spark.implicits._
+    val df = (1 to 50).map(i =>
+      Tuple1(Seq(i.toDouble, 7.0, (i % 3).toDouble))).toDF("v")
+    val out = graft.ops.Features.embeddingDimensionHealth(df, "v")
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out(1).getAs[Boolean]("collapsed")) // constant dimension
+    assert(!out(0).getAs[Boolean]("collapsed"))
+    assert(math.abs(out(1).getAs[Double]("mean") - 7.0) < 1e-12)
+    val shares = out.values.map(_.getAs[Double]("var_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
+
   test("majorityVote: plurality with deterministic tie-break") {
     import spark.implicits._
     val df = Seq((1, 10, "x"), (1, 11, "x"), (1, 12, "y"),
