@@ -11459,6 +11459,46 @@ object Queries {
              variance < 1e-6 AS collapsed
       FROM m, tv ORDER BY dim"""))
 
+  /** Corpus report card — the dataset-card summary table: size,
+    * shape, redundancy, vocabulary, language entropy, source
+    * concentration, one (metric, value) row each. */
+  private val q309 = Entry(
+    "q309_corpus_report_card",
+    (s, d) => {
+      graft.ops.CorpusPipeline.reportCard(Tables.documents(s, d),
+          "doc_id", "text", "lang", "source")
+        .select(col("metric"), r6(col("value")).as("value"))
+        .orderBy("metric")
+    },
+    Some("""
+      WITH base AS (SELECT * FROM documents WHERE text IS NOT NULL),
+      mom AS (SELECT count(*)::DOUBLE AS docs,
+                sum(len(string_split(text, ' ')))::DOUBLE AS tokens,
+                sum(length(text))::DOUBLE AS chars,
+                avg(len(string_split(text, ' '))) AS avg_tok,
+                max(len(string_split(text, ' ')))::DOUBLE AS max_tok,
+                1.0 - count(DISTINCT text)::DOUBLE / count(*) AS dup
+              FROM base),
+      voc AS (SELECT count(*)::DOUBLE AS v FROM (
+                SELECT DISTINCT unnest(string_split_regex(lower(text),
+                  '[^a-z]+')) AS t FROM base) WHERE length(t) > 0),
+      lp AS (SELECT count(*)::DOUBLE AS c FROM base GROUP BY lang),
+      le AS (SELECT -sum(p * log2(p)) AS e FROM (
+               SELECT c / (SELECT sum(c) FROM lp) AS p FROM lp)),
+      sp AS (SELECT count(*)::DOUBLE AS c FROM base GROUP BY source),
+      ts AS (SELECT max(c / (SELECT sum(c) FROM sp)) AS s FROM sp)
+      SELECT metric, round(value, 6) AS value FROM (
+        SELECT 'docs' AS metric, docs AS value FROM mom
+        UNION ALL SELECT 'tokens', tokens FROM mom
+        UNION ALL SELECT 'chars', chars FROM mom
+        UNION ALL SELECT 'avg_doc_tokens', avg_tok FROM mom
+        UNION ALL SELECT 'max_doc_tokens', max_tok FROM mom
+        UNION ALL SELECT 'dup_text_rate', dup FROM mom
+        UNION ALL SELECT 'vocab_size', v FROM voc
+        UNION ALL SELECT 'lang_entropy_bits', e FROM le
+        UNION ALL SELECT 'top_source_share', s FROM ts)
+      ORDER BY metric"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11484,7 +11524,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

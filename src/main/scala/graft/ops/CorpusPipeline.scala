@@ -82,4 +82,59 @@ object CorpusPipeline {
     if (splits.isEmpty) sharded
     else Sampling.hashSplit(sharded, splits, Seq(idCol))
   }
+
+  /**
+   * Corpus report card — the one-table release summary a dataset card
+   * quotes: size (docs, whitespace tokens, characters), shape
+   * (avg/max doc tokens), redundancy (exact-duplicate text rate),
+   * vocabulary size, language entropy in bits (0 = monolingual), and
+   * source concentration (largest source's share). Returns
+   * (metric, value) rows, metric-name ordered.
+   *
+   * Scale shape: one corpus scan for the row-level moments, one
+   * text-keyed distinct for the duplicate rate, one token explode →
+   * distinct count for vocabulary, two tiny groupBys for the
+   * language/source distributions — every branch reduces to a 1-row
+   * frame before the final union of literals-wide frames (a
+   * ≤8-row result, unioned cheaply).
+   */
+  def reportCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, srcCol: String): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull).localCheckpoint()
+    def one(name: String, v: org.apache.spark.sql.Column,
+        from: DataFrame) =
+      from.agg(v.cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val moments = base.agg(count(lit(1)).as("__docs"),
+        sum(toks).as("__tokens"), sum(length(col(textCol))).as("__chars"),
+        avg(toks).as("__avgTok"), max(toks).as("__maxTok"))
+      .localCheckpoint() // five metric rows read it
+    def m(name: String, c: String) =
+      moments.select(lit(name).as("metric"),
+        col(c).cast("double").as("value"))
+    val dupRate = one("dup_text_rate",
+      lit(1.0) - countDistinct(col(textCol)).cast("double") /
+        count(lit(1)), base)
+    val vocab = one("vocab_size", count(lit(1)),
+      base.select(explode(split(lower(col(textCol)), "[^a-z]+"))
+        .as("__t")).where(length(col("__t")) > 0)
+        .select("__t").distinct())
+    def shares(c: String) = {
+      val counts = base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .localCheckpoint() // total rollup + the share projection
+      counts.join(broadcast(counts.agg(sum(col("__c")).as("__tot"))))
+        .select((col("__c") / col("__tot")).as("__p"))
+    }
+    val langEntropy = one("lang_entropy_bits",
+      -sum(col("__p") * log2(col("__p"))), shares(langCol))
+    val topSource = one("top_source_share", max(col("__p")),
+      shares(srcCol))
+    Seq(m("docs", "__docs"), m("tokens", "__tokens"),
+      m("chars", "__chars"), m("avg_doc_tokens", "__avgTok"),
+      m("max_doc_tokens", "__maxTok"), dupRate, vocab, langEntropy,
+      topSource)
+      .reduce(_ unionByName _)
+      .orderBy("metric")
+  }
 }

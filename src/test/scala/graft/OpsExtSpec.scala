@@ -4739,6 +4739,23 @@ class OpsExtSpec extends AnyFunSuite {
     assert(m((1, 2)) == 2L && m((2, 1)) == 2L)
   }
 
+  test("reportCard: hand corpus metrics") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat", "en", "a"), (2L, "the cat", "en", "a"),
+      (3L, "le chat", "fr", "b")).toDF("id", "text", "lang", "src")
+    val out = graft.ops.CorpusPipeline
+      .reportCard(df, "id", "text", "lang", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("docs") == 3.0 && out("tokens") == 6.0)
+    assert(math.abs(out("dup_text_rate") - 1.0 / 3) < 1e-12)
+    assert(out("vocab_size") == 4.0) // the, cat, le, chat
+    // H(2/3, 1/3) bits
+    val h = -(2.0 / 3 * math.log(2.0 / 3) / math.log(2) +
+      1.0 / 3 * math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(out("lang_entropy_bits") - h) < 1e-12)
+    assert(math.abs(out("top_source_share") - 2.0 / 3) < 1e-12)
+  }
+
   test("sourceVocabularyOverlap: hand Jaccard, self-pairs excluded") {
     import spark.implicits._
     val df = Seq(("s1", "the cat sat"), ("s1", "the dog"),
