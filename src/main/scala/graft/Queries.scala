@@ -11499,6 +11499,287 @@ object Queries {
         UNION ALL SELECT 'top_source_share', s FROM ts)
       ORDER BY metric"""))
 
+  /** Cox proportional hazards on the q150 time-to-first-big-purchase
+    * frame: hazard of converting vs log average event value, 2 fixed
+    * Newton rounds, Breslow ties — the oracle replays both rounds'
+    * risk-set suffix sums and score/information rollups. */
+  private val q310 = Entry(
+    "q310_cox_ph",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"), avg(col("value")).as("__avgv"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"),
+          log1p(col("__avgv")).as("x"))
+      graft.ops.Survival.coxPH(surv, "dur", "ev", "x", iterations = 2)
+        .select(col("n"), col("n_events"), r6(col("beta")).as("beta"),
+          r6(col("hazard_ratio")).as("hazard_ratio"),
+          r6(col("se")).as("se"), r6(col("z")).as("z"),
+          col("iterations"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur0,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev,
+          ln(1 + avg("value")) AS x
+        FROM events GROUP BY user_id),
+      sv AS (SELECT dur0::DOUBLE AS dur, ev, x FROM s
+             WHERE x IS NOT NULL AND dur0 IS NOT NULL),
+      i0 AS (SELECT 0.0 AS b0),
+      p1 AS (SELECT dur, sum(ev) AS d, sum(ev * x) AS sxe,
+               sum(exp(b0 * x)) AS w0, sum(x * exp(b0 * x)) AS w1,
+               sum(x * x * exp(b0 * x)) AS w2
+             FROM sv, i0 GROUP BY dur),
+      r1 AS (SELECT d, sxe,
+               sum(w0) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s0,
+               sum(w1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s1,
+               sum(w2) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s2
+             FROM p1),
+      u1 AS (SELECT sum(sxe - d * s1 / s0) FILTER (d > 0) AS u,
+                    sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                      FILTER (d > 0) AS i
+             FROM r1),
+      i1 AS (SELECT b0 + u / i AS b0 FROM u1, i0),
+      p2 AS (SELECT dur, sum(ev) AS d, sum(ev * x) AS sxe,
+               sum(exp(b0 * x)) AS w0, sum(x * exp(b0 * x)) AS w1,
+               sum(x * x * exp(b0 * x)) AS w2
+             FROM sv, i1 GROUP BY dur),
+      r2 AS (SELECT d, sxe,
+               sum(w0) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s0,
+               sum(w1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s1,
+               sum(w2) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS s2
+             FROM p2),
+      u2 AS (SELECT sum(sxe - d * s1 / s0) FILTER (d > 0) AS u,
+                    sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                      FILTER (d > 0) AS i
+             FROM r2),
+      i2 AS (SELECT b0 + u / i AS b0 FROM u2, i1),
+      t AS (SELECT count(*) AS n, sum(ev) AS ne FROM sv)
+      SELECT t.n::BIGINT AS n, t.ne::BIGINT AS n_events,
+             round(i2.b0, 6) AS beta, round(exp(i2.b0), 6) AS hazard_ratio,
+             round(1 / sqrt(u2.i), 6) AS se,
+             round(i2.b0 * sqrt(u2.i), 6) AS z, 2 AS iterations
+      FROM i2, u2, t"""))
+
+  /** Bartlett's variance-homogeneity test across the five event
+    * types — the parametric twin of the q254-family Levene check. */
+  private val q311 = Entry(
+    "q311_bartlett",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .bartlettTest(Tables.events(s, d), "event_type", "value")
+        .select(col("n"), col("n_groups"), col("dof"),
+          r6(col("pooled_var")).as("pooled_var"),
+          r6(col("chi2")).as("chi2")),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      per AS (SELECT g, count(*)::DOUBLE AS n, sum(v) AS s,
+                     sum(v * v) AS ss
+              FROM d GROUP BY 1),
+      pv AS (SELECT n, (ss - s * s / n) / (n - 1) AS var
+             FROM per WHERE n >= 2),
+      a AS (SELECT sum(n) AS nn, count(*)::DOUBLE AS k,
+                   sum((n - 1) * var) AS sw, sum((n - 1) * ln(var)) AS slog,
+                   sum(1 / (n - 1)) AS sinv
+            FROM pv)
+      SELECT nn::BIGINT AS n, k::BIGINT AS n_groups,
+             (k - 1)::BIGINT AS dof,
+             round(sw / (nn - k), 6) AS pooled_var,
+             round(((nn - k) * ln(sw / (nn - k)) - slog) /
+               (1 + (sinv - 1 / (nn - k)) / (3 * (k - 1))), 6) AS chi2
+      FROM a"""))
+
+  /** Friedman repeated-measures rank test: do the event types rank
+    * differently WITHIN each user? Complete blocks only, midranks,
+    * tie-robust Conover form. */
+  private val q312 = Entry(
+    "q312_friedman",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .friedmanTest(Tables.events(s, d), "user_id", "event_type",
+          "value")
+        .select(col("n_blocks"), col("n_treatments"), col("dof"),
+          r6(col("chi2")).as("chi2")),
+    Some("""
+      WITH cells AS (SELECT user_id AS b, event_type AS t,
+                            avg("value") AS m
+                     FROM events
+                     WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1, 2),
+      k AS (SELECT count(DISTINCT t)::DOUBLE AS k FROM cells),
+      keep AS (SELECT b FROM cells GROUP BY b
+               HAVING count(*) = (SELECT k FROM k)),
+      kept AS (SELECT c.* FROM cells c JOIN keep USING (b)),
+      r AS (SELECT b, t,
+              rank() OVER (PARTITION BY b ORDER BY m) - 1
+                + (count(*) OVER (PARTITION BY b, m) + 1) / 2.0 AS r
+            FROM kept),
+      perT AS (SELECT t, sum(r) AS rj, sum(r * r) AS rj2,
+                      count(*)::DOUBLE AS nb
+               FROM r GROUP BY 1),
+      a AS (SELECT max(nb) AS n, count(*)::DOUBLE AS kk,
+                   sum(rj2) AS a2,
+                   sum((rj - nb * (k.k + 1) / 2)
+                     * (rj - nb * (k.k + 1) / 2)) AS sq
+            FROM perT, k)
+      SELECT n::BIGINT AS n_blocks, kk::BIGINT AS n_treatments,
+             (kk - 1)::BIGINT AS dof,
+             round((kk - 1) * sq /
+               (a2 - n * kk * (kk + 1) * (kk + 1) / 4), 6) AS chi2
+      FROM a"""))
+
+  /** Grubbs extreme-studentized-deviate per event type: the single
+    * most aberrant value in each stream, G = max|x−x̄|/s. */
+  private val q313 = Entry(
+    "q313_grubbs",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .grubbsTest(Tables.events(s, d), "event_type", "value")
+        .select(col("group"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("std")).as("std"),
+          r6(col("extreme_value")).as("extreme_value"),
+          r6(col("g_stat")).as("g_stat"))
+        .orderBy("group"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      per AS (SELECT g, count(*)::DOUBLE AS n, avg(v) AS mu,
+                     stddev_samp(v) AS sd, min(v) AS lo, max(v) AS hi
+              FROM d GROUP BY 1)
+      SELECT g AS "group", n::BIGINT AS n, round(mu, 6) AS mean,
+             round(sd, 6) AS std,
+             round(CASE WHEN mu - lo >= hi - mu THEN lo ELSE hi END, 6)
+               AS extreme_value,
+             round(greatest(mu - lo, hi - mu) / sd, 6) AS g_stat
+      FROM per WHERE n >= 3 AND sd > 0 ORDER BY g"""))
+
+  /** Youden-J optimal cut on the q142 scored-orders frame: the
+    * threshold maximizing sensitivity + specificity − 1, with its
+    * full operating point; smallest threshold wins exact J ties. */
+  private val q314 = Entry(
+    "q314_youden_threshold",
+    (s, d) =>
+      graft.ops.Evaluation
+        .optimalThreshold(scoredOrders(s, d), "label", "score")
+        .select(col("n"), col("n_pos"), r6(col("threshold")).as("threshold"),
+          r6(col("sensitivity")).as("sensitivity"),
+          r6(col("specificity")).as("specificity"),
+          r6(col("j_stat")).as("j_stat"), r6(col("accuracy")).as("accuracy")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      v AS (SELECT p, sum(y) AS pos, count(*)::DOUBLE AS tot
+            FROM sc GROUP BY 1),
+      w AS (SELECT p, pos, tot,
+              coalesce(sum(pos) OVER (ORDER BY p DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pab,
+              coalesce(sum(tot) OVER (ORDER BY p DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tab
+            FROM v),
+      t AS (SELECT sum(y) AS np, count(*)::DOUBLE AS nn FROM sc),
+      s2 AS (SELECT p AS t0, np, nn, (pab + pos) / np AS sens,
+                    1 - (tab + tot - pab - pos) / (nn - np) AS spec,
+                    (pab + pos + nn - np - (tab + tot - pab - pos)) / nn
+                      AS acc
+             FROM w, t),
+      b AS (SELECT * FROM s2
+            ORDER BY sens + spec - 1 DESC, t0 ASC LIMIT 1)
+      SELECT nn::BIGINT AS n, np::BIGINT AS n_pos,
+             round(t0, 6) AS threshold, round(sens, 6) AS sensitivity,
+             round(spec, 6) AS specificity,
+             round(sens + spec - 1, 6) AS j_stat, round(acc, 6) AS accuracy
+      FROM b"""))
+
+  /** Page–Hinkley sequential mean-shift monitor per event type over
+    * the daily mean value series: when would an online detector with
+    * slack δ=0.05, fence λ=2 have fired? */
+  private val q315 = Entry(
+    "q315_page_hinkley",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .pageHinkley(Tables.events(s, d), Seq("event_type"), "ts",
+          "value", delta = 0.05, lambda = 2.0)
+        .select(col("event_type"), col("n_days"), col("n_alarm_days"),
+          col("first_alarm_date"), r6(col("max_ph")).as("max_ph"))
+        .orderBy("event_type"),
+    Some("""
+      WITH daily AS (SELECT event_type AS g, ts::DATE AS d,
+                            avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+      m1 AS (SELECT g, d, x, avg(x) OVER (PARTITION BY g ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+             FROM daily),
+      m2 AS (SELECT g, d, sum(x - rm - 0.05) OVER (PARTITION BY g
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS m
+             FROM m1),
+      m3 AS (SELECT g, d, m - min(m) OVER (PARTITION BY g ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap
+             FROM m2)
+      SELECT g AS event_type, count(*) AS n_days,
+             sum(CASE WHEN gap > 2.0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_alarm_days,
+             min(CASE WHEN gap > 2.0 THEN d END) AS first_alarm_date,
+             round(max(gap), 6) AS max_ph
+      FROM m3 GROUP BY 1 ORDER BY 1"""))
+
+  /** Dunning log-likelihood keyness: the 30 terms most
+    * characteristic of the English sub-corpus vs the rest — the
+    * training-mixture "what is this slice actually about" audit. */
+  private val q316 = Entry(
+    "q316_keyness",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .keyness(Tables.documents(s, d), "text", col("lang") === "en",
+          k = 30, minCount = 5)
+        .select(col("term"), col("n_focus"), col("n_reference"),
+          r6(col("keyness")).as("keyness")),
+    Some("""
+      WITH toks AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                      AS f,
+                    unnest(string_split_regex(lower(text), '[^a-z]+'))
+                      AS t
+                    FROM documents),
+      tk AS (SELECT f, t FROM toks WHERE length(t) > 0),
+      per AS (SELECT t, sum(f) AS a, sum(1 - f) AS b FROM tk
+              GROUP BY 1 HAVING sum(f) + sum(1 - f) >= 5),
+      tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM per),
+      g AS (SELECT t, a, b,
+              2 * (CASE WHEN a > 0
+                     THEN a * ln(a / ((a + b) * na / (na + nb)))
+                     ELSE 0 END +
+                   CASE WHEN b > 0
+                     THEN b * ln(b / ((a + b) * nb / (na + nb)))
+                     ELSE 0 END) AS g2,
+              CASE WHEN a / na >= b / nb THEN 1.0 ELSE -1.0 END AS sgn
+            FROM per, tot)
+      SELECT t AS term, a::BIGINT AS n_focus, b::BIGINT AS n_reference,
+             round(sgn * g2, 6) AS keyness
+      FROM g ORDER BY g2 DESC, t ASC LIMIT 30"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11524,7 +11805,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

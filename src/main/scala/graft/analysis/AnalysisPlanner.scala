@@ -2618,4 +2618,133 @@ object AnalysisPlanner {
           pow(abs(col("n_a_only") - col("n_b_only")) - lit(1.0), 2) /
             (col("n_a_only") + col("n_b_only"))))
   }
+
+  /**
+   * Bartlett's test of equal variances across the keys of `groupCol`
+   * — the parametric companion to the robust Levene test (same
+   * variance-homogeneity question, more power under normality, more
+   * sensitivity to heavy tails; run both). Statistic:
+   * χ² = [(N−k)·ln s²_p − Σ(n_i−1)·ln s²_i] / C with the usual
+   * correction C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)), where
+   * s²_p is the pooled (ddof-1) variance. χ² ~ χ²(k−1) under H0;
+   * statistic-only per the StatTest-family contract ([[Stats
+   * .chi2PValue]] for tails). Groups with fewer than 2 rows carry no
+   * variance and are dropped. Returns ONE row:
+   * (n, n_groups, dof, pooled_var, chi2).
+   *
+   * Scale shape: ONE map-side-combined grouped moments scan to a
+   * k-row frame; everything after is a 1-row rollup.
+   */
+  def bartlettTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(v).as("__s"),
+        sum(v * v).as("__ss"))
+      .where(col("__n") >= 2)
+      .select(col("__n"),
+        ((col("__ss") - col("__s") * col("__s") / col("__n")) /
+          (col("__n") - 1)).as("__var"))
+    per.agg(sum(col("__n")).as("__N"), count(lit(1)).as("__k"),
+        sum((col("__n") - 1) * col("__var")).as("__sw"),
+        sum((col("__n") - 1) * log(col("__var"))).as("__slog"),
+        sum(lit(1.0) / (col("__n") - 1)).as("__sinv"))
+      .select(col("__N").cast("long").as("n"), col("__k").as("n_groups"),
+        (col("__k") - 1).as("dof"),
+        (col("__sw") / (col("__N") - col("__k"))).as("pooled_var"),
+        (((col("__N") - col("__k")) *
+          log(col("__sw") / (col("__N") - col("__k"))) - col("__slog")) /
+          (lit(1.0) + (col("__sinv") -
+            lit(1.0) / (col("__N") - col("__k"))) /
+            (lit(3.0) * (col("__k") - 1)))).as("chi2"))
+  }
+
+  /**
+   * Friedman's rank test for k correlated treatments over n blocks
+   * (the repeated-measures ANOVA-by-ranks: "do the event types rank
+   * differently WITHIN each user?"). Replicated (block, treatment)
+   * cells are first reduced to their mean; only COMPLETE blocks —
+   * those observing every treatment present in the input — enter the
+   * test (the classical complete-block design; incomplete blocks
+   * would need Durbin's test). Within each block the k cell means get
+   * midranks; the tie-robust statistic (Conover 1999) is
+   * χ² = (k−1)·[Σ_j R²_j − n·k·(k+1)²·k/4… ] expressed as
+   * (k−1)·Σ_j (R_j − n(k+1)/2)² / (A − n·k·(k+1)²/4) with
+   * A = Σ_{ij} r²_ij, which reduces to the textbook
+   * 12·Σ R²_j/(nk(k+1)) − 3n(k+1) when no ties occur. χ² ~ χ²(k−1).
+   * Returns ONE row: (n_blocks, n_treatments, dof, chi2).
+   *
+   * Scale shape: one (block, treatment) mean groupBy; the within-block
+   * midrank window is partitioned by block and ≤ k rows per partition
+   * BY CONSTRUCTION (k = distinct treatments, a report-sized
+   * constant) — never a corpus-wide sort; then one treatment rollup
+   * and a 1-row reduce.
+   */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(avg(v).as("__m"))
+      .localCheckpoint() // k-count + complete-block semi-join + ranks
+    val k = cells.select(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy("__b")
+      .agg(count(lit(1)).as("__bt")).crossJoin(broadcast(k))
+      .where(col("__bt") === col("__k")).select("__b")
+    val kept = cells.join(complete, Seq("__b"), "left_semi")
+      .crossJoin(broadcast(k))
+    // midrank within block: (rank−1) + (ties+1)/2, via two windows
+    // over the ≤k-row block partitions
+    val rk = rank().over(Window.partitionBy("__b").orderBy("__m"))
+    val tied = count(lit(1)).over(Window.partitionBy("__b", "__m"))
+    val ranked = kept.select(col("__b"), col("__t"), col("__k"),
+      (rk - 1 + (tied + 1) / lit(2.0)).as("__r"))
+    val perT = ranked.groupBy("__t")
+      .agg(sum(col("__r")).as("__rj"), sum(col("__r") * col("__r"))
+        .as("__rj2"), count(lit(1)).as("__nb"), max(col("__k")).as("__k"))
+    perT.agg(max(col("__nb")).as("__n"), count(lit(1)).as("__kk"),
+        sum(col("__rj2")).as("__a"),
+        sum((col("__rj") - col("__nb") * (col("__k") + 1) / 2) *
+          (col("__rj") - col("__nb") * (col("__k") + 1) / 2)).as("__sq"))
+      .select(col("__n").as("n_blocks"), col("__kk").as("n_treatments"),
+        (col("__kk") - 1).as("dof"),
+        ((col("__kk") - 1) * col("__sq") /
+          (col("__a") - col("__n") * col("__kk") *
+            (col("__kk") + 1) * (col("__kk") + 1) / 4)).as("chi2"))
+  }
+
+  /**
+   * Grubbs' extreme-studentized-deviate statistic per group: the
+   * single most aberrant value of `valueCol` within each `groupCol`
+   * key, G = max|x − x̄|/s — the "is my worst point an outlier"
+   * screen that complements the distribution-shaped detectors
+   * ([[dataQualityOutliers]] IQR fences, HBOS): G is about ONE point,
+   * not a tail. Statistic-only (the two-sided critical value needs a
+   * t quantile — [[Stats.inverseTCdf]] driver-side); returns one row
+   * per group: (group, n, mean, std, extreme_value, g_stat).
+   * Deterministic: among equally-deviant values the SMALLEST value is
+   * reported.
+   *
+   * Scale shape: one grouped moments pass, one grouped min/max-probe
+   * pass joined back on the group key — both map-side combined; no
+   * window, no sort.
+   */
+  def grubbsTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(v).as("__mu"),
+        stddev_samp(v).as("__sd"), min(v).as("__lo"), max(v).as("__hi"))
+      .where(col("__n") >= 3 && col("__sd") > 0)
+    per.select(col("group"), col("__n").cast("long").as("n"),
+        col("__mu").as("mean"), col("__sd").as("std"),
+        // the extreme endpoint; min wins deviation ties
+        when(col("__mu") - col("__lo") >= col("__hi") - col("__mu"),
+          col("__lo")).otherwise(col("__hi")).as("extreme_value"),
+        (greatest(col("__mu") - col("__lo"), col("__hi") - col("__mu")) /
+          col("__sd")).as("g_stat"))
+  }
 }

@@ -1683,4 +1683,55 @@ object Evaluation {
           sum(col("acf") * col("acf") /
             (col("__n") - col("lag")))).as("q_stat"))
   }
+
+  /**
+   * Optimal classification threshold by Youden's J = sensitivity +
+   * specificity − 1, the standard "where do I cut the score" readout
+   * after [[binaryMetrics]] says the ranking is good: every DISTINCT
+   * score is a candidate cut (predict positive when score ≥ t), and
+   * the maximizing cut is returned with its full operating point.
+   * Deterministic: on exactly tied J the SMALLEST threshold wins.
+   * Returns ONE row: (n, n_pos, threshold, sensitivity, specificity,
+   * j_stat, accuracy).
+   *
+   * Scale shape: [[prAuc]]'s — one distinct-score groupBy, one
+   * exclusive [[PrefixSum]] over the negated-score frame ("strictly
+   * above" counts), a broadcast 1-row total, and a `max_by` 1-row
+   * reduce. No global sort, no window.
+   */
+  def optimalThreshold(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val vc = base.groupBy((-col("__p")).as("__ns"))
+      .agg(sum(col("__y")).as("__pos"),
+        count(lit(1)).cast("double").as("__tot"))
+    val pre = PrefixSum.exclusive(vc, "__ns",
+        Seq("__pos" -> "__pabove", "__tot" -> "__tabove"))
+      .join(broadcast(base.agg(sum(col("__y")).as("__P"),
+        count(lit(1)).cast("double").as("__N"))))
+    val tp = col("__pabove") + col("__pos")
+    val pp = col("__tabove") + col("__tot")
+    val fp = pp - tp
+    val sens = tp / col("__P")
+    val spec = lit(1.0) - fp / (col("__N") - col("__P"))
+    val scored = pre.select(col("__P"), col("__N"),
+      (-col("__ns")).as("__t"), sens.as("__sens"), spec.as("__spec"),
+      (sens + spec - 1).as("__j"),
+      ((tp + (col("__N") - col("__P") - fp)) / col("__N")).as("__acc"))
+    scored.agg(
+        max(col("__N")).cast("long").as("n"),
+        max(col("__P")).cast("long").as("n_pos"),
+        max_by(
+          struct(col("__t"), col("__sens"), col("__spec"), col("__j"),
+            col("__acc")),
+          struct(col("__j"), -col("__t"))).as("__best"))
+      .select(col("n"), col("n_pos"),
+        col("__best.__t").as("threshold"),
+        col("__best.__sens").as("sensitivity"),
+        col("__best.__spec").as("specificity"),
+        col("__best.__j").as("j_stat"),
+        col("__best.__acc").as("accuracy"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.PrefixSum
+
+/**
+ * Survival regression beyond the Kaplan–Meier / log-rank / RMST
+ * readouts in [[graft.analysis.AnalysisPlanner]]: Cox proportional
+ * hazards, the standard "how does a covariate shift the hazard"
+ * model (time-to-conversion vs engagement, churn vs spend). The
+ * reference's analytics surface stops at descriptive statistics
+ * (raise_/analytics/client.py mocks execution); this implements the
+ * real distributed fit.
+ */
+object Survival {
+
+  /**
+   * Cox proportional-hazards fit with ONE covariate and Breslow tie
+   * handling, by a FIXED number of Newton–Raphson rounds from β = 0 —
+   * the same deterministic-replay contract as
+   * [[Regression.logisticRegression]]: no line search, no convergence
+   * test, so any engine (the DuckDB oracle included) reproduces every
+   * iterate bit-for-bit-at-6-decimals.
+   *
+   * Per round, with the current β inlined as a literal:
+   *   1. one corpus aggregation to the per-distinct-duration frame
+   *      (d_t = events at t, Σ x over events at t, and the weight
+   *      sums w0 = Σ e^{βx}, w1 = Σ x e^{βx}, w2 = Σ x² e^{βx} over
+   *      EVERYONE observed at t — censored rows leave the risk set at
+   *      their duration too);
+   *   2. risk-set suffix sums S_k(t) = Σ_{dur ≥ t} w_k as
+   *      (1-row total) − (exclusive [[PrefixSum]]) — never a
+   *      single-partition window;
+   *   3. a 1-row rollup of the score U = Σ_t (Σx_events − d·S1/S0)
+   *      and information I = Σ_t d·(S2/S0 − (S1/S0)²), then
+   *      β ← β + U/I on the driver (one double of state).
+   *
+   * The last Newton scan's information (evaluated at the β entering
+   * the final round — the point where a converged fit would sit
+   * anyway) also yields the usual asymptotic se(β) = 1/√I and
+   * z = β/se. Scale the covariate to O(1) (or log
+   * it) so e^{βx} stays bounded — same contract as the GLM family.
+   *
+   * Returns one row: (n, n_events, beta, hazard_ratio, se, z,
+   * iterations). Scale shape: iterations corpus scans, each a
+   * map-side-combined groupBy to a ≤distinct-durations frame; all
+   * Newton algebra runs on that tiny frame.
+   */
+  def coxPH(df: DataFrame, durationCol: String, eventCol: String,
+      xCol: String, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "coxPH: iterations >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+        col(durationCol).cast("double").as("__dur"),
+        col(eventCol).cast("double").as("__ev"),
+        col(xCol).cast("double").as("__x"))
+      .where(col("__dur").isNotNull && col("__ev").isNotNull &&
+        col("__x").isNotNull)
+    var beta = 0.0
+    var lastI = 0.0
+    var n = 0L; var nEvents = 0L
+    for (_ <- 1 to iterations) {
+      val w = exp(lit(beta) * col("__x"))
+      val perT = base.groupBy("__dur").agg(
+        sum("__ev").as("__d"),
+        sum(col("__ev") * col("__x")).as("__sxe"),
+        sum(w).as("__w0"), sum(col("__x") * w).as("__w1"),
+        sum(col("__x") * col("__x") * w).as("__w2"),
+        count(lit(1)).as("__cnt"))
+      val pre = PrefixSum.exclusive(perT, "__dur",
+        Seq(("__w0", "__p0"), ("__w1", "__p1"), ("__w2", "__p2")))
+      val tot = broadcast(perT.agg(
+        sum("__w0").as("__t0"), sum("__w1").as("__t1"),
+        sum("__w2").as("__t2"), sum("__d").as("__td"),
+        sum("__cnt").as("__tn")))
+      val s0 = col("__t0") - col("__p0")
+      val s1 = col("__t1") - col("__p1")
+      val s2 = col("__t2") - col("__p2")
+      val row = pre.crossJoin(tot)
+        .agg(
+          sum(when(col("__d") > 0,
+            col("__sxe") - col("__d") * s1 / s0)).as("__u"),
+          sum(when(col("__d") > 0,
+            col("__d") * (s2 / s0 - (s1 / s0) * (s1 / s0)))).as("__i"),
+          max(col("__td")).as("__ne"), max(col("__tn")).as("__n"))
+        .head()
+      val u = row.getAs[Double]("__u")
+      lastI = row.getAs[Double]("__i")
+      nEvents = row.getAs[Double]("__ne").toLong
+      n = row.getAs[Long]("__n")
+      require(lastI > 0, "coxPH: zero information (constant covariate?)")
+      beta = beta + u / lastI
+    }
+    val se = 1.0 / math.sqrt(lastI)
+    Seq((n, nEvents, beta, math.exp(beta), se, beta / se, iterations))
+      .toDF("n", "n_events", "beta", "hazard_ratio", "se", "z",
+        "iterations")
+  }
+}

@@ -1243,4 +1243,52 @@ object TextAnalysis {
           lit(15.59))
   }
 
+  /**
+   * Keyness: which terms are characteristically OVER-represented in
+   * one sub-corpus vs the rest, by Dunning's log-likelihood ratio
+   * (Dunning 1993) — the corpus-comparison readout behind "what is
+   * this source actually about" and training-mixture audits. For each
+   * term with focus count a (of N_a focus tokens) and reference count
+   * b (of N_b): G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] with expectations
+   * E = (a+b)·N_side/N; zero cells contribute zero. `keyness` is G²
+   * signed by direction (positive = over-represented in the focus
+   * side). Top `k` terms by G² (term-ascending tie-break), terms with
+   * fewer than `minCount` total occurrences dropped (rare terms make
+   * G² noisy and the cut keeps the TakeOrdered heap honest).
+   *
+   * Scale shape: one tokenize-explode scan to a (term, side) count
+   * frame, the two side totals as a broadcast 1-row aggregate, then a
+   * TakeOrdered(k) — executor-side heaps, never a global sort.
+   */
+  def keyness(df: DataFrame, textCol: String, focusCond: Column,
+      k: Int = 30, minCount: Long = 5): DataFrame = {
+    require(k >= 1, "keyness: k >= 1")
+    val toks = df
+      .select(when(focusCond, lit(1.0)).otherwise(lit(0.0)).as("__f"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("__t"))
+      .where(length(col("__t")) > 0)
+    val per = toks.groupBy("__t")
+      .agg(sum(col("__f")).as("__a"),
+        sum(lit(1.0) - col("__f")).as("__b"))
+      .where(col("__a") + col("__b") >= minCount)
+    val tot = broadcast(per.agg(sum(col("__a")).as("__na"),
+      sum(col("__b")).as("__nb")))
+    val ea = (col("__a") + col("__b")) * col("__na") /
+      (col("__na") + col("__nb"))
+    val eb = (col("__a") + col("__b")) * col("__nb") /
+      (col("__na") + col("__nb"))
+    val g2 = lit(2.0) * (
+      when(col("__a") > 0, col("__a") * log(col("__a") / ea))
+        .otherwise(lit(0.0)) +
+      when(col("__b") > 0, col("__b") * log(col("__b") / eb))
+        .otherwise(lit(0.0)))
+    per.crossJoin(tot)
+      .select(col("__t").as("term"), col("__a").cast("long").as("n_focus"),
+        col("__b").cast("long").as("n_reference"), g2.as("__g2"),
+        (when(col("__a") / col("__na") >= col("__b") / col("__nb"),
+          lit(1.0)).otherwise(lit(-1.0)) * g2).as("keyness"))
+      .orderBy(col("__g2").desc, col("term").asc)
+      .limit(k)
+      .drop("__g2")
+  }
 }

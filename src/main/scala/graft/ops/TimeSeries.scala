@@ -448,4 +448,48 @@ object TimeSeries {
           (col("__c") * col("__c") + col("__s") * col("__s")) / col("__d"))
           .as("power_frac"))
   }
+
+  /**
+   * Page–Hinkley mean-shift detector per key over the daily mean
+   * series — the sequential companion to the retrospective
+   * [[changepoint]]: it answers "WHEN would an online monitor have
+   * fired", not "where does the series split best". The classic
+   * one-sided (upward) form: with running mean x̄_t of the first t
+   * days, the cumulative deviation m_t = Σ_{i≤t}(x_i − x̄_i − δ)
+   * drifts down under stability (δ is the tolerated slack) and climbs
+   * on a sustained upward shift; an alarm fires whenever
+   * m_t − min_{i≤t} m_i > λ. Returns one row per key:
+   * (key…, n_days, n_alarm_days, first_alarm_date, max_ph) with
+   * max_ph = max_t(m_t − min_{i≤t} m_i), the detector's closest
+   * approach to (or excursion past) the λ fence.
+   *
+   * Scale shape: one map-side-combined daily groupBy, then three
+   * stacked windows ALL partitioned by the same key (running mean,
+   * cumulative m, prefix min) over day-count-bounded per-key series —
+   * one shuffle total, no unpartitioned window, nothing driver-side.
+   */
+  def pageHinkley(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, delta: Double = 0.0,
+      lambda: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "pageHinkley: keyCols required")
+    val daily = df
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("__d"): _*)
+      .agg(avg(col(valueCol).cast("double")).as("__x"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = daily
+      .withColumn("__mean", avg(col("__x")).over(w))
+      .withColumn("__m",
+        sum(col("__x") - col("__mean") - lit(delta)).over(w))
+      .withColumn("__gap", col("__m") - min(col("__m")).over(w))
+    ph.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+        coalesce(sum(when(col("__gap") > lambda, 1L)), lit(0L))
+          .as("n_alarm_days"),
+        min(when(col("__gap") > lambda, col("__d")))
+          .as("first_alarm_date"),
+        max(col("__gap")).as("max_ph"))
+  }
 }

@@ -5341,4 +5341,184 @@ class OpsExtSpec extends AnyFunSuite {
       .where(col("freq") === 4).head.getAs[Double]("period")
     assert(math.abs(p - 16.0) < 1e-12)
   }
+
+  test("coxPH: risk direction, identities, one-round closed form") {
+    import spark.implicits._
+    // x=1 subjects fail fast, x=0 subjects fail late or are censored
+    val rows = Seq(
+      (1.0, 1, 1.0), (2.0, 1, 1.0), (3.0, 1, 1.0), (4.0, 1, 1.0),
+      (8.0, 1, 0.0), (9.0, 1, 0.0), (10.0, 0, 0.0), (12.0, 0, 0.0))
+    val df = rows.toDF("dur", "ev", "x")
+    val r = graft.ops.Survival.coxPH(df, "dur", "ev", "x", 2).head
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("n_events") == 6)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.5, s"high-x group fails faster, got beta=$beta")
+    assert(math.abs(r.getAs[Double]("hazard_ratio") - math.exp(beta))
+      < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      beta / r.getAs[Double]("se")) < 1e-12)
+
+    // one Newton round from beta=0 must equal U(0)/I(0) computed
+    // directly: at beta=0 the risk-set sums are plain counts/sums
+    val one = graft.ops.Survival.coxPH(df, "dur", "ev", "x", 1)
+      .head.getAs[Double]("beta")
+    val times = rows.map(_._1).distinct.sorted
+    var u = 0.0; var inf = 0.0
+    for (t <- times) {
+      val atT = rows.filter(_._1 == t)
+      val d = atT.count(_._2 == 1)
+      if (d > 0) {
+        val sxe = atT.filter(_._2 == 1).map(_._3).sum
+        val risk = rows.filter(_._1 >= t)
+        val s0 = risk.size.toDouble
+        val s1 = risk.map(_._3).sum
+        val s2 = risk.map(v => v._3 * v._3).sum
+        u += sxe - d * s1 / s0
+        inf += d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      }
+    }
+    assert(math.abs(one - u / inf) < 1e-9)
+
+    // constant covariate carries no information → loud failure
+    val const = rows.map { case (a, b, _) => (a, b, 2.0) }
+      .toDF("dur", "ev", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Survival.coxPH(const, "dur", "ev", "x", 1).head
+    }
+  }
+
+  test("bartlettTest: hand case; equal variances ≈ 0") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(("b", _)) ++
+      Seq(1.0, 1.5, 2.0).map(("c", _))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.bartlettTest(df, "g", "v").head
+    assert(r.getAs[Long]("n") == 12 && r.getAs[Long]("n_groups") == 3)
+    assert(math.abs(r.getAs[Double]("pooled_var") - 5.0555555556) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chi2") - 5.6918678198) < 1e-9)
+    // identical spreads: chi2 exactly 0 up to fp
+    val eq = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("b", _))).toDF("g", "v")
+    assert(math.abs(graft.analysis.AnalysisPlanner
+      .bartlettTest(eq, "g", "v").head.getAs[Double]("chi2")) < 1e-12)
+    // single-row group carries no variance → dropped from k
+    val drop = df.union(Seq(("d", 9.0)).toDF("g", "v"))
+    assert(graft.analysis.AnalysisPlanner.bartlettTest(drop, "g", "v")
+      .head.getAs[Long]("n_groups") == 3)
+  }
+
+  test("friedmanTest: no-ties textbook value; incomplete block dropped") {
+    import spark.implicits._
+    // 4 blocks x 3 treatments, rank columns R = (11, 5, 8) → chi2 = 4.5
+    val data = Seq(
+      (1, "t1", 3.0), (1, "t2", 1.0), (1, "t3", 2.0),
+      (2, "t1", 2.0), (2, "t2", 1.0), (2, "t3", 3.0),
+      (3, "t1", 3.0), (3, "t2", 2.0), (3, "t3", 1.0),
+      (4, "t1", 3.0), (4, "t2", 1.0), (4, "t3", 2.0))
+    val df = data.toDF("b", "t", "v")
+    val r = graft.analysis.AnalysisPlanner.friedmanTest(df, "b", "t", "v").head
+    assert(r.getAs[Long]("n_blocks") == 4)
+    assert(r.getAs[Long]("n_treatments") == 3)
+    assert(r.getAs[Long]("dof") == 2)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.5) < 1e-9)
+    // a block missing a treatment is excluded entirely
+    val extra = df.union(Seq((5, "t1", 9.0), (5, "t2", 1.0)).toDF("b", "t", "v"))
+    val r2 = graft.analysis.AnalysisPlanner
+      .friedmanTest(extra, "b", "t", "v").head
+    assert(r2.getAs[Long]("n_blocks") == 4)
+    assert(math.abs(r2.getAs[Double]("chi2") - 4.5) < 1e-9)
+    // within-block tie → midranks keep statistic finite and smaller
+    val tied = Seq(
+      (1, "t1", 2.0), (1, "t2", 2.0), (1, "t3", 1.0),
+      (2, "t1", 3.0), (2, "t2", 2.0), (2, "t3", 1.0)).toDF("b", "t", "v")
+    val r3 = graft.analysis.AnalysisPlanner
+      .friedmanTest(tied, "b", "t", "v").head
+    assert(!r3.isNullAt(r3.fieldIndex("chi2")))
+  }
+
+  test("grubbsTest: planted outlier dominates; deviation-tie picks min") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 100.0).map(("g", _)).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.grubbsTest(df, "g", "v").head
+    val xs = Seq(1.0, 2.0, 3.0, 100.0)
+    val mu = xs.sum / 4
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / 3)
+    assert(r.getAs[Double]("extreme_value") == 100.0)
+    assert(math.abs(r.getAs[Double]("g_stat") - (100.0 - mu) / sd) < 1e-12)
+    // symmetric data: both endpoints equally deviant → min reported
+    val sym = Seq(-5.0, 0.0, 5.0).map(("g", _)).toDF("g", "v")
+    assert(graft.analysis.AnalysisPlanner.grubbsTest(sym, "g", "v")
+      .head.getAs[Double]("extreme_value") == -5.0)
+    // n < 3 groups are dropped
+    val tiny = Seq(("h", 1.0), ("h", 2.0)).toDF("g", "v")
+    assert(graft.analysis.AnalysisPlanner.grubbsTest(tiny, "g", "v").count() == 0)
+  }
+
+  test("optimalThreshold: perfect separation → J=1 at the class edge") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.1), (0.0, 0.4), (1.0, 0.6), (1.0, 0.9))
+      .toDF("y", "s")
+    val r = graft.ops.Evaluation.optimalThreshold(df, "y", "s").head
+    assert(r.getAs[Double]("threshold") == 0.6)
+    assert(r.getAs[Double]("j_stat") == 1.0)
+    assert(r.getAs[Double]("sensitivity") == 1.0)
+    assert(r.getAs[Double]("specificity") == 1.0)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    // overlapping scores: best cut skips the planted inversion
+    val df2 = Seq((0.0, 0.1), (1.0, 0.2), (0.0, 0.3), (1.0, 0.6),
+      (1.0, 0.7)).toDF("y", "s")
+    val r2 = graft.ops.Evaluation.optimalThreshold(df2, "y", "s").head
+    assert(r2.getAs[Double]("threshold") == 0.6)
+    // at t=0.6: sens = 2/3, spec = 1 → J = 2/3 beats every other cut
+    assert(math.abs(r2.getAs[Double]("j_stat") - 2.0 / 3) < 1e-12)
+  }
+
+  test("pageHinkley: step shift fires after the jump, stable series never") {
+    import spark.implicits._
+    val days = (1 to 20).map { i =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+        if (i <= 10) 0.0 else 5.0)
+    }
+    val df = days.toDF("k", "ts", "v")
+    val r = graft.ops.TimeSeries
+      .pageHinkley(df, Seq("k"), "ts", "v", delta = 0.0, lambda = 1.0)
+      .head
+    assert(r.getAs[Long]("n_days") == 20)
+    // day 11: m jumps by 5 − 5/11 ≈ 4.55 > λ → alarm from day 11 on
+    assert(r.getAs[java.sql.Date]("first_alarm_date").toString ==
+      "2024-01-11")
+    assert(r.getAs[Long]("n_alarm_days") == 10)
+    assert(r.getAs[Double]("max_ph") > 4.0)
+    val flat = days.map { case (k, ts, _) => (k, ts, 2.0) }
+      .toDF("k", "ts", "v")
+    val r2 = graft.ops.TimeSeries
+      .pageHinkley(flat, Seq("k"), "ts", "v", 0.0, 1.0).head
+    assert(r2.getAs[Long]("n_alarm_days") == 0)
+    assert(r2.isNullAt(r2.fieldIndex("first_alarm_date")))
+  }
+
+  test("keyness: planted over-represented terms surface signed") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "alpha alpha alpha common word"),
+      ("en", "alpha alpha common word word"),
+      ("de", "beta beta beta common word"),
+      ("de", "beta beta common word word")).toDF("lang", "text")
+    val out = graft.ops.TextAnalysis
+      .keyness(docs, "text", col("lang") === "en", k = 10, minCount = 1)
+      .collect()
+    val byTerm = out.map(r => r.getAs[String]("term") ->
+      r.getAs[Double]("keyness")).toMap
+    assert(byTerm("alpha") > 0, "focus-side term must be positive")
+    assert(byTerm("beta") < 0, "reference-side term must be negative")
+    assert(math.abs(math.abs(byTerm("alpha")) - math.abs(byTerm("beta")))
+      < 1e-9)
+    // balanced terms carry ~zero keyness and rank last
+    assert(math.abs(byTerm("common")) < 1e-9)
+    assert(out.head.getAs[String]("term") != "common")
+    // counts surface
+    val alpha = out.find(_.getAs[String]("term") == "alpha").get
+    assert(alpha.getAs[Long]("n_focus") == 5 &&
+      alpha.getAs[Long]("n_reference") == 0)
+  }
 }
