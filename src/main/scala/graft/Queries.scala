@@ -11780,6 +11780,251 @@ object Queries {
              round(sgn * g2, 6) AS keyness
       FROM g ORDER BY g2 DESC, t ASC LIMIT 30"""))
 
+  /** Newman modularity of the nation partition over the
+    * customer–supplier co-order graph: does trading stay within
+    * nations more than a random graph would? */
+  private val q317 = Entry(
+    "q317_modularity",
+    (s, d) => {
+      val labels = Tables.customer(s, d)
+        .select(concat(lit("c"), col("c_custkey")).as("node"),
+          col("c_nationkey").as("community"))
+        .unionByName(Tables.supplier(s, d)
+          .select(concat(lit("s"), col("s_suppkey")).as("node"),
+            col("s_nationkey").as("community")))
+      graft.ops.Graph.modularity(custSuppEdges(s, d), "src", "dst",
+          labels, "node", "community")
+        .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+          r6(col("modularity")).as("modularity"))
+    },
+    Some("""
+      WITH ed AS (SELECT DISTINCT 'c' || o_custkey AS a,
+                         's' || l_suppkey AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      ca AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+             FROM ed WHERE a <> b),
+      lab AS (SELECT 'c' || c_custkey AS n, c_nationkey AS l
+              FROM customer
+              UNION ALL
+              SELECT 's' || s_suppkey, s_nationkey FROM supplier),
+      m AS (SELECT count(*)::DOUBLE AS m FROM ca),
+      win AS (SELECT lu.l, count(*)::DOUBLE AS ec
+              FROM ca JOIN lab lu ON ca.u = lu.n
+                      JOIN lab lv ON ca.v = lv.n
+              WHERE lu.l = lv.l GROUP BY 1),
+      deg AS (SELECT n, count(*)::DOUBLE AS d0
+              FROM (SELECT u AS n FROM ca UNION ALL SELECT v FROM ca)
+              GROUP BY 1),
+      nn AS (SELECT count(*) AS nn FROM deg),
+      perc AS (SELECT l.l AS l, sum(deg.d0) AS dc
+               FROM deg JOIN lab l ON deg.n = l.n GROUP BY 1),
+      q AS (SELECT sum(coalesce(w.ec, 0) / m.m -
+                       (p.dc / (2 * m.m)) * (p.dc / (2 * m.m))) AS q,
+                   count(*) AS k
+            FROM perc p LEFT JOIN win w ON p.l = w.l, m)
+      SELECT nn.nn::BIGINT AS n_nodes, m.m::BIGINT AS n_edges,
+             q.k AS n_communities, round(q.q, 6) AS modularity
+      FROM nn, m, q"""))
+
+  /** Bradley–Terry preference strengths over supplier nations (a
+    * fixed 25-item pool at ANY scale): within each order the pricier
+    * line's supplier nation "beats" the cheaper line's; 3 MM rounds
+    * replayed in full by the oracle. */
+  private val q318 = Entry(
+    "q318_bradley_terry",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("ok"),
+          col("s_nationkey").cast("string").as("m"),
+          col("l_extendedprice").as("p"))
+      val prefs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.m") =!= col("b.m") &&
+            col("a.p") > col("b.p"))
+        .select(col("a.m").as("winner"), col("b.m").as("loser"))
+      graft.ops.Labeling.bradleyTerry(prefs, "winner", "loser",
+          iterations = 3)
+        .select(col("item"), r6(col("score")).as("score"), col("wins"),
+          col("games"))
+        .orderBy("item")
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey AS ok, s_nationkey::VARCHAR AS m,
+                         l_extendedprice AS p
+                  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      pr AS (SELECT a.m AS w, b.m AS l FROM li a JOIN li b
+             ON a.ok = b.ok AND a.m <> b.m AND a.p > b.p),
+      wc AS (SELECT w, l, count(*)::DOUBLE AS c FROM pr GROUP BY 1, 2),
+      items AS (SELECT DISTINCT i FROM
+                 (SELECT w AS i FROM wc UNION SELECT l FROM wc)),
+      k AS (SELECT count(*)::DOUBLE AS k FROM items),
+      games AS (SELECT i, j, sum(c) AS n FROM (
+                  SELECT w AS i, l AS j, c FROM wc
+                  UNION ALL SELECT l, w, c FROM wc)
+                GROUP BY 1, 2),
+      ws AS (SELECT w AS i, sum(c) AS wi FROM wc GROUP BY 1),
+      w0 AS (SELECT i, 1.0 AS w FROM items),
+      d1 AS (SELECT g.i, sum(g.n / (wa.w + wb.w)) AS den
+             FROM games g JOIN w0 wa ON g.i = wa.i
+                          JOIN w0 wb ON g.j = wb.i GROUP BY 1),
+      u1 AS (SELECT d1.i, coalesce(ws.wi, 0) / d1.den AS w
+             FROM d1 LEFT JOIN ws ON d1.i = ws.i),
+      s1 AS (SELECT sum(w) AS s FROM u1),
+      w1 AS (SELECT i, u1.w * k.k / s1.s AS w FROM u1, k, s1),
+      d2 AS (SELECT g.i, sum(g.n / (wa.w + wb.w)) AS den
+             FROM games g JOIN w1 wa ON g.i = wa.i
+                          JOIN w1 wb ON g.j = wb.i GROUP BY 1),
+      u2 AS (SELECT d2.i, coalesce(ws.wi, 0) / d2.den AS w
+             FROM d2 LEFT JOIN ws ON d2.i = ws.i),
+      s2 AS (SELECT sum(w) AS s FROM u2),
+      w2 AS (SELECT i, u2.w * k.k / s2.s AS w FROM u2, k, s2),
+      d3 AS (SELECT g.i, sum(g.n / (wa.w + wb.w)) AS den
+             FROM games g JOIN w2 wa ON g.i = wa.i
+                          JOIN w2 wb ON g.j = wb.i GROUP BY 1),
+      u3 AS (SELECT d3.i, coalesce(ws.wi, 0) / d3.den AS w
+             FROM d3 LEFT JOIN ws ON d3.i = ws.i),
+      s3 AS (SELECT sum(w) AS s FROM u3),
+      w3 AS (SELECT i, u3.w * k.k / s3.s AS w FROM u3, k, s3),
+      gt AS (SELECT i, sum(n) AS gs FROM games GROUP BY 1)
+      SELECT w3.i AS item, round(w3.w, 6) AS score,
+             coalesce(ws.wi, 0)::BIGINT AS wins, gt.gs::BIGINT AS games
+      FROM w3 LEFT JOIN ws ON w3.i = ws.i JOIN gt ON w3.i = gt.i
+      ORDER BY item"""))
+
+  /** Platt scaling of the q142 scored-orders frame: fit σ(a·s+b) by
+    * the q275 fixed-Newton contract, then compare expected
+    * calibration error raw vs calibrated from ONE binned cell
+    * frame — the oracle replays all four Newton rounds. */
+  private val q319 = Entry(
+    "q319_platt_scaling",
+    (s, d) =>
+      graft.ops.Evaluation
+        .plattScaling(scoredOrders(s, d), "label", "score",
+          iterations = 4, bins = 10)
+        .select(col("n"), r6(col("a")).as("a"), r6(col("b")).as("b"),
+          r6(col("ece_raw")).as("ece_raw"),
+          r6(col("ece_platt")).as("ece_platt"), col("iterations")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+      s1 AS (SELECT sum(w) AS h00, sum(w * p) AS h01,
+                    sum(w * p * p) AS h11, sum(y - mu) AS g0,
+                    sum(p * (y - mu)) AS g1
+             FROM (SELECT p, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT p, y,
+                           1 / (1 + exp(-(b0 + b1 * p))) AS mu
+                         FROM sc, i0))),
+      i1 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s1, i0),
+      s2 AS (SELECT sum(w) AS h00, sum(w * p) AS h01,
+                    sum(w * p * p) AS h11, sum(y - mu) AS g0,
+                    sum(p * (y - mu)) AS g1
+             FROM (SELECT p, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT p, y,
+                           1 / (1 + exp(-(b0 + b1 * p))) AS mu
+                         FROM sc, i1))),
+      i2 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s2, i1),
+      s3 AS (SELECT sum(w) AS h00, sum(w * p) AS h01,
+                    sum(w * p * p) AS h11, sum(y - mu) AS g0,
+                    sum(p * (y - mu)) AS g1
+             FROM (SELECT p, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT p, y,
+                           1 / (1 + exp(-(b0 + b1 * p))) AS mu
+                         FROM sc, i2))),
+      i3 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s3, i2),
+      s4 AS (SELECT sum(w) AS h00, sum(w * p) AS h01,
+                    sum(w * p * p) AS h11, sum(y - mu) AS g0,
+                    sum(p * (y - mu)) AS g1
+             FROM (SELECT p, y, mu, mu * (1 - mu) AS w
+                   FROM (SELECT p, y,
+                           1 / (1 + exp(-(b0 + b1 * p))) AS mu
+                         FROM sc, i3))),
+      i4 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s4, i3),
+      cal AS (SELECT y, least(greatest(p, 0), 1) AS praw,
+                     1 / (1 + exp(-(b0 + b1 * p))) AS pcal
+              FROM sc, i4),
+      cells AS (SELECT least(floor(praw * 10), 9)::BIGINT AS br,
+                       least(floor(pcal * 10), 9)::BIGINT AS bc,
+                       count(*)::DOUBLE AS n, sum(y) AS sy,
+                       sum(praw) AS sr, sum(pcal) AS sc2
+                FROM cal GROUP BY 1, 2),
+      t AS (SELECT sum(n) AS nn FROM cells),
+      er AS (SELECT sum(bn / t.nn * abs(by2 / bn - bp / bn)) AS ece
+             FROM (SELECT br, sum(n) AS bn, sum(sy) AS by2,
+                          sum(sr) AS bp
+                   FROM cells GROUP BY 1), t),
+      ec AS (SELECT sum(bn / t.nn * abs(by2 / bn - bp / bn)) AS ece
+             FROM (SELECT bc, sum(n) AS bn, sum(sy) AS by2,
+                          sum(sc2) AS bp
+                   FROM cells GROUP BY 1), t)
+      SELECT t.nn::BIGINT AS n, round(i4.b1, 6) AS a,
+             round(i4.b0, 6) AS b, round(er.ece, 6) AS ece_raw,
+             round(ec.ece, 6) AS ece_platt, 4 AS iterations
+      FROM t, i4, er, ec"""))
+
+  /** Lilliefors normality screen per event type: KS distance of the
+    * value distribution from the normal fitted to each group's own
+    * moments, with the identical A&S-7.1.26 CDF algebra replayed by
+    * the oracle. */
+  private val q320 = Entry(
+    "q320_lilliefors",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .lillieforsTest(Tables.events(s, d), "event_type", "value")
+        .select(col("group"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("std")).as("std"), r6(col("d_stat")).as("d_stat"),
+          r6(col("sqrt_n_d")).as("sqrt_n_d"))
+        .orderBy("group"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      mo AS (SELECT g, count(*)::DOUBLE AS n, avg(v) AS mu,
+                    stddev_samp(v) AS sd
+             FROM d GROUP BY 1
+             HAVING count(*) >= 4 AND stddev_samp(v) > 0),
+      vc AS (SELECT g, v, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2),
+      w AS (SELECT g, v, c,
+              coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS ex
+            FROM vc),
+      z0 AS (SELECT w.g, w.c, w.ex, mo.n, mo.mu, mo.sd,
+                    (w.v - mo.mu) / mo.sd AS z
+             FROM w JOIN mo ON w.g = mo.g),
+      z1 AS (SELECT g, c, ex, n, mu, sd, z, abs(z) / sqrt(2) AS x,
+                    1 / (1 + 0.3275911 * (abs(z) / sqrt(2))) AS t
+             FROM z0),
+      ph AS (SELECT g, c, ex, n, mu, sd,
+               0.5 * (1 + CASE WHEN z >= 0 THEN 1.0 ELSE -1.0 END *
+                 (1 - ((((1.061405429 * t - 1.453152027) * t
+                         + 1.421413741) * t - 0.284496736) * t
+                        + 0.254829592) * t * exp(-x * x))) AS phi
+             FROM z1),
+      dd AS (SELECT g, n, mu, sd,
+               greatest(abs((ex + c) / n - phi), abs(phi - ex / n)) AS dv
+             FROM ph)
+      SELECT g AS "group", max(n)::BIGINT AS n, round(max(mu), 6) AS mean,
+             round(max(sd), 6) AS std, round(max(dv), 6) AS d_stat,
+             round(sqrt(max(n)) * max(dv), 6) AS sqrt_n_d
+      FROM dd GROUP BY g ORDER BY g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -11805,7 +12050,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

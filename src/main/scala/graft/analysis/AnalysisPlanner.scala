@@ -2747,4 +2747,68 @@ object AnalysisPlanner {
         (greatest(col("__mu") - col("__lo"), col("__hi") - col("__mu")) /
           col("__sd")).as("g_stat"))
   }
+
+  /**
+   * Abramowitz–Stegun 7.1.26 normal CDF as pure column algebra — the
+   * [[lillieforsTest]] companion to the Acklam probit used by
+   * inverse-normal transforms: a rational erf approximation both this
+   * engine and any SQL oracle can evaluate IDENTICALLY (agreement is
+   * bit-level because both sides run the same Horner form, so the
+   * ~1.5e−7 approximation error cancels out of any cross-engine
+   * comparison).
+   */
+  private[graft] def normalCdfCol(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t +
+      lit(0.254829592)) * t
+    val erf = lit(1.0) - poly * exp(-x * x)
+    lit(0.5) * (lit(1.0) +
+      when(z >= 0, lit(1.0)).otherwise(lit(-1.0)) * erf)
+  }
+
+  /**
+   * Lilliefors normality statistic per group: the KS distance between
+   * the empirical CDF of `valueCol` and the normal fitted to that
+   * group's own mean and (sample) sd — the "is this metric roughly
+   * normal per segment" screen that decides whether the parametric
+   * tests (ttest/anova/[[bartlettTest]]) are trustworthy. Because
+   * the parameters are ESTIMATED, the usual KS critical values are
+   * anti-conservative — compare against Lilliefors tables (≈0.886/√n
+   * at α=.05), which is why the readout includes √n·D. D is the
+   * standard two-sided sup over both CDF step edges:
+   * max(|F_n(x) − Φ(ẑ)|, |F_n(x⁻) − Φ(ẑ)|). Returns one row per
+   * group: (group, n, mean, std, d_stat, sqrt_n_d).
+   *
+   * Scale shape: one grouped moments scan, one (group, value) count
+   * groupBy, a grouped [[PrefixSum]] for the CDF (hot groups spread
+   * over buckets — no per-group sort window), a broadcast join of the
+   * ≤groups-row moments frame, one grouped max rollup.
+   */
+  def lillieforsTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val mo = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(v).as("__mu"),
+        stddev_samp(v).as("__sd"))
+      .where(col("__n") >= 4 && col("__sd") > 0)
+    val vc = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val pre = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__ex"),
+      groupCols = Seq("__g"))
+    val phi = normalCdfCol((col("__v") - col("__mu")) / col("__sd"))
+    PrefixSum.joinNullSafe(pre, mo, Seq("__g"), broadcastRight = true)
+      .select(col("__g"), col("__n"), col("__mu"), col("__sd"),
+        greatest(
+          abs((col("__ex") + col("__c")) / col("__n") - phi),
+          abs(phi - col("__ex") / col("__n"))).as("__d"))
+      .groupBy(col("__g").as("group"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__mu")).as("mean"), max(col("__sd")).as("std"),
+        max(col("__d")).as("d_stat"),
+        (sqrt(max(col("__n"))) * max(col("__d"))).as("sqrt_n_d"))
+  }
 }

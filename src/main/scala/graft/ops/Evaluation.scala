@@ -1685,6 +1685,60 @@ object Evaluation {
   }
 
   /**
+   * Platt scaling: recalibrate a raw score into a probability by
+   * fitting P(y=1|s) = σ(a·s + b) — the standard post-hoc fix when
+   * [[binaryMetrics]] shows good ranking but [[calibrationCurve]]
+   * shows the scores aren't probabilities. The logistic fit rides
+   * [[Regression.logisticRegression]]'s fixed-Newton contract
+   * (deterministic, engine-replayable); the readout is the expected
+   * calibration error (equal-width bins over [0,1]) of the RAW score
+   * (clipped to [0,1], read as a probability) vs the CALIBRATED one:
+   * ECE = Σ_b (n_b/N)·|ȳ_b − p̄_b|. Returns ONE row:
+   * (n, a, b, ece_raw, ece_platt, iterations).
+   *
+   * Scale shape: the Newton scans ([[Regression.logisticRegression]]:
+   * one sufficient-stats aggregation per round), then ONE extra scan
+   * to a ≤bins²-cell (raw-bin × calibrated-bin) frame from which both
+   * ECEs reduce — never two passes for the two readouts.
+   */
+  def plattScaling(df: DataFrame, labelCol: String, scoreCol: String,
+      iterations: Int = 4, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "plattScaling: bins >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__s"))
+      .where(col("__y").isNotNull && col("__s").isNotNull)
+    val fit = graft.ops.Regression
+      .logisticRegression(base, Seq("__s"), col("__y") > 0.5, iterations)
+      .collect().map(r => r.getAs[String]("term") ->
+        r.getAs[Double]("coef")).toMap
+    val b0 = fit("(intercept)"); val a = fit("__s")
+    val pRaw = least(greatest(col("__s"), lit(0.0)), lit(1.0))
+    val pCal = lit(1.0) /
+      (lit(1.0) + exp(-(lit(b0) + lit(a) * col("__s"))))
+    val bin = (p: Column) =>
+      least(floor(p * bins), lit(bins - 1L)).cast("long")
+    val cells = base
+      .groupBy(bin(pRaw).as("__br"), bin(pCal).as("__bc"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(col("__y")).as("__sy"),
+        sum(pRaw).as("__sr"), sum(pCal).as("__sc"))
+      .localCheckpoint() // both ECE rollups read the ≤bins² frame
+    val eceOf = (binCol: String, pSum: String) => cells
+      .groupBy(col(binCol)).agg(sum(col("__n")).as("__bn"),
+        sum(col("__sy")).as("__by"), sum(col(pSum)).as("__bp"))
+      .crossJoin(broadcast(cells.agg(sum(col("__n")).as("__N"))))
+      .agg(sum(col("__bn") / col("__N") *
+        abs(col("__by") / col("__bn") - col("__bp") / col("__bn"))))
+      .head().getDouble(0)
+    val eceRaw = eceOf("__br", "__sr")
+    val ecePlatt = eceOf("__bc", "__sc")
+    val n = cells.agg(sum(col("__n"))).head().getDouble(0).toLong
+    Seq((n, a, b0, eceRaw, ecePlatt, iterations))
+      .toDF("n", "a", "b", "ece_raw", "ece_platt", "iterations")
+  }
+
+  /**
    * Optimal classification threshold by Youden's J = sensitivity +
    * specificity − 1, the standard "where do I cut the score" readout
    * after [[binaryMetrics]] says the ranking is good: every DISTINCT

@@ -451,4 +451,64 @@ object Graph {
     hubs.join(auths, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
+
+  /**
+   * Newman modularity Q of a node partition over an undirected graph:
+   * Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c = within-community edges,
+   * d_c = total degree of community c, m = edges — THE "are these
+   * communities better than random" score, the natural companion to
+   * [[labelPropagation]] (score its output, or score any exogenous
+   * partition like region/tenant). Q ∈ [−½, 1); ~0 means the
+   * partition explains nothing. Nodes missing from `labels` form
+   * their own implicit singleton communities only through their
+   * degree — their edges count in m but never in any e_c, which
+   * penalizes Q; pass complete labels. Directed input is symmetrized,
+   * self-loops and multi-edges collapse (same canonicalization as
+   * [[negativeEdges]]). Returns ONE row:
+   * (n_nodes, n_edges, n_communities, modularity).
+   *
+   * Scale shape: canonical edge frame built once (one distinct), two
+   * label equi-joins (labels frame keyed by node — broadcastable when
+   * the node set is), then everything is community-cardinality
+   * aggregates. No window, nothing driver-side.
+   */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint() // m + degree frame + both label joins read it
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("__l")).where(col("__n").isNotNull).distinct()
+    val m = canon.agg(count(lit(1)).cast("double").as("__m"))
+    // within-community edge count per label
+    val within = canon
+      .join(lab.withColumnRenamed("__n", "u")
+        .withColumnRenamed("__l", "__lu"), Seq("u"))
+      .join(lab.withColumnRenamed("__n", "v")
+        .withColumnRenamed("__l", "__lv"), Seq("v"))
+      .where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("__l"))
+      .agg(count(lit(1)).cast("double").as("__ec"))
+    // community degree: every canonical edge gives 1 degree to each end
+    val deg = canon.select(col("u").as("__n"))
+      .unionByName(canon.select(col("v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).cast("double").as("__d"))
+    val deg2 = deg.localCheckpoint() // node count + community rollup
+    val perC = deg2.join(lab, Seq("__n"))
+      .groupBy("__l").agg(sum(col("__d")).as("__dc"))
+      .join(within, Seq("__l"), "left")
+      .na.fill(0.0, Seq("__ec"))
+    perC.crossJoin(broadcast(m))
+      .crossJoin(broadcast(deg2.agg(count(lit(1)).as("__nn"))))
+      .agg(max(col("__nn")).as("n_nodes"),
+        max(col("__m")).cast("long").as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(col("__ec") / col("__m") -
+          (col("__dc") / (lit(2.0) * col("__m"))) *
+          (col("__dc") / (lit(2.0) * col("__m")))).as("modularity"))
+  }
 }

@@ -143,4 +143,65 @@ object Labeling {
       .select(col("rater"), col("n_ratings"), col("accuracy"))
     DsResult(items, raters)
   }
+
+  /**
+   * Bradley–Terry strength scores from pairwise preferences — the
+   * model behind preference-data aggregation (RLHF comparison
+   * pools, ranked A/B panels): P(i beats j) = w_i/(w_i+w_j), fit by
+   * a FIXED number of MM iterations (Hunter 2004) from w = 1:
+   * w_i ← W_i / Σ_{j≠i} n_ij/(w_i+w_j), then rescaled to mean 1
+   * each round (the MM update is scale-free; the rescale pins the
+   * gauge so any engine replays the same numbers). No RNG, no
+   * convergence test — deterministic like the GLM family.
+   * Returns one row per item: (item, score, wins, games); an item
+   * with zero wins scores 0 (its MM numerator), one with zero games
+   * is absent.
+   *
+   * Scale shape: ONE corpus aggregation to the (winner, loser) count
+   * frame; the frame is capped at `maxItems`² pairs and collected —
+   * MM runs on the driver over ≤maxItems doubles (the q286 BPE-merge
+   * discipline: iterate on a bounded report frame, never the corpus).
+   */
+  def bradleyTerry(prefs: DataFrame, winnerCol: String,
+      loserCol: String, iterations: Int = 3,
+      maxItems: Int = 1024): DataFrame = {
+    require(iterations >= 1, "bradleyTerry: iterations >= 1")
+    val spark = prefs.sparkSession
+    import spark.implicits._
+    val wins = prefs
+      .where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2)))
+    val items = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted
+    require(items.nonEmpty, "bradleyTerry: no preference pairs")
+    require(items.size <= maxItems,
+      s"bradleyTerry: ${items.size} items exceeds maxItems=$maxItems")
+    val idx = items.zipWithIndex.toMap
+    val k = items.size
+    val winCount = Array.fill(k)(0.0)
+    val games = Array.ofDim[Double](k, k)
+    wins.foreach { case (wi, li, c) =>
+      val i = idx(wi); val j = idx(li)
+      winCount(i) += c; games(i)(j) += c; games(j)(i) += c
+    }
+    var w = Array.fill(k)(1.0)
+    for (_ <- 1 to iterations) {
+      val next = Array.tabulate(k) { i =>
+        var denom = 0.0
+        for (j <- 0 until k if j != i && games(i)(j) > 0)
+          denom += games(i)(j) / (w(i) + w(j))
+        if (denom > 0) winCount(i) / denom else 0.0
+      }
+      val mean = next.sum / k
+      w = next.map(_ / mean)
+    }
+    items.indices.map { i =>
+      (items(i), w(i), winCount(i).toLong,
+        games(i).sum.toLong)
+    }.toDF("item", "score", "wins", "games")
+  }
 }

@@ -5497,6 +5497,103 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("first_alarm_date")))
   }
 
+  test("modularity: disjoint cliques 0.5, single community exactly 0") {
+    import spark.implicits._
+    // two disconnected triangles, labeled by component: Q = 1/2
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "t")
+    val labels = Seq(("a", 1), ("b", 1), ("c", 1),
+      ("x", 2), ("y", 2), ("z", 2)).toDF("node", "comm")
+    val r = graft.ops.Graph
+      .modularity(edges, "s", "t", labels, "node", "comm").head
+    assert(r.getAs[Long]("n_nodes") == 6 && r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_communities") == 2)
+    assert(math.abs(r.getAs[Double]("modularity") - 0.5) < 1e-12)
+    // everything in one community: e_c/m = 1, (d_c/2m)^2 = 1 → Q = 0
+    val one = labels.withColumn("comm", lit(7))
+    assert(math.abs(graft.ops.Graph
+      .modularity(edges, "s", "t", one, "node", "comm")
+      .head.getAs[Double]("modularity")) < 1e-12)
+    // anti-community labels (every edge crosses): Q < 0
+    val anti = Seq(("a", 1), ("b", 2), ("c", 3),
+      ("x", 1), ("y", 2), ("z", 3)).toDF("node", "comm")
+    assert(graft.ops.Graph
+      .modularity(edges, "s", "t", anti, "node", "comm")
+      .head.getAs[Double]("modularity") < 0)
+  }
+
+  test("bradleyTerry: dominance ordering, symmetry, gauge") {
+    import spark.implicits._
+    val prefs = (Seq.fill(3)(("a", "b")) ++ Seq.fill(3)(("b", "c")) ++
+      Seq.fill(3)(("a", "c"))).toDF("w", "l")
+    val out = graft.ops.Labeling.bradleyTerry(prefs, "w", "l", 3)
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("wins"),
+          r.getAs[Long]("games"))).toMap
+    assert(out("a")._1 > out("b")._1 && out("b")._1 > out("c")._1)
+    assert(out("a")._2 == 6 && out("b")._2 == 3 && out("c")._2 == 0)
+    assert(out("a")._3 == 6 && out("b")._3 == 6 && out("c")._3 == 6)
+    // gauge: scores rescaled to mean 1 each round
+    assert(math.abs(out.values.map(_._1).sum / 3 - 1.0) < 1e-12)
+    // an even head-to-head record is exactly symmetric
+    val even = Seq(("p", "q"), ("q", "p")).toDF("w", "l")
+    val e = graft.ops.Labeling.bradleyTerry(even, "w", "l", 3)
+      .collect().map(r => r.getAs[Double]("score"))
+    assert(math.abs(e(0) - e(1)) < 1e-12)
+  }
+
+  test("plattScaling: recalibrates a compressed score") {
+    import spark.implicits._
+    // true P(y=1) tracks i/100, but the reported score is halved —
+    // raw ECE is big, the logistic refit should shrink it
+    val rows = (0 until 100).map { i =>
+      (if (i % 10 < i / 10) 1.0 else 0.0, i / 200.0)
+    }
+    val df = rows.toDF("y", "s")
+    val r = graft.ops.Evaluation.plattScaling(df, "y", "s", 4, 10).head
+    assert(r.getAs[Long]("n") == 100)
+    assert(r.getAs[Double]("a") > 0, "calibration slope must be positive")
+    val raw = r.getAs[Double]("ece_raw")
+    val cal = r.getAs[Double]("ece_platt")
+    assert(raw > 0.15, s"halved scores must miscalibrate, got $raw")
+    assert(cal < raw / 2, s"platt must recalibrate: raw=$raw cal=$cal")
+  }
+
+  test("lillieforsTest: matches brute-force D on a hand frame") {
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 2.0, 3.0, 4.0, 10.0)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .lillieforsTest(df, "k", "v").head
+    val n = vals.size.toDouble
+    val mu = vals.sum / n
+    val sd = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    def phi(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = ((((1.061405429 * t - 1.453152027) * t +
+        1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+      0.5 * (1 + (if (z >= 0) 1.0 else -1.0) *
+        (1 - poly * math.exp(-x * x)))
+    }
+    val distinct = vals.distinct.sorted
+    val d = distinct.map { v =>
+      val below = vals.count(_ < v) / n
+      val upto = vals.count(_ <= v) / n
+      val p = phi((v - mu) / sd)
+      math.max(math.abs(upto - p), math.abs(p - below))
+    }.max
+    assert(r.getAs[Long]("n") == 6)
+    assert(math.abs(r.getAs[Double]("d_stat") - d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sqrt_n_d") -
+      math.sqrt(n) * d) < 1e-12)
+    // degenerate groups (n < 4 or zero spread) are dropped
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    assert(graft.analysis.AnalysisPlanner
+      .lillieforsTest(tiny, "k", "v").count() == 0)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
