@@ -12025,6 +12025,53 @@ object Queries {
              round(sqrt(max(n)) * max(dv), 6) AS sqrt_n_d
       FROM dd GROUP BY g ORDER BY g"""))
 
+  /** Clustering-quality report for the labeled embedding set:
+    * Calinski–Harabasz variance ratio and Davies–Bouldin index of
+    * the 10-label partition, from one sufficient-stats scan. */
+  private val q321 = Entry(
+    "q321_cluster_quality",
+    (s, d) =>
+      graft.ops.Similarity
+        .partitionQuality(Tables.embeddings(s, d), "embedding", "label")
+        .select(col("n"), col("n_clusters"), col("dims"),
+          r6(col("ch_index")).as("ch_index"),
+          r6(col("db_index")).as("db_index")),
+    Some("""
+      WITH e AS (SELECT label AS l, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      cell AS (SELECT l, i - 1 AS d, count(*)::DOUBLE AS c,
+                      sum(v[i]) AS s, sum(v[i] * v[i]) AS ss
+               FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+      gl AS (SELECT d, sum(s) AS gs, sum(c) AS gc FROM cell
+             GROUP BY 1),
+      perl AS (SELECT l, sum(ss - s * s / c) AS w, max(c) AS n
+               FROM cell GROUP BY 1),
+      tot AS (SELECT sum(n) AS nn, count(*)::DOUBLE AS k,
+                     sum(w) AS tw
+              FROM perl),
+      bb AS (SELECT sum(c * (s / c - gs / gc) * (s / c - gs / gc)) AS b
+             FROM cell JOIN gl USING (d)),
+      dims AS (SELECT count(DISTINCT d) AS dims FROM cell),
+      pr AS (SELECT a.l AS i, b.l AS j,
+                    sqrt(sum((a.s / a.c - b.s / b.c)
+                           * (a.s / a.c - b.s / b.c))) AS m
+             FROM cell a JOIN cell b ON a.d = b.d AND a.l < b.l
+             GROUP BY 1, 2),
+      sym AS (SELECT i, j, m FROM pr UNION ALL SELECT j, i, m FROM pr),
+      si AS (SELECT l, sqrt(w / n) AS si FROM perl),
+      rt AS (SELECT sym.i, max((s1.si + s2.si) / sym.m) AS r
+             FROM sym JOIN si s1 ON sym.i = s1.l
+                      JOIN si s2 ON sym.j = s2.l
+             GROUP BY 1),
+      db AS (SELECT avg(r) AS db FROM rt)
+      SELECT tot.nn::BIGINT AS n, tot.k::BIGINT AS n_clusters,
+             dims.dims AS dims,
+             round((bb.b / (tot.k - 1)) /
+                   (tot.tw / (tot.nn - tot.k)), 6) AS ch_index,
+             round(db.db, 6) AS db_index
+      FROM tot, bb, dims, db"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12050,7 +12097,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -988,4 +988,81 @@ object Similarity {
         (col("__dot") / (sqrt(col("__sa2")) * sqrt(col("__sb2"))))
           .as("cosine"))
   }
+
+  /**
+   * Internal clustering-quality indices for a labeled embedding set
+   * (the label-column companion to the trained-centroid
+   * [[clusterQuality]]) —
+   * score a partition (k-means output, or any exogenous labeling like
+   * source/language) WITHOUT ground truth:
+   *   - Calinski–Harabasz (variance-ratio): (B/(k−1)) / (W/(n−k)),
+   *     between- over within-cluster dispersion — higher is better;
+   *   - Davies–Bouldin: mean over clusters of the worst
+   *     (s_i + s_j)/‖c_i − c_j‖ ratio, s_i = √(W_i/n_i) — lower is
+   *     better.
+   * Both are exact and centroid-based (no pairwise point distances),
+   * so they stay linear in the corpus. Returns ONE row:
+   * (n, n_clusters, dims, ch_index, db_index).
+   *
+   * Scale shape: ONE posexplode scan collapses the corpus to a
+   * (label × dim) sufficient-stats frame (count/sum/sumsq — centroids
+   * AND within-scatter both read off it, no second pass); everything
+   * after, including the k²-pair centroid distances, is
+   * report-frame algebra. Labels are expected at report cardinality
+   * (the frame is labels×dims rows).
+   */
+  def partitionQuality(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cell = df
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("__l"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__d", "__x")))
+      .groupBy("__l", "__d")
+      .agg(count(lit(1)).cast("double").as("__c"), sum("__x").as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+      .localCheckpoint() // W, B, and the pair distances all read it
+    val glob = cell.groupBy("__d")
+      .agg(sum(col("__s")).as("__gs"), sum(col("__c")).as("__gc"))
+    val perL = cell.groupBy("__l")
+      .agg(sum(col("__ss") - col("__s") * col("__s") / col("__c"))
+        .as("__w"), max(col("__c")).as("__n"))
+    val tot = perL.agg(sum(col("__n")).as("__nn"),
+      count(lit(1)).cast("double").as("__k"), sum(col("__w")).as("__tw"))
+    val btw = cell.join(glob, Seq("__d"))
+      .agg(sum(col("__c") *
+        (col("__s") / col("__c") - col("__gs") / col("__gc")) *
+        (col("__s") / col("__c") - col("__gs") / col("__gc")))
+        .as("__b"))
+    val dims = cell.agg(countDistinct(col("__d")).as("__dims"))
+    val pairs = cell.as("a")
+      .join(cell.as("b"),
+        col("a.__d") === col("b.__d") && col("a.__l") < col("b.__l"))
+      .groupBy(col("a.__l").as("__i"), col("b.__l").as("__j"))
+      .agg(sqrt(sum(
+        (col("a.__s") / col("a.__c") - col("b.__s") / col("b.__c")) *
+        (col("a.__s") / col("a.__c") - col("b.__s") / col("b.__c"))))
+        .as("__m"))
+    val si = perL.select(col("__l"),
+      sqrt(col("__w") / col("__n")).as("__si"))
+    val sym = pairs.select(col("__i"), col("__j"), col("__m"))
+      .unionByName(pairs.select(col("__j").as("__i"),
+        col("__i").as("__j"), col("__m")))
+    val db = sym
+      .join(si.withColumnRenamed("__l", "__i")
+        .withColumnRenamed("__si", "__s1"), Seq("__i"))
+      .join(si.withColumnRenamed("__l", "__j")
+        .withColumnRenamed("__si", "__s2"), Seq("__j"))
+      .groupBy("__i")
+      .agg(max((col("__s1") + col("__s2")) / col("__m")).as("__r"))
+      .agg(avg(col("__r")).as("__db"))
+    tot.crossJoin(broadcast(btw)).crossJoin(broadcast(dims))
+      .crossJoin(broadcast(db))
+      .select(col("__nn").cast("long").as("n"),
+        col("__k").cast("long").as("n_clusters"),
+        col("__dims").as("dims"),
+        ((col("__b") / (col("__k") - 1)) /
+          (col("__tw") / (col("__nn") - col("__k")))).as("ch_index"),
+        col("__db").as("db_index"))
+  }
 }

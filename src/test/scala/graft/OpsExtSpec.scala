@@ -5594,6 +5594,28 @@ class OpsExtSpec extends AnyFunSuite {
       .lillieforsTest(tiny, "k", "v").count() == 0)
   }
 
+  test("partitionQuality: true partition beats a scrambled one") {
+    import spark.implicits._
+    // two tight blobs around (0,0) and (10,10)
+    val pts = Seq(
+      (Array(0.0f, 0.1f), 0), (Array(0.1f, 0.0f), 0),
+      (Array(-0.1f, 0.0f), 0), (Array(0.0f, -0.1f), 0),
+      (Array(10.0f, 10.1f), 1), (Array(10.1f, 10.0f), 1),
+      (Array(9.9f, 10.0f), 1), (Array(10.0f, 9.9f), 1))
+    val good = pts.toDF("vec", "lab")
+    val g = graft.ops.Similarity.partitionQuality(good, "vec", "lab").head
+    assert(g.getAs[Long]("n") == 8 && g.getAs[Long]("n_clusters") == 2)
+    assert(g.getAs[Long]("dims") == 2)
+    // scrambled labels: half of each blob swapped
+    val bad = pts.zipWithIndex
+      .map { case ((v, _), i) => (v, i % 2) }.toDF("vec", "lab")
+    val b = graft.ops.Similarity.partitionQuality(bad, "vec", "lab").head
+    assert(g.getAs[Double]("ch_index") > 100 * b.getAs[Double]("ch_index"))
+    assert(g.getAs[Double]("db_index") < b.getAs[Double]("db_index"))
+    // DB of the tight/far case is tiny in absolute terms too
+    assert(g.getAs[Double]("db_index") < 0.1)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
