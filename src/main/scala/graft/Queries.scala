@@ -12072,6 +12072,307 @@ object Queries {
              round(db.db, 6) AS db_index
       FROM tot, bb, dims, db"""))
 
+  /** Two-sample energy distance on event values by user parity —
+    * the distance-weighted companion to q10 (KS) and q301 (CvM),
+    * fully prefix-sum shaped. */
+  private val q322 = Entry(
+    "q322_energy_distance",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .energyDistance(Tables.events(s, d), "value",
+          col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          r6(col("e_dist_sq")).as("e_dist_sq"),
+          r6(col("e_dist")).as("e_dist")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v,
+                   CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS a
+                 FROM events WHERE "value" IS NOT NULL),
+      g AS (SELECT v, sum(a) AS ca, sum(1 - a) AS cb,
+                   sum(a * v) AS sa, sum((1 - a) * v) AS sb
+            FROM d GROUP BY 1),
+      w AS (SELECT v, ca, cb, sa, sb,
+              coalesce(sum(ca) OVER win, 0) AS pca,
+              coalesce(sum(cb) OVER win, 0) AS pcb,
+              coalesce(sum(sa) OVER win, 0) AS psa,
+              coalesce(sum(sb) OVER win, 0) AS psb
+            FROM g WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING)),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(sa) AS ta,
+                   sum(sb) AS tb
+            FROM g),
+      r AS (SELECT
+              sum(ca * (pcb * v - psb + (tb - psb - cb * v)
+                - (nb - pcb - cb) * v)) AS dab,
+              sum(ca * (pca * v - psa + (ta - psa - ca * v)
+                - (na - pca - ca) * v)) AS daa,
+              sum(cb * (pcb * v - psb + (tb - psb - cb * v)
+                - (nb - pcb - cb) * v)) AS dbb,
+              max(na) AS na, max(nb) AS nb
+            FROM w, t)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(2 * dab / (na * nb) - daa / (na * na)
+               - dbb / (nb * nb), 6) AS e_dist_sq,
+             round(sqrt(greatest(2 * dab / (na * nb) - daa / (na * na)
+               - dbb / (nb * nb), 0)), 6) AS e_dist
+      FROM r"""))
+
+  /** Jonckheere–Terpstra ordered-trend test across the five event
+    * types (ascending type order): are values stochastically
+    * increasing along the ordering? */
+  private val q323 = Entry(
+    "q323_jonckheere",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .jonckheereTerpstra(Tables.events(s, d), "event_type", "value")
+        .select(col("n"), col("n_groups"),
+          r6(col("jt_stat")).as("jt_stat"), r6(col("jt_mean")).as("jt_mean"),
+          r6(col("z")).as("z")),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (SELECT v, g, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT v FROM cells),
+      grps AS (SELECT DISTINCT g FROM cells),
+      grid AS (SELECT vals.v, grps.g, coalesce(cells.c, 0) AS c
+               FROM vals CROSS JOIN grps
+               LEFT JOIN cells ON cells.v = vals.v AND cells.g = grps.g),
+      pre AS (SELECT v, g, c,
+                coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS below
+              FROM grid),
+      jt AS (SELECT coalesce(sum(h.c * (l.below + l.c / 2)), 0) AS jt
+             FROM pre l JOIN pre h ON l.v = h.v AND l.g < h.g),
+      mo AS (SELECT sum(ng) AS n, count(*) AS k, sum(ng * ng) AS sn2,
+                    sum(ng * ng * (2 * ng + 3)) AS sn23
+             FROM (SELECT g, sum(c) AS ng FROM cells GROUP BY 1))
+      SELECT n::BIGINT AS n, k AS n_groups, round(jt.jt, 6) AS jt_stat,
+             round((n * n - sn2) / 4, 6) AS jt_mean,
+             round((jt.jt - (n * n - sn2) / 4) /
+               sqrt((n * n * (2 * n + 3) - sn23) / 72), 6) AS z
+      FROM jt, mo"""))
+
+  /** Cohen's d / Hedges' g effect size of the even-vs-odd user arms
+    * on event value — "significant, but is it big?". */
+  private val q324 = Entry(
+    "q324_cohens_d",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .cohensD(Tables.events(s, d), "value", col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), r6(col("mean_a")).as("mean_a"),
+          r6(col("mean_b")).as("mean_b"),
+          r6(col("pooled_sd")).as("pooled_sd"),
+          r6(col("cohens_d")).as("cohens_d"),
+          r6(col("hedges_g")).as("hedges_g")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v,
+                   CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS a
+                 FROM events WHERE "value" IS NOT NULL),
+      m AS (SELECT sum(a) AS na, sum(1 - a) AS nb, sum(a * v) AS sa,
+                   sum((1 - a) * v) AS sb, sum(a * v * v) AS ssa,
+                   sum((1 - a) * v * v) AS ssb
+            FROM d),
+      f AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+              sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                / (na + nb - 2)) AS sp
+            FROM m)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             round(sp, 6) AS pooled_sd,
+             round((ma - mb) / sp, 6) AS cohens_d,
+             round((ma - mb) / sp * (1 - 3 / (4 * (na + nb) - 9)), 6)
+               AS hedges_g
+      FROM f"""))
+
+  /** Source-concentration report over document mass (chars):
+    * HHI, normalized HHI, Theil index, top source share — the
+    * "is one source eating the corpus" audit. */
+  private val q325 = Entry(
+    "q325_concentration",
+    (s, d) =>
+      graft.ops.Profiling
+        .segmentConcentration(Tables.documents(s, d), "source",
+          "n_chars")
+        .select(col("n_segments"), r6(col("total")).as("total"),
+          r6(col("hhi")).as("hhi"),
+          r6(col("hhi_normalized")).as("hhi_normalized"),
+          r6(col("theil")).as("theil"),
+          r6(col("top_share")).as("top_share")),
+    Some("""
+      WITH per AS (SELECT source AS s, sum(n_chars)::DOUBLE AS x
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1),
+      t AS (SELECT sum(x) AS t, count(*)::DOUBLE AS k FROM per)
+      SELECT k::BIGINT AS n_segments, round(t.t, 6) AS total,
+             round(sum(x * x / (t.t * t.t)), 6) AS hhi,
+             round((sum(x * x / (t.t * t.t)) - 1 / k) / (1 - 1 / k), 6)
+               AS hhi_normalized,
+             round(sum(CASE WHEN x > 0
+               THEN (x / (t.t / k)) * ln(x / (t.t / k))
+               ELSE 0 END) / k, 6) AS theil,
+             round(max(x / t.t), 6) AS top_share
+      FROM per, t GROUP BY k, t.t"""))
+
+  /** Exact 10% symmetric trimmed mean per event type, fractional
+    * boundary weights — the robust location readout between mean
+    * and median. */
+  private val q326 = Entry(
+    "q326_trimmed_mean",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .trimmedMean(Tables.events(s, d), "event_type", "value", 0.1)
+        .select(col("group"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("trimmed_mean")).as("trimmed_mean"), col("trim"))
+        .orderBy("group"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (SELECT g, v, count(*)::DOUBLE AS c FROM d GROUP BY 1, 2),
+      pre AS (SELECT g, v, c,
+                coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pc
+              FROM cells),
+      tot AS (SELECT g, sum(c) AS n, sum(c * v) AS s FROM cells
+              GROUP BY 1),
+      k AS (SELECT pre.g, pre.v,
+              greatest(0, least(pre.pc + pre.c, 0.9 * tot.n)
+                - greatest(pre.pc, 0.1 * tot.n)) AS w,
+              tot.n, tot.s
+            FROM pre JOIN tot ON pre.g = tot.g)
+      SELECT g AS "group", max(n)::BIGINT AS n,
+             round(max(s) / max(n), 6) AS mean,
+             round(sum(w * v) / (0.8 * max(n)), 6) AS trimmed_mean,
+             0.1::DOUBLE AS trim
+      FROM k GROUP BY g ORDER BY g"""))
+
+  /** Runs (up–down) randomness test on each event type's daily mean
+    * series: trending (too few runs) vs oscillating (too many). */
+  private val q327 = Entry(
+    "q327_runs_test",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .runsTest(Tables.events(s, d), Seq("event_type"), "ts", "value")
+        .select(col("event_type"), col("n_days"), col("n_signs"),
+          col("runs"), r6(col("expected_runs")).as("expected_runs"),
+          r6(col("z")).as("z"))
+        .orderBy("event_type"),
+    Some("""
+      WITH daily AS (SELECT event_type AS g, ts::DATE AS d,
+                            avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+      sg AS (SELECT g, d,
+               CASE WHEN x > lag(x) OVER w THEN 1
+                    WHEN x < lag(x) OVER w THEN -1 END AS s,
+               count(*) OVER (PARTITION BY g) AS nd
+             FROM daily WINDOW w AS (PARTITION BY g ORDER BY d)),
+      f AS (SELECT g, d, s, nd FROM sg WHERE s IS NOT NULL),
+      r AS (SELECT g, max(nd) AS nd, count(*) AS ns,
+              1 + coalesce(sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                THEN 1 ELSE 0 END), 0) AS runs
+            FROM (SELECT g, s, nd,
+                    lag(s) OVER (PARTITION BY g ORDER BY d) AS ps
+                  FROM f)
+            GROUP BY 1)
+      SELECT g AS event_type, nd::BIGINT AS n_days, ns::BIGINT AS n_signs,
+             runs::BIGINT AS runs,
+             round((2.0 * (ns + 1) - 1) / 3, 6) AS expected_runs,
+             round((runs - (2.0 * (ns + 1) - 1) / 3) /
+               sqrt((16.0 * (ns + 1) - 29) / 90), 6) AS z
+      FROM r ORDER BY g"""))
+
+  /** Kuiper two-sample test on the circular hour-of-day of purchase
+    * events by user parity — the cyclic-shift-invariant KS. */
+  private val q328 = Entry(
+    "q328_kuiper",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .kuiperTest(Tables.events(s, d)
+            .where(col("event_type") === "purchase")
+            .withColumn("hod", hour(col("ts"))),
+          "hod", col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), r6(col("d_plus")).as("d_plus"),
+          r6(col("d_minus")).as("d_minus"),
+          r6(col("kuiper_v")).as("kuiper_v")),
+    Some("""
+      WITH d AS (SELECT hour(ts)::DOUBLE AS v,
+                   CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS a
+                 FROM events
+                 WHERE event_type = 'purchase' AND ts IS NOT NULL),
+      g AS (SELECT v, sum(a) AS ca, count(*)::DOUBLE AS cnt
+            FROM d GROUP BY 1),
+      w AS (SELECT v, ca, cnt,
+              coalesce(sum(ca) OVER win, 0) + ca AS fa,
+              coalesce(sum(cnt) OVER win, 0) + cnt AS ft
+            FROM g WINDOW win AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING)),
+      t AS (SELECT sum(a) AS n1, sum(1 - a) AS n2 FROM d),
+      r AS (SELECT max(n1) AS n1, max(n2) AS n2,
+              greatest(max(fa / n1 - (ft - fa) / n2), 0) AS dp,
+              greatest(max((ft - fa) / n2 - fa / n1), 0) AS dm
+            FROM w, t)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+             round(dp, 6) AS d_plus, round(dm, 6) AS d_minus,
+             round(dp + dm, 6) AS kuiper_v
+      FROM r"""))
+
+  /** Wilcoxon signed-rank on per-user paired differences (mean
+    * purchase value − mean view value): the within-subject sibling
+    * of q45's Mann–Whitney. */
+  private val q329 = Entry(
+    "q329_wilcoxon_signed_rank",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pairs = ev
+        .where(col("event_type").isin("purchase", "view") &&
+          col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(avg(when(col("event_type") === "purchase", col("value")))
+          .as("__p"),
+          avg(when(col("event_type") === "view", col("value")))
+            .as("__v"))
+        .where(col("__p").isNotNull && col("__v").isNotNull)
+        .select((col("__p") - col("__v")).as("diff"))
+      graft.analysis.AnalysisPlanner.wilcoxonSignedRank(pairs, "diff")
+        .select(col("n"), col("n_pos"), col("n_neg"),
+          r6(col("w_plus")).as("w_plus"), r6(col("w_mean")).as("w_mean"),
+          r6(col("z")).as("z"))
+    },
+    Some("""
+      WITH pr AS (SELECT user_id,
+                    avg("value") FILTER (event_type = 'purchase') AS p,
+                    avg("value") FILTER (event_type = 'view') AS v
+                  FROM events
+                  WHERE event_type IN ('purchase', 'view')
+                    AND "value" IS NOT NULL
+                  GROUP BY 1),
+      df AS (SELECT p - v AS d FROM pr
+             WHERE p IS NOT NULL AND v IS NOT NULL AND p - v <> 0),
+      g AS (SELECT abs(d) AS ad,
+                   sum(CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END) AS cp,
+                   count(*)::DOUBLE AS t
+            FROM df GROUP BY 1),
+      w AS (SELECT ad, cp, t,
+              coalesce(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) + (t + 1) / 2 AS mr
+            FROM g),
+      r AS (SELECT sum(t) AS n, sum(cp) AS np, sum(cp * mr) AS wp,
+                   sum(t) * (sum(t) + 1) / 4 AS wm,
+                   sum(t) * (sum(t) + 1) * (2 * sum(t) + 1) / 24
+                     - sum(t * t * t - t) / 48 AS var
+            FROM w)
+      SELECT n::BIGINT AS n, np::BIGINT AS n_pos,
+             (n - np)::BIGINT AS n_neg, round(wp, 6) AS w_plus,
+             round(wm, 6) AS w_mean,
+             round((wp - wm) / sqrt(var), 6) AS z
+      FROM r"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12097,7 +12398,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

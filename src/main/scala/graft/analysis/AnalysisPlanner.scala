@@ -2749,6 +2749,267 @@ object AnalysisPlanner {
   }
 
   /**
+   * Two-sample energy distance (Székely–Rizzo) on 1-D values:
+   * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic convention, n²
+   * denominators), the metric companion to the CDF-shaped two-sample
+   * family ([[cramerVonMises]], KS, Anderson–Darling): it weights by
+   * actual DISTANCE, so a far-tail shift moves it more than any CDF
+   * crossing count — the natural "how far apart are these two
+   * distributions in value units" readout. √D² is a true metric.
+   * Returns ONE row: (n_a, n_b, e_dist_sq, e_dist).
+   *
+   * Scale shape: every pairwise-|difference| sum reduces over the
+   * distinct-value frame — Σᵢⱼ|xᵢ−yⱼ| at value v needs only the
+   * counts at v and the prefix (count, value-mass) sums strictly
+   * below v, so ONE value-count groupBy + one 4-column [[PrefixSum]]
+   * + a broadcast totals row + a 1-row reduce replace the O(n²) pair
+   * join entirely. No window, no sort, no pair materialization.
+   */
+  def energyDistance(df: DataFrame, valueCol: String,
+      treatCol: Column): DataFrame = {
+    val base = df
+      .select(col(valueCol).cast("double").as("__v"),
+        when(treatCol, 1.0).otherwise(0.0).as("__a"))
+      .where(col("__v").isNotNull)
+    val g = base.groupBy("__v").agg(
+      sum(col("__a")).as("__ca"),
+      sum(lit(1.0) - col("__a")).as("__cb"),
+      sum(col("__a") * col("__v")).as("__sa"),
+      sum((lit(1.0) - col("__a")) * col("__v")).as("__sb"))
+    val pre = PrefixSum.exclusive(g, "__v",
+      Seq("__ca" -> "__pca", "__cb" -> "__pcb",
+        "__sa" -> "__psa", "__sb" -> "__psb"))
+    val tot = broadcast(g.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), sum(col("__sa")).as("__ta"),
+      sum(col("__sb")).as("__tb")))
+    // Σ over one side's rows at v of |v − w| against the OTHER frame's
+    // values w: mass strictly below contributes c·(c_below·v − s_below),
+    // mass strictly above contributes c·(s_above − c_above·v); ties add 0
+    def cross(cHere: Column, cBelow: Column, sBelow: Column,
+        cTotB: Column, sTotB: Column, cThere: Column): Column = {
+      val cAbove = cTotB - cBelow - cThere
+      val sAbove = sTotB - sBelow - cThere * col("__v")
+      cHere * (cBelow * col("__v") - sBelow + sAbove - cAbove * col("__v"))
+    }
+    pre.join(tot)
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        sum(cross(col("__ca"), col("__pcb"), col("__psb"),
+          col("__nb"), col("__tb"), col("__cb"))).as("__dab"),
+        sum(cross(col("__ca"), col("__pca"), col("__psa"),
+          col("__na"), col("__ta"), col("__ca"))).as("__daa"),
+        sum(cross(col("__cb"), col("__pcb"), col("__psb"),
+          col("__nb"), col("__tb"), col("__cb"))).as("__dbb"),
+        max(col("__na")).as("__dna"), max(col("__nb")).as("__dnb"))
+      .select(col("n_a"), col("n_b"),
+        (lit(2.0) * col("__dab") / (col("__dna") * col("__dnb")) -
+          col("__daa") / (col("__dna") * col("__dna")) -
+          col("__dbb") / (col("__dnb") * col("__dnb"))).as("e_dist_sq"))
+      .withColumn("e_dist", sqrt(greatest(col("e_dist_sq"), lit(0.0))))
+  }
+
+  /**
+   * Jonckheere–Terpstra trend test: are the groups' distributions
+   * ORDERED (each later group stochastically larger), the
+   * one-directional sharpening of [[kruskalWallis]]'s "any
+   * difference"? Groups are ordered by the natural ascending order of
+   * `groupCol`; JT = Σ_{g<h} U_gh where U_gh counts pairs (x∈g, y∈h)
+   * with x < y plus half the ties. Standardized against the no-tie
+   * null moments E = (N² − Σn²)/4,
+   * V = [N²(2N+3) − Σn²(2n+3)]/72 (tie-naive variance — with heavy
+   * ties prefer the exact-tie correction before trusting borderline
+   * z). Returns ONE row: (n, n_groups, jt_stat, jt_mean, z).
+   *
+   * Scale shape: one (value, group) cell groupBy; cells are expanded
+   * to the full value×group grid (distinct-values × k rows) so each
+   * group's cumulative-below curve is defined at EVERY value, via one
+   * grouped [[PrefixSum]]; the pair term is a value-keyed join of the
+   * grid with itself restricted to g < h (k² fan-out per value, k =
+   * report-sized); then a 1-row reduce. No window over the corpus.
+   */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // grid expansion + totals both read it
+    val values = cells.select("__v").distinct()
+    val groups = cells.select("__g").distinct()
+    val grid = values.crossJoin(broadcast(groups))
+      .join(cells, Seq("__v", "__g"), "left")
+      .na.fill(0.0, Seq("__c"))
+    val pre = PrefixSum.exclusive(grid, "__v", Seq("__c" -> "__below"),
+      groupCols = Seq("__g"))
+    val pairs = pre.select(col("__v"), col("__g").as("__gl"),
+        col("__c").as("__cl"), col("__below").as("__bl"))
+      .join(pre.select(col("__v"), col("__g").as("__gh"),
+        col("__c").as("__ch")), Seq("__v"))
+      .where(col("__gl") < col("__gh"))
+      .agg(coalesce(sum(col("__ch") * (col("__bl") +
+        col("__cl") / 2)), lit(0.0)).as("__jt"))
+    val moments = cells.groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"))
+      .agg(sum(col("__ng")).as("__N"), count(lit(1)).as("__k"),
+        sum(col("__ng") * col("__ng")).as("__sn2"),
+        sum(col("__ng") * col("__ng") * (lit(2.0) * col("__ng") + 3))
+          .as("__sn23"))
+    pairs.crossJoin(broadcast(moments))
+      .select(col("__N").cast("long").as("n"), col("__k").as("n_groups"),
+        col("__jt").as("jt_stat"),
+        ((col("__N") * col("__N") - col("__sn2")) / 4).as("jt_mean"),
+        ((col("__jt") - (col("__N") * col("__N") - col("__sn2")) / 4) /
+          sqrt((col("__N") * col("__N") * (lit(2.0) * col("__N") + 3) -
+            col("__sn23")) / 72)).as("z"))
+  }
+
+  /**
+   * Cohen's d and Hedges' g standardized mean difference between two
+   * arms — the effect-SIZE companion to the StatTest family's
+   * p-values ("significant, but is it big?"): d = (x̄_a − x̄_b)/s_p
+   * with the pooled ddof-1 sd, g = d·(1 − 3/(4(n_a+n_b) − 9))
+   * (small-sample bias correction). Sign convention: positive means
+   * the `treatCol` arm is larger. Returns ONE row: (n_a, n_b,
+   * mean_a, mean_b, pooled_sd, cohens_d, hedges_g).
+   *
+   * ONE map-side-combined conditional-moments scan, 1-row output.
+   */
+  def cohensD(df: DataFrame, valueCol: String,
+      treatCol: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val a = when(treatCol, 1.0).otherwise(0.0)
+    val b = lit(1.0) - a
+    df.where(v.isNotNull)
+      .agg(sum(a).as("__na"), sum(b).as("__nb"),
+        sum(a * v).as("__sa"), sum(b * v).as("__sb"),
+        sum(a * v * v).as("__ssa"), sum(b * v * v).as("__ssb"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        (col("__sa") / col("__na")).as("mean_a"),
+        (col("__sb") / col("__nb")).as("mean_b"),
+        sqrt(((col("__ssa") - col("__sa") * col("__sa") / col("__na")) +
+          (col("__ssb") - col("__sb") * col("__sb") / col("__nb"))) /
+          (col("__na") + col("__nb") - 2)).as("pooled_sd"))
+      .withColumn("cohens_d",
+        (col("mean_a") - col("mean_b")) / col("pooled_sd"))
+      .withColumn("hedges_g", col("cohens_d") *
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n_a") + col("n_b")) - 9)))
+  }
+
+  /**
+   * Two-sample Kuiper statistic V = D⁺ + D⁻ (max CDF excess in EACH
+   * direction, summed) — the KS variant with equal sensitivity at the
+   * tails and the center, and the standard choice for CIRCULAR data
+   * (hour-of-day, day-of-week phase): V is invariant under cyclic
+   * shifts of the value axis, which KS is not. Returns ONE row:
+   * (n_a, n_b, d_plus, d_minus, kuiper_v).
+   *
+   * Scale shape: identical to [[cramerVonMises]] — one value-count
+   * groupBy, one [[PrefixSum]], broadcast totals, 1-row reduce.
+   */
+  def kuiperTest(df: DataFrame, valueCol: String,
+      treatCol: Column): DataFrame = {
+    val base = df
+      .select(col(valueCol).cast("double").as("__v"),
+        when(treatCol, 1.0).otherwise(0.0).as("__a"))
+      .where(col("__v").isNotNull)
+    val g = base.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      count(lit(1)).cast("double").as("__cnt"))
+    val pre = PrefixSum.exclusive(g, "__v",
+        Seq("__ca" -> "__pa", "__cnt" -> "__pc"))
+      .withColumn("__fa", col("__pa") + col("__ca"))
+      .withColumn("__ft", col("__pc") + col("__cnt"))
+    val tot = broadcast(base.agg(sum(col("__a")).as("__n1"),
+      sum(lit(1.0) - col("__a")).as("__n2")))
+    val fa = col("__fa") / col("__n1")
+    val fb = (col("__ft") - col("__fa")) / col("__n2")
+    pre.join(tot)
+      .agg(max(col("__n1")).cast("long").as("n_a"),
+        max(col("__n2")).cast("long").as("n_b"),
+        greatest(max(fa - fb), lit(0.0)).as("d_plus"),
+        greatest(max(fb - fa), lit(0.0)).as("d_minus"))
+      .withColumn("kuiper_v", col("d_plus") + col("d_minus"))
+  }
+
+  /**
+   * Wilcoxon signed-rank test over PAIRED differences — the
+   * within-subject companion to the unpaired Mann–Whitney: each input
+   * row is one subject's difference d between its two conditions;
+   * zero differences drop (Wilcoxon convention), |d| gets midranks,
+   * and W⁺ = Σ ranks of the positive differences. Standardized with
+   * the tie-corrected null moments E = n(n+1)/4,
+   * V = n(n+1)(2n+1)/24 − Σ(t³−t)/48. Returns ONE row:
+   * (n, n_pos, n_neg, w_plus, w_mean, z).
+   *
+   * Scale shape: the mannwhitney discipline on |d| — one |value|
+   * count groupBy carrying the positive-count split, one
+   * [[PrefixSum]] for midranks, a 1-row reduce. No sort, no window.
+   */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: String): DataFrame = {
+    val d0 = col(diffCol).cast("double")
+    val base = df.where(d0.isNotNull && d0 =!= 0.0)
+      .select(abs(d0).as("__ad"),
+        when(d0 > 0, 1.0).otherwise(0.0).as("__p"))
+    val g = base.groupBy("__ad").agg(sum(col("__p")).as("__cp"),
+      count(lit(1)).cast("double").as("__t"))
+    val pre = PrefixSum.exclusive(g, "__ad", Seq("__t" -> "__ex"))
+      .withColumn("__mr", col("__ex") + (col("__t") + 1) / 2)
+    pre.agg(
+        sum(col("__t")).cast("long").as("n"),
+        sum(col("__cp")).cast("long").as("n_pos"),
+        (sum(col("__t")) - sum(col("__cp"))).cast("long").as("n_neg"),
+        sum(col("__cp") * col("__mr")).as("w_plus"),
+        (sum(col("__t")) * (sum(col("__t")) + 1) / 4).as("w_mean"),
+        ((sum(col("__t")) * (sum(col("__t")) + 1) *
+          (lit(2.0) * sum(col("__t")) + 1)) / 24 -
+          sum(col("__t") * col("__t") * col("__t") - col("__t")) / 48)
+          .as("__var"))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("w_plus"),
+        col("w_mean"),
+        when(col("__var") > 0,
+          (col("w_plus") - col("w_mean")) / sqrt(col("__var"))).as("z"))
+  }
+
+  /**
+   * Exact symmetric trimmed mean per group — the robust location
+   * estimate between median (trim → 0.5) and mean (trim = 0): drop
+   * the lowest and highest `trim` fraction of MASS and average the
+   * rest, with FRACTIONAL weights at the two cut boundaries (so the
+   * result is exact for every n, not just when trim·n is integral —
+   * the same convention as the exact interpolated percentiles).
+   * Returns one row per group: (group, n, mean, trimmed_mean, trim).
+   *
+   * Scale shape: one (group, value) count groupBy, one grouped
+   * [[PrefixSum]] for rank intervals, a broadcast ≤groups totals
+   * join, one grouped reduce — a value's kept weight is just the
+   * overlap of its rank interval [pc, pc+c) with [trim·n,
+   * (1−trim)·n], so no sort, no window, no per-row ranking.
+   */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(trim >= 0 && trim < 0.5, "trimmedMean: 0 <= trim < 0.5")
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val pre = PrefixSum.exclusive(cells, "__v", Seq("__c" -> "__pc"),
+      groupCols = Seq("__g"))
+    val tot = cells.groupBy("__g").agg(sum(col("__c")).as("__n"),
+      sum(col("__c") * col("__v")).as("__s"))
+    val lo = lit(trim) * col("__n")
+    val hi = lit(1.0 - trim) * col("__n")
+    val kept = greatest(lit(0.0),
+      least(col("__pc") + col("__c"), hi) - greatest(col("__pc"), lo))
+    PrefixSum.joinNullSafe(pre, tot, Seq("__g"), broadcastRight = true)
+      .groupBy(col("__g").as("group"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        (max(col("__s")) / max(col("__n"))).as("mean"),
+        (sum(kept * col("__v")) /
+          (lit(1.0 - 2 * trim) * max(col("__n")))).as("trimmed_mean"))
+      .withColumn("trim", lit(trim))
+  }
+
+  /**
    * Abramowitz–Stegun 7.1.26 normal CDF as pure column algebra — the
    * [[lillieforsTest]] companion to the Acklam probit used by
    * inverse-normal transforms: a rational erf approximation both this

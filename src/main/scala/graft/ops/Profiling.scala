@@ -756,4 +756,47 @@ object Profiling {
         col("separation"),
         (col("separation") >= flagAbove).as("leaky"))
   }
+
+  /**
+   * Segment concentration report — how unevenly a mass column spreads
+   * over a segment key, in one row of the standard indices:
+   *   - Herfindahl–Hirschman HHI = Σ s_i² over segment SHARES, and
+   *     its 0–1 normalization (HHI − 1/k)/(1 − 1/k);
+   *   - Theil T = (1/k)·Σ (x_i/μ)·ln(x_i/μ) over segment totals
+   *     (0 = perfectly even, ln k = everything in one segment) —
+   *     the entropy-shaped inequality measure that DECOMPOSES across
+   *     nested keys, unlike [[giniCoefficient]];
+   *   - top_share, the single biggest segment's share.
+   * The "is one source/tenant/shard eating the corpus" audit in one
+   * pass. Zero-total segments contribute zero to Theil (x·ln x → 0).
+   * Returns ONE row: (n_segments, total, hhi, hhi_normalized, theil,
+   * top_share).
+   *
+   * Scale shape: one map-side-combined grouped sum to the ≤k-row
+   * segment frame; every index is a 1-row reduce over it.
+   */
+  def segmentConcentration(df: DataFrame, segmentCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.where(v.isNotNull && col(segmentCol).isNotNull)
+      .groupBy(col(segmentCol).as("__s"))
+      .agg(sum(v).as("__x"))
+    val tot = broadcast(per.agg(sum(col("__x")).as("__t"),
+      count(lit(1)).cast("double").as("__k")))
+    per.crossJoin(tot)
+      .agg(max(col("__k")).cast("long").as("n_segments"),
+        max(col("__t")).as("total"),
+        sum(col("__x") * col("__x") / (col("__t") * col("__t")))
+          .as("hhi"),
+        sum(when(col("__x") > 0,
+          (col("__x") / (col("__t") / col("__k"))) *
+            log(col("__x") / (col("__t") / col("__k"))))
+          .otherwise(lit(0.0))).as("__tsum"),
+        max(col("__x") / col("__t")).as("top_share"),
+        max(col("__k")).as("__kk"))
+      .select(col("n_segments"), col("total"), col("hhi"),
+        ((col("hhi") - lit(1.0) / col("__kk")) / (lit(1.0) - lit(1.0) / col("__kk")))
+          .as("hhi_normalized"),
+        (col("__tsum") / col("__kk")).as("theil"), col("top_share"))
+  }
 }

@@ -450,6 +450,55 @@ object TimeSeries {
   }
 
   /**
+   * Runs test (up–down variant) per key over the daily mean series:
+   * is the series a random scatter, or does it trend/oscillate? Each
+   * consecutive day pair contributes an UP or DOWN sign (exact-tie
+   * pairs are dropped — no center estimate, no cross-engine float
+   * boundary: every sign is a comparison of two data values); R =
+   * number of maximal same-sign runs. Against randomness the null
+   * moments are E[R] = (2n−1)/3 and Var[R] = (16n−29)/90 with n the
+   * effective series length (signs + 1): too FEW runs ⇒ trending,
+   * too MANY ⇒ oscillating — z carries the direction. Returns one
+   * row per key: (key…, n_days, n_signs, runs, expected_runs, z).
+   *
+   * Scale shape: one daily groupBy, two stacked lag windows BOTH
+   * partitioned by the key over day-bounded series (the
+   * [[durbinWatson]] adjacency shape), one grouped reduce.
+   */
+  def runsTest(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "runsTest: keyCols required")
+    val daily = df
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("__d"): _*)
+      .agg(avg(col(valueCol).cast("double")).as("__x"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__d"))
+    val signs = daily
+      .withColumn("__prev", lag(col("__x"), 1).over(w))
+      .withColumn("__s",
+        when(col("__x") > col("__prev"), 1)
+          .when(col("__x") < col("__prev"), -1))
+      .withColumn("__nd",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("__s").isNotNull)
+    val runs = signs
+      .withColumn("__ps", lag(col("__s"), 1).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__nd")).as("n_days"),
+        count(lit(1)).as("n_signs"),
+        (lit(1L) + coalesce(sum(when(col("__ps").isNotNull &&
+          col("__s") =!= col("__ps"), 1L)), lit(0L))).as("runs"))
+    val nEff = (col("n_signs") + 1).cast("double")
+    runs.select(keyCols.map(col) ++ Seq(col("n_days"), col("n_signs"),
+      col("runs"),
+      ((lit(2.0) * nEff - 1) / 3).as("expected_runs"),
+      when(nEff >= 3,
+        (col("runs") - (lit(2.0) * nEff - 1) / 3) /
+          sqrt((lit(16.0) * nEff - 29) / 90)).as("z")): _*)
+  }
+
+  /**
    * Page–Hinkley mean-shift detector per key over the daily mean
    * series — the sequential companion to the retrospective
    * [[changepoint]]: it answers "WHEN would an online monitor have

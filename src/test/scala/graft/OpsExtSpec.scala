@@ -5616,6 +5616,169 @@ class OpsExtSpec extends AnyFunSuite {
     assert(g.getAs[Double]("db_index") < 0.1)
   }
 
+  test("energyDistance: hand values, zero on identical samples") {
+    import spark.implicits._
+    // A = {0,0}, B = {1,1}: E|X−Y| = 1, within-terms 0 → D² = 2
+    val df = Seq((0.0, 0L), (0.0, 2L), (1.0, 1L), (1.0, 3L))
+      .toDF("v", "u")
+    val r = graft.analysis.AnalysisPlanner
+      .energyDistance(df, "v", col("u") % 2 === 0).head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(math.abs(r.getAs[Double]("e_dist_sq") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e_dist") - math.sqrt(2.0)) < 1e-12)
+    // identical samples → exactly zero
+    val same = Seq((1.0, 0L), (2.0, 0L), (1.0, 1L), (2.0, 1L))
+      .toDF("v", "u")
+    assert(math.abs(graft.analysis.AnalysisPlanner
+      .energyDistance(same, "v", col("u") % 2 === 0)
+      .head.getAs[Double]("e_dist_sq")) < 1e-12)
+    // brute-force agreement on an uneven frame
+    val av = Seq(0.5, 2.5, 2.5, 7.0); val bv = Seq(1.0, 4.0, 6.5)
+    val mixed = (av.map((_, 0L)) ++ bv.map((_, 1L))).toDF("v", "u")
+    val got = graft.analysis.AnalysisPlanner
+      .energyDistance(mixed, "v", col("u") % 2 === 0)
+      .head.getAs[Double]("e_dist_sq")
+    def mad(x: Seq[Double], y: Seq[Double]) =
+      x.flatMap(a => y.map(b => math.abs(a - b))).sum / (x.size * y.size)
+    val want = 2 * mad(av, bv) - mad(av, av) - mad(bv, bv)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("jonckheereTerpstra: increasing trend, ties give half-counts") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .jonckheereTerpstra(df, "g", "v").head
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_groups") == 3)
+    // every cross-group pair is ordered: JT = 3 pairs × 4 = 12, E = 6
+    assert(math.abs(r.getAs[Double]("jt_stat") - 12.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("jt_mean") - 6.0) < 1e-12)
+    assert(r.getAs[Double]("z") > 0)
+    // a tie across groups counts half
+    val tied = Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    assert(math.abs(graft.analysis.AnalysisPlanner
+      .jonckheereTerpstra(tied, "g", "v")
+      .head.getAs[Double]("jt_stat") - 0.5) < 1e-12)
+  }
+
+  test("cohensD: hand case incl. Hedges correction") {
+    import spark.implicits._
+    val df = Seq((2.0, 0L), (4.0, 0L), (1.0, 1L), (3.0, 1L))
+      .toDF("v", "u")
+    val r = graft.analysis.AnalysisPlanner
+      .cohensD(df, "v", col("u") % 2 === 0).head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(math.abs(r.getAs[Double]("mean_a") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_b") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pooled_sd") - math.sqrt(2.0)) < 1e-12)
+    val d = 1.0 / math.sqrt(2.0)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hedges_g") - d * 4 / 7) < 1e-12)
+  }
+
+  test("segmentConcentration: uniform floor and single-segment ceiling") {
+    import spark.implicits._
+    val even = Seq(("a", 5.0), ("b", 5.0), ("c", 5.0), ("d", 5.0))
+      .toDF("s", "x")
+    val r = graft.ops.Profiling
+      .segmentConcentration(even, "s", "x").head
+    assert(r.getAs[Long]("n_segments") == 4)
+    assert(math.abs(r.getAs[Double]("hhi") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hhi_normalized")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("theil")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("top_share") - 0.25) < 1e-12)
+    // all mass in one of two segments: hhi = 1, theil = ln 2
+    val one = Seq(("a", 10.0), ("b", 0.0)).toDF("s", "x")
+    val r2 = graft.ops.Profiling
+      .segmentConcentration(one, "s", "x").head
+    assert(math.abs(r2.getAs[Double]("hhi") - 1.0) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("hhi_normalized") - 1.0) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("theil") - math.log(2.0)) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("top_share") - 1.0) < 1e-12)
+  }
+
+  test("trimmedMean: integral and fractional trim boundaries") {
+    import spark.implicits._
+    // trim 0.2 of n=5 cuts exactly one value each side
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("k", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .trimmedMean(df, "k", "v", 0.2).head
+    assert(r.getAs[Long]("n") == 5)
+    assert(math.abs(r.getAs[Double]("mean") - 22.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") - 3.0) < 1e-12)
+    // fractional boundary: trim 0.125 of n=4 half-weights the ends
+    val f = Seq(1.0, 2.0, 3.0, 8.0).map(("g", _)).toDF("k", "v")
+    val r2 = graft.analysis.AnalysisPlanner
+      .trimmedMean(f, "k", "v", 0.125).head
+    assert(math.abs(r2.getAs[Double]("trimmed_mean") - 9.5 / 3) < 1e-12)
+    // trim 0 is the plain mean
+    val r3 = graft.analysis.AnalysisPlanner
+      .trimmedMean(f, "k", "v", 0.0).head
+    assert(math.abs(r3.getAs[Double]("trimmed_mean") -
+      r3.getAs[Double]("mean")) < 1e-12)
+  }
+
+  test("runsTest: monotone → 1 run, alternating → max runs") {
+    import spark.implicits._
+    def series(key: String, xs: Seq[Double]) = xs.zipWithIndex.map {
+      case (x, i) =>
+        (key, java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 08:00:00"), x)
+    }
+    val df = (series("up", (1 to 10).map(_.toDouble)) ++
+      series("zig", (1 to 10).map(i => (i % 2).toDouble)) ++
+      series("flat", Seq.fill(10)(3.0))).toDF("k", "ts", "v")
+    val out = graft.ops.TimeSeries.runsTest(df, Seq("k"), "ts", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val up = out("up")
+    assert(up.getAs[Long]("n_days") == 10 && up.getAs[Long]("n_signs") == 9)
+    assert(up.getAs[Long]("runs") == 1)
+    assert(math.abs(up.getAs[Double]("expected_runs") - 19.0 / 3) < 1e-12)
+    assert(up.getAs[Double]("z") < -3)
+    val zig = out("zig")
+    assert(zig.getAs[Long]("runs") == 9)
+    assert(zig.getAs[Double]("z") > 0)
+    // a constant series has no defined signs → no row
+    assert(!out.contains("flat"))
+  }
+
+  test("kuiperTest: interleaved samples sum both one-sided gaps") {
+    import spark.implicits._
+    val df = Seq((1.0, 0L), (3.0, 0L), (2.0, 1L), (4.0, 1L))
+      .toDF("v", "u")
+    val r = graft.analysis.AnalysisPlanner
+      .kuiperTest(df, "v", col("u") % 2 === 0).head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(math.abs(r.getAs[Double]("d_plus") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d_minus")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kuiper_v") - 0.5) < 1e-12)
+    // disjoint supports: the A-side CDF leads everywhere → V = 1
+    val dj = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("v", "u")
+    assert(math.abs(graft.analysis.AnalysisPlanner
+      .kuiperTest(dj, "v", col("u") % 2 === 0)
+      .head.getAs[Double]("kuiper_v") - 1.0) < 1e-12)
+  }
+
+  test("wilcoxonSignedRank: hand ranks, ties, zero-diff drop") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, -4.0, 0.0).toDF("d")
+    val r = graft.analysis.AnalysisPlanner
+      .wilcoxonSignedRank(df, "d").head
+    assert(r.getAs[Long]("n") == 4) // the zero difference drops
+    assert(r.getAs[Long]("n_pos") == 3 && r.getAs[Long]("n_neg") == 1)
+    assert(math.abs(r.getAs[Double]("w_plus") - 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("w_mean") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(7.5)) < 1e-12)
+    // midranks under |d| ties + tie-corrected variance
+    val tied = Seq(1.0, -1.0, 2.0).toDF("d")
+    val r2 = graft.analysis.AnalysisPlanner
+      .wilcoxonSignedRank(tied, "d").head
+    assert(math.abs(r2.getAs[Double]("w_plus") - 4.5) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("z") -
+      1.5 / math.sqrt(3.375)) < 1e-12)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
