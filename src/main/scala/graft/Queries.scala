@@ -12373,6 +12373,60 @@ object Queries {
              round((wp - wm) / sqrt(var), 6) AS z
       FROM r"""))
 
+  /** Granger lag-1 causality: do yesterday's click values lead
+    * today's purchase values? Closed-form nested-OLS F from one
+    * moments row, Cramer-3×3 replayed by the oracle. */
+  private val q330 = Entry(
+    "q330_granger",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .grangerCausality(Tables.events(s, d), "ts", "value",
+          col("event_type") === "click", col("event_type") === "purchase")
+        .select(col("n"), r6(col("beta_xlag")).as("beta_xlag"),
+          r6(col("rss_restricted")).as("rss_restricted"),
+          r6(col("rss_unrestricted")).as("rss_unrestricted"),
+          r6(col("f_stat")).as("f_stat")),
+    Some("""
+      WITH daily AS (SELECT ts::DATE AS d,
+                       avg("value") FILTER (event_type = 'click') AS x,
+                       avg("value") FILTER (event_type = 'purchase') AS y
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      d2 AS (SELECT d, x, y FROM daily
+             WHERE x IS NOT NULL AND y IS NOT NULL),
+      fr AS (SELECT t.y AS y, p.y AS yl, p.x AS xl
+             FROM d2 t JOIN d2 p ON t.d = p.d + INTERVAL 1 DAY),
+      m AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy,
+                   sum(y * y) AS syy, sum(yl) AS sl, sum(yl * yl) AS sll,
+                   sum(xl) AS sx, sum(xl * xl) AS sxx,
+                   sum(yl * y) AS sly, sum(xl * y) AS sxy,
+                   sum(yl * xl) AS slx
+            FROM fr),
+      f AS (SELECT n, sy, syy, sly, sxy,
+              (n * sly - sl * sy) / (n * sll - sl * sl) AS br,
+              (sy - (n * sly - sl * sy) / (n * sll - sl * sl) * sl) / n
+                AS ar,
+              n * (sll * sxx - slx * slx) - sl * (sl * sxx - slx * sx)
+                + sx * (sl * slx - sll * sx) AS det,
+              sy * (sll * sxx - slx * slx)
+                - sl * (sly * sxx - slx * sxy)
+                + sx * (sly * slx - sll * sxy) AS da,
+              n * (sly * sxx - slx * sxy) - sy * (sl * sxx - slx * sx)
+                + sx * (sl * sxy - sly * sx) AS db,
+              n * (sll * sxy - sly * slx) - sl * (sl * sxy - sly * sx)
+                + sy * (sl * slx - sll * sx) AS dc
+            FROM m),
+      r AS (SELECT n, dc / det AS c, syy - ar * sy - br * sly AS rssr,
+              syy - (da / det) * sy - (db / det) * sly
+                - (dc / det) * sxy AS rssu
+            FROM f)
+      SELECT n::BIGINT AS n, round(c, 6) AS beta_xlag,
+             round(rssr, 6) AS rss_restricted,
+             round(rssu, 6) AS rss_unrestricted,
+             round((rssr - rssu) / (rssu / (n - 3)), 6) AS f_stat
+      FROM r"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12398,7 +12452,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

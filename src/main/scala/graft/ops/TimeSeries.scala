@@ -450,6 +450,71 @@ object TimeSeries {
   }
 
   /**
+   * Bivariate Granger causality (lag-1): does yesterday's x series
+   * improve predicting today's y beyond y's own yesterday? The
+   * restricted model y_t ~ (1, y_{t−1}) is nested in the unrestricted
+   * y_t ~ (1, y_{t−1}, x_{t−1}); the readout is the incremental-RSS
+   * F statistic F = (RSS_r − RSS_u) / (RSS_u/(n−3)) on (1, n−3) dof
+   * plus x's lag coefficient — the standard "leading indicator"
+   * screen between two metric series (do clicks lead purchases?).
+   * Both OLS fits are solved in CLOSED FORM from one moments row
+   * (2×2 and Cramer 3×3, pure column algebra — the q293/q299
+   * discipline), so any engine replays them exactly. Returns ONE
+   * row: (n, beta_xlag, rss_restricted, rss_unrestricted, f_stat).
+   *
+   * Scale shape: two daily conditional aggregations in ONE grouped
+   * scan, a day-keyed self-join for the lag (equi-join on d−1, no
+   * unpartitioned window), one 1-row moments reduce; every fit
+   * is algebra on that row.
+   */
+  def grangerCausality(df: DataFrame, tsCol: String, valueCol: String,
+      xCond: Column, yCond: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .where(v.isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(avg(when(xCond, v)).as("__x"), avg(when(yCond, v)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint() // both sides of the lag self-join read it
+    val frame = daily.as("t")
+      .join(daily.select(date_add(col("__d"), 1).as("__d"),
+          col("__x").as("__xl"), col("__y").as("__yl")).as("p"),
+        Seq("__d"))
+      .select(col("__y"), col("__yl"), col("__xl"))
+    val m = frame.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__y")).as("sy"), sum(col("__y") * col("__y")).as("syy"),
+      sum(col("__yl")).as("sl"), sum(col("__yl") * col("__yl")).as("sll"),
+      sum(col("__xl")).as("sx"), sum(col("__xl") * col("__xl")).as("sxx"),
+      sum(col("__yl") * col("__y")).as("sly"),
+      sum(col("__xl") * col("__y")).as("sxy"),
+      sum(col("__yl") * col("__xl")).as("slx"))
+    val bR = (col("n") * col("sly") - col("sl") * col("sy")) /
+      (col("n") * col("sll") - col("sl") * col("sl"))
+    val aR = (col("sy") - bR * col("sl")) / col("n")
+    // Cramer 3x3 for (a, b, c) on (1, ylag, xlag)
+    val det = col("n") * (col("sll") * col("sxx") - col("slx") * col("slx")) -
+      col("sl") * (col("sl") * col("sxx") - col("slx") * col("sx")) +
+      col("sx") * (col("sl") * col("slx") - col("sll") * col("sx"))
+    val dA = col("sy") * (col("sll") * col("sxx") - col("slx") * col("slx")) -
+      col("sl") * (col("sly") * col("sxx") - col("slx") * col("sxy")) +
+      col("sx") * (col("sly") * col("slx") - col("sll") * col("sxy"))
+    val dB = col("n") * (col("sly") * col("sxx") - col("slx") * col("sxy")) -
+      col("sy") * (col("sl") * col("sxx") - col("slx") * col("sx")) +
+      col("sx") * (col("sl") * col("sxy") - col("sly") * col("sx"))
+    val dC = col("n") * (col("sll") * col("sxy") - col("sly") * col("slx")) -
+      col("sl") * (col("sl") * col("sxy") - col("sly") * col("sx")) +
+      col("sy") * (col("sl") * col("slx") - col("sll") * col("sx"))
+    val aU = dA / det; val bU = dB / det; val cU = dC / det
+    val rssR = col("syy") - aR * col("sy") - bR * col("sly")
+    val rssU = col("syy") - aU * col("sy") - bU * col("sly") -
+      cU * col("sxy")
+    m.select(col("n").cast("long").as("n"), cU.as("beta_xlag"),
+      rssR.as("rss_restricted"), rssU.as("rss_unrestricted"),
+      when(col("n") > 3 && rssU > 0,
+        (rssR - rssU) / (rssU / (col("n") - 3))).as("f_stat"))
+  }
+
+  /**
    * Runs test (up–down variant) per key over the daily mean series:
    * is the series a random scatter, or does it trend/oscillate? Each
    * consecutive day pair contributes an UP or DOWN sign (exact-tie

@@ -5779,6 +5779,32 @@ class OpsExtSpec extends AnyFunSuite {
       1.5 / math.sqrt(3.375)) < 1e-12)
   }
 
+  test("grangerCausality: a planted one-day lead is detected") {
+    import spark.implicits._
+    // y today = x yesterday (+ tiny wiggle): x Granger-causes y
+    val xs = (1 to 40).map(t => (t % 7).toDouble + (t % 3) * 0.1)
+    val rows = (1 to 40).flatMap { t =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(t - 1).atTime(9, 0))
+      Seq(("x", ts, xs(t - 1)),
+        ("y", ts, (if (t >= 2) xs(t - 2) else 0.0) + 0.001 * (t % 5)))
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val r = graft.ops.TimeSeries
+      .grangerCausality(df, "ts", "v", col("k") === "x", col("k") === "y")
+      .head
+    assert(r.getAs[Long]("n") == 39)
+    assert(math.abs(r.getAs[Double]("beta_xlag") - 1.0) < 0.05)
+    assert(r.getAs[Double]("rss_unrestricted") <
+      r.getAs[Double]("rss_restricted") / 10)
+    assert(r.getAs[Double]("f_stat") > 100)
+    // reversed direction: y's past says little about x
+    val rev = graft.ops.TimeSeries
+      .grangerCausality(df, "ts", "v", col("k") === "y", col("k") === "x")
+      .head
+    assert(rev.getAs[Double]("f_stat") < r.getAs[Double]("f_stat") / 10)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
