@@ -12427,6 +12427,142 @@ object Queries {
              round((rssr - rssu) / (rssu / (n - 3)), 6) AS f_stat
       FROM r"""))
 
+  /** Normalized spectral entropy of q274's daily revenue series:
+    * one scalar "how periodic is this" plus the dominant cycle. */
+  private val q331 = Entry(
+    "q331_spectral_entropy",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).as("t"))
+        .agg(sum("value").as("rev"))
+      graft.ops.TimeSeries.spectralEntropy(daily, "t", "rev", 10)
+        .select(col("n_freqs"),
+          r6(col("spectral_entropy")).as("spectral_entropy"),
+          col("peak_freq"), r6(col("peak_period")).as("peak_period"),
+          r6(col("peak_share")).as("peak_share"))
+    },
+    Some("""
+      WITH daily AS (SELECT date_diff('day', DATE '2024-01-01',
+                       ts::DATE)::DOUBLE AS t, sum("value") AS x
+                     FROM events GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) / count(*) AS mu,
+                    sum(x * x) - sum(x) * sum(x) / count(*) AS den
+             FROM daily),
+      k AS (SELECT unnest(generate_series(1, 10))::DOUBLE AS k),
+      t AS (SELECT k.k, st.n, st.den,
+                   sum((x - mu) * cos(2 * pi() * k.k * t / st.n)) AS c,
+                   sum((x - mu) * sin(2 * pi() * k.k * t / st.n)) AS s
+            FROM daily, st, k GROUP BY 1, 2, 3),
+      pf AS (SELECT k::BIGINT AS freq, n / k AS period,
+                    (c * c + s * s) / den AS pf
+             FROM t),
+      tp AS (SELECT sum(pf) AS tp FROM pf),
+      e AS (SELECT count(*) AS nf,
+              -sum(CASE WHEN pf / tp.tp > 0
+                THEN (pf / tp.tp) * ln(pf / tp.tp) ELSE 0 END) / ln(10)
+                AS ent
+            FROM pf, tp),
+      pk AS (SELECT freq, period, pf FROM pf
+             ORDER BY pf DESC, freq ASC LIMIT 1)
+      SELECT e.nf AS n_freqs, round(e.ent, 6) AS spectral_entropy,
+             pk.freq AS peak_freq, round(pk.period, 6) AS peak_period,
+             round(pk.pf / tp.tp, 6) AS peak_share
+      FROM e, pk, tp"""))
+
+  /** Cross-correlation profile clicks→purchases at lags −7..7 (the
+    * q272-family full-series estimator over a day-indexed wide
+    * frame) — the full lead/lag picture around q330's single-lag
+    * test. */
+  private val q332 = Entry(
+    "q332_cross_correlation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(avg(when(col("event_type") === "click", col("value")))
+          .as("x"),
+          avg(when(col("event_type") === "purchase", col("value")))
+            .as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+        .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .as("t"), col("x"), col("y"))
+      graft.ops.Evaluation.crossCorrelation(daily, "t", "x", "y", 7)
+        .select(col("lag"), col("n_pairs"), r6(col("ccf")).as("ccf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (SELECT ts::DATE AS d,
+                       avg("value") FILTER (event_type = 'click') AS x,
+                       avg("value") FILTER (event_type = 'purchase') AS y
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      d2 AS (SELECT date_diff('day', DATE '2024-01-01', d)::DOUBLE AS t,
+                    x, y
+             FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) / count(*) AS mx,
+                    sum(y) / count(*) AS my,
+                    sqrt((sum(x * x) - sum(x) * sum(x) / count(*)) *
+                         (sum(y * y) - sum(y) * sum(y) / count(*)))
+                      AS den
+             FROM d2),
+      l AS (SELECT unnest(generate_series(-7, 7))::DOUBLE AS lag),
+      j AS (SELECT l.lag, a.x, b.y
+            FROM d2 a CROSS JOIN l JOIN d2 b ON a.t + l.lag = b.t)
+      SELECT lag::BIGINT AS lag, count(*) AS n_pairs,
+             round(sum((x - st.mx) * (y - st.my)) / max(st.den), 6)
+               AS ccf
+      FROM j, st GROUP BY lag ORDER BY lag"""))
+
+  /** Engle–Granger cointegration screen clicks vs purchases: hedge
+    * ratio, residual mean-reversion ρ, Dickey–Fuller t. */
+  private val q333 = Entry(
+    "q333_cointegration",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .cointegration(Tables.events(s, d), "ts", "value",
+          col("event_type") === "click",
+          col("event_type") === "purchase")
+        .select(col("n"), r6(col("hedge_ratio")).as("hedge_ratio"),
+          r6(col("intercept")).as("intercept"), r6(col("rho")).as("rho"),
+          r6(col("df_t")).as("df_t")),
+    Some("""
+      WITH daily AS (SELECT ts::DATE AS d,
+                       avg("value") FILTER (event_type = 'click') AS x,
+                       avg("value") FILTER (event_type = 'purchase') AS y
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      d2 AS (SELECT d, x, y FROM daily
+             WHERE x IS NOT NULL AND y IS NOT NULL),
+      m1 AS (SELECT count(*)::DOUBLE AS n1, sum(x) AS sx1, sum(y) AS sy1,
+                    sum(x * x) AS sxx1, sum(x * y) AS sxy1
+             FROM d2),
+      ab AS (SELECT n1,
+               (n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1) AS b,
+               (sy1 - (n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1)
+                 * sx1) / n1 AS a
+             FROM m1),
+      e AS (SELECT d, y - ab.a - ab.b * x AS e2, ab.n1, ab.b, ab.a
+            FROM d2, ab),
+      fr AS (SELECT t.e2 - p.e2 AS de, p.e2 AS el, t.n1, t.b, t.a
+             FROM e t JOIN e p ON t.d = p.d + 1),
+      m2 AS (SELECT max(n1) AS n1, max(b) AS b, max(a) AS a,
+                    count(*)::DOUBLE AS n2, sum(el) AS sl, sum(de) AS sd,
+                    sum(el * el) AS sll, sum(el * de) AS sld,
+                    sum(de * de) AS sdd
+             FROM fr)
+      SELECT n1::BIGINT AS n, round(b, 6) AS hedge_ratio,
+             round(a, 6) AS intercept,
+             round((n2 * sld - sl * sd) / (n2 * sll - sl * sl), 6) AS rho,
+             round(((n2 * sld - sl * sd) / (n2 * sll - sl * sl)) /
+               sqrt((sdd - sd * sd / n2
+                 - ((n2 * sld - sl * sd) / (n2 * sll - sl * sl))
+                   * (sld - sl * sd / n2)) / (n2 - 2)
+                 / (sll - sl * sl / n2)), 6) AS df_t
+      FROM m2"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12452,7 +12588,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

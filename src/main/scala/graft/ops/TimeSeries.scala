@@ -450,6 +450,105 @@ object TimeSeries {
   }
 
   /**
+   * Normalized spectral entropy of a daily series — ONE number for
+   * "how concentrated is this series' periodicity": the Shannon
+   * entropy of the [[periodogram]]'s power distribution over the
+   * first `maxFreq` Fourier frequencies, divided by ln(maxFreq)
+   * (1 = white-noise flat, → 0 = a single pure cycle), plus the
+   * dominant frequency and its power share. The feature-store-ready
+   * scalar summary of the spectral view. Returns ONE row:
+   * (n_freqs, spectral_entropy, peak_freq, peak_period, peak_share).
+   *
+   * Scale shape: [[periodogram]]'s one grouped trig scan, then pure
+   * algebra on the maxFreq-row frame (a broadcast normalization sum
+   * and a max_by reduce).
+   */
+  def spectralEntropy(df: DataFrame, xCol: String, valueCol: String,
+      maxFreq: Int = 10): DataFrame = {
+    val pg = periodogram(df, xCol, valueCol, maxFreq)
+      .localCheckpoint() // normalization + entropy + peak read it
+    val tot = broadcast(pg.agg(sum(col("power_frac")).as("__tp")))
+    val p = col("power_frac") / col("__tp")
+    pg.crossJoin(tot)
+      .agg(count(lit(1)).as("n_freqs"),
+        (-sum(when(p > 0, p * log(p)).otherwise(lit(0.0))) /
+          log(lit(maxFreq.toDouble))).as("spectral_entropy"),
+        max_by(col("freq"), struct(col("power_frac"),
+          (-col("freq")))).as("peak_freq"),
+        max_by(col("period"), struct(col("power_frac"),
+          (-col("freq")))).as("peak_period"),
+        (max(col("power_frac")) / max(col("__tp"))).as("peak_share"))
+  }
+
+
+  /**
+   * Engle–Granger cointegration screen between two daily series: do
+   * x and y share a long-run equilibrium (their spread mean-reverts)
+   * even though each drifts? Step 1 fits the hedge ratio
+   * y ~ a + b·x (closed-form OLS from one moments row); step 2 runs
+   * the Dickey–Fuller-style regression Δe_t ~ α + ρ·e_{t−1} on the
+   * residual spread and reports ρ and its t statistic (strongly
+   * negative t ⇒ the spread snaps back ⇒ cointegrated; compare to
+   * the Engle–Granger critical values, ≈ −3.37 at 5%). Everything
+   * is sufficient-stats column algebra — both fits replay exactly in
+   * any engine. Returns ONE row:
+   * (n, hedge_ratio, intercept, rho, df_t).
+   *
+   * Scale shape: one conditional daily aggregation; step 1 is a
+   * 1-row moments reduce broadcast back as literals-by-join; step 2
+   * is a day-keyed lag self-join ([[grangerCausality]]'s shape) and
+   * a second 1-row reduce. No window, nothing driver-side.
+   */
+  def cointegration(df: DataFrame, tsCol: String, valueCol: String,
+      xCond: Column, yCond: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val daily = df
+      .where(v.isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(avg(when(xCond, v)).as("__x"), avg(when(yCond, v)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint() // step-1 moments + residual frame + lag join
+    val m1 = broadcast(daily.agg(count(lit(1)).cast("double").as("__n1"),
+      sum(col("__x")).as("__sx1"), sum(col("__y")).as("__sy1"),
+      sum(col("__x") * col("__x")).as("__sxx1"),
+      sum(col("__x") * col("__y")).as("__sxy1")))
+    val b = (col("__n1") * col("__sxy1") - col("__sx1") * col("__sy1")) /
+      (col("__n1") * col("__sxx1") - col("__sx1") * col("__sx1"))
+    val a = (col("__sy1") - b * col("__sx1")) / col("__n1")
+    val resid = daily.crossJoin(m1)
+      .select(col("__d"), (col("__y") - a - b * col("__x")).as("__e"),
+        col("__n1"), b.as("__b"), a.as("__a"))
+      .localCheckpoint() // both sides of the lag join read it
+    val frame = resid.as("t")
+      .join(resid.select(date_add(col("__d"), 1).as("__d"),
+        col("__e").as("__el")).as("p"), Seq("__d"))
+      .select((col("__e") - col("__el")).as("__de"), col("__el"),
+        col("__n1"), col("__b"), col("__a"))
+    frame.agg(max(col("__n1")).cast("long").as("n"),
+        max(col("__b")).as("hedge_ratio"), max(col("__a")).as("intercept"),
+        count(lit(1)).cast("double").as("__n2"),
+        sum(col("__el")).as("__sl"), sum(col("__de")).as("__sd"),
+        sum(col("__el") * col("__el")).as("__sll"),
+        sum(col("__el") * col("__de")).as("__sld"),
+        sum(col("__de") * col("__de")).as("__sdd"))
+      .select(col("n"), col("hedge_ratio"), col("intercept"),
+        ((col("__n2") * col("__sld") - col("__sl") * col("__sd")) /
+          (col("__n2") * col("__sll") - col("__sl") * col("__sl")))
+          .as("rho"),
+        // t = rho / se(rho) with se² = (RSS/(n−2)) / Sxx_centered
+        (((col("__n2") * col("__sld") - col("__sl") * col("__sd")) /
+          (col("__n2") * col("__sll") - col("__sl") * col("__sl"))) /
+          sqrt(((col("__sdd") -
+            (col("__sd") * col("__sd") / col("__n2")) -
+            (((col("__n2") * col("__sld") - col("__sl") * col("__sd")) /
+              (col("__n2") * col("__sll") - col("__sl") * col("__sl"))) *
+              (col("__sld") - col("__sl") * col("__sd") / col("__n2")))) /
+            (col("__n2") - 2)) /
+            (col("__sll") - col("__sl") * col("__sl") / col("__n2"))))
+          .as("df_t"))
+  }
+
+  /**
    * Bivariate Granger causality (lag-1): does yesterday's x series
    * improve predicting today's y beyond y's own yesterday? The
    * restricted model y_t ~ (1, y_{t−1}) is nested in the unrestricted

@@ -5805,6 +5805,43 @@ class OpsExtSpec extends AnyFunSuite {
     assert(rev.getAs[Double]("f_stat") < r.getAs[Double]("f_stat") / 10)
   }
 
+  test("spectralEntropy: pure tone → 0, flat spectrum → 1") {
+    import spark.implicits._
+    val n = 64
+    val tone = (0 until n).map(t =>
+      (t, math.cos(2 * math.Pi * 4 * t / n))).toDF("t", "x")
+    val r = graft.ops.TimeSeries.spectralEntropy(tone, "t", "x", 8).head
+    assert(r.getAs[Long]("n_freqs") == 8)
+    assert(r.getAs[Double]("spectral_entropy") < 1e-6)
+    assert(r.getAs[Long]("peak_freq") == 4)
+    assert(r.getAs[Double]("peak_share") > 0.999)
+    // equal-amplitude mix of all 8 tones: near-uniform spectrum
+    val mix = (0 until n).map(t => (t, (1 to 8).map(k =>
+      math.cos(2 * math.Pi * k * t / n)).sum)).toDF("t", "x")
+    val r2 = graft.ops.TimeSeries.spectralEntropy(mix, "t", "x", 8).head
+    assert(r2.getAs[Double]("spectral_entropy") > 0.99)
+  }
+
+  test("cointegration: planted spread mean-reversion detected") {
+    import spark.implicits._
+    // x drifts, y = 2x + stationary wiggle → residual snaps back
+    val xs = (1 to 80).map(t => t * 0.3 + math.sin(t * 0.9))
+    val rows = (1 to 80).flatMap { t =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(t - 1).atTime(9, 0))
+      val wiggle = 0.3 * math.sin(t * 2.1) + 0.1 * ((t * 7) % 13) / 13.0
+      Seq(("x", ts, xs(t - 1)), ("y", ts, 2.0 * xs(t - 1) + wiggle))
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val r = graft.ops.TimeSeries
+      .cointegration(df, "ts", "v", col("k") === "x", col("k") === "y")
+      .head
+    assert(r.getAs[Long]("n") == 80)
+    assert(math.abs(r.getAs[Double]("hedge_ratio") - 2.0) < 0.05)
+    assert(r.getAs[Double]("rho") < -0.5, "spread must mean-revert")
+    assert(r.getAs[Double]("df_t") < -3.37, "past the 5% EG critical value")
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
