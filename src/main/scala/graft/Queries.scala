@@ -12563,6 +12563,51 @@ object Queries {
                  / (sll - sl * sl / n2)), 6) AS df_t
       FROM m2"""))
 
+  /** Hurst exponent (R/S) of the daily mean-value series at block
+    * sizes 8/16/32 — long-memory vs mean-reversion in one number. */
+  private val q334 = Entry(
+    "q334_hurst",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .hurstExponent(Tables.events(s, d), "ts", "value",
+          Seq(8, 16, 32))
+        .select(col("n_days"), col("n_sizes"),
+          r6(col("hurst")).as("hurst")),
+    Some("""
+      WITH daily AS (SELECT ts::DATE AS d, avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      i AS (SELECT date_diff('day', (SELECT min(d) FROM daily), d) AS i,
+                   x, (SELECT count(*) FROM daily) AS nd
+            FROM daily),
+      grid AS (SELECT i.i, i.x, i.nd, k.k, floor(i.i / k.k) AS b
+               FROM i, (SELECT unnest([8, 16, 32]) AS k) k),
+      bn AS (SELECT k, b, count(*) AS bnn, avg(x) AS bm,
+                    stddev_pop(x) AS bs
+             FROM grid GROUP BY 1, 2),
+      comp AS (SELECT g.i, g.x, g.nd, g.k, g.b, bn.bm, bn.bs
+               FROM grid g JOIN bn ON g.k = bn.k AND g.b = bn.b
+               WHERE bn.bnn = g.k AND bn.bs > 0),
+      cum AS (SELECT k, b, nd, bs,
+                sum(x - bm) OVER (PARTITION BY k, b ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              FROM comp),
+      rs AS (SELECT k, b, (max(c) - min(c)) / max(bs) AS rs,
+                    max(nd) AS nd
+             FROM cum GROUP BY 1, 2),
+      pk AS (SELECT k, avg(rs) AS mrs, max(nd) AS nd FROM rs GROUP BY 1
+             HAVING avg(rs) > 0),
+      f AS (SELECT max(nd) AS nd, count(*) AS ns, count(*)::DOUBLE AS m,
+                   sum(ln(k)) AS slk, sum(ln(mrs)) AS slr,
+                   sum(ln(k) * ln(k)) AS slkk,
+                   sum(ln(k) * ln(mrs)) AS slkr
+            FROM pk)
+      SELECT nd::BIGINT AS n_days, ns AS n_sizes,
+             round((m * slkr - slk * slr) /
+               (m * slkk - slk * slk), 6) AS hurst
+      FROM f"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12588,7 +12633,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -482,6 +482,73 @@ object TimeSeries {
 
 
   /**
+   * Hurst exponent by rescaled-range (R/S) analysis of a daily
+   * series — the long-memory diagnostic: H ≈ 0.5 for a random walk's
+   * increments (no memory), H → 1 for trending/persistent series,
+   * H → 0 for mean-reverting/anti-persistent ones. For each block
+   * size k the series splits into consecutive COMPLETE blocks of k
+   * days; each block contributes R/S = (max − min of the cumulative
+   * within-block deviation) / (population sd); H is the OLS slope of
+   * ln(mean R/S) on ln k across the block sizes. Returns ONE row:
+   * (n_days, n_sizes, hurst) — compare block-size count ≥ 3 before
+   * trusting the slope.
+   *
+   * Scale shape: one daily groupBy; the block-size grid explodes the
+   * (≤days)-row frame |sizes|×; block means are a (k, block) groupBy
+   * joined back by equi-key; the cumulative-deviation window is
+   * partitioned by (k, block) — ≤ k rows per partition BY
+   * CONSTRUCTION, never a whole-series window; the final regression
+   * is algebra over the |sizes|-row frame.
+   */
+  def hurstExponent(df: DataFrame, tsCol: String, valueCol: String,
+      blockSizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.analysis.PrefixSum
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 4),
+      "hurstExponent: block sizes >= 4")
+    val v = col(valueCol).cast("double")
+    val daily = df.where(v.isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d")).agg(avg(v).as("__x"))
+    val idx = daily
+      .crossJoin(broadcast(daily.agg(min(col("__d")).as("__d0"),
+        count(lit(1)).as("__nd"))))
+      .select(datediff(col("__d"), col("__d0")).as("__i"), col("__x"),
+        col("__nd"))
+    val grid = idx.select(col("__i"), col("__x"), col("__nd"),
+      explode(array(blockSizes.map(lit): _*)).as("__k"))
+      .withColumn("__b", floor(col("__i") / col("__k")))
+    val blockN = grid.groupBy("__k", "__b")
+      .agg(count(lit(1)).as("__bn"), avg(col("__x")).as("__bm"),
+        stddev_pop(col("__x")).as("__bs"))
+    val complete = PrefixSum.joinNullSafe(grid, blockN,
+        Seq("__k", "__b"))
+      .where(col("__bn") === col("__k") && col("__bs") > 0)
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = complete
+      .withColumn("__cum", sum(col("__x") - col("__bm")).over(w))
+      .groupBy("__k", "__b")
+      .agg(((max(col("__cum")) - min(col("__cum"))) / max(col("__bs")))
+        .as("__rs"), max(col("__nd")).as("__nd"))
+    val perK = rs.groupBy("__k")
+      .agg(avg(col("__rs")).as("__mrs"), count(lit(1)).as("__nb"),
+        max(col("__nd")).as("__nd"))
+      .where(col("__mrs") > 0)
+    perK.agg(max(col("__nd")).cast("long").as("n_days"),
+        count(lit(1)).as("n_sizes"),
+        count(lit(1)).cast("double").as("__m"),
+        sum(log(col("__k"))).as("__slk"),
+        sum(log(col("__mrs"))).as("__slr"),
+        sum(log(col("__k")) * log(col("__k"))).as("__slkk"),
+        sum(log(col("__k")) * log(col("__mrs"))).as("__slkr"))
+      .select(col("n_days"), col("n_sizes"),
+        ((col("__m") * col("__slkr") - col("__slk") * col("__slr")) /
+          (col("__m") * col("__slkk") - col("__slk") * col("__slk")))
+          .as("hurst"))
+  }
+
+  /**
    * Engle–Granger cointegration screen between two daily series: do
    * x and y share a long-run equilibrium (their spread mean-reverts)
    * even though each drifts? Step 1 fits the hedge ratio

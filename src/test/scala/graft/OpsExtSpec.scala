@@ -5842,6 +5842,27 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("df_t") < -3.37, "past the 5% EG critical value")
   }
 
+  test("hurstExponent: trending ≈ 1, alternating ≪ 0.5") {
+    import spark.implicits._
+    def mk(key: String, f: Int => Double) = (1 to 96).map { t =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(t - 1).atTime(9, 0)),
+        f(t))
+    }
+    val trend = mk("t", t => t * 1.0 + 0.01 * (t % 3)).toDF("ts", "v")
+    val rT = graft.ops.TimeSeries
+      .hurstExponent(trend, "ts", "v", Seq(8, 16, 32)).head
+    assert(rT.getAs[Long]("n_days") == 96 && rT.getAs[Long]("n_sizes") == 3)
+    assert(rT.getAs[Double]("hurst") > 0.85,
+      s"trend must be persistent, got ${rT.getAs[Double]("hurst")}")
+    val zig = mk("z", t => (t % 2).toDouble + 0.001 * (t % 5))
+      .toDF("ts", "v")
+    val rZ = graft.ops.TimeSeries
+      .hurstExponent(zig, "ts", "v", Seq(8, 16, 32)).head
+    assert(rZ.getAs[Double]("hurst") < 0.25,
+      s"alternation is anti-persistent, got ${rZ.getAs[Double]("hurst")}")
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
