@@ -12608,6 +12608,41 @@ object Queries {
                (m * slkk - slk * slk), 6) AS hurst
       FROM f"""))
 
+  /** Pattern-mask profile of customer name/segment columns: the top
+    * character-class shapes per column — the format-rule discovery
+    * readout. */
+  private val q335 = Entry(
+    "q335_mask_profile",
+    (s, d) =>
+      graft.ops.Profiling
+        .maskProfile(Tables.customer(s, d),
+          Seq("c_name", "c_mktsegment", "c_acctbal"), k = 5)
+        .select(col("column"), col("mask"), col("n"),
+          r6(col("share")).as("share"))
+        .orderBy(col("column"), col("n").desc, col("mask")),
+    Some("""
+      WITH pairs AS (
+        SELECT col, regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(val, '[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g'),
+          '[0-9]+', '9', 'g'), '\s+', '_', 'g') AS mask
+        FROM (SELECT 'c_name' AS col, c_name::VARCHAR AS val
+              FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment', c_mktsegment::VARCHAR
+              FROM customer
+              UNION ALL
+              SELECT 'c_acctbal', c_acctbal::VARCHAR FROM customer)
+        WHERE val IS NOT NULL),
+      counts AS (SELECT col, mask, count(*) AS n FROM pairs
+                 GROUP BY 1, 2),
+      tot AS (SELECT col, sum(n)::DOUBLE AS t FROM counts GROUP BY 1),
+      r AS (SELECT c.col, c.mask, c.n, c.n / t.t AS share,
+              row_number() OVER (PARTITION BY c.col
+                ORDER BY c.n DESC, c.mask) AS rk
+            FROM counts c JOIN tot t ON c.col = t.col)
+      SELECT col AS "column", mask, n, round(share, 6) AS share
+      FROM r WHERE rk <= 5 ORDER BY "column", n DESC, mask"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12633,7 +12668,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

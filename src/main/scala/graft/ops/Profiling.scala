@@ -758,6 +758,53 @@ object Profiling {
   }
 
   /**
+   * Pattern-mask profiling: collapse every value of each column to
+   * its character-class mask (uppercase runs → `A`, lowercase → `a`,
+   * digits → `9`, whitespace → `_`, everything else kept verbatim)
+   * and report the top `k` masks per column with counts and shares —
+   * the classic "what SHAPES does this column hold" discovery step
+   * behind format-validation rules (phone/ID/code columns) and dirty-
+   * value triage (the 0.1%-share mask IS the bad data). Run-collapse
+   * keeps the mask alphabet small, so "ID12345" and "ID9" agree.
+   * Returns ≤ k rows per column: (column, mask, n, share), ordered
+   * by (column, n desc, mask).
+   *
+   * Scale shape: ONE scan — every column's mask is computed in the
+   * same projection and exploded to (column, mask) rows (|cols|×
+   * fan-out, the uniquenessProfile stance), one grouped count, a
+   * broadcast per-column totals join, and the top-k window
+   * partitioned BY COLUMN (≤ distinct-masks rows per partition — a
+   * report-sized alphabet, never the corpus).
+   */
+  def maskProfile(df: DataFrame, cols: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "maskProfile: no columns")
+    import org.apache.spark.sql.expressions.Window
+    val mask = (c: Column) => {
+      val m0 = regexp_replace(c.cast("string"), "[A-Z]+", "A")
+      val m1 = regexp_replace(m0, "[a-z]+", "a")
+      val m2 = regexp_replace(m1, "[0-9]+", "9")
+      regexp_replace(m2, "\\s+", "_")
+    }
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), mask(col(c)).as("mask"))): _*))
+      .as("s"))
+      .select(col("s.column"), col("s.mask"))
+      .where(col("mask").isNotNull)
+    val counts = pairs.groupBy("column", "mask")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("column")
+      .agg(sum(col("n")).cast("double").as("__tot"))
+    val w = Window.partitionBy("column")
+      .orderBy(col("n").desc, col("mask").asc)
+    counts.join(broadcast(totals), Seq("column"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("column"), col("mask"), col("n"),
+        (col("n") / col("__tot")).as("share"))
+  }
+
+  /**
    * Segment concentration report — how unevenly a mass column spreads
    * over a segment key, in one row of the standard indices:
    *   - Herfindahl–Hirschman HHI = Σ s_i² over segment SHARES, and

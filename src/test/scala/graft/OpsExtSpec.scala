@@ -5863,6 +5863,25 @@ class OpsExtSpec extends AnyFunSuite {
       s"alternation is anti-persistent, got ${rZ.getAs[Double]("hurst")}")
   }
 
+  test("maskProfile: shapes collapse, rare mask surfaces with share") {
+    import spark.implicits._
+    val df = Seq("AB-1234", "XY-77", "QQ-9", "bad value", "CD-55")
+      .toDF("code")
+    val out = graft.ops.Profiling.maskProfile(df, Seq("code"), k = 5)
+      .collect().map(r => r.getAs[String]("mask") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out("A-9") == ((4L, 0.8)))
+    assert(out("a_a") == ((1L, 0.2)))
+    // nulls are skipped; ranking is count-desc then mask
+    val withNull = Seq(Some("A1"), None, Some("B2"), Some("zz"))
+      .toDF("code")
+    val rows = graft.ops.Profiling.maskProfile(withNull, Seq("code"), 5)
+      .orderBy(col("n").desc, col("mask")).collect()
+    assert(rows.head.getAs[String]("mask") == "A9")
+    assert(rows.head.getAs[Long]("n") == 2)
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
