@@ -12643,6 +12643,81 @@ object Queries {
       SELECT col AS "column", mask, n, round(share, 6) AS share
       FROM r WHERE rk <= 5 ORDER BY "column", n DESC, mask"""))
 
+  /** Grouped Benford conformity: first-digit law per order priority —
+    * exercises benfordConformity's segment path (which slice of the
+    * book looks fabricated?). */
+  private val q336 = Entry(
+    "q336_benford_grouped",
+    (s, d) =>
+      graft.ops.Profiling
+        .benfordConformity(Tables.orders(s, d), "o_totalprice",
+          Seq("o_orderpriority"))
+        .select(col("o_orderpriority").as("priority"), col("digit"),
+          col("n"), r6(col("observed")).as("observed"),
+          r6(col("expected")).as("expected"), r6(col("mad")).as("mad"),
+          r6(col("chi2")).as("chi2"))
+        .orderBy("priority", "digit"),
+    Some("""
+      WITH d AS (SELECT o_orderpriority AS g, abs(o_totalprice) AS v
+                 FROM orders WHERE abs(o_totalprice) > 0),
+      c AS (SELECT g, floor(v / pow(10, floor(log10(v))))::BIGINT
+              AS digit, count(*) AS n
+            FROM d GROUP BY 1, 2),
+      grid AS (SELECT g, digit
+               FROM (SELECT DISTINCT g FROM c),
+                    (SELECT unnest(generate_series(1, 9)) AS digit)),
+      j AS (SELECT grid.g, grid.digit, coalesce(c.n, 0) AS n
+            FROM grid LEFT JOIN c USING (g, digit)),
+      t AS (SELECT g, sum(n)::DOUBLE AS nn FROM j GROUP BY 1),
+      p AS (SELECT j.g, j.digit, j.n, j.n / t.nn AS observed,
+                   log10(1 + 1.0 / j.digit) AS expected, t.nn
+            FROM j JOIN t USING (g)),
+      sc AS (SELECT g, avg(abs(observed - expected)) AS mad,
+                    max(nn) * sum(pow(observed - expected, 2)
+                      / expected) AS chi2
+             FROM p GROUP BY 1)
+      SELECT p.g AS priority, p.digit, p.n,
+             round(p.observed, 6) AS observed,
+             round(p.expected, 6) AS expected, round(sc.mad, 6) AS mad,
+             round(sc.chi2, 6) AS chi2
+      FROM p JOIN sc USING (g) ORDER BY priority, digit"""))
+
+  /** Mann–Kendall monotone trend per event type on the daily mean
+    * series — the evidence companion to Theil–Sen's slope. */
+  private val q337 = Entry(
+    "q337_mann_kendall",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .mannKendall(Tables.events(s, d), Seq("event_type"), "ts",
+          "value")
+        .select(col("event_type"), col("n_days"),
+          r6(col("s_stat")).as("s_stat"), r6(col("var_s")).as("var_s"),
+          r6(col("z")).as("z"))
+        .orderBy("event_type"),
+    Some("""
+      WITH daily AS (SELECT event_type AS g, ts::DATE AS d,
+                            avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+      sf AS (SELECT a.g, sum(sign(b.x - a.x)) AS s
+             FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+             GROUP BY 1),
+      tie AS (SELECT g, sum(t) AS n,
+                     sum(t * (t - 1) * (2 * t + 5)) AS tt
+              FROM (SELECT g, x, count(*)::DOUBLE AS t
+                    FROM daily GROUP BY 1, 2)
+              GROUP BY 1),
+      f AS (SELECT sf.g, tie.n, sf.s,
+                   (tie.n * (tie.n - 1) * (2 * tie.n + 5) - tie.tt) / 18
+                     AS vs
+            FROM sf JOIN tie USING (g))
+      SELECT g AS event_type, n::BIGINT AS n_days, round(s, 6) AS s_stat,
+             round(vs, 6) AS var_s,
+             round(CASE WHEN vs > 0 AND s <> 0
+               THEN (s - sign(s)) / sqrt(vs) ELSE 0 END, 6) AS z
+      FROM f ORDER BY g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12668,7 +12743,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -482,6 +482,55 @@ object TimeSeries {
 
 
   /**
+   * Mann–Kendall monotone-trend test per key over the daily mean
+   * series — the nonparametric "is this metric drifting" companion
+   * to [[theilSen]] (which gives the slope; MK gives the evidence):
+   * S = Σ_{i<j} sgn(x_j − x_i) over day pairs, with the tie-corrected
+   * null variance Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the
+   * continuity-corrected z = (S − sgn(S))/√Var. Returns one row per
+   * key: (key…, n_days, s_stat, var_s, z).
+   *
+   * Scale shape: [[theilSen]]'s — the corpus reduces to per-key DAILY
+   * frames first, so the pair self-join is O(days²) per key over
+   * day-bounded series (≈66k pairs/year — report algebra, not corpus
+   * work), keyed on the entity so hot keys parallelize across keys;
+   * ties come from one (key, value) groupBy.
+   */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mannKendall: keyCols required")
+    import graft.analysis.PrefixSum
+    val v = col(valueCol).cast("double")
+    val daily = df.where(v.isNotNull && col(tsCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("__d"): _*)
+      .agg(avg(v).as("__x"))
+      .localCheckpoint() // both pair-join sides + the tie frame read it
+    val l = daily.select(keyCols.map(col) :+ col("__d").as("__dl") :+
+      col("__x").as("__xl"): _*)
+    val r = daily.select(keyCols.map(col) :+ col("__d").as("__dr") :+
+      col("__x").as("__xr"): _*)
+    val sFrame = PrefixSum.joinNullSafe(l, r, keyCols)
+      .where(col("__dl") < col("__dr"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(signum(col("__xr") - col("__xl"))).as("s_stat"))
+    val ties = daily.groupBy(keyCols.map(col) :+ col("__x"): _*)
+      .agg(count(lit(1)).cast("double").as("__t"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1) *
+          (lit(2.0) * col("__t") + 5)).as("__tt"))
+    PrefixSum.joinNullSafe(sFrame, ties, keyCols)
+      .select(keyCols.map(col) ++ Seq(
+        col("__n").cast("long").as("n_days"), col("s_stat"),
+        ((col("__n") * (col("__n") - 1) * (lit(2.0) * col("__n") + 5) -
+          col("__tt")) / 18).as("var_s")): _*)
+      .withColumn("z",
+        when(col("var_s") > 0 && col("s_stat") =!= 0,
+          (col("s_stat") - signum(col("s_stat"))) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * Hurst exponent by rescaled-range (R/S) analysis of a daily
    * series — the long-memory diagnostic: H ≈ 0.5 for a random walk's
    * increments (no memory), H → 1 for trending/persistent series,

@@ -5882,6 +5882,31 @@ class OpsExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("mannKendall: monotone S = n(n-1)/2, flat S = 0, tie variance") {
+    import spark.implicits._
+    def mk(key: String, f: Int => Double) = (1 to 12).map { t =>
+      (key, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 5, 1).plusDays(t - 1).atTime(8, 0)),
+        f(t))
+    }
+    val df = (mk("up", _.toDouble) ++ mk("flat", _ => 2.0)).toDF("k", "ts", "v")
+    val out = graft.ops.TimeSeries
+      .mannKendall(df, Seq("k"), "ts", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val up = out("up")
+    assert(up.getAs[Long]("n_days") == 12)
+    assert(up.getAs[Double]("s_stat") == 66.0) // all 12·11/2 pairs rise
+    // no ties: Var = n(n−1)(2n+5)/18 = 12·11·29/18
+    assert(math.abs(up.getAs[Double]("var_s") - 12.0 * 11 * 29 / 18)
+      < 1e-9)
+    assert(up.getAs[Double]("z") > 3)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("s_stat") == 0.0)
+    // one 12-way tie wipes the variance term completely
+    assert(math.abs(flat.getAs[Double]("var_s")) < 1e-9)
+    assert(flat.getAs[Double]("z") == 0.0)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
