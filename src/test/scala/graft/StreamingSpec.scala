@@ -178,6 +178,58 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-12) }
   }
 
+  test("streaming page-hinkley equals the batch detector across splits") {
+    import spark.implicits._
+    import graft.streaming._
+    // one observation per day: step shift at day 11 for key a, flat b
+    val days = (1 to 20).map { i =>
+      PhEvent("a", i.toLong, if (i <= 10) 0.0 else 5.0)
+    } ++ (1 to 8).map(i => PhEvent("b", i.toLong, 2.0))
+    val withTs = days.map(e => ("k" + e.key,
+      java.sql.Timestamp.valueOf(f"2024-01-${e.ts}%02d 12:00:00"),
+      e.value))
+    val ref = graft.ops.TimeSeries
+      .pageHinkley(withTs.toDF("k", "ts", "v"), Seq("k"), "ts", "v",
+        delta = 0.0, lambda = 1.0)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_alarm_days"), r.getAs[Double]("max_ph")))
+      .toMap
+    // batch-mode flatMapGroupsWithState reproduces the batch summary
+    val direct = StreamingChangepoint
+      .pageHinkleyStream(days.toDS(), delta = 0.0, lambda = 1.0)
+      .collect()
+    def summarize(vs: Seq[PhVerdict]) = vs.groupBy(_.key).map {
+      case (k, rows) =>
+        k -> (rows.count(_.alarm).toLong, rows.map(_.gap).max)
+    }
+    val ds = summarize(direct.toSeq)
+    assert(ds("a")._1 == ref("ka")._1 && ds("b")._1 == ref("kb")._1)
+    assert(math.abs(ds("a")._2 - ref("ka")._2) < 1e-12)
+    assert(math.abs(ds("b")._2 - ref("kb")._2) < 1e-12)
+    assert(direct.filter(v => v.key == "a" && v.alarm)
+      .map(_.ts).min == 11L)
+    // incremental delivery: the same verdicts across micro-batches
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    days.grouped(7).foreach(chunk =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(srcDir))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[PhEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir).as[PhEvent]
+    val q = StreamingChangepoint
+      .pageHinkleyStream(stream, delta = 0.0, lambda = 1.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phstream").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM phstream").as[PhVerdict]
+      .collect()
+    val ss = summarize(streamed.toSeq)
+    assert(ss == ds)
+  }
+
   test("streaming anomaly: strict-prior Welford scoring across batches") {
     import spark.implicits._
     import graft.streaming._
