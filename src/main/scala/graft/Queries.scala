@@ -12718,6 +12718,137 @@ object Queries {
                THEN (s - sign(s)) / sqrt(vs) ELSE 0 END, 6) AS z
       FROM f ORDER BY g"""))
 
+  /** Mediation: does order price drive total quantity THROUGH line
+    * count? Product-of-coefficients from one moments scan. */
+  private val q338 = Entry(
+    "q338_mediation",
+    (s, d) => {
+      val per = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).cast("double").as("m"),
+          sum(col("l_quantity")).cast("double").as("y"))
+        .select((col("o_totalprice") / 100000.0).as("x"), col("m"),
+          col("y"))
+      graft.ops.Evaluation.mediationAnalysis(per, "x", "m", "y")
+        .select(col("n"), r6(col("total_effect")).as("total_effect"),
+          r6(col("a_path")).as("a_path"), r6(col("b_path")).as("b_path"),
+          r6(col("direct_effect")).as("direct_effect"),
+          r6(col("indirect_effect")).as("indirect_effect"),
+          r6(col("prop_mediated")).as("prop_mediated"))
+    },
+    Some("""
+      WITH per AS (SELECT o_totalprice / 100000.0 AS x,
+                          count(*)::DOUBLE AS m,
+                          sum(l_quantity)::DOUBLE AS y
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                   GROUP BY o_orderkey, o_totalprice),
+      mo AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(m) AS sm,
+                    sum(y) AS sy, sum(x * x) AS sxx, sum(m * m) AS smm,
+                    sum(x * m) AS sxm, sum(x * y) AS sxy,
+                    sum(m * y) AS smy
+             FROM per),
+      c AS (SELECT n, sxx - sx * sx / n AS cxx, smm - sm * sm / n AS cmm,
+                   sxm - sx * sm / n AS cxm, sxy - sx * sy / n AS cxy,
+                   smy - sm * sy / n AS cmy
+            FROM mo)
+      SELECT n::BIGINT AS n, round(cxy / cxx, 6) AS total_effect,
+             round(cxm / cxx, 6) AS a_path,
+             round((cmy * cxx - cxy * cxm) /
+               (cxx * cmm - cxm * cxm), 6) AS b_path,
+             round((cxy * cmm - cmy * cxm) /
+               (cxx * cmm - cxm * cxm), 6) AS direct_effect,
+             round((cxm / cxx) * ((cmy * cxx - cxy * cxm) /
+               (cxx * cmm - cxm * cxm)), 6) AS indirect_effect,
+             round((cxm / cxx) * ((cmy * cxx - cxy * cxm) /
+               (cxx * cmm - cxm * cxm)) / (cxy / cxx), 6)
+               AS prop_mediated
+      FROM c"""))
+
+  /** Doubly-robust AIPW treatment effect of the even-user "arm" on
+    * per-user event counts, log-mean-value covariate — propensity
+    * Newton rounds AND both outcome fits replayed by the oracle. */
+  private val q339 = Entry(
+    "q339_doubly_robust",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(log1p(avg(col("value"))).as("x"),
+          count(lit(1)).cast("double").as("y"))
+      graft.ops.Evaluation.doublyRobustATE(per,
+          col("user_id") % 2 === 0, "x", "y", iterations = 2)
+        .select(col("n"), col("n_treated"),
+          r6(col("propensity_slope")).as("propensity_slope"),
+          r6(col("ate_naive")).as("ate_naive"),
+          r6(col("ate_dr")).as("ate_dr"))
+    },
+    Some("""
+      WITH per AS (SELECT user_id, ln(1 + avg("value")) AS x,
+                          count(*)::DOUBLE AS y,
+                          CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0
+                            END AS t
+                   FROM events WHERE "value" IS NOT NULL
+                   GROUP BY user_id),
+      b AS (SELECT t, x, y FROM per
+            WHERE x IS NOT NULL AND y IS NOT NULL),
+      i0 AS (SELECT 0.0 AS c0, 0.0 AS c1),
+      s1 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(t - mu) AS g0,
+                    sum(x * (t - mu)) AS g1
+             FROM (SELECT x, t, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, t,
+                           1 / (1 + exp(-(c0 + c1 * x))) AS mu
+                         FROM b, i0))),
+      i1 AS (SELECT c0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS c0,
+                    c1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS c1
+             FROM s1, i0),
+      s2 AS (SELECT sum(w) AS h00, sum(w * x) AS h01,
+                    sum(w * x * x) AS h11, sum(t - mu) AS g0,
+                    sum(x * (t - mu)) AS g1
+             FROM (SELECT x, t, mu, mu * (1 - mu) AS w
+                   FROM (SELECT x, t,
+                           1 / (1 + exp(-(c0 + c1 * x))) AS mu
+                         FROM b, i1))),
+      i2 AS (SELECT c0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS c0,
+                    c1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS c1
+             FROM s2, i1),
+      om AS (SELECT sum(t) AS n1, sum(1 - t) AS n0,
+                    sum(t * x) AS sx1, sum((1 - t) * x) AS sx0,
+                    sum(t * y) AS sy1, sum((1 - t) * y) AS sy0,
+                    sum(t * x * x) AS sxx1, sum((1 - t) * x * x) AS sxx0,
+                    sum(t * x * y) AS sxy1, sum((1 - t) * x * y) AS sxy0
+             FROM b),
+      co AS (SELECT
+               (n1 * sxy1 - sx1 * sy1) / (n1 * sxx1 - sx1 * sx1) AS b1u,
+               (sy1 - (n1 * sxy1 - sx1 * sy1)
+                 / (n1 * sxx1 - sx1 * sx1) * sx1) / n1 AS a1u,
+               (n0 * sxy0 - sx0 * sy0) / (n0 * sxx0 - sx0 * sx0) AS b0u,
+               (sy0 - (n0 * sxy0 - sx0 * sy0)
+                 / (n0 * sxx0 - sx0 * sx0) * sx0) / n0 AS a0u
+             FROM om),
+      f AS (SELECT count(*) AS n, sum(t) AS nt, max(i2.c1) AS pslope,
+              sum(t * y) / sum(t)
+                - sum((1 - t) * y) / sum(1 - t) AS naive,
+              avg(t * (y - (a1u + b1u * x)) /
+                    least(greatest(1 / (1 + exp(-(c0 + c1 * x))), 0.01),
+                      0.99)
+                  + (a1u + b1u * x)
+                  - (1 - t) * (y - (a0u + b0u * x)) /
+                    (1 - least(greatest(1 / (1 + exp(-(c0 + c1 * x))),
+                      0.01), 0.99))
+                  - (a0u + b0u * x)) AS atedr
+            FROM b, i2, co)
+      SELECT n::BIGINT AS n, nt::BIGINT AS n_treated,
+             round(pslope, 6) AS propensity_slope,
+             round(naive, 6) AS ate_naive, round(atedr, 6) AS ate_dr
+      FROM f"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12743,7 +12874,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1685,6 +1685,123 @@ object Evaluation {
   }
 
   /**
+   * Doubly-robust (AIPW) average treatment effect with ONE covariate
+   * — the capstone of the causal family (propensity-strata ATT,
+   * Hájek IPW, CUPED live nearby): combine a logistic propensity
+   * e(x) = σ(α+βx) (fixed-Newton, [[Regression.logisticRegression]]'s
+   * deterministic contract) with per-arm linear outcome models
+   * μ₁/μ₀ (closed-form OLS from one conditional-moments scan), then
+   * ψ = mean[ T(y−μ₁)/e + μ₁ − (1−T)(y−μ₀)/(1−e) − μ₀ ].
+   * Consistent if EITHER model is right — that's the "doubly robust"
+   * contract. Propensities clip to [0.01, 0.99] (overlap guard).
+   * Returns ONE row: (n, n_treated, propensity_slope, ate_naive,
+   * ate_dr).
+   *
+   * Scale shape: `iterations` Newton scans + ONE conditional-moments
+   * scan (both arms' OLS from the same aggregation) + ONE scoring
+   * scan with every fitted coefficient inlined as a literal. Model
+   * state: 6 driver doubles.
+   */
+  def doublyRobustATE(df: DataFrame, treatCond: Column, xCol: String,
+      yCol: String, iterations: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+        when(treatCond, 1.0).otherwise(0.0).as("__t"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val fit = graft.ops.Regression
+      .logisticRegression(base, Seq("__x"), col("__t") > 0.5, iterations)
+      .collect().map(r => r.getAs[String]("term") ->
+        r.getAs[Double]("coef")).toMap
+    val pa = fit("(intercept)"); val pb = fit("__x")
+    val mrow = base.agg(
+      sum(col("__t")).as("n1"), sum(lit(1.0) - col("__t")).as("n0"),
+      sum(col("__t") * col("__x")).as("sx1"),
+      sum((lit(1.0) - col("__t")) * col("__x")).as("sx0"),
+      sum(col("__t") * col("__y")).as("sy1"),
+      sum((lit(1.0) - col("__t")) * col("__y")).as("sy0"),
+      sum(col("__t") * col("__x") * col("__x")).as("sxx1"),
+      sum((lit(1.0) - col("__t")) * col("__x") * col("__x")).as("sxx0"),
+      sum(col("__t") * col("__x") * col("__y")).as("sxy1"),
+      sum((lit(1.0) - col("__t")) * col("__x") * col("__y")).as("sxy0"))
+      .head()
+    def ols(n: Double, sx: Double, sy: Double, sxx: Double,
+        sxy: Double): (Double, Double) = {
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (b, (sy - b * sx) / n)
+    }
+    val n1 = mrow.getAs[Double]("n1"); val n0 = mrow.getAs[Double]("n0")
+    val (b1, a1) = ols(n1, mrow.getAs[Double]("sx1"),
+      mrow.getAs[Double]("sy1"), mrow.getAs[Double]("sxx1"),
+      mrow.getAs[Double]("sxy1"))
+    val (b0, a0) = ols(n0, mrow.getAs[Double]("sx0"),
+      mrow.getAs[Double]("sy0"), mrow.getAs[Double]("sxx0"),
+      mrow.getAs[Double]("sxy0"))
+    val e = least(greatest(lit(1.0) /
+      (lit(1.0) + exp(-(lit(pa) + lit(pb) * col("__x")))),
+      lit(0.01)), lit(0.99))
+    val mu1 = lit(a1) + lit(b1) * col("__x")
+    val mu0 = lit(a0) + lit(b0) * col("__x")
+    val psi = col("__t") * (col("__y") - mu1) / e + mu1 -
+      (lit(1.0) - col("__t")) * (col("__y") - mu0) / (lit(1.0) - e) - mu0
+    base.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__t")).cast("long").as("n_treated"),
+        avg(psi).as("ate_dr"),
+        (sum(col("__t") * col("__y")) / sum(col("__t")) -
+          sum((lit(1.0) - col("__t")) * col("__y")) /
+            sum(lit(1.0) - col("__t"))).as("ate_naive"))
+      .select(col("n"), col("n_treated"),
+        lit(pb).as("propensity_slope"), col("ate_naive"), col("ate_dr"))
+  }
+
+  /**
+   * Mediation analysis (Baron–Kenny / product-of-coefficients): how
+   * much of x's effect on y flows THROUGH the mediator m? Three
+   * closed-form OLS fits from ONE pairwise-moments scan — total
+   * effect c (y~x), a-path (m~x), and the joint y ~ x + m solved by
+   * Cramer 3×3 for the direct effect c′ and b-path — then
+   * indirect = a·b and proportion mediated = a·b/c. All pure column
+   * algebra (the q330 discipline), so any engine replays it exactly.
+   * Observational caveat applies: this decomposes ASSOCIATIONS; the
+   * causal reading needs the usual no-unmeasured-confounding
+   * assumptions. Returns ONE row: (n, total_effect, a_path, b_path,
+   * direct_effect, indirect_effect, prop_mediated).
+   *
+   * Scale shape: one map-side-combined moments aggregation (9 sums),
+   * then 1-row algebra. Nothing driver-side, no second scan.
+   */
+  def mediationAnalysis(df: DataFrame, xCol: String, mCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val mm = col(mCol).cast("double")
+    val y = col(yCol).cast("double")
+    val mo = df.where(x.isNotNull && mm.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(mm).as("sm"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(mm * mm).as("smm"),
+        sum(x * mm).as("sxm"), sum(x * y).as("sxy"),
+        sum(mm * y).as("smy"))
+    val cxx = col("sxx") - col("sx") * col("sx") / col("n")
+    val cmm = col("smm") - col("sm") * col("sm") / col("n")
+    val cxm = col("sxm") - col("sx") * col("sm") / col("n")
+    val cxy = col("sxy") - col("sx") * col("sy") / col("n")
+    val cmy = col("smy") - col("sm") * col("sy") / col("n")
+    val total = cxy / cxx
+    val aPath = cxm / cxx
+    // y ~ x + m on centered moments: 2×2 normal equations
+    val det = cxx * cmm - cxm * cxm
+    val direct = (cxy * cmm - cmy * cxm) / det
+    val bPath = (cmy * cxx - cxy * cxm) / det
+    mo.select(col("n").cast("long").as("n"), total.as("total_effect"),
+      aPath.as("a_path"), bPath.as("b_path"),
+      direct.as("direct_effect"),
+      (aPath * bPath).as("indirect_effect"),
+      (aPath * bPath / total).as("prop_mediated"))
+  }
+
+  /**
    * Platt scaling: recalibrate a raw score into a probability by
    * fitting P(y=1|s) = σ(a·s + b) — the standard post-hoc fix when
    * [[binaryMetrics]] shows good ranking but [[calibrationCurve]]

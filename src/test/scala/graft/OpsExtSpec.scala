@@ -5907,6 +5907,48 @@ class OpsExtSpec extends AnyFunSuite {
     assert(flat.getAs[Double]("z") == 0.0)
   }
 
+  test("mediationAnalysis: fully mediated effect decomposes exactly") {
+    import spark.implicits._
+    // m carries ALL of x's effect: y = 3m, m = 2x + independent wiggle
+    val rows = (1 to 20).map { i =>
+      val x = i.toDouble
+      val m = 2 * x + ((i * 3) % 5 - 2).toDouble
+      (x, m, 3 * m)
+    }
+    val r = graft.ops.Evaluation
+      .mediationAnalysis(rows.toDF("x", "m", "y"), "x", "m", "y").head
+    assert(r.getAs[Long]("n") == 20)
+    // the wiggle is not orthogonal to x, so a ≈ 2 but not exactly —
+    // the DECOMPOSITION identities are what must hold exactly
+    val a = r.getAs[Double]("a_path")
+    assert(math.abs(a - 2.0) < 0.1)
+    assert(math.abs(r.getAs[Double]("b_path") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("direct_effect")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("total_effect") - 3 * a) < 1e-9)
+    assert(math.abs(r.getAs[Double]("indirect_effect") -
+      r.getAs[Double]("total_effect")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("prop_mediated") - 1.0) < 1e-9)
+  }
+
+  test("doublyRobustATE: exact outcome model wipes confounding bias") {
+    import spark.implicits._
+    // treatment goes to high-x units; y = 2·t + 1.5·x exactly, so the
+    // naive difference absorbs the x gap but AIPW recovers ATE = 2
+    val rows = (1 to 40).map { i =>
+      val x = i / 10.0
+      val t = i > 20
+      (i.toLong, x, 2.0 * (if (t) 1 else 0) + 1.5 * x, t)
+    }
+    val df = rows.toDF("id", "x", "y", "treat")
+    val r = graft.ops.Evaluation
+      .doublyRobustATE(df, col("treat"), "x", "y", iterations = 2).head
+    assert(r.getAs[Long]("n") == 40 && r.getAs[Long]("n_treated") == 20)
+    val naive = r.getAs[Double]("ate_naive")
+    assert(math.abs(naive - 5.0) < 1e-9, s"naive must be biased: $naive")
+    assert(math.abs(r.getAs[Double]("ate_dr") - 2.0) < 1e-9)
+    assert(r.getAs[Double]("propensity_slope") > 0)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
