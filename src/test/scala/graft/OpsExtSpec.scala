@@ -5949,6 +5949,39 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("propensity_slope") > 0)
   }
 
+  test("two-sample stat invariances: shift/scale laws hold exactly") {
+    import spark.implicits._
+    val base = Seq(1.2, 3.4, 2.2, 5.5, 0.7, 4.1, 2.9, 1.8)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    def ed(rows: Seq[(Double, Long)]) =
+      graft.analysis.AnalysisPlanner
+        .energyDistance(rows.toDF("v", "u"), "v", col("u") % 2 === 0)
+        .head.getAs[Double]("e_dist_sq")
+    val d0 = ed(base)
+    // translation invariance: |x−y| unchanged under a common shift
+    assert(math.abs(ed(base.map { case (v, u) => (v + 17.5, u) }) - d0)
+      < 1e-9)
+    // scale equivariance: D² is homogeneous of degree 1 in distance
+    assert(math.abs(ed(base.map { case (v, u) => (v * 3.0, u) })
+      - 3.0 * d0) < 1e-9)
+    // Kuiper dominates one-sided KS: V = D⁺ + D⁻ ≥ max(D⁺, D⁻)
+    val k = graft.analysis.AnalysisPlanner
+      .kuiperTest(base.toDF("v", "u"), "v", col("u") % 2 === 0).head
+    assert(k.getAs[Double]("kuiper_v") >=
+      math.max(k.getAs[Double]("d_plus"), k.getAs[Double]("d_minus"))
+        - 1e-15)
+    // trimmed mean sits inside the data range and between the
+    // 0-trim mean and an aggressive trim of the same frame
+    val df = Seq(1.0, 2.0, 2.5, 3.0, 50.0).map(("g", _)).toDF("k", "v")
+    val t1 = graft.analysis.AnalysisPlanner
+      .trimmedMean(df, "k", "v", 0.1).head.getAs[Double]("trimmed_mean")
+    val t4 = graft.analysis.AnalysisPlanner
+      .trimmedMean(df, "k", "v", 0.4).head.getAs[Double]("trimmed_mean")
+    assert(t1 >= 1.0 && t1 <= 50.0)
+    // heavier trimming pulls toward the median on this right-skewed set
+    assert(t4 < t1)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
