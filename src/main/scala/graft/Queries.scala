@@ -12849,6 +12849,92 @@ object Queries {
              round(naive, 6) AS ate_naive, round(atedr, 6) AS ate_dr
       FROM f"""))
 
+  /** Breusch–Pagan: does event-value residual variance depend on
+    * hour-of-day? The standard-error sanity check behind every OLS
+    * readout. */
+  private val q340 = Entry(
+    "q340_breusch_pagan",
+    (s, d) =>
+      graft.ops.Regression
+        .breuschPagan(Tables.events(s, d)
+            .withColumn("hod", hour(col("ts")).cast("double")),
+          "hod", "value")
+        .select(col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("r2_aux")).as("r2_aux"),
+          r6(col("lm_stat")).as("lm_stat")),
+    Some("""
+      WITH d AS (SELECT hour(ts)::DOUBLE AS x, "value"::DOUBLE AS y
+                 FROM events
+                 WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM d),
+      ab AS (SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 AS a
+             FROM m),
+      e AS (SELECT x, (y - ab.a - ab.b * x) * (y - ab.a - ab.b * x)
+              AS e2, ab.b, ab.a
+            FROM d, ab),
+      m2 AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(e2) AS se,
+                    sum(x * x) AS sxx, sum(x * e2) AS sxe,
+                    sum(e2 * e2) AS see, max(b) AS b, max(a) AS a
+             FROM e)
+      SELECT n::BIGINT AS n, round(b, 6) AS slope,
+             round(a, 6) AS intercept,
+             round((sxe - sx * se / n) * (sxe - sx * se / n) /
+               ((sxx - sx * sx / n) * (see - se * se / n)), 6) AS r2_aux,
+             round(n * (sxe - sx * se / n) * (sxe - sx * se / n) /
+               ((sxx - sx * sx / n) * (see - se * se / n)), 6) AS lm_stat
+      FROM m2"""))
+
+  /** Chow break test: does the value~hour line differ between the
+    * first and second half-month? Known-breakpoint inference next to
+    * the changepoint search. */
+  private val q341 = Entry(
+    "q341_chow_test",
+    (s, d) =>
+      graft.ops.Regression
+        .chowTest(Tables.events(s, d)
+            .withColumn("hod", hour(col("ts")).cast("double")),
+          "hod", "value", dayofmonth(col("ts")) <= 15)
+        .select(col("n_a"), col("n_b"),
+          r6(col("rss_pooled")).as("rss_pooled"),
+          r6(col("rss_a")).as("rss_a"), r6(col("rss_b")).as("rss_b"),
+          r6(col("f_stat")).as("f_stat")),
+    Some("""
+      WITH d AS (SELECT hour(ts)::DOUBLE AS x, "value"::DOUBLE AS y,
+                   CASE WHEN day(ts) <= 15 THEN 1.0 ELSE 0.0 END AS t
+                 FROM events
+                 WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      m AS (SELECT sum(t) AS na, sum(1 - t) AS nb,
+                   sum(t * x) AS sxa, sum((1 - t) * x) AS sxb,
+                   sum(t * y) AS sya, sum((1 - t) * y) AS syb,
+                   sum(t * x * x) AS sxxa, sum((1 - t) * x * x) AS sxxb,
+                   sum(t * x * y) AS sxya, sum((1 - t) * x * y) AS sxyb,
+                   sum(t * y * y) AS syya, sum((1 - t) * y * y) AS syyb
+            FROM d),
+      r AS (SELECT na, nb,
+              (syya - sya * sya / na) -
+                (sxya - sxa * sya / na) * (sxya - sxa * sya / na) /
+                (sxxa - sxa * sxa / na) AS ra,
+              (syyb - syb * syb / nb) -
+                (sxyb - sxb * syb / nb) * (sxyb - sxb * syb / nb) /
+                (sxxb - sxb * sxb / nb) AS rb,
+              ((syya + syyb) - (sya + syb) * (sya + syb) / (na + nb)) -
+                ((sxya + sxyb) - (sxa + sxb) * (sya + syb) / (na + nb))
+                * ((sxya + sxyb) - (sxa + sxb) * (sya + syb) / (na + nb))
+                / ((sxxa + sxxb) - (sxa + sxb) * (sxa + sxb) / (na + nb))
+                AS rp
+            FROM m)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(rp, 6) AS rss_pooled, round(ra, 6) AS rss_a,
+             round(rb, 6) AS rss_b,
+             round(((rp - ra - rb) / 2) /
+               ((ra + rb) / (na + nb - 4)), 6) AS f_stat
+      FROM r"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12874,7 +12960,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

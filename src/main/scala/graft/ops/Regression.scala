@@ -461,6 +461,97 @@ object Regression {
   }
 
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
+  /**
+   * Breusch–Pagan heteroscedasticity test for the bivariate OLS
+   * y ~ x: does the residual VARIANCE depend on x (which silently
+   * invalidates the fit's standard errors)? The auxiliary regression
+   * e² ~ x yields LM = n·R²_aux ~ χ²(1) under homoscedasticity. The
+   * main fit is closed-form from one moments scan (two driver
+   * doubles); the auxiliary moments come from ONE second scan with
+   * (a, b) inlined as literals — and the oracle replays both stages
+   * as plain CTE algebra, no literals needed on its side. Returns
+   * ONE row: (n, slope, intercept, r2_aux, lm_stat).
+   */
+  def breuschPagan(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val m = base.agg(count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+      sum(x * y).as("sxy")).head()
+    val n = m.getAs[Double]("n")
+    require(n > 3, "breuschPagan: need > 3 rows")
+    val b = (n * m.getAs[Double]("sxy") -
+      m.getAs[Double]("sx") * m.getAs[Double]("sy")) /
+      (n * m.getAs[Double]("sxx") -
+        m.getAs[Double]("sx") * m.getAs[Double]("sx"))
+    val a = (m.getAs[Double]("sy") - b * m.getAs[Double]("sx")) / n
+    val e2 = (y - lit(a) - lit(b) * x) * (y - lit(a) - lit(b) * x)
+    base.agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(e2).as("__se"),
+        sum(x * x).as("__sxx"), sum(x * e2).as("__sxe"),
+        sum(e2 * e2).as("__see"))
+      .select(col("__n").cast("long").as("n"), lit(b).as("slope"),
+        lit(a).as("intercept"),
+        // R² of e² ~ x from centered moments
+        ((col("__sxe") - col("__sx") * col("__se") / col("__n")) *
+          (col("__sxe") - col("__sx") * col("__se") / col("__n")) /
+          ((col("__sxx") - col("__sx") * col("__sx") / col("__n")) *
+            (col("__see") - col("__se") * col("__se") / col("__n"))))
+          .as("r2_aux"))
+      .withColumn("lm_stat", lit(n) * col("r2_aux"))
+  }
+
+  /**
+   * Chow structural-break test: does the y ~ x relationship CHANGE
+   * between two regimes (before/after a launch, segment A vs B)?
+   * F = [(RSS_pooled − RSS_a − RSS_b)/2] / [(RSS_a + RSS_b)/(n−4)]
+   * on (2, n−4) dof — the known-breakpoint INFERENCE companion to
+   * the search-for-the-break [[graft.ops.TimeSeries]] changepoint.
+   * Every RSS is closed-form from ONE conditional-moments scan
+   * (the pooled sums are the two sides' sums added — no extra pass),
+   * so the oracle replays it as pure algebra. Returns ONE row:
+   * (n_a, n_b, rss_pooled, rss_a, rss_b, f_stat).
+   */
+  def chowTest(df: DataFrame, xCol: String, yCol: String,
+      regimeA: Column): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val t = when(regimeA, 1.0).otherwise(0.0)
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(sum(t).as("na"), sum(lit(1.0) - t).as("nb"),
+        sum(t * x).as("sxa"), sum((lit(1.0) - t) * x).as("sxb"),
+        sum(t * y).as("sya"), sum((lit(1.0) - t) * y).as("syb"),
+        sum(t * x * x).as("sxxa"), sum((lit(1.0) - t) * x * x).as("sxxb"),
+        sum(t * x * y).as("sxya"), sum((lit(1.0) - t) * x * y).as("sxyb"),
+        sum(t * y * y).as("syya"), sum((lit(1.0) - t) * y * y).as("syyb"))
+    def rss(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): Column = {
+      val cxx = sxx - sx * sx / n
+      val cxy = sxy - sx * sy / n
+      val cyy = syy - sy * sy / n
+      cyy - cxy * cxy / cxx
+    }
+    val rA = rss(col("na"), col("sxa"), col("sya"), col("sxxa"),
+      col("sxya"), col("syya"))
+    val rB = rss(col("nb"), col("sxb"), col("syb"), col("sxxb"),
+      col("sxyb"), col("syyb"))
+    val nT = col("na") + col("nb")
+    val rP = rss(nT, col("sxa") + col("sxb"), col("sya") + col("syb"),
+      col("sxxa") + col("sxxb"), col("sxya") + col("sxyb"),
+      col("syya") + col("syyb"))
+    // guard: a regime with < 3 rows has no slope to compare — every
+    // downstream division is conditional so ANSI mode never trips
+    val ok = col("na") >= 3 && col("nb") >= 3
+    m.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        when(ok, rP).as("rss_pooled"), when(ok, rA).as("rss_a"),
+        when(ok, rB).as("rss_b"),
+        when(ok && nT > 4 && rA + rB > 0,
+          ((rP - rA - rB) / 2) / ((rA + rB) / (nT - 4))).as("f_stat"))
+  }
+
   private[graft] def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {
     val p = b0.length

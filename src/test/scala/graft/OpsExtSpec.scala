@@ -5982,6 +5982,49 @@ class OpsExtSpec extends AnyFunSuite {
     assert(t4 < t1)
   }
 
+  test("breuschPagan: variance-in-x inflates LM vs constant noise") {
+    import spark.implicits._
+    def frame(het: Boolean) = (1 to 60).map { i =>
+      val x = i.toDouble
+      val w = ((i * 7) % 5 - 2).toDouble
+      (x, 2 * x + (if (het) x / 10 * w else w))
+    }
+    val hom = graft.ops.Regression
+      .breuschPagan(frame(false).toDF("x", "y"), "x", "y").head
+    val het = graft.ops.Regression
+      .breuschPagan(frame(true).toDF("x", "y"), "x", "y").head
+    assert(hom.getAs[Long]("n") == 60)
+    assert(math.abs(hom.getAs[Double]("slope") - 2.0) < 0.01)
+    assert(het.getAs[Double]("lm_stat") >
+      5 * hom.getAs[Double]("lm_stat"),
+      s"het=${het.getAs[Double]("lm_stat")} hom=${hom.getAs[Double]("lm_stat")}")
+  }
+
+  test("chowTest: a regime flip is detected, a shared line is not") {
+    import spark.implicits._
+    def rows(breakIt: Boolean) = (1 to 40).map { i =>
+      val x = (i % 20).toDouble
+      val a = i <= 20
+      val w = 0.01 * ((i * 3) % 7 - 3)
+      val y = if (a || !breakIt) 2 * x + 1 + w else -x + 5 + w
+      (x, y, a)
+    }
+    val split = graft.ops.Regression
+      .chowTest(rows(true).toDF("x", "y", "a"), "x", "y", col("a")).head
+    assert(split.getAs[Long]("n_a") == 20 && split.getAs[Long]("n_b") == 20)
+    assert(split.getAs[Double]("f_stat") > 100)
+    assert(split.getAs[Double]("rss_pooled") >
+      split.getAs[Double]("rss_a") + split.getAs[Double]("rss_b"))
+    val same = graft.ops.Regression
+      .chowTest(rows(false).toDF("x", "y", "a"), "x", "y", col("a")).head
+    assert(same.getAs[Double]("f_stat") < 5)
+    // a degenerate regime yields NULL outputs, never a divide error
+    val tiny = Seq((1.0, 1.0, true), (2.0, 2.0, true), (3.0, 3.0, true),
+      (4.0, 4.0, false)).toDF("x", "y", "a")
+    val t = graft.ops.Regression.chowTest(tiny, "x", "y", col("a")).head
+    assert(t.isNullAt(t.fieldIndex("f_stat")))
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
