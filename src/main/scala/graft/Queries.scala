@@ -12935,6 +12935,38 @@ object Queries {
                ((ra + rb) / (na + nb - 4)), 6) AS f_stat
       FROM r"""))
 
+  /** Expected Reciprocal Rank of the per-lang ranker under the q149
+    * graded relevance — the cascade-model companion to NDCG/MRR. */
+  private val q342 = Entry(
+    "q342_err",
+    (s, d) => {
+      val graded = Tables.documents(s, d).select(col("lang"),
+        col("doc_id"), (col("doc_id") % 4).as("gain"))
+      graft.ops.Retrieval
+        .expectedReciprocalRank(rankerA(s, d), graded, "lang",
+          "doc_id", "rank", "gain", maxGain = 3, k = 10)
+        .select(col("query"), col("n_results"),
+          r6(col("err_at_k")).as("err_at_k"))
+        .orderBy("query")
+    },
+    Some("""
+      WITH res AS (SELECT lang AS query, doc_id AS doc,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS r
+                   FROM documents),
+      top AS (SELECT query, doc, r FROM res WHERE r <= 10),
+      g AS (SELECT query, r,
+              (pow(2, doc % 4) - 1) / pow(2, 3) AS rr
+            FROM top),
+      c AS (SELECT query, r, rr,
+              exp(coalesce(sum(ln(1 - rr)) OVER (PARTITION BY query
+                ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND
+                1 PRECEDING), 0)) AS surv
+            FROM g)
+      SELECT query, count(*) AS n_results,
+             round(sum(rr / r * surv), 6) AS err_at_k
+      FROM c GROUP BY 1 ORDER BY query"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12960,7 +12992,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

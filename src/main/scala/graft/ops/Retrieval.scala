@@ -84,4 +84,43 @@ object Retrieval {
           .as("recall_at_k"),
         (col("__hitsk") / lit(k.toDouble)).as("precision_at_k"))
   }
+
+  /**
+   * Expected Reciprocal Rank (Chapelle et al. 2009) per query — the
+   * graded cascade-model metric that complements binary MRR and
+   * position-discount NDCG: a user scans down the list and stops at
+   * rank r with probability R_r·Π_{i<r}(1−R_i), contributing 1/r;
+   * R = (2^gain − 1)/2^maxGain. Top-heavy AND satisfaction-aware: a
+   * perfect doc at rank 1 nearly ends the session, so later relevants
+   * add little. Returns one row per query:
+   * (query, n_results, err_at_k).
+   *
+   * Scale shape: one graded-relevance left join, then the cascade
+   * product as exp(Σ log1p(−R)) over a rank window PARTITIONED BY
+   * QUERY — ≤k rows per partition by construction (the
+   * [[retrievalMetrics]] stance); one grouped reduce. R < 1 always
+   * (even max gain), so the log is finite.
+   */
+  def expectedReciprocalRank(results: DataFrame, graded: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      gainCol: String, maxGain: Int = 3, k: Int = 10): DataFrame = {
+    require(maxGain >= 1 && k >= 1, "expectedReciprocalRank: args")
+    val res = results.select(col(queryCol).as("query"),
+        col(docCol).as("doc"), col(rankCol).cast("long").as("__rank"))
+      .where(col("__rank") <= k)
+    val rel = graded.select(col(queryCol).as("query"),
+      col(docCol).as("doc"), col(gainCol).cast("double").as("__g"))
+    val w = Window.partitionBy("query").orderBy("__rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = (pow(lit(2.0), coalesce(col("__g"), lit(0.0))) - 1) /
+      pow(lit(2.0), lit(maxGain.toDouble))
+    res.join(rel, Seq("query", "doc"), "left")
+      .withColumn("__r", r)
+      .withColumn("__stopHere",
+        col("__r") / col("__rank") *
+          exp(coalesce(sum(log1p(-col("__r"))).over(w), lit(0.0))))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_results"),
+        sum(col("__stopHere")).as("err_at_k"))
+  }
 }

@@ -6025,6 +6025,36 @@ class OpsExtSpec extends AnyFunSuite {
     assert(t.isNullAt(t.fieldIndex("f_stat")))
   }
 
+  test("expectedReciprocalRank: cascade semantics by hand") {
+    import spark.implicits._
+    // one query, ranks 1..3 with gains 3, 0, 3 (maxGain 3):
+    // R = (7/8, 0, 7/8); ERR = 7/8 + 0 + (1/3)(7/8)(1/8)
+    val res = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("query", "doc", "rank")
+    val rel = Seq(("q", "a", 3), ("q", "b", 0), ("q", "c", 3))
+      .toDF("query", "doc", "gain")
+    val r = graft.ops.Retrieval
+      .expectedReciprocalRank(res, rel, "query", "doc", "rank", "gain",
+        maxGain = 3, k = 10).head
+    val want = 7.0 / 8 + (1.0 / 3) * (7.0 / 8) * (1.0 / 8)
+    assert(r.getAs[Long]("n_results") == 3)
+    assert(math.abs(r.getAs[Double]("err_at_k") - want) < 1e-12)
+    // perfect doc at rank 1 dominates any later arrangement
+    val res2 = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("query", "doc", "rank")
+    val relLate = Seq(("q", "a", 0), ("q", "b", 0), ("q", "c", 3))
+      .toDF("query", "doc", "gain")
+    val late = graft.ops.Retrieval
+      .expectedReciprocalRank(res2, relLate, "query", "doc", "rank",
+        "gain", 3, 10).head.getAs[Double]("err_at_k")
+    assert(late < r.getAs[Double]("err_at_k"))
+    // ungraded docs default to gain 0 (left join semantics)
+    val sparse = graft.ops.Retrieval
+      .expectedReciprocalRank(res, rel.where(col("doc") === "a"),
+        "query", "doc", "rank", "gain", 3, 10).head
+    assert(math.abs(sparse.getAs[Double]("err_at_k") - 7.0 / 8) < 1e-12)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
