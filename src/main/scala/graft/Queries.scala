@@ -12967,6 +12967,80 @@ object Queries {
              round(sum(rr / r * surv), 6) AS err_at_k
       FROM c GROUP BY 1 ORDER BY query"""))
 
+  /** Competing-risks cumulative incidence: conversion (big purchase)
+    * vs first error per user — the Aalen–Johansen correction to
+    * per-cause 1−KM. */
+  private val q343 = Entry(
+    "q343_cumulative_incidence",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hitP = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val hitE = when(col("event_type") === "error", col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hitP).as("__tp"), min(hitE).as("__te"),
+          min(col("ts")).as("__t0"), max(col("ts")).as("__tl"))
+        .select(
+          when(col("__tp").isNotNull &&
+              (col("__te").isNull || col("__tp") <= col("__te")), 1)
+            .when(col("__te").isNotNull, 2).otherwise(0).as("cause"),
+          when(col("__tp").isNotNull &&
+              (col("__te").isNull || col("__tp") <= col("__te")),
+            datediff(to_date(col("__tp")), to_date(col("__t0"))))
+            .when(col("__te").isNotNull,
+              datediff(to_date(col("__te")), to_date(col("__t0"))))
+            .otherwise(
+              datediff(to_date(col("__tl")), to_date(col("__t0"))))
+            .as("dur"))
+      graft.analysis.AnalysisPlanner
+        .cumulativeIncidence(surv, "dur", "cause")
+        .select(col("duration"), col("cause"), col("n_risk"),
+          col("n_event"), r6(col("cif")).as("cif"))
+        .orderBy("duration", "cause")
+    },
+    Some("""
+      WITH s AS (SELECT
+          min(ts) FILTER (event_type = 'purchase' AND "value" > 200)
+            AS tp,
+          min(ts) FILTER (event_type = 'error') AS te,
+          min(ts) AS t0, max(ts) AS tl
+        FROM events GROUP BY user_id),
+      d AS (SELECT CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                     THEN 1
+                   WHEN te IS NOT NULL THEN 2 ELSE 0 END AS c,
+                   CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                     THEN datediff('day', t0::DATE, tp::DATE)
+                   WHEN te IS NOT NULL
+                     THEN datediff('day', t0::DATE, te::DATE)
+                   ELSE datediff('day', t0::DATE, tl::DATE)
+                   END::DOUBLE AS t
+            FROM s),
+      pt AS (SELECT t, count(*)::DOUBLE AS tot,
+                    sum(CASE WHEN c > 0 THEN 1.0 ELSE 0 END) AS d0
+             FROM d GROUP BY 1),
+      rk AS (SELECT t, tot, d0,
+               (SELECT count(*) FROM d)::DOUBLE
+                 - coalesce(sum(tot) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+             FROM pt),
+      ev AS (SELECT t, nr,
+               CASE WHEN d0 < nr THEN ln(1 - d0 / nr) ELSE 0 END AS lnf
+             FROM rk WHERE d0 > 0),
+      sv AS (SELECT t, nr,
+               exp(coalesce(sum(lnf) OVER (ORDER BY t ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS sm
+             FROM ev),
+      bc AS (SELECT t, c, count(*)::DOUBLE AS dk FROM d WHERE c > 0
+             GROUP BY 1, 2),
+      inc AS (SELECT bc.t, bc.c, sv.nr, bc.dk,
+                     sv.sm * bc.dk / sv.nr AS i0
+              FROM bc JOIN sv ON bc.t = sv.t)
+      SELECT t AS duration, c AS cause, nr::BIGINT AS n_risk,
+             dk::BIGINT AS n_event,
+             round(sum(i0) OVER (PARTITION BY c ORDER BY t ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+      FROM inc ORDER BY duration, cause"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -12992,7 +13066,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

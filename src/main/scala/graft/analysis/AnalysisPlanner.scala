@@ -2897,6 +2897,61 @@ object AnalysisPlanner {
   }
 
   /**
+   * Cumulative incidence functions under COMPETING RISKS (Aalen–
+   * Johansen for the all-cause-KM case): when a subject can exit to
+   * one of several causes (converted vs churned-to-error; cause 0 =
+   * censored), the naive per-cause 1−KM overstates every cause's
+   * risk — the correct CIF_k(t) = Σ_{s≤t} Ŝ(s−)·d_k(s)/n(s) uses the
+   * ALL-cause survival Ŝ just before each event time. Identity (no
+   * censoring): Σ_k CIF_k(t_max) + Ŝ(t_max) = 1 — asserted in the
+   * spec. Returns one row per (event time, cause):
+   * (duration, cause, n_risk, n_event, cif).
+   *
+   * Scale shape: [[kaplanMeier]]'s — per-time sufficient statistics,
+   * ONE [[PrefixSum]] for at-risk counts, one log-product PrefixSum
+   * over event times for Ŝ(t−), a per-(time, cause) count join, and
+   * one grouped PrefixSum (per cause) for the cumulative sum. No
+   * window wider than the bucketed prefix passes.
+   */
+  def cumulativeIncidence(df: DataFrame, durationCol: String,
+      causeCol: String): DataFrame = {
+    val base = df.select(col(durationCol).cast("double").as("__t"),
+        col(causeCol).cast("int").as("__c"))
+      .where(col("__t").isNotNull && col("__c").isNotNull)
+      .localCheckpoint() // time totals + cause counts + N read it
+    val perTime = base.groupBy("__t")
+      .agg(count(lit(1)).cast("double").as("__tot"),
+        sum(when(col("__c") > 0, 1.0).otherwise(0.0)).as("__d"))
+    val risk = PrefixSum.exclusive(perTime, "__t",
+        Seq("__tot" -> "__before"))
+      .join(broadcast(base.agg(count(lit(1)).cast("double").as("__N"))))
+      .withColumn("n_risk", col("__N") - col("__before"))
+    // d == n_risk can only happen at the LAST event time (no one
+    // survives past it), and only LATER rows read the factor through
+    // the exclusive prefix — so the ln(0) there is never consumed;
+    // pin it to 0 to keep the prefix sums finite in any engine
+    val ev = risk.where(col("__d") > 0)
+      .withColumn("__lnf", when(col("__d") < col("n_risk"),
+        log(lit(1.0) - col("__d") / col("n_risk"))).otherwise(lit(0.0)))
+    val surv = PrefixSum.exclusive(
+        ev.select("__t", "n_risk", "__lnf"), "__t",
+        Seq("__lnf" -> "__lnp"))
+      .select(col("__t"), col("n_risk"), exp(col("__lnp")).as("__sm"))
+      .localCheckpoint() // joined once per cause row below
+    val byCause = base.where(col("__c") > 0)
+      .groupBy("__t", "__c")
+      .agg(count(lit(1)).cast("double").as("__dk"))
+    val incr = byCause.join(surv, Seq("__t"))
+      .withColumn("__inc", col("__sm") * col("__dk") / col("n_risk"))
+    PrefixSum.exclusive(incr, "__t", Seq("__inc" -> "__cifex"),
+        groupCols = Seq("__c"))
+      .select(col("__t").as("duration"), col("__c").as("cause"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("__dk").cast("long").as("n_event"),
+        (col("__cifex") + col("__inc")).as("cif"))
+  }
+
+  /**
    * Two-sample Kuiper statistic V = D⁺ + D⁻ (max CDF excess in EACH
    * direction, summed) — the KS variant with equal sensitivity at the
    * tails and the center, and the standard choice for CIRCULAR data

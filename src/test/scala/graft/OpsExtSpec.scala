@@ -6055,6 +6055,30 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(sparse.getAs[Double]("err_at_k") - 7.0 / 8) < 1e-12)
   }
 
+  test("cumulativeIncidence: hand Aalen-Johansen, mass conservation") {
+    import spark.implicits._
+    val noCens = Seq((1.0, 1), (2.0, 2), (3.0, 1)).toDF("t", "c")
+    val out = graft.analysis.AnalysisPlanner
+      .cumulativeIncidence(noCens, "t", "c")
+      .collect().map(r => (r.getAs[Double]("duration"),
+        r.getAs[Int]("cause")) -> r.getAs[Double]("cif")).toMap
+    assert(math.abs(out((1.0, 1)) - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((2.0, 2)) - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((3.0, 1)) - 2.0 / 3) < 1e-12)
+    // no censoring: total incidence at the horizon is exactly 1
+    assert(math.abs(out((3.0, 1)) + out((2.0, 2)) - 1.0) < 1e-12)
+    // a censored subject shrinks later risk sets, not earlier CIFs
+    val cens = Seq((1.0, 1), (2.0, 2), (2.5, 0), (3.0, 1))
+      .toDF("t", "c")
+    val o2 = graft.analysis.AnalysisPlanner
+      .cumulativeIncidence(cens, "t", "c")
+      .collect().map(r => (r.getAs[Double]("duration"),
+        r.getAs[Int]("cause")) -> r.getAs[Double]("cif")).toMap
+    assert(math.abs(o2((1.0, 1)) - 0.25) < 1e-12)
+    assert(math.abs(o2((2.0, 2)) - 0.25) < 1e-12)
+    assert(math.abs(o2((3.0, 1)) - 0.75) < 1e-12)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
