@@ -13041,6 +13041,78 @@ object Queries {
                UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
       FROM inc ORDER BY duration, cause"""))
 
+  /** Cameron–Trivedi overdispersion test on q287's orders-per-
+    * customer Poisson fit: does the count variance exceed the mean
+    * (⇒ the Poisson SEs are wrong, prefer NB)? */
+  private val q344 = Entry(
+    "q344_overdispersion",
+    (s, d) => {
+      val cnt = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val df = Tables.customer(s, d)
+        .select(col("c_custkey"), (col("c_acctbal") / 10000.0).as("x"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0.0, Seq("y"))
+      graft.ops.Regression
+        .overdispersionTest(df, "x", col("y"), iterations = 4)
+        .select(col("n"), r6(col("mu_mean")).as("mu_mean"),
+          r6(col("alpha")).as("alpha"), r6(col("t_stat")).as("t_stat"))
+    },
+    Some("""
+      WITH cnt AS (SELECT o_custkey, count(*)::DOUBLE AS y
+                   FROM orders GROUP BY 1),
+      d AS (SELECT coalesce(y, 0.0) AS y, c_acctbal / 10000.0 AS x
+            FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+      s1 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i0)),
+      i1 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s1, i0),
+      s2 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i1)),
+      i2 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s2, i1),
+      s3 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i2)),
+      i3 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s3, i2),
+      s4 AS (SELECT sum(mu) AS h00, sum(mu * x) AS h01,
+                    sum(mu * x * x) AS h11, sum(y - mu) AS g0,
+                    sum(x * (y - mu)) AS g1
+             FROM (SELECT x, y, exp(b0 + b1 * x) AS mu FROM d, i3)),
+      i4 AS (SELECT b0 + (h11 * g0 - h01 * g1)
+                      / (h00 * h11 - h01 * h01) AS b0,
+                    b1 + (h00 * g1 - h01 * g0)
+                      / (h00 * h11 - h01 * h01) AS b1
+             FROM s4, i3),
+      aux AS (SELECT count(*)::DOUBLE AS n, sum(mu) AS smu,
+                     sum(mu * mu) AS smu2, sum(mu * z) AS smz,
+                     sum(z * z) AS szz
+              FROM (SELECT mu, ((y - mu) * (y - mu) - y) / mu AS z
+                    FROM (SELECT y, exp(b0 + b1 * x) AS mu
+                          FROM d, i4)))
+      SELECT n::BIGINT AS n, round(smu / n, 6) AS mu_mean,
+             round(smz / smu2, 6) AS alpha,
+             round((smz / smu2) /
+               sqrt(((szz - smz * smz / smu2) / (n - 1)) / smu2), 6)
+               AS t_stat
+      FROM aux"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13066,7 +13138,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

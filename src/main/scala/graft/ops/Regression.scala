@@ -462,6 +462,47 @@ object Regression {
 
   /** Gaussian elimination with partial pivoting (driver-side, tiny). */
   /**
+   * Cameron–Trivedi overdispersion test after a Poisson fit: is
+   * Var(y|x) > E(y|x), which breaks every Poisson standard error
+   * and says "use negative binomial"? Fit μ = exp(α+βx) by
+   * [[poissonRegression]]'s fixed-Newton contract, then regress
+   * z = ((y−μ)² − y)/μ on μ WITHOUT intercept: the slope α̂ estimates
+   * the NB2 dispersion and t = α̂/se(α̂) ~ N(0,1) under
+   * equidispersion (one-sided: large positive t ⇒ overdispersed).
+   * Returns ONE row: (n, mu_mean, alpha, t_stat).
+   *
+   * Scale shape: the Newton scans + ONE auxiliary moments scan with
+   * the fitted (α, β) inlined as literals; the no-intercept fit and
+   * its t are 1-row algebra. Single-feature by design so the oracle
+   * replays everything (the q287 discipline).
+   */
+  def overdispersionTest(df: DataFrame, xCol: String, targetCol: Column,
+      iterations: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = poissonRegression(df, Seq(xCol), targetCol, iterations)
+      .collect().map(r => r.getAs[String]("term") ->
+        r.getAs[Double]("coef")).toMap
+    val a = fit("(intercept)"); val b = fit(xCol)
+    val y = targetCol.cast("double")
+    val x = col(xCol).cast("double")
+    val mu = exp(lit(a) + lit(b) * x)
+    val z = ((y - mu) * (y - mu) - y) / mu
+    df.where(y.isNotNull && y >= 0 && x.isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(mu).as("__smu"), sum(mu * mu).as("__smu2"),
+        sum(mu * z).as("__smz"), sum(z * z).as("__szz"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__smu") / col("__n")).as("mu_mean"),
+        (col("__smz") / col("__smu2")).as("alpha"),
+        // t = α / √(s²/Σμ²), s² = Σ(z−αμ)²/(n−1) expanded in moments
+        ((col("__smz") / col("__smu2")) /
+          sqrt(((col("__szz") -
+            col("__smz") * col("__smz") / col("__smu2")) /
+            (col("__n") - 1)) / col("__smu2"))).as("t_stat"))
+  }
+
+  /**
    * Breusch–Pagan heteroscedasticity test for the bivariate OLS
    * y ~ x: does the residual VARIANCE depend on x (which silently
    * invalidates the fit's standard errors)? The auxiliary regression

@@ -6079,6 +6079,35 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(o2((3.0, 1)) - 0.75) < 1e-12)
   }
 
+  test("overdispersionTest: clumped counts score far above mild ones") {
+    import spark.implicits._
+    def frame(clumped: Boolean) = (1 to 10).flatMap { _ =>
+      val lo = if (clumped) Seq(0.0, 0.0, 0.0, 16.0)
+        else Seq(1.0, 3.0, 5.0, 7.0)
+      val hi = if (clumped) Seq(0.0, 0.0, 0.0, 32.0)
+        else Seq(2.0, 6.0, 10.0, 14.0)
+      lo.map((0.0, _)) ++ hi.map((1.0, _))
+    }.toDF("x", "y")
+    // 8 Newton rounds: the exp-link overshoot from beta=0 on this
+    // synthetic needs a few extra steps to settle (fixed-count
+    // contract — the caller picks the budget)
+    val mild = graft.ops.Regression
+      .overdispersionTest(frame(false), "x", col("y"), 8).head
+    val over = graft.ops.Regression
+      .overdispersionTest(frame(true), "x", col("y"), 8).head
+    assert(mild.getAs[Long]("n") == 80)
+    // same fitted means in both designs (same per-level averages)
+    assert(math.abs(mild.getAs[Double]("mu_mean") -
+      over.getAs[Double]("mu_mean")) < 1e-6)
+    // alpha is the dispersion MAGNITUDE (clumps dominate); t is
+    // evidence strength — both designs depart from equidispersion
+    // here, so both t's are positive and large
+    assert(over.getAs[Double]("alpha") >
+      5 * mild.getAs[Double]("alpha"))
+    assert(over.getAs[Double]("t_stat") > 3.0)
+    assert(mild.getAs[Double]("t_stat") > 3.0)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
