@@ -13113,6 +13113,95 @@ object Queries {
                AS t_stat
       FROM aux"""))
 
+  /** Kendall's W: do the five event types agree on how the 24 hours
+    * rank by mean value? Pure composition over friedmanTest with
+    * types as raters and hours as items. */
+  private val q345 = Entry(
+    "q345_kendalls_w",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .friedmanTest(Tables.events(s, d)
+            .withColumn("hod", hour(col("ts"))),
+          "event_type", "hod", "value")
+        .select(col("n_blocks").as("n_raters"),
+          col("n_treatments").as("n_items"), r6(col("chi2")).as("chi2"),
+          r6(col("chi2") / (col("n_blocks") * (col("n_treatments") - 1)))
+            .as("kendalls_w"),
+          r6((col("n_blocks") *
+            (col("chi2") / (col("n_blocks") *
+              (col("n_treatments") - 1))) - 1) /
+            (col("n_blocks") - 1)).as("avg_spearman")),
+    Some("""
+      WITH cells AS (SELECT event_type AS b, hour(ts) AS t,
+                            avg("value") AS m
+                     FROM events
+                     WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1, 2),
+      k AS (SELECT count(DISTINCT t)::DOUBLE AS k FROM cells),
+      keep AS (SELECT b FROM cells GROUP BY b
+               HAVING count(*) = (SELECT k FROM k)),
+      kept AS (SELECT c.* FROM cells c JOIN keep USING (b)),
+      r AS (SELECT b, t,
+              rank() OVER (PARTITION BY b ORDER BY m) - 1
+                + (count(*) OVER (PARTITION BY b, m) + 1) / 2.0 AS r
+            FROM kept),
+      perT AS (SELECT t, sum(r) AS rj, sum(r * r) AS rj2,
+                      count(*)::DOUBLE AS nb
+               FROM r GROUP BY 1),
+      a AS (SELECT max(nb) AS n, count(*)::DOUBLE AS kk,
+                   sum(rj2) AS a2,
+                   sum((rj - nb * (k.k + 1) / 2)
+                     * (rj - nb * (k.k + 1) / 2)) AS sq
+            FROM perT, k),
+      f AS (SELECT n, kk,
+              (kk - 1) * sq / (a2 - n * kk * (kk + 1) * (kk + 1) / 4)
+                AS chi2
+            FROM a)
+      SELECT n::BIGINT AS n_raters, kk::BIGINT AS n_items,
+             round(chi2, 6) AS chi2,
+             round(chi2 / (n * (kk - 1)), 6) AS kendalls_w,
+             round((n * (chi2 / (n * (kk - 1))) - 1) / (n - 1), 6)
+               AS avg_spearman
+      FROM f"""))
+
+  /** Standardized contingency residuals for event type × user
+    * parity: which cells drive the q43-style chi-square? */
+  private val q346 = Entry(
+    "q346_contingency_residuals",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .contingencyResiduals(Tables.events(s, d)
+            .withColumn("parity",
+              when(col("user_id") % 2 === 0, "even").otherwise("odd")),
+          "event_type", "parity")
+        .select(col("a"), col("b"), col("n"),
+          r6(col("expected")).as("expected"),
+          r6(col("std_residual")).as("std_residual"),
+          r6(col("adj_residual")).as("adj_residual"),
+          r6(col("chi2")).as("chi2"))
+        .orderBy("a", "b"),
+    Some("""
+      WITH d AS (SELECT event_type AS a,
+                   CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                     AS b
+                 FROM events WHERE event_type IS NOT NULL),
+      cells AS (SELECT a, b, count(*)::DOUBLE AS n FROM d GROUP BY 1, 2),
+      rm AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1),
+      cm AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1),
+      t AS (SELECT sum(n) AS nn FROM cells),
+      j AS (SELECT cells.a, cells.b, cells.n, rm.ra, cm.cb, t.nn,
+                   rm.ra * cm.cb / t.nn AS e
+            FROM cells JOIN rm USING (a) JOIN cm USING (b), t),
+      c2 AS (SELECT sum((n - e) * (n - e) / e)
+                      + greatest(max(nn) - sum(e), 0) AS chi2
+             FROM j)
+      SELECT a, b, n::BIGINT AS n, round(e, 6) AS expected,
+             round((n - e) / sqrt(e), 6) AS std_residual,
+             round((n - e) / sqrt(e * (1 - ra / nn) * (1 - cb / nn)), 6)
+               AS adj_residual,
+             round(c2.chi2, 6) AS chi2
+      FROM j, c2 ORDER BY a, b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13138,7 +13227,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

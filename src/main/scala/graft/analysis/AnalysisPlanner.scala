@@ -2897,6 +2897,58 @@ object AnalysisPlanner {
   }
 
   /**
+   * Contingency table with standardized residuals — the POST-HOC for
+   * a significant chi-square: which cells drive it? For every
+   * (a, b) cell: observed n, expected n under independence
+   * (rowTotal·colTotal/N), the standardized residual (o−e)/√e, and
+   * the adjusted residual (o−e)/√(e·(1−rowShare)(1−colShare)) whose
+   * |value| > 2 flags the cell at ≈5%. The table chi2 rides along on
+   * every row. Returns one row per OBSERVED cell:
+   * (a, b, n, expected, std_residual, adj_residual, chi2).
+   *
+   * Scale shape: one (a, b) cell count, two margin rollups of the
+   * cell frame broadcast back, 1-row total — all report-sized after
+   * the single corpus groupBy.
+   */
+  def contingencyResiduals(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint() // margins + total + chi2 all read it
+    // margins as windows over the REPORT frame (≤cells rows, both
+    // windows partitioned — a margin partition holds one row per
+    // opposite key, report-sized); the grand total is a driver
+    // scalar (1-row rollup, the GLM-family convention). NB: named
+    // "__tot", NOT "__N" — Spark's default resolver is
+    // case-INSENSITIVE, so "__N" next to the cell count "__n" is an
+    // ambiguous (or worse, silently misbound) reference.
+    val totN = cells.agg(sum(col("__n"))).head().getDouble(0)
+    val joined = cells
+      .withColumn("__ra", sum(col("__n")).over(Window.partitionBy("a")))
+      .withColumn("__cb", sum(col("__n")).over(Window.partitionBy("b")))
+      .withColumn("__tot", lit(totN))
+      .withColumn("__e", col("__ra") * col("__cb") / col("__tot"))
+      .localCheckpoint() // the chi2 rollup + the output both read it
+    // table chi2 incl. the unobserved-cell mass (a zero cell still
+    // contributes its expectation): Σ_obs (o−e)²/e + (N − Σ_obs e).
+    val c2row = joined.agg(
+      sum(pow(col("__n") - col("__e"), 2) / col("__e")).as("__c"),
+      (max(col("__tot")) - sum(col("__e"))).as("__miss")).head()
+    val chi2Val = c2row.getAs[Double]("__c") +
+      math.max(c2row.getAs[Double]("__miss"), 0.0)
+    joined.withColumn("chi2", lit(chi2Val))
+      .select(col("a"), col("b"), col("__n").cast("long").as("n"),
+        col("__e").as("expected"),
+        ((col("__n") - col("__e")) / sqrt(col("__e")))
+          .as("std_residual"),
+        ((col("__n") - col("__e")) /
+          sqrt(col("__e") * (lit(1.0) - col("__ra") / col("__tot")) *
+            (lit(1.0) - col("__cb") / col("__tot")))).as("adj_residual"),
+        col("chi2"))
+  }
+
+  /**
    * Cumulative incidence functions under COMPETING RISKS (Aalen–
    * Johansen for the all-cause-KM case): when a subject can exit to
    * one of several causes (converted vs churned-to-error; cause 0 =

@@ -6108,6 +6108,27 @@ class OpsExtSpec extends AnyFunSuite {
     assert(mild.getAs[Double]("t_stat") > 3.0)
   }
 
+  test("contingencyResiduals: hand 2x2 residuals and chi2") {
+    import spark.implicits._
+    val rows = Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val out = graft.analysis.AnalysisPlanner
+      .contingencyResiduals(rows.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"))
+        -> r).toMap
+    val c = out(("a1", "b1"))
+    assert(c.getAs[Long]("n") == 30)
+    assert(math.abs(c.getAs[Double]("expected") - 20.0) < 1e-12)
+    assert(math.abs(c.getAs[Double]("std_residual") -
+      10.0 / math.sqrt(20)) < 1e-12)
+    assert(math.abs(c.getAs[Double]("adj_residual") -
+      10.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(c.getAs[Double]("chi2") - 20.0) < 1e-12)
+    // off-diagonal cells mirror with the opposite sign
+    assert(math.abs(out(("a1", "b2")).getAs[Double]("std_residual") +
+      10.0 / math.sqrt(20)) < 1e-12)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
