@@ -13202,6 +13202,95 @@ object Queries {
              round(c2.chi2, 6) AS chi2
       FROM j, c2 ORDER BY a, b"""))
 
+  /** Kish effective sample size + design effect of the q290 raked
+    * weights — "how much sample did the reweighting cost?". */
+  private val q347 = Entry(
+    "q347_kish_neff",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("band", floor(hour(col("ts")) / 6))
+      val ta = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => (t, 0.2)).toDF("value", "share")
+      val tb = (0 to 3).map(b => (b.toLong, 0.25)).toDF("value", "share")
+      graft.ops.Sampling
+        .rakeWeights(ev, "event_type", "band", ta, tb, iterations = 3)
+        .agg(sum(col("n")).cast("long").as("n"),
+          (pow(sum(col("n") * col("weight")), 2) /
+            sum(col("n") * col("weight") * col("weight"))).as("__ne"),
+          sum(col("n")).cast("double").as("__nd"),
+          sum(col("n") * col("weight") * col("weight")).as("__nw2"),
+          sum(col("n") * col("weight")).as("__nw"))
+        .select(col("n"), r6(col("__ne")).as("n_eff"),
+          r6(col("__nd") / col("__ne")).as("design_effect"),
+          r6(sqrt(col("__nd") * col("__nw2") /
+            (col("__nw") * col("__nw")) - 1)).as("cv_weights"))
+    },
+    Some("""
+      WITH c AS (SELECT event_type AS a, floor(hour(ts) / 6) AS b,
+                        count(*)::DOUBLE AS n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT sum(n) AS nn FROM c),
+      w0 AS (SELECT a, b, n, 1.0 AS w FROM c),
+      a1 AS (SELECT w0.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY w0.a)
+                      AS w
+             FROM w0, t),
+      b1 AS (SELECT a, a1.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a1.b)
+                      AS w
+             FROM a1, t),
+      a2 AS (SELECT b1.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY b1.a)
+                      AS w
+             FROM b1, t),
+      b2 AS (SELECT a, a2.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a2.b)
+                      AS w
+             FROM a2, t),
+      a3 AS (SELECT b2.a, b, n,
+                    w * 0.2 * t.nn / sum(n * w) OVER (PARTITION BY b2.a)
+                      AS w
+             FROM b2, t),
+      b3 AS (SELECT a, a3.b, n,
+                    w * 0.25 * t.nn / sum(n * w) OVER (PARTITION BY a3.b)
+                      AS w
+             FROM a3, t),
+      f AS (SELECT sum(n) AS n, sum(n * w) AS nw,
+                   sum(n * w * w) AS nw2
+            FROM b3)
+      SELECT n::BIGINT AS n, round(nw * nw / nw2, 6) AS n_eff,
+             round(n / (nw * nw / nw2), 6) AS design_effect,
+             round(sqrt(n * nw2 / (nw * nw) - 1), 6) AS cv_weights
+      FROM f"""))
+
+  /** Dunnett-layout contrasts: every event type vs the 'view'
+    * control arm, Welch z per arm. */
+  private val q348 = Entry(
+    "q348_control_contrasts",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .controlContrasts(Tables.events(s, d), "event_type", "value",
+          "view")
+        .select(col("group"), col("n"), r6(col("mean")).as("mean"),
+          r6(col("diff_vs_control")).as("diff_vs_control"),
+          r6(col("se")).as("se"), r6(col("z")).as("z"))
+        .orderBy("group"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      per AS (SELECT g, count(*)::DOUBLE AS n, avg(v) AS m,
+                     var_samp(v) AS s2
+              FROM d GROUP BY 1 HAVING count(*) >= 2),
+      ctrl AS (SELECT n AS nc, m AS mc, s2 AS vc FROM per
+               WHERE g = 'view')
+      SELECT g AS "group", per.n::BIGINT AS n, round(m, 6) AS mean,
+             round(m - mc, 6) AS diff_vs_control,
+             round(sqrt(s2 / per.n + vc / nc), 6) AS se,
+             round((m - mc) / sqrt(s2 / per.n + vc / nc), 6) AS z
+      FROM per, ctrl WHERE g <> 'view' ORDER BY g"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13227,7 +13316,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2897,6 +2897,44 @@ object AnalysisPlanner {
   }
 
   /**
+   * Many-vs-one-control Welch contrasts (the Dunnett-style layout):
+   * every treatment arm against the DESIGNATED control — fewer, more
+   * targeted comparisons than all-pairs [[dunnTest]], which is why
+   * multi-variant experiments report exactly this table. Per arm:
+   * diff = x̄_arm − x̄_control, Welch se = √(s²_a/n_a + s²_c/n_c),
+   * z = diff/se. Feed |z| to the BH/Holm operators for the
+   * multiplicity correction across arms. Returns one row per
+   * NON-control arm: (group, n, mean, diff_vs_control, se, z); arms
+   * with n < 2 are dropped (no variance).
+   *
+   * Scale shape: ONE grouped moments scan; the control's 1-row slice
+   * joins back broadcast; everything after is ≤arms-row algebra.
+   */
+  def controlContrasts(df: DataFrame, groupCol: String,
+      valueCol: String, control: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(v).as("__m"),
+        var_samp(v).as("__v"))
+      .where(col("__n") >= 2)
+    // NOT localCheckpointed: both the arm side and the control slice
+    // keep their Aggregate node visible (physical exchange reuse
+    // dedups the identical grouped scan; a checkpoint would hide the
+    // reducer from the scale lint and flag the 1-row crossJoin)
+    val ctrl = broadcast(per.where(col("group") === control)
+      .select(col("__n").as("__nc"), col("__m").as("__mc"),
+        col("__v").as("__vc")))
+    per.where(col("group") =!= control).crossJoin(ctrl)
+      .select(col("group"), col("__n").cast("long").as("n"),
+        col("__m").as("mean"),
+        (col("__m") - col("__mc")).as("diff_vs_control"),
+        sqrt(col("__v") / col("__n") + col("__vc") / col("__nc"))
+          .as("se"))
+      .withColumn("z", col("diff_vs_control") / col("se"))
+  }
+
+  /**
    * Contingency table with standardized residuals — the POST-HOC for
    * a significant chi-square: which cells drive it? For every
    * (a, b) cell: observed n, expected n under independence

@@ -6129,6 +6129,31 @@ class OpsExtSpec extends AnyFunSuite {
       10.0 / math.sqrt(20)) < 1e-12)
   }
 
+  test("controlContrasts: hand Welch z vs the designated control") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("ctl", _)) ++
+      Seq(4.0, 6.0).map(("t1", _)) ++
+      Seq(1.0, 1.0, 1.0).map(("t2", _)) ++
+      Seq(("solo", 9.0))).toDF("g", "v")
+    val out = graft.analysis.AnalysisPlanner
+      .controlContrasts(df, "g", "v", "ctl")
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    // control itself and the n<2 arm are absent
+    assert(out.keySet == Set("t1", "t2"))
+    val t1 = out("t1")
+    assert(math.abs(t1.getAs[Double]("diff_vs_control") - 3.0) < 1e-12)
+    // Welch se: s1²/n1 + sc²/nc = 2/2 + 1/3
+    assert(math.abs(t1.getAs[Double]("se") -
+      math.sqrt(1.0 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(t1.getAs[Double]("z") -
+      3.0 / math.sqrt(4.0 / 3)) < 1e-12)
+    // constant arm: zero own variance, control variance still counts
+    val t2 = out("t2")
+    assert(math.abs(t2.getAs[Double]("se") -
+      math.sqrt(1.0 / 3)) < 1e-12)
+    assert(t2.getAs[Double]("z") < 0)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
