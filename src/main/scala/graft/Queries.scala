@@ -13291,6 +13291,49 @@ object Queries {
              round((m - mc) / sqrt(s2 / per.n + vc / nc), 6) AS z
       FROM per, ctrl WHERE g <> 'view' ORDER BY g"""))
 
+  /** Wald SPRT on the daily purchase-share stream: p0=0.18 vs
+    * p1=0.22, α=0.05, β=0.2 — when would a fully sequential monitor
+    * have stopped? */
+  private val q349 = Entry(
+    "q349_sprt",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .sprtBinary(Tables.events(s, d), "ts",
+          col("event_type") === "purchase", p0 = 0.18, p1 = 0.22,
+          alpha = 0.05, beta = 0.2)
+        .select(col("n_days"), col("n"), col("conversions"),
+          r6(col("llr_final")).as("llr_final"),
+          r6(col("lower_bound")).as("lower_bound"),
+          r6(col("upper_bound")).as("upper_bound"), col("decision"),
+          col("first_decision_day")),
+    Some("""
+      WITH daily AS (SELECT ts::DATE AS d, count(*)::DOUBLE AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                         THEN 1.0 ELSE 0 END) AS x
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      cum AS (SELECT d, sum(n) OVER w AS cn, sum(x) OVER w AS cx
+              FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW)),
+      l AS (SELECT d, cn, cx,
+              cx * ln(0.22 / 0.18)
+                + (cn - cx) * ln(0.78 / 0.82) AS llr
+            FROM cum),
+      f AS (SELECT count(*) AS nd, max(cn) AS n, max(cx) AS cv,
+                   max_by(llr, d) AS lf,
+                   min(CASE WHEN llr >= ln(0.8 / 0.05) THEN d END) AS fu,
+                   min(CASE WHEN llr <= ln(0.2 / 0.95) THEN d END) AS fd
+            FROM l)
+      SELECT nd AS n_days, n::BIGINT AS n, cv::BIGINT AS conversions,
+             round(lf, 6) AS llr_final,
+             round(ln(0.2 / 0.95), 6) AS lower_bound,
+             round(ln(0.8 / 0.05), 6) AS upper_bound,
+             CASE WHEN fu IS NOT NULL AND (fd IS NULL OR fu <= fd)
+               THEN 'reject_h0'
+             WHEN fd IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+             least(fu, fd) AS first_decision_day
+      FROM f"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13316,7 +13359,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2897,6 +2897,62 @@ object AnalysisPlanner {
   }
 
   /**
+   * Wald's Sequential Probability Ratio Test on a daily binary
+   * stream — the FULLY sequential companion to the group-sequential
+   * O'Brien–Fleming monitor: test H0: p = p0 vs H1: p = p1 by the
+   * cumulative log-likelihood ratio
+   * LLR_t = x_t·ln(p1/p0) + (n_t−x_t)·ln((1−p1)/(1−p0)) with Wald's
+   * boundaries U = ln((1−β)/α), L = ln(β/(1−α)); the first boundary
+   * crossed decides ("reject_h0" at U — the rate looks like p1 —
+   * "accept_h0" at L, else "continue"). Returns ONE row: (n_days, n,
+   * conversions, llr_final, lower_bound, upper_bound, decision,
+   * first_decision_day).
+   *
+   * Scale shape: one daily conditional groupBy; cumulative trials/
+   * conversions via [[PrefixSum]] (never an unpartitioned window);
+   * the decision scan is a 1-row reduce over the day frame.
+   */
+  def sprtBinary(df: DataFrame, tsCol: String, convCond: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "sprtBinary: p0, p1 in (0,1), distinct")
+    val lc = math.log(p1 / p0)
+    val lf = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(convCond, 1.0).otherwise(0.0)).as("__x"))
+      // PrefixSum orders on a numeric image; epoch-day keeps the
+      // calendar order exactly
+      .withColumn("__i", datediff(col("__d"),
+        lit("1970-01-01").cast("date")))
+    val cum = PrefixSum.exclusive(daily, "__i",
+        Seq("__n" -> "__pn", "__x" -> "__px"))
+      .withColumn("__cn", col("__pn") + col("__n"))
+      .withColumn("__cx", col("__px") + col("__x"))
+      .withColumn("__llr",
+        col("__cx") * lit(lc) + (col("__cn") - col("__cx")) * lit(lf))
+    cum.agg(count(lit(1)).as("n_days"),
+        max(col("__cn")).cast("long").as("n"),
+        max(col("__cx")).cast("long").as("conversions"),
+        max_by(col("__llr"), col("__d")).as("llr_final"),
+        min(when(col("__llr") >= upper, col("__d"))).as("__fu"),
+        min(when(col("__llr") <= lower, col("__d"))).as("__fd"))
+      .select(col("n_days"), col("n"), col("conversions"),
+        col("llr_final"), lit(lower).as("lower_bound"),
+        lit(upper).as("upper_bound"),
+        when(col("__fu").isNotNull &&
+            (col("__fd").isNull || col("__fu") <= col("__fd")),
+          lit("reject_h0"))
+          .when(col("__fd").isNotNull, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"),
+        least(col("__fu"), col("__fd")).as("first_decision_day"))
+  }
+
+  /**
    * Many-vs-one-control Welch contrasts (the Dunnett-style layout):
    * every treatment arm against the DESIGNATED control — fewer, more
    * targeted comparisons than all-pairs [[dunnTest]], which is why

@@ -6154,6 +6154,33 @@ class OpsExtSpec extends AnyFunSuite {
     assert(t2.getAs[Double]("z") < 0)
   }
 
+  test("sprtBinary: boundaries decide in the right direction") {
+    import spark.implicits._
+    def stream(convEvery: Int) = (1 to 200).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays((i - 1) / 10)
+          .atTime(8, 0)), i % convEvery == 0)
+    }
+    // ~50% conversions ≫ p1 = 0.22 → reject H0, and early
+    val hot = graft.analysis.AnalysisPlanner
+      .sprtBinary(stream(2).toDF("ts", "c"), "ts", col("c"),
+        0.18, 0.22, 0.05, 0.2).head
+    assert(hot.getAs[String]("decision") == "reject_h0")
+    assert(!hot.isNullAt(hot.fieldIndex("first_decision_day")))
+    assert(hot.getAs[Double]("llr_final") >
+      hot.getAs[Double]("upper_bound"))
+    // ~2% conversions ≪ p0 = 0.18 → accept H0
+    val cold = graft.analysis.AnalysisPlanner
+      .sprtBinary(stream(50).toDF("ts", "c"), "ts", col("c"),
+        0.18, 0.22, 0.05, 0.2).head
+    assert(cold.getAs[String]("decision") == "accept_h0")
+    assert(cold.getAs[Double]("llr_final") <
+      cold.getAs[Double]("lower_bound"))
+    // counters surface
+    assert(hot.getAs[Long]("n") == 200 &&
+      hot.getAs[Long]("conversions") == 100)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
