@@ -13334,6 +13334,45 @@ object Queries {
              least(fu, fd) AS first_decision_day
       FROM f"""))
 
+  /** Q–Q table of event values, even vs odd users, at the standard
+    * 5-point grid — WHERE the two arms differ, not just whether. */
+  private val q350 = Entry(
+    "q350_qq_table",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .qqTable(Tables.events(s, d), "value", col("user_id") % 2 === 0,
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        .select(col("prob"), r6(col("q_a")).as("q_a"),
+          r6(col("q_b")).as("q_b"), r6(col("qq_diff")).as("qq_diff"),
+          r6(col("qq_ratio")).as("qq_ratio"))
+        .orderBy("prob"),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v,
+                   CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                     AS arm
+                 FROM events WHERE "value" IS NOT NULL),
+      a AS (SELECT quantile_cont(v, 0.1) AS q1,
+                   quantile_cont(v, 0.25) AS q2,
+                   quantile_cont(v, 0.5) AS q3,
+                   quantile_cont(v, 0.75) AS q4,
+                   quantile_cont(v, 0.9) AS q5
+            FROM d WHERE arm = 'a'),
+      b AS (SELECT quantile_cont(v, 0.1) AS q1,
+                   quantile_cont(v, 0.25) AS q2,
+                   quantile_cont(v, 0.5) AS q3,
+                   quantile_cont(v, 0.75) AS q4,
+                   quantile_cont(v, 0.9) AS q5
+            FROM d WHERE arm = 'b'),
+      u AS (SELECT 0.1 AS prob, a.q1 AS qa, b.q1 AS qb FROM a, b
+            UNION ALL SELECT 0.25, a.q2, b.q2 FROM a, b
+            UNION ALL SELECT 0.5, a.q3, b.q3 FROM a, b
+            UNION ALL SELECT 0.75, a.q4, b.q4 FROM a, b
+            UNION ALL SELECT 0.9, a.q5, b.q5 FROM a, b)
+      SELECT prob, round(qa, 6) AS q_a, round(qb, 6) AS q_b,
+             round(qa - qb, 6) AS qq_diff,
+             round(CASE WHEN qb <> 0 THEN qa / qb END, 6) AS qq_ratio
+      FROM u ORDER BY prob"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13359,7 +13398,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

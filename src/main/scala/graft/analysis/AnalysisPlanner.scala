@@ -2897,6 +2897,41 @@ object AnalysisPlanner {
   }
 
   /**
+   * Two-sample Q–Q table: the exact interpolated quantiles of both
+   * arms at a shared probability grid, side by side with their gap
+   * and ratio — the table behind a Q–Q plot, and the distribution
+   * comparison that says WHERE two arms differ (tails vs body) when
+   * a KS/CvM statistic only says THAT they differ. Rides
+   * [[exactPercentiles]]' grouped distributed prefix-sum path — both
+   * arms' quantiles come from ONE value-count shuffle. Returns one
+   * row per probability: (prob, q_a, q_b, qq_diff, qq_ratio);
+   * qq_ratio is NULL where q_b = 0.
+   */
+  def qqTable(df: DataFrame, valueCol: String, treatCol: Column,
+      probs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "qqTable: probs in [0,1]")
+    val named = probs.map(p => (s"__q${(p * 1000).round}", p))
+    val base = df
+      .select(col(valueCol).as("__x"),
+        when(treatCol, "a").otherwise("b").as("__arm"))
+      .where(col("__x").isNotNull)
+    val pct = exactPercentiles(base, "__x", named, Seq("__arm"))
+    // melt the 2×|probs| frame and pivot arms side by side
+    val melted = pct.select(col("__arm"),
+      explode(array(named.map { case (n, p) =>
+        struct(lit(p).as("prob"), col(n).as("q"))
+      }: _*)).as("s"))
+      .select(col("__arm"), col("s.prob").as("prob"), col("s.q").as("q"))
+    melted.groupBy("prob")
+      .agg(max(when(col("__arm") === "a", col("q"))).as("q_a"),
+        max(when(col("__arm") === "b", col("q"))).as("q_b"))
+      .select(col("prob"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("qq_diff"),
+        when(col("q_b") =!= 0, col("q_a") / col("q_b")).as("qq_ratio"))
+  }
+
+  /**
    * Wald's Sequential Probability Ratio Test on a daily binary
    * stream — the FULLY sequential companion to the group-sequential
    * O'Brien–Fleming monitor: test H0: p = p0 vs H1: p = p1 by the

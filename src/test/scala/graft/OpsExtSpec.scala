@@ -6181,6 +6181,29 @@ class OpsExtSpec extends AnyFunSuite {
       hot.getAs[Long]("conversions") == 100)
   }
 
+  test("qqTable: identical arms on the diagonal, shift moves it") {
+    import spark.implicits._
+    val vals = (1 to 100).map(_.toDouble)
+    val same = (vals.map((_, 0L)) ++ vals.map((_, 1L))).toDF("v", "u")
+    val out = graft.analysis.AnalysisPlanner
+      .qqTable(same, "v", col("u") % 2 === 0, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getAs[Double]("prob") -> r).toMap
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qq_diff")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("qq_ratio") - 1.0) < 1e-12)
+    }
+    // median of 1..100 is the interpolated 50.5
+    assert(math.abs(out(0.5).getAs[Double]("q_a") - 50.5) < 1e-12)
+    // arm a shifted +10: every quantile gap is exactly 10
+    val shifted = (vals.map(v => (v + 10, 0L)) ++ vals.map((_, 1L)))
+      .toDF("v", "u")
+    graft.analysis.AnalysisPlanner
+      .qqTable(shifted, "v", col("u") % 2 === 0, Seq(0.25, 0.5, 0.75))
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("qq_diff") - 10.0) < 1e-12)
+      }
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
