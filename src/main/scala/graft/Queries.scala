@@ -13373,6 +13373,30 @@ object Queries {
              round(CASE WHEN qb <> 0 THEN qa / qb END, 6) AS qq_ratio
       FROM u ORDER BY prob"""))
 
+  /** Spiegelhalter calibration z on the q142 scored-orders frame —
+    * the hypothesis-test companion to q319's ECE. */
+  private val q351 = Entry(
+    "q351_calibration_z",
+    (s, d) =>
+      graft.ops.Evaluation
+        .calibrationZTest(scoredOrders(s, d), "label", "score")
+        .select(col("n"), r6(col("base_rate")).as("base_rate"),
+          r6(col("mean_score")).as("mean_score"),
+          r6(col("brier")).as("brier"), r6(col("z_stat")).as("z_stat")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      c AS (SELECT y, least(greatest(p, 0.000001), 0.999999) AS pc
+            FROM sc),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(pc) AS sp,
+                   avg(pow(pc - y, 2)) AS brier,
+                   sum((y - pc) * (1 - 2 * pc)) AS num,
+                   sum(pow(1 - 2 * pc, 2) * pc * (1 - pc)) AS den
+            FROM c)
+      SELECT n::BIGINT AS n, round(sy / n, 6) AS base_rate,
+             round(sp / n, 6) AS mean_score, round(brier, 6) AS brier,
+             round(num / sqrt(den), 6) AS z_stat
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13398,7 +13422,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

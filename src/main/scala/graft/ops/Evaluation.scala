@@ -1757,6 +1757,39 @@ object Evaluation {
   }
 
   /**
+   * Spiegelhalter's calibration z-test — the HYPOTHESIS-TEST
+   * companion to the descriptive ECE/calibration curve: under the
+   * null that every predicted probability p is correct,
+   * Z = Σ(y−p)(1−2p) / √Σ(1−2p)²·p·(1−p) ~ N(0,1). Positive Z means
+   * outcomes beat the probabilities where p < ½ and undershoot where
+   * p > ½ — i.e. predictions are too extreme; the Brier score alone
+   * cannot distinguish miscalibration from irreducible noise, which
+   * is exactly what this decomposes out. Scores clip to
+   * [1e−6, 1−1e−6] (a hard 0/1 claim has zero null variance).
+   * Returns ONE row: (n, base_rate, mean_score, brier, z_stat).
+   *
+   * ONE map-side-combined scan, 1-row output.
+   */
+  def calibrationZTest(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(1e-6)),
+      lit(1.0 - 1e-6))
+    df.where(y.isNotNull && col(scoreCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(y).as("__sy"), sum(p).as("__sp"),
+        avg(pow(p - y, 2)).as("brier"),
+        sum((y - p) * (lit(1.0) - lit(2.0) * p)).as("__num"),
+        sum(pow(lit(1.0) - lit(2.0) * p, 2) * p * (lit(1.0) - p))
+          .as("__den"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__sy") / col("__n")).as("base_rate"),
+        (col("__sp") / col("__n")).as("mean_score"), col("brier"),
+        when(col("__den") > 0, col("__num") / sqrt(col("__den")))
+          .as("z_stat"))
+  }
+
+  /**
    * Mediation analysis (Baron–Kenny / product-of-coefficients): how
    * much of x's effect on y flows THROUGH the mediator m? Three
    * closed-form OLS fits from ONE pairwise-moments scan — total

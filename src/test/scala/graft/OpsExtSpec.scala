@@ -6204,6 +6204,27 @@ class OpsExtSpec extends AnyFunSuite {
       }
   }
 
+  test("calibrationZTest: perfect probabilities ≈ 0, extreme ones flag") {
+    import spark.implicits._
+    // y follows p exactly in aggregate: for each p-cell, the label
+    // rate equals p → the numerator cancels cell by cell
+    val calibrated = Seq.fill(3)((1.0, 0.75)) ++ Seq((0.0, 0.75)) ++
+      Seq((1.0, 0.25)) ++ Seq.fill(3)((0.0, 0.25))
+    val r = graft.ops.Evaluation
+      .calibrationZTest(calibrated.toDF("y", "s"), "y", "s").head
+    assert(r.getAs[Long]("n") == 8)
+    assert(math.abs(r.getAs[Double]("z_stat")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("base_rate") - 0.5) < 1e-12)
+    // overconfident scores: claims 0.9/0.1 while truth is 50/50 →
+    // outcomes regress toward the middle → strongly positive z
+    val extreme = Seq((1.0, 0.9), (0.0, 0.9), (1.0, 0.1), (0.0, 0.1),
+      (1.0, 0.9), (0.0, 0.9), (1.0, 0.1), (0.0, 0.1))
+    val r2 = graft.ops.Evaluation
+      .calibrationZTest(extreme.toDF("y", "s"), "y", "s").head
+    assert(r2.getAs[Double]("z_stat") > 2,
+      s"overconfidence must flag, got ${r2.getAs[Double]("z_stat")}")
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
