@@ -13397,6 +13397,47 @@ object Queries {
              round(num / sqrt(den), 6) AS z_stat
       FROM a"""))
 
+  /** Horizon backtest: naive-persistence error growth over 1..7-day
+    * lead times on each event type's daily revenue series. */
+  private val q352 = Entry(
+    "q352_horizon_backtest",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .as("t"))
+        .agg(sum("value").as("rev"))
+      graft.ops.Evaluation
+        .horizonBacktest(daily, Seq("event_type"), "t", "rev", 7)
+        .select(col("event_type"), col("horizon").cast("long")
+            .as("horizon"), col("n_points"),
+          r6(col("mae")).as("mae"), r6(col("rmse")).as("rmse"),
+          r6(col("smape")).as("smape"))
+        .orderBy("event_type", "horizon")
+    },
+    Some("""
+      WITH daily AS (SELECT event_type AS g,
+                       date_diff('day', DATE '2024-01-01', ts::DATE)
+                         AS t,
+                       sum("value") AS y
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+      h AS (SELECT unnest(generate_series(1, 7)) AS horizon),
+      sh AS (SELECT g, t + horizon AS t, horizon, y AS f
+             FROM daily, h),
+      j AS (SELECT sh.g, sh.horizon, sh.f, daily.y
+            FROM sh JOIN daily ON sh.g = daily.g AND sh.t = daily.t)
+      SELECT g AS event_type, horizon::BIGINT AS horizon,
+             count(*) AS n_points,
+             round(avg(abs(y - f)), 6) AS mae,
+             round(sqrt(avg(pow(y - f, 2))), 6) AS rmse,
+             round(avg(CASE WHEN abs(y) + abs(f) <> 0
+               THEN 2 * abs(y - f) / (abs(y) + abs(f)) END), 6)
+               AS smape
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13422,7 +13463,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -744,6 +744,47 @@ object Evaluation {
   }
 
   /**
+   * Rolling-origin horizon backtest of the naive persistence
+   * forecast: how fast does error GROW with lead time? For every
+   * horizon h = 1..maxHorizon each point is forecast by the value h
+   * steps earlier; per (key, horizon) the standard error battery
+   * (MAE, RMSE, sMAPE) comes back as one row — the curve that tells
+   * you how far ahead a metric is forecastable at all, and the
+   * baseline every model's horizon curve must beat
+   * (the per-lead-time extension of [[forecastAccuracy]]'s fixed
+   * season). Returns (key…, horizon, n_points, mae, rmse, smape).
+   *
+   * Scale shape: the [[crossCorrelation]] lag-grid discipline — the
+   * rolled-up series is exploded |horizons|× with the forecast
+   * shifted onto its target x, then ONE (key, x)-keyed join and one
+   * grouped reduce. No per-horizon rescan, no window at all.
+   */
+  def horizonBacktest(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String, maxHorizon: Int = 7): DataFrame = {
+    require(maxHorizon >= 1, "horizonBacktest: maxHorizon >= 1")
+    val base = df
+      .select(keyCols.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("double").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint() // both sides of the horizon join read it
+    val hs = (1 to maxHorizon).map(h => lit(h))
+    val shifted = base
+      .select(keyCols.map(col) :+ col("__x") :+ col("__y") :+
+        explode(array(hs: _*)).as("horizon"): _*)
+      .select(keyCols.map(col) :+ (col("__x") + col("horizon"))
+        .as("__x") :+ col("horizon") :+ col("__y").as("__f"): _*)
+    graft.analysis.PrefixSum
+      .joinNullSafe(shifted, base, keyCols :+ "__x")
+      .groupBy((keyCols :+ "horizon").map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        avg(abs(col("__y") - col("__f"))).as("mae"),
+        sqrt(avg(pow(col("__y") - col("__f"), 2))).as("rmse"),
+        avg(when(abs(col("__y")) + abs(col("__f")) =!= 0,
+          lit(2.0) * abs(col("__y") - col("__f")) /
+            (abs(col("__y")) + abs(col("__f"))))).as("smape"))
+  }
+
+  /**
    * Propensity-score stratification (Cochran/Rosenbaum–Rubin subclass
    * matching) — the observational-data effect estimate when treatment
    * wasn't randomized: rows are bucketed into `bins` equal-width

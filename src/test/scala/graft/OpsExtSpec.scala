@@ -6225,6 +6225,31 @@ class OpsExtSpec extends AnyFunSuite {
       s"overconfidence must flag, got ${r2.getAs[Double]("z_stat")}")
   }
 
+  test("horizonBacktest: linear ramp errors scale with the horizon") {
+    import spark.implicits._
+    // y = 3t: the naive-h forecast misses by exactly 3h everywhere
+    val df = (0 until 30).map(t => ("k", t.toLong, 3.0 * t))
+      .toDF("k", "t", "y")
+    val out = graft.ops.Evaluation
+      .horizonBacktest(df, Seq("k"), "t", "y", 3)
+      .collect().map(r => r.getAs[Int]("horizon") -> r).toMap
+    assert(out.keySet == Set(1, 2, 3))
+    (1 to 3).foreach { h =>
+      val r = out(h)
+      assert(r.getAs[Long]("n_points") == 30 - h)
+      assert(math.abs(r.getAs[Double]("mae") - 3.0 * h) < 1e-9)
+      assert(math.abs(r.getAs[Double]("rmse") - 3.0 * h) < 1e-9)
+    }
+    // constant series: every horizon forecasts perfectly
+    val flat = (0 until 10).map(t => ("k", t.toLong, 5.0))
+      .toDF("k", "t", "y")
+    graft.ops.Evaluation.horizonBacktest(flat, Seq("k"), "t", "y", 2)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("mae") == 0.0)
+        assert(r.getAs[Double]("smape") == 0.0)
+      }
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
