@@ -13438,6 +13438,35 @@ object Queries {
                AS smape
       FROM j GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Two-proportion sample-size planner: detecting a +10% relative
+    * lift on the observed purchase share at 5%/80% — with the
+    * days-of-traffic answer a launch review asks for. */
+  private val q353 = Entry(
+    "q353_sample_size",
+    (s, d) =>
+      graft.ops.Evaluation
+        .binarySampleSize(Tables.events(s, d), "ts",
+          col("event_type") === "purchase", relativeLift = 0.10)
+        .select(col("n"), r6(col("baseline_rate")).as("baseline_rate"),
+          r6(col("target_rate")).as("target_rate"), col("n_per_arm"),
+          r6(col("days_per_arm")).as("days_per_arm")),
+    Some("""
+      WITH a AS (SELECT count(*)::DOUBLE AS n,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1.0
+                     ELSE 0 END) AS x,
+                   count(DISTINCT ts::DATE)::DOUBLE AS days
+                 FROM events WHERE ts IS NOT NULL),
+      r AS (SELECT n, days, x / n AS p1, x / n * 1.1 AS p2 FROM a),
+      f AS (SELECT n, days, p1, p2,
+              ceil(pow(1.959964 + 0.841621, 2) *
+                (p1 * (1 - p1) + p2 * (1 - p2)) /
+                pow(p2 - p1, 2))::BIGINT AS npa
+            FROM r)
+      SELECT n::BIGINT AS n, round(p1, 6) AS baseline_rate,
+             round(p2, 6) AS target_rate, npa AS n_per_arm,
+             round(npa / (n / days / 2), 6) AS days_per_arm
+      FROM f"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13463,7 +13492,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -744,6 +744,45 @@ object Evaluation {
   }
 
   /**
+   * Two-proportion sample-size planner from the OBSERVED baseline:
+   * read p̂ off the corpus, posit a relative lift, and return the
+   * per-arm n the classic two-proportion z test needs:
+   * n = (z_α/2 + z_power)²·(p₁q₁ + p₂q₂)/(p₁−p₂)² — the binary
+   * companion to the continuous MDE sizing. Also reports how many
+   * days of traffic that is at the observed daily event rate — the
+   * number a launch review actually asks for. z quantiles are
+   * caller-supplied literals (defaults: two-sided 5% / 80% power),
+   * so the whole computation replays as algebra in any engine.
+   * Returns ONE row: (n, baseline_rate, target_rate, n_per_arm,
+   * days_per_arm).
+   *
+   * ONE scan (count, conversions, distinct days), 1-row algebra.
+   */
+  def binarySampleSize(df: DataFrame, tsCol: String, convCond: Column,
+      relativeLift: Double, zAlpha: Double = 1.959964,
+      zPower: Double = 0.841621): DataFrame = {
+    require(relativeLift != 0, "binarySampleSize: zero lift")
+    df.where(col(tsCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(convCond, 1.0).otherwise(0.0)).as("__x"),
+        countDistinct(to_date(col(tsCol))).cast("double").as("__days"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__x") / col("__n")).as("baseline_rate"),
+        (col("__x") / col("__n") * (1 + relativeLift))
+          .as("target_rate"), col("__n"), col("__days"))
+      .withColumn("n_per_arm",
+        ceil(pow(lit(zAlpha + zPower), 2) *
+          (col("baseline_rate") * (lit(1.0) - col("baseline_rate")) +
+            col("target_rate") * (lit(1.0) - col("target_rate"))) /
+          pow(col("target_rate") - col("baseline_rate"), 2))
+          .cast("long"))
+      .withColumn("days_per_arm",
+        col("n_per_arm") / (col("__n") / col("__days") / 2))
+      .select(col("n"), col("baseline_rate"), col("target_rate"),
+        col("n_per_arm"), col("days_per_arm"))
+  }
+
+  /**
    * Rolling-origin horizon backtest of the naive persistence
    * forecast: how fast does error GROW with lead time? For every
    * horizon h = 1..maxHorizon each point is forecast by the value h

@@ -6250,6 +6250,34 @@ class OpsExtSpec extends AnyFunSuite {
       }
   }
 
+  test("binarySampleSize: textbook n for p=0.2 +10% lift") {
+    import spark.implicits._
+    // 5 events/day over 20 days, one in five converts → p̂ = 0.2
+    val rows = (0 until 100).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 6, 1).plusDays(i / 5).atTime(9, 0)),
+        i % 5 == 0)
+    }
+    val r = graft.ops.Evaluation
+      .binarySampleSize(rows.toDF("ts", "c"), "ts", col("c"), 0.10)
+      .head
+    assert(r.getAs[Long]("n") == 100)
+    assert(math.abs(r.getAs[Double]("baseline_rate") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("target_rate") - 0.22) < 1e-12)
+    // closed form: (1.959964+0.841621)^2 (0.16 + 0.1716) / 0.02^2
+    val want = math.ceil(math.pow(1.959964 + 0.841621, 2) *
+      (0.2 * 0.8 + 0.22 * 0.78) / math.pow(0.02, 2)).toLong
+    assert(r.getAs[Long]("n_per_arm") == want)
+    // traffic check: n/day = 5 → 2.5 per arm per day
+    assert(math.abs(r.getAs[Double]("days_per_arm") -
+      want / 2.5) < 1e-6)
+    // bigger lift needs far fewer subjects
+    val big = graft.ops.Evaluation
+      .binarySampleSize(rows.toDF("ts", "c"), "ts", col("c"), 0.5)
+      .head
+    assert(big.getAs[Long]("n_per_arm") < want / 10)
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
