@@ -13467,6 +13467,46 @@ object Queries {
              round(npa / (n / days / 2), 6) AS days_per_arm
       FROM f"""))
 
+  /** k-sample Anderson–Darling across the five event types — the
+    * tail-sensitive omnibus next to q300's rank-based KW. */
+  private val q354 = Entry(
+    "q354_k_sample_ad",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .kSampleAndersonDarling(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("n"), col("n_groups"),
+          r6(col("ad_stat")).as("ad_stat")),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (SELECT v, g, count(*)::DOUBLE AS f FROM d GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT v FROM cells),
+      grps AS (SELECT DISTINCT g FROM cells),
+      grid AS (SELECT vals.v, grps.g, coalesce(cells.f, 0) AS f
+               FROM vals CROSS JOIN grps
+               LEFT JOIN cells ON cells.v = vals.v AND cells.g = grps.g),
+      pre AS (SELECT v, g, f,
+                coalesce(sum(f) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + f AS m
+              FROM grid),
+      pl AS (SELECT v, sum(f) AS fj FROM cells GROUP BY 1),
+      plp AS (SELECT v, fj,
+                coalesce(sum(fj) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + fj AS b
+              FROM pl),
+      sz AS (SELECT g, sum(f) AS ni FROM cells GROUP BY 1),
+      t AS (SELECT sum(f) AS nn, count(DISTINCT g) AS k FROM cells)
+      SELECT t.nn::BIGINT AS n, t.k AS n_groups,
+             round(sum(plp.fj *
+               pow(t.nn * pre.m - sz.ni * plp.b, 2) /
+               (plp.b * (t.nn - plp.b) * sz.ni)) / t.nn, 6) AS ad_stat
+      FROM pre JOIN plp ON pre.v = plp.v JOIN sz ON pre.g = sz.g, t
+      WHERE plp.b < t.nn
+      GROUP BY t.nn, t.k"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13492,7 +13532,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2897,6 +2897,60 @@ object AnalysisPlanner {
   }
 
   /**
+   * k-sample Anderson–Darling (Scholz–Stephens 1987, right-continuous
+   * form): do ALL k groups draw from one distribution, with the
+   * AD family's tail sensitivity — the omnibus that catches what the
+   * rank-based [[kruskalWallis]] misses when groups differ in SPREAD
+   * or tails rather than location?
+   * A²_kN = (1/N)·Σ_i (1/n_i)·Σ_{j: B_j<N} f_j·(N·M_ij − n_i·B_j)²
+   * / (B_j·(N−B_j)); for k = 2 this reduces EXACTLY to the
+   * two-sample [[andersonDarling]] statistic (asserted in the spec).
+   * Statistic-only, per the StatTest-family contract. Returns ONE
+   * row: (n, n_groups, ad_stat).
+   *
+   * Scale shape: the [[jonckheereTerpstra]] grid — one (value, group)
+   * cell groupBy expanded to the distinct-values × k grid so every
+   * group's inclusive CDF count is defined at every pooled value,
+   * ONE grouped [[PrefixSum]], a broadcast ≤k-row group-size join,
+   * one 1-row reduce.
+   */
+  def kSampleAndersonDarling(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__f"))
+      .localCheckpoint() // grid + pooled counts + group sizes read it
+    val values = cells.select("__v").distinct()
+    val groups = cells.select("__g").distinct()
+    val grid = values.crossJoin(broadcast(groups))
+      .join(cells, Seq("__v", "__g"), "left")
+      .na.fill(0.0, Seq("__f"))
+    val pre = PrefixSum.exclusive(grid, "__v", Seq("__f" -> "__mx"),
+        groupCols = Seq("__g"))
+      .withColumn("__m", col("__mx") + col("__f"))
+    val pooled = cells.groupBy("__v")
+      .agg(sum(col("__f")).as("__fj"))
+    val pooledPre = PrefixSum.exclusive(pooled, "__v",
+        Seq("__fj" -> "__bx"))
+      .withColumn("__b", col("__bx") + col("__fj"))
+    val sizes = cells.groupBy("__g").agg(sum(col("__f")).as("__ni"))
+    val tot = broadcast(cells.agg(sum(col("__f")).as("__nn"),
+      countDistinct(col("__g")).as("__k")))
+    PrefixSum.joinNullSafe(pre, pooledPre.select("__v", "__fj", "__b"),
+        Seq("__v"))
+      .join(broadcast(sizes), Seq("__g"))
+      .crossJoin(tot)
+      .where(col("__b") < col("__nn"))
+      .agg(max(col("__nn")).cast("long").as("n"),
+        max(col("__k")).as("n_groups"),
+        (sum(col("__fj") *
+          pow(col("__nn") * col("__m") - col("__ni") * col("__b"), 2) /
+          (col("__b") * (col("__nn") - col("__b")) * col("__ni"))) /
+          max(col("__nn"))).as("ad_stat"))
+  }
+
+  /**
    * Two-sample Q–Q table: the exact interpolated quantiles of both
    * arms at a shared probability grid, side by side with their gap
    * and ratio — the table behind a Q–Q plot, and the distribution

@@ -6278,6 +6278,29 @@ class OpsExtSpec extends AnyFunSuite {
     assert(big.getAs[Long]("n_per_arm") < want / 10)
   }
 
+  test("kSampleAndersonDarling: k=2 equals the two-sample statistic") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.5), ("a", 4.0), ("a", 6.0),
+      ("b", 2.0), ("b", 3.0), ("b", 5.0), ("b", 5.0), ("b", 7.0))
+    val df = rows.toDF("g", "v")
+    val k2 = graft.analysis.AnalysisPlanner
+      .kSampleAndersonDarling(df, "g", "v").head
+    val two = graft.analysis.AnalysisPlanner
+      .andersonDarling(df, "v", col("g") === "a").head
+    assert(k2.getAs[Long]("n") == 9 && k2.getAs[Long]("n_groups") == 2)
+    assert(math.abs(k2.getAs[Double]("ad_stat") -
+      two.getAs[Double]("a2")) < 1e-12,
+      s"k=2 must reduce: ${k2.getAs[Double]("ad_stat")} vs " +
+        s"${two.getAs[Double]("a2")}")
+    // a clearly shifted third group inflates the statistic
+    val shifted = (rows ++ Seq.tabulate(5)(i => ("c", 50.0 + i)))
+      .toDF("g", "v")
+    val k3 = graft.analysis.AnalysisPlanner
+      .kSampleAndersonDarling(shifted, "g", "v").head
+    assert(k3.getAs[Long]("n_groups") == 3)
+    assert(k3.getAs[Double]("ad_stat") > k2.getAs[Double]("ad_stat"))
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
