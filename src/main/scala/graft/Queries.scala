@@ -13507,6 +13507,36 @@ object Queries {
       WHERE plp.b < t.nn
       GROUP BY t.nn, t.k"""))
 
+  /** Mood's median test across the five event types — the
+    * outlier-proof k-sample location check vs the pooled median. */
+  private val q355 = Entry(
+    "q355_mood_median",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner
+        .moodMedianTest(Tables.events(s, d), "event_type", "value")
+        .select(col("n"), col("n_groups"),
+          r6(col("pooled_median")).as("pooled_median"),
+          r6(col("chi2")).as("chi2"), col("dof")),
+    Some("""
+      WITH d AS (SELECT event_type AS g, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      m AS (SELECT quantile_cont(v, 0.5) AS med FROM d),
+      f AS (SELECT g,
+              sum(CASE WHEN v > m.med THEN 1.0 ELSE 0 END) AS a,
+              sum(CASE WHEN v < m.med THEN 1.0 ELSE 0 END) AS b
+            FROM d, m GROUP BY 1),
+      t AS (SELECT sum(a) AS ta, sum(b) AS tb FROM f),
+      x AS (SELECT f.g, f.a, f.b, f.a + f.b AS ni, t.ta, t.tb,
+                   t.ta + t.tb AS nn
+            FROM f, t)
+      SELECT max(nn)::BIGINT AS n, count(*) AS n_groups,
+             round(max(m.med), 6) AS pooled_median,
+             round(sum(pow(a - ni * ta / nn, 2) / (ni * ta / nn) +
+               pow(b - ni * tb / nn, 2) / (ni * tb / nn)), 6) AS chi2,
+             count(*) - 1 AS dof
+      FROM x, m"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13532,7 +13562,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2897,6 +2897,46 @@ object AnalysisPlanner {
   }
 
   /**
+   * Mood's median test: does every group put the same share of mass
+   * above the POOLED median? The bluntest, most outlier-proof of the
+   * k-sample location tests (only signs vs the pooled median are
+   * used — right when values are wild enough that even ranks
+   * mislead). Values exactly AT the pooled median are dropped (the
+   * standard convention); the statistic is the 2×k contingency χ²
+   * over above/below counts, ~χ²(k−1) under H0. Returns ONE row:
+   * (n, n_groups, pooled_median, chi2, dof).
+   *
+   * Scale shape: the pooled exact median via [[exactPercentiles]]'
+   * prefix-sum path (one driver scalar — the GLM convention), then
+   * ONE conditional grouped count and a ≤k-row χ² reduce.
+   */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__x"))
+      .localCheckpoint() // the median probe + the count scan read it
+    val med = exactPercentiles(base, "__x", Seq(("m", 0.5)), Nil)
+      .head().getAs[Double]("m")
+    val per = base.where(col("__x") =!= med)
+      .groupBy("__g")
+      .agg(sum(when(col("__x") > med, 1.0).otherwise(0.0)).as("__a"),
+        sum(when(col("__x") < med, 1.0).otherwise(0.0)).as("__b"))
+    per.crossJoin(broadcast(per.agg(sum(col("__a")).as("__ta"),
+        sum(col("__b")).as("__tb"))))
+      .withColumn("__ni", col("__a") + col("__b"))
+      .withColumn("__nn", col("__ta") + col("__tb"))
+      .withColumn("__ea", col("__ni") * col("__ta") / col("__nn"))
+      .withColumn("__eb", col("__ni") * col("__tb") / col("__nn"))
+      .agg(max(col("__nn")).cast("long").as("n"),
+        count(lit(1)).as("n_groups"),
+        sum(pow(col("__a") - col("__ea"), 2) / col("__ea") +
+          pow(col("__b") - col("__eb"), 2) / col("__eb")).as("chi2"))
+      .select(col("n"), col("n_groups"), lit(med).as("pooled_median"),
+        col("chi2"), (col("n_groups") - 1).as("dof"))
+  }
+
+  /**
    * k-sample Anderson–Darling (Scholz–Stephens 1987, right-continuous
    * form): do ALL k groups draw from one distribution, with the
    * AD family's tail sensitivity — the omnibus that catches what the

@@ -6301,6 +6301,27 @@ class OpsExtSpec extends AnyFunSuite {
     assert(k3.getAs[Double]("ad_stat") > k2.getAs[Double]("ad_stat"))
   }
 
+  test("moodMedianTest: hand 2x2 split and at-median drop") {
+    import spark.implicits._
+    // pooled median of 1..8 is 4.5; group a sits below, b above
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(5.0, 6.0, 7.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .moodMedianTest(df, "g", "v").head
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("n_groups") == 2)
+    assert(math.abs(r.getAs[Double]("pooled_median") - 4.5) < 1e-12)
+    // perfect separation in a 2×2 with all margins 4: chi2 = 8
+    assert(math.abs(r.getAs[Double]("chi2") - 8.0) < 1e-12)
+    assert(r.getAs[Long]("dof") == 1)
+    // identical groups: chi2 exactly 0; at-median values drop from n
+    val same = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("b", _))).toDF("g", "v")
+    val r2 = graft.analysis.AnalysisPlanner
+      .moodMedianTest(same, "g", "v").head
+    assert(math.abs(r2.getAs[Double]("chi2")) < 1e-12)
+    assert(r2.getAs[Long]("n") == 4, "the two at-median rows drop")
+  }
+
   test("keyness: planted over-represented terms surface signed") {
     import spark.implicits._
     val docs = Seq(
