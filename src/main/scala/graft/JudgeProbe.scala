@@ -8,8 +8,9 @@ object JudgeProbe {
         .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val names = Seq("q211_negative_edges", "q168_theil_sen",
-      "q200_label_propagation")
+    val names = Seq("q234_hop_distance", "q317_modularity",
+      "q304_dawid_skene", "q238_bpe_merges", "q296_rmst_by_arm",
+      "q256_hits", "q221_kcore")
     val qs = Queries.queries
     // warm the shared table cache
     Tables.events(spark, dir).count()
