@@ -64,7 +64,7 @@ object Bench {
       // a failed query's time-to-throw is meaningless — record NaN so
       // neither the per-query map nor the headline total carries it
       // (the err map + FAILED line are the failure record)
-      name -> (if (err.isEmpty) times.min else Double.NaN)
+      (name, if (err.isEmpty) times.min else Double.NaN, times)
     }
     // COMPACT line — values rounded to ms so the whole record stays
     // ~2.5 KB: the artifact capture keeps a bounded tail (~4 KB) and a
@@ -72,8 +72,16 @@ object Bench {
     def ms(v: Double): String =
       if (v.isNaN) "null" // failed query: JSON null, never a fake time
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // every raw sample per query rides in the committed file (NOT the
+    // stdout line, which must stay tail-safe): cross-round compares
+    // read the spread to self-adjudicate noise — a real regression is
+    // ALL samples slow (tight spread, high min); a noisy one is a wide
+    // spread whose min still lands low
+    val samples = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // the headline total reflects successfully executed plans only
     val total = results.map(_._2).filterNot(_.isNaN).sum
     spark.stop()
@@ -94,9 +102,10 @@ object Bench {
     // bounded TAIL, which head-clipped q01–q24 out of BENCH_r05 — the
     // committed file can never lose entries that way
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${failed.size},"err":$errJson,"queries":$qs,"value":${ms(total)}}"""
+    val fullWithSamples = full.dropRight(1) + s""","samples":$samples}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
+      (fullWithSamples + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     // printed LAST, after spark shutdown, so no log line can trail it —

@@ -5216,19 +5216,27 @@ object Queries {
     * power-iteration steps from uniform; suppliers are all dangling,
     * exercising the dangling-mass redistribution). The oracle unrolls
     * the same three iterations as nested CTEs. */
-  /** The customer↔supplier interaction graph shared by q158/q200/q211:
+  /** The customer↔supplier interaction graph shared by the 10 graph
+    * queries (q158/q164/q200/q211/q221/q222/q232/q234/q256/q317):
     * DISTINCT over the (custkey, suppkey) INT pairs first — the shuffle
     * dedups 8-byte keys, not the ~600k concat'd strings it would
     * otherwise carry — then widened to the prefixed string node ids
-    * map-side (the graph ops' own distinct then sees pre-deduped rows). */
+    * map-side (the graph ops' own distinct then sees pre-deduped rows).
+    * Materialized ONCE per (session, dir) via [[Tables.materialized]]:
+    * the orders⋈lineitem distinct build runs on the first graph query
+    * and every later one reads the localCheckpoint — the feature-store
+    * move of registering a derived edge table once and reading it many
+    * times. Each query's DuckDB oracle still derives its own edges. */
   private def custSuppEdges(s: SparkSession, d: String) =
-    Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-      .select(concat(lit("c"), col("ck")).as("src"),
-        concat(lit("s"), col("sk")).as("dst"))
+    Tables.materialized(s, d, "cust_supp_edges") {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select(concat(lit("c"), col("ck")).as("src"),
+          concat(lit("s"), col("sk")).as("dst"))
+    }
 
   private val q158 = Entry(
     "q158_pagerank",
@@ -10915,32 +10923,32 @@ object Queries {
   private val q296 = Entry(
     "q296_rmst_by_arm",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      def surv(par: Int) = {
-        val hit = when(col("event_type") === "purchase" &&
-          col("value") > 200, col("ts"))
-        ev.where(col("user_id") % 2 === par)
-          .groupBy("user_id")
-          .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
-            max(col("ts")).as("__last"))
-          .select(
-            when(col("__hit").isNotNull,
-              datediff(to_date(col("__hit")), to_date(col("__first"))))
-              .otherwise(
-                datediff(to_date(col("__last")), to_date(col("__first"))))
-              .as("dur"),
-            when(col("__hit").isNotNull, lit(1)).otherwise(lit(0))
-              .as("ev"))
-      }
-      val even = AnalysisPlanner
-        .restrictedMeanSurvival(surv(0), "dur", "ev", 20.0)
-        .select(lit("even").as("arm"), col("n"), col("n_events"),
+      // ONE events scan: arm rides as a column through the per-user
+      // rollup, and the grouped restrictedMeanSurvival computes both
+      // arms' KM integrals from per-group prefix sums (was: two full
+      // scans + two separate survival chains).
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("user_id") % 2 === 0, lit("even"))
+            .otherwise(lit("odd")).as("arm"),
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0))
+            .as("ev"))
+      AnalysisPlanner
+        .restrictedMeanSurvival(surv, "dur", "ev", 20.0,
+          groupCols = Seq("arm"))
+        .select(col("arm"), col("n"), col("n_events"),
           r6(col("rmst")).as("rmst"))
-      val odd = AnalysisPlanner
-        .restrictedMeanSurvival(surv(1), "dur", "ev", 20.0)
-        .select(lit("odd").as("arm"), col("n"), col("n_events"),
-          r6(col("rmst")).as("rmst"))
-      even.unionByName(odd).orderBy("arm")
+        .orderBy("arm")
     },
     Some {
       def chain(p: String, par: Int, label: String) = s"""

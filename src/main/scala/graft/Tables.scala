@@ -71,4 +71,23 @@ object Tables {
   /** Register every table as a temp view (used by SQLTransform / spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- derived-frame materialization -----------------------------------
+  //
+  // Feature-store-native cross-query amortization: a derived frame that
+  // many queries share (e.g. the customer–supplier interaction edge
+  // list) is computed ONCE per (session, data dir) and reused as a
+  // localCheckpoint — exactly what registering a derived feature-group
+  // table buys on a cluster, where the materialization would be a
+  // written table rather than block-manager storage. Keyed by session
+  // identity so a stopped/replaced session never serves stale RDD
+  // blocks, and by dir so different SFs never cross-contaminate.
+  private val derivedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def materialized(spark: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame =
+    derivedMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => build.localCheckpoint())
 }

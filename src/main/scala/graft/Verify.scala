@@ -28,6 +28,12 @@ object Verify {
     // a non-reduced join side is corpus-sized by decree.
     // SPARK_GRAFT_LINT=off opts out for local debugging only.
     val lint = !sys.env.get("SPARK_GRAFT_LINT").contains("off")
+    // bounded-collect discipline rides the same gate: every driver
+    // collect issued while building/running ANY query must come from a
+    // cardinality-bounded plan (aggregate/limit/distinct/literal) — an
+    // unbounded collect added anywhere in the library fails verify.
+    val collectGuard = new graft.analysis.PlanLint.BoundedCollectListener
+    if (lint) spark.listenerManager.register(collectGuard)
     selected.foreach { case (name, fn) =>
       try {
         System.err.println(s"[verify] $name start")
@@ -52,6 +58,13 @@ object Verify {
       val line = s"[verify] FAILED ${bad.size}/${selected.size}: ${bad.mkString(",")}"
       System.err.println(line); println(line)
     } else println(s"[verify] OK ${selected.size}/${selected.size}")
+    // drain the async listener bus, then surface any unbounded collects
+    Thread.sleep(2000)
+    val unb = collectGuard.violations
+    if (unb.nonEmpty) {
+      val line = s"[verify] UNBOUNDED-COLLECT ${unb.size}: ${unb.take(5).mkString(" || ")}"
+      System.err.println(line); println(line)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

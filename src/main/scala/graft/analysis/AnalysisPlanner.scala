@@ -1432,9 +1432,11 @@ object AnalysisPlanner {
   /**
    * Kaplan–Meier survival estimator over (duration, event) rows —
    * `eventCol` = 1 for an observed event, 0 for right-censored. Returns
-   * one row per distinct EVENT time: (duration, n_risk, n_event,
-   * survival), where survival is the running product of (1 − d/n) over
-   * event times ≤ t.
+   * one row per distinct EVENT time (per `groupCols` group when
+   * grouped): (group…, duration, n_risk, n_event, survival), where
+   * survival is the running product of (1 − d/n) over event times ≤ t.
+   * Grouped curves (one KM per cohort/arm) run in the SAME single scan
+   * via per-group prefix sums.
    *
    * Scale shape: one groupBy collapses the corpus to distinct-duration
    * sufficient statistics; the at-risk counts and the running product
@@ -1446,23 +1448,33 @@ object AnalysisPlanner {
    * estimator itself is the standard KM product-limit form).
    */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
-    val g = df.groupBy(col(durationCol).cast("double").as("__t"))
+      eventCol: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
+    val g = df.groupBy(gc :+ col(durationCol).cast("double").as("__t"): _*)
       .agg(sum(col(eventCol).cast("double")).as("__d"),
         count(lit(1)).cast("double").as("__tot"))
-    val withRisk = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
-      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__N"))))
+    // per-group cohort size: 1-row broadcast ungrouped, a
+    // groups-bounded broadcast frame (null-safe keys) otherwise
+    val totals = df.groupBy(gc: _*)
+      .agg(count(lit(1)).cast("double").as("__N"))
+    val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"),
+      groupCols = groupCols)
+    val withRisk = (if (groupCols.isEmpty) pre.join(broadcast(totals))
+      else PrefixSum.joinNullSafe(pre, totals, groupCols,
+        broadcastRight = true))
       .withColumn("n_risk", col("__N") - col("__before"))
     // censored-only times contribute a factor of 1 — filter BEFORE the
     // product prefix so the window runs over event times only
     val ev = withRisk.where(col("__d") > 0)
       .withColumn("__lnf", log(lit(1.0) - col("__d") / col("n_risk")))
-    PrefixSum.exclusive(ev.select("__t", "n_risk", "__d", "__lnf"),
-        "__t", Seq("__lnf" -> "__lnp"))
-      .select(col("__t").as("duration"),
+    PrefixSum.exclusive(
+        ev.select(gc ++ Seq(col("__t"), col("n_risk"), col("__d"),
+          col("__lnf")): _*),
+        "__t", Seq("__lnf" -> "__lnp"), groupCols = groupCols)
+      .select(gc ++ Seq(col("__t").as("duration"),
         col("n_risk").cast("long").as("n_risk"),
         col("__d").cast("long").as("n_event"),
-        exp(col("__lnp") + col("__lnf")).as("survival"))
+        exp(col("__lnp") + col("__lnf")).as("survival")): _*)
   }
 
   /**
@@ -1852,8 +1864,12 @@ object AnalysisPlanner {
    * Restricted mean survival time: ∫₀^τ Ŝ(t)dt under the
    * [[kaplanMeier]] step curve — the "average event-free time through
    * horizon τ" summary that stays meaningful when the survival curve
-   * never reaches the median. Returns ONE row:
-   * (tau, n, n_events, rmst).
+   * never reaches the median. Returns ONE row per `groupCols` group
+   * (one row total when ungrouped): (group…, tau, n, n_events, rmst).
+   * With `groupCols` the whole contrast (e.g. per-arm RMST) runs as a
+   * SINGLE scan of the input with per-group prefix sums — the
+   * binaryMetrics conditional-aggregation discipline, vs one scan per
+   * arm.
    *
    * Scale shape: the KM event frame (≤ distinct event times) is
    * localCheckpointed, each step's successor time found by an
@@ -1863,32 +1879,45 @@ object AnalysisPlanner {
    * the rank-1 row.
    */
   def restrictedMeanSurvival(df: DataFrame, durationCol: String,
-      eventCol: String, tau: Double): DataFrame = {
+      eventCol: String, tau: Double,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(tau > 0, "restrictedMeanSurvival: tau > 0")
-    val km = kaplanMeier(df, durationCol, eventCol)
+    val gc = groupCols.map(col)
+    val km = kaplanMeier(df, durationCol, eventCol, groupCols)
       .localCheckpoint() // rank pass + shift join + reduce below
-    val vc = km.select(col("duration").as("__t"),
-      col("survival").as("__s"), lit(1.0).as("__one"))
-    val ranked = PrefixSum.exclusive(vc, "__t", Seq("__one" -> "__r"))
+    val vc = km.select(gc ++ Seq(col("duration").as("__t"),
+      col("survival").as("__s"), lit(1.0).as("__one")): _*)
+    val ranked = PrefixSum.exclusive(vc, "__t", Seq("__one" -> "__r"),
+        groupCols = groupCols)
       .localCheckpoint()
-    val next = ranked.select((col("__r") - 1).as("__rn"),
-      col("__t").as("__tn"))
-    val n = broadcast(df.agg(count(lit(1)).as("__n"),
-      sum(col(eventCol).cast("long")).as("__ne")))
+    val next = ranked.select(gc ++ Seq((col("__r") - 1).as("__rn"),
+      col("__t").as("__tn")): _*)
+    val n = df.groupBy(gc: _*).agg(count(lit(1)).as("__n"),
+      sum(col(eventCol).cast("long")).as("__ne"))
     // row r covers [t_r, t_{r+1}) at survival S_r; the last row runs
     // to τ; the pre-first-event span [0, t_1) at S=1 is the rank-0
     // virtual row, folded in as min(t_1, τ) below.
     val first = ranked.where(col("__r") === 0)
-      .select(least(col("__t"), lit(tau)).as("__seg"))
-    val spans = ranked.join(next, col("__r") === col("__rn"), "left")
-      .select((col("__s") *
+      .select(gc :+ least(col("__t"), lit(tau)).as("__seg"): _*)
+    val spans = (if (groupCols.isEmpty)
+        ranked.join(next, col("__r") === col("__rn"), "left")
+      else {
+        // shift join per group: rank r ⋈ r+1 within the SAME group
+        val nx = next.select(groupCols.map(c =>
+          col(c).as(s"__g_$c")) ++ Seq(col("__rn"), col("__tn")): _*)
+        ranked.join(nx, groupCols.map(c =>
+            col(c) <=> col(s"__g_$c")).reduce(_ && _) &&
+          col("__r") === col("__rn"), "left")
+      })
+      .select(gc :+ (col("__s") *
         (least(coalesce(col("__tn"), lit(tau)), lit(tau)) -
-          least(col("__t"), lit(tau)))).as("__seg"))
-    spans.unionByName(first)
-      .agg(sum(col("__seg")).as("rmst"))
-      .join(n)
-      .select(lit(tau).as("tau"), col("__n").as("n"),
-        col("__ne").as("n_events"), col("rmst"))
+          least(col("__t"), lit(tau)))).as("__seg"): _*)
+    val rmst = spans.unionByName(first)
+      .groupBy(gc: _*).agg(sum(col("__seg")).as("rmst"))
+    (if (groupCols.isEmpty) rmst.join(broadcast(n))
+     else PrefixSum.joinNullSafe(rmst, n, groupCols))
+      .select(gc ++ Seq(lit(tau).as("tau"), col("__n").as("n"),
+        col("__ne").as("n_events"), col("rmst")): _*)
   }
 
   /**

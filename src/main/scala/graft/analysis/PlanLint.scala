@@ -108,6 +108,61 @@ object PlanLint {
     out.result()
   }
 
+  /**
+   * Bounded-collect discipline, machine-checkable: a frame that is
+   * collected to the driver must be CARDINALITY-BOUNDED BY
+   * CONSTRUCTION — its plan, walked from the root through
+   * order-preserving operators, must reach an Aggregate / GlobalLimit
+   * / Distinct / Deduplicate / literal relation on EVERY corpus-fed
+   * path (joins/unions bound iff all inputs bound). A raw or
+   * filter-only scan feeding a collect is the driver-OOM shape this
+   * library bans (every model-fit collect here is a sufficient-stats
+   * aggregate, a ≤32-row guarded frame, or a 1-row bound).
+   */
+  def collectIsBounded(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate | _: GlobalLimit | _: Distinct |
+           _: Deduplicate | _: Range | _: LocalRelation |
+           _: OneRowRelation => true
+      case j: Join => collectIsBounded(j.left) && collectIsBounded(j.right)
+      case u: Union => u.children.forall(collectIsBounded)
+      case other if other.children.length == 1 =>
+        collectIsBounded(other.children.head)
+      case _ => false // leaf relation (corpus scan) or multi-child op
+    }
+  }
+
+  /**
+   * Session-wide enforcement of [[collectIsBounded]]: register via
+   * `spark.listenerManager.register(new BoundedCollectListener)`, run
+   * the workload, then assert `violations.isEmpty`. Flags every
+   * collect-family action (collect / collectAsList / head / take /
+   * toLocalIterator) whose optimized plan is not bounded — so an
+   * unbounded collect added anywhere in the library fails the Verify
+   * gate and the scalatest suite, not a 100 TB run.
+   */
+  final class BoundedCollectListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val watched = Set("collect", "collectAsList", "head",
+      "take", "toLocalIterator")
+    def violations: Seq[String] = {
+      val b = Seq.newBuilder[String]
+      bad.forEach(v => b += v)
+      b.result()
+    }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      if (watched(funcName) && !collectIsBounded(qe.optimizedPlan))
+        bad.add(s"unbounded $funcName: " +
+          qe.optimizedPlan.treeString.linesIterator.take(6).mkString(" | "))
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
   /** Throw (with every finding in the message) if the plan violates
     * the scale rules — the CI-gate form of [[audit]]. Thresholds pass
     * through so small-SF gates (Verify runs at sf0.01, where a raw

@@ -146,6 +146,14 @@ final case class SnapshotStore(path: String,
 
   // ------------------------------------------------------------- reads
 
+  /** The commit-log directory as a path. The log IS the store's change
+    * signal: each committed version writes exactly ONE new file here
+    * (the create-exclusive commit point), so a file stream over this
+    * directory yields one record batch per commit — no data-dir
+    * listing, no polling of row data. [[live.LiveTable.startOnSnapshotCommit]]
+    * uses it to refresh materializations from store commits. */
+  def commitLogPath: String = logDir.toString
+
   def latestVersion(spark: SparkSession): Option[Long] =
     listVersions(fs(spark)).lastOption
 

@@ -92,6 +92,38 @@ final class LiveTable(
     q
   }
 
+  /**
+   * on_change from a [[graft.etl.SnapshotStore]]: the store's commit
+   * log IS the change-data feed — every committed version writes
+   * exactly one new `_log` file at its atomic commit point, so a text
+   * file-stream over the log directory delivers one tiny record per
+   * commit (KB manifests, never row data), and `foreachBatch` triggers
+   * the same batch [[refresh]] as the raw file watch. With
+   * `cdc.maxFilesPerTrigger = 1` each commit becomes its own refresh
+   * batch; larger values debounce a burst of commits into one refresh
+   * — either way the materialization equals a batch recompute of the
+   * store head, because refresh re-runs `compute` against the
+   * committed snapshot (never a partial write: uncommitted data dirs
+   * are invisible by construction).
+   */
+  def startOnSnapshotCommit(store: graft.etl.SnapshotStore,
+      checkpointDir: String): StreamingQuery = {
+    require(policy.kind == "on_change", s"policy is ${policy.kind}")
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", cdc.maxFilesPerTrigger)
+      .text(store.commitLogPath)
+    val q = src.writeStream
+      .trigger(Trigger.ProcessingTime(s"${cdc.debounceSeconds} seconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) refresh(force = false, trigger = s"snapshot_commit_$id")
+        ()
+      }
+      .start()
+    stream = Some(q)
+    q
+  }
+
   def stopStream(): Unit = { stream.foreach(_.stop()); stream = None }
   def pause(): Unit = { paused = true }
   def resume(): Unit = { paused = false }

@@ -1901,17 +1901,21 @@ object Evaluation {
     val cxm = col("sxm") - col("sx") * col("sm") / col("n")
     val cxy = col("sxy") - col("sx") * col("sy") / col("n")
     val cmy = col("smy") - col("sm") * col("sy") / col("n")
-    val total = cxy / cxx
-    val aPath = cxm / cxx
+    // degenerate-input guards (the chowTest ANSI-mode convention):
+    // constant x → cxx = 0 (no total/a-path), collinear x/m → det = 0
+    // (no direct/b-path), zero total effect → NULL prop_mediated —
+    // each ratio reports NULL instead of a division error/NaN.
+    val total = when(cxx =!= 0, cxy / cxx)
+    val aPath = when(cxx =!= 0, cxm / cxx)
     // y ~ x + m on centered moments: 2×2 normal equations
     val det = cxx * cmm - cxm * cxm
-    val direct = (cxy * cmm - cmy * cxm) / det
-    val bPath = (cmy * cxx - cxy * cxm) / det
+    val direct = when(det =!= 0, (cxy * cmm - cmy * cxm) / det)
+    val bPath = when(det =!= 0, (cmy * cxx - cxy * cxm) / det)
     mo.select(col("n").cast("long").as("n"), total.as("total_effect"),
       aPath.as("a_path"), bPath.as("b_path"),
       direct.as("direct_effect"),
       (aPath * bPath).as("indirect_effect"),
-      (aPath * bPath / total).as("prop_mediated"))
+      when(total =!= 0, aPath * bPath / total).as("prop_mediated"))
   }
 
   /**

@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
  * scoreRound discipline) so an external engine replays the argmax
  * bit-stably.
  *
- * Scale shape: the ratings frame is the only corpus-sized object.
- * Per EM iteration: one item-keyed join (ratings ⋈ posteriors) into a
- * (rater, true, observed) groupBy for the M-step, and one broadcast
- * join (ratings ⋈ confusion) into an (item, label) groupBy for the
- * E-step — confusion/prior frames are raters×L² and L rows. No
- * window, no driver state beyond the label list (L ≤ 32, collected
- * once).
+ * Scale shape: the corpus is read ONCE, collapsed to distinct
+ * (item, rater, obs) vote cells with counts, item-hash-partitioned
+ * and checkpointed. Posteriors ride WIDE (one row per item, one
+ * column per label, L ≤ 32), so per EM iteration the plan is: one
+ * co-partitioned item join + a map-side-combined (rater, obs)
+ * aggregate for the M-step, and one broadcast join (cells ⋈ the
+ * raters×L-row confusion) + a map-side-combined groupBy(item) for
+ * the E-step, with the per-item max/exp/renormalize entirely
+ * row-local. No window, no corpus×L intermediate, no driver state
+ * beyond L priors and the label list (L ≤ 32, collected once).
  */
 object Labeling {
 
@@ -68,78 +71,110 @@ object Labeling {
       roundAt: Int = 9): DsResult = {
     require(iterations >= 1, "dawidSkene: iterations >= 1")
     require(alpha > 0, "dawidSkene: alpha > 0")
-    val ratings = df.select(col(itemCol).as("item"),
+    // The corpus is read ONCE: duplicate votes collapse to distinct
+    // (item, rater, obs) cells with a count — every later sum is
+    // count-weighted (Σ cnt·x replays Σ x over raw rows on the roundAt
+    // grid). The cells frame is item-hash-partitioned at checkpoint so
+    // the per-round posterior join reuses the partitioning instead of
+    // re-shuffling the corpus every iteration.
+    val cells = df.select(col(itemCol).as("item"),
         col(raterCol).as("rater"),
         col(labelCol).cast("string").as("obs"))
       .where(col("item").isNotNull && col("rater").isNotNull &&
         col("obs").isNotNull)
-      .localCheckpoint() // read every E and M step
-    val labels = ratings.select(col("obs").as("l")).distinct()
+      .groupBy("item", "rater", "obs")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .repartition(col("item"))
+      .localCheckpoint()
+    val labels = cells.select(col("obs").as("l")).distinct()
       .collect().map(_.getString(0)).sorted
     require(labels.length >= 2 && labels.length <= 32,
       s"dawidSkene: 2..32 labels (got ${labels.length})")
     val bigL = labels.length
-    val spark = df.sparkSession
-    import spark.implicits._
-    val labelsDf = broadcast(labels.toSeq.toDF("l"))
-    val nItems = broadcast(ratings.select("item").distinct()
-      .agg(count(lit(1)).cast("double").as("__ni")))
-    // initial posteriors: empirical vote share on the item×L grid
-    val votes = ratings.groupBy("item", "obs")
-      .agg(count(lit(1)).cast("double").as("__c"))
-    val perItem = votes.groupBy("item").agg(sum(col("__c")).as("__nr"))
-    var post = perItem.crossJoin(labelsDf)
-      .join(votes.withColumnRenamed("obs", "l"), Seq("item", "l"), "left")
-      .select(col("item"), col("l"),
-        round(coalesce(col("__c"), lit(0.0)) / col("__nr"), roundAt)
-          .as("w"))
+    val js = labels.indices
+    def wc(j: Int) = s"w_$j" // posterior weight column for label j
+    // posteriors ride WIDE: one row per item, one column per label
+    // (L ≤ 32 enforced above) — the per-item max/exp/normalize of the
+    // E-step becomes row-local arithmetic instead of three self-joins.
+    val perItem = cells.groupBy("item")
+      .agg(sum(col("cnt")).as("__nr"))
+    // initial posteriors: empirical vote share
+    var post = cells.groupBy("item")
+      .agg(sum(col("cnt")).as("__nr"),
+        js.map(j => sum(when(col("obs") === labels(j), col("cnt"))
+          .otherwise(lit(0.0))).as(s"__c$j")): _*)
+      .select(col("item") +: js.map(j =>
+        round(col(s"__c$j") / col("__nr"), roundAt).as(wc(j))): _*)
       .localCheckpoint()
-    var prior: DataFrame = null
-    var conf: DataFrame = null
+    var priorArr: Array[Double] = null
+    var confWide: DataFrame = null // (rater, obs, pi_0..pi_{L-1})
     for (_ <- 1 to iterations) {
-      // M-step: class priors and rater confusions from posteriors
-      prior = broadcast(post.groupBy("l")
-        .agg(sum(col("w")).as("__s")).crossJoin(nItems)
-        .select(col("l"), round((col("__s") + alpha) /
-          (col("__ni") + alpha * bigL), roundAt).as("p")))
-      val cells = ratings.join(post, Seq("item"))
-        .groupBy(col("rater"), col("l"), col("obs"))
-        .agg(sum(col("w")).as("__s"))
-        .localCheckpoint() // denominator rollup + normalized cells
-      val denom = cells.groupBy("rater", "l")
-        .agg(sum(col("__s")).as("__tot"))
-      conf = broadcast(cells.join(denom, Seq("rater", "l"))
-        .select(col("rater"), col("l"), col("obs"),
-          round((col("__s") + alpha) / (col("__tot") + alpha * bigL),
-            roundAt).as("pi")))
-      // E-step: log-space posterior per (item, l), renormalized
-      val scored = ratings.join(conf, Seq("rater", "obs"))
-        .groupBy("item", "l").agg(sum(log(col("pi"))).as("__sl"))
-        .join(prior, Seq("l"))
-        .select(col("item"), col("l"),
-          round(col("__sl") + log(col("p")), roundAt).as("__s"))
-        .localCheckpoint() // max join + normalization read it twice
-      val mx = scored.groupBy("item").agg(max(col("__s")).as("__mx"))
-      val withMx = scored.join(mx, Seq("item"))
-        .withColumn("__e", exp(col("__s") - col("__mx")))
-      val z = withMx.groupBy("item").agg(sum(col("__e")).as("__z"))
-      post = withMx.join(z, Seq("item"))
-        .select(col("item"), col("l"),
-          round(col("__e") / col("__z"), roundAt).as("w"))
+      // M-step. Class priors: one 1-row aggregate, collected — the GLM
+      // discipline (model state = L driver doubles inlined as
+      // literals; bounded by construction).
+      val priorRow = post.agg(
+        count(lit(1)).cast("double").as("__ni"),
+        js.map(j => sum(col(wc(j))).as(s"__s$j")): _*).head()
+      val ni = priorRow.getAs[Double]("__ni")
+      priorArr = js.map(j => BigDecimal(
+          (priorRow.getAs[Double](s"__s$j") + alpha) / (ni + alpha * bigL))
+        .setScale(roundAt, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toArray
+      // Rater confusions: cells ⋈ posteriors on the shared item
+      // partitioning, then ONE map-side-combined agg to (rater, obs)
+      // rows carrying all L weighted sums — no corpus×L intermediate.
+      val sCols = js.map(j => sum(col("cnt") * col(wc(j))).as(s"__s$j"))
+      val confCells = cells.join(post, Seq("item"))
+        .groupBy("rater", "obs")
+        .agg(sCols.head, sCols.tail: _*)
+      val tCols = js.map(j => sum(col(s"__s$j")).as(s"__t$j"))
+      val denom = confCells.groupBy("rater")
+        .agg(tCols.head, tCols.tail: _*)
+      confWide = broadcast(confCells.join(denom, Seq("rater"))
+        .select(col("rater") +: col("obs") +: js.map(j =>
+          round((col(s"__s$j") + alpha) / (col(s"__t$j") + alpha * bigL),
+            roundAt).as(s"pi_$j")): _*)
+        .localCheckpoint())
+      // E-step: broadcast-join the (raters×L)-row confusion onto the
+      // cells, one groupBy(item) with map-side combine, then the whole
+      // renormalization in-row (greatest/exp/sum over L columns).
+      val scCols = js.map(j => round(
+        sum(col("cnt") * log(col(s"pi_$j"))) +
+          lit(math.log(priorArr(j))), roundAt).as(s"__sc$j"))
+      val scored = cells.join(confWide, Seq("rater", "obs"))
+        .groupBy("item")
+        .agg(scCols.head, scCols.tail: _*)
+      val mx = greatest(js.map(j => col(s"__sc$j")): _*)
+      val withE = scored.withColumn("__mx", mx)
+        .select(col("item") +: js.map(j =>
+          exp(col(s"__sc$j") - col("__mx")).as(s"__e$j")): _*)
+        .withColumn("__z", js.map(j => col(s"__e$j")).reduce(_ + _))
+      post = withE
+        .select(col("item") +: js.map(j =>
+          round(col(s"__e$j") / col("__z"), roundAt).as(wc(j))): _*)
         .localCheckpoint()
     }
-    val items = post.groupBy("item")
-      .agg(min_by(col("l"), struct((-col("w")).as("nw"), col("l")
-        .as("lb"))).as("label"),
-        max(col("w")).as("posterior"))
+    // argmax with label-ascending tie-break: labels are sorted, so the
+    // FIRST column hitting the max wins the tie.
+    val mxW = greatest(js.map(j => col(wc(j))): _*)
+    val labelFirst = js.foldRight(lit(null).cast("string")) { (j, e) =>
+      when(col(wc(j)) === col("__mxw"), lit(labels(j))).otherwise(e)
+    }
+    val items = post.withColumn("__mxw", mxW)
+      .select(col("item"), labelFirst.as("label"),
+        col("__mxw").as("posterior"))
       .join(perItem.select(col("item"), col("__nr").cast("long")
         .as("n_ratings")), Seq("item"))
-    // rater quality: prior-weighted diagonal of the confusion matrix
-    val raters = conf.where(col("l") === col("obs"))
-      .join(prior, Seq("l"))
-      .groupBy("rater").agg(sum(col("p") * col("pi")).as("accuracy"))
-      .join(ratings.groupBy("rater")
-        .agg(count(lit(1)).as("n_ratings")), Seq("rater"))
+    // rater quality: prior-weighted diagonal of the confusion matrix —
+    // each (rater, obs) row contributes prior(obs)·pi_{obs}(rater, obs)
+    val diag = js.foldRight(lit(0.0)) { (j, e) =>
+      when(col("obs") === labels(j),
+        lit(priorArr(j)) * col(s"pi_$j")).otherwise(e)
+    }
+    val raters = confWide
+      .groupBy("rater").agg(sum(diag).as("accuracy"))
+      .join(cells.groupBy("rater")
+        .agg(sum(col("cnt")).cast("long").as("n_ratings")), Seq("rater"))
       .select(col("rater"), col("n_ratings"), col("accuracy"))
     DsResult(items, raters)
   }
@@ -168,9 +203,21 @@ object Labeling {
     require(iterations >= 1, "bradleyTerry: iterations >= 1")
     val spark = prefs.sparkSession
     import spark.implicits._
-    val wins = prefs
+    val valid = prefs
       .where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
+    // guard BEFORE the pair collect: a high-cardinality item column
+    // would otherwise materialize up to items² count rows on the
+    // driver before the require could fire. One cheap distinct-count
+    // aggregate bounds the later collect at maxItems² by construction.
+    val nDistinct = valid
+      .select(explode(array(col(winnerCol).cast("string"),
+        col(loserCol).cast("string"))).as("__i"))
+      .agg(count_distinct(col("__i"))).head().getLong(0)
+    require(nDistinct > 0, "bradleyTerry: no preference pairs")
+    require(nDistinct <= maxItems,
+      s"bradleyTerry: $nDistinct items exceeds maxItems=$maxItems")
+    val wins = valid
       .groupBy(col(winnerCol).cast("string").as("__w"),
         col(loserCol).cast("string").as("__l"))
       .agg(count(lit(1)).cast("double").as("__c"))
@@ -178,8 +225,6 @@ object Labeling {
         r.getDouble(2)))
     val items = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted
     require(items.nonEmpty, "bradleyTerry: no preference pairs")
-    require(items.size <= maxItems,
-      s"bradleyTerry: ${items.size} items exceeds maxItems=$maxItems")
     val idx = items.zipWithIndex.toMap
     val k = items.size
     val winCount = Array.fill(k)(0.0)

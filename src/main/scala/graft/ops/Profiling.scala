@@ -842,7 +842,12 @@ object Profiling {
         max(col("__x") / col("__t")).as("top_share"),
         max(col("__k")).as("__kk"))
       .select(col("n_segments"), col("total"), col("hhi"),
-        ((col("hhi") - lit(1.0) / col("__kk")) / (lit(1.0) - lit(1.0) / col("__kk")))
+        // k = 1 → the normalizer (1 − 1/k) is 0: a single-segment
+        // corpus has no defined normalized concentration — NULL, not
+        // a division error (the ANSI-mode guard convention)
+        when(col("__kk") > 1,
+          (col("hhi") - lit(1.0) / col("__kk")) /
+            (lit(1.0) - lit(1.0) / col("__kk")))
           .as("hhi_normalized"),
         (col("__tsum") / col("__kk")).as("theil"), col("top_share"))
   }

@@ -112,7 +112,12 @@ object Retrieval {
       col(docCol).as("doc"), col(gainCol).cast("double").as("__g"))
     val w = Window.partitionBy("query").orderBy("__rank")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val r = (pow(lit(2.0), coalesce(col("__g"), lit(0.0))) - 1) /
+    // gains are clamped to maxGain BEFORE the cascade: a data gain
+    // above the declared scale would give R ≥ 1, making log1p(−R)
+    // NaN/−Inf and silently corrupting every later rank's cascade
+    // term for that query. Clamped, R < 1 holds for every input.
+    val r = (pow(lit(2.0),
+        least(coalesce(col("__g"), lit(0.0)), lit(maxGain.toDouble))) - 1) /
       pow(lit(2.0), lit(maxGain.toDouble))
     res.join(rel, Seq("query", "doc"), "left")
       .withColumn("__r", r)

@@ -848,9 +848,15 @@ object Similarity {
       path: String, queries: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dir = path.stripSuffix("/")
+    // the centroid table is cells-bounded by the writer's contract;
+    // the limit makes that bound structural for the collect lint and
+    // the require catches a store that was never a centroid table
+    val maxCells = 65536
     val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
+      .orderBy("cell").limit(maxCells + 1).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cents.length <= maxCells,
+      s"ivfKnnFromIndex: $dir/centroids exceeds $maxCells cells")
     scoreAndRank(spark.read.parquet(s"$dir/assignments"),
       probedQueries(queries, cents, nProbe, idCol, vecCol,
         quantized = false), k)

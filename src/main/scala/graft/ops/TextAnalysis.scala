@@ -1184,8 +1184,11 @@ object TextAnalysis {
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
+    // limit(33) makes the ≤32-row contract STRUCTURAL (the plan ends
+    // in a GlobalLimit, satisfying the bounded-collect lint); the
+    // require still fires loud if a 33rd row shows the contract broken
     val ms = merges.select("round", "left", "right", "merged")
-      .collect().sortBy(_.getAs[Int]("round"))
+      .limit(33).collect().sortBy(_.getAs[Int]("round"))
     require(ms.nonEmpty && ms.length <= 32,
       s"bpeEncode: 1..32 merges expected, got ${ms.length}")
     val wrapped = concat_ws(" ",

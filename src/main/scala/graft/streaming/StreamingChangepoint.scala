@@ -21,9 +21,11 @@ final case class PhVerdict(key: String, ts: Long, value: Double,
  * its running minimum, and emits one verdict per observation with
  * gap = m_t − min m and alarm = gap > λ. Batch-split invariant: the
  * verdicts are a pure function of the per-key event sequence (events
- * fold in ts order within each micro-batch), so any micro-batch
- * slicing of the same input replays the batch operator exactly —
- * the equality the spec asserts.
+ * fold in (ts, value) order within each micro-batch — the value
+ * tiebreak pins the fold order under duplicate per-key timestamps),
+ * so any micro-batch slicing of the same input replays the batch
+ * operator exactly — the equality the spec asserts, provided a split
+ * does not separate equal-ts events across batches.
  *
  * Scale stance: state is O(distinct keys) × 5 scalars, key-hash
  * partitioned and engine-checkpointed; no window, no buffer of
@@ -48,7 +50,10 @@ object StreamingChangepoint {
           var s = state.getOption
             .getOrElse(PhState(0L, 0.0, 0.0, Double.PositiveInfinity,
               Long.MinValue))
-          val out = rows.toSeq.sortBy(_.ts).map { ev =>
+          // ties on ts break by value so the fold order — and hence
+          // the advertised batch-split replay equality — is
+          // deterministic even when a key carries duplicate timestamps
+          val out = rows.toSeq.sortBy(e => (e.ts, e.value)).map { ev =>
             val count = s.count + 1
             val sum = s.sum + ev.value
             val mean = sum / count

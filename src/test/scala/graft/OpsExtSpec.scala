@@ -3534,6 +3534,46 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded-collect lint: planted unbounded collect flagged, agg collects pass") {
+    import spark.implicits._
+    import graft.analysis.PlanLint
+    val dir = java.nio.file.Files
+      .createTempDirectory("lint_collect").toString
+    spark.range(1000).toDF("id").write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    // plan-level rule: bounded shapes pass…
+    assert(PlanLint.collectIsBounded(
+      corpus.agg(count(lit(1))).queryExecution.optimizedPlan))
+    assert(PlanLint.collectIsBounded(
+      corpus.limit(10).queryExecution.optimizedPlan))
+    assert(PlanLint.collectIsBounded(
+      corpus.select("id").distinct().queryExecution.optimizedPlan))
+    assert(PlanLint.collectIsBounded(corpus.groupBy("id").count()
+      .join(corpus.agg(max(col("id")).as("m"))).queryExecution
+      .optimizedPlan))
+    // …raw/filter-only scans do not (filters don't bound cardinality)
+    assert(!PlanLint.collectIsBounded(corpus.queryExecution.optimizedPlan))
+    assert(!PlanLint.collectIsBounded(
+      corpus.where(col("id") > 5).queryExecution.optimizedPlan))
+    // listener form: the planted unbounded collect is flagged, the
+    // bounded ones are not — the Verify-gate seam that keeps the
+    // all-collects-bounded audit finding true for future contributors
+    val guard = new PlanLint.BoundedCollectListener
+    spark.listenerManager.register(guard)
+    try {
+      corpus.agg(sum(col("id"))).collect()
+      corpus.limit(5).collect()
+      corpus.where(col("id") % 7 === 0).collect() // PLANTED violation
+      // QueryExecutionListener delivery is async on the listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (guard.violations.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(guard.violations.size == 1,
+        s"expected exactly the planted violation, got ${guard.violations}")
+      assert(guard.violations.head.contains("unbounded collect"))
+    } finally spark.listenerManager.unregister(guard)
+  }
+
   test("PlanLint flags cartesian/window/broadcast smells, passes clean plans") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

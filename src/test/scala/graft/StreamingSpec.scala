@@ -592,6 +592,51 @@ class StreamingSpec extends AnyFunSuite {
       && rows(0).getDouble(1) == 3.0)
   }
 
+  test("snapshot-store commit feed: upserts drive live-table refreshes") {
+    import spark.implicits._
+    import graft.etl.{SnapshotStore, WriteMode}
+    val root = tmpDir()
+    val store = SnapshotStore(s"$root/store", orderColumn = Some("ts"))
+    store.write(Seq((1L, 10.0, 1L), (2L, 20.0, 1L)).toDF("k", "v", "ts"),
+      WriteMode.Full)
+    val lt = new graft.live.LiveTable("lt-snap", spark,
+      s => store.read(s).agg(count(lit(1)).as("n"), sum($"v").as("total")),
+      s"$root/mat",
+      policy = graft.live.RefreshPolicy.onChange,
+      cdc = graft.live.CdcConfig(debounceSeconds = 1,
+        maxFilesPerTrigger = 1)) // one refresh batch per commit
+    val q = lt.startOnSnapshotCommit(store, s"$root/ckpt")
+    try {
+      q.processAllAvailable() // v1 (the pre-existing commit) → refresh 1
+      assert(lt.refreshHistory.size == 1)
+      assert(lt.query().head.getDouble(1) == 30.0)
+      // upsert #1: update k=2, insert k=3 → commit v2 → refresh 2
+      store.write(Seq((2L, 25.0, 2L), (3L, 5.0, 2L)).toDF("k", "v", "ts"),
+        WriteMode.Upsert, keys = Seq("k"))
+      q.processAllAvailable()
+      assert(lt.refreshHistory.size == 2)
+      assert(lt.refreshHistory.last.trigger.startsWith("snapshot_commit"))
+      assert(lt.query().head.getLong(0) == 3L &&
+        lt.query().head.getDouble(1) == 40.0)
+      // upsert #2 → commit v3 → refresh 3; result ≡ batch recompute
+      store.write(Seq((1L, 11.0, 3L)).toDF("k", "v", "ts"),
+        WriteMode.Upsert, keys = Seq("k"))
+      q.processAllAvailable()
+      assert(lt.refreshHistory.size == 3)
+      val batch = store.read(spark)
+        .agg(count(lit(1)).as("n"), sum($"v").as("total")).head
+      val live = lt.query().head
+      assert(live.getLong(0) == batch.getLong(0) &&
+        live.getDouble(1) == batch.getDouble(1) &&
+        live.getDouble(1) == 41.0)
+      // the CDF readout agrees with what the commits did
+      val ch = store.changes(spark, 1L, 3L, Seq("k"))
+        .orderBy("k").collect()
+      assert(ch.map(r => (r.getLong(1), r.getString(0))).toSeq ==
+        Seq((1L, "update"), (2L, "update"), (3L, "insert")))
+    } finally lt.stopStream()
+  }
+
   test("streaming SRM guardrail flags only the broken-ramp window") {
     import spark.implicits._
     import graft.streaming._
