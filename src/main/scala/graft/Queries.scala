@@ -13545,6 +13545,823 @@ object Queries {
              count(*) - 1 AS dof
       FROM x, m"""))
 
+  /** Deming (orthogonal, λ=1) errors-in-variables fit of extended
+    * price on quantity — the method-comparison slope OLS attenuates;
+    * closed form on one moments scan. */
+  private val q356 = Entry(
+    "q356_deming",
+    (s, d) =>
+      graft.ops.Regression.deming(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice", lambda = 1.0)
+        .select(col("n"), col("lambda"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("pearson_r")).as("pearson_r")),
+    Some("""
+      WITH m AS (SELECT count(*)::DOUBLE AS n,
+                   sum(l_quantity)::DOUBLE AS sx,
+                   sum(l_extendedprice)::DOUBLE AS sy,
+                   sum(l_quantity * l_quantity)::DOUBLE AS sxx,
+                   sum(l_extendedprice * l_extendedprice)::DOUBLE AS syy,
+                   sum(l_quantity * l_extendedprice)::DOUBLE AS sxy
+                 FROM lineitem),
+      c AS (SELECT n, sx / n AS mx, sy / n AS my,
+                   sxx - sx * sx / n AS cxx, syy - sy * sy / n AS cyy,
+                   sxy - sx * sy / n AS cxy FROM m),
+      f AS (SELECT n, mx, my, cxx, cyy, cxy,
+                   ((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx)
+                     + 4 * cxy * cxy)) / (2 * cxy) AS b FROM c)
+      SELECT n::BIGINT AS n, 1.0 AS lambda, round(b, 6) AS slope,
+             round(my - b * mx, 6) AS intercept,
+             round(cxy / sqrt(cxx * cyy), 6) AS pearson_r FROM f"""))
+
+  /** Wald/IV slope of price on quantity instrumented by line number,
+    * with the OLS contrast and the weak-instrument first-stage F —
+    * one moments scan, three fits as algebra. */
+  private val q357 = Entry(
+    "q357_iv_2sls",
+    (s, d) =>
+      graft.ops.Regression.ivTwoStage(Tables.lineitem(s, d),
+          "l_extendedprice", "l_quantity", "l_linenumber")
+        .select(col("n"), r6(col("beta_iv")).as("beta_iv"),
+          r6(col("intercept_iv")).as("intercept_iv"),
+          r6(col("beta_ols")).as("beta_ols"),
+          r6(col("first_stage_f")).as("first_stage_f")),
+    Some("""
+      WITH m AS (SELECT count(*)::DOUBLE AS n,
+                   sum(l_quantity)::DOUBLE AS sx,
+                   sum(l_extendedprice)::DOUBLE AS sy,
+                   sum(l_linenumber)::DOUBLE AS sz,
+                   sum(l_quantity * l_quantity)::DOUBLE AS sxx,
+                   sum(l_linenumber * l_linenumber)::DOUBLE AS szz,
+                   sum(l_quantity * l_linenumber)::DOUBLE AS sxz,
+                   sum(l_linenumber * l_extendedprice)::DOUBLE AS szy,
+                   sum(l_quantity * l_extendedprice)::DOUBLE AS sxy
+                 FROM lineitem),
+      c AS (SELECT n, sx / n AS mx, sy / n AS my,
+                   sxx - sx * sx / n AS cxx, szz - sz * sz / n AS czz,
+                   sxz - sx * sz / n AS cxz, szy - sz * sy / n AS czy,
+                   sxy - sx * sy / n AS cxy FROM m),
+      f AS (SELECT n, mx, my, cxx, czy / cxz AS beta, cxy / cxx AS bols,
+                   cxz * cxz / (cxx * czz) AS r2f FROM c)
+      SELECT n::BIGINT AS n, round(beta, 6) AS beta_iv,
+             round(my - beta * mx, 6) AS intercept_iv,
+             round(bols, 6) AS beta_ols,
+             round((n - 2) * r2f / (1 - r2f), 6) AS first_stage_f
+      FROM f"""))
+
+  /** Oaxaca–Blinder decomposition of the returned-vs-kept price gap
+    * into the quantity-mix (explained) and pricing (unexplained)
+    * parts — both group fits from ONE conditional-moments scan. */
+  private val q358 = Entry(
+    "q358_oaxaca_blinder",
+    (s, d) =>
+      graft.ops.Regression.oaxacaBlinder(Tables.lineitem(s, d),
+          "l_quantity", "l_extendedprice",
+          col("l_returnflag") === "R")
+        .select(col("n_a"), col("n_b"), r6(col("mean_a")).as("mean_a"),
+          r6(col("mean_b")).as("mean_b"), r6(col("gap")).as("gap"),
+          r6(col("explained")).as("explained"),
+          r6(col("unexplained")).as("unexplained")),
+    Some("""
+      WITH m AS (SELECT
+          sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END) AS na,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1.0 END) AS nb,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)::DOUBLE AS sxa,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity END)::DOUBLE AS sxb,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END)::DOUBLE AS sya,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_extendedprice END)::DOUBLE AS syb,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity * l_quantity ELSE 0 END)::DOUBLE AS sxxa,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity * l_quantity END)::DOUBLE AS sxxb,
+          sum(CASE WHEN l_returnflag = 'R' THEN l_quantity * l_extendedprice ELSE 0 END)::DOUBLE AS sxya,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity * l_extendedprice END)::DOUBLE AS sxyb
+        FROM lineitem),
+      c AS (SELECT na, nb, sxa / na AS mxa, sxb / nb AS mxb,
+                   sya / na AS mya, syb / nb AS myb,
+                   (sxya - sxa * sya / na) / (sxxa - sxa * sxa / na) AS ba,
+                   (sxyb - sxb * syb / nb) / (sxxb - sxb * sxb / nb) AS bb
+            FROM m)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(mya, 6) AS mean_a, round(myb, 6) AS mean_b,
+             round(mya - myb, 6) AS gap,
+             round(bb * (mxa - mxb), 6) AS explained,
+             round(((mya - ba * mxa) - (myb - bb * mxb))
+               + (ba - bb) * mxa, 6) AS unexplained
+      FROM c"""))
+
+  /** Lin's concordance + Bland–Altman limits between gross and
+    * discounted price (per-k$) — the method-comparison pair in one
+    * moments scan. */
+  private val q359 = Entry(
+    "q359_concordance",
+    (s, d) =>
+      graft.ops.Evaluation.concordanceMetrics(
+          Tables.lineitem(s, d).select(
+            (col("l_extendedprice") / 1000).as("x"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 1000)
+              .as("y")),
+          "x", "y")
+        .select(col("n"), r6(col("pearson_r")).as("pearson_r"),
+          r6(col("ccc")).as("ccc"), r6(col("bias")).as("bias"),
+          r6(col("sd_diff")).as("sd_diff"),
+          r6(col("loa_low")).as("loa_low"),
+          r6(col("loa_high")).as("loa_high")),
+    Some("""
+      WITH b AS (SELECT l_extendedprice / 1000 AS x,
+                   l_extendedprice * (1 - l_discount) / 1000 AS y
+                 FROM lineitem),
+      m AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+              sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+              sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy
+            FROM b),
+      c AS (SELECT n, (sxx - sx * sx / n) / n AS cxx,
+                   (syy - sy * sy / n) / n AS cyy,
+                   (sxy - sx * sy / n) / n AS cxy,
+                   sx / n - sy / n AS dm,
+                   sqrt((sxx + syy - 2 * sxy
+                     - n * (sx / n - sy / n) * (sx / n - sy / n))
+                     / (n - 1)) AS sd
+            FROM m)
+      SELECT n::BIGINT AS n,
+             round(cxy / sqrt(cxx * cyy), 6) AS pearson_r,
+             round(2 * cxy / (cxx + cyy + dm * dm), 6) AS ccc,
+             round(dm, 6) AS bias, round(sd, 6) AS sd_diff,
+             round(dm - 1.96 * sd, 6) AS loa_low,
+             round(dm + 1.96 * sd, 6) AS loa_high
+      FROM c"""))
+
+  /** Variance inflation factors for the quantity/price/discount
+    * feature trio — the multicollinearity screen off the inverse
+    * correlation matrix (one pairwise-moments scan). */
+  private val q360 = Entry(
+    "q360_vif",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.vif(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("feature"), r6(col("r2_others")).as("r2_others"),
+          r6(col("vif")).as("vif"))
+        .orderBy("feature"),
+    Some("""
+      WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS r12,
+                   corr(l_quantity, l_discount) AS r13,
+                   corr(l_extendedprice, l_discount) AS r23
+                 FROM lineitem),
+      v AS (SELECT 'l_quantity' AS feature,
+              (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+                / (1 - r23 * r23) AS r2 FROM c
+            UNION ALL
+            SELECT 'l_extendedprice',
+              (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+                / (1 - r13 * r13) FROM c
+            UNION ALL
+            SELECT 'l_discount',
+              (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+                / (1 - r12 * r12) FROM c)
+      SELECT feature, round(r2, 6) AS r2_others,
+             round(1 / (1 - r2), 6) AS vif
+      FROM v ORDER BY feature"""))
+
+  /** Theil's uncertainty coefficient between event type and user
+    * cohort — the DIRECTIONAL association readout Cramér's V can't
+    * give (U(B|A) ≠ U(A|B)). */
+  private val q361 = Entry(
+    "q361_theil_u",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.theilU(
+          Tables.events(s, d).select(col("event_type").as("et"),
+            (col("user_id") % 5).cast("string").as("cohort")),
+          "et", "cohort")
+        .select(col("n"), r6(col("h_a")).as("h_a"),
+          r6(col("h_b")).as("h_b"),
+          r6(col("mutual_info")).as("mutual_info"),
+          r6(col("u_b_given_a")).as("u_b_given_a"),
+          r6(col("u_a_given_b")).as("u_a_given_b"),
+          r6(col("u_symmetric")).as("u_symmetric")),
+    Some("""
+      WITH j AS (SELECT event_type AS a, (user_id % 5)::VARCHAR AS b,
+                   count(*)::DOUBLE AS n
+                 FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                 GROUP BY 1, 2),
+      ra AS (SELECT a, sum(n) AS na FROM j GROUP BY 1),
+      rb AS (SELECT b, sum(n) AS nb FROM j GROUP BY 1),
+      t AS (SELECT sum(n) AS nn FROM j),
+      agg AS (SELECT max(t.nn) AS nn,
+                sum(j.n * ln(t.nn * j.n / (ra.na * rb.nb))) AS minum,
+                sum(j.n * ln(ra.na)) AS slna,
+                sum(j.n * ln(rb.nb)) AS slnb
+              FROM j JOIN ra USING (a) JOIN rb USING (b), t)
+      SELECT nn::BIGINT AS n,
+             round(ln(nn) - slna / nn, 6) AS h_a,
+             round(ln(nn) - slnb / nn, 6) AS h_b,
+             round(minum / nn, 6) AS mutual_info,
+             round((minum / nn) / (ln(nn) - slnb / nn), 6)
+               AS u_b_given_a,
+             round((minum / nn) / (ln(nn) - slna / nn), 6)
+               AS u_a_given_b,
+             round(2 * (minum / nn) /
+               ((ln(nn) - slna / nn) + (ln(nn) - slnb / nn)), 6)
+               AS u_symmetric
+      FROM agg"""))
+
+  /** Cochran's Q: do the event types share one "ever exceeded 50"
+    * success rate per user (complete blocks only) — the binary
+    * Friedman / k-treatment McNemar. */
+  private val q362 = Entry(
+    "q362_cochran_q",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.cochranQ(
+          Tables.events(s, d).where(col("value").isNotNull)
+            .select(col("user_id"), col("event_type"),
+              when(col("value") > 50, 1.0).otherwise(0.0).as("succ")),
+          "user_id", "event_type", "succ")
+        .select(col("n_blocks"), col("n_treatments"), col("dof"),
+          r6(col("q_stat")).as("q_stat")),
+    Some("""
+      WITH cells AS (SELECT user_id AS b, event_type AS t,
+                       max(CASE WHEN "value" > 50 THEN 1.0 ELSE 0.0 END)
+                         AS x
+                     FROM events WHERE "value" IS NOT NULL
+                     GROUP BY 1, 2),
+      k AS (SELECT count(DISTINCT t) AS kk FROM cells),
+      comp AS (SELECT b FROM cells GROUP BY b
+               HAVING count(*) = (SELECT kk FROM k)),
+      kept AS (SELECT cells.* FROM cells JOIN comp USING (b)),
+      pb AS (SELECT b, sum(x) AS bi FROM kept GROUP BY 1),
+      bb AS (SELECT count(*)::DOUBLE AS nb, sum(bi) AS tt,
+               sum(bi * bi) AS b2 FROM pb),
+      bt AS (SELECT count(*)::DOUBLE AS kk, sum(gj * gj) AS g2 FROM (
+               SELECT t, sum(x) AS gj FROM kept GROUP BY 1))
+      SELECT nb::BIGINT AS n_blocks, kk::BIGINT AS n_treatments,
+             (kk - 1)::BIGINT AS dof,
+             round(kk * (kk - 1) * (g2 - tt * tt / kk)
+               / (kk * tt - b2), 6) AS q_stat
+      FROM bb, bt"""))
+
+  /** One-way ICC: how much of line-item quantity variance is the
+    * ORDER rather than noise — continuous-rating reliability beside
+    * the categorical agreement family. */
+  private val q363 = Entry(
+    "q363_icc",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.iccOneWay(Tables.lineitem(s, d),
+          "l_orderkey", "l_quantity")
+        .select(col("n"), col("n_groups"), r6(col("k0")).as("k0"),
+          r6(col("ms_between")).as("ms_between"),
+          r6(col("ms_within")).as("ms_within"),
+          r6(col("icc1")).as("icc1")),
+    Some("""
+      WITH per AS (SELECT l_orderkey, count(*)::DOUBLE AS ni,
+                     sum(l_quantity)::DOUBLE AS si,
+                     sum(l_quantity * l_quantity)::DOUBLE AS qi
+                   FROM lineitem GROUP BY 1),
+      agg AS (SELECT sum(ni) AS nn, count(*)::DOUBLE AS g,
+                sum(si) AS s, sum(qi) AS q,
+                sum(si * si / ni) AS a, sum(ni * ni) AS n2
+              FROM per),
+      f AS (SELECT nn, g, (nn - n2 / nn) / (g - 1) AS k0,
+              (a - s * s / nn) / (g - 1) AS msb,
+              (q - a) / (nn - g) AS msw
+            FROM agg)
+      SELECT nn::BIGINT AS n, g::BIGINT AS n_groups,
+             round(k0, 6) AS k0, round(msb, 6) AS ms_between,
+             round(msw, 6) AS ms_within,
+             round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+      FROM f"""))
+
+  /** Page's trend test: does quantity INCREASE along line number
+    * (1→2→3) within an order — the directional Friedman, complete
+    * blocks only. */
+  private val q364 = Entry(
+    "q364_page_trend",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.pageTrend(
+          Tables.lineitem(s, d).where(col("l_linenumber") <= 3),
+          "l_orderkey", "l_linenumber", "l_quantity",
+          col("l_linenumber"))
+        .select(col("n_blocks"), col("n_treatments"),
+          r6(col("l_stat")).as("l_stat"), r6(col("e_l")).as("e_l"),
+          r6(col("z")).as("z")),
+    Some("""
+      WITH cells AS (SELECT l_orderkey AS b, l_linenumber AS t,
+                       avg(l_quantity)::DOUBLE AS m,
+                       l_linenumber::DOUBLE AS c
+                     FROM lineitem WHERE l_linenumber <= 3
+                     GROUP BY 1, 2),
+      k AS (SELECT count(DISTINCT t) AS kk FROM cells),
+      comp AS (SELECT b FROM cells GROUP BY b
+               HAVING count(*) = (SELECT kk FROM k)),
+      kept AS (SELECT cells.* FROM cells JOIN comp USING (b)),
+      rk AS (SELECT b, t, c,
+               rank() OVER (PARTITION BY b ORDER BY m) - 1
+                 + (count(*) OVER (PARTITION BY b, m) + 1) / 2.0 AS r
+             FROM kept),
+      pt AS (SELECT t, max(c) AS cj, sum(r) AS rj,
+               count(*)::DOUBLE AS nb
+             FROM rk GROUP BY 1),
+      f AS (SELECT max(nb) AS n, count(*)::DOUBLE AS kk,
+              sum(cj * rj) AS l FROM pt)
+      SELECT n::BIGINT AS n_blocks, kk::BIGINT AS n_treatments,
+             round(l, 6) AS l_stat,
+             round(n * kk * (kk + 1) * (kk + 1) / 4, 6) AS e_l,
+             round((l - n * kk * (kk + 1) * (kk + 1) / 4)
+               / sqrt(n * kk * kk * (kk + 1) * (kk * kk - 1) / 144.0), 6)
+               AS z
+      FROM f"""))
+
+  /** Matthews correlation across score cutoffs (top 20 by MCC) — the
+    * class-imbalance-robust threshold picker beside Youden's J, read
+    * off the same distinct-score prefix frame. */
+  private val q365 = Entry(
+    "q365_mcc_curve",
+    (s, d) =>
+      graft.ops.Evaluation.mccByThreshold(scoredOrders(s, d), "label",
+          "score")
+        .select(r6(col("threshold")).as("threshold"), col("tp"),
+          col("fp"), col("fn"), col("tn"), r6(col("mcc")).as("mcc"),
+          r6(col("f1")).as("f1"))
+        .orderBy(desc("mcc"), col("threshold"))
+        .limit(20),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      v AS (SELECT p, sum(y) AS pos, count(*)::DOUBLE AS tot
+            FROM sc GROUP BY 1),
+      w AS (SELECT p, pos, tot,
+              coalesce(sum(pos) OVER (ORDER BY p DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pab,
+              coalesce(sum(tot) OVER (ORDER BY p DESC ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tab
+            FROM v),
+      t AS (SELECT sum(y) AS np, count(*)::DOUBLE AS nn FROM sc),
+      cell AS (SELECT p, pab + pos AS tp,
+                 (tab + tot) - (pab + pos) AS fp,
+                 np - (pab + pos) AS fn,
+                 nn - np - ((tab + tot) - (pab + pos)) AS tn
+               FROM w, t)
+      SELECT round(p, 6) AS threshold, tp::BIGINT AS tp,
+             fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS tn,
+             round((tp * tn - fp * fn) /
+               sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)), 6)
+               AS mcc,
+             round(2 * tp / (2 * tp + fp + fn), 6) AS f1
+      FROM cell
+      ORDER BY mcc DESC, threshold LIMIT 20"""))
+
+  /** E-value for unmeasured confounding on the purchase→big-value
+    * risk ratio — the observational-RR sensitivity readout. */
+  private val q366 = Entry(
+    "q366_e_value",
+    (s, d) =>
+      graft.ops.Evaluation.eValue(Tables.events(s, d),
+          col("event_type") === "purchase", col("value") > 100)
+        .select(col("n"), col("n_exposed"), r6(col("rr")).as("rr"),
+          r6(col("rr_ci_low")).as("rr_ci_low"),
+          r6(col("rr_ci_high")).as("rr_ci_high"),
+          r6(col("e_value")).as("e_value"),
+          r6(col("e_value_ci")).as("e_value_ci")),
+    Some("""
+      WITH m AS (SELECT count(*) AS n,
+          sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
+            AS n1,
+          sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1.0 END)
+            AS n0,
+          sum(CASE WHEN event_type = 'purchase'
+                AND coalesce("value" > 100, FALSE) THEN 1.0 ELSE 0 END)
+            AS a,
+          sum(CASE WHEN event_type <> 'purchase'
+                AND coalesce("value" > 100, FALSE) THEN 1.0 ELSE 0 END)
+            AS c
+        FROM events),
+      f AS (SELECT n, n1, (a / n1) / (c / n0) AS rr,
+              sqrt(1 / a - 1 / n1 + 1 / c - 1 / n0) AS se FROM m),
+      g AS (SELECT n, n1, rr, exp(ln(rr) - 1.96 * se) AS lo,
+              exp(ln(rr) + 1.96 * se) AS hi FROM f),
+      h AS (SELECT n, n1, rr, lo, hi,
+              CASE WHEN rr >= 1 THEN rr ELSE 1 / rr END AS rs,
+              CASE WHEN rr >= 1 THEN lo ELSE hi END AS nearn
+            FROM g)
+      SELECT n, n1::BIGINT AS n_exposed, round(rr, 6) AS rr,
+             round(lo, 6) AS rr_ci_low, round(hi, 6) AS rr_ci_high,
+             round(rs + sqrt(rs * (rs - 1)), 6) AS e_value,
+             CASE WHEN (rr >= 1 AND lo > 1) OR (rr < 1 AND hi < 1)
+               THEN round((CASE WHEN nearn >= 1 THEN nearn
+                             ELSE 1 / nearn END)
+                 + sqrt((CASE WHEN nearn >= 1 THEN nearn
+                           ELSE 1 / nearn END)
+                   * ((CASE WHEN nearn >= 1 THEN nearn
+                        ELSE 1 / nearn END) - 1)), 6)
+             END AS e_value_ci
+      FROM h"""))
+
+  /** AR(2) Yule–Walker fit of the daily event-value series — momentum
+    * vs oscillation off the q147 ACF machinery. */
+  private val q367 = Entry(
+    "q367_yule_walker",
+    (s, d) =>
+      graft.ops.Regression.yuleWalkerAr2(Tables.events(s, d), "ts",
+          "value")
+        .select(col("n_days"), r6(col("r1")).as("r1"),
+          r6(col("r2")).as("r2"), r6(col("phi1")).as("phi1"),
+          r6(col("phi2")).as("phi2"), r6(col("sigma2")).as("sigma2")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE)
+                       AS t, avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) / count(*) AS m,
+               sum(x * x) - sum(x) * sum(x) / count(*) AS den
+             FROM daily),
+      r1 AS (SELECT sum((a.x - st.m) * (b.x - st.m)) / max(st.den) AS r1
+             FROM daily a JOIN daily b ON a.t + 1 = b.t, st),
+      r2 AS (SELECT sum((a.x - st.m) * (b.x - st.m)) / max(st.den) AS r2
+             FROM daily a JOIN daily b ON a.t + 2 = b.t, st),
+      f AS (SELECT st.n, st.den / st.n AS c0, r1.r1, r2.r2,
+              r1.r1 * (1 - r2.r2) / (1 - r1.r1 * r1.r1) AS p1,
+              (r2.r2 - r1.r1 * r1.r1) / (1 - r1.r1 * r1.r1) AS p2
+            FROM st, r1, r2)
+      SELECT n::BIGINT AS n_days, round(r1, 6) AS r1,
+             round(r2, 6) AS r2, round(p1, 6) AS phi1,
+             round(p2, 6) AS phi2,
+             round(c0 * (1 - p1 * r1 - p2 * r2), 6) AS sigma2
+      FROM f"""))
+
+  /** Systematic PPS document sample (100 points, half-step start, no
+    * RNG): heavy documents are certainty units, Σ hits = 100 exactly —
+    * the HT-estimator-ready curation draw. */
+  private val q368 = Entry(
+    "q368_pps_sample",
+    (s, d) =>
+      graft.ops.Sampling.ppsSystematic(Tables.documents(s, d), 100,
+          "n_chars", "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("n_hits"),
+          r6(col("cum_before")).as("cum_before"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH base AS (SELECT doc_id, n_chars, n_chars::DOUBLE AS w
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND n_chars > 0
+                      AND doc_id IS NOT NULL),
+      t AS (SELECT sum(w) AS tt FROM base),
+      pre AS (SELECT doc_id, n_chars, w,
+                coalesce(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM base),
+      sel AS (SELECT doc_id, n_chars, cb,
+                floor(round((cb + w - tt / 200) / (tt / 100), 6))
+                  - floor(round((cb - tt / 200) / (tt / 100), 6))
+                  AS n_hits
+              FROM pre, t)
+      SELECT doc_id, n_chars, n_hits::BIGINT AS n_hits,
+             round(cb, 6) AS cum_before
+      FROM sel WHERE n_hits >= 1 ORDER BY doc_id"""))
+
+  /** Embedding-space isotropy: share of embedding energy NOT explained
+    * by the common mean direction — the "should I mean-center before
+    * retrieval" readout. */
+  private val q369 = Entry(
+    "q369_isotropy",
+    (s, d) =>
+      graft.ops.Similarity.isotropyProfile(Tables.embeddings(s, d),
+          "embedding")
+        .select(col("n"), col("dim"),
+          r6(col("mean_vec_norm")).as("mean_vec_norm"),
+          r6(col("avg_vec_norm")).as("avg_vec_norm"),
+          r6(col("avg_cos_to_mean")).as("avg_cos_to_mean"),
+          r6(col("isotropy")).as("isotropy")),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      u0 AS (SELECT vec_id, v,
+               unnest(generate_series(1, len(v))) AS i FROM e),
+      u AS (SELECT vec_id, i, v[i] AS x FROM u0),
+      mu AS (SELECT i, sum(x) / count(*) AS m FROM u GROUP BY 1),
+      mn AS (SELECT sqrt(sum(m * m)) AS mnorm, count(*) AS dim FROM mu),
+      per AS (SELECT u.vec_id, sum(u.x * mu.m) AS dotm,
+                sqrt(sum(u.x * u.x)) AS nrm, sum(u.x * u.x) AS sq
+              FROM u JOIN mu USING (i) GROUP BY 1),
+      agg AS (SELECT count(*) AS n, avg(dotm / (nrm * mn.mnorm))
+                AS avgcos, avg(sq) AS avgsq, avg(nrm) AS avgnrm
+              FROM per, mn GROUP BY mn.mnorm)
+      SELECT n, mn.dim::BIGINT AS dim, round(mn.mnorm, 6)
+               AS mean_vec_norm,
+             round(avgnrm, 6) AS avg_vec_norm,
+             round(avgcos, 6) AS avg_cos_to_mean,
+             round(1 - mn.mnorm * mn.mnorm / avgsq, 6) AS isotropy
+      FROM agg, mn"""))
+
+  /** Scott's π and Gwet's AC1 beside Cohen — the prevalence-robust
+    * agreement pair on a two-rater readout derived from return flag
+    * vs line status. */
+  private val q370 = Entry(
+    "q370_gwet_scott",
+    (s, d) =>
+      graft.ops.Evaluation.gwetScottAgreement(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("a"),
+            when(col("l_linestatus") === "F", lit("R"))
+              .otherwise(lit("N")).as("b")),
+          "a", "b")
+        .select(col("n"), col("n_categories"), r6(col("po")).as("po"),
+          r6(col("pe_scott")).as("pe_scott"),
+          r6(col("scott_pi")).as("scott_pi"),
+          r6(col("pe_gwet")).as("pe_gwet"),
+          r6(col("gwet_ac1")).as("gwet_ac1")),
+    Some("""
+      WITH b0 AS (SELECT l_returnflag AS a,
+                    CASE WHEN l_linestatus = 'F' THEN 'R' ELSE 'N' END
+                      AS b
+                  FROM lineitem),
+      j AS (SELECT a, b, count(*)::DOUBLE AS n FROM b0 GROUP BY 1, 2),
+      ma AS (SELECT a AS k, sum(n) AS na FROM j GROUP BY 1),
+      mb AS (SELECT b AS k, sum(n) AS nb FROM j GROUP BY 1),
+      pooled AS (SELECT coalesce(ma.na, 0) AS na,
+                   coalesce(mb.nb, 0) AS nb
+                 FROM ma FULL OUTER JOIN mb USING (k)),
+      t AS (SELECT sum(n) AS nn,
+              sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree FROM j),
+      p AS (SELECT count(*)::DOUBLE AS q,
+              sum((na + nb) * (na + nb)) AS sq2 FROM pooled),
+      f AS (SELECT t.nn, p.q, t.agree / t.nn AS po,
+              p.sq2 / (4 * t.nn * t.nn) AS pes,
+              (1 - p.sq2 / (4 * t.nn * t.nn)) / (p.q - 1) AS peg
+            FROM t, p)
+      SELECT nn::BIGINT AS n, q::BIGINT AS n_categories,
+             round(po, 6) AS po, round(pes, 6) AS pe_scott,
+             round((po - pes) / (1 - pes), 6) AS scott_pi,
+             round(peg, 6) AS pe_gwet,
+             round((po - peg) / (1 - peg), 6) AS gwet_ac1
+      FROM f"""))
+
+  /** Global graph clustering summary over the co-supplier graph:
+    * transitivity (3·triangles/wedges) vs average LOCAL clustering —
+    * the one-row readout composed from q164's per-node frame. */
+  private val q371 = Entry(
+    "q371_transitivity",
+    (s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("bk"), col("l_suppkey").as("it"))
+        .distinct()
+      val e = b.as("l")
+        .join(b.as("r"),
+          col("l.bk") === col("r.bk") && col("l.it") < col("r.it"))
+        .select(col("l.it").as("s1"), col("r.it").as("s2"))
+      graft.ops.Graph.triangleStats(e, "s1", "s2", minCount = 5)
+        .agg(count(lit(1)).as("n_nodes"),
+          (sum(col("degree")) / 2).cast("long").as("n_edges"),
+          (sum(col("triangles")) / 3).cast("long").as("n_triangles"),
+          r6(sum(col("triangles")) /
+            sum(col("degree") * (col("degree") - 1) / 2.0))
+            .as("transitivity"),
+          r6(avg(col("clustering_coeff"))).as("avg_clustering"))
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+                 FROM lineitem),
+      e AS (SELECT l.it AS u, r.it AS v
+            FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+            GROUP BY 1, 2 HAVING count(*) >= 5),
+      deg AS (SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pn AS (SELECT node, count(*) AS triangles FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b2 FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY 1),
+      per AS (SELECT deg.node, deg.degree,
+                coalesce(pn.triangles, 0) AS triangles,
+                CASE WHEN deg.degree >= 2 THEN
+                  2.0 * coalesce(pn.triangles, 0) /
+                  (deg.degree * (deg.degree - 1.0))
+                ELSE 0.0 END AS cc
+              FROM deg LEFT JOIN pn USING (node))
+      SELECT count(*) AS n_nodes,
+             (sum(degree) / 2)::BIGINT AS n_edges,
+             (sum(triangles) / 3)::BIGINT AS n_triangles,
+             round(sum(triangles) /
+               sum(degree * (degree - 1) / 2.0), 6) AS transitivity,
+             round(avg(cc), 6) AS avg_clustering
+      FROM per"""))
+
+  /** Fligner–Killeen scale test of event values across event types —
+    * the normal-scores member of the variance-homogeneity trio beside
+    * q166's Brown–Forsythe; oracle replays Acklam's probit from the
+    * same coefficient list. */
+  private val q372 = Entry(
+    "q372_fligner_killeen",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.flignerKilleen(
+          Tables.events(s, d), "event_type", "value")
+        .select(col("n"), col("n_groups"), col("dof"),
+          r6(col("fk_stat")).as("fk_stat")),
+    Some {
+      val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val dd = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      def h(cs: Seq[Double], x: String): String =
+        cs.tail.foldLeft(cs.head.toString)((acc, k) =>
+          s"($acc * $x + $k)")
+      s"""
+      WITH med AS (SELECT event_type AS g,
+                     quantile_cont("value", 0.5) AS md
+                   FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      z AS (SELECT e.event_type AS g, abs(e."value" - med.md) AS z
+            FROM events e JOIN med ON e.event_type = med.g
+            WHERE e."value" IS NOT NULL),
+      vc AS (SELECT z AS v, g, count(*)::DOUBLE AS cg
+             FROM z GROUP BY 1, 2),
+      pv AS (SELECT v, sum(cg) AS ct FROM vc GROUP BY 1),
+      pre AS (SELECT v, ct,
+                coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+              FROM pv),
+      nn AS (SELECT sum(ct) AS n FROM pv),
+      rk AS (SELECT v, ex + (ct + 1) / 2.0 AS r FROM pre),
+      pr AS (SELECT vc.g, vc.cg,
+               0.5 + rk.r / (2 * (nn.n + 1)) AS p
+             FROM vc JOIN rk USING (v), nn),
+      q0 AS (SELECT g, cg, p, p - 0.5 AS qc,
+               (p - 0.5) * (p - 0.5) AS rc,
+               sqrt(-2.0 * ln(p)) AS ql,
+               sqrt(-2.0 * ln(1.0 - p)) AS qu
+             FROM pr),
+      sc AS (SELECT g, cg,
+               CASE WHEN p < 0.02425 THEN
+                 ${h(c, "ql")} / (${h(dd, "ql")} * ql + 1.0)
+               WHEN p > 0.97575 THEN
+                 -(${h(c, "qu")} / (${h(dd, "qu")} * qu + 1.0))
+               ELSE ${h(a, "rc")} * qc / (${h(b, "rc")} * rc + 1.0)
+               END AS sa
+             FROM q0),
+      pg AS (SELECT g, sum(cg) AS ng, sum(cg * sa) AS sag
+             FROM sc GROUP BY 1),
+      gl AS (SELECT sum(cg * sa) AS s1, sum(cg * sa * sa) AS s2,
+               sum(cg) AS n FROM sc),
+      f AS (SELECT gl.n, count(*)::DOUBLE AS k,
+              sum(ng * power(sag / ng - gl.s1 / gl.n, 2)) AS num,
+              (gl.s2 - gl.s1 * gl.s1 / gl.n) / (gl.n - 1) AS s2a
+            FROM pg, gl GROUP BY gl.n, gl.s1, gl.s2)
+      SELECT n::BIGINT AS n, k::BIGINT AS n_groups,
+             (k - 1)::BIGINT AS dof, round(num / s2a, 6) AS fk_stat
+      FROM f"""
+    })
+
+  /** Brunner–Munzel test: P(returned < kept quantity) + ½P(=) vs ½ —
+    * the unequal-variance-safe Wilcoxon, exact midranks from one
+    * value-count frame. */
+  private val q373 = Entry(
+    "q373_brunner_munzel",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.brunnerMunzel(
+          Tables.lineitem(s, d), "l_quantity",
+          col("l_returnflag") === "R")
+        .select(col("n_a"), col("n_b"), r6(col("p_hat")).as("p_hat"),
+          r6(col("bm_stat")).as("bm_stat"), r6(col("dof")).as("dof")),
+    Some("""
+      WITH vc AS (SELECT l_quantity::DOUBLE AS v,
+              sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END)
+                AS ca,
+              sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1.0 END)
+                AS cb
+            FROM lineitem GROUP BY 1),
+      pre AS (SELECT v, ca, cb,
+               coalesce(sum(ca) OVER (ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exa,
+               coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exb
+             FROM vc),
+      r AS (SELECT v, ca, cb,
+              exa + exb + (ca + cb + 1) / 2.0 AS rc,
+              exa + (ca + 1) / 2.0 AS ra,
+              exb + (cb + 1) / 2.0 AS rb
+            FROM pre),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM vc),
+      m AS (SELECT sum(ca * rc) / t.na AS m1,
+              sum(cb * rc) / t.nb AS m2
+            FROM r, t GROUP BY t.na, t.nb),
+      f AS (SELECT t.na AS n1, t.nb AS n2, m.m1, m.m2,
+              sum(ca * power(rc - ra - m.m1 + (t.na + 1) / 2, 2))
+                / (t.na - 1) AS v1,
+              sum(cb * power(rc - rb - m.m2 + (t.nb + 1) / 2, 2))
+                / (t.nb - 1) AS v2
+            FROM r, t, m GROUP BY t.na, t.nb, m.m1, m.m2)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+             round((m2 - (n2 + 1) / 2) / n1, 6) AS p_hat,
+             round(n1 * n2 * (m2 - m1) / (n1 + n2)
+               / sqrt(n1 * v1 + n2 * v2), 6) AS bm_stat,
+             round(power(n1 * v1 + n2 * v2, 2) /
+               (power(n1 * v1, 2) / (n1 - 1)
+                 + power(n2 * v2, 2) / (n2 - 1)), 6) AS dof
+      FROM f"""))
+
+  /** Bowker symmetry test on the q370 paired-label square: is the
+    * disagreement FLOW directional (N→R vs R→N) — the k-category
+    * McNemar. */
+  private val q374 = Entry(
+    "q374_bowker",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.bowkerTest(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("a"),
+            when(col("l_linestatus") === "F", lit("R"))
+              .otherwise(lit("N")).as("b")),
+          "a", "b")
+        .select(col("n"), col("n_categories"), col("dof"),
+          r6(col("chi2")).as("chi2")),
+    Some("""
+      WITH b0 AS (SELECT l_returnflag AS a,
+                    CASE WHEN l_linestatus = 'F' THEN 'R' ELSE 'N' END
+                      AS b
+                  FROM lineitem),
+      j AS (SELECT a, b, count(*)::DOUBLE AS n FROM b0 GROUP BY 1, 2),
+      tr AS (SELECT b AS a, a AS b, n AS nt FROM j),
+      p AS (SELECT coalesce(j.n, 0) AS nij, coalesce(tr.nt, 0) AS nji
+            FROM j FULL OUTER JOIN tr USING (a, b)
+            WHERE a < b AND coalesce(j.n, 0) + coalesce(tr.nt, 0) > 0),
+      t AS (SELECT sum(n) AS nn,
+              greatest(count(DISTINCT a), count(DISTINCT b)) AS k
+            FROM j)
+      SELECT t.nn::BIGINT AS n, t.k::BIGINT AS n_categories,
+             count(*)::BIGINT AS dof,
+             round(sum(power(nij - nji, 2) / (nij + nji)), 6) AS chi2
+      FROM p, t GROUP BY t.nn, t.k"""))
+
+  /** Chapman capture–recapture: estimate the true document universe
+    * from two overlapping capture lists (doc_id mod 2 / mod 3 slices
+    * — true N is the full corpus, recoverable to sampling error). */
+  private val q375 = Entry(
+    "q375_chapman_overlap",
+    (s, d) =>
+      graft.ops.Dedup.chapmanOverlap(Tables.documents(s, d), "doc_id",
+          col("doc_id") % 2 === 0, col("doc_id") % 3 === 0)
+        .select(col("n_a"), col("n_b"), col("n_overlap"),
+          col("n_union"),
+          r6(col("chapman_estimate")).as("chapman_estimate"),
+          r6(col("se")).as("se"),
+          r6(col("unseen_estimate")).as("unseen_estimate")),
+    Some("""
+      WITH per AS (SELECT doc_id,
+              max(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0 END) AS a,
+              max(CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0 END) AS b
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
+            HAVING max(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0 END)
+              + max(CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0 END) > 0),
+      f AS (SELECT sum(a) AS n1, sum(b) AS n2, sum(a * b) AS m,
+              count(*)::DOUBLE AS u FROM per)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b, m::BIGINT
+               AS n_overlap, u::BIGINT AS n_union,
+             round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+               AS chapman_estimate,
+             round(sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+               / (power(m + 1, 2) * (m + 2))), 6) AS se,
+             greatest(round(((n1 + 1) * (n2 + 1) / (m + 1) - 1) - u, 6),
+               0.0) AS unseen_estimate
+      FROM f"""))
+
+  /** Delete-one-supplier-bucket jackknife SE for revenue-per-unit —
+    * the clustered-resampling-correct uncertainty for a ratio metric,
+    * closed form from one grouped scan. */
+  private val q376 = Entry(
+    "q376_jackknife_ratio",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.jackknifeRatio(
+          Tables.lineitem(s, d), col("l_suppkey") % 32,
+          "l_extendedprice", "l_quantity")
+        .select(col("n_groups"), r6(col("ratio")).as("ratio"),
+          r6(col("ratio_jack")).as("ratio_jack"),
+          r6(col("se_jack")).as("se_jack"),
+          r6(col("ci_low")).as("ci_low"),
+          r6(col("ci_high")).as("ci_high")),
+    Some("""
+      WITH per AS (SELECT l_suppkey % 32 AS g,
+              sum(l_extendedprice)::DOUBLE AS yg,
+              sum(l_quantity)::DOUBLE AS xg
+            FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(yg) AS sy, sum(xg) AS sx,
+              count(*)::DOUBLE AS gg FROM per),
+      loo AS (SELECT t.sy, t.sx, t.gg,
+                (t.sy - yg) / (t.sx - xg) AS rg FROM per, t),
+      m AS (SELECT avg(rg) AS rbar FROM loo),
+      f AS (SELECT max(sy) / max(sx) AS r, max(gg) AS gg,
+              max(m.rbar) AS rbar,
+              sqrt((max(gg) - 1) / max(gg)
+                * sum(power(rg - m.rbar, 2))) AS se
+            FROM loo, m)
+      SELECT gg::BIGINT AS n_groups, round(r, 6) AS ratio,
+             round(gg * r - (gg - 1) * rbar, 6) AS ratio_jack,
+             round(se, 6) AS se_jack,
+             round(r - 1.96 * se, 6) AS ci_low,
+             round(r + 1.96 * se, 6) AS ci_high
+      FROM f"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -13570,7 +14387,9 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274, q275,
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355)
+    q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355,
+    q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
+    q372, q373, q374, q375, q376)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -3431,4 +3431,434 @@ object AnalysisPlanner {
         max(col("__d")).as("d_stat"),
         (sqrt(max(col("__n"))) * max(col("__d"))).as("sqrt_n_d"))
   }
+
+  /**
+   * Theil's uncertainty coefficient (proficiency) between two
+   * categorical columns: U(Y|X) = (H(Y) − H(Y|X)) / H(Y) — the
+   * ASYMMETRIC "knowing X, what fraction of Y's entropy disappears?"
+   * companion to the symmetric [[cramersV]] (V can't tell direction;
+   * U(Y|X) ≠ U(X|Y) when the table is lopsided). Natural logs.
+   * Returns ONE row:
+   * (n, h_a, h_b, mutual_info, u_b_given_a, u_a_given_b, u_symmetric).
+   *
+   * Scale shape: [[cramersV]]'s exactly — one joint groupBy (≤R·C
+   * rows), marginals re-aggregated from the joint frame and broadcast
+   * back, a 1-row reduce. MI = Σ p_ab·ln(N·n_ab/(n_a·n_b)).
+   */
+  def theilU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val ra = joint.groupBy("__a").agg(sum("__n").as("__na"))
+    val rb = joint.groupBy("__b").agg(sum("__n").as("__nb"))
+    // "__tot", not "__N": Spark's resolver is case-insensitive, so a
+    // "__N" total beside the "__n" cell count is ambiguous (the q346
+    // lesson)
+    val tot = broadcast(joint.agg(sum(col("__n")).as("__tot")))
+    joint
+      .join(broadcast(ra), "__a")
+      .join(broadcast(rb), "__b")
+      .crossJoin(tot)
+      .agg(max(col("__tot")).as("N"),
+        sum(col("__n") * log(col("__tot") * col("__n") /
+          (col("__na") * col("__nb")))).as("__minum"),
+        sum(col("__n") * log(col("__na"))).as("__slna"),
+        sum(col("__n") * log(col("__nb"))).as("__slnb"))
+      .select(col("N").cast("long").as("n"),
+        (log(col("N")) - col("__slna") / col("N")).as("h_a"),
+        (log(col("N")) - col("__slnb") / col("N")).as("h_b"),
+        (col("__minum") / col("N")).as("mutual_info"))
+      .withColumn("u_b_given_a",
+        when(col("h_b") > 0, col("mutual_info") / col("h_b")))
+      .withColumn("u_a_given_b",
+        when(col("h_a") > 0, col("mutual_info") / col("h_a")))
+      .withColumn("u_symmetric",
+        when(col("h_a") + col("h_b") > 0,
+          lit(2.0) * col("mutual_info") / (col("h_a") + col("h_b"))))
+  }
+
+  /**
+   * Cochran's Q test: do k binary treatments (columns of a complete
+   * block design — "did variant j convert subject i") share one
+   * success rate? Q = k(k−1)·Σ_j(G_j − T/k)² / (k·T − Σ_i B_i²) on
+   * χ²(k−1), the binary specialization of [[friedmanTest]] (and
+   * McNemar's k-treatment generalization). Blocks missing any
+   * treatment are dropped (complete-block contract, friedman's
+   * semi-join discipline). Returns ONE row:
+   * (n_blocks, n_treatments, dof, q_stat).
+   *
+   * Scale shape: one (block, treatment) cell groupBy, the complete
+   * filter as a count semi-join, per-block and per-treatment rollups
+   * of the CELL frame, a 1-row reduce.
+   */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      successCol: String): DataFrame = {
+    val s = col(successCol).cast("double")
+    val cells = df.where(s.isNotNull && col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(max(when(s > 0, 1.0).otherwise(0.0)).as("__x"))
+      .localCheckpoint() // k-count + complete semi-join + two rollups
+    val k = cells.select(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy("__b")
+      .agg(count(lit(1)).as("__bt")).crossJoin(broadcast(k))
+      .where(col("__bt") === col("__k")).select("__b")
+    val kept = cells.join(complete, Seq("__b"), "left_semi")
+    val perB = kept.groupBy("__b").agg(sum(col("__x")).as("__bi"))
+    val byB = perB.agg(count(lit(1)).cast("double").as("__nb"),
+      sum(col("__bi")).as("__T"), sum(col("__bi") * col("__bi")).as("__B2"))
+    val byT = kept.groupBy("__t").agg(sum(col("__x")).as("__gj"))
+      .agg(count(lit(1)).cast("double").as("__kk"),
+        sum(col("__gj") * col("__gj")).as("__G2"))
+    byB.crossJoin(broadcast(byT))
+      .select(col("__nb").cast("long").as("n_blocks"),
+        col("__kk").cast("long").as("n_treatments"),
+        (col("__kk") - 1).cast("long").as("dof"),
+        when(col("__kk") * col("__T") - col("__B2") > 0,
+          col("__kk") * (col("__kk") - 1) *
+            (col("__G2") - col("__T") * col("__T") / col("__kk")) /
+            (col("__kk") * col("__T") - col("__B2"))).as("q_stat"))
+  }
+
+  /**
+   * One-way intraclass correlation ICC(1): how much of a rating's
+   * variance is the rated ITEM rather than noise —
+   * ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) with the unbalanced-design
+   * group size k₀ = (N − Σn_i²/N)/(g−1) — the continuous-rating
+   * reliability companion to the categorical agreement family
+   * ([[graft.ops.Evaluation.fleissKappa]], Krippendorff). Returns ONE
+   * row: (n, n_groups, k0, ms_between, ms_within, icc1).
+   *
+   * Scale shape: one grouped moments pass (count/sum/sumsq per
+   * group), one 1-row reduce of the group frame.
+   */
+  def iccOneWay(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__ni"), sum(v).as("__si"),
+        sum(v * v).as("__qi"))
+    per.agg(sum(col("__ni")).as("__N"),
+        count(lit(1)).cast("double").as("__g"),
+        sum(col("__si")).as("__S"), sum(col("__qi")).as("__Q"),
+        sum(col("__si") * col("__si") / col("__ni")).as("__A"),
+        sum(col("__ni") * col("__ni")).as("__n2"))
+      .select(col("__N").cast("long").as("n"),
+        col("__g").cast("long").as("n_groups"),
+        ((col("__N") - col("__n2") / col("__N")) / (col("__g") - 1))
+          .as("k0"),
+        ((col("__A") - col("__S") * col("__S") / col("__N")) /
+          (col("__g") - 1)).as("ms_between"),
+        ((col("__Q") - col("__A")) / (col("__N") - col("__g")))
+          .as("ms_within"))
+      .withColumn("icc1", when(
+        col("ms_between") + (col("k0") - 1) * col("ms_within") > 0,
+        (col("ms_between") - col("ms_within")) /
+          (col("ms_between") + (col("k0") - 1) * col("ms_within"))))
+  }
+
+  /**
+   * Page's trend test for ORDERED alternatives in a complete block
+   * design: L = Σ_j c_j·R_j where c_j is the hypothesized order index
+   * of treatment j and R_j its within-block rank sum — the
+   * directional upgrade of [[friedmanTest]] (Friedman asks "any
+   * difference?", Page asks "does it INCREASE along this order?").
+   * `orderOf` maps each treatment to its 1..k hypothesis position
+   * (e.g. a numeric dose, a day index). Standardized z uses the
+   * no-ties normal approximation. Returns ONE row:
+   * (n_blocks, n_treatments, l_stat, e_l, z).
+   *
+   * Scale shape: [[friedmanTest]]'s — cell groupBy, complete-block
+   * semi-join, ≤k-row per-block rank windows, one reduce.
+   */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, orderOf: Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cells = df.where(v.isNotNull && col(blockCol).isNotNull &&
+        col(treatmentCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatmentCol).as("__t"))
+      .agg(avg(v).as("__m"), max(orderOf.cast("double")).as("__c"))
+      .localCheckpoint()
+    val k = cells.select(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy("__b")
+      .agg(count(lit(1)).as("__bt")).crossJoin(broadcast(k))
+      .where(col("__bt") === col("__k")).select("__b")
+    val kept = cells.join(complete, Seq("__b"), "left_semi")
+      .crossJoin(broadcast(k))
+    val rk = rank().over(Window.partitionBy("__b").orderBy("__m"))
+    val tied = count(lit(1)).over(Window.partitionBy("__b", "__m"))
+    val ranked = kept.select(col("__b"), col("__t"), col("__c"),
+      col("__k"), (rk - 1 + (tied + 1) / lit(2.0)).as("__r"))
+    val perT = ranked.groupBy("__t")
+      .agg(max(col("__c")).as("__cj"), sum(col("__r")).as("__rj"),
+        count(lit(1)).cast("double").as("__nb"), max(col("__k")).as("__k"))
+    perT.agg(max(col("__nb")).as("__n"),
+        count(lit(1)).cast("double").as("__kk"),
+        sum(col("__cj") * col("__rj")).as("__L"))
+      .select(col("__n").cast("long").as("n_blocks"),
+        col("__kk").cast("long").as("n_treatments"),
+        col("__L").as("l_stat"),
+        (col("__n") * col("__kk") * (col("__kk") + 1) * (col("__kk") + 1)
+          / 4).as("e_l"))
+      .withColumn("z",
+        (col("l_stat") - col("e_l")) /
+          sqrt(col("n_blocks") * pow(col("n_treatments").cast("double"), 2)
+            * (col("n_treatments") + 1) *
+            (col("n_treatments") * col("n_treatments") - 1) / 144.0))
+  }
+
+  /**
+   * Fligner–Killeen variance-homogeneity test: the rank/normal-scores
+   * member of the scale-test family ([[brownForsythe]] is the robust
+   * ANOVA-on-|deviations| member; FK is the most robust to
+   * non-normality of the classic trio). Scores
+   * a_i = Φ⁻¹(½ + r_i/(2(N+1))) on the GLOBAL midranks r of
+   * |x − median_group|; X² = Σ_g n_g(ā_g − ā)² / s²_a on χ²(g−1).
+   * Returns ONE row: (n, n_groups, dof, fk_stat).
+   *
+   * Scale shape: grouped exact medians via [[exactPercentiles]]
+   * (quantile_cont convention), |deviation| midranks from ONE
+   * value-count frame + [[PrefixSum]] (no global window), the probit
+   * as the codegen'd Acklam column ([[graft.ops.Features.probitCol]]
+   * — same coefficients the q210 oracle replays), two bounded
+   * reduces.
+   */
+  def flignerKilleen(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val meds = exactPercentiles(base, "__x", Seq("__med" -> 0.5),
+      Seq("__g"))
+    val z = PrefixSum.joinNullSafe(base, meds, Seq("__g"),
+        broadcastRight = true)
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    // global midranks of the deviation values, per-group counts ride
+    // the SAME value-count frame (one shuffle on the value)
+    val vc = z.groupBy(col("__z").as("__v"), col("__g"))
+      .agg(count(lit(1)).cast("double").as("__cg"))
+    val perV = vc.groupBy("__v").agg(sum(col("__cg")).as("__ct"))
+    val pre = PrefixSum.exclusive(perV, "__v", Seq("__ct" -> "__ex"))
+      .withColumn("__r", col("__ex") + (col("__ct") + 1) / lit(2.0))
+    val tot = broadcast(perV.agg(sum(col("__ct")).as("__nn")))
+    val scored = vc.join(pre.select(col("__v"), col("__r")), Seq("__v"))
+      .crossJoin(tot)
+      .withColumn("__a", graft.ops.Features.probitCol(
+        lit(0.5) + col("__r") / (lit(2.0) * (col("__nn") + 1))))
+    val perG = scored.groupBy("__g")
+      .agg(sum(col("__cg")).as("__ng"),
+        sum(col("__cg") * col("__a")).as("__sa"))
+    // "__s1"/"__s2", not "__sA"/"__sAA": the resolver is
+    // case-insensitive, so "__sA" beside perG's "__sa" is ambiguous
+    // (the q346 lesson)
+    val glob = broadcast(scored.agg(
+      sum(col("__cg") * col("__a")).as("__s1"),
+      sum(col("__cg") * col("__a") * col("__a")).as("__s2"),
+      sum(col("__cg")).as("__N")))
+    perG.crossJoin(glob)
+      .agg(max(col("__N")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_groups"),
+        (count(lit(1)) - 1).cast("long").as("dof"),
+        (sum(col("__ng") *
+          pow(col("__sa") / col("__ng") - col("__s1") / col("__N"), 2.0))
+          / ((max(col("__s2")) -
+              max(col("__s1")) * max(col("__s1")) / max(col("__N"))) /
+             (max(col("__N")) - 1))).as("fk_stat"))
+  }
+
+  /**
+   * Brunner–Munzel generalized Wilcoxon test (the lawstat form): does
+   * P(X < Y) + ½P(X = Y) differ from ½ — valid under unequal
+   * variances and shapes, where Mann–Whitney's exchangeability
+   * assumption breaks. p̂ = (R̄_b − (n_b+1)/2)/n_a from combined
+   * midranks; the studentized statistic uses each group's rank
+   * variance with the Welch–Satterthwaite dof. Returns ONE row:
+   * (n_a, n_b, p_hat, bm_stat, dof).
+   *
+   * Scale shape: ONE value-count groupBy carries both the combined
+   * and the within-group midranks (two [[PrefixSum]] columns over the
+   * same frame); every variance term reduces over the distinct-value
+   * frame weighted by tie counts. No O(n_a·n_b) pair join, no global
+   * window.
+   */
+  def brunnerMunzel(df: DataFrame, valueCol: String,
+      groupA: Column): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val vc = df.where(x.isNotNull)
+      .groupBy(x.as("__v"))
+      .agg(sum(when(groupA, 1.0).otherwise(0.0)).as("__ca"),
+        sum(when(groupA, 0.0).otherwise(1.0)).as("__cb"))
+    val pre = PrefixSum.exclusive(vc, "__v",
+        Seq("__ca" -> "__exa", "__cb" -> "__exb"))
+      .withColumn("__ext", col("__exa") + col("__exb"))
+      .withColumn("__ct", col("__ca") + col("__cb"))
+      // combined midrank at this value, and the within-group midranks
+      .withColumn("__rc", col("__ext") + (col("__ct") + 1) / lit(2.0))
+      .withColumn("__ra", col("__exa") + (col("__ca") + 1) / lit(2.0))
+      .withColumn("__rb", col("__exb") + (col("__cb") + 1) / lit(2.0))
+    val tot = broadcast(vc.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb")))
+    val withTot = pre.crossJoin(tot)
+    val mra = sum(col("__ca") * col("__rc")) / max(col("__na"))
+    val mrb = sum(col("__cb") * col("__rc")) / max(col("__nb"))
+    val agg0 = withTot.agg(
+      max(col("__na")).as("na"), max(col("__nb")).as("nb"),
+      mra.as("mra"), mrb.as("mrb"))
+    val stats = broadcast(agg0)
+    withTot.crossJoin(stats)
+      .agg(max(col("na")).as("__n1"), max(col("nb")).as("__n2"),
+        max(col("mra")).as("__m1"), max(col("mrb")).as("__m2"),
+        (sum(col("__ca") *
+          pow(col("__rc") - col("__ra") - col("mra") +
+            (col("na") + 1) / 2, 2.0)) / (max(col("na")) - 1)).as("__v1"),
+        (sum(col("__cb") *
+          pow(col("__rc") - col("__rb") - col("mrb") +
+            (col("nb") + 1) / 2, 2.0)) / (max(col("nb")) - 1)).as("__v2"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        ((col("__m2") - (col("__n2") + 1) / 2) / col("__n1")).as("p_hat"),
+        // complete separation → both rank variances 0 → the statistic
+        // is infinite/undefined: NULL, not a division error (the
+        // chowTest ANSI-mode guard convention)
+        when(col("__n1") * col("__v1") + col("__n2") * col("__v2") > 0,
+          col("__n1") * col("__n2") * (col("__m2") - col("__m1")) /
+            (col("__n1") + col("__n2")) /
+            sqrt(col("__n1") * col("__v1") + col("__n2") * col("__v2")))
+          .as("bm_stat"),
+        when(col("__n1") * col("__v1") + col("__n2") * col("__v2") > 0,
+          pow(col("__n1") * col("__v1") + col("__n2") * col("__v2"), 2.0) /
+            (pow(col("__n1") * col("__v1"), 2.0) / (col("__n1") - 1) +
+              pow(col("__n2") * col("__v2"), 2.0) / (col("__n2") - 1)))
+          .as("dof"))
+  }
+
+  /**
+   * Bowker's test of symmetry for a PAIRED categorical square table
+   * (before/after labels, two model versions' predictions):
+   * χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji) on C(k,2) dof
+   * (cells with n_ij + n_ji = 0 drop from both sum and dof) — the
+   * k-category generalization of McNemar. A significant value means
+   * label FLOW is directional (e.g. the new model systematically
+   * moves "N" to "R"), which marginals alone can't show. Returns ONE
+   * row: (n, n_categories, dof, chi2).
+   *
+   * Scale shape: one joint groupBy (≤k² rows), one self-join of that
+   * reduced frame on the transposed key, a 1-row reduce.
+   */
+  def bowkerTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint() // self-join both sides + the totals reduce
+    val totals = broadcast(joint.agg(sum(col("__n")).as("__N"),
+      count_distinct(col("__a")).as("__ka"),
+      count_distinct(col("__b")).as("__kb")))
+    val transposed = joint.select(col("__b").as("__a"),
+      col("__a").as("__b"), col("__n").as("__nt"))
+    val pairs = joint.join(transposed, Seq("__a", "__b"), "full_outer")
+      .where(col("__a") < col("__b")) // each unordered pair once
+      .select(coalesce(col("__n"), lit(0.0)).as("__nij"),
+        coalesce(col("__nt"), lit(0.0)).as("__nji"))
+      .where(col("__nij") + col("__nji") > 0)
+    pairs.agg(count(lit(1)).cast("long").as("dof"),
+        sum(pow(col("__nij") - col("__nji"), 2.0) /
+          (col("__nij") + col("__nji"))).as("chi2"))
+      .crossJoin(totals)
+      .select(col("__N").cast("long").as("n"),
+        greatest(col("__ka"), col("__kb")).cast("long")
+          .as("n_categories"),
+        col("dof"), col("chi2"))
+  }
+
+  /**
+   * Delete-one-group jackknife for a ratio metric R = ΣY/ΣX (revenue
+   * per unit, CTR, tokens per doc): groups are the resampling units
+   * (entity buckets — delete-a-user-bucket, not delete-a-row, the
+   * clustered-data-correct form), each leave-one-out ratio is algebra
+   * on the group sums against the broadcast totals, and the jackknife
+   * SE/bias-corrected estimate close the loop the delta method
+   * approximates. Returns ONE row:
+   * (n_groups, ratio, ratio_jack, se_jack, ci_low, ci_high).
+   *
+   * Scale shape: one grouped sum (G rows), one broadcast totals row,
+   * two G-row reduces. The corpus is scanned ONCE.
+   */
+  def jackknifeRatio(df: DataFrame, groupCol: Column, numCol: String,
+      denCol: String): DataFrame = {
+    val y = col(numCol).cast("double")
+    val x = col(denCol).cast("double")
+    val per = df.where(y.isNotNull && x.isNotNull)
+      .groupBy(groupCol.as("__g"))
+      .agg(sum(y).as("__yg"), sum(x).as("__xg"))
+      .localCheckpoint() // totals + two jackknife reduces
+    // "__ngrp", not "__G": case-insensitive resolver vs per's "__g"
+    val tot = broadcast(per.agg(sum(col("__yg")).as("__sy"),
+      sum(col("__xg")).as("__sx"),
+      count(lit(1)).cast("double").as("__ngrp")))
+    val loo = per.crossJoin(tot)
+      .select(col("__sy"), col("__sx"), col("__ngrp"),
+        ((col("__sy") - col("__yg")) / (col("__sx") - col("__xg")))
+          .as("__rg"))
+    val mean = broadcast(loo.agg(avg(col("__rg")).as("__rbar")))
+    loo.crossJoin(mean)
+      .agg(max(col("__ngrp")).cast("long").as("n_groups"),
+        (max(col("__sy")) / max(col("__sx"))).as("ratio"),
+        (max(col("__ngrp")) * (max(col("__sy")) / max(col("__sx"))) -
+          (max(col("__ngrp")) - 1) * max(col("__rbar"))).as("ratio_jack"),
+        sqrt((max(col("__ngrp")) - 1) / max(col("__ngrp")) *
+          sum(pow(col("__rg") - col("__rbar"), 2.0))).as("se_jack"))
+      .withColumn("ci_low", col("ratio") - lit(1.96) * col("se_jack"))
+      .withColumn("ci_high", col("ratio") + lit(1.96) * col("se_jack"))
+  }
+
+  /**
+   * Variance inflation factors for a feature set: VIF_j = 1/(1−R²_j)
+   * of feature j regressed on the others — read straight off the
+   * diagonal of the inverse correlation matrix (VIF_j = P_jj) — the
+   * multicollinearity screen to run before trusting
+   * [[graft.ops.Regression.linearRegression]] coefficients. Returns
+   * one row per feature: (feature, r2_others, vif), call order.
+   *
+   * Scale shape: [[partialCorrelationMulti]]'s — ONE pairwise-moments
+   * aggregation scan; the p×p inverse is driver-side (p ≤ 9), model
+   * state stays literal.
+   */
+  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 9, "vif: 2..9 features")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = cols.size
+    val vs = cols.map(c => col(c).cast("double"))
+    val complete = df.where(vs.map(_.isNotNull).reduce(_ && _))
+    val aggs =
+      vs.zipWithIndex.map { case (c, i) => sum(c).as(s"__s_$i") } ++
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(vs(i) * vs(j)).as(s"__ss_${i}_$j")) ++
+        Seq(count(lit(1)).as("__n"))
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n").toDouble
+    require(n > p + 1, s"vif: $n rows for $p features")
+    val mu = Array.tabulate(p)(i => row.getAs[Double](s"__s_$i") / n)
+    val cov = Array.ofDim[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      val ss = row.getAs[Double](s"__ss_${i}_$j")
+      val v = ss / n - mu(i) * mu(j)
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    val sd = Array.tabulate(p)(i => math.sqrt(cov(i)(i)))
+    val corr = Array.tabulate(p, p)((i, j) => cov(i)(j) / (sd(i) * sd(j)))
+    val prec = Array.ofDim[Double](p, p)
+    for (j <- 0 until p) {
+      val e = Array.tabulate(p)(i => if (i == j) 1.0 else 0.0)
+      val c = graft.ops.Regression.solve(corr, e)
+      for (i <- 0 until p) prec(i)(j) = c(i)
+    }
+    cols.zipWithIndex.map { case (c, j) =>
+      (c, 1.0 - 1.0 / prec(j)(j), prec(j)(j))
+    }.toDF("feature", "r2_others", "vif")
+  }
 }

@@ -1115,4 +1115,42 @@ object Dedup {
           .when(weight > lower, "possible")
           .otherwise("non_match").as("decision"))
   }
+  /**
+   * Chapman capture–recapture estimate of a corpus' TRUE unique-item
+   * count from two overlapping capture lists (two crawls, two dedup
+   * passes, two vendor feeds): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the
+   * standard variance — the "how many unique documents exist that
+   * NEITHER crawl saw" readout a raw union count can't give (assumes
+   * captures are independent and uniform; correlated crawls bias N̂
+   * low, stated in every wildlife textbook and true for crawls too).
+   * `inA`/`inB` mark each row's list membership; items are distinct
+   * `keyCol` values. Returns ONE row: (n_a, n_b, n_overlap, n_union,
+   * chapman_estimate, se, unseen_estimate).
+   *
+   * Scale shape: one distinct-key groupBy with two conditional max
+   * flags, one 1-row reduce.
+   */
+  def chapmanOverlap(df: DataFrame, keyCol: String, inA: Column,
+      inB: Column): DataFrame = {
+    val per = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(max(when(inA, 1.0).otherwise(0.0)).as("__a"),
+        max(when(inB, 1.0).otherwise(0.0)).as("__b"))
+      .where(col("__a") + col("__b") > 0)
+    per.agg(sum(col("__a")).as("__n1"), sum(col("__b")).as("__n2"),
+        sum(col("__a") * col("__b")).as("__m"),
+        count(lit(1)).cast("double").as("__u"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        col("__m").cast("long").as("n_overlap"),
+        col("__u").cast("long").as("n_union"),
+        ((col("__n1") + 1) * (col("__n2") + 1) / (col("__m") + 1) - 1)
+          .as("chapman_estimate"),
+        sqrt((col("__n1") + 1) * (col("__n2") + 1) *
+          (col("__n1") - col("__m")) * (col("__n2") - col("__m")) /
+          (pow(col("__m") + 1, 2.0) * (col("__m") + 2))).as("se"))
+      .withColumn("unseen_estimate",
+        greatest(round(col("chapman_estimate") - col("n_union"), 6),
+          lit(0.0)))
+  }
 }

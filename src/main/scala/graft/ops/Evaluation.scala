@@ -218,6 +218,59 @@ object Evaluation {
   }
 
   /**
+   * Two-rater chance-corrected agreement BEYOND Cohen: Scott's π
+   * (chance from the POOLED marginal — rater-symmetric, the two-rater
+   * [[fleissKappa]]) and Gwet's AC1 (chance from category
+   * prevalence-instability, 1/(Q−1)·Σ π_q(1−π_q) — robust to the
+   * "high agreement, extreme prevalence, kappa near zero" paradox
+   * that makes Cohen/Scott unusable on skewed label sets). Same
+   * observed agreement po as [[cohenKappa]]; only the chance model
+   * differs. Returns ONE row:
+   * (n, n_categories, po, pe_scott, scott_pi, pe_gwet, gwet_ac1).
+   *
+   * Scale shape: [[cohenKappa]]'s exactly — one joint groupBy, pooled
+   * marginals re-aggregated from the joint frame, 1-row algebra.
+   */
+  def gwetScottAgreement(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val ma = joint.groupBy(col("__a").as("__k")).agg(sum("__n").as("__na"))
+    val mb = joint.groupBy(col("__b").as("__k")).agg(sum("__n").as("__nb"))
+    val pooled = ma.join(mb, Seq("__k"), "full_outer")
+      .select(coalesce(col("__na"), lit(0.0)).as("__na"),
+        coalesce(col("__nb"), lit(0.0)).as("__nb"))
+    val tot = joint.agg(sum("__n").as("__N"),
+      sum(when(col("__a") === col("__b"), col("__n"))
+        .otherwise(lit(0.0))).as("__agree"))
+    pooled
+      .agg(count(lit(1)).cast("double").as("__Q"),
+        sum(pow((col("__na") + col("__nb")), 2)).as("__sq2"),
+        sum(col("__na") + col("__nb")).as("__m"))
+      .join(broadcast(tot))
+      // π_q = pooled share of category q; Σπ_q² from Σ(na+nb)²/(2N)²
+      .select(col("__N").cast("long").as("n"),
+        col("__Q").cast("long").as("n_categories"),
+        (col("__agree") / col("__N")).as("po"),
+        (col("__sq2") / (lit(4.0) * col("__N") * col("__N")))
+          .as("pe_scott"),
+        // Σ π_q(1−π_q) = 1 − Σπ_q²
+        when(col("__Q") > 1,
+          (lit(1.0) - col("__sq2") / (lit(4.0) * col("__N") * col("__N")))
+            / (col("__Q") - 1)).as("pe_gwet"))
+      .withColumn("scott_pi", when(col("pe_scott") < 1,
+        (col("po") - col("pe_scott")) / (lit(1.0) - col("pe_scott"))))
+      .withColumn("gwet_ac1", when(col("pe_gwet") < 1,
+        (col("po") - col("pe_gwet")) / (lit(1.0) - col("pe_gwet"))))
+      .select(col("n"), col("n_categories"), col("po"),
+        col("pe_scott"), col("scott_pi"), col("pe_gwet"),
+        col("gwet_ac1"))
+  }
+
+  /**
    * NDCG@k per query group over (query, doc, relevance, score) rows —
    * the ranking-quality metric for retrieval / recommendation eval.
    * Returns one row per query: (query, n_docs, dcg, idcg, ndcg).
@@ -2021,5 +2074,121 @@ object Evaluation {
         col("__best.__spec").as("specificity"),
         col("__best.__j").as("j_stat"),
         col("__best.__acc").as("accuracy"))
+  }
+
+  /**
+   * Method-comparison agreement in ONE scan: Lin's concordance
+   * correlation coefficient CCC = 2·c_xy / (c_xx + c_yy + (x̄−ȳ)²)
+   * (population-covariance form) beside the Bland–Altman limits of
+   * agreement (bias = mean(x−y), LoA = bias ± 1.96·sd_d, sample sd) —
+   * the "can assay B replace assay A" pair: CCC prices how far the
+   * points sit from the identity LINE, Bland–Altman prices the
+   * per-measurement disagreement BAND. Returns ONE row:
+   * (n, pearson_r, ccc, bias, sd_diff, loa_low, loa_high).
+   */
+  def concordanceMetrics(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n")
+    val cxx = (col("sxx") - col("sx") * col("sx") / n) / n
+    val cyy = (col("syy") - col("sy") * col("sy") / n) / n
+    val cxy = (col("sxy") - col("sx") * col("sy") / n) / n
+    val dm = col("sx") / n - col("sy") / n
+    // sample variance of d = x − y from the same moments
+    val sd = sqrt((col("sxx") + col("syy") - lit(2.0) * col("sxy") -
+      n * dm * dm) / (n - 1))
+    val bias = dm
+    m.select(n.cast("long").as("n"),
+      when(cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy)).as("pearson_r"),
+      when(cxx + cyy + dm * dm > 0,
+        lit(2.0) * cxy / (cxx + cyy + dm * dm)).as("ccc"),
+      bias.as("bias"), when(n > 1, sd).as("sd_diff"),
+      when(n > 1, bias - lit(1.96) * sd).as("loa_low"),
+      when(n > 1, bias + lit(1.96) * sd).as("loa_high"))
+  }
+
+  /**
+   * Matthews correlation coefficient across every distinct score
+   * threshold (predict positive at score ≥ t): one row per threshold
+   * (threshold, tp, fp, fn, tn, mcc, f1) ordered by threshold — the
+   * balanced-cutoff companion to [[youdenThreshold]] (J optimizes
+   * sens+spec; MCC is the all-four-cells correlation, the robust
+   * choice under class imbalance).
+   *
+   * Scale shape: [[prAuc]]'s frame exactly — distinct-score counts,
+   * one exclusive prefix sum ordered by negated score, a broadcast
+   * 1-row total; every confusion cell is algebra on the prefix row.
+   */
+  def mccByThreshold(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val vc = base.groupBy((-col("__p")).as("__ns"))
+      .agg(sum(col("__y")).as("__pos"),
+        count(lit(1)).cast("double").as("__tot"))
+    val pre = PrefixSum.exclusive(vc, "__ns",
+        Seq("__pos" -> "__pabove", "__tot" -> "__tabove"))
+      .join(broadcast(base.agg(sum(col("__y")).as("__P"),
+        count(lit(1)).cast("double").as("__N"))))
+    val tp = col("__pabove") + col("__pos")
+    val pp = col("__tabove") + col("__tot")
+    val fp = pp - tp
+    val fn = col("__P") - tp
+    val tn = col("__N") - col("__P") - fp
+    val denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    pre.select((-col("__ns")).as("threshold"),
+      tp.cast("long").as("tp"), fp.cast("long").as("fp"),
+      fn.cast("long").as("fn"), tn.cast("long").as("tn"),
+      when(denom > 0, (tp * tn - fp * fn) / sqrt(denom)).as("mcc"),
+      when(tp * 2 + fp + fn > 0, tp * 2 / (tp * 2 + fp + fn)).as("f1"))
+  }
+
+  /**
+   * E-value for unmeasured confounding (VanderWeele & Ding 2017): the
+   * minimum strength of association an unmeasured confounder would
+   * need with BOTH exposure and outcome to explain away an observed
+   * risk ratio — the standard sensitivity readout attached to any
+   * observational RR. E = RR* + √(RR*·(RR*−1)) with RR* = RR when
+   * RR ≥ 1 else 1/RR; also reported for the CI bound closer to the
+   * null (NULL when the CI crosses 1 — the conventional "E = 1").
+   * Returns ONE row: (n, n_exposed, rr, rr_ci_low, rr_ci_high,
+   * e_value, e_value_ci).
+   *
+   * Scale shape: ONE conditional-aggregation scan builds the 2×2; the
+   * log-RR CI is the standard delta-method form.
+   */
+  def eValue(df: DataFrame, exposed: Column, outcome: Column): DataFrame = {
+    val e = when(exposed, 1.0).otherwise(0.0)
+    val y = when(outcome, 1.0).otherwise(0.0)
+    val m = df.agg(count(lit(1)).as("n"), sum(e).as("n1"),
+      sum((lit(1.0) - e)).as("n0"), sum(e * y).as("a"),
+      sum((lit(1.0) - e) * y).as("c"))
+    val p1 = col("a") / col("n1")
+    val p0 = col("c") / col("n0")
+    val ok = col("n1") > 0 && col("n0") > 0 && col("a") > 0 && col("c") > 0
+    val rr = p1 / p0
+    val seLog = sqrt(lit(1.0) / col("a") - lit(1.0) / col("n1") +
+      lit(1.0) / col("c") - lit(1.0) / col("n0"))
+    val lo = exp(log(rr) - lit(1.96) * seLog)
+    val hi = exp(log(rr) + lit(1.96) * seLog)
+    def ev(r: Column): Column = {
+      val rs = when(r >= 1, r).otherwise(lit(1.0) / r)
+      rs + sqrt(rs * (rs - 1))
+    }
+    // CI bound closer to the null: hi when RR < 1, lo when RR > 1;
+    // a CI crossing 1 cannot be explained away by LESS confounding
+    // than none — conventional E = 1 reported as NULL
+    val nearNull = when(rr >= 1, lo).otherwise(hi)
+    m.select(col("n"), col("n1").cast("long").as("n_exposed"),
+      when(ok, rr).as("rr"), when(ok, lo).as("rr_ci_low"),
+      when(ok, hi).as("rr_ci_high"), when(ok, ev(rr)).as("e_value"),
+      when(ok && ((rr >= 1 && lo > 1) || (rr < 1 && hi < 1)),
+        ev(nearNull)).as("e_value_ci"))
   }
 }

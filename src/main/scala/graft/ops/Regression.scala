@@ -593,6 +593,167 @@ object Regression {
           ((rP - rA - rB) / 2) / ((rA + rB) / (nT - 4))).as("f_stat"))
   }
 
+  /**
+   * Deming (errors-in-variables) regression of y on x: both variables
+   * carry measurement error, with `lambda` = Var(ε_y)/Var(ε_x) (1 =
+   * orthogonal regression) — the method-comparison fit (two assays of
+   * the same quantity) where OLS attenuates the slope. Closed form on
+   * centered moments: with u = c_yy − λ·c_xx,
+   * slope = (u + √(u² + 4λ·c_xy²)) / (2·c_xy). Returns ONE row:
+   * (n, lambda, slope, intercept, pearson_r). Degenerate x⟂y
+   * (c_xy = 0) reports NULL slope/intercept — the sign of the limit
+   * is undefined there (the chowTest guard convention).
+   *
+   * Scale shape: ONE moments scan, everything after is 1-row algebra.
+   */
+  def deming(df: DataFrame, xCol: String, yCol: String,
+      lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0, "deming: lambda > 0")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val u = cyy - lit(lambda) * cxx
+    val slope = when(cxy =!= 0,
+      (u + sqrt(u * u + lit(4 * lambda) * cxy * cxy)) / (lit(2.0) * cxy))
+    m.select(n.cast("long").as("n"), lit(lambda).as("lambda"),
+      slope.as("slope"),
+      (col("sy") / n - slope * col("sx") / n).as("intercept"),
+      when(cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy)).as("pearson_r"))
+  }
+
+  /**
+   * Two-stage least squares with one instrument: the Wald/IV estimator
+   * β_IV = c_zy / c_zx for outcome y, endogenous regressor x and
+   * instrument z — the causal slope when x is confounded but z moves x
+   * and touches y only through x. Reports the OLS slope beside it
+   * (the attenuation/confounding contrast) and the first-stage F
+   * (weak-instrument diagnostic, F = (n−2)·R²₁/(1−R²₁) of x ~ z).
+   * Returns ONE row:
+   * (n, beta_iv, intercept_iv, beta_ols, first_stage_f).
+   *
+   * Scale shape: ONE moments scan; all three fits are algebra on it.
+   */
+  def ivTwoStage(df: DataFrame, yCol: String, xCol: String,
+      zCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    val m = df.where(x.isNotNull && y.isNotNull && z.isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(z).as("sz"), sum(x * x).as("sxx"),
+        sum(z * z).as("szz"), sum(x * z).as("sxz"),
+        sum(z * y).as("szy"), sum(x * y).as("sxy"))
+    val n = col("n")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val czz = col("szz") - col("sz") * col("sz") / n
+    val cxz = col("sxz") - col("sx") * col("sz") / n
+    val czy = col("szy") - col("sz") * col("sy") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val beta = when(cxz =!= 0, czy / cxz)
+    val r2first = when(cxx > 0 && czz > 0, cxz * cxz / (cxx * czz))
+    m.select(n.cast("long").as("n"), beta.as("beta_iv"),
+      (col("sy") / n - beta * col("sx") / n).as("intercept_iv"),
+      when(cxx > 0, cxy / cxx).as("beta_ols"),
+      when(n > 2 && r2first < 1,
+        (n - 2) * r2first / (lit(1.0) - r2first)).as("first_stage_f"))
+  }
+
+  /**
+   * Oaxaca–Blinder decomposition of a two-group outcome gap with one
+   * covariate: gap = ȳ_A − ȳ_B splits into the part EXPLAINED by
+   * different covariate levels (priced at B's coefficients,
+   * b_B·(x̄_A − x̄_B)) and the UNEXPLAINED remainder
+   * ((a_A − a_B) + (b_A − b_B)·x̄_A) — the fairness/audit
+   * decomposition ("how much of the spend gap is order-size mix?").
+   * Both group fits are closed-form from ONE conditional-moments scan
+   * (the chowTest discipline). Returns ONE row:
+   * (n_a, n_b, mean_a, mean_b, gap, explained, unexplained).
+   */
+  def oaxacaBlinder(df: DataFrame, xCol: String, yCol: String,
+      groupA: Column): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val t = when(groupA, 1.0).otherwise(0.0)
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(sum(t).as("na"), sum(lit(1.0) - t).as("nb"),
+        sum(t * x).as("sxa"), sum((lit(1.0) - t) * x).as("sxb"),
+        sum(t * y).as("sya"), sum((lit(1.0) - t) * y).as("syb"),
+        sum(t * x * x).as("sxxa"), sum((lit(1.0) - t) * x * x).as("sxxb"),
+        sum(t * x * y).as("sxya"), sum((lit(1.0) - t) * x * y).as("sxyb"))
+    val (na, nb) = (col("na"), col("nb"))
+    val cxxA = col("sxxa") - col("sxa") * col("sxa") / na
+    val cxyA = col("sxya") - col("sxa") * col("sya") / na
+    val cxxB = col("sxxb") - col("sxb") * col("sxb") / nb
+    val cxyB = col("sxyb") - col("sxb") * col("syb") / nb
+    val ok = na >= 3 && nb >= 3 && cxxA > 0 && cxxB > 0
+    val bA = cxyA / cxxA
+    val bB = cxyB / cxxB
+    val mxA = col("sxa") / na
+    val mxB = col("sxb") / nb
+    val myA = col("sya") / na
+    val myB = col("syb") / nb
+    val aA = myA - bA * mxA
+    val aB = myB - bB * mxB
+    m.select(na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      when(na > 0, myA).as("mean_a"), when(nb > 0, myB).as("mean_b"),
+      when(na > 0 && nb > 0, myA - myB).as("gap"),
+      when(ok, bB * (mxA - mxB)).as("explained"),
+      when(ok, (aA - aB) + (bA - bB) * mxA).as("unexplained"))
+  }
+
+  /**
+   * AR(2) fit by Yule–Walker from the lag-1/lag-2 autocorrelations of
+   * a daily series: φ₁ = r₁(1 − r₂)/(1 − r₁²),
+   * φ₂ = (r₂ − r₁²)/(1 − r₁²), innovation variance
+   * σ² = c₀·(1 − φ₁r₁ − φ₂r₂) — the minimal parametric step past the
+   * raw ACF (q147): "is this series momentum (φ₁>0, φ₂≈0) or
+   * oscillation (φ₂<0)?". r₁/r₂ come from the EXISTING
+   * [[graft.ops.Evaluation.acf]] operator over the daily mean series
+   * (same biased-denominator estimator, same calendar-gap handling);
+   * the rest is 1-row algebra on a variance reduce of the day-bounded
+   * frame. Returns ONE row: (n_days, r1, r2, phi1, phi2, sigma2).
+   */
+  def yuleWalkerAr2(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(avg(col(valueCol).cast("double")).as("__x"))
+      .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
+        col("__x"))
+      .localCheckpoint() // acf's base/lag reads + the variance reduce
+    // r1/r2 ride the EXISTING acf operator (composition over
+    // duplication — identical estimator, identical gap handling)
+    val a = Evaluation.acf(daily, "__t", "__x", maxLag = 2)
+    val r1 = broadcast(a.where(col("lag") === 1)
+      .agg(max(col("acf")).as("r1")))
+    val r2 = broadcast(a.where(col("lag") === 2)
+      .agg(max(col("acf")).as("r2")))
+    val c0 = daily.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n"), ((col("__sxx") -
+        col("__sx") * col("__sx") / col("__n")) / col("__n")).as("__c0"))
+    c0.crossJoin(r1).crossJoin(r2)
+      .withColumn("phi1", when(col("r1") * col("r1") =!= 1,
+        col("r1") * (lit(1.0) - col("r2")) /
+          (lit(1.0) - col("r1") * col("r1"))))
+      .withColumn("phi2", when(col("r1") * col("r1") =!= 1,
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1"))))
+      .select(col("__n").cast("long").as("n_days"), col("r1"),
+        col("r2"), col("phi1"), col("phi2"),
+        (col("__c0") * (lit(1.0) - col("phi1") * col("r1") -
+          col("phi2") * col("r2"))).as("sigma2"))
+  }
+
   private[graft] def solve(a0: Array[Array[Double]],
       b0: Array[Double]): Array[Double] = {
     val p = b0.length

@@ -330,6 +330,49 @@ object Sampling {
       .drop("__w", "__tot")
   }
 
+  /**
+   * Systematic probability-proportional-to-size sampling: lay the
+   * units' weights end to end along [0, T), drop n equally spaced
+   * points (step = T/n, deterministic half-step start r = step/2 — no
+   * RNG, the engine-replay stance), and select every unit whose
+   * weight interval contains a point. A unit with w > step is a
+   * CERTAINTY unit and can be hit multiple times — `n_hits` carries
+   * the multiplicity (its sampling weight), Σ n_hits = n exactly.
+   * The inclusion probability of a small unit is n·w/T — the PPS
+   * contract that makes Hansen–Hurwitz/HT estimators unbiased.
+   * Returns the selected rows + (cum_before, n_hits).
+   *
+   * `orderCol` must be a UNIQUE numeric column (the frame order along
+   * the line — sampling needs a total order to be well-defined).
+   * Replay note: interval endpoints are compared on the round-6 grid
+   * before the floor (the [[neymanAllocation]] discipline), so
+   * cross-engine fp noise can't flip a point across a boundary.
+   *
+   * Scale shape: ONE [[graft.analysis.PrefixSum]] pass for the
+   * cumulative weights + a broadcast 1-row total; selection is a
+   * map-only predicate. No window, no sort, no driver state.
+   */
+  def ppsSystematic(df: DataFrame, n: Long, weightCol: String,
+      orderCol: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = col(weightCol).cast("double")
+    val base = df.where(w.isNotNull && w > 0 && col(orderCol).isNotNull)
+      .withColumn("__w", w)
+    val pre = graft.analysis.PrefixSum
+      .exclusive(base, orderCol, Seq("__w" -> "__cb"))
+    val tot = broadcast(base.agg(sum(col("__w")).as("__T")))
+    val step = col("__T") / lit(n.toDouble)
+    val r = step / 2
+    def idx(c: org.apache.spark.sql.Column) =
+      floor(round((c - r) / step, 6))
+    pre.crossJoin(tot)
+      .withColumn("n_hits",
+        (idx(col("__cb") + col("__w")) - idx(col("__cb"))).cast("long"))
+      .where(col("n_hits") >= 1)
+      .withColumn("cum_before", col("__cb"))
+      .drop("__w", "__cb", "__T")
+  }
+
   def perKeyCap(df: DataFrame, keyCols: Seq[String], cap: Long,
       hashCols: Seq[String]): DataFrame = {
     require(cap > 0, "cap must be positive")

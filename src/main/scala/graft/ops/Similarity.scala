@@ -1071,4 +1071,50 @@ object Similarity {
           (col("__tw") / (col("__nn") - col("__k")))).as("ch_index"),
         col("__db").as("db_index"))
   }
+
+  /**
+   * Embedding-space isotropy profile: how concentrated the corpus is
+   * around its mean direction — anisotropic spaces (avg cosine to the
+   * mean ≈ 1) hurt retrieval because every similarity is inflated by
+   * the common component (the "all embeddings share a huge mean
+   * vector" pathology; mitigation is mean-centering, and THIS is the
+   * before/after readout). Returns ONE row: (n, dim, mean_vec_norm,
+   * avg_vec_norm, avg_cos_to_mean, isotropy) with
+   * isotropy = 1 − ‖μ‖²/avg(‖x‖²) — the share of embedding energy NOT
+   * explained by the common mean (1 = centered, 0 = all mass on μ).
+   *
+   * Scale shape: one dims-bounded posexplode aggregation to the mean
+   * vector (collected — dims doubles, the literal-centroid contract,
+   * lint-bounded by the orderBy+limit), then ONE map-side pass scoring
+   * codegen'd dot/norms against the literal μ, one 1-row reduce.
+   */
+  def isotropyProfile(df: DataFrame, vecCol: String,
+      maxDims: Int = 8192): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val base = df.where(col(vecCol).isNotNull)
+    val dims = base
+      .select(posexplode(v).as(Seq("__i", "__v")))
+      .groupBy("__i").agg(sum(col("__v")).as("__s"),
+        count(lit(1)).as("__c"))
+      .orderBy("__i").limit(maxDims + 1).collect()
+    require(dims.nonEmpty && dims.length <= maxDims,
+      s"isotropyProfile: 1..$maxDims dims expected, got ${dims.length}")
+    val mu = dims.map(r =>
+      r.getAs[Double]("__s") / r.getAs[Long]("__c"))
+    val muLit = array(mu.map(lit(_)): _*)
+    val muNorm = math.sqrt(mu.map(x => x * x).sum)
+    val cos = when(VectorFunctions.norm(v) > 0 && lit(muNorm) > 0,
+      VectorFunctions.dot(v, muLit) /
+        (VectorFunctions.norm(v) * lit(muNorm)))
+    base.agg(count(lit(1)).as("n"),
+        avg(cos).as("avg_cos_to_mean"),
+        avg(VectorFunctions.dot(v, v)).as("__avg_sq"),
+        avg(VectorFunctions.norm(v)).as("avg_vec_norm"))
+      .select(col("n"), lit(mu.length.toLong).as("dim"),
+        lit(muNorm).as("mean_vec_norm"), col("avg_vec_norm"),
+        col("avg_cos_to_mean"),
+        when(col("__avg_sq") > 0,
+          lit(1.0) - lit(muNorm * muNorm) / col("__avg_sq"))
+          .as("isotropy"))
+  }
 }

@@ -6386,4 +6386,338 @@ class OpsExtSpec extends AnyFunSuite {
     assert(alpha.getAs[Long]("n_focus") == 5 &&
       alpha.getAs[Long]("n_reference") == 0)
   }
+  test("deming: orthogonal fit recovers the identity line; OLS comparison") {
+    import spark.implicits._
+    // points ON y = 2x + 1 exactly: Deming slope = 2 whatever lambda
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1)).toDF("x", "y")
+    val r = graft.ops.Regression.deming(df, "x", "y").head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    // orthogonal-regression hand case: symmetric cross — for data
+    // (0,0),(1,1),(1,0),(0,1) cxy = 0 → slope NULL (undefined limit)
+    val sym = Seq((0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0))
+      .toDF("x", "y")
+    val rs = graft.ops.Regression.deming(sym, "x", "y").head
+    assert(rs.isNullAt(rs.fieldIndex("slope")))
+  }
+
+  test("ivTwoStage: instrument recovers the causal slope under confounding") {
+    import spark.implicits._
+    // structural model: x = z + u, y = 3x + 5u (u confounds) — OLS is
+    // biased toward the u channel, IV (via z ⟂ u) recovers 3 exactly
+    // on a balanced grid of (z, u)
+    val rows = for (z <- 1 to 10; u <- -5 to 5) yield {
+      val x = z.toDouble + u
+      (3.0 * x + 5.0 * u, x, z.toDouble)
+    }
+    val r = graft.ops.Regression
+      .ivTwoStage(rows.toDF("y", "x", "z"), "y", "x", "z").head
+    assert(math.abs(r.getAs[Double]("beta_iv") - 3.0) < 1e-9)
+    assert(r.getAs[Double]("beta_ols") > 3.5) // confounding bias shows
+    assert(r.getAs[Double]("first_stage_f") > 10) // strong instrument
+  }
+
+  test("oaxacaBlinder: decomposition reproduces the gap; pure-mix case") {
+    import spark.implicits._
+    // both groups share y = 2x (same pricing); A has higher x — the
+    // whole gap must be EXPLAINED
+    val a = (5 to 14).map(i => (true, i.toDouble, 2.0 * i))
+    val b = (1 to 10).map(i => (false, i.toDouble, 2.0 * i))
+    val r = graft.ops.Regression.oaxacaBlinder(
+      (a ++ b).toDF("ga", "x", "y"), "x", "y", col("ga")).head
+    val gap = r.getAs[Double]("gap")
+    assert(math.abs(gap - 8.0) < 1e-9) // 2·(mean 9.5 − mean 5.5)
+    assert(math.abs(r.getAs[Double]("explained") - gap) < 1e-9)
+    assert(math.abs(r.getAs[Double]("unexplained")) < 1e-9)
+    // decomposition identity on arbitrary data
+    val rnd = new scala.util.Random(7)
+    val mixed = (1 to 200).map { i =>
+      val g = i % 2 == 0
+      val x = rnd.nextDouble() * 10 + (if (g) 2 else 0)
+      (g, x, x * (if (g) 3 else 2) + rnd.nextGaussian())
+    }
+    val m = graft.ops.Regression.oaxacaBlinder(
+      mixed.toDF("ga", "x", "y"), "x", "y", col("ga")).head
+    assert(math.abs(m.getAs[Double]("gap") -
+      (m.getAs[Double]("explained") + m.getAs[Double]("unexplained")))
+      < 1e-9)
+  }
+
+  test("concordanceMetrics: identity agreement 1; shift moves bias not r") {
+    import spark.implicits._
+    val same = (1 to 40).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val r = graft.ops.Evaluation.concordanceMetrics(same, "x", "y").head
+    assert(math.abs(r.getAs[Double]("ccc") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bias")) < 1e-12)
+    // constant shift: pearson stays 1, CCC drops, bias = shift
+    val shifted = (1 to 40).map(i => (i.toDouble, i + 5.0)).toDF("x", "y")
+    val s = graft.ops.Evaluation.concordanceMetrics(shifted, "x", "y").head
+    assert(math.abs(s.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    assert(s.getAs[Double]("ccc") < 1.0)
+    assert(math.abs(s.getAs[Double]("bias") + 5.0) < 1e-12)
+    assert(math.abs(s.getAs[Double]("loa_high") -
+      (s.getAs[Double]("bias") + 1.96 * s.getAs[Double]("sd_diff"))) < 1e-12)
+  }
+
+  test("mccByThreshold: hand confusion cells; perfect separation hits 1") {
+    import spark.implicits._
+    // scores 1..4, positives at 3,4 → at threshold 3: perfect split
+    val df = Seq((0.0, 1.0), (0.0, 2.0), (1.0, 3.0), (1.0, 4.0))
+      .toDF("y", "p")
+    val out = graft.ops.Evaluation.mccByThreshold(df, "y", "p")
+      .orderBy("threshold").collect()
+    assert(out.length == 4)
+    val at3 = out.find(_.getAs[Double]("threshold") == 3.0).get
+    assert(at3.getAs[Long]("tp") == 2 && at3.getAs[Long]("tn") == 2 &&
+      at3.getAs[Long]("fp") == 0 && at3.getAs[Long]("fn") == 0)
+    assert(math.abs(at3.getAs[Double]("mcc") - 1.0) < 1e-12)
+    assert(math.abs(at3.getAs[Double]("f1") - 1.0) < 1e-12)
+    // threshold 1 predicts ALL positive → denominator zero → NULL mcc
+    val at1 = out.find(_.getAs[Double]("threshold") == 1.0).get
+    assert(at1.isNullAt(at1.fieldIndex("mcc")))
+  }
+
+  test("eValue: hand 2x2 risk ratio and the VanderWeele formula") {
+    import spark.implicits._
+    // exposed: 30/100 events; unexposed: 10/100 → RR = 3
+    val rows = Seq.fill(30)((true, true)) ++ Seq.fill(70)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(90)((false, false))
+    val df = rows.toDF("e", "y")
+    val r = graft.ops.Evaluation.eValue(df, col("e"), col("y")).head
+    assert(math.abs(r.getAs[Double]("rr") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e_value") -
+      (3.0 + math.sqrt(3.0 * 2.0))) < 1e-12)
+    assert(r.getAs[Double]("rr_ci_low") > 1) // significant → CI e-value set
+    assert(!r.isNullAt(r.fieldIndex("e_value_ci")))
+  }
+
+  test("theilU: perfect association 1, independence 0, asymmetry") {
+    import spark.implicits._
+    // b determined by a → U(b|a) = 1; a has 4 values, b only 2 →
+    // U(a|b) < 1 (can't recover a from b)
+    val det = (1 to 100).map(i => (i % 4, (i % 4) / 2)).toDF("a", "b")
+    val r = graft.analysis.AnalysisPlanner.theilU(det, "a", "b").head
+    assert(math.abs(r.getAs[Double]("u_b_given_a") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("u_a_given_b") < 0.6)
+    // independent uniform grid → MI = 0
+    val ind = (for (a <- 0 to 3; b <- 0 to 2) yield (a, b)).toDF("a", "b")
+    val ri = graft.analysis.AnalysisPlanner.theilU(ind, "a", "b").head
+    assert(math.abs(ri.getAs[Double]("mutual_info")) < 1e-12)
+  }
+
+  test("cochranQ: hand value vs the classic formula; incomplete dropped") {
+    import spark.implicits._
+    // 4 subjects × 3 treatments; successes: t1 {1,2,3}, t2 {1}, t3 {}
+    val rows = for (b <- 1 to 4; t <- 1 to 3) yield
+      (b, s"t$t", if (t == 1 && b <= 3 || t == 2 && b == 1) 1.0 else 0.0)
+    // plus an incomplete subject (only t1) that must be dropped
+    val df = (rows :+ ((9, "t1", 1.0))).toDF("b", "t", "s")
+    val r = graft.analysis.AnalysisPlanner.cochranQ(df, "b", "t", "s").head
+    assert(r.getAs[Long]("n_blocks") == 4)
+    // hand: k=3, G=(3,1,0) → ΣG²=10, T=4, ΣB²=(2²+1+1+0)=6
+    // → Q = k(k−1)·(ΣG² − T²/k)/(kT − ΣB²) = 6·(10−16/3)/6
+    val expect = 3.0 * 2 * (10.0 - 16.0 / 3) / (3 * 4 - 6.0)
+    assert(math.abs(r.getAs[Double]("q_stat") - expect) < 1e-9)
+  }
+
+  test("iccOneWay: identical-within groups → 1; balanced k0 = k") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(g => Seq((g, g * 10.0), (g, g * 10.0),
+      (g, g * 10.0))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.iccOneWay(df, "g", "v").head
+    assert(math.abs(r.getAs[Double]("k0") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("icc1") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ms_within")) < 1e-9)
+  }
+
+  test("pageTrend: monotone blocks hit the max L; ties deterministic") {
+    import spark.implicits._
+    // 6 blocks, 3 treatments, value strictly increasing in treatment →
+    // every block ranks 1,2,3 → L = n·Σj·j = 6·14 = 84, z > 0
+    val df = (for (b <- 1 to 6; t <- 1 to 3)
+      yield (b, t, t * 10.0 + b)).toDF("b", "t", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .pageTrend(df, "b", "t", "v", col("t")).head
+    assert(r.getAs[Long]("n_blocks") == 6)
+    assert(math.abs(r.getAs[Double]("l_stat") - 84.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("e_l") - 72.0) < 1e-9) // 6·3·16/4
+    assert(r.getAs[Double]("z") > 2)
+  }
+
+  test("vif: orthogonal features 1; a near-duplicate blows up") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (a, b, a + 0.01 * rnd.nextGaussian()) // c ≈ a
+    }
+    val out = graft.analysis.AnalysisPlanner
+      .vif(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("feature") ->
+        r.getAs[Double]("vif")).toMap
+    assert(out("b") < 1.1) // independent → VIF ≈ 1
+    assert(out("a") > 50 && out("c") > 50) // collinear pair
+  }
+
+  test("ppsSystematic: hit count n exactly, certainty units multi-hit") {
+    import spark.implicits._
+    val df = ((1 to 99).map(i => (i, 1.0)) :+ ((100, 101.0)))
+      .toDF("id", "w") // unit 100 carries half the mass
+    val out = graft.ops.Sampling.ppsSystematic(df, 10, "w", "id")
+    val hits = out.agg(sum(col("n_hits"))).head.getLong(0)
+    assert(hits == 10, s"expected 10 total hits, got $hits")
+    val big = out.where(col("id") === 100).head
+    assert(big.getAs[Long]("n_hits") >= 5) // w > step → certainty unit
+    // inclusion is deterministic: same call, same rows
+    val again = graft.ops.Sampling.ppsSystematic(df, 10, "w", "id")
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(again.sameElements(
+      out.select("id").collect().map(_.getInt(0)).sorted))
+  }
+
+  test("isotropyProfile: centered cloud ≈ isotropic, common vector not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec(shift: Double) =
+      Array.fill(8)(rnd.nextGaussian()).map(_ + shift).toSeq
+    val centered = (1 to 300).map(i => (i, vec(0.0))).toDF("id", "embedding")
+    val c = graft.ops.Similarity.isotropyProfile(centered, "embedding").head
+    assert(c.getAs[Double]("isotropy") > 0.9)
+    val common = (1 to 300).map(i => (i, vec(5.0))).toDF("id", "embedding")
+    val k = graft.ops.Similarity.isotropyProfile(common, "embedding").head
+    assert(k.getAs[Double]("isotropy") < 0.2)
+    assert(k.getAs[Double]("avg_cos_to_mean") > 0.9)
+    assert(c.getAs[Long]("dim") == 8)
+  }
+
+  test("gwetScottAgreement: paradox case — kappa-family low, AC1 high") {
+    import spark.implicits._
+    // 95 (yes,yes), 5 disagreements: po=0.95 but yes-prevalence ~0.97
+    // → Scott's pe huge, pi small; Gwet's pe small, AC1 stays high
+    val rows = Seq.fill(95)(("y", "y")) ++ Seq.fill(3)(("y", "n")) ++
+      Seq.fill(2)(("n", "y"))
+    val r = graft.ops.Evaluation
+      .gwetScottAgreement(rows.toDF("a", "b"), "a", "b").head
+    assert(math.abs(r.getAs[Double]("po") - 0.95) < 1e-12)
+    assert(r.getAs[Double]("scott_pi") < 0.5)
+    assert(r.getAs[Double]("gwet_ac1") > 0.9)
+    assert(r.getAs[Long]("n_categories") == 2)
+  }
+
+  test("yuleWalkerAr2: white noise ≈ zero phis; AR(1) momentum shows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    var prev = 0.0
+    val rows = (0 until 400).map { i =>
+      prev = 0.7 * prev + rnd.nextGaussian()
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2023, 1, 1).plusDays(i).atStartOfDay()),
+        prev)
+    }
+    val r = graft.ops.Regression
+      .yuleWalkerAr2(rows.toDF("ts", "v"), "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 400)
+    assert(math.abs(r.getAs[Double]("phi1") - 0.7) < 0.15)
+    assert(math.abs(r.getAs[Double]("phi2")) < 0.15)
+    assert(r.getAs[Double]("sigma2") > 0)
+  }
+  test("flignerKilleen: equal-scale groups small, inflated group flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val equal = (1 to 300).map(i => (s"g${i % 3}", rnd.nextGaussian()))
+    val re = graft.analysis.AnalysisPlanner
+      .flignerKilleen(equal.toDF("g", "v"), "g", "v").head
+    assert(re.getAs[Long]("n_groups") == 3 && re.getAs[Long]("dof") == 2)
+    assert(re.getAs[Double]("fk_stat") < 10)
+    // one group at 8x the scale → statistic far past the χ²(2) tail
+    val skewed = (1 to 300).map { i =>
+      val g = i % 3
+      (s"g$g", rnd.nextGaussian() * (if (g == 0) 8.0 else 1.0))
+    }
+    val rs = graft.analysis.AnalysisPlanner
+      .flignerKilleen(skewed.toDF("g", "v"), "g", "v").head
+    assert(rs.getAs[Double]("fk_stat") > 30)
+  }
+
+  test("brunnerMunzel: identical halves p=1/2; separated shifts to 1") {
+    import spark.implicits._
+    val same = ((1 to 50).map(i => (true, i.toDouble)) ++
+      (1 to 50).map(i => (false, i.toDouble))).toDF("a", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .brunnerMunzel(same, "v", col("a")).head
+    assert(math.abs(r.getAs[Double]("p_hat") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bm_stat")) < 1e-9)
+    // a strictly below b → P(a<b)=1 → p_hat 1
+    val sep = ((1 to 30).map(i => (true, i.toDouble)) ++
+      (1 to 30).map(i => (false, 100.0 + i))).toDF("a", "v")
+    val rs = graft.analysis.AnalysisPlanner
+      .brunnerMunzel(sep, "v", col("a")).head
+    assert(math.abs(rs.getAs[Double]("p_hat") - 1.0) < 1e-12)
+    assert(rs.getAs[Long]("n_a") == 30 && rs.getAs[Long]("n_b") == 30)
+    // complete separation: rank variances 0 → statistic undefined/NULL
+    assert(rs.isNullAt(rs.fieldIndex("bm_stat")))
+    // partial overlap: statistic defined and strongly positive
+    val part = ((1 to 30).map(i => (true, i.toDouble)) ++
+      (1 to 30).map(i => (25.0 + i)).map(v => (false, v))).toDF("a", "v")
+    val rp = graft.analysis.AnalysisPlanner
+      .brunnerMunzel(part, "v", col("a")).head
+    assert(rp.getAs[Double]("bm_stat") > 3)
+  }
+
+  test("bowkerTest: symmetric table 0; hand asymmetric value") {
+    import spark.implicits._
+    // symmetric flows: (x,y) 5 and (y,x) 5 → chi2 = 0
+    val sym = (Seq.fill(5)(("x", "y")) ++ Seq.fill(5)(("y", "x")) ++
+      Seq.fill(10)(("x", "x"))).toDF("a", "b")
+    val r0 = graft.analysis.AnalysisPlanner.bowkerTest(sym, "a", "b").head
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-12)
+    assert(r0.getAs[Long]("dof") == 1)
+    // hand: n_xy=8, n_yx=2 → (8−2)²/10 = 3.6; plus z with no reverse:
+    // n_xz=4, n_zx=0 → 16/4 = 4 → chi2 = 7.6, dof = 2
+    val asym = (Seq.fill(8)(("x", "y")) ++ Seq.fill(2)(("y", "x")) ++
+      Seq.fill(4)(("x", "z"))).toDF("a", "b")
+    val r1 = graft.analysis.AnalysisPlanner.bowkerTest(asym, "a", "b").head
+    assert(r1.getAs[Long]("dof") == 2)
+    assert(math.abs(r1.getAs[Double]("chi2") - 7.6) < 1e-12)
+  }
+
+  test("chapmanOverlap: independent halves recover the universe size") {
+    import spark.implicits._
+    // universe 1..1200; A = multiples of 2, B = multiples of 3 —
+    // m = 200, Chapman = 601·401/201 − 1 ≈ 1198
+    val df = (1 to 1200).map(i => Tuple1(i)).toDF("k")
+    val r = graft.ops.Dedup
+      .chapmanOverlap(df, "k", col("k") % 2 === 0, col("k") % 3 === 0)
+      .head
+    assert(r.getAs[Long]("n_a") == 600 && r.getAs[Long]("n_b") == 400)
+    assert(r.getAs[Long]("n_overlap") == 200)
+    val est = r.getAs[Double]("chapman_estimate")
+    assert(math.abs(est - (601.0 * 401 / 201 - 1)) < 1e-9)
+    assert(math.abs(est - 1200) < 5) // recovers the universe
+    assert(r.getAs[Double]("unseen_estimate") > 0) // union 800 < est
+  }
+
+  test("jackknifeRatio: constant ratio → zero SE; identity holds") {
+    import spark.implicits._
+    // y = 3x everywhere → every leave-one-out ratio is 3, SE = 0
+    val const = (1 to 100).map(i => (i % 8, 3.0 * i, i.toDouble))
+      .toDF("g", "y", "x")
+    val r = graft.analysis.AnalysisPlanner
+      .jackknifeRatio(const, col("g"), "y", "x").head
+    assert(math.abs(r.getAs[Double]("ratio") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_jack")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ratio_jack") - 3.0) < 1e-9)
+    // noisy ratio: SE positive, CI brackets the point estimate
+    val rnd = new scala.util.Random(31)
+    val noisy = (1 to 400).map { i =>
+      val x = 1.0 + rnd.nextDouble()
+      (i % 16, x * (2.0 + rnd.nextGaussian() * 0.3), x)
+    }.toDF("g", "y", "x")
+    val rn = graft.analysis.AnalysisPlanner
+      .jackknifeRatio(noisy, col("g"), "y", "x").head
+    assert(rn.getAs[Double]("se_jack") > 0)
+    assert(rn.getAs[Double]("ci_low") < rn.getAs[Double]("ratio") &&
+      rn.getAs[Double]("ratio") < rn.getAs[Double]("ci_high"))
+  }
 }
