@@ -14362,6 +14362,171 @@ object Queries {
              round(r + 1.96 * se, 6) AS ci_high
       FROM f"""))
 
+  /** Welch's heteroscedastic ANOVA of event values across event types
+    * — the unequal-variance-safe F (the test to trust when q166/q372
+    * reject equal scales). */
+  private val q377 = Entry(
+    "q377_welch_anova",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.welchAnova(Tables.events(s, d),
+          "event_type", "value")
+        .select(col("n"), col("n_groups"), r6(col("f_stat")).as("f_stat"),
+          col("df1"), r6(col("df2")).as("df2")),
+    Some("""
+      WITH g AS (SELECT event_type, count(*)::DOUBLE AS ng,
+                   avg("value") AS m, var_samp("value") AS s2
+                 FROM events WHERE "value" IS NOT NULL
+                 GROUP BY 1 HAVING count(*) >= 2
+                   AND var_samp("value") > 0),
+      w AS (SELECT *, ng / s2 AS wg FROM g),
+      t AS (SELECT sum(wg) AS sw, sum(wg * m) AS swm,
+              count(*)::DOUBLE AS k, sum(ng) AS nn FROM w),
+      f AS (SELECT t.nn, t.k,
+              sum(wg * power(m - t.swm / t.sw, 2)) / (t.k - 1) AS num,
+              sum(power(1 - wg / t.sw, 2) / (ng - 1)) AS lam
+            FROM w, t GROUP BY t.nn, t.k)
+      SELECT nn::BIGINT AS n, k::BIGINT AS n_groups,
+             round(num / (1 + 2 * (k - 2) / (k * k - 1) * lam), 6)
+               AS f_stat,
+             (k - 1)::BIGINT AS df1,
+             round((k * k - 1) / (3 * lam), 6) AS df2
+      FROM f"""))
+
+  /** ANOVA effect sizes η²/ω² for event values by type — "the F is
+    * significant at corpus n, but is the effect LARGE?". */
+  private val q378 = Entry(
+    "q378_effect_sizes",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.anovaEffectSizes(
+          Tables.events(s, d), "event_type", "value")
+        .select(col("n"), col("n_groups"),
+          r6(col("ss_between")).as("ss_between"),
+          r6(col("ss_within")).as("ss_within"),
+          r6(col("eta_sq")).as("eta_sq"),
+          r6(col("omega_sq")).as("omega_sq")),
+    Some("""
+      WITH g AS (SELECT event_type, count(*)::DOUBLE AS ng,
+                   sum("value") AS sg,
+                   sum("value" * "value") AS qg
+                 FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      a AS (SELECT sum(ng) AS nn, count(*)::DOUBLE AS k, sum(sg) AS s,
+              sum(qg) AS q, sum(sg * sg / ng) AS aa FROM g),
+      f AS (SELECT nn, k, aa - s * s / nn AS ssb, q - aa AS ssw
+            FROM a)
+      SELECT nn::BIGINT AS n, k::BIGINT AS n_groups,
+             round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+             round(ssb / (ssb + ssw), 6) AS eta_sq,
+             round((ssb - (k - 1) * (ssw / (nn - k)))
+               / ((ssb + ssw) + ssw / (nn - k)), 6) AS omega_sq
+      FROM f"""))
+
+  /** Weighted percentiles of price with QUANTITY as the weight — "the
+    * price below which half the UNITS ship" vs the row median. */
+  private val q379 = Entry(
+    "q379_weighted_median",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.weightedPercentiles(
+          Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("p"), r6(col("value")).as("value"),
+          r6(col("cum_weight")).as("cum_weight"),
+          r6(col("total_weight")).as("total_weight"))
+        .orderBy("p"),
+    Some("""
+      WITH vc AS (SELECT l_extendedprice::DOUBLE AS v,
+                    sum(l_quantity)::DOUBLE AS w
+                  FROM lineitem
+                  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+                  GROUP BY 1),
+      pre AS (SELECT v, w,
+                coalesce(sum(w) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM vc),
+      t AS (SELECT sum(w) AS tot FROM vc),
+      ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+      SELECT p, round(v, 6) AS value,
+             round(bef + w, 6) AS cum_weight, round(tot, 6)
+               AS total_weight
+      FROM ps, pre, t
+      WHERE bef < p * tot AND bef + w >= p * tot
+      ORDER BY p"""))
+
+  /** Linear + quadratic weighted kappa on a near-diagonal ordinal
+    * rating pair — distance-aware agreement where plain kappa
+    * over-penalizes near misses. */
+  private val q380 = Entry(
+    "q380_weighted_kappa",
+    (s, d) =>
+      graft.ops.Evaluation.weightedKappa(
+          Tables.lineitem(s, d).select(
+            floor(col("l_quantity") / 10).as("a"),
+            floor(least(col("l_quantity") + col("l_linenumber") - 1,
+              lit(50)) / 10).as("b")),
+          "a", "b")
+        .select(col("n"), r6(col("po_linear")).as("po_linear"),
+          r6(col("pe_linear")).as("pe_linear"),
+          r6(col("kappa_linear")).as("kappa_linear"),
+          r6(col("po_quadratic")).as("po_quadratic"),
+          r6(col("pe_quadratic")).as("pe_quadratic"),
+          r6(col("kappa_quadratic")).as("kappa_quadratic")),
+    Some("""
+      WITH b0 AS (SELECT floor(l_quantity / 10)::DOUBLE AS a,
+                    floor(least(l_quantity + l_linenumber - 1, 50)
+                      / 10)::DOUBLE AS b
+                  FROM lineitem),
+      j AS (SELECT a, b, count(*)::DOUBLE AS n FROM b0 GROUP BY 1, 2),
+      ma AS (SELECT a AS k, sum(n) AS na FROM j GROUP BY 1),
+      mb AS (SELECT b AS k, sum(n) AS nb FROM j GROUP BY 1),
+      r AS (SELECT greatest(max(a), max(b)) - least(min(a), min(b))
+              AS rr, sum(n) AS nn FROM j),
+      po AS (SELECT sum(n * (1 - abs(a - b) / r.rr)) AS pol,
+               sum(n * (1 - power((a - b) / r.rr, 2))) AS poq
+             FROM j, r GROUP BY r.rr),
+      pe AS (SELECT sum(ma.na * mb.nb * (1 - abs(ma.k - mb.k) / r.rr))
+               AS pel,
+               sum(ma.na * mb.nb *
+                 (1 - power((ma.k - mb.k) / r.rr, 2))) AS peq
+             FROM ma, mb, r GROUP BY r.rr)
+      SELECT r.nn::BIGINT AS n,
+             round(po.pol / r.nn, 6) AS po_linear,
+             round(pe.pel / (r.nn * r.nn), 6) AS pe_linear,
+             round((po.pol / r.nn - pe.pel / (r.nn * r.nn))
+               / (1 - pe.pel / (r.nn * r.nn)), 6) AS kappa_linear,
+             round(po.poq / r.nn, 6) AS po_quadratic,
+             round(pe.peq / (r.nn * r.nn), 6) AS pe_quadratic,
+             round((po.poq / r.nn - pe.peq / (r.nn * r.nn))
+               / (1 - pe.peq / (r.nn * r.nn)), 6) AS kappa_quadratic
+      FROM po, pe, r"""))
+
+  /** Tokenizer fertility by language: BPE-ish tokens per whitespace
+    * word — the "which languages cost more tokens" planning readout,
+    * composed over the q29 token counter. */
+  private val q381 = Entry(
+    "q381_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.tokenCounts(docs, "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("words"),
+          sum(col("bpe_ish_tokens")).cast("long").as("tokens"),
+          r6(sum(col("bpe_ish_tokens")) /
+            sum(col("ws_tokens")).cast("double")).as("fertility"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS ws,
+                   len(regexp_extract_all(text,
+                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bp
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs, sum(ws)::BIGINT AS words,
+             sum(bp)::BIGINT AS tokens,
+             round(sum(bp) / sum(ws)::DOUBLE, 6) AS fertility
+      FROM t GROUP BY 1 ORDER BY lang"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -14389,7 +14554,7 @@ object Queries {
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
     q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355,
     q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-    q372, q373, q374, q375, q376)
+    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

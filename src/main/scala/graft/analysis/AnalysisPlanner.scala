@@ -3816,6 +3816,121 @@ object AnalysisPlanner {
   }
 
   /**
+   * Welch's heteroscedastic one-way ANOVA: the k-group generalization
+   * of the Welch t-test (and the test to reach for when
+   * [[brownForsythe]]/[[flignerKilleen]] REJECT equal variances —
+   * classic ANOVA's pooled MSW is then wrong). F* with
+   * w_g = n_g/s²_g, x̄_w = Σw x̄/Σw:
+   * F* = [Σw_g(x̄_g−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+   * Λ = Σ (1−w_g/Σw)²/(n_g−1); dof₂ = (k²−1)/(3Λ). Returns ONE row:
+   * (n, n_groups, f_stat, df1, df2).
+   *
+   * Scale shape: one grouped moments pass, two bounded reduces.
+   */
+  def welchAnova(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__ng"), avg(x).as("__m"),
+        var_samp(x).as("__s2"))
+      .where(col("__ng") >= 2 && col("__s2") > 0)
+      .withColumn("__w", col("__ng") / col("__s2"))
+    val tot = broadcast(g.agg(sum(col("__w")).as("__sw"),
+      sum(col("__w") * col("__m")).as("__swm"),
+      count(lit(1)).cast("double").as("__k"),
+      sum(col("__ng")).as("__nn")))
+    g.crossJoin(tot)
+      .agg(max(col("__nn")).cast("long").as("n"),
+        max(col("__k")).cast("long").as("n_groups"),
+        (max(col("__k")) - 1).cast("long").as("df1"),
+        (sum(col("__w") *
+          pow(col("__m") - col("__swm") / col("__sw"), 2.0)) /
+          (max(col("__k")) - 1)).as("__num"),
+        sum(pow(lit(1.0) - col("__w") / col("__sw"), 2.0) /
+          (col("__ng") - 1)).as("__lam"),
+        max(col("__k")).as("__kk"))
+      .select(col("n"), col("n_groups"),
+        (col("__num") / (lit(1.0) + lit(2.0) * (col("__kk") - 2) /
+          (col("__kk") * col("__kk") - 1) * col("__lam"))).as("f_stat"),
+        col("df1"),
+        ((col("__kk") * col("__kk") - 1) / (lit(3.0) * col("__lam")))
+          .as("df2"))
+  }
+
+  /**
+   * One-way ANOVA effect sizes: η² = SSB/SST (share of variance the
+   * grouping explains, biased up) and the bias-corrected
+   * ω² = (SSB − (k−1)·MSW)/(SST + MSW) — the "is this significant
+   * difference LARGE" companion to the F-test (q44), which at corpus n
+   * flags trivial effects. Returns ONE row:
+   * (n, n_groups, ss_between, ss_within, eta_sq, omega_sq).
+   *
+   * Scale shape: one grouped moments pass, one bounded reduce.
+   */
+  def anovaEffectSizes(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__ng"), sum(x).as("__sg"),
+        sum(x * x).as("__qg"))
+    g.agg(sum(col("__ng")).as("__nn"),
+        count(lit(1)).cast("double").as("__k"),
+        sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+        sum(col("__sg") * col("__sg") / col("__ng")).as("__a"))
+      .select(col("__nn").cast("long").as("n"),
+        col("__k").cast("long").as("n_groups"),
+        (col("__a") - col("__s") * col("__s") / col("__nn"))
+          .as("ss_between"),
+        (col("__q") - col("__a")).as("ss_within"),
+        col("__nn"), col("__k"))
+      .withColumn("__sst", col("ss_between") + col("ss_within"))
+      .withColumn("__msw",
+        col("ss_within") / (col("__nn") - col("__k")))
+      .select(col("n"), col("n_groups"), col("ss_between"),
+        col("ss_within"),
+        when(col("__sst") > 0, col("ss_between") / col("__sst"))
+          .as("eta_sq"),
+        when(col("__sst") + col("__msw") > 0,
+          (col("ss_between") - (col("__k") - 1) * col("__msw")) /
+            (col("__sst") + col("__msw"))).as("omega_sq"))
+  }
+
+  /**
+   * Exact weighted percentiles: the value at which the cumulative
+   * WEIGHT (tokens, revenue, bytes — not row count) first reaches
+   * p·W — "the document length below which half the TOKENS live" is a
+   * weighted median, and it answers a different question than the
+   * row-median [[percentiles]]. PERCENTILE_DISC convention (an actual
+   * data value, no interpolation — engine-replay stable). Returns one
+   * row per requested p: (p, value, cum_weight, total_weight).
+   *
+   * Scale shape: [[percentiles]]' exactly — one value-keyed weight
+   * sum, one [[PrefixSum]], a broadcast 1-row total; the p list
+   * (bounded) cross-joins the reduced frame.
+   */
+  def weightedPercentiles(df: DataFrame, valueCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "weightedPercentiles: ps in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("double")
+    val vc = df.where(v.isNotNull && w.isNotNull && w > 0)
+      .groupBy(v.as("__v")).agg(sum(w).as("__w"))
+    val pre = PrefixSum.exclusive(vc, "__v", Seq("__w" -> "__bef"))
+      .crossJoin(broadcast(vc.agg(sum(col("__w")).as("__tot"))))
+    ps.toDF("p").crossJoin(pre)
+      .where(col("__bef") < col("p") * col("__tot") &&
+        col("__bef") + col("__w") >= col("p") * col("__tot"))
+      .select(col("p"), col("__v").as("value"),
+        (col("__bef") + col("__w")).as("cum_weight"),
+        col("__tot").as("total_weight"))
+  }
+
+  /**
    * Variance inflation factors for a feature set: VIF_j = 1/(1−R²_j)
    * of feature j regressed on the others — read straight off the
    * diagonal of the inverse correlation matrix (VIF_j = P_jj) — the

@@ -2191,4 +2191,68 @@ object Evaluation {
       when(ok && ((rr >= 1 && lo > 1) || (rr < 1 && hi < 1)),
         ev(nearNull)).as("e_value_ci"))
   }
+  /**
+   * Weighted Cohen's kappa for ORDINAL ratings (numeric categories):
+   * disagreements are penalized by distance — linear
+   * w = 1 − |i−j|/(k_max−k_min) or quadratic w = 1 − ((i−j)/range)² —
+   * so a 1-vs-2 disagreement costs less than 1-vs-5 (plain
+   * [[cohenKappa]] treats them the same, wrong for graded quality
+   * labels). κ_w = (po_w − pe_w)/(1 − pe_w) with weighted observed
+   * and chance agreement. Returns ONE row:
+   * (n, po_linear, pe_linear, kappa_linear, po_quadratic,
+   * pe_quadratic, kappa_quadratic).
+   *
+   * Scale shape: one joint groupBy (≤k² rows); the chance term is the
+   * marginal-product sum over the k×k grid of the REDUCED marginal
+   * frames — never the corpus.
+   */
+  def weightedKappa(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val joint = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint() // marginals + range + both weighted sums
+    val ma = joint.groupBy(col("__a").as("__k")).agg(sum("__n").as("__na"))
+    val mb = joint.groupBy(col("__b").as("__k")).agg(sum("__n").as("__nb"))
+    // "__tt", not "__N": the case-insensitive resolver would clash
+    // with joint's "__n" cell count across the crossJoin (q346 lesson)
+    val rng = broadcast(joint.agg(
+      (greatest(max(col("__a")), max(col("__b"))) -
+        least(min(col("__a")), min(col("__b")))).as("__r"),
+      sum(col("__n")).as("__tt")))
+    def wl(x: Column, y: Column, r: Column) =
+      lit(1.0) - abs(x - y) / r
+    def wq(x: Column, y: Column, r: Column) =
+      lit(1.0) - pow((x - y) / r, 2.0)
+    val po = joint.crossJoin(rng)
+      .agg(sum(col("__n") * wl(col("__a"), col("__b"), col("__r")))
+        .as("__pol"),
+        sum(col("__n") * wq(col("__a"), col("__b"), col("__r")))
+          .as("__poq"),
+        max(col("__tt")).as("__ntot"))
+    // chance term: full k×k marginal cross — REDUCED frames only
+    val pe = ma.crossJoin(mb
+        .select(col("__k").as("__k2"), col("__nb")))
+      .crossJoin(rng)
+      .agg(sum(col("__na") * col("__nb") *
+        wl(col("__k"), col("__k2"), col("__r"))).as("__pel"),
+        sum(col("__na") * col("__nb") *
+          wq(col("__k"), col("__k2"), col("__r"))).as("__peq"))
+    po.crossJoin(broadcast(pe))
+      .select(col("__ntot").cast("long").as("n"),
+        (col("__pol") / col("__ntot")).as("po_linear"),
+        (col("__pel") / (col("__ntot") * col("__ntot"))).as("pe_linear"),
+        (col("__poq") / col("__ntot")).as("po_quadratic"),
+        (col("__peq") / (col("__ntot") * col("__ntot")))
+          .as("pe_quadratic"))
+      .select(col("n"), col("po_linear"), col("pe_linear"),
+        when(col("pe_linear") < 1, (col("po_linear") - col("pe_linear"))
+          / (lit(1.0) - col("pe_linear"))).as("kappa_linear"),
+        col("po_quadratic"), col("pe_quadratic"),
+        when(col("pe_quadratic") < 1,
+          (col("po_quadratic") - col("pe_quadratic"))
+            / (lit(1.0) - col("pe_quadratic"))).as("kappa_quadratic"))
+  }
 }

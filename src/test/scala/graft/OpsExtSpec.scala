@@ -6720,4 +6720,80 @@ class OpsExtSpec extends AnyFunSuite {
     assert(rn.getAs[Double]("ci_low") < rn.getAs[Double]("ratio") &&
       rn.getAs[Double]("ratio") < rn.getAs[Double]("ci_high"))
   }
+  test("welchAnova: equal means small F; shifted group flags; df2 sane") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val same = (1 to 300).map(i => (s"g${i % 3}", rnd.nextGaussian()))
+    val r0 = graft.analysis.AnalysisPlanner
+      .welchAnova(same.toDF("g", "v"), "g", "v").head
+    assert(r0.getAs[Double]("f_stat") < 5)
+    assert(r0.getAs[Long]("df1") == 2)
+    assert(r0.getAs[Double]("df2") > 50)
+    // one group shifted by 5 with INFLATED variance in another —
+    // Welch stays valid where classic ANOVA's pooled MSW lies
+    val shifted = (1 to 300).map { i =>
+      val g = i % 3
+      val v = rnd.nextGaussian() * (if (g == 1) 5.0 else 1.0) +
+        (if (g == 0) 5.0 else 0.0)
+      (s"g$g", v)
+    }
+    val r1 = graft.analysis.AnalysisPlanner
+      .welchAnova(shifted.toDF("g", "v"), "g", "v").head
+    assert(r1.getAs[Double]("f_stat") > 20)
+  }
+
+  test("anovaEffectSizes: groups explain all variance → η² = 1; none → ≈ 0") {
+    import spark.implicits._
+    val pure = (1 to 90).map(i => (s"g${i % 3}", (i % 3) * 10.0))
+    val r1 = graft.analysis.AnalysisPlanner
+      .anovaEffectSizes(pure.toDF("g", "v"), "g", "v").head
+    assert(math.abs(r1.getAs[Double]("eta_sq") - 1.0) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("ss_within")) < 1e-9)
+    val rnd = new scala.util.Random(43)
+    val none = (1 to 900).map(i => (s"g${i % 3}", rnd.nextGaussian()))
+    val r0 = graft.analysis.AnalysisPlanner
+      .anovaEffectSizes(none.toDF("g", "v"), "g", "v").head
+    assert(r0.getAs[Double]("eta_sq") < 0.02)
+    // omega² is the bias-corrected one: at zero true effect it sits
+    // closer to 0 than eta² (can go slightly negative)
+    assert(r0.getAs[Double]("omega_sq") < r0.getAs[Double]("eta_sq"))
+  }
+
+  test("weightedPercentiles: hand weighted median vs the row median") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 → weighted median = 4
+    // (cum weight hits 5 of 10 inside value 4's mass)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0))
+      .toDF("v", "w")
+    val out = graft.analysis.AnalysisPlanner
+      .weightedPercentiles(df, "v", "w", Seq(0.25, 0.5))
+      .collect().map(r => r.getAs[Double]("p") ->
+        r.getAs[Double]("value")).toMap
+    assert(out(0.5) == 4.0)
+    assert(out(0.25) == 3.0) // target 2.5 lands in value 3's (2,3] mass
+    // uniform weights reduce to the DISC row percentile
+    val unif = (1 to 100).map(i => (i.toDouble, 1.0)).toDF("v", "w")
+    val u = graft.analysis.AnalysisPlanner
+      .weightedPercentiles(unif, "v", "w", Seq(0.5)).head
+    assert(u.getAs[Double]("value") == 50.0)
+    assert(u.getAs[Double]("total_weight") == 100.0)
+  }
+
+  test("weightedKappa: perfect agreement 1; near-miss beats far-miss") {
+    import spark.implicits._
+    val perfect = (1 to 50).map(i => (i % 5, i % 5)).toDF("a", "b")
+    val rp = graft.ops.Evaluation.weightedKappa(perfect, "a", "b").head
+    assert(math.abs(rp.getAs[Double]("kappa_linear") - 1.0) < 1e-12)
+    assert(math.abs(rp.getAs[Double]("kappa_quadratic") - 1.0) < 1e-12)
+    // same po-by-count, but near-miss disagreements (|d|=1) must score
+    // higher weighted kappa than far-miss ones (|d|=4)
+    def frame(d: Int) = ((1 to 40).map(i => (i % 5, i % 5)) ++
+      (1 to 10).map(i => (0, d))).toDF("a", "b")
+    val near = graft.ops.Evaluation.weightedKappa(frame(1), "a", "b").head
+    val far = graft.ops.Evaluation.weightedKappa(frame(4), "a", "b").head
+    assert(near.getAs[Double]("kappa_linear") >
+      far.getAs[Double]("kappa_linear"))
+    assert(near.getAs[Double]("kappa_quadratic") >
+      far.getAs[Double]("kappa_quadratic"))
+  }
 }
