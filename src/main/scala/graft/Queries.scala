@@ -14527,6 +14527,181 @@ object Queries {
              round(sum(bp) / sum(ws)::DOUBLE, 6) AS fertility
       FROM t GROUP BY 1 ORDER BY lang"""))
 
+  /** Harrell's C-index: does per-user event volume predict time to
+    * first big purchase (q296's cohort)? Concordance via the Kendall
+    * Fenwick machinery in its two-weight (event×all) form; the oracle
+    * brute-forces the pairs. */
+  private val q382 = Entry(
+    "q382_c_index",
+    (s, d) => {
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"),
+          count(lit(1)).cast("double").as("score"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0))
+            .as("ev"),
+          col("score"))
+      graft.analysis.AnalysisPlanner
+        .concordanceIndex(surv, "dur", "ev", "score")
+        .select(col("n"), col("n_events"), col("comparable_pairs"),
+          col("concordant"), col("tied_score"),
+          r6(col("c_index")).as("c_index"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END
+            ::DOUBLE AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1 ELSE 0 END AS ev,
+          count(*)::DOUBLE AS score
+        FROM events GROUP BY user_id),
+      p AS (SELECT a.score AS sa, b.score AS sb
+            FROM s a JOIN s b ON a.ev = 1 AND a.dur < b.dur),
+      f AS (SELECT count(*)::BIGINT AS comparable_pairs,
+              sum(CASE WHEN sa > sb THEN 1 ELSE 0 END)::BIGINT
+                AS concordant,
+              sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)::BIGINT
+                AS tied_score
+            FROM p),
+      t AS (SELECT count(*)::BIGINT AS n, sum(ev)::BIGINT AS n_events
+            FROM s)
+      SELECT t.n, t.n_events, f.comparable_pairs, f.concordant,
+             f.tied_score,
+             round((f.concordant + 0.5 * f.tied_score)
+               / f.comparable_pairs, 6) AS c_index
+      FROM f, t"""))
+
+  /** Ordinal-association suite composed from the q46 Kendall counts:
+    * Goodman–Kruskal gamma (ties ignored) and both Somers' D
+    * asymmetries — pure algebra on the existing distributed
+    * concordance frame. */
+  private val q383 = Entry(
+    "q383_ordinal_association",
+    (s, d) =>
+      AnalysisPlanner
+        .kendallTau(Tables.events(s, d), "value", "user_id", "event_id")
+        .select(col("concordant"), col("discordant"),
+          r6((col("concordant") - col("discordant")).cast("double") /
+            (col("concordant") + col("discordant"))).as("gamma"),
+          r6((col("concordant") - col("discordant")).cast("double") /
+            (col("n_pairs") - col("ties_x"))).as("somers_dyx"),
+          r6((col("concordant") - col("discordant")).cast("double") /
+            (col("n_pairs") - col("ties_y"))).as("somers_dxy"),
+          r6(col("tau_b")).as("tau_b")),
+    Some("""
+      WITH s AS (
+        SELECT event_id AS k, "value" AS x, CAST(user_id AS DOUBLE) AS y
+        FROM events
+        WHERE "value" IS NOT NULL AND user_id IS NOT NULL),
+      pairs AS (
+        SELECT (p.x - q.x) * (p.y - q.y) AS prod,
+               CAST(p.x = q.x AS BIGINT) AS tx,
+               CAST(p.y = q.y AS BIGINT) AS ty
+        FROM s p JOIN s q ON p.k < q.k),
+      a AS (
+        SELECT CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(sum(tx) AS BIGINT) AS tx,
+               CAST(sum(ty) AS BIGINT) AS ty,
+               count(*) AS np
+        FROM pairs)
+      SELECT c AS concordant, d AS discordant,
+             round((c - d)::DOUBLE / (c + d), 6) AS gamma,
+             round((c - d)::DOUBLE / (np - tx), 6) AS somers_dyx,
+             round((c - d)::DOUBLE / (np - ty), 6) AS somers_dxy,
+             round((c - d) / sqrt((np - tx) * (np - ty)), 6) AS tau_b
+      FROM a"""))
+
+  /** Categorical drift of the event-type mix between user cohorts —
+    * PSI/JS/chi2 on EXACT categories, where numeric binning is
+    * meaningless. */
+  private val q384 = Entry(
+    "q384_categorical_drift",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.categoricalDrift(
+          Tables.events(s, d), "event_type",
+          col("user_id") % 2 === 0, col("user_id") % 2 === 1)
+        .select(col("n_categories"), col("n_a"), col("n_b"),
+          r6(col("psi")).as("psi"),
+          r6(col("js_divergence")).as("js_divergence"),
+          r6(col("chi2")).as("chi2"),
+          r6(col("max_abs_diff")).as("max_abs_diff")),
+    Some("""
+      WITH per AS (SELECT event_type,
+              sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0 END) AS na,
+              sum(CASE WHEN user_id % 2 = 1 THEN 1.0 ELSE 0 END) AS nb
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per),
+      f AS (SELECT greatest(na / t.ta, 1e-9) AS p,
+              greatest(nb / t.tb, 1e-9) AS q,
+              na, nb, t.ta, t.tb,
+              (na + nb) * t.ta / (t.ta + t.tb) AS ea,
+              (na + nb) * t.tb / (t.ta + t.tb) AS eb
+            FROM per, t)
+      SELECT count(*)::BIGINT AS n_categories,
+             max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+             round(sum((p - q) * ln(p / q)), 6) AS psi,
+             round(sum(p * ln(p / ((p + q) / 2))) / 2 +
+               sum(q * ln(q / ((p + q) / 2))) / 2, 6) AS js_divergence,
+             round(sum(power(na - ea, 2) / ea
+               + power(nb - eb, 2) / eb), 6) AS chi2,
+             round(max(abs(p - q)), 6) AS max_abs_diff
+      FROM f"""))
+
+  /** Direct standardization: the big-purchase rate gap between user
+    * cohorts re-weighted to the pooled event-type mix — "is the gap
+    * real or composition?". */
+  private val q385 = Entry(
+    "q385_standardized_rates",
+    (s, d) =>
+      graft.analysis.AnalysisPlanner.directStandardizedRates(
+          Tables.events(s, d), "event_type",
+          col("user_id") % 2 === 0,
+          col("value") > 100)
+        .select(col("n"), col("n_strata"),
+          r6(col("crude_a")).as("crude_a"),
+          r6(col("crude_b")).as("crude_b"),
+          r6(col("adj_a")).as("adj_a"), r6(col("adj_b")).as("adj_b"),
+          r6(col("crude_diff")).as("crude_diff"),
+          r6(col("adj_diff")).as("adj_diff")),
+    Some("""
+      WITH per AS (SELECT event_type,
+              sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0 END) AS na,
+              sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1.0 END) AS nb,
+              sum(CASE WHEN user_id % 2 = 0
+                    AND coalesce("value" > 100, FALSE)
+                    THEN 1.0 ELSE 0 END) AS ya,
+              sum(CASE WHEN user_id % 2 <> 0
+                    AND coalesce("value" > 100, FALSE)
+                    THEN 1.0 ELSE 0 END) AS yb
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 HAVING sum(CASE WHEN user_id % 2 = 0 THEN 1.0
+              ELSE 0 END) > 0 AND sum(CASE WHEN user_id % 2 = 0 THEN 0
+              ELSE 1.0 END) > 0)
+      SELECT sum(na + nb)::BIGINT AS n, count(*)::BIGINT AS n_strata,
+             round(sum(ya) / sum(na), 6) AS crude_a,
+             round(sum(yb) / sum(nb), 6) AS crude_b,
+             round(sum((na + nb) * ya / na) / sum(na + nb), 6) AS adj_a,
+             round(sum((na + nb) * yb / nb) / sum(na + nb), 6) AS adj_b,
+             round(sum(ya) / sum(na) - sum(yb) / sum(nb), 6)
+               AS crude_diff,
+             round(sum((na + nb) * ya / na) / sum(na + nb)
+               - sum((na + nb) * yb / nb) / sum(na + nb), 6) AS adj_diff
+      FROM per"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -14554,7 +14729,7 @@ object Queries {
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
     q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355,
     q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381)
+    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -737,25 +737,38 @@ object AnalysisPlanner {
    * the Fenwick buffer is task heap (fatal when large), so the
    * backstop keeps the memory bound and lets the shuffle grow.
    */
+  /**
+   * Two-weight generalization (round 9): when `cells0` carries `e`
+   * (early-role weight) and `a` (late-role weight) columns, the count
+   * is `Σ_{x1<x2 ∧ y1>y2} e1·a2` — the cross-role dominance count the
+   * censoring-aware concordance index needs (early = event rows, late
+   * = all rows). With e = a = c (the default, synthesized from a
+   * plain `(x, y, c)` frame) the count reduces to the original
+   * within-frame D, so [[kendallTau]]'s path is bit-identical.
+   */
   private[graft] def discordantCount(spark0: SparkSession, cells0: DataFrame,
       fixedBuckets: Int, cap: Long, gridBudget: Long): (Long, Int) = {
     import spark0.implicits._
+    val cellsIn =
+      if (cells0.columns.contains("e")) cells0
+      else cells0.withColumn("e", col("c")).withColumn("a", col("c"))
 
     // per-slice multiplicity-weighted inversion count: within each
     // __sl, Σ c1·c2 over pairs with __fx strictly <, __fy strictly >.
     // Tasks see whole slices, sorted, with a reset per slice; equal-fx
     // batches are queried before insertion so fx ties contribute 0.
     def fenwickSlices(f: DataFrame, sl: Column, fx: Column, fy: Column,
-        fc: Column): DataFrame = f
+        fe: Column, fa: Column): DataFrame = f
       .select(sl.cast("long").as("__sl"), fx.cast("double").as("__fx"),
-        fy.cast("double").as("__fy"), fc.cast("long").as("__fc"))
+        fy.cast("double").as("__fy"), fe.cast("long").as("__fe"),
+        fa.cast("long").as("__fa"))
       .repartition(col("__sl"))
       .sortWithinPartitions("__sl", "__fx", "__fy")
-      .as[(Long, Double, Double, Long)]
+      .as[(Long, Double, Double, Long, Long)]
       .mapPartitions { it =>
         var total = 0L
         val run = scala.collection.mutable.ArrayBuffer
-          .empty[(Double, Double, Long)]
+          .empty[(Double, Double, Long, Long)]
         def flush(): Unit = {
           if (run.nonEmpty) {
             val buf = run.toArray
@@ -778,7 +791,8 @@ object AnalysisPlanner {
               while (j < buf.length && buf(j)._1 == buf(i)._1) j += 1
               var k = i // query the equal-fx batch first (fx must be strict)
               while (k < j) {
-                total += buf(k)._3 * (inserted - atMost(rank(buf(k)._2)))
+                // late-role weight × inserted early-role mass above y
+                total += buf(k)._4 * (inserted - atMost(rank(buf(k)._2)))
                 k += 1
               }
               k = i
@@ -794,7 +808,7 @@ object AnalysisPlanner {
         var cur = Long.MinValue
         it.foreach { t =>
           if (t._1 != cur) { flush(); cur = t._1 }
-          run += ((t._2, t._3, t._4))
+          run += ((t._2, t._3, t._4, t._5))
         }
         flush()
         Iterator.single(total)
@@ -816,9 +830,11 @@ object AnalysisPlanner {
               lit(nb - 1L))))
         .drop("__plo", "__phi")
       val dWithin =
-        fenwickSlices(cb, col("__xb"), col("x"), col("y"), col("c"))
-      // D_cross via the (bucket × y) grid
-      val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("c")).as("__n"))
+        fenwickSlices(cb, col("__xb"), col("x"), col("y"), col("e"),
+          col("a"))
+      // D_cross via the (bucket × y) grid — the grid accumulates
+      // EARLY-role mass; each late cell multiplies by its a weight
+      val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("e")).as("__n"))
       val grid = f.select(col("y")).distinct()
         .crossJoin(spark0.range(0, nb).toDF("__xb"))
         .join(perY, Seq("__xb", "y"), "left")
@@ -834,7 +850,7 @@ object AnalysisPlanner {
         .withColumn("__egt", col("__Gtot") - col("__cumG") - col("__G"))
         .select(col("__xb"), col("y"), col("__egt"))
       val dCross = cb.join(earlierGt, Seq("__xb", "y"))
-        .agg(coalesce(sum(col("c") * col("__egt")), lit(0L)).as("d"))
+        .agg(coalesce(sum(col("a") * col("__egt")), lit(0L)).as("d"))
       Seq(dWithin, dCross)
     }
 
@@ -844,7 +860,7 @@ object AnalysisPlanner {
     // buckets), so a bucket holds ≤ cap + (largest single value's
     // cells) — the irreducible concentration.
     def rankBuckets(f: DataFrame, vCol: String, bCol: String): DataFrame = {
-      val cv = f.groupBy(vCol).agg(sum(col("c")).as("__cnt"))
+      val cv = f.groupBy(vCol).agg(sum(col("a")).as("__cnt"))
       PrefixSum.exclusive(cv, vCol, Seq("__cnt" -> "__cum"), buckets = 1 << 14)
         .select(col(vCol), floor(col("__cum") / cap).cast("long").as(bCol))
     }
@@ -858,7 +874,7 @@ object AnalysisPlanner {
     def gridFeasible(nc: Long, nyv: Long) =
       memWant(nc).toDouble * nyv.toDouble <= gridBudget.toDouble
 
-    var cur = cells0
+    var cur = cellsIn
     var level = 0
     var partials = Seq.empty[DataFrame]
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -875,18 +891,18 @@ object AnalysisPlanner {
           persisted += b
           // same-x-bucket pairs: strict on true (x, y)
           partials :+= fenwickSlices(b, col("__rxb"), col("x"), col("y"),
-            col("c"))
+            col("e"), col("a"))
           // cross-x-bucket, same-y-bucket pairs: bucket order IS strict
           // x order (ties preserved), y compared by true value; same-x-
           // bucket pairs tie on __rxb and contribute 0 (no double count)
           partials :+= fenwickSlices(b, col("__ryb"), col("__rxb"), col("y"),
-            col("c"))
+            col("e"), col("a"))
           // cross-both pairs: strictly ordered on both bucket axes ⇒
-          // recurse on the tile totals
+          // recurse on the tile totals (both role weights ride along)
           cur = b.groupBy(col("__rxb"), col("__ryb"))
-            .agg(sum(col("c")).as("c"))
+            .agg(sum(col("e")).as("e"), sum(col("a")).as("a"))
             .select(col("__rxb").cast("double").as("x"),
-              col("__ryb").cast("double").as("y"), col("c"))
+              col("__ryb").cast("double").as("y"), col("e"), col("a"))
           val t = sizing(cur) // one sizing per engaged level
           n = t._1; ny = t._2
           level += 1
@@ -3928,6 +3944,149 @@ object AnalysisPlanner {
       .select(col("p"), col("__v").as("value"),
         (col("__bef") + col("__w")).as("cum_weight"),
         col("__tot").as("total_weight"))
+  }
+
+  /**
+   * Harrell's concordance index for survival predictions: among
+   * comparable pairs (the shorter time is an OBSERVED event — a
+   * censored early row tells nothing about order), the share where
+   * the higher risk score got the earlier event, ties in score worth
+   * ½. C = (concordant + ½·score-ties) / comparable; equal-time pairs
+   * are not comparable (the strict-t convention, documented). The
+   * survival-model companion to ROC-AUC (C ≡ AUC with no censoring).
+   * Returns ONE row:
+   * (n, n_events, comparable_pairs, concordant, tied_score, c_index).
+   *
+   * Scale shape: the corpus reduces to distinct (duration, score)
+   * cells carrying an event count and an all-rows count; the
+   * concordant count is ONE [[discordantCount]] dominance pass in its
+   * two-weight form (early = event mass, late = all mass — the same
+   * Fenwick/grid machinery as Kendall's tau-b, never an O(n²) pair
+   * join); score-ties and the comparable denominator are per-score /
+   * per-time [[PrefixSum]] suffix algebra on the reduced frame.
+   */
+  def concordanceIndex(df: DataFrame, durationCol: String,
+      eventCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = col(durationCol).cast("double")
+    val p = col(scoreCol).cast("double")
+    val ev = col(eventCol).cast("double")
+    val cells = df.where(t.isNotNull && p.isNotNull && ev.isNotNull)
+      .groupBy(t.as("x"), p.as("y"))
+      .agg(sum(when(ev > 0, 1L).otherwise(0L)).as("e"),
+        count(lit(1)).as("a"))
+      .localCheckpoint() // dominance pass + two prefix passes + totals
+    // concordant: early event (e) at smaller t with HIGHER score than
+    // the later row (a) — discordantCount's x1<x2 ∧ y1>y2 exactly
+    val (concordant, _) = discordantCount(spark, cells,
+      fixedBuckets = 0, cap = 1L << 16, gridBudget = 1L << 27)
+    // per-score ties: event rows vs strictly-later same-score rows
+    val totPerScore = cells.groupBy("y").agg(sum(col("a")).as("__totA"))
+    val tied = PrefixSum.joinNullSafe(
+        PrefixSum.exclusive(cells, "x", Seq("a" -> "__cumA"),
+          groupCols = Seq("y")),
+        totPerScore, Seq("y"))
+      .agg(coalesce(sum(col("e") *
+        (col("__totA") - col("__cumA") - col("a"))), lit(0L)))
+      .head().getLong(0)
+    // comparable pairs: every event row × strictly-later rows
+    val perT = cells.groupBy("x").agg(sum(col("e")).as("__et"),
+      sum(col("a")).as("__at"))
+    val comparable = PrefixSum.exclusive(perT, "x", Seq("__at" -> "__cum"))
+      .crossJoin(broadcast(perT.agg(sum(col("__at")).as("__N"))))
+      .agg(coalesce(sum(col("__et") *
+        (col("__N") - col("__cum") - col("__at"))), lit(0L)))
+      .head().getLong(0)
+    val totals = cells.agg(sum(col("a")).as("n"), sum(col("e")).as("ne"))
+      .head()
+    Seq((totals.getLong(0), totals.getLong(1), comparable, concordant,
+      tied, (concordant + 0.5 * tied) / comparable.toDouble))
+      .toDF("n", "n_events", "comparable_pairs", "concordant",
+        "tied_score", "__c")
+      .select(col("n"), col("n_events"), col("comparable_pairs"),
+        col("concordant"), col("tied_score"),
+        when(col("comparable_pairs") > 0, col("__c")).as("c_index"))
+  }
+
+  /**
+   * Drift between two cohorts of a CATEGORICAL column on exact
+   * categories — the [[drift]] family member for labels/sources/
+   * languages, where equal-width numeric bins are meaningless.
+   * PSI / JS on the per-category proportion pair (1e-9 clamp, the
+   * numeric drift's convention) plus the chi-square homogeneity
+   * statistic and the max absolute proportion gap. Returns ONE row:
+   * (n_categories, n_a, n_b, psi, js_divergence, chi2, max_abs_diff).
+   *
+   * Scale shape: ONE conditional-aggregation groupBy to the
+   * ≤categories frame, a broadcast totals row, one reduce.
+   */
+  def categoricalDrift(df: DataFrame, categoryCol: String,
+      inA: Column, inB: Column): DataFrame = {
+    val per = df.where((inA || inB) && col(categoryCol).isNotNull)
+      .groupBy(col(categoryCol).as("__c"))
+      .agg(sum(when(inA, 1.0).otherwise(0.0)).as("__na"),
+        sum(when(inB, 1.0).otherwise(0.0)).as("__nb"))
+    val tot = broadcast(per.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb")))
+    val eps = lit(1e-9)
+    per.crossJoin(tot)
+      .withColumn("__p", greatest(col("__na") / col("__ta"), eps))
+      .withColumn("__q", greatest(col("__nb") / col("__tb"), eps))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      // chi2 on expected-under-pooled: e_a = (na+nb)·ta/(ta+tb)
+      .withColumn("__ea",
+        (col("__na") + col("__nb")) * col("__ta") /
+          (col("__ta") + col("__tb")))
+      .withColumn("__eb",
+        (col("__na") + col("__nb")) * col("__tb") /
+          (col("__ta") + col("__tb")))
+      .agg(count(lit(1)).cast("long").as("n_categories"),
+        max(col("__ta")).cast("long").as("n_a"),
+        max(col("__tb")).cast("long").as("n_b"),
+        sum((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .as("psi"),
+        (sum(col("__p") * log(col("__p") / col("__m"))) / 2 +
+          sum(col("__q") * log(col("__q") / col("__m"))) / 2)
+          .as("js_divergence"),
+        sum(pow(col("__na") - col("__ea"), 2.0) / col("__ea") +
+          pow(col("__nb") - col("__eb"), 2.0) / col("__eb")).as("chi2"),
+        max(abs(col("__p") - col("__q"))).as("max_abs_diff"))
+  }
+
+  /**
+   * Direct standardization of a binary outcome rate between two
+   * cohorts: re-weight each cohort's per-stratum rates by the POOLED
+   * stratum mix, so the adjusted gap is what survives when the
+   * composition difference is removed — the epidemiology-standard
+   * "is the rate gap real or just mix?" companion to [[mantelHaenszel]]
+   * (MH pools odds ratios; this standardizes RATES). Returns ONE row:
+   * (n, n_strata, crude_a, crude_b, adj_a, adj_b, crude_diff,
+   * adj_diff).
+   *
+   * Scale shape: ONE conditional-aggregation groupBy to the stratum
+   * frame, one reduce — strata missing a cohort drop (their rate is
+   * undefined; the standard complete-stratum convention).
+   */
+  def directStandardizedRates(df: DataFrame, strataCol: String,
+      groupA: Column, outcome: Column): DataFrame = {
+    val a = when(groupA, 1.0).otherwise(0.0)
+    val y = when(outcome, 1.0).otherwise(0.0)
+    val per = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("__s"))
+      .agg(sum(a).as("__na"), sum(lit(1.0) - a).as("__nb"),
+        sum(a * y).as("__ya"), sum((lit(1.0) - a) * y).as("__yb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+    per.agg(sum(col("__na") + col("__nb")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_strata"),
+        (sum(col("__ya")) / sum(col("__na"))).as("crude_a"),
+        (sum(col("__yb")) / sum(col("__nb"))).as("crude_b"),
+        (sum((col("__na") + col("__nb")) * col("__ya") / col("__na")) /
+          sum(col("__na") + col("__nb"))).as("adj_a"),
+        (sum((col("__na") + col("__nb")) * col("__yb") / col("__nb")) /
+          sum(col("__na") + col("__nb"))).as("adj_b"))
+      .withColumn("crude_diff", col("crude_a") - col("crude_b"))
+      .withColumn("adj_diff", col("adj_a") - col("adj_b"))
   }
 
   /**

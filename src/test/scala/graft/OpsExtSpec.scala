@@ -6796,4 +6796,80 @@ class OpsExtSpec extends AnyFunSuite {
     assert(near.getAs[Double]("kappa_quadratic") >
       far.getAs[Double]("kappa_quadratic"))
   }
+  test("concordanceIndex: hand case, censoring rules, brute-force parity") {
+    import spark.implicits._
+    // perfect risk ordering: higher score → earlier event; censored
+    // row (t=3) never serves as the early member
+    val hand = Seq((1.0, 1, 3.0), (2.0, 1, 2.0), (3.0, 0, 1.0),
+      (4.0, 1, 0.5)).toDF("t", "ev", "p")
+    val r = graft.analysis.AnalysisPlanner
+      .concordanceIndex(hand, "t", "ev", "p").head
+    assert(r.getAs[Long]("comparable_pairs") == 5)
+    assert(r.getAs[Long]("concordant") == 5)
+    assert(r.getAs[Long]("tied_score") == 0)
+    assert(math.abs(r.getAs[Double]("c_index") - 1.0) < 1e-12)
+    // reversed scores → C = 0
+    val rev = Seq((1.0, 1, 0.5), (2.0, 1, 2.0), (4.0, 1, 3.0))
+      .toDF("t", "ev", "p")
+    val r0 = graft.analysis.AnalysisPlanner
+      .concordanceIndex(rev, "t", "ev", "p").head
+    assert(math.abs(r0.getAs[Double]("c_index")) < 1e-12)
+    // randomized parity vs a driver-side brute force (ties included)
+    val rnd = new scala.util.Random(57)
+    val rows = (1 to 200).map(_ => (rnd.nextInt(20) + 1.0,
+      if (rnd.nextBoolean()) 1 else 0, (rnd.nextInt(8) + 1).toDouble))
+    var comp = 0L; var conc = 0L; var tie = 0L
+    for (a <- rows; b <- rows if a._2 == 1 && a._1 < b._1) {
+      comp += 1
+      if (a._3 > b._3) conc += 1 else if (a._3 == b._3) tie += 1
+    }
+    val rb = graft.analysis.AnalysisPlanner
+      .concordanceIndex(rows.toDF("t", "ev", "p"), "t", "ev", "p").head
+    assert(rb.getAs[Long]("comparable_pairs") == comp)
+    assert(rb.getAs[Long]("concordant") == conc,
+      s"concordant ${rb.getAs[Long]("concordant")} != $conc")
+    assert(rb.getAs[Long]("tied_score") == tie)
+    assert(math.abs(rb.getAs[Double]("c_index") -
+      (conc + 0.5 * tie) / comp) < 1e-12)
+  }
+  test("categoricalDrift: identical mixes ~0; disjoint mixes large") {
+    import spark.implicits._
+    // consecutive pairs share a category so both cohorts see the
+    // identical c0..c3 mix
+    val same = (1 to 400).map(i => (i % 2 == 0, s"c${(i / 2) % 4}"))
+      .toDF("a", "cat")
+    val r0 = graft.analysis.AnalysisPlanner
+      .categoricalDrift(same, "cat", col("a"), !col("a")).head
+    assert(math.abs(r0.getAs[Double]("psi")) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("max_abs_diff")) < 1e-9)
+    // cohort A only sees c0/c1, B only c2/c3 → massive drift
+    val disj = (1 to 400).map { i =>
+      val a = i % 2 == 0
+      (a, if (a) s"c${(i / 2) % 2}" else s"c${2 + (i / 2) % 2}")
+    }.toDF("a", "cat")
+    val r1 = graft.analysis.AnalysisPlanner
+      .categoricalDrift(disj, "cat", col("a"), !col("a")).head
+    assert(r1.getAs[Double]("psi") > 5)
+    assert(r1.getAs[Double]("js_divergence") > 0.5)
+    assert(r1.getAs[Long]("n_categories") == 4)
+  }
+
+  test("directStandardizedRates: pure mix effect vanishes after adjustment") {
+    import spark.implicits._
+    // within each stratum both cohorts have the SAME rate (s1: 10%,
+    // s2: 50%) but cohort A is 80% in the high-rate stratum — the
+    // crude gap is all composition, the adjusted gap must be ~0
+    val rows =
+      (1 to 80).map(i => (true, "s2", i <= 40)) ++   // A in s2: 50%
+      (1 to 20).map(i => (true, "s1", i <= 2)) ++    // A in s1: 10%
+      (1 to 20).map(i => (false, "s2", i <= 10)) ++  // B in s2: 50%
+      (1 to 80).map(i => (false, "s1", i <= 8))      // B in s1: 10%
+    val r = graft.analysis.AnalysisPlanner.directStandardizedRates(
+      rows.toDF("a", "s", "y"), "s", col("a"), col("y")).head
+    assert(r.getAs[Double]("crude_diff") > 0.2) // mix-driven gap
+    assert(math.abs(r.getAs[Double]("adj_diff")) < 1e-9)
+    assert(r.getAs[Long]("n_strata") == 2)
+    assert(math.abs(r.getAs[Double]("adj_a") -
+      r.getAs[Double]("adj_b")) < 1e-9)
+  }
 }
