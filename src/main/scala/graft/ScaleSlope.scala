@@ -28,7 +28,8 @@ object ScaleSlope {
       else Seq(
         "q304_dawid_skene", "q174_poisson_bootstrap", "q296_rmst_by_arm",
         "q256_hits", "q221_kcore", "q234_hop_distance", "q158_pagerank",
-        "q317_modularity", "q08_corr_spearman", "q46_corr_kendall")
+        "q317_modularity", "q08_corr_spearman", "q46_corr_kendall",
+        "q372_fligner_killeen", "q382_c_index")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(

@@ -79,6 +79,74 @@ object StreamingDrift {
       n.as("n"), psi.as("psi"), kl.as("kl"))
   }
 
+  /** Per-category baseline for CATEGORICAL drift monitoring: the top
+    * `maxCategories` categories by baseline count (ties break
+    * lexically), with everything else folded into one OTHER bucket —
+    * the fold is what keeps streaming state bounded however large the
+    * label space grows at 100 TB. */
+  final case class CatDriftBaseline(categories: Seq[String],
+      props: Seq[Double], otherProp: Double)
+
+  def categoricalBaselineOf(df: DataFrame, catCol: String,
+      maxCategories: Int = 32): CatDriftBaseline = {
+    require(maxCategories >= 1, "maxCategories >= 1")
+    val nn = df.where(col(catCol).isNotNull)
+    val top = nn.groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(desc("__n"), col("__c")).limit(maxCategories)
+      .collect()
+    val total = math.max(1.0,
+      nn.agg(count(lit(1))).head().getLong(0).toDouble)
+    val cats = top.map(_.getString(0)).toSeq
+    val props = top.map(_.getLong(1) / total).toSeq
+    CatDriftBaseline(cats, props, math.max(0.0, 1.0 - props.sum))
+  }
+
+  /**
+   * Categorical twin of [[monitor]]: each window's category mix
+   * (exact categories — the [[graft.analysis.AnalysisPlanner.categoricalDrift]]
+   * batch semantics, where numeric bins are meaningless) scored
+   * against the baseline proportions. Baseline categories travel as
+   * literals; unseen/overflow categories score through the OTHER
+   * bucket. One row per closed window:
+   * (window_start, window_end, n, psi, kl). Works identically on a
+   * static frame (batch backtesting) and a stream.
+   */
+  def categoricalMonitor(stream: DataFrame, tsCol: String,
+      catCol: String, baseline: CatDriftBaseline, windowLen: String,
+      lateness: String): DataFrame = {
+    val k = baseline.categories.size
+    val c = col(catCol).cast("string")
+    val withWm =
+      if (stream.isStreaming)
+        stream.withWatermark(tsCol, StreamingAgg.humanize(lateness))
+      else stream
+    val catAggs = baseline.categories.zipWithIndex.map { case (cat, i) =>
+      sum(when(c === cat, 1L).otherwise(0L)).as(s"__c$i")
+    } :+ sum(when(c.isNotNull && !c.isin(baseline.categories: _*), 1L)
+      .otherwise(0L)).as("__other")
+    val agg = withWm
+      .groupBy(window(col(tsCol), StreamingAgg.humanize(windowLen)))
+      .agg(catAggs.head, catAggs.tail: _*)
+    val eps = 1e-9
+    val n = ((0 until k).map(i => col(s"__c$i")) :+ col("__other"))
+      .reduce(_ + _)
+    def q(i: Int): Column =
+      greatest(col(s"__c$i") / n.cast("double"), lit(eps))
+    val qOther = greatest(col("__other") / n.cast("double"), lit(eps))
+    def p(i: Int): Column = lit(math.max(baseline.props(i), eps))
+    val pOther = lit(math.max(baseline.otherProp, eps))
+    val terms = (0 until k).map(i => (p(i), q(i))) :+ ((pOther, qOther))
+    val psi = terms.map { case (pp, qq) =>
+      (pp - qq) * log(pp / qq) }.reduce(_ + _)
+    val kl = terms.map { case (pp, qq) =>
+      pp * log(pp / qq) }.reduce(_ + _)
+    agg.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      n.as("n"), psi.as("psi"), kl.as("kl"))
+  }
+
   /**
    * Attach an [[graft.alerts.Alert]] to a monitor stream: every emitted
    * window's metrics are evaluated against the alert's condition (with

@@ -677,4 +677,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.length == 2)
     assert(!emitted(0).getBoolean(0) && emitted(1).getBoolean(0))
   }
+  test("categorical drift monitor: mix shift flagged, batch ≡ stream") {
+    import spark.implicits._
+    import graft.streaming._
+    // baseline mix: a 50%, b 30%, c 20%
+    val base = ((1 to 500).map(_ => "a") ++ (1 to 300).map(_ => "b") ++
+      (1 to 200).map(_ => "c")).toDF("cat")
+    val bl = StreamingDrift.categoricalBaselineOf(base, "cat")
+    assert(bl.categories == Seq("a", "b", "c"))
+    assert(math.abs(bl.props.sum + bl.otherProp - 1.0) < 1e-9)
+
+    def ts(min: Int) = f"2024-01-01 00:$min%02d:00"
+    // window 1: the baseline mix; window 2: collapsed to mostly "c"
+    // plus an unseen category "z" (flows through the OTHER bucket)
+    val events = (
+      (1 to 250).map(_ => (ts(1), "a")) ++ (1 to 150).map(_ => (ts(1), "b")) ++
+      (1 to 100).map(_ => (ts(1), "c")) ++
+      (1 to 350).map(_ => (ts(11), "c")) ++ (1 to 150).map(_ => (ts(11), "z")))
+      .toDF("ts", "cat").withColumn("ts", col("ts").cast("timestamp"))
+    val scored = StreamingDrift
+      .categoricalMonitor(events, "ts", "cat", bl, "10m", "5m")
+      .orderBy("window_start").collect()
+    assert(scored.length == 2)
+    assert(scored(0).getAs[Double]("psi") < 0.05,
+      s"baseline-mix window psi ${scored(0).getAs[Double]("psi")}")
+    assert(scored(1).getAs[Double]("psi") > 1.0)
+    // stream run emits the same windows with the same scores
+    val root = tmpDir()
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    events.write.mode("append").parquet(srcDir)
+    val q = StreamingDrift.categoricalMonitor(
+        spark.readStream.schema(events.schema).parquet(srcDir),
+        "ts", "cat", bl, "10m", "5m")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("catdriftout")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.awaitTermination(60000)
+    val emitted = spark
+      .sql("SELECT psi FROM catdriftout ORDER BY window_start").collect()
+    assert(emitted.length == 2)
+    assert(math.abs(emitted(0).getDouble(0) -
+      scored(0).getAs[Double]("psi")) < 1e-9)
+    assert(math.abs(emitted(1).getDouble(0) -
+      scored(1).getAs[Double]("psi")) < 1e-9)
+  }
 }
