@@ -3651,37 +3651,45 @@ object AnalysisPlanner {
     val z = PrefixSum.joinNullSafe(base, meds, Seq("__g"),
         broadcastRight = true)
       .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
-    // global midranks of the deviation values, per-group counts ride
-    // the SAME value-count frame (one shuffle on the value)
-    val vc = z.groupBy(col("__z").as("__v"), col("__g"))
-      .agg(count(lit(1)).cast("double").as("__cg"))
-    val perV = vc.groupBy("__v").agg(sum(col("__cg")).as("__ct"))
-    val pre = PrefixSum.exclusive(perV, "__v", Seq("__ct" -> "__ex"))
+    // the group list rides WIDE (≤64 labels, collected via a bounded
+    // limit — the dawidSkene discipline): per-group counts become
+    // conditional sums of ONE value-keyed groupBy, which deletes the
+    // per-(value, group) cell frame, its rollup, AND the n-row
+    // rank join-back the first version paid — two fewer corpus-sized
+    // shuffles (wall-clock is dominated by the unavoidable
+    // distinct-deviation rank pass, so the win is shuffle bytes and
+    // plan simplicity more than seconds at sf0.1)
+    val groups = z.select(col("__g").cast("string").as("__g")).distinct()
+      .orderBy("__g").limit(65).collect().map(_.getString(0)).toSeq
+    require(groups.nonEmpty && groups.size <= 64,
+      s"flignerKilleen: 1..64 groups (got ${groups.size})")
+    val gs = groups.indices
+    val vc = z.groupBy(col("__z").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__ct"),
+        gs.map(i => sum(when(col("__g").cast("string") === groups(i),
+          1.0).otherwise(0.0)).as(s"__cg$i")): _*)
+    val pre = PrefixSum.exclusive(vc, "__v", Seq("__ct" -> "__ex"))
       .withColumn("__r", col("__ex") + (col("__ct") + 1) / lit(2.0))
-    val tot = broadcast(perV.agg(sum(col("__ct")).as("__nn")))
-    val scored = vc.join(pre.select(col("__v"), col("__r")), Seq("__v"))
-      .crossJoin(tot)
+    val tot = broadcast(vc.agg(sum(col("__ct")).as("__nn")))
+    val scored = pre.crossJoin(tot)
       .withColumn("__a", graft.ops.Features.probitCol(
         lit(0.5) + col("__r") / (lit(2.0) * (col("__nn") + 1))))
-    val perG = scored.groupBy("__g")
-      .agg(sum(col("__cg")).as("__ng"),
-        sum(col("__cg") * col("__a")).as("__sa"))
-    // "__s1"/"__s2", not "__sA"/"__sAA": the resolver is
-    // case-insensitive, so "__sA" beside perG's "__sa" is ambiguous
-    // (the q346 lesson)
-    val glob = broadcast(scored.agg(
-      sum(col("__cg") * col("__a")).as("__s1"),
-      sum(col("__cg") * col("__a") * col("__a")).as("__s2"),
-      sum(col("__cg")).as("__N")))
-    perG.crossJoin(glob)
-      .agg(max(col("__N")).cast("long").as("n"),
-        count(lit(1)).cast("long").as("n_groups"),
-        (count(lit(1)) - 1).cast("long").as("dof"),
-        (sum(col("__ng") *
-          pow(col("__sa") / col("__ng") - col("__s1") / col("__N"), 2.0))
-          / ((max(col("__s2")) -
-              max(col("__s1")) * max(col("__s1")) / max(col("__N"))) /
-             (max(col("__N")) - 1))).as("fk_stat"))
+    // ONE reduce carries the global moments and every group's (n, Σa)
+    val aggs = Seq(sum(col("__ct") * col("__a")).as("__s1"),
+      sum(col("__ct") * col("__a") * col("__a")).as("__s2"),
+      sum(col("__ct")).as("__N")) ++
+      gs.flatMap(i => Seq(sum(col(s"__cg$i")).as(s"__ng$i"),
+        sum(col(s"__cg$i") * col("__a")).as(s"__sa$i")))
+    val row = scored.agg(aggs.head, aggs.tail: _*)
+    val between = gs.map(i => col(s"__ng$i") *
+      pow(col(s"__sa$i") / col(s"__ng$i") - col("__s1") / col("__N"),
+        2.0)).reduce(_ + _)
+    row.select(col("__N").cast("long").as("n"),
+      lit(groups.size.toLong).as("n_groups"),
+      lit(groups.size.toLong - 1).as("dof"),
+      (between / ((col("__s2") -
+        col("__s1") * col("__s1") / col("__N")) /
+        (col("__N") - 1))).as("fk_stat"))
   }
 
   /**
