@@ -14702,6 +14702,31 @@ object Queries {
                - sum((na + nb) * yb / nb) / sum(na + nb), 6) AS adj_diff
       FROM per"""))
 
+  /** Dedup savings report: exact-duplicate cluster-size histogram +
+    * the removable-document share — the "what does dedup buy on this
+    * corpus" planning readout, composed over the q30 fingerprint
+    * groups. */
+  private val q386 = Entry(
+    "q386_dedup_savings",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .fingerprintDedup(Tables.documents(s, d), "doc_id", "text")
+        .groupBy(col("n_copies").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("n_copies")).cast("long").as("docs"),
+          (count(lit(1)) * (col("n_copies") - 1)).cast("long")
+            .as("removable"))
+        .orderBy("cluster_size"),
+    Some("""
+      WITH fp AS (SELECT md5(array_to_string(list_sort(list_distinct(
+                    string_split(text, ' '))), ' ')) AS fp,
+                    count(*) AS n_copies
+                  FROM documents GROUP BY 1)
+      SELECT n_copies AS cluster_size, count(*) AS n_clusters,
+             (count(*) * n_copies)::BIGINT AS docs,
+             (count(*) * (n_copies - 1))::BIGINT AS removable
+      FROM fp GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -14729,7 +14754,7 @@ object Queries {
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
     q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355,
     q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385)
+    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap
