@@ -79,15 +79,21 @@ object Tables {
   // list) is computed ONCE per (session, data dir) and reused as a
   // localCheckpoint — exactly what registering a derived feature-group
   // table buys on a cluster, where the materialization would be a
-  // written table rather than block-manager storage. Keyed by session
-  // identity so a stopped/replaced session never serves stale RDD
-  // blocks, and by dir so different SFs never cross-contaminate.
+  // written table rather than block-manager storage. Keyed by the
+  // SparkSession REFERENCE itself (default identity equals — collision
+  // free, unlike an identityHashCode int which can repeat after GC) and
+  // by dir so different SFs never cross-contaminate; entries owned by a
+  // stopped session are purged on every access, so a long-lived JVM
+  // cycling sessions neither leaks frames nor serves a checkpoint bound
+  // to a dead SparkContext.
   private val derivedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def materialized(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
+    derivedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
     derivedMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
+      (spark, dir, name),
       _ => build.localCheckpoint())
+  }
 }

@@ -53,18 +53,33 @@ object Verify {
     // Printed to stdout AND stderr so no log capture can drop it.
     val missing = selected.keys.toSeq.sorted
       .filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
-    val bad = (failed ++ missing).distinct.sorted
-    if (bad.nonEmpty) {
-      val line = s"[verify] FAILED ${bad.size}/${selected.size}: ${bad.mkString(",")}"
-      System.err.println(line); println(line)
-    } else println(s"[verify] OK ${selected.size}/${selected.size}")
-    // drain the async listener bus, then surface any unbounded collects
-    Thread.sleep(2000)
+    // Drain the async listener bus BEFORE the OK/FAILED decision so the
+    // bounded-collect discipline is a real gate, not an advisory line: an
+    // unbounded collect anywhere in the library turns the run FAILED.
+    // listenerBus.waitUntilEmpty is private[spark] → reflective call with
+    // a bounded-sleep fallback (same 2 s the old advisory path used).
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus")
+        .map(_.invoke(sc)).get
+      val ms = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+      ms.find(_.getParameterCount == 1) match {
+        case Some(m) => m.invoke(bus, java.lang.Long.valueOf(10000L))
+        case None    => ms.find(_.getParameterCount == 0).get.invoke(bus)
+      }
+    } catch { case _: Throwable => Thread.sleep(2000) }
     val unb = collectGuard.violations
     if (unb.nonEmpty) {
       val line = s"[verify] UNBOUNDED-COLLECT ${unb.size}: ${unb.take(5).mkString(" || ")}"
       System.err.println(line); println(line)
     }
+    val bad =
+      (failed ++ missing ++ (if (unb.nonEmpty) Seq("unbounded-collect") else Nil))
+        .distinct.sorted
+    if (bad.nonEmpty) {
+      val line = s"[verify] FAILED ${bad.size}/${selected.size}: ${bad.mkString(",")}"
+      System.err.println(line); println(line)
+    } else println(s"[verify] OK ${selected.size}/${selected.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

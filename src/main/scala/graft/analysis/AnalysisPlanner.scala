@@ -1121,6 +1121,37 @@ object AnalysisPlanner {
     }
   }
 
+  /**
+   * Mann–Whitney U over a prebuilt (materialized) [[rankCells]] frame,
+   * restricted to the (control, treatment) labels — the same statistic
+   * columns as `statTest(..., "mannwhitney")`, riding the shared
+   * k-sample substrate (see [[kruskalWallisFromCells]]) instead of
+   * re-shuffling the corpus into value counts.
+   */
+  def mannWhitneyFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val ranked = PrefixSum
+      .exclusive(vc.withColumn("__b", col("__ct") + col("__cc")),
+        "__v", Seq("__b" -> "__ex"))
+      .withColumn("__r", (col("__ex") + 1).cast("double"))
+    ranked.agg(
+        sum(col("__r") * col("__ct")).as("r_t"),
+        sum(col("__ct")).cast("long").as("n_t"),
+        sum(col("__cc")).cast("long").as("n_c"))
+      .withColumn("u_stat",
+        col("r_t") - col("n_t") * (col("n_t") + 1) / 2.0)
+      .withColumn("z_stat",
+        (col("u_stat") - col("n_c") * col("n_t") / 2.0) /
+          sqrt(col("n_c") * col("n_t") * (col("n_c") + col("n_t") + 1) / 12.0))
+  }
+
   // ------------------------------------------------------- record lookup
 
   def recordLookup(df0: DataFrame, s: RecordLookup): DataFrame = {
@@ -1671,13 +1702,32 @@ object AnalysisPlanner {
    * ≤|groups|-row frame, then the pairwiseContrasts inequality
    * self-join on that tiny frame.
    */
-  def dunnTest(df: DataFrame, groupCol: String,
+  /**
+   * The k-sample rank family's shared substrate: per-(value, group)
+   * cell counts `(__v: double non-null, __g non-null, __c: double
+   * integer-valued count)`. Every k-sample test over the same
+   * (group, value) pair — Kruskal–Wallis, Dunn, Jonckheere–Terpstra,
+   * k-sample AD, Mood's median, Fligner–Killeen, Mann–Whitney —
+   * reduces this one frame, so callers that run several of them
+   * should build it ONCE (memoized + checkpointed via
+   * [[graft.Tables.materialized]]) and call the `*FromCells` variants:
+   * one corpus shuffle for the whole family instead of one each.
+   */
+  def rankCells(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+    df.where(v.isNotNull && col(groupCol).isNotNull)
       .groupBy(v.as("__v"), col(groupCol).as("__g"))
       .agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint() // value totals + the rank join
+  }
+
+  def dunnTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    dunnTestFromCells(rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[dunnTest]] over a prebuilt (materialized) [[rankCells]] frame —
+    * see [[kruskalWallisFromCells]] for the amortization contract. */
+  def dunnTestFromCells(cells: DataFrame): DataFrame = {
     val vtot = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
     val ranked = PrefixSum.exclusive(vtot, "__v", Seq("__t" -> "__ex"))
       .select(col("__v"), (col("__ex") + (col("__t") + 1) / 2)
@@ -1793,12 +1843,17 @@ object AnalysisPlanner {
    * global per-row sort anywhere.
    */
   def kruskalWallis(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
-      .groupBy(v.as("__v"), col(groupCol).as("__g"))
-      .agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint() // value totals AND the rank join read it
+      valueCol: String): DataFrame =
+    kruskalWallisFromCells(
+      rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[kruskalWallis]] over a prebuilt [[rankCells]] frame — the
+    * cross-query amortization entry: callers running several k-sample
+    * rank tests over the SAME (group, value) pair share ONE corpus
+    * shuffle (via [[graft.Tables.materialized]]) instead of each
+    * re-deriving the cell frame. `cells` must already be materialized
+    * (checkpointed) — every branch below re-reads it. */
+  def kruskalWallisFromCells(cells: DataFrame): DataFrame = {
     val vtot = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
     val ranked = PrefixSum.exclusive(vtot, "__v", Seq("__t" -> "__ex"))
       .select(col("__v"), (col("__ex") + (col("__t") + 1) / 2)
@@ -2873,12 +2928,13 @@ object AnalysisPlanner {
    * report-sized); then a 1-row reduce. No window over the corpus.
    */
   def jonckheereTerpstra(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
-      .groupBy(v.as("__v"), col(groupCol).as("__g"))
-      .agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint() // grid expansion + totals both read it
+      valueCol: String): DataFrame =
+    jonckheereTerpstraFromCells(
+      rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[jonckheereTerpstra]] over a prebuilt (materialized)
+    * [[rankCells]] frame — see [[kruskalWallisFromCells]]. */
+  def jonckheereTerpstraFromCells(cells: DataFrame): DataFrame = {
     val values = cells.select("__v").distinct()
     val groups = cells.select("__g").distinct()
     val grid = values.crossJoin(broadcast(groups))
@@ -2956,17 +3012,24 @@ object AnalysisPlanner {
    * ONE conditional grouped count and a ≤k-row χ² reduce.
    */
   def moodMedianTest(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val base = df.where(v.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("__g"), v.as("__x"))
-      .localCheckpoint() // the median probe + the count scan read it
-    val med = exactPercentiles(base, "__x", Seq(("m", 0.5)), Nil)
+      valueCol: String): DataFrame =
+    moodMedianTestFromCells(
+      rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[moodMedianTest]] over a prebuilt (materialized) [[rankCells]]
+    * frame — the pooled median comes from the weighted
+    * [[percentilesFromCounts]] path (identical interpolation
+    * arithmetic: integer-valued double counts sum exactly), and the
+    * above/below contingency is the cell counts conditionally summed.
+    * See [[kruskalWallisFromCells]] for the amortization contract. */
+  def moodMedianTestFromCells(cells: DataFrame): DataFrame = {
+    val vcAll = cells.groupBy("__v").agg(sum(col("__c")).as("__c"))
+    val med = percentilesFromCounts(vcAll, Seq(("m", 0.5)), Nil)
       .head().getAs[Double]("m")
-    val per = base.where(col("__x") =!= med)
+    val per = cells.where(col("__v") =!= med)
       .groupBy("__g")
-      .agg(sum(when(col("__x") > med, 1.0).otherwise(0.0)).as("__a"),
-        sum(when(col("__x") < med, 1.0).otherwise(0.0)).as("__b"))
+      .agg(sum(when(col("__v") > med, col("__c")).otherwise(0.0)).as("__a"),
+        sum(when(col("__v") < med, col("__c")).otherwise(0.0)).as("__b"))
     per.crossJoin(broadcast(per.agg(sum(col("__a")).as("__ta"),
         sum(col("__b")).as("__tb"))))
       .withColumn("__ni", col("__a") + col("__b"))
@@ -3000,12 +3063,14 @@ object AnalysisPlanner {
    * one 1-row reduce.
    */
   def kSampleAndersonDarling(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
-      .groupBy(v.as("__v"), col(groupCol).as("__g"))
-      .agg(count(lit(1)).cast("double").as("__f"))
-      .localCheckpoint() // grid + pooled counts + group sizes read it
+      valueCol: String): DataFrame =
+    kSampleAndersonDarlingFromCells(
+      rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[kSampleAndersonDarling]] over a prebuilt (materialized)
+    * [[rankCells]] frame — see [[kruskalWallisFromCells]]. */
+  def kSampleAndersonDarlingFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.withColumnRenamed("__c", "__f")
     val values = cells.select("__v").distinct()
     val groups = cells.select("__g").distinct()
     val grid = values.crossJoin(broadcast(groups))
@@ -3642,15 +3707,22 @@ object AnalysisPlanner {
    * reduces.
    */
   def flignerKilleen(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val x = col(valueCol).cast("double")
-    val base = df.where(x.isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("__g"), x.as("__x"))
-    val meds = exactPercentiles(base, "__x", Seq("__med" -> 0.5),
+      valueCol: String): DataFrame =
+    flignerKilleenFromCells(
+      rankCells(df, groupCol, valueCol).localCheckpoint())
+
+  /** [[flignerKilleen]] over a prebuilt (materialized) [[rankCells]]
+    * frame: group medians via the weighted [[percentilesFromCounts]]
+    * path (same interpolation arithmetic — integer-valued double
+    * counts sum exactly), deviations and the downstream rank pass
+    * weighted by the cell counts. See [[kruskalWallisFromCells]]. */
+  def flignerKilleenFromCells(cells: DataFrame): DataFrame = {
+    val meds = percentilesFromCounts(cells, Seq("__med" -> 0.5),
       Seq("__g"))
-    val z = PrefixSum.joinNullSafe(base, meds, Seq("__g"),
-        broadcastRight = true)
-      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    val z = PrefixSum.joinNullSafe(cells,
+        meds.select("__g", "__med"), Seq("__g"), broadcastRight = true)
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"),
+        col("__c"))
     // the group list rides WIDE (≤64 labels, collected via a bounded
     // limit — the dawidSkene discipline): per-group counts become
     // conditional sums of ONE value-keyed groupBy, which deletes the
@@ -3665,9 +3737,9 @@ object AnalysisPlanner {
       s"flignerKilleen: 1..64 groups (got ${groups.size})")
     val gs = groups.indices
     val vc = z.groupBy(col("__z").as("__v"))
-      .agg(count(lit(1)).cast("double").as("__ct"),
+      .agg(sum(col("__c")).as("__ct"),
         gs.map(i => sum(when(col("__g").cast("string") === groups(i),
-          1.0).otherwise(0.0)).as(s"__cg$i")): _*)
+          col("__c")).otherwise(0.0)).as(s"__cg$i")): _*)
     val pre = PrefixSum.exclusive(vc, "__v", Seq("__ct" -> "__ex"))
       .withColumn("__r", col("__ex") + (col("__ct") + 1) / lit(2.0))
     val tot = broadcast(vc.agg(sum(col("__ct")).as("__nn")))

@@ -127,6 +127,10 @@ object PlanLint {
            _: OneRowRelation => true
       case j: Join => collectIsBounded(j.left) && collectIsBounded(j.right)
       case u: Union => u.children.forall(collectIsBounded)
+      // Generate (explode/posexplode/inline) EXPANDS cardinality — a
+      // Generate over a GlobalLimit is limit × array-length rows, so it
+      // does not inherit its child's bound; require a bound ABOVE it.
+      case _: Generate => false
       case other if other.children.length == 1 =>
         collectIsBounded(other.children.head)
       case _ => false // leaf relation (corpus scan) or multi-child op

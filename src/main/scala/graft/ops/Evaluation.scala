@@ -2222,10 +2222,13 @@ object Evaluation {
       (greatest(max(col("__a")), max(col("__b"))) -
         least(min(col("__a")), min(col("__b")))).as("__r"),
       sum(col("__n")).as("__tt")))
+    // ANSI-guard: a single distinct category (or identical min/max for
+    // both raters) gives range 0 — weights are then 0/0; report NULL
+    // (the repo-wide degenerate-input convention), never NaN
     def wl(x: Column, y: Column, r: Column) =
-      lit(1.0) - abs(x - y) / r
+      when(r > 0, lit(1.0) - abs(x - y) / r)
     def wq(x: Column, y: Column, r: Column) =
-      lit(1.0) - pow((x - y) / r, 2.0)
+      when(r > 0, lit(1.0) - pow((x - y) / r, 2.0))
     val po = joint.crossJoin(rng)
       .agg(sum(col("__n") * wl(col("__a"), col("__b"), col("__r")))
         .as("__pol"),
