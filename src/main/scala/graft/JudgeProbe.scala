@@ -8,35 +8,13 @@ object JudgeProbe {
         .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val names = Seq("q234_hop_distance", "q317_modularity",
-      "q304_dawid_skene", "q238_bpe_merges", "q296_rmst_by_arm",
-      "q256_hits", "q221_kcore")
-    val qs = Queries.queries
-    // warm the shared table cache
     Tables.events(spark, dir).count()
-    Tables.orders(spark, dir).count()
-    Tables.lineitem(spark, dir).count()
-    locally {
-      import org.apache.spark.sql.functions._
+    for (mf <- Seq("100", "1200"); _ <- 1 to 2) {
+      spark.conf.set("spark.sql.codegen.maxFields", mf)
       val t0 = System.nanoTime()
-      Tables.orders(spark, dir)
-        .join(Tables.lineitem(spark, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .where(col("u") =!= col("v")).distinct()
+      Queries.queries("q174_poisson_bootstrap")(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"PROBE canon_build=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
-    names.foreach { n =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        qs(n)(spark, dir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"PROBE $n min=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      println(f"maxFields=$mf%-5s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     spark.stop()
   }
