@@ -67,6 +67,157 @@ object SnapshotStore {
   private val DataDirName = "data"
 
   private def versionFileName(v: Long): String = f"v$v%08d.list"
+
+  /** Max columns stats are collected for (the Delta
+    * dataSkippingNumIndexedCols default) — stats lines stay KB-sized
+    * however wide the table is. */
+  private[etl] val StatsMaxColumns = 32
+}
+
+/**
+ * Segment-level min/max data skipping (the Delta/Iceberg file-stats
+ * analog): each committed segment carries per-column (min, max) of its
+ * non-null values in the version manifest, and a selective read
+ * refutes whole segments against the conjunctive structure of the
+ * pushed predicate BEFORE any file listing — at 100 TB the difference
+ * between scanning every segment a long append chain accumulated and
+ * touching only the ones whose range can match.
+ *
+ * Soundness: stats cover non-null values only, which is exactly what
+ * predicate comparisons can match (NULL comparisons are never true in
+ * a WHERE); exclusion predicates only shrink a segment's live rows, so
+ * write-time stats stay a valid over-approximation. Unsupported
+ * expression shapes and stat-less columns degrade to "cannot refute"
+ * — pruning is best-effort, never unsound.
+ *
+ * Canonical stat encoding (engine-portable text): `n:<decimal>` for
+ * numerics (dates as epoch days, timestamps as epoch micros — the
+ * same internal forms Catalyst literals carry), `s:<utf8>` for
+ * strings. Non-finite doubles are not recorded (no pruning rather
+ * than a lying range).
+ */
+private[etl] object SegmentStats {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+    EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
+    LessThan, LessThanOrEqual, Literal => CLit, Or => COr}
+  import org.apache.spark.sql.types._
+
+  def eligible(f: StructField): Boolean = f.dataType match {
+    case _: NumericType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Scala-side value (from a collected Row) → canonical stat string. */
+  def canon(v: Any): Option[String] = v match {
+    case null => None
+    case t: java.sql.Timestamp =>
+      Some("n:" + (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+    case t: java.time.Instant =>
+      Some("n:" + (t.getEpochSecond * 1000000L + t.getNano / 1000L))
+    case d: java.sql.Date => Some("n:" + d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some("n:" + d.toEpochDay)
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) None else Some("n:" + BigDecimal(d))
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some("n:" + BigDecimal(f.toDouble))
+    case n @ (_: java.lang.Byte | _: java.lang.Short |
+              _: java.lang.Integer | _: java.lang.Long) =>
+      Some("n:" + BigDecimal(n.toString))
+    case b: java.math.BigDecimal => Some("n:" + BigDecimal(b))
+    case s: String => Some("s:" + s)
+    case _ => None
+  }
+
+  /** Catalyst literal (internal form) → canonical stat string. */
+  private def canonLit(l: CLit): Option[String] = l.dataType match {
+    case _ if l.value == null => None
+    case DateType => Some("n:" + BigDecimal(l.value.toString))
+    case TimestampType => Some("n:" + BigDecimal(l.value.toString))
+    case _: NumericType =>
+      val s = l.value.toString
+      if (s == "NaN" || s.endsWith("Infinity")) None
+      else Some("n:" + BigDecimal(s))
+    case StringType => Some("s:" + l.value.toString)
+    case _ => None
+  }
+
+  /** Total order matching Spark's comparison semantics: numeric by
+    * value; strings by unsigned UTF-8 byte order (UTF8String's
+    * binary collation). None when the two are not comparable. */
+  private def cmp(a: String, b: String): Option[Int] =
+    if (a.startsWith("n:") && b.startsWith("n:"))
+      scala.util.Try(
+        BigDecimal(a.drop(2)).compare(BigDecimal(b.drop(2)))).toOption
+    else if (a.startsWith("s:") && b.startsWith("s:")) {
+      val x = a.drop(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.drop(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return Some(d)
+        i += 1
+      }
+      Some(x.length - y.length)
+    } else None
+
+  /** True iff `pred` is PROVABLY false for every row of a segment
+    * whose per-column ranges are `stats` (col → (min, max), canonical
+    * encoding, matched case-insensitively like Spark's resolver). */
+  def provablyEmpty(pred: Expression,
+      stats: Map[String, (String, String)]): Boolean = {
+    val byLower = stats.map { case (k, v) => (k.toLowerCase, v) }
+    def range(a: UnresolvedAttribute): Option[(String, String)] =
+      if (a.nameParts.length != 1) None
+      else byLower.get(a.nameParts.head.toLowerCase)
+    def outside(a: UnresolvedAttribute, l: CLit): Boolean =
+      (range(a), canonLit(l)) match {
+        case (Some((lo, hi)), Some(v)) =>
+          cmp(v, lo).exists(_ < 0) || cmp(v, hi).exists(_ > 0)
+        case _ => false
+      }
+    def refute(e: Expression): Boolean = e match {
+      case CAnd(a, b) => refute(a) || refute(b)
+      case COr(a, b) => refute(a) && refute(b)
+      case EqualTo(a: UnresolvedAttribute, l: CLit) => outside(a, l)
+      case EqualTo(l: CLit, a: UnresolvedAttribute) => outside(a, l)
+      case GreaterThan(a: UnresolvedAttribute, l: CLit) => // col > v
+        (range(a), canonLit(l)) match {
+          case (Some((_, hi)), Some(v)) => cmp(hi, v).exists(_ <= 0)
+          case _ => false
+        }
+      case GreaterThan(l: CLit, a: UnresolvedAttribute) => // v > col
+        refute(LessThan(a, l))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: CLit) =>
+        (range(a), canonLit(l)) match {
+          case (Some((_, hi)), Some(v)) => cmp(hi, v).exists(_ < 0)
+          case _ => false
+        }
+      case GreaterThanOrEqual(l: CLit, a: UnresolvedAttribute) =>
+        refute(LessThanOrEqual(a, l))
+      case LessThan(a: UnresolvedAttribute, l: CLit) => // col < v
+        (range(a), canonLit(l)) match {
+          case (Some((lo, _)), Some(v)) => cmp(lo, v).exists(_ >= 0)
+          case _ => false
+        }
+      case LessThan(l: CLit, a: UnresolvedAttribute) =>
+        refute(GreaterThan(a, l))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: CLit) =>
+        (range(a), canonLit(l)) match {
+          case (Some((lo, _)), Some(v)) => cmp(lo, v).exists(_ > 0)
+          case _ => false
+        }
+      case LessThanOrEqual(l: CLit, a: UnresolvedAttribute) =>
+        refute(GreaterThanOrEqual(a, l))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.forall(_.isInstanceOf[CLit]) =>
+        vs.nonEmpty &&
+          vs.forall(v => outside(a, v.asInstanceOf[CLit]))
+      case _ => false // unsupported shape: cannot refute
+    }
+    refute(pred)
+  }
 }
 
 final case class SnapshotStore(path: String,
@@ -84,8 +235,13 @@ final case class SnapshotStore(path: String,
   /** One manifest segment: a data dir plus the SQL predicate selecting
     * rows SUPERSEDED by later versions (None = whole dir live). */
   private[etl] final case class Segment(dir: String, excluded: Option[String])
+  /** `stats`: dir → column → (min, max) in [[SegmentStats]] canonical
+    * encoding; carried segments keep the stats recorded when their dir
+    * was first written. Old manifests without stat lines parse to an
+    * empty map (no pruning — never an error). */
   private[etl] final case class Commit(version: Long, tsMillis: Long,
-      op: String, schemaJson: String, segments: Seq[Segment])
+      op: String, schemaJson: String, segments: Seq[Segment],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   // ----------------------------------------------------------- log I/O
 
@@ -117,8 +273,17 @@ final case class SnapshotStore(path: String,
       if (sp < 0) Segment(body, None)
       else Segment(body.substring(0, sp), Some(body.substring(sp + 1)))
     }
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    val stats = lines.filter(_.startsWith("stat "))
+      .map(_.substring(5).split(' '))
+      .collect { case Array(dir, c, lo, hi) =>
+        (dir, dec(c), dec(lo), dec(hi)) }
+      .groupBy(_._1)
+      .map { case (dir, rows) =>
+        dir -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
     Commit(field("version").toLong, field("ts").toLong, field("op"),
-      field("schema"), segs)
+      field("schema"), segs, stats)
   }
 
   /** The commit file is written create-exclusive: it either fully
@@ -138,6 +303,18 @@ final case class SnapshotStore(path: String,
       s.excluded.foreach(e => body.append(' ')
         .append(e.replace('\n', ' ')))
       body.append('\n')
+    }
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    // stat lines only for dirs the manifest references
+    val live = c.segments.map(_.dir).toSet
+    c.stats.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
+      if (live(dir)) cols.toSeq.sortBy(_._1).foreach {
+        case (cn, (lo, hi)) =>
+          body.append("stat ").append(dir).append(' ').append(enc(cn))
+            .append(' ').append(enc(lo)).append(' ').append(enc(hi))
+            .append('\n')
+      }
     }
     val out = hFs.create(new HPath(logDir, versionFileName(c.version)), false)
     try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
@@ -166,13 +343,44 @@ final case class SnapshotStore(path: String,
   /** Time travel: the table exactly as committed at `version`. */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     val c = readCommit(fs(spark), version)
+    assemble(spark, c, c.segments)
+  }
+
+  private def assemble(spark: SparkSession, c: Commit,
+      segs0: Seq[Segment]): DataFrame = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-    val segs = c.segments.map { s =>
+    if (segs0.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val segs = segs0.map { s =>
       val df = spark.read.schema(schema)
         .parquet(new HPath(dataRoot, s.dir).toString)
       s.excluded.fold(df)(e => df.where(!expr(e)))
     }
     segs.reduceLeft(_.unionByName(_))
+  }
+
+  /**
+   * Selective read with segment-level data skipping: semantically
+   * identical to `read(spark).where(predicateSql)`, but every segment
+   * whose manifest (min, max) stats REFUTE the predicate is dropped
+   * before any file is listed or scanned — the [[SegmentStats]]
+   * contract. A long append/upsert chain with clustered writes (time
+   * ranges, id ranges, tenants) then reads only the matching segments;
+   * parquet row-group pushdown still applies inside survivors.
+   * `version` targets time travel (default: latest head).
+   */
+  def readWhere(spark: SparkSession, predicateSql: String,
+      version: Option[Long] = None): DataFrame = {
+    val hFs = fs(spark)
+    val v = version.orElse(listVersions(hFs).lastOption).getOrElse(
+      throw new java.io.IOException(s"snapshot store $path: no commits"))
+    val c = readCommit(hFs, v)
+    val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val keep = c.segments.filterNot(s =>
+      SegmentStats.provablyEmpty(pred,
+        c.stats.getOrElse(s.dir, Map.empty)))
+    assemble(spark, c, keep).where(expr(predicateSql))
   }
 
   /** The latest snapshot committed at or before epoch-millis `ts`. */
@@ -225,6 +433,39 @@ final case class SnapshotStore(path: String,
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new HPath(dataRoot, dir).toString)
   }
+
+  /** Per-column (min, max) of a freshly written segment, read back
+    * from its own parquet — ONE columnar min/max scan of the NEW files
+    * only (the collect-stats-on-write contract; carried segments never
+    * re-scan). First [[SnapshotStore.StatsMaxColumns]] eligible
+    * columns; an all-null or empty column records nothing. */
+  private def collectStats(spark: SparkSession, dir: String,
+      schema: StructType): Map[String, (String, String)] = {
+    val use = schema.fields.filter(SegmentStats.eligible)
+      .take(SnapshotStore.StatsMaxColumns)
+    if (use.isEmpty) return Map.empty
+    val df = spark.read.schema(schema)
+      .parquet(new HPath(dataRoot, dir).toString)
+    val aggs = use.zipWithIndex.flatMap { case (f, i) =>
+      Seq(min(col(f.name)).as(s"__lo$i"), max(col(f.name)).as(s"__hi$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    use.iterator.zipWithIndex.flatMap { case (f, i) =>
+      for (lo <- SegmentStats.canon(row.get(2 * i));
+           hi <- SegmentStats.canon(row.get(2 * i + 1)))
+        yield f.name -> (lo, hi)
+    }.toMap
+  }
+
+  /** Stats for a new manifest: freshly collected for `newDir`, carried
+    * forward for every by-reference segment. */
+  private def statsFor(spark: SparkSession, segments: Seq[Segment],
+      newDir: String, schema: StructType,
+      priorStats: Map[String, Map[String, (String, String)]])
+      : Map[String, Map[String, (String, String)]] =
+    segments.map(_.dir).distinct.map { d =>
+      d -> (if (d == newDir) collectStats(spark, d, schema)
+            else priorStats.getOrElse(d, Map.empty))
+    }.filter(_._2.nonEmpty).toMap
 
   /** Engine-portable SQL for "row is in one of these partition
     * tuples" — values render via Catalyst literal SQL (quoted/escaped),
@@ -326,7 +567,9 @@ final case class SnapshotStore(path: String,
       }
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), op,
-        schema.json, segments))
+        schema.json, segments,
+        statsFor(spark, segments, dir, schema,
+          prior.map(_.stats).getOrElse(Map.empty))))
       nextV
     }
   }
@@ -368,7 +611,10 @@ final case class SnapshotStore(path: String,
         }
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), "delete",
-        p.schemaJson, segments))
+        p.schemaJson, segments,
+        statsFor(spark, segments, dir,
+          DataType.fromJson(p.schemaJson).asInstanceOf[StructType],
+          p.stats)))
       nextV
     }
   }
@@ -451,7 +697,10 @@ final case class SnapshotStore(path: String,
       writeData(sized, dir)
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(), "compact",
-        p.schemaJson, Seq(Segment(dir, None))))
+        p.schemaJson, Seq(Segment(dir, None)),
+        statsFor(spark, Seq(Segment(dir, None)), dir,
+          DataType.fromJson(p.schemaJson).asInstanceOf[StructType],
+          p.stats)))
       nextV
     }
   }
@@ -467,7 +716,8 @@ final case class SnapshotStore(path: String,
       val nextV = head + 1
       SnapshotStore.commitFailpoint()
       writeCommit(hFs, Commit(nextV, System.currentTimeMillis(),
-        s"rollback@$toVersion", target.schemaJson, target.segments))
+        s"rollback@$toVersion", target.schemaJson, target.segments,
+        target.stats))
       nextV
     }
   }

@@ -341,6 +341,64 @@ class EtlExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("type change"))
   }
 
+  test("snapshot store: segment min/max stats skip non-matching segments") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snapskip", orderColumn = Some("v"))
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 1.0, f"t$i%03d")).toDF("id", "v", "tag")
+    st.write(batch(1, 10), WriteMode.Full)
+    st.write(batch(11, 20), WriteMode.Append)
+    st.write(batch(21, 30), WriteMode.Append)
+    def segDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map { f =>
+        f.split("/data/")(1).split("/")(0)
+      }.toSet
+    // unpruned head lists all three segment dirs
+    assert(segDirs(st.read(spark)).size == 3)
+    // a range predicate hitting only the middle batch materializes ONLY
+    // that segment — the FileIndex listing proves the skip
+    val pruned = st.readWhere(spark, "id >= 11 AND id <= 15")
+    assert(segDirs(pruned).size == 1)
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (11L to 15L))
+    // string stats prune too (binary UTF-8 order)
+    assert(segDirs(st.readWhere(spark, "tag = 't025'")).size == 1)
+    // OR of two ranges keeps exactly the two matching segments
+    assert(segDirs(st.readWhere(spark, "id = 5 OR id = 25")).size == 2)
+    // an unsupported predicate shape degrades to no pruning, same rows
+    val odd = st.readWhere(spark, "id % 2 = 1")
+    assert(odd.count() == 15)
+    // time travel prunes against THAT version's manifest
+    val tt = st.readWhere(spark, "id >= 11", version = Some(2))
+    assert(segDirs(tt).size == 1)
+    assert(tt.count() == 10)
+    // a provably-empty predicate reads nothing but keeps the schema
+    val none = st.readWhere(spark, "id > 1000")
+    assert(none.columns.toSeq == Seq("id", "v", "tag") && none.count() == 0)
+  }
+
+  test("snapshot store: carried segments keep stats across upserts") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snapskip2",
+      orderColumn = Some("v"), partitionBy = Seq("day"))
+    st.write(Seq((1L, 1.0, "d1"), (100L, 2.0, "d2")).toDF("id", "v", "day"),
+      WriteMode.Full)
+    // upsert touches ONLY d2: d1 rides by reference WITH its stats
+    st.write(Seq((100L, 3.0, "d2")).toDF("id", "v", "day"),
+      WriteMode.Upsert, Seq("id"))
+    val pf = st.readWhere(spark, "id <= 1")
+    // the new segment (only id=100) is refuted; just the carried v1 dir
+    // is listed, and its d2 rows are masked by the exclusion predicate
+    assert(pf.inputFiles.map(_.split("/data/")(1).split("/")(0))
+      .toSet.size == 1)
+    assert(pf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0)))
+    // and the upsert result itself is intact
+    assert(st.read(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (100L, 3.0)))
+  }
+
   test("snapshot store: compact collapses segment chains, history intact") {
     import spark.implicits._
     val base = tmpDir() + "/snapc"
