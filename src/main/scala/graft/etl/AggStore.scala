@@ -67,6 +67,48 @@ object AggStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // ------------------------- retraction-safe (linear) maintenance ----
+  //
+  // count/sum/sumsq are LINEAR in the rows, so they maintain exactly
+  // under both additions and retractions (an upsert's replaced rows
+  // fold out with sign −1) — min/max do not (a retracted extremum
+  // can't be un-taken without a rescan), so the signed path carries
+  // the linear statistics only and finalizes (n, sum, mean, std).
+  // This is the state algebra behind [[graft.live.LiveAggTable]]'s
+  // commit-feed refresh: cost ∝ delta rows, result ≡ full recompute.
+
+  /** Signed per-key linear partials: `sign` = −1 folds retractions. */
+  def linearPartials(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, sign: Int = 1): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(keyCols.map(col): _*)
+      .agg((count(v) * sign).as("n"), (sum(v) * sign).as("sum"),
+        (sum(v * v) * sign).as("sumsq"))
+  }
+
+  /** Merge signed linear partial frames by key; keys whose count
+    * reaches 0 drop out (all their rows were retracted). */
+  def mergeLinear(frames: Seq[DataFrame],
+      keyCols: Seq[String]): DataFrame = {
+    require(frames.nonEmpty, "mergeLinear: no frames")
+    frames.reduceLeft(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum")).as("sum"),
+        sum(col("sumsq")).as("sumsq"))
+      .where(col("n") > 0)
+  }
+
+  /** Finalize the linear state: (keys…, n, sum, mean, std). */
+  def finalizeLinear(store: DataFrame, keyCols: Seq[String]): DataFrame =
+    store.select(
+      keyCols.map(col) ++ Seq(
+        col("n"),
+        col("sum"),
+        (col("sum") / col("n")).as("mean"),
+        when(col("n") > 1,
+          sqrt((col("sumsq") - col("sum") * col("sum") / col("n")) /
+            (col("n") - 1))).as("std")): _*)
+
   /** Finalize metrics from partials alone — no raw-data access. */
   def finalizeStats(store: DataFrame, keyCols: Seq[String]): DataFrame =
     store.select(

@@ -620,6 +620,64 @@ final case class SnapshotStore(path: String,
   }
 
   /**
+   * Physical row delta between two committed versions, as
+   * (additions, retractions) — the incremental-view-maintenance feed:
+   * a consumer holding any aggregate state valid at `fromVersion`
+   * reaches `toVersion` by folding `additions` in and `retractions`
+   * out, at cost ∝ the CHANGED segments/partitions, never the table.
+   * Derived purely from the two manifests: a data dir only in the new
+   * manifest contributes its live rows as additions; a dir only in the
+   * old one contributes its live rows as retractions (Full/compact/
+   * rollback fall back to whole-table deltas — the honest cost of a
+   * total rewrite); a dir in BOTH contributes the rows whose liveness
+   * flipped — exclusion predicates are partition-column terms, so both
+   * sides prune to the affected partitions at the file listing.
+   * Schemas: additions read under `toVersion`'s schema, retractions
+   * under `fromVersion`'s.
+   */
+  def deltaBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): (DataFrame, DataFrame) = {
+    val hFs = fs(spark)
+    val cf = readCommit(hFs, fromVersion)
+    val ct = readCommit(hFs, toVersion)
+    val fromSchema = DataType.fromJson(cf.schemaJson).asInstanceOf[StructType]
+    val toSchema = DataType.fromJson(ct.schemaJson).asInstanceOf[StructType]
+    val oldExcl = cf.segments.map(s => s.dir -> s.excluded).toMap
+    val newExcl = ct.segments.map(s => s.dir -> s.excluded).toMap
+    def readDir(dir: String, schema: StructType): DataFrame =
+      spark.read.schema(schema)
+        .parquet(new HPath(dataRoot, dir).toString)
+    def live(e: Option[String]): Column = e.fold(lit(true))(x => !expr(x))
+    def dead(e: Option[String]): Column = e.fold(lit(false))(x => expr(x))
+    val adds = Seq.newBuilder[DataFrame]
+    val rets = Seq.newBuilder[DataFrame]
+    ct.segments.foreach { s =>
+      oldExcl.get(s.dir) match {
+        case None => // new dir: its live rows are additions
+          adds += readDir(s.dir, toSchema).where(live(s.excluded))
+        case Some(oldE) if oldE != s.excluded =>
+          // liveness flipped rows only (upsert/delete widen the
+          // exclusion → retractions; rollback can narrow it → additions)
+          adds += readDir(s.dir, toSchema)
+            .where(live(s.excluded) && dead(oldE))
+          rets += readDir(s.dir, fromSchema)
+            .where(live(oldE) && dead(s.excluded))
+        case _ => () // carried unchanged: no delta
+      }
+    }
+    cf.segments.foreach { s =>
+      if (!newExcl.contains(s.dir)) // dropped dir: live rows retract
+        rets += readDir(s.dir, fromSchema).where(live(s.excluded))
+    }
+    def unionAll(fs: Seq[DataFrame], schema: StructType): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else fs.reduceLeft(_.unionByName(_))
+    (unionAll(adds.result(), toSchema), unionAll(rets.result(), fromSchema))
+  }
+
+  /**
    * Change data feed between two committed versions — the CDC readout
    * of the snapshot log (the transactional-format CDF analog): every
    * key inserted, updated (new values), or deleted going from
