@@ -54,6 +54,15 @@ def main() -> int:
             tag = "" if sp is None else f" (spread {sp:.1f}x, consistent)"
             print(f"REGRESS {q}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x){tag}")
             regressions.append(q)
+        # >2x the committed min must NOT be recorded as-is: either it is
+        # real (probe confirms, investigate) or the run was loaded (fold
+        # via tools/bench_record.py so the committed record keeps the
+        # honest minimum) — never let a one-run phantom become the next
+        # round's baseline
+        if n > 2.0 * o:
+            print(f"PROBE-BEFORE-RECORD {q}: final-run {n:.2f}s exceeds "
+                  f"2x the committed min {o:.2f}s — isolate-probe, then "
+                  f"record via tools/bench_record.py")
     if not drifted:
         print("no per-query drift above threshold")
     err = new.get("err") or {}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Fold one or more BENCH_FULL runs into a self-honest committed record.
+
+Usage: python3 tools/bench_record.py <out.json> <run1.json> [run2.json ...]
+
+The committed bench record is the cross-round comparison substrate, so a
+record taken from one loaded-box run poisons the next round's regression
+gate (round 9 recorded q159 at 10.7 s where an isolated probe measures
+0.70 s). This tool makes the record per-query MIN ACROSS EVERY SAMPLE of
+every run given (samples concatenate into the output, so the spread
+stays inspectable), recomputes the headline total as the sum of those
+minima, and prints a PROBE-BEFORE-RECORD line for any query whose
+LAST-run min still exceeds 2x the merged min - the signal that the final
+run was load-inflated and an isolated probe should confirm before the
+number is trusted. Queries failing in the LAST run stay failed (null);
+a query absent from the last run is dropped (it was removed from the
+suite).
+"""
+import json
+import sys
+
+PROBE_RATIO = 2.0
+
+
+def main() -> int:
+    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    runs = [json.load(open(p)) for p in run_paths]
+    last = runs[-1]
+    merged_q = {}
+    merged_s = {}
+    probe = []
+    for q, last_v in last["queries"].items():
+        if last_v is None:  # failed in the last run: stays failed
+            merged_q[q] = None
+            merged_s[q] = (last.get("samples") or {}).get(q, [])
+            continue
+        samples = []
+        for r in runs:
+            if q in r.get("queries", {}) and r["queries"][q] is not None:
+                samples += [t for t in (r.get("samples") or {}).get(q, [])
+                            if t is not None and t > 0]
+                samples.append(r["queries"][q])
+        best = min(samples) if samples else last_v
+        merged_q[q] = round(best, 3)
+        merged_s[q] = sorted(set(round(t, 3) for t in samples))
+        if last_v > PROBE_RATIO * best:
+            probe.append((q, best, last_v))
+    total = round(sum(v for v in merged_q.values() if v is not None), 3)
+    rec = {
+        "metric": "total", "unit": "sec", "sf": last.get("sf"),
+        "failed": last.get("failed", 0), "err": last.get("err") or {},
+        "queries": merged_q, "value": total, "samples": merged_s,
+        "runs_merged": len(runs),
+    }
+    with open(out_path, "w") as f:
+        json.dump(rec, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"merged {len(runs)} run(s), {len(merged_q)} queries, "
+          f"total={total:.1f}s (last run {last['value']:.1f}s)")
+    for q, best, last_v in sorted(probe, key=lambda t: -t[2] / t[1]):
+        print(f"PROBE-BEFORE-RECORD {q}: last run {last_v:.2f}s vs merged "
+              f"min {best:.2f}s ({last_v / best:.1f}x) - isolate-probe "
+              f"before trusting either number")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
