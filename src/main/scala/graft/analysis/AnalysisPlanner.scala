@@ -719,6 +719,43 @@ object AnalysisPlanner {
   }
 
   /**
+   * Fixed-grid approximate Kendall tau — the documented opt-out for
+   * the exact machinery's one scale caveat: [[kendallTau]]'s cell
+   * frame is O(distinct (x, y)), LINEAR but corpus-sized when both
+   * columns are continuous at 100 TB (the per-task memory bound holds
+   * regardless; the cost is distinct-cell shuffle traffic). Binning
+   * each axis onto a `bins`-cell equal-width grid first (the
+   * `approx_percentile` precedent: trade exactness for a hard
+   * cardinality bound) caps the cell frame at `bins²` ROWS NO MATTER
+   * THE CORPUS, after one 1-row bounds aggregate. Binning is monotone,
+   * so cross-bin pair orientations are preserved exactly — the only
+   * approximation is same-bin pairs collapsing into ties, an error
+   * that shrinks as O(1/bins) for continuous data (OpsExtSpec pins the
+   * tolerance). Output schema/semantics match [[kendallTau]] over the
+   * binned values: tau_b's tie corrections absorb most of the
+   * collapse, which is why tau_b (not tau_a) is the reported measure.
+   */
+  def kendallTauBinned(df: DataFrame, x: String, y: String,
+      keyCol: String, bins: Int = 1024): DataFrame = {
+    require(bins >= 2, "kendallTauBinned: bins >= 2")
+    val xv = col(x).cast("double")
+    val yv = col(y).cast("double")
+    val base = df.where(xv.isNotNull && yv.isNotNull)
+    val bounds = broadcast(base.agg(
+      min(xv).as("__xlo"), max(xv).as("__xhi"),
+      min(yv).as("__ylo"), max(yv).as("__yhi")))
+    def bin(v: Column, lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L)).otherwise(least(
+        greatest(floor((v - lo) / (hi - lo) * bins), lit(0L)),
+        lit(bins - 1L)))
+    val binned = base.crossJoin(bounds)
+      .select(col(keyCol).as("__bk"),
+        bin(xv, col("__xlo"), col("__xhi")).as("__bx"),
+        bin(yv, col("__ylo"), col("__yhi")).as("__by"))
+    kendallTau(binned, "__bx", "__by", "__bk")
+  }
+
+  /**
    * `D = Σ_{x1<x2 ∧ y1>y2} c1·c2` over a `(x, y, c)` cell frame, with
    * per-task memory ≤ ~`cap` cells for any distribution (see
    * [[kendallTau]]). Returns `(D, reductionLevels)` — levels is 0 on

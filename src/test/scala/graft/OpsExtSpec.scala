@@ -549,6 +549,36 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getLong(1) == dis)
   }
 
+  test("binned kendall: bounded cells, tau within tolerance of exact") {
+    import spark.implicits._
+    // continuous correlated pair: y = x + noise, all values distinct —
+    // the distinct-cell worst case the binned opt-out exists for
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 3000).map { i =>
+      val x = rnd.nextDouble() * 100.0
+      (i.toLong, x, x * 0.8 + rnd.nextGaussian() * 20.0)
+    }
+    val df = data.toDF("k", "x", "y").repartition(8)
+    val exact = graft.analysis.AnalysisPlanner
+      .kendallTau(df, "x", "y", "k").collect()(0).getAs[Double]("tau_b")
+    val approx = graft.analysis.AnalysisPlanner
+      .kendallTauBinned(df, "x", "y", "k", bins = 256).collect()(0)
+      .getAs[Double]("tau_b")
+    // monotone binning preserves cross-bin orientation; same-bin pairs
+    // collapse to ties — tau_b's tie correction keeps the error small
+    assert(math.abs(approx - exact) < 0.02,
+      s"binned tau $approx vs exact $exact")
+    // the input really is distinct-heavy (the case the opt-out is for):
+    // the exact path's cell frame carries ~n cells, the binned one is
+    // capped at bins² by construction (grid-clipped floor)
+    assert(df.select("x", "y").distinct().count() == 3000L)
+    // same pair universe: binning never drops rows
+    val nPairsBinned = graft.analysis.AnalysisPlanner
+      .kendallTauBinned(df, "x", "y", "k", bins = 256).collect()(0)
+      .getAs[Long]("n_pairs")
+    assert(nPairsBinned == 3000L * 2999 / 2)
+  }
+
   test("parquet scan pushes filters and prunes columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftscan").toString
