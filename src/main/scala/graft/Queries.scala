@@ -14744,6 +14744,562 @@ object Queries {
              (count(*) * (n_copies - 1))::BIGINT AS removable
       FROM fp GROUP BY 1 ORDER BY 1"""))
 
+  /** Ansari–Bradley scale test: are purchase and click event values
+    * equally dispersed? Folded-rank scores from the shared rank-cell
+    * substrate; tie blocks via closed-form range sums. */
+  private val q387 = Entry(
+    "q387_ansari_bradley",
+    (s, d) =>
+      AnalysisPlanner
+        .ansariBradleyFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("ab_stat")).as("ab_stat"),
+          r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      pre AS (SELECT v, ct, cc, ct + cc AS t,
+                coalesce(sum(ct + cc) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+              FROM vc),
+      tot AS (SELECT sum(ct + cc) AS nn FROM vc),
+      sc AS (SELECT ct, cc, t, nn, ex + 1 AS lo, ex + t AS hi,
+               floor((nn + 1) / 2.0) AS m
+             FROM pre, tot),
+      sc2 AS (SELECT ct, cc, t, nn,
+                (CASE WHEN least(hi, m) >= lo
+                  THEN (least(hi, m) * (least(hi, m) + 1)
+                    - (lo - 1) * lo) / 2.0 ELSE 0 END)
+                + (CASE WHEN hi >= greatest(lo, m + 1)
+                  THEN (nn + 1) * (hi - greatest(lo, m + 1) + 1)
+                    - (hi * (hi + 1) - (greatest(lo, m + 1) - 1)
+                      * greatest(lo, m + 1)) / 2.0 ELSE 0 END) AS sb
+              FROM sc),
+      a AS (SELECT sum(cc) AS nc, sum(ct) AS nt, max(nn) AS n,
+              sum(ct * sb / t) AS ab, sum(sb) AS sa,
+              sum(sb * sb / t) AS sa2
+            FROM sc2)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t,
+             round(ab, 6) AS ab_stat,
+             round((ab - nt * sa / n) /
+               sqrt(nc * nt * (sa2 - sa * sa / n) / (n * (n - 1))), 6)
+               AS z_stat
+      FROM a"""))
+
+  /** Lepage location-or-scale omnibus: Wilcoxon z² + Ansari z² on the
+    * same purchase/click pair — one χ²(2) number for "shifted OR
+    * re-dispersed". */
+  private val q388 = Entry(
+    "q388_lepage",
+    (s, d) =>
+      AnalysisPlanner
+        .lepageFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"),
+          r6(col("z_wilcoxon")).as("z_wilcoxon"),
+          r6(col("z_ansari")).as("z_ansari"),
+          r6(col("lepage_l")).as("lepage_l")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      pre AS (SELECT v, ct, cc, ct + cc AS t,
+                coalesce(sum(ct + cc) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ex
+              FROM vc),
+      tot AS (SELECT sum(ct + cc) AS nn FROM vc),
+      wil AS (SELECT sum((ex + 1) * ct) AS rt, sum(ct) AS nt,
+                sum(cc) AS nc
+              FROM pre),
+      wz AS (SELECT nc, nt,
+               (rt - nt * (nt + 1) / 2.0 - nc * nt / 2.0) /
+                 sqrt(nc * nt * (nc + nt + 1) / 12.0) AS zw
+             FROM wil),
+      sc AS (SELECT ct, cc, t, nn, ex + 1 AS lo, ex + t AS hi,
+               floor((nn + 1) / 2.0) AS m
+             FROM pre, tot),
+      sc2 AS (SELECT ct, cc, t, nn,
+                (CASE WHEN least(hi, m) >= lo
+                  THEN (least(hi, m) * (least(hi, m) + 1)
+                    - (lo - 1) * lo) / 2.0 ELSE 0 END)
+                + (CASE WHEN hi >= greatest(lo, m + 1)
+                  THEN (nn + 1) * (hi - greatest(lo, m + 1) + 1)
+                    - (hi * (hi + 1) - (greatest(lo, m + 1) - 1)
+                      * greatest(lo, m + 1)) / 2.0 ELSE 0 END) AS sb
+              FROM sc),
+      ab AS (SELECT sum(cc) AS nc, sum(ct) AS nt, max(nn) AS n,
+               sum(ct * sb / t) AS abv, sum(sb) AS sa,
+               sum(sb * sb / t) AS sa2
+             FROM sc2),
+      az AS (SELECT (abv - nt * sa / n) /
+               sqrt(nc * nt * (sa2 - sa * sa / n) / (n * (n - 1))) AS za
+             FROM ab)
+      SELECT wz.nc::BIGINT AS n_c, wz.nt::BIGINT AS n_t,
+             round(wz.zw, 6) AS z_wilcoxon, round(az.za, 6) AS z_ansari,
+             round(wz.zw * wz.zw + az.za * az.za, 6) AS lepage_l
+      FROM wz, az"""))
+
+  /** Cucconi location-and-scale test on the same pair: squared ranks
+    * from both ends with the exact null correlation. */
+  private val q389 = Entry(
+    "q389_cucconi",
+    (s, d) =>
+      AnalysisPlanner
+        .cucconiFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("u")).as("u"),
+          r6(col("v")).as("v"), r6(col("cucconi_c")).as("cucconi_c")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      pre AS (SELECT ct, cc, ct + cc AS t,
+                coalesce(sum(ct + cc) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (ct + cc + 1) / 2.0 AS r
+              FROM vc),
+      a AS (SELECT sum(cc) AS nc, sum(ct) AS nt,
+              sum(ct * r) AS sr, sum(ct * r * r) AS sr2
+            FROM pre),
+      b AS (SELECT nc, nt, sr, sr2, nc + nt AS n,
+              sqrt(nc * nt * (nc + nt + 1) * (2 * (nc + nt) + 1)
+                * (8 * (nc + nt) + 11) / 5.0) AS den
+            FROM a),
+      c AS (SELECT nc, nt,
+              (6 * sr2 - nt * (n + 1) * (2 * n + 1)) / den AS u,
+              (6 * (nt * (n + 1) * (n + 1) - 2 * (n + 1) * sr + sr2)
+                - nt * (n + 1) * (2 * n + 1)) / den AS v,
+              2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+                AS rho
+            FROM b)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t, round(u, 6) AS u,
+             round(v, 6) AS v,
+             round((u * u + v * v - 2 * rho * u * v) /
+               (2 * (1 - rho * rho)), 6) AS cucconi_c
+      FROM c"""))
+
+  /** Stuart–Maxwell marginal homogeneity: did the class MIX shift
+    * between the return-flag labeling and a derived relabeling? The
+    * margins question Bowker's symmetry test doesn't ask. */
+  private val q390 = Entry(
+    "q390_stuart_maxwell",
+    (s, d) =>
+      AnalysisPlanner.stuartMaxwell(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("a"),
+            when(col("l_partkey") % 3 === 0, lit("A"))
+              .when(col("l_partkey") % 3 === 1, lit("N"))
+              .otherwise(lit("R")).as("b")),
+          "a", "b")
+        .select(col("n"), col("n_categories"), col("dof"),
+          r6(col("chi2")).as("chi2")),
+    Some("""
+      WITH b0 AS (SELECT l_returnflag AS a,
+                    CASE l_partkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'N'
+                      ELSE 'R' END AS b
+                  FROM lineitem),
+      j AS (SELECT a, b, count(*)::DOUBLE AS n FROM b0 GROUP BY 1, 2),
+      m AS (SELECT sum(n) AS nn,
+              sum(CASE WHEN a = 'A' THEN n ELSE 0 END) AS ra,
+              sum(CASE WHEN a = 'N' THEN n ELSE 0 END) AS rn,
+              sum(CASE WHEN b = 'A' THEN n ELSE 0 END) AS ca,
+              sum(CASE WHEN b = 'N' THEN n ELSE 0 END) AS cn,
+              sum(CASE WHEN a = 'A' AND b = 'A' THEN n ELSE 0 END) AS naa,
+              sum(CASE WHEN a = 'N' AND b = 'N' THEN n ELSE 0 END) AS nnn2,
+              sum(CASE WHEN a = 'A' AND b = 'N' THEN n ELSE 0 END) AS nan2,
+              sum(CASE WHEN a = 'N' AND b = 'A' THEN n ELSE 0 END) AS nna
+            FROM j),
+      x AS (SELECT nn, ra - ca AS d1, rn - cn AS d2,
+              ra + ca - 2 * naa AS v11, rn + cn - 2 * nnn2 AS v22,
+              -(nan2 + nna) AS v12
+            FROM m)
+      SELECT nn::BIGINT AS n, 3 AS n_categories, 2 AS dof,
+             round((v22 * d1 * d1 - 2 * v12 * d1 * d2 + v11 * d2 * d2)
+               / (v11 * v22 - v12 * v12), 6) AS chi2
+      FROM x"""))
+
+  /** Cochran–Armitage trend: does the big-order rate ramp across the
+    * five numeric priority levels — the ordered-dose 2×k test. */
+  private val q391 = Entry(
+    "q391_cochran_armitage",
+    (s, d) =>
+      AnalysisPlanner.cochranArmitage(
+          Tables.orders(s, d).withColumn("prio_level",
+            substring(col("o_orderpriority"), 1, 1).cast("int")),
+          "prio_level", col("o_totalprice") > 150000)
+        .select(col("n"), col("n_levels"),
+          r6(col("pooled_rate")).as("pooled_rate"),
+          r6(col("z_trend")).as("z_trend")),
+    Some("""
+      WITH lv AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT)
+                    AS lvl,
+                    CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0 END
+                      AS s
+                  FROM orders WHERE o_orderpriority IS NOT NULL),
+      g AS (SELECT lvl, count(*)::DOUBLE AS ni, sum(s) AS xi
+            FROM lv GROUP BY 1),
+      w AS (SELECT lvl, ni, xi,
+              coalesce(sum(1.0) OVER (ORDER BY lvl ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w
+            FROM g),
+      a AS (SELECT sum(ni) AS n, count(*) AS k, sum(xi) AS x,
+              sum(w * xi) AS swx, sum(w * ni) AS swn,
+              sum(w * w * ni) AS sw2n
+            FROM w)
+      SELECT n::BIGINT AS n, k AS n_levels, round(x / n, 6)
+               AS pooled_rate,
+             round((swx - (x / n) * swn) /
+               sqrt((x / n) * (1 - x / n) * (sw2n - swn * swn / n)), 6)
+               AS z_trend
+      FROM a"""))
+
+  /** Kendall's W: do five hash-raters agree on the ordering of twenty
+    * part buckets by total quantity — multi-rater rank concordance
+    * with the standard tie correction. */
+  private val q392 = Entry(
+    "q392_kendalls_w",
+    (s, d) =>
+      AnalysisPlanner.kendallsW(
+          Tables.lineitem(s, d)
+            .groupBy((col("l_suppkey") % 5).as("rater"),
+              (col("l_partkey") % 20).as("item"))
+            .agg(sum(col("l_quantity")).as("score")),
+          "rater", "item", "score")
+        .select(col("n_raters"), col("n_items"), r6(col("w")).as("w"),
+          r6(col("chi2_stat")).as("chi2_stat"), col("dof")),
+    Some("""
+      WITH cell AS (SELECT l_suppkey % 5 AS rater, l_partkey % 20
+                      AS item, sum(l_quantity)::DOUBLE AS score
+                    FROM lineitem GROUP BY 1, 2),
+      ni AS (SELECT count(DISTINCT item) AS n_items FROM cell),
+      fullr AS (SELECT rater FROM cell GROUP BY 1
+                HAVING count(*) = (SELECT n_items FROM ni)),
+      k AS (SELECT c.* FROM cell c JOIN fullr USING (rater)),
+      rk AS (SELECT rater, item, score,
+               rank() OVER (PARTITION BY rater ORDER BY score) AS r,
+               count(*) OVER (PARTITION BY rater, score) AS tc
+             FROM k),
+      t1 AS (SELECT DISTINCT rater, score, tc FROM rk),
+      t2 AS (SELECT rater, sum(tc * tc * tc - tc) AS t FROM t1
+             GROUP BY 1),
+      t3 AS (SELECT sum(t) AS tt, count(*) AS m FROM t2),
+      rs AS (SELECT item, sum(r + (tc - 1) / 2.0) AS rr FROM rk
+             GROUP BY 1),
+      s AS (SELECT count(*)::DOUBLE AS ni, sum(rr) AS sr,
+              sum(rr * rr) AS sr2 FROM rs),
+      wv AS (SELECT t3.m, s.ni,
+               12 * (s.sr2 - s.sr * s.sr / s.ni) /
+                 (t3.m * t3.m * (s.ni * s.ni * s.ni - s.ni)
+                   - t3.m * t3.tt) AS ww
+             FROM s, t3)
+      SELECT m AS n_raters, ni::BIGINT AS n_items, round(ww, 6) AS w,
+             round(m * (ni - 1) * ww, 6) AS chi2_stat,
+             (ni - 1)::BIGINT AS dof
+      FROM wv"""))
+
+  /** Dickey–Fuller unit-root check on the daily event-value series:
+    * is the KPI mean-reverting or a random walk? */
+  private val q393 = Entry(
+    "q393_dickey_fuller",
+    (s, d) =>
+      graft.ops.TimeSeries.dickeyFuller(Tables.events(s, d), "ts",
+          "value")
+        .select(col("n_days"), col("n_pairs"), r6(col("gamma")).as("gamma"),
+          r6(col("se_gamma")).as("se_gamma"),
+          r6(col("df_stat")).as("df_stat")),
+    Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS dd,
+                       avg("value"::DOUBLE) AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      t AS (SELECT datediff('day', DATE '1970-01-01', dd) AS t, x
+            FROM daily),
+      p AS (SELECT l.x AS xl, c.x - l.x AS dy
+            FROM t c JOIN t l ON c.t = l.t + 1),
+      a AS (SELECT count(*)::DOUBLE AS np, sum(xl) AS sz,
+              sum(xl * xl) AS szz, sum(dy) AS sd, sum(xl * dy) AS szd,
+              sum(dy * dy) AS sdd
+            FROM p),
+      b AS (SELECT np, szz - sz * sz / np AS sxx,
+              szd - sz * sd / np AS sxy, sd, sdd
+            FROM a),
+      g AS (SELECT np, sxx, sxy / sxx AS gamma,
+              sdd - sd * sd / np - (sxy / sxx) * sxy AS sse
+            FROM b),
+      nd AS (SELECT count(*) AS n_days FROM daily)
+      SELECT nd.n_days, g.np::BIGINT AS n_pairs,
+             round(g.gamma, 6) AS gamma,
+             round(sqrt(g.sse / (g.np - 2) / g.sxx), 6) AS se_gamma,
+             round(g.gamma / sqrt(g.sse / (g.np - 2) / g.sxx), 6)
+               AS df_stat
+      FROM g, nd"""))
+
+  /** KPSS level-stationarity statistic on the same daily series — the
+    * complementary null (stationary) to q393's unit root. */
+  private val q394 = Entry(
+    "q394_kpss",
+    (s, d) =>
+      graft.ops.TimeSeries.kpssLevel(Tables.events(s, d), "ts", "value")
+        .select(col("n_days"), r6(col("sigma2")).as("sigma2"),
+          r6(col("kpss_stat")).as("kpss_stat")),
+    Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS dd,
+                       avg("value"::DOUBLE) AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      m AS (SELECT count(*)::DOUBLE AS n, avg(x) AS mu FROM daily),
+      e AS (SELECT dd, x - m.mu AS e, m.n FROM daily, m),
+      s AS (SELECT n, e,
+              sum(e) OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS st
+            FROM e)
+      SELECT max(n)::BIGINT AS n_days,
+             round(sum(e * e) / max(n), 6) AS sigma2,
+             round(sum(st * st) /
+               (max(n) * max(n) * (sum(e * e) / max(n))), 6)
+               AS kpss_stat
+      FROM s"""))
+
+  /** D'Agostino–Pearson K² normality omnibus on extended price —
+    * finite-n skewness and kurtosis z-tests combined. */
+  private val q395 = Entry(
+    "q395_dagostino_k2",
+    (s, d) =>
+      AnalysisPlanner.dagostinoK2(Tables.lineitem(s, d),
+          "l_extendedprice")
+        .select(col("n"), r6(col("skewness")).as("skewness"),
+          r6(col("kurtosis")).as("kurtosis"),
+          r6(col("z_skew")).as("z_skew"), r6(col("z_kurt")).as("z_kurt"),
+          r6(col("k2")).as("k2")),
+    Some("""
+      WITH r AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS s1,
+              sum(x * x) AS s2, sum(x * x * x) AS s3,
+              sum(x * x * x * x) AS s4
+            FROM r),
+      c AS (SELECT n, s1 / n AS mu,
+              s2 / n - (s1 / n) * (s1 / n) AS m2,
+              s3 / n - (s1 / n) * 3.0 * s2 / n
+                + (s1 / n) * (s1 / n) * (s1 / n) * 2.0 AS m3,
+              s4 / n - (s1 / n) * 4.0 * s3 / n
+                + (s1 / n) * (s1 / n) * 6.0 * s2 / n
+                - (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) * 3.0 AS m4
+            FROM a),
+      g AS (SELECT n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) AS b2
+            FROM c),
+      sk AS (SELECT n, g1, b2,
+               g1 * sqrt((n + 1) * (n + 3) / ((n - 2) * 6)) AS y,
+               (n * n + n * 27 - 70) * (n + 1) * (n + 3) * 3.0 /
+                 ((n - 2) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+             FROM g),
+      sk2 AS (SELECT n, g1, b2, y,
+                sqrt((beta2 - 1) * 2) - 1 AS w2
+              FROM sk),
+      sk3 AS (SELECT n, g1, b2,
+                (1.0 / sqrt(ln(sqrt(w2)))) *
+                  ln(y / sqrt(2.0 / (w2 - 1)) +
+                    sqrt(y / sqrt(2.0 / (w2 - 1)) *
+                      (y / sqrt(2.0 / (w2 - 1))) + 1)) AS z1
+              FROM sk2),
+      ku AS (SELECT n, g1, b2, z1,
+               (b2 - (n - 1) * 3 / (n + 1)) /
+                 sqrt(n * (n - 2) * (n - 3) * 24.0 /
+                   ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS xk,
+               (n * n - n * 5 + 2) * 6.0 / ((n + 7) * (n + 9)) *
+                 sqrt((n + 3) * (n + 5) * 6.0 /
+                   (n * (n - 2) * (n - 3))) AS sb1
+             FROM sk3),
+      ku2 AS (SELECT n, g1, b2, z1, xk,
+                6.0 + 8.0 / sb1 *
+                  (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+              FROM ku),
+      ku3 AS (SELECT n, g1, b2, z1,
+                (1.0 - 2.0 / (aa * 9) -
+                  pow((1.0 - 2.0 / aa) /
+                    (1.0 + xk * sqrt(2.0 / (aa - 4))), 1.0 / 3.0)) /
+                  sqrt(2.0 / (aa * 9)) AS z2
+              FROM ku2)
+      SELECT n::BIGINT AS n, round(g1, 6) AS skewness,
+             round(b2 - 3, 6) AS kurtosis, round(z1, 6) AS z_skew,
+             round(z2, 6) AS z_kurt, round(z1 * z1 + z2 * z2, 6) AS k2
+      FROM ku3"""))
+
+  /** Inequality panel (Theil-T/MLD/Atkinson) of order revenue — three
+    * decomposable complements to the Gini readout. */
+  private val q396 = Entry(
+    "q396_inequality_indices",
+    (s, d) =>
+      graft.ops.Profiling.inequalityIndices(Tables.orders(s, d),
+          "o_totalprice")
+        .select(col("n"), col("n_dropped"), r6(col("mean")).as("mean"),
+          r6(col("theil_t")).as("theil_t"),
+          r6(col("theil_l")).as("theil_l"),
+          r6(col("atkinson_05")).as("atkinson_05")),
+    Some("""
+      WITH r AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+                 WHERE o_totalprice IS NOT NULL),
+      a AS (SELECT sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::DOUBLE AS n,
+              sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)::BIGINT
+                AS n_dropped,
+              sum(CASE WHEN x > 0 THEN x END) AS s,
+              sum(CASE WHEN x > 0 THEN ln(x) END) AS slog,
+              sum(CASE WHEN x > 0 THEN x * ln(x) END) AS sxlog,
+              sum(CASE WHEN x > 0 THEN sqrt(x) END) AS ssqrt
+            FROM r)
+      SELECT n::BIGINT AS n, n_dropped, round(s / n, 6) AS mean,
+             round(sxlog / s - ln(s / n), 6) AS theil_t,
+             round(ln(s / n) - slog / n, 6) AS theil_l,
+             round(1 - pow(ssqrt / n, 2) / (s / n), 6) AS atkinson_05
+      FROM a"""))
+
+  /** Lorenz decile table of order revenue: the mass share each value
+    * decile holds, cut at exact interpolated quantiles. */
+  private val q397 = Entry(
+    "q397_lorenz_deciles",
+    (s, d) =>
+      graft.ops.Profiling.lorenzDeciles(Tables.orders(s, d),
+          "o_totalprice")
+        .select(col("decile"), col("n"), r2(col("total")).as("total"),
+          r6(col("share")).as("share"),
+          r6(col("cum_share")).as("cum_share"))
+        .orderBy("decile"),
+    Some("""
+      WITH r AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+                 WHERE o_totalprice IS NOT NULL),
+      q AS (SELECT quantile_cont(x, 0.1) AS q1,
+              quantile_cont(x, 0.2) AS q2, quantile_cont(x, 0.3) AS q3,
+              quantile_cont(x, 0.4) AS q4, quantile_cont(x, 0.5) AS q5,
+              quantile_cont(x, 0.6) AS q6, quantile_cont(x, 0.7) AS q7,
+              quantile_cont(x, 0.8) AS q8, quantile_cont(x, 0.9) AS q9
+            FROM r),
+      b AS (SELECT x,
+              (CASE WHEN x > q1 THEN 1 ELSE 0 END +
+               CASE WHEN x > q2 THEN 1 ELSE 0 END +
+               CASE WHEN x > q3 THEN 1 ELSE 0 END +
+               CASE WHEN x > q4 THEN 1 ELSE 0 END +
+               CASE WHEN x > q5 THEN 1 ELSE 0 END +
+               CASE WHEN x > q6 THEN 1 ELSE 0 END +
+               CASE WHEN x > q7 THEN 1 ELSE 0 END +
+               CASE WHEN x > q8 THEN 1 ELSE 0 END +
+               CASE WHEN x > q9 THEN 1 ELSE 0 END)::BIGINT AS decile
+            FROM r, q),
+      t AS (SELECT sum(x) AS tt FROM r),
+      per AS (SELECT decile, count(*) AS n, sum(x) AS total
+              FROM b GROUP BY 1)
+      SELECT decile, n, round(total, 2) AS total,
+             round(total / t.tt, 6) AS share,
+             round(sum(total / t.tt) OVER (ORDER BY decile ROWS
+               BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_share
+      FROM per, t ORDER BY decile"""))
+
+  /** Reliability diagram of the synthetic order score: the per-bin
+    * table behind q319's scalar ECE — where is it miscalibrated. */
+  private val q398 = Entry(
+    "q398_reliability_diagram",
+    (s, d) =>
+      graft.ops.Evaluation
+        .reliabilityDiagram(scoredOrders(s, d), "label", "score",
+          bins = 10)
+        .select(col("bin"), col("n"),
+          r6(col("confidence")).as("confidence"),
+          r6(col("accuracy")).as("accuracy"), r6(col("gap")).as("gap"),
+          r6(col("ece_contribution")).as("ece_contribution"))
+        .orderBy("bin"),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      c AS (SELECT least(floor(least(greatest(p, 0), 1) * 10), 9)::BIGINT
+              AS bin, least(greatest(p, 0), 1) AS p, y
+            FROM sc),
+      t AS (SELECT count(*)::DOUBLE AS nn FROM c),
+      per AS (SELECT bin, count(*) AS n, avg(p) AS confidence,
+                avg(y) AS accuracy
+              FROM c GROUP BY 1)
+      SELECT bin, n, round(confidence, 6) AS confidence,
+             round(accuracy, 6) AS accuracy,
+             round(accuracy - confidence, 6) AS gap,
+             round(n / t.nn * abs(accuracy - confidence), 6)
+               AS ece_contribution
+      FROM per, t ORDER BY bin"""))
+
+  /** Flesch reading-ease rollup by language — the prose-difficulty
+    * gate, vowel-run syllable proxy. */
+  private val q399 = Entry(
+    "q399_flesch_readability",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .fleschReadingEase(Tables.documents(s, d), "text", "lang")
+        .select(col("lang"), col("n_docs"),
+          r6(col("avg_words")).as("avg_words"),
+          r6(col("avg_sentence_len")).as("avg_sentence_len"),
+          r6(col("avg_syllables_per_word")).as("avg_syllables_per_word"),
+          r6(col("avg_flesch")).as("avg_flesch"),
+          r6(col("share_difficult")).as("share_difficult"))
+        .orderBy("lang"),
+    Some("""
+      WITH p AS (SELECT lang,
+              len(list_filter(string_split(text, ' '),
+                x -> x <> ''))::DOUBLE AS w,
+              greatest(len(regexp_extract_all(text, '[.!?]+')),
+                1)::DOUBLE AS s,
+              greatest(len(regexp_extract_all(lower(text),
+                '[aeiouy]+')), 1)::DOUBLE AS y
+            FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, w, s, y,
+              206.835 - 1.015 * (w / s) - 84.6 * (y / w) AS fl
+            FROM p WHERE w > 0)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             round(avg(w), 6) AS avg_words,
+             round(avg(w / s), 6) AS avg_sentence_len,
+             round(avg(y / w), 6) AS avg_syllables_per_word,
+             round(avg(fl), 6) AS avg_flesch,
+             round(avg(CASE WHEN fl < 50 THEN 1.0 ELSE 0 END), 6)
+               AS share_difficult
+      FROM f GROUP BY 1 ORDER BY lang"""))
+
+  /** Corpus vocabulary-frequency profile: hapax / dis legomena share
+    * — the Zipf-tail "how much is one-off noise" readout. */
+  private val q400 = Entry(
+    "q400_vocabulary_profile",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .vocabularyProfile(Tables.documents(s, d), "text")
+        .select(col("vocabulary"), col("n_tokens"), col("hapax"),
+          col("dis_legomena"),
+          r6(col("hapax_vocab_share")).as("hapax_vocab_share"),
+          r6(col("hapax_token_share")).as("hapax_token_share"),
+          r6(col("type_token_ratio")).as("type_token_ratio")),
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1),
+      a AS (SELECT count(*)::BIGINT AS vocabulary,
+              sum(c)::BIGINT AS n_tokens,
+              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+              sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT
+                AS dis_legomena
+            FROM tf)
+      SELECT vocabulary, n_tokens, hapax, dis_legomena,
+             round(hapax::DOUBLE / vocabulary, 6) AS hapax_vocab_share,
+             round(hapax::DOUBLE / n_tokens, 6) AS hapax_token_share,
+             round(vocabulary::DOUBLE / n_tokens, 6) AS type_token_ratio
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -14771,7 +15327,9 @@ object Queries {
     q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
     q287, q288, q289, q290, q291, q292, q293, q294, q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329, q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340, q341, q342, q343, q344, q345, q346, q347, q348, q349, q350, q351, q352, q353, q354, q355,
     q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
-    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386)
+    q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
+    q387, q388, q389, q390, q391, q392, q393, q394, q395, q396, q397,
+    q398, q399, q400)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1189,6 +1189,146 @@ object AnalysisPlanner {
           sqrt(col("n_c") * col("n_t") * (col("n_c") + col("n_t") + 1) / 12.0))
   }
 
+  /**
+   * Ansari–Bradley two-sample SCALE test over a prebuilt
+   * [[rankCells]] frame: are the two arms equally dispersed around a
+   * common center? Units are ranked from BOTH ends (score
+   * a(r) = min(r, N+1−r): extremes score low, the center high), ties
+   * get the classical averaged-assigned score, and the statistic is
+   * the treatment arm's score sum with the tie-corrected normal
+   * approximation z = (AB − n_t·ā) / √(n_c·n_t·(Σa² − N·ā²)/(N(N−1))).
+   * Tie blocks are handled EXACTLY by closed-form range sums of the
+   * folded score over the block's rank interval — no per-unit
+   * expansion, so the whole test reduces the distinct-value frame.
+   * Returns ONE row: (n_c, n_t, ab_stat, z_stat).
+   */
+  def ansariBradleyFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val pre = PrefixSum
+      .exclusive(vc.withColumn("__t", col("__ct") + col("__cc")),
+        "__v", Seq("__t" -> "__ex"))
+    val tot = broadcast(vc.agg(
+      (sum(col("__ct")) + sum(col("__cc"))).as("__NN")))
+    // tie block occupies ranks [lo, hi]; folded-score sum over the
+    // block in closed form: Σ r over the ascending half + Σ (N+1−r)
+    // over the folded half, split at m = ⌊(N+1)/2⌋
+    def sumRange(lo: Column, hi: Column): Column =
+      when(hi >= lo, (hi * (hi + 1) - (lo - 1) * lo) / 2.0)
+        .otherwise(lit(0.0))
+    val scored = pre.crossJoin(tot)
+      .withColumn("__lo", col("__ex") + 1)
+      .withColumn("__hi", col("__ex") + col("__t"))
+      .withColumn("__m", floor((col("__NN") + 1) / 2.0))
+      .withColumn("__sAsc", sumRange(col("__lo"),
+        least(col("__hi"), col("__m"))))
+      .withColumn("__bFold", greatest(col("__lo"), col("__m") + 1))
+      .withColumn("__sFold",
+        when(col("__hi") >= col("__bFold"),
+          (col("__NN") + 1) * (col("__hi") - col("__bFold") + 1) -
+            sumRange(col("__bFold"), col("__hi"))).otherwise(lit(0.0)))
+      .withColumn("__S", col("__sAsc") + col("__sFold")) // block score sum
+    val agg = scored.agg(
+      sum(col("__cc")).as("__nc"), sum(col("__ct")).as("__nt"),
+      max(col("__NN")).as("__N"),
+      sum(col("__ct") * col("__S") / col("__t")).as("__ab"),
+      sum(col("__S")).as("__sa"),
+      sum(col("__S") * col("__S") / col("__t")).as("__sa2"))
+    agg.select(
+      col("__nc").cast("long").as("n_c"),
+      col("__nt").cast("long").as("n_t"),
+      col("__ab").as("ab_stat"), {
+        val mean = col("__nt") * col("__sa") / col("__N")
+        val vr = col("__nc") * col("__nt") *
+          (col("__sa2") - col("__sa") * col("__sa") / col("__N")) /
+          (col("__N") * (col("__N") - 1))
+        when(vr > 0, (col("__ab") - mean) / sqrt(vr)).as("z_stat")
+      })
+  }
+
+  /**
+   * Cucconi two-sample LOCATION-AND-SCALE test (midrank convention)
+   * over a prebuilt [[rankCells]] frame: U standardizes the treatment
+   * arm's squared ranks, V its squared CONTRA-ranks (N+1−R), and
+   * C = (U² + V² − 2ρUV)/(2(1−ρ²)) with the exact null correlation
+   * ρ = 2(N²−4)/((2N+1)(8N+11)) − 1 — one statistic sensitive to both
+   * shift and spread, often more powerful than running Wilcoxon and a
+   * scale test separately. Ties ride assigned midranks. ONE reduce
+   * over the distinct-value frame. Returns (n_c, n_t, u, v, cucconi_c).
+   */
+  def cucconiFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val pre = PrefixSum
+      .exclusive(vc.withColumn("__t", col("__ct") + col("__cc")),
+        "__v", Seq("__t" -> "__ex"))
+      .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+    // one reduce carries n_c, n_t, ΣR and ΣR² of the treatment arm;
+    // Σ(N+1−R)² then follows algebraically — no second rank pass
+    pre.agg(
+        sum(col("__cc")).as("__nc"), sum(col("__ct")).as("__nt"),
+        sum(col("__ct") * col("__r")).as("__sr"),
+        sum(col("__ct") * col("__r") * col("__r")).as("__sr2"))
+      .withColumn("__N", col("__nc") + col("__nt"))
+      .withColumn("__den", sqrt(col("__nc") * col("__nt") *
+        (col("__N") + 1) * (lit(2.0) * col("__N") + 1) *
+        (lit(8.0) * col("__N") + 11) / 5.0))
+      .withColumn("__sc2", col("__nt") * (col("__N") + 1) *
+        (col("__N") + 1) - lit(2.0) * (col("__N") + 1) * col("__sr") +
+        col("__sr2")) // Σ (N+1−R)² over the treatment arm
+      .withColumn("u", when(col("__den") > 0,
+        (lit(6.0) * col("__sr2") - col("__nt") * (col("__N") + 1) *
+          (lit(2.0) * col("__N") + 1)) / col("__den")))
+      .withColumn("v", when(col("__den") > 0,
+        (lit(6.0) * col("__sc2") - col("__nt") * (col("__N") + 1) *
+          (lit(2.0) * col("__N") + 1)) / col("__den")))
+      .withColumn("__rho", lit(2.0) * (col("__N") * col("__N") - 4) /
+        ((lit(2.0) * col("__N") + 1) * (lit(8.0) * col("__N") + 11)) - 1)
+      .select(col("__nc").cast("long").as("n_c"),
+        col("__nt").cast("long").as("n_t"),
+        col("u"), col("v"),
+        when(col("__rho") * col("__rho") < 1,
+          (col("u") * col("u") + col("v") * col("v") -
+            lit(2.0) * col("__rho") * col("u") * col("v")) /
+            (lit(2.0) * (lit(1.0) - col("__rho") * col("__rho"))))
+          .as("cucconi_c"))
+  }
+
+  /**
+   * Lepage two-sample LOCATION-OR-SCALE omnibus over a prebuilt
+   * [[rankCells]] frame: L = z_W² + z_AB² — the Wilcoxon rank-sum z
+   * (location) and the Ansari–Bradley z (scale) are asymptotically
+   * independent under H0, so their squared sum is ~χ²(2). Catches
+   * "same median, different spread" AND "same spread, shifted" with
+   * one number. Composes [[mannWhitneyFromCells]] and
+   * [[ansariBradleyFromCells]] — two reduces over the SAME distinct-
+   * value frame (memoized upstream). Returns
+   * (n_c, n_t, z_wilcoxon, z_ansari, lepage_l).
+   */
+  def lepageFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val w = mannWhitneyFromCells(cells, control, treatment)
+      .select(col("n_c"), col("n_t"), col("z_stat").as("z_wilcoxon"))
+    val ab = broadcast(ansariBradleyFromCells(cells, control, treatment)
+      .select(col("z_stat").as("z_ansari")))
+    w.crossJoin(ab)
+      .withColumn("lepage_l",
+        col("z_wilcoxon") * col("z_wilcoxon") +
+          col("z_ansari") * col("z_ansari"))
+  }
+
   // ------------------------------------------------------- record lookup
 
   def recordLookup(df0: DataFrame, s: RecordLookup): DataFrame = {
@@ -4298,5 +4438,207 @@ object AnalysisPlanner {
     cols.zipWithIndex.map { case (c, j) =>
       (c, 1.0 - 1.0 / prec(j)(j), prec(j)(j))
     }.toDF("feature", "r2_others", "vif")
+  }
+
+  /**
+   * Cochran–Armitage trend test: does a binary outcome's success rate
+   * move MONOTONICALLY across ordered dose levels — strictly more
+   * powerful than the omnibus χ² when the alternative is a trend
+   * (ramp exposure, ordinal quality bands, increasing treatment
+   * intensity). `levelCol` must order NUMERICALLY (the dose axis);
+   * scores are the level's ordinal index in that order.
+   * Z = Σ wᵢ(xᵢ − nᵢ p̄) / √(p̄(1−p̄)(Σ wᵢ²nᵢ − (Σ wᵢnᵢ)²/N)).
+   * ONE grouped conditional count (≤k rows) + a 1-row reduce.
+   * Returns (n, n_levels, pooled_rate, z_trend).
+   */
+  def cochranArmitage(df: DataFrame, levelCol: String,
+      successCol: Column): DataFrame = {
+    val lvl = df.where(col(levelCol).isNotNull)
+      .groupBy(col(levelCol).as("__lvl"))
+      .agg(count(lit(1)).cast("double").as("__ni"),
+        sum(when(successCol, 1.0).otherwise(0.0)).as("__xi"))
+    // ordinal scores = rank of the level in its natural order; levels
+    // are report-sized (≤k), so the rank rides a tiny window over the
+    // grouped frame partitioned by a constant-free ordering — ≤k rows
+    // by construction (the bounded-frame convention)
+    val scored = PrefixSum.exclusive(
+      lvl.withColumn("__one", lit(1.0)), "__lvl",
+      Seq("__one" -> "__w"))
+    scored.agg(sum(col("__ni")).as("__N"), count(lit(1)).as("__k"),
+        sum(col("__xi")).as("__X"),
+        sum(col("__w") * col("__xi")).as("__swx"),
+        sum(col("__w") * col("__ni")).as("__swn"),
+        sum(col("__w") * col("__w") * col("__ni")).as("__sw2n"))
+      .withColumn("__p", col("__X") / col("__N"))
+      .select(col("__N").cast("long").as("n"), col("__k").as("n_levels"),
+        col("__p").as("pooled_rate"), {
+          val vr = col("__p") * (lit(1.0) - col("__p")) *
+            (col("__sw2n") - col("__swn") * col("__swn") / col("__N"))
+          when(vr > 0,
+            (col("__swx") - col("__p") * col("__swn")) / sqrt(vr))
+            .as("z_trend")
+        })
+  }
+
+  /**
+   * Stuart–Maxwell marginal-homogeneity test on a paired K-category
+   * table: did the CATEGORY MIX shift between two raters / passes
+   * (where [[bowkerTest]] asks about cell symmetry, this asks about
+   * the margins — the "did relabeling change the class balance"
+   * question)? χ² = d'V⁻¹d over the first K−1 margin differences
+   * dᵢ = nᵢ₊ − n₊ᵢ, with vᵢᵢ = nᵢ₊ + n₊ᵢ − 2nᵢᵢ and
+   * vᵢⱼ = −(nᵢⱼ + nⱼᵢ); ~χ²(K−1) under H0. The K×K cell frame is a
+   * bounded aggregate (K ≤ 16 enforced), the (K−1)-dim solve is
+   * driver-side — the [[partialCorrelationMulti]] convention.
+   * Returns (n, n_categories, dof, chi2).
+   */
+  def stuartMaxwell(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val cells = joint.limit(16 * 16 + 1).collect()
+    require(cells.length <= 16 * 16, "stuartMaxwell: >16 categories")
+    val cats = cells.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val k = cats.length
+    require(k >= 2 && k <= 16, s"stuartMaxwell: 2..16 categories (got $k)")
+    val idx = cats.zipWithIndex.toMap
+    val m = Array.ofDim[Double](k, k)
+    cells.foreach(r => m(idx(r.getString(0)))(idx(r.getString(1))) =
+      r.getDouble(2))
+    val rowS = Array.tabulate(k)(i => m(i).sum)
+    val colS = Array.tabulate(k)(j => (0 until k).map(m(_)(j)).sum)
+    val d = Array.tabulate(k - 1)(i => rowS(i) - colS(i))
+    val v = Array.tabulate(k - 1, k - 1) { (i, j) =>
+      if (i == j) rowS(i) + colS(i) - 2 * m(i)(i)
+      else -(m(i)(j) + m(j)(i))
+    }
+    val n = rowS.sum
+    val chi2: Option[Double] =
+      try {
+        val x = graft.ops.Regression.solve(v, d)
+        Some(d.zip(x).map { case (a, b) => a * b }.sum)
+      } catch { case _: IllegalArgumentException => None } // singular V
+    Seq((n.toLong, k.toLong, (k - 1).toLong, chi2))
+      .toDF("n", "n_categories", "dof", "chi2")
+  }
+
+  /**
+   * D'Agostino–Pearson K² normality omnibus from ONE raw-moment scan:
+   * the skewness z (D'Agostino 1970 Johnson-SU transform) and the
+   * kurtosis z (Anscombe–Glynn cube-root transform) each standardize
+   * their sample moment against its exact small-sample null mean and
+   * variance, and K² = z₁² + z₂² ~ χ²(2) under normality. The
+   * moment-based complement to [[statTest]]'s distribution checks —
+   * what Jarque–Bera does asymptotically, with finite-n corrections.
+   * Returns (n, skewness, kurtosis, z_skew, z_kurt, k2).
+   */
+  def dagostinoK2(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val m = df.where(x.isNotNull).agg(
+      count(lit(1)).cast("double").as("__n"), sum(x).as("__s1"),
+      sum(x * x).as("__s2"), sum(x * x * x).as("__s3"),
+      sum(x * x * x * x).as("__s4"))
+    val n = col("__n")
+    val mu = col("__s1") / n
+    // central moments from raw sums (structurally identical in the
+    // oracle so the fp path matches to the rounding grid)
+    val m2 = col("__s2") / n - mu * mu
+    val m3 = col("__s3") / n - mu * lit(3.0) * col("__s2") / n +
+      mu * mu * mu * lit(2.0)
+    val m4 = col("__s4") / n - mu * lit(4.0) * col("__s3") / n +
+      mu * mu * lit(6.0) * col("__s2") / n - mu * mu * mu * mu * lit(3.0)
+    val g1 = m3 / pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    // skewness transform
+    val y = g1 * sqrt((n + 1) * (n + 3) / ((n - 2) * 6))
+    val beta2 = (n * n + n * 27 - 70) * (n + 1) * (n + 3) * lit(3.0) /
+      ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = sqrt((beta2 - 1) * 2) - 1
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1))
+    val z1 = delta * log(y / alpha + sqrt(y / alpha * (y / alpha) + 1))
+    // kurtosis transform
+    val eb2 = (n - 1) * 3 / (n + 1)
+    val vb2 = n * (n - 2) * (n - 3) * lit(24.0) /
+      ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val xk = (b2 - eb2) / sqrt(vb2)
+    val sb1 = (n * n - n * 5 + 2) * lit(6.0) / ((n + 7) * (n + 9)) *
+      sqrt((n + 3) * (n + 5) * lit(6.0) / (n * (n - 2) * (n - 3)))
+    val a = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val z2 = (lit(1.0) - lit(2.0) / (a * 9) -
+      pow((lit(1.0) - lit(2.0) / a) /
+        (lit(1.0) + xk * sqrt(lit(2.0) / (a - 4))), 1.0 / 3.0)) /
+      sqrt(lit(2.0) / (a * 9))
+    m.select(n.cast("long").as("n"), g1.as("skewness"),
+        (b2 - 3).as("kurtosis"), z1.as("z_skew"), z2.as("z_kurt"))
+      .withColumn("k2",
+        col("z_skew") * col("z_skew") + col("z_kurt") * col("z_kurt"))
+  }
+
+  /**
+   * Kendall's W — the coefficient of concordance among m raters each
+   * scoring the same n items ("do the raters agree on the ORDERING at
+   * all", the multi-rater generalization of rank correlation; W = 1 is
+   * perfect agreement, 0 is none). Items are ranked WITHIN each rater
+   * (midranks for ties), W = 12·S / (m²(n³−n) − m·ΣT) with the
+   * standard tie correction T = Σ(t³−t) per rater, S the variance of
+   * item rank sums around their mean. The per-rater ranking is a
+   * window over that rater's ≤n_items rows — bounded BY CONSTRUCTION
+   * when items are a report-sized grid (enforced ≤4096 distinct items,
+   * the wide-frame discipline). Returns (n_raters, n_items, w,
+   * chi2_stat, dof).
+   */
+  def kendallsW(df: DataFrame, raterCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cell = df.where(v.isNotNull && col(raterCol).isNotNull &&
+        col(itemCol).isNotNull)
+      .groupBy(col(raterCol).as("__rater"), col(itemCol).as("__item"))
+      .agg(avg(v).as("__score"))
+    val nItems = cell.select("__item").distinct().limit(4097).count()
+    require(nItems <= 4096, "kendallsW: >4096 items")
+    // complete design only: keep raters that scored EVERY item (the
+    // classical W is undefined on incomplete designs)
+    val full = cell.groupBy("__rater")
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") === nItems).select("__rater")
+    val kept = PrefixSum.joinNullSafe(cell, full, Seq("__rater"))
+    val w = Window.partitionBy("__rater").orderBy("__score")
+    // midrank within rater: avg of row_numbers over score ties —
+    // rank() + (count-1)/2 in the tie block
+    val ranked = kept
+      .withColumn("__rk", rank().over(w))
+      .withColumn("__tc", count(lit(1))
+        .over(Window.partitionBy("__rater", "__score")))
+      .withColumn("__mr", col("__rk") + (col("__tc") - 1) / 2.0)
+    val ties = ranked.select("__rater", "__score", "__tc").distinct()
+      .groupBy("__rater")
+      .agg(sum(col("__tc") * col("__tc") * col("__tc") - col("__tc"))
+        .as("__T"))
+      .agg(sum(col("__T")).as("__TT"), count(lit(1)).as("__m"))
+    val rsum = ranked.groupBy("__item")
+      .agg(sum(col("__mr")).as("__R"))
+    val s = rsum.agg(count(lit(1)).cast("double").as("__ni"),
+      sum(col("__R")).as("__sR"), sum(col("__R") * col("__R")).as("__sR2"))
+    s.crossJoin(broadcast(ties))
+      .withColumn("__S",
+        col("__sR2") - col("__sR") * col("__sR") / col("__ni"))
+      .select(col("__m").cast("long").as("n_raters"),
+        col("__ni").cast("long").as("n_items"), {
+          val den = col("__m") * col("__m") *
+            (col("__ni") * col("__ni") * col("__ni") - col("__ni")) -
+            col("__m") * col("__TT")
+          when(den > 0, lit(12.0) * col("__S") / den).as("w")
+        })
+      .withColumn("chi2_stat",
+        col("n_raters") * (col("n_items") - 1) * col("w"))
+      .withColumn("dof", (col("n_items") - 1).cast("long"))
   }
 }

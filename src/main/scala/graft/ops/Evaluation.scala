@@ -2258,4 +2258,34 @@ object Evaluation {
           (col("po_quadratic") - col("pe_quadratic"))
             / (lit(1.0) - col("pe_quadratic"))).as("kappa_quadratic"))
   }
+
+  /**
+   * Reliability diagram table: the per-bin frame BEHIND a calibration
+   * plot (and behind the scalar ECE that [[plattScaling]] reports) —
+   * score clamped to [0,1], binned on a fixed `bins`-cell grid, each
+   * bin reporting its count, mean confidence, empirical accuracy, the
+   * signed gap, and the bin's contribution to ECE. The table is what
+   * tells you WHERE a model is miscalibrated (overconfident head vs
+   * underconfident tail) when the scalar only says THAT it is. One
+   * grouped pass; ≤ `bins` rows.
+   */
+  def reliabilityDiagram(df: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "reliabilityDiagram: bins >= 2")
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    val binned = df.where(y.isNotNull && col(scoreCol).isNotNull)
+      .select(least(floor(p * bins), lit(bins - 1L)).as("bin"),
+        p.as("__p"), y.as("__y"))
+    val tot = broadcast(binned.agg(count(lit(1)).cast("double").as("__N")))
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg(col("__p")).as("confidence"),
+        avg(col("__y")).as("accuracy"))
+      .crossJoin(tot)
+      .select(col("bin"), col("n"), col("confidence"), col("accuracy"),
+        (col("accuracy") - col("confidence")).as("gap"),
+        (col("n") / col("__N") * abs(col("accuracy") - col("confidence")))
+          .as("ece_contribution"))
+  }
 }

@@ -851,4 +851,71 @@ object Profiling {
           .as("hhi_normalized"),
         (col("__tsum") / col("__kk")).as("theil"), col("top_share"))
   }
+
+  /**
+   * Inequality index panel over POSITIVE values (spend, tokens,
+   * revenue): Theil-T (top-sensitive), mean log deviation / Theil-L
+   * (bottom-sensitive), and the Atkinson index at aversion ε = 0.5 —
+   * three decomposable complements to [[giniCoefficient]] that rank
+   * DIFFERENT inequality shapes differently (Gini is middle-weighted;
+   * a corpus can hold its Gini while its tail concentration explodes,
+   * which Theil-T catches). All three are plain means of per-row
+   * transforms against μ — ONE aggregation scan, no ranking pass.
+   * Non-positive values are excluded (the indices are undefined
+   * there) and reported as `n_dropped`.
+   */
+  def inequalityIndices(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val m = df.where(x.isNotNull).agg(
+      sum(when(x > 0, 1L).otherwise(0L)).cast("double").as("__n"),
+      sum(when(x <= 0, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(x > 0, x)).as("__s"),
+      sum(when(x > 0, log(x))).as("__slog"),
+      sum(when(x > 0, x * log(x))).as("__sxlog"),
+      sum(when(x > 0, sqrt(x))).as("__ssqrt"))
+    m.withColumn("__mu", col("__s") / col("__n"))
+      .select(col("__n").cast("long").as("n"), col("n_dropped"),
+        col("__mu").as("mean"),
+        // Theil-T = E[x/μ · ln(x/μ)] = (Σ x ln x)/(nμ) − ln μ
+        (col("__sxlog") / col("__s") - log(col("__mu"))).as("theil_t"),
+        // MLD / Theil-L = ln μ − E[ln x]
+        (log(col("__mu")) - col("__slog") / col("__n")).as("theil_l"),
+        // Atkinson(0.5) = 1 − (E[√x])²/μ
+        (lit(1.0) - pow(col("__ssqrt") / col("__n"), 2.0) / col("__mu"))
+          .as("atkinson_05"))
+  }
+
+  /**
+   * Lorenz decile table: the mass share held by each value decile —
+   * the table a Lorenz curve plots, and the "top-10% holds X% of
+   * spend" readout. Deciles cut at the EXACT interpolated quantiles
+   * (the [[graft.analysis.AnalysisPlanner.exactPercentiles]] path —
+   * one distributed value-count pass), mass buckets by
+   * (q_{i−1}, q_i] membership, so ties land deterministically in the
+   * lower decile on both engines. Returns 10 rows: (decile, n, total,
+   * share, cum_share).
+   */
+  def lorenzDeciles(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull).select(x.as("__x"))
+      .localCheckpoint() // the quantile probe + the bucket scan read it
+    val cuts = graft.analysis.AnalysisPlanner.exactPercentiles(
+      base, "__x", (1 to 9).map(i => (s"q$i", i / 10.0)), Nil)
+      .head()
+    val qs = (1 to 9).map(i => cuts.getAs[Double](s"q$i"))
+    // decile = count of cutpoints strictly below x (ties → lower bin)
+    val dec = qs.foldLeft(lit(0L))((acc, q) =>
+      acc + when(col("__x") > q, 1L).otherwise(0L))
+    val tot = broadcast(base.agg(sum(col("__x")).as("__tt")))
+    val per = base.select(dec.as("decile"), col("__x"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"))
+      .crossJoin(tot)
+      .withColumn("share", col("total") / col("__tt"))
+    graft.analysis.PrefixSum.exclusive(
+        per.drop("__tt"), "decile", Seq("share" -> "__exsh"))
+      .select(col("decile"), col("n"), col("total"), col("share"),
+        (col("__exsh") + col("share")).as("cum_share"))
+      .orderBy("decile")
+  }
 }

@@ -1294,4 +1294,72 @@ object TextAnalysis {
       .limit(k)
       .drop("__g2")
   }
+
+  /**
+   * Flesch reading-ease scoring per document, rolled up by a group
+   * column — the classic prose-difficulty gate of a text-quality
+   * pipeline (206.835 − 1.015·words/sentences − 84.6·syllables/words).
+   * Syllables use the standard engine-portable proxy: vowel-run count
+   * (`[aeiouy]+` matches), the deterministic approximation every
+   * SQL-replayable readability implementation settles on; sentences =
+   * terminal-punctuation runs, floored at 1. Map-only per-doc
+   * arithmetic → one grouped rollup: (group, n_docs, avg_words,
+   * avg_sentence_len, avg_syllables_per_word, avg_flesch,
+   * share_difficult) where difficult = score < 50.
+   */
+  def fleschReadingEase(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = col(textCol)
+    val wordsN = size(expr(
+      s"filter(split($textCol, ' '), x -> x != '')")).cast("double")
+    val sentN = greatest(
+      size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")),
+      lit(1)).cast("double")
+    val sylN = greatest(
+      size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")),
+      lit(1)).cast("double")
+    val flesch = lit(206.835) - lit(1.015) * (wordsN / sentN) -
+      lit(84.6) * (sylN / wordsN)
+    df.where(t.isNotNull && wordsN > 0)
+      .select(col(groupCol).as("__g"), wordsN.as("__w"),
+        sentN.as("__s"), sylN.as("__y"), flesch.as("__f"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("__w")).as("avg_words"),
+        avg(col("__w") / col("__s")).as("avg_sentence_len"),
+        avg(col("__y") / col("__w")).as("avg_syllables_per_word"),
+        avg(col("__f")).as("avg_flesch"),
+        avg(when(col("__f") < 50, 1.0).otherwise(0.0))
+          .as("share_difficult"))
+  }
+
+  /**
+   * Corpus vocabulary-frequency profile: vocabulary size, hapax and
+   * dis legomena counts (terms seen exactly once / twice) and their
+   * shares, total token mass, and the hapax TOKEN share — the Zipf
+   * tail readout behind "how much of this corpus is one-off noise"
+   * (hapax-heavy corpora inflate vocabulary-sensitive costs like BPE
+   * training and embedding tables; a corpus losing hapax share round
+   * over round is being deduplicated or templated). One token
+   * explode → term counts → count-of-counts reduce — corpus-linear,
+   * nothing driver-side.
+   */
+  def vocabularyProfile(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    tf.agg(count(lit(1)).as("vocabulary"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("dis_legomena"))
+      .select(col("vocabulary"), col("n_tokens"), col("hapax"),
+        col("dis_legomena"),
+        (col("hapax").cast("double") / col("vocabulary"))
+          .as("hapax_vocab_share"),
+        (col("hapax").cast("double") / col("n_tokens"))
+          .as("hapax_token_share"),
+        (col("vocabulary").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"))
+  }
 }

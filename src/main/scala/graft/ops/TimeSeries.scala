@@ -821,4 +821,90 @@ object TimeSeries {
           .as("first_alarm_date"),
         max(col("__gap")).as("max_ph"))
   }
+
+  /** The daily-mean series both unit-root tests reduce: (__t epoch-day,
+    * __x) — the corpus collapses to ≤|calendar| rows in ONE grouped
+    * pass, so everything after is calendar-sized. */
+  private def dailySeries(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(avg(col(valueCol).cast("double")).as("__x"))
+      .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
+        col("__x"))
+
+  /**
+   * Dickey–Fuller unit-root test (with intercept, lag 0) on the DAILY
+   * mean series of a metric: regress Δx_t on x_{t−1}; the t-statistic
+   * of the slope is the DF statistic (compare against the
+   * Dickey–Fuller, NOT normal, critical values — ~−2.86 at 5% for the
+   * constant-only form). A metric that mean-reverts (stationary)
+   * shows a strongly negative DF; a random-walk metric hovers near 0
+   * — the "is this KPI drifting or just noisy" readout. Consecutive
+   * calendar days pair via an equi-join on t−1 (the [[Evaluation.acf]]
+   * convention — gaps drop pairs rather than faking continuity).
+   * Returns (n_days, n_pairs, gamma, se_gamma, df_stat).
+   */
+  def dickeyFuller(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol)
+      .localCheckpoint() // both join sides + the day count read it
+    val lagged = daily.select((col("__t") + 1).as("__t"),
+      col("__x").as("__xl"))
+    val pairs = daily.join(lagged, Seq("__t"))
+      .select(col("__xl").as("__z"), (col("__x") - col("__xl")).as("__dy"))
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    pairs.agg(count(lit(1)).cast("double").as("__np"),
+        sum(col("__z")).as("__sz"), sum(col("__z") * col("__z")).as("__szz"),
+        sum(col("__dy")).as("__sd"), sum(col("__z") * col("__dy")).as("__szd"),
+        sum(col("__dy") * col("__dy")).as("__sdd"))
+      .withColumn("__sxx",
+        col("__szz") - col("__sz") * col("__sz") / col("__np"))
+      .withColumn("__sxy",
+        col("__szd") - col("__sz") * col("__sd") / col("__np"))
+      .withColumn("gamma", when(col("__sxx") > 0,
+        col("__sxy") / col("__sxx")))
+      .withColumn("__sse", col("__sdd") -
+        col("__sd") * col("__sd") / col("__np") -
+        col("gamma") * col("__sxy"))
+      .withColumn("se_gamma", when(col("__np") > 2 && col("__sxx") > 0,
+        sqrt(col("__sse") / (col("__np") - 2) / col("__sxx"))))
+      .crossJoin(nDays)
+      .select(col("n_days"), col("__np").cast("long").as("n_pairs"),
+        col("gamma"), col("se_gamma"),
+        when(col("se_gamma") > 0, col("gamma") / col("se_gamma"))
+          .as("df_stat"))
+  }
+
+  /**
+   * KPSS level-stationarity statistic (short-run variance, l = 0) on
+   * the daily mean series: η = Σ S_t² / (n²·σ̂²) over partial sums
+   * S_t of the demeaned series — the COMPLEMENT of [[dickeyFuller]]
+   * (KPSS's null is stationarity; DF's null is the unit root; a
+   * metric failing BOTH is genuinely ambiguous, failing only one is a
+   * verdict). Partial sums ride [[graft.analysis.PrefixSum]] over the
+   * calendar-sized daily frame — no single-partition window even
+   * here, the everywhere-discipline. Compare η against 0.463 (5%).
+   * Returns (n_days, sigma2, kpss_stat).
+   */
+  def kpssLevel(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol)
+      .localCheckpoint() // the mean probe + the prefix pass read it
+    val m = broadcast(daily.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__x")).as("__mu")))
+    val dm = daily.crossJoin(m)
+      .select(col("__t"), (col("__x") - col("__mu")).as("__e"),
+        col("__n"))
+    val pre = graft.analysis.PrefixSum.exclusive(
+      dm, "__t", Seq("__e" -> "__exs"))
+      .withColumn("__S", col("__exs") + col("__e")) // inclusive S_t
+    pre.agg(max(col("__n")).as("__nn"),
+        (sum(col("__e") * col("__e")) / max(col("__n"))).as("sigma2"),
+        sum(col("__S") * col("__S")).as("__ss2"))
+      .select(col("__nn").cast("long").as("n_days"), col("sigma2"),
+        when(col("sigma2") > 0,
+          col("__ss2") / (col("__nn") * col("__nn") * col("sigma2")))
+          .as("kpss_stat"))
+  }
 }
