@@ -15300,6 +15300,363 @@ object Queries {
              round(vocabulary::DOUBLE / n_tokens, 6) AS type_token_ratio
       FROM a"""))
 
+  /** Quade test: do users rank event types consistently by frequency,
+    * weighting high-spread users more — the range-weighted Friedman. */
+  private val q401 = Entry(
+    "q401_quade",
+    (s, d) =>
+      AnalysisPlanner.quadeTest(
+          Tables.events(s, d)
+            .groupBy(col("user_id").as("blk"),
+              col("event_type").as("trt"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          "blk", "trt", "cnt")
+        .select(col("n_blocks"), col("n_treatments"),
+          r6(col("a_stat")).as("a_stat"), r6(col("b_stat")).as("b_stat"),
+          r6(col("quade_f")).as("quade_f"), col("df1"), col("df2")),
+    Some("""
+      WITH cell AS (SELECT user_id AS blk, event_type AS trt,
+                      count(*)::DOUBLE AS x
+                    FROM events GROUP BY 1, 2),
+      kk AS (SELECT count(DISTINCT trt) AS k FROM cell),
+      fullb AS (SELECT blk, max(x) - min(x) AS rg FROM cell
+                GROUP BY 1 HAVING count(*) = (SELECT k FROM kk)),
+      kept AS (SELECT c.blk, c.trt, c.x, f.rg
+               FROM cell c JOIN fullb f USING (blk)),
+      rk AS (SELECT blk, trt, rg,
+               rank() OVER (PARTITION BY blk ORDER BY x)
+                 + (count(*) OVER (PARTITION BY blk, x) - 1) / 2.0 AS r
+             FROM kept),
+      qb AS (SELECT blk,
+               rank() OVER (ORDER BY rg)
+                 + (count(*) OVER (PARTITION BY rg) - 1) / 2.0 AS q
+             FROM fullb),
+      sc AS (SELECT rk.trt,
+               qb.q * (rk.r - ((SELECT k FROM kk) + 1) / 2.0) AS s
+             FROM rk JOIN qb USING (blk)),
+      bb AS (SELECT count(*)::DOUBLE AS b FROM fullb),
+      a AS (SELECT sum(s * s) AS astat FROM sc),
+      pj AS (SELECT trt, sum(s) AS sj FROM sc GROUP BY 1),
+      f AS (SELECT bb.b, count(*) AS k2, a.astat,
+              sum(sj * sj) / bb.b AS bstat
+            FROM pj, bb, a GROUP BY bb.b, a.astat)
+      SELECT b::BIGINT AS n_blocks, k2 AS n_treatments,
+             round(astat, 6) AS a_stat, round(bstat, 6) AS b_stat,
+             round((b - 1) * bstat / (astat - bstat), 6) AS quade_f,
+             (k2 - 1)::BIGINT AS df1,
+             ((b - 1) * (k2 - 1))::BIGINT AS df2
+      FROM f"""))
+
+  /** Benjamini–Yekutieli FDR over q159's hypothesis frame — the
+    * arbitrary-dependence step-up with the harmonic factor. */
+  private val q402 = Entry(
+    "q402_by_fdr",
+    (s, d) => {
+      val hyp = Tables.orders(s, d).where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("hid"),
+          when(col("o_orderkey") % 50 === 0,
+            (col("o_orderkey") * 7919 % 9973) / lit(9973000.0))
+            .otherwise((col("o_orderkey") * 7919 % 9973) / lit(9973.0))
+            .as("p"))
+      AnalysisPlanner.byFdr(hyp, "p", 0.1)
+        .select(col("hid"), r6(col("p")).as("p"), col("p_rank"),
+          r6(col("by_critical")).as("by_critical"), col("discovery"))
+        .orderBy("hid")
+    },
+    Some("""
+      WITH hyp AS (SELECT o_orderkey AS hid,
+                          CASE WHEN o_orderkey % 50 = 0
+                               THEN (o_orderkey * 7919 % 9973) / 9973000.0
+                               ELSE (o_orderkey * 7919 % 9973) / 9973.0
+                          END AS p
+                   FROM orders WHERE o_orderkey <= 500),
+      hm AS (SELECT sum(1.0 / rn) AS h FROM
+               (SELECT row_number() OVER () AS rn FROM hyp)),
+      v AS (SELECT p, count(*)::DOUBLE AS cnt FROM hyp GROUP BY 1),
+      w AS (SELECT p, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY p ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM v),
+      m AS (SELECT count(*)::DOUBLE AS m FROM hyp),
+      ps AS (SELECT max(CASE WHEN p <= (bef + cnt) * (0.1 / hm.h) / m.m
+                        THEN p END) AS pstar
+             FROM w, m, hm)
+      SELECT hid, round(p, 6) AS p, (bef + 1)::BIGINT AS p_rank,
+             round((bef + 1) * (0.1 / hm.h) / m.m, 6) AS by_critical,
+             (pstar IS NOT NULL AND p <= pstar) AS discovery
+      FROM hyp JOIN w USING (p), m, ps, hm
+      ORDER BY hid"""))
+
+  /** Storey π₀ + q-values over the same hypothesis frame — the
+    * adaptive-FDR readout per hypothesis. */
+  private val q403 = Entry(
+    "q403_storey_qvalues",
+    (s, d) => {
+      val hyp = Tables.orders(s, d).where(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("hid"),
+          when(col("o_orderkey") % 50 === 0,
+            (col("o_orderkey") * 7919 % 9973) / lit(9973000.0))
+            .otherwise((col("o_orderkey") * 7919 % 9973) / lit(9973.0))
+            .as("p"))
+      AnalysisPlanner.storeyQValues(hyp, "p", lambda = 0.5)
+        .select(col("hid"), r6(col("p")).as("p"), col("p_rank"),
+          r6(col("pi0")).as("pi0"), r6(col("q_value")).as("q_value"))
+        .orderBy("hid")
+    },
+    Some("""
+      WITH hyp AS (SELECT o_orderkey AS hid,
+                          CASE WHEN o_orderkey % 50 = 0
+                               THEN (o_orderkey * 7919 % 9973) / 9973000.0
+                               ELSE (o_orderkey * 7919 % 9973) / 9973.0
+                          END AS p
+                   FROM orders WHERE o_orderkey <= 500),
+      t AS (SELECT count(*)::DOUBLE AS m,
+              sum(CASE WHEN p > 0.5 THEN 1.0 ELSE 0 END) AS ov
+            FROM hyp),
+      v AS (SELECT p, count(*)::DOUBLE AS cnt FROM hyp GROUP BY 1),
+      w AS (SELECT p, cnt,
+                   coalesce(sum(cnt) OVER (ORDER BY p ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+                   least(1.0, t.ov / ((1 - 0.5) * t.m)) AS pi0,
+                   least(1.0, t.ov / ((1 - 0.5) * t.m)) * t.m * p /
+                     (coalesce(sum(cnt) OVER (ORDER BY p ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt)
+                     AS raw
+            FROM v, t),
+      qv AS (SELECT p, bef, pi0,
+               least(1.0, min(raw) OVER (ORDER BY p ROWS BETWEEN
+                 CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q_value
+             FROM w)
+      SELECT hid, round(hyp.p, 6) AS p, (bef + 1)::BIGINT AS p_rank,
+             round(pi0, 6) AS pi0, round(q_value, 6) AS q_value
+      FROM hyp JOIN qv USING (p)
+      ORDER BY hid"""))
+
+  /** Blomqvist's β: quadrant dependence of quantity and price around
+    * the median point — the robustness floor of the correlation
+    * family. */
+  private val q404 = Entry(
+    "q404_blomqvist_beta",
+    (s, d) =>
+      AnalysisPlanner.blomqvistBeta(Tables.lineitem(s, d),
+          "l_quantity", "l_extendedprice")
+        .select(col("n_used"), col("n_dropped"),
+          r6(col("median_x")).as("median_x"),
+          r6(col("median_y")).as("median_y"), r6(col("beta")).as("beta")),
+    Some("""
+      WITH r AS (SELECT l_quantity::DOUBLE AS x,
+                   l_extendedprice::DOUBLE AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      m AS (SELECT quantile_cont(x, 0.5) AS mx,
+              quantile_cont(y, 0.5) AS my FROM r),
+      a AS (SELECT
+              sum(CASE WHEN (x > mx AND y > my) OR (x < mx AND y < my)
+                  THEN 1.0 ELSE 0 END) AS conc,
+              sum(CASE WHEN (x > mx AND y < my) OR (x < mx AND y > my)
+                  THEN 1.0 ELSE 0 END) AS disc,
+              count(*)::DOUBLE AS tot, max(mx) AS mx, max(my) AS my
+            FROM r, m)
+      SELECT (conc + disc)::BIGINT AS n_used,
+             (tot - conc - disc)::BIGINT AS n_dropped,
+             round(mx, 6) AS median_x, round(my, 6) AS median_y,
+             round((conc - disc) / (conc + disc), 6) AS beta
+      FROM a"""))
+
+  /** Goodman–Kruskal λ: does order status actually help PREDICT
+    * priority (and vice versa) — the actionability check behind a
+    * significant χ². */
+  private val q405 = Entry(
+    "q405_gk_lambda",
+    (s, d) =>
+      AnalysisPlanner.gkLambda(Tables.orders(s, d), "o_orderstatus",
+          "o_orderpriority")
+        .select(col("n"),
+          r6(col("lambda_b_given_a")).as("lambda_b_given_a"),
+          r6(col("lambda_a_given_b")).as("lambda_a_given_b"),
+          r6(col("lambda_symmetric")).as("lambda_symmetric")),
+    Some("""
+      WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                   count(*)::DOUBLE AS n
+                 FROM orders
+                 WHERE o_orderstatus IS NOT NULL
+                   AND o_orderpriority IS NOT NULL
+                 GROUP BY 1, 2),
+      rm AS (SELECT sum(mx) AS srm FROM
+               (SELECT a, max(n) AS mx FROM j GROUP BY 1)),
+      cm AS (SELECT sum(mx) AS scm FROM
+               (SELECT b, max(n) AS mx FROM j GROUP BY 1)),
+      ma AS (SELECT max(s) AS maxa FROM
+               (SELECT a, sum(n) AS s FROM j GROUP BY 1)),
+      mb AS (SELECT max(s) AS maxb FROM
+               (SELECT b, sum(n) AS s FROM j GROUP BY 1)),
+      t AS (SELECT sum(n) AS nn FROM j)
+      SELECT nn::BIGINT AS n,
+             round((srm - maxb) / (nn - maxb), 6) AS lambda_b_given_a,
+             round((scm - maxa) / (nn - maxa), 6) AS lambda_a_given_b,
+             round((srm + scm - maxa - maxb) /
+               (2 * nn - maxa - maxb), 6) AS lambda_symmetric
+      FROM rm, cm, ma, mb, t"""))
+
+  /** Woolf homogeneity: is the even-user / high-value odds ratio ONE
+    * effect across event types, or effect modification — the
+    * precondition for q247's pooled OR. */
+  private val q406 = Entry(
+    "q406_woolf_homogeneity",
+    (s, d) =>
+      AnalysisPlanner.woolfHomogeneity(Tables.events(s, d),
+          "event_type", col("user_id") % 2 === 0, col("value") > 250)
+        .select(col("n"), col("n_strata"),
+          r6(col("pooled_log_or")).as("pooled_log_or"),
+          r6(col("chi2")).as("chi2"), col("dof")),
+    Some("""
+      WITH per AS (SELECT event_type,
+              sum(CASE WHEN user_id % 2 = 0 AND "value" > 250
+                  THEN 1.0 ELSE 0 END) AS a,
+              sum(CASE WHEN user_id % 2 = 0 AND NOT ("value" > 250)
+                  THEN 1.0 ELSE 0 END) AS b,
+              sum(CASE WHEN user_id % 2 <> 0 AND "value" > 250
+                  THEN 1.0 ELSE 0 END) AS c,
+              sum(CASE WHEN user_id % 2 <> 0 AND NOT ("value" > 250)
+                  THEN 1.0 ELSE 0 END) AS dd
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      lw AS (SELECT a, b, c, dd,
+               ln(((a + 0.5) * (dd + 0.5)) / ((b + 0.5) * (c + 0.5)))
+                 AS lor,
+               1.0 / (1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                 + 1.0 / (c + 0.5) + 1.0 / (dd + 0.5)) AS w
+             FROM per),
+      pl AS (SELECT sum(w * lor) / sum(w) AS plor FROM lw)
+      SELECT sum(a + b + c + dd)::BIGINT AS n,
+             count(*)::BIGINT AS n_strata,
+             round(max(pl.plor), 6) AS pooled_log_or,
+             round(sum(w * (lor - pl.plor) * (lor - pl.plor)), 6)
+               AS chi2,
+             (count(*) - 1)::BIGINT AS dof
+      FROM lw, pl"""))
+
+  /** Zero-inflation score test on orders-per-customer: more
+    * no-order customers than the Poisson fit predicts? */
+  private val q407 = Entry(
+    "q407_zero_inflation",
+    (s, d) =>
+      AnalysisPlanner.zeroInflationScore(
+          Tables.customer(s, d)
+            .join(Tables.orders(s, d),
+              col("c_custkey") === col("o_custkey"), "left")
+            .groupBy(col("c_custkey"))
+            .agg(count(col("o_orderkey")).as("y")),
+          "y")
+        .select(col("n"), col("n_zero"),
+          r6(col("lambda_hat")).as("lambda_hat"),
+          r6(col("expected_zero")).as("expected_zero"),
+          r6(col("score_stat")).as("score_stat")),
+    Some("""
+      WITH cnt AS (SELECT c.c_custkey, count(o.o_orderkey)::DOUBLE AS y
+                   FROM customer c LEFT JOIN orders o
+                     ON o.o_custkey = c.c_custkey
+                   GROUP BY 1),
+      a AS (SELECT count(*)::DOUBLE AS n,
+              sum(CASE WHEN y = 0 THEN 1.0 ELSE 0 END) AS n0,
+              avg(y) AS lam
+            FROM cnt),
+      b AS (SELECT n, n0, lam, exp(-lam) AS p0 FROM a)
+      SELECT n::BIGINT AS n, n0::BIGINT AS n_zero,
+             round(lam, 6) AS lambda_hat,
+             round(n * p0, 6) AS expected_zero,
+             round(pow(n0 - n * p0, 2) /
+               (n * p0 * (1 - p0) - n * lam * p0 * p0), 6)
+               AS score_stat
+      FROM b"""))
+
+  /** Wilson score intervals for the high-value rate per event type —
+    * the binomial CI that behaves at the extremes. */
+  private val q408 = Entry(
+    "q408_wilson_intervals",
+    (s, d) =>
+      AnalysisPlanner.wilsonIntervals(Tables.events(s, d),
+          "event_type", col("value") > 250)
+        .select(col("event_type"), col("n"), col("successes"),
+          r6(col("rate")).as("rate"),
+          r6(col("wilson_low")).as("wilson_low"),
+          r6(col("wilson_high")).as("wilson_high"))
+        .orderBy("event_type"),
+    Some("""
+      WITH g AS (SELECT event_type, count(*)::DOUBLE AS n,
+              sum(CASE WHEN "value" > 250 THEN 1.0 ELSE 0 END) AS x
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      w AS (SELECT event_type, n, x, x / n AS p,
+              1.959963984540054 AS z
+            FROM g),
+      c AS (SELECT event_type, n, x, p, z,
+              (x + z * z / 2) / (n + z * z) AS center,
+              z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)) /
+                (1 + z * z / n) AS half
+            FROM w)
+      SELECT event_type, n::BIGINT AS n, x::BIGINT AS successes,
+             round(p, 6) AS rate,
+             round(greatest(0.0, center - half), 6) AS wilson_low,
+             round(least(1.0, center + half), 6) AS wilson_high
+      FROM c ORDER BY event_type"""))
+
+  /** Hartley's F-max variance-ratio screen across event types — the
+    * triage before Bartlett/Levene. */
+  private val q409 = Entry(
+    "q409_hartley_fmax",
+    (s, d) =>
+      AnalysisPlanner.hartleyFmax(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("n_groups"), col("n_min"), col("n_max"),
+          r6(col("var_min")).as("var_min"),
+          r6(col("var_max")).as("var_max"), r6(col("f_max")).as("f_max")),
+    Some("""
+      WITH g AS (SELECT event_type, count(*)::BIGINT AS n,
+              var_samp("value"::DOUBLE) AS v
+            FROM events
+            WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1)
+      SELECT count(*)::BIGINT AS n_groups, min(n) AS n_min,
+             max(n) AS n_max, round(min(v), 6) AS var_min,
+             round(max(v), 6) AS var_max,
+             round(max(v) / min(v), 6) AS f_max
+      FROM g WHERE v IS NOT NULL"""))
+
+  /** Mood's squared-rank scale test on the purchase/click pair — the
+    * squared-rank sibling of q387's folded ranks. */
+  private val q410 = Entry(
+    "q410_mood_scale",
+    (s, d) =>
+      AnalysisPlanner
+        .moodScaleFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("t_stat")).as("t_stat"),
+          r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      pre AS (SELECT ct, cc,
+                coalesce(sum(ct + cc) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (ct + cc + 1) / 2.0 AS r
+              FROM vc),
+      tot AS (SELECT sum(ct + cc) AS nn FROM vc),
+      a AS (SELECT sum(cc) AS nc, sum(ct) AS nt,
+              sum(ct * (r - (nn + 1) / 2.0) * (r - (nn + 1) / 2.0))
+                AS t
+            FROM pre, tot GROUP BY nn)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t,
+             round(t, 6) AS t_stat,
+             round((t - nt * ((nc + nt) * (nc + nt) - 1) / 12.0) /
+               sqrt(nc * nt * (nc + nt + 1) *
+                 ((nc + nt) * (nc + nt) - 4) / 180.0), 6) AS z_stat
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -15329,7 +15686,8 @@ object Queries {
     q356, q357, q358, q359, q360, q361, q362, q363, q364, q365, q366, q367, q368, q369, q370, q371,
     q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396, q397,
-    q398, q399, q400)
+    q398, q399, q400, q401, q402, q403, q404, q405, q406, q407, q408,
+    q409, q410)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

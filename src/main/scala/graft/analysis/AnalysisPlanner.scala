@@ -1969,6 +1969,362 @@ object AnalysisPlanner {
   }
 
   /**
+   * Benjamini–Yekutieli FDR step-up — [[bhFdr]] under ARBITRARY
+   * dependence between hypotheses (BH's independence/PRDS assumption
+   * dropped at the price of the harmonic factor): critical values are
+   * rank·α/(m·H_m). H_m = Σ 1/i is computed as a distributed range
+   * sum (exact, no closed-form approximation — the oracle replays the
+   * same sum); m comes from one bounded count. Output matches
+   * [[bhFdr]] with `by_critical` in place of `bh_critical`.
+   */
+  def byFdr(df: DataFrame, pCol: String, alpha: Double): DataFrame = {
+    val m = df.count()
+    require(m > 0, "byFdr: empty hypothesis frame")
+    val hm = df.sparkSession.range(1, m + 1)
+      .agg(sum(lit(1.0) / col("id")).as("h")).head().getDouble(0)
+    bhFdr(df, pCol, alpha / hm)
+      .withColumnRenamed("bh_critical", "by_critical")
+  }
+
+  /**
+   * Storey's π₀ estimate and q-values: π̂₀ = #{p > λ}/((1−λ)m)
+   * (clamped to 1) plugs into q(p₍ᵢ₎) = min_{j≥i} π̂₀·m·p₍ⱼ₎/j — the
+   * "what FDR would calling THIS p significant incur" readout, less
+   * conservative than BH when many hypotheses are truly null-false.
+   * Distinct p-values + prefix ranks; the suffix running min is an
+   * inequality self-join over the distinct frame (the
+   * [[holmBonferroni]] report-sized discipline). Returns the input
+   * plus (p_rank, pi0, q_value).
+   */
+  def storeyQValues(df: DataFrame, pCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, "storeyQValues: lambda in (0,1)")
+    val p = col(pCol).cast("double")
+    val vc = df.groupBy(p.as("__p"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val tot = broadcast(df.agg(
+      count(lit(1)).cast("double").as("__m"),
+      sum(when(p > lambda, 1.0).otherwise(0.0)).as("__over")))
+    val pre = PrefixSum.exclusive(vc, "__p", Seq("__cnt" -> "__bef"))
+      .join(tot)
+      .withColumn("__pi0", least(lit(1.0),
+        col("__over") / ((lit(1.0) - lambda) * col("__m"))))
+      .withColumn("__raw", col("__pi0") * col("__m") * col("__p") /
+        (col("__bef") + col("__cnt"))) // block at its LARGEST rank
+      .localCheckpoint()
+    val qv = pre.as("a")
+      .join(pre.select(col("__p").as("__p2"), col("__raw").as("__raw2")),
+        col("__p2") >= col("a.__p"))
+      .groupBy(col("a.__p").as("__pv"), col("a.__bef").as("__bef2"),
+        col("a.__pi0").as("__pi02"))
+      .agg(least(lit(1.0), min(col("__raw2"))).as("q_value"))
+    df.join(broadcast(qv), p === col("__pv"))
+      .withColumn("p_rank", (col("__bef2") + 1).cast("long"))
+      .withColumn("pi0", col("__pi02"))
+      .drop("__pv", "__bef2", "__pi02")
+  }
+
+  /**
+   * Mood's squared-rank SCALE test (midrank convention) over a
+   * prebuilt [[rankCells]] frame: T = Σ_treatment (r − (N+1)/2)² —
+   * central ranks contribute little, extreme ranks a lot, so T moves
+   * with DISPERSION differences (the squared-rank sibling of
+   * [[ansariBradleyFromCells]]'s folded ranks). Standardized with the
+   * no-tie null moments E = n_t(N²−1)/12,
+   * Var = n_c·n_t(N+1)(N²−4)/180. Returns (n_c, n_t, t_stat, z_stat).
+   */
+  def moodScaleFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val tot = broadcast(vc.agg(
+      (sum(col("__ct")) + sum(col("__cc"))).as("__N")))
+    val pre = PrefixSum
+      .exclusive(vc.withColumn("__t", col("__ct") + col("__cc")),
+        "__v", Seq("__t" -> "__ex"))
+      .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+    pre.crossJoin(tot)
+      .agg(sum(col("__cc")).as("__nc"), sum(col("__ct")).as("__nt"),
+        sum(col("__ct") * (col("__r") - (col("__N") + 1) / 2.0) *
+          (col("__r") - (col("__N") + 1) / 2.0)).as("__T"))
+      .withColumn("__N", col("__nc") + col("__nt"))
+      .select(col("__nc").cast("long").as("n_c"),
+        col("__nt").cast("long").as("n_t"),
+        col("__T").as("t_stat"), {
+          val e = col("__nt") * (col("__N") * col("__N") - 1) / 12.0
+          val vr = col("__nc") * col("__nt") * (col("__N") + 1) *
+            (col("__N") * col("__N") - 4) / 180.0
+          when(vr > 0, (col("__T") - e) / sqrt(vr)).as("z_stat")
+        })
+  }
+
+  /**
+   * Quade test for k related treatments in b complete blocks — the
+   * RANGE-WEIGHTED Friedman: blocks that discriminate harder (larger
+   * within-block spread) count more, which buys real power over
+   * Friedman when effect sizes vary by block ("do users rank event
+   * types consistently, weighting decisive users more"). Input is a
+   * CELL frame (block, treatment, value); incomplete blocks drop (the
+   * classical statistic is undefined there). Within-block midranks
+   * ride a per-block window (≤k rows by construction, k ≤ 64
+   * enforced); block-range ranks ride [[PrefixSum]] over the
+   * distinct-range frame — blocks may be corpus-sized, so NO global
+   * window touches them. F = (b−1)B/(A−B) ~ F(k−1, (b−1)(k−1)).
+   * Returns (n_blocks, n_treatments, a_stat, b_stat, quade_f, df1,
+   * df2).
+   */
+  def quadeTest(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val cell = df.where(v.isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .select(col(blockCol).as("__blk"), col(treatCol).as("__trt"),
+        v.as("__x"))
+    val k = cell.select("__trt").distinct().limit(65).count()
+    require(k >= 2 && k <= 64, s"quadeTest: 2..64 treatments (got $k)")
+    val full = cell.groupBy("__blk").agg(count(lit(1)).as("__cnt"),
+        (max(col("__x")) - min(col("__x"))).as("__range"))
+      .where(col("__cnt") === k)
+      .select("__blk", "__range")
+    val kept = PrefixSum.joinNullSafe(cell, full, Seq("__blk"))
+      .localCheckpoint() // the rank window + the range-rank join read it
+    val wb = Window.partitionBy("__blk").orderBy("__x")
+    val ranked = kept
+      .withColumn("__rk", rank().over(wb))
+      .withColumn("__tc", count(lit(1))
+        .over(Window.partitionBy("__blk", "__x")))
+      .withColumn("__r", col("__rk") + (col("__tc") - 1) / 2.0)
+    // Q_b: midrank of the block's range among ALL blocks — distinct
+    // range values + prefix counts, never a window over blocks
+    val rvc = full.groupBy(col("__range"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val rq = PrefixSum.exclusive(rvc, "__range", Seq("__c" -> "__exq"))
+      .select(col("__range"), (col("__exq") + (col("__c") + 1) / 2.0)
+        .as("__Q"))
+    val scored = PrefixSum.joinNullSafe(ranked, rq, Seq("__range"))
+      .withColumn("__S",
+        col("__Q") * (col("__r") - (lit(k.toDouble) + 1) / 2.0))
+    val b = broadcast(full.agg(count(lit(1)).cast("double").as("__b")))
+    val perTreat = scored.groupBy("__trt")
+      .agg(sum(col("__S")).as("__Sj"))
+    val aStat = broadcast(scored.agg(
+      sum(col("__S") * col("__S")).as("__A")))
+    perTreat.crossJoin(b).crossJoin(aStat)
+      .agg(max(col("__b")).cast("long").as("n_blocks"),
+        count(lit(1)).as("n_treatments"),
+        max(col("__A")).as("a_stat"),
+        (sum(col("__Sj") * col("__Sj")) / max(col("__b"))).as("b_stat"))
+      .select(col("n_blocks"), col("n_treatments"), col("a_stat"),
+        col("b_stat"),
+        when(col("a_stat") > col("b_stat"),
+          (col("n_blocks") - 1) * col("b_stat") /
+            (col("a_stat") - col("b_stat"))).as("quade_f"),
+        (col("n_treatments") - 1).as("df1"),
+        ((col("n_blocks") - 1) * (col("n_treatments") - 1)).as("df2"))
+  }
+
+  /**
+   * Hartley's F-max variance-ratio screen across k groups: the
+   * bluntest variance-homogeneity check (largest group variance over
+   * smallest) — the 10-second triage before Bartlett/Levene, and the
+   * rule-of-thumb gate (F-max ≲ 3 with near-equal n) for pooling. ONE
+   * grouped moments pass + a 1-row reduce. Returns (n_groups, n_min,
+   * n_max, var_min, var_max, f_max).
+   */
+  def hartleyFmax(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), var_samp(v).as("__var"))
+      .where(col("__var").isNotNull)
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("__n")).as("n_min"), max(col("__n")).as("n_max"),
+        min(col("__var")).as("var_min"), max(col("__var")).as("var_max"))
+      .withColumn("f_max", when(col("var_min") > 0,
+        col("var_max") / col("var_min")))
+  }
+
+  /**
+   * Wilson score intervals for a per-group success rate — the
+   * binomial CI that behaves at the extremes (never leaves [0,1],
+   * stays honest at p̂ ∈ {0,1} and small n, unlike the Wald interval
+   * every dashboard naively ships). z fixed at the two-sided level's
+   * literal. ONE grouped conditional count. Returns (group, n,
+   * successes, rate, wilson_low, wilson_high).
+   */
+  def wilsonIntervals(df: DataFrame, groupCol: String,
+      successCol: Column, z: Double = 1.959963984540054): DataFrame = {
+    val g = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(successCol, 1.0).otherwise(0.0)).as("__x"))
+    val zl = lit(z)
+    val p = col("__x") / col("__n")
+    val center = (col("__x") + zl * zl / 2) / (col("__n") + zl * zl)
+    val half = zl * sqrt(p * (lit(1.0) - p) / col("__n") +
+      zl * zl / (lit(4.0) * col("__n") * col("__n"))) /
+      (lit(1.0) + zl * zl / col("__n"))
+    g.select(col(groupCol), col("__n").cast("long").as("n"),
+      col("__x").cast("long").as("successes"), p.as("rate"),
+      greatest(lit(0.0), center - half).as("wilson_low"),
+      least(lit(1.0), center + half).as("wilson_high"))
+  }
+
+  /**
+   * Blomqvist's β (medial correlation): the sign-quadrant dependence
+   * measure — how much mass sits in the concordant quadrants around
+   * the MEDIAN point (x̃, ỹ). Immune to any monotone marginal
+   * transform and to outliers in a way even Spearman isn't (only the
+   * quadrant matters), so it's the robustness floor of the
+   * correlation family. Points ON either median drop (the standard
+   * convention; exact ties are deterministic on both engines).
+   * Medians via the [[exactPercentiles]] distributed path, then ONE
+   * conditional-count scan. Returns (n_used, n_dropped, median_x,
+   * median_y, beta).
+   */
+  def blomqvistBeta(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+      .localCheckpoint() // two median probes + the quadrant scan
+    val mx = exactPercentiles(base, "__x", Seq(("m", 0.5)), Nil)
+      .head().getAs[Double]("m")
+    val my = exactPercentiles(base, "__y", Seq(("m", 0.5)), Nil)
+      .head().getAs[Double]("m")
+    base.agg(
+        sum(when((col("__x") > mx && col("__y") > my) ||
+          (col("__x") < mx && col("__y") < my), 1.0).otherwise(0.0))
+          .as("__conc"),
+        sum(when((col("__x") > mx && col("__y") < my) ||
+          (col("__x") < mx && col("__y") > my), 1.0).otherwise(0.0))
+          .as("__disc"),
+        count(lit(1)).as("__tot"))
+      .select(
+        (col("__conc") + col("__disc")).cast("long").as("n_used"),
+        (col("__tot") - col("__conc") - col("__disc")).cast("long")
+          .as("n_dropped"),
+        lit(mx).as("median_x"), lit(my).as("median_y"),
+        when(col("__conc") + col("__disc") > 0,
+          (col("__conc") - col("__disc")) /
+            (col("__conc") + col("__disc"))).as("beta"))
+  }
+
+  /**
+   * Goodman–Kruskal λ: proportional-reduction-in-error for predicting
+   * one categorical from another — "knowing A, how much better do I
+   * guess B than always guessing B's mode?" λ = 0 means A is useless
+   * for B even when χ² screams association (λ is the actionability
+   * check on a significant Cramér's V). Both directions + the
+   * symmetric average, from ONE joint-count frame (≤K² rows).
+   * Returns (n, lambda_b_given_a, lambda_a_given_b, lambda_symmetric).
+   */
+  def gkLambda(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint() // row maxes, col maxes, margins all read it
+    val rowMax = joint.groupBy("__a").agg(max(col("__n")).as("__rm"))
+      .agg(sum(col("__rm")).as("__srm"))
+    val colMax = joint.groupBy("__b").agg(max(col("__n")).as("__cm"))
+      .agg(sum(col("__cm")).as("__scm"))
+    val margA = joint.groupBy("__a").agg(sum(col("__n")).as("__ma"))
+      .agg(max(col("__ma")).as("__maxa"))
+    val margB = joint.groupBy("__b").agg(sum(col("__n")).as("__mb"))
+      .agg(max(col("__mb")).as("__maxb"))
+    val tot = joint.agg(sum(col("__n")).as("__N"))
+    tot.crossJoin(broadcast(rowMax)).crossJoin(broadcast(colMax))
+      .crossJoin(broadcast(margA)).crossJoin(broadcast(margB))
+      .select(col("__N").cast("long").as("n"),
+        when(col("__N") =!= col("__maxb"),
+          (col("__srm") - col("__maxb")) / (col("__N") - col("__maxb")))
+          .as("lambda_b_given_a"),
+        when(col("__N") =!= col("__maxa"),
+          (col("__scm") - col("__maxa")) / (col("__N") - col("__maxa")))
+          .as("lambda_a_given_b"),
+        when(col("__N") * 2 =!= col("__maxa") + col("__maxb"),
+          (col("__srm") + col("__scm") - col("__maxa") - col("__maxb")) /
+            (col("__N") * 2 - col("__maxa") - col("__maxb")))
+          .as("lambda_symmetric"))
+  }
+
+  /**
+   * Woolf test of odds-ratio homogeneity across strata — the
+   * precondition check for Mantel–Haenszel-style pooling (q247): is
+   * there ONE common OR, or does the effect flip/scale by stratum
+   * (effect modification, where a pooled OR would be fiction)?
+   * Haldane–Anscombe +0.5 on every cell (keeps zero cells finite,
+   * applied identically in the oracle), wᵢ = 1/Σ(1/cellᵢ),
+   * χ² = Σ wᵢ(ln ORᵢ − ln ŌR)² with ŌR the w-weighted mean log-OR;
+   * ~χ²(S−1). ONE grouped conditional count (≤S rows). Returns
+   * (n, n_strata, pooled_log_or, chi2, dof).
+   */
+  def woolfHomogeneity(df: DataFrame, stratumCol: String,
+      treatCol: Column, outcomeCol: Column): DataFrame = {
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val o = when(outcomeCol, 1.0).otherwise(0.0)
+    val per = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(sum(t * o).as("__a"), sum(t * (lit(1.0) - o)).as("__b"),
+        sum((lit(1.0) - t) * o).as("__c"),
+        sum((lit(1.0) - t) * (lit(1.0) - o)).as("__d"))
+      .withColumn("__lor", log(
+        ((col("__a") + 0.5) * (col("__d") + 0.5)) /
+          ((col("__b") + 0.5) * (col("__c") + 0.5))))
+      .withColumn("__w", lit(1.0) / (
+        lit(1.0) / (col("__a") + 0.5) + lit(1.0) / (col("__b") + 0.5) +
+          lit(1.0) / (col("__c") + 0.5) + lit(1.0) / (col("__d") + 0.5)))
+    val pooled = broadcast(per.agg(
+      (sum(col("__w") * col("__lor")) / sum(col("__w"))).as("__plor")))
+    per.crossJoin(pooled)
+      .agg(sum(col("__a") + col("__b") + col("__c") + col("__d"))
+          .cast("long").as("n"),
+        count(lit(1)).as("n_strata"),
+        max(col("__plor")).as("pooled_log_or"),
+        sum(col("__w") * (col("__lor") - col("__plor")) *
+          (col("__lor") - col("__plor"))).as("chi2"))
+      .withColumn("dof", col("n_strata") - 1)
+  }
+
+  /**
+   * van den Broek zero-inflation score test for a count metric: are
+   * there MORE zeros than the fitted Poisson mean predicts — the
+   * one-line gate between "plain Poisson is fine" and "you need a
+   * zero-inflated / hurdle model" for orders-per-entity, tokens-per-
+   * doc, events-per-user frames. S = (n₀ − n·e^(−λ̂))² /
+   * (n·e^(−λ̂)(1 − e^(−λ̂)) − n·λ̂·e^(−2λ̂)), ~χ²(1) under the Poisson.
+   * ONE aggregation scan. Returns (n, n_zero, lambda_hat,
+   * expected_zero, score_stat).
+   */
+  def zeroInflationScore(df: DataFrame, countCol: String): DataFrame = {
+    val y = col(countCol).cast("double")
+    df.where(y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(when(y === 0.0, 1.0).otherwise(0.0)).as("__n0"),
+        avg(y).as("__lam"))
+      .withColumn("__p0", exp(-col("__lam")))
+      .select(col("__n").cast("long").as("n"),
+        col("__n0").cast("long").as("n_zero"),
+        col("__lam").as("lambda_hat"),
+        (col("__n") * col("__p0")).as("expected_zero"), {
+          val den = col("__n") * col("__p0") *
+            (lit(1.0) - col("__p0")) -
+            col("__n") * col("__lam") * col("__p0") * col("__p0")
+          when(den > 0,
+            pow(col("__n0") - col("__n") * col("__p0"), 2.0) / den)
+            .as("score_stat")
+        })
+  }
+
+  /**
    * Holm–Bonferroni step-down adjusted p-values — the FWER companion
    * to [[bhFdr]]'s FDR step-up: sorted ascending, position j carries
    * (m−j+1)·p_(j), tied blocks at their SMALLEST position (the
