@@ -499,6 +499,152 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("ansari-bradley: hand-computed folded scores on a 4-point case") {
+    import spark.implicits._
+    // c = {1, 10}, t = {5, 6}: ranks 1..4, folded scores 1,2,2,1;
+    // AB = 2 + 2 = 4; E = 3; Var = 1/3 → z = √3
+    val df = Seq((1.0, "c"), (10.0, "c"), (5.0, "t"), (6.0, "t"))
+      .toDF("v", "g")
+    val cells = graft.analysis.AnalysisPlanner.rankCells(df, "g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .ansariBradleyFromCells(cells, "c", "t").head
+    assert(r.getAs[Double]("ab_stat") == 4.0)
+    assert(math.abs(r.getAs[Double]("z_stat") - math.sqrt(3.0)) < 1e-9)
+    // identical arms → z ≈ 0 (scores split evenly)
+    val sym = Seq.tabulate(40)(i => (i.toDouble, if (i % 2 == 0) "c" else "t"))
+      .toDF("v", "g")
+    val zs = graft.analysis.AnalysisPlanner
+      .ansariBradleyFromCells(
+        graft.analysis.AnalysisPlanner.rankCells(sym, "g", "v"), "c", "t")
+      .head.getAs[Double]("z_stat")
+    assert(math.abs(zs) < 0.5)
+  }
+
+  test("lepage composes its wilcoxon and ansari components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 500).map(i =>
+      (rnd.nextGaussian() * (if (i % 2 == 0) 1.0 else 2.0) + i % 2,
+        if (i % 2 == 0) "c" else "t")).toDF("v", "g")
+    val cells = graft.analysis.AnalysisPlanner.rankCells(df, "g", "v")
+      .localCheckpoint()
+    val l = graft.analysis.AnalysisPlanner
+      .lepageFromCells(cells, "c", "t").head
+    val zw = l.getAs[Double]("z_wilcoxon")
+    val za = l.getAs[Double]("z_ansari")
+    assert(math.abs(l.getAs[Double]("lepage_l") - (zw * zw + za * za)) < 1e-9)
+    // shifted AND re-dispersed arms → the omnibus fires
+    assert(l.getAs[Double]("lepage_l") > 5.0)
+  }
+
+  test("stuart-maxwell: symmetric-flow table and singular diagonal") {
+    import spark.implicits._
+    // 2-category flow 10 vs 30 between off-diagonal cells: d1 = -20,
+    // v11 = 40 → chi2 = 400/40 = 10
+    val rows = Seq.fill(10)(("x", "y")) ++ Seq.fill(30)(("y", "x")) ++
+      Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))
+    val r = graft.analysis.AnalysisPlanner
+      .stuartMaxwell(rows.toDF("a", "b"), "a", "b").head
+    assert(r.getAs[Long]("n") == 50L)
+    assert(math.abs(r.getAs[Double]("chi2") - 10.0) < 1e-9)
+    // perfectly diagonal table → V singular → NULL, not a crash
+    val diag = Seq.fill(20)(("x", "x")) ++ Seq.fill(20)(("y", "y"))
+    val rd = graft.analysis.AnalysisPlanner
+      .stuartMaxwell(diag.toDF("a", "b"), "a", "b").head
+    assert(rd.isNullAt(rd.fieldIndex("chi2")))
+  }
+
+  test("kendalls W: perfect agreement gives W = 1, reversal lowers it") {
+    import spark.implicits._
+    // 3 raters, 6 items, identical scores → W = 1
+    val perfect = for (r <- 0 until 3; i <- 0 until 6)
+      yield (r, i, (i + 1).toDouble)
+    val w1 = graft.analysis.AnalysisPlanner
+      .kendallsW(perfect.toDF("rater", "item", "score"),
+        "rater", "item", "score").head
+    assert(w1.getAs[Long]("n_raters") == 3L)
+    assert(math.abs(w1.getAs[Double]("w") - 1.0) < 1e-9)
+    // one rater reversed → W drops strictly below 1
+    val mixed = for (r <- 0 until 3; i <- 0 until 6)
+      yield (r, i, if (r == 2) (6 - i).toDouble else (i + 1).toDouble)
+    val w2 = graft.analysis.AnalysisPlanner
+      .kendallsW(mixed.toDF("rater", "item", "score"),
+        "rater", "item", "score").head.getAs[Double]("w")
+    assert(w2 < 0.5 && w2 >= 0.0)
+  }
+
+  test("cochran-armitage: monotone ramp fires, flat rates do not") {
+    import spark.implicits._
+    val ramp = for (lvl <- 1 to 4; i <- 1 to 100)
+      yield (lvl, i <= lvl * 20) // 20% → 80%
+    val zr = graft.analysis.AnalysisPlanner
+      .cochranArmitage(ramp.toDF("lvl", "s"), "lvl", col("s"))
+      .head.getAs[Double]("z_trend")
+    assert(math.abs(zr) > 5.0)
+    val flat = for (lvl <- 1 to 4; i <- 1 to 100) yield (lvl, i <= 50)
+    val zf = graft.analysis.AnalysisPlanner
+      .cochranArmitage(flat.toDF("lvl", "s"), "lvl", col("s"))
+      .head.getAs[Double]("z_trend")
+    assert(math.abs(zf) < 1e-9)
+  }
+
+  test("unit-root pair: mean-reverting vs drifting daily series") {
+    import spark.implicits._
+    // iid pseudo-noise (AR(0)): Δx on x_{t−1} slope ≈ −1, DF hugely
+    // negative; KPSS small. (A PERFECTLY alternating series would fit
+    // with zero residuals — se undefined → NULL, the guard's job.)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(day))
+    val alt = (0 until 200).map(i =>
+      (ts(i), ((i * 7919) % 97 - 48).toDouble)).toDF("ts", "value")
+    val dfr = graft.ops.TimeSeries.dickeyFuller(alt, "ts", "value").head
+    assert(dfr.getAs[Double]("gamma") < -0.5) // strong mean reversion
+    assert(dfr.getAs[Double]("df_stat") < -5.0)
+    val kAlt = graft.ops.TimeSeries.kpssLevel(alt, "ts", "value")
+      .head.getAs[Double]("kpss_stat")
+    assert(kAlt < 0.1)
+    // deterministic drift: KPSS large, DF near 0
+    val drift = (0 until 200).map(i => (ts(i), i.toDouble))
+      .toDF("ts", "value")
+    val kDrift = graft.ops.TimeSeries.kpssLevel(drift, "ts", "value")
+      .head.getAs[Double]("kpss_stat")
+    assert(kDrift > 1.0)
+  }
+
+  test("FDR family: BY equals BH at the harmonic-scaled level; Storey q monotone") {
+    import spark.implicits._
+    val ps = (1 to 40).map(i => (i.toLong, i / 40.0)).toDF("id", "p")
+    val h = (1 to 40).map(1.0 / _).sum
+    val by = graft.analysis.AnalysisPlanner.byFdr(ps, "p", 0.1)
+      .select("id", "by_critical", "discovery").orderBy("id").collect()
+    val bh = graft.analysis.AnalysisPlanner.bhFdr(ps, "p", 0.1 / h)
+      .select("id", "bh_critical", "discovery").orderBy("id").collect()
+    assert(by.map(_.getBoolean(2)).toSeq == bh.map(_.getBoolean(2)).toSeq)
+    assert(by.zip(bh).forall { case (a, b) =>
+      math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-12 })
+    val q = graft.analysis.AnalysisPlanner.storeyQValues(ps, "p", 0.5)
+      .orderBy("p").select("q_value", "pi0").collect()
+    assert(q.sliding(2).forall(w =>
+      w(0).getDouble(0) <= w(1).getDouble(0) + 1e-12)) // monotone
+    // 20 of 40 p-values exceed λ=0.5 → π₀ = 20/(0.5·40) = 1 (clamped)
+    assert(math.abs(q.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("association floor: blomqvist identity, GK lambda determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val xy = (1 to 1001).map(_ => { val x = rnd.nextDouble(); (x, x) })
+      .toDF("x", "y")
+    val b = graft.analysis.AnalysisPlanner.blomqvistBeta(xy, "x", "y")
+      .head.getAs[Double]("beta")
+    assert(math.abs(b - 1.0) < 1e-12) // y = x → all concordant
+    val same = (1 to 100).map(i => (s"c${i % 4}", s"c${i % 4}"))
+      .toDF("a", "b")
+    val l = graft.analysis.AnalysisPlanner.gkLambda(same, "a", "b").head
+    assert(math.abs(l.getAs[Double]("lambda_b_given_a") - 1.0) < 1e-12)
+    assert(math.abs(l.getAs[Double]("lambda_symmetric") - 1.0) < 1e-12)
+  }
+
   test("kendall inversion count matches brute-force pairs, no cap") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
