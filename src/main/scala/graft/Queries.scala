@@ -15657,6 +15657,235 @@ object Queries {
                  ((nc + nt) * (nc + nt) - 4) / 180.0), 6) AS z_stat
       FROM a"""))
 
+  /** Exact 1-D Cramér / energy distance between purchase and click
+    * values — the accumulated-CDF-gap companion to q10's KS. */
+  private val q411 = Entry(
+    "q411_cramer_energy",
+    (s, d) =>
+      AnalysisPlanner
+        .energyDistanceFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("cramer_d")).as("cramer_d"),
+          r6(col("energy_dist")).as("energy_dist")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      pre AS (SELECT v,
+                sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS ft,
+                sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS fc,
+                lead(v) OVER (ORDER BY v) AS vn
+              FROM vc),
+      tot AS (SELECT sum(ct) AS nt, sum(cc) AS nc FROM vc)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t,
+             round(sum((ft / nt - fc / nc) * (ft / nt - fc / nc) *
+               (vn - v)), 6) AS cramer_d,
+             round(2 * sum((ft / nt - fc / nc) * (ft / nt - fc / nc) *
+               (vn - v)), 6) AS energy_dist
+      FROM pre, tot WHERE vn IS NOT NULL
+      GROUP BY nc, nt"""))
+
+  /** Wald–Wolfowitz runs test of the daily event-count sequence vs
+    * its median — randomness screen on the KPI series. */
+  private val q412 = Entry(
+    "q412_runs_test",
+    (s, d) =>
+      graft.ops.TimeSeries.runsTest(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("n_above"), col("n_below"),
+          col("n_runs"), r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS dd,
+                       count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      med AS (SELECT quantile_cont(y, 0.5) AS m FROM daily),
+      s AS (SELECT dd, CASE WHEN y > m THEN 1.0 ELSE 0 END AS sgn
+            FROM daily, med WHERE y <> m),
+      w AS (SELECT sgn, lag(sgn) OVER (ORDER BY dd) AS prev FROM s),
+      a AS (SELECT sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                       THEN 1.0 ELSE 0 END) + 1 AS r
+            FROM w),
+      c AS (SELECT sum(sgn) AS na, count(*) - sum(sgn) AS nb,
+              count(*)::DOUBLE AS n
+            FROM s)
+      SELECT n::BIGINT AS n_days, na::BIGINT AS n_above,
+             nb::BIGINT AS n_below, r::BIGINT AS n_runs,
+             round((r - (2 * na * nb / n + 1)) /
+               sqrt(2 * na * nb * (2 * na * nb - n) /
+                 (n * n * (n - 1))), 6) AS z_stat
+      FROM a, c"""))
+
+  /** TV / Hellinger / Bhattacharyya panel of the event-type mix
+    * between user cohorts — q384's PSI/JS/χ² companions. */
+  private val q413 = Entry(
+    "q413_distribution_distances",
+    (s, d) =>
+      AnalysisPlanner.distributionDistances(Tables.events(s, d),
+          "event_type", col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), col("n_categories"),
+          r6(col("tv_dist")).as("tv_dist"),
+          r6(col("hellinger")).as("hellinger"),
+          r6(col("bhattacharyya_coef")).as("bhattacharyya_coef"),
+          r6(col("bhattacharyya_dist")).as("bhattacharyya_dist")),
+    Some("""
+      WITH per AS (SELECT event_type,
+              sum(CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0 END) AS ca,
+              sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1.0 END) AS cb
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+      a AS (SELECT max(na) AS na, max(nb) AS nb, count(*) AS k,
+              sum(abs(ca / na - cb / nb)) / 2 AS tv,
+              sum(sqrt((ca / na) * (cb / nb))) AS bc
+            FROM per, t)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, k AS n_categories,
+             round(tv, 6) AS tv_dist,
+             round(sqrt(greatest(0.0, 1 - bc)), 6) AS hellinger,
+             round(bc, 6) AS bhattacharyya_coef,
+             round(-ln(bc), 6) AS bhattacharyya_dist
+      FROM a"""))
+
+  /** AMOC changepoint: WHEN did the daily event volume shift level —
+    * the SSE-optimal single split. */
+  private val q414 = Entry(
+    "q414_amoc_changepoint",
+    (s, d) =>
+      graft.ops.TimeSeries.amocChangepoint(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("change_day"), col("n_left"),
+          col("n_right"), r6(col("mean_left")).as("mean_left"),
+          r6(col("mean_right")).as("mean_right"),
+          r6(col("sse_total")).as("sse_total"),
+          r6(col("sse_split")).as("sse_split"),
+          r6(col("reduction_share")).as("reduction_share")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      pre AS (SELECT t, y,
+                sum(y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS s,
+                sum(y * y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS s2,
+                row_number() OVER (ORDER BY t) AS i
+              FROM daily),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(y) AS ts2,
+                sum(y * y) AS ts22
+              FROM daily),
+      cand AS (SELECT t, i, s, s2, n, ts2, ts22,
+                 (s2 - s * s / i) +
+                   ((ts22 - s2) - (ts2 - s) * (ts2 - s) / (n - i))
+                   AS sse
+               FROM pre, tot WHERE i < n),
+      best AS (SELECT * FROM cand ORDER BY sse, t LIMIT 1)
+      SELECT n::BIGINT AS n_days,
+             DATE '1970-01-01' + t::INT AS change_day,
+             i::BIGINT AS n_left, (n - i)::BIGINT AS n_right,
+             round(s / i, 6) AS mean_left,
+             round((ts2 - s) / (n - i), 6) AS mean_right,
+             round(ts22 - ts2 * ts2 / n, 6) AS sse_total,
+             round(sse, 6) AS sse_split,
+             round((ts22 - ts2 * ts2 / n - sse) /
+               (ts22 - ts2 * ts2 / n), 6) AS reduction_share
+      FROM best"""))
+
+  /** Pettitt rank changepoint on the same daily series — the
+    * distribution-free companion to q414. */
+  private val q415 = Entry(
+    "q415_pettitt",
+    (s, d) =>
+      graft.ops.TimeSeries.pettittTest(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("change_day"),
+          r6(col("k_stat")).as("k_stat"),
+          r6(col("p_approx")).as("p_approx")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      rk AS (SELECT t, rank() OVER (ORDER BY y)
+               + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS r
+             FROM daily),
+      pre AS (SELECT t,
+                sum(r) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS s,
+                row_number() OVER (ORDER BY t) AS i
+              FROM rk),
+      n AS (SELECT count(*)::DOUBLE AS n FROM daily),
+      u AS (SELECT t, 2 * s - i * (n + 1) AS u
+            FROM pre, n WHERE i < n),
+      best AS (SELECT * FROM u ORDER BY abs(u) DESC, t LIMIT 1)
+      SELECT n.n::BIGINT AS n_days,
+             DATE '1970-01-01' + t::INT AS change_day,
+             round(abs(u), 6) AS k_stat,
+             round(least(1.0, 2 * exp(-6 * u * u /
+               (n * n * n + n * n))), 6) AS p_approx
+      FROM best, n"""))
+
+  /** Cox–Stuart trend sign test on the daily event counts — the
+    * assumption-free "is it trending at all" gate. */
+  private val q416 = Entry(
+    "q416_cox_stuart",
+    (s, d) =>
+      graft.ops.TimeSeries.coxStuart(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("n_pairs"), col("n_up"),
+          col("n_down"), r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      idx AS (SELECT y, row_number() OVER (ORDER BY t) AS i
+              FROM daily),
+      cnt AS (SELECT count(*) AS n FROM daily),
+      p AS (SELECT b.y - a.y AS d
+            FROM idx a JOIN idx b
+              ON b.i = a.i + (SELECT (n + 1) // 2 FROM cnt)),
+      nz AS (SELECT count(*)::DOUBLE AS m,
+               sum(CASE WHEN d > 0 THEN 1.0 ELSE 0 END) AS up
+             FROM p WHERE d <> 0)
+      SELECT cnt.n::BIGINT AS n_days, m::BIGINT AS n_pairs,
+             up::BIGINT AS n_up, (m - up)::BIGINT AS n_down,
+             round((up - m / 2) / sqrt(m / 4), 6) AS z_stat
+      FROM nz, cnt"""))
+
+  /** PACF at lags 1–3 of the daily value series via Durbin–Levinson —
+    * AR(1) or genuinely higher-order? */
+  private val q417 = Entry(
+    "q417_pacf",
+    (s, d) =>
+      graft.ops.TimeSeries.pacf3(Tables.events(s, d), "ts", "value")
+        .select(col("n_days"), r6(col("r1")).as("r1"),
+          r6(col("r2")).as("r2"), r6(col("r3")).as("r3"),
+          r6(col("pacf1")).as("pacf1"), r6(col("pacf2")).as("pacf2"),
+          r6(col("pacf3")).as("pacf3")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01', ts::DATE)
+                       AS t, avg("value") AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n, sum(x) / count(*) AS m,
+               sum(x * x) - sum(x) * sum(x) / count(*) AS den
+             FROM daily),
+      r1 AS (SELECT sum((a.x - st.m) * (b.x - st.m)) / max(st.den) AS r1
+             FROM daily a JOIN daily b ON a.t + 1 = b.t, st),
+      r2 AS (SELECT sum((a.x - st.m) * (b.x - st.m)) / max(st.den) AS r2
+             FROM daily a JOIN daily b ON a.t + 2 = b.t, st),
+      r3 AS (SELECT sum((a.x - st.m) * (b.x - st.m)) / max(st.den) AS r3
+             FROM daily a JOIN daily b ON a.t + 3 = b.t, st),
+      p2 AS (SELECT st.n, r1.r1, r2.r2, r3.r3,
+               (r2.r2 - r1.r1 * r1.r1) / (1 - r1.r1 * r1.r1) AS p22
+             FROM st, r1, r2, r3),
+      p3 AS (SELECT n, r1, r2, r3, p22, r1 * (1 - p22) AS p21 FROM p2)
+      SELECT n::BIGINT AS n_days, round(r1, 6) AS r1,
+             round(r2, 6) AS r2, round(r3, 6) AS r3,
+             round(r1, 6) AS pacf1, round(p22, 6) AS pacf2,
+             round((r3 - p21 * r2 - p22 * r1) /
+               (1 - p21 * r1 - p22 * r2), 6) AS pacf3
+      FROM p3"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -15687,7 +15916,7 @@ object Queries {
     q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396, q397,
     q398, q399, q400, q401, q402, q403, q404, q405, q406, q407, q408,
-    q409, q410)
+    q409, q410, q411, q412, q413, q414, q415, q416, q417)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1307,6 +1307,87 @@ object AnalysisPlanner {
   }
 
   /**
+   * Exact 1-D Cramér / energy distance between two arms over a
+   * prebuilt [[rankCells]] frame: D = ∫(F(x) − G(x))² dx integrated
+   * piecewise-exactly over the pooled distinct-value grid (the ECDFs
+   * are step functions, so the integral is a SUM of squared CDF gaps
+   * times consecutive-value spacings — no approximation, no binning),
+   * and energy distance E = 2·D. Where KS reports the WORST pointwise
+   * gap, this reports the ACCUMULATED gap — sensitive to many small
+   * persistent differences KS ignores. Consecutive values pair via a
+   * rank+1 equi-join on the distinct frame (no global window).
+   * Returns (n_c, n_t, cramer_d, energy_dist).
+   */
+  def energyDistanceFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val pre = PrefixSum.exclusive(
+        vc.withColumn("__one", lit(1.0)),
+        "__v", Seq("__ct" -> "__exct", "__cc" -> "__excc",
+          "__one" -> "__exi"))
+      .withColumn("__Ft", col("__exct") + col("__ct"))
+      .withColumn("__Fc", col("__excc") + col("__cc"))
+      .withColumn("__i", (col("__exi") + 1).cast("long"))
+      .localCheckpoint() // both sides of the consecutive-value join
+    val nxt = pre.select((col("__i") - 1).as("__i"),
+      col("__v").as("__vn"))
+    val tot = broadcast(vc.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cc")).as("__nc")))
+    pre.join(nxt, Seq("__i")) // last value has no interval: drops
+      .crossJoin(tot)
+      .agg(max(col("__nc")).cast("long").as("n_c"),
+        max(col("__nt")).cast("long").as("n_t"),
+        sum((col("__Ft") / col("__nt") - col("__Fc") / col("__nc")) *
+          (col("__Ft") / col("__nt") - col("__Fc") / col("__nc")) *
+          (col("__vn") - col("__v"))).as("cramer_d"))
+      .withColumn("energy_dist", col("cramer_d") * 2)
+  }
+
+  /**
+   * Categorical distribution-distance panel between two cohorts over
+   * EXACT categories: total variation (the "what fraction of mass
+   * must move" bound), Hellinger (the metric that behaves under
+   * square roots of small probabilities), and the Bhattacharyya
+   * coefficient/distance — the three standard companions to q384's
+   * PSI/JS/χ² with different sensitivities (TV is blunt and
+   * worst-case, Hellinger amplifies small-probability shifts PSI
+   * caps). ONE conditional-count pass over the category frame.
+   * Returns (n_a, n_b, n_categories, tv_dist, hellinger,
+   * bhattacharyya_coef, bhattacharyya_dist).
+   */
+  def distributionDistances(df: DataFrame, categoryCol: String,
+      cohortA: Column): DataFrame = {
+    val a = when(cohortA, 1.0).otherwise(0.0)
+    val per = df.where(col(categoryCol).isNotNull)
+      .groupBy(col(categoryCol))
+      .agg(sum(a).as("__ca"), sum(lit(1.0) - a).as("__cb"))
+    val tot = broadcast(per.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb")))
+    per.crossJoin(tot)
+      .withColumn("__pa", col("__ca") / col("__na"))
+      .withColumn("__pb", col("__cb") / col("__nb"))
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        count(lit(1)).as("n_categories"),
+        (sum(abs(col("__pa") - col("__pb"))) / 2).as("tv_dist"),
+        sum(sqrt(col("__pa") * col("__pb"))).as("bhattacharyya_coef"))
+      .withColumn("hellinger", sqrt(greatest(lit(0.0),
+        lit(1.0) - col("bhattacharyya_coef"))))
+      .withColumn("bhattacharyya_dist",
+        when(col("bhattacharyya_coef") > 0,
+          -log(col("bhattacharyya_coef"))))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        col("tv_dist"), col("hellinger"), col("bhattacharyya_coef"),
+        col("bhattacharyya_dist"))
+  }
+
+  /**
    * Lepage two-sample LOCATION-OR-SCALE omnibus over a prebuilt
    * [[rankCells]] frame: L = z_W² + z_AB² — the Wilcoxon rank-sum z
    * (location) and the Ansari–Bradley z (scale) are asymptotically

@@ -833,6 +833,219 @@ object TimeSeries {
       .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
         col("__x"))
 
+  /** Daily EVENT-COUNT series (__t epoch-day, __y count): the
+    * integer-valued sibling of [[dailySeries]] — counts are exact in
+    * any summation order, so rank- and argmin-based tests over them
+    * are engine-deterministic (daily MEANS are not: fp association
+    * could flip a rank tie or an argmin between engines). */
+  private def dailyCounts(df: DataFrame, tsCol: String): DataFrame =
+    df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+      .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
+        col("__y"))
+
+  /**
+   * Single-changepoint detection (AMOC, at-most-one-change, SSE
+   * cost): the split of the daily count series minimizing
+   * SSE_left + SSE_right — "WHEN did this metric's level shift", the
+   * first question after a drift alarm fires. Both SSEs come from ONE
+   * prefix-moments pass over the calendar-sized frame; the argmin is
+   * a TakeOrdered over ≤|days| candidates (ties → earliest day).
+   * Returns 1 row: (n_days, change_day, n_left, n_right, mean_left,
+   * mean_right, sse_total, sse_split, reduction_share).
+   */
+  def amocChangepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+    val pre = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__y2", col("__y") * col("__y")),
+        "__t", Seq("__y" -> "__exs", "__y2" -> "__exs2"))
+      .withColumn("__s", col("__exs") + col("__y"))
+      .withColumn("__s2", col("__exs2") + col("__y2"))
+    val idx = graft.analysis.PrefixSum.exclusive(
+        pre.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi"))
+      .withColumn("__i", col("__exi") + 1)
+    // "__tsum", not "__S": the case-insensitive resolver would clash
+    // with the prefix frame's "__s" across the crossJoin (q346 lesson)
+    val tot = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__y")).as("__tsum"),
+      sum(col("__y") * col("__y")).as("__tsum2")))
+    val cand = idx.crossJoin(tot)
+      .where(col("__i") < col("__n")) // a split needs a right side
+      .withColumn("__sseL",
+        col("__s2") - col("__s") * col("__s") / col("__i"))
+      .withColumn("__sseR",
+        (col("__tsum2") - col("__s2")) -
+          (col("__tsum") - col("__s")) * (col("__tsum") - col("__s")) /
+            (col("__n") - col("__i")))
+      .withColumn("__sse", col("__sseL") + col("__sseR"))
+    cand.orderBy(col("__sse"), col("__t")).limit(1)
+      .select(col("__n").cast("long").as("n_days"),
+        to_date(lit("1970-01-01")).as("__epoch"), col("__t"),
+        col("__i").cast("long").as("n_left"),
+        (col("__n") - col("__i")).cast("long").as("n_right"),
+        (col("__s") / col("__i")).as("mean_left"),
+        ((col("__tsum") - col("__s")) / (col("__n") - col("__i")))
+          .as("mean_right"),
+        (col("__tsum2") - col("__tsum") * col("__tsum") / col("__n"))
+          .as("sse_total"),
+        col("__sse").as("sse_split"))
+      .withColumn("change_day", date_add(col("__epoch"), col("__t")))
+      .withColumn("reduction_share", when(col("sse_total") > 0,
+        (col("sse_total") - col("sse_split")) / col("sse_total")))
+      .select(col("n_days"), col("change_day"), col("n_left"),
+        col("n_right"), col("mean_left"), col("mean_right"),
+        col("sse_total"), col("sse_split"), col("reduction_share"))
+  }
+
+  /**
+   * Pettitt changepoint test on the daily count series — the
+   * RANK-based (distribution-free) companion to [[amocChangepoint]]:
+   * U_t = 2·S_t − t(n+1) with S_t the prefix sum of midranks; the
+   * change point maximizes |U_t| and
+   * p ≈ 2·exp(−6K²/(n³+n²)) attaches the classical approximation.
+   * Midranks from the value-count frame, day positions and prefix
+   * rank sums from [[graft.analysis.PrefixSum]] — no global window.
+   * Returns 1 row: (n_days, change_day, k_stat, p_approx).
+   */
+  def pettittTest(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val vc = daily.groupBy(col("__y").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val mr = graft.analysis.PrefixSum.exclusive(
+        vc, "__v", Seq("__c" -> "__ex"))
+      .select(col("__v"), (col("__ex") + (col("__c") + 1) / 2.0)
+        .as("__r"))
+    val ranked = daily.join(mr, daily("__y") === mr("__v"))
+      .select(col("__t"), col("__r"))
+    val pre = graft.analysis.PrefixSum.exclusive(
+        ranked.withColumn("__one", lit(1.0)), "__t",
+        Seq("__r" -> "__exr", "__one" -> "__exi"))
+      .withColumn("__S", col("__exr") + col("__r"))
+      .withColumn("__i", col("__exi") + 1)
+    val tot = broadcast(daily.agg(count(lit(1)).cast("double").as("__n")))
+    val u = pre.crossJoin(tot)
+      .where(col("__i") < col("__n"))
+      .withColumn("__U",
+        lit(2.0) * col("__S") - col("__i") * (col("__n") + 1))
+    u.orderBy(abs(col("__U")).desc, col("__t")).limit(1)
+      .select(col("__n").cast("long").as("n_days"),
+        date_add(to_date(lit("1970-01-01")), col("__t"))
+          .as("change_day"),
+        abs(col("__U")).as("k_stat"),
+        least(lit(1.0), lit(2.0) * exp(lit(-6.0) * col("__U") *
+          col("__U") / (col("__n") * col("__n") * col("__n") +
+            col("__n") * col("__n")))).as("p_approx"))
+  }
+
+  /**
+   * Cox–Stuart trend sign test on the daily count series: pair day i
+   * with day i + ⌈n/2⌉, count strictly positive vs negative
+   * differences — the assumption-free "is this metric trending at
+   * all" gate (monotone in ANY shape trips it; oscillation does not).
+   * z is the binomial normal approximation on the non-tied pairs.
+   * Returns 1 row: (n_days, n_pairs, n_up, n_down, z_stat).
+   */
+  def coxStuart(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val idx = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi"))
+      .withColumn("__i", (col("__exi") + 1).cast("long"))
+      .select(col("__i"), col("__y"))
+    val n = idx.count()
+    val c = (n + 1) / 2 // ⌈n/2⌉; odd n leaves the middle day unpaired
+    val late = idx.select((col("__i") - c).as("__i"),
+      col("__y").as("__y2"))
+    val pairs = idx.join(late, Seq("__i"))
+      .select((col("__y2") - col("__y")).as("__d"))
+      .where(col("__d") =!= 0.0)
+    pairs.agg(count(lit(1)).cast("double").as("__m"),
+        sum(when(col("__d") > 0, 1.0).otherwise(0.0)).as("__up"))
+      .select(lit(n).as("n_days"),
+        col("__m").cast("long").as("n_pairs"),
+        col("__up").cast("long").as("n_up"),
+        (col("__m") - col("__up")).cast("long").as("n_down"),
+        when(col("__m") > 0,
+          (col("__up") - col("__m") / 2) / sqrt(col("__m") / 4))
+          .as("z_stat"))
+  }
+
+  /**
+   * Wald–Wolfowitz runs test on the daily count series vs its median:
+   * too FEW runs = level shifts / trending, too MANY = oscillation —
+   * the randomness screen on a KPI sequence. Days equal to the median
+   * drop (the standard convention); runs count via consecutive-rank
+   * pairing (one equi-join, no window over the calendar).
+   * Returns 1 row: (n_days, n_above, n_below, n_runs, z_stat).
+   */
+  def runsTest(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val med = graft.analysis.AnalysisPlanner.percentilesFromCounts(
+      daily.groupBy(col("__y").as("__v"))
+        .agg(count(lit(1)).as("__c")),
+      Seq(("m", 0.5)), Nil).head().getAs[Double]("m")
+    val signed = daily.where(col("__y") =!= med)
+      .withColumn("__sgn", when(col("__y") > med, 1.0).otherwise(0.0))
+    val idx = graft.analysis.PrefixSum.exclusive(
+        signed.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi"))
+      .withColumn("__i", (col("__exi") + 1).cast("long"))
+      .select(col("__i"), col("__sgn"))
+      .localCheckpoint() // both sides of the consecutive join read it
+    val nxt = idx.select((col("__i") - 1).as("__i"),
+      col("__sgn").as("__sgn2"))
+    val changes = idx.join(nxt, Seq("__i"))
+      .agg(sum(when(col("__sgn") =!= col("__sgn2"), 1.0)
+        .otherwise(0.0)).as("__ch"))
+    val cnt = idx.agg(sum(col("__sgn")).as("__na"),
+      (count(lit(1)) - sum(col("__sgn"))).as("__nb"))
+    cnt.crossJoin(broadcast(changes))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .withColumn("__R", col("__ch") + 1)
+      .select(col("__n").cast("long").as("n_days"),
+        col("__na").cast("long").as("n_above"),
+        col("__nb").cast("long").as("n_below"),
+        col("__R").cast("long").as("n_runs"), {
+          val e = lit(2.0) * col("__na") * col("__nb") / col("__n") + 1
+          val vr = lit(2.0) * col("__na") * col("__nb") *
+            (lit(2.0) * col("__na") * col("__nb") - col("__n")) /
+            (col("__n") * col("__n") * (col("__n") - 1))
+          when(vr > 0, (col("__R") - e) / sqrt(vr)).as("z_stat")
+        })
+  }
+
+  /**
+   * Partial autocorrelation at lags 1–3 of the daily MEAN series via
+   * Durbin–Levinson over [[Evaluation.acf]]'s estimates — the "is it
+   * AR(1) or genuinely higher-order" readout that raw ACF can't give
+   * (an AR(1)'s ACF decays forever; its PACF cuts off at 1).
+   * Returns 1 row: (n_days, r1, r2, r3, pacf1, pacf2, pacf3).
+   */
+  def pacf3(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol).localCheckpoint()
+    val a = Evaluation.acf(daily, "__t", "__x", maxLag = 3)
+    val row = a.agg(
+      max(when(col("lag") === 1, col("acf"))).as("r1"),
+      max(when(col("lag") === 2, col("acf"))).as("r2"),
+      max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    row.crossJoin(nd)
+      .withColumn("pacf1", col("r1"))
+      .withColumn("__p22",
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("__p21", col("r1") * (lit(1.0) - col("__p22")))
+      .withColumn("pacf2", col("__p22"))
+      .withColumn("pacf3",
+        (col("r3") - col("__p21") * col("r2") - col("__p22") * col("r1")) /
+          (lit(1.0) - col("__p21") * col("r1") - col("__p22") * col("r2")))
+      .select(col("n_days"), col("r1"), col("r2"), col("r3"),
+        col("pacf1"), col("pacf2"), col("pacf3"))
+  }
+
   /**
    * Dickey–Fuller unit-root test (with intercept, lag 0) on the DAILY
    * mean series of a metric: regress Δx_t on x_{t−1}; the t-statistic
