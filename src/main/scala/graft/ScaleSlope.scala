@@ -26,10 +26,18 @@ object ScaleSlope {
     val names: Seq[String] =
       if (args.length > 2 && args(2).nonEmpty) args(2).split(",").toSeq
       else Seq(
+        // every query whose committed record or probe exceeds ~2.5 s
+        // at sf0.1 (round 10 refresh) — the suite's entire heavy tail
+        // carries a recorded slope
         "q304_dawid_skene", "q174_poisson_bootstrap", "q296_rmst_by_arm",
         "q256_hits", "q221_kcore", "q234_hop_distance", "q158_pagerank",
         "q317_modularity", "q08_corr_spearman", "q46_corr_kendall",
-        "q372_fligner_killeen", "q382_c_index")
+        "q372_fligner_killeen", "q382_c_index", "q383_ordinal_association",
+        "q78_cluster_canonical", "q168_theil_sen", "q167_cliffs_delta",
+        "q200_label_propagation", "q222_assortativity",
+        "q354_k_sample_ad", "q397_lorenz_deciles", "q401_quade",
+        "q404_blomqvist_beta", "q387_ansari_bradley", "q412_runs_test",
+        "q414_amoc_changepoint")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(

@@ -2273,9 +2273,12 @@ object AnalysisPlanner {
       yCol: String): DataFrame = {
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
+    // NOT checkpointed: the three passes (two median probes + the
+    // quadrant count) re-read a 2-column pruned scan — at large scale
+    // that is strictly cheaper than materializing a corpus-sized
+    // projection into block storage
     val base = df.where(x.isNotNull && y.isNotNull)
       .select(x.as("__x"), y.as("__y"))
-      .localCheckpoint() // two median probes + the quadrant scan
     val mx = exactPercentiles(base, "__x", Seq(("m", 0.5)), Nil)
       .head().getAs[Double]("m")
     val my = exactPercentiles(base, "__y", Seq(("m", 0.5)), Nil)
