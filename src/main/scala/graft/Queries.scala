@@ -15886,6 +15886,211 @@ object Queries {
                (1 - p21 * r1 - p22 * r2), 6) AS pacf3
       FROM p3"""))
 
+  /** Aalen–Johansen cumulative incidence: big purchase vs error as
+    * competing first events per user — where 1−KM per cause lies. */
+  private val q418 = Entry(
+    "q418_competing_risks",
+    (s, d) => {
+      val hp = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val he = when(col("event_type") === "error", col("ts"))
+      val per = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(hp).as("__hp"), min(he).as("__he"),
+          min(col("ts")).as("__f"), max(col("ts")).as("__l"))
+        .select(
+          when(col("__hp").isNotNull &&
+            (col("__he").isNull || col("__hp") <= col("__he")), 1)
+            .when(col("__he").isNotNull, 2).otherwise(0).as("cause"),
+          datediff(to_date(
+            when(col("__hp").isNotNull &&
+              (col("__he").isNull || col("__hp") <= col("__he")),
+              col("__hp"))
+              .when(col("__he").isNotNull, col("__he"))
+              .otherwise(col("__l"))), to_date(col("__f"))).as("dur"))
+      AnalysisPlanner.aalenJohansen(per, "dur", "cause")
+        .select(col("duration"), col("n_risk"), col("d_cause1"),
+          col("d_cause2"), r6(col("survival")).as("survival"),
+          r6(col("cif_1")).as("cif_1"), r6(col("cif_2")).as("cif_2"))
+        .orderBy("duration")
+    },
+    Some("""
+      WITH per AS (SELECT user_id,
+              min(CASE WHEN event_type = 'purchase' AND "value" > 200
+                  THEN ts END) AS hp,
+              min(CASE WHEN event_type = 'error' THEN ts END) AS he,
+              min(ts) AS f, max(ts) AS l
+            FROM events GROUP BY 1),
+      cr AS (SELECT CASE WHEN hp IS NOT NULL
+                           AND (he IS NULL OR hp <= he) THEN 1
+                         WHEN he IS NOT NULL THEN 2 ELSE 0 END AS cause,
+               datediff('day', f::DATE,
+                 (CASE WHEN hp IS NOT NULL AND (he IS NULL OR hp <= he)
+                       THEN hp
+                       WHEN he IS NOT NULL THEN he ELSE l END)::DATE)
+                 AS t
+             FROM per),
+      g AS (SELECT t::DOUBLE AS t,
+              sum(CASE WHEN cause = 1 THEN 1.0 ELSE 0 END) AS d1,
+              sum(CASE WHEN cause = 2 THEN 1.0 ELSE 0 END) AS d2,
+              count(*)::DOUBLE AS tot
+            FROM cr GROUP BY 1),
+      n AS (SELECT sum(tot) AS nn FROM g),
+      pre AS (SELECT t, d1, d2,
+                nn - coalesce(sum(tot) OVER (ORDER BY t ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+              FROM g, n),
+      ev AS (SELECT t, d1, d2, n_risk,
+               CASE WHEN d1 + d2 < n_risk
+                    THEN ln(1 - (d1 + d2) / n_risk) ELSE 0 END AS lnf
+             FROM pre WHERE d1 + d2 > 0),
+      sv AS (SELECT t, d1, d2, n_risk, lnf,
+               coalesce(sum(lnf) OVER (ORDER BY t ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lnp
+             FROM ev),
+      inc AS (SELECT t, d1, d2, n_risk, lnf, lnp,
+                exp(lnp) * d1 / n_risk AS i1,
+                exp(lnp) * d2 / n_risk AS i2
+              FROM sv)
+      SELECT t AS duration, n_risk::BIGINT AS n_risk,
+             d1::BIGINT AS d_cause1, d2::BIGINT AS d_cause2,
+             CASE WHEN d1 + d2 < n_risk
+                  THEN round(exp(lnp + lnf), 6) ELSE 0 END AS survival,
+             round(sum(i1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 6) AS cif_1,
+             round(sum(i2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 6) AS cif_2
+      FROM inc ORDER BY duration"""))
+
+  /** Spiegelhalter's Z: is the synthetic order score's miscalibration
+    * statistically real — the binning-free companion to q398. */
+  private val q419 = Entry(
+    "q419_spiegelhalter_z",
+    (s, d) =>
+      graft.ops.Evaluation.spiegelhalterZ(scoredOrders(s, d), "label",
+          "score")
+        .select(col("n"), r6(col("brier")).as("brier"),
+          r6(col("z_stat")).as("z_stat")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      c AS (SELECT y, least(greatest(p, 0), 1) AS p FROM sc),
+      a AS (SELECT count(*)::BIGINT AS n,
+              avg((y - p) * (y - p)) AS brier,
+              sum((y - p) * (1 - 2 * p)) AS num,
+              sum((1 - 2 * p) * (1 - 2 * p) * p * (1 - p)) AS den
+            FROM c)
+      SELECT n, round(brier, 6) AS brier,
+             round(num / sqrt(den), 6) AS z_stat
+      FROM a"""))
+
+  /** Hosmer–Lemeshow χ² over risk deciles cut at exact score
+    * quantiles — the classical calibration goodness-of-fit. */
+  private val q420 = Entry(
+    "q420_hosmer_lemeshow",
+    (s, d) =>
+      graft.ops.Evaluation.hosmerLemeshow(scoredOrders(s, d), "label",
+          "score", bins = 10)
+        .select(col("n"), col("n_bins"), r6(col("chi2")).as("chi2"),
+          col("dof")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      c AS (SELECT y, least(greatest(p, 0), 1) AS p FROM sc),
+      q AS (SELECT quantile_cont(p, 0.1) AS q1,
+              quantile_cont(p, 0.2) AS q2, quantile_cont(p, 0.3) AS q3,
+              quantile_cont(p, 0.4) AS q4, quantile_cont(p, 0.5) AS q5,
+              quantile_cont(p, 0.6) AS q6, quantile_cont(p, 0.7) AS q7,
+              quantile_cont(p, 0.8) AS q8, quantile_cont(p, 0.9) AS q9
+            FROM c),
+      b AS (SELECT y, p,
+              (CASE WHEN p > q1 THEN 1 ELSE 0 END +
+               CASE WHEN p > q2 THEN 1 ELSE 0 END +
+               CASE WHEN p > q3 THEN 1 ELSE 0 END +
+               CASE WHEN p > q4 THEN 1 ELSE 0 END +
+               CASE WHEN p > q5 THEN 1 ELSE 0 END +
+               CASE WHEN p > q6 THEN 1 ELSE 0 END +
+               CASE WHEN p > q7 THEN 1 ELSE 0 END +
+               CASE WHEN p > q8 THEN 1 ELSE 0 END +
+               CASE WHEN p > q9 THEN 1 ELSE 0 END) AS g
+            FROM c, q),
+      per AS (SELECT g, count(*)::DOUBLE AS ng, sum(y) AS o,
+                sum(p) AS e
+              FROM b GROUP BY 1),
+      f AS (SELECT sum(ng)::BIGINT AS n, count(*) AS n_bins,
+              sum(pow(o - e, 2) / (e * (1 - e / ng))) AS chi2
+            FROM per WHERE e > 0 AND e < ng)
+      SELECT n, n_bins, round(chi2, 6) AS chi2,
+             greatest(n_bins - 2, 1)::BIGINT AS dof
+      FROM f"""))
+
+  /** Murphy decomposition of the Brier score: miscalibration vs
+    * missing discrimination, separated. */
+  private val q421 = Entry(
+    "q421_brier_decomposition",
+    (s, d) =>
+      graft.ops.Evaluation.brierDecomposition(scoredOrders(s, d),
+          "label", "score", bins = 10)
+        .select(col("n"), r6(col("brier")).as("brier"),
+          r6(col("reliability")).as("reliability"),
+          r6(col("resolution")).as("resolution"),
+          r6(col("uncertainty")).as("uncertainty"),
+          r6(col("within_bin_variance")).as("within_bin_variance")),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      c AS (SELECT y, least(greatest(p, 0), 1) AS p FROM sc),
+      b AS (SELECT least(floor(p * 10), 9) AS bk, p, y FROM c),
+      per AS (SELECT bk, count(*)::DOUBLE AS nk, avg(p) AS pk,
+                avg(y) AS ok, sum((y - p) * (y - p)) AS sqk
+              FROM b GROUP BY 1),
+      t AS (SELECT sum(nk) AS nn,
+              sum(ok * nk) / sum(nk) AS obar
+            FROM per),
+      f AS (SELECT max(nn)::BIGINT AS n,
+              sum(sqk) / max(nn) AS brier,
+              sum(nk * (pk - ok) * (pk - ok)) / max(nn) AS rel,
+              sum(nk * (ok - obar) * (ok - obar)) / max(nn) AS res,
+              max(obar * (1 - obar)) AS unc
+            FROM per, t)
+      SELECT n, round(brier, 6) AS brier, round(rel, 6) AS reliability,
+             round(res, 6) AS resolution, round(unc, 6) AS uncertainty,
+             round(brier - rel + res - unc, 6) AS within_bin_variance
+      FROM f"""))
+
+  /** Vocabulary coverage curve: token-mass share of top-k vocab at
+    * k = 100 / 1000 / 10000 — the tokenizer sizing readout. */
+  private val q422 = Entry(
+    "q422_vocab_coverage",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .topKVocabCoverage(Tables.documents(s, d), "text",
+          Seq(100L, 1000L, 10000L))
+        .select(col("k"), col("k_effective"), col("vocabulary"),
+          col("total_tokens"), col("covered_tokens"),
+          r6(col("coverage")).as("coverage"))
+        .orderBy("k"),
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT w, count(*)::DOUBLE AS c FROM w WHERE w <> ''
+             GROUP BY 1),
+      cc AS (SELECT c, count(*)::DOUBLE AS m, c * count(*) AS mass
+             FROM tf GROUP BY 1),
+      pre AS (SELECT c, m,
+                coalesce(sum(m) OVER (ORDER BY c DESC ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exm,
+                coalesce(sum(mass) OVER (ORDER BY c DESC ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exmass
+              FROM cc),
+      t AS (SELECT sum(c) AS total, count(*)::DOUBLE AS vocab FROM tf),
+      ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+      k2 AS (SELECT k, least(k::DOUBLE, vocab) AS ke, total, vocab
+             FROM ks, t)
+      SELECT k, ke::BIGINT AS k_effective, vocab::BIGINT AS vocabulary,
+             total::BIGINT AS total_tokens,
+             (exmass + (ke - exm) * c)::BIGINT AS covered_tokens,
+             round((exmass + (ke - exm) * c) / total, 6) AS coverage
+      FROM pre JOIN k2 ON exm < ke AND ke <= exm + m
+      ORDER BY k"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -15916,7 +16121,8 @@ object Queries {
     q372, q373, q374, q375, q376, q377, q378, q379, q380, q381, q382, q383, q384, q385, q386,
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396, q397,
     q398, q399, q400, q401, q402, q403, q404, q405, q406, q407, q408,
-    q409, q410, q411, q412, q413, q414, q415, q416, q417)
+    q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
+    q420, q421, q422)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1783,6 +1783,65 @@ object AnalysisPlanner {
   }
 
   /**
+   * Aalen–Johansen cumulative incidence for TWO competing causes —
+   * what [[kaplanMeier]] gets WRONG when failures compete (1−KM per
+   * cause overstates each risk because it treats the other cause as
+   * censoring): CIF_j(t) = Σ_{s≤t} S(s−)·d_j(s)/n(s), with S the
+   * overall (any-cause) survival. `causeCol`: 0 = censored, 1 / 2 =
+   * the competing causes. The two CIFs plus overall survival sum to
+   * 1 at every time by construction.
+   *
+   * Scale shape: the [[kaplanMeier]] discipline threefold — distinct
+   * event times via one groupBy, at-risk counts from a prefix-count
+   * pass, S(s−) from an exclusive prefix of log factors, CIFs from
+   * one more prefix pass over the increments. Memory bounded by
+   * distinct durations; no single-partition window. Returns one row
+   * per distinct EVENT time: (duration, n_risk, d_cause1, d_cause2,
+   * survival, cif_1, cif_2).
+   */
+  def aalenJohansen(df: DataFrame, durationCol: String,
+      causeCol: String): DataFrame = {
+    val cause = col(causeCol).cast("int")
+    val g = df.where(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("double").as("__t"))
+      .agg(sum(when(cause === 1, 1.0).otherwise(0.0)).as("__d1"),
+        sum(when(cause === 2, 1.0).otherwise(0.0)).as("__d2"),
+        count(lit(1)).cast("double").as("__tot"))
+    val n = broadcast(df.where(col(durationCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("__N")))
+    val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
+      .join(n)
+      .withColumn("n_risk", col("__N") - col("__before"))
+    // a time where EVERYONE at risk fails has factor 0 (possible only
+    // at the last event time — nobody remains after it): its survival
+    // is exactly 0, and its log factor never feeds a later prefix, so
+    // it rides as 0 rather than ln(0)
+    val ev = pre.where(col("__d1") + col("__d2") > 0)
+      .withColumn("__lnf",
+        when(col("__d1") + col("__d2") < col("n_risk"),
+          log(lit(1.0) - (col("__d1") + col("__d2")) / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .select("__t", "n_risk", "__d1", "__d2", "__lnf")
+    val pre2 = PrefixSum.exclusive(ev, "__t", Seq("__lnf" -> "__lnp"))
+      .withColumn("__sMinus", exp(col("__lnp")))
+      .withColumn("__inc1",
+        col("__sMinus") * col("__d1") / col("n_risk"))
+      .withColumn("__inc2",
+        col("__sMinus") * col("__d2") / col("n_risk"))
+    PrefixSum.exclusive(pre2, "__t",
+        Seq("__inc1" -> "__exc1", "__inc2" -> "__exc2"))
+      .select(col("__t").as("duration"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("__d1").cast("long").as("d_cause1"),
+        col("__d2").cast("long").as("d_cause2"),
+        when(col("__d1") + col("__d2") < col("n_risk"),
+          exp(col("__lnp") + col("__lnf"))).otherwise(lit(0.0))
+          .as("survival"),
+        (col("__exc1") + col("__inc1")).as("cif_1"),
+        (col("__exc2") + col("__inc2")).as("cif_2"))
+  }
+
+  /**
    * Two-group log-rank test over (duration, event, group) rows — the
    * standard companion to [[kaplanMeier]]: does group A's survival
    * curve differ from group B's? Returns ONE row:

@@ -2269,6 +2269,107 @@ object Evaluation {
    * underconfident tail) when the scalar only says THAT it is. One
    * grouped pass; ≤ `bins` rows.
    */
+  /**
+   * Spiegelhalter's Z calibration test: the SIGNIFICANCE companion to
+   * ECE's magnitude — Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²p(1−p)), standard
+   * normal under perfect calibration; no binning, so no bin-choice
+   * sensitivity. ONE aggregation scan. Returns (n, brier, z_stat).
+   */
+  def spiegelhalterZ(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    df.where(y.isNotNull && col(scoreCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg((y - p) * (y - p)).as("brier"),
+        sum((y - p) * (lit(1.0) - lit(2.0) * p)).as("__num"),
+        sum((lit(1.0) - lit(2.0) * p) * (lit(1.0) - lit(2.0) * p) *
+          p * (lit(1.0) - p)).as("__den"))
+      .select(col("n"), col("brier"),
+        when(col("__den") > 0, col("__num") / sqrt(col("__den")))
+          .as("z_stat"))
+  }
+
+  /**
+   * Hosmer–Lemeshow goodness-of-fit over risk DECILES (cut at exact
+   * interpolated score quantiles — the canonical grouping, not
+   * fixed-width bins): χ² = Σ_g (O_g − E_g)²/(E_g(1 − E_g/n_g)),
+   * ~χ²(g−2) under fit. The classical "does the model fit at all"
+   * companion to the reliability diagram. One quantile pass + one
+   * grouped scan. Returns (n, n_bins, chi2, dof).
+   */
+  def hosmerLemeshow(df: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 3, "hosmerLemeshow: bins >= 3")
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    val base = df.where(y.isNotNull && col(scoreCol).isNotNull)
+      .select(p.as("__p"), y.as("__y"))
+    val named = (1 until bins).map(i => (s"q$i", i.toDouble / bins))
+    val cutsRow = graft.analysis.AnalysisPlanner
+      .exactPercentiles(base, "__p", named, Nil).head()
+    val cuts = named.map { case (nm, _) => cutsRow.getAs[Double](nm) }
+    val dec = cuts.foldLeft(lit(0L))((acc, q) =>
+      acc + when(col("__p") > q, 1L).otherwise(0L))
+    base.select(dec.as("__g"), col("__p"), col("__y"))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("__ng"),
+        sum(col("__y")).as("__o"), sum(col("__p")).as("__e"))
+      .where(col("__e") > 0 && col("__e") < col("__ng"))
+      .agg(sum(col("__ng")).cast("long").as("n"),
+        count(lit(1)).as("n_bins"),
+        sum(pow(col("__o") - col("__e"), 2.0) /
+          (col("__e") * (lit(1.0) - col("__e") / col("__ng"))))
+          .as("chi2"))
+      .withColumn("dof", greatest(col("n_bins") - 2, lit(1L)))
+  }
+
+  /**
+   * Murphy decomposition of the Brier score over `bins` fixed score
+   * bins: BRIER ≈ RELIABILITY − RESOLUTION + UNCERTAINTY — the
+   * readout that separates "the scores are wrong" (reliability, fix
+   * by recalibrating) from "the scores don't discriminate"
+   * (resolution, fix by remodeling), which the scalar Brier
+   * conflates. The identity is exact for bin-constant forecasts; the
+   * residual (brier − rel + res − unc) is reported as
+   * within-bin_variance so the approximation is visible. ONE grouped
+   * pass. Returns (n, brier, reliability, resolution, uncertainty,
+   * within_bin_variance).
+   */
+  def brierDecomposition(df: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "brierDecomposition: bins >= 2")
+    val y = col(labelCol).cast("double")
+    val p = least(greatest(col(scoreCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    val binned = df.where(y.isNotNull && col(scoreCol).isNotNull)
+      .select(least(floor(p * bins), lit(bins - 1L)).as("__b"),
+        p.as("__p"), y.as("__y"))
+    val per = binned.groupBy("__b")
+      .agg(count(lit(1)).cast("double").as("__nk"),
+        avg(col("__p")).as("__pk"), avg(col("__y")).as("__ok"),
+        sum((col("__y") - col("__p")) * (col("__y") - col("__p")))
+          .as("__sqk"))
+    val tot = broadcast(per.agg(sum(col("__nk")).as("__N"),
+      (sum(col("__ok") * col("__nk")) / sum(col("__nk"))).as("__obar")))
+    per.crossJoin(tot)
+      .agg(max(col("__N")).cast("long").as("n"),
+        (sum(col("__sqk")) / max(col("__N"))).as("brier"),
+        (sum(col("__nk") * (col("__pk") - col("__ok")) *
+          (col("__pk") - col("__ok"))) / max(col("__N")))
+          .as("reliability"),
+        (sum(col("__nk") * (col("__ok") - col("__obar")) *
+          (col("__ok") - col("__obar"))) / max(col("__N")))
+          .as("resolution"),
+        max(col("__obar") * (lit(1.0) - col("__obar")))
+          .as("uncertainty"))
+      .withColumn("within_bin_variance",
+        col("brier") - col("reliability") + col("resolution") -
+          col("uncertainty"))
+  }
+
   def reliabilityDiagram(df: DataFrame, labelCol: String,
       scoreCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "reliabilityDiagram: bins >= 2")

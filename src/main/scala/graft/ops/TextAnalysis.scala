@@ -1334,6 +1334,51 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary coverage curve: what share of the corpus TOKEN MASS
+   * does a top-k frequency vocabulary cover, for each k — the
+   * tokenizer/embedding-table sizing readout ("is 32k vocab enough or
+   * does the tail matter here"). Exact, via the count-of-counts
+   * frame: terms with the same frequency are interchangeable, so the
+   * top-k boundary lands inside ONE frequency class and coverage is
+   * prefix mass + a pro-rata slice of that class — no per-term sort,
+   * no top-k heap; prefix sums ride [[graft.analysis.PrefixSum]] over
+   * the ≤O(√mass)-row frequency-class frame in DESCENDING count
+   * order (negated key). Returns one row per k: (k, k_effective,
+   * vocabulary, total_tokens, covered_tokens, coverage).
+   */
+  def topKVocabCoverage(df: DataFrame, textCol: String,
+      ks: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "vocabCoverage: ks > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).cast("double").as("__c"))
+    val cc = tf.groupBy(col("__c"))
+      .agg(count(lit(1)).cast("double").as("__m"))
+      .withColumn("__mass", col("__c") * col("__m"))
+      .withColumn("__negc", -col("__c"))
+    val pre = graft.analysis.PrefixSum.exclusive(cc, "__negc",
+      Seq("__m" -> "__exm", "__mass" -> "__exmass"))
+    val tot = broadcast(tf.agg(sum(col("__c")).as("__total"),
+      count(lit(1)).cast("double").as("__vocab")))
+    val ksDf = broadcast(ks.toDF("k").crossJoin(tot)
+      .withColumn("__k2", least(col("k").cast("double"), col("__vocab"))))
+    // the boundary frequency class: __exm terms rank strictly above it
+    pre.join(ksDf,
+        col("__exm") < col("__k2") &&
+          col("__k2") <= col("__exm") + col("__m"))
+      .select(col("k"), col("__k2").cast("long").as("k_effective"),
+        col("__vocab").cast("long").as("vocabulary"),
+        col("__total").cast("long").as("total_tokens"),
+        (col("__exmass") + (col("__k2") - col("__exm")) * col("__c"))
+          .cast("long").as("covered_tokens"),
+        ((col("__exmass") + (col("__k2") - col("__exm")) * col("__c")) /
+          col("__total")).as("coverage"))
+  }
+
+  /**
    * Corpus vocabulary-frequency profile: vocabulary size, hapax and
    * dis legomena counts (terms seen exactly once / twice) and their
    * shares, total token mass, and the hapax TOKEN share — the Zipf
