@@ -1753,15 +1753,37 @@ object AnalysisPlanner {
    * estimator itself is the standard KM product-limit form).
    */
   def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String, groupCols: Seq[String] = Nil): DataFrame =
+    kaplanMeierFromCells(kmCells(df, durationCol, eventCol, groupCols),
+      groupCols)
+
+  /** The survival family's ONE corpus pass: per-(group, duration)
+    * sufficient statistics (__t, __d events, __tot rows),
+    * localCheckpointed — the downstream at-risk/product prefix
+    * cascades (and PrefixSum's bounds+join double evaluation) then
+    * read a distinct-durations-sized in-memory frame instead of
+    * re-running the corpus groupBy per pass. Cohort totals derive
+    * from these cells (integer-exact count sums), never from a second
+    * scan of `df`.
+    */
+  private[graft] def kmCells(df: DataFrame, durationCol: String,
       eventCol: String, groupCols: Seq[String] = Nil): DataFrame = {
     val gc = groupCols.map(col)
-    val g = df.groupBy(gc :+ col(durationCol).cast("double").as("__t"): _*)
+    df.groupBy(gc :+ col(durationCol).cast("double").as("__t"): _*)
       .agg(sum(col(eventCol).cast("double")).as("__d"),
         count(lit(1)).cast("double").as("__tot"))
+      .localCheckpoint()
+  }
+
+  /** [[kaplanMeier]] over a prebuilt (checkpointed) [[kmCells]] frame. */
+  private[graft] def kaplanMeierFromCells(g: DataFrame,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gc = groupCols.map(col)
     // per-group cohort size: 1-row broadcast ungrouped, a
-    // groups-bounded broadcast frame (null-safe keys) otherwise
-    val totals = df.groupBy(gc: _*)
-      .agg(count(lit(1)).cast("double").as("__N"))
+    // groups-bounded broadcast frame (null-safe keys) otherwise —
+    // summed from the cells, not re-scanned from the corpus
+    val totals = g.groupBy(gc: _*)
+      .agg(sum(col("__tot")).as("__N"))
     val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"),
       groupCols = groupCols)
     val withRisk = (if (groupCols.isEmpty) pre.join(broadcast(totals))
@@ -1802,13 +1824,17 @@ object AnalysisPlanner {
   def aalenJohansen(df: DataFrame, durationCol: String,
       causeCol: String): DataFrame = {
     val cause = col(causeCol).cast("int")
+    // ONE corpus pass: distinct-duration cells, checkpointed so the
+    // three-deep PrefixSum cascade below (each pass evaluates its
+    // input twice for bucket bounds) reads memory, not the corpus;
+    // N sums the cells (integer-exact), no second scan
     val g = df.where(col(durationCol).isNotNull)
       .groupBy(col(durationCol).cast("double").as("__t"))
       .agg(sum(when(cause === 1, 1.0).otherwise(0.0)).as("__d1"),
         sum(when(cause === 2, 1.0).otherwise(0.0)).as("__d2"),
         count(lit(1)).cast("double").as("__tot"))
-    val n = broadcast(df.where(col(durationCol).isNotNull)
-      .agg(count(lit(1)).cast("double").as("__N")))
+      .localCheckpoint()
+    val n = broadcast(g.agg(sum(col("__tot")).as("__N")))
     val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
       .join(n)
       .withColumn("n_risk", col("__N") - col("__before"))
@@ -1863,13 +1889,15 @@ object AnalysisPlanner {
       .select(col(durationCol).cast("double").as("__t"),
         col(eventCol).cast("double").as("__e"),
         when(isA, lit(1.0)).otherwise(lit(0.0)).as("__a"))
+    // ONE corpus pass (checkpointed cells); arm totals sum the cells
     val vc = base.groupBy("__t").agg(
       sum(col("__e") * col("__a")).as("__da"),
       sum(col("__e") * (lit(1.0) - col("__a"))).as("__db"),
       sum(col("__a")).as("__ta"),
       sum(lit(1.0) - col("__a")).as("__tb"))
-    val tot = base.agg(sum(col("__a")).as("__na0"),
-      sum(lit(1.0) - col("__a")).as("__nb0"))
+      .localCheckpoint()
+    val tot = vc.agg(sum(col("__ta")).as("__na0"),
+      sum(col("__tb")).as("__nb0"))
     val pre = PrefixSum.exclusive(vc, "__t",
         Seq("__ta" -> "__befa", "__tb" -> "__befb"))
       .join(broadcast(tot))
@@ -1905,11 +1933,9 @@ object AnalysisPlanner {
    */
   def nelsonAalen(df: DataFrame, durationCol: String,
       eventCol: String): DataFrame = {
-    val g = df.groupBy(col(durationCol).cast("double").as("__t"))
-      .agg(sum(col(eventCol).cast("double")).as("__d"),
-        count(lit(1)).cast("double").as("__tot"))
+    val g = kmCells(df, durationCol, eventCol)
     val withRisk = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
-      .join(broadcast(df.agg(count(lit(1)).cast("double").as("__N"))))
+      .join(broadcast(g.agg(sum(col("__tot")).as("__N"))))
       .withColumn("n_risk", col("__N") - col("__before"))
     val ev = withRisk.where(col("__d") > 0)
       .withColumn("__hz", col("__d") / col("n_risk"))
@@ -2630,7 +2656,11 @@ object AnalysisPlanner {
       groupCols: Seq[String] = Nil): DataFrame = {
     require(tau > 0, "restrictedMeanSurvival: tau > 0")
     val gc = groupCols.map(col)
-    val km = kaplanMeier(df, durationCol, eventCol, groupCols)
+    // ONE corpus pass: the checkpointed cells feed the KM curve AND
+    // the cohort (n, n_events) totals — integer-exact count sums, no
+    // second scan of `df`
+    val cells = kmCells(df, durationCol, eventCol, groupCols)
+    val km = kaplanMeierFromCells(cells, groupCols)
       .localCheckpoint() // rank pass + shift join + reduce below
     val vc = km.select(gc ++ Seq(col("duration").as("__t"),
       col("survival").as("__s"), lit(1.0).as("__one")): _*)
@@ -2639,8 +2669,9 @@ object AnalysisPlanner {
       .localCheckpoint()
     val next = ranked.select(gc ++ Seq((col("__r") - 1).as("__rn"),
       col("__t").as("__tn")): _*)
-    val n = df.groupBy(gc: _*).agg(count(lit(1)).as("__n"),
-      sum(col(eventCol).cast("long")).as("__ne"))
+    val n = cells.groupBy(gc: _*)
+      .agg(sum(col("__tot")).cast("long").as("__n"),
+        sum(col("__d")).cast("long").as("__ne"))
     // row r covers [t_r, t_{r+1}) at survival S_r; the last row runs
     // to τ; the pre-first-event span [0, t_1) at S=1 is the rank-0
     // virtual row, folded in as min(t_1, τ) below.
@@ -4023,16 +4054,22 @@ object AnalysisPlanner {
    */
   def cumulativeIncidence(df: DataFrame, durationCol: String,
       causeCol: String): DataFrame = {
-    val base = df.select(col(durationCol).cast("double").as("__t"),
+    // ONE corpus pass to per-(time, cause) cells — a distinct-cells
+    // frame (not the row-level corpus, which an earlier revision
+    // checkpointed at corpus size); time totals, N, and the per-cause
+    // increments below all derive from it by integer-exact count sums
+    val cells = df.select(col(durationCol).cast("double").as("__t"),
         col(causeCol).cast("int").as("__c"))
       .where(col("__t").isNotNull && col("__c").isNotNull)
-      .localCheckpoint() // time totals + cause counts + N read it
-    val perTime = base.groupBy("__t")
-      .agg(count(lit(1)).cast("double").as("__tot"),
-        sum(when(col("__c") > 0, 1.0).otherwise(0.0)).as("__d"))
+      .groupBy("__t", "__c")
+      .agg(count(lit(1)).cast("double").as("__dk"))
+      .localCheckpoint()
+    val perTime = cells.groupBy("__t")
+      .agg(sum(col("__dk")).as("__tot"),
+        sum(when(col("__c") > 0, col("__dk")).otherwise(0.0)).as("__d"))
     val risk = PrefixSum.exclusive(perTime, "__t",
         Seq("__tot" -> "__before"))
-      .join(broadcast(base.agg(count(lit(1)).cast("double").as("__N"))))
+      .join(broadcast(cells.agg(sum(col("__dk")).as("__N"))))
       .withColumn("n_risk", col("__N") - col("__before"))
     // d == n_risk can only happen at the LAST event time (no one
     // survives past it), and only LATER rows read the factor through
@@ -4046,9 +4083,7 @@ object AnalysisPlanner {
         Seq("__lnf" -> "__lnp"))
       .select(col("__t"), col("n_risk"), exp(col("__lnp")).as("__sm"))
       .localCheckpoint() // joined once per cause row below
-    val byCause = base.where(col("__c") > 0)
-      .groupBy("__t", "__c")
-      .agg(count(lit(1)).cast("double").as("__dk"))
+    val byCause = cells.where(col("__c") > 0)
     val incr = byCause.join(surv, Seq("__t"))
       .withColumn("__inc", col("__sm") * col("__dk") / col("n_risk"))
     PrefixSum.exclusive(incr, "__t", Seq("__inc" -> "__cifex"),
