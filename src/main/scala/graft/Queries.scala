@@ -16091,6 +16091,742 @@ object Queries {
       FROM pre JOIN k2 ON exm < ke AND ke <= exm + m
       ORDER BY k"""))
 
+  /** Acklam-probit CASE expression in DuckDB SQL over a probability
+    * column `p` with precomputed helper columns qc/rc/ql/qu (the
+    * q210/q372 coefficient list, shared so every normal-scores oracle
+    * replays the SAME arithmetic the Spark side runs). */
+  private def acklamSqlCase: String = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def h(cs: Seq[Double], x: String): String =
+      cs.tail.foldLeft(cs.head.toString)((acc, k) => s"($acc * $x + $k)")
+    s"""CASE WHEN pr < 0.02425 THEN
+          ${h(c, "ql")} / (${h(dd, "ql")} * ql + 1.0)
+        WHEN pr > 0.97575 THEN
+          -(${h(c, "qu")} / (${h(dd, "qu")} * qu + 1.0))
+        ELSE ${h(a, "rc")} * qc / (${h(b, "rc")} * rc + 1.0) END"""
+  }
+
+  /** Cuzick trend test across the funnel-ordered event types
+    * (view→click→signup→purchase as doses 1..4): is event value
+    * monotone in funnel depth? Exact permutation moments over the
+    * shared rank-cell substrate. */
+  private val q423 = Entry(
+    "q423_cuzick_trend",
+    (s, d) =>
+      AnalysisPlanner.cuzickTrendFromCells(eventTypeValueCells(s, d),
+          Seq("view" -> 1.0, "click" -> 2.0, "signup" -> 3.0,
+            "purchase" -> 4.0))
+        .select(col("n"), col("n_groups"),
+          r6(col("t_stat")).as("t_stat"), r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH d AS (SELECT "value"::DOUBLE AS v,
+              CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                WHEN 'signup' THEN 3.0 WHEN 'purchase' THEN 4.0 END AS z
+            FROM events WHERE "value" IS NOT NULL
+              AND event_type IN ('view', 'click', 'signup', 'purchase')),
+      vc AS (SELECT v, count(*)::DOUBLE AS t, sum(z) AS sz,
+               sum(z * z) AS szz
+             FROM d GROUP BY 1),
+      pre AS (SELECT t, sz, szz,
+                coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (t + 1) / 2.0 AS r
+              FROM vc),
+      a AS (SELECT sum(t) AS n, sum(sz) AS tz, sum(szz) AS tzz,
+              sum(sz * r) AS tstat, sum(t * r * r) AS sr2
+            FROM pre)
+      SELECT n::BIGINT AS n, 4 AS n_groups, round(tstat, 6) AS t_stat,
+             round((tstat - tz * (n + 1) / 2.0) /
+               sqrt((tzz - tz * tz / n) *
+                 (sr2 - n * ((n + 1) / 2.0) * ((n + 1) / 2.0)) /
+                 (n - 1)), 6) AS z_stat
+      FROM a"""))
+
+  /** Klotz normal-scores scale test, purchase vs click values — the
+    * normal-scores member of the scale trio beside q387/q410; oracle
+    * replays Acklam's probit from the shared coefficient list. */
+  private val q424 = Entry(
+    "q424_klotz",
+    (s, d) =>
+      AnalysisPlanner
+        .klotzFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("t_stat")).as("t_stat"),
+          r6(col("z_stat")).as("z_stat")),
+    Some(s"""
+      WITH d AS (SELECT "value"::DOUBLE AS v, event_type AS g
+                 FROM events WHERE "value" IS NOT NULL
+                   AND event_type IN ('purchase', 'click')),
+      vc AS (SELECT v,
+               sum(CASE WHEN g = 'click' THEN 1.0 ELSE 0 END) AS ct,
+               sum(CASE WHEN g = 'purchase' THEN 1.0 ELSE 0 END) AS cc
+             FROM d GROUP BY 1),
+      tot AS (SELECT sum(ct + cc) AS nn FROM vc),
+      pre AS (SELECT ct, cc,
+                (coalesce(sum(ct + cc) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (ct + cc + 1) / 2.0) / (nn + 1) AS pr
+              FROM vc, tot),
+      q0 AS (SELECT ct, cc, pr, pr - 0.5 AS qc,
+               (pr - 0.5) * (pr - 0.5) AS rc,
+               sqrt(-2.0 * ln(pr)) AS ql,
+               sqrt(-2.0 * ln(1.0 - pr)) AS qu
+             FROM pre),
+      sc AS (SELECT ct, cc,
+               ($acklamSqlCase) * ($acklamSqlCase) AS s
+             FROM q0),
+      a AS (SELECT sum(cc) AS nc, sum(ct) AS nt,
+              sum(ct * s) AS t, sum((ct + cc) * s) AS ss,
+              sum((ct + cc) * s * s) AS ss2
+            FROM sc)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t,
+             round(t, 6) AS t_stat,
+             round((t - nt * ss / (nc + nt)) /
+               sqrt(nc * nt / ((nc + nt) * (nc + nt - 1)) *
+                 (ss2 - ss * ss / (nc + nt))), 6) AS z_stat
+      FROM a"""))
+
+  /** Shapiro–Francia normality of extended price (Blom scores on
+    * midranks, Royston z) — the large-N normality screen beside
+    * q320's Lilliefors and q395's K². */
+  private val q425 = Entry(
+    "q425_shapiro_francia",
+    (s, d) =>
+      AnalysisPlanner.shapiroFrancia(Tables.lineitem(s, d),
+          "l_extendedprice")
+        .select(col("n"), r6(col("w_stat")).as("w_stat"),
+          r6(col("z_stat")).as("z_stat")),
+    Some(s"""
+      WITH vc AS (SELECT l_extendedprice::DOUBLE AS v,
+                    count(*)::DOUBLE AS c
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL
+                  GROUP BY 1),
+      tot AS (SELECT sum(c) AS nn FROM vc),
+      pre AS (SELECT v, c,
+                (coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (c + 1) / 2.0 - 0.375) / (nn + 0.25) AS pr
+              FROM vc, tot),
+      q0 AS (SELECT v, c, pr, pr - 0.5 AS qc,
+               (pr - 0.5) * (pr - 0.5) AS rc,
+               sqrt(-2.0 * ln(pr)) AS ql,
+               sqrt(-2.0 * ln(1.0 - pr)) AS qu
+             FROM pre),
+      sc AS (SELECT v, c, ($acklamSqlCase) AS m FROM q0),
+      a AS (SELECT sum(c) AS n, sum(c * m) AS sm,
+              sum(c * m * m) AS smm, sum(c * v) AS sx,
+              sum(c * v * v) AS sxx, sum(c * m * v) AS smx
+            FROM sc),
+      w AS (SELECT n,
+              (smx - sm * sx / n) * (smx - sm * sx / n) /
+                ((smm - sm * sm / n) * (sxx - sx * sx / n)) AS wst
+            FROM a)
+      SELECT n::BIGINT AS n, round(wst, 6) AS w_stat,
+             round((ln(1.0 - wst) -
+               (-1.2725 + 1.0521 * (ln(ln(n)) - ln(n)))) /
+               (1.0308 - 0.26758 * (ln(ln(n)) + 2.0 / ln(n))), 6)
+               AS z_stat
+      FROM w"""))
+
+  /** Hodges–Lehmann estimate of the per-user purchase-minus-view
+    * activity shift (median of Walsh averages over integer-exact
+    * per-user count differences — the deterministic-order-statistic
+    * discipline). */
+  private val q426 = Entry(
+    "q426_hodges_lehmann",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) -
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .cast("double").as("diff"))
+      AnalysisPlanner.hodgesLehmann(per, "diff")
+        .select(col("n"), col("n_walsh"), col("hl_estimate"))
+    },
+    Some("""
+      WITH per AS (SELECT user_id,
+              (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              )::DOUBLE AS d
+            FROM events GROUP BY 1),
+      cl AS (SELECT d, count(*)::DOUBLE AS c FROM per GROUP BY 1),
+      pairs AS (SELECT (a.d + b.d) / 2.0 AS wa,
+                  CASE WHEN a.d = b.d THEN a.c * (a.c + 1) / 2.0
+                       ELSE a.c * b.c END AS w
+                FROM cl a JOIN cl b ON a.d <= b.d),
+      g AS (SELECT wa, sum(w) AS cnt FROM pairs GROUP BY 1),
+      pre AS (SELECT wa, cnt,
+                coalesce(sum(cnt) OVER (ORDER BY wa ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM g),
+      t AS (SELECT sum(cnt) AS tw FROM g),
+      n AS (SELECT count(*) AS nu FROM per)
+      SELECT nu AS n, tw::BIGINT AS n_walsh, wa AS hl_estimate
+      FROM pre, t, n
+      WHERE bef < ceil(tw / 2.0) AND bef + cnt >= ceil(tw / 2.0)"""))
+
+  /** Quandt sup-F (QLR) trend-break search on the daily event-count
+    * series — where q414's AMOC sees only a level shift, this fits
+    * y = a + bt on both sides of every trimmed candidate split;
+    * integer-exact moments keep the argmax engine-deterministic. */
+  private val q427 = Entry(
+    "q427_qlr_break",
+    (s, d) =>
+      graft.ops.TimeSeries.qlrSupF(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("break_day"),
+          r6(col("f_stat")).as("f_stat"),
+          r6(col("sse_pooled")).as("sse_pooled"),
+          r6(col("sse_split")).as("sse_split")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      m AS (SELECT t, row_number() OVER (ORDER BY t)::DOUBLE AS i,
+              sum(t::DOUBLE) OVER w AS st, sum(y) OVER w AS sy,
+              sum(t::DOUBLE * t) OVER w AS stt,
+              sum(t::DOUBLE * y) OVER w AS sty,
+              sum(y * y) OVER w AS syy
+            FROM daily WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(t::DOUBLE) AS tst,
+                sum(y) AS tsy, sum(t::DOUBLE * t) AS tstt,
+                sum(t::DOUBLE * y) AS tsty, sum(y * y) AS tsyy
+              FROM daily),
+      cand AS (SELECT t, n,
+                 (syy - sy * sy / i) -
+                   (sty - st * sy / i) * (sty - st * sy / i) /
+                   (stt - st * st / i) AS sseL,
+                 ((tsyy - syy) - (tsy - sy) * (tsy - sy) / (n - i)) -
+                   ((tsty - sty) - (tst - st) * (tsy - sy) / (n - i)) *
+                   ((tsty - sty) - (tst - st) * (tsy - sy) / (n - i)) /
+                   ((tstt - stt) - (tst - st) * (tst - st) / (n - i))
+                   AS sseR,
+                 tsyy - tsy * tsy / n -
+                   (tsty - tst * tsy / n) * (tsty - tst * tsy / n) /
+                   (tstt - tst * tst / n) AS sseP
+               FROM m, tot
+               WHERE i >= ceil(n * 0.15) AND i <= floor(n * 0.85)
+                 AND i >= 3 AND n - i >= 3),
+      f AS (SELECT t, n, sseP, sseL + sseR AS sseS,
+              ((sseP - sseL - sseR) / 2) /
+                ((sseL + sseR) / (n - 4)) AS f
+            FROM cand WHERE sseL + sseR > 0 AND n > 4)
+      SELECT n::BIGINT AS n_days, DATE '1970-01-01' + t::INT
+               AS break_day,
+             round(f, 6) AS f_stat, round(sseP, 6) AS sse_pooled,
+             round(sseS, 6) AS sse_split
+      FROM f ORDER BY f DESC, t LIMIT 1"""))
+
+  /** CUSUM-of-squares stability statistic on the daily count series'
+    * trend residuals — the variance-stability companion to q427. */
+  private val q428 = Entry(
+    "q428_cusum_squares",
+    (s, d) =>
+      graft.ops.TimeSeries.cusumSquares(Tables.events(s, d), "ts")
+        .select(col("n_days"),
+          r6(col("cusum_sq_stat")).as("cusum_sq_stat")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(t::DOUBLE) AS tst,
+                sum(y) AS tsy, sum(t::DOUBLE * t) AS tstt,
+                sum(t::DOUBLE * y) AS tsty
+              FROM daily),
+      fit AS (SELECT n, tsy, tst,
+                (tsty - tst * tsy / n) / (tstt - tst * tst / n) AS b
+              FROM tot),
+      f2 AS (SELECT n, b, (tsy - b * tst) / n AS a FROM fit),
+      e AS (SELECT t, n,
+              (y - a - b * t) * (y - a - b * t) AS e2
+            FROM daily, f2),
+      pre AS (SELECT n,
+                sum(e2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS ce,
+                row_number() OVER (ORDER BY t)::DOUBLE AS i
+              FROM e),
+      te AS (SELECT sum(e2) AS tot_e FROM e)
+      SELECT max(n)::BIGINT AS n_days,
+             round(max(abs(ce / tot_e - i / n)), 6) AS cusum_sq_stat
+      FROM pre, te"""))
+
+  /** Goldfeld–Quandt heteroskedasticity F on the daily count series
+    * (first 40% vs last 40% of days around the trend). */
+  private val q429 = Entry(
+    "q429_goldfeld_quandt",
+    (s, d) =>
+      graft.ops.TimeSeries.goldfeldQuandt(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("n_each"),
+          r6(col("sse_first")).as("sse_first"),
+          r6(col("sse_last")).as("sse_last"),
+          r6(col("gq_f")).as("gq_f")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      m AS (SELECT t, row_number() OVER (ORDER BY t)::DOUBLE AS i,
+              sum(t::DOUBLE) OVER w AS st, sum(y) OVER w AS sy,
+              sum(t::DOUBLE * t) OVER w AS stt,
+              sum(t::DOUBLE * y) OVER w AS sty,
+              sum(y * y) OVER w AS syy
+            FROM daily WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(t::DOUBLE) AS tst,
+                sum(y) AS tsy, sum(t::DOUBLE * t) AS tstt,
+                sum(t::DOUBLE * y) AS tsty, sum(y * y) AS tsyy
+              FROM daily),
+      lo AS (SELECT n, floor(n * 0.4) AS mm,
+               (syy - sy * sy / i) -
+                 (sty - st * sy / i) * (sty - st * sy / i) /
+                 (stt - st * st / i) AS sse_first
+             FROM m, tot WHERE i = floor(n * 0.4)),
+      hi AS (SELECT ((tsyy - syy) - (tsy - sy) * (tsy - sy) /
+                 (n - i)) -
+               ((tsty - sty) - (tst - st) * (tsy - sy) / (n - i)) *
+               ((tsty - sty) - (tst - st) * (tsy - sy) / (n - i)) /
+               ((tstt - stt) - (tst - st) * (tst - st) / (n - i))
+               AS sse_last
+             FROM m, tot WHERE i = n - floor(n * 0.4))
+      SELECT n::BIGINT AS n_days, mm::BIGINT AS n_each,
+             round(sse_first, 6) AS sse_first,
+             round(sse_last, 6) AS sse_last,
+             round((sse_last / (mm - 2)) / (sse_first / (mm - 2)), 6)
+               AS gq_f
+      FROM lo, hi"""))
+
+  /** Engle ARCH LM(1) on the daily-mean value series' trend
+    * residuals — does today's volatility predict tomorrow's? */
+  private val q430 = Entry(
+    "q430_arch_lm",
+    (s, d) =>
+      graft.ops.TimeSeries.archLm(Tables.events(s, d), "ts", "value")
+        .select(col("n_pairs"), r6(col("r2")).as("r2"),
+          r6(col("lm_stat")).as("lm_stat")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, avg("value"::DOUBLE) AS x
+                     FROM events
+                     WHERE ts IS NOT NULL AND "value" IS NOT NULL
+                     GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(t::DOUBLE) AS tst,
+                sum(x) AS tsy, sum(t::DOUBLE * t) AS tstt,
+                sum(t::DOUBLE * x) AS tsty
+              FROM daily),
+      fit AS (SELECT n, tst, tsy,
+                (tsty - tst * tsy / n) / (tstt - tst * tst / n) AS b
+              FROM tot),
+      f2 AS (SELECT b, (tsy - b * tst) / n AS a FROM fit),
+      e AS (SELECT t, (x - a - b * t) * (x - a - b * t) AS e2
+            FROM daily, f2),
+      p AS (SELECT c.e2 AS ey, l.e2 AS ex
+            FROM e c JOIN e l ON c.t = l.t + 1),
+      a2 AS (SELECT count(*)::DOUBLE AS np, sum(ex) AS sx,
+               sum(ey) AS sy, sum(ex * ex) AS sxx,
+               sum(ex * ey) AS sxy, sum(ey * ey) AS syy
+             FROM p),
+      r AS (SELECT np,
+              (sxy - sx * sy / np) * (sxy - sx * sy / np) /
+                ((sxx - sx * sx / np) * (syy - sy * sy / np)) AS r2
+            FROM a2)
+      SELECT np::BIGINT AS n_pairs, round(r2, 6) AS r2,
+             round(np * r2, 6) AS lm_stat
+      FROM r"""))
+
+  /** Lo–MacKinlay variance ratio (q = 5) on the daily event-count
+    * series — random walk vs mean-reversion vs momentum. */
+  private val q431 = Entry(
+    "q431_variance_ratio",
+    (s, d) =>
+      graft.ops.TimeSeries.varianceRatio(Tables.events(s, d), "ts", 5)
+        .select(col("n_days"), col("q"), r6(col("vr")).as("vr"),
+          r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      d1 AS (SELECT count(*)::DOUBLE AS n1, sum(c.y - l.y) AS s1,
+               sum((c.y - l.y) * (c.y - l.y)) AS ss1
+             FROM daily c JOIN daily l ON c.t = l.t + 1),
+      dq AS (SELECT count(*)::DOUBLE AS nq, sum(c.y - l.y) AS sq,
+               sum((c.y - l.y) * (c.y - l.y)) AS ssq
+             FROM daily c JOIN daily l ON c.t = l.t + 5),
+      nd AS (SELECT count(*)::DOUBLE AS nn FROM daily),
+      v AS (SELECT nn, (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+              (ssq - sq * sq / nq) / (nq - 1) AS vq
+            FROM d1, dq, nd)
+      SELECT nn::BIGINT AS n_days, 5 AS q,
+             round(vq / (5 * v1), 6) AS vr,
+             round((vq / (5 * v1) - 1) /
+               sqrt(2.0 * 9 * 4 / (3.0 * 5 * nn)), 6) AS z_stat
+      FROM v"""))
+
+  /** Buishand range + SNHT level-homogeneity panel on the daily
+    * event-count series — integer-exact prefix sums make the SNHT
+    * break argmax engine-deterministic. */
+  private val q432 = Entry(
+    "q432_homogeneity",
+    (s, d) =>
+      graft.ops.TimeSeries.homogeneityPanel(Tables.events(s, d), "ts")
+        .select(col("n_days"), r6(col("buishand_r")).as("buishand_r"),
+          r6(col("snht_t")).as("snht_t"), col("snht_break_day")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS n, sum(y) AS tsy,
+                sum(y * y) AS tsyy
+              FROM daily),
+      m AS (SELECT t, row_number() OVER (ORDER BY t)::DOUBLE AS i,
+              sum(y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS sy
+            FROM daily),
+      base AS (SELECT t, i, sy, n, tsy,
+                 sy - i * tsy / n AS sk,
+                 (tsyy - tsy * tsy / n) / n AS s2
+               FROM m, tot),
+      rng AS (SELECT max(n) AS nn, max(s2) AS v, max(sk) AS mx,
+                min(sk) AS mn
+              FROM base),
+      snht AS (SELECT i * ((sy / i - tsy / n) / sqrt(s2)) *
+                   ((sy / i - tsy / n) / sqrt(s2)) +
+                 (n - i) * (((tsy - sy) / (n - i) - tsy / n) /
+                   sqrt(s2)) *
+                   (((tsy - sy) / (n - i) - tsy / n) / sqrt(s2))
+                   AS tk,
+                 t
+               FROM base WHERE i < n AND s2 > 0
+               ORDER BY tk DESC, t LIMIT 1)
+      SELECT nn::BIGINT AS n_days,
+             round((mx - mn) / (sqrt(v) * sqrt(nn)), 6) AS buishand_r,
+             round(tk, 6) AS snht_t,
+             DATE '1970-01-01' + t::INT AS snht_break_day
+      FROM rng, snht"""))
+
+  /** Bartels rank von Neumann randomness test on the daily count
+    * series — the nonparametric serial-dependence screen. */
+  private val q433 = Entry(
+    "q433_bartels_rank",
+    (s, d) =>
+      graft.ops.TimeSeries.bartelsRank(Tables.events(s, d), "ts")
+        .select(col("n_days"), r6(col("rvn")).as("rvn"),
+          r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      idx AS (SELECT t, y, row_number() OVER (ORDER BY t) AS i
+              FROM daily),
+      vc AS (SELECT y AS yv, count(*)::DOUBLE AS c FROM daily
+             GROUP BY 1),
+      rk AS (SELECT yv,
+               coalesce(sum(c) OVER (ORDER BY yv ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (c + 1) / 2.0 AS r
+             FROM vc),
+      rr AS (SELECT i, r FROM idx JOIN rk ON idx.y = rk.yv),
+      num AS (SELECT sum((a.r - b.r) * (a.r - b.r)) AS nm
+              FROM rr a JOIN rr b ON b.i = a.i + 1),
+      den AS (SELECT count(*)::DOUBLE AS n, sum(r) AS sr,
+                sum(r * r) AS srr
+              FROM rr)
+      SELECT n::BIGINT AS n_days,
+             round(nm / (srr - sr * sr / n), 6) AS rvn,
+             round((nm / (srr - sr * sr / n) - 2) /
+               sqrt(4.0 * (n - 2) * (5 * n * n - 2 * n - 9) /
+                 (5.0 * n * (n + 1) * (n - 1) * (n - 1))), 6)
+               AS z_stat
+      FROM num, den"""))
+
+  /** Turning-point + difference-sign randomness panel on the daily
+    * count series (strict inequalities on integer counts). */
+  private val q434 = Entry(
+    "q434_randomness",
+    (s, d) =>
+      graft.ops.TimeSeries.randomnessPanel(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("turning_points"),
+          r6(col("tp_z")).as("tp_z"), col("n_increases"),
+          r6(col("ds_z")).as("ds_z")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      idx AS (SELECT y, row_number() OVER (ORDER BY t) AS i
+              FROM daily),
+      tp AS (SELECT sum(CASE WHEN (c.y > p.y AND c.y > nx.y)
+                            OR (c.y < p.y AND c.y < nx.y)
+                       THEN 1.0 ELSE 0 END) AS tpc
+             FROM idx c JOIN idx p ON c.i = p.i + 1
+                        JOIN idx nx ON nx.i = c.i + 1),
+      ds AS (SELECT sum(CASE WHEN c.y > p.y THEN 1.0 ELSE 0 END) AS up
+             FROM idx c JOIN idx p ON c.i = p.i + 1),
+      nd AS (SELECT count(*)::DOUBLE AS n FROM daily)
+      SELECT n::BIGINT AS n_days, tpc::BIGINT AS turning_points,
+             round((tpc - 2.0 * (n - 2) / 3) /
+               sqrt((16.0 * n - 29) / 90), 6) AS tp_z,
+             up::BIGINT AS n_increases,
+             round((up - (n - 1) / 2) / sqrt((n + 1) / 12), 6) AS ds_z
+      FROM tp, ds, nd"""))
+
+  /** Hirsch–Slack seasonal Mann–Kendall trend test of daily mean
+    * event value, month-of-year seasons — no cross-season pairs, so
+    * an annual cycle can't fake a trend. */
+  private val q435 = Entry(
+    "q435_seasonal_mk",
+    (s, d) =>
+      graft.ops.TimeSeries.seasonalMannKendall(Tables.events(s, d),
+          "ts", "value")
+        .select(col("n_seasons"), col("n_days"), col("s_stat"),
+          r6(col("var_s")).as("var_s"), r6(col("z")).as("z")),
+    Some("""
+      WITH daily AS (SELECT month(CAST(ts AS DATE)) AS season,
+                       CAST(ts AS DATE) AS dd,
+                       avg("value"::DOUBLE) AS x
+                     FROM events
+                     WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+      s AS (SELECT l.season,
+              sum(CASE WHEN r.x > l.x THEN 1.0
+                       WHEN r.x < l.x THEN -1.0 ELSE 0 END) AS s_stat
+            FROM daily l JOIN daily r
+              ON l.season = r.season AND l.dd < r.dd
+            GROUP BY 1),
+      ties AS (SELECT season, sum(tc) AS n,
+                 sum(tc * (tc - 1) * (2.0 * tc + 5)) AS tt
+               FROM (SELECT season, x, count(*)::DOUBLE AS tc
+                     FROM daily GROUP BY 1, 2)
+               GROUP BY 1),
+      per AS (SELECT s.season, s.s_stat, ties.n,
+                (ties.n * (ties.n - 1) * (2.0 * ties.n + 5) - ties.tt)
+                  / 18 AS var_s
+              FROM s JOIN ties ON s.season = ties.season),
+      agg AS (SELECT count(*) AS n_seasons, sum(n) AS n_days,
+                sum(s_stat) AS s_stat, sum(var_s) AS var_s
+              FROM per)
+      SELECT n_seasons, n_days::BIGINT AS n_days, s_stat,
+             round(var_s, 6) AS var_s,
+             round(CASE WHEN var_s > 0 AND s_stat <> 0
+               THEN (s_stat - sign(s_stat)) / sqrt(var_s)
+               ELSE 0 END, 6) AS z
+      FROM agg"""))
+
+  /** Breslow–Day + Tarone OR-homogeneity across event types (same
+    * 2x2 design as q406's Woolf — the exact-expected-count
+    * counterpart, no +0.5 continuity fudge). */
+  private val q436 = Entry(
+    "q436_breslow_day",
+    (s, d) =>
+      graft.ops.Evaluation.breslowDay(
+          Tables.events(s, d).where(col("event_type").isNotNull),
+          col("user_id") % 2 === 0, col("value") > 250,
+          Seq("event_type"))
+        .select(col("n_strata"), r6(col("or_mh")).as("or_mh"),
+          r6(col("bd_chi2")).as("bd_chi2"),
+          r6(col("tarone_chi2")).as("tarone_chi2"), col("dof")),
+    Some("""
+      WITH per AS (SELECT event_type,
+              sum(CASE WHEN user_id % 2 = 0 AND "value" > 250
+                  THEN 1.0 ELSE 0 END) AS a,
+              sum(CASE WHEN user_id % 2 = 0 AND NOT ("value" > 250)
+                  THEN 1.0 ELSE 0 END) AS b,
+              sum(CASE WHEN user_id % 2 <> 0 AND "value" > 250
+                  THEN 1.0 ELSE 0 END) AS c,
+              sum(CASE WHEN user_id % 2 <> 0 AND NOT ("value" > 250)
+                  THEN 1.0 ELSE 0 END) AS dd
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      mg AS (SELECT event_type, a, b, c, dd, a + b + c + dd AS n,
+               a + b AS r1, c + dd AS r0, a + c AS m1
+             FROM per),
+      psi AS (SELECT sum(a * dd / n) / sum(b * c / n) AS p FROM mg),
+      q AS (SELECT event_type, a, r1, r0, m1, n, p,
+              p - 1 AS qa,
+              -(p * (r1 + m1) + (r0 - m1)) AS qb,
+              p * r1 * m1 AS qc
+            FROM mg, psi),
+      rt AS (SELECT *,
+               sqrt(greatest(qb * qb - 4 * qa * qc, 0)) AS disc,
+               greatest(0, m1 - r0) AS lo, least(r1, m1) AS hi
+             FROM q),
+      sv AS (SELECT event_type, a, p,
+               CASE WHEN abs(qa) < 1e-12 THEN r1 * m1 / n
+                    WHEN (-qb - disc) / (2 * qa) >= lo
+                     AND (-qb - disc) / (2 * qa) <= hi
+                    THEN (-qb - disc) / (2 * qa)
+                    ELSE (-qb + disc) / (2 * qa) END AS atil,
+               r1, m1, r0
+             FROM rt),
+      vv AS (SELECT event_type, a, p, atil,
+               CASE WHEN atil > 0 AND r1 - atil > 0 AND m1 - atil > 0
+                     AND r0 - m1 + atil > 0
+                 THEN 1.0 / (1.0 / atil + 1.0 / (r1 - atil)
+                   + 1.0 / (m1 - atil) + 1.0 / (r0 - m1 + atil))
+                 END AS v
+             FROM sv),
+      agg AS (SELECT count(*) AS n_strata, max(p) AS or_mh,
+                sum((a - atil) * (a - atil) / v) AS bd,
+                sum(a - atil) AS dev, sum(v) AS svv
+              FROM vv WHERE v IS NOT NULL)
+      SELECT n_strata, round(or_mh, 6) AS or_mh,
+             round(bd, 6) AS bd_chi2,
+             round(bd - dev * dev / svv, 6) AS tarone_chi2,
+             n_strata - 1 AS dof
+      FROM agg"""))
+
+  /** Durbin–Wu–Hausman endogeneity test on the q357 IV design — is
+    * the instrument even needed, or is OLS consistent? */
+  private val q437 = Entry(
+    "q437_hausman",
+    (s, d) =>
+      graft.ops.Regression.hausmanIvOls(Tables.lineitem(s, d),
+          "l_extendedprice", "l_quantity", "l_linenumber")
+        .select(col("n"), r6(col("beta_ols")).as("beta_ols"),
+          r6(col("beta_iv")).as("beta_iv"),
+          r6(col("hausman_stat")).as("hausman_stat")),
+    Some("""
+      WITH m AS (SELECT count(*)::DOUBLE AS n,
+                   sum(l_quantity)::DOUBLE AS sx,
+                   sum(l_extendedprice)::DOUBLE AS sy,
+                   sum(l_linenumber)::DOUBLE AS sz,
+                   sum(l_quantity * l_quantity)::DOUBLE AS sxx,
+                   sum(l_linenumber * l_linenumber)::DOUBLE AS szz,
+                   sum(l_quantity * l_linenumber)::DOUBLE AS sxz,
+                   sum(l_linenumber * l_extendedprice)::DOUBLE AS szy,
+                   sum(l_quantity * l_extendedprice)::DOUBLE AS sxy,
+                   sum(l_extendedprice * l_extendedprice)::DOUBLE AS syy
+                 FROM lineitem),
+      c AS (SELECT n, sxx - sx * sx / n AS cxx,
+              szz - sz * sz / n AS czz, sxz - sx * sz / n AS cxz,
+              szy - sz * sy / n AS czy, sxy - sx * sy / n AS cxy,
+              syy - sy * sy / n AS cyy
+            FROM m),
+      b AS (SELECT n, cxx, czz, cxz, cxy, cyy,
+              cxy / cxx AS bols, czy / cxz AS biv
+            FROM c),
+      v AS (SELECT n, bols, biv,
+              ((cyy - bols * cxy) / (n - 2)) / cxx AS vols,
+              ((cyy - 2 * biv * cxy + biv * biv * cxx) / (n - 2)) *
+                czz / (cxz * cxz) AS viv
+            FROM b)
+      SELECT n::BIGINT AS n, round(bols, 6) AS beta_ols,
+             round(biv, 6) AS beta_iv,
+             round(CASE WHEN viv > vols
+               THEN (biv - bols) * (biv - bols) / (viv - vols) END, 6)
+               AS hausman_stat
+      FROM v"""))
+
+  /** Lexical-richness panel over the document corpus: Yule's K,
+    * Simpson's D, Herdan's C, Guiraud's R, Sichel's S, Honoré's H —
+    * all pure functions of the count-of-counts frame. */
+  private val q438 = Entry(
+    "q438_lexical_richness",
+    (s, d) =>
+      graft.ops.TextAnalysis.lexicalRichness(Tables.documents(s, d),
+          "text")
+        .select(col("n_tokens"), col("vocabulary"),
+          r6(col("yule_k")).as("yule_k"),
+          r6(col("simpson_d") * 1e6).as("simpson_d_ppm"),
+          r6(col("herdan_c")).as("herdan_c"),
+          r6(col("guiraud_r")).as("guiraud_r"),
+          r6(col("sichel_s")).as("sichel_s"),
+          r6(col("honore_h")).as("honore_h")),
+    Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT w, count(*)::DOUBLE AS c FROM w WHERE w <> ''
+             GROUP BY 1),
+      coc AS (SELECT c AS m, count(*)::DOUBLE AS vm FROM tf
+              GROUP BY 1),
+      a AS (SELECT sum(m * vm) AS n, sum(vm) AS v,
+              sum(m * m * vm) AS sm2, sum(m * (m - 1) * vm) AS sm11,
+              sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS v1,
+              sum(CASE WHEN m = 2 THEN vm ELSE 0 END) AS v2
+            FROM coc)
+      SELECT n::BIGINT AS n_tokens, v::BIGINT AS vocabulary,
+             round(1e4 * (sm2 - n) / (n * n), 6) AS yule_k,
+             round(1e6 * sm11 / (n * (n - 1)), 6) AS simpson_d_ppm,
+             round(ln(v) / ln(n), 6) AS herdan_c,
+             round(v / sqrt(n), 6) AS guiraud_r,
+             round(v2 / v, 6) AS sichel_s,
+             round(CASE WHEN v1 < v
+               THEN 100.0 * ln(n) / (1.0 - v1 / v) END, 6) AS honore_h
+      FROM a"""))
+
+  /** Collocation-strength panel: top-20 bigrams by logDice with the
+    * Church–Hanks t-score beside it — the lexicographic companion to
+    * q85's PMI ranking. */
+  private val q439 = Entry(
+    "q439_collocations",
+    (s, d) =>
+      graft.ops.TextAnalysis.collocationPanel(Tables.documents(s, d),
+        "text", minCount = 5, k = 20),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                      unnest(string_split(text, ' ')) AS term,
+                      generate_subscripts(string_split(text, ' '), 1)
+                        AS ord
+                    FROM documents WHERE text IS NOT NULL),
+      bi0 AS (SELECT term AS x,
+                lead(term) OVER (PARTITION BY doc_id ORDER BY ord)
+                  AS y
+              FROM toks),
+      bc AS (SELECT x, y, count(*) AS c_xy FROM bi0
+             WHERE y IS NOT NULL GROUP BY 1, 2),
+      uc AS (SELECT term AS t, count(*) AS c_t FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c_t)::DOUBLE AS t_uni FROM uc)
+      SELECT bc.x, bc.y, bc.c_xy,
+             round((bc.c_xy - ux.c_t::DOUBLE * uy.c_t / t_uni) /
+               sqrt(bc.c_xy), 6) AS t_score,
+             round(14.0 + log2(2.0 * bc.c_xy /
+               (ux.c_t + uy.c_t)), 6) AS log_dice
+      FROM bc
+      JOIN uc ux ON ux.t = bc.x
+      JOIN uc uy ON uy.t = bc.y
+      CROSS JOIN tot
+      WHERE bc.c_xy >= 5
+      ORDER BY log_dice DESC, bc.x ASC, bc.y ASC
+      LIMIT 20"""))
+
+  /** Hill-number diversity profile (q = 0, 1, 2) of token usage per
+    * language — effective-vocabulary sizes exposing head-domination
+    * that raw token counts hide. */
+  private val q440 = Entry(
+    "q440_hill_diversity",
+    (s, d) =>
+      graft.ops.TextAnalysis.hillDiversity(Tables.documents(s, d),
+          "text", "lang")
+        .select(col("lang"), col("n_tokens"), col("hill_q0"),
+          r6(col("hill_q1")).as("hill_q1"),
+          r6(col("hill_q2")).as("hill_q2"))
+        .orderBy("lang"),
+    Some("""
+      WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents
+                 WHERE text IS NOT NULL AND lang IS NOT NULL),
+      tf AS (SELECT lang, w, count(*)::DOUBLE AS c FROM w
+             WHERE w <> '' GROUP BY 1, 2),
+      tot AS (SELECT lang, sum(c) AS n FROM tf GROUP BY 1),
+      a AS (SELECT tf.lang, max(tot.n) AS n,
+              count(*)::DOUBLE AS v,
+              sum(-(tf.c / tot.n) * ln(tf.c / tot.n)) AS h,
+              sum((tf.c / tot.n) * (tf.c / tot.n)) AS l
+            FROM tf JOIN tot ON tf.lang = tot.lang
+            GROUP BY 1)
+      SELECT lang, n::BIGINT AS n_tokens, v::BIGINT AS hill_q0,
+             round(exp(h), 6) AS hill_q1,
+             round(1.0 / l, 6) AS hill_q2
+      FROM a
+      ORDER BY lang"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -16122,7 +16858,8 @@ object Queries {
     q387, q388, q389, q390, q391, q392, q393, q394, q395, q396, q397,
     q398, q399, q400, q401, q402, q403, q404, q405, q406, q407, q408,
     q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
-    q420, q421, q422)
+    q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
+    q431, q432, q433, q434, q435, q436, q437, q438, q439, q440)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

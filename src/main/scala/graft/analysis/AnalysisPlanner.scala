@@ -2230,6 +2230,200 @@ object AnalysisPlanner {
   }
 
   /**
+   * Cuzick's test for TREND across k ordered groups (dose-response on
+   * ranks) over a prebuilt [[rankCells]] frame: each group carries a
+   * numeric score z_g (the "dose"), units get pooled midranks, and
+   * T = Σ z_g(i)·R_i is standardized by its EXACT permutation moments
+   * E(T) = (Σ n_g z_g)(N+1)/2 and
+   * Var(T) = [Σn_g z_g² − (Σn_g z_g)²/N]·[Σ R² − N((N+1)/2)²]/(N−1)
+   * — the finite-population form, so tie blocks (through midranks)
+   * are handled exactly, no continuity fudge. The natural "is the
+   * metric monotone in funnel depth / dose level" screen beside the
+   * unordered [[kruskalWallisFromCells]]. Returns ONE row:
+   * (n, n_groups, t_stat, z_stat).
+   *
+   * Scale shape: the k-sample family's — conditional sums reduce the
+   * shared cell frame, ONE [[PrefixSum.exclusive]] pass for midranks,
+   * 1-row reduce. Scores ride a bounded when-chain (k is the caller's
+   * explicit list, not data-derived).
+   */
+  def cuzickTrendFromCells(cells: DataFrame,
+      scores: Seq[(String, Double)]): DataFrame = {
+    require(scores.size >= 2, "cuzickTrend: >= 2 scored groups")
+    val z = scores.tail.foldLeft(
+      when(col("__g") === scores.head._1, lit(scores.head._2))) {
+        case (acc, (g, s)) => acc.when(col("__g") === g, lit(s)) }
+    val vc = cells
+      .where(col("__g").isin(scores.map(_._1): _*))
+      .withColumn("__z", z)
+      .groupBy("__v")
+      .agg(sum(col("__c")).as("__t"),
+        sum(col("__c") * col("__z")).as("__sz"),
+        sum(col("__c") * col("__z") * col("__z")).as("__szz"))
+    val ranked = PrefixSum.exclusive(vc, "__v", Seq("__t" -> "__ex"))
+      .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+    ranked.agg(
+        sum(col("__t")).as("__n"),
+        sum(col("__sz")).as("__tz"),
+        sum(col("__szz")).as("__tzz"),
+        sum(col("__sz") * col("__r")).as("__T"),
+        // Σ R² over units: midranks are constant within a tie block
+        sum(col("__t") * col("__r") * col("__r")).as("__sr2"))
+      .select(col("__n").cast("long").as("n"),
+        lit(scores.size).as("n_groups"),
+        col("__T").as("t_stat"), {
+          val e = col("__tz") * (col("__n") + 1) / 2.0
+          val vz = col("__tzz") - col("__tz") * col("__tz") / col("__n")
+          val vr = col("__sr2") -
+            col("__n") * pow((col("__n") + 1) / 2.0, 2)
+          val v = vz * vr / (col("__n") - 1)
+          when(v > 0, (col("__T") - e) / sqrt(v)).as("z_stat")
+        })
+  }
+
+  /**
+   * Klotz normal-scores two-sample SCALE test over a prebuilt
+   * [[rankCells]] frame — the normal-scores sibling of
+   * [[moodScaleFromCells]]: each unit scores s = Φ⁻¹(R/(N+1))²
+   * (Acklam probit, midranks for ties), the statistic is the
+   * treatment arm's score sum, standardized by the exact permutation
+   * moments E(T) = n_t·s̄ and
+   * Var(T) = n_c·n_t/(N(N−1)) · Σ(s_i − s̄)². Near-optimal against
+   * normal-scale alternatives where Mood's squared ranks lose power.
+   * Returns ONE row: (n_c, n_t, t_stat, z_stat).
+   */
+  def klotzFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val tot = broadcast(vc.agg(
+      (sum(col("__ct")) + sum(col("__cc"))).as("__NN")))
+    val scored = PrefixSum
+      .exclusive(vc.withColumn("__t", col("__ct") + col("__cc")),
+        "__v", Seq("__t" -> "__ex"))
+      .crossJoin(tot)
+      .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+      .withColumn("__s",
+        pow(graft.ops.Features.probitCol(
+          col("__r") / (col("__NN") + 1)), 2))
+    scored.agg(
+        sum(col("__cc")).as("__nc"), sum(col("__ct")).as("__nt"),
+        sum(col("__ct") * col("__s")).as("__T"),
+        sum(col("__t") * col("__s")).as("__ss"),
+        sum(col("__t") * col("__s") * col("__s")).as("__ss2"))
+      .withColumn("__N", col("__nc") + col("__nt"))
+      .select(col("__nc").cast("long").as("n_c"),
+        col("__nt").cast("long").as("n_t"),
+        col("__T").as("t_stat"), {
+          val e = col("__nt") * col("__ss") / col("__N")
+          val v = col("__nc") * col("__nt") /
+            (col("__N") * (col("__N") - 1)) *
+            (col("__ss2") - col("__ss") * col("__ss") / col("__N"))
+          when(v > 0, (col("__T") - e) / sqrt(v)).as("z_stat")
+        })
+  }
+
+  /**
+   * Shapiro–Francia normality test (midrank convention): W′ is the
+   * squared correlation between order statistics and Blom normal
+   * scores m = Φ⁻¹((R − 3/8)/(N + 1/4)) (Acklam probit; tie blocks
+   * share their midrank's score — exactly classical SF on continuous
+   * data, a documented deterministic convention under ties), with
+   * Royston's 1993 normal approximation
+   * z = (ln(1−W′) − μ)/σ, μ = −1.2725 + 1.0521(ln ln N − ln N),
+   * σ = 1.0308 − 0.26758(ln ln N + 2/ln N). The large-N-friendly
+   * member of the normality panel beside [[lillieforsTest]] and
+   * D'Agostino's K² — SF stays well-defined at N where Shapiro–Wilk's
+   * coefficient tables end. Returns ONE row: (n, w_stat, z_stat).
+   *
+   * Scale shape: value-count frame + ONE [[PrefixSum.exclusive]] pass
+   * for ranks, probit as a codegen'd column, 1-row reduce — memory
+   * bounded by distinct values.
+   */
+  def shapiroFrancia(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val vc = df.where(v.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val tot = broadcast(vc.agg(sum(col("__c")).as("__NN")))
+    val scored = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__ex"))
+      .crossJoin(tot)
+      .withColumn("__r", col("__ex") + (col("__c") + 1) / 2.0)
+      .withColumn("__m", graft.ops.Features.probitCol(
+        (col("__r") - 0.375) / (col("__NN") + 0.25)))
+    scored.agg(
+        max(col("__NN")).as("__n"),
+        sum(col("__c") * col("__m")).as("__sm"),
+        sum(col("__c") * col("__m") * col("__m")).as("__smm"),
+        sum(col("__c") * col("__v")).as("__sx"),
+        sum(col("__c") * col("__v") * col("__v")).as("__sxx"),
+        sum(col("__c") * col("__m") * col("__v")).as("__smx"))
+      .select(col("__n").cast("long").as("n"), {
+        val cxm = col("__smx") - col("__sm") * col("__sx") / col("__n")
+        val vm = col("__smm") - col("__sm") * col("__sm") / col("__n")
+        val vx = col("__sxx") - col("__sx") * col("__sx") / col("__n")
+        when(vm > 0 && vx > 0, cxm * cxm / (vm * vx)).as("w_stat")
+      })
+      .withColumn("z_stat", {
+        val u = log(col("n").cast("double"))
+        val vv = log(u)
+        val mu = lit(-1.2725) + lit(1.0521) * (vv - u)
+        val sg = lit(1.0308) - lit(0.26758) * (vv + lit(2.0) / u)
+        when(col("w_stat") < 1, (log(lit(1.0) - col("w_stat")) - mu) / sg)
+      })
+  }
+
+  /**
+   * Hodges–Lehmann one-sample location estimator: the median of all
+   * Walsh averages (xᵢ + xⱼ)/2, i ≤ j — the point estimate the
+   * Wilcoxon signed-rank test inverts, robust (25% breakdown) where
+   * the mean is not and more efficient than the median at the
+   * Gaussian. Input is expected to be an already-reduced per-entity
+   * frame (one value per user/segment); `maxRows` guards the O(n²/2)
+   * Walsh pair frame — at corpus scale reduce per-entity FIRST (the
+   * q174/q372 wide-bounded discipline), or sample. Median uses the
+   * PERCENTILE_DISC lower-median convention (an actual Walsh value,
+   * engine-deterministic; DuckDB twin: quantile_disc(0.5)). Returns
+   * ONE row: (n, n_walsh, hl_estimate).
+   */
+  def hodgesLehmann(df: DataFrame, valueCol: String,
+      maxRows: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull).select(v.as("__x"))
+      .localCheckpoint() // both pair-join sides read it
+    val n = base.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"hodgesLehmann: > $maxRows rows — reduce per-entity first")
+    val l = base.select(col("__x").as("__xl"))
+    val r = base.select(col("__x").as("__xr"))
+    // i ≤ j on VALUES: pairs (a,b) with a < b appear once per
+    // (count_a × count_b), a == b contributes c(c+1)/2 self-pairs —
+    // exactly the multiset of unordered Walsh pairs
+    val cl = l.groupBy(col("__xl")).agg(count(lit(1)).cast("double").as("__ca"))
+    val cr = r.groupBy(col("__xr")).agg(count(lit(1)).cast("double").as("__cb"))
+    val pairs = cl.join(cr, col("__xl") <= col("__xr"))
+      .withColumn("__w",
+        when(col("__xl") === col("__xr"),
+          col("__ca") * (col("__ca") + 1) / 2.0)
+          .otherwise(col("__ca") * col("__cb")))
+      .groupBy(((col("__xl") + col("__xr")) / 2.0).as("__wa"))
+      .agg(sum(col("__w")).as("__cnt"))
+    val totw = broadcast(pairs.agg(sum(col("__cnt")).as("__tw")))
+    PrefixSum.exclusive(pairs, "__wa", Seq("__cnt" -> "__bef"))
+      .crossJoin(totw)
+      .withColumn("__k", ceil(col("__tw") / 2.0))
+      .where(col("__bef") < col("__k") &&
+        col("__bef") + col("__cnt") >= col("__k"))
+      .select(lit(n).as("n"), col("__tw").cast("long").as("n_walsh"),
+        col("__wa").as("hl_estimate"))
+  }
+
+  /**
    * Quade test for k related treatments in b complete blocks — the
    * RANGE-WEIGHTED Friedman: blocks that discriminate harder (larger
    * within-block spread) count more, which buys real power over

@@ -1031,6 +1031,90 @@ object Evaluation {
   }
 
   /**
+   * Breslow–Day test of odds-ratio HOMOGENEITY across strata (with
+   * Tarone's correction) — the companion [[mantelHaenszel]] needs:
+   * MH assumes one common OR; Breslow–Day asks whether that
+   * assumption holds. Per stratum, the expected exposed-success count
+   * ã under the common OR ψ̂_MH solves the quadratic
+   * ã²(ψ−1) − ã[ψ(n₁+m₁) + (n₀−m₁)] + ψn₁m₁ = 0 (the root inside
+   * [max(0, m₁−n₀), min(n₁, m₁)]), with asymptotic variance
+   * V = [1/ã + 1/(n₁−ã) + 1/(m₁−ã) + 1/(n₀−m₁+ã)]⁻¹;
+   * X²_BD = Σ(a−ã)²/V ~ χ²(K−1), and Tarone subtracts
+   * (Σ(a−ã))²/ΣV. More accurate than Woolf's log-OR form in sparse
+   * strata (no +0.5 continuity fudge). Returns ONE row:
+   * (n_strata, or_mh, bd_chi2, tarone_chi2, dof).
+   *
+   * Scale shape: ONE conditional-agg pass to the ≤K-row stratum cell
+   * frame (checkpointed), a 1-row broadcast for ψ̂, column algebra
+   * for the root — everything after the cells is K-sized.
+   */
+  def breslowDay(df: DataFrame, treatCol: Column,
+      successCol: Column, strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "breslowDay: no strata")
+    val t = when(treatCol, 1.0).otherwise(0.0)
+    val s = when(successCol, 1.0).otherwise(0.0)
+    val cells = df.groupBy(strataCols.map(col): _*)
+      .agg(sum(t * s).as("__a"), sum(t * (lit(1.0) - s)).as("__b"),
+        sum((lit(1.0) - t) * s).as("__c"),
+        sum((lit(1.0) - t) * (lit(1.0) - s)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+      .withColumn("__r1", col("__a") + col("__b"))
+      .withColumn("__r0", col("__c") + col("__d"))
+      .withColumn("__m1", col("__a") + col("__c"))
+      .localCheckpoint() // ψ̂ reduce + the per-stratum pass read it
+    val psi = broadcast(cells.agg(
+      (sum(col("__a") * col("__d") / col("__n")) /
+        sum(col("__b") * col("__c") / col("__n"))).as("__psi")))
+    val solved = cells.crossJoin(psi)
+      .withColumn("__qa", col("__psi") - 1)
+      .withColumn("__qb",
+        -(col("__psi") * (col("__r1") + col("__m1")) +
+          (col("__r0") - col("__m1"))))
+      .withColumn("__qc", col("__psi") * col("__r1") * col("__m1"))
+      .withColumn("__disc",
+        sqrt(greatest(col("__qb") * col("__qb") -
+          lit(4.0) * col("__qa") * col("__qc"), lit(0.0))))
+      .withColumn("__lo", greatest(lit(0.0), col("__m1") - col("__r0")))
+      .withColumn("__hi", least(col("__r1"), col("__m1")))
+      // ANSI-guard: ψ = 1 exactly (perfect homogeneity) makes the
+      // quadratic linear — the roots are never read there, but the
+      // division must not evaluate (when() branches are not lazy
+      // across withColumn)
+      .withColumn("__rootM",
+        when(abs(col("__qa")) >= 1e-12,
+          (-col("__qb") - col("__disc")) / (lit(2.0) * col("__qa"))))
+      .withColumn("__rootP",
+        when(abs(col("__qa")) >= 1e-12,
+          (-col("__qb") + col("__disc")) / (lit(2.0) * col("__qa"))))
+      .withColumn("__atil",
+        when(abs(col("__qa")) < 1e-12,
+          col("__r1") * col("__m1") / col("__n"))
+          .when(col("__rootM") >= col("__lo") &&
+            col("__rootM") <= col("__hi"), col("__rootM"))
+          .otherwise(col("__rootP")))
+      .withColumn("__bt", col("__r1") - col("__atil"))
+      .withColumn("__ct", col("__m1") - col("__atil"))
+      .withColumn("__dt", col("__r0") - col("__m1") + col("__atil"))
+      // ANSI-guard: a degenerate stratum (empty margin) has no finite
+      // variance — it contributes nothing, like SAS's BD handling
+      .withColumn("__v",
+        when(col("__atil") > 0 && col("__bt") > 0 &&
+          col("__ct") > 0 && col("__dt") > 0,
+          lit(1.0) / (lit(1.0) / col("__atil") + lit(1.0) / col("__bt") +
+            lit(1.0) / col("__ct") + lit(1.0) / col("__dt"))))
+    solved.where(col("__v").isNotNull)
+      .agg(count(lit(1)).as("n_strata"),
+        max(col("__psi")).as("or_mh"),
+        sum(pow(col("__a") - col("__atil"), 2) / col("__v")).as("bd_chi2"),
+        sum(col("__a") - col("__atil")).as("__dev"),
+        sum(col("__v")).as("__sv"))
+      .select(col("n_strata"), col("or_mh"), col("bd_chi2"),
+        (col("bd_chi2") - col("__dev") * col("__dev") / col("__sv"))
+          .as("tarone_chi2"),
+        (col("n_strata") - 1).as("dof"))
+  }
+
+  /**
    * Two-sample Poisson rate comparison: event rates per unit of
    * exposure in each arm, their ratio, and the normal-approximation
    * z statistic for H₀: equal rates,

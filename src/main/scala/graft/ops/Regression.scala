@@ -666,6 +666,51 @@ object Regression {
   }
 
   /**
+   * Durbin–Wu–Hausman specification test for one endogenous regressor
+   * and one instrument — "is IV even needed?": under exogeneity both
+   * OLS and IV estimate the same slope, so
+   * H = (β_IV − β_OLS)² / (V̂(β_IV) − V̂(β_OLS)) ~ χ²(1); a large H
+   * says x is endogenous (trust [[ivTwoStage]]), a small one says OLS
+   * is fine and strictly more efficient. Variances use each
+   * estimator's own residual σ²: V_OLS = σ²_OLS/C_xx,
+   * V_IV = σ²_IV·C_zz/C_xz². A non-positive variance gap (sampling
+   * noise) reports NULL, the repo's degenerate-input convention.
+   * Returns ONE row: (n, beta_ols, beta_iv, hausman_stat).
+   *
+   * Scale shape: ONE moments scan (the [[ivTwoStage]] scan + Σy²);
+   * everything else is 1-row algebra.
+   */
+  def hausmanIvOls(df: DataFrame, yCol: String, xCol: String,
+      zCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    val m = df.where(x.isNotNull && y.isNotNull && z.isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(z).as("sz"), sum(x * x).as("sxx"),
+        sum(z * z).as("szz"), sum(x * z).as("sxz"),
+        sum(z * y).as("szy"), sum(x * y).as("sxy"),
+        sum(y * y).as("syy"))
+    val n = col("n")
+    val cxx = col("sxx") - col("sx") * col("sx") / n
+    val czz = col("szz") - col("sz") * col("sz") / n
+    val cxz = col("sxz") - col("sx") * col("sz") / n
+    val czy = col("szy") - col("sz") * col("sy") / n
+    val cxy = col("sxy") - col("sx") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val bOls = when(cxx > 0, cxy / cxx)
+    val bIv = when(cxz =!= 0, czy / cxz)
+    val s2Ols = (cyy - bOls * cxy) / (n - 2)
+    val s2Iv = (cyy - lit(2.0) * bIv * cxy + bIv * bIv * cxx) / (n - 2)
+    val vOls = s2Ols / cxx
+    val vIv = s2Iv * czz / (cxz * cxz)
+    m.select(n.cast("long").as("n"), bOls.as("beta_ols"),
+      bIv.as("beta_iv"),
+      when(n > 2 && vIv > vOls,
+        pow(bIv - bOls, 2) / (vIv - vOls)).as("hausman_stat"))
+  }
+
+  /**
    * Oaxaca–Blinder decomposition of a two-group outcome gap with one
    * covariate: gap = ȳ_A − ȳ_B splits into the part EXPLAINED by
    * different covariate levels (priced at B's coefficients,

@@ -1407,4 +1407,122 @@ object TextAnalysis {
         (col("vocabulary").cast("double") / col("n_tokens"))
           .as("type_token_ratio"))
   }
+
+  /**
+   * Lexical-richness panel from the corpus count-of-counts frame —
+   * the classical vocabulary-concentration constants, every one a
+   * pure function of (m, V_m) = (frequency level, types at that
+   * level), so the whole panel reduces TWO tiny aggregations after
+   * the term-count shuffle ([[vocabularyProfile]]'s scale shape):
+   * Yule's K = 10⁴(Σm²V_m − N)/N² (repeat-rate; spam ↑), Simpson's
+   * D = Σm(m−1)V_m/(N(N−1)), Herdan's C = lnV/lnN, Guiraud's
+   * R = V/√N, Sichel's S = V₂/V, Honoré's H = 100·lnN/(1 − V₁/V)
+   * (NULL when every type is a hapax — the degenerate-input
+   * convention). All counts are integer-exact; only the final
+   * scalars carry float noise. Returns ONE row.
+   */
+  def lexicalRichness(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val coc = tf.groupBy(col("__c").as("__m"))
+      .agg(count(lit(1)).cast("double").as("__vm"))
+    coc.agg(
+        sum(col("__m") * col("__vm")).as("__N"),
+        sum(col("__vm")).as("__V"),
+        sum(col("__m") * col("__m") * col("__vm")).as("__sm2"),
+        sum(col("__m") * (col("__m") - 1) * col("__vm")).as("__sm11"),
+        sum(when(col("__m") === 1, col("__vm")).otherwise(0.0)).as("__v1"),
+        sum(when(col("__m") === 2, col("__vm")).otherwise(0.0)).as("__v2"))
+      .select(col("__N").cast("long").as("n_tokens"),
+        col("__V").cast("long").as("vocabulary"),
+        (lit(1e4) * (col("__sm2") - col("__N")) /
+          (col("__N") * col("__N"))).as("yule_k"),
+        when(col("__N") > 1, col("__sm11") /
+          (col("__N") * (col("__N") - 1))).as("simpson_d"),
+        when(col("__N") > 1 && col("__V") > 1,
+          log(col("__V")) / log(col("__N"))).as("herdan_c"),
+        (col("__V") / sqrt(col("__N"))).as("guiraud_r"),
+        when(col("__V") > 0, col("__v2") / col("__V")).as("sichel_s"),
+        when(col("__v1") < col("__V"),
+          lit(100.0) * log(col("__N")) /
+            (lit(1.0) - col("__v1") / col("__V"))).as("honore_h"))
+  }
+
+  /**
+   * Collocation-strength panel over corpus bigrams — the lexicographic
+   * pair to [[pmiBigrams]]'s information-theoretic ranking: per
+   * bigram, the t-score t = (f(xy) − f(x)f(y)/N)/√f(xy)
+   * (Church–Hanks; frequency-favoring, stable for common pairs) and
+   * logDice = 14 + log₂(2f(xy)/(f(x)+f(y))) (corpus-size-invariant,
+   * the Sketch Engine standard). Top-k by ROUNDED logDice
+   * (6-decimal grid, then lexicographic tiebreak — the pmiBigrams
+   * engine-determinism convention). Scale shape identical to
+   * pmiBigrams: zip-with-tail bigrams (map-only), two keyed aggs,
+   * min-count prune BEFORE the vocab joins, TakeOrdered(k).
+   */
+  def collocationPanel(df: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val w = words(col(textCol))
+    val toks = df.select(w.as("__w")) // two map-only scans beat a
+    // corpus-sized token-array checkpoint (the Blomqvist lesson)
+    val bi = toks.where(size(col("__w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("x"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("y"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("__w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    val totUni = broadcast(uni.agg(sum(col("c_t")).as("t_uni")))
+    bi.where(col("c_xy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c_t").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c_t").as("c_y")), "y")
+      .join(totUni)
+      .select(col("x"), col("y"), col("c_xy"),
+        round((col("c_xy") -
+          col("c_x").cast("double") * col("c_y") / col("t_uni")) /
+          sqrt(col("c_xy")), 6).as("t_score"),
+        round(lit(14.0) + log(2.0,
+          lit(2.0) * col("c_xy") / (col("c_x") + col("c_y"))), 6)
+          .as("log_dice"))
+      .orderBy(col("log_dice").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
+  /**
+   * Hill-number diversity profile per group (language/source): the
+   * ecology-standard triple q=0 (type richness), q=1 (exp Shannon,
+   * "effective common types") and q=2 (inverse Simpson, "effective
+   * dominant types") over each group's term distribution — one
+   * number series that exposes both long-tail richness and
+   * head-domination, the corpus-mix screen a per-source token count
+   * can't give. One term-count shuffle, one per-group rollup.
+   * Returns one row per group: (group, n_tokens, hill_q0, hill_q1,
+   * hill_q2).
+   */
+  def hillDiversity(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__g", "__w").agg(count(lit(1)).cast("double").as("__c"))
+    val totals = tf.groupBy("__g").agg(sum(col("__c")).as("__N"))
+    graft.analysis.PrefixSum.joinNullSafe(tf, totals, Seq("__g"),
+        broadcastRight = true)
+      .groupBy("__g")
+      .agg(max(col("__N")).as("__n"),
+        count(lit(1)).cast("double").as("__v"),
+        sum(when(col("__c") > 0,
+          -(col("__c") / col("__N")) * log(col("__c") / col("__N")))
+          .otherwise(0.0)).as("__h"),
+        sum(pow(col("__c") / col("__N"), 2)).as("__l"))
+      .select(col("__g").as(groupCol),
+        col("__n").cast("long").as("n_tokens"),
+        col("__v").cast("long").as("hill_q0"),
+        exp(col("__h")).as("hill_q1"),
+        when(col("__l") > 0, lit(1.0) / col("__l")).as("hill_q2"))
+  }
 }

@@ -1120,4 +1120,409 @@ object TimeSeries {
           col("__ss2") / (col("__nn") * col("__nn") * col("sigma2")))
           .as("kpss_stat"))
   }
+
+  /** Inclusive prefix moments of the daily-count series ordered by
+    * epoch day: for each day, (index __i and running Σt, Σy, Σt², Σty,
+    * Σy² over days ≤ it). Every sum is of exact integers (epoch days
+    * and counts), so the running values are bit-identical in ANY
+    * engine and ANY association order — which is what makes the
+    * argmax/argmin split searches built on them engine-deterministic
+    * (the q414 discipline). Checkpointed: several candidate scans read
+    * it. */
+  private def countMoments(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+      .withColumn("__tv", col("__t").cast("double"))
+      .withColumn("__one", lit(1.0))
+      .withColumn("__tt", col("__tv") * col("__tv"))
+      .withColumn("__ty", col("__tv") * col("__y"))
+      .withColumn("__yy", col("__y") * col("__y"))
+    graft.analysis.PrefixSum.exclusive(daily, "__t",
+        Seq("__one" -> "__xi", "__tv" -> "__xt", "__y" -> "__xy",
+          "__tt" -> "__xtt", "__ty" -> "__xty", "__yy" -> "__xyy"))
+      .select(col("__t"), col("__y"),
+        (col("__xi") + 1).as("__i"),
+        (col("__xt") + col("__tv")).as("__st"),
+        (col("__xy") + col("__y")).as("__sy"),
+        (col("__xtt") + col("__tt")).as("__stt"),
+        (col("__xty") + col("__ty")).as("__sty"),
+        (col("__xyy") + col("__yy")).as("__syy"))
+      .localCheckpoint()
+  }
+
+  /** OLS SSE of y ~ a + b·t on a segment, from that segment's raw
+    * moment sums: SSE = Syy − Sty²/Stt (centered). NULL-guarded for
+    * degenerate segments (Stt = 0: a single distinct day). */
+  private def sseOf(c: Column, st: Column, sy: Column, stt: Column,
+      sty: Column, syy: Column): Column = {
+    val sxx = stt - st * st / c
+    val sxy = sty - st * sy / c
+    val syyC = syy - sy * sy / c
+    when(sxx > 0, syyC - sxy * sxy / sxx)
+  }
+
+  /**
+   * Quandt likelihood-ratio (sup-F) structural-break test on the daily
+   * event-count series, linear-trend model: at every candidate split k
+   * (15%-trimmed), fit y = a + b·t separately to days ≤ k and > k and
+   * compute F_k = ((SSE_pooled − SSE_L − SSE_R)/2)/((SSE_L+SSE_R)/(n−4));
+   * the statistic is sup F with the break date at the argmax —
+   * "did the TREND change, and when", where [[amocChangepoint]] only
+   * sees a level shift. All segment fits come from ONE pass of
+   * inclusive prefix moments (integer-exact, so the argmax is
+   * engine-deterministic; ties → earliest day); candidates are a
+   * calendar-sized frame, TakeOrdered(1). Returns 1 row: (n_days,
+   * break_day, f_stat, sse_pooled, sse_split).
+   */
+  def qlrSupF(df: DataFrame, tsCol: String): DataFrame = {
+    val m = countMoments(df, tsCol)
+    val tot = broadcast(m.orderBy(col("__i").desc).limit(1)
+      .select(col("__i").as("__n"), col("__st").as("__tst"),
+        col("__sy").as("__tsy"), col("__stt").as("__tstt"),
+        col("__sty").as("__tsty"), col("__syy").as("__tsyy")))
+    val cand = m.crossJoin(tot)
+      .where(col("__i") >= ceil(col("__n") * 0.15) &&
+        col("__i") <= floor(col("__n") * 0.85) &&
+        col("__i") >= 3 && col("__n") - col("__i") >= 3)
+      .withColumn("__sseL", sseOf(col("__i"), col("__st"), col("__sy"),
+        col("__stt"), col("__sty"), col("__syy")))
+      .withColumn("__sseR", sseOf(col("__n") - col("__i"),
+        col("__tst") - col("__st"), col("__tsy") - col("__sy"),
+        col("__tstt") - col("__stt"), col("__tsty") - col("__sty"),
+        col("__tsyy") - col("__syy")))
+      .withColumn("__sseP", sseOf(col("__n"), col("__tst"),
+        col("__tsy"), col("__tstt"), col("__tsty"), col("__tsyy")))
+      .withColumn("__sseS", col("__sseL") + col("__sseR"))
+      .withColumn("__f",
+        when(col("__sseS") > 0 && col("__n") > 4,
+          ((col("__sseP") - col("__sseS")) / 2) /
+            (col("__sseS") / (col("__n") - 4))))
+      .where(col("__f").isNotNull)
+    cand.orderBy(col("__f").desc, col("__t")).limit(1)
+      .select(col("__n").cast("long").as("n_days"),
+        date_add(to_date(lit("1970-01-01")), col("__t").cast("int"))
+          .as("break_day"),
+        col("__f").as("f_stat"), col("__sseP").as("sse_pooled"),
+        col("__sseS").as("sse_split"))
+  }
+
+  /**
+   * CUSUM-of-squares stability statistic on the daily event-count
+   * series: with e the residuals of the full-sample y ~ a + b·t fit,
+   * W_k = Σ_{i≤k} e² / Σ e² should climb the diagonal k/n under
+   * parameter stability; the statistic is max_k |W_k − k/n| — the
+   * VARIANCE-stability companion to [[qlrSupF]]'s mean/trend break
+   * (Brown–Durbin–Evans shape on OLS residuals). Only the max rides
+   * out (its location is fp-graded, so no argmax is reported — the
+   * deterministic-argmax discipline). Returns 1 row: (n_days,
+   * cusum_sq_stat).
+   */
+  def cusumSquares(df: DataFrame, tsCol: String): DataFrame = {
+    val m = countMoments(df, tsCol)
+    val tot = broadcast(m.orderBy(col("__i").desc).limit(1)
+      .select(col("__i").as("__n"), col("__st").as("__tst"),
+        col("__sy").as("__tsy"), col("__stt").as("__tstt"),
+        col("__sty").as("__tsty")))
+    // slope/intercept from exact integer moments (bit-identical in
+    // any engine); per-day residuals and their squares follow suit.
+    // m carries the per-day __y, so NO second corpus scan here
+    val daily = m.select("__t", "__y").crossJoin(tot)
+      .withColumn("__b",
+        (col("__tsty") - col("__tst") * col("__tsy") / col("__n")) /
+          (col("__tstt") - col("__tst") * col("__tst") / col("__n")))
+      .withColumn("__a",
+        (col("__tsy") - col("__b") * col("__tst")) / col("__n"))
+      .withColumn("__e2",
+        pow(col("__y") - col("__a") - col("__b") * col("__t"), 2))
+      .withColumn("__one", lit(1.0))
+    val pre = graft.analysis.PrefixSum.exclusive(
+        daily.select("__t", "__e2", "__one", "__n"), "__t",
+        Seq("__e2" -> "__xe", "__one" -> "__xi"))
+    val totE = broadcast(daily.agg(sum(col("__e2")).as("__te")))
+    pre.crossJoin(totE)
+      .withColumn("__w",
+        (col("__xe") + col("__e2")) / col("__te") -
+          (col("__xi") + 1) / col("__n"))
+      .agg(max(col("__n")).cast("long").as("n_days"),
+        max(abs(col("__w"))).as("cusum_sq_stat"))
+  }
+
+  /**
+   * Goldfeld–Quandt heteroskedasticity test on the daily event-count
+   * series ordered by time: OLS y ~ a + b·t fit separately to the
+   * FIRST 40% and LAST 40% of days (middle 20% dropped, the classical
+   * trimming), F = (SSE_last/df)/(SSE_first/df) with df = m − 2 —
+   * "is the series getting noisier around its trend". Both fits come
+   * from the same inclusive prefix-moment pass (integer-exact
+   * segment boundaries and moments). Returns 1 row: (n_days, n_each,
+   * sse_first, sse_last, gq_f).
+   */
+  def goldfeldQuandt(df: DataFrame, tsCol: String): DataFrame = {
+    val m = countMoments(df, tsCol)
+    val tot = broadcast(m.orderBy(col("__i").desc).limit(1)
+      .select(col("__i").as("__n"), col("__st").as("__tst"),
+        col("__sy").as("__tsy"), col("__stt").as("__tstt"),
+        col("__sty").as("__tsty"), col("__syy").as("__tsyy")))
+    val withN = m.crossJoin(tot)
+      .withColumn("__m", floor(col("__n") * 0.4))
+    val left = withN.where(col("__i") === col("__m"))
+      .select(col("__n"), col("__m"),
+        sseOf(col("__m"), col("__st"), col("__sy"), col("__stt"),
+          col("__sty"), col("__syy")).as("sse_first"))
+    val right = withN.where(col("__i") === col("__n") - col("__m"))
+      .select(col("__n").as("__n2"),
+        sseOf(col("__m"), col("__tst") - col("__st"),
+          col("__tsy") - col("__sy"), col("__tstt") - col("__stt"),
+          col("__tsty") - col("__sty"), col("__tsyy") - col("__syy"))
+          .as("sse_last"))
+    left.crossJoin(broadcast(right))
+      .select(col("__n").cast("long").as("n_days"),
+        col("__m").cast("long").as("n_each"),
+        col("sse_first"), col("sse_last"),
+        when(col("sse_first") > 0 && col("__m") > 2,
+          (col("sse_last") / (col("__m") - 2)) /
+            (col("sse_first") / (col("__m") - 2))).as("gq_f"))
+  }
+
+  /**
+   * Engle's ARCH LM test (lag 1) on the daily-mean series: residuals
+   * e from the full-sample y ~ a + b·t fit, then the R² of
+   * e²_t ~ c + φ·e²_{t−1} over consecutive-day pairs gives
+   * LM = n_pairs·R² ~ χ²(1) under no-ARCH — "does today's volatility
+   * predict tomorrow's", the conditional-heteroskedasticity screen
+   * beside [[goldfeldQuandt]]'s unconditional one. Returns 1 row:
+   * (n_pairs, r2, lm_stat).
+   */
+  def archLm(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol)
+      .localCheckpoint() // the fit + both pair sides read it
+    val fit = broadcast(daily.agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__t").cast("double")).as("__tst"),
+        sum(col("__x")).as("__tsy"),
+        sum(col("__t").cast("double") * col("__t")).as("__tstt"),
+        sum(col("__t").cast("double") * col("__x")).as("__tsty")))
+    val resid = daily.crossJoin(fit)
+      .withColumn("__b",
+        (col("__tsty") - col("__tst") * col("__tsy") / col("__n")) /
+          (col("__tstt") - col("__tst") * col("__tst") / col("__n")))
+      .withColumn("__a",
+        (col("__tsy") - col("__b") * col("__tst")) / col("__n"))
+      .withColumn("__e2",
+        pow(col("__x") - col("__a") - col("__b") * col("__t"), 2))
+      .select("__t", "__e2")
+    val lagged = resid.select((col("__t") + 1).as("__t"),
+      col("__e2").as("__el"))
+    resid.join(lagged, Seq("__t"))
+      .agg(count(lit(1)).cast("double").as("__np"),
+        sum(col("__el")).as("__sx"), sum(col("__e2")).as("__sy"),
+        sum(col("__el") * col("__el")).as("__sxx"),
+        sum(col("__el") * col("__e2")).as("__sxy"),
+        sum(col("__e2") * col("__e2")).as("__syy2"))
+      .select(col("__np").cast("long").as("n_pairs"), {
+        val sxx = col("__sxx") - col("__sx") * col("__sx") / col("__np")
+        val sxy = col("__sxy") - col("__sx") * col("__sy") / col("__np")
+        val syy = col("__syy2") - col("__sy") * col("__sy") / col("__np")
+        when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).as("r2")
+      })
+      .withColumn("lm_stat", col("n_pairs") * col("r2"))
+  }
+
+  /**
+   * Lo–MacKinlay variance-ratio test on the daily event-count series:
+   * VR(q) = Var(q-day overlapping differences)/(q·Var(1-day
+   * differences)) with the homoskedastic normal approximation
+   * z = (VR−1)/√(2(2q−1)(q−1)/(3qT)) — VR ≈ 1 for a random walk,
+   * < 1 under mean reversion, > 1 under momentum. Differences of
+   * integer counts keep every moment exact. Both difference frames
+   * come from index-shift joins of the SAME checkpointed daily frame.
+   * Returns 1 row: (n_days, q, vr, z_stat).
+   */
+  def varianceRatio(df: DataFrame, tsCol: String,
+      q: Int = 5): DataFrame = {
+    require(q >= 2, "varianceRatio: q >= 2")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    def diffs(lag: Int): DataFrame =
+      daily.join(daily.select((col("__t") + lag).as("__t"),
+          col("__y").as("__yl")), Seq("__t"))
+        .select((col("__y") - col("__yl")).as("__d"))
+    val d1 = diffs(1).agg(count(lit(1)).cast("double").as("__n1"),
+      sum(col("__d")).as("__s1"), sum(col("__d") * col("__d")).as("__ss1"))
+    val dq = diffs(q).agg(count(lit(1)).cast("double").as("__nq"),
+      sum(col("__d")).as("__sq"), sum(col("__d") * col("__d")).as("__ssq"))
+    val nd = broadcast(daily.agg(count(lit(1)).cast("double").as("__nn")))
+    d1.crossJoin(dq).crossJoin(nd)
+      .select(col("__nn").cast("long").as("n_days"),
+        lit(q).as("q"), {
+          val v1 = (col("__ss1") - col("__s1") * col("__s1") / col("__n1")) /
+            (col("__n1") - 1)
+          val vq = (col("__ssq") - col("__sq") * col("__sq") / col("__nq")) /
+            (col("__nq") - 1)
+          when(v1 > 0, vq / (lit(q.toDouble) * v1)).as("vr")
+        })
+      .withColumn("z_stat",
+        (col("vr") - 1) / sqrt(lit(2.0 * (2 * q - 1) * (q - 1)) /
+          (lit(3.0 * q) * col("n_days"))))
+  }
+
+  /**
+   * Change-of-level HOMOGENEITY panel on the daily event-count
+   * series — Buishand's range statistic R/√n (max minus min of the
+   * cumulative deviations S_k = Σ_{i≤k}(y_i − ȳ), scaled by the
+   * sample sd) and the SNHT statistic T = max_k [k·z̄₁² + (n−k)·z̄₂²]
+   * with its break day — the climate-literature pair for "did the
+   * level shift somewhere", complementary to [[amocChangepoint]]'s
+   * SSE form. S_k and both means derive from integer-exact prefix
+   * sums, so the SNHT argmax is engine-deterministic (ties →
+   * earliest day). Returns 1 row: (n_days, buishand_r, snht_t,
+   * snht_break_day).
+   */
+  def homogeneityPanel(df: DataFrame, tsCol: String): DataFrame = {
+    val m = countMoments(df, tsCol)
+    val tot = broadcast(m.orderBy(col("__i").desc).limit(1)
+      .select(col("__i").as("__n"), col("__sy").as("__tsy"),
+        col("__syy").as("__tsyy")))
+    val base = m.crossJoin(tot)
+      .withColumn("__sk", col("__sy") - col("__i") * col("__tsy") / col("__n"))
+      .withColumn("__s2",
+        (col("__tsyy") - col("__tsy") * col("__tsy") / col("__n")) /
+          col("__n")) // population variance, the Buishand convention
+      .localCheckpoint() // range reduce + SNHT argmax read it
+    val range = base.agg(max(col("__n")).as("__nn"),
+      max(col("__s2")).as("__v"),
+      max(col("__sk")).as("__mx"), min(col("__sk")).as("__mn"))
+    // ANSI-guard: a constant series (zero variance) has no z-scores —
+    // the panel then reports NULL stats rather than NaN
+    val snht = base.where(col("__i") < col("__n") && col("__s2") > 0)
+      .withColumn("__z1", (col("__sy") / col("__i") -
+        col("__tsy") / col("__n")) / sqrt(col("__s2")))
+      .withColumn("__z2", ((col("__tsy") - col("__sy")) /
+        (col("__n") - col("__i")) -
+        col("__tsy") / col("__n")) / sqrt(col("__s2")))
+      .withColumn("__tk", col("__i") * col("__z1") * col("__z1") +
+        (col("__n") - col("__i")) * col("__z2") * col("__z2"))
+      .orderBy(col("__tk").desc, col("__t")).limit(1)
+      .select(col("__tk").as("snht_t"),
+        date_add(to_date(lit("1970-01-01")), col("__t").cast("int"))
+          .as("snht_break_day"))
+    // LEFT join so a degenerate (constant) series still yields its
+    // 1-row panel with NULL snht columns instead of zero rows
+    range.join(broadcast(snht), lit(true), "left")
+      .select(col("__nn").cast("long").as("n_days"),
+        when(col("__v") > 0, (col("__mx") - col("__mn")) /
+          (sqrt(col("__v")) * sqrt(col("__nn")))).as("buishand_r"),
+        col("snht_t"), col("snht_break_day"))
+  }
+
+  /**
+   * Bartels rank test of randomness (the rank von Neumann ratio) on
+   * the daily event-count series: with R_i the midranks of the daily
+   * counts, RVN = Σ(R_i − R_{i+1})² / Σ(R_i − R̄)² ≈ 2 under
+   * randomness (small → positive serial dependence, large →
+   * alternation), z = (RVN − 2)/√(4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²)).
+   * The nonparametric serial-dependence screen beside [[acf]] —
+   * rank-based, so spikes don't dominate. Midranks come from the
+   * value-count + [[graft.analysis.PrefixSum]] frame (integer-exact
+   * halves); consecutive days pair by INDEX (calendar gaps close
+   * rank-neighbors up). Returns 1 row: (n_days, rvn, z_stat).
+   */
+  def bartelsRank(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+      .withColumn("__one", lit(1.0))
+      .localCheckpoint() // ONE corpus scan; the prefix pass reads it twice
+    val indexed = graft.analysis.PrefixSum.exclusive(daily, "__t",
+        Seq("__one" -> "__xi"))
+      .withColumn("__i", col("__xi") + 1)
+      .select("__t", "__i", "__y")
+      .localCheckpoint() // rank join + both pair sides read it
+    val vc = indexed.groupBy(col("__y").as("__yv"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val ranks = graft.analysis.PrefixSum.exclusive(vc, "__yv",
+        Seq("__c" -> "__ex"))
+      .select(col("__yv"), (col("__ex") + (col("__c") + 1) / 2.0).as("__r"))
+    val ranked = indexed.join(ranks, col("__y") === col("__yv"))
+      .select("__i", "__r")
+    val nxt = ranked.select((col("__i") - 1).as("__i"), col("__r").as("__rn"))
+    val num = ranked.join(nxt, Seq("__i"))
+      .agg(sum(pow(col("__r") - col("__rn"), 2)).as("__num"))
+    val den = ranked.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__r")).as("__sr"), sum(col("__r") * col("__r")).as("__srr"))
+    num.crossJoin(den)
+      .select(col("__n").cast("long").as("n_days"), {
+        val d = col("__srr") - col("__sr") * col("__sr") / col("__n")
+        when(d > 0, col("__num") / d).as("rvn")
+      })
+      .withColumn("z_stat", {
+        val n = col("n_days").cast("double")
+        (col("rvn") - 2) / sqrt(lit(4.0) * (n - 2) *
+          (lit(5.0) * n * n - n * 2 - 9) /
+          (lit(5.0) * n * (n + 1) * (n - 1) * (n - 1)))
+      })
+  }
+
+  /**
+   * Randomness panel on the daily event-count series: the
+   * TURNING-POINT test (count of strict local peaks/troughs;
+   * E = 2(n−2)/3, Var = (16n−29)/90) and the DIFFERENCE-SIGN test
+   * (count of strict daily increases; E = (n−1)/2, Var = (n+1)/12) —
+   * the two classical quick screens for serial structure, one
+   * sensitive to smoothness, the other to trend. Strict inequalities
+   * on integer counts make both counts engine-exact (plateaus count
+   * as neither). Neighbors pair by index, so calendar gaps close up.
+   * Returns 1 row: (n_days, turning_points, tp_z, n_increases,
+   * ds_z).
+   */
+  def randomnessPanel(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+      .withColumn("__one", lit(1.0))
+      .localCheckpoint() // ONE corpus scan; the prefix pass reads it twice
+    val indexed = graft.analysis.PrefixSum.exclusive(daily, "__t",
+        Seq("__one" -> "__xi"))
+      .withColumn("__i", col("__xi") + 1)
+      .select("__i", "__y")
+      .localCheckpoint() // three shifted join sides read it
+    val prev = indexed.select((col("__i") + 1).as("__i"),
+      col("__y").as("__yp"))
+    val nxt = indexed.select((col("__i") - 1).as("__i"),
+      col("__y").as("__yn"))
+    val tp = indexed.join(prev, Seq("__i")).join(nxt, Seq("__i"))
+      .agg(sum(when((col("__y") > col("__yp") && col("__y") > col("__yn")) ||
+          (col("__y") < col("__yp") && col("__y") < col("__yn")), 1.0)
+          .otherwise(0.0)).as("__tp"))
+    val ds = indexed.join(prev, Seq("__i"))
+      .agg(sum(when(col("__y") > col("__yp"), 1.0).otherwise(0.0))
+        .as("__up"))
+    val nd = broadcast(indexed.agg(count(lit(1)).cast("double").as("__n")))
+    tp.crossJoin(ds).crossJoin(nd)
+      .select(col("__n").cast("long").as("n_days"),
+        col("__tp").cast("long").as("turning_points"),
+        ((col("__tp") - lit(2.0) * (col("__n") - 2) / 3) /
+          sqrt((lit(16.0) * col("__n") - 29) / 90)).as("tp_z"),
+        col("__up").cast("long").as("n_increases"),
+        ((col("__up") - (col("__n") - 1) / 2) /
+          sqrt((col("__n") + 1) / 12)).as("ds_z"))
+  }
+
+  /**
+   * Seasonal Mann–Kendall trend test: [[mannKendall]] run within each
+   * calendar month-of-year as its own season (Hirsch–Slack form,
+   * no cross-season pairs — so a strong annual cycle can't fake a
+   * trend), then S = Σ S_m and Var = Σ Var_m combine across seasons
+   * into one continuity-corrected z. Returns 1 row: (n_seasons,
+   * n_days, s_stat, var_s, z).
+   */
+  def seasonalMannKendall(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val perSeason = mannKendall(
+      df.withColumn("__season", month(col(tsCol))),
+      Seq("__season"), tsCol, valueCol)
+    perSeason.agg(count(lit(1)).as("n_seasons"),
+        sum(col("n_days")).as("n_days"),
+        sum(col("s_stat")).as("s_stat"),
+        sum(col("var_s")).as("var_s"))
+      .withColumn("z",
+        when(col("var_s") > 0 && col("s_stat") =!= 0,
+          (col("s_stat") - signum(col("s_stat"))) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+  }
 }

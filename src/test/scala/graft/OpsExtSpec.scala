@@ -7048,4 +7048,187 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("adj_a") -
       r.getAs[Double]("adj_b")) < 1e-9)
   }
+
+  test("cuzickTrend: monotone dose-response flags; permuted doses do not") {
+    import spark.implicits._
+    val cells = graft.analysis.AnalysisPlanner.rankCells(
+      (1 to 300).map { i =>
+        val g = i % 3
+        (s"g$g", g * 5.0 + (i % 7))
+      }.toDF("g", "v"), "g", "v")
+    val up = graft.analysis.AnalysisPlanner
+      .cuzickTrendFromCells(cells,
+        Seq("g0" -> 1.0, "g1" -> 2.0, "g2" -> 3.0)).head
+    assert(up.getAs[Double]("z_stat") > 5.0)
+    // same data, dose order scrambled → the trend vanishes
+    val perm = graft.analysis.AnalysisPlanner
+      .cuzickTrendFromCells(cells,
+        Seq("g1" -> 1.0, "g0" -> 2.0, "g2" -> 3.0)).head
+    assert(math.abs(perm.getAs[Double]("z_stat")) <
+      up.getAs[Double]("z_stat"))
+    assert(up.getAs[Long]("n") == 300L)
+  }
+
+  test("klotz: same-scale arms ~0; wide-vs-narrow arm flags") {
+    import spark.implicits._
+    val same = graft.analysis.AnalysisPlanner.rankCells(
+      (1 to 400).map(i => (if (i % 2 == 0) "a" else "b",
+        (i % 20).toDouble)).toDF("g", "v"), "g", "v")
+    val z0 = graft.analysis.AnalysisPlanner
+      .klotzFromCells(same, "a", "b").head.getAs[Double]("z_stat")
+    assert(math.abs(z0) < 1.0)
+    val diff = graft.analysis.AnalysisPlanner.rankCells(
+      (1 to 400).map { i =>
+        if (i % 2 == 0) ("a", 100.0 + (i % 5))       // narrow
+        else ("b", 100.0 + ((i % 21) - 10) * 8.0)    // wide
+      }.toDF("g", "v"), "g", "v")
+    val z1 = graft.analysis.AnalysisPlanner
+      .klotzFromCells(diff, "a", "b").head.getAs[Double]("z_stat")
+    assert(z1 > 5.0) // treatment "b" is the wide arm
+  }
+
+  test("shapiroFrancia: near-normal scores high, heavy-tail scores lower") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val normal = (1 to 2000).map(_ => rnd.nextGaussian()).toDF("v")
+    val wN = graft.analysis.AnalysisPlanner
+      .shapiroFrancia(normal, "v").head.getAs[Double]("w_stat")
+    assert(wN > 0.99)
+    val expo = (1 to 2000).map(_ => -math.log(rnd.nextDouble())).toDF("v")
+    val wE = graft.analysis.AnalysisPlanner
+      .shapiroFrancia(expo, "v").head.getAs[Double]("w_stat")
+    assert(wE < wN && wE < 0.95)
+  }
+
+  test("hodgesLehmann: hand Walsh median; pure shift recovered") {
+    import spark.implicits._
+    // values 1, 2, 6 → Walsh averages 1, 1.5, 2, 3.5, 4, 6 →
+    // lower median (3rd of 6) = 2
+    val hl = graft.analysis.AnalysisPlanner
+      .hodgesLehmann(Seq(1.0, 2.0, 6.0).toDF("v"), "v").head
+    assert(hl.getAs[Double]("hl_estimate") == 2.0)
+    assert(hl.getAs[Long]("n_walsh") == 6L)
+    // symmetric sample shifted by 10 → estimate ≈ 10
+    val rnd = new scala.util.Random(11)
+    val shifted = (1 to 999).map(_ => 10.0 + rnd.nextGaussian()).toDF("v")
+    val s = graft.analysis.AnalysisPlanner
+      .hodgesLehmann(shifted, "v").head.getAs[Double]("hl_estimate")
+    assert(math.abs(s - 10.0) < 0.2)
+    // the guard refuses un-reduced corpus-sized inputs
+    intercept[IllegalArgumentException] {
+      graft.analysis.AnalysisPlanner.hodgesLehmann(
+        (1 to 30).map(_.toDouble).toDF("v"), "v", maxRows = 10).head
+    }
+  }
+
+  test("qlrSupF: trend break located; homogeneityPanel finds level shift") {
+    import spark.implicits._
+    // slope flips at day 100 of 200; several events per day so the
+    // daily counts carry the trend
+    val rows = (1 to 200).flatMap { day =>
+      val n = if (day <= 100) day else 200 - day
+      (0 until (2 + n / 10)).map(_ =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+          .toLocalDateTime.plusDays(day.toLong - 1), 1))
+    }.map { case (t, o) => (java.sql.Timestamp.valueOf(t), o) }
+    val df = rows.toDF("ts", "one")
+    val q = graft.ops.TimeSeries.qlrSupF(df, "ts").head
+    val breakDay = q.getAs[java.sql.Date]("break_day").toLocalDate
+    assert(math.abs(breakDay.getDayOfYear - 100) <= 3)
+    assert(q.getAs[Double]("f_stat") > 10.0)
+    // level shift at day 60 of 120 → SNHT break lands there
+    val lv = (1 to 120).flatMap { day =>
+      val n = if (day <= 60) 3 else 9
+      (0 until n).map(_ => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          .plusDays(day.toLong - 1)))
+    }.map(Tuple1(_)).toDF("ts")
+    val h = graft.ops.TimeSeries.homogeneityPanel(lv, "ts").head
+    val snhtDay = h.getAs[java.sql.Date]("snht_break_day").toLocalDate
+    assert(math.abs(snhtDay.getDayOfYear - 60) <= 2)
+    assert(h.getAs[Double]("buishand_r") > 1.5)
+  }
+
+  test("bartelsRank + randomnessPanel: alternating vs monotone series") {
+    import spark.implicits._
+    def series(f: Int => Int): org.apache.spark.sql.DataFrame =
+      (1 to 80).flatMap { day =>
+        (0 until f(day)).map(_ => java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+            .plusDays(day.toLong - 1)))
+      }.map(Tuple1(_)).toDF("ts")
+    // alternating 2,12,2,12… → RVN far above 2, every pair flips sign
+    val alt = series(d => if (d % 2 == 0) 12 else 2)
+    val a = graft.ops.TimeSeries.bartelsRank(alt, "ts").head
+    assert(a.getAs[Double]("rvn") > 3.0)
+    val ra = graft.ops.TimeSeries.randomnessPanel(alt, "ts").head
+    assert(ra.getAs[Long]("turning_points") == 78L) // every interior day
+    // strictly increasing counts → RVN near 0, zero turning points,
+    // every step an increase
+    val mono = series(d => d + 1)
+    val m = graft.ops.TimeSeries.bartelsRank(mono, "ts").head
+    assert(m.getAs[Double]("rvn") < 0.5)
+    val rm = graft.ops.TimeSeries.randomnessPanel(mono, "ts").head
+    assert(rm.getAs[Long]("turning_points") == 0L)
+    assert(rm.getAs[Long]("n_increases") == 79L)
+  }
+
+  test("breslowDay: common OR passes, one flipped stratum flags") {
+    import spark.implicits._
+    // two strata with identical 2x2 shape (OR equal) → BD ≈ 0
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+      Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val same = (stratum("s1", 30, 20, 15, 35) ++
+      stratum("s2", 60, 40, 30, 70)).toDF("s", "t", "y")
+    val r0 = graft.ops.Evaluation
+      .breslowDay(same, col("t"), col("y"), Seq("s")).head
+    assert(r0.getAs[Double]("bd_chi2") < 1e-9)
+    assert(r0.getAs[Double]("tarone_chi2") < 1e-6)
+    // flip one stratum's association → flags
+    val mixed = (stratum("s1", 30, 20, 15, 35) ++
+      stratum("s2", 15, 35, 30, 20)).toDF("s", "t", "y")
+    val r1 = graft.ops.Evaluation
+      .breslowDay(mixed, col("t"), col("y"), Seq("s")).head
+    assert(r1.getAs[Double]("bd_chi2") > 6.0)
+  }
+
+  test("lexicalRichness + hillDiversity: hand counts on a toy corpus") {
+    import spark.implicits._
+    // "a a a b b c" → N=6, V=3, V1=1, V2=1, Σm²V_m = 9+4+1 = 14
+    val docs = Seq(("a a a b b", "x"), ("c", "x")).toDF("text", "lang")
+    val r = graft.ops.TextAnalysis.lexicalRichness(docs, "text").head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("vocabulary") == 3L)
+    assert(math.abs(r.getAs[Double]("yule_k") -
+      1e4 * (14.0 - 6) / 36) < 1e-9)
+    assert(math.abs(r.getAs[Double]("simpson_d") -
+      (6.0 + 2.0) / 30) < 1e-9) // Σm(m−1)Vm = 6+2
+    assert(math.abs(r.getAs[Double]("sichel_s") - 1.0 / 3) < 1e-9)
+    // uniform token distribution → all three Hill numbers = V
+    val unif = Seq(("p q r s", "en")).toDF("text", "lang")
+    val h = graft.ops.TextAnalysis.hillDiversity(unif, "text", "lang").head
+    assert(h.getAs[Long]("hill_q0") == 4L)
+    assert(math.abs(h.getAs[Double]("hill_q1") - 4.0) < 1e-9)
+    assert(math.abs(h.getAs[Double]("hill_q2") - 4.0) < 1e-9)
+  }
+
+  test("hausmanIvOls: clean exogenous x → OLS and IV agree, small H") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 2000).map { _ =>
+      val z = rnd.nextGaussian()
+      val x = 2.0 * z + rnd.nextGaussian() // x moved by z, no confounder
+      val y = 3.0 * x + rnd.nextGaussian()
+      (y, x, z)
+    }
+    val r = graft.ops.Regression
+      .hausmanIvOls(rows.toDF("y", "x", "z"), "y", "x", "z").head
+    assert(math.abs(r.getAs[Double]("beta_ols") - 3.0) < 0.1)
+    assert(math.abs(r.getAs[Double]("beta_iv") - 3.0) < 0.2)
+    // exogenous design: either the variance gap is non-positive
+    // (NULL stat, the guard) or the statistic is small
+    assert(r.isNullAt(r.fieldIndex("hausman_stat")) ||
+      r.getAs[Double]("hausman_stat") < 6.0)
+  }
 }
