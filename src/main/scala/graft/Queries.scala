@@ -16827,6 +16827,239 @@ object Queries {
       FROM a
       ORDER BY lang"""))
 
+  /** Weighted log-rank panel on the q150 design: log-rank, Gehan,
+    * Tarone–Ware and Peto–Peto z's in one pass — disagreement between
+    * early- and late-weighted members flags crossing hazards. */
+  private val q441 = Entry(
+    "q441_weighted_logrank",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+            .as("arm"),
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner
+        .weightedLogRankPanel(surv, "dur", "ev", "arm", "even", "odd")
+        .select(col("n_a"), col("n_b"),
+          r6(col("z_logrank")).as("z_logrank"),
+          r6(col("z_gehan")).as("z_gehan"),
+          r6(col("z_tarone_ware")).as("z_tarone_ware"),
+          r6(col("z_peto")).as("z_peto"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events GROUP BY user_id),
+      v AS (SELECT dur,
+              sum(CASE WHEN arm = 'even' THEN ev ELSE 0 END) AS da,
+              sum(CASE WHEN arm = 'odd' THEN ev ELSE 0 END) AS db,
+              sum(CASE WHEN arm = 'even' THEN 1.0 ELSE 0 END) AS ta,
+              sum(CASE WHEN arm = 'odd' THEN 1.0 ELSE 0 END) AS tb
+            FROM s GROUP BY 1),
+      t AS (SELECT sum(ta) AS na0, sum(tb) AS nb0 FROM v),
+      w AS (SELECT dur, da, db,
+              coalesce(sum(ta) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befa,
+              coalesce(sum(tb) OVER (ORDER BY dur ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS befb
+            FROM v),
+      k AS (SELECT dur, da, na0, nb0, na0 - befa AS n1,
+              na0 - befa + nb0 - befb AS n, da + db AS d
+            FROM w, t
+            WHERE da + db > 0 AND (na0 - befa + nb0 - befb) > 1),
+      pw AS (SELECT dur, da, na0, nb0, n1, n, d,
+               exp(sum(ln(1 - d / (n + 1))) OVER (ORDER BY dur)) AS sp,
+               da - d * n1 / n AS o,
+               d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1) AS vv
+             FROM k)
+      SELECT max(na0)::BIGINT AS n_a, max(nb0)::BIGINT AS n_b,
+             round(sum(o) / sqrt(sum(vv)), 6) AS z_logrank,
+             round(sum(n * o) / sqrt(sum(n * n * vv)), 6) AS z_gehan,
+             round(sum(sqrt(n) * o) / sqrt(sum(n * vv)), 6)
+               AS z_tarone_ware,
+             round(sum(sp * o) / sqrt(sum(sp * sp * vv)), 6) AS z_peto
+      FROM pw"""))
+
+  /** Median survival with a log-log Greenwood (Brookmeyer–Crowley
+    * style) CI on the q138 design — the one-number summary the full
+    * KM curve buries. */
+  private val q442 = Entry(
+    "q442_median_survival",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hit = when(col("event_type") === "purchase" &&
+        col("value") > 200, col("ts"))
+      val surv = ev.groupBy("user_id")
+        .agg(min(hit).as("__hit"), min(col("ts")).as("__first"),
+          max(col("ts")).as("__last"))
+        .select(
+          when(col("__hit").isNotNull,
+            datediff(to_date(col("__hit")), to_date(col("__first"))))
+            .otherwise(
+              datediff(to_date(col("__last")), to_date(col("__first"))))
+            .as("dur"),
+          when(col("__hit").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+      AnalysisPlanner.medianSurvival(surv, "dur", "ev")
+        .select(col("n"), col("n_events"),
+          col("median_time").cast("long").as("median_time"),
+          col("ci_lower_time").cast("long").as("ci_lower_time"),
+          col("ci_upper_time").cast("long").as("ci_upper_time"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN datediff('day', min(ts)::DATE,
+                 (min(ts) FILTER (event_type = 'purchase' AND "value" > 200))::DATE)
+               ELSE datediff('day', min(ts)::DATE, max(ts)::DATE) END AS dur,
+          CASE WHEN min(ts) FILTER (event_type = 'purchase' AND "value" > 200) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END AS ev
+        FROM events GROUP BY 1),
+      g AS (SELECT dur::DOUBLE AS t, sum(ev) AS dd,
+              count(*)::DOUBLE AS tot
+            FROM s GROUP BY 1),
+      tt AS (SELECT sum(tot) AS nn, sum(dd) AS ne FROM g),
+      a AS (SELECT t, dd, nn, ne,
+              nn - coalesce(sum(tot) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM g, tt),
+      e AS (SELECT t, dd, n_risk, nn, ne,
+              CASE WHEN dd < n_risk THEN ln(1 - dd / n_risk)
+                   ELSE 0 END AS lnf,
+              CASE WHEN dd < n_risk
+                THEN dd / (n_risk * (n_risk - dd)) ELSE 0 END AS gw
+            FROM a WHERE dd > 0),
+      c AS (SELECT t, dd, n_risk, nn, ne,
+              sum(lnf) OVER (ORDER BY t) AS lns,
+              sum(gw) OVER (ORDER BY t) AS gwc
+            FROM e),
+      c2 AS (SELECT t, nn, ne,
+               CASE WHEN dd < n_risk THEN exp(lns) ELSE 0 END AS sv,
+               CASE WHEN exp(lns) > 0 AND exp(lns) < 1
+                 THEN sqrt(gwc) / abs(lns) END AS sll
+             FROM c),
+      c3 AS (SELECT t, nn, ne, sv,
+               CASE WHEN sll IS NOT NULL
+                 THEN pow(sv, exp(1.959963984540054 * sll)) END AS lo,
+               CASE WHEN sll IS NOT NULL
+                 THEN pow(sv, exp(-1.959963984540054 * sll)) END AS hi
+             FROM c2)
+      SELECT max(nn)::BIGINT AS n, max(ne)::BIGINT AS n_events,
+             min(CASE WHEN sv <= 0.5 THEN t END)::BIGINT
+               AS median_time,
+             min(CASE WHEN lo <= 0.5 THEN t END)::BIGINT
+               AS ci_lower_time,
+             min(CASE WHEN hi <= 0.5 THEN t END)::BIGINT
+               AS ci_upper_time
+      FROM c3"""))
+
+  /** Winsorized Pearson correlation of quantity vs extended price
+    * (10% cuts) beside the raw Pearson — the tail-leverage screen. */
+  private val q443 = Entry(
+    "q443_winsorized_corr",
+    (s, d) =>
+      AnalysisPlanner.winsorizedCorrelation(Tables.lineitem(s, d),
+          "l_quantity", "l_extendedprice", 0.1)
+        .select(col("n"), col("x_lo"), col("x_hi"), col("y_lo"),
+          col("y_hi"), r6(col("winsorized_r")).as("winsorized_r"),
+          r6(col("pearson_r")).as("pearson_r")),
+    Some("""
+      WITH base AS (SELECT l_quantity::DOUBLE AS x,
+                      l_extendedprice::DOUBLE AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL),
+      xc AS (SELECT x AS v, count(*)::DOUBLE AS c FROM base GROUP BY 1),
+      xt AS (SELECT sum(c) AS nn FROM xc),
+      xp AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+               nn
+             FROM xc, xt),
+      xcut AS (SELECT
+                 min(CASE WHEN bef < ceil(nn * 0.1)
+                   AND bef + c >= ceil(nn * 0.1) THEN v END) AS xlo,
+                 min(CASE WHEN bef < ceil(nn * 0.9)
+                   AND bef + c >= ceil(nn * 0.9) THEN v END) AS xhi
+               FROM xp),
+      yc AS (SELECT y AS v, count(*)::DOUBLE AS c FROM base GROUP BY 1),
+      yt AS (SELECT sum(c) AS nn FROM yc),
+      yp AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+               nn
+             FROM yc, yt),
+      ycut AS (SELECT
+                 min(CASE WHEN bef < ceil(nn * 0.1)
+                   AND bef + c >= ceil(nn * 0.1) THEN v END) AS ylo,
+                 min(CASE WHEN bef < ceil(nn * 0.9)
+                   AND bef + c >= ceil(nn * 0.9) THEN v END) AS yhi
+               FROM yp),
+      cl AS (SELECT least(greatest(x, xlo), xhi) AS wx,
+               least(greatest(y, ylo), yhi) AS wy, x, y,
+               xlo, xhi, ylo, yhi
+             FROM base, xcut, ycut),
+      m AS (SELECT count(*)::DOUBLE AS n, max(xlo) AS xlo,
+              max(xhi) AS xhi, max(ylo) AS ylo, max(yhi) AS yhi,
+              sum(wx) AS sx, sum(wy) AS sy, sum(wx * wx) AS sxx,
+              sum(wy * wy) AS syy, sum(wx * wy) AS sxy,
+              sum(x) AS rx, sum(y) AS ry, sum(x * x) AS rxx,
+              sum(y * y) AS ryy, sum(x * y) AS rxy
+            FROM cl)
+      SELECT n::BIGINT AS n, xlo AS x_lo, xhi AS x_hi,
+             ylo AS y_lo, yhi AS y_hi,
+             round((sxy - sx * sy / n) /
+               sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+               AS winsorized_r,
+             round((rxy - rx * ry / n) /
+               sqrt((rxx - rx * rx / n) * (ryy - ry * ry / n)), 6)
+               AS pearson_r
+      FROM m"""))
+
+  /** Siegel repeated-medians slope of the daily event-count trend —
+    * the 50%-breakdown robust companion to q168's Theil–Sen. */
+  private val q444 = Entry(
+    "q444_siegel_slopes",
+    (s, d) =>
+      graft.ops.TimeSeries.siegelSlopes(Tables.events(s, d), "ts")
+        .select(col("n_days"), col("n_pairs"),
+          col("siegel_slope")),
+    Some("""
+      WITH daily AS (SELECT datediff('day', DATE '1970-01-01',
+                       CAST(ts AS DATE)) AS t, count(*)::DOUBLE AS y
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      pairs AS (SELECT a.t AS ti, (b.y - a.y) / (b.t - a.t) AS sl
+                FROM daily a JOIN daily b ON a.t <> b.t),
+      ranked AS (SELECT ti, sl,
+                   row_number() OVER (PARTITION BY ti ORDER BY sl)
+                     AS rn,
+                   count(*) OVER (PARTITION BY ti) AS m
+                 FROM pairs),
+      med AS (SELECT sl AS md FROM ranked
+              WHERE rn = ceil(m / 2.0)),
+      mr AS (SELECT md, row_number() OVER (ORDER BY md) AS rn,
+               count(*) OVER () AS m
+             FROM med),
+      nd AS (SELECT count(*) AS n_days,
+               count(*) * (count(*) - 1) AS n_pairs
+             FROM daily)
+      SELECT n_days, n_pairs, md AS siegel_slope
+      FROM mr, nd WHERE rn = ceil(m / 2.0)"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -16859,7 +17092,8 @@ object Queries {
     q398, q399, q400, q401, q402, q403, q404, q405, q406, q407, q408,
     q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
     q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
-    q431, q432, q433, q434, q435, q436, q437, q438, q439, q440)
+    q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
+    q442, q443, q444)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

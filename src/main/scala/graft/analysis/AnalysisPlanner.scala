@@ -579,6 +579,74 @@ object AnalysisPlanner {
    * shuffle join back on value. No global per-row sort anywhere;
    * identical rank assignment to `rank() OVER (ORDER BY f)`.
    */
+  /**
+   * Winsorized Pearson correlation: both columns are clamped to their
+   * own exact [p, 1−p] DISC percentile cuts (over complete pairs)
+   * before the product-moment pass — the robust-correlation screen
+   * that keeps Pearson's interpretation while defusing the tail
+   * leverage Spearman throws away entirely. Cuts are ACTUAL data
+   * values from the value-count + [[PrefixSum]] frame (the
+   * PERCENTILE_DISC convention, engine-deterministic). Returns ONE
+   * row: (n, x_lo, x_hi, y_lo, y_hi, winsorized_r, pearson_r).
+   *
+   * Scale shape: two single-column count aggregations (map-side
+   * combined) for the cuts, one moments pass for BOTH correlations —
+   * no sort, no window wider than the bucketed prefix.
+   */
+  def winsorizedCorrelation(df: DataFrame, xCol: String, yCol: String,
+      p: Double = 0.1): DataFrame = {
+    require(p > 0 && p < 0.5, "winsorizedCorrelation: 0 < p < 0.5")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    def cuts(c: String, loName: String, hiName: String): DataFrame = {
+      val vc = base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("double").as("__c"))
+      val tot = broadcast(vc.agg(sum(col("__c")).as("__nn")))
+      val pre = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__bef"))
+        .crossJoin(tot)
+      val kLo = ceil(col("__nn") * p)
+      val kHi = ceil(col("__nn") * (1 - p))
+      pre.agg(
+        min(when(col("__bef") < kLo &&
+          col("__bef") + col("__c") >= kLo, col("__v"))).as(loName),
+        min(when(col("__bef") < kHi &&
+          col("__bef") + col("__c") >= kHi, col("__v"))).as(hiName))
+    }
+    val cx = broadcast(cuts("__x", "__xlo", "__xhi"))
+    val cy = broadcast(cuts("__y", "__ylo", "__yhi"))
+    val cl = base.crossJoin(cx).crossJoin(cy)
+      .withColumn("__wx", least(greatest(col("__x"), col("__xlo")),
+        col("__xhi")))
+      .withColumn("__wy", least(greatest(col("__y"), col("__ylo")),
+        col("__yhi")))
+    cl.agg(count(lit(1)).cast("double").as("__n"),
+        max(col("__xlo")).as("x_lo"), max(col("__xhi")).as("x_hi"),
+        max(col("__ylo")).as("y_lo"), max(col("__yhi")).as("y_hi"),
+        sum(col("__wx")).as("__sx"), sum(col("__wy")).as("__sy"),
+        sum(col("__wx") * col("__wx")).as("__sxx"),
+        sum(col("__wy") * col("__wy")).as("__syy"),
+        sum(col("__wx") * col("__wy")).as("__sxy"),
+        sum(col("__x")).as("__rx"), sum(col("__y")).as("__ry"),
+        sum(col("__x") * col("__x")).as("__rxx"),
+        sum(col("__y") * col("__y")).as("__ryy"),
+        sum(col("__x") * col("__y")).as("__rxy"))
+      .select(col("__n").cast("long").as("n"),
+        col("x_lo"), col("x_hi"), col("y_lo"), col("y_hi"), {
+          val cxx = col("__sxx") - col("__sx") * col("__sx") / col("__n")
+          val cyy = col("__syy") - col("__sy") * col("__sy") / col("__n")
+          val cxy = col("__sxy") - col("__sx") * col("__sy") / col("__n")
+          when(cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy))
+            .as("winsorized_r")
+        }, {
+          val cxx = col("__rxx") - col("__rx") * col("__rx") / col("__n")
+          val cyy = col("__ryy") - col("__ry") * col("__ry") / col("__n")
+          val cxy = col("__rxy") - col("__rx") * col("__ry") / col("__n")
+          when(cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy)).as("pearson_r")
+        })
+  }
+
   def correlation(df0: DataFrame, s: Correlation): DataFrame = {
     var df = df0
     s.filter.foreach(f => df = df.where(f))
@@ -1915,6 +1983,124 @@ object AnalysisPlanner {
       .select(col("__oa").cast("long").as("observed_a"),
         col("__ea").as("expected_a"),
         (pow(col("__oa") - col("__ea"), 2) / col("__v")).as("chi2"))
+  }
+
+  /**
+   * Weighted log-rank PANEL over (duration, event, group) rows — the
+   * four classical members of the weighted family in ONE pass:
+   * log-rank (w = 1, late differences), Gehan–Breslow (w = n(t),
+   * early differences), Tarone–Ware (w = √n(t), in between) and
+   * Peto–Peto (w = S̃(t), the left-continuous modified survivor
+   * estimate Π_{s≤t}(1 − d/(n+1)) — early, robust to censoring
+   * imbalance). Each weight gives z_w = Σw(d_A − d·n_A/n) /
+   * √Σw²·v(t) with the hypergeometric v(t); disagreement between the
+   * early- and late-weighted members is itself the finding (crossing
+   * hazards). Returns ONE row:
+   * (n_a, n_b, z_logrank, z_gehan, z_tarone_ware, z_peto).
+   *
+   * Scale shape: [[logRank]]'s checkpointed distinct-time cells; the
+   * Peto weight adds one more [[PrefixSum.exclusive]] pass over the
+   * SAME event-time frame (ln-sum, inclusive); everything else is
+   * column algebra and a 1-row reduce.
+   */
+  def weightedLogRankPanel(df: DataFrame, durationCol: String,
+      eventCol: String, groupCol: String, groupA: String,
+      groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val base = df.where(isA || col(groupCol) === groupB)
+      .select(col(durationCol).cast("double").as("__t"),
+        col(eventCol).cast("double").as("__e"),
+        when(isA, lit(1.0)).otherwise(lit(0.0)).as("__a"))
+    val vc = base.groupBy("__t").agg(
+      sum(col("__e") * col("__a")).as("__da"),
+      sum(col("__e") * (lit(1.0) - col("__a"))).as("__db"),
+      sum(col("__a")).as("__ta"),
+      sum(lit(1.0) - col("__a")).as("__tb"))
+      .localCheckpoint() // ONE corpus pass; totals + prefixes read it
+    val tot = vc.agg(sum(col("__ta")).as("__na0"),
+      sum(col("__tb")).as("__nb0"))
+    val pre = PrefixSum.exclusive(vc, "__t",
+        Seq("__ta" -> "__befa", "__tb" -> "__befb"))
+      .join(broadcast(tot))
+      .withColumn("__n1", col("__na0") - col("__befa"))
+      .withColumn("__n", col("__na0") + col("__nb0") -
+        col("__befa") - col("__befb"))
+      .withColumn("__d", col("__da") + col("__db"))
+      .where(col("__d") > 0 && col("__n") > 1)
+      // Peto's S̃(t): INCLUSIVE product of (1 − d/(n+1)) over event
+      // times ≤ t, via exclusive ln-prefix + the current term
+      .withColumn("__lnp",
+        log(lit(1.0) - col("__d") / (col("__n") + 1)))
+    val withS = PrefixSum.exclusive(
+        pre.select("__t", "__da", "__n1", "__n", "__d", "__na0",
+          "__nb0", "__lnp"),
+        "__t", Seq("__lnp" -> "__lnx"))
+      .withColumn("__s", exp(col("__lnx") + col("__lnp")))
+      .withColumn("__o", col("__da") - col("__d") * col("__n1") / col("__n"))
+      .withColumn("__v", col("__d") * (col("__n1") / col("__n")) *
+        (lit(1.0) - col("__n1") / col("__n")) *
+        (col("__n") - col("__d")) / (col("__n") - 1))
+    def zOf(w: Column): Column = {
+      val num = sum(w * col("__o"))
+      val den = sqrt(sum(w * w * col("__v")))
+      when(den > 0, num / den)
+    }
+    withS.agg(
+        max(col("__na0")).cast("long").as("n_a"),
+        max(col("__nb0")).cast("long").as("n_b"),
+        zOf(lit(1.0)).as("z_logrank"),
+        zOf(col("__n")).as("z_gehan"),
+        zOf(sqrt(col("__n"))).as("z_tarone_ware"),
+        zOf(col("__s")).as("z_peto"))
+  }
+
+  /**
+   * Median survival time with a Brookmeyer–Crowley-style log-log
+   * Greenwood confidence interval, from ONE [[kmCells]] pass: the
+   * point estimate is the first event time where Ŝ(t) ≤ ½; the CI
+   * endpoints are the first times where the pointwise log-log band
+   * S^exp(∓z·σ_G/(S·lnS)·…) crosses ½ (lower band crosses earlier →
+   * ci_lower_time ≤ median ≤ ci_upper_time; an upper band that never
+   * reaches ½ reports NULL — median unbounded at this confidence).
+   * Greenwood's Σ d/(n(n−d)) rides the same prefix pass as the
+   * survival product. Returns ONE row: (n, n_events, median_time,
+   * ci_lower_time, ci_upper_time).
+   */
+  def medianSurvival(df: DataFrame, durationCol: String,
+      eventCol: String, z: Double = 1.959963984540054): DataFrame = {
+    val g = kmCells(df, durationCol, eventCol)
+    val tot = broadcast(g.agg(sum(col("__tot")).as("__N"),
+      sum(col("__d")).as("__ne")))
+    val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
+      .join(tot)
+      .withColumn("n_risk", col("__N") - col("__before"))
+    val ev = pre.where(col("__d") > 0)
+      .withColumn("__lnf", when(col("__d") < col("n_risk"),
+        log(lit(1.0) - col("__d") / col("n_risk"))).otherwise(lit(0.0)))
+      .withColumn("__gw", when(col("__d") < col("n_risk"),
+        col("__d") / (col("n_risk") * (col("n_risk") - col("__d"))))
+        .otherwise(lit(0.0)))
+    val curve = PrefixSum.exclusive(
+        ev.select("__t", "n_risk", "__d", "__N", "__ne", "__lnf", "__gw"),
+        "__t", Seq("__lnf" -> "__lnp", "__gw" -> "__gwp"))
+      .withColumn("__lns", col("__lnp") + col("__lnf")) // ln Ŝ(t)
+      // d == n_risk (possible only at the last event time) → Ŝ = 0
+      // exactly, matching [[kaplanMeierFromCells]]'s special case
+      .withColumn("__s", when(col("__d") < col("n_risk"),
+        exp(col("__lns"))).otherwise(lit(0.0)))
+      // σ of ln(−ln S) by delta method: √(Σgw)/|ln S|
+      .withColumn("__sll", when(col("__s") > 0 && col("__s") < 1,
+        sqrt(col("__gwp") + col("__gw")) / abs(col("__lns"))))
+      .withColumn("__lo", when(col("__sll").isNotNull,
+        pow(col("__s"), exp(lit(z) * col("__sll")))))
+      .withColumn("__hi", when(col("__sll").isNotNull,
+        pow(col("__s"), exp(lit(-z) * col("__sll")))))
+    curve.agg(
+        max(col("__N")).cast("long").as("n"),
+        max(col("__ne")).cast("long").as("n_events"),
+        min(when(col("__s") <= 0.5, col("__t"))).as("median_time"),
+        min(when(col("__lo") <= 0.5, col("__t"))).as("ci_lower_time"),
+        min(when(col("__hi") <= 0.5, col("__t"))).as("ci_upper_time"))
   }
 
   /**

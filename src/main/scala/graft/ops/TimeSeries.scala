@@ -1504,6 +1504,50 @@ object TimeSeries {
   }
 
   /**
+   * Siegel repeated-medians slope of the daily event-count series —
+   * the 50%-breakdown robust trend estimate (Theil–Sen's 29% is the
+   * weaker cousin): for every day i, the median over j≠i of the
+   * pairwise slopes (y_j−y_i)/(t_j−t_i), then the median of those
+   * per-day medians. Both medians use the lower-median DISC
+   * convention (an actual slope value); slopes divide exact integer
+   * counts by exact integer day gaps, so every order statistic is
+   * engine-deterministic. Returns 1 row: (n_days, n_pairs,
+   * siegel_slope).
+   *
+   * Scale shape: the pair frame is |days|² (calendar-bounded, NOT
+   * corpus-bounded — ~534k rows for two years); per-day medians ride
+   * a window PARTITIONED by day (≤|days| rows per group), the final
+   * median rides the value-count + [[graft.analysis.PrefixSum]]
+   * frame. No unpartitioned window anywhere.
+   */
+  def siegelSlopes(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val b = daily.select(col("__t").as("__tj"), col("__y").as("__yj"))
+    val pairs = daily.join(b, col("__t") =!= col("__tj"))
+      .withColumn("__slope",
+        (col("__yj") - col("__y")) / (col("__tj") - col("__t")))
+    val wI = Window.partitionBy("__t").orderBy("__slope")
+    val perI = pairs
+      .withColumn("__rn", row_number().over(wI))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("__t")))
+      .where(col("__rn") === ceil(col("__m") / 2.0))
+      .select(col("__slope").as("__med"))
+    val vc = perI.groupBy("__med")
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val tots = broadcast(daily.agg(
+      count(lit(1)).as("__nd"),
+      (count(lit(1)) * (count(lit(1)) - 1)).as("__np")))
+    val tw = broadcast(vc.agg(sum(col("__c")).as("__tw")))
+    graft.analysis.PrefixSum.exclusive(vc, "__med", Seq("__c" -> "__bef"))
+      .crossJoin(tw).crossJoin(tots)
+      .where(col("__bef") < ceil(col("__tw") / 2.0) &&
+        col("__bef") + col("__c") >= ceil(col("__tw") / 2.0))
+      .select(col("__nd").as("n_days"), col("__np").as("n_pairs"),
+        col("__med").as("siegel_slope"))
+  }
+
+  /**
    * Seasonal Mann–Kendall trend test: [[mannKendall]] run within each
    * calendar month-of-year as its own season (Hirsch–Slack form,
    * no cross-season pairs — so a strong annual cycle can't fake a

@@ -7231,4 +7231,66 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("hausman_stat")) ||
       r.getAs[Double]("hausman_stat") < 6.0)
   }
+
+  test("weightedLogRankPanel: symmetric arms → all four z ≈ 0; shift flags all") {
+    import spark.implicits._
+    val sym = (1 to 60).map(i => ((i + 1) / 2, 1,
+      if (i % 2 == 0) "a" else "b")).toDF("dur", "ev", "arm")
+    val r0 = graft.analysis.AnalysisPlanner
+      .weightedLogRankPanel(sym, "dur", "ev", "arm", "a", "b").head
+    Seq("z_logrank", "z_gehan", "z_tarone_ware", "z_peto").foreach { c =>
+      assert(math.abs(r0.getAs[Double](c)) < 1e-9, c)
+    }
+    // arm a fails much earlier → every member flags, same sign
+    val sep = ((1 to 30).map(i => (i, 1, "a")) ++
+      (1 to 30).map(i => (i + 40, 1, "b"))).toDF("dur", "ev", "arm")
+    val r1 = graft.analysis.AnalysisPlanner
+      .weightedLogRankPanel(sep, "dur", "ev", "arm", "a", "b").head
+    Seq("z_logrank", "z_gehan", "z_tarone_ware", "z_peto").foreach { c =>
+      assert(r1.getAs[Double](c) > 3.0, c)
+    }
+  }
+
+  test("medianSurvival: no censoring → sample median; CI brackets it") {
+    import spark.implicits._
+    // n = 99 keeps S strictly off the 0.5 boundary (S(49) = 50/99,
+    // S(50) = 49/99) — the crossing is fp-robust at t = 50
+    val df = (1 to 99).map(i => (i, 1)).toDF("dur", "ev")
+    val r = graft.analysis.AnalysisPlanner
+      .medianSurvival(df, "dur", "ev").head
+    assert(r.getAs[Double]("median_time") == 50.0)
+    assert(r.getAs[Long]("n_events") == 99L)
+    val lo = r.getAs[Double]("ci_lower_time")
+    val hi = r.getAs[Double]("ci_upper_time")
+    assert(lo <= 50.0 && 50.0 <= hi)
+  }
+
+  test("winsorizedCorrelation: outlier kills pearson, winsorized survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val clean = (1 to 500).map { _ =>
+      val x = rnd.nextGaussian(); (x, 2.0 * x + 0.1 * rnd.nextGaussian())
+    }
+    // one catastrophic leverage point
+    val df = (clean :+ ((40.0, -400.0))).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .winsorizedCorrelation(df, "x", "y", 0.05).head
+    assert(r.getAs[Double]("winsorized_r") > 0.9)
+    assert(r.getAs[Double]("pearson_r") < r.getAs[Double]("winsorized_r"))
+    assert(r.getAs[Double]("x_lo") < r.getAs[Double]("x_hi"))
+  }
+
+  test("siegelSlopes: exact linear daily trend recovered exactly") {
+    import spark.implicits._
+    // 3 + 2·day events per day → slope exactly 2
+    val rows = (1 to 40).flatMap { day =>
+      (0 until (3 + 2 * day)).map(_ => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 5, 1, 0, 0)
+          .plusDays(day.toLong - 1)))
+    }.map(Tuple1(_)).toDF("ts")
+    val r = graft.ops.TimeSeries.siegelSlopes(rows, "ts").head
+    assert(r.getAs[Double]("siegel_slope") == 2.0)
+    assert(r.getAs[Long]("n_days") == 40L)
+    assert(r.getAs[Long]("n_pairs") == 40L * 39)
+  }
 }
