@@ -17060,6 +17060,160 @@ object Queries {
       SELECT n_days, n_pairs, md AS siegel_slope
       FROM mr, nd WHERE rn = ceil(m / 2.0)"""))
 
+  /** Hoeffding's D between event type (5 ordered categories) and
+    * value — general dependence the monotone measures (Pearson/
+    * Spearman/Kendall) can read as zero; 2-D dominance counts ride
+    * wide per-category prefix columns. */
+  private val q445 = Entry(
+    "q445_hoeffdings_d",
+    (s, d) =>
+      AnalysisPlanner.hoeffdingsD(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("n"), col("n_x_categories"),
+          r6(col("d_stat") * 1e3).as("d_stat_milli")),
+    Some("""
+      WITH cells AS (SELECT event_type AS et, "value"::DOUBLE AS v,
+                       count(*)::DOUBLE AS c
+                     FROM events
+                     WHERE event_type IS NOT NULL AND "value" IS NOT NULL
+                     GROUP BY 1, 2),
+      nx AS (SELECT
+               sum(CASE WHEN et = 'click' THEN c ELSE 0 END) AS n1,
+               sum(CASE WHEN et = 'error' THEN c ELSE 0 END) AS n2,
+               sum(CASE WHEN et = 'purchase' THEN c ELSE 0 END) AS n3,
+               sum(CASE WHEN et = 'signup' THEN c ELSE 0 END) AS n4,
+               sum(CASE WHEN et = 'view' THEN c ELSE 0 END) AS n5
+             FROM cells),
+      py AS (SELECT v, sum(c) AS cy,
+               sum(CASE WHEN et = 'click' THEN c ELSE 0 END) AS c1,
+               sum(CASE WHEN et = 'error' THEN c ELSE 0 END) AS c2,
+               sum(CASE WHEN et = 'purchase' THEN c ELSE 0 END) AS c3,
+               sum(CASE WHEN et = 'signup' THEN c ELSE 0 END) AS c4,
+               sum(CASE WHEN et = 'view' THEN c ELSE 0 END) AS c5
+             FROM cells GROUP BY 1),
+      pre AS (SELECT v, cy, c1, c2, c3, c4, c5,
+                coalesce(sum(cy) OVER w, 0) AS pyy,
+                coalesce(sum(c1) OVER w, 0) AS p1,
+                coalesce(sum(c2) OVER w, 0) AS p2,
+                coalesce(sum(c3) OVER w, 0) AS p3,
+                coalesce(sum(c4) OVER w, 0) AS p4,
+                coalesce(sum(c5) OVER w, 0) AS p5
+              FROM py WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING)),
+      j AS (SELECT cells.et, cells.c, pre.*,
+              CASE cells.et WHEN 'click' THEN 0
+                WHEN 'error' THEN p1
+                WHEN 'purchase' THEN p1 + p2
+                WHEN 'signup' THEN p1 + p2 + p3
+                ELSE p1 + p2 + p3 + p4 END AS bb,
+              CASE cells.et WHEN 'click' THEN p1 WHEN 'error' THEN p2
+                WHEN 'purchase' THEN p3 WHEN 'signup' THEN p4
+                ELSE p5 END AS ex,
+              CASE cells.et WHEN 'click' THEN 0
+                WHEN 'error' THEN c1
+                WHEN 'purchase' THEN c1 + c2
+                WHEN 'signup' THEN c1 + c2 + c3
+                ELSE c1 + c2 + c3 + c4 END AS ey,
+              CASE cells.et WHEN 'click' THEN (n1 + 1) / 2.0
+                WHEN 'error' THEN n1 + (n2 + 1) / 2.0
+                WHEN 'purchase' THEN n1 + n2 + (n3 + 1) / 2.0
+                WHEN 'signup' THEN n1 + n2 + n3 + (n4 + 1) / 2.0
+                ELSE n1 + n2 + n3 + n4 + (n5 + 1) / 2.0 END AS r,
+              pre.pyy + (pre.cy + 1) / 2.0 AS s
+            FROM cells JOIN pre ON cells.v = pre.v CROSS JOIN nx),
+      q AS (SELECT c, r, s,
+              1.0 + bb + ex / 2.0 + ey / 2.0 + (c - 1) / 4.0 AS qq
+            FROM j),
+      a AS (SELECT sum(c) AS n,
+              sum(c * (qq - 1) * (qq - 2)) AS d1,
+              sum(c * (r - 1) * (r - 2) * (s - 1) * (s - 2)) AS d2,
+              sum(c * (r - 2) * (s - 2) * (qq - 1)) AS d3
+            FROM q)
+      SELECT n::BIGINT AS n, 5 AS n_x_categories,
+             round(1e3 * 30.0 * ((n - 2) * (n - 3) * d1 + d2 -
+               2.0 * (n - 2) * d3) /
+               (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)), 6)
+               AS d_stat_milli
+      FROM a"""))
+
+  /** Cochran's C variance-outlier screen across event types — is one
+    * segment's noise dominating the pooled variance? */
+  private val q446 = Entry(
+    "q446_cochran_c",
+    (s, d) =>
+      AnalysisPlanner.cochranC(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("n_groups"), col("n_min"), col("n_max"),
+          r6(col("c_stat")).as("c_stat"),
+          r6(col("c_expected")).as("c_expected")),
+    Some("""
+      WITH g AS (SELECT event_type, count(*) AS n,
+                   var_samp("value"::DOUBLE) AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1),
+      a AS (SELECT count(*) AS n_groups, min(n) AS n_min,
+              max(n) AS n_max, max(v) AS vmax, sum(v) AS vsum
+            FROM g WHERE v IS NOT NULL)
+      SELECT n_groups, n_min, n_max,
+             round(vmax / vsum, 6) AS c_stat,
+             round(1.0 / n_groups, 6) AS c_expected
+      FROM a"""))
+
+  /** Skillings–Mack test over user × event-type ACTIVITY ranks with
+    * missing cells kept (Friedman/Quade drop incomplete blocks):
+    * integer event counts make the within-block ranks exact. */
+  private val q447 = Entry(
+    "q447_skillings_mack",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      AnalysisPlanner.skillingsMack(per, "user_id", "event_type", "cnt")
+        .select(col("n_blocks"), col("n_treatments"), col("dof"),
+          r6(col("sm_stat")).as("sm_stat"))
+    },
+    Some("""
+      WITH cell AS (SELECT user_id AS blk, event_type AS trt,
+                      count(*)::DOUBLE AS x
+                    FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')
+                    GROUP BY 1, 2),
+      sized AS (SELECT blk, trt, x,
+                  count(*) OVER (PARTITION BY blk) AS k
+                FROM cell),
+      kept AS (SELECT * FROM sized WHERE k >= 2),
+      ranked AS (SELECT blk, trt, k,
+                   rank() OVER (PARTITION BY blk ORDER BY x)
+                     + (count(*) OVER (PARTITION BY blk, x) - 1) / 2.0
+                     AS r
+                 FROM kept),
+      a AS (SELECT trt,
+              sum(sqrt(12.0 / (k + 1)) * (r - (k + 1) / 2.0)) AS t,
+              sum(k - 1) AS diag
+            FROM ranked GROUP BY 1),
+      co AS (SELECT
+               sum(CASE WHEN l.trt = 'click' AND r.trt = 'purchase'
+                   THEN 1.0 ELSE 0 END) AS m12,
+               sum(CASE WHEN l.trt = 'click' AND r.trt = 'view'
+                   THEN 1.0 ELSE 0 END) AS m13,
+               sum(CASE WHEN l.trt = 'purchase' AND r.trt = 'view'
+                   THEN 1.0 ELSE 0 END) AS m23
+             FROM kept l JOIN kept r
+               ON l.blk = r.blk AND l.trt < r.trt),
+      tv AS (SELECT
+               max(CASE WHEN trt = 'click' THEN t END) AS t1,
+               max(CASE WHEN trt = 'purchase' THEN t END) AS t2,
+               max(CASE WHEN trt = 'click' THEN diag END) AS v11,
+               max(CASE WHEN trt = 'purchase' THEN diag END) AS v22
+             FROM a),
+      nb AS (SELECT count(DISTINCT blk) AS n_blocks FROM kept)
+      SELECT n_blocks, 3 AS n_treatments, 2 AS dof,
+             round((v22 * t1 * t1 - 2 * (-m12) * t1 * t2 +
+               v11 * t2 * t2) / (v11 * v22 - m12 * m12), 6) AS sm_stat
+      FROM tv, co, nb"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -17093,7 +17247,7 @@ object Queries {
     q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
     q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
-    q442, q443, q444)
+    q442, q443, q444, q445, q446, q447)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

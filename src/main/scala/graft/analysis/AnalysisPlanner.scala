@@ -824,6 +824,87 @@ object AnalysisPlanner {
   }
 
   /**
+   * Hoeffding's D test of GENERAL dependence between a
+   * bounded-cardinality x (≤ `maxXCats` categories, ordered by their
+   * natural string order) and a continuous y — sensitive to
+   * non-monotone association (U-shapes, bands) that Pearson, Spearman
+   * AND Kendall all read as zero. SAS midrank convention throughout:
+   * the bivariate rank Q = 1 + #{both strictly below} + ½#{x tied,
+   * y below} + ½#{x below, y tied} + ¼#{both tied, other points};
+   * D = 30·[(n−2)(n−3)D₁ + D₂ − 2(n−2)D₃] /
+   * [n(n−1)(n−2)(n−3)(n−4)] with D₁ = Σ(Q−1)(Q−2),
+   * D₂ = Σ(R−1)(R−2)(S−1)(S−2), D₃ = Σ(R−2)(S−2)(Q−1). D ∈
+   * [−0.5, 1], ≈ 0 under independence. Returns ONE row:
+   * (n, n_x_categories, d_stat).
+   *
+   * Scale shape: the 2-D dominance counts that are Hoeffding's whole
+   * difficulty ride the Fligner wide-groups discipline — x's ≤ 64
+   * categories become conditional-count COLUMNS of the per-y frame,
+   * ONE [[PrefixSum.exclusive]] pass prefixes all of them at once,
+   * and every per-cell count (strict-both-below, x-tied-y-below,
+   * x-below-y-tied) is a bounded literal when-chain over those
+   * columns. One corpus shuffle to cells, one to the per-y frame;
+   * every quantity is an exact multiple of ¼ — engine-deterministic.
+   */
+  def hoeffdingsD(df: DataFrame, xCol: String, yCol: String,
+      maxXCats: Int = 64): DataFrame = {
+    val y = col(yCol).cast("double")
+    val cells = df
+      .where(col(xCol).isNotNull && y.isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"), y.as("__y"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // x-marginals + per-y frame + cell pass read it
+    val xs = cells.select("__x").distinct().limit(maxXCats + 1)
+      .collect().map(_.getString(0)).sorted
+    require(xs.length >= 2 && xs.length <= maxXCats,
+      s"hoeffdingsD: 2..$maxXCats x categories (got ${xs.length})")
+    // x-marginal midranks from the bounded totals (collected literals)
+    val nx = cells.groupBy("__x").agg(sum(col("__c")).as("__nx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val below = xs.scanLeft(0.0)((acc, xv) => acc + nx(xv)).init
+    val rOf = xs.zip(below).map { case (xv, b) =>
+      xv -> (b + (nx(xv) + 1) / 2.0) }.toMap
+    val aggCols = sum(col("__c")).as("__cy") +: xs.zipWithIndex.map {
+      case (xv, i) => sum(when(col("__x") === xv, col("__c"))
+        .otherwise(0.0)).as(s"__cx$i") }
+    val perY = cells.groupBy("__y").agg(aggCols.head, aggCols.tail: _*)
+    val pre = PrefixSum.exclusive(perY, "__y",
+      ("__cy" -> "__py") +: xs.indices.map(i => s"__cx$i" -> s"__px$i"))
+    val j = cells.join(pre, Seq("__y"))
+    // strict-both-below / x-tied-y-below / x-below-y-tied, all from
+    // the prefixed wide columns (xs is a literal list, so "__x > xv"
+    // realizes x' < x by the same string order xs was sorted with)
+    val bStrict = xs.zipWithIndex.map { case (xv, i) =>
+      when(col("__x") > xv, col(s"__px$i")).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val exTied = xs.zipWithIndex.map { case (xv, i) =>
+      when(col("__x") === xv, col(s"__px$i")).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val eyTied = xs.zipWithIndex.map { case (xv, i) =>
+      when(col("__x") > xv, col(s"__cx$i")).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val rCol = xs.map(xv => when(col("__x") === xv, lit(rOf(xv))))
+      .reduceRight((a, b) => a.otherwise(b))
+    val q = lit(1.0) + bStrict + exTied / 2 + eyTied / 2 +
+      (col("__c") - 1) / 4
+    val sCol = col("__py") + (col("__cy") + 1) / 2.0
+    val agg = j.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__c") * (q - 1) * (q - 2)).as("__d1"),
+      sum(col("__c") * (rCol - 1) * (rCol - 2) *
+        (sCol - 1) * (sCol - 2)).as("__d2"),
+      sum(col("__c") * (rCol - 2) * (sCol - 2) * (q - 1)).as("__d3"))
+    agg.select(col("__n").cast("long").as("n"),
+      lit(xs.length).as("n_x_categories"), {
+        val n = col("__n")
+        when(n >= 5, lit(30.0) *
+          ((n - 2) * (n - 3) * col("__d1") + col("__d2") -
+            lit(2.0) * (n - 2) * col("__d3")) /
+          (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))).as("d_stat")
+      })
+  }
+
+  /**
    * `D = Σ_{x1<x2 ∧ y1>y2} c1·c2` over a `(x, y, c)` cell frame, with
    * per-task memory ≤ ~`cap` cells for any distribution (see
    * [[kendallTau]]). Returns `(D, reductionLevels)` — levels is 0 on
@@ -2675,6 +2756,84 @@ object AnalysisPlanner {
   }
 
   /**
+   * Skillings–Mack test for k related treatments in INCOMPLETE
+   * blocks — the Friedman that tolerates missing cells ([[quadeTest]]
+   * and Friedman silently DROP every block that isn't complete, which
+   * at corpus scale can be most of them): each block contributes
+   * centered scaled midranks A_jt = √(12/(k_j+1))·(r_jt −(k_j+1)/2)
+   * over its k_j ≥ 2 present treatments, T_t = Σ_j A_jt, and
+   * SM = T'Σ⁻T with the exact null covariance Σ_tt = Σ_{j∋t}(k_j−1),
+   * Σ_tt' = −#{j ∋ t,t'} — solved on the (k−1)-reduced system (Σ is
+   * rank k−1; the Stuart–Maxwell precedent), ~χ²(k−1) under H0.
+   * Returns ONE row: (n_blocks, n_treatments, dof, sm_stat) —
+   * sm_stat NULL when the reduced system is singular (a treatment
+   * never co-occurring with the rest).
+   *
+   * Scale shape: within-block midranks ride a window partitioned by
+   * block (≤ k rows per group, k ≤ 64 enforced — the [[quadeTest]]
+   * discipline); T and the co-occurrence counts reduce to a ≤ k +
+   * k²-row frame, collected bounded, solved driver-side.
+   */
+  def skillingsMack(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val cell = df.where(v.isNotNull && col(blockCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("__blk"),
+        col(treatCol).cast("string").as("__trt"))
+      .agg(avg(v).as("__x")) // one value per (block, treatment)
+    val kDistinct = cell.select("__trt").distinct().limit(65).count()
+    require(kDistinct >= 2 && kDistinct <= 64,
+      s"skillingsMack: 2..64 treatments (got $kDistinct)")
+    val sized = cell
+      .withColumn("__k", count(lit(1))
+        .over(Window.partitionBy("__blk")))
+      .where(col("__k") >= 2)
+      .localCheckpoint() // rank pass + co-occurrence pass read it
+    val wb = Window.partitionBy("__blk").orderBy("__x")
+    val ranked = sized
+      .withColumn("__rk", rank().over(wb))
+      .withColumn("__tc", count(lit(1))
+        .over(Window.partitionBy("__blk", "__x")))
+      .withColumn("__r", col("__rk") + (col("__tc") - 1) / 2.0)
+      .withColumn("__a", sqrt(lit(12.0) / (col("__k") + 1)) *
+        (col("__r") - (col("__k") + 1) / 2.0))
+    val tRows = ranked.groupBy("__trt")
+      .agg(sum(col("__a")).as("__T"),
+        sum((col("__k") - 1).cast("double")).as("__diag"))
+      .orderBy("__trt").limit(65).collect()
+    val treats = tRows.map(_.getString(0))
+    val k = treats.length
+    val idx = treats.zipWithIndex.toMap
+    // pairwise co-occurrence counts: blocks containing both t and t'
+    val co = sized.as("l").join(sized.as("r"),
+        col("l.__blk") === col("r.__blk") &&
+          col("l.__trt") < col("r.__trt"))
+      .groupBy(col("l.__trt").as("__t1"), col("r.__trt").as("__t2"))
+      .agg(count(lit(1)).cast("double").as("__m"))
+      .limit(64 * 64 + 1).collect()
+    val nBlocks = sized.select("__blk").distinct().count()
+    val sigma = Array.ofDim[Double](k, k)
+    tRows.foreach(r => sigma(idx(r.getString(0)))(idx(r.getString(0))) =
+      r.getDouble(2))
+    co.foreach { r =>
+      val (i2, j2) = (idx(r.getString(0)), idx(r.getString(1)))
+      sigma(i2)(j2) = -r.getDouble(2); sigma(j2)(i2) = -r.getDouble(2)
+    }
+    val t = tRows.map(_.getDouble(1))
+    val red = Array.tabulate(k - 1, k - 1)((i2, j2) => sigma(i2)(j2))
+    val sm: Option[Double] =
+      try {
+        val x = graft.ops.Regression.solve(red, t.take(k - 1))
+        Some(t.take(k - 1).zip(x).map { case (a, b) => a * b }.sum)
+      } catch { case _: IllegalArgumentException => None }
+    Seq((nBlocks, k.toLong, (k - 1).toLong, sm))
+      .toDF("n_blocks", "n_treatments", "dof", "sm_stat")
+  }
+
+  /**
    * Hartley's F-max variance-ratio screen across k groups: the
    * bluntest variance-homogeneity check (largest group variance over
    * smallest) — the 10-second triage before Bartlett/Levene, and the
@@ -2694,6 +2853,32 @@ object AnalysisPlanner {
         min(col("__var")).as("var_min"), max(col("__var")).as("var_max"))
       .withColumn("f_max", when(col("var_min") > 0,
         col("var_max") / col("var_min")))
+  }
+
+  /**
+   * Cochran's C test for a single VARIANCE OUTLIER among k groups:
+   * C = max_g s²_g / Σ_g s²_g — where [[hartleyFmax]] compares the
+   * two extremes and [[bartlettTest]] tests overall equality, C asks
+   * the monitoring question "is ONE segment's noise dominating". The
+   * critical value is 1/(1 + (k−1)/F) on Fisher quantiles; the
+   * statistic ships with its expectation 1/k under homogeneity.
+   * ONE grouped moments pass. Returns (n_groups, n_min, n_max,
+   * c_stat, c_expected).
+   */
+  def cochranC(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), var_samp(v).as("__var"))
+      .where(col("__var").isNotNull)
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("__n")).as("n_min"), max(col("__n")).as("n_max"),
+        max(col("__var")).as("__vmax"), sum(col("__var")).as("__vsum"))
+      .select(col("n_groups"), col("n_min"), col("n_max"),
+        when(col("__vsum") > 0, col("__vmax") / col("__vsum"))
+          .as("c_stat"),
+        (lit(1.0) / col("n_groups")).as("c_expected"))
   }
 
   /**
@@ -3584,6 +3769,8 @@ object AnalysisPlanner {
       .agg(count(lit(1)).cast("long").as("__c"))
     val pref = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__below"),
       groupCols = Seq("__g"))
+      .localCheckpoint() // distinct-cells frame; sizes + bounds + both
+    // trimmed-moment passes read it — ONE corpus shuffle, not 4-6
     val sizes = pref.groupBy("__g").agg(sum(col("__c")).as("__n"))
       .withColumn("__gcut", floor(lit(trim) * col("__n")).cast("long"))
     val j = PrefixSum.joinNullSafe(pref, sizes, Seq("__g"))

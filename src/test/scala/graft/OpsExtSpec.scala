@@ -7280,6 +7280,73 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("x_lo") < r.getAs[Double]("x_hi"))
   }
 
+  test("hoeffdingsD: U-shape flags where monotone measures are blind") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // y = (x - 2)² on 5 x-categories: strong NON-monotone dependence
+    val ushape = (1 to 2000).map { _ =>
+      val xi = rnd.nextInt(5)
+      (s"g$xi", (xi - 2.0) * (xi - 2.0) + 0.05 * rnd.nextGaussian())
+    }.toDF("x", "y")
+    val dU = graft.analysis.AnalysisPlanner
+      .hoeffdingsD(ushape, "x", "y").head.getAs[Double]("d_stat")
+    // independent noise: D near 0
+    val indep = (1 to 2000).map { _ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextGaussian())
+    }.toDF("x", "y")
+    val d0 = graft.analysis.AnalysisPlanner
+      .hoeffdingsD(indep, "x", "y").head.getAs[Double]("d_stat")
+    assert(dU > 0.05)
+    assert(math.abs(d0) < 0.01)
+    // sanity on the brute-force definition for a tiny frame:
+    // perfect monotone pairing → D at its positive extreme region
+    val mono = (1 to 100).map(i => (f"g$i%03d", i.toDouble)).toDF("x", "y")
+    val dM = graft.analysis.AnalysisPlanner
+      .hoeffdingsD(mono, "x", "y", maxXCats = 128).head
+      .getAs[Double]("d_stat")
+    assert(dM > 0.9)
+  }
+
+  test("cochranC: equal variances → C ≈ 1/k; one noisy group flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val eq = (1 to 900).map(i => (s"g${i % 3}", rnd.nextGaussian()))
+      .toDF("g", "v")
+    val c0 = graft.analysis.AnalysisPlanner
+      .cochranC(eq, "g", "v").head
+    assert(math.abs(c0.getAs[Double]("c_stat") - 1.0 / 3) < 0.1)
+    val noisy = (1 to 900).map { i =>
+      val g = i % 3
+      (s"g$g", rnd.nextGaussian() * (if (g == 0) 10.0 else 1.0))
+    }.toDF("g", "v")
+    val c1 = graft.analysis.AnalysisPlanner
+      .cochranC(noisy, "g", "v").head
+    assert(c1.getAs[Double]("c_stat") > 0.9)
+  }
+
+  test("skillingsMack: consistent block preference flags; noise does not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // every block ranks t2 > t1 > t0; some blocks missing one cell
+    val strong = (1 to 120).flatMap { b =>
+      val cells = Seq(("t0", 1.0), ("t1", 2.0), ("t2", 3.0))
+      val kept = if (b % 3 == 0) cells.drop(1) else cells
+      kept.map { case (t, v) => (s"b$b", t, v + 0.01 * rnd.nextGaussian()) }
+    }.toDF("blk", "trt", "v")
+    val r1 = graft.analysis.AnalysisPlanner
+      .skillingsMack(strong, "blk", "trt", "v").head
+    assert(r1.getAs[Double]("sm_stat") > 50.0)
+    assert(r1.getAs[Long]("dof") == 2L)
+    val noise = (1 to 120).flatMap { b =>
+      Seq("t0", "t1", "t2").filter(_ => rnd.nextDouble() > 0.2)
+        .map(t => (s"b$b", t, rnd.nextGaussian()))
+    }.toDF("blk", "trt", "v")
+    val r0 = graft.analysis.AnalysisPlanner
+      .skillingsMack(noise, "blk", "trt", "v").head
+    assert(r0.isNullAt(r0.fieldIndex("sm_stat")) ||
+      r0.getAs[Double]("sm_stat") < 10.0)
+  }
+
   test("siegelSlopes: exact linear daily trend recovered exactly") {
     import spark.implicits._
     // 3 + 2·day events per day → slope exactly 2
