@@ -17214,6 +17214,65 @@ object Queries {
                v11 * t2 * t2) / (v11 * v22 - m12 * m12), 6) AS sm_stat
       FROM tv, co, nb"""))
 
+  /** Gries' DP dispersion: the corpus's most shard-clumped frequent
+    * terms — boilerplate detectors a frequency cut keeps. */
+  private val q448 = Entry(
+    "q448_term_dispersion",
+    (s, d) =>
+      graft.ops.TextAnalysis.termDispersion(Tables.documents(s, d),
+        "text", "source", minCount = 100, k = 15),
+    Some("""
+      WITH ts AS (SELECT source AS s,
+                    unnest(string_split(text, ' ')) AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND source IS NOT NULL),
+      tc AS (SELECT s, w, count(*)::DOUBLE AS c FROM ts
+             WHERE w <> '' GROUP BY 1, 2),
+      tt AS (SELECT w, sum(c) AS f FROM tc GROUP BY 1),
+      st AS (SELECT s, sum(c) AS ns FROM tc GROUP BY 1),
+      nn AS (SELECT sum(ns) AS n FROM st),
+      sh AS (SELECT s, ns / n AS shr FROM st, nn),
+      dp AS (SELECT tc.w AS term, max(tt.f) AS f,
+               sum(abs(tc.c / tt.f - sh.shr) - sh.shr) AS dsum
+             FROM tc JOIN tt ON tc.w = tt.w JOIN sh ON tc.s = sh.s
+             GROUP BY 1)
+      SELECT term, f::BIGINT AS count,
+             round(0.5 + 0.5 * dsum, 6) AS dp
+      FROM dp WHERE f >= 100
+      ORDER BY dp DESC, term ASC LIMIT 15"""))
+
+  /** Burrows' Delta between languages over the top-30 corpus terms —
+    * do the shards speak the same dialect? */
+  private val q449 = Entry(
+    "q449_burrows_delta",
+    (s, d) =>
+      graft.ops.TextAnalysis.burrowsDelta(Tables.documents(s, d),
+        "text", "lang", k = 30),
+    Some("""
+      WITH gt0 AS (SELECT lang AS g,
+                     unnest(string_split(text, ' ')) AS w
+                   FROM documents
+                   WHERE text IS NOT NULL AND lang IS NOT NULL),
+      gt AS (SELECT g, w, count(*)::DOUBLE AS c FROM gt0
+             WHERE w <> '' GROUP BY 1, 2),
+      topk AS (SELECT w FROM (SELECT w, sum(c) AS f FROM gt GROUP BY 1)
+               ORDER BY f DESC, w ASC LIMIT 30),
+      gtot AS (SELECT g, sum(c) AS n FROM gt GROUP BY 1),
+      grid AS (SELECT gtot.g, gtot.n, topk.w FROM gtot CROSS JOIN topk),
+      r AS (SELECT grid.g, grid.w,
+              coalesce(gt.c, 0) / grid.n AS rr
+            FROM grid LEFT JOIN gt
+              ON gt.g = grid.g AND gt.w = grid.w),
+      mom AS (SELECT w, avg(rr) AS mu, stddev_samp(rr) AS sd
+              FROM r GROUP BY 1),
+      z AS (SELECT r.w, r.g, (r.rr - mom.mu) / mom.sd AS z
+            FROM r JOIN mom ON r.w = mom.w WHERE mom.sd > 0)
+      SELECT a.g AS group_a, b.g AS group_b,
+             round(avg(abs(a.z - b.z)), 6) AS delta
+      FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+      GROUP BY 1, 2
+      ORDER BY group_a, group_b"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -17247,7 +17306,7 @@ object Queries {
     q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
     q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
-    q442, q443, q444, q445, q446, q447)
+    q442, q443, q444, q445, q446, q447, q448, q449)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -37,7 +37,9 @@ object ScaleSlope {
         "q200_label_propagation", "q222_assortativity",
         "q354_k_sample_ad", "q397_lorenz_deciles", "q401_quade",
         "q404_blomqvist_beta", "q387_ansari_bradley", "q412_runs_test",
-        "q414_amoc_changepoint")
+        "q414_amoc_changepoint", "q34_dedup_clusters",
+        "q418_competing_risks", "q441_weighted_logrank",
+        "q445_hoeffdings_d")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(

@@ -73,9 +73,15 @@ object AnalysisPlanner {
   def exactPercentiles(df: DataFrame, feature: String,
       ps: Seq[(String, Double)], groupCols: Seq[String]): DataFrame = {
     val v = col(feature).cast("double")
+    // checkpoint the distinct-cells frame: totals + the prefix pass's
+    // bounds/join double evaluation would otherwise re-run the
+    // UPSTREAM of this aggregation 3× — ruinous when the caller feeds
+    // a derived frame (theilSen's O(n²) slope join, robustScale's
+    // deviation pass), still a win on a plain corpus scan
     val vc = df.where(v.isNotNull)
       .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     percentilesFromCounts(vc, ps, groupCols)
   }
 
@@ -443,6 +449,7 @@ object AnalysisPlanner {
     val vc = df.where(v.isNotNull)
       .groupBy(groupCols.map(col) :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // see exactPercentiles — 3 evaluations → 1
     val marked =
       if (groupCols.isEmpty) {
         val tot = vc.agg(sum(col("__c")).as("__n"))

@@ -52,6 +52,7 @@ object Features {
     val v = col(valueCol).cast("double")
     val vc = df.where(v.isNotNull)
       .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // median pass + deviation-counts pass read it
     val med = graft.analysis.AnalysisPlanner.percentilesFromCounts(
       vc, Seq("__med" -> 0.5), Nil)
     val adCounts = vc.crossJoin(broadcast(med))
@@ -467,6 +468,8 @@ object Features {
     val vc = df.where(v.isNotNull)
       .groupBy(gs :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // distinct-cells frame; totals + the prefix
+    // pass's double evaluation read it — ONE corpus shuffle, not 3
     val totals =
       if (groupCols.isEmpty)
         vc.agg(sum(col("__cnt")).as("__n"))
@@ -539,6 +542,8 @@ object Features {
     val vc = df.where(v.isNotNull)
       .groupBy(gs :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // distinct-cells frame; totals + the prefix
+    // pass (which evaluates its input twice for bucket bounds) read it
     val totals = vc.groupBy(gs: _*).agg(sum(col("__cnt")).as("__n"))
     val ranked = PrefixSum.joinNullSafe(
       PrefixSum.exclusive(vc, "__v", Seq("__cnt" -> "__ex"),

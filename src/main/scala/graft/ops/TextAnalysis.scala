@@ -1502,6 +1502,96 @@ object TextAnalysis {
    * Returns one row per group: (group, n_tokens, hill_q0, hill_q1,
    * hill_q2).
    */
+  /**
+   * Gries' DP (deviation of proportions) term-dispersion profile:
+   * per term, DP = ½·Σ_sources |share-of-term-in-source −
+   * source-size-share| ∈ [0, 1) — 0 means the term spreads exactly
+   * like the corpus, →1 means it CLUMPS in one shard. The
+   * cross-source companion to within-document burstiness: a
+   * high-frequency, high-DP term is a shard-local artifact
+   * (boilerplate, template spam) that a plain frequency cut keeps.
+   * Zero-occurrence sources enter via the identity
+   * DP = ½ + ½·Σ_{c>0}(|c/f − s| − s) — no grid fill. Returns the
+   * top-k most clumped terms with count ≥ minCount:
+   * (term, count, dp), ordered by rounded DP desc, term asc.
+   *
+   * Scale shape: ONE (term, source) count shuffle, a term rollup, a
+   * bounded source-totals broadcast, TakeOrdered(k).
+   */
+  def termDispersion(df: DataFrame, textCol: String, srcCol: String,
+      minCount: Long = 100, k: Int = 15): DataFrame = {
+    val ts = df.where(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(srcCol).as("__s"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__s", "__w").agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // term rollup + source totals + DP pass read it
+    val termTot = ts.groupBy("__w").agg(sum(col("__c")).as("__f"))
+    val srcTot = ts.groupBy("__s").agg(sum(col("__c")).as("__ns"))
+    val corpus = broadcast(srcTot.agg(sum(col("__ns")).as("__N")))
+    val shares = broadcast(srcTot.crossJoin(corpus)
+      .select(col("__s"), (col("__ns") / col("__N")).as("__sh")))
+    graft.analysis.PrefixSum.joinNullSafe(ts, shares, Seq("__s"),
+        broadcastRight = true)
+      .join(termTot, Seq("__w"))
+      .groupBy(col("__w").as("term"))
+      .agg(max(col("__f")).as("__ff"),
+        sum(abs(col("__c") / col("__f") - col("__sh")) - col("__sh"))
+          .as("__dsum"))
+      .where(col("__ff") >= minCount)
+      .select(col("term"), col("__ff").cast("long").as("count"),
+        round(lit(0.5) + lit(0.5) * col("__dsum"), 6).as("dp"))
+      .orderBy(col("dp").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /**
+   * Burrows' Delta stylometric distance between document groups
+   * (language/source): z-score each group's relative frequency of the
+   * corpus's top-k terms against the across-group mean/sd, then
+   * Delta(a, b) = mean_t |z_a(t) − z_b(t)| — the standard authorship/
+   * register distance, here the "do these shards speak the same
+   * dialect" screen a token-count comparison can't answer. Returns
+   * one row per unordered group pair: (group_a, group_b, delta).
+   *
+   * Scale shape: ONE (group, term) count shuffle; the top-k term list
+   * (integer-count TakeOrdered, term tiebreak) and the group list are
+   * BOUNDED frames, so the zero-filled grid, the per-term moments and
+   * the pair join all run on k×|groups| rows.
+   */
+  def burrowsDelta(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 30): DataFrame = {
+    val gt = df.where(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__g", "__w").agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // top-k + group totals + grid join read it
+    val topk = broadcast(gt.groupBy("__w")
+      .agg(sum(col("__c")).as("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(k).select("__w"))
+    val gTot = broadcast(gt.groupBy("__g").agg(sum(col("__c")).as("__n")))
+    val grid = gTot.select("__g", "__n").crossJoin(topk)
+    val r = grid.join(gt, Seq("__g", "__w"), "left")
+      .select(col("__g"), col("__w"),
+        (coalesce(col("__c"), lit(0.0)) / col("__n")).as("__r"))
+      .localCheckpoint() // moments + both pair-join sides read it
+    val mom = r.groupBy("__w")
+      .agg(avg(col("__r")).as("__mu"), stddev_samp(col("__r")).as("__sd"))
+    val z = r.join(broadcast(mom), Seq("__w"))
+      .where(col("__sd") > 0)
+      .select(col("__w"), col("__g"),
+        ((col("__r") - col("__mu")) / col("__sd")).as("__z"))
+    val zb = z.select(col("__w"), col("__g").as("__g2"),
+      col("__z").as("__z2"))
+    z.join(zb, Seq("__w"))
+      .where(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("group_a"), col("__g2").as("group_b"))
+      .agg(round(avg(abs(col("__z") - col("__z2"))), 6).as("delta"))
+      .orderBy("group_a", "group_b")
+  }
+
   def hillDiversity(df: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
     val tf = df.where(col(textCol).isNotNull && col(groupCol).isNotNull)

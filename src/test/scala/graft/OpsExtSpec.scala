@@ -7347,6 +7347,39 @@ class OpsExtSpec extends AnyFunSuite {
       r0.getAs[Double]("sm_stat") < 10.0)
   }
 
+  test("termDispersion + burrowsDelta: clumped terms flag, shared style ≈ 0") {
+    import spark.implicits._
+    // "spam" lives only in source s1; "the" spreads with corpus mass
+    val docs = (1 to 40).map { i =>
+      val src = if (i <= 20) "s1" else "s2"
+      val body = if (src == "s1") "the spam spam spam word"
+                 else "the word word other filler"
+      (body, src, if (i % 2 == 0) "en" else "fr")
+    }.toDF("text", "source", "lang")
+    val dp = graft.ops.TextAnalysis
+      .termDispersion(docs, "text", "source", minCount = 10, k = 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("dp")).toMap
+    assert(dp("spam") > dp("the")) // single-source clump ranks above
+    assert(dp("spam") > 0.4)
+    // identical texts in both langs → z-profiles equal → delta ≈ 0
+    val same = (1 to 40).map(i =>
+      ("alpha beta gamma delta", if (i % 2 == 0) "en" else "fr"))
+      .toDF("text", "lang")
+    val bd = graft.ops.TextAnalysis
+      .burrowsDelta(same, "text", "lang", k = 4).collect()
+    // all groups share the exact frequency profile → every term's sd
+    // is 0 → no term survives, zero pair rows (degenerate convention)
+    assert(bd.isEmpty)
+    // distinct styles → a positive delta for the pair
+    val styled = (1 to 40).map { i =>
+      if (i % 2 == 0) ("alpha alpha alpha beta", "en")
+      else ("beta beta beta alpha", "fr")
+    }.toDF("text", "lang")
+    val bd2 = graft.ops.TextAnalysis
+      .burrowsDelta(styled, "text", "lang", k = 2).collect()
+    assert(bd2.length == 1 && bd2(0).getAs[Double]("delta") > 1.0)
+  }
+
   test("siegelSlopes: exact linear daily trend recovered exactly") {
     import spark.implicits._
     // 3 + 2·day events per day → slope exactly 2
