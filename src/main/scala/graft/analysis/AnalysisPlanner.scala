@@ -5749,4 +5749,166 @@ object AnalysisPlanner {
         col("n_raters") * (col("n_items") - 1) * col("w"))
       .withColumn("dof", (col("n_items") - 1).cast("long"))
   }
+
+  /**
+   * Generalized ESD (Rosner) outlier screen: k rounds of "find the
+   * most extreme studentized deviate, record it, remove ONE instance,
+   * re-estimate" — the multi-outlier test that doesn't suffer
+   * Grubbs'-style masking (a second outlier inflating the variance
+   * hides the first). Round i reports R_i = max|x − x̄|/s over the
+   * REMAINING data. Ties on the deviate break toward the smaller
+   * value — an EXACT tie means the two candidates sit symmetrically
+   * around the mean at exactly representable offsets, so the
+   * tie-break is engine-deterministic. A zero variance (all remaining
+   * values identical) reports NULL per the degenerate-input
+   * convention. Returns k rows: (round, n, removed_value, r_stat).
+   *
+   * Scale shape: ONE corpus shuffle into per-value cells
+   * (checkpointed); each round is a 1-row moments aggregate + a
+   * limit(1) argmax + a cell decrement on that bounded-by-distinct
+   * frame — driver traffic is k·2 rows total. Critical values λ_i
+   * (inverse-t) are deliberately not computed: compare R_i against
+   * tables driver-side; the distributed part is the statistics.
+   */
+  def generalizedESD(df: DataFrame, valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 10, "generalizedESD: k in [1, 10]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    var vc = df.where(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint() // k rounds of (moments, argmax, decrement)
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Option[Double])]
+    var i = 1
+    var done = false
+    while (i <= k && !done) {
+      val st = vc.agg(sum(col("__c")).as("__n"),
+        sum(col("__v") * col("__c")).as("__s"),
+        sum(col("__v") * col("__v") * col("__c")).as("__q")).head()
+      if (st.isNullAt(0) || st.getAs[Long]("__n") < 3) done = true
+      else {
+        val n = st.getAs[Long]("__n")
+        val mean = st.getAs[Double]("__s") / n
+        val varS = (st.getAs[Double]("__q") -
+          st.getAs[Double]("__s") * st.getAs[Double]("__s") / n) / (n - 1)
+        val sd = math.sqrt(math.max(varS, 0.0))
+        val top = vc
+          .select(col("__v"), abs(col("__v") - lit(mean)).as("__ad"))
+          .orderBy(col("__ad").desc, col("__v").asc)
+          .limit(1).head() // bounded: TakeOrdered(1)
+        val rv = top.getAs[Double]("__v")
+        val r = if (sd > 0) Some(top.getAs[Double]("__ad") / sd) else None
+        out += ((i, n, rv, r))
+        vc = vc
+          .withColumn("__c",
+            when(col("__v") === lit(rv), col("__c") - 1L)
+              .otherwise(col("__c")))
+          .where(col("__c") > 0)
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    out.toSeq.toDF("round", "n", "removed_value", "r_stat")
+  }
+
+  /**
+   * Baumgartner–Weiß–Schindler two-sample test — the rank test with
+   * better power than KS/Cramér–von Mises against BOTH location and
+   * scale shifts (Baumgartner, Weiß & Schindler 1998; Neuhäuser's
+   * unequal-n weights). With samples of size n₁ (group A) and n₂:
+   *
+   *   B_A = (1/n₁)·Σ_{i=1..n₁} (R_i − (n₁+n₂)/n₁·i)² /
+   *         [ (i/(n₁+1))·(1 − i/(n₁+1)) · n₂(n₁+n₂)/n₁ ],
+   *
+   * B_B symmetric, B = (B_A + B_B)/2; R_i = pooled rank of the i-th
+   * ordered A value (midranks under ties — the test assumes a
+   * continuous response; heavy ties are out of spec). B ≳ 2.5 ≈ 5%.
+   * Returns 1 row: (n_a, n_b, b_a, b_b, b_stat).
+   *
+   * Scale shape: ONE corpus shuffle into (group, value) cells; pooled
+   * and within-group rank bases come from two [[PrefixSum]] passes
+   * over that cell frame. The per-index weight 1/(i·(n+1−i)) has no
+   * per-cell closed form, so cells re-explode to one row per sample
+   * index — a MAP-SIDE sequence explode of the checkpointed cell
+   * frame straight into one scalar aggregate (partial-aggregated; no
+   * second shuffle, no window).
+   */
+  def bwsTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val vc = df.where(x.isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(col(groupCol).as("__g"), x.as("__v"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val wpre = PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__wex"),
+      groupCols = Seq("__g"))
+    val vt = vc.groupBy("__v").agg(sum(col("__c")).as("__ct"))
+    val ppre = PrefixSum.exclusive(vt, "__v", Seq("__ct" -> "__pex"))
+    val cells = PrefixSum.joinNullSafe(wpre, ppre, Seq("__v"))
+      .localCheckpoint() // sizes + the index explode read it
+    val sizes = broadcast(cells.agg(
+      sum(when(col("__g") === groupA, col("__c"))).cast("double")
+        .as("__na"),
+      sum(when(col("__g") === groupB, col("__c"))).cast("double")
+        .as("__nb")))
+    val j = cells.crossJoin(sizes)
+      .withColumn("__i",
+        explode(sequence(col("__wex") + 1L, col("__wex") + col("__c")))
+          .cast("double"))
+    val n1 = when(col("__g") === groupA, col("__na")).otherwise(col("__nb"))
+    val n2 = when(col("__g") === groupA, col("__nb")).otherwise(col("__na"))
+    val rMid = col("__pex") + (col("__ct") + 1) / 2.0
+    val frac = col("__i") / (n1 + 1)
+    val term = pow(rMid - (n1 + n2) / n1 * col("__i"), 2.0) /
+      (frac * (lit(1.0) - frac) * n2 * (n1 + n2) / n1)
+    j.agg(
+        max(col("__na")).as("__sna"), max(col("__nb")).as("__snb"),
+        sum(when(col("__g") === groupA, term)).as("__ta"),
+        sum(when(col("__g") === groupB, term)).as("__tb"))
+      .select(col("__sna").cast("long").as("n_a"),
+        col("__snb").cast("long").as("n_b"),
+        when(col("__sna") > 0, col("__ta") / col("__sna")).as("b_a"),
+        when(col("__snb") > 0, col("__tb") / col("__snb")).as("b_b"),
+        when(col("__sna") > 0 && col("__snb") > 0,
+          (col("__ta") / col("__sna") + col("__tb") / col("__snb")) / 2)
+          .as("b_stat"))
+  }
+
+  /**
+   * Weibull survival fit by Kaplan–Meier regression: plot
+   * ln(−ln S(t)) against ln t — Weibull survival is a straight line
+   * there (slope = shape k, intercept = −k·ln λ) — and fit OLS over
+   * the KM curve points with 0 < S < 1, t > 0. The standard
+   * closed-form parametric summary of a survival curve (is churn
+   * wear-out k>1, random k≈1, or infant-mortality k<1?) without
+   * iterative MLE. Returns 1 row: (n_points, shape, scale,
+   * r_squared).
+   *
+   * Scale shape: rides the [[kmCells]] one-scan survival substrate;
+   * the regression is one aggregate over the distinct-durations
+   * frame.
+   */
+  def weibullFit(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val pts = km.where(col("survival") > 0 && col("survival") < 1 &&
+        col("duration") > 0)
+      .select(log(col("duration").cast("double")).as("__x"),
+        log(-log(col("survival"))).as("__y"))
+    val a = pts.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val sxx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val syy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val sxy = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(sxx > 0, sxy / sxx)
+    val icept = (col("__sy") - slope * col("__sx")) / col("__n")
+    a.select(col("__n").cast("long").as("n_points"),
+      slope.as("shape"),
+      when(slope =!= 0, exp(-icept / slope)).as("scale"),
+      when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).as("r_squared"))
+  }
 }

@@ -480,6 +480,50 @@ object TimeSeries {
         (max(col("power_frac")) / max(col("__tp"))).as("peak_share"))
   }
 
+  /**
+   * Fisher's g test for hidden periodicity: is the LARGEST
+   * [[periodogram]] ordinate bigger than white noise would produce?
+   * g = max_k I(k) / Σ_k I(k) over the first `maxFreq` Fourier
+   * frequencies, with the EXACT null p-value
+   * p = Σ_{j=1..⌊1/g⌋} (−1)^{j−1}·C(m,j)·(1−jg)^{m−1} — the
+   * significance companion to [[spectralEntropy]]'s concentration
+   * score (entropy says "how peaked", Fisher's g says "peaked enough
+   * to believe"). Returns 1 row: (n_freqs, peak_freq, g_stat,
+   * p_value).
+   *
+   * Scale shape: one [[periodogram]] trig scan; everything after runs
+   * on the maxFreq-row frame. The p-value series unrolls at PLAN time
+   * (maxFreq is a constant, binomials are exact literals), so the
+   * whole tail is literal column algebra — no lgamma, no explode.
+   */
+  def fisherG(df: DataFrame, xCol: String, valueCol: String,
+      maxFreq: Int = 10): DataFrame = {
+    require(maxFreq >= 2 && maxFreq <= 60,
+      "fisherG: maxFreq in [2, 60] (p-value terms unroll per frequency)")
+    val pg = periodogram(df, xCol, valueCol, maxFreq)
+    val m = maxFreq
+    // exact binomials C(m, j) as plan-time literals (m ≤ 60 keeps
+    // them inside exact-double range)
+    val binom = new Array[Double](m + 1)
+    binom(0) = 1.0
+    for (j <- 1 to m) binom(j) = binom(j - 1) * (m - j + 1) / j
+    val base = pg.agg(
+      count(lit(1)).as("n_freqs"),
+      max_by(col("freq"), struct(col("power"), -col("freq")))
+        .as("peak_freq"),
+      max(col("power")).as("__mx"),
+      sum(col("power")).as("__tot"))
+    val g = when(col("__tot") > 0, col("__mx") / col("__tot"))
+    // p = Σ_{j·g ≤ 1} (−1)^{j−1} C(m,j) (1−jg)^{m−1}, clamped to [0,1]
+    val p = (1 to m).map { j =>
+      when(lit(j.toDouble) * g <= 1,
+        lit(if (j % 2 == 1) binom(j) else -binom(j)) *
+          pow(lit(1.0) - lit(j.toDouble) * g, m - 1))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    base.select(col("n_freqs"), col("peak_freq"), g.as("g_stat"),
+      least(greatest(p, lit(0.0)), lit(1.0)).as("p_value"))
+  }
 
   /**
    * Mann–Kendall monotone-trend test per key over the daily mean
