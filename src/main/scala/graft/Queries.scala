@@ -17273,6 +17273,472 @@ object Queries {
       GROUP BY 1, 2
       ORDER BY group_a, group_b"""))
 
+  /** Tukey HSD post-hoc panel: which event-type pairs differ on value
+    * after the q44 omnibus ANOVA rejects — Tukey–Kramer q per pair. */
+  private val q450 = Entry(
+    "q450_tukey_hsd",
+    (s, d) =>
+      AnalysisPlanner.tukeyHsd(Tables.events(s, d), "event_type", "value")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          r6(col("mean_diff")).as("mean_diff"), r6(col("se")).as("se"),
+          r6(col("q_stat")).as("q_stat"), col("df_error"))
+        .orderBy("group_a", "group_b"),
+    Some("""
+      WITH g AS (SELECT event_type AS gr, count(*)::DOUBLE AS n,
+                   avg("value") AS m, var_samp("value") AS s2
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1),
+      k AS (SELECT * FROM g WHERE n >= 2),
+      w AS (SELECT sum(s2 * (n - 1)) / sum(n - 1) AS msw,
+              sum(n - 1) AS dfe FROM k)
+      SELECT a.gr AS group_a, b.gr AS group_b,
+             a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+             round(a.m - b.m, 6) AS mean_diff,
+             round(sqrt(msw / 2 * (1 / a.n + 1 / b.n)), 6) AS se,
+             round(abs(a.m - b.m) /
+               sqrt(msw / 2 * (1 / a.n + 1 / b.n)), 6) AS q_stat,
+             dfe::BIGINT AS df_error
+      FROM k a JOIN k b ON a.gr < b.gr CROSS JOIN w
+      ORDER BY group_a, group_b"""))
+
+  /** Games–Howell post-hoc: the Tukey readout without equal variances
+    * — Welch SE + per-pair Welch–Satterthwaite df. */
+  private val q451 = Entry(
+    "q451_games_howell",
+    (s, d) =>
+      AnalysisPlanner.gamesHowell(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          r6(col("mean_diff")).as("mean_diff"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat"),
+          r6(col("df_welch")).as("df_welch"))
+        .orderBy("group_a", "group_b"),
+    Some("""
+      WITH g AS (SELECT event_type AS gr, count(*)::DOUBLE AS n,
+                   avg("value") AS m, var_samp("value") AS s2
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1),
+      k AS (SELECT * FROM g WHERE n >= 2 AND s2 IS NOT NULL)
+      SELECT a.gr AS group_a, b.gr AS group_b,
+             a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+             round(a.m - b.m, 6) AS mean_diff,
+             round(sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS se,
+             round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6)
+               AS t_stat,
+             round(power(a.s2 / a.n + b.s2 / b.n, 2) /
+               ((a.s2 / a.n) * (a.s2 / a.n) / (a.n - 1) +
+                (b.s2 / b.n) * (b.s2 / b.n) / (b.n - 1)), 6) AS df_welch
+      FROM k a JOIN k b ON a.gr < b.gr
+      ORDER BY group_a, group_b"""))
+
+  /** Rank effect sizes for the q45 arm pair: Vargha–Delaney A and
+    * Cliff's δ from the midrank-exact U — HOW MUCH, not just whether.
+    * Rides the shared memoized rank-cell substrate. */
+  private val q452 = Entry(
+    "q452_rank_effect_sizes",
+    (s, d) =>
+      AnalysisPlanner
+        .rankEffectSizesFromCells(eventTypeValueCells(s, d),
+          control = "purchase", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("u_stat")).as("u_stat"),
+          r6(col("vda_a")).as("vda_a"),
+          r6(col("cliffs_delta")).as("cliffs_delta")),
+    Some("""
+      WITH f AS (SELECT "value" AS v, event_type FROM events
+                 WHERE event_type IN ('purchase', 'click')
+                   AND "value" IS NOT NULL),
+      r AS (SELECT v, event_type,
+              rank() OVER (ORDER BY v) +
+                (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS mr
+            FROM f),
+      a AS (SELECT sum(CASE WHEN event_type = 'click' THEN mr END) AS rt,
+              count(CASE WHEN event_type = 'click' THEN v END)::DOUBLE
+                AS nt,
+              count(CASE WHEN event_type = 'purchase' THEN v END)::DOUBLE
+                AS nc
+            FROM r)
+      SELECT nc::BIGINT AS n_c, nt::BIGINT AS n_t,
+             round(rt - nt * (nt + 1) / 2.0, 6) AS u_stat,
+             round((rt - nt * (nt + 1) / 2.0) / (nt * nc), 6) AS vda_a,
+             round(2 * (rt - nt * (nt + 1) / 2.0) / (nt * nc) - 1, 6)
+               AS cliffs_delta
+      FROM a"""))
+
+  /** Stuart's tau-c on the order-priority × price-quartile contingency
+    * — the rectangular-table Kendall variant (tau-b penalizes r≠c);
+    * priority code and exact DISC quartile cuts keep both engines on
+    * identical integer cells. */
+  private val q453 = Entry(
+    "q453_stuart_tau_c",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val qs = AnalysisPlanner.exactPercentilesDisc(o, "o_totalprice",
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75), Nil)
+      val coded = o.crossJoin(broadcast(qs)).select(
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("__px"),
+        (lit(1) + (col("o_totalprice") > col("q1")).cast("int") +
+          (col("o_totalprice") > col("q2")).cast("int") +
+          (col("o_totalprice") > col("q3")).cast("int")).as("__py"),
+        col("o_orderkey"))
+      val k = AnalysisPlanner.kendallTau(coded, "__px", "__py",
+        "o_orderkey")
+      val nm = coded.agg(count(lit(1)).cast("double").as("__n"),
+        countDistinct(col("__px")).cast("double").as("__r"),
+        countDistinct(col("__py")).cast("double").as("__c"))
+      val m = least(col("__r"), col("__c"))
+      k.crossJoin(broadcast(nm)).select(
+        col("__n").cast("long").as("n"),
+        col("__r").cast("long").as("n_x_levels"),
+        col("__c").cast("long").as("n_y_levels"),
+        col("concordant"), col("discordant"),
+        r6(m * 2 * (col("concordant") - col("discordant")) /
+          (col("__n") * col("__n") * (m - 1))).as("tau_c"))
+    },
+    Some("""
+      WITH q AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+                   quantile_disc(o_totalprice, 0.5) AS q2,
+                   quantile_disc(o_totalprice, 0.75) AS q3
+                 FROM orders),
+      b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS px,
+              1 + (o_totalprice > q1)::INT + (o_totalprice > q2)::INT +
+                (o_totalprice > q3)::INT AS py
+            FROM orders, q),
+      cells AS (SELECT px, py, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+      cd AS (SELECT
+               sum(CASE WHEN a.px < d.px AND a.py < d.py
+                   THEN a.c * d.c ELSE 0 END) AS conc,
+               sum(CASE WHEN a.px < d.px AND a.py > d.py
+                   THEN a.c * d.c ELSE 0 END) AS disc
+             FROM cells a, cells d),
+      m AS (SELECT count(*)::DOUBLE AS n,
+              count(DISTINCT px)::DOUBLE AS r,
+              count(DISTINCT py)::DOUBLE AS cc
+            FROM b)
+      SELECT n::BIGINT AS n, r::BIGINT AS n_x_levels,
+             cc::BIGINT AS n_y_levels,
+             conc::BIGINT AS concordant, disc::BIGINT AS discordant,
+             round(least(r, cc) * 2 * (conc - disc) /
+               (n * n * (least(r, cc) - 1)), 6) AS tau_c
+      FROM cd, m"""))
+
+  /** Power-divergence family on the market-segment × nation
+    * contingency: Pearson, Freeman–Tukey, Neyman, Cressie–Read — when
+    * they split, sparse cells drive the verdict. */
+  private val q454 = Entry(
+    "q454_power_divergence",
+    (s, d) =>
+      AnalysisPlanner.powerDivergence(Tables.customer(s, d),
+          "c_mktsegment", "c_nationkey")
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          r6(col("chi2")).as("chi2"),
+          r6(col("freeman_tukey")).as("freeman_tukey"),
+          r6(col("neyman")).as("neyman"),
+          r6(col("cressie_read")).as("cressie_read")),
+    Some("""
+      WITH cells AS (SELECT c_mktsegment AS x,
+                       CAST(c_nationkey AS VARCHAR) AS y,
+                       count(*)::DOUBLE AS o
+                     FROM customer
+                     WHERE c_mktsegment IS NOT NULL
+                       AND c_nationkey IS NOT NULL
+                     GROUP BY 1, 2),
+      rm AS (SELECT x, sum(o) AS rx FROM cells GROUP BY 1),
+      cm AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
+      t AS (SELECT sum(o) AS n, count(DISTINCT x)::DOUBLE AS r,
+              count(DISTINCT y)::DOUBLE AS c
+            FROM cells)
+      SELECT n::BIGINT AS n, r::BIGINT AS n_rows, c::BIGINT AS n_cols,
+             ((r - 1) * (c - 1))::BIGINT AS dof,
+             round(sum(o * o / (rx * cy / n)) - n, 6) AS chi2,
+             round(8 * n - 8 * sum(sqrt(o * (rx * cy / n))), 6)
+               AS freeman_tukey,
+             round(sum(CASE WHEN o > 0
+               THEN power(o - rx * cy / n, 2) / o ELSE 0 END), 6)
+               AS neyman,
+             round(2 / ((2.0 / 3) * (2.0 / 3 + 1)) *
+               sum(o * (power(o / (rx * cy / n), 2.0 / 3) - 1)), 6)
+               AS cressie_read
+      FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN t
+      GROUP BY n, r, c"""))
+
+  /** Nominal-association strength panel on priority × status:
+    * Tschuprow's T (dof-normalized, comparable across table shapes),
+    * Pearson's C, and Sakoda's adjusted C. */
+  private val q455 = Entry(
+    "q455_tschuprow",
+    (s, d) => {
+      val pd = AnalysisPlanner.powerDivergence(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus")
+      val m = least(col("n_rows"), col("n_cols")).cast("double")
+      val c2 = col("chi2") / (col("chi2") + col("n"))
+      pd.select(col("n"), col("n_rows"), col("n_cols"),
+        r6(col("chi2")).as("chi2"),
+        r6(sqrt(col("chi2") /
+          (col("n") * sqrt(col("dof").cast("double")))))
+          .as("tschuprow_t"),
+        r6(sqrt(c2)).as("pearson_c"),
+        r6(sqrt(c2) / sqrt((m - 1) / m)).as("sakoda_c"))
+    },
+    Some("""
+      WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+                       count(*)::DOUBLE AS o
+                     FROM orders
+                     WHERE o_orderpriority IS NOT NULL
+                       AND o_orderstatus IS NOT NULL
+                     GROUP BY 1, 2),
+      rm AS (SELECT x, sum(o) AS rx FROM cells GROUP BY 1),
+      cm AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
+      t AS (SELECT sum(o) AS n, count(DISTINCT x)::DOUBLE AS r,
+              count(DISTINCT y)::DOUBLE AS c
+            FROM cells),
+      x2 AS (SELECT n, r, c, sum(o * o / (rx * cy / n)) - n AS chi2
+             FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN t
+             GROUP BY n, r, c)
+      SELECT n::BIGINT AS n, r::BIGINT AS n_rows, c::BIGINT AS n_cols,
+             round(chi2, 6) AS chi2,
+             round(sqrt(chi2 / (n * sqrt((r - 1) * (c - 1)))), 6)
+               AS tschuprow_t,
+             round(sqrt(chi2 / (chi2 + n)), 6) AS pearson_c,
+             round(sqrt(chi2 / (chi2 + n)) /
+               sqrt((least(r, c) - 1) / least(r, c)), 6) AS sakoda_c
+      FROM x2"""))
+
+  /** Bartlett's sphericity gate on the lineitem price-structure
+    * columns — is the correlation matrix distinguishable from
+    * identity before any PCA/factor reduction is worth fitting? */
+  private val q456 = Entry(
+    "q456_bartlett_sphericity",
+    (s, d) =>
+      AnalysisPlanner.bartlettSphericity(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("n"), col("n_vars"), r6(col("det_r")).as("det_r"),
+          r6(col("chi2")).as("chi2"), col("dof")),
+    Some("""
+      WITH c AS (SELECT count(*)::DOUBLE AS n,
+              corr(l_quantity, l_extendedprice) AS r12,
+              corr(l_quantity, l_discount) AS r13,
+              corr(l_extendedprice, l_discount) AS r23
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL),
+      dd AS (SELECT n,
+               1 + 2 * r12 * r13 * r23 - r12 * r12 - r13 * r13 -
+                 r23 * r23 AS det_r
+             FROM c)
+      SELECT n::BIGINT AS n, 3::BIGINT AS n_vars,
+             round(det_r, 6) AS det_r,
+             round(CASE WHEN det_r > 0
+               THEN -(n - 1 - 11.0 / 6) * ln(det_r) END, 6) AS chi2,
+             3::BIGINT AS dof
+      FROM dd"""))
+
+  /** Clustering-agreement panel: do the corpus's two natural
+    * partitions (language vs source) say the same thing? ARI,
+    * Fowlkes–Mallows, raw Rand — all closed forms over the
+    * contingency, never a pair join. */
+  private val q457 = Entry(
+    "q457_cluster_agreement",
+    (s, d) =>
+      AnalysisPlanner.clusterAgreement(Tables.documents(s, d), "lang",
+          "source")
+        .select(col("n"), col("n_clusters_a"), col("n_clusters_b"),
+          r6(col("rand_index")).as("rand_index"),
+          r6(col("adjusted_rand")).as("adjusted_rand"),
+          r6(col("fowlkes_mallows")).as("fowlkes_mallows")),
+    Some("""
+      WITH cells AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n
+                     FROM documents
+                     WHERE lang IS NOT NULL AND source IS NOT NULL
+                     GROUP BY 1, 2),
+      am AS (SELECT sum(na * (na - 1) / 2.0) AS pa, count(*) AS ka
+             FROM (SELECT a, sum(n) AS na FROM cells GROUP BY 1)),
+      bm AS (SELECT sum(nb * (nb - 1) / 2.0) AS pb, count(*) AS kb
+             FROM (SELECT b, sum(n) AS nb FROM cells GROUP BY 1)),
+      t AS (SELECT sum(n) AS nn, sum(n * (n - 1) / 2.0) AS pij
+            FROM cells),
+      z AS (SELECT nn, ka, kb, pij, pa, pb,
+              nn * (nn - 1) / 2.0 AS tot,
+              pa * pb / (nn * (nn - 1) / 2.0) AS expd
+            FROM t, am, bm)
+      SELECT nn::BIGINT AS n, ka::BIGINT AS n_clusters_a,
+             kb::BIGINT AS n_clusters_b,
+             round((tot + 2 * pij - pa - pb) / tot, 6) AS rand_index,
+             round(CASE WHEN (pa + pb) / 2 - expd <> 0
+               THEN (pij - expd) / ((pa + pb) / 2 - expd) END, 6)
+               AS adjusted_rand,
+             round(CASE WHEN pa > 0 AND pb > 0
+               THEN pij / sqrt(pa * pb) END, 6) AS fowlkes_mallows
+      FROM z"""))
+
+  /** Two-proportion effect panel: positive-balance rate, BUILDING vs
+    * AUTOMOBILE — risk difference/ratio, odds ratio, Cohen's h, NNT. */
+  private val q458 = Entry(
+    "q458_proportion_effects",
+    (s, d) =>
+      AnalysisPlanner.proportionEffects(
+          Tables.customer(s, d).withColumn("__pos", col("c_acctbal") > 0),
+          "c_mktsegment", "__pos", "BUILDING", "AUTOMOBILE")
+        .select(col("n_a"), col("n_b"), r6(col("p_a")).as("p_a"),
+          r6(col("p_b")).as("p_b"), r6(col("risk_diff")).as("risk_diff"),
+          r6(col("risk_ratio")).as("risk_ratio"),
+          r6(col("odds_ratio")).as("odds_ratio"),
+          r6(col("cohens_h")).as("cohens_h"), r6(col("nnt")).as("nnt")),
+    Some("""
+      WITH a AS (SELECT
+              sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                AS na,
+              sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                AS nb,
+              sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+                THEN 1 ELSE 0 END) AS sa,
+              sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 0
+                THEN 1 ELSE 0 END) AS sb
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+              AND c_acctbal IS NOT NULL),
+      p AS (SELECT na, nb, sa / CAST(na AS DOUBLE) AS pa,
+              sb / CAST(nb AS DOUBLE) AS pb
+            FROM a)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(pa, 6) AS p_a,
+             round(pb, 6) AS p_b, round(pa - pb, 6) AS risk_diff,
+             round(CASE WHEN pb > 0 THEN pa / pb END, 6) AS risk_ratio,
+             round(CASE WHEN pa > 0 AND pa < 1 AND pb > 0 AND pb < 1
+               THEN (pa / (1 - pa)) / (pb / (1 - pb)) END, 6)
+               AS odds_ratio,
+             round(2 * (asin(sqrt(pa)) - asin(sqrt(pb))), 6) AS cohens_h,
+             round(CASE WHEN pa <> pb THEN 1 / abs(pa - pb) END, 6)
+               AS nnt
+      FROM p"""))
+
+  /** Holt double-exponential smoothing of the daily event-count
+    * series (α=0.3, β=0.1): level+trend state and the 7-day-ahead
+    * forecast band a capacity planner reads. */
+  private val q459 = Entry(
+    "q459_holt_trend",
+    (s, d) =>
+      graft.ops.TimeSeries.holtLinear(Tables.events(s, d), "ts",
+          alpha = 0.3, beta = 0.1, horizon = 7)
+        .select(col("h"), col("n_days"), r6(col("level")).as("level"),
+          r6(col("trend")).as("trend"),
+          r6(col("forecast")).as("forecast"), r2(col("sse")).as("sse"),
+          r6(col("rmse")).as("rmse"))
+        .orderBy("h"),
+    Some("""
+      WITH RECURSIVE days AS (SELECT CAST(ts AS DATE) AS day,
+                     count(*)::DOUBLE AS y
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM days),
+      rec AS (
+        SELECT 1::BIGINT AS t,
+               (SELECT y FROM seq WHERE i = 1) AS level,
+               (SELECT y FROM seq WHERE i = 2) -
+                 (SELECT y FROM seq WHERE i = 1) AS trend,
+               CAST(0.0 AS DOUBLE) AS sse
+        UNION ALL
+        SELECT r.t + 1,
+               0.3 * s.y + 0.7 * (r.level + r.trend),
+               0.1 * (0.3 * s.y + 0.7 * (r.level + r.trend) - r.level) +
+                 0.9 * r.trend,
+               r.sse + (s.y - (r.level + r.trend)) *
+                 (s.y - (r.level + r.trend))
+        FROM rec r JOIN seq s ON s.i = r.t + 1),
+      fin AS (SELECT * FROM rec ORDER BY t DESC LIMIT 1),
+      n AS (SELECT count(*)::BIGINT AS nd FROM seq)
+      SELECT h::BIGINT AS h, nd AS n_days, round(level, 6) AS level,
+             round(trend, 6) AS trend,
+             round(level + h * trend, 6) AS forecast,
+             round(sse, 2) AS sse,
+             round(sqrt(sse / (nd - 1)), 6) AS rmse
+      FROM (SELECT unnest(generate_series(1, 7)) AS h), fin, n
+      ORDER BY h"""))
+
+  /** Supplier concentration per part brand: quantity-share HHI + CR4
+    * + top-supplier share — integer-exact quantity sums make the
+    * top-k cut engine-deterministic. */
+  private val q460 = Entry(
+    "q460_concentration",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).join(
+        Tables.part(s, d).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      val per = li.groupBy("p_brand", "l_suppkey")
+        .agg(sum(col("l_quantity")).cast("long").as("__q"))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("__q").desc, col("l_suppkey").asc)
+      per.withColumn("__rk", row_number().over(w))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("__q")).as("total_qty"),
+          r6(sum(col("__q") * col("__q")).cast("double") /
+            (sum(col("__q")) * sum(col("__q")))).as("hhi"),
+          r6(sum(when(col("__rk") <= 4, col("__q")).otherwise(0L))
+            .cast("double") / sum(col("__q"))).as("cr4"),
+          r6(max(when(col("__rk") === 1, col("__q"))).cast("double") /
+            sum(col("__q"))).as("top_share"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      WITH per AS (SELECT p_brand, l_suppkey,
+                     CAST(sum(l_quantity) AS BIGINT) AS q
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   GROUP BY 1, 2),
+      rk AS (SELECT p_brand, q,
+               row_number() OVER (PARTITION BY p_brand
+                 ORDER BY q DESC, l_suppkey ASC) AS r
+             FROM per)
+      SELECT p_brand, count(*)::BIGINT AS n_suppliers,
+             sum(q)::BIGINT AS total_qty,
+             round(sum(q * q) / (CAST(sum(q) AS DOUBLE) * sum(q)), 6)
+               AS hhi,
+             round(sum(CASE WHEN r <= 4 THEN q ELSE 0 END) /
+               CAST(sum(q) AS DOUBLE), 6) AS cr4,
+             round(max(CASE WHEN r = 1 THEN q END) /
+               CAST(sum(q) AS DOUBLE), 6) AS top_share
+      FROM rk GROUP BY 1 ORDER BY p_brand"""))
+
+  /** Grade-level readability panel by language: ARI + Coleman–Liau
+    * (character-based) vs Gunning fog + SMOG (complex-word based) —
+    * indices that fail independently of the Flesch syllable proxy. */
+  private val q461 = Entry(
+    "q461_readability_panel",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .readabilityPanel(
+          Tables.documents(s, d).where(col("text").isNotNull), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          r6(avg(col("ari"))).as("avg_ari"),
+          r6(avg(col("coleman_liau"))).as("avg_coleman_liau"),
+          r6(avg(col("gunning_fog"))).as("avg_gunning_fog"),
+          r6(avg(col("smog"))).as("avg_smog"),
+          r6(avg(col("n_complex").cast("double") /
+            col("n_words"))).as("avg_complex_share"))
+        .orderBy("lang"),
+    Some("""
+      WITH p AS (SELECT lang,
+              greatest(len(list_filter(string_split(trim(text), ' '),
+                x -> x <> '')), 1)::DOUBLE AS w,
+              greatest(len(regexp_extract_all(text, '[.!?]')), 1)::DOUBLE
+                AS s,
+              length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS l,
+              len(list_filter(string_split(trim(text), ' '),
+                x -> len(regexp_extract_all(lower(x), '[aeiouy]+')) >= 3))
+                ::DOUBLE AS cx
+            FROM documents WHERE text IS NOT NULL)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             round(avg(4.71 * (l / w) + 0.5 * (w / s) - 21.43), 6)
+               AS avg_ari,
+             round(avg(0.0588 * (l / w * 100) - 0.296 * (s / w * 100) -
+               15.8), 6) AS avg_coleman_liau,
+             round(avg((w / s + cx / w * 100) * 0.4), 6)
+               AS avg_gunning_fog,
+             round(avg(1.0430 * sqrt(cx * 30 / s) + 3.1291), 6)
+               AS avg_smog,
+             round(avg(cx / w), 6) AS avg_complex_share
+      FROM p GROUP BY 1 ORDER BY lang"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -17306,7 +17772,9 @@ object Queries {
     q409, q410, q411, q412, q413, q414, q415, q416, q417, q418, q419,
     q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
-    q442, q443, q444, q445, q446, q447, q448, q449)
+    q442, q443, q444, q445, q446, q447, q448, q449,
+    q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
+    q461)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -5325,6 +5325,306 @@ object AnalysisPlanner {
             (col("__sst") + col("__msw"))).as("omega_sq"))
   }
 
+  /** Per-group (n, mean, var) frame shared by the post-hoc pair tests —
+    * ONE grouped moments pass over the corpus; everything downstream is
+    * algebra on the ≤groups-sized reduction. */
+  private def groupMoments(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).cast("double").as("__ng"), avg(x).as("__m"),
+        var_samp(x).as("__s2"))
+  }
+
+  /**
+   * Tukey HSD post-hoc panel: after an ANOVA rejects, WHICH group
+   * pairs differ? For every unordered pair the studentized-range
+   * statistic q = |m_a − m_b| / √(MSW/2 · (1/n_a + 1/n_b))
+   * (Tukey–Kramer form for unequal n), with the pooled within-group
+   * MSW and its error df alongside so the caller can look q up in a
+   * studentized-range table at (k, df). Reference analysis surface:
+   * raise_/analytics/models.py stat-test family (the reference stops
+   * at the omnibus test; the pairwise readout is what an analyst acts
+   * on). Returns one row per pair:
+   * (group_a, group_b, n_a, n_b, mean_diff, se, q_stat, df_error).
+   *
+   * Scale shape: one grouped moments pass → a ≤k-row frame; the pair
+   * frame is the k² self-join of that reduction, never the corpus.
+   */
+  def tukeyHsd(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = groupMoments(df, groupCol, valueCol)
+      .where(col("__ng") >= 2).localCheckpoint()
+    val msw = broadcast(g.agg(
+      (sum(col("__s2") * (col("__ng") - 1)) /
+        sum(col("__ng") - 1)).as("__msw"),
+      sum(col("__ng") - 1).as("__dfe")))
+    g.as("a")
+      .join(g.select(col("__g").as("__g2"), col("__ng").as("__ng2"),
+        col("__m").as("__m2")), col("a.__g") < col("__g2"))
+      .crossJoin(msw)
+      .select(col("a.__g").as("group_a"), col("__g2").as("group_b"),
+        col("a.__ng").cast("long").as("n_a"),
+        col("__ng2").cast("long").as("n_b"),
+        (col("a.__m") - col("__m2")).as("mean_diff"),
+        sqrt(col("__msw") / 2 *
+          (lit(1.0) / col("a.__ng") + lit(1.0) / col("__ng2"))).as("se"),
+        (abs(col("a.__m") - col("__m2")) /
+          sqrt(col("__msw") / 2 *
+            (lit(1.0) / col("a.__ng") + lit(1.0) / col("__ng2"))))
+          .as("q_stat"),
+        col("__dfe").cast("long").as("df_error"))
+  }
+
+  /**
+   * Games–Howell post-hoc panel — Tukey's pairwise readout WITHOUT
+   * the equal-variance assumption: each pair gets the Welch standard
+   * error √(s²_a/n_a + s²_b/n_b) and its own Welch–Satterthwaite df,
+   * the right default when group variances differ (the same reason
+   * [[welchAnova]] exists next to the classic F). Returns one row per
+   * pair: (group_a, group_b, n_a, n_b, mean_diff, se, t_stat, df_welch).
+   *
+   * Scale shape: identical to [[tukeyHsd]] — one corpus pass, k²
+   * pair algebra on the reduction.
+   */
+  def gamesHowell(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = groupMoments(df, groupCol, valueCol)
+      .where(col("__ng") >= 2 && col("__s2").isNotNull).localCheckpoint()
+    val va = col("a.__s2") / col("a.__ng")
+    val vb = col("__s22") / col("__ng2")
+    g.as("a")
+      .join(g.select(col("__g").as("__g2"), col("__ng").as("__ng2"),
+        col("__m").as("__m2"), col("__s2").as("__s22")),
+        col("a.__g") < col("__g2"))
+      .select(col("a.__g").as("group_a"), col("__g2").as("group_b"),
+        col("a.__ng").cast("long").as("n_a"),
+        col("__ng2").cast("long").as("n_b"),
+        (col("a.__m") - col("__m2")).as("mean_diff"),
+        sqrt(va + vb).as("se"),
+        ((col("a.__m") - col("__m2")) / sqrt(va + vb)).as("t_stat"),
+        (pow(va + vb, 2.0) /
+          (va * va / (col("a.__ng") - 1) + vb * vb / (col("__ng2") - 1)))
+          .as("df_welch"))
+  }
+
+  /**
+   * Two-sample rank effect sizes over a prebuilt [[rankCells]] frame:
+   * the Mann–Whitney z (q45) says WHETHER the arms differ; these say
+   * HOW MUCH, on scales a reader can act on. Midrank-exact U gives
+   * Vargha–Delaney A = U/(n_a·n_b) — P(treatment > control) with ties
+   * split, the common-language effect size — and Cliff's δ = 2A − 1
+   * (≡ the rank-biserial correlation). Returns ONE row:
+   * (n_c, n_t, u_stat, vda_a, cliffs_delta).
+   *
+   * Scale shape: reduces the shared distinct-value cell frame (one
+   * [[PrefixSum]] pass for midranks), never the corpus — the same
+   * amortized substrate the whole k-sample family rides.
+   */
+  def rankEffectSizesFromCells(cells: DataFrame, control: String,
+      treatment: String): DataFrame = {
+    val vc = cells
+      .where(col("__g") === control || col("__g") === treatment)
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === treatment, col("__c"))
+          .otherwise(0.0)).as("__ct"),
+        sum(when(col("__g") === control, col("__c"))
+          .otherwise(0.0)).as("__cc"))
+    val ranked = PrefixSum
+      .exclusive(vc.withColumn("__b", col("__ct") + col("__cc")),
+        "__v", Seq("__b" -> "__ex"))
+      .withColumn("__mr", col("__ex") + (col("__b") + 1) / 2.0)
+    ranked.agg(
+        sum(col("__mr") * col("__ct")).as("__rt"),
+        sum(col("__ct")).as("__nt"), sum(col("__cc")).as("__nc"))
+      .withColumn("u_stat",
+        col("__rt") - col("__nt") * (col("__nt") + 1) / 2.0)
+      .withColumn("vda_a", when(col("__nt") > 0 && col("__nc") > 0,
+        col("u_stat") / (col("__nt") * col("__nc"))))
+      .select(col("__nc").cast("long").as("n_c"),
+        col("__nt").cast("long").as("n_t"), col("u_stat"),
+        col("vda_a"), (col("vda_a") * 2 - 1).as("cliffs_delta"))
+  }
+
+  /**
+   * Bartlett's test of sphericity: is the correlation matrix of
+   * `cols` distinguishable from identity at all — the gate run before
+   * any factor/PCA reduction (ops/Pca.scala) is worth fitting.
+   * χ² = −(n−1−(2p+5)/6)·ln det(R) ~ χ²(p(p−1)/2) under sphericity.
+   * The pairwise correlations reduce to ONE moments scan; det(R) of
+   * the p×p matrix (p bounded ≤16) is a driver-side Gaussian
+   * elimination over that 1-row aggregate — the [[stuartMaxwell]]
+   * bounded-solve idiom. Returns (n, n_vars, det_r, chi2, dof).
+   */
+  def bartlettSphericity(df: DataFrame, cols0: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(cols0.size >= 2 && cols0.size <= 16,
+      "bartlettSphericity: 2..16 columns")
+    val p = cols0.size
+    val pairs = for (i <- 0 until p; j <- i + 1 until p) yield (i, j)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      pairs.map { case (i, j) =>
+        corr(col(cols0(i)).cast("double"), col(cols0(j)).cast("double"))
+          .as(s"__r_${i}_$j")
+      }
+    val row = df.where(cols0.map(c => col(c).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getDouble(0)
+    val r = Array.tabulate(p, p)((i, j) =>
+      if (i == j) 1.0
+      else row.getDouble(1 + pairs.indexOf(if (i < j) (i, j) else (j, i))))
+    // determinant by plain partial-pivot elimination (p ≤ 16)
+    var det = 1.0
+    for (k <- 0 until p) {
+      var piv = k
+      for (i <- k + 1 until p) if (math.abs(r(i)(k)) > math.abs(r(piv)(k))) piv = i
+      if (piv != k) { val t = r(piv); r(piv) = r(k); r(k) = t; det = -det }
+      det *= r(k)(k)
+      if (r(k)(k) != 0.0)
+        for (i <- k + 1 until p) {
+          val f = r(i)(k) / r(k)(k)
+          for (j <- k until p) r(i)(j) -= f * r(k)(j)
+        }
+    }
+    val chi2: Option[Double] =
+      if (det > 0) Some(-(n - 1 - (2.0 * p + 5) / 6) * math.log(det))
+      else None
+    Seq((n.toLong, p.toLong, det, chi2, p.toLong * (p - 1) / 2))
+      .toDF("n", "n_vars", "det_r", "chi2", "dof")
+  }
+
+  /**
+   * Power-divergence goodness-of-fit family on an r×c contingency of
+   * two categoricals — Pearson's χ² (λ=1) alongside the members that
+   * weight sparse cells differently: Freeman–Tukey T² = 4Σ(√o − √e)²
+   * (λ=−1/2), Neyman's modified χ² = Σ(o−e)²/o (λ=−2, zero cells
+   * skipped per convention), and the Cressie–Read recommendation
+   * λ=2/3. When the four agree the χ² verdict is robust; when they
+   * split, sparse cells are driving it (Cressie & Read 1984). One
+   * row: (n, n_rows, n_cols, dof, chi2, freeman_tukey, neyman,
+   * cressie_read).
+   *
+   * Unobserved cells are handled EXACTLY without densifying the r×c
+   * grid, via the observed-cells-only identities (margins sum to n on
+   * both sides, so the linear terms telescope): χ² = Σ_obs o²/e − n,
+   * T² = 8n − 8Σ_obs √(o·e), and the λ=2/3 member's zero cells
+   * contribute 0 outright.
+   *
+   * Scale shape: one cell groupBy, two margin reductions joined back
+   * on the ≤r·c cell frame, one 1-row reduce.
+   */
+  def powerDivergence(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+      .agg(count(lit(1)).cast("double").as("__o"))
+      .localCheckpoint() // margins + cell pass reuse one reduction
+    val rm = cells.groupBy("__x").agg(sum(col("__o")).as("__rx"))
+    val cm = cells.groupBy("__y").agg(sum(col("__o")).as("__cy"))
+    val tot = broadcast(cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__x")).as("__r"),
+      countDistinct(col("__y")).as("__c")))
+    val e = col("__rx") * col("__cy") / col("__n")
+    val lam = lit(2.0 / 3.0)
+    cells.join(broadcast(rm), "__x").join(broadcast(cm), "__y")
+      .crossJoin(tot)
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__r")).cast("long").as("n_rows"),
+        max(col("__c")).cast("long").as("n_cols"),
+        ((max(col("__r")) - 1) * (max(col("__c")) - 1)).cast("long")
+          .as("dof"),
+        (sum(col("__o") * col("__o") / e) - max(col("__n"))).as("chi2"),
+        (max(col("__n")) * 8 - sum(sqrt(col("__o") * e)) * 8)
+          .as("freeman_tukey"),
+        sum(when(col("__o") > 0, pow(col("__o") - e, 2.0) / col("__o"))
+          .otherwise(lit(0.0))).as("neyman"),
+        (sum(col("__o") * (pow(col("__o") / e, lam) - 1)) * 2 /
+          (lam * (lam + 1))).as("cressie_read"))
+  }
+
+  /**
+   * Clustering-agreement panel between two labelings of the same
+   * rows — the label-quality readout for comparing an automatic
+   * clustering/labeler against a reference partition (the labeling
+   * ops' evaluation counterpart): Adjusted Rand Index (chance-
+   * corrected pair agreement), Fowlkes–Mallows √(precision·recall)
+   * over pairs, and the raw Rand index. All three are closed forms
+   * over Σ C(n_ij,2) and the margin pair sums of the contingency —
+   * never a pair join. One row:
+   * (n, n_clusters_a, n_clusters_b, rand_index, adjusted_rand,
+   * fowlkes_mallows).
+   */
+  def clusterAgreement(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    def pairsOf(c: Column) = c * (c - 1) / 2.0
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint()
+    val am = cells.groupBy("__a").agg(sum(col("__n")).as("__na"))
+      .agg(sum(pairsOf(col("__na"))).as("__pa"),
+        count(lit(1)).as("__ka"))
+    val bm = cells.groupBy("__b").agg(sum(col("__n")).as("__nb"))
+      .agg(sum(pairsOf(col("__nb"))).as("__pb"),
+        count(lit(1)).as("__kb"))
+    cells.agg(sum(col("__n")).as("__nn"),
+        sum(pairsOf(col("__n"))).as("__pij"))
+      .crossJoin(broadcast(am)).crossJoin(broadcast(bm))
+      .withColumn("__tot", pairsOf(col("__nn")))
+      .withColumn("__exp", col("__pa") * col("__pb") / col("__tot"))
+      .select(col("__nn").cast("long").as("n"),
+        col("__ka").cast("long").as("n_clusters_a"),
+        col("__kb").cast("long").as("n_clusters_b"),
+        ((col("__tot") + col("__pij") * 2 - col("__pa") - col("__pb")) /
+          col("__tot")).as("rand_index"),
+        when((col("__pa") + col("__pb")) / 2 - col("__exp") =!= 0.0,
+          (col("__pij") - col("__exp")) /
+            ((col("__pa") + col("__pb")) / 2 - col("__exp")))
+          .as("adjusted_rand"),
+        when(col("__pa") > 0 && col("__pb") > 0,
+          col("__pij") / sqrt(col("__pa") * col("__pb")))
+          .as("fowlkes_mallows"))
+  }
+
+  /**
+   * Two-proportion effect panel: every scale a rate comparison gets
+   * read on — risk difference, risk ratio, odds ratio, Cohen's h
+   * (the arcsine-stabilized difference, the power-analysis input),
+   * and number-needed-to-treat = 1/|RD|. One row:
+   * (n_a, n_b, p_a, p_b, risk_diff, risk_ratio, odds_ratio, cohens_h,
+   * nnt). ANSI-guarded: degenerate rates (0 or 1) NULL the ratio
+   * scales rather than ±Inf.
+   *
+   * Scale shape: one conditional-aggregation corpus pass.
+   */
+  def proportionEffects(df: DataFrame, groupCol: String,
+      successCol: String, a: String, b: String): DataFrame = {
+    val s = col(successCol).cast("boolean")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    val agg = df.where((inA || inB) && s.isNotNull)
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__na"),
+        sum(when(inB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(inA && s, 1L).otherwise(0L)).as("__sa"),
+        sum(when(inB && s, 1L).otherwise(0L)).as("__sb"))
+    val pa = col("__sa") / col("__na")
+    val pb = col("__sb") / col("__nb")
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        pa.as("p_a"), pb.as("p_b"), (pa - pb).as("risk_diff"),
+        when(pb > 0, pa / pb).as("risk_ratio"),
+        when(pa > 0 && pa < 1 && pb > 0 && pb < 1,
+          (pa / (lit(1.0) - pa)) / (pb / (lit(1.0) - pb)))
+          .as("odds_ratio"),
+        ((asin(sqrt(pa)) - asin(sqrt(pb))) * 2).as("cohens_h"),
+        when(pa =!= pb, lit(1.0) / abs(pa - pb)).as("nnt"))
+  }
+
   /**
    * Exact weighted percentiles: the value at which the cumulative
    * WEIGHT (tokens, revenue, bytes — not row count) first reaches

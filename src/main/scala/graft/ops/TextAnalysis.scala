@@ -1247,6 +1247,46 @@ object TextAnalysis {
   }
 
   /**
+   * Grade-level readability panel — the four dictionary-free indices
+   * a quality gate cross-checks against Flesch ([[readability]])
+   * before dropping a document, each keyed to a different proxy so
+   * they fail independently: ARI and Coleman–Liau read CHARACTERS
+   * per word (robust where the syllable heuristic is not), Gunning
+   * fog and SMOG read COMPLEX words (≥3 vowel-group runs). Proxies
+   * match [[readability]]'s exactly: words = whitespace tokens,
+   * sentences = terminal-punctuation count floored at 1, letters =
+   * non-whitespace chars, complex words counted per-token with a
+   * codegen'd higher-order `filter` (no UDF). Appends (n_words,
+   * n_sentences, n_letters, n_complex, ari, coleman_liau,
+   * gunning_fog, smog) to the input columns. Map-only, no shuffle.
+   */
+  def readabilityPanel(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val words = greatest(lit(1.0), size(toks).cast("double"))
+    val sents = greatest(lit(1.0),
+      regexp_count(t, lit("[.!?]")).cast("double"))
+    val letters = length(regexp_replace(t, "\\s", "")).cast("double")
+    val complexW = size(filter(toks,
+      w => regexp_count(lower(w), lit("[aeiouy]+")) >= 3)).cast("double")
+    val l100 = letters / words * 100 // Coleman–Liau reads per-100-word rates
+    val s100 = sents / words * 100
+    df.withColumn("n_words", words.cast("long"))
+      .withColumn("n_sentences", sents.cast("long"))
+      .withColumn("n_letters", letters.cast("long"))
+      .withColumn("n_complex", complexW.cast("long"))
+      .withColumn("ari",
+        lit(4.71) * (letters / words) + lit(0.5) * (words / sents) -
+          lit(21.43))
+      .withColumn("coleman_liau",
+        lit(0.0588) * l100 - lit(0.296) * s100 - lit(15.8))
+      .withColumn("gunning_fog",
+        (words / sents + complexW / words * 100) * lit(0.4))
+      .withColumn("smog",
+        lit(1.0430) * sqrt(complexW * 30 / sents) + lit(3.1291))
+  }
+
+  /**
    * Keyness: which terms are characteristically OVER-represented in
    * one sub-corpus vs the rest, by Dunning's log-likelihood ratio
    * (Dunning 1993) — the corpus-comparison readout behind "what is

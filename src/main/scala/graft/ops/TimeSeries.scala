@@ -1613,4 +1613,47 @@ object TimeSeries {
           (col("s_stat") - signum(col("s_stat"))) / sqrt(col("var_s")))
           .otherwise(lit(0.0)))
   }
+
+  /**
+   * Holt's linear (double) exponential smoothing over the daily
+   * event-count series — the classic level+trend forecaster behind
+   * capacity-planning readouts: level ℓ_t = α·y_t + (1−α)(ℓ_{t−1} +
+   * b_{t−1}), trend b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}, seeded
+   * ℓ₁ = y₁, b₁ = y₂ − y₁. Emits the one-step-ahead in-sample SSE
+   * and the h-step forecasts ℓ_n + h·b_n. Returns one row per
+   * forecast step h = 1..horizon:
+   * (h, n_days, level, trend, forecast, sse, rmse).
+   *
+   * Scale shape: the corpus reduces to the calendar-sized daily
+   * count frame (integer-exact, engine-deterministic); the recursion
+   * — inherently sequential, O(|days|) — runs driver-side over that
+   * BOUNDED aggregate (the [[graft.analysis.AnalysisPlanner.stuartMaxwell]]
+   * bounded-solve idiom), never over raw rows.
+   */
+  def holtLinear(df: DataFrame, tsCol: String, alpha: Double,
+      beta: Double, horizon: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "holtLinear: alpha, beta in (0,1)")
+    require(horizon >= 1 && horizon <= 366, "holtLinear: horizon 1..366")
+    val days = dailyCounts(df, tsCol).orderBy("__t")
+      .limit(4000).collect() // calendar-bounded by construction
+    require(days.length >= 3, "holtLinear: need >= 3 days")
+    val y = days.map(_.getDouble(1))
+    var level = y(0)
+    var trend = y(1) - y(0)
+    var sse = 0.0
+    for (t <- 1 until y.length) {
+      val pred = level + trend
+      sse += (y(t) - pred) * (y(t) - pred)
+      val l1 = alpha * y(t) + (1 - alpha) * pred
+      trend = beta * (l1 - level) + (1 - beta) * trend
+      level = l1
+    }
+    val rmse = math.sqrt(sse / (y.length - 1))
+    (1 to horizon).map(h => (h.toLong, y.length.toLong, level, trend,
+        level + h * trend, sse, rmse))
+      .toDF("h", "n_days", "level", "trend", "forecast", "sse", "rmse")
+  }
 }
