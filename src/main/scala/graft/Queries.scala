@@ -17739,6 +17739,286 @@ object Queries {
              round(avg(cx / w), 6) AS avg_complex_share
       FROM p GROUP BY 1 ORDER BY lang"""))
 
+  /** Paired sign test on integer-exact per-user activity counts: do
+    * users click more than they view? Counts keep the per-block SIGN
+    * engine-deterministic (a near-zero mean difference would not be). */
+  private val q462 = Entry(
+    "q462_sign_test",
+    (s, d) =>
+      AnalysisPlanner.signTest(Tables.events(s, d), "user_id",
+          "event_type", a = "click", b = "view")
+        .select(col("n_blocks"), col("n_pos"), col("n_neg"),
+          col("n_tied"), r6(col("z_stat")).as("z_stat")),
+    Some("""
+      WITH per AS (SELECT user_id,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1),
+      k AS (SELECT * FROM per WHERE ca > 0 AND cb > 0),
+      a AS (SELECT count(*)::BIGINT AS n_blocks,
+              sum(CASE WHEN ca > cb THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+              sum(CASE WHEN ca < cb THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+              sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS n_tied
+            FROM k)
+      SELECT n_blocks, n_pos, n_neg, n_tied,
+             round((n_pos - (n_pos + n_neg) / 2.0) /
+               sqrt((n_pos + n_neg) / 4.0), 6) AS z_stat
+      FROM a"""))
+
+  /** V-measure panel: the entropy view of the q457 lang×source
+    * agreement — homogeneity, completeness, V, NMI. */
+  private val q463 = Entry(
+    "q463_v_measure",
+    (s, d) =>
+      AnalysisPlanner.vMeasure(Tables.documents(s, d), "lang", "source")
+        .select(col("n"), col("n_clusters_a"), col("n_clusters_b"),
+          r6(col("h_a")).as("h_a"), r6(col("h_b")).as("h_b"),
+          r6(col("mutual_info")).as("mutual_info"),
+          r6(col("homogeneity")).as("homogeneity"),
+          r6(col("completeness")).as("completeness"),
+          r6(col("v_measure")).as("v_measure"), r6(col("nmi")).as("nmi")),
+    Some("""
+      WITH cells AS (SELECT lang AS a, source AS b, count(*)::DOUBLE AS n
+                     FROM documents
+                     WHERE lang IS NOT NULL AND source IS NOT NULL
+                     GROUP BY 1, 2),
+      t AS (SELECT sum(n) AS nn, count(DISTINCT a) AS ka,
+              count(DISTINCT b) AS kb FROM cells),
+      am AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+      bm AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+      ha AS (SELECT -sum(na / nn * ln(na / nn)) AS h_a FROM am, t),
+      hb AS (SELECT -sum(nb / nn * ln(nb / nn)) AS h_b FROM bm, t),
+      cj AS (SELECT -sum(n / nn * ln(n / nb)) AS h_a_given_b,
+               -sum(n / nn * ln(n / na)) AS h_b_given_a
+             FROM cells JOIN am USING (a) JOIN bm USING (b) CROSS JOIN t),
+      z AS (SELECT nn, ka, kb, h_a, h_b,
+              h_a - h_a_given_b AS mi,
+              CASE WHEN h_a > 0 THEN 1 - h_a_given_b / h_a ELSE 1 END
+                AS hom,
+              CASE WHEN h_b > 0 THEN 1 - h_b_given_a / h_b ELSE 1 END
+                AS com
+            FROM t, ha, hb, cj)
+      SELECT nn::BIGINT AS n, ka::BIGINT AS n_clusters_a,
+             kb::BIGINT AS n_clusters_b,
+             round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+             round(mi, 6) AS mutual_info, round(hom, 6) AS homogeneity,
+             round(com, 6) AS completeness,
+             round(CASE WHEN hom + com > 0
+               THEN 2 * hom * com / (hom + com) ELSE 0 END, 6)
+               AS v_measure,
+             round(CASE WHEN h_a + h_b > 0
+               THEN 2 * mi / (h_a + h_b) END, 6) AS nmi
+      FROM z"""))
+
+  /** Gumbel fit on daily value maxima + monthly/quarterly/yearly
+    * return levels — the capacity-planning extreme-value readout. */
+  private val q464 = Entry(
+    "q464_gumbel_maxima",
+    (s, d) =>
+      graft.ops.TimeSeries
+        .gumbelBlockMaxima(Tables.events(s, d), "ts", "value")
+        .select(col("t_period"), col("n_blocks"), r6(col("mu")).as("mu"),
+          r6(col("beta")).as("beta"),
+          r6(col("return_level")).as("return_level"))
+        .orderBy("t_period"),
+    Some("""
+      WITH mx AS (SELECT CAST(ts AS DATE) AS d, max("value") AS m
+                  FROM events
+                  WHERE ts IS NOT NULL AND "value" IS NOT NULL
+                  GROUP BY 1),
+      mom AS (SELECT count(*)::BIGINT AS n_blocks, avg(m) AS mean,
+                stddev_samp(m) AS sd FROM mx),
+      p AS (SELECT n_blocks, sd * sqrt(6.0) / pi() AS beta,
+              mean - 0.5772156649015329 * (sd * sqrt(6.0) / pi()) AS mu
+            FROM mom)
+      SELECT t AS t_period, n_blocks, round(mu, 6) AS mu,
+             round(beta, 6) AS beta,
+             round(mu - beta * ln(-ln(1 - 1.0 / t)), 6) AS return_level
+      FROM (SELECT unnest([30, 90, 365]) AS t), p
+      ORDER BY t_period"""))
+
+  /** Embedding label-coherence: avg cosine to own-label centroid vs
+    * the corpus centroid, per label — do labels carve the space? */
+  private val q465 = Entry(
+    "q465_label_coherence",
+    (s, d) =>
+      graft.ops.Similarity
+        .labelCoherence(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), col("n"),
+          r6(col("avg_cos_own")).as("avg_cos_own"),
+          r6(col("avg_cos_global")).as("avg_cos_global"),
+          r6(col("separation")).as("separation"))
+        .orderBy("label"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      pos AS (SELECT label, u.i AS i, v[u.i] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+      cent AS (SELECT label, list(c ORDER BY i) AS cl
+               FROM (SELECT label, i, avg(x) AS c FROM pos GROUP BY 1, 2)
+               GROUP BY 1),
+      gcent AS (SELECT list(g ORDER BY i) AS gl
+               FROM (SELECT i, avg(x) AS g FROM pos GROUP BY 1)),
+      per AS (SELECT e.label,
+                list_dot_product(e.v, c.cl) /
+                  (sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(c.cl, c.cl))) AS co,
+                list_dot_product(e.v, g.gl) /
+                  (sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(g.gl, g.gl))) AS cg
+              FROM e JOIN cent c USING (label) CROSS JOIN gcent g)
+      SELECT label, count(*)::BIGINT AS n,
+             round(avg(co), 6) AS avg_cos_own,
+             round(avg(cg), 6) AS avg_cos_global,
+             round(avg(co - cg), 6) AS separation
+      FROM per GROUP BY 1 ORDER BY label"""))
+
+  /** Difference-in-differences: click vs view value, last-14-days post
+    * period (max(ts)-anchored) — the drift-corrected lift estimate. */
+  private val q466 = Entry(
+    "q466_did",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+      val anchored = ev.crossJoin(broadcast(ev.agg(max("ts").as("__mx"))))
+      graft.ops.Regression.differenceInDifferences(anchored, "value",
+          treated = col("event_type") === "click",
+          post = col("ts") >= col("__mx") - expr("INTERVAL 14 DAYS"))
+        .select(col("n"), r6(col("mean_c_pre")).as("mean_c_pre"),
+          r6(col("mean_c_post")).as("mean_c_post"),
+          r6(col("mean_t_pre")).as("mean_t_pre"),
+          r6(col("mean_t_post")).as("mean_t_post"),
+          r6(col("did")).as("did"), r6(col("se")).as("se"),
+          r6(col("t_stat")).as("t_stat"))
+    },
+    Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events
+                  WHERE event_type IN ('click', 'view')),
+      f AS (SELECT "value" AS y, (event_type = 'click') AS tr,
+              (ts >= m - INTERVAL 14 DAY) AS po
+            FROM events, mx
+            WHERE event_type IN ('click', 'view')
+              AND "value" IS NOT NULL),
+      a AS (SELECT
+              sum(CASE WHEN NOT tr AND NOT po THEN y END) AS s0,
+              sum(CASE WHEN NOT tr AND NOT po THEN y * y END) AS q0,
+              sum(CASE WHEN NOT tr AND NOT po THEN 1.0 ELSE 0 END) AS n0,
+              sum(CASE WHEN NOT tr AND po THEN y END) AS s1,
+              sum(CASE WHEN NOT tr AND po THEN y * y END) AS q1,
+              sum(CASE WHEN NOT tr AND po THEN 1.0 ELSE 0 END) AS n1,
+              sum(CASE WHEN tr AND NOT po THEN y END) AS s2,
+              sum(CASE WHEN tr AND NOT po THEN y * y END) AS q2,
+              sum(CASE WHEN tr AND NOT po THEN 1.0 ELSE 0 END) AS n2,
+              sum(CASE WHEN tr AND po THEN y END) AS s3,
+              sum(CASE WHEN tr AND po THEN y * y END) AS q3,
+              sum(CASE WHEN tr AND po THEN 1.0 ELSE 0 END) AS n3
+            FROM f),
+      z AS (SELECT n0 + n1 + n2 + n3 AS n,
+              s0 / n0 AS m0, s1 / n1 AS m1, s2 / n2 AS m2, s3 / n3 AS m3,
+              (s3 / n3 - s2 / n2) - (s1 / n1 - s0 / n0) AS did,
+              sqrt((q0 - s0 * s0 / n0) / (n0 - 1) / n0 +
+                   (q1 - s1 * s1 / n1) / (n1 - 1) / n1 +
+                   (q2 - s2 * s2 / n2) / (n2 - 1) / n2 +
+                   (q3 - s3 * s3 / n3) / (n3 - 1) / n3) AS se
+            FROM a)
+      SELECT n::BIGINT AS n, round(m0, 6) AS mean_c_pre,
+             round(m1, 6) AS mean_c_post, round(m2, 6) AS mean_t_pre,
+             round(m3, 6) AS mean_t_post, round(did, 6) AS did,
+             round(se, 6) AS se,
+             round(CASE WHEN se > 0 THEN did / se END, 6) AS t_stat
+      FROM z"""))
+
+  /** Sharp regression discontinuity at the 5% discount cutoff:
+    * triangular-kernel local linear fits on both sides, jump =
+    * intercept difference. */
+  private val q467 = Entry(
+    "q467_rdd_local_linear",
+    (s, d) =>
+      graft.ops.Regression.rddLocalLinear(Tables.lineitem(s, d),
+          "l_discount", "l_extendedprice", cutoff = 0.05,
+          bandwidth = 0.03)
+        .select(col("n_left"), col("n_right"),
+          r6(col("intercept_left")).as("intercept_left"),
+          r6(col("intercept_right")).as("intercept_right"),
+          r6(col("slope_left")).as("slope_left"),
+          r6(col("slope_right")).as("slope_right"),
+          r6(col("effect")).as("effect")),
+    Some("""
+      WITH g AS (SELECT l_discount - 0.05 AS xc, l_extendedprice AS y,
+              1 - abs(l_discount - 0.05) / 0.03 AS w,
+              (l_discount >= 0.05) AS r
+            FROM lineitem
+            WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND abs(l_discount - 0.05) < 0.03),
+      a AS (SELECT
+              sum(CASE WHEN NOT r THEN 1 ELSE 0 END)::BIGINT AS nl,
+              sum(CASE WHEN r THEN 1 ELSE 0 END)::BIGINT AS nr,
+              sum(CASE WHEN NOT r THEN w ELSE 0 END) AS swl,
+              sum(CASE WHEN NOT r THEN w * xc END) AS swxl,
+              sum(CASE WHEN NOT r THEN w * y END) AS swyl,
+              sum(CASE WHEN NOT r THEN w * xc * xc END) AS swxxl,
+              sum(CASE WHEN NOT r THEN w * xc * y END) AS swxyl,
+              sum(CASE WHEN r THEN w ELSE 0 END) AS swr,
+              sum(CASE WHEN r THEN w * xc END) AS swxr,
+              sum(CASE WHEN r THEN w * y END) AS swyr,
+              sum(CASE WHEN r THEN w * xc * xc END) AS swxxr,
+              sum(CASE WHEN r THEN w * xc * y END) AS swxyr
+            FROM g),
+      fit AS (SELECT nl, nr,
+                (swl * swxyl - swxl * swyl) /
+                  (swl * swxxl - swxl * swxl) AS bl,
+                (swr * swxyr - swxr * swyr) /
+                  (swr * swxxr - swxr * swxr) AS br,
+                swl, swxl, swyl, swr, swxr, swyr
+              FROM a),
+      z AS (SELECT nl, nr, bl, br,
+              (swyl - bl * swxl) / swl AS al,
+              (swyr - br * swxr) / swr AS ar
+            FROM fit)
+      SELECT nl AS n_left, nr AS n_right,
+             round(al, 6) AS intercept_left,
+             round(ar, 6) AS intercept_right,
+             round(bl, 6) AS slope_left, round(br, 6) AS slope_right,
+             round(ar - al, 6) AS effect
+      FROM z"""))
+
+  /** Pareto-tail profile of order totals above the exact p95: Hill
+    * α, mean excess, and the tail's share of total revenue — the
+    * skew-planning heavy-tail readout. */
+  private val q468 = Entry(
+    "q468_pareto_tail",
+    (s, d) =>
+      AnalysisPlanner.paretoTail(Tables.orders(s, d), "o_totalprice",
+          p = 0.95)
+        .select(r6(col("threshold")).as("threshold"), col("n_tail"),
+          r6(col("tail_frac")).as("tail_frac"),
+          r6(col("hill_alpha")).as("hill_alpha"),
+          r6(col("mean_excess")).as("mean_excess"),
+          r6(col("tail_mass_share")).as("tail_mass_share")),
+    Some("""
+      WITH u AS (SELECT quantile_disc(o_totalprice, 0.95) AS th
+                 FROM orders),
+      a AS (SELECT max(th) AS threshold,
+              sum(CASE WHEN o_totalprice > th THEN 1 ELSE 0 END)::BIGINT
+                AS n_tail,
+              count(*)::DOUBLE AS n,
+              avg(CASE WHEN o_totalprice > th
+                THEN ln(o_totalprice / th) END) AS mlog,
+              avg(CASE WHEN o_totalprice > th
+                THEN o_totalprice - th END) AS mean_excess,
+              sum(CASE WHEN o_totalprice > th THEN o_totalprice
+                ELSE 0 END) / sum(o_totalprice) AS tms
+            FROM orders, u WHERE o_totalprice IS NOT NULL)
+      SELECT round(threshold, 6) AS threshold, n_tail,
+             round(n_tail / n, 6) AS tail_frac,
+             round(CASE WHEN mlog > 0 THEN 1 / mlog END, 6)
+               AS hill_alpha,
+             round(mean_excess, 6) AS mean_excess,
+             round(tms, 6) AS tail_mass_share
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -17774,7 +18054,7 @@ object Queries {
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
-    q461)
+    q461, q462, q463, q464, q465, q466, q467, q468)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

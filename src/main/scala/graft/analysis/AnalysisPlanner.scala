@@ -5626,6 +5626,134 @@ object AnalysisPlanner {
   }
 
   /**
+   * V-measure clustering-agreement panel — the entropy-based
+   * companion to [[clusterAgreement]]'s pair counting: homogeneity
+   * h = 1 − H(A|B)/H(A) (each B-cluster holds one A-class),
+   * completeness c = 1 − H(B|A)/H(B), V = their harmonic mean, plus
+   * NMI with the arithmetic normalization 2I/(H(A)+H(B)). All four
+   * are closed forms over the contingency cells and margins — one
+   * cell groupBy, two margin reductions, one 1-row reduce. Returns
+   * (n, n_clusters_a, n_clusters_b, h_a, h_b, mutual_info,
+   * homogeneity, completeness, v_measure, nmi).
+   */
+  def vMeasure(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint()
+    val am = cells.groupBy("__a").agg(sum(col("__n")).as("__na"))
+    val bm = cells.groupBy("__b").agg(sum(col("__n")).as("__nb"))
+    val tot = broadcast(cells.agg(sum(col("__n")).as("__nn"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb")))
+    val j = cells.join(broadcast(am), "__a").join(broadcast(bm), "__b")
+      .crossJoin(tot)
+    val p = col("__n") / col("__nn")
+    val agg = j.agg(max(col("__nn")).as("n"),
+      max(col("__ka")).as("ka"), max(col("__kb")).as("kb"),
+      // H(A), H(B) from margins — summed over cells each margin row
+      // repeats, so divide by the OTHER side's multiplicity is wrong;
+      // instead derive from distinct margin frames below.
+      (-sum(p * log(p))).as("h_ab"),
+      (-sum(p * log(col("__n") / col("__nb")))).as("h_a_given_b"),
+      (-sum(p * log(col("__n") / col("__na")))).as("h_b_given_a"))
+    val ha = broadcast(am.crossJoin(tot)
+      .agg((-sum(col("__na") / col("__nn") *
+        log(col("__na") / col("__nn")))).as("h_a")))
+    val hb = broadcast(bm.crossJoin(tot)
+      .agg((-sum(col("__nb") / col("__nn") *
+        log(col("__nb") / col("__nn")))).as("h_b")))
+    agg.crossJoin(ha).crossJoin(hb)
+      .withColumn("mutual_info", col("h_a") - col("h_a_given_b"))
+      .withColumn("homogeneity",
+        when(col("h_a") > 0, lit(1.0) - col("h_a_given_b") / col("h_a"))
+          .otherwise(lit(1.0)))
+      .withColumn("completeness",
+        when(col("h_b") > 0, lit(1.0) - col("h_b_given_a") / col("h_b"))
+          .otherwise(lit(1.0)))
+      .withColumn("v_measure",
+        when(col("homogeneity") + col("completeness") > 0,
+          lit(2.0) * col("homogeneity") * col("completeness") /
+            (col("homogeneity") + col("completeness")))
+          .otherwise(lit(0.0)))
+      .withColumn("nmi",
+        when(col("h_a") + col("h_b") > 0,
+          lit(2.0) * col("mutual_info") / (col("h_a") + col("h_b"))))
+      .select(col("n").cast("long").as("n"),
+        col("ka").cast("long").as("n_clusters_a"),
+        col("kb").cast("long").as("n_clusters_b"),
+        col("h_a"), col("h_b"), col("mutual_info"), col("homogeneity"),
+        col("completeness"), col("v_measure"), col("nmi"))
+  }
+
+  /**
+   * Paired sign test over integer-exact per-block count differences:
+   * does the block-level direction favor `a` over `b`? Blocks where
+   * the two arms tie are dropped (the classical convention); the
+   * normal approximation z = (n_pos − m/2)/√(m/4) with m = n_pos +
+   * n_neg. Counts (not means) keep the SIGN engine-deterministic —
+   * a per-block mean difference near 0 could flip sign under
+   * cross-engine fp summation, a count difference cannot. Returns
+   * (n_blocks, n_pos, n_neg, n_tied, z_stat).
+   *
+   * Scale shape: one groupBy(block) conditional-count pass, one
+   * 1-row reduce.
+   */
+  def signTest(df: DataFrame, blockCol: String, armCol: String,
+      a: String, b: String): DataFrame = {
+    val per = df.where(col(armCol) === a || col(armCol) === b)
+      .groupBy(col(blockCol).as("__blk"))
+      .agg(sum(when(col(armCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(armCol) === b, 1L).otherwise(0L)).as("__cb"))
+      .where(col("__ca") > 0 && col("__cb") > 0) // paired blocks only
+    per.agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__ca") > col("__cb"), 1L).otherwise(0L))
+          .as("n_pos"),
+        sum(when(col("__ca") < col("__cb"), 1L).otherwise(0L))
+          .as("n_neg"),
+        sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
+          .as("n_tied"))
+      .withColumn("z_stat", {
+        val m = (col("n_pos") + col("n_neg")).cast("double")
+        when(m > 0, (col("n_pos") - m / 2) / sqrt(m / 4))
+      })
+  }
+
+  /**
+   * Pareto-tail profile over the exceedances of the p-th DISC
+   * percentile: the Hill estimator α = 1/mean(ln x/u) (how heavy is
+   * the tail — α ≤ 2 means infinite variance, the "a single key can
+   * swallow an executor" regime skew planning cares about), the mean
+   * excess E[x−u | x>u] (linear in u for a GPD tail), and the tail
+   * share of total mass. Returns ONE row:
+   * (threshold, n_tail, tail_frac, hill_alpha, mean_excess,
+   * tail_mass_share).
+   *
+   * Scale shape: one [[exactPercentilesDisc]] pass for u (PrefixSum),
+   * one conditional-aggregation scan for the tail moments.
+   */
+  def paretoTail(df: DataFrame, valueCol: String,
+      p: Double = 0.95): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val u = exactPercentilesDisc(df, valueCol, Seq("__u" -> p), Nil)
+    df.where(v.isNotNull).crossJoin(broadcast(u))
+      .agg(max(col("__u")).as("threshold"),
+        sum(when(v > col("__u"), 1L).otherwise(0L)).as("n_tail"),
+        count(lit(1)).cast("double").as("__n"),
+        avg(when(v > col("__u"), log(v / col("__u")))).as("__mlog"),
+        avg(when(v > col("__u"), v - col("__u"))).as("mean_excess"),
+        (sum(when(v > col("__u"), v).otherwise(lit(0.0))) / sum(v))
+          .as("tail_mass_share"))
+      .select(col("threshold"), col("n_tail"),
+        (col("n_tail") / col("__n")).as("tail_frac"),
+        when(col("__mlog") > 0, lit(1.0) / col("__mlog"))
+          .as("hill_alpha"),
+        col("mean_excess"), col("tail_mass_share"))
+  }
+
+  /**
    * Exact weighted percentiles: the value at which the cumulative
    * WEIGHT (tokens, revenue, bytes — not row count) first reaches
    * p·W — "the document length below which half the TOKENS live" is a

@@ -754,6 +754,99 @@ object Regression {
   }
 
   /**
+   * Difference-in-differences on a 2×2 (arm × period) design: the
+   * causal workhorse for "did the change move the metric beyond the
+   * control arm's drift" — DiD = (ȳ_t,post − ȳ_t,pre) −
+   * (ȳ_c,post − ȳ_c,pre), with the unpooled SE
+   * √(Σ s²_cell/n_cell) over the four cells and t = DiD/SE. The
+   * parallel-trends assumption is the caller's (pre-period slope
+   * checks live in the time-series ops). Returns ONE row:
+   * (n, mean_c_pre, mean_c_post, mean_t_pre, mean_t_post, did, se,
+   * t_stat).
+   *
+   * Scale shape: one conditional-aggregation corpus pass — the four
+   * cells ride as when()-guarded sums, never a re-scan per cell.
+   */
+  def differenceInDifferences(df: DataFrame, yCol: String,
+      treated: Column, post: Column): DataFrame = {
+    val y = col(yCol).cast("double")
+    def cell(c: Column) = (
+      sum(when(c, y)),
+      sum(when(c, y * y)),
+      sum(when(c, 1.0).otherwise(0.0)))
+    val cells = Seq(!treated && !post, !treated && post,
+      treated && !post, treated && post)
+    val aggs = cells.zipWithIndex.flatMap { case (c, i) =>
+      val (s1, s2, n) = cell(c)
+      Seq(s1.as(s"__s$i"), s2.as(s"__q$i"), n.as(s"__n$i"))
+    }
+    val m = df.where(y.isNotNull).agg(aggs.head, aggs.tail: _*)
+    def mean(i: Int) = col(s"__s$i") / col(s"__n$i")
+    // per-cell variance of the MEAN: s²/n with sample variance
+    def varMean(i: Int) =
+      (col(s"__q$i") - col(s"__s$i") * col(s"__s$i") / col(s"__n$i")) /
+        (col(s"__n$i") - 1) / col(s"__n$i")
+    val did = (mean(3) - mean(2)) - (mean(1) - mean(0))
+    val se = sqrt(varMean(0) + varMean(1) + varMean(2) + varMean(3))
+    m.select(
+      (col("__n0") + col("__n1") + col("__n2") + col("__n3"))
+        .cast("long").as("n"),
+      mean(0).as("mean_c_pre"), mean(1).as("mean_c_post"),
+      mean(2).as("mean_t_pre"), mean(3).as("mean_t_post"),
+      did.as("did"), se.as("se"),
+      when(se > 0, did / se).as("t_stat"))
+  }
+
+  /**
+   * Sharp regression-discontinuity estimate by local linear fits: a
+   * WLS line on each side of the cutoff within bandwidth h, weighted
+   * by the triangular kernel w = 1 − |x−c|/h, both fits centered at
+   * the cutoff so the jump is the intercept difference
+   * τ = a_right − a_left (Imbens & Lemieux 2008's recommended
+   * estimator; rows at x = c count as treated). Returns ONE row:
+   * (n_left, n_right, intercept_left, intercept_right, slope_left,
+   * slope_right, effect).
+   *
+   * Scale shape: one conditional-aggregation pass — the two sides'
+   * weighted sufficient statistics (Σw, Σwx, Σwy, Σwx², Σwxy) ride
+   * as when()-guarded sums of ONE scan; the WLS closed forms are
+   * 1-row algebra.
+   */
+  def rddLocalLinear(df: DataFrame, xCol: String, yCol: String,
+      cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "rddLocalLinear: bandwidth > 0")
+    val x0 = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val xc = x0 - lit(cutoff)
+    val w = lit(1.0) - abs(xc) / lit(bandwidth)
+    val in = x0.isNotNull && y.isNotNull && abs(xc) < lit(bandwidth)
+    val right = x0 >= lit(cutoff)
+    def side(c: Column, tag: String) = Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(c, w).otherwise(lit(0.0))).as(s"__w$tag"),
+      sum(when(c, w * xc)).as(s"__wx$tag"),
+      sum(when(c, w * y)).as(s"__wy$tag"),
+      sum(when(c, w * xc * xc)).as(s"__wxx$tag"),
+      sum(when(c, w * xc * y)).as(s"__wxy$tag"))
+    val aggs = side(in && !right, "l") ++ side(in && right, "r")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def fit(tag: String) = {
+      val (sw, swx, swy, swxx, swxy) = (col(s"__w$tag"), col(s"__wx$tag"),
+        col(s"__wy$tag"), col(s"__wxx$tag"), col(s"__wxy$tag"))
+      val den = sw * swxx - swx * swx
+      val b = when(den =!= 0.0, (sw * swxy - swx * swy) / den)
+      val a = (swy - b * swx) / sw
+      (a, b)
+    }
+    val (al, bl) = fit("l")
+    val (ar, br) = fit("r")
+    m.select(col("__nl").as("n_left"), col("__nr").as("n_right"),
+      al.as("intercept_left"), ar.as("intercept_right"),
+      bl.as("slope_left"), br.as("slope_right"),
+      (ar - al).as("effect"))
+  }
+
+  /**
    * AR(2) fit by Yule–Walker from the lag-1/lag-2 autocorrelations of
    * a daily series: φ₁ = r₁(1 − r₂)/(1 − r₁²),
    * φ₂ = (r₂ − r₁²)/(1 − r₁²), innovation variance

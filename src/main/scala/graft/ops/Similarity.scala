@@ -1117,4 +1117,50 @@ object Similarity {
           lit(1.0) - lit(muNorm * muNorm) / col("__avg_sq"))
           .as("isotropy"))
   }
+
+  /**
+   * Label-coherence panel over an embedding column: per label, the
+   * average cosine of members to their OWN label centroid vs to the
+   * corpus centroid — the separation readout that says whether the
+   * labels carve the embedding space at all (the retrieval-eval
+   * cousin of the nearest-centroid classifier, WITHOUT per-vector
+   * argmax assignment: an argmax over near-tied float similarities
+   * is not engine-replayable; these are pure averages, which are).
+   * Returns one row per label:
+   * (label, n, avg_cos_own, avg_cos_global, separation).
+   *
+   * Scale shape: centroids come from ONE posexplode + (label, dim)
+   * groupBy (map-side combined — the shuffle carries labels×dim
+   * partials, not n·dim rows); the per-vector cosines are the
+   * codegen'd [[graft.functions.VectorFunctions.cosineSimilarity]]
+   * against the ≤labels-sized broadcast centroid arrays.
+   */
+  def labelCoherence(corpus: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val e = corpus
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("__lbl"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val pos = e.select(col("__lbl"), posexplode(col("__v"))
+      .as(Seq("__i", "__x")))
+    val centArr = pos.groupBy("__lbl", "__i")
+      .agg(avg(col("__x")).as("__c"))
+      .groupBy("__lbl")
+      .agg(transform(array_sort(collect_list(struct(col("__i"),
+        col("__c")))), s => s.getField("__c")).as("__cent"))
+    val globArr = broadcast(pos.groupBy("__i")
+      .agg(avg(col("__x")).as("__g"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"),
+        col("__g")))), s => s.getField("__g")).as("__glob")))
+    e.join(broadcast(centArr), "__lbl").crossJoin(globArr)
+      .select(col("__lbl"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("__v"), col("__cent")).as("__co"),
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("__v"), col("__glob")).as("__cg"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n"), avg(col("__co")).as("avg_cos_own"),
+        avg(col("__cg")).as("avg_cos_global"),
+        avg(col("__co") - col("__cg")).as("separation"))
+  }
 }

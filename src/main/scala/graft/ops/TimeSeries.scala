@@ -1656,4 +1656,40 @@ object TimeSeries {
         level + h * trend, sse, rmse))
       .toDF("h", "n_days", "level", "trend", "forecast", "sse", "rmse")
   }
+
+  /**
+   * Gumbel extreme-value fit on the daily block maxima of `valueCol`
+   * by the method of moments — β = s·√6/π, μ = m̄ − γβ (γ the
+   * Euler–Mascheroni constant) — plus the T-period return levels
+   * μ − β·ln(−ln(1 − 1/T)): "what daily peak should capacity expect
+   * once per month / quarter / year". Block maxima (a per-day max)
+   * are engine-exact — no summation-order sensitivity — and the two
+   * moments reduce them in one pass. Returns one row per requested
+   * return period T: (t_period, n_blocks, mu, beta, return_level).
+   *
+   * Scale shape: one groupBy(day) max, one 1-row moments reduce, the
+   * bounded T list cross-joined on literals.
+   */
+  def gumbelBlockMaxima(df: DataFrame, tsCol: String, valueCol: String,
+      returnPeriods: Seq[Int] = Seq(30, 90, 365)): DataFrame = {
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
+      "gumbelBlockMaxima: return periods >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxima = df
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(max(col(valueCol).cast("double")).as("__m"))
+    val mom = maxima.agg(count(lit(1)).as("n_blocks"),
+      avg(col("__m")).as("__mean"), stddev_samp(col("__m")).as("__sd"))
+    val euler = 0.5772156649015329
+    val beta = col("__sd") * math.sqrt(6.0) / math.Pi
+    val mu = col("__mean") - lit(euler) * beta
+    returnPeriods.toDF("t_period").crossJoin(broadcast(mom))
+      .select(col("t_period"), col("n_blocks"), mu.as("mu"),
+        beta.as("beta"),
+        (mu - beta * log(-log(lit(1.0) - lit(1.0) / col("t_period"))))
+          .as("return_level"))
+      .orderBy("t_period")
+  }
 }
