@@ -17380,21 +17380,11 @@ object Queries {
         substring(col("o_orderpriority"), 1, 1).cast("int").as("__px"),
         (lit(1) + (col("o_totalprice") > col("q1")).cast("int") +
           (col("o_totalprice") > col("q2")).cast("int") +
-          (col("o_totalprice") > col("q3")).cast("int")).as("__py"),
-        col("o_orderkey"))
-      val k = AnalysisPlanner.kendallTau(coded, "__px", "__py",
-        "o_orderkey")
-      val nm = coded.agg(count(lit(1)).cast("double").as("__n"),
-        countDistinct(col("__px")).cast("double").as("__r"),
-        countDistinct(col("__py")).cast("double").as("__c"))
-      val m = least(col("__r"), col("__c"))
-      k.crossJoin(broadcast(nm)).select(
-        col("__n").cast("long").as("n"),
-        col("__r").cast("long").as("n_x_levels"),
-        col("__c").cast("long").as("n_y_levels"),
-        col("concordant"), col("discordant"),
-        r6(m * 2 * (col("concordant") - col("discordant")) /
-          (col("__n") * col("__n") * (m - 1))).as("tau_c"))
+          (col("o_totalprice") > col("q3")).cast("int")).as("__py"))
+      AnalysisPlanner.tauCContingency(coded, "__px", "__py")
+        .select(col("n"), col("n_x_levels"), col("n_y_levels"),
+          col("concordant"), col("discordant"),
+          r6(col("tau_c")).as("tau_c"))
     },
     Some("""
       WITH q AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1,

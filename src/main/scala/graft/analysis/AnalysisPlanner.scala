@@ -5626,6 +5626,47 @@ object AnalysisPlanner {
   }
 
   /**
+   * Stuart's tau-c over a CATEGORY-BOUNDED ordinal contingency: the
+   * rectangular-table Kendall variant 2m(C−D)/(n²(m−1)) with
+   * m = min(r, c). Unlike the continuous-column [[kendallTau]] (whose
+   * Fenwick machinery earns its constants on corpus-sized distinct
+   * frames), an ordinal table has ≤ r·c cells by construction, so
+   * concordant/discordant pair mass comes from the TINY cell
+   * self-join directly — one corpus groupBy, then algebra on the
+   * reduction. Returns ONE row:
+   * (n, n_x_levels, n_y_levels, concordant, discordant, tau_c).
+   */
+  def tauCContingency(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("__px"),
+        col(yCol).cast("double").as("__py"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // self-join + margins reuse one reduction
+    val cd = cells.as("a")
+      .join(cells.select(col("__px").as("__px2"),
+        col("__py").as("__py2"), col("__c").as("__c2")),
+        col("a.__px") < col("__px2"))
+      .agg(sum(when(col("a.__py") < col("__py2"),
+          col("a.__c") * col("__c2")).otherwise(lit(0.0))).as("__conc"),
+        sum(when(col("a.__py") > col("__py2"),
+          col("a.__c") * col("__c2")).otherwise(lit(0.0))).as("__disc"))
+    val nm = broadcast(cells.agg(sum(col("__c")).as("__n"),
+      countDistinct(col("__px")).cast("double").as("__r"),
+      countDistinct(col("__py")).cast("double").as("__c_lv")))
+    val m = least(col("__r"), col("__c_lv"))
+    cd.crossJoin(nm).select(
+      col("__n").cast("long").as("n"),
+      col("__r").cast("long").as("n_x_levels"),
+      col("__c_lv").cast("long").as("n_y_levels"),
+      col("__conc").cast("long").as("concordant"),
+      col("__disc").cast("long").as("discordant"),
+      when(m > 1, m * 2 * (col("__conc") - col("__disc")) /
+        (col("__n") * col("__n") * (m - 1))).as("tau_c"))
+  }
+
+  /**
    * V-measure clustering-agreement panel — the entropy-based
    * companion to [[clusterAgreement]]'s pair counting: homogeneity
    * h = 1 − H(A|B)/H(A) (each B-cluster holds one A-class),

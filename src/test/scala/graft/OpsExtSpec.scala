@@ -7393,4 +7393,290 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_days") == 40L)
     assert(r.getAs[Long]("n_pairs") == 40L * 39)
   }
+
+  test("tukeyHsd + gamesHowell: identical groups → zero stats, k*(k-1)/2 pairs") {
+    import spark.implicits._
+    val df = Seq("a", "b", "c").flatMap(g =>
+      (1 to 20).map(i => (g, i.toDouble))).toDF("g", "v")
+    val t = graft.analysis.AnalysisPlanner.tukeyHsd(df, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(t.length == 3)
+    t.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_diff")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("q_stat")) < 1e-9)
+      assert(r.getAs[Long]("df_error") == 57L)
+    }
+    val gh = graft.analysis.AnalysisPlanner.gamesHowell(df, "g", "v")
+      .collect()
+    assert(gh.length == 3)
+    gh.foreach { r =>
+      assert(math.abs(r.getAs[Double]("t_stat")) < 1e-9)
+      // equal n, equal var → Welch df = 2(n-1) exactly
+      assert(math.abs(r.getAs[Double]("df_welch") - 38.0) < 1e-6)
+    }
+  }
+
+  test("tukeyHsd: separated means flag; q grows with the gap") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => ("lo", i % 5 + 0.0)) ++
+      (1 to 30).map(i => ("hi", i % 5 + 10.0))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.tukeyHsd(df, "g", "v").head
+    assert(math.abs(math.abs(r.getAs[Double]("mean_diff")) - 10.0) < 1e-9)
+    assert(r.getAs[Double]("q_stat") > 10.0)
+  }
+
+  test("rankEffectSizesFromCells: complete separation → A=1, delta=1; identical → 0.5/0") {
+    import spark.implicits._
+    val sep = (1 to 10).map(i => (i + 100.0, "t")) ++
+      (1 to 10).map(i => (i + 0.0, "c"))
+    val cells = graft.analysis.AnalysisPlanner
+      .rankCells(sep.toDF("v", "g"), "g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .rankEffectSizesFromCells(cells, "c", "t").head
+    assert(r.getAs[Double]("vda_a") == 1.0)
+    assert(r.getAs[Double]("cliffs_delta") == 1.0)
+    val same = (1 to 10).flatMap(i => Seq((i + 0.0, "t"), (i + 0.0, "c")))
+    val cells2 = graft.analysis.AnalysisPlanner
+      .rankCells(same.toDF("v", "g"), "g", "v")
+    val r2 = graft.analysis.AnalysisPlanner
+      .rankEffectSizesFromCells(cells2, "c", "t").head
+    assert(math.abs(r2.getAs[Double]("vda_a") - 0.5) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("cliffs_delta")) < 1e-12)
+  }
+
+  test("bartlettSphericity: independent noise → det≈1; requires 2..16 cols") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1 to 400).map(_ => (rng.nextGaussian(), rng.nextGaussian(),
+      rng.nextGaussian())).toDF("a", "b", "c")
+    val r = graft.analysis.AnalysisPlanner
+      .bartlettSphericity(df, Seq("a", "b", "c")).head
+    assert(r.getAs[Double]("det_r") > 0.9)
+    assert(r.getAs[Long]("dof") == 3L)
+    intercept[IllegalArgumentException] {
+      graft.analysis.AnalysisPlanner.bartlettSphericity(df, Seq("a"))
+    }
+  }
+
+  test("bartlettSphericity: perfectly correlated pair → det→0, chi2 null-guarded") {
+    import spark.implicits._
+    val df = (1 to 100).map { i =>
+      val x = i.toDouble; (x, x, x % 7)
+    }.toDF("a", "b", "c")
+    val r = graft.analysis.AnalysisPlanner
+      .bartlettSphericity(df, Seq("a", "b", "c")).head
+    // det of a singular correlation matrix is 0 (within fp) → chi2 NULL
+    assert(math.abs(r.getAs[Double]("det_r")) < 1e-9)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("powerDivergence: independent margins → all four statistics near 0") {
+    import spark.implicits._
+    // perfectly proportional table: o == e exactly
+    val df = (for { x <- Seq("a", "b"); y <- Seq("u", "v", "w");
+      _ <- 1 to 10 } yield (x, y)).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner.powerDivergence(df, "x", "y")
+      .head
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("freeman_tukey")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("neyman")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cressie_read")) < 1e-9)
+    assert(r.getAs[Long]("dof") == 2L)
+  }
+
+  test("powerDivergence: unobserved cell handled exactly (chi2 identity)") {
+    import spark.implicits._
+    // 2x2 with an empty (b,v) cell: chi2 must include its e-term via
+    // the sum(o^2/e) - n identity. Hand value: cells (a,u)=5,(a,v)=5,
+    // (b,u)=10 → e(b,v)=10*5/20=2.5 → chi2 = sum(o-e)^2/e over ALL 4.
+    val df = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("a", "v")) ++
+      Seq.fill(10)(("b", "u"))).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner.powerDivergence(df, "x", "y")
+      .head
+    val e = Map(("a", "u") -> 7.5, ("a", "v") -> 2.5, ("b", "u") -> 7.5,
+      ("b", "v") -> 2.5)
+    val o = Map(("a", "u") -> 5.0, ("a", "v") -> 5.0, ("b", "u") -> 10.0,
+      ("b", "v") -> 0.0)
+    val want = e.keys.toSeq.map(k => math.pow(o(k) - e(k), 2) / e(k)).sum
+    assert(math.abs(r.getAs[Double]("chi2") - want) < 1e-9)
+  }
+
+  test("clusterAgreement + vMeasure: identical labelings → ARI=FM=V=NMI=1") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (s"c${i % 3}", s"k${i % 3}"))
+      .toDF("a", "b")
+    val r = graft.analysis.AnalysisPlanner.clusterAgreement(df, "a", "b")
+      .head
+    assert(math.abs(r.getAs[Double]("adjusted_rand") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fowlkes_mallows") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rand_index") - 1.0) < 1e-12)
+    val v = graft.analysis.AnalysisPlanner.vMeasure(df, "a", "b").head
+    assert(math.abs(v.getAs[Double]("homogeneity") - 1.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("completeness") - 1.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("v_measure") - 1.0) < 1e-12)
+    assert(math.abs(v.getAs[Double]("nmi") - 1.0) < 1e-12)
+  }
+
+  test("clusterAgreement: independent labelings → ARI ≈ 0; vMeasure low") {
+    import spark.implicits._
+    // b cycles independently of a over a 3x4 grid: the contingency is
+    // exactly uniform, MI is exactly 0; ARI sits slightly BELOW 0 (the
+    // hypergeometric chance model penalizes the perfectly flat table)
+    val df = (0 until 120).map(i => (s"c${i % 3}", s"k${i % 4}"))
+      .toDF("a", "b")
+    val r = graft.analysis.AnalysisPlanner.clusterAgreement(df, "a", "b")
+      .head
+    assert(math.abs(r.getAs[Double]("adjusted_rand")) < 0.05)
+    val v = graft.analysis.AnalysisPlanner.vMeasure(df, "a", "b").head
+    assert(math.abs(v.getAs[Double]("mutual_info")) < 1e-9)
+  }
+
+  test("proportionEffects: degenerate rate 1.0 → odds_ratio NULL, others guarded") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("x", true)) ++ Seq.fill(10)(("y", true)) ++
+      Seq.fill(10)(("y", false))).toDF("g", "s")
+    val r = graft.analysis.AnalysisPlanner
+      .proportionEffects(df, "g", "s", "x", "y").head
+    assert(r.getAs[Double]("p_a") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("odds_ratio"))) // p_a = 1 → guarded
+    assert(math.abs(r.getAs[Double]("risk_ratio") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nnt") - 2.0) < 1e-12)
+  }
+
+  test("signTest: deterministic direction flags; all-tied blocks → z null") {
+    import spark.implicits._
+    // every user: 3 clicks vs 1 view → n_pos = users, z > 0
+    val df = (1 to 20).flatMap(u =>
+      Seq.fill(3)((u, "click")) ++ Seq((u, "view"))).toDF("u", "arm")
+    val r = graft.analysis.AnalysisPlanner
+      .signTest(df, "u", "arm", "click", "view").head
+    assert(r.getAs[Long]("n_pos") == 20L)
+    assert(r.getAs[Long]("n_neg") == 0L)
+    assert(r.getAs[Double]("z_stat") > 4.0)
+    val tied = (1 to 5).flatMap(u => Seq((u, "click"), (u, "view")))
+      .toDF("u", "arm")
+    val r2 = graft.analysis.AnalysisPlanner
+      .signTest(tied, "u", "arm", "click", "view").head
+    assert(r2.getAs[Long]("n_tied") == 5L)
+    assert(r2.isNullAt(r2.fieldIndex("z_stat"))) // m = 0 → no z
+  }
+
+  test("holtLinear: exact linear series → zero SSE, exact forecasts") {
+    import spark.implicits._
+    // y_t = 10 + 2t daily counts: level+trend seed is exact, every
+    // one-step prediction lands on the line → sse 0, forecast exact
+    val rows = (1 to 30).flatMap { day =>
+      (0 until (10 + 2 * day)).map(_ => java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+          .plusDays(day.toLong - 1)))
+    }.map(Tuple1(_)).toDF("ts")
+    val r = graft.ops.TimeSeries
+      .holtLinear(rows, "ts", alpha = 0.3, beta = 0.1, horizon = 3)
+      .orderBy("h").collect()
+    assert(r.length == 3)
+    assert(math.abs(r(0).getAs[Double]("sse")) < 1e-9)
+    // level after day 30 = 70, trend 2 → h=3 forecast 76
+    assert(math.abs(r(2).getAs[Double]("forecast") - 76.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holtLinear(rows, "ts", 1.5, 0.1, 3)
+    }
+  }
+
+  test("gumbelBlockMaxima: constant maxima → sd 0, return level = mu = max") {
+    import spark.implicits._
+    val rows = (1 to 20).flatMap { day =>
+      Seq(1.0, 2.0, 5.0).map(v => (java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+          .plusDays(day.toLong - 1)), v))
+    }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries
+      .gumbelBlockMaxima(rows, "ts", "v", Seq(100)).head
+    assert(r.getAs[Long]("n_blocks") == 20L)
+    assert(math.abs(r.getAs[Double]("beta")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mu") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("return_level") - 5.0) < 1e-12)
+  }
+
+  test("differenceInDifferences: additive treatment effect recovered exactly") {
+    import spark.implicits._
+    // control: 10 pre / 10 post; treated: 10 pre / 13 post (lift 3 on
+    // top of the shared +0 drift) → DiD exactly 3, zero variance cells
+    def cell(tr: Boolean, po: Boolean, base: Double) =
+      (1 to 8).map(i => (tr, po, base + (i % 2) * 2.0))
+    val df = (cell(false, false, 10) ++ cell(false, true, 12) ++
+      cell(true, false, 20) ++ cell(true, true, 25)).toDF("tr", "po", "y")
+    val r = graft.ops.Regression
+      .differenceInDifferences(df, "y", col("tr"), col("po")).head
+    // (25-20) - (12-10) = 3, identical within-cell spreads cancel
+    assert(math.abs(r.getAs[Double]("did") - 3.0) < 1e-12)
+    assert(r.getAs[Double]("t_stat") > 3.0)
+  }
+
+  test("rddLocalLinear: clean jump at cutoff recovered; kernel bounds sides") {
+    import spark.implicits._
+    // y = 2 + x below cutoff 0, y = 7 + x above → effect 5 exactly
+    // (local linear absorbs the common slope)
+    val df = (-20 to 20).filter(_ != 0).map { i =>
+      val x = i / 25.0
+      (x, (if (x >= 0) 7.0 else 2.0) + x)
+    }.toDF("x", "y")
+    val r = graft.ops.Regression
+      .rddLocalLinear(df, "x", "y", cutoff = 0.0, bandwidth = 0.5).head
+    assert(math.abs(r.getAs[Double]("effect") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_left") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_right") - 1.0) < 1e-9)
+    assert(r.getAs[Long]("n_left") == 12L) // i in -12..-1 → 12 in band
+    assert(r.getAs[Long]("n_right") == 12L) // i in 1..12 (x=0 not in data)
+  }
+
+  test("paretoTail: exact pareto sample → hill alpha near the true index") {
+    import spark.implicits._
+    // inverse-CDF pareto(alpha=2): x = (1-u)^(-1/2) on a fixed grid
+    val df = (1 to 2000).map { i =>
+      val u = (i - 0.5) / 2000.0
+      Tuple1(math.pow(1 - u, -0.5))
+    }.toDF("v")
+    val r = graft.analysis.AnalysisPlanner.paretoTail(df, "v", 0.9).head
+    val a = r.getAs[Double]("hill_alpha")
+    assert(a > 1.6 && a < 2.4, s"hill_alpha $a")
+    assert(r.getAs[Long]("n_tail") > 150L)
+  }
+
+  test("labelCoherence: orthogonal label clusters → cos_own 1, separation > 0") {
+    import spark.implicits._
+    // label 0 vectors on e1, label 1 on e2 — own-centroid cosine is
+    // exactly 1, global centroid sits between → separation positive
+    val rows = (1 to 10).map(i => (i.toLong, 0,
+      Seq(1.0f * i, 0.0f))) ++
+      (1 to 10).map(i => (i + 10L, 1, Seq(0.0f, 1.0f * i)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val r = graft.ops.Similarity
+      .labelCoherence(df, "label", "embedding")
+      .orderBy("label").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("avg_cos_own") - 1.0) < 1e-12)
+      assert(row.getAs[Double]("separation") > 0.2)
+    }
+  }
+
+  test("readabilityPanel: trivial one-syllable text scores easy on every index") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat. it was big.", "en"),
+      ("incomprehensibility notwithstanding, organizational " +
+        "experimentation necessitates comprehensive interpretation.",
+        "en")).toDF("text", "lang")
+    val out = graft.ops.TextAnalysis.readabilityPanel(df, "text")
+      .collect()
+    val simple = out(0); val hard = out(1)
+    assert(simple.getAs[Long]("n_complex") == 0L)
+    assert(hard.getAs[Long]("n_complex") >= 5L)
+    assert(simple.getAs[Double]("gunning_fog") <
+      hard.getAs[Double]("gunning_fog"))
+    assert(simple.getAs[Double]("ari") < hard.getAs[Double]("ari"))
+    assert(simple.getAs[Double]("smog") < hard.getAs[Double]("smog"))
+    assert(simple.getAs[Double]("coleman_liau") <
+      hard.getAs[Double]("coleman_liau"))
+  }
 }
