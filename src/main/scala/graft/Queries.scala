@@ -18009,6 +18009,143 @@ object Queries {
              round(tms, 6) AS tail_mass_share
       FROM a"""))
 
+  /** Scholz–Stephens k-sample Anderson–Darling over all five event
+    * types — tail-weighted "same distribution?" with the paper's exact
+    * finite-N standardization; rides the memoized rank-cell substrate. */
+  private val q469 = Entry(
+    "q469_ksample_ad",
+    (s, d) =>
+      AnalysisPlanner
+        .andersonDarlingKSampleFromCells(eventTypeValueCells(s, d))
+        .select(col("n"), col("n_groups"),
+          r6(col("a2_stat")).as("a2_stat"), r6(col("sigma")).as("sigma"),
+          r6(col("t_stat")).as("t_stat")),
+    Some("""
+      WITH f AS (SELECT "value" AS v, event_type AS g FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      gt AS (SELECT g, count(*)::DOUBLE AS ng FROM f GROUP BY 1),
+      t AS (SELECT sum(ng) AS n, count(*)::DOUBLE AS k FROM gt),
+      vc AS (SELECT v, g, count(*)::DOUBLE AS c FROM f GROUP BY 1, 2),
+      vt AS (SELECT v, sum(c) AS h FROM vc GROUP BY 1),
+      grid AS (SELECT vt.v, vt.h, gt.g, gt.ng, coalesce(vc.c, 0) AS c
+               FROM vt CROSS JOIN gt
+               LEFT JOIN vc ON vc.v = vt.v AND vc.g = gt.g),
+      cum AS (SELECT v, h, g, ng, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v) - c / 2.0 AS ma,
+                sum(h) OVER (PARTITION BY g ORDER BY v) - h / 2.0 AS ba
+              FROM grid),
+      a2c AS (SELECT (max(n) - 1) / max(n) *
+                sum(CASE WHEN ba * (n - ba) - n * h / 4 > 0
+                  THEN h / n * (n * ma - ng * ba) * (n * ma - ng * ba) /
+                    ng / (ba * (n - ba) - n * h / 4)
+                  ELSE 0 END) AS a2
+              FROM cum, t),
+      ser AS (SELECT i, sum(1.0 / i) OVER (ORDER BY i) AS hh
+              FROM (SELECT unnest(generate_series(1,
+                (SELECT (n - 1)::BIGINT FROM t))) AS i)),
+      hs AS (SELECT max(hh) AS hn FROM ser),
+      gs AS (SELECT sum((hn - hh) / ((SELECT n FROM t) - i)) AS g2
+             FROM ser, hs
+             WHERE i <= (SELECT (n - 2)::BIGINT FROM t)),
+      hh2 AS (SELECT sum(1.0 / ng) AS bigh FROM gt),
+      v2 AS (SELECT n, k, hn, g2, bigh,
+               (4 * g2 - 6) * (k - 1) + (10 - 6 * g2) * bigh AS va,
+               (2 * g2 - 4) * k * k + 8 * hn * k +
+                 (2 * g2 - 14 * hn - 4) * bigh - 8 * hn + 4 * g2 - 6
+                 AS vb,
+               (6 * hn + 2 * g2 - 2) * k * k +
+                 (4 * hn - 4 * g2 + 6) * k + (2 * hn - 6) * bigh +
+                 4 * hn AS vc2,
+               (2 * hn + 6) * k * k - 4 * hn * k AS vd
+             FROM t, hs, gs, hh2),
+      sg AS (SELECT n, k,
+               sqrt((va * n * n * n + vb * n * n + vc2 * n + vd) /
+                 ((n - 1) * (n - 2) * (n - 3))) AS sigma
+             FROM v2)
+      SELECT n::BIGINT AS n, k::BIGINT AS n_groups,
+             round(a2, 6) AS a2_stat, round(sigma, 6) AS sigma,
+             round((a2 - (k - 1)) / sigma, 6) AS t_stat
+      FROM a2c, sg"""))
+
+  /** Quantile treatment effects: click − view value at the exact DISC
+    * deciles — WHERE in the distribution the arms differ (a mean shift
+    * and a tail shift read identically to a t-test). */
+  private val q470 = Entry(
+    "q470_qte",
+    (s, d) => {
+      val ps = Seq("p10" -> 0.1, "p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p90" -> 0.9)
+      val ev = Tables.events(s, d)
+      def arm(a: String, tag: String) =
+        AnalysisPlanner.exactPercentilesDisc(
+          ev.where(col("event_type") === a), "value", ps, Nil)
+          .select(ps.map { case (n, _) => col(n).as(s"${n}_$tag") }: _*)
+      val nC = ev.where(col("event_type") === "view" &&
+        col("value").isNotNull).agg(count(lit(1)).as("n_c"))
+      val nT = ev.where(col("event_type") === "click" &&
+        col("value").isNotNull).agg(count(lit(1)).as("n_t"))
+      arm("view", "c").crossJoin(arm("click", "t"))
+        .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+        .select(col("n_c") +: col("n_t") +: ps.map { case (n, _) =>
+          r6(col(s"${n}_t") - col(s"${n}_c")).as(s"qte_$n") }: _*)
+    },
+    Some("""
+      WITH c AS (SELECT quantile_disc("value", 0.1) AS p10,
+              quantile_disc("value", 0.25) AS p25,
+              quantile_disc("value", 0.5) AS p50,
+              quantile_disc("value", 0.75) AS p75,
+              quantile_disc("value", 0.9) AS p90,
+              count("value")::BIGINT AS n_c
+            FROM events WHERE event_type = 'view'),
+      t AS (SELECT quantile_disc("value", 0.1) AS p10,
+              quantile_disc("value", 0.25) AS p25,
+              quantile_disc("value", 0.5) AS p50,
+              quantile_disc("value", 0.75) AS p75,
+              quantile_disc("value", 0.9) AS p90,
+              count("value")::BIGINT AS n_t
+            FROM events WHERE event_type = 'click')
+      SELECT n_c, n_t,
+             round(t.p10 - c.p10, 6) AS qte_p10,
+             round(t.p25 - c.p25, 6) AS qte_p25,
+             round(t.p50 - c.p50, 6) AS qte_p50,
+             round(t.p75 - c.p75, 6) AS qte_p75,
+             round(t.p90 - c.p90, 6) AS qte_p90
+      FROM c, t"""))
+
+  /** James–Stein shrinkage of per-event-type means: the
+    * noise-proportional pull toward the pooled mean that keeps tiny
+    * segments from topping ranked readouts. */
+  private val q471 = Entry(
+    "q471_james_stein",
+    (s, d) =>
+      AnalysisPlanner.jamesSteinMeans(Tables.events(s, d), "event_type",
+          "value")
+        .select(col("group_name"), col("n"),
+          r6(col("raw_mean")).as("raw_mean"),
+          r6(col("shrink_weight")).as("shrink_weight"),
+          r6(col("shrunk_mean")).as("shrunk_mean"))
+        .orderBy("group_name"),
+    Some("""
+      WITH g AS (SELECT event_type AS grp, count(*)::DOUBLE AS n,
+              avg("value") AS m, sum("value") AS s,
+              sum("value" * "value") AS q
+            FROM events
+            WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS k, avg(m) AS gm,
+              sum(q - s * s / n) / sum(n - 1) AS msw
+            FROM g),
+      ss AS (SELECT sum((m - gm) * (m - gm)) AS ss FROM g, t),
+      z AS (SELECT grp, n, m, gm,
+              CASE WHEN ss > 0 AND k > 3
+                THEN greatest(0, 1 - (k - 3) * (msw / n) / ss)
+                ELSE 1 END AS w
+            FROM g, t, ss)
+      SELECT grp AS group_name, n::BIGINT AS n, round(m, 6) AS raw_mean,
+             round(w, 6) AS shrink_weight,
+             round(gm + w * (m - gm), 6) AS shrunk_mean
+      FROM z ORDER BY group_name"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18044,7 +18181,7 @@ object Queries {
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
-    q461, q462, q463, q464, q465, q466, q467, q468)
+    q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

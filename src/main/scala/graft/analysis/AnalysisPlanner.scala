@@ -5626,6 +5626,90 @@ object AnalysisPlanner {
   }
 
   /**
+   * Scholz–Stephens k-sample Anderson–Darling test (1987, the
+   * midrank/tie-adjusted A²akN — what scipy's anderson_ksamp
+   * computes): do the k samples share ONE continuous distribution,
+   * with the Anderson–Darling tail weighting that the k-sample KS
+   * lacks? For each distinct pooled value z_j (pooled multiplicity
+   * h_j, pooled midrank-cumulative B_j, per-sample midrank-cumulative
+   * M_sj):
+   *   A² = (N−1)/N Σ_s (1/n_s) Σ_j (h_j/N)·(N·M_sj − n_s·B_j)² /
+   *        (B_j(N−B_j) − N·h_j/4)
+   * standardized to T = (A² − (k−1))/σ_N with the paper's exact
+   * finite-N variance (driver-side harmonic sums — pure math on the
+   * scalar N, no data). Returns ONE row:
+   * (n, n_groups, a2_stat, sigma, t_stat).
+   *
+   * Scale shape: group labels ride WIDE as conditional-sum columns of
+   * the distinct-value frame (the Fligner discipline, ≤32 labels by
+   * guard), so ONE [[PrefixSum]] pass yields every per-sample
+   * cumulative — the whole test reduces the shared [[rankCells]]
+   * substrate, never the corpus.
+   */
+  def andersonDarlingKSampleFromCells(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val groups = cells.groupBy("__g").agg(sum(col("__c")).as("__ng"))
+      .orderBy("__g").limit(33).collect()
+    require(groups.length >= 2 && groups.length <= 32,
+      s"andersonDarlingKSample: 2..32 groups (got ${groups.length})")
+    val labels = groups.map(_.get(0))
+    val ns = groups.map(_.getDouble(1))
+    val bigN = ns.sum
+    val k = labels.length
+    require(bigN >= 4, "andersonDarlingKSample: N >= 4")
+    val aggs = (sum(col("__c")).as("__h") +:
+      labels.zipWithIndex.map { case (l, i) =>
+        sum(when(col("__g") === l, col("__c")).otherwise(0.0))
+          .as(s"__c$i")
+      }.toSeq)
+    val vc = cells.groupBy("__v").agg(aggs.head, aggs.tail: _*)
+    val pre = PrefixSum.exclusive(vc, "__v",
+      ("__h" -> "__hb") +: labels.indices.map(i => s"__c$i" -> s"__b$i"))
+    val ba = col("__hb") + col("__h") / 2
+    val den = ba * (lit(bigN) - ba) - lit(bigN) * col("__h") / 4
+    val inner = labels.indices.map { i =>
+      val m = col(s"__b$i") + col(s"__c$i") / 2
+      val t = lit(bigN) * m - lit(ns(i)) * ba
+      t * t / lit(ns(i))
+    }.reduce(_ + _)
+    val a2df = pre.agg(sum(when(den > 0,
+      col("__h") / lit(bigN) * inner / den).otherwise(lit(0.0)))
+      .as("__s"))
+    // exact finite-N variance (Scholz & Stephens 1987 §3): harmonic
+    // sums over the SCALAR N — ascending accumulation to match the
+    // oracle's windowed running sum fp shape
+    val nInt = math.round(bigN).toInt
+    var hN = 0.0
+    var i = 1
+    while (i <= nInt - 1) { hN += 1.0 / i; i += 1 }
+    var g = 0.0
+    var hm = 0.0
+    var m = 1
+    while (m <= nInt - 2) {
+      hm += 1.0 / m
+      g += (hN - hm) / (nInt - m)
+      m += 1
+    }
+    val bigH = ns.map(1.0 / _).sum
+    val kk = k.toDouble
+    val va = (4 * g - 6) * (kk - 1) + (10 - 6 * g) * bigH
+    val vb = (2 * g - 4) * kk * kk + 8 * hN * kk +
+      (2 * g - 14 * hN - 4) * bigH - 8 * hN + 4 * g - 6
+    val vc2 = (6 * hN + 2 * g - 2) * kk * kk +
+      (4 * hN - 4 * g + 6) * kk + (2 * hN - 6) * bigH + 4 * hN
+    val vd = (2 * hN + 6) * kk * kk - 4 * hN * kk
+    val sigma2 = (va * bigN * bigN * bigN + vb * bigN * bigN +
+      vc2 * bigN + vd) / ((bigN - 1) * (bigN - 2) * (bigN - 3))
+    val sigma = math.sqrt(sigma2)
+    a2df.select(lit(nInt.toLong).as("n"), lit(k.toLong).as("n_groups"),
+      (lit((bigN - 1) / bigN) * col("__s")).as("a2_stat"),
+      lit(sigma).as("sigma"),
+      ((lit((bigN - 1) / bigN) * col("__s") - (kk - 1)) / lit(sigma))
+        .as("t_stat"))
+  }
+
+  /**
    * Stuart's tau-c over a CATEGORY-BOUNDED ordinal contingency: the
    * rectangular-table Kendall variant 2m(C−D)/(n²(m−1)) with
    * m = min(r, c). Unlike the continuous-column [[kendallTau]] (whose
@@ -5664,6 +5748,45 @@ object AnalysisPlanner {
       col("__disc").cast("long").as("discordant"),
       when(m > 1, m * 2 * (col("__conc") - col("__disc")) /
         (col("__n") * col("__n") * (m - 1))).as("tau_c"))
+  }
+
+  /**
+   * James–Stein (positive-part) empirical-Bayes shrinkage of
+   * per-group means toward the grand mean of group means: the
+   * small-segment mean is noise-dominated, and the JS weight
+   * w_g = max(0, 1 − (k−3)·(MSW/n_g)/Σ(m_g − m̄)²) pulls it toward
+   * the pool exactly in proportion to its own sampling variance —
+   * the standard fix for "tiny segments top every ranked-mean
+   * readout". Returns one row per group:
+   * (group_name, n, raw_mean, shrink_weight, shrunk_mean).
+   *
+   * Scale shape: one grouped moments pass; grand-mean/spread are a
+   * ≤k-row reduce broadcast back.
+   */
+  def jamesSteinMeans(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group_name"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("__m"),
+        sum(x).as("__s"), sum(x * x).as("__q"))
+      .localCheckpoint() // reduce + join-back reuse one reduction
+    val tot = broadcast(g.agg(count(lit(1)).cast("double").as("__k"),
+      avg(col("__m")).as("__gm"),
+      (sum(col("__q") - col("__s") * col("__s") / col("__n")) /
+        sum(col("__n") - 1)).as("__msw")))
+    val ss = broadcast(g.crossJoin(tot)
+      .agg(sum(pow(col("__m") - col("__gm"), 2.0)).as("__ss")))
+    val w = greatest(lit(0.0), lit(1.0) -
+      (col("__k") - 3) * (col("__msw") / col("__n")) / col("__ss"))
+    g.crossJoin(tot).crossJoin(ss)
+      .select(col("group_name"), col("__n").cast("long").as("n"),
+        col("__m").as("raw_mean"),
+        when(col("__ss") > 0 && col("__k") > 3, w)
+          .otherwise(lit(1.0)).as("shrink_weight"),
+        (col("__gm") + when(col("__ss") > 0 && col("__k") > 3, w)
+          .otherwise(lit(1.0)) * (col("__m") - col("__gm")))
+          .as("shrunk_mean"))
   }
 
   /**

@@ -7660,6 +7660,79 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("andersonDarlingKSampleFromCells: same distribution → small T; shift flags") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val same = (1 to 3).flatMap(g =>
+      (1 to 300).map(_ => (s"g$g", rng.nextGaussian())))
+    val cellsSame = graft.analysis.AnalysisPlanner
+      .rankCells(same.toDF("g", "v"), "g", "v")
+    val r1 = graft.analysis.AnalysisPlanner
+      .andersonDarlingKSampleFromCells(cellsSame).head
+    assert(r1.getAs[Long]("n") == 900L)
+    assert(r1.getAs[Long]("n_groups") == 3L)
+    assert(math.abs(r1.getAs[Double]("t_stat")) < 3.0)
+    val shifted = (1 to 2).flatMap(g =>
+      (1 to 300).map(_ => (s"g$g", rng.nextGaussian()))) ++
+      (1 to 300).map(_ => ("g3", rng.nextGaussian() + 2.0))
+    val cellsShift = graft.analysis.AnalysisPlanner
+      .rankCells(shifted.toDF("g", "v"), "g", "v")
+    val r2 = graft.analysis.AnalysisPlanner
+      .andersonDarlingKSampleFromCells(cellsShift).head
+    assert(r2.getAs[Double]("t_stat") > 10.0)
+    assert(r2.getAs[Double]("a2_stat") > r1.getAs[Double]("a2_stat"))
+  }
+
+  test("andersonDarlingKSampleFromCells: heavy ties handled (integer values)") {
+    import spark.implicits._
+    // two samples over a 4-value support, one shifted by reweighting
+    val a = Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0) ++ Seq.fill(50)(3.0)
+    val b = Seq.fill(20)(1.0) ++ Seq.fill(40)(2.0) ++ Seq.fill(90)(3.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val cells = graft.analysis.AnalysisPlanner.rankCells(df, "g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .andersonDarlingKSampleFromCells(cells).head
+    assert(r.getAs[Double]("t_stat") > 2.0) // distributions differ
+    assert(!r.getAs[Double]("a2_stat").isNaN)
+    assert(r.getAs[Double]("sigma") > 0)
+  }
+
+  test("tauCContingency: monotone table → tau_c positive, near 1; reversed negative") {
+    import spark.implicits._
+    // px == py on a 3x3 grid (perfect monotone association)
+    val mono = (1 to 3).flatMap(i => Seq.fill(20)((i, i))).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .tauCContingency(mono, "x", "y").head
+    assert(r.getAs[Double]("tau_c") > 0.8)
+    assert(r.getAs[Long]("discordant") == 0L)
+    val rev = (1 to 3).flatMap(i => Seq.fill(20)((i, 4 - i)))
+      .toDF("x", "y")
+    val r2 = graft.analysis.AnalysisPlanner
+      .tauCContingency(rev, "x", "y").head
+    assert(r2.getAs[Double]("tau_c") < -0.8)
+    assert(r2.getAs[Long]("concordant") == 0L)
+  }
+
+  test("jamesSteinMeans: small noisy group shrinks hardest, order preserved toward pool") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // four big groups near 0, one tiny group with an extreme mean
+    val big = (1 to 4).flatMap(g =>
+      (1 to 500).map(_ => (s"g$g", rng.nextGaussian())))
+    val tiny = (1 to 5).map(_ => ("tiny", 8.0 + rng.nextGaussian()))
+    val df = (big ++ tiny).toDF("g", "v")
+    val out = graft.analysis.AnalysisPlanner
+      .jamesSteinMeans(df, "g", "v").collect()
+      .map(r => r.getAs[String]("group_name") -> r).toMap
+    val t = out("tiny")
+    // tiny group: shrink weight clearly below the big groups'
+    val bigW = out("g1").getAs[Double]("shrink_weight")
+    assert(t.getAs[Double]("shrink_weight") < bigW)
+    // shrunk mean moves toward the grand mean but keeps the sign
+    assert(t.getAs[Double]("shrunk_mean") < t.getAs[Double]("raw_mean"))
+    assert(t.getAs[Double]("shrunk_mean") > 0.0)
+  }
+
   test("readabilityPanel: trivial one-syllable text scores easy on every index") {
     import spark.implicits._
     val df = Seq(
