@@ -18146,6 +18146,155 @@ object Queries {
              round(gm + w * (m - gm), 6) AS shrunk_mean
       FROM z ORDER BY group_name"""))
 
+  /** Box–Cox λ profile over order totals: which power transform makes
+    * the revenue feature most Gaussian — the transform-selection scan
+    * a feature pipeline runs before z-scoring a skewed column. */
+  private val q472 = Entry(
+    "q472_box_cox",
+    (s, d) =>
+      AnalysisPlanner.boxCoxScan(Tables.orders(s, d), "o_totalprice")
+        .select(col("lambda"), col("n"), r6(col("loglik")).as("loglik"))
+        .orderBy("lambda"),
+    Some("""
+      WITH a AS (SELECT count(*)::DOUBLE AS n, sum(ln(o_totalprice)) AS slx,
+              sum((power(o_totalprice, -1.0) - 1) / (-1.0)) AS s0,
+              sum(((power(o_totalprice, -1.0) - 1) / (-1.0)) *
+                  ((power(o_totalprice, -1.0) - 1) / (-1.0))) AS q0,
+              sum((power(o_totalprice, -0.5) - 1) / (-0.5)) AS s1,
+              sum(((power(o_totalprice, -0.5) - 1) / (-0.5)) *
+                  ((power(o_totalprice, -0.5) - 1) / (-0.5))) AS q1,
+              sum(ln(o_totalprice)) AS s2,
+              sum(ln(o_totalprice) * ln(o_totalprice)) AS q2,
+              sum((power(o_totalprice, 0.5) - 1) / 0.5) AS s3,
+              sum(((power(o_totalprice, 0.5) - 1) / 0.5) *
+                  ((power(o_totalprice, 0.5) - 1) / 0.5)) AS q3,
+              sum((power(o_totalprice, 1.0) - 1) / 1.0) AS s4,
+              sum(((power(o_totalprice, 1.0) - 1) / 1.0) *
+                  ((power(o_totalprice, 1.0) - 1) / 1.0)) AS q4
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+      SELECT -1.0 AS lambda, n::BIGINT AS n,
+             round(-0.5 * n * ln((q0 - s0 * s0 / n) / n) +
+               (-1.0 - 1) * slx, 6) AS loglik FROM a
+      UNION ALL SELECT -0.5, n::BIGINT,
+             round(-0.5 * n * ln((q1 - s1 * s1 / n) / n) +
+               (-0.5 - 1) * slx, 6) FROM a
+      UNION ALL SELECT 0.0, n::BIGINT,
+             round(-0.5 * n * ln((q2 - s2 * s2 / n) / n) +
+               (0.0 - 1) * slx, 6) FROM a
+      UNION ALL SELECT 0.5, n::BIGINT,
+             round(-0.5 * n * ln((q3 - s3 * s3 / n) / n) +
+               (0.5 - 1) * slx, 6) FROM a
+      UNION ALL SELECT 1.0, n::BIGINT,
+             round(-0.5 * n * ln((q4 - s4 * s4 / n) / n) +
+               (1.0 - 1) * slx, 6) FROM a
+      ORDER BY lambda"""))
+
+  /** Two-sample Hotelling's T² on (quantity, discount) between return
+    * flags — did the bivariate mean move in a way marginal t's miss? */
+  private val q473 = Entry(
+    "q473_hotelling_t2",
+    (s, d) =>
+      AnalysisPlanner.hotellingT2(Tables.lineitem(s, d), "l_quantity",
+          "l_discount", "l_returnflag", a = "R", b = "N")
+        .select(col("n_a"), col("n_b"),
+          r6(col("mean_diff_x")).as("mean_diff_x"),
+          r6(col("mean_diff_y")).as("mean_diff_y"),
+          r6(col("t2_stat")).as("t2_stat"),
+          r6(col("f_stat")).as("f_stat"), col("df1"), col("df2")),
+    Some("""
+      WITH m AS (SELECT
+              sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END) AS na,
+              sum(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0 END) AS nb,
+              sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS sxa,
+              sum(CASE WHEN l_returnflag = 'R' THEN l_discount END) AS sya,
+              sum(CASE WHEN l_returnflag = 'R'
+                THEN l_quantity * l_quantity END) AS sxxa,
+              sum(CASE WHEN l_returnflag = 'R'
+                THEN l_discount * l_discount END) AS syya,
+              sum(CASE WHEN l_returnflag = 'R'
+                THEN l_quantity * l_discount END) AS sxya,
+              sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS sxb,
+              sum(CASE WHEN l_returnflag = 'N' THEN l_discount END) AS syb,
+              sum(CASE WHEN l_returnflag = 'N'
+                THEN l_quantity * l_quantity END) AS sxxb,
+              sum(CASE WHEN l_returnflag = 'N'
+                THEN l_discount * l_discount END) AS syyb,
+              sum(CASE WHEN l_returnflag = 'N'
+                THEN l_quantity * l_discount END) AS sxyb
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'N')
+              AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      z AS (SELECT na, nb, na + nb AS nn,
+              ((sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb)) /
+                (na + nb - 2) AS sxx,
+              ((syya - sya * sya / na) + (syyb - syb * syb / nb)) /
+                (na + nb - 2) AS syy,
+              ((sxya - sxa * sya / na) + (sxyb - sxb * syb / nb)) /
+                (na + nb - 2) AS sxy,
+              sxa / na - sxb / nb AS dx, sya / na - syb / nb AS dy
+            FROM m),
+      w AS (SELECT na, nb, nn, dx, dy,
+              sxx * syy - sxy * sxy AS det,
+              na * nb / nn * ((dx * (syy * dx - sxy * dy) +
+                dy * (sxx * dy - sxy * dx)) /
+                (sxx * syy - sxy * sxy)) AS t2
+            FROM z)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(dx, 6) AS mean_diff_x, round(dy, 6) AS mean_diff_y,
+             round(CASE WHEN det > 0 THEN t2 END, 6) AS t2_stat,
+             round(CASE WHEN det > 0
+               THEN (nn - 3) / ((nn - 2) * 2) * t2 END, 6) AS f_stat,
+             2::BIGINT AS df1, (nn - 3)::BIGINT AS df2
+      FROM w"""))
+
+  /** Gopher gate-yield waterfall: marginal failures vs cumulative
+    * survivorship per gate — which filter actually costs corpus. */
+  private val q474 = Entry(
+    "q474_filter_waterfall",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .gateWaterfall(Tables.documents(s, d), "text")
+        .select(col("gate_order"), col("gate"), col("n_fail_marginal"),
+          col("n_pass_cumulative"),
+          r6(col("yield_share")).as("yield_share"))
+        .orderBy("gate_order"),
+    Some("""
+      WITH t AS (SELECT text, string_split(text, ' ') AS w
+                 FROM documents WHERE text IS NOT NULL),
+      p AS (SELECT
+              (len(w) BETWEEN 20 AND 100000) AS g1,
+              ((length(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+                BETWEEN 3.0 AND 10.0) AS g2,
+              (len(list_intersect(list_distinct(w),
+                ['the','a','of','and','to','in','is','that'])) >= 2)
+                AS g3,
+              (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                / CAST(len(w) AS DOUBLE) >= 0.8) AS g4
+            FROM t),
+      a AS (SELECT count(*)::DOUBLE AS total,
+              sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+              sum(CASE WHEN NOT g2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+              sum(CASE WHEN NOT g3 THEN 1 ELSE 0 END)::BIGINT AS f3,
+              sum(CASE WHEN NOT g4 THEN 1 ELSE 0 END)::BIGINT AS f4,
+              sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+              sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+              sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)::BIGINT
+                AS c3,
+              sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                ::BIGINT AS c4
+            FROM p)
+      SELECT 1 AS gate_order, 'word_count' AS gate, f1 AS n_fail_marginal,
+             c1 AS n_pass_cumulative, round(c1 / total, 6) AS yield_share
+      FROM a
+      UNION ALL SELECT 2, 'mean_word_len', f2, c2, round(c2 / total, 6)
+      FROM a
+      UNION ALL SELECT 3, 'stopword_hits', f3, c3, round(c3 / total, 6)
+      FROM a
+      UNION ALL SELECT 4, 'alpha_frac', f4, c4, round(c4 / total, 6)
+      FROM a
+      ORDER BY gate_order"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18181,7 +18330,8 @@ object Queries {
     q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
-    q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471)
+    q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
+    q472, q473, q474)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -5751,6 +5751,91 @@ object AnalysisPlanner {
   }
 
   /**
+   * Box–Cox transform selection: the profile log-likelihood
+   * ℓ(λ) = −n/2·ln σ̂²_λ + (λ−1)Σln x of z_λ = (x^λ−1)/λ (ln x at
+   * λ=0) over a FIXED λ grid — "which power transform makes this
+   * positive skewed feature most Gaussian" for feature pipelines.
+   * Every grid point rides ONE scan as a (Σz, Σz²) column pair (the
+   * wide-columns discipline); no argmax is emitted — near-tied
+   * float log-likelihoods are not engine-replayable, the profile is.
+   * Returns one row per λ: (lambda, n, loglik).
+   */
+  def boxCoxScan(df: DataFrame, valueCol: String,
+      lambdas: Seq[Double] = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.size <= 32,
+      "boxCoxScan: 1..32 lambdas")
+    val x = col(valueCol).cast("double")
+    def z(l: Double): Column =
+      if (l == 0.0) log(x) else (pow(x, lit(l)) - 1) / lit(l)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      sum(log(x)).as("__slx") +:
+      lambdas.zipWithIndex.flatMap { case (l, i) =>
+        Seq(sum(z(l)).as(s"__s$i"), sum(z(l) * z(l)).as(s"__q$i"))
+      }
+    val m = df.where(x.isNotNull && x > 0).agg(aggs.head, aggs.tail: _*)
+    val rows = lambdas.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("lambda"),
+        col("__n").cast("long").as("n"),
+        (lit(-0.5) * col("__n") *
+          log((col(s"__q$i") - col(s"__s$i") * col(s"__s$i") / col("__n")) /
+            col("__n")) + lit(l - 1) * col("__slx")).as("loglik"))
+    }
+    m.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.lambda").as("lambda"), col("__r.n").as("n"),
+        col("__r.loglik").as("loglik"))
+  }
+
+  /**
+   * Two-sample Hotelling's T² on a BIVARIATE feature pair — "did the
+   * (x, y) mean VECTOR move", which two marginal t-tests miss when
+   * the shift hides in the correlation structure. Pooled covariance
+   * from one conditional-moments scan; the 2×2 inverse is explicit
+   * column algebra (no solver, no collect), so the whole test is one
+   * distributed pass + 1-row algebra. F = (n−p−1)/((n−2)p)·T² with
+   * p=2. Returns ONE row:
+   * (n_a, n_b, mean_diff_x, mean_diff_y, t2_stat, f_stat, df1, df2).
+   */
+  def hotellingT2(df: DataFrame, xCol: String, yCol: String,
+      groupCol: String, a: String, b: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    def side(c: Column, tag: String) = Seq(
+      sum(when(c, 1.0).otherwise(0.0)).as(s"__n$tag"),
+      sum(when(c, x)).as(s"__sx$tag"), sum(when(c, y)).as(s"__sy$tag"),
+      sum(when(c, x * x)).as(s"__sxx$tag"),
+      sum(when(c, y * y)).as(s"__syy$tag"),
+      sum(when(c, x * y)).as(s"__sxy$tag"))
+    val allAggs = side(inA, "a") ++ side(inB, "b")
+    val m = df.where((inA || inB) && x.isNotNull && y.isNotNull)
+      .agg(allAggs.head, allAggs.tail: _*)
+    val (na, nb) = (col("__na"), col("__nb"))
+    def css(s1: Column, s2: Column, s12: Column, n: Column) = s12 - s1 * s2 / n
+    val wxx = css(col("__sxa"), col("__sxa"), col("__sxxa"), na) +
+      css(col("__sxb"), col("__sxb"), col("__sxxb"), nb)
+    val wyy = css(col("__sya"), col("__sya"), col("__syya"), na) +
+      css(col("__syb"), col("__syb"), col("__syyb"), nb)
+    val wxy = css(col("__sxa"), col("__sya"), col("__sxya"), na) +
+      css(col("__sxb"), col("__syb"), col("__sxyb"), nb)
+    val nn = na + nb
+    val sxx = wxx / (nn - 2)
+    val syy = wyy / (nn - 2)
+    val sxy = wxy / (nn - 2)
+    val det = sxx * syy - sxy * sxy
+    val dx = col("__sxa") / na - col("__sxb") / nb
+    val dy = col("__sya") / na - col("__syb") / nb
+    val quad = (dx * (syy * dx - sxy * dy) +
+      dy * (sxx * dy - sxy * dx)) / det
+    val t2 = na * nb / nn * quad
+    m.select(na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      dx.as("mean_diff_x"), dy.as("mean_diff_y"),
+      when(det > 0, t2).as("t2_stat"),
+      when(det > 0, (nn - 3) / ((nn - 2) * 2) * t2).as("f_stat"),
+      lit(2L).as("df1"), (nn - 3).cast("long").as("df2"))
+  }
+
+  /**
    * James–Stein (positive-part) empirical-Bayes shrinkage of
    * per-group means toward the grand mean of group means: the
    * small-segment mean is noise-dominated, and the JS weight

@@ -159,6 +159,55 @@ object TextAnalysis {
   }
 
   /**
+   * Gate-yield waterfall over the [[qualityFlags]] gates: for each
+   * gate in the FIXED pipeline order (word_count → mean_word_len →
+   * stopword_hits → alpha_frac), how many documents fail it
+   * MARGINALLY (ignoring the others) and how many survive the
+   * pipeline CUMULATIVELY through it — the mixture-planning readout
+   * that says which gate actually costs corpus, and whether gates
+   * overlap (marginal ≫ cumulative drop) or bite independently.
+   * Returns one row per gate:
+   * (gate_order, gate, n_fail_marginal, n_pass_cumulative,
+   * yield_share). One conditional-aggregation scan; the 4-row output
+   * explodes a literal struct array off the 1-row reduce.
+   */
+  def gateWaterfall(df: DataFrame, textCol: String,
+      minWords: Long = 20, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopHits: Int = 2, minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = langMarkers("en")): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val n = size(w)
+    val meanLen = (length(t) - (n - 1)).cast("double") / n
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    val alphaFrac = size(filter(w, x => x.rlike("^[A-Za-z]+$")))
+      .cast("double") / n
+    val gates: Seq[(String, Column)] = Seq(
+      "word_count" -> n.between(minWords, maxWords),
+      "mean_word_len" -> meanLen.between(minMeanWordLen, maxMeanWordLen),
+      "stopword_hits" -> (stopHits >= minStopHits),
+      "alpha_frac" -> (alphaFrac >= minAlphaFrac))
+    val cums = gates.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }
+      .tail
+    val aggs = count(lit(1)).cast("double").as("__total") +:
+      gates.zipWithIndex.map { case ((_, c), i) =>
+        sum(when(!c, 1L).otherwise(0L)).as(s"__f$i")
+      } ++: cums.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__c$i")
+      }
+    val m = df.where(t.isNotNull).agg(aggs.head, aggs.tail: _*)
+    val rows = gates.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("gate_order"), lit(name).as("gate"),
+        col(s"__f$i").as("n_fail_marginal"),
+        col(s"__c$i").as("n_pass_cumulative"),
+        (col(s"__c$i") / col("__total")).as("yield_share"))
+    }
+    m.select(explode(array(rows: _*)).as("__r")).select("__r.*")
+  }
+
+  /**
    * Content fingerprint: md5 of the sorted distinct word set — robust to
    * word order and duplication; groups near-identical (bag-of-words-
    * equal) documents.

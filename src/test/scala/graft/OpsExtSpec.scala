@@ -7733,6 +7733,67 @@ class OpsExtSpec extends AnyFunSuite {
     assert(t.getAs[Double]("shrunk_mean") > 0.0)
   }
 
+  test("boxCoxScan: lognormal data peaks at lambda 0, not at 1") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (1 to 2000).map(_ => Tuple1(math.exp(rng.nextGaussian())))
+      .toDF("v")
+    val out = graft.analysis.AnalysisPlanner.boxCoxScan(df, "v")
+      .collect().map(r => r.getAs[Double]("lambda") ->
+        r.getAs[Double]("loglik")).toMap
+    assert(out(0.0) > out(1.0))
+    assert(out(0.0) > out(-1.0))
+    assert(out.size == 5)
+  }
+
+  test("hotellingT2: pure-correlation shift flags where marginals stay put") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    // arm a: y = x + noise; arm b: mean vector shifted along (1, -1) —
+    // a direction the pooled covariance makes cheap to detect
+    val a = (1 to 400).map { _ =>
+      val x = rng.nextGaussian(); ("a", x, x + 0.3 * rng.nextGaussian())
+    }
+    val b = (1 to 400).map { _ =>
+      val x = rng.nextGaussian() + 0.3
+      ("b", x, x - 0.3 + 0.3 * rng.nextGaussian())
+    }
+    val df = (a ++ b).toDF("g", "x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .hotellingT2(df, "x", "y", "g", "a", "b").head
+    assert(r.getAs[Double]("t2_stat") > 50.0)
+    assert(r.getAs[Long]("df1") == 2L)
+    assert(r.getAs[Long]("df2") == 797L)
+    // identical arms → tiny T²
+    val same = (1 to 400).map { _ =>
+      val x = rng.nextGaussian(); ("a", x, x) } ++
+      (1 to 400).map { _ => val x = rng.nextGaussian(); ("b", x, x) }
+    val r2 = graft.analysis.AnalysisPlanner
+      .hotellingT2(same.toDF("g", "x", "y"), "x", "y", "g", "a", "b").head
+    // degenerate covariance (y == x exactly) → det 0 → NULL guard
+    assert(r2.isNullAt(r2.fieldIndex("t2_stat")))
+  }
+
+  test("gateWaterfall: cumulative yield monotone, marginal >= joint drop per gate") {
+    import spark.implicits._
+    val docs = Seq(
+      "the cat is on a mat and that is of it the end here now ok so yes we go", // passes all
+      "x", // fails word_count
+      ("the a of and to in is that " + (1 to 30).map(_ => "zz").mkString(" ")),
+      (1 to 40).map(_ => "12345").mkString(" ") // fails stopwords + alpha
+    ).map(Tuple1(_)).toDF("text")
+    val out = graft.ops.TextAnalysis.gateWaterfall(docs, "text")
+      .orderBy("gate_order").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[String]("gate")).toSeq ==
+      Seq("word_count", "mean_word_len", "stopword_hits", "alpha_frac"))
+    // cumulative survivorship is non-increasing
+    val cums = out.map(_.getAs[Long]("n_pass_cumulative"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a >= b })
+    assert(out(0).getAs[Long]("n_fail_marginal") >= 1L)
+    assert(out(3).getAs[Double]("yield_share") <= 1.0)
+  }
+
   test("readabilityPanel: trivial one-syllable text scores easy on every index") {
     import spark.implicits._
     val df = Seq(
