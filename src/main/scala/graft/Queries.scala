@@ -18295,6 +18295,141 @@ object Queries {
       FROM a
       ORDER BY gate_order"""))
 
+  /** mSPRT always-valid A/B inference (click vs view, τ=0.5): the
+    * peek-proof sequential p-value a running experiment reads daily. */
+  private val q475 = Entry(
+    "q475_msprt",
+    (s, d) =>
+      graft.ops.Evaluation.msprt(Tables.events(s, d), "event_type",
+          "value", control = "view", treatment = "click", tau = 0.5)
+        .select(col("n_c"), col("n_t"), r6(col("diff")).as("diff"),
+          r6(col("se")).as("se"),
+          r6(col("log_lambda")).as("log_lambda"),
+          r6(col("always_valid_p")).as("always_valid_p")),
+    Some("""
+      WITH a AS (SELECT
+              sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0 END)
+                AS na,
+              sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0 END)
+                AS nb,
+              sum(CASE WHEN event_type = 'view' THEN "value" END) AS sa,
+              sum(CASE WHEN event_type = 'click' THEN "value" END) AS sb,
+              sum(CASE WHEN event_type = 'view'
+                THEN "value" * "value" END) AS qa,
+              sum(CASE WHEN event_type = 'click'
+                THEN "value" * "value" END) AS qb
+            FROM events
+            WHERE event_type IN ('view', 'click')
+              AND "value" IS NOT NULL),
+      z AS (SELECT na, nb, sb / nb - sa / na AS d,
+              (qa - sa * sa / na) / (na - 1) / na +
+              (qb - sb * sb / nb) / (nb - 1) / nb AS v
+            FROM a),
+      w AS (SELECT na, nb, d, v,
+              0.5 * ln(v / (v + 0.25)) +
+                d * d * 0.25 / (2 * v * (v + 0.25)) AS ll
+            FROM z)
+      SELECT na::BIGINT AS n_c, nb::BIGINT AS n_t, round(d, 6) AS diff,
+             round(sqrt(v), 6) AS se, round(ll, 6) AS log_lambda,
+             round(least(1.0, exp(-ll)), 6) AS always_valid_p
+      FROM w"""))
+
+  /** Gaussian Bayesian A/B decision panel: P(click beats view) and
+    * both expected losses — the launch-decision numbers, Φ replayed
+    * from the shared Abramowitz–Stegun polynomial. */
+  private val q476 = Entry(
+    "q476_gauss_ab_loss",
+    (s, d) =>
+      graft.ops.Evaluation.gaussianAbLoss(Tables.events(s, d),
+          "event_type", "value", control = "view", treatment = "click")
+        .select(col("n_c"), col("n_t"), r6(col("diff")).as("diff"),
+          r6(col("se")).as("se"),
+          r6(col("prob_t_beats_c")).as("prob_t_beats_c"),
+          r6(col("exp_loss_choose_t")).as("exp_loss_choose_t"),
+          r6(col("exp_loss_choose_c")).as("exp_loss_choose_c")),
+    Some("""
+      WITH a AS (SELECT
+              sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0 END)
+                AS na,
+              sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0 END)
+                AS nb,
+              sum(CASE WHEN event_type = 'view' THEN "value" END) AS sa,
+              sum(CASE WHEN event_type = 'click' THEN "value" END) AS sb,
+              sum(CASE WHEN event_type = 'view'
+                THEN "value" * "value" END) AS qa,
+              sum(CASE WHEN event_type = 'click'
+                THEN "value" * "value" END) AS qb
+            FROM events
+            WHERE event_type IN ('view', 'click')
+              AND "value" IS NOT NULL),
+      z AS (SELECT na, nb, sb / nb - sa / na AS d,
+              sqrt((qa - sa * sa / na) / (na - 1) / na +
+                   (qb - sb * sb / nb) / (nb - 1) / nb) AS se
+            FROM a),
+      g AS (SELECT na, nb, d, se, d / se AS zz, abs(d / se) AS az
+            FROM z),
+      h AS (SELECT *, exp(-az * az / 2) / sqrt(2 * pi()) AS pdf,
+              1 / (1 + 0.2316419 * az) AS t
+            FROM g),
+      u AS (SELECT *, pdf * (t * (0.319381530 + t * (-0.356563782 +
+              t * (1.781477937 + t * (-1.821255978 +
+              t * 1.330274429))))) AS ut
+            FROM h),
+      f AS (SELECT *, CASE WHEN zz >= 0 THEN 1 - ut ELSE ut END AS phi
+            FROM u)
+      SELECT na::BIGINT AS n_c, nb::BIGINT AS n_t, round(d, 6) AS diff,
+             round(se, 6) AS se, round(phi, 6) AS prob_t_beats_c,
+             round(se * pdf - d * (1 - phi), 6) AS exp_loss_choose_t,
+             round(se * pdf + d * phi, 6) AS exp_loss_choose_c
+      FROM f"""))
+
+  /** Split conformal interval around the quantity→price OLS fit:
+    * distribution-free ≥90% coverage from the md5-half calibration
+    * residual order statistic. */
+  private val q477 = Entry(
+    "q477_conformal",
+    (s, d) =>
+      graft.ops.Regression.splitConformal(Tables.lineitem(s, d),
+          "l_quantity", "l_extendedprice", Seq("l_orderkey"),
+          alpha = 0.1)
+        .select(col("n_fit"), col("n_cal"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("slope")).as("slope"), r6(col("q_hat")).as("q_hat"),
+          round(col("coverage_cal"), 4).as("coverage_cal"),
+          r6(col("interval_width")).as("interval_width")),
+    Some("""
+      WITH s AS (SELECT l_quantity::DOUBLE AS x,
+              l_extendedprice::DOUBLE AS y,
+              (('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+                1, 15))::BIGINT % 1048576) AS b
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL),
+      f AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM s WHERE b < 524288),
+      co AS (SELECT n,
+              (sxy - sx * sy / n) / (sxx - sx * sx / n) AS sl,
+              sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) *
+                sx / n AS ic
+            FROM f),
+      r AS (SELECT abs(y - (ic + sl * x)) AS res
+            FROM s, co WHERE b >= 524288),
+      mm AS (SELECT count(*)::DOUBLE AS m FROM r),
+      k AS (SELECT least(ceil((m + 1) * 0.9), m) AS kk, m FROM mm),
+      o AS (SELECT res, row_number() OVER (ORDER BY res) AS rn FROM r),
+      q AS (SELECT min(res) AS qh FROM o, k WHERE rn = kk),
+      cov AS (SELECT sum(CASE WHEN res <= qh THEN 1 ELSE 0 END) /
+                max(m) AS cv
+              FROM r, q, mm)
+      SELECT (SELECT n::BIGINT FROM f) AS n_fit,
+             (SELECT m::BIGINT FROM mm) AS n_cal,
+             round((SELECT ic FROM co), 6) AS intercept,
+             round((SELECT sl FROM co), 6) AS slope,
+             round(qh, 6) AS q_hat, round(cv, 4) AS coverage_cal,
+             round(2 * qh, 6) AS interval_width
+      FROM q, cov"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18331,7 +18466,7 @@ object Queries {
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
-    q472, q473, q474)
+    q472, q473, q474, q475, q476, q477)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2473,4 +2473,91 @@ object Evaluation {
         (col("n") / col("__N") * abs(col("accuracy") - col("confidence")))
           .as("ece_contribution"))
   }
+
+  /** Welch sufficient statistics (n, mean, var) of `valueCol` for the
+    * two arms of `groupCol`, as ONE conditional-aggregation scan —
+    * shared by the sequential/Bayesian A/B readouts. */
+  private def armMoments(df: DataFrame, groupCol: String,
+      valueCol: String, a: String, b: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val inA = col(groupCol) === a
+    val inB = col(groupCol) === b
+    df.where((inA || inB) && y.isNotNull)
+      .agg(sum(when(inA, 1.0).otherwise(0.0)).as("__na"),
+        sum(when(inB, 1.0).otherwise(0.0)).as("__nb"),
+        sum(when(inA, y)).as("__sa"), sum(when(inB, y)).as("__sb"),
+        sum(when(inA, y * y)).as("__qa"),
+        sum(when(inB, y * y)).as("__qb"))
+      .withColumn("__ma", col("__sa") / col("__na"))
+      .withColumn("__mb", col("__sb") / col("__nb"))
+      .withColumn("__va",
+        (col("__qa") - col("__sa") * col("__sa") / col("__na")) /
+          (col("__na") - 1))
+      .withColumn("__vb",
+        (col("__qb") - col("__sb") * col("__sb") / col("__nb")) /
+          (col("__nb") - 1))
+  }
+
+  /**
+   * Mixture sequential probability ratio test (mSPRT, Johari et al.
+   * 2017) on a two-arm mean difference — the ALWAYS-VALID inference
+   * that lets an experimenter peek at a running A/B test at any time
+   * without inflating false positives (a fixed-n t-test peeked at
+   * repeatedly does). With the normal mixture N(0, τ²) over effect
+   * sizes and Welch variance V of the observed difference d:
+   *   Λ = √(V/(V+τ²)) · exp(d²τ²/(2V(V+τ²))),  p_always = min(1, 1/Λ)
+   * Returns ONE row: (n_c, n_t, diff, se, log_lambda, always_valid_p).
+   * log Λ is emitted (not Λ) so extreme evidence cannot overflow.
+   *
+   * Scale shape: one conditional-moments corpus scan, 1-row algebra.
+   */
+  def msprt(df: DataFrame, groupCol: String, valueCol: String,
+      control: String, treatment: String, tau: Double): DataFrame = {
+    require(tau > 0, "msprt: tau > 0")
+    val m = armMoments(df, groupCol, valueCol, control, treatment)
+    val d = col("__mb") - col("__ma")
+    val v = col("__va") / col("__na") + col("__vb") / col("__nb")
+    val t2 = lit(tau * tau)
+    val logL = lit(0.5) * log(v / (v + t2)) +
+      d * d * t2 / (lit(2.0) * v * (v + t2))
+    m.select(col("__na").cast("long").as("n_c"),
+      col("__nb").cast("long").as("n_t"), d.as("diff"),
+      sqrt(v).as("se"), logL.as("log_lambda"),
+      least(lit(1.0), exp(-logL)).as("always_valid_p"))
+  }
+
+  /**
+   * Gaussian Bayesian A/B decision panel on a CONTINUOUS metric (the
+   * Beta-posterior [[bayesianAbTest]] is the rate version): with flat
+   * priors the posterior of μ_t − μ_c is N(d, V), so
+   * P(treatment > control) = Φ(d/√V), and the decision-theoretic
+   * readouts are the expected losses E[max(−Δ,0)] (choose treatment,
+   * treatment actually worse) = √V·φ(z) − d·Φ(−z) and the mirror for
+   * choosing control — the "how much do I stand to lose" numbers a
+   * launch decision actually uses. Φ from the Abramowitz–Stegun
+   * 26.2.17 polynomial written as column arithmetic so an oracle can
+   * replay it term-for-term. Returns ONE row:
+   * (n_c, n_t, diff, se, prob_t_beats_c, exp_loss_choose_t,
+   * exp_loss_choose_c).
+   */
+  def gaussianAbLoss(df: DataFrame, groupCol: String, valueCol: String,
+      control: String, treatment: String): DataFrame = {
+    val m = armMoments(df, groupCol, valueCol, control, treatment)
+    val d = col("__mb") - col("__ma")
+    val se = sqrt(col("__va") / col("__na") + col("__vb") / col("__nb"))
+    val z = d / se
+    val az = abs(z)
+    val pdf = exp(-az * az / 2) / lit(math.sqrt(2 * math.Pi))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val upperTail = pdf * poly // 1 − Φ(|z|)
+    val phiZ = when(z >= 0, lit(1.0) - upperTail).otherwise(upperTail)
+    m.select(col("__na").cast("long").as("n_c"),
+      col("__nb").cast("long").as("n_t"), d.as("diff"), se.as("se"),
+      phiZ.as("prob_t_beats_c"),
+      (se * pdf - d * (lit(1.0) - phiZ)).as("exp_loss_choose_t"),
+      (se * pdf + d * phiZ).as("exp_loss_choose_c"))
+  }
 }

@@ -754,6 +754,66 @@ object Regression {
   }
 
   /**
+   * Split conformal prediction interval for a 1-feature OLS fit:
+   * distribution-free finite-sample coverage — fit on the md5-hash
+   * half of the data ([[graft.functions.PortableHash]], so the split
+   * is engine-replayable), take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+   * absolute calibration residual, and ŷ ± q̂ covers a fresh point
+   * with probability ≥ 1−α NO MATTER the error distribution (Vovk;
+   * Lei et al. 2018) — the honest-uncertainty wrapper a feature
+   * pipeline puts around any point forecast. Returns ONE row:
+   * (n_fit, n_cal, intercept, slope, q_hat, coverage_cal,
+   * interval_width).
+   *
+   * Scale shape: one fit-side moments scan (1-row broadcast), one
+   * calibration-side residual pass reduced to distinct |residual|
+   * counts, [[graft.analysis.PrefixSum]] for the order statistic —
+   * never a global sort.
+   */
+  def splitConformal(df: DataFrame, xCol: String, yCol: String,
+      hashCols: Seq[String], alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "splitConformal: alpha in (0,1)")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val b = graft.functions.PortableHash.bucket(hashCols.map(col))
+    val half = graft.functions.PortableHash.M / 2
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val fit = base.where(b < half)
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
+        sum(y).as("__sy"), sum(x * x).as("__sxx"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__sl",
+        (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
+      .withColumn("__ic",
+        col("__sy") / col("__n") - col("__sl") * col("__sx") / col("__n"))
+    val res = base.where(b >= half).crossJoin(broadcast(fit))
+      .select(col("__n"), col("__sl"), col("__ic"),
+        abs(y - (col("__ic") + col("__sl") * x)).as("__r"))
+    val vc = res.groupBy("__r")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // prefix + total + coverage reuse one reduce
+    val tot = broadcast(vc.agg(sum(col("__c")).cast("double").as("__m")))
+    val marked = graft.analysis.PrefixSum
+      .exclusive(vc, "__r", Seq("__c" -> "__cb")).crossJoin(tot)
+    // q̂ = value at 1-based rank ⌈(m+1)(1−α)⌉ (clamped to m)
+    val k = least(ceil((col("__m") + 1) * lit(1.0 - alpha)), col("__m"))
+    val qhat = broadcast(marked
+      .where(col("__cb") < k && k <= col("__cb") + col("__c"))
+      .agg(max(col("__r")).as("q_hat"), max(col("__m")).as("__m2")))
+    val cov = vc.crossJoin(qhat)
+      .agg(max(col("__m2")).as("__mm"), max(col("q_hat")).as("__q"),
+        (sum(when(col("__r") <= col("q_hat"), col("__c")).otherwise(0L))
+          .cast("double") / max(col("__m2"))).as("coverage_cal"))
+    fit.crossJoin(broadcast(cov)).select(
+      col("__n").cast("long").as("n_fit"),
+      col("__mm").cast("long").as("n_cal"),
+      col("__ic").as("intercept"), col("__sl").as("slope"),
+      col("__q").as("q_hat"), col("coverage_cal"),
+      (col("__q") * 2).as("interval_width"))
+  }
+
+  /**
    * Difference-in-differences on a 2×2 (arm × period) design: the
    * causal workhorse for "did the change move the metric beyond the
    * control arm's drift" — DiD = (ȳ_t,post − ȳ_t,pre) −

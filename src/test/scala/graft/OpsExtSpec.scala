@@ -7794,6 +7794,67 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("yield_share") <= 1.0)
   }
 
+  test("msprt: null effect → p stays near 1; real effect → tiny always-valid p") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val nullDf = (1 to 2000).map(i =>
+      (if (i % 2 == 0) "c" else "t", rng.nextGaussian())).toDF("g", "v")
+    val r1 = graft.ops.Evaluation.msprt(nullDf, "g", "v", "c", "t", 0.5)
+      .head
+    assert(r1.getAs[Double]("always_valid_p") > 0.3)
+    val effDf = (1 to 1000).map(_ => ("c", rng.nextGaussian())) ++
+      (1 to 1000).map(_ => ("t", rng.nextGaussian() + 0.5))
+    val r2 = graft.ops.Evaluation
+      .msprt(effDf.toDF("g", "v"), "g", "v", "c", "t", 0.5).head
+    assert(r2.getAs[Double]("always_valid_p") < 0.001)
+    assert(r2.getAs[Double]("log_lambda") > 0)
+  }
+
+  test("gaussianAbLoss: symmetric losses at zero effect; loss asymmetry tracks sign") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val eff = (1 to 2000).map(_ => ("c", rng.nextGaussian())) ++
+      (1 to 2000).map(_ => ("t", rng.nextGaussian() + 1.0))
+    val r = graft.ops.Evaluation
+      .gaussianAbLoss(eff.toDF("g", "v"), "g", "v", "c", "t").head
+    assert(r.getAs[Double]("prob_t_beats_c") > 0.999)
+    // choosing the clear winner risks ~nothing; choosing the loser
+    // forfeits ~the full effect
+    assert(r.getAs[Double]("exp_loss_choose_t") < 0.01)
+    assert(r.getAs[Double]("exp_loss_choose_c") > 0.9)
+    // identity: loss_c − loss_t = diff exactly (algebra of the normal)
+    assert(math.abs(r.getAs[Double]("exp_loss_choose_c") -
+      r.getAs[Double]("exp_loss_choose_t") -
+      r.getAs[Double]("diff")) < 1e-9)
+  }
+
+  test("splitConformal: exact line → zero-width interval, full coverage") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble, 3.0 + 2.0 * i))
+      .toDF("id", "x", "y")
+    val r = graft.ops.Regression
+      .splitConformal(df, "x", "y", Seq("id"), alpha = 0.1).head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(r.getAs[Double]("q_hat") < 1e-9)
+    assert(r.getAs[Double]("coverage_cal") == 1.0)
+    assert(r.getAs[Long]("n_fit") + r.getAs[Long]("n_cal") == 400L)
+  }
+
+  test("splitConformal: noisy line → coverage >= 1 - alpha on calibration") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (1 to 2000).map(i =>
+      (i.toLong, i.toDouble % 50, 1.0 + 0.5 * (i % 50) +
+        rng.nextGaussian() * 3)).toDF("id", "x", "y")
+    val r = graft.ops.Regression
+      .splitConformal(df, "x", "y", Seq("id"), alpha = 0.1).head
+    assert(r.getAs[Double]("coverage_cal") >= 0.9)
+    assert(r.getAs[Double]("q_hat") > 1.0) // noise sd 3 → wide interval
+    assert(r.getAs[Double]("interval_width") ==
+      r.getAs[Double]("q_hat") * 2)
+  }
+
   test("readabilityPanel: trivial one-syllable text scores easy on every index") {
     import spark.implicits._
     val df = Seq(
