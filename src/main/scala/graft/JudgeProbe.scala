@@ -9,12 +9,15 @@ object JudgeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     Tables.events(spark, dir).count()
-    for (mf <- Seq("100", "1200"); _ <- 1 to 2) {
-      spark.conf.set("spark.sql.codegen.maxFields", mf)
-      val t0 = System.nanoTime()
-      Queries.queries("q174_poisson_bootstrap")(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"maxFields=$mf%-5s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    Tables.lineitem(spark, dir).count()
+    for (name <- args) {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Queries.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $name%-28s min=${times.min}%6.2f  all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
