@@ -17311,7 +17311,7 @@ object Queries {
           "value")
         .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
           r6(col("mean_diff")).as("mean_diff"), r6(col("se")).as("se"),
-          r6(col("t_stat")).as("t_stat"),
+          r6(col("t_stat")).as("t_stat"), r6(col("q_stat")).as("q_stat"),
           r6(col("df_welch")).as("df_welch"))
         .orderBy("group_a", "group_b"),
     Some("""
@@ -17327,6 +17327,8 @@ object Queries {
              round(sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS se,
              round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6)
                AS t_stat,
+             round(abs(a.m - b.m) /
+               sqrt((a.s2 / a.n + b.s2 / b.n) / 2), 6) AS q_stat,
              round(power(a.s2 / a.n + b.s2 / b.n, 2) /
                ((a.s2 / a.n) * (a.s2 / a.n) / (a.n - 1) +
                 (b.s2 / b.n) * (b.s2 / b.n) / (b.n - 1)), 6) AS df_welch

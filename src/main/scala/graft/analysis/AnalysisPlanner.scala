@@ -5383,7 +5383,11 @@ object AnalysisPlanner {
    * error √(s²_a/n_a + s²_b/n_b) and its own Welch–Satterthwaite df,
    * the right default when group variances differ (the same reason
    * [[welchAnova]] exists next to the classic F). Returns one row per
-   * pair: (group_a, group_b, n_a, n_b, mean_diff, se, t_stat, df_welch).
+   * pair: (group_a, group_b, n_a, n_b, mean_diff, se, t_stat, q_stat,
+   * df_welch) — `t_stat` is the pairwise Welch t (look up in a t
+   * table at df_welch); `q_stat` = |diff|/√(se²/2) = t·√2 is the
+   * canonical Games–Howell statistic on the studentized-range scale
+   * (look up in a q table at (k, df_welch)).
    *
    * Scale shape: identical to [[tukeyHsd]] — one corpus pass, k²
    * pair algebra on the reduction.
@@ -5404,6 +5408,8 @@ object AnalysisPlanner {
         (col("a.__m") - col("__m2")).as("mean_diff"),
         sqrt(va + vb).as("se"),
         ((col("a.__m") - col("__m2")) / sqrt(va + vb)).as("t_stat"),
+        (abs(col("a.__m") - col("__m2")) / sqrt((va + vb) / 2))
+          .as("q_stat"),
         (pow(va + vb, 2.0) /
           (va * va / (col("a.__ng") - 1) + vb * vb / (col("__ng2") - 1)))
           .as("df_welch"))
@@ -5651,8 +5657,13 @@ object AnalysisPlanner {
     import spark.implicits._
     val groups = cells.groupBy("__g").agg(sum(col("__c")).as("__ng"))
       .orderBy("__g").limit(33).collect()
+    // limit(33) bounds the collect, so 33 here means "more than 32" —
+    // phrase the failure accordingly rather than reporting a capped
+    // count as if it were the true group count.
     require(groups.length >= 2 && groups.length <= 32,
-      s"andersonDarlingKSample: 2..32 groups (got ${groups.length})")
+      if (groups.length > 32)
+        "andersonDarlingKSample: 2..32 groups (got > 32)"
+      else s"andersonDarlingKSample: 2..32 groups (got ${groups.length})")
     val labels = groups.map(_.get(0))
     val ns = groups.map(_.getDouble(1))
     val bigN = ns.sum
@@ -5724,8 +5735,14 @@ object AnalysisPlanner {
       yCol: String): DataFrame = {
     val cells = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy(col(xCol).cast("double").as("__px"),
-        col(yCol).cast("double").as("__py"))
+      // try_cast, not cast: non-numeric ordinal labels become NULL
+      // (ANSI cast would throw); keeping them would count toward n
+      // while being excluded from concordance and the level counts,
+      // silently deflating tau_c — drop them instead.
+      .select(expr(s"try_cast(`$xCol` AS double)").as("__px"),
+        expr(s"try_cast(`$yCol` AS double)").as("__py"))
+      .where(col("__px").isNotNull && col("__py").isNotNull)
+      .groupBy(col("__px"), col("__py"))
       .agg(count(lit(1)).cast("double").as("__c"))
       .localCheckpoint() // self-join + margins reuse one reduction
     val cd = cells.as("a")
@@ -5856,22 +5873,28 @@ object AnalysisPlanner {
       .agg(count(lit(1)).cast("double").as("__n"), avg(x).as("__m"),
         sum(x).as("__s"), sum(x * x).as("__q"))
       .localCheckpoint() // reduce + join-back reuse one reduction
+    // ANSI-guard: every-group-n=1 makes the within-group df sum 0 —
+    // emit NULL msw (handled by the fallback guard below) not a
+    // divide-by-zero error.
     val tot = broadcast(g.agg(count(lit(1)).cast("double").as("__k"),
       avg(col("__m")).as("__gm"),
-      (sum(col("__q") - col("__s") * col("__s") / col("__n")) /
-        sum(col("__n") - 1)).as("__msw")))
+      when(sum(col("__n") - 1) > 0,
+        sum(col("__q") - col("__s") * col("__s") / col("__n")) /
+          sum(col("__n") - 1)).as("__msw")))
     val ss = broadcast(g.crossJoin(tot)
       .agg(sum(pow(col("__m") - col("__gm"), 2.0)).as("__ss")))
     val w = greatest(lit(0.0), lit(1.0) -
       (col("__k") - 3) * (col("__msw") / col("__n")) / col("__ss"))
+    // __msw is NULL when every group has n=1 (0/0 within-group df) —
+    // the guard must check it too, else shrink_weight propagates NULL
+    // instead of falling back to the unshrunk mean.
+    val ok = col("__ss") > 0 && col("__k") > 3 && col("__msw").isNotNull
     g.crossJoin(tot).crossJoin(ss)
       .select(col("group_name"), col("__n").cast("long").as("n"),
         col("__m").as("raw_mean"),
-        when(col("__ss") > 0 && col("__k") > 3, w)
-          .otherwise(lit(1.0)).as("shrink_weight"),
-        (col("__gm") + when(col("__ss") > 0 && col("__k") > 3, w)
-          .otherwise(lit(1.0)) * (col("__m") - col("__gm")))
-          .as("shrunk_mean"))
+        when(ok, w).otherwise(lit(1.0)).as("shrink_weight"),
+        (col("__gm") + when(ok, w).otherwise(lit(1.0)) *
+          (col("__m") - col("__gm"))).as("shrunk_mean"))
   }
 
   /**

@@ -1637,8 +1637,13 @@ object TimeSeries {
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       "holtLinear: alpha, beta in (0,1)")
     require(horizon >= 1 && horizon <= 366, "holtLinear: horizon 1..366")
-    val days = dailyCounts(df, tsCol).orderBy("__t")
-      .limit(4000).collect() // calendar-bounded by construction
+    // Fail loudly rather than truncate: a silent limit(N) here would
+    // diverge from any exact oracle on a longer-than-N calendar.
+    // Collecting N+1 rows detects overflow without a second scan.
+    val days = dailyCounts(df, tsCol).orderBy("__t").limit(4001).collect()
+    require(days.length <= 4000,
+      "holtLinear: series spans > 4000 days; driver recursion is " +
+        "bounded at 4000 — pre-aggregate to a coarser calendar")
     require(days.length >= 3, "holtLinear: need >= 3 days")
     val y = days.map(_.getDouble(1))
     var level = y(0)

@@ -7874,4 +7874,58 @@ class OpsExtSpec extends AnyFunSuite {
     assert(simple.getAs[Double]("coleman_liau") <
       hard.getAs[Double]("coleman_liau"))
   }
+
+  test("gamesHowell: q_stat is t_stat on the studentized-range scale (t*sqrt2)") {
+    import spark.implicits._
+    val df = Seq("a", "b").flatMap {
+      case "a" => (1 to 15).map(i => ("a", i.toDouble))
+      case g   => (1 to 25).map(i => (g, i * 3.0))
+    }.toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.gamesHowell(df, "g", "v").head
+    val t = r.getAs[Double]("t_stat")
+    val q = r.getAs[Double]("q_stat")
+    assert(math.abs(q - math.abs(t) * math.sqrt(2.0)) < 1e-9)
+    assert(q >= 0.0)
+  }
+
+  test("jamesSteinMeans: every group n=1 → weight 1, shrunk == raw (no NULLs)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 5.0), ("c", 9.0), ("d", 2.0),
+      ("e", 7.0)).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner.jamesSteinMeans(df, "g", "v")
+      .orderBy("group_name").collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getAs[Double]("shrink_weight") == 1.0)
+      assert(row.getAs[Double]("shrunk_mean") ==
+        row.getAs[Double]("raw_mean"))
+    }
+  }
+
+  test("tauCContingency: non-numeric ordinal labels are dropped, not NULL-cells") {
+    import spark.implicits._
+    val clean = Seq((1, 1), (1, 1), (2, 2), (2, 2), (3, 3), (3, 3))
+      .map { case (x, y) => (x.toString, y.toString) }.toDF("x", "y")
+    val dirty = clean.union(
+      Seq(("low", "1"), ("2", "mid"), ("high", "high")).toDF("x", "y"))
+    val a = graft.analysis.AnalysisPlanner
+      .tauCContingency(clean, "x", "y").head
+    val b = graft.analysis.AnalysisPlanner
+      .tauCContingency(dirty, "x", "y").head
+    // unparseable labels contribute to neither n nor the levels
+    assert(b.getAs[Long]("n") == a.getAs[Long]("n"))
+    assert(b.getAs[Long]("n_x_levels") == 3L)
+    assert(b.getAs[Double]("tau_c") == a.getAs[Double]("tau_c"))
+  }
+
+  test("holtLinear: > 4000-day series fails loudly instead of truncating") {
+    import spark.implicits._
+    val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2010, 1, 1, 0, 0).plusDays(d.toLong))))
+      .toDF("ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holtLinear(rows, "ts", 0.3, 0.1, 3)
+    }
+    assert(e.getMessage.contains("4000"))
+  }
 }
