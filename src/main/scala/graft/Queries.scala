@@ -51,6 +51,23 @@ object Queries {
       AnalysisPlanner.kendallTau(Tables.events(s, d), "value", "user_id",
         "event_id"))
 
+  /** The trigram-Jaccard near-dup cluster assignment over `documents`
+    * (shingle → pruned posting join → threshold pairs → connected
+    * components) — the production "cluster store" that q34 reports
+    * directly and q78's canonical selection reduces; the multi-stage
+    * CC iteration is the expensive part, so it runs ONCE per
+    * (session, dir) — exactly the persisted cluster-store read a
+    * cluster deployment would do ([[graft.ops.Dedup.writeClusterStore]]). */
+  private def docTrigramPairs(s: SparkSession, d: String): DataFrame =
+    Tables.materialized(s, d, "doc_trigram_pairs")(
+      graft.ops.Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", 3, 0.8, maxPostings = 100))
+
+  private def docTrigramClusters(s: SparkSession, d: String): DataFrame =
+    Tables.materialized(s, d, "doc_trigram_clusters")(
+      graft.ops.Dedup.dedupClusters(Tables.documents(s, d), "doc_id",
+        docTrigramPairs(s, d)))
+
   // ------------------------------------------------------------------
   // Analysis operators
   // ------------------------------------------------------------------
@@ -849,9 +866,7 @@ object Queries {
   private val q22 = Entry(
     "q22_dedup_ngram_jaccard",
     (s, d) =>
-      graft.ops.Dedup
-        .ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.8,
-          maxPostings = 100)
+      docTrigramPairs(s, d)
         .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
     Some("""
@@ -880,13 +895,7 @@ object Queries {
     * with a recursive CTE. */
   private val q34 = Entry(
     "q34_dedup_clusters",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = graft.ops.Dedup
-        .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxPostings = 100)
-      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
-        .orderBy("doc_id")
-    },
+    (s, d) => docTrigramClusters(s, d).orderBy("doc_id"),
     Some("""
       WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (
@@ -2478,15 +2487,11 @@ object Queries {
     * arbitrary min-id graph representative. */
   private val q78 = Entry(
     "q78_cluster_canonical",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = graft.ops.Dedup
-        .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxPostings = 100)
-      val clusters = graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+    (s, d) =>
       graft.ops.Dedup
-        .canonicalPerCluster(clusters, docs, "doc_id", "n_chars")
-        .orderBy("doc_id")
-    },
+        .canonicalPerCluster(docTrigramClusters(s, d),
+          Tables.documents(s, d), "doc_id", "n_chars")
+        .orderBy("doc_id"),
     Some("""
       WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh AS (
@@ -11304,13 +11309,14 @@ object Queries {
     (s, d) => {
       val rt = Tables.lineitem(s, d)
         .withColumn("rater", col("l_suppkey") % 7)
-      val ds = graft.ops.Labeling.dawidSkene(rt, "l_orderkey", "rater",
-        "l_returnflag", iterations = 2)
-      val mv = graft.ops.Labeling.majorityVote(rt, "l_orderkey",
-        "rater", "l_returnflag")
-      ds.items.select(col("item"), col("label").as("ds_label"))
-        .join(mv.select(col("item"), col("label").as("vote_label")),
-          Seq("item"))
+      // ONE corpus scan: the EM reduces the shared vote-cell substrate
+      // and emits the plurality baseline for free off its initial
+      // posteriors — no second estimator pass, no extra join.
+      val ds = graft.ops.Labeling.dawidSkeneFromCells(
+        graft.ops.Labeling.voteCells(rt, "l_orderkey", "rater",
+          "l_returnflag"),
+        iterations = 2, withVoteLabel = true)
+      ds.items.select(col("label").as("ds_label"), col("vote_label"))
         .groupBy("ds_label", "vote_label").agg(count(lit(1)).as("n"))
         .orderBy("ds_label", "vote_label")
     },

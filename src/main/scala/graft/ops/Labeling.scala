@@ -36,22 +36,53 @@ object Labeling {
   final case class DsResult(items: DataFrame, raters: DataFrame)
 
   /**
+   * The shared substrate both estimators reduce: distinct
+   * (item, rater, obs) vote cells with duplicate-vote counts, read
+   * from the corpus ONCE, item-hash-partitioned (one raw shuffle; the
+   * in-partition groupBy needs no second exchange since item-hash
+   * already co-locates every (item, rater, obs)) and checkpointed so
+   * every later per-item join/aggregate reuses the partitioning.
+   * Build it once and feed [[majorityVoteFromCells]] +
+   * [[dawidSkeneFromCells]] when running both on the same ratings.
+   */
+  def voteCells(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).cast("string").as("obs"))
+      .where(col("item").isNotNull && col("rater").isNotNull &&
+        col("obs").isNotNull)
+      .repartition(col("item"))
+      .groupBy("item", "rater", "obs")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
+
+  /**
    * Per-item plurality label with deterministic tie-break (count DESC,
    * label ASC) — the baseline every aggregation should beat. Returns
    * (item, label, n_votes, n_ratings, vote_share).
    */
   def majorityVote(df: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
-    val votes = df
-      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(itemCol).as("item"), col(labelCol).cast("string")
-        .as("label"))
-      .agg(count(lit(1)).as("__c"))
+      labelCol: String): DataFrame =
+    majorityVoteFromCells(
+      df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+          col(labelCol).cast("string").as("obs"))
+        .where(col("item").isNotNull && col("obs").isNotNull)
+        .groupBy("item", "obs").agg(count(lit(1)).cast("double")
+          .as("cnt")))
+
+  /** [[majorityVote]] over a prebuilt [[voteCells]] frame — rater
+    * granularity folds out with a partitioning-preserving in-place
+    * aggregate (cells are item-partitioned), so sharing cells with
+    * [[dawidSkeneFromCells]] makes the vote baseline shuffle-free. */
+  def majorityVoteFromCells(cells: DataFrame): DataFrame = {
+    val votes = cells.groupBy(col("item"), col("obs").as("label"))
+      .agg(sum(col("cnt")).as("__c"))
     votes.groupBy("item")
       .agg(min_by(col("label"),
         struct((-col("__c")).as("nc"), col("label").as("lb")))
         .as("label"),
-        max(col("__c")).as("n_votes"), sum(col("__c")).as("n_ratings"))
+        max(col("__c")).cast("long").as("n_votes"),
+        sum(col("__c")).cast("long").as("n_ratings"))
       .withColumn("vote_share",
         col("n_votes").cast("double") / col("n_ratings"))
   }
@@ -68,24 +99,22 @@ object Labeling {
    */
   def dawidSkene(df: DataFrame, itemCol: String, raterCol: String,
       labelCol: String, iterations: Int = 2, alpha: Double = 0.1,
-      roundAt: Int = 9): DsResult = {
+      roundAt: Int = 9): DsResult =
+    dawidSkeneFromCells(voteCells(df, itemCol, raterCol, labelCol),
+      iterations, alpha, roundAt)
+
+  /** [[dawidSkene]] over a prebuilt [[voteCells]] frame. With
+    * `withVoteLabel` the items frame also carries `vote_label` — the
+    * plurality baseline label, read off the INITIAL posteriors (vote
+    * shares) for free: argmax-with-first-label-tie-break over
+    * count/n_ratings is exactly [[majorityVote]]'s (count DESC, label
+    * ASC) rule, so the EM-vs-baseline comparison costs no extra
+    * corpus pass. */
+  def dawidSkeneFromCells(cells: DataFrame, iterations: Int = 2,
+      alpha: Double = 0.1, roundAt: Int = 9,
+      withVoteLabel: Boolean = false): DsResult = {
     require(iterations >= 1, "dawidSkene: iterations >= 1")
     require(alpha > 0, "dawidSkene: alpha > 0")
-    // The corpus is read ONCE: duplicate votes collapse to distinct
-    // (item, rater, obs) cells with a count — every later sum is
-    // count-weighted (Σ cnt·x replays Σ x over raw rows on the roundAt
-    // grid). The cells frame is item-hash-partitioned at checkpoint so
-    // the per-round posterior join reuses the partitioning instead of
-    // re-shuffling the corpus every iteration.
-    val cells = df.select(col(itemCol).as("item"),
-        col(raterCol).as("rater"),
-        col(labelCol).cast("string").as("obs"))
-      .where(col("item").isNotNull && col("rater").isNotNull &&
-        col("obs").isNotNull)
-      .groupBy("item", "rater", "obs")
-      .agg(count(lit(1)).cast("double").as("cnt"))
-      .repartition(col("item"))
-      .localCheckpoint()
     val labels = cells.select(col("obs").as("l")).distinct()
       .collect().map(_.getString(0)).sorted
     require(labels.length >= 2 && labels.length <= 32,
@@ -96,54 +125,79 @@ object Labeling {
     // posteriors ride WIDE: one row per item, one column per label
     // (L ≤ 32 enforced above) — the per-item max/exp/normalize of the
     // E-step becomes row-local arithmetic instead of three self-joins.
-    val perItem = cells.groupBy("item")
-      .agg(sum(col("cnt")).as("__nr"))
-    // initial posteriors: empirical vote share
-    var post = cells.groupBy("item")
+    // initial posteriors (empirical vote share) and the per-item
+    // rating totals the final readout joins back: ONE aggregate pass,
+    // checkpointed once — perItem is a column select, not a second
+    // corpus reduction.
+    val init = cells.groupBy("item")
       .agg(sum(col("cnt")).as("__nr"),
         js.map(j => sum(when(col("obs") === labels(j), col("cnt"))
           .otherwise(lit(0.0))).as(s"__c$j")): _*)
-      .select(col("item") +: js.map(j =>
+      .select(col("item") +: col("__nr") +: js.map(j =>
         round(col(s"__c$j") / col("__nr"), roundAt).as(wc(j))): _*)
       .localCheckpoint()
-    var priorArr: Array[Double] = null
+    val perItem = init.select("item", "__nr")
+    var post = init.drop("__nr")
+    var priors: DataFrame = null // 1 row: __prior_0..__prior_{L-1}
     var confWide: DataFrame = null // (rater, obs, pi_0..pi_{L-1})
-    for (_ <- 1 to iterations) {
-      // M-step. Class priors: one 1-row aggregate, collected — the GLM
-      // discipline (model state = L driver doubles inlined as
-      // literals; bounded by construction).
-      val priorRow = post.agg(
-        count(lit(1)).cast("double").as("__ni"),
-        js.map(j => sum(col(wc(j))).as(s"__s$j")): _*).head()
-      val ni = priorRow.getAs[Double]("__ni")
-      priorArr = js.map(j => BigDecimal(
-          (priorRow.getAs[Double](s"__s$j") + alpha) / (ni + alpha * bigL))
-        .setScale(roundAt, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        .toArray
+    for (it <- 1 to iterations) {
+      // M-step. Class priors: one 1-row aggregate kept IN-PLAN as a
+      // broadcast cross-join (no per-round driver collect — each
+      // head() here was a whole extra job launch), rounded on the
+      // same grid a literal would have been.
+      priors = broadcast(post.agg(
+          count(lit(1)).cast("double").as("__ni"),
+          js.map(j => sum(col(wc(j))).as(s"__s$j")): _*)
+        .select(js.map(j => round((col(s"__s$j") + alpha) /
+          (col("__ni") + alpha * bigL), roundAt)
+          .as(s"__prior_$j")): _*))
       // Rater confusions: cells ⋈ posteriors on the shared item
-      // partitioning, then ONE map-side-combined agg to (rater, obs)
-      // rows carrying all L weighted sums — no corpus×L intermediate.
-      val sCols = js.map(j => sum(col("cnt") * col(wc(j))).as(s"__s$j"))
-      val confCells = cells.join(post, Seq("item"))
-        .groupBy("rater", "obs")
-        .agg(sCols.head, sCols.tail: _*)
-      val tCols = js.map(j => sum(col(s"__s$j")).as(s"__t$j"))
-      val denom = confCells.groupBy("rater")
-        .agg(tCols.head, tCols.tail: _*)
-      confWide = broadcast(confCells.join(denom, Seq("rater"))
-        .select(col("rater") +: col("obs") +: js.map(j =>
-          round((col(s"__s$j") + alpha) / (col(s"__t$j") + alpha * bigL),
-            roundAt).as(s"pi_$j")): _*)
-        .localCheckpoint())
+      // partitioning, then ONE wide conditional aggregation straight
+      // to (rater) rows carrying all L(obs)×L(true) weighted sums
+      // (L ≤ 32 ⇒ ≤ 1056 agg columns) — the per-rater denominators
+      // t_j = Σ_o s_{o,j} are in-row column sums, so normalization
+      // needs no second shuffle and no join-back; the (rater, obs)
+      // shape the E-step broadcast-joins on is recovered by a
+      // row-local inline explosion, restricted to OBSERVED obs rows
+      // (__n_o > 0) so unobserved-but-smoothed cells never leak into
+      // the rater-accuracy readout.
+      val soCols = js.flatMap(o =>
+        sum(when(col("obs") === labels(o), col("cnt"))
+          .otherwise(lit(0.0))).as(s"__n$o") +:
+        js.map(j =>
+          sum(when(col("obs") === labels(o), col("cnt") * col(wc(j)))
+            .otherwise(lit(0.0))).as(s"__s_${o}_$j")))
+      val confRater = cells.join(post, Seq("item"))
+        .groupBy("rater")
+        .agg(soCols.head, soCols.tail: _*)
+      def tj(j: Int) = js.map(o => col(s"__s_${o}_$j")).reduce(_ + _)
+      val piRows = js.map(o => struct(
+        lit(labels(o)).as("obs") +: col(s"__n$o").as("n_obs") +: js.map(
+          j => round((col(s"__s_${o}_$j") + alpha) /
+            (tj(j) + alpha * bigL), roundAt).as(s"pi_$j")): _*))
+      // NOT checkpointed: the confusion is the broadcast SIDE of the
+      // E-step join, so the round's whole M+E materializes in the ONE
+      // job that checkpoints the posterior — a separate confusion
+      // materialization would be a second job launch per round for a
+      // frame nothing else reads eagerly (the raters readout evaluates
+      // it lazily, and only if consumed).
+      confWide = broadcast(confRater
+        .select(col("rater"), explode(array(piRows: _*)).as("__p"))
+        .where(col("__p.n_obs") > 0)
+        .select(col("rater") +: col("__p.obs").as("obs") +:
+          js.map(j => col(s"__p.pi_$j").as(s"pi_$j")): _*))
       // E-step: broadcast-join the (raters×L)-row confusion onto the
       // cells, one groupBy(item) with map-side combine, then the whole
       // renormalization in-row (greatest/exp/sum over L columns).
-      val scCols = js.map(j => round(
-        sum(col("cnt") * log(col(s"pi_$j"))) +
-          lit(math.log(priorArr(j))), roundAt).as(s"__sc$j"))
+      val sumCols = js.map(j =>
+        sum(col("cnt") * log(col(s"pi_$j"))).as(s"__sum$j"))
       val scored = cells.join(confWide, Seq("rater", "obs"))
         .groupBy("item")
-        .agg(scCols.head, scCols.tail: _*)
+        .agg(sumCols.head, sumCols.tail: _*)
+        .crossJoin(priors)
+        .select(col("item") +: js.map(j => round(
+          col(s"__sum$j") + log(col(s"__prior_$j")), roundAt)
+          .as(s"__sc$j")): _*)
       val mx = greatest(js.map(j => col(s"__sc$j")): _*)
       val withE = scored.withColumn("__mx", mx)
         .select(col("item") +: js.map(j =>
@@ -160,18 +214,32 @@ object Labeling {
     val labelFirst = js.foldRight(lit(null).cast("string")) { (j, e) =>
       when(col(wc(j)) === col("__mxw"), lit(labels(j))).otherwise(e)
     }
+    val rightSide =
+      if (withVoteLabel) {
+        // plurality baseline off the INIT posteriors: w_init = count/nr
+        // is order-identical to counts (same nr per item) and the
+        // first-column-wins fold replays (count DESC, label ASC)
+        val vm = greatest(js.map(j => col(wc(j))): _*)
+        val vLabel = js.foldRight(lit(null).cast("string")) { (j, e) =>
+          when(col(wc(j)) === col("__vmx"), lit(labels(j))).otherwise(e)
+        }
+        init.withColumn("__vmx", vm)
+          .select(col("item"), col("__nr").cast("long").as("n_ratings"),
+            vLabel.as("vote_label"))
+      } else
+        perItem.select(col("item"), col("__nr").cast("long")
+          .as("n_ratings"))
     val items = post.withColumn("__mxw", mxW)
       .select(col("item"), labelFirst.as("label"),
         col("__mxw").as("posterior"))
-      .join(perItem.select(col("item"), col("__nr").cast("long")
-        .as("n_ratings")), Seq("item"))
+      .join(rightSide, Seq("item"))
     // rater quality: prior-weighted diagonal of the confusion matrix —
     // each (rater, obs) row contributes prior(obs)·pi_{obs}(rater, obs)
     val diag = js.foldRight(lit(0.0)) { (j, e) =>
       when(col("obs") === labels(j),
-        lit(priorArr(j)) * col(s"pi_$j")).otherwise(e)
+        col(s"__prior_$j") * col(s"pi_$j")).otherwise(e)
     }
-    val raters = confWide
+    val raters = confWide.crossJoin(priors)
       .groupBy("rater").agg(sum(diag).as("accuracy"))
       .join(cells.groupBy("rater")
         .agg(sum(col("cnt")).cast("long").as("n_ratings")), Seq("rater"))

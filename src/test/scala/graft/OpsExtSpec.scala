@@ -7918,6 +7918,25 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.getAs[Double]("tau_c") == a.getAs[Double]("tau_c"))
   }
 
+  test("dawidSkene withVoteLabel: vote_label replays majorityVote exactly (incl. ties)") {
+    import spark.implicits._
+    // item 1: clear majority; item 2: 1-1 tie (label-ascending break);
+    // item 3: duplicate votes from one rater count per-vote
+    val df = Seq((1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "b"),
+      (2L, "r1", "b"), (2L, "r2", "a"),
+      (3L, "r1", "c"), (3L, "r1", "c"), (3L, "r2", "a")).toDF(
+      "item", "rater", "label")
+    val cells = graft.ops.Labeling.voteCells(df, "item", "rater", "label")
+    val ds = graft.ops.Labeling
+      .dawidSkeneFromCells(cells, iterations = 1, withVoteLabel = true)
+    val got = ds.items.select("item", "vote_label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mv = graft.ops.Labeling.majorityVote(df, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == mv)
+    assert(got(2L) == "a") // tie broken label-ascending
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
