@@ -1506,6 +1506,36 @@ object AnalysisPlanner {
   }
 
   /**
+   * Binned opt-out for [[energyDistanceFromCells]] — the same caveat
+   * [[kendallTauBinned]] covers for concordance: the exact path's
+   * distinct-value frame is corpus-sized for CONTINUOUS inputs, so at
+   * 100 TB the PrefixSum + consecutive-value join ride a corpus-scale
+   * shuffle. Bucketing values onto a fixed `bins`-point grid (bucket
+   * MIDPOINTS, so the gap integral keeps physical units) bounds that
+   * frame at `bins` rows with O(range/bins) error in the integral
+   * (OpsExtSpec pins the tolerance); the reduction itself is the
+   * UNCHANGED exact machinery over the binned cells. Declared queries
+   * keep the exact path — this is the documented scale toggle.
+   */
+  def energyDistanceBinnedFromCells(cells: DataFrame, control: String,
+      treatment: String, bins: Int = 512): DataFrame = {
+    require(bins >= 2, "energyDistanceBinned: bins >= 2")
+    val sub = cells
+      .where(col("__g") === control || col("__g") === treatment)
+    val bounds = broadcast(sub.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi")))
+    val w = (col("__hi") - col("__lo")) / bins
+    val mid = when(col("__hi") <= col("__lo"), col("__lo")).otherwise(
+      col("__lo") + (least(greatest(
+        floor((col("__v") - col("__lo")) / w), lit(0L)),
+        lit(bins - 1L)) + 0.5) * w)
+    val binned = sub.crossJoin(bounds)
+      .select(col("__g"), mid.as("__v"), col("__c"))
+      .groupBy("__g", "__v").agg(sum(col("__c")).as("__c"))
+    energyDistanceFromCells(binned, control, treatment)
+  }
+
+  /**
    * Categorical distribution-distance panel between two cohorts over
    * EXACT categories: total variation (the "what fraction of mass
    * must move" bound), Hellinger (the metric that behaves under
@@ -4234,6 +4264,32 @@ object AnalysisPlanner {
           col("__daa") / (col("__dna") * col("__dna")) -
           col("__dbb") / (col("__dnb") * col("__dnb"))).as("e_dist_sq"))
       .withColumn("e_dist", sqrt(greatest(col("e_dist_sq"), lit(0.0))))
+  }
+
+  /**
+   * Binned opt-out for [[energyDistance]] — same caveat/toggle shape
+   * as [[kendallTauBinned]] and [[energyDistanceBinnedFromCells]]: the
+   * exact path's distinct-value frame is corpus-sized for CONTINUOUS
+   * values, so at 100 TB the PrefixSum rides a corpus-scale shuffle.
+   * Values snap to `bins` bucket MIDPOINTS (physical units preserved;
+   * pairwise |differences| perturbed by ≤ one bucket width each, so
+   * the error is O(range/bins) — OpsExtSpec pins the tolerance), then
+   * the UNCHANGED exact machinery reduces the ≤`bins`-row frame.
+   * Declared queries keep the exact path.
+   */
+  def energyDistanceBinned(df: DataFrame, valueCol: String,
+      treatCol: Column, bins: Int = 512): DataFrame = {
+    require(bins >= 2, "energyDistanceBinned: bins >= 2")
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull)
+    val bounds = broadcast(base.agg(min(v).as("__lo"), max(v).as("__hi")))
+    val w = (col("__hi") - col("__lo")) / bins
+    val mid = when(col("__hi") <= col("__lo"), col("__lo")).otherwise(
+      col("__lo") + (least(greatest(
+        floor((v - col("__lo")) / w), lit(0L)), lit(bins - 1L)) + 0.5) * w)
+    energyDistance(
+      base.crossJoin(bounds).select(mid.as("__bv"), treatCol.as("__bt")),
+      "__bv", col("__bt"))
   }
 
   /**

@@ -768,28 +768,14 @@ object Regression {
    * Scale shape: one fit-side moments scan (1-row broadcast), one
    * calibration-side residual pass reduced to distinct |residual|
    * counts, [[graft.analysis.PrefixSum]] for the order statistic —
-   * never a global sort.
+   * never a global sort. NOTE the distinct-|residual| frame is
+   * corpus-sized for continuous y — [[splitConformalApprox]] is the
+   * documented 100 TB opt-out.
    */
   def splitConformal(df: DataFrame, xCol: String, yCol: String,
       hashCols: Seq[String], alpha: Double = 0.1): DataFrame = {
     require(alpha > 0 && alpha < 1, "splitConformal: alpha in (0,1)")
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
-    val b = graft.functions.PortableHash.bucket(hashCols.map(col))
-    val half = graft.functions.PortableHash.M / 2
-    val base = df.where(x.isNotNull && y.isNotNull)
-    val fit = base.where(b < half)
-      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
-        sum(y).as("__sy"), sum(x * x).as("__sxx"),
-        sum(x * y).as("__sxy"))
-      .withColumn("__sl",
-        (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
-          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
-      .withColumn("__ic",
-        col("__sy") / col("__n") - col("__sl") * col("__sx") / col("__n"))
-    val res = base.where(b >= half).crossJoin(broadcast(fit))
-      .select(col("__n"), col("__sl"), col("__ic"),
-        abs(y - (col("__ic") + col("__sl") * x)).as("__r"))
+    val (fit, res) = conformalResiduals(df, xCol, yCol, hashCols)
     val vc = res.groupBy("__r")
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // prefix + total + coverage reuse one reduce
@@ -808,6 +794,70 @@ object Regression {
     fit.crossJoin(broadcast(cov)).select(
       col("__n").cast("long").as("n_fit"),
       col("__mm").cast("long").as("n_cal"),
+      col("__ic").as("intercept"), col("__sl").as("slope"),
+      col("__q").as("q_hat"), col("coverage_cal"),
+      (col("__q") * 2).as("interval_width"))
+  }
+
+  /** Shared fit/residual construction for the conformal pair: the
+    * 1-row OLS moments frame from the hash-half fit split, and the
+    * calibration-side |residual| rows carrying the fit columns. */
+  private def conformalResiduals(df: DataFrame, xCol: String,
+      yCol: String, hashCols: Seq[String]): (DataFrame, DataFrame) = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val b = graft.functions.PortableHash.bucket(hashCols.map(col))
+    val half = graft.functions.PortableHash.M / 2
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val fit = base.where(b < half)
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__sx"),
+        sum(y).as("__sy"), sum(x * x).as("__sxx"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__sl",
+        (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
+      .withColumn("__ic",
+        col("__sy") / col("__n") - col("__sl") * col("__sx") / col("__n"))
+    val res = base.where(b >= half).crossJoin(broadcast(fit))
+      .select(col("__n"), col("__sl"), col("__ic"),
+        abs(y - (col("__ic") + col("__sl") * x)).as("__r"))
+    (fit, res)
+  }
+
+  /**
+   * Sketch opt-out for [[splitConformal]] — the same caveat
+   * [[graft.analysis.AnalysisPlanner.kendallTauBinned]] documents for
+   * concordance: the exact path's distinct-|residual| frame is
+   * corpus-sized for continuous y, so its PrefixSum order statistic
+   * rides a corpus-scale shuffle at 100 TB. Here q̂ comes from
+   * `approx_percentile` (a mergeable KLL-style sketch, one reduce, no
+   * distinct-value frame; `accuracy` trades memory for rank error —
+   * OpsExtSpec pins the q̂/coverage tolerance vs the exact path), and
+   * calibration coverage is one conditional re-aggregation against
+   * that q̂. Declared queries keep the exact path — this is the
+   * documented scale toggle. Output schema matches [[splitConformal]].
+   */
+  def splitConformalApprox(df: DataFrame, xCol: String, yCol: String,
+      hashCols: Seq[String], alpha: Double = 0.1,
+      accuracy: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha < 1, "splitConformalApprox: alpha in (0,1)")
+    require(accuracy >= 100, "splitConformalApprox: accuracy >= 100")
+    val (fit, res) = conformalResiduals(df, xCol, yCol, hashCols)
+    // the exact path targets 1-based rank ⌈(m+1)(1−α)⌉; the sketch
+    // percentile is the matching (finite-sample-conservative) rank/m.
+    // m comes from one 1-row bounded collect (the GLM literal-state
+    // discipline) because percentile_approx's percentage must fold.
+    val m = res.agg(count(lit(1))).head().getLong(0)
+    require(m > 0, "splitConformalApprox: empty calibration split")
+    val p = math.min(1.0, math.ceil((m + 1) * (1.0 - alpha)) / m)
+    val qhat = broadcast(res.agg(
+      percentile_approx(col("__r"), lit(p), lit(accuracy)).as("q_hat")))
+    val cov = broadcast(res.crossJoin(qhat)
+      .agg(max(col("q_hat")).as("__q"),
+        (sum(when(col("__r") <= col("q_hat"), 1.0).otherwise(0.0)) /
+          lit(m.toDouble)).as("coverage_cal")))
+    fit.crossJoin(cov).select(
+      col("__n").cast("long").as("n_fit"), lit(m).as("n_cal"),
       col("__ic").as("intercept"), col("__sl").as("slope"),
       col("__q").as("q_hat"), col("coverage_cal"),
       (col("__q") * 2).as("interval_width"))

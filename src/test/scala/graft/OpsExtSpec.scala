@@ -7918,6 +7918,68 @@ class OpsExtSpec extends AnyFunSuite {
     assert(b.getAs[Double]("tau_c") == a.getAs[Double]("tau_c"))
   }
 
+  test("energyDistanceBinned: within O(range/bins) of the exact path on continuous data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // arm a ~ N(0,1), arm b ~ N(0.5, 1.3): genuinely continuous values
+    val df = (1 to 4000).map { i =>
+      val a = i % 2 == 0
+      val v = if (a) rng.nextGaussian() else 0.5 + 1.3 * rng.nextGaussian()
+      (i.toLong, v, a)
+    }.toDF("id", "v", "arm")
+    val exact = graft.analysis.AnalysisPlanner
+      .energyDistance(df, "v", col("arm")).head
+    val binned = graft.analysis.AnalysisPlanner
+      .energyDistanceBinned(df, "v", col("arm"), bins = 512).head
+    assert(binned.getAs[Long]("n_a") == exact.getAs[Long]("n_a"))
+    assert(math.abs(binned.getAs[Double]("e_dist") -
+      exact.getAs[Double]("e_dist")) < 0.02)
+    // degenerate: constant column → both give 0
+    val const = (1 to 50).map(i => (i.toLong, 3.0, i % 2 == 0))
+      .toDF("id", "v", "arm")
+    val cb = graft.analysis.AnalysisPlanner
+      .energyDistanceBinned(const, "v", col("arm"), bins = 16).head
+    assert(cb.getAs[Double]("e_dist") == 0.0)
+  }
+
+  test("energyDistanceBinnedFromCells: within tolerance of the exact cell path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val cells = (1 to 3000).map { i =>
+      val g = if (i % 2 == 0) "ctl" else "trt"
+      val v = if (g == "ctl") rng.nextGaussian()
+              else 0.4 + rng.nextGaussian()
+      (g, v, 1.0)
+    }.toDF("__g", "__v", "__c")
+    val exact = graft.analysis.AnalysisPlanner
+      .energyDistanceFromCells(cells, "ctl", "trt").head
+    val binned = graft.analysis.AnalysisPlanner
+      .energyDistanceBinnedFromCells(cells, "ctl", "trt", bins = 512).head
+    assert(binned.getAs[Long]("n_c") == exact.getAs[Long]("n_c"))
+    assert(math.abs(binned.getAs[Double]("cramer_d") -
+      exact.getAs[Double]("cramer_d")) < 0.02)
+  }
+
+  test("splitConformalApprox: q_hat/coverage within sketch tolerance of exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val df = (1 to 4000).map(i =>
+      (i.toLong, i.toDouble % 50, 1.0 + 0.5 * (i % 50) +
+        rng.nextGaussian() * 3)).toDF("id", "x", "y")
+    val exact = graft.ops.Regression
+      .splitConformal(df, "x", "y", Seq("id"), alpha = 0.1).head
+    val approx = graft.ops.Regression
+      .splitConformalApprox(df, "x", "y", Seq("id"), alpha = 0.1).head
+    assert(approx.getAs[Long]("n_cal") == exact.getAs[Long]("n_cal"))
+    assert(approx.getAs[Double]("slope") == exact.getAs[Double]("slope"))
+    val qe = exact.getAs[Double]("q_hat")
+    val qa = approx.getAs[Double]("q_hat")
+    assert(math.abs(qa - qe) / qe < 0.05)
+    assert(math.abs(approx.getAs[Double]("coverage_cal") -
+      exact.getAs[Double]("coverage_cal")) < 0.02)
+    assert(approx.getAs[Double]("interval_width") == qa * 2)
+  }
+
   test("dawidSkene withVoteLabel: vote_label replays majorityVote exactly (incl. ties)") {
     import spark.implicits._
     // item 1: clear majority; item 2: 1-1 tie (label-ascending break);
