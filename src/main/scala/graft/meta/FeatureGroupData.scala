@@ -3,7 +3,8 @@ package graft.meta
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analysis.{Analysis, AnalysisPlanner}
+import graft.analysis.{Aggregation, Analysis, AnalysisPlanner,
+  Correlation, Distribution, RecordLookup}
 
 /**
  * Data plane of a [[FeatureGroup]]: binds the metadata to a backing
@@ -14,7 +15,12 @@ final class FeatureGroupData(
     val meta: FeatureGroup,
     base: DataFrame,
     /** sibling groups resolvable for cross-group references, by group name */
-    siblings: Map[String, FeatureGroupData] = Map.empty) {
+    siblings: Map[String, FeatureGroupData] = Map.empty,
+    /** when the group is snapshot-backed ([[FeatureGroupData.snapshotBacked]]):
+      * the store and the pinned version `base` was read at — lets
+      * [[analyze]] route spec filters through segment-level data
+      * skipping without caller cooperation */
+    snapshot: Option[(graft.etl.SnapshotStore, Long)] = None) {
 
   private val spark: SparkSession = base.sparkSession
 
@@ -56,7 +62,9 @@ final class FeatureGroupData(
    * The group's frame with every derived feature materialized as a
    * `withColumn(expr)` in dependency order (cycles rejected up front).
    */
-  lazy val frame: DataFrame = {
+  lazy val frame: DataFrame = buildFrame(base)
+
+  private def buildFrame(b: DataFrame): DataFrame = {
     val derived = meta.listFeatures.filter(_.derivedFrom.isDefined)
     val deps: Map[String, Seq[String]] = derived.map { f =>
       f.name -> graft.expr.ExpressionValidator
@@ -70,7 +78,7 @@ final class FeatureGroupData(
     }
     // topological order: repeatedly emit features whose deps are emitted
     var remaining = derived
-    var out = resolveCrossGroup(base, derived.flatMap(_.derivedFrom))
+    var out = resolveCrossGroup(b, derived.flatMap(_.derivedFrom))
     val done = scala.collection.mutable.Set.empty[String]
     while (remaining.nonEmpty) {
       val (ready, rest) = remaining.partition(f =>
@@ -106,8 +114,67 @@ final class FeatureGroupData(
     if (features.isEmpty) filtered else filtered.select(cols.distinct: _*)
   }
 
-  /** Run an analysis spec against this group's frame. */
-  def analyze(a: Analysis): DataFrame = AnalysisPlanner.plan(frame, a)
+  /**
+   * Run an analysis spec against this group's frame. On a
+   * snapshot-backed group ([[FeatureGroupData.snapshotBacked]]) a
+   * spec-level `filter` is ALSO routed through
+   * [[graft.etl.SnapshotStore.readWhere]] segment skipping, so a
+   * selective analysis over a long append/upsert chain materializes
+   * only the segments whose manifest (min, max) stats can match —
+   * without the caller invoking readWhere themselves (the reference's
+   * source read path prunes the same way). The planner re-applies the
+   * filter row-level on the pruned read, so semantics are identical
+   * to analyzing `frame`; pruning engages only when every column the
+   * predicate references is a BASE column (a derived-feature filter
+   * has no segment stats and falls back to the plain frame).
+   */
+  def analyze(a: Analysis): DataFrame =
+    AnalysisPlanner.plan(frameFor(a), a)
+
+  /** The input frame an analysis spec should scan — the segment-pruned
+    * snapshot read when a base-column filter allows it. */
+  private[graft] def frameFor(a: Analysis): DataFrame =
+    (snapshot, specFilter(a)) match {
+      case (Some((st, v)), Some(f)) if filterOnBaseColumns(f) =>
+        buildFrame(st.readWhere(spark, f, Some(v)))
+      case _ => frame
+    }
+
+  private def specFilter(a: Analysis): Option[String] = a match {
+    case s: Aggregation => s.filter
+    case s: Distribution => s.filter
+    case s: Correlation => s.filter
+    case s: RecordLookup => s.filter
+    case _ => None
+  }
+
+  private def filterOnBaseColumns(f: String): Boolean =
+    try {
+      val refs = spark.sessionState.sqlParser.parseExpression(f).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+      }
+      val cols = base.schema.fieldNames.map(_.toLowerCase).toSet
+      refs.nonEmpty && refs.forall(r =>
+        r.nameParts.length == 1 && cols(r.nameParts.head.toLowerCase))
+    } catch { case scala.util.control.NonFatal(_) => false }
+}
+
+object FeatureGroupData {
+
+  /**
+   * Bind a group to the LATEST snapshot of `store`, pinned to the
+   * version resolved here (so every read through this instance —
+   * including the segment-pruned [[FeatureGroupData.analyze]] path —
+   * sees one consistent table even while writers keep committing).
+   */
+  def snapshotBacked(meta: FeatureGroup, store: graft.etl.SnapshotStore,
+      spark: SparkSession,
+      siblings: Map[String, FeatureGroupData] = Map.empty): FeatureGroupData = {
+    val v = store.latestVersion(spark).getOrElse(throw new java.io.IOException(
+      s"snapshot store ${store.path}: no commits"))
+    new FeatureGroupData(meta, store.readVersion(spark, v), siblings,
+      Some((store, v)))
+  }
 }
 
 /**

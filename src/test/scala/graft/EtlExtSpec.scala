@@ -377,6 +377,46 @@ class EtlExtSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("id", "v", "tag") && none.count() == 0)
   }
 
+  test("snapshot-backed group: analysis filter prunes segments without caller cooperation") {
+    import spark.implicits._
+    val st = SnapshotStore(tmpDir() + "/snapfg", orderColumn = Some("v"))
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 1.0)).toDF("id", "v")
+    st.write(batch(1, 10), WriteMode.Full)
+    st.write(batch(11, 20), WriteMode.Append)
+    st.write(batch(21, 30), WriteMode.Append)
+    val fs = new graft.meta.FeatureStore
+    val g = fs.createGroup("o", "d", "p", "snapg", entityKey = Some("id"))
+    g.createFeature("v", "float64")
+    g.createFeature("v2", "float64", derivedFrom = Some("v * 2"))
+    val data = graft.meta.FeatureGroupData.snapshotBacked(g, st, spark)
+    def segDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(_.split("/data/")(1).split("/")(0)).toSet
+    // the analysis INPUT for a selective base-column filter lists only
+    // the matching segment — no explicit readWhere from the caller
+    val agg = graft.analysis.Aggregation("v", Seq("count", "sum"),
+      filter = Some("id >= 11 AND id <= 15"))
+    assert(segDirs(data.frameFor(agg)).size == 1)
+    val row = data.analyze(agg).head
+    assert(row.getLong(0) == 5L && row.getDouble(1) == (11 to 15).sum)
+    // the result is identical to the unpruned path
+    val full = graft.analysis.AnalysisPlanner.plan(data.frame, agg).head
+    assert(row == full)
+    // derived-feature filter has no segment stats: falls back to the
+    // full frame (all 3 segments), still correct
+    val dAgg = graft.analysis.Aggregation("v", Seq("count"),
+      filter = Some("v2 > 50"))
+    assert(segDirs(data.frameFor(dAgg)).size == 3)
+    assert(data.analyze(dAgg).head.getLong(0) == 5L) // v2>50 ⇔ v>25
+    // a no-filter spec takes the plain frame
+    val plain = graft.analysis.Aggregation("v", Seq("count"))
+    assert(segDirs(data.frameFor(plain)).size == 3)
+    // pinned version: a later commit does not leak into this binding
+    st.write(batch(31, 40), WriteMode.Append)
+    assert(data.analyze(graft.analysis.Aggregation("v", Seq("count"),
+      filter = Some("id >= 1"))).head.getLong(0) == 30L)
+  }
+
   test("snapshot store: carried segments keep stats across upserts") {
     import spark.implicits._
     val st = SnapshotStore(tmpDir() + "/snapskip2",
