@@ -694,6 +694,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally lat.stopStream()
   }
 
+  test("live sketch agg table: distinct_count over two upserts == full recompute, rebuild reads only changed partitions") {
+    import spark.implicits._
+    import graft.etl.{SnapshotStore, WriteMode}
+    val root = tmpDir()
+    val store = SnapshotStore(s"$root/store", orderColumn = Some("v"),
+      partitionBy = Seq("day"))
+    def rows(day: String, ids: Range, off: Long) =
+      ids.map(i => (i.toLong, (i + off) % 40 * 1.0, day))
+        .toDF("k", "v", "day")
+    store.write(rows("d1", 1 to 50, 0).union(rows("d2", 51 to 100, 3)),
+      WriteMode.Full)
+    val lst = new graft.live.LiveSketchAggTable("lsk", spark, store,
+      Seq("day"), "v", Seq(0.5), s"$root/mat", s"$root/state")
+    assert(lst.refreshIncremental().get.trigger.endsWith("_initial"))
+    def live() = lst.query().select("day", "n", "distinct_count", "p50")
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def full() = {
+      val s = store.read(spark).groupBy("day")
+        .agg(count(col("v")).as("n"),
+          hll_sketch_estimate(
+            hll_sketch_agg(col("v").cast("string"), lit(12)))
+            .cast("long").as("distinct_count"))
+        .orderBy("day").collect()
+      s.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(live() == full())
+    // upsert #1 rewrites part of d2 only
+    store.write(rows("d2", 60 to 80, 7), WriteMode.Upsert, Seq("k"))
+    val ev1 = lst.refreshIncremental().get
+    assert(ev1.trigger.endsWith("_incremental_rebuild"))
+    // the rebuild read listed ONLY d2 partition files
+    assert(lst.lastRebuildFiles.nonEmpty &&
+      lst.lastRebuildFiles.forall(_.contains("day=d2")))
+    assert(live() == full())
+    // upsert #2 rewrites part of d1 only
+    store.write(rows("d1", 10 to 20, 11), WriteMode.Upsert, Seq("k"))
+    assert(lst.refreshIncremental().get.trigger
+      .endsWith("_incremental_rebuild"))
+    assert(lst.lastRebuildFiles.forall(_.contains("day=d1")))
+    assert(live() == full())
+    // pure append to a NEW day merges (no rebuild read at all)
+    store.write(rows("d3", 101 to 120, 1), WriteMode.Append)
+    val ev3 = lst.refreshIncremental().get
+    assert(ev3.trigger.endsWith("_incremental_merge"))
+    assert(lst.lastRebuildFiles.isEmpty)
+    assert(live() == full())
+    // p50 stays within KLL rank tolerance of the exact percentile
+    val p50s = lst.query().select("day", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = store.read(spark).groupBy("day")
+      .agg(expr("percentile(v, 0.5)").as("e")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (d, e) =>
+      assert(math.abs(p50s(d) - e) <= 2.0,
+        s"day $d p50 ${p50s(d)} vs exact $e")
+    }
+    // version gate: replay is a no-op
+    assert(lst.refreshIncremental("replay").isEmpty)
+  }
+
   test("streaming SRM guardrail flags only the broken-ramp window") {
     import spark.implicits._
     import graft.streaming._
