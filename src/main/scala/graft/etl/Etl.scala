@@ -288,8 +288,12 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
     val obs = org.apache.spark.sql.Observation()
     run(df.observe(obs, count(lit(1)).as("rows")))
     // the write action has completed, so the observation resolves (get
-    // blocks only on the short listener-dispatch window)
-    obs.get("rows").asInstanceOf[Long]
+    // blocks only on the short listener-dispatch window). A zero-row
+    // write can fold the observed subtree to an empty relation whose
+    // metrics Row has no schema (NPE inside Observation) — that shape
+    // IS the zero count.
+    try obs.get("rows").asInstanceOf[Long]
+    catch { case _: NullPointerException => 0L }
   }
 
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long =

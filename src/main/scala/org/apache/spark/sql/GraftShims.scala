@@ -16,6 +16,12 @@ object GraftShims {
     * `private[sql]`; the public `get` blocks forever when the observed
     * frame never participated in an action — e.g. a job source the
     * transform didn't consume). Empty map until the first action that
-    * covers the observed plan completes. */
-  def observedOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
+    * covers the observed plan completes. When the optimizer folds the
+    * observed subtree to an empty relation (zero-row incremental
+    * batch), the metrics Row can arrive WITHOUT a schema and
+    * `getOrEmpty`'s name-zip NPEs — that shape means "no rows
+    * observed", so it maps to the empty result, not a crash. */
+  def observedOrEmpty(o: Observation): Map[String, Any] =
+    try o.getOrEmpty
+    catch { case _: NullPointerException => Map.empty }
 }
