@@ -18438,6 +18438,170 @@ object Queries {
              round(2 * qh, 6) AS interval_width
       FROM q, cov"""))
 
+  /** Levene + Brown–Forsythe variance-homogeneity gate in one panel:
+    * the ANOVA-assumption check, with the robust median-centered
+    * variant beside the classic mean-centered W. Medians via the
+    * exact-DISC grouped percentile machinery. */
+  private val q478 = Entry(
+    "q478_levene",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      AnalysisPlanner.leveneTest(ev, "event_type", "value", "mean")
+        .unionByName(
+          AnalysisPlanner.leveneTest(ev, "event_type", "value", "median"))
+        .select(col("center"), col("n"), col("n_groups"),
+          r6(col("w_stat")).as("w_stat"), col("df1"), col("df2"))
+        .orderBy("center")
+    },
+    Some("""
+      WITH b AS (SELECT event_type AS g, "value"::DOUBLE AS x
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+      cm AS (SELECT g, avg(x) AS c FROM b GROUP BY 1),
+      cd AS (SELECT g, quantile_disc(x, 0.5) AS c FROM b GROUP BY 1),
+      zm AS (SELECT 'mean' AS center, b.g, abs(x - c) AS z
+             FROM b JOIN cm USING (g)
+             UNION ALL
+             SELECT 'median', b.g, abs(x - c) FROM b JOIN cd USING (g)),
+      gm AS (SELECT center, g, count(*)::DOUBLE AS n, sum(z) AS s,
+               sum(z * z) AS q
+             FROM zm GROUP BY 1, 2),
+      t AS (SELECT center, sum(n) AS nn, count(*)::DOUBLE AS k,
+              sum(s) / sum(n) AS zz
+            FROM gm GROUP BY 1)
+      SELECT center, nn::BIGINT AS n, k::BIGINT AS n_groups,
+             round((nn - k) / (k - 1) *
+               sum(n * (s / n - zz) * (s / n - zz)) /
+               sum(q - s * s / n), 6) AS w_stat,
+             (k - 1)::BIGINT AS df1, (nn - k)::BIGINT AS df2
+      FROM gm JOIN t USING (center)
+      GROUP BY center, nn, k ORDER BY center"""))
+
+  /** X̄ control chart (pooled σ) over daily event-value subgroups:
+    * per-day means against center ± 3σ̂/√n_t. */
+  private val q479 = Entry(
+    "q479_xbar_chart",
+    (s, d) =>
+      graft.ops.Spc.xbarChart(Tables.events(s, d), "ts", "value")
+        .select(col("day"), col("n"), r6(col("xbar")).as("xbar"),
+          r6(col("center")).as("center"), r6(col("ucl")).as("ucl"),
+          r6(col("lcl")).as("lcl"), col("out_of_control"))
+        .orderBy("day"),
+    Some("""
+      WITH b AS (SELECT CAST(ts AS DATE) AS day, "value"::DOUBLE AS v
+                 FROM events
+                 WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      d AS (SELECT day, count(*)::DOUBLE AS n, avg(v) AS m
+            FROM b GROUP BY 1),
+      t AS (SELECT avg(v) AS mu, stddev_samp(v) AS sg FROM b)
+      SELECT day, n::BIGINT AS n, round(m, 6) AS xbar,
+             round(mu, 6) AS center,
+             round(mu + 3 * sg / sqrt(n), 6) AS ucl,
+             round(mu - 3 * sg / sqrt(n), 6) AS lcl,
+             (m > mu + 3 * sg / sqrt(n) OR m < mu - 3 * sg / sqrt(n))
+               AS out_of_control
+      FROM d, t ORDER BY day"""))
+
+  /** Tabular CUSUM chart on standardized daily means (k=0.5, h=4):
+    * driver recursion over the bounded day frame; oracle replays it
+    * as a recursive CTE (the q459 Holt discipline). */
+  private val q480 = Entry(
+    "q480_cusum_chart",
+    (s, d) =>
+      graft.ops.Spc.cusumChart(Tables.events(s, d), "ts", "value")
+        .select(col("day"), r6(col("z")).as("z"),
+          r6(col("s_hi")).as("s_hi"), r6(col("s_lo")).as("s_lo"),
+          col("signal"))
+        .orderBy("day"),
+    Some("""
+      WITH RECURSIVE b AS (SELECT CAST(ts AS DATE) AS day,
+              "value"::DOUBLE AS v
+            FROM events
+            WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      d AS (SELECT day, count(*)::DOUBLE AS n, avg(v) AS m
+            FROM b GROUP BY 1),
+      t AS (SELECT avg(v) AS mu, stddev_samp(v) AS sg FROM b),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, day,
+                (m - mu) * sqrt(n) / sg AS z
+              FROM d, t),
+      rec AS (SELECT i, day, z, greatest(0, z - 0.5) AS shi,
+                greatest(0, -z - 0.5) AS slo
+              FROM seq WHERE i = 1
+              UNION ALL
+              SELECT s.i, s.day, s.z,
+                     greatest(0, r.shi + s.z - 0.5),
+                     greatest(0, r.slo - s.z - 0.5)
+              FROM rec r JOIN seq s ON s.i = r.i + 1)
+      SELECT day, round(z, 6) AS z, round(shi, 6) AS s_hi,
+             round(slo, 6) AS s_lo, (shi > 4 OR slo > 4) AS signal
+      FROM rec ORDER BY day"""))
+
+  /** EWMA control chart (λ=0.2, L=3) on daily means with time-varying
+    * limits — the small-shift detector between Shewhart and CUSUM. */
+  private val q481 = Entry(
+    "q481_ewma_chart",
+    (s, d) =>
+      graft.ops.Spc.ewmaChart(Tables.events(s, d), "ts", "value")
+        .select(col("day"), r6(col("xbar")).as("xbar"),
+          r6(col("ewma")).as("ewma"), r6(col("ucl")).as("ucl"),
+          r6(col("lcl")).as("lcl"), col("out_of_control"))
+        .orderBy("day"),
+    Some("""
+      WITH RECURSIVE b AS (SELECT CAST(ts AS DATE) AS day,
+              "value"::DOUBLE AS v
+            FROM events
+            WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      d AS (SELECT day, count(*)::DOUBLE AS n, avg(v) AS m
+            FROM b GROUP BY 1),
+      t AS (SELECT avg(v) AS mu, stddev_samp(v) AS sg FROM b),
+      nb AS (SELECT avg(n) AS nbar FROM d),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, day, m
+              FROM d),
+      rec AS (SELECT 1::BIGINT AS i,
+                (SELECT day FROM seq WHERE i = 1) AS day,
+                (SELECT m FROM seq WHERE i = 1) AS xbar,
+                0.2 * (SELECT m FROM seq WHERE i = 1) + 0.8 * mu AS z
+              FROM t
+              UNION ALL
+              SELECT s.i, s.day, s.m, 0.2 * s.m + 0.8 * r.z
+              FROM rec r JOIN seq s ON s.i = r.i + 1)
+      SELECT day, round(xbar, 6) AS xbar, round(z, 6) AS ewma,
+             round(mu + 3 * sg / sqrt(nbar) *
+               sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * i))), 6) AS ucl,
+             round(mu - 3 * sg / sqrt(nbar) *
+               sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * i))), 6) AS lcl,
+             (z > mu + 3 * sg / sqrt(nbar) *
+                sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * i))) OR
+              z < mu - 3 * sg / sqrt(nbar) *
+                sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * i)))) AS out_of_control
+      FROM rec, t, nb ORDER BY day"""))
+
+  /** Process capability of event value against spec [0, 250]:
+    * Cp/Cpk plus the observed out-of-spec fractions (the
+    * normality-free companion). */
+  private val q482 = Entry(
+    "q482_capability",
+    (s, d) =>
+      graft.ops.Spc.processCapability(Tables.events(s, d), "value",
+          lsl = 0.0, usl = 250.0)
+        .select(col("n"), r6(col("mean")).as("mean"),
+          r6(col("stddev")).as("stddev"), r6(col("cp")).as("cp"),
+          r6(col("cpk")).as("cpk"),
+          round(col("frac_below"), 6).as("frac_below"),
+          round(col("frac_above"), 6).as("frac_above")),
+    Some("""
+      SELECT count(*)::BIGINT AS n,
+             round(avg("value"), 6) AS mean,
+             round(stddev_samp("value"), 6) AS stddev,
+             round(250.0 / (6 * stddev_samp("value")), 6) AS cp,
+             round(least(250.0 - avg("value"), avg("value") - 0.0) /
+               (3 * stddev_samp("value")), 6) AS cpk,
+             round(avg(CASE WHEN "value" < 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_below,
+             round(avg(CASE WHEN "value" > 250 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_above
+      FROM events WHERE "value" IS NOT NULL"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18474,7 +18638,7 @@ object Queries {
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
-    q472, q473, q474, q475, q476, q477)
+    q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

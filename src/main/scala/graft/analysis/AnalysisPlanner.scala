@@ -5909,6 +5909,58 @@ object AnalysisPlanner {
   }
 
   /**
+   * Levene / Brown–Forsythe variance-homogeneity test — the
+   * assumption gate in front of the classic pooled-variance ANOVA
+   * family ([[welchAnova]] is the escape hatch when it fails): a
+   * one-way ANOVA F on the absolute deviations z_ij = |x_ij − c_g|
+   * from each group's center. `center = "mean"` is Levene's original
+   * W; `center = "median"` is the Brown–Forsythe variant (robust to
+   * heavy tails — the recommended default). Returns ONE row:
+   * (center, n, n_groups, w_stat, df1, df2).
+   *
+   * Scale shape: centers come from one grouped reduction (means) or
+   * the exact-DISC grouped percentile machinery (medians); the ≤k-row
+   * center frame broadcasts back, and the F reduces ONE conditional
+   * moments pass over the deviations — no window, no second corpus
+   * shuffle beyond the median cells.
+   */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String,
+      center: String = "median"): DataFrame = {
+    require(Set("mean", "median")(center),
+      s"leveneTest: center mean|median (got $center)")
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), x.as("__x"))
+    val centers = center match {
+      case "mean" => base.groupBy("__g").agg(avg(col("__x")).as("__c0"))
+      case _ => exactPercentilesDisc(base, "__x", Seq("__c0" -> 0.5),
+        Seq("__g"))
+    }
+    val g = base.join(broadcast(centers), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__c0")).as("__z"))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__z")).as("__s"),
+        sum(col("__z") * col("__z")).as("__q"))
+    val tot = broadcast(g.agg(sum(col("__n")).as("__tot_n"),
+      count(lit(1)).cast("double").as("__tot_k"),
+      (sum(col("__s")) / sum(col("__n"))).as("__zz")))
+    g.crossJoin(tot)
+      .agg(max(col("__tot_n")).cast("long").as("n"),
+        max(col("__tot_k")).cast("long").as("n_groups"),
+        sum(col("__n") * pow(col("__s") / col("__n") - col("__zz"), 2.0))
+          .as("__b"),
+        sum(col("__q") - col("__s") * col("__s") / col("__n")).as("__w"),
+        max(col("__tot_n")).as("__nd"), max(col("__tot_k")).as("__kd"))
+      .select(lit(center).as("center"), col("n"), col("n_groups"),
+        when(col("__w") > 0 && col("__kd") > 1,
+          (col("__nd") - col("__kd")) / (col("__kd") - 1) *
+            col("__b") / col("__w")).as("w_stat"),
+        (col("__kd") - 1).cast("long").as("df1"),
+        (col("__nd") - col("__kd")).cast("long").as("df2"))
+  }
+
+  /**
    * James–Stein (positive-part) empirical-Bayes shrinkage of
    * per-group means toward the grand mean of group means: the
    * small-segment mean is noise-dominated, and the JS weight

@@ -7999,6 +7999,88 @@ class OpsExtSpec extends AnyFunSuite {
     assert(got(2L) == "a") // tie broken label-ascending
   }
 
+  test("leveneTest: equal variances accept, inflated-variance group rejects") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val eq = Seq("a", "b", "c").flatMap(g =>
+      (1 to 200).map(_ => (g, rng.nextGaussian()))).toDF("g", "v")
+    val wEq = graft.analysis.AnalysisPlanner
+      .leveneTest(eq, "g", "v", "median").head
+    assert(wEq.getAs[Double]("w_stat") < 3.0)
+    assert(wEq.getAs[Long]("df1") == 2L && wEq.getAs[Long]("df2") == 597L)
+    val uneq = Seq(("a", 1.0), ("b", 1.0), ("c", 8.0)).flatMap {
+      case (g, s) => (1 to 200).map(_ => (g, s * rng.nextGaussian()))
+    }.toDF("g", "v")
+    val wUn = graft.analysis.AnalysisPlanner
+      .leveneTest(uneq, "g", "v", "median").head
+    assert(wUn.getAs[Double]("w_stat") > 30.0)
+    // mean-centered Levene agrees directionally
+    assert(graft.analysis.AnalysisPlanner
+      .leveneTest(uneq, "g", "v", "mean").head
+      .getAs[Double]("w_stat") > 30.0)
+    intercept[IllegalArgumentException] {
+      graft.analysis.AnalysisPlanner.leveneTest(eq, "g", "v", "mode")
+    }
+  }
+
+  test("SPC charts: in-control stays quiet, a shifted regime is flagged") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    def series(shiftFrom: Int, shift: Double) =
+      (0 until 30).flatMap { day =>
+        val mu = if (day < shiftFrom) 10.0 else 10.0 + shift
+        (1 to 40).map(_ => (java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 3, 1, 8, 0)
+            .plusDays(day.toLong)), mu + rng.nextGaussian()))
+      }.toDF("ts", "v")
+    // fully in-control: every chart stays quiet
+    val calm = series(30, 0.0)
+    val xCalm = graft.ops.Spc.xbarChart(calm, "ts", "v").collect()
+    assert(xCalm.length == 30 &&
+      xCalm.count(_.getAs[Boolean]("out_of_control")) <= 1)
+    assert(!graft.ops.Spc.cusumChart(calm, "ts", "v").collect()
+      .exists(_.getAs[Boolean]("signal")))
+    assert(!graft.ops.Spc.ewmaChart(calm, "ts", "v").collect()
+      .exists(_.getAs[Boolean]("out_of_control")))
+    // one strongly shifted final day: X̄ flags exactly the excursion
+    // (a single day barely moves the pooled center)
+    val spike = series(29, 5.0)
+    val xs = graft.ops.Spc.xbarChart(spike, "ts", "v").orderBy("day")
+      .collect()
+    assert(xs.last.getAs[Boolean]("out_of_control"))
+    assert(xs.take(29).count(_.getAs[Boolean]("out_of_control")) <= 1)
+    // a persistent small shift: CUSUM/EWMA accumulate and fire
+    val drift = series(20, 1.0)
+    val cusum = graft.ops.Spc.cusumChart(drift, "ts", "v")
+      .orderBy("day").collect()
+    assert(cusum.last.getAs[Boolean]("signal"))
+    assert(cusum.forall(r => r.getAs[Double]("s_hi") >= 0 &&
+      r.getAs[Double]("s_lo") >= 0))
+    val ewma = graft.ops.Spc.ewmaChart(drift, "ts", "v")
+      .orderBy("day").collect()
+    assert(ewma.last.getAs[Boolean]("out_of_control"))
+    // limits widen monotonically toward the asymptote
+    val widths = ewma.map(r => r.getAs[Double]("ucl") -
+      r.getAs[Double]("lcl"))
+    assert(widths.sliding(2).forall(w => w(1) >= w(0) - 1e-12))
+  }
+
+  test("processCapability: hand-computed Cp/Cpk and out-of-spec fractions") {
+    import spark.implicits._
+    // symmetric values around 10, sd exactly computable
+    val df = Seq(8.0, 9.0, 10.0, 11.0, 12.0).map(Tuple1(_)).toDF("v")
+    val r = graft.ops.Spc.processCapability(df, "v", lsl = 4.0,
+      usl = 13.0).head
+    val sd = math.sqrt(2.5) // var of {8..12} sample = 2.5
+    assert(math.abs(r.getAs[Double]("cp") - 9.0 / (6 * sd)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cpk") - 3.0 / (3 * sd)) < 1e-12)
+    assert(r.getAs[Double]("frac_below") == 0.0)
+    assert(r.getAs[Double]("frac_above") == 0.0)
+    val r2 = graft.ops.Spc.processCapability(df, "v", 9.5, 10.5).head
+    assert(r2.getAs[Double]("frac_below") == 0.4) // 8, 9
+    assert(r2.getAs[Double]("frac_above") == 0.4) // 11, 12
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
