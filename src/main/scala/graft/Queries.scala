@@ -18602,6 +18602,110 @@ object Queries {
                AS frac_above
       FROM events WHERE "value" IS NOT NULL"""))
 
+  /** Theil-T within/between decomposition of revenue inequality by
+    * return flag — WHERE the inequality lives; the decomposition is
+    * an exact identity (total = within + between). */
+  private val q483 = Entry(
+    "q483_theil_decomp",
+    (s, d) =>
+      graft.ops.Profiling
+        .theilDecomposition(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice")
+        .select(col("n"), col("n_groups"), r6(col("mean")).as("mean"),
+          r6(col("theil_total")).as("theil_total"),
+          r6(col("theil_within")).as("theil_within"),
+          r6(col("theil_between")).as("theil_between")),
+    Some("""
+      WITH b AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x
+                 FROM lineitem
+                 WHERE l_extendedprice > 0 AND l_returnflag IS NOT NULL),
+      gm AS (SELECT g, count(*)::DOUBLE AS n, sum(x) AS s,
+               sum(x * ln(x)) AS sxl
+             FROM b GROUP BY 1),
+      t AS (SELECT sum(n) AS tn, sum(s) AS ts, count(*)::BIGINT AS k
+            FROM gm)
+      SELECT tn::BIGINT AS n, k AS n_groups, round(ts / tn, 6) AS mean,
+             round(sum(sxl) / ts - ln(ts / tn), 6) AS theil_total,
+             round(sum(sxl / ts - (s / ts) * ln(s / n)), 6)
+               AS theil_within,
+             round(sum((s / ts) * ln((s / n) / (ts / tn))), 6)
+               AS theil_between
+      FROM gm, t GROUP BY tn, ts, k"""))
+
+  /** Hoover (Robin Hood) index + Palma tail shares of revenue:
+    * "what fraction of mass must move to equalize" plus top-10% vs
+    * bottom-40% mass at exact-DISC value cuts. */
+  private val q484 = Entry(
+    "q484_hoover_palma",
+    (s, d) =>
+      graft.ops.Profiling
+        .hooverPalma(Tables.lineitem(s, d), "l_extendedprice")
+        .select(col("n"), r6(col("mean")).as("mean"),
+          r6(col("hoover")).as("hoover"),
+          r6(col("p40_cut")).as("p40_cut"),
+          r6(col("p90_cut")).as("p90_cut"),
+          r6(col("bottom40_share")).as("bottom40_share"),
+          r6(col("top10_share")).as("top10_share"),
+          r6(col("palma")).as("palma")),
+    Some("""
+      WITH b AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+                 WHERE l_extendedprice > 0),
+      c AS (SELECT quantile_disc(x, 0.4) AS p40,
+                   quantile_disc(x, 0.9) AS p90 FROM b),
+      m AS (SELECT avg(x) AS mu, sum(x) AS t, count(*)::DOUBLE AS n
+            FROM b)
+      SELECT n::BIGINT AS n, round(mu, 6) AS mean,
+             round(sum(abs(x - mu)) / (n * mu * 2), 6) AS hoover,
+             round(p40, 6) AS p40_cut, round(p90, 6) AS p90_cut,
+             round(sum(CASE WHEN x <= p40 THEN x ELSE 0 END) / t, 6)
+               AS bottom40_share,
+             round(sum(CASE WHEN x > p90 THEN x ELSE 0 END) / t, 6)
+               AS top10_share,
+             round((sum(CASE WHEN x > p90 THEN x ELSE 0 END) / t) /
+               (sum(CASE WHEN x <= p40 THEN x ELSE 0 END) / t), 6)
+               AS palma
+      FROM b, c, m GROUP BY n, mu, p40, p90, t"""))
+
+  /** Bland–Altman agreement between net price and charged price (the
+    * tax wedge as a method difference): bias, limits of agreement,
+    * observed outside-fraction, proportional-bias screen. */
+  private val q485 = Entry(
+    "q485_bland_altman",
+    (s, d) =>
+      graft.ops.Profiling
+        .blandAltman(
+          Tables.lineitem(s, d)
+            .withColumn("__a",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .withColumn("__b",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                (lit(1.0) + col("l_tax"))),
+          "__a", "__b")
+        .select(col("n"), r6(col("bias")).as("bias"),
+          r6(col("sd_diff")).as("sd_diff"),
+          r6(col("loa_low")).as("loa_low"),
+          r6(col("loa_high")).as("loa_high"),
+          round(col("frac_outside"), 6).as("frac_outside"),
+          r6(col("prop_bias_corr")).as("prop_bias_corr")),
+    Some("""
+      WITH p AS (SELECT (l_extendedprice * (1 - l_discount))::DOUBLE AS a,
+                   (l_extendedprice * (1 - l_discount) *
+                     (1 + l_tax))::DOUBLE AS bb
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      d AS (SELECT a - bb AS dd, (a + bb) / 2 AS mm FROM p),
+      s AS (SELECT count(*)::DOUBLE AS n, avg(dd) AS bias,
+              stddev_samp(dd) AS sd, corr(dd, mm) AS pb
+            FROM d)
+      SELECT n::BIGINT AS n, round(bias, 6) AS bias,
+             round(sd, 6) AS sd_diff,
+             round(bias - 1.96 * sd, 6) AS loa_low,
+             round(bias + 1.96 * sd, 6) AS loa_high,
+             round(avg(CASE WHEN dd < bias - 1.96 * sd OR
+               dd > bias + 1.96 * sd THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_outside,
+             round(pb, 6) AS prop_bias_corr
+      FROM d, s GROUP BY n, bias, sd, pb"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18638,7 +18742,8 @@ object Queries {
     q442, q443, q444, q445, q446, q447, q448, q449,
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
-    q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482)
+    q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
+    q483, q484, q485)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -886,6 +886,114 @@ object Profiling {
   }
 
   /**
+   * Theil-T within/between decomposition by group — WHERE the
+   * inequality lives: T = Σ_g s_g·T_g (within) + Σ_g s_g·ln(m_g/μ)
+   * (between), with s_g the group's mass share. A corpus whose
+   * between-term dominates is segregated by segment (fix the segment
+   * mix); a within-dominated one is skewed inside every segment. The
+   * decomposition is an EXACT identity — total = within + between to
+   * float precision — which the spec asserts. Non-positive values are
+   * excluded as in [[inequalityIndices]]. Returns ONE row:
+   * (n, n_groups, mean, theil_total, theil_within, theil_between).
+   *
+   * Scale shape: ONE conditional-aggregation pass to the ≤k-row group
+   * frame (n, Σx, Σx·ln x per group), then algebra on the reduction.
+   */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.where(x.isNotNull && x > 0 && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__s"),
+        sum(x * log(x)).as("__sxl"))
+    val tot = broadcast(g.agg(sum(col("__n")).as("__tn"),
+      sum(col("__s")).as("__ts"), count(lit(1)).as("__k")))
+    val mu = col("__ts") / col("__tn")
+    val mg = col("__s") / col("__n")
+    // s_g·T_g = (Σ x ln x)_g/S − s_g·ln m_g ; s_g = Σx_g/S
+    val share = col("__s") / col("__ts")
+    g.crossJoin(tot)
+      .agg(max(col("__tn")).cast("long").as("n"),
+        max(col("__k")).as("n_groups"),
+        max(mu).as("mean"),
+        (sum(col("__sxl")) / max(col("__ts")) - log(max(mu)))
+          .as("theil_total"),
+        sum(col("__sxl") / col("__ts") - share * log(mg))
+          .as("theil_within"),
+        sum(share * log(mg / mu)).as("theil_between"))
+  }
+
+  /**
+   * Hoover index + Palma-style tail shares over POSITIVE values: the
+   * Hoover (Robin Hood) index ½·Σ|x−μ|/(Nμ) — "what fraction of
+   * total mass must move to equalize" — plus the mass share above the
+   * exact-DISC p90 cut and at-or-below the p40 cut, and their ratio
+   * (the Palma reading: top-10% vs bottom-40%; cuts are VALUE
+   * thresholds, ties land in the lower side on both engines).
+   * Returns ONE row: (n, mean, hoover, p40_cut, p90_cut,
+   * bottom40_share, top10_share, palma).
+   */
+  def hooverPalma(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && x > 0).select(x.as("__x"))
+      .localCheckpoint() // cuts probe + two conditional passes
+    val cuts = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(base, "__x",
+        Seq("__p40" -> 0.4, "__p90" -> 0.9), Nil))
+    val mu = broadcast(base.agg(avg(col("__x")).as("__mu"),
+      sum(col("__x")).as("__t"),
+      count(lit(1)).cast("double").as("__n")))
+    base.crossJoin(cuts).crossJoin(mu)
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__mu")).as("mean"),
+        (sum(abs(col("__x") - col("__mu"))) /
+          (max(col("__n")) * max(col("__mu")) * 2)).as("hoover"),
+        max(col("__p40")).as("p40_cut"), max(col("__p90")).as("p90_cut"),
+        (sum(when(col("__x") <= col("__p40"), col("__x"))
+          .otherwise(0.0)) / max(col("__t"))).as("bottom40_share"),
+        (sum(when(col("__x") > col("__p90"), col("__x"))
+          .otherwise(0.0)) / max(col("__t"))).as("top10_share"))
+      .withColumn("palma",
+        when(col("bottom40_share") > 0,
+          col("top10_share") / col("bottom40_share")))
+  }
+
+  /**
+   * Bland–Altman agreement between two measurements of the same
+   * quantity — the method-comparison readout (bias + limits of
+   * agreement) that a correlation coefficient famously canNOT give
+   * you (two methods can correlate at 0.99 and still disagree by a
+   * constant offset). d = a − b: bias = d̄, LoA = d̄ ± 1.96·sd(d),
+   * plus the observed fraction outside the limits and the correlation
+   * of d with the pair mean (proportional-bias screen). Returns ONE
+   * row: (n, bias, sd_diff, loa_low, loa_high, frac_outside,
+   * prop_bias_corr).
+   *
+   * Scale shape: one moments pass for bias/sd/corr, one conditional
+   * re-aggregation against the broadcast limits.
+   */
+  def blandAltman(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    val base = df.where(a.isNotNull && b.isNotNull)
+      .select((a - b).as("__d"), ((a + b) / 2).as("__m"))
+    val m1 = broadcast(base.agg(
+      count(lit(1)).cast("double").as("__n"), avg(col("__d")).as("__bias"),
+      stddev_samp(col("__d")).as("__sd"),
+      corr(col("__d"), col("__m")).as("__pb")))
+    base.crossJoin(m1)
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__bias")).as("bias"), max(col("__sd")).as("sd_diff"),
+        (max(col("__bias")) - lit(1.96) * max(col("__sd"))).as("loa_low"),
+        (max(col("__bias")) + lit(1.96) * max(col("__sd"))).as("loa_high"),
+        avg((col("__d") < col("__bias") - lit(1.96) * col("__sd") ||
+          col("__d") > col("__bias") + lit(1.96) * col("__sd"))
+          .cast("double")).as("frac_outside"),
+        max(col("__pb")).as("prop_bias_corr"))
+  }
+
+  /**
    * Lorenz decile table: the mass share held by each value decile —
    * the table a Lorenz curve plots, and the "top-10% holds X% of
    * spend" readout. Deciles cut at the EXACT interpolated quantiles

@@ -8081,6 +8081,65 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("frac_above") == 0.4) // 11, 12
   }
 
+  test("theilDecomposition: exact identity total = within + between; segregated vs mixed") {
+    import spark.implicits._
+    // equal values within groups but different group means: ALL
+    // inequality is between-group
+    val seg = Seq(("a", 1.0), ("b", 10.0)).flatMap { case (g, v) =>
+      (1 to 50).map(_ => (g, v)) }.toDF("g", "v")
+    val rs = graft.ops.Profiling.theilDecomposition(seg, "g", "v").head
+    assert(math.abs(rs.getAs[Double]("theil_within")) < 1e-12)
+    assert(rs.getAs[Double]("theil_between") > 0.1)
+    assert(math.abs(rs.getAs[Double]("theil_total") -
+      (rs.getAs[Double]("theil_within") +
+        rs.getAs[Double]("theil_between"))) < 1e-12)
+    // same distribution in every group: all within, no between
+    val mix = Seq("a", "b").flatMap(g =>
+      Seq(1.0, 2.0, 5.0, 10.0).map(v => (g, v))).toDF("g", "v")
+    val rm = graft.ops.Profiling.theilDecomposition(mix, "g", "v").head
+    assert(math.abs(rm.getAs[Double]("theil_between")) < 1e-12)
+    assert(rm.getAs[Double]("theil_within") > 0.1)
+  }
+
+  test("hooverPalma: equal values → zero inequality; known skew shares") {
+    import spark.implicits._
+    val eq = (1 to 100).map(_ => Tuple1(7.0)).toDF("v")
+    val re = graft.ops.Profiling.hooverPalma(eq, "v").head
+    assert(re.getAs[Double]("hoover") == 0.0)
+    // 90 values of 1 and 10 values of 91: top-10% holds 910/1000
+    val skew = ((1 to 90).map(_ => 1.0) ++ (1 to 10).map(_ => 91.0))
+      .map(Tuple1(_)).toDF("v")
+    val rk = graft.ops.Profiling.hooverPalma(skew, "v").head
+    assert(math.abs(rk.getAs[Double]("top10_share") - 0.91) < 1e-12)
+    // value-cut semantics: the p40 cut value is 1.0 and ties land in
+    // the lower side, so ALL 90 ones count → 90/1000
+    assert(math.abs(rk.getAs[Double]("bottom40_share") - 0.09) < 1e-12)
+    assert(math.abs(rk.getAs[Double]("palma") - 0.91 / 0.09) < 1e-9)
+    // Hoover: mass above mean 10 → Σ|x-μ| = 90*9 + 10*81 = 1620;
+    // N·μ = 1000 → hoover = 1620/2000
+    assert(math.abs(rk.getAs[Double]("hoover") - 0.81) < 1e-12)
+  }
+
+  test("blandAltman: constant offset → bias exact, zero outside-fraction for tight sd") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (1 to 500).map { _ =>
+      val t = 50 + 10 * rng.nextGaussian()
+      (t, t + 2.0 + 0.1 * rng.nextGaussian()) // method b reads 2 high
+    }.toDF("a", "b")
+    val r = graft.ops.Profiling.blandAltman(df, "a", "b").head
+    assert(math.abs(r.getAs[Double]("bias") + 2.0) < 0.05)
+    assert(r.getAs[Double]("sd_diff") < 0.2)
+    assert(r.getAs[Double]("frac_outside") <= 0.08)
+    assert(r.getAs[Double]("loa_high") < 0.0) // systematically below 0
+    // proportional bias: b = a * 1.1 → d correlates with the mean
+    val prop = (1 to 500).map { _ =>
+      val t = 50 + 10 * rng.nextGaussian(); (t, t * 1.1)
+    }.toDF("a", "b")
+    val rp = graft.ops.Profiling.blandAltman(prop, "a", "b").head
+    assert(math.abs(rp.getAs[Double]("prop_bias_corr")) > 0.99)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
