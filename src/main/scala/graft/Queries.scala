@@ -18706,6 +18706,170 @@ object Queries {
              round(pb, 6) AS prop_bias_corr
       FROM d, s GROUP BY n, bias, sd, pb"""))
 
+  /** White's heteroskedasticity test on price ~ quantity: the
+    * specification-robust sibling of q340's Breusch–Pagan (the x²
+    * auxiliary term catches non-linear variance growth). */
+  private val q486 = Entry(
+    "q486_white_test",
+    (s, d) =>
+      graft.ops.Regression
+        .whiteTest(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice")
+        .select(col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("r2_aux")).as("r2_aux"),
+          r6(col("lm_stat")).as("lm_stat"), col("df")),
+    Some("""
+      WITH b AS (SELECT l_quantity::DOUBLE AS x,
+                        l_extendedprice::DOUBLE AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM b),
+      f AS (SELECT n,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl,
+              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS ic
+            FROM a),
+      e AS (SELECT x, x * x AS w,
+                   (y - ic - sl * x) * (y - ic - sl * x) AS e2
+            FROM b, f),
+      s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS su, sum(w) AS sw,
+                   sum(e2) AS se, sum(x * x) AS suu, sum(w * w) AS sww,
+                   sum(x * w) AS suw, sum(x * e2) AS sue,
+                   sum(w * e2) AS swe, sum(e2 * e2) AS see
+            FROM e),
+      c AS (SELECT n, suu - su * su / n AS cuu, sww - sw * sw / n AS cww,
+                   suw - su * sw / n AS cuw, sue - su * se / n AS cue,
+                   swe - sw * se / n AS cwe, see - se * se / n AS cee
+            FROM s)
+      SELECT c.n::BIGINT AS n, round(sl, 6) AS slope,
+             round(ic, 6) AS intercept,
+             round((cue * (cww * cue - cuw * cwe) +
+                    cwe * (cuu * cwe - cuw * cue)) /
+               (cuu * cww - cuw * cuw) / cee, 6) AS r2_aux,
+             round(c.n * (cue * (cww * cue - cuw * cwe) +
+                    cwe * (cuu * cwe - cuw * cue)) /
+               (cuu * cww - cuw * cuw) / cee, 6) AS lm_stat,
+             2::BIGINT AS df
+      FROM c, f"""))
+
+  /** Ramsey RESET on price ~ quantity: does adding the squared fitted
+    * value buy explanatory power (missing curvature gate)? */
+  private val q487 = Entry(
+    "q487_reset_test",
+    (s, d) =>
+      graft.ops.Regression
+        .resetTest(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice")
+        .select(col("n"), r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          round(col("rss1") / 1e9, 6).as("rss1_b"),
+          round(col("rss2") / 1e9, 6).as("rss2_b"),
+          r6(col("f_stat")).as("f_stat")),
+    Some("""
+      WITH b AS (SELECT l_quantity::DOUBLE AS x,
+                        l_extendedprice::DOUBLE AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM b),
+      f AS (SELECT n,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl,
+              (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                AS ic
+            FROM a),
+      e AS (SELECT x, (ic + sl * x) * (ic + sl * x) AS z, y FROM b, f),
+      s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS su, sum(z) AS sw,
+                   sum(y) AS se, sum(x * x) AS suu, sum(z * z) AS sww,
+                   sum(x * z) AS suw, sum(x * y) AS sue,
+                   sum(z * y) AS swe, sum(y * y) AS see
+            FROM e),
+      c AS (SELECT n, suu - su * su / n AS cuu, sww - sw * sw / n AS cww,
+                   suw - su * sw / n AS cuw, sue - su * se / n AS cue,
+                   swe - sw * se / n AS cwe, see - se * se / n AS cee
+            FROM s),
+      r AS (SELECT n, cee - cue * cue / cuu AS rss1,
+                   cee - (cue * (cww * cue - cuw * cwe) +
+                          cwe * (cuu * cwe - cuw * cue)) /
+                     (cuu * cww - cuw * cuw) AS rss2
+            FROM c)
+      SELECT r.n::BIGINT AS n, round(sl, 6) AS slope,
+             round(ic, 6) AS intercept,
+             round(rss1 / 1e9, 6) AS rss1_b,
+             round(rss2 / 1e9, 6) AS rss2_b,
+             round((rss1 - rss2) / (rss2 / (r.n - 3)), 6) AS f_stat
+      FROM r, f"""))
+
+  /** Breusch–Godfrey lag-1 serial-correlation LM per event type on
+    * the q273 daily-residual substrate — the regression-framework
+    * upgrade of the Durbin–Watson readout. */
+  private val q488 = Entry(
+    "q488_breusch_godfrey",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("y"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("double"))
+      val fit = graft.ops.Regression
+        .groupedOls(daily, Seq("event_type"), "x", "y")
+        .select(col("event_type"), col("slope"), col("intercept"))
+      val resid = daily.join(broadcast(fit), Seq("event_type"))
+        .withColumn("resid",
+          col("y") - (col("intercept") + col("slope") * col("x")))
+      graft.ops.Regression
+        .breuschGodfrey(resid, Seq("event_type"), "x", "resid")
+        .select(col("event_type"), col("n"),
+          r6(col("r2_aux")).as("r2_aux"),
+          r6(col("lm_stat")).as("lm_stat"), col("df"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH d AS (SELECT event_type AS g,
+                        date_diff('day', DATE '2024-01-01',
+                          ts::DATE)::DOUBLE AS x,
+                        sum("value") AS y
+                 FROM events GROUP BY event_type, ts::DATE),
+      a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM d GROUP BY 1),
+      f AS (SELECT g, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS sl,
+                   (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+                     / n AS ic
+            FROM a),
+      e AS (SELECT d.g, d.x, d.y - (f.ic + f.sl * d.x) AS resid
+            FROM d JOIN f USING (g)),
+      w AS (SELECT g, x, resid,
+                   lag(resid) OVER (PARTITION BY g ORDER BY x) AS pr
+            FROM e),
+      l AS (SELECT g, x AS u, pr AS v, resid AS ee FROM w
+            WHERE pr IS NOT NULL),
+      s AS (SELECT g, count(*)::DOUBLE AS n, sum(u) AS su, sum(v) AS sw,
+                   sum(ee) AS se, sum(u * u) AS suu, sum(v * v) AS sww,
+                   sum(u * v) AS suw, sum(u * ee) AS sue,
+                   sum(v * ee) AS swe, sum(ee * ee) AS see
+            FROM l GROUP BY 1),
+      c AS (SELECT g, n, suu - su * su / n AS cuu,
+                   sww - sw * sw / n AS cww, suw - su * sw / n AS cuw,
+                   sue - su * se / n AS cue, swe - sw * se / n AS cwe,
+                   see - se * se / n AS cee
+            FROM s)
+      SELECT g AS event_type, n::BIGINT AS n,
+             round((cue * (cww * cue - cuw * cwe) +
+                    cwe * (cuu * cwe - cuw * cue)) /
+               (cuu * cww - cuw * cuw) / cee, 6) AS r2_aux,
+             round(n * (cue * (cww * cue - cuw * cwe) +
+                    cwe * (cuu * cwe - cuw * cue)) /
+               (cuu * cww - cuw * cuw) / cee, 6) AS lm_stat,
+             1::BIGINT AS df
+      FROM c ORDER BY event_type"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18743,7 +18907,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485)
+    q483, q484, q485, q486, q487, q488)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

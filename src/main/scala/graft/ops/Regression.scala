@@ -545,6 +545,154 @@ object Regression {
   }
 
   /**
+   * White's heteroskedasticity test — [[breuschPagan]]'s
+   * specification-robust sibling: the auxiliary regression adds the
+   * SQUARED regressor (e² ~ x + x²), so variance that grows
+   * non-linearly in x (which BP's linear auxiliary misses) still
+   * rejects. LM = n·R²_aux on χ²(2). Two-regressor R² is the closed
+   * 2×2 normal-equations form on centered moments — pure Column
+   * algebra, no driver solve. Same two-stage shape as BP: one moments
+   * scan collects (a, b) as literals, one second scan reduces the
+   * auxiliary moments. Returns ONE row:
+   * (n, slope, intercept, r2_aux, lm_stat, df).
+   */
+  def whiteTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val m = base.agg(count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+      sum(x * y).as("sxy")).head()
+    val n = m.getAs[Double]("n")
+    require(n > 4, "whiteTest: need > 4 rows")
+    val b = (n * m.getAs[Double]("sxy") -
+      m.getAs[Double]("sx") * m.getAs[Double]("sy")) /
+      (n * m.getAs[Double]("sxx") -
+        m.getAs[Double]("sx") * m.getAs[Double]("sx"))
+    val a = (m.getAs[Double]("sy") - b * m.getAs[Double]("sx")) / n
+    val e2 = (y - lit(a) - lit(b) * x) * (y - lit(a) - lit(b) * x)
+    val w = x * x
+    val s = base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(x).as("__su"), sum(w).as("__sw"), sum(e2).as("__se"),
+      sum(x * x).as("__suu"), sum(w * w).as("__sww"),
+      sum(x * w).as("__suw"), sum(x * e2).as("__sue"),
+      sum(w * e2).as("__swe"), sum(e2 * e2).as("__see"))
+    def c(sab: Column, sa: Column, sb: Column) =
+      sab - sa * sb / col("__n")
+    val cuu = c(col("__suu"), col("__su"), col("__su"))
+    val cww = c(col("__sww"), col("__sw"), col("__sw"))
+    val cuw = c(col("__suw"), col("__su"), col("__sw"))
+    val cue = c(col("__sue"), col("__su"), col("__se"))
+    val cwe = c(col("__swe"), col("__sw"), col("__se"))
+    val cee = c(col("__see"), col("__se"), col("__se"))
+    val det = cuu * cww - cuw * cuw
+    val ess = (cue * (cww * cue - cuw * cwe) +
+      cwe * (cuu * cwe - cuw * cue)) / det
+    s.select(col("__n").cast("long").as("n"), lit(b).as("slope"),
+        lit(a).as("intercept"),
+        when(det =!= 0 && cee > 0, ess / cee).as("r2_aux"))
+      .withColumn("lm_stat", lit(n) * col("r2_aux"))
+      .withColumn("df", lit(2L))
+  }
+
+  /**
+   * Ramsey RESET specification test: is y ~ x MISSING curvature? The
+   * auxiliary regression adds the squared fitted value ŷ², and
+   * F = (RSS₁ − RSS₂)/(RSS₂/(n−3)) on (1, n−3) asks whether it
+   * bought anything — the standard "should this feature enter
+   * non-linearly" gate before shipping a linear transform. Same
+   * two-stage literal shape as [[whiteTest]]; both RSS are closed
+   * forms on centered moments of (x, z = (a+bx)², y). Returns ONE
+   * row: (n, slope, intercept, rss1, rss2, f_stat).
+   */
+  def resetTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val m = base.agg(count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"),
+      sum(x * y).as("sxy")).head()
+    val n = m.getAs[Double]("n")
+    require(n > 3, "resetTest: need > 3 rows")
+    val b = (n * m.getAs[Double]("sxy") -
+      m.getAs[Double]("sx") * m.getAs[Double]("sy")) /
+      (n * m.getAs[Double]("sxx") -
+        m.getAs[Double]("sx") * m.getAs[Double]("sx"))
+    val a = (m.getAs[Double]("sy") - b * m.getAs[Double]("sx")) / n
+    val z = (lit(a) + lit(b) * x) * (lit(a) + lit(b) * x)
+    val s = base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(x).as("__su"), sum(z).as("__sw"), sum(y).as("__se"),
+      sum(x * x).as("__suu"), sum(z * z).as("__sww"),
+      sum(x * z).as("__suw"), sum(x * y).as("__sue"),
+      sum(z * y).as("__swe"), sum(y * y).as("__see"))
+    def c(sab: Column, sa: Column, sb: Column) =
+      sab - sa * sb / col("__n")
+    val cuu = c(col("__suu"), col("__su"), col("__su"))
+    val cww = c(col("__sww"), col("__sw"), col("__sw"))
+    val cuw = c(col("__suw"), col("__su"), col("__sw"))
+    val cue = c(col("__sue"), col("__su"), col("__se"))
+    val cwe = c(col("__swe"), col("__sw"), col("__se"))
+    val cee = c(col("__see"), col("__se"), col("__se"))
+    val det = cuu * cww - cuw * cuw
+    val rss1 = cee - cue * cue / cuu
+    val rss2 = cee - (cue * (cww * cue - cuw * cwe) +
+      cwe * (cuu * cwe - cuw * cue)) / det
+    s.select(col("__n").cast("long").as("n"), lit(b).as("slope"),
+      lit(a).as("intercept"), rss1.as("rss1"),
+      when(det =!= 0, rss2).as("rss2"),
+      when(det =!= 0 && rss2 > 0,
+        (rss1 - rss2) / (rss2 / (col("__n") - 3))).as("f_stat"))
+  }
+
+  /**
+   * Breusch–Godfrey serial-correlation LM test (lag 1, grouped) over
+   * a residual frame — the regression-framework upgrade of the
+   * Durbin–Watson readout (valid with the regressor present in the
+   * auxiliary, where DW's bounds go fuzzy): within each group,
+   * regress e_t on (x_t, e_{t−1}) over the lag-aligned rows and emit
+   * LM = n_aux·R²_aux on χ²(1). The lag is a group-partitioned window
+   * over the (calendar-bounded) per-group series; the two-regressor
+   * R² is the same closed 2×2 form as [[whiteTest]], reduced per
+   * group in one pass. Returns one row per group:
+   * (groups…, n, r2_aux, lm_stat, df).
+   */
+  def breuschGodfrey(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, residCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "breuschGodfrey: need group columns (partitioned window)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    val u = col(orderCol).cast("double")
+    val e = col(residCol).cast("double")
+    val lagged = df
+      .withColumn("__pr", lag(e, 1).over(w))
+      .where(col("__pr").isNotNull)
+    val v = col("__pr")
+    val s = lagged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(u).as("__su"), sum(v).as("__sw"), sum(e).as("__se"),
+        sum(u * u).as("__suu"), sum(v * v).as("__sww"),
+        sum(u * v).as("__suw"), sum(u * e).as("__sue"),
+        sum(v * e).as("__swe"), sum(e * e).as("__see"))
+    def c(sab: Column, sa: Column, sb: Column) =
+      sab - sa * sb / col("__n")
+    val cuu = c(col("__suu"), col("__su"), col("__su"))
+    val cww = c(col("__sww"), col("__sw"), col("__sw"))
+    val cuw = c(col("__suw"), col("__su"), col("__sw"))
+    val cue = c(col("__sue"), col("__su"), col("__se"))
+    val cwe = c(col("__swe"), col("__sw"), col("__se"))
+    val cee = c(col("__see"), col("__se"), col("__se"))
+    val det = cuu * cww - cuw * cuw
+    val r2 = (cue * (cww * cue - cuw * cwe) +
+      cwe * (cuu * cwe - cuw * cue)) / det / cee
+    s.select(groupCols.map(col) :+
+      col("__n").cast("long").as("n") :+
+      when(det =!= 0 && cee > 0, r2).as("r2_aux") :+
+      when(det =!= 0 && cee > 0, col("__n") * r2).as("lm_stat") :+
+      lit(1L).as("df"): _*)
+  }
+
+  /**
    * Chow structural-break test: does the y ~ x relationship CHANGE
    * between two regimes (before/after a launch, segment A vs B)?
    * F = [(RSS_pooled − RSS_a − RSS_b)/2] / [(RSS_a + RSS_b)/(n−4)]

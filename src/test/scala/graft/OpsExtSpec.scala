@@ -8140,6 +8140,60 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(rp.getAs[Double]("prop_bias_corr")) > 0.99)
   }
 
+  test("whiteTest: homoskedastic accepts, quadratic-variance rejects where BP is weaker") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val xs = (1 to 3000).map(_ => rng.nextDouble() * 10 - 5) // centered
+    val homo = xs.map(x => (x, 2 + 3 * x + rng.nextGaussian()))
+      .toDF("x", "y")
+    assert(graft.ops.Regression.whiteTest(homo, "x", "y").head
+      .getAs[Double]("lm_stat") < 10.0)
+    // variance ∝ x² is SYMMETRIC in x: linear-in-x BP has ~no power,
+    // White's x² term sees it
+    val quad = xs.map(x => (x, 2 + 3 * x + math.abs(x) * rng.nextGaussian()))
+      .toDF("x", "y")
+    val w = graft.ops.Regression.whiteTest(quad, "x", "y").head
+    val bp = graft.ops.Regression.breuschPagan(quad, "x", "y").head
+    assert(w.getAs[Double]("lm_stat") > 100.0)
+    assert(w.getAs[Double]("lm_stat") > 5 * bp.getAs[Double]("lm_stat"))
+    assert(w.getAs[Long]("df") == 2L)
+  }
+
+  test("resetTest: linear truth accepts, quadratic truth rejects loudly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val xs = (1 to 2000).map(_ => rng.nextDouble() * 10)
+    val lin = xs.map(x => (x, 1 + 2 * x + rng.nextGaussian()))
+      .toDF("x", "y")
+    val rl = graft.ops.Regression.resetTest(lin, "x", "y").head
+    assert(rl.getAs[Double]("f_stat") < 8.0)
+    assert(rl.getAs[Double]("rss1") >= rl.getAs[Double]("rss2"))
+    val quad = xs.map(x => (x, 1 + 2 * x + 0.5 * x * x +
+      rng.nextGaussian())).toDF("x", "y")
+    assert(graft.ops.Regression.resetTest(quad, "x", "y").head
+      .getAs[Double]("f_stat") > 1000.0)
+  }
+
+  test("breuschGodfrey: white residuals accept, AR(1) residuals reject") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def series(rho: Double, g: String) = {
+      var e = 0.0
+      (1 to 400).map { t =>
+        e = rho * e + rng.nextGaussian()
+        (g, t.toDouble, e)
+      }
+    }
+    val df = (series(0.0, "white") ++ series(0.8, "ar1"))
+      .toDF("g", "x", "resid")
+    val r = graft.ops.Regression
+      .breuschGodfrey(df, Seq("g"), "x", "resid")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("lm_stat"))
+      .toMap
+    assert(r("white") < 8.0)
+    assert(r("ar1") > 100.0)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
