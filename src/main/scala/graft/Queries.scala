@@ -18870,6 +18870,99 @@ object Queries {
              1::BIGINT AS df
       FROM c ORDER BY event_type"""))
 
+  /** Holt–Winters additive weekly forecaster on daily event counts:
+    * level+trend+season driver recursion over the bounded calendar
+    * frame; the oracle carries the 7-element seasonal state as a
+    * LIST through a recursive CTE. */
+  private val q489 = Entry(
+    "q489_holt_winters",
+    (s, d) =>
+      graft.ops.TimeSeries.holtWinters(Tables.events(s, d), "ts",
+          alpha = 0.4, beta = 0.1, gamma = 0.2, period = 7, horizon = 7)
+        .select(col("h"), col("n_days"), r6(col("level")).as("level"),
+          r6(col("trend")).as("trend"),
+          r6(col("seasonal")).as("seasonal"),
+          r6(col("forecast")).as("forecast"), r2(col("sse")).as("sse"),
+          r6(col("rmse")).as("rmse"))
+        .orderBy("h"),
+    Some("""
+      WITH RECURSIVE days AS (SELECT CAST(ts AS DATE) AS day,
+              count(*)::DOUBLE AS y
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, y
+              FROM days),
+      m AS (SELECT (SELECT avg(y) FROM seq WHERE i <= 7) AS m1,
+                   (SELECT avg(y) FROM seq WHERE i > 7 AND i <= 14)
+                     AS m2),
+      seed AS (SELECT (SELECT list(y - m.m1 ORDER BY i) FROM seq
+                       WHERE i <= 7) AS s0
+               FROM m),
+      rec AS (
+        SELECT 7::BIGINT AS t, m1 AS level, (m2 - m1) / 7 AS trend,
+               s0 AS s, CAST(0.0 AS DOUBLE) AS sse
+        FROM m, seed
+        UNION ALL
+        SELECT r.t + 1,
+               0.4 * (q.y - r.s[1]) + 0.6 * (r.level + r.trend),
+               0.1 * ((0.4 * (q.y - r.s[1]) +
+                 0.6 * (r.level + r.trend)) - r.level) + 0.9 * r.trend,
+               list_append(r.s[2:7],
+                 0.2 * (q.y - (0.4 * (q.y - r.s[1]) +
+                   0.6 * (r.level + r.trend))) + 0.8 * r.s[1]),
+               r.sse + (q.y - (r.level + r.trend + r.s[1])) *
+                 (q.y - (r.level + r.trend + r.s[1]))
+        FROM rec r JOIN seq q ON q.i = r.t + 1),
+      fin AS (SELECT * FROM rec ORDER BY t DESC LIMIT 1),
+      n AS (SELECT count(*)::BIGINT AS nd FROM seq)
+      SELECT h::BIGINT AS h, nd AS n_days, round(level, 6) AS level,
+             round(trend, 6) AS trend,
+             round(s[h], 6) AS seasonal,
+             round(level + h * trend + s[h], 6) AS forecast,
+             round(sse, 2) AS sse,
+             round(sqrt(sse / (nd - 7)), 6) AS rmse
+      FROM (SELECT unnest(generate_series(1, 7)) AS h), fin, n
+      ORDER BY h"""))
+
+  /** Croston's intermittent-demand forecast on rare high-value
+    * events (daily count of value > 450): demand-size and interval
+    * smoothers + SBA bias-corrected rate. */
+  private val q490 = Entry(
+    "q490_croston",
+    (s, d) =>
+      graft.ops.TimeSeries.croston(Tables.events(s, d), "ts",
+          col("value") > 450, alpha = 0.1)
+        .select(col("n_days"), col("n_demand_days"),
+          r6(col("z_hat")).as("z_hat"), r6(col("p_hat")).as("p_hat"),
+          r6(col("forecast")).as("forecast"),
+          r6(col("forecast_sba")).as("forecast_sba")),
+    Some("""
+      WITH RECURSIVE days AS (SELECT CAST(ts AS DATE) AS day,
+              sum(CASE WHEN "value" > 450 THEN 1.0 ELSE 0.0 END) AS y
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, y
+              FROM days),
+      f AS (SELECT min(i) AS i0 FROM seq WHERE y > 0),
+      rec AS (
+        SELECT s.i AS t, s.y AS z, f.i0::DOUBLE AS p, 0::BIGINT AS gap,
+               1::BIGINT AS nd
+        FROM seq s, f WHERE s.i = f.i0
+        UNION ALL
+        SELECT s.i,
+               CASE WHEN s.y > 0 THEN 0.1 * s.y + 0.9 * r.z
+                    ELSE r.z END,
+               CASE WHEN s.y > 0 THEN 0.1 * (r.gap + 1) + 0.9 * r.p
+                    ELSE r.p END,
+               CASE WHEN s.y > 0 THEN 0 ELSE r.gap + 1 END,
+               r.nd + CASE WHEN s.y > 0 THEN 1 ELSE 0 END
+        FROM rec r JOIN seq s ON s.i = r.t + 1),
+      fin AS (SELECT * FROM rec ORDER BY t DESC LIMIT 1),
+      n AS (SELECT count(*)::BIGINT AS ndays FROM seq)
+      SELECT ndays AS n_days, nd AS n_demand_days,
+             round(z, 6) AS z_hat, round(p, 6) AS p_hat,
+             round(z / p, 6) AS forecast,
+             round(z / p * 0.95, 6) AS forecast_sba
+      FROM fin, n"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -18907,7 +19000,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488)
+    q483, q484, q485, q486, q487, q488, q489, q490)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1663,6 +1663,111 @@ object TimeSeries {
   }
 
   /**
+   * Holt–Winters additive seasonal smoothing over the daily
+   * event-count series — [[holtLinear]] plus a season-length-`period`
+   * additive component: ℓ_t = α(y_t − s_{t−m}) + (1−α)(ℓ+b),
+   * b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b, s_t = γ(y_t − ℓ_t) + (1−γ)s_{t−m},
+   * seeded from the first two seasons (ℓ₀ = mean of season 1,
+   * b₀ = (mean₂ − mean₁)/m, s_i⁰ = y_i − mean₁). Forecast
+   * ŷ_{n+h} = ℓ_n + h·b_n + s_{n+h−m}. Returns one row per step
+   * h = 1..horizon: (h, n_days, level, trend, seasonal, forecast,
+   * sse, rmse) — sse over the post-seed one-step predictions.
+   *
+   * Scale shape: driver recursion over the BOUNDED daily frame (the
+   * [[holtLinear]] discipline, ≤4000-day loud cap); the oracle
+   * replays the recursion as a recursive CTE carrying the m-element
+   * seasonal state as a list.
+   */
+  def holtWinters(df: DataFrame, tsCol: String, alpha: Double,
+      beta: Double, gamma: Double, period: Int = 7,
+      horizon: Int = 7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, "holtWinters: alpha, beta, gamma in (0,1)")
+    require(period >= 2 && period <= 366, "holtWinters: period 2..366")
+    require(horizon >= 1 && horizon <= period,
+      "holtWinters: horizon 1..period")
+    val days = dailyCounts(df, tsCol).orderBy("__t").limit(4001).collect()
+    require(days.length <= 4000,
+      "holtWinters: series spans > 4000 days; pre-aggregate")
+    require(days.length >= 2 * period,
+      s"holtWinters: need >= ${2 * period} days (two seasons)")
+    val y = days.map(_.getDouble(1))
+    val m1 = y.take(period).sum / period
+    val m2 = y.slice(period, 2 * period).sum / period
+    var level = m1
+    var trend = (m2 - m1) / period
+    val seas = Array.tabulate(period)(i => y(i) - m1)
+    var sse = 0.0
+    for (t <- period until y.length) {
+      val sOld = seas(t % period)
+      val pred = level + trend + sOld
+      sse += (y(t) - pred) * (y(t) - pred)
+      val l1 = alpha * (y(t) - sOld) + (1 - alpha) * (level + trend)
+      trend = beta * (l1 - level) + (1 - beta) * trend
+      seas(t % period) = gamma * (y(t) - l1) + (1 - gamma) * sOld
+      level = l1
+    }
+    val n = y.length
+    val rmse = math.sqrt(sse / (n - period))
+    (1 to horizon).map { h =>
+      val s = seas((n + h - 1) % period)
+      (h.toLong, n.toLong, level, trend, s, level + h * trend + s,
+        sse, rmse)
+    }.toDF("h", "n_days", "level", "trend", "seasonal", "forecast",
+      "sse", "rmse")
+  }
+
+  /**
+   * Croston's method for INTERMITTENT series (many zero days): two
+   * exponential smoothers — demand size z (updated only on non-zero
+   * days) and inter-demand interval p — give the demand-rate forecast
+   * z/p that a plain EWMA systematically underestimates right after
+   * each quiet stretch. SBA variant emitted alongside (the
+   * Syntetos–Boylan (1 − α/2) bias correction). Returns ONE row:
+   * (n_days, n_demand_days, z_hat, p_hat, forecast, forecast_sba).
+   *
+   * Scale shape: the same bounded-daily-frame driver recursion as
+   * [[holtLinear]]; the oracle replays it as a recursive CTE over the
+   * (calendar-bounded) day sequence.
+   */
+  def croston(df: DataFrame, tsCol: String, demand: Column,
+      alpha: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "croston: alpha in (0,1)")
+    val days = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(sum(when(demand, 1.0).otherwise(0.0)).as("__y"))
+      .orderBy("__d").limit(4001).collect()
+    require(days.length <= 4000,
+      "croston: series spans > 4000 days; pre-aggregate")
+    val y = days.map(_.getDouble(1))
+    val firstIdx = y.indexWhere(_ > 0)
+    require(firstIdx >= 0, "croston: no demand days")
+    var z = y(firstIdx) // seed: first non-zero demand
+    var p = firstIdx + 1.0 // seed: first interval length
+    var gap = 0
+    var nd = 0L
+    for (t <- firstIdx until y.length) {
+      gap += 1
+      if (y(t) > 0) {
+        nd += 1
+        if (t > firstIdx) { // seeds consume the first demand
+          z = alpha * y(t) + (1 - alpha) * z
+          p = alpha * gap + (1 - alpha) * p
+        }
+        gap = 0
+      }
+    }
+    val f = z / p
+    Seq((y.length.toLong, nd, z, p, f, f * (1 - alpha / 2)))
+      .toDF("n_days", "n_demand_days", "z_hat", "p_hat", "forecast",
+        "forecast_sba")
+  }
+
+  /**
    * Gumbel extreme-value fit on the daily block maxima of `valueCol`
    * by the method of moments — β = s·√6/π, μ = m̄ − γβ (γ the
    * Euler–Mascheroni constant) — plus the T-period return levels

@@ -8194,6 +8194,56 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r("ar1") > 100.0)
   }
 
+  test("holtWinters: pure weekly pattern → zero SSE, exact seasonal forecasts") {
+    import spark.implicits._
+    val pattern = Array(3, -2, 5, 0, -4, 1, -3) // sums to 0
+    val rows = (0 until 28).flatMap { day =>
+      val n = 100 + pattern(day % 7)
+      (0 until n).map(_ => Tuple1(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+          .plusDays(day.toLong))))
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .holtWinters(rows, "ts", 0.4, 0.1, 0.2, period = 7, horizon = 7)
+      .orderBy("h").collect()
+    assert(r.length == 7)
+    assert(math.abs(r(0).getAs[Double]("sse")) < 1e-9)
+    r.foreach { row =>
+      val h = row.getLong(0).toInt
+      // day 28+h-1 has pattern index (28+h-1) % 7 = h-1
+      assert(math.abs(row.getAs[Double]("forecast") -
+        (100 + pattern((h - 1) % 7))) < 1e-9)
+      assert(math.abs(row.getAs[Double]("trend")) < 1e-12)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holtWinters(rows, "ts", 0.4, 0.1, 0.2,
+        period = 20) // < two seasons of data
+    }
+  }
+
+  test("croston: hand-computed intermittent series") {
+    import spark.implicits._
+    // 10 days; demand (value>0 events) on day idx 2 (x2), 4 (x4), 8 (x6)
+    val demand = Map(2 -> 2, 4 -> 4, 8 -> 6)
+    val rows = (0 until 10).flatMap { day =>
+      val hits = demand.getOrElse(day, 0)
+      // every day gets one zero-marker event so the calendar is dense
+      (0 until hits).map(_ => (day, 1.0)) :+ (day, 0.0)
+    }.map { case (day, v) => (java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+        .plusDays(day.toLong)), v) }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries
+      .croston(rows, "ts", col("v") > 0, alpha = 0.1).head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("n_demand_days") == 3L)
+    // z: 2 → 0.1*4+0.9*2 = 2.2 → 0.1*6+0.9*2.2 = 2.58
+    assert(math.abs(r.getAs[Double]("z_hat") - 2.58) < 1e-12)
+    // p: 3 → 0.1*2+0.9*3 = 2.9 → 0.1*4+0.9*2.9 = 3.01
+    assert(math.abs(r.getAs[Double]("p_hat") - 3.01) < 1e-12)
+    assert(math.abs(r.getAs[Double]("forecast_sba") -
+      2.58 / 3.01 * 0.95) < 1e-12)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
