@@ -18963,6 +18963,144 @@ object Queries {
              round(z / p * 0.95, 6) AS forecast_sba
       FROM fin, n"""))
 
+  /** Gains / KS score-separation decile table of event value against
+    * the user_id%5 positive class: per-decile capture, cumulative
+    * gains, lift, and the KS separation profile. */
+  private val q491 = Entry(
+    "q491_gains_table",
+    (s, d) =>
+      graft.ops.Evaluation
+        .gainsTable(Tables.events(s, d), "value",
+          col("user_id") % 5 === 0)
+        .select(col("decile"), col("n"), col("n_pos"),
+          r6(col("pos_rate")).as("pos_rate"),
+          r6(col("cum_n_share")).as("cum_n_share"),
+          r6(col("cum_pos_share")).as("cum_pos_share"),
+          r6(col("lift")).as("lift"), r6(col("ks_at")).as("ks_at"))
+        .orderBy("decile"),
+    Some("""
+      WITH b AS (SELECT "value"::DOUBLE AS x,
+              CASE WHEN user_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM events WHERE "value" IS NOT NULL),
+      c AS (SELECT quantile_disc(x, 0.1) AS q1,
+              quantile_disc(x, 0.2) AS q2, quantile_disc(x, 0.3) AS q3,
+              quantile_disc(x, 0.4) AS q4, quantile_disc(x, 0.5) AS q5,
+              quantile_disc(x, 0.6) AS q6, quantile_disc(x, 0.7) AS q7,
+              quantile_disc(x, 0.8) AS q8, quantile_disc(x, 0.9) AS q9
+            FROM b),
+      dd AS (SELECT 10 - ((CASE WHEN x > q1 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q2 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q3 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q4 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q5 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q6 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q7 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q8 THEN 1 ELSE 0 END) +
+               (CASE WHEN x > q9 THEN 1 ELSE 0 END)) AS decile, y
+            FROM b, c),
+      per AS (SELECT decile, count(*)::DOUBLE AS n, sum(y) AS p
+              FROM dd GROUP BY 1),
+      t AS (SELECT sum(n) AS tn, sum(p) AS tp FROM per),
+      w AS (SELECT decile, n, p,
+                   sum(n) OVER (ORDER BY decile) AS cn,
+                   sum(p) OVER (ORDER BY decile) AS cp
+            FROM per)
+      SELECT decile::BIGINT AS decile, n::BIGINT AS n,
+             p::BIGINT AS n_pos, round(p / n, 6) AS pos_rate,
+             round(cn / tn, 6) AS cum_n_share,
+             round(cp / tp, 6) AS cum_pos_share,
+             round((cp / tp) / (cn / tn), 6) AS lift,
+             round(abs(cp / tp - (cn - cp) / (tn - tp)), 6) AS ks_at
+      FROM w, t ORDER BY decile"""))
+
+  /** Simplified (centroid) silhouette per embedding label: compact-
+    * and-separated clustering quality at O(n·k) — per-label averages
+    * only (engine-replayable; per-point argmin is not). */
+  private val q492 = Entry(
+    "q492_silhouette",
+    (s, d) =>
+      graft.ops.Similarity
+        .simplifiedSilhouette(Tables.embeddings(s, d), "vec_id",
+          "label", "embedding")
+        .select(col("label"), col("n"),
+          r6(col("mean_silhouette")).as("mean_silhouette"),
+          r6(col("mean_own_dist")).as("mean_own_dist"),
+          r6(col("mean_other_dist")).as("mean_other_dist"))
+        .orderBy("label"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      pos AS (SELECT label, u.i AS i, v[u.i] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+      cent AS (SELECT label AS clbl, list(c ORDER BY i) AS cl
+               FROM (SELECT label, i, avg(x) AS c FROM pos GROUP BY 1, 2)
+               GROUP BY 1),
+      ab AS (SELECT e.vec_id, e.label,
+               min(CASE WHEN c.clbl = e.label THEN
+                 1 - list_dot_product(e.v, c.cl) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cl, c.cl))) END) AS a,
+               min(CASE WHEN c.clbl <> e.label THEN
+                 1 - list_dot_product(e.v, c.cl) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cl, c.cl))) END) AS b
+             FROM e CROSS JOIN cent c GROUP BY 1, 2)
+      SELECT label, count(*)::BIGINT AS n,
+             round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette,
+             round(avg(a), 6) AS mean_own_dist,
+             round(avg(b), 6) AS mean_other_dist
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+      GROUP BY 1 ORDER BY label"""))
+
+  /** Laspeyres / Paasche / Fisher price indices for parts between the
+    * pre-1998 base period and the rest — matched-sample bilateral
+    * index panel with quantity-weighted unit prices. */
+  private val q493 = Entry(
+    "q493_price_indices",
+    (s, d) =>
+      graft.ops.Profiling
+        .priceIndices(Tables.lineitem(s, d), "l_partkey", "l_quantity",
+          "l_extendedprice",
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("n_items"), col("n_dropped"),
+          r6(col("laspeyres")).as("laspeyres"),
+          r6(col("paasche")).as("paasche"),
+          r6(col("fisher")).as("fisher"),
+          r6(col("value_ratio")).as("value_ratio")),
+    Some("""
+      WITH b AS (SELECT l_partkey AS it,
+              CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                   THEN 1.0 ELSE 0.0 END AS base,
+              l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS r
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_quantity > 0
+              AND l_extendedprice IS NOT NULL),
+      per AS (SELECT it, sum(base * q) AS q0, sum(base * r) AS r0,
+               sum((1 - base) * q) AS q1, sum((1 - base) * r) AS r1
+             FROM b GROUP BY 1),
+      m AS (SELECT sum(CASE WHEN q0 > 0 AND q1 > 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_items,
+             sum(CASE WHEN q0 > 0 AND q1 > 0 THEN 0 ELSE 1 END)
+               ::BIGINT AS n_dropped,
+             sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (r1 / q1) * q0 END) AS lnum,
+             sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (r0 / q0) * q0 END) AS lden,
+             sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (r1 / q1) * q1 END) AS pnum,
+             sum(CASE WHEN q0 > 0 AND q1 > 0
+                 THEN (r0 / q0) * q1 END) AS pden,
+             sum(CASE WHEN q0 > 0 AND q1 > 0 THEN r1 END) AS v1,
+             sum(CASE WHEN q0 > 0 AND q1 > 0 THEN r0 END) AS v0
+            FROM per)
+      SELECT n_items, n_dropped,
+             round(lnum / lden, 6) AS laspeyres,
+             round(pnum / pden, 6) AS paasche,
+             round(sqrt(lnum / lden * (pnum / pden)), 6) AS fisher,
+             round(v1 / v0, 6) AS value_ratio
+      FROM m"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19000,7 +19138,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488, q489, q490)
+    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

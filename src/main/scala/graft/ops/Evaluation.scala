@@ -2560,4 +2560,53 @@ object Evaluation {
       (se * pdf - d * (lit(1.0) - phiZ)).as("exp_loss_choose_t"),
       (se * pdf + d * phiZ).as("exp_loss_choose_c"))
   }
+  /**
+   * Gains / KS score-separation decile table — the credit-scoring
+   * readout of "how well does this score rank the positives": rows
+   * bucket into score deciles at exact-DISC cuts (decile 1 = highest
+   * scores; cut ties land in the LOWER-score decile on both engines),
+   * and each decile reports its positive capture plus the cumulative
+   * top-down gains. `ks_at` is |cumF_pos − cumF_neg| per decile — its
+   * max over rows IS the Kolmogorov–Smirnov separation statistic.
+   * Returns 10 rows: (decile, n, n_pos, pos_rate, cum_n_share,
+   * cum_pos_share, lift, ks_at).
+   *
+   * Scale shape: one value-count pass for the cuts
+   * ([[graft.analysis.AnalysisPlanner.exactPercentilesDisc]]), one
+   * conditional bucket aggregation, then [[graft.analysis.PrefixSum]]
+   * over the 10-row frame — no global sort, no window over raw rows.
+   */
+  def gainsTable(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val x = col(scoreCol).cast("double")
+    val base = df.where(x.isNotNull)
+      .select(x.as("__x"), when(label, 1.0).otherwise(0.0).as("__y"))
+      .localCheckpoint() // cuts probe + bucket pass share one frame
+    val cuts = graft.analysis.AnalysisPlanner.exactPercentilesDisc(
+      base, "__x", (1 to 9).map(i => (s"q$i", i / 10.0)), Nil).head()
+    val qs = (1 to 9).map(i => cuts.getAs[Double](s"q$i"))
+    val decAsc = qs.foldLeft(lit(0L))((acc, q) =>
+      acc + when(col("__x") > q, 1L).otherwise(0L))
+    val per = base.select((lit(10L) - decAsc).as("decile"), col("__y"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__y")).as("__p"))
+    val tot = broadcast(per.agg(sum(col("__n")).as("__tn"),
+      sum(col("__p")).as("__tp")))
+    graft.analysis.PrefixSum.exclusive(per, "decile",
+        Seq("__n" -> "__cn", "__p" -> "__cp"))
+      .crossJoin(tot)
+      .select(col("decile"), col("__n").cast("long").as("n"),
+        col("__p").cast("long").as("n_pos"),
+        (col("__p") / col("__n")).as("pos_rate"),
+        ((col("__cn") + col("__n")) / col("__tn")).as("cum_n_share"),
+        when(col("__tp") > 0, (col("__cp") + col("__p")) / col("__tp"))
+          .as("cum_pos_share"),
+        when(col("__tp") > 0, (col("__cp") + col("__p")) / col("__tp") /
+          ((col("__cn") + col("__n")) / col("__tn"))).as("lift"),
+        when(col("__tp") > 0 && col("__tn") > col("__tp"), abs(
+          (col("__cp") + col("__p")) / col("__tp") -
+          (col("__cn") + col("__n") - col("__cp") - col("__p")) /
+            (col("__tn") - col("__tp")))).as("ks_at"))
+  }
 }

@@ -1026,4 +1026,50 @@ object Profiling {
         (col("__exsh") + col("share")).as("cum_share"))
       .orderBy("decile")
   }
+  /**
+   * Bilateral price-index panel between a base and current period —
+   * Laspeyres (base-quantity weights), Paasche (current-quantity
+   * weights), and Fisher (their geometric mean, the superlative
+   * index): the standard "did prices move or did the mix move"
+   * decomposition for spend dashboards. Per-item period price is the
+   * quantity-weighted unit price Σrev/Σqty; only items TRADED IN BOTH
+   * periods enter (matched-sample convention; dropped count
+   * reported). Returns ONE row: (n_items, n_dropped, laspeyres,
+   * paasche, fisher, value_ratio).
+   *
+   * Scale shape: one conditional-aggregation pass to the per-item
+   * frame (base/current qty+revenue as when()-guarded sums), then a
+   * 1-row reduce — no joins, no second scan.
+   */
+  def priceIndices(df: DataFrame, itemCol: String, qtyCol: String,
+      revenueCol: String, basePeriod: Column): DataFrame = {
+    val q = col(qtyCol).cast("double")
+    val r = col(revenueCol).cast("double")
+    val b = when(basePeriod, 1.0).otherwise(0.0)
+    val per = df
+      .where(col(itemCol).isNotNull && q.isNotNull && r.isNotNull &&
+        q > 0)
+      .groupBy(col(itemCol).as("__it"))
+      .agg(sum(b * q).as("__q0"), sum(b * r).as("__r0"),
+        sum((lit(1.0) - b) * q).as("__q1"),
+        sum((lit(1.0) - b) * r).as("__r1"))
+    val p0 = col("__r0") / col("__q0")
+    val p1 = col("__r1") / col("__q1")
+    val both = col("__q0") > 0 && col("__q1") > 0
+    per.agg(
+        sum(when(both, 1L).otherwise(0L)).as("n_items"),
+        sum(when(!both, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(both, p1 * col("__q0"))).as("__l_num"),
+        sum(when(both, p0 * col("__q0"))).as("__l_den"),
+        sum(when(both, p1 * col("__q1"))).as("__p_num"),
+        sum(when(both, p0 * col("__q1"))).as("__p_den"),
+        sum(when(both, col("__r1"))).as("__v1"),
+        sum(when(both, col("__r0"))).as("__v0"))
+      .select(col("n_items"), col("n_dropped"),
+        (col("__l_num") / col("__l_den")).as("laspeyres"),
+        (col("__p_num") / col("__p_den")).as("paasche"),
+        sqrt(col("__l_num") / col("__l_den") *
+          (col("__p_num") / col("__p_den"))).as("fisher"),
+        (col("__v1") / col("__v0")).as("value_ratio"))
+  }
 }

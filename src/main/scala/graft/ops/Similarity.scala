@@ -1163,4 +1163,50 @@ object Similarity {
         avg(col("__cg")).as("avg_cos_global"),
         avg(col("__co") - col("__cg")).as("separation"))
   }
+  /**
+   * Simplified (centroid) silhouette per label — "is each labeled
+   * region compact and separated", the clustering-quality companion
+   * to [[labelCoherence]]: for every vector, a = cosine DISTANCE
+   * (1 − cos) to its OWN label centroid, b = the minimum distance to
+   * any OTHER centroid, silhouette = (b − a)/max(a, b) ∈ [−1, 1].
+   * The centroid form (Hruschka's simplified silhouette) replaces the
+   * classic all-pairs mean distances — O(n·k) instead of O(n²), the
+   * only shape that survives corpus scale — and per-label AVERAGES
+   * are the emitted readout (engine-replayable; a per-point argmin
+   * assignment would not be). Returns one row per label:
+   * (label, n, mean_silhouette, mean_own_dist, mean_other_dist).
+   *
+   * Scale shape: centroids from one map-side-combined posexplode
+   * groupBy (k·dim rows); the point×centroid expansion is a
+   * broadcast of the ≤k-row centroid frame — n·k narrow rows, no
+   * shuffle of the corpus beyond the final per-label reduce.
+   */
+  def simplifiedSilhouette(corpus: DataFrame, idCol: String,
+      labelCol: String, vecCol: String): DataFrame = {
+    val e = corpus
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val pos = e.select(col("__lbl"), posexplode(col("__v"))
+      .as(Seq("__i", "__x")))
+    val cents = pos.groupBy("__lbl", "__i")
+      .agg(avg(col("__x")).as("__c"))
+      .groupBy(col("__lbl").as("__clbl"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"),
+        col("__c")))), s => s.getField("__c")).as("__cent"))
+    val d = lit(1.0) - graft.functions.VectorFunctions
+      .cosineSimilarity(col("__v"), col("__cent"))
+    val ab = e.join(broadcast(cents))
+      .groupBy("__id", "__lbl")
+      .agg(min(when(col("__clbl") === col("__lbl"), d)).as("__a"),
+        min(when(col("__clbl") =!= col("__lbl"), d)).as("__b"))
+    ab.where(col("__a").isNotNull && col("__b").isNotNull)
+      .select(col("__lbl"), col("__a"), col("__b"),
+        ((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .as("__s"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n"), avg(col("__s")).as("mean_silhouette"),
+        avg(col("__a")).as("mean_own_dist"),
+        avg(col("__b")).as("mean_other_dist"))
+  }
 }

@@ -8244,6 +8244,78 @@ class OpsExtSpec extends AnyFunSuite {
       2.58 / 3.01 * 0.95) < 1e-12)
   }
 
+  test("gainsTable: perfect separation captures everything in the top decile block") {
+    import spark.implicits._
+    // 1000 rows, 100 positives all holding the highest scores
+    val df = (1 to 1000).map(i => (i.toDouble, i > 900)).toDF("s", "y")
+    val g = graft.ops.Evaluation.gainsTable(df, "s", col("y"))
+      .orderBy("decile").collect()
+    assert(g.length == 10)
+    val top = g.head
+    assert(top.getLong(0) == 1L && top.getAs[Long]("n_pos") == 100L)
+    assert(math.abs(top.getAs[Double]("cum_pos_share") - 1.0) < 1e-12)
+    assert(math.abs(top.getAs[Double]("lift") - 10.0) < 1e-9)
+    assert(math.abs(top.getAs[Double]("ks_at") - 1.0) < 1e-12)
+    // the bottom decile closes the cumulative shares at 1
+    assert(math.abs(g.last.getAs[Double]("cum_n_share") - 1.0) < 1e-12)
+    assert(math.abs(g.last.getAs[Double]("ks_at")) < 1e-12)
+    // a useless random-ish score: lift ≈ 1 everywhere
+    val flat = (1 to 1000).map(i => (i.toDouble, i % 10 == 0))
+      .toDF("s", "y")
+    val gf = graft.ops.Evaluation.gainsTable(flat, "s", col("y"))
+      .collect()
+    assert(gf.forall(r => math.abs(r.getAs[Double]("lift") - 1.0) < 0.35))
+  }
+
+  test("simplifiedSilhouette: separated clusters near 1, shuffled labels near 0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def vec(cx: Double, cy: Double) =
+      Array(cx + 0.01 * rng.nextGaussian(), cy + 0.01 * rng.nextGaussian())
+    val tight = (1 to 90).map { i =>
+      val l = i % 3
+      val v = l match {
+        case 0 => vec(1, 0); case 1 => vec(0, 1); case 2 => vec(-1, 0)
+      }
+      (i.toLong, l.toString, v)
+    }.toDF("id", "lbl", "v")
+    val rs = graft.ops.Similarity
+      .simplifiedSilhouette(tight, "id", "lbl", "v").collect()
+    assert(rs.length == 3)
+    rs.foreach(r =>
+      assert(r.getAs[Double]("mean_silhouette") > 0.9, r.toString))
+    // labels independent of geometry: silhouette collapses toward <= 0
+    val shuffled = (1 to 90).map { i =>
+      (i.toLong, (rng.nextInt(3)).toString, vec(1, 0)) }
+      .toDF("id", "lbl", "v")
+    val rsh = graft.ops.Similarity
+      .simplifiedSilhouette(shuffled, "id", "lbl", "v").collect()
+    rsh.foreach(r =>
+      assert(r.getAs[Double]("mean_silhouette") < 0.3, r.toString))
+  }
+
+  test("priceIndices: hand-computed two-item bilateral panel") {
+    import spark.implicits._
+    // item A: p 2→3, q 10→5 ; item B: p 1→1, q 10→20 ; item C only
+    // in base (dropped)
+    val df = Seq(
+      ("a", 10.0, 20.0, true), ("a", 5.0, 15.0, false),
+      ("b", 10.0, 10.0, true), ("b", 20.0, 20.0, false),
+      ("c", 4.0, 8.0, true)).toDF("it", "q", "r", "base")
+    val r = graft.ops.Profiling
+      .priceIndices(df, "it", "q", "r", col("base")).head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_dropped") == 1L)
+    // Laspeyres = (3*10 + 1*10)/(2*10 + 1*10) = 40/30
+    assert(math.abs(r.getAs[Double]("laspeyres") - 40.0 / 30) < 1e-12)
+    // Paasche = (3*5 + 1*20)/(2*5 + 1*20) = 35/30
+    assert(math.abs(r.getAs[Double]("paasche") - 35.0 / 30) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fisher") -
+      math.sqrt(40.0 / 30 * 35.0 / 30)) < 1e-12)
+    // value ratio = (15+20)/(20+10)
+    assert(math.abs(r.getAs[Double]("value_ratio") - 35.0 / 30) < 1e-12)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
