@@ -19101,6 +19101,93 @@ object Queries {
              round(v1 / v0, 6) AS value_ratio
       FROM m"""))
 
+  /** Extended association-rule metric panel on the q163 pairs:
+    * conviction (directional expected-failure ratio), leverage
+    * (additive lift), jaccard (co-basket union share). */
+  private val q494 = Entry(
+    "q494_rule_metrics",
+    (s, d) =>
+      graft.ops.Associations
+        .pairRules(Tables.lineitem(s, d), "l_orderkey", "l_suppkey",
+          minPairCount = 5)
+        .select(col("item_a"), col("item_b"), col("n_pair"),
+          r6(col("conviction_a_b")).as("conviction_a_b"),
+          r6(col("leverage")).as("leverage"),
+          r6(col("jaccard")).as("jaccard"))
+        .orderBy("item_a", "item_b"),
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+                 FROM lineitem),
+      nb AS (SELECT count(DISTINCT bk)::DOUBLE AS n FROM b),
+      ic AS (SELECT it, count(*)::DOUBLE AS ni FROM b GROUP BY 1),
+      pr AS (SELECT l.it AS item_a, r.it AS item_b,
+               count(*)::DOUBLE AS np
+             FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+             GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT item_a, item_b, np::BIGINT AS n_pair,
+             round(CASE WHEN np < a.ni THEN
+               (1 - bb.ni / n) / (1 - np / a.ni) END, 6)
+               AS conviction_a_b,
+             round(np / n - a.ni * bb.ni / (n * n), 6) AS leverage,
+             round(np / (a.ni + bb.ni - np), 6) AS jaccard
+      FROM pr JOIN ic a ON item_a = a.it JOIN ic bb ON item_b = bb.it
+      CROSS JOIN nb
+      ORDER BY item_a, item_b"""))
+
+  /** p-chart of the daily error-event rate: attribute control chart
+    * with per-day √(p̄(1−p̄)/n) limits. */
+  private val q495 = Entry(
+    "q495_p_chart",
+    (s, d) =>
+      graft.ops.Spc.pChart(Tables.events(s, d), "ts",
+          col("event_type") === "error")
+        .select(col("day"), col("n"), col("n_defect"),
+          r6(col("p")).as("p"), r6(col("center")).as("center"),
+          r6(col("ucl")).as("ucl"), r6(col("lcl")).as("lcl"),
+          col("out_of_control"))
+        .orderBy("day"),
+    Some("""
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+              count(*)::DOUBLE AS n,
+              sum(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+                AS dd
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(dd) / sum(n) AS pbar FROM d)
+      SELECT day, n::BIGINT AS n, dd::BIGINT AS n_defect,
+             round(dd / n, 6) AS p, round(pbar, 6) AS center,
+             round(least(pbar + 3 * sqrt(pbar * (1 - pbar) / n), 1), 6)
+               AS ucl,
+             round(greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n), 0), 6)
+               AS lcl,
+             (dd / n > least(pbar + 3 * sqrt(pbar * (1 - pbar) / n), 1)
+              OR dd / n <
+                greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n), 0))
+               AS out_of_control
+      FROM d, t ORDER BY day"""))
+
+  /** c-chart of daily extreme-value incident counts (value > 400)
+    * under Poisson ±3√c̄ limits. */
+  private val q496 = Entry(
+    "q496_c_chart",
+    (s, d) =>
+      graft.ops.Spc.cChart(Tables.events(s, d), "ts",
+          col("value") > 400)
+        .select(col("day"), col("c"), r6(col("center")).as("center"),
+          r6(col("ucl")).as("ucl"), r6(col("lcl")).as("lcl"),
+          col("out_of_control"))
+        .orderBy("day"),
+    Some("""
+      WITH d AS (SELECT CAST(ts AS DATE) AS day,
+              sum(CASE WHEN "value" > 400 THEN 1.0 ELSE 0.0 END) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      t AS (SELECT avg(c) AS cbar FROM d)
+      SELECT day, c::BIGINT AS c, round(cbar, 6) AS center,
+             round(cbar + 3 * sqrt(cbar), 6) AS ucl,
+             round(greatest(cbar - 3 * sqrt(cbar), 0), 6) AS lcl,
+             (c > cbar + 3 * sqrt(cbar) OR
+              c < greatest(cbar - 3 * sqrt(cbar), 0)) AS out_of_control
+      FROM d, t ORDER BY day"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19138,7 +19225,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493)
+    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

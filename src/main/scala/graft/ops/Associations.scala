@@ -68,7 +68,21 @@ object Associations {
         (col("n_pair") / col("__na")).as("conf_a_b"),
         (col("n_pair") / col("__nb2")).as("conf_b_a"),
         (col("n_pair") * col("__nb") / (col("__na") * col("__nb2")))
-          .as("lift"))
+          .as("lift"),
+        // conviction: expected-failure ratio (1−supp(b))/(1−conf(a→b))
+        // — ∞ for exact rules, hence the guard; directional where lift
+        // is symmetric
+        when(col("n_pair") < col("__na"),
+          (lit(1.0) - col("__nb2") / col("__nb")) /
+            (lit(1.0) - col("n_pair") / col("__na")))
+          .as("conviction_a_b"),
+        // leverage: P(a,b) − P(a)P(b), the additive lift
+        (col("n_pair") / col("__nb") -
+          col("__na") * col("__nb2") / (col("__nb") * col("__nb")))
+          .as("leverage"),
+        // jaccard: co-basket share of the union
+        (col("n_pair") /
+          (col("__na") + col("__nb2") - col("n_pair"))).as("jaccard"))
   }
 
   /**

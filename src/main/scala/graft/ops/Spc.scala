@@ -129,6 +129,62 @@ object Spc {
   }
 
   /**
+   * p-chart: the ATTRIBUTE control chart for daily defect PROPORTIONS
+   * (error-event rate, null rate, failed-check rate) — center p̄ =
+   * total defects / total rows, limits p̄ ± `sigmas`·√(p̄(1−p̄)/n_t)
+   * clamped to [0, 1]. Fully declarative: one conditional day-frame
+   * pass + a 1-row totals broadcast. Returns one row per day:
+   * (day, n, n_defect, p, center, ucl, lcl, out_of_control).
+   */
+  def pChart(df: DataFrame, tsCol: String, defect: Column,
+      sigmas: Double = 3.0): DataFrame = {
+    require(sigmas > 0, "pChart: sigmas > 0")
+    val d = when(defect, 1.0).otherwise(0.0)
+    val days = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__t"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(d).as("__d"))
+      .localCheckpoint() // day frame feeds totals AND the readout
+    val tot = broadcast(days.agg(
+      (sum(col("__d")) / sum(col("__n"))).as("__pbar")))
+    val half = lit(sigmas) *
+      sqrt(col("__pbar") * (lit(1.0) - col("__pbar")) / col("__n"))
+    val ucl = least(col("__pbar") + half, lit(1.0))
+    val lcl = greatest(col("__pbar") - half, lit(0.0))
+    days.crossJoin(tot).select(
+      col("__t").as("day"), col("__n").cast("long").as("n"),
+      col("__d").cast("long").as("n_defect"),
+      (col("__d") / col("__n")).as("p"), col("__pbar").as("center"),
+      ucl.as("ucl"), lcl.as("lcl"),
+      (col("__d") / col("__n") > ucl || col("__d") / col("__n") < lcl)
+        .as("out_of_control"))
+  }
+
+  /**
+   * c-chart: the attribute chart for daily defect COUNTS under a
+   * Poisson model — center c̄ = mean daily count, limits
+   * c̄ ± `sigmas`·√c̄ (lcl clamped at 0). The right chart when the
+   * opportunity size per day is constant-ish and you track raw
+   * incident counts. Returns one row per day:
+   * (day, c, center, ucl, lcl, out_of_control).
+   */
+  def cChart(df: DataFrame, tsCol: String, defect: Column,
+      sigmas: Double = 3.0): DataFrame = {
+    require(sigmas > 0, "cChart: sigmas > 0")
+    val days = df.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__t"))
+      .agg(sum(when(defect, 1.0).otherwise(0.0)).as("__c"))
+      .localCheckpoint()
+    val tot = broadcast(days.agg(avg(col("__c")).as("__cbar")))
+    val ucl = col("__cbar") + lit(sigmas) * sqrt(col("__cbar"))
+    val lcl = greatest(col("__cbar") - lit(sigmas) * sqrt(col("__cbar")),
+      lit(0.0))
+    days.crossJoin(tot).select(
+      col("__t").as("day"), col("__c").cast("long").as("c"),
+      col("__cbar").as("center"), ucl.as("ucl"), lcl.as("lcl"),
+      (col("__c") > ucl || col("__c") < lcl).as("out_of_control"))
+  }
+
+  /**
    * Process capability against spec limits [lsl, usl]: Cp =
    * (USL−LSL)/6σ̂ (potential), Cpk = min(USL−μ, μ−LSL)/3σ̂ (actual,
    * penalizes off-center), plus the OBSERVED out-of-spec fraction —

@@ -8316,6 +8316,50 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("value_ratio") - 35.0 / 30) < 1e-12)
   }
 
+  test("pairRules extended metrics: independence baseline and exact-rule guard") {
+    import spark.implicits._
+    // 4 baskets: {1,2} twice, {1} once, {2} once → P(1)=P(2)=3/4,
+    // P(1,2)=1/2; conf(1→2)=2/3
+    val df = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (13L, 2L)).toDF("bk", "it")
+    val r = graft.ops.Associations
+      .pairRules(df, "bk", "it", minPairCount = 1).head
+    assert(math.abs(r.getAs[Double]("leverage") -
+      (0.5 - 0.75 * 0.75)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("jaccard") - 2.0 / 4) < 1e-12)
+    // conviction(1→2) = (1 − 3/4)/(1 − 2/3) = 0.75
+    assert(math.abs(r.getAs[Double]("conviction_a_b") - 0.75) < 1e-12)
+    // exact rule a ⇒ b: conviction undefined → NULL, not a div error
+    val exact = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L))
+      .toDF("bk", "it")
+    val re = graft.ops.Associations
+      .pairRules(exact, "bk", "it", minPairCount = 1).head
+    assert(re.isNullAt(re.fieldIndex("conviction_a_b")))
+  }
+
+  test("attribute charts: stable rates quiet, burst day flagged on both p- and c-chart") {
+    import spark.implicits._
+    val rng = new scala.util.Random(27)
+    // 29 days at ~5% defect rate over 200 rows, day 30 bursts to 30%
+    val rows = (0 until 30).flatMap { day =>
+      val rate = if (day == 29) 0.3 else 0.05
+      (1 to 200).map(_ => (java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, 8, 0)
+          .plusDays(day.toLong)), rng.nextDouble() < rate))
+    }.toDF("ts", "bad")
+    val p = graft.ops.Spc.pChart(rows, "ts", col("bad"))
+      .orderBy("day").collect()
+    assert(p.length == 30)
+    assert(p.take(29).count(_.getAs[Boolean]("out_of_control")) <= 1)
+    assert(p.last.getAs[Boolean]("out_of_control"))
+    assert(p.forall(r => r.getAs[Double]("lcl") >= 0 &&
+      r.getAs[Double]("ucl") <= 1))
+    val c = graft.ops.Spc.cChart(rows, "ts", col("bad"))
+      .orderBy("day").collect()
+    assert(c.last.getAs[Boolean]("out_of_control"))
+    assert(c.take(29).count(_.getAs[Boolean]("out_of_control")) <= 1)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
