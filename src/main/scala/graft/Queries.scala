@@ -19188,6 +19188,101 @@ object Queries {
               c < greatest(cbar - 3 * sqrt(cbar), 0)) AS out_of_control
       FROM d, t ORDER BY day"""))
 
+  /** Empirical-Bayes beta-binomial shrinkage of per-segment
+    * high-value rates: MoM Beta prior from the observed rate spread,
+    * posterior-mean smoothing of the 50 user segments. */
+  private val q497 = Entry(
+    "q497_eb_rates",
+    (s, d) =>
+      AnalysisPlanner.ebBetaBinomialRates(
+          Tables.events(s, d).withColumn("seg", col("user_id") % 50),
+          "seg", col("value") > 300)
+        .select(col("group_name"), col("n"), col("successes"),
+          r6(col("raw_rate")).as("raw_rate"), r6(col("alpha")).as("alpha"),
+          r6(col("beta")).as("beta"),
+          r6(col("shrunk_rate")).as("shrunk_rate"))
+        .orderBy("group_name"),
+    Some("""
+      WITH g AS (SELECT (user_id % 50)::VARCHAR AS gn,
+              count(*)::DOUBLE AS n,
+              sum(CASE WHEN "value" > 300 THEN 1.0 ELSE 0.0 END) AS x
+            FROM events GROUP BY 1),
+      p AS (SELECT count(*) AS k, avg(x / n) AS pm,
+              var_samp(x / n) AS pv
+            FROM g),
+      m AS (SELECT pm, CASE WHEN k > 1 AND pv > 0
+                  THEN pm * (1 - pm) / pv - 1 END AS mm
+            FROM p)
+      SELECT gn AS group_name, n::BIGINT AS n, x::BIGINT AS successes,
+             round(x / n, 6) AS raw_rate,
+             round(CASE WHEN mm > 0 THEN pm * mm END, 6) AS alpha,
+             round(CASE WHEN mm > 0 THEN (1 - pm) * mm END, 6) AS beta,
+             round(CASE WHEN mm > 0 THEN (pm * mm + x) / (mm + n)
+                   ELSE x / n END, 6) AS shrunk_rate
+      FROM g, m ORDER BY group_name"""))
+
+  /** Chapman capture–recapture: estimate the distinct-user population
+    * from the overlap of the two month halves — the dedup/traffic
+    * audit estimator, checked against the observed union. */
+  private val q498 = Entry(
+    "q498_capture_recapture",
+    (s, d) =>
+      graft.ops.Sampling.captureRecapture(Tables.events(s, d),
+          "user_id",
+          col("ts") < lit("2024-01-16").cast("timestamp"),
+          col("ts") >= lit("2024-01-16").cast("timestamp"))
+        .select(col("n_a"), col("n_b"), col("n_overlap"),
+          col("n_observed"), r6(col("chapman")).as("chapman"),
+          r6(col("se")).as("se")),
+    Some("""
+      WITH per AS (SELECT user_id,
+              max(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 1.0 ELSE 0.0 END) AS a,
+              max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN 1.0 ELSE 0.0 END) AS b
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      f AS (SELECT * FROM per WHERE a > 0 OR b > 0),
+      s AS (SELECT sum(a) AS n1, sum(b) AS n2, sum(a * b) AS m,
+              count(*)::BIGINT AS no
+            FROM f)
+      SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+             m::BIGINT AS n_overlap, no AS n_observed,
+             round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6) AS chapman,
+             round(sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) /
+               ((m + 1) * (m + 1) * (m + 2))), 6) AS se
+      FROM s"""))
+
+  /** Good–Turing unseen-mass + Chao1 vocabulary-richness estimates
+    * from the corpus frequency-of-frequencies profile. */
+  private val q499 = Entry(
+    "q499_vocab_richness",
+    (s, d) =>
+      graft.ops.TextAnalysis.vocabRichness(Tables.documents(s, d),
+          "text")
+        .select(col("n_tokens"), col("vocab"), col("singletons"),
+          col("doubletons"), r6(col("p_unseen")).as("p_unseen"),
+          r6(col("coverage")).as("coverage"),
+          r6(col("chao1")).as("chao1")),
+    Some("""
+      WITH tf AS (SELECT w, count(*)::DOUBLE AS c
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w
+                        FROM documents WHERE text IS NOT NULL)
+                  WHERE w <> '' GROUP BY 1)
+      SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS singletons,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT
+               AS doubletons,
+             round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END) / sum(c), 6)
+               AS p_unseen,
+             round(1 - sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END) /
+               sum(c), 6) AS coverage,
+             round(count(*) +
+               power(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0 END), 2) /
+               (2 * sum(CASE WHEN c = 2 THEN 1.0 ELSE 0 END)), 6)
+               AS chao1
+      FROM tf"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19225,7 +19320,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496)
+    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -6006,6 +6006,50 @@ object AnalysisPlanner {
   }
 
   /**
+   * Empirical-Bayes beta-binomial shrinkage of per-group RATES — the
+   * proportion-space sibling of [[jamesSteinMeans]] (CTR/conversion
+   * smoothing): a method-of-moments Beta(α, β) prior fits the
+   * observed spread of group rates (α+β = p̄(1−p̄)/s² − 1 from the
+   * unweighted group-rate mean/variance), and each group's posterior
+   * mean (α + x_g)/(α + β + n_g) pulls small groups toward the pool
+   * in proportion to their own noise — the standard fix for "3-click
+   * segments top every CTR leaderboard". Degenerate inputs (≤1 group,
+   * zero spread, or an overdispersion-free s² making α+β ≤ 0) fall
+   * back to the raw rate with NULL prior columns. Returns one row per
+   * group: (group_name, n, successes, raw_rate, alpha, beta,
+   * shrunk_rate).
+   *
+   * Scale shape: one conditional corpus pass to the ≤k-row group
+   * frame, one 1-row prior reduce broadcast back.
+   */
+  def ebBetaBinomialRates(df: DataFrame, groupCol: String,
+      success: Column): DataFrame = {
+    val s1 = when(success, 1.0).otherwise(0.0)
+    val g = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group_name"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(s1).as("__x"))
+      .localCheckpoint() // prior reduce + join-back reuse one reduction
+    val prior = broadcast(g
+      .select(col("__x") / col("__n") as "__p")
+      .agg(count(lit(1)).as("__k"), avg(col("__p")).as("__pm"),
+        var_samp(col("__p")).as("__pv"))
+      .select(col("__k"), col("__pm"),
+        when(col("__k") > 1 && col("__pv") > 0,
+          col("__pm") * (lit(1.0) - col("__pm")) / col("__pv") - 1)
+          .as("__m")))
+    val ok = col("__m").isNotNull && col("__m") > 0
+    g.crossJoin(prior)
+      .select(col("group_name"), col("__n").cast("long").as("n"),
+        col("__x").cast("long").as("successes"),
+        (col("__x") / col("__n")).as("raw_rate"),
+        when(ok, col("__pm") * col("__m")).as("alpha"),
+        when(ok, (lit(1.0) - col("__pm")) * col("__m")).as("beta"),
+        when(ok, (col("__pm") * col("__m") + col("__x")) /
+          (col("__m") + col("__n")))
+          .otherwise(col("__x") / col("__n")).as("shrunk_rate"))
+  }
+
+  /**
    * V-measure clustering-agreement panel — the entropy-based
    * companion to [[clusterAgreement]]'s pair counting: homogeneity
    * h = 1 − H(A|B)/H(A) (each B-cluster holds one A-class),

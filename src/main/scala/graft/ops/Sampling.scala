@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -525,5 +525,35 @@ object Sampling {
     }
     w.select(col("a"), col("b"), col("n").cast("long").as("n"),
       col("w").as("weight"))
+  }
+  /**
+   * Chapman capture–recapture estimate of a POPULATION size from two
+   * overlapping samples — "how many distinct users/docs/entities are
+   * there really, given two partial captures": N̂ = (n₁+1)(n₂+1)/(m+1)
+   * − 1 with the standard variance estimate, where m is the overlap.
+   * The classic ecology estimator reads directly onto dedup audits
+   * (two crawls' overlap → total distinct docs) and traffic
+   * estimation (two samplers' overlap → total distinct users).
+   * Returns ONE row: (n_a, n_b, n_overlap, n_observed, chapman, se).
+   *
+   * Scale shape: one groupBy(id) pass collapses the corpus to
+   * per-entity capture flags, one 1-row reduce — no joins.
+   */
+  def captureRecapture(df: DataFrame, idCol: String, sampleA: Column,
+      sampleB: Column): DataFrame = {
+    val per = df.where(col(idCol).isNotNull)
+      .groupBy(col(idCol).as("__id"))
+      .agg(max(when(sampleA, 1.0).otherwise(0.0)).as("__a"),
+        max(when(sampleB, 1.0).otherwise(0.0)).as("__b"))
+      .where(col("__a") > 0 || col("__b") > 0)
+    val n1 = sum(col("__a"))
+    val n2 = sum(col("__b"))
+    val m = sum(col("__a") * col("__b"))
+    per.agg(n1.cast("long").as("n_a"), n2.cast("long").as("n_b"),
+        m.cast("long").as("n_overlap"),
+        count(lit(1)).as("n_observed"),
+        ((n1 + 1) * (n2 + 1) / (m + 1) - 1).as("chapman"),
+        sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) /
+          ((m + 1) * (m + 1) * (m + 2))).as("se"))
   }
 }

@@ -1704,4 +1704,37 @@ object TextAnalysis {
         exp(col("__h")).as("hill_q1"),
         when(col("__l") > 0, lit(1.0) / col("__l")).as("hill_q2"))
   }
+  /**
+   * Vocabulary-richness estimators from the frequency-of-frequencies
+   * profile — "how much of this corpus's vocabulary have we actually
+   * seen": Good–Turing's unseen-mass estimate P₀ ≈ n₁/N (the
+   * singleton share of tokens) and the Chao1 richness floor
+   * V + n₁²/(2n₂) (how many types a larger crawl would reveal), the
+   * standard pre-scaling answer to "is more data still buying new
+   * vocabulary". Whitespace tokens, matching the corpus token ops.
+   * Returns ONE row: (n_tokens, vocab, singletons, doubletons,
+   * p_unseen, coverage, chao1).
+   *
+   * Scale shape: token counts (one shuffle), then the KB-sized
+   * frequency-of-frequencies reduction — never a second corpus pass.
+   */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    tf.agg(sum(col("__c")).cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__v"),
+        sum(when(col("__c") === 1, 1.0).otherwise(0.0)).as("__n1"),
+        sum(when(col("__c") === 2, 1.0).otherwise(0.0)).as("__n2"))
+      .select(col("__n").cast("long").as("n_tokens"),
+        col("__v").cast("long").as("vocab"),
+        col("__n1").cast("long").as("singletons"),
+        col("__n2").cast("long").as("doubletons"),
+        (col("__n1") / col("__n")).as("p_unseen"),
+        (lit(1.0) - col("__n1") / col("__n")).as("coverage"),
+        when(col("__n2") > 0,
+          col("__v") + col("__n1") * col("__n1") / (col("__n2") * 2))
+          .as("chao1"))
+  }
 }

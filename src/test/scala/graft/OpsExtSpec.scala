@@ -8360,6 +8360,69 @@ class OpsExtSpec extends AnyFunSuite {
     assert(c.take(29).count(_.getAs[Boolean]("out_of_control")) <= 1)
   }
 
+  test("ebBetaBinomialRates: small groups shrink toward pool, degenerate input falls back") {
+    import spark.implicits._
+    val rng = new scala.util.Random(33)
+    // 20 groups at true rate ~0.3 with n=500, one tiny group with 3/3
+    val rows = (1 to 20).flatMap(g => (1 to 500).map(_ =>
+      (s"g$g", rng.nextDouble() < 0.3))) ++
+      (1 to 3).map(_ => ("tiny", true))
+    val df = rows.toDF("g", "s")
+    val r = graft.analysis.AnalysisPlanner
+      .ebBetaBinomialRates(df, "g", col("s"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val tiny = r("tiny")
+    assert(tiny.getAs[Double]("raw_rate") == 1.0)
+    // 3/3 pulled hard toward the ~0.3 pool
+    assert(tiny.getAs[Double]("shrunk_rate") < 0.7)
+    // big groups barely move
+    val big = r("g1")
+    assert(math.abs(big.getAs[Double]("shrunk_rate") -
+      big.getAs[Double]("raw_rate")) < 0.05)
+    // shrinkage is toward the prior mean from BOTH sides
+    assert(tiny.getAs[Double]("shrunk_rate") <
+      tiny.getAs[Double]("raw_rate"))
+    // degenerate: one group → NULL prior, raw rate back
+    val one = (1 to 10).map(i => ("only", i % 2 == 0)).toDF("g", "s")
+    val ro = graft.analysis.AnalysisPlanner
+      .ebBetaBinomialRates(one, "g", col("s")).head
+    assert(ro.isNullAt(ro.fieldIndex("alpha")))
+    assert(ro.getAs[Double]("shrunk_rate") ==
+      ro.getAs[Double]("raw_rate"))
+  }
+
+  test("captureRecapture: closed-population estimate recovers the truth") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    // 1000 true individuals; two independent captures at p=0.5
+    val rows = (1 to 1000).flatMap { id =>
+      val a = rng.nextDouble() < 0.5
+      val b = rng.nextDouble() < 0.5
+      (if (a) Seq((id.toLong, "a")) else Nil) ++
+        (if (b) Seq((id.toLong, "b")) else Nil)
+    }.toDF("id", "cap")
+    val r = graft.ops.Sampling
+      .captureRecapture(rows, "id", col("cap") === "a",
+        col("cap") === "b").head
+    val est = r.getAs[Double]("chapman")
+    assert(math.abs(est - 1000) < 4 * r.getAs[Double]("se"))
+    assert(r.getAs[Long]("n_observed") <= 1000L)
+    assert(r.getAs[Long]("n_overlap") > 150L)
+  }
+
+  test("vocabRichness: hand-computed frequency-of-frequencies") {
+    import spark.implicits._
+    // tokens: a a a b b c d → N=7, V=4, n1=2 (c,d), n2=1 (b)
+    val df = Seq("a a a b", "b c d").map(Tuple1(_)).toDF("text")
+    val r = graft.ops.TextAnalysis.vocabRichness(df, "text").head
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("singletons") == 2L)
+    assert(r.getAs[Long]("doubletons") == 1L)
+    assert(math.abs(r.getAs[Double]("p_unseen") - 2.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chao1") - (4 + 4.0 / 2)) < 1e-12)
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
