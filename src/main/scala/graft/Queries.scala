@@ -19283,6 +19283,81 @@ object Queries {
                AS chao1
       FROM tf"""))
 
+  /** GPD peaks-over-threshold fit above the exact p95 of event value:
+    * MoM ξ/σ + observation-horizon return levels — the every-extreme
+    * EVT companion to q461's Gumbel block maxima. */
+  private val q500 = Entry(
+    "q500_gpd_pot",
+    (s, d) =>
+      graft.ops.TimeSeries.gpdPotFit(Tables.events(s, d), "value",
+          thresholdQ = 0.95, returnPeriods = Seq(1000, 10000, 100000))
+        .select(col("t_period"), r6(col("threshold")).as("threshold"),
+          col("n_exceed"), r6(col("exceed_rate")).as("exceed_rate"),
+          r6(col("xi")).as("xi"), r6(col("sigma")).as("sigma"),
+          r6(col("return_level")).as("return_level"))
+        .orderBy("t_period"),
+    Some("""
+      WITH b AS (SELECT "value"::DOUBLE AS x FROM events
+                 WHERE "value" IS NOT NULL),
+      u AS (SELECT quantile_disc(x, 0.95) AS uu FROM b),
+      m AS (SELECT count(*)::DOUBLE AS n,
+              sum(CASE WHEN x > uu THEN 1.0 ELSE 0 END) AS ne,
+              avg(CASE WHEN x > uu THEN x - uu END) AS mm,
+              var_samp(CASE WHEN x > uu THEN x - uu END) AS s2
+            FROM b, u),
+      p AS (SELECT uu, n, ne, mm, s2, mm * mm / s2 AS r FROM m, u)
+      SELECT t AS t_period, round(uu, 6) AS threshold,
+             ne::BIGINT AS n_exceed, round(ne / n, 6) AS exceed_rate,
+             round((1 - r) / 2, 6) AS xi,
+             round(mm * (r + 1) / 2, 6) AS sigma,
+             round(CASE WHEN abs((1 - r) / 2) > 1e-9
+               THEN uu + (mm * (r + 1) / 2) / ((1 - r) / 2) *
+                 (power(ne / n * t, (1 - r) / 2) - 1)
+               ELSE uu + mm * (r + 1) / 2 * ln(ne / n * t) END, 6)
+               AS return_level
+      FROM (SELECT unnest([1000, 10000, 100000]) AS t), p
+      ORDER BY t_period"""))
+
+  /** Post-stratification of event value to a declared event-type mix:
+    * per-stratum reweighting, post-stratified mean, and Kish ESS
+    * pricing the variance cost. */
+  private val q501 = Entry(
+    "q501_post_stratify",
+    (s, d) =>
+      graft.ops.Sampling.postStratify(Tables.events(s, d),
+          "event_type", "value",
+          Map("click" -> 0.3, "view" -> 0.3, "purchase" -> 0.2,
+            "signup" -> 0.1, "error" -> 0.1))
+        .select(col("n"), col("n_used"), col("n_strata"),
+          r6(col("raw_mean")).as("raw_mean"),
+          r6(col("post_mean")).as("post_mean"), r6(col("ess")).as("ess")),
+    Some("""
+      WITH g AS (SELECT event_type AS gg, count(*)::DOUBLE AS n,
+              sum("value") AS s
+            FROM events
+            WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1),
+      tm AS (SELECT gg, n, s,
+               CASE gg WHEN 'click' THEN 0.3 WHEN 'view' THEN 0.3
+                 WHEN 'purchase' THEN 0.2 WHEN 'signup' THEN 0.1
+                 WHEN 'error' THEN 0.1 END AS t
+             FROM g),
+      tt AS (SELECT sum(n) AS tn, sum(s) AS ts FROM g),
+      w AS (SELECT tm.*, tn, ts, t / (n / tn) AS wt FROM tm, tt)
+      SELECT max(tn)::BIGINT AS n,
+             sum(CASE WHEN t IS NOT NULL THEN n ELSE 0 END)::BIGINT
+               AS n_used,
+             sum(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_strata,
+             round(max(ts) / max(tn), 6) AS raw_mean,
+             round(sum(CASE WHEN t IS NOT NULL THEN t * s / n END), 6)
+               AS post_mean,
+             round(power(sum(CASE WHEN t IS NOT NULL
+                 THEN wt * n END), 2) /
+               sum(CASE WHEN t IS NOT NULL THEN wt * wt * n END), 6)
+               AS ess
+      FROM w"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19320,7 +19395,7 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499)
+    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

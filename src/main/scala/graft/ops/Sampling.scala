@@ -556,4 +556,49 @@ object Sampling {
         sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) /
           ((m + 1) * (m + 1) * (m + 2))).as("se"))
   }
+  /**
+   * Post-stratification reweighting: adjust a sample whose stratum
+   * mix drifted from the population's — the survey-statistics fix
+   * that also reads directly onto "my logged traffic over-represents
+   * power users". Each stratum's rows get weight target_share /
+   * observed_share; the post-stratified mean is Σ_g target_g·mean_g,
+   * and Kish's effective sample size (Σw)²/Σw² prices the variance
+   * cost of the reweighting. Strata absent from `targetShares` are
+   * DROPPED and counted (they have no defined weight). Returns ONE
+   * row: (n, n_used, n_strata, raw_mean, post_mean, ess).
+   *
+   * Scale shape: one grouped pass to the ≤k-row stratum frame;
+   * everything else is algebra on the reduction (weights never touch
+   * rows — w is constant within a stratum, so Σw = Σ_g w_g·n_g and
+   * Σw² = Σ_g w_g²·n_g exactly).
+   */
+  def postStratify(df: DataFrame, stratumCol: String, valueCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "postStratify: no target shares")
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      "postStratify: target shares must sum to 1")
+    val x = col(valueCol).cast("double")
+    val tgt = targetShares.foldLeft(lit(null).cast("double")) {
+      case (e, (k, v)) =>
+        when(col("__g") === k, lit(v)).otherwise(e)
+    }
+    val g = df.where(x.isNotNull && col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum(x).as("__s"))
+      .withColumn("__t", tgt)
+    val tot = broadcast(g.agg(sum(col("__n")).as("__tn"),
+      sum(col("__s")).as("__ts")))
+    g.crossJoin(tot)
+      .withColumn("__w", col("__t") / (col("__n") / col("__tn")))
+      .agg(max(col("__tn")).cast("long").as("n"),
+        sum(when(col("__t").isNotNull, col("__n")).otherwise(0.0))
+          .cast("long").as("n_used"),
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_strata"),
+        (max(col("__ts")) / max(col("__tn"))).as("raw_mean"),
+        sum(when(col("__t").isNotNull,
+          col("__t") * col("__s") / col("__n"))).as("post_mean"),
+        (pow(sum(when(col("__t").isNotNull, col("__w") * col("__n"))), 2.0) /
+          sum(when(col("__t").isNotNull,
+            col("__w") * col("__w") * col("__n")))).as("ess"))
+  }
 }

@@ -1780,6 +1780,58 @@ object TimeSeries {
    * Scale shape: one groupBy(day) max, one 1-row moments reduce, the
    * bounded T list cross-joined on literals.
    */
+  /**
+   * Generalized-Pareto peaks-over-threshold fit — the EVT companion
+   * to [[gumbelBlockMaxima]] that uses EVERY extreme observation, not
+   * one per block: exceedances y = x − u over the exact-DISC
+   * `thresholdQ` quantile follow GPD(ξ, σ), fit by the method of
+   * moments (ξ = ½(1 − m²/s²), σ = ½m(m²/s² + 1)) — deterministic,
+   * no likelihood iteration. Return levels per `returnPeriods`
+   * observations: x_T = u + σ/ξ·((λT)^ξ − 1) with λ the exceedance
+   * rate (ξ → 0 degenerates to the exponential form u + σ·ln(λT),
+   * guarded). Returns one row per period:
+   * (t_period, threshold, n_exceed, exceed_rate, xi, sigma,
+   * return_level).
+   *
+   * Scale shape: one value-count pass for the threshold
+   * ([[graft.analysis.AnalysisPlanner.exactPercentilesDisc]]), one
+   * conditional moments pass over the exceedances, the bounded period
+   * list cross-joined on literals.
+   */
+  def gpdPotFit(df: DataFrame, valueCol: String,
+      thresholdQ: Double = 0.95,
+      returnPeriods: Seq[Int] = Seq(1000, 10000, 100000)): DataFrame = {
+    require(thresholdQ > 0 && thresholdQ < 1, "gpdPotFit: q in (0,1)")
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
+      "gpdPotFit: return periods >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull).select(x.as("__x"))
+      .localCheckpoint() // threshold probe + moments share one frame
+    val u = graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(base, "__x", Seq("__u" -> thresholdQ), Nil)
+      .head().getAs[Double]("__u")
+    val y = col("__x") - lit(u)
+    val mom = base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(when(col("__x") > u, 1.0).otherwise(0.0)).as("__ne"),
+      avg(when(col("__x") > u, y)).as("__m"),
+      var_samp(when(col("__x") > u, y)).as("__s2"))
+    val r = col("__m") * col("__m") / col("__s2")
+    val xi = (lit(1.0) - r) / 2
+    val sigma = col("__m") * (r + 1) / 2
+    val lam = col("__ne") / col("__n")
+    returnPeriods.toDF("t_period").crossJoin(broadcast(mom))
+      .select(col("t_period"), lit(u).as("threshold"),
+        col("__ne").cast("long").as("n_exceed"),
+        lam.as("exceed_rate"), xi.as("xi"), sigma.as("sigma"),
+        when(abs(xi) > 1e-9, lit(u) + sigma / xi *
+          (pow(lam * col("t_period"), xi) - 1))
+          .otherwise(lit(u) + sigma * log(lam * col("t_period")))
+          .as("return_level"))
+      .orderBy("t_period")
+  }
+
   def gumbelBlockMaxima(df: DataFrame, tsCol: String, valueCol: String,
       returnPeriods: Seq[Int] = Seq(30, 90, 365)): DataFrame = {
     require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),

@@ -8423,6 +8423,48 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("chao1") - (4 + 4.0 / 2)) < 1e-12)
   }
 
+  test("gpdPotFit: exponential tail → xi near 0, return levels grow with horizon") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    // exponential(1) tail: GPD xi = 0 exactly in the limit
+    val df = (1 to 20000).map(_ => Tuple1(-math.log(rng.nextDouble())))
+      .toDF("v")
+    val r = graft.ops.TimeSeries
+      .gpdPotFit(df, "v", 0.9, Seq(1000, 10000)).orderBy("t_period")
+      .collect()
+    assert(r.length == 2)
+    assert(math.abs(r(0).getAs[Double]("xi")) < 0.15)
+    assert(r(0).getAs[Double]("sigma") > 0.7 &&
+      r(0).getAs[Double]("sigma") < 1.3) // exp(1) sigma = 1
+    assert(r(1).getAs[Double]("return_level") >
+      r(0).getAs[Double]("return_level"))
+    assert(r(0).getAs[Long]("n_exceed") > 1500L)
+  }
+
+  test("postStratify: reweighting corrects a biased mix exactly; ESS <= n_used") {
+    import spark.implicits._
+    // stratum a (value 10) over-sampled 4:1 vs b (value 20); the true
+    // population is 50/50 → post mean must be exactly 15
+    val df = ((1 to 800).map(_ => ("a", 10.0)) ++
+      (1 to 200).map(_ => ("b", 20.0))).toDF("g", "v")
+    val r = graft.ops.Sampling
+      .postStratify(df, "g", "v", Map("a" -> 0.5, "b" -> 0.5)).head
+    assert(math.abs(r.getAs[Double]("raw_mean") - 12.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("post_mean") - 15.0) < 1e-12)
+    assert(r.getAs[Double]("ess") <= 1000.0)
+    assert(r.getAs[Double]("ess") > 400.0)
+    // an unmapped stratum is dropped and counted out of n_used
+    val extra = df.union(Seq(("c", 99.0)).toDF("g", "v"))
+    val r2 = graft.ops.Sampling
+      .postStratify(extra, "g", "v", Map("a" -> 0.5, "b" -> 0.5)).head
+    assert(r2.getAs[Long]("n_used") == 1000L)
+    assert(r2.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(r2.getAs[Double]("post_mean") - 15.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.postStratify(df, "g", "v", Map("a" -> 0.7))
+    }
+  }
+
   test("holtLinear: > 4000-day series fails loudly instead of truncating") {
     import spark.implicits._
     val rows = (0 until 4001).map(d => Tuple1(java.sql.Timestamp.valueOf(
