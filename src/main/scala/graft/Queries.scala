@@ -18924,20 +18924,21 @@ object Queries {
       ORDER BY h"""))
 
   /** Croston's intermittent-demand forecast on rare high-value
-    * events (daily count of value > 450): demand-size and interval
+    * events (daily count of value > 300): demand-size and interval
     * smoothers + SBA bias-corrected rate. */
   private val q490 = Entry(
     "q490_croston",
     (s, d) =>
       graft.ops.TimeSeries.croston(Tables.events(s, d), "ts",
-          col("value") > 450, alpha = 0.1)
+          col("value") > 300, alpha = 0.1)
         .select(col("n_days"), col("n_demand_days"),
           r6(col("z_hat")).as("z_hat"), r6(col("p_hat")).as("p_hat"),
           r6(col("forecast")).as("forecast"),
           r6(col("forecast_sba")).as("forecast_sba")),
     Some("""
       WITH RECURSIVE days AS (SELECT CAST(ts AS DATE) AS day,
-              sum(CASE WHEN "value" > 450 THEN 1.0 ELSE 0.0 END) AS y
+              sum(CASE WHEN "value" > 300
+                THEN 1.0 ELSE 0.0 END)::DOUBLE AS y
             FROM events WHERE ts IS NOT NULL GROUP BY 1),
       seq AS (SELECT row_number() OVER (ORDER BY day) AS i, y
               FROM days),
