@@ -19359,6 +19359,296 @@ object Queries {
                AS ess
       FROM w"""))
 
+  /** Drawdown profile of each event type's daily-value curve treated
+    * as a level series: running-peak drawdown, longest underwater
+    * spell, underwater fraction. Daily sums are rounded to 6 decimals
+    * on BOTH engines before the peak comparison so float summation
+    * order can't flip a flag. */
+  private val q502 = Entry(
+    "q502_drawdown",
+    (s, d) =>
+      graft.ops.Risk.drawdown(Tables.events(s, d), "event_type", "ts",
+          "value")
+        .select(col("event_type"), col("n_days"),
+          r6(col("peak_value")).as("peak_value"),
+          r6(col("max_drawdown")).as("max_drawdown"),
+          col("longest_underwater"),
+          r6(col("frac_underwater")).as("frac_underwater"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                   round(sum("value"), 6) AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      r AS (SELECT g, day, v, max(v) OVER (PARTITION BY g ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS rm FROM d),
+      f AS (SELECT g, day, v, rm,
+              CASE WHEN rm > 0 THEN 1 - v / rm ELSE 0 END AS dd,
+              CASE WHEN v >= rm THEN 1 ELSE 0 END AS pk FROM r),
+      i AS (SELECT *, sum(pk) OVER (PARTITION BY g ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+      runs AS (SELECT g, isl, sum(1 - pk) AS uw FROM i GROUP BY 1, 2),
+      mu AS (SELECT g, max(uw) AS lu FROM runs GROUP BY 1)
+      SELECT i.g AS event_type, count(*)::BIGINT AS n_days,
+             round(max(v), 6) AS peak_value,
+             round(max(dd), 6) AS max_drawdown,
+             max(mu.lu)::BIGINT AS longest_underwater,
+             round(avg(1.0 - pk), 6) AS frac_underwater
+      FROM i JOIN mu ON mu.g = i.g GROUP BY 1 ORDER BY 1"""))
+
+  /** Risk-adjusted daily-return panel per event type: Sharpe, Sortino
+    * (full-sample downside deviation), win rate, best/worst day — the
+    * equity-curve companion to q502's level-series drawdown. */
+  private val q503 = Entry(
+    "q503_risk_adjusted",
+    (s, d) =>
+      graft.ops.Risk.riskAdjusted(Tables.events(s, d), "event_type",
+          "ts", "value")
+        .select(col("event_type"), col("n_ret"),
+          r6(col("mean_ret")).as("mean_ret"),
+          r6(col("sd_ret")).as("sd_ret"),
+          r6(col("downside_dev")).as("downside_dev"),
+          r6(col("win_rate")).as("win_rate"),
+          r6(col("best_day")).as("best_day"),
+          r6(col("worst_day")).as("worst_day"),
+          r6(col("sharpe")).as("sharpe"),
+          r6(col("sortino")).as("sortino"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                   round(sum("value"), 6) AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      l AS (SELECT g, day, v, lag(v) OVER (PARTITION BY g ORDER BY day)
+              AS pv FROM d),
+      x AS (SELECT g, round(v / pv - 1, 6) AS r FROM l WHERE pv > 0),
+      a AS (SELECT g, count(*)::BIGINT AS n_ret, avg(r) AS m,
+              stddev_samp(r) AS sd,
+              sqrt(avg(CASE WHEN r < 0 THEN r * r ELSE 0 END)) AS dd,
+              avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END) AS wr,
+              max(r) AS best, min(r) AS worst
+            FROM x GROUP BY 1)
+      SELECT g AS event_type, n_ret, round(m, 6) AS mean_ret,
+             round(sd, 6) AS sd_ret, round(dd, 6) AS downside_dev,
+             round(wr, 6) AS win_rate, round(best, 6) AS best_day,
+             round(worst, 6) AS worst_day,
+             round(CASE WHEN sd > 0 THEN m / sd END, 6) AS sharpe,
+             round(CASE WHEN dd > 0 THEN m / dd END, 6) AS sortino
+      FROM a ORDER BY 1"""))
+
+  /** In-sample 95% VaR backtest per event type: VaR as the exact
+    * ⌈0.05·n⌉-th smallest daily return (order statistic — no
+    * interpolation to disagree on), Kupiec POF LR, and Christoffersen
+    * independence LR over the violation indicator's transitions. */
+  private val q504 = Entry(
+    "q504_var_backtest",
+    (s, d) =>
+      graft.ops.Risk.varBacktest(Tables.events(s, d), "event_type",
+          "ts", "value", p = 0.05)
+        .select(col("event_type"), col("n_ret"),
+          r6(col("var_p")).as("var_p"), col("n_viol"),
+          r6(col("viol_rate")).as("viol_rate"),
+          r6(col("lr_pof")).as("lr_pof"),
+          r6(col("lr_ind")).as("lr_ind"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                   round(sum("value"), 6) AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      l AS (SELECT g, day, v, lag(v) OVER (PARTITION BY g ORDER BY day)
+              AS pv FROM d),
+      x AS (SELECT g, day, round(v / pv - 1, 6) AS r FROM l
+            WHERE pv > 0),
+      v2 AS (SELECT g, day, r,
+               row_number() OVER (PARTITION BY g ORDER BY r) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+             FROM x),
+      k AS (SELECT g, day, r, n,
+              max(CASE WHEN rn = ceil(0.05 * n) THEN r END)
+                OVER (PARTITION BY g) AS var_p
+            FROM v2),
+      i AS (SELECT g, day, n, var_p,
+              CASE WHEN r < var_p THEN 1 ELSE 0 END AS viol FROM k),
+      t AS (SELECT *, lag(viol) OVER (PARTITION BY g ORDER BY day)
+              AS pviol FROM i),
+      c AS (SELECT g, max(n)::BIGINT AS n_ret, max(var_p) AS var_p,
+              sum(viol)::BIGINT AS n_viol,
+              sum(CASE WHEN pviol = 0 AND viol = 0 THEN 1.0 ELSE 0 END)
+                AS n00,
+              sum(CASE WHEN pviol = 0 AND viol = 1 THEN 1.0 ELSE 0 END)
+                AS n01,
+              sum(CASE WHEN pviol = 1 AND viol = 0 THEN 1.0 ELSE 0 END)
+                AS n10,
+              sum(CASE WHEN pviol = 1 AND viol = 1 THEN 1.0 ELSE 0 END)
+                AS n11
+            FROM t GROUP BY 1)
+      SELECT g AS event_type, n_ret, round(var_p, 6) AS var_p, n_viol,
+             round(n_viol / n_ret::DOUBLE, 6) AS viol_rate,
+             round(-2 * ((n_ret - n_viol) * ln(0.95)
+               + n_viol * ln(0.05)
+               - (CASE WHEN n_ret - n_viol > 0 THEN (n_ret - n_viol) *
+                   ln((n_ret - n_viol) / n_ret::DOUBLE) ELSE 0 END)
+               - (CASE WHEN n_viol > 0 THEN n_viol *
+                   ln(n_viol / n_ret::DOUBLE) ELSE 0 END)), 6) AS lr_pof,
+             round(2 * (
+                 (CASE WHEN n01 > 0 AND n00 + n01 > 0 THEN n01 *
+                   ln(n01 / (n00 + n01)) ELSE 0 END)
+               + (CASE WHEN n00 > 0 AND n00 + n01 > 0 THEN n00 *
+                   ln(n00 / (n00 + n01)) ELSE 0 END)
+               + (CASE WHEN n11 > 0 AND n10 + n11 > 0 THEN n11 *
+                   ln(n11 / (n10 + n11)) ELSE 0 END)
+               + (CASE WHEN n10 > 0 AND n10 + n11 > 0 THEN n10 *
+                   ln(n10 / (n10 + n11)) ELSE 0 END)
+               - (CASE WHEN n01 + n11 > 0 AND n00 + n01 + n10 + n11 > 0
+                   THEN (n01 + n11) *
+                   ln((n01 + n11) / (n00 + n01 + n10 + n11)) ELSE 0 END)
+               - (CASE WHEN n00 + n10 > 0 AND n00 + n01 + n10 + n11 > 0
+                   THEN (n00 + n10) *
+                   ln((n00 + n10) / (n00 + n01 + n10 + n11)) ELSE 0 END)
+             ), 6) AS lr_ind
+      FROM c ORDER BY 1"""))
+
+  /** Markov-chain panel of the per-user event-type stream: stationary
+    * distribution by 12 fixed power-iteration steps (unrolled
+    * identically in the oracle — no convergence test to disagree on),
+    * per-state conditional entropy, and entropy-rate contributions. */
+  private val q505 = Entry(
+    "q505_markov_chain",
+    (s, d) =>
+      graft.ops.Behavioral.markovChain(Tables.events(s, d), "user_id",
+          "ts", "event_type", tieCols = Seq("event_id"), iterations = 12)
+        .select(col("state"), col("n_out"),
+          r6(col("p_stationary")).as("p_stationary"),
+          r6(col("h_cond")).as("h_cond"), r6(col("pi_h")).as("pi_h"))
+        .orderBy("state"),
+    Some("""
+      WITH s AS (SELECT user_id, event_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+            FROM events),
+      c AS (SELECT event_type AS f, nxt AS t, count(*)::DOUBLE AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT DISTINCT f FROM c),
+      c2 AS (SELECT f, t, n FROM c WHERE t IN (SELECT f FROM st)),
+      tot AS (SELECT f, sum(n) AS tn FROM c2 GROUP BY 1),
+      p AS (SELECT c2.f, c2.t, c2.n / tot.tn AS p
+            FROM c2 JOIN tot ON c2.f = tot.f),
+      kk AS (SELECT count(*)::DOUBLE AS k FROM st),
+      i0 AS (SELECT f AS state, 1.0 / k AS pi FROM st, kk),
+      i1 AS (SELECT p.t AS state, sum(i0.pi * p.p) AS pi
+             FROM i0 JOIN p ON p.f = i0.state GROUP BY 1),
+      i2 AS (SELECT p.t AS state, sum(i1.pi * p.p) AS pi
+             FROM i1 JOIN p ON p.f = i1.state GROUP BY 1),
+      i3 AS (SELECT p.t AS state, sum(i2.pi * p.p) AS pi
+             FROM i2 JOIN p ON p.f = i2.state GROUP BY 1),
+      i4 AS (SELECT p.t AS state, sum(i3.pi * p.p) AS pi
+             FROM i3 JOIN p ON p.f = i3.state GROUP BY 1),
+      i5 AS (SELECT p.t AS state, sum(i4.pi * p.p) AS pi
+             FROM i4 JOIN p ON p.f = i4.state GROUP BY 1),
+      i6 AS (SELECT p.t AS state, sum(i5.pi * p.p) AS pi
+             FROM i5 JOIN p ON p.f = i5.state GROUP BY 1),
+      i7 AS (SELECT p.t AS state, sum(i6.pi * p.p) AS pi
+             FROM i6 JOIN p ON p.f = i6.state GROUP BY 1),
+      i8 AS (SELECT p.t AS state, sum(i7.pi * p.p) AS pi
+             FROM i7 JOIN p ON p.f = i7.state GROUP BY 1),
+      i9 AS (SELECT p.t AS state, sum(i8.pi * p.p) AS pi
+             FROM i8 JOIN p ON p.f = i8.state GROUP BY 1),
+      i10 AS (SELECT p.t AS state, sum(i9.pi * p.p) AS pi
+              FROM i9 JOIN p ON p.f = i9.state GROUP BY 1),
+      i11 AS (SELECT p.t AS state, sum(i10.pi * p.p) AS pi
+              FROM i10 JOIN p ON p.f = i10.state GROUP BY 1),
+      i12 AS (SELECT p.t AS state, sum(i11.pi * p.p) AS pi
+              FROM i11 JOIN p ON p.f = i11.state GROUP BY 1),
+      h AS (SELECT f AS state, -sum(p * ln(p)) AS h FROM p GROUP BY 1)
+      SELECT st.f AS state, tot.tn::BIGINT AS n_out,
+             round(coalesce(i12.pi, 0), 6) AS p_stationary,
+             round(coalesce(h.h, 0), 6) AS h_cond,
+             round(coalesce(i12.pi, 0) * coalesce(h.h, 0), 6) AS pi_h
+      FROM st JOIN tot ON tot.f = st.f
+        LEFT JOIN i12 ON i12.state = st.f
+        LEFT JOIN h ON h.state = st.f
+      ORDER BY state"""))
+
+  /** Order-3 permutation entropy of each event type's daily-value
+    * series — the ordinal-pattern complexity screen (1 = white noise,
+    * 0 = monotone), ties ranked by time index on rounded daily sums. */
+  private val q506 = Entry(
+    "q506_permutation_entropy",
+    (s, d) =>
+      graft.ops.TimeSeries.permutationEntropy(Tables.events(s, d),
+          "event_type", "ts", "value")
+        .select(col("event_type"), col("n_windows"), col("n_patterns"),
+          r6(col("perm_entropy")).as("perm_entropy"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts) AS day,
+                   round(sum("value"), 6) AS a
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      w AS (SELECT g, a,
+              lead(a, 1) OVER (PARTITION BY g ORDER BY day) AS b,
+              lead(a, 2) OVER (PARTITION BY g ORDER BY day) AS c
+            FROM d),
+      x AS (SELECT g,
+              CASE WHEN a <= b AND b <= c THEN 0
+                   WHEN a <= b AND NOT b <= c AND a <= c THEN 1
+                   WHEN NOT a <= b AND b <= c AND a <= c THEN 2
+                   WHEN a <= b AND NOT b <= c AND NOT a <= c THEN 3
+                   WHEN NOT a <= b AND b <= c AND NOT a <= c THEN 4
+                   ELSE 5 END AS pat
+            FROM w WHERE b IS NOT NULL AND c IS NOT NULL),
+      cnt AS (SELECT g, pat, count(*)::DOUBLE AS n FROM x GROUP BY 1, 2),
+      t AS (SELECT g, sum(n) AS tn FROM cnt GROUP BY 1)
+      SELECT cnt.g AS event_type, max(tn)::BIGINT AS n_windows,
+             count(*)::BIGINT AS n_patterns,
+             round(-sum((n / tn) * ln(n / tn)) / ln(6), 6)
+               AS perm_entropy
+      FROM cnt JOIN t ON t.g = cnt.g GROUP BY 1 ORDER BY 1"""))
+
+  /** Rich-club coefficient profile of the customer↔supplier graph:
+    * do high-degree nodes preferentially wire to each other —
+    * φ(k) = 2·E_k/(N_k(N_k−1)) over a fixed degree-threshold grid. */
+  private val q507 = Entry(
+    "q507_rich_club",
+    (s, d) =>
+      graft.ops.Graph.richClub(custSuppEdges(s, d), "src", "dst",
+          ks = Seq(4, 16, 64, 256))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          r6(col("phi")).as("phi"))
+        .orderBy("k"),
+    Some("""
+      WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                        's' || l_suppkey AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      und AS (SELECT src AS a, dst AS b FROM e
+              UNION SELECT dst, src FROM e),
+      deg AS (SELECT a, count(*)::BIGINT AS dg FROM und GROUP BY 1),
+      canon AS (SELECT und.a, und.b, da.dg AS dga, db.dg AS dgb
+                FROM und JOIN deg da ON da.a = und.a
+                  JOIN deg db ON db.a = und.b
+                WHERE und.a < und.b),
+      ks AS (SELECT unnest([4, 16, 64, 256]) AS k),
+      nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM ks
+             JOIN deg ON deg.dg > k GROUP BY 1),
+      ek AS (SELECT k, count(*)::BIGINT AS n_edges FROM ks
+             JOIN canon ON canon.dga > k AND canon.dgb > k GROUP BY 1)
+      SELECT ks.k, coalesce(nk.n_nodes, 0) AS n_nodes,
+             coalesce(ek.n_edges, 0) AS n_edges,
+             round(CASE WHEN coalesce(nk.n_nodes, 0) > 1
+               THEN 2.0 * coalesce(ek.n_edges, 0) /
+                 (nk.n_nodes * (nk.n_nodes - 1)) END, 6) AS phi
+      FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+      ORDER BY ks.k"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19396,7 +19686,8 @@ object Queries {
     q450, q451, q452, q453, q454, q455, q456, q457, q458, q459, q460,
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
-    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501)
+    q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
+    q502, q503, q504, q505, q506, q507)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -386,4 +386,68 @@ object Behavioral {
       .withColumn("stickiness",
         col("dau").cast("double") / col("rolling_active"))
   }
+
+  /**
+   * Markov-chain view of the per-user event-type stream: the empirical
+   * transition matrix (restricted to states that appear as a FROM
+   * state, rows renormalized over the kept targets), the stationary
+   * distribution by `iterations` fixed power-iteration steps from the
+   * uniform vector (fixed step count, not a float-tolerance
+   * convergence test — deterministic in any engine), and each state's
+   * conditional next-step entropy −Σ_j p_ij·ln p_ij. The entropy rate
+   * of the chain is Σ_i π_i·h_i, emitted per state as `pi_h`. Returns
+   * one row per state: (state, n_out, p_stationary, h_cond, pi_h).
+   *
+   * Scale shape: the ONLY full-data stage is the lead-window transition
+   * count (per-user partitions); the collected matrix is ≤ maxStates²
+   * rows behind a loud require — the event-type vocabulary is a
+   * bounded dimension, not data-sized.
+   */
+  def markovChain(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil, iterations: Int = 12,
+      maxStates: Int = 32): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"markovChain: 1..64 iterations, got $iterations")
+    val counts = eventTransitions(df, userCol, tsCol, typeCol, tieCols)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val rows = counts.limit(maxStates * maxStates + 1).collect()
+    require(rows.length <= maxStates * maxStates,
+      s"markovChain: more than $maxStates² transition cells — the type " +
+        "column is not a bounded state space; pre-bucket it")
+    val raw = rows.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2).toDouble))
+    val states = raw.map(_._1).distinct.sorted
+    require(states.length <= maxStates,
+      s"markovChain: ${states.length} states exceeds maxStates=$maxStates")
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    // renormalize over kept targets (targets that never emit are
+    // dropped, same restriction any row-stochastic fit needs)
+    val kept = raw.filter { case (_, t, _) => idx.contains(t) }
+    val outTotals = Array.fill(k)(0.0)
+    kept.foreach { case (f, _, n) => outTotals(idx(f)) += n }
+    val p = Array.fill(k, k)(0.0)
+    kept.foreach { case (f, t, n) =>
+      p(idx(f))(idx(t)) = n / outTotals(idx(f)) }
+    var pi = Array.fill(k)(1.0 / k)
+    for (_ <- 0 until iterations) {
+      val next = Array.fill(k)(0.0)
+      var i = 0
+      while (i < k) {
+        var j = 0
+        while (j < k) { next(j) += pi(i) * p(i)(j); j += 1 }
+        i += 1
+      }
+      pi = next
+    }
+    val hCond = (0 until k).map { i =>
+      (0 until k).map(j => p(i)(j))
+        .filter(_ > 0).map(q => -q * math.log(q)).sum
+    }
+    val out = states.zipWithIndex.map { case (st, i) =>
+      (st, outTotals(i).toLong, pi(i), hCond(i), pi(i) * hCond(i))
+    }
+    df.sparkSession.createDataFrame(out.toSeq)
+      .toDF("state", "n_out", "p_stationary", "h_cond", "pi_h")
+  }
 }

@@ -511,4 +511,56 @@ object Graph {
           (col("__dc") / (lit(2.0) * col("__m"))) *
           (col("__dc") / (lit(2.0) * col("__m")))).as("modularity"))
   }
+
+  /**
+   * Rich-club coefficient profile: for each degree threshold k,
+   * φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts nodes of degree > k
+   * and E_k counts (undirected, deduped) edges whose BOTH endpoints
+   * have degree > k — "do the hubs preferentially wire to each other".
+   * Returns one row per k: (k, n_nodes, n_edges, phi); phi is NULL
+   * when fewer than two nodes clear the threshold.
+   *
+   * Scale shape: one degree aggregation, two keyed joins to annotate
+   * endpoints (same discipline as [[degreeAssortativity]]), then an
+   * explode over the FIXED k grid — |E|·|ks| rows through one
+   * map-side-combined groupBy. No windows, nothing driver-side.
+   */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 64,
+      s"richClub: 1..64 thresholds, got ${ks.size}")
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b") && col("a").isNotNull &&
+        col("b").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("n"))
+      .agg(count(lit(1)).as("d"))
+      .localCheckpoint() // read for node counts AND both edge endpoints
+    val kGrid = array(ks.map(k => lit(k)): _*)
+    val nodesPerK = deg
+      .select(explode(kGrid).as("k"), col("d"))
+      .where(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val canon = und.where(col("a") < col("b"))
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+    val edgesPerK = canon
+      .select(explode(kGrid).as("k"), col("__da"), col("__db"))
+      .where(col("__da") > col("k") && col("__db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    val grid = edges.sparkSession
+      .createDataFrame(ks.map(k => Tuple1(k))).toDF("k")
+    grid
+      .join(nodesPerK, Seq("k"), "left")
+      .join(edgesPerK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi",
+        when(col("n_nodes") > 1,
+          lit(2.0) * col("n_edges") /
+            (col("n_nodes") * (col("n_nodes") - 1))))
+  }
 }

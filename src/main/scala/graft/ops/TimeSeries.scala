@@ -1854,4 +1854,54 @@ object TimeSeries {
           .as("return_level"))
       .orderBy("t_period")
   }
+
+  /**
+   * Permutation entropy (order 3) of each key's daily-total series:
+   * the Shannon entropy of the ordinal-pattern distribution over
+   * (v_t, v_{t+1}, v_{t+2}) windows, normalized by ln 6 so 1.0 is
+   * white noise and 0.0 a monotone ramp — the standard
+   * complexity-of-dynamics screen (Bandt & Pompe 2002). Ties rank by
+   * time index (earlier day first), expressed as `<=` comparisons —
+   * bit-identical in any engine. Daily sums are rounded to 6 decimals
+   * BEFORE comparison so float summation order can't flip a pattern.
+   * One row per key: (key, n_windows, n_patterns, perm_entropy).
+   *
+   * Scale shape: one map-side-combined corpus groupBy (key, day), two
+   * leads over calendar-bounded per-key frames, one ≤6-cell-per-key
+   * pattern count.
+   */
+  def permutationEntropy(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol)), 6).as("__a"))
+    val w = Window.partitionBy("__g").orderBy("__d")
+    val ab = col("__a") <= col("__b")
+    val bc = col("__b") <= col("__c")
+    val ac = col("__a") <= col("__c")
+    val pats = daily
+      .withColumn("__b", lead(col("__a"), 1).over(w))
+      .withColumn("__c", lead(col("__a"), 2).over(w))
+      .where(col("__b").isNotNull && col("__c").isNotNull)
+      .withColumn("__pat",
+        when(ab && bc, 0)
+          .when(ab && !bc && ac, 1)
+          .when(!ab && bc && ac, 2)
+          .when(ab && !bc && !ac, 3)
+          .when(!ab && bc && !ac, 4)
+          .otherwise(5))
+    val cnt = pats.groupBy("__g", "__pat")
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = cnt.groupBy("__g").agg(sum(col("__n")).as("__tn"))
+    cnt.join(tot, Seq("__g"))
+      .groupBy(col("__g").as(keyCol))
+      .agg(max(col("__tn")).cast("long").as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        (-sum((col("__n") / col("__tn")) *
+          log(col("__n") / col("__tn")))
+          / math.log(6.0)).as("perm_entropy"))
+  }
 }

@@ -8475,4 +8475,141 @@ class OpsExtSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("4000"))
   }
+
+  test("Risk.drawdown: hand-computed peaks, islands, longest spell") {
+    import spark.implicits._
+    // daily levels 10, 8, 12, 9, 7, 11 → runmax 10,10,12,12,12,12;
+    // peaks on days 1 and 3; max dd = 1 - 7/12; spells of 1 and 3 days
+    val df = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 8.0),
+      ("a", "2024-01-03", 12.0), ("a", "2024-01-04", 9.0),
+      ("a", "2024-01-05", 7.0), ("a", "2024-01-06", 11.0))
+      .toDF("g", "ts", "v")
+    val r = graft.ops.Risk.drawdown(df, "g", "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(math.abs(r.getAs[Double]("peak_value") - 12.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("max_drawdown") - (1.0 - 7.0 / 12)) < 1e-9)
+    assert(r.getAs[Long]("longest_underwater") == 3L)
+    assert(math.abs(r.getAs[Double]("frac_underwater") - 4.0 / 6) < 1e-9)
+  }
+
+  test("Risk.riskAdjusted: hand-computed returns panel") {
+    import spark.implicits._
+    // levels 10, 12, 9, 9 → returns 0.2, -0.25, 0.0
+    val df = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
+      ("a", "2024-01-03", 9.0), ("a", "2024-01-04", 9.0))
+      .toDF("g", "ts", "v")
+    val r = graft.ops.Risk.riskAdjusted(df, "g", "ts", "v").head
+    assert(r.getAs[Long]("n_ret") == 3L)
+    val m = (0.2 - 0.25 + 0.0) / 3
+    assert(math.abs(r.getAs[Double]("mean_ret") - m) < 1e-9)
+    assert(math.abs(r.getAs[Double]("win_rate") - 1.0 / 3) < 1e-9)
+    assert(math.abs(r.getAs[Double]("best_day") - 0.2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("worst_day") + 0.25) < 1e-9)
+    val dd = math.sqrt(0.25 * 0.25 / 3)
+    assert(math.abs(r.getAs[Double]("downside_dev") - dd) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sortino") - m / dd) < 1e-9)
+  }
+
+  test("Risk.varBacktest: order-statistic VaR, strict violations, " +
+      "zero-violation Kupiec limit") {
+    import spark.implicits._
+    // 41 levels → 40 returns: 38 small gains, one -0.5, one -0.6.
+    // k = ceil(0.05·40) = 2 → VaR = 2nd smallest = -0.5; the single
+    // r < -0.5 (the -0.6 crash) is the only violation.
+    val days = (0 until 41).map(i =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    var level = 100.0
+    val rows = days.zipWithIndex.map { case (d, i) =>
+      if (i == 10) level = level * 0.5
+      else if (i == 30) level = level * 0.4
+      else if (i > 0) level = level * 1.01
+      ("a", d, level)
+    }
+    val df = rows.toDF("g", "ts", "v")
+    val r = graft.ops.Risk.varBacktest(df, "g", "ts", "v", p = 0.05).head
+    assert(r.getAs[Long]("n_ret") == 40L)
+    assert(math.abs(r.getAs[Double]("var_p") + 0.5) < 1e-6)
+    assert(r.getAs[Long]("n_viol") == 1L)
+    val lrPof = -2.0 * (39 * math.log(0.95) + math.log(0.05)
+      - 39 * math.log(39.0 / 40) - math.log(1.0 / 40))
+    assert(math.abs(r.getAs[Double]("lr_pof") - lrPof) < 1e-6)
+    assert(r.getAs[Double]("lr_ind") >= 0.0)
+    // a violation-free series hits the x→0 Kupiec limit −2n·ln(1−p)
+    val flat = (0 until 21).map(i =>
+      ("b", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        100.0 + i)).toDF("g", "ts", "v")
+    val r2 = graft.ops.Risk.varBacktest(flat, "g", "ts", "v", p = 0.05).head
+    assert(r2.getAs[Long]("n_viol") == 0L)
+    assert(math.abs(r2.getAs[Double]("lr_pof")
+      - (-2.0 * 20 * math.log(0.95))) < 1e-9)
+    assert(r2.getAs[Double]("lr_ind") == 0.0)
+  }
+
+  test("markovChain: two-state chain converges to the exact stationary " +
+      "distribution") {
+    import spark.implicits._
+    // one user's stream a a a b a a b a a b → transitions
+    // a→a:4, a→b:3, b→a:2 → P = [[4/7, 3/7], [1, 0]] → π = (0.7, 0.3)
+    val evs = Seq("a", "a", "a", "b", "a", "a", "b", "a", "a", "b")
+      .zipWithIndex.map { case (t, i) =>
+        (1L, java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+          t, i.toLong)
+      }.toDF("u", "ts", "t", "eid")
+    val r = graft.ops.Behavioral
+      .markovChain(evs, "u", "ts", "t", tieCols = Seq("eid"),
+        iterations = 40)
+      .orderBy("state").collect()
+    assert(r.map(_.getAs[String]("state")).toSeq == Seq("a", "b"))
+    assert(r(0).getAs[Long]("n_out") == 7L)
+    assert(r(1).getAs[Long]("n_out") == 2L)
+    assert(math.abs(r(0).getAs[Double]("p_stationary") - 0.7) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("p_stationary") - 0.3) < 1e-9)
+    // state b always returns to a → zero conditional entropy
+    assert(r(1).getAs[Double]("h_cond") == 0.0)
+    val ha = -(4.0 / 7) * math.log(4.0 / 7) - (3.0 / 7) * math.log(3.0 / 7)
+    assert(math.abs(r(0).getAs[Double]("h_cond") - ha) < 1e-12)
+  }
+
+  test("permutationEntropy: monotone ramp → 0, known mix hand-checked") {
+    import spark.implicits._
+    val ramp = (0 until 10).map(i =>
+      ("m", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        i.toDouble)).toDF("g", "ts", "v")
+    val r = graft.ops.TimeSeries.permutationEntropy(ramp, "g", "ts", "v")
+      .head
+    assert(r.getAs[Long]("n_windows") == 8L)
+    assert(r.getAs[Long]("n_patterns") == 1L)
+    assert(r.getAs[Double]("perm_entropy") == 0.0)
+    // 5, 1, 4, 2 → windows (5,1,4): pattern b,c,a = 4; (1,4,2): a,c,b = 1
+    val mix = Seq(5.0, 1.0, 4.0, 2.0).zipWithIndex.map { case (v, i) =>
+      ("x", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString, v)
+    }.toDF("g", "ts", "v")
+    val r2 = graft.ops.TimeSeries.permutationEntropy(mix, "g", "ts", "v")
+      .head
+    assert(r2.getAs[Long]("n_windows") == 2L)
+    assert(r2.getAs[Long]("n_patterns") == 2L)
+    assert(math.abs(r2.getAs[Double]("perm_entropy")
+      - math.log(2) / math.log(6)) < 1e-12)
+  }
+
+  test("richClub: 4-clique plus pendants — hubs wire to each other") {
+    import spark.implicits._
+    // K4 on n1..n4 (each degree >= 3) plus a pendant on n1 (degree 1)
+    val edges = Seq(
+      ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+      ("n2", "n3"), ("n2", "n4"), ("n3", "n4"),
+      ("n1", "p1")).toDF("s", "t")
+    val r = graft.ops.Graph.richClub(edges, "s", "t", ks = Seq(1, 3))
+      .orderBy("k").collect()
+    // k=1: nodes with degree > 1 are n1..n4; all 6 clique edges qualify
+    assert(r(0).getAs[Long]("n_nodes") == 4L)
+    assert(r(0).getAs[Long]("n_edges") == 6L)
+    assert(math.abs(r(0).getAs[Double]("phi") - 1.0) < 1e-12)
+    // k=3: only n1 (degree 4) clears → phi NULL
+    assert(r(1).getAs[Long]("n_nodes") == 1L)
+    assert(r(1).getAs[Long]("n_edges") == 0L)
+    assert(r(1).isNullAt(r(1).fieldIndex("phi")))
+  }
 }
