@@ -19649,6 +19649,187 @@ object Queries {
       FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
       ORDER BY ks.k"""))
 
+  /** Decision-curve analysis of the q142 pseudo-model: net benefit per
+    * threshold vs the treat-all reference — the clinical-utility
+    * readout AUC famously can't give (thresholds as explicit literals
+    * so both engines compare against the SAME doubles). */
+  private val q508 = Entry(
+    "q508_net_benefit",
+    (s, d) =>
+      graft.ops.Evaluation.decisionCurve(scoredOrders(s, d), "label",
+          "score", thresholds = Seq(0.05, 0.1, 0.15, 0.2, 0.25, 0.3,
+            0.35, 0.4, 0.45, 0.5))
+        .select(r6(col("threshold")).as("threshold"), col("n_treated"),
+          col("tp"), col("fp"), r6(col("net_benefit")).as("net_benefit"),
+          r6(col("nb_treat_all")).as("nb_treat_all"))
+        .orderBy("threshold"),
+    Some(s"""
+      WITH $scoredOrdersSql,
+      ks AS (SELECT unnest([0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35,
+               0.4, 0.45, 0.5]) AS t),
+      a AS (SELECT t, count(*)::DOUBLE AS n, avg(y) AS prev,
+              sum(CASE WHEN p >= t THEN 1 ELSE 0 END)::BIGINT
+                AS n_treated,
+              sum(CASE WHEN p >= t THEN y ELSE 0 END) AS tp,
+              sum(CASE WHEN p >= t THEN 1.0 - y ELSE 0 END) AS fp
+            FROM sc, ks GROUP BY 1)
+      SELECT round(t, 6) AS threshold, n_treated, tp::BIGINT AS tp,
+             fp::BIGINT AS fp,
+             round(tp / n - fp / n * (t / (1 - t)), 6) AS net_benefit,
+             round(prev - (1 - prev) * (t / (1 - t)), 6) AS nb_treat_all
+      FROM a ORDER BY threshold"""))
+
+  /** Newey–West trend per event type: daily-mean-on-day-index OLS with
+    * Bartlett-kernel HAC(3) standard errors vs the plain OLS se — how
+    * much serial correlation inflates the trend's uncertainty. */
+  private val q509 = Entry(
+    "q509_newey_west",
+    (s, d) =>
+      graft.ops.Regression.neweyWestTrend(Tables.events(s, d),
+          "event_type", "ts", "value", maxLag = 3)
+        .select(col("event_type"), col("n_days"),
+          r6(col("slope")).as("slope"),
+          r6(col("intercept")).as("intercept"),
+          r6(col("se_ols")).as("se_ols"), r6(col("se_hac")).as("se_hac"),
+          r6(col("hac_ratio")).as("hac_ratio"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, ts::DATE AS dd,
+                   round(avg("value"), 6) AS y
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      i AS (SELECT g, dd, y,
+              date_diff('day', min(dd) OVER (PARTITION BY g),
+                dd)::DOUBLE AS x
+            FROM d),
+      f AS (SELECT g, count(*)::DOUBLE AS n, avg(x) AS xb, avg(y) AS yb,
+              sum(x * x) AS sxx0, sum(x * y) AS sxy0 FROM i GROUP BY 1),
+      f2 AS (SELECT g, n, xb, sxx0 - n * xb * xb AS sxx,
+               (sxy0 - n * xb * yb) / (sxx0 - n * xb * xb) AS slope,
+               yb - (sxy0 - n * xb * yb) / (sxx0 - n * xb * xb) * xb
+                 AS icpt
+             FROM f),
+      sc2 AS (SELECT i.g, dd, n, sxx, slope, icpt,
+                y - icpt - slope * x AS e,
+                (x - xb) * (y - icpt - slope * x) AS u
+              FROM i JOIN f2 ON f2.g = i.g),
+      lg AS (SELECT g, n, sxx, slope, icpt, e, u,
+               lag(u, 1) OVER (PARTITION BY g ORDER BY dd) AS u1,
+               lag(u, 2) OVER (PARTITION BY g ORDER BY dd) AS u2,
+               lag(u, 3) OVER (PARTITION BY g ORDER BY dd) AS u3
+             FROM sc2),
+      a AS (SELECT g, max(n) AS n, max(sxx) AS sxx, max(slope) AS slope,
+              max(icpt) AS icpt, sum(e * e) AS sse, sum(u * u) AS g0,
+              sum(coalesce(u * u1, 0)) AS g1,
+              sum(coalesce(u * u2, 0)) AS g2,
+              sum(coalesce(u * u3, 0)) AS g3
+            FROM lg GROUP BY 1),
+      a2 AS (SELECT g, n, slope, icpt,
+               CASE WHEN n > 2 AND sxx > 0
+                 THEN sqrt(sse / (n - 2) / sxx) END AS se_ols,
+               CASE WHEN sxx > 0 THEN sqrt((g0 + 2 * 0.75 * g1
+                 + 2 * 0.5 * g2 + 2 * 0.25 * g3) / (sxx * sxx)) END
+                 AS se_hac
+             FROM a)
+      SELECT g AS event_type, n::BIGINT AS n_days,
+             round(slope, 6) AS slope, round(icpt, 6) AS intercept,
+             round(se_ols, 6) AS se_ols, round(se_hac, 6) AS se_hac,
+             round(CASE WHEN se_ols > 0 THEN se_hac / se_ols END, 6)
+               AS hac_ratio
+      FROM a2 ORDER BY 1"""))
+
+  /** Western Electric run rules per event type over the daily-mean
+    * chart: beyond-3σ points, 2-of-3 beyond 2σ, 4-of-5 beyond 1σ, and
+    * 8-in-a-row same side — the pattern alarms a plain ±3σ chart
+    * misses. */
+  private val q510 = Entry(
+    "q510_run_rules",
+    (s, d) =>
+      graft.ops.Spc.runRules(Tables.events(s, d), "event_type", "ts",
+          "value")
+        .select(col("event_type"), col("rule"), col("n_days"),
+          col("n_flagged"))
+        .orderBy("event_type", "rule"),
+    Some("""
+      WITH raw AS (SELECT event_type AS g, ts::DATE AS t,
+                     "value"::DOUBLE AS v
+                   FROM events
+                   WHERE ts IS NOT NULL AND "value" IS NOT NULL
+                     AND event_type IS NOT NULL),
+      days AS (SELECT g, t, count(*)::DOUBLE AS n, round(avg(v), 6) AS m
+               FROM raw GROUP BY 1, 2),
+      tot AS (SELECT g, avg(v) AS mu, stddev_samp(v) AS sg
+              FROM raw GROUP BY 1),
+      fl AS (SELECT days.g, t, m, mu, sg / sqrt(n) AS half
+             FROM days JOIN tot ON tot.g = days.g),
+      z AS (SELECT g, t,
+              CASE WHEN m > mu + 3 * half THEN 1 ELSE 0 END AS a3,
+              CASE WHEN m < mu - 3 * half THEN 1 ELSE 0 END AS b3,
+              CASE WHEN m > mu + 2 * half THEN 1 ELSE 0 END AS a2,
+              CASE WHEN m < mu - 2 * half THEN 1 ELSE 0 END AS b2,
+              CASE WHEN m > mu + 1 * half THEN 1 ELSE 0 END AS a1,
+              CASE WHEN m < mu - 1 * half THEN 1 ELSE 0 END AS b1,
+              CASE WHEN m > mu THEN 1 ELSE 0 END AS a0,
+              CASE WHEN m < mu THEN 1 ELSE 0 END AS b0
+            FROM fl),
+      r AS (SELECT g, t,
+              CASE WHEN a3 + b3 >= 1 THEN 1 ELSE 0 END AS r1,
+              CASE WHEN sum(a2) OVER w3 >= 2 OR sum(b2) OVER w3 >= 2
+                THEN 1 ELSE 0 END AS r2,
+              CASE WHEN sum(a1) OVER w5 >= 4 OR sum(b1) OVER w5 >= 4
+                THEN 1 ELSE 0 END AS r3,
+              CASE WHEN sum(a0) OVER w8 >= 8 OR sum(b0) OVER w8 >= 8
+                THEN 1 ELSE 0 END AS r4
+            FROM z
+            WINDOW w3 AS (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w5 AS (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   w8 AS (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+      sel AS (SELECT g, count(*)::BIGINT AS n_days,
+                sum(r1)::BIGINT AS v1, sum(r2)::BIGINT AS v2,
+                sum(r3)::BIGINT AS v3, sum(r4)::BIGINT AS v4
+              FROM r GROUP BY 1)
+      SELECT g AS event_type, 'R1' AS rule, n_days, v1 AS n_flagged
+      FROM sel
+      UNION ALL SELECT g, 'R2', n_days, v2 FROM sel
+      UNION ALL SELECT g, 'R3', n_days, v3 FROM sel
+      UNION ALL SELECT g, 'R4', n_days, v4 FROM sel
+      ORDER BY event_type, rule"""))
+
+  /** Categorical event-type mix shift between the first and second
+    * half of the window: total-variation distance (= Duncan
+    * dissimilarity), overlap coefficient, and the L∞ gap — the
+    * bounded-support complements to q09's PSI/KL drift panel. */
+  private val q511 = Entry(
+    "q511_categorical_shift",
+    (s, d) =>
+      graft.ops.Profiling.categoricalShift(Tables.events(s, d),
+          "event_type", "ts")
+        .select(col("n_before"), col("n_after"), col("n_cats"),
+          r6(col("tv")).as("tv"), r6(col("overlap")).as("overlap"),
+          r6(col("max_gap")).as("max_gap")),
+    Some("""
+      WITH b AS (SELECT event_type AS c, ts::DATE AS d FROM events
+                 WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      bd AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+      cut AS (SELECT lo + (date_diff('day', lo, hi) // 2)::INTEGER AS cc
+              FROM bd),
+      cells AS (SELECT c,
+                  sum(CASE WHEN d <= cc THEN 1.0 ELSE 0 END) AS a,
+                  sum(CASE WHEN d > cc THEN 1.0 ELSE 0 END) AS bb
+                FROM b, cut GROUP BY 1),
+      t AS (SELECT sum(a) AS ta, sum(bb) AS tb FROM cells)
+      SELECT max(ta)::BIGINT AS n_before, max(tb)::BIGINT AS n_after,
+             count(*)::BIGINT AS n_cats,
+             round(sum(abs(a / ta - bb / tb)) / 2, 6) AS tv,
+             round(sum(least(a / ta, bb / tb)), 6) AS overlap,
+             round(max(abs(a / ta - bb / tb)), 6) AS max_gap
+      FROM cells, t"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19687,7 +19868,7 @@ object Queries {
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
-    q502, q503, q504, q505, q506, q507)
+    q502, q503, q504, q505, q506, q507, q508, q509, q510, q511)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2609,4 +2609,48 @@ object Evaluation {
           (col("__cn") + col("__n") - col("__cp") - col("__p")) /
             (col("__tn") - col("__tp")))).as("ks_at"))
   }
+
+  /**
+   * Decision-curve analysis (Vickers & Elkin 2006): at each decision
+   * threshold t, treat everyone with score ≥ t and report the net
+   * benefit NB(t) = TP/n − FP/n · t/(1−t) — true positives credited at
+   * face value, false positives debited at the odds the threshold
+   * itself implies. Also emits the treat-ALL reference line
+   * prev − (1−prev)·t/(1−t); a useful model clears both it and 0 on
+   * some threshold range. One row per threshold: (threshold, n_treated,
+   * tp, fp, net_benefit, nb_treat_all).
+   *
+   * Scale shape: the FIXED threshold grid explodes each row ≤|ts|
+   * times into one map-side-combined groupBy — one corpus scan, a
+   * |ts|-row result, no windows.
+   */
+  def decisionCurve(df: DataFrame, labelCol: String, scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64 &&
+      thresholds.forall(t => t > 0 && t < 1),
+      "decisionCurve: 1..64 thresholds, each in (0,1)")
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+        col(scoreCol).cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val grid = array(thresholds.map(lit): _*)
+    base.select(explode(grid).as("threshold"), col("__y"), col("__p"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__y")).as("__prev"),
+        sum(when(col("__p") >= col("threshold"), lit(1L)).otherwise(0L))
+          .as("n_treated"),
+        sum(when(col("__p") >= col("threshold"), col("__y"))
+          .otherwise(0.0)).as("__tp"),
+        sum(when(col("__p") >= col("threshold"), lit(1.0) - col("__y"))
+          .otherwise(0.0)).as("__fp"))
+      .select(col("threshold"), col("n_treated"),
+        col("__tp").cast("long").as("tp"),
+        col("__fp").cast("long").as("fp"),
+        (col("__tp") / col("__n") - col("__fp") / col("__n") *
+          (col("threshold") / (lit(1.0) - col("threshold"))))
+          .as("net_benefit"),
+        (col("__prev") - (lit(1.0) - col("__prev")) *
+          (col("threshold") / (lit(1.0) - col("threshold"))))
+          .as("nb_treat_all"))
+  }
 }

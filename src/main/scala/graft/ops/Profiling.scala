@@ -1072,4 +1072,49 @@ object Profiling {
           (col("__p_num") / col("__p_den"))).as("fisher"),
         (col("__v1") / col("__v0")).as("value_ratio"))
   }
+
+  /**
+   * Categorical-mix shift between the first and second half of the
+   * observation window (split at the integer midpoint day — exact in
+   * any engine): total-variation distance ½·Σ|p−q| (= the Duncan
+   * dissimilarity index: the fraction of mass that must move to
+   * equalize the mixes), the overlap coefficient Σ min(p,q) = 1 − TV,
+   * and the L∞ gap — the bounded-support complements to the
+   * PSI/KL/JS drift family (those explode on near-zero bins; TV
+   * doesn't). Returns ONE row: (n_before, n_after, n_cats, tv,
+   * overlap, max_gap).
+   *
+   * Scale shape: one 1-row min/max reduce broadcast for the split day,
+   * one map-side-combined groupBy(category) with conditional halves,
+   * one ≤|categories|-row reduce.
+   */
+  def categoricalShift(df: DataFrame, catCol: String,
+      tsCol: String): DataFrame = {
+    val base = df.where(col(catCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(catCol).as("__c"), to_date(col(tsCol)).as("__d"))
+    val bounds = broadcast(base.agg(min(col("__d")).as("__lo"),
+      max(col("__d")).as("__hi")))
+    val cells = base.crossJoin(bounds)
+      .withColumn("__cut",
+        date_add(col("__lo"),
+          (datediff(col("__hi"), col("__lo")) / 2).cast("int")))
+      .groupBy("__c")
+      .agg(sum(when(col("__d") <= col("__cut"), 1L).otherwise(0L))
+        .as("__a"),
+        sum(when(col("__d") > col("__cut"), 1L).otherwise(0L))
+          .as("__b"))
+    val tot = broadcast(cells.agg(
+      sum(col("__a")).cast("double").as("__ta"),
+      sum(col("__b")).cast("double").as("__tb")))
+    cells.crossJoin(tot)
+      .agg(max(col("__ta")).cast("long").as("n_before"),
+        max(col("__tb")).cast("long").as("n_after"),
+        count(lit(1)).as("n_cats"),
+        (sum(abs(col("__a") / col("__ta") - col("__b") / col("__tb")))
+          / 2).as("tv"),
+        sum(least(col("__a") / col("__ta"), col("__b") / col("__tb")))
+          .as("overlap"),
+        max(abs(col("__a") / col("__ta") - col("__b") / col("__tb")))
+          .as("max_gap"))
+  }
 }

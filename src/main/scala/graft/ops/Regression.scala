@@ -1178,4 +1178,84 @@ object Regression {
     }
     x
   }
+
+  /**
+   * Per-key daily-trend OLS with Newey–West (Bartlett-kernel) HAC
+   * standard errors: y is the rounded daily mean of `valueCol`, x the
+   * integer day index since the key's first day, and the slope's
+   * variance uses S = γ̂₀ + 2·Σ_{l≤L} (1−l/(L+1))·γ̂_l over the score
+   * series u_t = (x_t − x̄)·e_t — the serial-correlation-robust se a
+   * plain OLS se understates on trending, autocorrelated series.
+   * Returns one row per key: (key, n_days, slope, intercept, se_ols,
+   * se_hac, hac_ratio).
+   *
+   * Scale shape: one map-side-combined corpus groupBy (key, day); OLS
+   * stats from one grouped reduce joined back (broadcast — one row per
+   * key); L lag windows over calendar-bounded per-key frames. Rounded
+   * daily means + integer x keep both engines on the same floats.
+   */
+  def neweyWestTrend(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16,
+      s"neweyWestTrend: 1..16 lags, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(round(avg(col(valueCol).cast("double")), 6).as("__y"))
+    val indexed = daily
+      .withColumn("__x",
+        datediff(col("__d"),
+          min(col("__d")).over(Window.partitionBy("__g")))
+          .cast("double"))
+      .localCheckpoint() // calendar-bounded; read by fit AND the score pass
+    val fit = indexed.groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__x")).as("__xb"), avg(col("__y")).as("__yb"),
+        sum(col("__x") * col("__x")).as("__sxx0"),
+        sum(col("__x") * col("__y")).as("__sxy0"))
+      .withColumn("__sxx",
+        col("__sxx0") - col("__n") * col("__xb") * col("__xb"))
+      .withColumn("__sxy",
+        col("__sxy0") - col("__n") * col("__xb") * col("__yb"))
+      .withColumn("slope", col("__sxy") / col("__sxx"))
+      .withColumn("intercept",
+        col("__yb") - col("slope") * col("__xb"))
+      .select("__g", "__n", "__xb", "__sxx", "slope", "intercept")
+    val scored = indexed.join(broadcast(fit), Seq("__g"))
+      .withColumn("__e",
+        col("__y") - col("intercept") - col("slope") * col("__x"))
+      .withColumn("__u", (col("__x") - col("__xb")) * col("__e"))
+    val wLag = Window.partitionBy("__g").orderBy("__d")
+    val withLags = (1 to maxLag).foldLeft(scored) { (acc, l) =>
+      acc.withColumn(s"__u$l", lag(col("__u"), l).over(wLag))
+    }
+    val gammaCols = (col("__u") * col("__u")).as("__gl0") +:
+      (1 to maxLag).map(l =>
+        (col("__u") * col(s"__u$l")).as(s"__gl$l"))
+    val gAgg = withLags
+      .select(col("__g") +: (col("__e") * col("__e")).as("__e2") +:
+        gammaCols: _*)
+      .groupBy("__g")
+      .agg(sum(col("__e2")).as("__sse"),
+        sum(col("__gl0")).as("__gam0") +:
+          (1 to maxLag).map(l =>
+            sum(coalesce(col(s"__gl$l"), lit(0.0))).as(s"__gam$l")): _*)
+    val s = (1 to maxLag).foldLeft(col("__gam0")) { (acc, l) =>
+      acc + lit(2.0 * (1.0 - l.toDouble / (maxLag + 1))) *
+        col(s"__gam$l")
+    }
+    fit.join(gAgg, Seq("__g"))
+      .select(col("__g").as(keyCol),
+        col("__n").cast("long").as("n_days"),
+        col("slope"), col("intercept"),
+        when(col("__n") > 2 && col("__sxx") > 0,
+          sqrt(col("__sse") / (col("__n") - 2) / col("__sxx")))
+          .as("se_ols"),
+        when(col("__sxx") > 0, sqrt(s / (col("__sxx") * col("__sxx"))))
+          .as("se_hac"))
+      .withColumn("hac_ratio",
+        when(col("se_ols") > 0, col("se_hac") / col("se_ols")))
+  }
 }

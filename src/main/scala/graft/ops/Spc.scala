@@ -209,4 +209,71 @@ object Spc {
             (col("stddev") * 3)).as("cpk"),
         col("frac_below"), col("frac_above"))
   }
+
+  /**
+   * Western Electric run rules per key over the daily-mean chart
+   * ([[xbarChart]] zones: center = the key's pooled mean, zone width
+   * σ̂/√n_t per day): R1 — a point beyond 3σ; R2 — ≥2 of the last 3
+   * points beyond 2σ on the SAME side; R3 — ≥4 of the last 5 beyond
+   * 1σ same side; R4 — 8 consecutive points on one side of center.
+   * Rolling windows may be partial at the series head (a 2-point
+   * series can already violate R2 — intended: the evidence is there).
+   * Returns one row per (key, rule): (key, rule, n_days, n_flagged).
+   *
+   * Scale shape: one corpus pass to per-(key, day) subgroups, one
+   * per-key moments reduce joined back broadcast, three key-partitioned
+   * rolling-count windows over calendar-bounded frames.
+   */
+  def runRules(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val days = df
+      .where(col(tsCol).isNotNull && v.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), to_date(col(tsCol)).as("__t"))
+      // daily mean rounded to 6: the zone comparisons must not flip on
+      // cross-engine float-summation noise
+      .agg(count(lit(1)).cast("double").as("__n"),
+        round(avg(v), 6).as("__m"))
+    val tot = df
+      .where(col(tsCol).isNotNull && v.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"))
+      .agg(avg(v).as("__mu"), stddev_samp(v).as("__sigma"))
+    val half = col("__sigma") / sqrt(col("__n"))
+    def beyond(k: Int, above: Boolean) =
+      if (above) (col("__m") > col("__mu") + lit(k.toDouble) * half)
+        .cast("long")
+      else (col("__m") < col("__mu") - lit(k.toDouble) * half).cast("long")
+    val flagged = days.join(broadcast(tot), Seq("__g"))
+      .withColumn("__a3", beyond(3, above = true))
+      .withColumn("__b3", beyond(3, above = false))
+      .withColumn("__a2", beyond(2, above = true))
+      .withColumn("__b2", beyond(2, above = false))
+      .withColumn("__a1", beyond(1, above = true))
+      .withColumn("__b1", beyond(1, above = false))
+      .withColumn("__a0", (col("__m") > col("__mu")).cast("long"))
+      .withColumn("__b0", (col("__m") < col("__mu")).cast("long"))
+    def rolling(c: String, rows: Int) =
+      sum(col(c)).over(Window.partitionBy("__g").orderBy("__t")
+        .rowsBetween(-(rows - 1), 0))
+    val rules = flagged
+      .withColumn("__r1", (col("__a3") + col("__b3") >= 1).cast("long"))
+      .withColumn("__r2",
+        (rolling("__a2", 3) >= 2 || rolling("__b2", 3) >= 2)
+          .cast("long"))
+      .withColumn("__r3",
+        (rolling("__a1", 5) >= 4 || rolling("__b1", 5) >= 4)
+          .cast("long"))
+      .withColumn("__r4",
+        (rolling("__a0", 8) >= 8 || rolling("__b0", 8) >= 8)
+          .cast("long"))
+    rules.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__r1")).as("__v1"),
+        sum(col("__r2")).as("__v2"), sum(col("__r3")).as("__v3"),
+        sum(col("__r4")).as("__v4"))
+      .select(col("__g").as(keyCol), col("n_days"),
+        expr("stack(4, 'R1', __v1, 'R2', __v2, 'R3', __v3, 'R4', __v4)")
+          .as(Seq("rule", "n_flagged")))
+      .select(col(keyCol), col("rule"), col("n_days"), col("n_flagged"))
+  }
 }

@@ -8612,4 +8612,85 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_edges") == 0L)
     assert(r(1).isNullAt(r(1).fieldIndex("phi")))
   }
+
+  test("decisionCurve: hand-computed net benefit and treat-all line") {
+    import spark.implicits._
+    val df = Seq((1.0, 0.8), (0.0, 0.6), (1.0, 0.3), (0.0, 0.1))
+      .toDF("y", "p")
+    val r = graft.ops.Evaluation
+      .decisionCurve(df, "y", "p", thresholds = Seq(0.25, 0.5))
+      .orderBy("threshold").collect()
+    assert(r(0).getAs[Long]("n_treated") == 3L)
+    assert(r(0).getAs[Long]("tp") == 2L && r(0).getAs[Long]("fp") == 1L)
+    assert(math.abs(r(0).getAs[Double]("net_benefit")
+      - (0.5 - 0.25 * (0.25 / 0.75))) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("nb_treat_all")
+      - (0.5 - 0.5 * (0.25 / 0.75))) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("net_benefit")) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("nb_treat_all")) < 1e-12)
+  }
+
+  test("neweyWestTrend: exact line → zero se; positive autocorrelation " +
+      "inflates the HAC se") {
+    import spark.implicits._
+    val line = (0 until 6).map(i =>
+      ("k", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        2.0 + 0.5 * i)).toDF("g", "ts", "v")
+    val r = graft.ops.Regression
+      .neweyWestTrend(line, "g", "ts", "v", maxLag = 2).head
+    assert(math.abs(r.getAs[Double]("slope") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_ols")) < 1e-9)
+    assert(r.isNullAt(r.fieldIndex("hac_ratio")))
+    // 8-day same-sign residual blocks → lag-1..3 autocovariances all
+    // strongly positive → HAC se must exceed the iid OLS se
+    val noisy = (0 until 32).map(i =>
+      ("k", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        5.0 + 0.1 * i + 0.4 * (if ((i / 8) % 2 == 0) 1 else -1)))
+      .toDF("g", "ts", "v")
+    val r2 = graft.ops.Regression
+      .neweyWestTrend(noisy, "g", "ts", "v", maxLag = 3).head
+    assert(r2.getAs[Double]("se_hac") > r2.getAs[Double]("se_ols"))
+    assert(r2.getAs[Double]("hac_ratio") > 1.0)
+  }
+
+  test("runRules: 8-in-a-row fires R4, a lone spike fires R1") {
+    import spark.implicits._
+    val shift = (0 until 16).map(i =>
+      ("k", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        if (i < 8) 10.0 else 20.0))
+    val spike = (0 until 11).map(i =>
+      ("s", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        if (i == 10) 1000.0 else 10.0))
+    val df = (shift ++ spike).toDF("g", "ts", "v")
+    val m = graft.ops.Spc.runRules(df, "g", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_flagged")).toMap
+    // |m − μ| = 5 < σ ≈ 5.16 for the shift key: zone rules quiet, but
+    // days 8 and 16 complete 8-in-a-row runs below then above center
+    assert(m(("k", "R1")) == 0L && m(("k", "R2")) == 0L &&
+      m(("k", "R3")) == 0L)
+    assert(m(("k", "R4")) == 2L)
+    // spike: 1000 > μ + 3σ ≈ 995.5 → one R1 day; days 8..10 complete
+    // below-center runs of 8
+    assert(m(("s", "R1")) == 1L)
+    assert(m(("s", "R4")) == 3L)
+  }
+
+  test("categoricalShift: hand-computed TV / overlap over a midpoint " +
+      "split") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01"), ("b", "2024-01-01"),
+      ("a", "2024-01-02"), ("b", "2024-01-02"),
+      ("a", "2024-01-03"), ("a", "2024-01-04"))
+      .toDF("c", "ts")
+    val r = graft.ops.Profiling.categoricalShift(df, "c", "ts").head
+    assert(r.getAs[Long]("n_before") == 4L)
+    assert(r.getAs[Long]("n_after") == 2L)
+    assert(r.getAs[Long]("n_cats") == 2L)
+    assert(math.abs(r.getAs[Double]("tv") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("overlap") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("max_gap") - 0.5) < 1e-12)
+  }
 }
