@@ -19830,6 +19830,128 @@ object Queries {
              round(max(abs(a / ta - bb / tb)), 6) AS max_gap
       FROM cells, t"""))
 
+  /** Theta-method forecast of daily event volume: OLS trend + SES(0.2)
+    * over the θ=2 double-curvature line, combined half-half — the M3
+    * benchmark winner as a 7-day forecaster (recursion unrolled as a
+    * recursive CTE in the oracle, integer-exact OLS inputs). */
+  private val q512 = Entry(
+    "q512_theta_forecast",
+    (s, d) =>
+      graft.ops.TimeSeries.thetaForecast(Tables.events(s, d), "ts",
+          alpha = 0.2, horizon = 7)
+        .select(col("h"), col("n_days"),
+          r6(col("intercept")).as("intercept"), r6(col("drift")).as("drift"),
+          r6(col("ses_level")).as("ses_level"),
+          r6(col("forecast")).as("forecast"))
+        .orderBy("h"),
+    Some("""
+      WITH RECURSIVE days AS (SELECT CAST(ts AS DATE) AS day,
+                     count(*)::DOUBLE AS y
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      seq AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM days),
+      f AS (SELECT count(*)::DOUBLE AS n, avg(i) AS tb, avg(y) AS yb,
+              sum(i * y) AS sxy0, sum(i * i)::DOUBLE AS sxx0 FROM seq),
+      ab AS (SELECT n,
+               (sxy0 - n * tb * yb) / (sxx0 - n * tb * tb) AS b,
+               yb - (sxy0 - n * tb * yb) / (sxx0 - n * tb * tb) * tb AS a
+             FROM f),
+      rec AS (
+        SELECT 1::BIGINT AS t,
+               (2 * (SELECT y FROM seq WHERE i = 1) -
+                 (a + b * 1))::DOUBLE AS s
+        FROM ab
+        UNION ALL
+        SELECT r.t + 1,
+               0.2 * (2 * q.y - (ab.a + ab.b * (r.t + 1))) + 0.8 * r.s
+        FROM rec r JOIN seq q ON q.i = r.t + 1, ab),
+      fin AS (SELECT s FROM rec ORDER BY t DESC LIMIT 1)
+      SELECT h::BIGINT AS h, n::BIGINT AS n_days,
+             round(a, 6) AS intercept, round(b, 6) AS drift,
+             round(s, 6) AS ses_level,
+             round(0.5 * ((a + b * (n + h)) + s), 6) AS forecast
+      FROM (SELECT unnest(generate_series(1, 7)) AS h), ab, fin
+      ORDER BY h"""))
+
+  /** Generalized-entropy inequality panel of order revenue: GE(0)
+    * mean-log-deviation, GE(1) Theil T, GE(2) half-CV² — the
+    * tail-sensitivity spectrum from one pass of sufficient stats. */
+  private val q513 = Entry(
+    "q513_ge_panel",
+    (s, d) =>
+      graft.ops.Profiling
+        .generalizedEntropy(Tables.lineitem(s, d), "l_extendedprice")
+        .select(col("n"), r6(col("mean")).as("mean"),
+          r6(col("mld")).as("mld"), r6(col("theil_t")).as("theil_t"),
+          r6(col("ge2")).as("ge2")),
+    Some("""
+      WITH b AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+                 WHERE l_extendedprice > 0),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS s, sum(ln(x)) AS sl,
+              sum(x * ln(x)) AS sxl, sum(x * x) AS s2 FROM b)
+      SELECT n::BIGINT AS n, round(s / n, 6) AS mean,
+             round(ln(s / n) - sl / n, 6) AS mld,
+             round(sxl / s - ln(s / n), 6) AS theil_t,
+             round(((s2 / n) / ((s / n) * (s / n)) - 1) / 2, 6) AS ge2
+      FROM a"""))
+
+  /** TextRank keywords over the corpus word co-occurrence graph:
+    * PageRank (3 fixed iterations, q158 discipline) on symmetrized
+    * count-≥5 adjacency edges, top-20 terms. */
+  private val q514 = Entry(
+    "q514_textrank",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .textRank(Tables.documents(s, d), "text", minCount = 5, k = 20,
+          iterations = 3)
+        .select(col("term"), r6(col("rank")).as("rank")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents),
+      bi0 AS (SELECT term AS x,
+                lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS y
+              FROM toks),
+      bi AS (SELECT x, y, count(*) AS c FROM bi0 WHERE y IS NOT NULL
+             GROUP BY 1, 2),
+      bf AS (SELECT x, y FROM bi WHERE c >= 5 AND x <> y),
+      e AS (SELECT DISTINCT src, dst FROM
+              (SELECT x AS src, y AS dst FROM bf
+               UNION ALL SELECT y, x FROM bf)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS dg FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+      c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.dg) AS c
+             FROM r0 JOIN e ON r0.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d1 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r0
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r1 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+      c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.dg) AS c
+             FROM r1 JOIN e ON r1.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d2 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r1
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r2 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+      c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.dg) AS c
+             FROM r2 JOIN e ON r2.node = e.src
+                     JOIN deg ON e.src = deg.src
+             GROUP BY 1),
+      d3 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r2
+             WHERE node NOT IN (SELECT src FROM deg)),
+      r3 AS (SELECT nodes.node,
+                    0.15 / n + 0.85 * (coalesce(c, 0) + dang / n) AS rank
+             FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+      SELECT node AS term, round(rank, 6) AS rank FROM r3
+      ORDER BY r3.rank DESC, term LIMIT 20"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19868,7 +19990,8 @@ object Queries {
     q461, q462, q463, q464, q465, q466, q467, q468, q469, q470, q471,
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
-    q502, q503, q504, q505, q506, q507, q508, q509, q510, q511)
+    q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
+    q512, q513, q514)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1074,6 +1074,33 @@ object Profiling {
   }
 
   /**
+   * Generalized-entropy inequality panel in ONE pass: GE(0) = mean
+   * log deviation, GE(1) = Theil T, GE(2) = half the squared
+   * coefficient of variation — the full α-sensitivity spectrum (GE(0)
+   * weights the poor tail, GE(2) the rich tail; GE(1) sits between),
+   * all from the same five sufficient statistics. Returns ONE row:
+   * (n, mean, mld, theil_t, ge2).
+   */
+  def generalizedEntropy(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull && x > 0).select(x.as("__x"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__s"),
+        sum(log(col("__x"))).as("__sl"),
+        sum(col("__x") * log(col("__x"))).as("__sxl"),
+        sum(col("__x") * col("__x")).as("__s2"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__s") / col("__n")).as("mean"),
+        (log(col("__s") / col("__n")) - col("__sl") / col("__n"))
+          .as("mld"),
+        (col("__sxl") / col("__s") - log(col("__s") / col("__n")))
+          .as("theil_t"),
+        (((col("__s2") / col("__n")) /
+          ((col("__s") / col("__n")) * (col("__s") / col("__n"))) -
+          1) / 2).as("ge2"))
+  }
+
+  /**
    * Categorical-mix shift between the first and second half of the
    * observation window (split at the integer midpoint day — exact in
    * any engine): total-variation distance ½·Σ|p−q| (= the Duncan

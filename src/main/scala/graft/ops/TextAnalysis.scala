@@ -1737,4 +1737,35 @@ object TextAnalysis {
           col("__v") + col("__n1") * col("__n1") / (col("__n2") * 2))
           .as("chao1"))
   }
+
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+   * the word co-occurrence graph — adjacency edges (bigrams) with
+   * corpus count ≥ `minCount`, symmetrized — then the top-k terms by
+   * rank. Damping and the fixed iteration count come from
+   * [[graft.ops.Graph.pageRank]], so the scores replay exactly in any
+   * engine (no convergence test). Returns k rows: (term, rank).
+   *
+   * Scale shape: one corpus tokenize+bigram groupBy bounds the graph
+   * by the VOCABULARY (count-≥-minCount edges), after which each
+   * PageRank iteration is one keyed join over vocab-sized frames.
+   */
+  def textRank(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 20, iterations: Int = 3): DataFrame = {
+    val w = words(col(textCol))
+    val toks = df.select(w.as("__w"))
+    val bi = toks.where(size(col("__w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("x"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("y"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount && col("x") =!= col("y"))
+    val und = bi.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(bi.select(col("y").as("src"), col("x").as("dst")))
+    Graph.pageRank(und, "src", "dst", iterations)
+      .select(col("node").as("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -1856,6 +1856,50 @@ object TimeSeries {
   }
 
   /**
+   * Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+   * θ ∈ {0, 2} special case that won M3) over the daily event-count
+   * series: OLS trend line ℓ(t) = a + b·t on the index t = 1..n, the
+   * θ=2 line z_t = 2·y_t − ℓ(t), SES(α) over z (s₁ = z₁), and
+   * x̂(n+h) = ½·(ℓ(n+h) + s_n) — half trend extrapolation, half
+   * smoothed double-curvature level. Returns one row per step
+   * h = 1..horizon: (h, n_days, intercept, drift, ses_level, forecast).
+   *
+   * Scale shape: driver recursion over the BOUNDED daily count frame
+   * (the [[holtLinear]] discipline — loud ≤4000-day cap); integer
+   * counts and index sums make a and b bit-identical in any engine,
+   * and the SES recursion replays as a recursive CTE.
+   */
+  def thetaForecast(df: DataFrame, tsCol: String, alpha: Double = 0.2,
+      horizon: Int = 7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1, "thetaForecast: alpha in (0,1)")
+    require(horizon >= 1 && horizon <= 366, "thetaForecast: horizon 1..366")
+    val days = dailyCounts(df, tsCol).orderBy("__t").limit(4001).collect()
+    require(days.length <= 4000,
+      "thetaForecast: series spans > 4000 days; pre-aggregate")
+    require(days.length >= 3, "thetaForecast: need >= 3 days")
+    val y = days.map(_.getDouble(1))
+    val n = y.length
+    // exact-sum OLS on the 1-based index: every term is an integer-
+    // valued double, so a and b match any engine bit-for-bit
+    val tb = (1 to n).map(_.toDouble).sum / n
+    val yb = y.sum / n
+    val sxy0 = y.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    val sxx0 = (1 to n).map(i => i.toDouble * i).sum
+    val b = (sxy0 - n * tb * yb) / (sxx0 - n * tb * tb)
+    val a = yb - b * tb
+    var s = 2 * y(0) - (a + b * 1)
+    for (t <- 2 to n) {
+      val z = 2 * y(t - 1) - (a + b * t)
+      s = alpha * z + (1 - alpha) * s
+    }
+    (1 to horizon).map(h => (h.toLong, n.toLong, a, b, s,
+        0.5 * ((a + b * (n + h)) + s)))
+      .toDF("h", "n_days", "intercept", "drift", "ses_level", "forecast")
+  }
+
+  /**
    * Permutation entropy (order 3) of each key's daily-total series:
    * the Shannon entropy of the ordinal-pattern distribution over
    * (v_t, v_{t+1}, v_{t+2}) windows, normalized by ln 6 so 1.0 is

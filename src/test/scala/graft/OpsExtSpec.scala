@@ -8693,4 +8693,63 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("overlap") - 0.5) < 1e-12)
     assert(math.abs(r.getAs[Double]("max_gap") - 0.5) < 1e-12)
   }
+
+  test("thetaForecast: pure linear counts → forecast continues the line") {
+    import spark.implicits._
+    // day i has i+1 events → y_t = t exactly (t = 1..8): a = 0, b = 1,
+    // z_t = 2t − t = t, SES converges along the line; forecast(h) =
+    // ½((n+h) + s_n) — s_n lags the line, so check the closed recursion
+    val rows = (0 until 8).flatMap { i =>
+      (0 to i).map(_ => Tuple1(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))))
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .thetaForecast(rows, "ts", alpha = 0.2, horizon = 2)
+      .orderBy("h").collect()
+    assert(r(0).getAs[Long]("n_days") == 8L)
+    assert(math.abs(r(0).getAs[Double]("intercept")) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("drift") - 1.0) < 1e-9)
+    var s = 1.0
+    for (t <- 2 to 8) s = 0.2 * t + 0.8 * s
+    assert(math.abs(r(0).getAs[Double]("ses_level") - s) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("forecast")
+      - 0.5 * (9 + s)) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("forecast")
+      - 0.5 * (10 + s)) < 1e-9)
+  }
+
+  test("generalizedEntropy: equal values → all indices zero; " +
+      "two-point hand computation") {
+    import spark.implicits._
+    val eq = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
+    val r = graft.ops.Profiling.generalizedEntropy(eq, "x").head
+    assert(math.abs(r.getAs[Double]("mld")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("theil_t")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ge2")) < 1e-12)
+    val two = Seq(1.0, 3.0).toDF("x")
+    val r2 = graft.ops.Profiling.generalizedEntropy(two, "x").head
+    // mean 2: MLD = ln2 − (ln1+ln3)/2; Theil = (3·ln3)/4 − ln2;
+    // GE2 = ((5/4)/1 − 1)/2... mean²=4 → ((10/2)/4 − 1)/2 = 0.125
+    assert(math.abs(r2.getAs[Double]("mld")
+      - (math.log(2) - math.log(3) / 2)) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("theil_t")
+      - (3 * math.log(3) / 4 - math.log(2))) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("ge2") - 0.125) < 1e-12)
+  }
+
+  test("textRank: hub word in a star co-occurrence graph ranks first") {
+    import spark.implicits._
+    // "hub" is adjacent to every spoke ≥ minCount times; spokes only
+    // touch hub → hub must take the top rank
+    val docs = (0 until 6).flatMap { _ =>
+      Seq("hub alpha hub beta hub gamma", "delta hub epsilon hub")
+    }.map(Tuple1(_)).toDF("text")
+    val r = graft.ops.TextAnalysis
+      .textRank(docs, "text", minCount = 5, k = 10, iterations = 3)
+      .collect()
+    assert(r.head.getAs[String]("term") == "hub")
+    assert(r.length >= 5)
+    val ranks = r.map(_.getAs[Double]("rank"))
+    assert(ranks.head == ranks.max)
+  }
 }
