@@ -19952,6 +19952,168 @@ object Queries {
       SELECT node AS term, round(rank, 6) AS rank FROM r3
       ORDER BY r3.rank DESC, term LIMIT 20"""))
 
+  /** ROUGE-1/2 overlap scores over the trigram near-dup pair store:
+    * clipped-count n-gram precision/recall/F per pair — what the
+    * near-duplicates actually share lexically, beyond the Jaccard
+    * that surfaced them. */
+  private val q515 = Entry(
+    "q515_rouge_pairs",
+    (s, d) =>
+      graft.ops.TextAnalysis
+        .rougePairs(Tables.documents(s, d), "doc_id", "text",
+          docTrigramPairs(s, d))
+        .select(col("doc_a"), col("doc_b"),
+          r6(col("r1_precision")).as("r1_precision"),
+          r6(col("r1_recall")).as("r1_recall"),
+          r6(col("r1_f")).as("r1_f"), r6(col("r2_f")).as("r2_f"))
+        .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks WHERE len(w) >= 3),
+      keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      shk AS (SELECT sh.id, sh.s FROM sh JOIN keep USING (s)),
+      sz AS (SELECT id, count(*) AS n_sh FROM shk GROUP BY 1),
+      prs AS (
+        SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        FROM shk a JOIN shk b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b
+        FROM prs JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        WHERE inter / (x.n_sh + y.n_sh - inter) >= 0.8),
+      unic AS (SELECT doc_id AS id, g, count(*)::DOUBLE AS c FROM
+                 (SELECT doc_id, unnest(w) AS g FROM toks)
+               GROUP BY 1, 2),
+      t1 AS (SELECT id, sum(c) AS t FROM unic GROUP BY 1),
+      bigc AS (SELECT doc_id AS id, g, count(*)::DOUBLE AS c FROM
+                 (SELECT doc_id,
+                    unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+                  FROM toks WHERE len(w) >= 2)
+               GROUP BY 1, 2),
+      t2 AS (SELECT id, sum(c) AS t FROM bigc GROUP BY 1),
+      o1 AS (SELECT doc_a, doc_b, sum(least(a.c, b.c)) AS o
+             FROM jac JOIN unic a ON a.id = doc_a
+               JOIN unic b ON b.id = doc_b AND b.g = a.g
+             GROUP BY 1, 2),
+      o2 AS (SELECT doc_a, doc_b, sum(least(a.c, b.c)) AS o
+             FROM jac JOIN bigc a ON a.id = doc_a
+               JOIN bigc b ON b.id = doc_b AND b.g = a.g
+             GROUP BY 1, 2)
+      SELECT jac.doc_a, jac.doc_b,
+             round(coalesce(o1.o, 0) / tb1.t, 6) AS r1_precision,
+             round(coalesce(o1.o, 0) / ta1.t, 6) AS r1_recall,
+             round(CASE WHEN coalesce(o1.o, 0) > 0
+               THEN 2 * (o1.o / tb1.t) * (o1.o / ta1.t) /
+                 ((o1.o / tb1.t) + (o1.o / ta1.t))
+               WHEN ta1.t > 0 AND tb1.t > 0 THEN 0 END, 6) AS r1_f,
+             round(CASE WHEN coalesce(o2.o, 0) > 0
+               THEN 2 * (o2.o / tb2.t) * (o2.o / ta2.t) /
+                 ((o2.o / tb2.t) + (o2.o / ta2.t))
+               WHEN ta2.t > 0 AND tb2.t > 0 THEN 0 END, 6) AS r2_f
+      FROM jac LEFT JOIN o1 USING (doc_a, doc_b)
+        LEFT JOIN o2 USING (doc_a, doc_b)
+        JOIN t1 ta1 ON ta1.id = jac.doc_a
+        JOIN t1 tb1 ON tb1.id = jac.doc_b
+        LEFT JOIN t2 ta2 ON ta2.id = jac.doc_a
+        LEFT JOIN t2 tb2 ON tb2.id = jac.doc_b
+      ORDER BY doc_a, doc_b"""))
+
+  /** Corpus distinct-n diversity: distinct/total n-gram ratios for
+    * n = 1..3 — the mode-collapse / templating screen. */
+  private val q516 = Entry(
+    "q516_distinct_ngrams",
+    (s, d) =>
+      graft.ops.TextAnalysis.distinctNgrams(Tables.documents(s, d),
+          "text", maxN = 3)
+        .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+          r6(col("distinct_ratio")).as("distinct_ratio"))
+        .orderBy("n"),
+    Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      g1 AS (SELECT unnest(w) AS g FROM toks),
+      g2 AS (SELECT unnest(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS g
+             FROM toks WHERE len(w) >= 2),
+      g3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             FROM toks WHERE len(w) >= 3)
+      SELECT 1 AS n, count(*)::BIGINT AS total_ngrams,
+             count(DISTINCT g)::BIGINT AS distinct_ngrams,
+             round(count(DISTINCT g) / count(*)::DOUBLE, 6)
+               AS distinct_ratio
+      FROM g1
+      UNION ALL
+      SELECT 2, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+             round(count(DISTINCT g) / count(*)::DOUBLE, 6)
+      FROM g2
+      UNION ALL
+      SELECT 3, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+             round(count(DISTINCT g) / count(*)::DOUBLE, 6)
+      FROM g3
+      ORDER BY n"""))
+
+  /** Generalized ESD outlier sweep over daily event volume: three
+    * sequential max-|z| removals (Rosner's masking-proof multi-outlier
+    * test), each round's R statistic and victim reported. */
+  private val q517 = Entry(
+    "q517_esd_outliers",
+    (s, d) =>
+      graft.ops.TimeSeries.esdOutliers(Tables.events(s, d), "ts",
+          rounds = 3)
+        .select(col("round"), col("n_used"), r6(col("mean")).as("mean"),
+          r6(col("sd")).as("sd"), r6(col("r_stat")).as("r_stat"),
+          r6(col("removed_value")).as("removed_value"),
+          col("removed_day"))
+        .orderBy("round"),
+    Some("""
+      WITH days AS (SELECT CAST(ts AS DATE) AS day, count(*)::DOUBLE AS y
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      s1 AS (SELECT count(*)::DOUBLE AS n, sum(y) / count(*) AS m
+             FROM days),
+      d1 AS (SELECT n, m,
+               sqrt(sum((y - m) * (y - m)) / (n - 1)) AS sd
+             FROM days, s1 GROUP BY n, m),
+      v1 AS (SELECT day, y FROM days, d1
+             ORDER BY abs(y - d1.m) DESC, day LIMIT 1),
+      e1 AS (SELECT day, y FROM days
+             WHERE day NOT IN (SELECT day FROM v1)),
+      s2 AS (SELECT count(*)::DOUBLE AS n, sum(y) / count(*) AS m
+             FROM e1),
+      d2 AS (SELECT n, m,
+               sqrt(sum((y - m) * (y - m)) / (n - 1)) AS sd
+             FROM e1, s2 GROUP BY n, m),
+      v2 AS (SELECT day, y FROM e1, d2
+             ORDER BY abs(y - d2.m) DESC, day LIMIT 1),
+      e2 AS (SELECT day, y FROM e1
+             WHERE day NOT IN (SELECT day FROM v2)),
+      s3 AS (SELECT count(*)::DOUBLE AS n, sum(y) / count(*) AS m
+             FROM e2),
+      d3 AS (SELECT n, m,
+               sqrt(sum((y - m) * (y - m)) / (n - 1)) AS sd
+             FROM e2, s3 GROUP BY n, m),
+      v3 AS (SELECT day, y FROM e2, d3
+             ORDER BY abs(y - d3.m) DESC, day LIMIT 1)
+      SELECT 1::BIGINT AS round, d1.n::BIGINT AS n_used,
+             round(d1.m, 6) AS mean, round(d1.sd, 6) AS sd,
+             round(abs(v1.y - d1.m) / d1.sd, 6) AS r_stat,
+             round(v1.y, 6) AS removed_value, v1.day AS removed_day
+      FROM d1, v1
+      UNION ALL
+      SELECT 2, d2.n::BIGINT, round(d2.m, 6), round(d2.sd, 6),
+             round(abs(v2.y - d2.m) / d2.sd, 6), round(v2.y, 6), v2.day
+      FROM d2, v2
+      UNION ALL
+      SELECT 3, d3.n::BIGINT, round(d3.m, 6), round(d3.sd, 6),
+             round(abs(v3.y - d3.m) / d3.sd, 6), round(v3.y, 6), v3.day
+      FROM d3, v3
+      ORDER BY round"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -19991,7 +20153,7 @@ object Queries {
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
-    q512, q513, q514)
+    q512, q513, q514, q515, q516, q517)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

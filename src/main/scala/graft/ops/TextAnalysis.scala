@@ -1750,6 +1750,106 @@ object TextAnalysis {
    * by the VOCABULARY (count-≥-minCount edges), after which each
    * PageRank iteration is one keyed join over vocab-sized frames.
    */
+  /**
+   * ROUGE-1/ROUGE-2 overlap scores for given document pairs — the
+   * clipped-count n-gram precision/recall/F the summarization and
+   * dedup-diagnostics literature uses: overlap = Σ_g min(c_a(g),
+   * c_b(g)), recall against doc_a, precision against doc_b. Returns
+   * one row per pair: (doc_a, doc_b, r1_precision, r1_recall, r1_f,
+   * r2_f); pairs whose b-side has no bigrams get r2_f NULL.
+   *
+   * Scale shape: per-doc n-gram count frames (one tokenize pass each),
+   * then PAIR-keyed joins — cost scales with |pairs|·|shared terms|,
+   * never corpus²; the pair list is the caller's (bucketed LSH/
+   * Jaccard) candidate set, already bounded.
+   */
+  def rougePairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val w = words(col(textCol))
+    val toks = df.select(col(idCol).as("__id"), w.as("__w"))
+      .localCheckpoint() // read by both n-gram passes
+    val uni = toks.select(col("__id"), explode(col("__w")).as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+    val bi = toks.where(size(col("__w")) >= 2)
+      .select(col("__id"), explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1).as("x"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("y"))).as("p"))
+      .select(col("__id"),
+        concat_ws(" ", col("p.x"), col("p.y")).as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+    val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .localCheckpoint()
+    def overlap(grams: DataFrame, tag: String): DataFrame = {
+      val tot = grams.groupBy("__id")
+        .agg(sum(col("__c")).cast("double").as("__t"))
+      val ov = p
+        .join(grams.select(col("__id").as("__a"), col("__g"),
+          col("__c").as("__ca")), Seq("__a"))
+        .join(grams.select(col("__id").as("__b"), col("__g"),
+          col("__c").as("__cb")), Seq("__b", "__g"))
+        .groupBy("__a", "__b")
+        .agg(sum(least(col("__ca"), col("__cb"))).cast("double")
+          .as(s"__o$tag"))
+      p.join(ov, Seq("__a", "__b"), "left")
+        .na.fill(0.0, Seq(s"__o$tag"))
+        .join(tot.select(col("__id").as("__a"), col("__t").as(s"__ta$tag")),
+          Seq("__a"), "left")
+        .join(tot.select(col("__id").as("__b"), col("__t").as(s"__tb$tag")),
+          Seq("__b"), "left")
+    }
+    val u = overlap(uni, "1")
+    val b = overlap(bi, "2")
+    def f(o: Column, ta: Column, tb: Column) = {
+      val r = o / ta
+      val pr = o / tb
+      when(ta > 0 && tb > 0 && o > 0, lit(2.0) * pr * r / (pr + r))
+        .otherwise(when(ta > 0 && tb > 0, lit(0.0)))
+    }
+    u.join(b.select(col("__a"), col("__b"), col("__o2"), col("__ta2"),
+        col("__tb2")), Seq("__a", "__b"))
+      .select(col("__a").as(aCol), col("__b").as(bCol),
+        (col("__o1") / col("__tb1")).as("r1_precision"),
+        (col("__o1") / col("__ta1")).as("r1_recall"),
+        f(col("__o1"), col("__ta1"), col("__tb1")).as("r1_f"),
+        f(col("__o2"), col("__ta2"), col("__tb2")).as("r2_f"))
+  }
+
+  /**
+   * Corpus diversity as distinct-n ratios (Li et al. 2016): for each
+   * n-gram order, distinct grams / total grams — the standard
+   * generation-diversity readout (a templated or mode-collapsed corpus
+   * scores near 0, fresh prose near 1 at higher orders). Returns one
+   * row per order n = 1..maxN: (n, total_ngrams, distinct_ngrams,
+   * distinct_ratio).
+   *
+   * Scale shape: one tokenize pass per order into a map-side-combined
+   * gram groupBy; totals and distincts both fall out of the same
+   * vocab-sized count frame.
+   */
+  def distinctNgrams(df: DataFrame, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, s"distinctNgrams: maxN 1..5, got $maxN")
+    val w = words(col(textCol))
+    val toks = df.select(w.as("__w")).localCheckpoint()
+    val perOrder = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) toks.select(explode(col("__w")).as("__g"))
+        else toks.where(size(col("__w")) >= n)
+          .select(explode(arrays_zip(
+            (0 until n).map(i => slice(col("__w"), lit(i + 1),
+              size(col("__w")) - (n - 1)).as(s"w$i")): _*)).as("p"))
+          .select(concat_ws(" ",
+            (0 until n).map(i => col(s"p.w$i")): _*).as("__g"))
+      grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+        .agg(lit(n).as("n"), sum(col("__c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+    }
+    perOrder.reduce(_ unionByName _)
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast("double") / col("total_ngrams"))
+  }
+
   def textRank(df: DataFrame, textCol: String, minCount: Long = 5,
       k: Int = 20, iterations: Int = 3): DataFrame = {
     val w = words(col(textCol))

@@ -1900,6 +1900,48 @@ object TimeSeries {
   }
 
   /**
+   * Generalized ESD outlier sweep (Rosner 1983) over the daily
+   * event-count series: `rounds` sequential passes, each computing the
+   * remaining sample's mean/sd, reporting R = max|x−x̄|/s, and removing
+   * that extreme (ties broken by earliest day) before the next pass —
+   * the masking-proof multi-outlier test a single Grubbs pass fails
+   * on. Returns one row per round: (round, n_used, mean, sd, r_stat,
+   * removed_value, removed_day).
+   *
+   * Scale shape: driver rounds over the BOUNDED daily count frame
+   * (the [[holtLinear]] ≤4000-day discipline); integer counts keep
+   * mean/sd bit-comparable across engines.
+   */
+  def esdOutliers(df: DataFrame, tsCol: String,
+      rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 10, "esdOutliers: rounds 1..10")
+    val days = dailyCounts(df, tsCol).orderBy("__t").limit(4001).collect()
+    require(days.length <= 4000,
+      "esdOutliers: series spans > 4000 days; pre-aggregate")
+    require(days.length >= rounds + 3,
+      s"esdOutliers: need >= ${rounds + 3} days")
+    var remaining = days.map(r => (r.getInt(0), r.getDouble(1))).toVector
+    val out = (1 to rounds).map { round =>
+      val n = remaining.length
+      val m = remaining.map(_._2).sum / n
+      val sd = math.sqrt(
+        remaining.map { case (_, v) => (v - m) * (v - m) }.sum / (n - 1))
+      val victim = remaining.maxBy { case (t, v) =>
+        (math.abs(v - m), -t.toDouble) // max deviation, earliest day
+      }
+      remaining = remaining.filterNot(_ == victim)
+      (round.toLong, n.toLong, m, sd,
+        math.abs(victim._2 - m) / sd, victim._2,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          victim._1.toLong)))
+    }
+    out.toDF("round", "n_used", "mean", "sd", "r_stat", "removed_value",
+      "removed_day")
+  }
+
+  /**
    * Permutation entropy (order 3) of each key's daily-total series:
    * the Shannon entropy of the ordinal-pattern distribution over
    * (v_t, v_{t+1}, v_{t+2}) windows, normalized by ln 6 so 1.0 is

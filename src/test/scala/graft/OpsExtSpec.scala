@@ -8752,4 +8752,48 @@ class OpsExtSpec extends AnyFunSuite {
     val ranks = r.map(_.getAs[Double]("rank"))
     assert(ranks.head == ranks.max)
   }
+
+  test("rougePairs: clipped-count unigram and bigram overlap by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x z"), (2L, "x y x w")).toDF("id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = graft.ops.TextAnalysis
+      .rougePairs(docs, "id", "text", pairs).head
+    // unigrams: min(2,2)+min(1,1) = 3 of 4 → P = R = F = 0.75
+    assert(math.abs(r.getAs[Double]("r1_precision") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r1_recall") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r1_f") - 0.75) < 1e-12)
+    // bigrams: {x y, y x} shared of 3 each → F = 2/3
+    assert(math.abs(r.getAs[Double]("r2_f") - 2.0 / 3) < 1e-12)
+  }
+
+  test("distinctNgrams: hand-computed ratios for a 2-doc corpus") {
+    import spark.implicits._
+    val docs = Seq("a b a", "a b").map(Tuple1(_)).toDF("text")
+    val r = graft.ops.TextAnalysis.distinctNgrams(docs, "text", maxN = 3)
+      .orderBy("n").collect()
+    assert(r(0).getAs[Long]("total_ngrams") == 5L)
+    assert(r(0).getAs[Long]("distinct_ngrams") == 2L)
+    assert(math.abs(r(0).getAs[Double]("distinct_ratio") - 0.4) < 1e-12)
+    assert(r(1).getAs[Long]("total_ngrams") == 3L)
+    assert(r(1).getAs[Long]("distinct_ngrams") == 2L)
+    assert(r(2).getAs[Long]("total_ngrams") == 1L)
+    assert(math.abs(r(2).getAs[Double]("distinct_ratio") - 1.0) < 1e-12)
+  }
+
+  test("esdOutliers: sequential removals catch the masked second " +
+      "outlier") {
+    import spark.implicits._
+    val counts = Seq(10, 12, 11, 13, 10, 12, 11, 100, 12, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(_ => Tuple1(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i.toLong))))
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.esdOutliers(rows, "ts", rounds = 3)
+      .orderBy("round").collect()
+    assert(r.map(_.getAs[Long]("n_used")).toSeq == Seq(10L, 9L, 8L))
+    assert(r(0).getAs[Double]("removed_value") == 100.0)
+    assert(r(1).getAs[Double]("removed_value") == 1.0)
+    assert(r(0).getAs[Double]("r_stat") > r(1).getAs[Double]("r_stat"))
+  }
 }
