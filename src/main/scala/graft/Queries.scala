@@ -20114,6 +20114,196 @@ object Queries {
       FROM d3, v3
       ORDER BY round"""))
 
+  /** Rayleigh circular-uniformity test of hour-of-day per event type:
+    * mean resultant length, z = n·R̄², mean direction in hours —
+    * "does this event type have a preferred time of day", computed
+    * right at the midnight wrap. */
+  private val q518 = Entry(
+    "q518_rayleigh",
+    (s, d) =>
+      graft.ops.TimeSeries.circularHourStats(Tables.events(s, d),
+          "event_type", "ts")
+        .select(col("event_type"), col("n"),
+          r6(col("mean_hour")).as("mean_hour"),
+          r6(col("resultant_r")).as("resultant_r"),
+          r6(col("rayleigh_z")).as("rayleigh_z"),
+          r6(col("circ_variance")).as("circ_variance"))
+        .orderBy("event_type"),
+    Some("""
+      WITH b AS (SELECT event_type AS g,
+              (hour(ts) + minute(ts) / 60.0) *
+                (2 * pi() / 24) AS th
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      a AS (SELECT g, count(*)::DOUBLE AS n, sum(cos(th)) AS c,
+              sum(sin(th)) AS s
+            FROM b GROUP BY 1),
+      r AS (SELECT g, n, sqrt(c * c + s * s) / n AS rr,
+              atan2(s, c) AS mh
+            FROM a)
+      SELECT g AS event_type, n::BIGINT AS n,
+             round(fmod(mh * (24 / (2 * pi())) + 24, 24), 6) AS mean_hour,
+             round(rr, 6) AS resultant_r,
+             round(n * rr * rr, 6) AS rayleigh_z,
+             round(1 - rr, 6) AS circ_variance
+      FROM r ORDER BY 1"""))
+
+  /** ABC/Pareto classification of parts by revenue mass: strictly-
+    * above cumulative-share cuts at 0.8/0.95 — the inventory 80/15/5
+    * readout, tie-stable by construction. */
+  private val q519 = Entry(
+    "q519_abc_classification",
+    (s, d) =>
+      graft.ops.Profiling
+        .abcClassification(Tables.lineitem(s, d), "l_partkey",
+          "l_extendedprice")
+        .select(col("abc_class"), col("n_keys"),
+          r2(col("value_total")).as("value_total"),
+          r6(col("value_share")).as("value_share"))
+        .orderBy("abc_class"),
+    Some("""
+      WITH rev AS (SELECT l_partkey AS k,
+                     round(sum(l_extendedprice::DOUBLE), 6) AS v
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL
+                   GROUP BY 1),
+      vc AS (SELECT v, count(*)::BIGINT AS kk, sum(v) AS mass
+             FROM rev GROUP BY 1),
+      ex AS (SELECT v, kk, mass,
+               coalesce(sum(mass) OVER (ORDER BY v DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS above
+             FROM vc),
+      t AS (SELECT sum(mass) AS tot FROM vc)
+      SELECT CASE WHEN above / tot < 0.8 THEN 'A'
+                  WHEN above / tot < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             sum(kk)::BIGINT AS n_keys,
+             round(sum(mass), 2) AS value_total,
+             round(sum(mass) / max(tot), 6) AS value_share
+      FROM ex, t GROUP BY 1 ORDER BY 1"""))
+
+  /** Savitzky–Golay 7-point quadratic smoothing of each type's daily
+    * event counts (exact integer weights −2,3,6,7,6,3,−2 over 21) +
+    * 3σ residual outlier flags — the shape-preserving denoiser. */
+  private val q520 = Entry(
+    "q520_savitzky_golay",
+    (s, d) =>
+      graft.ops.TimeSeries.savitzkyGolay(Tables.events(s, d),
+          "event_type", "ts", k = 3.0)
+        .select(col("event_type"), col("day"),
+          col("y").cast("long").as("y"), r6(col("smooth")).as("smooth"),
+          r6(col("resid")).as("resid"), col("is_outlier"))
+        .orderBy("event_type", "day"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, ts::DATE AS day,
+                   count(*)::DOUBLE AS y
+                 FROM events
+                 WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      l AS (SELECT g, day, y,
+              lag(y, 3) OVER w AS w0, lag(y, 2) OVER w AS w1,
+              lag(y, 1) OVER w AS w2, lead(y, 1) OVER w AS w4,
+              lead(y, 2) OVER w AS w5, lead(y, 3) OVER w AS w6,
+              count(y) OVER (PARTITION BY g ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+            FROM d WINDOW w AS (PARTITION BY g ORDER BY day)),
+      s AS (SELECT g, day, y,
+              CASE WHEN cnt = 7 THEN
+                (w0 * -2 + w1 * 3 + w2 * 6 + y * 7 + w4 * 6 + w5 * 3
+                  + w6 * -2) / 21.0 END AS smooth
+            FROM l),
+      r AS (SELECT g, day, y, smooth, y - smooth AS resid FROM s),
+      sd AS (SELECT g, stddev_samp(resid) AS sg FROM r GROUP BY 1)
+      SELECT r.g AS event_type, day, y::BIGINT AS y,
+             round(smooth, 6) AS smooth, round(resid, 6) AS resid,
+             CASE WHEN resid IS NOT NULL AND sg > 0
+               THEN abs(resid) > 3 * sg END AS is_outlier
+      FROM r JOIN sd ON sd.g = r.g ORDER BY event_type, day"""))
+
+  /** Tukey biweight robust location/midvariance of event value next
+    * to the classical moments — the smooth-rejection M-estimator
+    * (9-MAD bisquare), exact-DISC median/MAD anchors. */
+  private val q521 = Entry(
+    "q521_biweight",
+    (s, d) =>
+      graft.ops.Profiling.biweightStats(Tables.events(s, d), "value")
+        .select(col("n"), r6(col("mean")).as("mean"), r6(col("sd")).as("sd"),
+          r6(col("median")).as("median"), r6(col("mad")).as("mad"),
+          r6(col("biweight_loc")).as("biweight_loc"),
+          r6(col("biweight_midvar")).as("biweight_midvar")),
+    Some("""
+      WITH b AS (SELECT "value"::DOUBLE AS x FROM events
+                 WHERE "value" IS NOT NULL),
+      m AS (SELECT quantile_disc(x, 0.5) AS med FROM b),
+      md AS (SELECT quantile_disc(abs(x - med), 0.5) AS mad FROM b, m),
+      a AS (SELECT count(*)::DOUBLE AS n, avg(x) AS mean,
+              stddev_samp(x) AS sd, max(med) AS med, max(mad) AS mad,
+              sum(CASE WHEN mad > 0 AND
+                  abs((x - med) / (9 * mad)) < 1
+                THEN (x - med) *
+                  (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                ELSE 0 END) AS num,
+              sum(CASE WHEN mad > 0 AND
+                  abs((x - med) / (9 * mad)) < 1
+                THEN (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                ELSE 0 END) AS den,
+              sum(CASE WHEN mad > 0 AND
+                  abs((x - med) / (9 * mad)) < 1
+                THEN (x - med) * (x - med) *
+                  (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                ELSE 0 END) AS vnum,
+              sum(CASE WHEN mad > 0 AND
+                  abs((x - med) / (9 * mad)) < 1
+                THEN (1 - ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                  * (1 - 5 * ((x - med) / (9 * mad)) * ((x - med) / (9 * mad)))
+                ELSE 0 END) AS vden
+            FROM b, m, md)
+      SELECT n::BIGINT AS n, round(mean, 6) AS mean, round(sd, 6) AS sd,
+             round(med, 6) AS median, round(mad, 6) AS mad,
+             round(CASE WHEN den > 0 THEN med + num / den
+               ELSE med END, 6) AS biweight_loc,
+             round(CASE WHEN vden > 0
+               THEN n * vnum / (vden * vden) END, 6) AS biweight_midvar
+      FROM a"""))
+
+  /** Ridit analysis of order priority across customer market
+    * segments: each segment's mean ridit against the pooled ordinal
+    * distribution — the ordered-categorical effect size (0.5 = no
+    * shift). */
+  private val q522 = Entry(
+    "q522_ridit",
+    (s, d) =>
+      graft.ops.Profiling
+        .riditAnalysis(
+          Tables.orders(s, d).join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey")),
+          "c_mktsegment", "o_orderpriority",
+          ordinalKey = c => substring(c, 1, 1).cast("int"))
+        .select(col("c_mktsegment").as("segment"), col("n"),
+          r6(col("mean_ridit")).as("mean_ridit"))
+        .orderBy("segment"),
+    Some("""
+      WITH b AS (SELECT c_mktsegment AS g, o_orderpriority AS c
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE o_orderpriority IS NOT NULL
+                   AND c_mktsegment IS NOT NULL),
+      cats AS (SELECT c, count(*)::DOUBLE AS n FROM b GROUP BY 1),
+      ex AS (SELECT c, n, coalesce(sum(n) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+             FROM cats),
+      t AS (SELECT sum(n) AS tot FROM cats),
+      rd AS (SELECT c, (below + n / 2) / tot AS r FROM ex, t),
+      gc AS (SELECT g, c, count(*)::BIGINT AS gn FROM b GROUP BY 1, 2)
+      SELECT g AS segment, sum(gn)::BIGINT AS n,
+             round(sum(gn * r) / sum(gn), 6) AS mean_ridit
+      FROM gc JOIN rd USING (c) GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20153,7 +20343,7 @@ object Queries {
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
-    q512, q513, q514, q515, q516, q517)
+    q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

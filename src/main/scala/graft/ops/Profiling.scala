@@ -1074,6 +1074,127 @@ object Profiling {
   }
 
   /**
+   * ABC (Pareto) classification of keys by value mass: keys whose
+   * STRICTLY-ABOVE cumulative share is < cutA are class A, < cutB
+   * class B, else C — the inventory 80/15/5 readout. Ties share the
+   * same "above" mass (the strictly-above rule is order-free, so any
+   * engine lands the same classes); per-key values are rounded to 6
+   * decimals before the distinct-value frame so float summation order
+   * can't split a tie. Returns one row per class: (abc_class, n_keys,
+   * value_total, value_share).
+   *
+   * Scale shape: one corpus groupBy(key), one distinct-value prefix
+   * sum ([[graft.analysis.PrefixSum]] — no single-partition window),
+   * one ≤|distinct values|-row classify+reduce.
+   */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+      cutA: Double = 0.8, cutB: Double = 0.95): DataFrame = {
+    require(cutA > 0 && cutA < cutB && cutB < 1,
+      s"abcClassification: 0 < cutA < cutB < 1, got ($cutA, $cutB)")
+    val rev = df
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
+    val vc = rev.groupBy((-col("__v")).as("__ns"))
+      .agg(count(lit(1)).as("__k"), sum(col("__v")).as("__mass"))
+    val ex = graft.analysis.PrefixSum.exclusive(vc, "__ns",
+      Seq("__mass" -> "__above"))
+    val tot = broadcast(ex.agg(sum(col("__mass")).as("__tot")))
+    ex.crossJoin(tot)
+      .withColumn("abc_class",
+        when(col("__above") / col("__tot") < cutA, "A")
+          .when(col("__above") / col("__tot") < cutB, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(sum(col("__k")).as("n_keys"),
+        sum(col("__mass")).as("value_total"),
+        (sum(col("__mass")) / max(col("__tot"))).as("value_share"))
+  }
+
+  /**
+   * Tukey biweight robust location + midvariance (one-step, c = 9
+   * MADs) next to the classical mean/sd: u = (x − med)/(9·MAD),
+   * weights (1−u²)² vanish smoothly past 9 MADs, so a contaminated
+   * tail moves these estimates far less than the moments. Median and
+   * MAD are exact-DISC order statistics (engine-identical). Returns
+   * ONE row: (n, mean, sd, median, mad, biweight_loc,
+   * biweight_midvar).
+   *
+   * Scale shape: two distributed exact-percentile passes
+   * (value-count PrefixSum) + one weighted reduce against the
+   * broadcast med/MAD.
+   */
+  def biweightStats(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull).select(x.as("__x")).localCheckpoint()
+    val med = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(base, "__x", Seq("__med" -> 0.5), Nil))
+    val absDev = base.crossJoin(med)
+      .select(abs(col("__x") - col("__med")).as("__ad"))
+    val mad = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(absDev, "__ad", Seq("__mad" -> 0.5), Nil))
+    val u = (col("__x") - col("__med")) / (lit(9.0) * col("__mad"))
+    val inside = abs(u) < 1 && col("__mad") > 0
+    val w = (lit(1.0) - u * u) * (lit(1.0) - u * u)
+    base.crossJoin(med).crossJoin(mad)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__x")).as("mean"), stddev_samp(col("__x")).as("sd"),
+        max(col("__med")).as("median"), max(col("__mad")).as("mad"),
+        sum(when(inside, (col("__x") - col("__med")) * w)
+          .otherwise(0.0)).as("__num"),
+        sum(when(inside, w).otherwise(0.0)).as("__den"),
+        sum(when(inside, (col("__x") - col("__med")) *
+          (col("__x") - col("__med")) * w * w).otherwise(0.0))
+          .as("__vnum"),
+        sum(when(inside, (lit(1.0) - u * u) *
+          (lit(1.0) - lit(5.0) * u * u)).otherwise(0.0)).as("__vden"))
+      .select(col("__n").cast("long").as("n"), col("mean"), col("sd"),
+        col("median"), col("mad"),
+        when(col("__den") > 0,
+          col("median") + col("__num") / col("__den"))
+          .otherwise(col("median")).as("biweight_loc"),
+        when(col("__vden") > 0,
+          col("__n") * col("__vnum") /
+            (col("__vden") * col("__vden"))).as("biweight_midvar"))
+  }
+
+  /**
+   * Ridit analysis of an ordinal category across groups: each
+   * category's ridit is its below-mass plus half its own mass in the
+   * POOLED distribution (so the pooled mean ridit is exactly 0.5);
+   * a group's mean ridit is the probability a random member of it
+   * exceeds a random pooled observation (+½ ties) — the
+   * Mann-Whitney-style effect size for ordered categories. Returns
+   * one row per group: (group, n, mean_ridit).
+   *
+   * Scale shape: one corpus groupBy(category) for the pooled ridit
+   * frame (category-bounded, prefix-summed, broadcast), one corpus
+   * groupBy(group, category), one keyed join + reduce.
+   */
+  def riditAnalysis(df: DataFrame, groupCol: String, ordinalCol: String,
+      ordinalKey: Column => Column = _.cast("double")): DataFrame = {
+    val base = df
+      .where(col(groupCol).isNotNull && col(ordinalCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(ordinalCol).as("__c"))
+    val cats = base.groupBy("__c")
+      .agg(count(lit(1)).cast("double").as("__n"))
+      // the prefix sum needs a NUMERIC order image of the ordinal
+      // (default: cast; label ordinals pass an extractor)
+      .withColumn("__k", ordinalKey(col("__c")))
+    val ridit = graft.analysis.PrefixSum.exclusive(cats, "__k",
+        Seq("__n" -> "__below"))
+      .crossJoin(broadcast(cats.agg(sum(col("__n")).as("__tot"))))
+      .select(col("__c"),
+        ((col("__below") + col("__n") / 2) / col("__tot")).as("__r"))
+    base.groupBy("__g", "__c").agg(count(lit(1)).as("__gn"))
+      .join(broadcast(ridit), Seq("__c"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__gn")).as("n"),
+        (sum(col("__gn") * col("__r")) / sum(col("__gn")))
+          .as("mean_ridit"))
+  }
+
+  /**
    * Generalized-entropy inequality panel in ONE pass: GE(0) = mean
    * log deviation, GE(1) = Theil T, GE(2) = half the squared
    * coefficient of variation — the full α-sensitivity spectrum (GE(0)

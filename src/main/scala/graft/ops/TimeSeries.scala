@@ -1900,6 +1900,88 @@ object TimeSeries {
   }
 
   /**
+   * Circular (hour-of-day) statistics per key: the Rayleigh uniformity
+   * test on event timestamps mapped to angles θ = 2π·(hour +
+   * minute/60)/24 — mean resultant length R̄ = |Σe^{iθ}|/n, Rayleigh
+   * z = n·R̄² (large z ⇒ a preferred time of day), the mean direction
+   * converted back to hours, and circular variance 1 − R̄. A plain
+   * mean of hour-of-day is wrong at the midnight wrap; this is the
+   * standard fix. One row per key: (key, n, mean_hour, resultant_r,
+   * rayleigh_z, circ_variance).
+   *
+   * Scale shape: one map-side-combined groupBy accumulating the two
+   * trig sums — nothing else.
+   */
+  def circularHourStats(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val theta = (hour(col(tsCol)).cast("double") +
+      minute(col(tsCol)).cast("double") / 60.0) *
+      lit(2.0 * math.Pi / 24.0)
+    df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(cos(theta)).as("__c"), sum(sin(theta)).as("__s"))
+      .withColumn("resultant_r",
+        sqrt(col("__c") * col("__c") + col("__s") * col("__s")) /
+          col("__n"))
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        ((atan2(col("__s"), col("__c")) * lit(24.0 / (2.0 * math.Pi)) +
+          24.0) % 24.0).as("mean_hour"),
+        col("resultant_r"),
+        (col("__n") * col("resultant_r") * col("resultant_r"))
+          .as("rayleigh_z"),
+        (lit(1.0) - col("resultant_r")).as("circ_variance"))
+  }
+
+  /**
+   * Savitzky–Golay smoothing (window 7, quadratic/cubic) of each key's
+   * daily event-count series + residual outlier flags: the classic
+   * least-squares-preserving convolution with EXACT integer weights
+   * (−2, 3, 6, 7, 6, 3, −2)/21 — identical arithmetic in any engine,
+   * no fitted coefficients. Days whose |raw − smooth| exceeds
+   * `k`·(the key's residual sd) flag as outliers; edge days
+   * (incomplete window) emit NULL smooth and never flag. Returns one
+   * row per (key, day): (key, day, y, smooth, resid, is_outlier).
+   *
+   * Scale shape: one corpus pass to the calendar-bounded per-key day
+   * frame, key-partitioned centered ROWS windows, one per-key sd
+   * reduce joined back broadcast.
+   */
+  def savitzkyGolay(df: DataFrame, keyCol: String, tsCol: String,
+      k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "savitzkyGolay: k > 0")
+    val daily = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val w = Window.partitionBy("__g").orderBy("day").rowsBetween(-3, 3)
+    val wSeq = Window.partitionBy("__g").orderBy("day")
+    val weights = Seq(-2.0, 3.0, 6.0, 7.0, 6.0, 3.0, -2.0)
+    val lagged = weights.zipWithIndex.foldLeft(daily) { case (acc, (c, i)) =>
+      val off = i - 3
+      val v = if (off < 0) lag(col("y"), -off).over(wSeq)
+        else if (off > 0) lead(col("y"), off).over(wSeq)
+        else col("y")
+      acc.withColumn(s"__w$i", v * lit(c))
+    }
+    val smoothed = lagged
+      .withColumn("__cnt", count(col("y")).over(w))
+      .withColumn("smooth",
+        when(col("__cnt") === 7,
+          (0 until 7).map(i => col(s"__w$i")).reduce(_ + _) / 21.0))
+      .withColumn("resid", col("y") - col("smooth"))
+      .drop((0 until 7).map(i => s"__w$i"): _*)
+      .localCheckpoint() // read again for the per-key sd join
+    val sd = smoothed.groupBy("__g")
+      .agg(stddev_samp(col("resid")).as("__sd"))
+    smoothed.join(broadcast(sd), Seq("__g"))
+      .select(col("__g").as(keyCol), col("day"), col("y"), col("smooth"),
+        col("resid"),
+        when(col("resid").isNotNull && col("__sd") > 0,
+          abs(col("resid")) > lit(k) * col("__sd")).as("is_outlier"))
+  }
+
+  /**
    * Generalized ESD outlier sweep (Rosner 1983) over the daily
    * event-count series: `rounds` sequential passes, each computing the
    * remaining sample's mean/sd, reporting R = max|x−x̄|/s, and removing

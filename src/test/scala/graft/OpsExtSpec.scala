@@ -8796,4 +8796,74 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("removed_value") == 1.0)
     assert(r(0).getAs[Double]("r_stat") > r(1).getAs[Double]("r_stat"))
   }
+
+  test("circularHourStats: midnight wrap lands mean hour at 0, not 12") {
+    import spark.implicits._
+    val df = Seq(("k", "2024-01-01 23:00:00"), ("k", "2024-01-02 01:00:00"))
+      .toDF("g", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val r = graft.ops.TimeSeries.circularHourStats(df, "g", "ts").head
+    assert(math.abs(r.getAs[Double]("mean_hour")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("resultant_r")
+      - math.cos(math.Pi / 12)) < 1e-12)
+    // antipodal hours cancel: R ≈ 0
+    val anti = Seq(("a", "2024-01-01 00:30:00"), ("a", "2024-01-01 12:30:00"))
+      .toDF("g", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val r2 = graft.ops.TimeSeries.circularHourStats(anti, "g", "ts").head
+    assert(r2.getAs[Double]("resultant_r") < 1e-9)
+  }
+
+  test("abcClassification: 80/15/5 mass lands in A/B/C") {
+    import spark.implicits._
+    val df = Seq(("a", 80.0), ("b", 15.0), ("c", 5.0)).toDF("k", "v")
+    val m = graft.ops.Profiling.abcClassification(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("value_share"))).toMap
+    assert(m("A")._1 == 1L && math.abs(m("A")._2 - 0.8) < 1e-12)
+    assert(m("B")._1 == 1L && math.abs(m("B")._2 - 0.15) < 1e-12)
+    assert(m("C")._1 == 1L && math.abs(m("C")._2 - 0.05) < 1e-12)
+  }
+
+  test("savitzkyGolay: quadratic series is reproduced exactly") {
+    import spark.implicits._
+    // y_t = (t+1)² is a quadratic — the order-2 SG filter must return
+    // it unchanged on every full window
+    val rows = (0 until 9).flatMap { t =>
+      (0 until (t + 1) * (t + 1)).map(_ => Tuple1(
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(2024, 1, 1, 0, 0).plusDays(t.toLong))))
+    }.map(x => ("k", x._1)).toDF("g", "ts")
+    val r = graft.ops.TimeSeries.savitzkyGolay(rows, "g", "ts")
+      .orderBy("day").collect()
+    assert(r.length == 9)
+    assert(r(0).isNullAt(r(0).fieldIndex("smooth"))) // edge day
+    (3 to 5).foreach { i =>
+      assert(math.abs(r(i).getAs[Double]("smooth")
+        - (i + 1.0) * (i + 1.0)) < 1e-9)
+      assert(math.abs(r(i).getAs[Double]("resid")) < 1e-9)
+    }
+  }
+
+  test("biweightStats: outlier barely moves the biweight location") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1000.0).toDF("x")
+    val r = graft.ops.Profiling.biweightStats(df, "x").head
+    assert(r.getAs[Double]("median") == 3.0) // DISC lower middle
+    assert(r.getAs[Double]("mad") == 1.0)
+    // symmetric core around 3 → one-step biweight stays at 3 exactly
+    assert(math.abs(r.getAs[Double]("biweight_loc") - 3.0) < 1e-12)
+    assert(r.getAs[Double]("mean") > 100.0)
+    assert(r.getAs[Double]("biweight_midvar") > 0.0)
+  }
+
+  test("riditAnalysis: hand-computed mean ridits over a pooled " +
+      "ordinal") {
+    import spark.implicits._
+    val df = Seq(("g1", 1), ("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3),
+      ("g2", 3)).toDF("g", "c")
+    val m = graft.ops.Profiling.riditAnalysis(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("mean_ridit")).toMap
+    assert(math.abs(m("g1") - 5.0 / 18) < 1e-12)
+    assert(math.abs(m("g2") - 13.0 / 18) < 1e-12)
+  }
 }
