@@ -20304,6 +20304,133 @@ object Queries {
              round(sum(gn * r) / sum(gn), 6) AS mean_ridit
       FROM gc JOIN rd USING (c) GROUP BY 1 ORDER BY 1"""))
 
+  /** Closed-form distribution-fit panel for event value: exponential /
+    * gamma-MoM / lognormal-MLE parameters plus observed vs implied
+    * skewness — which tail family the data supports, one pass. */
+  private val q523 = Entry(
+    "q523_dist_fit_panel",
+    (s, d) =>
+      graft.ops.Profiling.distributionFitPanel(Tables.events(s, d),
+          "value")
+        .select(col("n"), r6(col("mean")).as("mean"),
+          r6(col("variance")).as("variance"),
+          r6(col("exp_rate")).as("exp_rate"),
+          r6(col("gamma_shape")).as("gamma_shape"),
+          r6(col("gamma_scale")).as("gamma_scale"),
+          r6(col("lognorm_mu")).as("lognorm_mu"),
+          r6(col("lognorm_sigma")).as("lognorm_sigma"),
+          r6(col("skew_obs")).as("skew_obs"),
+          r6(col("skew_gamma")).as("skew_gamma"),
+          r6(col("skew_lognormal")).as("skew_lognormal")),
+    Some("""
+      WITH b AS (SELECT "value"::DOUBLE AS x FROM events
+                 WHERE "value" IS NOT NULL AND "value" > 0),
+      a AS (SELECT count(*)::DOUBLE AS n, sum(x) AS s1,
+              sum(x * x) AS s2, sum(x * x * x) AS s3,
+              sum(ln(x)) AS l1, sum(ln(x) * ln(x)) AS l2
+            FROM b),
+      m AS (SELECT n, s2, s3, s1 / n AS mm,
+              (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) AS v,
+              l1 / n AS mu,
+              (l2 - n * (l1 / n) * (l1 / n)) / (n - 1) AS sig2
+            FROM a),
+      g AS (SELECT *, mm * mm / v AS kk FROM m)
+      SELECT n::BIGINT AS n, round(mm, 6) AS mean,
+             round(v, 6) AS variance, round(1 / mm, 6) AS exp_rate,
+             round(kk, 6) AS gamma_shape, round(v / mm, 6) AS gamma_scale,
+             round(mu, 6) AS lognorm_mu,
+             round(sqrt(sig2), 6) AS lognorm_sigma,
+             round((s3 / n - 3 * mm * (s2 / n) + 2 * mm * mm * mm) /
+               pow(s2 / n - mm * mm, 1.5), 6) AS skew_obs,
+             round(2 / sqrt(kk), 6) AS skew_gamma,
+             round((exp(sig2) + 2) * sqrt(exp(sig2) - 1), 6)
+               AS skew_lognormal
+      FROM g"""))
+
+  /** Customer value-quartile migration between the two halves of the
+    * order window: exact-DISC quartile cuts per half, (from, to)
+    * transition counts + row shares over both-half customers. */
+  private val q524 = Entry(
+    "q524_segment_migration",
+    (s, d) =>
+      graft.ops.Behavioral.segmentMigration(Tables.orders(s, d),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .select(col("q_from"), col("q_to"), col("n"),
+          r6(col("row_share")).as("row_share"))
+        .orderBy("q_from", "q_to"),
+    Some("""
+      WITH b AS (SELECT o_custkey AS e, o_orderdate::DATE AS d,
+                   o_totalprice::DOUBLE AS v
+                 FROM orders
+                 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                   AND o_totalprice IS NOT NULL),
+      bd AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+      cut AS (SELECT lo + (date_diff('day', lo, hi) // 2)::INTEGER AS cc
+              FROM bd),
+      per AS (SELECT e,
+                round(sum(CASE WHEN d <= cc THEN v ELSE 0 END), 6) AS a,
+                round(sum(CASE WHEN d > cc THEN v ELSE 0 END), 6) AS bb
+              FROM b, cut GROUP BY 1),
+      bo AS (SELECT e, a, bb FROM per WHERE a > 0 AND bb > 0),
+      ca AS (SELECT quantile_disc(a, 0.25) AS p25,
+                    quantile_disc(a, 0.5) AS p50,
+                    quantile_disc(a, 0.75) AS p75 FROM bo),
+      cb AS (SELECT quantile_disc(bb, 0.25) AS p25,
+                    quantile_disc(bb, 0.5) AS p50,
+                    quantile_disc(bb, 0.75) AS p75 FROM bo),
+      q AS (SELECT
+              CASE WHEN a <= ca.p25 THEN 1 WHEN a <= ca.p50 THEN 2
+                   WHEN a <= ca.p75 THEN 3 ELSE 4 END AS q_from,
+              CASE WHEN bb <= cb.p25 THEN 1 WHEN bb <= cb.p50 THEN 2
+                   WHEN bb <= cb.p75 THEN 3 ELSE 4 END AS q_to
+            FROM bo, ca, cb),
+      cells AS (SELECT q_from, q_to, count(*)::BIGINT AS n FROM q
+                GROUP BY 1, 2),
+      rt AS (SELECT q_from, sum(n) AS t FROM cells GROUP BY 1)
+      SELECT cells.q_from, cells.q_to, cells.n,
+             round(cells.n / rt.t::DOUBLE, 6) AS row_share
+      FROM cells JOIN rt ON rt.q_from = cells.q_from
+      ORDER BY cells.q_from, cells.q_to"""))
+
+  /** Rank-biased overlap + Spearman footrule between the even-doc and
+    * odd-doc top-50 term rankings — how stable the corpus's term
+    * head is, top-weighted the way a ranking comparison should be. */
+  private val q525 = Entry(
+    "q525_rank_stability",
+    (s, d) =>
+      graft.ops.TextAnalysis.rankStability(Tables.documents(s, d),
+          "doc_id", "text", k = 50, p = 0.9)
+        .select(col("k"), col("n_shared"),
+          r6(col("overlap_at_k")).as("overlap_at_k"),
+          r6(col("rbo")).as("rbo"), col("footrule")),
+    Some("""
+      WITH ca AS (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents WHERE doc_id % 2 = 0),
+      ga AS (SELECT t, count(*) AS c FROM ca GROUP BY 1),
+      tka AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS ra
+              FROM ga QUALIFY ra <= 50),
+      cb AS (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents WHERE doc_id % 2 = 1),
+      gb AS (SELECT t, count(*) AS c FROM cb GROUP BY 1),
+      tkb AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rb
+              FROM gb QUALIFY rb <= 50),
+      j AS (SELECT ra, rb FROM tka FULL OUTER JOIN tkb ON tka.t = tkb.t),
+      dg AS (SELECT unnest(generate_series(1, 50)) AS dd),
+      xd AS (SELECT dd, count(*)::DOUBLE AS x FROM dg
+             JOIN j ON ra <= dd AND rb <= dd GROUP BY 1),
+      rbo AS (SELECT sum((1 - 0.9) * pow(0.9, dd - 1) *
+                coalesce(x, 0) / dd) AS rbo
+              FROM dg LEFT JOIN xd USING (dd)),
+      sh AS (SELECT sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+               sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                 THEN abs(ra - rb) END)::BIGINT AS footrule
+             FROM j)
+      SELECT 50 AS k, n_shared,
+             round(n_shared / 50.0, 6) AS overlap_at_k,
+             round(rbo.rbo, 6) AS rbo, footrule
+      FROM sh, rbo"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20343,7 +20470,8 @@ object Queries {
     q472, q473, q474, q475, q476, q477, q478, q479, q480, q481, q482,
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
-    q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522)
+    q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
+    q523, q524, q525)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -385,6 +385,58 @@ object Behavioral {
     dau.join(rolling, Seq("day"))
       .withColumn("stickiness",
         col("dau").cast("double") / col("rolling_active"))
+  }
+
+  /**
+   * Value-quartile migration matrix between the first and second half
+   * of the observation window: each entity's total value lands in a
+   * quartile of ITS half's per-entity distribution (exact-DISC cuts on
+   * 6-decimal-rounded totals — tie-stable in any engine), and the
+   * matrix counts entities present in BOTH halves by (from, to) cell
+   * with row shares — the churn/upsell movement readout. Returns one
+   * row per observed cell: (q_from, q_to, n, row_share).
+   *
+   * Scale shape: one corpus groupBy(entity) with conditional half
+   * sums, two exact-percentile passes over the entity-sized totals,
+   * one bounded (≤16-cell) matrix aggregation.
+   */
+  def segmentMigration(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d"),
+        col(valueCol).cast("double").as("__v"))
+    val bounds = broadcast(base.agg(min(col("__d")).as("__lo"),
+      max(col("__d")).as("__hi")))
+    val per = base.crossJoin(bounds)
+      .withColumn("__cut",
+        date_add(col("__lo"),
+          (datediff(col("__hi"), col("__lo")) / 2).cast("int")))
+      .groupBy("__e")
+      .agg(round(sum(when(col("__d") <= col("__cut"), col("__v"))
+        .otherwise(0.0)), 6).as("__a"),
+        round(sum(when(col("__d") > col("__cut"), col("__v"))
+          .otherwise(0.0)), 6).as("__b"))
+      .where(col("__a") > 0 && col("__b") > 0)
+      .localCheckpoint() // read for both cut frames AND the matrix
+    def cuts(c: String, tag: String) = broadcast(
+      graft.analysis.AnalysisPlanner.exactPercentilesDisc(
+        per.select(col(c)), c,
+        Seq(s"__p25$tag" -> 0.25, s"__p50$tag" -> 0.5,
+          s"__p75$tag" -> 0.75), Nil))
+    def quartile(v: Column, tag: String) =
+      when(v <= col(s"__p25$tag"), 1)
+        .when(v <= col(s"__p50$tag"), 2)
+        .when(v <= col(s"__p75$tag"), 3)
+        .otherwise(4)
+    val cells = per.crossJoin(cuts("__a", "a")).crossJoin(cuts("__b", "b"))
+      .select(quartile(col("__a"), "a").as("q_from"),
+        quartile(col("__b"), "b").as("q_to"))
+      .groupBy("q_from", "q_to").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("q_from").agg(sum(col("n")).as("__rt"))
+    cells.join(rows, Seq("q_from"))
+      .withColumn("row_share", col("n").cast("double") / col("__rt"))
+      .drop("__rt")
   }
 
   /**

@@ -1159,6 +1159,52 @@ object Profiling {
   }
 
   /**
+   * Closed-form distribution-fit panel for a positive feature:
+   * exponential (rate 1/x̄), gamma by method of moments (k = x̄²/v,
+   * θ = v/x̄), lognormal by exact log-moment MLE (μ̂, σ̂ of ln x) —
+   * plus the observed population skewness next to each family's
+   * implied skewness (exponential 2, gamma 2/√k, lognormal
+   * (e^{σ²}+2)·√(e^{σ²}−1)), so the panel itself says which tail
+   * story the data supports. All moments come from ONE pass of raw
+   * power sums with explicit variance formulas (no engine-specific
+   * stddev algorithm in the outputs). Returns ONE row.
+   */
+  def distributionFitPanel(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull && x > 0).select(x.as("__x"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(log(col("__x"))).as("__l1"),
+        sum(log(col("__x")) * log(col("__x"))).as("__l2"))
+      .withColumn("__m", col("__s1") / col("__n"))
+      .withColumn("__v",
+        (col("__s2") - col("__n") * col("__m") * col("__m")) /
+          (col("__n") - 1))
+      .withColumn("__mu", col("__l1") / col("__n"))
+      .withColumn("__sig2",
+        (col("__l2") - col("__n") * col("__mu") * col("__mu")) /
+          (col("__n") - 1))
+      .withColumn("__k", col("__m") * col("__m") / col("__v"))
+      .select(col("__n").cast("long").as("n"), col("__m").as("mean"),
+        col("__v").as("variance"),
+        (lit(1.0) / col("__m")).as("exp_rate"),
+        col("__k").as("gamma_shape"),
+        (col("__v") / col("__m")).as("gamma_scale"),
+        col("__mu").as("lognorm_mu"),
+        sqrt(col("__sig2")).as("lognorm_sigma"),
+        ((col("__s3") / col("__n") -
+          lit(3.0) * col("__m") * (col("__s2") / col("__n")) +
+          lit(2.0) * col("__m") * col("__m") * col("__m")) /
+          pow(col("__s2") / col("__n") - col("__m") * col("__m"),
+            lit(1.5))).as("skew_obs"),
+        (lit(2.0) / sqrt(col("__k"))).as("skew_gamma"),
+        ((exp(col("__sig2")) + 2) * sqrt(exp(col("__sig2")) - 1))
+          .as("skew_lognormal"))
+  }
+
+  /**
    * Ridit analysis of an ordinal category across groups: each
    * category's ridit is its below-mass plus half its own mass in the
    * POOLED distribution (so the pooled mean ridit is exactly 0.5);

@@ -1751,6 +1751,64 @@ object TextAnalysis {
    * PageRank iteration is one keyed join over vocab-sized frames.
    */
   /**
+   * Rank-stability diagnostics between the term-frequency rankings of
+   * two corpus halves (even vs odd `idCol`): truncated rank-biased
+   * overlap RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d (top-weighted
+   * — churn at rank 3 costs more than churn at rank 40), the plain
+   * overlap fraction at k, and the Spearman footrule Σ|r_A − r_B|
+   * over terms in both top-k lists. Rankings order by (count DESC,
+   * term ASC) — integer counts + a total tiebreak, so the lists are
+   * engine-identical. Returns ONE row: (k, n_shared, overlap_at_k,
+   * rbo, footrule).
+   *
+   * Scale shape: two corpus term counts (one groupBy each), two
+   * top-k limits, then everything is ≤2k rows (a k-row depth grid
+   * joined against the ≤2k union).
+   */
+  def rankStability(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1000, s"rankStability: k 1..1000, got $k")
+    require(p > 0 && p < 1, s"rankStability: p in (0,1), got $p")
+    import org.apache.spark.sql.expressions.Window
+    def topK(side: DataFrame, tag: String): DataFrame = {
+      val counts = side.select(explode(words(col(textCol))).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("__c"))
+      // global top-k: the vocab-sized count frame first LIMITS to k
+      // per engine-deterministic (count, term) order via a bounded
+      // sort — orderBy+limit is a TakeOrderedAndProject, not a
+      // single-partition window
+      counts.orderBy(col("__c").desc, col("__t").asc).limit(k)
+        .withColumn(s"__r$tag",
+          row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(col("__c").desc, col("__t").asc)))
+        .select(col("__t"), col(s"__r$tag"))
+    }
+    val a = topK(df.where(col(idCol) % 2 === 0), "a")
+    val b = topK(df.where(col(idCol) % 2 === 1), "b")
+    val joined = a.join(b, Seq("__t"), "full_outer").localCheckpoint()
+    val depths = df.sparkSession.createDataFrame(
+      (1 to k).map(d => Tuple1(d))).toDF("__d")
+    val xd = depths.crossJoin(joined)
+      .where(col("__ra") <= col("__d") && col("__rb") <= col("__d"))
+      .groupBy("__d").agg(count(lit(1)).cast("double").as("__x"))
+    val rbo = depths.join(xd, Seq("__d"), "left")
+      .na.fill(0.0, Seq("__x"))
+      .agg(sum(pow(lit(p), col("__d") - 1) * col("__x") / col("__d"))
+        .as("__s"))
+      .select((lit(1.0 - p) * col("__s")).as("rbo"))
+    val shared = joined
+      .agg(sum(when(col("__ra").isNotNull && col("__rb").isNotNull, 1L)
+        .otherwise(0L)).as("n_shared"),
+        sum(when(col("__ra").isNotNull && col("__rb").isNotNull,
+          abs(col("__ra") - col("__rb")))).as("footrule"))
+    shared.crossJoin(rbo)
+      .select(lit(k).as("k"), col("n_shared"),
+        (col("n_shared").cast("double") / k).as("overlap_at_k"),
+        col("rbo"), col("footrule"))
+  }
+
+  /**
    * ROUGE-1/ROUGE-2 overlap scores for given document pairs — the
    * clipped-count n-gram precision/recall/F the summarization and
    * dedup-diagnostics literature uses: overlap = Σ_g min(c_a(g),

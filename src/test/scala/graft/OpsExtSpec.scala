@@ -8866,4 +8866,47 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(m("g1") - 5.0 / 18) < 1e-12)
     assert(math.abs(m("g2") - 13.0 / 18) < 1e-12)
   }
+
+  test("distributionFitPanel: hand-computed moment fits on {1,2,3,4}") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = graft.ops.Profiling.distributionFitPanel(df, "x").head
+    assert(math.abs(r.getAs[Double]("mean") - 2.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("variance") - 5.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("exp_rate") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gamma_shape") - 3.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gamma_scale") - 2.0 / 3) < 1e-12)
+    val mu = (math.log(2) + math.log(3) + math.log(4)) / 4
+    assert(math.abs(r.getAs[Double]("lognorm_mu") - mu) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew_gamma")
+      - 2.0 / math.sqrt(3.75)) < 1e-12)
+  }
+
+  test("segmentMigration: quartile reversal lands on the anti-diagonal") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-02", 40.0),
+      (1L, "2024-01-04", 40.0), (2L, "2024-01-04", 30.0),
+      (3L, "2024-01-03", 20.0), (4L, "2024-01-03", 10.0))
+      .toDF("e", "ts", "v")
+    val m = graft.ops.Behavioral.segmentMigration(rows, "e", "ts", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("row_share"))).toMap
+    assert(m.keySet == Set((1, 4), (2, 3), (3, 2), (4, 1)))
+    assert(m.values.forall { case (n, s) => n == 1L && s == 1.0 })
+  }
+
+  test("rankStability: identical halves → RBO = 1 − p^k, footrule 0") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a b b c"), (1L, "a a a b b c"),
+      (2L, "a a a b b c"), (3L, "a a a b b c")).toDF("id", "text")
+    val r = graft.ops.TextAnalysis
+      .rankStability(docs, "id", "text", k = 3, p = 0.9).head
+    assert(r.getAs[Long]("n_shared") == 3L)
+    assert(math.abs(r.getAs[Double]("overlap_at_k") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rbo")
+      - (1.0 - math.pow(0.9, 3))) < 1e-9)
+    assert(r.getAs[Long]("footrule") == 0L)
+  }
 }
