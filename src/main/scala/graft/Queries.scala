@@ -20431,6 +20431,156 @@ object Queries {
              round(rbo.rbo, 6) AS rbo, footrule
       FROM sh, rbo"""))
 
+  /** Session-quality panel by exit event type: 30-min-gap sessions
+    * grouped by their last event — exit share, bounce rate, mean
+    * length and duration per exit type. */
+  private val q526 = Entry(
+    "q526_session_quality",
+    (s, d) =>
+      graft.ops.Behavioral.sessionQuality(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("exit_type"), col("n_sessions"),
+          r6(col("session_share")).as("session_share"),
+          r6(col("bounce_rate")).as("bounce_rate"),
+          r6(col("mean_events")).as("mean_events"),
+          r6(col("mean_duration_sec")).as("mean_duration_sec"))
+        .orderBy("exit_type"),
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                   floor(epoch(ts))::BIGINT AS sec
+                 FROM events),
+      w1 AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id) AS prev FROM e),
+      w2 AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+               THEN 1 ELSE 0 END AS nw FROM w1),
+      w3 AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             FROM w2),
+      w4 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+               ORDER BY sec DESC, event_id DESC) AS rnd FROM w3),
+      sess AS (SELECT user_id, sid, count(*)::DOUBLE AS n,
+                 max(sec) - min(sec) AS dur,
+                 max(CASE WHEN rnd = 1 THEN event_type END) AS ex
+               FROM w4 GROUP BY 1, 2),
+      pe AS (SELECT ex AS exit_type, count(*)::BIGINT AS n_sessions,
+               avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END) AS bounce_rate,
+               avg(n) AS mean_events, avg(dur) AS mean_duration_sec
+             FROM sess GROUP BY 1),
+      t AS (SELECT sum(n_sessions)::DOUBLE AS tt FROM pe)
+      SELECT exit_type, n_sessions,
+             round(n_sessions / tt, 6) AS session_share,
+             round(bounce_rate, 6) AS bounce_rate,
+             round(mean_events, 6) AS mean_events,
+             round(mean_duration_sec, 6) AS mean_duration_sec
+      FROM pe, t ORDER BY exit_type"""))
+
+  /** Wang–Smith–Hyndman trend/seasonal strength per event type from
+    * the q230 STL-lite components — the forecastability screen. */
+  private val q527 = Entry(
+    "q527_stl_strength",
+    (s, d) =>
+      graft.ops.TimeSeries.stlStrength(Tables.events(s, d),
+          Seq("event_type"), "ts", "value", period = 7, halfWindow = 3)
+        .select(col("event_type"), col("n_days"),
+          r6(col("var_remainder")).as("var_remainder"),
+          r6(col("f_trend")).as("f_trend"),
+          r6(col("f_seasonal")).as("f_seasonal"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, date_trunc('day', ts)::DATE
+                   AS day, sum("value") AS y
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT g, day, y,
+                   CASE WHEN count(*) OVER wnd = 7
+                        THEN avg(y) OVER wnd END AS trend,
+                   date_diff('day', DATE '2024-01-01', day) % 7 AS ph
+            FROM d WINDOW wnd AS (PARTITION BY g ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      s0 AS (SELECT g, ph, avg(y - trend) AS s0 FROM t
+             WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sm AS (SELECT g, avg(s0) AS sm FROM s0 GROUP BY 1),
+      se AS (SELECT s0.g, ph, s0 - sm AS seasonal
+             FROM s0 JOIN sm ON sm.g = s0.g),
+      r AS (SELECT t.g, t.y, t.trend, se.seasonal,
+              t.y - t.trend - se.seasonal AS rem
+            FROM t LEFT JOIN se ON se.g = t.g AND se.ph = t.ph
+            WHERE t.trend IS NOT NULL AND se.seasonal IS NOT NULL)
+      SELECT g AS event_type, count(*)::BIGINT AS n_days,
+             round(var_samp(rem), 6) AS var_remainder,
+             round(CASE WHEN var_samp(y - seasonal) > 0
+               THEN greatest(0, 1 - var_samp(rem) /
+                 var_samp(y - seasonal)) END, 6) AS f_trend,
+             round(CASE WHEN var_samp(y - trend) > 0
+               THEN greatest(0, 1 - var_samp(rem) /
+                 var_samp(y - trend)) END, 6) AS f_seasonal
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
+  /** Overdispersion panel: per-type Fano factor of daily counts +
+    * the cross-type Taylor's-law exponent — Poisson vs bursty
+    * arrivals, every number from exact integer count sums. */
+  private val q528 = Entry(
+    "q528_fano_taylor",
+    (s, d) =>
+      graft.ops.TimeSeries.fanoTaylor(Tables.events(s, d),
+          "event_type", "ts")
+        .select(col("event_type"), col("n_days"),
+          r6(col("mean_daily")).as("mean_daily"),
+          r6(col("var_daily")).as("var_daily"),
+          r6(col("fano")).as("fano"),
+          r6(col("taylor_slope")).as("taylor_slope"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, ts::DATE AS day,
+                   count(*)::DOUBLE AS y
+                 FROM events
+                 WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      p AS (SELECT g, count(*)::DOUBLE AS n, sum(y) AS s1,
+              sum(y * y) AS s2
+            FROM d GROUP BY 1),
+      p2 AS (SELECT g, n, s1 / n AS m,
+               (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) AS v
+             FROM p),
+      f AS (SELECT count(*)::DOUBLE AS k, avg(ln(m)) AS xb,
+              avg(ln(v)) AS yb, sum(ln(m) * ln(m)) AS xx,
+              sum(ln(m) * ln(v)) AS xy
+            FROM p2 WHERE v > 0 AND m > 0),
+      sl AS (SELECT (xy - k * xb * yb) / (xx - k * xb * xb) AS slope
+             FROM f)
+      SELECT g AS event_type, n::BIGINT AS n_days,
+             round(m, 6) AS mean_daily, round(v, 6) AS var_daily,
+             round(CASE WHEN m > 0 THEN v / m END, 6) AS fano,
+             round(slope, 6) AS taylor_slope
+      FROM p2, sl ORDER BY 1"""))
+
+  /** Order→ship open-line work-in-progress curve: daily +1/−1 net
+    * changes prefix-summed in date order — interval concurrency
+    * without exploding each line into its open days. Integer-exact. */
+  private val q529 = Entry(
+    "q529_open_lines_wip",
+    (s, d) =>
+      graft.ops.TimeSeries.intervalLoadCurve(
+          Tables.lineitem(s, d).join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey")),
+          "o_orderdate", "l_shipdate")
+        .select(col("day"), col("started"), col("ended"), col("active"))
+        .orderBy("day"),
+    Some("""
+      WITH li AS (SELECT o_orderdate, l_shipdate
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ev AS (SELECT o_orderdate::DATE AS day, 1 AS s, 0 AS e
+             FROM li WHERE o_orderdate IS NOT NULL
+             UNION ALL
+             SELECT l_shipdate::DATE, 0, 1 FROM li
+             WHERE l_shipdate IS NOT NULL),
+      d AS (SELECT day, sum(s)::BIGINT AS started,
+              sum(e)::BIGINT AS ended
+            FROM ev GROUP BY 1)
+      SELECT day, started, ended,
+             (sum(started - ended) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS active
+      FROM d ORDER BY day"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20471,7 +20621,7 @@ object Queries {
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
-    q523, q524, q525)
+    q523, q524, q525, q526, q527, q528, q529)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

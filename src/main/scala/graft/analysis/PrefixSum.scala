@@ -75,7 +75,15 @@ object PrefixSum {
         case _ => false
       }
     }, s"PrefixSum order column '$orderCol' must order numerically")
-    val v = col(orderCol).cast("double")
+    // the double image used for bucketing: DATE has no direct double
+    // cast in Spark 4 — route it through the (monotone) epoch-day int
+    val v = {
+      import org.apache.spark.sql.types.DateType
+      df.schema(orderCol).dataType match {
+        case DateType => unix_date(col(orderCol)).cast("double")
+        case _ => col(orderCol).cast("double")
+      }
+    }
     val bucketCol =
       when(v.isNull, lit(-1L))
         .when(col("__phi") <= col("__plo"), lit(0L))

@@ -388,6 +388,54 @@ object Behavioral {
   }
 
   /**
+   * Session-quality panel by EXIT event type: sessions (30-min-gap
+   * sessionization, [[sessionize]] semantics with (ts, id) tie order)
+   * grouped by their LAST event's type — exit-page analysis: how many
+   * sessions end on each type, that exit's bounce rate (single-event
+   * sessions), and the mean session length/duration. Returns one row
+   * per exit type: (exit_type, n_sessions, session_share, bounce_rate,
+   * mean_events, mean_duration_sec).
+   *
+   * Scale shape: the same two user-partitioned windows sessionize
+   * uses (order by (epoch, id)), one per-session aggregate, one
+   * exit-type reduce — parallelism scales with users.
+   */
+  def sessionQuality(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__sec"), col(idCol))
+    val events = df
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("__prev", lag(col("__sec"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__sec") - col("__prev") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col("__sec").desc, col(idCol).desc)
+    val sessions = events
+      .withColumn("__rnd", row_number().over(wSess))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col("__sec")) - min(col("__sec"))).as("__dur"),
+        max(when(col("__rnd") === 1, col(typeCol))).as("__exit"))
+    val perExit = sessions.groupBy(col("__exit").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        avg(when(col("__n") === 1, 1.0).otherwise(0.0)).as("bounce_rate"),
+        avg(col("__n")).as("mean_events"),
+        avg(col("__dur")).as("mean_duration_sec"))
+    val tot = broadcast(perExit
+      .agg(sum(col("n_sessions")).cast("double").as("__t")))
+    perExit.crossJoin(tot)
+      .select(col("exit_type"), col("n_sessions"),
+        (col("n_sessions") / col("__t")).as("session_share"),
+        col("bounce_rate"), col("mean_events"), col("mean_duration_sec"))
+  }
+
+  /**
    * Value-quartile migration matrix between the first and second half
    * of the observation window: each entity's total value lands in a
    * quartile of ITS half's per-entity distribution (exact-DISC cuts on

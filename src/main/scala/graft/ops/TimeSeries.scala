@@ -1856,6 +1856,105 @@ object TimeSeries {
   }
 
   /**
+   * Trend/seasonal strength (Wang–Smith–Hyndman) per key from the
+   * [[decompose]] STL-lite components: F_trend = max(0,
+   * 1 − Var(R)/Var(T+R)) and F_seasonal = max(0, 1 − Var(R)/Var(S+R))
+   * over complete-window days — the forecastability screen (≈0 noise,
+   * →1 strongly structured). Returns one row per key: (key, n_days,
+   * var_remainder, f_trend, f_seasonal).
+   */
+  def stlStrength(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, period: Int = 7,
+      halfWindow: Int = 3): DataFrame = {
+    val dec = decompose(df, keyCols, tsCol, valueCol, period, halfWindow)
+      .where(col("remainder").isNotNull)
+    dec.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+        var_samp(col("remainder")).as("var_remainder"),
+        var_samp(col("y") - col("seasonal")).as("__vtr"),
+        var_samp(col("y") - col("trend")).as("__vsr"))
+      .select(keyCols.map(col) ++ Seq(col("n_days"),
+        col("var_remainder"),
+        when(col("__vtr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("var_remainder") / col("__vtr"))).as("f_trend"),
+        when(col("__vsr") > 0, greatest(lit(0.0),
+          lit(1.0) - col("var_remainder") / col("__vsr")))
+          .as("f_seasonal")): _*)
+  }
+
+  /**
+   * Overdispersion panel: per-key Fano factor of daily counts
+   * (var/mean — 1 for Poisson arrivals, ≫1 for bursty ones) plus the
+   * cross-key Taylor's-law exponent (OLS slope of ln var on ln mean —
+   * ≈1 Poisson, ≈2 clustered). Explicit variance-from-sums formulas
+   * keep every number engine-identical from the integer count sums.
+   * Returns one row per key: (key, n_days, mean_daily, var_daily,
+   * fano, taylor_slope) — the slope repeats per row (it is the
+   * cross-key fit).
+   *
+   * Scale shape: one corpus groupBy (key, day), one per-key reduce,
+   * one ≤|keys|-row broadcast fit joined back.
+   */
+  def fanoTaylor(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__g"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).cast("double").as("__y"))
+    val per = daily.groupBy("__g")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__y")).as("__s1"), sum(col("__y") * col("__y")).as("__s2"))
+      .withColumn("__m", col("__s1") / col("__n"))
+      .withColumn("__v",
+        (col("__s2") - col("__n") * col("__m") * col("__m")) /
+          (col("__n") - 1))
+      .localCheckpoint() // read per-key AND for the cross-key fit
+    val fit = broadcast(per
+      .where(col("__v") > 0 && col("__m") > 0)
+      .agg(count(lit(1)).cast("double").as("__k"),
+        avg(log(col("__m"))).as("__xb"), avg(log(col("__v"))).as("__yb"),
+        sum(log(col("__m")) * log(col("__m"))).as("__xx"),
+        sum(log(col("__m")) * log(col("__v"))).as("__xy"))
+      .select(((col("__xy") - col("__k") * col("__xb") * col("__yb")) /
+        (col("__xx") - col("__k") * col("__xb") * col("__xb")))
+        .as("taylor_slope")))
+    per.crossJoin(fit)
+      .select(col("__g").as(keyCol), col("__n").cast("long").as("n_days"),
+        col("__m").as("mean_daily"), col("__v").as("var_daily"),
+        when(col("__m") > 0, col("__v") / col("__m")).as("fano"),
+        col("taylor_slope"))
+  }
+
+  /**
+   * Interval load curve: the number of intervals [startCol, endCol]
+   * active on each calendar day, from +1/−1 daily net changes prefix-
+   * summed in date order — the work-in-progress / concurrency readout
+   * (Little's-law L) without exploding each interval into its days.
+   * Integer-exact in any engine. Returns one row per day with any
+   * start or end: (day, started, ended, active).
+   *
+   * Scale shape: one union+groupBy(day) corpus pass, then a
+   * calendar-bounded distributed prefix sum
+   * ([[graft.analysis.PrefixSum]] — no single-partition window).
+   */
+  def intervalLoadCurve(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val starts = df.where(col(startCol).isNotNull)
+      .select(to_date(col(startCol)).as("day"), lit(1L).as("__s"),
+        lit(0L).as("__e"))
+    val ends = df.where(col(endCol).isNotNull)
+      .select(to_date(col(endCol)).as("day"), lit(0L).as("__s"),
+        lit(1L).as("__e"))
+    val daily = starts.unionByName(ends)
+      .groupBy("day")
+      .agg(sum(col("__s")).as("started"), sum(col("__e")).as("ended"))
+      .withColumn("__net", col("started") - col("ended"))
+    graft.analysis.PrefixSum.exclusive(daily, "day",
+        Seq("__net" -> "__before"))
+      .select(col("day"), col("started"), col("ended"),
+        (col("__before") + col("__net")).cast("long").as("active"))
+  }
+
+  /**
    * Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
    * θ ∈ {0, 2} special case that won M3) over the daily event-count
    * series: OLS trend line ℓ(t) = a + b·t on the index t = 1..n, the

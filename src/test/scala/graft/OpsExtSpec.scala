@@ -8909,4 +8909,67 @@ class OpsExtSpec extends AnyFunSuite {
       - (1.0 - math.pow(0.9, 3))) < 1e-9)
     assert(r.getAs[Long]("footrule") == 0L)
   }
+
+  test("sessionQuality: exit types, bounce rates, durations by hand") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (1L, "2024-01-01 00:01:40", 2L, "b"),
+      (1L, "2024-01-01 02:00:00", 3L, "c"))
+      .toDF("u", "ts", "eid", "t")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val m = graft.ops.Behavioral
+      .sessionQuality(df, "u", "ts", "eid", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("b", "c"))
+    assert(m("b").getAs[Long]("n_sessions") == 1L)
+    assert(m("b").getAs[Double]("bounce_rate") == 0.0)
+    assert(m("b").getAs[Double]("mean_events") == 2.0)
+    assert(m("b").getAs[Double]("mean_duration_sec") == 100.0)
+    assert(m("c").getAs[Double]("bounce_rate") == 1.0)
+    assert(m("c").getAs[Double]("session_share") == 0.5)
+  }
+
+  test("stlStrength: pure weekly signal → seasonal strength 1, zero " +
+      "remainder") {
+    import spark.implicits._
+    val pat = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+    val rows = (0 until 28).map(i =>
+      ("k", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        pat(i % 7))).toDF("g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = graft.ops.TimeSeries
+      .stlStrength(rows, Seq("g"), "ts", "v").head
+    assert(math.abs(r.getAs[Double]("var_remainder")) < 1e-18)
+    assert(math.abs(r.getAs[Double]("f_seasonal") - 1.0) < 1e-9)
+    assert(r.isNullAt(r.fieldIndex("f_trend"))) // constant trend+rem
+  }
+
+  test("fanoTaylor: hand-computed Fano factors and Taylor exponent 2") {
+    import spark.implicits._
+    // k1 daily counts {1,3}: m=2, v=2, fano=1; k2 {2,6}: m=4, v=8,
+    // fano=2 → slope = ln(8/2)/ln(4/2) = 2
+    val rows =
+      (0 until 1).map(_ => ("k1", "2024-01-01")) ++
+      (0 until 3).map(_ => ("k1", "2024-01-02")) ++
+      (0 until 2).map(_ => ("k2", "2024-01-01")) ++
+      (0 until 6).map(_ => ("k2", "2024-01-02"))
+    val df = rows.toDF("g", "ts")
+    val m = graft.ops.TimeSeries.fanoTaylor(df, "g", "ts")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(m("k1").getAs[Double]("fano") - 1.0) < 1e-12)
+    assert(math.abs(m("k2").getAs[Double]("fano") - 2.0) < 1e-12)
+    assert(math.abs(m("k1").getAs[Double]("taylor_slope") - 2.0) < 1e-12)
+  }
+
+  test("intervalLoadCurve: +1/−1 prefix sums reproduce the hand WIP") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01", "2024-01-03"), ("2024-01-02", "2024-01-03"))
+      .toDF("s", "e")
+    val r = graft.ops.TimeSeries.intervalLoadCurve(df, "s", "e")
+      .orderBy("day").collect()
+    assert(r.map(_.getAs[Long]("active")).toSeq == Seq(1L, 2L, 0L))
+    assert(r(2).getAs[Long]("ended") == 2L)
+    assert(r(2).getAs[Long]("started") == 0L)
+  }
 }
