@@ -20581,6 +20581,176 @@ object Queries {
                ROWS UNBOUNDED PRECEDING))::BIGINT AS active
       FROM d ORDER BY day"""))
 
+  /** Epidemiological 2×2 risk panel — weekend exposure vs high-value
+    * outcome: RR/OR/risk difference/NNT with log-Wald CIs and
+    * VanderWeele's E-value confounding bound. */
+  private val q530 = Entry(
+    "q530_risk_panel",
+    (s, d) =>
+      graft.ops.Evaluation.riskPanel(
+          Tables.events(s, d)
+            .where(col("ts").isNotNull && col("value").isNotNull),
+          exposed = pmod(datediff(to_date(col("ts")),
+            lit("2024-01-01")), lit(7)).isin(5, 6),
+          outcome = col("value") > 200)
+        .select(col("n_exposed"), col("n_unexposed"),
+          r6(col("risk_exposed")).as("risk_exposed"),
+          r6(col("risk_unexposed")).as("risk_unexposed"),
+          r6(col("rr")).as("rr"), r6(col("rr_lo")).as("rr_lo"),
+          r6(col("rr_hi")).as("rr_hi"),
+          r6(col("odds_ratio")).as("odds_ratio"),
+          r6(col("or_lo")).as("or_lo"), r6(col("or_hi")).as("or_hi"),
+          r6(col("risk_diff")).as("risk_diff"), r6(col("nnt")).as("nnt"),
+          r6(col("e_value")).as("e_value")),
+    Some("""
+      WITH b AS (SELECT
+              (date_diff('day', DATE '2024-01-01', ts::DATE) % 7)
+                IN (5, 6) AS ex,
+              "value" > 200 AS oc
+            FROM events WHERE ts IS NOT NULL AND "value" IS NOT NULL),
+      c AS (SELECT
+              sum(CASE WHEN ex AND oc THEN 1.0 ELSE 0 END) AS a,
+              sum(CASE WHEN ex AND NOT oc THEN 1.0 ELSE 0 END) AS bb,
+              sum(CASE WHEN NOT ex AND oc THEN 1.0 ELSE 0 END) AS cc,
+              sum(CASE WHEN NOT ex AND NOT oc THEN 1.0 ELSE 0 END) AS dd
+            FROM b),
+      m AS (SELECT a, bb, cc, dd, a / (a + bb) AS r1, cc / (cc + dd) AS r0,
+              (a / (a + bb)) / (cc / (cc + dd)) AS rr,
+              sqrt(1 / a - 1 / (a + bb) + 1 / cc - 1 / (cc + dd)) AS selr,
+              a * dd / (bb * cc) AS orr,
+              sqrt(1 / a + 1 / bb + 1 / cc + 1 / dd) AS selo,
+              a > 0 AND bb > 0 AND cc > 0 AND dd > 0 AS ok
+            FROM c),
+      m2 AS (SELECT *, CASE WHEN rr >= 1 THEN rr ELSE 1 / rr END AS rs
+             FROM m)
+      SELECT (a + bb)::BIGINT AS n_exposed,
+             (cc + dd)::BIGINT AS n_unexposed,
+             round(CASE WHEN ok THEN r1 END, 6) AS risk_exposed,
+             round(CASE WHEN ok THEN r0 END, 6) AS risk_unexposed,
+             round(CASE WHEN ok THEN rr END, 6) AS rr,
+             round(CASE WHEN ok THEN exp(ln(rr) - 1.96 * selr) END, 6)
+               AS rr_lo,
+             round(CASE WHEN ok THEN exp(ln(rr) + 1.96 * selr) END, 6)
+               AS rr_hi,
+             round(CASE WHEN ok THEN orr END, 6) AS odds_ratio,
+             round(CASE WHEN ok THEN exp(ln(orr) - 1.96 * selo) END, 6)
+               AS or_lo,
+             round(CASE WHEN ok THEN exp(ln(orr) + 1.96 * selo) END, 6)
+               AS or_hi,
+             round(CASE WHEN ok THEN r1 - r0 END, 6) AS risk_diff,
+             round(CASE WHEN ok AND abs(r1 - r0) > 0
+               THEN 1 / abs(r1 - r0) END, 6) AS nnt,
+             round(CASE WHEN ok THEN rs + sqrt(rs * (rs - 1)) END, 6)
+               AS e_value
+      FROM m2"""))
+
+  /** DerSimonian–Laird meta-analysis of the weekend effect across
+    * event types: fixed/random-effect pools, Cochran Q, I², τ², and
+    * Egger's small-study-bias intercept — strata as "studies". */
+  private val q531 = Entry(
+    "q531_meta_analysis",
+    (s, d) =>
+      graft.ops.Evaluation.metaAnalysis(
+          Tables.events(s, d)
+            .where(col("ts").isNotNull && col("value").isNotNull),
+          "event_type",
+          exposed = pmod(datediff(to_date(col("ts")),
+            lit("2024-01-01")), lit(7)).isin(5, 6),
+          "value")
+        .select(col("k"), r6(col("fe_effect")).as("fe_effect"),
+          r6(col("fe_se")).as("fe_se"), r6(col("q_stat")).as("q_stat"),
+          r6(col("i2")).as("i2"), r6(col("tau2")).as("tau2"),
+          r6(col("re_effect")).as("re_effect"),
+          r6(col("re_se")).as("re_se"),
+          r6(col("egger_intercept")).as("egger_intercept")),
+    Some("""
+      WITH b AS (SELECT event_type AS g,
+              (date_diff('day', DATE '2024-01-01', ts::DATE) % 7)
+                IN (5, 6) AS ex,
+              "value"::DOUBLE AS v
+            FROM events
+            WHERE ts IS NOT NULL AND "value" IS NOT NULL
+              AND event_type IS NOT NULL),
+      per AS (SELECT g,
+                count(CASE WHEN ex THEN 1 END)::DOUBLE AS n1,
+                avg(CASE WHEN ex THEN v END) AS m1,
+                var_samp(CASE WHEN ex THEN v END) AS v1,
+                count(CASE WHEN NOT ex THEN 1 END)::DOUBLE AS n0,
+                avg(CASE WHEN NOT ex THEN v END) AS m0,
+                var_samp(CASE WHEN NOT ex THEN v END) AS v0
+              FROM b GROUP BY 1),
+      st AS (SELECT g, m1 - m0 AS th, v1 / n1 + v0 / n0 AS se2
+             FROM per WHERE n1 > 1 AND n0 > 1),
+      st2 AS (SELECT g, th, se2 FROM st WHERE se2 > 0),
+      fe AS (SELECT count(*)::DOUBLE AS k, sum(1 / se2) AS sw,
+               sum(th / se2) AS swt,
+               sum((1 / se2) * (1 / se2)) AS sw2,
+               sum(th / sqrt(se2)) AS ey, sum(1 / sqrt(se2)) AS ex2,
+               sum(1 / se2) AS exx, sum(th / se2) AS exy
+             FROM st2),
+      q AS (SELECT fe.*, swt / sw AS feff,
+              (SELECT sum((th - swt / sw) * (th - swt / sw) / se2)
+               FROM st2, fe) AS qq
+            FROM fe),
+      t2 AS (SELECT q.*, CASE WHEN sw - sw2 / sw > 0
+               THEN greatest(0, (qq - (k - 1)) / (sw - sw2 / sw))
+               ELSE 0 END AS tau2
+             FROM q)
+      SELECT k::BIGINT AS k, round(feff, 6) AS fe_effect,
+             round(1 / sqrt(sw), 6) AS fe_se, round(qq, 6) AS q_stat,
+             round(CASE WHEN qq > 0
+               THEN greatest(0, (qq - (k - 1)) / qq)
+               ELSE 0 END, 6) AS i2,
+             round(tau2, 6) AS tau2,
+             round((SELECT sum(th / (se2 + tau2)) FROM st2, t2) /
+               (SELECT sum(1 / (se2 + tau2)) FROM st2, t2), 6)
+               AS re_effect,
+             round(1 / sqrt((SELECT sum(1 / (se2 + tau2))
+               FROM st2, t2)), 6) AS re_se,
+             round(CASE WHEN abs(k - ex2 * ex2 / exx) > 1e-12
+               THEN (ey - exy * ex2 / exx) / (k - ex2 * ex2 / exx)
+               END, 6) AS egger_intercept
+      FROM t2"""))
+
+  /** AIPW doubly robust ATE on the q205 observational substrate:
+    * stratum nuisances, efficient-influence-function SE — consistent
+    * if either the propensity or the outcome model is right. */
+  private val q532 = Entry(
+    "q532_aipw",
+    (s, d) =>
+      graft.ops.Evaluation.aipwEffect(obsOrders(s, d),
+          col("t") === 1L, "p", "y", bins = 5)
+        .select(col("n"), col("n_used"),
+          r6(col("ate_outcome")).as("ate_outcome"),
+          r6(col("ate_ipw")).as("ate_ipw"),
+          r6(col("ate_aipw")).as("ate_aipw"),
+          r6(col("se_aipw")).as("se_aipw")),
+    Some(s"""
+      WITH $obsOrdersSql,
+      b AS (SELECT least(floor(p * 5), 4)::BIGINT AS st, t, y FROM sc
+            WHERE p IS NOT NULL AND y IS NOT NULL),
+      cl AS (SELECT st, count(*)::DOUBLE AS ns,
+               sum(CASE WHEN t = 1 THEN 1.0 ELSE 0 END) AS nt,
+               avg(CASE WHEN t = 1 THEN y END) AS m1,
+               avg(CASE WHEN t = 0 THEN y END) AS m0
+             FROM b GROUP BY 1),
+      cl2 AS (SELECT st, ns, m1, m0, nt / ns AS e FROM cl
+              WHERE nt > 0 AND ns - nt > 0),
+      tot AS (SELECT count(*)::BIGINT AS nall FROM b),
+      j AS (SELECT b.t::DOUBLE AS t, b.y, cl2.m1, cl2.m0, cl2.e
+            FROM b JOIN cl2 ON cl2.st = b.st)
+      SELECT max(nall) AS n, count(*)::BIGINT AS n_used,
+             round(avg(m1 - m0), 6) AS ate_outcome,
+             round(sum(t * y / e) / sum(t / e) -
+               sum((1 - t) * y / (1 - e)) / sum((1 - t) / (1 - e)), 6)
+               AS ate_ipw,
+             round(avg(m1 - m0 + t * (y - m1) / e -
+               (1 - t) * (y - m0) / (1 - e)), 6) AS ate_aipw,
+             round(stddev_samp(m1 - m0 + t * (y - m1) / e -
+               (1 - t) * (y - m0) / (1 - e)) / sqrt(count(*)), 6)
+               AS se_aipw
+      FROM j, tot"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20621,7 +20791,7 @@ object Queries {
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
-    q523, q524, q525, q526, q527, q528, q529)
+    q523, q524, q525, q526, q527, q528, q529, q530, q531, q532)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2611,6 +2611,187 @@ object Evaluation {
   }
 
   /**
+   * 2×2 epidemiological risk panel for a binary exposure and binary
+   * outcome: relative risk, odds ratio, risk difference, NNT, the
+   * log-scale Wald CIs, and VanderWeele's E-value (the minimum
+   * confounder strength that could explain the RR away — computed on
+   * the away-from-null orientation). Zero cells surface as NULLs, not
+   * infinities. Returns ONE row.
+   *
+   * Scale shape: one conditional-count corpus pass; everything after
+   * is scalar algebra on the 1-row frame.
+   */
+  def riskPanel(df: DataFrame, exposed: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L))
+        .cast("double").as("__a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L))
+        .cast("double").as("__b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L))
+        .cast("double").as("__c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L))
+        .cast("double").as("__d"))
+    val a = col("__a"); val b = col("__b")
+    val c = col("__c"); val dd = col("__d")
+    val r1 = a / (a + b)
+    val r0 = c / (c + dd)
+    val rr = r1 / r0
+    val seLnRr = sqrt(lit(1.0) / a - lit(1.0) / (a + b) +
+      lit(1.0) / c - lit(1.0) / (c + dd))
+    val seLnOr = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c +
+      lit(1.0) / dd)
+    val ok = a > 0 && b > 0 && c > 0 && dd > 0
+    val rrStar = when(rr >= 1, rr).otherwise(lit(1.0) / rr)
+    cells.select(
+      (a + b).cast("long").as("n_exposed"),
+      (c + dd).cast("long").as("n_unexposed"),
+      when(ok, r1).as("risk_exposed"), when(ok, r0).as("risk_unexposed"),
+      when(ok, rr).as("rr"),
+      when(ok, exp(log(rr) - lit(1.96) * seLnRr)).as("rr_lo"),
+      when(ok, exp(log(rr) + lit(1.96) * seLnRr)).as("rr_hi"),
+      when(ok, a * dd / (b * c)).as("odds_ratio"),
+      when(ok, exp(log(a * dd / (b * c)) - lit(1.96) * seLnOr))
+        .as("or_lo"),
+      when(ok, exp(log(a * dd / (b * c)) + lit(1.96) * seLnOr))
+        .as("or_hi"),
+      when(ok, r1 - r0).as("risk_diff"),
+      when(ok && abs(r1 - r0) > 0, lit(1.0) / abs(r1 - r0)).as("nnt"),
+      when(ok, rrStar + sqrt(rrStar * (rrStar - 1))).as("e_value"))
+  }
+
+  /**
+   * Inverse-variance meta-analysis of per-stratum mean differences
+   * (exposed − unexposed): fixed-effect pool, Cochran's Q and I²
+   * heterogeneity, the DerSimonian–Laird τ², the random-effects pool,
+   * and Egger's small-study-bias intercept (θ/se regressed on 1/se).
+   * Per-stratum effects use Welch SEs from one conditional-moments
+   * pass. Returns ONE row: (k, fe_effect, fe_se, q_stat, i2, tau2,
+   * re_effect, re_se, egger_intercept).
+   *
+   * Scale shape: one corpus groupBy(stratum) with conditional
+   * moments; both reduces after it run on the ≤|strata|-row frame.
+   */
+  def metaAnalysis(df: DataFrame, stratumCol: String, exposed: Column,
+      valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("double")
+    val per = df.where(y.isNotNull && col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(count(when(exposed, lit(1))).cast("double").as("__n1"),
+        avg(when(exposed, y)).as("__m1"),
+        var_samp(when(exposed, y)).as("__v1"),
+        count(when(!exposed, lit(1))).cast("double").as("__n0"),
+        avg(when(!exposed, y)).as("__m0"),
+        var_samp(when(!exposed, y)).as("__v0"))
+      .where(col("__n1") > 1 && col("__n0") > 1)
+      .select(col("__s"), (col("__m1") - col("__m0")).as("__th"),
+        (col("__v1") / col("__n1") + col("__v0") / col("__n0"))
+          .as("__se2"))
+      .where(col("__se2") > 0)
+      .localCheckpoint() // ≤|strata| rows; read by both pooling passes
+    val fe = per.agg(count(lit(1)).cast("double").as("__k"),
+      sum(lit(1.0) / col("__se2")).as("__sw"),
+      sum(col("__th") / col("__se2")).as("__swt"),
+      sum((lit(1.0) / col("__se2")) * (lit(1.0) / col("__se2")))
+        .as("__sw2"),
+      // Egger: θ/se on 1/se — carried as the 4 OLS sums
+      sum(col("__th") / sqrt(col("__se2"))).as("__ey"),
+      sum(lit(1.0) / sqrt(col("__se2"))).as("__ex"),
+      sum(lit(1.0) / col("__se2")).as("__exx"),
+      sum(col("__th") / col("__se2")).as("__exy"))
+    val withFe = per.crossJoin(broadcast(fe))
+      .withColumn("__fe", col("__swt") / col("__sw"))
+    val q = withFe.agg(
+      max(col("__k")).as("__k"), max(col("__sw")).as("__sw"),
+      max(col("__sw2")).as("__sw2"), max(col("__fe")).as("__fe"),
+      max(col("__ey")).as("__ey"), max(col("__ex")).as("__ex"),
+      max(col("__exx")).as("__exx"), max(col("__exy")).as("__exy"),
+      sum((col("__th") - col("__fe")) * (col("__th") - col("__fe")) /
+        col("__se2")).as("__q"))
+    val tau2 = when(col("__sw") - col("__sw2") / col("__sw") > 0,
+      greatest(lit(0.0), (col("__q") - (col("__k") - 1)) /
+        (col("__sw") - col("__sw2") / col("__sw"))))
+      .otherwise(lit(0.0))
+    // NOT checkpointed: the 1-row aggregate must stay visible to the
+    // scale lint as a reducing join side (a checkpointed leaf hides it)
+    val withTau = q.withColumn("__tau2", tau2)
+    val re = per.crossJoin(broadcast(withTau))
+      .agg(max(col("__k")).cast("long").as("k"),
+        max(col("__fe")).as("fe_effect"),
+        (lit(1.0) / sqrt(max(col("__sw")))).as("fe_se"),
+        max(col("__q")).as("q_stat"),
+        when(max(col("__q")) > 0,
+          greatest(lit(0.0), (max(col("__q")) - (max(col("__k")) - 1)) /
+            max(col("__q")))).otherwise(lit(0.0)).as("i2"),
+        max(col("__tau2")).as("tau2"),
+        (sum(col("__th") / (col("__se2") + col("__tau2"))) /
+          sum(lit(1.0) / (col("__se2") + col("__tau2"))))
+          .as("re_effect"),
+        (lit(1.0) / sqrt(sum(lit(1.0) / (col("__se2") + col("__tau2")))))
+          .as("re_se"),
+        // degenerate when every stratum has the same se (zero x
+        // spread) — NULL, not a crash
+        when(abs(max(col("__k")) - max(col("__ex")) * max(col("__ex")) /
+            max(col("__exx"))) > 1e-12,
+          (max(col("__ey")) - max(col("__exy")) * max(col("__ex")) /
+            max(col("__exx"))) /
+            (max(col("__k")) - max(col("__ex")) * max(col("__ex")) /
+              max(col("__exx")))).as("egger_intercept"))
+    re
+  }
+
+  /**
+   * AIPW (doubly robust) average treatment effect with stratum-based
+   * nuisances: the propensity ê(s) and outcome means m̂₁(s)/m̂₀(s)
+   * come from the [[propensityStratification]] equal-width strata, and
+   * the estimator averages the efficient influence function ψ_i =
+   * m̂₁ − m̂₀ + t(y−m̂₁)/ê − (1−t)(y−m̂₀)/(1−ê); its SE is sd(ψ)/√n —
+   * consistent if EITHER nuisance is right, with a closed-form CI the
+   * plain plug-ins don't have. Strata missing an arm are dropped
+   * (complete-strata estimand, reported via n_used). Returns ONE row:
+   * (n, n_used, ate_outcome, ate_ipw, ate_aipw, se_aipw).
+   *
+   * Scale shape: one corpus groupBy(stratum) for the nuisance cells
+   * (broadcast back), one corpus ψ-moments pass.
+   */
+  def aipwEffect(df: DataFrame, treatCol: Column, scoreCol: String,
+      valueCol: String, bins: Int = 5): DataFrame = {
+    require(bins >= 2, "aipwEffect: need at least 2 strata")
+    val p = col(scoreCol).cast("double")
+    val y = col(valueCol).cast("double")
+    val strat = least(floor(p * bins).cast("long"), lit(bins - 1L))
+    val base = df.where(p.isNotNull && y.isNotNull)
+      .select(strat.as("__st"), when(treatCol, 1L).otherwise(0L).as("__t"),
+        y.as("__y"))
+      .localCheckpoint() // nuisance cells AND the ψ pass read it
+    val isT = col("__t") === 1L
+    val cells = broadcast(base.groupBy("__st")
+      .agg(count(lit(1)).cast("double").as("__ns"),
+        count(when(isT, lit(1))).cast("double").as("__nt"),
+        avg(when(isT, col("__y"))).as("__m1"),
+        avg(when(!isT, col("__y"))).as("__m0"))
+      .where(col("__nt") > 0 && col("__ns") - col("__nt") > 0)
+      .withColumn("__e", col("__nt") / col("__ns")))
+    val t = col("__t").cast("double")
+    val psi = col("__m1") - col("__m0") +
+      t * (col("__y") - col("__m1")) / col("__e") -
+      (lit(1.0) - t) * (col("__y") - col("__m0")) /
+        (lit(1.0) - col("__e"))
+    val tot = broadcast(base.agg(count(lit(1)).as("__nall")))
+    base.join(cells, Seq("__st"))
+      .crossJoin(tot)
+      .agg(max(col("__nall")).as("n"),
+        count(lit(1)).as("n_used"),
+        avg(col("__m1") - col("__m0")).as("ate_outcome"),
+        (sum(t * col("__y") / col("__e")) / sum(t / col("__e")) -
+          sum((lit(1.0) - t) * col("__y") / (lit(1.0) - col("__e"))) /
+          sum((lit(1.0) - t) / (lit(1.0) - col("__e")))).as("ate_ipw"),
+        avg(psi).as("ate_aipw"),
+        (stddev_samp(psi) / sqrt(count(lit(1)).cast("double")))
+          .as("se_aipw"))
+  }
+
+  /**
    * Decision-curve analysis (Vickers & Elkin 2006): at each decision
    * threshold t, treat everyone with score ≥ t and report the net
    * benefit NB(t) = TP/n − FP/n · t/(1−t) — true positives credited at

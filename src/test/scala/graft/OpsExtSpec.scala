@@ -8972,4 +8972,54 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("ended") == 2L)
     assert(r(2).getAs[Long]("started") == 0L)
   }
+
+  test("riskPanel: hand-computed 2x2 — RR 2, OR 3, NNT 4, E-value") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 1), (1, 0), (1, 0), (0, 1), (0, 0), (0, 0),
+      (0, 0)).toDF("ex", "oc")
+    val r = graft.ops.Evaluation
+      .riskPanel(df, col("ex") === 1, col("oc") === 1).head
+    assert(math.abs(r.getAs[Double]("rr") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("odds_ratio") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("risk_diff") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nnt") - 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e_value")
+      - (2.0 + math.sqrt(2.0))) < 1e-12)
+    assert(r.getAs[Double]("rr_lo") < 2.0 && r.getAs[Double]("rr_hi") > 2.0)
+  }
+
+  test("metaAnalysis: homogeneous strata → pooled effect exact, " +
+      "tau2 = 0") {
+    import spark.implicits._
+    val rows =
+      Seq(("A", 1, 1.0), ("A", 1, 2.0), ("A", 1, 3.0),
+        ("A", 0, 0.0), ("A", 0, 1.0), ("A", 0, 2.0),
+        ("B", 1, 2.0), ("B", 1, 4.0), ("B", 1, 6.0),
+        ("B", 0, 1.0), ("B", 0, 3.0), ("B", 0, 5.0))
+    val df = rows.toDF("g", "ex", "v")
+    val r = graft.ops.Evaluation
+      .metaAnalysis(df, "g", col("ex") === 1, "v").head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(math.abs(r.getAs[Double]("fe_effect") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("re_effect") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("q_stat")) < 1e-12)
+    assert(r.getAs[Double]("tau2") == 0.0)
+    assert(r.getAs[Double]("i2") == 0.0)
+  }
+
+  test("aipwEffect: within-stratum randomization with constant effect " +
+      "→ all three estimators 1, zero se") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, 0.1, 2.0), (1, 0.1, 2.0), (0, 0.1, 1.0), (0, 0.1, 1.0),
+      (1, 0.9, 5.0), (1, 0.9, 5.0), (0, 0.9, 4.0), (0, 0.9, 4.0))
+    val df = rows.toDF("t", "p", "y")
+    val r = graft.ops.Evaluation
+      .aipwEffect(df, col("t") === 1, "p", "y", bins = 5).head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_used") == 8L)
+    assert(math.abs(r.getAs[Double]("ate_outcome") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ate_ipw") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ate_aipw") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("se_aipw") == 0.0)
+  }
 }
