@@ -20751,6 +20751,184 @@ object Queries {
                AS se_aipw
       FROM j, tot"""))
 
+  /** Covariance spectral-mass panel of the embedding corpus:
+    * participation ratio, stable rank, and λ_max by a 12-step power
+    * iteration replayed verbatim as unrolled CTEs — the eigen-free
+    * "how many dimensions actually carry variance" readout. */
+  private val q533 = Entry(
+    "q533_spectral_mass",
+    (s, d) =>
+      graft.ops.Features.spectralMassPanel(Tables.embeddings(s, d),
+          "vec_id", "embedding", d = 64, iterations = 12)
+        .select(col("d"), r6(col("trace")).as("trace"),
+          r6(col("frob_sq")).as("frob_sq"),
+          r6(col("participation_ratio")).as("participation_ratio"),
+          r6(col("lambda_max")).as("lambda_max"),
+          r6(col("stable_rank")).as("stable_rank"),
+          r6(col("top_share")).as("top_share")),
+    Some("""
+      WITH ex AS MATERIALIZED (SELECT vec_id, i, v[i] AS x
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+                  range(1, 65) t(i)),
+      mm AS MATERIALIZED (SELECT i, avg(x) AS mu FROM ex GROUP BY 1),
+      xy AS MATERIALIZED (SELECT a.i, b.i AS j, avg(a.x * b.x) AS exy
+             FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      cc AS MATERIALIZED (SELECT xy.i, xy.j, exy - ma.mu * mb.mu AS c
+             FROM xy JOIN mm ma ON ma.i = xy.i
+               JOIN mm mb ON mb.i = xy.j),
+      x0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64) AS x
+             FROM range(1, 65) t(i)),
+      y1 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x0.x * cc.c) AS y
+             FROM x0 JOIN cc ON cc.i = x0.i GROUP BY 1),
+      n1 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y1),
+      x1 AS MATERIALIZED (SELECT i, y / nm AS x FROM y1, n1),
+      y2 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x1.x * cc.c) AS y
+             FROM x1 JOIN cc ON cc.i = x1.i GROUP BY 1),
+      n2 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y2),
+      x2 AS MATERIALIZED (SELECT i, y / nm AS x FROM y2, n2),
+      y3 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x2.x * cc.c) AS y
+             FROM x2 JOIN cc ON cc.i = x2.i GROUP BY 1),
+      n3 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y3),
+      x3 AS MATERIALIZED (SELECT i, y / nm AS x FROM y3, n3),
+      y4 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x3.x * cc.c) AS y
+             FROM x3 JOIN cc ON cc.i = x3.i GROUP BY 1),
+      n4 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y4),
+      x4 AS MATERIALIZED (SELECT i, y / nm AS x FROM y4, n4),
+      y5 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x4.x * cc.c) AS y
+             FROM x4 JOIN cc ON cc.i = x4.i GROUP BY 1),
+      n5 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y5),
+      x5 AS MATERIALIZED (SELECT i, y / nm AS x FROM y5, n5),
+      y6 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x5.x * cc.c) AS y
+             FROM x5 JOIN cc ON cc.i = x5.i GROUP BY 1),
+      n6 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y6),
+      x6 AS MATERIALIZED (SELECT i, y / nm AS x FROM y6, n6),
+      y7 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x6.x * cc.c) AS y
+             FROM x6 JOIN cc ON cc.i = x6.i GROUP BY 1),
+      n7 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y7),
+      x7 AS MATERIALIZED (SELECT i, y / nm AS x FROM y7, n7),
+      y8 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x7.x * cc.c) AS y
+             FROM x7 JOIN cc ON cc.i = x7.i GROUP BY 1),
+      n8 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y8),
+      x8 AS MATERIALIZED (SELECT i, y / nm AS x FROM y8, n8),
+      y9 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x8.x * cc.c) AS y
+             FROM x8 JOIN cc ON cc.i = x8.i GROUP BY 1),
+      n9 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y9),
+      x9 AS MATERIALIZED (SELECT i, y / nm AS x FROM y9, n9),
+      y10 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x9.x * cc.c) AS y
+             FROM x9 JOIN cc ON cc.i = x9.i GROUP BY 1),
+      n10 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y10),
+      x10 AS MATERIALIZED (SELECT i, y / nm AS x FROM y10, n10),
+      y11 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x10.x * cc.c) AS y
+             FROM x10 JOIN cc ON cc.i = x10.i GROUP BY 1),
+      n11 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y11),
+      x11 AS MATERIALIZED (SELECT i, y / nm AS x FROM y11, n11),
+      y12 AS MATERIALIZED (SELECT cc.j AS i,
+               sum(x11.x * cc.c) AS y
+             FROM x11 JOIN cc ON cc.i = x11.i GROUP BY 1),
+      n12 AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y12),
+      x12 AS MATERIALIZED (SELECT i, y / nm AS x FROM y12, n12),
+      lam AS (SELECT sum(xa.x * cc.c * xb.x) AS lmax
+              FROM cc JOIN x12 xa ON xa.i = cc.i
+                JOIN x12 xb ON xb.i = cc.j),
+      tr AS (SELECT sum(c) AS trace FROM cc WHERE i = j),
+      fr AS (SELECT sum(c * c) AS frob FROM cc)
+      SELECT 64::BIGINT AS d, round(trace, 6) AS trace,
+             round(frob, 6) AS frob_sq,
+             round(trace * trace / frob, 6) AS participation_ratio,
+             round(lmax, 6) AS lambda_max,
+             round(trace / lmax, 6) AS stable_rank,
+             round(lmax / trace, 6) AS top_share
+      FROM tr, fr, lam"""))
+
+  /** Alignment & uniformity (Wang & Isola) of the embedding corpus on
+    * deterministic positive (consecutive same-label) and background
+    * (half-offset) pairs — collapse shows up as great alignment with
+    * terrible uniformity. */
+  private val q534 = Entry(
+    "q534_align_uniformity",
+    (s, d) =>
+      graft.ops.Features.alignmentUniformity(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .select(col("n_pos"), r6(col("alignment")).as("alignment"),
+          col("n_background"), r6(col("uniformity")).as("uniformity")),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      nn AS (SELECT vec_id, sqrt(sum(v[i] * v[i])) AS nm
+             FROM e, range(1, 65) t(i) GROUP BY 1),
+      e2 AS (SELECT e.vec_id, e.label, e.v, nn.nm
+             FROM e JOIN nn USING (vec_id) WHERE nn.nm > 0),
+      ct AS (SELECT count(*)::BIGINT AS cnt FROM e2),
+      posd AS (SELECT a.vec_id,
+                 sum(a.v[i] * b.v[i]) / (a.nm * b.nm) AS cs
+               FROM e2 a JOIN e2 b ON b.vec_id = a.vec_id + 1
+                 AND b.label = a.label, range(1, 65) t(i)
+               GROUP BY a.vec_id, a.nm, b.nm),
+      pa AS (SELECT count(*)::BIGINT AS n_pos,
+               avg(2 - 2 * cs) AS alignment FROM posd),
+      bgd AS (SELECT a.vec_id,
+                sum(a.v[i] * b.v[i]) / (a.nm * b.nm) AS cs
+              FROM e2 a JOIN e2 b
+                ON b.vec_id = a.vec_id + (SELECT cnt // 2 FROM ct),
+                range(1, 65) t(i)
+              GROUP BY a.vec_id, a.nm, b.nm),
+      ub AS (SELECT count(*)::BIGINT AS n_background,
+               ln(avg(exp(-2 * (2 - 2 * cs)))) AS uniformity FROM bgd)
+      SELECT n_pos, round(alignment, 6) AS alignment, n_background,
+             round(uniformity, 6) AS uniformity
+      FROM pa, ub"""))
+
+  /** Hubness panel over the 512 smallest-id embeddings: k-occurrence
+    * skewness, the biggest hub, and the anti-hub fraction — the
+    * high-dimensional retrieval pathology screen. */
+  private val q535 = Entry(
+    "q535_hubness",
+    (s, d) =>
+      graft.ops.Features.hubnessPanel(Tables.embeddings(s, d),
+          "vec_id", "embedding", cap = 512, k = 5)
+        .select(col("n_sample"), col("k"),
+          r6(col("skew_kocc")).as("skew_kocc"), col("max_kocc"),
+          r6(col("frac_antihub")).as("frac_antihub")),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 512),
+      nn AS (SELECT vec_id, sqrt(sum(v[i] * v[i])) AS nm
+             FROM s0, range(1, 65) t(i) GROUP BY 1),
+      s AS (SELECT s0.vec_id, v, nm FROM s0 JOIN nn USING (vec_id)
+            WHERE nm > 0),
+      sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                 sum(a.v[i] * b.v[i]) / (a.nm * b.nm) AS sim
+               FROM s a JOIN s b ON a.vec_id <> b.vec_id,
+                 range(1, 65) t(i)
+               GROUP BY a.vec_id, b.vec_id, a.nm, b.nm),
+      tk AS (SELECT ai, bi FROM sims QUALIFY row_number()
+               OVER (PARTITION BY ai ORDER BY sim DESC, bi) <= 5),
+      ko AS (SELECT s.vec_id, coalesce(t.c, 0) AS kk
+             FROM s LEFT JOIN (SELECT bi, count(*)::DOUBLE AS c
+               FROM tk GROUP BY 1) t ON t.bi = s.vec_id)
+      SELECT count(*)::BIGINT AS n_sample, 5 AS k,
+             round((avg(kk * kk * kk) - 3 * avg(kk) * avg(kk * kk)
+               + 2 * avg(kk) * avg(kk) * avg(kk)) /
+               pow(avg(kk * kk) - avg(kk) * avg(kk), 1.5), 6)
+               AS skew_kocc,
+             max(kk)::BIGINT AS max_kocc,
+             round(avg(CASE WHEN kk = 0 THEN 1.0 ELSE 0 END), 6)
+               AS frac_antihub
+      FROM ko"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20791,7 +20969,8 @@ object Queries {
     q483, q484, q485, q486, q487, q488, q489, q490, q491, q492, q493, q494, q495, q496, q497, q498, q499, q500, q501,
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
-    q523, q524, q525, q526, q527, q528, q529, q530, q531, q532)
+    q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
+    q533, q534, q535)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -729,6 +729,161 @@ object Features {
    * (dims × corpus rows, map-side combined into a dims-row frame),
    * total variance as that frame's broadcast rollup.
    */
+  /**
+   * Covariance spectral-mass panel of an embedding column — the
+   * eigen-free dimensionality readouts: trace Σλ, squared Frobenius
+   * norm Σλ², participation ratio (Σλ)²/Σλ² (how many directions
+   * carry the variance), λ_max by a FIXED 12-step normalized power
+   * iteration over the collected d×d covariance (bounded, loud
+   * require), stable rank trace/λ_max, and λ_max/trace. Returns ONE
+   * row: (d, trace, frob_sq, participation_ratio, lambda_max,
+   * stable_rank, top_share).
+   *
+   * Scale shape: one self-join-by-id cross-moment pass (d²-cell
+   * map-side-combined aggregate), one ≤d²-row collect behind a
+   * require, driver-side O(d²·iters) power iteration.
+   */
+  def spectralMassPanel(df: DataFrame, idCol: String, vecCol: String,
+      d: Int, iterations: Int = 12): DataFrame = {
+    require(d >= 2 && d <= 256, s"spectralMassPanel: d 2..256, got $d")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__i", "__x")))
+      .localCheckpoint() // both sides of the cross-moment self-join
+    val cells = e.join(
+        e.select(col("__id"), col("__i").as("__j"), col("__x").as("__y")),
+        Seq("__id"))
+      .groupBy("__i", "__j")
+      .agg(avg(col("__x") * col("__y")).as("__exy"))
+    val means = e.groupBy(col("__i").as("__mi"))
+      .agg(avg(col("__x")).as("__mu"))
+    val cov = cells
+      .join(broadcast(means), col("__i") === col("__mi"))
+      .drop("__mi").withColumnRenamed("__mu", "__mui")
+      .join(broadcast(means), col("__j") === col("__mi"))
+      .drop("__mi").withColumnRenamed("__mu", "__muj")
+      .select(col("__i"), col("__j"),
+        (col("__exy") - col("__mui") * col("__muj")).as("__c"))
+    val rows = cov.limit(d * d + 1).collect()
+    require(rows.length <= d * d,
+      s"spectralMassPanel: more than $d² covariance cells — vector " +
+        "column is ragged or d is wrong")
+    val c = Array.fill(d, d)(0.0)
+    rows.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iterations) {
+      val y = Array.tabulate(d)(j =>
+        (0 until d).map(i => x(i) * c(i)(j)).sum)
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      x = if (nrm > 0) y.map(_ / nrm) else y
+    }
+    val lambdaMax = (0 until d).map(i =>
+      (0 until d).map(j => x(i) * c(i)(j) * x(j)).sum).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val frob = (0 until d).flatMap(i => (0 until d).map(j =>
+      c(i)(j) * c(i)(j))).sum
+    Seq((d.toLong, trace, frob, trace * trace / frob, lambdaMax,
+        trace / lambdaMax, lambdaMax / trace))
+      .toDF("d", "trace", "frob_sq", "participation_ratio", "lambda_max",
+        "stable_rank", "top_share")
+  }
+
+  /**
+   * Alignment & uniformity (Wang & Isola 2020) of L2-normalized
+   * embeddings: alignment = E‖z_a − z_b‖² over POSITIVE pairs
+   * (consecutive ids sharing a label — the deterministic stand-in for
+   * augmentation pairs), uniformity = ln E exp(−2‖z_a − z_b‖²) over
+   * deterministic background pairs (id, id + N/2). Lower is better on
+   * both; a collapsed encoder aces alignment and bombs uniformity.
+   * Returns ONE row: (n_pos, alignment, n_background, uniformity).
+   *
+   * Scale shape: id-keyed self-joins (consecutive and half-offset
+   * shifts), one norm pass — no pair explosion beyond O(n).
+   */
+  def alignmentUniformity(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    val e = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__l"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .where(col("__n") > 0)
+      .localCheckpoint() // read by both pairings + the count
+    val nTot = broadcast(e.agg(count(lit(1)).as("__cnt")))
+    val b = e.select(col("__id").as("__id2"), col("__l").as("__l2"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    val d2 = lit(2.0) - lit(2.0) * dot(col("__v"), col("__v2")) /
+      (col("__n") * col("__n2"))
+    val pos = e.join(b, col("__id2") === col("__id") + 1 &&
+        col("__l2") === col("__l"))
+      .agg(count(lit(1)).as("n_pos"), avg(d2).as("alignment"))
+    val bg = e.crossJoin(nTot)
+      .join(b, col("__id2") === col("__id") + (col("__cnt") / 2)
+        .cast("long"))
+      .agg(count(lit(1)).as("n_background"),
+        log(avg(exp(lit(-2.0) * d2))).as("uniformity"))
+    pos.crossJoin(bg)
+  }
+
+  /**
+   * Hubness panel (Radovanović et al.): the k-occurrence distribution
+   * over a deterministic bounded sample (the `cap` smallest ids) —
+   * how often each point shows up in others' cosine k-NN lists. High
+   * skewness means hub points dominate retrieval; the anti-hub
+   * fraction never gets retrieved at all. Returns ONE row: (n_sample,
+   * k, skew_kocc, max_kocc, frac_antihub).
+   *
+   * Scale shape: the sample is a GlobalLimit (bounded by construction
+   * at any corpus size); the ≤cap² conditioned pair join and the
+   * per-point top-k window both run on that bounded frame.
+   */
+  def hubnessPanel(df: DataFrame, idCol: String, vecCol: String,
+      cap: Int = 512, k: Int = 5): DataFrame = {
+    require(cap >= 8 && cap <= 2048, s"hubnessPanel: cap 8..2048")
+    require(k >= 1 && k < cap, "hubnessPanel: 1 <= k < cap")
+    import org.apache.spark.sql.expressions.Window
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    val s = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy("__id").limit(cap)
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .where(col("__n") > 0)
+      .localCheckpoint() // both join sides + the zero-count frame
+    val b = s.select(col("__id").as("__id2"), col("__v").as("__v2"),
+      col("__n").as("__n2"))
+    val sims = s.join(b, col("__id") =!= col("__id2"))
+      .select(col("__id"), col("__id2"),
+        (dot(col("__v"), col("__v2")) / (col("__n") * col("__n2")))
+          .as("__sim"))
+    val topk = sims
+      .withColumn("__r", row_number().over(Window.partitionBy("__id")
+        .orderBy(col("__sim").desc, col("__id2").asc)))
+      .where(col("__r") <= k)
+    val kocc = s.select(col("__id").as("__id2"))
+      .join(topk.groupBy("__id2").agg(count(lit(1)).as("__k")),
+        Seq("__id2"), "left")
+      .na.fill(0L, Seq("__k"))
+    kocc.agg(count(lit(1)).as("n_sample"),
+        avg(col("__k")).as("__m"),
+        avg(col("__k") * col("__k")).as("__m2"),
+        avg(col("__k") * col("__k") * col("__k")).as("__m3"),
+        max(col("__k")).as("max_kocc"),
+        avg(when(col("__k") === 0, 1.0).otherwise(0.0))
+          .as("frac_antihub"))
+      .select(col("n_sample"), lit(k).as("k"),
+        ((col("__m3") - lit(3.0) * col("__m") * col("__m2") +
+          lit(2.0) * col("__m") * col("__m") * col("__m")) /
+          pow(col("__m2") - col("__m") * col("__m"), lit(1.5)))
+          .as("skew_kocc"),
+        col("max_kocc"), col("frac_antihub"))
+  }
+
   def embeddingDimensionHealth(df: DataFrame, vecCol: String,
       collapseEps: Double = 1e-6): DataFrame = {
     val per = df.where(col(vecCol).isNotNull)

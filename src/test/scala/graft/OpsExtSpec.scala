@@ -9022,4 +9022,50 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ate_aipw") - 1.0) < 1e-12)
     assert(r.getAs[Double]("se_aipw") == 0.0)
   }
+
+  test("spectralMassPanel: rank-1 covariance → PR = stable rank = 1") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(-1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0, 0.0)), (3L, Array(-1.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+    val r = graft.ops.Features.spectralMassPanel(df, "id", "v", d = 4)
+      .head
+    // population covariance: E[x²] − μ² = 1 in dim 0, zero elsewhere
+    assert(math.abs(r.getAs[Double]("trace") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("participation_ratio") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lambda_max") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("stable_rank") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("top_share") - 1.0) < 1e-9)
+  }
+
+  test("alignmentUniformity: hand-computed pairs on unit vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0, Array(1.0, 0.0)), (1L, 0, Array(1.0, 0.0)),
+      (2L, 0, Array(0.0, 1.0)), (3L, 0, Array(0.0, 1.0)))
+      .toDF("id", "lab", "v")
+    val r = graft.ops.Features
+      .alignmentUniformity(df, "id", "v", "lab").head
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(math.abs(r.getAs[Double]("alignment") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Long]("n_background") == 2L)
+    // both half-offset pairs are orthogonal: ln(exp(−4)) = −4
+    assert(math.abs(r.getAs[Double]("uniformity") + 4.0) < 1e-12)
+  }
+
+  test("hubnessPanel: a central hub dominates 1-NN occurrence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.9, -0.1)), (4L, Array(-1.0, 0.0)))
+      .toDF("id", "v")
+    val r = graft.ops.Features.hubnessPanel(df, "id", "v", cap = 8, k = 1)
+      .head
+    assert(r.getAs[Long]("n_sample") == 4L)
+    assert(r.getAs[Long]("max_kocc") == 2L)
+    assert(math.abs(r.getAs[Double]("frac_antihub") - 0.5) < 1e-12)
+    // k-occurrences {2,2,0,0} are symmetric → zero skew
+    assert(math.abs(r.getAs[Double]("skew_kocc")) < 1e-12)
+  }
 }
