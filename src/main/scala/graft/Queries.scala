@@ -20929,6 +20929,133 @@ object Queries {
                AS frac_antihub
       FROM ko"""))
 
+  /** Weibull order→ship duration fit by log-moment matching (closed
+    * form, no iterative MLE), graded against the exact-DISC observed
+    * median/p90. */
+  private val q536 = Entry(
+    "q536_weibull_fit",
+    (s, d) =>
+      graft.ops.Survival.weibullFit(
+          Tables.lineitem(s, d).join(Tables.orders(s, d),
+              col("l_orderkey") === col("o_orderkey"))
+            .withColumn("__dur",
+              datediff(col("l_shipdate"), col("o_orderdate")) + 1),
+          "__dur")
+        .select(col("n"), r6(col("k_shape")).as("k_shape"),
+          r6(col("lambda_scale")).as("lambda_scale"),
+          r6(col("fit_median")).as("fit_median"),
+          r6(col("obs_median")).as("obs_median"),
+          r6(col("fit_p90")).as("fit_p90"),
+          r6(col("obs_p90")).as("obs_p90")),
+    Some("""
+      WITH li AS (SELECT date_diff('day', o_orderdate::DATE,
+                    l_shipdate::DATE) + 1 AS t0
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      b AS (SELECT t0::DOUBLE AS t FROM li WHERE t0 > 0),
+      m AS (SELECT count(*)::DOUBLE AS n, avg(ln(t)) AS mm,
+              stddev_samp(ln(t)) AS s FROM b),
+      k AS (SELECT n, pi() / (s * sqrt(6)) AS kk,
+              exp(mm + 0.5772156649015329 /
+                (pi() / (s * sqrt(6)))) AS lam
+            FROM m),
+      q AS (SELECT quantile_disc(t, 0.5) AS om,
+              quantile_disc(t, 0.9) AS o9 FROM b)
+      SELECT n::BIGINT AS n, round(kk, 6) AS k_shape,
+             round(lam, 6) AS lambda_scale,
+             round(lam * pow(ln(2), 1 / kk), 6) AS fit_median,
+             round(om, 6) AS obs_median,
+             round(lam * pow(ln(10), 1 / kk), 6) AS fit_p90,
+             round(o9, 6) AS obs_p90
+      FROM k, q"""))
+
+  /** Lorenz asymmetry S = F(μ) + L(μ): is revenue inequality driven
+    * by many small or a few giant line items — the direction the
+    * Gini alone can't give. */
+  private val q537 = Entry(
+    "q537_lorenz_asymmetry",
+    (s, d) =>
+      graft.ops.Profiling.lorenzAsymmetry(Tables.lineitem(s, d),
+          "l_extendedprice")
+        .select(col("n"), r6(col("mean")).as("mean"),
+          r6(col("f_mu")).as("f_mu"), r6(col("l_mu")).as("l_mu"),
+          r6(col("asymmetry")).as("asymmetry")),
+    Some("""
+      WITH b AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+                 WHERE l_extendedprice > 0),
+      m AS (SELECT avg(x) AS mu FROM b)
+      SELECT count(*)::BIGINT AS n, round(max(mu), 6) AS mean,
+             round(avg(CASE WHEN x < mu THEN 1.0 ELSE 0 END), 6) AS f_mu,
+             round(sum(CASE WHEN x < mu THEN x ELSE 0 END) / sum(x), 6)
+               AS l_mu,
+             round(avg(CASE WHEN x < mu THEN 1.0 ELSE 0 END) +
+               sum(CASE WHEN x < mu THEN x ELSE 0 END) / sum(x), 6)
+               AS asymmetry
+      FROM b, m"""))
+
+  /** Digit-heaping screen on order totals: last-cent-digit χ² vs
+    * uniform + round-number heaping shares — the trailing-digit
+    * complement to q140's Benford first-digit law. */
+  private val q538 = Entry(
+    "q538_digit_heaping",
+    (s, d) =>
+      graft.ops.Profiling.digitHeaping(Tables.orders(s, d),
+          "o_totalprice")
+        .select(col("n"), r6(col("chi2_last_digit")).as("chi2_last_digit"),
+          col("df"), r6(col("share_mod5")).as("share_mod5"),
+          r6(col("share_mod10")).as("share_mod10")),
+    Some("""
+      WITH b AS (SELECT round(o_totalprice * 100)::BIGINT % 10 AS cd,
+                   floor(o_totalprice)::BIGINT % 10 AS id
+                 FROM orders WHERE o_totalprice >= 0),
+      c AS (SELECT cd, count(*)::DOUBLE AS n FROM b GROUP BY 1),
+      t AS (SELECT sum(n) AS tt FROM c),
+      x2 AS (SELECT max(tt) AS tt,
+               sum((n - tt / 10) * (n - tt / 10) / (tt / 10)) AS chi2
+             FROM c, t),
+      h AS (SELECT avg(CASE WHEN id % 5 = 0 THEN 1.0 ELSE 0 END) AS s5,
+              avg(CASE WHEN id = 0 THEN 1.0 ELSE 0 END) AS s10
+            FROM b)
+      SELECT tt::BIGINT AS n, round(chi2, 6) AS chi2_last_digit,
+             9::BIGINT AS df, round(s5, 6) AS share_mod5,
+             round(s10, 6) AS share_mod10
+      FROM x2, h"""))
+
+  /** Reliability panel of 'error' events per user stream: MTBF, MTTR
+    * (next non-error recovery proxy), failures per kilo-event, and
+    * availability. */
+  private val q539 = Entry(
+    "q539_reliability",
+    (s, d) =>
+      graft.ops.Behavioral.reliabilityPanel(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", "error")
+        .select(col("n_events"), col("n_failures"),
+          r6(col("mtbf_sec")).as("mtbf_sec"),
+          r6(col("mttr_sec")).as("mttr_sec"),
+          r6(col("failures_per_1k")).as("failures_per_1k"),
+          r6(col("availability")).as("availability")),
+    Some("""
+      WITH e AS (SELECT user_id, event_id,
+                   floor(epoch(ts))::BIGINT AS sec,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f
+                 FROM events),
+      m AS (SELECT *, min(CASE WHEN f = 1 THEN sec END) OVER w AS nf,
+              min(CASE WHEN f = 0 THEN sec END) OVER w AS nk
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY sec, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      a AS (SELECT count(*)::BIGINT AS n_events,
+              sum(f)::BIGINT AS n_failures,
+              avg(CASE WHEN f = 1 THEN (nf - sec)::DOUBLE END) AS mtbf,
+              avg(CASE WHEN f = 1 THEN (nk - sec)::DOUBLE END) AS mttr
+            FROM m)
+      SELECT n_events, n_failures, round(mtbf, 6) AS mtbf_sec,
+             round(mttr, 6) AS mttr_sec,
+             round(n_failures::DOUBLE / n_events * 1000, 6)
+               AS failures_per_1k,
+             round(CASE WHEN mtbf + mttr > 0
+               THEN mtbf / (mtbf + mttr) END, 6) AS availability
+      FROM a"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -20970,7 +21097,7 @@ object Queries {
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
     q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
-    q533, q534, q535)
+    q533, q534, q535, q536, q537, q538, q539)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

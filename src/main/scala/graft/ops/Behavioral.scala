@@ -388,6 +388,47 @@ object Behavioral {
   }
 
   /**
+   * Reliability panel of a failure event type per user stream: MTBF
+   * (mean seconds between consecutive failures of the SAME user),
+   * MTTR (mean seconds from a failure to the user's next non-failure
+   * event — the recovery proxy), failure rate per kilo-event, and
+   * availability MTBF/(MTBF+MTTR). Ordering pins ties by (ts, id) so
+   * every engine replays the same stream. Returns ONE row: (n_events,
+   * n_failures, mtbf_sec, mttr_sec, failures_per_1k, availability).
+   *
+   * Scale shape: two user-partitioned lead windows over the raw
+   * stream + one reduce — parallelism scales with users.
+   */
+  def reliabilityPanel(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, failureType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__sec"), col(idCol))
+    val events = df
+      .withColumn("__sec", unix_timestamp(col(tsCol)))
+      .withColumn("__fail",
+        when(col(typeCol) === failureType, 1L).otherwise(0L))
+    // next failure time / next recovery time via conditional leads:
+    // min over the FOLLOWING frame of the respective kind's timestamp
+    val wAfter = w.rowsBetween(1, Window.unboundedFollowing)
+    val marked = events
+      .withColumn("__nextFail",
+        min(when(col("__fail") === 1, col("__sec"))).over(wAfter))
+      .withColumn("__nextOk",
+        min(when(col("__fail") === 0, col("__sec"))).over(wAfter))
+    marked.agg(count(lit(1)).as("n_events"),
+        sum(col("__fail")).as("n_failures"),
+        avg(when(col("__fail") === 1,
+          col("__nextFail") - col("__sec"))).as("mtbf_sec"),
+        avg(when(col("__fail") === 1,
+          col("__nextOk") - col("__sec"))).as("mttr_sec"))
+      .withColumn("failures_per_1k",
+        col("n_failures").cast("double") / col("n_events") * 1000)
+      .withColumn("availability",
+        when(col("mtbf_sec") + col("mttr_sec") > 0,
+          col("mtbf_sec") / (col("mtbf_sec") + col("mttr_sec"))))
+  }
+
+  /**
    * Session-quality panel by EXIT event type: sessions (30-min-gap
    * sessionization, [[sessionize]] semantics with (ts, id) tie order)
    * grouped by their LAST event's type — exit-page analysis: how many

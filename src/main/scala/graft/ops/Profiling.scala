@@ -1159,6 +1159,63 @@ object Profiling {
   }
 
   /**
+   * Lorenz asymmetry coefficient S = F(μ) + L(μ) (Damgaard & Weiner):
+   * the fraction of units below the mean plus the value share they
+   * hold. S = 1 is a symmetric Lorenz curve; S < 1 means inequality
+   * is driven by many small units, S > 1 by a few giants — the
+   * direction a lone Gini can't give. Returns ONE row: (n, mean,
+   * f_mu, l_mu, asymmetry).
+   *
+   * Scale shape: one 1-row mean reduce broadcast, one conditional
+   * re-aggregation.
+   */
+  def lorenzAsymmetry(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && x > 0).select(x.as("__x"))
+    val mu = broadcast(base.agg(avg(col("__x")).as("__mu")))
+    base.crossJoin(mu)
+      .agg(count(lit(1)).as("n"), max(col("__mu")).as("mean"),
+        avg(when(col("__x") < col("__mu"), 1.0).otherwise(0.0))
+          .as("f_mu"),
+        (sum(when(col("__x") < col("__mu"), col("__x")).otherwise(0.0)) /
+          sum(col("__x"))).as("l_mu"))
+      .withColumn("asymmetry", col("f_mu") + col("l_mu"))
+  }
+
+  /**
+   * Digit-heaping fraud/data-entry screen on a monetary column: the
+   * last cent digit's χ² against uniform (Benford's first-digit law
+   * says nothing about trailing digits — THOSE should be flat), plus
+   * the round-number heaping shares (integer part ≡ 0 mod 5 / mod 10)
+   * with their expected 0.2/0.1 baselines. Returns ONE row: (n,
+   * chi2_last_digit, df, share_mod5, share_mod10).
+   *
+   * Scale shape: one conditional-count pass; the 10-cell digit frame
+   * is implicit in the when-sums.
+   */
+  def digitHeaping(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val base = df.where(x.isNotNull && x >= 0)
+      .select(x.as("__x"),
+        pmod(round(x * 100).cast("long"), lit(10L)).as("__cd"),
+        pmod(floor(x).cast("long"), lit(10L)).as("__id"))
+    val cells = base.groupBy("__cd")
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = broadcast(cells.agg(sum(col("__n")).as("__t")))
+    val chi2 = cells.crossJoin(tot)
+      .agg(max(col("__t")).as("__t"),
+        sum((col("__n") - col("__t") / 10) * (col("__n") - col("__t") / 10)
+          / (col("__t") / 10)).as("chi2_last_digit"))
+    val heaps = base.agg(
+      avg(when(col("__id") % 5 === 0, 1.0).otherwise(0.0))
+        .as("share_mod5"),
+      avg(when(col("__id") === 0, 1.0).otherwise(0.0)).as("share_mod10"))
+    chi2.crossJoin(heaps)
+      .select(col("__t").cast("long").as("n"), col("chi2_last_digit"),
+        lit(9L).as("df"), col("share_mod5"), col("share_mod10"))
+  }
+
+  /**
    * Closed-form distribution-fit panel for a positive feature:
    * exponential (rate 1/x̄), gamma by method of moments (k = x̄²/v,
    * θ = v/x̄), lognormal by exact log-moment MLE (μ̂, σ̂ of ln x) —

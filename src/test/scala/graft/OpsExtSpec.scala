@@ -9068,4 +9068,60 @@ class OpsExtSpec extends AnyFunSuite {
     // k-occurrences {2,2,0,0} are symmetric → zero skew
     assert(math.abs(r.getAs[Double]("skew_kocc")) < 1e-12)
   }
+
+  test("weibullFit: log-moment formulas reproduced, DISC quantile " +
+      "anchors observed") {
+    import spark.implicits._
+    val df = Seq(1.0, math.exp(2), 1.0, math.exp(2)).toDF("t")
+    val r = graft.ops.Survival.weibullFit(df, "t").head
+    val m = 1.0
+    val s = math.sqrt(4.0 / 3) // sd of {0,2,0,2}
+    val k = math.Pi / (s * math.sqrt(6))
+    val lam = math.exp(m + 0.5772156649015329 / k)
+    assert(math.abs(r.getAs[Double]("k_shape") - k) < 1e-9)
+    assert(math.abs(r.getAs[Double]("lambda_scale") - lam) < 1e-9)
+    assert(math.abs(r.getAs[Double]("fit_median")
+      - lam * math.pow(math.log(2), 1 / k)) < 1e-9)
+    assert(r.getAs[Double]("obs_median") == 1.0) // DISC lower middle
+  }
+
+  test("lorenzAsymmetry: a single giant drives S above F+L baseline") {
+    import spark.implicits._
+    val df = Seq(1.0, 1.0, 1.0, 97.0).toDF("x")
+    val r = graft.ops.Profiling.lorenzAsymmetry(df, "x").head
+    assert(math.abs(r.getAs[Double]("mean") - 25.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f_mu") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("l_mu") - 0.03) < 1e-12)
+    assert(math.abs(r.getAs[Double]("asymmetry") - 0.78) < 1e-12)
+  }
+
+  test("digitHeaping: uniform last cents → zero chi2; no round heaps") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => 1.10 + i * 0.01).toDF("x")
+    val r = graft.ops.Profiling.digitHeaping(df, "x").head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(math.abs(r.getAs[Double]("chi2_last_digit")) < 1e-12)
+    assert(r.getAs[Double]("share_mod5") == 0.0)
+    assert(r.getAs[Double]("share_mod10") == 0.0)
+  }
+
+  test("reliabilityPanel: hand-computed MTBF/MTTR/availability") {
+    import spark.implicits._
+    val rows = Seq((0L, "ok"), (10L, "error"), (20L, "ok"),
+      (30L, "error"), (40L, "error"), (50L, "ok")).zipWithIndex.map {
+      case ((sec, t), i) =>
+        (1L, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(sec)), i.toLong, t)
+    }
+    val df = rows.toDF("u", "ts", "eid", "t")
+    val r = graft.ops.Behavioral
+      .reliabilityPanel(df, "u", "ts", "eid", "t", "error").head
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("n_failures") == 3L)
+    assert(math.abs(r.getAs[Double]("mtbf_sec") - 15.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mttr_sec") - 40.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("failures_per_1k") - 500.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("availability")
+      - 15.0 / (15 + 40.0 / 3)) < 1e-12)
+  }
 }
