@@ -21056,6 +21056,219 @@ object Queries {
                THEN mtbf / (mtbf + mttr) END, 6) AS availability
       FROM a"""))
 
+  /** Bradley–Terry supplier strength from cheaper-on-the-same-part
+    * pairwise wins: 8 fixed MM iterations with mean-1 renormalization,
+    * replayed verbatim as unrolled materialized CTEs. */
+  private val q540 = Entry(
+    "q540_bradley_terry",
+    (s, d) => {
+      val unit = Tables.lineitem(s, d)
+        .where(col("l_quantity") > 0)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 6)
+          .as("__up"))
+      val pairs = unit.as("x")
+        .join(unit.as("y"),
+          col("x.l_partkey") === col("y.l_partkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .where(col("x.__up") =!= col("y.__up"))
+        .groupBy(col("x.l_suppkey").as("sa"),
+          col("y.l_suppkey").as("sb"))
+        .agg(sum(when(col("x.__up") < col("y.__up"), 1L).otherwise(0L))
+          .as("wa"),
+          sum(when(col("x.__up") > col("y.__up"), 1L).otherwise(0L))
+            .as("wb"))
+      graft.ops.Graph.bradleyTerry(pairs, "sa", "sb", "wa", "wb",
+          iterations = 8)
+        .select(col("item").as("supplier"), col("games"), col("wins"),
+          r6(col("rating")).as("rating"))
+        .orderBy("supplier")
+    },
+    Some("""
+      WITH unit AS MATERIALIZED (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               round(avg(l_extendedprice / l_quantity), 6) AS up
+        FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+      pr AS MATERIALIZED (
+        SELECT x.sk AS sa, y.sk AS sb,
+               sum(CASE WHEN x.up < y.up THEN 1 ELSE 0 END)::DOUBLE
+                 AS wa,
+               sum(CASE WHEN x.up > y.up THEN 1 ELSE 0 END)::DOUBLE
+                 AS wb
+        FROM unit x JOIN unit y ON x.pk = y.pk AND x.sk < y.sk
+        WHERE x.up <> y.up GROUP BY 1, 2),
+      sym AS MATERIALIZED (
+        SELECT sa AS i, sb AS j, wa + wb AS g, wa AS w FROM pr
+        UNION ALL SELECT sb, sa, wa + wb, wb FROM pr),
+      it AS MATERIALIZED (SELECT i, sum(g) AS games, sum(w) AS wins
+                          FROM sym GROUP BY 1),
+      r0 AS MATERIALIZED (SELECT i, 1.0 AS r FROM it),
+      d1 AS MATERIALIZED (SELECT sym.i,
+               sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r0 ri ON ri.i = sym.i
+               JOIN r0 rj ON rj.i = sym.j GROUP BY 1),
+      w1 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d1 ON d1.i = it.i),
+      m1 AS MATERIALIZED (SELECT avg(r) AS m FROM w1),
+      r1 AS MATERIALIZED (SELECT i, r / m AS r FROM w1, m1),
+      d2 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r1 ri ON ri.i = sym.i
+               JOIN r1 rj ON rj.i = sym.j GROUP BY 1),
+      w2 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d2 ON d2.i = it.i),
+      m2 AS MATERIALIZED (SELECT avg(r) AS m FROM w2),
+      r2 AS MATERIALIZED (SELECT i, r / m AS r FROM w2, m2),
+      d3 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r2 ri ON ri.i = sym.i
+               JOIN r2 rj ON rj.i = sym.j GROUP BY 1),
+      w3 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d3 ON d3.i = it.i),
+      m3 AS MATERIALIZED (SELECT avg(r) AS m FROM w3),
+      r3 AS MATERIALIZED (SELECT i, r / m AS r FROM w3, m3),
+      d4 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r3 ri ON ri.i = sym.i
+               JOIN r3 rj ON rj.i = sym.j GROUP BY 1),
+      w4 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d4 ON d4.i = it.i),
+      m4 AS MATERIALIZED (SELECT avg(r) AS m FROM w4),
+      r4 AS MATERIALIZED (SELECT i, r / m AS r FROM w4, m4),
+      d5 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r4 ri ON ri.i = sym.i
+               JOIN r4 rj ON rj.i = sym.j GROUP BY 1),
+      w5 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d5 ON d5.i = it.i),
+      m5 AS MATERIALIZED (SELECT avg(r) AS m FROM w5),
+      r5 AS MATERIALIZED (SELECT i, r / m AS r FROM w5, m5),
+      d6 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r5 ri ON ri.i = sym.i
+               JOIN r5 rj ON rj.i = sym.j GROUP BY 1),
+      w6 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d6 ON d6.i = it.i),
+      m6 AS MATERIALIZED (SELECT avg(r) AS m FROM w6),
+      r6 AS MATERIALIZED (SELECT i, r / m AS r FROM w6, m6),
+      d7 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r6 ri ON ri.i = sym.i
+               JOIN r6 rj ON rj.i = sym.j GROUP BY 1),
+      w7 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d7 ON d7.i = it.i),
+      m7 AS MATERIALIZED (SELECT avg(r) AS m FROM w7),
+      r7 AS MATERIALIZED (SELECT i, r / m AS r FROM w7, m7),
+      d8 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
+             FROM sym JOIN r7 ri ON ri.i = sym.i
+               JOIN r7 rj ON rj.i = sym.j GROUP BY 1),
+      w8 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
+               THEN wins / den ELSE 0 END AS r
+             FROM it JOIN d8 ON d8.i = it.i),
+      m8 AS MATERIALIZED (SELECT avg(r) AS m FROM w8),
+      r8 AS MATERIALIZED (SELECT i, r / m AS r FROM w8, m8)
+      SELECT it.i AS supplier, games::BIGINT AS games,
+             wins::BIGINT AS wins, round(r8.r, 6) AS rating
+      FROM it JOIN r8 ON r8.i = it.i ORDER BY supplier"""))
+
+  /** Kitagawa decomposition of the high-value-rate gap between the
+    * two window halves: composition (type-mix) vs within-type rate
+    * effects, exact with symmetric weights. */
+  private val q541 = Entry(
+    "q541_kitagawa",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .where(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+      val bounds = e.agg(min(to_date(col("ts"))).as("__lo"),
+        max(to_date(col("ts"))).as("__hi"))
+      val withCut = e.crossJoin(broadcast(bounds))
+        .withColumn("__cut", date_add(col("__lo"),
+          (datediff(col("__hi"), col("__lo")) / 2).cast("int")))
+      graft.ops.Evaluation.kitagawa(withCut, "event_type",
+          inB = to_date(col("ts")) > col("__cut"),
+          outcome = col("value") > 200)
+        .select(r6(col("rate_a")).as("rate_a"),
+          r6(col("rate_b")).as("rate_b"), r6(col("gap")).as("gap"),
+          r6(col("composition_effect")).as("composition_effect"),
+          r6(col("rate_effect")).as("rate_effect"))
+    },
+    Some("""
+      WITH b AS (SELECT event_type AS s, ts::DATE AS d,
+                   "value" > 200 AS oc
+                 FROM events
+                 WHERE ts IS NOT NULL AND "value" IS NOT NULL
+                   AND event_type IS NOT NULL),
+      bd AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+      cut AS (SELECT lo + (date_diff('day', lo, hi) // 2)::INTEGER AS cc
+              FROM bd),
+      cells AS (SELECT s,
+                  sum(CASE WHEN d <= cc THEN 1.0 ELSE 0 END) AS na,
+                  sum(CASE WHEN d <= cc AND oc THEN 1.0 ELSE 0 END)
+                    AS ka,
+                  sum(CASE WHEN d > cc THEN 1.0 ELSE 0 END) AS nb,
+                  sum(CASE WHEN d > cc AND oc THEN 1.0 ELSE 0 END)
+                    AS kb
+                FROM b, cut GROUP BY 1),
+      t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cells),
+      f AS (SELECT na / ta AS wa, nb / tb AS wb,
+              CASE WHEN na > 0 THEN ka / na ELSE 0 END AS ra,
+              CASE WHEN nb > 0 THEN kb / nb ELSE 0 END AS rb,
+              ka, kb
+            FROM cells, t)
+      SELECT round(sum(ka) / max(t.ta), 6) AS rate_a,
+             round(sum(kb) / max(t.tb), 6) AS rate_b,
+             round(sum(kb) / max(t.tb) - sum(ka) / max(t.ta), 6) AS gap,
+             round(sum((wb - wa) * (ra + rb) / 2), 6)
+               AS composition_effect,
+             round(sum((rb - ra) * (wa + wb) / 2), 6) AS rate_effect
+      FROM f, t"""))
+
+  /** Oaxaca–Blinder decomposition of the price gap between returned
+    * and delivered line items into quantity-mix (explained) and
+    * coefficient (unexplained) components. */
+  private val q542 = Entry(
+    "q542_oaxaca",
+    (s, d) =>
+      graft.ops.Evaluation.oaxacaBlinder(Tables.lineitem(s, d),
+          inA = col("l_returnflag") === "R", "l_quantity",
+          "l_extendedprice")
+        .select(col("n_a"), col("n_b"), r6(col("gap")).as("gap"),
+          r6(col("explained")).as("explained"),
+          r6(col("unexplained")).as("unexplained"),
+          r6(col("beta_a")).as("beta_a"), r6(col("beta_b")).as("beta_b"),
+          r6(col("xbar_a")).as("xbar_a"), r6(col("xbar_b")).as("xbar_b")),
+    Some("""
+      WITH b AS (SELECT l_returnflag = 'R' AS ia,
+                   l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+      m AS (SELECT
+              count(CASE WHEN ia THEN 1 END)::DOUBLE AS na,
+              avg(CASE WHEN ia THEN x END) AS xba,
+              avg(CASE WHEN ia THEN y END) AS yba,
+              sum(CASE WHEN ia THEN x * x ELSE 0 END) AS xxa,
+              sum(CASE WHEN ia THEN x * y ELSE 0 END) AS xya,
+              count(CASE WHEN NOT ia THEN 1 END)::DOUBLE AS nb,
+              avg(CASE WHEN NOT ia THEN x END) AS xbb,
+              avg(CASE WHEN NOT ia THEN y END) AS ybb,
+              sum(CASE WHEN NOT ia THEN x * x ELSE 0 END) AS xxb,
+              sum(CASE WHEN NOT ia THEN x * y ELSE 0 END) AS xyb
+            FROM b),
+      k AS (SELECT *,
+              (xya - na * xba * yba) / (xxa - na * xba * xba) AS ba,
+              (xyb - nb * xbb * ybb) / (xxb - nb * xbb * xbb) AS bb
+            FROM m)
+      SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(yba - ybb, 6) AS gap,
+             round((xba - xbb) * bb, 6) AS explained,
+             round(yba - ybb - (xba - xbb) * bb, 6) AS unexplained,
+             round(ba, 6) AS beta_a, round(bb, 6) AS beta_b,
+             round(xba, 6) AS xbar_a, round(xbb, 6) AS xbar_b
+      FROM k"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -21097,7 +21310,7 @@ object Queries {
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
     q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
-    q533, q534, q535, q536, q537, q538, q539)
+    q533, q534, q535, q536, q537, q538, q539, q540, q541, q542)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -2611,6 +2611,86 @@ object Evaluation {
   }
 
   /**
+   * Kitagawa rate decomposition between two periods: the overall-rate
+   * gap splits EXACTLY into a composition effect Σ(w₁−w₀)·r̄ (the
+   * stratum mix moved) and a rate effect Σ(r₁−r₀)·w̄ (within-stratum
+   * rates moved), with symmetric (average) weights so no interaction
+   * term survives. Strata present in only one period contribute
+   * with the other side's weight/rate read as 0. Returns ONE row:
+   * (rate_a, rate_b, gap, composition_effect, rate_effect).
+   *
+   * Scale shape: one corpus groupBy(stratum) with conditional halves,
+   * one ≤|strata|-row reduce.
+   */
+  def kitagawa(df: DataFrame, stratumCol: String, inB: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(sum(when(!inB, 1L).otherwise(0L)).cast("double").as("__na"),
+        sum(when(!inB && outcome, 1L).otherwise(0L)).cast("double")
+          .as("__ka"),
+        sum(when(inB, 1L).otherwise(0L)).cast("double").as("__nb"),
+        sum(when(inB && outcome, 1L).otherwise(0L)).cast("double")
+          .as("__kb"))
+    val tot = broadcast(cells.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb")))
+    val wa = col("__na") / col("__ta")
+    val wb = col("__nb") / col("__tb")
+    val ra = when(col("__na") > 0, col("__ka") / col("__na"))
+      .otherwise(lit(0.0))
+    val rb = when(col("__nb") > 0, col("__kb") / col("__nb"))
+      .otherwise(lit(0.0))
+    cells.crossJoin(tot)
+      .agg((sum(col("__ka")) / max(col("__ta"))).as("rate_a"),
+        (sum(col("__kb")) / max(col("__tb"))).as("rate_b"),
+        sum((wb - wa) * (ra + rb) / 2).as("composition_effect"),
+        sum((rb - ra) * (wa + wb) / 2).as("rate_effect"))
+      .withColumn("gap", col("rate_b") - col("rate_a"))
+      .select(col("rate_a"), col("rate_b"), col("gap"),
+        col("composition_effect"), col("rate_effect"))
+  }
+
+  /**
+   * Oaxaca–Blinder two-fold decomposition of a mean-outcome gap
+   * between groups A and B: simple-OLS fits y ~ x per group, then
+   * gap = ȳ_A − ȳ_B = explained (endowments at B's coefficients,
+   * (x̄_A − x̄_B)·β_B) + unexplained (coefficient differences at A's
+   * endowments). The audit-ready "how much of the gap is mix vs
+   * treatment" readout. Returns ONE row: (n_a, n_b, gap, explained,
+   * unexplained, beta_a, beta_b, xbar_a, xbar_b).
+   *
+   * Scale shape: one conditional-moments corpus pass; everything
+   * after is scalar algebra.
+   */
+  def oaxacaBlinder(df: DataFrame, inA: Column, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def side(c: Column, tag: String) = Seq(
+      count(when(c, lit(1))).cast("double").as(s"__n$tag"),
+      avg(when(c, x)).as(s"__xb$tag"), avg(when(c, y)).as(s"__yb$tag"),
+      sum(when(c, x * x).otherwise(0.0)).as(s"__xx$tag"),
+      sum(when(c, x * y).otherwise(0.0)).as(s"__xy$tag"))
+    val m = df.where(x.isNotNull && y.isNotNull)
+      .agg(side(inA, "a").head,
+        (side(inA, "a").tail ++ side(!inA, "b")): _*)
+    def beta(tag: String) =
+      (col(s"__xy$tag") - col(s"__n$tag") * col(s"__xb$tag") *
+        col(s"__yb$tag")) /
+        (col(s"__xx$tag") - col(s"__n$tag") * col(s"__xb$tag") *
+          col(s"__xb$tag"))
+    m.withColumn("__ba", beta("a")).withColumn("__bb", beta("b"))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        (col("__yba") - col("__ybb")).as("gap"),
+        ((col("__xba") - col("__xbb")) * col("__bb")).as("explained"),
+        (col("__yba") - col("__ybb") -
+          (col("__xba") - col("__xbb")) * col("__bb")).as("unexplained"),
+        col("__ba").as("beta_a"), col("__bb").as("beta_b"),
+        col("__xba").as("xbar_a"), col("__xbb").as("xbar_b"))
+  }
+
+  /**
    * 2×2 epidemiological risk panel for a binary exposure and binary
    * outcome: relative risk, odds ratio, risk difference, NNT, the
    * log-scale Wald CIs, and VanderWeele's E-value (the minimum

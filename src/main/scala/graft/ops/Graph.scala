@@ -513,6 +513,61 @@ object Graph {
   }
 
   /**
+   * Bradley–Terry strength ratings from pairwise win counts by the MM
+   * algorithm (Hunter 2004), FIXED `iterations` with a mean-1
+   * renormalization each step (identifiable and engine-replayable —
+   * no convergence test): w_i ← W_i / Σ_j n_ij/(w_i + w_j). Returns
+   * one row per item: (item, games, wins, rating).
+   *
+   * Scale shape: each iteration is two keyed joins (both endpoints)
+   * + one groupBy over the OBSERVED pair frame — the PageRank loop
+   * discipline, nothing driver-side, parallelism scales with items.
+   *
+   * `pairs` must carry one row per unordered pair with columns
+   * (aCol, bCol, winsACol, winsBCol).
+   */
+  def bradleyTerry(pairs: DataFrame, aCol: String, bCol: String,
+      winsACol: String, winsBCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      "bradleyTerry: 1..32 iterations")
+    val e = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"),
+        col(winsACol).cast("double").as("__wa"),
+        col(winsBCol).cast("double").as("__wb"))
+      .withColumn("__g", col("__wa") + col("__wb"))
+      .localCheckpoint()
+    // symmetric edge view: one row per (item, opponent, games, wins)
+    val sym = e.select(col("__a").as("__i"), col("__b").as("__j"),
+        col("__g"), col("__wa").as("__w"))
+      .unionByName(e.select(col("__b").as("__i"), col("__a").as("__j"),
+        col("__g"), col("__wb").as("__w")))
+      .localCheckpoint()
+    val items = sym.groupBy(col("__i"))
+      .agg(sum(col("__g")).as("games"), sum(col("__w")).as("wins"))
+      .localCheckpoint()
+    var r = items.select(col("__i"), lit(1.0).as("__r"))
+    for (_ <- 1 to iterations) {
+      val denom = sym
+        .join(r.select(col("__i"), col("__r").as("__ri")), Seq("__i"))
+        .join(r.select(col("__i").as("__j"), col("__r").as("__rj")),
+          Seq("__j"))
+        .groupBy("__i")
+        .agg(sum(col("__g") / (col("__ri") + col("__rj"))).as("__den"))
+      val raw = items.join(denom, Seq("__i"))
+        .select(col("__i"),
+          when(col("__den") > 0, col("wins") / col("__den"))
+            .otherwise(lit(0.0)).as("__r"))
+      val mean = broadcast(raw.agg(avg(col("__r")).as("__m")))
+      r = raw.crossJoin(mean)
+        .select(col("__i"), (col("__r") / col("__m")).as("__r"))
+        .localCheckpoint()
+    }
+    items.join(r, Seq("__i"))
+      .select(col("__i").as("item"), col("games").cast("long").as("games"),
+        col("wins").cast("long").as("wins"), col("__r").as("rating"))
+  }
+
+  /**
    * Rich-club coefficient profile: for each degree threshold k,
    * φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts nodes of degree > k
    * and E_k counts (undirected, deduped) edges whose BOTH endpoints

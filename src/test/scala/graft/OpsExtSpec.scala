@@ -9124,4 +9124,47 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("availability")
       - 15.0 / (15 + 40.0 / 3)) < 1e-12)
   }
+
+  test("bradleyTerry: two items with 3:1 odds → ratings 1.5 and 0.5") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b", 3L, 1L)).toDF("i", "j", "wi", "wj")
+    val m = graft.ops.Graph.bradleyTerry(pairs, "i", "j", "wi", "wj")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rating"))
+      .toMap
+    assert(math.abs(m("a") - 1.5) < 1e-9)
+    assert(math.abs(m("b") - 0.5) < 1e-9)
+  }
+
+  test("kitagawa: composition + rate effects sum exactly to the gap") {
+    import spark.implicits._
+    def block(s: String, b: Int, pos: Int, neg: Int) =
+      (0 until pos).map(_ => (s, b, 1)) ++ (0 until neg).map(_ => (s, b, 0))
+    val rows = block("X", 0, 1, 9) ++ block("Y", 0, 5, 5) ++
+      block("X", 1, 3, 27) ++ block("Y", 1, 7, 3)
+    val df = rows.toDF("s", "b", "oc")
+    val r = graft.ops.Evaluation
+      .kitagawa(df, "s", col("b") === 1, col("oc") === 1).head
+    assert(math.abs(r.getAs[Double]("rate_a") - 0.3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rate_b") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("composition_effect") + 0.125) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rate_effect") - 0.075) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gap")
+      - (r.getAs[Double]("composition_effect") +
+        r.getAs[Double]("rate_effect"))) < 1e-12)
+  }
+
+  test("oaxacaBlinder: equal endowments → the whole gap is " +
+      "unexplained") {
+    import spark.implicits._
+    val rows = Seq(1, 2, 3).flatMap(x =>
+      Seq(("A", x.toDouble, 2.0 * x), ("B", x.toDouble, x.toDouble)))
+    val df = rows.toDF("g", "x", "y")
+    val r = graft.ops.Evaluation
+      .oaxacaBlinder(df, col("g") === "A", "x", "y").head
+    assert(math.abs(r.getAs[Double]("gap") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("explained")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("unexplained") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("beta_a") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("beta_b") - 1.0) < 1e-12)
+  }
 }
