@@ -21269,6 +21269,70 @@ object Queries {
              round(xba, 6) AS xbar_a, round(xbb, 6) AS xbar_b
       FROM k"""))
 
+  /** "Fightin' words" (Monroe et al.): terms distinguishing the even
+    * from the odd corpus half by Dirichlet-prior log-odds z-score —
+    * the honest trending-terms ranking. */
+  private val q543 = Entry(
+    "q543_fightin_words",
+    (s, d) =>
+      graft.ops.TextAnalysis.fightinWords(Tables.documents(s, d),
+          "doc_id", "text", alpha0 = 10.0, k = 20)
+        .select(col("term"), col("n_a"), col("n_b"),
+          r6(col("log_odds")).as("log_odds"), r6(col("z")).as("z")),
+    Some("""
+      WITH ca AS (SELECT t, count(*)::DOUBLE AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+      cb AS (SELECT t, count(*)::DOUBLE AS c FROM (
+              SELECT unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+      j AS (SELECT coalesce(ca.t, cb.t) AS t,
+              coalesce(ca.c, 0) AS x, coalesce(cb.c, 0) AS y
+            FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+      tt AS (SELECT sum(x) AS na, sum(y) AS nb FROM j),
+      sc AS (SELECT t, x, y,
+               (x + y) * 10.0 / (na + nb) AS aw, na, nb
+             FROM j, tt),
+      z AS (SELECT t, x, y,
+              ln((x + aw) / (na + 10.0 - x - aw)) -
+                ln((y + aw) / (nb + 10.0 - y - aw)) AS lo,
+              1 / (x + aw) + 1 / (y + aw) AS s2
+            FROM sc)
+      SELECT t AS term, x::BIGINT AS n_a, y::BIGINT AS n_b,
+             round(lo, 6) AS log_odds, round(lo / sqrt(s2), 6) AS z
+      FROM z ORDER BY abs(lo / sqrt(s2)) DESC, term LIMIT 20"""))
+
+  /** Hotspot scan: (event type × user decile) cells whose high-value
+    * rate deviates most from the corpus rate, by binomial z — where
+    * the anomaly concentrates. */
+  private val q544 = Entry(
+    "q544_hotspot_cells",
+    (s, d) =>
+      graft.ops.Profiling.hotspotCells(
+          Tables.events(s, d)
+            .where(col("value").isNotNull && col("event_type").isNotNull),
+          dim1 = col("event_type"), dim2 = pmod(col("user_id"), lit(10L)),
+          outcome = col("value") > 200, minN = 30, k = 10)
+        .select(col("dim1"), col("dim2"), col("n"),
+          r6(col("rate")).as("rate"),
+          r6(col("overall_rate")).as("overall_rate"), r6(col("z")).as("z")),
+    Some("""
+      WITH b AS (SELECT event_type AS d1, user_id % 10 AS d2,
+                   CASE WHEN "value" > 200 THEN 1.0 ELSE 0.0 END AS y
+                 FROM events
+                 WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                   AND user_id IS NOT NULL),
+      o AS (SELECT avg(y) AS p0 FROM b),
+      c AS (SELECT d1, d2, count(*)::BIGINT AS n, avg(y) AS rate
+            FROM b GROUP BY 1, 2),
+      f AS (SELECT d1, d2, n, rate, p0,
+              CASE WHEN p0 > 0 AND p0 < 1 THEN (rate - p0) /
+                sqrt(p0 * (1 - p0) / n) END AS z
+            FROM c, o WHERE n >= 30)
+      SELECT d1 AS dim1, d2 AS dim2, n, round(rate, 6) AS rate,
+             round(p0, 6) AS overall_rate, round(z, 6) AS z
+      FROM f ORDER BY abs(z) DESC, dim1, dim2 LIMIT 10"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -21310,7 +21374,8 @@ object Queries {
     q502, q503, q504, q505, q506, q507, q508, q509, q510, q511,
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
     q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
-    q533, q534, q535, q536, q537, q538, q539, q540, q541, q542)
+    q533, q534, q535, q536, q537, q538, q539, q540, q541, q542,
+    q543, q544)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

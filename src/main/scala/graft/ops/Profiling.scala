@@ -1159,6 +1159,40 @@ object Profiling {
   }
 
   /**
+   * Hotspot scan: which (dimension × dimension) cells have an outcome
+   * rate most anomalously above/below the corpus rate, by the normal
+   * z-score (p_cell − p₀)/√(p₀(1−p₀)/n_cell) over cells with at
+   * least `minN` rows — the first-line "where is the anomaly
+   * concentrated" drill-down. Returns the top-k cells by |z|:
+   * (dim1, dim2, n, rate, overall_rate, z).
+   *
+   * Scale shape: one corpus groupBy over the bounded dimension cross,
+   * one 1-row overall reduce broadcast, a cell-sized top-k sort.
+   */
+  def hotspotCells(df: DataFrame, dim1: Column, dim2: Column,
+      outcome: Column, minN: Long = 30, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000 && minN >= 1, "hotspotCells: bad args")
+    val base = df.select(dim1.as("__d1"), dim2.as("__d2"),
+        when(outcome, 1.0).otherwise(0.0).as("__y"))
+      .where(col("__d1").isNotNull && col("__d2").isNotNull)
+      .localCheckpoint() // cells AND the overall rate read it
+    val overall = broadcast(base.agg(avg(col("__y")).as("__p0")))
+    base.groupBy("__d1", "__d2")
+      .agg(count(lit(1)).as("n"), avg(col("__y")).as("rate"))
+      .where(col("n") >= minN)
+      .crossJoin(overall)
+      .withColumn("z",
+        when(col("__p0") > 0 && col("__p0") < 1,
+          (col("rate") - col("__p0")) /
+            sqrt(col("__p0") * (lit(1.0) - col("__p0")) /
+              col("n"))))
+      .select(col("__d1").as("dim1"), col("__d2").as("dim2"), col("n"),
+        col("rate"), col("__p0").as("overall_rate"), col("z"))
+      .orderBy(abs(col("z")).desc, col("dim1").asc, col("dim2").asc)
+      .limit(k)
+  }
+
+  /**
    * Lorenz asymmetry coefficient S = F(μ) + L(μ) (Damgaard & Weiner):
    * the fraction of units below the mean plus the value share they
    * hold. S = 1 is a symmetric Lorenz curve; S < 1 means inequality

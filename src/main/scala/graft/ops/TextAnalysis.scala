@@ -1751,6 +1751,55 @@ object TextAnalysis {
    * PageRank iteration is one keyed join over vocab-sized frames.
    */
   /**
+   * "Fightin' words" (Monroe, Colaresi & Quinn 2008): which terms
+   * distinguish the even-id from the odd-id half of the corpus, by
+   * log-odds ratio with an informative Dirichlet prior (α_w
+   * proportional to the pooled frequency, α₀ total mass) and its
+   * z-score — the statistically honest alternative to raw
+   * frequency-ratio "trending terms", which over-ranks rare words.
+   * Returns the top-k terms by |z|: (term, n_a, n_b, log_odds, z).
+   *
+   * Scale shape: two corpus term counts, a pooled-prior join, one
+   * vocab-sized score frame, top-k bounded sort.
+   */
+  def fightinWords(df: DataFrame, idCol: String, textCol: String,
+      alpha0: Double = 10.0, k: Int = 20): DataFrame = {
+    require(alpha0 > 0 && k >= 1 && k <= 1000,
+      "fightinWords: alpha0 > 0, k in 1..1000")
+    def counts(side: DataFrame) =
+      side.select(explode(words(col(textCol))).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).cast("double").as("__c"))
+    val a = counts(df.where(col(idCol) % 2 === 0))
+    val b = counts(df.where(col(idCol) % 2 === 1))
+    val joined = a.select(col("__t"), col("__c").as("__ca"))
+      .join(b.select(col("__t"), col("__c").as("__cb")), Seq("__t"),
+        "full_outer")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+      .localCheckpoint() // totals + prior + scores all read it
+    val tot = broadcast(joined.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb")))
+    val scored = joined.crossJoin(tot)
+      .withColumn("__aw",
+        (col("__ca") + col("__cb")) * alpha0 /
+          (col("__na") + col("__nb")))
+      .withColumn("__d",
+        log((col("__ca") + col("__aw")) /
+          (col("__na") + lit(alpha0) - col("__ca") - col("__aw"))) -
+          log((col("__cb") + col("__aw")) /
+            (col("__nb") + lit(alpha0) - col("__cb") - col("__aw"))))
+      .withColumn("__s2",
+        lit(1.0) / (col("__ca") + col("__aw")) +
+          lit(1.0) / (col("__cb") + col("__aw")))
+      .withColumn("__z", col("__d") / sqrt(col("__s2")))
+    scored
+      .select(col("__t").as("term"), col("__ca").cast("long").as("n_a"),
+        col("__cb").cast("long").as("n_b"), col("__d").as("log_odds"),
+        col("__z").as("z"))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(k)
+  }
+
+  /**
    * Rank-stability diagnostics between the term-frequency rankings of
    * two corpus halves (even vs odd `idCol`): truncated rank-biased
    * overlap RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d (top-weighted

@@ -9167,4 +9167,40 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("beta_a") - 2.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("beta_b") - 1.0) < 1e-12)
   }
+
+  test("fightinWords: a one-sided term tops |z|; shared terms score " +
+      "near zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "common common alpha alpha alpha"),
+      (2L, "common alpha alpha"),
+      (1L, "common common beta beta beta"),
+      (3L, "common beta beta")).toDF("id", "text")
+    val r = graft.ops.TextAnalysis
+      .fightinWords(docs, "id", "text", alpha0 = 10.0, k = 3).collect()
+    val top = r.map(_.getAs[String]("term")).take(2).toSet
+    assert(top == Set("alpha", "beta"))
+    val zs = r.map(x => x.getAs[String]("term") -> x.getAs[Double]("z"))
+      .toMap
+    assert(zs("alpha") > 0 && zs("beta") < 0)
+    assert(math.abs(zs.getOrElse("common", 0.0)) <
+      math.min(zs("alpha"), -zs("beta")))
+  }
+
+  test("hotspotCells: the planted hot cell ranks first by z") {
+    import spark.implicits._
+    val rows =
+      (0 until 100).map(i => ("t1", 0L, i < 90)) ++   // hot: 90%
+      (0 until 100).map(i => ("t1", 1L, i < 10)) ++
+      (0 until 100).map(i => ("t2", 0L, i < 10)) ++
+      (0 until 100).map(i => ("t2", 1L, i < 10))
+    val df = rows.toDF("t", "b", "oc")
+    val r = graft.ops.Profiling.hotspotCells(df, col("t"), col("b"),
+      col("oc"), minN = 30, k = 2).collect()
+    assert(r(0).getAs[String]("dim1") == "t1")
+    assert(r(0).getAs[Long]("dim2") == 0L)
+    assert(r(0).getAs[Double]("z") > 0)
+    assert(math.abs(r(0).getAs[Double]("rate") - 0.9) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("overall_rate") - 0.3) < 1e-12)
+  }
 }
