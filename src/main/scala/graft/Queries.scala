@@ -21059,27 +21059,40 @@ object Queries {
   /** Bradley–Terry supplier strength from cheaper-on-the-same-part
     * pairwise wins: 8 fixed MM iterations with mean-1 renormalization,
     * replayed verbatim as unrolled materialized CTEs. */
+    /** Bradley–Terry supplier strength from cheaper-than-the-next-
+    * supplier chain comparisons per part (the sparse comparison design
+    * that keeps the pair frame O(lines), not O(suppliers²·parts)):
+    * 4 fixed MM iterations, mean-1 renormalized, replayed as unrolled
+    * materialized CTEs. */
   private val q540 = Entry(
     "q540_bradley_terry",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val unit = Tables.lineitem(s, d)
         .where(col("l_quantity") > 0)
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 6)
           .as("__up"))
-      val pairs = unit.as("x")
-        .join(unit.as("y"),
-          col("x.l_partkey") === col("y.l_partkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .where(col("x.__up") =!= col("y.__up"))
-        .groupBy(col("x.l_suppkey").as("sa"),
-          col("y.l_suppkey").as("sb"))
-        .agg(sum(when(col("x.__up") < col("y.__up"), 1L).otherwise(0L))
-          .as("wa"),
-          sum(when(col("x.__up") > col("y.__up"), 1L).otherwise(0L))
-            .as("wb"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("__up"), col("l_suppkey"))
+      val chain = unit
+        .withColumn("__ns", lead(col("l_suppkey"), 1).over(w))
+        .withColumn("__nu", lead(col("__up"), 1).over(w))
+        .where(col("__ns").isNotNull && col("__up") =!= col("__nu"))
+      val pairs = chain
+        .select(least(col("l_suppkey"), col("__ns")).as("sa"),
+          greatest(col("l_suppkey"), col("__ns")).as("sb"),
+          when(col("l_suppkey") < col("__ns"), 1L).otherwise(0L)
+            .as("__wina"))
+        .groupBy("sa", "sb")
+        .agg(sum(col("__wina")).as("wa"),
+          sum(lit(1L) - col("__wina")).as("wb"),
+          count(lit(1)).as("__cnt"))
+        // support pruning (the q163 discipline): single-game pairs are
+        // noise — >= 2 games to enter the fit
+        .where(col("__cnt") >= 2)
       graft.ops.Graph.bradleyTerry(pairs, "sa", "sb", "wa", "wb",
-          iterations = 8)
+          iterations = 4)
         .select(col("item").as("supplier"), col("games"), col("wins"),
           r6(col("rating")).as("rating"))
         .orderBy("supplier")
@@ -21089,22 +21102,23 @@ object Queries {
         SELECT l_partkey AS pk, l_suppkey AS sk,
                round(avg(l_extendedprice / l_quantity), 6) AS up
         FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+      ch AS (SELECT pk, sk, up, lead(sk) OVER wd AS ns,
+               lead(up) OVER wd AS nu
+             FROM unit WINDOW wd AS (PARTITION BY pk ORDER BY up, sk)),
+      cf AS (SELECT least(sk, ns) AS sa, greatest(sk, ns) AS sb,
+               CASE WHEN sk < ns THEN 1 ELSE 0 END AS wina
+             FROM ch WHERE ns IS NOT NULL AND up <> nu),
       pr AS MATERIALIZED (
-        SELECT x.sk AS sa, y.sk AS sb,
-               sum(CASE WHEN x.up < y.up THEN 1 ELSE 0 END)::DOUBLE
-                 AS wa,
-               sum(CASE WHEN x.up > y.up THEN 1 ELSE 0 END)::DOUBLE
-                 AS wb
-        FROM unit x JOIN unit y ON x.pk = y.pk AND x.sk < y.sk
-        WHERE x.up <> y.up GROUP BY 1, 2),
+        SELECT sa, sb, sum(wina)::DOUBLE AS wa,
+               sum(1 - wina)::DOUBLE AS wb
+        FROM cf GROUP BY 1, 2 HAVING count(*) >= 2),
       sym AS MATERIALIZED (
         SELECT sa AS i, sb AS j, wa + wb AS g, wa AS w FROM pr
         UNION ALL SELECT sb, sa, wa + wb, wb FROM pr),
       it AS MATERIALIZED (SELECT i, sum(g) AS games, sum(w) AS wins
                           FROM sym GROUP BY 1),
       r0 AS MATERIALIZED (SELECT i, 1.0 AS r FROM it),
-      d1 AS MATERIALIZED (SELECT sym.i,
-               sum(g / (ri.r + rj.r)) AS den
+      d1 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
              FROM sym JOIN r0 ri ON ri.i = sym.i
                JOIN r0 rj ON rj.i = sym.j GROUP BY 1),
       w1 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
@@ -21136,41 +21150,10 @@ object Queries {
              FROM it JOIN d4 ON d4.i = it.i),
       m4 AS MATERIALIZED (SELECT avg(r) AS m FROM w4),
       r4 AS MATERIALIZED (SELECT i, r / m AS r FROM w4, m4),
-      d5 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
-             FROM sym JOIN r4 ri ON ri.i = sym.i
-               JOIN r4 rj ON rj.i = sym.j GROUP BY 1),
-      w5 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
-               THEN wins / den ELSE 0 END AS r
-             FROM it JOIN d5 ON d5.i = it.i),
-      m5 AS MATERIALIZED (SELECT avg(r) AS m FROM w5),
-      r5 AS MATERIALIZED (SELECT i, r / m AS r FROM w5, m5),
-      d6 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
-             FROM sym JOIN r5 ri ON ri.i = sym.i
-               JOIN r5 rj ON rj.i = sym.j GROUP BY 1),
-      w6 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
-               THEN wins / den ELSE 0 END AS r
-             FROM it JOIN d6 ON d6.i = it.i),
-      m6 AS MATERIALIZED (SELECT avg(r) AS m FROM w6),
-      r6 AS MATERIALIZED (SELECT i, r / m AS r FROM w6, m6),
-      d7 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
-             FROM sym JOIN r6 ri ON ri.i = sym.i
-               JOIN r6 rj ON rj.i = sym.j GROUP BY 1),
-      w7 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
-               THEN wins / den ELSE 0 END AS r
-             FROM it JOIN d7 ON d7.i = it.i),
-      m7 AS MATERIALIZED (SELECT avg(r) AS m FROM w7),
-      r7 AS MATERIALIZED (SELECT i, r / m AS r FROM w7, m7),
-      d8 AS MATERIALIZED (SELECT sym.i, sum(g / (ri.r + rj.r)) AS den
-             FROM sym JOIN r7 ri ON ri.i = sym.i
-               JOIN r7 rj ON rj.i = sym.j GROUP BY 1),
-      w8 AS MATERIALIZED (SELECT it.i, CASE WHEN den > 0
-               THEN wins / den ELSE 0 END AS r
-             FROM it JOIN d8 ON d8.i = it.i),
-      m8 AS MATERIALIZED (SELECT avg(r) AS m FROM w8),
-      r8 AS MATERIALIZED (SELECT i, r / m AS r FROM w8, m8)
+      fin AS (SELECT i, r FROM r4)
       SELECT it.i AS supplier, games::BIGINT AS games,
-             wins::BIGINT AS wins, round(r8.r, 6) AS rating
-      FROM it JOIN r8 ON r8.i = it.i ORDER BY supplier"""))
+             wins::BIGINT AS wins, round(fin.r, 6) AS rating
+      FROM it JOIN fin ON fin.i = it.i ORDER BY supplier"""))
 
   /** Kitagawa decomposition of the high-value-rate gap between the
     * two window halves: composition (type-mix) vs within-type rate

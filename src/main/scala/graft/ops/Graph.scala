@@ -547,13 +547,18 @@ object Graph {
       .localCheckpoint()
     var r = items.select(col("__i"), lit(1.0).as("__r"))
     for (_ <- 1 to iterations) {
+      // the ratings frame is items-sized — BROADCAST it onto the pair
+      // frame explicitly (the checkpointed leaf has no size stats, so
+      // the planner would otherwise sort-merge the big side twice per
+      // iteration)
       val denom = sym
-        .join(r.select(col("__i"), col("__r").as("__ri")), Seq("__i"))
-        .join(r.select(col("__i").as("__j"), col("__r").as("__rj")),
-          Seq("__j"))
+        .join(broadcast(r.select(col("__i"), col("__r").as("__ri"))),
+          Seq("__i"))
+        .join(broadcast(r.select(col("__i").as("__j"),
+          col("__r").as("__rj"))), Seq("__j"))
         .groupBy("__i")
         .agg(sum(col("__g") / (col("__ri") + col("__rj"))).as("__den"))
-      val raw = items.join(denom, Seq("__i"))
+      val raw = items.join(broadcast(denom), Seq("__i"))
         .select(col("__i"),
           when(col("__den") > 0, col("wins") / col("__den"))
             .otherwise(lit(0.0)).as("__r"))
