@@ -39,7 +39,10 @@ object ScaleSlope {
         "q404_blomqvist_beta", "q387_ansari_bradley", "q412_runs_test",
         "q414_amoc_changepoint", "q34_dedup_clusters",
         "q418_competing_risks", "q441_weighted_logrank",
-        "q445_hoeffdings_d")
+        "q445_hoeffdings_d",
+        // round-11 heavy-tail entrants (probe > 2.5 s at sf0.1)
+        "q540_bradley_terry", "q535_hubness", "q245_naive_bayes",
+        "q284_c2st_drift")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(
