@@ -21316,6 +21316,141 @@ object Queries {
              round(p0, 6) AS overall_rate, round(z, 6) AS z
       FROM f ORDER BY abs(z) DESC, dim1, dim2 LIMIT 10"""))
 
+  /** Propensity-score matching ATT on the observational substrate:
+    * caliper 1-NN with replacement, deterministic (|Δp|, id)
+    * tie-break, paired-t SE — the matching member of the q205/q532
+    * causal family. */
+  private val q545 = Entry(
+    "q545_psm_att",
+    (s, d) =>
+      graft.ops.Evaluation.psmAtt(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            when((col("o_orderkey") % 100).cast("double") <
+              col("o_totalprice") / 5000.0, 1L).otherwise(0L).as("t"),
+            (col("o_totalprice") / 600000.0).as("p"),
+            (col("o_totalprice") / 1000.0).as("y")),
+          col("t") === 1L, "p", "y", "o_orderkey", caliper = 0.0005)
+        .select(col("n_treated"), col("n_matched"),
+          r6(col("match_rate")).as("match_rate"), r6(col("att")).as("att"),
+          r6(col("se_att")).as("se_att")),
+    Some("""
+      WITH sc AS (SELECT o_orderkey AS id,
+              CASE WHEN (o_orderkey % 100) < o_totalprice / 5000.0
+                THEN 1 ELSE 0 END AS t,
+              o_totalprice / 600000.0 AS p,
+              o_totalprice / 1000.0 AS y
+            FROM orders),
+      b AS (SELECT id, t, p, y, floor(p / 0.0005)::BIGINT AS bk
+            FROM sc),
+      tr AS (SELECT id AS tid, p AS tp, y AS ty, bk FROM b WHERE t = 1),
+      co AS (SELECT id AS cid, p AS cp, y AS cy,
+               unnest([bk - 1, bk, bk + 1]) AS bk
+             FROM b WHERE t = 0),
+      cand AS (SELECT tid, ty, cid, cy, abs(tp - cp) AS dp
+               FROM tr JOIN co USING (bk)
+               WHERE abs(tp - cp) <= 0.0005),
+      m AS (SELECT tid, ty - cy AS dd FROM cand
+            QUALIFY row_number() OVER (PARTITION BY tid
+              ORDER BY dp, cid) = 1),
+      nt AS (SELECT count(*)::BIGINT AS n_treated FROM tr)
+      SELECT max(n_treated) AS n_treated, count(*)::BIGINT AS n_matched,
+             round(count(*) / max(n_treated)::DOUBLE, 6) AS match_rate,
+             round(avg(dd), 6) AS att,
+             round(stddev_samp(dd) / sqrt(count(*)), 6) AS se_att
+      FROM m, nt"""))
+
+  /** Randomization inference for the arm mean difference: 19 portable
+    * md5 pseudo-assignments, exact finite-sample p — no variance
+    * formula, no RNG, identical in any engine. */
+  private val q546 = Entry(
+    "q546_randomization_test",
+    (s, d) =>
+      graft.ops.Evaluation.randomizationTest(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            when((col("o_orderkey") % 100).cast("double") <
+              col("o_totalprice") / 5000.0, 1L).otherwise(0L).as("t"),
+            (col("o_totalprice") / 1000.0).as("y")),
+          col("t") === 1L, "o_orderkey", "y", k = 19)
+        .select(col("n"), r6(col("effect")).as("effect"), col("k"),
+          col("n_ge"), r6(col("p_value")).as("p_value"),
+          r6(col("max_pseudo_abs")).as("max_pseudo_abs")),
+    Some("""
+      WITH sc AS (SELECT o_orderkey AS id,
+              CASE WHEN (o_orderkey % 100) < o_totalprice / 5000.0
+                THEN 1 ELSE 0 END AS t0,
+              o_totalprice / 1000.0 AS y
+            FROM orders WHERE o_totalprice IS NOT NULL),
+      g AS (SELECT id, t0, y, unnest(generate_series(0, 19)) AS i
+            FROM sc),
+      a AS (SELECT i, y, CASE WHEN i = 0 THEN t0 ELSE
+              CASE WHEN ('0x' || substring(md5(CAST(id AS VARCHAR)
+                || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % 1048576 < 524288 THEN 1 ELSE 0 END END AS t
+            FROM g),
+      e AS (SELECT i, count(*)::BIGINT AS n,
+              avg(CASE WHEN t = 1 THEN y END) -
+                avg(CASE WHEN t = 0 THEN y END) AS th
+            FROM a GROUP BY 1),
+      o AS (SELECT n, th AS effect FROM e WHERE i = 0),
+      ps AS (SELECT count(*)::BIGINT AS k, max(abs(th)) AS mpa
+             FROM e WHERE i <> 0),
+      ng AS (SELECT sum(CASE WHEN abs(e.th) >= abs(o.effect)
+               THEN 1 ELSE 0 END)::BIGINT AS n_ge
+             FROM e, o WHERE e.i <> 0)
+      SELECT o.n, round(o.effect, 6) AS effect, ps.k, ng.n_ge,
+             round((ng.n_ge + 1) / (ps.k + 1.0), 6) AS p_value,
+             round(ps.mpa, 6) AS max_pseudo_abs
+      FROM o, ps, ng"""))
+
+  /** Group-sequential monitoring: cumulative Welch z at 5 calendar
+    * looks vs the O'Brien–Fleming-shaped boundary 2.04·√(K/k) — the
+    * peek-with-discipline panel next to q475's always-valid mSPRT. */
+  private val q547 = Entry(
+    "q547_group_sequential",
+    (s, d) =>
+      graft.ops.Evaluation.groupSequential(
+          Tables.orders(s, d)
+            .where(col("o_totalprice").isNotNull &&
+              col("o_orderdate").isNotNull)
+            .withColumn("__y", col("o_totalprice") / 1000.0),
+          col("o_orderkey") % 2 === 0, "o_orderdate", "__y",
+          looks = 5, c = 2.04)
+        .select(col("look"), col("n_cum"), r6(col("z")).as("z"),
+          r6(col("boundary")).as("boundary"), col("crossed"))
+        .orderBy("look"),
+    Some("""
+      WITH b AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                   AS t, o_totalprice / 1000.0 AS y,
+                   o_orderdate::DATE AS d
+                 FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND o_orderdate IS NOT NULL),
+      bd AS (SELECT min(d) AS lo, max(d) AS hi FROM b),
+      s AS (SELECT t, y, least(greatest(
+              floor(date_diff('day', lo, d)::DOUBLE * 5 /
+                (date_diff('day', lo, hi) + 1))::INTEGER + 1, 1), 5)
+              AS sl
+            FROM b, bd),
+      g AS (SELECT lk.look, t, y FROM s,
+              (SELECT unnest(generate_series(1, 5)) AS look) lk
+            WHERE sl <= look),
+      a AS (SELECT look, count(*)::BIGINT AS n_cum,
+              count(CASE WHEN t = 1 THEN 1 END)::DOUBLE AS n1,
+              avg(CASE WHEN t = 1 THEN y END) AS m1,
+              var_samp(CASE WHEN t = 1 THEN y END) AS v1,
+              count(CASE WHEN t = 0 THEN 1 END)::DOUBLE AS n0,
+              avg(CASE WHEN t = 0 THEN y END) AS m0,
+              var_samp(CASE WHEN t = 0 THEN y END) AS v0
+            FROM g GROUP BY 1)
+      SELECT look, n_cum,
+             round(CASE WHEN n1 > 1 AND n0 > 1 THEN (m1 - m0) /
+               sqrt(v1 / n1 + v0 / n0) END, 6) AS z,
+             round(2.04 * sqrt(5.0 / look), 6) AS boundary,
+             CASE WHEN n1 > 1 AND n0 > 1 THEN
+               abs((m1 - m0) / sqrt(v1 / n1 + v0 / n0)) >
+                 2.04 * sqrt(5.0 / look) END AS crossed
+      FROM a ORDER BY look"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -21358,7 +21493,7 @@ object Queries {
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
     q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
     q533, q534, q535, q536, q537, q538, q539, q540, q541, q542,
-    q543, q544)
+    q543, q544, q545, q546, q547)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

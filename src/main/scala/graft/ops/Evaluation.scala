@@ -2611,6 +2611,153 @@ object Evaluation {
   }
 
   /**
+   * Propensity-score matching ATT: each treated unit takes its single
+   * nearest control by |p| within a `caliper` (1-NN with replacement,
+   * ties by control id — fully deterministic), and the effect is the
+   * mean of matched pairwise differences with the paired-t SE.
+   * Returns ONE row: (n_treated, n_matched, match_rate, att, se_att).
+   *
+   * Scale shape: candidates come from a BANDED equi-join on
+   * ⌊p/caliper⌋ buckets (own + two neighbors), so the pair frame is
+   * |treated| × (controls within ±2 calipers) — a caliper sized to
+   * the score density keeps that a constant per treated; the 1-NN cut
+   * is a per-treated window over that banded frame.
+   */
+  def psmAtt(df: DataFrame, treatCol: Column, scoreCol: String,
+      valueCol: String, idCol: String,
+      caliper: Double = 0.002): DataFrame = {
+    require(caliper > 0 && caliper < 0.5, "psmAtt: caliper in (0, 0.5)")
+    import org.apache.spark.sql.expressions.Window
+    val p = col(scoreCol).cast("double")
+    val y = col(valueCol).cast("double")
+    val base = df.where(p.isNotNull && y.isNotNull)
+      .select(col(idCol).as("__id"), when(treatCol, 1L).otherwise(0L)
+        .as("__t"), p.as("__p"), y.as("__y"))
+      .withColumn("__b", floor(col("__p") / caliper).cast("long"))
+      .localCheckpoint() // treated side, control side, and the count
+    val treated = base.where(col("__t") === 1L)
+      .select(col("__id").as("__tid"), col("__p").as("__tp"),
+        col("__y").as("__ty"), col("__b"))
+    val controls = base.where(col("__t") === 0L)
+      .select(col("__id").as("__cid"), col("__p").as("__cp"),
+        col("__y").as("__cy"), explode(array(col("__b") - 1, col("__b"),
+          col("__b") + 1)).as("__b"))
+    val cand = treated.join(controls, Seq("__b"))
+      .where(abs(col("__tp") - col("__cp")) <= caliper)
+    val wBest = Window.partitionBy("__tid")
+      .orderBy(abs(col("__tp") - col("__cp")).asc, col("__cid").asc)
+    val matched = cand
+      .withColumn("__r", row_number().over(wBest))
+      .where(col("__r") === 1)
+      .select(col("__tid"), (col("__ty") - col("__cy")).as("__d"))
+    val nT = broadcast(treated.agg(count(lit(1)).as("__nt")))
+    matched.crossJoin(nT)
+      .agg(max(col("__nt")).as("n_treated"),
+        count(lit(1)).as("n_matched"),
+        (count(lit(1)).cast("double") / max(col("__nt")))
+          .as("match_rate"),
+        avg(col("__d")).as("att"),
+        (stddev_samp(col("__d")) /
+          sqrt(count(lit(1)).cast("double"))).as("se_att"))
+  }
+
+  /**
+   * Randomization inference for a two-arm mean difference: the
+   * observed effect is ranked against `k` DETERMINISTIC pseudo-
+   * assignments (portable md5 of (id, replicate) — identical in any
+   * engine, no RNG), p = (1 + #{|θ_i| ≥ |θ̂|})/(k + 1) — the exact
+   * finite-sample test that needs no variance formula. Returns ONE
+   * row: (n, effect, k, n_ge, p_value, max_pseudo_abs).
+   *
+   * Scale shape: one grid explode (k+1 copies) through a map-side-
+   * combined groupBy(replicate) — a (k+1)-row frame does the rest.
+   */
+  def randomizationTest(df: DataFrame, treatCol: Column, idCol: String,
+      valueCol: String, k: Int = 19): DataFrame = {
+    require(k >= 1 && k <= 199, "randomizationTest: k in 1..199")
+    val y = col(valueCol).cast("double")
+    val base = df.where(y.isNotNull)
+      .select(col(idCol).as("__id"), when(treatCol, 1L).otherwise(0L)
+        .as("__t0"), y.as("__y"))
+    val grid = array((0 to k).map(i => lit(i)): _*)
+    val half = graft.functions.PortableHash.M / 2
+    val assigned = base.select(col("__id"), col("__t0"), col("__y"),
+        explode(grid).as("__i"))
+      .withColumn("__t",
+        when(col("__i") === 0, col("__t0")).otherwise(
+          when(graft.functions.PortableHash
+            .bucket(Seq(col("__id"), col("__i"))) < half, 1L)
+            .otherwise(0L)))
+    val effects = assigned.groupBy("__i")
+      .agg(count(lit(1)).as("__n"),
+        (avg(when(col("__t") === 1, col("__y"))) -
+          avg(when(col("__t") === 0, col("__y")))).as("__th"))
+    val obs = effects.where(col("__i") === 0)
+      .select(col("__n").as("n"), col("__th").as("effect"))
+    val pseudo = effects.where(col("__i") =!= 0)
+    obs.crossJoin(broadcast(pseudo.agg(
+        count(lit(1)).as("k"),
+        max(abs(col("__th"))).as("max_pseudo_abs"))))
+      .join(pseudo.crossJoin(broadcast(obs))
+        .agg(sum(when(abs(col("__th")) >= abs(col("effect")), 1L)
+          .otherwise(0L)).as("n_ge")))
+      .withColumn("p_value",
+        (col("n_ge") + 1).cast("double") / (col("k") + 1))
+      .select(col("n"), col("effect"), col("k"), col("n_ge"),
+        col("p_value"), col("max_pseudo_abs"))
+  }
+
+  /**
+   * Group-sequential monitoring panel: the cumulative two-sample z of
+   * the arm difference at K equal calendar looks against the
+   * O'Brien–Fleming-shaped boundary c·√(K/k) — early looks need
+   * overwhelming evidence, the final look spends almost full α. The
+   * constant c is the caller's (2.04 is the published K=5, α=0.05
+   * two-sided value). Returns one row per look: (look, n_cum, z,
+   * boundary, crossed).
+   *
+   * Scale shape: the look grid explodes each row ≤K times (map-side
+   * combine); everything after is a K-row frame.
+   */
+  def groupSequential(df: DataFrame, treatCol: Column, tsCol: String,
+      valueCol: String, looks: Int = 5, c: Double = 2.04): DataFrame = {
+    require(looks >= 2 && looks <= 20, "groupSequential: looks 2..20")
+    val y = col(valueCol).cast("double")
+    val base = df.where(y.isNotNull && col(tsCol).isNotNull)
+      .select(when(treatCol, 1L).otherwise(0L).as("__t"), y.as("__y"),
+        to_date(col(tsCol)).as("__d"))
+    val bounds = broadcast(base.agg(min(col("__d")).as("__lo"),
+      max(col("__d")).as("__hi")))
+    val grid = array((1 to looks).map(i => lit(i)): _*)
+    val sliced = base.crossJoin(bounds)
+      .withColumn("__slice",
+        least(greatest(
+          floor(datediff(col("__d"), col("__lo")).cast("double") * looks /
+            (datediff(col("__hi"), col("__lo")) + 1)).cast("int") + 1,
+          lit(1)), lit(looks)))
+      .select(explode(grid).as("look"), col("__slice"), col("__t"),
+        col("__y"))
+      .where(col("__slice") <= col("look"))
+    sliced.groupBy("look")
+      .agg(count(lit(1)).as("n_cum"),
+        count(when(col("__t") === 1, lit(1))).cast("double").as("__n1"),
+        avg(when(col("__t") === 1, col("__y"))).as("__m1"),
+        var_samp(when(col("__t") === 1, col("__y"))).as("__v1"),
+        count(when(col("__t") === 0, lit(1))).cast("double").as("__n0"),
+        avg(when(col("__t") === 0, col("__y"))).as("__m0"),
+        var_samp(when(col("__t") === 0, col("__y"))).as("__v0"))
+      .withColumn("z",
+        when(col("__n1") > 1 && col("__n0") > 1,
+          (col("__m1") - col("__m0")) /
+            sqrt(col("__v1") / col("__n1") + col("__v0") / col("__n0"))))
+      .withColumn("boundary",
+        lit(c) * sqrt(lit(looks.toDouble) / col("look")))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .select(col("look"), col("n_cum"), col("z"), col("boundary"),
+        col("crossed"))
+  }
+
+  /**
    * Kitagawa rate decomposition between two periods: the overall-rate
    * gap splits EXACTLY into a composition effect Σ(w₁−w₀)·r̄ (the
    * stratum mix moved) and a rate effect Σ(r₁−r₀)·w̄ (within-stratum

@@ -9203,4 +9203,56 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("rate") - 0.9) < 1e-12)
     assert(math.abs(r(0).getAs[Double]("overall_rate") - 0.3) < 1e-12)
   }
+
+  test("psmAtt: nearest in-caliper control wins; out-of-caliper " +
+      "treated stays unmatched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, 0.1010, 10.0), (2L, 0, 0.1005, 7.0),
+      (3L, 0, 0.1020, 8.0), (4L, 0, 0.5000, 0.0),
+      (5L, 1, 0.9000, 1.0)).toDF("id", "t", "p", "y")
+    val r = graft.ops.Evaluation
+      .psmAtt(df, col("t") === 1, "p", "y", "id", caliper = 0.002).head
+    assert(r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Long]("n_matched") == 1L)
+    assert(math.abs(r.getAs[Double]("match_rate") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("att") - 3.0) < 1e-12) // 10 − 7
+  }
+
+  test("randomizationTest: an overwhelming real effect gets the " +
+      "minimal exact p") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 20) 1 else 0,
+      if (i <= 20) 100.0 else 0.0)).toDF("id", "t", "y")
+    val r = graft.ops.Evaluation
+      .randomizationTest(df, col("t") === 1, "id", "y", k = 19).head
+    assert(math.abs(r.getAs[Double]("effect") - 100.0) < 1e-12)
+    assert(r.getAs[Long]("k") == 19L)
+    assert(r.getAs[Long]("n_ge") == 0L)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.05) < 1e-12)
+    assert(r.getAs[Double]("max_pseudo_abs") < 100.0)
+  }
+
+  test("groupSequential: OF-shaped boundaries shrink; a huge effect " +
+      "crosses at the final look") {
+    import spark.implicits._
+    val rows = (0 until 100).map { i =>
+      val t = i % 2
+      (i.toLong,
+        java.time.LocalDate.of(2024, 1, 1).plusDays((i / 10).toLong)
+          .toString,
+        t, t * 10.0 + (i % 3) * 0.1)
+    }
+    val df = rows.toDF("id", "ts", "t", "y")
+    val r = graft.ops.Evaluation
+      .groupSequential(df, col("t") === 1, "ts", "y", looks = 5,
+        c = 2.04)
+      .orderBy("look").collect()
+    assert(r.map(_.getAs[Long]("n_cum")).toSeq == Seq(20L, 40L, 60L,
+      80L, 100L))
+    assert(math.abs(r(0).getAs[Double]("boundary")
+      - 2.04 * math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r(4).getAs[Double]("boundary") - 2.04) < 1e-12)
+    assert(r(4).getAs[Boolean]("crossed"))
+  }
 }
