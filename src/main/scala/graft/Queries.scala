@@ -21451,6 +21451,100 @@ object Queries {
                  2.04 * sqrt(5.0 / look) END AS crossed
       FROM a ORDER BY look"""))
 
+  /** Market-model betas of each event type's daily returns vs the
+    * pooled series: which types ride the aggregate and which move on
+    * their own (β, α, R²). */
+  private val q548 = Entry(
+    "q548_market_beta",
+    (s, d) =>
+      graft.ops.Risk.marketBeta(Tables.events(s, d), "event_type",
+          "ts", "value")
+        .select(col("event_type"), col("n_days"), r6(col("beta")).as("beta"),
+          r6(col("alpha")).as("alpha"), r6(col("r2")).as("r2"))
+        .orderBy("event_type"),
+    Some("""
+      WITH d AS (SELECT event_type AS g, ts::DATE AS day,
+                   round(sum("value"), 6) AS v
+                 FROM events
+                 WHERE "value" IS NOT NULL AND ts IS NOT NULL
+                   AND event_type IS NOT NULL
+                 GROUP BY 1, 2),
+      mk AS (SELECT day, round(sum(v), 6) AS mv FROM d GROUP BY 1),
+      mr AS (SELECT m1.day, round(m1.mv / m2.mv - 1, 6) AS rm
+             FROM mk m1 JOIN mk m2 ON m1.day = m2.day + 1
+             WHERE m2.mv > 0),
+      kr AS (SELECT g, day, round(v / pv - 1, 6) AS rk FROM (
+               SELECT g, day, v,
+                      lag(v) OVER (PARTITION BY g ORDER BY day) AS pv
+               FROM d)
+             WHERE pv > 0),
+      j AS (SELECT g, rk, rm FROM kr JOIN mr USING (day)),
+      a AS (SELECT g, count(*)::BIGINT AS n_days, avg(rk) AS mk2,
+              avg(rm) AS mm, covar_samp(rk, rm) AS cv,
+              var_samp(rm) AS vm, var_samp(rk) AS vk
+            FROM j GROUP BY 1)
+      SELECT g AS event_type, n_days,
+             round(CASE WHEN vm > 0 THEN cv / vm END, 6) AS beta,
+             round(mk2 - (CASE WHEN vm > 0 THEN cv / vm END) * mm, 6)
+               AS alpha,
+             round(CASE WHEN vm > 0 AND vk > 0
+               THEN cv * cv / (vm * vk) END, 6) AS r2
+      FROM a ORDER BY 1"""))
+
+  /** Daily adoption curve: active users split into new vs returning
+    * plus cumulative adopters — growth accounting, prefix-summed in
+    * date order. */
+  private val q549 = Entry(
+    "q549_adoption_curve",
+    (s, d) =>
+      graft.ops.Behavioral.adoptionCurve(Tables.events(s, d),
+          "user_id", "ts")
+        .select(col("day"), col("active_users"), col("new_users"),
+          col("returning_users"), col("cum_adopters"))
+        .orderBy("day"),
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      f AS (SELECT u, min(d) AS fd FROM ud GROUP BY 1),
+      dd AS (SELECT d AS day, count(*)::BIGINT AS active_users,
+               sum(CASE WHEN d = fd THEN 1 ELSE 0 END)::BIGINT
+                 AS new_users
+             FROM ud JOIN f USING (u) GROUP BY 1)
+      SELECT day, active_users, new_users,
+             active_users - new_users AS returning_users,
+             (sum(new_users) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_adopters
+      FROM dd ORDER BY day"""))
+
+  /** Activity-streak panel: the population distribution of each
+    * user's longest consecutive-day run (gaps-and-islands), with
+    * exact-DISC median/p90. */
+  private val q550 = Entry(
+    "q550_streaks",
+    (s, d) =>
+      graft.ops.Behavioral.streakPanel(Tables.events(s, d),
+          "user_id", "ts")
+        .select(col("n_users"),
+          r6(col("mean_max_streak")).as("mean_max_streak"), col("p50"),
+          col("p90"), col("max_streak")),
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      s AS (SELECT u, date_diff('day', DATE '1970-01-01', d) -
+              row_number() OVER (PARTITION BY u ORDER BY d) AS grp
+            FROM ud),
+      l AS (SELECT u, grp, count(*) AS len FROM s GROUP BY 1, 2),
+      ms AS (SELECT u, max(len)::DOUBLE AS msx FROM l GROUP BY 1),
+      c AS (SELECT quantile_disc(msx, 0.5) AS p50,
+              quantile_disc(msx, 0.9) AS p90 FROM ms)
+      SELECT count(*)::BIGINT AS n_users,
+             round(avg(msx), 6) AS mean_max_streak,
+             max(p50)::BIGINT AS p50, max(p90)::BIGINT AS p90,
+             max(msx)::BIGINT AS max_streak
+      FROM ms, c"""))
+
   // ------------------------------------------------------------------
 
   val entries: Seq[Entry] = Seq(
@@ -21493,7 +21587,7 @@ object Queries {
     q512, q513, q514, q515, q516, q517, q518, q519, q520, q521, q522,
     q523, q524, q525, q526, q527, q528, q529, q530, q531, q532,
     q533, q534, q535, q536, q537, q538, q539, q540, q541, q542,
-    q543, q544, q545, q546, q547)
+    q543, q544, q545, q546, q547, q548, q549, q550)
 
   def queries: Map[String, QueryFn] =
     entries.map(e => e.name -> e.fn).toMap

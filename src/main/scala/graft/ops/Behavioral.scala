@@ -388,6 +388,75 @@ object Behavioral {
   }
 
   /**
+   * Daily adoption curve: active users per day split into NEW (first
+   * ever appearance) and returning, plus the cumulative adopter count
+   * — the growth-accounting readout. Returns one row per active day:
+   * (day, active_users, new_users, returning_users, cum_adopters).
+   *
+   * Scale shape: one per-user first-day aggregate, one (user, day)
+   * distinct, a user-keyed join, and a calendar-bounded prefix sum
+   * ([[graft.analysis.PrefixSum]] — no single-partition window).
+   */
+  def adoptionCurve(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+      .localCheckpoint() // first-day agg AND the daily roll-up
+    val first = ud.groupBy("__u").agg(min(col("__d")).as("__f"))
+    val daily = ud.join(first, Seq("__u"))
+      .groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("__d") === col("__f"), 1L).otherwise(0L))
+          .as("new_users"))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+    graft.analysis.PrefixSum.exclusive(daily, "day",
+        Seq("new_users" -> "__before"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        col("returning_users"),
+        (col("__before") + col("new_users")).cast("long")
+          .as("cum_adopters"))
+  }
+
+  /**
+   * Activity-streak panel: each user's LONGEST run of consecutive
+   * active days (gaps-and-islands on the distinct-day frame: day
+   * minus a per-user row_number is constant within a streak), then
+   * the population's mean / exact-DISC median / p90 / max of those
+   * maxima. Returns ONE row: (n_users, mean_max_streak, p50, p90,
+   * max_streak).
+   *
+   * Scale shape: one (user, day) distinct, one user-partitioned
+   * window, two grouped reduces, one exact-percentile pass over the
+   * user-sized integer frame.
+   */
+  def streakPanel(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val w = Window.partitionBy("__u").orderBy("__d")
+    val maxStreak = ud
+      .withColumn("__grp",
+        datediff(col("__d"), lit("1970-01-01")) -
+          row_number().over(w))
+      .groupBy("__u", "__grp").agg(count(lit(1)).as("__len"))
+      .groupBy("__u").agg(max(col("__len")).cast("double").as("__ms"))
+      .localCheckpoint() // moments AND the percentile pass
+    val cuts = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(maxStreak, "__ms",
+        Seq("__p50" -> 0.5, "__p90" -> 0.9), Nil))
+    maxStreak.crossJoin(cuts)
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("__ms")).as("mean_max_streak"),
+        max(col("__p50")).cast("long").as("p50"),
+        max(col("__p90")).cast("long").as("p90"),
+        max(col("__ms")).cast("long").as("max_streak"))
+  }
+
+  /**
    * Reliability panel of a failure event type per user stream: MTBF
    * (mean seconds between consecutive failures of the SAME user),
    * MTTR (mean seconds from a failure to the user's next non-failure

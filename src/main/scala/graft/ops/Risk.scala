@@ -103,6 +103,57 @@ object Risk {
   }
 
   /**
+   * Market-model (CAPM-style) decomposition of each key's daily
+   * returns against the pooled "market" return: β = cov(r_k, r_m)/
+   * var(r_m), α = r̄_k − β·r̄_m, and R² — which series just ride the
+   * aggregate and which move on their own. Same rounded-daily-sum
+   * return substrate as [[riskAdjusted]]; the market series sums ALL
+   * keys' values per day. One row per key: (key, n_days, beta, alpha,
+   * r2).
+   *
+   * Scale shape: one corpus groupBy (key, day) + one groupBy (day)
+   * for the market, a day-keyed join, calendar-bounded moments.
+   */
+  def marketBeta(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyByKey(df, keyCol, tsCol, valueCol)
+      .localCheckpoint() // per-key side AND the market roll-up
+    val market = daily.groupBy("__d")
+      .agg(round(sum(col("__v")), 6).as("__mv"))
+    val wK = Window.partitionBy("__g").orderBy("__d")
+    // the market's previous day comes from a calendar-adjacency
+    // self-join, NOT an unpartitioned lag window (a constant-partition
+    // window folds to an empty partitionSpec and fails the scale lint)
+    val mRet = market.as("m1")
+      .join(market.as("m2"),
+        col("m1.__d") === date_add(col("m2.__d"), 1))
+      .where(col("m2.__mv") > 0)
+      .select(col("m1.__d").as("__d"),
+        round(col("m1.__mv") / col("m2.__mv") - 1.0, 6).as("__rm"))
+    val kRet = daily
+      .withColumn("__pv", lag(col("__v"), 1).over(wK))
+      .where(col("__pv") > 0)
+      .select(col("__g"), col("__d"),
+        round(col("__v") / col("__pv") - 1.0, 6).as("__rk"))
+    kRet.join(mRet, Seq("__d"))
+      .groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        avg(col("__rk")).as("__mk"), avg(col("__rm")).as("__mm"),
+        covar_samp(col("__rk"), col("__rm")).as("__cov"),
+        var_samp(col("__rm")).as("__vm"),
+        var_samp(col("__rk")).as("__vk"))
+      .withColumn("beta",
+        when(col("__vm") > 0, col("__cov") / col("__vm")))
+      .withColumn("alpha", col("__mk") - col("beta") * col("__mm"))
+      .withColumn("r2",
+        when(col("__vm") > 0 && col("__vk") > 0,
+          col("__cov") * col("__cov") / (col("__vm") * col("__vk"))))
+      .select(col(keyCol), col("n_days"), col("beta"), col("alpha"),
+        col("r2"))
+  }
+
+  /**
    * In-sample VaR backtest per key at tail probability `p` (default
    * 0.05): VaR is the ⌈p·n⌉-th smallest daily return (an exact order
    * statistic — identical rule in any engine, no interpolation), a

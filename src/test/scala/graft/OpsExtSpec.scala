@@ -9255,4 +9255,51 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r(4).getAs[Double]("boundary") - 2.04) < 1e-12)
     assert(r(4).getAs[Boolean]("crossed"))
   }
+
+  test("marketBeta: a key that IS half the market has beta 1, " +
+      "alpha 0, r2 1") {
+    import spark.implicits._
+    val vals = Seq(10.0, 12.0, 9.0, 15.0, 11.0)
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+        .toString
+      Seq(("a", day, v), ("b", day, v))
+    }
+    val df = rows.toDF("g", "ts", "v")
+    val m = graft.ops.Risk.marketBeta(df, "g", "ts", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      assert(m(g).getAs[Long]("n_days") == 4L)
+      assert(math.abs(m(g).getAs[Double]("beta") - 1.0) < 1e-9)
+      assert(math.abs(m(g).getAs[Double]("alpha")) < 1e-9)
+      assert(math.abs(m(g).getAs[Double]("r2") - 1.0) < 1e-9)
+    }
+  }
+
+  test("adoptionCurve: new vs returning split and cumulative adopters") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-02")).toDF("u", "ts")
+    val r = graft.ops.Behavioral.adoptionCurve(df, "u", "ts")
+      .orderBy("day").collect()
+    assert(r(0).getAs[Long]("active_users") == 1L)
+    assert(r(0).getAs[Long]("new_users") == 1L)
+    assert(r(0).getAs[Long]("cum_adopters") == 1L)
+    assert(r(1).getAs[Long]("active_users") == 2L)
+    assert(r(1).getAs[Long]("new_users") == 1L)
+    assert(r(1).getAs[Long]("returning_users") == 1L)
+    assert(r(1).getAs[Long]("cum_adopters") == 2L)
+  }
+
+  test("streakPanel: gaps-and-islands longest runs, DISC quantiles") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3, 5).map(d => (1L, s"2024-01-0$d")) ++
+      Seq(1, 3).map(d => (2L, s"2024-01-0$d"))).toDF("u", "ts")
+    val r = graft.ops.Behavioral.streakPanel(df, "u", "ts").head
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_max_streak") - 2.0) < 1e-12)
+    assert(r.getAs[Long]("p50") == 1L) // DISC lower middle of {1, 3}
+    assert(r.getAs[Long]("p90") == 3L)
+    assert(r.getAs[Long]("max_streak") == 3L)
+  }
 }
