@@ -19113,7 +19113,10 @@ object Queries {
           minPairCount = 5)
         .select(col("item_a"), col("item_b"), col("n_pair"),
           r6(col("conviction_a_b")).as("conviction_a_b"),
-          r6(col("leverage")).as("leverage"),
+          // leverage is a difference of products that can round to a
+          // signed zero; +0.0 canonicalizes -0.0 → +0.0 (IEEE) so the
+          // byte-level hash gate matches the oracle's `+ 0` twin.
+          (r6(col("leverage")) + lit(0.0)).as("leverage"),
           r6(col("jaccard")).as("jaccard"))
         .orderBy("item_a", "item_b"),
     Some("""
@@ -19129,7 +19132,7 @@ object Queries {
              round(CASE WHEN np < a.ni THEN
                (1 - bb.ni / n) / (1 - np / a.ni) END, 6)
                AS conviction_a_b,
-             round(np / n - a.ni * bb.ni / (n * n), 6) AS leverage,
+             round(np / n - a.ni * bb.ni / (n * n), 6) + 0 AS leverage,
              round(np / (a.ni + bb.ni - np), 6) AS jaccard
       FROM pr JOIN ic a ON item_a = a.it JOIN ic bb ON item_b = bb.it
       CROSS JOIN nb
@@ -21056,10 +21059,7 @@ object Queries {
                THEN mtbf / (mtbf + mttr) END, 6) AS availability
       FROM a"""))
 
-  /** Bradley–Terry supplier strength from cheaper-on-the-same-part
-    * pairwise wins: 8 fixed MM iterations with mean-1 renormalization,
-    * replayed verbatim as unrolled materialized CTEs. */
-    /** Bradley–Terry supplier strength from cheaper-than-the-next-
+  /** Bradley–Terry supplier strength from cheaper-than-the-next-
     * supplier chain comparisons per part (the sparse comparison design
     * that keeps the pair frame O(lines), not O(suppliers²·parts)):
     * 4 fixed MM iterations, mean-1 renormalized, replayed as unrolled

@@ -287,13 +287,16 @@ final case class ParquetTarget(path: String, orderColumn: Option[String] = None,
       run: DataFrame => Unit): Long = {
     val obs = org.apache.spark.sql.Observation()
     run(df.observe(obs, count(lit(1)).as("rows")))
-    // the write action has completed, so the observation resolves (get
-    // blocks only on the short listener-dispatch window). A zero-row
+    // the write action has completed, so the observation resolves (the
+    // await covers only the short listener-dispatch window). A zero-row
     // write can fold the observed subtree to an empty relation whose
-    // metrics Row has no schema (NPE inside Observation) — that shape
-    // IS the zero count.
-    try obs.get("rows").asInstanceOf[Long]
-    catch { case _: NullPointerException => 0L }
+    // metrics Row arrives schemaless/empty — that specific shape IS the
+    // zero count; any other failure propagates rather than silently
+    // reporting rowsWritten=0.
+    val row = scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration.Inf)
+    if (row.schema == null || row.length == 0) 0L
+    else row.getAs[Long]("rows")
   }
 
   def write(df: DataFrame, mode: WriteMode, keys: Seq[String] = Nil): Long =

@@ -56,6 +56,8 @@ final class LiveSketchAggTable(
 
   require(quantiles.forall(q => q >= 0 && q <= 1),
     "quantiles must be in [0, 1]")
+  require(quantiles.map(LiveSketchAggTable.quantileColName).distinct.size ==
+    quantiles.size, "quantiles must map to distinct column names")
 
   private val events = scala.collection.mutable.ArrayBuffer.empty[RefreshEvent]
   @volatile private var stream: Option[StreamingQuery] = None
@@ -98,8 +100,11 @@ final class LiveSketchAggTable(
     if (!new java.io.File(stateDir).exists()) None
     else {
       val df = spark.read.parquet(stateDir)
-      val v = df.agg(max(col("__version"))).head().getLong(0)
-      Some((df.drop("__version"), v))
+      // A zero-row state frame (initial commit against an empty store)
+      // makes max(__version) NULL — treat it as "no state" so the
+      // caller falls through to the initial rebuild branch.
+      Option(df.agg(max(col("__version"))).head().get(0))
+        .map(v => (df.drop("__version"), v.asInstanceOf[Long]))
     }
 
   private def commitState(state: DataFrame, version: Long): DataFrame = {
@@ -112,7 +117,7 @@ final class LiveSketchAggTable(
     val mergedH = hll_union_agg(col("__hll"))
     val qCols = quantiles.map(q =>
       expr(s"kll_sketch_get_quantile_double(kll_merge_agg_double(__kll), $q)")
-        .as(s"p${(q * 100).round}"))
+        .as(LiveSketchAggTable.quantileColName(q)))
     val aggCols = Seq(sum(col("__n")).as("n"),
       hll_sketch_estimate(mergedH).cast("long").as("distinct_count")) ++
       qCols
@@ -210,4 +215,15 @@ final class LiveSketchAggTable(
 
   def stopStream(): Unit = { stream.foreach(_.stop()); stream = None }
   def refreshHistory: Seq[RefreshEvent] = synchronized(events.toSeq)
+}
+
+object LiveSketchAggTable {
+  /** Quantile → column name from the FULL quantile value ("p50",
+    * "p50_4" for 0.504) so two quantiles can never collide on a
+    * rounded integer percent. */
+  def quantileColName(q: Double): String = {
+    val pct = (BigDecimal(q.toString) * 100).underlying
+      .stripTrailingZeros.toPlainString
+    "p" + pct.replace(".", "_")
+  }
 }

@@ -38,7 +38,16 @@ final class LiveTable(
     compute: SparkSession => DataFrame, // the analysis program
     materializePath: String,
     val policy: RefreshPolicy = RefreshPolicy.manual,
-    val cdc: CdcConfig = CdcConfig()) {
+    val cdc: CdcConfig = CdcConfig(),
+    /** Snapshot-backed materialization: refreshes commit through the
+      * store (upsert-merged on `upsertKeys` when non-empty, so a
+      * partition-sliced `compute` rewrites ONLY its slice and the
+      * untouched segments persist), and filtered [[query]] calls ride
+      * [[graft.etl.SnapshotStore.readWhere]] — manifest-stats segment
+      * skipping prunes non-matching segments BEFORE any file listing,
+      * the same read path the feature-group analysis gets. */
+    val store: Option[graft.etl.SnapshotStore] = None,
+    upsertKeys: Seq[String] = Nil) {
 
   private val events = scala.collection.mutable.ArrayBuffer.empty[RefreshEvent]
   @volatile private var paused = false
@@ -49,17 +58,31 @@ final class LiveTable(
     val t0 = System.nanoTime()
     val df = compute(spark)
     val n = df.count()
-    df.write.mode("overwrite").parquet(materializePath)
+    store match {
+      case Some(st) =>
+        st.write(df,
+          if (upsertKeys.nonEmpty) graft.etl.WriteMode.Upsert
+          else graft.etl.WriteMode.Full,
+          upsertKeys)
+      case None =>
+        df.write.mode("overwrite").parquet(materializePath)
+    }
     val ev = RefreshEvent(Instant.now(), trigger, n, (System.nanoTime() - t0) / 1000000)
     synchronized(events += ev)
     Some(ev)
   }
 
-  /** Query the materialization; `-col` = descending (live_table.py:211-271). */
+  /** Query the materialization; `-col` = descending (live_table.py:211-271).
+    * Snapshot-backed tables route a filter through segment skipping. */
   def query(filter: Option[String] = None, orderBy: Seq[String] = Nil,
       limit: Option[Int] = None): DataFrame = {
-    var df = spark.read.parquet(materializePath)
-    filter.foreach(f => df = df.where(f))
+    var df = store match {
+      case Some(st) =>
+        filter.fold(st.read(spark))(f => st.readWhere(spark, f))
+      case None =>
+        val base = spark.read.parquet(materializePath)
+        filter.fold(base)(base.where(_))
+    }
     if (orderBy.nonEmpty)
       df = df.orderBy(orderBy.map(c =>
         if (c.startsWith("-")) col(c.drop(1)).desc else col(c).asc): _*)

@@ -107,10 +107,37 @@ object Dedup {
    * candidate pairs = docs sharing any band key. Join is keyed on
    * (band index, band key) — bucket sizes stay tiny for random data, so
    * the pair expansion is local to genuine near-dup clusters.
+   *
+   * `maxBucketSize` is the hot-bucket guard for pathological corpora
+   * (millions of byte-identical docs land in ONE bucket and make the
+   * pair join quadratic there): when set, any bucket above the cap
+   * fails the job LOUDLY with the offending (band, key, size) instead
+   * of silently grinding. The guard is a `raise_error` woven into the
+   * banded frame — a window count over the SAME (band, key) the join
+   * shuffles on, no extra pass/action — so it costs one windowed
+   * aggregation, not a second scan. The documented discipline stands:
+   * run exact dedup before near-dup (the [[CorpusPipeline]] DAG does),
+   * and the guard turns a violation into an error, not an outage.
    */
   def minhashCandidates(signatures: DataFrame, bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
-    val banded = bandKeys(signatures, bands, rowsPerBand)
+      rowsPerBand: Int = 4, maxBucketSize: Option[Int] = None): DataFrame = {
+    val banded0 = bandKeys(signatures, bands, rowsPerBand)
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      require(cap > 0, "minhashCandidates: maxBucketSize must be positive")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+      banded0
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .select(
+          // guard rides the id column so pruning can never drop it
+          when(col("__bsz") > cap, raise_error(concat(
+            lit(s"minhashCandidates: LSH bucket exceeds maxBucketSize=$cap"),
+            lit(" (band="), col("band").cast("string"),
+            lit(", key="), col("key"),
+            lit(", size="), col("__bsz").cast("string"),
+            lit(") - run exact dedup before near-dup or raise the cap"))))
+            .otherwise(col("id")).as("id"),
+          col("band"), col("key"))
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -155,14 +182,16 @@ object Dedup {
       bands, k / bands)
   }
 
-  /** MinHash + LSH near-dup pairs, end to end. */
+  /** MinHash + LSH near-dup pairs, end to end. `maxBucketSize` is the
+    * hot-bucket guard (see [[minhashCandidates]]). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide k ($k): k/bands truncation would " +
         "silently ignore trailing signature rows")
     minhashCandidates(minhashSignatures(df, idCol, textCol, k, shingleN),
-      bands, k / bands)
+      bands, k / bands, maxBucketSize)
   }
 
   /**

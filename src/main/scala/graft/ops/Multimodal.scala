@@ -28,6 +28,30 @@ object Multimodal {
     StructField("version_id", StringType, nullable = true),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
+  /** Extension → MIME type (multimodal.py:878-918 table). */
+  val contentTypeByExtension: Map[String, String] = Map(
+    "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
+    "webp" -> "image/webp", "gif" -> "image/gif", "tiff" -> "image/tiff",
+    "bmp" -> "image/bmp",
+    "wav" -> "audio/wav", "mp3" -> "audio/mpeg", "flac" -> "audio/flac",
+    "ogg" -> "audio/ogg", "aac" -> "audio/aac",
+    "mp4" -> "video/mp4", "webm" -> "video/webm", "avi" -> "video/avi",
+    "mov" -> "video/quicktime",
+    "pdf" -> "application/pdf",
+    "npy" -> "application/x-numpy", "npz" -> "application/x-numpy-compressed",
+    "pt" -> "application/x-pytorch",
+    "safetensors" -> "application/x-safetensors")
+
+  /** Infer the MIME content type from a uri's file extension, NULL when
+    * unrecognized (infer_content_type, multimodal.py:878) — a codegen'd
+    * CASE chain over `lower(substring_index(uri, '.', -1))`, map-only. */
+  def inferContentType(uri: Column): Column = {
+    val ext = lower(substring_index(uri, ".", -1))
+    contentTypeByExtension.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (e, ct)) => when(ext === e, ct).otherwise(acc)
+    }
+  }
+
   /** Build a blob_ref struct column from uri + payload columns. */
   def blobRef(uri: Column, contentType: Column, payload: Column,
       metadata: Column = map()): Column =

@@ -135,16 +135,93 @@ object NaiveBayes {
     scored.withColumn("__score", total)
   }
 
+  /**
+   * Map-only scoring for a BOUNDED label set (≤ `maxLabels`, checked):
+   * instead of inflating the test corpus by |labels| and shuffling it
+   * through a per-key argmax, the per-label scores become COLUMNS —
+   * one broadcast left join per feature against a value-keyed lookup
+   * whose per-label counts are pivoted wide, with the per-(feature,
+   * label) denominators and priors inlined as literals (they are F×L
+   * scalars). The argmax is then `least` over (−score, label) structs,
+   * so the whole scoring pass is narrow: zero corpus shuffles.
+   *
+   * Additions happen in the SAME fixed order as [[score]] (prior, then
+   * features in call order) with identical arithmetic, so the two
+   * paths — and an external engine replaying the sums — agree
+   * bit-for-bit; ties still break on label ascending.
+   *
+   * Returns `test` plus (pred_label, log_score) — one output row per
+   * input row (no keying needed).
+   */
+  def scorePivoted(test: DataFrame, model: Model, features: Seq[String],
+      scoreRound: Option[Int] = None, maxLabels: Int = 64): DataFrame = {
+    val a = model.alpha
+    val lblRows = model.labels.limit(maxLabels + 1).collect()
+    require(lblRows.length <= maxLabels,
+      s"scorePivoted: more than $maxLabels labels; use score()")
+    // (label, n_l, n_all) sorted for a deterministic column layout
+    val labelSeq = lblRows
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // per-(feature, label) denominators: F×L scalar cells, bounded
+    val denomCap = features.size * maxLabels + 1
+    val denomRows = model.valueCounts.groupBy("feature", "label")
+      .agg(sum(col("c_fvl")).as("c_fl"))
+      .join(model.featureCard, Seq("feature"))
+      .limit(denomCap).collect()
+    require(denomRows.length < denomCap,
+      s"scorePivoted: denominator frame exceeds $denomCap cells")
+    val denom = denomRows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    val joined = features.zipWithIndex.foldLeft(test) {
+      case (acc, (f, i)) =>
+        val cCols = labelSeq.zipWithIndex.map { case ((l, _, _), j) =>
+          max(when(col("label") === l, col("c_fvl"))).as(s"__c${i}_$j")
+        }
+        val vc = broadcast(model.valueCounts
+          .where(col("feature") === f)
+          .groupBy(col("value").as(s"__v$i"))
+          .agg(cCols.head, cCols.tail: _*))
+        acc.join(vc, col(f).cast("string") <=> col(s"__v$i"), "left")
+          .drop(s"__v$i")
+    }
+    val scoreCols = labelSeq.zipWithIndex.map { case ((l, nL, nAll), j) =>
+      val terms = features.zipWithIndex.map { case (f, i) =>
+        val (cFl, vF) = denom.getOrElse((f, l), sys.error(
+          s"scorePivoted: no denominator for feature=$f label=$l"))
+        log((coalesce(col(s"__c${i}_$j"), lit(0L)) + lit(a)) /
+          (lit(cFl) + lit(a) * lit(vF)))
+      }
+      val total0 = terms.foldLeft(log(lit(nL) / lit(nAll)))(_ + _)
+      scoreRound.fold(total0)(r => round(total0, r)).as(s"__s$j")
+    }
+    val scored = joined.select(col("*") +: scoreCols: _*)
+    val packed = labelSeq.zipWithIndex.map { case ((l, _, _), j) =>
+      struct((-col(s"__s$j")).as("ns"), lit(l).as("lb"))
+    }
+    val best =
+      if (packed.size == 1) packed.head else least(packed: _*)
+    scored
+      .withColumn("pred_label", best.getField("lb"))
+      .withColumn("log_score",
+        if (scoreCols.size == 1) col("__s0")
+        else greatest(labelSeq.indices.map(j => col(s"__s$j")): _*))
+      .drop((features.indices.flatMap(i =>
+        labelSeq.indices.map(j => s"__c${i}_$j")) ++
+        labelSeq.indices.map(j => s"__s$j")): _*)
+  }
+
   /** Convenience: fit on `train`, score `test`, return the confusion
-    * frame (true_label, pred_label, n) — the standard eval readout. */
+    * frame (true_label, pred_label, n) — the standard eval readout.
+    * Rides the map-only [[scorePivoted]] path (labels are bounded by
+    * construction in a confusion readout), so the only shuffle beyond
+    * the fit aggregations is the tiny L×L confusion groupBy. */
   def confusion(train: DataFrame, test: DataFrame, features: Seq[String],
       labelCol: String, keyCols: Seq[String], alpha: Double = 1.0,
       scoreRound: Option[Int] = None): DataFrame = {
     val m = fit(train, features, labelCol, alpha)
-    // the true label rides INSIDE the scoring key (constant per key)
-    // instead of a second corpus-sized join-back after the argmax
-    score(test.withColumn("__true", col(labelCol).cast("string")), m,
-      features, keyCols :+ "__true", scoreRound)
+    scorePivoted(test.withColumn("__true", col(labelCol).cast("string")),
+        m, features, scoreRound)
       .groupBy(col("__true").as("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }

@@ -885,4 +885,41 @@ class EtlExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/z").agg(sum("x"), sum("y")).head()
       == df.agg(sum("x"), sum("y")).head())
   }
+
+  test("snapshot-backed live table: filtered query prunes segments") {
+    import spark.implicits._
+    // store partitioned by day so upsert refreshes are partition-scoped
+    val st = SnapshotStore(tmpDir() + "/ltsnap", orderColumn = Some("id"),
+      partitionBy = Seq("day"))
+    // a partition-sliced compute: each refresh re-derives ONE day range
+    @volatile var dayLo = 1L
+    @volatile var dayHi = 2L
+    val lt = new graft.live.LiveTable("lt_snap", spark,
+      s => {
+        import s.implicits._
+        (1 to 100).map(i => (i.toLong, dayLo + i % (dayHi - dayLo + 1),
+          i * 1.5)).toDF("id", "day", "v")
+      },
+      materializePath = st.path,
+      store = Some(st), upsertKeys = Seq("id", "day"))
+    assert(lt.refresh().exists(_.rows == 100L)) // v1: days 1-2
+    dayLo = 3; dayHi = 4
+    lt.refresh() // v2: days 3-4 — disjoint partitions carry v1 segments
+    dayLo = 5; dayHi = 6
+    lt.refresh() // v3: days 5-6
+    def segDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(_.split("/data/")(1).split("/")(0)).toSet
+    assert(lt.query().count() == 300)
+    assert(segDirs(lt.query()).size == 3)
+    // the filtered query's FILE LISTING proves the segment skip: only
+    // the day-3/4 segment materializes
+    val q = lt.query(filter = Some("day >= 3 AND day <= 4"))
+    assert(segDirs(q).size == 1)
+    assert(q.count() == 100)
+    // order/limit compose with the store-backed read path
+    val top = lt.query(filter = Some("day = 5"), orderBy = Seq("-v"),
+      limit = Some(1)).head()
+    assert(top.getAs[Long]("day") == 5L)
+    assert(lt.refreshHistory.size == 3)
+  }
 }

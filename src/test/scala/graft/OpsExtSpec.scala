@@ -9302,4 +9302,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("p90") == 3L)
     assert(r.getAs[Long]("max_streak") == 3L)
   }
+
+  test("minhash LSH hot-bucket guard fails loudly on a degenerate corpus") {
+    import spark.implicits._
+    // a byte-identical-heavy corpus (the pathological shape the exact-
+    // dedup-first discipline prevents): every doc lands in ONE bucket
+    val degenerate = (1 to 2000)
+      .map(i => (i.toLong, "the same exact document text every time"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.ops.Dedup.minhashLsh(degenerate, "doc_id", "text",
+        maxBucketSize = Some(100)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxBucketSize")), msgs(e).mkString("|"))
+    // unguarded + guarded-with-headroom paths both still work
+    val mixed = ((1 to 50).map(i => (i.toLong, s"unique document $i ${i * 7}")) :+
+      (51L, "unique document 1 7")).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashLsh(mixed, "doc_id", "text",
+      maxBucketSize = Some(1000))
+    assert(pairs.where(col("doc_a") === 1L && col("doc_b") === 51L).count() == 1)
+  }
 }

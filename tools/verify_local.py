@@ -11,6 +11,7 @@ for floats — the real driver hash-compares, so we flag ANY diff).
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -21,12 +22,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(v):
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # normalize -0.0 and integral floats
-        if v == 0:
-            return 0.0
-        return v
+        # Byte-faithful: the real driver hash-compares raw bytes, so
+        # -0.0 vs 0.0 and differing NaN payloads MUST fail here too.
+        return struct.pack("<d", v).hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
