@@ -2171,4 +2171,362 @@ object TimeSeries {
           log(col("__n") / col("__tn")))
           / math.log(6.0)).as("perm_entropy"))
   }
+
+  /**
+   * Sample entropy SampEn(m=2, r) of the daily event-count series —
+   * the regularity/complexity readout permutation entropy can't give
+   * (it sees only ORDINAL patterns; SampEn sees amplitudes): the
+   * negative log of the conditional probability that two windows
+   * matching for 2 days (Chebyshev distance ≤ r = rFactor·σ) still
+   * match on the 3rd. Templates span consecutive CALENDAR days (a gap
+   * day breaks the window).
+   *
+   * Scale shape: the corpus collapses to the calendar-sized daily
+   * frame in one grouped pass; template pairs come from a BANDED
+   * equi-join on ⌊y/r⌋ buckets (a pair within r on the first
+   * coordinate must be in the same or adjacent bucket, so the probe
+   * side fans out ×3 and exact Chebyshev filtering runs inside
+   * bucket-local candidates) — never an all-pairs cartesian, the
+   * LSH-candidate discipline applied to a numeric series.
+   * Returns (n_days, n_templates, r, b_count, a_count,
+   * sample_entropy).
+   */
+  def sampleEntropy(df: DataFrame, tsCol: String,
+      rFactor: Double = 0.2): DataFrame = {
+    require(rFactor > 0, "sampleEntropy: rFactor must be positive")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    // tolerance r from the population σ of the daily counts (1 row)
+    val rRow = broadcast(daily.agg(
+      (sqrt(avg(col("__y") * col("__y")) - avg(col("__y")) * avg(col("__y")))
+        * lit(rFactor)).as("__r"),
+      count(lit(1)).as("n_days")))
+    val t1 = daily.select((col("__t") - 1).as("__t"), col("__y").as("__y1"))
+    val t2 = daily.select((col("__t") - 2).as("__t"), col("__y").as("__y2"))
+    // (t, y0, y1, y2): y0/y1 form the m=2 template, y2 the extension;
+    // the standard convention counts BOTH over i ≤ N−m, so templates
+    // without an extension day are excluded from both counts
+    val tpl = daily.join(t1, Seq("__t")).join(t2, Seq("__t"))
+      .crossJoin(rRow)
+      .where(col("__r") > 0)
+      .select(col("__t"), col("__y").as("__y0"), col("__y1"), col("__y2"),
+        col("__r"), col("n_days"),
+        floor(col("__y") / col("__r")).as("__bkt"))
+      .localCheckpoint()
+    val probe = tpl.select(col("__t").as("__tb"), col("__y0").as("__b0"),
+        col("__y1").as("__b1"), col("__y2").as("__b2"),
+        explode(array(col("__bkt") - 1, col("__bkt"), col("__bkt") + 1))
+          .as("__bkt"))
+    val pairs = tpl.join(probe, Seq("__bkt"))
+      .where(col("__t") < col("__tb") &&
+        greatest(abs(col("__y0") - col("__b0")),
+          abs(col("__y1") - col("__b1"))) <= col("__r"))
+    pairs.agg(
+        max(col("n_days")).as("n_days"),
+        max(col("__r")).as("r"),
+        count(lit(1)).as("b_count"),
+        sum(when(greatest(abs(col("__y0") - col("__b0")),
+            abs(col("__y1") - col("__b1")),
+            abs(col("__y2") - col("__b2"))) <= col("__r"), 1L)
+          .otherwise(0L)).as("a_count"))
+      .crossJoin(broadcast(tpl.agg(count(lit(1)).as("n_templates"))))
+      .select(col("n_days"), col("n_templates"), col("r"),
+        col("b_count"), col("a_count"),
+        when(col("a_count") > 0 && col("b_count") > 0,
+          -log(col("a_count").cast("double") / col("b_count")))
+          .as("sample_entropy"))
+  }
+
+  /**
+   * Local-level Kalman filter over the daily event-count series —
+   * the probabilistic sibling of [[holtLinear]] (no trend state, but
+   * an evolving variance and an exact one-step-ahead likelihood):
+   * predict P⁻ = P + q, gain K = P⁻/(P⁻ + r), update
+   * ℓ += K(y − ℓ), P = (1−K)P⁻; the innovation variance S = P⁻ + r
+   * feeds the Gaussian negative log-likelihood that model selection
+   * (choosing q/r) reads. Driver recursion over the BOUNDED daily
+   * frame — the [[holtLinear]] loud-cap discipline; the oracle
+   * replays the identical recursion as a recursive CTE.
+   * Returns 1 row: (n_days, level, p_var, k_gain, sse, rmse,
+   * neg_loglik).
+   */
+  def kalmanLevel(df: DataFrame, tsCol: String, q: Double,
+      r: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(q > 0 && r > 0, "kalmanLevel: q and r must be positive")
+    val days = dailyCounts(df, tsCol).orderBy("__t").limit(4001).collect()
+    require(days.length <= 4000,
+      "kalmanLevel: series spans > 4000 days; driver recursion is " +
+        "bounded at 4000 — pre-aggregate to a coarser calendar")
+    require(days.length >= 2, "kalmanLevel: need >= 2 days")
+    val y = days.map(_.getDouble(1))
+    var level = y(0)
+    var p = r
+    var kLast = 0.0
+    var sse = 0.0
+    var nll = 0.0
+    for (t <- 1 until y.length) {
+      val pp = p + q
+      val k = pp / (pp + r)
+      val s = pp + r
+      val e = y(t) - level
+      sse += e * e
+      nll += 0.5 * (math.log(2 * math.Pi * s) + e * e / s)
+      level = level + k * e
+      p = (1 - k) * pp
+      kLast = k
+    }
+    Seq((y.length.toLong, level, p, kLast, sse,
+        math.sqrt(sse / (y.length - 1)), nll))
+      .toDF("n_days", "level", "p_var", "k_gain", "sse", "rmse",
+        "neg_loglik")
+  }
+
+  /**
+   * Phillips–Perron unit-root test on the daily mean series: the same
+   * y_t = α + ρ·y_{t−1} regression as [[dickeyFuller]], but the test
+   * statistics are corrected NON-parametrically for serial
+   * correlation in u_t with a Bartlett-kernel long-run variance
+   * λ² = γ₀ + 2Σ_{j≤L}(1 − j/(L+1))γ_j over the OLS residuals —
+   * no lagged-difference terms enter the regression (Hamilton 1994,
+   * §17.6 forms, with Sxx the centered lag sum of squares):
+   * Z_ρ = n(ρ̂−1) − (λ²−γ₀)·n²/(2·Sxx),
+   * Z_τ = √(γ₀/λ²)·t_ρ − (λ²−γ₀)·n/(2·λ·√Sxx).
+   * Residual autocovariances come from `lags` calendar-shift
+   * self-joins of the calendar-sized residual frame — no windows,
+   * no cartesians. Returns (n_days, n_pairs, rho, t_rho, gamma0,
+   * lambda2, z_rho, z_tau).
+   */
+  def phillipsPerron(df: DataFrame, tsCol: String, valueCol: String,
+      lags: Int = 4): DataFrame = {
+    require(lags >= 1 && lags <= 30, "phillipsPerron: lags in 1..30")
+    val daily = dailySeries(df, tsCol, valueCol).localCheckpoint()
+    val lagged = daily.select((col("__t") + 1).as("__t"),
+      col("__x").as("__xl"))
+    val pairs = daily.join(lagged, Seq("__t"))
+      .select(col("__t"), col("__x"), col("__xl")).localCheckpoint()
+    val st = broadcast(pairs.agg(
+        count(lit(1)).cast("double").as("__np"),
+        sum(col("__xl")).as("__sl"), sum(col("__x")).as("__sy"),
+        sum(col("__xl") * col("__xl")).as("__sll"),
+        sum(col("__xl") * col("__x")).as("__sly"))
+      .withColumn("__sxx", col("__sll") - col("__sl") * col("__sl") / col("__np"))
+      .withColumn("__sxy", col("__sly") - col("__sl") * col("__sy") / col("__np"))
+      .withColumn("rho", col("__sxy") / col("__sxx"))
+      .withColumn("alpha",
+        (col("__sy") - col("rho") * col("__sl")) / col("__np")))
+    val resid = pairs.crossJoin(st)
+      .select(col("__t"),
+        (col("__x") - col("alpha") - col("rho") * col("__xl")).as("__u"))
+      .localCheckpoint()
+    // γ_j via calendar-shift self-joins (j = 0 is a plain aggregate)
+    val gammas = (1 to lags).map { j =>
+      val sh = resid.select((col("__t") + j).as("__t"), col("__u").as("__uj"))
+      resid.join(sh, Seq("__t"))
+        .agg(sum(col("__u") * col("__uj")).as(s"__g$j"))
+    }
+    val g0 = resid.agg(sum(col("__u") * col("__u")).as("__g0"),
+      count(lit(1)).cast("double").as("__nu"))
+    val folded = gammas.foldLeft(g0.crossJoin(st))((acc, g) =>
+      acc.crossJoin(broadcast(g)))
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    val lamExpr = (1 to lags).map(j =>
+      lit(2.0 * (1.0 - j.toDouble / (lags + 1))) * col(s"__g$j") / col("__np"))
+      .foldLeft(col("__g0") / col("__np"))(_ + _)
+    folded.crossJoin(nDays)
+      .withColumn("gamma0", col("__g0") / col("__np"))
+      .withColumn("lambda2", lamExpr)
+      .withColumn("__s2",
+        (col("__g0") - lit(0.0)) / (col("__np") - 2)) // SSE = Σu² (OLS resid)
+      .withColumn("__se_rho", sqrt(col("__s2") / col("__sxx")))
+      .withColumn("t_rho", (col("rho") - 1) / col("__se_rho"))
+      .select(col("n_days"), col("__np").cast("long").as("n_pairs"),
+        col("rho"), col("t_rho"), col("gamma0"), col("lambda2"),
+        (col("__np") * (col("rho") - 1) -
+          (col("lambda2") - col("gamma0")) * col("__np") * col("__np") /
+            (lit(2.0) * col("__sxx"))).as("z_rho"),
+        (sqrt(col("gamma0") / col("lambda2")) * col("t_rho") -
+          (col("lambda2") - col("gamma0")) * col("__np") /
+            (lit(2.0) * sqrt(col("lambda2")) * sqrt(col("__sxx"))))
+          .as("z_tau"))
+  }
+
+  /**
+   * AR(2) fit by Yule–Walker on the daily event-count series, with the
+   * in-sample one-step backtest (RMSE/MAE/MASE vs the naive lag-1
+   * walk) and the h = 1..3 closed-form forecast fan — the "is this AR
+   * structure worth anything" readout the bare Yule–Walker
+   * coefficients don't give. Autocovariances come from calendar-shift
+   * self-joins (biased /n estimators, the YW convention); forecasts
+   * unroll the recursion ŷ_{n+h} = μ + φ₁(ŷ_{n+h−1}−μ) + φ₂(ŷ_{n+h−2}−μ)
+   * from the last two observed days. One bounded 1-row stats collect;
+   * everything else stays frame-side. Returns rows h = 1..3:
+   * (h, n_days, phi1, phi2, mean_daily, forecast, rmse, mae, mase).
+   */
+  def arForecast(df: DataFrame, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val mu = broadcast(daily.agg(avg(col("__y")).as("__mu"),
+      count(lit(1)).cast("double").as("__n")))
+    val dm = daily.crossJoin(mu)
+      .select(col("__t"), (col("__y") - col("__mu")).as("__z"),
+        col("__y"))
+      .localCheckpoint()
+    def shifted(j: Int) = dm.select((col("__t") + j).as("__t"),
+      col("__z").as(s"__z$j"), col("__y").as(s"__y$j"))
+    val c0 = broadcast(dm.agg(sum(col("__z") * col("__z")).as("__s0")))
+    val c1 = broadcast(dm.join(shifted(1), Seq("__t"))
+      .agg(sum(col("__z") * col("__z1")).as("__s1")))
+    val c2 = broadcast(dm.join(shifted(2), Seq("__t"))
+      .agg(sum(col("__z") * col("__z2")).as("__s2")))
+    val phis = mu.crossJoin(c0).crossJoin(c1).crossJoin(c2)
+      .select(col("__mu"), col("__n"),
+        (col("__s0") / col("__n")).as("__c0"),
+        (col("__s1") / col("__n")).as("__c1"),
+        (col("__s2") / col("__n")).as("__c2"))
+      .select(col("__mu"), col("__n"), col("__c0"),
+        ((col("__c1") * (col("__c0") - col("__c2"))) /
+          (col("__c0") * col("__c0") - col("__c1") * col("__c1")))
+          .as("phi1"),
+        ((col("__c0") * col("__c2") - col("__c1") * col("__c1")) /
+          (col("__c0") * col("__c0") - col("__c1") * col("__c1")))
+          .as("phi2"))
+    val phiB = broadcast(phis)
+    // one-step in-sample backtest over consecutive-day triples
+    val triples = dm.join(shifted(1), Seq("__t")).join(shifted(2), Seq("__t"))
+    val bt = triples.crossJoin(phiB)
+      .select(col("__y"),
+        (col("__mu") + col("phi1") * col("__z1") +
+          col("phi2") * col("__z2")).as("__pred"),
+        col("__y1"))
+      .agg(
+        sqrt(avg((col("__y") - col("__pred")) * (col("__y") - col("__pred"))))
+          .as("rmse"),
+        avg(abs(col("__y") - col("__pred"))).as("mae"),
+        avg(abs(col("__y") - col("__y1"))).as("__mae_naive"))
+    // bounded tail collect: the last two observed days seed the fan
+    val tail = daily.orderBy(col("__t").desc).limit(2).collect()
+    require(tail.length == 2, "arForecast: need >= 2 days")
+    val (yN, yN1) = (tail(0).getDouble(1), tail(1).getDouble(1))
+    val stats = phiB.crossJoin(broadcast(bt)).head()
+    val muV = stats.getAs[Double]("__mu")
+    val p1 = stats.getAs[Double]("phi1")
+    val p2 = stats.getAs[Double]("phi2")
+    val f1 = muV + p1 * (yN - muV) + p2 * (yN1 - muV)
+    val f2 = muV + p1 * (f1 - muV) + p2 * (yN - muV)
+    val f3 = muV + p1 * (f2 - muV) + p2 * (f1 - muV)
+    val mase = stats.getAs[Double]("mae") / stats.getAs[Double]("__mae_naive")
+    Seq((1L, f1), (2L, f2), (3L, f3))
+      .toDF("h", "forecast")
+      .withColumn("n_days", lit(stats.getAs[Double]("__n")).cast("long"))
+      .withColumn("phi1", lit(p1)).withColumn("phi2", lit(p2))
+      .withColumn("mean_daily", lit(muV))
+      .withColumn("rmse", lit(stats.getAs[Double]("rmse")))
+      .withColumn("mae", lit(stats.getAs[Double]("mae")))
+      .withColumn("mase", lit(mase))
+      .select("h", "n_days", "phi1", "phi2", "mean_daily", "forecast",
+        "rmse", "mae", "mase")
+  }
+
+  /**
+   * Engle–Granger error-correction model between two daily series of
+   * the same corpus (x = Σ`xCol`, y = Σ`yCol` per day): step 1 fits
+   * the long-run levels regression y = a + b·x and takes its residual
+   * e (the cointegrating error); step 2 regresses Δy_t on
+   * [1, e_{t−1}, Δx_t] — γ on the lagged error is the ADJUSTMENT
+   * SPEED (how fast y snaps back to the long-run line; a
+   * significantly negative γ is the error-correction evidence that
+   * the [[dickeyFuller]]-style cointegration residual test alone
+   * doesn't quantify). Both steps are closed-form OLS over
+   * calendar-sized aggregate frames (the 2-regressor step via 3×3
+   * normal-equation determinants). Daily MEANS (not sums) keep the
+   * normal-equation products at unit scale so the difference-of-
+   * products shapes stay far from fp cancellation. Returns 1 row:
+   * (n_days, n_ecm, alpha_lr, beta_lr, gamma_adj, t_gamma,
+   * delta_x_coef, r2_ecm).
+   */
+  def engleGrangerEcm(df: DataFrame, tsCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(avg(col(xCol).cast("double")).as("__x"),
+        avg(col(yCol).cast("double")).as("__y"))
+      .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
+        col("__x"), col("__y"))
+      .localCheckpoint()
+    val lr = broadcast(daily.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("beta_lr",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("alpha_lr",
+        (col("__sy") - col("beta_lr") * col("__sx")) / col("__n")))
+    val withE = daily.crossJoin(lr)
+      .select(col("__t"), col("__x"), col("__y"),
+        (col("__y") - col("alpha_lr") - col("beta_lr") * col("__x"))
+          .as("__e"))
+    val prev = withE.select((col("__t") + 1).as("__t"),
+      col("__x").as("__xp"), col("__y").as("__yp"), col("__e").as("__ep"))
+    val ecmRows = withE.join(prev, Seq("__t"))
+      .select((col("__y") - col("__yp")).as("__dy"),
+        col("__ep"), (col("__x") - col("__xp")).as("__dx"))
+    // 3×3 normal equations for Δy ~ 1 + e_{t-1} + Δx
+    val m = ecmRows.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__ep")).as("s1"), sum(col("__dx")).as("s2"),
+      sum(col("__ep") * col("__ep")).as("s11"),
+      sum(col("__ep") * col("__dx")).as("s12"),
+      sum(col("__dx") * col("__dx")).as("s22"),
+      sum(col("__dy")).as("sy"),
+      sum(col("__ep") * col("__dy")).as("s1y"),
+      sum(col("__dx") * col("__dy")).as("s2y"),
+      sum(col("__dy") * col("__dy")).as("syy"))
+    val withDet = m
+      .withColumn("det",
+        col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+          col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+          col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("c0",
+        (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+          col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+          col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))) /
+          col("det"))
+      .withColumn("gamma_adj",
+        (col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+          col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+          col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))) /
+          col("det"))
+      .withColumn("delta_x_coef",
+        (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+          col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+          col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))) /
+          col("det"))
+      .withColumn("rss",
+        col("syy") - lit(2.0) * (col("c0") * col("sy") +
+          col("gamma_adj") * col("s1y") + col("delta_x_coef") * col("s2y")) +
+          (col("c0") * col("c0") * col("n") +
+            col("gamma_adj") * col("gamma_adj") * col("s11") +
+            col("delta_x_coef") * col("delta_x_coef") * col("s22") +
+            lit(2.0) * col("c0") * col("gamma_adj") * col("s1") +
+            lit(2.0) * col("c0") * col("delta_x_coef") * col("s2") +
+            lit(2.0) * col("gamma_adj") * col("delta_x_coef") * col("s12")))
+      .withColumn("tss", col("syy") - col("sy") * col("sy") / col("n"))
+      // var(γ) = s²·[(X'X)⁻¹]₁₁ with the e-coefficient cofactor
+      .withColumn("__inv11",
+        (col("n") * col("s22") - col("s2") * col("s2")) / col("det"))
+      .withColumn("t_gamma", when(col("n") > 3 && col("__inv11") > 0,
+        col("gamma_adj") /
+          sqrt(col("rss") / (col("n") - 3) * col("__inv11"))))
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    withDet.crossJoin(nDays)
+      .crossJoin(lr.select(col("alpha_lr"), col("beta_lr")))
+      .select(col("n_days"), col("n").cast("long").as("n_ecm"),
+        col("alpha_lr"), col("beta_lr"), col("gamma_adj"), col("t_gamma"),
+        col("delta_x_coef"),
+        when(col("tss") > 0, lit(1.0) - col("rss") / col("tss"))
+          .as("r2_ecm"))
+  }
 }

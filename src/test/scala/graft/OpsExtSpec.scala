@@ -9324,4 +9324,119 @@ class OpsExtSpec extends AnyFunSuite {
       maxBucketSize = Some(1000))
     assert(pairs.where(col("doc_a") === 1L && col("doc_b") === 51L).count() == 1)
   }
+
+  test("sampleEntropy: hand-worked 6-day series (m=2 forward templates)") {
+    import spark.implicits._
+    // daily counts [1,2,1,2,1,9] → templates (1,2,1),(2,1,2),(1,2,1),(2,1,9)
+    // σ² = 92/6 − (16/6)² ; r ≈ 0.5735 → matches need integer equality:
+    // b-pairs (0,2),(1,3); a-pairs only (0,2) → SampEn = −ln(1/2) = ln 2
+    val counts = Seq(1, 2, 1, 2, 1, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.sampleEntropy(rows, "ts", rFactor = 0.2).head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("n_templates") == 4L)
+    assert(math.abs(r.getAs[Double]("r")
+      - 0.2 * math.sqrt(92.0 / 6 - (16.0 / 6) * (16.0 / 6))) < 1e-12)
+    assert(r.getAs[Long]("b_count") == 2L)
+    assert(r.getAs[Long]("a_count") == 1L)
+    assert(math.abs(r.getAs[Double]("sample_entropy") - math.log(2)) < 1e-12)
+  }
+
+  test("kalmanLevel: constant series → zero SSE, exact gain/variance") {
+    import spark.implicits._
+    // y = [5,5,5], q=10, r=100, P0=r: pp1=110, k1=11/21, P1=1100/21;
+    // pp2=1310/21, k2=131/341, P2=13100/341; all innovations zero
+    val rows = (0 until 3).flatMap(i => Seq.fill(5)(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)).toDF("ts")
+    val r = graft.ops.TimeSeries.kalmanLevel(rows, "ts", q = 10.0, r = 100.0).head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Double]("level") == 5.0)
+    assert(r.getAs[Double]("sse") == 0.0)
+    assert(r.getAs[Double]("rmse") == 0.0)
+    assert(math.abs(r.getAs[Double]("k_gain") - 131.0 / 341) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_var") - 13100.0 / 341) < 1e-9)
+    assert(math.abs(r.getAs[Double]("neg_loglik")
+      - 0.5 * (math.log(2 * math.Pi * 210.0)
+        + math.log(2 * math.Pi * 3410.0 / 21))) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.kalmanLevel(rows, "ts", q = 0.0, r = 100.0)
+    }
+  }
+
+  test("phillipsPerron: hand-worked AR(1) regression + Bartlett L=1") {
+    import spark.implicits._
+    // x = [1,2,1,3,1]: rho = −9/11, residuals u = (−4,−6,7,3)/11,
+    // γ0 = 5/22, γ1 = 3/484, λ² = 113/484, t_rho = −2√5
+    val rows = Seq(1.0, 2.0, 1.0, 3.0, 1.0).zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString, v)
+    }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries.phillipsPerron(rows, "ts", "v", lags = 1).head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(math.abs(r.getAs[Double]("rho") - (-9.0 / 11)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_rho") - (-2 * math.sqrt(5))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gamma0") - 5.0 / 22) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lambda2") - 113.0 / 484) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z_rho") - (-9704.0 / 1331)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_tau")
+      - (math.sqrt(110.0 / 113) * (-2 * math.sqrt(5))
+        - (6.0 / 11) / math.sqrt(1243.0))) < 1e-9)
+  }
+
+  test("arForecast: Yule-Walker AR(2) on alternating counts") {
+    import spark.implicits._
+    // counts [1,2,1,2,1]: μ=1.4, c=(0.24,−0.192,0.136) → φ1=−26/27,
+    // φ2=−11/54; backtest and 3-step fan recomputed below
+    val counts = Seq(1, 2, 1, 2, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val out = graft.ops.TimeSeries.arForecast(rows, "ts").orderBy("h").collect()
+    assert(out.length == 3)
+    val mu = 7.0 / 5
+    val p1 = -26.0 / 27
+    val p2 = -11.0 / 54
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_days") == 5L)
+    assert(math.abs(r0.getAs[Double]("phi1") - p1) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("phi2") - p2) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("mean_daily") - mu) < 1e-12)
+    // in-sample one-step predictions at t = 2,3,4
+    val preds = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (1.0, 2.0, 1.0)).map {
+      case (y, z1, z2) => (y, mu + p1 * (z1 - mu) + p2 * (z2 - mu))
+    }
+    val mae = preds.map { case (y, p) => math.abs(y - p) }.sum / 3
+    val rmse = math.sqrt(preds.map { case (y, p) => (y - p) * (y - p) }.sum / 3)
+    assert(math.abs(r0.getAs[Double]("mae") - mae) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("rmse") - rmse) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("mase") - mae) < 1e-9) // naive MAE = 1
+    val f1 = mu + p1 * (1.0 - mu) + p2 * (2.0 - mu)
+    val f2 = mu + p1 * (f1 - mu) + p2 * (1.0 - mu)
+    val f3 = mu + p1 * (f2 - mu) + p2 * (f1 - mu)
+    assert(math.abs(r0.getAs[Double]("forecast") - f1) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("forecast") - f2) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("forecast") - f3) < 1e-9)
+  }
+
+  test("engleGrangerEcm: DuckDB-cross-checked constants on 6-day panel") {
+    import spark.implicits._
+    // x=[1,2,1,3,2,4], y=[2.5,4.2,2.8,6.1,4.4,7.9]; expected values
+    // independently computed from the normal equations in DuckDB
+    val data = Seq(
+      (0, 1.0, 2.5), (1, 2.0, 4.2), (2, 1.0, 2.8),
+      (3, 3.0, 6.1), (4, 2.0, 4.4), (5, 4.0, 7.9)).map { case (t, x, y) =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(t.toLong).toString, x, y)
+    }.toDF("ts", "x", "y")
+    val r = graft.ops.TimeSeries.engleGrangerEcm(data, "ts", "x", "y").head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("n_ecm") == 5L)
+    assert(math.abs(r.getAs[Double]("alpha_lr") - 0.860975609756) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta_lr") - 1.748780487805) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gamma_adj") - (-0.739268568847)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("delta_x_coef") - 1.691688310103) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_gamma") - (-1.028337773927)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2_ecm") - 0.998251416391) < 1e-9)
+  }
 }
