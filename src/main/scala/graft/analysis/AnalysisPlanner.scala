@@ -6763,4 +6763,77 @@ object AnalysisPlanner {
       when(slope =!= 0, exp(-icept / slope)).as("scale"),
       when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).as("r_squared"))
   }
+
+  /**
+   * Wald–Wolfowitz two-sample runs test: merge both samples, sort by
+   * value, count maximal same-group runs; too FEW runs means the two
+   * samples separate (a location/shape difference Mann–Whitney's
+   * rank-sum can miss), too many means interleaving beyond chance.
+   * Ties across groups are broken deterministically by
+   * (value, group, tieCols…) — the same total order the oracle uses;
+   * heavy cross-group ties make the statistic tie-break-dependent, as
+   * in every fixed-order implementation of this test.
+   *
+   * Scale shape: the global ordering is NEVER materialized on one
+   * task. Rows are range-bucketed on the value (bounds from a 1-row
+   * broadcast agg — the [[PrefixSum]] discipline), ranks =
+   * broadcast bucket offsets + a bucket-PARTITIONED row_number, and
+   * the adjacency Σ[g_r ≠ g_{r+1}] is an equi-join on consecutive
+   * ranks — shuffle-bounded, no single-partition window.
+   * Returns 1 row: (group_a, group_b, n_a, n_b, runs, expected_runs,
+   * variance, z).
+   */
+  def runsTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+      tieCols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(tieCols.nonEmpty, "runsTwoSample: tieCols required for a " +
+      "deterministic total order")
+    require(buckets >= 1, "runsTwoSample: buckets must be >= 1")
+    val ties = tieCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__k$i") }
+    val keyNames = tieCols.indices.map(i => s"__k$i")
+    val base = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v") +:
+        col(groupCol).cast("string").as("__g") +: ties: _*)
+    val groups = base.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .orderBy("__g").limit(3).collect()
+    require(groups.length == 2,
+      s"runsTwoSample: need exactly 2 groups, got ${groups.length}")
+    val (ga, na) = (groups(0).getString(0), groups(0).getLong(1))
+    val (gb, nb) = (groups(1).getString(0), groups(1).getLong(1))
+    val bounds = broadcast(base.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi")))
+    val bucketed = base.crossJoin(bounds)
+      .withColumn("__rb",
+        when(col("__hi") <= col("__lo"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("__v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * buckets), lit(0L)),
+            lit(buckets - 1L))))
+      .drop("__lo", "__hi")
+    val offsets = PrefixSum.exclusive(
+      bucketed.groupBy("__rb").agg(count(lit(1)).as("__c")),
+      "__rb", Seq(("__c", "__off")))
+    val wLoc = Window.partitionBy(col("__rb"))
+      .orderBy(col("__v") +: col("__g") +: keyNames.map(col): _*)
+    val ranked = bucketed
+      .join(broadcast(offsets.select("__rb", "__off")), Seq("__rb"))
+      .select((col("__off") + row_number().over(wLoc)).as("__r"),
+        col("__g"))
+    val nxt = ranked.select((col("__r") - 1).as("__r"),
+      col("__g").as("__gn"))
+    val changes = ranked.join(nxt, Seq("__r"))
+      .agg(coalesce(sum(when(col("__g") =!= col("__gn"), 1L)
+        .otherwise(0L)), lit(0L)).as("__ch"))
+    val n = (na + nb).toDouble
+    val mu = 2.0 * na * nb / n + 1
+    val v2 = if (n > 1)
+      2.0 * na * nb * (2.0 * na * nb - n) / (n * n * (n - 1)) else 0.0
+    changes.select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+      lit(na).as("n_a"), lit(nb).as("n_b"),
+      (lit(1L) + col("__ch")).as("runs"),
+      lit(mu).as("expected_runs"), lit(v2).as("variance"),
+      when(lit(v2) > 0, (lit(1L) + col("__ch") - mu) / math.sqrt(v2))
+        .as("z"))
+  }
 }

@@ -884,6 +884,62 @@ object Features {
         col("max_kocc"), col("frac_antihub"))
   }
 
+  /**
+   * Linear Centered Kernel Alignment (CKA) between the first `p` and
+   * the remaining `d − p` coordinates of one embedding column — "how
+   * much linear structure do the two views share", the
+   * representation-similarity readout used to compare embedding
+   * versions, layers, or a full vector against its truncated/Matryoshka
+   * half (Kornblith et al., "Similarity of Neural Network
+   * Representations Revisited", ICML 2019). Linear CKA =
+   * ‖Yᶜ'Xᶜ‖²_F / (‖Xᶜ'Xᶜ‖_F · ‖Yᶜ'Yᶜ‖_F) with column-centered X, Y —
+   * every factor-of-n cancels, so it is computed from raw centered
+   * cross-product sums.
+   *
+   * Scale shape: the whole corpus folds through [[Pca.gramTotals]] —
+   * the executor-merged (n, Σv, Σvvᵀ) kernel; exactly ONE d²-sized
+   * partial reaches the driver, where the block norms are d²
+   * flops. No explode, no join, no per-row driver traffic.
+   * Returns 1 row: (n_vecs, p_dims, q_dims, cross_norm, x_norm,
+   * y_norm, cka).
+   */
+  def cka(df: DataFrame, vecCol: String, d: Int, p: Int,
+      fanIn: Int = 64): DataFrame = {
+    require(d >= 2 && p >= 1 && p < d, "cka: need 1 <= p < d")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, sum, gram) = Pca.gramTotals(df, vecCol, d, fanIn)
+    require(n >= 2, "cka: need at least two valid vectors")
+    val mean = sum.map(_ / n)
+    // centered cross-product: Σ x_i x_j − n·μ_i·μ_j (lower triangle
+    // stored; mirror on read)
+    def cc(i: Int, j: Int): Double = {
+      val (a, b) = if (i >= j) (i, j) else (j, i)
+      gram(a * d + b) - n * mean(a) * mean(b)
+    }
+    var sxx2 = 0.0
+    var syy2 = 0.0
+    var sxy2 = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        val c = cc(i, j)
+        if (i < p && j < p) sxx2 += c * c
+        else if (i >= p && j >= p) syy2 += c * c
+        else if (i < p && j >= p) sxy2 += c * c
+        j += 1
+      }
+      i += 1
+    }
+    val ckaVal = if (sxx2 > 0 && syy2 > 0)
+      Some(sxy2 / (math.sqrt(sxx2) * math.sqrt(syy2))) else None
+    Seq((n, p, d - p, math.sqrt(sxy2), math.sqrt(sxx2), math.sqrt(syy2),
+        ckaVal))
+      .toDF("n_vecs", "p_dims", "q_dims", "cross_norm", "x_norm",
+        "y_norm", "cka")
+  }
+
   def embeddingDimensionHealth(df: DataFrame, vecCol: String,
       collapseEps: Double = 1e-6): DataFrame = {
     val per = df.where(col(vecCol).isNotNull)

@@ -63,9 +63,11 @@ object Pca {
     * partitions partial rows, `reduceByKey(pid % fanIn)` folds them to
     * ≤ fanIn rows on executors, and a final 1-partition reduce leaves
     * exactly one row for the driver to collect. */
-  def fit(df: DataFrame, vecCol: String, d: Int, k: Int,
-      iters: Int = 100, fanIn: Int = 64): PcaModel = {
-    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+  /** One (count, Σv, Σvvᵀ lower triangle) total for `vecCol` — the
+    * executor-merged Gram kernel shared by [[fit]] and
+    * [[Features.cka]]. Exactly one partial row reaches the driver. */
+  private[ops] def gramTotals(df: DataFrame, vecCol: String, d: Int,
+      fanIn: Int = 64): (Long, Array[Double], Array[Double]) = {
     require(fanIn >= 1, "fanIn must be >= 1")
     import df.sparkSession.implicits._
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
@@ -96,14 +98,18 @@ object Pca {
       .mapPartitions(it => if (it.hasNext) Iterator.single(it.reduce(_.merge(_)))
                            else Iterator.empty)
       .collect() // exactly one (n, sum, gram) row crosses to the driver
-    require(collected.nonEmpty, "PCA needs at least one valid vector")
+    require(collected.nonEmpty, "gramTotals needs at least one valid vector")
     assert(collected.length == 1,
-      s"PCA driver merge expected 1 partial, got ${collected.length}")
+      s"gram driver merge expected 1 partial, got ${collected.length}")
     val total = collected(0)
-    val n = total.n
+    (total.n, total.sum, total.gram)
+  }
+
+  def fit(df: DataFrame, vecCol: String, d: Int, k: Int,
+      iters: Int = 100, fanIn: Int = 64): PcaModel = {
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (n, sum, gram) = gramTotals(df, vecCol, d, fanIn)
     require(n >= 2, "PCA needs at least two valid vectors")
-    val sum = total.sum
-    val gram = total.gram
     val mean = sum.map(_ / n)
     // covariance (sample): C_ij = (Σ v_i v_j − n·μ_i·μ_j) / (n − 1);
     // the kernel filled the lower triangle only — mirror it

@@ -135,4 +135,60 @@ object Survival {
         .as("fit_p90"),
       col("__o9").as("obs_p90"))
   }
+
+  /**
+   * Actuarial life table (grouped-interval survival) — the classic
+   * demography estimator Kaplan–Meier generalizes: durations are
+   * binned into fixed `intervalDays` intervals and censored subjects
+   * count as half-exposed in their exit interval, q̂_k =
+   * d_k / (n_k − c_k/2), Ŝ_k = Π_{j≤k}(1 − q̂_j). The grouped form is
+   * what survives at 100 TB: the corpus collapses to ≤ |intervals|
+   * rows in ONE groupBy, and the cumulative reads ride
+   * [[graft.analysis.PrefixSum]] — no single-partition window, no
+   * per-subject ordering.
+   *
+   * Returns one row per occupied interval, ordered by `interval`:
+   * (interval, day_start, n_risk, n_event, n_censored, q, surv) where
+   * `surv` is the survival through the END of the interval. q is NULL
+   * (and surv carries the last defined value's product semantics:
+   * exact 0 once a q hits 1) when the effective denominator is empty.
+   */
+  def lifeTable(df: DataFrame, durationCol: String, eventCol: String,
+      intervalDays: Int): DataFrame = {
+    require(intervalDays >= 1, "lifeTable: intervalDays must be >= 1")
+    val base = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(durationCol).cast("double") >= 0)
+      .select(floor(col(durationCol).cast("double") / intervalDays)
+        .cast("long").as("interval"),
+        col(eventCol).cast("boolean").as("__e"))
+    val per = base.groupBy("interval").agg(
+      sum(when(col("__e"), 1L).otherwise(0L)).as("n_event"),
+      sum(when(!col("__e"), 1L).otherwise(0L)).as("n_censored"))
+    val tot = broadcast(base.agg(count(lit(1)).as("__n")))
+    val pre = PrefixSum.exclusive(
+      per.withColumn("__out", col("n_event") + col("n_censored")),
+      "interval", Seq(("__out", "__cum")))
+    val withQ = pre.crossJoin(tot)
+      .withColumn("n_risk", col("__n") - col("__cum"))
+      .withColumn("q",
+        when(col("n_risk") - col("n_censored") / lit(2.0) > 0,
+          col("n_event") /
+            (col("n_risk") - col("n_censored") / lit(2.0))))
+      // log-space cumulative product; a q = 1 (or undefined-q)
+      // interval zeroes/freezes survival from there on, tracked by a
+      // flag prefix instead of ln(0)
+      .withColumn("__ln1q",
+        when(col("q").isNotNull && col("q") < 1, log(lit(1.0) - col("q")))
+          .otherwise(lit(0.0)))
+      .withColumn("__zflag",
+        when(col("q").isNull || col("q") >= 1, 1L).otherwise(0L))
+    val cum = PrefixSum.exclusive(withQ, "interval",
+      Seq(("__ln1q", "__lnpre"), ("__zflag", "__zpre")))
+    cum.select(col("interval"),
+        (col("interval") * intervalDays).as("day_start"),
+        col("n_risk"), col("n_event"), col("n_censored"), col("q"),
+        when(col("__zpre") + col("__zflag") > 0, lit(0.0))
+          .otherwise(exp(col("__lnpre") + col("__ln1q"))).as("surv"))
+  }
 }

@@ -2529,4 +2529,42 @@ object TimeSeries {
         when(col("tss") > 0, lit(1.0) - col("rss") / col("tss"))
           .as("r2_ecm"))
   }
+
+  /**
+   * Turning-points randomness test on the daily event-count series —
+   * the cheapest IID check there is: count interior days that are a
+   * strict local peak or trough among their two calendar neighbors.
+   * Under randomness E[T] = 2m/3 over m evaluated triples and
+   * Var[T] = (16n − 29)/90 with n = m + 2 (the classic contiguous
+   * formula; gap days simply contribute no triple, mirrored exactly by
+   * the oracle). A series with too FEW turning points trends; too MANY
+   * oscillates (negative serial correlation).
+   *
+   * Scale shape: corpus → calendar-sized daily frame in one grouped
+   * pass; triples via two calendar-shift equi-joins (the
+   * [[sampleEntropy]] discipline) — no window, no sequence
+   * materialization. Returns 1 row: (n_days, n_triples,
+   * turning_points, expected_tp, variance_tp, z).
+   */
+  def turningPoints(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val t1 = daily.select((col("__t") - 1).as("__t"), col("__y").as("__y1"))
+    val t2 = daily.select((col("__t") - 2).as("__t"), col("__y").as("__y2"))
+    val agg = daily.join(t1, Seq("__t")).join(t2, Seq("__t"))
+      .agg(count(lit(1)).as("n_triples"),
+        coalesce(sum(when(
+          (col("__y1") > col("__y") && col("__y1") > col("__y2")) ||
+          (col("__y1") < col("__y") && col("__y1") < col("__y2")), 1L)
+          .otherwise(0L)), lit(0L)).as("turning_points"))
+    val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    agg.crossJoin(nd)
+      .withColumn("expected_tp", lit(2.0) * col("n_triples") / 3)
+      .withColumn("variance_tp",
+        (lit(16.0) * (col("n_triples") + 2) - 29) / 90)
+      .select(col("n_days"), col("n_triples"), col("turning_points"),
+        col("expected_tp"), col("variance_tp"),
+        when(col("variance_tp") > 0,
+          (col("turning_points") - col("expected_tp")) /
+            sqrt(col("variance_tp"))).as("z"))
+  }
 }

@@ -9439,4 +9439,107 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("t_gamma") - (-1.028337773927)) < 1e-9)
     assert(math.abs(r.getAs[Double]("r2_ecm") - 0.998251416391) < 1e-9)
   }
+
+  test("groupFairness: hand-worked two-group confusion panel") {
+    import spark.implicits._
+    // g1: (d,y) = (T,T),(T,F),(F,T),(F,F); g2: (T,T),(T,T)
+    val rows = Seq(("g1", true, true), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false),
+      ("g2", true, true), ("g2", true, true)).toDF("seg", "d", "y")
+    val r = graft.ops.Fairness
+      .groupFairness(rows, "seg", col("d"), col("y"))
+      .orderBy("grp").collect()
+    val g1 = r(0)
+    assert(g1.getAs[Long]("n") == 4L)
+    assert(g1.getAs[Double]("sel_rate") == 0.5)
+    assert(g1.getAs[Double]("tpr") == 0.5)
+    assert(g1.getAs[Double]("fpr") == 0.5)
+    assert(g1.getAs[Double]("ppv") == 0.5)
+    // overall selection = 4/6; max group selection = 1 (g2)
+    assert(math.abs(g1.getAs[Double]("spd") - (0.5 - 4.0 / 6)) < 1e-12)
+    assert(g1.getAs[Double]("di_ratio") == 0.5)
+    val g2 = r(1)
+    assert(g2.getAs[Double]("sel_rate") == 1.0)
+    assert(g2.getAs[Double]("tpr") == 1.0)
+    assert(g2.isNullAt(g2.fieldIndex("fpr"))) // no negatives in g2
+    assert(math.abs(g2.getAs[Double]("spd") - (1.0 - 4.0 / 6)) < 1e-12)
+    assert(g2.getAs[Double]("di_ratio") == 1.0)
+  }
+
+  test("cka: duplicated half-views -> 1; constant half -> NULL") {
+    import spark.implicits._
+    val dup = Seq(Seq(1f, 0f, 1f, 0f), Seq(0f, 1f, 0f, 1f),
+      Seq(2f, 3f, 2f, 3f)).toDF("v")
+    val r = graft.ops.Features.cka(dup, "v", 4, 2).head
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Int]("p_dims") == 2)
+    assert(math.abs(r.getAs[Double]("cka") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cross_norm")
+      - r.getAs[Double]("x_norm")) < 1e-12)
+    val flat = Seq(Seq(1f, 2f, 5f, 5f), Seq(3f, 4f, 5f, 5f)).toDF("v")
+    val r2 = graft.ops.Features.cka(flat, "v", 4, 2).head
+    assert(r2.getAs[Double]("y_norm") == 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("cka")))
+  }
+
+  test("lifeTable: hand-worked 28-day actuarial intervals") {
+    import spark.implicits._
+    // durations (days, event): k=0 {5T,10T,30 is k=1...}: see asserts
+    val rows = Seq((5, true), (10, true), (30, false), (35, true),
+      (70, false)).toDF("dur", "ev")
+    val r = graft.ops.Survival.lifeTable(rows, "dur", "ev", 28)
+      .orderBy("interval").collect()
+    assert(r.length == 3)
+    // k=0: d=2 c=0 n_risk=5, q=2/5, S=3/5
+    assert(r(0).getAs[Long]("n_risk") == 5L)
+    assert(r(0).getAs[Long]("n_event") == 2L)
+    assert(r(0).getAs[Long]("n_censored") == 0L)
+    assert(math.abs(r(0).getAs[Double]("q") - 0.4) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("surv") - 0.6) < 1e-12)
+    // k=1 (days 28-55): d=1 (35) c=1 (30), n_risk=3, q=1/(3-0.5)=2/5
+    assert(r(1).getAs[Long]("day_start") == 28L)
+    assert(r(1).getAs[Long]("n_risk") == 3L)
+    assert(r(1).getAs[Long]("n_event") == 1L)
+    assert(r(1).getAs[Long]("n_censored") == 1L)
+    assert(math.abs(r(1).getAs[Double]("q") - 0.4) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("surv") - 0.36) < 1e-12)
+    // k=2 (day 70 censored): d=0 c=1, n_risk=1, q=0, surv unchanged
+    assert(r(2).getAs[Long]("n_risk") == 1L)
+    assert(r(2).getAs[Double]("q") == 0.0)
+    assert(math.abs(r(2).getAs[Double]("surv") - 0.36) < 1e-12)
+  }
+
+  test("runsTwoSample: interleaved ABABA -> 5 runs, exact z") {
+    import spark.implicits._
+    val rows = Seq((1.0, "A", 1L, 1), (3.0, "A", 2L, 1), (5.0, "A", 3L, 1),
+      (2.0, "B", 4L, 1), (4.0, "B", 5L, 1)).toDF("v", "g", "k1", "k2")
+    val r = graft.analysis.AnalysisPlanner
+      .runsTwoSample(rows, "v", "g", Seq("k1", "k2")).head
+    assert(r.getAs[String]("group_a") == "A")
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("runs") == 5L)
+    assert(math.abs(r.getAs[Double]("expected_runs") - 3.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("variance") - 0.84) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 1.6 / math.sqrt(0.84)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.analysis.AnalysisPlanner.runsTwoSample(
+        rows.withColumn("g", lit("only")), "v", "g", Seq("k1"))
+    }
+  }
+
+  test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
+    import spark.implicits._
+    val counts = Seq(1, 3, 2, 4, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.turningPoints(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_triples") == 3L)
+    assert(r.getAs[Long]("turning_points") == 3L)
+    assert(math.abs(r.getAs[Double]("expected_tp") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("variance_tp") - 51.0 / 90) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(51.0 / 90)) < 1e-12)
+  }
 }
