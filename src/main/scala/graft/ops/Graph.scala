@@ -623,4 +623,43 @@ object Graph {
           lit(2.0) * col("n_edges") /
             (col("n_nodes") * (col("n_nodes") - 1))))
   }
+
+  /**
+   * Katz centrality on the undirected simple graph: x ← 1 + α·A·x for
+   * a fixed iteration count — attenuated path counting, the
+   * centrality [[pageRank]] is NOT (no degree normalization: a
+   * high-degree neighbor contributes its full score, scaled only by
+   * α). α must satisfy α < 1/λ_max for convergence; with degree ≤ D
+   * any α < 1/D is safe.
+   *
+   * Scale shape: same loop discipline as [[pageRank]] — loop-invariant
+   * edge/node frames localCheckpointed ONCE, each iteration is one
+   * join + one groupBy (linear in edges), scores checkpointed
+   * periodically to bound the plan. Returns (node, katz).
+   */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      alpha: Double = 0.005, iterations: Int = 8): DataFrame = {
+    require(alpha > 0 && alpha < 1, "katzCentrality: alpha in (0,1)")
+    require(iterations >= 1 && iterations <= 50,
+      "katzCentrality: iterations in 1..50")
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var x = nodes.select(col("node"), lit(1.0).as("katz"))
+    for (i <- 1 to iterations) {
+      val contrib = x.join(e, x("node") === e("src"))
+        .groupBy(col("dst").as("__n2"))
+        .agg(sum(col("katz")).as("__c"))
+      x = nodes.join(contrib, nodes("node") === contrib("__n2"), "left")
+        .na.fill(0.0, Seq("__c"))
+        .select(col("node"), (lit(1.0) + lit(alpha) * col("__c")).as("katz"))
+      if (i % 4 == 0 && i < iterations) x = x.localCheckpoint()
+    }
+    x
+  }
 }

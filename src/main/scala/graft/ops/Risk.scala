@@ -214,4 +214,53 @@ object Risk {
           - safeLog(n01 + n11, nt) - safeLog(n00 + n10, nt)))
       .drop("__n00", "__n01", "__n10", "__n11")
   }
+
+  /**
+   * Cornish–Fisher modified VaR per key — the moment-based complement
+   * of [[varBacktest]]'s historical quantile: expand the Gaussian
+   * z-quantile by the series' own skew S and excess kurtosis K,
+   * w = z + (z²−1)S/6 + (z³−3z)K/24 − (2z³−5z)S²/36, and report
+   * VaR_p = −(μ + σ·w) at 95% and 99% next to the plain Gaussian
+   * VaR — fat-tailed/asymmetric series separate the two. Same
+   * rounded-daily-sum return substrate as [[riskAdjusted]].
+   *
+   * Scale shape: the corpus collapses to per-key daily sums, a
+   * key-partitioned lag, then ONE raw-moment aggregate per key (Σr^1..4
+   * — central moments from raw sums, no second pass). One row per key.
+   */
+  def cornishFisherVar(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val rets = dailyReturns(df, keyCol, tsCol, valueCol)
+    val m = rets.groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__r")).as("__s1"),
+        sum(col("__r") * col("__r")).as("__s2"),
+        sum(col("__r") * col("__r") * col("__r")).as("__s3"),
+        sum(col("__r") * col("__r") * col("__r") * col("__r")).as("__s4"))
+      .where(col("__n") >= 4)
+    val mu = col("__s1") / col("__n")
+    val m2 = col("__s2") / col("__n") - mu * mu
+    val m3 = col("__s3") / col("__n") -
+      lit(3.0) * mu * col("__s2") / col("__n") + lit(2.0) * mu * mu * mu
+    val m4 = col("__s4") / col("__n") -
+      lit(4.0) * mu * col("__s3") / col("__n") +
+      lit(6.0) * mu * mu * col("__s2") / col("__n") -
+      lit(3.0) * mu * mu * mu * mu
+    val sd = when(m2 > 0, sqrt(m2))
+    val sk = when(m2 > 0, m3 / pow(m2, lit(1.5)))
+    val ku = when(m2 > 0, m4 / (m2 * m2) - 3)
+    def w(z: Double) = lit(z) + (lit(z) * lit(z) - 1) * sk / 6 +
+      (lit(z) * lit(z) * lit(z) - lit(3.0) * lit(z)) * ku / 24 -
+      (lit(2.0) * lit(z) * lit(z) * lit(z) - lit(5.0) * lit(z)) *
+        sk * sk / 36
+    val z95 = -1.6448536269514722
+    val z99 = -2.3263478740408408
+    m.select(col(keyCol), col("__n").cast("long").as("n_ret"),
+      mu.as("mean_ret"), sd.as("sd_ret"), sk.as("skew"),
+      ku.as("kurt_excess"),
+      (-(mu + sd * lit(z95))).as("var95_gauss"),
+      (-(mu + sd * w(z95))).as("var95_cf"),
+      (-(mu + sd * lit(z99))).as("var99_gauss"),
+      (-(mu + sd * w(z99))).as("var99_cf"))
+  }
 }

@@ -2531,6 +2531,183 @@ object TimeSeries {
   }
 
   /**
+   * GPH (Geweke–Porter-Hudak) log-periodogram estimate of the
+   * long-memory parameter d of the daily mean series — the canonical
+   * "is this series fractionally integrated" readout that complements
+   * [[hurstExponent]]'s R/S slope: regress log I(λ_j) on log(4 sin²(λ_j/2))
+   * over the first m = ⌊√n⌋ Fourier frequencies; d̂ = −slope, with the
+   * OLS slope standard error and fit R². Days are indexed by calendar
+   * offset from the first observed day (gap days contribute no term,
+   * mirrored by the oracle).
+   *
+   * Scale shape: corpus → calendar-sized daily frame in one grouped
+   * pass; the Fourier sums are ONE groupBy over a broadcast
+   * daily × ⌊√n⌋-frequency product (≈ n^1.5 cheap trig rows), the OLS
+   * a 1-row aggregate; the only collect is a bounded 1-row stats row.
+   * Returns 1 row: (n_days, n_freqs, d_hat, se_d, r2).
+   */
+  def gphLongMemory(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol).localCheckpoint()
+    val st = daily.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("__x")).as("mu"), min(col("__t")).as("t0")).head()
+    val n = st.getDouble(0)
+    require(n >= 16, "gphLongMemory: need >= 16 days")
+    val mu = st.getDouble(1)
+    val t0 = st.getAs[Number](2).longValue
+    val m = math.floor(math.sqrt(n)).toInt
+    val freqs = broadcast(
+      df.sparkSession.range(1, m + 1L).toDF("j"))
+    val pts = daily.crossJoin(freqs)
+      .select(col("j"),
+        ((col("__x") - mu) *
+          cos(lit(2 * math.Pi) * col("j") * (col("__t") - t0) / n))
+          .as("__c"),
+        ((col("__x") - mu) *
+          sin(lit(2 * math.Pi) * col("j") * (col("__t") - t0) / n))
+          .as("__s"))
+      .groupBy("j")
+      .agg(sum(col("__c")).as("__a"), sum(col("__s")).as("__b"))
+      .select(
+        log((col("__a") * col("__a") + col("__b") * col("__b")) /
+          lit(2 * math.Pi * n)).as("__ly"),
+        log(lit(4.0) * pow(sin(lit(math.Pi) * col("j") / n), 2))
+          .as("__lx"))
+      .where(col("__ly").isNotNull)
+    val ols = pts.agg(count(lit(1)).cast("double").as("__k"),
+      sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+      sum(col("__lx") * col("__lx")).as("__sxx"),
+      sum(col("__lx") * col("__ly")).as("__sxy"),
+      sum(col("__ly") * col("__ly")).as("__syy"))
+    val sxxC = col("__sxx") - col("__sx") * col("__sx") / col("__k")
+    val sxyC = col("__sxy") - col("__sx") * col("__sy") / col("__k")
+    val syyC = col("__syy") - col("__sy") * col("__sy") / col("__k")
+    val slope = sxyC / sxxC
+    ols.select(lit(n).cast("long").as("n_days"),
+      col("__k").cast("long").as("n_freqs"),
+      (-slope).as("d_hat"),
+      when(col("__k") > 2 && sxxC > 0,
+        sqrt((syyC - slope * sxyC) / (col("__k") - 2) / sxxC))
+        .as("se_d"),
+      when(sxxC > 0 && syyC > 0, sxyC * sxyC / (sxxC * syyC)).as("r2"))
+  }
+
+  /**
+   * Detrended fluctuation analysis (DFA-1) of the daily event-count
+   * series: integrate the demeaned counts into a profile, split the
+   * RANK-indexed profile into complete boxes of each size, linearly
+   * detrend each box (closed-form OLS residual SS), and regress
+   * log F(s) on log s — the scaling exponent α that generalizes
+   * [[hurstExponent]] to nonstationary series (α ≈ 0.5 uncorrelated, > 0.5
+   * persistent). Boxes index by rank, so calendar gaps just compress.
+   *
+   * Scale shape: profile and ranks ride ONE [[graft.analysis
+   * .PrefixSum]] pass (no single-partition window); per-(size, box)
+   * closed-form detrending is a grouped aggregate; the log-log OLS is
+   * a |sizes|-row aggregate. Returns one row per box size with the
+   * shared (alpha, r2) fit columns: (s, n_boxes, fluctuation, alpha,
+   * r2).
+   */
+  def dfa(df: DataFrame, tsCol: String,
+      boxSizes: Seq[Int] = Seq(4, 8, 16, 32, 64)): DataFrame = {
+    require(boxSizes.nonEmpty && boxSizes.forall(_ >= 3),
+      "dfa: box sizes must be >= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = dailyCounts(df, tsCol)
+    val muRow = broadcast(daily.agg(avg(col("__y")).as("__mu")))
+    val dm = daily.crossJoin(muRow)
+      .select(col("__t"), (col("__y") - col("__mu")).as("__dy"),
+        lit(1L).as("__one"))
+    val pre = graft.analysis.PrefixSum.exclusive(dm, "__t",
+      Seq(("__one", "__k0"), ("__dy", "__xp")))
+    val prof = pre.select((col("__k0") + 1).cast("double").as("__k"),
+      (col("__xp") + col("__dy")).as("__v")).localCheckpoint()
+    val sizes = broadcast(boxSizes.toDF("s"))
+    val boxes = prof.crossJoin(sizes)
+      .groupBy(col("s"), floor((col("__k") - 1) / col("s")).as("__b"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("__k")).as("__sk"), sum(col("__v")).as("__sv"),
+        sum(col("__k") * col("__k")).as("__skk"),
+        sum(col("__k") * col("__v")).as("__skv"),
+        sum(col("__v") * col("__v")).as("__svv"))
+      .where(col("__cnt") === col("s"))
+    val sxx = col("__skk") - col("__sk") * col("__sk") / col("__cnt")
+    val sxy = col("__skv") - col("__sk") * col("__sv") / col("__cnt")
+    val syy = col("__svv") - col("__sv") * col("__sv") / col("__cnt")
+    val f = boxes
+      .select(col("s"), (syy - sxy * sxy / sxx).as("__sse"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_boxes"),
+        sqrt(sum(col("__sse")) / (count(lit(1)) * col("s")))
+          .as("fluctuation"))
+      .where(col("fluctuation") > 0)
+      .localCheckpoint()
+    val ols = broadcast(f.agg(count(lit(1)).cast("double").as("__k"),
+        sum(log(col("s"))).as("__sx"),
+        sum(log(col("fluctuation"))).as("__sy"),
+        sum(log(col("s")) * log(col("s"))).as("__sxx"),
+        sum(log(col("s")) * log(col("fluctuation"))).as("__sxy"),
+        sum(log(col("fluctuation")) * log(col("fluctuation"))).as("__syy"))
+      .select(col("__k"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__k")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__k")))
+          .as("alpha"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("__k")) *
+          (col("__sxy") - col("__sx") * col("__sy") / col("__k")) /
+          ((col("__sxx") - col("__sx") * col("__sx") / col("__k")) *
+            (col("__syy") - col("__sy") * col("__sy") / col("__k"))))
+          .as("r2")))
+    f.crossJoin(ols)
+      .select(col("s"), col("n_boxes"), col("fluctuation"),
+        col("alpha"), col("r2"))
+  }
+
+  /**
+   * Syntetos–Boylan intermittent-demand classification per key: ADI
+   * (average inter-demand interval in `periodDays` buckets, the
+   * span/occupancy approximation) × CV² (squared coefficient of
+   * variation of nonzero period demand) quadrants — smooth /
+   * intermittent / erratic / lumpy, the routing decision between
+   * [[holtLinear]]-style smoothing and [[croston]]. Keys with
+   * fewer than 2 demand periods are excluded (CV² undefined).
+   *
+   * Scale shape: two map-side-combined groupBys (key × period, then
+   * key) and a 4-row class rollup — no window, no collect.
+   * Returns (demand_class, n_keys, avg_adi, avg_cv2) per quadrant.
+   */
+  def demandClasses(df: DataFrame, keyCol: String, tsCol: String,
+      qtyCol: String, periodDays: Int = 7, adiCut: Double = 1.32,
+      cv2Cut: Double = 0.49): DataFrame = {
+    require(periodDays >= 1, "demandClasses: periodDays must be >= 1")
+    val perPeriod = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(qtyCol).isNotNull)
+      .groupBy(col(keyCol).as("__key"),
+        floor(datediff(to_date(col(tsCol)), lit("1970-01-01")) /
+          periodDays).as("__w"))
+      .agg(sum(col(qtyCol).cast("double")).as("__q"))
+      .where(col("__q") > 0)
+    val perKey = perPeriod.groupBy("__key")
+      .agg(count(lit(1)).cast("double").as("__nw"),
+        (max(col("__w")) - min(col("__w")) + 1).cast("double").as("__span"),
+        avg(col("__q")).as("__mq"), var_samp(col("__q")).as("__vq"))
+      .where(col("__nw") >= 2 && col("__mq") > 0)
+      .select(col("__key"), (col("__span") / col("__nw")).as("__adi"),
+        (col("__vq") / (col("__mq") * col("__mq"))).as("__cv2"))
+    perKey
+      .select(col("__adi"), col("__cv2"),
+        when(col("__adi") < adiCut && col("__cv2") < cv2Cut, "smooth")
+          .when(col("__adi") >= adiCut && col("__cv2") < cv2Cut,
+            "intermittent")
+          .when(col("__adi") < adiCut, "erratic")
+          .otherwise("lumpy").as("demand_class"))
+      .groupBy("demand_class")
+      .agg(count(lit(1)).as("n_keys"), avg(col("__adi")).as("avg_adi"),
+        avg(col("__cv2")).as("avg_cv2"))
+  }
+
+  /**
    * Turning-points randomness test on the daily event-count series —
    * the cheapest IID check there is: count interior days that are a
    * strict local peak or trough among their two calendar neighbors.

@@ -9528,6 +9528,108 @@ class OpsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("gphLongMemory: DuckDB-cross-checked on 16-day pi-digit series") {
+    import spark.implicits._
+    val y = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val rows = y.zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString,
+        v.toDouble)
+    }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries.gphLongMemory(rows, "ts", "v").head
+    assert(r.getAs[Long]("n_days") == 16L)
+    assert(r.getAs[Long]("n_freqs") == 4L)
+    assert(math.abs(r.getAs[Double]("d_hat") - 1.752540232065) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_d") - 1.099195731853) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 0.559671235924) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.gphLongMemory(rows.limit(4), "ts", "v")
+    }
+  }
+
+  test("dfa: DuckDB-cross-checked fluctuations; 2-size fit has r2 = 1") {
+    import spark.implicits._
+    val y = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val rows = y.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.dfa(rows, "ts", boxSizes = Seq(4, 8))
+      .orderBy("s").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_boxes") == 4L)
+    assert(r(1).getAs[Long]("n_boxes") == 2L)
+    assert(math.abs(r(0).getAs[Double]("fluctuation") - 1.214495780149) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("fluctuation") - 2.029910272472) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("alpha") - 0.741058480557) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("demandClasses: one part per Syntetos-Boylan quadrant") {
+    import spark.implicits._
+    def day(week: Int) = java.time.LocalDate.ofEpochDay(week * 7L).toString
+    val rows = Seq(
+      // A: every week, steady -> smooth (adi=1, cv2 tiny)
+      ("A", day(0), 10.0), ("A", day(1), 10.0), ("A", day(2), 10.0),
+      ("A", day(3), 11.0),
+      // B: sparse AND volatile -> lumpy (adi=2.5, cv2=200/121)
+      ("B", day(0), 1.0), ("B", day(4), 21.0),
+      // C: every week but volatile -> erratic (adi=1, cv2=420.5/240.25)
+      ("C", day(0), 1.0), ("C", day(1), 30.0),
+      // D: sparse, steady -> intermittent (adi=7/3, cv2=0)
+      ("D", day(0), 5.0), ("D", day(3), 5.0), ("D", day(6), 5.0)
+    ).toDF("part", "ts", "qty")
+    val r = graft.ops.TimeSeries
+      .demandClasses(rows, "part", "ts", "qty")
+      .orderBy("demand_class").collect()
+    assert(r.map(_.getAs[String]("demand_class")).toSeq ==
+      Seq("erratic", "intermittent", "lumpy", "smooth"))
+    assert(r.forall(_.getAs[Long]("n_keys") == 1L))
+    val byClass = r.map(x =>
+      x.getAs[String]("demand_class") -> x).toMap
+    assert(math.abs(byClass("smooth").getAs[Double]("avg_adi") - 1.0) < 1e-12)
+    assert(math.abs(byClass("lumpy").getAs[Double]("avg_adi") - 2.5) < 1e-12)
+    assert(math.abs(byClass("lumpy").getAs[Double]("avg_cv2")
+      - 200.0 / 121) < 1e-12)
+    assert(math.abs(byClass("erratic").getAs[Double]("avg_cv2")
+      - 420.5 / 240.25) < 1e-12)
+    assert(math.abs(byClass("intermittent").getAs[Double]("avg_adi")
+      - 7.0 / 3) < 1e-12)
+    assert(byClass("intermittent").getAs[Double]("avg_cv2") == 0.0)
+  }
+
+  test("cornishFisher: alternating +-10% returns -> zero skew, kurt -2") {
+    import spark.implicits._
+    // daily sums 100,110,99,108.9,98.01 -> returns +0.1,-0.1,+0.1,-0.1
+    val vals = Seq(100.0, 110.0, 99.0, 108.9, 98.01)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString, v)
+    }.toDF("g", "ts", "v")
+    val r = graft.ops.Risk.cornishFisherVar(rows, "g", "ts", "v").head
+    assert(r.getAs[Long]("n_ret") == 4L)
+    assert(r.getAs[Double]("mean_ret") == 0.0)
+    assert(math.abs(r.getAs[Double]("sd_ret") - 0.1) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kurt_excess") - (-2.0)) < 1e-9)
+    val z95 = -1.6448536269514722
+    val z99 = -2.3263478740408408
+    def w(z: Double) = z + (z * z * z - 3 * z) * -2.0 / 24
+    assert(math.abs(r.getAs[Double]("var95_gauss") - (-0.1 * z95)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var95_cf") - (-0.1 * w(z95))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var99_gauss") - (-0.1 * z99)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var99_cf") - (-0.1 * w(z99))) < 1e-9)
+  }
+
+  test("katzCentrality: path graph a-b-c, two hand-checked iterations") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    val r = graft.ops.Graph
+      .katzCentrality(edges, "s", "t", alpha = 0.1, iterations = 2)
+      .orderBy("node").collect()
+    assert(r.map(_.getAs[String]("node")).toSeq == Seq("a", "b", "c"))
+    assert(math.abs(r(0).getAs[Double]("katz") - 1.12) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("katz") - 1.22) < 1e-12)
+    assert(math.abs(r(2).getAs[Double]("katz") - 1.12) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
