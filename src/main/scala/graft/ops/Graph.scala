@@ -662,4 +662,65 @@ object Graph {
     }
     x
   }
+
+  /**
+   * Spectral radius λ_max of the undirected simple graph's adjacency
+   * matrix by normalized power iteration + a final Rayleigh quotient —
+   * the graph's intrinsic "amplification factor": epidemic/cascade
+   * thresholds sit at 1/λ_max, and a [[katzCentrality]] α is valid iff
+   * α < 1/λ_max (this op IS that check). Starts from the all-ones
+   * vector (non-orthogonal to the Perron vector on any non-empty
+   * graph). Caveat: on a BIPARTITE graph the ±λ_max eigenpair makes
+   * plain power iteration oscillate and the quotient under-read (it is
+   * still a valid lower bound); co-occurrence graphs have odd cycles
+   * and converge.
+   *
+   * Scale shape: same loop discipline as [[pageRank]] — each iteration
+   * one edge join + groupBy plus a broadcast 1-row norm; the Rayleigh
+   * quotient is one more 1-row aggregate. Returns 1 row: (n_nodes,
+   * n_edges, lambda_max, alpha_max).
+   */
+  def spectralRadius(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      "spectralRadius: iterations in 1..50")
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    def multiply(x: DataFrame): DataFrame = {
+      val ax = x.join(e, x("node") === e("src"))
+        .groupBy(col("dst").as("__n2"))
+        .agg(sum(col("v")).as("__av"))
+      nodes.join(ax, nodes("node") === ax("__n2"), "left")
+        .na.fill(0.0, Seq("__av"))
+        .select(col("node"), col("__av"))
+    }
+    var x = nodes.select(col("node"), lit(1.0).as("v"))
+    for (i <- 1 to iterations) {
+      val ax = multiply(x)
+      val nrm = broadcast(ax.agg(
+        sqrt(sum(col("__av") * col("__av"))).as("__nrm")))
+      x = ax.crossJoin(nrm)
+        .select(col("node"),
+          when(col("__nrm") > 0, col("__av") / col("__nrm"))
+            .otherwise(lit(0.0)).as("v"))
+      if (i % 4 == 0 && i < iterations) x = x.localCheckpoint()
+    }
+    val ray = x.join(multiply(x), Seq("node"))
+      .agg(sum(col("v") * col("__av")).as("__num"),
+        sum(col("v") * col("v")).as("__den"))
+    val counts = broadcast(nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg((count(lit(1)) / 2).cast("long").as("n_edges"))))
+    ray.crossJoin(counts)
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("__den") > 0, col("__num") / col("__den"))
+          .as("lambda_max"),
+        when(col("__num") > 0, col("__den") / col("__num"))
+          .as("alpha_max"))
+  }
 }

@@ -1209,4 +1209,122 @@ object Similarity {
         avg(col("__a")).as("mean_own_dist"),
         avg(col("__b")).as("mean_other_dist"))
   }
+
+  /**
+   * TwoNN intrinsic-dimension estimate (Facco et al. 2017) of an
+   * embedding column: for each sampled point take the two nearest
+   * Euclidean distances r₁ < r₂; under a locally uniform density the
+   * ratio μ = r₂/r₁ is Pareto(d), so d̂ = n / Σ ln μ — "how many
+   * effective dimensions does this representation actually use",
+   * independent of the ambient width (the curse-of-dimensionality
+   * read next to [[graft.ops.Features.cka]] and the isotropy panel).
+   *
+   * The estimator is SAMPLE-BASED BY DESIGN: neighbor ratios from a
+   * deterministic hash sample (`vec_id % sampleMod == 0`) estimate the
+   * same d as the full corpus; the exact pair pass runs only within
+   * the sample, whose size is asserted ≤ `maxSample` (fail loudly, the
+   * holtLinear discipline — at 100 TB you raise sampleMod, not the
+   * cap). Distances are rounded to 9 decimals before ranking with a
+   * neighbor-id tie-break, so the selected pair set is engine-stable.
+   * Points whose nearest distance is 0 (exact duplicates) are
+   * excluded. Returns 1 row: (n_sampled, n_used, sum_log_mu,
+   * id_twonn).
+   */
+  def twoNnDimension(df: DataFrame, idCol: String, vecCol: String,
+      sampleMod: Int = 5, maxSample: Int = 20000): DataFrame = {
+    require(sampleMod >= 1, "twoNnDimension: sampleMod must be >= 1")
+    val pts = df
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint()
+    val nSampled = pts.count()
+    require(nSampled <= maxSample,
+      s"twoNnDimension: sample has $nSampled points (> $maxSample); " +
+        "raise sampleMod — the estimator needs a sample, not the corpus")
+    require(nSampled >= 3, "twoNnDimension: need >= 3 sampled points")
+    val other = pts.select(col("__id").as("__id2"), col("__v").as("__v2"))
+    val dists = pts.join(other, col("__id") =!= col("__id2"))
+      .select(col("__id"), col("__id2"),
+        round(VectorFunctions.l2Distance(col("__v"), col("__v2")), 9)
+          .as("__d"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d"), col("__id2"))
+    val top2 = dists.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+      .groupBy("__id")
+      .agg(min(when(col("__rn") === 1, col("__d"))).as("__d1"),
+        min(when(col("__rn") === 2, col("__d"))).as("__d2"))
+      .where(col("__d1") > 0)
+    top2.agg(count(lit(1)).as("n_used"),
+        sum(log(col("__d2") / col("__d1"))).as("sum_log_mu"))
+      .select(lit(nSampled).as("n_sampled"), col("n_used"),
+        col("sum_log_mu"),
+        when(col("sum_log_mu") > 0,
+          col("n_used") / col("sum_log_mu")).as("id_twonn"))
+  }
+
+  /**
+   * Local Outlier Factor (Breunig et al. 2000, k-NN row_number
+   * variant) over a SMALL feature frame — density-relative outlier
+   * scores for the calendar/segment-sized summaries this library's
+   * anomaly reads reduce to (HBOS and MAD score global tails; LOF
+   * catches points that are normal globally but isolated LOCALLY).
+   * reach-dist_k(p,o) = max(kdist(o), d(p,o)), lrd = k / Σ reach,
+   * LOF = Σ lrd(neighbor) / (k · lrd). Neighbor sets use distances
+   * rounded to 9 decimals with an id tie-break (engine-stable,
+   * deterministic — ties beyond k are cut by id, the fixed-k variant
+   * of the classic definition).
+   *
+   * Scale shape: the input must already be a REDUCED frame (daily
+   * panel, segment profile — the caller aggregates the corpus first);
+   * the exact pair pass is asserted ≤ `maxPoints` and every later
+   * step is a bounded window or grouped aggregate.
+   */
+  def lofScores(df: DataFrame, idCol: String, featureCols: Seq[String],
+      k: Int = 5, maxPoints: Int = 20000): DataFrame = {
+    require(featureCols.nonEmpty, "lofScores: featureCols required")
+    require(k >= 1, "lofScores: k must be >= 1")
+    val pts = df
+      .where(col(idCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("__id") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__f$i") }: _*)
+      .localCheckpoint()
+    val n = pts.count()
+    require(n <= maxPoints,
+      s"lofScores: $n points (> $maxPoints) — LOF is for reduced " +
+        "frames; aggregate the corpus before scoring")
+    require(n > k, s"lofScores: need more than k=$k points")
+    val other = pts.select(col("__id").as("__id2") +:
+      featureCols.indices.map(i => col(s"__f$i").as(s"__o$i")): _*)
+    val sq = featureCols.indices
+      .map(i => (col(s"__f$i") - col(s"__o$i")) *
+        (col(s"__f$i") - col(s"__o$i")))
+      .reduce(_ + _)
+    val dists = pts.join(other, col("__id") =!= col("__id2"))
+      .select(col("__id"), col("__id2"), round(sqrt(sq), 9).as("__d"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d"), col("__id2"))
+    val knn = dists.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).localCheckpoint()
+    val kd = knn.groupBy("__id").agg(max(col("__d")).as("kdist"))
+    val reach = knn
+      .join(kd.select(col("__id").as("__id2"), col("kdist").as("__kd2")),
+        Seq("__id2"))
+      .select(col("__id"), greatest(col("__kd2"), col("__d")).as("__re"))
+    val lrd = reach.groupBy("__id")
+      .agg(when(sum(col("__re")) > 0, lit(k.toDouble) / sum(col("__re")))
+        .as("lrd"))
+    val nbr = knn
+      .join(lrd.select(col("__id").as("__id2"), col("lrd").as("__l2")),
+        Seq("__id2"))
+      .groupBy("__id").agg(sum(col("__l2")).as("__sl"))
+    nbr.join(lrd, Seq("__id")).join(kd, Seq("__id"))
+      .select(col("__id").as(idCol), col("kdist"), col("lrd"),
+        when(col("lrd") > 0, col("__sl") / (lit(k.toDouble) * col("lrd")))
+          .as("lof"))
+  }
 }

@@ -1975,4 +1975,99 @@ object TextAnalysis {
       .orderBy(col("rank").desc, col("term").asc)
       .limit(k)
   }
+
+  /**
+   * Rank-biased overlap (Webber et al. 2010) between two groups'
+   * term-frequency rankings: the top-weighted list-similarity readout
+   * for "did this source's vocabulary ordering drift" — unlike plain
+   * set overlap it discounts depth geometrically (persistence `p`), so
+   * disagreement at rank 2 costs more than at rank 19. Reports the
+   * depth-truncated RBO and the standard extrapolated RBO_ext
+   * (truncated + p^D · overlap@D).
+   *
+   * Scale shape: per-group term counts are one corpus groupBy; each
+   * top-D list is a distributed TakeOrdered (orderBy + limit — NO
+   * unpartitioned window over the vocabulary); ranks inside the ≤ D-row
+   * lists come from a broadcast triangular self-join (the PrefixSum
+   * offsets trick at list size); everything after is ≤ D² rows.
+   */
+  def rankBiasedOverlap(df: DataFrame, groupCol: String, textCol: String,
+      groupA: String, groupB: String, depth: Int = 20,
+      p: Double = 0.9): DataFrame = {
+    require(depth >= 1 && depth <= 1000, "rankBiasedOverlap: depth 1..1000")
+    require(p > 0 && p < 1, "rankBiasedOverlap: p in (0,1)")
+    val counts = df
+      .where(col(groupCol).isin(groupA, groupB) && col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    def ranked(g: String) = {
+      val t = counts.where(col("__g") === g)
+        .orderBy(col("__n").desc, col("__t")).limit(depth)
+        .select(col("__t"), col("__n"))
+      val t2 = t.select(col("__t").as("__t2"), col("__n").as("__n2"))
+      t.join(broadcast(t2),
+          col("__n2") > col("__n") ||
+            (col("__n2") === col("__n") && col("__t2") < col("__t")),
+          "left")
+        .groupBy("__t").agg((count(col("__t2")) + 1).as("__r"))
+    }
+    val joined = ranked(groupA)
+      .join(ranked(groupB).select(col("__t"), col("__r").as("__rb")),
+        Seq("__t"))
+      .select(greatest(col("__r"), col("__rb")).as("__m"))
+      .localCheckpoint()
+    val ds = df.sparkSession.range(1, depth + 1L).toDF("__d")
+    val ad = ds.join(broadcast(joined), col("__m") <= col("__d"), "left")
+      .groupBy("__d").agg(count(col("__m")).cast("double").as("__a"))
+    ad.agg(
+        sum(lit(1.0 - p) * pow(lit(p), col("__d") - 1) * col("__a") /
+          col("__d")).as("__rbo"),
+        max(when(col("__d") === depth, col("__a"))).as("__alast"),
+        count(lit(1)).as("__nd"))
+      .crossJoin(broadcast(joined.agg(count(lit(1)).as("n_common"))))
+      .select(lit(depth).as("depth"), col("n_common"),
+        (col("__alast") / depth).as("overlap_at_depth"),
+        col("__rbo").as("rbo_trunc"),
+        (col("__rbo") + lit(math.pow(p, depth)) * col("__alast") / depth)
+          .as("rbo_ext"))
+  }
+
+  /**
+   * Weighted (Ruzicka) Jaccard similarity between every pair of
+   * groups' term RELATIVE-frequency vectors: Σ min(w_a, w_b) /
+   * Σ max(w_a, w_b) — the distribution-aware sibling of set Jaccard
+   * and the symmetric complement of the KL/JS divergence drift reads.
+   * Because each group's weights sum to 1, Σ max = 2 − Σ min, so ONLY
+   * shared terms ever join: Σ min over the term-keyed equi-join, no
+   * full-outer, no per-pair vocabulary scan.
+   *
+   * Scale shape: one corpus groupBy to (group, term) counts, one
+   * group-total join, then a term-keyed self-join whose fan-out per
+   * term is bounded by the (small) group count — shuffle on term,
+   * output ≤ |groups|² rows.
+   */
+  def weightedJaccardGroups(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = df.where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__g", "__t").agg(count(lit(1)).cast("double").as("__n"))
+    val tot = tf.groupBy("__g").agg(sum(col("__n")).as("__tot"))
+    val rel = tf.join(tot, Seq("__g"))
+      .select(col("__g"), col("__t"), (col("__n") / col("__tot")).as("__w"))
+      .localCheckpoint()
+    rel.as("a")
+      .join(rel.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("src_a"), col("b.__g").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(least(col("a.__w"), col("b.__w"))).as("__smin"))
+      .select(col("src_a"), col("src_b"), col("n_shared_terms"),
+        (col("__smin") / (lit(2.0) - col("__smin")))
+          .as("weighted_jaccard"))
+  }
 }

@@ -9630,6 +9630,80 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r(2).getAs[Double]("katz") - 1.12) < 1e-12)
   }
 
+  test("rankBiasedOverlap: hand-worked depth-3 p=0.5 lists") {
+    import spark.implicits._
+    // A ranks x,y,z ; B ranks x,w,y -> A_d = 1,1,2
+    val docs = Seq(("A", "x x x y y z"), ("B", "x x x w w y"))
+      .toDF("src", "text")
+    val r = graft.ops.TextAnalysis
+      .rankBiasedOverlap(docs, "src", "text", "A", "B", depth = 3, p = 0.5)
+      .head
+    assert(r.getAs[Int]("depth") == 3)
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(math.abs(r.getAs[Double]("overlap_at_depth") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rbo_trunc") - 17.0 / 24) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rbo_ext") - 19.0 / 24) < 1e-12)
+  }
+
+  test("twoNnDimension: 3 collinear sample points, exact mu ratios") {
+    import spark.implicits._
+    val rows = Seq((0L, Seq(0f, 0f)), (5L, Seq(1f, 0f)),
+      (10L, Seq(3f, 0f)), (1L, Seq(9f, 9f))).toDF("vec_id", "v")
+    val r = graft.ops.Similarity
+      .twoNnDimension(rows, "vec_id", "v", sampleMod = 5).head
+    assert(r.getAs[Long]("n_sampled") == 3L) // id 1 not in the sample
+    assert(r.getAs[Long]("n_used") == 3L)
+    // mu = 3, 2, 1.5 -> sum ln = ln 9
+    assert(math.abs(r.getAs[Double]("sum_log_mu") - math.log(9)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("id_twonn") - 3.0 / math.log(9)) < 1e-9)
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.twoNnDimension(rows, "vec_id", "v",
+        sampleMod = 1, maxSample = 2)
+    }
+  }
+
+  test("weightedJaccardGroups: two sources, hand-worked Ruzicka") {
+    import spark.implicits._
+    // A: w(x)=2/3, w(y)=1/3 ; B: w(x)=1/4, w(y)=3/4
+    val docs = Seq(("A", "x x y"), ("B", "x y y y")).toDF("src", "text")
+    val r = graft.ops.TextAnalysis
+      .weightedJaccardGroups(docs, "src", "text").head
+    assert(r.getAs[String]("src_a") == "A")
+    assert(r.getAs[Long]("n_shared_terms") == 2L)
+    // smin = 1/4 + 1/3 = 7/12 ; wj = smin / (2 - smin) = 7/17
+    assert(math.abs(r.getAs[Double]("weighted_jaccard") - 7.0 / 17) < 1e-12)
+  }
+
+  test("lofScores: 1-D cluster plus far point, hand-worked k=2") {
+    import spark.implicits._
+    val pts = Seq(("a", 0.0), ("b", 1.0), ("c", 2.0), ("d", 10.0))
+      .toDF("id", "x")
+    val r = graft.ops.Similarity.lofScores(pts, "id", Seq("x"), k = 2)
+      .orderBy("id").collect()
+    val by = r.map(x => x.getAs[String]("id") -> x).toMap
+    assert(by("a").getAs[Double]("kdist") == 2.0)
+    assert(math.abs(by("a").getAs[Double]("lrd") - 2.0 / 3) < 1e-12)
+    assert(math.abs(by("a").getAs[Double]("lof") - 7.0 / 8) < 1e-12)
+    assert(math.abs(by("b").getAs[Double]("lof") - 4.0 / 3) < 1e-12)
+    assert(math.abs(by("c").getAs[Double]("lof") - 7.0 / 8) < 1e-12)
+    assert(math.abs(by("d").getAs[Double]("lrd") - 2.0 / 17) < 1e-12)
+    assert(math.abs(by("d").getAs[Double]("lof") - 119.0 / 24) < 1e-12)
+  }
+
+  test("spectralRadius: triangle graph -> exactly 2; path under-reads") {
+    import spark.implicits._
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "t")
+    val r = graft.ops.Graph.spectralRadius(tri, "s", "t").head
+    assert(r.getAs[Long]("n_nodes") == 3L)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(math.abs(r.getAs[Double]("lambda_max") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha_max") - 0.5) < 1e-12)
+    // bipartite path a-b-c: oscillates, Rayleigh lower bound = 4/3
+    val path = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    val p = graft.ops.Graph.spectralRadius(path, "s", "t").head
+    assert(math.abs(p.getAs[Double]("lambda_max") - 4.0 / 3) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
