@@ -665,7 +665,7 @@ object Graph {
 
   /**
    * Spectral radius λ_max of the undirected simple graph's adjacency
-   * matrix by normalized power iteration + a final Rayleigh quotient —
+   * matrix by power iteration + a final Rayleigh quotient —
    * the graph's intrinsic "amplification factor": epidemic/cascade
    * thresholds sit at 1/λ_max, and a [[katzCentrality]] α is valid iff
    * α < 1/λ_max (this op IS that check). Starts from the all-ones
@@ -692,23 +692,20 @@ object Graph {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    def multiply(x: DataFrame): DataFrame = {
-      val ax = x.join(e, x("node") === e("src"))
-        .groupBy(col("dst").as("__n2"))
+    // every node of the simple graph has degree >= 1, so A·x keeps
+    // every node's mass positive from the all-ones start — the plain
+    // groupBy covers exactly the node set, no re-join/fill needed
+    def multiply(x: DataFrame): DataFrame =
+      x.join(e, x("node") === e("src"))
+        .groupBy(col("dst").as("node"))
         .agg(sum(col("v")).as("__av"))
-      nodes.join(ax, nodes("node") === ax("__n2"), "left")
-        .na.fill(0.0, Seq("__av"))
-        .select(col("node"), col("__av"))
-    }
+    // UNNORMALIZED iterations: doubles hold λ^iters comfortably for
+    // any real degree bound, and skipping the per-iteration norm
+    // avoids 1 eager materialization per round (the norm branch would
+    // otherwise re-embed the A·x lineage — 2^iters plan growth)
     var x = nodes.select(col("node"), lit(1.0).as("v"))
     for (i <- 1 to iterations) {
-      val ax = multiply(x)
-      val nrm = broadcast(ax.agg(
-        sqrt(sum(col("__av") * col("__av"))).as("__nrm")))
-      x = ax.crossJoin(nrm)
-        .select(col("node"),
-          when(col("__nrm") > 0, col("__av") / col("__nrm"))
-            .otherwise(lit(0.0)).as("v"))
+      x = multiply(x).select(col("node"), col("__av").as("v"))
       if (i % 4 == 0 && i < iterations) x = x.localCheckpoint()
     }
     val ray = x.join(multiply(x), Seq("node"))
