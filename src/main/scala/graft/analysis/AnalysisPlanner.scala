@@ -6836,4 +6836,78 @@ object AnalysisPlanner {
       when(lit(v2) > 0, (lit(1L) + col("__ch") - mu) / math.sqrt(v2))
         .as("z"))
   }
+
+  /**
+   * Empirical tail-dependence coefficients between two columns — the
+   * copula read Pearson/Spearman can't give: λ_U = P(X > q_p(X) |
+   * Y > q_p(Y)) and λ_L = P(X ≤ q_{1−p}(X) | Y ≤ q_{1−p}(Y)) — "when
+   * one metric is extreme, how often is the other" (risk co-movement,
+   * joint-outlier screening). Quantile anchors are the exact
+   * discrete percentiles ([[exactPercentilesDisc]] — order
+   * statistics, nothing interpolated, so both engines cut identical
+   * sets). Returns 1 row: (n, q_upper_x, q_upper_y, n_upper_y,
+   * lambda_upper, q_lower_x, q_lower_y, n_lower_y, lambda_lower).
+   */
+  def tailDependence(df: DataFrame, xCol: String, yCol: String,
+      p: Double = 0.9): DataFrame = {
+    require(p > 0.5 && p < 1, "tailDependence: p in (0.5, 1)")
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val qx = broadcast(exactPercentilesDisc(base, "__x",
+      Seq("__qxu" -> p, "__qxl" -> (1 - p)), Nil))
+    val qy = broadcast(exactPercentilesDisc(base, "__y",
+      Seq("__qyu" -> p, "__qyl" -> (1 - p)), Nil))
+    base.crossJoin(qx).crossJoin(qy)
+      .agg(count(lit(1)).as("n"),
+        max(col("__qxu")).as("q_upper_x"), max(col("__qyu")).as("q_upper_y"),
+        sum(when(col("__y") > col("__qyu"), 1L).otherwise(0L))
+          .as("n_upper_y"),
+        sum(when(col("__y") > col("__qyu") && col("__x") > col("__qxu"),
+          1.0).otherwise(0.0)).as("__nu2"),
+        max(col("__qxl")).as("q_lower_x"), max(col("__qyl")).as("q_lower_y"),
+        sum(when(col("__y") <= col("__qyl"), 1L).otherwise(0L))
+          .as("n_lower_y"),
+        sum(when(col("__y") <= col("__qyl") && col("__x") <= col("__qxl"),
+          1.0).otherwise(0.0)).as("__nl2"))
+      .select(col("n"), col("q_upper_x"), col("q_upper_y"),
+        col("n_upper_y"),
+        when(col("n_upper_y") > 0, col("__nu2") / col("n_upper_y"))
+          .as("lambda_upper"),
+        col("q_lower_x"), col("q_lower_y"), col("n_lower_y"),
+        when(col("n_lower_y") > 0, col("__nl2") / col("n_lower_y"))
+          .as("lambda_lower"))
+  }
+
+  /**
+   * Octile-based robust distribution shape panel: Bowley (quartile)
+   * skewness, Moors (octile) kurtosis, and the quartile coefficient of
+   * dispersion — the moment-free siblings of skew/kurtosis that heavy
+   * tails cannot dominate (a single arbitrarily large value moves
+   * every moment but no octile). Octiles are exact discrete order
+   * statistics via [[exactPercentilesDisc]]. Returns 1 row:
+   * (n, e1..e7, bowley_skew, moors_kurtosis, quartile_dispersion).
+   */
+  def robustShape(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val oct = exactPercentilesDisc(base, "__v",
+      (1 to 7).map(i => s"e$i" -> i / 8.0), Nil)
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    oct.crossJoin(n)
+      .select(col("n"), col("e1"), col("e2"), col("e3"), col("e4"),
+        col("e5"), col("e6"), col("e7"),
+        when(col("e6") - col("e2") > 0,
+          (col("e6") + col("e2") - lit(2.0) * col("e4")) /
+            (col("e6") - col("e2"))).as("bowley_skew"),
+        when(col("e6") - col("e2") > 0,
+          ((col("e7") - col("e5")) + (col("e3") - col("e1"))) /
+            (col("e6") - col("e2"))).as("moors_kurtosis"),
+        when(col("e6") + col("e2") =!= 0,
+          (col("e6") - col("e2")) / (col("e6") + col("e2")))
+          .as("quartile_dispersion"))
+  }
 }

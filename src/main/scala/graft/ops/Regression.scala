@@ -1258,4 +1258,85 @@ object Regression {
       .withColumn("hac_ratio",
         when(col("se_ols") > 0, col("se_hac") / col("se_ols")))
   }
+
+  /**
+   * Deterministic RANSAC line fit — the breakdown-robust complement of
+   * [[huberRegression]] (Huber down-weights outliers; RANSAC IGNORES
+   * them: up to ~50% arbitrary contamination cannot move the fit).
+   * Candidate models come from SYSTEMATIC point pairs (anchor ranks
+   * spread evenly over the x-order, partner = anchor + n/3 — a
+   * deterministic, engine-replayable stand-in for random sampling);
+   * each candidate's consensus is the count of points within
+   * `inlierSigma`·σ_y of its line (threshold rounded to 6 so both
+   * engines select identical inlier sets); the winner is refit by OLS
+   * on its inliers. Requires `xCol` values distinct (a time index).
+   *
+   * Scale shape: ranks ride [[graft.analysis.PrefixSum]]; candidates
+   * are a ≤`candidates`-row broadcast; consensus counting is ONE
+   * grouped pass over points × candidates; the refit is a 1-row
+   * aggregate. Returns 1 row: (n_points, n_candidates, best_inliers,
+   * slope_cand, icept_cand, slope_refit, icept_refit).
+   */
+  def ransacLine(df: DataFrame, xCol: String, yCol: String,
+      inlierSigma: Double = 1.0, candidates: Int = 16): DataFrame = {
+    require(inlierSigma > 0, "ransacLine: inlierSigma must be positive")
+    require(candidates >= 1 && candidates <= 1024,
+      "ransacLine: candidates in 1..1024")
+    val pts0 = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val pts = graft.analysis.PrefixSum.exclusive(
+        pts0.withColumn("__one", lit(1.0)), "__x",
+        Seq("__one" -> "__exi"))
+      .withColumn("__r", col("__exi") + 1)
+      .localCheckpoint()
+    val st = pts.agg(count(lit(1)).cast("double").as("n"),
+      round(sqrt(avg(col("__y") * col("__y")) -
+        avg(col("__y")) * avg(col("__y"))) * inlierSigma, 6).as("thr"))
+      .head()
+    val n = st.getDouble(0)
+    require(n >= 6, "ransacLine: need >= 6 points")
+    val thr = st.getDouble(1)
+    val gap = math.max(1L, (n / 3).toLong)
+    val step = math.max(1L, ((n - gap) / candidates).toLong)
+    val spark = df.sparkSession
+    val anchors = spark.range(0, candidates.toLong).toDF("__k")
+      .select(col("__k"), (col("__k") * step + 1).as("__ra"),
+        (col("__k") * step + 1 + gap).as("__rb"))
+      .where(col("__rb") <= n)
+    val slope = (col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))
+    val cand = broadcast(anchors
+      .join(pts.select(col("__r").as("__ra"), col("__x").as("__xa"),
+        col("__y").as("__ya")), Seq("__ra"))
+      .join(pts.select(col("__r").as("__rb"), col("__x").as("__xb"),
+        col("__y").as("__yb")), Seq("__rb"))
+      .where(col("__xb") =!= col("__xa"))
+      .select(col("__k"), slope.as("__m"),
+        (col("__ya") - slope * col("__xa")).as("__c")))
+    val consensus = pts.crossJoin(cand)
+      .where(abs(col("__y") - (col("__m") * col("__x") + col("__c"))) <=
+        lit(thr))
+      .groupBy("__k", "__m", "__c")
+      .agg(count(lit(1)).as("__inl"))
+    val best = broadcast(consensus
+      .orderBy(col("__inl").desc, col("__k")).limit(1))
+    val refit = pts.crossJoin(best)
+      .where(abs(col("__y") - (col("__m") * col("__x") + col("__c"))) <=
+        lit(thr))
+      .agg(count(lit(1)).cast("double").as("__nf"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        max(col("__m")).as("__m"), max(col("__c")).as("__c"),
+        max(col("__inl")).as("__inl"))
+    val sl = (col("__nf") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__nf") * col("__sxx") - col("__sx") * col("__sx"))
+    refit.select(lit(n).cast("long").as("n_points"),
+      lit(candidates).as("n_candidates"),
+      col("__inl").as("best_inliers"),
+      col("__m").as("slope_cand"), col("__c").as("icept_cand"),
+      sl.as("slope_refit"),
+      ((col("__sy") - sl * col("__sx")) / col("__nf")).as("icept_refit"))
+  }
 }

@@ -2531,6 +2531,156 @@ object TimeSeries {
   }
 
   /**
+   * Depth-2 binary segmentation of the daily count series — the
+   * multi-changepoint extension of [[amocChangepoint]]: find the
+   * SSE-minimizing root split, then the best split INSIDE each
+   * resulting segment, all against the same prefix-moment frame with
+   * segment-relative sums (prefix(hi) − prefix(lo)). Up to 3 rows
+   * (`segment` ∈ root/left/right; a side shorter than 2 days emits no
+   * row), each with the segment's SSE before/after its split and the
+   * reduction share — the "did a second change happen" read after a
+   * drift alarm.
+   *
+   * Scale shape: ONE [[graft.analysis.PrefixSum]] pass; each argmin is
+   * a distributed TakeOrdered over ≤ |days| candidates; the root row
+   * rides a broadcast 1-row frame into the side scans. No window, no
+   * driver loop.
+   */
+  def binarySegmentation(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+    val pre = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__y2", col("__y") * col("__y"))
+          .withColumn("__one", lit(1.0)),
+        "__t", Seq("__y" -> "__exs", "__y2" -> "__exs2",
+          "__one" -> "__exi"))
+      .withColumn("__s", col("__exs") + col("__y"))
+      .withColumn("__s2", col("__exs2") + col("__y2"))
+      .withColumn("__i", col("__exi") + 1)
+      .localCheckpoint()
+    val tot = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__y")).as("__tsum"),
+      sum(col("__y") * col("__y")).as("__tsum2")))
+    val cand = pre.crossJoin(tot)
+    val rootSse = (col("__s2") - col("__s") * col("__s") / col("__i")) +
+      ((col("__tsum2") - col("__s2")) -
+        (col("__tsum") - col("__s")) * (col("__tsum") - col("__s")) /
+          (col("__n") - col("__i")))
+    val root = broadcast(cand.where(col("__i") < col("__n"))
+      .withColumn("__sse", rootSse)
+      .orderBy(col("__sse"), col("__t")).limit(1)
+      .select(col("__t").as("__t0"), col("__i").as("__i0"),
+        col("__s").as("__s0"), col("__s2").as("__s20"),
+        col("__sse").as("__sse0")))
+    def row(seg: String, frame: DataFrame): DataFrame =
+      frame.select(lit(seg).as("segment"),
+        date_add(to_date(lit("1970-01-01")), col("__t").cast("int"))
+          .as("change_day"),
+        col("__nseg").cast("long").as("n_seg"),
+        col("__before").as("sse_before"), col("__after").as("sse_after"),
+        when(col("__before") > 0,
+          (col("__before") - col("__after")) / col("__before"))
+          .as("reduction_share"))
+    val rootRow = row("root", cand.crossJoin(root)
+      .where(col("__t") === col("__t0"))
+      .withColumn("__nseg", col("__n"))
+      .withColumn("__before",
+        col("__tsum2") - col("__tsum") * col("__tsum") / col("__n"))
+      .withColumn("__after", col("__sse0")))
+    val leftRow = row("left", cand.crossJoin(root)
+      .where(col("__i") < col("__i0"))
+      .withColumn("__after",
+        (col("__s2") - col("__s") * col("__s") / col("__i")) +
+          ((col("__s20") - col("__s2")) -
+            (col("__s0") - col("__s")) * (col("__s0") - col("__s")) /
+              (col("__i0") - col("__i"))))
+      .orderBy(col("__after"), col("__t")).limit(1)
+      .withColumn("__nseg", col("__i0"))
+      .withColumn("__before",
+        col("__s20") - col("__s0") * col("__s0") / col("__i0")))
+    val rightRow = row("right", cand.crossJoin(root)
+      .where(col("__i") > col("__i0") && col("__i") < col("__n"))
+      .withColumn("__after",
+        ((col("__s2") - col("__s20")) -
+          (col("__s") - col("__s0")) * (col("__s") - col("__s0")) /
+            (col("__i") - col("__i0"))) +
+          ((col("__tsum2") - col("__s2")) -
+            (col("__tsum") - col("__s")) * (col("__tsum") - col("__s")) /
+              (col("__n") - col("__i"))))
+      .orderBy(col("__after"), col("__t")).limit(1)
+      .withColumn("__nseg", col("__n") - col("__i0"))
+      .withColumn("__before",
+        (col("__tsum2") - col("__s20")) -
+          (col("__tsum") - col("__s0")) * (col("__tsum") - col("__s0")) /
+            (col("__n") - col("__i0"))))
+    rootRow.unionAll(leftRow).unionAll(rightRow)
+  }
+
+  /**
+   * Binary transfer entropy between the daily event-count series X and
+   * the daily mean-value series Y — the DIRECTIONAL, model-free
+   * complement of [[grangerCausality]]: with states binarized at each
+   * series' (rounded) mean, TE(X→Y) = Σ p(y′,y,x)·
+   * ln[ p(y′,y,x)·p(y) / (p(y,x)·p(y′,y)) ] over consecutive calendar
+   * days — how much yesterday's X state reduces uncertainty about
+   * today's Y beyond Y's own history. Reported in both directions
+   * (nats); TE ≥ 0, and ≈ 0 means no predictive flow.
+   *
+   * Scale shape: corpus → calendar-sized daily frame in one grouped
+   * pass; one calendar-shift self-join builds the (x,y,x′,y′) triples;
+   * every probability is a grouped count over ≤ 8 state cells.
+   * Returns 1 row: (n_transitions, te_x_to_y, te_y_to_x).
+   */
+  def transferEntropy(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).cast("double").as("__x"),
+        avg(col(valueCol).cast("double")).as("__yv"))
+      .select(datediff(col("__d"), lit("1970-01-01")).as("__t"),
+        col("__x"), col("__yv"))
+      .localCheckpoint()
+    val mu = broadcast(daily.agg(round(avg(col("__x")), 6).as("__mx"),
+      round(avg(col("__yv")), 6).as("__my")))
+    val st = daily.crossJoin(mu)
+      .select(col("__t"), (col("__x") > col("__mx")).as("__sx"),
+        (col("__yv") > col("__my")).as("__sy"))
+      .localCheckpoint()
+    val nxt = st.select((col("__t") - 1).as("__t"),
+      col("__sx").as("__sxn"), col("__sy").as("__syn"))
+    val cells = st.join(nxt, Seq("__t"))
+      .groupBy("__sx", "__sy", "__sxn", "__syn")
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint()
+    val total = broadcast(cells.agg(sum(col("__c")).as("__nn")))
+    // TE(a→b) over states (b′, b, a); all marginals come from the
+    // ≤16-cell frame — tiny grouped sums
+    def teFrame(aCol: String, bCol: String, bnCol: String,
+        out: String): DataFrame = {
+      val tri = cells.groupBy(col(aCol).as("__a"), col(bCol).as("__b"),
+          col(bnCol).as("__bn"))
+        .agg(sum(col("__c")).as("__n3"))
+      val mB = tri.groupBy("__b").agg(sum(col("__n3")).as("__nb"))
+      val mAB = tri.groupBy("__a", "__b").agg(sum(col("__n3")).as("__nab"))
+      val mBBn = tri.groupBy("__b", "__bn")
+        .agg(sum(col("__n3")).as("__nbbn"))
+      tri.join(mB, Seq("__b")).join(mAB, Seq("__a", "__b"))
+        .join(mBBn, Seq("__b", "__bn"))
+        .crossJoin(total)
+        .agg(coalesce(sum(
+          col("__n3") / col("__nn") *
+            log((col("__n3") * col("__nb")) /
+              (col("__nab") * col("__nbbn")))), lit(0.0)).as(out))
+    }
+    teFrame("__sx", "__sy", "__syn", "te_x_to_y")
+      .crossJoin(broadcast(teFrame("__sy", "__sx", "__sxn", "te_y_to_x")))
+      .crossJoin(total)
+      .select(col("__nn").cast("long").as("n_transitions"),
+        col("te_x_to_y"), col("te_y_to_x"))
+  }
+
+  /**
    * GPH (Geweke–Porter-Hudak) log-periodogram estimate of the
    * long-memory parameter d of the daily mean series — the canonical
    * "is this series fractionally integrated" readout that complements

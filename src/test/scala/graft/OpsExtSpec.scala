@@ -9704,6 +9704,102 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(p.getAs[Double]("lambda_max") - 4.0 / 3) < 1e-9)
   }
 
+  test("binarySegmentation: two-step series, hand-worked 3 splits") {
+    import spark.implicits._
+    // counts [1,1,1,1,9,9,5,5]: root at day 3 (SSE 88 -> 16), left
+    // flat (0 -> 0), right splits 9,9|5,5 at day 5 (16 -> 0)
+    val counts = Seq(1, 1, 1, 1, 9, 9, 5, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.binarySegmentation(rows, "ts")
+      .orderBy("segment").collect()
+    val by = r.map(x => x.getAs[String]("segment") -> x).toMap
+    assert(r.length == 3)
+    assert(by("root").getAs[java.sql.Date]("change_day").toString ==
+      "2024-01-04")
+    assert(by("root").getAs[Long]("n_seg") == 8L)
+    assert(math.abs(by("root").getAs[Double]("sse_before") - 88.0) < 1e-9)
+    assert(math.abs(by("root").getAs[Double]("sse_after") - 16.0) < 1e-9)
+    assert(math.abs(by("root").getAs[Double]("reduction_share")
+      - 9.0 / 11) < 1e-9)
+    assert(by("left").getAs[java.sql.Date]("change_day").toString ==
+      "2024-01-01")
+    assert(by("left").getAs[Double]("sse_after") == 0.0)
+    assert(by("left").isNullAt(by("left").fieldIndex("reduction_share")))
+    assert(by("right").getAs[java.sql.Date]("change_day").toString ==
+      "2024-01-06")
+    assert(by("right").getAs[Long]("n_seg") == 4L)
+    assert(math.abs(by("right").getAs[Double]("sse_before") - 16.0) < 1e-9)
+    assert(by("right").getAs[Double]("sse_after") == 0.0)
+    assert(math.abs(by("right").getAs[Double]("reduction_share") - 1.0)
+      < 1e-12)
+  }
+
+  test("ransacLine: exact line plus one gross outlier -> outlier ignored") {
+    import spark.implicits._
+    val pts = ((0 to 8).map(x => (x.toDouble, 2.0 * x + 1)) :+ (9.0, 100.0))
+      .toDF("x", "y")
+    val r = graft.ops.Regression.ransacLine(pts, "x", "y").head
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Long]("best_inliers") == 9L)
+    assert(math.abs(r.getAs[Double]("slope_cand") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("icept_cand") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope_refit") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("icept_refit") - 1.0) < 1e-9)
+  }
+
+  test("transferEntropy: y follows x's state -> hand-worked nats") {
+    import spark.implicits._
+    // counts [2,1,1,2,2,1] (X state), day means [0,10,0,0,10,10] (Y):
+    // sy(t+1) = sx(t) by construction
+    val counts = Seq(2, 1, 1, 2, 2, 1)
+    val vals = Seq(0.0, 10.0, 0.0, 0.0, 10.0, 10.0)
+    val rows = counts.zip(vals).zipWithIndex.flatMap {
+      case ((c, v), i) => Seq.fill(c)(
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString, v))
+    }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries.transferEntropy(rows, "ts", "v").head
+    assert(r.getAs[Long]("n_transitions") == 5L)
+    val teXY = 0.4 * math.log(1.5) + 0.4 * math.log(2) + 0.2 * math.log(3)
+    val teYX = 0.2 * (math.log(0.75) + 2 * math.log(2) + 2 * math.log(1.5))
+    assert(math.abs(r.getAs[Double]("te_x_to_y") - teXY) < 1e-9)
+    assert(math.abs(r.getAs[Double]("te_y_to_x") - teYX) < 1e-9)
+  }
+
+  test("tailDependence: comonotone -> 1, antimonotone -> 0") {
+    import spark.implicits._
+    val co = (1 to 10).map(i => (i.toDouble, i.toDouble)).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .tailDependence(co, "x", "y", p = 0.8).head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("q_upper_x") == 8.0)
+    assert(r.getAs[Long]("n_upper_y") == 2L)
+    assert(r.getAs[Double]("lambda_upper") == 1.0)
+    assert(r.getAs[Double]("q_lower_x") == 2.0)
+    assert(r.getAs[Double]("lambda_lower") == 1.0)
+    val anti = (1 to 10).map(i => (i.toDouble, 11.0 - i)).toDF("x", "y")
+    val r2 = graft.analysis.AnalysisPlanner
+      .tailDependence(anti, "x", "y", p = 0.8).head
+    assert(r2.getAs[Double]("lambda_upper") == 0.0)
+    assert(r2.getAs[Double]("lambda_lower") == 0.0)
+  }
+
+  test("robustShape: uniform 1..15 -> octiles 2..14, zero Bowley skew") {
+    import spark.implicits._
+    val rows = (1 to 15).map(_.toDouble).toDF("v")
+    val r = graft.analysis.AnalysisPlanner.robustShape(rows, "v").head
+    assert(r.getAs[Long]("n") == 15L)
+    assert(r.getAs[Double]("e1") == 2.0)
+    assert(r.getAs[Double]("e2") == 4.0)
+    assert(r.getAs[Double]("e4") == 8.0)
+    assert(r.getAs[Double]("e6") == 12.0)
+    assert(r.getAs[Double]("e7") == 14.0)
+    assert(r.getAs[Double]("bowley_skew") == 0.0)
+    assert(math.abs(r.getAs[Double]("moors_kurtosis") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("quartile_dispersion") - 0.5) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
