@@ -6882,6 +6882,152 @@ object AnalysisPlanner {
   }
 
   /**
+   * MDLP split (Fayyad–Irani 1993, depth 1): the entropy-optimal
+   * binary cut of a numeric feature against a boolean label, accepted
+   * only if the information gain clears the minimum-description-length
+   * criterion — the principled "should this feature be discretized
+   * here at all" answer behind supervised binning (the WOE/IV reads'
+   * missing first step). Candidate cuts are the distinct feature
+   * values (x ≤ v goes left); gain and the MDL threshold use natural
+   * logs converted to bits.
+   *
+   * Scale shape: ONE value-count groupBy, label prefix counts via
+   * [[PrefixSum]], entropies as column algebra over the distinct-value
+   * frame, argmax by (gain, v) as a distributed TakeOrdered. Returns 1
+   * row: (n, n_pos, split_value, n_left, n_right, info_gain,
+   * mdl_threshold, accepted, h_parent, h_left, h_right) — bits.
+   */
+  def mdlpSplit(df: DataFrame, featureCol: String,
+      label: Column): DataFrame = {
+    val base = df
+      .where(col(featureCol).isNotNull && label.isNotNull)
+      .select(col(featureCol).cast("double").as("__v"),
+        label.cast("boolean").as("__y"))
+    val vc = base.groupBy("__v")
+      .agg(count(lit(1)).cast("double").as("__c"),
+        sum(when(col("__y"), 1.0).otherwise(0.0)).as("__p"))
+    val pre = PrefixSum.exclusive(vc, "__v",
+      Seq("__c" -> "__exc", "__p" -> "__exp"))
+      .withColumn("__cl", col("__exc") + col("__c"))
+      .withColumn("__pl", col("__exp") + col("__p"))
+    val tot = broadcast(base.agg(count(lit(1)).cast("double").as("__n"),
+      sum(when(col("__y"), 1.0).otherwise(0.0)).as("__np")))
+    // binary entropy in bits; 0·log 0 = 0
+    def h(p: Column, n: Column): Column = {
+      def term(c: Column) = when(c > 0 && c < n,
+        -(c / n) * log(c / n) / math.log(2.0)).otherwise(lit(0.0))
+      term(p) + term(n - p)
+    }
+    // distinct label count on a side (for the MDL k-terms)
+    def kOf(p: Column, n: Column): Column =
+      when(p > 0 && p < n, 2.0).otherwise(lit(1.0))
+    val cand = pre.crossJoin(tot)
+      .where(col("__cl") < col("__n")) // a cut needs a right side
+      .withColumn("__hp", h(col("__np"), col("__n")))
+      .withColumn("__hl", h(col("__pl"), col("__cl")))
+      .withColumn("__hr",
+        h(col("__np") - col("__pl"), col("__n") - col("__cl")))
+      .withColumn("__gain", col("__hp") -
+        (col("__cl") / col("__n")) * col("__hl") -
+        ((col("__n") - col("__cl")) / col("__n")) * col("__hr"))
+    val best = cand.orderBy(col("__gain").desc, col("__v")).limit(1)
+    val k = lit(2.0)
+    val kl = kOf(col("__pl"), col("__cl"))
+    val kr = kOf(col("__np") - col("__pl"), col("__n") - col("__cl"))
+    val delta = log(pow(lit(3.0), k) - 2) / math.log(2.0) -
+      (k * col("__hp") - kl * col("__hl") - kr * col("__hr"))
+    val thr = (log(col("__n") - 1) / math.log(2.0) + delta) / col("__n")
+    best.select(col("__n").cast("long").as("n"),
+      col("__np").cast("long").as("n_pos"),
+      col("__v").as("split_value"),
+      col("__cl").cast("long").as("n_left"),
+      (col("__n") - col("__cl")).cast("long").as("n_right"),
+      col("__gain").as("info_gain"), thr.as("mdl_threshold"),
+      (col("__gain") > thr).as("accepted"),
+      col("__hp").as("h_parent"), col("__hl").as("h_left"),
+      col("__hr").as("h_right"))
+  }
+
+  /**
+   * Poisson-bootstrap CI for an OLS slope over a REDUCED (x, y) frame
+   * — [[poissonBootstrapMean]]'s regression sibling for the daily/
+   * segment panels trend reads run on: each of `b` replicas reweights
+   * rows by deterministic md5-derived Poisson(1) counts (the portable
+   * derivation both engines replay bit-identically) and refits the
+   * slope from weighted sufficient statistics; the CI is the
+   * percentile interval of the replica slopes.
+   *
+   * Scale shape: DECLARATIVE replica fan-out (rows × b) — sized for
+   * calendar/segment frames (asserted ≤ `maxRows`); corpus-sized
+   * inputs should aggregate first (or get the mapPartitions kernel
+   * treatment of the mean variant). Returns 1 row: (n, b, slope,
+   * ci_lo, ci_hi).
+   */
+  def poissonBootstrapSlope(df: DataFrame, xCol: String, yCol: String,
+      idCols: Seq[String], b: Int = 200, level: Double = 0.95,
+      maxRows: Int = 100000): DataFrame = {
+    require(b >= 20, "poissonBootstrapSlope: need at least 20 replicates")
+    require(level > 0 && level < 1, "poissonBootstrapSlope: level in (0,1)")
+    require(idCols.nonEmpty, "poissonBootstrapSlope: id columns required")
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+      0.9999988747974051)
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(concat_ws("|",
+        idCols.map(c => col(c).cast("string")): _*).as("__id"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val nRows = base.count()
+    require(nRows <= maxRows,
+      s"poissonBootstrapSlope: $nRows rows (> $maxRows) — the " +
+        "declarative fan-out is for reduced frames; aggregate first")
+    val reps = broadcast(df.sparkSession.range(0, b.toLong).toDF("__rep"))
+    // the PORTABLE md5 → uniform derivation (identical text to the
+    // DuckDB oracle twin): 15 hex digits = 60 bits, 3 × 20-bit lanes
+    // per digest, 6 replicas per (id, block)
+    val u = expr(
+      "((cast(shiftright(cast(conv(substring(md5(concat(__id, '|', " +
+        "cast(cast(__rep / 6 as bigint) as string))), " +
+        "cast(1 + 15 * cast((__rep % 6) / 3 as bigint) as int), 15), " +
+        "16, 10) as bigint), cast(20 * (__rep % 3) as int)) & 1048575 " +
+        "as double)) + 0.5) / 1048576.0")
+    val wt = cdf.zipWithIndex.foldRight(lit(9.0): Column) {
+      case ((t, i), acc) => when(col("__u") < t, i.toDouble).otherwise(acc)
+    }
+    val weighted = base.crossJoin(reps)
+      .withColumn("__u", u)
+      .withColumn("__w", wt)
+    val perRep = weighted.groupBy("__rep")
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__x")).as("__sx"),
+        sum(col("__w") * col("__y")).as("__sy"),
+        sum(col("__w") * col("__x") * col("__x")).as("__sxx"),
+        sum(col("__w") * col("__x") * col("__y")).as("__sxy"))
+      .select(((col("__sw") * col("__sxy") - col("__sx") * col("__sy")) /
+        (col("__sw") * col("__sxx") - col("__sx") * col("__sx")))
+        .as("__m"))
+      .where(col("__m").isNotNull)
+    val alpha = (1 - level) / 2
+    val ci = perRep.agg(count(lit(1)).as("b"),
+      expr(s"percentile(__m, $alpha)").as("ci_lo"),
+      expr(s"percentile(__m, ${1 - alpha})").as("ci_hi"))
+    val ols = broadcast(base.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("__n"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("slope")))
+    ci.crossJoin(ols)
+      .select(col("__n").cast("long").as("n"), col("b"), col("slope"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /**
    * Octile-based robust distribution shape panel: Bowley (quartile)
    * skewness, Moors (octile) kurtosis, and the quartile coefficient of
    * dispersion — the moment-free siblings of skew/kurtosis that heavy

@@ -660,4 +660,51 @@ object Behavioral {
     df.sparkSession.createDataFrame(out.toSeq)
       .toDF("state", "n_out", "p_stationary", "h_cond", "pi_h")
   }
+
+  /**
+   * PMI co-presence of item pairs within sessions — "which event types
+   * show up TOGETHER in a user-day beyond what their individual
+   * frequencies predict": pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over
+   * session presence sets, the behavioral sibling of the in-text
+   * [[graft.ops.TextAnalysis]] PMI collocations. Positive PMI = the
+   * behaviors co-occur (bundled flows); strongly negative = they
+   * substitute.
+   *
+   * Scale shape: distinct (session, item) presence in one groupBy;
+   * pair counts via a session-keyed self-join whose per-session
+   * fan-out is bounded by the (small) item-type cardinality, never the
+   * session count; marginals broadcast. Returns one row per qualifying
+   * pair: (item_a, item_b, n_sessions_both, pmi, lift).
+   */
+  def sessionCopresence(df: DataFrame, sessionCols: Seq[Column],
+      itemCol: String, minPairSessions: Long = 5): DataFrame = {
+    require(sessionCols.nonEmpty, "sessionCopresence: sessionCols required")
+    val pres = df.where(col(itemCol).isNotNull)
+      .select(concat_ws("|",
+        sessionCols.map(_.cast("string")): _*).as("__s"),
+        col(itemCol).cast("string").as("__i"))
+      .distinct()
+      .localCheckpoint()
+    val nS = broadcast(pres.select("__s").distinct()
+      .agg(count(lit(1)).cast("double").as("__ns")))
+    val marg = pres.groupBy("__i")
+      .agg(count(lit(1)).cast("double").as("__ni"))
+    val pairs = pres.as("a")
+      .join(pres.as("b"),
+        col("a.__s") === col("b.__s") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_sessions_both"))
+      .where(col("n_sessions_both") >= minPairSessions)
+    pairs
+      .join(broadcast(marg.select(col("__i").as("item_a"),
+        col("__ni").as("__na"))), Seq("item_a"))
+      .join(broadcast(marg.select(col("__i").as("item_b"),
+        col("__ni").as("__nb"))), Seq("item_b"))
+      .crossJoin(nS)
+      .select(col("item_a"), col("item_b"), col("n_sessions_both"),
+        log((col("n_sessions_both") * col("__ns")) /
+          (col("__na") * col("__nb"))).as("pmi"),
+        ((col("n_sessions_both") * col("__ns")) /
+          (col("__na") * col("__nb"))).as("lift"))
+  }
 }

@@ -940,6 +940,85 @@ object Features {
         "y_norm", "cka")
   }
 
+  /**
+   * Linear class separability of an embedding along the two classes'
+   * mean-difference direction — the cheapest "are these labels
+   * linearly told apart in this representation" probe (the LDA
+   * direction under equal spherical covariance): project every vector
+   * onto w = μ₁ − μ₀ and report d′ = (m₁ − m₀)/s_pooled plus the
+   * rank-based AUC of the projection (Mann–Whitney midranks — exact,
+   * pair-free). Complements [[cka]]/[[graft.ops.Similarity
+   * .twoNnDimension]] on the embedding-health panel.
+   *
+   * Scale shape: class means are ONE posexplode groupBy (2·d rows,
+   * collected bounded with a require); the projection is a map-only
+   * codegen'd dot against a literal direction; AUC uses the midrank
+   * value-count machinery — no pair join anywhere. Returns 1 row:
+   * (n0, n1, mean_proj_0, mean_proj_1, sd_pooled, d_prime, auc).
+   */
+  def classSeparability(df: DataFrame, vecCol: String, labelCol: String,
+      label0: Int, label1: Int, d: Int): DataFrame = {
+    require(d >= 1 && d <= 8192, "classSeparability: d in 1..8192")
+    val base = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === d &&
+        col(labelCol).isin(label0, label1))
+      .select((col(labelCol) === label1).as("__y"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint()
+    val means = base
+      .select(col("__y"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy("__y", "__i").agg(avg(col("__x")).as("__m"))
+      .limit(2 * d + 1).collect()
+    require(means.length <= 2 * d, "classSeparability: mean frame overflow")
+    val m0 = new Array[Double](d)
+    val m1 = new Array[Double](d)
+    means.foreach { r =>
+      val arr = if (r.getBoolean(0)) m1 else m0
+      arr(r.getInt(1)) = r.getDouble(2)
+    }
+    // direction components rounded to 9 decimals (HALF_UP — the SQL
+    // round() convention) so both engines project with identical w
+    val w = (0 until d).map(i => BigDecimal(m1(i) - m0(i))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    val wLit = array(w.map(lit(_)): _*)
+    val proj = base.select(col("__y"),
+      round(graft.functions.VectorFunctions.dot(col("__v"), wLit), 9)
+        .as("__p")).localCheckpoint()
+    val st = proj.groupBy("__y")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__p")).as("__m"),
+        sum(col("__p") * col("__p")).as("__s2"))
+    // midranks over the pooled projection (value-count + prefix)
+    val vc = proj.groupBy(col("__p").as("__pv"))
+      .agg(count(lit(1)).cast("double").as("__c"),
+        sum(when(col("__y"), 1.0).otherwise(0.0)).as("__c1"))
+    val mr = graft.analysis.PrefixSum.exclusive(vc, "__pv",
+        Seq("__c" -> "__ex"))
+      .select(col("__pv"), col("__c1"),
+        (col("__ex") + (col("__c") + 1) / 2.0).as("__r"))
+    val r1 = mr.agg(sum(col("__c1") * col("__r")).as("__r1"))
+    val wide = st.groupBy()
+      .agg(max(when(!col("__y"), col("__n"))).as("__n0"),
+        max(when(col("__y"), col("__n"))).as("__n1"),
+        max(when(!col("__y"), col("__m"))).as("__m0"),
+        max(when(col("__y"), col("__m"))).as("__m1"),
+        max(when(!col("__y"), col("__s2"))).as("__s20"),
+        max(when(col("__y"), col("__s2"))).as("__s21"))
+    val v0 = (col("__s20") - col("__n0") * col("__m0") * col("__m0")) /
+      (col("__n0") - 1)
+    val v1 = (col("__s21") - col("__n1") * col("__m1") * col("__m1")) /
+      (col("__n1") - 1)
+    val sp = sqrt((v0 + v1) / 2)
+    wide.crossJoin(broadcast(r1))
+      .select(col("__n0").cast("long").as("n0"),
+        col("__n1").cast("long").as("n1"),
+        col("__m0").as("mean_proj_0"), col("__m1").as("mean_proj_1"),
+        sp.as("sd_pooled"),
+        when(sp > 0, (col("__m1") - col("__m0")) / sp).as("d_prime"),
+        ((col("__r1") - col("__n1") * (col("__n1") + 1) / 2) /
+          (col("__n0") * col("__n1"))).as("auc"))
+  }
+
   def embeddingDimensionHealth(df: DataFrame, vecCol: String,
       collapseEps: Double = 1e-6): DataFrame = {
     val per = df.where(col(vecCol).isNotNull)

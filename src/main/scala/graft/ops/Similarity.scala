@@ -1327,4 +1327,74 @@ object Similarity {
         when(col("lrd") > 0, col("__sl") / (lit(k.toDouble) * col("lrd")))
           .as("lof"))
   }
+
+  /**
+   * DBSCAN over a SMALL feature frame (deterministic variant): core
+   * points have ≥ `minPts` OTHER points within `eps` (Euclidean,
+   * rounded to 9 decimals — engine-stable); clusters are the connected
+   * components of the core-core ε-graph labeled by MIN member id
+   * ([[Dedup.connectedComponents]], pointer doubling); border points
+   * adopt the MIN cluster label among their core neighbors (the one
+   * order-dependence of classic DBSCAN, made deterministic); the rest
+   * is noise. Density clustering for the calendar/segment panels the
+   * library's anomaly reads reduce to — [[lofScores]] scores isolation,
+   * this names the dense groups.
+   *
+   * Scale shape: the input must already be REDUCED (asserted ≤
+   * `maxPoints`); the ε-pair pass, the component loop, and the label
+   * joins are all bounded by that cap. Returns one row per point:
+   * (id, role ∈ core/border/noise, cluster — NULL for noise).
+   */
+  def dbscan(df: DataFrame, idCol: String, featureCols: Seq[String],
+      eps: Double, minPts: Int = 4, maxPoints: Int = 20000): DataFrame = {
+    require(eps > 0, "dbscan: eps must be positive")
+    require(minPts >= 1, "dbscan: minPts must be >= 1")
+    val pts = df
+      .where(col(idCol).isNotNull &&
+        featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("__id") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__f$i") }: _*)
+      .localCheckpoint()
+    val n = pts.count()
+    require(n <= maxPoints,
+      s"dbscan: $n points (> $maxPoints) — DBSCAN here is for reduced " +
+        "frames; aggregate the corpus first")
+    val other = pts.select(col("__id").as("__id2") +:
+      featureCols.indices.map(i => col(s"__f$i").as(s"__o$i")): _*)
+    val sq = featureCols.indices
+      .map(i => (col(s"__f$i") - col(s"__o$i")) *
+        (col(s"__f$i") - col(s"__o$i")))
+      .reduce(_ + _)
+    val nbrs = pts.join(other, col("__id") =!= col("__id2"))
+      .where(round(sqrt(sq), 9) <= eps)
+      .select(col("__id"), col("__id2"))
+      .localCheckpoint()
+    val cores = nbrs.groupBy("__id").agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") >= minPts)
+      .select(col("__id")).localCheckpoint()
+    val coreEdges = nbrs
+      .join(cores, Seq("__id"), "left_semi")
+      .join(cores.select(col("__id").as("__id2")), Seq("__id2"),
+        "left_semi")
+    val comp = Dedup.connectedComponents(coreEdges, "__id", "__id2")
+    val coreLabeled = cores
+      .join(comp.withColumnRenamed("id", "__id"), Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("component"), col("__id")).as("cluster"))
+      .localCheckpoint()
+    val borders = nbrs
+      .join(cores, Seq("__id"), "left_anti")
+      .join(coreLabeled.select(col("__id").as("__id2"),
+        col("cluster")), Seq("__id2"))
+      .groupBy("__id").agg(min(col("cluster")).as("cluster"))
+    val labeled = coreLabeled.select(col("__id"), lit("core").as("role"),
+        col("cluster"))
+      .unionByName(borders.select(col("__id"), lit("border").as("role"),
+        col("cluster")))
+    pts.select(col("__id"))
+      .join(labeled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
+  }
 }

@@ -9800,6 +9800,94 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("quartile_dispersion") - 0.5) < 1e-12)
   }
 
+  test("dbscan: 1-D chain cluster, one border, one noise point") {
+    import spark.implicits._
+    val pts = Seq(("a", 0.0), ("b", 0.1), ("c", 0.2), ("d", 0.3),
+      ("e", 0.4), ("f", 0.6), ("g", 5.0)).toDF("id", "x")
+    val r = graft.ops.Similarity
+      .dbscan(pts, "id", Seq("x"), eps = 0.25, minPts = 2)
+      .orderBy("id").collect()
+    val by = r.map(x => x.getAs[String]("id") -> x).toMap
+    Seq("a", "b", "c", "d", "e").foreach { id =>
+      assert(by(id).getAs[String]("role") == "core")
+      assert(by(id).getAs[String]("cluster") == "a")
+    }
+    assert(by("f").getAs[String]("role") == "border")
+    assert(by("f").getAs[String]("cluster") == "a")
+    assert(by("g").getAs[String]("role") == "noise")
+    assert(by("g").isNullAt(by("g").fieldIndex("cluster")))
+  }
+
+  test("mdlpSplit: tied cuts break to the smaller value; MDL rejects") {
+    import spark.implicits._
+    val rows = Seq((1.0, true), (1.0, true), (2.0, true), (2.0, false),
+      (3.0, false), (3.0, false)).toDF("v", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .mdlpSplit(rows, "v", col("y")).head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Double]("split_value") == 1.0)
+    assert(r.getAs[Long]("n_left") == 2L)
+    assert(r.getAs[Double]("h_parent") == 1.0)
+    assert(r.getAs[Double]("h_left") == 0.0)
+    val h14 = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75)) / math.log(2)
+    assert(math.abs(r.getAs[Double]("h_right") - h14) < 1e-12)
+    assert(math.abs(r.getAs[Double]("info_gain") - (1 - 4.0 / 6 * h14))
+      < 1e-12)
+    // MDL: delta = log2(7) - (2*1 - 1*0 - 2*h14); thr = (log2(5)+d)/6
+    val thr = (math.log(5) / math.log(2) + math.log(7) / math.log(2) -
+      (2.0 - 2 * h14)) / 6
+    assert(math.abs(r.getAs[Double]("mdl_threshold") - thr) < 1e-12)
+    assert(!r.getAs[Boolean]("accepted"))
+  }
+
+  test("sessionCopresence: hand-worked PMI over 5 sessions") {
+    import spark.implicits._
+    // sessions 1,2,5 contain {A,B}; 3 only A; 4 only B
+    val rows = Seq((1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"),
+      (4, "B"), (5, "A"), (5, "B"), (5, "B")).map { case (u, t) =>
+      (u.toLong, "2024-01-01", t)
+    }.toDF("u", "day", "t")
+    val r = graft.ops.Behavioral
+      .sessionCopresence(rows, Seq(col("u"), col("day")), "t",
+        minPairSessions = 2).head
+    assert(r.getAs[String]("item_a") == "A")
+    assert(r.getAs[String]("item_b") == "B")
+    assert(r.getAs[Long]("n_sessions_both") == 3L)
+    assert(math.abs(r.getAs[Double]("lift") - 15.0 / 16) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pmi") - math.log(15.0 / 16)) < 1e-12)
+  }
+
+  test("classSeparability: separated 1-D clusters -> d' = 2*sqrt(2), AUC 1") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq(0f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(2f, 0f), 1), (4L, Seq(3f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Features
+      .classSeparability(rows, "embedding", "label", 0, 1, d = 2).head
+    assert(r.getAs[Long]("n0") == 2L)
+    assert(r.getAs[Long]("n1") == 2L)
+    // w = (2, 0); projections 0,2 | 4,6
+    assert(math.abs(r.getAs[Double]("mean_proj_0") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_proj_1") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sd_pooled") - math.sqrt(2)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("d_prime") - 4 / math.sqrt(2)) < 1e-9)
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("poissonBootstrapSlope: exact line -> every replica slope 3") {
+    import spark.implicits._
+    val rows = (1 to 30).map(i => (i.toLong, i.toDouble, 3.0 * i + 2))
+      .toDF("id", "x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .poissonBootstrapSlope(rows, "x", "y", Seq("id"), b = 50).head
+    assert(r.getAs[Long]("n") == 30L)
+    assert(r.getAs[Long]("b") <= 50L && r.getAs[Long]("b") >= 40L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_lo") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - 3.0) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
