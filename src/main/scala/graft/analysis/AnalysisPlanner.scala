@@ -6882,6 +6882,48 @@ object AnalysisPlanner {
   }
 
   /**
+   * τ-expectile of a column by fixed-point iteration — the
+   * asymmetric-least-squares location that backs expected-shortfall
+   * style risk reads (the ONLY elicitable coherent risk measure's
+   * natural estimator): m is the τ-expectile iff m = (τ·Σ_{y>m} y +
+   * (1−τ)·Σ_{y≤m} y) / (τ·n_> + (1−τ)·n_≤). Starts from the mean;
+   * each step is ONE conditional aggregate; the map is a contraction,
+   * so `iterations` fixed steps land within float noise for any real
+   * column. Returns 1 row: (n, tau, mean, expectile, delta_last —
+   * the final step's movement, the built-in convergence read).
+   */
+  def expectile(df: DataFrame, valueCol: String, tau: Double,
+      iterations: Int = 6): DataFrame = {
+    require(tau > 0 && tau < 1, "expectile: tau in (0,1)")
+    require(iterations >= 2 && iterations <= 30,
+      "expectile: iterations in 2..30")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val t = lit(tau)
+    var m = broadcast(base.agg(avg(col("__y")).as("__m"),
+      count(lit(1)).as("__n"), avg(col("__y")).as("__mean")))
+    for (_ <- 1 to iterations - 1) {
+      m = broadcast(base.crossJoin(m)
+        .agg(
+          ((t * sum(when(col("__y") > col("__m"), col("__y"))
+              .otherwise(lit(0.0))) +
+            (lit(1.0) - t) * sum(when(col("__y") <= col("__m"),
+              col("__y")).otherwise(lit(0.0)))) /
+            (t * sum(when(col("__y") > col("__m"), 1.0).otherwise(0.0)) +
+              (lit(1.0) - t) * sum(when(col("__y") <= col("__m"), 1.0)
+                .otherwise(0.0)))).as("__m2"),
+          max(col("__m")).as("__m"), max(col("__n")).as("__n"),
+          max(col("__mean")).as("__mean"))
+        .select(col("__m2").as("__m"), col("__m").as("__mprev"),
+          col("__n"), col("__mean")))
+    }
+    m.select(col("__n").as("n"), lit(tau).as("tau"),
+      col("__mean").as("mean"), col("__m").as("expectile"),
+      abs(col("__m") - col("__mprev")).as("delta_last"))
+  }
+
+  /**
    * MDLP split (Fayyad–Irani 1993, depth 1): the entropy-optimal
    * binary cut of a numeric feature against a boolean label, accepted
    * only if the information gain clears the minimum-description-length

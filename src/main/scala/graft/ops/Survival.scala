@@ -137,6 +137,62 @@ object Survival {
   }
 
   /**
+   * Proportional-hazards TREND diagnostic from null-model (β = 0)
+   * Schoenfeld-type score residuals: at each event, r = x −
+   * mean(x | risk set); a nonzero correlation of r with event TIME
+   * means the covariate's effect drifts — the assumption [[coxPH]]
+   * silently makes, tested without any iterative fit (the β = 0 score
+   * form needs no Newton steps, so the oracle replays it exactly).
+   * Returns 1 row: (n, n_events, corr_time, t_stat) with t on
+   * n_events − 2 df.
+   *
+   * Scale shape: risk-set means are suffix sums (total − PrefixSum
+   * exclusive prefix) over the duration-grouped frame; residual rows
+   * come from one join of the event subjects against that ≤|distinct
+   * durations| frame; the correlation is a 1-row aggregate.
+   */
+  def phScoreTrend(df: DataFrame, durationCol: String, eventCol: String,
+      xCol: String): DataFrame = {
+    val base = df.select(
+        col(durationCol).cast("double").as("__dur"),
+        col(eventCol).cast("double").as("__ev"),
+        col(xCol).cast("double").as("__x"))
+      .where(col("__dur").isNotNull && col("__ev").isNotNull &&
+        col("__x").isNotNull)
+      .localCheckpoint()
+    val perT = base.groupBy("__dur")
+      .agg(count(lit(1)).cast("double").as("__cnt"),
+        sum(col("__x")).as("__sx"))
+    val pre = PrefixSum.exclusive(perT, "__dur",
+      Seq("__cnt" -> "__pc", "__sx" -> "__px"))
+    val tot = broadcast(base.agg(
+      count(lit(1)).cast("double").as("__tc"), sum(col("__x")).as("__tx")))
+    val rm = pre.crossJoin(tot)
+      .select(col("__dur"),
+        ((col("__tx") - col("__px")) / (col("__tc") - col("__pc")))
+          .as("__rm"))
+    val ev = base.where(col("__ev") > 0)
+      .join(rm, Seq("__dur"))
+      .select(col("__dur").as("__t"), (col("__x") - col("__rm")).as("__r"))
+    val a = ev.agg(count(lit(1)).cast("double").as("__k"),
+      sum(col("__t")).as("__st"), sum(col("__r")).as("__sr"),
+      sum(col("__t") * col("__t")).as("__stt"),
+      sum(col("__t") * col("__r")).as("__str"),
+      sum(col("__r") * col("__r")).as("__srr"))
+    val num = col("__k") * col("__str") - col("__st") * col("__sr")
+    val den = sqrt((col("__k") * col("__stt") - col("__st") * col("__st")) *
+      (col("__k") * col("__srr") - col("__sr") * col("__sr")))
+    val corr = when(den > 0, num / den)
+    a.crossJoin(tot)
+      .select(col("__tc").cast("long").as("n"),
+        col("__k").cast("long").as("n_events"),
+        corr.as("corr_time"),
+        when(den > 0 && col("__k") > 2 && abs(num / den) < 1,
+          (num / den) * sqrt((col("__k") - 2) /
+            (lit(1.0) - (num / den) * (num / den)))).as("t_stat"))
+  }
+
+  /**
    * Actuarial life table (grouped-interval survival) — the classic
    * demography estimator Kaplan–Meier generalizes: durations are
    * binned into fixed `intervalDays` intervals and censored subjects

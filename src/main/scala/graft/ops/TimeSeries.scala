@@ -2531,6 +2531,153 @@ object TimeSeries {
   }
 
   /**
+   * Haar wavelet energy decomposition of the daily event-count series:
+   * at each dyadic level j (block of 2ʲ consecutive rank positions)
+   * the detail coefficient is (mean of first half − mean of second
+   * half)/2 per complete block; the per-level energy Σd² localizes
+   * WHERE in timescale the variance lives — the wavelet companion to
+   * [[periodogram]] (frequency) and [[dfa]] (scaling). Returns one row
+   * per level with the shared total: (level, block_size, n_blocks,
+   * energy, energy_share).
+   *
+   * Scale shape: ranks ride [[graft.analysis.PrefixSum]]; per-(level,
+   * block) halves are conditional sums in ONE grouped pass over a
+   * |levels|-fold fan-out; shares from a broadcast 1-row total.
+   */
+  def haarEnergy(df: DataFrame, tsCol: String,
+      levels: Int = 4): DataFrame = {
+    require(levels >= 1 && levels <= 16, "haarEnergy: levels in 1..16")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = dailyCounts(df, tsCol)
+    val pre = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__k0"))
+      .select((col("__k0") + 1).as("__k"), col("__y"))
+      .localCheckpoint()
+    val lv = broadcast((1 to levels).map(j => (j, 1L << j)).toDF("level", "block_size"))
+    val blocks = pre.crossJoin(lv)
+      .groupBy(col("level"), col("block_size"),
+        floor((col("__k") - 1) / col("block_size")).as("__b"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(pmod(col("__k") - 1, col("block_size")) <
+          col("block_size") / 2, col("__y")).otherwise(lit(0.0)))
+          .as("__s1"),
+        sum(when(pmod(col("__k") - 1, col("block_size")) >=
+          col("block_size") / 2, col("__y")).otherwise(lit(0.0)))
+          .as("__s2"))
+      .where(col("__cnt") === col("block_size"))
+    val perLevel = blocks
+      .select(col("level"), col("block_size"),
+        (((col("__s1") - col("__s2")) / col("block_size")) *
+          ((col("__s1") - col("__s2")) / col("block_size"))).as("__d2"))
+      .groupBy("level", "block_size")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__d2")).as("energy"))
+      .localCheckpoint()
+    val tot = broadcast(perLevel.agg(sum(col("energy")).as("__te")))
+    perLevel.crossJoin(tot)
+      .select(col("level"), col("block_size"), col("n_blocks"),
+        col("energy"),
+        when(col("__te") > 0, col("energy") / col("__te"))
+          .as("energy_share"))
+  }
+
+  /**
+   * Diebold–Mariano equal-predictive-accuracy test between the two
+   * zero-parameter daily forecasters every monitor compares first —
+   * naive (yesterday) vs seasonal-naive (same weekday last week) —
+   * on squared error, with a Bartlett-HAC (L = 2) variance for the
+   * loss-differential series (the d_t are autocorrelated by
+   * construction; the plain t-test is anti-conservative). DM < 0
+   * favors the naive, > 0 the seasonal. Returns 1 row: (n_common,
+   * mse_naive, mse_snaive, mean_loss_diff, dm_stat).
+   *
+   * Scale shape: calendar-shift joins (t−1, t−7) onto the daily frame,
+   * one moment aggregate, γ_j via two more shift joins on the
+   * differential — all calendar-sized, no window.
+   */
+  def dieboldMariano(df: DataFrame, tsCol: String,
+      hacLags: Int = 2): DataFrame = {
+    require(hacLags >= 0 && hacLags <= 30, "dieboldMariano: lags 0..30")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    def shifted(j: Int, nm: String) =
+      daily.select((col("__t") + j).as("__t"), col("__y").as(nm))
+    val diffs = daily
+      .join(shifted(1, "__p1"), Seq("__t"))
+      .join(shifted(7, "__p7"), Seq("__t"))
+      .select(col("__t"),
+        ((col("__y") - col("__p1")) * (col("__y") - col("__p1")) -
+          (col("__y") - col("__p7")) * (col("__y") - col("__p7")))
+          .as("__d"),
+        ((col("__y") - col("__p1")) * (col("__y") - col("__p1")))
+          .as("__e1"),
+        ((col("__y") - col("__p7")) * (col("__y") - col("__p7")))
+          .as("__e7"))
+      .localCheckpoint()
+    val mo = broadcast(diffs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__e1")).as("mse_naive"), avg(col("__e7")).as("mse_snaive"),
+      avg(col("__d")).as("__db")))
+    val cent = diffs.crossJoin(mo)
+      .select(col("__t"), (col("__d") - col("__db")).as("__u"))
+      .localCheckpoint()
+    val g0 = cent.agg(sum(col("__u") * col("__u")).as("__g0"))
+    val gammas = (1 to hacLags).map { j =>
+      val sh = cent.select((col("__t") + j).as("__t"),
+        col("__u").as("__uj"))
+      broadcast(cent.join(sh, Seq("__t"))
+        .agg(coalesce(sum(col("__u") * col("__uj")), lit(0.0))
+          .as(s"__g$j")))
+    }
+    val folded = gammas.foldLeft(g0.crossJoin(mo))(_ crossJoin _)
+    val lrv = (1 to hacLags).map(j =>
+      lit(2.0 * (1.0 - j.toDouble / (hacLags + 1))) * col(s"__g$j") /
+        col("__n"))
+      .foldLeft(col("__g0") / col("__n"))(_ + _)
+    folded
+      .select(col("__n").cast("long").as("n_common"),
+        col("mse_naive"), col("mse_snaive"),
+        col("__db").as("mean_loss_diff"),
+        when(lrv > 0, col("__db") / sqrt(lrv / col("__n"))).as("dm_stat"))
+  }
+
+  /**
+   * Pesaran–Timmermann directional-accuracy test of the momentum rule
+   * "tomorrow moves the way today moved" on the daily count series:
+   * compares the sign hit rate p̂ against the no-skill rate
+   * p* = P_up·P̂_up + (1−P_up)(1−P̂_up) with the classic variance
+   * correction — pure sign counts, the nonparametric sanity check
+   * behind every direction-of-change claim. Ties (Δ = 0) count as
+   * "down". Returns 1 row: (n_pairs, hit_rate, p_star, pt_stat).
+   */
+  def pesaranTimmermann(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    def shifted(j: Int, nm: String) =
+      daily.select((col("__t") + j).as("__t"), col("__y").as(nm))
+    // actual = sign(y_t − y_{t−1}); predicted = sign(y_{t−1} − y_{t−2})
+    val sg = daily
+      .join(shifted(1, "__p1"), Seq("__t"))
+      .join(shifted(2, "__p2"), Seq("__t"))
+      .select((col("__y") > col("__p1")).as("__a"),
+        (col("__p1") > col("__p2")).as("__f"))
+    val a = sg.agg(count(lit(1)).cast("double").as("__n"),
+      avg(when(col("__a") === col("__f"), 1.0).otherwise(0.0)).as("__ph"),
+      avg(when(col("__a"), 1.0).otherwise(0.0)).as("__py"),
+      avg(when(col("__f"), 1.0).otherwise(0.0)).as("__px"))
+    val ps = col("__py") * col("__px") +
+      (lit(1.0) - col("__py")) * (lit(1.0) - col("__px"))
+    val vh = ps * (lit(1.0) - ps) / col("__n")
+    val vs = (lit(2.0) * col("__py") - 1) * (lit(2.0) * col("__py") - 1) *
+      col("__px") * (lit(1.0) - col("__px")) / col("__n") +
+      (lit(2.0) * col("__px") - 1) * (lit(2.0) * col("__px") - 1) *
+        col("__py") * (lit(1.0) - col("__py")) / col("__n") +
+      lit(4.0) * col("__py") * col("__px") * (lit(1.0) - col("__py")) *
+        (lit(1.0) - col("__px")) / (col("__n") * col("__n"))
+    a.select(col("__n").cast("long").as("n_pairs"),
+      col("__ph").as("hit_rate"), ps.as("p_star"),
+      when(vh - vs > 0, (col("__ph") - ps) / sqrt(vh - vs)).as("pt_stat"))
+  }
+
+  /**
    * Depth-2 binary segmentation of the daily count series — the
    * multi-changepoint extension of [[amocChangepoint]]: find the
    * SSE-minimizing root split, then the best split INSIDE each

@@ -9888,6 +9888,83 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ci_hi") - 3.0) < 1e-9)
   }
 
+  test("expectile: {0,10} tau=0.9 -> 9; tau=0.5 -> mean") {
+    import spark.implicits._
+    val rows = Seq(0.0, 10.0).toDF("v")
+    val r = graft.analysis.AnalysisPlanner.expectile(rows, "v", 0.9).head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("mean") == 5.0)
+    assert(math.abs(r.getAs[Double]("expectile") - 9.0) < 1e-12)
+    assert(r.getAs[Double]("delta_last") == 0.0)
+    val r2 = graft.analysis.AnalysisPlanner.expectile(rows, "v", 0.5).head
+    assert(math.abs(r2.getAs[Double]("expectile") - 5.0) < 1e-12)
+  }
+
+  test("phScoreTrend: 4 subjects, hand-worked risk-set residuals") {
+    import spark.implicits._
+    val rows = Seq((1.0, true, 5.0), (2.0, true, 1.0), (3.0, true, 3.0),
+      (3.0, false, 3.0)).toDF("dur", "ev", "x")
+    val r = graft.ops.Survival.phScoreTrend(rows, "dur", "ev", "x").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_events") == 3L)
+    // residuals (t, r): (1, 2), (2, -4/3), (3, 0)
+    val num = -6.0
+    val den = math.sqrt(6 * 152.0 / 9)
+    val corr = num / den
+    assert(math.abs(r.getAs[Double]("corr_time") - corr) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat")
+      - corr * math.sqrt(1.0 / (1 - corr * corr))) < 1e-9)
+  }
+
+  test("haarEnergy: [1,3,5,7] two levels, hand-worked energies") {
+    import spark.implicits._
+    val counts = Seq(1, 3, 5, 7)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.haarEnergy(rows, "ts", levels = 2)
+      .orderBy("level").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("block_size") == 2L)
+    assert(r(0).getAs[Long]("n_blocks") == 2L)
+    assert(math.abs(r(0).getAs[Double]("energy") - 2.0) < 1e-12)
+    assert(r(1).getAs[Long]("n_blocks") == 1L)
+    assert(math.abs(r(1).getAs[Double]("energy") - 4.0) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("energy_share") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("energy_share") - 2.0 / 3) < 1e-12)
+  }
+
+  test("dieboldMariano: exact weekly cycle -> seasonal-naive wins") {
+    import spark.implicits._
+    val p = Seq(1, 2, 1, 2, 1, 2, 3)
+    val rows = (0 until 14).flatMap { i =>
+      Seq.fill(p(i % 7))(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.dieboldMariano(rows, "ts").head
+    assert(r.getAs[Long]("n_common") == 7L)
+    assert(math.abs(r.getAs[Double]("mse_naive") - 10.0 / 7) < 1e-9)
+    assert(r.getAs[Double]("mse_snaive") == 0.0)
+    assert(math.abs(r.getAs[Double]("mean_loss_diff") - 10.0 / 7) < 1e-9)
+    val (g0, g1, g2) = (378.0 / 49, -9.0 / 49, -18.0 / 49)
+    val lrv = g0 / 7 + 2 * (1 - 1.0 / 3) * g1 / 7 + 2 * (1 - 2.0 / 3) * g2 / 7
+    assert(math.abs(r.getAs[Double]("dm_stat")
+      - (10.0 / 7) / math.sqrt(lrv / 7)) < 1e-9)
+  }
+
+  test("pesaranTimmermann: perfect anti-momentum -> PT = -4/sqrt(3)") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 1, 2, 1, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.pesaranTimmermann(rows, "ts").head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Double]("hit_rate") == 0.0)
+    assert(r.getAs[Double]("p_star") == 0.5)
+    assert(math.abs(r.getAs[Double]("pt_stat") - (-4 / math.sqrt(3))) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
