@@ -1182,4 +1182,85 @@ object Dedup {
         greatest(round(col("chapman_estimate") - col("n_union"), 6),
           lit(0.0)))
   }
+
+  /**
+   * MinHash accuracy audit: on the LSH candidate pairs, compare the
+   * signature-estimated Jaccard against the EXACT shingle Jaccard,
+   * bucketed by the estimate — the calibration read that answers "can
+   * I trust a 0.8 signature threshold", i.e. the tuning input for
+   * [[minhashLsh]]'s band/row and threshold choices before a corpus
+   * run. Exact intersections are computed ONLY for candidate pairs
+   * (bucketed LSH discipline — never all-pairs).
+   * Returns per estimate-bucket: (bucket, est_lo, n_pairs, avg_est,
+   * avg_exact, mae).
+   */
+  def minhashAccuracyAudit(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, bands: Int = 4,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 1 && buckets <= 100,
+      "minhashAccuracyAudit: buckets in 1..100")
+    val est = minhashEstimatedJaccard(df, idCol, textCol, k, shingleN,
+        bands)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .localCheckpoint()
+    val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).cast("double").as("__sz"))
+    val inter = est.select("doc_a", "doc_b")
+      .join(sh.select(col("id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("double").as("__i"))
+    val exact = est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0.0, Seq("__i"))
+      .join(sizes.select(col("id").as("doc_a"), col("__sz").as("__sa")),
+        Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("__sz").as("__sb")),
+        Seq("doc_b"))
+      .select(col("est_jaccard"),
+        (col("__i") / (col("__sa") + col("__sb") - col("__i")))
+          .as("__ex"))
+    exact
+      .groupBy(least(floor(col("est_jaccard") * buckets),
+        lit(buckets - 1L)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(col("est_jaccard")).as("avg_est"),
+        avg(col("__ex")).as("avg_exact"),
+        avg(abs(col("est_jaccard") - col("__ex"))).as("mae"))
+      .withColumn("est_lo", col("bucket").cast("double") / buckets)
+      .select(col("bucket"), col("est_lo"), col("n_pairs"),
+        col("avg_est"), col("avg_exact"), col("mae"))
+  }
+
+  /**
+   * Cross-source n-gram containment matrix: for each ordered source
+   * pair, what fraction of A's distinct n-grams also occur in B — the
+   * corpus-level contamination/recycling read ([[crossSourceDuplicates]]
+   * catches whole-document copies; this catches PASSAGE-level reuse
+   * between sources before train/eval splits are cut along them).
+   *
+   * Scale shape: one distinct (source, gram) pass; the pair counts
+   * come from a gram-keyed self-join whose per-gram fan-out is bounded
+   * by the (small) source count; sizes broadcast back. Returns ordered
+   * pairs: (src_a, src_b, grams_a, grams_shared, containment).
+   */
+  def crossSourceNgramContainment(df: DataFrame, groupCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val grams = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"), col(textCol))
+      .transform(d => shingles(d, "__g", textCol, n))
+      .localCheckpoint()
+    val sizes = grams.groupBy(col("id").as("__ga"))
+      .agg(count(lit(1)).cast("double").as("__sz"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("src_a"), col("b.id").as("src_b"))
+      .agg(count(lit(1)).as("grams_shared"))
+    shared
+      .join(broadcast(sizes), col("src_a") === col("__ga"))
+      .select(col("src_a"), col("src_b"),
+        col("__sz").cast("long").as("grams_a"), col("grams_shared"),
+        (col("grams_shared") / col("__sz")).as("containment"))
+  }
 }

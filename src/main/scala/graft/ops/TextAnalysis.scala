@@ -1977,6 +1977,152 @@ object TextAnalysis {
   }
 
   /**
+   * LM-score decile × source mixture: bucket documents into exact
+   * deciles of their [[unigramLogLikelihood]] average log-probability
+   * and report each source's share of each decile — "which sources
+   * dominate the low-quality tail", the decision table behind
+   * re-weighting or dropping sources before training. Deciles cut at
+   * exact-DISC thresholds (order statistics of the already-rounded
+   * score, so both engines bucket identically).
+   *
+   * Scale shape: scoring is the LM op's two grouped passes; thresholds
+   * are ONE exact-percentile row broadcast back; the mix is a (decile,
+   * source) groupBy. Returns (decile, source, n_docs, share_of_decile)
+   * for occupied cells.
+   */
+  def lmScoreDecileMix(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, ref: DataFrame, refTextCol: String): DataFrame = {
+    val scores = unigramLogLikelihood(df, idCol, textCol, ref, refTextCol)
+      .select(col(idCol), col("avg_logprob"))
+    val scored = df.select(col(idCol), col(groupCol).as("source"))
+      .join(scores, Seq(idCol))
+      .localCheckpoint()
+    val qs = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(scored, "avg_logprob",
+        (1 to 9).map(i => s"__q$i" -> i / 10.0), Nil))
+    val dec = scored.crossJoin(qs)
+      .select(col("source"),
+        (1 to 9).map(i =>
+          when(col("avg_logprob") > col(s"__q$i"), 1).otherwise(0))
+          .reduce(_ + _).as("decile"))
+    val cell = dec.groupBy("decile", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val per = cell.groupBy("decile")
+      .agg(sum(col("n_docs")).as("__tot"))
+    cell.join(broadcast(per), Seq("decile"))
+      .select(col("decile"), col("source"), col("n_docs"),
+        (col("n_docs") / col("__tot")).as("share_of_decile"))
+  }
+
+  /**
+   * Per-source text-profile outlier screen: each source's mean
+   * document length, mean word length, stopword ratio, and type-token
+   * ratio, z-scored against the across-source distribution — the
+   * 5-minute "which source doesn't look like text" triage before the
+   * per-document [[qualityFlags]] machinery runs. |z| > 2 on any axis
+   * flags the source.
+   *
+   * Scale shape: one corpus token pass folded to per-source aggregates
+   * (≤ |sources| rows); the z frame is a broadcast 1-row moment
+   * aggregate over those. Returns one row per source.
+   */
+  def sourceProfileOutliers(df: DataFrame, groupCol: String,
+      textCol: String,
+      stopwords: Seq[String] = langMarkers("en")): DataFrame = {
+    val toks = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("source"),
+        explode(words(col(textCol))).as("__t"))
+      .where(length(col("__t")) > 0)
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("__ntok"),
+        avg(length(col("__t")).cast("double")).as("mean_word_len"),
+        avg(when(col("__t").isin(stopwords: _*), 1.0).otherwise(0.0))
+          .as("stopword_ratio"),
+        (countDistinct(col("__t")).cast("double") / count(lit(1)))
+          .as("type_token_ratio"))
+    val docs = df.where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val joined = per.join(docs, Seq("source"))
+      .withColumn("mean_doc_tokens", col("__ntok") / col("n_docs"))
+      .localCheckpoint()
+    val st = broadcast(joined.agg(
+      avg(col("mean_doc_tokens")).as("__m1"),
+      sqrt(avg(col("mean_doc_tokens") * col("mean_doc_tokens")) -
+        avg(col("mean_doc_tokens")) * avg(col("mean_doc_tokens")))
+        .as("__s1"),
+      avg(col("stopword_ratio")).as("__m2"),
+      sqrt(avg(col("stopword_ratio") * col("stopword_ratio")) -
+        avg(col("stopword_ratio")) * avg(col("stopword_ratio")))
+        .as("__s2"),
+      avg(col("type_token_ratio")).as("__m3"),
+      sqrt(avg(col("type_token_ratio") * col("type_token_ratio")) -
+        avg(col("type_token_ratio")) * avg(col("type_token_ratio")))
+        .as("__s3")))
+    val zc = (v: Column, m: Column, s: Column) => when(s > 0, (v - m) / s)
+    joined.crossJoin(st)
+      .select(col("source"), col("n_docs"), col("mean_doc_tokens"),
+        col("mean_word_len"), col("stopword_ratio"),
+        col("type_token_ratio"),
+        zc(col("mean_doc_tokens"), col("__m1"), col("__s1")).as("z_len"),
+        zc(col("stopword_ratio"), col("__m2"), col("__s2")).as("z_stop"),
+        zc(col("type_token_ratio"), col("__m3"), col("__s3")).as("z_ttr"))
+      .withColumn("flagged",
+        abs(coalesce(col("z_len"), lit(0.0))) > 2 ||
+        abs(coalesce(col("z_stop"), lit(0.0))) > 2 ||
+        abs(coalesce(col("z_ttr"), lit(0.0))) > 2)
+  }
+
+  /**
+   * Per-source Zipf slope + hapax share: regress log frequency on log
+   * rank over each source's top-`topM` terms and report the share of
+   * its vocabulary seen exactly once — natural text sits near slope −1
+   * with a large hapax mass; templated/generated slices flatten both.
+   * The per-source companion of the corpus-level [[zipfSlope]].
+   *
+   * Scale shape: (source, term) counts in one pass; ranking is a
+   * window PARTITIONED by source (per-partition size = source
+   * vocabulary ≪ corpus); the OLS folds ≤ topM rows per source.
+   */
+  def zipfHapaxBySource(df: DataFrame, groupCol: String, textCol: String,
+      topM: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topM >= 5, "zipfHapaxBySource: topM >= 5")
+    val counts = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("source"),
+        explode(words(col(textCol))).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("source", "__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val hapax = counts.groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        (sum(when(col("__c") === 1, 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("hapax_share"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("__c").desc, col("__t"))
+    val top = counts.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= topM)
+      .select(col("source"), log(col("__r").cast("double")).as("__lx"),
+        log(col("__c").cast("double")).as("__ly"))
+    val ols = top.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("__k"),
+        sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+        sum(col("__lx") * col("__lx")).as("__sxx"),
+        sum(col("__lx") * col("__ly")).as("__sxy"),
+        sum(col("__ly") * col("__ly")).as("__syy"))
+    val sxxC = col("__sxx") - col("__sx") * col("__sx") / col("__k")
+    val sxyC = col("__sxy") - col("__sx") * col("__sy") / col("__k")
+    val syyC = col("__syy") - col("__sy") * col("__sy") / col("__k")
+    hapax.join(ols, Seq("source"))
+      .select(col("source"), col("vocab"), col("hapax_share"),
+        col("__k").cast("long").as("n_ranked"),
+        when(sxxC > 0, sxyC / sxxC).as("zipf_slope"),
+        when(sxxC > 0 && syyC > 0, sxyC * sxyC / (sxxC * syyC)).as("r2"))
+  }
+
+  /**
    * Rank-biased overlap (Webber et al. 2010) between two groups'
    * term-frequency rankings: the top-weighted list-similarity readout
    * for "did this source's vocabulary ordering drift" — unlike plain

@@ -9965,6 +9965,88 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("pt_stat") - (-4 / math.sqrt(3))) < 1e-9)
   }
 
+  test("minhashAccuracyAudit: identical docs -> bucket 4, zero error") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup
+      .minhashAccuracyAudit(docs, "doc_id", "text").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("bucket") == 4L)
+    assert(r(0).getAs[Long]("n_pairs") == 1L)
+    assert(r(0).getAs[Double]("avg_est") == 1.0)
+    assert(r(0).getAs[Double]("avg_exact") == 1.0)
+    assert(r(0).getAs[Double]("mae") == 0.0)
+  }
+
+  test("lmScoreDecileMix: unseen-vocab doc lands in the bottom decile") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a", "X"), (2L, "b b", "Y"), (3L, "q q", "X"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.TextAnalysis
+      .lmScoreDecileMix(docs, "doc_id", "text", "source",
+        docs.where(col("doc_id") < 3), "text")
+      .orderBy("decile", "source").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Int]("decile") == 0)
+    assert(r(0).getAs[String]("source") == "X") // the q-doc
+    assert(r(0).getAs[Double]("share_of_decile") == 1.0)
+    assert(r(1).getAs[Int]("decile") == 3)
+    assert(r(1).getAs[Double]("share_of_decile") == 0.5)
+    assert(r(2).getAs[Int]("decile") == 3)
+    assert(r(2).getAs[String]("source") == "Y")
+  }
+
+  test("crossSourceNgramContainment: one shared bigram of two") {
+    import spark.implicits._
+    val docs = Seq(("A", "x y z"), ("B", "x y q")).toDF("source", "text")
+    val r = graft.ops.Dedup
+      .crossSourceNgramContainment(docs, "source", "text", n = 2)
+      .orderBy("src_a").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("grams_a") == 2L)
+    assert(r(0).getAs[Long]("grams_shared") == 1L)
+    assert(r(0).getAs[Double]("containment") == 0.5)
+    assert(r(1).getAs[Double]("containment") == 0.5)
+  }
+
+  test("sourceProfileOutliers: hand-worked z over three sources") {
+    import spark.implicits._
+    val docs = Seq(("A", "the cat"), ("A", "the cat"), ("B", "the dog"),
+      ("C", "zz zz zz")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis
+      .sourceProfileOutliers(docs, "source", "text")
+      .orderBy("source").collect()
+    val by = r.map(x => x.getAs[String]("source") -> x).toMap
+    assert(by("A").getAs[Long]("n_docs") == 2L)
+    assert(by("A").getAs[Double]("mean_doc_tokens") == 2.0)
+    assert(by("A").getAs[Double]("stopword_ratio") == 0.5)
+    assert(by("C").getAs[Double]("mean_doc_tokens") == 3.0)
+    assert(by("C").getAs[Double]("stopword_ratio") == 0.0)
+    assert(math.abs(by("C").getAs[Double]("type_token_ratio") - 1.0 / 3)
+      < 1e-12)
+    // mdt = [2,2,3]: population sd = sqrt(2)/3, z(C) = sqrt(2)
+    assert(math.abs(by("C").getAs[Double]("z_len") - math.sqrt(2)) < 1e-9)
+    assert(r.forall(!_.getAs[Boolean]("flagged")))
+  }
+
+  test("zipfHapaxBySource: counts 4,2,1 -> hand-worked slope") {
+    import spark.implicits._
+    val docs = Seq(("S", "a a a a b b c")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis
+      .zipfHapaxBySource(docs, "source", "text").head
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(math.abs(r.getAs[Double]("hapax_share") - 1.0 / 3) < 1e-12)
+    assert(r.getAs[Long]("n_ranked") == 3L)
+    val lx = Seq(0.0, math.log(2), math.log(3))
+    val ly = Seq(math.log(4), math.log(2), 0.0)
+    val (sx, sy) = (lx.sum, ly.sum)
+    val sxx = lx.map(x => x * x).sum
+    val sxy = lx.zip(ly).map { case (x, y) => x * y }.sum
+    val slope = (sxy - sx * sy / 3) / (sxx - sx * sx / 3)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
