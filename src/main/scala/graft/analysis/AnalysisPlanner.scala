@@ -6838,6 +6838,48 @@ object AnalysisPlanner {
   }
 
   /**
+   * First-order stochastic dominance check between two groups'
+   * empirical CDFs: D_ab = max_v(F_a − F_b) and D_ba symmetrically;
+   * group a dominates (is everywhere stochastically LARGER) iff
+   * F_a ≤ F_b at every pooled value — the ordering the mean/median
+   * comparisons silently assume, made explicit. Verdict ∈
+   * {a_dominates, b_dominates, equal, crossing}.
+   *
+   * Scale shape: one (group, value) count pass pivoted to a pooled
+   * value frame, CDFs via [[PrefixSum]], two max aggregates — no
+   * window, no pairwise comparison.
+   */
+  def stochasticDominance(df: DataFrame, valueCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val base = df
+      .where(col(valueCol).isNotNull &&
+        col(groupCol).cast("string").isin(groupA, groupB))
+      .select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).cast("string").as("__g"))
+    val vc = base.groupBy("__v")
+      .agg(sum(when(col("__g") === groupA, 1.0).otherwise(0.0))
+        .as("__ca"),
+        sum(when(col("__g") === groupB, 1.0).otherwise(0.0)).as("__cb"))
+    val pre = PrefixSum.exclusive(vc, "__v",
+      Seq("__ca" -> "__pa", "__cb" -> "__pb"))
+    val tot = broadcast(base.agg(
+      sum(when(col("__g") === groupA, 1.0).otherwise(0.0)).as("__na"),
+      sum(when(col("__g") === groupB, 1.0).otherwise(0.0)).as("__nb")))
+    val d = pre.crossJoin(tot)
+      .select(((col("__pa") + col("__ca")) / col("__na") -
+        (col("__pb") + col("__cb")) / col("__nb")).as("__d"))
+      .agg(max(col("__d")).as("d_ab"), max(-col("__d")).as("d_ba"))
+    d.crossJoin(tot)
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"), col("d_ab"), col("d_ba"),
+        when(col("d_ab") <= 0 && col("d_ba") <= 0, "equal")
+          .when(col("d_ab") <= 0, "a_dominates")
+          .when(col("d_ba") <= 0, "b_dominates")
+          .otherwise("crossing").as("verdict"))
+  }
+
+  /**
    * Empirical tail-dependence coefficients between two columns — the
    * copula read Pearson/Spearman can't give: λ_U = P(X > q_p(X) |
    * Y > q_p(Y)) and λ_L = P(X ≤ q_{1−p}(X) | Y ≤ q_{1−p}(Y)) — "when

@@ -662,6 +662,126 @@ object Behavioral {
   }
 
   /**
+   * Volume/rate/mix growth decomposition between two periods, per
+   * segment: ΔR_s = Δn_s·avg₀ + n₀·Δavg + Δn·Δavg (volume effect,
+   * rate effect, cross term) — the finance-review "WHY did revenue
+   * move" bridge, summing exactly to the raw delta by construction.
+   * Returns one row per segment present in either period (absent side
+   * counts as zero): (segment, n0, n1, rev0, rev1, delta,
+   * volume_effect, rate_effect, cross_effect).
+   *
+   * Scale shape: ONE groupBy over (segment, period flag), a
+   * full-outer-free pivot via conditional sums, map-only algebra.
+   */
+  def growthDecomposition(df: DataFrame, segmentCol: String,
+      periodFlag: Column, valueCol: String): DataFrame = {
+    val per = df
+      .where(col(segmentCol).isNotNull && col(valueCol).isNotNull &&
+        periodFlag.isNotNull)
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(
+        sum(when(!periodFlag, 1.0).otherwise(0.0)).as("__n0"),
+        sum(when(periodFlag, 1.0).otherwise(0.0)).as("__n1"),
+        sum(when(!periodFlag, col(valueCol).cast("double"))
+          .otherwise(lit(0.0))).as("rev0"),
+        sum(when(periodFlag, col(valueCol).cast("double"))
+          .otherwise(lit(0.0))).as("rev1"))
+    val a0 = when(col("__n0") > 0, col("rev0") / col("__n0"))
+      .otherwise(lit(0.0))
+    val a1 = when(col("__n1") > 0, col("rev1") / col("__n1"))
+      .otherwise(lit(0.0))
+    per.select(col("segment"),
+      col("__n0").cast("long").as("n0"),
+      col("__n1").cast("long").as("n1"), col("rev0"), col("rev1"),
+      (col("rev1") - col("rev0")).as("delta"),
+      ((col("__n1") - col("__n0")) * a0).as("volume_effect"),
+      (col("__n0") * (a1 - a0)).as("rate_effect"),
+      ((col("__n1") - col("__n0")) * (a1 - a0)).as("cross_effect"))
+  }
+
+  /**
+   * Shifted-beta-geometric (sBG, Fader–Hardie 2007) retention
+   * projection by method of moments: pool weekly cohort retention,
+   * read r₁ and r₂, and invert the sBG identities r₁ = β/(α+β),
+   * r₂/r₁ = (β+1)/(α+β+1) in closed form — no MLE, both engines replay
+   * the algebra exactly. Projects S(t) = Π_{k≤t} (β+k−1)/(α+β+k−1)
+   * against the observed curve for `horizon` weeks — the
+   * "heterogeneous churn propensity" model that explains why naive
+   * geometric fits always over-predict late churn.
+   *
+   * Pooling: only cohorts OLD enough to be observed at `horizon`
+   * periods enter, so every r_t shares one denominator population.
+   * Returns one row per week 1..horizon: (period, n_cohort_users,
+   * observed_retention, projected_retention, alpha, beta).
+   *
+   * Scale shape: first-activity + activity-week frames are two grouped
+   * passes; retention counts one more; α/β come from a broadcast 1-row
+   * frame; the projection is a ≤horizon-row literal expansion joined
+   * to observed — no window, no collect beyond the 2-value read.
+   */
+  def sbgRetention(df: DataFrame, userCol: String, tsCol: String,
+      horizon: Int = 8, periodDays: Int = 7): DataFrame = {
+    require(horizon >= 3 && horizon <= 104, "sbgRetention: horizon 3..104")
+    require(periodDays >= 1, "sbgRetention: periodDays >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val acts = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(datediff(to_date(col(tsCol)), lit("1970-01-01")) /
+          periodDays).as("__w"))
+      .distinct().localCheckpoint()
+    val first = acts.groupBy("__u").agg(min(col("__w")).as("__w0"))
+    val maxW = broadcast(acts.agg(max(col("__w")).as("__wm")))
+    // cohorts with a full horizon of observation
+    val eligible = first.crossJoin(maxW)
+      .where(col("__w0") + horizon <= col("__wm"))
+      .select(col("__u"), col("__w0")).localCheckpoint()
+    val base = broadcast(eligible.agg(
+      count(lit(1)).cast("double").as("__n0")))
+    val ret = acts.join(eligible, Seq("__u"))
+      .select((col("__w") - col("__w0")).as("period"), col("__u"))
+      .where(col("period") >= 1 && col("period") <= horizon)
+      .distinct()
+      .groupBy("period")
+      .agg(count(lit(1)).cast("double").as("__na"))
+      .crossJoin(base)
+      .select(col("period"), col("__na"),
+        (col("__na") / col("__n0")).as("observed_retention"))
+      .localCheckpoint()
+    val r12 = broadcast(ret
+      .agg(max(when(col("period") === 1, col("observed_retention")))
+        .as("__r1"),
+        max(when(col("period") === 2, col("observed_retention")))
+          .as("__r2")))
+    // method of moments on survival S1, S2 (conditional rates r1 = S1,
+    // r2 = S2/S1): β = S1(S1−S2)/(S2−S1²), α = β(1−S1)/S1 — checked
+    // against (α,β) = (1,2) ⇒ S1 = 2/3, S2 = 1/2 round-trip
+    val ab = broadcast(r12.select(
+      (col("__r1") * (col("__r1") - col("__r2")) /
+        (col("__r2") - col("__r1") * col("__r1")) *
+        (lit(1.0) - col("__r1")) / col("__r1")).as("alpha"),
+      (col("__r1") * (col("__r1") - col("__r2")) /
+        (col("__r2") - col("__r1") * col("__r1"))).as("beta")))
+    // S(t) = Π_{k=1..t} (β+k−1)/(α+β+k−1): exp of the prefix log sum
+    val terms = spark.range(1, horizon + 1L).toDF("__k")
+      .crossJoin(ab)
+      .select(col("__k"),
+        log((col("beta") + col("__k") - 1) /
+          (col("alpha") + col("beta") + col("__k") - 1)).as("__lt"),
+        col("alpha"), col("beta"))
+    val proj = graft.analysis.PrefixSum.exclusive(terms, "__k",
+        Seq("__lt" -> "__pre"))
+      .select(col("__k").as("period"),
+        exp(col("__pre") + col("__lt")).as("projected_retention"),
+        col("alpha"), col("beta"))
+    ret.join(proj, Seq("period"))
+      .crossJoin(base)
+      .select(col("period"), col("__n0").cast("long")
+        .as("n_cohort_users"), col("observed_retention"),
+        col("projected_retention"), col("alpha"), col("beta"))
+  }
+
+  /**
    * PMI co-presence of item pairs within sessions — "which event types
    * show up TOGETHER in a user-day beyond what their individual
    * frequencies predict": pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over

@@ -664,6 +664,69 @@ object Graph {
   }
 
   /**
+   * Edge embeddedness census: each edge's SUPPORT (number of triangles
+   * through it = common neighbors of its endpoints); support-0 edges
+   * are local bridges — the weak ties whose removal disconnects
+   * neighborhoods (Granovetter's structural holes; also exactly the
+   * truss-decomposition substrate). Returns 1 row: (n_edges,
+   * n_bridges, bridge_share, avg_support, max_support).
+   *
+   * Scale shape: the same degree-oriented wedge join as triangle
+   * counting (each wedge generated once, from its lowest-degree
+   * center), each closed wedge credited to its three edges by a
+   * 3-way explode — never an unoriented neighbor-pair blowup.
+   */
+  def edgeEmbeddedness(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().localCheckpoint()
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("lo"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("hi"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    val tri = wedges.join(canon,
+      least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"), "left_semi")
+    val perEdge = tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+    canon.join(perEdge, Seq("u", "v"), "left")
+      .na.fill(0L, Seq("__sup"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("__sup") === 0, 1L).otherwise(0L)).as("n_bridges"),
+        (sum(when(col("__sup") === 0, 1.0).otherwise(0.0)) /
+          count(lit(1))).as("bridge_share"),
+        avg(col("__sup").cast("double")).as("avg_support"),
+        max(col("__sup")).as("max_support"))
+  }
+
+  /**
    * Spectral radius λ_max of the undirected simple graph's adjacency
    * matrix by power iteration + a final Rayleigh quotient —
    * the graph's intrinsic "amplification factor": epidemic/cascade

@@ -2531,6 +2531,47 @@ object TimeSeries {
   }
 
   /**
+   * MA(1) method-of-moments fit to the DIFFERENCED daily mean series —
+   * the moving-average mirror of [[graft.ops.Regression.yuleWalkerAr2]]'s AR side: for an
+   * invertible MA(1), ρ₁ = θ/(1+θ²), so θ = (1 − √(1−4ρ₁²))/(2ρ₁)
+   * (the |θ| < 1 root) and σ²_ε = γ₀/(1+θ²). |ρ₁| ≥ 0.5 means no
+   * real invertible MA(1) exists — reported, not hidden. Differencing
+   * first is the standard guard against level nonstationarity.
+   * Returns 1 row: (n_diffs, rho1, invertible, theta, sigma2_innov).
+   */
+  def ma1Fit(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = dailySeries(df, tsCol, valueCol).localCheckpoint()
+    val diffs = daily
+      .join(daily.select((col("__t") + 1).as("__t"),
+        col("__x").as("__xp")), Seq("__t"))
+      .select(col("__t"), (col("__x") - col("__xp")).as("__d"))
+      .localCheckpoint()
+    val mu = broadcast(diffs.agg(avg(col("__d")).as("__mu"),
+      count(lit(1)).cast("double").as("__n")))
+    val dm = diffs.crossJoin(mu)
+      .select(col("__t"), (col("__d") - col("__mu")).as("__z"))
+      .localCheckpoint()
+    val g0 = dm.agg(sum(col("__z") * col("__z")).as("__s0"))
+    val g1 = broadcast(dm
+      .join(dm.select((col("__t") + 1).as("__t"), col("__z").as("__zp")),
+        Seq("__t"))
+      .agg(coalesce(sum(col("__z") * col("__zp")), lit(0.0)).as("__s1")))
+    val rho1 = col("__s1") / col("__s0")
+    val inv = abs(rho1) < 0.5
+    val theta = when(inv && rho1 =!= 0,
+      (lit(1.0) - sqrt(lit(1.0) - lit(4.0) * rho1 * rho1)) /
+        (lit(2.0) * rho1))
+      .when(rho1 === 0, lit(0.0))
+    g0.crossJoin(g1).crossJoin(mu)
+      .select(col("__n").cast("long").as("n_diffs"),
+        when(col("__s0") > 0, rho1).as("rho1"), inv.as("invertible"),
+        theta.as("theta"),
+        when(col("__s0") > 0,
+          (col("__s0") / col("__n")) / (lit(1.0) + theta * theta))
+          .as("sigma2_innov"))
+  }
+
+  /**
    * Haar wavelet energy decomposition of the daily event-count series:
    * at each dyadic level j (block of 2ʲ consecutive rank positions)
    * the detail coefficient is (mean of first half − mean of second

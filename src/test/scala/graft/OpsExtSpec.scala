@@ -10047,6 +10047,90 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-9)
   }
 
+  test("sbgRetention: hand-worked alpha=0.5 beta=1.5 cohort") {
+    import spark.implicits._
+    // 8 users day 0; 6 on day 1; 5 on day 2; 4 on day 3:
+    // S1=.75, S2=.625 -> beta=1.5, alpha=.5; S(3) projected 0.546875
+    def day(i: Int) = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString
+    val rows = ((1 to 8).map(u => (u.toLong, day(0))) ++
+      (1 to 6).map(u => (u.toLong, day(1))) ++
+      (1 to 5).map(u => (u.toLong, day(2))) ++
+      (1 to 4).map(u => (u.toLong, day(3)))).toDF("u", "ts")
+    val r = graft.ops.Behavioral
+      .sbgRetention(rows, "u", "ts", horizon = 3, periodDays = 1)
+      .orderBy("period").collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("n_cohort_users") == 8L))
+    assert(math.abs(r(0).getAs[Double]("alpha") - 0.5) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("beta") - 1.5) < 1e-12)
+    assert(r(0).getAs[Double]("observed_retention") == 0.75)
+    assert(math.abs(r(0).getAs[Double]("projected_retention") - 0.75)
+      < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("projected_retention") - 0.625)
+      < 1e-12)
+    assert(r(2).getAs[Double]("observed_retention") == 0.5)
+    assert(math.abs(r(2).getAs[Double]("projected_retention") - 0.546875)
+      < 1e-12)
+  }
+
+  test("edgeEmbeddedness: triangle plus pendant -> one bridge") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("s", "t")
+    val r = graft.ops.Graph.edgeEmbeddedness(edges, "s", "t").head
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_bridges") == 1L)
+    assert(r.getAs[Double]("bridge_share") == 0.25)
+    assert(r.getAs[Double]("avg_support") == 0.75)
+    assert(r.getAs[Long]("max_support") == 1L)
+  }
+
+  test("stochasticDominance: shifted sample dominates") {
+    import spark.implicits._
+    val rows = Seq((2.0, "A"), (4.0, "A"), (1.0, "B"), (3.0, "B"))
+      .toDF("v", "g")
+    val r = graft.analysis.AnalysisPlanner
+      .stochasticDominance(rows, "v", "g", "A", "B").head
+    assert(r.getAs[Long]("n_a") == 2L)
+    assert(r.getAs[Double]("d_ab") == 0.0)
+    assert(r.getAs[Double]("d_ba") == 0.5)
+    assert(r.getAs[String]("verdict") == "a_dominates")
+  }
+
+  test("growthDecomposition: effects sum exactly to the delta") {
+    import spark.implicits._
+    val rows = (Seq.fill(2)(("S", false, 10.0)) ++
+      Seq.fill(3)(("S", true, 12.0))).toDF("seg", "p", "v")
+    val r = graft.ops.Behavioral
+      .growthDecomposition(rows, "seg", col("p"), "v").head
+    assert(r.getAs[Long]("n0") == 2L)
+    assert(r.getAs[Long]("n1") == 3L)
+    assert(r.getAs[Double]("delta") == 16.0)
+    assert(r.getAs[Double]("volume_effect") == 10.0)
+    assert(r.getAs[Double]("rate_effect") == 4.0)
+    assert(r.getAs[Double]("cross_effect") == 2.0)
+  }
+
+  test("ma1Fit: zero rho1 -> theta 0; big negative rho1 -> not invertible") {
+    import spark.implicits._
+    def mk(xs: Seq[Double]) = xs.zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString, v)
+    }.toDF("ts", "v")
+    val r = graft.ops.TimeSeries.ma1Fit(mk(Seq(0, 1, 1, 0, 0)), "ts", "v")
+      .head
+    assert(r.getAs[Long]("n_diffs") == 4L)
+    assert(r.getAs[Double]("rho1") == 0.0)
+    assert(r.getAs[Boolean]("invertible"))
+    assert(r.getAs[Double]("theta") == 0.0)
+    assert(math.abs(r.getAs[Double]("sigma2_innov") - 0.5) < 1e-12)
+    val r2 = graft.ops.TimeSeries.ma1Fit(mk(Seq(0, 1, 0, 1, 0)), "ts", "v")
+      .head
+    assert(math.abs(r2.getAs[Double]("rho1") - (-0.75)) < 1e-12)
+    assert(!r2.getAs[Boolean]("invertible"))
+    assert(r2.isNullAt(r2.fieldIndex("theta")))
+    assert(r2.isNullAt(r2.fieldIndex("sigma2_innov")))
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
