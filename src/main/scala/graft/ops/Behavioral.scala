@@ -755,12 +755,18 @@ object Behavioral {
           .as("__r2")))
     // method of moments on survival S1, S2 (conditional rates r1 = S1,
     // r2 = S2/S1): β = S1(S1−S2)/(S2−S1²), α = β(1−S1)/S1 — checked
-    // against (α,β) = (1,2) ⇒ S1 = 2/3, S2 = 1/2 round-trip
+    // against (α,β) = (1,2) ⇒ S1 = 2/3, S2 = 1/2 round-trip. A valid
+    // sBG needs 0 < S2 < S1 < 1 and S2 > S1² (heterogeneous churn);
+    // degenerate curves (fully-retained or sub-geometric) yield NULL
+    // α/β and NULL projections instead of an ANSI divide error.
+    val ok = col("__r1") < 1 && col("__r2") > 0 &&
+      col("__r2") < col("__r1") &&
+      col("__r2") > col("__r1") * col("__r1")
     val ab = broadcast(r12.select(
-      (col("__r1") * (col("__r1") - col("__r2")) /
+      when(ok, col("__r1") * (col("__r1") - col("__r2")) /
         (col("__r2") - col("__r1") * col("__r1")) *
         (lit(1.0) - col("__r1")) / col("__r1")).as("alpha"),
-      (col("__r1") * (col("__r1") - col("__r2")) /
+      when(ok, col("__r1") * (col("__r1") - col("__r2")) /
         (col("__r2") - col("__r1") * col("__r1"))).as("beta")))
     // S(t) = Π_{k=1..t} (β+k−1)/(α+β+k−1): exp of the prefix log sum
     val terms = spark.range(1, horizon + 1L).toDF("__k")
