@@ -662,6 +662,93 @@ object Behavioral {
   }
 
   /**
+   * Audience overlap (Jaccard of USER sets) between every pair of item
+   * types — "do these behaviors share an audience", the global-base
+   * complement of [[sessionCopresence]]'s within-session PMI (two
+   * types can share every user yet never co-occur in a session).
+   * Returns ordered pairs: (item_a, item_b, users_a, users_b,
+   * users_both, jaccard).
+   *
+   * Scale shape: one distinct (item, user) pass; pair counts from a
+   * user-keyed self-join with per-user fan-out bounded by the item
+   * cardinality; set sizes broadcast back.
+   */
+  def audienceOverlap(df: DataFrame, itemCol: String,
+      userCol: String): DataFrame = {
+    val pres = df
+      .where(col(itemCol).isNotNull && col(userCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__i"),
+        col(userCol).as("__u"))
+      .distinct().localCheckpoint()
+    val sizes = pres.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val both = pres.as("a")
+      .join(pres.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("users_both"))
+    both
+      .join(broadcast(sizes.select(col("__i").as("item_a"),
+        col("__n").as("users_a"))), Seq("item_a"))
+      .join(broadcast(sizes.select(col("__i").as("item_b"),
+        col("__n").as("users_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("users_a"),
+        col("users_b"), col("users_both"),
+        (col("users_both").cast("double") /
+          (col("users_a") + col("users_b") - col("users_both")))
+          .as("jaccard"))
+  }
+
+  /**
+   * Goh–Barabási burstiness/memory panel of inter-event gaps per key:
+   * B = (σ−μ)/(σ+μ) of the gap distribution (−1 regular … 0
+   * Poissonian … 1 bursty) and the memory coefficient M = corr of
+   * consecutive gaps — together they place each stream on the
+   * burstiness–memory phase plane (human activity sits B>0, M≈0).
+   * Gaps and their successors come from ONE key-partitioned ordered
+   * window (per-key event counts bound the partitions); everything
+   * after is a grouped moment aggregate.
+   * Returns (key, n_gaps, mean_gap, sd_gap, b_index, memory_coeff).
+   */
+  def burstinessMemory(df: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    val ordered = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__nxt", lead(col(tsCol), 1).over(w))
+      .withColumn("__nxt2", lead(col(tsCol), 2).over(w))
+      .where(col("__nxt").isNotNull)
+      .select(col(keyCol),
+        ((unix_micros(col("__nxt")) - unix_micros(col(tsCol))) /
+          lit(1000000.0)).as("__g"),
+        when(col("__nxt2").isNotNull,
+          (unix_micros(col("__nxt2")) - unix_micros(col("__nxt"))) /
+            lit(1000000.0)).as("__gn"))
+    val st = ordered.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("__g")).as("mean_gap"),
+        sqrt(avg(col("__g") * col("__g")) -
+          avg(col("__g")) * avg(col("__g"))).as("sd_gap"),
+        count(col("__gn")).cast("double").as("__np"),
+        sum(when(col("__gn").isNotNull, col("__g"))).as("__sx"),
+        sum(col("__gn")).as("__sy"),
+        sum(when(col("__gn").isNotNull, col("__g") * col("__g")))
+          .as("__sxx"),
+        sum(col("__g") * col("__gn")).as("__sxy"),
+        sum(col("__gn") * col("__gn")).as("__syy"))
+    val num = col("__np") * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((col("__np") * col("__sxx") -
+      col("__sx") * col("__sx")) *
+      (col("__np") * col("__syy") - col("__sy") * col("__sy")))
+    st.select(col(keyCol), col("n_gaps"), col("mean_gap"), col("sd_gap"),
+      when(col("sd_gap") + col("mean_gap") > 0,
+        (col("sd_gap") - col("mean_gap")) /
+          (col("sd_gap") + col("mean_gap"))).as("b_index"),
+      when(den > 0, num / den).as("memory_coeff"))
+  }
+
+  /**
    * Volume/rate/mix growth decomposition between two periods, per
    * segment: ΔR_s = Δn_s·avg₀ + n₀·Δavg + Δn·Δavg (volume effect,
    * rate effect, cross term) — the finance-review "WHY did revenue

@@ -2123,6 +2123,55 @@ object TextAnalysis {
   }
 
   /**
+   * Normalized Kendall tau distance between two rankings of the same
+   * groups by two different metrics (here: total tokens vs vocabulary
+   * size) — the FULL-LIST disagreement read next to
+   * [[rankBiasedOverlap]]'s top-weighted one: the share of group pairs
+   * the two rankings order differently. Rankings break ties by group
+   * id, so both engines produce identical permutations.
+   *
+   * Scale shape: both metrics come from ONE (group, term) grouped
+   * pass; ranks from broadcast triangular self-joins over the
+   * ≤|groups| frames; the pair scan is |groups|²/2.
+   * Returns 1 row: (n_groups, n_pairs, n_discordant, tau_distance).
+   */
+  def rankingDisagreement(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val per = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(words(col(textCol))).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__tok"), count(lit(1)).as("__voc"))
+      .localCheckpoint()
+    def rank(metric: String, out: String) = {
+      val t2 = per.select(col("__g").as("__g2"),
+        col(metric).as("__m2"))
+      per.join(broadcast(t2),
+          col("__m2") > col(metric) ||
+            (col("__m2") === col(metric) && col("__g2") < col("__g")),
+          "left")
+        .groupBy("__g").agg((count(col("__g2")) + 1).as(out))
+    }
+    val ranked = rank("__tok", "__ra").join(rank("__voc", "__rb"),
+      Seq("__g")).localCheckpoint()
+    val other = ranked.select(col("__g").as("__h"),
+      col("__ra").as("__ra2"), col("__rb").as("__rb2"))
+    val pairs = ranked.join(other, col("__g") < col("__h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("__ra") < col("__ra2")) =!=
+          (col("__rb") < col("__rb2")), 1L).otherwise(0L))
+          .as("n_discordant"))
+    pairs.crossJoin(broadcast(per.agg(count(lit(1)).as("n_groups"))))
+      .select(col("n_groups"), col("n_pairs"), col("n_discordant"),
+        when(col("n_pairs") > 0,
+          col("n_discordant").cast("double") / col("n_pairs"))
+          .as("tau_distance"))
+  }
+
+  /**
    * Rank-biased overlap (Webber et al. 2010) between two groups'
    * term-frequency rankings: the top-weighted list-similarity readout
    * for "did this source's vocabulary ordering drift" — unlike plain

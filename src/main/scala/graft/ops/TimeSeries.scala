@@ -2531,6 +2531,86 @@ object TimeSeries {
   }
 
   /**
+   * Extremal index by runs declustering: exceedances of the daily
+   * count series over its exact-disc `thresholdQ` quantile are grouped
+   * into clusters separated by ≥ `runGap` non-exceedance days;
+   * θ̂ = clusters/exceedances is the reciprocal mean cluster size —
+   * θ < 1 means extremes ARRIVE IN BURSTS, so [[gpdPotFit]]-style
+   * return levels computed from raw exceedance counts overstate
+   * effective independence. A cluster STARTS at an exceedance with no
+   * exceedance in the previous `runGap` calendar days — pure
+   * calendar-shift joins, no sequence materialization.
+   * Returns 1 row: (n_days, threshold, n_exceed, n_clusters,
+   * extremal_index, mean_cluster_size).
+   */
+  def extremalIndex(df: DataFrame, tsCol: String,
+      thresholdQ: Double = 0.95, runGap: Int = 2): DataFrame = {
+    require(thresholdQ > 0.5 && thresholdQ < 1,
+      "extremalIndex: thresholdQ in (0.5, 1)")
+    require(runGap >= 1 && runGap <= 30, "extremalIndex: runGap 1..30")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val thr = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(daily, "__y", Seq("__thr" -> thresholdQ),
+        Nil))
+    val exc = daily.crossJoin(thr)
+      .where(col("__y") > col("__thr"))
+      .select(col("__t")).localCheckpoint()
+    val shifted = (1 to runGap).map(j =>
+      exc.select((col("__t") + j).as("__t"), lit(1).as(s"__p$j")))
+    val starts = shifted.foldLeft(
+        exc.select(col("__t")))((acc, s) => acc.join(s, Seq("__t"), "left"))
+      .where((1 to runGap).map(j => col(s"__p$j").isNull).reduce(_ && _))
+    val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    val counts = exc.agg(count(lit(1)).as("n_exceed"))
+      .crossJoin(broadcast(starts.agg(count(lit(1)).as("n_clusters"))))
+    counts.crossJoin(nd).crossJoin(thr)
+      .select(col("n_days"), col("__thr").as("threshold"),
+        col("n_exceed"), col("n_clusters"),
+        when(col("n_exceed") > 0,
+          col("n_clusters").cast("double") / col("n_exceed"))
+          .as("extremal_index"),
+        when(col("n_clusters") > 0,
+          col("n_exceed").cast("double") / col("n_clusters"))
+          .as("mean_cluster_size"))
+  }
+
+  /**
+   * Mean-residual-life curve: e(u) = E[X − u | X > u] at a ladder of
+   * exact-disc quantile thresholds — the classic threshold-selection
+   * diagnostic for [[gpdPotFit]] (for a GPD tail the curve is LINEAR
+   * in u above a valid threshold; curvature below marks where the
+   * asymptotics start). One row per threshold: (q, threshold,
+   * n_exceed, mean_excess).
+   *
+   * Scale shape: one exact-percentile row broadcast, one conditional
+   * aggregate per threshold folded into a single grouped pass over a
+   * |thresholds|-fold fan-out.
+   */
+  def meanResidualLife(df: DataFrame, valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.75, 0.9, 0.95, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "meanResidualLife: quantiles in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__x")).localCheckpoint()
+    val named = qs.zipWithIndex.map { case (q, i) => (s"__t$i", q) }
+    val thr = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(base, "__x", named, Nil))
+    val lev = broadcast(named.map { case (n, q) => (n, q) }
+      .toDF("__tn", "q"))
+    val long = thr.selectExpr(
+      s"stack(${named.size}, " +
+        named.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+        ") as (__tn, threshold)")
+    base.crossJoin(broadcast(long.join(lev, Seq("__tn"))))
+      .where(col("__x") > col("threshold"))
+      .groupBy("q", "threshold")
+      .agg(count(lit(1)).as("n_exceed"),
+        avg(col("__x") - col("threshold")).as("mean_excess"))
+  }
+
+  /**
    * MA(1) method-of-moments fit to the DIFFERENCED daily mean series —
    * the moving-average mirror of [[graft.ops.Regression.yuleWalkerAr2]]'s AR side: for an
    * invertible MA(1), ρ₁ = θ/(1+θ²), so θ = (1 − √(1−4ρ₁²))/(2ρ₁)

@@ -10131,6 +10131,79 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("sigma2_innov")))
   }
 
+  test("audienceOverlap: shared users -> hand-worked Jaccard") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L),
+      ("B", 3L), ("C", 4L)).toDF("t", "u")
+    val r = graft.ops.Behavioral.audienceOverlap(rows, "t", "u").collect()
+    assert(r.length == 1) // only pairs with a non-empty intersection
+    assert(r(0).getAs[String]("item_a") == "A")
+    assert(r(0).getAs[Long]("users_a") == 3L)
+    assert(r(0).getAs[Long]("users_both") == 2L)
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 2.0 / 3) < 1e-12)
+  }
+
+  test("rankingDisagreement: one swapped pair of three sources") {
+    import spark.implicits._
+    val docs = Seq(("A", "x x x"), ("B", "x y"), ("C", "x y z q"))
+      .toDF("source", "text")
+    val r = graft.ops.TextAnalysis
+      .rankingDisagreement(docs, "source", "text").head
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_discordant") == 1L)
+    assert(math.abs(r.getAs[Double]("tau_distance") - 1.0 / 3) < 1e-12)
+  }
+
+  test("extremalIndex: two clusters of three exceedances") {
+    import spark.implicits._
+    // daily counts [1,2,3,4,5,10,6,1,9,8], q70 threshold = 6:
+    // exceedances at days 5, 8, 9 -> clusters start at 5 and 8
+    val counts = Seq(1, 2, 3, 4, 5, 10, 6, 1, 9, 8)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .extremalIndex(rows, "ts", thresholdQ = 0.7, runGap = 2).head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("threshold") == 6.0)
+    assert(r.getAs[Long]("n_exceed") == 3L)
+    assert(r.getAs[Long]("n_clusters") == 2L)
+    assert(math.abs(r.getAs[Double]("extremal_index") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("mean_cluster_size") == 1.5)
+  }
+
+  test("meanResidualLife: 1..10 at q50/q80 -> excesses 3 and 1.5") {
+    import spark.implicits._
+    val rows = (1 to 10).map(_.toDouble).toDF("v")
+    val r = graft.ops.TimeSeries
+      .meanResidualLife(rows, "v", qs = Seq(0.5, 0.8))
+      .orderBy("q").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("threshold") == 5.0)
+    assert(r(0).getAs[Long]("n_exceed") == 5L)
+    assert(r(0).getAs[Double]("mean_excess") == 3.0)
+    assert(r(1).getAs[Double]("threshold") == 8.0)
+    assert(r(1).getAs[Double]("mean_excess") == 1.5)
+  }
+
+  test("burstinessMemory: gaps 1,2,4 -> hand-worked B and M = 1") {
+    import spark.implicits._
+    val rows = Seq(0, 1, 3, 7).zipWithIndex.map { case (sec, i) =>
+      ("k", f"2024-01-01 00:00:$sec%02d", i.toLong)
+    }.toDF("g", "ts0", "id")
+      .select(col("g"), to_timestamp(col("ts0")).as("ts"), col("id"))
+    val r = graft.ops.Behavioral
+      .burstinessMemory(rows, "g", "ts", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_gap") - 7.0 / 3) < 1e-12)
+    val sd = math.sqrt(14.0) / 3
+    assert(math.abs(r.getAs[Double]("sd_gap") - sd) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b_index")
+      - (sd - 7.0 / 3) / (sd + 7.0 / 3)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("memory_coeff") - 1.0) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
