@@ -1339,4 +1339,56 @@ object Regression {
       sl.as("slope_refit"),
       ((col("__sy") - sl * col("__sx")) / col("__nf")).as("icept_refit"))
   }
+
+  /**
+   * Fama–MacBeth two-pass panel regression of `yCol` on `xCol`:
+   * stage 1 fits an independent cross-sectional OLS slope/intercept
+   * within every period (closed form from the per-period sufficient
+   * statistics); stage 2 treats the T period-slopes as a sample and
+   * reports their mean with the classic FM standard error
+   * sd(γ̂)/√T — the panel-data answer to "is this exposure priced"
+   * that is robust to arbitrary cross-sectional correlation, which a
+   * single pooled OLS understates badly.
+   *
+   * Periods with fewer than `minPerPeriod` rows or a degenerate
+   * (zero-variance) regressor are dropped from BOTH stages, exactly
+   * as the oracle's HAVING clause drops them.
+   *
+   * Scale shape: ONE groupBy(period) pass accumulates the five OLS
+   * sufficient statistics with map-side combine; stage 2 is an
+   * aggregate over the T-row slope frame. No window, no join, no
+   * collect. Returns 1 row: (n_periods, mean_slope, fm_se_slope,
+   * t_slope, mean_intercept).
+   */
+  def famaMacbeth(df: DataFrame, periodCol: Column, xCol: String,
+      yCol: String, minPerPeriod: Int = 3): DataFrame = {
+    val per = df.where(periodCol.isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(periodCol.as("__p"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col(xCol).cast("double")).as("__sx"),
+        sum(col(yCol).cast("double")).as("__sy"),
+        sum(col(xCol).cast("double") * col(xCol).cast("double"))
+          .as("__sxx"),
+        sum(col(xCol).cast("double") * col(yCol).cast("double"))
+          .as("__sxy"))
+      .where(col("__n") >= minPerPeriod &&
+        col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0)
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    val fits = per.select(slope.as("__b"),
+      ((col("__sy") - slope * col("__sx")) / col("__n")).as("__a"))
+    fits.agg(count(lit(1)).cast("double").as("__t"),
+        avg(col("__b")).as("mean_slope"),
+        stddev_samp(col("__b")).as("__sdb"),
+        avg(col("__a")).as("mean_intercept"))
+      .select(col("__t").cast("long").as("n_periods"),
+        col("mean_slope"),
+        when(col("__t") > 1, col("__sdb") / sqrt(col("__t")))
+          .as("fm_se_slope"),
+        when(col("__t") > 1 && col("__sdb") > 0,
+          col("mean_slope") / (col("__sdb") / sqrt(col("__t"))))
+          .as("t_slope"),
+        col("mean_intercept"))
+  }
 }

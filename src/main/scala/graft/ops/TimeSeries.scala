@@ -3162,4 +3162,178 @@ object TimeSeries {
           (col("turning_points") - col("expected_tp")) /
             sqrt(col("variance_tp"))).as("z"))
   }
+
+  /**
+   * Chatterjee's rank correlation ξ (2020) of `yCol` on `xCol` per
+   * group — the modern dependence coefficient that is 0 iff
+   * independent and 1 iff y is a measurable function of x, catching
+   * NON-monotone dependence every classic correlation misses
+   * (Pearson/Spearman/Kendall all read ~0 on y = (x - x̄)²). Ties-aware
+   * form: ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)) with
+   * r_i = #{j : y_j ≤ y_i}, l_i = #{j : y_j ≥ y_i}, rows ordered by
+   * (x, tieCols) — the tie order is DETERMINISTIC (not randomized as
+   * in the paper) so both engines walk the identical sequence.
+   *
+   * Scale shape: three partitioned windows per group (two y-rank
+   * range frames + one x-order lead) and a single groupBy — no
+   * global window, no pair join; a group's rows stream through one
+   * task exactly like every other per-key series op here.
+   * Returns one row per group: (group, n, sum_abs_dr, xi).
+   */
+  def chatterjeeXi(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(keyCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(keyCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).cast("double").as("__y"),
+        struct(tieCols.map(col): _*).as("__tb"))
+    val wAsc = Window.partitionBy(col("__g")).orderBy(col("__y"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("__g")).orderBy(col("__y").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wX = Window.partitionBy(col("__g"))
+      .orderBy(col("__x").asc, col("__tb").asc)
+    val ranked = base
+      .withColumn("__r", count(lit(1)).over(wAsc))
+      .withColumn("__l", count(lit(1)).over(wDesc))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+      .withColumn("__rn", lead(col("__r"), 1).over(wX))
+    ranked.groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(abs(col("__rn") - col("__r"))), lit(0L))
+          .as("sum_abs_dr"),
+        sum(col("__l") * (col("__n") - col("__l"))).as("__den"))
+      .select(col(keyCol), col("n"), col("sum_abs_dr"),
+        when(col("__den") > 0,
+          lit(1.0) - col("n") * col("sum_abs_dr") /
+            (lit(2.0) * col("__den"))).as("xi"))
+  }
+
+  /**
+   * Watson's U² circular-uniformity test of time-of-day per group —
+   * the rotation-invariant cumulative companion to the Rayleigh test
+   * ([[circularHourStats]]): Rayleigh only sees a FIRST-moment
+   * preferred direction and is blind to bimodal clocks (9am+9pm
+   * spikes cancel); U² = Σ(u_(i) − (2i−1)/(2n))² + 1/(12n) −
+   * n(ū − ½)² catches any departure from uniform-on-the-circle.
+   * u = fraction-of-day in [0,1); the tie-block sum is permutation
+   * invariant, so ties in u cannot break engine parity.
+   *
+   * Scale shape: one partitioned rank window + one groupBy per
+   * group — no global sort. Returns (group, n, mean_u, u2_stat).
+   */
+  def watsonU2(df: DataFrame, keyCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val base = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__g"),
+        (pmod(unix_micros(col(tsCol)), lit(dayUs)).cast("double") /
+          lit(dayUs.toDouble)).as("__u"),
+        struct(tieCols.map(col): _*).as("__tb"))
+    val wU = Window.partitionBy(col("__g"))
+      .orderBy(col("__u").asc, col("__tb").asc)
+    val idx = base.withColumn("__i", row_number().over(wU))
+    idx.groupBy(col("__g").as(keyCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__u")).as("mean_u"),
+        sum(col("__u") * col("__u")).as("__suu"),
+        sum(col("__u") * col("__i")).as("__sui"),
+        sum(col("__u")).as("__su"))
+      // Σ(u_i − (2i−1)/(2n))² expanded so only Σu², Σu·i, Σu and the
+      // closed-form Σ(2i−1)²/(4n²) = (4n²−1)/(12n) remain
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        col("mean_u"),
+        (col("__suu") - (lit(2.0) * col("__sui") - col("__su")) /
+            col("__n") +
+          (lit(4.0) * col("__n") * col("__n") - 1) / (lit(12.0) *
+            col("__n")) +
+          lit(1.0) / (lit(12.0) * col("__n")) -
+          col("__n") * (col("mean_u") - lit(0.5)) *
+            (col("mean_u") - lit(0.5))).as("u2_stat"))
+  }
+
+  /**
+   * Barndorff-Nielsen–Shephard jump diagnostic per day: realized
+   * variance RV = Σr² vs bipower variation BV = (π/2)·Σ|r_t||r_{t−1}|
+   * over the intraday hourly-mean return series. BV is robust to a
+   * single jump while RV is not, so jump_share = 1 − BV/RV isolates
+   * the discontinuous part of the day's variance — "was today's spike
+   * one shock or genuine volatility".
+   *
+   * Scale shape: corpus → (day, hour) grid in one grouped pass
+   * (≤ 24 rows/day), then per-day lag windows — partitioned by day,
+   * never global. Returns one row per day with ≥ `minReturns`
+   * returns: (day, n_rets, rv, bv, jump_share).
+   */
+  def bnsJumpTest(df: DataFrame, tsCol: String, valueCol: String,
+      minReturns: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"),
+        hour(col(tsCol)).as("__h"))
+      .agg(avg(col(valueCol).cast("double")).as("__x"))
+    val wD = Window.partitionBy(col("day")).orderBy(col("__h"))
+    val rets = hourly
+      .withColumn("__r", col("__x") - lag(col("__x"), 1).over(wD))
+      .withColumn("__ar", abs(col("__r")) *
+        abs(lag(col("__r"), 1).over(wD)))
+      .where(col("__r").isNotNull)
+    rets.groupBy("day")
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("__r") * col("__r")).as("rv"),
+        (lit(math.Pi / 2) * coalesce(sum(col("__ar")), lit(0.0)))
+          .as("bv"))
+      .where(col("n_rets") >= minReturns)
+      .withColumn("jump_share",
+        when(col("rv") > 0, lit(1.0) - col("bv") / col("rv")))
+  }
+
+  /**
+   * Records test on the daily event-count series: the count of upper
+   * (strict running-max) and lower (strict running-min) records vs
+   * the iid expectation E[R_n] = H_n, Var[R_n] = H_n − H_n⁽²⁾ — a
+   * trend test that needs NO distributional assumptions and reacts
+   * to exactly the "is this metric still setting new highs" question
+   * dashboards ask. The first day counts as a record (the k=1 term
+   * of H_n); ties do NOT extend a record (strict inequality).
+   *
+   * Scale shape: corpus → calendar-sized daily frame; records via a
+   * reduced×reduced earlier-day pair join (≤|calendar|² — bounded by
+   * the calendar forever, the [[sampleEntropy]] discipline); harmonic
+   * numbers from a PrefixSum row index, no global window. Returns
+   * 1 row: (n_days, upper_records, lower_records, expected, variance,
+   * z_upper, z_lower).
+   */
+  def recordsTest(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val prev = daily.select(col("__t").as("__s"), col("__y").as("__ys"))
+    val rec = daily.join(prev, col("__s") < col("__t"), "left")
+      .groupBy(col("__t"), col("__y"))
+      .agg(max(col("__ys")).as("__mx"), min(col("__ys")).as("__mn"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("__mx").isNull || col("__mx") < col("__y"), 1L)
+          .otherwise(0L)).as("upper_records"),
+        sum(when(col("__mn").isNull || col("__mn") > col("__y"), 1L)
+          .otherwise(0L)).as("lower_records"))
+    val idx = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi"))
+      .withColumn("__i", col("__exi") + 1)
+    val h = broadcast(idx.agg(
+      sum(lit(1.0) / col("__i")).as("expected"),
+      sum(lit(1.0) / col("__i") - lit(1.0) / (col("__i") * col("__i")))
+        .as("variance")))
+    rec.crossJoin(h)
+      .select(col("n_days"), col("upper_records"), col("lower_records"),
+        col("expected"), col("variance"),
+        when(col("variance") > 0,
+          (col("upper_records") - col("expected")) /
+            sqrt(col("variance"))).as("z_upper"),
+        when(col("variance") > 0,
+          (col("lower_records") - col("expected")) /
+            sqrt(col("variance"))).as("z_lower"))
+  }
 }

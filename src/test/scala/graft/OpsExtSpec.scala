@@ -10204,6 +10204,87 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("memory_coeff") - 1.0) < 1e-12)
   }
 
+  test("chatterjeeXi: monotone n=5 -> 0.5; quadratic with ties -> 0") {
+    import spark.implicits._
+    val mono = (1 to 5).map(i => ("g", i.toDouble, (i * i).toDouble, i.toLong))
+      .toDF("g", "x", "y", "id")
+    val r1 = graft.ops.TimeSeries
+      .chatterjeeXi(mono, "g", "x", "y", tieCols = Seq("id")).head
+    assert(r1.getAs[Long]("n") == 5L)
+    assert(r1.getAs[Long]("sum_abs_dr") == 4L)
+    // no-ties reduction: xi = 1 - 3*4/(n^2-1) = 0.5
+    assert(math.abs(r1.getAs[Double]("xi") - 0.5) < 1e-12)
+    // y = (x-3)^2: r over x-order = [5,3,1,3,5] -> sum|dr| = 8,
+    // sum l(n-l) = 20 -> xi = 1 - 5*8/40 = 0
+    val quad = (1 to 5).map(i =>
+      ("g", i.toDouble, ((i - 3) * (i - 3)).toDouble, i.toLong))
+      .toDF("g", "x", "y", "id")
+    val r2 = graft.ops.TimeSeries
+      .chatterjeeXi(quad, "g", "x", "y", tieCols = Seq("id")).head
+    assert(r2.getAs[Long]("sum_abs_dr") == 8L)
+    assert(math.abs(r2.getAs[Double]("xi")) < 1e-12)
+  }
+
+  test("watsonU2: u = {0.25, 0.5, 0.75} -> U2 = 1/24") {
+    import spark.implicits._
+    val rows = Seq(("g", "2024-01-01 06:00:00", 1L),
+      ("g", "2024-01-01 12:00:00", 2L), ("g", "2024-01-02 18:00:00", 3L))
+      .toDF("g", "ts0", "id")
+      .select(col("g"), to_timestamp(col("ts0")).as("ts"), col("id"))
+    val r = graft.ops.TimeSeries
+      .watsonU2(rows, "g", "ts", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_u") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("u2_stat") - 1.0 / 24) < 1e-9)
+  }
+
+  test("famaMacbeth: slopes {2,4} -> mean 3, FM se 1, t 3; degenerate periods dropped") {
+    import spark.implicits._
+    val rows = (
+      Seq((1, 1.0, 3.0), (1, 2.0, 5.0), (1, 3.0, 7.0)) ++   // y = 2x+1
+      Seq((2, 1.0, 7.0), (2, 2.0, 11.0), (2, 3.0, 15.0)) ++ // y = 4x+3
+      Seq((3, 1.0, 1.0), (3, 2.0, 2.0)) ++                  // n < 3
+      Seq((4, 5.0, 1.0), (4, 5.0, 2.0), (4, 5.0, 3.0))      // var(x) = 0
+    ).toDF("p", "x", "y")
+    val r = graft.ops.Regression
+      .famaMacbeth(rows, col("p"), "x", "y").head
+    assert(r.getAs[Long]("n_periods") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_slope") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("fm_se_slope") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_slope") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_intercept") - 2.0) < 1e-12)
+  }
+
+  test("bnsJumpTest: hourly means 0,1,3,6 -> rv 14, bv 4pi") {
+    import spark.implicits._
+    val rows = Seq((0, 0.0), (1, 1.0), (2, 3.0), (3, 6.0))
+      .map { case (h, v) => (f"2024-01-01 $h%02d:30:00", v) }
+      .toDF("ts0", "v")
+      .select(to_timestamp(col("ts0")).as("ts"), col("v"))
+    val r = graft.ops.TimeSeries.bnsJumpTest(rows, "ts", "v").head
+    assert(r.getAs[Long]("n_rets") == 3L)
+    assert(math.abs(r.getAs[Double]("rv") - 14.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bv") - 4 * math.Pi) < 1e-12)
+    assert(math.abs(r.getAs[Double]("jump_share") -
+      (1.0 - 4 * math.Pi / 14)) < 1e-12)
+  }
+
+  test("recordsTest: counts [1,3,2,5,4] -> 3 upper, 1 lower, H5 expectation") {
+    import spark.implicits._
+    val counts = Seq(1, 3, 2, 5, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.recordsTest(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("upper_records") == 3L)
+    assert(r.getAs[Long]("lower_records") == 1L)
+    assert(math.abs(r.getAs[Double]("expected") - 137.0 / 60) < 1e-12)
+    assert(math.abs(r.getAs[Double]("variance") - 2951.0 / 3600) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z_upper") -
+      (3 - 137.0 / 60) / math.sqrt(2951.0 / 3600)) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
