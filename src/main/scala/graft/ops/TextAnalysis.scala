@@ -2265,4 +2265,129 @@ object TextAnalysis {
         (col("__smin") / (lit(2.0) - col("__smin")))
           .as("weighted_jaccard"))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram language model: fit on the train
+   * split, score the held-out split — the smoothing that actually
+   * wins for n-gram LMs (absolute discount + CONTINUATION-count
+   * backoff, so "francisco" stops inheriting "san francisco"'s mass
+   * in novel contexts). P(w|v) = max(c(vw) − D, 0)/c(v) +
+   * D·N₁₊(v·)/c(v)·Pcont(w), Pcont(w) = N₁₊(·w)/N₁₊(··); a held-out
+   * bigram whose w never occurs as a train continuation is OOV and
+   * skipped (counted); an unseen CONTEXT v backs off to Pcont(w)
+   * alone. c(v) is the bigram-sum context count, per the standard
+   * formulation.
+   *
+   * Scale shape: token positions via posexplode, bigrams via a
+   * per-doc partitioned lead window; all model tables are
+   * groupBy-reduced and probed with equi-joins (the 1-row totals
+   * broadcast); no collect. Returns 1 row: (n_train_bigrams,
+   * n_bigram_types, n_heldout, n_scored, avg_logprob, perplexity).
+   */
+  def kneserNeyBigram(df: DataFrame, idCol: String, textCol: String,
+      trainFlag: Column, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0 && discount < 1,
+      s"KN discount must be in (0,1), got $discount")
+    def bigrams(d: DataFrame): DataFrame = {
+      val tok = d.select(col(idCol).as("__doc"),
+          posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
+        .where(length(col("__w")) > 0)
+      val wd = Window.partitionBy(col("__doc")).orderBy(col("__i"))
+      tok.withColumn("__nx", lead(col("__w"), 1).over(wd))
+        .where(col("__nx").isNotNull)
+        .select(col("__w").as("__v"), col("__nx").as("__x"))
+    }
+    val train = df.where(trainFlag && col(textCol).isNotNull)
+    val held = df.where(!trainFlag && col(textCol).isNotNull)
+    val cvw = bigrams(train).groupBy("__v", "__x")
+      .agg(count(lit(1)).as("__cvw")).localCheckpoint()
+    val ctx = cvw.groupBy("__v")
+      .agg(sum(col("__cvw")).as("__cv"),
+        count(lit(1)).as("__n1v"))
+    val cont = cvw.groupBy("__x").agg(count(lit(1)).as("__n1w"))
+    val tot = broadcast(cvw.agg(
+      sum(col("__cvw")).as("__nbi"), count(lit(1)).as("__ntypes")))
+    val ho = bigrams(held).groupBy("__v", "__x")
+      .agg(count(lit(1)).as("__k"))
+    val scored = ho
+      .join(cvw, Seq("__v", "__x"), "left")
+      .join(ctx, Seq("__v"), "left")
+      .join(cont, Seq("__x"), "left")
+      .crossJoin(tot)
+      .select(col("__k"), col("__n1w"),
+        when(col("__n1w").isNotNull,
+          when(col("__cv").isNotNull,
+            greatest(coalesce(col("__cvw"), lit(0L)).cast("double") -
+              lit(discount), lit(0.0)) / col("__cv") +
+              lit(discount) * col("__n1v") / col("__cv") *
+              (col("__n1w").cast("double") / col("__ntypes")))
+            .otherwise(col("__n1w").cast("double") / col("__ntypes")))
+          .as("__p"))
+    scored.agg(
+        sum(col("__k")).as("n_heldout"),
+        coalesce(sum(when(col("__p").isNotNull, col("__k"))), lit(0L))
+          .as("n_scored"),
+        sum(when(col("__p").isNotNull, col("__k") * log(col("__p"))))
+          .as("__ll"))
+      .crossJoin(tot)
+      .select(col("__nbi").as("n_train_bigrams"),
+        col("__ntypes").as("n_bigram_types"),
+        col("n_heldout"), col("n_scored"),
+        (col("__ll") / col("n_scored")).as("avg_logprob"),
+        exp(-col("__ll") / col("n_scored")).as("perplexity"))
+  }
+
+  /**
+   * RAKE keyword extraction over the whole corpus: candidate phrases
+   * are maximal stopword/punctuation-free token runs (capped at
+   * `maxPhraseLen` words), each word scored deg(w)/freq(w) over the
+   * candidate set, each phrase by the sum of its member scores — the
+   * zero-training keyphrase baseline that beats TF-IDF top-terms
+   * (q30) on multi-word concepts. Phrases are aggregated corpus-wide
+   * (deg/freq are corpus-level, so a phrase's score is identical at
+   * every occurrence); ordering keys round the score to 1e-6 so the
+   * top-k frontier can't hang on float-association noise.
+   *
+   * Scale shape: posexplode + per-doc island windows (partitioned by
+   * doc), two groupBys, one bounded top-k. Returns ≤ topK rows:
+   * (phrase, n_words, n_occurrences, score) by (score desc, phrase).
+   */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = langMarkers("en"),
+      maxPhraseLen: Int = 4, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
+      .where(length(col("__w")) > 0)
+    val ns = tok.where(!col("__w").isInCollection(stopwords))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__i"))))
+      .withColumn("__g", col("__i") - col("__rn"))
+    val phr = ns.groupBy("__id", "__g")
+      .agg(count(lit(1)).as("__len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__w")))),
+          x => x("__w")), " ").as("phrase"))
+      .where(col("__len") <= maxPhraseLen)
+      .localCheckpoint()
+    val members = ns.join(
+      phr.select(col("__id"), col("__g"), col("__len"), col("phrase")),
+      Seq("__id", "__g"))
+    val ws = members.groupBy("__w")
+      .agg(sum(col("__len")).as("__deg"), count(lit(1)).as("__freq"))
+    val occ = members.join(ws, Seq("__w"))
+      .groupBy(col("__id"), col("__g"), col("phrase"), col("__len"))
+      .agg(sum(col("__deg").cast("double") / col("__freq"))
+        .as("__score"))
+    occ.groupBy("phrase")
+      .agg(max(col("__len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(round(col("__score"), 6)).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score"))
+  }
 }

@@ -3336,4 +3336,203 @@ object TimeSeries {
           (col("lower_records") - col("expected")) /
             sqrt(col("variance"))).as("z_lower"))
   }
+
+  /**
+   * Cochrane–Orcutt AR(1)-corrected trend regression on the daily
+   * event-count series: a naive OLS trend's standard error (and often
+   * its slope) is distorted by serially-correlated residuals — the
+   * norm, not the exception, in daily product metrics. Two-step CO:
+   * (1) OLS y on t, residuals e; (2) ρ̂ = Σe_t·e_{t−1}/Σe²_{t−1} over
+   * CONSECUTIVE calendar days (gap days contribute no pair, mirrored
+   * exactly by the oracle); (3) re-fit OLS on the quasi-differenced
+   * pairs (y_t − ρ̂y_{t−1}) ~ (t − ρ̂(t−1)), intercept recovered as
+   * α-star over (1 − ρ̂).
+   *
+   * Scale shape: corpus → calendar frame; residuals are a map-only
+   * projection against ONE broadcast 1-row stats frame; pairs via a
+   * calendar-shift equi-join. Returns 1 row: (n_days, n_pairs,
+   * slope_ols, rho, slope_co, intercept_co).
+   */
+  def cochraneOrcutt(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val st = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__t").cast("double")).as("__st"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__t").cast("double") * col("__t")).as("__stt"),
+      sum(col("__t").cast("double") * col("__y")).as("__sty")))
+    val b = (col("__n") * col("__sty") - col("__st") * col("__sy")) /
+      (col("__n") * col("__stt") - col("__st") * col("__st"))
+    val res = daily.crossJoin(st)
+      .withColumn("__b", b)
+      .withColumn("__a", (col("__sy") - b * col("__st")) / col("__n"))
+      .select(col("__t"), col("__y"), col("__b"), col("__a"),
+        (col("__y") - col("__a") - col("__b") *
+          col("__t").cast("double")).as("__e"))
+    val prev = res.select((col("__t") + 1).as("__t"),
+      col("__y").as("__y1"), col("__e").as("__e1"))
+    val pairs = res.join(prev, Seq("__t")).localCheckpoint()
+    val rho = broadcast(pairs.agg(
+      count(lit(1)).as("__np"),
+      (sum(col("__e") * col("__e1")) / sum(col("__e1") * col("__e1")))
+        .as("__rho"),
+      max(col("__b")).as("__bols")))
+    val tr = pairs.crossJoin(rho)
+      .select(col("__np"), col("__rho"), col("__bols"),
+        (col("__y") - col("__rho") * col("__y1")).as("__ys"),
+        (col("__t").cast("double") - col("__rho") *
+          (col("__t") - 1).cast("double")).as("__xs"))
+    val fit = tr.groupBy(col("__np"), col("__rho"), col("__bols"))
+      .agg(count(lit(1)).cast("double").as("__m"),
+        sum(col("__xs")).as("__sx"), sum(col("__ys")).as("__sy2"),
+        sum(col("__xs") * col("__xs")).as("__sxx"),
+        sum(col("__xs") * col("__ys")).as("__sxy"))
+    val bco = (col("__m") * col("__sxy") - col("__sx") * col("__sy2")) /
+      (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+    val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    fit.crossJoin(nd)
+      .select(col("n_days"), col("__np").as("n_pairs"),
+        col("__bols").as("slope_ols"), col("__rho").as("rho"),
+        bco.as("slope_co"),
+        when(abs(lit(1.0) - col("__rho")) > 1e-12,
+          ((col("__sy2") - bco * col("__sx")) / col("__m")) /
+            (lit(1.0) - col("__rho"))).as("intercept_co"))
+  }
+
+  /**
+   * MOSUM level-stability scan of the daily event-count series:
+   * moving sums W_i over `h`-day windows compared to the global-mean
+   * expectation, M_i = (W_i − h·ȳ)/(σ̂√h) — the fixed-bandwidth
+   * companion to CUSUM that LOCALIZES a level shift instead of just
+   * detecting one. The windows slide over OBSERVED days in calendar
+   * order (an index shift, not a calendar shift, so gaps don't empty
+   * windows).
+   *
+   * Determinism: W_i is a sum of integer counts — exact in any
+   * association order — and h·ȳ is one fixed double, so the peak
+   * window and the exceedance count are bit-stable across engines by
+   * construction (a residual-based MOSUM would hang the argmax on
+   * last-bit float noise).
+   *
+   * Scale shape: calendar frame + PrefixSum index/cumsum + one
+   * index-shift equi-join; the peak is a TakeOrdered over ≤|days|
+   * windows. Returns 1 row: (n_days, h, mean_y, sigma, n_windows,
+   * max_abs_mosum, peak_t, n_above_2).
+   */
+  def mosumTest(df: DataFrame, tsCol: String, h: Int = 15): DataFrame = {
+    require(h >= 2, s"MOSUM window h must be >= 2, got $h")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val st = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__y")).as("__my"),
+      var_samp(col("__y")).as("__v")))
+    val idx = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi", "__y" -> "__exc"))
+      .select(col("__t"), (col("__exi") + 1).as("__i"),
+        (col("__exc") + col("__y")).as("__c"))
+      .localCheckpoint()
+    val prevC = idx.select((col("__i") + h).as("__i"),
+      col("__c").as("__cprev"))
+    val win = idx.where(col("__i") >= h)
+      .join(prevC, Seq("__i"), "left")
+      .select(col("__t"),
+        (col("__c") - coalesce(col("__cprev"), lit(0.0))).as("__w"))
+    val scored = win.crossJoin(st)
+      .select(col("__t"), col("__w"), col("__n"), col("__my"),
+        col("__v"),
+        abs(col("__w") - lit(h.toDouble) * col("__my")).as("__dev"))
+    val peak = scored.orderBy(col("__dev").desc, col("__t").asc).limit(1)
+      .select(col("__t").as("peak_t"), col("__dev").as("__peakdev"),
+        col("__n"), col("__my"), col("__v"))
+    val agg = broadcast(scored.agg(
+      count(lit(1)).as("n_windows"),
+      coalesce(sum(when(col("__dev") / (sqrt(col("__v")) *
+        sqrt(lit(h.toDouble))) > 2.0, 1L).otherwise(0L)), lit(0L))
+        .as("n_above_2")))
+    peak.crossJoin(agg)
+      .select(col("__n").cast("long").as("n_days"),
+        lit(h).as("h"), col("__my").as("mean_y"),
+        sqrt(col("__v")).as("sigma"), col("n_windows"),
+        (col("__peakdev") / (sqrt(col("__v")) *
+          sqrt(lit(h.toDouble)))).as("max_abs_mosum"),
+        col("peak_t"), col("n_above_2"))
+  }
+
+  /**
+   * Keenan's one-degree test for nonlinearity of the daily count
+   * series against an AR(2) null: fit y_t ~ (y_{t−1}, y_{t−2}), then
+   * regress the squared fitted values on the same lags, and test
+   * whether THEIR residuals still explain the AR residuals — the
+   * cheapest credible answer to "is a linear AR model even the right
+   * family", run before anyone trusts q367's Yule-Walker forecast.
+   * F = η·(n − 2m − 2)/(RSS₀ − η), η = (Σêû)²/Σû², m = 2; triples
+   * come from consecutive calendar days only (gaps drop them, oracle
+   * mirrored).
+   *
+   * Scale shape: calendar frame → two calendar-shift equi-joins →
+   * THREE sufficient-stats aggregations (each a 1-row frame,
+   * broadcast back); no window, no collect. Returns 1 row:
+   * (n_triples, b1, b2, eta, f_stat).
+   */
+  def keenanTest(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val l1 = daily.select((col("__t") + 1).as("__t"),
+      col("__y").as("__y1"))
+    val l2 = daily.select((col("__t") + 2).as("__t"),
+      col("__y").as("__y2"))
+    val tri = daily.join(l1, Seq("__t")).join(l2, Seq("__t"))
+      .localCheckpoint()
+    // centered 2-regressor OLS sufficient stats of target ~ (y1, y2):
+    // S11 = Σy1² − (Σy1)²/n and friends — the same algebra the oracle
+    // spells out, so coefficient bits match exactly on integer inputs
+    def fit2(frame: DataFrame, target: Column): DataFrame = {
+      val a = frame.agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__y1")).as("__s1"), sum(col("__y2")).as("__s2"),
+        sum(target).as("__sy"),
+        sum(col("__y1") * col("__y1")).as("__s11"),
+        sum(col("__y2") * col("__y2")).as("__s22"),
+        sum(col("__y1") * col("__y2")).as("__s12"),
+        sum(target * col("__y1")).as("__sy1"),
+        sum(target * col("__y2")).as("__sy2"))
+      val c11 = col("__s11") - col("__s1") * col("__s1") / col("__n")
+      val c22 = col("__s22") - col("__s2") * col("__s2") / col("__n")
+      val c12 = col("__s12") - col("__s1") * col("__s2") / col("__n")
+      val cy1 = col("__sy1") - col("__sy") * col("__s1") / col("__n")
+      val cy2 = col("__sy2") - col("__sy") * col("__s2") / col("__n")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (cy1 * c22 - cy2 * c12) / det
+      val b2 = (cy2 * c11 - cy1 * c12) / det
+      a.select(b1.as("__b1"), b2.as("__b2"),
+        ((col("__sy") - b1 * col("__s1") - b2 * col("__s2")) /
+          col("__n")).as("__b0"))
+    }
+    val f1 = broadcast(fit2(tri, col("__y")))
+    val withF = tri.crossJoin(f1)
+      .select(col("__t"), col("__y"), col("__y1"), col("__y2"),
+        col("__b1"), col("__b2"),
+        (col("__b0") + col("__b1") * col("__y1") +
+          col("__b2") * col("__y2")).as("__f"))
+      .withColumn("__e", col("__y") - col("__f"))
+      .withColumn("__g", col("__f") * col("__f"))
+      .localCheckpoint()
+    val f2 = broadcast(fit2(
+      withF.select(col("__y1"), col("__y2"), col("__g")), col("__g"))
+      .select(col("__b1").as("__c1"), col("__b2").as("__c2"),
+        col("__b0").as("__c0")))
+    val fin = withF.crossJoin(f2)
+      .select(col("__b1"), col("__b2"), col("__e"),
+        (col("__g") - col("__c0") - col("__c1") * col("__y1") -
+          col("__c2") * col("__y2")).as("__u"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        max(col("__b1")).as("b1"), max(col("__b2")).as("b2"),
+        sum(col("__e") * col("__u")).as("__seu"),
+        sum(col("__u") * col("__u")).as("__suu"),
+        sum(col("__e") * col("__e")).as("__see"))
+    val eta = col("__seu") * col("__seu") / col("__suu")
+    fin.select(col("__n").cast("long").as("n_triples"),
+      col("b1"), col("b2"), eta.as("eta"),
+      when(col("__see") - eta > 0,
+        eta * (col("__n") - 6) / (col("__see") - eta)).as("f_stat"))
+  }
 }

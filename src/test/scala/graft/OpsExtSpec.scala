@@ -10285,6 +10285,86 @@ class OpsExtSpec extends AnyFunSuite {
       (3 - 137.0 / 60) / math.sqrt(2951.0 / 3600)) < 1e-9)
   }
 
+  test("cochraneOrcutt: counts [2,1,3,2,4] -> rho -12/13, slope 0.512") {
+    import spark.implicits._
+    val counts = Seq(2, 1, 3, 2, 4)
+    // days at epoch 0..4 so the recovered intercept is the hand value
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.cochraneOrcutt(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(math.abs(r.getAs[Double]("slope_ols") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho") + 12.0 / 13) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope_co") - 0.512) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept_co") - 1.22576) < 1e-4)
+  }
+
+  test("mosumTest: counts [1,1,5,1,1], h=2 -> peak at day 3") {
+    import spark.implicits._
+    val counts = Seq(1, 1, 5, 1, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.mosumTest(rows, "ts", h = 2).head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_windows") == 4L)
+    assert(math.abs(r.getAs[Double]("mean_y") - 1.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sigma") - math.sqrt(3.2)) < 1e-12)
+    // W = [2,6,6,2] vs h*mean 3.6 -> dev [1.6,2.4,2.4,1.6], earliest max
+    assert(r.getAs[Int]("peak_t") ==
+      java.time.LocalDate.of(2024, 1, 3).toEpochDay.toInt)
+    assert(math.abs(r.getAs[Double]("max_abs_mosum") -
+      2.4 / math.sqrt(6.4)) < 1e-12)
+    assert(r.getAs[Long]("n_above_2") == 0L)
+  }
+
+  test("keenanTest: 12-day counts match numpy two-stage fit") {
+    import spark.implicits._
+    val counts = Seq(2, 1, 3, 2, 4, 1, 3, 5, 2, 4, 3, 6)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.keenanTest(rows, "ts").head
+    assert(r.getAs[Long]("n_triples") == 10L)
+    assert(math.abs(r.getAs[Double]("b1") + 0.26) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 0.29217391304347856) < 1e-9)
+    assert(math.abs(r.getAs[Double]("eta") - 1.9504235994093309) < 1e-8)
+    assert(math.abs(r.getAs[Double]("f_stat") - 0.519359877161338) < 1e-8)
+  }
+
+  test("kneserNeyBigram: hand-worked 3-type model with OOV skip") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b c"), (1L, "a b c a"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis
+      .kneserNeyBigram(docs, "doc_id", "text", col("doc_id") % 2 === 0)
+      .head
+    assert(r.getAs[Long]("n_train_bigrams") == 4L)
+    assert(r.getAs[Long]("n_bigram_types") == 3L)
+    assert(r.getAs[Long]("n_heldout") == 4L)
+    assert(r.getAs[Long]("n_scored") == 3L)
+    val lp = (math.log(0.75) + math.log(0.375) + math.log(1.0 / 3)) / 3
+    assert(math.abs(r.getAs[Double]("avg_logprob") - lp) < 1e-12)
+    assert(math.abs(r.getAs[Double]("perplexity") - math.exp(-lp)) < 1e-9)
+  }
+
+  test("rakeKeywords: 'x y the x y the z' -> phrase 'x y' scores 4") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y the x y the z")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis
+      .rakeKeywords(docs, "doc_id", "text").orderBy(col("score").desc)
+      .collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[String]("phrase") == "x y")
+    assert(r(0).getAs[Long]("n_words") == 2L)
+    assert(r(0).getAs[Long]("n_occurrences") == 2L)
+    assert(r(0).getAs[Double]("score") == 4.0)
+    assert(r(1).getAs[String]("phrase") == "z")
+    assert(r(1).getAs[Double]("score") == 1.0)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
