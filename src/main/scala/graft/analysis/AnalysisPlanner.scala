@@ -7140,4 +7140,111 @@ object AnalysisPlanner {
           (col("e6") - col("e2")) / (col("e6") + col("e2")))
           .as("quartile_dispersion"))
   }
+
+  /**
+   * Gini correlations Γ(x|y) = cov(x, F̂(y))/cov(x, F̂(x)) and the
+   * transposed Γ(y|x) — the rank/value HYBRID between Pearson (both
+   * sides values, outlier-fragile) and Spearman (both sides ranks,
+   * magnitude-blind): one margin keeps its scale, the other is
+   * rank-compressed, and the ASYMMETRY |Γ(x|y) − Γ(y|x)| is itself a
+   * non-exchangeability diagnostic. F̂ is the midrank/N empirical CDF
+   * (tie-exact), so all rank inputs are integers/half-integers and
+   * both engines see identical bits before the final sums.
+   *
+   * Scale shape: two value-level cell frames + PrefixSum midranks,
+   * two rank joins back, ONE sufficient-stats reduce. Returns 1 row:
+   * (n, gamma_x_given_y, gamma_y_given_x).
+   */
+  def giniCorrelation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    // no checkpoint: each margin pass is a 2-column pruned scan +
+    // groupBy — cheaper to recompute than to materialize the corpus
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    // value-level sufficient statistics: every Σ involving a rank is a
+    // Σ over DISTINCT values of rank(v)·(per-value sums), so the rank
+    // frames never join back onto the corpus (a near-unique margin
+    // would make that join corpus×corpus; q611's price margin is one)
+    def margin(c: String, o: String): DataFrame = {
+      val vc = base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("double").as("__c"),
+          sum(col(o)).as("__so"))
+      PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__ex"))
+        .withColumn("__r", col("__ex") + (col("__c") + 1) / 2.0)
+    }
+    val mx = margin("__x", "__y").agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__v") * col("__c")).as("__sx"),
+      sum(col("__c") * col("__r")).as("__srx"),
+      sum(col("__v") * col("__c") * col("__r")).as("__sxrx"),
+      sum(col("__so") * col("__r")).as("__syrx"))
+    val my = margin("__y", "__x").agg(
+      sum(col("__v") * col("__c")).as("__sy"),
+      sum(col("__c") * col("__r")).as("__sry"),
+      sum(col("__v") * col("__c") * col("__r")).as("__syry"),
+      sum(col("__so") * col("__r")).as("__sxry"))
+    val a = mx.crossJoin(broadcast(my))
+    val cxry = col("__sxry") - col("__sx") * col("__sry") / col("__n")
+    val cxrx = col("__sxrx") - col("__sx") * col("__srx") / col("__n")
+    val cyrx = col("__syrx") - col("__sy") * col("__srx") / col("__n")
+    val cyry = col("__syry") - col("__sy") * col("__sry") / col("__n")
+    a.select(col("__n").cast("long").as("n"),
+      when(cxrx =!= 0, cxry / cxrx).as("gamma_x_given_y"),
+      when(cyry =!= 0, cyrx / cyry).as("gamma_y_given_x"))
+  }
+
+  /**
+   * Conover squared-ranks two-sample SCALE test, median-centered:
+   * units score S = midrank(|y − median_g|)² in the pooled deviation
+   * sample, the statistic is the treatment score sum with exact
+   * finite-population moments E(T) = n_t·S̄ and
+   * Var(T) = n_c·n_t/(N(N−1))·Σ(S − S̄)² — the squared-ranks member
+   * of the scale family beside [[moodScaleFromCells]] (linear ranks)
+   * and [[klotzFromCells]] (normal scores). Centering uses the
+   * DISCRETE group median ([[exactPercentilesDisc]]) rather than the
+   * mean so every deviation is arithmetic on two raw data values —
+   * bit-identical across engines, no float-noise rank flips.
+   * Returns 1 row: (n_c, n_t, t_stat, z_stat).
+   */
+  def conoverSquaredRanks(df: DataFrame, groupCol: String,
+      valueCol: String, control: String,
+      treatment: String): DataFrame = {
+    val two = df
+      .where(col(valueCol).isNotNull &&
+        (col(groupCol) === control || col(groupCol) === treatment))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val med = broadcast(exactPercentilesDisc(two, "__y",
+      Seq("__med" -> 0.5), Seq("__g")))
+    val dev = two.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__y") - col("__med")).as("__u"))
+    val vc = dev.groupBy("__u")
+      .agg(sum(when(col("__g") === treatment, 1.0).otherwise(0.0))
+        .as("__ct"),
+        sum(when(col("__g") === control, 1.0).otherwise(0.0))
+          .as("__cc"))
+    val pre = PrefixSum
+      .exclusive(vc.withColumn("__t", col("__ct") + col("__cc")),
+        "__u", Seq("__t" -> "__ex"))
+      .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+      .withColumn("__s", col("__r") * col("__r"))
+    pre.agg(sum(col("__cc")).as("__nc"), sum(col("__ct")).as("__nt"),
+        sum(col("__ct") * col("__s")).as("__T"),
+        sum(col("__t") * col("__s")).as("__ss"),
+        sum(col("__t") * col("__s") * col("__s")).as("__ss2"))
+      .withColumn("__N", col("__nc") + col("__nt"))
+      .select(col("__nc").cast("long").as("n_c"),
+        col("__nt").cast("long").as("n_t"),
+        col("__T").as("t_stat"), {
+          val sbar = col("__ss") / col("__N")
+          val e = col("__nt") * sbar
+          val vr = col("__nc") * col("__nt") /
+            (col("__N") * (col("__N") - 1)) *
+            (col("__ss2") - col("__N") * sbar * sbar)
+          when(vr > 0, (col("__T") - e) / sqrt(vr)).as("z_stat")
+        })
+  }
 }

@@ -3061,4 +3061,71 @@ object Evaluation {
           (col("threshold") / (lit(1.0) - col("threshold"))))
           .as("nb_treat_all"))
   }
+
+  /**
+   * Cluster-robust A/B difference-in-means: when randomization (or
+   * exposure) is at the UNIT level but the metric is per-EVENT, the
+   * naive per-event SE pretends n_events independent observations and
+   * can overstate significance severalfold. Per arm, the CR1-style
+   * variance Σ_c(Σ_i e_ci)²·G/(G−1)/n² aggregates residuals WITHIN
+   * each unit first; the design effect (se_cluster/se_naive)² is the
+   * "how wrong was the naive test" multiplier every experimentation
+   * readout should print.
+   *
+   * Scale shape: one groupBy(unit) pass (map-side combined), one
+   * groupBy(arm) reduce, map-only algebra on the 2-row frame; the
+   * naive moments ride the same unit pass as sum/sumsq. Returns
+   * 1 row: (n_0, n_1, g_0, g_1, mean_0, mean_1, diff, se_naive,
+   * se_cluster, design_effect).
+   */
+  def clusterRobustAb(df: DataFrame, unitCol: String, armFlag: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val per = df
+      .where(col(unitCol).isNotNull && armFlag.isNotNull && v.isNotNull)
+      .groupBy(col(unitCol).as("__u"),
+        armFlag.cast("int").as("__a"))
+      .agg(count(lit(1)).cast("double").as("__nc"),
+        sum(v).as("__sc"), sum(v * v).as("__qc"))
+    val arm = per.groupBy("__a")
+      .agg(sum(col("__nc")).as("__n"), count(lit(1)).as("__g"),
+        sum(col("__sc")).as("__s"), sum(col("__qc")).as("__q"))
+    val wide = arm
+      .select(col("__a"), col("__n"), col("__g"), col("__q"),
+        col("__s"), (col("__s") / col("__n")).as("__m"))
+    val resid = per.join(
+        broadcast(wide.select(col("__a"), col("__m"))), Seq("__a"))
+      .groupBy("__a")
+      .agg(sum((col("__sc") - col("__nc") * col("__m")) *
+        (col("__sc") - col("__nc") * col("__m"))).as("__se2"))
+    val both = wide.join(resid, Seq("__a"))
+    def pick(c: String, a: Int) = max(when(col("__a") === a, col(c)))
+    val one = both.agg(
+      pick("__n", 0).as("__n0"), pick("__n", 1).as("__n1"),
+      pick("__g", 0).as("__g0"), pick("__g", 1).as("__g1"),
+      pick("__m", 0).as("__m0"), pick("__m", 1).as("__m1"),
+      pick("__q", 0).as("__q0"), pick("__q", 1).as("__q1"),
+      pick("__s", 0).as("__s0"), pick("__s", 1).as("__s1"),
+      pick("__se2", 0).as("__e0"), pick("__se2", 1).as("__e1"))
+    def varNaive(q: Column, s: Column, n: Column) =
+      (q - s * s / n) / (n - 1) / n
+    def varCluster(e: Column, g: Column, n: Column) =
+      e * g / (g - 1) / (n * n)
+    one.select(col("__n0").cast("long").as("n_0"),
+      col("__n1").cast("long").as("n_1"),
+      col("__g0").as("g_0"), col("__g1").as("g_1"),
+      col("__m0").as("mean_0"), col("__m1").as("mean_1"),
+      (col("__m1") - col("__m0")).as("diff"),
+      sqrt(varNaive(col("__q0"), col("__s0"), col("__n0")) +
+        varNaive(col("__q1"), col("__s1"), col("__n1")))
+        .as("se_naive"),
+      sqrt(varCluster(col("__e0"), col("__g0"), col("__n0")) +
+        varCluster(col("__e1"), col("__g1"), col("__n1")))
+        .as("se_cluster"),
+      ((varCluster(col("__e0"), col("__g0"), col("__n0")) +
+        varCluster(col("__e1"), col("__g1"), col("__n1"))) /
+        (varNaive(col("__q0"), col("__s0"), col("__n0")) +
+          varNaive(col("__q1"), col("__s1"), col("__n1"))))
+        .as("design_effect"))
+  }
 }

@@ -247,4 +247,52 @@ object Survival {
         when(col("__zpre") + col("__zflag") > 0, lit(0.0))
           .otherwise(exp(col("__lnpre") + col("__ln1q"))).as("surv"))
   }
+
+  /**
+   * Gompertz hazard fit over entity lifetimes derived from an event
+   * stream: lifetime = days between an entity's first and last event,
+   * the discrete hazard ladder h_k = d_k/n_k comes from the lifetime
+   * life table, and ln h_k is regressed on k — Gompertz' law
+   * h(t) = a·e^{bt} holds whenever attrition accelerates with age, so
+   * (slope b, doubling time ln2/b) is the "is churn risk compounding"
+   * readout a bare Kaplan–Meier curve hides. Only interior ladder
+   * points (d_k > 0 AND n_k > d_k) enter the fit: h = 0 has no log
+   * and the terminal h = 1 point is a boundary artifact.
+   *
+   * Scale shape: one groupBy(entity) → lifetime frame, value-level
+   * counts + PrefixSum for at-risk suffix totals, OLS on the
+   * ≤|distinct lifetimes| ladder. Returns 1 row: (n_entities,
+   * n_points, intercept, slope, hazard_doubling_days).
+   */
+  def gompertzHazard(df: DataFrame, idCol: String,
+      tsCol: String): DataFrame = {
+    val life = df.where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol))))
+        .cast("double").as("__l"))
+    val lc = life.groupBy("__l")
+      .agg(count(lit(1)).cast("double").as("__d"))
+      .localCheckpoint()
+    val tot = broadcast(lc.agg(sum(col("__d")).as("__ntot")))
+    val ladder = graft.analysis.PrefixSum
+      .exclusive(lc, "__l", Seq("__d" -> "__ex"))
+      .crossJoin(tot)
+      .select(col("__l"), col("__d"),
+        (col("__ntot") - col("__ex")).as("__n"))
+      .where(col("__d") > 0 && col("__n") > col("__d"))
+      .select(col("__l"), log(col("__d") / col("__n")).as("__lh"))
+    val fit = ladder.agg(count(lit(1)).cast("double").as("__m"),
+      sum(col("__l")).as("__sk"), sum(col("__lh")).as("__sh"),
+      sum(col("__l") * col("__l")).as("__skk"),
+      sum(col("__l") * col("__lh")).as("__skh"))
+    val b = (col("__m") * col("__skh") - col("__sk") * col("__sh")) /
+      (col("__m") * col("__skk") - col("__sk") * col("__sk"))
+    fit.crossJoin(tot)
+      .select(col("__ntot").cast("long").as("n_entities"),
+        col("__m").cast("long").as("n_points"),
+        ((col("__sh") - b * col("__sk")) / col("__m")).as("intercept"),
+        b.as("slope"),
+        when(b > 0, lit(math.log(2.0)) / b)
+          .as("hazard_doubling_days"))
+  }
 }

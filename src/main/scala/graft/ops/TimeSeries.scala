@@ -3535,4 +3535,49 @@ object TimeSeries {
       when(col("__see") - eta > 0,
         eta * (col("__n") - 6) / (col("__see") - eta)).as("f_stat"))
   }
+
+  /**
+   * Hjorth descriptors of the daily event-count series — activity
+   * (variance), mobility (RMS frequency: sd of the first difference
+   * over sd of the signal) and complexity (bandwidth: mobility of the
+   * derivative over mobility of the signal) — the EEG-era 3-number
+   * summary that separates "noisy", "trending" and "oscillating"
+   * series long before a periodogram is warranted. Differences pair
+   * CONSECUTIVE calendar days only (gaps drop pairs/triples, oracle
+   * mirrored); variances are spelled out as (Σv² − (Σv)²/n)/(n − 1)
+   * so both engines run identical arithmetic on exact integer sums.
+   *
+   * Scale shape: calendar frame + two calendar-shift equi-joins +
+   * three 1-row reduces. Returns 1 row: (n_days, n_d1, n_d2,
+   * activity, mobility, complexity).
+   */
+  def hjorthParams(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    def varOf(frame: DataFrame, c: String, n: String, v: String) =
+      broadcast(frame.agg(count(lit(1)).cast("double").as(n),
+        ((sum(col(c) * col(c)) - sum(col(c)) * sum(col(c)) /
+          count(lit(1))) / (count(lit(1)) - 1)).as(v)))
+    val prev = daily.select((col("__t") + 1).as("__t"),
+      col("__y").as("__y1"))
+    val d1 = daily.join(prev, Seq("__t"))
+      .select(col("__t"), (col("__y") - col("__y1")).as("__d"))
+      .localCheckpoint()
+    val d1prev = d1.select((col("__t") + 1).as("__t"),
+      col("__d").as("__d1"))
+    val d2 = d1.join(d1prev, Seq("__t"))
+      .select((col("__d") - col("__d1")).as("__e"))
+    val v0 = varOf(daily, "__y", "__n0", "__v0")
+    val v1 = varOf(d1, "__d", "__n1", "__v1")
+    val v2 = varOf(d2, "__e", "__n2", "__v2")
+    v0.crossJoin(v1).crossJoin(v2)
+      .select(col("__n0").cast("long").as("n_days"),
+        col("__n1").cast("long").as("n_d1"),
+        col("__n2").cast("long").as("n_d2"),
+        col("__v0").as("activity"),
+        when(col("__v0") > 0, sqrt(col("__v1") / col("__v0")))
+          .as("mobility"),
+        when(col("__v0") > 0 && col("__v1") > 0,
+          sqrt(col("__v2") / col("__v1")) /
+            sqrt(col("__v1") / col("__v0"))).as("complexity"))
+  }
 }

@@ -10365,6 +10365,79 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("score") == 1.0)
   }
 
+  test("giniCorrelation: tied x -> gamma_xy 1, gamma_yx 0.9") {
+    import spark.implicits._
+    val rows = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (4.0, 40.0))
+      .toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .giniCorrelation(rows, "x", "y").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("gamma_x_given_y") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gamma_y_given_x") - 0.9) < 1e-12)
+  }
+
+  test("hjorthParams: counts [1,3,2,4,1] hand-worked variances") {
+    import spark.implicits._
+    val counts = Seq(1, 3, 2, 4, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.hjorthParams(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("n_d1") == 4L)
+    assert(r.getAs[Long]("n_d2") == 3L)
+    assert(math.abs(r.getAs[Double]("activity") - 1.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mobility") - math.sqrt(6 / 1.7)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("complexity") -
+      math.sqrt((104.0 / 6) / 6) / math.sqrt(6 / 1.7)) < 1e-12)
+  }
+
+  test("gompertzHazard: lifetimes {0x3,1x2,2x1} -> slope ln(4/3)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"),
+      (4L, "2024-01-01"), (4L, "2024-01-02"),
+      (5L, "2024-01-01"), (5L, "2024-01-02"),
+      (6L, "2024-01-01"), (6L, "2024-01-03"))
+      .toDF("uid", "ts0")
+      .select(col("uid"), to_timestamp(col("ts0")).as("ts"))
+    val r = graft.ops.Survival.gompertzHazard(ev, "uid", "ts").head
+    assert(r.getAs[Long]("n_entities") == 6L)
+    assert(r.getAs[Long]("n_points") == 2L)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope") - math.log(4.0 / 3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hazard_doubling_days") -
+      math.log(2.0) / math.log(4.0 / 3)) < 1e-9)
+  }
+
+  test("clusterRobustAb: zero within-cluster spread in arm0 -> deff 2/3") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 0, 1.0), ("A", 0, 3.0), ("B", 0, 2.0),
+      ("C", 1, 5.0), ("C", 1, 7.0), ("D", 1, 6.0), ("D", 1, 2.0))
+      .toDF("u", "a", "v")
+    val r = graft.ops.Evaluation
+      .clusterRobustAb(rows, "u", col("a") === 1, "v").head
+    assert(r.getAs[Long]("n_0") == 3L && r.getAs[Long]("n_1") == 4L)
+    assert(r.getAs[Long]("g_0") == 2L && r.getAs[Long]("g_1") == 2L)
+    assert(math.abs(r.getAs[Double]("diff") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_naive") - math.sqrt(1.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_cluster") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("design_effect") - 2.0 / 3) < 1e-12)
+  }
+
+  test("conoverSquaredRanks: hand-worked T 47.25, z 0.1403") {
+    import spark.implicits._
+    val rows = Seq(("c", 0.0), ("c", 2.0), ("c", 4.0),
+      ("t", 10.0), ("t", 11.0), ("t", 19.0)).toDF("g", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .conoverSquaredRanks(rows, "g", "y", "c", "t").head
+    assert(r.getAs[Long]("n_c") == 3L && r.getAs[Long]("n_t") == 3L)
+    assert(math.abs(r.getAs[Double]("t_stat") - 47.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z_stat") -
+      2.25 / math.sqrt(257.175)) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
