@@ -7196,6 +7196,57 @@ object AnalysisPlanner {
   }
 
   /**
+   * Binned distribution overlap between two groups of a continuous
+   * metric: the overlap coefficient Σ min(p, q) (= 1 − TV distance),
+   * the Bhattacharyya coefficient Σ√(p·q) and Hellinger distance
+   * √(1 − BC) — the BOUNDED drift complements to [[drift]]'s PSI/KL
+   * (which explode on near-empty bins; these never leave [0, 1]).
+   * Equal-width bins over the POOLED [min, max] with the top edge
+   * clamped into the last bin; bin ids are floor((v − min)/w) on raw
+   * parquet doubles, so assignment is bit-identical across engines.
+   *
+   * Scale shape: one 1-row bounds reduce broadcast, one
+   * map-side-combined groupBy(bin), one ≤`bins`-row reduce. Returns
+   * 1 row: (n_a, n_b, n_bins_occupied, overlap, bhattacharyya,
+   * hellinger).
+   */
+  def distributionOverlap(df: DataFrame, groupCol: String,
+      valueCol: String, a: String, b: String,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"distributionOverlap: bins in [2, 10000], got $bins")
+    val v = col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && (col(groupCol) === a || col(groupCol) === b))
+      .select(col(groupCol).as("__g"), v.as("__v"))
+      .localCheckpoint()
+    val bounds = broadcast(base.agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi")))
+    val cells = base.crossJoin(bounds)
+      .select(col("__g"),
+        least(floor((col("__v") - col("__lo")) /
+          ((col("__hi") - col("__lo")) / bins)),
+          lit(bins - 1).cast("double")).as("__bin"))
+      .groupBy("__bin")
+      .agg(sum(when(col("__g") === a, 1.0).otherwise(0.0)).as("__ca"),
+        sum(when(col("__g") === b, 1.0).otherwise(0.0)).as("__cb"))
+    val tot = broadcast(cells.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb")))
+    cells.crossJoin(tot)
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        count(lit(1)).as("n_bins_occupied"),
+        sum(least(col("__ca") / col("__na"), col("__cb") / col("__nb")))
+          .as("overlap"),
+        sum(sqrt(col("__ca") / col("__na") * (col("__cb") / col("__nb"))))
+          .as("__bc"))
+      .select(col("n_a"), col("n_b"), col("n_bins_occupied"),
+        col("overlap"), col("__bc").as("bhattacharyya"),
+        sqrt(greatest(lit(1.0) - col("__bc"), lit(0.0)))
+          .as("hellinger"))
+  }
+
+  /**
    * Conover squared-ranks two-sample SCALE test, median-centered:
    * units score S = midrank(|y − median_g|)² in the pooled deviation
    * sample, the statistic is the treatment score sum with exact

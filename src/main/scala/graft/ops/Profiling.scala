@@ -994,6 +994,78 @@ object Profiling {
   }
 
   /**
+   * Lin's concordance correlation coefficient between two paired
+   * measurements: CCC = 2·s_xy/(s_x² + s_y² + (x̄ − ȳ)²) — agreement
+   * with the 45° line, not just linearity, decomposed as
+   * CCC = r·C_b (precision × accuracy) with the scale shift s_x/s_y
+   * and location shift (x̄ − ȳ)/√(s_x·s_y) naming WHICH calibration
+   * knob is off. The method-comparison summary [[blandAltman]] plots
+   * and Deming regression fits; variances are population-form (/n),
+   * per Lin 1989, spelled out as raw-moment algebra so both engines
+   * run identical arithmetic.
+   *
+   * Scale shape: ONE sufficient-stats aggregation, map-only algebra.
+   * Returns 1 row: (n, mean_x, mean_y, pearson_r, ccc, c_b,
+   * scale_shift, location_shift).
+   */
+  def linCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val a = df.where(x.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+    val mx = col("__sx") / col("__n")
+    val my = col("__sy") / col("__n")
+    val vx = col("__sxx") / col("__n") - mx * mx
+    val vy = col("__syy") / col("__n") - my * my
+    val cxy = col("__sxy") / col("__n") - mx * my
+    val ccc = lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    val r = cxy / sqrt(vx * vy)
+    a.select(col("__n").cast("long").as("n"), mx.as("mean_x"),
+      my.as("mean_y"),
+      when(vx > 0 && vy > 0, r).as("pearson_r"), ccc.as("ccc"),
+      when(vx > 0 && vy > 0 && abs(r) > 0, ccc / r).as("c_b"),
+      when(vy > 0, sqrt(vx / vy)).as("scale_shift"),
+      when(vx > 0 && vy > 0,
+        (mx - my) / sqrt(sqrt(vx) * sqrt(vy))).as("location_shift"))
+  }
+
+  /**
+   * Paired TOST (two one-sided tests) equivalence readout: for the
+   * per-row difference d = x − y and a pre-registered margin δ, both
+   * t_lower = (d̄ + δ)/se and t_upper = (δ − d̄)/se must clear the
+   * one-sided critical value to declare |bias| < δ — the test that
+   * can CONFIRM "the new pipeline matches the old one", which a
+   * non-significant t-test never does. Emits the two t statistics
+   * and df; the caller owns the critical-value lookup (p-values live
+   * in [[graft.analysis.Stats]] on the Spark side only).
+   *
+   * Scale shape: ONE aggregation over the paired frame. Returns
+   * 1 row: (n, mean_diff, sd_diff, se_diff, margin, t_lower,
+   * t_upper).
+   */
+  def pairedTost(df: DataFrame, xCol: String, yCol: String,
+      margin: Double): DataFrame = {
+    require(margin > 0, s"TOST margin must be > 0, got $margin")
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val a = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(d.as("__d"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__d")).as("__s"), sum(col("__d") * col("__d")).as("__q"))
+    val mean = col("__s") / col("__n")
+    val sd = sqrt((col("__q") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1))
+    val se = sd / sqrt(col("__n"))
+    a.select(col("__n").cast("long").as("n"), mean.as("mean_diff"),
+      sd.as("sd_diff"), se.as("se_diff"), lit(margin).as("margin"),
+      when(se > 0, (mean + lit(margin)) / se).as("t_lower"),
+      when(se > 0, (lit(margin) - mean) / se).as("t_upper"))
+  }
+
+  /**
    * Lorenz decile table: the mass share held by each value decile —
    * the table a Lorenz curve plots, and the "top-10% holds X% of
    * spend" readout. Deciles cut at the EXACT interpolated quantiles

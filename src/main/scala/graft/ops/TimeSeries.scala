@@ -3580,4 +3580,96 @@ object TimeSeries {
           sqrt(col("__v2") / col("__v1")) /
             sqrt(col("__v1") / col("__v0"))).as("complexity"))
   }
+
+  /**
+   * Mincer–Zarnowitz calibration of the seasonal-naive forecast
+   * f_t = y_{t−lag} for the daily count series: OLS y ~ a + b·f plus
+   * the joint F test of (a, b) = (0, 1) — the standard "is this
+   * forecast UNBIASED and EFFICIENT" audit; an intercept ≠ 0 means
+   * systematic bias, a slope < 1 means the forecast over-reacts. The
+   * restricted RSS is Σ(y − f)² (the naive forecast's own SSE), so
+   * F = ((RSS₀ − RSS)/2)/(RSS/(n − 2)) also reads as "how much error
+   * a calibration layer would remove".
+   *
+   * Scale shape: calendar frame + one lag-shift equi-join + two
+   * 1-row sufficient-stats reduces (coefficients broadcast back for
+   * the residual pass). Returns 1 row: (n_pairs, intercept, slope,
+   * rss_naive, rss_ols, f_stat).
+   */
+  def mincerZarnowitz(df: DataFrame, tsCol: String,
+      lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val lagf = daily.select((col("__t") + lagDays).as("__t"),
+      col("__y").as("__f"))
+    val pairs = daily.join(lagf, Seq("__t")).localCheckpoint()
+    val st = broadcast(pairs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__f")).as("__sf"), sum(col("__y")).as("__sy"),
+      sum(col("__f") * col("__f")).as("__sff"),
+      sum(col("__f") * col("__y")).as("__sfy")))
+    val b = (col("__n") * col("__sfy") - col("__sf") * col("__sy")) /
+      (col("__n") * col("__sff") - col("__sf") * col("__sf"))
+    val withc = pairs.crossJoin(st)
+      .withColumn("__b", b)
+      .withColumn("__a", (col("__sy") - b * col("__sf")) / col("__n"))
+    withc.agg(max(col("__n")).as("__n"), max(col("__a")).as("__a"),
+        max(col("__b")).as("__b"),
+        sum((col("__y") - col("__f")) * (col("__y") - col("__f")))
+          .as("__rss0"),
+        sum((col("__y") - col("__a") - col("__b") * col("__f")) *
+          (col("__y") - col("__a") - col("__b") * col("__f")))
+          .as("__rss"))
+      .select(col("__n").cast("long").as("n_pairs"),
+        col("__a").as("intercept"), col("__b").as("slope"),
+        col("__rss0").as("rss_naive"), col("__rss").as("rss_ols"),
+        when(col("__rss") > 0 && col("__n") > 2,
+          ((col("__rss0") - col("__rss")) / 2) /
+            (col("__rss") / (col("__n") - 2))).as("f_stat"))
+  }
+
+  /**
+   * Relative-distribution summary of the SECOND half of the calendar
+   * against the first: each late-period day's count maps to its
+   * mid-mass empirical CDF position F̂_ref in the early period, and
+   * the frame reports the mean relative rank (location: > ½ = the
+   * metric runs higher now) and the median relative polarization
+   * MRP = 4·E|F̂ − ½| − 1 (shape: > 0 = late days live in the early
+   * period's TAILS — divergence even when the mean moved nowhere).
+   * The split day is the discrete median of observed days, so both
+   * halves and all CDF inputs are exact integers on both engines.
+   *
+   * Scale shape: calendar frame, one union cell frame + PrefixSum
+   * for ref-below counts, two 1-row reduces. Returns 1 row:
+   * (n_ref, n_cmp, split_t, mean_rel_rank, mrp).
+   */
+  def relativeDistribution(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val medT = broadcast(graft.analysis.AnalysisPlanner
+      .exactPercentilesDisc(daily, "__t", Seq("__med" -> 0.5), Nil))
+    val marked = daily.crossJoin(medT)
+      .select(col("__y"), (col("__t") <= col("__med")).as("__ref"),
+        col("__med"))
+    val cells = marked.groupBy("__y")
+      .agg(sum(when(col("__ref"), 1.0).otherwise(0.0)).as("__cr"),
+        sum(when(!col("__ref"), 1.0).otherwise(0.0)).as("__cc"))
+    val tot = broadcast(cells.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__cc")).as("__nc")))
+    val cdf = graft.analysis.PrefixSum
+      .exclusive(cells, "__y", Seq("__cr" -> "__below"))
+      .crossJoin(tot)
+      .select(col("__cc"), col("__nr"), col("__nc"),
+        ((col("__below") + lit(0.5) * col("__cr")) / col("__nr"))
+          .as("__F"))
+    val sp = broadcast(marked.agg(max(col("__med")).as("split_t")))
+    cdf.agg(max(col("__nr")).as("__nr"), max(col("__nc")).as("__nc"),
+        (sum(col("__cc") * col("__F")) / max(col("__nc")))
+          .as("mean_rel_rank"),
+        (lit(4.0) * sum(col("__cc") * abs(col("__F") - lit(0.5))) /
+          max(col("__nc")) - 1).as("mrp"))
+      .crossJoin(sp)
+      .select(col("__nr").cast("long").as("n_ref"),
+        col("__nc").cast("long").as("n_cmp"), col("split_t"),
+        col("mean_rel_rank"), col("mrp"))
+  }
 }

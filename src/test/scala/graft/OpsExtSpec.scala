@@ -10438,6 +10438,77 @@ class OpsExtSpec extends AnyFunSuite {
       2.25 / math.sqrt(257.175)) < 1e-12)
   }
 
+  test("mincerZarnowitz: lag-1 naive on [2,1,3,2,4] -> F 11/9") {
+    import spark.implicits._
+    val counts = Seq(2, 1, 3, 2, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .mincerZarnowitz(rows, "ts", lagDays = 1).head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(math.abs(r.getAs[Double]("intercept") - 3.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope") + 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rss_naive") - 10.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rss_ols") - 4.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f_stat") - 11.0 / 9) < 1e-12)
+  }
+
+  test("relativeDistribution: [1,2,3 | 10,20] -> mrr 1, mrp 1") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 3, 10, 20)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.relativeDistribution(rows, "ts").head
+    assert(r.getAs[Long]("n_ref") == 3L)
+    assert(r.getAs[Long]("n_cmp") == 2L)
+    assert(r.getAs[Double]("split_t") == 2.0)
+    assert(math.abs(r.getAs[Double]("mean_rel_rank") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mrp") - 1.0) < 1e-12)
+  }
+
+  test("linCcc: y = x + 1 -> r 1, ccc 4/7, loc shift -sqrt(3/2)") {
+    import spark.implicits._
+    val rows = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val r = graft.ops.Profiling.linCcc(rows, "x", "y").head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("pearson_r") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ccc") - 4.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("c_b") - 4.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("scale_shift") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("location_shift") +
+      1.0 / math.sqrt(2.0 / 3)) < 1e-12)
+  }
+
+  test("pairedTost: diffs [1,-1,0,0], margin 1 -> t both sqrt(6)") {
+    import spark.implicits._
+    val rows = Seq((2.0, 1.0), (1.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val r = graft.ops.Profiling.pairedTost(rows, "x", "y", 1.0).head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("mean_diff")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sd_diff") - math.sqrt(2.0 / 3)) < 1e-12)
+    val se = math.sqrt(2.0 / 3) / 2
+    assert(math.abs(r.getAs[Double]("t_lower") - 1.0 / se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_upper") - 1.0 / se) < 1e-12)
+  }
+
+  test("distributionOverlap: 2 bins -> ovl 0.5, BC sqrt(0.5)") {
+    import spark.implicits._
+    val rows = (Seq(0.0, 1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0, 4.0).map(("b", _))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .distributionOverlap(rows, "g", "v", "a", "b", bins = 2).head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_bins_occupied") == 2L)
+    assert(math.abs(r.getAs[Double]("overlap") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bhattacharyya") -
+      math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hellinger") -
+      math.sqrt(1 - math.sqrt(0.5))) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
