@@ -2353,6 +2353,53 @@ object TextAnalysis {
    * doc), two groupBys, one bounded top-k. Returns ≤ topK rows:
    * (phrase, n_words, n_occurrences, score) by (score desc, phrase).
    */
+  /**
+   * Coverage-adjusted (Chao–Shen) token entropy per group: the
+   * plug-in −Σp·ln p UNDERSTATES entropy on finite samples because
+   * unseen vocabulary carries no term; Chao–Shen shrinks each
+   * frequency by the Good–Turing sample coverage C = 1 − f₁/N and
+   * reweights by the Horvitz–Thompson inclusion probability
+   * 1 − (1 − Cp)^N — the estimator to trust when comparing the
+   * lexical entropy of CORPORA OF DIFFERENT SIZES, where plug-in
+   * gaps are mostly sample-size artifacts. Reported next to its
+   * plug-in sibling so the correction itself is visible.
+   *
+   * Scale shape: one token groupBy, one per-group reduce, one
+   * broadcast join back over the type frame, one final reduce.
+   * Returns one row per group: (group, n_tokens, n_types,
+   * f1_singletons, coverage, h_plugin, h_chao_shen).
+   */
+  def chaoShenEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = df.where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__g", "__t")
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .localCheckpoint()
+    val per = tf.groupBy("__g")
+      .agg(sum(col("__n")).as("__tok"),
+        count(lit(1)).as("__V"),
+        sum(when(col("__n") === 1.0, 1.0).otherwise(0.0)).as("__f1"))
+    val joined = tf.join(broadcast(per), Seq("__g"))
+      .select(col("__g"), col("__tok"), col("__V"), col("__f1"),
+        (col("__n") / col("__tok")).as("__p"),
+        ((lit(1.0) - col("__f1") / col("__tok")) * col("__n") /
+          col("__tok")).as("__pc"))
+    joined.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__tok")).cast("long").as("n_tokens"),
+        max(col("__V")).as("n_types"),
+        max(col("__f1")).cast("long").as("f1_singletons"),
+        (lit(1.0) - max(col("__f1")) / max(col("__tok")))
+          .as("coverage"),
+        (-sum(col("__p") * log(col("__p")))).as("h_plugin"),
+        (-sum(when(col("__pc") > 0,
+          col("__pc") * log(col("__pc")) /
+            (lit(1.0) - pow(lit(1.0) - col("__pc"), col("__tok"))))))
+          .as("h_chao_shen"))
+  }
+
   def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = langMarkers("en"),
       maxPhraseLen: Int = 4, topK: Int = 15): DataFrame = {

@@ -3672,4 +3672,193 @@ object TimeSeries {
         col("__nc").cast("long").as("n_cmp"), col("split_t"),
         col("mean_rel_rank"), col("mrp"))
   }
+
+  /**
+   * Temporal (semi)variogram of the daily event-count series:
+   * γ(h) = ½·E[(y_t − y_{t+h})²] and the robust madogram
+   * ν(h) = ½·E|y_t − y_{t+h}| per lag h = 1..maxLag — the
+   * geostatistics read of temporal structure: a γ that keeps rising
+   * means long-range trend, an early sill gives the decorrelation
+   * horizon, and γ(1)/γ(∞) is the nugget share. Pairs use calendar
+   * lags (gap days contribute none, oracle mirrored); counts are
+   * integers so every reported moment is exact-sum arithmetic.
+   *
+   * Scale shape: calendar frame × maxLag lag ids (explode), ONE
+   * calendar-shift equi-join, one groupBy(h). Returns maxLag rows:
+   * (h, n_pairs, semivariance, madogram).
+   */
+  def variogram(df: DataFrame, tsCol: String,
+      maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 120,
+      s"variogram: maxLag in [1, 120], got $maxLag")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val lagged = daily
+      .select(col("__t"), col("__y"),
+        explode(sequence(lit(1), lit(maxLag))).as("h"))
+      .select((col("__t") + col("h")).as("__t"), col("h"),
+        col("__y").as("__y0"))
+    lagged.join(daily, Seq("__t"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum((col("__y") - col("__y0")) * (col("__y") - col("__y0")))
+          / (lit(2.0) * count(lit(1)))).as("semivariance"),
+        (sum(abs(col("__y") - col("__y0"))) /
+          (lit(2.0) * count(lit(1)))).as("madogram"))
+  }
+
+  /**
+   * Recurrence quantification of the daily count series: pairs of
+   * days closer than ε = 10% of the observed range count as
+   * recurrences; RR is their share of all day pairs and DET the
+   * share of recurrences sitting on a diagonal line of length ≥ 2
+   * (today≈day-X AND tomorrow≈day-X+1) — determinism in the
+   * dynamical sense: high-RR/low-DET is unstructured noise, high
+   * DET means the series revisits whole TRAJECTORIES, the signature
+   * of periodic regimes that survives where the ACF washes out.
+   *
+   * Scale shape: reduced×reduced upper-triangle pair join (≤
+   * |calendar|², the [[sampleEntropy]] discipline) + one shifted
+   * self-join of the recurrent set. All comparisons are on exact
+   * integers vs one exact-derived ε. Returns 1 row: (n_days, eps,
+   * n_pairs, n_recurrent, recurrence_rate, n_on_diagonal,
+   * determinism).
+   */
+  def recurrenceQuant(df: DataFrame, tsCol: String,
+      epsShare: Double = 0.1): DataFrame = {
+    require(epsShare > 0 && epsShare < 1,
+      s"recurrenceQuant: epsShare in (0,1), got $epsShare")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val eps = broadcast(daily.agg(
+      ((max(col("__y")) - min(col("__y"))) * epsShare).as("__eps"),
+      count(lit(1)).as("n_days")))
+    val b = daily.select(col("__t").as("__s"), col("__y").as("__ys"))
+    val pairs = daily.crossJoin(eps)
+      .join(b, col("__s") < col("__t"))
+      .select(col("__t"), col("__s"), col("__eps"), col("n_days"),
+        (abs(col("__y") - col("__ys")) <= col("__eps")).as("__rec"))
+      .localCheckpoint()
+    val rec = pairs.where(col("__rec"))
+      .select(col("__t"), col("__s")).localCheckpoint()
+    val nxt = rec.select((col("__t") - 1).as("__t"),
+      (col("__s") - 1).as("__s"), lit(1).as("__hasNext"))
+    val prv = rec.select((col("__t") + 1).as("__t"),
+      (col("__s") + 1).as("__s"), lit(1).as("__hasPrev"))
+    val onDiag = rec
+      .join(nxt, Seq("__t", "__s"), "left")
+      .join(prv, Seq("__t", "__s"), "left")
+      .agg(coalesce(sum(when(col("__hasNext").isNotNull ||
+        col("__hasPrev").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_on_diagonal"))
+    val tot = pairs.agg(max(col("n_days")).as("n_days"),
+      max(col("__eps")).as("eps"), count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("__rec"), 1L).otherwise(0L)), lit(0L))
+        .as("n_recurrent"))
+    tot.crossJoin(broadcast(onDiag))
+      .select(col("n_days"), col("eps"), col("n_pairs"),
+        col("n_recurrent"),
+        when(col("n_pairs") > 0, col("n_recurrent").cast("double") /
+          col("n_pairs")).as("recurrence_rate"),
+        col("n_on_diagonal"),
+        when(col("n_recurrent") > 0,
+          col("n_on_diagonal").cast("double") / col("n_recurrent"))
+          .as("determinism"))
+  }
+
+  /**
+   * Band-averaged cross-spectral coherence between two event types'
+   * daily count series: DFT sums at Fourier frequencies j/n (j < n/2,
+   * capped at `maxFreq`), cross- and auto-spectra averaged over
+   * `bandWidth`-frequency bands, coherence² = |S̄xy|²/(S̄xx·S̄yy) per
+   * band — "do these two metrics share a cycle, and in which
+   * frequency range", which the time-domain cross-correlation (q*)
+   * smears across all lags. Raw (unsmoothed) coherence is
+   * identically 1; the band average IS the estimator.
+   *
+   * Scale shape: the two series join on shared days (inner), the
+   * day×frequency expansion is |days|×maxFreq rows, ONE groupBy(j)
+   * then ONE groupBy(band). Returns ≤ maxFreq/bandWidth rows:
+   * (band, n_freqs, f_lo, f_hi, coherence2).
+   */
+  def crossCoherence(df: DataFrame, tsCol: String, keyCol: String,
+      typeA: String, typeB: String, maxFreq: Int = 40,
+      bandWidth: Int = 5): DataFrame = {
+    require(maxFreq >= bandWidth && bandWidth >= 2,
+      s"crossCoherence: maxFreq >= bandWidth >= 2")
+    def series(t: String) =
+      dailyCounts(df.where(col(keyCol) === t), tsCol)
+    val joined = series(typeA)
+      .join(series(typeB).withColumnRenamed("__y", "__y2"), Seq("__t"))
+      .localCheckpoint()
+    val idx = graft.analysis.PrefixSum.exclusive(
+        joined.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi"))
+      .withColumn("__i", col("__exi"))
+    val n = broadcast(joined.agg(count(lit(1)).cast("double").as("__n")))
+    val byFreq = idx.crossJoin(n)
+      .select(col("__i"), col("__y"), col("__y2"), col("__n"),
+        explode(sequence(lit(1), lit(maxFreq))).as("j"))
+      .where(col("j") < col("__n") / 2)
+      .withColumn("__w",
+        lit(2 * math.Pi) * col("j") / col("__n") * col("__i"))
+      .groupBy("j")
+      .agg(max(col("__n")).as("__n"),
+        sum(col("__y") * cos(col("__w"))).as("__ax"),
+        sum(col("__y") * sin(col("__w"))).as("__bx"),
+        sum(col("__y2") * cos(col("__w"))).as("__ay"),
+        sum(col("__y2") * sin(col("__w"))).as("__by"))
+    val spec = byFreq.select(col("j"), col("__n"),
+      (col("__ax") * col("__ay") + col("__bx") * col("__by"))
+        .as("__cre"),
+      (col("__bx") * col("__ay") - col("__ax") * col("__by"))
+        .as("__cim"),
+      (col("__ax") * col("__ax") + col("__bx") * col("__bx"))
+        .as("__sxx"),
+      (col("__ay") * col("__ay") + col("__by") * col("__by"))
+        .as("__syy"))
+    spec.groupBy(ceil(col("j") / bandWidth).as("band"))
+      .agg(count(lit(1)).as("n_freqs"),
+        (min(col("j")) / max(col("__n"))).as("f_lo"),
+        (max(col("j")) / max(col("__n"))).as("f_hi"),
+        ((avg(col("__cre")) * avg(col("__cre")) +
+          avg(col("__cim")) * avg(col("__cim"))) /
+          (avg(col("__sxx")) * avg(col("__syy")))).as("coherence2"))
+  }
+
+  /**
+   * Laplace trend test for the event stream as a point process: with
+   * event offsets u_i from the window start over span T, under a
+   * homogeneous Poisson process Σu/n is T/2 in expectation, and
+   * z = (ū − T/2)/(T·√(1/12n)) reads sign-directly as "events are
+   * drifting later (+) or earlier (−)". The MIL-HDBK-189 companion
+   * 2·Σln(T/u) (χ² with 2n df, u = 0 offsets excluded and counted)
+   * answers the same question with power against power-law NHPP
+   * intensities. The two together are the reliability-growth pair.
+   *
+   * Scale shape: two 1-row reduces (bounds broadcast, then moment
+   * sums) — map-only otherwise. Returns 1 row: (n, t_span_seconds,
+   * laplace_z, milhdbk_chi2, n_zero_offset).
+   */
+  def laplaceTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val base = df.where(col(tsCol).isNotNull)
+      .select(unix_micros(col(tsCol)).as("__u"))
+    val bounds = broadcast(base.agg(min(col("__u")).as("__lo"),
+      max(col("__u")).as("__hi")))
+    val off = base.crossJoin(bounds)
+      .select((col("__u") - col("__lo")).cast("double").as("__o"),
+        (col("__hi") - col("__lo")).cast("double").as("__T"))
+    off.agg(count(lit(1)).cast("double").as("__n"),
+        max(col("__T")).as("__T"), sum(col("__o")).as("__so"),
+        coalesce(sum(when(col("__o") > 0,
+          log(col("__T") / col("__o")))), lit(0.0)).as("__sl"),
+        sum(when(col("__o") === 0, 1L).otherwise(0L))
+          .as("n_zero_offset"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__T") / 1000000.0).as("t_span_seconds"),
+        when(col("__T") > 0,
+          (col("__so") / col("__n") - col("__T") / 2) /
+            (col("__T") * sqrt(lit(1.0) / (lit(12.0) * col("__n")))))
+          .as("laplace_z"),
+        (lit(2.0) * col("__sl")).as("milhdbk_chi2"),
+        col("n_zero_offset"))
+  }
 }

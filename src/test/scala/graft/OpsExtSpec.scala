@@ -10509,6 +10509,87 @@ class OpsExtSpec extends AnyFunSuite {
       math.sqrt(1 - math.sqrt(0.5))) < 1e-12)
   }
 
+  test("chaoShenEntropy: 'a a b' -> hand-worked coverage-adjusted H") {
+    import spark.implicits._
+    val docs = Seq(("s", "a a b")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis
+      .chaoShenEntropy(docs, "source", "text").head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_types") == 2L)
+    assert(r.getAs[Long]("f1_singletons") == 1L)
+    assert(math.abs(r.getAs[Double]("coverage") - 2.0 / 3) < 1e-12)
+    val hp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r.getAs[Double]("h_plugin") - hp) < 1e-12)
+    def term(pc: Double) =
+      pc * math.log(pc) / (1 - math.pow(1 - pc, 3))
+    val hcs = -(term(4.0 / 9) + term(2.0 / 9))
+    assert(math.abs(r.getAs[Double]("h_chao_shen") - hcs) < 1e-12)
+  }
+
+  test("variogram: [1,3,2] -> gamma(1) 1.25, gamma(2) 0.5") {
+    import spark.implicits._
+    val counts = Seq(1, 3, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.variogram(rows, "ts", maxLag = 2)
+      .orderBy("h").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_pairs") == 2L)
+    assert(r(0).getAs[Double]("semivariance") == 1.25)
+    assert(r(0).getAs[Double]("madogram") == 0.75)
+    assert(r(1).getAs[Long]("n_pairs") == 1L)
+    assert(r(1).getAs[Double]("semivariance") == 0.5)
+    assert(r(1).getAs[Double]("madogram") == 0.5)
+  }
+
+  test("recurrenceQuant: period-3 counts -> DET 1") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 9, 1, 2, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.recurrenceQuant(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(math.abs(r.getAs[Double]("eps") - 0.8) < 1e-12)
+    assert(r.getAs[Long]("n_pairs") == 15L)
+    assert(r.getAs[Long]("n_recurrent") == 3L)
+    assert(math.abs(r.getAs[Double]("recurrence_rate") - 0.2) < 1e-12)
+    assert(r.getAs[Long]("n_on_diagonal") == 3L)
+    assert(r.getAs[Double]("determinism") == 1.0)
+  }
+
+  test("crossCoherence: identical series -> coherence2 = 1 per band") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 3, 4, 5, 6, 5, 4, 3, 2, 1, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      val day = java.time.LocalDate.ofEpochDay(i.toLong).toString
+      Seq.fill(c)(("a", day)) ++ Seq.fill(c)(("b", day))
+    }.toDF("k", "ts")
+    val r = graft.ops.TimeSeries
+      .crossCoherence(rows, "ts", "k", "a", "b",
+        maxFreq = 4, bandWidth = 2)
+      .orderBy("band").collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Long]("n_freqs") == 2L))
+    r.foreach(row =>
+      assert(math.abs(row.getAs[Double]("coherence2") - 1.0) < 1e-9))
+  }
+
+  test("laplaceTrend: offsets {0, 5s, 10s} -> z 0, chi2 2ln2") {
+    import spark.implicits._
+    val rows = Seq("2024-01-01 00:00:00", "2024-01-01 00:00:05",
+      "2024-01-01 00:00:10").toDF("ts0")
+      .select(to_timestamp(col("ts0")).as("ts"))
+    val r = graft.ops.TimeSeries.laplaceTrend(rows, "ts").head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("t_span_seconds") == 10.0)
+    assert(math.abs(r.getAs[Double]("laplace_z")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("milhdbk_chi2") -
+      2 * math.log(2.0)) < 1e-12)
+    assert(r.getAs[Long]("n_zero_offset") == 1L)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
