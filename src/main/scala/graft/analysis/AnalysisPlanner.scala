@@ -6705,9 +6705,9 @@ object AnalysisPlanner {
       sum(when(col("__g") === groupB, col("__c"))).cast("double")
         .as("__nb")))
     val j = cells.crossJoin(sizes)
-      .withColumn("__i",
-        explode(sequence(col("__wex") + 1L, col("__wex") + col("__c")))
-          .cast("double"))
+      .withColumn("__i0",
+        explode(sequence(col("__wex") + 1L, col("__wex") + col("__c"))))
+      .withColumn("__i", col("__i0").cast("double"))
     val n1 = when(col("__g") === groupA, col("__na")).otherwise(col("__nb"))
     val n2 = when(col("__g") === groupA, col("__nb")).otherwise(col("__na"))
     val rMid = col("__pex") + (col("__ct") + 1) / 2.0
@@ -7168,9 +7168,12 @@ object AnalysisPlanner {
     // frames never join back onto the corpus (a near-unique margin
     // would make that join corpus×corpus; q611's price margin is one)
     def margin(c: String, o: String): DataFrame = {
+      // checkpoint: PrefixSum evaluates its input twice (bounds +
+      // join); without it the corpus groupBy runs twice per margin
       val vc = base.groupBy(col(c).as("__v"))
         .agg(count(lit(1)).cast("double").as("__c"),
           sum(col(o)).as("__so"))
+        .localCheckpoint()
       PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__ex"))
         .withColumn("__r", col("__ex") + (col("__c") + 1) / 2.0)
     }

@@ -920,4 +920,66 @@ object Behavioral {
         ((col("n_sessions_both") * col("__ns")) /
           (col("__na") * col("__nb"))).as("lift"))
   }
+
+  /**
+   * Zhang–Bradlow–Small clumpiness of each entity's event stream:
+   * over the SHARED observation window [min ts, max ts], an entity
+   * with n events yields n + 1 normalized inter-event intervals
+   * (boundary gaps included) and C = 1 + Σ x·ln x / ln(n + 1) ∈
+   * [0, 1] — 0 = evenly spread, 1 = one burst. The per-entity score
+   * [[burstinessMemory]] can't give (B needs many gaps per key;
+   * clumpiness is defined at n = 1). Per-entity C is rounded to 1e-9
+   * before the summary percentiles so a last-bit ln() difference
+   * can never flip a discrete-percentile pick between engines.
+   *
+   * Scale shape: one partitioned lead window + one groupBy(entity)
+   * for boundaries, a union, one groupBy(entity) reduce, then the
+   * value-level percentile machinery on the |entities|-sized C
+   * frame. Returns 1 row: (n_entities, window_seconds, mean_c,
+   * c_p25, c_p50, c_p75).
+   */
+  def clumpiness(df: DataFrame, idCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"))
+    val bounds = broadcast(base.agg(min(col("__t")).as("__lo"),
+      max(col("__t")).as("__hi")))
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    // one grouped pass: inner-gap terms aggregate, the two boundary
+    // terms are algebra on the same group's min/max — no union, no
+    // second shuffle, no join (the first cut's union+join chain
+    // tripled the stage count for identical numbers)
+    def xlnx(x: Column): Column =
+      coalesce(when(x > 0, x * log(x)), lit(0.0))
+    val xg = (col("__nx") - col("__t")).cast("double") /
+      (col("__hi") - col("__lo")).cast("double")
+    val perUser = base.crossJoin(bounds)
+      .withColumn("__nx", lead(col("__t"), 1).over(w))
+      .groupBy("__u")
+      .agg(coalesce(sum(when(col("__nx").isNotNull && xg > 0,
+          xg * log(xg))), lit(0.0)).as("__sxi"),
+        min(col("__t")).as("__fst"), max(col("__t")).as("__lst"),
+        max(col("__lo")).as("__lo"), max(col("__hi")).as("__hi"),
+        count(lit(1)).cast("double").as("__ne"))
+      .select(round(lit(1.0) + (col("__sxi") +
+        xlnx((col("__fst") - col("__lo")).cast("double") /
+          (col("__hi") - col("__lo")).cast("double")) +
+        xlnx((col("__hi") - col("__lst")).cast("double") /
+          (col("__hi") - col("__lo")).cast("double"))) /
+        log(col("__ne") + 1), 9).as("__c"))
+      .localCheckpoint()
+    val pct = graft.analysis.AnalysisPlanner.exactPercentilesDisc(
+      perUser, "__c",
+      Seq("c_p25" -> 0.25, "c_p50" -> 0.5, "c_p75" -> 0.75), Nil)
+    val sm = perUser.agg(count(lit(1)).as("n_entities"),
+      avg(col("__c")).as("mean_c"))
+    val win = broadcast(bounds.select(
+      ((col("__hi") - col("__lo")) / 1000000.0).as("window_seconds")))
+    sm.crossJoin(broadcast(pct)).crossJoin(win)
+      .select(col("n_entities"), col("window_seconds"), col("mean_c"),
+        col("c_p25"), col("c_p50"), col("c_p75"))
+  }
 }

@@ -3078,6 +3078,77 @@ object Evaluation {
    * 1 row: (n_0, n_1, g_0, g_1, mean_0, mean_1, diff, se_naive,
    * se_cluster, design_effect).
    */
+  /**
+   * Univariate feature screen against a binary label: per feature,
+   * the midrank AUC (can this feature alone rank the classes), the
+   * KS separation max|F̂₁ − F̂₀| (where on the CDF they split) and
+   * the point-biserial correlation (signed linear strength) — the
+   * first triage a feature platform runs on a candidate feature set
+   * before anyone trains on it. AUC and KS come from exact integer
+   * per-value counts, so they are bit-stable; ties get midranks.
+   *
+   * Scale shape: per feature, ONE value-level cell pass +
+   * [[PrefixSum]] ranks + a 1-row reduce; the per-feature 1-row
+   * frames union (features are the caller's bounded list). Returns
+   * one row per feature: (feature, n, n_pos, auc, ks, point_biserial).
+   */
+  def univariateScreen(df: DataFrame, labelFlag: Column,
+      features: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "univariateScreen: >= 1 feature")
+    // ONE pass for every feature: the corpus explodes to
+    // (feature, value, label) rows, then one grouped cell pass + one
+    // grouped PrefixSum + one grouped reduce — k features cost one
+    // pipeline, not k (the first cut ran k full rank pipelines and
+    // was k× slower for exactly the same numbers)
+    val lab = labelFlag.cast("int").cast("double")
+    val base = df.where(labelFlag.isNotNull)
+      .select(lab.as("__y"), explode(array(features.map(f =>
+        struct(lit(f).as("__f"), col(f).cast("double").as("__v"))): _*))
+        .as("__fv"))
+      .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"),
+        col("__y"))
+      .where(col("__v").isNotNull)
+    // checkpoint the reduced frames: PrefixSum evaluates its input
+    // twice (bounds + join) and `pre` feeds two consumers — without
+    // materialization the corpus explode+groupBy re-runs ~5×
+    val cells = base.groupBy("__f", "__v")
+      .agg(sum(col("__y")).as("__cp"),
+        sum(lit(1.0) - col("__y")).as("__cn"))
+      .localCheckpoint()
+    val pre = PrefixSum.exclusive(cells, "__v",
+        Seq("__cp" -> "__exp", "__cn" -> "__exn"),
+        groupCols = Seq("__f"))
+      .withColumn("__r", col("__exp") + col("__exn") +
+        (col("__cp") + col("__cn") + 1) / 2.0)
+      .localCheckpoint()
+    val tot = pre.groupBy("__f").agg(sum(col("__cp")).as("__np"),
+      sum(col("__cn")).as("__nn"))
+    pre.join(broadcast(tot), Seq("__f"))
+      .groupBy(col("__f").as("feature"))
+      .agg(max(col("__np")).as("__np"), max(col("__nn")).as("__nn"),
+        sum(col("__cp") * col("__r")).as("__rs"),
+        max(abs((col("__exp") + col("__cp")) / col("__np") -
+          (col("__exn") + col("__cn")) / col("__nn"))).as("__ks"),
+        sum((col("__cp") + col("__cn")) * col("__v")).as("__sv"),
+        sum((col("__cp") + col("__cn")) * col("__v") * col("__v"))
+          .as("__svv"),
+        sum(col("__cp") * col("__v")).as("__svy"))
+      .select(col("feature"),
+        (col("__np") + col("__nn")).cast("long").as("n"),
+        col("__np").cast("long").as("n_pos"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          (col("__rs") - col("__np") * (col("__np") + 1) / 2) /
+            (col("__np") * col("__nn"))).as("auc"),
+        col("__ks").as("ks"), {
+          val n = col("__np") + col("__nn")
+          val num = n * col("__svy") - col("__sv") * col("__np")
+          val den = sqrt((n * col("__svv") -
+            col("__sv") * col("__sv")) *
+            (n * col("__np") - col("__np") * col("__np")))
+          when(den > 0, num / den).as("point_biserial")
+        })
+  }
+
   def clusterRobustAb(df: DataFrame, unitCol: String, armFlag: Column,
       valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")

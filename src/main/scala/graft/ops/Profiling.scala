@@ -994,6 +994,47 @@ object Profiling {
   }
 
   /**
+   * 2-D skyline (Pareto front): the points not dominated on
+   * (minimize `minCol`, maximize `maxCol`) — "the cheapest part at
+   * every size class that no cheaper-and-bigger part beats", the
+   * multi-objective shortlist operator plain ORDER BY can't express.
+   * A point is on the front iff its cost equals m(s) = min cost over
+   * size ≥ s AND every strictly-larger size costs strictly more.
+   *
+   * Scale shape: one groupBy(size) pass reduces the corpus to the
+   * size domain (bounded by the attribute's cardinality), suffix
+   * minima via a domain×domain self-join of that reduced frame, one
+   * join back to the (cost, size)-level counts. No sort of the
+   * corpus, no window. Returns the front ordered by size:
+   * (size, cost, n_points).
+   */
+  def skyline2d(df: DataFrame, minCol: String,
+      maxCol: String): DataFrame = {
+    val pts = df.where(col(minCol).isNotNull && col(maxCol).isNotNull)
+      .select(col(minCol).cast("double").as("__x"),
+        col(maxCol).cast("long").as("__y"))
+      .localCheckpoint()
+    val sizeMin = pts.groupBy("__y").agg(min(col("__x")).as("__mp"))
+      .localCheckpoint()
+    val other = sizeMin.select(col("__y").as("__y2"),
+      col("__mp").as("__mp2"))
+    val m = sizeMin.join(other, col("__y2") >= col("__y"))
+      .groupBy("__y").agg(min(col("__mp2")).as("__m"))
+    val mStrict = sizeMin.join(other, col("__y2") > col("__y"), "left")
+      .groupBy("__y").agg(min(col("__mp2")).as("__ms"))
+    val front = sizeMin.join(m, Seq("__y")).join(mStrict, Seq("__y"))
+      .where(col("__mp") === col("__m") &&
+        (col("__ms").isNull || col("__ms") > col("__mp")))
+      .select(col("__y"), col("__mp"))
+    val counts = pts.groupBy("__y", "__x")
+      .agg(count(lit(1)).as("n_points"))
+    counts.join(front,
+        counts("__y") === front("__y") && counts("__x") === front("__mp"))
+      .select(counts("__y").as("size"), counts("__x").as("cost"),
+        col("n_points"))
+  }
+
+  /**
    * Lin's concordance correlation coefficient between two paired
    * measurements: CCC = 2·s_xy/(s_x² + s_y² + (x̄ − ȳ)²) — agreement
    * with the 45° line, not just linearity, decomposed as

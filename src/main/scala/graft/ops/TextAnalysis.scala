@@ -2267,6 +2267,43 @@ object TextAnalysis {
   }
 
   /**
+   * Character-trigram typicality score per group: every document's
+   * char 3-grams are scored under the CORPUS-wide trigram MLE and
+   * averaged per group — the gibberish/mojibake/encoding-damage
+   * detector that word-level models miss (a doc of plausible words
+   * in impossible character order scores fine on q112's word LM but
+   * craters here). No OOV handling needed: the model is fit on the
+   * same corpus it scores, so every trigram has mass.
+   *
+   * Scale shape: position explode (≤ |chars| rows) → two groupBys →
+   * one model equi-join → per-group reduce. Returns one row per
+   * group: (group, n_trigrams, avg_logprob, perplexity).
+   */
+  def charTrigramScore(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tri = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= 3)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(textCol).as("__txt"))
+      .withColumn("__i",
+        explode(sequence(lit(1), length(col("__txt")) - 2)))
+      .select(col("__g"), col("__txt").substr(col("__i"), lit(3))
+        .as("__tr"))
+      .groupBy("__g", "__tr")
+      .agg(count(lit(1)).cast("double").as("__k"))
+      .localCheckpoint()
+    val model = tri.groupBy("__tr").agg(sum(col("__k")).as("__c"))
+    val tot = broadcast(model.agg(sum(col("__c")).as("__nt")))
+    tri.join(model, Seq("__tr")).crossJoin(tot)
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__k")).cast("long").as("n_trigrams"),
+        (sum(col("__k") * log(col("__c") / col("__nt"))) /
+          sum(col("__k"))).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+  }
+
+  /**
    * Interpolated Kneser–Ney bigram language model: fit on the train
    * split, score the held-out split — the smoothing that actually
    * wins for n-gram LMs (absolute discount + CONTINUATION-count

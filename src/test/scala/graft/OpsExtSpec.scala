@@ -10590,6 +10590,79 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_zero_offset") == 1L)
   }
 
+  test("univariateScreen: pos {2,3} vs neg {1,2} -> auc 0.875, ks 0.5") {
+    import spark.implicits._
+    val rows = Seq((2.0, 1), (3.0, 1), (1.0, 0), (2.0, 0))
+      .toDF("x", "lab")
+    val r = graft.ops.Evaluation
+      .univariateScreen(rows, col("lab") === 1, Seq("x")).head
+    assert(r.getAs[String]("feature") == "x")
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(math.abs(r.getAs[Double]("auc") - 0.875) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ks") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("point_biserial") -
+      4.0 / math.sqrt(32.0)) < 1e-12)
+  }
+
+  test("charTrigramScore: 'abcd' -> two trigrams, ppl 2") {
+    import spark.implicits._
+    val docs = Seq(("s", "abcd")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis
+      .charTrigramScore(docs, "source", "text").head
+    assert(r.getAs[Long]("n_trigrams") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_logprob") -
+      math.log(0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("perplexity") - 2.0) < 1e-12)
+  }
+
+  test("bwsTest: A={1,3} B={2,4} -> B_A 1.125, B_B 0, B 0.5625") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .bwsTest(rows, "v", "g", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("b_a") - 1.125) < 1e-12)
+    assert(math.abs(r.getAs[Double]("b_b")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("b_stat") - 0.5625) < 1e-12)
+  }
+
+  test("clumpiness: edge-burst user C=1, even user C=0.5") {
+    import spark.implicits._
+    val rows = Seq((1L, 0), (1L, 10), (2L, 0), (2L, 5), (2L, 10))
+      .zipWithIndex.map { case ((u, sec), i) =>
+        (u, f"2024-01-01 00:00:$sec%02d", i.toLong)
+      }.toDF("u", "ts0", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("id"))
+    val r = graft.ops.Behavioral
+      .clumpiness(rows, "u", "ts", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n_entities") == 2L)
+    assert(r.getAs[Double]("window_seconds") == 10.0)
+    // user1: x = [1,0,0] -> C = 1; user2: x = [.5,.5,0,0] ->
+    // C = 1 + 2*(.5 ln .5)/ln 4 = 0.5
+    assert(math.abs(r.getAs[Double]("mean_c") - 0.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c_p25") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c_p50") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("c_p75") - 1.0) < 1e-9)
+  }
+
+  test("skyline2d: dominated points drop, front ordered by size") {
+    import spark.implicits._
+    val rows = Seq((5.0, 1), (3.0, 2), (4.0, 3), (6.0, 4), (4.0, 3))
+      .toDF("price", "size")
+    val r = graft.ops.Profiling.skyline2d(rows, "price", "size")
+      .orderBy("size").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("size") == 2L &&
+      r(0).getAs[Double]("cost") == 3.0 &&
+      r(0).getAs[Long]("n_points") == 1L)
+    assert(r(1).getAs[Long]("size") == 3L &&
+      r(1).getAs[Double]("cost") == 4.0 &&
+      r(1).getAs[Long]("n_points") == 2L)
+    assert(r(2).getAs[Long]("size") == 4L &&
+      r(2).getAs[Double]("cost") == 6.0)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
