@@ -938,6 +938,49 @@ object Behavioral {
    * frame. Returns 1 row: (n_entities, window_seconds, mean_c,
    * c_p25, c_p50, c_p75).
    */
+  /**
+   * Process-mining conformance: each entity's ordered event-type
+   * sequence (types mapped to single chars, capped at `maxEvents`)
+   * is aligned against the canonical `target` string by Levenshtein
+   * distance — "how far does each user's journey deviate from the
+   * designed funnel", the distribution the strict q113 funnel
+   * (prefix-match only) cannot see: distance 1 separates
+   * skipped-one-step users from chaos. Returns the distance
+   * histogram: (distance, n_entities, share).
+   *
+   * Scale shape: one partitioned sort-window per entity folded into
+   * a groupBy collect of ≤ maxEvents chars (the cap bounds per-group
+   * state; longer journeys score on their prefix, documented), one
+   * map-side levenshtein, one ≤|distances| groupBy.
+   */
+  def sequenceConformance(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, typeChars: Seq[(String, String)],
+      target: String, maxEvents: Int = 512,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(typeChars.nonEmpty && typeChars.forall(_._2.length == 1),
+      "sequenceConformance: typeChars maps each type to ONE char")
+    val chr = typeChars.tail.foldLeft(
+      when(col(typeCol) === typeChars.head._1, typeChars.head._2)) {
+        case (acc, (t, c)) => acc.when(col(typeCol) === t, c) }
+    val base = df
+      .where(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(typeChars.map(_._1): _*))
+      .select(col(idCol).as("__u"), col(tsCol).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"), chr.as("__ch"))
+    val seqs = base.groupBy("__u")
+      .agg(array_join(transform(slice(array_sort(collect_list(
+        struct(col("__t"), col("__tb"), col("__ch")))), 1, maxEvents),
+        x => x("__ch")), "").as("__seq"))
+      .select(levenshtein(col("__seq"), lit(target)).as("distance"))
+    val tot = broadcast(seqs.agg(count(lit(1)).cast("double")
+      .as("__n")))
+    seqs.groupBy("distance")
+      .agg(count(lit(1)).as("n_entities"))
+      .crossJoin(tot)
+      .select(col("distance"), col("n_entities"),
+        (col("n_entities") / col("__n")).as("share"))
+  }
+
   def clumpiness(df: DataFrame, idCol: String, tsCol: String,
       tieCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

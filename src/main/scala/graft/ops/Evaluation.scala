@@ -3063,6 +3063,84 @@ object Evaluation {
   }
 
   /**
+   * Switchback-experiment readout: arms alternate by DAY PARITY, the
+   * effect is the odd-vs-even difference of daily means, and the
+   * standard error comes in two flavors — the iid OLS one and the
+   * Newey–West(L) one that survives the serial correlation a
+   * time-sliced design always has. Reporting both (and their ratio)
+   * is the point: a switchback whose NW SE is 3× the iid SE was
+   * never powered the way its dashboard claimed.
+   *
+   * Scale shape: corpus → calendar frame of daily means; residual
+   * products at lags 0..L via L calendar-shift equi-joins of the
+   * reduced frame. Returns 1 row: (n_days, mean_even, mean_odd,
+   * diff, se_iid, se_nw, nw_inflation).
+   */
+  def switchback(df: DataFrame, tsCol: String, valueCol: String,
+      nwLags: Int = 7): DataFrame = {
+    require(nwLags >= 1 && nwLags <= 60,
+      s"switchback: nwLags in [1, 60], got $nwLags")
+    val daily = df
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("__day"))
+      .agg(avg(col(valueCol).cast("double")).as("__m"))
+      .select(datediff(col("__day"), lit("1970-01-01")).as("__t"),
+        col("__m"))
+      .withColumn("__d", pmod(col("__t"), lit(2)).cast("double"))
+      .localCheckpoint()
+    val st = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(col("__d")).as("__db"),
+      avg(when(col("__d") === 0.0, col("__m"))).as("__m0"),
+      avg(when(col("__d") === 1.0, col("__m"))).as("__m1"),
+      sum(when(col("__d") === 0.0, 1.0).otherwise(0.0)).as("__n0"),
+      sum(when(col("__d") === 1.0, 1.0).otherwise(0.0)).as("__n1")))
+    val u = daily.crossJoin(st)
+      .select(col("__t"), col("__n"), col("__n0"), col("__n1"),
+        col("__m0"), col("__m1"),
+        ((col("__d") - col("__db")) *
+          (col("__m") - when(col("__d") === 1.0, col("__m1"))
+            .otherwise(col("__m0")))).as("__u"),
+        ((col("__d") - col("__db")) * (col("__d") - col("__db")))
+          .as("__xx"),
+        ((col("__m") - when(col("__d") === 1.0, col("__m1"))
+          .otherwise(col("__m0"))) *
+         (col("__m") - when(col("__d") === 1.0, col("__m1"))
+           .otherwise(col("__m0")))).as("__ee"))
+      .localCheckpoint()
+    val lag = u.select(col("__t"), col("__u"),
+        explode(sequence(lit(1), lit(nwLags))).as("__l"))
+      .select((col("__t") + col("__l")).as("__t"), col("__l"),
+        col("__u").as("__ul"))
+    val cross = u.join(lag, Seq("__t"))
+      .groupBy("__l")
+      .agg(sum(col("__u") * col("__ul")).as("__g"))
+      .agg(coalesce(sum((lit(1.0) - col("__l") / (nwLags + 1.0)) *
+        lit(2.0) * col("__g")), lit(0.0)).as("__cross"))
+    val base = u.agg(max(col("__n")).as("__n"),
+      max(col("__n0")).as("__n0"), max(col("__n1")).as("__n1"),
+      max(col("__m0")).as("__m0"), max(col("__m1")).as("__m1"),
+      sum(col("__u") * col("__u")).as("__g0"),
+      sum(col("__xx")).as("__sxx"), sum(col("__ee")).as("__see"))
+    base.crossJoin(broadcast(cross))
+      .select(col("__n").cast("long").as("n_days"),
+        col("__m0").as("mean_even"), col("__m1").as("mean_odd"),
+        (col("__m1") - col("__m0")).as("diff"), {
+          val s2 = col("__see") / (col("__n") - 2)
+          when(col("__sxx") > 0, sqrt(s2 / col("__sxx"))).as("se_iid")
+        }, {
+          val vnw = (col("__g0") + col("__cross")) /
+            (col("__sxx") * col("__sxx"))
+          when(vnw > 0, sqrt(vnw)).as("se_nw")
+        },
+        when(col("__see") > 0 && col("__sxx") > 0,
+          sqrt(((col("__g0") + col("__cross")) /
+            (col("__sxx") * col("__sxx"))) /
+            ((col("__see") / (col("__n") - 2)) / col("__sxx"))))
+          .as("nw_inflation"))
+  }
+
+  /**
    * Cluster-robust A/B difference-in-means: when randomization (or
    * exposure) is at the UNIT level but the metric is per-EVENT, the
    * naive per-event SE pretends n_events independent observations and

@@ -3825,6 +3825,110 @@ object TimeSeries {
   }
 
   /**
+   * Day-of-week-adjusted trend of the daily count series: the raw
+   * OLS slope confounds growth with weekly seasonality whenever the
+   * observation window isn't a whole number of weeks; partialling
+   * the 7 dow means out of BOTH sides (Frisch–Waugh) gives the
+   * seasonality-honest slope, and dow_r2 reports how much of the
+   * variance the weekly cycle owned. Dow comes from epoch-day
+   * arithmetic ((t + 4) mod 7), identical on both engines.
+   *
+   * Scale shape: calendar frame + one ≤7-row dow-means reduce
+   * (broadcast back) + two 1-row reduces. Returns 1 row: (n_days,
+   * slope_raw, slope_adj, dow_r2).
+   */
+  def dowAdjustedTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+      .withColumn("__w", pmod(col("__t") + 4, lit(7)))
+      .localCheckpoint()
+    val dow = broadcast(daily.groupBy("__w")
+      .agg(avg(col("__y")).as("__my"),
+        avg(col("__t").cast("double")).as("__mt")))
+    val st = broadcast(daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__t").cast("double")).as("__st"), sum(col("__y")).as("__sy"),
+      sum(col("__t").cast("double") * col("__t")).as("__stt"),
+      sum(col("__t").cast("double") * col("__y")).as("__sty"),
+      sum(col("__y") * col("__y")).as("__syy")))
+    val adj = daily.join(dow, Seq("__w"))
+      .select((col("__y") - col("__my")).as("__ry"),
+        (col("__t").cast("double") - col("__mt")).as("__rt"))
+      .agg(sum(col("__ry") * col("__rt")).as("__srty"),
+        sum(col("__rt") * col("__rt")).as("__srtt"),
+        sum(col("__ry") * col("__ry")).as("__sryy"))
+    adj.crossJoin(st)
+      .select(col("__n").cast("long").as("n_days"),
+        ((col("__n") * col("__sty") - col("__st") * col("__sy")) /
+          (col("__n") * col("__stt") - col("__st") * col("__st")))
+          .as("slope_raw"),
+        when(col("__srtt") > 0, col("__srty") / col("__srtt"))
+          .as("slope_adj"),
+        when(col("__syy") - col("__sy") * col("__sy") / col("__n") > 0,
+          lit(1.0) - col("__sryy") /
+            (col("__syy") - col("__sy") * col("__sy") / col("__n")))
+          .as("dow_r2"))
+  }
+
+  /**
+   * Prewhitened cross-correlation between two event types' daily
+   * series: each series is demeaned, AR(1)-filtered with its own
+   * lag-1 coefficient, and only THEN cross-correlated at lags
+   * −maxLag..maxLag — the Box–Jenkins discipline that kills the
+   * spurious CCF spikes two autocorrelated series always show (raw
+   * CCF between two independent trending series reads ~0.8; the
+   * prewhitened one reads noise). Denominator is the global
+   * √(Σfx²·Σfy²), the standard CCF normalization.
+   *
+   * Scale shape: two calendar frames inner-joined, AR(1) filters via
+   * one calendar-shift join, lag products via a lag-id explode +
+   * one equi-join. Returns 2·maxLag+1 rows: (lag, n_pairs, ccf) —
+   * positive lag = the first series LEADS.
+   */
+  def prewhitenedCcf(df: DataFrame, tsCol: String, keyCol: String,
+      typeA: String, typeB: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60,
+      s"prewhitenedCcf: maxLag in [1, 60], got $maxLag")
+    def series(t: String) =
+      dailyCounts(df.where(col(keyCol) === t), tsCol)
+    val joined = series(typeA)
+      .join(series(typeB).withColumnRenamed("__y", "__y2"), Seq("__t"))
+      .localCheckpoint()
+    val mm = broadcast(joined.agg(avg(col("__y")).as("__mx"),
+      avg(col("__y2")).as("__my")))
+    val dem = joined.crossJoin(mm)
+      .select(col("__t"), (col("__y") - col("__mx")).as("__x"),
+        (col("__y2") - col("__my")).as("__z"))
+      .localCheckpoint()
+    val prev = dem.select((col("__t") + 1).as("__t"),
+      col("__x").as("__x1"), col("__z").as("__z1"))
+    val pairs = dem.join(prev, Seq("__t")).localCheckpoint()
+    val rho = broadcast(pairs.agg(
+      (sum(col("__x") * col("__x1")) / sum(col("__x1") * col("__x1")))
+        .as("__rx"),
+      (sum(col("__z") * col("__z1")) / sum(col("__z1") * col("__z1")))
+        .as("__rz")))
+    val filt = pairs.crossJoin(rho)
+      .select(col("__t"),
+        (col("__x") - col("__rx") * col("__x1")).as("__fx"),
+        (col("__z") - col("__rz") * col("__z1")).as("__fz"))
+      .localCheckpoint()
+    val den = broadcast(filt.agg(
+      sqrt(sum(col("__fx") * col("__fx")) *
+        sum(col("__fz") * col("__fz"))).as("__den")))
+    val lagged = filt.select(col("__t"), col("__fz"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .select((col("__t") - col("lag")).as("__t"), col("lag"),
+        col("__fz").as("__fzl"))
+    filt.join(lagged, Seq("__t"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__fx") * col("__fzl")).as("__num"))
+      .crossJoin(den)
+      .select(col("lag"), col("n_pairs"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("ccf"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

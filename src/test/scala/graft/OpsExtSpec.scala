@@ -10663,6 +10663,84 @@ class OpsExtSpec extends AnyFunSuite {
       r(2).getAs[Double]("cost") == 6.0)
   }
 
+  test("sequenceConformance: perfect, truncated and swapped journeys") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0, "signup"), (1L, 1, "view"), (1L, 2, "click"),
+      (1L, 3, "purchase"),
+      (2L, 0, "signup"), (2L, 1, "purchase"),
+      (3L, 0, "view"), (3L, 1, "signup"), (3L, 2, "click"),
+      (3L, 3, "purchase"))
+      .zipWithIndex.map { case ((u, sec, et), i) =>
+        (u, f"2024-01-01 00:00:$sec%02d", et, i.toLong)
+      }.toDF("u", "ts0", "et", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("et"),
+        col("id"))
+    val r = graft.ops.Behavioral.sequenceConformance(rows, "u", "ts",
+        "et", Seq("click" -> "c", "purchase" -> "p", "signup" -> "s",
+          "view" -> "v"), "svcp", tieCols = Seq("id"))
+      .orderBy("distance").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Int]("distance") == 0 &&
+      r(0).getAs[Long]("n_entities") == 1L)
+    assert(r(1).getAs[Int]("distance") == 2 &&
+      r(1).getAs[Long]("n_entities") == 2L)
+    assert(math.abs(r(1).getAs[Double]("share") - 2.0 / 3) < 1e-12)
+  }
+
+  test("switchback: daily means [1,3,2,4], L=2 -> hand-worked NW SE") {
+    import spark.implicits._
+    val rows = Seq((0, 1.0), (1, 3.0), (2, 2.0), (3, 4.0))
+      .map { case (day, v) =>
+        (java.time.LocalDate.ofEpochDay(day.toLong).toString, v)
+      }.toDF("ts0", "v")
+      .select(to_timestamp(col("ts0")).as("ts"), col("v"))
+    val r = graft.ops.Evaluation.switchback(rows, "ts", "v",
+      nwLags = 2).head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("mean_even") == 1.5)
+    assert(r.getAs[Double]("mean_odd") == 3.5)
+    assert(r.getAs[Double]("diff") == 2.0)
+    assert(math.abs(r.getAs[Double]("se_iid") - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_nw") -
+      math.sqrt(1.0 / 12)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("nw_inflation") -
+      math.sqrt((1.0 / 12) / 0.5)) < 1e-12)
+  }
+
+  test("dowAdjustedTrend: pure weekly pattern -> adj slope 0, r2 1") {
+    import spark.implicits._
+    val counts = (1 to 7) ++ (1 to 7)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.dowAdjustedTrend(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 14L)
+    // raw slope is confounded by the in-week ascent: 56/227.5
+    assert(math.abs(r.getAs[Double]("slope_raw") - 56.0 / 227.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope_adj")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dow_r2") - 1.0) < 1e-12)
+  }
+
+  test("prewhitenedCcf: identical series -> ccf(0) = 1") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 3, 1, 2, 3, 1, 2, 3, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      val day = java.time.LocalDate.ofEpochDay(i.toLong).toString
+      Seq.fill(c)(("a", day)) ++ Seq.fill(c)(("b", day))
+    }.toDF("k", "ts")
+    val r = graft.ops.TimeSeries
+      .prewhitenedCcf(rows, "ts", "k", "a", "b", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(r.length == 7)
+    val lag0 = r(3)
+    assert(lag0.getAs[Int]("lag") == 0)
+    assert(lag0.getAs[Long]("n_pairs") == 9L)
+    assert(math.abs(lag0.getAs[Double]("ccf") - 1.0) < 1e-9)
+    assert(r.forall(row => math.abs(row.getAs[Double]("ccf")) <= 1 + 1e-9))
+    assert(r(0).getAs[Long]("n_pairs") == 6L)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
