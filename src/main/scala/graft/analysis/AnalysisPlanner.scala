@@ -7199,6 +7199,110 @@ object AnalysisPlanner {
   }
 
   /**
+   * Shorth / least-median-of-squares mode: the midpoint of the
+   * SHORTEST interval [x₍ᵢ₎, x₍ᵢ₊ₕ₎] covering half the sample
+   * (h = ⌊n/2⌋) — the robust mode with a 50% breakdown point, where
+   * mean and median both chase a long tail. Key order-stat fact:
+   * x₍ⱼ₎ is nondecreasing, so for a left cell starting at index i
+   * the optimal right end is EXACTLY index i + h — one bucketed
+   * index-membership join, no candidate sweep.
+   *
+   * Scale shape: value cells + [[PrefixSum]] index ranges; the
+   * "which cell holds index lo + h" lookup buckets cell index
+   * ranges into 1024-index blocks (a cell emits one key per block
+   * it overlaps, ≤ cells + n/1024 keys) and equi-joins — never a
+   * range cross join. Ties break (shortest, then lowest value),
+   * exact on raw parquet doubles. Returns 1 row: (n, h, mode_lo,
+   * mode_hi, shorth_len, midpoint).
+   */
+  def shorthMode(df: DataFrame, valueCol: String): DataFrame = {
+    val block = 1024L
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val idx = PrefixSum.exclusive(cells, "__v", Seq("__c" -> "__ex"))
+      .select(col("__v"), (col("__ex") + 1).cast("long").as("__lo"),
+        (col("__ex") + col("__c")).cast("long").as("__hi"))
+      .localCheckpoint()
+    val tot = broadcast(idx.agg(max(col("__hi")).as("__n"),
+      floor(max(col("__hi")) / 2).cast("long").as("__h")))
+    val left = idx.crossJoin(tot)
+      .where(col("__lo") + col("__h") <= col("__n"))
+      .select(col("__v").as("__va"),
+        (col("__lo") + col("__h")).as("__j"),
+        floor((col("__lo") + col("__h")) / block).as("__blk"),
+        col("__n"), col("__h"))
+    val right = idx
+      .withColumn("__blk", explode(sequence(
+        floor(col("__lo") / block), floor(col("__hi") / block))))
+      .select(col("__blk"), col("__v").as("__vb"),
+        col("__lo").as("__blo"), col("__hi").as("__bhi"))
+    left.join(right, Seq("__blk"))
+      .where(col("__blo") <= col("__j") && col("__j") <= col("__bhi"))
+      .select(col("__n"), col("__h"), col("__va"), col("__vb"),
+        (col("__vb") - col("__va")).as("__len"))
+      .orderBy(col("__len").asc, col("__va").asc)
+      .limit(1)
+      .select(col("__n").as("n"), col("__h").as("h"),
+        col("__va").as("mode_lo"), col("__vb").as("mode_hi"),
+        col("__len").as("shorth_len"),
+        ((col("__va") + col("__vb")) / 2).as("midpoint"))
+  }
+
+  /**
+   * First four sample L-moments plus the L-ratio shape summary
+   * (L-CV, L-skewness, L-kurtosis): order-statistics moments that
+   * EXIST whenever the mean does (heavy tails included) and resist
+   * outliers far better than classical skew/kurtosis — the
+   * hydrology-grade distribution fingerprint. Weights are falling
+   * factorials of the sample index, so each value cell contributes
+   * a CLOSED-FORM index-range sum (hockey-stick identities) — no
+   * per-observation expansion; tie blocks are exact because the
+   * weight sum over a block is index-set algebra.
+   *
+   * Scale shape: value cells + [[PrefixSum]] index ranges + ONE
+   * 1-row reduce. Returns 1 row: (n, l1, l2, t_lcv, t3_lskew,
+   * t4_lkurt).
+   */
+  def lMoments(df: DataFrame, valueCol: String): DataFrame = {
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val idx = PrefixSum.exclusive(cells, "__v", Seq("__c" -> "__ex"))
+    // Σ_{j=0..m} j = m(m+1)/2; Σ j(j−1) = (m+1)m(m−1)/3;
+    // Σ j(j−1)(j−2) = (m+1)m(m−1)(m−2)/4 — cumulative falling
+    // factorials; a cell's index block [a, b] contributes F(b−1) −
+    // F(a−2) with j = i − 1
+    def t1(m: Column) = m * (m + 1) / 2
+    def t2(m: Column) = (m + 1) * m * (m - 1) / 3
+    def t3(m: Column) = (m + 1) * m * (m - 1) * (m - 2) / 4
+    val a = col("__ex") + 1
+    val b = col("__ex") + col("__c")
+    val terms = idx.select(col("__v"), col("__c"),
+      (t1(b - 1) - t1(a - 2)).as("__s1"),
+      (t2(b - 1) - t2(a - 2)).as("__s2"),
+      (t3(b - 1) - t3(a - 2)).as("__s3"))
+    val agg = terms.agg(sum(col("__c")).as("__n"),
+      sum(col("__c") * col("__v")).as("__w0"),
+      sum(col("__s1") * col("__v")).as("__w1"),
+      sum(col("__s2") * col("__v")).as("__w2"),
+      sum(col("__s3") * col("__v")).as("__w3"))
+    val n = col("__n")
+    val b0 = col("__w0") / n
+    val b1 = col("__w1") / (n * (n - 1))
+    val b2 = col("__w2") / (n * (n - 1) * (n - 2))
+    val b3 = col("__w3") / (n * (n - 1) * (n - 2) * (n - 3))
+    val l1 = b0
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+    agg.select(n.cast("long").as("n"), l1.as("l1"), l2.as("l2"),
+      when(l1 =!= 0, l2 / l1).as("t_lcv"),
+      when(l2 =!= 0, l3 / l2).as("t3_lskew"),
+      when(l2 =!= 0, l4 / l2).as("t4_lkurt"))
+  }
+
+  /**
    * Binned distribution overlap between two groups of a continuous
    * metric: the overlap coefficient Σ min(p, q) (= 1 − TV distance),
    * the Bhattacharyya coefficient Σ√(p·q) and Hellinger distance

@@ -1034,4 +1034,49 @@ object Features {
         (col("variance") / col("__tv")).as("var_share"),
         (col("variance") < collapseEps).as("collapsed"))
   }
+
+  /**
+   * 2-D geometric median by `iters` Weiszfeld steps from the
+   * componentwise mean: the rotation-invariant robust center a
+   * componentwise median is not (it minimizes Σ‖p − m‖, not the sum
+   * of coordinate deviations) — the right "typical point" for an
+   * embedding plane or any paired-metric cloud with outliers.
+   * Distances are floored at 1e-9 so a step landing exactly on a
+   * data point cannot divide by zero (both engines mirror the
+   * floor).
+   *
+   * Scale shape: `iters` chained (1-row broadcast × corpus)
+   * aggregations — each step is one map-side-combined reduce; no
+   * collect, no window. Returns 1 row: (n, mean_x, mean_y, gm_x,
+   * gm_y, shift).
+   */
+  def geometricMedian2d(df: DataFrame, xCol: String, yCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"geometricMedian2d: iters in [1, 20], got $iters")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .localCheckpoint()
+    val init = base.agg(count(lit(1)).as("__n"),
+      avg(col("__x")).as("__gx"), avg(col("__y")).as("__gy"),
+      avg(col("__x")).as("__mx"), avg(col("__y")).as("__my"))
+    val fin = (1 to iters).foldLeft(init) { (m, _) =>
+      val w = lit(1.0) / greatest(
+        sqrt((col("__x") - col("__gx")) * (col("__x") - col("__gx")) +
+          (col("__y") - col("__gy")) * (col("__y") - col("__gy"))),
+        lit(1e-9))
+      base.crossJoin(broadcast(m))
+        .agg(max(col("__n")).as("__n"),
+          (sum(col("__x") * w) / sum(w)).as("__gx"),
+          (sum(col("__y") * w) / sum(w)).as("__gy"),
+          max(col("__mx")).as("__mx"), max(col("__my")).as("__my"))
+    }
+    fin.select(col("__n").as("n"), col("__mx").as("mean_x"),
+      col("__my").as("mean_y"), col("__gx").as("gm_x"),
+      col("__gy").as("gm_y"),
+      sqrt((col("__gx") - col("__mx")) * (col("__gx") - col("__mx")) +
+        (col("__gy") - col("__my")) * (col("__gy") - col("__my")))
+        .as("shift"))
+  }
 }

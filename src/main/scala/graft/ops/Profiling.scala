@@ -994,6 +994,46 @@ object Profiling {
   }
 
   /**
+   * Newsvendor stocking panel per key: weekly demand is reduced to
+   * (mean, σ, the critical-fractile discrete quantile q*, the exact
+   * fill rate that stock level would have achieved, and the expected
+   * shortfall share E[(D − s)⁺]/E[D]) — the inventory translation of
+   * a demand distribution: q* IS the optimal order-up-to level when
+   * underage/overage costs put the critical fractile at `q`.
+   * Quantiles are discrete order statistics on exact integer weekly
+   * sums, so every column is engine-deterministic.
+   *
+   * Scale shape: one groupBy(key, week) demand pass, grouped
+   * [[graft.analysis.AnalysisPlanner.exactPercentilesDisc]], one
+   * join back for the conditional tail sums. Returns one row per
+   * key: (key, n_weeks, mean_demand, sd_demand, q_level, fill_rate,
+   * shortfall_share, safety_stock).
+   */
+  def newsvendorPanel(df: DataFrame, keyCol: String, tsCol: String,
+      qtyCol: String, q: Double = 0.8): DataFrame = {
+    require(q > 0 && q < 1, s"newsvendorPanel: q in (0,1), got $q")
+    val weekly = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(qtyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"),
+        date_trunc("week", col(tsCol)).as("__w"))
+      .agg(sum(col(qtyCol).cast("double")).as("__d"))
+      .localCheckpoint()
+    val cut = graft.analysis.AnalysisPlanner.exactPercentilesDisc(
+      weekly, "__d", Seq("__q" -> q), Seq("__k"))
+    weekly.join(broadcast(cut), Seq("__k"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_weeks"),
+        avg(col("__d")).as("mean_demand"),
+        stddev_samp(col("__d")).as("sd_demand"),
+        max(col("__q")).as("q_level"),
+        avg((col("__d") <= col("__q")).cast("double")).as("fill_rate"),
+        (sum(greatest(col("__d") - col("__q"), lit(0.0))) /
+          sum(col("__d"))).as("shortfall_share"))
+      .withColumn("safety_stock", col("q_level") - col("mean_demand"))
+  }
+
+  /**
    * 2-D skyline (Pareto front): the points not dominated on
    * (minimize `minCol`, maximize `maxCol`) — "the cheapest part at
    * every size class that no cheaper-and-bigger part beats", the

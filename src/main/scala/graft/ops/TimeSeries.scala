@@ -3929,6 +3929,79 @@ object TimeSeries {
   }
 
   /**
+   * Forecast-baseline tournament on a holdout tail of the daily
+   * count series: mean / naive-last / drift / seasonal-naive each
+   * forecast the final `horizon` days, graded by MAE, RMSE and MASE
+   * (MAE over the TRAIN one-step naive MAE — the scale-free metric
+   * that makes "is the fancy model worth it" answerable). Any
+   * pipeline that ships a forecast should lose to none of these
+   * four; this is the table that proves it. Seasonal-naive uses the
+   * actual value `season` days back (rolling convention); test days
+   * whose lookback falls in a calendar gap are dropped from that
+   * method only (n_test says so).
+   *
+   * Scale shape: calendar frame, one broadcast train-stats row,
+   * calendar-shift joins for naive lags, one (method × day) explode
+   * of the horizon-sized test frame. Returns 4 rows: (method,
+   * n_test, mae, rmse, mase).
+   */
+  def forecastTournament(df: DataFrame, tsCol: String,
+      horizon: Int = 14, season: Int = 7): DataFrame = {
+    require(horizon >= 2 && season >= 1,
+      "forecastTournament: horizon >= 2, season >= 1")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val bounds = broadcast(daily.agg(
+      (max(col("__t")) - horizon).as("__split")))
+    val train = daily.crossJoin(bounds)
+      .where(col("__t") <= col("__split")).localCheckpoint()
+    val tstat = broadcast(train.agg(
+      avg(col("__y")).as("__mean"),
+      max(col("__t")).as("__lastT"), min(col("__t")).as("__firstT")))
+    val edges = broadcast(train.crossJoin(tstat)
+      .agg(max(when(col("__t") === col("__lastT"), col("__y")))
+        .as("__last"),
+        max(when(col("__t") === col("__firstT"), col("__y")))
+          .as("__first"),
+        max(col("__lastT")).as("__lastT"),
+        max(col("__firstT")).as("__firstT"),
+        max(col("__mean")).as("__mean")))
+    val naivePairs = train.select((col("__t") + 1).as("__t"),
+      col("__y").as("__y1"))
+    val maeNaive = broadcast(train.join(naivePairs, Seq("__t"))
+      .agg(avg(abs(col("__y") - col("__y1"))).as("__maeTr")))
+    val lagS = daily.select((col("__t") + season).as("__t"),
+      col("__y").as("__ys"))
+    val test = daily.crossJoin(bounds)
+      .where(col("__t") > col("__split"))
+      .join(lagS, Seq("__t"), "left")
+      .crossJoin(edges)
+      .select(col("__t"), col("__y"), col("__ys"), col("__mean"),
+        col("__last"), col("__first"), col("__lastT"),
+        col("__firstT"))
+    val drift = col("__last") + (col("__last") - col("__first")) /
+      (col("__lastT") - col("__firstT")).cast("double") *
+      (col("__t") - col("__lastT")).cast("double")
+    val melted = test.select(col("__y"), explode(array(
+      struct(lit("1_mean").as("method"), col("__mean").as("fc")),
+      struct(lit("2_naive").as("method"), col("__last").as("fc")),
+      struct(lit("3_drift").as("method"), drift.as("fc")),
+      struct(lit("4_snaive").as("method"), col("__ys").as("fc"))))
+      .as("__m"))
+      .select(col("__y"), col("__m.method").as("method"),
+        col("__m.fc").as("__fc"))
+      .where(col("__fc").isNotNull)
+    melted.groupBy("method")
+      .agg(count(lit(1)).as("n_test"),
+        avg(abs(col("__y") - col("__fc"))).as("mae"),
+        sqrt(avg((col("__y") - col("__fc")) *
+          (col("__y") - col("__fc")))).as("rmse"))
+      .crossJoin(maeNaive)
+      .select(col("method"), col("n_test"), col("mae"), col("rmse"),
+        when(col("__maeTr") > 0, col("mae") / col("__maeTr"))
+          .as("mase"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

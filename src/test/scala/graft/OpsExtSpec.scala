@@ -10741,6 +10741,76 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_pairs") == 6L)
   }
 
+  test("shorthMode: [1,2,2,3,10] -> interval [1,2], midpoint 1.5") {
+    import spark.implicits._
+    val rows = Seq(1.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
+    val r = graft.analysis.AnalysisPlanner.shorthMode(rows, "v").head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("h") == 2L)
+    assert(r.getAs[Double]("mode_lo") == 1.0)
+    assert(r.getAs[Double]("mode_hi") == 2.0)
+    assert(r.getAs[Double]("shorth_len") == 1.0)
+    assert(r.getAs[Double]("midpoint") == 1.5)
+  }
+
+  test("lMoments: uniform {1,2,3,4} -> l1 2.5, l2 5/6, t3 = t4 = 0") {
+    import spark.implicits._
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = graft.analysis.AnalysisPlanner.lMoments(rows, "v").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("l1") - 2.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("l2") - 5.0 / 6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_lcv") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t3_lskew")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t4_lkurt")) < 1e-12)
+  }
+
+  test("geometricMedian2d: symmetric square -> gm = mean, shift 0") {
+    import spark.implicits._
+    val rows = Seq((0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (2.0, 2.0))
+      .toDF("x", "y")
+    val r = graft.ops.Features.geometricMedian2d(rows, "x", "y").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("gm_x") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gm_y") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("shift") < 1e-9)
+  }
+
+  test("forecastTournament: linear ramp -> drift wins with mae 0") {
+    import spark.implicits._
+    val counts = (1 to 10)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .forecastTournament(rows, "ts", horizon = 2, season = 2)
+      .orderBy("method").collect()
+    assert(r.length == 4)
+    assert(r(0).getAs[String]("method") == "1_mean")
+    assert(math.abs(r(0).getAs[Double]("mae") - 5.0) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("mae") - 1.5) < 1e-12)
+    assert(math.abs(r(2).getAs[Double]("mae")) < 1e-12)
+    assert(math.abs(r(3).getAs[Double]("mae") - 2.0) < 1e-12)
+    // MASE: train one-step naive MAE is exactly 1
+    assert(math.abs(r(1).getAs[Double]("mase") - 1.5) < 1e-12)
+  }
+
+  test("newsvendorPanel: weekly demands 1..5 at q80 -> level 4") {
+    import spark.implicits._
+    val rows = (1 to 5).map { wk =>
+      ("B1", java.time.LocalDate.of(2024, 1, 1).plusDays(7L * (wk - 1)).toString,
+        wk.toDouble)
+    }.toDF("brand", "ts0", "qty")
+      .select(col("brand"), to_timestamp(col("ts0")).as("ts"), col("qty"))
+    val r = graft.ops.Profiling
+      .newsvendorPanel(rows, "brand", "ts", "qty", q = 0.8).head
+    assert(r.getAs[Long]("n_weeks") == 5L)
+    assert(math.abs(r.getAs[Double]("mean_demand") - 3.0) < 1e-12)
+    assert(r.getAs[Double]("q_level") == 4.0)
+    assert(math.abs(r.getAs[Double]("fill_rate") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("shortfall_share") - 1.0 / 15) < 1e-12)
+    assert(math.abs(r.getAs[Double]("safety_stock") - 1.0) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
