@@ -939,6 +939,55 @@ object Behavioral {
    * c_p25, c_p50, c_p75).
    */
   /**
+   * Markov entropy rate of the per-entity event-type process:
+   * H = −Σᵢⱼ p(i,j)·ln p(j|i) over observed transitions, reported
+   * against the marginal entropy H₀ = −Σᵢ p(i)·ln p(i) and as
+   * predictability 1 − H/ln k — "how much does knowing the CURRENT
+   * event tell you about the next one", the single-number summary
+   * of the transition matrix the raw q120 counts don't give
+   * (H ≈ H₀ → the chain is memoryless; H ≪ H₀ → strong structure).
+   *
+   * Scale shape: one partitioned lead window, one groupBy(i, j) ≤ k²
+   * cell frame, broadcast row totals, one reduce. Returns 1 row:
+   * (n_transitions, n_states, h_rate, h_marginal, predictability).
+   */
+  def markovEntropyRate(df: DataFrame, idCol: String, tsCol: String,
+      typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    val trans = df
+      .where(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(idCol).as("__u"), col(tsCol).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"),
+        col(typeCol).as("__a"))
+      .withColumn("__b", lead(col("__a"), 1).over(w))
+      .where(col("__b").isNotNull)
+      .groupBy("__a", "__b")
+      .agg(count(lit(1)).cast("double").as("__nij"))
+      .localCheckpoint()
+    val rows = trans.groupBy("__a")
+      .agg(sum(col("__nij")).as("__ni"))
+    val tot = broadcast(rows.agg(sum(col("__ni")).as("__T"),
+      count(lit(1)).as("__k")))
+    val hRate = trans.join(broadcast(rows), Seq("__a")).crossJoin(tot)
+      .agg(max(col("__T")).cast("long").as("n_transitions"),
+        max(col("__k")).as("n_states"),
+        (-sum(col("__nij") / col("__T") *
+          log(col("__nij") / col("__ni")))).as("h_rate"))
+    val hMarg = broadcast(rows.crossJoin(tot)
+      .agg((-sum(col("__ni") / col("__T") *
+        log(col("__ni") / col("__T")))).as("h_marginal")))
+    hRate.crossJoin(hMarg)
+      .select(col("n_transitions"), col("n_states"), col("h_rate"),
+        col("h_marginal"),
+        when(col("n_states") > 1,
+          lit(1.0) - col("h_rate") / log(col("n_states").cast("double")))
+          .as("predictability"))
+  }
+
+  /**
    * Process-mining conformance: each entity's ordered event-type
    * sequence (types mapped to single chars, capped at `maxEvents`)
    * is aligned against the canonical `target` string by Levenshtein

@@ -994,6 +994,63 @@ object Profiling {
   }
 
   /**
+   * ABC × XYZ inventory matrix: keys classed by revenue mass (A/B/C
+   * at strictly-above cumulative shares 0.8/0.95, the q519
+   * convention) CROSSED with weekly-demand variability (X: CV < 0.5,
+   * Y: CV < 1, Z otherwise) — the planning grid that tells you which
+   * SKUs deserve forecasting effort (AX: automate; CZ: make-to-order)
+   * and that neither classification shows alone. Observed weeks
+   * only; boundary CVs land deterministically because the cut
+   * comparison runs on identical doubles in both engines.
+   *
+   * Scale shape: one groupBy(key) revenue pass + value-level
+   * PrefixSum for the ABC cut, one groupBy(key, week) + groupBy(key)
+   * for CV, one ≤9-row matrix reduce. Returns: (abc_class,
+   * xyz_class, n_keys, revenue_share).
+   */
+  def abcXyzMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      revenueCol: String, cvCuts: (Double, Double) = (0.5, 1.0))
+      : DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(revenueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(revenueCol).cast("double").as("__r"))
+      .localCheckpoint()
+    val perKey = base.groupBy("__k")
+      .agg(sum(col("__r")).as("__rev")).localCheckpoint()
+    val vc = perKey.groupBy("__rev")
+      .agg(count(lit(1)).as("__kk"), sum(col("__rev")).as("__mass"))
+    val tot = broadcast(vc.agg(sum(col("__mass")).as("__tot")))
+    val classed = graft.analysis.PrefixSum
+      .exclusive(vc, "__rev", Seq("__mass" -> "__exm"))
+      .crossJoin(tot)
+      .select(col("__rev"),
+        ((col("__tot") - (col("__exm") + col("__mass"))) / col("__tot"))
+          .as("__above"))
+      .select(col("__rev"),
+        when(col("__above") < 0.8, "A")
+          .when(col("__above") < 0.95, "B").otherwise("C")
+          .as("__abc"))
+    val weekly = base.groupBy(col("__k"),
+        date_trunc("week", col("__ts")).as("__w"))
+      .agg(sum(col("__r")).as("__d"))
+    val cv = weekly.groupBy("__k")
+      .agg(count(lit(1)).cast("double").as("__nw"),
+        avg(col("__d")).as("__md"), stddev_samp(col("__d")).as("__sd"))
+      .select(col("__k"),
+        when(col("__nw") < 2 || col("__md") <= 0, "Z")
+          .when(col("__sd") / col("__md") < cvCuts._1, "X")
+          .when(col("__sd") / col("__md") < cvCuts._2, "Y")
+          .otherwise("Z").as("__xyz"))
+    perKey.join(classed, Seq("__rev")).join(cv, Seq("__k"))
+      .crossJoin(tot)
+      .groupBy(col("__abc").as("abc_class"),
+        col("__xyz").as("xyz_class"))
+      .agg(count(lit(1)).as("n_keys"),
+        (sum(col("__rev")) / max(col("__tot"))).as("revenue_share"))
+  }
+
+  /**
    * Newsvendor stocking panel per key: weekly demand is reduced to
    * (mean, σ, the critical-fractile discrete quantile q*, the exact
    * fill rate that stock level would have achieved, and the expected

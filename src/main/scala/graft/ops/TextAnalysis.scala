@@ -2267,6 +2267,59 @@ object TextAnalysis {
   }
 
   /**
+   * Exact rarefaction (species-accumulation) curve of the corpus
+   * vocabulary: the expected distinct-type count E[V(m)] in a
+   * WITHOUT-replacement subsample of m tokens, at m = ⌊f·N⌋ for each
+   * requested fraction — the curve that says whether scraping 2×
+   * more of the same source buys new vocabulary or just repeats it
+   * (complements q*_heaps_law's parametric fit with the exact
+   * finite-sample expectation). A type with count n survives with
+   * probability 1 − C(N−n, m)/C(N, m); the ratio is computed as
+   * exp Σᵢ₌₀^{n−1} ln((N−m−i)/(N−i)) — an exact per-type index
+   * explode totalling N rows per fraction, no gamma functions.
+   *
+   * Scale shape: one token groupBy → type frame; per fraction, a
+   * sequence explode of Σn = N map-only rows into a groupBy(type) +
+   * final reduce. Returns one row per fraction: (fraction, m,
+   * n_tokens, n_types, expected_types, expected_share).
+   */
+  def rarefaction(df: DataFrame, textCol: String,
+      fractions: Seq[Double] = Seq(0.1, 0.25, 0.5)): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f < 1),
+      "rarefaction: fractions in (0,1)")
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__t")
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val tot = broadcast(tf.agg(sum(col("__n")).as("__ntot"),
+      count(lit(1)).as("__V")))
+    val fr = fractions.sorted.map { f =>
+      val m = floor(col("__ntot") * f).cast("long")
+      val perType = tf.crossJoin(tot)
+        .select(col("__t"), col("__n"), col("__ntot"), col("__V"),
+          m.as("__m"))
+        .withColumn("__i", explode(sequence(lit(0L), col("__n") - 1)))
+        .groupBy(col("__t"), col("__n"), col("__ntot"), col("__V"),
+          col("__m"))
+        .agg(sum(when(col("__n") > col("__ntot") - col("__m"), lit(0.0))
+          .otherwise(log((col("__ntot") - col("__m") - col("__i"))
+            .cast("double") / (col("__ntot") - col("__i"))))).as("__s"))
+        .select(col("__ntot"), col("__V"), col("__m"),
+          when(col("__n") > col("__ntot") - col("__m"), lit(1.0))
+            .otherwise(lit(1.0) - exp(col("__s"))).as("__p"))
+      perType.groupBy(col("__ntot"), col("__V"), col("__m"))
+        .agg(sum(col("__p")).as("expected_types"))
+        .select(lit(f).as("fraction"), col("__m").as("m"),
+          col("__ntot").as("n_tokens"), col("__V").as("n_types"),
+          col("expected_types"),
+          (col("expected_types") / col("__V")).as("expected_share"))
+    }
+    fr.reduce(_.unionByName(_))
+  }
+
+  /**
    * Character-trigram typicality score per group: every document's
    * char 3-grams are scored under the CORPUS-wide trigram MLE and
    * averaged per group — the gibberish/mojibake/encoding-damage

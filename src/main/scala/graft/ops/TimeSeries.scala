@@ -4002,6 +4002,118 @@ object TimeSeries {
   }
 
   /**
+   * Kulldorff-style temporal scan over the daily count series: every
+   * window of 1..maxWidth consecutive OBSERVED days is scored by the
+   * Poisson log-likelihood ratio c·ln(c/μ) + (C−c)·ln((C−c)/(C−μ))
+   * (zero unless c > μ), and the maximum localizes the hottest
+   * burst with VARIABLE width — what fixed-h MOSUM (q607) and CUSUM
+   * can't do in one pass. LLR is rounded to 1e-9 before the argmax
+   * so a last-bit ln() wobble can't flip the peak between engines;
+   * ties break (end day, width) ascending.
+   *
+   * Scale shape: calendar frame + PrefixSum cumulative counts, a
+   * width explode (|days|·maxWidth rows) + ONE index equi-join, a
+   * TakeOrdered(1) peak. Returns 1 row: (n_days, total, n_windows,
+   * peak_llr, peak_end_t, peak_width, peak_count, n_above_6).
+   */
+  def temporalScan(df: DataFrame, tsCol: String,
+      maxWidth: Int = 14): DataFrame = {
+    require(maxWidth >= 1 && maxWidth <= 120,
+      s"temporalScan: maxWidth in [1, 120], got $maxWidth")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val idx = graft.analysis.PrefixSum.exclusive(
+        daily.withColumn("__one", lit(1.0)), "__t",
+        Seq("__one" -> "__exi", "__y" -> "__exc"))
+      .select(col("__t"), (col("__exi") + 1).as("__i"),
+        (col("__exc") + col("__y")).as("__cum"))
+      .localCheckpoint()
+    val tot = broadcast(daily.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__y")).as("__ctot")))
+    val wide = idx
+      .withColumn("__w", explode(sequence(lit(1), lit(maxWidth))))
+      .where(col("__i") >= col("__w"))
+      .select(col("__t"), col("__i"), col("__cum"), col("__w"),
+        (col("__i") - col("__w")).as("__j"))
+    val prevC = idx.select(col("__i").as("__j"),
+      col("__cum").as("__cprev"))
+    val scored = wide.join(prevC, Seq("__j"), "left")
+      .crossJoin(tot)
+      .select(col("__t"), col("__w"), col("__n"), col("__ctot"),
+        (col("__cum") - coalesce(col("__cprev"), lit(0.0))).as("__c"),
+        (col("__ctot") * col("__w") / col("__n")).as("__mu"))
+      .select(col("__t"), col("__w"), col("__n"), col("__ctot"),
+        col("__c"),
+        round(when(col("__c") > col("__mu") && col("__c") < col("__ctot"),
+          col("__c") * log(col("__c") / col("__mu")) +
+            (col("__ctot") - col("__c")) *
+            log((col("__ctot") - col("__c")) / (col("__ctot") - col("__mu"))))
+          .otherwise(lit(0.0)), 9).as("__llr"))
+      .localCheckpoint()
+    val peak = scored
+      .orderBy(col("__llr").desc, col("__t").asc, col("__w").asc)
+      .limit(1)
+      .select(col("__n").cast("long").as("n_days"),
+        col("__ctot").as("total"), col("__llr").as("peak_llr"),
+        col("__t").as("peak_end_t"), col("__w").as("peak_width"),
+        col("__c").as("peak_count"))
+    val agg = broadcast(scored.agg(count(lit(1)).as("n_windows"),
+      coalesce(sum(when(col("__llr") >= 6.0, 1L).otherwise(0L)),
+        lit(0L)).as("n_above_6")))
+    peak.crossJoin(agg)
+      .select(col("n_days"), col("total"), col("n_windows"),
+        col("peak_llr"), col("peak_end_t"), col("peak_width"),
+        col("peak_count"), col("n_above_6"))
+  }
+
+  /**
+   * Theil forecast-error decomposition for the seasonal-naive
+   * forecast f = y_{t−lag}: MSE splits exactly into bias share
+   * UM = (f̄−ȳ)²/MSE, variance share US = (σ_f−σ_y)²/MSE and
+   * covariance share UC = 2(1−r)σ_fσ_y/MSE — the "WHY is the
+   * forecast wrong" companion to q616's Mincer–Zarnowitz "IS it
+   * wrong": UM says recalibrate the level, US the amplitude, UC is
+   * irreducible timing noise. Also reports Theil's U1. Population
+   * σ's, per the original decomposition.
+   *
+   * Scale shape: calendar frame + one lag-shift equi-join + ONE
+   * sufficient-stats reduce. Returns 1 row: (n_pairs, mse, um, us,
+   * uc, theil_u1).
+   */
+  def forecastErrorDecomposition(df: DataFrame, tsCol: String,
+      lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val lagf = daily.select((col("__t") + lagDays).as("__t"),
+      col("__y").as("__f"))
+    val a = daily.join(lagf, Seq("__t"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__y")).as("__sy"), sum(col("__f")).as("__sf"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__f") * col("__f")).as("__sff"),
+        sum(col("__f") * col("__y")).as("__sfy"),
+        sum((col("__f") - col("__y")) * (col("__f") - col("__y")))
+          .as("__sse"))
+    val n = col("__n")
+    val my = col("__sy") / n
+    val mf = col("__sf") / n
+    val vy = col("__syy") / n - my * my
+    val vf = col("__sff") / n - mf * mf
+    val cfy = col("__sfy") / n - mf * my
+    val mse = col("__sse") / n
+    val sy = sqrt(vy)
+    val sf = sqrt(vf)
+    val r = cfy / (sf * sy)
+    a.select(n.cast("long").as("n_pairs"), mse.as("mse"),
+      when(mse > 0, (mf - my) * (mf - my) / mse).as("um"),
+      when(mse > 0, (sf - sy) * (sf - sy) / mse).as("us"),
+      when(mse > 0 && vf > 0 && vy > 0,
+        lit(2.0) * (lit(1.0) - r) * sf * sy / mse).as("uc"),
+      when(sqrt(col("__syy") / n) + sqrt(col("__sff") / n) > 0,
+        sqrt(mse) / (sqrt(col("__syy") / n) + sqrt(col("__sff") / n)))
+        .as("theil_u1"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

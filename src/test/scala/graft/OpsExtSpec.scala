@@ -10811,6 +10811,97 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("safety_stock") - 1.0) < 1e-12)
   }
 
+  test("markovEntropyRate: deterministic a->b->a chain -> H 0") {
+    import spark.implicits._
+    val rows = (0 until 6).map { i =>
+      (1L, f"2024-01-01 00:00:$i%02d", if (i % 2 == 0) "a" else "b",
+        i.toLong)
+    }.toDF("u", "ts0", "et", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("et"),
+        col("id"))
+    val r = graft.ops.Behavioral.markovEntropyRate(rows, "u", "ts",
+      "et", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n_transitions") == 5L)
+    assert(r.getAs[Long]("n_states") == 2L)
+    assert(math.abs(r.getAs[Double]("h_rate")) < 1e-12)
+    // marginal: 3 of 5 from 'a', 2 of 5 from 'b'
+    val hm = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert(math.abs(r.getAs[Double]("h_marginal") - hm) < 1e-12)
+    assert(math.abs(r.getAs[Double]("predictability") - 1.0) < 1e-12)
+  }
+
+  test("rarefaction: 'a a b' at f=0.5 -> E[V] hand-worked") {
+    import spark.implicits._
+    val docs = Seq("a a b").toDF("text")
+    val r = graft.ops.TextAnalysis
+      .rarefaction(docs, "text", fractions = Seq(0.5)).head
+    // N=3, m=1: P(a in 1-draw) = 2/3, P(b) = 1/3 -> E[V] = 1
+    assert(r.getAs[Long]("m") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_types") == 2L)
+    assert(math.abs(r.getAs[Double]("expected_types") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("expected_share") - 0.5) < 1e-9)
+  }
+
+  test("temporalScan: burst day in flat series peaks at width 1") {
+    import spark.implicits._
+    val counts = Seq(1, 1, 1, 9, 1, 1, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.temporalScan(rows, "ts",
+      maxWidth = 3).head
+    assert(r.getAs[Long]("n_days") == 7L)
+    assert(r.getAs[Double]("total") == 15.0)
+    assert(r.getAs[Int]("peak_width") == 1)
+    assert(r.getAs[Int]("peak_end_t") == 3)
+    assert(r.getAs[Double]("peak_count") == 9.0)
+    // LLR = 9 ln(9/(15/7)) + 6 ln(6/(15 - 15/7))
+    val mu = 15.0 / 7
+    val llr = 9 * math.log(9 / mu) + 6 * math.log(6 / (15 - mu))
+    assert(math.abs(r.getAs[Double]("peak_llr") - llr) < 1e-8)
+  }
+
+  test("abcXyzMatrix: one dominant steady key -> AX cell") {
+    import spark.implicits._
+    val rows = (
+      // key 1: 4 weeks of 100 each -> A (80% mass), CV 0
+      (1 to 4).map(wk => (1L,
+        java.time.LocalDate.of(2024, 1, 1).plusDays(7L * (wk - 1)).toString,
+        100.0)) ++
+      // key 2: 4 weeks alternating 5/45 -> C-ish mass, high CV
+      Seq((2L, "2024-01-01", 5.0), (2L, "2024-01-08", 45.0),
+        (2L, "2024-01-15", 5.0), (2L, "2024-01-22", 45.0))
+    ).toDF("k", "ts0", "r")
+      .select(col("k"), to_timestamp(col("ts0")).as("ts"), col("r"))
+    val m = graft.ops.Profiling
+      .abcXyzMatrix(rows, "k", "ts", "r")
+      .orderBy("abc_class").collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[String]("abc_class") == "A" &&
+      m(0).getAs[String]("xyz_class") == "X")
+    assert(math.abs(m(0).getAs[Double]("revenue_share") - 0.8) < 1e-12)
+    // key 2's strictly-above share is exactly 0.8 -> class B
+    assert(m(1).getAs[String]("abc_class") == "B" &&
+      m(1).getAs[String]("xyz_class") == "Y")
+  }
+
+  test("forecastErrorDecomposition: f = y + 2 -> pure bias, UM 1") {
+    import spark.implicits._
+    // y_t = y_{t-1} - 2 means f = y+2: counts 9,7,5,3 with lag 1
+    val counts = Seq(9, 7, 5, 3)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries
+      .forecastErrorDecomposition(rows, "ts", lagDays = 1).head
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(math.abs(r.getAs[Double]("mse") - 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("um") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("us")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("uc")) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
