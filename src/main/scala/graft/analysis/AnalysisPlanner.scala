@@ -7303,6 +7303,106 @@ object AnalysisPlanner {
   }
 
   /**
+   * Partial Spearman correlation of (x, y) given z: Pearson on the
+   * three midrank margins, then the standard partialling formula
+   * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does the
+   * monotone x–y association survive controlling for z", robust to
+   * monotone transforms of every variable where Pearson partialling
+   * (q*_partial_correlation) is not. Midranks are exact
+   * half-integers from value-level counts, so the only float work
+   * is the final sufficient-stats reduce.
+   *
+   * Scale shape: three value-cell + [[PrefixSum]] margin passes,
+   * three rank joins back, ONE moments reduce. Returns 1 row:
+   * (n, rho_xy, rho_xz, rho_yz, rho_partial).
+   */
+  def partialSpearman(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"),
+        col(zCol).cast("double").as("__z"))
+      .localCheckpoint()
+    def ranks(c: String, out: String): DataFrame = {
+      val vc = base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("double").as("__c"))
+        .localCheckpoint()
+      PrefixSum.exclusive(vc, "__v", Seq("__c" -> "__ex"))
+        .select(col("__v").as(c),
+          (col("__ex") + (col("__c") + 1) / 2.0).as(out))
+    }
+    val joined = base
+      .join(ranks("__x", "__rx"), Seq("__x"))
+      .join(ranks("__y", "__ry"), Seq("__y"))
+      .join(ranks("__z", "__rz"), Seq("__z"))
+    val a = joined.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+      sum(col("__rz")).as("__sz"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__rz") * col("__rz")).as("__szz"),
+      sum(col("__rx") * col("__ry")).as("__sxy"),
+      sum(col("__rx") * col("__rz")).as("__sxz"),
+      sum(col("__ry") * col("__rz")).as("__syz"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column) = {
+      val n = col("__n")
+      (n * sab - sa * sb) /
+        sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val rxy = r(col("__sxy"), col("__sx"), col("__sy"),
+      col("__sxx"), col("__syy"))
+    val rxz = r(col("__sxz"), col("__sx"), col("__sz"),
+      col("__sxx"), col("__szz"))
+    val ryz = r(col("__syz"), col("__sy"), col("__sz"),
+      col("__syy"), col("__szz"))
+    a.select(col("__n").cast("long").as("n"), rxy.as("rho_xy"),
+      rxz.as("rho_xz"), ryz.as("rho_yz"),
+      when((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) > 0,
+        (rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+        .as("rho_partial"))
+  }
+
+  /**
+   * Distribution-free confidence interval for the median via order
+   * statistics: the interval [x₍ₖₗₒ₎, x₍ₖₕᵢ₎] with ranks from the
+   * normal approximation of Binomial(n, ½) — valid for ANY
+   * continuous distribution, no bootstrap, no variance estimate;
+   * the honest error bar for a skewed metric's median where
+   * mean ± 1.96·se silently lies. Rank arithmetic is exact and
+   * identical across engines; the picks are the
+   * [[exactPercentilesDisc]] index machinery.
+   *
+   * Scale shape: ONE value-cell pass + PrefixSum + a 3-pick reduce.
+   * Returns 1 row: (n, k_lo, k_hi, median, ci_lo, ci_hi).
+   */
+  def medianCi(df: DataFrame, valueCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val cells = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val pre = PrefixSum.exclusive(cells, "__v", Seq("__c" -> "__cb"))
+    val tot = broadcast(pre.agg(sum(col("__c")).cast("double")
+      .as("__n")))
+    val marked = pre.crossJoin(tot)
+    val n = col("__n")
+    val kMed = ceil(n * 0.5)
+    val kLo = greatest(lit(1.0), floor((n - lit(z) * sqrt(n)) / 2))
+    val kHi = least(n, ceil((n + lit(z) * sqrt(n)) / 2 + 1))
+    def pick(k: Column) =
+      max(when(col("__cb") <= k - 1 &&
+        k - 1 < col("__cb") + col("__c"), col("__v")))
+    marked.agg(max(n).cast("long").as("n"),
+        max(kLo).cast("long").as("k_lo"),
+        max(kHi).cast("long").as("k_hi"),
+        pick(kMed).as("median"), pick(kLo).as("ci_lo"),
+        pick(kHi).as("ci_hi"))
+  }
+
+  /**
    * Binned distribution overlap between two groups of a continuous
    * metric: the overlap coefficient Σ min(p, q) (= 1 − TV distance),
    * the Bhattacharyya coefficient Σ√(p·q) and Hellinger distance

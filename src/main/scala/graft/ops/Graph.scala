@@ -783,4 +783,50 @@ object Graph {
         when(col("__num") > 0, col("__den") / col("__num"))
           .as("alpha_max"))
   }
+
+  /**
+   * Butterfly (4-cycle) count of a bipartite graph: wedges are
+   * supplier pairs sharing a customer, and C(w, 2) over the wedge
+   * multiplicities counts the butterflies — the bipartite analogue
+   * of the triangle count ([[triangles]] is identically zero on
+   * bipartite graphs, so THIS is the clustering primitive for
+   * customer×item / user×feature incidence data). Left nodes above
+   * `maxDegree` are excluded from wedge enumeration (and counted):
+   * the C(deg, 2) blow-up cap, same discipline as link prediction's
+   * degree-capped centers.
+   *
+   * Scale shape: one degree pass, a capped per-left-node pair join
+   * (≤ maxDegree² wedges/node), one groupBy(pair), one reduce.
+   * Returns 1 row: (n_edges, n_left_used, n_left_excluded, n_wedges,
+   * n_wedge_pairs, n_butterflies).
+   */
+  def butterflyCount(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 1000): DataFrame = {
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
+    val used = deg.where(col("__deg") <= maxDegree)
+      .select(col("__s"))
+    val excl = broadcast(deg.agg(
+      coalesce(sum(when(col("__deg") > maxDegree, 1L).otherwise(0L)),
+        lit(0L)).as("n_left_excluded"),
+      coalesce(sum(when(col("__deg") <= maxDegree, 1L).otherwise(0L)),
+        lit(0L)).as("n_left_used")))
+    val ee = e.join(used, Seq("__s"))
+    val wedges = ee.as("a")
+      .join(ee.as("b"),
+        col("a.__s") === col("b.__s") && col("a.__d") < col("b.__d"))
+      .groupBy(col("a.__d").as("__d1"), col("b.__d").as("__d2"))
+      .agg(count(lit(1)).as("__w"))
+    val agg = wedges.agg(
+      coalesce(sum(col("__w")), lit(0L)).as("n_wedges"),
+      count(lit(1)).as("n_wedge_pairs"),
+      (coalesce(sum(col("__w") * (col("__w") - 1)), lit(0L)) / 2)
+        .cast("long").as("n_butterflies"))
+    broadcast(e.agg(count(lit(1)).as("n_edges"))).crossJoin(excl)
+      .crossJoin(broadcast(agg))
+      .select(col("n_edges"), col("n_left_used"),
+        col("n_left_excluded"), col("n_wedges"), col("n_wedge_pairs"),
+        col("n_butterflies"))
+  }
 }

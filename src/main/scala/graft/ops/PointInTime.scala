@@ -130,6 +130,51 @@ object PointInTime {
   }
 
   /**
+   * NEAREST-direction as-of join: each left row picks the right row
+   * with the smallest |Δt| per key, in EITHER direction — the
+   * sensor-alignment variant of [[asofJoin]] (backward-only as-of is
+   * right for feature lookup, wrong for matching two clocks that
+   * both jitter). Composed from two runs of the same union-marker
+   * single-shuffle algorithm: the forward pass rides NEGATED
+   * epoch-µs timestamps through the backward machinery, so there is
+   * exactly one algorithm to trust; ties (equal gap both sides) take
+   * the backward (earlier) match.
+   *
+   * Returns every left row plus (nearest_ts, direction,
+   * gap_seconds, valueCols...). `idCol` must uniquely identify left
+   * rows (it keys the backward/forward recombination).
+   */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      idCol: String, leftTs: String, rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val b = asofJoin(left, right, keys, leftTs, rightTs, valueCols)
+    val fwdVals = valueCols.map(_ + "__fwd")
+    val leftN = left.select(left.columns.map(col) :+
+      (-unix_micros(col(leftTs))).as("__nts"): _*)
+    val rightN = right.select((keys.map(col) :+
+      (-unix_micros(col(rightTs))).as("__nts")) ++
+      valueCols.zip(fwdVals).map { case (c, f) => col(c).as(f) }: _*)
+    val f = asofJoin(leftN, rightN, keys, "__nts", "__nts", fwdVals)
+      .select(col(idCol).as("__fid") +:
+        timestamp_micros(-col("feature_ts")).as("__fwd_ts") +:
+        fwdVals.map(col): _*)
+    val j = b.join(f, col(idCol) === col("__fid")).drop("__fid")
+    val gapB = unix_micros(col(leftTs)) - unix_micros(col("feature_ts"))
+    val gapF = unix_micros(col("__fwd_ts")) - unix_micros(col(leftTs))
+    val useB = col("feature_ts").isNotNull &&
+      (col("__fwd_ts").isNull || gapB <= gapF)
+    j.select(left.columns.map(col) ++ Seq(
+      when(useB, col("feature_ts")).otherwise(col("__fwd_ts"))
+        .as("nearest_ts"),
+      when(useB, "backward")
+        .when(col("__fwd_ts").isNotNull, "forward").as("direction"),
+      (when(useB, gapB).otherwise(gapF) / 1000000.0)
+        .as("gap_seconds")) ++
+      valueCols.map(c =>
+        when(useB, col(c)).otherwise(col(c + "__fwd")).as(c)): _*)
+  }
+
+  /**
    * Bucketed interval (range) join: attach every point row to EVERY
    * interval row whose `[start, end)` contains its timestamp — the
    * non-equi join class (maintenance windows × events, campaigns ×

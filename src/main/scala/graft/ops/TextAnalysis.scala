@@ -2267,6 +2267,66 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf–Mandelbrot rank-frequency fit: OLS of ln f on ln(rank + q)
+   * over a small integer grid of the Mandelbrot offset q, keeping
+   * the best-R² fit — the flattened-head correction that plain Zipf
+   * (q = 0) always misses on real corpora, where the top handful of
+   * types sit BELOW the power line. Ranks order by (freq desc, term
+   * asc) so ties are deterministic; R² rounds to 1e-9 before the
+   * grid argmax so a last-bit ln() wobble can't flip the chosen q.
+   *
+   * Scale shape: one token groupBy, ranks via freq-cell PrefixSum +
+   * a per-freq-block window (partitioned), a (maxQ+1)-way explode of
+   * the type frame, one groupBy(q) reduce + TakeOrdered(1). Returns
+   * 1 row: (n_types, best_q, slope, intercept, r2).
+   */
+  def zipfMandelbrot(df: DataFrame, textCol: String,
+      maxQ: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxQ >= 0 && maxQ <= 100,
+      s"zipfMandelbrot: maxQ in [0, 100], got $maxQ")
+    val tf = df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).cast("double").as("__f"))
+      .localCheckpoint()
+    val fc = tf.groupBy("__f").agg(count(lit(1)).as("__cnt"))
+    val pre = graft.analysis.PrefixSum
+      .exclusive(fc, "__f", Seq("__cnt" -> "__ex"))
+    val tot = broadcast(pre.agg(sum(col("__cnt")).as("__V")))
+    val ranked = tf
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__f")).orderBy(col("__t"))))
+      .join(pre, Seq("__f")).crossJoin(tot)
+      .select((col("__V") - col("__ex") - col("__cnt") + col("__rn"))
+        .cast("double").as("__r"), log(col("__f")).as("__y"),
+        col("__V"))
+    val grid = ranked
+      .withColumn("q", explode(sequence(lit(0), lit(maxQ))))
+      .withColumn("__x", log(col("__r") + col("q")))
+      .groupBy("q")
+      .agg(max(col("__V")).as("__V"),
+        count(lit(1)).cast("double").as("__m"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val b = (col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+    val r2 = ((col("__m") * col("__sxy") - col("__sx") * col("__sy")) *
+      (col("__m") * col("__sxy") - col("__sx") * col("__sy"))) /
+      ((col("__m") * col("__sxx") - col("__sx") * col("__sx")) *
+        (col("__m") * col("__syy") - col("__sy") * col("__sy")))
+    grid.select(col("__V").as("n_types"), col("q"),
+        b.as("slope"),
+        ((col("__sy") - b * col("__sx")) / col("__m")).as("intercept"),
+        round(r2, 9).as("r2"))
+      .orderBy(col("r2").desc, col("q").asc).limit(1)
+      .select(col("n_types"), col("q").as("best_q"), col("slope"),
+        col("intercept"), col("r2"))
+  }
+
+  /**
    * Exact rarefaction (species-accumulation) curve of the corpus
    * vocabulary: the expected distinct-type count E[V(m)] in a
    * WITHOUT-replacement subsample of m tokens, at m = ⌊f·N⌋ for each

@@ -10902,6 +10902,85 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("uc")) < 1e-9)
   }
 
+  test("asofNearest: picks closer side, backward on ties") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100), (2L, 10L, 205), (3L, 20L, 300))
+      .map { case (id, u, sec) => (id, u, f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d") }
+      .toDF("id", "u", "ts0")
+      .select(col("id"), col("u"), to_timestamp(col("ts0")).as("ts"))
+    val right = Seq((10L, 90, 1.0), (10L, 210, 2.0), (20L, 400, 3.0))
+      .map { case (u, sec, v) => (u, f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d", v) }
+      .toDF("u", "ts0", "v")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("v"))
+    val r = graft.ops.PointInTime
+      .asofNearest(left, right, Seq("u"), "id", "ts", "ts", Seq("v"))
+      .orderBy("id").collect()
+    // id1 at 100: back 90 (gap 10) vs fwd 210 (gap 110) -> backward
+    assert(r(0).getAs[String]("direction") == "backward")
+    assert(r(0).getAs[Double]("v") == 1.0)
+    assert(r(0).getAs[Double]("gap_seconds") == 10.0)
+    // id2 at 205: back 90 (115) vs fwd 210 (5) -> forward
+    assert(r(1).getAs[String]("direction") == "forward")
+    assert(r(1).getAs[Double]("v") == 2.0)
+    assert(r(1).getAs[Double]("gap_seconds") == 5.0)
+    // id3 at 300 user 20: only forward 400
+    assert(r(2).getAs[String]("direction") == "forward")
+    assert(r(2).getAs[Double]("v") == 3.0)
+  }
+
+  test("partialSpearman: within-z anticorrelation -> rho_partial -1") {
+    import spark.implicits._
+    val rows = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 1.0), (3.0, 4.0, 2.0),
+      (4.0, 3.0, 2.0), (5.0, 5.0, 3.0)).toDF("x", "y", "z")
+    val r = graft.analysis.AnalysisPlanner
+      .partialSpearman(rows, "x", "y", "z").head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("rho_xy") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho_xz") - 3 / math.sqrt(10)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho_yz") - 3 / math.sqrt(10)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho_partial") + 1.0) < 1e-9)
+  }
+
+  test("medianCi: 1..100 -> median 50, CI ranks symmetric") {
+    import spark.implicits._
+    val rows = (1 to 100).map(_.toDouble).toDF("v")
+    val r = graft.analysis.AnalysisPlanner.medianCi(rows, "v").head
+    assert(r.getAs[Long]("n") == 100L)
+    // klo = floor((100 - 1.96*10)/2) = 40, khi = ceil((100+19.6)/2+1) = 61
+    assert(r.getAs[Long]("k_lo") == 40L)
+    assert(r.getAs[Long]("k_hi") == 61L)
+    assert(r.getAs[Double]("median") == 50.0)
+    assert(r.getAs[Double]("ci_lo") == 40.0)
+    assert(r.getAs[Double]("ci_hi") == 61.0)
+  }
+
+  test("zipfMandelbrot: exact Mandelbrot law recovers q = 3") {
+    import spark.implicits._
+    // f(r) = C/(r+3): counts 250,200,...  for ranks 1..5 with C=1000
+    val freqs = (1 to 5).map(r => 1000 / (r + 3))
+    val text = freqs.zipWithIndex.flatMap { case (f, i) =>
+      Seq.fill(f)(s"w$i")
+    }.mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val r = graft.ops.TextAnalysis
+      .zipfMandelbrot(docs, "text", maxQ = 10).head
+    assert(r.getAs[Long]("n_types") == 5L)
+    assert(r.getAs[Int]("best_q") == 3)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 0.01)
+  }
+
+  test("butterflyCount: complete 2x2 bipartite -> 1 butterfly") {
+    import spark.implicits._
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"),
+      ("c2", "s2"), ("c3", "s3")).toDF("src", "dst")
+    val r = graft.ops.Graph.butterflyCount(edges, "src", "dst").head
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_left_used") == 3L)
+    assert(r.getAs[Long]("n_wedges") == 2L)
+    assert(r.getAs[Long]("n_wedge_pairs") == 1L)
+    assert(r.getAs[Long]("n_butterflies") == 1L)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
