@@ -7303,6 +7303,66 @@ object AnalysisPlanner {
   }
 
   /**
+   * Nonparametric (Mann–Whitney) equivalence test — the TOST idea
+   * on ranks: z_lower tests "A is not worse than B by more than δ"
+   * (MW on A shifted UP by δ vs B), z_upper the mirror; both
+   * clearing the one-sided critical value declares |location shift|
+   * < δ without any normality assumption — what q*_paired_tost
+   * cannot give for unpaired skewed metrics. Each side is one
+   * standard tie-corrected MW z over a shifted-value cell frame
+   * (shifting by a literal preserves exact cell keys).
+   *
+   * Scale shape: two value-cell + [[PrefixSum]] rank passes, two
+   * 1-row reduces. Returns 1 row: (n_a, n_b, margin, z_lower,
+   * z_upper).
+   */
+  def mannWhitneyEquivalence(df: DataFrame, groupCol: String,
+      valueCol: String, a: String, b: String,
+      margin: Double): DataFrame = {
+    require(margin > 0, s"margin must be > 0, got $margin")
+    val base = df.where(col(valueCol).isNotNull &&
+        (col(groupCol) === a || col(groupCol) === b))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__y"))
+      .localCheckpoint()
+    // one-sided MW z that A's values (after `shiftA`) exceed B's
+    def mwZ(shiftA: Double, flip: Boolean): DataFrame = {
+      val adj = when(col("__g") === a, col("__y") + shiftA)
+        .otherwise(col("__y"))
+      val top = if (flip) b else a
+      val cells = base.select(col("__g"), adj.as("__v"))
+        .groupBy("__v")
+        .agg(sum(when(col("__g") === top, 1.0).otherwise(0.0))
+          .as("__ca"),
+          sum(when(col("__g") =!= top, 1.0).otherwise(0.0)).as("__cb"))
+      val pre = PrefixSum.exclusive(
+          cells.withColumn("__t", col("__ca") + col("__cb")),
+          "__v", Seq("__t" -> "__ex"))
+        .withColumn("__r", col("__ex") + (col("__t") + 1) / 2.0)
+      pre.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+          sum(col("__ca") * col("__r")).as("__ra"),
+          sum(col("__t") * col("__t") * col("__t") - col("__t"))
+            .as("__tie"))
+        .select(col("__na"), col("__nb"), {
+          val nn = col("__na") + col("__nb")
+          val u = col("__ra") - col("__na") * (col("__na") + 1) / 2
+          val mu = col("__na") * col("__nb") / 2
+          val v = col("__na") * col("__nb") / 12 *
+            ((nn + 1) - col("__tie") / (nn * (nn - 1)))
+          when(v > 0, (u - mu) / sqrt(v)).as("__z")
+        })
+    }
+    val zl = mwZ(margin, flip = false)
+      .select(col("__na"), col("__nb"), col("__z").as("z_lower"))
+    val zu = broadcast(mwZ(-margin, flip = true)
+      .select(col("__z").as("z_upper")))
+    zl.crossJoin(zu)
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"), lit(margin).as("margin"),
+        col("z_lower"), col("z_upper"))
+  }
+
+  /**
    * Partial Spearman correlation of (x, y) given z: Pearson on the
    * three midrank margins, then the standard partialling formula
    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does the

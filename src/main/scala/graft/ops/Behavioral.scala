@@ -939,6 +939,140 @@ object Behavioral {
    * c_p25, c_p50, c_p75).
    */
   /**
+   * Time-weighted average (TWAP) of a step metric per group: each
+   * observation's value HOLDS until the next observation, so the
+   * honest average weights by holding time Σvᵢ·(tᵢ₊₁−tᵢ)/span — on
+   * irregular streams the plain mean over-weights bursty periods
+   * (many samples, little time) and the gap twap − mean is itself a
+   * sampling-bias diagnostic. Last observation carries no interval
+   * (standard left-step convention, oracle mirrored).
+   *
+   * Scale shape: one partitioned lead window + one groupBy. Returns
+   * one row per group: (group, n, span_seconds, plain_mean, twap,
+   * twap_minus_mean).
+   */
+  def twap(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    val base = df
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), unix_micros(col(tsCol)).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__nx", lead(col("__t"), 1).over(w))
+    base.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        ((max(col("__t")) - min(col("__t"))) / 1000000.0)
+          .as("span_seconds"),
+        avg(col("__v")).as("plain_mean"),
+        (sum(when(col("__nx").isNotNull,
+          col("__v") * (col("__nx") - col("__t")))) /
+          sum(when(col("__nx").isNotNull, col("__nx") - col("__t"))))
+          .as("twap"))
+      .withColumn("twap_minus_mean", col("twap") - col("plain_mean"))
+  }
+
+  /**
+   * Two-phase hyperexponential fit of per-entity inter-event gaps by
+   * moment matching: with reduced moments uₖ = Mₖ/k!, the two phase
+   * means are the roots of t² − at + b (a = (u₃ − u₁u₂)/(u₂ − u₁²),
+   * b = (u₁u₃ − u₂²)/(u₂ − u₁²)) and p₁ = (u₁ − t₂)/(t₁ − t₂) — the
+   * queueing-theory decomposition of a heavy-CV arrival process into
+   * "fast" and "slow" phases that a single exponential (CV² ≡ 1)
+   * cannot represent. fit_ok is false when CV² ≤ 1 or the
+   * discriminant is negative (H₂ is then the wrong family). Gaps are
+   * measured in HOURS so the rates land on a readable scale.
+   *
+   * Scale shape: one partitioned lead window, ONE moments reduce,
+   * closed-form algebra. Returns 1 row: (n_gaps, mean_gap_hours,
+   * cv2, p1, lambda1, lambda2, fit_ok).
+   */
+  def hyperexpGaps(df: DataFrame, idCol: String, tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    val gaps = df.where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"))
+      .withColumn("__nx", lead(col("__t"), 1).over(w))
+      .where(col("__nx").isNotNull)
+      .select(((col("__nx") - col("__t")) / 3600000000.0).as("__g"))
+    val m = gaps.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__g")).as("__u1"),
+      (sum(col("__g") * col("__g")) / count(lit(1)) / 2).as("__u2"),
+      (sum(col("__g") * col("__g") * col("__g")) / count(lit(1)) / 6)
+        .as("__u3"))
+    val den = col("__u2") - col("__u1") * col("__u1")
+    val a = (col("__u3") - col("__u1") * col("__u2")) / den
+    val b = (col("__u1") * col("__u3") - col("__u2") * col("__u2")) /
+      den
+    val disc = a * a - lit(4.0) * b
+    val t1 = (a + sqrt(disc)) / 2
+    val t2 = (a - sqrt(disc)) / 2
+    val cv2 = lit(2.0) * col("__u2") /
+      (col("__u1") * col("__u1")) - 1
+    val p1 = (col("__u1") - t2) / (t1 - t2)
+    // feasibility, not just solvability: both phase means positive
+    // and the mixing weight a probability — MoM can land outside the
+    // H2 family on short samples, and an infeasible "fit" is noise
+    val ok = cv2 > 1 && disc > 0 && den =!= 0 && t2 > 0 &&
+      p1 >= 0 && p1 <= 1
+    m.select(col("__n").cast("long").as("n_gaps"),
+      col("__u1").as("mean_gap_hours"), cv2.as("cv2"),
+      when(ok, p1).as("p1"),
+      when(ok, lit(1.0) / t1).as("lambda1"),
+      when(ok, lit(1.0) / t2).as("lambda2"),
+      ok.as("fit_ok"))
+  }
+
+  /**
+   * Session-count sensitivity sweep over the inactivity-gap
+   * threshold: a "session" metric that doubles when the gap cutoff
+   * halves is an artifact, not behavior — this panel makes the
+   * dependence visible BEFORE anyone standardizes on 30 minutes.
+   * Session count per threshold is n_entities + #(gaps > T): one
+   * gap pass, every threshold a conditional sum — no re-sessionizing
+   * per candidate.
+   *
+   * Scale shape: one partitioned lead window + ONE reduce with a
+   * bounded per-threshold when-chain. Returns one row per threshold:
+   * (threshold_seconds, n_sessions, events_per_session).
+   */
+  def sessionGapSweep(df: DataFrame, idCol: String, tsCol: String,
+      thresholdsSeconds: Seq[Long] = Seq(300L, 900L, 1800L, 3600L),
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdsSeconds.nonEmpty && thresholdsSeconds.forall(_ > 0),
+      "sessionGapSweep: positive thresholds")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    val base = df.where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"))
+      .withColumn("__nx", lead(col("__t"), 1).over(w))
+    val aggs = thresholdsSeconds.sorted.flatMap { t =>
+      Seq(coalesce(sum(when(col("__nx").isNotNull &&
+        col("__nx") - col("__t") > t * 1000000L, 1L).otherwise(0L)),
+        lit(0L)).as(s"__br_$t"))
+    }
+    val st = base.agg(count(lit(1)).as("__ne"),
+      countDistinct(col("__u")).as("__nu"))
+    val breaks = base.agg(aggs.head, aggs.tail: _*)
+    val wide = st.crossJoin(breaks)
+    val rows = thresholdsSeconds.sorted.map { t =>
+      wide.select(lit(t).as("threshold_seconds"),
+        (col("__nu") + col(s"__br_$t")).as("n_sessions"),
+        (col("__ne").cast("double") / (col("__nu") + col(s"__br_$t")))
+          .as("events_per_session"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /**
    * Markov entropy rate of the per-entity event-type process:
    * H = −Σᵢⱼ p(i,j)·ln p(j|i) over observed transitions, reported
    * against the marginal entropy H₀ = −Σᵢ p(i)·ln p(i) and as

@@ -994,6 +994,54 @@ object Profiling {
   }
 
   /**
+   * Dead-stock screen per category: a key is "dead" when the gap
+   * since its last sale is IMPROBABLE under its own historical rate —
+   * p = exp(−λ̂·gap_end) with λ̂ = (n−1)/span from its sale history —
+   * rather than when it crosses an arbitrary "no sales in 90 days"
+   * cutoff that mislabels every slow-but-alive SKU. Keys need
+   * `minSales` sales to be classified (the rest are reported
+   * unclassified).
+   *
+   * Scale shape: one groupBy(key) pass against a broadcast 1-row
+   * horizon, one groupBy(category) rollup. Returns one row per
+   * category: (category, n_keys, n_classified, n_dead, dead_share,
+   * worst_p).
+   */
+  def deadStock(df: DataFrame, keyCol: String, catCol: String,
+      tsCol: String, alpha: Double = 0.01,
+      minSales: Int = 5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"deadStock: alpha in (0,1)")
+    val base = df.where(col(keyCol).isNotNull && col(catCol).isNotNull &&
+      col(tsCol).isNotNull)
+    val horizon = broadcast(base.agg(max(to_date(col(tsCol)))
+      .as("__hz")))
+    val per = base
+      .groupBy(col(keyCol).as("__k"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"),
+        min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+      .crossJoin(horizon)
+      .select(col("__k"), col("__c"), col("__n"),
+        datediff(col("__hz"), col("__last")).cast("double").as("__gap"),
+        datediff(col("__last"), col("__first")).cast("double")
+          .as("__span"))
+      .select(col("__c"), col("__n"),
+        when(col("__n") >= minSales && col("__span") > 0,
+          exp(-((col("__n") - 1) / col("__span")) * col("__gap")))
+          .as("__p"))
+    per.groupBy(col("__c").as(catCol))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("__p").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_classified"),
+        coalesce(sum(when(col("__p") < alpha, 1L).otherwise(0L)),
+          lit(0L)).as("n_dead"),
+        min(col("__p")).as("worst_p"))
+      .withColumn("dead_share",
+        when(col("n_classified") > 0,
+          col("n_dead").cast("double") / col("n_classified")))
+  }
+
+  /**
    * ABC × XYZ inventory matrix: keys classed by revenue mass (A/B/C
    * at strictly-above cumulative shares 0.8/0.95, the q519
    * convention) CROSSED with weekly-demand variability (X: CV < 0.5,

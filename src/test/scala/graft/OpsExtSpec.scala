@@ -10981,6 +10981,86 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_butterflies") == 1L)
   }
 
+  test("twap: burst sampling -> time-weighted mean 50.5 vs plain 36") {
+    import spark.implicits._
+    val rows = Seq((0, 1.0), (10, 100.0), (20, 7.0))
+      .zipWithIndex.map { case ((sec, v), i) =>
+        ("g", f"2024-01-01 00:00:$sec%02d", v, i.toLong)
+      }.toDF("g", "ts0", "v", "id")
+      .select(col("g"), to_timestamp(col("ts0")).as("ts"), col("v"),
+        col("id"))
+    val r = graft.ops.Behavioral
+      .twap(rows, "g", "ts", "v", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("span_seconds") == 20.0)
+    assert(math.abs(r.getAs[Double]("plain_mean") - 36.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("twap") - 50.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("twap_minus_mean") - 14.5) < 1e-12)
+  }
+
+  test("deadStock: daily seller gone 31 days -> dead; sparse unclassified") {
+    import spark.implicits._
+    val rows = ((0 until 10).map(d => (1L, "B", d)) ++
+      Seq((2L, "B", 0), (2L, "B", 40)))
+      .map { case (k, c, day) =>
+        (k, c, java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong).toString)
+      }.toDF("k", "c", "ts0")
+      .select(col("k"), col("c"), to_timestamp(col("ts0")).as("ts"))
+    val r = graft.ops.Profiling.deadStock(rows, "k", "c", "ts").head
+    assert(r.getAs[Long]("n_keys") == 2L)
+    assert(r.getAs[Long]("n_classified") == 1L)
+    assert(r.getAs[Long]("n_dead") == 1L)
+    assert(r.getAs[Double]("dead_share") == 1.0)
+    assert(math.abs(r.getAs[Double]("worst_p") - math.exp(-31.0)) < 1e-18)
+  }
+
+  test("hyperexpGaps: feasible MoM fit recovers hand values") {
+    import spark.implicits._
+    // cumulative seconds giving gaps (h): .26 .17 .17 .2 .34 .13 .36 1.49
+    val cum = Seq(0, 936, 1548, 2160, 2880, 4104, 4572, 5868, 11232)
+    val rows = cum.zipWithIndex.map { case (sec, i) =>
+      (1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .plusSeconds(sec.toLong).toString.replace('T', ' '), i.toLong)
+    }.toDF("u", "ts0", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("id"))
+    val r = graft.ops.Behavioral
+      .hyperexpGaps(rows, "u", "ts", tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n_gaps") == 8L)
+    assert(r.getAs[Boolean]("fit_ok"))
+    assert(math.abs(r.getAs[Double]("mean_gap_hours") - 0.39) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cv2") - 1.17587114) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p1") - 0.87359311) < 1e-6)
+    assert(math.abs(r.getAs[Double]("lambda1") - 2.30418781) < 1e-6)
+    assert(math.abs(r.getAs[Double]("lambda2") - 11.63193537) < 1e-6)
+  }
+
+  test("mannWhitneyEquivalence: identical groups, huge margin -> both z 1.964") {
+    import spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .mannWhitneyEquivalence(rows, "g", "y", "a", "b", 10.0).head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    val z = 4.5 / math.sqrt(5.25)
+    assert(math.abs(r.getAs[Double]("z_lower") - z) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z_upper") - z) < 1e-12)
+  }
+
+  test("sessionGapSweep: gaps 400s/1600s -> 3,2,1,1 sessions") {
+    import spark.implicits._
+    val rows = Seq(0, 400, 2000).zipWithIndex.map { case (sec, i) =>
+      (1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .plusSeconds(sec.toLong).toString.replace('T', ' '), i.toLong)
+    }.toDF("u", "ts0", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("id"))
+    val r = graft.ops.Behavioral
+      .sessionGapSweep(rows, "u", "ts", tieCols = Seq("id"))
+      .orderBy("threshold_seconds").collect()
+    assert(r.map(_.getAs[Long]("n_sessions")).toSeq ==
+      Seq(3L, 2L, 1L, 1L))
+    assert(math.abs(r(1).getAs[Double]("events_per_session") - 1.5) < 1e-12)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
