@@ -7090,8 +7090,13 @@ object AnalysisPlanner {
         sum(col("__w") * col("__y")).as("__sy"),
         sum(col("__w") * col("__x") * col("__x")).as("__sxx"),
         sum(col("__w") * col("__x") * col("__y")).as("__sxy"))
-      .select(((col("__sw") * col("__sxy") - col("__sx") * col("__sy")) /
-        (col("__sw") * col("__sxx") - col("__sx") * col("__sx")))
+      // degenerate replicate (all weights zero, or every weighted
+      // point on one x): NULL, filtered below — exactly the oracle's
+      // `WHERE m IS NOT NULL`; an unguarded divide throws under ANSI
+      .select(when(
+        col("__sw") * col("__sxx") - col("__sx") * col("__sx") =!= 0,
+        (col("__sw") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__sw") * col("__sxx") - col("__sx") * col("__sx")))
         .as("__m"))
       .where(col("__m").isNotNull)
     val alpha = (1 - level) / 2
@@ -7300,6 +7305,97 @@ object AnalysisPlanner {
       when(l1 =!= 0, l2 / l1).as("t_lcv"),
       when(l2 =!= 0, l3 / l2).as("t3_lskew"),
       when(l2 =!= 0, l4 / l2).as("t4_lkurt"))
+  }
+
+  /**
+   * Ledoit–Wolf / Schäfer–Strimmer shrinkage intensity for the
+   * correlation matrix of a feature set: λ* = ΣVar̂(r_ij)/Σr_ij²
+   * over off-diagonal pairs (clipped to [0,1]), with
+   * Var̂(r_ij) = n/(n−1)³·Σ(w_k − w̄)² over the standardized
+   * products w_k = z_ki·z_kj — the closed-form answer to "how much
+   * of this correlation matrix is noise", and the λ a downstream
+   * Mahalanobis/portfolio step should shrink by before inverting.
+   * High λ* means the sample correlations are mostly estimation
+   * error (target: identity).
+   *
+   * Scale shape: one 1-row moments pass (means+sds broadcast), one
+   * standardized-products reduce with 2·C(k,2) terms (k is the
+   * caller's bounded list). Returns 1 row: (n, n_features, n_pairs,
+   * avg_abs_r, lambda_star, avg_abs_r_shrunk).
+   */
+  def ledoitWolfShrinkage(df: DataFrame,
+      features: Seq[String]): DataFrame = {
+    require(features.size >= 2 && features.size <= 16,
+      "ledoitWolfShrinkage: 2..16 features")
+    val base = df
+      .where(features.map(col(_).isNotNull).reduce(_ && _))
+      .select(features.map(c => col(c).cast("double").as(c)): _*)
+      .localCheckpoint()
+    val mAggs = count(lit(1)).cast("double").as("__n") +:
+      features.flatMap(c => Seq(avg(col(c)).as(s"__m_$c"),
+        stddev_samp(col(c)).as(s"__s_$c")))
+    val m1 = broadcast(base.agg(mAggs.head, mAggs.tail: _*))
+    val pairs = for {
+      i <- features.indices; j <- features.indices if i < j
+    } yield (features(i), features(j))
+    def z(c: String) = (col(c) - col(s"__m_$c")) / col(s"__s_$c")
+    val pAggs = max(col("__n")).as("__n") +:
+      pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+        Seq(sum(z(a) * z(b)).as(s"__w_$k"),
+          sum(z(a) * z(b) * z(a) * z(b)).as(s"__ww_$k"))
+      }
+    val agg = base.crossJoin(m1).agg(pAggs.head, pAggs.tail: _*)
+    val n = col("__n")
+    val rs = pairs.indices.map { k =>
+      (col(s"__w_$k") / (n - 1),
+        n / ((n - 1) * (n - 1) * (n - 1)) *
+          (col(s"__ww_$k") - col(s"__w_$k") * col(s"__w_$k") / n))
+    }
+    val sumR2 = rs.map { case (r, _) => r * r }.reduce(_ + _)
+    val sumVar = rs.map(_._2).reduce(_ + _)
+    val avgAbsR = rs.map { case (r, _) => abs(r) }.reduce(_ + _) /
+      pairs.size
+    val lam = least(lit(1.0), greatest(lit(0.0),
+      when(sumR2 > 0, sumVar / sumR2).otherwise(lit(1.0))))
+    agg.select(n.cast("long").as("n"),
+      lit(features.size).as("n_features"),
+      lit(pairs.size).as("n_pairs"), avgAbsR.as("avg_abs_r"),
+      lam.as("lambda_star"),
+      ((lit(1.0) - lam) * avgAbsR).as("avg_abs_r_shrunk"))
+  }
+
+  /**
+   * Grouped distribution-free median CI — [[medianCi]] per group:
+   * order-statistic ranks from each group's own n, so every segment
+   * gets an honest skew-proof error bar in one pass (the per-segment
+   * version a dashboard actually needs). Returns one row per group:
+   * (group, n, k_lo, k_hi, median, ci_lo, ci_hi).
+   */
+  def medianCiBy(df: DataFrame, valueCol: String, groupCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val cells = df.where(col(valueCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val pre = PrefixSum.exclusive(cells, "__v", Seq("__c" -> "__cb"),
+      groupCols = Seq("__g"))
+    val tot = pre.groupBy("__g").agg(sum(col("__c")).cast("double")
+      .as("__n"))
+    val marked = pre.join(broadcast(tot), Seq("__g"))
+    val n = col("__n")
+    val kMed = ceil(n * 0.5)
+    val kLo = greatest(lit(1.0), floor((n - lit(z) * sqrt(n)) / 2))
+    val kHi = least(n, ceil((n + lit(z) * sqrt(n)) / 2 + 1))
+    def pick(k: Column) =
+      max(when(col("__cb") <= k - 1 &&
+        k - 1 < col("__cb") + col("__c"), col("__v")))
+    marked.groupBy(col("__g").as(groupCol))
+      .agg(max(n).cast("long").as("n"),
+        max(kLo).cast("long").as("k_lo"),
+        max(kHi).cast("long").as("k_hi"),
+        pick(kMed).as("median"), pick(kLo).as("ci_lo"),
+        pick(kHi).as("ci_hi"))
   }
 
   /**

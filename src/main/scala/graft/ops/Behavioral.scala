@@ -1073,6 +1073,56 @@ object Behavioral {
   }
 
   /**
+   * Split-half reliability of a per-entity metric: each entity's
+   * event values split by arrival parity (odd/even positions in ts
+   * order), the two half-means correlate across entities, and
+   * Spearman–Brown 2r/(1+r) projects the full-length reliability —
+   * "is this per-user score a stable trait or session noise", the
+   * prerequisite for using it as a segmentation feature. Entities
+   * need ≥ `minEvents` events so both halves are populated.
+   *
+   * Scale shape: one partitioned row_number window, one
+   * groupBy(entity) with conditional halves, one 1-row correlation
+   * reduce. Returns 1 row: (n_entities, r_half, spearman_brown).
+   */
+  def splitHalfReliability(df: DataFrame, idCol: String, tsCol: String,
+      valueCol: String, minEvents: Int = 4,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minEvents >= 2, "splitHalfReliability: minEvents >= 2")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__t").asc, col("__tb").asc)
+    val per = df
+      .where(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).as("__u"), col(tsCol).as("__t"),
+        struct(tieCols.map(col): _*).as("__tb"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("__u")
+      .agg(count(lit(1)).as("__ne"),
+        avg(when(pmod(col("__rn"), lit(2)) === 1, col("__v")))
+          .as("__mo"),
+        avg(when(pmod(col("__rn"), lit(2)) === 0, col("__v")))
+          .as("__me"))
+      .where(col("__ne") >= minEvents)
+    val a = per.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__mo")).as("__so"), sum(col("__me")).as("__se"),
+      sum(col("__mo") * col("__mo")).as("__soo"),
+      sum(col("__me") * col("__me")).as("__see"),
+      sum(col("__mo") * col("__me")).as("__soe"))
+    val num = col("__n") * col("__soe") - col("__so") * col("__se")
+    val den = sqrt((col("__n") * col("__soo") -
+      col("__so") * col("__so")) *
+      (col("__n") * col("__see") - col("__se") * col("__se")))
+    val r = num / den
+    a.select(col("__n").cast("long").as("n_entities"),
+      when(den > 0, r).as("r_half"),
+      when(den > 0 && r > -1, lit(2.0) * r / (lit(1.0) + r))
+        .as("spearman_brown"))
+  }
+
+  /**
    * Markov entropy rate of the per-entity event-type process:
    * H = −Σᵢⱼ p(i,j)·ln p(j|i) over observed transitions, reported
    * against the marginal entropy H₀ = −Σᵢ p(i)·ln p(i) and as

@@ -4114,6 +4114,51 @@ object TimeSeries {
   }
 
   /**
+   * Sen's slope with the Gilbert/Kendall distribution-free CI: the
+   * median of all pairwise slopes of the daily count series, with
+   * confidence bounds at order-statistic ranks (M ± z·√V)/2,
+   * V = n(n−1)(2n+5)/18 — the trend estimate + error bar that
+   * ignores outliers and needs no residual model, completing the
+   * q168 Theil–Sen point estimate with the CI practitioners actually
+   * quote (Gilbert 1987). Pairwise slopes are exact ratios of
+   * integers, so the rank picks are engine-deterministic.
+   *
+   * Scale shape: reduced×reduced upper-triangle pair join
+   * (≤|calendar|², the [[sampleEntropy]] discipline), slope value
+   * cells + [[PrefixSum]], three index picks. Returns 1 row:
+   * (n_days, n_pairs, sen_slope, ci_lo, ci_hi).
+   */
+  def senSlopeCi(df: DataFrame, tsCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val b = daily.select(col("__t").as("__s"), col("__y").as("__ys"))
+    val slopes = daily.join(b, col("__s") < col("__t"))
+      .select(((col("__y") - col("__ys")) /
+        (col("__t") - col("__s")).cast("double")).as("__sl"))
+    val cells = slopes.groupBy("__sl").agg(count(lit(1)).as("__c"))
+    val pre = graft.analysis.PrefixSum.exclusive(cells, "__sl",
+      Seq("__c" -> "__cb"))
+    val nd = broadcast(daily.agg(count(lit(1)).cast("double")
+      .as("__nd")))
+    val tot = broadcast(pre.agg(sum(col("__c")).cast("double")
+      .as("__m")))
+    val marked = pre.crossJoin(tot).crossJoin(nd)
+    val m = col("__m")
+    val v = col("__nd") * (col("__nd") - 1) *
+      (lit(2.0) * col("__nd") + 5) / 18.0
+    val kMed = ceil(m * 0.5)
+    val kLo = greatest(lit(1.0), floor((m - lit(z) * sqrt(v)) / 2))
+    val kHi = least(m, ceil((m + lit(z) * sqrt(v)) / 2 + 1))
+    def pick(k: Column) =
+      max(when(col("__cb") <= k - 1 &&
+        k - 1 < col("__cb") + col("__c"), col("__sl")))
+    marked.agg(max(col("__nd")).cast("long").as("n_days"),
+      max(m).cast("long").as("n_pairs"),
+      pick(kMed).as("sen_slope"), pick(kLo).as("ci_lo"),
+      pick(kHi).as("ci_hi"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

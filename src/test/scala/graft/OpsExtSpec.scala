@@ -11061,6 +11061,63 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r(1).getAs[Double]("events_per_session") - 1.5) < 1e-12)
   }
 
+  test("ledoitWolfShrinkage: y = x over 3 rows -> lambda 0.25") {
+    import spark.implicits._
+    val rows = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r = graft.analysis.AnalysisPlanner
+      .ledoitWolfShrinkage(rows, Seq("x", "y")).head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("avg_abs_r") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lambda_star") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_abs_r_shrunk") - 0.75) < 1e-12)
+  }
+
+  test("splitHalfReliability: linear half-means -> r 1, SB 1") {
+    import spark.implicits._
+    val rows = (for {
+      (u, base) <- Seq((1L, 1.0), (2L, 3.0), (3L, 5.0))
+      (i, v) <- Seq(0 -> base, 1 -> (base + 1), 2 -> base,
+        3 -> (base + 1))
+    } yield (u, f"2024-01-01 00:00:0$i", v, i.toLong))
+      .toDF("u", "ts0", "v", "id")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"), col("v"),
+        col("id"))
+    val r = graft.ops.Behavioral
+      .splitHalfReliability(rows, "u", "ts", "v",
+        tieCols = Seq("id")).head
+    assert(r.getAs[Long]("n_entities") == 3L)
+    assert(math.abs(r.getAs[Double]("r_half") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("spearman_brown") - 1.0) < 1e-12)
+  }
+
+  test("medianCiBy: group of 1..4 -> median 2, CI [1,4]") {
+    import spark.implicits._
+    val rows = ((1 to 100).map(v => ("a", v.toDouble)) ++
+      (1 to 4).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .medianCiBy(rows, "v", "g").orderBy("g").collect()
+    assert(r(0).getAs[Double]("median") == 50.0)
+    assert(r(0).getAs[Double]("ci_lo") == 40.0)
+    assert(r(1).getAs[Long]("n") == 4L)
+    assert(r(1).getAs[Double]("median") == 2.0)
+    assert(r(1).getAs[Double]("ci_lo") == 1.0)
+    assert(r(1).getAs[Double]("ci_hi") == 4.0)
+  }
+
+  test("senSlopeCi: counts [1,2,4] -> slope 1.5, CI spans slopes") {
+    import spark.implicits._
+    val counts = Seq(1, 2, 4)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.senSlopeCi(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Double]("sen_slope") == 1.5)
+    assert(r.getAs[Double]("ci_lo") == 1.0)
+    assert(r.getAs[Double]("ci_hi") == 2.0)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
