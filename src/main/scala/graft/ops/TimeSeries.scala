@@ -4159,6 +4159,44 @@ object TimeSeries {
   }
 
   /**
+   * Poisson rate ratio of weekday vs weekend event intensity with
+   * the log-normal CI: RR = (c₁/d₁)/(c₂/d₂), ln RR ± z·√(1/c₁+1/c₂)
+   * — the exposure-honest "how much busier are weekdays" readout
+   * (raw count ratios ignore that there are 2.5× more weekdays).
+   * Exposures are OBSERVED days of each kind; dow from epoch-day
+   * arithmetic, identical on both engines.
+   *
+   * Scale shape: calendar frame + ONE reduce. Returns 1 row:
+   * (days_wd, days_we, events_wd, events_we, rate_wd, rate_we,
+   * rate_ratio, ci_lo, ci_hi).
+   */
+  def weekdayRateRatio(df: DataFrame, tsCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val daily = dailyCounts(df, tsCol)
+      .withColumn("__wd", pmod(col("__t") + 4, lit(7)).between(1, 5))
+    val a = daily.agg(
+      sum(when(col("__wd"), 1L).otherwise(0L)).as("days_wd"),
+      sum(when(!col("__wd"), 1L).otherwise(0L)).as("days_we"),
+      coalesce(sum(when(col("__wd"), col("__y"))), lit(0.0))
+        .as("events_wd"),
+      coalesce(sum(when(!col("__wd"), col("__y"))), lit(0.0))
+        .as("events_we"))
+    val rwd = col("events_wd") / col("days_wd")
+    val rwe = col("events_we") / col("days_we")
+    val se = sqrt(lit(1.0) / col("events_wd") +
+      lit(1.0) / col("events_we"))
+    val ok = col("days_wd") > 0 && col("days_we") > 0 &&
+      col("events_wd") > 0 && col("events_we") > 0
+    a.select(col("days_wd"), col("days_we"), col("events_wd"),
+      col("events_we"),
+      when(col("days_wd") > 0, rwd).as("rate_wd"),
+      when(col("days_we") > 0, rwe).as("rate_we"),
+      when(ok, rwd / rwe).as("rate_ratio"),
+      when(ok, exp(log(rwd / rwe) - lit(z) * se)).as("ci_lo"),
+      when(ok, exp(log(rwd / rwe) + lit(z) * se)).as("ci_hi"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

@@ -11118,6 +11118,24 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ci_hi") == 2.0)
   }
 
+  test("weekdayRateRatio: epoch days 0..6, counts 2 on weekdays 1 on weekend") {
+    import spark.implicits._
+    // epoch day 0 = Thursday; days 2 (Sat), 3 (Sun) are weekend
+    val counts = Seq(2, 2, 1, 1, 2, 2, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.weekdayRateRatio(rows, "ts").head
+    assert(r.getAs[Long]("days_wd") == 5L)
+    assert(r.getAs[Long]("days_we") == 2L)
+    assert(r.getAs[Double]("events_wd") == 10.0)
+    assert(r.getAs[Double]("events_we") == 2.0)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - 2.0) < 1e-12)
+    val se = math.sqrt(1.0 / 10 + 1.0 / 2)
+    assert(math.abs(r.getAs[Double]("ci_lo") -
+      math.exp(math.log(2.0) - 1.959964 * se)) < 1e-9)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
