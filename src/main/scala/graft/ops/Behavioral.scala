@@ -1123,6 +1123,49 @@ object Behavioral {
   }
 
   /**
+   * Engagement intensity by tenure: events per USER-DAY at each age
+   * week since a user's first event — the exposure-corrected
+   * engagement-aging curve that cohort retention (presence/absence)
+   * can't show: retention says users come back, this says how HARD
+   * they use it as they age. Exposure at age week b counts only
+   * users whose observation window [first, global max] reaches that
+   * age: contribution min(span − 7b + 1, 7) days.
+   *
+   * Scale shape: one groupBy(user) firsts pass (+1-row horizon
+   * broadcast), an equi-join back for ages, one bucket groupBy, and
+   * a span-cell explode bounded by |calendar|/7 buckets. Returns
+   * one row per age week: (age_week, n_events, user_days,
+   * events_per_user_day).
+   */
+  def engagementByTenure(df: DataFrame, idCol: String,
+      tsCol: String): DataFrame = {
+    val base = df.where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("__u"), to_date(col(tsCol)).as("__d"))
+    val gmax = broadcast(base.agg(max(col("__d")).as("__gm")))
+    val firsts = base.groupBy("__u").agg(min(col("__d")).as("__f"))
+      .crossJoin(gmax)
+      .select(col("__u"), col("__f"),
+        datediff(col("__gm"), col("__f")).as("__span"))
+      .localCheckpoint()
+    val ev = base.join(firsts, Seq("__u"))
+      .select(floor(datediff(col("__d"), col("__f")) / 7)
+        .cast("long").as("age_week"))
+      .groupBy("age_week").agg(count(lit(1)).as("n_events"))
+    val spans = firsts.groupBy("__span")
+      .agg(count(lit(1)).as("__nu"))
+      .withColumn("age_week",
+        explode(sequence(lit(0L), floor(col("__span") / 7)
+          .cast("long"))))
+      .groupBy("age_week")
+      .agg(sum(col("__nu") * least(col("__span") - col("age_week") * 7
+        + 1, lit(7L))).as("user_days"))
+    ev.join(spans, Seq("age_week"))
+      .select(col("age_week"), col("n_events"), col("user_days"),
+        (col("n_events").cast("double") / col("user_days"))
+          .as("events_per_user_day"))
+  }
+
+  /**
    * Markov entropy rate of the per-entity event-type process:
    * H = −Σᵢⱼ p(i,j)·ln p(j|i) over observed transitions, reported
    * against the marginal entropy H₀ = −Σᵢ p(i)·ln p(i) and as

@@ -11136,6 +11136,30 @@ class OpsExtSpec extends AnyFunSuite {
       math.exp(math.log(2.0) - 1.959964 * se)) < 1e-9)
   }
 
+  test("engagementByTenure: two staggered users, hand-worked exposure") {
+    import spark.implicits._
+    // u1 first day 0 (span 8), u2 first day 7 (span 1); horizon day 8
+    val rows = Seq((1L, 0), (1L, 3), (1L, 8), (2L, 7), (2L, 8))
+      .map { case (u, day) =>
+        (u, java.time.LocalDate.ofEpochDay(day.toLong).toString)
+      }.toDF("u", "ts0")
+      .select(col("u"), to_timestamp(col("ts0")).as("ts"))
+    val r = graft.ops.Behavioral.engagementByTenure(rows, "u", "ts")
+      .orderBy("age_week").collect()
+    // week 0: events u1@0,3 + u2@7,8(ages 0,1) = 4; exposure:
+    // u1 min(8-0+1,7)=7, u2 min(1-0+1,7)=2 -> 9 user-days
+    assert(r(0).getAs[Long]("age_week") == 0L)
+    assert(r(0).getAs[Long]("n_events") == 4L)
+    assert(r(0).getAs[Long]("user_days") == 9L)
+    assert(math.abs(r(0).getAs[Double]("events_per_user_day") -
+      4.0 / 9) < 1e-12)
+    // week 1: u1's event at age 8 -> 1 event; exposure u1 only:
+    // min(8-7+1,7)=2
+    assert(r(1).getAs[Long]("age_week") == 1L)
+    assert(r(1).getAs[Long]("n_events") == 1L)
+    assert(r(1).getAs[Long]("user_days") == 2L)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
