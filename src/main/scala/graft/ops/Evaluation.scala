@@ -3063,6 +3063,50 @@ object Evaluation {
   }
 
   /**
+   * Newcombe hybrid-score CI for a proportion DIFFERENCE: Wilson
+   * bounds per arm, recombined as d ± √(per-arm score distances) —
+   * the interval that keeps coverage near small counts and at
+   * p ≈ 0/1, where the naive Wald difference CI collapses. The
+   * two-arm companion to the single-proportion Wilson intervals
+   * (q*_wilson_intervals).
+   *
+   * Scale shape: ONE conditional-count reduce, closed-form algebra.
+   * Returns 1 row: (n_1, x_1, n_2, x_2, p_1, p_2, diff, ci_lo,
+   * ci_hi).
+   */
+  def newcombeDiff(df: DataFrame, successFlag: Column,
+      groupFlag: Column, z: Double = 1.959964): DataFrame = {
+    val a = df.where(successFlag.isNotNull && groupFlag.isNotNull)
+      .agg(
+        sum(when(groupFlag, 1L).otherwise(0L)).cast("double").as("__n1"),
+        sum(when(groupFlag && successFlag, 1L).otherwise(0L))
+          .cast("double").as("__x1"),
+        sum(when(!groupFlag, 1L).otherwise(0L)).cast("double").as("__n2"),
+        sum(when(!groupFlag && successFlag, 1L).otherwise(0L))
+          .cast("double").as("__x2"))
+    val zz = lit(z * z)
+    def wilson(x: Column, n: Column): (Column, Column, Column) = {
+      val p = x / n
+      val center = (p + zz / (n * 2)) / (lit(1.0) + zz / n)
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        zz / (n * n * 4)) / (lit(1.0) + zz / n)
+      (p, center - half, center + half)
+    }
+    val (p1, l1, u1) = wilson(col("__x1"), col("__n1"))
+    val (p2, l2, u2) = wilson(col("__x2"), col("__n2"))
+    val d = p1 - p2
+    a.select(col("__n1").cast("long").as("n_1"),
+      col("__x1").cast("long").as("x_1"),
+      col("__n2").cast("long").as("n_2"),
+      col("__x2").cast("long").as("x_2"),
+      p1.as("p_1"), p2.as("p_2"), d.as("diff"),
+      (d - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2)))
+        .as("ci_lo"),
+      (d + sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2)))
+        .as("ci_hi"))
+  }
+
+  /**
    * Switchback-experiment readout: arms alternate by DAY PARITY, the
    * effect is the odd-vs-even difference of daily means, and the
    * standard error comes in two flavors — the iid OLS one and the

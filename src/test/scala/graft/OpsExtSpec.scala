@@ -11160,6 +11160,22 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("user_days") == 2L)
   }
 
+  test("newcombeDiff: 8/10 vs 2/10 -> diff 0.6, hybrid CI brackets") {
+    import spark.implicits._
+    val rows = ((1 to 10).map(i => (true, i <= 8)) ++
+      (1 to 10).map(i => (false, i <= 2))).toDF("g", "s")
+    val r = graft.ops.Evaluation
+      .newcombeDiff(rows, col("s"), col("g")).head
+    assert(r.getAs[Long]("n_1") == 10L && r.getAs[Long]("x_1") == 8L)
+    assert(r.getAs[Long]("n_2") == 10L && r.getAs[Long]("x_2") == 2L)
+    assert(math.abs(r.getAs[Double]("diff") - 0.6) < 1e-12)
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    // Newcombe (1998) for 8/10 vs 2/10 at 95%: about [0.197, 0.805]
+    assert(lo > 0.15 && lo < 0.25)
+    assert(hi > 0.75 && hi < 0.85)
+    assert(lo < 0.6 && hi > 0.6)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
