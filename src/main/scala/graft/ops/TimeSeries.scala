@@ -4197,6 +4197,42 @@ object TimeSeries {
   }
 
   /**
+   * AR(1)-adjusted effective sample size of the daily count series:
+   * n_eff = n·(1−ρ̂₁)/(1+ρ̂₁) and the variance inflation factor
+   * (1+ρ̂₁)/(1−ρ̂₁) — the "how many INDEPENDENT days do I actually
+   * have" correction every daily-metric t-test silently needs
+   * (ρ₁ = 0.5 cuts 90 days to 30). ρ̂₁ over consecutive calendar
+   * pairs on demeaned counts, the q606/q635 convention.
+   *
+   * Scale shape: calendar frame + one calendar-shift join + two
+   * 1-row reduces. Returns 1 row: (n_days, rho1, n_eff,
+   * variance_inflation, se_inflation).
+   */
+  def effectiveSampleSize(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, tsCol).localCheckpoint()
+    val mm = broadcast(daily.agg(avg(col("__y")).as("__my"),
+      count(lit(1)).cast("double").as("__n")))
+    val dem = daily.crossJoin(mm)
+      .select(col("__t"), (col("__y") - col("__my")).as("__z"),
+        col("__n"))
+    val prev = dem.select((col("__t") + 1).as("__t"),
+      col("__z").as("__z1"))
+    val a = dem.join(prev, Seq("__t"))
+      .agg(max(col("__n")).as("__n"),
+        (sum(col("__z") * col("__z1")) / sum(col("__z1") * col("__z1")))
+          .as("__rho"))
+    val rho = col("__rho")
+    val ok = rho > -1 && rho < 1
+    a.select(col("__n").cast("long").as("n_days"), rho.as("rho1"),
+      when(ok, col("__n") * (lit(1.0) - rho) / (lit(1.0) + rho))
+        .as("n_eff"),
+      when(ok, (lit(1.0) + rho) / (lit(1.0) - rho))
+        .as("variance_inflation"),
+      when(ok, sqrt((lit(1.0) + rho) / (lit(1.0) - rho)))
+        .as("se_inflation"))
+  }
+
+  /**
    * Laplace trend test for the event stream as a point process: with
    * event offsets u_i from the window start over span T, under a
    * homogeneous Poisson process Σu/n is T/2 in expectation, and

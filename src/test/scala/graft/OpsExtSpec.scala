@@ -11176,6 +11176,26 @@ class OpsExtSpec extends AnyFunSuite {
     assert(lo < 0.6 && hi > 0.6)
   }
 
+  test("effectiveSampleSize: alternating series -> rho -1-ish guard, smooth series shrinks n") {
+    import spark.implicits._
+    // counts 1,2,4,8,16 (strong positive autocorrelation of levels)
+    val counts = Seq(1, 2, 4, 8, 16)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.effectiveSampleSize(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    // demeaned z = [-5.2,-4.2,-2.2,1.8,9.8]; rho = sum(z_t z_{t-1})/sum(z_{t-1}^2)
+    val z = Seq(-5.2, -4.2, -2.2, 1.8, 9.8)
+    val num = (1 until 5).map(i => z(i) * z(i - 1)).sum
+    val den = (0 until 4).map(i => z(i) * z(i)).sum
+    val rho = num / den
+    assert(math.abs(r.getAs[Double]("rho1") - rho) < 1e-9)
+    assert(math.abs(r.getAs[Double]("n_eff") -
+      5 * (1 - rho) / (1 + rho)) < 1e-6)
+    assert(r.getAs[Double]("n_eff") < 5.0)
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
