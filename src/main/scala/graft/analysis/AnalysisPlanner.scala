@@ -7459,6 +7459,59 @@ object AnalysisPlanner {
   }
 
   /**
+   * Spearman rho with the Fisher-z confidence interval
+   * (tanh(atanh ρ ± z·√(1.06/(n−3))), Fieller's variance) — the
+   * error bar q08's point estimate doesn't carry; atanh/tanh are
+   * spelled out as log/exp algebra so both engines run identical
+   * arithmetic. Midranks from value-level counts; the joint term
+   * Σ rₓ·r_y reduces over distinct (x, y) cells, never raw rows.
+   *
+   * Scale shape: one (x, y)-cell pass + two margin rank frames
+   * (PrefixSum) joined back on VALUE keys + one reduce. Returns
+   * 1 row: (n, rho, ci_lo, ci_hi).
+   */
+  def spearmanCi(df: DataFrame, xCol: String, yCol: String,
+      z: Double = 1.959964): DataFrame = {
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint()
+    def margin(c: String, out: String): DataFrame = {
+      val vc = cells.groupBy(col(c).as("__v"))
+        .agg(sum(col("__c")).as("__cc")).localCheckpoint()
+      PrefixSum.exclusive(vc, "__v", Seq("__cc" -> "__ex"))
+        .select(col("__v").as(c),
+          (col("__ex") + (col("__cc") + 1) / 2.0).as(out))
+    }
+    val joined = cells
+      .join(margin("__x", "__rx"), Seq("__x"))
+      .join(margin("__y", "__ry"), Seq("__y"))
+    val a = joined.agg(sum(col("__c")).as("__n"),
+      sum(col("__c") * col("__rx")).as("__sx"),
+      sum(col("__c") * col("__ry")).as("__sy"),
+      sum(col("__c") * col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__c") * col("__ry") * col("__ry")).as("__syy"),
+      sum(col("__c") * col("__rx") * col("__ry")).as("__sxy"))
+    val n = col("__n")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((n * col("__sxx") - col("__sx") * col("__sx")) *
+      (n * col("__syy") - col("__sy") * col("__sy")))
+    val rho = num / den
+    val zf = lit(0.5) * log((lit(1.0) + rho) / (lit(1.0) - rho))
+    val se = sqrt(lit(1.06) / (n - 3))
+    def tanhC(v: Column) =
+      (exp(lit(2.0) * v) - 1) / (exp(lit(2.0) * v) + 1)
+    a.select(n.cast("long").as("n"),
+      when(den > 0, rho).as("rho"),
+      when(den > 0 && n > 3 && abs(rho) < 1,
+        tanhC(zf - lit(z) * se)).as("ci_lo"),
+      when(den > 0 && n > 3 && abs(rho) < 1,
+        tanhC(zf + lit(z) * se)).as("ci_hi"))
+  }
+
+  /**
    * Partial Spearman correlation of (x, y) given z: Pearson on the
    * three midrank margins, then the standard partialling formula
    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does the

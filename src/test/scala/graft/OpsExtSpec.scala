@@ -11196,6 +11196,22 @@ class OpsExtSpec extends AnyFunSuite {
     assert(r.getAs[Double]("n_eff") < 5.0)
   }
 
+  test("spearmanCi: monotone pairs -> rho 1 with null CI; noisy pairs bracketed") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0),
+      (5.0, 50.0)).toDF("x", "y")
+    val r1 = graft.analysis.AnalysisPlanner.spearmanCi(mono, "x", "y").head
+    assert(math.abs(r1.getAs[Double]("rho") - 1.0) < 1e-12)
+    assert(r1.isNullAt(r1.fieldIndex("ci_lo"))) // |rho| = 1 -> no z CI
+    val noisy = Seq((1.0, 10.0), (2.0, 30.0), (3.0, 20.0), (4.0, 50.0),
+      (5.0, 40.0), (6.0, 60.0)).toDF("x", "y")
+    val r2 = graft.analysis.AnalysisPlanner.spearmanCi(noisy, "x", "y").head
+    val rho = r2.getAs[Double]("rho")
+    // ranks swap two adjacent pairs: rho = 1 - 6*4/(6*35) = 0.885714
+    assert(math.abs(rho - (1 - 24.0 / 210)) < 1e-12)
+    assert(r2.getAs[Double]("ci_lo") < rho && rho < r2.getAs[Double]("ci_hi"))
+  }
+
   test("turningPoints: [1,3,2,4,1] -> 3 of 3 triples turn") {
     import spark.implicits._
     val counts = Seq(1, 3, 2, 4, 1)
