@@ -6,17 +6,37 @@ import org.apache.spark.sql.SparkSession
  * Per-round benchmark: runs every SparkEntry query on
  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
  *
- * Methodology:
+ * Methodology (r13 rewrite — r12's record was lost to a driver-side
+ * timeout because the old min-of-2(+conditional-3rd) scheme ran up to
+ * ~1800 executions and printed NOTHING until the very end):
  *  - a warmup pass (tiny read+agg) first, so JVM/classloading/codegen
  *    warmup isn't billed to the first query;
  *  - queries execute via the `noop` sink — full plan runs (a bare
- *    `count()` would let Catalyst prune projections and undercount work).
+ *    `count()` would let Catalyst prune projections and undercount work);
+ *  - PASS 1 runs every query exactly once and then IMMEDIATELY emits a
+ *    complete snapshot JSON line (stdout) + BENCH_FULL.json — from this
+ *    point on, a timeout can no longer lose the round's record;
+ *  - PASS 2 (refinement) re-samples queries to take the noise-robust
+ *    min-of-2, slowest-first (where noise hurts the headline most), but
+ *    ONLY while a wall-clock budget holds (SPARK_GRAFT_BENCH_BUDGET_SEC,
+ *    default 2400 s — comfortably under the driver's 3600 s kill);
+ *    a fresh snapshot line is emitted periodically during refinement;
+ *  - the conditional 3rd sample only fires for queries whose two samples
+ *    disagree >1.5×, again budget-gated;
+ *  - the FINAL line is printed after spark.stop() so nothing trails it,
+ *    with "value" last (tail-safe for bounded artifact capture).
+ * A query that THROWS is recorded as an error, not a time — r6 shipped
+ * six runtime-broken queries disguised as 0.04 s rows.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    val wall0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - wall0) / 1e9
+
     val spark = GraftSession.withFunctions(
       GraftSession.builder(s"local[$cpus]", cpus.toInt)
         .config("spark.ui.enabled", "false")
@@ -38,82 +58,118 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // min of 2 runs per query: single-shot timings on a shared box flap
-    // (r4/r5 both carried phantom 10 s regressions that judge re-runs
-    // reproduced at sub-second) — the min is the noise-robust estimate
-    // of the plan's actual cost. If the two samples still disagree by
-    // >1.5× the box was busy during one of them: take a third and keep
-    // the min. A query that THROWS is recorded as an error, not a time —
-    // r6 shipped six runtime-broken queries disguised as 0.04 s rows.
-    var failed = Vector.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var err: Option[String] = None
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val fns = SparkEntry.queries
+    // per-query state: accumulated samples + first error message
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def runOnce(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        if (!errs.contains(name))
+          errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val two = Seq(once(), once())
-      val times = if (err.isEmpty && two.max / math.max(two.min, 1e-9) > 1.5)
-        two :+ once() else two
-      err.foreach(m => failed :+= (name, m))
-      // a failed query's time-to-throw is meaningless — record NaN so
-      // neither the per-query map nor the headline total carries it
-      // (the err map + FAILED line are the failure record)
-      (name, if (err.isEmpty) times.min else Double.NaN, times)
     }
-    // COMPACT line — values rounded to ms so the whole record stays
-    // ~2.5 KB: the artifact capture keeps a bounded tail (~4 KB) and a
-    // full-precision line gets cut mid-JSON (r3 lost its total that way)
+
+    // COMPACT values rounded to ms so the whole record stays small: the
+    // artifact capture keeps a bounded tail (~4 KB) and a full-precision
+    // line gets cut mid-JSON (r3 lost its total that way)
     def ms(v: Double): String =
-      if (v.isNaN) "null" // failed query: JSON null, never a fake time
+      if (v.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    // every raw sample per query rides in the committed file (NOT the
-    // stdout line, which must stay tail-safe): cross-round compares
-    // read the spread to self-adjudicate noise — a real regression is
-    // ALL samples slow (tight spread, high min); a noisy one is a wide
-    // spread whose min still lands low
-    val samples = results.map { case (k, _, ts) =>
-      "\"" + k + "\":[" + ts.map(ms).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // the headline total reflects successfully executed plans only
-    val total = results.map(_._2).filterNot(_.isNaN).sum
-    spark.stop()
-    // errors surface in BOTH artifacts: an "err" map in the JSON (empty
-    // when all green) and a FAILED line on stderr — a broken query can
-    // no longer masquerade as a fast one
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val errJson = failed.map { case (k, m) => q(k) + ":" + q(m) }
-      .mkString("{", ",", "}")
-    if (failed.nonEmpty)
+
+    def best(name: String): Double = {
+      val s = samples(name)
+      if (s.isEmpty) Double.NaN else s.min
+    }
+    def record(): String = {
+      val done = names.filter(n => samples(n).nonEmpty || errs.contains(n))
+      val qs = done.map(k => "\"" + k + "\":" + ms(best(k))).mkString("{", ",", "}")
+      val errJson = errs.map { case (k, m) => q(k) + ":" + q(m) }.mkString("{", ",", "}")
+      val total = done.map(best).filterNot(_.isNaN).sum
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${errs.size},"err":$errJson,"queries":$qs,"value":${ms(total)}}"""
+    }
+    // every raw sample per query rides in the committed file (NOT the
+    // stdout line, which must stay tail-safe): cross-round compares read
+    // the spread to self-adjudicate noise — a real regression is ALL
+    // samples slow (tight spread, high min); a noisy one is a wide
+    // spread whose min still lands low
+    def writeFull(): Unit = {
+      val samp = names.filter(n => samples(n).nonEmpty)
+        .map(k => "\"" + k + "\":[" + samples(k).map(ms).mkString(",") + "]")
+        .mkString("{", ",", "}")
+      val full = record().dropRight(1) + s""","elapsed":${ms(elapsed())},"samples":$samp}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"), (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    }
+    // emit a complete snapshot line: if the process is killed later, the
+    // last printed snapshot IS the round's record (the capture keeps a
+    // tail, and each snapshot is a full JSON object with value last)
+    def snapshot(tag: String): Unit = {
+      System.err.println(s"[bench] snapshot($tag) elapsed=${ms(elapsed())}s failed=${errs.size}")
+      println(record()); System.out.flush(); writeFull()
+    }
+
+    // PASS 1 — one complete sweep; checkpoint the file every 50 queries
+    // so even a mid-pass kill preserves a partial per-query record
+    names.zipWithIndex.foreach { case (n, i) =>
+      runOnce(n)
+      if ((i + 1) % 50 == 0) writeFull()
+    }
+    snapshot("pass1")
+
+    // PASS 2 — refinement to min-of-2, slowest-first, budget-gated.
+    // Reserve headroom for the 3rd-sample pass + shutdown + final print.
+    val ok = names.filterNot(errs.contains)
+    val bySlowest = ok.sortBy(n => -best(n))
+    var i2 = 0
+    while (i2 < bySlowest.length && elapsed() < budgetSec * 0.75) {
+      runOnce(bySlowest(i2))
+      i2 += 1
+      if (i2 % 100 == 0) snapshot(s"pass2@$i2")
+    }
+    if (i2 < bySlowest.length)
+      System.err.println(s"[bench] pass2 budget-stopped at $i2/${bySlowest.length}")
+    snapshot("pass2")
+
+    // PASS 3 — conditional 3rd sample where the two disagree >1.5× (the
+    // box was busy during one of them); slowest-first, budget-gated
+    val disagree = ok.filter { n =>
+      val s = samples(n)
+      s.length >= 2 && s.max / math.max(s.min, 1e-9) > 1.5
+    }.sortBy(n => -best(n))
+    var i3 = 0
+    while (i3 < disagree.length && elapsed() < budgetSec * 0.92) {
+      runOnce(disagree(i3))
+      i3 += 1
+      if (i3 % 100 == 0) snapshot(s"pass3@$i3")
+    }
+    if (i3 < disagree.length)
+      System.err.println(s"[bench] pass3 budget-stopped at $i3/${disagree.length}")
+
+    if (errs.nonEmpty)
       System.err.println(
-        s"[bench] FAILED ${failed.size}/${results.size}: ${failed.map(_._1).mkString(",")}")
-    // full per-query record to a file too: the stdout artifact keeps a
-    // bounded TAIL, which head-clipped q01–q24 out of BENCH_r05 — the
-    // committed file can never lose entries that way
-    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${failed.size},"err":$errJson,"queries":$qs,"value":${ms(total)}}"""
-    val fullWithSamples = full.dropRight(1) + s""","samples":$samples}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullWithSamples + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+        s"[bench] FAILED ${errs.size}/${names.size}: ${errs.keys.mkString(",")}")
+    writeFull()
+    val finalLine = record()
+    spark.stop()
     // printed LAST, after spark shutdown, so no log line can trail it —
-    // and "value" is the FINAL field: the artifact capture keeps a
-    // bounded tail, so a head-clipped line can lose early per-query
-    // entries but never the total (r4's artifact lost q01 AND the
+    // and "value" is the FINAL field (tail-safe; r4's artifact lost the
     // total because the total led the line)
-    println(full)
+    println(finalLine)
     System.out.flush()
   }
 }

@@ -42,7 +42,11 @@ object ScaleSlope {
         "q445_hoeffdings_d",
         // round-11 heavy-tail entrants (probe > 2.5 s at sf0.1)
         "q540_bradley_terry", "q535_hubness", "q245_naive_bayes",
-        "q284_c2st_drift", "q545_psm_att", "q546_randomization_test")
+        "q284_c2st_drift", "q545_psm_att", "q546_randomization_test",
+        // round-12 heavy-tail entrants (committed fold ≥ 2.5 s at sf0.1)
+        "q570_spectral_radius", "q565_katz_centrality",
+        "q586_minhash_error_audit", "q650_butterfly",
+        "q665_spearman_ci")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(

@@ -113,12 +113,37 @@ final case class StatTest(
     segmentBy: String,
     control: String,
     treatment: String,
-    bins: Int = 10) // for chi2 binning of continuous features
+    bins: Int = 10, // for chi2 binning of continuous features
+    // Compare two snapshot VERSIONS of the group instead of two segment
+    // values (analysis.py:272 compare_versions) — resolved by
+    // FeatureGroupData.analyze into a union frame labeled with
+    // [[StatTest.versionCol]]; the planner then tests version-a vs
+    // version-b rows. Accepts "v3" or "3".
+    compareVersions: Option[(String, String)] = None,
+    // Two-sided CI level on the effect (analysis.py:273); welch/ttest
+    // and ztest emit (confidence_level, ci_lo, ci_hi).
+    confidenceLevel: Double = 0.95,
+    // Pre-test row filter (analysis.py:274) — routed through snapshot
+    // segment pruning like Aggregation.filter.
+    filter: Option[String] = None)
     extends Analysis {
   val kind = "stat_test"
   require(Set("welch", "ttest", "mannwhitney", "chi2", "ks", "anova",
     "ztest", "ztest_proportions")(test),
     s"Unknown test: $test")
+  require(segmentBy.nonEmpty || compareVersions.isDefined,
+    "Either segmentBy or compareVersions must be specified") // analysis.py:287-289
+  require(confidenceLevel > 0 && confidenceLevel < 1,
+    s"confidenceLevel in (0, 1), got $confidenceLevel")
+}
+
+object StatTest {
+  /** Label column the compare-versions union frame carries. */
+  val versionCol = "__version"
+
+  /** "3" and "v3" both mean version 3; labels are canonically "v3". */
+  def normVersion(v: String): String =
+    if (v.startsWith("v")) v else "v" + v
 }
 
 /** Row inspection. Ref: analysis.py:309-362. */

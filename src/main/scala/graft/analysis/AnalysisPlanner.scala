@@ -276,6 +276,22 @@ object AnalysisPlanner {
       .drop("__tot")
   }
 
+  /**
+   * Two-sided Student-t critical value from the asymptotic
+   * Cornish–Fisher expansion in 1/df around the normal quantile `z`
+   * (Abramowitz & Stegun 26.7.5) — closed-form column arithmetic, so
+   * a StatTest confidence interval stays inside whole-stage codegen
+   * AND its DuckDB oracle can reproduce it bit-for-bit from the same
+   * shared z literal. Error < 1e-4 for df ≥ 10 (two-sample tests on
+   * analytics-scale data are far past that).
+   */
+  def tCritExpansion(z: Double, df: Column): Column = {
+    val z3 = z * z * z; val z5 = z3 * z * z; val z7 = z5 * z * z
+    lit(z) + lit((z3 + z) / 4.0) / df +
+      lit((5 * z5 + 16 * z3 + 3 * z) / 96.0) / (df * df) +
+      lit((3 * z7 + 19 * z5 + 17 * z3 - 15 * z) / 384.0) / (df * df * df)
+  }
+
   def plan(df: DataFrame, a: Analysis): DataFrame = a match {
     case s: Aggregation  => aggregation(df, s)
     case s: Distribution => distribution(df, s)
@@ -1188,11 +1204,28 @@ object AnalysisPlanner {
    * no per-group collect). Outputs test statistic + df/z; p-values are
    * attached by [[graft.analysis.Stats]] driver-side (scalar math).
    */
-  def statTest(df0: DataFrame, s: StatTest): DataFrame = {
+  def statTest(df00: DataFrame, s: StatTest): DataFrame = {
+    // spec-level row filter first (analysis.py:274) — FeatureGroupData
+    // additionally routes it through snapshot segment pruning
+    val df0 = s.filter.map(f => df00.where(expr(f))).getOrElse(df00)
     val c = col(s.feature).cast("double")
-    val seg = col(s.segmentBy)
-    val isC = seg === lit(s.control)
-    val isT = seg === lit(s.treatment)
+    // compare_versions (analysis.py:272): the two "segments" are the
+    // version labels on the union frame FeatureGroupData.analyze built
+    val seg = if (s.compareVersions.isDefined) col(StatTest.versionCol)
+              else col(s.segmentBy)
+    val (ctl, trt) = s.compareVersions match {
+      case Some((a, b)) => (StatTest.normVersion(a), StatTest.normVersion(b))
+      case None => (s.control, s.treatment)
+    }
+    val isC = seg === lit(ctl)
+    val isT = seg === lit(trt)
+    // two-sided critical z for the spec's confidence level — a driver
+    // CONSTANT, so both the plan and the oracle SQL can embed the same
+    // literal; the t critical value then comes from the standard
+    // Cornish–Fisher expansion in df (closed-form on columns, so the
+    // whole CI stays inside whole-stage codegen — no UDF, no collect)
+    val zc = Stats.inverseNormalCdf((1.0 + s.confidenceLevel) / 2.0)
+    def tCrit(df: Column): Column = AnalysisPlanner.tCritExpansion(zc, df)
     s.test match {
       case "welch" | "ttest" =>
         df0.where(isC || isT)
@@ -1209,12 +1242,19 @@ object AnalysisPlanner {
             (col("se2") * col("se2")) /
               (pow(col("var_c") / col("n_c"), 2.0) / (col("n_c") - 1) +
                 pow(col("var_t") / col("n_t"), 2.0) / (col("n_t") - 1)))
+          .withColumn("confidence_level", lit(s.confidenceLevel))
+          .withColumn("ci_lo", col("mean_t") - col("mean_c") -
+            tCrit(col("df_welch")) * sqrt(col("se2")))
+          .withColumn("ci_hi", col("mean_t") - col("mean_c") +
+            tCrit(col("df_welch")) * sqrt(col("se2")))
           .drop("se2")
 
       case "ztest" | "ztest_proportions" =>
         // two-proportion z-test (pooled SE) — the A/B conversion-rate
         // test. `feature` is a 0/1 (or boolean) success indicator;
         // one conditional-aggregation pass, same shape as welch.
+        // The CI uses the UNPOOLED SE (standard Wald form: pool under
+        // H0 for the test, don't pool for the interval).
         df0.where(isC || isT)
           .agg(
             count(when(isC, c)).as("n_c"),
@@ -1229,7 +1269,13 @@ object AnalysisPlanner {
             (col("p_t") - col("p_c")) /
               sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
                 (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
-          .drop("__pp")
+          .withColumn("confidence_level", lit(s.confidenceLevel))
+          .withColumn("__seu",
+            sqrt(col("p_c") * (lit(1.0) - col("p_c")) / col("n_c") +
+              col("p_t") * (lit(1.0) - col("p_t")) / col("n_t")))
+          .withColumn("ci_lo", col("p_t") - col("p_c") - lit(zc) * col("__seu"))
+          .withColumn("ci_hi", col("p_t") - col("p_c") + lit(zc) * col("__seu"))
+          .drop("__pp", "__seu")
 
       case "mannwhitney" =>
         // Distributed rank-sum with min-rank convention (identical to
@@ -7293,10 +7339,12 @@ object AnalysisPlanner {
       sum(col("__s2") * col("__v")).as("__w2"),
       sum(col("__s3") * col("__v")).as("__w3"))
     val n = col("__n")
+    // n in [1, 3] would zero a falling-factorial denominator and throw
+    // under default ANSI — small samples yield NULL moments instead
     val b0 = col("__w0") / n
-    val b1 = col("__w1") / (n * (n - 1))
-    val b2 = col("__w2") / (n * (n - 1) * (n - 2))
-    val b3 = col("__w3") / (n * (n - 1) * (n - 2) * (n - 3))
+    val b1 = when(n > 1, col("__w1") / (n * (n - 1)))
+    val b2 = when(n > 2, col("__w2") / (n * (n - 1) * (n - 2)))
+    val b3 = when(n > 3, col("__w3") / (n * (n - 1) * (n - 2) * (n - 3)))
     val l1 = b0
     val l2 = lit(2.0) * b1 - b0
     val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
@@ -7638,11 +7686,16 @@ object AnalysisPlanner {
       .localCheckpoint()
     val bounds = broadcast(base.agg(min(col("__v")).as("__lo"),
       max(col("__v")).as("__hi")))
+    // hi == lo (all values equal in both groups) would divide by a
+    // zero bin width and throw under Spark 4's default ANSI mode —
+    // collapse that degenerate case into bin 0 (overlap is then
+    // trivially 1, the correct answer for identical point masses)
     val cells = base.crossJoin(bounds)
       .select(col("__g"),
-        least(floor((col("__v") - col("__lo")) /
-          ((col("__hi") - col("__lo")) / bins)),
-          lit(bins - 1).cast("double")).as("__bin"))
+        when(col("__hi") <= col("__lo"), lit(0.0))
+          .otherwise(least(floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / bins)),
+            lit(bins - 1).cast("double"))).as("__bin"))
       .groupBy("__bin")
       .agg(sum(when(col("__g") === a, 1.0).otherwise(0.0)).as("__ca"),
         sum(when(col("__g") === b, 1.0).otherwise(0.0)).as("__cb"))

@@ -165,6 +165,26 @@ object Stats {
     (meanDiff - tCrit * se, meanDiff + tCrit * se)
   }
 
+  /**
+   * Inverse standard-normal CDF by bisection on [[normalCdf]] —
+   * deterministic (no library dependency), ~1e-13 accurate, used to
+   * turn a StatTest confidenceLevel into the z critical value that
+   * the in-plan CI expressions (and their oracle SQL twins) embed as
+   * a shared literal.
+   */
+  def inverseNormalCdf(p: Double): Double = {
+    require(p > 0 && p < 1)
+    var lo = -40.0
+    var hi = 40.0
+    var i = 0
+    while (i < 200) {
+      val mid = (lo + hi) / 2.0
+      if (normalCdf(mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2.0
+  }
+
   /** Inverse Student-t CDF by bisection on the (monotone) CDF. */
   def inverseTCdf(p: Double, df: Double): Double = {
     require(p > 0 && p < 1)

@@ -128,8 +128,26 @@ final class FeatureGroupData(
    * predicate references is a BASE column (a derived-feature filter
    * has no segment stats and falls back to the plain frame).
    */
-  def analyze(a: Analysis): DataFrame =
-    AnalysisPlanner.plan(frameFor(a), a)
+  def analyze(a: Analysis): DataFrame = a match {
+    // compare_versions (analysis.py:272): test version-a rows against
+    // version-b rows of THIS group — read both snapshot versions, label
+    // them, and let the planner treat the label as the segment column.
+    // Each side is still a pruned parquet read of its own manifest, so
+    // nothing rescans: the union is two version scans, one shuffle.
+    case st: graft.analysis.StatTest if st.compareVersions.isDefined =>
+      val (store, _) = snapshot.getOrElse(throw new IllegalStateException(
+        s"${meta.qualifiedName}: compareVersions requires a snapshot-backed group"))
+      val vCol = graft.analysis.StatTest.versionCol
+      def side(v: String): DataFrame = {
+        val n = v.stripPrefix("v").toLong
+        buildFrame(store.readVersion(spark, n))
+          .withColumn(vCol, lit(graft.analysis.StatTest.normVersion(v)))
+      }
+      val (a0, b0) = st.compareVersions.get
+      AnalysisPlanner.plan(side(a0).unionByName(side(b0)), st)
+    case _ =>
+      AnalysisPlanner.plan(frameFor(a), a)
+  }
 
   /** The input frame an analysis spec should scan — the segment-pruned
     * snapshot read when a base-column filter allows it. */
@@ -144,6 +162,7 @@ final class FeatureGroupData(
     case s: Aggregation => s.filter
     case s: Distribution => s.filter
     case s: Correlation => s.filter
+    case s: graft.analysis.StatTest => s.filter
     case s: RecordLookup => s.filter
     case _ => None
   }

@@ -254,6 +254,72 @@ final case class AuditEntry(
     detail: Option[String] = None)
 
 /**
+ * Declarative audit filter (audit.py:127-180) — the query object audit
+ * alerts and exports are keyed by. Field-for-field the reference's
+ * AuditQuery: `actions` is a LIST (any-of), `resource` supports a
+ * trailing `*` wildcard, and actorOrg/excludeActorOrgs are both
+ * honored. `matches` is the driver-side per-entry predicate alerts
+ * evaluate on record; [[AuditLog.queryFrame]] applies the same
+ * semantics as pushed-down Column filters for bulk scans.
+ */
+final case class AuditQuery(
+    resource: Option[String] = None, // trailing-* wildcard supported
+    actions: Seq[String] = Nil,
+    category: Option[String] = None,
+    actor: Option[String] = None,
+    actorOrg: Option[String] = None,
+    excludeActorOrgs: Set[String] = Set.empty,
+    since: Option[Instant] = None,
+    until: Option[Instant] = None,
+    limit: Int = 100) {
+  def matches(e: AuditEntry): Boolean =
+    resource.forall { r =>
+      if (r.endsWith("*")) e.resource.startsWith(r.dropRight(1))
+      else e.resource == r
+    } &&
+      (actions.isEmpty || actions.contains(e.action)) &&
+      category.forall(_ == e.category) &&
+      actor.forall(_ == e.actor) &&
+      actorOrg.forall(o => e.actorOrg.contains(o)) &&
+      e.actorOrg.forall(o => !excludeActorOrgs.contains(o)) &&
+      since.forall(s => !e.timestamp.isBefore(s)) &&
+      until.forall(u => e.timestamp.isBefore(u))
+}
+
+/**
+ * Alert configuration over audit events (audit.py:200-251): fires a
+ * notification record whenever a matching entry is recorded.
+ */
+final case class AuditAlert(
+    name: String,
+    query: AuditQuery,
+    notifyTargets: Seq[String], // reference field `notify` (clashes with Object.notify)
+    channels: Seq[String] = Seq("email"),
+    enabled: Boolean = true,
+    createdAt: Option[Instant] = None,
+    createdBy: Option[String] = None)
+
+/** A fired alert notification: which alert, on which entry. */
+final case class AuditAlertEvent(alert: String, entry: AuditEntry,
+    channels: Seq[String], notifyTargets: Seq[String])
+
+/**
+ * Organization-level audit configuration (audit.py:256-286):
+ * retention window, immutability, and the export destination expired
+ * rows are archived to before deletion.
+ */
+final case class AuditConfig(
+    retentionDays: Int = 365,
+    immutable: Boolean = true,
+    exportDestination: Option[String] = None) {
+  require(retentionDays > 0, s"retentionDays > 0, got $retentionDays")
+}
+
+/** What [[AuditLog.applyRetention]] did: rows kept vs archived. */
+final case class RetentionReport(expired: Long, kept: Long,
+    exportedTo: Option[String])
+
+/**
  * Append-only audit log; Spark-exportable (audit.py:303-477 — the
  * reference's query returns mock-empty; this one is real).
  *
@@ -273,7 +339,15 @@ final class AuditLog {
   // only what was recorded AFTER attach
   @volatile private var persisted: Option[(SparkSession, String)] = None
 
-  def record(e: AuditEntry): Unit = synchronized { entries += e }
+  def record(e: AuditEntry): Unit = synchronized {
+    entries += e
+    // alert evaluation is O(#alerts) driver arithmetic per entry —
+    // enabled alerts fire a notification record (audit.py:203-205)
+    alerts.valuesIterator.foreach { a =>
+      if (a.enabled && a.query.matches(e))
+        alertEvents += AuditAlertEvent(a.name, e, a.channels, a.notifyTargets)
+    }
+  }
 
   /** Back this log with an already-persisted parquet audit table (lazy —
     * nothing is read until a query/export needs it). */
@@ -448,5 +522,133 @@ final class AuditLog {
         // base == path or not, the new files are authoritative now
         locally(base): Unit
     }
+  }
+
+  // ---------------------------------------------------------- alerts
+  // (audit.py:349-392 create/list/get/delete; fired events recorded)
+
+  private val alerts =
+    scala.collection.mutable.LinkedHashMap.empty[String, AuditAlert]
+  private val alertEvents =
+    scala.collection.mutable.ArrayBuffer.empty[AuditAlertEvent]
+
+  def createAlert(name: String, query: AuditQuery, notifyTargets: Seq[String],
+      channels: Seq[String] = Seq("email"),
+      createdBy: Option[String] = None): AuditAlert = synchronized {
+    require(notifyTargets.nonEmpty, "alert needs at least one notify target")
+    val a = AuditAlert(name, query, notifyTargets, channels, enabled = true,
+      createdAt = Some(Instant.now()), createdBy = createdBy)
+    alerts(name) = a
+    a
+  }
+  def listAlerts: Seq[AuditAlert] = synchronized { alerts.values.toSeq }
+  def getAlert(name: String): Option[AuditAlert] =
+    synchronized { alerts.get(name) }
+  def deleteAlert(name: String): Boolean =
+    synchronized { alerts.remove(name).isDefined }
+  def setAlertEnabled(name: String, enabled: Boolean): Unit = synchronized {
+    alerts.get(name).foreach(a => alerts(name) = a.copy(enabled = enabled))
+  }
+  /** Notifications fired so far (in record order). */
+  def firedAlerts: Seq[AuditAlertEvent] = synchronized { alertEvents.toSeq }
+
+  // ------------------------------------------------------- retention
+  // (audit.py:256-286 AuditConfig; enforcement is Spark-side)
+
+  @volatile var config: AuditConfig = AuditConfig()
+
+  /**
+   * Enforce `config.retentionDays` as of `now`: rows older than the
+   * cutoff are archived to `config.exportDestination` (parquet, one
+   * timestamped subdir per sweep) when set, then dropped from both the
+   * in-memory tail and the persisted base. The expired split is ONE
+   * timestamp-predicate scan (pushed to parquet row-group stats on a
+   * time-ordered log), the keep-side rewrite reuses the staged-swap
+   * path of [[saveTo]] — never a driver materialization.
+   *
+   * `config.immutable` does NOT block retention (the reference's
+   * immutability governs ad-hoc modification/deletion; retention is
+   * the org policy) — see [[truncate]], which immutability does block.
+   */
+  def applyRetention(spark: SparkSession,
+      now: Instant = Instant.now()): RetentionReport = synchronized {
+    val cutoff = now.minus(java.time.Duration.ofDays(config.retentionDays.toLong))
+    val cutTs = java.sql.Timestamp.from(cutoff)
+    val all = toDataFrame(spark)
+    val ts = col("timestamp").cast("timestamp")
+    val expired = all.where(ts < lit(cutTs))
+    val nExpired = expired.count()
+    if (nExpired == 0) return RetentionReport(0L, -1L, None)
+    val dest = config.exportDestination.map { d =>
+      val out = s"$d/expired_${now.toEpochMilli}"
+      expired.write.mode("overwrite").parquet(out)
+      out
+    }
+    // keep side: filter the in-memory tail, rewrite the persisted base
+    entries.filterInPlace(e => !e.timestamp.isBefore(cutoff))
+    persisted match {
+      case Some((s, path)) =>
+        val staged = path + "_staged"
+        s.read.parquet(path).where(ts >= lit(cutTs))
+          .write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        val dst = new java.io.File(path)
+        val aside = new java.io.File(path + "_old")
+        if (aside.exists) rm(aside)
+        if (dst.exists && !dst.renameTo(aside))
+          throw new java.io.IOException(s"retention swap failed: $path")
+        if (!new java.io.File(staged).renameTo(dst)) {
+          if (aside.exists) aside.renameTo(dst)
+          throw new java.io.IOException(s"retention swap failed: $staged")
+        }
+        rm(aside)
+      case None => ()
+    }
+    val kept = toDataFrame(spark).count()
+    RetentionReport(nExpired, kept, dest)
+  }
+
+  /** Hard-delete everything — the "modify/delete" the immutable flag
+    * exists to forbid (audit.py:264 `immutable`). */
+  def truncate(): Unit = synchronized {
+    if (config.immutable)
+      throw new UnsupportedOperationException(
+        "audit log is immutable (AuditConfig.immutable=true)")
+    entries.clear()
+    persisted = None
+  }
+
+  // ---------------------------------------------------- query object
+  // (audit.py:303-347 query + 428-460 AuditStream)
+
+  /** [[queryFrame]] driven by a declarative [[AuditQuery]] — adds the
+    * reference's any-of `actions` and `actorOrg` filters on top of the
+    * base column pushdowns. */
+  def queryFrame(spark: SparkSession, q: AuditQuery): DataFrame = {
+    var d = queryFrame(spark, actor = q.actor, category = q.category,
+      resource = q.resource, excludeActorOrgs = q.excludeActorOrgs,
+      since = q.since, until = q.until)
+    if (q.actions.nonEmpty) d = d.where(col("action").isin(q.actions: _*))
+    q.actorOrg.foreach(o => d = d.where(col("actor_org") === o))
+    d
+  }
+
+  /** Limit-respecting entry query over an [[AuditQuery]]
+    * (audit.py:303-347): at most `q.limit` rows cross to the driver. */
+  def query(spark: SparkSession, q: AuditQuery): Seq[AuditEntry] =
+    queryFrame(spark, q).orderBy(col("timestamp")).limit(q.limit)
+      .collect().map(rowToEntry).toSeq
+
+  /** Streamed batches for large exports (audit.py:428-460
+    * AuditStream.batches): a `toLocalIterator` over the pushed-down
+    * scan — one partition in driver memory at a time, never the log. */
+  def streamBatches(spark: SparkSession, q: AuditQuery,
+      size: Int = 1000): Iterator[Seq[AuditEntry]] = {
+    import scala.jdk.CollectionConverters._
+    queryFrame(spark, q).toLocalIterator().asScala
+      .map(rowToEntry).grouped(size).map(_.toSeq)
   }
 }

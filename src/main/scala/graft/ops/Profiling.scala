@@ -1207,7 +1207,10 @@ object Profiling {
     val vx = col("__sxx") / col("__n") - mx * mx
     val vy = col("__syy") / col("__n") - my * my
     val cxy = col("__sxy") / col("__n") - mx * my
-    val ccc = lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    // both columns the same constant ⇒ zero denominator: NULL, not an
+    // ANSI DIVIDE_BY_ZERO crash (matching the other guarded outputs)
+    val ccc = when(vx + vy + (mx - my) * (mx - my) > 0,
+      lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my)))
     val r = cxy / sqrt(vx * vy)
     a.select(col("__n").cast("long").as("n"), mx.as("mean_x"),
       my.as("mean_y"),

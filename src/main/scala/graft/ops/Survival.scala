@@ -285,12 +285,17 @@ object Survival {
       sum(col("__l")).as("__sk"), sum(col("__lh")).as("__sh"),
       sum(col("__l") * col("__l")).as("__skk"),
       sum(col("__l") * col("__lh")).as("__skh"))
-    val b = (col("__m") * col("__skh") - col("__sk") * col("__sh")) /
-      (col("__m") * col("__skk") - col("__sk") * col("__sk"))
+    // a degenerate ladder (0 or 1 interior points, or a single distinct
+    // lifetime) zeroes the OLS denominator — NULL fit, not an ANSI
+    // DIVIDE_BY_ZERO (hit at tiny SF where users have few events)
+    val den = col("__m") * col("__skk") - col("__sk") * col("__sk")
+    val b = when(den =!= 0,
+      (col("__m") * col("__skh") - col("__sk") * col("__sh")) / den)
     fit.crossJoin(tot)
       .select(col("__ntot").cast("long").as("n_entities"),
         col("__m").cast("long").as("n_points"),
-        ((col("__sh") - b * col("__sk")) / col("__m")).as("intercept"),
+        when(col("__m") > 0,
+          (col("__sh") - b * col("__sk")) / col("__m")).as("intercept"),
         b.as("slope"),
         when(b > 0, lit(math.log(2.0)) / b)
           .as("hazard_doubling_days"))

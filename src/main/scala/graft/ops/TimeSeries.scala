@@ -4217,9 +4217,12 @@ object TimeSeries {
         col("__n"))
     val prev = dem.select((col("__t") + 1).as("__t"),
       col("__z").as("__z1"))
+    // a constant series demeans to all-zero lags: guard the 0/0 (ANSI
+    // DIVIDE_BY_ZERO) — rho1/n_eff come back NULL instead of crashing
     val a = dem.join(prev, Seq("__t"))
       .agg(max(col("__n")).as("__n"),
-        (sum(col("__z") * col("__z1")) / sum(col("__z1") * col("__z1")))
+        when(sum(col("__z1") * col("__z1")) =!= 0,
+          sum(col("__z") * col("__z1")) / sum(col("__z1") * col("__z1")))
           .as("__rho"))
     val rho = col("__rho")
     val ok = rho > -1 && rho < 1

@@ -244,6 +244,65 @@ class CoreSpec extends AnyFunSuite {
     assert(fs.audit.query(category = Some("read")).size == 1)
   }
 
+  test("audit alerts fire on matching entries (audit.py:200-251, 349-392)") {
+    import graft.meta._
+    val log = new AuditLog
+    val q = AuditQuery(resource = Some("acme/d/p/*"),
+      actions = Seq("delete_feature", "update_acl"))
+    val a = log.createAlert("sensitive-writes", q,
+      notifyTargets = Seq("sec@acme.test"), channels = Seq("email", "slack"),
+      createdBy = Some("alice"))
+    assert(a.enabled && a.createdAt.isDefined)
+    assert(log.listAlerts.map(_.name) == Seq("sensitive-writes"))
+    assert(log.getAlert("sensitive-writes").contains(a))
+    // matching action+resource fires; others don't
+    log.record(AuditEntry(actor = "bob", action = "delete_feature",
+      category = "write", resource = "acme/d/p/g/x", resourceOrg = "acme"))
+    log.record(AuditEntry(actor = "bob", action = "read_feature",
+      category = "read", resource = "acme/d/p/g/x", resourceOrg = "acme"))
+    log.record(AuditEntry(actor = "bob", action = "update_acl",
+      category = "admin", resource = "other/d/p/g", resourceOrg = "other"))
+    assert(log.firedAlerts.map(_.alert) == Seq("sensitive-writes"))
+    assert(log.firedAlerts.head.entry.action == "delete_feature")
+    assert(log.firedAlerts.head.notifyTargets == Seq("sec@acme.test"))
+    // disabled alert is silent; re-enabled fires again
+    log.setAlertEnabled("sensitive-writes", enabled = false)
+    log.record(AuditEntry(actor = "bob", action = "update_acl",
+      category = "admin", resource = "acme/d/p/g", resourceOrg = "acme"))
+    assert(log.firedAlerts.size == 1)
+    log.setAlertEnabled("sensitive-writes", enabled = true)
+    log.record(AuditEntry(actor = "bob", action = "update_acl",
+      category = "admin", resource = "acme/d/p/g", resourceOrg = "acme"))
+    assert(log.firedAlerts.size == 2)
+    assert(log.deleteAlert("sensitive-writes"))
+    assert(!log.deleteAlert("sensitive-writes") && log.listAlerts.isEmpty)
+  }
+
+  test("AuditQuery.matches honors actor_org and exclusions (audit.py:127-180)") {
+    import graft.meta._
+    val e = AuditEntry(actor = "bob", actorOrg = Some("partner"),
+      action = "read_feature", category = "read",
+      resource = "acme/d/p/g/x", resourceOrg = "acme")
+    assert(AuditQuery(actorOrg = Some("partner")).matches(e))
+    assert(!AuditQuery(actorOrg = Some("acme")).matches(e))
+    assert(!AuditQuery(excludeActorOrgs = Set("partner")).matches(e))
+    assert(AuditQuery(excludeActorOrgs = Set("evil")).matches(e))
+    assert(AuditQuery(since = Some(e.timestamp)).matches(e))
+    assert(!AuditQuery(until = Some(e.timestamp)).matches(e))
+  }
+
+  test("audit config: immutable blocks truncate (audit.py:256-286)") {
+    import graft.meta._
+    val log = new AuditLog
+    log.record(AuditEntry(actor = "a", action = "x", category = "write",
+      resource = "r", resourceOrg = "o"))
+    assert(log.config.immutable && log.config.retentionDays == 365)
+    intercept[UnsupportedOperationException](log.truncate())
+    log.config = AuditConfig(immutable = false)
+    log.truncate()
+    assert(log.query().isEmpty)
+  }
+
   test("lineage transitive closure + downstream") {
     import graft.meta.Lineage
     val deps = Map("ctr" -> Seq("clicks", "views"), "score" -> Seq("ctr"))

@@ -11226,4 +11226,67 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("variance_tp") - 51.0 / 90) < 1e-12)
     assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(51.0 / 90)) < 1e-12)
   }
+
+  // ---- ANSI divide-by-zero guards on degenerate inputs (r13) ----
+
+  test("distributionOverlap: all-equal values (hi == lo) -> overlap 1, no ANSI crash") {
+    import spark.implicits._
+    val rows = (Seq.fill(3)(("a", 5.0)) ++ Seq.fill(4)(("b", 5.0))).toDF("g", "v")
+    val r = graft.analysis.AnalysisPlanner
+      .distributionOverlap(rows, "g", "v", "a", "b", bins = 4).head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_bins_occupied") == 1L)
+    assert(math.abs(r.getAs[Double]("overlap") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hellinger")) < 1e-7)
+  }
+
+  test("lMoments: n <= 3 -> NULL higher moments, no ANSI crash") {
+    import spark.implicits._
+    val r = Seq(1.0, 2.0).toDF("v")
+    val out = graft.analysis.AnalysisPlanner.lMoments(r, "v").head
+    assert(out.getAs[Long]("n") == 2L)
+    assert(math.abs(out.getAs[Double]("l1") - 1.5) < 1e-12)
+    // l3/l4 need b2/b3 which need n > 2 / n > 3: NULL ratios
+    assert(out.isNullAt(out.fieldIndex("t3_lskew")))
+    assert(out.isNullAt(out.fieldIndex("t4_lkurt")))
+    val one = graft.analysis.AnalysisPlanner
+      .lMoments(Seq(7.0).toDF("v"), "v").head
+    assert(one.getAs[Long]("n") == 1L)
+    assert(math.abs(one.getAs[Double]("l1") - 7.0) < 1e-12)
+  }
+
+  test("effectiveSampleSize: constant daily series -> NULL rho1, no ANSI crash") {
+    import spark.implicits._
+    val rows = (0 until 5).flatMap { i =>
+      Seq.fill(2)(java.time.LocalDate.ofEpochDay(i.toLong).toString)
+    }.toDF("ts")
+    val r = graft.ops.TimeSeries.effectiveSampleSize(rows, "ts").head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.isNullAt(r.fieldIndex("rho1")))
+    assert(r.isNullAt(r.fieldIndex("n_eff")))
+  }
+
+  test("gompertzHazard: single interior ladder point -> NULL fit, no ANSI crash") {
+    import spark.implicits._
+    // 3 users die at lifetime 0, 1 at lifetime 1: the interior ladder
+    // is ONE point (m=1 → zero OLS denominator — the sf0.001 crash)
+    val ev = (Seq(("u1", 0), ("u2", 0), ("u3", 0)) ++
+      Seq(("u4", 0), ("u4", 1))).map { case (u, d) =>
+      (u, java.time.LocalDate.ofEpochDay(d.toLong).toString)
+    }.toDF("uid", "ts")
+    val r = graft.ops.Survival.gompertzHazard(ev, "uid", "ts").head
+    assert(r.getAs[Long]("n_entities") == 4L)
+    assert(r.getAs[Long]("n_points") == 1L)
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.isNullAt(r.fieldIndex("intercept")))
+  }
+
+  test("linCcc: both columns same constant -> NULL ccc, no ANSI crash") {
+    import spark.implicits._
+    val rows = Seq.fill(4)((3.0, 3.0)).toDF("x", "y")
+    val r = graft.ops.Profiling.linCcc(rows, "x", "y").head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.isNullAt(r.fieldIndex("ccc")))
+    assert(r.isNullAt(r.fieldIndex("pearson_r")))
+  }
 }
