@@ -124,10 +124,12 @@ object Bench {
     }
 
     // PASS 1 — one complete sweep; checkpoint the file every 50 queries
-    // so even a mid-pass kill preserves a partial per-query record
+    // and print a full snapshot line every 100, so even a mid-pass-1
+    // kill leaves both artifacts with a parseable partial record
     names.zipWithIndex.foreach { case (n, i) =>
       runOnce(n)
-      if ((i + 1) % 50 == 0) writeFull()
+      if ((i + 1) % 100 == 0) snapshot(s"pass1@${i + 1}")
+      else if ((i + 1) % 50 == 0) writeFull()
     }
     snapshot("pass1")
 
