@@ -27,24 +27,20 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Memoized per (session, dir, table): `spark.read.parquet` re-lists
-    // the directory and re-reads footers for schema inference on EVERY
-    // call, a fixed ~tens-of-ms tax that multiplies across a 670-query
-    // bench (~1500 loads). Reusing the LAZY DataFrame (plan only — no
-    // data is pinned) is the catalog-table pattern a cluster deployment
-    // would get from a metastore: resolve once, plan many. The driver's
-    // testdata never mutates mid-session; a live deployment would
-    // invalidate on commit (as SnapshotStore's readVersion path does).
-    loadMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    loadMemo.computeIfAbsent((spark, dir, name), _ => {
-      // proactive: TIMESTAMP(NANOS) parquet otherwise fails the read job
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeTimestamps(spark.read.parquet(path(dir, name)))
-    })
+    // NOT memoized — measured, not assumed (r13): caching the lazy
+    // DataFrame per (session, dir, table) to save the re-list +
+    // schema-inference tax made events-heavy queries 1.5-2× SLOWER in
+    // back-to-back quiet-box probes (q327 0.73→1.18 s, q300 0.93→1.67 s
+    // min-of-3): every query referencing the same plan object twice
+    // forces the analyzer's self-reference deduplication to clone and
+    // rewrite the shared subtree, costing far more than the ~tens-of-ms
+    // listing it saved (file-status caching already makes the re-list
+    // cheap). A cluster deployment gets plan reuse from a metastore
+    // catalog, which hands each query its OWN relation instance.
+    // proactive: TIMESTAMP(NANOS) parquet otherwise fails the whole read job
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTimestamps(spark.read.parquet(path(dir, name)))
   }
-
-  private val loadMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /**
    * Timestamp-shaped columns → session-zoned µs TIMESTAMP, whatever the
