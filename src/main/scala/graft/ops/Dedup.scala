@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,56 @@ object Dedup {
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /**
+   * MinHash-LSH parameter planner: for a `numPerm`-hash signature and
+   * a target Jaccard threshold `t`, enumerate every banding
+   * b·r = numPerm and score its S-curve P(s) = 1 − (1 − s^r)^b against
+   * the ideal step at `t`:
+   *   fp_area = ∫₀ᵗ P(s) ds   (how much sub-threshold similarity still
+   *                            collides — wasted verification work),
+   *   fn_area = ∫ₜ¹ 1 − P(s) ds (how much true near-dup mass the
+   *                              banding misses).
+   * Midpoint rule on `grid` cells, plus s50 = (1/b)^(1/r), the
+   * similarity where collision probability crosses ½ (the banding's
+   * effective threshold). This is the tuning FRONT-END for
+   * [[minhashSignatures]]/[[minhashCandidates]]: pick (bands, rows)
+   * from this table BEFORE shuffling a corpus-sized signature frame —
+   * at 100 TB, a banding whose s50 sits 0.1 below the target threshold
+   * multiplies the candidate-pair volume the verify join must absorb.
+   *
+   * Scale shape: a (divisors × grid) Range fan-out — a few thousand
+   * rows regardless of corpus size; the planner is O(1) in data.
+   * Returns one row per banding, ordered by bands: (bands, rows,
+   * s50, fp_area, fn_area, total_error).
+   */
+  def lshParameterPlan(spark: SparkSession, numPerm: Int = 128,
+      threshold: Double = 0.8, grid: Int = 400): DataFrame = {
+    require(numPerm > 0 && grid >= 10 && threshold > 0 && threshold < 1,
+      s"lshParameterPlan: numPerm > 0, grid >= 10, threshold in (0,1)")
+    val bandings = spark.range(1, numPerm.toLong + 1)
+      .where(lit(numPerm) % col("id") === 0)
+      .select(col("id").as("bands"),
+        (lit(numPerm.toLong) / col("id")).cast("long").as("rows"))
+    val pts = spark.range(grid.toLong)
+      .select(((col("id").cast("double") + 0.5) / grid).as("__s"))
+    // bounded fan-out: both sides are literal Ranges (divisor count ×
+    // grid), never corpus data — the deliberate crossJoin idiom
+    bandings.crossJoin(pts)
+      .withColumn("__p", lit(1.0) -
+        pow(lit(1.0) - pow(col("__s"), col("rows")), col("bands")))
+      .groupBy("bands", "rows")
+      .agg(
+        (sum(when(col("__s") < threshold, col("__p")).otherwise(0.0)) / grid)
+          .as("fp_area"),
+        (sum(when(col("__s") >= threshold, lit(1.0) - col("__p"))
+          .otherwise(0.0)) / grid).as("fn_area"))
+      .select(col("bands"), col("rows"),
+        pow(lit(1.0) / col("bands"), lit(1.0) / col("rows")).as("s50"),
+        col("fp_area"), col("fn_area"),
+        (col("fp_area") + col("fn_area")).as("total_error"))
+      .orderBy("bands")
   }
 
   /**

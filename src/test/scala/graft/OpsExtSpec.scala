@@ -11227,6 +11227,36 @@ class OpsExtSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("z") - 1.0 / math.sqrt(51.0 / 90)) < 1e-12)
   }
 
+  test("lshParameterPlan: matches scalar integral, s50 and shape sane") {
+    val out = graft.ops.Dedup
+      .lshParameterPlan(spark, numPerm = 16, threshold = 0.5, grid = 200)
+      .collect()
+    // divisor pairs of 16: (1,16) (2,8) (4,4) (8,2) (16,1)
+    assert(out.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows"))).toSeq ==
+      Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    // cross-check every row against a plain-Scala midpoint integral
+    out.foreach { r =>
+      val (b, rr) = (r.getAs[Long]("bands").toInt, r.getAs[Long]("rows").toInt)
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, rr), b)
+      val ss = (0 until 200).map(i => (i + 0.5) / 200)
+      val fp = ss.filter(_ < 0.5).map(p).sum / 200
+      val fn = ss.filter(_ >= 0.5).map(s => 1.0 - p(s)).sum / 200
+      assert(math.abs(r.getAs[Double]("fp_area") - fp) < 1e-9, s"fp b=$b")
+      assert(math.abs(r.getAs[Double]("fn_area") - fn) < 1e-9, s"fn b=$b")
+      assert(math.abs(r.getAs[Double]("s50") -
+        math.pow(1.0 / b, 1.0 / rr)) < 1e-12)
+    }
+    // shape: more bands (fewer rows) pushes the effective threshold DOWN
+    val s50s = out.map(_.getAs[Double]("s50")).toSeq
+    assert(s50s == s50s.sorted.reverse)
+    // the all-rows banding misses near-dups (high fn), the all-bands
+    // banding over-collides (high fp) — the planner's raison d'etre
+    assert(out.head.getAs[Double]("fn_area") >
+      out.last.getAs[Double]("fn_area"))
+    assert(out.last.getAs[Double]("fp_area") >
+      out.head.getAs[Double]("fp_area"))
+  }
+
   // ---- ANSI divide-by-zero guards on degenerate inputs (r13) ----
 
   test("distributionOverlap: all-equal values (hi == lo) -> overlap 1, no ANSI crash") {
