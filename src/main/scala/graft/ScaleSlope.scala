@@ -45,7 +45,7 @@ object ScaleSlope {
         "q284_c2st_drift", "q545_psm_att", "q546_randomization_test",
         // round-12 heavy-tail entrants (committed fold ≥ 2.5 s at sf0.1)
         "q570_spectral_radius", "q565_katz_centrality",
-        "q586_minhash_error_audit", "q650_butterfly",
+        "q586_minhash_error_audit", "q650_butterfly_count",
         "q665_spearman_ci")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
@@ -69,8 +69,17 @@ object ScaleSlope {
       math.min(once(), once())
     }
 
+    // an unknown name is a HARD failure, not a silent filter — r13
+    // shipped "q650_butterfly" (registered: q650_butterfly_count) and
+    // the suite's slowest query silently skipped the gate built for it
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      println(s"SCALE-SLOPE FAIL: unknown query names: ${unknown.mkString(",")}")
+      spark.stop()
+      sys.exit(2)
+    }
     var bad = Vector.empty[String]
-    names.filter(SparkEntry.queries.contains).foreach { name =>
+    names.foreach { name =>
       val ts = minTime(name, small)
       val tb = minTime(name, big)
       // sub-second small-SF times are dominated by fixed scheduling

@@ -26,20 +26,34 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // SCHEMA-ONLY cache (r14). Two prior shapes were measured and
+  // rejected/kept deliberately:
+  //  - r13 memoized the whole lazy DataFrame per (session, dir, table):
+  //    queries referencing the same table twice then saw the SAME plan
+  //    object on both sides, forcing the analyzer's self-reference
+  //    deduplication to clone/rewrite the shared subtree per query —
+  //    1.5-2× SLOWER on self-join shapes (q327 0.73→1.18 s,
+  //    q300 0.93→1.67 s min-of-3). Reverted.
+  //  - r14 caches only the inferred StructType per (dir, table) and
+  //    builds a FRESH DataFrame per call: the footer-read schema
+  //    inference job (~1500×/bench across 672 queries) disappears while
+  //    every query keeps its own relation instance, so the r13 failure
+  //    mode cannot recur. Safe because the driver's testdata parquet is
+  //    immutable per dir; a changed file at the same path would need a
+  //    JVM restart to re-infer (matches metastore-catalog semantics on
+  //    a cluster, where the schema is also fixed at registration).
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // NOT memoized — measured, not assumed (r13): caching the lazy
-    // DataFrame per (session, dir, table) to save the re-list +
-    // schema-inference tax made events-heavy queries 1.5-2× SLOWER in
-    // back-to-back quiet-box probes (q327 0.73→1.18 s, q300 0.93→1.67 s
-    // min-of-3): every query referencing the same plan object twice
-    // forces the analyzer's self-reference deduplication to clone and
-    // rewrite the shared subtree, costing far more than the ~tens-of-ms
-    // listing it saved (file-status caching already makes the re-list
-    // cheap). A cluster deployment gets plan reuse from a metastore
-    // catalog, which hands each query its OWN relation instance.
-    // proactive: TIMESTAMP(NANOS) parquet otherwise fails the whole read job
+    // proactive: TIMESTAMP(NANOS) parquet otherwise fails the whole read
+    // job (and the conf also governs the read-side NANOS→Long mapping,
+    // so it must be set even when the schema comes from the cache)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTimestamps(spark.read.parquet(path(dir, name)))
+    val p = path(dir, name)
+    val schema = schemaMemo.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(p).schema)
+    normalizeTimestamps(spark.read.schema(schema).parquet(p))
   }
 
   /**

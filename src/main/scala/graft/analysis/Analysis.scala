@@ -133,6 +133,8 @@ final case class StatTest(
     s"Unknown test: $test")
   require(segmentBy.nonEmpty || compareVersions.isDefined,
     "Either segmentBy or compareVersions must be specified") // analysis.py:287-289
+  require(segmentBy.isEmpty || (control.nonEmpty && treatment.nonEmpty),
+    "segment_by requires control and treatment values") // analysis.py:285-286
   require(confidenceLevel > 0 && confidenceLevel < 1,
     s"confidenceLevel in (0, 1), got $confidenceLevel")
 }

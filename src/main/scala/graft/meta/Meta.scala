@@ -330,7 +330,14 @@ final case class RetentionReport(expired: Long, kept: Long,
  * only matching rows; [[toDataFrame]]/[[export]] union the lazy base
  * with the in-memory tail without ever collecting either.
  */
-final class AuditLog {
+final class AuditLog(
+    // Bounded fired-alert ring: a broad alert at the PRD's
+    // 100M-events/day scale must not grow driver memory without limit —
+    // once full, the OLDEST events are dropped (and counted via
+    // [[droppedAlerts]]) so the tail holds the most recent notifications.
+    // Dispatchers that need every event should [[drainFiredAlerts]] on
+    // their own cadence.
+    val maxFiredAlertEvents: Int = 10000) {
   import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   import org.apache.spark.sql.functions.{col, lit, not}
 
@@ -346,6 +353,11 @@ final class AuditLog {
     alerts.valuesIterator.foreach { a =>
       if (a.enabled && a.query.matches(e))
         alertEvents += AuditAlertEvent(a.name, e, a.channels, a.notifyTargets)
+    }
+    if (alertEvents.length > maxFiredAlertEvents) {
+      val drop = alertEvents.length - maxFiredAlertEvents
+      alertEvents.remove(0, drop)
+      alertEventsDropped += drop
     }
   }
 
@@ -531,6 +543,7 @@ final class AuditLog {
     scala.collection.mutable.LinkedHashMap.empty[String, AuditAlert]
   private val alertEvents =
     scala.collection.mutable.ArrayBuffer.empty[AuditAlertEvent]
+  private var alertEventsDropped: Long = 0L
 
   def createAlert(name: String, query: AuditQuery, notifyTargets: Seq[String],
       channels: Seq[String] = Seq("email"),
@@ -549,8 +562,18 @@ final class AuditLog {
   def setAlertEnabled(name: String, enabled: Boolean): Unit = synchronized {
     alerts.get(name).foreach(a => alerts(name) = a.copy(enabled = enabled))
   }
-  /** Notifications fired so far (in record order). */
+  /** Retained notifications (record order; oldest beyond
+    * [[maxFiredAlertEvents]] have been dropped — see [[droppedAlerts]]). */
   def firedAlerts: Seq[AuditAlertEvent] = synchronized { alertEvents.toSeq }
+  /** How many fired events the bounded buffer has discarded so far. */
+  def droppedAlerts: Long = synchronized { alertEventsDropped }
+  /** Return all retained fired events and clear the buffer — the
+    * at-most-once consumption API for notification dispatchers. */
+  def drainFiredAlerts(): Seq[AuditAlertEvent] = synchronized {
+    val out = alertEvents.toSeq
+    alertEvents.clear()
+    out
+  }
 
   // ------------------------------------------------------- retention
   // (audit.py:256-286 AuditConfig; enforcement is Spark-side)
@@ -578,7 +601,10 @@ final class AuditLog {
     val ts = col("timestamp").cast("timestamp")
     val expired = all.where(ts < lit(cutTs))
     val nExpired = expired.count()
-    if (nExpired == 0) return RetentionReport(0L, -1L, None)
+    // kept is always the REAL surviving count (never a sentinel):
+    // callers sum it across sweeps, so the no-op path pays one count
+    // of the (small, time-pruned) log rather than handing back -1
+    if (nExpired == 0) return RetentionReport(0L, all.count(), None)
     val dest = config.exportDestination.map { d =>
       val out = s"$d/expired_${now.toEpochMilli}"
       expired.write.mode("overwrite").parquet(out)

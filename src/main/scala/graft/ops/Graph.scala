@@ -65,7 +65,14 @@ object Graph {
             lit(damping) * (col("__c") + col("__dang") / col("__nn")))
             .as("rank"))
       // truncate lineage so long runs keep a bounded plan; values are
-      // unchanged (localCheckpoint just materializes the frame)
+      // unchanged (localCheckpoint just materializes the frame).
+      // Cadence measured, not assumed (r14 A/B on q158, min-of-3 ×2
+      // alternating): every-iteration checkpointing is a WASH vs every
+      // 5th (3.14/3.74 s vs 3.36/3.60 s) — the double reference to
+      // ranks per round (contrib + dangling) is already deduplicated
+      // by ReusedExchange within the single action, so extra
+      // materializations buy nothing at low iteration counts; keep the
+      // sparse cadence that bounds plan depth for long runs
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
@@ -638,16 +645,27 @@ object Graph {
    * periodically to bound the plan. Returns (node, katz).
    */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      alpha: Double = 0.005, iterations: Int = 8): DataFrame = {
+      alpha: Double = 0.005, iterations: Int = 8,
+      preNormalized: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha < 1, "katzCentrality: alpha in (0,1)")
     require(iterations >= 1 && iterations <= 50,
       "katzCentrality: iterations in 1..50")
-    val e0 = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    // preNormalized: caller warrants edges are ALREADY symmetric simple
+    // (both directions present, no self-loops/nulls/dups) and cheap to
+    // re-scan (e.g. a materialized derived edge table) — skips the
+    // symmetrize+distinct shuffle, the dominant cost when two queries
+    // share one registered co-occurrence graph
+    val e =
+      if (preNormalized)
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else {
+        val e0 = edges
+          .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+      }
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
     var x = nodes.select(col("node"), lit(1.0).as("katz"))
@@ -744,15 +762,21 @@ object Graph {
    * n_edges, lambda_max, alpha_max).
    */
   def spectralRadius(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 8): DataFrame = {
+      iterations: Int = 8, preNormalized: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       "spectralRadius: iterations in 1..50")
-    val e0 = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    // preNormalized contract: see [[katzCentrality]]
+    val e =
+      if (preNormalized)
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else {
+        val e0 = edges
+          .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
+      }
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint()
     // every node of the simple graph has degree >= 1, so A·x keeps
@@ -771,6 +795,10 @@ object Graph {
       x = multiply(x).select(col("node"), col("__av").as("v"))
       if (i % 4 == 0 && i < iterations) x = x.localCheckpoint()
     }
+    // the Rayleigh quotient references x TWICE (x and A·x) — without a
+    // checkpoint the tail of the iteration chain re-executes once per
+    // reference; x is one row per node, so materializing is ~free
+    x = x.localCheckpoint()
     val ray = x.join(multiply(x), Seq("node"))
       .agg(sum(col("v") * col("__av")).as("__num"),
         sum(col("v") * col("v")).as("__den"))

@@ -278,6 +278,28 @@ class CoreSpec extends AnyFunSuite {
     assert(!log.deleteAlert("sensitive-writes") && log.listAlerts.isEmpty)
   }
 
+  test("fired-alert buffer is bounded and drainable") {
+    import graft.meta._
+    val log = new AuditLog(maxFiredAlertEvents = 5)
+    log.createAlert("all-writes", AuditQuery(category = Some("write")),
+      notifyTargets = Seq("ops@acme.test"))
+    (1 to 8).foreach(i => log.record(AuditEntry(actor = s"a$i",
+      action = "write_feature", category = "write",
+      resource = "o/d/p/g", resourceOrg = "o")))
+    // ring keeps the 5 NEWEST events; 3 oldest dropped and counted
+    assert(log.firedAlerts.size == 5)
+    assert(log.firedAlerts.map(_.entry.actor) ==
+      (4 to 8).map(i => s"a$i"))
+    assert(log.droppedAlerts == 3L)
+    // drain returns the retained tail and clears it (at-most-once)
+    assert(log.drainFiredAlerts().size == 5)
+    assert(log.firedAlerts.isEmpty && log.drainFiredAlerts().isEmpty)
+    // post-drain fires accumulate again from empty
+    log.record(AuditEntry(actor = "a9", action = "write_feature",
+      category = "write", resource = "o/d/p/g", resourceOrg = "o"))
+    assert(log.firedAlerts.map(_.entry.actor) == Seq("a9"))
+  }
+
   test("AuditQuery.matches honors actor_org and exclusions (audit.py:127-180)") {
     import graft.meta._
     val e = AuditEntry(actor = "bob", actorOrg = Some("partner"),

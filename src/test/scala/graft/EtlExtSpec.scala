@@ -967,6 +967,11 @@ class EtlExtSpec extends AnyFunSuite {
     // spec validation mirrors analysis.py:287-289
     intercept[IllegalArgumentException](
       graft.analysis.StatTest("v", "welch", "", "", ""))
+    // segment_by requires control AND treatment (analysis.py:285-286)
+    intercept[IllegalArgumentException](
+      graft.analysis.StatTest("v", "welch", "grp", "", "t"))
+    intercept[IllegalArgumentException](
+      graft.analysis.StatTest("v", "welch", "grp", "c", ""))
   }
 
   test("StatTest filter + confidence_level: CI brackets and widens (analysis.py:273-274)") {
@@ -1013,8 +1018,10 @@ class EtlExtSpec extends AnyFunSuite {
     assert(spark.read.parquet(rep.exportedTo.get).count() == 3L)
     assert(log.query(spark, AuditQuery()).map(_.actor).toSet ==
       Set("new1", "new2"))
-    // second sweep is a no-op
-    assert(log.applyRetention(spark, now).expired == 0L)
+    // second sweep is a no-op — and still reports the REAL kept count
+    // (never a sentinel), so callers can sum `kept` across sweeps
+    val rep2 = log.applyRetention(spark, now)
+    assert(rep2.expired == 0L && rep2.kept == 2L && rep2.exportedTo.isEmpty)
   }
 
   test("AuditQuery frame filters + streamBatches (audit.py:303-347, 428-460)") {

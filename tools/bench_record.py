@@ -52,6 +52,13 @@ def main() -> int:
         "queries": merged_q, "value": total, "samples": merged_s,
         "runs_merged": len(runs),
     }
+    # carry every run's load telemetry (r14): the committed record
+    # should self-adjudicate box noise without digging up raw runs
+    loads = [{k: r[k] for k in
+              ("load_start", "load_now", "load_caveat", "load_series")
+              if k in r} for r in runs]
+    if any(loads):
+        rec["run_loads"] = loads
     with open(out_path, "w") as f:
         json.dump(rec, f, separators=(",", ":"))
         f.write("\n")
