@@ -116,8 +116,24 @@ object Tables {
   def materialized(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     derivedMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    derivedMemo.computeIfAbsent(
-      (spark, dir, name),
-      _ => build.localCheckpoint())
+    // REENTRANT by design (r14): builds nest — a derived frame may read
+    // another derived frame (doc_trigram_clusters builds from
+    // doc_trigram_pairs) — and computeIfAbsent throws
+    // IllegalStateException("Recursive update") whenever the nested put
+    // hashes into the bin the outer compute holds. The key carries a
+    // session identity hash, so the collision was INTERMITTENT: it
+    // slipped through a full green Verify (whose query order had the
+    // inner frame cached first) and surfaced in a ScaleSlope run. Build
+    // outside any map lock; on a concurrent race the first committed
+    // frame wins and the duplicate build is discarded (values are
+    // deterministic either way).
+    val key = (spark, dir, name)
+    val existing = derivedMemo.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint()
+      val prev = derivedMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 }

@@ -4198,6 +4198,32 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.selectExpr("unix_micros(ts)").head.getLong(0) == 1704164645678000L)
   }
 
+  test("Tables.materialized supports NESTED builds (regression)") {
+    // doc_trigram_clusters builds FROM doc_trigram_pairs — a nested
+    // materialized call. computeIfAbsent threw IllegalStateException
+    // ("Recursive update") whenever the inner put hashed into the bin
+    // the outer compute held; the collision depended on session
+    // identity hash, so it was intermittent (green Verify, dead
+    // ScaleSlope). The rewritten get/build/putIfAbsent path must
+    // build nested frames and memoize both.
+    import spark.implicits._
+    val tag = System.nanoTime().toString // unique per run
+    var innerBuilds, outerBuilds = 0
+    def inner() = Tables.materialized(spark, tag, "inner") {
+      innerBuilds += 1
+      Seq(1, 2, 3).toDF("x")
+    }
+    def outer() = Tables.materialized(spark, tag, "outer") {
+      outerBuilds += 1
+      inner().selectExpr("x * 10 AS y")
+    }
+    assert(outer().orderBy("y").collect().map(_.getInt(0)).toSeq ==
+      Seq(10, 20, 30))
+    // memoized: second access builds nothing
+    outer(); inner()
+    assert(innerBuilds == 1 && outerBuilds == 1)
+  }
+
   test("rankingMetrics: hand-computed MRR/MAP/P/R, no-relevant query") {
     import spark.implicits._
     // q=a ranked by score desc: d3(rel), d1, d2(rel), d4 →
