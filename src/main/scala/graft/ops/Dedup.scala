@@ -389,6 +389,38 @@ object Dedup {
   }
 
   /**
+   * Within-corpus asymmetric containment: pairs (super_id, sub_id)
+   * where containment(sub ⊂ super) = |sh(super) ∩ sh(sub)| / |sh(sub)|
+   * ≥ threshold, self-pairs excluded — the near-SUPERSET detector for
+   * quote-expansion / boilerplate-wrapped duplicates whose smaller
+   * member a symmetric Jaccard threshold never flags. Same DF-capped
+   * posting-list discipline as [[ngramContainment]], but the capped
+   * shingle frame is built ONCE and localCheckpointed (it feeds both
+   * join sides and the size frame — corpus-vs-corpus through the
+   * two-sided API would shingle the whole corpus twice).
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxPostings: Int = 1000): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n, distinct = false)
+      .select(col("id"), xxhash64(col("s")).as("sk")).distinct()
+    val wdf = Window.partitionBy("sk")
+    val k = sh.withColumn("__df", count(lit(1)).over(wdf))
+      .where(col("__df") <= maxPostings).drop("__df")
+      .localCheckpoint() // 3 readers: both join sides + sizes
+    val sizes = k.groupBy(col("id").as("sub_id"))
+      .agg(count(lit(1)).as("__nb"))
+    k.select(col("id").as("super_id"), col("sk"))
+      .join(k.select(col("id").as("sub_id"), col("sk")), "sk")
+      .where(col("super_id") =!= col("sub_id"))
+      .groupBy("super_id", "sub_id").agg(count(lit(1)).as("inter"))
+      .join(sizes, "sub_id")
+      .withColumn("containment", col("inter") / col("__nb"))
+      .where(col("containment") >= threshold)
+      .select(col("super_id"), col("sub_id"), col("containment"))
+  }
+
+  /**
    * Blocked fuzzy matching — entity-resolution dedup for SHORT strings
    * (names, titles, product labels) where token-set methods are too
    * coarse: pairs within `maxDist` Levenshtein edits, generated only

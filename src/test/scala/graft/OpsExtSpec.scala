@@ -4198,6 +4198,24 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out.selectExpr("unix_micros(ts)").head.getLong(0) == 1704164645678000L)
   }
 
+  test("containmentPairs: planted sub-document found, asymmetric") {
+    import spark.implicits._
+    // B's words are a strict prefix of A's → every trigram of B is a
+    // trigram of A: containment(B ⊂ A) = 1.0; the reverse direction
+    // is 4/9 < 0.6 and must NOT emit. C shares nothing.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("super_id") == 1L)
+    assert(out(0).getAs[Long]("sub_id") == 2L)
+    assert(out(0).getAs[Double]("containment") == 1.0)
+  }
+
   test("Tables.materialized supports NESTED builds (regression)") {
     // doc_trigram_clusters builds FROM doc_trigram_pairs — a nested
     // materialized call. computeIfAbsent threw IllegalStateException
