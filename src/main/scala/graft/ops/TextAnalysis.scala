@@ -2587,4 +2587,32 @@ object TextAnalysis {
       .select(col("phrase"), col("n_words"), col("n_occurrences"),
         col("score"))
   }
+
+  /**
+   * Character-n-gram compressibility proxy: distinct n-grams over
+   * total n-grams per document — a cheap LZ-dictionary stand-in that
+   * flags low-entropy machine-generated / template text which WORD-
+   * level repetition gates (the Gopher bigram fractions) miss when the
+   * looping unit is sub-word or crosses token boundaries. Ratio near 1
+   * = incompressible natural text; near 0 = one pattern looping.
+   * Texts shorter than n contribute one truncated gram (ratio 1).
+   *
+   * Map-only: the gram array is built and deduped INSIDE one
+   * projection (transform + array_distinct over an offsets sequence —
+   * no explode, no shuffle); scales per-row like every doc-local op.
+   * Returns (idCol, n_grams, distinct_grams, compress_ratio).
+   */
+  def charNgramCompressibility(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "charNgramCompressibility: n >= 2")
+    val grams = expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1))," +
+        s" i -> substring($textCol, i, $n))")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("distinct_grams"))
+      .withColumn("compress_ratio",
+        col("distinct_grams").cast("double") / col("n_grams"))
+  }
 }

@@ -4216,6 +4216,24 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("containment") == 1.0)
   }
 
+  test("charNgramCompressibility: looped, natural, and short texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"),   // 3 grams, all identical → 1/3
+      (2L, "abcdefghij"),   // 3 grams, all distinct → 1.0
+      (3L, "ab")            // shorter than n → one truncated gram → 1.0
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .charNgramCompressibility(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_grams") == 3L)
+    assert(out(0).getAs[Long]("distinct_grams") == 1L)
+    assert(out(0).getAs[Double]("compress_ratio") == 1.0 / 3.0)
+    assert(out(1).getAs[Double]("compress_ratio") == 1.0)
+    assert(out(2).getAs[Long]("n_grams") == 1L)
+    assert(out(2).getAs[Double]("compress_ratio") == 1.0)
+  }
+
   test("Tables.materialized supports NESTED builds (regression)") {
     // doc_trigram_clusters builds FROM doc_trigram_pairs — a nested
     // materialized call. computeIfAbsent threw IllegalStateException
