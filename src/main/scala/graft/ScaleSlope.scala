@@ -46,7 +46,9 @@ object ScaleSlope {
         // round-12 heavy-tail entrants (committed fold ≥ 2.5 s at sf0.1)
         "q570_spectral_radius", "q565_katz_centrality",
         "q586_minhash_error_audit", "q650_butterfly_count",
-        "q665_spearman_ci")
+        "q665_spearman_ci",
+        // round-14 heavy-tail entrants (probe ≥ ~2.5 s at sf0.1)
+        "q673_containment_pairs", "q679_dedup_threshold_sweep")
     val maxRatio = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(
