@@ -2615,4 +2615,32 @@ object TextAnalysis {
       .withColumn("compress_ratio",
         col("distinct_grams").cast("double") / col("n_grams"))
   }
+
+  /**
+   * C4-style boilerplate mining: text units (sentences here — split on
+   * `". "`) that recur across ≥ `minDocs` DISTINCT documents, with
+   * their document frequency — the remove-list the C4 cleaning rule
+   * ("drop any line occurring in ≥3 documents") consumes. Catches
+   * navigation chrome / legal footers / template headers that per-doc
+   * repetition stats never see because each document contains the unit
+   * only once.
+   *
+   * Scale shape: explode → per-(doc, unit) distinct → one unit-keyed
+   * count — the word-count topology; the output is DF-thresholded and
+   * top-K bounded, so the result is a small remove-list whatever the
+   * corpus size.
+   */
+  def boilerplateUnits(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, topK: Int = 50): DataFrame = {
+    require(minDocs >= 2 && topK >= 1,
+      "boilerplateUnits: minDocs >= 2, topK >= 1")
+    df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\\. ")).as("unit"))
+      .where(col("unit") =!= "")
+      .distinct()
+      .groupBy("unit").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("unit").asc)
+      .limit(topK)
+  }
 }

@@ -4216,6 +4216,24 @@ class OpsExtSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("containment") == 1.0)
   }
 
+  test("boilerplateUnits: planted footer found, unique lines ignored") {
+    import spark.implicits._
+    val footer = "all rights reserved"
+    val docs = Seq(
+      (1L, s"unique one. $footer. body a"),
+      (2L, s"unique two. $footer. body b"),
+      (3L, s"unique three. $footer"),
+      (4L, "nothing shared here"),
+      // unit repeated WITHIN one doc counts that doc once (distinct)
+      (5L, s"$footer. $footer. tail")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .boilerplateUnits(docs, "doc_id", "text", minDocs = 3)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("unit") == footer)
+    assert(out(0).getAs[Long]("n_docs") == 4L) // docs 1,2,3,5 — 5 once
+  }
+
   test("charNgramCompressibility: looped, natural, and short texts") {
     import spark.implicits._
     val docs = Seq(
