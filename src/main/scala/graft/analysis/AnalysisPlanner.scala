@@ -955,19 +955,17 @@ object AnalysisPlanner {
    * plain `(x, y, c)` frame) the count reduces to the original
    * within-frame D, so [[kendallTau]]'s path is bit-identical.
    */
-  private[graft] def discordantCount(spark0: SparkSession, cells0: DataFrame,
-      fixedBuckets: Int, cap: Long, gridBudget: Long): (Long, Int) = {
+  // per-slice multiplicity-weighted inversion count: within each
+  // __sl, Σ c1·c2 over pairs with __fx strictly <, __fy strictly >.
+  // Tasks see whole slices, sorted, with a reset per slice; equal-fx
+  // batches are queried before insertion so fx ties contribute 0.
+  // (object-level since r14 so [[discordantFrame]] shares it with
+  // [[discordantCount]] — byte-identical logic, just un-nested)
+  private def fenwickSlices(spark0: SparkSession, f: DataFrame,
+      sl: Column, fx: Column, fy: Column,
+      fe: Column, fa: Column): DataFrame = {
     import spark0.implicits._
-    val cellsIn =
-      if (cells0.columns.contains("e")) cells0
-      else cells0.withColumn("e", col("c")).withColumn("a", col("c"))
-
-    // per-slice multiplicity-weighted inversion count: within each
-    // __sl, Σ c1·c2 over pairs with __fx strictly <, __fy strictly >.
-    // Tasks see whole slices, sorted, with a reset per slice; equal-fx
-    // batches are queried before insertion so fx ties contribute 0.
-    def fenwickSlices(f: DataFrame, sl: Column, fx: Column, fy: Column,
-        fe: Column, fa: Column): DataFrame = f
+    f
       .select(sl.cast("long").as("__sl"), fx.cast("double").as("__fx"),
         fy.cast("double").as("__fy"), fe.cast("long").as("__fe"),
         fa.cast("long").as("__fa"))
@@ -1024,44 +1022,52 @@ object AnalysisPlanner {
       }
       .toDF("d")
       .agg(coalesce(sum(col("d")), lit(0L)).as("d"))
+  }
 
-    // terminal path: equal-width x-buckets (equal x ⇒ same bucket),
-    // per-bucket Fenwick + the (bucket × distinct-y) D_cross grid
-    def terminal(f: DataFrame, nb: Long): Seq[DataFrame] = {
-      val cb = f
-        .join(broadcast(f.agg(min(col("x")).as("__plo"),
-          max(col("x")).as("__phi"))))
-        .withColumn("__xb",
-          when(col("__phi") <= col("__plo"), lit(0L))
-            .otherwise(least(
-              greatest(floor((col("x") - col("__plo")) /
-                (col("__phi") - col("__plo")) * nb), lit(0L)),
-              lit(nb - 1L))))
-        .drop("__plo", "__phi")
-      val dWithin =
-        fenwickSlices(cb, col("__xb"), col("x"), col("y"), col("e"),
-          col("a"))
-      // D_cross via the (bucket × y) grid — the grid accumulates
-      // EARLY-role mass; each late cell multiplies by its a weight
-      val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("e")).as("__n"))
-      val grid = f.select(col("y")).distinct()
-        .crossJoin(spark0.range(0, nb).toDF("__xb"))
-        .join(perY, Seq("__xb", "y"), "left")
-        .na.fill(0L, Seq("__n"))
-      val wXb = Window.partitionBy("y").orderBy("__xb") // ≤ nb rows
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val g = grid.withColumn("__G",
-        coalesce(sum(col("__n")).over(wXb), lit(0L)))
-      val gTot = g.groupBy("__xb").agg(sum(col("__G")).as("__Gtot"))
-      val earlierGt = PrefixSum
-        .exclusive(g, "y", Seq("__G" -> "__cumG"), groupCols = Seq("__xb"))
-        .join(gTot, "__xb")
-        .withColumn("__egt", col("__Gtot") - col("__cumG") - col("__G"))
-        .select(col("__xb"), col("y"), col("__egt"))
-      val dCross = cb.join(earlierGt, Seq("__xb", "y"))
-        .agg(coalesce(sum(col("a") * col("__egt")), lit(0L)).as("d"))
-      Seq(dWithin, dCross)
-    }
+  // terminal path: equal-width x-buckets (equal x ⇒ same bucket),
+  // per-bucket Fenwick + the (bucket × distinct-y) D_cross grid
+  private def discordantTerminal(spark0: SparkSession, f: DataFrame,
+      nb: Long): Seq[DataFrame] = {
+    val cb = f
+      .join(broadcast(f.agg(min(col("x")).as("__plo"),
+        max(col("x")).as("__phi"))))
+      .withColumn("__xb",
+        when(col("__phi") <= col("__plo"), lit(0L))
+          .otherwise(least(
+            greatest(floor((col("x") - col("__plo")) /
+              (col("__phi") - col("__plo")) * nb), lit(0L)),
+            lit(nb - 1L))))
+      .drop("__plo", "__phi")
+    val dWithin =
+      fenwickSlices(spark0, cb, col("__xb"), col("x"), col("y"), col("e"),
+        col("a"))
+    // D_cross via the (bucket × y) grid — the grid accumulates
+    // EARLY-role mass; each late cell multiplies by its a weight
+    val perY = cb.groupBy(col("__xb"), col("y")).agg(sum(col("e")).as("__n"))
+    val grid = f.select(col("y")).distinct()
+      .crossJoin(spark0.range(0, nb).toDF("__xb"))
+      .join(perY, Seq("__xb", "y"), "left")
+      .na.fill(0L, Seq("__n"))
+    val wXb = Window.partitionBy("y").orderBy("__xb") // ≤ nb rows
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = grid.withColumn("__G",
+      coalesce(sum(col("__n")).over(wXb), lit(0L)))
+    val gTot = g.groupBy("__xb").agg(sum(col("__G")).as("__Gtot"))
+    val earlierGt = PrefixSum
+      .exclusive(g, "y", Seq("__G" -> "__cumG"), groupCols = Seq("__xb"))
+      .join(gTot, "__xb")
+      .withColumn("__egt", col("__Gtot") - col("__cumG") - col("__G"))
+      .select(col("__xb"), col("y"), col("__egt"))
+    val dCross = cb.join(earlierGt, Seq("__xb", "y"))
+      .agg(coalesce(sum(col("a") * col("__egt")), lit(0L)).as("d"))
+    Seq(dWithin, dCross)
+  }
+
+  private[graft] def discordantCount(spark0: SparkSession, cells0: DataFrame,
+      fixedBuckets: Int, cap: Long, gridBudget: Long): (Long, Int) = {
+    val cellsIn =
+      if (cells0.columns.contains("e")) cells0
+      else cells0.withColumn("e", col("c")).withColumn("a", col("c"))
 
     // ties-preserving rank buckets of ≈cap cells: exclusive prefix of
     // per-value cell counts (all-distributed), bucket = prefix / cap.
@@ -1099,13 +1105,13 @@ object AnalysisPlanner {
             .persist()
           persisted += b
           // same-x-bucket pairs: strict on true (x, y)
-          partials :+= fenwickSlices(b, col("__rxb"), col("x"), col("y"),
-            col("e"), col("a"))
+          partials :+= fenwickSlices(spark0, b, col("__rxb"), col("x"),
+            col("y"), col("e"), col("a"))
           // cross-x-bucket, same-y-bucket pairs: bucket order IS strict
           // x order (ties preserved), y compared by true value; same-x-
           // bucket pairs tie on __rxb and contribute 0 (no double count)
-          partials :+= fenwickSlices(b, col("__ryb"), col("__rxb"), col("y"),
-            col("e"), col("a"))
+          partials :+= fenwickSlices(spark0, b, col("__ryb"), col("__rxb"),
+            col("y"), col("e"), col("a"))
           // cross-both pairs: strictly ordered on both bucket axes ⇒
           // recurse on the tile totals (both role weights ride along)
           cur = b.groupBy(col("__rxb"), col("__ryb"))
@@ -1120,12 +1126,54 @@ object AnalysisPlanner {
       }
 
     // final scalar action: EVERY D component across all levels in ONE job
-    val discordant = (partials ++ terminal(cur, nb))
+    val discordant = (partials ++ discordantTerminal(spark0, cur, nb))
       .reduce(_ unionByName _)
       .agg(coalesce(sum(col("d")), lit(0L)))
       .collect()(0).getLong(0)
     persisted.foreach(_.unpersist(false))
     (discordant, level)
+  }
+
+  /**
+   * Lazy-frame variant of [[discordantCount]] (r14 optimization): the
+   * common level-0 path returns the D aggregate as an UNEXECUTED 1-row
+   * frame, so a caller composing D with other 1-row scalars (the
+   * concordance index's tied/comparable/total frames) can evaluate the
+   * whole composition in ONE action — AQE then materializes the
+   * independent subtrees concurrently instead of the caller paying one
+   * serial driver action per scalar. When the adaptive sizing loop
+   * engaged (level > 0), partials reference persisted frames whose
+   * lifetime must not outlive this call, so that path keeps the eager
+   * collect and returns the scalar as a literal frame — same value,
+   * same contract.
+   */
+  private[graft] def discordantFrame(spark0: SparkSession, cells0: DataFrame,
+      fixedBuckets: Int, cap: Long, gridBudget: Long): DataFrame = {
+    import spark0.implicits._
+    val cellsIn =
+      if (cells0.columns.contains("e")) cells0
+      else cells0.withColumn("e", col("c")).withColumn("a", col("c"))
+    if (fixedBuckets > 0)
+      discordantTerminal(spark0, cellsIn, fixedBuckets.toLong)
+        .reduce(_ unionByName _)
+        .agg(coalesce(sum(col("d")), lit(0L)).as("d"))
+    else {
+      val (n, ny) = { // same sizing action discordantCount pays
+        val r = cellsIn.agg(count(lit(1)).as("__n"),
+          approx_count_distinct(col("y"), 0.05).as("__ny")).collect()(0)
+        (r.getLong(0), math.max(1L, r.getLong(1)))
+      }
+      val feasible = (n / cap + 1).toDouble * ny.toDouble <= gridBudget.toDouble
+      if (feasible) {
+        val nb = math.max(64L, math.min(1L << 20, n / cap + 1))
+        discordantTerminal(spark0, cellsIn, nb)
+          .reduce(_ unionByName _)
+          .agg(coalesce(sum(col("d")), lit(0L)).as("d"))
+      } else {
+        val (d, _) = discordantCount(spark0, cells0, fixedBuckets, cap, gridBudget)
+        Seq(d).toDF("d")
+      }
+    }
   }
 
   // ------------------------------------------------------------ drift
@@ -6288,35 +6336,39 @@ object AnalysisPlanner {
         count(lit(1)).as("a"))
       .localCheckpoint() // dominance pass + two prefix passes + totals
     // concordant: early event (e) at smaller t with HIGHER score than
-    // the later row (a) — discordantCount's x1<x2 ∧ y1>y2 exactly
-    val (concordant, _) = discordantCount(spark, cells,
+    // the later row (a) — discordantCount's x1<x2 ∧ y1>y2 exactly.
+    // r14: the four scalars below (D, tied, comparable, totals) used to
+    // be four SERIAL driver actions (head() each — 56 AQE stage-jobs
+    // end to end); they are now four 1-row frames crossJoined into ONE
+    // plan, so the consumer's single action materializes the
+    // independent subtrees CONCURRENTLY. Values are bit-identical.
+    val concordantF = discordantFrame(spark, cells,
       fixedBuckets = 0, cap = 1L << 16, gridBudget = 1L << 27)
+      .select(col("d").as("__concordant"))
     // per-score ties: event rows vs strictly-later same-score rows
     val totPerScore = cells.groupBy("y").agg(sum(col("a")).as("__totA"))
-    val tied = PrefixSum.joinNullSafe(
+    val tiedF = PrefixSum.joinNullSafe(
         PrefixSum.exclusive(cells, "x", Seq("a" -> "__cumA"),
           groupCols = Seq("y")),
         totPerScore, Seq("y"))
       .agg(coalesce(sum(col("e") *
-        (col("__totA") - col("__cumA") - col("a"))), lit(0L)))
-      .head().getLong(0)
+        (col("__totA") - col("__cumA") - col("a"))), lit(0L)).as("__tied"))
     // comparable pairs: every event row × strictly-later rows
     val perT = cells.groupBy("x").agg(sum(col("e")).as("__et"),
       sum(col("a")).as("__at"))
-    val comparable = PrefixSum.exclusive(perT, "x", Seq("__at" -> "__cum"))
+    val comparableF = PrefixSum.exclusive(perT, "x", Seq("__at" -> "__cum"))
       .crossJoin(broadcast(perT.agg(sum(col("__at")).as("__N"))))
       .agg(coalesce(sum(col("__et") *
-        (col("__N") - col("__cum") - col("__at"))), lit(0L)))
-      .head().getLong(0)
-    val totals = cells.agg(sum(col("a")).as("n"), sum(col("e")).as("ne"))
-      .head()
-    Seq((totals.getLong(0), totals.getLong(1), comparable, concordant,
-      tied, (concordant + 0.5 * tied) / comparable.toDouble))
-      .toDF("n", "n_events", "comparable_pairs", "concordant",
-        "tied_score", "__c")
-      .select(col("n"), col("n_events"), col("comparable_pairs"),
-        col("concordant"), col("tied_score"),
-        when(col("comparable_pairs") > 0, col("__c")).as("c_index"))
+        (col("__N") - col("__cum") - col("__at"))), lit(0L)).as("__comparable"))
+    val totalsF = cells.agg(sum(col("a")).as("n"), sum(col("e")).as("n_events"))
+    totalsF.crossJoin(comparableF).crossJoin(concordantF).crossJoin(tiedF)
+      .select(col("n"), col("n_events"),
+        col("__comparable").as("comparable_pairs"),
+        col("__concordant").as("concordant"),
+        col("__tied").as("tied_score"),
+        when(col("__comparable") > 0,
+          (col("__concordant") + col("__tied") * lit(0.5)) /
+            col("__comparable").cast("double")).as("c_index"))
   }
 
   /**

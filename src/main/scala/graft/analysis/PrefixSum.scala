@@ -92,6 +92,15 @@ object PrefixSum {
             floor((v - col("__plo")) / (col("__phi") - col("__plo")) * buckets),
             lit(0L)),
           lit(buckets - 1L)))
+    val gb = groupCols :+ "__pb"
+    // ONE exchange serves every keyed consumer below (r14): totals
+    // (groupBy gb), the offsets join-back (on gb), and the local
+    // prefix window (partitionBy gb) all cluster on exactly gb, so an
+    // explicit hash repartition on gb here lets EnsureRequirements
+    // satisfy all three from a single AQE-reused shuffle instead of
+    // materializing the bucketing subtree once per consumer (the scan
+    // + bounds join used to execute twice and shuffle twice). No
+    // numPartitions is pinned — AQE remains free to coalesce.
     val bucketed =
       (if (groupCols.isEmpty)
          df.join(broadcast(df.agg(min(v).as("__plo"), max(v).as("__phi"))))
@@ -100,7 +109,7 @@ object PrefixSum {
            .agg(min(v).as("__plo"), max(v).as("__phi")), groupCols))
         .withColumn("__pb", bucketCol)
         .drop("__plo", "__phi")
-    val gb = groupCols :+ "__pb"
+        .repartition(gb.map(col): _*)
     val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
     val totals = bucketed.groupBy(gb.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
     // cumulative offset per bucket: exclusive prefix over the totals
