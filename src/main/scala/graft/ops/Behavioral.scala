@@ -336,13 +336,24 @@ object Behavioral {
         .reduce(_ + _) + 1
       if (inverted) lit(buckets + 1) - raw else raw
     }
-    val withBounds = Seq("recency_days", "frequency", "monetary")
-      .foldLeft(users) { (acc, c) =>
-        val b = graft.analysis.AnalysisPlanner.exactPercentiles(
-          users, c, (1 until buckets).map(i =>
-            s"__${c}_q$i" -> i.toDouble / buckets), Nil)
-        acc.join(broadcast(b))
-      }
+    // ONE grouped percentile machinery for all three metrics (r14):
+    // melt users to (metric, value) rows and run a single grouped
+    // exact-percentile pass, instead of three full ungrouped passes
+    // (3× the bucketed-prefix exchanges for the same answer). The
+    // 3-row bounds frame pivots back to the one wide row the scoring
+    // expressions read — quantile values are bit-identical because
+    // the grouped path applies the same (n−1)·p interpolation per
+    // group that the ungrouped path applies to each column.
+    val metricNames = Seq("recency_days", "frequency", "monetary")
+    val melted = users.select(explode(map(metricNames.flatMap(c =>
+      Seq(lit(c), col(c))): _*)).as(Seq("__metric", "__val")))
+    val qNames = (1 until buckets).map(i => s"__q$i" -> i.toDouble / buckets)
+    val grouped = graft.analysis.AnalysisPlanner.exactPercentiles(
+      melted, "__val", qNames, Seq("__metric"))
+    val pivotAggs = for { c <- metricNames; i <- 1 until buckets } yield
+      max(when(col("__metric") === c, col(s"__q$i"))).as(s"__${c}_q$i")
+    val bounds = grouped.agg(pivotAggs.head, pivotAggs.tail: _*)
+    val withBounds = users.join(broadcast(bounds))
     withBounds
       .withColumn("r_score", score("recency_days", inverted = true)
         .cast("long"))

@@ -230,20 +230,33 @@ object Graph {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    // Alternating-key peel (r14): the symmetrized edge list holds BOTH
+    // orientations of every edge, so a node's degree is identical
+    // grouped by either endpoint. Each round therefore (1) computes
+    // degrees on the key the frame is ALREADY partitioned by (no
+    // exchange — localCheckpoint preserves LogicalRDD partitioning),
+    // (2) semi-joins the survivor set on that same key (no exchange on
+    // the edge side), and (3) pays the round's ONE full-edge shuffle
+    // on the opposite endpoint — which leaves the frame partitioned on
+    // that endpoint for the next round. 3 full-edge shuffles per round
+    // → 1, same peel semantics, bit-identical survivors.
     var und = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .where(col("a") =!= col("b") && col("a").isNotNull &&
         col("b").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("a")).localCheckpoint()
+    var key = "a"
     for (_ <- 1 to rounds) {
-      val keep = und.groupBy("a").agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k).select("a")
+      val other = if (key == "a") "b" else "a"
+      val keep = und.groupBy(key).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(key)
         .localCheckpoint() // probed by BOTH endpoint semi-joins
       und = und
-        .join(keep, Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .join(keep, Seq(key), "left_semi")
+        .join(keep.withColumnRenamed(key, other), Seq(other), "left_semi")
         .localCheckpoint()
+      key = other
     }
     und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
