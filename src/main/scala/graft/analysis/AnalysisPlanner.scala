@@ -3060,33 +3060,30 @@ object AnalysisPlanner {
     // projection into block storage
     val base = df.where(x.isNotNull && y.isNotNull)
       .select(x.as("__x"), y.as("__y"))
-    // ONE grouped median machinery for both axes (r14): melt to
-    // (axis, value) and compute the two medians in a single grouped
-    // pass instead of two full ungrouped passes with a serial driver
-    // head() each; the 2-row result pivots to a 1-row broadcast the
-    // quadrant scan crossJoins — same interpolation arithmetic, same
-    // values, one action end to end.
-    val melted = base.select(explode(map(
-      lit("x"), col("__x"), lit("y"), col("__y"))).as(Seq("__ax", "__val")))
-    val meds = broadcast(
-      exactPercentiles(melted, "__val", Seq(("m", 0.5)), Seq("__ax"))
-        .agg(max(when(col("__ax") === "x", col("m"))).as("__mx"),
-          max(when(col("__ax") === "y", col("m"))).as("__my")))
-    val mx = col("__mx"); val my = col("__my")
-    base.crossJoin(meds).agg(
+    // r14 note: two alternative formulations were measured and
+    // REJECTED — a melted single grouped median pass (doubles the
+    // corpus-wide value-count shuffle: q404 1.99 s -> 2.27 s) and a
+    // crossJoin composition of the two 1-row median frames (2.53 s —
+    // the concurrent subtrees contend where the serial actions do
+    // not). The two serial scalar probes below remain the fastest
+    // shape measured for this corpus-sized input.
+    val mx = exactPercentiles(base, "__x", Seq(("m", 0.5)), Nil)
+      .head().getAs[Double]("m")
+    val my = exactPercentiles(base, "__y", Seq(("m", 0.5)), Nil)
+      .head().getAs[Double]("m")
+    base.agg(
         sum(when((col("__x") > mx && col("__y") > my) ||
           (col("__x") < mx && col("__y") < my), 1.0).otherwise(0.0))
           .as("__conc"),
         sum(when((col("__x") > mx && col("__y") < my) ||
           (col("__x") < mx && col("__y") > my), 1.0).otherwise(0.0))
           .as("__disc"),
-        count(lit(1)).as("__tot"),
-        max(mx).as("median_x"), max(my).as("median_y"))
+        count(lit(1)).as("__tot"))
       .select(
         (col("__conc") + col("__disc")).cast("long").as("n_used"),
         (col("__tot") - col("__conc") - col("__disc")).cast("long")
           .as("n_dropped"),
-        col("median_x"), col("median_y"),
+        lit(mx).as("median_x"), lit(my).as("median_y"),
         when(col("__conc") + col("__disc") > 0,
           (col("__conc") - col("__disc")) /
             (col("__conc") + col("__disc"))).as("beta"))

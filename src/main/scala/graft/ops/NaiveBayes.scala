@@ -36,17 +36,11 @@ object NaiveBayes {
     require(features.nonEmpty, "naiveBayes: no features")
     require(alpha > 0, "naiveBayes: alpha > 0")
     val lbl = col(labelCol).cast("string")
-    // ONE materialization (r14): only valueCounts — the frame every
-    // per-feature broadcast re-reads — is checkpointed. labels and
-    // featureCard used to checkpoint too, paying two extra SERIAL
-    // driver actions per fit for frames that are (a) tiny and (b)
-    // derivable lazily: labels' train-side aggregate is exchange-
-    // reused across its consumers, featureCard reduces the already-
-    // checkpointed valueCounts. Same values, two fewer actions.
     val labels = train.groupBy(lbl.as("label"))
       .agg(count(lit(1)).as("n_l"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_all"))))
       .select(col("label"), col("n_l"), col("n_all"))
+      .localCheckpoint()
     val melted = train.select(lbl.as("label"), explode(array(features.map {
       f => struct(lit(f).as("feature"), col(f).cast("string").as("value"))
     }: _*)).as("fv"))
@@ -55,7 +49,7 @@ object NaiveBayes {
     val valueCounts = melted.groupBy("feature", "value", "label")
       .agg(count(lit(1)).as("c_fvl")).localCheckpoint()
     val featureCard = valueCounts.groupBy("feature")
-      .agg(countDistinct(col("value")).as("v_f"))
+      .agg(countDistinct(col("value")).as("v_f")).localCheckpoint()
     Model(labels, valueCounts, featureCard, alpha)
   }
 
