@@ -15,6 +15,8 @@ object Probe {
     val names = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("q15_derived_features")
     val explain = args.contains("--explain")
+    val nRuns = args.find(_.startsWith("--runs="))
+      .map(_.stripPrefix("--runs=").toInt).getOrElse(3)
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = GraftSession.withFunctions(
       GraftSession.builder(s"local[$cpus]", cpus)
@@ -65,14 +67,16 @@ object Probe {
       catch { case _: Throwable => }
     }
     val registry = SparkEntry.queries
-    val resolved = names.flatMap { n =>
-      if (registry.contains(n)) Some(n)
-      else registry.keys.filter(_.startsWith(n)).toSeq.sorted.headOption
-    }.distinct
+    val resolved =
+      if (names == Seq("ALL")) registry.keys.toSeq.sorted
+      else names.flatMap { n =>
+        if (registry.contains(n)) Some(n)
+        else registry.keys.filter(_.startsWith(n)).toSeq.sorted.headOption
+      }.distinct
     for (name <- resolved) {
       val fn = registry(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         drain(); resetCounters()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -2064,20 +2064,23 @@ object AnalysisPlanner {
     // summed from the cells, not re-scanned from the corpus
     val totals = g.groupBy(gc: _*)
       .agg(sum(col("__tot")).as("__N"))
-    val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"),
+    // r14: both dependent prefix passes (at-risk counts → log product)
+    // share ONE bucketing shuffle via exclusiveChain — 2 full
+    // machineries over the same duration-ordered cells → 1, identical
+    // arithmetic. Censored-only times contribute a factor of 1, so
+    // stage 2 filters to event times BEFORE the product prefix.
+    PrefixSum.exclusiveChain(g, "__t", Seq(
+        ((d: DataFrame) => d, Seq("__tot" -> "__before")),
+        ((d: DataFrame) =>
+          (if (groupCols.isEmpty) d.join(broadcast(totals))
+           else PrefixSum.joinNullSafe(d, totals, groupCols,
+             broadcastRight = true))
+            .withColumn("n_risk", col("__N") - col("__before"))
+            .where(col("__d") > 0)
+            .withColumn("__lnf",
+              log(lit(1.0) - col("__d") / col("n_risk"))),
+          Seq("__lnf" -> "__lnp"))),
       groupCols = groupCols)
-    val withRisk = (if (groupCols.isEmpty) pre.join(broadcast(totals))
-      else PrefixSum.joinNullSafe(pre, totals, groupCols,
-        broadcastRight = true))
-      .withColumn("n_risk", col("__N") - col("__before"))
-    // censored-only times contribute a factor of 1 — filter BEFORE the
-    // product prefix so the window runs over event times only
-    val ev = withRisk.where(col("__d") > 0)
-      .withColumn("__lnf", log(lit(1.0) - col("__d") / col("n_risk")))
-    PrefixSum.exclusive(
-        ev.select(gc ++ Seq(col("__t"), col("n_risk"), col("__d"),
-          col("__lnf")): _*),
-        "__t", Seq("__lnf" -> "__lnp"), groupCols = groupCols)
       .select(gc ++ Seq(col("__t").as("duration"),
         col("n_risk").cast("long").as("n_risk"),
         col("__d").cast("long").as("n_event"),
@@ -2115,27 +2118,32 @@ object AnalysisPlanner {
         count(lit(1)).cast("double").as("__tot"))
       .localCheckpoint()
     val n = broadcast(g.agg(sum(col("__tot")).as("__N")))
-    val pre = PrefixSum.exclusive(g, "__t", Seq("__tot" -> "__before"))
-      .join(n)
-      .withColumn("n_risk", col("__N") - col("__before"))
-    // a time where EVERYONE at risk fails has factor 0 (possible only
-    // at the last event time — nobody remains after it): its survival
-    // is exactly 0, and its log factor never feeds a later prefix, so
-    // it rides as 0 rather than ln(0)
-    val ev = pre.where(col("__d1") + col("__d2") > 0)
-      .withColumn("__lnf",
-        when(col("__d1") + col("__d2") < col("n_risk"),
-          log(lit(1.0) - (col("__d1") + col("__d2")) / col("n_risk")))
-          .otherwise(lit(0.0)))
-      .select("__t", "n_risk", "__d1", "__d2", "__lnf")
-    val pre2 = PrefixSum.exclusive(ev, "__t", Seq("__lnf" -> "__lnp"))
-      .withColumn("__sMinus", exp(col("__lnp")))
-      .withColumn("__inc1",
-        col("__sMinus") * col("__d1") / col("n_risk"))
-      .withColumn("__inc2",
-        col("__sMinus") * col("__d2") / col("n_risk"))
-    PrefixSum.exclusive(pre2, "__t",
-        Seq("__inc1" -> "__exc1", "__inc2" -> "__exc2"))
+    // r14: the three dependent prefix passes (at-risk counts → log
+    // survival factors → incidence increments) share ONE bucketing
+    // shuffle via exclusiveChain instead of paying the full bucketed
+    // machinery three times over the same ordered frame — plan goes
+    // from 3 full-frame exchanges to 1, identical arithmetic.
+    PrefixSum.exclusiveChain(g, "__t", Seq(
+        ((d: DataFrame) => d, Seq("__tot" -> "__before")),
+        ((d: DataFrame) => d.join(n)
+          .withColumn("n_risk", col("__N") - col("__before"))
+          // a time where EVERYONE at risk fails has factor 0 (possible
+          // only at the last event time — nobody remains after it):
+          // its survival is exactly 0, and its log factor never feeds
+          // a later prefix, so it rides as 0 rather than ln(0)
+          .where(col("__d1") + col("__d2") > 0)
+          .withColumn("__lnf",
+            when(col("__d1") + col("__d2") < col("n_risk"),
+              log(lit(1.0) - (col("__d1") + col("__d2")) / col("n_risk")))
+              .otherwise(lit(0.0))),
+          Seq("__lnf" -> "__lnp")),
+        ((d: DataFrame) => d
+          .withColumn("__sMinus", exp(col("__lnp")))
+          .withColumn("__inc1",
+            col("__sMinus") * col("__d1") / col("n_risk"))
+          .withColumn("__inc2",
+            col("__sMinus") * col("__d2") / col("n_risk")),
+          Seq("__inc1" -> "__exc1", "__inc2" -> "__exc2"))))
       .select(col("__t").as("duration"),
         col("n_risk").cast("long").as("n_risk"),
         col("__d1").cast("long").as("d_cause1"),
@@ -4798,20 +4806,24 @@ object AnalysisPlanner {
     val perTime = cells.groupBy("__t")
       .agg(sum(col("__dk")).as("__tot"),
         sum(when(col("__c") > 0, col("__dk")).otherwise(0.0)).as("__d"))
-    val risk = PrefixSum.exclusive(perTime, "__t",
-        Seq("__tot" -> "__before"))
-      .join(broadcast(cells.agg(sum(col("__dk")).as("__N"))))
-      .withColumn("n_risk", col("__N") - col("__before"))
+    // r14: the two dependent prefix passes (at-risk counts → log
+    // survival factors) share ONE bucketing shuffle via exclusiveChain
+    // — the third prefix below stays separate because it runs per
+    // CAUSE over a different (time, cause) row set.
     // d == n_risk can only happen at the LAST event time (no one
     // survives past it), and only LATER rows read the factor through
     // the exclusive prefix — so the ln(0) there is never consumed;
     // pin it to 0 to keep the prefix sums finite in any engine
-    val ev = risk.where(col("__d") > 0)
-      .withColumn("__lnf", when(col("__d") < col("n_risk"),
-        log(lit(1.0) - col("__d") / col("n_risk"))).otherwise(lit(0.0)))
-    val surv = PrefixSum.exclusive(
-        ev.select("__t", "n_risk", "__lnf"), "__t",
-        Seq("__lnf" -> "__lnp"))
+    val surv = PrefixSum.exclusiveChain(perTime, "__t", Seq(
+        ((d: DataFrame) => d, Seq("__tot" -> "__before")),
+        ((d: DataFrame) => d
+          .join(broadcast(cells.agg(sum(col("__dk")).as("__N"))))
+          .withColumn("n_risk", col("__N") - col("__before"))
+          .where(col("__d") > 0)
+          .withColumn("__lnf", when(col("__d") < col("n_risk"),
+            log(lit(1.0) - col("__d") / col("n_risk")))
+            .otherwise(lit(0.0))),
+          Seq("__lnf" -> "__lnp"))))
       .select(col("__t"), col("n_risk"), exp(col("__lnp")).as("__sm"))
       .localCheckpoint() // joined once per cause row below
     val byCause = cells.where(col("__c") > 0)

@@ -62,7 +62,35 @@ object PrefixSum {
    */
   def exclusive(df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], buckets: Int = 1024,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil): DataFrame =
+    exclusiveChain(df, orderCol, Seq((identity[DataFrame] _, sums)),
+      buckets, groupCols)
+
+  /**
+   * CHAINED exclusive prefix sums sharing ONE bucketing shuffle (r14).
+   * Each stage is `(transform, sums)`: the transform maps the current
+   * frame — with every earlier stage's prefix columns available — and
+   * then its `sums` are prefix-summed in the shared `orderCol` order.
+   * This is the cascade the survival/rank family needs (a prefix sum,
+   * a row-local function of it, a prefix sum of THAT, …): run as
+   * separate [[exclusive]] calls each link re-buckets, re-bounds, and
+   * re-shuffles the frame; chained, the bucket assignment from the
+   * FIRST frame serves every stage (bucketing only needs
+   * value-contiguous ranges of `orderCol`, and a stage's frame is a
+   * row-subset of the first, so the inherited ranges stay contiguous),
+   * and every per-stage aggregate/join/window clusters on the same
+   * (groupCols, bucket) key the initial repartition established — the
+   * whole chain pays ONE full-frame exchange plus a report-sized
+   * offsets exchange per stage.
+   *
+   * Transform contract: ROW-LOCAL only (filter / withColumn /
+   * broadcast-1-row crossJoin) — anything that repartitions or renames
+   * `orderCol`/`groupCols` breaks the shared clustering. `orderCol`
+   * values must not change across stages.
+   */
+  def exclusiveChain(df: DataFrame, orderCol: String,
+      stages: Seq[(DataFrame => DataFrame, Seq[(String, String)])],
+      buckets: Int = 1024, groupCols: Seq[String] = Nil): DataFrame = {
     // bucketing works on the double image of orderCol, so the column's
     // native ordering must agree with its double cast — true for
     // numerics, timestamps, and dates (monotone epoch casts), NOT for
@@ -101,7 +129,7 @@ object PrefixSum {
     // materializing the bucketing subtree once per consumer (the scan
     // + bounds join used to execute twice and shuffle twice). No
     // numPartitions is pinned — AQE remains free to coalesce.
-    val bucketed =
+    var cur =
       (if (groupCols.isEmpty)
          df.join(broadcast(df.agg(min(v).as("__plo"), max(v).as("__phi"))))
        else
@@ -110,39 +138,44 @@ object PrefixSum {
         .withColumn("__pb", bucketCol)
         .drop("__plo", "__phi")
         .repartition(gb.map(col): _*)
-    val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
-    val totals = bucketed.groupBy(gb.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
-    // cumulative offset per bucket: exclusive prefix over the totals
-    // frame — ≤ `buckets` rows per group by construction. Grouped: a
-    // window partitioned by the group keys. Ungrouped: a window
-    // partitioned by a constant would be FOLDED to a no-partition spec
-    // by Spark 4's EliminateWindowPartitions (→ the single-partition
-    // WindowExec warning), so the exclusive prefix is computed instead
-    // as a broadcast triangular self-join over the ≤ `buckets`-row
-    // frame — O(buckets²) pairs, trivially distributed, no window.
-    val offsets =
-      if (groupCols.isEmpty) {
-        val t2 = totals.select(col("__pb").as("__pb2") +:
-          sums.map { case (c, _) => col(s"__t_$c").as(s"__t2_$c") }: _*)
-        val offAggs = sums.map { case (c, _) =>
-          coalesce(sum(col(s"__t2_$c")), lit(0L)).as(s"__off_$c") }
-        totals.join(broadcast(t2), col("__pb2") < col("__pb"), "left")
-          .groupBy(col("__pb"))
-          .agg(offAggs.head, offAggs.tail: _*)
-      } else {
-        val wOff = Window.partitionBy(groupCols.map(col): _*)
-          .orderBy(col("__pb"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        totals.select(
-          gb.map(col) ++ sums.map { case (c, _) =>
-            coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
-          }: _*)
-      }
-    val wLoc = Window.partitionBy(gb.map(col): _*).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cumCols: Seq[Column] = sums.map { case (c, out) =>
-      (coalesce(sum(col(c)).over(wLoc), lit(0L)) + col(s"__off_$c")).as(out) }
-    joinNullSafe(bucketed, offsets, gb, broadcastRight = groupCols.isEmpty)
-      .select(df.columns.map(col).toSeq ++ cumCols: _*)
+    stages.foreach { case (transform, sums) =>
+      cur = transform(cur)
+      val kept = cur.columns.toSeq
+      val tAggs = sums.map { case (c, _) => sum(col(c)).as(s"__t_$c") }
+      val totals = cur.groupBy(gb.map(col): _*).agg(tAggs.head, tAggs.tail: _*)
+      // cumulative offset per bucket: exclusive prefix over the totals
+      // frame — ≤ `buckets` rows per group by construction. Grouped: a
+      // window partitioned by the group keys. Ungrouped: a window
+      // partitioned by a constant would be FOLDED to a no-partition spec
+      // by Spark 4's EliminateWindowPartitions (→ the single-partition
+      // WindowExec warning), so the exclusive prefix is computed instead
+      // as a broadcast triangular self-join over the ≤ `buckets`-row
+      // frame — O(buckets²) pairs, trivially distributed, no window.
+      val offsets =
+        if (groupCols.isEmpty) {
+          val t2 = totals.select(col("__pb").as("__pb2") +:
+            sums.map { case (c, _) => col(s"__t_$c").as(s"__t2_$c") }: _*)
+          val offAggs = sums.map { case (c, _) =>
+            coalesce(sum(col(s"__t2_$c")), lit(0L)).as(s"__off_$c") }
+          totals.join(broadcast(t2), col("__pb2") < col("__pb"), "left")
+            .groupBy(col("__pb"))
+            .agg(offAggs.head, offAggs.tail: _*)
+        } else {
+          val wOff = Window.partitionBy(groupCols.map(col): _*)
+            .orderBy(col("__pb"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          totals.select(
+            gb.map(col) ++ sums.map { case (c, _) =>
+              coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")
+            }: _*)
+        }
+      val wLoc = Window.partitionBy(gb.map(col): _*).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cumCols: Seq[Column] = sums.map { case (c, out) =>
+        (coalesce(sum(col(c)).over(wLoc), lit(0L)) + col(s"__off_$c")).as(out) }
+      cur = joinNullSafe(cur, offsets, gb, broadcastRight = groupCols.isEmpty)
+        .select(kept.map(col) ++ cumCols: _*)
+    }
+    cur.drop("__pb")
   }
 }

@@ -222,25 +222,30 @@ object Survival {
       sum(when(col("__e"), 1L).otherwise(0L)).as("n_event"),
       sum(when(!col("__e"), 1L).otherwise(0L)).as("n_censored"))
     val tot = broadcast(base.agg(count(lit(1)).as("__n")))
-    val pre = PrefixSum.exclusive(
+    // r14: both dependent prefix passes (exit counts → log survival
+    // factors + zero flags) share ONE bucketing shuffle via
+    // exclusiveChain instead of two full machineries over the same
+    // interval-ordered frame — identical arithmetic.
+    val cum = PrefixSum.exclusiveChain(
       per.withColumn("__out", col("n_event") + col("n_censored")),
-      "interval", Seq(("__out", "__cum")))
-    val withQ = pre.crossJoin(tot)
-      .withColumn("n_risk", col("__n") - col("__cum"))
-      .withColumn("q",
-        when(col("n_risk") - col("n_censored") / lit(2.0) > 0,
-          col("n_event") /
-            (col("n_risk") - col("n_censored") / lit(2.0))))
-      // log-space cumulative product; a q = 1 (or undefined-q)
-      // interval zeroes/freezes survival from there on, tracked by a
-      // flag prefix instead of ln(0)
-      .withColumn("__ln1q",
-        when(col("q").isNotNull && col("q") < 1, log(lit(1.0) - col("q")))
-          .otherwise(lit(0.0)))
-      .withColumn("__zflag",
-        when(col("q").isNull || col("q") >= 1, 1L).otherwise(0L))
-    val cum = PrefixSum.exclusive(withQ, "interval",
-      Seq(("__ln1q", "__lnpre"), ("__zflag", "__zpre")))
+      "interval", Seq(
+        ((d: org.apache.spark.sql.DataFrame) => d,
+          Seq(("__out", "__cum"))),
+        ((d: org.apache.spark.sql.DataFrame) => d.crossJoin(tot)
+          .withColumn("n_risk", col("__n") - col("__cum"))
+          .withColumn("q",
+            when(col("n_risk") - col("n_censored") / lit(2.0) > 0,
+              col("n_event") /
+                (col("n_risk") - col("n_censored") / lit(2.0))))
+          // log-space cumulative product; a q = 1 (or undefined-q)
+          // interval zeroes/freezes survival from there on, tracked by
+          // a flag prefix instead of ln(0)
+          .withColumn("__ln1q",
+            when(col("q").isNotNull && col("q") < 1,
+              log(lit(1.0) - col("q"))).otherwise(lit(0.0)))
+          .withColumn("__zflag",
+            when(col("q").isNull || col("q") >= 1, 1L).otherwise(0L)),
+          Seq(("__ln1q", "__lnpre"), ("__zflag", "__zpre")))))
     cum.select(col("interval"),
         (col("interval") * intervalDays).as("day_start"),
         col("n_risk"), col("n_event"), col("n_censored"), col("q"),
