@@ -120,7 +120,7 @@ object PrefixSum {
             floor((v - col("__plo")) / (col("__phi") - col("__plo")) * buckets),
             lit(0L)),
           lit(buckets - 1L)))
-    val gb = groupCols :+ "__pb"
+    val gb = groupCols :+ "__psb__"
     // ONE exchange serves every keyed consumer below (r14): totals
     // (groupBy gb), the offsets join-back (on gb), and the local
     // prefix window (partitionBy gb) all cluster on exactly gb, so an
@@ -135,7 +135,7 @@ object PrefixSum {
        else
          joinNullSafe(df, df.groupBy(groupCols.map(col): _*)
            .agg(min(v).as("__plo"), max(v).as("__phi")), groupCols))
-        .withColumn("__pb", bucketCol)
+        .withColumn("__psb__", bucketCol)
         .drop("__plo", "__phi")
         .repartition(gb.map(col): _*)
     stages.foreach { case (transform, sums) =>
@@ -153,16 +153,16 @@ object PrefixSum {
       // frame — O(buckets²) pairs, trivially distributed, no window.
       val offsets =
         if (groupCols.isEmpty) {
-          val t2 = totals.select(col("__pb").as("__pb2") +:
+          val t2 = totals.select(col("__psb__").as("__psb2__") +:
             sums.map { case (c, _) => col(s"__t_$c").as(s"__t2_$c") }: _*)
           val offAggs = sums.map { case (c, _) =>
             coalesce(sum(col(s"__t2_$c")), lit(0L)).as(s"__off_$c") }
-          totals.join(broadcast(t2), col("__pb2") < col("__pb"), "left")
-            .groupBy(col("__pb"))
+          totals.join(broadcast(t2), col("__psb2__") < col("__psb__"), "left")
+            .groupBy(col("__psb__"))
             .agg(offAggs.head, offAggs.tail: _*)
         } else {
           val wOff = Window.partitionBy(groupCols.map(col): _*)
-            .orderBy(col("__pb"))
+            .orderBy(col("__psb__"))
             .rowsBetween(Window.unboundedPreceding, -1)
           totals.select(
             gb.map(col) ++ sums.map { case (c, _) =>
@@ -176,6 +176,6 @@ object PrefixSum {
       cur = joinNullSafe(cur, offsets, gb, broadcastRight = groupCols.isEmpty)
         .select(kept.map(col) ++ cumCols: _*)
     }
-    cur.drop("__pb")
+    cur.drop("__psb__")
   }
 }

@@ -1027,12 +1027,21 @@ object TimeSeries {
    */
   def runsTest(df: DataFrame, tsCol: String): DataFrame = {
     val daily = dailyCounts(df, tsCol).localCheckpoint()
-    val med = graft.analysis.AnalysisPlanner.percentilesFromCounts(
-      daily.groupBy(col("__y").as("__v"))
-        .agg(count(lit(1)).as("__c")),
-      Seq(("m", 0.5)), Nil).head().getAs[Double]("m")
-    val signed = daily.where(col("__y") =!= med)
-      .withColumn("__sgn", when(col("__y") > med, 1.0).otherwise(0.0))
+    // r14: the median rides as a broadcast 1-row frame instead of a
+    // serial driver head() — the whole machinery here is over the
+    // ≤|days| daily frame, so the composed plan is report-sized and
+    // the removed action was pure serialization
+    val medF = broadcast(graft.analysis.AnalysisPlanner
+      .percentilesFromCounts(
+        daily.groupBy(col("__y").as("__v"))
+          .agg(count(lit(1)).as("__c")),
+        Seq(("m", 0.5)), Nil)
+      .select(col("m").as("__med")))
+    val signed = daily.crossJoin(medF)
+      .where(col("__y") =!= col("__med"))
+      .withColumn("__sgn",
+        when(col("__y") > col("__med"), 1.0).otherwise(0.0))
+      .drop("__med")
     val idx = graft.analysis.PrefixSum.exclusive(
         signed.withColumn("__one", lit(1.0)), "__t",
         Seq("__one" -> "__exi"))

@@ -777,6 +777,48 @@ class OpsExtSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("PrefixSum.exclusiveChain matches sequential exclusive calls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val df = (1 to 400).map(_ => rnd.nextInt(120))
+      .distinct.map(v => (v.toDouble, rnd.nextInt(7) + 1L))
+      .toDF("v", "c").repartition(8)
+    // reference: two independent exclusive passes, the second over a
+    // derived+filtered frame — exactly what the chain fuses
+    val p1 = graft.analysis.PrefixSum.exclusive(df, "v",
+      Seq("c" -> "cum1"), buckets = 16)
+    val derived = p1.where(col("cum1") % 2 === 0)
+      .withColumn("d", col("cum1") + col("c"))
+    val expect = graft.analysis.PrefixSum.exclusive(derived, "v",
+        Seq("d" -> "cum2"), buckets = 16)
+      .orderBy("v").collect()
+      .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cum1"),
+        r.getAs[Long]("cum2")))
+    val got = graft.analysis.PrefixSum.exclusiveChain(df, "v", Seq(
+        ((x: org.apache.spark.sql.DataFrame) => x, Seq("c" -> "cum1")),
+        ((x: org.apache.spark.sql.DataFrame) =>
+          x.where(col("cum1") % 2 === 0)
+            .withColumn("d", col("cum1") + col("c")),
+          Seq("d" -> "cum2"))), buckets = 16)
+      .orderBy("v").collect()
+      .map(r => (r.getAs[Double]("v"), r.getAs[Long]("cum1"),
+        r.getAs[Long]("cum2")))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("PrefixSum output named __pb survives (q593 regression)") {
+    import spark.implicits._
+    // the chain's internal bucket column must not collide with a
+    // caller's OUTPUT name — q593 names a prefix output __pb and the
+    // first exclusiveChain cut dropped it with the internal column
+    val df = Seq((1.0, 2L), (2.0, 3L), (3.0, 5L)).toDF("v", "cb")
+    val out = graft.analysis.PrefixSum.exclusive(df, "v",
+      Seq("cb" -> "__pb"), buckets = 4)
+    assert(out.columns.contains("__pb"))
+    assert(out.orderBy("v").collect().map(_.getAs[Long]("__pb")).toSeq ==
+      Seq(0L, 2L, 5L))
+  }
+
   test("value-count summarize keeps all-NULL groups and metric order") {
     import graft.analysis._
     import spark.implicits._
