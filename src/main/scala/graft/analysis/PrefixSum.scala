@@ -121,15 +121,18 @@ object PrefixSum {
             lit(0L)),
           lit(buckets - 1L)))
     val gb = groupCols :+ "__psb__"
-    // ONE exchange serves every keyed consumer below (r14): totals
-    // (groupBy gb), the offsets join-back (on gb), and the local
-    // prefix window (partitionBy gb) all cluster on exactly gb, so an
-    // explicit hash repartition on gb here lets EnsureRequirements
-    // satisfy all three from a single AQE-reused shuffle instead of
-    // materializing the bucketing subtree once per consumer (the scan
-    // + bounds join used to execute twice and shuffle twice). No
-    // numPartitions is pinned — AQE remains free to coalesce.
-    var cur =
+    // MULTI-STAGE chains hash-repartition on gb once, so every stage's
+    // totals aggregate, offsets join-back, and local prefix window
+    // cluster on the one AQE-materialized exchange — that alignment is
+    // what makes k dependent passes cost ONE full-frame shuffle.
+    // SINGLE-stage calls deliberately skip it: an A/B (q119/q129/q626,
+    // control-matched) showed the explicit full-width repartition runs
+    // 10-30% SLOWER locally than the old shape (pruned window exchange
+    // + map-side-combined totals shuffle + AQE exchange reuse on the
+    // bucketing subtree), with no offsetting pass saved when there is
+    // only one stage. No numPartitions is pinned — AQE coalesces.
+    val aligned = stages.length > 1
+    val bucketed0 =
       (if (groupCols.isEmpty)
          df.join(broadcast(df.agg(min(v).as("__plo"), max(v).as("__phi"))))
        else
@@ -137,7 +140,8 @@ object PrefixSum {
            .agg(min(v).as("__plo"), max(v).as("__phi")), groupCols))
         .withColumn("__psb__", bucketCol)
         .drop("__plo", "__phi")
-        .repartition(gb.map(col): _*)
+    var cur =
+      if (aligned) bucketed0.repartition(gb.map(col): _*) else bucketed0
     stages.foreach { case (transform, sums) =>
       cur = transform(cur)
       val kept = cur.columns.toSeq
